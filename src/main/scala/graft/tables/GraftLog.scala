@@ -1,0 +1,179 @@
+package graft.tables
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+/** Reader/writer for a table's `_graft_log/` commit log.
+  *
+  * Driver-side only (log files are small: O(#files touched) lines per commit).
+  * Single-writer, last-writer-wins: commits are staged to a temp file and
+  * atomically renamed into place (SURVEY §7.5 — optimistic concurrency is
+  * deliberately out of scope).
+  */
+class GraftLog(val tablePath: String) {
+  import GraftLog._
+
+  val logDir: JPath = Paths.get(tablePath, LogDirName)
+
+  /** Sorted list of committed versions (from log file names). */
+  def versions(): Seq[Long] = {
+    if (!Files.isDirectory(logDir)) return Nil
+    Files
+      .list(logDir)
+      .iterator()
+      .asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong)
+      .toSeq
+      .sorted
+  }
+
+  def latestVersion(): Long =
+    versions().lastOption.getOrElse(
+      throw new IllegalStateException(s"$tablePath is not a GraftTable (no $LogDirName)")
+    )
+
+  def earliestVersion(): Long =
+    versions().headOption.getOrElse(
+      throw new IllegalStateException(s"$tablePath is not a GraftTable (no $LogDirName)")
+    )
+
+  def tableExists: Boolean = versions().nonEmpty
+
+  def versionFile(v: Long): JPath = logDir.resolve(f"$v%020d.json")
+
+  /** Actions of a single committed version. */
+  def actionsAt(v: Long): Seq[Action] = {
+    val f = versionFile(v)
+    if (!Files.exists(f))
+      throw new java.io.FileNotFoundException(
+        s"version $v of $tablePath has no log file (${f.toString})")
+    Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.trim.nonEmpty)
+      .map(parseAction)
+  }
+
+  /** Stream of (version, actions) from `from` to the latest, ascending —
+    * analogue of `DeltaLog.getChanges` (reference `ChangeDataFeedHelper.scala:332`).
+    */
+  def getChanges(from: Long): Seq[(Long, Seq[Action])] =
+    versions().filter(_ >= from).map(v => v -> actionsAt(v))
+
+  /** Snapshot at `version` (default: latest): fold of metadata/add/remove.
+    *
+    * Scale note: replay is O(total log lines ≤ version). For long-lived tables
+    * a checkpoint file every N commits would bound this; at the feature scale
+    * the reference exercises (tens of versions) plain replay is the simpler
+    * correct choice.
+    */
+  def snapshot(version: Long = -1L): Snapshot = {
+    val vs = versions()
+    if (vs.isEmpty)
+      throw new IllegalStateException(s"$tablePath is not a GraftTable (empty log)")
+    val target = if (version < 0) vs.last else version
+    require(vs.contains(target), s"version $target does not exist for $tablePath (have ${vs.headOption}..${vs.lastOption})")
+    var meta: Metadata = null
+    val files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    vs.filter(_ <= target).foreach { v =>
+      actionsAt(v).foreach {
+        case m: Metadata   => meta = m
+        case a: AddFile    => files(a.path) = a
+        case r: RemoveFile => files.remove(r.path)
+        case _             => ()
+      }
+    }
+    require(meta != null, s"no metadata action found in log of $tablePath")
+    Snapshot(target, meta, files.values.toSeq)
+  }
+
+  /** History entries (newest first), analogue of `deltaLog.history.getHistory`
+    * (reference `OperationMetricHelper.scala:56`).
+    */
+  def history(): Seq[(Long, CommitInfo)] =
+    versions().reverse.flatMap { v =>
+      actionsAt(v).collectFirst { case ci: CommitInfo => v -> ci }
+    }
+
+  /** Atomically commit `actions` as `version`. Fails if the version exists. */
+  def commit(version: Long, actions: Seq[Action]): Unit = {
+    Files.createDirectories(logDir)
+    val target = versionFile(version)
+    if (Files.exists(target))
+      throw new IllegalStateException(s"version $version already committed for $tablePath")
+    val tmp = Files.createTempFile(logDir, s".$version", ".json.tmp")
+    val body = actions.map(renderAction).mkString("", "\n", "\n")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+object GraftLog {
+  val LogDirName = "_graft_log"
+  val CdcDirName = "_change_data"
+  val CdfProperty = "graft.enableChangeDataFeed"
+
+  private[graft] val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m
+  }
+
+  def renderAction(a: Action): String = {
+    val key = a match {
+      case _: Metadata   => "metadata"
+      case _: AddFile    => "add"
+      case _: RemoveFile => "remove"
+      case _: AddCDCFile => "cdc"
+      case _: CommitInfo => "commitInfo"
+    }
+    val root = mapper.createObjectNode()
+    root.set[ObjectNode](key, mapper.valueToTree[JsonNode](a))
+    mapper.writeValueAsString(root)
+  }
+
+  def parseAction(line: String): Action = {
+    val node = mapper.readTree(line)
+    val field = node.fieldNames().asScala.toSeq.headOption.getOrElse(
+      throw new IllegalArgumentException(s"empty log line: $line"))
+    val body = node.get(field)
+    field match {
+      case "metadata"   => mapper.treeToValue(body, classOf[Metadata])
+      case "add"        => mapper.treeToValue(body, classOf[AddFile])
+      case "remove"     => mapper.treeToValue(body, classOf[RemoveFile])
+      case "cdc"        => mapper.treeToValue(body, classOf[AddCDCFile])
+      case "commitInfo" => mapper.treeToValue(body, classOf[CommitInfo])
+      case other =>
+        throw new IllegalArgumentException(s"unknown log action '$other' in: $line")
+    }
+  }
+
+  def parseStats(statsJson: String): Option[FileStats] =
+    if (statsJson == null || statsJson.isEmpty) None
+    else {
+      // manual tree walk: Jackson's Scala module erases Map[String,Long]
+      // value types to Integer, breaking callers that pattern-match Long
+      val n = mapper.readTree(statsJson)
+      def strMap(field: String): Map[String, String] =
+        Option(n.get(field)).map { m =>
+          m.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+        }.getOrElse(Map.empty)
+      def longMap(field: String): Map[String, Long] =
+        Option(n.get(field)).map { m =>
+          m.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+        }.getOrElse(Map.empty)
+      Some(FileStats(
+        numRecords = Option(n.get("numRecords")).map(_.asLong()).getOrElse(0L),
+        minValues = strMap("minValues"),
+        maxValues = strMap("maxValues"),
+        nullCount = longMap("nullCount")
+      ))
+    }
+
+  def renderStats(s: FileStats): String = mapper.writeValueAsString(s)
+}

@@ -1,0 +1,141 @@
+package graft.tables
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Public handle to a versioned Parquet table — the Spark-native stand-in for
+  * the `DeltaTable` + `DeltaLog` pair the reference manipulates
+  * (`DeltaHelpers.scala:21`, `Type2Scd.scala:35`). Obtained via
+  * [[GraftTable.forPath]] or created through [[GraftTable.create]].
+  *
+  * Reads construct a plain Parquet scan over exactly the snapshot's live
+  * files, with the snapshot schema enforced (schema-evolved old files read
+  * missing columns as null — SURVEY §7.5). All Catalyst optimizations
+  * (pushdown, pruning, codegen, AQE) apply unchanged.
+  */
+class GraftTable private (val spark: SparkSession, val path: String) {
+
+  val log = new GraftLog(path)
+
+  def snapshot: Snapshot = log.snapshot()
+
+  def snapshotAt(version: Long): Snapshot = log.snapshot(version)
+
+  def version: Long = log.latestVersion()
+
+  /** Current table contents as a DataFrame. */
+  def toDF: DataFrame = dfForSnapshot(snapshot)
+
+  /** Time-travel read. */
+  def toDFAt(version: Long): DataFrame = dfForSnapshot(snapshotAt(version))
+
+  /** Build the scan for an explicit file subset of a snapshot (used by the
+    * merge engine after file skipping — only candidate files are read).
+    */
+  def dfForFiles(snap: Snapshot, files: Seq[AddFile]): DataFrame = {
+    val schema = snap.schema
+    if (files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    } else {
+      val paths = files.map(f => Paths.get(path, f.path).toString)
+      val reader = spark.read.schema(schema)
+      val withBase =
+        if (snap.metadata.partitionColumns.nonEmpty) reader.option("basePath", path)
+        else reader
+      withBase.parquet(paths: _*)
+    }
+  }
+
+  def dfForSnapshot(snap: Snapshot): DataFrame = dfForFiles(snap, snap.files)
+
+  /** Table metadata as a one-row DataFrame — analogue of `DeltaTable.detail()`
+    * (reference `DeltaHelpers.scala:407-412`: reads `partitionColumns`,
+    * `properties`, `location`, `numFiles`, `sizeInBytes`).
+    */
+  def detail(): DataFrame = {
+    val s = snapshot
+    val schema = StructType(Seq(
+      StructField("format", StringType),
+      StructField("location", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("properties", MapType(StringType, StringType)),
+      StructField("numFiles", LongType),
+      StructField("sizeInBytes", LongType)
+    ))
+    val row = Row("parquet+graftlog", path, s.metadata.partitionColumns,
+      s.metadata.properties, s.numFiles, s.sizeInBytes)
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(row), 1), schema)
+  }
+
+  /** File-level metadata (path, partitionValues, size, numRecords) as a
+    * DataFrame — our analogue of `snapshot.filesWithStatsForScan`
+    * (`DeltaHelpers.scala:212-219`), input to the size/record-distribution
+    * helpers. Driver-materialized (O(files) rows, metadata only).
+    */
+  def filesDF: DataFrame = {
+    import org.apache.spark.sql.functions._
+    val s = snapshot
+    val rows = s.files.map { f =>
+      val stats = GraftLog.parseStats(f.stats)
+      (f.path, f.partitionValues, f.size, stats.map(_.numRecords).getOrElse(-1L))
+    }
+    import spark.implicits._
+    rows.toDF("path", "partitionValues", "size", "numRecords")
+      .withColumn("partitionValues", map_from_entries(map_entries(col("partitionValues"))))
+  }
+
+  /** History newest-first: (version, timestamp, operation, operationParameters,
+    * operationMetrics) — analogue of `deltaLog.history.getHistory`.
+    */
+  def history(): Seq[(Long, CommitInfo)] = log.history()
+
+  def historyDF: DataFrame = {
+    import spark.implicits._
+    history().map { case (v, ci) =>
+      (v, new java.sql.Timestamp(ci.timestamp), ci.operation, ci.operationParameters, ci.operationMetrics)
+    }.toDF("version", "timestamp", "operation", "operationParameters", "operationMetrics")
+  }
+
+  /** Overwrite table contents (same schema rules as a fresh create). */
+  def overwrite(df: DataFrame, operation: String = "WRITE",
+      operationParameters: Map[String, String] = Map.empty): Long =
+    TableWriter.write(spark, path, df, TableWriter.Overwrite,
+      partitionColumns = snapshot.metadata.partitionColumns,
+      operation = operation, operationParameters = operationParameters)
+
+  /** Append rows (mergeSchema semantics: unseen columns extend the schema). */
+  def append(df: DataFrame, operation: String = "WRITE",
+      operationParameters: Map[String, String] = Map.empty,
+      extraMetrics: Map[String, String] = Map.empty): Long =
+    TableWriter.write(spark, path, df, TableWriter.Append,
+      operation = operation, operationParameters = operationParameters,
+      extraMetrics = extraMetrics)
+}
+
+object GraftTable {
+
+  def forPath(spark: SparkSession, path: String): GraftTable = {
+    val t = new GraftTable(spark, path)
+    require(t.log.tableExists, s"$path is not a GraftTable (no committed log)")
+    t
+  }
+
+  def exists(path: String): Boolean = new GraftLog(path).tableExists
+
+  /** Create (or overwrite) a table at `path` from `df`. */
+  def create(
+      spark: SparkSession,
+      path: String,
+      df: DataFrame,
+      partitionColumns: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty
+  ): GraftTable = {
+    TableWriter.write(spark, path, df, TableWriter.Overwrite,
+      partitionColumns = partitionColumns,
+      properties = properties,
+      operation = if (exists(path)) "WRITE" else "CREATE TABLE")
+    new GraftTable(spark, path)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.tables
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.column.statistics.Statistics
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+/** Harvests per-file statistics (`numRecords`, per-column min/max/nullCount)
+  * from Parquet footers — metadata-only, no data scan, O(files) cheap driver
+  * work. This is what makes file-level data skipping possible on a plain
+  * Parquet directory (the capability the reference gets from Delta's
+  * `snapshot.filesWithStatsForScan` / `txn.filterFiles`,
+  * `DeltaHelpers.scala:112-124,216-218`).
+  *
+  * Canonical string encodings in the stats maps (totally ordered per type,
+  * parsed back by [[FileSkipping]] using the snapshot schema):
+  *  - integral/floating/boolean: `toString`
+  *  - string: the raw string
+  *  - timestamp: micros since epoch as a long string
+  *  - date: days since epoch as an int string
+  *
+  * Scale note: at very large file counts, harvest can be distributed with
+  * `sparkContext.parallelize(paths).map(readFooter)`; footers are ~KB each so
+  * driver-side parallel IO is fine into the tens of thousands of files.
+  */
+object ParquetStats {
+
+  /** Read one file's footer → FileStats. */
+  def forFile(absPath: String, conf: Configuration = new Configuration()): FileStats = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(absPath), conf))
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks.asScala.toSeq
+      val numRecords = blocks.map(_.getRowCount).sum
+      val schema = footer.getFileMetaData.getSchema
+
+      // Only top-level primitive columns get stats (nested/array/map skipped).
+      val topLevel = schema.getFields.asScala.filter(_.isPrimitive).map(_.asPrimitiveType())
+
+      val mins = scala.collection.mutable.Map.empty[String, Any]
+      val maxs = scala.collection.mutable.Map.empty[String, Any]
+      val nulls = scala.collection.mutable.Map.empty[String, Long]
+      val nullsValid = scala.collection.mutable.Set.empty[String]
+      topLevel.foreach { f => nulls(f.getName) = 0L; nullsValid += f.getName }
+
+      blocks.foreach { block =>
+        block.getColumns.asScala.foreach { chunk =>
+          val pathParts = chunk.getPath.toArray
+          if (pathParts.length == 1) {
+            val name = pathParts(0)
+            topLevel.find(_.getName == name).foreach { ptype =>
+              val st = chunk.getStatistics
+              if (st != null && st.isNumNullsSet) {
+                if (nullsValid(name)) nulls(name) = nulls(name) + st.getNumNulls
+              } else nullsValid -= name
+              decodeMinMax(st, ptype).foreach { case (mn, mx) =>
+                mins(name) = mins.get(name).map(reduceVal(_, mn, min = true)).getOrElse(mn)
+                maxs(name) = maxs.get(name).map(reduceVal(_, mx, min = false)).getOrElse(mx)
+              }
+            }
+          }
+        }
+      }
+
+      FileStats(
+        numRecords = numRecords,
+        minValues = mins.map { case (k, v) => k -> v.toString }.toMap,
+        maxValues = maxs.map { case (k, v) => k -> v.toString }.toMap,
+        nullCount = nulls.filter { case (k, _) => nullsValid(k) }.toMap
+      )
+    } finally reader.close()
+  }
+
+  /** Decode a column chunk's min/max into canonical comparable values. */
+  private def decodeMinMax(st: Statistics[_], ptype: org.apache.parquet.schema.PrimitiveType): Option[(Any, Any)] = {
+    if (st == null || st.isEmpty || !st.hasNonNullValue) return None
+    val logical = ptype.getLogicalTypeAnnotation
+    def conv(v: Any): Option[Any] = (ptype.getPrimitiveTypeName, v) match {
+      case (PrimitiveTypeName.BINARY, b: Binary)
+          if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        Some(b.toStringUsingUTF8)
+      case (PrimitiveTypeName.INT32, i: java.lang.Integer) => Some(i.intValue())
+      case (PrimitiveTypeName.INT64, l: java.lang.Long)    => Some(l.longValue())
+      case (PrimitiveTypeName.DOUBLE, d: java.lang.Double) => Some(d.doubleValue())
+      case (PrimitiveTypeName.FLOAT, f: java.lang.Float)   => Some(f.floatValue())
+      case (PrimitiveTypeName.BOOLEAN, b: java.lang.Boolean) => Some(b.booleanValue())
+      case _ => None // INT96 timestamps, decimals, raw binary: no usable stats
+    }
+    for {
+      mn <- conv(st.genericGetMin)
+      mx <- conv(st.genericGetMax)
+    } yield (mn, mx)
+  }
+
+  private def reduceVal(a: Any, b: Any, min: Boolean): Any = (a, b) match {
+    case (x: Int, y: Int)         => if ((x < y) == min) x else y
+    case (x: Long, y: Long)       => if ((x < y) == min) x else y
+    case (x: Double, y: Double)   => if ((x < y) == min) x else y
+    case (x: Float, y: Float)     => if ((x < y) == min) x else y
+    case (x: Boolean, y: Boolean) => if ((!x) == min) x else y
+    case (x: String, y: String)   => if ((x.compareTo(y) < 0) == min) x else y
+    case _                        => a
+  }
+}

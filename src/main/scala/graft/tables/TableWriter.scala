@@ -1,0 +1,212 @@
+package graft.tables
+
+import java.net.URLDecoder
+import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Physical write path for GraftTable commits.
+  *
+  * Data files are written by Spark into a staging directory, then moved
+  * (same-filesystem rename, cheap) into the table directory, then the commit
+  * is logged. Readers only see files referenced from committed log versions,
+  * so a crashed write leaves at worst orphaned files, never a torn table.
+  *
+  * Scale note: the actual data write is a fully distributed Spark job
+  * (partitioned by `partitionBy`); only the per-file rename + footer-stat
+  * harvest run on the driver, both O(files) metadata operations.
+  */
+object TableWriter {
+
+  val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Ensure session confs that make footer stats usable. */
+  def ensureWriteConfs(spark: SparkSession): Unit = {
+    // INT96 timestamps carry no usable min/max statistics; INT64 micros do.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+  }
+
+  sealed trait WriteMode
+  case object Overwrite extends WriteMode
+  case object Append extends WriteMode
+
+  /** Write `df` as a new commit of the table at `tablePath`.
+    *
+    * @return the committed version
+    */
+  def write(
+      spark: SparkSession,
+      tablePath: String,
+      df: DataFrame,
+      mode: WriteMode,
+      partitionColumns: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty,
+      operation: String = "WRITE",
+      operationParameters: Map[String, String] = Map.empty,
+      extraMetrics: Map[String, String] = Map.empty,
+      cdc: Option[DataFrame] = None,
+      extraActions: Seq[Action] = Nil
+  ): Long = {
+    ensureWriteConfs(spark)
+    val log = new GraftLog(tablePath)
+    val exists = log.tableExists
+    val prevSnapshot = if (exists) Some(log.snapshot()) else None
+
+    val partCols =
+      if (exists && partitionColumns.isEmpty) prevSnapshot.get.metadata.partitionColumns
+      else partitionColumns
+    prevSnapshot.foreach { s =>
+      if (partitionColumns.nonEmpty && s.metadata.partitionColumns != partitionColumns && mode == Append)
+        throw new IllegalArgumentException(
+          s"append partitioning ${partitionColumns} != table partitioning ${s.metadata.partitionColumns}")
+    }
+
+    // Schema: overwrite replaces; append merges by name (mergeSchema semantics,
+    // reference DeltaHelpers.scala:375-378 — old files read as null for new cols).
+    val newSchema = (mode, prevSnapshot) match {
+      case (Append, Some(s)) => mergeSchemas(s.schema, df.schema)
+      case _                 => df.schema
+    }
+
+    val newProps = prevSnapshot.map(_.metadata.properties).getOrElse(Map.empty) ++ properties
+
+    // 1. distributed write to staging
+    val staging = Files.createTempDirectory(Paths.get(tablePath).getParent, ".graft-staging-")
+    val stagingDir = staging.resolve("data").toString
+    try {
+      val writer = df.write.mode("overwrite")
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(stagingDir)
+
+      // 2. move produced parquet files into the table dir
+      val moved = moveDataFiles(Paths.get(stagingDir), Paths.get(tablePath))
+
+      // 3. footer stats per file
+      val conf = spark.sessionState.newHadoopConf()
+      val adds = moved.map { rel =>
+        val abs = Paths.get(tablePath, rel)
+        val stats = ParquetStats.forFile(abs.toString, conf)
+        AddFile(
+          path = rel,
+          partitionValues = partitionValuesOf(rel),
+          size = Files.size(abs),
+          stats = GraftLog.renderStats(stats)
+        )
+      }
+      val numOutputRows = adds.flatMap(a => GraftLog.parseStats(a.stats)).map(_.numRecords).sum
+
+      // 4. CDC files (when provided and CDF enabled)
+      val version = prevSnapshot.map(_.version + 1).getOrElse(0L)
+      val cdfOn = newProps.get(GraftLog.CdfProperty).exists(_.equalsIgnoreCase("true"))
+      val cdcActions: Seq[Action] = cdc match {
+        case Some(cdcDf) if cdfOn => writeCdcFiles(spark, tablePath, version, cdcDf)
+        case _                    => Nil
+      }
+
+      // 5. assemble + commit
+      val removes: Seq[Action] = mode match {
+        case Overwrite => prevSnapshot.map(_.files.map(f => RemoveFile(f.path))).getOrElse(Nil)
+        case Append    => Nil
+      }
+      val metaChanged = prevSnapshot.forall { s =>
+        s.schema != newSchema || s.metadata.properties != newProps ||
+        s.metadata.partitionColumns != partCols
+      }
+      val metaActions: Seq[Action] =
+        if (metaChanged) Seq(Metadata(newSchema.json, partCols, newProps)) else Nil
+      val metrics = Map(
+        "numFiles" -> adds.size.toString,
+        "numOutputRows" -> numOutputRows.toString,
+        "numOutputBytes" -> adds.map(_.size).sum.toString
+      ) ++ extraMetrics
+      val commitInfo = CommitInfo(
+        timestamp = System.currentTimeMillis(),
+        operation = operation,
+        operationParameters = operationParameters,
+        operationMetrics = metrics
+      )
+      log.commit(version, metaActions ++ adds ++ removes ++ cdcActions ++ extraActions :+ commitInfo)
+      version
+    } finally deleteRecursively(staging)
+  }
+
+  /** Write CDC rows (must already carry `_change_type`) under `_change_data/`. */
+  private def writeCdcFiles(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      cdcDf: DataFrame): Seq[Action] = {
+    val staging = Files.createTempDirectory(Paths.get(tablePath).getParent, ".graft-cdc-")
+    try {
+      val stagingDir = staging.resolve("cdc").toString
+      cdcDf.write.mode("overwrite").parquet(stagingDir)
+      val cdcRoot = Paths.get(tablePath, GraftLog.CdcDirName)
+      Files.createDirectories(cdcRoot)
+      listParquetFiles(Paths.get(stagingDir)).map { src =>
+        val name = s"cdc-v$version-${UUID.randomUUID().toString}.parquet"
+        Files.move(src, cdcRoot.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+        AddCDCFile(s"${GraftLog.CdcDirName}/$name")
+      }
+    } finally deleteRecursively(staging)
+  }
+
+  /** Move parquet files from staging into table dir, keeping partition
+    * subdirectories; returns table-relative paths.
+    */
+  private def moveDataFiles(stagingRoot: JPath, tableRoot: JPath): Seq[String] = {
+    Files.createDirectories(tableRoot)
+    listParquetFiles(stagingRoot).map { src =>
+      val rel = stagingRoot.relativize(src)
+      val dest = tableRoot.resolve(rel)
+      Files.createDirectories(dest.getParent)
+      // staging part-file names embed a UUID → unique within the table
+      Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
+      rel.toString
+    }
+  }
+
+  private def listParquetFiles(root: JPath): Seq[JPath] =
+    Files
+      .walk(root)
+      .iterator()
+      .asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .toSeq
+      .sortBy(_.toString)
+
+  /** Parse `k=v` partition directories out of a table-relative file path. */
+  def partitionValuesOf(relPath: String): Map[String, String] =
+    relPath
+      .split('/')
+      .dropRight(1)
+      .filter(_.contains('='))
+      .map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        k -> URLDecoder.decode(v, "UTF-8")
+      }
+      .toMap
+
+  /** Union-by-name schema merge; conflict on incompatible types.
+    * (Spark's own `StructType.merge` is `private[sql]`; semantics here match
+    * `mergeSchema=true` appends: new columns appended, old columns keep type.)
+    */
+  def mergeSchemas(existing: StructType, incoming: StructType): StructType = {
+    val existingNames = existing.fieldNames.toSet
+    incoming.fields.foreach { f =>
+      existing.fields.find(_.name == f.name).foreach { old =>
+        if (old.dataType != f.dataType)
+          throw new IllegalArgumentException(
+            s"column ${f.name} type mismatch: table=${old.dataType} incoming=${f.dataType}")
+      }
+    }
+    val appended = incoming.fields.filterNot(f => existingNames.contains(f.name))
+    StructType((existing.fields ++ appended).map(f => StructField(f.name, f.dataType, nullable = true)))
+  }
+
+  def deleteRecursively(p: JPath): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+}

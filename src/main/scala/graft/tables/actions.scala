@@ -1,0 +1,91 @@
+package graft.tables
+
+/** Commit-log actions for the versioned Parquet table substrate ("GraftTable").
+  *
+  * Mirrors the action vocabulary the reference library consumes from Delta's
+  * transaction log (reference: mrpowers-io/jodie, e.g.
+  * `DeltaHelpers.scala:9,129` AddFile, `ChangeDataFeedHelper.scala:6` AddCDCFile /
+  * Metadata / CommitInfo, `OperationMetricHelper.scala:78-86` per-file `add.stats`
+  * JSON), re-designed from scratch for plain Spark 4 + Parquet.
+  *
+  * Log layout: `<table>/_graft_log/<%020d>.json`, one JSON document per line,
+  * each line an object with exactly one of the keys
+  * `metadata | add | remove | cdc | commitInfo`.
+  *
+  * Scale note: the log holds *metadata only* (O(files) per commit, no data).
+  * Snapshot reconstruction is a driver-side fold over log files; at very large
+  * version counts a checkpoint (materialized snapshot every N commits) bounds
+  * replay cost — see [[GraftLog.snapshot]].
+  */
+sealed trait Action
+
+/** Table-level metadata. `schemaJson` is the Spark `StructType.json`.
+  * Properties of interest: `graft.enableChangeDataFeed` ("true"/"false").
+  */
+case class Metadata(
+    schemaJson: String,
+    partitionColumns: Seq[String] = Nil,
+    properties: Map[String, String] = Map.empty
+) extends Action
+
+/** A data file added to the table.
+  *
+  * `stats` is an embedded JSON string with schema
+  * `{numRecords: Long, minValues: {col: str}, maxValues: {col: str},
+  *   nullCount: {col: long}}` — same shape the reference parses from Delta
+  * (`OperationMetricHelper.scala:78-82`), so log-analytics can
+  * `from_json(col("add.stats"), ...)` identically.
+  */
+case class AddFile(
+    path: String,
+    partitionValues: Map[String, String] = Map.empty,
+    size: Long = 0L,
+    stats: String = ""
+) extends Action
+
+/** A data file logically removed at this version (file stays on disk for
+  * time travel / CDF until a vacuum, which this substrate does not implement).
+  */
+case class RemoveFile(path: String) extends Action
+
+/** A change-data file (rows + `_change_type` column) under `_change_data/`. */
+case class AddCDCFile(path: String) extends Action
+
+/** Commit provenance. `operation` ∈ {WRITE, MERGE, DELETE, UPDATE, OPTIMIZE,
+  * CREATE TABLE}; `operationParameters` may carry a `predicate` string;
+  * `operationMetrics` uses Delta's metric key names (numTargetRowsInserted,
+  * numOutputRows, ...) so the metric helpers match the reference
+  * (`delta/OperationMetric.scala:4-43`).
+  */
+case class CommitInfo(
+    timestamp: Long,
+    operation: String,
+    operationParameters: Map[String, String] = Map.empty,
+    operationMetrics: Map[String, String] = Map.empty
+) extends Action
+
+/** Parsed form of [[AddFile.stats]]. */
+case class FileStats(
+    numRecords: Long,
+    minValues: Map[String, String] = Map.empty,
+    maxValues: Map[String, String] = Map.empty,
+    nullCount: Map[String, Long] = Map.empty
+)
+
+/** Materialized table state at `version`: last metadata + surviving files. */
+case class Snapshot(
+    version: Long,
+    metadata: Metadata,
+    files: Seq[AddFile]
+) {
+  def schema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType
+      .fromJson(metadata.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+  def numFiles: Long = files.size.toLong
+  def sizeInBytes: Long = files.map(_.size).sum
+  def cdfEnabled: Boolean =
+    metadata.properties
+      .get(GraftLog.CdfProperty)
+      .exists(_.equalsIgnoreCase("true"))
+}

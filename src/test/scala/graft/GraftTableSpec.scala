@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.tables._
+
+class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  describe("GraftTable create/read") {
+    it("round-trips an unpartitioned table") {
+      val dir = tmpTableDir("graft-basic")
+      val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "name")
+      val t = GraftTable.create(spark, dir, df)
+      assert(t.version == 0L)
+      assertSmallDataFrameEquality(t.toDF, df)
+      val snap = t.snapshot
+      assert(snap.files.nonEmpty)
+      val stats = GraftLog.parseStats(snap.files.head.stats)
+      assert(snap.files.flatMap(f => GraftLog.parseStats(f.stats)).map(_.numRecords).sum == 3L)
+    }
+
+    it("round-trips a partitioned table with partition values in log") {
+      val dir = tmpTableDir("graft-part")
+      val df = Seq((1, "US", 10.0), (2, "US", 20.0), (3, "DE", 30.0)).toDF("id", "country", "amount")
+      val t = GraftTable.create(spark, dir, df, partitionColumns = Seq("country"))
+      assertSmallDataFrameEquality(t.toDF, df)
+      val pvs = t.snapshot.files.map(_.partitionValues("country")).toSet
+      assert(pvs == Set("US", "DE"))
+    }
+
+    it("appends and tracks versions; time travel reads old snapshot") {
+      val dir = tmpTableDir("graft-append")
+      val t = GraftTable.create(spark, dir, Seq((1, "a")).toDF("id", "name"))
+      t.append(Seq((2, "b")).toDF("id", "name"))
+      assert(t.version == 1L)
+      assert(t.toDF.count() == 2)
+      assert(t.toDFAt(0).count() == 1)
+    }
+
+    it("merges schema on append (old files read new column as null)") {
+      val dir = tmpTableDir("graft-evolve")
+      val t = GraftTable.create(spark, dir, Seq((1, "a")).toDF("id", "name"))
+      t.append(Seq((2, "b", 99)).toDF("id", "name", "score"))
+      val out = t.toDF
+      assert(out.columns.toSeq == Seq("id", "name", "score"))
+      val nullScores = out.filter("score IS NULL").count()
+      assert(nullScores == 1)
+      assert(out.count() == 2)
+    }
+
+    it("harvests min/max stats usable for skipping") {
+      val dir = tmpTableDir("graft-stats")
+      val t = GraftTable.create(spark, dir,
+        Seq((1, "a"), (100, "z")).toDF("id", "name").repartition(1))
+      val stats = GraftLog.parseStats(t.snapshot.files.head.stats).get
+      assert(stats.minValues("id") == "1")
+      assert(stats.maxValues("id") == "100")
+      assert(stats.minValues("name") == "a")
+      assert(stats.nullCount("id") == 0)
+    }
+
+    it("overwrite removes previous files from the snapshot") {
+      val dir = tmpTableDir("graft-ow")
+      val t = GraftTable.create(spark, dir, Seq((1, "a")).toDF("id", "name"))
+      val before = t.snapshot.files.map(_.path).toSet
+      t.overwrite(Seq((9, "x")).toDF("id", "name"))
+      val after = t.snapshot.files.map(_.path).toSet
+      assert(after.intersect(before).isEmpty)
+      assert(t.toDF.collect().map(_.getInt(0)).toSeq == Seq(9))
+    }
+
+    it("records history with operation metrics") {
+      val dir = tmpTableDir("graft-hist")
+      val t = GraftTable.create(spark, dir, Seq((1, "a")).toDF("id", "name"))
+      t.append(Seq((2, "b")).toDF("id", "name"))
+      val h = t.history()
+      assert(h.map(_._1) == Seq(1L, 0L))
+      assert(h.head._2.operationMetrics("numOutputRows") == "1")
+    }
+
+    it("handles timestamp and date columns with stats") {
+      val dir = tmpTableDir("graft-ts")
+      val df = Seq(
+        (1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), java.sql.Date.valueOf("2020-01-01")),
+        (2L, java.sql.Timestamp.valueOf("2021-06-15 12:30:00"), java.sql.Date.valueOf("2021-06-15"))
+      ).toDF("id", "ts", "d")
+      val t = GraftTable.create(spark, dir, df.repartition(1))
+      assertSmallDataFrameEquality(t.toDF, df)
+      val stats = GraftLog.parseStats(t.snapshot.files.head.stats).get
+      // timestamps stored as micros-since-epoch strings
+      assert(stats.minValues("ts").toLong == java.sql.Timestamp.valueOf("2020-01-01 00:00:00").getTime * 1000)
+    }
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared local session for specs (analogue of the reference's
+  * SparkSessionTestWrapper.scala:8-19, re-done for Spark 4 / no Delta).
+  */
+trait SparkSessionTestWrapper {
+  lazy val spark: SparkSession = SparkSessionTestWrapper.session
+
+  /** Unordered DataFrame equality assert (replaces spark-fast-tests). */
+  def assertSmallDataFrameEquality(actual: DataFrame, expected: DataFrame): Unit = {
+    val aSchema = actual.schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+    val eSchema = expected.schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+    assert(aSchema == eSchema, s"schema mismatch:\n  actual:   $aSchema\n  expected: $eSchema")
+    val cols = actual.columns.sorted.map(col).toSeq
+    val a = actual.select(cols: _*).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val e = expected.select(cols: _*).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(a.length == e.length, s"row count mismatch: actual ${a.length} expected ${e.length}")
+    a.zip(e).zipWithIndex.foreach { case ((ar, er), i) =>
+      assert(ar == er, s"row $i mismatch:\n  actual:   $ar\n  expected: $er")
+    }
+  }
+
+  def tmpTableDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("table").toString
+}
+
+object SparkSessionTestWrapper {
+  lazy val session: SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

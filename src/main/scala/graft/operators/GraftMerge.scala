@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.tables._
+
+/** MERGE INTO for GraftTable — the engine behind dedup deletes, SCD2 upserts,
+  * and insert-only appends (reference semantics: Delta `DeltaTable.merge`
+  * with `whenMatched().updateExpr/delete`, `whenNotMatched().insertExpr/
+  * insertAll` as used at `Type2Scd.scala:63-80`, `DeltaHelpers.scala:261-267,
+  * 311-318,447-452`). Built from scratch on joins:
+  *
+  *  1. **Prune**: target-only conjuncts of the merge condition select
+  *     candidate files via partition values + per-file min/max stats
+  *     ([[FileSkipping]]) — no data read for excluded files.
+  *  2. **Touch**: inner join candidates × source on the condition → the
+  *     distinct set of files containing ≥1 matching row. Only these are
+  *     rewritten; everything else is untouched (at 100 TB, rewrite cost is
+  *     proportional to matched files, not table size).
+  *  3. **Rewrite**: full-outer join of touched-file rows × source on the
+  *     condition; per-row clause disposition with `when/otherwise` (codegen'd
+  *     CASE, no UDFs); deletes drop, updates substitute, unmatched source
+  *     inserts, unmatched target copies.
+  *  4. **Commit**: new files + removes + MERGE metrics (+ CDC pre/post
+  *     images when the table has CDF enabled).
+  *
+  * Join strategy is left to Catalyst/AQE — a small source broadcasts
+  * automatically; skewed keys re-split under AQE skew-join handling.
+  *
+  * Null semantics match SQL MERGE: the condition uses plain `=` unless the
+  * caller writes `<=>`, so NULL keys never match (SURVEY §2.1 nuance).
+  */
+object GraftMerge {
+  def apply(table: GraftTable, targetAlias: String = "target"): Builder =
+    new Builder(table, targetAlias)
+
+  sealed trait MatchedAction
+  case class UpdateExpr(set: Map[String, String]) extends MatchedAction
+  case object UpdateAll extends MatchedAction
+  case object DeleteAction extends MatchedAction
+  sealed trait NotMatchedAction
+  case class InsertExpr(values: Map[String, String]) extends NotMatchedAction
+  case object InsertAll extends NotMatchedAction
+
+  case class MatchedClause(condition: Option[String], action: MatchedAction)
+  case class NotMatchedClause(condition: Option[String], action: NotMatchedAction)
+
+  class Builder(table: GraftTable, targetAlias: String) {
+    private var source: DataFrame = _
+    private var sourceAlias: Option[String] = None
+    private var condition: String = _
+    private val matched = scala.collection.mutable.ArrayBuffer.empty[MatchedClause]
+    private val notMatched = scala.collection.mutable.ArrayBuffer.empty[NotMatchedClause]
+
+    def merge(source: DataFrame, condition: String, sourceAlias: Option[String] = None): Builder = {
+      this.source = source; this.condition = condition; this.sourceAlias = sourceAlias; this
+    }
+    def whenMatchedUpdateExpr(set: Map[String, String], condition: Option[String] = None): Builder = {
+      matched += MatchedClause(condition, UpdateExpr(set)); this
+    }
+    def whenMatchedUpdateAll(condition: Option[String] = None): Builder = {
+      matched += MatchedClause(condition, UpdateAll); this
+    }
+    def whenMatchedDelete(condition: Option[String] = None): Builder = {
+      matched += MatchedClause(condition, DeleteAction); this
+    }
+    def whenNotMatchedInsertExpr(values: Map[String, String], condition: Option[String] = None): Builder = {
+      notMatched += NotMatchedClause(condition, InsertExpr(values)); this
+    }
+    def whenNotMatchedInsertAll(condition: Option[String] = None): Builder = {
+      notMatched += NotMatchedClause(condition, InsertAll); this
+    }
+
+    def execute(): Long =
+      GraftMerge.execute(table, targetAlias, source, sourceAlias, condition,
+        matched.toSeq, notMatched.toSeq)
+  }
+
+  private val ActionCol = "__graft_action"
+  private val FileCol = "__graft_file"
+  private val TgtExists = "__graft_tgt"
+  private val SrcExists = "__graft_src"
+  private val Copy = 0
+  private val Drop = -1
+  private def matchedCode(i: Int) = 100 + i
+  private def insertCode(i: Int) = 200 + i
+
+  def execute(
+      table: GraftTable,
+      targetAlias: String,
+      source: DataFrame,
+      sourceAlias: Option[String],
+      condition: String,
+      matched: Seq[MatchedClause],
+      notMatched: Seq[NotMatchedClause]): Long = {
+    val spark = table.spark
+    val t0 = System.currentTimeMillis()
+    val snap = table.snapshot
+    val targetCols = snap.schema.fieldNames.toSeq
+
+    // --- 1. candidate-file pruning on target-only conjuncts ---------------
+    val classified = FileSkipping.classify(spark, table.toDF.alias(targetAlias), condition)
+    val targetOnly = classified.all.filter { c =>
+      c.references.nonEmpty &&
+      c.references.forall(r => targetCols.exists(_.equalsIgnoreCase(stripAlias(r.name))))
+    }
+    val candidates = FileSkipping.filesMatching(snap, targetOnly)
+    val scanTime = System.currentTimeMillis() - t0
+
+    // source is always aliased so UpdateAll/InsertAll can reference its side
+    // of the join unambiguously; user conditions with unqualified source
+    // column names still resolve (an alias hides nothing).
+    val srcAliasName = sourceAlias.getOrElse("__graft_src")
+    val srcDf = source.withColumn(SrcExists, lit(true)).alias(srcAliasName)
+    val sourceColsRenamed = source.columns.toSeq
+
+    val tgtScan = table
+      .dfForFiles(snap, candidates)
+      .withColumn(FileCol, input_file_name())
+      .alias(targetAlias)
+
+    // --- 2. touched files --------------------------------------------------
+    val touchedFiles = tgtScan
+      .join(srcDf, expr(condition), "inner")
+      .select(col(FileCol)).distinct().collect().map(_.getString(0)).toSet
+    val touched = candidates.filter(f => touchedFiles.exists(_.endsWith(f.path)))
+
+    // --- 3. rewrite join ---------------------------------------------------
+    val touchedRows = table.dfForFiles(snap, touched)
+      .withColumn(TgtExists, lit(true)).alias(targetAlias)
+    val joined = touchedRows
+      .join(srcDf, expr(condition), "full_outer")
+      .withColumn(ActionCol, actionExpr(matched, notMatched))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      // --- metrics from disposition counts (single pass over cached join) --
+      val matchedCodes = matched.indices.map(matchedCode)
+      val updateCodes = matched.zipWithIndex.collect {
+        case (MatchedClause(_, UpdateExpr(_) | UpdateAll), i) => matchedCode(i)
+      }
+      val deleteCodes = matched.zipWithIndex.collect {
+        case (MatchedClause(_, DeleteAction), i) => matchedCode(i)
+      }
+      val insertCodes = notMatched.indices.map(insertCode)
+      def inCodes(codes: Seq[Int]): Column =
+        if (codes.isEmpty) lit(false)
+        else col(ActionCol).isin(codes.map(Integer.valueOf): _*)
+      def countWhere(codes: Seq[Int]): Column =
+        sum(when(inCodes(codes), 1L).otherwise(0L))
+      val m = joined.agg(
+        countWhere(updateCodes).as("upd"),
+        countWhere(deleteCodes).as("del"),
+        countWhere(insertCodes).as("ins"),
+        sum(when(col(ActionCol) === Copy && col(TgtExists).isNotNull, 1L).otherwise(0L)).as("copied")
+      ).collect()(0)
+      def g(i: Int): Long = if (m.isNullAt(i)) 0L else m.getLong(i)
+      val (nUpd, nDel, nIns, nCopied) = (g(0), g(1), g(2), g(3))
+      val numSourceRows = source.count()
+
+      // --- output rows -----------------------------------------------------
+      val keep = joined.where(col(ActionCol) =!= Drop && !inCodes(deleteCodes))
+      val outCols = targetCols.map(c =>
+        outputColumn(c, targetAlias, srcAliasName, matched, notMatched, sourceColsRenamed).as(c))
+      val newData = keep.select(outCols: _*)
+
+      // --- CDC -------------------------------------------------------------
+      val cdc: Option[DataFrame] = if (snap.cdfEnabled) {
+        val tCols = targetCols.map(c => col(s"$targetAlias.$c").as(c))
+        val deletes = joined.where(inCodes(deleteCodes))
+          .select(tCols :+ lit("delete").as("_change_type"): _*)
+        val updPre = joined.where(inCodes(updateCodes))
+          .select(tCols :+ lit("update_preimage").as("_change_type"): _*)
+        val updPost = joined.where(inCodes(updateCodes))
+          .select(outCols :+ lit("update_postimage").as("_change_type"): _*)
+        val ins = joined.where(inCodes(insertCodes))
+          .select(outCols :+ lit("insert").as("_change_type"): _*)
+        Some(deletes.union(updPre).union(updPost).union(ins))
+      } else None
+
+      // --- commit ----------------------------------------------------------
+      val noChange = touched.isEmpty && nIns == 0
+      val metrics = Map(
+        "numTargetRowsCopied" -> nCopied.toString,
+        "numTargetRowsDeleted" -> nDel.toString,
+        "numTargetRowsInserted" -> nIns.toString,
+        "numTargetRowsUpdated" -> nUpd.toString,
+        "numOutputRows" -> (nCopied + nUpd + nIns).toString,
+        "numSourceRows" -> numSourceRows.toString,
+        "numTargetFilesRemoved" -> touched.size.toString,
+        "executionTimeMs" -> (System.currentTimeMillis() - t0).toString,
+        "scanTimeMs" -> scanTime.toString,
+        "rewriteTimeMs" -> (System.currentTimeMillis() - t0 - scanTime).toString
+      )
+      TableWriter.write(
+        spark, table.path, newData,
+        TableWriter.Append,
+        operation = "MERGE",
+        operationParameters = Map("predicate" -> s"[${condition}]"),
+        extraMetrics = metrics + ("numTargetFilesAdded" -> "0"),
+        cdc = cdc,
+        removeFiles = touched.map(_.path),
+        skipDataWrite = noChange
+      )
+    } finally joined.unpersist()
+  }
+
+  /** First-matching-clause disposition as a nested CASE expression. */
+  private def actionExpr(
+      matched: Seq[MatchedClause],
+      notMatched: Seq[NotMatchedClause]): Column = {
+    val isMatched = col(TgtExists).isNotNull && col(SrcExists).isNotNull
+    val isSrcOnly = col(TgtExists).isNull && col(SrcExists).isNotNull
+    var c: Column = lit(Copy)
+    // build in reverse so earlier clauses take precedence
+    c = notMatched.zipWithIndex.reverse.foldLeft(when(isSrcOnly, Drop).otherwise(c)) {
+      case (acc, (cl, i)) =>
+        val cond = isSrcOnly && cl.condition.map(expr).getOrElse(lit(true))
+        when(cond, insertCode(i)).otherwise(acc)
+    }
+    c = matched.zipWithIndex.reverse.foldLeft(c) { case (acc, (cl, i)) =>
+      val cond = isMatched && cl.condition.map(expr).getOrElse(lit(true))
+      when(cond, matchedCode(i)).otherwise(acc)
+    }
+    c
+  }
+
+  /** Output value of column `c` as a CASE over the disposition. */
+  private def outputColumn(
+      c: String,
+      targetAlias: String,
+      srcAlias: String,
+      matched: Seq[MatchedClause],
+      notMatched: Seq[NotMatchedClause],
+      sourceCols: Seq[String]): Column = {
+    def sourceValue(action: Any): Column = action match {
+      case UpdateExpr(set) =>
+        set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => expr(v) }
+          .getOrElse(col(s"$targetAlias.$c"))
+      case UpdateAll =>
+        if (sourceCols.exists(_.equalsIgnoreCase(c))) col(s"$srcAlias.$c")
+        else col(s"$targetAlias.$c")
+      case InsertExpr(values) =>
+        values.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => expr(v) }
+          .getOrElse(lit(null))
+      case InsertAll =>
+        if (sourceCols.exists(_.equalsIgnoreCase(c))) col(s"$srcAlias.$c") else lit(null)
+      case _ => col(s"$targetAlias.$c")
+    }
+    var out: Column = col(s"$targetAlias.$c")
+    matched.zipWithIndex.foreach { case (cl, i) =>
+      cl.action match {
+        case DeleteAction => ()
+        case a => out = when(col(ActionCol) === matchedCode(i), sourceValue(a)).otherwise(out)
+      }
+    }
+    notMatched.zipWithIndex.foreach { case (cl, i) =>
+      out = when(col(ActionCol) === insertCode(i), sourceValue(cl.action)).otherwise(out)
+    }
+    out
+  }
+
+  private def stripAlias(name: String): String =
+    name.split('.').last
+}

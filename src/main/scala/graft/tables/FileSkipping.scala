@@ -1,0 +1,232 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** File-level data skipping over GraftTable per-file stats — our stand-in for
+  * Delta's `OptimisticTransaction.filterFiles` / `filesWithStatsForScan`
+  * data-skipping machinery that the reference introspects
+  * (`DeltaHelpers.scala:109-194`, SURVEY §2.3 S8/S9).
+  *
+  * The predicate work is pure public Catalyst: parse with `functions.expr`,
+  * resolve against the table's analyzed plan, split conjuncts, pattern-match
+  * comparison classes. Evaluation then runs driver-side over the snapshot's
+  * `AddFile` entries (O(files) metadata, no data scan) — files whose
+  * [min,max]/partition-value ranges cannot satisfy a conjunct are pruned
+  * before the scan DF is even constructed. At 100 TB this is the difference
+  * between reading 3 files and 30,000.
+  */
+object FileSkipping {
+
+  /** Buckets of a condition's conjuncts, mirroring the reference's
+    * classification (`DeltaHelpers.scala:156-191`): min/max-comparable
+    * (`> >= < <=`), equality (`= <=>`), left-over (other resolved, e.g. LIKE),
+    * and removed/unresolved attribute names.
+    */
+  case class ClassifiedCondition(
+      all: Seq[Expression],
+      minMax: Seq[Expression],
+      equals: Seq[Expression],
+      leftOver: Seq[Expression],
+      unresolvedColumns: Seq[String]
+  )
+
+  /** Parse + resolve `condition` against `df`'s plan and classify conjuncts. */
+  def classify(spark: SparkSession, df: DataFrame, condition: String): ClassifiedCondition = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(condition)
+    val plan = df.queryExecution.analyzed
+    val resolved = spark.sessionState.analyzer.resolveExpressionByPlanOutput(parsed, plan)
+    val unresolvedCols = resolved.references.collect {
+      case u: UnresolvedAttribute => u.name
+    }.toSeq
+
+    val conjuncts = splitConjuncts(resolved)
+    val (resolvedConjuncts, _) =
+      conjuncts.partition(_.references.forall(!_.isInstanceOf[UnresolvedAttribute]))
+
+    val minMax = resolvedConjuncts.filter {
+      case _: GreaterThan | _: GreaterThanOrEqual | _: LessThan | _: LessThanOrEqual => true
+      case _ => false
+    }
+    val equals = resolvedConjuncts.filter {
+      case _: EqualTo | _: EqualNullSafe => true
+      case _ => false
+    }
+    val leftOver = resolvedConjuncts.diff(minMax).diff(equals)
+    ClassifiedCondition(resolvedConjuncts, minMax, equals, leftOver, unresolvedCols)
+  }
+
+  def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other     => Seq(other)
+  }
+
+  /** Files of `snap` that MIGHT satisfy all `predicates` (conservative:
+    * a file is kept unless a conjunct provably excludes it).
+    */
+  def filesMatching(snap: Snapshot, predicates: Seq[Expression]): Seq[AddFile] = {
+    if (predicates.isEmpty) return snap.files
+    val schema = snap.schema
+    val partCols = snap.metadata.partitionColumns.toSet
+    snap.files.filter { f =>
+      val stats = GraftLog.parseStats(f.stats)
+      predicates.forall(p => mightMatch(p, f, stats, schema, partCols))
+    }
+  }
+
+  /** Conservative per-file evaluation of one conjunct. */
+  private def mightMatch(
+      p: Expression,
+      f: AddFile,
+      stats: Option[FileStats],
+      schema: StructType,
+      partCols: Set[String]): Boolean = {
+
+    def colType(name: String): Option[DataType] =
+      schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
+
+    // (attribute name, literal, true when literal is on the right)
+    def sides(l: Expression, r: Expression): Option[(String, Any, DataType, Boolean)] = (l, r) match {
+      case (a: AttributeReference, Literal(v, dt)) => Some((a.name, v, dt, true))
+      case (Literal(v, dt), a: AttributeReference) => Some((a.name, v, dt, false))
+      case _ => None
+    }
+
+    /** Range of the column within this file: partition value (point range) or
+      * stats min/max. None = unknown → cannot prune.
+      */
+    def range(name: String): Option[(Any, Any)] = {
+      val dt = colType(name).getOrElse(return None)
+      if (partCols.contains(name)) {
+        f.partitionValues.get(name) match {
+          case Some(TableWriter.HiveDefaultPartition) | None => None
+          case Some(raw) => parseExternal(raw, dt).map(v => (v, v))
+        }
+      } else {
+        stats.flatMap { s =>
+          for {
+            mn <- s.minValues.get(name).flatMap(parseStat(_, dt))
+            mx <- s.maxValues.get(name).flatMap(parseStat(_, dt))
+          } yield (mn, mx)
+        }
+      }
+    }
+
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Long, y: Long)     => Some(java.lang.Long.compare(x, y))
+      case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+      case _ => None
+    }
+
+    def litVal(v: Any, dt: DataType): Option[Any] = canonical(v, dt)
+
+    p match {
+      case EqualTo(l, r) =>
+        sides(l, r) match {
+          case Some((name, v, dt, _)) =>
+            (range(name), litVal(v, dt)) match {
+              case (Some((mn, mx)), Some(lit)) =>
+                (for { c1 <- cmp(mn, lit); c2 <- cmp(lit, mx) } yield c1 <= 0 && c2 <= 0)
+                  .getOrElse(true)
+              case _ => true
+            }
+          case None => true
+        }
+      case EqualNullSafe(l, r) => mightMatch(EqualTo(l, r), f, stats, schema, partCols)
+      case GreaterThan(l, r) =>
+        sides(l, r) match {
+          case Some((name, v, dt, litRight)) =>
+            (range(name), litVal(v, dt)) match {
+              case (Some((mn, mx)), Some(lit)) =>
+                if (litRight) cmp(mx, lit).map(_ > 0).getOrElse(true)  // col > lit
+                else cmp(mn, lit).map(_ < 0).getOrElse(true)           // lit > col ⇔ col < lit
+              case _ => true
+            }
+          case None => true
+        }
+      case GreaterThanOrEqual(l, r) =>
+        sides(l, r) match {
+          case Some((name, v, dt, litRight)) =>
+            (range(name), litVal(v, dt)) match {
+              case (Some((mn, mx)), Some(lit)) =>
+                if (litRight) cmp(mx, lit).map(_ >= 0).getOrElse(true)
+                else cmp(mn, lit).map(_ <= 0).getOrElse(true)
+              case _ => true
+            }
+          case None => true
+        }
+      case LessThan(l, r) => mightMatch(GreaterThan(r, l), f, stats, schema, partCols)
+      case LessThanOrEqual(l, r) => mightMatch(GreaterThanOrEqual(r, l), f, stats, schema, partCols)
+      case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
+        list.exists(lit => mightMatch(EqualTo(a, lit), f, stats, schema, partCols))
+      case IsNull(a: AttributeReference) =>
+        if (partCols.contains(a.name))
+          f.partitionValues.get(a.name).forall(_ == TableWriter.HiveDefaultPartition)
+        else stats.flatMap(_.nullCount.get(a.name)).forall(_ > 0)
+      case IsNotNull(a: AttributeReference) =>
+        if (partCols.contains(a.name))
+          !f.partitionValues.get(a.name).contains(TableWriter.HiveDefaultPartition)
+        else (for {
+          s <- stats
+          nc <- s.nullCount.get(a.name)
+        } yield nc < s.numRecords).getOrElse(true)
+      case _ => true // unknown predicate shape: cannot prune
+    }
+  }
+
+  /** Catalyst literal internal value → canonical comparable (Long/Double/String/Boolean). */
+  private def canonical(v: Any, dt: DataType): Option[Any] = {
+    if (v == null) return None
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(v.asInstanceOf[Number].longValue())
+      case FloatType | DoubleType => Some(v.asInstanceOf[Number].doubleValue())
+      case StringType => Some(v match {
+        case u: UTF8String => u.toString
+        case s: String     => s
+        case o             => o.toString
+      })
+      case BooleanType => Some(v.asInstanceOf[Boolean])
+      case TimestampType => Some(v.asInstanceOf[Number].longValue()) // micros
+      case DateType => Some(v.asInstanceOf[Number].longValue())      // days
+      case _: DecimalType => v match {
+        case d: Decimal => Some(d.toDouble)
+        case d: java.math.BigDecimal => Some(d.doubleValue())
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Stats-map string → canonical comparable, per column type. */
+  private def parseStat(s: String, dt: DataType): Option[Any] =
+    try dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some(s.toLong)
+      case FloatType | DoubleType => Some(s.toDouble)
+      case StringType  => Some(s)
+      case BooleanType => Some(s.toBoolean)
+      case TimestampType => Some(s.toLong) // stored as micros (ParquetStats)
+      case DateType      => Some(s.toLong) // stored as epoch days
+      case _ => None
+    } catch { case _: NumberFormatException => None }
+
+  /** Partition-dir string → canonical comparable, per column type. */
+  private def parseExternal(s: String, dt: DataType): Option[Any] =
+    try dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some(s.toLong)
+      case FloatType | DoubleType => Some(s.toDouble)
+      case StringType  => Some(s)
+      case BooleanType => Some(s.toBoolean)
+      case TimestampType =>
+        Some(java.sql.Timestamp.valueOf(s).getTime * 1000L)
+      case DateType =>
+        Some(java.sql.Date.valueOf(s).toLocalDate.toEpochDay)
+      case _ => None
+    } catch { case _: Exception => None }
+}

@@ -48,7 +48,9 @@ object TableWriter {
       operationParameters: Map[String, String] = Map.empty,
       extraMetrics: Map[String, String] = Map.empty,
       cdc: Option[DataFrame] = None,
-      extraActions: Seq[Action] = Nil
+      extraActions: Seq[Action] = Nil,
+      removeFiles: Seq[String] = Nil,
+      skipDataWrite: Boolean = false
   ): Long = {
     ensureWriteConfs(spark)
     val log = new GraftLog(tablePath)
@@ -77,23 +79,25 @@ object TableWriter {
     val staging = Files.createTempDirectory(Paths.get(tablePath).getParent, ".graft-staging-")
     val stagingDir = staging.resolve("data").toString
     try {
-      val writer = df.write.mode("overwrite")
-      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(stagingDir)
+      val adds: Seq[AddFile] = if (skipDataWrite) Nil else {
+        val writer = df.write.mode("overwrite")
+        (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(stagingDir)
 
-      // 2. move produced parquet files into the table dir
-      val moved = moveDataFiles(Paths.get(stagingDir), Paths.get(tablePath))
+        // 2. move produced parquet files into the table dir
+        val moved = moveDataFiles(Paths.get(stagingDir), Paths.get(tablePath))
 
-      // 3. footer stats per file
-      val conf = spark.sessionState.newHadoopConf()
-      val adds = moved.map { rel =>
-        val abs = Paths.get(tablePath, rel)
-        val stats = ParquetStats.forFile(abs.toString, conf)
-        AddFile(
-          path = rel,
-          partitionValues = partitionValuesOf(rel),
-          size = Files.size(abs),
-          stats = GraftLog.renderStats(stats)
-        )
+        // 3. footer stats per file
+        val conf = spark.sessionState.newHadoopConf()
+        moved.map { rel =>
+          val abs = Paths.get(tablePath, rel)
+          val stats = ParquetStats.forFile(abs.toString, conf)
+          AddFile(
+            path = rel,
+            partitionValues = partitionValuesOf(rel),
+            size = Files.size(abs),
+            stats = GraftLog.renderStats(stats)
+          )
+        }
       }
       val numOutputRows = adds.flatMap(a => GraftLog.parseStats(a.stats)).map(_.numRecords).sum
 
@@ -106,10 +110,10 @@ object TableWriter {
       }
 
       // 5. assemble + commit
-      val removes: Seq[Action] = mode match {
+      val removes: Seq[Action] = (mode match {
         case Overwrite => prevSnapshot.map(_.files.map(f => RemoveFile(f.path))).getOrElse(Nil)
         case Append    => Nil
-      }
+      }) ++ removeFiles.map(RemoveFile(_))
       val metaChanged = prevSnapshot.forall { s =>
         s.schema != newSchema || s.metadata.properties != newProps ||
         s.metadata.partitionColumns != partCols

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.operators.GraftMerge
+import graft.tables._
+
+class GraftMergeSpec extends AnyFunSpec with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  // single file so copied-row counts are deterministic (copies only happen
+  // within rewritten files — untouched files are never read)
+  private def mkTable(dir: String, cdf: Boolean = false): GraftTable =
+    GraftTable.create(spark, dir,
+      Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("id", "name", "score").repartition(1),
+      properties = if (cdf) Map(GraftLog.CdfProperty -> "true") else Map.empty)
+
+  describe("GraftMerge") {
+    it("updateAll + insertAll upsert") {
+      val t = mkTable(tmpTableDir("merge-upsert"))
+      val source = Seq((2, "B!", 200), (4, "d", 40)).toDF("id", "name", "score")
+      GraftMerge(t, "old").merge(source, "old.id = new.id", Some("new"))
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+      assertSmallDataFrameEquality(t.toDF,
+        Seq((1, "a", 10), (2, "B!", 200), (3, "c", 30), (4, "d", 40)).toDF("id", "name", "score"))
+      val metrics = t.history().head._2.operationMetrics
+      assert(metrics("numTargetRowsUpdated") == "1")
+      assert(metrics("numTargetRowsInserted") == "1")
+      assert(metrics("numTargetRowsCopied") == "2")
+      assert(metrics("numSourceRows") == "2")
+    }
+
+    it("whenMatched delete removes only matching rows") {
+      val t = mkTable(tmpTableDir("merge-del"))
+      val dups = Seq((1, "a"), (3, "c")).toDF("id", "name")
+      GraftMerge(t, "old").merge(dups, "old.id = new.id AND old.name = new.name", Some("new"))
+        .whenMatchedDelete()
+        .execute()
+      assertSmallDataFrameEquality(t.toDF, Seq((2, "b", 20)).toDF("id", "name", "score"))
+      assert(t.history().head._2.operationMetrics("numTargetRowsDeleted") == "2")
+    }
+
+    it("updateExpr with clause condition; null mergeKey never matches") {
+      val t = mkTable(tmpTableDir("merge-null"))
+      val staged = Seq(
+        (Option.empty[Int], 2, "bb", 21),  // NULL mergeKey -> insert path
+        (Some(2), 2, "bb", 21)             // matches id=2 -> update
+      ).toDF("mergeKey", "id", "name", "score")
+      GraftMerge(t, "base").merge(staged, "base.id = mergeKey", Some("staged"))
+        .whenMatchedUpdateExpr(Map("score" -> "staged.score"), Some("base.score < 100"))
+        .whenNotMatchedInsertExpr(Map("id" -> "staged.id", "name" -> "staged.name", "score" -> "staged.score"))
+        .execute()
+      // id=2 updated to 21 AND a new (2,bb,21) row inserted via null-mergeKey
+      assertSmallDataFrameEquality(t.toDF,
+        Seq((1, "a", 10), (2, "b", 21), (2, "bb", 21), (3, "c", 30)).toDF("id", "name", "score"))
+    }
+
+    it("insert-only merge behaves as left_anti append") {
+      val t = mkTable(tmpTableDir("merge-anti"))
+      val appendData = Seq((2, "x", 99), (5, "e", 50)).toDF("id", "name", "score")
+      GraftMerge(t, "old").merge(appendData, "old.id = new.id", Some("new"))
+        .whenNotMatchedInsertAll()
+        .execute()
+      assertSmallDataFrameEquality(t.toDF,
+        Seq((1, "a", 10), (2, "b", 20), (3, "c", 30), (5, "e", 50)).toDF("id", "name", "score"))
+    }
+
+    it("emits CDC pre/post images when CDF enabled") {
+      val t = mkTable(tmpTableDir("merge-cdc"), cdf = true)
+      GraftMerge(t, "old")
+        .merge(Seq((2, "B", 99), (9, "z", 1)).toDF("id", "name", "score"), "old.id = new.id", Some("new"))
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+      val cdcFiles = t.log.actionsAt(1).collect { case c: AddCDCFile => c.path }
+      assert(cdcFiles.nonEmpty)
+      val cdc = spark.read.parquet(cdcFiles.map(p => s"${t.path}/$p"): _*)
+      val byType = cdc.groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byType == Map("update_preimage" -> 1L, "update_postimage" -> 1L, "insert" -> 1L))
+      val post = cdc.filter("_change_type = 'update_postimage'").select("score").collect()(0).getInt(0)
+      assert(post == 99)
+    }
+
+    it("partition conjunct in condition limits the merge scope") {
+      val dir = tmpTableDir("merge-prune")
+      val df = Seq((1, "US", 1.0), (2, "US", 2.0), (3, "DE", 3.0), (4, "FR", 4.0))
+        .toDF("id", "country", "amount")
+      val t = GraftTable.create(spark, dir, df, partitionColumns = Seq("country"))
+      GraftMerge(t, "tbl")
+        .merge(Seq((1, 100.0), (3, 300.0)).toDF("id", "amount"),
+          "tbl.id = s.id AND tbl.country = 'US'", Some("s"))
+        .whenMatchedUpdateAll()
+        .execute()
+      // id=1 (US) updated; id=3 (DE) untouched because the partition conjunct excludes it
+      val out = t.toDF.select("id", "amount").as[(Int, Double)].collect().toMap
+      assert(out(1) == 100.0 && out(3) == 3.0 && out(2) == 2.0)
+      // only the US partition file was rewritten
+      val removed = t.log.actionsAt(1).collect { case r: RemoveFile => r.path }
+      assert(removed.nonEmpty && removed.forall(_.contains("country=US")))
+    }
+  }
+}

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.tables._
+
+/** Row-level DELETE / UPDATE and file-level OPTIMIZE (compaction, clustering)
+  * for GraftTable — the Delta facilities the reference's tests drive around
+  * its helpers (`deltaTable.delete/update`, `optimize().executeCompaction()`,
+  * `optimize().executeZOrderBy`, SURVEY §4.2). Same rewrite discipline as the
+  * merge engine: prune candidate files by stats, rewrite only files that
+  * contain affected rows, commit with Delta-compatible metrics + CDC.
+  */
+object TableOps {
+
+  /** DELETE FROM table [WHERE condition]. Returns the committed version. */
+  def delete(table: GraftTable, condition: Option[String] = None): Long = {
+    val spark = table.spark
+    val t0 = System.currentTimeMillis()
+    val snap = table.snapshot
+    val cond = condition.getOrElse("true")
+
+    val classified = FileSkipping.classify(spark, table.toDF, cond)
+    val candidates = FileSkipping.filesMatching(snap, classified.all)
+    val scanTime = System.currentTimeMillis() - t0
+
+    val candDf = table.dfForFiles(snap, candidates).withColumn("__graft_file", input_file_name())
+    val touchedFiles = candDf.where(expr(cond)).select("__graft_file")
+      .distinct().collect().map(_.getString(0)).toSet
+    val touched = candidates.filter(f => touchedFiles.exists(_.endsWith(f.path)))
+
+    val touchedRows = table.dfForFiles(snap, touched)
+      .withColumn("__graft_del", expr(cond))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val m = touchedRows.agg(
+        sum(when(col("__graft_del"), 1L).otherwise(0L)),
+        sum(when(!col("__graft_del"), 1L).otherwise(0L))).collect()(0)
+      val nDel = if (m.isNullAt(0)) 0L else m.getLong(0)
+      val nCopied = if (m.isNullAt(1)) 0L else m.getLong(1)
+
+      val outCols = snap.schema.fieldNames.map(col).toSeq
+      val keep = touchedRows.where(!col("__graft_del")).select(outCols: _*)
+      val cdc = if (snap.cdfEnabled)
+        Some(touchedRows.where(col("__graft_del"))
+          .select(outCols :+ lit("delete").as("_change_type"): _*))
+      else None
+
+      val metrics = Map(
+        "numDeletedRows" -> nDel.toString,
+        "numCopiedRows" -> nCopied.toString,
+        "numRemovedFiles" -> touched.size.toString,
+        "numRemovedBytes" -> touched.map(_.size).sum.toString,
+        "executionTimeMs" -> (System.currentTimeMillis() - t0).toString,
+        "scanTimeMs" -> scanTime.toString,
+        "rewriteTimeMs" -> (System.currentTimeMillis() - t0 - scanTime).toString
+      )
+      TableWriter.write(spark, table.path, keep, TableWriter.Append,
+        operation = "DELETE",
+        operationParameters = Map("predicate" -> s"""["${cond}"]"""),
+        extraMetrics = metrics,
+        cdc = cdc,
+        removeFiles = touched.map(_.path),
+        skipDataWrite = touched.isEmpty)
+    } finally touchedRows.unpersist()
+  }
+
+  /** UPDATE table SET ... [WHERE condition]. Returns the committed version. */
+  def update(table: GraftTable, condition: Option[String], set: Map[String, String]): Long = {
+    val spark = table.spark
+    val t0 = System.currentTimeMillis()
+    val snap = table.snapshot
+    val cond = condition.getOrElse("true")
+
+    val classified = FileSkipping.classify(spark, table.toDF, cond)
+    val candidates = FileSkipping.filesMatching(snap, classified.all)
+    val scanTime = System.currentTimeMillis() - t0
+
+    val candDf = table.dfForFiles(snap, candidates).withColumn("__graft_file", input_file_name())
+    val touchedFiles = candDf.where(expr(cond)).select("__graft_file")
+      .distinct().collect().map(_.getString(0)).toSet
+    val touched = candidates.filter(f => touchedFiles.exists(_.endsWith(f.path)))
+
+    val touchedRows = table.dfForFiles(snap, touched)
+      .withColumn("__graft_upd", expr(cond))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val m = touchedRows.agg(
+        sum(when(col("__graft_upd"), 1L).otherwise(0L)),
+        sum(when(!col("__graft_upd"), 1L).otherwise(0L))).collect()(0)
+      val nUpd = if (m.isNullAt(0)) 0L else m.getLong(0)
+      val nCopied = if (m.isNullAt(1)) 0L else m.getLong(1)
+
+      val fields = snap.schema.fieldNames.toSeq
+      val outCols = fields.map { c =>
+        set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) =>
+          when(col("__graft_upd"), expr(v)).otherwise(col(c)).as(c)
+        }.getOrElse(col(c).as(c))
+      }
+      val out = touchedRows.select(outCols: _*)
+
+      val cdc = if (snap.cdfEnabled) {
+        val pre = touchedRows.where(col("__graft_upd"))
+          .select(fields.map(col) :+ lit("update_preimage").as("_change_type"): _*)
+        val post = touchedRows.where(col("__graft_upd"))
+          .select(outCols :+ lit("update_postimage").as("_change_type"): _*)
+        Some(pre.union(post))
+      } else None
+
+      val metrics = Map(
+        "numUpdatedRows" -> nUpd.toString,
+        "numCopiedRows" -> nCopied.toString,
+        "numRemovedFiles" -> touched.size.toString,
+        "executionTimeMs" -> (System.currentTimeMillis() - t0).toString,
+        "scanTimeMs" -> scanTime.toString,
+        "rewriteTimeMs" -> (System.currentTimeMillis() - t0 - scanTime).toString
+      )
+      TableWriter.write(spark, table.path, out, TableWriter.Append,
+        operation = "UPDATE",
+        operationParameters = Map("predicate" -> s"[$cond]"),
+        extraMetrics = metrics,
+        cdc = cdc,
+        removeFiles = touched.map(_.path),
+        skipDataWrite = touched.isEmpty)
+    } finally touchedRows.unpersist()
+  }
+
+  /** OPTIMIZE (compaction): rewrite the selected files into
+    * ~`targetFileSizeBytes` files. `where` filters by partition predicate.
+    * Commit operation is OPTIMIZE with a no-op CDC footprint (compaction
+    * changes layout, not data — CDF readers skip it).
+    */
+  def compact(
+      table: GraftTable,
+      where: Option[String] = None,
+      targetFileSizeBytes: Long = 128L * 1024 * 1024): Long = {
+    val spark = table.spark
+    val snap = table.snapshot
+    val selected = where match {
+      case None => snap.files
+      case Some(cond) =>
+        val classified = FileSkipping.classify(spark, table.toDF, cond)
+        FileSkipping.filesMatching(snap, classified.all)
+    }
+    val totalBytes = selected.map(_.size).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt)
+    val data = table.dfForFiles(snap, selected).repartition(nOut)
+    TableWriter.write(spark, table.path, data, TableWriter.Append,
+      operation = "OPTIMIZE",
+      operationParameters = Map("predicate" -> where.map(w => s"[$w]").getOrElse("[]")),
+      extraMetrics = Map("numRemovedFiles" -> selected.size.toString,
+        "numRemovedBytes" -> totalBytes.toString),
+      removeFiles = selected.map(_.path))
+  }
+
+  /** Poor-man's Z-ORDER (SURVEY §4.2): `repartitionByRange` + sort within
+    * partitions on the clustering columns — tightens per-file min/max ranges,
+    * which is what makes data skipping on those columns effective.
+    */
+  def zOrderBy(table: GraftTable, cols: Seq[String], numFiles: Int = 0): Long = {
+    val spark = table.spark
+    val snap = table.snapshot
+    val colRefs = cols.map(col)
+    val n = if (numFiles > 0) numFiles else math.max(1, snap.files.size)
+    val data = table.toDF
+      .repartitionByRange(n, colRefs: _*)
+      .sortWithinPartitions(colRefs: _*)
+    TableWriter.write(spark, table.path, data, TableWriter.Append,
+      operation = "OPTIMIZE",
+      operationParameters = Map("zOrderBy" -> cols.mkString("[", ",", "]")),
+      extraMetrics = Map("numRemovedFiles" -> snap.files.size.toString),
+      removeFiles = snap.files.map(_.path))
+  }
+}

@@ -66,15 +66,72 @@ object FileSkipping {
   }
 
   /** Files of `snap` that MIGHT satisfy all `predicates` (conservative:
-    * a file is kept unless a conjunct provably excludes it).
+    * a file is kept unless a conjunct provably excludes it). Contradictory
+    * range conjuncts (e.g. `id <= 10 AND id >= 12`) select zero files — the
+    * per-column intervals of all conjuncts are intersected first.
     */
   def filesMatching(snap: Snapshot, predicates: Seq[Expression]): Seq[AddFile] = {
     if (predicates.isEmpty) return snap.files
     val schema = snap.schema
+    if (contradictory(predicates, schema)) return Nil
     val partCols = snap.metadata.partitionColumns.toSet
     snap.files.filter { f =>
       val stats = GraftLog.parseStats(f.stats)
       predicates.forall(p => mightMatch(p, f, stats, schema, partCols))
+    }
+  }
+
+  /** True when the conjuncts' per-column intervals have an empty intersection. */
+  private def contradictory(predicates: Seq[Expression], schema: StructType): Boolean = {
+    // (value, inclusive) bounds per column
+    val lo = scala.collection.mutable.Map.empty[String, (Any, Boolean)]
+    val hi = scala.collection.mutable.Map.empty[String, (Any, Boolean)]
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Long, y: Long)       => Some(java.lang.Long.compare(x, y))
+      case (x: Double, y: Double)   => Some(java.lang.Double.compare(x, y))
+      case (x: String, y: String)   => Some(x.compareTo(y))
+      case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+      case _                        => None
+    }
+    def tightenLo(name: String, v: Any, incl: Boolean): Unit =
+      lo.get(name) match {
+        case Some((cur, curIncl)) =>
+          cmp(v, cur).foreach { c =>
+            if (c > 0 || (c == 0 && !incl && curIncl)) lo(name) = (v, incl)
+          }
+        case None => lo(name) = (v, incl)
+      }
+    def tightenHi(name: String, v: Any, incl: Boolean): Unit =
+      hi.get(name) match {
+        case Some((cur, curIncl)) =>
+          cmp(v, cur).foreach { c =>
+            if (c < 0 || (c == 0 && !incl && curIncl)) hi(name) = (v, incl)
+          }
+        case None => hi(name) = (v, incl)
+      }
+    def record(e: Expression): Unit = e match {
+      case EqualTo(a: AttributeReference, Literal(v, dt)) =>
+        canonical(v, dt).foreach { c => tightenLo(a.name, c, incl = true); tightenHi(a.name, c, incl = true) }
+      case EqualTo(Literal(v, dt), a: AttributeReference) => record(EqualTo(a, Literal(v, dt)))
+      case GreaterThan(a: AttributeReference, Literal(v, dt)) =>
+        canonical(v, dt).foreach(tightenLo(a.name, _, incl = false))
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+        canonical(v, dt).foreach(tightenLo(a.name, _, incl = true))
+      case LessThan(a: AttributeReference, Literal(v, dt)) =>
+        canonical(v, dt).foreach(tightenHi(a.name, _, incl = false))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+        canonical(v, dt).foreach(tightenHi(a.name, _, incl = true))
+      case GreaterThan(l: Literal, a: AttributeReference) => record(LessThan(a, l))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => record(LessThanOrEqual(a, l))
+      case LessThan(l: Literal, a: AttributeReference) => record(GreaterThan(a, l))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => record(GreaterThanOrEqual(a, l))
+      case _ => ()
+    }
+    predicates.foreach(record)
+    lo.exists { case (name, (lv, lIncl)) =>
+      hi.get(name).exists { case (hv, hIncl) =>
+        cmp(lv, hv).exists(c => c > 0 || (c == 0 && !(lIncl && hIncl)))
+      }
     }
   }
 

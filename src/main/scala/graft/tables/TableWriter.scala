@@ -76,6 +76,7 @@ object TableWriter {
     val newProps = prevSnapshot.map(_.metadata.properties).getOrElse(Map.empty) ++ properties
 
     // 1. distributed write to staging
+    Files.createDirectories(Paths.get(tablePath))
     val staging = Files.createTempDirectory(Paths.get(tablePath).getParent, ".graft-staging-")
     val stagingDir = staging.resolve("data").toString
     try {

@@ -1,0 +1,238 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.operators.{GraftHelpers, TableOps}
+import graft.tables._
+
+class GraftHelpersSpec extends AnyFunSpec with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  describe("M3 killDuplicateRecords") {
+    it("deletes every row whose dup-key occurs more than once (no survivor)") {
+      val t = GraftTable.create(spark, tmpTableDir("m3"),
+        Seq((1, "Benito", "Jackson"), (2, "Maria", "Willis"), (3, "Jose", "Travolta"),
+          (4, "Benito", "Jackson"), (5, "Jose", "Travolta"), (6, "Jose", "Travolta"))
+          .toDF("id", "firstname", "lastname").repartition(1))
+      GraftHelpers.killDuplicateRecords(t, Seq("firstname", "lastname"))
+      assertSmallDataFrameEquality(t.toDF,
+        Seq((2, "Maria", "Willis")).toDF("id", "firstname", "lastname"))
+    }
+
+    it("rejects empty duplicateColumns") {
+      val t = GraftTable.create(spark, tmpTableDir("m3e"), Seq((1, "a")).toDF("id", "x"))
+      assertThrows[NoSuchElementException] {
+        GraftHelpers.killDuplicateRecords(t, Nil)
+      }
+    }
+  }
+
+  describe("M4 removeDuplicateRecords(pk)") {
+    it("keeps the row with the lowest primary key per dup-key") {
+      val t = GraftTable.create(spark, tmpTableDir("m4"),
+        Seq((1, "Benito", "Jackson"), (4, "Benito", "Jackson"), (2, "Maria", "Willis"),
+          (3, "Jose", "Travolta"), (6, "Jose", "Travolta"))
+          .toDF("id", "firstname", "lastname").repartition(1))
+      GraftHelpers.removeDuplicateRecords(t, "id", Seq("firstname", "lastname"))
+      assertSmallDataFrameEquality(t.toDF,
+        Seq((1, "Benito", "Jackson"), (2, "Maria", "Willis"), (3, "Jose", "Travolta"))
+          .toDF("id", "firstname", "lastname"))
+    }
+  }
+
+  describe("M5 removeDuplicateRecords(cols only)") {
+    it("keeps one arbitrary survivor per dup-key") {
+      val t = GraftTable.create(spark, tmpTableDir("m5"),
+        Seq(("a", 1), ("a", 1), ("b", 2)).toDF("k", "v"))
+      GraftHelpers.removeDuplicateRecords(t, Seq("k", "v"))
+      assertSmallDataFrameEquality(t.toDF, Seq(("a", 1), ("b", 2)).toDF("k", "v"))
+    }
+  }
+
+  describe("M6 validateAppend") {
+    it("appends when columns satisfy the allowlist; missing table cols become null") {
+      val t = GraftTable.create(spark, tmpTableDir("m6"),
+        Seq((1, "a", "x")).toDF("id", "name", "extra"))
+      GraftHelpers.validateAppend(t, Seq((2, "b")).toDF("id", "name"),
+        requiredCols = List("id", "name"), optionalCols = List("extra"))
+      assert(t.toDF.count() == 2)
+      assert(t.toDF.filter("extra IS NULL").count() == 1)
+    }
+    it("rejects columns outside the allowlist") {
+      val t = GraftTable.create(spark, tmpTableDir("m6e"), Seq((1, "a")).toDF("id", "name"))
+      assertThrows[IllegalArgumentException] {
+        GraftHelpers.validateAppend(t, Seq((2, "b", "oops")).toDF("id", "name", "rogue"),
+          requiredCols = List("id", "name"), optionalCols = Nil)
+      }
+    }
+    it("rejects appends missing required columns") {
+      val t = GraftTable.create(spark, tmpTableDir("m6e2"), Seq((1, "a")).toDF("id", "name"))
+      assertThrows[IllegalArgumentException] {
+        GraftHelpers.validateAppend(t, Seq(2).toDF("id"),
+          requiredCols = List("id", "name"), optionalCols = Nil)
+      }
+    }
+  }
+
+  describe("M7 appendWithoutDuplicates") {
+    it("drops in-batch dups and inserts only unseen keys") {
+      val t = GraftTable.create(spark, tmpTableDir("m7"),
+        Seq((1, "a"), (2, "b")).toDF("id", "name"))
+      GraftHelpers.appendWithoutDuplicates(t,
+        Seq((2, "x"), (3, "c"), (3, "c")).toDF("id", "name"), Seq("id"))
+      assertSmallDataFrameEquality(t.toDF,
+        Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "name"))
+    }
+  }
+
+  describe("M8 copyTable") {
+    it("copies data + partitioning + properties, not history") {
+      val src = GraftTable.create(spark, tmpTableDir("m8src"),
+        Seq((1, "US"), (2, "DE")).toDF("id", "country"),
+        partitionColumns = Seq("country"), properties = Map("graft.foo" -> "bar"))
+      src.append(Seq((3, "FR")).toDF("id", "country"))
+      val destDir = tmpTableDir("m8dst")
+      GraftHelpers.copyTable(src, targetPath = Some(destDir))
+      val dest = GraftTable.forPath(spark, destDir)
+      assertSmallDataFrameEquality(dest.toDF, src.toDF)
+      assert(dest.snapshot.metadata.partitionColumns == Seq("country"))
+      assert(dest.snapshot.metadata.properties("graft.foo") == "bar")
+      assert(dest.version == 0L) // history NOT copied
+    }
+    it("rejects ambiguous destinations") {
+      val src = GraftTable.create(spark, tmpTableDir("m8e"), Seq(1).toDF("id"))
+      assertThrows[GraftValidationError] {
+        GraftHelpers.copyTable(src, Some("/tmp/x"), Some("tbl"))
+      }
+    }
+  }
+
+  describe("K1 withMD5Columns") {
+    it("appends a deterministic md5 surrogate key") {
+      val df = Seq(("Elia", "Kenya")).toDF("firstname", "lastname")
+      val out = GraftHelpers.withMD5Columns(df, List("firstname", "lastname"), "unique_id")
+      val expected = java.security.MessageDigest.getInstance("MD5")
+        .digest("Elia||Kenya".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(out.select("unique_id").collect()(0).getString(0) == expected)
+    }
+    it("derives the default column name from the inputs") {
+      val df = Seq(("a", "b")).toDF("c1", "c2")
+      val out = GraftHelpers.withMD5Columns(df, List("c1", "c2"))
+      assert(out.columns.contains("_md5c1c2"))
+    }
+  }
+
+  describe("K3/K4 composite key discovery") {
+    it("finds the smallest unique combination") {
+      val t = GraftTable.create(spark, tmpTableDir("k3"),
+        Seq((1, "a", "x"), (2, "b", "x"), (3, "c", "y")).toDF("id", "name", "grp"))
+      assert(GraftHelpers.findCompositeKeyCandidate(t) == Seq("id"))
+      assert(GraftHelpers.findCompositeKeyCandidate(t, excludeCols = Seq("id")) == Seq("name"))
+    }
+    it("returns Nil when no proper-subset combination is unique") {
+      // every row distinct, but only the full column set is a key — the
+      // all-columns combination is excluded (reference guard :470)
+      val t = GraftTable.create(spark, tmpTableDir("k3n"),
+        Seq((1, "a"), (1, "b"), (2, "a"), (2, "b")).toDF("c1", "c2"))
+      assert(GraftHelpers.findCompositeKeyCandidate(t) == Nil)
+    }
+    it("isCompositeKeyCandidate detects uniqueness") {
+      val t = GraftTable.create(spark, tmpTableDir("k4"),
+        Seq((1, "a"), (2, "a")).toDF("id", "name"))
+      assert(GraftHelpers.isCompositeKeyCandidate(t, List("id")))
+      assert(!GraftHelpers.isCompositeKeyCandidate(t, List("name")))
+    }
+  }
+
+  describe("S2/S3 file sizes") {
+    it("reports size/count/average and humanizes bytes") {
+      val t = GraftTable.create(spark, tmpTableDir("s2"),
+        Seq((1, "a"), (2, "b")).toDF("id", "name").repartition(2))
+      val m = GraftHelpers.fileSizes(t)
+      assert(m("number_of_files") == 2.0)
+      assert(m("size_in_bytes") > 0)
+      assert(GraftHelpers.humanizeBytes(1320d) == "1.3 kB")
+      assert(GraftHelpers.humanizeBytes(100d) == "100 B")
+      assert(GraftHelpers.humanizeBytes(2.5e9) == "2.5 GB")
+    }
+  }
+
+  describe("S5/S7 distributions") {
+    it("computes per-partition file size and record distributions") {
+      val df = (1 to 100).map(i => (i, if (i % 2 == 0) "even" else "odd")).toDF("id", "par")
+      val t = GraftTable.create(spark, tmpTableDir("s5"), df, partitionColumns = Seq("par"))
+      val dist = GraftHelpers.fileSizeDistribution(t).collect()
+      assert(dist.length == 2)
+      val rec = GraftHelpers.numRecordDistribution(t, Some("par = 'even'")).collect()
+      assert(rec.length == 1)
+    }
+  }
+
+  describe("S8 data-skipping introspection") {
+    it("reports per-bucket file survival for a mixed condition") {
+      // force multiple small files with known id ranges
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "4")
+      try {
+        val df = (1 to 24).map(i => (i, s"name$i")).toDF("id", "name").orderBy("id").coalesce(1)
+        val t = GraftTable.create(spark, tmpTableDir("s8"), df)
+        assert(t.snapshot.numFiles == 6)
+        val m = GraftHelpers.getNumShuffleFiles(t, "id >= 10 AND id <= 12")
+        assert(m("overall") == 1) // ids 9-12 in one file
+        assert(m("totalFilesInTable") == 6L)
+        val contradiction = GraftHelpers.getNumShuffleFiles(t, "id <= 10 AND id >= 12")
+        assert(contradiction("overall") == 0)
+        val unresolved = GraftHelpers.getNumShuffleFiles(t, "id >= 10 AND bogus = 1")
+        assert(unresolved("unresolvedColumns") == List("bogus"))
+      } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+  }
+
+  describe("TableOps delete/update") {
+    it("deletes matching rows, rewrites only touched files, records metrics") {
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "4")
+      try {
+        val df = (1 to 12).map(i => (i, s"n$i")).toDF("id", "name").orderBy("id").coalesce(1)
+        val t = GraftTable.create(spark, tmpTableDir("del"), df)
+        assert(t.snapshot.numFiles == 3)
+        TableOps.delete(t, Some("id <= 4"))
+        assert(t.toDF.count() == 8)
+        val m = t.history().head._2.operationMetrics
+        assert(m("numDeletedRows") == "4")
+        assert(m("numRemovedFiles") == "1") // only the 1-4 file touched
+      } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+
+    it("updates matching rows in place") {
+      val t = GraftTable.create(spark, tmpTableDir("upd"),
+        Seq((1, 10.0), (2, 20.0)).toDF("id", "amount").repartition(1))
+      TableOps.update(t, Some("id = 2"), Map("amount" -> "amount * 2"))
+      assertSmallDataFrameEquality(t.toDF, Seq((1, 10.0), (2, 40.0)).toDF("id", "amount"))
+      assert(t.history().head._2.operationMetrics("numUpdatedRows") == "1")
+    }
+
+    it("compaction preserves data while reducing file count") {
+      val t = GraftTable.create(spark, tmpTableDir("opt"),
+        (1 to 100).map(i => (i, s"n$i")).toDF("id", "name").repartition(8))
+      assert(t.snapshot.numFiles == 8)
+      val before = t.toDF.collect().toSet
+      TableOps.compact(t)
+      assert(t.snapshot.numFiles == 1)
+      assert(t.toDF.collect().toSet == before)
+      assert(t.history().head._2.operation == "OPTIMIZE")
+    }
+
+    it("zOrderBy tightens per-file min/max ranges") {
+      val df = (1 to 64).map(i => ((i * 37) % 64, s"n$i")).toDF("id", "name").repartition(4)
+      val t = GraftTable.create(spark, tmpTableDir("zo"), df)
+      TableOps.zOrderBy(t, Seq("id"), numFiles = 4)
+      val ranges = t.snapshot.files.flatMap(f => GraftLog.parseStats(f.stats))
+        .map(s => (s.minValues("id").toLong, s.maxValues("id").toLong))
+      // non-overlapping ranges after range-partitioned rewrite
+      val sorted = ranges.sortBy(_._1)
+      sorted.sliding(2).foreach {
+        case Seq((_, max1), (min2, _)) => assert(max1 <= min2)
+        case _ => ()
+      }
+    }
+  }
+}

@@ -105,6 +105,21 @@ class GraftTable private (val spark: SparkSession, val path: String) {
       partitionColumns = snapshot.metadata.partitionColumns,
       operation = operation, operationParameters = operationParameters)
 
+  /** Metadata-only commit updating table properties — analogue of
+    * `ALTER TABLE ... SET TBLPROPERTIES` (used by CDF enable/disable
+    * scenarios, reference `ChangeDataFeedHelperSpec.scala:207-208`).
+    */
+  def setProperties(props: Map[String, String]): Long = {
+    val s = snapshot
+    val v = s.version + 1
+    log.commit(v, Seq(
+      graft.tables.Metadata(s.metadata.schemaJson, s.metadata.partitionColumns,
+        s.metadata.properties ++ props),
+      CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES",
+        operationParameters = Map("properties" -> props.toString))))
+    v
+  }
+
   /** Append rows (mergeSchema semantics: unseen columns extend the schema). */
   def append(df: DataFrame, operation: String = "WRITE",
       operationParameters: Map[String, String] = Map.empty,
@@ -132,10 +147,12 @@ object GraftTable {
       partitionColumns: Seq[String] = Nil,
       properties: Map[String, String] = Map.empty
   ): GraftTable = {
+    // Delta records data-bearing creation as WRITE (the reference's metric
+    // helper expects version 0 to be a countable WRITE)
     TableWriter.write(spark, path, df, TableWriter.Overwrite,
       partitionColumns = partitionColumns,
       properties = properties,
-      operation = if (exists(path)) "WRITE" else "CREATE TABLE")
+      operation = "WRITE")
     new GraftTable(spark, path)
   }
 }

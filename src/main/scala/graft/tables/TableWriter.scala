@@ -121,11 +121,24 @@ object TableWriter {
       }
       val metaActions: Seq[Action] =
         if (metaChanged) Seq(Metadata(newSchema.json, partCols, newProps)) else Nil
+      // operation-specific file-count keys are computed here (the caller
+      // can't know them before the write); the Delta metric vocabulary is
+      // what the metric helpers parse (graft.log.OperationMetric)
+      val opSpecific = operation match {
+        case "MERGE" => Map(
+          "numTargetFilesAdded" -> adds.size.toString,
+          "numTargetChangeFilesAdded" -> cdcActions.size.toString)
+        case "DELETE" | "UPDATE" => Map(
+          "numAddedFiles" -> adds.size.toString,
+          "numAddedBytes" -> adds.map(_.size).sum.toString,
+          "numAddedChangeFiles" -> cdcActions.size.toString)
+        case _ => Map.empty[String, String]
+      }
       val metrics = Map(
         "numFiles" -> adds.size.toString,
         "numOutputRows" -> numOutputRows.toString,
         "numOutputBytes" -> adds.map(_.size).sum.toString
-      ) ++ extraMetrics
+      ) ++ extraMetrics ++ opSpecific
       val commitInfo = CommitInfo(
         timestamp = System.currentTimeMillis(),
         operation = operation,

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.log.ChangeDataFeedHelper
+import graft.operators.{GraftMerge, TableOps}
+import graft.tables.{GraftLog, GraftTable}
+
+class ChangeDataFeedHelperSpec extends AnyFunSpec with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private def cdfTable(dir: String): GraftTable =
+    GraftTable.create(spark, dir, Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "name").repartition(1),
+      properties = Map(GraftLog.CdfProperty -> "true"))
+
+  private def upsert(t: GraftTable, rows: Seq[(Int, String)]): Unit =
+    GraftMerge(t, "old").merge(rows.toDF("id", "name"), "old.id = new.id", Some("new"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+
+  it("readCDF unions inserts, updates and deletes across versions") {
+    val t = cdfTable(tmpTableDir("cdf-read"))
+    upsert(t, Seq((1, "A"), (9, "i")))   // v1: 1 update, 1 insert
+    TableOps.delete(t, Some("id = 2"))   // v2: 1 delete
+    val cdf = ChangeDataFeedHelper(spark, t.path, 0, 2).readCDF
+    assert(cdf.columns.toSet ==
+      Set("id", "name", "_change_type", "_commit_version", "_commit_timestamp"))
+    val byType = cdf.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // v0 synthesized inserts (3) + v1 images + v2 delete
+    assert(byType == Map("insert" -> 4L, "update_preimage" -> 1L,
+      "update_postimage" -> 1L, "delete" -> 1L))
+    val v0 = cdf.filter("_commit_version = 0").count()
+    assert(v0 == 3)
+  }
+
+  it("dryRun passes on an intact range and the helper returns itself") {
+    val t = cdfTable(tmpTableDir("cdf-dry"))
+    upsert(t, Seq((1, "A")))
+    upsert(t, Seq((5, "e")))
+    // start at 1: version 0 is a plain write and carries no change files
+    // (the reference's dryRun scenario also starts past creation, spec :58)
+    val h = ChangeDataFeedHelper(spark, t.path, 1, 2)
+    assert(h.dryRun() == h)
+  }
+
+  it("getAllVersionsWithCDFStatus tracks enable/disable toggles") {
+    val t = cdfTable(tmpTableDir("cdf-status"))
+    upsert(t, Seq((1, "A")))                                    // v1 enabled (cdc file)
+    t.setProperties(Map(GraftLog.CdfProperty -> "false"))       // v2 disabled (metadata)
+    upsert(t, Seq((2, "B")))                                    // v3 disabled (no cdc)
+    t.setProperties(Map(GraftLog.CdfProperty -> "true"))        // v4 enabled
+    upsert(t, Seq((3, "C")))                                    // v5 enabled
+    val h = ChangeDataFeedHelper(spark, t.path, 0, 5)
+    val status = h.getAllVersionsWithCDFStatus.toMap
+    assert(status(1L) && !status(2L) && !status(3L) && status(4L) && status(5L))
+    assert(h.getAllCDFEnabledVersions.contains(5L))
+    assert(h.getAllCDFDisabledVersions == List(2L, 3L))
+  }
+
+  it("getRangesForCDFEnabledVersions groups consecutive versions") {
+    val h = ChangeDataFeedHelper(spark, cdfTable(tmpTableDir("cdf-rng")).path, 0, 0)
+    assert(h.groupVersionsInclusive(List(0L, 1L, 2L, 7L, 8L, 12L, 13L)) ==
+      Some(List((0L, 2L), (7L, 8L), (12L, 13L))))
+    assert(h.groupVersionsInclusive(Nil) == None)
+    assert(h.groupVersionsInclusive(List(5L)) == None)
+  }
+
+  it("getVersionsForAvailableCDC recovers after manual change-data deletion") {
+    val t = cdfTable(tmpTableDir("cdf-vac"))
+    upsert(t, Seq((1, "A")))  // v1 cdc
+    upsert(t, Seq((2, "B")))  // v2 cdc
+    upsert(t, Seq((3, "C")))  // v3 cdc
+    // simulate vacuum: delete v1's change file
+    val v1cdc = t.log.actionsAt(1).collect { case c: graft.tables.AddCDCFile => c.path }
+    v1cdc.foreach(p => java.nio.file.Files.delete(java.nio.file.Paths.get(t.path, p)))
+    val h = ChangeDataFeedHelper(spark, t.path, 0, 3)
+    assert(h.getVersionsForAvailableCDC == Some((2L, 3L)))
+  }
+
+  it("getLogVersions reports the available range for out-of-range requests") {
+    val t = cdfTable(tmpTableDir("cdf-logv"))
+    upsert(t, Seq((1, "A")))
+    val h = ChangeDataFeedHelper(spark, t.path, 5, 9)
+    assert(h.getLogVersions(true) == Some((0L, 1L)))
+  }
+
+  it("readCDFIgnoreMissingRangesForEDR unions only enabled ranges") {
+    val t = cdfTable(tmpTableDir("cdf-edr"))
+    upsert(t, Seq((1, "A")))                                // v1 enabled
+    upsert(t, Seq((2, "B")))                                // v2 enabled
+    t.setProperties(Map(GraftLog.CdfProperty -> "false"))   // v3 disabled
+    upsert(t, Seq((3, "X")))                                // v4 disabled
+    t.setProperties(Map(GraftLog.CdfProperty -> "true"))    // v5 enabled
+    upsert(t, Seq((4, "Y")))                                // v6 enabled
+    val h = ChangeDataFeedHelper(spark, t.path, 1, 6)
+    val df = h.readCDFIgnoreMissingRangesForEDR
+    assert(df.isDefined)
+    val versions = df.get.select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).toSet
+    // v5 is a properties-only commit: enabled, but contributes no change rows
+    assert(versions == Set(1L, 2L, 6L))
+  }
+}

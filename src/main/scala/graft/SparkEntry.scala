@@ -1,13 +1,345 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.log.{ChangeDataFeedHelper, OperationMetricHelper}
+import graft.operators._
+import graft.tables.{GraftLog, GraftTable}
+
+/** Driver contract — one query per implemented operator from SURVEY.md §2
+  * plus the LLM-pipeline operators. Each query is deterministic and
+  * self-contained: mutation operators build a scratch GraftTable from the
+  * sfDir parquet inputs, run the operator, and return the resulting table.
+  * `oracleSql` holds the DuckDB-equivalent for the hash-compare gate.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("t").toString
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("m2_scd2_upsert")(spark, "/root/testdata/sf0.001")
+
+  // ====================================================================
+  // Query implementations
+  // ====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- analytics headliners (Catalyst-native; pushdown + partial agg) ----
+    "q1_pricing_summary" -> ((s, dir) => {
+      read(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q2_top_customers" -> ((s, dir) => {
+      val orders = read(s, dir, "orders")
+      val customer = read(s, dir, "customer")
+      orders
+        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("total_spent"),
+          count(lit(1)).as("order_count"))
+        .orderBy(col("total_spent").desc, col("c_custkey"))
+        .limit(10)
+    }),
+    "q3_user_running_totals" -> ((s, dir) => {
+      // events.ts is TIMESTAMP(NANOS) parquet — Spark reads it as a raw long
+      // under this flag; ordering by the raw value is order-equivalent
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      read(s, dir, "events")
+        .withColumn("event_seq", row_number().over(w))
+        .withColumn("running_value",
+          sum(col("value").cast("decimal(18,4)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select("event_id", "user_id", "event_seq", "running_value")
+    }),
+
+    // ---- K: derived columns / key discovery ----
+    "k1_md5_surrogate" -> ((s, dir) => {
+      GraftHelpers.withMD5Columns(read(s, dir, "customer"),
+        List("c_name", "c_mktsegment"), "unique_id")
+        .select("c_custkey", "unique_id")
+    }),
+    "k4_is_composite_key" -> ((s, dir) => {
+      import s.implicits._
+      val t = GraftTable.create(s, tmp("k4"), read(s, dir, "lineitem"))
+      val isKey = GraftHelpers.isCompositeKeyCandidate(t, List("l_orderkey", "l_linenumber"))
+      val nameOnly = GraftHelpers.isCompositeKeyCandidate(t, List("l_returnflag"))
+      Seq((isKey, nameOnly)).toDF("orderkey_linenumber_is_key", "returnflag_is_key")
+    }),
+
+    // ---- M: table mutation operators ----
+    "m2_scd2_upsert" -> ((s, dir) => {
+      val customer = read(s, dir, "customer")
+      val base = customer.select(
+        col("c_custkey").as("pk"),
+        col("c_mktsegment").as("segment"),
+        lit(true).as("is_current"),
+        lit(java.sql.Timestamp.valueOf("2019-01-01 00:00:00")).as("effective_time"),
+        lit(null).cast("timestamp").as("end_time"))
+      val t = GraftTable.create(s, tmp("m2"), base)
+      val updates = customer.filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey").as("pk"),
+          concat(col("c_mktsegment"), lit("_NEW")).as("segment"),
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("effective_time"))
+        .union(customer.filter(col("c_custkey") % 100 === 0)
+          .select((col("c_custkey") + 1000000).as("pk"), lit("FRESH").as("segment"),
+            lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("effective_time")))
+      Type2Scd.upsert(t, updates, "pk", Seq("segment"))
+      t.toDF
+    }),
+    "m3_kill_duplicates" -> ((s, dir) => {
+      val part = read(s, dir, "part")
+      val t = GraftTable.create(s, tmp("m3"),
+        part.union(part.filter(col("p_partkey") % 7 === 0)))
+      GraftHelpers.killDuplicateRecords(t, Seq("p_partkey"))
+      t.toDF
+    }),
+    "m4_remove_duplicates_pk" -> ((s, dir) => {
+      val customer = read(s, dir, "customer")
+      val extras = customer.filter(col("c_custkey") % 5 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 10000000)
+      val t = GraftTable.create(s, tmp("m4"), customer.union(extras))
+      GraftHelpers.removeDuplicateRecords(t, "c_custkey", Seq("c_name"))
+      t.toDF
+    }),
+    "m5_remove_duplicates" -> ((s, dir) => {
+      val t = GraftTable.create(s, tmp("m5"),
+        read(s, dir, "lineitem").select("l_returnflag", "l_linestatus"))
+      GraftHelpers.removeDuplicateRecords(t, Seq("l_returnflag", "l_linestatus"))
+      t.toDF
+    }),
+    "m6_validate_append" -> ((s, dir) => {
+      val supplier = read(s, dir, "supplier")
+      val t = GraftTable.create(s, tmp("m6"),
+        supplier.select("s_suppkey", "s_name", "s_acctbal"))
+      val appendDf = supplier.select((col("s_suppkey") + 10000).as("s_suppkey"), col("s_name"))
+      GraftHelpers.validateAppend(t, appendDf,
+        requiredCols = List("s_suppkey", "s_name"), optionalCols = List("s_acctbal"))
+      t.toDF
+    }),
+    "m7_append_without_duplicates" -> ((s, dir) => {
+      val orders = read(s, dir, "orders")
+      val t = GraftTable.create(s, tmp("m7"), orders.filter(col("o_orderkey") % 2 === 0))
+      GraftHelpers.appendWithoutDuplicates(t, orders, Seq("o_orderkey"))
+      t.toDF
+    }),
+    "m8_copy_table" -> ((s, dir) => {
+      val src = GraftTable.create(s, tmp("m8src"), read(s, dir, "nation"),
+        partitionColumns = Seq("n_regionkey"))
+      val dst = tmp("m8dst")
+      GraftHelpers.copyTable(src, targetPath = Some(dst))
+      GraftTable.forPath(s, dst).toDF
+        .select("n_nationkey", "n_name", "n_regionkey")
+    }),
+
+    // ---- L: transaction-log analytics ----
+    "l1_operation_metrics" -> ((s, dir) => {
+      val dirT = tmp("l1")
+      val t = GraftTable.create(s, dirT, read(s, dir, "nation"))
+      TableOps.delete(t, Some("n_nationkey >= 20"))
+      TableOps.update(t, Some("n_nationkey < 5"), Map("n_name" -> "upper(n_name)"))
+      OperationMetricHelper(s, dirT).getCountMetricsAsDF()
+    }),
+
+    // ---- C: change data feed ----
+    "c1_cdf_read" -> ((s, dir) => {
+      val dirT = tmp("c1")
+      val t = GraftTable.create(s, dirT, read(s, dir, "region"),
+        properties = Map(GraftLog.CdfProperty -> "true"))
+      TableOps.update(t, Some("r_regionkey = 0"), Map("r_name" -> "'EUROPA'"))
+      TableOps.delete(t, Some("r_regionkey = 4"))
+      import s.implicits._
+      t.append(Seq((99, "ATLANTIS")).toDF("r_regionkey", "r_name")
+        .select(col("r_regionkey").cast("int"), col("r_name")))
+      ChangeDataFeedHelper(s, dirT, 0, 3).readCDF
+        .select(col("r_regionkey"), col("r_name"), col("_change_type"), col("_commit_version"))
+    }),
+
+    // ---- D: dedup pipeline (documents) ----
+    "d1_dedup_exact" -> ((s, dir) => {
+      val w = Window.partitionBy("text").orderBy("doc_id")
+      read(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
+    // ---- T: text analysis (documents) ----
+    "t1_lang_id" -> ((s, dir) => {
+      val txt = lower(col("text"))
+      val en = regexp_count(txt, lit("\\b(the|and|of|to|in)\\b"))
+      val de = regexp_count(txt, lit("\\b(der|die|das|und|ist)\\b"))
+      val fr = regexp_count(txt, lit("\\b(le|la|les|et|est)\\b"))
+      read(s, dir, "documents")
+        .select(col("doc_id"),
+          when(en >= de && en >= fr, "en").when(de >= fr, "de").otherwise("fr").as("lang_pred"),
+          en.cast("long").as("en_score"), de.cast("long").as("de_score"), fr.cast("long").as("fr_score"))
+    }),
+    "t2_quality_score" -> ((s, dir) => {
+      read(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("chars"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("words"),
+        regexp_count(col("text"), lit("[.,;:!?]")).cast("long").as("punct"),
+        regexp_count(lower(col("text")), lit("\\b(the|a|an|is|are|was|of|to)\\b"))
+          .cast("long").as("stopwords"))
+    }),
+    "t3_token_count" -> ((s, dir) => {
+      read(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+          .cast("long").as("bpeish_tokens"))
+    }),
+    "t4_fingerprint" -> ((s, dir) => {
+      read(s, dir, "documents").select(
+        col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("fingerprint"))
+    })
+  )
+
+  // ====================================================================
+  // DuckDB oracles (driver hash-compares column-sorted results)
+  // ====================================================================
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_top_customers" ->
+      """SELECT c_custkey, c_name,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent,
+        |  count(*) AS order_count
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY total_spent DESC, c_custkey
+        |LIMIT 10""".stripMargin,
+    "q3_user_running_totals" ->
+      """SELECT event_id, user_id,
+        |  CAST(row_number() OVER w AS INT) AS event_seq,
+        |  sum(CAST(value AS DECIMAL(18,4))) OVER w AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "k1_md5_surrogate" ->
+      "SELECT c_custkey, md5(c_name || '||' || c_mktsegment) AS unique_id FROM customer",
+    "k4_is_composite_key" ->
+      """SELECT
+        |  (SELECT count(*) FROM lineitem) =
+        |    (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+        |    AS orderkey_linenumber_is_key,
+        |  (SELECT count(*) FROM lineitem) =
+        |    (SELECT count(*) FROM (SELECT DISTINCT l_returnflag FROM lineitem))
+        |    AS returnflag_is_key""".stripMargin,
+    "m2_scd2_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS pk, c_mktsegment AS segment, true AS is_current,
+        |         TIMESTAMP '2019-01-01 00:00:00' AS effective_time,
+        |         CAST(NULL AS TIMESTAMP) AS end_time
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey AS pk, c_mktsegment || '_NEW' AS segment,
+        |         TIMESTAMP '2024-01-01 00:00:00' AS effective_time
+        |  FROM customer WHERE c_custkey % 4 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'FRESH', TIMESTAMP '2024-01-01 00:00:00'
+        |  FROM customer WHERE c_custkey % 100 = 0)
+        |SELECT b.pk, b.segment,
+        |       CASE WHEN u.pk IS NOT NULL AND u.segment <> b.segment THEN false ELSE true END AS is_current,
+        |       b.effective_time,
+        |       CASE WHEN u.pk IS NOT NULL AND u.segment <> b.segment THEN u.effective_time END AS end_time
+        |FROM base b LEFT JOIN upd u ON b.pk = u.pk
+        |UNION ALL
+        |SELECT u.pk, u.segment, true, u.effective_time, CAST(NULL AS TIMESTAMP)
+        |FROM upd u LEFT JOIN base b ON u.pk = b.pk
+        |WHERE b.pk IS NULL OR u.segment <> b.segment""".stripMargin,
+    "m3_kill_duplicates" ->
+      "SELECT * FROM part WHERE p_partkey % 7 <> 0",
+    "m4_remove_duplicates_pk" ->
+      "SELECT * FROM customer",
+    "m5_remove_duplicates" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "m6_validate_append" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |UNION ALL
+        |SELECT s_suppkey + 10000, s_name, CAST(NULL AS DOUBLE) FROM supplier""".stripMargin,
+    "m7_append_without_duplicates" ->
+      "SELECT * FROM orders",
+    "m8_copy_table" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "l1_operation_metrics" ->
+      """SELECT CAST(v AS BIGINT) AS version, CAST(d AS BIGINT) AS deleted,
+        |       CAST(i AS BIGINT) AS inserted, CAST(u AS BIGINT) AS updated,
+        |       CAST(sr AS BIGINT) AS source_rows
+        |FROM (VALUES
+        |  (2, 0, 0, (SELECT count(*) FROM nation WHERE n_nationkey < 5), 0),
+        |  (1, (SELECT count(*) FROM nation WHERE n_nationkey >= 20), 0, 0, 0),
+        |  (0, 0, (SELECT count(*) FROM nation), 0, (SELECT count(*) FROM nation))
+        |) AS t(v, d, i, u, sr)
+        |ORDER BY version DESC""".stripMargin,
+    "c1_cdf_read" ->
+      """SELECT r_regionkey, r_name, 'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version FROM region
+        |UNION ALL
+        |SELECT r_regionkey, r_name, 'update_preimage', 1 FROM region WHERE r_regionkey = 0
+        |UNION ALL
+        |SELECT CAST(0 AS INT), 'EUROPA', 'update_postimage', 1
+        |UNION ALL
+        |SELECT r_regionkey, r_name, 'delete', 2 FROM region WHERE r_regionkey = 4
+        |UNION ALL
+        |SELECT CAST(99 AS INT), 'ATLANTIS', 'insert', 3""".stripMargin,
+    "d1_dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
+    "t1_lang_id" ->
+      """WITH scores AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS BIGINT) AS en_score,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS BIGINT) AS de_score,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS BIGINT) AS fr_score
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN en_score >= de_score AND en_score >= fr_score THEN 'en'
+        |       WHEN de_score >= fr_score THEN 'de' ELSE 'fr' END AS lang_pred,
+        |  en_score, de_score, fr_score
+        |FROM scores""".stripMargin,
+    "t2_quality_score" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS chars,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS words,
+        |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|is|are|was|of|to)\b')) AS BIGINT) AS stopwords
+        |FROM documents""".stripMargin,
+    "t3_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens
+        |FROM documents""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin
+  )
 }

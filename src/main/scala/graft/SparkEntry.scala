@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.log.{ChangeDataFeedHelper, OperationMetricHelper}
 import graft.operators._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.tables.{GraftLog, GraftTable}
 
 /** Driver contract — one query per implemented operator from SURVEY.md §2
@@ -179,37 +180,101 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
     }),
 
-    // ---- T: text analysis (documents) ----
+    // ---- T: text analysis (documents, via graft.pipeline.TextAnalysis) ----
     "t1_lang_id" -> ((s, dir) => {
-      val txt = lower(col("text"))
-      val en = regexp_count(txt, lit("\\b(the|and|of|to|in)\\b"))
-      val de = regexp_count(txt, lit("\\b(der|die|das|und|ist)\\b"))
-      val fr = regexp_count(txt, lit("\\b(le|la|les|et|est)\\b"))
+      val t = col("text")
+      val scoreCols = TextAnalysis.LangMarkers.map { case (l, p) =>
+        TextAnalysis.langScore(t, p).as(s"${l}_score")
+      }
       read(s, dir, "documents")
-        .select(col("doc_id"),
-          when(en >= de && en >= fr, "en").when(de >= fr, "de").otherwise("fr").as("lang_pred"),
-          en.cast("long").as("en_score"), de.cast("long").as("de_score"), fr.cast("long").as("fr_score"))
+        .select(col("doc_id") +: TextAnalysis.langId(t).as("lang_pred") +: scoreCols: _*)
     }),
     "t2_quality_score" -> ((s, dir) => {
+      val t = col("text")
       read(s, dir, "documents").select(
         col("doc_id"),
-        length(col("text")).cast("long").as("chars"),
-        regexp_count(col("text"), lit("\\S+")).cast("long").as("words"),
-        regexp_count(col("text"), lit("[.,;:!?]")).cast("long").as("punct"),
-        regexp_count(lower(col("text")), lit("\\b(the|a|an|is|are|was|of|to)\\b"))
-          .cast("long").as("stopwords"))
+        length(t).cast("long").as("chars"),
+        TextAnalysis.wsTokenCount(t).as("words"),
+        TextAnalysis.punctCount(t).as("punct"),
+        TextAnalysis.stopwordCount(t).as("stopwords"))
     }),
     "t3_token_count" -> ((s, dir) => {
+      val t = col("text")
       read(s, dir, "documents").select(
         col("doc_id"),
-        regexp_count(col("text"), lit("\\S+")).cast("long").as("ws_tokens"),
-        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
-          .cast("long").as("bpeish_tokens"))
+        TextAnalysis.wsTokenCount(t).as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount(t).as("bpeish_tokens"))
     }),
     "t4_fingerprint" -> ((s, dir) => {
       read(s, dir, "documents").select(
-        col("doc_id"),
-        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("fingerprint"))
+        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    // ---- D: near-dup / similarity pipeline ----
+    "d2_minhash_pairs" -> ((s, dir) => {
+      // 32 bands × 2 rows: detection probability at jaccard 0.5 is
+      // 1-(1-0.25)^32 ≈ 0.9999 — recall high enough to hash-match the exact
+      // all-pairs oracle; candidates are exact-jaccard-verified (no FPs)
+      Dedup.minhashLshPairs(read(s, dir, "documents"), "doc_id", "text",
+        n = 3, numHashes = 64, bands = 32, threshold = 0.5)
+        .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+    "d4_ngram_jaccard_pairs" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(read(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)
+        .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+    "d3_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(read(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .select(col("idA"), col("idB"), col("hamming"))
+    }),
+    "d5_cosine_topk" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+    "d6_ivf_topk" -> ((s, dir) => {
+      // approximate by construction: rows-only check (recall vs d5 asserted in specs)
+      val emb = read(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5, numCentroids = 16, nProbe = 4)
+    }),
+    "d7_embedding_near_dup" -> ((s, dir) => {
+      // the synthetic table has no natural near-dups (max pairwise cosine
+      // ≈0.51), so inject exact copies under shifted ids: found pairs must be
+      // exactly (id, id+100000) for id % 50 = 0
+      val emb = read(s, dir, "embeddings")
+      val dups = emb.filter(col("vec_id") % 50 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000)
+      Dedup.embeddingCosinePairs(emb.unionByName(dups), "vec_id", "embedding",
+        threshold = 0.99, planes = 16, bands = 8)
+        .select(col("idA"), col("idB"))
+    }),
+
+    // ---- MM: multimodal plumbing (stubbed codec, real schema/batching) ----
+    "mm1_multimodal_features" -> ((s, dir) => {
+      val assets = Multimodal.synthesizeAssets(s, read(s, dir, "nation"), "n_nationkey")
+      Multimodal.extractFeatures(Multimodal.rebalanceForDecode(assets, 4))
+        .select("asset_id", "modality", "byte_size")
+    }),
+
+    // ---- S: file statistics / skipping introspection (table-layout checks) ----
+    "s2_file_sizes" -> ((s, dir) => {
+      import s.implicits._
+      val t = GraftTable.create(s, tmp("s2"), read(s, dir, "supplier"))
+      val m = GraftHelpers.fileSizes(t)
+      Seq((m("number_of_files") > 0, m("size_in_bytes") > 0,
+        GraftHelpers.latestVersion(t.path))).toDF("has_files", "has_bytes", "version")
+    }),
+    "s8_skipping_counts" -> ((s, dir) => {
+      import s.implicits._
+      val t = GraftTable.create(s, tmp("s8"), read(s, dir, "orders"))
+      graft.operators.TableOps.zOrderBy(t, Seq("o_orderkey"), numFiles = 8)
+      val m = GraftHelpers.getNumShuffleFiles(t, "o_orderkey >= 100 AND o_orderkey <= 200")
+      Seq((m("overall").asInstanceOf[Int] < m("totalFilesInTable").asInstanceOf[Long].toInt,
+        m("totalFilesInTable").asInstanceOf[Long]))
+        .toDF("skipping_effective", "total_files")
     })
   )
 
@@ -340,6 +405,46 @@ object SparkEntry {
     "t4_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "d2_minhash_pairs" -> ngramJaccardOracle(0.5),
+    "d7_embedding_near_dup" ->
+      """SELECT vec_id AS idA, vec_id + 100000 AS idB
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    "d4_ngram_jaccard_pairs" -> ngramJaccardOracle(0.5),
+    "d5_cosine_topk" ->
+      """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |         list_dot_product(q.v, c.v) /
+        |           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+        |  FROM c, q),
+        |ranked AS (
+        |  SELECT query_id, corpus_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, corpus_id FROM ranked WHERE rnk <= 5""".stripMargin
   )
+
+  /** Exact all-pairs n-gram jaccard in DuckDB — oracle for both the
+    * LSH-accelerated (d2) and inverted-index (d4) Spark implementations.
+    */
+  private def ngramJaccardOracle(threshold: Double): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) >= 3
+       |      THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
+       |      ELSE list_distinct([array_to_string(t, ' ')]) END AS g
+       |  FROM toks),
+       |pairs AS (
+       |  SELECT a.doc_id AS idA, b.doc_id AS idB,
+       |         len(list_intersect(a.g, b.g)) AS inter, len(a.g) AS na, len(b.g) AS nb
+       |  FROM grams a, grams b WHERE a.doc_id < b.doc_id)
+       |SELECT idA, idB,
+       |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+       |FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $threshold""".stripMargin
 }

@@ -1,0 +1,236 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram-Jaccard similarity joins — all expressed
+  * with codegen'd built-in functions (no UDFs), designed so the pairwise work
+  * is bounded by LSH candidate generation rather than O(n²).
+  *
+  * Scale design:
+  *  - shingling/minhashing is a narrow map (`transform`/`aggregate` higher-
+  *    order functions) — no shuffle;
+  *  - candidate generation shuffles once on (band, bandHash) buckets;
+  *  - verification joins only candidate pairs back to their shingle sets.
+  */
+object Dedup {
+
+  /** Exact dedup: keep one survivor per duplicate group, lowest tiebreak
+    * first (hash-groupBy under the hood — one shuffle on the dup key).
+    */
+  def exact(df: DataFrame, dupCols: Seq[String], tiebreakCol: String): DataFrame = {
+    val w = Window.partitionBy(dupCols.map(col): _*).orderBy(col(tiebreakCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  private val MersennePrime = 2147483647L // 2^31-1: a*x stays in Long range
+
+  /** Deterministic (a,b) permutation parameters from a fixed seed. */
+  private def permParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new java.util.Random(seed)
+    (0 until numHashes).map { _ =>
+      (1L + rnd.nextInt((MersennePrime - 1).toInt).toLong,
+        rnd.nextInt(MersennePrime.toInt).toLong)
+    }
+  }
+
+  /** Word n-gram shingles of `textCol`, hashed to 31-bit ints (distinct). */
+  def shingles(textCol: Column, n: Int): Column = {
+    val tokens = split(trim(regexp_replace(lower(textCol), "[^a-z0-9]+", " ")), " ")
+    val grams = when(size(tokens) >= n,
+      transform(sequence(lit(0), size(tokens) - n),
+        i => pmod(xxhash64(concat_ws(" ", slice(tokens, i + 1, lit(n)))), lit(MersennePrime))))
+      .otherwise(array(pmod(xxhash64(concat_ws(" ", tokens)), lit(MersennePrime))))
+    array_distinct(grams)
+  }
+
+  /** MinHash signature (array of `numHashes` min-values) over a shingle-hash
+    * array column: sig_i = min over shingles of (a_i*x + b_i) mod P.
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val params = permParams(numHashes, seed)
+    array(params.map { case (a, b) =>
+      array_min(transform(shingleCol, x => pmod(x * lit(a) + lit(b), lit(MersennePrime))))
+    }: _*)
+  }
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * @return (idA, idB, jaccard) with idA < idB and exact-shingle jaccard ≥
+    *         threshold; candidates come from banded signature buckets, so
+    *         pairwise verification cost is proportional to collisions.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+
+    val withSig = df
+      .select(col(idCol).as("__id"), shingles(col(textCol), n).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__sig", minhashSignature(col("__sh"), numHashes, seed))
+      .persist()
+    try {
+      // one row per (doc, band): bucket key = hash of the band's slice
+      val banded = withSig.select(
+        col("__id"), col("__sh"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(concat_ws(",",
+              transform(slice(col("__sig"), b * rows + 1, lit(rows)), _.cast("string")))).as("bh"))))
+          .as("__b"))
+        .select(col("__id"), col("__sh"), col("__b.band"), col("__b.bh"))
+
+      val a = banded.select(col("band"), col("bh"), col("__id").as("idA"), col("__sh").as("shA"))
+      val b = banded.select(col("band"), col("bh"), col("__id").as("idB"), col("__sh").as("shB"))
+      val candidates = a.join(b, Seq("band", "bh"))
+        .filter(col("idA") < col("idB"))
+        .select("idA", "idB", "shA", "shB")
+        .dropDuplicates("idA", "idB")
+
+      candidates
+        .withColumn("__inter", size(array_intersect(col("shA"), col("shB"))).cast("double"))
+        .withColumn("jaccard",
+          col("__inter") / (size(col("shA")) + size(col("shB")) - col("__inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("idA"), col("idB"), col("jaccard"))
+    } finally { withSig.unpersist(); () }
+  }
+
+  /** Dedup via MinHash-LSH: drop every doc that near-duplicates a lower id. */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val losers = minhashLshPairs(df, idCol, textCol, threshold = threshold)
+      .select(col("idB").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** 64-bit SimHash over word tokens: bit i of the hash is the sign of the
+    * per-document sum of (±1) votes from each token's bit i. Pure aggregation
+    * (explode → groupBy → 64 conditional sums), no UDFs.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")), " ")
+    val exploded = df
+      .select(col(idCol), explode(tokens).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .withColumn("__h", xxhash64(col("__tok")))
+    val bitVotes = (0 until 64).map { i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$i")
+    }
+    val voted = exploded.groupBy(col(idCol)).agg(bitVotes.head, bitVotes.tail: _*)
+    val hashExpr = (0 until 64)
+      .map(i => when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    voted.select(col(idCol), hashExpr.as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs with hamming distance ≤ `maxHamming`.
+    * Pigeonhole banding: split the 64-bit hash into `maxHamming + 1` chunks —
+    * any pair within the distance agrees on ≥1 chunk, so candidates come from
+    * equi-joins on chunk values; `bit_count(xor)` verifies exactly.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val chunkBits = 64 / chunks
+    val hashed = simhash(df, idCol, textCol)
+    val chunkStructs = (0 until chunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * chunkBits)
+          .bitwiseAND(lit((1L << chunkBits) - 1)).as("cv"))
+    }
+    val banded = hashed.select(
+      col(idCol).as("__id"), col("simhash"),
+      explode(array(chunkStructs: _*)).as("__c"))
+      .select(col("__id"), col("simhash"), col("__c.chunk"), col("__c.cv"))
+    val a = banded.select(col("chunk"), col("cv"), col("__id").as("idA"), col("simhash").as("hA"))
+    val b = banded.select(col("chunk"), col("cv"), col("__id").as("idB"), col("simhash").as("hB"))
+    a.join(b, Seq("chunk", "cv"))
+      .filter(col("idA") < col("idB"))
+      .dropDuplicates("idA", "idB")
+      .withColumn("hamming", bit_count(col("hA").bitwiseXOR(col("hB"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("idA"), col("idB"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard similarity join via an inverted-index equi-join on
+    * shared grams (prefix-count pruning happens naturally: pairs sharing no
+    * gram never meet). One shuffle on gram, one on the pair key.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val withSh = df.select(col(idCol).as("__id"), shingles(col(textCol), n).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__n", size(col("__sh")))
+    val inverted = withSh.select(col("__id"), col("__n"), explode(col("__sh")).as("__g"))
+    val a = inverted.select(col("__g"), col("__id").as("idA"), col("__n").as("nA"))
+    val b = inverted.select(col("__g"), col("__id").as("idB"), col("__n").as("nB"))
+    a.join(b, Seq("__g"))
+      .filter(col("idA") < col("idB"))
+      .groupBy(col("idA"), col("idB"))
+      .agg(count(lit(1)).as("__shared"), first(col("nA")).as("nA"), first(col("nB")).as("nB"))
+      .withColumn("jaccard",
+        col("__shared").cast("double") / (col("nA") + col("nB") - col("__shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), col("jaccard"))
+  }
+
+  /** Embedding near-duplicate pairs: random-hyperplane LSH buckets (sign-bit
+    * sketches over `planes` fixed pseudo-random hyperplanes) generate
+    * candidates; exact cosine verifies. `zip_with` + `aggregate` keep the dot
+    * products inside codegen.
+    */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 16, bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val rnd = new java.util.Random(seed)
+    val hyperplanes = Array.fill(planes, dim)(rnd.nextGaussian())
+
+    def dotLit(vec: Column, plane: Array[Double]): Column =
+      aggregate(zip_with(vec, lit(plane), (x, p) => x * p), lit(0.0d), _ + _)
+
+    val sketch = (0 until planes)
+      .map(i => when(dotLit(col("__v"), hyperplanes(i)) > 0, 1L).otherwise(0L)
+        .multiply(lit(1L << i)))
+      .reduce(_ + _)
+
+    val rowsPerBand = planes / bands
+    val withSketch = df.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__norm", sqrt(aggregate(col("__v"), lit(0.0d), (acc, x) => acc + x * x)))
+      .withColumn("__sk", sketch)
+    val bandStructs = (0 until bands).map { c =>
+      struct(lit(c).as("band"),
+        shiftright(col("__sk"), c * rowsPerBand)
+          .bitwiseAND(lit((1L << rowsPerBand) - 1)).as("bv"))
+    }
+    val banded = withSketch.select(
+      col("__id"), col("__v"), col("__norm"),
+      explode(array(bandStructs: _*)).as("__b"))
+      .select(col("__id"), col("__v"), col("__norm"), col("__b.band"), col("__b.bv"))
+
+    val a = banded.select(col("band"), col("bv"), col("__id").as("idA"),
+      col("__v").as("vA"), col("__norm").as("nA"))
+    val b = banded.select(col("band"), col("bv"), col("__id").as("idB"),
+      col("__v").as("vB"), col("__norm").as("nB"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("idA") < col("idB"))
+      .dropDuplicates("idA", "idB")
+      .withColumn("cosine",
+        aggregate(zip_with(col("vA"), col("vB"), _ * _), lit(0.0d), _ + _) /
+          (col("nA") * col("nB")))
+      .filter(col("cosine") >= threshold)
+      .select(col("idA"), col("idB"), col("cosine"))
+  }
+}

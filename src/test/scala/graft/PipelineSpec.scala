@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.pipeline._
+
+class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // near dup of 1
+    (4L, "completely different content about machine learning and neural networks training"),
+    (5L, "der hund und die katze sind in das haus und der garten ist schoen heute"),
+    (6L, "le chat et le chien sont dans la maison et le jardin est beau")
+  ).toDF("doc_id", "text")
+
+  describe("Dedup.exact") {
+    it("keeps the lowest-id survivor per text group") {
+      val out = Dedup.exact(docs, Seq("text"), "doc_id")
+      assert(out.count() == 5)
+      assert(out.filter("doc_id = 2").count() == 0)
+    }
+  }
+
+  describe("Dedup.minhashLshPairs") {
+    it("finds exact and near duplicates, not unrelated docs") {
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L))) // identical
+      assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+      assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
+    }
+    it("minhashDedup drops near-duplicates of lower ids") {
+      val out = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5)
+      val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(1L) && !ids.contains(2L))
+      assert(ids.contains(4L) && ids.contains(5L) && ids.contains(6L))
+    }
+  }
+
+  describe("Dedup.simhash") {
+    it("identical docs share a simhash; near dups are close in hamming") {
+      val hashes = Dedup.simhash(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(hashes(1L) == hashes(2L))
+      val hamming13 = java.lang.Long.bitCount(hashes(1L) ^ hashes(3L))
+      val hamming14 = java.lang.Long.bitCount(hashes(1L) ^ hashes(4L))
+      assert(hamming13 < hamming14)
+    }
+    it("simhashPairs returns pairs within the hamming budget") {
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    }
+  }
+
+  describe("Dedup.ngramJaccardPairs") {
+    it("scores exact dup 1.0 and near dup below") {
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(pairs((1L, 2L)) == 1.0)
+      assert(pairs.get((1L, 3L)).exists(j => j > 0.3 && j < 1.0))
+    }
+  }
+
+  describe("Dedup.embeddingCosinePairs") {
+    it("finds high-cosine vector pairs via hyperplane LSH") {
+      val vecs = Seq(
+        (1L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
+        (2L, Array(0.99f, 0.01f, 0.0f, 0.1f)),  // near dup of 1
+        (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+        (4L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+      ).toDF("vec_id", "embedding")
+      val pairs = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", threshold = 0.95)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.contains((1L, 2L)))
+      assert(pairs.length == 1)
+    }
+  }
+
+  describe("Similarity") {
+    val corpus = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter("vec_id < 3")
+
+    it("bruteForceTopK rank 1 is the query itself (cosine 1.0)") {
+      val top = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      val rank1 = top.filter("rank = 1").collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(rank1 == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+      assert(top.count() == 15)
+    }
+
+    it("ivfTopK achieves decent recall against brute force") {
+      val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+        .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val approx = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 5,
+        numCentroids = 8, nProbe = 4)
+        .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact intersect approx).size.toDouble / exact.size
+      assert(recall >= 0.5, s"IVF recall $recall too low")
+    }
+  }
+
+  describe("TextAnalysis") {
+    it("langId picks the dominant marker language") {
+      val out = TextAnalysis.enrich(docs, "text")
+        .select("doc_id", "lang_pred").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out(1L) == "en" && out(5L) == "de" && out(6L) == "fr")
+    }
+    it("quality score is in [0,1] and higher for real text than noise") {
+      val noisy = Seq((1L, "a b c!!! ??? !!!"), (2L,
+        "The study of language is a window into the human mind and it was always the case that words are the tools of thought."))
+        .toDF("doc_id", "text")
+      val q = noisy.select($"doc_id", TextAnalysis.qualityScore($"text").as("q"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(q.values.forall(v => v >= 0 && v <= 1))
+      assert(q(2L) > q(1L))
+    }
+    it("fingerprint ignores case/punctuation/whitespace differences") {
+      val variants = Seq((1L, "Hello,   World!"), (2L, "hello world"), (3L, "HELLO ... world"))
+        .toDF("doc_id", "text")
+      val fps = variants.select(TextAnalysis.fingerprint($"text")).distinct().count()
+      assert(fps == 1)
+    }
+  }
+
+  describe("Multimodal") {
+    it("extractFeatures produces deterministic features with real plumbing") {
+      val ids = (1L to 20L).toDF("id")
+      val assets = Multimodal.synthesizeAssets(spark, ids, "id")
+      assert(assets.schema("payload").dataType.typeName == "binary")
+      val f1 = Multimodal.extractFeatures(assets).orderBy("asset_id").collect()
+      val f2 = Multimodal.extractFeatures(Multimodal.rebalanceForDecode(assets, 7))
+        .orderBy("asset_id").collect()
+      assert(f1.length == 20)
+      // determinism across partitionings
+      assert(f1.map(_.getLong(3)).toSeq == f2.map(_.getLong(3)).toSeq)
+      val feat = f1.head.getSeq[Float](4)
+      assert(feat.length == Multimodal.FeatureDim)
+      val modalities = f1.map(_.getString(1)).toSet
+      assert(modalities.subsetOf(Set("image", "audio", "video")))
+    }
+  }
+}

@@ -248,7 +248,7 @@ object SparkEntry {
       val dups = emb.filter(col("vec_id") % 50 === 0)
         .withColumn("vec_id", col("vec_id") + 100000)
       Dedup.embeddingCosinePairs(emb.unionByName(dups), "vec_id", "embedding",
-        threshold = 0.99, planes = 16, bands = 8)
+        threshold = 0.99, planes = 32, bands = 4)
         .select(col("idA"), col("idB"))
     }),
 

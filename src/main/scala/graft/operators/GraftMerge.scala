@@ -111,9 +111,13 @@ object GraftMerge {
 
     // source is always aliased so UpdateAll/InsertAll can reference its side
     // of the join unambiguously; user conditions with unqualified source
-    // column names still resolve (an alias hides nothing).
+    // column names still resolve (an alias hides nothing). Persisted because
+    // it feeds three consumers (touch-detection join, rewrite join, source
+    // count) — recomputing a shuffled source plan thrice is the single
+    // biggest overhead in merge-based dedup.
+    val sourceCached = source.persist(StorageLevel.MEMORY_AND_DISK)
     val srcAliasName = sourceAlias.getOrElse("__graft_src")
-    val srcDf = source.withColumn(SrcExists, lit(true)).alias(srcAliasName)
+    val srcDf = sourceCached.withColumn(SrcExists, lit(true)).alias(srcAliasName)
     val sourceColsRenamed = source.columns.toSeq
 
     val tgtScan = table
@@ -158,7 +162,7 @@ object GraftMerge {
       ).collect()(0)
       def g(i: Int): Long = if (m.isNullAt(i)) 0L else m.getLong(i)
       val (nUpd, nDel, nIns, nCopied) = (g(0), g(1), g(2), g(3))
-      val numSourceRows = source.count()
+      val numSourceRows = sourceCached.count()
 
       // --- output rows -----------------------------------------------------
       val keep = joined.where(col(ActionCol) =!= Drop && !inCodes(deleteCodes))
@@ -204,7 +208,7 @@ object GraftMerge {
         removeFiles = touched.map(_.path),
         skipDataWrite = noChange
       )
-    } finally joined.unpersist()
+    } finally { joined.unpersist(); sourceCached.unpersist(); () }
   }
 
   /** First-matching-clause disposition as a nested CASE expression. */

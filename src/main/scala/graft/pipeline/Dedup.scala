@@ -36,15 +36,42 @@ object Dedup {
     }
   }
 
-  /** Word n-gram shingles of `textCol`, hashed to 31-bit ints (distinct). */
-  def shingles(textCol: Column, n: Int): Column = {
-    val tokens = split(trim(regexp_replace(lower(textCol), "[^a-z0-9]+", " ")), " ")
-    val grams = when(size(tokens) >= n,
-      transform(sequence(lit(0), size(tokens) - n),
-        i => pmod(xxhash64(concat_ws(" ", slice(tokens, i + 1, lit(n)))), lit(MersennePrime))))
-      .otherwise(array(pmod(xxhash64(concat_ws(" ", tokens)), lit(MersennePrime))))
+  /** Normalized word tokens of a text column. */
+  def tokenize(textCol: Column): Column =
+    split(trim(regexp_replace(lower(textCol), "[^a-z0-9]+", " ")), " ")
+
+  /** Hashed word n-gram shingles of a token-array column (31-bit ints,
+    * distinct).
+    *
+    * Perf note: built as `arrays_zip` of n shifted slices, with the transform
+    * lambda touching ONLY its own struct element. The naive formulation —
+    * `transform(sequence(...), i => hash(slice(tokens, i, n)))` — re-evaluates
+    * the whole token expression per gram (Catalyst CSE does not descend into
+    * lambda bodies; measured ~10× slower on 300-char docs).
+    */
+  def shinglesFromTokens(tokensCol: Column, n: Int): Column = {
+    val gramCount = greatest(size(tokensCol) - n + 1, lit(1))
+    val shifted = (0 until n).map(k => slice(tokensCol, lit(k + 1), gramCount))
+    val zipped = arrays_zip(shifted: _*)
+    val grams = transform(slice(zipped, lit(1), gramCount), s =>
+      pmod(xxhash64(concat_ws(" ",
+        (0 until n).map(i => s.getField(i.toString)): _*)), lit(MersennePrime)))
     array_distinct(grams)
   }
+
+  /** Word n-gram shingles of `textCol` (convenience; prefer materializing
+    * [[tokenize]] into a column and calling [[shinglesFromTokens]]).
+    */
+  def shingles(textCol: Column, n: Int): Column =
+    shinglesFromTokens(tokenize(textCol), n)
+
+  /** Project (id, shingles) with the token array materialized between two
+    * projections so the tokenizer runs once per row, not once per gram.
+    */
+  private def shingleDF(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("__id"), tokenize(col(textCol)).as("__toks"))
+      .select(col("__id"), shinglesFromTokens(col("__toks"), n).as("__sh"))
+      .filter(size(col("__sh")) > 0)
 
   /** MinHash signature (array of `numHashes` min-values) over a shingle-hash
     * array column: sig_i = min over shingles of (a_i*x + b_i) mod P.
@@ -74,36 +101,38 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
 
-    val withSig = df
-      .select(col(idCol).as("__id"), shingles(col(textCol), n).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .withColumn("__sig", minhashSignature(col("__sh"), numHashes, seed))
-      .persist()
+    val withSh = shingleDF(df, idCol, textCol, n).persist()
     try {
-      // one row per (doc, band): bucket key = hash of the band's slice
-      val banded = withSig.select(
-        col("__id"), col("__sh"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            xxhash64(concat_ws(",",
-              transform(slice(col("__sig"), b * rows + 1, lit(rows)), _.cast("string")))).as("bh"))))
-          .as("__b"))
-        .select(col("__id"), col("__sh"), col("__b.band"), col("__b.bh"))
+      // one row per (doc, band): bucket key = hash of the band's slice.
+      // Candidates travel as bare id pairs — shingle arrays only rejoin after
+      // dedup, so the candidate shuffle stays narrow even with hot buckets.
+      val banded = withSh
+        .withColumn("__sig", minhashSignature(col("__sh"), numHashes, seed))
+        .select(
+          col("__id"),
+          explode(transform(sequence(lit(0), lit(bands - 1)),
+            b => struct(b.as("band"),
+              xxhash64(concat_ws(",",
+                transform(slice(col("__sig"), b * rows + 1, lit(rows)), _.cast("string")))).as("bh"))))
+            .as("__b"))
+        .select(col("__id"), col("__b.band"), col("__b.bh"))
 
-      val a = banded.select(col("band"), col("bh"), col("__id").as("idA"), col("__sh").as("shA"))
-      val b = banded.select(col("band"), col("bh"), col("__id").as("idB"), col("__sh").as("shB"))
+      val a = banded.select(col("band"), col("bh"), col("__id").as("idA"))
+      val b = banded.select(col("band"), col("bh"), col("__id").as("idB"))
       val candidates = a.join(b, Seq("band", "bh"))
         .filter(col("idA") < col("idB"))
-        .select("idA", "idB", "shA", "shB")
+        .select("idA", "idB")
         .dropDuplicates("idA", "idB")
 
       candidates
+        .join(withSh.select(col("__id").as("idA"), col("__sh").as("shA")), "idA")
+        .join(withSh.select(col("__id").as("idB"), col("__sh").as("shB")), "idB")
         .withColumn("__inter", size(array_intersect(col("shA"), col("shB"))).cast("double"))
         .withColumn("jaccard",
           col("__inter") / (size(col("shA")) + size(col("shB")) - col("__inter")))
         .filter(col("jaccard") >= threshold)
         .select(col("idA"), col("idB"), col("jaccard"))
-    } finally { withSig.unpersist(); () }
+    } finally { withSh.unpersist(); () }
   }
 
   /** Dedup via MinHash-LSH: drop every doc that near-duplicates a lower id. */
@@ -169,20 +198,28 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val withSh = df.select(col(idCol).as("__id"), shingles(col(textCol), n).as("__sh"))
-      .filter(size(col("__sh")) > 0)
+    val withSh = shingleDF(df, idCol, textCol, n)
       .withColumn("__n", size(col("__sh")))
-    val inverted = withSh.select(col("__id"), col("__n"), explode(col("__sh")).as("__g"))
-    val a = inverted.select(col("__g"), col("__id").as("idA"), col("__n").as("nA"))
-    val b = inverted.select(col("__g"), col("__id").as("idB"), col("__n").as("nB"))
-    a.join(b, Seq("__g"))
-      .filter(col("idA") < col("idB"))
-      .groupBy(col("idA"), col("idB"))
-      .agg(count(lit(1)).as("__shared"), first(col("nA")).as("nA"), first(col("nB")).as("nB"))
-      .withColumn("jaccard",
-        col("__shared").cast("double") / (col("nA") + col("nB") - col("__shared")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("idA"), col("idB"), col("jaccard"))
+      .persist()
+    try {
+      // postings carry (gram, id) only; the per-doc set-size table joins
+      // back after the pair aggregation (AQE broadcasts it when small)
+      val inverted = withSh.select(explode(col("__sh")).as("__g"), col("__id"))
+      val a = inverted.select(col("__g"), col("__id").as("idA"))
+      val b = inverted.select(col("__g"), col("__id").as("idB"))
+      val shared = a.join(b, Seq("__g"))
+        .filter(col("idA") < col("idB"))
+        .groupBy(col("idA"), col("idB"))
+        .agg(count(lit(1)).as("__shared"))
+      val sizes = withSh.select(col("__id"), col("__n"))
+      shared
+        .join(sizes.select(col("__id").as("idA"), col("__n").as("nA")), "idA")
+        .join(sizes.select(col("__id").as("idB"), col("__n").as("nB")), "idB")
+        .withColumn("jaccard",
+          col("__shared").cast("double") / (col("nA") + col("nB") - col("__shared")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("idA"), col("idB"), col("jaccard"))
+    } finally { withSh.unpersist(); () }
   }
 
   /** Embedding near-duplicate pairs: random-hyperplane LSH buckets (sign-bit
@@ -191,7 +228,7 @@ object Dedup {
     * products inside codegen.
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, planes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.95, planes: Int = 32, bands: Int = 4,
       seed: Long = 42L): DataFrame = {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val rnd = new java.util.Random(seed)
@@ -206,31 +243,39 @@ object Dedup {
       .reduce(_ + _)
 
     val rowsPerBand = planes / bands
-    val withSketch = df.select(col(idCol).as("__id"),
+    val withVec = df.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__norm", sqrt(aggregate(col("__v"), lit(0.0d), (acc, x) => acc + x * x)))
-      .withColumn("__sk", sketch)
-    val bandStructs = (0 until bands).map { c =>
-      struct(lit(c).as("band"),
-        shiftright(col("__sk"), c * rowsPerBand)
-          .bitwiseAND(lit((1L << rowsPerBand) - 1)).as("bv"))
-    }
-    val banded = withSketch.select(
-      col("__id"), col("__v"), col("__norm"),
-      explode(array(bandStructs: _*)).as("__b"))
-      .select(col("__id"), col("__v"), col("__norm"), col("__b.band"), col("__b.bv"))
+      .persist()
+    try {
+      // candidates travel as bare id pairs; vectors rejoin only for the
+      // surviving distinct pairs (a hot LSH bucket costs id-pair rows, not
+      // vector copies)
+      val bandStructs = (0 until bands).map { c =>
+        struct(lit(c).as("band"),
+          shiftright(col("__sk"), c * rowsPerBand)
+            .bitwiseAND(lit((1L << rowsPerBand) - 1)).as("bv"))
+      }
+      val banded = withVec
+        .withColumn("__sk", sketch)
+        .select(col("__id"), explode(array(bandStructs: _*)).as("__b"))
+        .select(col("__id"), col("__b.band"), col("__b.bv"))
 
-    val a = banded.select(col("band"), col("bv"), col("__id").as("idA"),
-      col("__v").as("vA"), col("__norm").as("nA"))
-    val b = banded.select(col("band"), col("bv"), col("__id").as("idB"),
-      col("__v").as("vB"), col("__norm").as("nB"))
-    a.join(b, Seq("band", "bv"))
-      .filter(col("idA") < col("idB"))
-      .dropDuplicates("idA", "idB")
-      .withColumn("cosine",
-        aggregate(zip_with(col("vA"), col("vB"), _ * _), lit(0.0d), _ + _) /
-          (col("nA") * col("nB")))
-      .filter(col("cosine") >= threshold)
-      .select(col("idA"), col("idB"), col("cosine"))
+      val a = banded.select(col("band"), col("bv"), col("__id").as("idA"))
+      val b = banded.select(col("band"), col("bv"), col("__id").as("idB"))
+      val candidates = a.join(b, Seq("band", "bv"))
+        .filter(col("idA") < col("idB"))
+        .select("idA", "idB")
+        .dropDuplicates("idA", "idB")
+
+      candidates
+        .join(withVec.select(col("__id").as("idA"), col("__v").as("vA"), col("__norm").as("nA")), "idA")
+        .join(withVec.select(col("__id").as("idB"), col("__v").as("vB"), col("__norm").as("nB")), "idB")
+        .withColumn("cosine",
+          aggregate(zip_with(col("vA"), col("vB"), _ * _), lit(0.0d), _ + _) /
+            (col("nA") * col("nB")))
+        .filter(col("cosine") >= threshold)
+        .select(col("idA"), col("idB"), col("cosine"))
+    } finally { withVec.unpersist(); () }
   }
 }

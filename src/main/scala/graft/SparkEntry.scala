@@ -69,7 +69,26 @@ object SparkEntry {
         .select("event_id", "user_id", "event_seq", "running_value")
     }),
 
+    "q4_sessionize" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val events = read(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"), // integer division: match DuckDB's ns→µs truncation
+        col("value").cast("decimal(18,4)").as("value"))
+      graft.streaming.StreamingOps
+        .sessionizeBatch(events, gapMs = 30 * 60 * 1000L,
+          orderCols = Seq("ts", "event_id"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("events"), col("total_value"))
+    }),
+
     // ---- K: derived columns / key discovery ----
+    "k3_find_composite_key" -> ((s, dir) => {
+      import s.implicits._
+      val t = GraftTable.create(s, tmp("k3"), read(s, dir, "supplier"))
+      val found = GraftHelpers.findCompositeKeyCandidate(t)
+      Seq(found.mkString(",")).toDF("key_columns")
+    }),
     "k1_md5_surrogate" -> ((s, dir) => {
       GraftHelpers.withMD5Columns(read(s, dir, "customer"),
         List("c_name", "c_mktsegment"), "unique_id")
@@ -309,6 +328,25 @@ object SparkEntry {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "k1_md5_surrogate" ->
       "SELECT c_custkey, md5(c_name || '||' || c_mktsegment) AS unique_id FROM customer",
+    "q4_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         CAST(value AS DECIMAL(18,4)) AS value
+        |  FROM events),
+        |x AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |                 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       CAST(count(*) AS INT) AS events, sum(value) AS total_value
+        |FROM y GROUP BY user_id, sid""".stripMargin,
+    "k3_find_composite_key" ->
+      "SELECT 's_suppkey' AS key_columns",
     "k4_is_composite_key" ->
       """SELECT
         |  (SELECT count(*) FROM lineitem) =

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.tables.{GraftLog, GraftTable}
+
+/** Structured Streaming surface for the events stream and change-data feeds.
+  * The reference is batch-only (SURVEY §2.6: CDF is incremental batch); these
+  * operators extend the engine to true streams the Spark-native way:
+  * `readStream` → transforms → watermark + windowed aggs →
+  * `mapGroupsWithState` for custom session state.
+  *
+  * Every transform takes a DataFrame so it runs identically on a batch frame
+  * (testable, backfillable) and a streaming frame (same plan, incremental
+  * execution) — the Spark pattern for exactly-once reprocessing parity.
+  */
+object StreamingOps {
+
+  /** Tumbling-window per-event-type counts/sums with a watermark for state
+    * eviction. At scale: partial aggregation per micro-batch, state keyed by
+    * (window, event_type) — bounded by watermark horizon.
+    */
+  def windowedEventStats(
+      events: DataFrame,
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes",
+      windowLength: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("events"), col("total_value"))
+
+  case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  case class SessionState(start: Long, lastSeen: Long, events: Int, totalValue: Double)
+  case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      events: Int, total_value: Double)
+
+  /** Gap-based sessionization with custom state: a session closes after
+    * `gapMs` of inactivity (processing-time timeout when streaming; pass
+    * `GroupStateTimeout.NoTimeout` for in-batch-gap-only closing, e.g. in
+    * tests — processing-time timeouts keep scheduling micro-batches).
+    * State per user is O(1); emitted rows are closed sessions.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout()): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), timeout) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.lastSeen),
+              s.events, s.totalValue))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  cur = Some(s.copy(lastSeen = t, events = s.events + 1,
+                    totalValue = s.totalValue + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.lastSeen), s.events, s.totalValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (timeout == GroupStateTimeout.ProcessingTimeTimeout())
+                state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Batch-mode sessionization over the same gap semantics (for backfill and
+    * the correctness oracle): pure window functions, no state store.
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long,
+      tsCol: String = "ts", userCol: String = "user_id",
+      orderCols: Seq[String] = Nil): DataFrame = {
+    val order = if (orderCols.nonEmpty) orderCols else Seq(tsCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(order.map(col): _*)
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new_session",
+        when(col("__prev").isNull ||
+          (unix_millis(col(tsCol)) - unix_millis(col("__prev"))) > gapMs, 1)
+          .otherwise(0))
+      .withColumn("__session_id", sum(col("__new_session")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .drop("__prev", "__new_session")
+      .groupBy(col(userCol), col("__session_id"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).cast("int").as("events"),
+        sum(col("value")).as("total_value"))
+      .drop("__session_id")
+  }
+
+  /** Streaming read of a GraftTable's change-data directory: each committed
+    * change file becomes a micro-batch input (file-source semantics — files
+    * are immutable once committed, so this is exactly-once).
+    */
+  def readChangeStream(spark: SparkSession, tablePath: String): DataFrame = {
+    val table = GraftTable.forPath(spark, tablePath)
+    val schema = table.snapshot.schema.add("_change_type", "string")
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "16")
+      .parquet(s"$tablePath/${GraftLog.CdcDirName}")
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.operators.GraftMerge
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+import graft.tables.{GraftLog, GraftTable}
+
+class StreamingSpec extends AnyFunSpec with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  it("windowedEventStats aggregates a stream with watermarked windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val query = StreamingOps.windowedEventStats(events, watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("win_stats")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:20:00"), "click", 2.0),
+        (ts("2024-01-01 10:30:00"), "view", 5.0),
+        (ts("2024-01-01 11:10:00"), "click", 3.0))
+      query.processAllAvailable()
+      val out = spark.table("win_stats").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(2), r.getLong(3), r.getDouble(4)))
+      assert(out.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
+      assert(out.contains(("2024-01-01 10:00:00.0", "view", 1L, 5.0)))
+      assert(out.contains(("2024-01-01 11:00:00.0", "click", 1L, 3.0)))
+    } finally query.stop()
+  }
+
+  it("sessionize (stateful) matches sessionizeBatch on the same data") {
+    val rows = Seq(
+      Event(1L, ts("2024-01-01 10:00:00"), "a", 1.0),
+      Event(1L, ts("2024-01-01 10:00:30"), "b", 2.0),
+      Event(1L, ts("2024-01-01 11:00:00"), "c", 3.0), // new session (gap > 10 min)
+      Event(2L, ts("2024-01-01 10:00:00"), "d", 4.0))
+    val gapMs = 10 * 60 * 1000L
+
+    // batch-mode reference
+    val batch = StreamingOps.sessionizeBatch(rows.toDF(), gapMs).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getInt(3), r.getDouble(4))).toSet
+    assert(batch == Set(
+      (1L, "2024-01-01 10:00:00.0", 2, 3.0),
+      (1L, "2024-01-01 11:00:00.0", 1, 3.0),
+      (2L, "2024-01-01 10:00:00.0", 1, 4.0)))
+
+    // streaming with state: emit closed sessions; the final open sessions
+    // stay in state (timeout-based flush needs wall-clock time)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = StreamingOps.sessionize(input.toDS(), gapMs,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val closed = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getInt(3)))
+      // user 1's first session closed by the 11:00 event arriving in-batch
+      assert(closed.contains((1L, "2024-01-01 10:00:00.0", 2)))
+    } finally query.stop()
+  }
+
+  it("readChangeStream consumes committed change files incrementally") {
+    val dir = tmpTableDir("stream-cdf")
+    val t = GraftTable.create(spark, dir,
+      Seq((1, "a"), (2, "b")).toDF("id", "name").repartition(1),
+      properties = Map(GraftLog.CdfProperty -> "true"))
+    GraftMerge(t, "old").merge(Seq((1, "A!")).toDF("id", "name"), "old.id = new.id", Some("new"))
+      .whenMatchedUpdateAll().execute()
+
+    val stream = StreamingOps.readChangeStream(spark, dir)
+    assert(stream.isStreaming)
+    val query = stream.writeStream.format("memory").queryName("cdf_stream")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val first = spark.table("cdf_stream").collect()
+      assert(first.length == 2) // pre + post image
+      // a second merge's change files arrive as a later micro-batch
+      GraftMerge(t, "old").merge(Seq((2, "B!")).toDF("id", "name"), "old.id = new.id", Some("new"))
+        .whenMatchedUpdateAll().execute()
+      query.processAllAvailable()
+      assert(spark.table("cdf_stream").count() == 4)
+    } finally query.stop()
+  }
+}

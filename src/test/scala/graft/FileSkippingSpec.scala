@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.tables._
+
+class FileSkippingSpec extends AnyFunSpec with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  /** 24 rows split into 6 files of 4 consecutive ids each. */
+  private def rangedTable(prefix: String): GraftTable = {
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "4")
+    try {
+      GraftTable.create(spark, tmpTableDir(prefix),
+        (1 to 24).map(i => (i, s"n$i", i * 1.5)).toDF("id", "name", "amount")
+          .orderBy("id").coalesce(1))
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
+  private def survivors(t: GraftTable, cond: String): Int = {
+    val cls = FileSkipping.classify(spark, t.toDF, cond)
+    FileSkipping.filesMatching(t.snapshot, cls.all).size
+  }
+
+  it("skips files outside the predicate's min/max range") {
+    val t = rangedTable("fs-range")
+    assert(t.snapshot.numFiles == 6)
+    assert(survivors(t, "id = 5") == 1)
+    assert(survivors(t, "id >= 10 AND id <= 12") == 1)
+    assert(survivors(t, "id > 20") == 1)
+    assert(survivors(t, "id <= 4") == 1)
+    assert(survivors(t, "id >= 5 AND id <= 13") == 3)
+  }
+
+  it("contradictory ranges select zero files") {
+    val t = rangedTable("fs-contra")
+    assert(survivors(t, "id <= 10 AND id >= 12") == 0)
+    assert(survivors(t, "id = 3 AND id = 17") == 0)
+  }
+
+  it("string and double stats prune too") {
+    val t = rangedTable("fs-types")
+    assert(survivors(t, "amount > 30.0") == 1)  // only ids 21..24 (31.5..36); 17..20 maxes at exactly 30.0
+    assert(survivors(t, "amount >= 30.0") == 2) // inclusive bound re-admits the 17..20 file
+    assert(survivors(t, "name = 'zzz'") <= 6)  // strings: conservative but valid
+  }
+
+  it("unknown predicates and unresolved columns never prune") {
+    val t = rangedTable("fs-unknown")
+    assert(survivors(t, "id % 2 = 0") == 6)      // arithmetic: not prunable
+    val cls = FileSkipping.classify(spark, t.toDF, "bogus = 1 AND id <= 4")
+    assert(cls.unresolvedColumns == Seq("bogus"))
+    // the resolved conjunct still prunes
+    assert(FileSkipping.filesMatching(t.snapshot, cls.all).size == 1)
+  }
+
+  it("partition-value pruning works without row-group stats") {
+    val df = Seq((1, "US"), (2, "DE"), (3, "FR")).toDF("id", "country")
+    val t = GraftTable.create(spark, tmpTableDir("fs-part"), df, partitionColumns = Seq("country"))
+    assert(survivors(t, "country = 'US'") == 1)
+    assert(survivors(t, "country IN ('US', 'DE')") == 2)
+    assert(survivors(t, "country = 'JP'") == 0)
+  }
+
+  it("IN, IsNull and IsNotNull are handled") {
+    val t = rangedTable("fs-in")
+    assert(survivors(t, "id IN (2, 3)") == 1)
+    assert(survivors(t, "id IN (2, 23)") == 2)
+    assert(survivors(t, "id IS NULL") == 0)     // nullCount = 0 everywhere
+    assert(survivors(t, "id IS NOT NULL") == 6)
+  }
+}

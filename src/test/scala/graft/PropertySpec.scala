@@ -1,0 +1,135 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.operators.{GraftHelpers, GraftMerge}
+import graft.pipeline.Dedup
+import graft.tables.GraftTable
+
+/** Property-based invariants for the merge engine and dedup operators
+  * (SURVEY §7.5: merge correctness corners are the top risk).
+  */
+class PropertySpec extends AnyFunSpec with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  /** Deterministic generator sampling (no scalatest-scalacheck bridge in the
+    * offline cache): N seeded draws per property.
+    */
+  private def forAll[T](g: Gen[T], n: Int = 5)(body: T => Unit): Unit = {
+    val params = Gen.Parameters.default.withSize(30)
+    (0 until n).foreach { i =>
+      g.apply(params, Seed(42L + i)).foreach(body)
+    }
+  }
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B], n: Int = 5)(body: (A, B) => Unit): Unit = {
+    val params = Gen.Parameters.default.withSize(30)
+    (0 until n).foreach { i =>
+      for {
+        a <- ga.apply(params, Seed(42L + i))
+        b <- gb.apply(params, Seed(1042L + i))
+      } body(a, b)
+    }
+  }
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val rowsGen: Gen[List[(Int, String, Int)]] = Gen.nonEmptyListOf(for {
+    id <- Gen.choose(0, 20)
+    name <- Gen.oneOf("a", "b", "c", "d")
+    v <- Gen.choose(0, 100)
+  } yield (id, name, v))
+
+  it("merge upsert ≡ unionByName + dropDuplicates on key (unique-key inputs)") {
+    forAll2(rowsGen, rowsGen) { (baseRows, srcRows) =>
+      val base = baseRows.distinctBy(_._1)
+      val src = srcRows.distinctBy(_._1)
+      whenever(base.nonEmpty && src.nonEmpty) {
+        val t = GraftTable.create(spark, tmpTableDir("prop-merge"),
+          base.toDF("id", "name", "v"))
+        GraftMerge(t, "tgt")
+          .merge(src.toDF("id", "name", "v"), "tgt.id = s.id", Some("s"))
+          .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+        val expected = (src ++ base.filterNot(b => src.exists(_._1 == b._1)))
+        assertSmallDataFrameEquality(t.toDF, expected.toDF("id", "name", "v"))
+      }
+    }
+  }
+
+  it("killDuplicateRecords leaves only singleton keys; removeDuplicateRecords keeps min pk") {
+    forAll(rowsGen) { rows =>
+      val data = rows.zipWithIndex.map { case ((id, name, v), i) => (i, name, v) }
+      whenever(data.nonEmpty) {
+        // M3: no surviving (name,v) group had >1 member
+        val t1 = GraftTable.create(spark, tmpTableDir("prop-m3"), data.toDF("pk", "name", "v"))
+        GraftHelpers.killDuplicateRecords(t1, Seq("name", "v"))
+        val expected1 = data.groupBy(r => (r._2, r._3)).filter(_._2.size == 1)
+          .values.flatten.toList
+        assertSmallDataFrameEquality(t1.toDF, expected1.toDF("pk", "name", "v"))
+
+        // M4: survivor per (name,v) group is the min pk
+        val t2 = GraftTable.create(spark, tmpTableDir("prop-m4"), data.toDF("pk", "name", "v"))
+        GraftHelpers.removeDuplicateRecords(t2, "pk", Seq("name", "v"))
+        val expected2 = data.groupBy(r => (r._2, r._3))
+          .values.map(_.minBy(_._1)).toList
+        assertSmallDataFrameEquality(t2.toDF, expected2.toDF("pk", "name", "v"))
+      }
+    }
+  }
+
+  it("minhash LSH pairs are a subset of all-pairs exact jaccard; exact pairs superset check") {
+    val texts = Gen.listOfN(8, Gen.oneOf(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy cat",
+      "completely different words entirely here now",
+      "sphinx of black quartz judge my vow today"))
+    forAll(texts) { docs =>
+      whenever(docs.nonEmpty) {
+        val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val lsh = Dedup.minhashLshPairs(df, "doc_id", "text",
+            numHashes = 64, bands = 32, threshold = 0.5)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = Dedup.ngramJaccardPairs(df, "doc_id", "text", threshold = 0.5)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        // LSH candidates are exact-verified → no false positives
+        assert(lsh.subsetOf(exact))
+        // identical docs always collide in every band → found for sure
+        val identicalPairs = for {
+          i <- docs.indices; j <- docs.indices
+          if i < j && docs(i) == docs(j)
+        } yield (i.toLong, j.toLong)
+        identicalPairs.foreach(p => assert(lsh.contains(p)))
+      }
+    }
+  }
+
+  it("SCD2 invariant: exactly one current row per key; closed rows have end_time") {
+    import java.sql.Timestamp
+    val updatesGen = Gen.nonEmptyListOf(for {
+      pk <- Gen.choose(0, 8)
+      attr <- Gen.oneOf("x", "y", "z")
+    } yield (pk, attr))
+    forAll(updatesGen) { ups =>
+      val updates = ups.distinctBy(_._1)
+      whenever(updates.nonEmpty) {
+        val base = (0 to 5).map(i =>
+          (i, "x", true, Timestamp.valueOf("2020-01-01 00:00:00"), None: Option[Timestamp]))
+        val t = GraftTable.create(spark, tmpTableDir("prop-scd"),
+          base.toDF("pk", "attr", "is_current", "effective_time", "end_time").repartition(1))
+        graft.operators.Type2Scd.upsert(t,
+          updates.map { case (pk, a) => (pk, a, Timestamp.valueOf("2024-01-01 00:00:00")) }
+            .toDF("pk", "attr", "effective_time"),
+          "pk", Seq("attr"))
+        val out = t.toDF.collect()
+        val currents = out.filter(_.getBoolean(2))
+        // one current row per key
+        assert(currents.map(_.getInt(0)).distinct.length == currents.length)
+        // every key present is covered by a current row
+        assert(currents.map(_.getInt(0)).toSet ==
+          out.map(_.getInt(0)).toSet)
+        // non-current rows must carry an end_time
+        assert(out.filterNot(_.getBoolean(2)).forall(!_.isNullAt(4)))
+      }
+    }
+  }
+}

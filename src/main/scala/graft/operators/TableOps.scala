@@ -155,6 +155,51 @@ object TableOps {
       removeFiles = selected.map(_.path))
   }
 
+  /** VACUUM: physically delete data/change files no longer referenced by any
+    * snapshot at or above `retainVersion`, then drop log files below it.
+    * Time travel and CDF reads below the horizon stop working — exactly the
+    * failure mode the ChangeDataFeedHelper recovery paths (C3/C4) detect.
+    *
+    * @return number of files deleted
+    */
+  def vacuum(table: GraftTable, retainVersion: Long): Int = {
+    import java.nio.file.{Files, Paths}
+    val log = table.log
+    val versions = log.versions()
+    require(versions.contains(retainVersion), s"version $retainVersion does not exist")
+    val keepVersions = versions.filter(_ >= retainVersion)
+    // files referenced by any retained snapshot
+    val live: Set[String] = keepVersions.flatMap { v =>
+      log.snapshot(v).files.map(_.path)
+    }.toSet
+    // change files of retained versions stay readable
+    val liveCdc: Set[String] = keepVersions.flatMap { v =>
+      log.actionsAt(v).collect { case c: AddCDCFile => c.path }
+    }.toSet
+    // everything ever added below the horizon that is not live anymore
+    val dropVersions = versions.filter(_ < retainVersion)
+    val deadData = dropVersions.flatMap { v =>
+      log.actionsAt(v).collect {
+        case a: AddFile if !live.contains(a.path) => a.path
+        case c: AddCDCFile if !liveCdc.contains(c.path) => c.path
+      }
+    }.distinct
+    // checkpoint the horizon version: its log file becomes self-contained
+    // (full metadata + live file set) so snapshot replay can start there
+    val horizon = log.snapshot(retainVersion)
+    val horizonCdc = log.actionsAt(retainVersion).collect { case c: AddCDCFile => c }
+    val horizonCommit = log.actionsAt(retainVersion).collect { case c: CommitInfo => c }
+    log.rewriteVersion(retainVersion,
+      Seq(horizon.metadata) ++ horizon.files ++ horizonCdc ++ horizonCommit)
+
+    var deleted = 0
+    deadData.foreach { rel =>
+      if (Files.deleteIfExists(Paths.get(table.path, rel))) deleted += 1
+    }
+    dropVersions.foreach(v => Files.deleteIfExists(log.versionFile(v)))
+    deleted
+  }
+
   /** Poor-man's Z-ORDER (SURVEY §4.2): `repartitionByRange` + sort within
     * partitions on the clustering columns — tightens per-file min/max ranges,
     * which is what makes data skipping on those columns effective.

@@ -100,6 +100,19 @@ class GraftLog(val tablePath: String) {
       actionsAt(v).collectFirst { case ci: CommitInfo => v -> ci }
     }
 
+  /** Atomically REPLACE a version's log file with a self-contained action
+    * set (used by vacuum to checkpoint the retention horizon before older
+    * log files are dropped — afterwards snapshot replay can start there).
+    */
+  def rewriteVersion(version: Long, actions: Seq[Action]): Unit = {
+    val target = versionFile(version)
+    require(Files.exists(target), s"version $version does not exist for $tablePath")
+    val tmp = Files.createTempFile(logDir, s".$version", ".json.tmp")
+    val body = actions.map(renderAction).mkString("", "\n", "\n")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Atomically commit `actions` as `version`. Fails if the version exists. */
   def commit(version: Long, actions: Seq[Action]): Unit = {
     Files.createDirectories(logDir)

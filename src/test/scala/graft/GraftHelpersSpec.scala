@@ -221,6 +221,21 @@ class GraftHelpersSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(t.history().head._2.operation == "OPTIMIZE")
     }
 
+    it("vacuum removes unreferenced files and checkpoints the horizon") {
+      val t = GraftTable.create(spark, tmpTableDir("vac"),
+        Seq((1, "a"), (2, "b")).toDF("id", "name").repartition(1))
+      t.overwrite(Seq((3, "c")).toDF("id", "name"))   // v1: v0 files now dead
+      t.append(Seq((4, "d")).toDF("id", "name"))       // v2
+      val before = t.toDF.collect().toSet
+      val deleted = TableOps.vacuum(t, retainVersion = 1)
+      assert(deleted >= 1)
+      // current state fully readable after vacuum
+      assert(t.toDF.collect().toSet == before)
+      assert(t.toDFAt(1).count() == 1)
+      // time travel below the horizon is gone
+      assertThrows[Exception] { t.toDFAt(0) }
+    }
+
     it("zOrderBy tightens per-file min/max ranges") {
       val df = (1 to 64).map(i => ((i * 37) % 64, s"n$i")).toDF("id", "name").repartition(4)
       val t = GraftTable.create(spark, tmpTableDir("zo"), df)

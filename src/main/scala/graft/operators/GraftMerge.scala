@@ -106,7 +106,35 @@ object GraftMerge {
       c.references.nonEmpty &&
       c.references.forall(r => targetCols.exists(_.equalsIgnoreCase(stripAlias(r.name))))
     }
-    val candidates = FileSkipping.filesMatching(snap, targetOnly)
+
+    // --- 1b. DYNAMIC file pruning from source join-key ranges -------------
+    // For equi-conjuncts `target.k = source.k`, one tiny agg over the source
+    // yields [min(k), max(k)]; candidate files outside that range can never
+    // contain a matched row (NULL keys never match under `=`), so at scale a
+    // narrow source touches a handful of files instead of the whole table.
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo => CatEqualTo, GreaterThanOrEqual => CatGte, LessThanOrEqual => CatLte, Literal => CatLiteral}
+    val equiKeys: Seq[(AttributeReference, String)] = classified.partiallyResolved.collect {
+      case CatEqualTo(a: AttributeReference, u: UnresolvedAttribute) => (a, u.nameParts.last)
+      case CatEqualTo(u: UnresolvedAttribute, a: AttributeReference) => (a, u.nameParts.last)
+    }.filter { case (a, srcName) =>
+      targetCols.exists(_.equalsIgnoreCase(a.name)) &&
+        source.columns.exists(_.equalsIgnoreCase(srcName))
+    }
+    val dynamicPreds: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      if (equiKeys.isEmpty) Nil
+      else {
+        val aggs = equiKeys.flatMap { case (_, s) => Seq(min(col(s)), max(col(s))) }
+        val row = source.agg(aggs.head, aggs.tail: _*).collect()(0)
+        equiKeys.zipWithIndex.flatMap { case ((attr, _), i) =>
+          if (row.isNullAt(2 * i)) Nil // all-null or empty source: no bound
+          else Seq(
+            CatGte(attr, CatLiteral.create(row.get(2 * i), attr.dataType)),
+            CatLte(attr, CatLiteral.create(row.get(2 * i + 1), attr.dataType)))
+        }
+      }
+
+    val candidates = FileSkipping.filesMatching(snap, targetOnly ++ dynamicPreds)
     val scanTime = System.currentTimeMillis() - t0
 
     // source is always aliased so UpdateAll/InsertAll can reference its side

@@ -32,7 +32,11 @@ object FileSkipping {
       minMax: Seq[Expression],
       equals: Seq[Expression],
       leftOver: Seq[Expression],
-      unresolvedColumns: Seq[String]
+      unresolvedColumns: Seq[String],
+      /** Conjuncts mixing resolved (plan) and unresolved (foreign, e.g. merge
+        * source) references — the raw material for dynamic file pruning.
+        */
+      partiallyResolved: Seq[Expression] = Nil
   )
 
   /** Parse + resolve `condition` against `df`'s plan and classify conjuncts. */
@@ -45,8 +49,10 @@ object FileSkipping {
     }.toSeq
 
     val conjuncts = splitConjuncts(resolved)
-    val (resolvedConjuncts, _) =
+    val (resolvedConjuncts, withUnresolved) =
       conjuncts.partition(_.references.forall(!_.isInstanceOf[UnresolvedAttribute]))
+    val partiallyResolved = withUnresolved.filter(
+      _.references.exists(!_.isInstanceOf[UnresolvedAttribute]))
 
     val minMax = resolvedConjuncts.filter {
       case _: GreaterThan | _: GreaterThanOrEqual | _: LessThan | _: LessThanOrEqual => true
@@ -57,7 +63,8 @@ object FileSkipping {
       case _ => false
     }
     val leftOver = resolvedConjuncts.diff(minMax).diff(equals)
-    ClassifiedCondition(resolvedConjuncts, minMax, equals, leftOver, unresolvedCols)
+    ClassifiedCondition(resolvedConjuncts, minMax, equals, leftOver, unresolvedCols,
+      partiallyResolved)
   }
 
   def splitConjuncts(e: Expression): Seq[Expression] = e match {

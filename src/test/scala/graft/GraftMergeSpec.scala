@@ -84,6 +84,24 @@ class GraftMergeSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(post == 99)
     }
 
+    it("dynamic pruning: a narrow source touches only overlapping files") {
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "4")
+      try {
+        val df = (1 to 24).map(i => (i, s"n$i")).toDF("id", "name").orderBy("id").coalesce(1)
+        val t = GraftTable.create(spark, tmpTableDir("merge-dyn"), df)
+        assert(t.snapshot.numFiles == 6)
+        // source keys 10..11 live in exactly one target file (ids 9-12)
+        GraftMerge(t, "tgt")
+          .merge(Seq((10, "X"), (11, "Y")).toDF("id", "name"), "tgt.id = s.id", Some("s"))
+          .whenMatchedUpdateAll()
+          .execute()
+        val removed = t.log.actionsAt(1).collect { case r: RemoveFile => r.path }
+        assert(removed.size == 1, s"expected 1 rewritten file, got $removed")
+        assert(t.toDF.filter("name IN ('X','Y')").count() == 2)
+        assert(t.toDF.count() == 24)
+      } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+
     it("partition conjunct in condition limits the merge scope") {
       val dir = tmpTableDir("merge-prune")
       val df = Seq((1, "US", 1.0), (2, "US", 2.0), (3, "DE", 3.0), (4, "FR", 4.0))

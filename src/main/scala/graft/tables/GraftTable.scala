@@ -131,10 +131,67 @@ class GraftTable private (val spark: SparkSession, val path: String) {
 
 object GraftTable {
 
+  /** Session conf prefix for default table properties inherited by NEW
+    * tables — analogue of Delta's
+    * `spark.databricks.delta.properties.defaults.*` (the reference sets
+    * `...defaults.enableChangeDataFeed=true` session-wide,
+    * `ChangeDataFeedHelperSpec.scala:20`). Example:
+    * `spark.graft.properties.defaults.enableChangeDataFeed=true`.
+    */
+  val DefaultsPrefix = "spark.graft.properties.defaults."
+
+  private[graft] def sessionDefaultProperties(spark: SparkSession): Map[String, String] =
+    spark.conf.getAll.collect {
+      case (k, v) if k.startsWith(DefaultsPrefix) =>
+        s"graft.${k.stripPrefix(DefaultsPrefix)}" -> v
+    }
+
   def forPath(spark: SparkSession, path: String): GraftTable = {
     val t = new GraftTable(spark, path)
     require(t.log.tableExists, s"$path is not a GraftTable (no committed log)")
     t
+  }
+
+  /** Resolve a registered name to its table path — analogue of
+    * `DeltaTable.forName` (reference `DeltaHelperSpec.scala:438`). Names are
+    * registered with [[registerTable]] (metastore-free: a session-scoped
+    * name → path mapping).
+    */
+  def forName(spark: SparkSession, name: String): GraftTable = {
+    val key = s"spark.graft.table.$name"
+    val path = spark.conf.getOption(key).getOrElse(
+      throw new IllegalArgumentException(
+        s"table '$name' is not registered; call GraftTable.registerTable first"))
+    forPath(spark, path)
+  }
+
+  /** Register `name` → `path` for [[forName]] lookups — analogue of
+    * `CREATE TABLE name USING DELTA LOCATION '<path>'`
+    * (reference `OperationMetricHelperSpec.scala:288`).
+    */
+  def registerTable(spark: SparkSession, name: String, path: String): Unit = {
+    require(exists(path), s"$path is not a GraftTable")
+    spark.conf.set(s"spark.graft.table.$name", path)
+  }
+
+  /** DDL-style creation of an EMPTY table from a schema — analogue of
+    * `DeltaTable.create.addColumn(...).execute()`
+    * (reference `DeltaHelperSpec.scala:43-49`).
+    */
+  def createEmpty(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partitionColumns: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): GraftTable = {
+    val log = new GraftLog(path)
+    require(!log.tableExists, s"$path already exists")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    log.commit(0L, Seq(
+      graft.tables.Metadata(schema.json, partitionColumns,
+        sessionDefaultProperties(spark) ++ properties),
+      CommitInfo(System.currentTimeMillis(), "CREATE TABLE")))
+    new GraftTable(spark, path)
   }
 
   def exists(path: String): Boolean = new GraftLog(path).tableExists

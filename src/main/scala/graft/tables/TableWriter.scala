@@ -73,7 +73,10 @@ object TableWriter {
       case _                 => df.schema
     }
 
-    val newProps = prevSnapshot.map(_.metadata.properties).getOrElse(Map.empty) ++ properties
+    // new tables inherit session-level default properties (e.g. CDF-on,
+    // reference ChangeDataFeedHelperSpec.scala:20)
+    val newProps = prevSnapshot.map(_.metadata.properties)
+      .getOrElse(GraftTable.sessionDefaultProperties(spark)) ++ properties
 
     // 1. distributed write to staging
     Files.createDirectories(Paths.get(tablePath))

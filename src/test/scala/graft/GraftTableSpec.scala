@@ -79,6 +79,29 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(h.head._2.operationMetrics("numOutputRows") == "1")
     }
 
+    it("createEmpty makes a zero-file table; appends work; forName resolves") {
+      import org.apache.spark.sql.types._
+      val dir = tmpTableDir("graft-empty")
+      val schema = StructType(Seq(StructField("id", IntegerType), StructField("name", StringType)))
+      val t = GraftTable.createEmpty(spark, dir, schema)
+      assert(t.version == 0L && t.snapshot.numFiles == 0)
+      assert(t.toDF.count() == 0 && t.toDF.schema.fieldNames.toSeq == Seq("id", "name"))
+      t.append(Seq((1, "a")).toDF("id", "name"))
+      assert(t.toDF.count() == 1)
+      GraftTable.registerTable(spark, "empties", dir)
+      assert(GraftTable.forName(spark, "empties").toDF.count() == 1)
+      assertThrows[IllegalArgumentException] { GraftTable.forName(spark, "nope") }
+    }
+
+    it("new tables inherit session-level default properties") {
+      spark.conf.set(GraftTable.DefaultsPrefix + "enableChangeDataFeed", "true")
+      try {
+        val t = GraftTable.create(spark, tmpTableDir("graft-defprops"),
+          Seq((1, "a")).toDF("id", "name"))
+        assert(t.snapshot.cdfEnabled)
+      } finally spark.conf.unset(GraftTable.DefaultsPrefix + "enableChangeDataFeed")
+    }
+
     it("handles timestamp and date columns with stats") {
       val dir = tmpTableDir("graft-ts")
       val df = Seq(

@@ -46,10 +46,69 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
   }
 
-  /** IVF top-k: corpus assigned to the nearest of `numCentroids` sampled
-    * centroids (one pass); each query probes its `nProbe` nearest centroid
-    * lists only. Recall < 1.0 by construction — the brute-force variant is
-    * the oracle. Centroids are deterministic: the first rows by id.
+  /** Deterministic Lloyd's k-means over an embedding column, DataFrame-native:
+    * assignment is a codegen'd argmin expression; the update step averages
+    * element-wise via `posexplode` + groupBy(cell, pos). Centroids (k × dim
+    * doubles) live on the driver between iterations — tiny.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int = 3): Seq[(Int, Array[Double])] = {
+    val data = corpus.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v")).persist()
+    try {
+      // deterministic init: lowest-id rows
+      var centroids: Seq[(Int, Array[Double])] = data.orderBy(col("__id")).limit(k)
+        .collect().zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toArray) }.toSeq
+      (1 to iterations).foreach { _ =>
+        val assignExpr = nearestOf(centroids, col("__v"), 1)(0).getField("cid")
+        // two-step: the multi-alias generator (posexplode .as(Seq(...)))
+        // breaks resolution of struct getField in the same select list
+        val sums = data
+          .select(assignExpr.as("__cell"), col("__v"))
+          .select(col("__cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+          .groupBy(col("__cell"), col("__pos"))
+          .agg(avg(col("__x")).as("__m"))
+          .collect()
+        val byCell = sums.groupBy(_.getInt(0))
+        centroids = centroids.map { case (cid, old) =>
+          byCell.get(cid) match {
+            case Some(rows) =>
+              val m = old.clone()
+              rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+              (cid, m)
+            case None => (cid, old) // empty cell keeps its centroid
+          }
+        }
+      }
+      centroids
+    } finally { data.unpersist(); () }
+  }
+
+  /** `n` nearest centroids of `vec` as a sorted array<struct<d,cid>> column.
+    * Distance leads the struct so `array_sort`'s natural field-by-field
+    * ordering sorts by distance (cid breaks exact ties) — no comparator
+    * lambda (whose struct field names don't survive resolution).
+    */
+  private def nearestOf(
+      centroids: Seq[(Int, Array[Double])],
+      vec: org.apache.spark.sql.Column,
+      n: Int): org.apache.spark.sql.Column = {
+    val dists = centroids.map { case (cid, cv) =>
+      struct(
+        aggregate(zip_with(vec, lit(cv), (x, y) => (x - y) * (x - y)), lit(0.0d), _ + _).as("d"),
+        lit(cid).as("cid"))
+    }
+    slice(array_sort(array(dists: _*)), 1, n)
+  }
+
+  /** IVF top-k: the corpus is clustered once with [[kmeansCentroids]] and
+    * partitioned into inverted lists by nearest centroid; each query probes
+    * only its `nProbe` nearest lists. Recall < 1.0 by construction — the
+    * brute-force variant is the oracle; nProbe trades scan cost for recall.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -58,34 +117,20 @@ object Similarity {
       vecCol: String,
       k: Int,
       numCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
-    // deterministic "training": lowest-id rows as centroids (a k-means pass
-    // would go here at production quality; sampling keeps this dependency-free)
-    val centroids = corpus.select(col(idCol), col(vecCol).cast("array<double>"))
-      .orderBy(col(idCol)).limit(numCentroids).collect()
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
-
-    def nearestCentroids(vec: org.apache.spark.sql.Column, n: Int) = {
-      val dists = centroids.map { case (cid, cv) =>
-        struct(lit(cid).as("cid"),
-          aggregate(zip_with(vec, lit(cv), (x, y) => (x - y) * (x - y)), lit(0.0d), _ + _).as("d"))
-      }
-      slice(array_sort(array(dists: _*), (l, r) =>
-        when(l.getField("d") < r.getField("d"), -1)
-          .when(l.getField("d") > r.getField("d"), 1).otherwise(0)), 1, n)
-    }
+      nProbe: Int = 4,
+      kmeansIterations: Int = 3): DataFrame = {
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, numCentroids, kmeansIterations)
 
     val c = corpus.select(col(idCol).as("corpus_id"),
         col(vecCol).cast("array<double>").as("__cv"))
       .withColumn("__cn", norm(col("__cv")))
-      .withColumn("__cell", nearestCentroids(col("__cv"), 1)(0).getField("cid"))
+      .withColumn("__cell", nearestOf(centroids, col("__cv"), 1)(0).getField("cid"))
 
     val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("__qv"))
       .withColumn("__qn", norm(col("__qv")))
       .withColumn("__cell", explode(transform(
-        nearestCentroids(col("__qv"), nProbe), _.getField("cid"))))
+        nearestOf(centroids, col("__qv"), nProbe), _.getField("cid"))))
 
     val scored = c.join(broadcast(q), Seq("__cell"))
       .withColumn("cosine", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))

@@ -158,6 +158,27 @@ object SparkEntry {
       GraftHelpers.appendWithoutDuplicates(t, orders, Seq("o_orderkey"))
       t.toDF
     }),
+    "m9_lineitem_merge" -> ((s, dir) => {
+      // engine throughput showcase: upsert into the largest table — updates
+      // touch ~1/10 of keys spread across files, plus an insert stream.
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so the
+      // base is the min-quantity aggregate per key — the merge engine rejects
+      // sources that match a target row more than once (SQL MERGE semantics).
+      val li = read(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(min(col("l_quantity")).as("l_quantity"))
+      val t = GraftTable.create(s, tmp("m9"), li)
+      val source = li.filter(col("l_orderkey") % 10 === 0)
+        .withColumn("l_quantity", col("l_quantity") + 1000)
+        .unionByName(li.filter(col("l_orderkey") % 1000 === 7)
+          .withColumn("l_orderkey", col("l_orderkey") + 100000000))
+      GraftMerge(t, "tgt")
+        .merge(source, "tgt.l_orderkey = s.l_orderkey AND tgt.l_linenumber = s.l_linenumber", Some("s"))
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+      t.toDF.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
     "m8_copy_table" -> ((s, dir) => {
       val src = GraftTable.create(s, tmp("m8src"), read(s, dir, "nation"),
         partitionColumns = Seq("n_regionkey"))
@@ -389,6 +410,16 @@ object SparkEntry {
         |SELECT s_suppkey + 10000, s_name, CAST(NULL AS DOUBLE) FROM supplier""".stripMargin,
     "m7_append_without_duplicates" ->
       "SELECT * FROM orders",
+    "m9_lineitem_merge" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, min(l_quantity) AS l_quantity
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_orderkey % 10 = 0 THEN l_quantity + 1000 ELSE l_quantity END AS l_quantity
+        |FROM li
+        |UNION ALL
+        |SELECT l_orderkey + 100000000, l_linenumber, l_quantity
+        |FROM li WHERE l_orderkey % 1000 = 7""".stripMargin,
     "m8_copy_table" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "l1_operation_metrics" ->

@@ -161,7 +161,7 @@ object GraftMerge {
 
     // --- 3. rewrite join ---------------------------------------------------
     val touchedRows = table.dfForFiles(snap, touched)
-      .withColumn(TgtExists, lit(true)).alias(targetAlias)
+      .withColumn(TgtExists, monotonically_increasing_id()).alias(targetAlias)
     val joined = touchedRows
       .join(srcDf, expr(condition), "full_outer")
       .withColumn(ActionCol, actionExpr(matched, notMatched))
@@ -186,17 +186,32 @@ object GraftMerge {
         countWhere(updateCodes).as("upd"),
         countWhere(deleteCodes).as("del"),
         countWhere(insertCodes).as("ins"),
-        sum(when(col(ActionCol) === Copy && col(TgtExists).isNotNull, 1L).otherwise(0L)).as("copied")
+        countDistinct(when(col(ActionCol) === Copy, col(TgtExists))).as("copied"),
+        count(when(col(TgtExists).isNotNull && col(SrcExists).isNotNull, col(TgtExists))).as("mpairs"),
+        countDistinct(when(col(TgtExists).isNotNull && col(SrcExists).isNotNull, col(TgtExists))).as("mrows")
       ).collect()(0)
       def g(i: Int): Long = if (m.isNullAt(i)) 0L else m.getLong(i)
       val (nUpd, nDel, nIns, nCopied) = (g(0), g(1), g(2), g(3))
+      // SQL MERGE semantics (and Delta behavior): a target row matched by
+      // more than one source row is nondeterministic — fail loudly instead
+      // of silently duplicating output rows
+      if (matched.nonEmpty && g(4) != g(5))
+        throw new IllegalStateException(
+          s"MERGE aborted: ${g(4) - g(5)} target row(s) matched by multiple source rows; " +
+            "deduplicate the source on the merge key first")
       val numSourceRows = sourceCached.count()
 
       // --- output rows -----------------------------------------------------
+      // target-derived rows dedupe on the unique target-row id: a target row
+      // matched by several source rows under an insert-only merge joins once
+      // per pair but must be copied exactly once (multi-match with matched
+      // clauses already aborted above). Source-only inserts pass through.
       val keep = joined.where(col(ActionCol) =!= Drop && !inCodes(deleteCodes))
       val outCols = targetCols.map(c =>
         outputColumn(c, targetAlias, srcAliasName, matched, notMatched, sourceColsRenamed).as(c))
-      val newData = keep.select(outCols: _*)
+      val newData = keep.where(col(TgtExists).isNotNull).dropDuplicates(TgtExists)
+        .select(outCols: _*)
+        .unionByName(keep.where(col(TgtExists).isNull).select(outCols: _*))
 
       // --- CDC -------------------------------------------------------------
       val cdc: Option[DataFrame] = if (snap.cdfEnabled) {

@@ -84,6 +84,21 @@ class GraftMergeSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(post == 99)
     }
 
+    it("rejects a source that matches one target row multiple times") {
+      val t = mkTable(tmpTableDir("merge-multi"))
+      val dupSource = Seq((2, "X", 1), (2, "Y", 2)).toDF("id", "name", "score")
+      val ex = intercept[IllegalStateException] {
+        GraftMerge(t, "old").merge(dupSource, "old.id = new.id", Some("new"))
+          .whenMatchedUpdateAll().execute()
+      }
+      assert(ex.getMessage.contains("multiple source rows"))
+      // insert-only merges are exempt (no nondeterminism)
+      val t2 = mkTable(tmpTableDir("merge-multi2"))
+      GraftMerge(t2, "old").merge(dupSource, "old.id = new.id", Some("new"))
+        .whenNotMatchedInsertAll().execute()
+      assert(t2.toDF.count() == 3)
+    }
+
     it("dynamic pruning: a narrow source touches only overlapping files") {
       spark.conf.set("spark.sql.files.maxRecordsPerFile", "4")
       try {

@@ -213,10 +213,7 @@ object SparkEntry {
 
     // ---- D: dedup pipeline (documents) ----
     "d1_dedup_exact" -> ((s, dir) => {
-      val w = Window.partitionBy("text").orderBy("doc_id")
-      read(s, dir, "documents")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      Dedup.exact(read(s, dir, "documents"), Seq("text"), "doc_id")
         .select("doc_id", "lang", "source", "n_chars")
     }),
 

@@ -41,7 +41,8 @@ case class ChangeDataFeedHelper(
   def readCDF(s: Long, e: Long): DataFrame = {
     val frames = (s to e).flatMap(readVersionChanges)
     require(frames.nonEmpty, s"no change data between versions $s and $e of $path")
-    frames.reduce(_ unionByName _)
+    // schema evolution: older versions lack later columns -> null-filled
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Changes of one version: CDC files if recorded, else synthesized inserts
@@ -81,7 +82,8 @@ case class ChangeDataFeedHelper(
 
   def readCDFIgnoreMissingRangesForEDR: Option[DataFrame] = for {
     ranges <- getRangesForCDFEnabledVersions
-  } yield ranges.map(x => readCDF(x._1, x._2)).reduce(_ unionByName _)
+  } yield ranges.map(x => readCDF(x._1, x._2))
+    .reduce(_.unionByName(_, allowMissingColumns = true))
 
   // =====================================================================
   // C2 — dry run

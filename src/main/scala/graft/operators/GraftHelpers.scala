@@ -182,6 +182,8 @@ object GraftHelpers {
     val df = table.toDF
     if (primaryKey.isEmpty)
       throw new NoSuchElementException("the input parameter primaryKey must not be empty")
+    if (duplicateColumns.isEmpty)
+      throw new NoSuchElementException("the input parameter duplicateColumns must not be empty")
     GraftValidator.validateColumnsExistsInDataFrame(Seq(primaryKey) ++ duplicateColumns, df)
 
     val losers = df

@@ -148,6 +148,53 @@ object GraftMerge {
     val srcDf = sourceCached.withColumn(SrcExists, lit(true)).alias(srcAliasName)
     val sourceColsRenamed = source.columns.toSeq
 
+    // --- insert-only fast path --------------------------------------------
+    // Without matched clauses no target row can change: anti-join the source
+    // against the candidate scan and append just the insert rows — no touch
+    // detection, no file rewrite, no removes (the dominant cost of an
+    // appendWithoutDuplicates-style merge on a large table).
+    if (matched.isEmpty) {
+      try {
+        val tgtScanAll = table.dfForFiles(snap, candidates).alias(targetAlias)
+        val unmatchedSrc = srcDf.join(tgtScanAll, expr(condition), "left_anti")
+        var action: Column = lit(Drop)
+        notMatched.zipWithIndex.reverse.foreach { case (cl, i) =>
+          action = when(cl.condition.map(expr).getOrElse(lit(true)), insertCode(i))
+            .otherwise(action)
+        }
+        val withAction = unmatchedSrc.withColumn(ActionCol, action)
+          .where(col(ActionCol) =!= Drop)
+          .localCheckpoint(false)
+        val nIns = withAction.count()
+        val numSourceRows = sourceCached.count()
+        val insCols = snap.schema.fields.toSeq.map(f =>
+          insertColumn(f.name, srcAliasName, notMatched, sourceColsRenamed)
+            .cast(f.dataType).as(f.name))
+        val newData = withAction.select(insCols: _*)
+        val cdc = if (snap.cdfEnabled && nIns > 0)
+          Some(newData.withColumn("_change_type", lit("insert")))
+        else None
+        val metrics = Map(
+          "numTargetRowsCopied" -> "0",
+          "numTargetRowsDeleted" -> "0",
+          "numTargetRowsInserted" -> nIns.toString,
+          "numTargetRowsUpdated" -> "0",
+          "numOutputRows" -> nIns.toString,
+          "numSourceRows" -> numSourceRows.toString,
+          "numTargetFilesRemoved" -> "0",
+          "executionTimeMs" -> (System.currentTimeMillis() - t0).toString,
+          "scanTimeMs" -> scanTime.toString,
+          "rewriteTimeMs" -> (System.currentTimeMillis() - t0 - scanTime).toString)
+        return TableWriter.write(
+          spark, table.path, newData, TableWriter.Append,
+          operation = "MERGE",
+          operationParameters = Map("predicate" -> s"[${condition}]"),
+          extraMetrics = metrics,
+          cdc = cdc,
+          skipDataWrite = nIns == 0)
+      } finally { sourceCached.unpersist(); () }
+    }
+
     val tgtScan = table
       .dfForFiles(snap, candidates)
       .withColumn(FileCol, input_file_name())
@@ -157,15 +204,20 @@ object GraftMerge {
     val touchedFiles = tgtScan
       .join(srcDf, expr(condition), "inner")
       .select(col(FileCol)).distinct().collect().map(_.getString(0)).toSet
-    val touched = candidates.filter(f => touchedFiles.exists(_.endsWith(f.path)))
+    val touched = candidates.filter(f =>
+      touchedFiles.exists(TableWriter.uriMatchesRelPath(_, f.path)))
 
     // --- 3. rewrite join ---------------------------------------------------
+    // localCheckpoint (not persist): the joined frame feeds several jobs and
+    // carries synthetic row ids — a lost-and-recomputed cache partition would
+    // reassign ids between jobs, so lineage is cut: a lost partition fails
+    // the merge instead of silently corrupting it.
     val touchedRows = table.dfForFiles(snap, touched)
       .withColumn(TgtExists, monotonically_increasing_id()).alias(targetAlias)
     val joined = touchedRows
       .join(srcDf, expr(condition), "full_outer")
       .withColumn(ActionCol, actionExpr(matched, notMatched))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
 
     try {
       // --- metrics from disposition counts (single pass over cached join) --
@@ -193,9 +245,11 @@ object GraftMerge {
       def g(i: Int): Long = if (m.isNullAt(i)) 0L else m.getLong(i)
       val (nUpd, nDel, nIns, nCopied) = (g(0), g(1), g(2), g(3))
       // SQL MERGE semantics (and Delta behavior): a target row matched by
-      // more than one source row is nondeterministic — fail loudly instead
-      // of silently duplicating output rows
-      if (matched.nonEmpty && g(4) != g(5))
+      // more than one source row is nondeterministic when an UPDATE clause
+      // exists — fail loudly instead of silently duplicating output rows.
+      // Delete-only matched clauses are deterministic under multiple matches
+      // (all matches delete) and are permitted.
+      if (updateCodes.nonEmpty && g(4) != g(5))
         throw new IllegalStateException(
           s"MERGE aborted: ${g(4) - g(5)} target row(s) matched by multiple source rows; " +
             "deduplicate the source on the merge key first")
@@ -251,7 +305,7 @@ object GraftMerge {
         removeFiles = touched.map(_.path),
         skipDataWrite = noChange
       )
-    } finally { joined.unpersist(); sourceCached.unpersist(); () }
+    } finally { sourceCached.unpersist(); () }
   }
 
   /** First-matching-clause disposition as a nested CASE expression. */
@@ -305,6 +359,28 @@ object GraftMerge {
     }
     notMatched.zipWithIndex.foreach { case (cl, i) =>
       out = when(col(ActionCol) === insertCode(i), sourceValue(cl.action)).otherwise(out)
+    }
+    out
+  }
+
+  /** Insert-row value of column `c` for the insert-only fast path (only
+    * notMatched clauses; no target side exists).
+    */
+  private def insertColumn(
+      c: String,
+      srcAlias: String,
+      notMatched: Seq[NotMatchedClause],
+      sourceCols: Seq[String]): Column = {
+    def valueOf(action: NotMatchedAction): Column = action match {
+      case InsertExpr(values) =>
+        values.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => expr(v) }
+          .getOrElse(lit(null))
+      case InsertAll =>
+        if (sourceCols.exists(_.equalsIgnoreCase(c))) col(s"$srcAlias.$c") else lit(null)
+    }
+    var out: Column = lit(null)
+    notMatched.zipWithIndex.foreach { case (cl, i) =>
+      out = when(col(ActionCol) === insertCode(i), valueOf(cl.action)).otherwise(out)
     }
     out
   }

@@ -29,7 +29,8 @@ object TableOps {
     val candDf = table.dfForFiles(snap, candidates).withColumn("__graft_file", input_file_name())
     val touchedFiles = candDf.where(expr(cond)).select("__graft_file")
       .distinct().collect().map(_.getString(0)).toSet
-    val touched = candidates.filter(f => touchedFiles.exists(_.endsWith(f.path)))
+    val touched = candidates.filter(f =>
+      touchedFiles.exists(TableWriter.uriMatchesRelPath(_, f.path)))
 
     val touchedRows = table.dfForFiles(snap, touched)
       .withColumn("__graft_del", expr(cond))
@@ -81,7 +82,8 @@ object TableOps {
     val candDf = table.dfForFiles(snap, candidates).withColumn("__graft_file", input_file_name())
     val touchedFiles = candDf.where(expr(cond)).select("__graft_file")
       .distinct().collect().map(_.getString(0)).toSet
-    val touched = candidates.filter(f => touchedFiles.exists(_.endsWith(f.path)))
+    val touched = candidates.filter(f =>
+      touchedFiles.exists(TableWriter.uriMatchesRelPath(_, f.path)))
 
     val touchedRows = table.dfForFiles(snap, touched)
       .withColumn("__graft_upd", expr(cond))

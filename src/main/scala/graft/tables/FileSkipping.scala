@@ -288,7 +288,10 @@ object FileSkipping {
       case StringType  => Some(s)
       case BooleanType => Some(s.toBoolean)
       case TimestampType =>
-        Some(java.sql.Timestamp.valueOf(s).getTime * 1000L)
+        // partition dir strings are written in the session timezone (we pin
+        // UTC); java.sql.Timestamp.valueOf would use the JVM default tz
+        Some(java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L)
       case DateType =>
         Some(java.sql.Date.valueOf(s).toLocalDate.toEpochDay)
       case _ => None

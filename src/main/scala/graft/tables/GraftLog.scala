@@ -23,15 +23,14 @@ class GraftLog(val tablePath: String) {
   /** Sorted list of committed versions (from log file names). */
   def versions(): Seq[Long] = {
     if (!Files.isDirectory(logDir)) return Nil
-    Files
-      .list(logDir)
-      .iterator()
-      .asScala
+    val stream = Files.list(logDir)
+    try stream.iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json").toLong)
       .toSeq
       .sorted
+    finally stream.close()
   }
 
   def latestVersion(): Long =

@@ -1,6 +1,5 @@
 package graft.tables
 
-import java.net.URLDecoder
 import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
@@ -188,14 +187,14 @@ object TableWriter {
     }
   }
 
-  private def listParquetFiles(root: JPath): Seq[JPath] =
-    Files
-      .walk(root)
-      .iterator()
-      .asScala
+  private def listParquetFiles(root: JPath): Seq[JPath] = {
+    val stream = Files.walk(root)
+    try stream.iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
       .toSeq
       .sortBy(_.toString)
+    finally stream.close()
+  }
 
   /** Parse `k=v` partition directories out of a table-relative file path. */
   def partitionValuesOf(relPath: String): Map[String, String] =
@@ -205,9 +204,34 @@ object TableWriter {
       .filter(_.contains('='))
       .map { seg =>
         val Array(k, v) = seg.split("=", 2)
-        k -> URLDecoder.decode(v, "UTF-8")
+        k -> percentDecode(v)
       }
       .toMap
+
+  /** Decode Spark's partition-path escaping: %XX only — unlike URLDecoder,
+    * a literal '+' stays '+' (Spark does not escape it in dir names).
+    */
+  def percentDecode(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
+        try { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** True when a URI-style absolute file name (as produced by
+    * `input_file_name()`, with %-encoded specials) refers to the
+    * table-relative `relPath`.
+    */
+  def uriMatchesRelPath(uri: String, relPath: String): Boolean = {
+    val decoded = percentDecode(uri)
+    decoded.endsWith("/" + relPath) || decoded.endsWith(relPath)
+  }
 
   /** Union-by-name schema merge; conflict on incompatible types.
     * (Spark's own `StructType.merge` is `private[sql]`; semantics here match
@@ -228,6 +252,8 @@ object TableWriter {
 
   def deleteRecursively(p: JPath): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      val stream = Files.walk(p)
+      try stream.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally stream.close()
     }
 }

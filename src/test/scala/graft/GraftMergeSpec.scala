@@ -84,6 +84,37 @@ class GraftMergeSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(post == 99)
     }
 
+    it("insert-only fast path: no files rewritten, metrics and CDC correct") {
+      val t = mkTable(tmpTableDir("merge-fast"), cdf = true)
+      GraftMerge(t, "old")
+        .merge(Seq((2, "x", 99), (5, "e", 50), (6, "f", 60)).toDF("id", "name", "score"),
+          "old.id = new.id", Some("new"))
+        .whenNotMatchedInsertAll()
+        .execute()
+      assertSmallDataFrameEquality(t.toDF,
+        Seq((1, "a", 10), (2, "b", 20), (3, "c", 30), (5, "e", 50), (6, "f", 60))
+          .toDF("id", "name", "score"))
+      val actions = t.log.actionsAt(1)
+      assert(!actions.exists(_.isInstanceOf[RemoveFile]), "fast path must not rewrite files")
+      val m = t.history().head._2.operationMetrics
+      assert(m("numTargetRowsInserted") == "2" && m("numTargetRowsCopied") == "0"
+        && m("numTargetFilesRemoved") == "0" && m("numSourceRows") == "3")
+      val cdcFiles = actions.collect { case c: AddCDCFile => c.path }
+      assert(cdcFiles.nonEmpty)
+      val cdc = spark.read.parquet(cdcFiles.map(p => s"${t.path}/$p"): _*)
+      assert(cdc.filter("_change_type = 'insert'").count() == 2)
+    }
+
+    it("insert-only fast path honors insertExpr with null literals") {
+      val t = mkTable(tmpTableDir("merge-fast2"))
+      GraftMerge(t, "old")
+        .merge(Seq((7, "g")).toDF("id", "name"), "old.id = new.id", Some("new"))
+        .whenNotMatchedInsertExpr(Map("id" -> "new.id", "name" -> "new.name", "score" -> "null"))
+        .execute()
+      val row = t.toDF.filter("id = 7").collect()(0)
+      assert(row.getString(1) == "g" && row.isNullAt(2))
+    }
+
     it("rejects a source that matches one target row multiple times") {
       val t = mkTable(tmpTableDir("merge-multi"))
       val dupSource = Seq((2, "X", 1), (2, "Y", 2)).toDF("id", "name", "score")

@@ -82,6 +82,19 @@ object SparkEntry {
           col("events"), col("total_value"))
     }),
 
+    "q5_asof_join" -> ((s, dir) => {
+      // point-in-time join: each event picks the latest "state marker" row
+      // (every 50th event of the same user) at or before its timestamp
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val events = read(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"))
+      val markers = events.filter(col("event_id") % 50 === 0)
+        .select(col("user_id"), col("ts").as("mts"), col("event_id").as("marker_id"))
+      AsOfJoin.asofJoin(events, markers, Seq("user_id"), "ts", "mts", Seq("marker_id"))
+        .select(col("event_id"), col("user_id"), col("marker_id"))
+    }),
+
     // ---- K: derived columns / key discovery ----
     "k3_find_composite_key" -> ((s, dir) => {
       import s.implicits._
@@ -365,6 +378,13 @@ object SparkEntry {
         |FROM y GROUP BY user_id, sid""".stripMargin,
     "k3_find_composite_key" ->
       "SELECT 's_suppkey' AS key_columns",
+    "q5_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (
+        |  SELECT user_id, ts AS mts, event_id AS marker_id FROM e WHERE event_id % 50 = 0)
+        |SELECT e.event_id, e.user_id, m.marker_id
+        |FROM e ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts >= m.mts""".stripMargin,
     "k4_is_composite_key" ->
       """SELECT
         |  (SELECT count(*) FROM lineitem) =

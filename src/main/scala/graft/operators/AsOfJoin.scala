@@ -39,28 +39,40 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(payload.intersect(leftCols).isEmpty,
       s"payload columns ${payload.intersect(leftCols)} clash with left side")
+    val reserved = Seq("__t", "__side", "__payload")
+    require(reserved.intersect(leftCols ++ right.columns).isEmpty,
+      s"columns ${reserved.intersect(leftCols ++ right.columns)} are reserved by asofJoin")
 
+    // the payload travels as ONE struct (null on left rows, non-null on every
+    // right row even when its fields are null) so: (a) a right row with null
+    // payload values still overrides older values, and (b) fields from
+    // different right rows never mix. Null right times never match (ASOF
+    // semantics), so they are dropped up front.
     val taggedLeft = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .select(Seq(col("__t"), col("__side")) ++ keyCols.map(col) ++
-        leftCols.diff(keyCols).map(col) ++ payload.map(c => lit(null).as(c)): _*)
+        leftCols.diff(keyCols).map(col) :+
+        lit(null).cast(structTypeOf(right, payload)).as("__payload"): _*)
     val taggedRight = right
+      .where(col(rightTime).isNotNull)
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .select(Seq(col("__t"), col("__side")) ++ keyCols.map(col) ++
-        leftCols.diff(keyCols).map(c => lit(null).as(c)) ++ payload.map(col): _*)
+        leftCols.diff(keyCols).map(c => lit(null).as(c)) :+
+        struct(payload.map(col): _*).as("__payload"): _*)
 
     val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col("__t"), col("__side")) // right (0) before left (1) at ties
       .rowsBetween(Window.unboundedPreceding, 0)
 
-    val carried = payload.foldLeft(taggedLeft.unionByName(taggedRight)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried
+    taggedLeft.unionByName(taggedRight)
+      .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(leftCols.map(col) ++ payload.map(col): _*)
+      .select(leftCols.map(col) ++ payload.map(c => col(s"__payload.$c").as(c)): _*)
   }
+
+  private def structTypeOf(df: DataFrame, cols: Seq[String]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(cols.map(c => df.schema(c)))
 }

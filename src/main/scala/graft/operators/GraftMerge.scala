@@ -154,6 +154,7 @@ object GraftMerge {
     // detection, no file rewrite, no removes (the dominant cost of an
     // appendWithoutDuplicates-style merge on a large table).
     if (matched.isEmpty) {
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       try {
         val tgtScanAll = table.dfForFiles(snap, candidates).alias(targetAlias)
         val unmatchedSrc = srcDf.join(tgtScanAll, expr(condition), "left_anti")
@@ -192,7 +193,10 @@ object GraftMerge {
           extraMetrics = metrics,
           cdc = cdc,
           skipDataWrite = nIns == 0)
-      } finally { sourceCached.unpersist(); () }
+      } finally {
+        sourceCached.unpersist()
+        freeNewBlocks(spark, persistedBefore)
+      }
     }
 
     val tgtScan = table
@@ -211,7 +215,10 @@ object GraftMerge {
     // localCheckpoint (not persist): the joined frame feeds several jobs and
     // carries synthetic row ids — a lost-and-recomputed cache partition would
     // reassign ids between jobs, so lineage is cut: a lost partition fails
-    // the merge instead of silently corrupting it.
+    // the merge instead of silently corrupting it. Blocks are freed
+    // explicitly in the finally (checkpointed RDDs otherwise linger until
+    // driver GC).
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val touchedRows = table.dfForFiles(snap, touched)
       .withColumn(TgtExists, monotonically_increasing_id()).alias(targetAlias)
     val joined = touchedRows
@@ -236,7 +243,7 @@ object GraftMerge {
         sum(when(inCodes(codes), 1L).otherwise(0L))
       val m = joined.agg(
         countWhere(updateCodes).as("upd"),
-        countWhere(deleteCodes).as("del"),
+        countDistinct(when(inCodes(deleteCodes), col(TgtExists))).as("del"),
         countWhere(insertCodes).as("ins"),
         countDistinct(when(col(ActionCol) === Copy, col(TgtExists))).as("copied"),
         count(when(col(TgtExists).isNotNull && col(SrcExists).isNotNull, col(TgtExists))).as("mpairs"),
@@ -244,12 +251,12 @@ object GraftMerge {
       ).collect()(0)
       def g(i: Int): Long = if (m.isNullAt(i)) 0L else m.getLong(i)
       val (nUpd, nDel, nIns, nCopied) = (g(0), g(1), g(2), g(3))
-      // SQL MERGE semantics (and Delta behavior): a target row matched by
-      // more than one source row is nondeterministic when an UPDATE clause
-      // exists — fail loudly instead of silently duplicating output rows.
-      // Delete-only matched clauses are deterministic under multiple matches
-      // (all matches delete) and are permitted.
-      if (updateCodes.nonEmpty && g(4) != g(5))
+      // SQL MERGE semantics (and Delta's rule): multiple source matches for
+      // one target row are permitted ONLY when the sole matched clause is an
+      // unconditional delete (all matches agree); anything else — update
+      // clauses or conditional deletes — is nondeterministic, so fail loudly.
+      val multiMatchOk = matched == Seq(MatchedClause(None, DeleteAction))
+      if (!multiMatchOk && g(4) != g(5))
         throw new IllegalStateException(
           s"MERGE aborted: ${g(4) - g(5)} target row(s) matched by multiple source rows; " +
             "deduplicate the source on the merge key first")
@@ -270,7 +277,7 @@ object GraftMerge {
       // --- CDC -------------------------------------------------------------
       val cdc: Option[DataFrame] = if (snap.cdfEnabled) {
         val tCols = targetCols.map(c => col(s"$targetAlias.$c").as(c))
-        val deletes = joined.where(inCodes(deleteCodes))
+        val deletes = joined.where(inCodes(deleteCodes)).dropDuplicates(TgtExists)
           .select(tCols :+ lit("delete").as("_change_type"): _*)
         val updPre = joined.where(inCodes(updateCodes))
           .select(tCols :+ lit("update_preimage").as("_change_type"): _*)
@@ -305,7 +312,18 @@ object GraftMerge {
         removeFiles = touched.map(_.path),
         skipDataWrite = noChange
       )
-    } finally { sourceCached.unpersist(); () }
+    } finally {
+      sourceCached.unpersist()
+      freeNewBlocks(spark, persistedBefore)
+    }
+  }
+
+  /** Unpersist RDDs registered after `before` — deterministic cleanup of
+    * localCheckpoint blocks (the Dataset API offers no direct handle).
+    */
+  private def freeNewBlocks(spark: SparkSession, before: scala.collection.Set[Int]): Unit = {
+    val rdds = spark.sparkContext.getPersistentRDDs
+    (rdds.keySet -- before).foreach(id => rdds.get(id).foreach(_.unpersist(blocking = false)))
   }
 
   /** First-matching-clause disposition as a nested CASE expression. */

@@ -78,7 +78,10 @@ object Similarity {
           byCell.get(cid) match {
             case Some(rows) =>
               val m = old.clone()
-              rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+              rows.foreach { r =>
+                // ragged vectors / all-null positions: keep the old coordinate
+                if (!r.isNullAt(2) && r.getInt(1) < m.length) m(r.getInt(1)) = r.getDouble(2)
+              }
               (cid, m)
             case None => (cid, old) // empty cell keeps its centroid
           }

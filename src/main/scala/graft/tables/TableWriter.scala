@@ -210,27 +210,34 @@ object TableWriter {
 
   /** Decode Spark's partition-path escaping: %XX only — unlike URLDecoder,
     * a literal '+' stays '+' (Spark does not escape it in dir names).
+    * %XX runs decode as UTF-8 BYTES (multi-byte chars arrive as byte pairs,
+    * e.g. 'é' → %C3%A9), not as individual UTF-16 chars.
     */
   def percentDecode(s: String): String = {
-    val sb = new StringBuilder(s.length)
+    val out = new java.io.ByteArrayOutputStream(s.length)
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
-        try { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
-        catch { case _: NumberFormatException => sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
+      if (c == '%' && i + 3 <= s.length) {
+        try { out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3 }
+        catch { case _: NumberFormatException =>
+          out.write(c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)); i += 1
+        }
+      } else {
+        out.write(c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)); i += 1
+      }
     }
-    sb.toString
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   /** True when a URI-style absolute file name (as produced by
     * `input_file_name()`, with %-encoded specials) refers to the
-    * table-relative `relPath`.
+    * table-relative `relPath` — with a path-boundary guard so one relative
+    * path being a suffix of another never matches.
     */
   def uriMatchesRelPath(uri: String, relPath: String): Boolean = {
     val decoded = percentDecode(uri)
-    decoded.endsWith("/" + relPath) || decoded.endsWith(relPath)
+    decoded == relPath || decoded.endsWith("/" + relPath)
   }
 
   /** Union-by-name schema merge; conflict on incompatible types.

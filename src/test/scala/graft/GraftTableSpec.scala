@@ -102,6 +102,17 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       } finally spark.conf.unset(GraftTable.DefaultsPrefix + "enableChangeDataFeed")
     }
 
+    it("percentDecode handles UTF-8 multi-byte, '+', and malformed escapes") {
+      assert(TableWriter.percentDecode("caf%C3%A9") == "caf\u00e9")
+      assert(TableWriter.percentDecode("a+b") == "a+b")          // '+' stays literal
+      assert(TableWriter.percentDecode("12%3A30") == "12:30")
+      assert(TableWriter.percentDecode("x%ZZy") == "x%ZZy")      // malformed: verbatim
+      assert(TableWriter.uriMatchesRelPath(
+        "file:///tmp/t/city=caf%C3%A9/part-1.parquet", "city=caf\u00e9/part-1.parquet"))
+      assert(!TableWriter.uriMatchesRelPath(
+        "file:///tmp/t/xcity=a/part-1.parquet", "city=a/part-1.parquet")) // boundary guard
+    }
+
     it("handles timestamp and date columns with stats") {
       val dir = tmpTableDir("graft-ts")
       val df = Seq(

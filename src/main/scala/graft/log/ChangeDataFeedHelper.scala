@@ -22,6 +22,10 @@ import graft.tables._
 object ChangeDataFeedHelper {
   def apply(spark: SparkSession, path: String, startingVersion: Long): ChangeDataFeedHelper =
     ChangeDataFeedHelper(spark, path, startingVersion, new GraftLog(path).latestVersion())
+
+  /** Construct from a registered table name (GraftTable.registerTable). */
+  def forName(spark: SparkSession, name: String, startingVersion: Long): ChangeDataFeedHelper =
+    apply(spark, GraftTable.forName(spark, name).path, startingVersion)
 }
 
 case class ChangeDataFeedHelper(

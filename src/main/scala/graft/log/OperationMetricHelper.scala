@@ -12,6 +12,14 @@ import graft.tables.GraftLog
   * is driver-side; the only distributed work is the per-partition WRITE
   * re-derivation (L5), which reads one log JSON file.
   */
+object OperationMetricHelper {
+  /** Construct from a registered table name (GraftTable.registerTable). */
+  def forName(spark: SparkSession, name: String,
+      startingVersion: Long = 0, endingVersion: Option[Long] = None): OperationMetricHelper =
+    OperationMetricHelper(spark, graft.tables.GraftTable.forName(spark, name).path,
+      startingVersion, endingVersion)
+}
+
 case class OperationMetricHelper(
     spark: SparkSession,
     path: String,

@@ -137,15 +137,18 @@ object TableOps {
   def compact(
       table: GraftTable,
       where: Option[String] = None,
-      targetFileSizeBytes: Long = 128L * 1024 * 1024): Long = {
+      targetFileSizeBytes: Long = 128L * 1024 * 1024,
+      onlyFilesSmallerThan: Long = Long.MaxValue): Long = {
     val spark = table.spark
     val snap = table.snapshot
-    val selected = where match {
+    val selected = (where match {
       case None => snap.files
       case Some(cond) =>
         val classified = FileSkipping.classify(spark, table.toDF, cond)
         FileSkipping.filesMatching(snap, classified.all)
-    }
+      // bin-packing guard: already-right-sized files are left alone, so
+      // repeated OPTIMIZE runs don't churn the whole partition
+    }).filter(_.size < onlyFilesSmallerThan)
     val totalBytes = selected.map(_.size).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt)
     val data = table.dfForFiles(snap, selected).repartition(nOut)

@@ -27,6 +27,29 @@ class GraftHelpersSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  describe("NULL-key asymmetry (SURVEY §2.1 nuance)") {
+    it("merge-based dedup never deletes NULL-keyed rows; dropDuplicates does collapse them") {
+      // M3/M4 join on null-unsafe '=': rows with NULL in a dup column are
+      // invisible to the delete merge — they must all survive
+      val data = Seq((1, Some("a")), (2, Some("a")), (3, None), (4, None))
+        .toDF("id", "k")
+      val t1 = GraftTable.create(spark, tmpTableDir("null-m3"), data)
+      GraftHelpers.killDuplicateRecords(t1, Seq("k"))
+      val ids1 = t1.toDF.select("id").collect().map(_.getInt(0)).toSet
+      assert(ids1 == Set(3, 4)) // 'a' dups killed; both NULL rows survive
+
+      val t2 = GraftTable.create(spark, tmpTableDir("null-m4"), data)
+      GraftHelpers.removeDuplicateRecords(t2, "id", Seq("k"))
+      val ids2 = t2.toDF.select("id").collect().map(_.getInt(0)).toSet
+      assert(ids2 == Set(1, 3, 4)) // keep lowest-id 'a'; NULLs untouched
+
+      // M5 uses dropDuplicates, which treats NULLs as equal — one survives
+      val t3 = GraftTable.create(spark, tmpTableDir("null-m5"), data.select("k"))
+      GraftHelpers.removeDuplicateRecords(t3, Seq("k"))
+      assert(t3.toDF.count() == 2) // one 'a' + one NULL
+    }
+  }
+
   describe("M4 removeDuplicateRecords(pk)") {
     it("keeps the row with the lowest primary key per dup-key") {
       val t = GraftTable.create(spark, tmpTableDir("m4"),
@@ -208,6 +231,16 @@ class GraftHelpersSpec extends AnyFunSpec with SparkSessionTestWrapper {
       TableOps.update(t, Some("id = 2"), Map("amount" -> "amount * 2"))
       assertSmallDataFrameEquality(t.toDF, Seq((1, 10.0), (2, 40.0)).toDF("id", "amount"))
       assert(t.history().head._2.operationMetrics("numUpdatedRows") == "1")
+    }
+
+    it("compaction with onlyFilesSmallerThan leaves right-sized files alone") {
+      val t = GraftTable.create(spark, tmpTableDir("optsz"),
+        (1 to 100).map(i => (i, s"n$i")).toDF("id", "name").repartition(4))
+      val bigFile = t.snapshot.files.maxBy(_.size)
+      TableOps.compact(t, onlyFilesSmallerThan = bigFile.size)
+      // the largest file survived untouched; the rest packed into one
+      assert(t.snapshot.files.map(_.path).contains(bigFile.path))
+      assert(t.toDF.count() == 100)
     }
 
     it("compaction preserves data while reducing file count") {

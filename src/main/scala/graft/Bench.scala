@@ -1,13 +1,36 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: runs every SparkEntry query against
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line with per-query seconds.
   * Queries run in sorted name order after a JVM/codegen warmup pass so the
   * first measured query doesn't absorb startup cost.
+  *
+  * Each query is consumed with a hash-aggregate over ALL output columns —
+  * `.count()` would let Catalyst prune unused projections (window functions,
+  * md5, ...) and under-measure map-only queries.
   */
 object Bench {
+
+  /** Force full evaluation of every output column. xxhash64 over the row
+    * struct keeps everything in whole-stage codegen; the single-row result
+    * costs nothing to collect.
+    */
+  private def consume(df: DataFrame): Unit = {
+    val hashable = df.select(df.columns.map { c =>
+      val f = df.schema(c)
+      f.dataType match {
+        // xxhash64 can't take MapType; stringify those instead
+        case _: org.apache.spark.sql.types.MapType => col(c).cast("string").as(c)
+        case _ => col(c)
+      }
+    }.toIndexedSeq: _*)
+    hashable.agg(sum(xxhash64(struct(hashable.columns.map(col).toIndexedSeq: _*)))).collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,12 +45,12 @@ object Bench {
 
     // warmup: exercise codegen, shuffle machinery and the parquet reader once
     spark.range(1000000).selectExpr("sum(id)").collect()
-    try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
+    try consume(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
     catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

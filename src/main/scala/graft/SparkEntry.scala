@@ -40,8 +40,10 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          // explicit DECIMAL(38,2): Spark widens sum(decimal(18,2)) to (28,2),
+          // DuckDB to (38,2) — pin both engines to the same output type
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -51,7 +53,7 @@ object SparkEntry {
       orders
         .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("total_spent"),
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_spent"),
           count(lit(1)).as("order_count"))
         .orderBy(col("total_spent").desc, col("c_custkey"))
         .limit(10)
@@ -65,7 +67,8 @@ object SparkEntry {
         .withColumn("event_seq", row_number().over(w))
         .withColumn("running_value",
           sum(col("value").cast("decimal(18,4)"))
-            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("decimal(38,4)"))
         .select("event_id", "user_id", "event_seq", "running_value")
     }),
 
@@ -78,8 +81,13 @@ object SparkEntry {
       graft.streaming.StreamingOps
         .sessionizeBatch(events, gapMs = 30 * 60 * 1000L,
           orderCols = Seq("ts", "event_id"))
-        .select(col("user_id"), col("session_start"), col("session_end"),
-          col("events"), col("total_value"))
+        // timestamp_ntz output: session TZ is pinned UTC, so the cast is
+        // value-preserving and the parquet dump matches DuckDB's naive TIMESTAMP
+        .select(col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("events"),
+          col("total_value").cast("decimal(38,4)").as("total_value"))
     }),
 
     "q5_asof_join" -> ((s, dir) => {
@@ -133,7 +141,10 @@ object SparkEntry {
           .select((col("c_custkey") + 1000000).as("pk"), lit("FRESH").as("segment"),
             lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("effective_time")))
       Type2Scd.upsert(t, updates, "pk", Seq("segment"))
+      // timestamp_ntz output for the oracle compare (session TZ pinned UTC)
       t.toDF
+        .withColumn("effective_time", col("effective_time").cast("timestamp_ntz"))
+        .withColumn("end_time", col("end_time").cast("timestamp_ntz"))
     }),
     "m3_kill_duplicates" -> ((s, dir) => {
       val part = read(s, dir, "part")
@@ -275,8 +286,12 @@ object SparkEntry {
         .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
     }),
     "d3_simhash_pairs" -> ((s, dir) => {
-      Dedup.simhashPairs(read(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
-        .select(col("idA"), col("idB"), col("hamming"))
+      // 32-bit md5-based simhash: reproducible in DuckDB, so the pairs get an
+      // exact all-pairs bit_count(xor) oracle (pigeonhole banding = 100%
+      // recall, so approximate candidate generation still matches exactly)
+      Dedup.simhashPairs(read(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, bits = 32, tokenHash = Dedup.md5TokenHash32)
+        .select(col("idA"), col("idB"), col("hamming").cast("int").as("hamming"))
     }),
     "d5_cosine_topk" -> ((s, dir) => {
       val emb = read(s, dir, "embeddings")
@@ -304,27 +319,47 @@ object SparkEntry {
 
     // ---- MM: multimodal plumbing (stubbed codec, real schema/batching) ----
     "mm1_multimodal_features" -> ((s, dir) => {
+      // md5-derived payloads make byte_size AND the leading payload bytes
+      // DuckDB-derivable, so the mapPartitions plumbing is oracle-checked
       val assets = Multimodal.synthesizeAssets(s, read(s, dir, "nation"), "n_nationkey")
-      Multimodal.extractFeatures(Multimodal.rebalanceForDecode(assets, 4))
-        .select("asset_id", "modality", "byte_size")
+      val feats = Multimodal.extractFeatures(Multimodal.rebalanceForDecode(assets, 4))
+      feats.join(assets.select(col("asset_id"),
+          substring(hex(col("payload")), 1, 16).as("payload_head")), "asset_id")
+        .select("asset_id", "modality", "byte_size", "payload_head")
     }),
 
     // ---- S: file statistics / skipping introspection (table-layout checks) ----
     "s2_file_sizes" -> ((s, dir) => {
-      import s.implicits._
-      val t = GraftTable.create(s, tmp("s2"), read(s, dir, "supplier"))
+      // deterministic layout: partition by s_suppkey % 4 from one write task
+      // → exactly one file per bucket, per-file record counts derivable in
+      // SQL; fileSizes()' file count is oracle-checked exactly
+      val sup = read(s, dir, "supplier")
+        .withColumn("bucket", pmod(col("s_suppkey"), lit(4)).cast("long"))
+      val t = GraftTable.create(s, tmp("s2"), sup.coalesce(1),
+        partitionColumns = Seq("bucket"))
       val m = GraftHelpers.fileSizes(t)
-      Seq((m("number_of_files") > 0, m("size_in_bytes") > 0,
-        GraftHelpers.latestVersion(t.path))).toDF("has_files", "has_bytes", "version")
+      t.filesDF.select(
+        col("partitionValues")("bucket").cast("long").as("bucket"),
+        col("numRecords").as("num_records"),
+        lit(m("number_of_files").toLong).as("number_of_files"),
+        lit(GraftHelpers.latestVersion(t.path)).as("version"))
     }),
     "s8_skipping_counts" -> ((s, dir) => {
       import s.implicits._
-      val t = GraftTable.create(s, tmp("s8"), read(s, dir, "orders"))
-      graft.operators.TableOps.zOrderBy(t, Seq("o_orderkey"), numFiles = 8)
+      // deterministic skipping: contiguous key-range buckets (one file per
+      // bucket), so exactly which files survive min/max skipping for a
+      // key-range predicate is derivable from the data itself
+      val orders = read(s, dir, "orders")
+      val maxKey = orders.agg(max(col("o_orderkey")).cast("long")).first().getLong(0)
+      val width = maxKey / 8 + 1
+      val bucketed = orders.withColumn("bucket",
+        (col("o_orderkey").cast("long") / width).cast("long"))
+      val t = GraftTable.create(s, tmp("s8"), bucketed.coalesce(1),
+        partitionColumns = Seq("bucket"))
       val m = GraftHelpers.getNumShuffleFiles(t, "o_orderkey >= 100 AND o_orderkey <= 200")
-      Seq((m("overall").asInstanceOf[Int] < m("totalFilesInTable").asInstanceOf[Long].toInt,
+      Seq((m("overall").asInstanceOf[Int].toLong,
         m("totalFilesInTable").asInstanceOf[Long]))
-        .toDF("skipping_effective", "total_files")
+        .toDF("files_scanned", "total_files")
     })
   )
 
@@ -335,8 +370,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -344,7 +379,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_top_customers" ->
       """SELECT c_custkey, c_name,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spent,
         |  count(*) AS order_count
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name
@@ -353,7 +388,7 @@ object SparkEntry {
     "q3_user_running_totals" ->
       """SELECT event_id, user_id,
         |  CAST(row_number() OVER w AS INT) AS event_seq,
-        |  sum(CAST(value AS DECIMAL(18,4))) OVER w AS running_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4)) AS running_value
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
@@ -374,7 +409,8 @@ object SparkEntry {
         |                          ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM x)
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-        |       CAST(count(*) AS INT) AS events, sum(value) AS total_value
+        |       CAST(count(*) AS INT) AS events,
+        |       CAST(sum(value) AS DECIMAL(38,4)) AS total_value
         |FROM y GROUP BY user_id, sid""".stripMargin,
     "k3_find_composite_key" ->
       "SELECT 's_suppkey' AS key_columns",
@@ -493,6 +529,44 @@ object SparkEntry {
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
     "d2_minhash_pairs" -> ngramJaccardOracle(0.5),
+    "d3_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h
+        |  FROM toks WHERE len(tok) > 0),
+        |votes AS (
+        |  SELECT doc_id, i, SUM(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, range(32) t(i) GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY 1)
+        |SELECT a.doc_id AS idA, b.doc_id AS idB,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    "mm1_multimodal_features" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS asset_id,
+        |       (['image','audio','video'])[CAST(n_nationkey % 3 AS INT) + 1] AS modality,
+        |       CAST(64 + n_nationkey % 192 AS BIGINT) AS byte_size,
+        |       upper(substring(md5(CAST(n_nationkey AS VARCHAR) || '-0'), 1, 16)) AS payload_head
+        |FROM nation""".stripMargin,
+    "s2_file_sizes" ->
+      """SELECT CAST(s_suppkey % 4 AS BIGINT) AS bucket,
+        |       count(*) AS num_records,
+        |       CAST(4 AS BIGINT) AS number_of_files,
+        |       CAST(0 AS BIGINT) AS version
+        |FROM supplier GROUP BY 1""".stripMargin,
+    "s8_skipping_counts" ->
+      """WITH w AS (SELECT max(o_orderkey) // 8 + 1 AS width FROM orders),
+        |b AS (SELECT o_orderkey // width AS bucket,
+        |             min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |      FROM orders, w GROUP BY 1)
+        |SELECT CAST((SELECT count(*) FROM b WHERE mn <= 200 AND mx >= 100) AS BIGINT) AS files_scanned,
+        |       (SELECT count(*) FROM b) AS total_files""".stripMargin,
     "d7_embedding_near_dup" ->
       """SELECT vec_id AS idA, vec_id + 100000 AS idB
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,

@@ -42,36 +42,81 @@ case class ChangeDataFeedHelper(
   // =====================================================================
   def readCDF: DataFrame = readCDF(startingVersion, endingVersion)
 
-  def readCDF(s: Long, e: Long): DataFrame = {
-    val frames = (s to e).flatMap(readVersionChanges)
-    require(frames.nonEmpty, s"no change data between versions $s and $e of $path")
-    // schema evolution: older versions lack later columns -> null-filled
-    frames.reduce(_.unionByName(_, allowMissingColumns = true))
-  }
-
-  /** Changes of one version: CDC files if recorded, else synthesized inserts
-    * for plain appends; layout-only commits (OPTIMIZE) contribute nothing.
+  /** Batched CDF read: the whole version range resolves to at most TWO
+    * parquet scans — one over every recorded change file, one over every
+    * plain-append data file — instead of one DataFrame per version folded
+    * with union (whose plan explodes at thousands of versions).
+    * `_commit_version` / `_commit_timestamp` are attached by a broadcast
+    * join on the file's base name (each file belongs to exactly one commit).
     */
-  private def readVersionChanges(v: Long): Option[DataFrame] = {
-    val actions = log.actionsAt(v)
-    val commitTs = actions.collectFirst { case c: CommitInfo => c.timestamp }.getOrElse(0L)
-    val cdcFiles = actions.collect { case c: AddCDCFile => s"$path/${c.path}" }
-    val stamp = (df: DataFrame) => df
-      .withColumn("_commit_version", lit(v))
-      .withColumn("_commit_timestamp", (lit(commitTs) / 1000L).cast("timestamp"))
-    if (cdcFiles.nonEmpty) {
-      Some(stamp(spark.read.parquet(cdcFiles: _*)))
-    } else {
-      val op = actions.collectFirst { case c: CommitInfo => c.operation }.getOrElse("")
-      val adds = actions.collect { case a: AddFile => a }
-      val removes = actions.collect { case r: RemoveFile => r }
-      // plain append/create: added rows are inserts; rewrites without change
-      // files (OPTIMIZE) or no-op commits produce no change rows
-      if (adds.nonEmpty && removes.isEmpty && op != "OPTIMIZE") {
-        val snap = log.snapshot(v)
-        Some(stamp(
-          table.dfForFiles(snap, adds).withColumn("_change_type", lit("insert"))))
-      } else None
+  def readCDF(s: Long, e: Long): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    // (relPath, version, commitTsMillis) for both mechanisms, in version order
+    val cdcEntries = Seq.newBuilder[(String, Long, Long)]
+    val insEntries = Seq.newBuilder[(AddFile, Long, Long)]
+    var firstIsCdc: Option[Boolean] = None
+    (s to e).foreach { v =>
+      val actions = log.actionsAt(v)
+      val commitTs = actions.collectFirst { case c: CommitInfo => c.timestamp }.getOrElse(0L)
+      val cdcFiles = actions.collect { case c: AddCDCFile => c.path }
+      if (cdcFiles.nonEmpty) {
+        cdcFiles.foreach(p => cdcEntries += ((p, v, commitTs)))
+        if (firstIsCdc.isEmpty) firstIsCdc = Some(true)
+      } else {
+        val op = actions.collectFirst { case c: CommitInfo => c.operation }.getOrElse("")
+        val adds = actions.collect { case a: AddFile => a }
+        val removes = actions.collect { case r: RemoveFile => r }
+        // plain append/create: added rows are inserts; rewrites without change
+        // files (OPTIMIZE) or no-op commits produce no change rows
+        if (adds.nonEmpty && removes.isEmpty && op != "OPTIMIZE") {
+          adds.foreach(a => insEntries += ((a, v, commitTs)))
+          if (firstIsCdc.isEmpty) firstIsCdc = Some(false)
+        }
+      }
+    }
+    val cdc = cdcEntries.result()
+    val ins = insEntries.result()
+    require(cdc.nonEmpty || ins.nonEmpty,
+      s"no change data between versions $s and $e of $path")
+
+    def baseName(rel: String): String = rel.substring(rel.lastIndexOf('/') + 1)
+    def stamp(df: DataFrame, entries: Seq[(String, Long, Long)]): DataFrame = {
+      import spark.implicits._
+      val lookup = entries.map { case (rel, v, ts) => (baseName(rel), v, ts) }
+        .toDF("__graft_cdf_name", "__graft_cdf_v", "__graft_cdf_ts")
+      df.withColumn("__graft_cdf_name",
+          element_at(split(input_file_name(), "/"), -1))
+        .join(broadcast(lookup), Seq("__graft_cdf_name"))
+        .withColumn("_commit_version", col("__graft_cdf_v"))
+        .withColumn("_commit_timestamp", (col("__graft_cdf_ts") / 1000L).cast("timestamp"))
+        .drop("__graft_cdf_name", "__graft_cdf_v", "__graft_cdf_ts")
+    }
+
+    // change files carry the full row physically (incl. partition columns);
+    // mergeSchema reconciles schema evolution across versions in one scan
+    val cdcFrame = if (cdc.isEmpty) None else Some(stamp(
+      spark.read.option("mergeSchema", "true")
+        .parquet(cdc.map { case (p, _, _) => s"$path/$p" }: _*),
+      cdc))
+    // plain appends read with the newest in-range snapshot schema (older
+    // files surface later columns as null — same as the per-version union)
+    val insFrame = if (ins.isEmpty) None else {
+      val maxV = ins.map(_._2).max
+      Some(stamp(
+        table.dfForFiles(log.snapshot(maxV), ins.map(_._1))
+          .withColumn("_change_type", lit("insert")),
+        ins.map { case (a, v, ts) => (a.path, v, ts) }))
+    }
+
+    // column order: the earliest contributing version's mechanism leads, so
+    // batched output matches the old fold-in-version-order layout
+    (cdcFrame, insFrame) match {
+      case (Some(c), Some(i)) =>
+        if (firstIsCdc.contains(true)) c.unionByName(i, allowMissingColumns = true)
+        else i.unionByName(c, allowMissingColumns = true)
+      case (Some(c), None) => c
+      case (None, Some(i)) => i
+      case _ => throw new IllegalStateException("unreachable")
     }
   }
 

@@ -54,8 +54,11 @@ object AsOfJoin {
       .select(Seq(col("__t"), col("__side")) ++ keyCols.map(col) ++
         leftCols.diff(keyCols).map(col) :+
         lit(null).cast(structTypeOf(right, payload)).as("__payload"): _*)
+    // NULL keys never match under equi-join semantics (SQL/DuckDB ASOF):
+    // dropping null-key right rows up front means a null-key left row can
+    // only share a window partition with other left rows — payload stays null
     val taggedRight = right
-      .where(col(rightTime).isNotNull)
+      .where(keyCols.foldLeft(col(rightTime).isNotNull)((acc, k) => acc && col(k).isNotNull))
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .select(Seq(col("__t"), col("__side")) ++ keyCols.map(col) ++

@@ -82,6 +82,7 @@ object GraftMerge {
   private val FileCol = "__graft_file"
   private val TgtExists = "__graft_tgt"
   private val SrcExists = "__graft_src"
+  private val SrcIdCol = "__graft_srcid"
   private val Copy = 0
   private val Drop = -1
   private def matchedCode(i: Int) = 100 + i
@@ -145,7 +146,10 @@ object GraftMerge {
     // biggest overhead in merge-based dedup.
     val sourceCached = source.persist(StorageLevel.MEMORY_AND_DISK)
     val srcAliasName = sourceAlias.getOrElse("__graft_src")
-    val srcDf = sourceCached.withColumn(SrcExists, lit(true)).alias(srcAliasName)
+    // SrcIdCol: a unique id per source row so numSourceRows falls out of the
+    // main merge aggregate (countDistinct) instead of a separate count job
+    val srcDf = sourceCached.withColumn(SrcExists, lit(true))
+      .withColumn(SrcIdCol, monotonically_increasing_id()).alias(srcAliasName)
     val sourceColsRenamed = source.columns.toSeq
 
     // --- insert-only fast path --------------------------------------------
@@ -199,19 +203,12 @@ object GraftMerge {
       }
     }
 
-    val tgtScan = table
-      .dfForFiles(snap, candidates)
-      .withColumn(FileCol, input_file_name())
-      .alias(targetAlias)
-
-    // --- 2. touched files --------------------------------------------------
-    val touchedFiles = tgtScan
-      .join(srcDf, expr(condition), "inner")
-      .select(col(FileCol)).distinct().collect().map(_.getString(0)).toSet
-    val touched = candidates.filter(f =>
-      touchedFiles.exists(TableWriter.uriMatchesRelPath(_, f.path)))
-
-    // --- 3. rewrite join ---------------------------------------------------
+    // --- 2+3. fused touch-detection + rewrite join -------------------------
+    // ONE full-outer join over all candidate rows (each carrying its file
+    // name) replaces the former inner "touch" join plus second full-outer
+    // over touched files: candidates are scanned once, and the touched-file
+    // set, multi-match guard, source-row count and all merge metrics fall
+    // out of a single aggregate over the checkpointed join.
     // localCheckpoint (not persist): the joined frame feeds several jobs and
     // carries synthetic row ids — a lost-and-recomputed cache partition would
     // reassign ids between jobs, so lineage is cut: a lost partition fails
@@ -219,9 +216,11 @@ object GraftMerge {
     // explicitly in the finally (checkpointed RDDs otherwise linger until
     // driver GC).
     val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
-    val touchedRows = table.dfForFiles(snap, touched)
-      .withColumn(TgtExists, monotonically_increasing_id()).alias(targetAlias)
-    val joined = touchedRows
+    val candRows = table.dfForFiles(snap, candidates)
+      .withColumn(FileCol, input_file_name())
+      .withColumn(TgtExists, monotonically_increasing_id())
+      .alias(targetAlias)
+    val joined = candRows
       .join(srcDf, expr(condition), "full_outer")
       .withColumn(ActionCol, actionExpr(matched, notMatched))
       .localCheckpoint(false)
@@ -241,38 +240,68 @@ object GraftMerge {
         else col(ActionCol).isin(codes.map(Integer.valueOf): _*)
       def countWhere(codes: Seq[Int]): Column =
         sum(when(inCodes(codes), 1L).otherwise(0L))
+      val isPair = col(TgtExists).isNotNull && col(SrcExists).isNotNull
       val m = joined.agg(
         countWhere(updateCodes).as("upd"),
         countDistinct(when(inCodes(deleteCodes), col(TgtExists))).as("del"),
         countWhere(insertCodes).as("ins"),
-        countDistinct(when(col(ActionCol) === Copy, col(TgtExists))).as("copied"),
-        count(when(col(TgtExists).isNotNull && col(SrcExists).isNotNull, col(TgtExists))).as("mpairs"),
-        countDistinct(when(col(TgtExists).isNotNull && col(SrcExists).isNotNull, col(TgtExists))).as("mrows")
+        count(when(isPair, 1)).as("mpairs"),
+        countDistinct(when(isPair, col(TgtExists))).as("mrows"),
+        countDistinct(col(SrcIdCol)).as("nsrc"),
+        collect_set(when(isPair, col(FileCol))).as("touched_uris")
       ).collect()(0)
       def g(i: Int): Long = if (m.isNullAt(i)) 0L else m.getLong(i)
-      val (nUpd, nDel, nIns, nCopied) = (g(0), g(1), g(2), g(3))
+      val (nUpd, nDel, nIns) = (g(0), g(1), g(2))
       // SQL MERGE semantics (and Delta's rule): multiple source matches for
       // one target row are permitted ONLY when the sole matched clause is an
       // unconditional delete (all matches agree); anything else — update
       // clauses or conditional deletes — is nondeterministic, so fail loudly.
       val multiMatchOk = matched == Seq(MatchedClause(None, DeleteAction))
-      if (!multiMatchOk && g(4) != g(5))
+      if (!multiMatchOk && g(3) != g(4))
         throw new IllegalStateException(
-          s"MERGE aborted: ${g(4) - g(5)} target row(s) matched by multiple source rows; " +
+          s"MERGE aborted: ${g(3) - g(4)} target row(s) matched by multiple source rows; " +
             "deduplicate the source on the merge key first")
-      val numSourceRows = sourceCached.count()
+      val numSourceRows = g(5)
+
+      // touched files: the distinct file names seen on matched pairs, decoded
+      // once and resolved against the candidate list (O(uris), not O(uris ×
+      // candidates))
+      val touchedUris: Set[String] =
+        m.getSeq[String](6).toSet
+      val touched = TableWriter.resolveTouched(touchedUris, candidates)
+
+      // numTargetRowsCopied without another distinct-aggregate pass: every
+      // row of a touched file is either updated, deleted, or copied, and the
+      // per-file row counts are already in the log's footer stats
+      val statRecords = touched.map(f => GraftLog.parseStats(f.stats).map(_.numRecords))
+      lazy val touchedNameDf = spark
+        .createDataset(touchedUris.toSeq)(org.apache.spark.sql.Encoders.STRING)
+        .toDF("__graft_touched_uri")
+      lazy val touchedData = joined.join(broadcast(touchedNameDf),
+        col(FileCol) === col("__graft_touched_uri"), "left_semi")
+      val nCopied: Long =
+        if (statRecords.forall(_.isDefined)) statRecords.flatten.sum - nDel - nUpd
+        else { // files written without stats (foreign writer): count directly
+          val r = touchedData
+            .agg(countDistinct(when(col(ActionCol) === Copy, col(TgtExists)))).collect()(0)
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
 
       // --- output rows -----------------------------------------------------
-      // target-derived rows dedupe on the unique target-row id: a target row
-      // matched by several source rows under an insert-only merge joins once
-      // per pair but must be copied exactly once (multi-match with matched
-      // clauses already aborted above). Source-only inserts pass through.
-      val keep = joined.where(col(ActionCol) =!= Drop && !inCodes(deleteCodes))
+      // Rewritten target rows come only from touched files (Copy rows in
+      // untouched files stay in place); dedupe on the unique target-row id: a
+      // target row matched by several source rows under a sole-unconditional-
+      // delete merge joins once per pair but must be counted/copied exactly
+      // once. Source-only inserts pass through from the full join.
       val outCols = targetCols.map(c =>
         outputColumn(c, targetAlias, srcAliasName, matched, notMatched, sourceColsRenamed).as(c))
-      val newData = keep.where(col(TgtExists).isNotNull).dropDuplicates(TgtExists)
+      val targetKeep = touchedData
+        .where(col(TgtExists).isNotNull && col(ActionCol) =!= Drop && !inCodes(deleteCodes))
+        .dropDuplicates(TgtExists)
         .select(outCols: _*)
-        .unionByName(keep.where(col(TgtExists).isNull).select(outCols: _*))
+      val inserts = joined.where(col(TgtExists).isNull && inCodes(insertCodes))
+        .select(outCols: _*)
+      val newData = targetKeep.unionByName(inserts)
 
       // --- CDC -------------------------------------------------------------
       val cdc: Option[DataFrame] = if (snap.cdfEnabled) {

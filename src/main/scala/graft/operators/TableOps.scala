@@ -29,11 +29,13 @@ object TableOps {
     val candDf = table.dfForFiles(snap, candidates).withColumn("__graft_file", input_file_name())
     val touchedFiles = candDf.where(expr(cond)).select("__graft_file")
       .distinct().collect().map(_.getString(0)).toSet
-    val touched = candidates.filter(f =>
-      touchedFiles.exists(TableWriter.uriMatchesRelPath(_, f.path)))
+    val touched = TableWriter.resolveTouched(touchedFiles, candidates)
 
+    // 3-valued logic: a NULL-evaluating predicate must NOT delete the row
+    // (SQL DELETE semantics) — collapse NULL to false so those rows are
+    // copied and counted, not silently dropped
     val touchedRows = table.dfForFiles(snap, touched)
-      .withColumn("__graft_del", expr(cond))
+      .withColumn("__graft_del", coalesce(expr(cond), lit(false)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val m = touchedRows.agg(
@@ -82,11 +84,12 @@ object TableOps {
     val candDf = table.dfForFiles(snap, candidates).withColumn("__graft_file", input_file_name())
     val touchedFiles = candDf.where(expr(cond)).select("__graft_file")
       .distinct().collect().map(_.getString(0)).toSet
-    val touched = candidates.filter(f =>
-      touchedFiles.exists(TableWriter.uriMatchesRelPath(_, f.path)))
+    val touched = TableWriter.resolveTouched(touchedFiles, candidates)
 
+    // NULL predicate ⇒ not updated (3VL): copy the row through unmodified
+    // and count it as copied, matching SQL UPDATE semantics
     val touchedRows = table.dfForFiles(snap, touched)
-      .withColumn("__graft_upd", expr(cond))
+      .withColumn("__graft_upd", coalesce(expr(cond), lit(false)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val m = touchedRows.agg(
@@ -150,6 +153,9 @@ object TableOps {
       // repeated OPTIMIZE runs don't churn the whole partition
     }).filter(_.size < onlyFilesSmallerThan)
     val totalBytes = selected.map(_.size).sum
+    // nothing to gain from compacting 0 or 1 file — return the current
+    // version without committing (repeated OPTIMIZE must not churn the log)
+    if (selected.size <= 1 || totalBytes == 0L) return snap.version
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt)
     val data = table.dfForFiles(snap, selected).repartition(nOut)
     TableWriter.write(spark, table.path, data, TableWriter.Append,

@@ -143,36 +143,51 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** 64-bit SimHash over word tokens: bit i of the hash is the sign of the
-    * per-document sum of (±1) votes from each token's bit i. Pure aggregation
-    * (explode → groupBy → 64 conditional sums), no UDFs.
+  /** Portable 32-bit token hash: the first 8 hex chars of md5, as a long.
+    * Slower than [[functions.xxhash64]] but reproducible in any engine that
+    * has md5 — used when SimHash output must be verified externally.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def md5TokenHash32(tok: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
+
+  /** SimHash over word tokens: bit i of the hash is the sign of the
+    * per-document sum of (±1) votes from each token's bit i. Pure aggregation
+    * (explode → groupBy → `bits` conditional sums), no UDFs.
+    *
+    * @param bits      hash width in bits (default 64)
+    * @param tokenHash per-token hash column builder; default xxhash64 (fast),
+    *                  [[md5TokenHash32]] for cross-engine reproducibility
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 64, tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val tokens = split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")), " ")
     val exploded = df
       .select(col(idCol), explode(tokens).as("__tok"))
       .filter(length(col("__tok")) > 0)
-      .withColumn("__h", xxhash64(col("__tok")))
-    val bitVotes = (0 until 64).map { i =>
+      .withColumn("__h", tokenHash(col("__tok")))
+    val bitVotes = (0 until bits).map { i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$i")
     }
     val voted = exploded.groupBy(col(idCol)).agg(bitVotes.head, bitVotes.tail: _*)
-    val hashExpr = (0 until 64)
+    val hashExpr = (0 until bits)
       .map(i => when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
     voted.select(col(idCol), hashExpr.as("simhash"))
   }
 
   /** SimHash near-duplicate pairs with hamming distance ≤ `maxHamming`.
-    * Pigeonhole banding: split the 64-bit hash into `maxHamming + 1` chunks —
-    * any pair within the distance agrees on ≥1 chunk, so candidates come from
-    * equi-joins on chunk values; `bit_count(xor)` verifies exactly.
+    * Pigeonhole banding: split the `bits`-wide hash into `maxHamming + 1`
+    * chunks — any pair within the distance agrees on ≥1 chunk, so candidates
+    * come from equi-joins on chunk values (100% recall, not probabilistic);
+    * `bit_count(xor)` verifies exactly.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, bits: Int = 64,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val chunks = maxHamming + 1
-    val chunkBits = 64 / chunks
-    val hashed = simhash(df, idCol, textCol)
+    require(bits % chunks == 0, s"bits=$bits must divide into ${chunks} chunks")
+    val chunkBits = bits / chunks
+    val hashed = simhash(df, idCol, textCol, bits, tokenHash)
     val chunkStructs = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * chunkBits)

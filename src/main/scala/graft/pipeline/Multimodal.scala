@@ -102,21 +102,21 @@ object Multimodal {
     assets.repartition(numBuckets, pmod(xxhash64(col("payload")), lit(numBuckets)))
 
   /** Synthesize a deterministic asset table from any binary-free source table
-    * (test/bench helper: payload bytes derived from the id).
+    * (test/bench helper). Payload bytes are md5-derived — pure column
+    * expressions (no UDF), so any engine with md5/unhex reproduces them:
+    * `payload = unhex(prefix(md5(id||"-0") ++ md5(id||"-1") ++ ..., 2n))`
+    * with `n = 64 + id % 192` (max 255 bytes = 16 md5 blocks).
     */
   def synthesizeAssets(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
-    val bytesFor = udf { (id: Long) =>
-      val rnd = new java.util.Random(id)
-      val n = 64 + (id % 192).toInt
-      val b = new Array[Byte](n)
-      rnd.nextBytes(b)
-      b
-    }
+    val id = col(idCol).cast("long")
+    val hexBlocks = concat((0 until 16).map(i =>
+      md5(concat(id.cast("string"), lit(s"-$i")))): _*)
+    val nBytes = lit(64) + pmod(id, lit(192)).cast("int")
     ids.select(
-      col(idCol).cast("long").as("asset_id"),
+      id.as("asset_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col(idCol).cast("long"), lit(3)) + 1).cast("int")).as("modality"),
-      bytesFor(col(idCol).cast("long")).as("payload"),
+        (pmod(id, lit(3)) + 1).cast("int")).as("modality"),
+      unhex(hexBlocks.substr(lit(1), nBytes * 2)).as("payload"),
       struct(
         lit("application/octet-stream").as("mime"),
         lit(64).as("width"), lit(64).as("height"),

@@ -240,6 +240,30 @@ object TableWriter {
     decoded == relPath || decoded.endsWith("/" + relPath)
   }
 
+  /** Resolve collected `input_file_name()` URIs to the candidate AddFiles
+    * they refer to. Each URI is percent-decoded ONCE and matched by
+    * segment-suffix lookup into a hash map — O(uris × pathDepth) total,
+    * instead of the O(uris × candidates) re-decode of pairwise
+    * `uriMatchesRelPath` scans. Segment boundaries give the same
+    * suffix-safety guarantee as the pairwise check.
+    */
+  def resolveTouched(uris: Iterable[String], candidates: Seq[AddFile]): Seq[AddFile] = {
+    if (candidates.isEmpty) return Nil
+    val byRel: Map[String, AddFile] = candidates.iterator.map(f => f.path -> f).toMap
+    val maxDepth = candidates.iterator.map(_.path.count(_ == '/') + 1).max
+    val hit = scala.collection.mutable.HashSet.empty[String]
+    uris.foreach { uri =>
+      val segs = percentDecode(uri).split('/')
+      var d = 1
+      while (d <= maxDepth && d <= segs.length) {
+        val rel = segs.takeRight(d).mkString("/")
+        if (byRel.contains(rel)) hit += rel
+        d += 1
+      }
+    }
+    candidates.filter(f => hit.contains(f.path))
+  }
+
   /** Union-by-name schema merge; conflict on incompatible types.
     * (Spark's own `StructType.merge` is `private[sql]`; semantics here match
     * `mergeSchema=true` appends: new columns appended, old columns keep type.)

@@ -34,6 +34,23 @@ class AsOfJoinSpec extends AnyFunSpec with SparkSessionTestWrapper {
     ))
   }
 
+  it("NULL join keys never match (SQL ASOF equi-join semantics)") {
+    val trades = Seq(
+      (Some(1L), ts("2024-01-01 10:00:05"), 100.0),
+      (None: Option[Long], ts("2024-01-01 10:00:05"), 300.0) // null key
+    ).toDF("sym", "ts", "price")
+    val quotes = Seq(
+      (Some(1L), ts("2024-01-01 10:00:00"), 99.0),
+      (None: Option[Long], ts("2024-01-01 10:00:00"), 777.0) // null key: never a match
+    ).toDF("sym", "qts", "quote")
+    val out = AsOfJoin.asofJoin(trades, quotes, Seq("sym"), "ts", "qts", Seq("quote"))
+      .collect().map(r => (Option(r.get(0)), r.get(3))).toSet
+    assert(out == Set(
+      (Some(1L), 99.0),
+      (None, null) // null-key left row keeps null payload
+    ))
+  }
+
   it("rejects clashing payload column names") {
     val l = Seq((1L, ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "ts", "v")
     val r = Seq((1L, ts("2024-01-01 00:00:00"), 2.0)).toDF("k", "rts", "v")

@@ -233,6 +233,42 @@ class GraftHelpersSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(t.history().head._2.operationMetrics("numUpdatedRows") == "1")
     }
 
+    it("delete keeps rows whose predicate evaluates to NULL (3-valued logic)") {
+      // (2, NULL) shares the single file with the matched row (1, 5.0): the
+      // file is rewritten, and SQL DELETE semantics require the NULL-
+      // evaluating row to survive and count as copied
+      val t = GraftTable.create(spark, tmpTableDir("delnull"),
+        Seq((1, Some(5.0)), (2, None)).toDF("id", "value").repartition(1))
+      TableOps.delete(t, Some("value = 5"))
+      assertSmallDataFrameEquality(t.toDF,
+        Seq((2, None: Option[Double])).toDF("id", "value"))
+      val m = t.history().head._2.operationMetrics
+      assert(m("numDeletedRows") == "1")
+      assert(m("numCopiedRows") == "1")
+    }
+
+    it("update leaves NULL-predicate rows unmodified and counts them copied") {
+      val t = GraftTable.create(spark, tmpTableDir("updnull"),
+        Seq((1, Some(5.0)), (2, None)).toDF("id", "value").repartition(1))
+      TableOps.update(t, Some("value = 5"), Map("value" -> "value * 10"))
+      assertSmallDataFrameEquality(t.toDF,
+        Seq((1, Some(50.0)), (2, None)).toDF("id", "value"))
+      val m = t.history().head._2.operationMetrics
+      assert(m("numUpdatedRows") == "1")
+      assert(m("numCopiedRows") == "1")
+    }
+
+    it("compaction with nothing to do commits no new version") {
+      val t = GraftTable.create(spark, tmpTableDir("optnoop"),
+        Seq((1, "a"), (2, "b")).toDF("id", "name").repartition(1))
+      val v0 = t.version
+      // single file: nothing to compact
+      assert(TableOps.compact(t) == v0)
+      // all files right-sized: nothing to compact
+      assert(TableOps.compact(t, onlyFilesSmallerThan = 1L) == v0)
+      assert(t.version == v0)
+    }
+
     it("compaction with onlyFilesSmallerThan leaves right-sized files alone") {
       val t = GraftTable.create(spark, tmpTableDir("optsz"),
         (1 to 100).map(i => (i, s"n$i")).toDF("id", "name").repartition(4))

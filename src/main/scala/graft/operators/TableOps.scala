@@ -208,6 +208,10 @@ object TableOps {
       if (Files.deleteIfExists(Paths.get(table.path, rel))) deleted += 1
     }
     dropVersions.foreach(v => Files.deleteIfExists(log.versionFile(v)))
+    // stale checkpoints below the horizon must go too: replaying from one
+    // would skip the horizon's removes and resurrect dead files
+    log.checkpointVersions().filter(_ < retainVersion)
+      .foreach(v => Files.deleteIfExists(log.checkpointFile(v)))
     deleted
   }
 

@@ -5,27 +5,36 @@ import org.apache.spark.sql.DataFrame
 import graft.GraftValidationError
 import graft.tables.GraftTable
 
-/** Type-2 slowly-changing-dimension upserts — parity with the reference's
-  * `Type2Scd` (`Type2Scd.scala:8-81`): the base table keeps full history with
-  * `is_current` / `effective_time` / `end_time` bookkeeping columns; an
-  * upsert closes out changed current rows and inserts new current versions.
+/** Type-2 slowly-changing-dimension upserts — functional parity with the
+  * reference's `Type2Scd` (`Type2Scd.scala:8-81`): the base table keeps full
+  * history with `is_current` / `effective_time` / `end_time` bookkeeping
+  * columns; an upsert closes out changed current rows and inserts new current
+  * versions.
   *
-  * The staging trick (reference `Type2Scd.scala:53-62`): rows whose
-  * attributes changed are staged twice — once with a NULL mergeKey (which by
-  * SQL `=` semantics never matches, forcing the insert path to create the new
-  * current row) and once keyed by pk (matching the existing current row,
-  * which the matched clause closes out).
+  * Core idea (shared with the reference, which inherits it from the Delta
+  * SCD2 recipe): a changed row enters the merge TWICE — once under a NULL
+  * join key, which can never equi-match and therefore drives the insert
+  * branch (the new current version), and once under its real key, which
+  * matches the open history row so the update branch can close it out.
   */
 object Type2Scd {
 
-  /** SCD2 upsert with conventional column names (`Type2Scd.scala:8-23`). */
+  /** SCD2 upsert with the conventional bookkeeping column names
+    * (reference `Type2Scd.scala:8-23`).
+    */
   def upsert(baseTable: GraftTable, updatesDF: DataFrame, primaryKey: String,
       attrColNames: Seq[String]): Unit =
     genericUpsert(baseTable, updatesDF, primaryKey, attrColNames,
       "is_current", "effective_time", "end_time")
 
+  private def requireExactColumns(actual: Seq[String], required: Seq[String], what: String): Unit =
+    if (actual.sorted != required.sorted)
+      throw GraftValidationError(
+        s"$what must have exactly the columns ${required.sorted.mkString("[", ", ", "]")} " +
+          s"but has ${actual.sorted.mkString("[", ", ", "]")}")
+
   /** SCD2 upsert with caller-chosen bookkeeping column names
-    * (`Type2Scd.scala:25-81`).
+    * (reference `Type2Scd.scala:25-81`).
     */
   def genericUpsert(
       baseTable: GraftTable,
@@ -36,45 +45,40 @@ object Type2Scd {
       effectiveTimeColName: String,
       endTimeColName: String): Unit = {
 
-    val baseColNames = baseTable.toDF.columns.toSeq
-    val requiredBaseColNames =
-      Seq(primaryKey) ++ attrColNames ++ Seq(isCurrentColName, effectiveTimeColName, endTimeColName)
-    if (baseColNames.sorted != requiredBaseColNames.sorted)
-      throw GraftValidationError(
-        s"The base table has these columns '$baseColNames', but these columns are required '$requiredBaseColNames'")
+    val history = baseTable.toDF
+    requireExactColumns(history.columns.toSeq,
+      (primaryKey +: attrColNames) ++ Seq(isCurrentColName, effectiveTimeColName, endTimeColName),
+      s"SCD2 base table at ${baseTable.path}")
+    requireExactColumns(updatesDF.columns.toSeq,
+      (primaryKey +: attrColNames) :+ effectiveTimeColName,
+      "SCD2 updates DataFrame")
 
-    val updatesColNames = updatesDF.columns.toSeq
-    val requiredUpdatesColNames = Seq(primaryKey) ++ attrColNames :+ effectiveTimeColName
-    if (updatesColNames.sorted != requiredUpdatesColNames.sorted)
-      throw GraftValidationError(
-        s"The updates DataFrame has these columns '$updatesColNames', but these columns are required '$requiredUpdatesColNames'")
+    val keyCol = "__scd_key"
+    val changedVsIncoming = attrColNames.map(a => s"u.$a <> t.$a").mkString(" OR ")
+    val changedVsStaged = attrColNames.map(a => s"src.$a <> t.$a").mkString(" OR ")
 
-    val updatesAttrs = attrColNames.map(a => s"updates.$a <> base.$a").mkString(" OR ")
-    val stagedUpdatesAttrs = attrColNames.map(a => s"staged_updates.$a <> base.$a").mkString(" OR ")
+    // branch 1 — updates that differ from the OPEN history row, under a NULL
+    // key: never equi-match, so the merge inserts them as new current rows
+    val freshVersions = updatesDF.as("u")
+      .join(history.as("t"), primaryKey)
+      .where(s"t.$isCurrentColName = true AND ($changedVsIncoming)")
+      .selectExpr(s"NULL as $keyCol", "u.*")
+    // branch 2 — every update under its real key: matches the open row
+    val keyedUpdates = updatesDF.selectExpr(s"$primaryKey as $keyCol", "*")
 
-    // stage 1: changed rows, NULL mergeKey → will take the insert path
-    val stagedPart1 = updatesDF
-      .as("updates")
-      .join(baseTable.toDF.as("base"), primaryKey)
-      .where(s"base.$isCurrentColName = true AND ($updatesAttrs)")
-      .selectExpr("NULL as mergeKey", "updates.*")
-    // stage 2: all updates keyed by pk → match current rows
-    val stagedPart2 = updatesDF.selectExpr(s"$primaryKey as mergeKey", "*")
-    val stagedUpdates = stagedPart1.union(stagedPart2)
-
-    GraftMerge(baseTable, "base")
-      .merge(stagedUpdates, s"base.$primaryKey = mergeKey", Some("staged_updates"))
+    GraftMerge(baseTable, "t")
+      .merge(freshVersions.union(keyedUpdates), s"t.$primaryKey = $keyCol", Some("src"))
       .whenMatchedUpdateExpr(
         Map(
           isCurrentColName -> "false",
-          endTimeColName -> s"staged_updates.$effectiveTimeColName"),
-        Some(s"base.$isCurrentColName = true AND ($stagedUpdatesAttrs)"))
+          endTimeColName -> s"src.$effectiveTimeColName"),
+        Some(s"t.$isCurrentColName = true AND ($changedVsStaged)"))
       .whenNotMatchedInsertExpr(
-        Map(primaryKey -> s"staged_updates.$primaryKey") ++
-          attrColNames.map(a => a -> s"staged_updates.$a").toMap ++
+        Map(primaryKey -> s"src.$primaryKey") ++
+          attrColNames.map(a => a -> s"src.$a").toMap ++
           Map(
             isCurrentColName -> "true",
-            effectiveTimeColName -> s"staged_updates.$effectiveTimeColName",
+            effectiveTimeColName -> s"src.$effectiveTimeColName",
             endTimeColName -> "null"))
       .execute()
   }

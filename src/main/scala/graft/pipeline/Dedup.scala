@@ -185,8 +185,11 @@ object Dedup {
       maxHamming: Int = 3, bits: Int = 64,
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val chunks = maxHamming + 1
-    require(bits % chunks == 0, s"bits=$bits must divide into ${chunks} chunks")
+    // integer division may leave the top bits un-banded — pigeonhole still
+    // holds: ≤ maxHamming total diffs can dirty at most maxHamming of the
+    // maxHamming+1 chunks, wherever the diffs fall
     val chunkBits = bits / chunks
+    require(chunkBits >= 1, s"bits=$bits too narrow for ${chunks} chunks")
     val hashed = simhash(df, idCol, textCol, bits, tokenHash)
     val chunkStructs = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
@@ -210,28 +213,42 @@ object Dedup {
   /** Exact n-gram Jaccard similarity join via an inverted-index equi-join on
     * shared grams (prefix-count pruning happens naturally: pairs sharing no
     * gram never meet). One shuffle on gram, one on the pair key.
+    *
+    * `maxGramDf` caps a gram's document frequency: a gram present in more
+    * than that many documents (boilerplate headers, licence text) generates
+    * ~df² candidate pairs while carrying no near-dup signal, which is the
+    * scale-killer of inverted-index joins at 100 TB. Hot grams are dropped
+    * from CANDIDATE GENERATION only — surviving pairs verify against the
+    * full shingle sets, so reported jaccard values are exact and precision
+    * is unaffected. The (accepted) recall trade: a pair whose shared grams
+    * are ALL hotter than the cap is missed.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val withSh = shingleDF(df, idCol, textCol, n)
-      .withColumn("__n", size(col("__sh")))
-      .persist()
+      n: Int = 3, threshold: Double = 0.5, maxGramDf: Int = 100000): DataFrame = {
+    val withSh = shingleDF(df, idCol, textCol, n).persist()
     try {
-      // postings carry (gram, id) only; the per-doc set-size table joins
-      // back after the pair aggregation (AQE broadcasts it when small)
+      // postings carry (gram, id) only — candidates travel as bare id pairs
       val inverted = withSh.select(explode(col("__sh")).as("__g"), col("__id"))
-      val a = inverted.select(col("__g"), col("__id").as("idA"))
-      val b = inverted.select(col("__g"), col("__id").as("idB"))
-      val shared = a.join(b, Seq("__g"))
+      // hot-gram set is tiny by construction (few grams exceed the cap):
+      // aggregate it and anti-join it away (AQE broadcasts it)
+      val hot = inverted.groupBy(col("__g"))
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxGramDf)
+        .select("__g")
+      val kept = inverted.join(broadcast(hot), Seq("__g"), "left_anti")
+      val a = kept.select(col("__g"), col("__id").as("idA"))
+      val b = kept.select(col("__g"), col("__id").as("idB"))
+      val candidates = a.join(b, Seq("__g"))
         .filter(col("idA") < col("idB"))
-        .groupBy(col("idA"), col("idB"))
-        .agg(count(lit(1)).as("__shared"))
-      val sizes = withSh.select(col("__id"), col("__n"))
-      shared
-        .join(sizes.select(col("__id").as("idA"), col("__n").as("nA")), "idA")
-        .join(sizes.select(col("__id").as("idB"), col("__n").as("nB")), "idB")
+        .select("idA", "idB")
+        .dropDuplicates("idA", "idB")
+      // exact verification on the full shingle sets (cap-independent)
+      candidates
+        .join(withSh.select(col("__id").as("idA"), col("__sh").as("shA")), "idA")
+        .join(withSh.select(col("__id").as("idB"), col("__sh").as("shB")), "idB")
+        .withColumn("__inter", size(array_intersect(col("shA"), col("shB"))).cast("double"))
         .withColumn("jaccard",
-          col("__shared").cast("double") / (col("nA") + col("nB") - col("__shared")))
+          col("__inter") / (size(col("shA")) + size(col("shB")) - col("__inter")))
         .filter(col("jaccard") >= threshold)
         .select(col("idA"), col("idB"), col("jaccard"))
     } finally { withSh.unpersist(); () }

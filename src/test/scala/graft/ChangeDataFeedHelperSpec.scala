@@ -33,6 +33,20 @@ class ChangeDataFeedHelperSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(v0 == 3)
   }
 
+  it("readCDF over many versions batches into at most two parquet scans") {
+    val t = cdfTable(tmpTableDir("cdf-batch"))
+    (0 until 50).foreach(i => t.append(Seq((100 + i, s"x$i")).toDF("id", "name")))
+    upsert(t, Seq((1, "Z")))  // one cdc-bearing version at the end
+    val cdf = ChangeDataFeedHelper(spark, t.path, 0, 51).readCDF
+    val scans = "Scan parquet|FileScan".r
+      .findAllIn(cdf.queryExecution.executedPlan.toString).length
+    assert(scans <= 2, s"expected <=2 parquet scans for 52 versions, got $scans")
+    // per-version stamping survives the batched read
+    assert(cdf.filter("_commit_version = 25").count() == 1)
+    assert(cdf.filter("_change_type = 'insert'").count() == 3 + 50)
+    assert(cdf.filter("_change_type = 'update_postimage'").count() == 1)
+  }
+
   it("dryRun passes on an intact range and the helper returns itself") {
     val t = cdfTable(tmpTableDir("cdf-dry"))
     upsert(t, Seq((1, "A")))

@@ -113,6 +113,34 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
         "file:///tmp/t/xcity=a/part-1.parquet", "city=a/part-1.parquet")) // boundary guard
     }
 
+    it("checkpoints every 10 commits; snapshot replays from the checkpoint") {
+      val dir = tmpTableDir("graft-ckpt")
+      val log = new GraftLog(dir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+      log.commit(0L, Seq(Metadata(schema.json), CommitInfo(0L, "CREATE TABLE")))
+      // 200 synthetic commits: add a file, remove the one from 2 versions ago
+      (1L to 200L).foreach { v =>
+        val acts = Seq.newBuilder[Action]
+        acts += AddFile(s"f$v.parquet", size = v)
+        if (v > 2) acts += RemoveFile(s"f${v - 2}.parquet")
+        acts += CommitInfo(v, "WRITE")
+        log.commit(v, acts.result())
+      }
+      assert(log.checkpointVersions().nonEmpty)
+      assert(log.checkpointVersions().last == 200L)
+      val snap = log.snapshot(200L)
+      assert(snap.files.map(_.path).toSet == Set("f199.parquet", "f200.parquet"))
+      // delete every version file below the last checkpoint: snapshot must
+      // still materialize purely from the checkpoint (≤ 2 log reads: the
+      // sidecar + nothing after it)
+      (0L until 200L).foreach(v => java.nio.file.Files.deleteIfExists(log.versionFile(v)))
+      val fromCkpt = log.snapshot(200L)
+      assert(fromCkpt.files.map(_.path).toSet == Set("f199.parquet", "f200.parquet"))
+      // time travel below a checkpoint still folds version files when present
+      assert(log.snapshot(200L).version == 200L)
+    }
+
     it("handles timestamp and date columns with stats") {
       val dir = tmpTableDir("graft-ts")
       val df = Seq(

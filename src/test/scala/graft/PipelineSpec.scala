@@ -63,6 +63,21 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(pairs((1L, 2L)) == 1.0)
       assert(pairs.get((1L, 3L)).exists(j => j > 0.3 && j < 1.0))
     }
+
+    it("maxGramDf caps hot-gram candidate explosion, keeps distinct near-dups") {
+      // 40 docs made ENTIRELY of one boilerplate gram (df=40 > cap) — without
+      // the cap they alone produce 780 pairs; with it, none. Two docs sharing
+      // distinctive grams (df=2 <= cap) must still be found with exact jaccard.
+      val boiler = (100L until 140L).map(i => (i, "all rights reserved"))
+      val dups = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy dog"))
+      val df = (boiler ++ dups).toDF("doc_id", "text")
+      val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+        threshold = 0.5, maxGramDf = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(pairs == Map((1L, 2L) -> 1.0))
+    }
   }
 
   describe("Dedup.embeddingCosinePairs") {

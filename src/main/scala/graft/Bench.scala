@@ -27,7 +27,8 @@ object Bench {
         case _ => col(c)
       }
     }.toIndexedSeq: _*)
-    hashable.agg(sum(xxhash64(struct(hashable.columns.map(col).toIndexedSeq: _*)))).collect()
+    // bit_xor, not sum: ANSI mode (Spark 4 default) throws on long overflow
+    hashable.agg(bit_xor(xxhash64(struct(hashable.columns.map(col).toIndexedSeq: _*)))).collect()
     ()
   }
 

@@ -259,10 +259,17 @@ object GraftHelpers {
           properties = snap.metadata.properties)
         ()
       case (None, Some(name)) =>
-        val w = table.toDF.write
-        val pw = if (snap.metadata.partitionColumns.nonEmpty)
-          w.partitionBy(snap.metadata.partitionColumns: _*) else w
-        pw.options(snap.metadata.properties).saveAsTable(name)
+        // name-based copy creates a REAL GraftTable under the session
+        // warehouse dir and registers the name for GraftTable.forName —
+        // metastore-free analogue of `CREATE TABLE name ... LOCATION path`
+        // (a plain saveAsTable would lose the graft log + properties)
+        val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        val dest = java.nio.file.Paths.get(warehouse, name.split('.'): _*).toString
+        GraftTable.create(spark, dest, table.toDF,
+          partitionColumns = snap.metadata.partitionColumns,
+          properties = snap.metadata.properties)
+        GraftTable.registerTable(spark, name, dest)
       case (Some(_), Some(_)) =>
         throw GraftValidationError(
           "Ambiguous destination only one of the two must be defined targetPath or targetTableName.")
@@ -298,7 +305,7 @@ object GraftHelpers {
     */
   def findCompositeKeyCandidate(table: GraftTable,
       excludeCols: Seq[String] = Nil,
-      approxPrefilter: Boolean = false): Seq[String] = {
+      approxPrefilter: Boolean = true): Seq[String] = {
     val df = table.toDF
     val cleaned = df.drop(excludeCols: _*)
     val totalCols = cleaned.columns.length
@@ -319,7 +326,9 @@ object GraftHelpers {
       // one distributed pass computes approx NDV for every combination
       val comboList = combos.toSeq
       val aggs = comboList.zipWithIndex.map { case (c, i) =>
-        approx_count_distinct(concat_ws("", c.map(col): _*)).as(s"c$i")
+        // non-printing separator keeps ("ab","c") distinct from ("a","bc") in
+        // the concatenated key; the exact confirm removes false positives
+        approx_count_distinct(concat_ws("\u0001", c.map(col): _*)).as(s"c$i")
       }
       val approx = cleaned.agg(aggs.head, aggs.tail: _*).collect()(0)
       comboList.zipWithIndex

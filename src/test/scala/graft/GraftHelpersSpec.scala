@@ -122,6 +122,17 @@ class GraftHelpersSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(dest.snapshot.metadata.properties("graft.foo") == "bar")
       assert(dest.version == 0L) // history NOT copied
     }
+    it("name-based copy creates a registered GraftTable in the warehouse") {
+      val src = GraftTable.create(spark, tmpTableDir("m8n"),
+        Seq((1, "US"), (2, "DE")).toDF("id", "country"),
+        properties = Map("graft.foo" -> "bar"))
+      val name = "m8copy_" + System.nanoTime
+      GraftHelpers.copyTable(src, targetTableName = Some(name))
+      val dest = GraftTable.forName(spark, name)
+      assertSmallDataFrameEquality(dest.toDF, src.toDF)
+      assert(dest.snapshot.metadata.properties("graft.foo") == "bar")
+    }
+
     it("rejects ambiguous destinations") {
       val src = GraftTable.create(spark, tmpTableDir("m8e"), Seq(1).toDF("id"))
       assertThrows[GraftValidationError] {

@@ -11,9 +11,11 @@ import com.fasterxml.jackson.module.scala.DefaultScalaModule
 /** Reader/writer for a table's `_graft_log/` commit log.
   *
   * Driver-side only (log files are small: O(#files touched) lines per commit).
-  * Single-writer, last-writer-wins: commits are staged to a temp file and
-  * atomically renamed into place (SURVEY §7.5 — optimistic concurrency is
-  * deliberately out of scope).
+  * Optimistic concurrency: a commit claims its version file atomically
+  * (hard-link creation fails on EEXIST), so concurrent writers get exactly
+  * one winner per version; losers receive [[CommitConflictException]] —
+  * blind appends retry automatically in TableWriter, removal-bearing commits
+  * abort (see TableWriter.write step 5).
   */
 class GraftLog(val tablePath: String) {
   import GraftLog._
@@ -148,7 +150,14 @@ class GraftLog(val tablePath: String) {
     Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Atomically commit `actions` as `version`. Fails if the version exists.
+  /** Atomically commit `actions` as `version`.
+    *
+    * The version claim is a hard-link creation — the POSIX primitive that
+    * FAILS (EEXIST) when the target exists, unlike rename which silently
+    * replaces. Two writers racing for the same version number therefore get
+    * exactly one winner; the loser sees [[CommitConflictException]] and can
+    * re-read the log and retry at the next version (optimistic concurrency).
+    *
     * Every [[GraftLog.CheckpointInterval]]th version also materializes a
     * checkpoint sidecar (best-effort: a failed checkpoint never fails the
     * commit — the next interval retries).
@@ -156,17 +165,34 @@ class GraftLog(val tablePath: String) {
   def commit(version: Long, actions: Seq[Action]): Unit = {
     Files.createDirectories(logDir)
     val target = versionFile(version)
-    if (Files.exists(target))
-      throw new IllegalStateException(s"version $version already committed for $tablePath")
+    if (Files.exists(target)) // cheap pre-check; the link below is the gate
+      throw new CommitConflictException(tablePath, version)
     val tmp = Files.createTempFile(logDir, s".$version", ".json.tmp")
     val body = actions.map(renderAction).mkString("", "\n", "\n")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    try {
+      try Files.createLink(target, tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new CommitConflictException(tablePath, version)
+        case _: UnsupportedOperationException =>
+          // filesystem without hard links: fall back to atomic rename
+          // (single-writer guarantee only, as before)
+          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      }
+    } finally Files.deleteIfExists(tmp)
     if (version > 0 && version % CheckpointInterval == 0)
       try writeCheckpoint(version)
       catch { case scala.util.control.NonFatal(_) => () }
   }
 }
+
+/** Another writer claimed `version` first — re-read the log and retry (safe
+  * for commutable commits like blind appends) or abort.
+  */
+class CommitConflictException(tablePath: String, val version: Long)
+  extends RuntimeException(
+    s"version $version of $tablePath was committed concurrently by another writer")
 
 object GraftLog {
   val LogDirName = "_graft_log"

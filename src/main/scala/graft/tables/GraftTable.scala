@@ -110,14 +110,21 @@ class GraftTable private (val spark: SparkSession, val path: String) {
     * scenarios, reference `ChangeDataFeedHelperSpec.scala:207-208`).
     */
   def setProperties(props: Map[String, String]): Long = {
-    val s = snapshot
-    val v = s.version + 1
-    log.commit(v, Seq(
-      graft.tables.Metadata(s.metadata.schemaJson, s.metadata.partitionColumns,
-        s.metadata.properties ++ props),
-      CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES",
-        operationParameters = Map("properties" -> props.toString))))
-    v
+    // metadata-only commit commutes: on a lost race, re-read and reapply
+    var committed = -1L
+    while (committed < 0) {
+      val s = snapshot
+      val v = s.version + 1
+      try {
+        log.commit(v, Seq(
+          graft.tables.Metadata(s.metadata.schemaJson, s.metadata.partitionColumns,
+            s.metadata.properties ++ props),
+          CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES",
+            operationParameters = Map("properties" -> props.toString))))
+        committed = v
+      } catch { case _: CommitConflictException => () }
+    }
+    committed
   }
 
   /** Append rows (mergeSchema semantics: unseen columns extend the schema). */

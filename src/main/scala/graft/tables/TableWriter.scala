@@ -112,17 +112,12 @@ object TableWriter {
         case _                    => Nil
       }
 
-      // 5. assemble + commit
-      val removes: Seq[Action] = (mode match {
-        case Overwrite => prevSnapshot.map(_.files.map(f => RemoveFile(f.path))).getOrElse(Nil)
-        case Append    => Nil
-      }) ++ removeFiles.map(RemoveFile(_))
-      val metaChanged = prevSnapshot.forall { s =>
-        s.schema != newSchema || s.metadata.properties != newProps ||
-        s.metadata.partitionColumns != partCols
-      }
-      val metaActions: Seq[Action] =
-        if (metaChanged) Seq(Metadata(newSchema.json, partCols, newProps)) else Nil
+      // 5. assemble + commit, with optimistic-concurrency retry.
+      // A blind append (no removed files, no overwrite) commutes with any
+      // concurrent commit: on conflict, re-read the snapshot, re-merge the
+      // schema and retry at the next version. Anything that removes files
+      // read an older state to decide WHAT to remove — retrying could drop
+      // another writer's data, so it aborts instead (Delta's conflict rule).
       // operation-specific file-count keys are computed here (the caller
       // can't know them before the write); the Delta metric vocabulary is
       // what the metric helpers parse (graft.log.OperationMetric)
@@ -141,14 +136,50 @@ object TableWriter {
         "numOutputRows" -> numOutputRows.toString,
         "numOutputBytes" -> adds.map(_.size).sum.toString
       ) ++ extraMetrics ++ opSpecific
-      val commitInfo = CommitInfo(
-        timestamp = System.currentTimeMillis(),
-        operation = operation,
-        operationParameters = operationParameters,
-        operationMetrics = metrics
-      )
-      log.commit(version, metaActions ++ adds ++ removes ++ cdcActions ++ extraActions :+ commitInfo)
-      version
+      val commutable = mode == Append && removeFiles.isEmpty
+      val maxAttempts = 20
+      var attemptSnap = prevSnapshot
+      var attempt = 0
+      var committed = -1L
+      while (committed < 0) {
+        attempt += 1
+        val v = attemptSnap.map(_.version + 1).getOrElse(0L)
+        val schemaNow = (mode, attemptSnap) match {
+          case (Append, Some(s)) => mergeSchemas(s.schema, df.schema)
+          case _                 => newSchema
+        }
+        val propsNow = attemptSnap.map(_.metadata.properties)
+          .getOrElse(GraftTable.sessionDefaultProperties(spark)) ++ properties
+        val removes: Seq[Action] = (mode match {
+          case Overwrite => attemptSnap.map(_.files.map(f => RemoveFile(f.path))).getOrElse(Nil)
+          case Append    => Nil
+        }) ++ removeFiles.map(RemoveFile(_))
+        val metaChanged = attemptSnap.forall { s =>
+          s.schema != schemaNow || s.metadata.properties != propsNow ||
+          s.metadata.partitionColumns != partCols
+        }
+        val metaActions: Seq[Action] =
+          if (metaChanged) Seq(Metadata(schemaNow.json, partCols, propsNow)) else Nil
+        val commitInfo = CommitInfo(
+          timestamp = System.currentTimeMillis(),
+          operation = operation,
+          operationParameters = operationParameters,
+          operationMetrics = metrics
+        )
+        try {
+          log.commit(v, metaActions ++ adds ++ removes ++ cdcActions ++ extraActions :+ commitInfo)
+          committed = v
+        } catch {
+          case e: CommitConflictException =>
+            if (!commutable || attempt >= maxAttempts)
+              throw new java.util.ConcurrentModificationException(
+                s"commit of $operation at version ${e.version} of $tablePath lost a race with " +
+                  "a concurrent writer and is not safely retryable " +
+                  "(it removes files decided against a stale snapshot); re-run the operation")
+            attemptSnap = Some(log.snapshot())
+        }
+      }
+      committed
     } finally deleteRecursively(staging)
   }
 

@@ -141,6 +141,38 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(log.snapshot(200L).version == 200L)
     }
 
+    it("commit claims a version atomically; losers get CommitConflictException") {
+      val dir = tmpTableDir("graft-occ")
+      val log = new GraftLog(dir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+      log.commit(0L, Seq(Metadata(schema.json), CommitInfo(0L, "CREATE TABLE")))
+      assertThrows[CommitConflictException] {
+        log.commit(0L, Seq(Metadata(schema.json), CommitInfo(1L, "WRITE")))
+      }
+    }
+
+    it("concurrent blind appends both land (append retries on conflict)") {
+      val dir = tmpTableDir("graft-occ2")
+      val t = GraftTable.create(spark, dir, Seq((0, "base")).toDF("id", "name"))
+      val perWriter = 5
+      val threads = (1 to 2).map { w =>
+        new Thread(() => {
+          val mine = GraftTable.forPath(spark, dir)
+          (0 until perWriter).foreach { i =>
+            mine.append(Seq((w * 100 + i, s"w$w-$i")).toDF("id", "name"))
+          }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      // every append committed exactly once, at distinct versions
+      assert(t.toDF.count() == 1 + 2 * perWriter)
+      assert(t.version == 2L * perWriter)
+      // mutations are NOT retried: losing a race aborts with a clear error
+      // (exercised at the unit level: a removal-bearing commit into a claimed
+      // version surfaces as ConcurrentModificationException via TableWriter)
+    }
+
     it("handles timestamp and date columns with stats") {
       val dir = tmpTableDir("graft-ts")
       val df = Seq(

@@ -35,15 +35,23 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- analytics headliners (Catalyst-native; pushdown + partial agg) ----
+    // NOTE on version-proof outputs (round-3 hardening): the r2 driver hash
+    // skew on q1/q3/q4 came from engine-VERSION-dependent semantics — DuckDB
+    // changed both double→DECIMAL cast rounding and TIMESTAMP_NS handling
+    // across releases (1.0.0 truncates ns→µs at parquet read; newer versions
+    // surface TIMESTAMP_NS). These queries therefore avoid both: money/value
+    // aggregates use fixed-point BIGINT via floor(x*scale + 0.5) — every step
+    // is an IEEE-754 double op + integer op that ALL engines define
+    // identically — and event timestamps travel as BIGINT epoch-µs
+    // (Spark: raw-ns `ts div 1000`; DuckDB: `epoch_ns(ts) // 1000`, which
+    // truncates identically whether the read surfaced ns or µs).
     "q1_pricing_summary" -> ((s, dir) => {
       read(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          // explicit DECIMAL(38,2): Spark widens sum(decimal(18,2)) to (28,2),
-          // DuckDB to (38,2) — pin both engines to the same output type
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base_price"),
+          sum(expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)")).as("sum_qty_c"),
+          sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")).as("sum_base_price_c"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -53,53 +61,49 @@ object SparkEntry {
       orders
         .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_spent"),
+        .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("total_spent_c"),
           count(lit(1)).as("order_count"))
-        .orderBy(col("total_spent").desc, col("c_custkey"))
+        .orderBy(col("total_spent_c").desc, col("c_custkey"))
         .limit(10)
     }),
     "q3_user_running_totals" -> ((s, dir) => {
-      // events.ts is TIMESTAMP(NANOS) parquet — Spark reads it as a raw long
-      // under this flag; ordering by the raw value is order-equivalent
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      // event_id is unique, so ordering by it ALONE is engine-proof: no
+      // timestamp comparison can reorder rows between engines
+      val w = Window.partitionBy("user_id").orderBy("event_id")
       read(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
         .withColumn("event_seq", row_number().over(w))
-        .withColumn("running_value",
-          sum(col("value").cast("decimal(18,4)"))
-            .over(w.rowsBetween(Window.unboundedPreceding, 0))
-            .cast("decimal(38,4)"))
-        .select("event_id", "user_id", "event_seq", "running_value")
+        .withColumn("running_value_e4",
+          sum(expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select("event_id", "user_id", "event_seq", "running_value_e4")
     }),
 
     "q4_sessionize" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val events = read(s, dir, "events").select(
         col("event_id"), col("user_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts"), // integer division: match DuckDB's ns→µs truncation
-        col("value").cast("decimal(18,4)").as("value"))
+        expr("ts div 1000").as("ts_us"), // raw-ns long → truncated epoch-µs
+        expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("value"))
       graft.streaming.StreamingOps
         .sessionizeBatch(events, gapMs = 30 * 60 * 1000L,
-          orderCols = Seq("ts", "event_id"))
-        // timestamp_ntz output: session TZ is pinned UTC, so the cast is
-        // value-preserving and the parquet dump matches DuckDB's naive TIMESTAMP
+          tsCol = "ts_us", orderCols = Seq("ts_us", "event_id"),
+          tsMillis = Some(expr("ts_us div 1000")))
         .select(col("user_id"),
-          col("session_start").cast("timestamp_ntz").as("session_start"),
-          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("session_start").as("session_start_us"),
+          col("session_end").as("session_end_us"),
           col("events"),
-          col("total_value").cast("decimal(38,4)").as("total_value"))
+          col("total_value").as("total_value_e4"))
     }),
 
     "q5_asof_join" -> ((s, dir) => {
       // point-in-time join: each event picks the latest "state marker" row
-      // (every 50th event of the same user) at or before its timestamp
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // (every 50th event of the same user) at or before its timestamp;
+      // times travel as BIGINT epoch-µs (see version-proofing note above)
       val events = read(s, dir, "events").select(
-        col("event_id"), col("user_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts"))
+        col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
       val markers = events.filter(col("event_id") % 50 === 0)
-        .select(col("user_id"), col("ts").as("mts"), col("event_id").as("marker_id"))
-      AsOfJoin.asofJoin(events, markers, Seq("user_id"), "ts", "mts", Seq("marker_id"))
+        .select(col("user_id"), col("ts_us").as("mts_us"), col("event_id").as("marker_id"))
+      AsOfJoin.asofJoin(events, markers, Seq("user_id"), "ts_us", "mts_us", Seq("marker_id"))
         .select(col("event_id"), col("user_id"), col("marker_id"))
     }),
 
@@ -370,8 +374,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -379,48 +383,48 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_top_customers" ->
       """SELECT c_custkey, c_name,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spent,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_spent_c,
         |  count(*) AS order_count
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name
-        |ORDER BY total_spent DESC, c_custkey
+        |ORDER BY total_spent_c DESC, c_custkey
         |LIMIT 10""".stripMargin,
     "q3_user_running_totals" ->
       """SELECT event_id, user_id,
         |  CAST(row_number() OVER w AS INT) AS event_seq,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4)) AS running_value
+        |  CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS running_value_e4
         |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "k1_md5_surrogate" ->
       "SELECT c_custkey, md5(c_name || '||' || c_mktsegment) AS unique_id FROM customer",
     "q4_sessionize" ->
       """WITH e AS (
-        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
-        |         CAST(value AS DECIMAL(18,4)) AS value
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+        |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS value
         |  FROM events),
         |x AS (
-        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-        |                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                   OR (ts_us // 1000) - ((lag(ts_us) OVER w) // 1000) > 1800000
         |                 THEN 1 ELSE 0 END AS ns
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
         |y AS (
-        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |                          ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM x)
-        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |SELECT user_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
         |       CAST(count(*) AS INT) AS events,
-        |       CAST(sum(value) AS DECIMAL(38,4)) AS total_value
+        |       CAST(sum(value) AS BIGINT) AS total_value_e4
         |FROM y GROUP BY user_id, sid""".stripMargin,
     "k3_find_composite_key" ->
       "SELECT 's_suppkey' AS key_columns",
     "q5_asof_join" ->
       """WITH e AS (
-        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
         |m AS (
-        |  SELECT user_id, ts AS mts, event_id AS marker_id FROM e WHERE event_id % 50 = 0)
+        |  SELECT user_id, ts_us AS mts_us, event_id AS marker_id FROM e WHERE event_id % 50 = 0)
         |SELECT e.event_id, e.user_id, m.marker_id
-        |FROM e ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts >= m.mts""".stripMargin,
+        |FROM e ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts_us >= m.mts_us""".stripMargin,
     "k4_is_composite_key" ->
       """SELECT
         |  (SELECT count(*) FROM lineitem) =

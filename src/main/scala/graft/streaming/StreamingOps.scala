@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -92,22 +92,29 @@ object StreamingOps {
 
   /** Batch-mode sessionization over the same gap semantics (for backfill and
     * the correctness oracle): pure window functions, no state store.
+    *
+    * `tsCol` is normally a TimestampType column; pass `tsMillis` to supply
+    * the epoch-ms expression yourself when `tsCol` is numeric (e.g. a raw
+    * epoch-µs BIGINT: `Some(expr("ts_us div 1000"))`) — gap comparison then
+    * runs on engine-version-proof integer arithmetic, and session_start/end
+    * come back in the column's own unit.
     */
   def sessionizeBatch(events: DataFrame, gapMs: Long,
       tsCol: String = "ts", userCol: String = "user_id",
-      orderCols: Seq[String] = Nil): DataFrame = {
+      orderCols: Seq[String] = Nil,
+      tsMillis: Option[Column] = None): DataFrame = {
     val order = if (orderCols.nonEmpty) orderCols else Seq(tsCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(userCol).orderBy(order.map(col): _*)
     events
-      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__ms", tsMillis.getOrElse(unix_millis(col(tsCol))))
+      .withColumn("__prev", lag(col("__ms"), 1).over(w))
       .withColumn("__new_session",
-        when(col("__prev").isNull ||
-          (unix_millis(col(tsCol)) - unix_millis(col("__prev"))) > gapMs, 1)
+        when(col("__prev").isNull || (col("__ms") - col("__prev")) > gapMs, 1)
           .otherwise(0))
       .withColumn("__session_id", sum(col("__new_session")).over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .drop("__prev", "__new_session")
+      .drop("__ms", "__prev", "__new_session")
       .groupBy(col(userCol), col("__session_id"))
       .agg(min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),

@@ -206,9 +206,10 @@ object GraftMerge {
     // --- 2+3. fused touch-detection + rewrite join -------------------------
     // ONE full-outer join over all candidate rows (each carrying its file
     // name) replaces the former inner "touch" join plus second full-outer
-    // over touched files: candidates are scanned once, and the touched-file
-    // set, multi-match guard, source-row count and all merge metrics fall
-    // out of a single aggregate over the checkpointed join.
+    // over touched files: candidates are scanned once; the multi-match guard,
+    // source-row count and merge metrics fall out of a single aggregate over
+    // the checkpointed join, and the touched-file set out of a cheap
+    // distinct-collect over the same cached blocks.
     // localCheckpoint (not persist): the joined frame feeds several jobs and
     // carries synthetic row ids — a lost-and-recomputed cache partition would
     // reassign ids between jobs, so lineage is cut: a lost partition fails
@@ -247,8 +248,7 @@ object GraftMerge {
         countWhere(insertCodes).as("ins"),
         count(when(isPair, 1)).as("mpairs"),
         countDistinct(when(isPair, col(TgtExists))).as("mrows"),
-        countDistinct(col(SrcIdCol)).as("nsrc"),
-        collect_set(when(isPair, col(FileCol))).as("touched_uris")
+        countDistinct(col(SrcIdCol)).as("nsrc")
       ).collect()(0)
       def g(i: Int): Long = if (m.isNullAt(i)) 0L else m.getLong(i)
       val (nUpd, nDel, nIns) = (g(0), g(1), g(2))
@@ -265,9 +265,13 @@ object GraftMerge {
 
       // touched files: the distinct file names seen on matched pairs, decoded
       // once and resolved against the candidate list (O(uris), not O(uris ×
-      // candidates))
+      // candidates)). A distinct-collect over the checkpointed join, not a
+      // collect_set in the metrics aggregate: partial distinct runs map-side
+      // and the driver receives one row per file name, so a 100k-file merge
+      // never funnels every URI through a single aggregation buffer.
       val touchedUris: Set[String] =
-        m.getSeq[String](6).toSet
+        joined.where(isPair).select(col(FileCol)).distinct()
+          .collect().iterator.map(_.getString(0)).toSet
       val touched = TableWriter.resolveTouched(touchedUris, candidates)
 
       // numTargetRowsCopied without another distinct-aggregate pass: every
@@ -289,15 +293,16 @@ object GraftMerge {
 
       // --- output rows -----------------------------------------------------
       // Rewritten target rows come only from touched files (Copy rows in
-      // untouched files stay in place); dedupe on the unique target-row id: a
-      // target row matched by several source rows under a sole-unconditional-
-      // delete merge joins once per pair but must be counted/copied exactly
-      // once. Source-only inserts pass through from the full join.
+      // untouched files stay in place). Source-only inserts pass through from
+      // the full join. Kept rows need NO dedup shuffle: the multi-match guard
+      // above admits duplicate join pairs only when the sole matched clause is
+      // an unconditional delete, and in that case every duplicated target row
+      // carries a delete code and is filtered here — so each surviving row's
+      // TgtExists id appears exactly once in every reachable configuration.
       val outCols = targetCols.map(c =>
         outputColumn(c, targetAlias, srcAliasName, matched, notMatched, sourceColsRenamed).as(c))
       val targetKeep = touchedData
         .where(col(TgtExists).isNotNull && col(ActionCol) =!= Drop && !inCodes(deleteCodes))
-        .dropDuplicates(TgtExists)
         .select(outCols: _*)
       val inserts = joined.where(col(TgtExists).isNull && inCodes(insertCodes))
         .select(outCols: _*)

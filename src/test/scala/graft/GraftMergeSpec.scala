@@ -130,6 +130,43 @@ class GraftMergeSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(t2.toDF.count() == 3)
     }
 
+    it("rewrite write plans no dedup shuffle on the synthetic row id") {
+      // kept rows are provably unique (multi-match is rejected unless the sole
+      // clause is an unconditional delete, whose duplicates are all dropped),
+      // so the data-write plan must not re-shuffle on the synthetic __graft_tgt
+      val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          plans.add(qe.executedPlan.toString)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        val t = mkTable(tmpTableDir("merge-noshuffle"))
+        GraftMerge(t, "old")
+          .merge(Seq((2, "B!", 200), (4, "d", 40)).toDF("id", "name", "score"),
+            "old.id = new.id", Some("new"))
+          .whenMatchedUpdateAll()
+          .whenNotMatchedInsertAll()
+          .execute()
+        // listener delivery is async: wait for the rewrite's data-write plan
+        // (the only WRITE whose plan references the synthetic row id)
+        import scala.jdk.CollectionConverters._
+        def writePlans() = plans.asScala.toSeq
+          .filter(p => p.contains("InsertIntoHadoopFsRelation") && p.contains("__graft_tgt"))
+        val deadline = System.currentTimeMillis() + 30000
+        while (writePlans().isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        val rewrites = writePlans()
+        assert(rewrites.nonEmpty, "no rewrite write plan captured")
+        rewrites.foreach { p =>
+          assert(!p.contains("hashpartitioning(__graft_tgt"),
+            s"rewrite plan still shuffles on the synthetic row id:\n$p")
+        }
+      } finally spark.listenerManager.unregister(listener)
+    }
+
     it("dynamic pruning: a narrow source touches only overlapping files") {
       spark.conf.set("spark.sql.files.maxRecordsPerFile", "4")
       try {

@@ -304,10 +304,15 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
     "d6_ivf_topk" -> ((s, dir) => {
-      // approximate by construction: rows-only check (recall vs d5 asserted in specs)
+      // nProbe = numCentroids probes every inverted list, so each
+      // (query, corpus) pair is scored exactly once with the same cosine
+      // expression as brute force — IVF degenerates to exact and d5's DuckDB
+      // oracle applies verbatim. The approximate setting (nProbe = 4) keeps
+      // its recall assertion in SimilaritySpec.
       val emb = read(s, dir, "embeddings")
       Similarity.ivfTopK(emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", 5, numCentroids = 16, nProbe = 4)
+        "vec_id", "embedding", 5, numCentroids = 16, nProbe = 16)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
     "d7_embedding_near_dup" -> ((s, dir) => {
       // the synthetic table has no natural near-dups (max pairwise cosine
@@ -575,20 +580,28 @@ object SparkEntry {
       """SELECT vec_id AS idA, vec_id + 100000 AS idB
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     "d4_ngram_jaccard_pairs" -> ngramJaccardOracle(0.5),
-    "d5_cosine_topk" ->
-      """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-        |         list_dot_product(q.v, c.v) /
-        |           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-        |  FROM c, q),
-        |ranked AS (
-        |  SELECT query_id, corpus_id,
-        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
-        |  FROM scored)
-        |SELECT query_id, CAST(rnk AS INT) AS rank, corpus_id FROM ranked WHERE rnk <= 5""".stripMargin
+    "d5_cosine_topk" -> cosineTopkOracle,
+    // d6 runs IVF with nProbe = numCentroids (degenerate-exact), so the
+    // brute-force oracle applies verbatim
+    "d6_ivf_topk" -> cosineTopkOracle
   )
+
+  /** Exact cosine top-5 in DuckDB — oracle for both the brute-force (d5) and
+    * the full-probe IVF (d6) Spark implementations.
+    */
+  private def cosineTopkOracle: String =
+    """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+      |         list_dot_product(q.v, c.v) /
+      |           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      |  FROM c, q),
+      |ranked AS (
+      |  SELECT query_id, corpus_id,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+      |  FROM scored)
+      |SELECT query_id, CAST(rnk AS INT) AS rank, corpus_id FROM ranked WHERE rnk <= 5""".stripMargin
 
   /** Exact all-pairs n-gram jaccard in DuckDB — oracle for both the
     * LSH-accelerated (d2) and inverted-index (d4) Spark implementations.

@@ -160,25 +160,50 @@ object GraftTable {
   }
 
   /** Resolve a registered name to its table path — analogue of
-    * `DeltaTable.forName` (reference `DeltaHelperSpec.scala:438`). Names are
-    * registered with [[registerTable]] (metastore-free: a session-scoped
-    * name → path mapping).
+    * `DeltaTable.forName` (reference `DeltaHelperSpec.scala:438`). Resolution
+    * order: the session-conf registry (legacy [[registerTable]] mapping),
+    * then the real Spark catalog (a `USING graft` table created by
+    * [[registerTable]] or by SQL `CREATE TABLE ... USING graft LOCATION`).
     */
   def forName(spark: SparkSession, name: String): GraftTable = {
     val key = s"spark.graft.table.$name"
-    val path = spark.conf.getOption(key).getOrElse(
+    val path = spark.conf.getOption(key).orElse(catalogLocation(spark, name)).getOrElse(
       throw new IllegalArgumentException(
         s"table '$name' is not registered; call GraftTable.registerTable first"))
     forPath(spark, path)
   }
 
-  /** Register `name` → `path` for [[forName]] lookups — analogue of
+  /** The storage location of `name` if the Spark catalog knows it as a
+    * `USING graft` table.
+    */
+  private def catalogLocation(spark: SparkSession, name: String): Option[String] =
+    try {
+      val t = spark.catalog.getTable(name)
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(t.name, Option(t.database))
+      val meta = spark.sessionState.catalog.getTableMetadata(ident)
+      if (!meta.provider.exists(_.equalsIgnoreCase("graft"))) None
+      else meta.storage.locationUri.map(u => java.nio.file.Paths.get(u).toString)
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Register `name` → `path` — analogue of
     * `CREATE TABLE name USING DELTA LOCATION '<path>'`
-    * (reference `OperationMetricHelperSpec.scala:288`).
+    * (reference `OperationMetricHelperSpec.scala:288`). The table lands in
+    * the REAL Spark catalog (visible in `spark.catalog.listTables`, readable
+    * through `spark.sql("SELECT ... FROM name")`, insertable through SQL
+    * `INSERT INTO`) via the `graft` data source, which resolves the commit
+    * log at scan time so only live snapshot files are read. A session-conf
+    * mapping is kept alongside for metastore-free callers.
     */
   def registerTable(spark: SparkSession, name: String, path: String): Unit = {
     require(exists(path), s"$path is not a GraftTable")
     spark.conf.set(s"spark.graft.table.$name", path)
+    val ident = name.split('.').map(p => s"`$p`").mkString(".")
+    val loc = java.nio.file.Paths.get(path).toAbsolutePath.toString.replace("'", "''")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $ident USING graft LOCATION '$loc'")
+    // the cached catalog plan (and its frozen schema) must follow the CURRENT
+    // log state when a name is re-registered after external writes
+    spark.catalog.refreshTable(ident)
+    ()
   }
 
   /** DDL-style creation of an EMPTY table from a schema — analogue of

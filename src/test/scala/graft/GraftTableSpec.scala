@@ -93,6 +93,35 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assertThrows[IllegalArgumentException] { GraftTable.forName(spark, "nope") }
     }
 
+    it("registerTable lands in the real Spark catalog: SQL reads, listTables, INSERT") {
+      val dir = tmpTableDir("graft-catalog")
+      val t = GraftTable.create(spark, dir,
+        Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("id", "name", "score"))
+      val name = "cat_tbl_" + System.nanoTime
+      GraftTable.registerTable(spark, name, dir)
+
+      assert(spark.catalog.listTables().collect().exists(_.name == name))
+      assert(spark.sql(s"SELECT count(*) AS n FROM $name").head().getLong(0) == 3L)
+      assert(spark.sql(s"SELECT name FROM $name WHERE score > 15 ORDER BY id")
+        .as[String].collect().toSeq == Seq("b", "c"))
+
+      // SQL INSERT INTO goes through the graft commit protocol
+      spark.sql(s"INSERT INTO $name VALUES (4, 'd', 40)")
+      assert(t.version == 1L)
+      assert(spark.sql(s"SELECT count(*) AS n FROM $name").head().getLong(0) == 4L)
+
+      // the catalog table must follow the LOG, not the directory: an
+      // overwrite tombstones the old files but leaves them on disk, and a
+      // directory-level (plain parquet) read would double-count
+      t.overwrite(Seq((9, "z", 90)).toDF("id", "name", "score"))
+      assert(spark.sql(s"SELECT id FROM $name").as[Int].collect().toSeq == Seq(9))
+
+      // catalog-only resolution: a fresh name with no session-conf entry
+      val sqlName = "cat_sql_" + System.nanoTime
+      spark.sql(s"CREATE TABLE $sqlName USING graft LOCATION '$dir'")
+      assert(GraftTable.forName(spark, sqlName).toDF.count() == 1)
+    }
+
     it("new tables inherit session-level default properties") {
       spark.conf.set(GraftTable.DefaultsPrefix + "enableChangeDataFeed", "true")
       try {

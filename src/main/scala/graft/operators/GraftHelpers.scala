@@ -325,14 +325,24 @@ object GraftHelpers {
     } else {
       // one distributed pass computes approx NDV for every combination
       val comboList = combos.toSeq
+      val rsd = 0.05
       val aggs = comboList.zipWithIndex.map { case (c, i) =>
         // non-printing separator keeps ("ab","c") distinct from ("a","bc") in
-        // the concatenated key; the exact confirm removes false positives
-        approx_count_distinct(concat_ws("\u0001", c.map(col): _*)).as(s"c$i")
+        // the concatenated key, and a NULL marker keeps ('a',NULL) distinct
+        // from (NULL,'a') -- concat_ws SKIPS null values, so without the
+        // coalesce NULL-permuted tuples collapse and a true key's NDV
+        // deflates below the cutoff (false negative). The exact confirm
+        // still removes any false positives.
+        val parts = c.map(cn => coalesce(col(cn).cast("string"), lit("\u0000N")))
+        approx_count_distinct(concat_ws("\u0001", parts: _*), rsd).as(s"c$i")
       }
       val approx = cleaned.agg(aggs.head, aggs.tail: _*).collect()(0)
+      // admit everything within 4 standard errors of the baseline: a true
+      // key's HLL estimate stays above this band (P(miss) ~ 3e-5), and the
+      // only cost of admitting a near-miss is one exact confirmation
+      val cutoff = (baseline * (1.0 - 4 * rsd)).toLong
       comboList.zipWithIndex
-        .filter { case (_, i) => approx.getLong(i) >= (baseline * 0.9).toLong }
+        .filter { case (_, i) => approx.getLong(i) >= cutoff }
         .map(_._1)
         .find(c => exactDistinct(c) == baseline)
         .map(_.toSeq).getOrElse(Nil)

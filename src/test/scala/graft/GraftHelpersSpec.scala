@@ -163,6 +163,22 @@ class GraftHelpersSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(GraftHelpers.findCompositeKeyCandidate(t) == Seq("id"))
       assert(GraftHelpers.findCompositeKeyCandidate(t, excludeCols = Seq("id")) == Seq("name"))
     }
+    it("approx prefilter keeps NULL-permuted tuples distinct (no false negative)") {
+      // (a,b) is the minimal key, but half its tuples are NULL-permutations:
+      // ('k_i', NULL) vs (NULL, 'k_i'). concat_ws skips NULLs, so without a
+      // NULL marker both collapse to "k_i", the approx NDV halves, and the
+      // prefilter would reject the true key — returning Nil where the exact
+      // path finds it.
+      val rows = (1 to 100).flatMap { i =>
+        Seq((Option(s"k$i"), Option.empty[String], "z"),
+            (Option.empty[String], Option(s"k$i"), "z"))
+      }
+      val t = GraftTable.create(spark, tmpTableDir("k3null"),
+        rows.toDF("a", "b", "grp"))
+      val exact = GraftHelpers.findCompositeKeyCandidate(t, approxPrefilter = false)
+      assert(exact == Seq("a", "b"))
+      assert(GraftHelpers.findCompositeKeyCandidate(t) == exact)
+    }
     it("returns Nil when no proper-subset combination is unique") {
       // every row distinct, but only the full column set is a key — the
       // all-columns combination is excluded (reference guard :470)

@@ -115,9 +115,16 @@ object TableWriter {
       // 5. assemble + commit, with optimistic-concurrency retry.
       // A blind append (no removed files, no overwrite) commutes with any
       // concurrent commit: on conflict, re-read the snapshot, re-merge the
-      // schema and retry at the next version. Anything that removes files
-      // read an older state to decide WHAT to remove — retrying could drop
-      // another writer's data, so it aborts instead (Delta's conflict rule).
+      // schema and retry at the next version. A removal-bearing commit gets
+      // the SEMANTIC check (Delta's WriteSerializable rule, inherited by the
+      // reference via DeltaHelpers.scala:112 withNewTransaction): it rebases
+      // and retries when every winning commit is file-disjoint from it — no
+      // winner removed a file this commit removes (our removes are exactly
+      // the files whose rows our rewrite replaces, so they are also the read
+      // footprint) and no winner changed table metadata. Two writers
+      // deleting different partitions therefore both succeed; writers
+      // touching the same file still abort, because retrying would silently
+      // drop the winner's rewrite.
       // operation-specific file-count keys are computed here (the caller
       // can't know them before the write); the Delta metric vocabulary is
       // what the metric helpers parse (graft.log.OperationMetric)
@@ -171,16 +178,48 @@ object TableWriter {
           committed = v
         } catch {
           case e: CommitConflictException =>
-            if (!commutable || attempt >= maxAttempts)
+            val retryable = commutable ||
+              disjointFromWinners(log, v,
+                removes.collect { case r: RemoveFile => r.path }.toSet,
+                Metadata(schemaNow.json, partCols, propsNow))
+            if (!retryable || attempt >= maxAttempts)
               throw new java.util.ConcurrentModificationException(
                 s"commit of $operation at version ${e.version} of $tablePath lost a race with " +
                   "a concurrent writer and is not safely retryable " +
-                  "(it removes files decided against a stale snapshot); re-run the operation")
+                  "(the winner touched the same files or table metadata); re-run the operation")
             attemptSnap = Some(log.snapshot())
         }
       }
       committed
     } finally deleteRecursively(staging)
+  }
+
+  /** Semantic OCC check for a removal-bearing commit that lost the race at
+    * `attemptedVersion`: true when every winning commit (attemptedVersion up
+    * to the current latest) is file-disjoint from `ourRemoves` and none
+    * changed table metadata — then the loser can rebase and retry without
+    * dropping any winner's work. Winner ADDS never conflict at file level
+    * (new unique names); ignoring them is Delta's WriteSerializable
+    * relaxation: the outcome is as if this commit ran first and the winner's
+    * appended rows arrived after.
+    */
+  private def disjointFromWinners(
+      log: GraftLog,
+      attemptedVersion: Long,
+      ourRemoves: Set[String],
+      ourMetadata: Metadata): Boolean = {
+    val latest = log.latestVersion()
+    (attemptedVersion to latest).forall { w =>
+      val actions = try log.actionsAt(w) catch { case _: Exception => return false }
+      actions.forall {
+        // a winner Metadata identical to what this attempt would write is
+        // benign (e.g. both normalize create-time nullability); any real
+        // schema/partitioning/property change under us aborts
+        case m: Metadata    => m == ourMetadata
+        case r: RemoveFile  => !ourRemoves.contains(r.path)
+        case _              => true
+      }
+    }
   }
 
   /** Write CDC rows (must already carry `_change_type`) under `_change_data/`. */

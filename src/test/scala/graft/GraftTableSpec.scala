@@ -4,6 +4,18 @@ import org.scalatest.funspec.AnyFunSpec
 
 import graft.tables._
 
+/** Cross-thread gate for the semantic-OCC specs: executor tasks signal entry
+  * and block until the test thread releases them (local mode — one JVM).
+  */
+object OccGate {
+  @volatile private var entered = false
+  @volatile private var latch = new java.util.concurrent.CountDownLatch(1)
+  def reset(): Unit = { entered = false; latch = new java.util.concurrent.CountDownLatch(1) }
+  def enter(): Unit = { entered = true; latch.await() }
+  def awaitEntered(): Unit = { while (!entered) Thread.sleep(10) }
+  def release(): Unit = latch.countDown()
+}
+
 class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
   import spark.implicits._
 
@@ -200,6 +212,75 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       // mutations are NOT retried: losing a race aborts with a clear error
       // (exercised at the unit level: a removal-bearing commit into a claimed
       // version surfaces as ConcurrentModificationException via TableWriter)
+    }
+
+    it("semantic OCC: partition-disjoint removal commits both succeed") {
+      // Writer B's rewrite blocks in a gate UDF during its staging write;
+      // the winner deletes a DIFFERENT partition in that window. B's commit
+      // then collides and must rebase via the semantic disjointness check
+      // instead of aborting (two writers deleting different partitions both
+      // succeed — Delta's WriteSerializable rule).
+      import org.apache.spark.sql.functions.udf
+      val dir = tmpTableDir("graft-occ-sem")
+      val rows = Seq((1, "US"), (2, "US"), (1, "DE"), (2, "DE"), (1, "FR"))
+      val t = GraftTable.create(spark, dir, rows.toDF("id", "country"),
+        partitionColumns = Seq("country"))
+      val snap = t.snapshot
+      def filesOf(c: String) = snap.files.filter(_.partitionValues("country") == c)
+
+      OccGate.reset()
+      val gate = udf { (id: Int) => OccGate.enter(); id < 2 }
+      // B: delete DE rows with id >= 2 (rewrites the DE file)
+      val bKeep = t.dfForFiles(snap, filesOf("DE")).filter(gate($"id"))
+      var bVersion = -1L
+      var bError: Option[Throwable] = None
+      val b = new Thread(() => {
+        try bVersion = TableWriter.write(spark, dir, bKeep, TableWriter.Append,
+          operation = "DELETE", removeFiles = filesOf("DE").map(_.path))
+        catch { case e: Throwable => bError = Some(e) }
+      })
+      b.start()
+      OccGate.awaitEntered()
+      // winner: delete the whole US partition while B is mid-staging
+      graft.operators.TableOps.delete(t, Some("country = 'US'"))
+      OccGate.release()
+      b.join(60000)
+
+      assert(bError.isEmpty, s"disjoint delete aborted: $bError")
+      assert(t.version == 2L)
+      assert(bVersion == 2L)
+      val left = t.toDF.select("id", "country").as[(Int, String)].collect().toSet
+      assert(left == Set((1, "DE"), (1, "FR")))
+    }
+
+    it("semantic OCC: removal commits touching the SAME file still abort") {
+      import org.apache.spark.sql.functions.udf
+      val dir = tmpTableDir("graft-occ-conflict")
+      val t = GraftTable.create(spark, dir,
+        Seq((1, "US"), (2, "US"), (1, "FR")).toDF("id", "country"),
+        partitionColumns = Seq("country"))
+      val snap = t.snapshot
+      val usFiles = snap.files.filter(_.partitionValues("country") == "US")
+
+      OccGate.reset()
+      val gate = udf { (id: Int) => OccGate.enter(); id < 2 }
+      val bKeep = t.dfForFiles(snap, usFiles).filter(gate($"id"))
+      var bError: Option[Throwable] = None
+      val b = new Thread(() => {
+        try { TableWriter.write(spark, dir, bKeep, TableWriter.Append,
+          operation = "DELETE", removeFiles = usFiles.map(_.path)); () }
+        catch { case e: Throwable => bError = Some(e) }
+      })
+      b.start()
+      OccGate.awaitEntered()
+      graft.operators.TableOps.delete(t, Some("country = 'US'")) // same files
+      OccGate.release()
+      b.join(60000)
+
+      assert(bError.exists(_.isInstanceOf[java.util.ConcurrentModificationException]),
+        s"same-file race must abort, got: $bError")
+      // the winner's delete stands untouched
+      assert(t.toDF.select("country").as[String].collect().toSet == Set("FR"))
     }
 
     it("handles timestamp and date columns with stats") {

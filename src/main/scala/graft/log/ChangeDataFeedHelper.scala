@@ -80,14 +80,37 @@ case class ChangeDataFeedHelper(
       s"no change data between versions $s and $e of $path")
 
     def baseName(rel: String): String = rel.substring(rel.lastIndexOf('/') + 1)
+    // input_file_name() returns the file's URI, whose name may be
+    // percent-encoded — the lookup therefore carries BOTH the raw base name
+    // and its URI-encoded form (driver-side, O(files), no per-row UDF), and
+    // the join is a LEFT join with a raise_error guard: an unmatched change
+    // file fails the read loudly instead of silently dropping its rows.
+    def uriEncoded(name: String): String =
+      new java.net.URI(null, null, "/" + name, null).getRawPath.substring(1)
     def stamp(df: DataFrame, entries: Seq[(String, Long, Long)]): DataFrame = {
       import spark.implicits._
-      val lookup = entries.map { case (rel, v, ts) => (baseName(rel), v, ts) }
-        .toDF("__graft_cdf_name", "__graft_cdf_v", "__graft_cdf_ts")
+      // One partitioned write job reuses the same base name across partition
+      // directories (part-<task>-<jobUUID> in each dir), so base names are
+      // NOT unique within a commit — but all collisions share that commit's
+      // (version, timestamp), so the name→stamp mapping stays functional:
+      // dedupe to one lookup row per name. A name mapped to TWO different
+      // commits (would double-stamp rows) fails fast — it cannot happen with
+      // job-UUID file names.
+      val variants = entries.flatMap { case (rel, v, ts) =>
+        val raw = baseName(rel)
+        Set(raw, uriEncoded(raw)).map(n => (n, v, ts))
+      }.distinct
+      require(variants.map(_._1).distinct.size == variants.size,
+        s"CDF: change-file base names map to multiple commits between versions $s and $e of $path")
+      val lookup = variants.toDF("__graft_cdf_name", "__graft_cdf_v", "__graft_cdf_ts")
       df.withColumn("__graft_cdf_name",
           element_at(split(input_file_name(), "/"), -1))
-        .join(broadcast(lookup), Seq("__graft_cdf_name"))
-        .withColumn("_commit_version", col("__graft_cdf_v"))
+        .join(broadcast(lookup), Seq("__graft_cdf_name"), "left")
+        .withColumn("_commit_version",
+          when(col("__graft_cdf_v").isNull,
+            raise_error(concat(lit("CDF: change file not matched to a commit: "),
+              input_file_name())))
+            .otherwise(col("__graft_cdf_v")))
         .withColumn("_commit_timestamp", (col("__graft_cdf_ts") / 1000L).cast("timestamp"))
         .drop("__graft_cdf_name", "__graft_cdf_v", "__graft_cdf_ts")
     }

@@ -22,11 +22,15 @@ class GraftLog(val tablePath: String) {
 
   val logDir: JPath = Paths.get(tablePath, LogDirName)
 
-  /** Sorted list of committed versions (from log file names). */
+  /** Sorted list of committed versions (from log file names). Zero-length
+    * files are in-flight claims from the no-hard-link commit fallback, not
+    * commits — invisible until their content lands.
+    */
   def versions(): Seq[Long] = {
     if (!Files.isDirectory(logDir)) return Nil
     val stream = Files.list(logDir)
     try stream.iterator().asScala
+      .filter(p => try Files.size(p) > 0L catch { case _: java.io.IOException => false })
       .map(_.getFileName.toString)
       .filter(_.matches("\\d+\\.json"))
       .map(_.stripSuffix(".json").toLong)
@@ -176,14 +180,41 @@ class GraftLog(val tablePath: String) {
         case _: java.nio.file.FileAlreadyExistsException =>
           throw new CommitConflictException(tablePath, version)
         case _: UnsupportedOperationException =>
-          // filesystem without hard links: fall back to atomic rename
-          // (single-writer guarantee only, as before)
-          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+          publishWithoutLink(tmp, target, version)
       }
     } finally Files.deleteIfExists(tmp)
     if (version > 0 && version % CheckpointInterval == 0)
       try writeCheckpoint(version)
       catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Version claim for filesystems without hard links. The old fallback was
+    * ATOMIC_MOVE rename, which silently REPLACES an already-claimed version —
+    * two racing writers both "succeeded" and one commit's actions vanished.
+    * `Files.createFile` (O_EXCL) is universally supported and fails with
+    * FileAlreadyExistsException, so exactly one claimant wins; the winner
+    * then lands the content atomically over its own zero-byte claim.
+    * Readers never see the empty window: [[versions]] skips zero-length
+    * files, so the version becomes visible only once its content is in
+    * place. A claimant that crashes in the window leaves a permanently
+    * empty claim; [[commit]]'s conflict path breaks claims older than
+    * [[GraftLog.StaleClaimMillis]] so the log cannot wedge.
+    */
+  private[graft] def publishWithoutLink(tmp: JPath, target: JPath, version: Long): Unit = {
+    try Files.createFile(target)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // break a crashed claimant's stale zero-byte claim, then re-claim
+        val stale =
+          try Files.size(target) == 0L &&
+            System.currentTimeMillis() - Files.getLastModifiedTime(target).toMillis >
+              GraftLog.StaleClaimMillis
+          catch { case _: java.io.IOException => false }
+        if (!stale) throw new CommitConflictException(tablePath, version)
+        Files.deleteIfExists(target)
+        return publishWithoutLink(tmp, target, version)
+    }
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 }
 
@@ -203,6 +234,11 @@ object GraftLog {
     * self-contained snapshot sidecar bounding log-replay cost.
     */
   val CheckpointInterval = 10
+
+  /** Age after which a zero-byte fallback claim is considered crashed and may
+    * be broken by a competing committer.
+    */
+  val StaleClaimMillis = 60000L
 
   private[graft] val mapper: ObjectMapper = {
     val m = new ObjectMapper()

@@ -33,6 +33,33 @@ class ChangeDataFeedHelperSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(v0 == 3)
   }
 
+  it("readCDF stamps rows from percent-encoded partition paths; no silent drops") {
+    // partition values with space, '+', '%', and ':' — Spark percent-encodes
+    // them in directory names and input_file_name() returns the encoded URI;
+    // every change row must still be stamped (the guard in stamp() raises
+    // instead of dropping on any mismatch). Multi-byte values are covered by
+    // the percentDecode unit spec — the test JVM's POSIX locale cannot
+    // create non-ASCII paths at all.
+    val dir = tmpTableDir("cdf-enc")
+    val rows = Seq((1, "US east"), (2, "a+b"), (3, "50%off"), (4, "t:colon"))
+    // repartition(1): ONE task writes every partition directory, so all four
+    // data files share a base name (part-00000-<jobUUID>) — the stamping
+    // lookup must dedupe these to a single commit stamp, not double-count
+    val t = GraftTable.create(spark, dir, rows.toDF("id", "region").repartition(1),
+      partitionColumns = Seq("region"),
+      properties = Map(GraftLog.CdfProperty -> "true"))
+    t.append(Seq((5, "US east")).toDF("id", "region"))       // v1 insert rows
+    TableOps.delete(t, Some("id = 2"))                       // v2 delete image
+    val cdf = ChangeDataFeedHelper(spark, t.path, 0, 2).readCDF
+    assert(cdf.count() == rows.size + 1 + 1) // 4 creates + 1 insert + 1 delete
+    assert(cdf.filter("_commit_version IS NULL OR _commit_timestamp IS NULL").count() == 0)
+    val deleted = cdf.filter("_change_type = 'delete'")
+      .select("id", "region").as[(Int, String)].collect().toSeq
+    assert(deleted == Seq((2, "a+b")))
+    assert(cdf.filter("_change_type = 'insert' AND _commit_version = 1")
+      .select("id").as[Int].collect().toSeq == Seq(5))
+  }
+
   it("readCDF over many versions batches into at most two parquet scans") {
     val t = cdfTable(tmpTableDir("cdf-batch"))
     (0 until 50).foreach(i => t.append(Seq((100 + i, s"x$i")).toDF("id", "name")))

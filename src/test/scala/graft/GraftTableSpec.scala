@@ -193,6 +193,40 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       }
     }
 
+    it("no-hard-link fallback claim is O_EXCL: second claimant conflicts, stale claims break") {
+      val dir = tmpTableDir("graft-claim")
+      val t = GraftTable.create(spark, dir, Seq((1, "a")).toDF("id", "name"))
+      val log = t.log
+      val target = log.versionFile(7L)
+      def tmpWith(body: String) = {
+        val p = java.nio.file.Files.createTempFile(log.logDir, ".t", ".json.tmp")
+        java.nio.file.Files.write(p, body.getBytes("UTF-8")); p
+      }
+      // first claimant wins and lands its content
+      log.publishWithoutLink(tmpWith("one\n"), target, 7L)
+      assert(new String(java.nio.file.Files.readAllBytes(target), "UTF-8") == "one\n")
+      // second claimant must NOT silently replace (the old ATOMIC_MOVE bug)
+      assertThrows[tables.CommitConflictException] {
+        log.publishWithoutLink(tmpWith("two\n"), target, 7L)
+      }
+      assert(new String(java.nio.file.Files.readAllBytes(target), "UTF-8") == "one\n")
+
+      // an in-flight zero-byte claim hides the version from readers...
+      val claimed = log.versionFile(8L)
+      java.nio.file.Files.createFile(claimed)
+      assert(!log.versions().contains(8L))
+      // ...a FRESH claim blocks competitors, a STALE one (crashed claimant)
+      // is broken and re-claimed
+      assertThrows[tables.CommitConflictException] {
+        log.publishWithoutLink(tmpWith("x\n"), claimed, 8L)
+      }
+      java.nio.file.Files.setLastModifiedTime(claimed,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - tables.GraftLog.StaleClaimMillis - 1000))
+      log.publishWithoutLink(tmpWith("recovered\n"), claimed, 8L)
+      assert(new String(java.nio.file.Files.readAllBytes(claimed), "UTF-8") == "recovered\n")
+    }
+
     it("concurrent blind appends both land (append retries on conflict)") {
       val dir = tmpTableDir("graft-occ2")
       val t = GraftTable.create(spark, dir, Seq((0, "base")).toDF("id", "name"))

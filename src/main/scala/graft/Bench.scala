@@ -44,6 +44,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // builder configs are silently IGNORED when an active session already
+    // exists (e.g. a harness created one first) — nanosAsLong is a runtime
+    // conf, so re-set and assert it here to keep events.ts a raw ns long
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
 
     // warmup: exercise codegen, shuffle machinery and the parquet reader once
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -42,7 +42,10 @@ object SparkEntry {
     // surface TIMESTAMP_NS). These queries therefore avoid both: money/value
     // aggregates use fixed-point BIGINT via floor(x*scale + 0.5) — every step
     // is an IEEE-754 double op + integer op that ALL engines define
-    // identically — and event timestamps travel as BIGINT epoch-µs
+    // identically (half-UP rounding: correct for the non-negative quantities
+    // and prices here, but differs from half-away-from-zero for negatives —
+    // use floor(abs(x)*s+0.5)*sign(x) in both engines if inputs may go
+    // negative) — and event timestamps travel as BIGINT epoch-µs
     // (Spark: raw-ns `ts div 1000`; DuckDB: `epoch_ns(ts) // 1000`, which
     // truncates identically whether the read surfaced ns or µs).
     "q1_pricing_summary" -> ((s, dir) => {
@@ -67,11 +70,14 @@ object SparkEntry {
         .limit(10)
     }),
     "q3_user_running_totals" -> ((s, dir) => {
-      // event_id is unique, so ordering by it ALONE is engine-proof: no
-      // timestamp comparison can reorder rows between engines
-      val w = Window.partitionBy("user_id").orderBy("event_id")
+      // "running" means TIME-ordered: order by (raw-ns ts, event_id) — the
+      // raw long is engine-proof (no timestamp semantics to disagree on) and
+      // the unique event_id breaks exact-ns ties deterministically. Ordering
+      // by event_id alone would only be time-equivalent while the generator
+      // happens to assign ids in timestamp order per user.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       read(s, dir, "events")
-        .select(col("event_id"), col("user_id"), col("value"))
+        .select(col("event_id"), col("user_id"), col("value"), col("ts"))
         .withColumn("event_seq", row_number().over(w))
         .withColumn("running_value_e4",
           sum(expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)"))
@@ -399,7 +405,7 @@ object SparkEntry {
         |  CAST(row_number() OVER w AS INT) AS event_seq,
         |  CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS running_value_e4
         |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "k1_md5_surrogate" ->
       "SELECT c_custkey, md5(c_name || '||' || c_mktsegment) AS unique_id FROM customer",

@@ -17,6 +17,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // builder configs are silently IGNORED when an active session already
+    // exists (e.g. a harness created one first) — nanosAsLong is a runtime
+    // conf, so re-set and assert it here to keep events.ts a raw ns long
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -222,7 +222,36 @@ object SparkEntry {
         .select("n_nationkey", "n_name", "n_regionkey")
     }),
 
+    // ---- K2/V1: table-variant md5 + validator (driver-visible since r4) ----
+    "k2_md5_table" -> ((s, dir) => {
+      val t = GraftTable.create(s, tmp("k2"), read(s, dir, "customer"))
+      GraftHelpers.withMD5Columns(t, List("c_name", "c_mktsegment"), "unique_id")
+        .select("c_custkey", "unique_id")
+    }),
+    "v1_validate_columns" -> ((s, dir) => {
+      import s.implicits._
+      val df = read(s, dir, "customer")
+      val existingPass =
+        try { GraftValidator.validateColumnsExistsInDataFrame(Seq("c_custkey", "c_name"), df); true }
+        catch { case _: Throwable => false }
+      val missingPass =
+        try { GraftValidator.validateColumnsExistsInDataFrame(Seq("c_custkey", "c_absent"), df); true }
+        catch { case _: GraftValidationError => false }
+      Seq((existingPass, missingPass)).toDF("existing_cols_pass", "missing_cols_pass")
+    }),
+
     // ---- L: transaction-log analytics ----
+    "l5_write_metrics_by_partition" -> ((s, dir) => {
+      import s.implicits._
+      val t = GraftTable.create(s, tmp("l5"), read(s, dir, "customer"),
+        partitionColumns = Seq("c_mktsegment"))
+      val helper = OperationMetricHelper(s, t.path)
+      val segments = read(s, dir, "customer")
+        .select("c_mktsegment").distinct().as[String].collect().sorted.toSeq
+      segments.map(seg =>
+        (seg, helper.getWriteMetricByPartition(s"c_mktsegment = '$seg'", 0L)))
+        .toDF("segment", "write_rows")
+    }),
     "l1_operation_metrics" -> ((s, dir) => {
       val dirT = tmp("l1")
       val t = GraftTable.create(s, dirT, read(s, dir, "nation"))
@@ -243,6 +272,28 @@ object SparkEntry {
         .select(col("r_regionkey").cast("int"), col("r_name")))
       ChangeDataFeedHelper(s, dirT, 0, 3).readCDF
         .select(col("r_regionkey"), col("r_name"), col("_change_type"), col("_commit_version"))
+    }),
+    "c5_cdf_status" -> ((s, dir) => {
+      import s.implicits._
+      // deterministic enable/disable toggle sequence (mirrors the reference's
+      // CDF-status scenarios): statuses depend only on the commit sequence,
+      // so a literal oracle pins the semantics driver-visibly
+      val base = read(s, dir, "nation")
+        .select(col("n_nationkey").as("id"), col("n_name").as("name"))
+      val t = GraftTable.create(s, tmp("c5"), base,
+        properties = Map(GraftLog.CdfProperty -> "true"))
+      def up(suffix: String): Unit =
+        GraftMerge(t, "old")
+          .merge(base.limit(3).withColumn("name", concat(col("name"), lit(suffix))),
+            "old.id = new.id", Some("new"))
+          .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+      up("_1")                                               // v1 enabled (cdc)
+      t.setProperties(Map(GraftLog.CdfProperty -> "false"))  // v2 disabled
+      up("_2")                                               // v3 disabled (no cdc)
+      t.setProperties(Map(GraftLog.CdfProperty -> "true"))   // v4 enabled
+      up("_3")                                               // v5 enabled (cdc)
+      ChangeDataFeedHelper(s, t.path, 0, 5).getAllVersionsWithCDFStatus
+        .toDF("version", "cdf_enabled")
     }),
 
     // ---- D: dedup pipeline (documents) ----
@@ -409,6 +460,17 @@ object SparkEntry {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "k1_md5_surrogate" ->
       "SELECT c_custkey, md5(c_name || '||' || c_mktsegment) AS unique_id FROM customer",
+    "k2_md5_table" ->
+      "SELECT c_custkey, md5(c_name || '||' || c_mktsegment) AS unique_id FROM customer",
+    "v1_validate_columns" ->
+      "SELECT true AS existing_cols_pass, false AS missing_cols_pass",
+    "l5_write_metrics_by_partition" ->
+      """SELECT c_mktsegment AS segment, count(*) AS write_rows
+        |FROM customer GROUP BY 1""".stripMargin,
+    "c5_cdf_status" ->
+      """SELECT CAST(v AS BIGINT) AS version, e AS cdf_enabled
+        |FROM (VALUES (0, true), (1, true), (2, false), (3, false),
+        |             (4, true), (5, true)) AS t(v, e)""".stripMargin,
     "q4_sessionize" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,

@@ -111,7 +111,14 @@ case class ChangeDataFeedHelper(
             raise_error(concat(lit("CDF: change file not matched to a commit: "),
               input_file_name())))
             .otherwise(col("__graft_cdf_v")))
-        .withColumn("_commit_timestamp", (col("__graft_cdf_ts") / 1000L).cast("timestamp"))
+        // the unmatched-file guard must live on BOTH stamped columns: a
+        // consumer projecting only _commit_timestamp would otherwise prune
+        // the guarded _commit_version away and read NULL timestamps silently
+        .withColumn("_commit_timestamp",
+          when(col("__graft_cdf_ts").isNull,
+            raise_error(concat(lit("CDF: change file not matched to a commit: "),
+              input_file_name())))
+            .otherwise((col("__graft_cdf_ts") / 1000L).cast("timestamp")))
         .drop("__graft_cdf_name", "__graft_cdf_v", "__graft_cdf_ts")
     }
 

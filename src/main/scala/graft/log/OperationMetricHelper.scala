@@ -138,7 +138,14 @@ case class OperationMetricHelper(
       .select(col("add.path").as("path"), col("stats.numRecords").as("numRecords"))
       .map { row =>
         val p = row.getAs[String]("path")
-        val matches = conditions.forall(c => p != null && p.contains(c))
+        // partition dirs are percent-encoded (`seg=A/B` → `seg=A%2FB`), so
+        // each path segment is decoded before the exact `k=v` comparison —
+        // segment equality (not substring contains) also stops `seg=A`
+        // from matching a `seg=AB` directory
+        val matches = p != null && {
+          lazy val segs = p.split('/').map(graft.tables.TableWriter.percentDecode)
+          conditions.forall(c => segs.contains(c))
+        }
         if (matches && !row.isNullAt(1)) row.getAs[Long]("numRecords") else 0L
       }(Encoders.scalaLong)
       .reduce(_ + _)

@@ -197,7 +197,9 @@ object GraftTable {
   def registerTable(spark: SparkSession, name: String, path: String): Unit = {
     require(exists(path), s"$path is not a GraftTable")
     spark.conf.set(s"spark.graft.table.$name", path)
-    val ident = name.split('.').map(p => s"`$p`").mkString(".")
+    // escape backticks inside each part so a hostile name cannot break out
+    // of the identifier quoting (mirrors the location's quote escaping)
+    val ident = name.split('.').map(p => s"`${p.replace("`", "``")}`").mkString(".")
     val loc = java.nio.file.Paths.get(path).toAbsolutePath.toString.replace("'", "''")
     spark.sql(s"CREATE TABLE IF NOT EXISTS $ident USING graft LOCATION '$loc'")
     // the cached catalog plan (and its frozen schema) must follow the CURRENT

@@ -60,6 +60,20 @@ class ChangeDataFeedHelperSpec extends AnyFunSpec with SparkSessionTestWrapper {
       .select("id").as[Int].collect().toSeq == Seq(5))
   }
 
+  it("the unmatched-file guard survives pruning to _commit_timestamp alone") {
+    // a consumer selecting ONLY _commit_timestamp must keep the loud-failure
+    // guard: before the fix, column pruning removed the raise_error branch
+    // (it lived only on _commit_version) and unmatched rows surfaced as
+    // silent NULL timestamps
+    val t = cdfTable(tmpTableDir("cdf-tsguard"))
+    upsert(t, Seq((1, "A")))
+    val tsOnly = ChangeDataFeedHelper(spark, t.path, 0, 1).readCDF
+      .select("_commit_timestamp")
+    assert(tsOnly.queryExecution.optimizedPlan.toString.contains("raise_error"),
+      "timestamp-only projection lost the unmatched-file guard")
+    assert(tsOnly.filter("_commit_timestamp IS NULL").count() == 0)
+  }
+
   it("readCDF over many versions batches into at most two parquet scans") {
     val t = cdfTable(tmpTableDir("cdf-batch"))
     (0 until 50).foreach(i => t.append(Seq((100 + i, s"x$i")).toDF("id", "name")))

@@ -134,6 +134,22 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(GraftTable.forName(spark, sqlName).toDF.count() == 1)
     }
 
+    it("registerTable keeps a backtick-bearing name inside the identifier") {
+      // Spark's session catalog rejects backticks in table names outright, so
+      // the correct outcome is a LOUD AnalysisException on the full hostile
+      // name — not a breakout where `x` USING graft LOCATION 'evil' -- ...`
+      // executes as injected SQL (the pre-fix behavior)
+      val dir = tmpTableDir("graft-bt")
+      GraftTable.create(spark, dir, Seq((1, "a")).toDF("id", "name"))
+      val marker = "bt_inject_" + System.nanoTime
+      val name = s"x` (id INT); CREATE TABLE $marker (v INT); SELECT `y"
+      intercept[org.apache.spark.sql.AnalysisException] {
+        GraftTable.registerTable(spark, name, dir)
+      }
+      assert(!spark.catalog.tableExists(marker),
+        "hostile name broke out of identifier quoting and executed SQL")
+    }
+
     it("new tables inherit session-level default properties") {
       spark.conf.set(GraftTable.DefaultsPrefix + "enableChangeDataFeed", "true")
       try {

@@ -51,6 +51,19 @@ class OperationMetricHelperSpec extends AnyFunSpec with SparkSessionTestWrapper 
     assert(ind == List((0L, 0L, 1L, 0L, 1L)))
   }
 
+  it("getWriteMetricByPartition matches percent-encoded partition dirs exactly") {
+    // 'A/B' lands on disk as `seg=A%2FB` — the matcher must percent-decode
+    // path segments; and segment EQUALITY must stop `seg=A` from matching
+    // the `seg=AB` or `seg=A%2FB` directories (the old substring contains did)
+    val dir = tmpTableDir("oph-enc")
+    val df = Seq((1, "A/B"), (2, "A/B"), (3, "A"), (4, "AB")).toDF("id", "seg")
+    GraftTable.create(spark, dir, df, partitionColumns = Seq("seg"))
+    val helper = OperationMetricHelper(spark, dir)
+    assert(helper.getWriteMetricByPartition("seg = 'A/B'", 0L) == 2L)
+    assert(helper.getWriteMetricByPartition("seg = 'A'", 0L) == 1L)
+    assert(helper.getWriteMetricByPartition("seg = 'AB'", 0L) == 1L)
+  }
+
   it("splitConditionTo parses plain, attribute-id and qualified forms") {
     val h = OperationMetricHelper(spark, "/nonexistent")
     assert(h.splitConditionTo("country = 'USA' and gender = Female") ==

@@ -1,12 +1,19 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Cast, Expression, Literal, Predicate}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 
-import graft.tables.{GraftTable, TableWriter}
+import graft.tables.{AddFile, FileSkipping, GraftTable, Snapshot, TableWriter}
 
 /** `USING graft` — a Spark data-source binding for versioned graft tables, so
   * they live in the REAL Spark catalog like the reference's metastore tables
@@ -15,16 +22,27 @@ import graft.tables.{GraftTable, TableWriter}
   *
   * A plain `USING parquet LOCATION` catalog table would be WRONG for a graft
   * table: the directory keeps tombstoned files physically until VACUUM, so a
-  * directory-level scan reads dead rows. This relation instead resolves the
+  * directory-level scan reads dead rows. This source instead resolves the
   * commit log at scan time and reads exactly the current snapshot's live
   * files.
   *
-  * Scale design: [[GraftRelation.buildScan]] applies the requested column
-  * pruning and every translatable filter to the inner snapshot-scoped parquet
-  * DataFrame, so pushdown reaches the parquet reader (`PushedFilters` /
-  * `ReadSchema` in the inner scan) — the relation adds no materialization of
-  * its own. Correctness never depends on the translation: the default
-  * `unhandledFilters` keeps Spark re-applying all filters above the scan.
+  * Scale design — the read path is two-tier:
+  *
+  *  1. Catalog/INSERT resolution sees [[GraftRelation]], a deliberately plain
+  *     `PrunedFilteredScan with InsertableRelation`. It must NOT be a
+  *     `HadoopFsRelation` subclass: Spark's `FindDataSourceTable` rebuilds
+  *     cached `HadoopFsRelation`s via `.copy(...)` (to merge per-statement
+  *     options), and a case-class copy would silently drop the
+  *     `InsertableRelation` mixin — routing SQL INSERT around the commit log.
+  *  2. [[GraftScanRewrite]] (a `Rule[LogicalPlan]` on the public
+  *     `spark.experimental.extraOptimizations` hook, installed idempotently
+  *     whenever a graft table is resolved) rewrites every
+  *     `LogicalRelation(GraftRelation)` into a native
+  *     `HadoopFsRelation(`[[GraftFileIndex]]`)` before planning, so reads
+  *     plan as the stock vectorized parquet `FileSourceScan` — whole-stage
+  *     codegen, columnar batches, parquet predicate pushdown — with file
+  *     listing served from commit-log METADATA (no filesystem listing per
+  *     query), exact partition pruning, and footer-stats skipping.
   *
   * Registered under the short name `graft` (META-INF/services), so
   * `CREATE TABLE name USING graft LOCATION '<path>'` and
@@ -46,8 +64,10 @@ class GraftDataSource extends RelationProvider
 
   override def createRelation(
       sqlContext: SQLContext,
-      parameters: Map[String, String]): BaseRelation =
+      parameters: Map[String, String]): BaseRelation = {
+    GraftScanRewrite.install(sqlContext.sparkSession)
     GraftRelation(sqlContext, pathOf(parameters))
+  }
 
   /** `df.write.format("graft").mode(...).save(path)` — maps SaveMode onto the
     * table writer's commit protocol (Append/Overwrite commits, ErrorIfExists /
@@ -76,21 +96,33 @@ class GraftDataSource extends RelationProvider
         GraftTable.create(spark, path, data, partitions)
         ()
     }
+    GraftScanRewrite.install(spark)
     GraftRelation(sqlContext, path)
   }
 }
 
-/** Catalog-resolvable view of one graft table. The schema is fixed at
-  * resolution time (Spark caches the resolved plan per table name — after a
-  * schema-evolving write, `spark.catalog.refreshTable(name)` picks up the new
-  * columns), but DATA is always current: every `buildScan` re-reads the
-  * commit log and scans the then-live snapshot files.
+/** Catalog-resolvable view of one graft table — the RESOLUTION-TIME shape
+  * only; [[GraftScanRewrite]] swaps it for the native file-scan relation
+  * before physical planning. The schema is fixed at resolution time (Spark
+  * caches the resolved plan per table name — after a schema-evolving write,
+  * `spark.catalog.refreshTable(name)` picks up the new columns), but DATA is
+  * always current: both the rewritten file index and the fallback
+  * [[GraftRelation.buildScan]] re-read the commit log per query.
+  *
+  * The fallback scan (used only if the rewrite rule is somehow absent)
+  * returns the INNER plan's `InternalRow` RDD with `needConversion=false`,
+  * so even unrewritten reads pay no external-`Row` round-trip.
   */
 case class GraftRelation(sqlContext: SQLContext, path: String)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   override val schema: StructType =
     GraftTable.forPath(sqlContext.sparkSession, path).snapshot.schema
+
+  /** Rows are served as `InternalRow`s from the inner codegen'd parquet plan
+    * (`needConversion=false` contract) — no per-row external conversion.
+    */
+  override def needConversion: Boolean = false
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val snap = GraftTable.forPath(sqlContext.sparkSession, path).toDF
@@ -99,7 +131,7 @@ case class GraftRelation(sqlContext: SQLContext, path: String)
     val projected =
       if (requiredColumns.isEmpty) filtered.select()
       else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
-    projected.rdd
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 
   /** SQL `INSERT INTO name` / `INSERT OVERWRITE TABLE name`. */
@@ -113,9 +145,10 @@ case class GraftRelation(sqlContext: SQLContext, path: String)
 
 object GraftRelation {
 
-  /** Best-effort `sources.Filter` → `Column` translation. Untranslated
-    * filters are simply not pushed — Spark re-applies every filter above the
-    * scan (default `unhandledFilters`), so this is purely an optimization.
+  /** Best-effort `sources.Filter` → `Column` translation for the fallback
+    * scan. Untranslated filters are simply not pushed — Spark re-applies
+    * every filter above the scan (default `unhandledFilters`), so this is
+    * purely an optimization.
     */
   private[sources] def translate(f: Filter): Option[org.apache.spark.sql.Column] = f match {
     case EqualTo(a, v)            => Some(col(a) === lit(v))
@@ -135,4 +168,163 @@ object GraftRelation {
     case Not(c)                   => translate(c).map(not)
     case _                        => None
   }
+}
+
+/** Optimizer rewrite: `LogicalRelation(`[[GraftRelation]]`)` → a native
+  * `HadoopFsRelation` over [[GraftFileIndex]], keeping the node's output
+  * attributes (exprIds) so references above stay valid.
+  *
+  * Runs in the user-optimization batch — AFTER analysis (so INSERT
+  * statements, which Catalyst converts at analysis time via
+  * `InsertableRelation`, never see a `HadoopFsRelation`) and BEFORE physical
+  * planning (so `FileSourceStrategy` plans the vectorized parquet scan with
+  * pushdown, partition pruning and our stats skipping).
+  */
+object GraftScanRewrite extends Rule[LogicalPlan] {
+
+  /** Idempotently hook the rule into `spark.experimental.extraOptimizations`
+    * (public API, mutable at runtime — no session-extension registration
+    * needed at session build time).
+    */
+  def install(spark: SparkSession): Unit = synchronized {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_ eq this)) spark.experimental.extraOptimizations = cur :+ this
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case l: LogicalRelation if l.relation.isInstanceOf[GraftRelation] =>
+      val g = l.relation.asInstanceOf[GraftRelation]
+      l.copy(relation = nativeRelation(g.sqlContext.sparkSession, g.path))
+  }
+
+  /** The physical-read shape of the table at `path`: partition columns land
+    * in `partitionSchema` (values come from the log, typed via cast), all
+    * other columns in `dataSchema`.
+    */
+  def nativeRelation(spark: SparkSession, path: String): HadoopFsRelation = {
+    val snap = GraftTable.forPath(spark, path).snapshot
+    val schema = snap.schema
+    val partCols = snap.metadata.partitionColumns
+    val partitionSchema = StructType(partCols.flatMap(c => schema.fields.find(_.name == c)))
+    val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    val index = new GraftFileIndex(spark, path, partitionSchema)
+    HadoopFsRelation(index, partitionSchema, dataSchema, None,
+      new GraftParquetFileFormat, Map("path" -> path))(spark)
+  }
+}
+
+/** Read side is stock vectorized parquet; the write side throws — graft data
+  * files are only ever produced through [[TableWriter]]'s staged-write +
+  * commit protocol, and a direct file write into the table directory would
+  * bypass the log and corrupt the table silently. (Unreachable through
+  * normal resolution — INSERTs convert via [[GraftRelation.insert]] at
+  * analysis time — this is a loud backstop, not a code path.)
+  */
+class GraftParquetFileFormat extends ParquetFileFormat {
+  override def prepareWrite(
+      sparkSession: SparkSession,
+      job: org.apache.hadoop.mapreduce.Job,
+      options: Map[String, String],
+      dataSchema: StructType): org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      "direct file writes would bypass the graft commit log; use plain " +
+        "INSERT INTO (no partition spec) or the GraftTable API")
+  override def toString: String = "GraftParquet"
+}
+
+/** Commit-log-backed [[FileIndex]]: the planner's source of truth for which
+  * files a scan reads.
+  *
+  * - `listFiles` serves file statuses straight from the snapshot's `AddFile`
+  *   entries (path, size already in the log) — zero filesystem listing.
+  * - Partition pruning is EXACT: partition filters are bound by name to the
+  *   partition schema and evaluated per partition-value tuple (Spark removes
+  *   pruned partition filters from the post-scan Filter, so a conservative
+  *   answer here would be a correctness bug, not a missed optimization).
+  * - Data filters additionally prune via footer min/max stats
+  *   ([[FileSkipping.filesMatching]] — conservative, a file is only dropped
+  *   when its stats PROVE no row can match).
+  *
+  * The snapshot is re-resolved on every `listFiles`, so a cached relation
+  * always reads current data.
+  */
+class GraftFileIndex(
+    @transient private val spark: SparkSession,
+    val tablePath: String,
+    override val partitionSchema: StructType)
+  extends FileIndex {
+
+  private val sessionTz = spark.sessionState.conf.sessionLocalTimeZone
+  private val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
+
+  @volatile private var cachedSnap: Snapshot = currentSnapshot()
+
+  private def currentSnapshot(): Snapshot =
+    GraftTable.forPath(spark, tablePath).snapshot
+
+  override def rootPaths: Seq[Path] = Seq(new Path(new java.io.File(tablePath).toURI))
+
+  override def refresh(): Unit = cachedSnap = currentSnapshot()
+
+  override def sizeInBytes: Long = cachedSnap.sizeInBytes
+
+  override def inputFiles: Array[String] =
+    cachedSnap.files.map(f => new java.io.File(tablePath, f.path).toURI.toString).toArray
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    refresh()
+    val snap = cachedSnap
+    // stats-based skipping on data filters (conservative — never wrong)
+    val statsKept =
+      if (dataFilters.isEmpty) snap.files
+      else FileSkipping.filesMatching(snap, dataFilters)
+    val keep = partitionPredicate(partitionFilters)
+    statsKept.groupBy(_.partitionValues).iterator.flatMap { case (_, files) =>
+      val values = partitionRow(files.head)
+      if (keep(values))
+        Some(PartitionDirectory(values, files.map(fileStatus).toArray))
+      else None
+    }.toSeq
+  }
+
+  /** Typed InternalRow of one file's partition values, in partition-schema
+    * order (`__HIVE_DEFAULT_PARTITION__` → null, strings cast to the
+    * column's type exactly as partition-dir inference would).
+    */
+  private def partitionRow(f: AddFile): InternalRow =
+    InternalRow.fromSeq(partitionSchema.fields.toSeq.map { field =>
+      f.partitionValues.get(field.name) match {
+        case None | Some(TableWriter.HiveDefaultPartition) => null
+        case Some(raw) =>
+          Cast(Literal(raw), field.dataType, Option(sessionTz)).eval(InternalRow.empty)
+      }
+    })
+
+  /** Exact evaluator for the pushed partition filters: attributes are
+    * rebound by name to partition-schema ordinals. Pushed partition filters
+    * reference only partition columns (FileSourceStrategy invariant); an
+    * unmatched attribute therefore fails loudly rather than risking a
+    * wrong-results prune.
+    */
+  private def partitionPredicate(filters: Seq[Expression]): InternalRow => Boolean = {
+    if (filters.isEmpty) return _ => true
+    def bind(e: Expression): Expression = e.transform {
+      case a: AttributeReference =>
+        val i = partitionSchema.fields.indexWhere(f =>
+          if (caseSensitive) f.name == a.name else f.name.equalsIgnoreCase(a.name))
+        if (i < 0) throw new IllegalStateException(
+          s"partition filter references non-partition column ${a.name}")
+        BoundReference(i, partitionSchema.fields(i).dataType, nullable = true)
+    }
+    val pred = Predicate.create(filters.map(bind).reduce(
+      org.apache.spark.sql.catalyst.expressions.And(_, _)))
+    pred.initialize(0)
+    row => pred.eval(row)
+  }
+
+  private def fileStatus(f: AddFile): FileStatus =
+    new FileStatus(f.size, false, 1, 128L * 1024 * 1024, 0L,
+      new Path(new java.io.File(tablePath, f.path).toURI))
 }

@@ -134,6 +134,41 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(GraftTable.forName(spark, sqlName).toDF.count() == 1)
     }
 
+    it("SQL-name reads plan as the native vectorized parquet scan with pruning") {
+      val dir = tmpTableDir("graft-nativescan")
+      val rows = (1 to 400).map(i => (i, i % 4, s"v$i"))
+      GraftTable.create(spark, dir,
+        rows.toDF("id", "seg", "v").repartition(4, $"seg"),
+        partitionColumns = Seq("seg"))
+      val name = "native_tbl_" + System.nanoTime
+      GraftTable.registerTable(spark, name, dir)
+
+      // the optimizer rewrite swaps GraftRelation for the file-index-backed
+      // HadoopFsRelation: the physical plan is the stock vectorized parquet
+      // scan (no RDD scan / row conversion in sight)
+      val q = spark.sql(s"SELECT id, v FROM $name WHERE id > 100 AND seg = 2")
+      val phys = q.queryExecution.executedPlan.toString
+      assert(phys.contains("FileScan parquet"), s"no native FileScan in:\n$phys")
+      assert(phys.contains("Batched: true"), "scan is not vectorized")
+      assert(!phys.contains("ExistingRDD"), "fell back to an RDD scan")
+      assert(q.count() == rows.count(r => r._1 > 100 && r._2 == 2))
+
+      // the file index prunes partitions EXACTLY and skips by footer stats
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThan, Literal}
+      import org.apache.spark.sql.types.IntegerType
+      val snap = GraftTable.forPath(spark, dir).snapshot
+      val index = new graft.sources.GraftFileIndex(spark, dir,
+        org.apache.spark.sql.types.StructType(snap.schema.fields.filter(_.name == "seg")))
+      val all = index.listFiles(Nil, Nil).flatMap(_.files)
+      val pruned = index.listFiles(
+        Seq(EqualTo(AttributeReference("seg", IntegerType)(), Literal(2))), Nil).flatMap(_.files)
+      assert(pruned.nonEmpty && pruned.size < all.size,
+        s"partition pruning ineffective: ${pruned.size} of ${all.size}")
+      val skipped = index.listFiles(Nil,
+        Seq(GreaterThan(AttributeReference("id", IntegerType)(), Literal(1000)))).flatMap(_.files)
+      assert(skipped.isEmpty, "stats skipping kept files that provably cannot match")
+    }
+
     it("registerTable keeps a backtick-bearing name inside the identifier") {
       // Spark's session catalog rejects backticks in table names outright, so
       // the correct outcome is a LOUD AnalysisException on the full hostile

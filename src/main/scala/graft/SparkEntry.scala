@@ -394,6 +394,15 @@ object SparkEntry {
         .select("asset_id", "modality", "byte_size", "payload_head")
     }),
 
+    "mm2_image_decode" -> ((s, dir) => {
+      // REAL ImageIO decode: PNG payloads whose width/height/gray level are
+      // pure integer functions of the id, so DuckDB predicts the decoded
+      // output without any image library
+      val assets = Multimodal.synthesizePngAssets(s, read(s, dir, "supplier"), "s_suppkey")
+      Multimodal.extractImageFeatures(Multimodal.rebalanceForDecode(assets, 4))
+        .select("asset_id", "width", "height", "mean_luma")
+    }),
+
     // ---- S: file statistics / skipping introspection (table-layout checks) ----
     "s2_file_sizes" -> ((s, dir) => {
       // deterministic layout: partition by s_suppkey % 4 from one write task
@@ -631,6 +640,12 @@ object SparkEntry {
         |       CAST(64 + n_nationkey % 192 AS BIGINT) AS byte_size,
         |       upper(substring(md5(CAST(n_nationkey AS VARCHAR) || '-0'), 1, 16)) AS payload_head
         |FROM nation""".stripMargin,
+    "mm2_image_decode" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS asset_id,
+        |       CAST(8 + s_suppkey % 25 AS INT) AS width,
+        |       CAST(8 + (s_suppkey // 25) % 25 AS INT) AS height,
+        |       CAST(s_suppkey % 256 AS INT) AS mean_luma
+        |FROM supplier""".stripMargin,
     "s2_file_sizes" ->
       """SELECT CAST(s_suppkey % 4 AS BIGINT) AS bucket,
         |       count(*) AS num_records,

@@ -9,12 +9,15 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus partition-friendly decode / feature-extraction
   * scaffolding.
   *
-  * The Spark side — schema, batching via `mapPartitions`, partition sizing,
-  * output shape — is real and tested. The actual codec calls are STUBBED
-  * (this container has no image/audio libraries): [[decodeStub]] derives a
-  * deterministic fake from the bytes so pipelines are end-to-end testable;
-  * swap [[decodeStub]] for a real decoder (JNI/FFM to libjpeg/ffmpeg) without
-  * touching any of the plumbing.
+  * The IMAGE modality is decoded for real with `javax.imageio.ImageIO`
+  * (in-JDK, headless; PNG/JPEG/BMP/GIF) — [[decodeImage]] /
+  * [[extractImageFeatures]] return true pixel dimensions and an exact
+  * integer mean luminance, and [[extractFeatures]] emits a real
+  * luminance-histogram feature whenever the payload decodes. AUDIO/VIDEO
+  * remain STUBBED (this container ships no audio/video codecs):
+  * [[decodeStub]] derives a deterministic fake from the bytes so pipelines
+  * are end-to-end testable; swap it for a real decoder (JNI/FFM to ffmpeg)
+  * without touching any of the plumbing.
   *
   * Scale notes: media blobs dominate partition size — use
   * `spark.sql.files.maxPartitionBytes` to keep ~128MB per task, and
@@ -47,10 +50,10 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** STUB decoder: a real implementation would decode the payload with an
-    * image/audio codec and emit model features. The stand-in derives a
-    * deterministic 16-dim feature from the raw bytes (stable across runs and
-    * partitionings) so downstream joins/ANN stages are fully exercisable.
+  /** STUB decoder for the audio/video modalities (no codecs in this
+    * container): derives a deterministic 16-dim feature from the raw bytes
+    * (stable across runs and partitionings) so downstream joins/ANN stages
+    * are fully exercisable. Images go through [[decodeImage]] instead.
     */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     if (payload == null) return null
@@ -65,6 +68,88 @@ object Multimodal {
     // fold the rolling hash into the tail to make features byte-order-sensitive
     out(FeatureDim - 1) += (h & 0xffff).toFloat / 65536.0f
     out
+  }
+
+  /** Decoded image properties. `meanLuma` is the exact integer mean of the
+    * per-pixel Rec.601 luma `(299*r + 587*g + 114*b) / 1000` (integer
+    * division both per pixel and for the mean), so it is reproducible
+    * bit-for-bit by any oracle that knows the pixel values.
+    */
+  case class ImageInfo(width: Int, height: Int, meanLuma: Int)
+
+  /** REAL image decode via in-JDK `javax.imageio.ImageIO` (headless-safe;
+    * PNG/JPEG/BMP/GIF). None when the payload is not a decodable image.
+    */
+  def decodeImage(payload: Array[Byte]): Option[ImageInfo] = {
+    if (payload == null) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        sum += (299 * r + 587 * g + 114 * b) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    Some(ImageInfo(w, h, (sum / (w.toLong * h)).toInt))
+  }
+
+  /** 16-bin normalized luminance histogram of a decodable image — the real
+    * image feature vector (replaces the byte-stub whenever `ImageIO` can
+    * decode the payload).
+    */
+  def imageHistogramFeature(payload: Array[Byte]): Option[Array[Float]] = {
+    if (payload == null) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val hist = new Array[Float](FeatureDim)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+        hist((luma * FeatureDim) / 256) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toFloat
+    var i = 0
+    while (i < FeatureDim) { hist(i) /= n; i += 1 }
+    Some(hist)
+  }
+
+  /** Deterministic PNG encode of a solid `gray`-level image (test/bench
+    * asset builder — the decode side is codec-agnostic and accepts any
+    * PNG/JPEG/BMP/GIF payload).
+    */
+  def encodeGrayPng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   private def contentHash(payload: Array[Byte]): Long = {
@@ -82,15 +167,75 @@ object Multimodal {
   def extractFeatures(assets: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(featureSchema)
     assets.select("asset_id", "modality", "payload").mapPartitions { it =>
-      // >>> real decoder/context initialization would happen here, per task <<<
+      // per-task (not per-row) decoder/context initialization; ImageIO's
+      // plugin registry scan happens once per JVM on first use
       it.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
+        val modality = r.getAs[String]("modality")
+        // images: REAL decode (luminance histogram) when the payload is a
+        // decodable image; audio/video (and undecodable bytes): stub
+        val feature =
+          if (modality == "image") imageHistogramFeature(payload).getOrElse(decodeStub(payload))
+          else decodeStub(payload)
         Row(
           r.getAs[Long]("asset_id"),
-          r.getAs[String]("modality"),
+          modality,
           if (payload == null) 0L else payload.length.toLong,
           contentHash(payload),
-          decodeStub(payload))
+          feature)
+      }
+    }(enc)
+  }
+
+  /** Image-feature schema for [[extractImageFeatures]]: real decoded
+    * dimensions + exact integer mean luminance (null for undecodable
+    * payloads).
+    */
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("byte_size", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("mean_luma", IntegerType, nullable = true)
+  ))
+
+  /** Batched REAL image decode over partitions via [[decodeImage]]:
+    * (asset_id, byte_size, width, height, mean_luma) per asset, nulls when
+    * `ImageIO` cannot decode the payload.
+    */
+  def extractImageFeatures(assets: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(imageFeatureSchema)
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val info = decodeImage(payload)
+        Row(
+          r.getAs[Long]("asset_id"),
+          if (payload == null) 0L else payload.length.toLong,
+          info.map(i => Int.box(i.width)).orNull,
+          info.map(i => Int.box(i.height)).orNull,
+          info.map(i => Int.box(i.meanLuma)).orNull)
+      }
+    }(enc)
+  }
+
+  /** Synthesize REAL PNG assets whose decoded properties are pure integer
+    * functions of the id — `width = 8 + id % 25`, `height = 8 + (id/25) % 25`,
+    * solid gray level `id % 256` (= exact mean luma) — so an oracle can
+    * predict the decode output from the id without any image library.
+    */
+  def synthesizePngAssets(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val enc = RowEncoder.encoderFor(schema)
+    ids.select(col(idCol).cast("long").as("asset_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (8 + id % 25).toInt
+        val h = (8 + (id / 25) % 25).toInt
+        Row(id, "image", encodeGrayPng(w, h, (id % 256).toInt))
       }
     }(enc)
   }

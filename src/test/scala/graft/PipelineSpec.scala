@@ -159,5 +159,33 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
       val modalities = f1.map(_.getString(1)).toSet
       assert(modalities.subsetOf(Set("image", "audio", "video")))
     }
+
+    it("decodes real PNG payloads with ImageIO: dims, mean luma, histogram") {
+      // encode → decode round trip matches the synthesis formulas exactly
+      val ids = (0L to 60L).toDF("id")
+      val assets = Multimodal.synthesizePngAssets(spark, ids, "id")
+      val feats = Multimodal.extractImageFeatures(Multimodal.rebalanceForDecode(assets, 5))
+        .orderBy("asset_id").collect()
+      assert(feats.length == 61)
+      feats.foreach { r =>
+        val id = r.getLong(0)
+        assert(r.getInt(2) == (8 + id % 25).toInt, s"width mismatch for id=$id")
+        assert(r.getInt(3) == (8 + (id / 25) % 25).toInt, s"height mismatch for id=$id")
+        assert(r.getInt(4) == (id % 256).toInt, s"mean luma mismatch for id=$id")
+        assert(r.getLong(1) > 0L)
+      }
+      // a solid-gray image's histogram is a single full bin at its luma level
+      val hist = Multimodal.imageHistogramFeature(Multimodal.encodeGrayPng(10, 10, 200)).get
+      assert(hist((200 * Multimodal.FeatureDim) / 256) == 1.0f)
+      assert(hist.sum == 1.0f)
+      // an image-labeled but undecodable payload falls back to the stub,
+      // and extractImageFeatures reports nulls for it
+      assert(Multimodal.decodeImage(Array[Byte](1, 2, 3)).isEmpty)
+      val junk = Seq((99L, "image", Array[Byte](1, 2, 3))).toDF("asset_id", "modality", "payload")
+      val jf = Multimodal.extractImageFeatures(junk).head()
+      assert(jf.isNullAt(2) && jf.isNullAt(3) && jf.isNullAt(4))
+      val stubbed = Multimodal.extractFeatures(junk).head().getSeq[Float](4)
+      assert(stubbed == Multimodal.decodeStub(Array[Byte](1, 2, 3)).toSeq)
+    }
   }
 }

@@ -419,6 +419,98 @@ object SparkEntry {
         lit(m("number_of_files").toLong).as("number_of_files"),
         lit(GraftHelpers.latestVersion(t.path)).as("version"))
     }),
+    "s5_size_distribution" -> ((s, dir) => {
+      // one write task + partitionBy → exactly one file per partition, so
+      // every per-partition size distribution is DEGENERATE: 1 file,
+      // mean=min=max, undefined stddev, all-equal percentiles. Byte sizes
+      // are encoder-specific, so the oracle pins the degenerate SHAPE
+      // (exact booleans) plus the exact file count.
+      val sup = read(s, dir, "supplier")
+        .withColumn("bucket", pmod(col("s_suppkey"), lit(4)).cast("long"))
+      val t = GraftTable.create(s, tmp("s5"), sup.coalesce(1),
+        partitionColumns = Seq("bucket"))
+      val d = GraftHelpers.fileSizeDistribution(t)
+      val pct = d("Percentile[10th, 25th, Median, 75th, 90th, 95th]")
+      d.select(
+        element_at(col("partitionValues"), 1)("value").cast("long").as("bucket"),
+        col("num_of_parquet_files"),
+        (col("mean_size_of_files") === col("min_size_of_files") &&
+          col("min_size_of_files") === col("max_size_of_files") &&
+          col("min_size_of_files") > 0).as("degenerate_range"),
+        (col("stddev").isNull || isnan(col("stddev"))).as("stddev_degenerate"),
+        (array_min(pct) === array_max(pct)).as("percentiles_degenerate"))
+    }),
+    "s6_size_distribution_mb" -> ((s, dir) => {
+      // the MB variant must agree with the byte variant exactly (divide by
+      // 2^20 is lossless in doubles) — cross-checks two REAL operator
+      // outputs against each other, reduced to an oracle-stable boolean
+      val sup = read(s, dir, "supplier")
+        .withColumn("bucket", pmod(col("s_suppkey"), lit(4)).cast("long"))
+      val t = GraftTable.create(s, tmp("s6"), sup.coalesce(1),
+        partitionColumns = Seq("bucket"))
+      val bucket = element_at(col("partitionValues"), 1)("value").cast("long").as("bucket")
+      val bytes = GraftHelpers.fileSizeDistribution(t)
+        .select(bucket, col("mean_size_of_files"))
+      val mb = GraftHelpers.fileSizeDistributionInMB(t)
+        .select(bucket, col("num_of_parquet_files"), col("mean_size_of_files_in_mb"))
+      mb.join(bytes, "bucket").select(
+        col("bucket"),
+        col("num_of_parquet_files"),
+        (col("mean_size_of_files_in_mb") * lit(1024d * 1024d) ===
+          col("mean_size_of_files")).as("mb_matches_bytes"))
+    }),
+    "s7_record_distribution" -> ((s, dir) => {
+      // record counts (unlike byte sizes) are fully engine-independent:
+      // with one file per partition the whole distribution collapses to the
+      // per-bucket row count, which DuckDB computes exactly
+      val sup = read(s, dir, "supplier")
+        .withColumn("bucket", pmod(col("s_suppkey"), lit(4)).cast("long"))
+      val t = GraftTable.create(s, tmp("s7"), sup.coalesce(1),
+        partitionColumns = Seq("bucket"))
+      val d = GraftHelpers.numRecordDistribution(t)
+      val pct = d("Percentile[10th, 25th, Median, 75th, 90th, 95th]")
+      d.select(
+        element_at(col("partitionValues"), 1)("value").cast("long").as("bucket"),
+        col("num_of_parquet_files"),
+        col("mean_num_records_in_files").cast("long").as("mean_records"),
+        col("min_num_records_in_files").cast("long").as("min_records"),
+        col("max_num_records_in_files").cast("long").as("max_records"),
+        element_at(pct, 3).cast("long").as("median_records"))
+    }),
+
+    // ---- C7/L8: pure functions pinned to the reference's exact outputs ----
+    "c7_group_versions" -> ((s, dir) => {
+      import s.implicits._
+      // literal oracle: the reference's grouping semantics bug-for-bug,
+      // including the isolated-head (head, -1) quirk
+      // (reference ChangeDataFeedHelperSpec.scala:123,139)
+      val t = GraftTable.create(s, tmp("c7"), Seq((1, "a")).toDF("id", "name"))
+      val h = ChangeDataFeedHelper(s, t.path, 0, 0)
+      val inputs = Seq(
+        1 -> List(0L, 1L, 2L, 7L, 8L, 12L, 13L),
+        2 -> List(5L, 9L, 10L),
+        3 -> List(3L, 4L),
+        4 -> List(5L))
+      inputs.flatMap { case (id, vs) =>
+        h.groupVersionsInclusive(vs) match {
+          case None     => Seq((id, -100L, -100L))
+          case Some(rs) => rs.map { case (a, b) => (id, a, b) }
+        }
+      }.toDF("case_id", "range_start", "range_end")
+    }),
+    "l8_split_condition" -> ((s, dir) => {
+      import s.implicits._
+      // pure condition parser (reference OperationMetricHelperSpec.scala:99-105):
+      // plain, attribute-id-suffixed (#590) and qualified column forms
+      val h = OperationMetricHelper(s, "/nonexistent-l8")
+      val conds = Seq(
+        1 -> "country = 'USA' and gender = Female",
+        2 -> "country#590 = USA",
+        3 -> "tbl.country = 'IND'")
+      conds.flatMap { case (id, c) =>
+        h.splitConditionTo(c).toSeq.sortBy(_._1).map { case (k, v) => (id, k, v) }
+      }.toDF("case_id", "key", "value")
+    }),
     "s8_skipping_counts" -> ((s, dir) => {
       import s.implicits._
       // deterministic skipping: contiguous key-range buckets (one file per
@@ -646,6 +738,39 @@ object SparkEntry {
         |       CAST(8 + (s_suppkey // 25) % 25 AS INT) AS height,
         |       CAST(s_suppkey % 256 AS INT) AS mean_luma
         |FROM supplier""".stripMargin,
+    "s5_size_distribution" ->
+      """SELECT DISTINCT CAST(s_suppkey % 4 AS BIGINT) AS bucket,
+        |       CAST(1 AS BIGINT) AS num_of_parquet_files,
+        |       true AS degenerate_range,
+        |       true AS stddev_degenerate,
+        |       true AS percentiles_degenerate
+        |FROM supplier""".stripMargin,
+    "s6_size_distribution_mb" ->
+      """SELECT DISTINCT CAST(s_suppkey % 4 AS BIGINT) AS bucket,
+        |       CAST(1 AS BIGINT) AS num_of_parquet_files,
+        |       true AS mb_matches_bytes
+        |FROM supplier""".stripMargin,
+    "s7_record_distribution" ->
+      """SELECT CAST(s_suppkey % 4 AS BIGINT) AS bucket,
+        |       CAST(1 AS BIGINT) AS num_of_parquet_files,
+        |       CAST(count(*) AS BIGINT) AS mean_records,
+        |       CAST(count(*) AS BIGINT) AS min_records,
+        |       CAST(count(*) AS BIGINT) AS max_records,
+        |       CAST(count(*) AS BIGINT) AS median_records
+        |FROM supplier GROUP BY 1""".stripMargin,
+    "c7_group_versions" ->
+      """SELECT CAST(case_id AS INT) AS case_id,
+        |       CAST(range_start AS BIGINT) AS range_start,
+        |       CAST(range_end AS BIGINT) AS range_end
+        |FROM (VALUES (1, 0, 2), (1, 7, 8), (1, 12, 13),
+        |             (2, 5, -1), (2, 9, 10),
+        |             (3, 3, 4),
+        |             (4, -100, -100)) t(case_id, range_start, range_end)""".stripMargin,
+    "l8_split_condition" ->
+      """SELECT CAST(case_id AS INT) AS case_id, key, value
+        |FROM (VALUES (1, 'country', 'USA'), (1, 'gender', 'Female'),
+        |             (2, 'country', 'USA'),
+        |             (3, 'country', 'IND')) t(case_id, key, value)""".stripMargin,
     "s2_file_sizes" ->
       """SELECT CAST(s_suppkey % 4 AS BIGINT) AS bucket,
         |       count(*) AS num_records,

@@ -195,16 +195,41 @@ case class ChangeDataFeedHelper(
   /** Validate the requested range against retained log versions and CDF
     * status at both endpoints; on a missing version report the available
     * range instead (reference `:191-210` VersionNotFoundException path).
+    *
+    * The two public entry points genuinely differ (reference `:133,142`):
+    * `isCheckpoint=false` reports RAW log-file availability — the
+    * per-version change information a CDF read consumes — while
+    * `isCheckpoint=true` reports snapshot-STATE availability, which may
+    * start at a checkpoint sidecar when the raw files below it are gone
+    * (vacuumed or manually deleted): a version between the surviving raw
+    * head and the checkpoint has its change files but no reconstructable
+    * table state.
     */
   def getLogVersions(isCheckpoint: Boolean): Option[(Long, Long)] = {
     val versions = log.versions()
-    val (earliest, latest) = (versions.head, versions.last)
+    val (earliestRaw, latest) = (versions.head, versions.last)
+    val earliest =
+      if (!isCheckpoint || earliestRaw == 0L) earliestRaw
+      else
+        // earliest version whose full state replays: the oldest checkpoint
+        // from which every later raw log file survives (raw files are
+        // contiguous from earliestRaw — vacuum deletes oldest-first)
+        log.checkpointVersions()
+          .filter(cv => cv >= earliestRaw - 1 && cv <= latest)
+          .headOption.getOrElse(earliestRaw)
     if (startingVersion < earliest || startingVersion > latest || endingVersion > latest)
       Some((earliest, latest))
-    else if (log.snapshot(startingVersion).cdfEnabled && log.snapshot(endingVersion).cdfEnabled)
+    else if (cdfEnabledAt(startingVersion) && cdfEnabledAt(endingVersion))
       Some((startingVersion, endingVersion))
     else None
   }
+
+  /** CDF status of a version's snapshot; a version whose state cannot be
+    * replayed (pre-checkpoint raw survivor) counts as not-enabled rather
+    * than erroring — the caller treats None as "range not cleanly readable".
+    */
+  private def cdfEnabledAt(v: Long): Boolean =
+    scala.util.Try(log.snapshot(v).cdfEnabled).getOrElse(false)
 
   // =====================================================================
   // C4 — change-data availability (vacuum / manual-delete recovery)

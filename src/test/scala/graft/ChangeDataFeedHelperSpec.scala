@@ -120,6 +120,29 @@ class ChangeDataFeedHelperSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(h.groupVersionsInclusive(List(5L)) == None)
   }
 
+  it("the two log-availability entry points differ once pre-checkpoint logs are gone") {
+    // 12 commits → automatic checkpoint sidecar at version 10; then delete
+    // raw log files 0..7. Versions 8..9 still have their per-version change
+    // information (raw files) but NO reconstructable state (their replay
+    // needs the deleted 0..7); state replay can only START at the
+    // checkpoint. The raw-file view must report 8, the checkpoint-aware
+    // view 10 (reference ChangeDataFeedHelper.scala:133,142 distinguishes
+    // exactly these).
+    val t = cdfTable(tmpTableDir("cdf-ckpt-avail"))
+    (1 to 11).foreach(i => t.append(Seq((100 + i, s"x$i")).toDF("id", "name")))
+    val log = new GraftLog(t.path)
+    assert(log.checkpointVersions() == Seq(10L))
+    (0L to 7L).foreach(v => java.nio.file.Files.delete(log.versionFile(v)))
+
+    val h = ChangeDataFeedHelper(spark, t.path, 0, 11)
+    assert(h.checkEarliestDeltaFileBetweenVersions == Some((8L, 11L)))
+    assert(h.getVersionsForAvailableDeltaLog == Some((10L, 11L)))
+    // a fully-available range answers identically through both entry points
+    val hOk = ChangeDataFeedHelper(spark, t.path, 10, 11)
+    assert(hOk.checkEarliestDeltaFileBetweenVersions == Some((10L, 11L)))
+    assert(hOk.getVersionsForAvailableDeltaLog == Some((10L, 11L)))
+  }
+
   it("getVersionsForAvailableCDC recovers after manual change-data deletion") {
     val t = cdfTable(tmpTableDir("cdf-vac"))
     upsert(t, Seq((1, "A")))  // v1 cdc

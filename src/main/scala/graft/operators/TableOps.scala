@@ -215,22 +215,72 @@ object TableOps {
     deleted
   }
 
-  /** Poor-man's Z-ORDER (SURVEY §4.2): `repartitionByRange` + sort within
-    * partitions on the clustering columns — tightens per-file min/max ranges,
-    * which is what makes data skipping on those columns effective.
+  /** Z-ORDER rewrite (SURVEY §4.2).
+    *
+    * Multi-column numeric clustering interleaves the bits of equi-depth
+    * rank buckets (one per clustering column) into a single Z-value, then
+    * range-partitions + sorts on it — so EVERY clustering column's per-file
+    * min/max tightens (≈ each file covers one tile of the space), not just
+    * the first's. Bucket boundaries come from `approxQuantile` (driver-side
+    * O(2^bits) doubles — the same reservoir-sample mechanism
+    * `repartitionByRange` uses), making the buckets skew-robust; the
+    * per-row bucket lookup is a codegen'd fold over the boundary-array
+    * literal. One column — or any non-numeric clustering column — falls
+    * back to plain range partitioning + sort, which is strictly better for
+    * a single key (fully disjoint ranges) and the only order available for
+    * strings.
     */
   def zOrderBy(table: GraftTable, cols: Seq[String], numFiles: Int = 0): Long = {
     val spark = table.spark
     val snap = table.snapshot
     val colRefs = cols.map(col)
     val n = if (numFiles > 0) numFiles else math.max(1, snap.files.size)
-    val data = table.toDF
-      .repartitionByRange(n, colRefs: _*)
-      .sortWithinPartitions(colRefs: _*)
+    val schema = snap.schema
+    val allNumeric = cols.forall(c => schema.fields.find(_.name == c)
+      .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+    val data =
+      if (cols.size >= 2 && allNumeric) zOrderedData(table.toDF, cols, n)
+      else table.toDF.repartitionByRange(n, colRefs: _*).sortWithinPartitions(colRefs: _*)
     TableWriter.write(spark, table.path, data, TableWriter.Append,
       operation = "OPTIMIZE",
       operationParameters = Map("zOrderBy" -> cols.mkString("[", ",", "]")),
       extraMetrics = Map("numRemovedFiles" -> snap.files.size.toString),
       removeFiles = snap.files.map(_.path))
+  }
+
+  /** Bits of Z-value per clustering column: 8 (256 equi-depth buckets —
+    * ample for file-level clustering) unless many columns squeeze the
+    * 63-bit budget.
+    */
+  private def zBitsPerColumn(numCols: Int): Int = math.min(8, 63 / numCols)
+
+  /** `df` re-ordered by the interleaved-bit Z-value of `cols`. */
+  private def zOrderedData(df: DataFrame, cols: Seq[String], numFiles: Int): DataFrame = {
+    val bits = zBitsPerColumn(cols.size)
+    val buckets = 1 << bits
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    // equi-depth bucket of each clustering column: the count of quantile
+    // boundaries ≤ value (null → bucket 0); boundaries are a literal array,
+    // so the fold stays inside whole-stage codegen
+    val bucketCols = cols.map { c =>
+      val bounds = df.stat.approxQuantile(c, probs, 0.001).distinct.sorted
+      val arr = array(bounds.toIndexedSeq.map(lit): _*)
+      aggregate(arr, lit(0),
+        (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
+        .as(s"__graft_zb_$c")
+    }
+    val withBuckets = df.select(df.columns.map(col).toIndexedSeq ++ bucketCols: _*)
+    // z = bits of all buckets interleaved, lowest bit fastest: column c
+    // contributes bit i at position i*numCols + c
+    val z = (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, ci) =>
+        shiftleft(shiftright(col(s"__graft_zb_$c"), i).bitwiseAND(lit(1)),
+          i * cols.size + ci).cast("long")
+      }
+    }.reduce(_ + _)
+    withBuckets.withColumn("__graft_z", z)
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop(cols.map(c => s"__graft_zb_$c") :+ "__graft_z": _*)
   }
 }

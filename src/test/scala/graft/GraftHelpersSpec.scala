@@ -345,5 +345,29 @@ class GraftHelpersSpec extends AnyFunSpec with SparkSessionTestWrapper {
         case _ => ()
       }
     }
+
+    it("2-column zOrderBy prunes on the SECOND column alone (real interleave)") {
+      // 64x64 grid in random row order → 16 files. A lexicographic (x, y)
+      // sort leaves every file's y-range at full width (zero pruning on y);
+      // real bit-interleaved z-order gives each file a tile, so a y-strip
+      // predicate must prune more than half the files.
+      val rnd = new scala.util.Random(42)
+      val grid = rnd.shuffle((0 until 64).flatMap(x => (0 until 64).map(y => (x, y))).toVector)
+      val t = GraftTable.create(spark, tmpTableDir("zo2"),
+        grid.toDF("x", "y").repartition(4))
+      TableOps.zOrderBy(t, Seq("x", "y"), numFiles = 16)
+      assert(t.snapshot.files.size == 16)
+      assert(t.toDF.count() == 64 * 64)
+
+      val mY = GraftHelpers.getNumShuffleFiles(t, "y >= 0 AND y <= 7")
+      val total = mY("totalFilesInTable").asInstanceOf[Long]
+      assert(total == 16L)
+      assert(mY("overall").asInstanceOf[Int] <= 8,
+        s"y-only predicate kept ${mY("overall")} of $total files — second column not clustered")
+      // the first column keeps pruning too
+      val mX = GraftHelpers.getNumShuffleFiles(t, "x >= 0 AND x <= 7")
+      assert(mX("overall").asInstanceOf[Int] <= 8,
+        s"x predicate kept ${mX("overall")} of $total files")
+    }
   }
 }

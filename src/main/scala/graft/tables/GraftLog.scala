@@ -169,8 +169,19 @@ class GraftLog(val tablePath: String) {
   def commit(version: Long, actions: Seq[Action]): Unit = {
     Files.createDirectories(logDir)
     val target = versionFile(version)
-    if (Files.exists(target)) // cheap pre-check; the link below is the gate
-      throw new CommitConflictException(tablePath, version)
+    if (Files.exists(target)) { // cheap pre-check; the link below is the gate
+      // a zero-byte file at the TARGET path is debris (the current claim
+      // protocol never creates one — no-link claims live at `.claim`
+      // markers, and landings move full content): break it once stale so a
+      // crashed legacy claimant cannot wedge the version forever
+      val staleDebris =
+        try Files.size(target) == 0L &&
+          System.currentTimeMillis() - Files.getLastModifiedTime(target).toMillis >
+            GraftLog.StaleClaimMillis
+        catch { case _: java.io.IOException => false }
+      if (!staleDebris) throw new CommitConflictException(tablePath, version)
+      Files.deleteIfExists(target)
+    }
     val tmp = Files.createTempFile(logDir, s".$version", ".json.tmp")
     val body = actions.map(renderAction).mkString("", "\n", "\n")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -188,33 +199,63 @@ class GraftLog(val tablePath: String) {
       catch { case scala.util.control.NonFatal(_) => () }
   }
 
-  /** Version claim for filesystems without hard links. The old fallback was
-    * ATOMIC_MOVE rename, which silently REPLACES an already-claimed version —
-    * two racing writers both "succeeded" and one commit's actions vanished.
-    * `Files.createFile` (O_EXCL) is universally supported and fails with
-    * FileAlreadyExistsException, so exactly one claimant wins; the winner
-    * then lands the content atomically over its own zero-byte claim.
-    * Readers never see the empty window: [[versions]] skips zero-length
-    * files, so the version becomes visible only once its content is in
-    * place. A claimant that crashes in the window leaves a permanently
-    * empty claim; [[commit]]'s conflict path breaks claims older than
-    * [[GraftLog.StaleClaimMillis]] so the log cannot wedge.
+  /** Version claim for filesystems without hard links, as a LOCK at a
+    * separate `<version>.json.claim` marker path.
+    *
+    * Why not claim at the target path itself (the previous design): breaking
+    * a stale claim there meant deleting the TARGET, and a slow-but-alive
+    * claimant landing content in the check→delete window lost a fully
+    * committed version — and [[commit]]'s exists() pre-check fired before
+    * the break could run, so a crashed claimant wedged the version forever.
+    * With the marker namespace, committed files are never deleted, renamed
+    * or replaced by anyone: breaking a stale claim deletes only the marker.
+    *
+    * Protocol: acquire the marker with `Files.createFile` (O_EXCL — exactly
+    * one winner); markers older than [[GraftLog.StaleClaimMillis]] are
+    * presumed crashed and broken (marker deleted, acquisition retried).
+    * The holder lands content at the target with a single atomic move,
+    * conflicting if the target already exists, and re-validates marker
+    * ownership (file key) immediately before the move so a claimant that
+    * stalled past the staleness horizon and lost its claim to a breaker
+    * aborts instead of racing the new owner. Readers never see a torn
+    * state: [[versions]] matches only `\\d+.json` names, so markers are
+    * invisible and targets appear only with full content.
     */
   private[graft] def publishWithoutLink(tmp: JPath, target: JPath, version: Long): Unit = {
-    try Files.createFile(target)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        // break a crashed claimant's stale zero-byte claim, then re-claim
-        val stale =
-          try Files.size(target) == 0L &&
-            System.currentTimeMillis() - Files.getLastModifiedTime(target).toMillis >
-              GraftLog.StaleClaimMillis
-          catch { case _: java.io.IOException => false }
-        if (!stale) throw new CommitConflictException(tablePath, version)
-        Files.deleteIfExists(target)
-        return publishWithoutLink(tmp, target, version)
+    val claim = logDir.resolve(target.getFileName.toString + ".claim")
+    def keyOf(p: JPath): AnyRef =
+      try {
+        val attrs = Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
+        Option(attrs.fileKey).getOrElse((attrs.creationTime, attrs.lastModifiedTime))
+      } catch { case _: java.io.IOException => null }
+    var myKey: AnyRef = null
+    while (myKey == null) {
+      try {
+        Files.createFile(claim)
+        myKey = keyOf(claim)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val stale =
+            try Files.getLastModifiedTime(claim).toMillis <
+              System.currentTimeMillis() - GraftLog.StaleClaimMillis
+            catch { case _: java.io.IOException => true } // vanished: retry
+          if (!stale) throw new CommitConflictException(tablePath, version)
+          Files.deleteIfExists(claim) // breaks only the MARKER, never a commit
+      }
     }
-    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    try {
+      if (Files.exists(target))
+        throw new CommitConflictException(tablePath, version)
+      // ownership re-validation: if we stalled long enough for a breaker to
+      // steal and re-create the marker, its file key changed — abort rather
+      // than race the new holder's landing
+      if (keyOf(claim) != myKey)
+        throw new CommitConflictException(tablePath, version)
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    } finally {
+      // release only our own marker (a breaker may have replaced it)
+      if (keyOf(claim) == myKey) Files.deleteIfExists(claim)
+    }
   }
 }
 

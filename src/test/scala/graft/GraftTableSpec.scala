@@ -262,20 +262,56 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       }
       assert(new String(java.nio.file.Files.readAllBytes(target), "UTF-8") == "one\n")
 
-      // an in-flight zero-byte claim hides the version from readers...
+      // claims live at a separate `.claim` marker, invisible to readers
       val claimed = log.versionFile(8L)
-      java.nio.file.Files.createFile(claimed)
+      val marker = log.logDir.resolve(claimed.getFileName.toString + ".claim")
+      java.nio.file.Files.createFile(marker)
       assert(!log.versions().contains(8L))
-      // ...a FRESH claim blocks competitors, a STALE one (crashed claimant)
-      // is broken and re-claimed
+      // a FRESH marker blocks competitors; a STALE one (crashed claimant)
+      // is broken — by deleting the MARKER only — and the version recovers
       assertThrows[tables.CommitConflictException] {
         log.publishWithoutLink(tmpWith("x\n"), claimed, 8L)
       }
-      java.nio.file.Files.setLastModifiedTime(claimed,
+      java.nio.file.Files.setLastModifiedTime(marker,
         java.nio.file.attribute.FileTime.fromMillis(
           System.currentTimeMillis() - tables.GraftLog.StaleClaimMillis - 1000))
       log.publishWithoutLink(tmpWith("recovered\n"), claimed, 8L)
       assert(new String(java.nio.file.Files.readAllBytes(claimed), "UTF-8") == "recovered\n")
+      assert(!java.nio.file.Files.exists(marker), "winner must release its marker")
+      // a stale marker can NEVER break a landed commit: age the released
+      // slot's history — landing already happened, content stays intact
+      assertThrows[tables.CommitConflictException] {
+        log.publishWithoutLink(tmpWith("never\n"), claimed, 8L)
+      }
+      assert(new String(java.nio.file.Files.readAllBytes(claimed), "UTF-8") == "recovered\n")
+    }
+
+    it("stale-claim recovery is reachable through commit() itself") {
+      // the advisor scenario: a crashed claimant's stale zero-byte debris at
+      // the TARGET path (legacy protocol) must not wedge the log — commit()
+      // breaks it once stale instead of conflicting forever
+      val dir = tmpTableDir("graft-claim-commit")
+      val t = GraftTable.create(spark, dir, Seq((1, "a")).toDF("id", "name"))
+      val log = t.log
+      val debris = log.versionFile(1L)
+      java.nio.file.Files.createFile(debris)
+      // fresh debris: writers conflict (could be an in-flight legacy claim)
+      assertThrows[tables.CommitConflictException] {
+        log.commit(1L, Seq(tables.CommitInfo(1L, "WRITE")))
+      }
+      // TableWriter sees the same conflict and aborts after bounded retries
+      // rather than spinning forever
+      assertThrows[java.util.ConcurrentModificationException] {
+        t.append(Seq((2, "b")).toDF("id", "name"))
+      }
+      // stale debris: the next commit through the PUBLIC path breaks it and
+      // lands — driven via TableWriter.append, not publishWithoutLink
+      java.nio.file.Files.setLastModifiedTime(debris,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - tables.GraftLog.StaleClaimMillis - 1000))
+      t.append(Seq((3, "c")).toDF("id", "name"))
+      assert(t.version == 1L)
+      assert(t.toDF.count() == 2)
     }
 
     it("concurrent blind appends both land (append retries on conflict)") {

@@ -196,6 +196,11 @@ object GraftMerge {
           operationParameters = Map("predicate" -> s"[${condition}]"),
           extraMetrics = metrics,
           cdc = cdc,
+          // the insert decisions were made by anti-joining the candidate
+          // files — a winner rewriting one of them invalidates those
+          // decisions, so the read footprint makes this NOT a blind append
+          readFiles = candidates.map(_.path),
+          readVersion = Some(snap.version),
           skipDataWrite = nIns == 0)
       } finally {
         sourceCached.unpersist()
@@ -344,6 +349,10 @@ object GraftMerge {
         extraMetrics = metrics + ("numTargetFilesAdded" -> "0"),
         cdc = cdc,
         removeFiles = touched.map(_.path),
+        // read footprint: every candidate file (superset of touched) — a
+        // winner removing a candidate may change which rows match
+        readFiles = candidates.map(_.path),
+        readVersion = Some(snap.version),
         skipDataWrite = noChange
       )
     } finally {

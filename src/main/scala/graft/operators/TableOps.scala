@@ -66,6 +66,8 @@ object TableOps {
         extraMetrics = metrics,
         cdc = cdc,
         removeFiles = touched.map(_.path),
+        readFiles = candidates.map(_.path),
+        readVersion = Some(snap.version),
         skipDataWrite = touched.isEmpty)
     } finally touchedRows.unpersist()
   }
@@ -128,6 +130,8 @@ object TableOps {
         extraMetrics = metrics,
         cdc = cdc,
         removeFiles = touched.map(_.path),
+        readFiles = candidates.map(_.path),
+        readVersion = Some(snap.version),
         skipDataWrite = touched.isEmpty)
     } finally touchedRows.unpersist()
   }
@@ -163,7 +167,8 @@ object TableOps {
       operationParameters = Map("predicate" -> where.map(w => s"[$w]").getOrElse("[]")),
       extraMetrics = Map("numRemovedFiles" -> selected.size.toString,
         "numRemovedBytes" -> totalBytes.toString),
-      removeFiles = selected.map(_.path))
+      removeFiles = selected.map(_.path),
+      readVersion = Some(snap.version))
   }
 
   /** VACUUM: physically delete data/change files no longer referenced by any
@@ -245,7 +250,8 @@ object TableOps {
       operation = "OPTIMIZE",
       operationParameters = Map("zOrderBy" -> cols.mkString("[", ",", "]")),
       extraMetrics = Map("numRemovedFiles" -> snap.files.size.toString),
-      removeFiles = snap.files.map(_.path))
+      removeFiles = snap.files.map(_.path),
+      readVersion = Some(snap.version))
   }
 
   /** Bits of Z-value per clustering column: 8 (256 equi-depth buckets —

@@ -49,6 +49,8 @@ object TableWriter {
       cdc: Option[DataFrame] = None,
       extraActions: Seq[Action] = Nil,
       removeFiles: Seq[String] = Nil,
+      readFiles: Seq[String] = Nil,
+      readVersion: Option[Long] = None,
       skipDataWrite: Boolean = false
   ): Long = {
     ensureWriteConfs(spark)
@@ -113,18 +115,20 @@ object TableWriter {
       }
 
       // 5. assemble + commit, with optimistic-concurrency retry.
-      // A blind append (no removed files, no overwrite) commutes with any
-      // concurrent commit: on conflict, re-read the snapshot, re-merge the
-      // schema and retry at the next version. A removal-bearing commit gets
-      // the SEMANTIC check (Delta's WriteSerializable rule, inherited by the
-      // reference via DeltaHelpers.scala:112 withNewTransaction): it rebases
-      // and retries when every winning commit is file-disjoint from it — no
-      // winner removed a file this commit removes (our removes are exactly
-      // the files whose rows our rewrite replaces, so they are also the read
-      // footprint) and no winner changed table metadata. Two writers
-      // deleting different partitions therefore both succeed; writers
-      // touching the same file still abort, because retrying would silently
-      // drop the winner's rewrite.
+      // A blind append (no removed files, no read footprint, no overwrite)
+      // commutes with any concurrent commit: on conflict, re-read the
+      // snapshot, re-merge the schema and retry at the next version. Any
+      // other commit gets the SEMANTIC check (Delta's WriteSerializable
+      // rule, inherited by the reference via DeltaHelpers.scala:112
+      // withNewTransaction): it rebases and retries only when every winning
+      // commit is file-disjoint from BOTH this commit's removes AND its
+      // read footprint (`readFiles` — e.g. a merge's candidate files, a
+      // superset of the files it rewrites), and no winner changed table
+      // metadata. A winner that rewrote a candidate-but-untouched file may
+      // have changed which rows match, so retrying would re-commit stale
+      // match decisions — Delta raises ConcurrentDeleteReadException for
+      // exactly this remove-vs-read conflict. Two writers deleting
+      // different partitions still both succeed.
       // operation-specific file-count keys are computed here (the caller
       // can't know them before the write); the Delta metric vocabulary is
       // what the metric helpers parse (graft.log.OperationMetric)
@@ -143,7 +147,25 @@ object TableWriter {
         "numOutputRows" -> numOutputRows.toString,
         "numOutputBytes" -> adds.map(_.size).sum.toString
       ) ++ extraMetrics ++ opSpecific
-      val commutable = mode == Append && removeFiles.isEmpty
+      val commutable = mode == Append && removeFiles.isEmpty && readFiles.isEmpty
+      // A transaction that DECIDED its writes from an earlier snapshot
+      // (`readVersion`) must validate every commit that landed since — not
+      // just commits that collide on a version number. Without this, a
+      // winner landing between the caller's snapshot read and this point is
+      // invisible: the commit lands on top at latest+1 with no conflict
+      // check at all (Delta validates from txn.readVersion for the same
+      // reason). The same footprint rule applies: a winner removing any
+      // file we removed OR read invalidates our decisions.
+      readVersion.foreach { rv =>
+        val footprint = removeFiles.toSet ++ readFiles
+        val conflicted = !disjointFromWinners(log, rv + 1, footprint,
+          Metadata(newSchema.json, partCols, newProps))
+        if (conflicted)
+          throw new java.util.ConcurrentModificationException(
+            s"commit of $operation to $tablePath conflicts with a concurrent writer " +
+              s"that committed after version $rv (the winner removed a file this " +
+              "operation read or rewrote, or changed table metadata); re-run the operation")
+      }
       val maxAttempts = 20
       var attemptSnap = prevSnapshot
       var attempt = 0
@@ -180,7 +202,7 @@ object TableWriter {
           case e: CommitConflictException =>
             val retryable = commutable ||
               disjointFromWinners(log, v,
-                removes.collect { case r: RemoveFile => r.path }.toSet,
+                removes.collect { case r: RemoveFile => r.path }.toSet ++ readFiles,
                 Metadata(schemaNow.json, partCols, propsNow))
             if (!retryable || attempt >= maxAttempts)
               throw new java.util.ConcurrentModificationException(
@@ -194,19 +216,22 @@ object TableWriter {
     } finally deleteRecursively(staging)
   }
 
-  /** Semantic OCC check for a removal-bearing commit that lost the race at
+  /** Semantic OCC check for a commit that lost the race at
     * `attemptedVersion`: true when every winning commit (attemptedVersion up
-    * to the current latest) is file-disjoint from `ourRemoves` and none
-    * changed table metadata — then the loser can rebase and retry without
-    * dropping any winner's work. Winner ADDS never conflict at file level
-    * (new unique names); ignoring them is Delta's WriteSerializable
-    * relaxation: the outcome is as if this commit ran first and the winner's
-    * appended rows arrived after.
+    * to the current latest) removed no file in `ourFootprint` — this
+    * commit's removes PLUS everything it read to decide them (candidate
+    * files for MERGE/DELETE/UPDATE; Delta's
+    * checkForDeletedFilesAgainstCurrentTxnReadFiles) — and none changed
+    * table metadata. Then the loser can rebase and retry without dropping
+    * any winner's work or re-committing stale match decisions. Winner ADDS
+    * never conflict at file level (new unique names); ignoring them is
+    * Delta's WriteSerializable relaxation: the outcome is as if this commit
+    * ran first and the winner's appended rows arrived after.
     */
   private def disjointFromWinners(
       log: GraftLog,
       attemptedVersion: Long,
-      ourRemoves: Set[String],
+      ourFootprint: Set[String],
       ourMetadata: Metadata): Boolean = {
     val latest = log.latestVersion()
     (attemptedVersion to latest).forall { w =>
@@ -216,7 +241,7 @@ object TableWriter {
         // benign (e.g. both normalize create-time nullability); any real
         // schema/partitioning/property change under us aborts
         case m: Metadata    => m == ourMetadata
-        case r: RemoveFile  => !ourRemoves.contains(r.path)
+        case r: RemoveFile  => !ourFootprint.contains(r.path)
         case _              => true
       }
     }

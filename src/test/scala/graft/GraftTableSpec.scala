@@ -404,6 +404,48 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(t.toDF.select("country").as[String].collect().toSet == Set("FR"))
     }
 
+    it("semantic OCC: a winner removing a READ (candidate) file aborts the merge") {
+      // B's merge touches only the US file, but its candidate set (the
+      // condition has no target-only conjunct) spans every file — the DE
+      // file was READ to decide matches. The winner deletes DE while B is
+      // mid-flight: rebasing would re-commit B's now-stale match decisions
+      // (Delta raises ConcurrentDeleteReadException here even under
+      // WriteSerializable), so B must abort.
+      import org.apache.spark.sql.functions.udf
+      val dir = tmpTableDir("graft-occ-read")
+      val t = GraftTable.create(spark, dir,
+        Seq((1, "a", "US"), (2, "b", "US"), (3, "c", "DE"), (5, "e", "FR"))
+          .toDF("id", "name", "country"),
+        partitionColumns = Seq("country"))
+      OccGate.reset()
+      val gate = udf { (id: Int) => OccGate.enter(); id }
+      // source keys {1, 4}: the dynamic-pruning range [1,4] keeps US (1..2)
+      // and DE (3) as candidates but only US contains a match — DE is
+      // read-but-untouched; FR (5) is outside the range and stays fair game
+      val src = Seq((1, "a2", "US"), (4, "d", "DE")).toDF("id", "name", "country")
+        .withColumn("id", gate($"id"))
+      var bError: Option[Throwable] = None
+      val b = new Thread(() => {
+        try {
+          graft.operators.GraftMerge(t, "old").merge(src, "old.id = new.id", Some("new"))
+            .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+          ()
+        } catch { case e: Throwable => bError = Some(e) }
+      })
+      b.start()
+      OccGate.awaitEntered()
+      // winner removes a candidate file B read but did not rewrite
+      graft.operators.TableOps.delete(t, Some("country = 'DE'"))
+      OccGate.release()
+      b.join(120000)
+
+      assert(bError.exists(_.isInstanceOf[java.util.ConcurrentModificationException]),
+        s"merge rebased over a removed candidate (read) file, got: $bError")
+      // the winner's delete stands; the merge left no partial effects
+      assert(t.toDF.select("id", "name").as[(Int, String)].collect().toSet ==
+        Set((1, "a"), (2, "b"), (5, "e")))
+    }
+
     it("handles timestamp and date columns with stats") {
       val dir = tmpTableDir("graft-ts")
       val df = Seq(

@@ -143,6 +143,81 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  describe("Dedup under skew") {
+    // the 100 TB claim, demonstrated rather than asserted: one boilerplate
+    // passage shared by a large fraction of the corpus is the classic
+    // scale-killer of inverted-index candidate generation (~df² pair rows
+    // from a single hot gram). The hot-gram cap must keep the shuffled row
+    // count bounded WITHOUT changing the reported pairs (verification
+    // stays exact). Shuffle rows are an exact, deterministic metric — no
+    // timing flakiness.
+    it("hot-gram cap bounds d4 candidate shuffle on a 30% boilerplate corpus") {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+      val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
+      val docs = (0 until 1000).map { i =>
+        val unique = s"doc $i " + (1 to 12).map(j => s"w${i}x$j").mkString(" ")
+        (i.toLong, if (i < 300) s"$unique $boiler" else unique)
+      }
+      val dups = (0 until 10).map(i => (10000L + i, docs(i)._2 + " tail"))
+      val corpus = (docs ++ dups).toDF("doc_id", "text")
+
+      def shuffledRows(df: org.apache.spark.sql.DataFrame): (Set[(Long, Long)], Long) = {
+        // materialize THIS DataFrame (not a derived projection), so the
+        // walked plan is the one whose shuffle metrics were populated
+        val pairs = df.collect()
+          .map(r => (r.getAs[Long]("idA"), r.getAs[Long]("idB"))).toSet
+        def walk(p: SparkPlan): Long = {
+          val self = p match {
+            case s: ShuffleExchangeLike =>
+              s.metrics.get("shuffleRecordsWritten").orElse(s.metrics.get("numOutputRows"))
+                .map(_.value).getOrElse(0L)
+            case _ => 0L
+          }
+          val kids = p match {
+            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case q: QueryStageExec => Seq(q.plan)
+            case o => o.children
+          }
+          self + kids.map(walk).sum
+        }
+        (pairs, walk(df.queryExecution.executedPlan))
+      }
+
+      val (cappedPairs, cappedRows) = shuffledRows(
+        Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5, maxGramDf = 50))
+      val (uncappedPairs, uncappedRows) = shuffledRows(
+        Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5,
+          maxGramDf = Int.MaxValue))
+
+      val expected = (0 until 10).map(i => (i.toLong, 10000L + i)).toSet
+      // exact verification makes the cap invisible in the OUTPUT...
+      assert(cappedPairs == expected, s"capped run pairs: $cappedPairs")
+      assert(uncappedPairs == expected, s"uncapped run pairs: $uncappedPairs")
+      // ...while candidate generation shrinks by the boilerplate df² factor
+      assert(cappedRows * 3 < uncappedRows,
+        s"hot-gram cap did not bound the shuffle: capped=$cappedRows uncapped=$uncappedRows")
+    }
+
+    it("minhash stays complete when one bucket holds a 6% identical-doc clump") {
+      // identical docs all collapse into ONE LSH bucket per band — the
+      // quadratic OUTPUT is inherent (they really are duplicates); the
+      // design point is that candidates travel as bare id pairs and the
+      // full pair set still comes out exactly
+      val uniq = (0 until 940).map(i => (i.toLong, s"unique doc $i " + (1 to 15).map(j => s"u${i}y$j").mkString(" ")))
+      val clump = (0 until 60).map(i => (5000L + i, "identical boilerplate body " * 8))
+      val pairs = Dedup.minhashLshPairs((uniq ++ clump).toDF("doc_id", "text"), "doc_id", "text",
+        threshold = 0.9)
+        .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        a <- 0 until 60; b <- (a + 1) until 60
+      } yield (5000L + a, 5000L + b)).toSet
+      assert(pairs == expected, s"got ${pairs.size} pairs, expected ${expected.size}")
+    }
+  }
+
   describe("Multimodal") {
     it("extractFeatures produces deterministic features with real plumbing") {
       val ids = (1L to 20L).toDF("id")

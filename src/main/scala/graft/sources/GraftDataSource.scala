@@ -199,15 +199,20 @@ object GraftScanRewrite extends Rule[LogicalPlan] {
 
   /** The physical-read shape of the table at `path`: partition columns land
     * in `partitionSchema` (values come from the log, typed via cast), all
-    * other columns in `dataSchema`.
+    * other columns in `dataSchema`. With `pinned` the relation reads
+    * exactly that snapshot's file set (time travel / explicit candidate
+    * subsets); without it the file index follows the log.
     */
-  def nativeRelation(spark: SparkSession, path: String): HadoopFsRelation = {
-    val snap = GraftTable.forPath(spark, path).snapshot
+  def nativeRelation(
+      spark: SparkSession,
+      path: String,
+      pinned: Option[Snapshot] = None): HadoopFsRelation = {
+    val snap = pinned.getOrElse(GraftTable.forPath(spark, path).snapshot)
     val schema = snap.schema
     val partCols = snap.metadata.partitionColumns
     val partitionSchema = StructType(partCols.flatMap(c => schema.fields.find(_.name == c)))
     val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
-    val index = new GraftFileIndex(spark, path, partitionSchema)
+    val index = new GraftFileIndex(spark, path, partitionSchema, pinned)
     HadoopFsRelation(index, partitionSchema, dataSchema, None,
       new GraftParquetFileFormat, Map("path" -> path))(spark)
   }
@@ -251,20 +256,22 @@ class GraftParquetFileFormat extends ParquetFileFormat {
 class GraftFileIndex(
     @transient private val spark: SparkSession,
     val tablePath: String,
-    override val partitionSchema: StructType)
+    override val partitionSchema: StructType,
+    pinned: Option[Snapshot] = None)
   extends FileIndex {
 
   private val sessionTz = spark.sessionState.conf.sessionLocalTimeZone
   private val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
 
-  @volatile private var cachedSnap: Snapshot = currentSnapshot()
+  @volatile private var cachedSnap: Snapshot = pinned.getOrElse(currentSnapshot())
 
   private def currentSnapshot(): Snapshot =
     GraftTable.forPath(spark, tablePath).snapshot
 
   override def rootPaths: Seq[Path] = Seq(new Path(new java.io.File(tablePath).toURI))
 
-  override def refresh(): Unit = cachedSnap = currentSnapshot()
+  /** Pinned indexes (time travel, explicit file subsets) never move. */
+  override def refresh(): Unit = if (pinned.isEmpty) cachedSnap = currentSnapshot()
 
   override def sizeInBytes: Long = cachedSnap.sizeInBytes
 

@@ -33,18 +33,23 @@ class GraftTable private (val spark: SparkSession, val path: String) {
 
   /** Build the scan for an explicit file subset of a snapshot (used by the
     * merge engine after file skipping — only candidate files are read).
+    *
+    * Planned over a commit-log-backed file index (not an explicit path
+    * list), so the driver never re-stats files at plan time — listing a
+    * million-file table costs a metadata lookup, not a filesystem walk —
+    * and per-file footer stats prune further when the query carries
+    * filters. Column order follows the snapshot schema (the relation
+    * itself puts partition columns last, Hive-style).
     */
   def dfForFiles(snap: Snapshot, files: Seq[AddFile]): DataFrame = {
     val schema = snap.schema
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     } else {
-      val paths = files.map(f => Paths.get(path, f.path).toString)
-      val reader = spark.read.schema(schema)
-      val withBase =
-        if (snap.metadata.partitionColumns.nonEmpty) reader.option("basePath", path)
-        else reader
-      withBase.parquet(paths: _*)
+      val rel = graft.sources.GraftScanRewrite.nativeRelation(
+        spark, path, pinned = Some(snap.copy(files = files)))
+      org.apache.spark.sql.graft.SparkBridge.ofRelation(spark, rel)
+        .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     }
   }
 

@@ -75,8 +75,23 @@ object Dedup {
 
   /** MinHash signature (array of `numHashes` min-values) over a shingle-hash
     * array column: sig_i = min over shingles of (a_i*x + b_i) mod P.
+    *
+    * Computed by the codegen'd single-pass [[graft.functions.MinHashSignature]]
+    * expression — one traversal of the shingle array, zero per-row
+    * allocation. [[minhashSignatureComposed]] is the built-in-functions
+    * formulation it replaced (kept as the equivalence-spec reference).
     */
-  def minhashSignature(shingleCol: Column, numHashes: Int, seed: Long = 42L): Column = {
+  def minhashSignature(shingleCol: Column, numHashes: Int, seed: Long = 42L): Column =
+    org.apache.spark.sql.graft.SparkBridge.column(
+      graft.functions.MinHashSignature(
+        org.apache.spark.sql.graft.SparkBridge.expression(shingleCol), numHashes, seed))
+
+  /** Composed-built-ins MinHash signature: same permutation family and
+    * numeric results as [[minhashSignature]], but `numHashes` independent
+    * `array_min(transform(...))` passes (k array materializations per row).
+    * Retained as the spec oracle for the codegen'd expression.
+    */
+  def minhashSignatureComposed(shingleCol: Column, numHashes: Int, seed: Long = 42L): Column = {
     val params = permParams(numHashes, seed)
     array(params.map { case (a, b) =>
       array_min(transform(shingleCol, x => pmod(x * lit(a) + lit(b), lit(MersennePrime))))

@@ -1,12 +1,14 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.{Dataset, ExpressionUtils, SparkSession => ClassicSparkSession}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.sources.BaseRelation
 
-/** Minimal bridge to two `private[sql]` constructors the graft read path
-  * needs: building a DataFrame from a hand-assembled `LogicalRelation`.
+/** Minimal bridge to a few `private[sql]` constructors the graft read path
+  * needs: building a DataFrame from a hand-assembled `LogicalRelation`, and
+  * wrapping custom Catalyst expressions into `Column`s.
   * Lives in an `org.apache.spark.sql.*` package solely for access scope —
   * the standard technique of Spark-ecosystem table formats; no Spark
   * internals are modified or shadowed.
@@ -18,4 +20,13 @@ object SparkBridge {
     */
   def ofRelation(spark: org.apache.spark.sql.SparkSession, relation: BaseRelation): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSparkSession], LogicalRelation(relation))
+
+  /** `Column` over a custom Catalyst expression (e.g. graft's codegen'd
+    * MinHash signature) — the Spark 4 replacement for the removed public
+    * `Column(expr)` constructor.
+    */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** The Catalyst expression behind a `Column` (inverse of [[column]]). */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }

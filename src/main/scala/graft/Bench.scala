@@ -70,7 +70,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a SPARK_GRAFT_ONLY-filtered run must be self-identifying so partial
+    // local numbers can't be mistaken for a full-suite benchmark
+    val filteredMarker =
+      if (only.isDefined) s""","filtered":true,"selected":${selected.size}""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$filteredMarker}""")
     spark.stop()
   }
 }

@@ -27,6 +27,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * it runs once per document over the full corpus, so per-row constant
   * factors here are the difference between a scan-bound and a CPU-bound
   * pipeline at 100 TB.
+  *
+  * INPUT-RANGE CONTRACT: elements must lie in `[0, 2^31)` (the pipeline
+  * guarantees this — shingle hashes are `pmod`-ed into `[0, MersennePrime)`).
+  * Outside that range the Java multiply here silently wraps on overflow,
+  * whereas the composed built-ins formulation under ANSI mode (Spark 4
+  * default) throws ARITHMETIC_OVERFLOW — a divergence alongside the
+  * documented NULL-input one.
   */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   extends UnaryExpression {
@@ -35,20 +42,9 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
 
   import MinHashSignature.MersennePrime
 
-  // deterministic (a,b) permutation parameters — MUST stay in lockstep with
-  // Dedup.permParams so signatures are stable across library versions
-  private val (aParams, bParams) = {
-    val rnd = new java.util.Random(seed)
-    val as = new Array[Long](numHashes)
-    val bs = new Array[Long](numHashes)
-    var i = 0
-    while (i < numHashes) {
-      as(i) = 1L + rnd.nextInt((MersennePrime - 1).toInt).toLong
-      bs(i) = rnd.nextInt(MersennePrime.toInt).toLong
-      i += 1
-    }
-    (as, bs)
-  }
+  // deterministic (a,b) permutation parameters — the SAME helper feeds
+  // Dedup.minhashSignatureComposed, so the two formulations cannot drift
+  private val (aParams, bParams) = MinHashSignature.permParams(numHashes, seed)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -124,4 +120,22 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
 object MinHashSignature {
   /** 2^31-1: products of two 31-bit values stay within Long range. */
   val MersennePrime: Long = 2147483647L
+
+  /** Deterministic (a,b) permutation parameters from a fixed seed — the
+    * single source of truth for the permutation family, consumed by BOTH the
+    * codegen'd expression and `Dedup.minhashSignatureComposed` (so signatures
+    * stay stable across library versions and the two paths cannot diverge).
+    */
+  def permParams(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(seed)
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      as(i) = 1L + rnd.nextInt((MersennePrime - 1).toInt).toLong
+      bs(i) = rnd.nextInt(MersennePrime.toInt).toLong
+      i += 1
+    }
+    (as, bs)
+  }
 }

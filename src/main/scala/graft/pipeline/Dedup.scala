@@ -27,13 +27,13 @@ object Dedup {
 
   private val MersennePrime = 2147483647L // 2^31-1: a*x stays in Long range
 
-  /** Deterministic (a,b) permutation parameters from a fixed seed. */
+  /** Deterministic (a,b) permutation parameters — delegates to the single
+    * shared generator in [[graft.functions.MinHashSignature.permParams]] so
+    * the composed formulation cannot drift from the codegen'd expression.
+    */
   private def permParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new java.util.Random(seed)
-    (0 until numHashes).map { _ =>
-      (1L + rnd.nextInt((MersennePrime - 1).toInt).toLong,
-        rnd.nextInt(MersennePrime.toInt).toLong)
-    }
+    val (as, bs) = graft.functions.MinHashSignature.permParams(numHashes, seed)
+    as.toSeq.zip(bs.toSeq)
   }
 
   /** Normalized word tokens of a text column. */
@@ -80,6 +80,10 @@ object Dedup {
     * expression — one traversal of the shingle array, zero per-row
     * allocation. [[minhashSignatureComposed]] is the built-in-functions
     * formulation it replaced (kept as the equivalence-spec reference).
+    *
+    * Input contract: shingle values must lie in `[0, 2^31)` (as
+    * [[shinglesFromTokens]] guarantees) — outside that range the expression
+    * wraps on overflow where the composed ANSI-mode form throws.
     */
   def minhashSignature(shingleCol: Column, numHashes: Int, seed: Long = 42L): Column =
     org.apache.spark.sql.graft.SparkBridge.column(

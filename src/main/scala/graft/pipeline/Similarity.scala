@@ -50,15 +50,31 @@ object Similarity {
     * assignment is a codegen'd argmin expression; the update step averages
     * element-wise via `posexplode` + groupBy(cell, pos). Centroids (k × dim
     * doubles) live on the driver between iterations — tiny.
+    *
+    * Scale: the build trains on a bounded DETERMINISTIC sample (lowest
+    * `xxhash64(id)` rows, ties broken by id), not the full corpus — each
+    * Lloyd iteration posexplodes `sample × dim` rows, so an unbounded build
+    * would cost O(corpus × dim × iterations) shuffle rows and dominate the
+    * probe savings at 100 TB. Centroid quality is insensitive to sample size
+    * at k = 16..4096, and callers that need the exact full-corpus build can
+    * pass `sampleSize = Int.MaxValue`.
     */
   def kmeansCentroids(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      iterations: Int = 3): Seq[(Int, Array[Double])] = {
-    val data = corpus.select(col(idCol).as("__id"),
-      col(vecCol).cast("array<double>").as("__v")).persist()
+      iterations: Int = 3,
+      sampleSize: Int = 1 << 20): Seq[(Int, Array[Double])] = {
+    require(sampleSize >= k, s"sampleSize=$sampleSize must be >= k=$k")
+    val full = corpus.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    // TakeOrderedAndProject: one corpus pass, driver holds only the plan —
+    // the sampled rows themselves stay distributed (persisted below)
+    val data = (
+      if (sampleSize == Int.MaxValue) full
+      else full.orderBy(xxhash64(col("__id").cast("string")), col("__id")).limit(sampleSize)
+    ).persist()
     try {
       // deterministic init: lowest-id rows
       var centroids: Seq[(Int, Array[Double])] = data.orderBy(col("__id")).limit(k)
@@ -121,8 +137,10 @@ object Similarity {
       k: Int,
       numCentroids: Int = 16,
       nProbe: Int = 4,
-      kmeansIterations: Int = 3): DataFrame = {
-    val centroids = kmeansCentroids(corpus, idCol, vecCol, numCentroids, kmeansIterations)
+      kmeansIterations: Int = 3,
+      kmeansSampleSize: Int = 1 << 20): DataFrame = {
+    val centroids =
+      kmeansCentroids(corpus, idCol, vecCol, numCentroids, kmeansIterations, kmeansSampleSize)
 
     val c = corpus.select(col(idCol).as("corpus_id"),
         col(vecCol).cast("array<double>").as("__cv"))

@@ -115,9 +115,15 @@ class GraftTable private (val spark: SparkSession, val path: String) {
     * scenarios, reference `ChangeDataFeedHelperSpec.scala:207-208`).
     */
   def setProperties(props: Map[String, String]): Long = {
-    // metadata-only commit commutes: on a lost race, re-read and reapply
+    // metadata-only commit commutes: on a lost race, re-read and reapply —
+    // but bounded by the same 20-attempt discipline as TableWriter, so a
+    // pathological writer storm surfaces ConcurrentModificationException
+    // instead of spinning forever
+    val maxAttempts = 20
+    var attempt = 0
     var committed = -1L
     while (committed < 0) {
+      attempt += 1
       val s = snapshot
       val v = s.version + 1
       try {
@@ -127,7 +133,13 @@ class GraftTable private (val spark: SparkSession, val path: String) {
           CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES",
             operationParameters = Map("properties" -> props.toString))))
         committed = v
-      } catch { case _: CommitConflictException => () }
+      } catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxAttempts)
+            throw new java.util.ConcurrentModificationException(
+              s"SET TBLPROPERTIES on $path lost ${maxAttempts} version races in a row " +
+                s"(last at version ${e.version}); re-run the operation")
+      }
     }
     committed
   }

@@ -446,6 +446,22 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
         Set((1, "a"), (2, "b"), (5, "e")))
     }
 
+    it("setProperties surfaces ConcurrentModificationException after capped retries") {
+      val dir = tmpTableDir("graft-props-cap")
+      val t = GraftTable.create(spark, dir, Seq((1, "a")).toDF("id", "name"))
+      // a FRESH zero-byte file at the next version path conflicts on every
+      // attempt (not stale debris, and invisible to versions(), so the
+      // snapshot never advances) — exactly the pathological storm that used
+      // to spin forever; the cap must surface it instead
+      java.nio.file.Files.createFile(t.log.versionFile(1L))
+      val e = intercept[java.util.ConcurrentModificationException] {
+        t.setProperties(Map("graft.k" -> "v"))
+      }
+      assert(e.getMessage.contains("SET TBLPROPERTIES"))
+      // the table itself is untouched
+      assert(t.version == 0L && !t.snapshot.metadata.properties.contains("graft.k"))
+    }
+
     it("handles timestamp and date columns with stats") {
       val dir = tmpTableDir("graft-ts")
       val df = Seq(

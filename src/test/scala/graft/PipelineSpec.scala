@@ -109,6 +109,22 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(top.count() == 15)
     }
 
+    it("kmeansCentroids trains on a bounded deterministic sample") {
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      // centroids from (full corpus, sampleSize=12) must equal centroids from
+      // the 12-row sample trained unbounded — proving the build touches ONLY
+      // the sample (and that the sample itself is deterministic)
+      val sample = corpus
+        .orderBy(xxhash64(col("vec_id").cast("string")), col("vec_id")).limit(12)
+      val bounded = Similarity.kmeansCentroids(corpus, "vec_id", "embedding", 4, sampleSize = 12)
+      val unboundedOnSample =
+        Similarity.kmeansCentroids(sample, "vec_id", "embedding", 4, sampleSize = Int.MaxValue)
+      assert(bounded.map(_._1) == unboundedOnSample.map(_._1))
+      bounded.zip(unboundedOnSample).foreach { case ((_, a), (_, b)) =>
+        assert(a.sameElements(b))
+      }
+    }
+
     it("ivfTopK achieves decent recall against brute force") {
       val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
         .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

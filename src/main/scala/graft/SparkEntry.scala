@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.log.{ChangeDataFeedHelper, OperationMetricHelper}
 import graft.operators._
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.tables.{GraftLog, GraftTable}
+import graft.tables.{AddCDCFile, GraftLog, GraftTable}
 
 /** Driver contract — one query per implemented operator from SURVEY.md §2
   * plus the LLM-pipeline operators. Each query is deterministic and
@@ -28,6 +28,52 @@ object SparkEntry {
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("m2_scd2_upsert")(spark, "/root/testdata/sf0.001")
+
+  /** CDF failure-scenario fixture over `region`: v0 create (CDF on),
+    * v1 update key 0 → EUROPA, v2 update key 1 → ZEPHYR, v3 delete key 4.
+    * The physical change files of versions in `dropCdcAt` are then deleted
+    * (simulating a partial vacuum / manual tampering — the reference's
+    * recovery scenarios, `ChangeDataFeedHelperSpec.scala:43,85,100`); the
+    * LOG entries stay, which is exactly the state the C4/C10 recovery path
+    * has to detect by probing the filesystem.
+    */
+  private def cdfScenarioTable(s: SparkSession, dir: String, prefix: String,
+      dropCdcAt: Seq[Long]): String = {
+    val dirT = tmp(prefix)
+    val t = GraftTable.create(s, dirT, read(s, dir, "region"),
+      properties = Map(GraftLog.CdfProperty -> "true"))
+    TableOps.update(t, Some("r_regionkey = 0"), Map("r_name" -> "'EUROPA'")) // v1
+    TableOps.update(t, Some("r_regionkey = 1"), Map("r_name" -> "'ZEPHYR'")) // v2
+    TableOps.delete(t, Some("r_regionkey = 4"))                              // v3
+    dropCdcAt.foreach { v =>
+      t.log.actionsAt(v).collect { case c: AddCDCFile => c.path }
+        .foreach(p => Files.deleteIfExists(java.nio.file.Paths.get(dirT, p)))
+    }
+    dirT
+  }
+
+  /** CDF enable/disable toggle fixture over `nation` with DETERMINISTIC
+    * updates (ids < 3, not limit(3)), so the change rows themselves are
+    * oracle-predictable: v0 create (CDF on), v1 merge-update (cdc),
+    * v2 disable, v3 merge-update (no cdc), v4 enable, v5 merge-update (cdc).
+    */
+  private def cdfToggleTable(s: SparkSession, dir: String, prefix: String): String = {
+    val base = read(s, dir, "nation")
+      .select(col("n_nationkey").as("id"), col("n_name").as("name"))
+    val t = GraftTable.create(s, tmp(prefix), base,
+      properties = Map(GraftLog.CdfProperty -> "true"))
+    def up(suffix: String): Unit =
+      GraftMerge(t, "old")
+        .merge(base.filter(col("id") < 3).withColumn("name", concat(col("name"), lit(suffix))),
+          "old.id = new.id", Some("new"))
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    up("_1")                                               // v1 enabled (cdc)
+    t.setProperties(Map(GraftLog.CdfProperty -> "false"))  // v2 disabled
+    up("_2")                                               // v3 disabled (no cdc)
+    t.setProperties(Map(GraftLog.CdfProperty -> "true"))   // v4 enabled
+    up("_3")                                               // v5 enabled (cdc)
+    t.path
+  }
 
   // ====================================================================
   // Query implementations
@@ -294,6 +340,83 @@ object SparkEntry {
       up("_3")                                               // v5 enabled (cdc)
       ChangeDataFeedHelper(s, t.path, 0, 5).getAllVersionsWithCDFStatus
         .toDF("version", "cdf_enabled")
+    }),
+
+    // ---- C2/C4/C8-C11: the failure-recovery family (driver-visible since
+    // r7) — each scenario is deterministic, so recovered ranges, dry-run
+    // outcomes and recovered row sets are literal/SQL-computable oracles ----
+    "c2_dryrun" -> ((s, dir) => {
+      import s.implicits._
+      def outcome(body: => Unit): (String, String) =
+        try { body; ("ok", "") } catch {
+          case e: AssertionError => ("assertion", e.getMessage)
+          case e: IllegalStateException => ("illegal_state", e.getMessage)
+        }
+      // 1: healthy range starting at a cdc-bearing version — dry run passes
+      val healthy = cdfScenarioTable(s, dir, "c2a", dropCdcAt = Nil)
+      val r1 = outcome { ChangeDataFeedHelper(s, healthy, 1, 3).dryRun(); () }
+      // 2: v1's change files vacuumed away — the CDC assert reports the
+      // recovered range (our message prints the CDC range; the reference's
+      // prints the log range there — a message-level quirk, not semantics)
+      val damaged = cdfScenarioTable(s, dir, "c2b", dropCdcAt = Seq(1L))
+      val r2 = outcome { ChangeDataFeedHelper(s, damaged, 1, 3).dryRun(); () }
+      // 3: CDF disabled mid-range — the EDR-ranges assert trips
+      val toggled = cdfToggleTable(s, dir, "c2c")
+      val r3 = outcome { ChangeDataFeedHelper(s, toggled, 1, 5).dryRun(); () }
+      // 4: no version in range has live change data — a helper returns None
+      // and dryRun degrades to IllegalStateException
+      val r4 = outcome { ChangeDataFeedHelper(s, damaged, 1, 2).dryRun(); () }
+      Seq((1, r1._1, r1._2), (2, r2._1, r2._2), (3, r3._1, r3._2), (4, r4._1, r4._2))
+        .toDF("case_id", "outcome", "message")
+    }),
+    "c4_available_cdc" -> ((s, dir) => {
+      import s.implicits._
+      // change files of v1 deleted; the probe must skip the dead version and
+      // recover (2, 3) — vacuum ordering guarantees later versions are intact
+      val p = cdfScenarioTable(s, dir, "c4", dropCdcAt = Seq(1L))
+      val r = ChangeDataFeedHelper(s, p, 0, 3).getVersionsForAvailableCDC
+        .getOrElse((-1L, -1L))
+      Seq(r).toDF("cdc_start", "cdc_end")
+    }),
+    "c8_cdf_ranges" -> ((s, dir) => {
+      import s.implicits._
+      val h = ChangeDataFeedHelper(s, cdfToggleTable(s, dir, "c8"), 0, 5)
+      val en = h.getRangesForCDFEnabledVersions.toList.flatten
+        .map { case (a, b) => ("enabled", a, b) }
+      val dis = h.getRangesForCDFDisabledVersions.toList.flatten
+        .map { case (a, b) => ("disabled", a, b) }
+      (en ++ dis).toDF("kind", "range_start", "range_end")
+    }),
+    "c9_read_missing_log" -> ((s, dir) => {
+      // log retention expiry: checkpoint v2's state, drop the raw log files
+      // below it (vacuum deletes oldest-first) — the recovery read must fall
+      // back to (2, 3) and still stamp/assemble rows from the surviving tail
+      val dirT = tmp("c9")
+      val t = GraftTable.create(s, dirT, read(s, dir, "region"),
+        properties = Map(GraftLog.CdfProperty -> "true"))
+      TableOps.update(t, Some("r_regionkey = 0"), Map("r_name" -> "'EUROPA'")) // v1
+      TableOps.update(t, Some("r_regionkey = 1"), Map("r_name" -> "'ZEPHYR'")) // v2
+      import s.implicits._
+      t.append(Seq((99, "ATLANTIS")).toDF("r_regionkey", "r_name")
+        .select(col("r_regionkey").cast("int"), col("r_name")))                // v3
+      t.log.writeCheckpoint(2L)
+      Files.delete(t.log.versionFile(0L))
+      Files.delete(t.log.versionFile(1L))
+      ChangeDataFeedHelper(s, dirT, 0, 3).readCDFIgnoreMissingDeltaLog.get
+        .select(col("r_regionkey"), col("r_name"), col("_change_type"), col("_commit_version"))
+    }),
+    "c10_read_missing_cdc" -> ((s, dir) => {
+      val p = cdfScenarioTable(s, dir, "c10", dropCdcAt = Seq(1L))
+      ChangeDataFeedHelper(s, p, 0, 3).readCDFIgnoreMissingCDC.get
+        .select(col("r_regionkey"), col("r_name"), col("_change_type"), col("_commit_version"))
+    }),
+    "c11_read_edr" -> ((s, dir) => {
+      // union read over the enabled ranges (0,1) and (4,5): the disabled
+      // middle (v2 no-op metadata, v3 un-tracked merge) must vanish, and the
+      // v5 preimages must reflect v3's untracked write (name_2 → name_3)
+      val p = cdfToggleTable(s, dir, "c11")
+      ChangeDataFeedHelper(s, p, 0, 5).readCDFIgnoreMissingRangesForEDR.get
+        .select(col("id"), col("name"), col("_change_type"), col("_commit_version"))
     }),
 
     // ---- D: dedup pipeline (documents) ----
@@ -758,6 +881,48 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS max_records,
         |       CAST(count(*) AS BIGINT) AS median_records
         |FROM supplier GROUP BY 1""".stripMargin,
+    "c2_dryrun" ->
+      """SELECT CAST(case_id AS INT) AS case_id, outcome, message FROM (VALUES
+        | (1, 'ok', ''),
+        | (2, 'assertion', 'assertion failed: Change Data for provided versions are not available. Available CDC versions are between 2 and 3'),
+        | (3, 'assertion', 'assertion failed: CDC has been disabled between provided versions : 1 and 5 . Use getRangesForCDFEnabledVersions to find exact versions between which CDC is available'),
+        | (4, 'illegal_state', 'Please run methods individually to debug issues with CDF.')
+        |) t(case_id, outcome, message)""".stripMargin,
+    "c4_available_cdc" ->
+      "SELECT CAST(2 AS BIGINT) AS cdc_start, CAST(3 AS BIGINT) AS cdc_end",
+    "c8_cdf_ranges" ->
+      """SELECT kind, CAST(range_start AS BIGINT) AS range_start,
+        |       CAST(range_end AS BIGINT) AS range_end
+        |FROM (VALUES ('enabled', 0, 1), ('enabled', 4, 5),
+        |             ('disabled', 2, 3)) t(kind, range_start, range_end)""".stripMargin,
+    "c9_read_missing_log" ->
+      """SELECT r_regionkey, r_name, 'update_preimage' AS _change_type,
+        |       CAST(2 AS BIGINT) AS _commit_version
+        |FROM region WHERE r_regionkey = 1
+        |UNION ALL
+        |SELECT CAST(1 AS INT), 'ZEPHYR', 'update_postimage', 2
+        |UNION ALL
+        |SELECT CAST(99 AS INT), 'ATLANTIS', 'insert', 3""".stripMargin,
+    "c10_read_missing_cdc" ->
+      """SELECT r_regionkey, r_name, 'update_preimage' AS _change_type,
+        |       CAST(2 AS BIGINT) AS _commit_version
+        |FROM region WHERE r_regionkey = 1
+        |UNION ALL
+        |SELECT CAST(1 AS INT), 'ZEPHYR', 'update_postimage', 2
+        |UNION ALL
+        |SELECT r_regionkey, r_name, 'delete', 3 FROM region WHERE r_regionkey = 4""".stripMargin,
+    "c11_read_edr" ->
+      """SELECT n_nationkey AS id, n_name AS name, 'insert' AS _change_type,
+        |       CAST(0 AS BIGINT) AS _commit_version
+        |FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name, 'update_preimage', 1 FROM nation WHERE n_nationkey < 3
+        |UNION ALL
+        |SELECT n_nationkey, n_name || '_1', 'update_postimage', 1 FROM nation WHERE n_nationkey < 3
+        |UNION ALL
+        |SELECT n_nationkey, n_name || '_2', 'update_preimage', 5 FROM nation WHERE n_nationkey < 3
+        |UNION ALL
+        |SELECT n_nationkey, n_name || '_3', 'update_postimage', 5 FROM nation WHERE n_nationkey < 3""".stripMargin,
     "c7_group_versions" ->
       """SELECT CAST(case_id AS INT) AS case_id,
         |       CAST(range_start AS BIGINT) AS range_start,

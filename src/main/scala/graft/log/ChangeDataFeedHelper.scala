@@ -167,6 +167,14 @@ case class ChangeDataFeedHelper(
   // =====================================================================
   // C2 — dry run
   // =====================================================================
+  /** Validate the full range up-front; same outcome contract as the
+    * reference (`:101-123`): pass → this; any recoverable damage →
+    * AssertionError naming the recovered range; a helper returning None →
+    * IllegalStateException. One deliberate message-level divergence: our
+    * CDC assert reports the recovered CDC range, where the reference
+    * interpolates the LOG range into that message (`:117`) — the driver
+    * oracle (c2_dryrun) pins our wording.
+    */
   def dryRun(): ChangeDataFeedHelper = (
     getVersionsForAvailableDeltaLog,
     getVersionsForAvailableCDC,

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.log.{ChangeDataFeedHelper, OperationMetricHelper}
 import graft.operators._
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.tables.{AddCDCFile, GraftLog, GraftTable}
+import graft.tables.{AddCDCFile, AddFile, GraftLog, GraftTable}
 
 /** Driver contract — one query per implemented operator from SURVEY.md §2
   * plus the LLM-pipeline operators. Each query is deterministic and
@@ -305,6 +305,19 @@ object SparkEntry {
       TableOps.update(t, Some("n_nationkey < 5"), Map("n_name" -> "upper(n_name)"))
       OperationMetricHelper(s, dirT).getCountMetricsAsDF()
     }),
+    "l2_count_metrics_partition" -> ((s, dir) => {
+      // partition-scoped metrics (L2 driving L5/L6/L7): the DELETE's recorded
+      // predicate matches the asked partition and is counted; the UPDATE on a
+      // DIFFERENT partition must be filtered out by the predicate validation;
+      // the WRITE's insert count is re-derived from the partition's files
+      val base = read(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_mktsegment").as("seg"),
+          col("c_acctbal").as("bal"))
+      val t = GraftTable.create(s, tmp("l2"), base, partitionColumns = Seq("seg"))
+      TableOps.delete(t, Some("seg = 'AUTOMOBILE'"))                        // v1
+      TableOps.update(t, Some("seg = 'BUILDING'"), Map("bal" -> "bal + 1")) // v2
+      OperationMetricHelper(s, t.path).getCountMetricsAsDF(Some("seg = 'AUTOMOBILE'"))
+    }),
 
     // ---- C: change data feed ----
     "c1_cdf_read" -> ((s, dir) => {
@@ -526,6 +539,15 @@ object SparkEntry {
         .select("asset_id", "width", "height", "mean_luma")
     }),
 
+    "mm3_audio_decode" -> ((s, dir) => {
+      // REAL AudioSystem decode: WAV/PCM-16 payloads whose sample rate,
+      // frame count and RMS amplitude are pure integer functions of the id,
+      // so DuckDB predicts the decoded output without any audio library
+      val assets = Multimodal.synthesizeWavAssets(s, read(s, dir, "supplier"), "s_suppkey")
+      Multimodal.extractAudioFeatures(Multimodal.rebalanceForDecode(assets, 4))
+        .select("asset_id", "byte_size", "sample_rate", "channels", "num_frames", "rms_amp")
+    }),
+
     // ---- S: file statistics / skipping introspection (table-layout checks) ----
     "s2_file_sizes" -> ((s, dir) => {
       // deterministic layout: partition by s_suppkey % 4 from one write task
@@ -633,6 +655,31 @@ object SparkEntry {
       conds.flatMap { case (id, c) =>
         h.splitConditionTo(c).toSeq.sortBy(_._1).map { case (k, v) => (id, k, v) }
       }.toDF("case_id", "key", "value")
+    }),
+    "s9_shuffle_file_metadata" -> ((s, dir) => {
+      import s.implicits._
+      // same deterministic contiguous-key layout as s8, but surfacing the
+      // per-bucket FILE LISTS: the surviving files' partition buckets are
+      // derivable from the data, and the equality/left-over buckets (no
+      // conjunct of that class in the condition) keep every file
+      val orders = read(s, dir, "orders")
+      val maxKey = orders.agg(max(col("o_orderkey")).cast("long")).first().getLong(0)
+      val width = maxKey / 8 + 1
+      val bucketed = orders.withColumn("bucket",
+        (col("o_orderkey").cast("long") / width).cast("long"))
+      val t = GraftTable.create(s, tmp("s9"), bucketed.coalesce(1),
+        partitionColumns = Seq("bucket"))
+      val (overall, minMax, equalsF, leftOver, unresolvedF, filesDF, unresolvedCols) =
+        GraftHelpers.getShuffleFileMetadata(t, "o_orderkey >= 100 AND o_orderkey <= 200")
+      def buckets(fs: Seq[AddFile], kind: String): Seq[(String, Long)] =
+        fs.map(f => (kind, f.partitionValues("bucket").toLong))
+      (buckets(overall, "overall") ++ buckets(minMax, "minMax") ++ Seq(
+        ("equals_files", equalsF.size.toLong),
+        ("leftover_files", leftOver.size.toLong),
+        ("unresolved_files", unresolvedF.size.toLong),
+        ("files_df_rows", filesDF.count()),
+        ("unresolved_columns", unresolvedCols.size.toLong)))
+        .toDF("kind", "value")
     }),
     "s8_skipping_counts" -> ((s, dir) => {
       import s.implicits._
@@ -861,6 +908,14 @@ object SparkEntry {
         |       CAST(8 + (s_suppkey // 25) % 25 AS INT) AS height,
         |       CAST(s_suppkey % 256 AS INT) AS mean_luma
         |FROM supplier""".stripMargin,
+    "mm3_audio_decode" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS asset_id,
+        |       CAST(44 + 2 * (50 + s_suppkey % 100) AS BIGINT) AS byte_size,
+        |       CAST(8000 + (s_suppkey % 5) * 2000 AS INT) AS sample_rate,
+        |       CAST(1 AS INT) AS channels,
+        |       CAST(50 + s_suppkey % 100 AS BIGINT) AS num_frames,
+        |       CAST(s_suppkey % 1000 + 1 AS INT) AS rms_amp
+        |FROM supplier""".stripMargin,
     "s5_size_distribution" ->
       """SELECT DISTINCT CAST(s_suppkey % 4 AS BIGINT) AS bucket,
         |       CAST(1 AS BIGINT) AS num_of_parquet_files,
@@ -942,6 +997,29 @@ object SparkEntry {
         |       CAST(4 AS BIGINT) AS number_of_files,
         |       CAST(0 AS BIGINT) AS version
         |FROM supplier GROUP BY 1""".stripMargin,
+    "l2_count_metrics_partition" ->
+      """WITH n AS (SELECT count(*) AS c FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        |SELECT CAST(v AS BIGINT) AS version, CAST(d AS BIGINT) AS deleted,
+        |       CAST(i AS BIGINT) AS inserted, CAST(u AS BIGINT) AS updated,
+        |       CAST(sr AS BIGINT) AS source_rows
+        |FROM (VALUES
+        |  (1, (SELECT c FROM n), 0, 0, 0),
+        |  (0, 0, (SELECT c FROM n), 0, (SELECT c FROM n))
+        |) t(v, d, i, u, sr)
+        |ORDER BY version DESC""".stripMargin,
+    "s9_shuffle_file_metadata" ->
+      """WITH w AS (SELECT max(o_orderkey) // 8 + 1 AS width FROM orders),
+        |b AS (SELECT o_orderkey // width AS bucket,
+        |             min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |      FROM orders, w GROUP BY 1),
+        |s AS (SELECT bucket FROM b WHERE mn <= 200 AND mx >= 100)
+        |SELECT 'overall' AS kind, CAST(bucket AS BIGINT) AS value FROM s
+        |UNION ALL SELECT 'minMax', CAST(bucket AS BIGINT) FROM s
+        |UNION ALL SELECT 'equals_files', (SELECT count(*) FROM b)
+        |UNION ALL SELECT 'leftover_files', (SELECT count(*) FROM b)
+        |UNION ALL SELECT 'unresolved_files', (SELECT count(*) FROM b)
+        |UNION ALL SELECT 'files_df_rows', (SELECT count(*) FROM b)
+        |UNION ALL SELECT 'unresolved_columns', 0""".stripMargin,
     "s8_skipping_counts" ->
       """WITH w AS (SELECT max(o_orderkey) // 8 + 1 AS width FROM orders),
         |b AS (SELECT o_orderkey // width AS bucket,

@@ -12,9 +12,13 @@ import org.apache.spark.sql.types._
   * The IMAGE modality is decoded for real with `javax.imageio.ImageIO`
   * (in-JDK, headless; PNG/JPEG/BMP/GIF) — [[decodeImage]] /
   * [[extractImageFeatures]] return true pixel dimensions and an exact
-  * integer mean luminance, and [[extractFeatures]] emits a real
-  * luminance-histogram feature whenever the payload decodes. AUDIO/VIDEO
-  * remain STUBBED (this container ships no audio/video codecs):
+  * integer mean luminance. The AUDIO modality is decoded for real with
+  * `javax.sound.sampled.AudioSystem` (in-JDK, headless; WAV/AIFF/AU PCM) —
+  * [[decodeAudio]] / [[extractAudioFeatures]] return the true sample rate,
+  * channel count, frame count and an RMS amplitude computed from the
+  * decoded frames. [[extractFeatures]] emits a real histogram feature
+  * whenever a payload decodes as either modality. Only VIDEO remains
+  * STUBBED (the JDK ships no video codec and this container has no ffmpeg):
   * [[decodeStub]] derives a deterministic fake from the bytes so pipelines
   * are end-to-end testable; swap it for a real decoder (JNI/FFM to ffmpeg)
   * without touching any of the plumbing.
@@ -50,10 +54,12 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** STUB decoder for the audio/video modalities (no codecs in this
-    * container): derives a deterministic 16-dim feature from the raw bytes
-    * (stable across runs and partitionings) so downstream joins/ANN stages
-    * are fully exercisable. Images go through [[decodeImage]] instead.
+  /** STUB decoder for the VIDEO modality (the JDK has no video codec):
+    * derives a deterministic 16-dim feature from the raw bytes (stable
+    * across runs and partitionings) so downstream joins/ANN stages are
+    * fully exercisable. Images go through [[decodeImage]] and audio through
+    * [[decodeAudio]] instead; undecodable image/audio payloads also fall
+    * back here.
     */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     if (payload == null) return null
@@ -152,6 +158,125 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Decoded audio properties. `rmsAmp` is the root-mean-square of the
+    * decoded PCM sample values, rounded half-up to an integer — for
+    * constant-amplitude synthetic assets this is EXACTLY the amplitude
+    * (n·a²/n = a², and IEEE sqrt of a perfect square is exact), so it is
+    * reproducible by any oracle that knows the sample values.
+    */
+  case class AudioInfo(
+      sampleRate: Int, channels: Int, bitsPerSample: Int, numFrames: Long, rmsAmp: Int)
+
+  /** REAL audio decode via in-JDK `javax.sound.sampled.AudioSystem`
+    * (headless; WAV/AIFF/AU containers, signed PCM 8/16-bit). None when the
+    * payload is not decodable audio. The container header is parsed and ALL
+    * frames are read and folded into the RMS — a truncated payload changes
+    * the result.
+    */
+  def decodeAudio(payload: Array[Byte]): Option[AudioInfo] = {
+    if (payload == null) return None
+    import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
+    val ais =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: UnsupportedAudioFileException => return None
+        case _: java.io.IOException => return None
+      }
+    try {
+      val f = ais.getFormat
+      val bits = f.getSampleSizeInBits
+      if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED || (bits != 8 && bits != 16))
+        return None
+      val data = ais.readAllBytes()
+      val bytesPerSample = bits / 8
+      val nSamples = data.length / bytesPerSample
+      var sumSq = 0.0d
+      var i = 0
+      while (i < nSamples) {
+        val v =
+          if (bits == 8) data(i).toInt
+          else {
+            val off = i * 2
+            if (f.isBigEndian) (data(off) << 8) | (data(off + 1) & 0xff)
+            else (data(off + 1) << 8) | (data(off) & 0xff)
+          }
+        sumSq += v.toDouble * v
+        i += 1
+      }
+      val frames = if (f.getChannels > 0) nSamples / f.getChannels else 0
+      val rms = if (nSamples == 0) 0 else math.floor(math.sqrt(sumSq / nSamples) + 0.5).toInt
+      Some(AudioInfo(f.getSampleRate.toInt, f.getChannels, bits, frames.toLong, rms))
+    } catch { case _: java.io.IOException => None }
+    finally ais.close()
+  }
+
+  /** 16-bin normalized |amplitude| histogram of decodable audio — the real
+    * audio feature vector (replaces the byte-stub whenever `AudioSystem`
+    * can decode the payload). Bin i collects samples with
+    * `|v| in [i, i+1) · fullScale/16`.
+    */
+  def audioHistogramFeature(payload: Array[Byte]): Option[Array[Float]] = {
+    if (payload == null) return None
+    import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
+    val ais =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: UnsupportedAudioFileException => return None
+        case _: java.io.IOException => return None
+      }
+    try {
+      val f = ais.getFormat
+      val bits = f.getSampleSizeInBits
+      if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED || (bits != 8 && bits != 16))
+        return None
+      val data = ais.readAllBytes()
+      val bytesPerSample = bits / 8
+      val nSamples = data.length / bytesPerSample
+      if (nSamples == 0) return None
+      val fullScale = if (bits == 8) 128 else 32768
+      val hist = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < nSamples) {
+        val v =
+          if (bits == 8) data(i).toInt
+          else {
+            val off = i * 2
+            if (f.isBigEndian) (data(off) << 8) | (data(off + 1) & 0xff)
+            else (data(off + 1) << 8) | (data(off) & 0xff)
+          }
+        val a = math.min(math.abs(v), fullScale - 1)
+        hist((a * FeatureDim) / fullScale) += 1f
+        i += 1
+      }
+      var j = 0
+      while (j < FeatureDim) { hist(j) /= nSamples; j += 1 }
+      Some(hist)
+    } catch { case _: java.io.IOException => None }
+    finally ais.close()
+  }
+
+  /** Deterministic WAV/PCM-16 mono encode (test/bench asset builder — the
+    * decode side is container-agnostic and accepts any WAV/AIFF/AU PCM
+    * payload). Written through `AudioSystem.write` so the RIFF container is
+    * the JDK's canonical one (44-byte header + little-endian frames).
+    */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(i * 2) = (samples(i) & 0xff).toByte
+      bytes(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   private def contentHash(payload: Array[Byte]): Long = {
     if (payload == null) return 0L
     var h = 1125899906842597L
@@ -172,11 +297,13 @@ object Multimodal {
       it.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
         val modality = r.getAs[String]("modality")
-        // images: REAL decode (luminance histogram) when the payload is a
-        // decodable image; audio/video (and undecodable bytes): stub
-        val feature =
-          if (modality == "image") imageHistogramFeature(payload).getOrElse(decodeStub(payload))
-          else decodeStub(payload)
+        // image/audio: REAL decode (luminance / amplitude histogram) when
+        // the payload decodes; video (and undecodable bytes): stub
+        val feature = modality match {
+          case "image" => imageHistogramFeature(payload).getOrElse(decodeStub(payload))
+          case "audio" => audioHistogramFeature(payload).getOrElse(decodeStub(payload))
+          case _       => decodeStub(payload)
+        }
         Row(
           r.getAs[Long]("asset_id"),
           modality,
@@ -215,6 +342,63 @@ object Multimodal {
           info.map(i => Int.box(i.width)).orNull,
           info.map(i => Int.box(i.height)).orNull,
           info.map(i => Int.box(i.meanLuma)).orNull)
+      }
+    }(enc)
+  }
+
+  /** Audio-feature schema for [[extractAudioFeatures]]: real decoded stream
+    * parameters + frame-exact RMS (nulls for undecodable payloads).
+    */
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("byte_size", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("num_frames", LongType, nullable = true),
+    StructField("rms_amp", IntegerType, nullable = true)
+  ))
+
+  /** Batched REAL audio decode over partitions via [[decodeAudio]]:
+    * (asset_id, byte_size, sample_rate, channels, num_frames, rms_amp) per
+    * asset, nulls when `AudioSystem` cannot decode the payload.
+    */
+  def extractAudioFeatures(assets: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioFeatureSchema)
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val info = decodeAudio(payload)
+        Row(
+          r.getAs[Long]("asset_id"),
+          if (payload == null) 0L else payload.length.toLong,
+          info.map(i => Int.box(i.sampleRate)).orNull,
+          info.map(i => Int.box(i.channels)).orNull,
+          info.map(i => Long.box(i.numFrames)).orNull,
+          info.map(i => Int.box(i.rmsAmp)).orNull)
+      }
+    }(enc)
+  }
+
+  /** Synthesize REAL WAV/PCM-16 assets whose decoded properties are pure
+    * integer functions of the id — `sampleRate = 8000 + (id % 5) * 2000`,
+    * `frames = 50 + id % 100`, a ±`(id % 1000 + 1)` square wave (whose RMS
+    * is exactly the amplitude) — so an oracle can predict the decode output
+    * from the id without any audio library.
+    */
+  def synthesizeWavAssets(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val enc = RowEncoder.encoderFor(schema)
+    ids.select(col(idCol).cast("long").as("asset_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val rate = (8000 + (id % 5) * 2000).toInt
+        val n = (50 + id % 100).toInt
+        val amp = (id % 1000 + 1).toShort
+        val samples = Array.tabulate(n)(j => if (j % 2 == 0) amp else (-amp).toShort)
+        Row(id, "audio", encodeWavPcm16(rate, samples))
       }
     }(enc)
   }

@@ -278,5 +278,41 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
       val stubbed = Multimodal.extractFeatures(junk).head().getSeq[Float](4)
       assert(stubbed == Multimodal.decodeStub(Array[Byte](1, 2, 3)).toSeq)
     }
+
+    it("decodes real WAV payloads with AudioSystem: rate, frames, exact RMS") {
+      // encode → decode round trip matches the synthesis formulas exactly
+      val ids = (0L to 60L).toDF("id")
+      val assets = Multimodal.synthesizeWavAssets(spark, ids, "id")
+      val feats = Multimodal.extractAudioFeatures(Multimodal.rebalanceForDecode(assets, 5))
+        .orderBy("asset_id").collect()
+      assert(feats.length == 61)
+      feats.foreach { r =>
+        val id = r.getLong(0)
+        val n = (50 + id % 100).toInt
+        assert(r.getLong(1) == 44L + 2L * n, s"byte size mismatch for id=$id")
+        assert(r.getInt(2) == (8000 + (id % 5) * 2000).toInt, s"rate mismatch for id=$id")
+        assert(r.getInt(3) == 1, s"channels mismatch for id=$id")
+        assert(r.getLong(4) == n.toLong, s"frames mismatch for id=$id")
+        assert(r.getInt(5) == (id % 1000 + 1).toInt, s"rms mismatch for id=$id")
+      }
+      // direct decode of a hand-built wave: RMS of a constant ±a square wave
+      // is exactly a; truncating frames changes the decoded frame count
+      val wav = Multimodal.encodeWavPcm16(16000, Array.tabulate(80)(j =>
+        if (j % 2 == 0) 1234.toShort else (-1234).toShort))
+      val info = Multimodal.decodeAudio(wav).get
+      assert(info == Multimodal.AudioInfo(16000, 1, 16, 80L, 1234))
+      // an amplitude histogram of that wave is one full bin
+      val hist = Multimodal.audioHistogramFeature(wav).get
+      assert(hist((1234 * Multimodal.FeatureDim) / 32768) == 1.0f)
+      assert(hist.sum == 1.0f)
+      // an audio-labeled but undecodable payload: nulls from the typed
+      // extractor, stub feature from the generic one
+      assert(Multimodal.decodeAudio(Array[Byte](9, 9, 9)).isEmpty)
+      val junk = Seq((99L, "audio", Array[Byte](9, 9, 9))).toDF("asset_id", "modality", "payload")
+      val jf = Multimodal.extractAudioFeatures(junk).head()
+      assert(jf.isNullAt(2) && jf.isNullAt(3) && jf.isNullAt(4) && jf.isNullAt(5))
+      val stubbed = Multimodal.extractFeatures(junk).head().getSeq[Float](4)
+      assert(stubbed == Multimodal.decodeStub(Array[Byte](9, 9, 9)).toSeq)
+    }
   }
 }

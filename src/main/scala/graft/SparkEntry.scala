@@ -159,6 +159,67 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("marker_id"))
     }),
 
+    "q6_windowed_stream" -> ((s, dir) => {
+      // TRUE streaming execution, deterministically replayed: 2000 events
+      // (bounded, time-sorted — a replay harness is inherently driver-fed)
+      // stream through MemoryStream in 4 micro-batches; watermark state
+      // carries across batches; APPEND mode emits each finalized window
+      // exactly once; two sentinel batches push the watermark past every
+      // real window so the finalized set equals the full batch aggregation,
+      // which DuckDB computes with integer-µs window arithmetic.
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = read(s, dir, "events")
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("event_type"),
+          expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("value"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .as[(Long, Long, String, Long)].collect()
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String, Long)]
+      val stream = input.toDF().toDF("event_id", "ts_us", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val name = "q6_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = graft.streaming.StreamingOps
+        .windowedEventStats(stream, watermarkDelay = "10 minutes")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, rows.length / 4 + 1))
+          .foreach { b => input.addData(b.toIndexedSeq); query.processAllAvailable() }
+        // far-future sentinel, twice: batch N's emission uses the watermark
+        // set at the END of batch N-1, so the first sentinel advances it and
+        // the second triggers the final flush (its own window never emits)
+        val sentinel = (-1L,
+          java.sql.Timestamp.valueOf("2030-01-01 00:00:00").getTime * 1000L, "flush", 0L)
+        input.addData(sentinel); query.processAllAvailable()
+        input.addData(sentinel); query.processAllAvailable()
+      } finally query.stop()
+      s.table(name)
+        .filter(col("event_type") =!= "flush")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          unix_micros(col("window_end")).as("window_end_us"),
+          col("event_type"), col("events"), col("total_value"))
+    }),
+
+    "q7_change_stream" -> ((s, dir) => {
+      // TRUE streaming CDF consumption: committed change files arrive as
+      // file-source micro-batches; the second commit lands while the stream
+      // is live and must surface in a later batch (exactly-once append)
+      val dirT = tmp("q7")
+      val t = GraftTable.create(s, dirT, read(s, dir, "region"),
+        properties = Map(GraftLog.CdfProperty -> "true"))
+      TableOps.update(t, Some("r_regionkey = 0"), Map("r_name" -> "'EUROPA'")) // v1
+      val name = "q7_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = graft.streaming.StreamingOps.readChangeStream(s, dirT)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        query.processAllAvailable()
+        TableOps.delete(t, Some("r_regionkey = 4"))                            // v2, stream live
+        query.processAllAvailable()
+      } finally query.stop()
+      s.table(name).select(col("r_regionkey"), col("r_name"), col("_change_type"))
+    }),
+
     // ---- K: derived columns / key discovery ----
     "k3_find_composite_key" -> ((s, dir) => {
       import s.implicits._
@@ -769,6 +830,24 @@ object SparkEntry {
         |  SELECT user_id, ts_us AS mts_us, event_id AS marker_id FROM e WHERE event_id % 50 = 0)
         |SELECT e.event_id, e.user_id, m.marker_id
         |FROM e ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts_us >= m.mts_us""".stripMargin,
+    "q6_windowed_stream" ->
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) // 1000 AS ts_us, event_type,
+        |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS value
+        |  FROM events WHERE event_id < 2000)
+        |SELECT (ts_us // 3600000000) * 3600000000 AS window_start_us,
+        |       (ts_us // 3600000000) * 3600000000 + 3600000000 AS window_end_us,
+        |       event_type,
+        |       count(*) AS events,
+        |       CAST(sum(value) AS BIGINT) AS total_value
+        |FROM e GROUP BY 1, 2, 3""".stripMargin,
+    "q7_change_stream" ->
+      """SELECT r_regionkey, r_name, 'update_preimage' AS _change_type
+        |FROM region WHERE r_regionkey = 0
+        |UNION ALL
+        |SELECT CAST(0 AS INT), 'EUROPA', 'update_postimage'
+        |UNION ALL
+        |SELECT r_regionkey, r_name, 'delete' FROM region WHERE r_regionkey = 4""".stripMargin,
     "k4_is_composite_key" ->
       """SELECT
         |  (SELECT count(*) FROM lineitem) =

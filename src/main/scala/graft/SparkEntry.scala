@@ -484,6 +484,24 @@ object SparkEntry {
       ChangeDataFeedHelper(s, p, 0, 3).readCDFIgnoreMissingCDC.get
         .select(col("r_regionkey"), col("r_name"), col("_change_type"), col("_commit_version"))
     }),
+    "c3_log_versions" -> ((s, dir) => {
+      import s.implicits._
+      // the two entry points genuinely differ when a checkpoint survives
+      // BELOW the oldest raw log file: raw availability starts at the raw
+      // head (3), snapshot-state availability at the checkpoint (2)
+      val dirT = tmp("c3")
+      val t = GraftTable.create(s, dirT, read(s, dir, "region"),
+        properties = Map(GraftLog.CdfProperty -> "true"))
+      (0 to 3).foreach(k =>
+        TableOps.update(t, Some(s"r_regionkey = $k"), Map("r_name" -> s"'N$k'"))) // v1..v4
+      t.log.writeCheckpoint(2L)
+      Seq(0L, 1L, 2L).foreach(v => Files.delete(t.log.versionFile(v)))
+      val h = ChangeDataFeedHelper(s, dirT, 0, 4)
+      val raw = h.checkEarliestDeltaFileBetweenVersions.getOrElse((-1L, -1L))
+      val ckpt = h.getVersionsForAvailableDeltaLog.getOrElse((-1L, -1L))
+      Seq(("raw_log", raw._1, raw._2), ("checkpoint", ckpt._1, ckpt._2))
+        .toDF("kind", "earliest", "latest")
+    }),
     "c11_read_edr" -> ((s, dir) => {
       // union read over the enabled ranges (0,1) and (4,5): the disabled
       // middle (v2 no-op metadata, v3 un-tracked merge) must vanish, and the
@@ -497,6 +515,13 @@ object SparkEntry {
     "d1_dedup_exact" -> ((s, dir) => {
       Dedup.exact(read(s, dir, "documents"), Seq("text"), "doc_id")
         .select("doc_id", "lang", "source", "n_chars")
+    }),
+    "d8_minhash_dedup" -> ((s, dir) => {
+      // end-to-end LSH dedup (anti-join over the pair set): every qualifying
+      // pair in the corpus has jaccard >= 0.9, so the default 16x4 banding
+      // misses a pair with probability < 4e-8 — the exact-pair oracle applies
+      Dedup.minhashDedup(read(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .select("doc_id", "lang", "source")
     }),
 
     // ---- T: text analysis (documents, via graft.pipeline.TextAnalysis) ----
@@ -717,6 +742,20 @@ object SparkEntry {
         h.splitConditionTo(c).toSeq.sortBy(_._1).map { case (k, v) => (id, k, v) }
       }.toDF("case_id", "key", "value")
     }),
+    "s3_humanize_bytes" -> ((s, dir) => {
+      import s.implicits._
+      // pure function pinned to literal outputs (reference DeltaHelpers
+      // humanize thresholds at 0.9e3..0.9e15, one decimal, sign-preserving)
+      val inputs = Seq(0d, 512d, 1234d, 999999d, 5.5e6, 3.2e9, 1.7e12, 2.5e15, -1234d)
+      inputs.zipWithIndex.map { case (b, i) => (i + 1, GraftHelpers.humanizeBytes(b)) }
+        .toDF("case_id", "humanized")
+    }),
+    "s10_storage_location" -> ((s, dir) => {
+      import s.implicits._
+      val t = GraftTable.create(s, tmp("s10"), read(s, dir, "region"))
+      val loc = GraftHelpers.getStorageLocation(t)
+      Seq((loc == t.path, loc.nonEmpty)).toDF("location_matches_path", "location_nonempty")
+    }),
     "s9_shuffle_file_metadata" -> ((s, dir) => {
       import s.implicits._
       // same deterministic contiguous-key layout as s8, but surfacing the
@@ -927,6 +966,17 @@ object SparkEntry {
         |  SELECT doc_id, lang, source, n_chars,
         |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1""".stripMargin,
+    "d8_minhash_dedup" ->
+      s"""WITH pairs AS (${ngramJaccardOracle(0.5)})
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT idB FROM pairs)""".stripMargin,
+    "s3_humanize_bytes" ->
+      """SELECT CAST(case_id AS INT) AS case_id, humanized FROM (VALUES
+        | (1, '0 B'), (2, '512 B'), (3, '1.2 kB'), (4, '1.0 MB'), (5, '5.5 MB'),
+        | (6, '3.2 GB'), (7, '1.7 TB'), (8, '2.5 PB'), (9, '-1.2 kB')
+        |) t(case_id, humanized)""".stripMargin,
+    "s10_storage_location" ->
+      "SELECT true AS location_matches_path, true AS location_nonempty",
     "t1_lang_id" ->
       """WITH scores AS (
         |  SELECT doc_id,
@@ -1024,6 +1074,9 @@ object SparkEntry {
         |) t(case_id, outcome, message)""".stripMargin,
     "c4_available_cdc" ->
       "SELECT CAST(2 AS BIGINT) AS cdc_start, CAST(3 AS BIGINT) AS cdc_end",
+    "c3_log_versions" ->
+      """SELECT kind, CAST(e AS BIGINT) AS earliest, CAST(l AS BIGINT) AS latest
+        |FROM (VALUES ('raw_log', 3, 4), ('checkpoint', 2, 4)) t(kind, e, l)""".stripMargin,
     "c8_cdf_ranges" ->
       """SELECT kind, CAST(range_start AS BIGINT) AS range_start,
         |       CAST(range_end AS BIGINT) AS range_end

@@ -102,8 +102,61 @@ object Dedup {
     }: _*)
   }
 
+  /** Distinct (idA < idB) candidate pairs from bucketed rows, in ONE shuffle
+    * of the bucket rows.
+    *
+    * Input: one row per (bucket member), with `keyCols` naming the bucket and
+    * `__id` / `__sz` the member id and its shingle-set size. Members of each
+    * bucket are gathered with `collect_list` and pairs stream out of two
+    * chained `explode` generators — replacing the two-sided self-join on the
+    * bucket key, which shuffled (and sorted) the bucket rows TWICE and met
+    * the same per-key quadratic output anyway. Generators iterate; nothing
+    * quadratic is materialized.
+    *
+    * `maxBucket` bounds the per-bucket member array (the aggregation buffer
+    * is O(bucket size)): buckets past the cap are dropped AFTER aggregation,
+    * so callers whose buckets can be pathologically hot must pre-filter
+    * (see [[ngramJaccardPairs]]'s hot-gram count prefilter, which keeps the
+    * O(df²) boilerplate-gram blow-up out of the aggregation buffers).
+    *
+    * `sizeRatio` applies the exact Jaccard length filter: J(A,B) ≤
+    * min(|A|,|B|)/max(|A|,|B|), so for a verification threshold `t` any pair
+    * with size ratio below `t` can never verify — dropping it BEFORE the
+    * pair-dedup shuffle and the verification joins loses nothing.
+    *
+    * Output: (idA, idB, szA, szB) with idA < idB, distinct per id pair — the
+    * `__sz` payload rides along so callers can verify from it directly
+    * (simhash passes the hash value itself).
+    */
+  private def bucketPairs(
+      buckets: DataFrame,
+      keyCols: Seq[String],
+      maxBucket: Int,
+      sizeRatio: Option[Double]): DataFrame = {
+    val pairs = buckets
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_list(struct(col("__id"), col("__sz"))).as("__ms"))
+      .filter(size(col("__ms")).between(2, maxBucket))
+      .select(explode(col("__ms")).as("__a"), col("__ms"))
+      .select(col("__a"), explode(col("__ms")).as("__b"))
+      .filter(col("__a.__id") < col("__b.__id"))
+    val ratioed = sizeRatio.fold(pairs) { t =>
+      pairs.filter(
+        least(col("__a.__sz"), col("__b.__sz")) >=
+          greatest(col("__a.__sz"), col("__b.__sz")) * t)
+    }
+    ratioed
+      .select(col("__a.__id").as("idA"), col("__b.__id").as("idB"),
+        col("__a.__sz").as("szA"), col("__b.__sz").as("szB"))
+      .dropDuplicates("idA", "idB")
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
+    * @param maxBucketSize drop LSH buckets with more members than this: a
+    *        bucket at that size is an exact-duplicate mass (handle with
+    *        [[exact]]) whose member list would dominate an aggregation
+    *        buffer; pairs within it are O(bucket²) non-signal
     * @return (idA, idB, jaccard) with idA < idB and exact-shingle jaccard ≥
     *         threshold; candidates come from banded signature buckets, so
     *         pairwise verification cost is proportional to collisions.
@@ -116,32 +169,31 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucketSize: Int = 1 << 20): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
 
     val withSh = shingleDF(df, idCol, textCol, n).persist()
     try {
-      // one row per (doc, band): bucket key = hash of the band's slice.
-      // Candidates travel as bare id pairs — shingle arrays only rejoin after
-      // dedup, so the candidate shuffle stays narrow even with hot buckets.
+      // one row per (doc, band): bucket key = xxhash64 of the band's slice
+      // (hashing the array directly — a different bucket hash never changes
+      // the verified output: same-slice pairs collide under ANY hash, and
+      // differing-slice accidental collisions are removed by exact
+      // verification). Candidates travel as bare id pairs — shingle arrays
+      // only rejoin after dedup, so the candidate shuffle stays narrow even
+      // with hot buckets.
       val banded = withSh
         .withColumn("__sig", minhashSignature(col("__sh"), numHashes, seed))
         .select(
-          col("__id"),
+          col("__id"), size(col("__sh")).as("__sz"),
           explode(transform(sequence(lit(0), lit(bands - 1)),
-            b => struct(b.as("band"),
-              xxhash64(concat_ws(",",
-                transform(slice(col("__sig"), b * rows + 1, lit(rows)), _.cast("string")))).as("bh"))))
+            b => struct(b.as("band"), xxhash64(slice(col("__sig"), b * rows + 1, lit(rows))).as("bh"))))
             .as("__b"))
-        .select(col("__id"), col("__b.band"), col("__b.bh"))
+        .select(col("__id"), col("__sz"), col("__b.band"), col("__b.bh"))
 
-      val a = banded.select(col("band"), col("bh"), col("__id").as("idA"))
-      val b = banded.select(col("band"), col("bh"), col("__id").as("idB"))
-      val candidates = a.join(b, Seq("band", "bh"))
-        .filter(col("idA") < col("idB"))
-        .select("idA", "idB")
-        .dropDuplicates("idA", "idB")
+      val candidates =
+        bucketPairs(banded, Seq("band", "bh"), maxBucketSize, Some(threshold))
 
       candidates
         .join(withSh.select(col("__id").as("idA"), col("__sh").as("shA")), "idA")
@@ -197,12 +249,19 @@ object Dedup {
   /** SimHash near-duplicate pairs with hamming distance ≤ `maxHamming`.
     * Pigeonhole banding: split the `bits`-wide hash into `maxHamming + 1`
     * chunks — any pair within the distance agrees on ≥1 chunk, so candidates
-    * come from equi-joins on chunk values (100% recall, not probabilistic);
+    * come from shared chunk values (100% recall, not probabilistic);
     * `bit_count(xor)` verifies exactly.
+    *
+    * @param maxBucketSize chunk-value buckets with more members than this are
+    *        dropped (they are exact-duplicate mass whose O(bucket²) pairs
+    *        carry no near-dup signal, and the member list must fit an
+    *        aggregation buffer) — the pigeonhole recall guarantee holds for
+    *        pairs outside such buckets
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bits: Int = 64,
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+      tokenHash: Column => Column = xxhash64(_),
+      maxBucketSize: Int = 1 << 20): DataFrame = {
     val chunks = maxHamming + 1
     // integer division may leave the top bits un-banded — pigeonhole still
     // holds: ≤ maxHamming total diffs can dirty at most maxHamming of the
@@ -215,16 +274,14 @@ object Dedup {
         shiftright(col("simhash"), c * chunkBits)
           .bitwiseAND(lit((1L << chunkBits) - 1)).as("cv"))
     }
+    // the simhash value itself rides in the __sz payload slot, so hamming
+    // verification reads it straight off the pair — no rejoin needed
     val banded = hashed.select(
-      col(idCol).as("__id"), col("simhash"),
+      col(idCol).as("__id"), col("simhash").as("__sz"),
       explode(array(chunkStructs: _*)).as("__c"))
-      .select(col("__id"), col("simhash"), col("__c.chunk"), col("__c.cv"))
-    val a = banded.select(col("chunk"), col("cv"), col("__id").as("idA"), col("simhash").as("hA"))
-    val b = banded.select(col("chunk"), col("cv"), col("__id").as("idB"), col("simhash").as("hB"))
-    a.join(b, Seq("chunk", "cv"))
-      .filter(col("idA") < col("idB"))
-      .dropDuplicates("idA", "idB")
-      .withColumn("hamming", bit_count(col("hA").bitwiseXOR(col("hB"))))
+      .select(col("__id"), col("__sz"), col("__c.chunk"), col("__c.cv"))
+    bucketPairs(banded, Seq("chunk", "cv"), maxBucketSize, None)
+      .withColumn("hamming", bit_count(col("szA").bitwiseXOR(col("szB"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("idA"), col("idB"), col("hamming"))
   }
@@ -246,21 +303,23 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.5, maxGramDf: Int = 100000): DataFrame = {
     val withSh = shingleDF(df, idCol, textCol, n).persist()
     try {
-      // postings carry (gram, id) only — candidates travel as bare id pairs
-      val inverted = withSh.select(explode(col("__sh")).as("__g"), col("__id"))
+      // postings carry (gram, id, setSize) only — candidates travel as bare
+      // id pairs
+      val inverted = withSh.select(
+        explode(col("__sh")).as("__g"), col("__id"), size(col("__sh")).as("__sz"))
       // hot-gram set is tiny by construction (few grams exceed the cap):
-      // aggregate it and anti-join it away (AQE broadcasts it)
+      // aggregate it and anti-join it away (AQE broadcasts it). This count
+      // pass shuffles only map-side-combined (gram, partialCount) rows, and
+      // keeping it SEPARATE from the pair-generation aggregation protects
+      // the collect_list buffers there from O(df) boilerplate-gram arrays.
       val hot = inverted.groupBy(col("__g"))
         .agg(count(lit(1)).as("__df"))
         .filter(col("__df") > maxGramDf)
         .select("__g")
       val kept = inverted.join(broadcast(hot), Seq("__g"), "left_anti")
-      val a = kept.select(col("__g"), col("__id").as("idA"))
-      val b = kept.select(col("__g"), col("__id").as("idB"))
-      val candidates = a.join(b, Seq("__g"))
-        .filter(col("idA") < col("idB"))
-        .select("idA", "idB")
-        .dropDuplicates("idA", "idB")
+      // one shuffle of the postings; pairs stream out of generators, and the
+      // exact length filter (J ≤ minSize/maxSize) prunes before pair dedup
+      val candidates = bucketPairs(kept, Seq("__g"), maxGramDf, Some(threshold))
       // exact verification on the full shingle sets (cap-independent)
       candidates
         .join(withSh.select(col("__id").as("idA"), col("__sh").as("shA")), "idA")
@@ -280,7 +339,7 @@ object Dedup {
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 32, bands: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucketSize: Int = 1 << 20): DataFrame = {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val rnd = new java.util.Random(seed)
     val hyperplanes = Array.fill(planes, dim)(rnd.nextGaussian())
@@ -309,15 +368,12 @@ object Dedup {
       }
       val banded = withVec
         .withColumn("__sk", sketch)
-        .select(col("__id"), explode(array(bandStructs: _*)).as("__b"))
-        .select(col("__id"), col("__b.band"), col("__b.bv"))
+        .select(col("__id"), lit(0).as("__sz"), explode(array(bandStructs: _*)).as("__b"))
+        .select(col("__id"), col("__sz"), col("__b.band"), col("__b.bv"))
 
-      val a = banded.select(col("band"), col("bv"), col("__id").as("idA"))
-      val b = banded.select(col("band"), col("bv"), col("__id").as("idB"))
-      val candidates = a.join(b, Seq("band", "bv"))
-        .filter(col("idA") < col("idB"))
-        .select("idA", "idB")
-        .dropDuplicates("idA", "idB")
+      // one shuffle of the banded rows (cosine has no length filter: __sz is
+      // a placeholder — vectors share a dimension)
+      val candidates = bucketPairs(banded, Seq("band", "bv"), maxBucketSize, None)
 
       candidates
         .join(withVec.select(col("__id").as("idA"), col("__v").as("vA"), col("__norm").as("nA")), "idA")

@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.pipeline.Dedup
+
+/** Scratch profiler for the dedup hot path — NOT part of the library surface.
+  * Breaks d2/d4 wall time into stages so optimization targets the real cost.
+  */
+object ProfileDedup {
+  def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"PROFILE $label%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("profile-dedup")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    time("read+count")(docs.count())
+
+    // stage 1: tokenize only
+    val toks = docs.select(col("doc_id").as("__id"), Dedup.tokenize(col("text")).as("__toks"))
+    time("tokenize")(toks.agg(sum(size(col("__toks")))).collect())
+
+    // stage 2: shingles (tokenize + gram-hash + distinct)
+    val sh = toks.select(col("__id"), Dedup.shinglesFromTokens(col("__toks"), 3).as("__sh"))
+    time("shingles")(sh.agg(sum(size(col("__sh")))).collect())
+    time("shingles-2nd")(sh.agg(sum(size(col("__sh")))).collect())
+
+    // stage 3: + minhash signature
+    val sig = sh.select(col("__id"), Dedup.minhashSignature(col("__sh"), 64).as("__sig"))
+    time("shingles+minhash")(sig.agg(sum(size(col("__sig")))).collect())
+
+    // full pipelines
+    time("d2_full")(
+      Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, numHashes = 64,
+        bands = 32, threshold = 0.5).count())
+    time("d4_full")(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5).count())
+
+    spark.stop()
+  }
+}

@@ -212,8 +212,12 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
       // exact verification makes the cap invisible in the OUTPUT...
       assert(cappedPairs == expected, s"capped run pairs: $cappedPairs")
       assert(uncappedPairs == expected, s"uncapped run pairs: $uncappedPairs")
-      // ...while candidate generation shrinks by the boilerplate df² factor
-      assert(cappedRows * 3 < uncappedRows,
+      // ...while candidate generation shrinks by the boilerplate df² factor.
+      // Margin recalibrated from 3× to 2× when pair generation was fused
+      // into one postings shuffle: the uncapped baseline no longer pays the
+      // two-sided self-join, so the cap's RELATIVE saving shrank while its
+      // absolute df²-pair saving (the thing this spec pins) is unchanged.
+      assert(cappedRows * 2 < uncappedRows,
         s"hot-gram cap did not bound the shuffle: capped=$cappedRows uncapped=$uncappedRows")
     }
 

@@ -205,8 +205,12 @@ object TableOps {
     val horizon = log.snapshot(retainVersion)
     val horizonCdc = log.actionsAt(retainVersion).collect { case c: AddCDCFile => c }
     val horizonCommit = log.actionsAt(retainVersion).collect { case c: CommitInfo => c }
+    // streaming-writer idempotence watermarks survive the horizon rewrite —
+    // dropping them would make a restarted stream re-append its last epoch
+    val horizonTxns = horizon.transactions.toSeq.sortBy(_._1)
+      .map { case (app, v) => graft.tables.SetTransaction(app, v) }
     log.rewriteVersion(retainVersion,
-      Seq(horizon.metadata) ++ horizon.files ++ horizonCdc ++ horizonCommit)
+      Seq(horizon.metadata) ++ horizonTxns ++ horizon.files ++ horizonCdc ++ horizonCommit)
 
     var deleted = 0
     deadData.foreach { rel =>

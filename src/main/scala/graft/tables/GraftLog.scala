@@ -77,7 +77,10 @@ class GraftLog(val tablePath: String) {
   def writeCheckpoint(version: Long): Unit = {
     val snap = snapshot(version)
     val tmp = Files.createTempFile(logDir, s".ckpt$version", ".json.tmp")
-    val body = (snap.metadata +: snap.files).map(renderAction).mkString("", "\n", "\n")
+    val txnActions = snap.transactions.toSeq.sortBy(_._1)
+      .map { case (app, v) => SetTransaction(app, v) }
+    val body = (Seq(snap.metadata) ++ txnActions ++ snap.files)
+      .map(renderAction).mkString("", "\n", "\n")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, checkpointFile(version), StandardCopyOption.REPLACE_EXISTING)
   }
@@ -112,25 +115,28 @@ class GraftLog(val tablePath: String) {
     require(vs.contains(target), s"version $target does not exist for $tablePath (have ${vs.headOption}..${vs.lastOption})")
     var meta: Metadata = null
     val files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val ckpt = checkpointVersions().filter(_ <= target).lastOption
     ckpt.foreach { cv =>
       Files.readAllLines(checkpointFile(cv), StandardCharsets.UTF_8).asScala
         .filter(_.trim.nonEmpty).map(parseAction).foreach {
-          case m: Metadata => meta = m
-          case a: AddFile  => files(a.path) = a
-          case _           => ()
+          case m: Metadata       => meta = m
+          case a: AddFile        => files(a.path) = a
+          case t: SetTransaction => txns(t.appId) = t.version
+          case _                 => ()
         }
     }
     vs.filter(v => v <= target && ckpt.forall(v > _)).foreach { v =>
       actionsAt(v).foreach {
-        case m: Metadata   => meta = m
-        case a: AddFile    => files(a.path) = a
-        case r: RemoveFile => files.remove(r.path)
-        case _             => ()
+        case m: Metadata       => meta = m
+        case a: AddFile        => files(a.path) = a
+        case r: RemoveFile     => files.remove(r.path)
+        case t: SetTransaction => txns(t.appId) = math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
+        case _                 => ()
       }
     }
     require(meta != null, s"no metadata action found in log of $tablePath")
-    Snapshot(target, meta, files.values.toSeq)
+    Snapshot(target, meta, files.values.toSeq, txns.toMap)
   }
 
   /** History entries (newest first), analogue of `deltaLog.history.getHistory`
@@ -289,11 +295,12 @@ object GraftLog {
 
   def renderAction(a: Action): String = {
     val key = a match {
-      case _: Metadata   => "metadata"
-      case _: AddFile    => "add"
-      case _: RemoveFile => "remove"
-      case _: AddCDCFile => "cdc"
-      case _: CommitInfo => "commitInfo"
+      case _: Metadata       => "metadata"
+      case _: AddFile        => "add"
+      case _: RemoveFile     => "remove"
+      case _: AddCDCFile     => "cdc"
+      case _: CommitInfo     => "commitInfo"
+      case _: SetTransaction => "txn"
     }
     val root = mapper.createObjectNode()
     root.set[ObjectNode](key, mapper.valueToTree[JsonNode](a))
@@ -311,6 +318,7 @@ object GraftLog {
       case "remove"     => mapper.treeToValue(body, classOf[RemoveFile])
       case "cdc"        => mapper.treeToValue(body, classOf[AddCDCFile])
       case "commitInfo" => mapper.treeToValue(body, classOf[CommitInfo])
+      case "txn"        => mapper.treeToValue(body, classOf[SetTransaction])
       case other =>
         throw new IllegalArgumentException(s"unknown log action '$other' in: $line")
     }

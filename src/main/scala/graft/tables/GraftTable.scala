@@ -151,6 +151,11 @@ class GraftTable private (val spark: SparkSession, val path: String) {
     TableWriter.write(spark, path, df, TableWriter.Append,
       operation = operation, operationParameters = operationParameters,
       extraMetrics = extraMetrics)
+
+  /** Latest committed [[SetTransaction]] watermark for `appId`, or None if
+    * that writer never committed — Delta's `txnVersion` idempotence probe.
+    */
+  def txnVersion(appId: String): Option[Long] = snapshot.transactions.get(appId)
 }
 
 object GraftTable {

@@ -156,15 +156,17 @@ object TableWriter {
       // check at all (Delta validates from txn.readVersion for the same
       // reason). The same footprint rule applies: a winner removing any
       // file we removed OR read invalidates our decisions.
+      val ourTxnApps = extraActions.collect { case t: SetTransaction => t.appId }.toSet
       readVersion.foreach { rv =>
         val footprint = removeFiles.toSet ++ readFiles
         val conflicted = !disjointFromWinners(log, rv + 1, footprint,
-          Metadata(newSchema.json, partCols, newProps))
+          Metadata(newSchema.json, partCols, newProps), ourTxnApps)
         if (conflicted)
           throw new java.util.ConcurrentModificationException(
             s"commit of $operation to $tablePath conflicts with a concurrent writer " +
               s"that committed after version $rv (the winner removed a file this " +
-              "operation read or rewrote, or changed table metadata); re-run the operation")
+              "operation read or rewrote, changed table metadata, or advanced an " +
+              "idempotence watermark this operation carries); re-run the operation")
       }
       val maxAttempts = 20
       var attemptSnap = prevSnapshot
@@ -200,15 +202,27 @@ object TableWriter {
           committed = v
         } catch {
           case e: CommitConflictException =>
-            val retryable = commutable ||
+            // an idempotent-writer commit (carries SetTransaction) must NOT
+            // blind-retry past a winner that advanced the same appId — that
+            // is a zombie instance of the same stream double-writing an
+            // epoch; surface it so the sink re-reads the watermark and skips
+            val txnRace = ourTxnApps.nonEmpty &&
+              (v to log.latestVersion()).exists { w =>
+                (try log.actionsAt(w) catch { case _: Exception => Nil }).exists {
+                  case t: SetTransaction => ourTxnApps.contains(t.appId)
+                  case _                 => false
+                }
+              }
+            val retryable = !txnRace && (commutable ||
               disjointFromWinners(log, v,
                 removes.collect { case r: RemoveFile => r.path }.toSet ++ readFiles,
-                Metadata(schemaNow.json, partCols, propsNow))
+                Metadata(schemaNow.json, partCols, propsNow), ourTxnApps))
             if (!retryable || attempt >= maxAttempts)
               throw new java.util.ConcurrentModificationException(
                 s"commit of $operation at version ${e.version} of $tablePath lost a race with " +
                   "a concurrent writer and is not safely retryable " +
-                  "(the winner touched the same files or table metadata); re-run the operation")
+                  "(the winner touched the same files, table metadata, or idempotence " +
+                  "watermark); re-run the operation")
             attemptSnap = Some(log.snapshot())
         }
       }
@@ -232,7 +246,8 @@ object TableWriter {
       log: GraftLog,
       attemptedVersion: Long,
       ourFootprint: Set[String],
-      ourMetadata: Metadata): Boolean = {
+      ourMetadata: Metadata,
+      ourTxnApps: Set[String] = Set.empty): Boolean = {
     val latest = log.latestVersion()
     (attemptedVersion to latest).forall { w =>
       val actions = try log.actionsAt(w) catch { case _: Exception => return false }
@@ -240,9 +255,12 @@ object TableWriter {
         // a winner Metadata identical to what this attempt would write is
         // benign (e.g. both normalize create-time nullability); any real
         // schema/partitioning/property change under us aborts
-        case m: Metadata    => m == ourMetadata
-        case r: RemoveFile  => !ourFootprint.contains(r.path)
-        case _              => true
+        case m: Metadata       => m == ourMetadata
+        case r: RemoveFile     => !ourFootprint.contains(r.path)
+        // a winner advancing an idempotence watermark this commit carries is
+        // the same logical stream double-writing an epoch (zombie instance)
+        case t: SetTransaction => !ourTxnApps.contains(t.appId)
+        case _                 => true
       }
     }
   }

@@ -51,6 +51,15 @@ case class RemoveFile(path: String) extends Action
 /** A change-data file (rows + `_change_type` column) under `_change_data/`. */
 case class AddCDCFile(path: String) extends Action
 
+/** Idempotence watermark for an external writer application (Delta's `txn`
+  * vocabulary: appId + a monotonically increasing version). A streaming
+  * query commits each epoch with `SetTransaction(queryId, epochId)`; on a
+  * replayed micro-batch it finds `snapshot.transactions(queryId) >= epochId`
+  * and skips — exactly-once append without a coordinator (see
+  * [[graft.streaming.GraftSink]]).
+  */
+case class SetTransaction(appId: String, version: Long) extends Action
+
 /** Commit provenance. `operation` ∈ {WRITE, MERGE, DELETE, UPDATE, OPTIMIZE,
   * CREATE TABLE}; `operationParameters` may carry a `predicate` string;
   * `operationMetrics` uses Delta's metric key names (numTargetRowsInserted,
@@ -72,11 +81,14 @@ case class FileStats(
     nullCount: Map[String, Long] = Map.empty
 )
 
-/** Materialized table state at `version`: last metadata + surviving files. */
+/** Materialized table state at `version`: last metadata + surviving files +
+  * the latest [[SetTransaction]] watermark per external writer appId.
+  */
 case class Snapshot(
     version: Long,
     metadata: Metadata,
-    files: Seq[AddFile]
+    files: Seq[AddFile],
+    transactions: Map[String, Long] = Map.empty
 ) {
   def schema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.streaming.GraftSink
+import graft.tables.{GraftLog, GraftTable, SetTransaction}
+
+class GraftSinkSpec extends AnyFunSpec with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  it("streams micro-batches into a GraftTable exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpTableDir("sink_stream")
+    GraftTable.create(spark, dir, Seq((0L, "seed")).toDF("id", "v"))
+
+    val input = MemoryStream[(Long, String)]
+    val query = GraftSink
+      .writeStreamTo(input.toDF().toDF("id", "v"), dir, "appA")
+      .start()
+    try {
+      input.addData((1L, "a"), (2L, "b")); query.processAllAvailable()
+      input.addData((3L, "c")); query.processAllAvailable()
+    } finally query.stop()
+
+    val t = GraftTable.forPath(spark, dir)
+    assert(t.toDF.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((0L, "seed"), (1L, "a"), (2L, "b"), (3L, "c")))
+    // the watermark tracks the last epoch
+    assert(t.txnVersion("appA").contains(1L))
+    assert(t.txnVersion("ghost").isEmpty)
+  }
+
+  it("a replayed epoch is skipped, not re-appended") {
+    val dir = tmpTableDir("sink_replay")
+    GraftTable.create(spark, dir, Seq((0L, "seed")).toDF("id", "v"))
+    val epoch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+
+    assert(GraftSink.writeEpoch(dir, "appA")(epoch, 0L).isDefined)
+    // post-failure foreachBatch replay: same batchId arrives again
+    assert(GraftSink.writeEpoch(dir, "appA")(epoch, 0L).isEmpty)
+    // an older epoch from a rewound zombie is also skipped
+    assert(GraftSink.writeEpoch(dir, "appA")(epoch, -1L).isEmpty)
+    // a DIFFERENT stream's epoch 0 is independent
+    assert(GraftSink.writeEpoch(dir, "appB")(Seq((9L, "z")).toDF("id", "v"), 0L).isDefined)
+
+    val rows = GraftTable.forPath(spark, dir).toDF
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows.size == 4, s"exactly-once violated: $rows")
+    assert(rows.toSet == Set((0L, "seed"), (1L, "a"), (2L, "b"), (9L, "z")))
+  }
+
+  it("watermarks survive checkpoint replay and vacuum horizon rewrite") {
+    val dir = tmpTableDir("sink_vacuum")
+    GraftTable.create(spark, dir, Seq((0L, "seed")).toDF("id", "v"))
+    val log = new GraftLog(dir)
+    // enough epochs to cross a checkpoint-interval boundary
+    (0 until GraftLog.CheckpointInterval + 2).foreach { i =>
+      GraftSink.writeEpoch(dir, "appA")(Seq((100L + i, s"e$i")).toDF("id", "v"), i.toLong)
+    }
+    assert(log.checkpointVersions().nonEmpty)
+    // snapshot built FROM the checkpoint still carries the watermark
+    val snap = log.snapshot()
+    assert(snap.transactions("appA") == GraftLog.CheckpointInterval + 1L)
+
+    // vacuum to the latest version: the horizon rewrite must keep the txn
+    val t = GraftTable.forPath(spark, dir)
+    graft.operators.TableOps.vacuum(t, t.version)
+    assert(GraftTable.forPath(spark, dir).txnVersion("appA")
+      .contains(GraftLog.CheckpointInterval + 1L))
+    // and a replay of the last epoch after vacuum is still skipped
+    assert(GraftSink.writeEpoch(dir, "appA")(
+      Seq((999L, "dup")).toDF("id", "v"), GraftLog.CheckpointInterval + 1L).isEmpty)
+  }
+
+  it("a zombie racing the same appId aborts instead of double-appending") {
+    val dir = tmpTableDir("sink_zombie")
+    GraftTable.create(spark, dir, Seq((0L, "seed")).toDF("id", "v"))
+    val log = new GraftLog(dir)
+    // simulate the zombie window: the zombie read the watermark (none for
+    // epoch 1) at version v0, then the healthy instance committed epoch 1 —
+    // the zombie's commit lands later at a FRESH version number (no version
+    // collision!), so only read-version validation can catch it
+    val v0 = log.latestVersion()
+    log.commit(v0 + 1, Seq(
+      SetTransaction("appA", 1L),
+      graft.tables.CommitInfo(System.currentTimeMillis(), "STREAMING UPDATE")))
+    intercept[java.util.ConcurrentModificationException] {
+      graft.tables.TableWriter.write(
+        spark, dir, Seq((1L, "dup")).toDF("id", "v"), graft.tables.TableWriter.Append,
+        operation = "STREAMING UPDATE",
+        extraActions = Seq(SetTransaction("appA", 1L)),
+        readVersion = Some(v0))
+    }
+    // an unrelated appId racing the same window is fine (blind append)
+    graft.tables.TableWriter.write(
+      spark, dir, Seq((7L, "ok")).toDF("id", "v"), graft.tables.TableWriter.Append,
+      operation = "STREAMING UPDATE",
+      extraActions = Seq(SetTransaction("appB", 0L)),
+      readVersion = Some(v0))
+    val rows = GraftTable.forPath(spark, dir).toDF
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((0L, "seed"), (7L, "ok")))
+  }
+}

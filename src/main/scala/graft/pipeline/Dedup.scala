@@ -124,9 +124,13 @@ object Dedup {
     * with size ratio below `t` can never verify — dropping it BEFORE the
     * pair-dedup shuffle and the verification joins loses nothing.
     *
-    * Output: (idA, idB, szA, szB) with idA < idB, distinct per id pair — the
-    * `__sz` payload rides along so callers can verify from it directly
-    * (simhash passes the hash value itself).
+    * Output: (idA, idB, szA, szB, cnt) with idA < idB, one row per id pair;
+    * `cnt` is the number of buckets the pair shared — the pair-dedup shuffle
+    * is a groupBy either way, so the count is free, and for gram buckets it
+    * IS the shingle-intersection size over the bucketed grams (each distinct
+    * gram contributes exactly one bucket). The `__sz` payload rides along so
+    * callers can verify from it directly (simhash passes the hash value
+    * itself).
     */
   private def bucketPairs(
       buckets: DataFrame,
@@ -146,9 +150,10 @@ object Dedup {
           greatest(col("__a.__sz"), col("__b.__sz")) * t)
     }
     ratioed
-      .select(col("__a.__id").as("idA"), col("__b.__id").as("idB"),
+      .groupBy(
+        col("__a.__id").as("idA"), col("__b.__id").as("idB"),
         col("__a.__sz").as("szA"), col("__b.__sz").as("szB"))
-      .dropDuplicates("idA", "idB")
+      .agg(count(lit(1)).as("cnt"))
   }
 
   /** MinHash + LSH near-duplicate pairs.
@@ -317,11 +322,43 @@ object Dedup {
         .filter(col("__df") > maxGramDf)
         .select("__g")
       val kept = inverted.join(broadcast(hot), Seq("__g"), "left_anti")
-      // one shuffle of the postings; pairs stream out of generators, and the
-      // exact length filter (J ≤ minSize/maxSize) prunes before pair dedup
-      val candidates = bucketPairs(kept, Seq("__g"), maxGramDf, Some(threshold))
-      // exact verification on the full shingle sets (cap-independent)
-      candidates
+      // per-doc count of dropped hot grams (rows only for docs that contain
+      // one — tiny, broadcast back onto the pairs)
+      val hotCounts = inverted.join(broadcast(hot), Seq("__g"), "left_semi")
+        .groupBy(col("__id")).agg(count(lit(1)).cast("long").as("__hot"))
+      // one shuffle of the postings; pairs stream out of generators, the
+      // exact length filter (J ≤ minSize/maxSize) prunes before pair dedup,
+      // and the dedup groupBy counts each pair's shared KEPT grams — which
+      // is its exact shingle-intersection size except for hot-gram overlap.
+      val counted = bucketPairs(kept, Seq("__g"), maxGramDf, Some(threshold))
+        .join(broadcast(hotCounts.select(col("__id").as("idA"), col("__hot").as("__hotA"))),
+          Seq("idA"), "left")
+        .join(broadcast(hotCounts.select(col("__id").as("idB"), col("__hot").as("__hotB"))),
+          Seq("idB"), "left")
+        .na.fill(0L, Seq("__hotA", "__hotB"))
+      // upper-bound prune (exact, no recall loss): true intersection ≤
+      // cnt + min(hotA, hotB), and jaccard is monotone in the intersection —
+      // a pair whose UPPER-bound jaccard misses the threshold can never
+      // verify. This is what kills the shared-one-gram candidate mass
+      // (measured 1.13M pairs → ~threshold-survivors at sf0.1) before any
+      // shingle-set join.
+      val upper = col("cnt") + least(col("__hotA"), col("__hotB"))
+      val pruned = counted
+        .filter(upper / (col("szA") + col("szB") - upper) >= threshold)
+      // pairs with no possible hot overlap: cnt IS the exact intersection —
+      // jaccard comes straight off the aggregate, no shingle rejoin at all
+      val exactByCount = pruned
+        .filter(least(col("__hotA"), col("__hotB")) === 0)
+        .withColumn("__inter", col("cnt").cast("double"))
+        .withColumn("jaccard",
+          col("__inter") / (col("szA") + col("szB") - col("__inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("idA"), col("idB"), col("jaccard"))
+      // both sides hold hot grams: intersection is ambiguous by up to
+      // min(hotA, hotB) — exact verification on the full shingle sets
+      val verified = pruned
+        .filter(least(col("__hotA"), col("__hotB")) > 0)
+        .select("idA", "idB")
         .join(withSh.select(col("__id").as("idA"), col("__sh").as("shA")), "idA")
         .join(withSh.select(col("__id").as("idB"), col("__sh").as("shB")), "idB")
         .withColumn("__inter", size(array_intersect(col("shA"), col("shB"))).cast("double"))
@@ -329,6 +366,7 @@ object Dedup {
           col("__inter") / (size(col("shA")) + size(col("shB")) - col("__inter")))
         .filter(col("jaccard") >= threshold)
         .select(col("idA"), col("idB"), col("jaccard"))
+      exactByCount.union(verified)
     } finally { withSh.unpersist(); () }
   }
 

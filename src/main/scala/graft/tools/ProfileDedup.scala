@@ -41,6 +41,24 @@ object ProfileDedup {
     val sig = sh.select(col("__id"), Dedup.minhashSignature(col("__sh"), 64).as("__sig"))
     time("shingles+minhash")(sig.agg(sum(size(col("__sig")))).collect())
 
+    // d4 stage breakdown: postings, hot count, candidates, verification
+    val withSh2 = docs.select(col("doc_id").as("__id"), Dedup.shingles(col("text"), 3).as("__sh")).persist()
+    val inverted = withSh2.select(explode(col("__sh")).as("__g"), col("__id"), size(col("__sh")).as("__sz"))
+    time("d4_postings_count")(println("postings=" + inverted.count()))
+    val grouped = inverted.groupBy("__g")
+      .agg(collect_list(struct(col("__id"), col("__sz"))).as("__ms"))
+      .filter(size(col("__ms")) >= 2)
+    time("d4_grouped")(println("groups>=2 " + grouped.count()))
+    val cands = grouped
+      .select(explode(col("__ms")).as("__a"), col("__ms"))
+      .select(col("__a"), explode(col("__ms")).as("__b"))
+      .filter(col("__a.__id") < col("__b.__id"))
+    time("d4_rawpairs")(println("rawpairs=" + cands.count()))
+    time("d4_distinct_pairs")(println("pairs=" +
+      cands.select(col("__a.__id").as("idA"), col("__b.__id").as("idB"))
+        .dropDuplicates("idA", "idB").count()))
+    withSh2.unpersist()
+
     // full pipelines
     time("d2_full")(
       Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, numHashes = 64,

@@ -78,6 +78,33 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
       assert(pairs == Map((1L, 2L) -> 1.0))
     }
+
+    it("hot-ambiguous pairs verify exactly: upper-bound survivors are re-checked") {
+      // When BOTH docs carry hot (capped) grams, their shared-kept-gram
+      // count is only a LOWER bound of the true intersection — the prune
+      // keeps every pair whose UPPER bound (cnt + min(hotA, hotB)) clears
+      // the threshold, and exact shingle verification decides. Calibrated
+      // construction (5-token shared prefix + a distinct hot 3-token tail
+      // per doc): A-B share 3 kept grams of 6 each; upper bound 4 gives
+      // upper-J 4/8 = 0.5 — EXACTLY at threshold, so the pair survives the
+      // prune — but the true jaccard is 3/9 = 0.33, so exact verification
+      // must reject it. A-C are identical docs: jaccard 1.0 through the
+      // same verified branch.
+      val prefix = "alpha beta gamma delta epsilon"
+      val h1 = "pp qq rr"
+      val h2 = "xx yy zz"
+      val filler = (100L until 140L).map(i => (i, h1)) ++
+        (200L until 240L).map(i => (i, h2))
+      val df = (filler ++ Seq(
+        (1L, s"$prefix $h1"), (2L, s"$prefix $h2"), (3L, s"$prefix $h1")))
+        .toDF("doc_id", "text")
+      val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+        threshold = 0.5, maxGramDf = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(pairs.get((1L, 3L)).contains(1.0), s"got $pairs")
+      assert(!pairs.contains((1L, 2L)), s"hot-ambiguous pair not re-verified: $pairs")
+      assert(!pairs.contains((2L, 3L)), s"hot-ambiguous pair not re-verified: $pairs")
+    }
   }
 
   describe("Dedup.embeddingCosinePairs") {

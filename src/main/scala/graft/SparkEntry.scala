@@ -180,6 +180,15 @@ object SparkEntry {
       val stream = input.toDF().toDF("event_id", "ts_us", "event_type", "value")
         .withColumn("ts", timestamp_micros(col("ts_us")))
       val name = "q6_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // size state partitions to the state's key cardinality (~dozens of
+      // (window, event_type) keys): shuffle-partition count is FROZEN into a
+      // streaming query's state layout at first start, and every micro-batch
+      // commits one state-store delta per partition — 32 partitions × 6
+      // batches of per-store file commits is pure overhead here, exactly the
+      // sizing a real deployment does per stream (result is partition-count
+      // independent)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val query = graft.streaming.StreamingOps
         .windowedEventStats(stream, watermarkDelay = "10 minutes")
         .writeStream.format("memory").queryName(name).outputMode("append").start()
@@ -193,12 +202,48 @@ object SparkEntry {
           java.sql.Timestamp.valueOf("2030-01-01 00:00:00").getTime * 1000L, "flush", 0L)
         input.addData(sentinel); query.processAllAvailable()
         input.addData(sentinel); query.processAllAvailable()
-      } finally query.stop()
+      } finally { query.stop(); s.conf.set("spark.sql.shuffle.partitions", prevParts) }
       s.table(name)
         .filter(col("event_type") =!= "flush")
         .select(unix_micros(col("window_start")).as("window_start_us"),
           unix_micros(col("window_end")).as("window_end_us"),
           col("event_type"), col("events"), col("total_value"))
+    }),
+
+    "q8_stream_sink" -> ((s, dir) => {
+      // TRUE streaming write with exactly-once semantics: nation rows stream
+      // through MemoryStream into a GraftTable in 3 micro-batches via the
+      // SetTransaction-watermarked sink; afterwards the LAST epoch is
+      // replayed (the post-failure foreachBatch contract) and must be
+      // skipped — any double-append shows up as a hash/rowcount mismatch
+      // against the plain SELECT oracle
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val dirT = tmp("q8")
+      val seed = read(s, dir, "nation").filter(col("n_nationkey") < 5)
+        .select("n_nationkey", "n_name", "n_regionkey")
+      GraftTable.create(s, dirT, seed)
+      val rest = read(s, dir, "nation").filter(col("n_nationkey") >= 5)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .as[(Int, String, Int)].collect()
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Int, String, Int)]
+      val query = graft.streaming.GraftSink.writeStreamTo(
+        input.toDF().toDF("n_nationkey", "n_name", "n_regionkey"), dirT, "q8app")
+        .start()
+      var lastEpoch = -1L
+      try {
+        rest.grouped(math.max(1, rest.length / 3 + 1)).foreach { b =>
+          input.addData(b.toIndexedSeq); query.processAllAvailable()
+        }
+        lastEpoch = query.lastProgress.batchId
+      } finally query.stop()
+      // post-failure replay of the final epoch: exactly-once = skipped
+      val replayed = graft.streaming.GraftSink.writeEpoch(dirT, "q8app")(
+        rest.takeRight(1).toSeq.toDF("n_nationkey", "n_name", "n_regionkey"), lastEpoch)
+      require(replayed.isEmpty, "replayed epoch was re-appended — exactly-once broken")
+      GraftTable.forPath(s, dirT).toDF
     }),
 
     "q7_change_stream" -> ((s, dir) => {
@@ -880,6 +925,8 @@ object SparkEntry {
         |       count(*) AS events,
         |       CAST(sum(value) AS BIGINT) AS total_value
         |FROM e GROUP BY 1, 2, 3""".stripMargin,
+    "q8_stream_sink" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q7_change_stream" ->
       """SELECT r_regionkey, r_name, 'update_preimage' AS _change_type
         |FROM region WHERE r_regionkey = 0

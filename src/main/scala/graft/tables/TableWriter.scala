@@ -91,9 +91,13 @@ object TableWriter {
         // 2. move produced parquet files into the table dir
         val moved = moveDataFiles(Paths.get(stagingDir), Paths.get(tablePath))
 
-        // 3. footer stats per file
+        // 3. footer stats per file — harvested in a bounded thread pool:
+        // footers are independent ~KB reads, and a serial driver loop would
+        // make stats collection the commit's critical path at large file
+        // counts (a 10k-file commit at ~10 ms/footer is 100 s serial, ~4 s
+        // at 32-way I/O parallelism). Order is preserved (zip by index).
         val conf = spark.sessionState.newHadoopConf()
-        moved.map { rel =>
+        harvestParallel(moved) { rel =>
           val abs = Paths.get(tablePath, rel)
           val stats = ParquetStats.forFile(abs.toString, conf)
           AddFile(
@@ -262,6 +266,26 @@ object TableWriter {
         case t: SetTransaction => !ourTxnApps.contains(t.appId)
         case _                 => true
       }
+    }
+  }
+
+  /** Run `f` over `items` on a bounded I/O pool (≤32 threads), preserving
+    * order and propagating the first failure. Used for per-file footer
+    * harvesting, where work is independent small I/O and driver CPU is idle.
+    */
+  private def harvestParallel[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    if (items.size <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(32, items.size))
+      try {
+        val futures = items.map(a => pool.submit(new java.util.concurrent.Callable[B] {
+          override def call(): B = f(a)
+        }))
+        futures.map { fut =>
+          try fut.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+      } finally pool.shutdownNow()
     }
   }
 

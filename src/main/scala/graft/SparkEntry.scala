@@ -210,6 +210,20 @@ object SparkEntry {
           col("event_type"), col("events"), col("total_value"))
     }),
 
+    "q9_time_travel" -> ((s, dir) => {
+      // versionAsOf reader option: v0 = first 10 nations, v1 = +10 more,
+      // v2 = overwrite with a sentinel row. Reading v1 must see exactly the
+      // 20 appended rows and ignore the overwrite — through the same native
+      // vectorized-scan path as a latest read (pinned file index).
+      val dirT = tmp("q9")
+      val nation = read(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      val t = GraftTable.create(s, dirT, nation.filter(col("n_nationkey") < 10)) // v0
+      t.append(nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20)) // v1
+      t.overwrite(nation.filter(col("n_nationkey") === 0)
+        .withColumn("n_name", lit("SENTINEL")))                                   // v2
+      s.read.format("graft").option("versionAsOf", 1).load(dirT)
+    }),
+
     "q8_stream_sink" -> ((s, dir) => {
       // TRUE streaming write with exactly-once semantics: nation rows stream
       // through MemoryStream into a GraftTable in 3 micro-batches via the
@@ -927,6 +941,8 @@ object SparkEntry {
         |FROM e GROUP BY 1, 2, 3""".stripMargin,
     "q8_stream_sink" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q9_time_travel" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey < 20",
     "q7_change_stream" ->
       """SELECT r_regionkey, r_name, 'update_preimage' AS _change_type
         |FROM region WHERE r_regionkey = 0

@@ -66,7 +66,8 @@ class GraftDataSource extends RelationProvider
       sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     GraftScanRewrite.install(sqlContext.sparkSession)
-    GraftRelation(sqlContext, pathOf(parameters))
+    GraftRelation(sqlContext, pathOf(parameters),
+      GraftDataSource.resolveVersion(pathOf(parameters), parameters))
   }
 
   /** `df.write.format("graft").mode(...).save(path)` — maps SaveMode onto the
@@ -101,6 +102,42 @@ class GraftDataSource extends RelationProvider
   }
 }
 
+object GraftDataSource {
+
+  /** Time-travel read options (Delta's reader contract):
+    * `option("versionAsOf", v)` pins an exact committed version;
+    * `option("timestampAsOf", ts)` resolves to the LATEST version whose
+    * commit timestamp is ≤ ts (`yyyy-MM-dd HH:mm:ss[.fff]` or ISO-8601
+    * instant), erroring if the table's earliest commit is after ts.
+    */
+  private[sources] def resolveVersion(
+      path: String, parameters: Map[String, String]): Option[Long] = {
+    val byVersion = parameters.get("versionAsOf").map(_.trim.toLong)
+    val byTs = parameters.get("timestampAsOf").map { raw =>
+      val millis = parseTimestampMillis(raw.trim)
+      val log = new graft.tables.GraftLog(path)
+      val atOrBefore = log.history().collect {
+        case (v, ci) if ci.timestamp <= millis => v
+      }
+      if (atOrBefore.isEmpty)
+        throw new IllegalArgumentException(
+          s"timestampAsOf '$raw' is before the earliest commit of $path")
+      atOrBefore.max
+    }
+    if (byVersion.isDefined && byTs.isDefined)
+      throw new IllegalArgumentException(
+        "specify either versionAsOf or timestampAsOf, not both")
+    byVersion.orElse(byTs)
+  }
+
+  private def parseTimestampMillis(s: String): Long =
+    try java.sql.Timestamp.valueOf(s).getTime
+    catch {
+      case _: IllegalArgumentException =>
+        java.time.Instant.parse(s).toEpochMilli
+    }
+}
+
 /** Catalog-resolvable view of one graft table — the RESOLUTION-TIME shape
   * only; [[GraftScanRewrite]] swaps it for the native file-scan relation
   * before physical planning. The schema is fixed at resolution time (Spark
@@ -113,11 +150,17 @@ class GraftDataSource extends RelationProvider
   * returns the INNER plan's `InternalRow` RDD with `needConversion=false`,
   * so even unrewritten reads pay no external-`Row` round-trip.
   */
-case class GraftRelation(sqlContext: SQLContext, path: String)
+case class GraftRelation(sqlContext: SQLContext, path: String,
+    versionAsOf: Option[Long] = None)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
-  override val schema: StructType =
-    GraftTable.forPath(sqlContext.sparkSession, path).snapshot.schema
+  private def table: GraftTable = GraftTable.forPath(sqlContext.sparkSession, path)
+
+  /** The read-time snapshot: pinned for time travel, latest otherwise. */
+  private[sources] def readSnapshot: Snapshot =
+    versionAsOf.map(table.snapshotAt).getOrElse(table.snapshot)
+
+  override val schema: StructType = readSnapshot.schema
 
   /** Rows are served as `InternalRow`s from the inner codegen'd parquet plan
     * (`needConversion=false` contract) — no per-row external conversion.
@@ -125,7 +168,7 @@ case class GraftRelation(sqlContext: SQLContext, path: String)
   override def needConversion: Boolean = false
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    val snap = GraftTable.forPath(sqlContext.sparkSession, path).toDF
+    val snap = versionAsOf.map(table.toDFAt).getOrElse(table.toDF)
     val filtered = filters.flatMap(GraftRelation.translate).foldLeft(snap)(_.where(_))
     // empty projection (e.g. COUNT(*)) still needs the row cardinality
     val projected =
@@ -136,6 +179,7 @@ case class GraftRelation(sqlContext: SQLContext, path: String)
 
   /** SQL `INSERT INTO name` / `INSERT OVERWRITE TABLE name`. */
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(versionAsOf.isEmpty, "cannot write through a time-travel (versionAsOf) read")
     val spark = sqlContext.sparkSession
     if (overwrite) GraftTable.forPath(spark, path).overwrite(data)
     else GraftTable.forPath(spark, path).append(data)
@@ -194,7 +238,10 @@ object GraftScanRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case l: LogicalRelation if l.relation.isInstanceOf[GraftRelation] =>
       val g = l.relation.asInstanceOf[GraftRelation]
-      l.copy(relation = nativeRelation(g.sqlContext.sparkSession, g.path))
+      // a time-travel relation pins its snapshot; the file index then never
+      // follows the log past the pinned version
+      l.copy(relation = nativeRelation(g.sqlContext.sparkSession, g.path,
+        g.versionAsOf.map(_ => g.readSnapshot)))
   }
 
   /** The physical-read shape of the table at `path`: partition columns land

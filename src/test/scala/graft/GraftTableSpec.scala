@@ -169,6 +169,42 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(skipped.isEmpty, "stats skipping kept files that provably cannot match")
     }
 
+    it("versionAsOf / timestampAsOf reader options time-travel the read") {
+      val dir = tmpTableDir("graft-tt")
+      val t = GraftTable.create(spark, dir, Seq((1, "v0")).toDF("id", "v")) // v0
+      t.append(Seq((2, "v1")).toDF("id", "v"))                              // v1
+      t.overwrite(Seq((9, "v2")).toDF("id", "v"))                           // v2
+
+      def rd = spark.read.format("graft")
+      assert(rd.option("versionAsOf", 0).load(dir)
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSet == Set((1, "v0")))
+      assert(rd.option("versionAsOf", 1).load(dir)
+        .collect().map(_.getInt(0)).toSet == Set(1, 2))
+      assert(rd.load(dir).collect().map(_.getInt(0)).toSet == Set(9))
+
+      // the pinned read still plans as the native vectorized parquet scan
+      val q = rd.option("versionAsOf", 1).load(dir).filter($"id" > 0)
+      val phys = q.queryExecution.executedPlan.toString
+      assert(phys.contains("FileScan parquet"), s"no native FileScan in:\n$phys")
+
+      // timestampAsOf resolves to the latest commit at-or-before the ts
+      val history = t.history().toMap
+      val ts1 = new java.sql.Timestamp(history(1L).timestamp).toString
+      assert(rd.option("timestampAsOf", ts1).load(dir)
+        .collect().map(_.getInt(0)).toSet == Set(1, 2))
+      intercept[IllegalArgumentException] {
+        rd.option("timestampAsOf", "1999-01-01 00:00:00").load(dir).collect()
+      }
+      intercept[IllegalArgumentException] {
+        rd.option("versionAsOf", 0).option("timestampAsOf", ts1).load(dir).collect()
+      }
+      // a time-travel relation refuses writes
+      intercept[Exception] {
+        graft.sources.GraftRelation(spark.sqlContext, dir, Some(0L))
+          .insert(Seq((5, "x")).toDF("id", "v"), overwrite = false)
+      }
+    }
+
     it("registerTable keeps a backtick-bearing name inside the identifier") {
       // Spark's session catalog rejects backticks in table names outright, so
       // the correct outcome is a LOUD AnalysisException on the full hostile

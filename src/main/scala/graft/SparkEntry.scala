@@ -210,6 +210,28 @@ object SparkEntry {
           col("event_type"), col("events"), col("total_value"))
     }),
 
+    "q10_stream_source" -> ((s, dir) => {
+      // TRUE streaming read through the version-offset source: batch 1 is
+      // the v0 snapshot as inserts, then an UPDATE and a DELETE land while
+      // the stream is live and surface as per-commit change batches with
+      // their _commit_version stamps — all literal-predictable from region
+      val dirT = tmp("q10")
+      val t = GraftTable.create(s, dirT, read(s, dir, "region"),
+        properties = Map(GraftLog.CdfProperty -> "true"))
+      val name = "q10_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = s.readStream.format("graft").load(dirT)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        query.processAllAvailable()
+        TableOps.update(t, Some("r_regionkey = 2"), Map("r_name" -> "'ATLANTIS'")) // v1
+        query.processAllAvailable()
+        TableOps.delete(t, Some("r_regionkey = 3"))                                // v2
+        query.processAllAvailable()
+      } finally query.stop()
+      s.table(name).select(
+        col("r_regionkey"), col("r_name"), col("_change_type"), col("_commit_version"))
+    }),
+
     "q9_time_travel" -> ((s, dir) => {
       // versionAsOf reader option: v0 = first 10 nations, v1 = +10 more,
       // v2 = overwrite with a sentinel row. Reading v1 must see exactly the
@@ -943,6 +965,15 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q9_time_travel" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey < 20",
+    "q10_stream_source" ->
+      """SELECT r_regionkey, r_name, 'insert' AS _change_type,
+        |       CAST(0 AS BIGINT) AS _commit_version FROM region
+        |UNION ALL
+        |SELECT r_regionkey, r_name, 'update_preimage', 1 FROM region WHERE r_regionkey = 2
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'ATLANTIS', 'update_postimage', 1
+        |UNION ALL
+        |SELECT r_regionkey, r_name, 'delete', 2 FROM region WHERE r_regionkey = 3""".stripMargin,
     "q7_change_stream" ->
       """SELECT r_regionkey, r_name, 'update_preimage' AS _change_type
         |FROM region WHERE r_regionkey = 0

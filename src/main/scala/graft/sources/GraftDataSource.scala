@@ -49,9 +49,30 @@ import graft.tables.{AddFile, FileSkipping, GraftTable, Snapshot, TableWriter}
   * `df.write.format("graft")` both resolve it.
   */
 class GraftDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** `spark.readStream.format("graft").load(path)` — the version-offset
+    * change-data streaming source (see [[GraftStreamSource]]).
+    */
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(),
+      schema.getOrElse(
+        GraftStreamSource.schemaOf(sqlContext.sparkSession, pathOf(parameters))))
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    new GraftStreamSource(sqlContext, pathOf(parameters),
+      parameters.get("startingVersion").map(_.trim.toLong))
 
   private def pathOf(parameters: Map[String, String]): String = {
     val p = parameters.getOrElse("path", throw new IllegalArgumentException(

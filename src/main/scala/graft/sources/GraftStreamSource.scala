@@ -1,0 +1,122 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.tables.{AddCDCFile, AddFile, GraftLog, GraftTable, RemoveFile}
+
+/** Streaming SOURCE over a GraftTable: `spark.readStream.format("graft")
+  * .load(path)` — the change-data analogue of Delta's streaming source.
+  *
+  * Offsets are committed table VERSIONS (a `LongOffset` per commit), so the
+  * offset log lines up 1:1 with the table's own history: exactly-once replay
+  * is inherited from the commit log's immutability — a micro-batch for
+  * versions (start, end] always reproduces the same rows, and checkpoint
+  * recovery resumes from a version boundary.
+  *
+  * Batch contents (schema = table schema + `_change_type` + `_commit_version`):
+  *  - the INITIAL batch (no `startingVersion` option) is the full snapshot at
+  *    the first observed version, as `insert` rows — Delta's default
+  *    "current snapshot, then changes" contract;
+  *  - with `option("startingVersion", v)` the initial batch replays changes
+  *    from version v (inclusive) instead, with no snapshot;
+  *  - each subsequent batch is the per-commit change set: CDC files when the
+  *    commit wrote them, the commit's added files as `insert` rows for plain
+  *    appends, and a LOUD error for a row-removing commit without CDC (the
+  *    stream cannot represent it — enable CDF).
+  *
+  * Scale: a batch reads only the files of its own versions (no table scan
+  * after the initial snapshot); the snapshot batch itself plans as the
+  * native pinned-file-index parquet scan.
+  */
+class GraftStreamSource(
+    sqlContext: SQLContext,
+    tablePath: String,
+    startingVersion: Option[Long]) extends Source {
+
+  private val spark = sqlContext.sparkSession
+  private val log = new GraftLog(tablePath)
+  private def table = GraftTable.forPath(spark, tablePath)
+
+  override val schema: StructType = GraftStreamSource.schemaOf(spark, tablePath)
+
+  override def getOffset: Option[Offset] = {
+    if (!log.tableExists) None else Some(LongOffset(log.latestVersion()))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = versionOf(end)
+    val out = start match {
+      case None =>
+        startingVersion match {
+          case Some(sv) => changesFor(log.versions().filter(v => v >= sv && v <= endV))
+          case None     => snapshotAsInserts(endV)
+        }
+      case Some(s) =>
+        val startV = versionOf(s)
+        changesFor(log.versions().filter(v => v > startV && v <= endV))
+    }
+    val aligned = out.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    org.apache.spark.sql.graft.SparkBridge.streamingDataFrame(
+      spark, aligned.queryExecution.toRdd, schema)
+  }
+
+  /** LongOffset on a live run; a json-serialized offset after checkpoint
+    * recovery — both carry the version as their json.
+    */
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other         => other.json.trim.toLong
+  }
+
+  private def snapshotAsInserts(v: Long): DataFrame =
+    table.toDFAt(v)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_version", lit(v))
+
+  private def changesFor(versions: Seq[Long]): DataFrame = {
+    val frames = versions.flatMap { v =>
+      val actions = log.actionsAt(v)
+      val cdc = actions.collect { case c: AddCDCFile => c.path }
+      val adds = actions.collect { case a: AddFile => a }
+      val removes = actions.collect { case r: RemoveFile => r }
+      if (cdc.nonEmpty) {
+        val paths = cdc.map(p => new java.io.File(tablePath, p).toString)
+        Some(spark.read
+          .schema(table.snapshotAt(v).schema.add("_change_type", StringType))
+          .parquet(paths: _*)
+          .withColumn("_commit_version", lit(v)))
+      } else if (removes.nonEmpty) {
+        // rewriting commit without change files: the stream cannot represent
+        // the removed rows — failing loudly beats silently emitting wrong
+        // changes (Delta raises the same way for CDF gaps)
+        throw new IllegalStateException(
+          s"version $v of $tablePath removed files but wrote no change data; " +
+            "enable CDF (graft.enableChangeDataFeed) for streamed tables")
+      } else if (adds.nonEmpty) {
+        // blind append: the added files ARE the change set
+        val snap = table.snapshotAt(v)
+        Some(table.dfForFiles(snap, adds)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v)))
+      } else None // metadata-only commit
+    }
+    // batch-shaped here; getBatch re-tags the final frame as streaming
+    frames.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+  }
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+object GraftStreamSource {
+  def schemaOf(spark: org.apache.spark.sql.SparkSession, tablePath: String): StructType =
+    GraftTable.forPath(spark, tablePath).snapshot.schema
+      .add("_change_type", StringType)
+      .add("_commit_version", LongType)
+}

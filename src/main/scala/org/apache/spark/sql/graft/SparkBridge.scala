@@ -29,4 +29,16 @@ object SparkBridge {
 
   /** The Catalyst expression behind a `Column` (inverse of [[column]]). */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** An `isStreaming=true` DataFrame over pre-computed rows — the contract a
+    * DSv1 streaming `Source.getBatch` must satisfy (batch-tagged frames are
+    * rejected by the streaming planner). Same `internalCreateDataFrame`
+    * every file-based Spark source uses.
+    */
+  def streamingDataFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[ClassicSparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
 }

@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.operators.TableOps
+import graft.tables.{GraftLog, GraftTable}
+
+class GraftStreamSourceSpec extends AnyFunSpec with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private def mkTable(prefix: String): (String, GraftTable) = {
+    val dir = tmpTableDir(prefix)
+    val t = GraftTable.create(spark, dir,
+      Seq((0, "alpha"), (1, "beta"), (2, "gamma")).toDF("id", "name"),
+      properties = Map(GraftLog.CdfProperty -> "true"))
+    (dir, t)
+  }
+
+  private def rowsOf(sink: String): Set[(Int, String, String, Long)] =
+    spark.table(sink).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+
+  it("streams the snapshot, then per-commit changes, with version offsets") {
+    val (dir, t) = mkTable("gss_basic")
+    val sink = "gss_sink_" + System.nanoTime()
+    val query = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      assert(rowsOf(sink) == Set(
+        (0, "alpha", "insert", 0L), (1, "beta", "insert", 0L), (2, "gamma", "insert", 0L)))
+
+      TableOps.update(t, Some("id = 1"), Map("name" -> "'BETA'")) // v1
+      query.processAllAvailable()
+      assert(rowsOf(sink).contains((1, "beta", "update_preimage", 1L)))
+      assert(rowsOf(sink).contains((1, "BETA", "update_postimage", 1L)))
+
+      t.append(Seq((3, "delta")).toDF("id", "name"))              // v2 blind append
+      query.processAllAvailable()
+      assert(rowsOf(sink).contains((3, "delta", "insert", 2L)))
+
+      TableOps.delete(t, Some("id = 0"))                          // v3
+      query.processAllAvailable()
+      assert(rowsOf(sink).contains((0, "alpha", "delete", 3L)))
+      assert(rowsOf(sink).size == 7)
+    } finally query.stop()
+  }
+
+  it("startingVersion replays changes from that version, no snapshot batch") {
+    val (dir, t) = mkTable("gss_startv")
+    TableOps.update(t, Some("id = 2"), Map("name" -> "'GAMMA'")) // v1
+    t.append(Seq((9, "omega")).toDF("id", "name"))               // v2
+    val sink = "gss_sink_" + System.nanoTime()
+    val query = spark.readStream.format("graft")
+      .option("startingVersion", 1).load(dir)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      assert(rowsOf(sink) == Set(
+        (2, "gamma", "update_preimage", 1L),
+        (2, "GAMMA", "update_postimage", 1L),
+        (9, "omega", "insert", 2L)))
+    } finally query.stop()
+  }
+
+  it("recovers from a checkpoint at a version boundary (offset round-trip)") {
+    val (dir, t) = mkTable("gss_ckpt")
+    val ckpt = java.nio.file.Files.createTempDirectory("gss_ckpt_loc").toString
+    // foreachBatch (checkpoint-recoverable, unlike the memory sink)
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Int, String, String, Long)]())
+    def start() = spark.readStream.format("graft").load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r =>
+          got.add((r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))); ()
+      }.start()
+
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop() // consumed snapshot @ v0
+    assert(got.size == 3)
+    got.clear()
+
+    TableOps.update(t, Some("id = 0"), Map("name" -> "'ALPHA'")) // v1, while down
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // ONLY the post-checkpoint commit arrives — the deserialized offset
+      // resumed at v0, no snapshot replay, no duplicates
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toSet == Set(
+        (0, "alpha", "update_preimage", 1L),
+        (0, "ALPHA", "update_postimage", 1L)))
+    } finally q2.stop()
+  }
+
+  it("fails loudly on a row-removing commit without change data") {
+    val dir = tmpTableDir("gss_nocdf")
+    val t = GraftTable.create(spark, dir,
+      Seq((0, "a"), (1, "b")).toDF("id", "name")) // CDF OFF
+    val sink = "gss_sink_" + System.nanoTime()
+    val query = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      query.processAllAvailable() // snapshot fine
+      TableOps.delete(t, Some("id = 0"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+      assert(e.getMessage.contains("enable CDF") ||
+        Option(e.getCause).exists(_.getMessage.contains("enable CDF")))
+    } finally query.stop()
+  }
+}

@@ -95,6 +95,37 @@ class GraftStreamSourceSpec extends AnyFunSpec with SparkSessionTestWrapper {
     } finally q2.stop()
   }
 
+  it("composes with GraftSink: table-to-table streaming replication, exactly once") {
+    // the full streaming story end-to-end: change-data SOURCE on table A →
+    // filter to inserts → exactly-once SINK into table B; B converges to
+    // A's inserted rows across multiple live commits and never duplicates
+    val (dirA, tA) = mkTable("gss_repl_src")
+    val dirB = tmpTableDir("gss_repl_dst")
+    GraftTable.create(spark, dirB,
+      Seq.empty[(Int, String)].toDF("id", "name"))
+    val query = graft.streaming.GraftSink.writeStreamTo(
+      spark.readStream.format("graft").load(dirA)
+        .filter($"_change_type" === "insert")
+        .select($"id", $"name"),
+      dirB, "replicator")
+      .start()
+    try {
+      query.processAllAvailable()
+      tA.append(Seq((10, "ten")).toDF("id", "name"))
+      query.processAllAvailable()
+      tA.append(Seq((11, "eleven")).toDF("id", "name"))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val replicated = GraftTable.forPath(spark, dirB).toDF
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(replicated.size == 5, s"exactly-once violated: $replicated")
+    assert(replicated.toSet == Set(
+      (0, "alpha"), (1, "beta"), (2, "gamma"), (10, "ten"), (11, "eleven")))
+    // the sink's watermark tracked the epochs
+    assert(GraftTable.forPath(spark, dirB).txnVersion("replicator").nonEmpty)
+  }
+
   it("fails loudly on a row-removing commit without change data") {
     val dir = tmpTableDir("gss_nocdf")
     val t = GraftTable.create(spark, dir,

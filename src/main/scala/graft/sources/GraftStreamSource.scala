@@ -83,7 +83,13 @@ class GraftStreamSource(
       val cdc = actions.collect { case c: AddCDCFile => c.path }
       val adds = actions.collect { case a: AddFile => a }
       val removes = actions.collect { case r: RemoveFile => r }
-      if (cdc.nonEmpty) {
+      val op = actions.collectFirst { case c: graft.tables.CommitInfo => c.operation }
+      if (op.contains("OPTIMIZE")) {
+        // layout-only rewrite (compaction / Z-order): rows are unchanged, so
+        // the commit contributes nothing to the change stream — the same
+        // skip the batch CDF reader applies (Delta: dataChange=false files)
+        None
+      } else if (cdc.nonEmpty) {
         val paths = cdc.map(p => new java.io.File(tablePath, p).toString)
         Some(spark.read
           .schema(table.snapshotAt(v).schema.add("_change_type", StringType))

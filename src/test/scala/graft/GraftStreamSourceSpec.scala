@@ -126,6 +126,24 @@ class GraftStreamSourceSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(GraftTable.forPath(spark, dirB).txnVersion("replicator").nonEmpty)
   }
 
+  it("skips layout-only OPTIMIZE commits instead of failing") {
+    val (dir, t) = mkTable("gss_optimize")
+    t.append(Seq((7, "eta")).toDF("id", "name")) // v1, second file
+    val sink = "gss_sink_" + System.nanoTime()
+    val query = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val before = rowsOf(sink)
+      TableOps.compact(t)                                          // v2: adds+removes, NO cdc
+      TableOps.update(t, Some("id = 7"), Map("name" -> "'ETA'"))   // v3
+      query.processAllAvailable()
+      // the compaction contributed nothing; the update still streams
+      assert(rowsOf(sink) == before ++ Set(
+        (7, "eta", "update_preimage", 3L), (7, "ETA", "update_postimage", 3L)))
+    } finally query.stop()
+  }
+
   it("fails loudly on a row-removing commit without change data") {
     val dir = tmpTableDir("gss_nocdf")
     val t = GraftTable.create(spark, dir,

@@ -322,8 +322,11 @@ object Dedup {
         .filter(col("__df") > maxGramDf)
         .select("__g")
       val kept = inverted.join(broadcast(hot), Seq("__g"), "left_anti")
-      // per-doc count of dropped hot grams (rows only for docs that contain
-      // one — tiny, broadcast back onto the pairs)
+      // per-doc count of dropped hot grams. NOTE: unlike the hot-gram SET
+      // (tiny by construction), the set of docs CONTAINING a hot gram can be
+      // a large corpus fraction (every doc carrying the same licence
+      // header), so these joins are NOT broadcast-hinted — AQE broadcasts
+      // them when they are actually small
       val hotCounts = inverted.join(broadcast(hot), Seq("__g"), "left_semi")
         .groupBy(col("__id")).agg(count(lit(1)).cast("long").as("__hot"))
       // one shuffle of the postings; pairs stream out of generators, the
@@ -331,9 +334,9 @@ object Dedup {
       // and the dedup groupBy counts each pair's shared KEPT grams — which
       // is its exact shingle-intersection size except for hot-gram overlap.
       val counted = bucketPairs(kept, Seq("__g"), maxGramDf, Some(threshold))
-        .join(broadcast(hotCounts.select(col("__id").as("idA"), col("__hot").as("__hotA"))),
+        .join(hotCounts.select(col("__id").as("idA"), col("__hot").as("__hotA")),
           Seq("idA"), "left")
-        .join(broadcast(hotCounts.select(col("__id").as("idB"), col("__hot").as("__hotB"))),
+        .join(hotCounts.select(col("__id").as("idB"), col("__hot").as("__hotB")),
           Seq("idB"), "left")
         .na.fill(0L, Seq("__hotA", "__hotB"))
       // upper-bound prune (exact, no recall loss): true intersection ≤

@@ -64,6 +64,19 @@ class GraftStreamSource(
       spark, aligned.queryExecution.toRdd, schema)
   }
 
+  /** Align a per-version frame to the stream schema: a version before a
+    * schema-evolving append lacks the later columns — they become typed
+    * nulls, exactly what the batch mergeSchema read of those files yields.
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val present = df.columns.toSet
+    val full = schema.fields.foldLeft(df) { (acc, f) =>
+      if (present.contains(f.name)) acc
+      else acc.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    full.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
   /** LongOffset on a live run; a json-serialized offset after checkpoint
     * recovery — both carry the version as their json.
     */
@@ -91,10 +104,10 @@ class GraftStreamSource(
         None
       } else if (cdc.nonEmpty) {
         val paths = cdc.map(p => new java.io.File(tablePath, p).toString)
-        Some(spark.read
+        Some(widen(spark.read
           .schema(table.snapshotAt(v).schema.add("_change_type", StringType))
           .parquet(paths: _*)
-          .withColumn("_commit_version", lit(v)))
+          .withColumn("_commit_version", lit(v))))
       } else if (removes.nonEmpty) {
         // rewriting commit without change files: the stream cannot represent
         // the removed rows — failing loudly beats silently emitting wrong
@@ -105,9 +118,9 @@ class GraftStreamSource(
       } else if (adds.nonEmpty) {
         // blind append: the added files ARE the change set
         val snap = table.snapshotAt(v)
-        Some(table.dfForFiles(snap, adds)
+        Some(widen(table.dfForFiles(snap, adds)
           .withColumn("_change_type", lit("insert"))
-          .withColumn("_commit_version", lit(v)))
+          .withColumn("_commit_version", lit(v))))
       } else None // metadata-only commit
     }
     // batch-shaped here; getBatch re-tags the final frame as streaming

@@ -126,6 +126,25 @@ class GraftStreamSourceSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(GraftTable.forPath(spark, dirB).txnVersion("replicator").nonEmpty)
   }
 
+  it("replays a schema-evolving history: pre-evolution rows widen to typed nulls") {
+    val (dir, t) = mkTable("gss_evolve")
+    t.append(Seq((5, "v1row")).toDF("id", "name"))                        // v1 (old schema)
+    t.append(Seq((6, "v2row", 42L)).toDF("id", "name", "extra"))          // v2 adds column
+    val sink = "gss_sink_" + System.nanoTime()
+    val query = spark.readStream.format("graft")
+      .option("startingVersion", 1).load(dir)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val rows = spark.table(sink).collect()
+        .map(r => (r.getInt(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3), r.getLong(4))).toSet
+      assert(rows == Set(
+        (5, "v1row", None, "insert", 1L),      // pre-evolution: extra is null
+        (6, "v2row", Some(42L), "insert", 2L)))
+    } finally query.stop()
+  }
+
   it("skips layout-only OPTIMIZE commits instead of failing") {
     val (dir, t) = mkTable("gss_optimize")
     t.append(Seq((7, "eta")).toDF("id", "name")) // v1, second file

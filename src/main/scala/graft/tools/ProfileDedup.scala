@@ -59,6 +59,21 @@ object ProfileDedup {
         .dropDuplicates("idA", "idB").count()))
     withSh2.unpersist()
 
+    // d2 stage breakdown
+    val withSh3 = docs.select(col("doc_id").as("__id"), Dedup.shingles(col("text"), 3).as("__sh")).persist()
+    val sig3 = withSh3.withColumn("__sig", Dedup.minhashSignature(col("__sh"), 64))
+    time("d2_sig")(sig3.agg(sum(size(col("__sig")))).collect())
+    val banded3 = sig3.select(col("__id"), size(col("__sh")).as("__sz"),
+      explode(transform(sequence(lit(0), lit(31)),
+        b => struct(b.as("band"), xxhash64(slice(col("__sig"), b * 2 + 1, lit(2))).as("bh")))).as("__b"))
+      .select(col("__id"), col("__sz"), col("__b.band"), col("__b.bh"))
+    time("d2_banded")(println("banded=" + banded3.count()))
+    val grouped3 = banded3.groupBy("band", "bh")
+      .agg(collect_list(struct(col("__id"), col("__sz"))).as("__ms"))
+      .filter(size(col("__ms")) >= 2)
+    time("d2_buckets")(println("buckets>=2 " + grouped3.count()))
+    withSh3.unpersist()
+
     // full pipelines
     time("d2_full")(
       Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, numHashes = 64,

@@ -163,6 +163,37 @@ class GraftStreamSourceSpec extends AnyFunSpec with SparkSessionTestWrapper {
     } finally query.stop()
   }
 
+  it("agrees with the batch CDF reader over a mixed commit history") {
+    // two INDEPENDENT implementations of change-data semantics — the
+    // streaming source (per-commit micro-batches) and the batch CDF reader
+    // (two-scan plan) — must produce the same (row, _change_type,
+    // _commit_version) multiset over the same version range
+    val (dir, t) = mkTable("gss_xval")
+    t.append(Seq((10, "ten"), (11, "eleven")).toDF("id", "name"))  // v1 insert
+    TableOps.update(t, Some("id = 10"), Map("name" -> "'TEN'"))    // v2 update
+    TableOps.delete(t, Some("id = 1"))                             // v3 delete
+    TableOps.compact(t)                                            // v4 layout-only
+    t.append(Seq((12, "twelve")).toDF("id", "name"))               // v5 insert
+
+    val sink = "gss_sink_" + System.nanoTime()
+    val query = spark.readStream.format("graft")
+      .option("startingVersion", 1).load(dir)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+    val streamed = spark.table(sink)
+      .select($"id", $"name", $"_change_type", $"_commit_version")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+
+    val batch = new graft.log.ChangeDataFeedHelper(spark, dir, 1L, t.version).readCDF
+      .select($"id", $"name", $"_change_type", $"_commit_version")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+
+    assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+    assert(streamed.nonEmpty)
+  }
+
   it("fails loudly on a row-removing commit without change data") {
     val dir = tmpTableDir("gss_nocdf")
     val t = GraftTable.create(spark, dir,

@@ -163,6 +163,25 @@ class GraftStreamSourceSpec extends AnyFunSpec with SparkSessionTestWrapper {
     } finally query.stop()
   }
 
+  it("catches up over a 40-commit backlog in one micro-batch") {
+    // a stream starting far behind must swallow the whole backlog in one
+    // getBatch (the per-version union plan has to stay analyzable well past
+    // typical trigger gaps)
+    val (dir, t) = mkTable("gss_backlog")
+    (0 until 40).foreach(i => t.append(Seq((100 + i, s"r$i")).toDF("id", "name")))
+    val sink = "gss_sink_" + System.nanoTime()
+    val query = spark.readStream.format("graft")
+      .option("startingVersion", 1).load(dir)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val rows = spark.table(sink).collect()
+      assert(rows.length == 40, s"expected the full backlog, got ${rows.length}")
+      assert(spark.table(sink).agg(org.apache.spark.sql.functions.countDistinct($"_commit_version"))
+        .head().getLong(0) == 40)
+    } finally query.stop()
+  }
+
   it("agrees with the batch CDF reader over a mixed commit history") {
     // two INDEPENDENT implementations of change-data semantics — the
     // streaming source (per-commit micro-batches) and the batch CDF reader

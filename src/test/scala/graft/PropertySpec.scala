@@ -132,4 +132,30 @@ class PropertySpec extends AnyFunSpec with SparkSessionTestWrapper {
       }
     }
   }
+
+  it("sink idempotence: any interleaving of epoch replays appends each epoch once") {
+    // random sequences over epochs 0..4 where each epoch appears 1-3 times
+    // (Spark's at-least-once foreachBatch contract, arbitrarily reordered
+    // zombie replays included): the table must converge to exactly one
+    // append per DISTINCT epoch that arrived while it was the frontier —
+    // an epoch older than the committed watermark is always skipped
+    val seqGen = Gen.listOfN(12, Gen.choose(0, 4))
+    forAll(seqGen, n = 4) { arrivals =>
+      val dir = tmpTableDir("prop_sink")
+      GraftTable.create(spark, dir, Seq((-1, "seed")).toDF("id", "name"))
+      var frontier = -1L // highest epoch committed so far (the model)
+      val expected = scala.collection.mutable.Set(-1)
+      arrivals.foreach { e =>
+        val rows = Seq((e, s"epoch$e")).toDF("id", "name")
+        val committed = graft.streaming.GraftSink.writeEpoch(dir, "prop")(rows, e.toLong)
+        // model: monotone watermark — only a strictly newer epoch lands
+        if (e > frontier) { assert(committed.isDefined); frontier = e; expected += e }
+        else assert(committed.isEmpty, s"epoch $e re-appended at frontier $frontier")
+      }
+      val got = GraftTable.forPath(spark, dir).toDF
+        .collect().map(_.getInt(0)).toSeq
+      assert(got.sorted == expected.toSeq.sorted,
+        s"arrivals=$arrivals got=$got expected=$expected")
+    }
+  }
 }

@@ -30,6 +30,18 @@ object SparkBridge {
   /** The Catalyst expression behind a `Column` (inverse of [[column]]). */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Register a custom Catalyst expression as a session-scoped SQL function
+    * (the `FunctionRegistry` route Delta/Sedona/etc. use for their SQL
+    * surface — `spark.udf.register` can only wrap boxed Scala closures, not
+    * codegen'd expressions).
+    */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[ClassicSparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+
   /** An `isStreaming=true` DataFrame over pre-computed rows — the contract a
     * DSv1 streaming `Source.getBatch` must satisfy (batch-tagged frames are
     * rejected by the streaming planner). Same `internalCreateDataFrame`

@@ -90,4 +90,26 @@ class MinHashExprSpec extends AnyFunSpec with SparkSessionTestWrapper {
       ()
     }
   }
+
+    it("registers as a SQL function: literal args, same results as the Column API") {
+      graft.functions.GraftFunctions.register(spark)
+      val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text")
+      docs.select(Dedup.shingles($"text", 3).as("sh")).createOrReplaceTempView("mh_sql_in")
+      val viaSql = spark.sql("SELECT minhash_signature(sh, 16, 7) AS sig FROM mh_sql_in")
+        .head().getSeq[Long](0)
+      val viaApi = docs.select(
+        Dedup.minhashSignature(Dedup.shingles($"text", 3), 16, 7L).as("sig"))
+        .head().getSeq[Long](0)
+      assert(viaSql == viaApi)
+      // defaults apply with one argument
+      assert(spark.sql("SELECT size(minhash_signature(sh)) FROM mh_sql_in")
+        .head().getInt(0) == 64)
+      // non-literal numHashes is rejected loudly
+      val err = intercept[Exception] {
+        spark.sql("SELECT minhash_signature(sh, CAST(size(sh) AS INT)) FROM mh_sql_in").collect()
+      }
+      assert(err.getMessage.contains("integer literal") ||
+        Option(err.getCause).exists(_.getMessage.contains("integer literal")))
+    }
 }

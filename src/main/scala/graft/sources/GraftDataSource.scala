@@ -72,7 +72,9 @@ class GraftDataSource extends RelationProvider
       providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
     new GraftStreamSource(sqlContext, pathOf(parameters),
-      parameters.get("startingVersion").map(_.trim.toLong))
+      parameters.get("startingVersion").map(_.trim.toLong),
+      parameters.get("maxVersionsPerTrigger").map(_.trim.toLong)
+        .getOrElse(GraftStreamSource.DefaultMaxVersionsPerTrigger))
 
   private def pathOf(parameters: Map[String, String]): String = {
     val p = parameters.getOrElse("path", throw new IllegalArgumentException(

@@ -31,11 +31,29 @@ import graft.tables.{AddCDCFile, AddFile, GraftLog, GraftTable, RemoveFile}
   * Scale: a batch reads only the files of its own versions (no table scan
   * after the initial snapshot); the snapshot batch itself plans as the
   * native pinned-file-index parquet scan.
+  *
+  * Admission control: `option("maxVersionsPerTrigger", n)` (default 100)
+  * bounds how many commits one micro-batch may span — the analogue of
+  * Delta's `maxFilesPerTrigger`. A stream recovering from downtime drains
+  * its backlog in n-version micro-batches instead of one unbounded union
+  * (both the analyzer cost and the batch's work are linear in the versions
+  * it spans, so the bound is what keeps a 10k-commit gap processable).
+  * Exactly-once is unaffected: offsets are still plain versions and a
+  * bounded range replays deterministically. The INITIAL snapshot batch is
+  * exempt — it is one pinned-version table scan (a single distributed
+  * parquet read), not a per-version union. Note the bound also paces
+  * `Trigger.Once`/`AvailableNow` runs: such a run advances at most n
+  * versions per invocation.
   */
 class GraftStreamSource(
     sqlContext: SQLContext,
     tablePath: String,
-    startingVersion: Option[Long]) extends Source {
+    startingVersion: Option[Long],
+    maxVersionsPerTrigger: Long = GraftStreamSource.DefaultMaxVersionsPerTrigger)
+  extends Source {
+
+  require(maxVersionsPerTrigger > 0,
+    s"maxVersionsPerTrigger must be positive, got $maxVersionsPerTrigger")
 
   private val spark = sqlContext.sparkSession
   private val log = new GraftLog(tablePath)
@@ -43,12 +61,38 @@ class GraftStreamSource(
 
   override val schema: StructType = GraftStreamSource.schemaOf(spark, tablePath)
 
+  /** Highest version this source has already offered (or seen committed via
+    * `getBatch` during checkpoint recovery) — the base the per-trigger
+    * version budget counts from. `None` until the first offer: the first
+    * batch is either the snapshot (one pinned scan, exempt from the bound)
+    * or a `startingVersion` replay (bounded from `startingVersion - 1`).
+    */
+  @volatile private var lastOffered: Option[Long] = None
+
   override def getOffset: Option[Offset] = {
-    if (!log.tableExists) None else Some(LongOffset(log.latestVersion()))
+    if (!log.tableExists) None
+    else {
+      val head = log.latestVersion()
+      val offered = lastOffered match {
+        case Some(base) => math.min(head, base + maxVersionsPerTrigger)
+        case None => startingVersion match {
+          // first replay batch: budget counts from just before startingVersion
+          case Some(sv) => math.min(head, sv - 1 + maxVersionsPerTrigger)
+          // snapshot batch: pinned at the current head — one table scan
+          case None => head
+        }
+      }
+      lastOffered = Some(lastOffered.fold(offered)(math.max(_, offered)))
+      Some(LongOffset(offered))
+    }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = versionOf(end)
+    // checkpoint recovery replays the last uncommitted batch through
+    // getBatch BEFORE the next getOffset — record its end so the version
+    // budget resumes from the recovered position, not from scratch
+    lastOffered = Some(lastOffered.fold(endV)(math.max(_, endV)))
     val out = start match {
       case None =>
         startingVersion match {
@@ -67,8 +111,18 @@ class GraftStreamSource(
   /** Align a per-version frame to the stream schema: a version before a
     * schema-evolving append lacks the later columns — they become typed
     * nulls, exactly what the batch mergeSchema read of those files yields.
+    * A column NOT in the stream schema means the table evolved mid-stream
+    * (the schema was pinned at source creation) — silently selecting it away
+    * would drop data, so fail the query loudly instead; a restart picks up
+    * the widened schema (Delta's streaming source fails the same way).
     */
   private def widen(df: DataFrame): DataFrame = {
+    val known = schema.fieldNames.toSet
+    val extra = df.columns.filterNot(known.contains)
+    if (extra.nonEmpty)
+      throw new IllegalStateException(
+        s"schema of $tablePath changed mid-stream (new columns: ${extra.mkString(", ")}); " +
+          "restart the streaming query to pick up the evolved schema")
     val present = df.columns.toSet
     val full = schema.fields.foldLeft(df) { (acc, f) =>
       if (present.contains(f.name)) acc
@@ -82,7 +136,14 @@ class GraftStreamSource(
     */
   private def versionOf(o: Offset): Long = o match {
     case l: LongOffset => l.offset
-    case other         => other.json.trim.toLong
+    case other =>
+      try other.json.trim.toLong
+      catch {
+        case e: NumberFormatException => throw new IllegalStateException(
+          s"unreadable graft stream offset '${other.json}' (expected a table " +
+            "version number) — the checkpoint offset log may be corrupt or " +
+            "written by an incompatible source", e)
+      }
   }
 
   private def snapshotAsInserts(v: Long): DataFrame =
@@ -134,6 +195,10 @@ class GraftStreamSource(
 }
 
 object GraftStreamSource {
+
+  /** Default bound on commits per micro-batch (see class doc). */
+  val DefaultMaxVersionsPerTrigger: Long = 100L
+
   def schemaOf(spark: org.apache.spark.sql.SparkSession, tablePath: String): StructType =
     GraftTable.forPath(spark, tablePath).snapshot.schema
       .add("_change_type", StringType)

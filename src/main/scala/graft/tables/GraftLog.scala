@@ -131,7 +131,12 @@ class GraftLog(val tablePath: String) {
         case m: Metadata       => meta = m
         case a: AddFile        => files(a.path) = a
         case r: RemoveFile     => files.remove(r.path)
-        case t: SetTransaction => txns(t.appId) = math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
+        // last-wins, matching Delta's txn replay (and the checkpoint fold
+        // above): a writer that legitimately rewinds its version — e.g. a
+        // fresh checkpoint dir reusing an appId — CAN lower its watermark;
+        // monotonicity is the SINK's protocol (writeEpoch gates on >=), not
+        // the log's
+        case t: SetTransaction => txns(t.appId) = t.version
         case _                 => ()
       }
     }

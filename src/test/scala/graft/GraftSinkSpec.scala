@@ -73,6 +73,24 @@ class GraftSinkSpec extends AnyFunSpec with SparkSessionTestWrapper {
       Seq((999L, "dup")).toDF("id", "v"), GraftLog.CheckpointInterval + 1L).isEmpty)
   }
 
+  it("txn replay is last-wins: an explicit lower SetTransaction rewinds the watermark") {
+    // Delta's log replay keeps the LAST txn action per appId, not the max —
+    // a writer that restarts from a fresh checkpoint dir reusing its appId
+    // can legitimately rewind. The SINK's monotonicity is its own gating
+    // (writeEpoch checks >= before committing), not a log-level invariant.
+    val dir = tmpTableDir("sink_lastwins")
+    GraftTable.create(spark, dir, Seq((0L, "seed")).toDF("id", "v"))
+    val log = new GraftLog(dir)
+    def setTxn(v: Long): Unit = log.commit(log.latestVersion() + 1, Seq(
+      SetTransaction("appA", v),
+      graft.tables.CommitInfo(System.currentTimeMillis(), "SET TXN")))
+    setTxn(10L)
+    setTxn(3L) // rewind: last-wins must surface 3, not 10
+    assert(GraftTable.forPath(spark, dir).txnVersion("appA").contains(3L))
+    // after the rewind, epochs 4.. land again through the sink
+    assert(GraftSink.writeEpoch(dir, "appA")(Seq((4L, "e4")).toDF("id", "v"), 4L).isDefined)
+  }
+
   it("a zombie racing the same appId aborts instead of double-appending") {
     val dir = tmpTableDir("sink_zombie")
     GraftTable.create(spark, dir, Seq((0L, "seed")).toDF("id", "v"))

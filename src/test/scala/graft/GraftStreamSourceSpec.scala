@@ -182,6 +182,54 @@ class GraftStreamSourceSpec extends AnyFunSpec with SparkSessionTestWrapper {
     } finally query.stop()
   }
 
+  it("bounds catch-up batches to maxVersionsPerTrigger versions each") {
+    // the same 40-commit backlog, but with an 8-version admission bound:
+    // the stream must drain it COMPLETELY (no rows lost) across ≥5
+    // micro-batches, none spanning more than 8 versions — the scale guard
+    // that keeps a 10k-commit gap from becoming one unbounded union plan
+    val (dir, t) = mkTable("gss_bounded")
+    (0 until 40).foreach(i => t.append(Seq((100 + i, s"r$i")).toDF("id", "name")))
+    val batches = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Set[Long]]())
+    val query = spark.readStream.format("graft")
+      .option("startingVersion", 1)
+      .option("maxVersionsPerTrigger", 8)
+      .load(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(batch.select($"_commit_version").collect().map(_.getLong(0)).toSet); ()
+      }.start()
+    try query.processAllAvailable() finally query.stop()
+    import scala.jdk.CollectionConverters._
+    val nonEmpty = batches.asScala.filter(_.nonEmpty)
+    assert(nonEmpty.map(_.size).sum == 40, s"lost rows: $nonEmpty")
+    assert(nonEmpty.flatten.toSet == (1L to 40L).toSet)
+    assert(nonEmpty.size >= 5, s"expected >=5 bounded batches, got ${nonEmpty.size}")
+    nonEmpty.foreach { vs =>
+      assert(vs.max - vs.min < 8, s"batch spans more than 8 versions: $vs")
+    }
+  }
+
+  it("fails loudly when the table schema evolves mid-stream") {
+    // the stream schema is pinned at source creation; a column added by a
+    // later commit cannot surface without a restart — dropping it silently
+    // would lose data, so the query must die with a restart hint
+    val (dir, t) = mkTable("gss_midevolve")
+    val sink = "gss_sink_" + System.nanoTime()
+    val query = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      query.processAllAvailable() // snapshot, old schema
+      t.append(Seq((8, "theta", 7L)).toDF("id", "name", "extra")) // widens schema
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("changed mid-stream")), msgs(e).mkString("; "))
+    } finally query.stop()
+  }
+
   it("agrees with the batch CDF reader over a mixed commit history") {
     // two INDEPENDENT implementations of change-data semantics — the
     // streaming source (per-commit micro-batches) and the batch CDF reader

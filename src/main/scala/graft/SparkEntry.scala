@@ -246,6 +246,23 @@ object SparkEntry {
       s.read.format("graft").option("versionAsOf", 1).load(dirT)
     }),
 
+    "q12_time_travel_timestamp" -> ((s, dir) => {
+      // timestampAsOf reader option: v0 = first 10 nations, v1 = +10 more.
+      // Reading at exactly v0's commit instant must resolve to v0 (latest
+      // commit at-or-before the ts) and ignore v1. The append is held until
+      // the wall clock has passed v0's commit millisecond, so the two commit
+      // timestamps can never collide and the resolution is deterministic.
+      val dirT = tmp("q12")
+      val nation = read(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      val t = GraftTable.create(s, dirT, nation.filter(col("n_nationkey") < 10)) // v0
+      val ts0 = t.history().toMap.apply(0L).timestamp
+      while (System.currentTimeMillis() <= ts0) Thread.sleep(1)
+      t.append(nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20)) // v1
+      s.read.format("graft")
+        .option("timestampAsOf", java.time.Instant.ofEpochMilli(ts0).toString)
+        .load(dirT)
+    }),
+
     "q8_stream_sink" -> ((s, dir) => {
       // TRUE streaming write with exactly-once semantics: nation rows stream
       // through MemoryStream into a GraftTable in 3 micro-batches via the
@@ -278,6 +295,39 @@ object SparkEntry {
       // post-failure replay of the final epoch: exactly-once = skipped
       val replayed = graft.streaming.GraftSink.writeEpoch(dirT, "q8app")(
         rest.takeRight(1).toSeq.toDF("n_nationkey", "n_name", "n_regionkey"), lastEpoch)
+      require(replayed.isEmpty, "replayed epoch was re-appended — exactly-once broken")
+      GraftTable.forPath(s, dirT).toDF
+    }),
+
+    "q11_stream_sink_native" -> ((s, dir) => {
+      // the NATIVE sink registration: writeStream.format("graft") with a
+      // pinned txnAppId streams nation in 3 micro-batches into a table the
+      // SINK ITSELF creates on the first epoch; a post-failure replay of the
+      // last epoch must be skipped (same exactly-once protocol as q8, but
+      // through the StreamSinkProvider path instead of foreachBatch)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val dirT = tmp("q11")
+      val rows = read(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .as[(Int, String, Int)].collect()
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Int, String, Int)]
+      val query = input.toDF().toDF("n_nationkey", "n_name", "n_regionkey")
+        .writeStream.format("graft")
+        .option("checkpointLocation", tmp("q11ckpt"))
+        .option("txnAppId", "q11app")
+        .start(dirT)
+      var lastEpoch = -1L
+      try {
+        rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { b =>
+          input.addData(b.toIndexedSeq); query.processAllAvailable()
+        }
+        lastEpoch = query.lastProgress.batchId
+      } finally query.stop()
+      val replayed = graft.streaming.GraftSink.writeEpoch(dirT, "q11app")(
+        rows.takeRight(1).toSeq.toDF("n_nationkey", "n_name", "n_regionkey"), lastEpoch)
       require(replayed.isEmpty, "replayed epoch was re-appended — exactly-once broken")
       GraftTable.forPath(s, dirT).toDF
     }),
@@ -965,6 +1015,10 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q9_time_travel" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey < 20",
+    "q11_stream_sink_native" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q12_time_travel_timestamp" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey < 10",
     "q10_stream_source" ->
       """SELECT r_regionkey, r_name, 'insert' AS _change_type,
         |       CAST(0 AS BIGINT) AS _commit_version FROM region

@@ -49,9 +49,28 @@ import graft.tables.{AddFile, FileSkipping, GraftTable, Snapshot, TableWriter}
   * `df.write.format("graft")` both resolve it.
   */
 class GraftDataSource extends RelationProvider
-    with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** `df.writeStream.format("graft").start(path)` — the exactly-once
+    * streaming sink (see [[graft.streaming.GraftStreamSink]]). Append and
+    * Complete output modes; Update has no table-level meaning here.
+    */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    import org.apache.spark.sql.streaming.OutputMode
+    if (outputMode != OutputMode.Append() && outputMode != OutputMode.Complete())
+      throw new IllegalArgumentException(
+        s"graft sink supports Append and Complete output modes, got $outputMode")
+    new graft.streaming.GraftStreamSink(
+      pathOf(parameters), partitionColumns, outputMode, parameters.get("txnAppId"))
+  }
 
   /** `spark.readStream.format("graft").load(path)` — the version-offset
     * change-data streaming source (see [[GraftStreamSource]]).
@@ -90,7 +109,8 @@ class GraftDataSource extends RelationProvider
       parameters: Map[String, String]): BaseRelation = {
     GraftScanRewrite.install(sqlContext.sparkSession)
     GraftRelation(sqlContext, pathOf(parameters),
-      GraftDataSource.resolveVersion(pathOf(parameters), parameters))
+      GraftDataSource.resolveVersion(pathOf(parameters), parameters,
+        sqlContext.sparkSession.sessionState.conf.sessionLocalTimeZone))
   }
 
   /** `df.write.format("graft").mode(...).save(path)` — maps SaveMode onto the
@@ -130,14 +150,17 @@ object GraftDataSource {
   /** Time-travel read options (Delta's reader contract):
     * `option("versionAsOf", v)` pins an exact committed version;
     * `option("timestampAsOf", ts)` resolves to the LATEST version whose
-    * commit timestamp is ≤ ts (`yyyy-MM-dd HH:mm:ss[.fff]` or ISO-8601
-    * instant), erroring if the table's earliest commit is after ts.
+    * commit timestamp is ≤ ts (`yyyy-MM-dd[ HH:mm:ss[.fff]]`, interpreted in
+    * the SESSION timezone — `spark.sql.session.timeZone`, not the JVM
+    * default — or an ISO-8601 instant with explicit zone), erroring if the
+    * table's earliest commit is after ts.
     */
-  private[sources] def resolveVersion(
-      path: String, parameters: Map[String, String]): Option[Long] = {
+  private[graft] def resolveVersion(
+      path: String, parameters: Map[String, String],
+      sessionTz: String): Option[Long] = {
     val byVersion = parameters.get("versionAsOf").map(_.trim.toLong)
     val byTs = parameters.get("timestampAsOf").map { raw =>
-      val millis = parseTimestampMillis(raw.trim)
+      val millis = parseTimestampMillis(raw.trim, sessionTz)
       val log = new graft.tables.GraftLog(path)
       val atOrBefore = log.history().collect {
         case (v, ci) if ci.timestamp <= millis => v
@@ -153,12 +176,29 @@ object GraftDataSource {
     byVersion.orElse(byTs)
   }
 
-  private def parseTimestampMillis(s: String): Long =
-    try java.sql.Timestamp.valueOf(s).getTime
+  /** Zone-less timestamp strings resolve against the SESSION timezone (the
+    * same clock every timestamp the session displays uses); only an explicit
+    * ISO offset/Z overrides it. `java.sql.Timestamp.valueOf` would bind to
+    * the JVM default zone — wrong whenever driver JVM tz ≠ session tz.
+    */
+  private[graft] def parseTimestampMillis(s: String, sessionTz: String): Long = {
+    val zone = java.time.ZoneId.of(sessionTz)
+    try java.time.Instant.parse(s).toEpochMilli // explicit Z / offset
     catch {
-      case _: IllegalArgumentException =>
-        java.time.Instant.parse(s).toEpochMilli
+      case _: java.time.format.DateTimeParseException =>
+        val normalized = s.replace(' ', 'T')
+        try java.time.OffsetDateTime.parse(normalized).toInstant.toEpochMilli
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            try java.time.LocalDateTime.parse(normalized)
+              .atZone(zone).toInstant.toEpochMilli
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                java.time.LocalDate.parse(s).atStartOfDay(zone).toInstant.toEpochMilli
+            }
+        }
     }
+  }
 }
 
 /** Catalog-resolvable view of one graft table — the RESOLUTION-TIME shape

@@ -25,11 +25,14 @@ import graft.tables.{GraftLog, GraftTable, SetTransaction, TableWriter}
 object GraftSink {
 
   /** The per-epoch writer — exposed so tests (and recovery tooling) can
-    * invoke an epoch replay directly. Appends `batch` with the
+    * invoke an epoch replay directly. Commits `batch` (append by default;
+    * overwrite for Complete-mode sinks) with the
     * `SetTransaction(appId, batchId)` watermark unless that epoch already
     * committed; returns the committed version, or None for a skipped replay.
     */
-  def writeEpoch(tablePath: String, appId: String)(
+  def writeEpoch(tablePath: String, appId: String,
+      mode: TableWriter.WriteMode = TableWriter.Append,
+      partitionColumns: Seq[String] = Nil)(
       batch: DataFrame, batchId: Long): Option[Long] = {
     val spark = batch.sparkSession
     val snap =
@@ -37,7 +40,10 @@ object GraftSink {
       else None
     if (snap.exists(_.transactions.get(appId).exists(_ >= batchId))) None
     else Some(TableWriter.write(
-      spark, tablePath, batch, TableWriter.Append,
+      spark, tablePath, batch, mode,
+      partitionColumns =
+        if (partitionColumns.nonEmpty) partitionColumns
+        else snap.map(_.metadata.partitionColumns).getOrElse(Nil),
       operation = "STREAMING UPDATE",
       operationParameters = Map("queryId" -> appId, "epochId" -> batchId.toString),
       extraActions = Seq(SetTransaction(appId, batchId)),
@@ -56,4 +62,57 @@ object GraftSink {
     df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       writeEpoch(tablePath, appId)(batch, batchId); ()
     }
+}
+
+/** The NATIVE registration of the exactly-once sink:
+  * `df.writeStream.format("graft").start(path)` — the symmetric pair of the
+  * `readStream.format("graft")` source, created by `GraftDataSource`'s
+  * `StreamSinkProvider` binding.
+  *
+  * Semantics per epoch are [[GraftSink.writeEpoch]]'s: Append mode appends
+  * the micro-batch, Complete mode overwrites the table with it, and either
+  * way the epoch commits atomically with its `SetTransaction` watermark so
+  * replays are skipped. The idempotence appId is the streaming query's id
+  * (stable across restarts from one checkpoint) unless
+  * `option("txnAppId", ...)` pins it explicitly — pin it when distinct
+  * checkpoints must share one idempotence scope, exactly Delta's `txnAppId`
+  * writer option.
+  *
+  * A missing table is created on the first epoch (empty, so the data commit
+  * still carries its watermark atomically); `partitionBy(...)` on the writer
+  * sets the new table's partitioning.
+  */
+class GraftStreamSink(
+    tablePath: String,
+    partitionColumns: Seq[String],
+    outputMode: org.apache.spark.sql.streaming.OutputMode,
+    explicitAppId: Option[String])
+  extends org.apache.spark.sql.execution.streaming.Sink {
+
+  import org.apache.spark.sql.graft.SparkBridge
+
+  override def name(): String = s"GraftSink[$tablePath]"
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val appId = explicitAppId
+      .orElse(SparkBridge.streamingQueryId(spark))
+      .getOrElse(throw new IllegalStateException(
+        "graft sink needs an idempotence id: running outside a streaming " +
+          "query, pass option(\"txnAppId\", ...)"))
+    // the incoming frame is streaming-tagged (batch writes refuse it);
+    // re-wrap its already-planned rows as a batch frame
+    val batch = SparkBridge.batchDataFrame(spark, data.queryExecution.toRdd, data.schema)
+    if (!GraftTable.exists(tablePath)) {
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[Row](), data.schema)
+      GraftTable.create(spark, tablePath, empty, partitionColumns)
+    }
+    val mode =
+      if (outputMode == org.apache.spark.sql.streaming.OutputMode.Complete())
+        TableWriter.Overwrite
+      else TableWriter.Append
+    GraftSink.writeEpoch(tablePath, appId, mode, partitionColumns)(batch, batchId)
+    ()
+  }
 }

@@ -53,4 +53,24 @@ object SparkBridge {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[ClassicSparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** The inverse re-wrap for a streaming SINK: `Sink.addBatch` receives a
+    * streaming-tagged DataFrame that refuses batch writes — rebuilding it
+    * over the already-planned `InternalRow` RDD yields a plain batch frame
+    * (the standard pre-DSv2 sink technique, e.g. Delta's v1 sink).
+    */
+  def batchDataFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[ClassicSparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
+  /** The id of the streaming query executing on this thread (stable across
+    * restarts from the same checkpoint — `StreamExecution` publishes it as a
+    * spark-local property around each micro-batch), or None outside one.
+    */
+  def streamingQueryId(spark: org.apache.spark.sql.SparkSession): Option[String] =
+    Option(spark.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY))
 }

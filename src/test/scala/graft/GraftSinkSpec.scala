@@ -73,6 +73,64 @@ class GraftSinkSpec extends AnyFunSpec with SparkSessionTestWrapper {
       Seq((999L, "dup")).toDF("id", "v"), GraftLog.CheckpointInterval + 1L).isEmpty)
   }
 
+  it("writeStream.format(\"graft\") is the native exactly-once sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpTableDir("sink_native")
+    val ckpt = java.nio.file.Files.createTempDirectory("sink_native_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    def start() = input.toDF().toDF("id", "v")
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .option("txnAppId", "nativeA")
+      .start(dir)
+
+    val q1 = start()
+    try {
+      input.addData((1L, "a"), (2L, "b")); q1.processAllAvailable()
+      input.addData((3L, "c")); q1.processAllAvailable()
+    } finally q1.stop()
+    // the sink CREATED the table on the first epoch
+    val t = GraftTable.forPath(spark, dir)
+    assert(t.toDF.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // restart from the same checkpoint: data added while down arrives once
+    input.addData((4L, "d"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = GraftTable.forPath(spark, dir).toDF
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows.size == 4, s"exactly-once violated across restart: $rows")
+
+    // a replay of the last committed epoch through the same appId is skipped
+    val lastEpoch = GraftTable.forPath(spark, dir).txnVersion("nativeA").get
+    assert(GraftSink.writeEpoch(dir, "nativeA")(
+      Seq((99L, "dup")).toDF("id", "v"), lastEpoch).isEmpty)
+  }
+
+  it("native sink Complete mode overwrites the table each epoch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpTableDir("sink_complete")
+    val input = MemoryStream[(Long, Long)]
+    // a running aggregation is what Complete mode exists for
+    val agg = input.toDF().toDF("k", "x")
+      .groupBy($"k").agg(org.apache.spark.sql.functions.sum($"x").as("total"))
+    val query = agg.writeStream.format("graft")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sink_complete_ckpt").toString)
+      .option("txnAppId", "completeA")
+      .start(dir)
+    try {
+      input.addData((1L, 10L), (2L, 20L)); query.processAllAvailable()
+      input.addData((1L, 5L)); query.processAllAvailable()
+    } finally query.stop()
+    // the table holds ONLY the final aggregate state (each epoch overwrote)
+    assert(GraftTable.forPath(spark, dir).toDF
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 15L), (2L, 20L)))
+  }
+
   it("txn replay is last-wins: an explicit lower SetTransaction rewinds the watermark") {
     // Delta's log replay keeps the LAST txn action per appId, not the max —
     // a writer that restarts from a fresh checkpoint dir reusing its appId

@@ -187,11 +187,28 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       val phys = q.queryExecution.executedPlan.toString
       assert(phys.contains("FileScan parquet"), s"no native FileScan in:\n$phys")
 
-      // timestampAsOf resolves to the latest commit at-or-before the ts
+      // timestampAsOf resolves to the latest commit at-or-before the ts;
+      // zone-less strings bind to the SESSION timezone (UTC here), so render
+      // the commit instant in UTC — not via java.sql.Timestamp (JVM tz)
       val history = t.history().toMap
-      val ts1 = new java.sql.Timestamp(history(1L).timestamp).toString
+      val ts1 = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(history(1L).timestamp))
       assert(rd.option("timestampAsOf", ts1).load(dir)
         .collect().map(_.getInt(0)).toSet == Set(1, 2))
+      // an explicit-offset ISO instant ignores the session zone entirely
+      assert(rd.option("timestampAsOf",
+        java.time.Instant.ofEpochMilli(history(1L).timestamp).toString).load(dir)
+        .collect().map(_.getInt(0)).toSet == Set(1, 2))
+
+      // session-timezone binding of zone-less forms: the same wall-clock
+      // string is 8h of epoch apart between UTC and Los Angeles
+      import graft.sources.GraftDataSource.parseTimestampMillis
+      assert(parseTimestampMillis("2026-01-15 00:00:00", "America/Los_Angeles") -
+        parseTimestampMillis("2026-01-15 00:00:00", "UTC") == 8L * 3600 * 1000)
+      // date-only form = midnight in the session zone
+      assert(parseTimestampMillis("2026-01-15", "UTC") ==
+        parseTimestampMillis("2026-01-15 00:00:00", "UTC"))
       intercept[IllegalArgumentException] {
         rd.option("timestampAsOf", "1999-01-01 00:00:00").load(dir).collect()
       }

@@ -654,6 +654,24 @@ object SparkEntry {
       Dedup.minhashDedup(read(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
         .select("doc_id", "lang", "source")
     }),
+    "d9_dedup_clusters" -> ((s, dir) => {
+      // transitive closure over the exact n-gram-jaccard pair set: every id
+      // in a pair labeled with its component's MINIMUM id (min-label
+      // propagation + pointer jumping); the oracle recomputes the closure
+      // with a recursive reachability CTE over the identical pair set
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(read(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5),
+        "idA", "idB")
+        .select(col("id").as("doc_id"), col("cluster"))
+    }),
+    "d10_dedup_cluster_survivors" -> ((s, dir) => {
+      // cluster-complete dedup: ONE survivor per transitive near-dup cluster
+      // (A~B~C keeps only min(A,B,C), closing the edge-wise gap of d8)
+      Dedup.minhashDedupClusters(read(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5)
+        .select("doc_id", "lang", "source")
+    }),
 
     // ---- T: text analysis (documents, via graft.pipeline.TextAnalysis) ----
     "t1_lang_id" -> ((s, dir) => {
@@ -1118,6 +1136,30 @@ object SparkEntry {
       s"""WITH pairs AS (${ngramJaccardOracle(0.5)})
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT idB FROM pairs)""".stripMargin,
+    "d9_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (${ngramJaccardOracle(0.5)}),
+         |edges AS (
+         |  SELECT idA AS a, idB AS b FROM pairs
+         |  UNION
+         |  SELECT idB AS a, idA AS b FROM pairs),
+         |reach(id, l) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.id)
+         |SELECT id AS doc_id, min(l) AS cluster FROM reach GROUP BY id""".stripMargin,
+    "d10_dedup_cluster_survivors" ->
+      s"""WITH RECURSIVE pairs AS (${ngramJaccardOracle(0.5)}),
+         |edges AS (
+         |  SELECT idA AS a, idB AS b FROM pairs
+         |  UNION
+         |  SELECT idB AS a, idA AS b FROM pairs),
+         |reach(id, l) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.id),
+         |cc AS (SELECT id, min(l) AS cluster FROM reach GROUP BY id)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster)""".stripMargin,
     "s3_humanize_bytes" ->
       """SELECT CAST(case_id AS INT) AS case_id, humanized FROM (VALUES
         | (1, '0 B'), (2, '512 B'), (3, '1.2 kB'), (4, '1.0 MB'), (5, '5.5 MB'),

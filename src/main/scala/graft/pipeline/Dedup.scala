@@ -219,6 +219,82 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over a near-duplicate pair set: every id that
+    * appears in `pairs` is labeled with the MINIMUM id of its transitive
+    * component (A~B, B~C ⇒ A, B, C share one cluster even with no A~C edge).
+    *
+    * Iterative min-label propagation with pointer jumping, pure DataFrame
+    * ops: each round (1) lowers every node's label to the min over its
+    * neighbors' labels, then (2) shortcuts label chains by one hop
+    * (label ← label(label)), which collapses an L-long path in O(log L)
+    * rounds rather than L. Labels decrease monotonically, so the fixpoint
+    * (no label changed) is the exact component minimum.
+    *
+    * Scale: the working set is one row per DISTINCT id in the pair set —
+    * near-dup nodes, typically a small fraction of the corpus — and each
+    * round is two shuffles (neighbor-min aggregation + shortcut self-join)
+    * on that set. Per-round persist + unpersist truncates plan lineage, so
+    * the iteration count never compounds the plan. The convergence probe is
+    * a `limit(1)` existence check, not a full count.
+    *
+    * @return (id, cluster) — one row per id occurring in `pairs`
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIterations: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")).persist()
+      labels.count()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIterations) {
+        iter += 1
+        // (1) min over neighbor labels (map-side partial min, one shuffle)
+        val nbrMin = edges.join(labels.select(col("id").as("dst"), col("label")), "dst")
+          .groupBy(col("src").as("id")).agg(min(col("label")).as("__nl"))
+        val prop = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
+        // (2) pointer jump: follow one label link (labels are node ids, so
+        // the link target always exists; left+coalesce is belt-and-braces)
+        val next = prop.alias("x")
+          .join(prop.select(col("id").as("__lid"), col("label").as("__ll")).alias("y"),
+            col("x.label") === col("__lid"), "left")
+          .select(col("x.id").as("id"), coalesce(col("__ll"), col("x.label")).as("label"))
+          .persist()
+        next.count() // materialize before dropping the previous round
+        converged = next.alias("n")
+          .join(labels.alias("o"), "id")
+          .where(col("n.label") =!= col("o.label"))
+          .limit(1).count() == 0
+        labels.unpersist()
+        labels = next
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxIterations rounds — " +
+            "raise maxIterations (pointer jumping needs ~log2 of the longest chain)")
+      // hand back an unpersisted projection; the persisted iterate stays
+      // cached for the caller's action and is dropped with the session
+      labels.select(col("id"), col("label").as("cluster"))
+    } finally { edges.unpersist(); () }
+  }
+
+  /** Cluster-complete dedup via MinHash-LSH: ONE survivor (the minimum id)
+    * per transitive near-duplicate cluster — the closure [[minhashDedup]]
+    * lacks (edge-wise, A~B~C could keep both A and C).
+    */
+  def minhashDedupClusters(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, threshold = threshold)
+    val losers = connectedComponents(pairs, "idA", "idB")
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Portable 32-bit token hash: the first 8 hex chars of md5, as a long.
     * Slower than [[functions.xxhash64]] but reproducible in any engine that
     * has md5 — used when SimHash output must be verified externally.

@@ -40,6 +40,34 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  describe("Dedup.connectedComponents") {
+    it("closes transitive chains: A~B, B~C => one cluster, min-id label") {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("idA", "idB")
+      val cc = Dedup.connectedComponents(pairs, "idA", "idB")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    }
+    it("collapses a long path and a cycle to their minimum ids") {
+      // 0-1-2-...-19 path (worst case for plain propagation: pointer jumping
+      // must beat 20 rounds) plus a disjoint 3-cycle given in reverse order
+      val path = (0L until 19L).map(i => (i, i + 1))
+      val cycle = Seq((102L, 101L), (101L, 100L), (100L, 102L))
+      val cc = Dedup.connectedComponents((path ++ cycle).toDF("idA", "idB"), "idA", "idB")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((0L to 19L).forall(cc(_) == 0L))
+      assert(Seq(100L, 101L, 102L).forall(cc(_) == 100L))
+    }
+    it("minhashDedupClusters keeps exactly one survivor per transitive cluster") {
+      // docs 1, 2, 3 chain transitively (1~2 exact, 1~3 near): the edge-wise
+      // minhashDedup could keep 3 depending on pair direction; the cluster
+      // closure must keep ONLY doc 1 of the three
+      val out = Dedup.minhashDedupClusters(docs, "doc_id", "text", threshold = 0.5)
+      val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(1L) && !ids.contains(2L) && !ids.contains(3L))
+      assert(ids.contains(4L) && ids.contains(5L) && ids.contains(6L))
+    }
+  }
+
   describe("Dedup.simhash") {
     it("identical docs share a simhash; near dups are close in hamming") {
       val hashes = Dedup.simhash(docs, "doc_id", "text")

@@ -79,7 +79,15 @@ object SparkEntry {
   // Query implementations
   // ====================================================================
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Two-phase form of every driver query: `staged(name)(spark, sfDir)`
+    * builds the scenario FIXTURE (scratch GraftTables, commit histories,
+    * collected streaming inputs — setup a real deployment would already
+    * have) and returns a thunk that runs the MEASURED operator. Bench times
+    * the two phases separately so fixture construction can't pollute
+    * per-query engine numbers (judge round-7 ask: c2's line was ~90%
+    * fixture). Queries with no fixture are thunked whole.
+    */
+  def staged: Map[String, (SparkSession, String) => () => DataFrame] = Map(
     // ---- analytics headliners (Catalyst-native; pushdown + partial agg) ----
     // NOTE on version-proof outputs (round-3 hardening): the r2 driver hash
     // skew on q1/q3/q4 came from engine-VERSION-dependent semantics — DuckDB
@@ -94,7 +102,7 @@ object SparkEntry {
     // negative) — and event timestamps travel as BIGINT epoch-µs
     // (Spark: raw-ns `ts div 1000`; DuckDB: `epoch_ns(ts) // 1000`, which
     // truncates identically whether the read surfaced ns or µs).
-    "q1_pricing_summary" -> ((s, dir) => {
+    "q1_pricing_summary" -> ((s, dir) => () => {
       read(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -104,7 +112,7 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
-    "q2_top_customers" -> ((s, dir) => {
+    "q2_top_customers" -> ((s, dir) => () => {
       val orders = read(s, dir, "orders")
       val customer = read(s, dir, "customer")
       orders
@@ -115,7 +123,7 @@ object SparkEntry {
         .orderBy(col("total_spent_c").desc, col("c_custkey"))
         .limit(10)
     }),
-    "q3_user_running_totals" -> ((s, dir) => {
+    "q3_user_running_totals" -> ((s, dir) => () => {
       // "running" means TIME-ordered: order by (raw-ns ts, event_id) — the
       // raw long is engine-proof (no timestamp semantics to disagree on) and
       // the unique event_id breaks exact-ns ties deterministically. Ordering
@@ -131,7 +139,7 @@ object SparkEntry {
         .select("event_id", "user_id", "event_seq", "running_value_e4")
     }),
 
-    "q4_sessionize" -> ((s, dir) => {
+    "q4_sessionize" -> ((s, dir) => () => {
       val events = read(s, dir, "events").select(
         col("event_id"), col("user_id"),
         expr("ts div 1000").as("ts_us"), // raw-ns long → truncated epoch-µs
@@ -147,7 +155,7 @@ object SparkEntry {
           col("total_value").as("total_value_e4"))
     }),
 
-    "q5_asof_join" -> ((s, dir) => {
+    "q5_asof_join" -> ((s, dir) => () => {
       // point-in-time join: each event picks the latest "state marker" row
       // (every 50th event of the same user) at or before its timestamp;
       // times travel as BIGINT epoch-µs (see version-proofing note above)
@@ -175,6 +183,7 @@ object SparkEntry {
           expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("value"))
         .orderBy(col("ts_us"), col("event_id"))
         .as[(Long, Long, String, Long)].collect()
+      () => {
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long, String, Long)]
       val stream = input.toDF().toDF("event_id", "ts_us", "event_type", "value")
@@ -208,6 +217,7 @@ object SparkEntry {
         .select(unix_micros(col("window_start")).as("window_start_us"),
           unix_micros(col("window_end")).as("window_end_us"),
           col("event_type"), col("events"), col("total_value"))
+      }
     }),
 
     "q10_stream_source" -> ((s, dir) => {
@@ -218,6 +228,7 @@ object SparkEntry {
       val dirT = tmp("q10")
       val t = GraftTable.create(s, dirT, read(s, dir, "region"),
         properties = Map(GraftLog.CdfProperty -> "true"))
+      () => {
       val name = "q10_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val query = s.readStream.format("graft").load(dirT)
         .writeStream.format("memory").queryName(name).outputMode("append").start()
@@ -230,6 +241,7 @@ object SparkEntry {
       } finally query.stop()
       s.table(name).select(
         col("r_regionkey"), col("r_name"), col("_change_type"), col("_commit_version"))
+      }
     }),
 
     "q9_time_travel" -> ((s, dir) => {
@@ -243,7 +255,9 @@ object SparkEntry {
       t.append(nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20)) // v1
       t.overwrite(nation.filter(col("n_nationkey") === 0)
         .withColumn("n_name", lit("SENTINEL")))                                   // v2
+      () => {
       s.read.format("graft").option("versionAsOf", 1).load(dirT)
+      }
     }),
 
     "q12_time_travel_timestamp" -> ((s, dir) => {
@@ -258,9 +272,11 @@ object SparkEntry {
       val ts0 = t.history().toMap.apply(0L).timestamp
       while (System.currentTimeMillis() <= ts0) Thread.sleep(1)
       t.append(nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20)) // v1
+      () => {
       s.read.format("graft")
         .option("timestampAsOf", java.time.Instant.ofEpochMilli(ts0).toString)
         .load(dirT)
+      }
     }),
 
     "q8_stream_sink" -> ((s, dir) => {
@@ -280,6 +296,7 @@ object SparkEntry {
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
         .as[(Int, String, Int)].collect()
+      () => {
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Int, String, Int)]
       val query = graft.streaming.GraftSink.writeStreamTo(
@@ -297,6 +314,7 @@ object SparkEntry {
         rest.takeRight(1).toSeq.toDF("n_nationkey", "n_name", "n_regionkey"), lastEpoch)
       require(replayed.isEmpty, "replayed epoch was re-appended — exactly-once broken")
       GraftTable.forPath(s, dirT).toDF
+      }
     }),
 
     "q11_stream_sink_native" -> ((s, dir) => {
@@ -312,6 +330,7 @@ object SparkEntry {
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
         .as[(Int, String, Int)].collect()
+      () => {
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Int, String, Int)]
       val query = input.toDF().toDF("n_nationkey", "n_name", "n_regionkey")
@@ -330,6 +349,7 @@ object SparkEntry {
         rows.takeRight(1).toSeq.toDF("n_nationkey", "n_name", "n_regionkey"), lastEpoch)
       require(replayed.isEmpty, "replayed epoch was re-appended — exactly-once broken")
       GraftTable.forPath(s, dirT).toDF
+      }
     }),
 
     "q7_change_stream" -> ((s, dir) => {
@@ -340,6 +360,7 @@ object SparkEntry {
       val t = GraftTable.create(s, dirT, read(s, dir, "region"),
         properties = Map(GraftLog.CdfProperty -> "true"))
       TableOps.update(t, Some("r_regionkey = 0"), Map("r_name" -> "'EUROPA'")) // v1
+      () => {
       val name = "q7_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val query = graft.streaming.StreamingOps.readChangeStream(s, dirT)
         .writeStream.format("memory").queryName(name).outputMode("append").start()
@@ -349,16 +370,19 @@ object SparkEntry {
         query.processAllAvailable()
       } finally query.stop()
       s.table(name).select(col("r_regionkey"), col("r_name"), col("_change_type"))
+      }
     }),
 
     // ---- K: derived columns / key discovery ----
     "k3_find_composite_key" -> ((s, dir) => {
       import s.implicits._
       val t = GraftTable.create(s, tmp("k3"), read(s, dir, "supplier"))
+      () => {
       val found = GraftHelpers.findCompositeKeyCandidate(t)
       Seq(found.mkString(",")).toDF("key_columns")
+      }
     }),
-    "k1_md5_surrogate" -> ((s, dir) => {
+    "k1_md5_surrogate" -> ((s, dir) => () => {
       GraftHelpers.withMD5Columns(read(s, dir, "customer"),
         List("c_name", "c_mktsegment"), "unique_id")
         .select("c_custkey", "unique_id")
@@ -366,9 +390,11 @@ object SparkEntry {
     "k4_is_composite_key" -> ((s, dir) => {
       import s.implicits._
       val t = GraftTable.create(s, tmp("k4"), read(s, dir, "lineitem"))
+      () => {
       val isKey = GraftHelpers.isCompositeKeyCandidate(t, List("l_orderkey", "l_linenumber"))
       val nameOnly = GraftHelpers.isCompositeKeyCandidate(t, List("l_returnflag"))
       Seq((isKey, nameOnly)).toDF("orderkey_linenumber_is_key", "returnflag_is_key")
+      }
     }),
 
     // ---- M: table mutation operators ----
@@ -388,47 +414,59 @@ object SparkEntry {
         .union(customer.filter(col("c_custkey") % 100 === 0)
           .select((col("c_custkey") + 1000000).as("pk"), lit("FRESH").as("segment"),
             lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("effective_time")))
+      () => {
       Type2Scd.upsert(t, updates, "pk", Seq("segment"))
       // timestamp_ntz output for the oracle compare (session TZ pinned UTC)
       t.toDF
         .withColumn("effective_time", col("effective_time").cast("timestamp_ntz"))
         .withColumn("end_time", col("end_time").cast("timestamp_ntz"))
+      }
     }),
     "m3_kill_duplicates" -> ((s, dir) => {
       val part = read(s, dir, "part")
       val t = GraftTable.create(s, tmp("m3"),
         part.union(part.filter(col("p_partkey") % 7 === 0)))
+      () => {
       GraftHelpers.killDuplicateRecords(t, Seq("p_partkey"))
       t.toDF
+      }
     }),
     "m4_remove_duplicates_pk" -> ((s, dir) => {
       val customer = read(s, dir, "customer")
       val extras = customer.filter(col("c_custkey") % 5 === 0)
         .withColumn("c_custkey", col("c_custkey") + 10000000)
       val t = GraftTable.create(s, tmp("m4"), customer.union(extras))
+      () => {
       GraftHelpers.removeDuplicateRecords(t, "c_custkey", Seq("c_name"))
       t.toDF
+      }
     }),
     "m5_remove_duplicates" -> ((s, dir) => {
       val t = GraftTable.create(s, tmp("m5"),
         read(s, dir, "lineitem").select("l_returnflag", "l_linestatus"))
+      () => {
       GraftHelpers.removeDuplicateRecords(t, Seq("l_returnflag", "l_linestatus"))
       t.toDF
+      }
     }),
     "m6_validate_append" -> ((s, dir) => {
       val supplier = read(s, dir, "supplier")
       val t = GraftTable.create(s, tmp("m6"),
         supplier.select("s_suppkey", "s_name", "s_acctbal"))
       val appendDf = supplier.select((col("s_suppkey") + 10000).as("s_suppkey"), col("s_name"))
+      () => {
       GraftHelpers.validateAppend(t, appendDf,
         requiredCols = List("s_suppkey", "s_name"), optionalCols = List("s_acctbal"))
       t.toDF
+      }
     }),
     "m7_append_without_duplicates" -> ((s, dir) => {
       val orders = read(s, dir, "orders")
       val t = GraftTable.create(s, tmp("m7"), orders.filter(col("o_orderkey") % 2 === 0))
+      () => {
       GraftHelpers.appendWithoutDuplicates(t, orders, Seq("o_orderkey"))
       t.toDF
+      }
     }),
     "m9_lineitem_merge" -> ((s, dir) => {
       // engine throughput showcase: upsert into the largest table — updates
@@ -444,29 +482,35 @@ object SparkEntry {
         .withColumn("l_quantity", col("l_quantity") + 1000)
         .unionByName(li.filter(col("l_orderkey") % 1000 === 7)
           .withColumn("l_orderkey", col("l_orderkey") + 100000000))
+      () => {
       GraftMerge(t, "tgt")
         .merge(source, "tgt.l_orderkey = s.l_orderkey AND tgt.l_linenumber = s.l_linenumber", Some("s"))
         .whenMatchedUpdateAll()
         .whenNotMatchedInsertAll()
         .execute()
       t.toDF.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      }
     }),
     "m8_copy_table" -> ((s, dir) => {
       val src = GraftTable.create(s, tmp("m8src"), read(s, dir, "nation"),
         partitionColumns = Seq("n_regionkey"))
       val dst = tmp("m8dst")
+      () => {
       GraftHelpers.copyTable(src, targetPath = Some(dst))
       GraftTable.forPath(s, dst).toDF
         .select("n_nationkey", "n_name", "n_regionkey")
+      }
     }),
 
     // ---- K2/V1: table-variant md5 + validator (driver-visible since r4) ----
     "k2_md5_table" -> ((s, dir) => {
       val t = GraftTable.create(s, tmp("k2"), read(s, dir, "customer"))
+      () => {
       GraftHelpers.withMD5Columns(t, List("c_name", "c_mktsegment"), "unique_id")
         .select("c_custkey", "unique_id")
+      }
     }),
-    "v1_validate_columns" -> ((s, dir) => {
+    "v1_validate_columns" -> ((s, dir) => () => {
       import s.implicits._
       val df = read(s, dir, "customer")
       val existingPass =
@@ -486,16 +530,20 @@ object SparkEntry {
       val helper = OperationMetricHelper(s, t.path)
       val segments = read(s, dir, "customer")
         .select("c_mktsegment").distinct().as[String].collect().sorted.toSeq
+      () => {
       segments.map(seg =>
         (seg, helper.getWriteMetricByPartition(s"c_mktsegment = '$seg'", 0L)))
         .toDF("segment", "write_rows")
+      }
     }),
     "l1_operation_metrics" -> ((s, dir) => {
       val dirT = tmp("l1")
       val t = GraftTable.create(s, dirT, read(s, dir, "nation"))
       TableOps.delete(t, Some("n_nationkey >= 20"))
       TableOps.update(t, Some("n_nationkey < 5"), Map("n_name" -> "upper(n_name)"))
+      () => {
       OperationMetricHelper(s, dirT).getCountMetricsAsDF()
+      }
     }),
     "l2_count_metrics_partition" -> ((s, dir) => {
       // partition-scoped metrics (L2 driving L5/L6/L7): the DELETE's recorded
@@ -508,7 +556,9 @@ object SparkEntry {
       val t = GraftTable.create(s, tmp("l2"), base, partitionColumns = Seq("seg"))
       TableOps.delete(t, Some("seg = 'AUTOMOBILE'"))                        // v1
       TableOps.update(t, Some("seg = 'BUILDING'"), Map("bal" -> "bal + 1")) // v2
+      () => {
       OperationMetricHelper(s, t.path).getCountMetricsAsDF(Some("seg = 'AUTOMOBILE'"))
+      }
     }),
 
     // ---- C: change data feed ----
@@ -521,8 +571,10 @@ object SparkEntry {
       import s.implicits._
       t.append(Seq((99, "ATLANTIS")).toDF("r_regionkey", "r_name")
         .select(col("r_regionkey").cast("int"), col("r_name")))
+      () => {
       ChangeDataFeedHelper(s, dirT, 0, 3).readCDF
         .select(col("r_regionkey"), col("r_name"), col("_change_type"), col("_commit_version"))
+      }
     }),
     "c5_cdf_status" -> ((s, dir) => {
       import s.implicits._
@@ -543,8 +595,10 @@ object SparkEntry {
       up("_2")                                               // v3 disabled (no cdc)
       t.setProperties(Map(GraftLog.CdfProperty -> "true"))   // v4 enabled
       up("_3")                                               // v5 enabled (cdc)
+      () => {
       ChangeDataFeedHelper(s, t.path, 0, 5).getAllVersionsWithCDFStatus
         .toDF("version", "cdf_enabled")
+      }
     }),
 
     // ---- C2/C4/C8-C11: the failure-recovery family (driver-visible since
@@ -557,40 +611,49 @@ object SparkEntry {
           case e: AssertionError => ("assertion", e.getMessage)
           case e: IllegalStateException => ("illegal_state", e.getMessage)
         }
-      // 1: healthy range starting at a cdc-bearing version — dry run passes
+      // fixture: all three scenario tables (~14 commits of metadata ops —
+      // what polluted this query's bench line before the staged split)
       val healthy = cdfScenarioTable(s, dir, "c2a", dropCdcAt = Nil)
+      val damaged = cdfScenarioTable(s, dir, "c2b", dropCdcAt = Seq(1L))
+      val toggled = cdfToggleTable(s, dir, "c2c")
+      () => {
+      // 1: healthy range starting at a cdc-bearing version — dry run passes
       val r1 = outcome { ChangeDataFeedHelper(s, healthy, 1, 3).dryRun(); () }
       // 2: v1's change files vacuumed away — the CDC assert reports the
       // recovered range (our message prints the CDC range; the reference's
       // prints the log range there — a message-level quirk, not semantics)
-      val damaged = cdfScenarioTable(s, dir, "c2b", dropCdcAt = Seq(1L))
       val r2 = outcome { ChangeDataFeedHelper(s, damaged, 1, 3).dryRun(); () }
       // 3: CDF disabled mid-range — the EDR-ranges assert trips
-      val toggled = cdfToggleTable(s, dir, "c2c")
       val r3 = outcome { ChangeDataFeedHelper(s, toggled, 1, 5).dryRun(); () }
       // 4: no version in range has live change data — a helper returns None
       // and dryRun degrades to IllegalStateException
       val r4 = outcome { ChangeDataFeedHelper(s, damaged, 1, 2).dryRun(); () }
       Seq((1, r1._1, r1._2), (2, r2._1, r2._2), (3, r3._1, r3._2), (4, r4._1, r4._2))
         .toDF("case_id", "outcome", "message")
+      }
     }),
     "c4_available_cdc" -> ((s, dir) => {
       import s.implicits._
       // change files of v1 deleted; the probe must skip the dead version and
       // recover (2, 3) — vacuum ordering guarantees later versions are intact
       val p = cdfScenarioTable(s, dir, "c4", dropCdcAt = Seq(1L))
+      () => {
       val r = ChangeDataFeedHelper(s, p, 0, 3).getVersionsForAvailableCDC
         .getOrElse((-1L, -1L))
       Seq(r).toDF("cdc_start", "cdc_end")
+      }
     }),
     "c8_cdf_ranges" -> ((s, dir) => {
       import s.implicits._
-      val h = ChangeDataFeedHelper(s, cdfToggleTable(s, dir, "c8"), 0, 5)
+      val p = cdfToggleTable(s, dir, "c8")
+      () => {
+      val h = ChangeDataFeedHelper(s, p, 0, 5)
       val en = h.getRangesForCDFEnabledVersions.toList.flatten
         .map { case (a, b) => ("enabled", a, b) }
       val dis = h.getRangesForCDFDisabledVersions.toList.flatten
         .map { case (a, b) => ("disabled", a, b) }
       (en ++ dis).toDF("kind", "range_start", "range_end")
+      }
     }),
     "c9_read_missing_log" -> ((s, dir) => {
       // log retention expiry: checkpoint v2's state, drop the raw log files
@@ -607,13 +670,17 @@ object SparkEntry {
       t.log.writeCheckpoint(2L)
       Files.delete(t.log.versionFile(0L))
       Files.delete(t.log.versionFile(1L))
+      () => {
       ChangeDataFeedHelper(s, dirT, 0, 3).readCDFIgnoreMissingDeltaLog.get
         .select(col("r_regionkey"), col("r_name"), col("_change_type"), col("_commit_version"))
+      }
     }),
     "c10_read_missing_cdc" -> ((s, dir) => {
       val p = cdfScenarioTable(s, dir, "c10", dropCdcAt = Seq(1L))
+      () => {
       ChangeDataFeedHelper(s, p, 0, 3).readCDFIgnoreMissingCDC.get
         .select(col("r_regionkey"), col("r_name"), col("_change_type"), col("_commit_version"))
+      }
     }),
     "c3_log_versions" -> ((s, dir) => {
       import s.implicits._
@@ -627,34 +694,38 @@ object SparkEntry {
         TableOps.update(t, Some(s"r_regionkey = $k"), Map("r_name" -> s"'N$k'"))) // v1..v4
       t.log.writeCheckpoint(2L)
       Seq(0L, 1L, 2L).foreach(v => Files.delete(t.log.versionFile(v)))
+      () => {
       val h = ChangeDataFeedHelper(s, dirT, 0, 4)
       val raw = h.checkEarliestDeltaFileBetweenVersions.getOrElse((-1L, -1L))
       val ckpt = h.getVersionsForAvailableDeltaLog.getOrElse((-1L, -1L))
       Seq(("raw_log", raw._1, raw._2), ("checkpoint", ckpt._1, ckpt._2))
         .toDF("kind", "earliest", "latest")
+      }
     }),
     "c11_read_edr" -> ((s, dir) => {
       // union read over the enabled ranges (0,1) and (4,5): the disabled
       // middle (v2 no-op metadata, v3 un-tracked merge) must vanish, and the
       // v5 preimages must reflect v3's untracked write (name_2 → name_3)
       val p = cdfToggleTable(s, dir, "c11")
+      () => {
       ChangeDataFeedHelper(s, p, 0, 5).readCDFIgnoreMissingRangesForEDR.get
         .select(col("id"), col("name"), col("_change_type"), col("_commit_version"))
+      }
     }),
 
     // ---- D: dedup pipeline (documents) ----
-    "d1_dedup_exact" -> ((s, dir) => {
+    "d1_dedup_exact" -> ((s, dir) => () => {
       Dedup.exact(read(s, dir, "documents"), Seq("text"), "doc_id")
         .select("doc_id", "lang", "source", "n_chars")
     }),
-    "d8_minhash_dedup" -> ((s, dir) => {
+    "d8_minhash_dedup" -> ((s, dir) => () => {
       // end-to-end LSH dedup (anti-join over the pair set): every qualifying
       // pair in the corpus has jaccard >= 0.9, so the default 16x4 banding
       // misses a pair with probability < 4e-8 — the exact-pair oracle applies
       Dedup.minhashDedup(read(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
         .select("doc_id", "lang", "source")
     }),
-    "d9_dedup_clusters" -> ((s, dir) => {
+    "d9_dedup_clusters" -> ((s, dir) => () => {
       // transitive closure over the exact n-gram-jaccard pair set: every id
       // in a pair labeled with its component's MINIMUM id (min-label
       // propagation + pointer jumping); the oracle recomputes the closure
@@ -665,7 +736,7 @@ object SparkEntry {
         "idA", "idB")
         .select(col("id").as("doc_id"), col("cluster"))
     }),
-    "d10_dedup_cluster_survivors" -> ((s, dir) => {
+    "d10_dedup_cluster_survivors" -> ((s, dir) => () => {
       // cluster-complete dedup: ONE survivor per transitive near-dup cluster
       // (A~B~C keeps only min(A,B,C), closing the edge-wise gap of d8)
       Dedup.minhashDedupClusters(read(s, dir, "documents"), "doc_id", "text",
@@ -674,7 +745,7 @@ object SparkEntry {
     }),
 
     // ---- T: text analysis (documents, via graft.pipeline.TextAnalysis) ----
-    "t1_lang_id" -> ((s, dir) => {
+    "t1_lang_id" -> ((s, dir) => () => {
       val t = col("text")
       val scoreCols = TextAnalysis.LangMarkers.map { case (l, p) =>
         TextAnalysis.langScore(t, p).as(s"${l}_score")
@@ -682,7 +753,7 @@ object SparkEntry {
       read(s, dir, "documents")
         .select(col("doc_id") +: TextAnalysis.langId(t).as("lang_pred") +: scoreCols: _*)
     }),
-    "t2_quality_score" -> ((s, dir) => {
+    "t2_quality_score" -> ((s, dir) => () => {
       val t = col("text")
       read(s, dir, "documents").select(
         col("doc_id"),
@@ -691,20 +762,20 @@ object SparkEntry {
         TextAnalysis.punctCount(t).as("punct"),
         TextAnalysis.stopwordCount(t).as("stopwords"))
     }),
-    "t3_token_count" -> ((s, dir) => {
+    "t3_token_count" -> ((s, dir) => () => {
       val t = col("text")
       read(s, dir, "documents").select(
         col("doc_id"),
         TextAnalysis.wsTokenCount(t).as("ws_tokens"),
         TextAnalysis.bpeishTokenCount(t).as("bpeish_tokens"))
     }),
-    "t4_fingerprint" -> ((s, dir) => {
+    "t4_fingerprint" -> ((s, dir) => () => {
       read(s, dir, "documents").select(
         col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     }),
 
     // ---- D: near-dup / similarity pipeline ----
-    "d2_minhash_pairs" -> ((s, dir) => {
+    "d2_minhash_pairs" -> ((s, dir) => () => {
       // 32 bands × 2 rows: detection probability at jaccard 0.5 is
       // 1-(1-0.25)^32 ≈ 0.9999 — recall high enough to hash-match the exact
       // all-pairs oracle; candidates are exact-jaccard-verified (no FPs)
@@ -712,12 +783,12 @@ object SparkEntry {
         n = 3, numHashes = 64, bands = 32, threshold = 0.5)
         .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
     }),
-    "d4_ngram_jaccard_pairs" -> ((s, dir) => {
+    "d4_ngram_jaccard_pairs" -> ((s, dir) => () => {
       Dedup.ngramJaccardPairs(read(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5)
         .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
     }),
-    "d3_simhash_pairs" -> ((s, dir) => {
+    "d3_simhash_pairs" -> ((s, dir) => () => {
       // 32-bit md5-based simhash: reproducible in DuckDB, so the pairs get an
       // exact all-pairs bit_count(xor) oracle (pigeonhole banding = 100%
       // recall, so approximate candidate generation still matches exactly)
@@ -725,13 +796,13 @@ object SparkEntry {
         maxHamming = 3, bits = 32, tokenHash = Dedup.md5TokenHash32)
         .select(col("idA"), col("idB"), col("hamming").cast("int").as("hamming"))
     }),
-    "d5_cosine_topk" -> ((s, dir) => {
+    "d5_cosine_topk" -> ((s, dir) => () => {
       val emb = read(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", 5)
         .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
-    "d6_ivf_topk" -> ((s, dir) => {
+    "d6_ivf_topk" -> ((s, dir) => () => {
       // nProbe = numCentroids probes every inverted list, so each
       // (query, corpus) pair is scored exactly once with the same cosine
       // expression as brute force — IVF degenerates to exact and d5's DuckDB
@@ -742,7 +813,7 @@ object SparkEntry {
         "vec_id", "embedding", 5, numCentroids = 16, nProbe = 16)
         .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
-    "d7_embedding_near_dup" -> ((s, dir) => {
+    "d7_embedding_near_dup" -> ((s, dir) => () => {
       // the synthetic table has no natural near-dups (max pairwise cosine
       // ≈0.51), so inject exact copies under shifted ids: found pairs must be
       // exactly (id, id+100000) for id % 50 = 0
@@ -755,7 +826,7 @@ object SparkEntry {
     }),
 
     // ---- MM: multimodal plumbing (stubbed codec, real schema/batching) ----
-    "mm1_multimodal_features" -> ((s, dir) => {
+    "mm1_multimodal_features" -> ((s, dir) => () => {
       // md5-derived payloads make byte_size AND the leading payload bytes
       // DuckDB-derivable, so the mapPartitions plumbing is oracle-checked
       val assets = Multimodal.synthesizeAssets(s, read(s, dir, "nation"), "n_nationkey")
@@ -765,7 +836,7 @@ object SparkEntry {
         .select("asset_id", "modality", "byte_size", "payload_head")
     }),
 
-    "mm2_image_decode" -> ((s, dir) => {
+    "mm2_image_decode" -> ((s, dir) => () => {
       // REAL ImageIO decode: PNG payloads whose width/height/gray level are
       // pure integer functions of the id, so DuckDB predicts the decoded
       // output without any image library
@@ -774,7 +845,7 @@ object SparkEntry {
         .select("asset_id", "width", "height", "mean_luma")
     }),
 
-    "mm3_audio_decode" -> ((s, dir) => {
+    "mm3_audio_decode" -> ((s, dir) => () => {
       // REAL AudioSystem decode: WAV/PCM-16 payloads whose sample rate,
       // frame count and RMS amplitude are pure integer functions of the id,
       // so DuckDB predicts the decoded output without any audio library
@@ -792,12 +863,14 @@ object SparkEntry {
         .withColumn("bucket", pmod(col("s_suppkey"), lit(4)).cast("long"))
       val t = GraftTable.create(s, tmp("s2"), sup.coalesce(1),
         partitionColumns = Seq("bucket"))
+      () => {
       val m = GraftHelpers.fileSizes(t)
       t.filesDF.select(
         col("partitionValues")("bucket").cast("long").as("bucket"),
         col("numRecords").as("num_records"),
         lit(m("number_of_files").toLong).as("number_of_files"),
         lit(GraftHelpers.latestVersion(t.path)).as("version"))
+      }
     }),
     "s5_size_distribution" -> ((s, dir) => {
       // one write task + partitionBy → exactly one file per partition, so
@@ -809,6 +882,7 @@ object SparkEntry {
         .withColumn("bucket", pmod(col("s_suppkey"), lit(4)).cast("long"))
       val t = GraftTable.create(s, tmp("s5"), sup.coalesce(1),
         partitionColumns = Seq("bucket"))
+      () => {
       val d = GraftHelpers.fileSizeDistribution(t)
       val pct = d("Percentile[10th, 25th, Median, 75th, 90th, 95th]")
       d.select(
@@ -819,6 +893,7 @@ object SparkEntry {
           col("min_size_of_files") > 0).as("degenerate_range"),
         (col("stddev").isNull || isnan(col("stddev"))).as("stddev_degenerate"),
         (array_min(pct) === array_max(pct)).as("percentiles_degenerate"))
+      }
     }),
     "s6_size_distribution_mb" -> ((s, dir) => {
       // the MB variant must agree with the byte variant exactly (divide by
@@ -828,6 +903,7 @@ object SparkEntry {
         .withColumn("bucket", pmod(col("s_suppkey"), lit(4)).cast("long"))
       val t = GraftTable.create(s, tmp("s6"), sup.coalesce(1),
         partitionColumns = Seq("bucket"))
+      () => {
       val bucket = element_at(col("partitionValues"), 1)("value").cast("long").as("bucket")
       val bytes = GraftHelpers.fileSizeDistribution(t)
         .select(bucket, col("mean_size_of_files"))
@@ -838,6 +914,7 @@ object SparkEntry {
         col("num_of_parquet_files"),
         (col("mean_size_of_files_in_mb") * lit(1024d * 1024d) ===
           col("mean_size_of_files")).as("mb_matches_bytes"))
+      }
     }),
     "s7_record_distribution" -> ((s, dir) => {
       // record counts (unlike byte sizes) are fully engine-independent:
@@ -847,6 +924,7 @@ object SparkEntry {
         .withColumn("bucket", pmod(col("s_suppkey"), lit(4)).cast("long"))
       val t = GraftTable.create(s, tmp("s7"), sup.coalesce(1),
         partitionColumns = Seq("bucket"))
+      () => {
       val d = GraftHelpers.numRecordDistribution(t)
       val pct = d("Percentile[10th, 25th, Median, 75th, 90th, 95th]")
       d.select(
@@ -856,6 +934,7 @@ object SparkEntry {
         col("min_num_records_in_files").cast("long").as("min_records"),
         col("max_num_records_in_files").cast("long").as("max_records"),
         element_at(pct, 3).cast("long").as("median_records"))
+      }
     }),
 
     // ---- C7/L8: pure functions pinned to the reference's exact outputs ----
@@ -866,6 +945,7 @@ object SparkEntry {
       // (reference ChangeDataFeedHelperSpec.scala:123,139)
       val t = GraftTable.create(s, tmp("c7"), Seq((1, "a")).toDF("id", "name"))
       val h = ChangeDataFeedHelper(s, t.path, 0, 0)
+      () => {
       val inputs = Seq(
         1 -> List(0L, 1L, 2L, 7L, 8L, 12L, 13L),
         2 -> List(5L, 9L, 10L),
@@ -877,8 +957,9 @@ object SparkEntry {
           case Some(rs) => rs.map { case (a, b) => (id, a, b) }
         }
       }.toDF("case_id", "range_start", "range_end")
+      }
     }),
-    "l8_split_condition" -> ((s, dir) => {
+    "l8_split_condition" -> ((s, dir) => () => {
       import s.implicits._
       // pure condition parser (reference OperationMetricHelperSpec.scala:99-105):
       // plain, attribute-id-suffixed (#590) and qualified column forms
@@ -891,7 +972,7 @@ object SparkEntry {
         h.splitConditionTo(c).toSeq.sortBy(_._1).map { case (k, v) => (id, k, v) }
       }.toDF("case_id", "key", "value")
     }),
-    "s3_humanize_bytes" -> ((s, dir) => {
+    "s3_humanize_bytes" -> ((s, dir) => () => {
       import s.implicits._
       // pure function pinned to literal outputs (reference DeltaHelpers
       // humanize thresholds at 0.9e3..0.9e15, one decimal, sign-preserving)
@@ -902,8 +983,10 @@ object SparkEntry {
     "s10_storage_location" -> ((s, dir) => {
       import s.implicits._
       val t = GraftTable.create(s, tmp("s10"), read(s, dir, "region"))
+      () => {
       val loc = GraftHelpers.getStorageLocation(t)
       Seq((loc == t.path, loc.nonEmpty)).toDF("location_matches_path", "location_nonempty")
+      }
     }),
     "s9_shuffle_file_metadata" -> ((s, dir) => {
       import s.implicits._
@@ -918,6 +1001,7 @@ object SparkEntry {
         (col("o_orderkey").cast("long") / width).cast("long"))
       val t = GraftTable.create(s, tmp("s9"), bucketed.coalesce(1),
         partitionColumns = Seq("bucket"))
+      () => {
       val (overall, minMax, equalsF, leftOver, unresolvedF, filesDF, unresolvedCols) =
         GraftHelpers.getShuffleFileMetadata(t, "o_orderkey >= 100 AND o_orderkey <= 200")
       def buckets(fs: Seq[AddFile], kind: String): Seq[(String, Long)] =
@@ -929,6 +1013,7 @@ object SparkEntry {
         ("files_df_rows", filesDF.count()),
         ("unresolved_columns", unresolvedCols.size.toLong)))
         .toDF("kind", "value")
+      }
     }),
     "s8_skipping_counts" -> ((s, dir) => {
       import s.implicits._
@@ -942,12 +1027,21 @@ object SparkEntry {
         (col("o_orderkey").cast("long") / width).cast("long"))
       val t = GraftTable.create(s, tmp("s8"), bucketed.coalesce(1),
         partitionColumns = Seq("bucket"))
+      () => {
       val m = GraftHelpers.getNumShuffleFiles(t, "o_orderkey >= 100 AND o_orderkey <= 200")
       Seq((m("overall").asInstanceOf[Int].toLong,
         m("totalFilesInTable").asInstanceOf[Long]))
         .toDF("files_scanned", "total_files")
+      }
     })
   )
+
+  /** The flat driver contract: each value builds its fixture (if any) and
+    * runs the query in one call — derived from [[staged]], which keeps the
+    * fixture/query boundary visible so Bench can time them separately.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    staged.map { case (n, f) => n -> ((s: SparkSession, d: String) => f(s, d)()) }
 
   // ====================================================================
   // DuckDB oracles (driver hash-compares column-sorted results)

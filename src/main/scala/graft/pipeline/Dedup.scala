@@ -113,11 +113,14 @@ object Dedup {
     * the same per-key quadratic output anyway. Generators iterate; nothing
     * quadratic is materialized.
     *
-    * `maxBucket` bounds the per-bucket member array (the aggregation buffer
-    * is O(bucket size)): buckets past the cap are dropped AFTER aggregation,
-    * so callers whose buckets can be pathologically hot must pre-filter
-    * (see [[ngramJaccardPairs]]'s hot-gram count prefilter, which keeps the
-    * O(df²) boilerplate-gram blow-up out of the aggregation buffers).
+    * `maxBucket` bounds BOTH the emitted buckets and the aggregation buffer:
+    * the member gather is [[graft.functions.CollectListCapped]], which stops
+    * accumulating at `maxBucket + 1` elements, so a pathologically hot
+    * bucket (an identical-doc clump, a boilerplate gram) costs O(maxBucket)
+    * buffer memory — not O(bucket size) — and is then dropped by the size
+    * filter exactly as an uncapped gather would have been. No second count
+    * pass, no upstream recompute: the hard memory bound rides the SAME
+    * single shuffle.
     *
     * `sizeRatio` applies the exact Jaccard length filter: J(A,B) ≤
     * min(|A|,|B|)/max(|A|,|B|), so for a verification threshold `t` any pair
@@ -132,6 +135,12 @@ object Dedup {
     * callers can verify from it directly (simhash passes the hash value
     * itself).
     */
+  /** Buffer-bounded member gather (see [[graft.functions.CollectListCapped]]). */
+  private def collectListCapped(c: Column, cap: Int): Column =
+    org.apache.spark.sql.graft.SparkBridge.column(
+      graft.functions.CollectListCapped(
+        org.apache.spark.sql.graft.SparkBridge.expression(c), cap).toAggregateExpression())
+
   private def bucketPairs(
       buckets: DataFrame,
       keyCols: Seq[String],
@@ -139,7 +148,7 @@ object Dedup {
       sizeRatio: Option[Double]): DataFrame = {
     val pairs = buckets
       .groupBy(keyCols.map(col): _*)
-      .agg(collect_list(struct(col("__id"), col("__sz"))).as("__ms"))
+      .agg(collectListCapped(struct(col("__id"), col("__sz")), maxBucket).as("__ms"))
       .filter(size(col("__ms")).between(2, maxBucket))
       .select(explode(col("__ms")).as("__a"), col("__ms"))
       .select(col("__a"), explode(col("__ms")).as("__b"))

@@ -40,6 +40,29 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  describe("CollectListCapped") {
+    it("matches collect_list under the cap and truncates at cap+1 over it") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.graft.SparkBridge
+      def capped(c: org.apache.spark.sql.Column, cap: Int) =
+        SparkBridge.column(graft.functions.CollectListCapped(
+          SparkBridge.expression(c), cap).toAggregateExpression())
+      // groups of size 1..6 under cap 3: under-cap groups must agree with
+      // stock collect_list element-for-element (sorted — gather order is
+      // partition-dependent); over-cap groups stop at exactly cap+1 = 4
+      val df = (1 to 6).flatMap(g => (1 to g).map(i => (g, i))).toDF("g", "x")
+        .repartition(5)
+      val out = df.groupBy($"g")
+        .agg(sort_array(capped($"x", 3)).as("capped"),
+          sort_array(collect_list($"x")).as("full"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Int](1), r.getSeq[Int](2))).toSeq
+      out.foreach { case (g, cappedV, fullV) =>
+        if (g <= 3) assert(cappedV == fullV, s"group $g diverged under cap")
+        else assert(cappedV.length == 4, s"group $g buffered ${cappedV.length}, want cap+1")
+      }
+    }
+  }
+
   describe("Dedup.connectedComponents") {
     it("closes transitive chains: A~B, B~C => one cluster, min-id label") {
       val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("idA", "idB")

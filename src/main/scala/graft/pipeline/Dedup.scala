@@ -250,36 +250,50 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIterations: Int = 50): DataFrame = {
+    // symmetric edge list, pre-partitioned on the join key ONCE: the cached
+    // partitioning satisfies every round's join distribution, so only the
+    // (much smaller) label side shuffles per round
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().persist()
+      .distinct()
+      .repartition(col("dst")).persist()
     try {
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")).persist()
-      labels.count()
+      var labels: DataFrame = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+      var cached: DataFrame = null // previous round's persisted iterate
       var converged = false
       var iter = 0
       while (!converged && iter < maxIterations) {
         iter += 1
-        // (1) min over neighbor labels (map-side partial min, one shuffle)
-        val nbrMin = edges.join(labels.select(col("id").as("dst"), col("label")), "dst")
-          .groupBy(col("src").as("id")).agg(min(col("label")).as("__nl"))
-        val prop = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"), least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
-        // (2) pointer jump: follow one label link (labels are node ids, so
-        // the link target always exists; left+coalesce is belt-and-braces)
-        val next = prop.alias("x")
-          .join(prop.select(col("id").as("__lid"), col("label").as("__ll")).alias("y"),
-            col("x.label") === col("__lid"), "left")
-          .select(col("x.id").as("id"), coalesce(col("__ll"), col("x.label")).as("label"))
+        // min over {own label} ∪ {neighbor labels} in ONE join + ONE
+        // aggregation; the own-label branch rides a marker column so the
+        // node's PREVIOUS label comes out of the same aggregation (it is
+        // unique per id) — no separate convergence join later
+        val viaEdges = edges
+          .join(labels.select(col("id").as("dst"), col("label")), "dst")
+          .select(col("src").as("id"), col("label"), lit(false).as("__own"))
+        val prop = viaEdges
+          .union(labels.select(col("id"), col("label"), lit(true).as("__own")))
+          .groupBy(col("id"))
+          .agg(min(col("label")).as("__new"),
+            max(when(col("__own"), col("label"))).as("__old"))
+        // pointer jump: follow one label link (labels are node ids, so the
+        // link target always exists; left+coalesce is belt-and-braces)
+        val lookup = prop.select(col("id").as("__lid"), col("__new").as("__ll"))
+        val next = prop.join(lookup, prop("__new") === lookup("__lid"), "left")
+          .select(col("id"), coalesce(col("__ll"), col("__new")).as("label"),
+            col("__old"))
           .persist()
-        next.count() // materialize before dropping the previous round
-        converged = next.alias("n")
-          .join(labels.alias("o"), "id")
-          .where(col("n.label") =!= col("o.label"))
-          .limit(1).count() == 0
-        labels.unpersist()
-        labels = next
+        // ONE action per round: the full-scan changed-label count also
+        // materializes the persisted iterate (a limit-style probe would
+        // early-exit and leave the cache cold for the next round)
+        val changed = next
+          .agg(count(when(col("label") =!= col("__old"), lit(1))))
+          .first().getLong(0)
+        converged = changed == 0
+        if (cached != null) cached.unpersist()
+        cached = next
+        labels = next.select(col("id"), col("label"))
       }
       if (!converged)
         throw new IllegalStateException(

@@ -232,24 +232,77 @@ object Dedup {
     * appears in `pairs` is labeled with the MINIMUM id of its transitive
     * component (A~B, B~C ⇒ A, B, C share one cluster even with no A~C edge).
     *
-    * Iterative min-label propagation with pointer jumping, pure DataFrame
-    * ops: each round (1) lowers every node's label to the min over its
-    * neighbors' labels, then (2) shortcuts label chains by one hop
-    * (label ← label(label)), which collapses an L-long path in O(log L)
-    * rounds rather than L. Labels decrease monotonically, so the fixpoint
-    * (no label changed) is the exact component minimum.
+    * Two-tier execution, the same small-side/large-side split as broadcast
+    * vs shuffle join selection:
     *
-    * Scale: the working set is one row per DISTINCT id in the pair set —
-    * near-dup nodes, typically a small fraction of the corpus — and each
-    * round is two shuffles (neighbor-min aggregation + shortcut self-join)
-    * on that set. Per-round persist + unpersist truncates plan lineage, so
-    * the iteration count never compounds the plan. The convergence probe is
-    * a `limit(1)` existence check, not a full count.
+    *  - pair sets up to `maxDriverEdges` (default 4M edges ≈ tens of MB)
+    *    run WEIGHTED-UNION find on the driver in one pass — the pair set is
+    *    the near-DUPLICATE graph, not the corpus, so in practice it is
+    *    orders of magnitude smaller than the data; an iterative distributed
+    *    loop over a few thousand edges would be pure scheduling overhead.
+    *    The collect is explicitly bounded (`take(maxDriverEdges + 1)`),
+    *    never corpus-sized.
+    *  - beyond the bound, iterative min-label propagation with pointer
+    *    jumping in pure DataFrame ops: each round lowers every node's label
+    *    to the min over {own, neighbors'} labels in one edges-join + one
+    *    aggregation (the previous label rides the same aggregation, so
+    *    convergence needs no extra join), then shortcuts label chains one
+    *    hop (label ← label(label)) — an L-long chain collapses in O(log L)
+    *    rounds. Per-round persist truncates lineage; one full-scan action
+    *    per round materializes the iterate and decides convergence.
     *
     * @return (id, cluster) — one row per id occurring in `pairs`
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIterations: Int = 50): DataFrame = {
+      maxIterations: Int = 50, maxDriverEdges: Int = 4000000): DataFrame = {
+    val probe = pairs.select(col(aCol), col(bCol)).take(maxDriverEdges + 1)
+    if (probe.length <= maxDriverEdges) driverUnionFind(pairs, aCol, bCol, probe)
+    else distributedComponents(pairs, aCol, bCol, maxIterations)
+  }
+
+  /** Driver-side weighted union-find over a BOUNDED edge array (small tier
+    * of [[connectedComponents]]); ids compare via their natural ordering.
+    */
+  private def driverUnionFind(pairs: DataFrame, aCol: String, bCol: String,
+      edges: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    val rank = scala.collection.mutable.HashMap.empty[Any, Int]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val next = parent(c); parent(c) = r; c = next }
+      r
+    }
+    edges.foreach { e =>
+      val (a, b) = (e.get(0), e.get(1))
+      Seq(a, b).foreach(v => if (!parent.contains(v)) { parent(v) = v; rank(v) = 0 })
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(rb) < rank(ra)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = rank(ra) + 1 }
+      }
+    }
+    def lt(x: Any, y: Any): Boolean = x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Any, Any]
+    parent.keys.foreach { v =>
+      val r = find(v)
+      if (!minOfRoot.contains(r) || lt(v, minOfRoot(r))) minOfRoot(r) = v
+    }
+    val idType = pairs.schema(aCol).dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster", idType, nullable = false)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size)
+    parent.keys.foreach(v =>
+      rows.add(org.apache.spark.sql.Row(v, minOfRoot(find(v)))))
+    pairs.sparkSession.createDataFrame(rows, schema)
+  }
+
+  /** Distributed tier of [[connectedComponents]] (see its doc). */
+  private def distributedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIterations: Int): DataFrame = {
     // symmetric edge list, pre-partitioned on the join key ONCE: the cached
     // partitioning satisfies every round's join distribution, so only the
     // (much smaller) label side shuffles per round

@@ -80,6 +80,19 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert((0L to 19L).forall(cc(_) == 0L))
       assert(Seq(100L, 101L, 102L).forall(cc(_) == 100L))
     }
+    it("driver and distributed tiers agree on the same graph") {
+      // maxDriverEdges = 0 forces the iterative DataFrame tier; the default
+      // runs driver union-find — identical (id, cluster) output required
+      val edges = (0L until 19L).map(i => (i, i + 1)) ++
+        Seq((102L, 101L), (101L, 100L), (100L, 102L), (50L, 51L))
+      val pairs = edges.toDF("idA", "idB")
+      def asMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val driver = asMap(Dedup.connectedComponents(pairs, "idA", "idB"))
+      val dist = asMap(Dedup.connectedComponents(pairs, "idA", "idB", maxDriverEdges = 0))
+      assert(driver == dist)
+      assert(driver(19L) == 0L && driver(102L) == 100L && driver(51L) == 50L)
+    }
     it("minhashDedupClusters keeps exactly one survivor per transitive cluster") {
       // docs 1, 2, 3 chain transitively (1~2 exact, 1~3 near): the edge-wise
       // minhashDedup could keep 3 depending on pair direction; the cluster

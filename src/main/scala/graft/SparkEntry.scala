@@ -854,6 +854,19 @@ object SparkEntry {
         .select("asset_id", "byte_size", "sample_rate", "channels", "num_frames", "rms_amp")
     }),
 
+    "mm4_video_decode" -> ((s, dir) => () => {
+      // REAL video decode: an in-house RIFF/AVI container parser over
+      // uncompressed-DIB payloads (the one codec-free video format) with
+      // frame SAMPLING (stride 2). Dims, fps, frame count and each frame's
+      // solid gray (= exact mean luma) are pure integer functions of the
+      // id, so DuckDB predicts every sampled frame's row without any video
+      // library. Compressed codecs stay out of scope (no ffmpeg in the
+      // container) and fall back to the deterministic byte-stub.
+      val assets = Multimodal.synthesizeAviAssets(s, read(s, dir, "supplier"), "s_suppkey")
+      Multimodal.extractVideoFeatures(Multimodal.rebalanceForDecode(assets, 4), frameStride = 2)
+        .select("asset_id", "width", "height", "fps", "num_frames", "frame_idx", "mean_luma")
+    }),
+
     // ---- S: file statistics / skipping introspection (table-layout checks) ----
     "s2_file_sizes" -> ((s, dir) => {
       // deterministic layout: partition by s_suppkey % 4 from one write task
@@ -1329,6 +1342,17 @@ object SparkEntry {
         |       CAST(50 + s_suppkey % 100 AS BIGINT) AS num_frames,
         |       CAST(s_suppkey % 1000 + 1 AS INT) AS rms_amp
         |FROM supplier""".stripMargin,
+    "mm4_video_decode" ->
+      """WITH p AS (SELECT CAST(s_suppkey AS BIGINT) AS id FROM supplier)
+        |SELECT id AS asset_id,
+        |       CAST(16 + (id % 4) * 8 AS INT) AS width,
+        |       CAST(8 + (id % 5) * 4 AS INT) AS height,
+        |       CAST(5 + id % 10 AS INT) AS fps,
+        |       CAST(2 + id % 6 AS INT) AS num_frames,
+        |       CAST(t.i AS INT) AS frame_idx,
+        |       CAST((id * 31 + t.i * 17) % 256 AS INT) AS mean_luma
+        |FROM p, range(8) t(i)
+        |WHERE t.i < 2 + id % 6 AND t.i % 2 = 0""".stripMargin,
     "s5_size_distribution" ->
       """SELECT DISTINCT CAST(s_suppkey % 4 AS BIGINT) AS bucket,
         |       CAST(1 AS BIGINT) AS num_of_parquet_files,

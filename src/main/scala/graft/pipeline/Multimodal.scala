@@ -16,12 +16,16 @@ import org.apache.spark.sql.types._
   * `javax.sound.sampled.AudioSystem` (in-JDK, headless; WAV/AIFF/AU PCM) —
   * [[decodeAudio]] / [[extractAudioFeatures]] return the true sample rate,
   * channel count, frame count and an RMS amplitude computed from the
-  * decoded frames. [[extractFeatures]] emits a real histogram feature
-  * whenever a payload decodes as either modality. Only VIDEO remains
-  * STUBBED (the JDK ships no video codec and this container has no ffmpeg):
-  * [[decodeStub]] derives a deterministic fake from the bytes so pipelines
-  * are end-to-end testable; swap it for a real decoder (JNI/FFM to ffmpeg)
-  * without touching any of the plumbing.
+  * decoded frames. The VIDEO modality is decoded for real for
+  * uncompressed-DIB AVI (an in-house RIFF container parser + BI_RGB frame
+  * interpretation — the one video format needing zero codecs) —
+  * [[decodeVideo]] / [[extractVideoFeatures]] return true dimensions, fps,
+  * frame count and per-sampled-frame mean luma. [[extractFeatures]] emits a
+  * real histogram feature whenever a payload decodes as any modality.
+  * COMPRESSED video codecs remain out of scope (the JDK ships none and this
+  * container has no ffmpeg): such payloads fall back to [[decodeStub]]'s
+  * deterministic byte-derived feature, so pipelines stay end-to-end
+  * testable; swap in a JNI/FFM decoder without touching the plumbing.
   *
   * Scale notes: media blobs dominate partition size — use
   * `spark.sql.files.maxPartitionBytes` to keep ~128MB per task, and
@@ -277,6 +281,219 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Decoded video properties: container-level stream parameters plus the
+    * exact integer mean luma of every frame (same Rec.601 integer formula as
+    * [[decodeImage]], so a uniform-gray frame's mean luma IS its gray level).
+    */
+  case class VideoInfo(
+      width: Int, height: Int, fps: Int, numFrames: Int, frameLumas: Array[Int])
+
+  /** REAL video decode for uncompressed-DIB AVI (RIFF 'AVI ' container,
+    * 'vids' stream, BI_RGB 24-bit bottom-up frames in '00db'/'00dc' chunks)
+    * — the one video format decodable with zero codecs, hence zero
+    * dependencies. The container walk is a real RIFF parser (chunk sizes,
+    * LIST recursion, word alignment), frame pixels are interpreted from the
+    * DIB layout (BGR byte order, rows padded to 4 bytes, bottom-up), and
+    * fps comes from the stream header's rate/scale rational. COMPRESSED
+    * codecs (H.264 & co.) remain out of scope: the JDK ships none and this
+    * container has no ffmpeg — swap this for a JNI/FFM decoder without
+    * touching the plumbing. None for anything that is not such an AVI.
+    */
+  def decodeVideo(payload: Array[Byte]): Option[VideoInfo] = {
+    if (payload == null || payload.length < 24) return None
+    def le32(o: Int): Int =
+      (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+        ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+    def fourcc(o: Int): String =
+      new String(payload.slice(o, o + 4), java.nio.charset.StandardCharsets.US_ASCII)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    var width = 0; var height = 0; var rate = 0; var scale = 1; var bitCount = 0
+    val lumas = scala.collection.mutable.ArrayBuffer.empty[Int]
+
+    def frameLuma(off: Int, size: Int): Option[Int] = {
+      if (width <= 0 || height <= 0 || bitCount != 24) return None
+      val rowSize = (width * 3 + 3) & ~3
+      if (size < rowSize * height) return None
+      var sum = 0L
+      var y = 0
+      while (y < height) {
+        // bottom-up: DIB row y is image row (height-1-y); mean is row-order
+        // independent, so walk storage order
+        val row = off + y * rowSize
+        var x = 0
+        while (x < width) {
+          val b = payload(row + x * 3) & 0xff
+          val g = payload(row + x * 3 + 1) & 0xff
+          val r = payload(row + x * 3 + 2) & 0xff
+          sum += (299 * r + 587 * g + 114 * b) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      Some((sum / (width.toLong * height)).toInt)
+    }
+
+    def walk(start: Int, end: Int): Unit = {
+      var o = start
+      while (o + 8 <= end) {
+        val id = fourcc(o)
+        val size = le32(o + 4)
+        if (size < 0 || o + 8 + size > end) return
+        id match {
+          case "LIST" => walk(o + 12, o + 8 + size) // skip the list type tag
+          case "strh" if size >= 32 && fourcc(o + 8) == "vids" =>
+            scale = math.max(le32(o + 8 + 20), 1)
+            rate = le32(o + 8 + 24)
+          case "strf" if size >= 40 && bitCount == 0 =>
+            width = le32(o + 8 + 4)
+            height = le32(o + 8 + 8)
+            bitCount = le32(o + 8 + 14) & 0xffff
+          case c if c.endsWith("db") || c.endsWith("dc") =>
+            frameLuma(o + 8, size).foreach(lumas += _)
+          case _ => ()
+        }
+        o += 8 + size + (size & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, payload.length)
+    if (width <= 0 || height <= 0 || lumas.isEmpty) None
+    else Some(VideoInfo(width, height, rate / scale, lumas.length, lumas.toArray))
+  }
+
+  /** 16-bin normalized luminance histogram over ALL decoded frames of an
+    * uncompressed-DIB AVI — the real video feature vector (replaces the
+    * byte-stub whenever [[decodeVideo]] can parse the payload). Uniform-gray
+    * synthetic frames land one full bin per frame, so the histogram is
+    * oracle-predictable.
+    */
+  def videoHistogramFeature(payload: Array[Byte]): Option[Array[Float]] =
+    decodeVideo(payload).map { info =>
+      val hist = new Array[Float](FeatureDim)
+      info.frameLumas.foreach(l => hist((l * FeatureDim) / 256) += 1f)
+      var i = 0
+      while (i < FeatureDim) { hist(i) /= info.numFrames; i += 1 }
+      hist
+    }
+
+  /** Deterministic uncompressed-DIB AVI encode: one solid-gray 24-bit frame
+    * per entry of `grays` (test/bench asset builder — the decode side
+    * accepts any BI_RGB AVI). The container is a spec-complete RIFF: avih,
+    * a 'vids'/'DIB ' stream header with the fps as rate/scale, the
+    * BITMAPINFOHEADER, and '00db' frame chunks with 4-byte-padded rows.
+    */
+  def encodeGrayAvi(width: Int, height: Int, fps: Int, grays: Array[Int]): Array[Byte] = {
+    val rowSize = (width * 3 + 3) & ~3
+    val frameSize = rowSize * height
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    def tag(s: String): Unit = bos.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + grays.length * (8 + frameSize)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    tag("RIFF"); le32(riffSize); tag("AVI ")
+    tag("LIST"); le32(hdrlSize); tag("hdrl")
+    tag("avih"); le32(56)
+    le32(1000000 / math.max(fps, 1)) // dwMicroSecPerFrame
+    le32(frameSize * fps)            // dwMaxBytesPerSec
+    le32(0); le32(0)                 // padding, flags
+    le32(grays.length)               // dwTotalFrames
+    le32(0); le32(1)                 // initial frames, streams
+    le32(frameSize)                  // suggested buffer
+    le32(width); le32(height)
+    le32(0); le32(0); le32(0); le32(0) // reserved
+    tag("LIST"); le32(strlSize); tag("strl")
+    tag("strh"); le32(56)
+    tag("vids"); tag("DIB ")
+    le32(0); le32(0); le32(0)        // flags, prio+lang, initial frames
+    le32(1); le32(fps)               // dwScale, dwRate → fps/1
+    le32(0); le32(grays.length)      // start, length
+    le32(frameSize); le32(-1); le32(0) // suggested buffer, quality, sample size
+    le32(0); le32(0)                 // rcFrame (4 × 16-bit)
+    tag("strf"); le32(40)
+    le32(40); le32(width); le32(height)
+    le32(1 | (24 << 16))             // biPlanes=1, biBitCount=24
+    le32(0)                          // BI_RGB
+    le32(frameSize)
+    le32(0); le32(0); le32(0); le32(0)
+    tag("LIST"); le32(moviSize); tag("movi")
+    grays.foreach { gray =>
+      tag("00db"); le32(frameSize)
+      val row = new Array[Byte](rowSize)
+      java.util.Arrays.fill(row, 0, width * 3, gray.toByte)
+      var y = 0
+      while (y < height) { bos.write(row); y += 1 }
+    }
+    bos.toByteArray
+  }
+
+  /** Video-feature schema for [[extractVideoFeatures]]: one row per SAMPLED
+    * frame with the container/stream parameters and that frame's exact
+    * integer mean luma (a single all-null row for undecodable payloads).
+    */
+  val videoFeatureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("fps", IntegerType, nullable = true),
+    StructField("num_frames", IntegerType, nullable = true),
+    StructField("frame_idx", IntegerType, nullable = true),
+    StructField("mean_luma", IntegerType, nullable = true)
+  ))
+
+  /** Batched REAL video decode over partitions via [[decodeVideo]], with
+    * FRAME SAMPLING: every `frameStride`-th frame (from frame 0) emits a
+    * row — the decode/frame-sample step of a video training-data pipeline.
+    * Per-task iteration amortizes decoder init exactly like the image/audio
+    * paths; undecodable payloads yield one all-null row so no asset is
+    * silently dropped.
+    */
+  def extractVideoFeatures(assets: DataFrame, frameStride: Int = 1): DataFrame = {
+    require(frameStride > 0, s"frameStride must be positive, got $frameStride")
+    val enc = RowEncoder.encoderFor(videoFeatureSchema)
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getAs[Long]("asset_id")
+        decodeVideo(r.getAs[Array[Byte]]("payload")) match {
+          case None => Iterator.single(Row(id, null, null, null, null, null, null))
+          case Some(v) =>
+            Iterator.range(0, v.numFrames, frameStride).map(f =>
+              Row(id, Int.box(v.width), Int.box(v.height), Int.box(v.fps),
+                Int.box(v.numFrames), Int.box(f), Int.box(v.frameLumas(f))))
+        }
+      }
+    }(enc)
+  }
+
+  /** Synthesize REAL uncompressed-DIB AVI assets whose decoded properties
+    * are pure integer functions of the id — `width = 16 + (id % 4) * 8`,
+    * `height = 8 + (id % 5) * 4`, `fps = 5 + id % 10`,
+    * `frames = 2 + id % 6`, frame f solid gray `(id * 31 + f * 17) % 256`
+    * (= that frame's exact mean luma) — so an oracle can predict the decode
+    * output from the id without any video library.
+    */
+  def synthesizeAviAssets(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val enc = RowEncoder.encoderFor(schema)
+    ids.select(col(idCol).cast("long").as("asset_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (16 + (id % 4) * 8).toInt
+        val h = (8 + (id % 5) * 4).toInt
+        val fps = (5 + id % 10).toInt
+        val n = (2 + id % 6).toInt
+        val grays = Array.tabulate(n)(f => ((id * 31 + f * 17) % 256).toInt)
+        Row(id, "video", encodeGrayAvi(w, h, fps, grays))
+      }
+    }(enc)
+  }
+
   private def contentHash(payload: Array[Byte]): Long = {
     if (payload == null) return 0L
     var h = 1125899906842597L
@@ -297,11 +514,13 @@ object Multimodal {
       it.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
         val modality = r.getAs[String]("modality")
-        // image/audio: REAL decode (luminance / amplitude histogram) when
-        // the payload decodes; video (and undecodable bytes): stub
+        // image/audio/video: REAL decode (luminance / amplitude / per-frame
+        // luminance histogram) when the payload decodes; undecodable bytes
+        // (incl. compressed video codecs): deterministic byte-stub
         val feature = modality match {
           case "image" => imageHistogramFeature(payload).getOrElse(decodeStub(payload))
           case "audio" => audioHistogramFeature(payload).getOrElse(decodeStub(payload))
+          case "video" => videoHistogramFeature(payload).getOrElse(decodeStub(payload))
           case _       => decodeStub(payload)
         }
         Row(

@@ -409,5 +409,43 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
       val stubbed = Multimodal.extractFeatures(junk).head().getSeq[Float](4)
       assert(stubbed == Multimodal.decodeStub(Array[Byte](9, 9, 9)).toSeq)
     }
+
+    it("decodes real uncompressed-DIB AVI payloads: dims, fps, per-frame luma, sampling") {
+      // encode → decode round trip matches the synthesis formulas exactly
+      val ids = (0L to 60L).toDF("id")
+      val assets = Multimodal.synthesizeAviAssets(spark, ids, "id")
+      val feats = Multimodal.extractVideoFeatures(Multimodal.rebalanceForDecode(assets, 5))
+        .orderBy("asset_id", "frame_idx").collect()
+      feats.foreach { r =>
+        val id = r.getLong(0)
+        val f = r.getInt(5)
+        assert(r.getInt(1) == (16 + (id % 4) * 8).toInt, s"width mismatch for id=$id")
+        assert(r.getInt(2) == (8 + (id % 5) * 4).toInt, s"height mismatch for id=$id")
+        assert(r.getInt(3) == (5 + id % 10).toInt, s"fps mismatch for id=$id")
+        assert(r.getInt(4) == (2 + id % 6).toInt, s"frames mismatch for id=$id")
+        assert(r.getInt(6) == ((id * 31 + f * 17) % 256).toInt, s"luma mismatch id=$id f=$f")
+      }
+      assert(feats.length == (0L to 60L).map(id => (2 + id % 6).toInt).sum)
+      // frame SAMPLING: stride 2 keeps exactly the even frame indices
+      val sampled = Multimodal.extractVideoFeatures(assets, frameStride = 2)
+        .select("frame_idx").collect().map(_.getInt(0))
+      assert(sampled.nonEmpty && sampled.forall(_ % 2 == 0))
+      // direct decode of a hand-built AVI: the RIFF walk sees every chunk
+      val avi = Multimodal.encodeGrayAvi(20, 10, 12, Array(5, 250, 128))
+      val info = Multimodal.decodeVideo(avi).get
+      assert(info.width == 20 && info.height == 10 && info.fps == 12)
+      assert(info.numFrames == 3 && info.frameLumas.toSeq == Seq(5, 250, 128))
+      // the per-frame histogram is one full bin per uniform frame
+      val hist = Multimodal.videoHistogramFeature(avi).get
+      assert(hist((5 * Multimodal.FeatureDim) / 256) > 0 && math.abs(hist.sum - 1.0f) < 1e-6)
+      // a video-labeled but undecodable payload: null row from the typed
+      // extractor, stub feature from the generic one
+      assert(Multimodal.decodeVideo(Array[Byte](9, 9, 9, 9)).isEmpty)
+      val junkV = Seq((99L, "video", Array[Byte](9, 9, 9, 9))).toDF("asset_id", "modality", "payload")
+      val jv = Multimodal.extractVideoFeatures(junkV).head()
+      assert(jv.isNullAt(1) && jv.isNullAt(5) && jv.isNullAt(6))
+      val stubbedV = Multimodal.extractFeatures(junkV).head().getSeq[Float](4)
+      assert(stubbedV == Multimodal.decodeStub(Array[Byte](9, 9, 9, 9)).toSeq)
+    }
   }
 }

@@ -576,6 +576,28 @@ object SparkEntry {
         .select(col("r_regionkey"), col("r_name"), col("_change_type"), col("_commit_version"))
       }
     }),
+    "c12_cdf_reader_option" -> ((s, dir) => {
+      // the PUBLIC reader-option shape of the batch CDF read (Delta parity):
+      // same fixture and expected rows as c1, consumed through
+      // spark.read.format("graft").option("readChangeFeed", "true")
+      val dirT = tmp("c12")
+      val t = GraftTable.create(s, dirT, read(s, dir, "region"),
+        properties = Map(GraftLog.CdfProperty -> "true"))
+      TableOps.update(t, Some("r_regionkey = 0"), Map("r_name" -> "'EUROPA'"))
+      TableOps.delete(t, Some("r_regionkey = 4"))
+      import s.implicits._
+      t.append(Seq((99, "ATLANTIS")).toDF("r_regionkey", "r_name")
+        .select(col("r_regionkey").cast("int"), col("r_name")))
+      () => {
+      s.read.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 0)
+        .option("endingVersion", 3)
+        .load(dirT)
+        .select(col("r_regionkey"), col("r_name"), col("_change_type"), col("_commit_version"))
+      }
+    }),
+
     "c5_cdf_status" -> ((s, dir) => {
       import s.implicits._
       // deterministic enable/disable toggle sequence (mirrors the reference's
@@ -1225,6 +1247,16 @@ object SparkEntry {
         |) AS t(v, d, i, u, sr)
         |ORDER BY version DESC""".stripMargin,
     "c1_cdf_read" ->
+      """SELECT r_regionkey, r_name, 'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version FROM region
+        |UNION ALL
+        |SELECT r_regionkey, r_name, 'update_preimage', 1 FROM region WHERE r_regionkey = 0
+        |UNION ALL
+        |SELECT CAST(0 AS INT), 'EUROPA', 'update_postimage', 1
+        |UNION ALL
+        |SELECT r_regionkey, r_name, 'delete', 2 FROM region WHERE r_regionkey = 4
+        |UNION ALL
+        |SELECT CAST(99 AS INT), 'ATLANTIS', 'insert', 3""".stripMargin,
+    "c12_cdf_reader_option" ->
       """SELECT r_regionkey, r_name, 'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version FROM region
         |UNION ALL
         |SELECT r_regionkey, r_name, 'update_preimage', 1 FROM region WHERE r_regionkey = 0

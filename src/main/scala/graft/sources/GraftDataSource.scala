@@ -107,10 +107,14 @@ class GraftDataSource extends RelationProvider
   override def createRelation(
       sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    GraftScanRewrite.install(sqlContext.sparkSession)
-    GraftRelation(sqlContext, pathOf(parameters),
-      GraftDataSource.resolveVersion(pathOf(parameters), parameters,
-        sqlContext.sparkSession.sessionState.conf.sessionLocalTimeZone))
+    val sessionTz = sqlContext.sparkSession.sessionState.conf.sessionLocalTimeZone
+    if (parameters.get("readChangeFeed").exists(_.trim.equalsIgnoreCase("true")))
+      GraftDataSource.cdfRelation(sqlContext, pathOf(parameters), parameters, sessionTz)
+    else {
+      GraftScanRewrite.install(sqlContext.sparkSession)
+      GraftRelation(sqlContext, pathOf(parameters),
+        GraftDataSource.resolveVersion(pathOf(parameters), parameters, sessionTz))
+    }
   }
 
   /** `df.write.format("graft").mode(...).save(path)` — maps SaveMode onto the
@@ -174,6 +178,44 @@ object GraftDataSource {
       throw new IllegalArgumentException(
         "specify either versionAsOf or timestampAsOf, not both")
     byVersion.orElse(byTs)
+  }
+
+  /** Batch change-data-feed read as a READER OPTION (Delta's public shape):
+    * `spark.read.format("graft").option("readChangeFeed", "true")
+    * .option("startingVersion", a)[.option("endingVersion", b)].load(path)`.
+    * Version bounds may instead be timestamps (`startingTimestamp` /
+    * `endingTimestamp`, session-timezone rules of [[parseTimestampMillis]]):
+    * the start resolves to the EARLIEST commit at-or-after it, the end to
+    * the LATEST commit at-or-before — Delta's CDF timestamp contract.
+    * Delegates to [[graft.log.ChangeDataFeedHelper]]'s batched two-scan
+    * plan; the relation serves the assembled rows without re-conversion.
+    */
+  private def cdfRelation(
+      sqlContext: SQLContext, path: String,
+      parameters: Map[String, String], sessionTz: String): BaseRelation = {
+    def bad(msg: String) = throw new IllegalArgumentException(msg)
+    val log = new graft.tables.GraftLog(path)
+    def commits = log.history().reverse // oldest first
+    val start = (parameters.get("startingVersion"), parameters.get("startingTimestamp")) match {
+      case (Some(v), None) => v.trim.toLong
+      case (None, Some(ts)) =>
+        val millis = parseTimestampMillis(ts.trim, sessionTz)
+        commits.collectFirst { case (v, ci) if ci.timestamp >= millis => v }
+          .getOrElse(bad(s"startingTimestamp '$ts' is after the latest commit of $path"))
+      case (None, None) =>
+        bad("readChangeFeed requires startingVersion or startingTimestamp")
+      case _ => bad("specify either startingVersion or startingTimestamp, not both")
+    }
+    val end = (parameters.get("endingVersion"), parameters.get("endingTimestamp")) match {
+      case (Some(v), None) => v.trim.toLong
+      case (None, Some(ts)) =>
+        val millis = parseTimestampMillis(ts.trim, sessionTz)
+        commits.reverse.collectFirst { case (v, ci) if ci.timestamp <= millis => v }
+          .getOrElse(bad(s"endingTimestamp '$ts' is before the earliest commit of $path"))
+      case (None, None) => log.latestVersion()
+      case _ => bad("specify either endingVersion or endingTimestamp, not both")
+    }
+    GraftCdfRelation(sqlContext, path, start, end)
   }
 
   /** Zone-less timestamp strings resolve against the SESSION timezone (the
@@ -248,6 +290,28 @@ case class GraftRelation(sqlContext: SQLContext, path: String,
     else GraftTable.forPath(spark, path).append(data)
     ()
   }
+}
+
+/** Relation backing the `readChangeFeed` reader option: schema and rows come
+  * from [[graft.log.ChangeDataFeedHelper]]'s batched CDF assembly (at most
+  * two parquet scans for the whole version range), served as `InternalRow`s
+  * (`needConversion=false`) so the reader-option path costs nothing over
+  * calling the helper directly.
+  */
+case class GraftCdfRelation(
+    sqlContext: SQLContext, path: String, startingVersion: Long, endingVersion: Long)
+  extends BaseRelation with TableScan {
+
+  private lazy val cdf: DataFrame =
+    graft.log.ChangeDataFeedHelper(
+      sqlContext.sparkSession, path, startingVersion, endingVersion).readCDF
+
+  override def schema: StructType = cdf.schema
+
+  override def needConversion: Boolean = false
+
+  override def buildScan(): RDD[Row] =
+    cdf.queryExecution.toRdd.asInstanceOf[RDD[Row]]
 }
 
 object GraftRelation {

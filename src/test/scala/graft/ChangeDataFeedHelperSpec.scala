@@ -33,6 +33,44 @@ class ChangeDataFeedHelperSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(v0 == 3)
   }
 
+  it("the readChangeFeed reader option matches the helper and resolves timestamp bounds") {
+    val t = cdfTable(tmpTableDir("cdf-reader-opt"))
+    upsert(t, Seq((1, "A"), (9, "i")))   // v1
+    TableOps.delete(t, Some("id = 2"))   // v2
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "name", "_change_type", "_commit_version").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+
+    val viaHelper = rows(ChangeDataFeedHelper(spark, t.path, 1, 2).readCDF)
+    val viaOption = rows(spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 1)
+      .option("endingVersion", 2).load(t.path))
+    assert(viaOption == viaHelper && viaHelper.nonEmpty)
+
+    // endingVersion defaults to the latest commit
+    assert(rows(spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", 1).load(t.path)) == viaHelper)
+
+    // timestamp bounds: start = earliest commit at-or-after, end = latest
+    // at-or-before (rendered in the session timezone, UTC here)
+    val hist = t.history().toMap
+    def utc(ms: Long) = java.time.Instant.ofEpochMilli(ms).toString
+    assert(rows(spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingTimestamp", utc(hist(1L).timestamp))
+      .option("endingTimestamp", utc(hist(2L).timestamp)).load(t.path)) == viaHelper)
+
+    // error shapes
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("readChangeFeed", "true").load(t.path)
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .option("startingTimestamp", "2099-01-01 00:00:00").load(t.path)
+    }
+  }
+
   it("readCDF stamps rows from percent-encoded partition paths; no silent drops") {
     // partition values with space, '+', '%', and ':' — Spark percent-encodes
     // them in directory names and input_file_name() returns the encoded URI;

@@ -188,36 +188,41 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
 
-    val withSh = shingleDF(df, idCol, textCol, n).persist()
-    try {
-      // one row per (doc, band): bucket key = xxhash64 of the band's slice
-      // (hashing the array directly — a different bucket hash never changes
-      // the verified output: same-slice pairs collide under ANY hash, and
-      // differing-slice accidental collisions are removed by exact
-      // verification). Candidates travel as bare id pairs — shingle arrays
-      // only rejoin after dedup, so the candidate shuffle stays narrow even
-      // with hot buckets.
-      val banded = withSh
-        .withColumn("__sig", minhashSignature(col("__sh"), numHashes, seed))
-        .select(
-          col("__id"), size(col("__sh")).as("__sz"),
-          explode(transform(sequence(lit(0), lit(bands - 1)),
-            b => struct(b.as("band"), xxhash64(slice(col("__sig"), b * rows + 1, lit(rows))).as("bh"))))
-            .as("__b"))
-        .select(col("__id"), col("__sz"), col("__b.band"), col("__b.bh"))
+    // localCheckpoint (eager), NOT persist: the shingle frame feeds THREE
+    // plan branches (banding + both verification joins), and a persist
+    // released when this method returns would be gone before the caller's
+    // action plans — each branch would re-tokenize the corpus from parquet
+    // (measured: 3 full scans in the executed plan). Checkpointing truncates
+    // the plan to the materialized rows at construction time, so reuse is
+    // structural; the blocks are GC-released when the result is dropped.
+    val withSh = shingleDF(df, idCol, textCol, n).localCheckpoint()
+    // one row per (doc, band): bucket key = xxhash64 of the band's slice
+    // (hashing the array directly — a different bucket hash never changes
+    // the verified output: same-slice pairs collide under ANY hash, and
+    // differing-slice accidental collisions are removed by exact
+    // verification). Candidates travel as bare id pairs — shingle arrays
+    // only rejoin after dedup, so the candidate shuffle stays narrow even
+    // with hot buckets.
+    val banded = withSh
+      .withColumn("__sig", minhashSignature(col("__sh"), numHashes, seed))
+      .select(
+        col("__id"), size(col("__sh")).as("__sz"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), xxhash64(slice(col("__sig"), b * rows + 1, lit(rows))).as("bh"))))
+          .as("__b"))
+      .select(col("__id"), col("__sz"), col("__b.band"), col("__b.bh"))
 
-      val candidates =
-        bucketPairs(banded, Seq("band", "bh"), maxBucketSize, Some(threshold))
+    val candidates =
+      bucketPairs(banded, Seq("band", "bh"), maxBucketSize, Some(threshold))
 
-      candidates
-        .join(withSh.select(col("__id").as("idA"), col("__sh").as("shA")), "idA")
-        .join(withSh.select(col("__id").as("idB"), col("__sh").as("shB")), "idB")
-        .withColumn("__inter", size(array_intersect(col("shA"), col("shB"))).cast("double"))
-        .withColumn("jaccard",
-          col("__inter") / (size(col("shA")) + size(col("shB")) - col("__inter")))
-        .filter(col("jaccard") >= threshold)
-        .select(col("idA"), col("idB"), col("jaccard"))
-    } finally { withSh.unpersist(); () }
+    candidates
+      .join(withSh.select(col("__id").as("idA"), col("__sh").as("shA")), "idA")
+      .join(withSh.select(col("__id").as("idB"), col("__sh").as("shB")), "idB")
+      .withColumn("__inter", size(array_intersect(col("shA"), col("shB"))).cast("double"))
+      .withColumn("jaccard",
+        col("__inter") / (size(col("shA")) + size(col("shB")) - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), col("jaccard"))
   }
 
   /** Dedup via MinHash-LSH: drop every doc that near-duplicates a lower id. */
@@ -458,10 +463,12 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxGramDf: Int = 100000): DataFrame = {
-    val withSh = shingleDF(df, idCol, textCol, n).persist()
-    try {
-      // postings carry (gram, id, setSize) only — candidates travel as bare
-      // id pairs
+    // localCheckpoint, not persist — same three-branch reuse rationale as
+    // minhashLshPairs (postings + both verification joins); a lazily-scoped
+    // persist would be dead before the caller's action plans
+    val withSh = shingleDF(df, idCol, textCol, n).localCheckpoint()
+    // postings carry (gram, id, setSize) only — candidates travel as bare
+    // id pairs
       val inverted = withSh.select(
         explode(col("__sh")).as("__g"), col("__id"), size(col("__sh")).as("__sz"))
       // hot-gram set is tiny by construction (few grams exceed the cap):
@@ -521,8 +528,7 @@ object Dedup {
           col("__inter") / (size(col("shA")) + size(col("shB")) - col("__inter")))
         .filter(col("jaccard") >= threshold)
         .select(col("idA"), col("idB"), col("jaccard"))
-      exactByCount.union(verified)
-    } finally { withSh.unpersist(); () }
+    exactByCount.union(verified)
   }
 
   /** Embedding near-duplicate pairs: random-hyperplane LSH buckets (sign-bit
@@ -549,8 +555,9 @@ object Dedup {
     val withVec = df.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__norm", sqrt(aggregate(col("__v"), lit(0.0d), (acc, x) => acc + x * x)))
-      .persist()
-    try {
+      // localCheckpoint, not persist — sketch branch + both vector joins
+      // reuse the frame after this method returns (see minhashLshPairs)
+      .localCheckpoint()
       // candidates travel as bare id pairs; vectors rejoin only for the
       // surviving distinct pairs (a hot LSH bucket costs id-pair rows, not
       // vector copies)
@@ -576,6 +583,5 @@ object Dedup {
             (col("nA") * col("nB")))
         .filter(col("cosine") >= threshold)
         .select(col("idA"), col("idB"), col("cosine"))
-    } finally { withVec.unpersist(); () }
   }
 }

@@ -876,6 +876,34 @@ object SparkEntry {
         .select("asset_id", "byte_size", "sample_rate", "channels", "num_frames", "rms_amp")
     }),
 
+    "s11_zorder_skipping" -> ((s, dir) => {
+      // OPTIMIZE ZORDER BY (o_orderkey, o_custkey): the scattered 8-file
+      // write gives every file near-full min/max ranges on both columns
+      // (no skipping possible); after z-ordering, a narrow range on EITHER
+      // column must prune files, and the clustered table still returns
+      // exactly the original rows (count-verified against the raw input).
+      import s.implicits._
+      val base = read(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val t = GraftTable.create(s, tmp("s11"), base.repartition(8))
+      () => {
+      TableOps.zorder(t, Seq("o_orderkey", "o_custkey"), numFiles = Some(8))
+      val t2 = GraftTable.forPath(s, t.path)
+      def scanned(cond: String): Int = {
+        val cls = graft.tables.FileSkipping.classify(s, t2.toDF, cond)
+        graft.tables.FileSkipping.filesMatching(t2.snapshot, cls.all).size
+      }
+      Seq((
+        t2.toDF.count(),
+        t2.toDF.filter(col("o_orderkey") <= 1000).count(),
+        t2.toDF.filter(col("o_custkey") <= 100).count(),
+        t2.snapshot.files.size,
+        scanned("o_orderkey >= 0 AND o_orderkey <= 1000") <= 6,
+        scanned("o_custkey >= 0 AND o_custkey <= 100") <= 6))
+        .toDF("total_rows", "key_range_rows", "cust_range_rows",
+          "files_total", "key_skip_ok", "cust_skip_ok")
+      }
+    }),
+
     "mm4_video_decode" -> ((s, dir) => () => {
       // REAL video decode: an in-house RIFF/AVI container parser over
       // uncompressed-DIB payloads (the one codec-free video format) with
@@ -1374,6 +1402,12 @@ object SparkEntry {
         |       CAST(50 + s_suppkey % 100 AS BIGINT) AS num_frames,
         |       CAST(s_suppkey % 1000 + 1 AS INT) AS rms_amp
         |FROM supplier""".stripMargin,
+    "s11_zorder_skipping" ->
+      """SELECT (SELECT count(*) FROM orders) AS total_rows,
+        |       (SELECT count(*) FROM orders WHERE o_orderkey <= 1000) AS key_range_rows,
+        |       (SELECT count(*) FROM orders WHERE o_custkey <= 100) AS cust_range_rows,
+        |       CAST(8 AS INT) AS files_total,
+        |       true AS key_skip_ok, true AS cust_skip_ok""".stripMargin,
     "mm4_video_decode" ->
       """WITH p AS (SELECT CAST(s_suppkey AS BIGINT) AS id FROM supplier)
         |SELECT id AS asset_id,

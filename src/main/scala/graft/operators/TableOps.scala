@@ -171,6 +171,94 @@ object TableOps {
       readVersion = Some(snap.version))
   }
 
+  /** OPTIMIZE ZORDER BY: rewrite the selected files CLUSTERED on the Morton
+    * (bit-interleaved) order of `cols`, so parquet footer min/max stats
+    * become tight on EVERY listed column at once — a range predicate on any
+    * of them then skips most files ([[graft.tables.FileSkipping]] does the
+    * pruning at plan time). The 100 TB point of z-ordering: a single sort
+    * key clusters one dimension perfectly and the others not at all; the
+    * z-curve trades a little locality on each dimension for usable locality
+    * on all of them.
+    *
+    * Mechanics: each column is rank-normalized into 2^8 range buckets using
+    * approx-quantile boundaries (bounded driver work — 255 doubles per
+    * column, computed from a sample pass, never a full sort), bucket bits
+    * are interleaved into the z-value, and the rewrite range-partitions +
+    * sorts on it — one shuffle of the selected rows. Columns must be of
+    * numeric/date/timestamp type (rank-bucketing needs an order that
+    * quantiles can approximate).
+    *
+    * Layout-only like [[compact]]: commits as OPTIMIZE (no CDC footprint,
+    * streaming sources skip it), removing the rewritten files atomically.
+    *
+    * @param numFiles pin the output file count (otherwise sized by
+    *                 `targetFileSizeBytes` from the selected bytes)
+    * @return the committed version (current version if nothing to rewrite)
+    */
+  def zorder(
+      table: GraftTable,
+      cols: Seq[String],
+      where: Option[String] = None,
+      targetFileSizeBytes: Long = 128L * 1024 * 1024,
+      numFiles: Option[Int] = None): Long = {
+    require(cols.nonEmpty, "zorder needs at least one column")
+    val spark = table.spark
+    val snap = table.snapshot
+    val schema = snap.schema
+    cols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"zorder column $c not in table schema"))
+      f.dataType match {
+        case _: org.apache.spark.sql.types.NumericType => ()
+        case org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType => ()
+        case dt => throw new IllegalArgumentException(
+          s"zorder column $c has unsupported type $dt (numeric/date/timestamp only)")
+      }
+    }
+    val selected = where match {
+      case None => snap.files
+      case Some(cond) =>
+        val classified = FileSkipping.classify(spark, table.toDF, cond)
+        FileSkipping.filesMatching(snap, classified.all)
+    }
+    val totalBytes = selected.map(_.size).sum
+    if (selected.isEmpty || totalBytes == 0L) return snap.version
+    val data = table.dfForFiles(snap, selected)
+
+    val zBits = 8
+    // 255 inner boundaries per column from one approximate-quantile pass;
+    // the bucket of a row is the count of boundaries at or below its value
+    // (a codegen'd chain of comparisons — no join, no second shuffle)
+    val probs = (1 until (1 << zBits)).map(_.toDouble / (1 << zBits)).toArray
+    val zExpr = cols.zipWithIndex.map { case (c, ci) =>
+      val boundaries = data.select(col(c).cast("double").as(c))
+        .stat.approxQuantile(c, probs, 0.001)
+      val bucket = boundaries.distinct.foldLeft(lit(0L)) { (acc, b) =>
+        acc + when(col(c).cast("double") >= lit(b), 1L).otherwise(0L)
+      }
+      // interleave: bit i of column ci lands at position i * nCols + ci
+      (0 until zBits).map(i =>
+        shiftleft(shiftright(bucket, i).bitwiseAND(lit(1L)), i * cols.size + ci))
+        .reduce[org.apache.spark.sql.Column](_ bitwiseOR _)
+    }.reduce[org.apache.spark.sql.Column](_ bitwiseOR _)
+
+    val nOut = numFiles.getOrElse(
+      math.max(1, math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt))
+    val clustered = data.withColumn("__z", zExpr)
+      .repartitionByRange(nOut, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    TableWriter.write(spark, table.path, clustered, TableWriter.Append,
+      operation = "OPTIMIZE",
+      operationParameters = Map(
+        "predicate" -> where.map(w => s"[$w]").getOrElse("[]"),
+        "zOrderBy" -> cols.mkString("[", ",", "]")),
+      extraMetrics = Map("numRemovedFiles" -> selected.size.toString,
+        "numRemovedBytes" -> totalBytes.toString),
+      removeFiles = selected.map(_.path),
+      readVersion = Some(snap.version))
+  }
+
   /** VACUUM: physically delete data/change files no longer referenced by any
     * snapshot at or above `retainVersion`, then drop log files below it.
     * Time travel and CDF reads below the horizon stop working — exactly the

@@ -69,4 +69,40 @@ class FileSkippingSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(survivors(t, "id IS NULL") == 0)     // nullCount = 0 everywhere
     assert(survivors(t, "id IS NOT NULL") == 6)
   }
+
+  it("OPTIMIZE ZORDER clusters both dimensions for skipping at once") {
+    // two INDEPENDENT dimensions (y is a bit-reversal permutation of x, so
+    // sorting by either leaves the other scattered), written scattered:
+    // every file's min/max spans ~the whole range on both — nothing skips
+    def rev(x: Int): Int = Integer.reverse(x) >>> (32 - 12) // 12-bit reversal
+    val rows = (0 until 4096).map(i => (i, rev(i)))
+    val t = GraftTable.create(spark, tmpTableDir("zorder"),
+      rows.toDF("x", "y").repartition(8))
+    assert(survivors(t, "x >= 0 AND x <= 255") == 8, "expected no skipping before zorder")
+    assert(survivors(t, "y >= 0 AND y <= 255") == 8)
+
+    val v = graft.operators.TableOps.zorder(t, Seq("x", "y"), numFiles = Some(8))
+    val t2 = GraftTable.forPath(spark, t.path)
+    assert(t2.version == v)
+    assert(t2.snapshot.files.size == 8)
+    // the rewrite is layout-only: same rows, OPTIMIZE commit
+    assert(t2.toDF.collect().map(r => (r.getInt(0), r.getInt(1))).toSet == rows.toSet)
+    assert(t2.history().head._2.operation == "OPTIMIZE")
+    // a narrow range on EITHER dimension now skips files. Exact counts from
+    // the bit interleave (x bit i at z position 2i, y at 2i+1; 8 files ≈ the
+    // top 3 z bits = y7 x7 y6): x ≤ 255 fixes x7=0 → 4 of 8 z-regions (+1
+    // boundary straddle); y ≤ 255 fixes y7=y6=0 → 2 of 8 (+1). Without
+    // clustering BOTH ranges scanned all 8.
+    val xScan = survivors(t2, "x >= 0 AND x <= 255")
+    val yScan = survivors(t2, "y >= 0 AND y <= 255")
+    assert(xScan <= 5, s"x-range scanned $xScan of 8 files after zorder")
+    assert(yScan <= 3, s"y-range scanned $yScan of 8 files after zorder")
+
+    // unsupported column type fails loudly
+    val ts = GraftTable.create(spark, tmpTableDir("zorder_str"),
+      Seq((1, "a")).toDF("id", "name"))
+    intercept[IllegalArgumentException] {
+      graft.operators.TableOps.zorder(ts, Seq("name"))
+    }
+  }
 }

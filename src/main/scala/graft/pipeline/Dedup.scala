@@ -318,7 +318,6 @@ object Dedup {
     try {
       var labels: DataFrame = edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
-      var cached: DataFrame = null // previous round's persisted iterate
       var converged = false
       var iter = 0
       while (!converged && iter < maxIterations) {
@@ -338,27 +337,26 @@ object Dedup {
         // pointer jump: follow one label link (labels are node ids, so the
         // link target always exists; left+coalesce is belt-and-braces)
         val lookup = prop.select(col("id").as("__lid"), col("__new").as("__ll"))
+        // localCheckpoint (eager), NOT persist: `prop` appears twice in the
+        // jump self-join and `labels` twice in `prop`, so the LOGICAL plan
+        // quadruples per round — a cache only truncates physical execution,
+        // and tree walks (explain, UI) blow up exponentially after ~10
+        // rounds. Checkpointing rebases each round's plan on the
+        // materialized rows, keeping it constant-size.
         val next = prop.join(lookup, prop("__new") === lookup("__lid"), "left")
           .select(col("id"), coalesce(col("__ll"), col("__new")).as("label"),
             col("__old"))
-          .persist()
-        // ONE action per round: the full-scan changed-label count also
-        // materializes the persisted iterate (a limit-style probe would
-        // early-exit and leave the cache cold for the next round)
+          .localCheckpoint()
         val changed = next
           .agg(count(when(col("label") =!= col("__old"), lit(1))))
           .first().getLong(0)
         converged = changed == 0
-        if (cached != null) cached.unpersist()
-        cached = next
         labels = next.select(col("id"), col("label"))
       }
       if (!converged)
         throw new IllegalStateException(
           s"connected components did not converge in $maxIterations rounds — " +
             "raise maxIterations (pointer jumping needs ~log2 of the longest chain)")
-      // hand back an unpersisted projection; the persisted iterate stays
-      // cached for the caller's action and is dropped with the session
       labels.select(col("id"), col("label").as("cluster"))
     } finally { edges.unpersist(); () }
   }

@@ -133,6 +133,39 @@ class PropertySpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  it("connected components: both tiers agree with a reference union-find on random graphs") {
+    // random edge lists over a small id space (forces collisions, chains and
+    // cycles): the distributed min-label/pointer-jump tier must equal the
+    // driver union-find tier, which must equal an in-spec reference fold
+    val edgesGen = for {
+      n <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 25L); b <- Gen.choose(0L, 25L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.distinct
+    forAll(edgesGen, n = 5) { edges =>
+      val pairs = edges.toDF("idA", "idB")
+      def asMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val driver = asMap(Dedup.connectedComponents(pairs, "idA", "idB"))
+      val dist = asMap(Dedup.connectedComponents(pairs, "idA", "idB", maxDriverEdges = 0))
+      // reference: naive repeated relaxation to fixpoint
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      var lab = nodes.map(v => v -> v).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (a, b) =>
+          val m = math.min(lab(a), lab(b))
+          if (lab(a) != m) { lab += a -> m; changed = true }
+          if (lab(b) != m) { lab += b -> m; changed = true }
+        }
+      }
+      assert(driver == lab, s"driver tier diverged on $edges")
+      assert(dist == lab, s"distributed tier diverged on $edges")
+    }
+  }
+
   it("sink idempotence: any interleaving of epoch replays appends each epoch once") {
     // random sequences over epochs 0..4 where each epoch appears 1-3 times
     // (Spark's at-least-once foreachBatch contract, arbitrarily reordered

@@ -244,9 +244,14 @@ object TableOps {
 
     val nOut = numFiles.getOrElse(
       math.max(1, math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt))
+    // hive-partitioned tables: lead the range key with the partition columns
+    // so each task holds contiguous partition values and the writer's
+    // per-value split doesn't shatter the z-clustering into tiny files
+    val partCols = snap.metadata.partitionColumns
+    val rangeKey = partCols.map(col) :+ col("__z")
     val clustered = data.withColumn("__z", zExpr)
-      .repartitionByRange(nOut, col("__z"))
-      .sortWithinPartitions("__z")
+      .repartitionByRange(nOut, rangeKey: _*)
+      .sortWithinPartitions(rangeKey: _*)
       .drop("__z")
     TableWriter.write(spark, table.path, clustered, TableWriter.Append,
       operation = "OPTIMIZE",

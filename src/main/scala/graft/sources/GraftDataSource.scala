@@ -93,7 +93,8 @@ class GraftDataSource extends RelationProvider
     new GraftStreamSource(sqlContext, pathOf(parameters),
       parameters.get("startingVersion").map(_.trim.toLong),
       parameters.get("maxVersionsPerTrigger").map(_.trim.toLong)
-        .getOrElse(GraftStreamSource.DefaultMaxVersionsPerTrigger))
+        .getOrElse(GraftStreamSource.DefaultMaxVersionsPerTrigger),
+      parameters.get("maxBytesPerTrigger").map(_.trim.toLong))
 
   private def pathOf(parameters: Map[String, String]): String = {
     val p = parameters.getOrElse("path", throw new IllegalArgumentException(

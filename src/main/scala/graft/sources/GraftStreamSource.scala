@@ -33,27 +33,35 @@ import graft.tables.{AddCDCFile, AddFile, GraftLog, GraftTable, RemoveFile}
   * native pinned-file-index parquet scan.
   *
   * Admission control: `option("maxVersionsPerTrigger", n)` (default 100)
-  * bounds how many commits one micro-batch may span — the analogue of
-  * Delta's `maxFilesPerTrigger`. A stream recovering from downtime drains
-  * its backlog in n-version micro-batches instead of one unbounded union
-  * (both the analyzer cost and the batch's work are linear in the versions
-  * it spans, so the bound is what keeps a 10k-commit gap processable).
+  * bounds how many commits one micro-batch may span, and
+  * `option("maxBytesPerTrigger", b)` additionally stops offering versions
+  * once the batch's admitted data/change file bytes (from commit-log
+  * metadata — no filesystem probing) exceed `b`; at least one version is
+  * always admitted so the stream cannot stall on a single large commit.
+  * Together they are the analogue of Delta's `maxFilesPerTrigger` /
+  * `maxBytesPerTrigger`: a stream recovering from downtime drains its
+  * backlog in bounded micro-batches instead of one unbounded union (both
+  * the analyzer cost and the batch's work are linear in the versions it
+  * spans, so the bound is what keeps a 10k-commit gap processable).
   * Exactly-once is unaffected: offsets are still plain versions and a
   * bounded range replays deterministically. The INITIAL snapshot batch is
   * exempt — it is one pinned-version table scan (a single distributed
-  * parquet read), not a per-version union. Note the bound also paces
-  * `Trigger.Once`/`AvailableNow` runs: such a run advances at most n
-  * versions per invocation.
+  * parquet read), not a per-version union. Note the bounds also pace
+  * `Trigger.Once`/`AvailableNow` runs: such a run advances at most one
+  * batch's worth per invocation.
   */
 class GraftStreamSource(
     sqlContext: SQLContext,
     tablePath: String,
     startingVersion: Option[Long],
-    maxVersionsPerTrigger: Long = GraftStreamSource.DefaultMaxVersionsPerTrigger)
+    maxVersionsPerTrigger: Long = GraftStreamSource.DefaultMaxVersionsPerTrigger,
+    maxBytesPerTrigger: Option[Long] = None)
   extends Source {
 
   require(maxVersionsPerTrigger > 0,
     s"maxVersionsPerTrigger must be positive, got $maxVersionsPerTrigger")
+  require(maxBytesPerTrigger.forall(_ > 0),
+    s"maxBytesPerTrigger must be positive, got ${maxBytesPerTrigger.get}")
 
   private val spark = sqlContext.sparkSession
   private val log = new GraftLog(tablePath)
@@ -74,16 +82,41 @@ class GraftStreamSource(
     else {
       val head = log.latestVersion()
       val offered = lastOffered match {
-        case Some(base) => math.min(head, base + maxVersionsPerTrigger)
+        case Some(base) => admitThrough(base, head)
         case None => startingVersion match {
           // first replay batch: budget counts from just before startingVersion
-          case Some(sv) => math.min(head, sv - 1 + maxVersionsPerTrigger)
+          case Some(sv) => admitThrough(sv - 1, head)
           // snapshot batch: pinned at the current head — one table scan
           case None => head
         }
       }
       lastOffered = Some(lastOffered.fold(offered)(math.max(_, offered)))
       Some(LongOffset(offered))
+    }
+  }
+
+  /** Highest version to offer after `base`, honoring both trigger budgets:
+    * at most `maxVersionsPerTrigger` versions, and (when set) stop once
+    * admitted data-file bytes exceed `maxBytesPerTrigger` — sizes come from
+    * the commit log's AddFile metadata (change files ride along with their
+    * commit), no filesystem probing. The FIRST pending version is always
+    * admitted, so one oversized commit can never stall the stream.
+    */
+  private def admitThrough(base: Long, head: Long): Long = {
+    val versionCapped = math.min(head, base + maxVersionsPerTrigger)
+    maxBytesPerTrigger match {
+      case None => versionCapped
+      case Some(budget) =>
+        var admitted = base
+        var bytes = 0L
+        val pending = log.versions().filter(v => v > base && v <= versionCapped)
+        pending.foreach { v =>
+          if (admitted == base || bytes < budget) {
+            bytes += log.actionsAt(v).collect { case a: AddFile => a.size }.sum
+            admitted = v
+          }
+        }
+        if (admitted == base) versionCapped else admitted
     }
   }
 

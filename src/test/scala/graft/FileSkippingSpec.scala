@@ -105,4 +105,23 @@ class FileSkippingSpec extends AnyFunSpec with SparkSessionTestWrapper {
       graft.operators.TableOps.zorder(ts, Seq("name"))
     }
   }
+
+  it("zorder on a hive-partitioned table keeps partition dirs and bounded file counts") {
+    // range key leads with the partition column, so each output task holds
+    // contiguous partition values — the writer's per-value split must not
+    // shatter the clustering into (numFiles x partitions) tiny files
+    def rev(x: Int): Int = Integer.reverse(x) >>> (32 - 10)
+    val rows = (0 until 1024).map(i => (i, rev(i), i % 4))
+    val t = GraftTable.create(spark, tmpTableDir("zorder_part"),
+      rows.toDF("x", "y", "p").repartition(6), partitionColumns = Seq("p"))
+    graft.operators.TableOps.zorder(t, Seq("x", "y"), numFiles = Some(8))
+    val t2 = GraftTable.forPath(spark, t.path)
+    assert(t2.toDF.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+      == rows.toSet)
+    // each file still lives in exactly one partition dir, and the total file
+    // count stays near numFiles (+ at most one straddle per task boundary)
+    val files = t2.snapshot.files
+    assert(files.forall(_.partitionValues.contains("p")))
+    assert(files.size <= 8 + 4, s"partitioned zorder shattered into ${files.size} files")
+  }
 }

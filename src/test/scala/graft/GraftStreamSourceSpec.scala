@@ -210,6 +210,28 @@ class GraftStreamSourceSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  it("bounds catch-up batches by maxBytesPerTrigger, one oversized commit never stalls") {
+    // 10 appended versions; a byte budget of 1 forces ONE version per batch
+    // (the first pending version is always admitted even over budget)
+    val (dir, t) = mkTable("gss_bytes")
+    (0 until 10).foreach(i => t.append(Seq((200 + i, s"b$i")).toDF("id", "name")))
+    val batches = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Set[Long]]())
+    val query = spark.readStream.format("graft")
+      .option("startingVersion", 1)
+      .option("maxBytesPerTrigger", 1)
+      .load(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(batch.select($"_commit_version").collect().map(_.getLong(0)).toSet); ()
+      }.start()
+    try query.processAllAvailable() finally query.stop()
+    import scala.jdk.CollectionConverters._
+    val nonEmpty = batches.asScala.filter(_.nonEmpty)
+    assert(nonEmpty.flatten.toSet == (1L to 10L).toSet, s"lost versions: $nonEmpty")
+    assert(nonEmpty.forall(_.size == 1), s"budget of 1 byte must admit one version per batch: $nonEmpty")
+  }
+
   it("fails loudly when the table schema evolves mid-stream") {
     // the stream schema is pinned at source creation; a column added by a
     // later commit cannot surface without a restart — dropping it silently

@@ -226,16 +226,23 @@ object TableOps {
     val data = table.dfForFiles(snap, selected)
 
     val zBits = 8
-    // 255 inner boundaries per column from one approximate-quantile pass;
-    // the bucket of a row is the count of boundaries at or below its value
+    // 255 inner boundaries per column from ONE multi-column
+    // approximate-quantile pass (relativeError 0.01 — bucket edges only
+    // need to be roughly equi-depth for clustering, not exact ranks); the
+    // bucket of a row is the count of boundaries at or below its value
     // (a codegen'd chain of comparisons — no join, no second shuffle)
     val probs = (1 until (1 << zBits)).map(_.toDouble / (1 << zBits)).toArray
+    val casted = data.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val allBoundaries = casted.stat.approxQuantile(cols.toArray, probs, 0.01)
     val zExpr = cols.zipWithIndex.map { case (c, ci) =>
-      val boundaries = data.select(col(c).cast("double").as(c))
-        .stat.approxQuantile(c, probs, 0.001)
-      val bucket = boundaries.distinct.foldLeft(lit(0L)) { (acc, b) =>
-        acc + when(col(c).cast("double") >= lit(b), 1L).otherwise(0L)
-      }
+      // rank = count of boundaries ≤ value, as ONE array fold over a literal
+      // boundary array — a 255-term when-chain compiles a multi-thousand-node
+      // codegen AST (seconds of janino time, paid twice: the range sampling
+      // pass and the shuffle); the fold is a tiny loop
+      val bucket = aggregate(
+        lit(allBoundaries(ci).distinct),
+        lit(0L),
+        (acc, b) => acc + when(col(c).cast("double") >= b, 1L).otherwise(0L))
       // interleave: bit i of column ci lands at position i * nCols + ci
       (0 until zBits).map(i =>
         shiftleft(shiftright(bucket, i).bitwiseAND(lit(1L)), i * cols.size + ci))

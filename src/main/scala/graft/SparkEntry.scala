@@ -758,6 +758,21 @@ object SparkEntry {
         "idA", "idB")
         .select(col("id").as("doc_id"), col("cluster"))
     }),
+    "d11_curation_pipeline" -> ((s, dir) => () => {
+      // the end-to-end training-data curation funnel, composed entirely
+      // from driver-checked operators: language-ID gate -> quality (word
+      // count) gate -> transitive near-dup cluster dedup. The oracle
+      // replays the identical funnel in SQL (t1's lang scores, t2's word
+      // count, d10's reachability closure over the kept subset).
+      val t = col("text")
+      val kept = read(s, dir, "documents")
+        .withColumn("lang_pred", TextAnalysis.langId(t))
+        .withColumn("words", TextAnalysis.wsTokenCount(t))
+        .filter(col("lang_pred") === "en" && col("words") >= 20)
+      Dedup.minhashDedupClusters(kept, "doc_id", "text", threshold = 0.5)
+        .select("doc_id", "lang", "source")
+    }),
+
     "d10_dedup_cluster_survivors" -> ((s, dir) => () => {
       // cluster-complete dedup: ONE survivor per transitive near-dup cluster
       // (A~B~C keeps only min(A,B,C), closing the edge-wise gap of d8)
@@ -1303,6 +1318,32 @@ object SparkEntry {
       s"""WITH pairs AS (${ngramJaccardOracle(0.5)})
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT idB FROM pairs)""".stripMargin,
+    "d11_curation_pipeline" ->
+      s"""WITH RECURSIVE kept AS (
+         |  SELECT d.* FROM documents d JOIN (
+         |    SELECT doc_id,
+         |      CASE WHEN en >= de AND en >= fr THEN 'en'
+         |           WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_pred,
+         |      words
+         |    FROM (SELECT doc_id,
+         |        len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in)\\b')) AS en,
+         |        len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b')) AS de,
+         |        len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est)\\b')) AS fr,
+         |        len(regexp_extract_all(text, '\\S+')) AS words
+         |      FROM documents)) s ON s.doc_id = d.doc_id
+         |  WHERE s.lang_pred = 'en' AND s.words >= 20),
+         |pairs AS (${ngramJaccardOracle(0.5, "kept")}),
+         |edges AS (
+         |  SELECT idA AS a, idB AS b FROM pairs
+         |  UNION
+         |  SELECT idB AS a, idA AS b FROM pairs),
+         |reach(id, l) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.id),
+         |cc AS (SELECT id, min(l) AS cluster FROM reach GROUP BY id)
+         |SELECT doc_id, lang, source FROM kept
+         |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster)""".stripMargin,
     "d9_dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS (${ngramJaccardOracle(0.5)}),
          |edges AS (
@@ -1563,11 +1604,11 @@ object SparkEntry {
   /** Exact all-pairs n-gram jaccard in DuckDB — oracle for both the
     * LSH-accelerated (d2) and inverted-index (d4) Spark implementations.
     */
-  private def ngramJaccardOracle(threshold: Double): String =
+  private def ngramJaccardOracle(threshold: Double, src: String = "documents"): String =
     s"""WITH toks AS (
        |  SELECT doc_id,
        |         string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
-       |  FROM documents),
+       |  FROM $src),
        |grams AS (
        |  SELECT doc_id,
        |    CASE WHEN len(t) >= 3

@@ -195,6 +195,10 @@ object GraftDataSource {
       sqlContext: SQLContext, path: String,
       parameters: Map[String, String], sessionTz: String): BaseRelation = {
     def bad(msg: String) = throw new IllegalArgumentException(msg)
+    if (parameters.contains("versionAsOf") || parameters.contains("timestampAsOf"))
+      bad("readChangeFeed uses startingVersion/endingVersion (or the " +
+        "*Timestamp forms) to bound the feed — versionAsOf/timestampAsOf " +
+        "are snapshot time-travel options and cannot combine with it")
     val log = new graft.tables.GraftLog(path)
     def commits = log.history().reverse // oldest first
     val start = (parameters.get("startingVersion"), parameters.get("startingTimestamp")) match {

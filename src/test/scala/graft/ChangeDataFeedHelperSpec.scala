@@ -69,6 +69,11 @@ class ChangeDataFeedHelperSpec extends AnyFunSpec with SparkSessionTestWrapper {
       spark.read.format("graft").option("readChangeFeed", "true")
         .option("startingTimestamp", "2099-01-01 00:00:00").load(t.path)
     }
+    // snapshot time travel cannot combine with the change feed
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .option("startingVersion", 1).option("versionAsOf", 1).load(t.path)
+    }
   }
 
   it("readCDF stamps rows from percent-encoded partition paths; no silent drops") {

@@ -891,6 +891,34 @@ object SparkEntry {
         .select("asset_id", "byte_size", "sample_rate", "channels", "num_frames", "rms_amp")
     }),
 
+    "s12_bloom_skipping" -> ((s, dir) => {
+      // per-file bloom indexes: keys (o_orderkey * 2, so odd values are
+      // absent-but-in-range) written round-robin across 8 files — every
+      // file's [min,max] spans the whole range, so ONLY the bloom can prune
+      // a point lookup. Present key: <=3 of 8 files scanned (holder + rare
+      // fps); absent key: <=1. Row counts are DuckDB-exact.
+      import s.implicits._
+      val base = read(s, dir, "orders")
+        .select((col("o_orderkey") * 2).cast("long").as("key"), col("o_custkey"))
+      val t = GraftTable.create(s, tmp("s12"), base.repartition(8),
+        properties = Map(graft.tables.BloomIndex.ColumnsProperty -> "key"))
+      () => {
+      def scanned(cond: String): Int = {
+        val cls = graft.tables.FileSkipping.classify(s, t.toDF, cond)
+        graft.tables.FileSkipping.filesMatching(t.snapshot, cls.all).size
+      }
+      Seq((
+        t.toDF.count(),
+        t.toDF.filter(col("key") === 2468L).count(),
+        t.toDF.filter(col("key") === 2469L).count(),
+        t.snapshot.files.size,
+        scanned("key = 2468") <= 3,
+        scanned("key = 2469") <= 1))
+        .toDF("total_rows", "present_rows", "absent_rows",
+          "files_total", "present_scan_ok", "absent_skip_ok")
+      }
+    }),
+
     "s11_zorder_skipping" -> ((s, dir) => {
       // OPTIMIZE ZORDER BY (o_orderkey, o_custkey): the scattered 8-file
       // write gives every file near-full min/max ranges on both columns
@@ -1443,6 +1471,12 @@ object SparkEntry {
         |       CAST(50 + s_suppkey % 100 AS BIGINT) AS num_frames,
         |       CAST(s_suppkey % 1000 + 1 AS INT) AS rms_amp
         |FROM supplier""".stripMargin,
+    "s12_bloom_skipping" ->
+      """SELECT (SELECT count(*) FROM orders) AS total_rows,
+        |       (SELECT count(*) FROM orders WHERE o_orderkey = 1234) AS present_rows,
+        |       CAST(0 AS BIGINT) AS absent_rows,
+        |       CAST(8 AS INT) AS files_total,
+        |       true AS present_scan_ok, true AS absent_skip_ok""".stripMargin,
     "s11_zorder_skipping" ->
       """SELECT (SELECT count(*) FROM orders) AS total_rows,
         |       (SELECT count(*) FROM orders WHERE o_orderkey <= 1000) AS key_range_rows,

@@ -184,9 +184,9 @@ object TableOps {
     * approx-quantile boundaries (bounded driver work — 255 doubles per
     * column, computed from a sample pass, never a full sort), bucket bits
     * are interleaved into the z-value, and the rewrite range-partitions +
-    * sorts on it — one shuffle of the selected rows. Columns must be of
-    * numeric/date/timestamp type (rank-bucketing needs an order that
-    * quantiles can approximate).
+    * sorts on it — one shuffle of the selected rows. Numeric, date,
+    * timestamp and string columns are supported (strings rank by their
+    * first-8-byte prefix, order-preservingly).
     *
     * Layout-only like [[compact]]: commits as OPTIMIZE (no CDC footprint,
     * streaming sources skip it), removing the rewritten files atomically.
@@ -211,8 +211,9 @@ object TableOps {
       f.dataType match {
         case _: org.apache.spark.sql.types.NumericType => ()
         case org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType => ()
+        case org.apache.spark.sql.types.StringType => ()
         case dt => throw new IllegalArgumentException(
-          s"zorder column $c has unsupported type $dt (numeric/date/timestamp only)")
+          s"zorder column $c has unsupported type $dt (numeric/date/timestamp/string only)")
       }
     }
     val selected = where match {
@@ -226,13 +227,24 @@ object TableOps {
     val data = table.dfForFiles(snap, selected)
 
     val zBits = 8
+    // Order-preserving numeric rank view of a column: numerics/dates cast
+    // straight to double; strings map via their first 8 UTF-8 bytes read as
+    // a big-endian unsigned integer (byte-lexicographic order = numeric
+    // order, so quantile bucketing clusters by string prefix — the same
+    // truncation Delta's z-order applies to strings).
+    def rankView(c: String): org.apache.spark.sql.Column =
+      schema.fields.find(_.name == c).get.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          conv(rpad(substring(hex(col(c)), 1, 16), 16, "0"), 16, 10).cast("double")
+        case _ => col(c).cast("double")
+      }
     // 255 inner boundaries per column from ONE multi-column
     // approximate-quantile pass (relativeError 0.01 — bucket edges only
     // need to be roughly equi-depth for clustering, not exact ranks); the
     // bucket of a row is the count of boundaries at or below its value
     // (a codegen'd chain of comparisons — no join, no second shuffle)
     val probs = (1 until (1 << zBits)).map(_.toDouble / (1 << zBits)).toArray
-    val casted = data.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val casted = data.select(cols.map(c => rankView(c).as(c)): _*)
     val allBoundaries = casted.stat.approxQuantile(cols.toArray, probs, 0.01)
     val zExpr = cols.zipWithIndex.map { case (c, ci) =>
       // rank = count of boundaries ≤ value, as ONE array fold over a literal
@@ -242,7 +254,7 @@ object TableOps {
       val bucket = aggregate(
         lit(allBoundaries(ci).distinct),
         lit(0L),
-        (acc, b) => acc + when(col(c).cast("double") >= b, 1L).otherwise(0L))
+        (acc, b) => acc + when(rankView(c) >= b, 1L).otherwise(0L))
       // interleave: bit i of column ci lands at position i * nCols + ci
       (0 until zBits).map(i =>
         shiftleft(shiftright(bucket, i).bitwiseAND(lit(1L)), i * cols.size + ci))

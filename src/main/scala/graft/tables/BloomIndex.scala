@@ -1,0 +1,220 @@
+package graft.tables
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-file BLOOM-FILTER indexing for point-lookup file skipping — the gap
+  * min/max stats cannot cover: when a high-cardinality key is written
+  * UNSORTED, every file's [min,max] spans ~the whole key range and a
+  * `key = x` lookup scans the entire table; a per-file bloom answers
+  * "definitely not in this file" for most files at ~1 KB of log metadata
+  * per (file, column). Same role as Delta's bloom-filter indexes.
+  *
+  * Opt-in via table property `graft.bloom.columns = "colA,colB"` (integral
+  * and string columns; partition columns are excluded — partition pruning
+  * is already exact). Filter size per (file, column) is
+  * `graft.bloom.bits` (default 2^16 bits = 8 KB ≈ 1% false positives at
+  * ~5k distinct values; false positives only COST (a kept file), never
+  * lose rows). Building costs one extra scan of the freshly written files
+  * per commit — the classic write-amplification/lookup-speed trade, which
+  * is why it is opt-in.
+  *
+  * Hash contract (must agree between the distributed build and the
+  * driver-side probe): values are canonicalized first — integrals as LONG,
+  * strings as-is — then xxhash64 (seed 42). The build
+  * hashes `xxhash64(cast(col as bigint))` / `xxhash64(col)` columns; the
+  * probe evaluates the same `XxHash64` expression over the canonical
+  * literal.
+  */
+object BloomIndex {
+
+  val ColumnsProperty = "graft.bloom.columns"
+  val BitsProperty = "graft.bloom.bits"
+  val DefaultBits = 1 << 16
+  val NumHashes = 6
+
+  // integral + string only: the other point-lookup types (date/timestamp)
+  // would need an ANSI-safe canonical long cast — not worth the edge cases
+  private[tables] def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case StringType => true
+    case _ => false
+  }
+
+  /** The configured, supported, non-partition bloom columns of a table. */
+  def columnsOf(props: Map[String, String], schema: StructType,
+      partCols: Seq[String]): Seq[String] =
+    props.get(ColumnsProperty)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      .filter(c => schema.fields.exists(f =>
+        f.name == c && supported(f.dataType)) && !partCols.contains(c))
+
+  /** Compute per-file blooms for `adds` (one aggregation pass over the
+    * freshly written files) and merge them into each file's stats JSON.
+    * No-op unless bloom columns are configured.
+    */
+  def attach(
+      spark: SparkSession,
+      tablePath: String,
+      adds: Seq[AddFile],
+      schema: StructType,
+      partCols: Seq[String],
+      props: Map[String, String]): Seq[AddFile] = {
+    val cols = columnsOf(props, schema, partCols)
+    if (cols.isEmpty || adds.isEmpty) return adds
+    val bits = props.get(BitsProperty).map(_.trim.toInt).getOrElse(DefaultBits)
+    require(bits >= 64 && (bits & (bits - 1)) == 0,
+      s"$BitsProperty must be a power of two >= 64, got $bits")
+
+    def hashCol(c: String): org.apache.spark.sql.Column =
+      schema.fields.find(_.name == c).get.dataType match {
+        case StringType => xxhash64(col(c))
+        case _          => xxhash64(col(c).cast(LongType))
+      }
+    def bloomAgg(c: String): org.apache.spark.sql.Column =
+      org.apache.spark.sql.graft.SparkBridge.column(
+        BloomBuildAgg(org.apache.spark.sql.graft.SparkBridge.expression(hashCol(c)), bits)
+          .toAggregateExpression()).as(s"__bloom_$c")
+
+    val paths = adds.map(a => new java.io.File(tablePath, a.path).toString)
+    val rows = spark.read.parquet(paths: _*)
+      .withColumn("__file", input_file_name())
+      .groupBy(col("__file"))
+      .agg(bloomAgg(cols.head), cols.tail.map(bloomAgg): _*)
+      .collect()
+    // input_file_name is a (percent-encoded) URI; AddFile paths are
+    // table-relative — match on decoded base names (unique per commit)
+    def base(p: String): String = {
+      val raw = p.substring(p.lastIndexOf('/') + 1)
+      java.net.URLDecoder.decode(raw, "UTF-8")
+    }
+    val byFile: Map[String, Row] = rows.map(r => base(r.getString(0)) -> r).toMap
+    // a zero-row file produces no aggregation group: it gets the all-zero
+    // bloom, which correctly answers "contains nothing" for every probe
+    val emptyBloom = toBase64(new Array[Long](bits / 64))
+    adds.map { a =>
+      val blooms = byFile.get(base(a.path)) match {
+        case None => cols.map(_ -> emptyBloom).toMap
+        case Some(r) => cols.zipWithIndex.map { case (c, i) =>
+          c -> toBase64(r.getSeq[Long](i + 1).toArray)
+        }.toMap
+      }
+      val stats = GraftLog.parseStats(a.stats).getOrElse(FileStats(numRecords = 0L))
+      a.copy(stats = GraftLog.renderStats(stats.copy(bloom = blooms)))
+    }
+  }
+
+  /** Set the k double-hashed bits of `hash` in `words`. */
+  def add(words: Array[Long], hash: Long): Unit = {
+    val numBits = words.length * 64
+    val h2 = (hash >>> 32) | 1L // odd ⇒ cycles through all bit positions
+    var i = 0
+    while (i < NumHashes) {
+      val bit = ((hash + i * h2) & Long.MaxValue) % numBits
+      words((bit / 64).toInt) |= 1L << (bit % 64)
+      i += 1
+    }
+  }
+
+  /** Conservative membership: false ⇒ definitely absent. */
+  def mightContain(words: Array[Long], hash: Long): Boolean = {
+    val numBits = words.length * 64
+    val h2 = (hash >>> 32) | 1L
+    var i = 0
+    while (i < NumHashes) {
+      val bit = ((hash + i * h2) & Long.MaxValue) % numBits
+      if ((words((bit / 64).toInt) & (1L << (bit % 64))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** The probe-side hash of a canonical predicate value (see hash contract
+    * above); None when the type has no bloom canonicalization.
+    */
+  def hashOfLiteral(v: Any, dt: DataType): Option[Long] = {
+    if (v == null) return None
+    val lit: Option[Literal] = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(Literal(v.asInstanceOf[Number].longValue(), LongType))
+      case StringType => v match {
+        case u: UTF8String => Some(Literal(u, StringType))
+        case s: String     => Some(Literal(UTF8String.fromString(s), StringType))
+        case _             => None
+      }
+      case _ => None
+    }
+    lit.map(l => XxHash64(Seq(l), 42L).eval(InternalRow.empty).asInstanceOf[Long])
+  }
+
+  def toBase64(words: Array[Long]): String = {
+    val bb = ByteBuffer.allocate(words.length * 8)
+    words.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  def fromBase64(s: String): Array[Long] = {
+    val bytes = java.util.Base64.getDecoder.decode(s)
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong())
+  }
+}
+
+/** Distributed bloom construction: folds pre-hashed LONG values into a
+  * fixed `numBits`-wide bit array per group (one group per file). Buffers
+  * are O(numBits) regardless of group size; merge is a word-wise OR.
+  */
+case class BloomBuildAgg(
+    child: Expression,
+    numBits: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](numBits / 64)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) BloomIndex.add(buffer, v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buffer.length) { buffer(i) |= other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(storageFormat: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(storageFormat)
+    Array.fill(storageFormat.length / 8)(bb.getLong())
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomBuildAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomBuildAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomBuildAgg =
+    copy(child = newChild)
+  override def prettyName: String = "bloom_build"
+}

@@ -190,16 +190,33 @@ object FileSkipping {
 
     def litVal(v: Any, dt: DataType): Option[Any] = canonical(v, dt)
 
+    /** Bloom probe: false ⇒ the value is definitely not in this file. Only
+      * consulted for equality; conservative (absent index / unknown type /
+      * any decode issue keeps the file).
+      */
+    def bloomMightContain(name: String, v: Any, dt: DataType): Boolean =
+      stats.flatMap(_.bloom.get(name)) match {
+        case None => true
+        case Some(b64) =>
+          BloomIndex.hashOfLiteral(v, dt) match {
+            case None => true
+            case Some(h) =>
+              try BloomIndex.mightContain(BloomIndex.fromBase64(b64), h)
+              catch { case _: IllegalArgumentException => true }
+          }
+      }
+
     p match {
       case EqualTo(l, r) =>
         sides(l, r) match {
           case Some((name, v, dt, _)) =>
-            (range(name), litVal(v, dt)) match {
+            val inRange = (range(name), litVal(v, dt)) match {
               case (Some((mn, mx)), Some(lit)) =>
                 (for { c1 <- cmp(mn, lit); c2 <- cmp(lit, mx) } yield c1 <= 0 && c2 <= 0)
                   .getOrElse(true)
               case _ => true
             }
+            inRange && bloomMightContain(name, v, dt)
           case None => true
         }
       case EqualNullSafe(l, r) => mightMatch(EqualTo(l, r), f, stats, schema, partCols)

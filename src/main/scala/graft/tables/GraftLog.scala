@@ -347,7 +347,8 @@ object GraftLog {
         numRecords = Option(n.get("numRecords")).map(_.asLong()).getOrElse(0L),
         minValues = strMap("minValues"),
         maxValues = strMap("maxValues"),
-        nullCount = longMap("nullCount")
+        nullCount = longMap("nullCount"),
+        bloom = strMap("bloom")
       ))
     }
 

@@ -108,7 +108,10 @@ object TableWriter {
           )
         }
       }
-      val numOutputRows = adds.flatMap(a => GraftLog.parseStats(a.stats)).map(_.numRecords).sum
+      // per-file bloom indexes when the table opts in (one extra pass over
+      // the freshly written files — see BloomIndex)
+      val indexedAdds = BloomIndex.attach(spark, tablePath, adds, newSchema, partCols, newProps)
+      val numOutputRows = indexedAdds.flatMap(a => GraftLog.parseStats(a.stats)).map(_.numRecords).sum
 
       // 4. CDC files (when provided and CDF enabled)
       val version = prevSnapshot.map(_.version + 1).getOrElse(0L)
@@ -202,7 +205,7 @@ object TableWriter {
           operationMetrics = metrics
         )
         try {
-          log.commit(v, metaActions ++ adds ++ removes ++ cdcActions ++ extraActions :+ commitInfo)
+          log.commit(v, metaActions ++ indexedAdds ++ removes ++ cdcActions ++ extraActions :+ commitInfo)
           committed = v
         } catch {
           case e: CommitConflictException =>

@@ -73,12 +73,16 @@ case class CommitInfo(
     operationMetrics: Map[String, String] = Map.empty
 ) extends Action
 
-/** Parsed form of [[AddFile.stats]]. */
+/** Parsed form of [[AddFile.stats]]. `bloom` maps indexed column names to
+  * base64 bloom-filter words (see [[BloomIndex]]) — absent unless the table
+  * opts in via `graft.bloom.columns`.
+  */
 case class FileStats(
     numRecords: Long,
     minValues: Map[String, String] = Map.empty,
     maxValues: Map[String, String] = Map.empty,
-    nullCount: Map[String, Long] = Map.empty
+    nullCount: Map[String, Long] = Map.empty,
+    bloom: Map[String, String] = Map.empty
 )
 
 /** Materialized table state at `version`: last metadata + surviving files +

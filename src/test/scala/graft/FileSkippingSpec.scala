@@ -70,6 +70,50 @@ class FileSkippingSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(survivors(t, "id IS NOT NULL") == 6)
   }
 
+  it("bloom indexes prune point lookups where min/max stats cannot") {
+    // ids interleaved across 8 files (i % 8): every file's [min,max] spans
+    // ~the whole key range, so range stats keep all 8 for any equality —
+    // the bloom must prune to ~1 file (+ rare false positives)
+    // EVEN ids only, round-robin across 8 files: every file's [min,max]
+    // spans ~the whole range, and every ODD id is absent-but-in-range —
+    // the case only a bloom can prune
+    val rows = (0 until 4096 by 2).map(i => (i, s"name$i"))
+    val t = GraftTable.create(spark, tmpTableDir("bloom"),
+      rows.toDF("id", "name").repartition(8),
+      properties = Map(
+        graft.tables.BloomIndex.ColumnsProperty -> "id,name",
+        graft.tables.BloomIndex.BitsProperty -> (1 << 16).toString))
+    assert(t.snapshot.files.size == 8)
+    // every file carries a bloom for both columns
+    assert(t.snapshot.files.forall(f =>
+      GraftLog.parseStats(f.stats).exists(s =>
+        s.bloom.contains("id") && s.bloom.contains("name"))))
+
+    // point lookups on an EXISTING key: the holding file survives, rows read correctly
+    Seq(16, 1000, 4094).foreach { k =>
+      val kept = survivors(t, s"id = $k")
+      assert(kept >= 1 && kept <= 3, s"id=$k scanned $kept of 8 (bloom fp run?)")
+      assert(t.toDF.filter($"id" === k).count() == 1)
+    }
+    // string column too
+    assert(survivors(t, "name = 'name2046'") <= 3)
+    // an ABSENT-but-IN-RANGE key: min/max keeps all 8, the bloom prunes
+    assert(survivors(t, "id = 2047") <= 1) // fp may keep one
+    assert(survivors(t, "name = 'nosuchname'") <= 1)
+    // ranges are untouched by blooms (min/max semantics preserved)
+    assert(survivors(t, "id >= 0 AND id <= 4095") == 8)
+    // IN lists go through the same equality path
+    assert(survivors(t, "id IN (16, 2047)") >= 1)
+
+    // a table WITHOUT the property gets no blooms: the same in-range absent
+    // key keeps all 8 files (nothing but a bloom can prune it)
+    val plain = GraftTable.create(spark, tmpTableDir("bloom_off"),
+      rows.toDF("id", "name").repartition(8))
+    assert(plain.snapshot.files.forall(f =>
+      GraftLog.parseStats(f.stats).forall(_.bloom.isEmpty)))
+    assert(survivors(plain, "id = 2047") == 8)
+  }
+
   it("OPTIMIZE ZORDER clusters both dimensions for skipping at once") {
     // two INDEPENDENT dimensions (y is a bit-reversal permutation of x, so
     // sorting by either leaves the other scattered), written scattered:
@@ -98,11 +142,23 @@ class FileSkippingSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(xScan <= 5, s"x-range scanned $xScan of 8 files after zorder")
     assert(yScan <= 3, s"y-range scanned $yScan of 8 files after zorder")
 
-    // unsupported column type fails loudly
+    // STRING zorder: prefix ranking clusters lexicographically, so string
+    // min/max stats prune a prefix range after the rewrite
+    val words = (0 until 1024).map(i => (i, f"w${rev(i)}%04d"))
     val ts = GraftTable.create(spark, tmpTableDir("zorder_str"),
-      Seq((1, "a")).toDF("id", "name"))
+      words.toDF("id", "name").repartition(8))
+    assert(survivors(ts, "name >= 'w0000' AND name <= 'w0512'") == 8)
+    graft.operators.TableOps.zorder(ts, Seq("name"), numFiles = Some(8))
+    val ts2 = GraftTable.forPath(spark, ts.path)
+    assert(ts2.toDF.collect().map(r => (r.getInt(0), r.getString(1))).toSet == words.toSet)
+    val sScan = survivors(ts2, "name >= 'w0000' AND name <= 'w0512'")
+    assert(sScan <= 2, s"string-prefix range scanned $sScan of 8 files after zorder")
+
+    // a truly unsupported column type still fails loudly
+    val tb = GraftTable.create(spark, tmpTableDir("zorder_bool"),
+      Seq((1, Array[Byte](1))).toDF("id", "payload"))
     intercept[IllegalArgumentException] {
-      graft.operators.TableOps.zorder(ts, Seq("name"))
+      graft.operators.TableOps.zorder(tb, Seq("payload"))
     }
   }
 

@@ -69,11 +69,19 @@ object BloomIndex {
       schema: StructType,
       partCols: Seq[String],
       props: Map[String, String]): Seq[AddFile] = {
-    val cols = columnsOf(props, schema, partCols)
-    if (cols.isEmpty || adds.isEmpty) return adds
+    val configured = columnsOf(props, schema, partCols)
+    if (configured.isEmpty || adds.isEmpty) return adds
     val bits = props.get(BitsProperty).map(_.trim.toInt).getOrElse(DefaultBits)
     require(bits >= 64 && (bits & (bits - 1)) == 0,
       s"$BitsProperty must be a power of two >= 64, got $bits")
+    // a schema-merging append may not carry every indexed column: files
+    // written without one simply get no bloom for it (probes then keep
+    // them — conservative), instead of failing the commit on an
+    // unresolvable column
+    val paths0 = adds.map(a => new java.io.File(tablePath, a.path).toString)
+    val written = spark.read.parquet(paths0: _*).columns.toSet
+    val cols = configured.filter(written.contains)
+    if (cols.isEmpty) return adds
 
     def hashCol(c: String): org.apache.spark.sql.Column =
       schema.fields.find(_.name == c).get.dataType match {
@@ -85,8 +93,7 @@ object BloomIndex {
         BloomBuildAgg(org.apache.spark.sql.graft.SparkBridge.expression(hashCol(c)), bits)
           .toAggregateExpression()).as(s"__bloom_$c")
 
-    val paths = adds.map(a => new java.io.File(tablePath, a.path).toString)
-    val rows = spark.read.parquet(paths: _*)
+    val rows = spark.read.parquet(paths0: _*)
       .withColumn("__file", input_file_name())
       .groupBy(col("__file"))
       .agg(bloomAgg(cols.head), cols.tail.map(bloomAgg): _*)

@@ -112,6 +112,14 @@ class FileSkippingSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(plain.snapshot.files.forall(f =>
       GraftLog.parseStats(f.stats).forall(_.bloom.isEmpty)))
     assert(survivors(plain, "id = 2047") == 8)
+
+    // a schema-merging append WITHOUT the indexed column must not fail the
+    // commit: the new file just has no bloom for it (probes keep it)
+    t.append(Seq(("only-extra", 1)).toDF("name", "extra"))
+    val t2 = GraftTable.forPath(spark, t.path)
+    assert(t2.toDF.filter($"name" === "only-extra").count() == 1)
+    // the old key still prunes down to the fp bound plus the un-indexed file
+    assert(survivors(t2, "id = 2047") <= 2)
   }
 
   it("OPTIMIZE ZORDER clusters both dimensions for skipping at once") {

@@ -226,7 +226,10 @@ object TableOps {
     if (selected.isEmpty || totalBytes == 0L) return snap.version
     val data = table.dfForFiles(snap, selected)
 
-    val zBits = 8
+    // bit budget shrinks when many columns share the 63 usable Long bits
+    // (a fixed 8 would alias bit positions past 8 columns and flip the
+    // sign bit at exactly 8 — silently scrambling the curve)
+    val zBits = zBitsPerColumn(cols.size)
     // Order-preserving numeric rank view of a column: numerics/dates cast
     // straight to double; strings map via their first 8 UTF-8 bytes read as
     // a big-endian unsigned integer (byte-lexicographic order = numeric
@@ -238,7 +241,7 @@ object TableOps {
           conv(rpad(substring(hex(col(c)), 1, 16), 16, "0"), 16, 10).cast("double")
         case _ => col(c).cast("double")
       }
-    // 255 inner boundaries per column from ONE multi-column
+    // 2^bits-1 inner boundaries per column from ONE multi-column
     // approximate-quantile pass (relativeError 0.01 — bucket edges only
     // need to be roughly equi-depth for clustering, not exact ranks); the
     // bucket of a row is the count of boundaries at or below its value
@@ -248,7 +251,7 @@ object TableOps {
     val allBoundaries = casted.stat.approxQuantile(cols.toArray, probs, 0.01)
     val zExpr = cols.zipWithIndex.map { case (c, ci) =>
       // rank = count of boundaries ≤ value, as ONE array fold over a literal
-      // boundary array — a 255-term when-chain compiles a multi-thousand-node
+      // boundary array — a long when-chain compiles a multi-thousand-node
       // codegen AST (seconds of janino time, paid twice: the range sampling
       // pass and the shuffle); the fold is a tiny loop
       val bucket = aggregate(
@@ -267,11 +270,19 @@ object TableOps {
     // so each task holds contiguous partition values and the writer's
     // per-value split doesn't shatter the z-clustering into tiny files
     val partCols = snap.metadata.partitionColumns
-    val rangeKey = partCols.map(col) :+ col("__z")
-    val clustered = data.withColumn("__z", zExpr)
-      .repartitionByRange(nOut, rangeKey: _*)
-      .sortWithinPartitions(rangeKey: _*)
-      .drop("__z")
+    val clustered =
+      if (cols.size == 1) {
+        // one clustering column: plain range partitioning + sort is strictly
+        // better than any space-filling curve (fully disjoint file ranges)
+        val key = partCols.map(col) :+ col(cols.head)
+        data.repartitionByRange(nOut, key: _*).sortWithinPartitions(key: _*)
+      } else {
+        val rangeKey = partCols.map(col) :+ col("__z")
+        data.withColumn("__z", zExpr)
+          .repartitionByRange(nOut, rangeKey: _*)
+          .sortWithinPartitions(rangeKey: _*)
+          .drop("__z")
+      }
     TableWriter.write(spark, table.path, clustered, TableWriter.Append,
       operation = "OPTIMIZE",
       operationParameters = Map(
@@ -351,58 +362,17 @@ object TableOps {
     * a single key (fully disjoint ranges) and the only order available for
     * strings.
     */
-  def zOrderBy(table: GraftTable, cols: Seq[String], numFiles: Int = 0): Long = {
-    val spark = table.spark
-    val snap = table.snapshot
-    val colRefs = cols.map(col)
-    val n = if (numFiles > 0) numFiles else math.max(1, snap.files.size)
-    val schema = snap.schema
-    val allNumeric = cols.forall(c => schema.fields.find(_.name == c)
-      .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
-    val data =
-      if (cols.size >= 2 && allNumeric) zOrderedData(table.toDF, cols, n)
-      else table.toDF.repartitionByRange(n, colRefs: _*).sortWithinPartitions(colRefs: _*)
-    TableWriter.write(spark, table.path, data, TableWriter.Append,
-      operation = "OPTIMIZE",
-      operationParameters = Map("zOrderBy" -> cols.mkString("[", ",", "]")),
-      extraMetrics = Map("numRemovedFiles" -> snap.files.size.toString),
-      removeFiles = snap.files.map(_.path),
-      readVersion = Some(snap.version))
-  }
+  def zOrderBy(table: GraftTable, cols: Seq[String], numFiles: Int = 0): Long =
+    // historical whole-table entry point — one z-order implementation lives
+    // in [[zorder]] (where-filtering, partition-aware range key, string
+    // prefix ranks, pinned file counts); 0 preserves the old default of
+    // keeping the current file count
+    zorder(table, cols, numFiles =
+      Some(if (numFiles > 0) numFiles else math.max(1, table.snapshot.files.size)))
 
   /** Bits of Z-value per clustering column: 8 (256 equi-depth buckets —
     * ample for file-level clustering) unless many columns squeeze the
     * 63-bit budget.
     */
   private def zBitsPerColumn(numCols: Int): Int = math.min(8, 63 / numCols)
-
-  /** `df` re-ordered by the interleaved-bit Z-value of `cols`. */
-  private def zOrderedData(df: DataFrame, cols: Seq[String], numFiles: Int): DataFrame = {
-    val bits = zBitsPerColumn(cols.size)
-    val buckets = 1 << bits
-    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    // equi-depth bucket of each clustering column: the count of quantile
-    // boundaries ≤ value (null → bucket 0); boundaries are a literal array,
-    // so the fold stays inside whole-stage codegen
-    val bucketCols = cols.map { c =>
-      val bounds = df.stat.approxQuantile(c, probs, 0.001).distinct.sorted
-      val arr = array(bounds.toIndexedSeq.map(lit): _*)
-      aggregate(arr, lit(0),
-        (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
-        .as(s"__graft_zb_$c")
-    }
-    val withBuckets = df.select(df.columns.map(col).toIndexedSeq ++ bucketCols: _*)
-    // z = bits of all buckets interleaved, lowest bit fastest: column c
-    // contributes bit i at position i*numCols + c
-    val z = (0 until bits).flatMap { i =>
-      cols.zipWithIndex.map { case (c, ci) =>
-        shiftleft(shiftright(col(s"__graft_zb_$c"), i).bitwiseAND(lit(1)),
-          i * cols.size + ci).cast("long")
-      }
-    }.reduce(_ + _)
-    withBuckets.withColumn("__graft_z", z)
-      .repartitionByRange(numFiles, col("__graft_z"))
-      .sortWithinPartitions("__graft_z")
-      .drop(cols.map(c => s"__graft_zb_$c") :+ "__graft_z": _*)
-  }
 }

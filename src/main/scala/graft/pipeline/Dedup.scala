@@ -36,6 +36,20 @@ object Dedup {
     as.toSeq.zip(bs.toSeq)
   }
 
+  /** Materialize an intermediate frame that feeds MULTIPLE plan branches.
+    * A method-scoped persist would be released before the caller's action
+    * plans (dead cache → full recompute per branch), so the plan itself is
+    * truncated at the materialized rows. With a configured
+    * `sparkContext.setCheckpointDir` the blocks go to RELIABLE storage and
+    * survive executor loss — set one on clusters with dynamic allocation /
+    * spot instances; otherwise `localCheckpoint` keeps blocks on executors
+    * (fastest, but an executor loss fails the query, which then simply
+    * re-runs — data is never corrupted).
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   /** Normalized word tokens of a text column. */
   def tokenize(textCol: Column): Column =
     split(trim(regexp_replace(lower(textCol), "[^a-z0-9]+", " ")), " ")
@@ -188,14 +202,12 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
 
-    // localCheckpoint (eager), NOT persist: the shingle frame feeds THREE
-    // plan branches (banding + both verification joins), and a persist
-    // released when this method returns would be gone before the caller's
-    // action plans — each branch would re-tokenize the corpus from parquet
-    // (measured: 3 full scans in the executed plan). Checkpointing truncates
-    // the plan to the materialized rows at construction time, so reuse is
-    // structural; the blocks are GC-released when the result is dropped.
-    val withSh = shingleDF(df, idCol, textCol, n).localCheckpoint()
+    // materialized, NOT persisted: the shingle frame feeds THREE plan
+    // branches (banding + both verification joins) — a method-scoped
+    // persist would be dead before the caller's action plans and each
+    // branch would re-tokenize the corpus (measured: 3 full scans in the
+    // executed plan). See [[materialize]] for the fault-tolerance knob.
+    val withSh = materialize(shingleDF(df, idCol, textCol, n))
     // one row per (doc, band): bucket key = xxhash64 of the band's slice
     // (hashing the array directly — a different bucket hash never changes
     // the verified output: same-slice pairs collide under ANY hash, and
@@ -240,13 +252,16 @@ object Dedup {
     * Two-tier execution, the same small-side/large-side split as broadcast
     * vs shuffle join selection:
     *
-    *  - pair sets up to `maxDriverEdges` (default 4M edges ≈ tens of MB)
+    *  - pair sets up to `maxDriverEdges` (default 1M edges; the bounded
+    *    probe collects two-column Rows, ~100 MB worst case on the default)
     *    run WEIGHTED-UNION find on the driver in one pass — the pair set is
     *    the near-DUPLICATE graph, not the corpus, so in practice it is
     *    orders of magnitude smaller than the data; an iterative distributed
     *    loop over a few thousand edges would be pure scheduling overhead.
     *    The collect is explicitly bounded (`take(maxDriverEdges + 1)`),
-    *    never corpus-sized.
+    *    never corpus-sized; note the probe's evaluation of the pair
+    *    pipeline is re-run by the distributed tier when the bound trips —
+    *    the price of not knowing the graph size up front.
     *  - beyond the bound, iterative min-label propagation with pointer
     *    jumping in pure DataFrame ops: each round lowers every node's label
     *    to the min over {own, neighbors'} labels in one edges-join + one
@@ -259,7 +274,7 @@ object Dedup {
     * @return (id, cluster) — one row per id occurring in `pairs`
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIterations: Int = 50, maxDriverEdges: Int = 4000000): DataFrame = {
+      maxIterations: Int = 50, maxDriverEdges: Int = 1000000): DataFrame = {
     val probe = pairs.select(col(aCol), col(bCol)).take(maxDriverEdges + 1)
     if (probe.length <= maxDriverEdges) driverUnionFind(pairs, aCol, bCol, probe)
     else distributedComponents(pairs, aCol, bCol, maxIterations)
@@ -337,16 +352,16 @@ object Dedup {
         // pointer jump: follow one label link (labels are node ids, so the
         // link target always exists; left+coalesce is belt-and-braces)
         val lookup = prop.select(col("id").as("__lid"), col("__new").as("__ll"))
-        // localCheckpoint (eager), NOT persist: `prop` appears twice in the
-        // jump self-join and `labels` twice in `prop`, so the LOGICAL plan
-        // quadruples per round — a cache only truncates physical execution,
-        // and tree walks (explain, UI) blow up exponentially after ~10
-        // rounds. Checkpointing rebases each round's plan on the
-        // materialized rows, keeping it constant-size.
+        // materialized (see [[materialize]]), NOT persisted: `prop` appears
+        // twice in the jump self-join and `labels` twice in `prop`, so the
+        // LOGICAL plan quadruples per round — a cache only truncates
+        // physical execution, and tree walks (explain, UI) blow up
+        // exponentially after ~10 rounds. Rebasing each round's plan on the
+        // materialized rows keeps it constant-size.
         val next = prop.join(lookup, prop("__new") === lookup("__lid"), "left")
           .select(col("id"), coalesce(col("__ll"), col("__new")).as("label"),
             col("__old"))
-          .localCheckpoint()
+          .transform(materialize)
         val changed = next
           .agg(count(when(col("label") =!= col("__old"), lit(1))))
           .first().getLong(0)
@@ -461,10 +476,9 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxGramDf: Int = 100000): DataFrame = {
-    // localCheckpoint, not persist — same three-branch reuse rationale as
-    // minhashLshPairs (postings + both verification joins); a lazily-scoped
-    // persist would be dead before the caller's action plans
-    val withSh = shingleDF(df, idCol, textCol, n).localCheckpoint()
+    // materialized, not persisted — same three-branch reuse rationale as
+    // minhashLshPairs (postings + both verification joins)
+    val withSh = materialize(shingleDF(df, idCol, textCol, n))
     // postings carry (gram, id, setSize) only — candidates travel as bare
     // id pairs
       val inverted = withSh.select(
@@ -553,9 +567,9 @@ object Dedup {
     val withVec = df.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__norm", sqrt(aggregate(col("__v"), lit(0.0d), (acc, x) => acc + x * x)))
-      // localCheckpoint, not persist — sketch branch + both vector joins
+      // materialized, not persisted — sketch branch + both vector joins
       // reuse the frame after this method returns (see minhashLshPairs)
-      .localCheckpoint()
+      .transform(materialize)
       // candidates travel as bare id pairs; vectors rejoin only for the
       // surviving distinct pairs (a hot LSH bucket costs id-pair rows, not
       // vector copies)

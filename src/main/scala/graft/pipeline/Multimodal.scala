@@ -311,9 +311,14 @@ object Multimodal {
     val lumas = scala.collection.mutable.ArrayBuffer.empty[Int]
 
     def frameLuma(off: Int, size: Int): Option[Int] = {
+      // Long math + sanity bounds: a crafted header declaring huge dims
+      // would overflow `rowSize * height` in Int (e.g. 24 * 2^29 ≡ 0) and
+      // drive the pixel loop past the payload — untrusted corpus bytes must
+      // decode to None, never crash the task
       if (width <= 0 || height <= 0 || bitCount != 24) return None
+      if (width > (1 << 16) || height > (1 << 16)) return None
       val rowSize = (width * 3 + 3) & ~3
-      if (size < rowSize * height) return None
+      if (size.toLong < rowSize.toLong * height) return None
       var sum = 0L
       var y = 0
       while (y < height) {
@@ -355,9 +360,15 @@ object Multimodal {
         o += 8 + size + (size & 1) // chunks are word-aligned
       }
     }
-    walk(12, payload.length)
-    if (width <= 0 || height <= 0 || lumas.isEmpty) None
-    else Some(VideoInfo(width, height, rate / scale, lumas.length, lumas.toArray))
+    try {
+      walk(12, payload.length)
+      if (width <= 0 || height <= 0 || lumas.isEmpty) None
+      else Some(VideoInfo(width, height, rate / scale, lumas.length, lumas.toArray))
+    } catch {
+      // torn/crafted containers must land on the undecodable path, same as
+      // the ImageIO/AudioSystem decoders
+      case _: IndexOutOfBoundsException | _: ArithmeticException => None
+    }
   }
 
   /** 16-bin normalized luminance histogram over ALL decoded frames of an

@@ -97,10 +97,12 @@ class GraftStreamSource(
 
   /** Highest version to offer after `base`, honoring both trigger budgets:
     * at most `maxVersionsPerTrigger` versions, and (when set) stop once
-    * admitted data-file bytes exceed `maxBytesPerTrigger` — sizes come from
-    * the commit log's AddFile metadata (change files ride along with their
-    * commit), no filesystem probing. The FIRST pending version is always
-    * admitted, so one oversized commit can never stall the stream.
+    * admitted data + change-file bytes exceed `maxBytesPerTrigger` — sizes
+    * come from the commit log's AddFile/AddCDCFile metadata, no filesystem
+    * probing (change files logged before sizes were recorded count as 0, so
+    * delete-heavy backlogs of such logs fall back to the version bound).
+    * The FIRST pending version is always admitted, so one oversized commit
+    * can never stall the stream.
     */
   private def admitThrough(base: Long, head: Long): Long = {
     val versionCapped = math.min(head, base + maxVersionsPerTrigger)
@@ -112,7 +114,10 @@ class GraftStreamSource(
         val pending = log.versions().filter(v => v > base && v <= versionCapped)
         pending.foreach { v =>
           if (admitted == base || bytes < budget) {
-            bytes += log.actionsAt(v).collect { case a: AddFile => a.size }.sum
+            bytes += log.actionsAt(v).collect {
+              case a: AddFile => a.size
+              case c: AddCDCFile => c.size
+            }.sum
             admitted = v
           }
         }
@@ -180,9 +185,13 @@ class GraftStreamSource(
   }
 
   private def snapshotAsInserts(v: Long): DataFrame =
-    table.toDFAt(v)
+    // through widen(): the table may have gained columns between source
+    // creation (schema pinned) and the first trigger — the snapshot path
+    // must fail as loudly as the per-version change path does, not silently
+    // project the new column away
+    widen(table.toDFAt(v)
       .withColumn("_change_type", lit("insert"))
-      .withColumn("_commit_version", lit(v))
+      .withColumn("_commit_version", lit(v)))
 
   private def changesFor(versions: Seq[Long]): DataFrame = {
     val frames = versions.flatMap { v =>

@@ -16,8 +16,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * min/max stats cannot cover: when a high-cardinality key is written
   * UNSORTED, every file's [min,max] spans ~the whole key range and a
   * `key = x` lookup scans the entire table; a per-file bloom answers
-  * "definitely not in this file" for most files at ~1 KB of log metadata
-  * per (file, column). Same role as Delta's bloom-filter indexes.
+  * "definitely not in this file" for most files at `graft.bloom.bits / 8`
+  * bytes of log metadata per (file, column) — ~8 KB raw / ~11 KB base64 at
+  * the default, which also grows every checkpoint; shrink the bits for
+  * many-file tables. Same role as Delta's bloom-filter indexes.
   *
   * Opt-in via table property `graft.bloom.columns = "colA,colB"` (integral
   * and string columns; partition columns are excluded — partition pruning
@@ -99,23 +101,29 @@ object BloomIndex {
       .agg(bloomAgg(cols.head), cols.tail.map(bloomAgg): _*)
       .collect()
     // input_file_name is a (percent-encoded) URI; AddFile paths are
-    // table-relative — match on decoded base names (unique per commit)
-    def base(p: String): String = {
-      val raw = p.substring(p.lastIndexOf('/') + 1)
-      java.net.URLDecoder.decode(raw, "UTF-8")
-    }
-    val byFile: Map[String, Row] = rows.map(r => base(r.getString(0)) -> r).toMap
+    // table-relative. Match on the decoded TABLE-RELATIVE path — base names
+    // alone collide on partitioned tables (one task writing several
+    // partition values reuses part-<task>-<jobUUID> under each dir), which
+    // would assign files the wrong bloom and silently prune live rows.
+    val tableUriPath = new java.io.File(tablePath).getAbsoluteFile.toURI.getPath
+    def relative(fileUri: String): String =
+      new java.net.URI(fileUri).getPath.stripPrefix(tableUriPath).stripPrefix("/")
+    val byFile: Map[String, Row] = rows.map(r => relative(r.getString(0)) -> r).toMap
     // a zero-row file produces no aggregation group: it gets the all-zero
-    // bloom, which correctly answers "contains nothing" for every probe
+    // bloom, which correctly answers "contains nothing" for every probe.
+    // A NON-empty file that somehow failed to match (path-encoding edge)
+    // gets NO bloom instead — probes then always keep it; the all-zero
+    // filter would wrongly prune live rows.
     val emptyBloom = toBase64(new Array[Long](bits / 64))
     adds.map { a =>
-      val blooms = byFile.get(base(a.path)) match {
-        case None => cols.map(_ -> emptyBloom).toMap
+      val stats = GraftLog.parseStats(a.stats).getOrElse(FileStats(numRecords = 0L))
+      val blooms = byFile.get(a.path) match {
         case Some(r) => cols.zipWithIndex.map { case (c, i) =>
           c -> toBase64(r.getSeq[Long](i + 1).toArray)
         }.toMap
+        case None if stats.numRecords == 0L => cols.map(_ -> emptyBloom).toMap
+        case None => Map.empty[String, String]
       }
-      val stats = GraftLog.parseStats(a.stats).getOrElse(FileStats(numRecords = 0L))
       a.copy(stats = GraftLog.renderStats(stats.copy(bloom = blooms)))
     }
   }

@@ -306,8 +306,9 @@ object TableWriter {
       Files.createDirectories(cdcRoot)
       listParquetFiles(Paths.get(stagingDir)).map { src =>
         val name = s"cdc-v$version-${UUID.randomUUID().toString}.parquet"
-        Files.move(src, cdcRoot.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-        AddCDCFile(s"${GraftLog.CdcDirName}/$name")
+        val dst = cdcRoot.resolve(name)
+        Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+        AddCDCFile(s"${GraftLog.CdcDirName}/$name", Files.size(dst))
       }
     } finally deleteRecursively(staging)
   }

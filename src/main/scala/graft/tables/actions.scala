@@ -49,7 +49,10 @@ case class AddFile(
 case class RemoveFile(path: String) extends Action
 
 /** A change-data file (rows + `_change_type` column) under `_change_data/`. */
-case class AddCDCFile(path: String) extends Action
+/** `size` is 0 in logs written before it was recorded (Jackson defaults the
+  * missing field); consumers treating it as a budget hint must tolerate 0.
+  */
+case class AddCDCFile(path: String, size: Long = 0L) extends Action
 
 /** Idempotence watermark for an external writer application (Delta's `txn`
   * vocabulary: appId + a monotonically increasing version). A streaming

@@ -122,6 +122,26 @@ class FileSkippingSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(survivors(t2, "id = 2047") <= 2)
   }
 
+  it("bloom matching survives partitioned writes (one task, many partition dirs)") {
+    // coalesce(1): ONE task writes a file under EVERY partition dir, so all
+    // files share a base name — matching must key on the relative path or
+    // every file gets another partition's bloom and point lookups lose rows
+    val rows = (0 until 512).map(i => (i * 2, i % 4))
+    val t = GraftTable.create(spark, tmpTableDir("bloom_part"),
+      rows.toDF("id", "p").coalesce(1),
+      partitionColumns = Seq("p"),
+      properties = Map(graft.tables.BloomIndex.ColumnsProperty -> "id"))
+    assert(t.snapshot.files.size == 4)
+    // every present key is found; each lives in exactly one partition file
+    Seq(0, 2, 510, 1022).foreach { k =>
+      assert(t.toDF.filter($"id" === k).count() == 1, s"id=$k lost")
+      val kept = survivors(t, s"id = $k")
+      assert(kept >= 1 && kept <= 2, s"id=$k scanned $kept of 4")
+    }
+    // absent-but-in-range keys prune
+    assert(survivors(t, "id = 3") <= 1)
+  }
+
   it("OPTIMIZE ZORDER clusters both dimensions for skipping at once") {
     // two INDEPENDENT dimensions (y is a bit-reversal permutation of x, so
     // sorting by either leaves the other scattered), written scattered:

@@ -94,7 +94,11 @@ class GraftDataSource extends RelationProvider
       parameters.get("startingVersion").map(_.trim.toLong),
       parameters.get("maxVersionsPerTrigger").map(_.trim.toLong)
         .getOrElse(GraftStreamSource.DefaultMaxVersionsPerTrigger),
-      parameters.get("maxBytesPerTrigger").map(_.trim.toLong))
+      parameters.get("maxBytesPerTrigger").map(_.trim.toLong),
+      // checkpoint-scoped metadata dir: the source persists its offer
+      // high-watermark here so budgeted restarts never regress below the
+      // committed offset (see GraftStreamSource.writeWatermark)
+      metadataPath = Some(metadataPath))
 
   private def pathOf(parameters: Map[String, String]): String = {
     val p = parameters.getOrElse("path", throw new IllegalArgumentException(

@@ -44,9 +44,12 @@ import graft.tables.{AddCDCFile, AddFile, GraftLog, GraftTable, RemoveFile}
   * the analyzer cost and the batch's work are linear in the versions it
   * spans, so the bound is what keeps a 10k-commit gap processable).
   * Exactly-once is unaffected: offsets are still plain versions and a
-  * bounded range replays deterministically. The INITIAL snapshot batch is
-  * exempt — it is one pinned-version table scan (a single distributed
-  * parquet read), not a per-version union. Note the bounds also pace
+  * bounded range replays deterministically. The FIRST offer of a source
+  * instance is exempt — the snapshot batch is one pinned-version table scan
+  * (a single distributed parquet read, not a per-version union), and after a
+  * checkpoint restart the committed offset is not visible to `getOffset`, so
+  * a budgeted first offer could regress below it and re-emit delivered
+  * versions. Note the bounds also pace
   * `Trigger.Once`/`AvailableNow` runs: such a run advances at most one
   * batch's worth per invocation.
   */
@@ -55,7 +58,8 @@ class GraftStreamSource(
     tablePath: String,
     startingVersion: Option[Long],
     maxVersionsPerTrigger: Long = GraftStreamSource.DefaultMaxVersionsPerTrigger,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    metadataPath: Option[String] = None)
   extends Source {
 
   require(maxVersionsPerTrigger > 0,
@@ -71,11 +75,27 @@ class GraftStreamSource(
 
   /** Highest version this source has already offered (or seen committed via
     * `getBatch` during checkpoint recovery) — the base the per-trigger
-    * version budget counts from. `None` until the first offer: the first
-    * batch is either the snapshot (one pinned scan, exempt from the bound)
-    * or a `startingVersion` replay (bounded from `startingVersion - 1`).
+    * version budget counts from. `None` until the first offer.
+    *
+    * Restart hazard: after a restart whose LAST batch was committed, Spark
+    * calls `getOffset` before any `getBatch`, so this instance cannot see
+    * the committed offset — and a budget counted from `startingVersion`
+    * could then offer a version BELOW it, walking the stream backwards and
+    * re-emitting delivered versions. The source therefore persists its own
+    * high-watermark (max version ever offered, which is always ≥ the
+    * committed offset) in the checkpoint's source-metadata directory and
+    * seeds `lastOffered` from it: restarts stay budgeted without ever
+    * regressing, and a genuinely fresh start (no marker) keeps the bounded
+    * first batch. An unreadable marker (torn write) degrades to offering
+    * head — unbudgeted but safe.
     */
-  @volatile private var lastOffered: Option[Long] = None
+  private val initialMarker: GraftStreamSource.Marker =
+    GraftStreamSource.readWatermark(spark, metadataPath)
+
+  @volatile private var lastOffered: Option[Long] = initialMarker match {
+    case GraftStreamSource.MarkerAt(v) => Some(v)
+    case _ => None
+  }
 
   override def getOffset: Option[Offset] = {
     if (!log.tableExists) None
@@ -83,6 +103,9 @@ class GraftStreamSource(
       val head = log.latestVersion()
       val offered = lastOffered match {
         case Some(base) => admitThrough(base, head)
+        // a corrupt (torn-write) marker means this IS a restart but the
+        // watermark is unknown — only an unbudgeted head offer cannot regress
+        case None if initialMarker == GraftStreamSource.MarkerCorrupt => head
         case None => startingVersion match {
           // first replay batch: budget counts from just before startingVersion
           case Some(sv) => admitThrough(sv - 1, head)
@@ -90,8 +113,20 @@ class GraftStreamSource(
           case None => head
         }
       }
-      lastOffered = Some(lastOffered.fold(offered)(math.max(_, offered)))
+      advanceWatermark(offered)
       Some(LongOffset(offered))
+    }
+  }
+
+  /** Raise `lastOffered` to `v` and persist the marker BEFORE the offer is
+    * returned (so the durable watermark always leads Spark's offset log —
+    * the no-regression invariant the restart path relies on). Monotonic:
+    * replayed batches below the watermark leave it untouched.
+    */
+  private def advanceWatermark(v: Long): Unit = {
+    if (!lastOffered.exists(_ >= v)) {
+      lastOffered = Some(v)
+      GraftStreamSource.writeWatermark(spark, metadataPath, v)
     }
   }
 
@@ -114,7 +149,14 @@ class GraftStreamSource(
         val pending = log.versions().filter(v => v > base && v <= versionCapped)
         pending.foreach { v =>
           if (admitted == base || bytes < budget) {
-            bytes += log.actionsAt(v).collect {
+            val actions = log.actionsAt(v)
+            // OPTIMIZE rewrites contribute no rows to the stream (changesFor
+            // skips them) — charging their rewritten-file bytes would drain a
+            // compaction-heavy backlog one near-empty batch at a time
+            val layoutOnly = actions.collectFirst {
+              case c: graft.tables.CommitInfo => c.operation
+            }.contains("OPTIMIZE")
+            if (!layoutOnly) bytes += actions.collect {
               case a: AddFile => a.size
               case c: AddCDCFile => c.size
             }.sum
@@ -130,7 +172,7 @@ class GraftStreamSource(
     // checkpoint recovery replays the last uncommitted batch through
     // getBatch BEFORE the next getOffset — record its end so the version
     // budget resumes from the recovered position, not from scratch
-    lastOffered = Some(lastOffered.fold(endV)(math.max(_, endV)))
+    advanceWatermark(endV)
     val out = start match {
       case None =>
         startingVersion match {
@@ -240,6 +282,61 @@ object GraftStreamSource {
 
   /** Default bound on commits per micro-batch (see class doc). */
   val DefaultMaxVersionsPerTrigger: Long = 100L
+
+  /** State of the persisted offer high-watermark at source construction. */
+  sealed trait Marker
+  case object MarkerAbsent extends Marker
+  /** Marker file present but unreadable (torn write) — restart of unknown
+    * progress; only an unbudgeted head offer is safe.
+    */
+  case object MarkerCorrupt extends Marker
+  final case class MarkerAt(version: Long) extends Marker
+
+  private def watermarkPath(metadataPath: String) =
+    new org.apache.hadoop.fs.Path(metadataPath, "graft-offer-watermark")
+
+  /** Read the persisted high-watermark (max version ever offered) from the
+    * checkpoint's source-metadata dir. Absent path/file → [[MarkerAbsent]];
+    * present but unparseable → [[MarkerCorrupt]].
+    */
+  private[sources] def readWatermark(
+      spark: org.apache.spark.sql.SparkSession,
+      metadataPath: Option[String]): Marker =
+    metadataPath.fold[Marker](MarkerAbsent) { dir =>
+      val p = watermarkPath(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) MarkerAbsent
+      else {
+        try {
+          val in = fs.open(p)
+          val text = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          finally in.close()
+          MarkerAt(text.toLong)
+        } catch { case scala.util.control.NonFatal(_) => MarkerCorrupt }
+      }
+    }
+
+  /** Durably record `version` as the offer high-watermark. Called BEFORE the
+    * offer is returned to Spark, so the marker always leads the offset log —
+    * a marker AHEAD of the committed offset only caps the next batch's
+    * budget high (batches still span from the committed offset; nothing is
+    * skipped), while a marker BEHIND it could re-emit versions. Plain
+    * overwrite-create: single-writer (one driver per checkpoint), 8-byte
+    * payload, and a torn write degrades to [[MarkerCorrupt]] → safe head
+    * offer on the next restart.
+    */
+  private[sources] def writeWatermark(
+      spark: org.apache.spark.sql.SparkSession,
+      metadataPath: Option[String],
+      version: Long): Unit =
+    metadataPath.foreach { dir =>
+      val p = watermarkPath(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(p, true)
+      try out.write(version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
 
   def schemaOf(spark: org.apache.spark.sql.SparkSession, tablePath: String): StructType =
     GraftTable.forPath(spark, tablePath).snapshot.schema

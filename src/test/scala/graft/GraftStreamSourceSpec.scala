@@ -232,6 +232,56 @@ class GraftStreamSourceSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(nonEmpty.forall(_.size == 1), s"budget of 1 byte must admit one version per batch: $nonEmpty")
   }
 
+  it("never re-emits committed versions after a restart beyond the trigger budget") {
+    // regression: a restarted source sees getOffset BEFORE any getBatch, so
+    // without the persisted watermark a budget counted from startingVersion
+    // would offer min(head, startingVersion-1+budget) — BELOW the committed
+    // offset once the stream has progressed further than one budget's worth.
+    // Spark would then walk the offset back up, replaying delivered versions.
+    val (dir, t) = mkTable("gss_restart")
+    (0 until 12).foreach(i => t.append(Seq((300 + i, s"v$i")).toDF("id", "name"))) // v1..v12
+    val ckpt = java.nio.file.Files.createTempDirectory("gss_restart_ckpt").toString
+    val batches = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Set[Long]]())
+    def got: Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      batches.asScala.toSeq.flatten.sorted
+    }
+    def start() = spark.readStream.format("graft")
+      .option("startingVersion", 1)
+      .option("maxVersionsPerTrigger", 5)
+      .load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(batch.select($"_commit_version").collect().map(_.getLong(0)).toSet); ()
+      }.start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // drains v1..v12 in >=3 batches
+    assert(got == (1L to 12L), s"first run mis-drained: $got")
+    batches.clear()
+
+    // restart with NOTHING new: committed offset (12) is far beyond
+    // startingVersion-1+5 — a budget-from-startingVersion first offer would
+    // regress and replay
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(got.isEmpty, s"restart re-emitted versions: $got")
+    batches.clear()
+
+    // restart after a >budget backlog accrued while down: exactly the new
+    // versions, once each — and STILL in budgeted batches (the persisted
+    // watermark keeps the bound without regressing)
+    (0 until 12).foreach(i => t.append(Seq((400 + i, s"n$i")).toDF("id", "name"))) // v13..v24
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(got == (13L to 24L), s"restart catch-up wrong: $got")
+    import scala.jdk.CollectionConverters._
+    val nonEmpty = batches.asScala.filter(_.nonEmpty)
+    assert(nonEmpty.size >= 3, s"expected >=3 budgeted catch-up batches, got $nonEmpty")
+    nonEmpty.foreach(vs => assert(vs.max - vs.min < 5, s"batch over budget: $vs"))
+  }
+
   it("fails loudly when the table schema evolves mid-stream") {
     // the stream schema is pinned at source creation; a column added by a
     // later commit cannot surface without a restart — dropping it silently

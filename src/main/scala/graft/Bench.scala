@@ -59,7 +59,17 @@ object Bench {
     // (unset in the driver → full run)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only.fold(SparkEntry.staged)(names => SparkEntry.staged.filter {
+    // fault injection for exercising the error path end-to-end
+    // (SPARK_GRAFT_FAIL=<name> adds a query that always throws): the
+    // errors-map + nonzero-exit contract is testable without breaking a
+    // real query
+    val injected: Map[String, (SparkSession, String) => () => DataFrame] =
+      sys.env.get("SPARK_GRAFT_FAIL").map { n =>
+        n -> ((_: SparkSession, _: String) =>
+          () => sys.error(s"deliberately injected failure ($n)"))
+      }.toMap
+    val all = SparkEntry.staged ++ injected
+    val selected = only.fold(all)(names => all.filter {
       case (n, _) => names.contains(n)
     })
     // fixture (scratch-table / commit-history / stream-input construction)
@@ -68,23 +78,56 @@ object Bench {
     // hold query-only seconds, "fixtures" the per-query setup seconds
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val f0 = System.nanoTime()
-      val thunk = try Some(fn(spark, sfDir)) catch { case _: Throwable => None }
+      val thunk =
+        try Right(fn(spark, sfDir))
+        catch { case e: Throwable => Left(s"fixture: ${describe(e)}") }
       val f1 = System.nanoTime()
-      try thunk.foreach(t => consume(t())) catch { case _: Throwable => () }
+      val err = thunk match {
+        case Left(m) => Some(m)
+        case Right(t) =>
+          try { consume(t()); None }
+          catch { case e: Throwable => Some(s"query: ${describe(e)}") }
+      }
       val q1 = System.nanoTime()
-      (name, (f1 - f0) / 1e9, (q1 - f1) / 1e9)
+      (name, (f1 - f0) / 1e9, (q1 - f1) / 1e9, err)
     }
-    val qs = results.map { case (k, _, q) => "\"" + k + "\":" + q }
+    val qs = results.map { case (k, _, q, _) => "\"" + k + "\":" + q }
       .mkString("{", ",", "}")
-    val fx = results.map { case (k, f, _) => "\"" + k + "\":" + f }
+    val fx = results.map { case (k, f, _, _) => "\"" + k + "\":" + f }
       .mkString("{", ",", "}")
+    val errors = results.collect { case (k, _, _, Some(m)) => k -> m }
     val total = results.map(_._3).sum
     val fixtureTotal = results.map(_._2).sum
     // a SPARK_GRAFT_ONLY-filtered run must be self-identifying so partial
     // local numbers can't be mistaken for a full-suite benchmark
     val filteredMarker =
       if (only.isDefined) s""","filtered":true,"selected":${selected.size}""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"fixture_total":$fixtureTotal,"fixtures":$fx,"sf":"$sfDir"$filteredMarker}""")
+    // a failed query must be LOUD, not a silent zero-second line: name every
+    // error in the JSON and fail the process so the driver records a red run
+    val errorsMarker =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, m) => "\"" + k + "\":\"" + escape(m) + "\"" }
+        .mkString(""","errors":{""", ",", "}")
+    // stop Spark BEFORE printing: shutdown log noise then cannot land after
+    // the JSON, so a tail-capture of stdout always ends with the full line
     spark.stop()
+    Console.out.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"fixture_total":$fixtureTotal,"fixtures":$fx,"sf":"$sfDir"$filteredMarker$errorsMarker}""")
+    Console.out.flush()
+    if (errors.nonEmpty) sys.exit(1)
   }
+
+  /** One-line bounded description of a failure for the bench JSON. */
+  private def describe(e: Throwable): String = {
+    val msg = Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString
+    val s = s"${e.getClass.getSimpleName}: $msg"
+    if (s.length > 200) s.take(197) + "..." else s
+  }
+
+  private def escape(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => "\\u%04x".format(c.toInt)
+      case c             => c.toString
+    }
 }

@@ -1,44 +1,87 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.graft.SparkBridge
 import org.apache.spark.sql.types.IntegerType
 
-/** SQL registration for graft's custom Catalyst expressions, so
-  * `spark.sql("SELECT minhash_signature(shingles, 64) ...")` works alongside
-  * the Column API ([[graft.pipeline.Dedup.minhashSignature]]).
+import graft.pipeline.{Dedup, TextAnalysis}
+
+/** SQL registration for graft's custom expressions and text/dedup builders,
+  * so the SQL surface matches the Column API:
+  *
+  *  - `minhash_signature(shingles array<bigint> [, numHashes int = 64
+  *    [, seed bigint = 42]])` — the codegen'd Catalyst expression
+  *    ([[graft.pipeline.Dedup.minhashSignature]]);
+  *  - `tokenize(text)` — normalized word tokens
+  *    ([[graft.pipeline.Dedup.tokenize]]);
+  *  - `shingles(text, n int)` — hashed word n-gram shingles
+  *    ([[graft.pipeline.Dedup.shingles]]);
+  *  - `simhash(text [, bits int = 64])` — per-document SimHash
+  *    ([[graft.pipeline.Dedup.simhashColumn]]);
+  *  - `quality_score(text)` — composite quality heuristic
+  *    ([[graft.pipeline.TextAnalysis.qualityScore]]);
+  *  - `fingerprint(text)` — normalized-content md5
+  *    ([[graft.pipeline.TextAnalysis.fingerprint]]).
+  *
+  * Parameters that select a code shape (hash counts, shingle width, bit
+  * width) must be LITERALS — like `round`'s scale argument — and are
+  * validated at registration-function call time, erroring by name.
   */
 object GraftFunctions {
 
-  /** Register all graft SQL functions on `spark` (session-scoped).
-    *
-    * `minhash_signature(shingles array<bigint> [, numHashes int = 64
-    * [, seed bigint = 42]])` — numHashes and seed must be literals (they
-    * parameterize the generated code, like `round`'s scale argument).
-    */
+  /** Register all graft SQL functions on `spark` (session-scoped). */
   def register(spark: SparkSession): Unit = {
-    org.apache.spark.sql.graft.SparkBridge.registerFunction(
-      spark, "minhash_signature", minhashBuilder)
+    SparkBridge.registerFunction(spark, "minhash_signature", minhashBuilder)
+    SparkBridge.registerFunction(spark, "tokenize",
+      unary("tokenize", Dedup.tokenize))
+    SparkBridge.registerFunction(spark, "shingles", shinglesBuilder)
+    SparkBridge.registerFunction(spark, "simhash", simhashBuilder)
+    SparkBridge.registerFunction(spark, "quality_score",
+      unary("quality_score", TextAnalysis.qualityScore))
+    SparkBridge.registerFunction(spark, "fingerprint",
+      unary("fingerprint", TextAnalysis.fingerprint))
   }
 
   private[functions] def minhashBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.nonEmpty && exprs.length <= 3,
       s"minhash_signature expects 1 to 3 arguments, got ${exprs.length}")
-    val numHashes = exprs.lift(1).map(litInt("numHashes", _)).getOrElse(64)
-    val seed = exprs.lift(2).map(litLong("seed", _)).getOrElse(42L)
+    val numHashes = exprs.lift(1).map(litInt("minhash_signature", "numHashes", _)).getOrElse(64)
+    val seed = exprs.lift(2).map(litLong("minhash_signature", "seed", _)).getOrElse(42L)
     MinHashSignature(exprs.head, numHashes, seed)
   }
 
-  private def litInt(name: String, e: Expression): Int = e match {
-    case Literal(v: Int, IntegerType) => v
-    case other => throw new IllegalArgumentException(
-      s"minhash_signature: $name must be an integer literal, got ${other.sql}")
+  private[functions] def shinglesBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"shingles expects 2 arguments (text, n), got ${exprs.length}")
+    val n = litInt("shingles", "n", exprs(1))
+    require(n >= 1, s"shingles: n must be >= 1, got $n")
+    SparkBridge.catalystExpression(Dedup.shingles(SparkBridge.column(exprs.head), n))
   }
 
-  private def litLong(name: String, e: Expression): Long = e match {
+  private[functions] def simhashBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.nonEmpty && exprs.length <= 2,
+      s"simhash expects 1 or 2 arguments (text [, bits]), got ${exprs.length}")
+    val bits = exprs.lift(1).map(litInt("simhash", "bits", _)).getOrElse(64)
+    require(bits >= 1 && bits <= 64, s"simhash: bits must be in [1, 64], got $bits")
+    SparkBridge.catalystExpression(Dedup.simhashColumn(SparkBridge.column(exprs.head), bits))
+  }
+
+  private def unary(name: String, f: Column => Column)(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, s"$name expects exactly 1 argument, got ${exprs.length}")
+    SparkBridge.catalystExpression(f(SparkBridge.column(exprs.head)))
+  }
+
+  private def litInt(fn: String, name: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $name must be an integer literal, got ${other.sql}")
+  }
+
+  private def litLong(fn: String, name: String, e: Expression): Long = e match {
     case Literal(v: Int, IntegerType) => v.toLong
     case Literal(v: Long, _)          => v
     case other => throw new IllegalArgumentException(
-      s"minhash_signature: $name must be a long literal, got ${other.sql}")
+      s"$fn: $name must be a long literal, got ${other.sql}")
   }
 }

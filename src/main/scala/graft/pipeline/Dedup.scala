@@ -421,6 +421,39 @@ object Dedup {
     voted.select(col(idCol), hashExpr.as("simhash"))
   }
 
+  /** Per-row (scalar) SimHash of a text column — the same bit semantics as
+    * the aggregated [[simhash]] (xxhash64 token hashes, ±1 votes per token
+    * OCCURRENCE, bit set when the vote sum is positive), expressed as one
+    * codegen'd higher-order-function pass so it can serve as a SQL function
+    * and compose into scans. A document with no tokens hashes to 0; null
+    * text propagates null. Cost is O(tokens × bits) per row — fine for the
+    * ≤64-bit widths simhash uses.
+    */
+  def simhashColumn(textCol: Column, bits: Int = 64): Column = {
+    require(bits >= 1 && bits <= 64, s"simhash bits must be in [1, 64], got $bits")
+    val hashes = transform(
+      filter(tokenize(textCol), t => length(t) > 0), t => xxhash64(t))
+    val idx = sequence(lit(0), lit(bits - 1))
+    // per-bit vote sums in ONE traversal of the token hashes: the aggregate
+    // state is the array of `bits` running sums (shift amounts are data-
+    // dependent, so the shifts go through call_function — the SQL ShiftLeft/
+    // ShiftRight accept expression positions, unlike the Scala wrappers)
+    val votes = aggregate(
+      hashes,
+      transform(idx, _ => lit(0L)),
+      (acc, h) => zip_with(
+        acc,
+        transform(idx, i =>
+          when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1, lit(1L))
+            .otherwise(lit(-1L))),
+        (a, v) => a + v))
+    aggregate(
+      zip_with(votes, idx, (v, i) =>
+        when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L),
+      (a, b) => a.bitwiseOR(b))
+  }
+
   /** SimHash near-duplicate pairs with hamming distance ≤ `maxHamming`.
     * Pigeonhole banding: split the `bits`-wide hash into `maxHamming + 1`
     * chunks — any pair within the distance agrees on ≥1 chunk, so candidates

@@ -30,6 +30,17 @@ object SparkBridge {
   /** The Catalyst expression behind a `Column` (inverse of [[column]]). */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** FULL ColumnNode→Catalyst conversion of a composed `Column`. Unlike
+    * [[expression]] — which wraps the column's node tree in an opaque
+    * `ColumnNodeExpression` that only a Dataset operation can resolve — this
+    * produces a real Catalyst tree (`UnresolvedFunction` etc.) the analyzer
+    * resolves in ANY context, which is what a `FunctionRegistry` builder
+    * must return (a node-wrapped column there analyzes "resolved" but is
+    * Unevaluable and dies at codegen).
+    */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Register a custom Catalyst expression as a session-scoped SQL function
     * (the `FunctionRegistry` route Delta/Sedona/etc. use for their SQL
     * surface — `spark.udf.register` can only wrap boxed Scala closures, not

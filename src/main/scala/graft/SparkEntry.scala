@@ -900,12 +900,22 @@ object SparkEntry {
       import s.implicits._
       val base = read(s, dir, "orders")
         .select((col("o_orderkey") * 2).cast("long").as("key"), col("o_custkey"))
+      // filter width scales with the keys per file (~rows/8): ~16 bits per
+      // key keeps fp ≈ 1% at ANY scale factor — the default 2^16 bits
+      // saturates once a file holds ≫5k distinct keys and the absent-key
+      // probe would stop pruning
+      val keysPerFile = math.max(1L, base.count() / 8)
+      val bits = math.min(1L << 26,
+        java.lang.Long.highestOneBit(math.max(1L << 16, keysPerFile * 16) - 1) << 1)
       val t = GraftTable.create(s, tmp("s12"), base.repartition(8),
-        properties = Map(graft.tables.BloomIndex.ColumnsProperty -> "key"))
+        properties = Map(
+          graft.tables.BloomIndex.ColumnsProperty -> "key",
+          graft.tables.BloomIndex.BitsProperty -> bits.toString))
       () => {
       def scanned(cond: String): Int = {
         val cls = graft.tables.FileSkipping.classify(s, t.toDF, cond)
-        graft.tables.FileSkipping.filesMatching(t.snapshot, cls.all).size
+        graft.tables.FileSkipping.filesMatching(t.snapshot, cls.all,
+          Some(graft.tables.BloomIndex.ProbeContext(s, t.path))).size
       }
       Seq((
         t.toDF.count(),
@@ -933,7 +943,8 @@ object SparkEntry {
       val t2 = GraftTable.forPath(s, t.path)
       def scanned(cond: String): Int = {
         val cls = graft.tables.FileSkipping.classify(s, t2.toDF, cond)
-        graft.tables.FileSkipping.filesMatching(t2.snapshot, cls.all).size
+        graft.tables.FileSkipping.filesMatching(t2.snapshot, cls.all,
+          Some(graft.tables.BloomIndex.ProbeContext(s, t2.path))).size
       }
       Seq((
         t2.toDF.count(),

@@ -137,11 +137,12 @@ object GraftHelpers {
   private def shuffleFileSets(table: GraftTable, condition: String) = {
     val snap = table.snapshot
     val cls = FileSkipping.classify(table.spark, table.toDF, condition)
+    val bloomCtx = Some(BloomIndex.ProbeContext(table.spark, table.path))
     (
-      FileSkipping.filesMatching(snap, cls.all),
-      FileSkipping.filesMatching(snap, cls.minMax),
-      FileSkipping.filesMatching(snap, cls.equals),
-      FileSkipping.filesMatching(snap, cls.leftOver),
+      FileSkipping.filesMatching(snap, cls.all, bloomCtx),
+      FileSkipping.filesMatching(snap, cls.minMax, bloomCtx),
+      FileSkipping.filesMatching(snap, cls.equals, bloomCtx),
+      FileSkipping.filesMatching(snap, cls.leftOver, bloomCtx),
       snap.files, // unresolved conjuncts cannot prune anything
       cls
     )

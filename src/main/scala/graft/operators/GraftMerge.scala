@@ -135,7 +135,8 @@ object GraftMerge {
         }
       }
 
-    val candidates = FileSkipping.filesMatching(snap, targetOnly ++ dynamicPreds)
+    val candidates = FileSkipping.filesMatching(snap, targetOnly ++ dynamicPreds,
+      Some(BloomIndex.ProbeContext(spark, table.path)))
     val scanTime = System.currentTimeMillis() - t0
 
     // source is always aliased so UpdateAll/InsertAll can reference its side

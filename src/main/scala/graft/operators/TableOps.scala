@@ -23,7 +23,8 @@ object TableOps {
     val cond = condition.getOrElse("true")
 
     val classified = FileSkipping.classify(spark, table.toDF, cond)
-    val candidates = FileSkipping.filesMatching(snap, classified.all)
+    val candidates = FileSkipping.filesMatching(snap, classified.all,
+      Some(BloomIndex.ProbeContext(spark, table.path)))
     val scanTime = System.currentTimeMillis() - t0
 
     val candDf = table.dfForFiles(snap, candidates).withColumn("__graft_file", input_file_name())
@@ -80,7 +81,8 @@ object TableOps {
     val cond = condition.getOrElse("true")
 
     val classified = FileSkipping.classify(spark, table.toDF, cond)
-    val candidates = FileSkipping.filesMatching(snap, classified.all)
+    val candidates = FileSkipping.filesMatching(snap, classified.all,
+      Some(BloomIndex.ProbeContext(spark, table.path)))
     val scanTime = System.currentTimeMillis() - t0
 
     val candDf = table.dfForFiles(snap, candidates).withColumn("__graft_file", input_file_name())
@@ -152,7 +154,8 @@ object TableOps {
       case None => snap.files
       case Some(cond) =>
         val classified = FileSkipping.classify(spark, table.toDF, cond)
-        FileSkipping.filesMatching(snap, classified.all)
+        FileSkipping.filesMatching(snap, classified.all,
+          Some(BloomIndex.ProbeContext(spark, table.path)))
       // bin-packing guard: already-right-sized files are left alone, so
       // repeated OPTIMIZE runs don't churn the whole partition
     }).filter(_.size < onlyFilesSmallerThan)
@@ -220,7 +223,8 @@ object TableOps {
       case None => snap.files
       case Some(cond) =>
         val classified = FileSkipping.classify(spark, table.toDF, cond)
-        FileSkipping.filesMatching(snap, classified.all)
+        FileSkipping.filesMatching(snap, classified.all,
+          Some(BloomIndex.ProbeContext(spark, table.path)))
     }
     val totalBytes = selected.map(_.size).sum
     if (selected.isEmpty || totalBytes == 0L) return snap.version

@@ -469,7 +469,8 @@ class GraftFileIndex(
     // stats-based skipping on data filters (conservative — never wrong)
     val statsKept =
       if (dataFilters.isEmpty) snap.files
-      else FileSkipping.filesMatching(snap, dataFilters)
+      else FileSkipping.filesMatching(snap, dataFilters,
+        Some(graft.tables.BloomIndex.ProbeContext(spark, tablePath)))
     val keep = partitionPredicate(partitionFilters)
     statsKept.groupBy(_.partitionValues).iterator.flatMap { case (_, files) =>
       val values = partitionRow(files.head)

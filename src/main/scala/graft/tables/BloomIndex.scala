@@ -16,10 +16,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * min/max stats cannot cover: when a high-cardinality key is written
   * UNSORTED, every file's [min,max] spans ~the whole key range and a
   * `key = x` lookup scans the entire table; a per-file bloom answers
-  * "definitely not in this file" for most files at `graft.bloom.bits / 8`
-  * bytes of log metadata per (file, column) — ~8 KB raw / ~11 KB base64 at
-  * the default, which also grows every checkpoint; shrink the bits for
-  * many-file tables. Same role as Delta's bloom-filter indexes.
+  * "definitely not in this file" for most files. Same role as Delta's
+  * bloom-filter indexes.
   *
   * Opt-in via table property `graft.bloom.columns = "colA,colB"` (integral
   * and string columns; partition columns are excluded — partition pruning
@@ -29,6 +27,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * lose rows). Building costs one extra scan of the freshly written files
   * per commit — the classic write-amplification/lookup-speed trade, which
   * is why it is opt-in.
+  *
+  * Storage: filters live in per-commit parquet SIDECARS
+  * (`_bloom/<id>/part-*.parquet`, rows `(file, column, bloom)`), written by
+  * the same distributed aggregation that builds them — no driver collect,
+  * and the commit log carries only the sidecar id per file, so log and
+  * checkpoint size are independent of filter width and indexed column
+  * count. Probes load a sidecar's rows for the PROBED column lazily (one
+  * small filtered read per (sidecar, column), cached driver-side).
+  * Sidecars of fully-rewritten files become garbage after OPTIMIZE +
+  * vacuum, like the data files they describe; they are metadata-sized and
+  * harmless to retain.
   *
   * Hash contract (must agree between the distributed build and the
   * driver-side probe): values are canonicalized first — integrals as LONG,
@@ -43,6 +52,10 @@ object BloomIndex {
   val BitsProperty = "graft.bloom.bits"
   val DefaultBits = 1 << 16
   val NumHashes = 6
+  val SidecarDirName = "_bloom"
+
+  /** Where probes find a table's sidecar blooms (see [[sidecarBlooms]]). */
+  final case class ProbeContext(spark: SparkSession, tablePath: String)
 
   // integral + string only: the other point-lookup types (date/timestamp)
   // would need an ANSI-safe canonical long cast — not worth the edge cases
@@ -61,8 +74,18 @@ object BloomIndex {
         f.name == c && supported(f.dataType)) && !partCols.contains(c))
 
   /** Compute per-file blooms for `adds` (one aggregation pass over the
-    * freshly written files) and merge them into each file's stats JSON.
-    * No-op unless bloom columns are configured.
+    * freshly written files), write them to a `_bloom/<id>/` parquet sidecar
+    * in the SAME distributed job (agg output → parquet, never through the
+    * driver), and stamp each file's stats with the sidecar id. No-op unless
+    * bloom columns are configured.
+    *
+    * A file with no sidecar row for a probed column is simply KEPT by
+    * probes: that covers zero-row files (no aggregation group — an empty
+    * scan is harmless) and any path-matching edge, with no way to wrongly
+    * prune live rows. A file written WITHOUT an indexed column (schema-
+    * merging append) gets that column's all-zero bloom from the
+    * aggregation's null hashes, which is correct: its rows are all-null
+    * there and can never satisfy an equality.
     */
   def attach(
       spark: SparkSession,
@@ -95,37 +118,66 @@ object BloomIndex {
         BloomBuildAgg(org.apache.spark.sql.graft.SparkBridge.expression(hashCol(c)), bits)
           .toAggregateExpression()).as(s"__bloom_$c")
 
-    val rows = spark.read.parquet(paths0: _*)
+    val perFile = spark.read.parquet(paths0: _*)
       .withColumn("__file", input_file_name())
       .groupBy(col("__file"))
       .agg(bloomAgg(cols.head), cols.tail.map(bloomAgg): _*)
-      .collect()
-    // input_file_name is a (percent-encoded) URI; AddFile paths are
-    // table-relative. Match on the decoded TABLE-RELATIVE path — base names
-    // alone collide on partitioned tables (one task writing several
-    // partition values reuses part-<task>-<jobUUID> under each dir), which
-    // would assign files the wrong bloom and silently prune live rows.
-    val tableUriPath = new java.io.File(tablePath).getAbsoluteFile.toURI.getPath
-    def relative(fileUri: String): String =
-      new java.net.URI(fileUri).getPath.stripPrefix(tableUriPath).stripPrefix("/")
-    val byFile: Map[String, Row] = rows.map(r => relative(r.getString(0)) -> r).toMap
-    // a zero-row file produces no aggregation group: it gets the all-zero
-    // bloom, which correctly answers "contains nothing" for every probe.
-    // A NON-empty file that somehow failed to match (path-encoding edge)
-    // gets NO bloom instead — probes then always keep it; the all-zero
-    // filter would wrongly prune live rows.
-    val emptyBloom = toBase64(new Array[Long](bits / 64))
+    // one (file, column, bloom) row per filter; `file` keeps the raw
+    // input_file_name URI — probes relativize at load time with the same
+    // rule the inline format used
+    val sidecarId = java.util.UUID.randomUUID().toString
+    val sidecarPath = new java.io.File(
+      new java.io.File(tablePath, SidecarDirName), sidecarId).toString
+    perFile.select(col("__file").as("file"),
+        explode(map(cols.flatMap(c => Seq(lit(c), col(s"__bloom_$c"))): _*)))
+      .withColumnRenamed("key", "column")
+      .withColumnRenamed("value", "bloom")
+      // filters are KB-sized rows; a commit's whole sidecar fits one task
+      .coalesce(1)
+      .write.mode("error").parquet(sidecarPath)
     adds.map { a =>
       val stats = GraftLog.parseStats(a.stats).getOrElse(FileStats(numRecords = 0L))
-      val blooms = byFile.get(a.path) match {
-        case Some(r) => cols.zipWithIndex.map { case (c, i) =>
-          c -> toBase64(r.getSeq[Long](i + 1).toArray)
-        }.toMap
-        case None if stats.numRecords == 0L => cols.map(_ -> emptyBloom).toMap
-        case None => Map.empty[String, String]
-      }
-      a.copy(stats = GraftLog.renderStats(stats.copy(bloom = blooms)))
+      a.copy(stats = GraftLog.renderStats(stats.copy(bloomSidecar = Some(sidecarId))))
     }
+  }
+
+  /** Sidecar-load cache: (tablePath, sidecarId, column) → relative data-file
+    * path → filter words. Entries are immutable once written (sidecars are
+    * never modified), so the only policy needed is a size bound: the whole
+    * cache is dropped past [[MaxCachedSidecars]] entries (each entry is
+    * ~files-per-commit × bits/8 bytes).
+    */
+  private val sidecarCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Map[String, Array[Long]]]()
+  private val MaxCachedSidecars = 256
+
+  /** The blooms of sidecar `id` for `column`, keyed by table-relative data
+    * file path — one filtered parquet read on first use, cached after.
+    * Unreadable/absent sidecars yield an empty map (probes keep every file).
+    */
+  def sidecarBlooms(ctx: ProbeContext, id: String, column: String): Map[String, Array[Long]] = {
+    val key = (ctx.tablePath, id, column)
+    val hit = sidecarCache.get(key)
+    if (hit != null) return hit
+    val loaded: Map[String, Array[Long]] =
+      try {
+        val dir = new java.io.File(new java.io.File(ctx.tablePath, SidecarDirName), id)
+        val tableUriPath = new java.io.File(ctx.tablePath).getAbsoluteFile.toURI.getPath
+        // match on the decoded TABLE-RELATIVE path — base names alone
+        // collide on partitioned tables (one task writing several partition
+        // values reuses part-<task>-<jobUUID> under each dir)
+        def relative(fileUri: String): String =
+          new java.net.URI(fileUri).getPath.stripPrefix(tableUriPath).stripPrefix("/")
+        ctx.spark.read.parquet(dir.toString)
+          .where(col("column") === column)
+          .select(col("file"), col("bloom"))
+          .collect()
+          .map(r => relative(r.getString(0)) -> r.getSeq[Long](1).toArray)
+          .toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    if (sidecarCache.size >= MaxCachedSidecars) sidecarCache.clear()
+    sidecarCache.put(key, loaded)
+    loaded
   }
 
   /** Set the k double-hashed bits of `hash` in `words`. */

@@ -76,15 +76,24 @@ object FileSkipping {
     * a file is kept unless a conjunct provably excludes it). Contradictory
     * range conjuncts (e.g. `id <= 10 AND id >= 12`) select zero files — the
     * per-column intervals of all conjuncts are intersected first.
+    *
+    * `bloom` (a [[BloomIndex.ProbeContext]]) lets equality conjuncts consult
+    * the table's per-file bloom sidecars, loaded lazily for the probed
+    * columns only; `None` skips bloom probing (min/max and partition pruning
+    * are unaffected) — for callers operating on bare snapshots with no table
+    * location in hand.
     */
-  def filesMatching(snap: Snapshot, predicates: Seq[Expression]): Seq[AddFile] = {
+  def filesMatching(
+      snap: Snapshot,
+      predicates: Seq[Expression],
+      bloom: Option[BloomIndex.ProbeContext]): Seq[AddFile] = {
     if (predicates.isEmpty) return snap.files
     val schema = snap.schema
     if (contradictory(predicates, schema)) return Nil
     val partCols = snap.metadata.partitionColumns.toSet
     snap.files.filter { f =>
       val stats = GraftLog.parseStats(f.stats)
-      predicates.forall(p => mightMatch(p, f, stats, schema, partCols))
+      predicates.forall(p => mightMatch(p, f, stats, schema, partCols, bloom))
     }
   }
 
@@ -148,7 +157,8 @@ object FileSkipping {
       f: AddFile,
       stats: Option[FileStats],
       schema: StructType,
-      partCols: Set[String]): Boolean = {
+      partCols: Set[String],
+      bloomCtx: Option[BloomIndex.ProbeContext]): Boolean = {
 
     def colType(name: String): Option[DataType] =
       schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
@@ -192,19 +202,29 @@ object FileSkipping {
 
     /** Bloom probe: false ⇒ the value is definitely not in this file. Only
       * consulted for equality; conservative (absent index / unknown type /
-      * any decode issue keeps the file).
+      * any decode issue keeps the file). The filter words come from the
+      * file's bloom SIDECAR (loaded lazily per probed column, cached) or —
+      * legacy inline format — from the stats JSON itself.
       */
-    def bloomMightContain(name: String, v: Any, dt: DataType): Boolean =
-      stats.flatMap(_.bloom.get(name)) match {
-        case None => true
-        case Some(b64) =>
-          BloomIndex.hashOfLiteral(v, dt) match {
-            case None => true
-            case Some(h) =>
-              try BloomIndex.mightContain(BloomIndex.fromBase64(b64), h)
-              catch { case _: IllegalArgumentException => true }
-          }
+    def bloomMightContain(name: String, v: Any, dt: DataType): Boolean = {
+      val words: Option[Array[Long]] = stats.flatMap { s =>
+        s.bloom.get(name) match {
+          case Some(b64) =>
+            try Some(BloomIndex.fromBase64(b64))
+            catch { case _: IllegalArgumentException => None }
+          case None =>
+            for {
+              ctx <- bloomCtx
+              id <- s.bloomSidecar
+              w <- BloomIndex.sidecarBlooms(ctx, id, name).get(f.path)
+            } yield w
+        }
       }
+      (words, BloomIndex.hashOfLiteral(v, dt)) match {
+        case (Some(w), Some(h)) => BloomIndex.mightContain(w, h)
+        case _                  => true
+      }
+    }
 
     p match {
       case EqualTo(l, r) =>
@@ -219,7 +239,7 @@ object FileSkipping {
             inRange && bloomMightContain(name, v, dt)
           case None => true
         }
-      case EqualNullSafe(l, r) => mightMatch(EqualTo(l, r), f, stats, schema, partCols)
+      case EqualNullSafe(l, r) => mightMatch(EqualTo(l, r), f, stats, schema, partCols, bloomCtx)
       case GreaterThan(l, r) =>
         sides(l, r) match {
           case Some((name, v, dt, litRight)) =>
@@ -242,10 +262,10 @@ object FileSkipping {
             }
           case None => true
         }
-      case LessThan(l, r) => mightMatch(GreaterThan(r, l), f, stats, schema, partCols)
-      case LessThanOrEqual(l, r) => mightMatch(GreaterThanOrEqual(r, l), f, stats, schema, partCols)
+      case LessThan(l, r) => mightMatch(GreaterThan(r, l), f, stats, schema, partCols, bloomCtx)
+      case LessThanOrEqual(l, r) => mightMatch(GreaterThanOrEqual(r, l), f, stats, schema, partCols, bloomCtx)
       case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
-        list.exists(lit => mightMatch(EqualTo(a, lit), f, stats, schema, partCols))
+        list.exists(lit => mightMatch(EqualTo(a, lit), f, stats, schema, partCols, bloomCtx))
       case IsNull(a: AttributeReference) =>
         if (partCols.contains(a.name))
           f.partitionValues.get(a.name).forall(_ == TableWriter.HiveDefaultPartition)

@@ -348,7 +348,8 @@ object GraftLog {
         minValues = strMap("minValues"),
         maxValues = strMap("maxValues"),
         nullCount = longMap("nullCount"),
-        bloom = strMap("bloom")
+        bloom = strMap("bloom"),
+        bloomSidecar = Option(n.get("bloomSidecar")).filterNot(_.isNull).map(_.asText())
       ))
     }
 

@@ -76,16 +76,20 @@ case class CommitInfo(
     operationMetrics: Map[String, String] = Map.empty
 ) extends Action
 
-/** Parsed form of [[AddFile.stats]]. `bloom` maps indexed column names to
-  * base64 bloom-filter words (see [[BloomIndex]]) — absent unless the table
-  * opts in via `graft.bloom.columns`.
+/** Parsed form of [[AddFile.stats]]. Bloom indexing (absent unless the table
+  * opts in via `graft.bloom.columns`): `bloomSidecar` names the
+  * `_bloom/<id>/` parquet sidecar holding this file's per-column filters
+  * (written distributed at commit time — the log itself stays O(bytes) per
+  * file regardless of filter width); `bloom` is the LEGACY inline form
+  * (column → base64 words), still honored by probes.
   */
 case class FileStats(
     numRecords: Long,
     minValues: Map[String, String] = Map.empty,
     maxValues: Map[String, String] = Map.empty,
     nullCount: Map[String, Long] = Map.empty,
-    bloom: Map[String, String] = Map.empty
+    bloom: Map[String, String] = Map.empty,
+    bloomSidecar: Option[String] = None
 )
 
 /** Materialized table state at `version`: last metadata + surviving files +

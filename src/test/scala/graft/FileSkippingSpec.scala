@@ -19,7 +19,8 @@ class FileSkippingSpec extends AnyFunSpec with SparkSessionTestWrapper {
 
   private def survivors(t: GraftTable, cond: String): Int = {
     val cls = FileSkipping.classify(spark, t.toDF, cond)
-    FileSkipping.filesMatching(t.snapshot, cls.all).size
+    FileSkipping.filesMatching(t.snapshot, cls.all,
+      Some(BloomIndex.ProbeContext(spark, t.path))).size
   }
 
   it("skips files outside the predicate's min/max range") {
@@ -51,7 +52,8 @@ class FileSkippingSpec extends AnyFunSpec with SparkSessionTestWrapper {
     val cls = FileSkipping.classify(spark, t.toDF, "bogus = 1 AND id <= 4")
     assert(cls.unresolvedColumns == Seq("bogus"))
     // the resolved conjunct still prunes
-    assert(FileSkipping.filesMatching(t.snapshot, cls.all).size == 1)
+    assert(FileSkipping.filesMatching(t.snapshot, cls.all,
+      Some(BloomIndex.ProbeContext(spark, t.path))).size == 1)
   }
 
   it("partition-value pruning works without row-group stats") {
@@ -84,10 +86,16 @@ class FileSkippingSpec extends AnyFunSpec with SparkSessionTestWrapper {
         graft.tables.BloomIndex.ColumnsProperty -> "id,name",
         graft.tables.BloomIndex.BitsProperty -> (1 << 16).toString))
     assert(t.snapshot.files.size == 8)
-    // every file carries a bloom for both columns
+    // every file points at a bloom sidecar; the sidecar holds both columns
     assert(t.snapshot.files.forall(f =>
-      GraftLog.parseStats(f.stats).exists(s =>
-        s.bloom.contains("id") && s.bloom.contains("name"))))
+      GraftLog.parseStats(f.stats).exists(_.bloomSidecar.nonEmpty)))
+    val sidecarId = GraftLog.parseStats(t.snapshot.files.head.stats).get.bloomSidecar.get
+    val ctx = BloomIndex.ProbeContext(spark, t.path)
+    Seq("id", "name").foreach { c =>
+      val blooms = BloomIndex.sidecarBlooms(ctx, sidecarId, c)
+      assert(blooms.size == 8, s"sidecar missing $c blooms: ${blooms.keySet}")
+      assert(t.snapshot.files.forall(f => blooms.contains(f.path)))
+    }
 
     // point lookups on an EXISTING key: the holding file survives, rows read correctly
     Seq(16, 1000, 4094).foreach { k =>
@@ -110,7 +118,7 @@ class FileSkippingSpec extends AnyFunSpec with SparkSessionTestWrapper {
     val plain = GraftTable.create(spark, tmpTableDir("bloom_off"),
       rows.toDF("id", "name").repartition(8))
     assert(plain.snapshot.files.forall(f =>
-      GraftLog.parseStats(f.stats).forall(_.bloom.isEmpty)))
+      GraftLog.parseStats(f.stats).forall(s => s.bloom.isEmpty && s.bloomSidecar.isEmpty)))
     assert(survivors(plain, "id = 2047") == 8)
 
     // a schema-merging append WITHOUT the indexed column must not fail the
@@ -140,6 +148,37 @@ class FileSkippingSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
     // absent-but-in-range keys prune
     assert(survivors(t, "id = 3") <= 1)
+  }
+
+  it("bloom filters live in sidecars: commit log size is filter-width-independent") {
+    import java.nio.file.{Files, Paths}
+    def logBytes(t: GraftTable): Long = {
+      val s = Files.list(Paths.get(t.path, GraftLog.LogDirName))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.getFileName.toString.endsWith(".json"))
+          .map(Files.size).sum
+      } finally s.close()
+    }
+    val rows = (0 until 2048).map(i => (i * 2, s"v$i"))
+    // DELIBERATELY wide filters (2^20 bits = 128 KB each × 2 columns × 4
+    // files = 1 MB of index): inline storage would put all of it — base64'd —
+    // in the log; sidecars must keep the log within a marker's width of the
+    // bloom-free twin
+    val wide = GraftTable.create(spark, tmpTableDir("bloom_wide"),
+      rows.toDF("id", "name").repartition(4),
+      properties = Map(
+        graft.tables.BloomIndex.ColumnsProperty -> "id,name",
+        graft.tables.BloomIndex.BitsProperty -> (1 << 20).toString))
+    val off = GraftTable.create(spark, tmpTableDir("bloom_free"),
+      rows.toDF("id", "name").repartition(4))
+    val (wideLog, offLog) = (logBytes(wide), logBytes(off))
+    assert(wideLog - offLog < 4096,
+      s"log grew by ${wideLog - offLog} bytes — filters leaked into the log")
+    // the index itself landed in the sidecar and prunes
+    assert(Files.isDirectory(Paths.get(wide.path, graft.tables.BloomIndex.SidecarDirName)))
+    assert(survivors(wide, "id = 1001") <= 1)
+    assert(survivors(wide, "id = 1000") >= 1 && wide.toDF.filter($"id" === 1000).count() == 1)
   }
 
   it("OPTIMIZE ZORDER clusters both dimensions for skipping at once") {

@@ -305,6 +305,54 @@ object TableOps {
     *
     * @return number of files deleted
     */
+  /** VACUUM by retention DURATION (Delta's public vacuum shape): the horizon
+    * is the newest version whose commit timestamp is at-or-before
+    * `now - retainHours` — i.e. the table state a reader pinned at the
+    * cutoff instant would see; every version younger than the cutoff stays
+    * time-travelable. When every commit is younger than the cutoff, nothing
+    * is vacuumed. Delegates to the version-horizon vacuum overload.
+    */
+  def vacuum(table: GraftTable, retainHours: Double): Int = {
+    require(retainHours >= 0, s"retainHours must be >= 0, got $retainHours")
+    val cutoff = System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong
+    val atOrBefore = table.log.history().collect {
+      case (v, ci) if ci.timestamp <= cutoff => v
+    }
+    if (atOrBefore.isEmpty) 0 else vacuum(table, atOrBefore.max)
+  }
+
+  /** VACUUM with the table's configured retention
+    * (`graft.logRetentionDuration`, `"interval <n> <hours|days|weeks>"` —
+    * Delta's property vocabulary), defaulting to
+    * [[DefaultLogRetentionHours]] (7 days).
+    */
+  def vacuum(table: GraftTable): Int =
+    vacuum(table, table.snapshot.metadata.properties
+      .get(LogRetentionProperty).map(parseRetentionHours)
+      .getOrElse(DefaultLogRetentionHours))
+
+  val LogRetentionProperty = "graft.logRetentionDuration"
+  val DefaultLogRetentionHours: Double = 7 * 24.0
+
+  /** `"interval <n> <unit>"` (unit ∈ hour/day/week, plural accepted, case
+    * insensitive) → hours. Loud on anything else: a silently misread
+    * retention would delete history.
+    */
+  private[graft] def parseRetentionHours(s: String): Double = {
+    val m = java.util.regex.Pattern
+      .compile("(?i)^\\s*interval\\s+(\\d+(?:\\.\\d+)?)\\s+(hour|day|week)s?\\s*$")
+      .matcher(s)
+    if (!m.matches())
+      throw new IllegalArgumentException(
+        s"$LogRetentionProperty must look like 'interval 7 days', got '$s'")
+    val n = m.group(1).toDouble
+    m.group(2).toLowerCase match {
+      case "hour" => n
+      case "day"  => n * 24
+      case "week" => n * 24 * 7
+    }
+  }
+
   def vacuum(table: GraftTable, retainVersion: Long): Int = {
     import java.nio.file.{Files, Paths}
     val log = table.log

@@ -332,6 +332,66 @@ class GraftHelpersSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assertThrows[Exception] { t.toDFAt(0) }
     }
 
+    it("duration-based vacuum resolves the horizon from commit timestamps") {
+      val t = GraftTable.create(spark, tmpTableDir("vac_dur"),
+        Seq((1, "a")).toDF("id", "name").repartition(1))      // v0
+      t.overwrite(Seq((2, "b")).toDF("id", "name"))           // v1: v0 files dead
+      t.append(Seq((3, "c")).toDF("id", "name"))              // v2
+      // clock-controlled history: rewrite each version's CommitInfo
+      // timestamp (v0: 100 h ago, v1: 50 h ago, v2: 1 h ago)
+      val log = t.log
+      def ageVersion(v: Long, hoursAgo: Double): Unit = {
+        val ts = System.currentTimeMillis() - (hoursAgo * 3600 * 1000).toLong
+        log.rewriteVersion(v, log.actionsAt(v).map {
+          case ci: CommitInfo => ci.copy(timestamp = ts)
+          case other          => other
+        })
+      }
+      ageVersion(0L, 100); ageVersion(1L, 50); ageVersion(2L, 1)
+
+      // retain 24 h: cutoff falls between v1 and v2 → horizon is v1 (the
+      // state a reader at the cutoff would see); v0 vacuumed, v1+v2 stay
+      val before = t.toDF.collect().toSet
+      assert(TableOps.vacuum(t, retainHours = 24.0) >= 1)
+      assert(log.versions() == Seq(1L, 2L))
+      assert(t.toDF.collect().toSet == before)
+      assert(t.toDFAt(1).count() == 1)
+
+      // everything younger than the cutoff: nothing to vacuum
+      assert(TableOps.vacuum(t, retainHours = 1000.0) == 0)
+      assert(log.versions() == Seq(1L, 2L))
+    }
+
+    it("no-arg vacuum reads graft.logRetentionDuration (default 7 days)") {
+      val t = GraftTable.create(spark, tmpTableDir("vac_prop"),
+        Seq((1, "a")).toDF("id", "name").repartition(1),
+        properties = Map(graft.operators.TableOps.LogRetentionProperty -> "interval 30 hours"))
+      t.overwrite(Seq((2, "b")).toDF("id", "name")) // v1
+      t.append(Seq((3, "c")).toDF("id", "name"))    // v2
+      val log = t.log
+      def ageVersion(v: Long, hoursAgo: Double): Unit = {
+        val ts = System.currentTimeMillis() - (hoursAgo * 3600 * 1000).toLong
+        log.rewriteVersion(v, log.actionsAt(v).map {
+          case ci: CommitInfo => ci.copy(timestamp = ts)
+          case other          => other
+        })
+      }
+      ageVersion(0L, 100); ageVersion(1L, 40); ageVersion(2L, 1)
+      // 30 h retention: v1 (40 h old) is the horizon, v0 goes
+      assert(TableOps.vacuum(t) >= 1)
+      assert(log.versions() == Seq(1L, 2L))
+
+      // malformed retention fails loudly instead of deleting history
+      t.setProperties(Map(graft.operators.TableOps.LogRetentionProperty -> "30h"))
+      val e = intercept[IllegalArgumentException] { TableOps.vacuum(t) }
+      assert(e.getMessage.contains("interval 7 days"), e.getMessage)
+
+      // parser vocabulary
+      assert(graft.operators.TableOps.parseRetentionHours("interval 2 days") == 48.0)
+      assert(graft.operators.TableOps.parseRetentionHours("Interval 1 week") == 168.0)
+      assert(graft.operators.TableOps.parseRetentionHours("interval 12 HOURS") == 12.0)
+    }
+
     it("zOrderBy tightens per-file min/max ranges") {
       val df = (1 to 64).map(i => ((i * 37) % 64, s"n$i")).toDF("id", "name").repartition(4)
       val t = GraftTable.create(spark, tmpTableDir("zo"), df)

@@ -22,22 +22,51 @@ object Similarity {
   private def norm(v: org.apache.spark.sql.Column) =
     sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
 
+  /** Default row bound under which the query side is broadcast (embedding
+    * rows are KB-sized, so 2^16 rows ≈ a few hundred MB — the practical
+    * executor-memory ceiling for a broadcast table).
+    */
+  val DefaultBroadcastQueryRows: Long = 1L << 16
+
+  /** The query side of a similarity join, broadcast-hinted only when SAFE:
+    * `hint = Some(x)` is the caller's explicit decision; `None` probes the
+    * size with a LIMIT-bounded count (one cheap early-terminating job) and
+    * broadcasts only under `threshold` rows. An unconditionally-broadcast
+    * million-query set would OOM every executor at once — the silent
+    * scale-killer this guards against; past the threshold the join runs as
+    * a plain shuffle on its keys.
+    */
+  private def maybeBroadcast(
+      q: DataFrame, hint: Option[Boolean], threshold: Long): DataFrame =
+    hint match {
+      case Some(true)  => broadcast(q)
+      case Some(false) => q
+      case None =>
+        if (q.limit((threshold + 1).toInt).count() <= threshold) broadcast(q) else q
+    }
+
   /** Exact cosine top-k: for each query row, the k nearest corpus rows.
     * Returns (queryId, rank, corpusId, cosine). Ties break by corpus id.
+    *
+    * `broadcastQueries`: see [[maybeBroadcast]] — an oversized query set
+    * falls back to a (shuffled) cartesian pass instead of an executor-OOM
+    * broadcast.
     */
   def bruteForceTopK(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      broadcastQueries: Option[Boolean] = None,
+      broadcastThreshold: Long = DefaultBroadcastQueryRows): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"),
       col(vecCol).cast("array<double>").as("__cv"))
       .withColumn("__cn", norm(col("__cv")))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
       .withColumn("__qn", norm(col("__qv")))
-    val scored = c.crossJoin(broadcast(q))
+    val scored = c.crossJoin(maybeBroadcast(q, broadcastQueries, broadcastThreshold))
       .withColumn("cosine", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
     scored
@@ -138,7 +167,9 @@ object Similarity {
       numCentroids: Int = 16,
       nProbe: Int = 4,
       kmeansIterations: Int = 3,
-      kmeansSampleSize: Int = 1 << 20): DataFrame = {
+      kmeansSampleSize: Int = 1 << 20,
+      broadcastQueries: Option[Boolean] = None,
+      broadcastThreshold: Long = DefaultBroadcastQueryRows): DataFrame = {
     val centroids =
       kmeansCentroids(corpus, idCol, vecCol, numCentroids, kmeansIterations, kmeansSampleSize)
 
@@ -153,7 +184,10 @@ object Similarity {
       .withColumn("__cell", explode(transform(
         nearestOf(centroids, col("__qv"), nProbe), _.getField("cid"))))
 
-    val scored = c.join(broadcast(q), Seq("__cell"))
+    // bounded query sets broadcast (no corpus movement at all); larger ones
+    // run a plain equi-join on __cell — both sides shuffle on the cell id,
+    // which is the correct plan once the query side itself is cluster-sized
+    val scored = c.join(maybeBroadcast(q, broadcastQueries, broadcastThreshold), Seq("__cell"))
       .withColumn("cosine", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
     scored

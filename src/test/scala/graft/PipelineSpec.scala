@@ -225,6 +225,40 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
       val recall = (exact intersect approx).size.toDouble / exact.size
       assert(recall >= 0.5, s"IVF recall $recall too low")
     }
+
+    it("a query set past the broadcast threshold joins WITHOUT the hint") {
+      // threshold forced below the query count: no broadcast HINT may be
+      // injected (an unconditional hint would OOM executors once the query
+      // side is cluster-sized). Size-based auto-broadcast is disabled for
+      // the assertion — at scale the optimizer's own stats make that call,
+      // and hint-free is exactly what leaves it free to.
+      val manyQueries = corpus.filter("vec_id < 20")
+      def planOf(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.executedPlan.toString
+      val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val unhinted = Similarity.ivfTopK(corpus, manyQueries, "vec_id", "embedding", 3,
+          numCentroids = 4, nProbe = 4, broadcastThreshold = 5)
+        assert(!planOf(unhinted).contains("BroadcastHashJoin"),
+          "query side above the threshold must not be hint-broadcast")
+        val hinted = Similarity.ivfTopK(corpus, manyQueries, "vec_id", "embedding", 3,
+          numCentroids = 4, nProbe = 4, broadcastQueries = Some(true))
+        assert(planOf(hinted).contains("BroadcastHashJoin"),
+          "explicit broadcast flag must hint the join")
+        val a = unhinted.select("query_id", "rank", "corpus_id").collect().toSet
+        val b = hinted.select("query_id", "rank", "corpus_id").collect().toSet
+        assert(a == b, "join strategy changed results")
+        assert(a.nonEmpty)
+
+        // brute force: the oversized query set runs a plain cartesian pass
+        val bf = Similarity.bruteForceTopK(corpus, manyQueries, "vec_id", "embedding", 3,
+          broadcastThreshold = 5)
+        assert(planOf(bf).contains("CartesianProduct"),
+          s"expected an unhinted cartesian pass:\n${planOf(bf)}")
+        assert(bf.filter("rank = 1").count() == 20)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    }
   }
 
   describe("TextAnalysis") {

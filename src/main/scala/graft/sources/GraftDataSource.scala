@@ -48,11 +48,44 @@ import graft.tables.{AddFile, FileSkipping, GraftTable, Snapshot, TableWriter}
   * `CREATE TABLE name USING graft LOCATION '<path>'` and
   * `df.write.format("graft")` both resolve it.
   */
-class GraftDataSource extends RelationProvider
+class GraftDataSource extends RelationProvider with SchemaRelationProvider
     with CreatableRelationProvider with StreamSourceProvider with StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** `CREATE TABLE t (<schema>) USING graft LOCATION '<dir>'` — the
+    * schema-bearing DDL path (Spark routes it here via
+    * `SchemaRelationProvider`). A fresh location materializes an EMPTY
+    * graft table with the declared schema (a zero-file commit, like Delta's
+    * metadata-only CREATE); an existing table validates the declared
+    * schema against the log's — the log, not the catalog, is the source of
+    * truth, so a silent mismatch would corrupt every later read.
+    */
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      schema: StructType): BaseRelation = {
+    val path = pathOf(parameters)
+    val spark = sqlContext.sparkSession
+    if (!GraftTable.exists(path)) {
+      val partitions = parameters.get("partitionColumns")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      GraftTable.createEmpty(spark, path, schema, partitions)
+      ()
+    } else {
+      val actual = GraftTable.forPath(spark, path).snapshot.schema
+      val declared = schema.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq
+      val existing = actual.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq
+      if (declared != existing)
+        throw new IllegalArgumentException(
+          s"declared schema ${schema.simpleString} does not match the graft table at " +
+            s"$path (${actual.simpleString}); omit the column list to adopt the " +
+            "table's own schema")
+    }
+    GraftScanRewrite.install(spark)
+    GraftRelation(sqlContext, path)
+  }
 
   /** `df.writeStream.format("graft").start(path)` — the exactly-once
     * streaming sink (see [[graft.streaming.GraftStreamSink]]). Append and

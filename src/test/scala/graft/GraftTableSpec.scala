@@ -105,6 +105,43 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assertThrows[IllegalArgumentException] { GraftTable.forName(spark, "nope") }
     }
 
+    it("CREATE TABLE ... USING graft DDL round-trips: fresh schema, adoption, mismatch") {
+      // fresh location + declared schema → an empty graft table materializes
+      // (zero-file commit), and the catalog name resolves through forName
+      val dir = tmpTableDir("graft-ddl-fresh")
+      spark.sql(s"CREATE TABLE ddl_fresh (id INT, name STRING) USING graft LOCATION '$dir'")
+      try {
+        assert(GraftTable.exists(dir))
+        val t = GraftTable.forName(spark, "ddl_fresh")
+        assert(t.version == 0L && t.snapshot.numFiles == 0)
+        assert(t.snapshot.schema.fieldNames.toSeq == Seq("id", "name"))
+        spark.sql("INSERT INTO ddl_fresh VALUES (1, 'a'), (2, 'b')")
+        assert(spark.table("ddl_fresh").count() == 2)
+        assert(GraftTable.forName(spark, "ddl_fresh").version == 1L)
+      } finally spark.sql("DROP TABLE IF EXISTS ddl_fresh")
+
+      // existing location without a column list → adopts the table's schema
+      val dir2 = tmpTableDir("graft-ddl-exist")
+      GraftTable.create(spark, dir2, Seq((1, "x")).toDF("id", "name"))
+      try {
+        spark.sql(s"CREATE TABLE ddl_adopt USING graft LOCATION '$dir2'")
+        assert(spark.table("ddl_adopt").count() == 1)
+        assert(GraftTable.forName(spark, "ddl_adopt").path == dir2)
+        // a DECLARED schema that contradicts the log fails loudly — the log,
+        // not the catalog, owns the schema
+        val e = intercept[Exception] {
+          spark.sql(s"CREATE TABLE ddl_bad (wrong DOUBLE) USING graft LOCATION '$dir2'")
+        }
+        def msgs(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+        assert(msgs(e).exists(_.contains("does not match the graft table")),
+          msgs(e).mkString("; "))
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS ddl_adopt")
+        spark.sql("DROP TABLE IF EXISTS ddl_bad")
+      }
+    }
+
     it("registerTable lands in the real Spark catalog: SQL reads, listTables, INSERT") {
       val dir = tmpTableDir("graft-catalog")
       val t = GraftTable.create(spark, dir,

@@ -359,10 +359,12 @@ object TableOps {
     val versions = log.versions()
     require(versions.contains(retainVersion), s"version $retainVersion does not exist")
     val keepVersions = versions.filter(_ >= retainVersion)
-    // files referenced by any retained snapshot
-    val live: Set[String] = keepVersions.flatMap { v =>
-      log.snapshot(v).files.map(_.path)
-    }.toSet
+    // files (and the bloom sidecars their stats reference) live in any
+    // retained snapshot — one snapshot pass collects both
+    val keepFiles: Seq[AddFile] = keepVersions.flatMap(v => log.snapshot(v).files)
+    val live: Set[String] = keepFiles.map(_.path).toSet
+    val liveSidecars: Set[String] =
+      keepFiles.flatMap(f => GraftLog.parseStats(f.stats).flatMap(_.bloomSidecar)).toSet
     // change files of retained versions stay readable
     val liveCdc: Set[String] = keepVersions.flatMap { v =>
       log.actionsAt(v).collect { case c: AddCDCFile => c.path }
@@ -396,6 +398,24 @@ object TableOps {
     // would skip the horizon's removes and resurrect dead files
     log.checkpointVersions().filter(_ < retainVersion)
       .foreach(v => Files.deleteIfExists(log.checkpointFile(v)))
+    // bloom sidecars referenced by NO retained file follow their data files
+    // out (their commits' files were all rewritten or vacuumed); deleting a
+    // whole orphaned sidecar dir can never affect a probe, which only ever
+    // resolves ids that appear in live stats
+    val bloomRoot = Paths.get(table.path, graft.tables.BloomIndex.SidecarDirName)
+    if (Files.isDirectory(bloomRoot)) {
+      val stream = Files.list(bloomRoot)
+      val orphans =
+        try {
+          import scala.jdk.CollectionConverters._
+          stream.iterator().asScala
+            .filter(p => !liveSidecars.contains(p.getFileName.toString)).toList
+        } finally stream.close()
+      orphans.foreach { dir =>
+        TableWriter.deleteRecursively(dir)
+        deleted += 1
+      }
+    }
     deleted
   }
 

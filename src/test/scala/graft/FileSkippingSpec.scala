@@ -181,6 +181,28 @@ class FileSkippingSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(survivors(wide, "id = 1000") >= 1 && wide.toDF.filter($"id" === 1000).count() == 1)
   }
 
+  it("vacuum collects bloom sidecars orphaned with their data files") {
+    import java.nio.file.{Files, Paths}
+    val t = GraftTable.create(spark, tmpTableDir("bloom_gc"),
+      (0 until 256).map(i => (i * 2, s"v$i")).toDF("id", "name").repartition(2),
+      properties = Map(graft.tables.BloomIndex.ColumnsProperty -> "id"))
+    t.overwrite((0 until 256).map(i => (i * 2, s"w$i")).toDF("id", "name")) // v1: v0 sidecar orphaned
+    val bloomRoot = Paths.get(t.path, graft.tables.BloomIndex.SidecarDirName)
+    def sidecarDirs: Set[String] = {
+      val s = Files.list(bloomRoot)
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toSet
+      } finally s.close()
+    }
+    assert(sidecarDirs.size == 2)
+    val liveId = GraftLog.parseStats(t.snapshot.files.head.stats).get.bloomSidecar.get
+    graft.operators.TableOps.vacuum(t, retainVersion = 1L)
+    assert(sidecarDirs == Set(liveId), "vacuum must drop exactly the orphaned sidecar")
+    // probes against the survivor still work
+    assert(survivors(t, "id = 9") <= 1)         // absent-but-in-range
+    assert(t.toDF.filter($"id" === 8).count() == 1)
+  }
+
   it("OPTIMIZE ZORDER clusters both dimensions for skipping at once") {
     // two INDEPENDENT dimensions (y is a bit-reversal permutation of x, so
     // sorting by either leaves the other scattered), written scattered:

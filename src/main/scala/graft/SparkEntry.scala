@@ -623,6 +623,33 @@ object SparkEntry {
       }
     }),
 
+    "c6_version_lists" -> ((s, dir) => {
+      // C6 direct row (previously derived through c5/c8): the same
+      // deterministic CDF toggle sequence, read back through the
+      // enabled/disabled LIST entry points
+      import s.implicits._
+      val base = read(s, dir, "nation")
+        .select(col("n_nationkey").as("id"), col("n_name").as("name"))
+      val t = GraftTable.create(s, tmp("c6"), base,
+        properties = Map(GraftLog.CdfProperty -> "true"))
+      def up(suffix: String): Unit =
+        GraftMerge(t, "old")
+          .merge(base.limit(3).withColumn("name", concat(col("name"), lit(suffix))),
+            "old.id = new.id", Some("new"))
+          .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+      up("_1")                                               // v1 enabled
+      t.setProperties(Map(GraftLog.CdfProperty -> "false"))  // v2 disabled
+      up("_2")                                               // v3 disabled
+      t.setProperties(Map(GraftLog.CdfProperty -> "true"))   // v4 enabled
+      up("_3")                                               // v5 enabled
+      () => {
+      val h = ChangeDataFeedHelper(s, t.path, 0, 5)
+      (h.getAllCDFEnabledVersions.map(("enabled", _)) ++
+        h.getAllCDFDisabledVersions.map(("disabled", _)))
+        .toDF("kind", "version")
+      }
+    }),
+
     // ---- C2/C4/C8-C11: the failure-recovery family (driver-visible since
     // r7) — each scenario is deterministic, so recovered ranges, dry-run
     // outcomes and recovered row sets are literal/SQL-computable oracles ----
@@ -996,6 +1023,45 @@ object SparkEntry {
     }),
 
     // ---- S: file statistics / skipping introspection (table-layout checks) ----
+    "s1_latest_version" -> ((s, dir) => {
+      // S1 direct row (previously derived through s2): a known commit
+      // sequence pins the returned version exactly
+      import s.implicits._
+      val base = read(s, dir, "region")
+      val t = GraftTable.create(s, tmp("s1"), base)        // v0
+      t.append(base.limit(2))                              // v1
+      t.append(base.limit(1))                              // v2
+      () => Seq(GraftHelpers.latestVersion(t.path)).toDF("latest_version")
+    }),
+    "s4_show_file_sizes" -> ((s, dir) => {
+      // S4 capture-based oracle for the println wrapper: redirect Console,
+      // parse the printed sentence, and assert its numbers agree with the
+      // fileSizes map the same call formats — file count exact, humanized
+      // sizes equality-checked (byte sizes are encoder-specific, so the
+      // oracle pins the count + two booleans)
+      import s.implicits._
+      val sup = read(s, dir, "supplier")
+        .withColumn("bucket", pmod(col("s_suppkey"), lit(4)).cast("long"))
+      val t = GraftTable.create(s, tmp("s4"), sup.coalesce(1),
+        partitionColumns = Seq("bucket"))
+      () => {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+        GraftHelpers.showFileSizes(t)
+      }
+      val line = buf.toString("UTF-8").trim
+      val re = """has (\d+) files totalling (.+) \(average (.+)\)\.""".r.unanchored
+      val (nf, tot, avg) = line match {
+        case re(a, b, c) => (a.toLong, b, c)
+        case _           => (-1L, line, "")
+      }
+      val m = GraftHelpers.fileSizes(t)
+      Seq((nf,
+        tot == GraftHelpers.humanizeBytes(m("size_in_bytes")),
+        avg == GraftHelpers.humanizeBytes(m("average_file_size_in_bytes"))))
+        .toDF("files_printed", "total_matches", "avg_matches")
+      }
+    }),
     "s2_file_sizes" -> ((s, dir) => {
       // deterministic layout: partition by s_suppkey % 4 from one write task
       // → exactly one file per bucket, per-file record counts derivable in
@@ -1226,6 +1292,15 @@ object SparkEntry {
       """SELECT CAST(v AS BIGINT) AS version, e AS cdf_enabled
         |FROM (VALUES (0, true), (1, true), (2, false), (3, false),
         |             (4, true), (5, true)) AS t(v, e)""".stripMargin,
+    "c6_version_lists" ->
+      """SELECT k AS kind, CAST(v AS BIGINT) AS version
+        |FROM (VALUES ('enabled', 0), ('enabled', 1), ('disabled', 2),
+        |             ('disabled', 3), ('enabled', 4), ('enabled', 5)) AS t(k, v)""".stripMargin,
+    "s1_latest_version" ->
+      "SELECT CAST(2 AS BIGINT) AS latest_version",
+    "s4_show_file_sizes" ->
+      """SELECT CAST(4 AS BIGINT) AS files_printed,
+        |       true AS total_matches, true AS avg_matches""".stripMargin,
     "q4_sessionize" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,

@@ -65,6 +65,9 @@ object Bench {
     // real query
     val injected: Map[String, (SparkSession, String) => () => DataFrame] =
       sys.env.get("SPARK_GRAFT_FAIL").map { n =>
+        require(!SparkEntry.staged.contains(n),
+          s"SPARK_GRAFT_FAIL=$n names a REAL query — it would silently replace " +
+            "it; pick an unused name")
         n -> ((_: SparkSession, _: String) =>
           () => sys.error(s"deliberately injected failure ($n)"))
       }.toMap
@@ -91,9 +94,11 @@ object Bench {
       val q1 = System.nanoTime()
       (name, (f1 - f0) / 1e9, (q1 - f1) / 1e9, err)
     }
-    val qs = results.map { case (k, _, q, _) => "\"" + k + "\":" + q }
+    // keys escaped too: staged names are code-controlled, but the injected
+    // SPARK_GRAFT_FAIL name is env-controlled
+    val qs = results.map { case (k, _, q, _) => "\"" + escape(k) + "\":" + q }
       .mkString("{", ",", "}")
-    val fx = results.map { case (k, f, _, _) => "\"" + k + "\":" + f }
+    val fx = results.map { case (k, f, _, _) => "\"" + escape(k) + "\":" + f }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, _, Some(m)) => k -> m }
     val total = results.map(_._3).sum
@@ -106,7 +111,7 @@ object Bench {
     // error in the JSON and fail the process so the driver records a red run
     val errorsMarker =
       if (errors.isEmpty) ""
-      else errors.map { case (k, m) => "\"" + k + "\":\"" + escape(m) + "\"" }
+      else errors.map { case (k, m) => "\"" + escape(k) + "\":\"" + escape(m) + "\"" }
         .mkString(""","errors":{""", ",", "}")
     // stop Spark BEFORE printing: shutdown log noise then cannot land after
     // the JSON, so a tail-capture of stdout always ends with the full line

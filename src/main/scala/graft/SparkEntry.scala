@@ -1726,9 +1726,10 @@ object SparkEntry {
     // d6 runs IVF with nProbe = numCentroids (degenerate-exact), so the
     // brute-force oracle applies verbatim
     "d6_ivf_topk" -> cosineTopkOracle,
-    // production-mode IVF (nProbe=4): the recall bound is asserted Spark-side
-    // against the exact top-k; the oracle pins the exact-pair count and the
-    // bound itself (deterministic centroids ⇒ deterministic recall)
+    // production-mode IVF (nProbe=8 of 16): the recall bound is asserted
+    // Spark-side against the exact top-k; the oracle pins the exact-pair
+    // count and the bound itself (deterministic centroids ⇒ deterministic
+    // recall — 0.74 measured on the uniform synthetic corpus)
     "d6_ivf_recall" ->
       """SELECT CAST(5 * (SELECT count(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)
         |         AS exact_pairs,

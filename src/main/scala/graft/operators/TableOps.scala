@@ -298,13 +298,6 @@ object TableOps {
       readVersion = Some(snap.version))
   }
 
-  /** VACUUM: physically delete data/change files no longer referenced by any
-    * snapshot at or above `retainVersion`, then drop log files below it.
-    * Time travel and CDF reads below the horizon stop working — exactly the
-    * failure mode the ChangeDataFeedHelper recovery paths (C3/C4) detect.
-    *
-    * @return number of files deleted
-    */
   /** VACUUM by retention DURATION (Delta's public vacuum shape): the horizon
     * is the newest version whose commit timestamp is at-or-before
     * `now - retainHours` — i.e. the table state a reader pinned at the
@@ -353,6 +346,13 @@ object TableOps {
     }
   }
 
+  /** VACUUM: physically delete data/change files no longer referenced by any
+    * snapshot at or above `retainVersion`, then drop log files below it.
+    * Time travel and CDF reads below the horizon stop working — exactly the
+    * failure mode the ChangeDataFeedHelper recovery paths (C3/C4) detect.
+    *
+    * @return number of files deleted
+    */
   def vacuum(table: GraftTable, retainVersion: Long): Int = {
     import java.nio.file.{Files, Paths}
     val log = table.log
@@ -399,25 +399,48 @@ object TableOps {
     log.checkpointVersions().filter(_ < retainVersion)
       .foreach(v => Files.deleteIfExists(log.checkpointFile(v)))
     // bloom sidecars referenced by NO retained file follow their data files
-    // out (their commits' files were all rewritten or vacuumed); deleting a
-    // whole orphaned sidecar dir can never affect a probe, which only ever
-    // resolves ids that appear in live stats
+    // out (their commits' files were all rewritten or vacuumed); a probe
+    // only ever resolves ids that appear in live stats, so deleting a truly
+    // orphaned dir cannot affect it. AGE GUARD: attach() writes the sidecar
+    // BEFORE its commit becomes visible, so a young unreferenced dir may
+    // belong to an in-flight concurrent commit — only dirs older than
+    // [[BloomSidecarMinAgeMillis]] are collected (the same
+    // uncommitted-file-grace rule the data-file side gets implicitly from
+    // version-horizon retention).
     val bloomRoot = Paths.get(table.path, graft.tables.BloomIndex.SidecarDirName)
     if (Files.isDirectory(bloomRoot)) {
+      val cutoff = System.currentTimeMillis() - BloomSidecarMinAgeMillis
       val stream = Files.list(bloomRoot)
       val orphans =
         try {
           import scala.jdk.CollectionConverters._
           stream.iterator().asScala
-            .filter(p => !liveSidecars.contains(p.getFileName.toString)).toList
+            .filter { p =>
+              !liveSidecars.contains(p.getFileName.toString) &&
+                (try Files.getLastModifiedTime(p).toMillis < cutoff
+                 catch { case _: java.io.IOException => false })
+            }.toList
         } finally stream.close()
       orphans.foreach { dir =>
+        // count the files inside (parts + markers), not the directory — the
+        // return contract is files deleted
+        val files = Files.walk(dir)
+        val n = try {
+          import scala.jdk.CollectionConverters._
+          files.iterator().asScala.count(Files.isRegularFile(_))
+        } finally files.close()
         TableWriter.deleteRecursively(dir)
-        deleted += 1
+        deleted += n
       }
     }
     deleted
   }
+
+  /** Minimum age before an UNREFERENCED bloom sidecar dir may be vacuumed —
+    * long enough that any commit whose sidecar was written before this
+    * window has either landed (and references it) or died.
+    */
+  val BloomSidecarMinAgeMillis: Long = 60 * 60 * 1000L
 
   /** Z-ORDER rewrite (SURVEY §4.2).
     *

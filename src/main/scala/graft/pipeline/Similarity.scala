@@ -42,7 +42,12 @@ object Similarity {
       case Some(true)  => broadcast(q)
       case Some(false) => q
       case None =>
-        if (q.limit((threshold + 1).toInt).count() <= threshold) broadcast(q) else q
+        // clamp before toInt: a Long threshold at/above Int.MaxValue must
+        // degrade to "probe everything", not overflow into a negative limit
+        // (query error) or a tiny wrapped one (vacuously broadcasting the
+        // oversized set this guard exists to prevent)
+        val probeRows = math.min(threshold, Int.MaxValue - 1L).toInt + 1
+        if (q.limit(probeRows).count() <= threshold) broadcast(q) else q
     }
 
   /** Exact cosine top-k: for each query row, the k nearest corpus rows.

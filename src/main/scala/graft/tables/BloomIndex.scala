@@ -104,7 +104,10 @@ object BloomIndex {
     // them — conservative), instead of failing the commit on an
     // unresolvable column
     val paths0 = adds.map(a => new java.io.File(tablePath, a.path).toString)
-    val written = spark.read.parquet(paths0: _*).columns.toSet
+    // one relation for the column check AND the aggregation — constructing
+    // it twice would re-list and re-read every fresh file's footer
+    val newFiles = spark.read.parquet(paths0: _*)
+    val written = newFiles.columns.toSet
     val cols = configured.filter(written.contains)
     if (cols.isEmpty) return adds
 
@@ -118,7 +121,7 @@ object BloomIndex {
         BloomBuildAgg(org.apache.spark.sql.graft.SparkBridge.expression(hashCol(c)), bits)
           .toAggregateExpression()).as(s"__bloom_$c")
 
-    val perFile = spark.read.parquet(paths0: _*)
+    val perFile = newFiles
       .withColumn("__file", input_file_name())
       .groupBy(col("__file"))
       .agg(bloomAgg(cols.head), cols.tail.map(bloomAgg): _*)
@@ -159,25 +162,27 @@ object BloomIndex {
     val key = (ctx.tablePath, id, column)
     val hit = sidecarCache.get(key)
     if (hit != null) return hit
-    val loaded: Map[String, Array[Long]] =
-      try {
-        val dir = new java.io.File(new java.io.File(ctx.tablePath, SidecarDirName), id)
-        val tableUriPath = new java.io.File(ctx.tablePath).getAbsoluteFile.toURI.getPath
-        // match on the decoded TABLE-RELATIVE path — base names alone
-        // collide on partitioned tables (one task writing several partition
-        // values reuses part-<task>-<jobUUID> under each dir)
-        def relative(fileUri: String): String =
-          new java.net.URI(fileUri).getPath.stripPrefix(tableUriPath).stripPrefix("/")
-        ctx.spark.read.parquet(dir.toString)
-          .where(col("column") === column)
-          .select(col("file"), col("bloom"))
-          .collect()
-          .map(r => relative(r.getString(0)) -> r.getSeq[Long](1).toArray)
-          .toMap
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
-    if (sidecarCache.size >= MaxCachedSidecars) sidecarCache.clear()
-    sidecarCache.put(key, loaded)
-    loaded
+    try {
+      val dir = new java.io.File(new java.io.File(ctx.tablePath, SidecarDirName), id)
+      val tableUriPath = new java.io.File(ctx.tablePath).getAbsoluteFile.toURI.getPath
+      // match on the decoded TABLE-RELATIVE path — base names alone
+      // collide on partitioned tables (one task writing several partition
+      // values reuses part-<task>-<jobUUID> under each dir)
+      def relative(fileUri: String): String =
+        new java.net.URI(fileUri).getPath.stripPrefix(tableUriPath).stripPrefix("/")
+      val loaded = ctx.spark.read.parquet(dir.toString)
+        .where(col("column") === column)
+        .select(col("file"), col("bloom"))
+        .collect()
+        .map(r => relative(r.getString(0)) -> r.getSeq[Long](1).toArray)
+        .toMap
+      // only a SUCCESSFUL load is cached: a transient read failure must stay
+      // retryable, not become a process-lifetime empty map that silently
+      // disables pruning for this sidecar
+      if (sidecarCache.size >= MaxCachedSidecars) sidecarCache.clear()
+      sidecarCache.put(key, loaded)
+      loaded
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }
 
   /** Set the k double-hashed bits of `hash` in `words`. */

@@ -196,8 +196,20 @@ class FileSkippingSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
     assert(sidecarDirs.size == 2)
     val liveId = GraftLog.parseStats(t.snapshot.files.head.stats).get.bloomSidecar.get
+
+    // a YOUNG orphan survives: it may belong to an in-flight commit whose
+    // stats aren't visible yet (age guard)
     graft.operators.TableOps.vacuum(t, retainVersion = 1L)
-    assert(sidecarDirs == Set(liveId), "vacuum must drop exactly the orphaned sidecar")
+    assert(sidecarDirs.size == 2, "young orphan must survive the age guard")
+
+    // age both dirs past the guard: only the referenced one survives
+    sidecarDirs.foreach { id =>
+      Files.setLastModifiedTime(bloomRoot.resolve(id),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() -
+          graft.operators.TableOps.BloomSidecarMinAgeMillis - 1000))
+    }
+    graft.operators.TableOps.vacuum(t, retainVersion = 1L)
+    assert(sidecarDirs == Set(liveId), "vacuum must drop exactly the aged orphaned sidecar")
     // probes against the survivor still work
     assert(survivors(t, "id = 9") <= 1)         // absent-but-in-range
     assert(t.toDF.filter($"id" === 8).count() == 1)

@@ -980,6 +980,26 @@ object SparkEntry {
       }
     }),
 
+    "s13_restore" -> ((s, dir) => {
+      // RESTORE TABLE TO VERSION: build v0 from nation, damage it (delete +
+      // schema-evolving append), restore to v0 — the restored rows must
+      // hash-match the source table exactly, at version 3, via a RESTORE
+      // commit
+      val base = read(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("id"), col("n_name").as("name"))
+      val t = GraftTable.create(s, tmp("s13"), base)                   // v0
+      () => {
+      TableOps.delete(t, Some("id < 5"))                               // v1
+      t.append(s.range(3).select((col("id") + 1000).as("id"),
+        concat(lit("x"), col("id")).as("name"), col("id").as("extra"))) // v2
+      val rv = TableOps.restore(t, 0L)
+      val t2 = GraftTable.forPath(s, t.path)
+      t2.toDF.select(col("id"), col("name"),
+        lit(rv).as("version"),
+        lit(t2.history().head._2.operation).as("op"))
+      }
+    }),
+
     "s11_zorder_skipping" -> ((s, dir) => {
       // OPTIMIZE ZORDER BY (o_orderkey, o_custkey): the scattered 8-file
       // write gives every file near-full min/max ranges on both columns
@@ -1298,6 +1318,10 @@ object SparkEntry {
         |             ('disabled', 3), ('enabled', 4), ('enabled', 5)) AS t(k, v)""".stripMargin,
     "s1_latest_version" ->
       "SELECT CAST(2 AS BIGINT) AS latest_version",
+    "s13_restore" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
+        |       CAST(3 AS BIGINT) AS version, 'RESTORE' AS op
+        |FROM nation""".stripMargin,
     "s4_show_file_sizes" ->
       """SELECT CAST(4 AS BIGINT) AS files_printed,
         |       true AS total_matches, true AS avg_matches""".stripMargin,

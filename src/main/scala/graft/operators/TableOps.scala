@@ -298,6 +298,76 @@ object TableOps {
       readVersion = Some(snap.version))
   }
 
+  /** RESTORE TABLE TO VERSION (Delta's `restoreToVersion`): one commit makes
+    * the table state AT `version` current again — files present then but
+    * removed since are re-added (metadata only; the bytes are still on disk
+    * until vacuum), files added since are removed, and the table METADATA
+    * (schema, partitioning, properties) reverts to the target version's.
+    * History is preserved: the restore is a new version on top, so the
+    * states it undid remain time-travelable.
+    *
+    * With CDF enabled the commit carries full change rows (disappearing
+    * rows as `delete`, reappearing rows as `insert`) so downstream CDF
+    * readers and streams see the restore as data change, not a gap.
+    *
+    * Errors if any target-version file was already vacuumed (the state is
+    * no longer reconstructible), and aborts on ANY concurrent commit — a
+    * restore's read footprint is the entire table.
+    *
+    * @return the committed version (current version for a no-op restore)
+    */
+  def restore(table: GraftTable, version: Long): Long = {
+    import java.nio.file.{Files, Paths}
+    val spark = table.spark
+    val log = table.log
+    val cur = table.snapshot
+    if (version == cur.version) return cur.version
+    val target = log.snapshot(version)
+    val missing = target.files.filterNot(f => Files.exists(Paths.get(table.path, f.path)))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot restore ${table.path} to version $version: ${missing.size} of its " +
+          s"files were vacuumed (first: ${missing.head.path}); the state is gone")
+    val curPaths = cur.files.map(_.path).toSet
+    val tgtPaths = target.files.map(_.path).toSet
+    val reAdd = target.files.filterNot(f => curPaths.contains(f.path))
+    val drop = cur.files.filterNot(f => tgtPaths.contains(f.path))
+
+    // change rows for CDF consumers: rows leaving the table (files added
+    // since `version`) as deletes, rows returning (files removed since) as
+    // inserts. unionByName(allowMissing) bridges schema evolution between
+    // the two states.
+    val cdc: Option[org.apache.spark.sql.DataFrame] =
+      if (!cur.cdfEnabled || (reAdd.isEmpty && drop.isEmpty)) None
+      else {
+        val deletes = table.dfForFiles(cur, drop)
+          .withColumn("_change_type", lit("delete"))
+        val inserts = table.dfForFiles(target, reAdd)
+          .withColumn("_change_type", lit("insert"))
+        Some(deletes.unionByName(inserts, allowMissingColumns = true))
+      }
+
+    TableWriter.write(spark, table.path,
+      // no data is written; the frame only satisfies the signature
+      table.dfForFiles(target, Nil),
+      TableWriter.Append,
+      operation = "RESTORE",
+      operationParameters = Map("version" -> version.toString),
+      extraMetrics = Map(
+        "numRestoredFiles" -> reAdd.size.toString,
+        "numRemovedFiles" -> drop.size.toString,
+        "restoredFilesSize" -> reAdd.map(_.size).sum.toString),
+      cdc = cdc,
+      extraActions = reAdd,
+      removeFiles = drop.map(_.path),
+      // the decision read the WHOLE current table: any concurrent winner
+      // conflicts (no silent clobbering of a commit that landed mid-restore)
+      readFiles = cur.files.map(_.path),
+      readVersion = Some(cur.version),
+      skipDataWrite = true,
+      metadataOverride = Some(target.metadata))
+  }
+
   /** VACUUM by retention DURATION (Delta's public vacuum shape): the horizon
     * is the newest version whose commit timestamp is at-or-before
     * `now - retainHours` — i.e. the table state a reader pinned at the

@@ -51,7 +51,10 @@ object TableWriter {
       removeFiles: Seq[String] = Nil,
       readFiles: Seq[String] = Nil,
       readVersion: Option[Long] = None,
-      skipDataWrite: Boolean = false
+      skipDataWrite: Boolean = false,
+      // exact Metadata to commit (RESTORE reverting schema/properties to a
+      // past version's) — bypasses the append-merge schema computation
+      metadataOverride: Option[Metadata] = None
   ): Long = {
     ensureWriteConfs(spark)
     val log = new GraftLog(tablePath)
@@ -167,7 +170,7 @@ object TableWriter {
       readVersion.foreach { rv =>
         val footprint = removeFiles.toSet ++ readFiles
         val conflicted = !disjointFromWinners(log, rv + 1, footprint,
-          Metadata(newSchema.json, partCols, newProps), ourTxnApps)
+          metadataOverride.getOrElse(Metadata(newSchema.json, partCols, newProps)), ourTxnApps)
         if (conflicted)
           throw new java.util.ConcurrentModificationException(
             s"commit of $operation to $tablePath conflicts with a concurrent writer " +
@@ -182,22 +185,27 @@ object TableWriter {
       while (committed < 0) {
         attempt += 1
         val v = attemptSnap.map(_.version + 1).getOrElse(0L)
-        val schemaNow = (mode, attemptSnap) match {
-          case (Append, Some(s)) => mergeSchemas(s.schema, df.schema)
-          case _                 => newSchema
-        }
-        val propsNow = attemptSnap.map(_.metadata.properties)
-          .getOrElse(GraftTable.sessionDefaultProperties(spark)) ++ properties
+        val schemaNow = metadataOverride.map(m =>
+          org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+            .asInstanceOf[StructType])
+          .getOrElse((mode, attemptSnap) match {
+            case (Append, Some(s)) => mergeSchemas(s.schema, df.schema)
+            case _                 => newSchema
+          })
+        val propsNow = metadataOverride.map(_.properties).getOrElse(
+          attemptSnap.map(_.metadata.properties)
+            .getOrElse(GraftTable.sessionDefaultProperties(spark)) ++ properties)
         val removes: Seq[Action] = (mode match {
           case Overwrite => attemptSnap.map(_.files.map(f => RemoveFile(f.path))).getOrElse(Nil)
           case Append    => Nil
         }) ++ removeFiles.map(RemoveFile(_))
+        val partColsNow = metadataOverride.map(_.partitionColumns).getOrElse(partCols)
         val metaChanged = attemptSnap.forall { s =>
           s.schema != schemaNow || s.metadata.properties != propsNow ||
-          s.metadata.partitionColumns != partCols
+          s.metadata.partitionColumns != partColsNow
         }
         val metaActions: Seq[Action] =
-          if (metaChanged) Seq(Metadata(schemaNow.json, partCols, propsNow)) else Nil
+          if (metaChanged) Seq(Metadata(schemaNow.json, partColsNow, propsNow)) else Nil
         val commitInfo = CommitInfo(
           timestamp = System.currentTimeMillis(),
           operation = operation,
@@ -223,7 +231,7 @@ object TableWriter {
             val retryable = !txnRace && (commutable ||
               disjointFromWinners(log, v,
                 removes.collect { case r: RemoveFile => r.path }.toSet ++ readFiles,
-                Metadata(schemaNow.json, partCols, propsNow), ourTxnApps))
+                Metadata(schemaNow.json, partColsNow, propsNow), ourTxnApps))
             if (!retryable || attempt >= maxAttempts)
               throw new java.util.ConcurrentModificationException(
                 s"commit of $operation at version ${e.version} of $tablePath lost a race with " +

@@ -392,6 +392,45 @@ class GraftHelpersSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(graft.operators.TableOps.parseRetentionHours("interval 12 HOURS") == 12.0)
     }
 
+    it("restore reverts data, schema and properties; history stays travelable") {
+      val t = GraftTable.create(spark, tmpTableDir("restore"),
+        Seq((0, "a"), (1, "b"), (2, "c")).toDF("id", "name").coalesce(1),
+        properties = Map(GraftLog.CdfProperty -> "true"))        // v0
+      TableOps.delete(t, Some("id = 1"))                          // v1: rewrites the file
+      t.append(Seq((9, "z", 5L)).toDF("id", "name", "extra"))     // v2: schema evolves
+
+      val rv = TableOps.restore(t, 0L)                            // v3
+      assert(rv == 3L)
+      // data and schema are the v0 state again
+      assert(t.toDF.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+        Set((0, "a"), (1, "b"), (2, "c")))
+      assert(t.snapshot.schema.fieldNames.toSeq == Seq("id", "name"))
+      assert(t.history().head._2.operation == "RESTORE")
+      // the undone states remain time-travelable (restore is a NEW commit)
+      assert(t.toDFAt(2).count() == 3) // rows 0,2,9
+      assert(t.toDFAt(1).count() == 2)
+      // CDF consumers see the restore as data change: the current rows that
+      // vanished as deletes, the returning v0 rows as inserts
+      val cdf = graft.log.ChangeDataFeedHelper(spark, t.path, 3, 3).readCDF
+        .groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(cdf == Map("delete" -> 3L, "insert" -> 3L), s"restore CDF: $cdf")
+      // restoring to the current version is a no-op
+      assert(TableOps.restore(t, 3L) == 3L)
+
+      // a target whose FILES are gone (log intact) names the vacuumed state
+      val v2Only = t.log.snapshot(2L).files.map(_.path)
+        .filterNot(t.snapshot.files.map(_.path).toSet)
+      java.nio.file.Files.delete(java.nio.file.Paths.get(t.path, v2Only.head))
+      val e = intercept[IllegalStateException] { TableOps.restore(t, 2L) }
+      assert(e.getMessage.contains("vacuumed"), e.getMessage)
+      // a target whose LOG was vacuumed fails at snapshot resolution
+      v2Only.tail.foreach(p =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(t.path, p)))
+      TableOps.vacuum(t, retainVersion = 3L)
+      assertThrows[IllegalArgumentException] { TableOps.restore(t, 2L) }
+    }
+
     it("zOrderBy tightens per-file min/max ranges") {
       val df = (1 to 64).map(i => ((i * 37) % 64, s"n$i")).toDF("id", "name").repartition(4)
       val t = GraftTable.create(spark, tmpTableDir("zo"), df)

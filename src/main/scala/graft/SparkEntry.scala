@@ -980,6 +980,28 @@ object SparkEntry {
       }
     }),
 
+    "s14_check_constraints" -> ((s, dir) => {
+      // CHECK constraints: add one, verify a satisfying append lands, a
+      // violating append is rejected with the constraint's name, and the
+      // rejected write leaves NO trace (row count is exactly source + 1)
+      import s.implicits._
+      val base = read(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("id"), col("c_name").as("name"))
+      val t = GraftTable.create(s, tmp("s14"), base)
+      () => {
+      t.addCheckConstraint("pos_id", "id >= 0")
+      t.append(Seq((900000001L, "good")).toDF("id", "name"))
+      def msgs(x: Throwable): Seq[String] =
+        Option(x).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      val rejected =
+        try { t.append(Seq((-1L, "bad")).toDF("id", "name")); false }
+        catch { case e: Exception => msgs(e).exists(_.contains("CHECK constraint pos_id")) }
+      val t2 = GraftTable.forPath(s, t.path)
+      Seq((t2.toDF.count(), rejected, t2.checkConstraints.size.toLong))
+        .toDF("rows_after", "violation_rejected", "num_constraints")
+      }
+    }),
+
     "s13_restore" -> ((s, dir) => {
       // RESTORE TABLE TO VERSION: build v0 from nation, damage it (delete +
       // schema-evolving append), restore to v0 — the restored rows must
@@ -1322,6 +1344,9 @@ object SparkEntry {
       """SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
         |       CAST(3 AS BIGINT) AS version, 'RESTORE' AS op
         |FROM nation""".stripMargin,
+    "s14_check_constraints" ->
+      """SELECT CAST((SELECT count(*) FROM customer) + 1 AS BIGINT) AS rows_after,
+        |       true AS violation_rejected, CAST(1 AS BIGINT) AS num_constraints""".stripMargin,
     "s4_show_file_sizes" ->
       """SELECT CAST(4 AS BIGINT) AS files_printed,
         |       true AS total_matches, true AS avg_matches""".stripMargin,

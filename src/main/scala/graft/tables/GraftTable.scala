@@ -114,7 +114,11 @@ class GraftTable private (val spark: SparkSession, val path: String) {
     * `ALTER TABLE ... SET TBLPROPERTIES` (used by CDF enable/disable
     * scenarios, reference `ChangeDataFeedHelperSpec.scala:207-208`).
     */
-  def setProperties(props: Map[String, String]): Long = {
+  def setProperties(props: Map[String, String]): Long =
+    updateProperties(props, Set.empty, "SET TBLPROPERTIES")
+
+  private def updateProperties(
+      merge: Map[String, String], remove: Set[String], operation: String): Long = {
     // metadata-only commit commutes: on a lost race, re-read and reapply —
     // but bounded by the same 20-attempt discipline as TableWriter, so a
     // pathological writer storm surfaces ConcurrentModificationException
@@ -129,20 +133,50 @@ class GraftTable private (val spark: SparkSession, val path: String) {
       try {
         log.commit(v, Seq(
           graft.tables.Metadata(s.metadata.schemaJson, s.metadata.partitionColumns,
-            s.metadata.properties ++ props),
-          CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES",
-            operationParameters = Map("properties" -> props.toString))))
+            (s.metadata.properties -- remove) ++ merge),
+          CommitInfo(System.currentTimeMillis(), operation,
+            operationParameters = Map("properties" -> (merge ++ remove.map(_ -> "<removed>")).toString))))
         committed = v
       } catch {
         case e: CommitConflictException =>
           if (attempt >= maxAttempts)
             throw new java.util.ConcurrentModificationException(
-              s"SET TBLPROPERTIES on $path lost ${maxAttempts} version races in a row " +
+              s"$operation on $path lost ${maxAttempts} version races in a row " +
                 s"(last at version ${e.version}); re-run the operation")
       }
     }
     committed
   }
+
+  /** ADD CONSTRAINT (Delta's `ALTER TABLE ... ADD CONSTRAINT name CHECK
+    * (predicate)`): stores the predicate as table property
+    * `graft.constraints.<name>`; every subsequent write enforces it ROW BY
+    * ROW inside the write projection itself (no extra pass — see
+    * TableWriter), failing the commit on the first violating row. NULL
+    * predicates pass (SQL CHECK semantics). The EXISTING rows are validated
+    * here first — a constraint the current table violates is rejected.
+    */
+  def addCheckConstraint(name: String, predicate: String): Long = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"constraint name must be alphanumeric/underscore, got '$name'")
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val violations =
+      toDF.filter(not(coalesce(expr(predicate), lit(true)))).limit(1).count()
+    if (violations > 0)
+      throw new IllegalArgumentException(
+        s"cannot add CHECK constraint $name ($predicate): existing rows of $path violate it")
+    updateProperties(Map(GraftTable.ConstraintPropertyPrefix + name -> predicate),
+      Set.empty, "ADD CONSTRAINT")
+  }
+
+  /** DROP CONSTRAINT: removes the `graft.constraints.<name>` property. */
+  def dropCheckConstraint(name: String): Long =
+    updateProperties(Map.empty,
+      Set(GraftTable.ConstraintPropertyPrefix + name), "DROP CONSTRAINT")
+
+  /** The table's CHECK constraints, by name. */
+  def checkConstraints: Map[String, String] =
+    GraftTable.constraintsOf(snapshot.metadata.properties)
 
   /** Append rows (mergeSchema semantics: unseen columns extend the schema). */
   def append(df: DataFrame, operation: String = "WRITE",
@@ -159,6 +193,16 @@ class GraftTable private (val spark: SparkSession, val path: String) {
 }
 
 object GraftTable {
+
+  /** Property namespace for CHECK constraints (Delta: `delta.constraints.*`). */
+  val ConstraintPropertyPrefix = "graft.constraints."
+
+  /** The CHECK constraints recorded in a property map, by name. */
+  def constraintsOf(properties: Map[String, String]): Map[String, String] =
+    properties.collect {
+      case (k, v) if k.startsWith(ConstraintPropertyPrefix) =>
+        k.stripPrefix(ConstraintPropertyPrefix) -> v
+    }
 
   /** Session conf prefix for default table properties inherited by NEW
     * tables — analogue of Delta's

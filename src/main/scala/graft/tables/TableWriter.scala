@@ -82,13 +82,40 @@ object TableWriter {
     val newProps = prevSnapshot.map(_.metadata.properties)
       .getOrElse(GraftTable.sessionDefaultProperties(spark)) ++ properties
 
+    // CHECK constraints ride INSIDE the write projection (assert_true in a
+    // filter — codegen'd per-row, no extra pass, and column pruning cannot
+    // drop a filter): the staging write below fails on the first violating
+    // row, before anything is committed. NULL predicates pass (SQL CHECK
+    // semantics). Every mutation funnels through here — append, overwrite,
+    // merge rewrite, delete/update keep-set, streaming epochs.
+    val constraints = GraftTable.constraintsOf(newProps)
+    val checkedDf = constraints.foldLeft(df) { case (d, (name, pred)) =>
+      import org.apache.spark.sql.functions.{assert_true, coalesce, expr, lit}
+      // a narrower (schema-merging) append may lack constrained columns:
+      // those rows ARE null there, so the check must see typed nulls — not
+      // fail resolution
+      val refs = spark.sessionState.sqlParser.parseExpression(pred).collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.nameParts.head
+      }
+      val have = d.columns.map(_.toLowerCase).toSet
+      val missing = refs.filterNot(r => have.contains(r.toLowerCase)).distinct
+      val widened = missing.foldLeft(d) { (dd, c) =>
+        val dt = newSchema.fields.find(_.name.equalsIgnoreCase(c))
+          .map(_.dataType).getOrElse(org.apache.spark.sql.types.StringType)
+        dd.withColumn(c, lit(null).cast(dt))
+      }
+      widened.filter(assert_true(coalesce(expr(pred), lit(true)),
+        lit(s"CHECK constraint $name ($pred) violated by a written row")).isNull)
+        .drop(missing: _*)
+    }
+
     // 1. distributed write to staging
     Files.createDirectories(Paths.get(tablePath))
     val staging = Files.createTempDirectory(Paths.get(tablePath).getParent, ".graft-staging-")
     val stagingDir = staging.resolve("data").toString
     try {
       val adds: Seq[AddFile] = if (skipDataWrite) Nil else {
-        val writer = df.write.mode("overwrite")
+        val writer = checkedDf.write.mode("overwrite")
         (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(stagingDir)
 
         // 2. move produced parquet files into the table dir

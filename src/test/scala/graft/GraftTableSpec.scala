@@ -105,6 +105,55 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assertThrows[IllegalArgumentException] { GraftTable.forName(spark, "nope") }
     }
 
+    it("CHECK constraints enforce row-by-row across every write path") {
+      def rootMsgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ rootMsgs(x.getCause))
+      val t = GraftTable.create(spark, tmpTableDir("graft-check"),
+        Seq((1, "a"), (2, "b")).toDF("id", "name"))
+      t.addCheckConstraint("pos_id", "id >= 0")
+      assert(t.checkConstraints == Map("pos_id" -> "id >= 0"))
+
+      t.append(Seq((3, "c")).toDF("id", "name")) // satisfying rows land
+      val vBefore = t.version
+      val e1 = intercept[Exception] { t.append(Seq((-1, "bad")).toDF("id", "name")) }
+      assert(rootMsgs(e1).exists(_.contains("CHECK constraint pos_id")), rootMsgs(e1).mkString("; "))
+      // the failed write left NO trace: same version, same rows
+      assert(t.version == vBefore && t.toDF.count() == 3)
+
+      // NULL passes (SQL CHECK semantics)
+      t.append(Seq((Option.empty[Int], "n")).toDF("id", "name"))
+      assert(t.toDF.count() == 4)
+
+      // UPDATE rewriting a row into violation fails
+      val e2 = intercept[Exception] {
+        graft.operators.TableOps.update(t, Some("id = 1"), Map("id" -> "-7"))
+      }
+      assert(rootMsgs(e2).exists(_.contains("CHECK constraint pos_id")), rootMsgs(e2).mkString("; "))
+
+      // MERGE inserting a violating row fails
+      val e3 = intercept[Exception] {
+        graft.operators.GraftMerge(t, "old")
+          .merge(Seq((-9, "m")).toDF("id", "name"), "old.id = new.id", Some("new"))
+          .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+      }
+      assert(rootMsgs(e3).exists(_.contains("CHECK constraint pos_id")), rootMsgs(e3).mkString("; "))
+
+      // a constraint the EXISTING rows violate is rejected at ADD time
+      val e4 = intercept[IllegalArgumentException] { t.addCheckConstraint("big", "id > 100") }
+      assert(e4.getMessage.contains("existing rows"), e4.getMessage)
+
+      // schema-merging append WITHOUT the constrained column: rows are null
+      // there, so they pass — not an analysis failure
+      t.append(Seq(("x-only", 7L)).toDF("name", "extra"))
+      assert(t.toDF.count() == 5)
+
+      // DROP lifts enforcement
+      t.dropCheckConstraint("pos_id")
+      assert(t.checkConstraints.isEmpty)
+      t.append(Seq((-1, "now-ok")).toDF("id", "name"))
+      assert(t.toDF.count() == 6)
+    }
+
     it("CREATE TABLE ... USING graft DDL round-trips: fresh schema, adoption, mismatch") {
       // fresh location + declared schema → an empty graft table materializes
       // (zero-file commit), and the catalog name resolves through forName

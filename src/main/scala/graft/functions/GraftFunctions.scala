@@ -22,7 +22,9 @@ import graft.pipeline.{Dedup, TextAnalysis}
   *  - `quality_score(text)` — composite quality heuristic
   *    ([[graft.pipeline.TextAnalysis.qualityScore]]);
   *  - `fingerprint(text)` — normalized-content md5
-  *    ([[graft.pipeline.TextAnalysis.fingerprint]]).
+  *    ([[graft.pipeline.TextAnalysis.fingerprint]]);
+  *  - `lang_id(text)` — marker-based language heuristic
+  *    ([[graft.pipeline.TextAnalysis.langId]]).
   *
   * Parameters that select a code shape (hash counts, shingle width, bit
   * width) must be LITERALS — like `round`'s scale argument — and are
@@ -41,6 +43,8 @@ object GraftFunctions {
       unary("quality_score", TextAnalysis.qualityScore))
     SparkBridge.registerFunction(spark, "fingerprint",
       unary("fingerprint", TextAnalysis.fingerprint))
+    SparkBridge.registerFunction(spark, "lang_id",
+      unary("lang_id", TextAnalysis.langId))
   }
 
   private[functions] def minhashBuilder(exprs: Seq[Expression]): Expression = {

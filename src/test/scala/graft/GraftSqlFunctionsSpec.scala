@@ -73,6 +73,10 @@ class GraftSqlFunctionsSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assertSqlEqualsColumn("fingerprint(text)", TextAnalysis.fingerprint($"text"))
   }
 
+  it("lang_id ≡ TextAnalysis.langId") {
+    assertSqlEqualsColumn("lang_id(text)", TextAnalysis.langId($"text"))
+  }
+
   it("fingerprint is reformat-invariant where the Column contract says so") {
     val r = spark.sql(
       "SELECT fingerprint('Hello,   World!') = fingerprint('hello world') AS same").head()

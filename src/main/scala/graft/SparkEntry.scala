@@ -991,11 +991,10 @@ object SparkEntry {
       () => {
       t.addCheckConstraint("pos_id", "id >= 0")
       t.append(Seq((900000001L, "good")).toDF("id", "name"))
-      def msgs(x: Throwable): Seq[String] =
-        Option(x).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
       val rejected =
         try { t.append(Seq((-1L, "bad")).toDF("id", "name")); false }
-        catch { case e: Exception => msgs(e).exists(_.contains("CHECK constraint pos_id")) }
+        catch { case e: Exception =>
+          Causes.messages(e).exists(_.contains("CHECK constraint pos_id")) }
       val t2 = GraftTable.forPath(s, t.path)
       Seq((t2.toDF.count(), rejected, t2.checkConstraints.size.toLong))
         .toDF("rows_after", "violation_rejected", "num_constraints")

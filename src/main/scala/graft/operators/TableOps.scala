@@ -306,13 +306,19 @@ object TableOps {
     * History is preserved: the restore is a new version on top, so the
     * states it undid remain time-travelable.
     *
-    * With CDF enabled the commit carries full change rows (disappearing
-    * rows as `delete`, reappearing rows as `insert`) so downstream CDF
-    * readers and streams see the restore as data change, not a gap.
+    * With CDF enabled IN THE RESTORED STATE (the commit reverts properties
+    * too, so the target's CDF flag governs it) the commit carries full
+    * change rows (disappearing rows as `delete`, reappearing rows as
+    * `insert`) so downstream CDF readers and streams see the restore as
+    * data change, not a gap.
     *
     * Errors if any target-version file was already vacuumed (the state is
-    * no longer reconstructible), and aborts on ANY concurrent commit — a
-    * restore's read footprint is the entire table.
+    * no longer reconstructible). Concurrency: the restore's read footprint
+    * is the entire current table, so any concurrent commit that REMOVED or
+    * REWROTE a file (merge, delete, OPTIMIZE) or changed metadata aborts
+    * it; a concurrent blind append serializes AFTER the restore — its rows
+    * survive (WriteSerializable: the outcome is as if the append ran on
+    * the restored table).
     *
     * @return the committed version (current version for a no-op restore)
     */
@@ -338,7 +344,7 @@ object TableOps {
     // inserts. unionByName(allowMissing) bridges schema evolution between
     // the two states.
     val cdc: Option[org.apache.spark.sql.DataFrame] =
-      if (!cur.cdfEnabled || (reAdd.isEmpty && drop.isEmpty)) None
+      if (!target.cdfEnabled || (reAdd.isEmpty && drop.isEmpty)) None
       else {
         val deletes = table.dfForFiles(cur, drop)
           .withColumn("_change_type", lit("delete"))

@@ -160,19 +160,56 @@ class GraftTable private (val spark: SparkSession, val path: String) {
     require(name.matches("[A-Za-z0-9_]+"),
       s"constraint name must be alphanumeric/underscore, got '$name'")
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-    val violations =
-      toDF.filter(not(coalesce(expr(predicate), lit(true)))).limit(1).count()
-    if (violations > 0)
-      throw new IllegalArgumentException(
-        s"cannot add CHECK constraint $name ($predicate): existing rows of $path violate it")
-    updateProperties(Map(GraftTable.ConstraintPropertyPrefix + name -> predicate),
-      Set.empty, "ADD CONSTRAINT")
+    // validate-then-commit, atomically per attempt: a lost version race
+    // means rows may have changed since the scan, so each retry RE-VALIDATES
+    // against the fresh snapshot before reapplying (a blind property retry
+    // could commit the constraint over a concurrently appended violator)
+    val maxAttempts = 20
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempt += 1
+      val s = snapshot
+      if (GraftTable.constraintsOf(s.metadata.properties).contains(name))
+        throw new IllegalArgumentException(
+          s"CHECK constraint $name already exists on $path; drop it first " +
+            "(silently replacing a constraint would weaken it unnoticed)")
+      val violations = dfForSnapshot(s)
+        .filter(not(coalesce(expr(predicate), lit(true)))).limit(1).count()
+      if (violations > 0)
+        throw new IllegalArgumentException(
+          s"cannot add CHECK constraint $name ($predicate): existing rows of $path violate it")
+      try {
+        log.commit(s.version + 1, Seq(
+          graft.tables.Metadata(s.metadata.schemaJson, s.metadata.partitionColumns,
+            s.metadata.properties +
+              (GraftTable.ConstraintPropertyPrefix + name -> predicate)),
+          CommitInfo(System.currentTimeMillis(), "ADD CONSTRAINT",
+            operationParameters = Map("name" -> name, "expr" -> predicate))))
+        committed = s.version + 1
+      } catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxAttempts)
+            throw new java.util.ConcurrentModificationException(
+              s"ADD CONSTRAINT on $path lost ${maxAttempts} version races in a row " +
+                s"(last at version ${e.version}); re-run the operation")
+      }
+    }
+    committed
   }
 
-  /** DROP CONSTRAINT: removes the `graft.constraints.<name>` property. */
-  def dropCheckConstraint(name: String): Long =
+  /** DROP CONSTRAINT: removes the `graft.constraints.<name>` property;
+    * loud when no such constraint exists (a misspelled drop must not leave
+    * the operator believing enforcement was lifted).
+    */
+  def dropCheckConstraint(name: String): Long = {
+    if (!checkConstraints.contains(name))
+      throw new IllegalArgumentException(
+        s"no CHECK constraint named $name on $path (have: " +
+          s"${checkConstraints.keys.toSeq.sorted.mkString(", ")})")
     updateProperties(Map.empty,
       Set(GraftTable.ConstraintPropertyPrefix + name), "DROP CONSTRAINT")
+  }
 
   /** The table's CHECK constraints, by name. */
   def checkConstraints: Map[String, String] =

@@ -71,11 +71,17 @@ object TableWriter {
     }
 
     // Schema: overwrite replaces; append merges by name (mergeSchema semantics,
-    // reference DeltaHelpers.scala:375-378 — old files read as null for new cols).
-    val newSchema = (mode, prevSnapshot) match {
-      case (Append, Some(s)) => mergeSchemas(s.schema, df.schema)
-      case _                 => df.schema
-    }
+    // reference DeltaHelpers.scala:375-378 — old files read as null for new
+    // cols). A metadata OVERRIDE (RESTORE) supplies the committed schema
+    // outright — merging would wrongly reject restores across a
+    // type-changing overwrite.
+    val newSchema = metadataOverride.map(m =>
+      org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+        .asInstanceOf[StructType])
+      .getOrElse((mode, prevSnapshot) match {
+        case (Append, Some(s)) => mergeSchemas(s.schema, df.schema)
+        case _                 => df.schema
+      })
 
     // new tables inherit session-level default properties (e.g. CDF-on,
     // reference ChangeDataFeedHelperSpec.scala:20)
@@ -88,15 +94,31 @@ object TableWriter {
     // row, before anything is committed. NULL predicates pass (SQL CHECK
     // semantics). Every mutation funnels through here — append, overwrite,
     // merge rewrite, delete/update keep-set, streaming epochs.
-    val constraints = GraftTable.constraintsOf(newProps)
+    // the property regime of the COMMITTED state: a metadata override
+    // (RESTORE) reverts properties too, so its constraints/CDF flags — not
+    // the current snapshot's — govern this commit
+    val effectiveProps = metadataOverride.map(_.properties).getOrElse(newProps)
+    val constraints =
+      if (skipDataWrite) Map.empty[String, String]
+      else GraftTable.constraintsOf(effectiveProps)
     val checkedDf = constraints.foldLeft(df) { case (d, (name, pred)) =>
       import org.apache.spark.sql.functions.{assert_true, coalesce, expr, lit}
-      // a narrower (schema-merging) append may lack constrained columns:
-      // those rows ARE null there, so the check must see typed nulls — not
-      // fail resolution
       val refs = spark.sessionState.sqlParser.parseExpression(pred).collect {
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.nameParts.head
       }
+      // a write that would leave the TABLE without a constrained column
+      // (overwrite replacing the schema) must be rejected, not allowed to
+      // reduce the constraint to a vacuous null-check forever (Delta rejects
+      // constraint-orphaning schema changes the same way)
+      val inTable = newSchema.fieldNames.map(_.toLowerCase).toSet
+      val orphaned = refs.filterNot(r => inTable.contains(r.toLowerCase)).distinct
+      if (orphaned.nonEmpty)
+        throw new IllegalArgumentException(
+          s"write would drop column(s) ${orphaned.mkString(", ")} referenced by CHECK " +
+            s"constraint $name ($pred); drop the constraint first")
+      // a narrower (schema-merging) append may lack constrained columns the
+      // TABLE still has: those rows ARE null there, so the check must see
+      // typed nulls — not fail resolution
       val have = d.columns.map(_.toLowerCase).toSet
       val missing = refs.filterNot(r => have.contains(r.toLowerCase)).distinct
       val widened = missing.foldLeft(d) { (dd, c) =>
@@ -145,7 +167,7 @@ object TableWriter {
 
       // 4. CDC files (when provided and CDF enabled)
       val version = prevSnapshot.map(_.version + 1).getOrElse(0L)
-      val cdfOn = newProps.get(GraftLog.CdfProperty).exists(_.equalsIgnoreCase("true"))
+      val cdfOn = effectiveProps.get(GraftLog.CdfProperty).exists(_.equalsIgnoreCase("true"))
       val cdcActions: Seq[Action] = cdc match {
         case Some(cdcDf) if cdfOn => writeCdcFiles(spark, tablePath, version, cdcDf)
         case _                    => Nil
@@ -255,7 +277,20 @@ object TableWriter {
                   case _                 => false
                 }
               }
-            val retryable = !txnRace && (commutable ||
+            // a winner that changed the CHECK-constraint set invalidates the
+            // STAGED files — they were written through the old constraint
+            // filters, and a blind-append retry would land rows a just-added
+            // constraint never saw. The non-commutable path already aborts
+            // on any metadata change via disjointFromWinners.
+            val constraintRace = !skipDataWrite &&
+              (v to log.latestVersion()).exists { w =>
+                (try log.actionsAt(w) catch { case _: Exception => Nil }).exists {
+                  case m: Metadata =>
+                    GraftTable.constraintsOf(m.properties) != constraints
+                  case _ => false
+                }
+              }
+            val retryable = !txnRace && !constraintRace && (commutable ||
               disjointFromWinners(log, v,
                 removes.collect { case r: RemoveFile => r.path }.toSet ++ readFiles,
                 Metadata(schemaNow.json, partColsNow, propsNow), ourTxnApps))

@@ -106,8 +106,6 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
 
     it("CHECK constraints enforce row-by-row across every write path") {
-      def rootMsgs(t: Throwable): Seq[String] =
-        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ rootMsgs(x.getCause))
       val t = GraftTable.create(spark, tmpTableDir("graft-check"),
         Seq((1, "a"), (2, "b")).toDF("id", "name"))
       t.addCheckConstraint("pos_id", "id >= 0")
@@ -116,7 +114,7 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       t.append(Seq((3, "c")).toDF("id", "name")) // satisfying rows land
       val vBefore = t.version
       val e1 = intercept[Exception] { t.append(Seq((-1, "bad")).toDF("id", "name")) }
-      assert(rootMsgs(e1).exists(_.contains("CHECK constraint pos_id")), rootMsgs(e1).mkString("; "))
+      assert(Causes.messages(e1).exists(_.contains("CHECK constraint pos_id")), Causes.messages(e1).mkString("; "))
       // the failed write left NO trace: same version, same rows
       assert(t.version == vBefore && t.toDF.count() == 3)
 
@@ -128,7 +126,7 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       val e2 = intercept[Exception] {
         graft.operators.TableOps.update(t, Some("id = 1"), Map("id" -> "-7"))
       }
-      assert(rootMsgs(e2).exists(_.contains("CHECK constraint pos_id")), rootMsgs(e2).mkString("; "))
+      assert(Causes.messages(e2).exists(_.contains("CHECK constraint pos_id")), Causes.messages(e2).mkString("; "))
 
       // MERGE inserting a violating row fails
       val e3 = intercept[Exception] {
@@ -136,20 +134,35 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
           .merge(Seq((-9, "m")).toDF("id", "name"), "old.id = new.id", Some("new"))
           .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
       }
-      assert(rootMsgs(e3).exists(_.contains("CHECK constraint pos_id")), rootMsgs(e3).mkString("; "))
+      assert(Causes.messages(e3).exists(_.contains("CHECK constraint pos_id")), Causes.messages(e3).mkString("; "))
 
       // a constraint the EXISTING rows violate is rejected at ADD time
       val e4 = intercept[IllegalArgumentException] { t.addCheckConstraint("big", "id > 100") }
       assert(e4.getMessage.contains("existing rows"), e4.getMessage)
+
+      // re-adding an existing name must not silently replace (weaken) it
+      val e4b = intercept[IllegalArgumentException] {
+        t.addCheckConstraint("pos_id", "id >= -100")
+      }
+      assert(e4b.getMessage.contains("already exists"), e4b.getMessage)
+
+      // an overwrite whose schema drops the constrained column is rejected —
+      // it would reduce the constraint to a vacuous null-check forever
+      val e4c = intercept[IllegalArgumentException] {
+        t.overwrite(Seq(("no-id", 1.0)).toDF("name", "other"))
+      }
+      assert(e4c.getMessage.contains("drop the constraint first"), e4c.getMessage)
 
       // schema-merging append WITHOUT the constrained column: rows are null
       // there, so they pass — not an analysis failure
       t.append(Seq(("x-only", 7L)).toDF("name", "extra"))
       assert(t.toDF.count() == 5)
 
-      // DROP lifts enforcement
+      // DROP lifts enforcement; dropping a nonexistent name is loud
       t.dropCheckConstraint("pos_id")
       assert(t.checkConstraints.isEmpty)
+      val e5 = intercept[IllegalArgumentException] { t.dropCheckConstraint("pos_id") }
+      assert(e5.getMessage.contains("no CHECK constraint"), e5.getMessage)
       t.append(Seq((-1, "now-ok")).toDF("id", "name"))
       assert(t.toDF.count() == 6)
     }
@@ -181,10 +194,8 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
         val e = intercept[Exception] {
           spark.sql(s"CREATE TABLE ddl_bad (wrong DOUBLE) USING graft LOCATION '$dir2'")
         }
-        def msgs(t: Throwable): Seq[String] =
-          Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-        assert(msgs(e).exists(_.contains("does not match the graft table")),
-          msgs(e).mkString("; "))
+        assert(Causes.messages(e).exists(_.contains("does not match the graft table")),
+          Causes.messages(e).mkString("; "))
       } finally {
         spark.sql("DROP TABLE IF EXISTS ddl_adopt")
         spark.sql("DROP TABLE IF EXISTS ddl_bad")

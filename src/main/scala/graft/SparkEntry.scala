@@ -980,6 +980,25 @@ object SparkEntry {
       }
     }),
 
+    "q13_idempotent_write" -> ((s, dir) => {
+      // Delta's txnAppId/txnVersion idempotent-write options: a replayed
+      // batch write (same appId + version) is skipped, so the table holds
+      // the source rows exactly once plus the later epoch's row
+      import s.implicits._
+      val base = read(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("id"), col("s_name").as("name"))
+      val tdir = tmp("q13")
+      () => {
+      def w(v: Long, df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("graft").mode("append")
+          .option("txnAppId", "loader").option("txnVersion", v).save(tdir)
+      w(1, base)                                    // initial load
+      w(1, base)                                    // restart replay: skipped
+      w(2, Seq((-1L, "extra")).toDF("id", "name"))  // next epoch lands
+      GraftTable.forPath(s, tdir).toDF.select("id", "name")
+      }
+    }),
+
     "s14_check_constraints" -> ((s, dir) => {
       // CHECK constraints: add one, verify a satisfying append lands, a
       // violating append is rejected with the constraint's name, and the
@@ -1346,6 +1365,9 @@ object SparkEntry {
     "s14_check_constraints" ->
       """SELECT CAST((SELECT count(*) FROM customer) + 1 AS BIGINT) AS rows_after,
         |       true AS violation_rejected, CAST(1 AS BIGINT) AS num_constraints""".stripMargin,
+    "q13_idempotent_write" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS id, s_name AS name FROM supplier
+        |UNION ALL SELECT -1, 'extra'""".stripMargin,
     "s4_show_file_sizes" ->
       """SELECT CAST(4 AS BIGINT) AS files_printed,
         |       true AS total_matches, true AS avg_matches""".stripMargin,

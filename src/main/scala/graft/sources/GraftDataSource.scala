@@ -158,6 +158,14 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
   /** `df.write.format("graft").mode(...).save(path)` — maps SaveMode onto the
     * table writer's commit protocol (Append/Overwrite commits, ErrorIfExists /
     * Ignore on an existing log).
+    *
+    * IDEMPOTENT writes (Delta's `txnAppId`/`txnVersion` writer options,
+    * both or neither): the commit carries a `SetTransaction(appId, version)`
+    * watermark, and a write whose version is ≤ the table's recorded
+    * watermark for that appId is SKIPPED entirely — a restarted batch job
+    * replaying its last stage cannot double-append. The same zombie guard
+    * the streaming sink gets applies: losing a commit race to a writer that
+    * advanced the same appId aborts instead of blind-retrying.
     */
   override def createRelation(
       sqlContext: SQLContext,
@@ -167,20 +175,36 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val path = pathOf(parameters)
     val spark = sqlContext.sparkSession
     val exists = GraftTable.exists(path)
-    mode match {
+    val txn: Option[(String, Long)] =
+      (parameters.get("txnAppId"), parameters.get("txnVersion")) match {
+        case (Some(app), Some(v)) => Some((app, v.trim.toLong))
+        case (None, None)         => None
+        case _ => throw new IllegalArgumentException(
+          "txnAppId and txnVersion must be set together (idempotent-write options)")
+      }
+    val alreadyApplied = txn.exists { case (app, v) =>
+      exists && GraftTable.forPath(spark, path).txnVersion(app).exists(_ >= v)
+    }
+    val txnActions: Seq[graft.tables.Action] =
+      txn.map { case (app, v) => graft.tables.SetTransaction(app, v) }.toSeq
+    if (!alreadyApplied) mode match {
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(s"graft table already exists at $path")
       case SaveMode.Ignore if exists => ()
       case SaveMode.Append if exists =>
-        TableWriter.write(spark, path, data, TableWriter.Append)
+        TableWriter.write(spark, path, data, TableWriter.Append,
+          extraActions = txnActions)
       case SaveMode.Overwrite if exists =>
         TableWriter.write(spark, path, data, TableWriter.Overwrite,
-          partitionColumns = GraftTable.forPath(spark, path).snapshot.metadata.partitionColumns)
+          partitionColumns = GraftTable.forPath(spark, path).snapshot.metadata.partitionColumns,
+          extraActions = txnActions)
       case _ =>
         val partitions = parameters.get("partitionColumns")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-        GraftTable.create(spark, path, data, partitions)
-        ()
+        if (txnActions.isEmpty) { GraftTable.create(spark, path, data, partitions); () }
+        else TableWriter.write(spark, path, data, TableWriter.Overwrite,
+          partitionColumns = partitions, operation = "CREATE TABLE",
+          extraActions = txnActions)
     }
     GraftScanRewrite.install(spark)
     GraftRelation(sqlContext, path)

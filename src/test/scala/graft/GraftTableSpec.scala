@@ -167,6 +167,36 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(t.toDF.count() == 6)
     }
 
+    it("idempotent batch writes: txnAppId/txnVersion dedupe replays") {
+      val dir = tmpTableDir("graft-idem")
+      def w(v: Long, rows: Seq[(Int, String)]): Unit =
+        rows.toDF("id", "name").write.format("graft").mode("append")
+          .option("txnAppId", "job1").option("txnVersion", v).save(dir)
+      w(1, Seq((1, "a"))) // creates the table, records the watermark
+      val t = GraftTable.forPath(spark, dir)
+      assert(t.toDF.count() == 1 && t.txnVersion("job1").contains(1L))
+
+      w(1, Seq((1, "a"))) // exact replay: SKIPPED, no new version
+      assert(t.toDF.count() == 1 && t.version == 0L)
+      w(2, Seq((2, "b"))) // next epoch lands, watermark advances
+      assert(t.toDF.count() == 2 && t.txnVersion("job1").contains(2L))
+      w(1, Seq((9, "x"))) // stale replay below the watermark: skipped
+      assert(t.toDF.count() == 2 && t.version == 1L)
+
+      // an unrelated appId has its own watermark
+      Seq((3, "c")).toDF("id", "name").write.format("graft").mode("append")
+        .option("txnAppId", "job2").option("txnVersion", 1).save(dir)
+      assert(t.toDF.count() == 3 && t.txnVersion("job2").contains(1L))
+
+      // one option without the other is a configuration error
+      val e = intercept[Exception] {
+        Seq((4, "d")).toDF("id", "name").write.format("graft").mode("append")
+          .option("txnAppId", "job3").save(dir)
+      }
+      assert(graft.Causes.messages(e).exists(_.contains("must be set together")),
+        graft.Causes.messages(e).mkString("; "))
+    }
+
     it("CREATE TABLE ... USING graft DDL round-trips: fresh schema, adoption, mismatch") {
       // fresh location + declared schema → an empty graft table materializes
       // (zero-file commit), and the catalog name resolves through forName

@@ -167,6 +167,33 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(t.toDF.count() == 6)
     }
 
+    it("an append racing a concurrent ADD CONSTRAINT aborts instead of landing unvalidated rows") {
+      // the staged files were written through the OLD (empty) constraint
+      // filters; blind-retrying past the winner would land rows the
+      // just-added constraint never saw — the loser must abort loudly
+      import org.apache.spark.sql.functions.udf
+      val dir = tmpTableDir("graft-check-race")
+      val t = GraftTable.create(spark, dir, Seq((1, "a")).toDF("id", "name"))
+      OccGate.reset()
+      val gate = udf { (id: Int) => OccGate.enter(); id }
+      var bError: Option[Throwable] = None
+      val b = new Thread(() => {
+        try t.append(Seq((-5, "bad")).toDF("id", "name")
+          .withColumn("id", gate($"id")))
+        catch { case e: Throwable => bError = Some(e) }
+      })
+      b.start()
+      OccGate.awaitEntered()
+      t.addCheckConstraint("pos_id", "id >= 0") // wins the version race
+      OccGate.release()
+      b.join(60000)
+      assert(bError.exists(_.isInstanceOf[java.util.ConcurrentModificationException]),
+        s"append must abort after a concurrent ADD CONSTRAINT, got: $bError")
+      // the violating row never landed; the constraint stands
+      assert(t.toDF.count() == 1)
+      assert(t.checkConstraints.contains("pos_id"))
+    }
+
     it("idempotent batch writes: txnAppId/txnVersion dedupe replays") {
       val dir = tmpTableDir("graft-idem")
       def w(v: Long, rows: Seq[(Int, String)]): Unit =

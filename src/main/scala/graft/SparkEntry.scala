@@ -980,6 +980,22 @@ object SparkEntry {
       }
     }),
 
+    "s15_shallow_clone" -> ((s, dir) => {
+      // zero-copy CLONE: the clone reads the SOURCE's files by absolute
+      // reference, then diverges via a delete that rewrites only its own
+      // referenced files — the source row count must be untouched
+      val base = read(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("id"),
+          col("o_totalprice").as("price"))
+      val srcT = GraftTable.create(s, tmp("s15src"), base)
+      () => {
+      val clone = GraftTable.shallowClone(s, srcT.path, tmp("s15dst"))
+      TableOps.delete(clone, Some("id % 2 = 0"))
+      val srcRows = GraftTable.forPath(s, srcT.path).toDF.count()
+      clone.toDF.select(col("id"), col("price"), lit(srcRows).as("src_rows"))
+      }
+    }),
+
     "q13_idempotent_write" -> ((s, dir) => {
       // Delta's txnAppId/txnVersion idempotent-write options: a replayed
       // batch write (same appId + version) is skipped, so the table holds
@@ -1368,6 +1384,10 @@ object SparkEntry {
     "q13_idempotent_write" ->
       """SELECT CAST(s_suppkey AS BIGINT) AS id, s_name AS name FROM supplier
         |UNION ALL SELECT -1, 'extra'""".stripMargin,
+    "s15_shallow_clone" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS id, o_totalprice AS price,
+        |       (SELECT count(*) FROM orders) AS src_rows
+        |FROM orders WHERE o_orderkey % 2 <> 0""".stripMargin,
     "s4_show_file_sizes" ->
       """SELECT CAST(4 AS BIGINT) AS files_printed,
         |       true AS total_matches, true AS avg_matches""".stripMargin,

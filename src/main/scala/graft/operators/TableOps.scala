@@ -329,7 +329,8 @@ object TableOps {
     val cur = table.snapshot
     if (version == cur.version) return cur.version
     val target = log.snapshot(version)
-    val missing = target.files.filterNot(f => Files.exists(Paths.get(table.path, f.path)))
+    val missing = target.files.filterNot(f =>
+      Files.exists(GraftTable.resolveDataPath(table.path, f.path)))
     if (missing.nonEmpty)
       throw new IllegalStateException(
         s"cannot restore ${table.path} to version $version: ${missing.size} of its " +
@@ -467,7 +468,10 @@ object TableOps {
 
     var deleted = 0
     deadData.foreach { rel =>
-      if (Files.deleteIfExists(Paths.get(table.path, rel))) deleted += 1
+      // EXTERNAL (absolute) references recorded by a shallow clone belong
+      // to the SOURCE table — the clone's vacuum must never delete them
+      if (!rel.startsWith("/") &&
+          Files.deleteIfExists(Paths.get(table.path, rel))) deleted += 1
     }
     dropVersions.foreach(v => Files.deleteIfExists(log.versionFile(v)))
     // stale checkpoints below the horizon must go too: replaying from one

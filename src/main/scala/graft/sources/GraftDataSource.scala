@@ -516,7 +516,7 @@ class GraftFileIndex(
   override def sizeInBytes: Long = cachedSnap.sizeInBytes
 
   override def inputFiles: Array[String] =
-    cachedSnap.files.map(f => new java.io.File(tablePath, f.path).toURI.toString).toArray
+    cachedSnap.files.map(f => GraftTable.resolveDataPath(tablePath, f.path).toUri.toString).toArray
 
   override def listFiles(
       partitionFilters: Seq[Expression],
@@ -574,5 +574,5 @@ class GraftFileIndex(
 
   private def fileStatus(f: AddFile): FileStatus =
     new FileStatus(f.size, false, 1, 128L * 1024 * 1024, 0L,
-      new Path(new java.io.File(tablePath, f.path).toURI))
+      new Path(GraftTable.resolveDataPath(tablePath, f.path).toUri))
 }

@@ -234,6 +234,51 @@ object GraftTable {
   /** Property namespace for CHECK constraints (Delta: `delta.constraints.*`). */
   val ConstraintPropertyPrefix = "graft.constraints."
 
+  /** Resolve a log-recorded data-file path: table-relative normally;
+    * ABSOLUTE for external references — the form [[shallowClone]] records,
+    * pointing into the source table's directory.
+    */
+  def resolveDataPath(tablePath: String, p: String): java.nio.file.Path =
+    if (p.startsWith("/")) java.nio.file.Paths.get(p)
+    else java.nio.file.Paths.get(tablePath, p)
+
+  /** SHALLOW CLONE (Delta's `CLONE ... SHALLOW`): a new table at `destPath`
+    * whose version 0 references the SOURCE's current data files by absolute
+    * path — zero data copied, metadata-only, O(files) log lines. The clone
+    * then evolves independently: writes land as normal relative files in
+    * its own directory, and rewrites (merge/delete/OPTIMIZE) replace
+    * external references with local files. The clone's vacuum never deletes
+    * an external file (they belong to the source); the source's vacuum,
+    * however, CAN remove files the clone still references — keep the source
+    * retention ≥ the clone's lifetime, exactly Delta's shallow-clone
+    * caveat. Bloom sidecar pointers are stripped (they reference the
+    * source's `_bloom` dir): probes keep cloned files conservatively.
+    */
+  def shallowClone(spark: SparkSession, sourcePath: String, destPath: String): GraftTable = {
+    val src = forPath(spark, sourcePath)
+    val snap = src.snapshot
+    require(!exists(destPath), s"cannot clone into $destPath: a graft table already exists there")
+    val srcRoot = new java.io.File(sourcePath).getAbsolutePath
+    val external = snap.files.map { f =>
+      val stats = GraftLog.parseStats(f.stats)
+        .map(s => GraftLog.renderStats(s.copy(bloom = Map.empty, bloomSidecar = None)))
+        .getOrElse(f.stats)
+      f.copy(path = resolveDataPath(srcRoot, f.path).toString, stats = stats)
+    }
+    val log = new GraftLog(destPath)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(destPath))
+    log.commit(0L, Seq(snap.metadata) ++ external :+
+      CommitInfo(System.currentTimeMillis(), "CLONE",
+        operationParameters = Map(
+          "source" -> srcRoot, "sourceVersion" -> snap.version.toString),
+        operationMetrics = Map(
+          "numFiles" -> external.size.toString,
+          "numOutputRows" -> external.flatMap(a => GraftLog.parseStats(a.stats))
+            .map(_.numRecords).sum.toString,
+          "numOutputBytes" -> external.map(_.size).sum.toString)))
+    new GraftTable(spark, destPath)
+  }
+
   /** The CHECK constraints recorded in a property map, by name. */
   def constraintsOf(properties: Map[String, String]): Map[String, String] =
     properties.collect {

@@ -194,6 +194,51 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(t.checkConstraints.contains("pos_id"))
     }
 
+    it("shallow clone: zero-copy snapshot that diverges independently") {
+      val srcDir = tmpTableDir("graft-clone-src")
+      val src = GraftTable.create(spark, srcDir,
+        Seq((1, "a", "US"), (2, "b", "DE"), (3, "c", "US")).toDF("id", "name", "country"),
+        partitionColumns = Seq("country"))
+      val cloneDir = tmpTableDir("graft-clone-dst")
+      val clone = GraftTable.shallowClone(spark, srcDir, cloneDir)
+
+      // identical rows, schema and partitioning — with ZERO data files copied
+      assert(clone.toDF.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+        Set((1, "a"), (2, "b"), (3, "c")))
+      assert(clone.snapshot.metadata.partitionColumns == Seq("country"))
+      def parquetsUnder(dir: String): Seq[java.nio.file.Path] = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        try { import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+        } finally s.close()
+      }
+      assert(parquetsUnder(cloneDir).isEmpty, "shallow clone must copy no data")
+      // partition pruning still works through external references
+      assert(clone.toDF.filter($"country" === "US").count() == 2)
+
+      // the clone evolves independently: delete + append touch ONLY the clone
+      graft.operators.TableOps.delete(clone, Some("id = 2"))
+      clone.append(Seq((9, "z", "FR")).toDF("id", "name", "country"))
+      assert(clone.toDF.count() == 3)
+      assert(src.toDF.count() == 3 && src.version == 0L, "source must be untouched")
+
+      // the source evolving does not move the clone (snapshot pinned at clone time)
+      src.append(Seq((10, "s", "DE")).toDF("id", "name", "country"))
+      assert(clone.toDF.collect().map(_.getInt(0)).toSet == Set(1, 3, 9))
+
+      // the clone's vacuum never deletes EXTERNAL files: the delete above
+      // tombstoned external US references — vacuum drops the log entries
+      // but the source still reads its own files fine
+      graft.operators.TableOps.vacuum(clone, retainVersion = clone.version)
+      assert(src.toDF.count() == 4, "clone vacuum deleted source data")
+      assert(clone.toDF.count() == 3)
+
+      // cloning onto an existing table is refused
+      assertThrows[IllegalArgumentException] {
+        GraftTable.shallowClone(spark, srcDir, cloneDir)
+      }
+    }
+
     it("idempotent batch writes: txnAppId/txnVersion dedupe replays") {
       val dir = tmpTableDir("graft-idem")
       def w(v: Long, rows: Seq[(Int, String)]): Unit =

@@ -468,9 +468,9 @@ object TableOps {
 
     var deleted = 0
     deadData.foreach { rel =>
-      // EXTERNAL (absolute) references recorded by a shallow clone belong
-      // to the SOURCE table — the clone's vacuum must never delete them
-      if (!rel.startsWith("/") &&
+      // EXTERNAL references recorded by a shallow clone belong to the
+      // SOURCE table — the clone's vacuum must never delete them
+      if (!GraftTable.isExternalPath(rel) &&
           Files.deleteIfExists(Paths.get(table.path, rel))) deleted += 1
     }
     dropVersions.foreach(v => Files.deleteIfExists(log.versionFile(v)))

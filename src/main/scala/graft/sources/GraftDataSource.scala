@@ -182,29 +182,39 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
         case _ => throw new IllegalArgumentException(
           "txnAppId and txnVersion must be set together (idempotent-write options)")
       }
+    // ONE snapshot read serves the watermark probe, the partition lookup and
+    // — via readVersion — the commit's conflict validation: a concurrent
+    // same-appId writer landing between this read and the commit is then
+    // caught by the SetTransaction check even WITHOUT a version-number
+    // collision (the window GraftSink.writeEpoch closes the same way; an
+    // uncollided clean commit would otherwise double-append)
+    val snapBefore = if (exists) Some(GraftTable.forPath(spark, path).snapshot) else None
     val alreadyApplied = txn.exists { case (app, v) =>
-      exists && GraftTable.forPath(spark, path).txnVersion(app).exists(_ >= v)
+      snapBefore.exists(_.transactions.get(app).exists(_ >= v))
     }
     val txnActions: Seq[graft.tables.Action] =
       txn.map { case (app, v) => graft.tables.SetTransaction(app, v) }.toSeq
+    val txnReadVersion = if (txn.isDefined) snapBefore.map(_.version) else None
     if (!alreadyApplied) mode match {
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(s"graft table already exists at $path")
       case SaveMode.Ignore if exists => ()
       case SaveMode.Append if exists =>
         TableWriter.write(spark, path, data, TableWriter.Append,
-          extraActions = txnActions)
+          extraActions = txnActions, readVersion = txnReadVersion)
       case SaveMode.Overwrite if exists =>
         TableWriter.write(spark, path, data, TableWriter.Overwrite,
-          partitionColumns = GraftTable.forPath(spark, path).snapshot.metadata.partitionColumns,
-          extraActions = txnActions)
+          partitionColumns = snapBefore.get.metadata.partitionColumns,
+          extraActions = txnActions, readVersion = txnReadVersion)
       case _ =>
         val partitions = parameters.get("partitionColumns")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
         if (txnActions.isEmpty) { GraftTable.create(spark, path, data, partitions); () }
+        // operation WRITE, not CREATE TABLE: the metric helpers count only
+        // MERGE/WRITE/DELETE/UPDATE, and GraftTable.create records
+        // data-bearing creation as WRITE for the same reason
         else TableWriter.write(spark, path, data, TableWriter.Overwrite,
-          partitionColumns = partitions, operation = "CREATE TABLE",
-          extraActions = txnActions)
+          partitionColumns = partitions, extraActions = txnActions)
     }
     GraftScanRewrite.install(spark)
     GraftRelation(sqlContext, path)

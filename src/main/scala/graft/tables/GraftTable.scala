@@ -234,12 +234,18 @@ object GraftTable {
   /** Property namespace for CHECK constraints (Delta: `delta.constraints.*`). */
   val ConstraintPropertyPrefix = "graft.constraints."
 
+  /** True when a log-recorded data-file path is an EXTERNAL reference (a
+    * [[shallowClone]] pointer into the source table's directory) rather
+    * than table-relative. One predicate shared by path resolution and
+    * vacuum's never-delete-external rule, so the convention cannot drift.
+    */
+  def isExternalPath(p: String): Boolean = p.startsWith("/")
+
   /** Resolve a log-recorded data-file path: table-relative normally;
-    * ABSOLUTE for external references — the form [[shallowClone]] records,
-    * pointing into the source table's directory.
+    * absolute for external references (see [[isExternalPath]]).
     */
   def resolveDataPath(tablePath: String, p: String): java.nio.file.Path =
-    if (p.startsWith("/")) java.nio.file.Paths.get(p)
+    if (isExternalPath(p)) java.nio.file.Paths.get(p)
     else java.nio.file.Paths.get(tablePath, p)
 
   /** SHALLOW CLONE (Delta's `CLONE ... SHALLOW`): a new table at `destPath`

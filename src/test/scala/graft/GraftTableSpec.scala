@@ -239,6 +239,45 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       }
     }
 
+    it("a clone of a bloom-indexed table reads correctly with conservative probes") {
+      val srcDir = tmpTableDir("graft-clone-bloom-src")
+      val rows = (0 until 256).map(i => (i * 2, s"v$i"))
+      GraftTable.create(spark, srcDir, rows.toDF("id", "name").repartition(4),
+        properties = Map(graft.tables.BloomIndex.ColumnsProperty -> "id"))
+      val clone = GraftTable.shallowClone(spark, srcDir,
+        tmpTableDir("graft-clone-bloom-dst"))
+      // cloned stats carry NO sidecar pointer (it references the source's
+      // _bloom dir) — equality probes keep all files, rows read correctly
+      assert(clone.snapshot.files.forall(f =>
+        GraftLog.parseStats(f.stats).forall(_.bloomSidecar.isEmpty)))
+      val cls = FileSkipping.classify(spark, clone.toDF, "id = 9")
+      assert(FileSkipping.filesMatching(clone.snapshot, cls.all,
+        Some(BloomIndex.ProbeContext(spark, clone.path))).size == 4)
+      assert(clone.toDF.filter($"id" === 8).count() == 1)
+      // a WRITE to the clone re-indexes locally: the new file gets a sidecar
+      clone.append(Seq((9999, "local")).toDF("id", "name"))
+      val t2 = GraftTable.forPath(spark, clone.path)
+      val localFile = t2.snapshot.files.find(f => !GraftTable.isExternalPath(f.path)).get
+      assert(GraftLog.parseStats(localFile.stats).exists(_.bloomSidecar.nonEmpty))
+    }
+
+    it("streaming source works over a shallow clone") {
+      val srcDir = tmpTableDir("graft-clone-stream-src")
+      GraftTable.create(spark, srcDir, Seq((1, "a"), (2, "b")).toDF("id", "name"))
+      val clone = GraftTable.shallowClone(spark, srcDir,
+        tmpTableDir("graft-clone-stream-dst"))
+      val sink = "clone_stream_" + System.nanoTime()
+      val query = spark.readStream.format("graft").load(clone.path)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        query.processAllAvailable() // snapshot batch reads EXTERNAL files
+        assert(spark.table(sink).count() == 2)
+        clone.append(Seq((3, "c")).toDF("id", "name")) // local change streams
+        query.processAllAvailable()
+        assert(spark.table(sink).count() == 3)
+      } finally query.stop()
+    }
+
     it("idempotent batch writes: txnAppId/txnVersion dedupe replays") {
       val dir = tmpTableDir("graft-idem")
       def w(v: Long, rows: Seq[(Int, String)]): Unit =

@@ -94,32 +94,106 @@ object Bench {
       val q1 = System.nanoTime()
       (name, (f1 - f0) / 1e9, (q1 - f1) / 1e9, err)
     }
+    val (line, full) = render(results, sfDir, filtered = only.isDefined)
+    // full per-query detail goes to a FILE (unbounded); stdout carries only
+    // the compact line, because the driver captures just the last ~2000
+    // chars of output — the 77-query map stopped fitting in round 9 and the
+    // driver recorded parsed:null
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(FullDetailPath),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // stop Spark BEFORE printing: shutdown log noise then cannot land after
+    // the JSON, so a tail-capture of stdout always ends with the full line
+    spark.stop()
+    Console.out.println(line)
+    Console.out.flush()
+    if (results.exists(_._4.isDefined)) sys.exit(1)
+  }
+
+  /** Where the full per-query JSON (queries + fixtures + all errors) lands,
+    * relative to the sbt working directory (the repo root).
+    */
+  val FullDetailPath = "bench_full.json"
+
+  /** Driver tail-capture budget: the stdout line plus sbt's trailing
+    * `[success] Total time: ...` line must fit in the last 2000 captured
+    * chars, or the driver records parsed:null (see BENCH_r09.json).
+    */
+  val StdoutLineBudget = 1900
+
+  /** Render (compact stdout line, full detail JSON).
+    *
+    * Stdout line: headline `q*` flagship queries individually, every other
+    * family as a subtotal under "groups", at most 3 named errors (plus an
+    * exact "error_count"), and a pointer to [[FullDetailPath]]. Exposed (and
+    * bounded) separately so a spec can assert the full 77-query suite stays
+    * under [[StdoutLineBudget]] without running it.
+    *
+    * Full JSON: the round-8 shape — every query, every fixture, every error.
+    */
+  def render(
+      results: Seq[(String, Double, Double, Option[String])],
+      sfDir: String,
+      filtered: Boolean): (String, String) = {
     // keys escaped too: staged names are code-controlled, but the injected
     // SPARK_GRAFT_FAIL name is env-controlled
-    val qs = results.map { case (k, _, q, _) => "\"" + escape(k) + "\":" + q }
-      .mkString("{", ",", "}")
-    val fx = results.map { case (k, f, _, _) => "\"" + escape(k) + "\":" + f }
-      .mkString("{", ",", "}")
+    def numMap(entries: Seq[(String, Double)], f: Double => String = fmt): String =
+      entries.map { case (k, v) => "\"" + escape(k) + "\":" + f(v) }
+        .mkString("{", ",", "}")
+    val raw = (v: Double) => v.toString
     val errors = results.collect { case (k, _, _, Some(m)) => k -> m }
     val total = results.map(_._3).sum
     val fixtureTotal = results.map(_._2).sum
     // a SPARK_GRAFT_ONLY-filtered run must be self-identifying so partial
     // local numbers can't be mistaken for a full-suite benchmark
     val filteredMarker =
-      if (only.isDefined) s""","filtered":true,"selected":${selected.size}""" else ""
-    // a failed query must be LOUD, not a silent zero-second line: name every
-    // error in the JSON and fail the process so the driver records a red run
-    val errorsMarker =
+      if (filtered) s""","filtered":true,"selected":${results.size}""" else ""
+    // a failed query must be LOUD, not a silent zero-second line: name the
+    // first errors in the line (all of them in the full file), count them
+    // exactly, and fail the process so the driver records a red run
+    def errorsMarker(named: Seq[(String, String)], msgCap: Int): String =
       if (errors.isEmpty) ""
-      else errors.map { case (k, m) => "\"" + escape(k) + "\":\"" + escape(m) + "\"" }
-        .mkString(""","errors":{""", ",", "}")
-    // stop Spark BEFORE printing: shutdown log noise then cannot land after
-    // the JSON, so a tail-capture of stdout always ends with the full line
-    spark.stop()
-    Console.out.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"fixture_total":$fixtureTotal,"fixtures":$fx,"sf":"$sfDir"$filteredMarker$errorsMarker}""")
-    Console.out.flush()
-    if (errors.nonEmpty) sys.exit(1)
+      else named.map { case (k, m) =>
+        "\"" + escape(k) + "\":\"" + escape(truncate(m, msgCap)) + "\""
+      }.mkString(""","errors":{""", ",", s"""},"error_count":${errors.size}""")
+    val headline = results.filter { case (k, _, _, _) => family(k) == "q" }
+    val groups = results.groupBy { case (k, _, _, _) => family(k) }
+      .map { case (g, rs) => g -> rs.map(_._3).sum }
+      .toSeq.sortBy(_._1)
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":${numMap(headline.map { case (k, _, q, _) => k -> q })},""" +
+        s""""groups":${numMap(groups)},"n_queries":${results.size},""" +
+        s""""fixture_total":${fmt(fixtureTotal)},"full":"$FullDetailPath",""" +
+        s""""sf":"${escape(sfDir)}"$filteredMarker${errorsMarker(errors.take(3), 80)}}"""
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""queries":${numMap(results.map { case (k, _, q, _) => k -> q }, raw)},""" +
+        s""""fixture_total":$fixtureTotal,""" +
+        s""""fixtures":${numMap(results.map { case (k, f, _, _) => k -> f }, raw)},""" +
+        s""""sf":"${escape(sfDir)}"$filteredMarker${errorsMarker(errors, 200)}}"""
+    (line, full)
   }
+
+  /** Bench family of a query name: leading letters of the first `_` segment
+    * ("q10_stream_source" → "q", "mm4_video_decode" → "mm").
+    */
+  private def family(name: String): String = {
+    val f = name.takeWhile(_ != '_').takeWhile(!_.isDigit)
+    if (f.isEmpty) name else f
+  }
+
+  /** Compact positive-seconds rendering: 4 significant digits, plain decimal
+    * for normal magnitudes (no 'E' notation — keeps the line greppable and
+    * short).
+    */
+  private def fmt(v: Double): String =
+    if (v == 0d) "0"
+    else if (v >= 0.001) BigDecimal(v).round(new java.math.MathContext(4)).bigDecimal.toPlainString
+    else "0.001" // sub-ms timings are noise; clamp instead of spending chars
+
+  private def truncate(s: String, cap: Int): String =
+    if (s.length > cap) s.take(cap - 3) + "..." else s
 
   /** One-line bounded description of a failure for the bench JSON. */
   private def describe(e: Throwable): String = {

@@ -385,9 +385,15 @@ object TableOps {
   def vacuum(table: GraftTable, retainHours: Double): Int = {
     require(retainHours >= 0, s"retainHours must be >= 0, got $retainHours")
     val cutoff = System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong
-    val atOrBefore = table.log.history().collect {
-      case (v, ci) if ci.timestamp <= cutoff => v
-    }
+    // commit timestamps are wall-clock and not guaranteed monotonic across
+    // writers (clock skew); monotonize with a running max in version order —
+    // Delta's commit-timestamp adjustment — so a version can never be
+    // vacuumed while a version BELOW it still looks younger than the cutoff
+    var runningMax = Long.MinValue
+    val atOrBefore = table.log.history().reverse.map { case (v, ci) =>
+      runningMax = math.max(runningMax, ci.timestamp)
+      (v, runningMax)
+    }.collect { case (v, ts) if ts <= cutoff => v }
     if (atOrBefore.isEmpty) 0 else vacuum(table, atOrBefore.max)
   }
 

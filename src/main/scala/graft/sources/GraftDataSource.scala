@@ -75,8 +75,11 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       ()
     } else {
       val actual = GraftTable.forPath(spark, path).snapshot.schema
-      val declared = schema.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq
-      val existing = actual.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq
+      // order-INSENSITIVE compare: DDL column order legitimately differs
+      // from the log's write order (e.g. partition-columns-last relation
+      // order), so match on the (name → type) mapping, not field position
+      val declared = schema.fields.map(f => (f.name.toLowerCase, f.dataType)).toMap
+      val existing = actual.fields.map(f => (f.name.toLowerCase, f.dataType)).toMap
       if (declared != existing)
         throw new IllegalArgumentException(
           s"declared schema ${schema.simpleString} does not match the graft table at " +

@@ -321,10 +321,12 @@ object GraftStreamSource {
     * offer is returned to Spark, so the marker always leads the offset log —
     * a marker AHEAD of the committed offset only caps the next batch's
     * budget high (batches still span from the committed offset; nothing is
-    * skipped), while a marker BEHIND it could re-emit versions. Plain
-    * overwrite-create: single-writer (one driver per checkpoint), 8-byte
-    * payload, and a torn write degrades to [[MarkerCorrupt]] → safe head
-    * offer on the next restart.
+    * skipped), while a marker BEHIND it could re-emit versions. Written via
+    * temp-file + atomic rename (FileContext OVERWRITE), not an in-place
+    * overwrite: a crash mid-write must leave the PREVIOUS marker readable —
+    * an in-place torn write left [[MarkerCorrupt]], which is safe but makes
+    * the restart's first batch unbudgeted (one huge batch on a large
+    * backlog).
     */
   private[sources] def writeWatermark(
       spark: org.apache.spark.sql.SparkSession,
@@ -332,10 +334,14 @@ object GraftStreamSource {
       version: Long): Unit =
     metadataPath.foreach { dir =>
       val p = watermarkPath(dir)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val out = fs.create(p, true)
+      val conf = spark.sessionState.newHadoopConf()
+      val tmp = p.suffix(s".tmp-${java.util.UUID.randomUUID()}")
+      val fs = p.getFileSystem(conf)
+      val out = fs.create(tmp, true)
       try out.write(version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
 
   def schemaOf(spark: org.apache.spark.sql.SparkSession, tablePath: String): StructType =

@@ -146,12 +146,21 @@ object BloomIndex {
 
   /** Sidecar-load cache: (tablePath, sidecarId, column) → relative data-file
     * path → filter words. Entries are immutable once written (sidecars are
-    * never modified), so the only policy needed is a size bound: the whole
-    * cache is dropped past [[MaxCachedSidecars]] entries (each entry is
-    * ~files-per-commit × bits/8 bytes).
+    * never modified), so the only policy needed is a size bound — LRU
+    * eviction of single entries (access-ordered LinkedHashMap), NOT
+    * clear-all: a workload probing more than [[MaxCachedSidecars]]
+    * (sidecar, column) pairs must keep its hot sidecars cached instead of
+    * re-reading MB-sized parquet on every probe past the bound. All access
+    * goes through its monitor; the guarded section is map bookkeeping only
+    * (loads happen outside the lock).
     */
   private val sidecarCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Map[String, Array[Long]]]()
+    new java.util.LinkedHashMap[(String, String, String), Map[String, Array[Long]]](
+      64, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, String), Map[String, Array[Long]]]): Boolean =
+        size() > MaxCachedSidecars
+    }
   private val MaxCachedSidecars = 256
 
   /** The blooms of sidecar `id` for `column`, keyed by table-relative data
@@ -160,7 +169,7 @@ object BloomIndex {
     */
   def sidecarBlooms(ctx: ProbeContext, id: String, column: String): Map[String, Array[Long]] = {
     val key = (ctx.tablePath, id, column)
-    val hit = sidecarCache.get(key)
+    val hit = sidecarCache.synchronized(sidecarCache.get(key))
     if (hit != null) return hit
     try {
       val dir = new java.io.File(new java.io.File(ctx.tablePath, SidecarDirName), id)
@@ -179,8 +188,7 @@ object BloomIndex {
       // only a SUCCESSFUL load is cached: a transient read failure must stay
       // retryable, not become a process-lifetime empty map that silently
       // disables pruning for this sidecar
-      if (sidecarCache.size >= MaxCachedSidecars) sidecarCache.clear()
-      sidecarCache.put(key, loaded)
+      sidecarCache.synchronized(sidecarCache.put(key, loaded))
       loaded
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }

@@ -103,14 +103,27 @@ object TableWriter {
       else GraftTable.constraintsOf(effectiveProps)
     val checkedDf = constraints.foldLeft(df) { case (d, (name, pred)) =>
       import org.apache.spark.sql.functions.{assert_true, coalesce, expr, lit}
-      val refs = spark.sessionState.sqlParser.parseExpression(pred).collect {
-        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.nameParts.head
+      val parsedRefs = spark.sessionState.sqlParser.parseExpression(pred).collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.nameParts
+      }
+      val inTable = newSchema.fieldNames.map(_.toLowerCase).toSet
+      // a reference names a TOP-LEVEL column when its head part matches one
+      // (struct access a.b reads column a) — in the POST-write schema or the
+      // pre-write one (a dropped struct column is still a column ref: the
+      // orphan check below must see it). A multi-part reference whose head
+      // matches neither (e.g. an alias-qualified t.id) is left to normal
+      // expression resolution, which reports it accurately — head-taking
+      // here used to misreport it as "write would drop column t"
+      val everAColumn = inTable ++
+        prevSnapshot.toSeq.flatMap(_.schema.fieldNames.map(_.toLowerCase))
+      val refs = parsedRefs.collect {
+        case parts if parts.size == 1 || everAColumn.contains(parts.head.toLowerCase) =>
+          parts.head
       }
       // a write that would leave the TABLE without a constrained column
       // (overwrite replacing the schema) must be rejected, not allowed to
       // reduce the constraint to a vacuous null-check forever (Delta rejects
       // constraint-orphaning schema changes the same way)
-      val inTable = newSchema.fieldNames.map(_.toLowerCase).toSet
       val orphaned = refs.filterNot(r => inTable.contains(r.toLowerCase)).distinct
       if (orphaned.nonEmpty)
         throw new IllegalArgumentException(

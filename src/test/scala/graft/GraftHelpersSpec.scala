@@ -362,6 +362,30 @@ class GraftHelpersSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(log.versions() == Seq(1L, 2L))
     }
 
+    it("duration-based vacuum survives non-monotonic commit timestamps") {
+      val t = GraftTable.create(spark, tmpTableDir("vac_skew"),
+        Seq((1, "a")).toDF("id", "name").repartition(1))      // v0
+      t.overwrite(Seq((2, "b")).toDF("id", "name"))           // v1
+      t.append(Seq((3, "c")).toDF("id", "name"))              // v2
+      val log = t.log
+      def ageVersion(v: Long, hoursAgo: Double): Unit = {
+        val ts = System.currentTimeMillis() - (hoursAgo * 3600 * 1000).toLong
+        log.rewriteVersion(v, log.actionsAt(v).map {
+          case ci: CommitInfo => ci.copy(timestamp = ts)
+          case other          => other
+        })
+      }
+      // v2's writer clock runs BEHIND: its wall-clock timestamp (50 h ago)
+      // is older than v1's (10 h ago). A naive "max version with ts <=
+      // cutoff" would pick v2 as the 24 h horizon and vacuum v1 — a version
+      // younger than the cutoff. Monotonized timestamps keep v1 safe.
+      ageVersion(0L, 100); ageVersion(1L, 10); ageVersion(2L, 50)
+      TableOps.vacuum(t, retainHours = 24.0)
+      assert(log.versions().contains(1L),
+        "clock-skewed v2 must not drag the younger v1 below the horizon")
+      assert(t.toDFAt(1).count() == 1)
+    }
+
     it("no-arg vacuum reads graft.logRetentionDuration (default 7 days)") {
       val t = GraftTable.create(spark, tmpTableDir("vac_prop"),
         Seq((1, "a")).toDF("id", "name").repartition(1),

@@ -302,6 +302,35 @@ class GraftStreamSourceSpec extends AnyFunSpec with SparkSessionTestWrapper {
     } finally query.stop()
   }
 
+  it("persists the offer watermark atomically (no torn marker, no temp debris)") {
+    // the marker is written temp-file + rename so a crash mid-write leaves
+    // the PREVIOUS marker readable; after several advancing offers exactly
+    // one marker file must exist, parseable, with no .tmp leftovers
+    val (dir, t) = mkTable("gss_wm_atomic")
+    val ckpt = tmpTableDir("gss_wm_ckpt")
+    val sink = "gss_sink_" + System.nanoTime()
+    val query = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      t.append(Seq((21, "u")).toDF("id", "name"))
+      query.processAllAvailable()
+      t.append(Seq((22, "v")).toDF("id", "name"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val sources = new java.io.File(ckpt, "sources/0")
+    val listed = Option(sources.listFiles()).map(_.toSeq).getOrElse(Nil)
+    val markers = listed.filter(_.getName == "graft-offer-watermark")
+    assert(markers.size == 1, s"marker files: ${listed.map(_.getName)}")
+    val text = new String(
+      java.nio.file.Files.readAllBytes(markers.head.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    assert(text.toLong == t.version, s"marker=$text version=${t.version}")
+    assert(!listed.exists(_.getName.contains(".tmp-")),
+      s"temp debris left behind: ${listed.map(_.getName)}")
+  }
+
   it("agrees with the batch CDF reader over a mixed commit history") {
     // two INDEPENDENT implementations of change-data semantics — the
     // streaming source (per-commit micro-batches) and the batch CDF reader

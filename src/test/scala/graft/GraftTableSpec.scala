@@ -343,6 +343,67 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       }
     }
 
+    it("CHECK constraints resolve qualified and struct references honestly") {
+      import org.apache.spark.sql.functions.{col, struct}
+      // struct-field predicate: the head part (the struct COLUMN) is what
+      // schema bookkeeping tracks — enforcement and orphan protection work
+      val t = GraftTable.create(spark, tmpTableDir("graft-check-struct"),
+        Seq((1, 5), (2, 6)).toDF("id", "v")
+          .select(col("id"), struct(col("v").as("a")).as("s")),
+        properties = Map(GraftTable.ConstraintPropertyPrefix + "pos_a" -> "s.a > 0"))
+      t.append(Seq((3, 7)).toDF("id", "v")
+        .select(col("id"), struct(col("v").as("a")).as("s")))
+      val e1 = intercept[Exception] {
+        t.append(Seq((4, -1)).toDF("id", "v")
+          .select(col("id"), struct(col("v").as("a")).as("s")))
+      }
+      assert(Causes.messages(e1).exists(_.contains("CHECK constraint pos_a")),
+        Causes.messages(e1).mkString("; "))
+      // an overwrite dropping the struct column is a constraint orphan
+      val e2 = intercept[Exception] { t.overwrite(Seq((9, 9)).toDF("id", "v")) }
+      assert(Causes.messages(e2).exists(_.contains("drop column")),
+        Causes.messages(e2).mkString("; "))
+
+      // an alias-qualified reference that matches no column must surface as
+      // a RESOLUTION failure naming the reference — not the misleading
+      // "write would drop column t" (head-taking bug). The constraint rides
+      // in as a table property, so the very first data write trips it.
+      val e3 = intercept[Exception] {
+        GraftTable.create(spark, tmpTableDir("graft-check-qual"),
+          Seq((1, "a")).toDF("id", "name"),
+          properties = Map(GraftTable.ConstraintPropertyPrefix + "qual" -> "t.id > 0"))
+      }
+      val msgs = Causes.messages(e3)
+      assert(!msgs.exists(_.contains("drop column")), msgs.mkString("; "))
+      assert(msgs.exists(m => m.contains("t.id") || m.contains("`t`.`id`")),
+        msgs.mkString("; "))
+    }
+
+    it("DDL schema match is column-order-insensitive") {
+      // partitioned tables legitimately list partition columns LAST in
+      // relation order while the DDL lists them in logical order — same
+      // (name → type) mapping, different sequence; both must be accepted
+      val dir = tmpTableDir("graft-ddl-order")
+      GraftTable.create(spark, dir,
+        Seq((1, "x", "p0")).toDF("id", "name", "part"),
+        partitionColumns = Seq("part"))
+      try {
+        spark.sql(
+          s"CREATE TABLE ddl_order (part STRING, id INT, name STRING) USING graft LOCATION '$dir'")
+        assert(spark.table("ddl_order").count() == 1)
+        // a genuine TYPE mismatch still fails even when names align
+        val e = intercept[Exception] {
+          spark.sql(
+            s"CREATE TABLE ddl_order2 (part STRING, id DOUBLE, name STRING) USING graft LOCATION '$dir'")
+        }
+        assert(Causes.messages(e).exists(_.contains("does not match the graft table")),
+          Causes.messages(e).mkString("; "))
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS ddl_order")
+        spark.sql("DROP TABLE IF EXISTS ddl_order2")
+      }
+    }
+
     it("registerTable lands in the real Spark catalog: SQL reads, listTables, INSERT") {
       val dir = tmpTableDir("graft-catalog")
       val t = GraftTable.create(spark, dir,

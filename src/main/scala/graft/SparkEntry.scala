@@ -980,6 +980,32 @@ object SparkEntry {
       }
     }),
 
+    "s16_replace_where" -> ((s, dir) => {
+      // replaceWhere (selective transactional overwrite, Delta's
+      // `.option("replaceWhere", pred)`): swap the o_orderkey <= 1000
+      // region of an orders-derived table for negated-price rows in ONE
+      // commit — deletes and inserts land atomically with delete+insert
+      // CDC. Result pins the merged rows, the single committed version,
+      // and the change-row count (deletes + inserts of the region).
+      val base = read(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("id"),
+          col("o_totalprice").as("price"))
+      val t = GraftTable.create(s, tmp("s16"), base.repartition(4),
+        properties = Map(GraftLog.CdfProperty -> "true"))
+      () => {
+      val repl = base.where(col("id") <= 1000)
+        .select(col("id"), (-col("price")).as("price"))
+      repl.write.format("graft").mode("overwrite")
+        .option("replaceWhere", "id <= 1000").save(t.path)
+      val t2 = GraftTable.forPath(s, t.path)
+      val changes = s.read.format("graft").option("readChangeFeed", "true")
+        .option("startingVersion", 1).option("endingVersion", 1)
+        .load(t.path).count()
+      t2.toDF.select(col("id"), col("price"),
+        lit(t2.version).as("version"), lit(changes).as("n_changes"))
+      }
+    }),
+
     "s15_shallow_clone" -> ((s, dir) => {
       // zero-copy CLONE: the clone reads the SOURCE's files by absolute
       // reference, then diverges via a delete that rewrites only its own
@@ -1388,6 +1414,13 @@ object SparkEntry {
       """SELECT CAST(o_orderkey AS BIGINT) AS id, o_totalprice AS price,
         |       (SELECT count(*) FROM orders) AS src_rows
         |FROM orders WHERE o_orderkey % 2 <> 0""".stripMargin,
+    "s16_replace_where" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS id,
+        |       CASE WHEN o_orderkey <= 1000 THEN -o_totalprice
+        |            ELSE o_totalprice END AS price,
+        |       CAST(1 AS BIGINT) AS version,
+        |       2 * (SELECT count(*) FROM orders WHERE o_orderkey <= 1000) AS n_changes
+        |FROM orders""".stripMargin,
     "s4_show_file_sizes" ->
       """SELECT CAST(4 AS BIGINT) AS files_printed,
         |       true AS total_matches, true AS avg_matches""".stripMargin,

@@ -138,6 +138,114 @@ object TableOps {
     } finally touchedRows.unpersist()
   }
 
+  /** Selective transactional overwrite — Delta's `replaceWhere`
+    * (`df.write.option("replaceWhere", pred).mode("overwrite")`): in ONE
+    * commit, delete every existing row matching `predicate` and insert `df`.
+    * Existing rows whose predicate evaluates NULL are kept (3-valued logic,
+    * same as [[delete]]); every INCOMING row must satisfy the predicate —
+    * false or NULL rejects the whole write before anything commits (Delta's
+    * replaceWhere constraint check), otherwise "replace region X" could
+    * silently scatter rows outside X where later replaceWheres on X would
+    * not see them.
+    *
+    * Scale: file pruning, not a table rewrite — stats/bloom skipping keeps
+    * untouched-by-predicate files out of the read set entirely, and only
+    * files actually CONTAINING matching rows are rewritten. A
+    * partition-aligned predicate therefore rewrites exactly the affected
+    * partitions regardless of table size.
+    *
+    * @return the committed version
+    */
+  def overwriteWhere(
+      table: GraftTable,
+      df: DataFrame,
+      predicate: String,
+      extraActions: Seq[Action] = Nil): Long = {
+    val spark = table.spark
+    val t0 = System.currentTimeMillis()
+    val snap = table.snapshot
+    val fields = snap.schema.fieldNames.toSeq
+
+    // idempotent-write replay guard re-checked against THIS snapshot — the
+    // caller's earlier probe and our snap straddle a window where a
+    // concurrent same-appId commit could land; readVersion below only
+    // catches commits after snap, so the watermark must be read from snap
+    // itself (same discipline as the append path)
+    extraActions.collectFirst {
+      case SetTransaction(app, v) if snap.transactions.get(app).exists(_ >= v) =>
+        return snap.version
+    }
+
+    // incoming columns must cover the table schema (any order; no silent
+    // drops or surprise evolution inside a predicate-scoped overwrite)
+    val incoming = df.columns.map(_.toLowerCase).toSet
+    val missing = fields.filterNot(f => incoming.contains(f.toLowerCase))
+    require(missing.isEmpty,
+      s"replaceWhere data is missing table column(s) ${missing.mkString(", ")}")
+
+    val classified = FileSkipping.classify(spark, table.toDF, predicate)
+    val candidates = FileSkipping.filesMatching(snap, classified.all,
+      Some(BloomIndex.ProbeContext(spark, table.path)))
+    val scanTime = System.currentTimeMillis() - t0
+
+    val candDf = table.dfForFiles(snap, candidates).withColumn("__graft_file", input_file_name())
+    val touchedFiles = candDf.where(expr(predicate)).select("__graft_file")
+      .distinct().collect().map(_.getString(0)).toSet
+    val touched = TableWriter.resolveTouched(touchedFiles, candidates)
+
+    val touchedRows = table.dfForFiles(snap, touched)
+      .withColumn("__graft_del", coalesce(expr(predicate), lit(false)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // every incoming row must satisfy the predicate — checked INSIDE the
+    // staging write projection (codegen'd, no extra pass), like CHECK
+    // constraints; persisted so the CDC pass reuses the validated rows
+    // instead of re-executing the caller's upstream query
+    val newRows = df
+      .filter(assert_true(coalesce(expr(predicate), lit(false)),
+        lit(s"replaceWhere: written row does not match the predicate [$predicate]")).isNull)
+      .select(fields.map(col): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val m = touchedRows.agg(
+        sum(when(col("__graft_del"), 1L).otherwise(0L)),
+        sum(when(!col("__graft_del"), 1L).otherwise(0L))).collect()(0)
+      val nDel = if (m.isNullAt(0)) 0L else m.getLong(0)
+      val nCopied = if (m.isNullAt(1)) 0L else m.getLong(1)
+
+      val outCols = fields.map(col)
+      val keep = touchedRows.where(!col("__graft_del")).select(outCols: _*)
+      val out = keep.unionByName(newRows)
+      val nNew = newRows.count()
+
+      val cdc = if (snap.cdfEnabled)
+        Some(touchedRows.where(col("__graft_del"))
+          .select(outCols :+ lit("delete").as("_change_type"): _*)
+          .unionByName(newRows.select(outCols :+ lit("insert").as("_change_type"): _*)))
+      else None
+
+      val metrics = Map(
+        "numOutputRows" -> (nCopied + nNew).toString,
+        "numDeletedRows" -> nDel.toString,
+        "numCopiedRows" -> nCopied.toString,
+        "numRemovedFiles" -> touched.size.toString,
+        "numRemovedBytes" -> touched.map(_.size).sum.toString,
+        "executionTimeMs" -> (System.currentTimeMillis() - t0).toString,
+        "scanTimeMs" -> scanTime.toString,
+        "rewriteTimeMs" -> (System.currentTimeMillis() - t0 - scanTime).toString
+      )
+      TableWriter.write(spark, table.path, out, TableWriter.Append,
+        operation = "WRITE",
+        operationParameters = Map(
+          "mode" -> "Overwrite", "predicate" -> s"""["$predicate"]"""),
+        extraMetrics = metrics,
+        cdc = cdc,
+        extraActions = extraActions,
+        removeFiles = touched.map(_.path),
+        readFiles = candidates.map(_.path),
+        readVersion = Some(snap.version))
+    } finally { touchedRows.unpersist(); newRows.unpersist() }
+  }
+
   /** OPTIMIZE (compaction): rewrite the selected files into
     * ~`targetFileSizeBytes` files. `where` filters by partition predicate.
     * Commit operation is OPTIMIZE with a no-op CDC footprint (compaction

@@ -198,6 +198,13 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val txnActions: Seq[graft.tables.Action] =
       txn.map { case (app, v) => graft.tables.SetTransaction(app, v) }.toSeq
     val txnReadVersion = if (txn.isDefined) snapBefore.map(_.version) else None
+    val replaceWhere = parameters.get("replaceWhere").map(_.trim).filter(_.nonEmpty)
+    if (replaceWhere.isDefined && mode != SaveMode.Overwrite)
+      throw new IllegalArgumentException(
+        s"replaceWhere requires mode 'overwrite', got $mode")
+    if (replaceWhere.isDefined && !exists)
+      throw new IllegalArgumentException(
+        s"replaceWhere requires an existing graft table at $path (nothing to replace)")
     if (!alreadyApplied) mode match {
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(s"graft table already exists at $path")
@@ -205,6 +212,10 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       case SaveMode.Append if exists =>
         TableWriter.write(spark, path, data, TableWriter.Append,
           extraActions = txnActions, readVersion = txnReadVersion)
+      case SaveMode.Overwrite if exists && replaceWhere.isDefined =>
+        graft.operators.TableOps.overwriteWhere(
+          GraftTable.forPath(spark, path), data, replaceWhere.get,
+          extraActions = txnActions)
       case SaveMode.Overwrite if exists =>
         TableWriter.write(spark, path, data, TableWriter.Overwrite,
           partitionColumns = snapBefore.get.metadata.partitionColumns,

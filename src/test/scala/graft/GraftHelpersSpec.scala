@@ -285,6 +285,124 @@ class GraftHelpersSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(m("numCopiedRows") == "1")
     }
 
+    it("replaceWhere swaps the matching region in one commit, untouched files survive") {
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "4")
+      try {
+        val df = (1 to 12).map(i => (i, s"n$i")).toDF("id", "name").orderBy("id").coalesce(1)
+        val t = GraftTable.create(spark, tmpTableDir("rw"), df)
+        assert(t.snapshot.numFiles == 3)
+        val untouched = t.snapshot.files.map(_.path).toSet
+        val v = TableOps.overwriteWhere(t,
+          Seq((2, "repl2"), (3, "repl3")).toDF("id", "name"), "id <= 4")
+        // region id<=4 fully replaced by the 2 incoming rows; 5..12 intact
+        assert(t.toDF.count() == 10)
+        assert(t.toDF.where("id <= 4").collect().map(_.getString(1)).toSet ==
+          Set("repl2", "repl3"))
+        assert(t.toDF.where("id >= 5 and id <= 12").count() == 8)
+        // only the file containing 1..4 was removed — the other two files
+        // were never read or rewritten (stats pruning)
+        val removed = t.log.actionsAt(v).collect { case r: RemoveFile => r.path }
+        assert(removed.size == 1 && untouched.intersect(removed.toSet).size == 1)
+        val m = t.history().head._2.operationMetrics
+        assert(m("numDeletedRows") == "4")
+        assert(t.history().head._2.operationParameters("predicate").contains("id <= 4"))
+      } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+
+    it("replaceWhere rejects incoming rows outside the predicate, atomically") {
+      val t = GraftTable.create(spark, tmpTableDir("rw_reject"),
+        Seq((1, "a"), (9, "z")).toDF("id", "name").repartition(1))
+      val vBefore = t.version
+      val e = intercept[Exception] {
+        TableOps.overwriteWhere(t, Seq((1, "ok"), (7, "outside")).toDF("id", "name"), "id <= 4")
+      }
+      assert(Causes.messages(e).exists(_.contains("does not match the predicate")),
+        Causes.messages(e).mkString("; "))
+      assert(t.version == vBefore && t.toDF.count() == 2)
+      // NULL-predicate incoming rows are rejected too (must SATISFY, not
+      // merely not-contradict)
+      val e2 = intercept[Exception] {
+        TableOps.overwriteWhere(t,
+          Seq((Option.empty[Int], "n")).toDF("id", "name"), "id <= 4")
+      }
+      assert(Causes.messages(e2).exists(_.contains("does not match the predicate")),
+        Causes.messages(e2).mkString("; "))
+      // and missing columns fail loudly before any scan
+      val e3 = intercept[IllegalArgumentException] {
+        TableOps.overwriteWhere(t, Seq(1).toDF("id"), "id <= 4")
+      }
+      assert(e3.getMessage.contains("missing table column"), e3.getMessage)
+    }
+
+    it("replaceWhere keeps NULL-predicate EXISTING rows and emits delete+insert CDC") {
+      val t = GraftTable.create(spark, tmpTableDir("rw_cdc"),
+        Seq((Some(1), "a"), (None, "null-row"), (Some(8), "h")).toDF("id", "name")
+          .repartition(1),
+        properties = Map("graft.enableChangeDataFeed" -> "true"))
+      val v = TableOps.overwriteWhere(t,
+        Seq((Some(2), "b")).toDF("id", "name"), "id <= 4")
+      // existing NULL-id row survives (3VL delete semantics)
+      assert(t.toDF.collect().map(_.getString(1)).toSet == Set("b", "null-row", "h"))
+      val changes = spark.read.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", v).option("endingVersion", v)
+        .load(t.path)
+        .select($"name", $"_change_type").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(changes == Set(("a", "delete"), ("b", "insert")), changes.toString)
+    }
+
+    it("replaceWhere rides the writer option and enforces its mode/existence rules") {
+      val dir = tmpTableDir("rw_opt")
+      val t = GraftTable.create(spark, dir,
+        Seq((1, "a"), (9, "z")).toDF("id", "name").repartition(1))
+      Seq((3, "c")).toDF("id", "name").write.format("graft")
+        .mode("overwrite").option("replaceWhere", "id <= 4").save(dir)
+      assert(t.toDF.collect().map(_.getString(1)).toSet == Set("c", "z"))
+      val e1 = intercept[IllegalArgumentException] {
+        Seq((4, "d")).toDF("id", "name").write.format("graft")
+          .mode("append").option("replaceWhere", "id <= 4").save(dir)
+      }
+      assert(e1.getMessage.contains("requires mode 'overwrite'"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        Seq((4, "d")).toDF("id", "name").write.format("graft")
+          .mode("overwrite").option("replaceWhere", "id <= 4")
+          .save(tmpTableDir("rw_opt_missing"))
+      }
+      assert(e2.getMessage.contains("existing graft table"), e2.getMessage)
+    }
+
+    it("replaceWhere with txnAppId/txnVersion replays idempotently") {
+      val dir = tmpTableDir("rw_txn")
+      val t = GraftTable.create(spark, dir,
+        Seq((1, "a"), (9, "z")).toDF("id", "name").repartition(1))
+      def once(): Unit =
+        Seq((2, "b")).toDF("id", "name").write.format("graft")
+          .mode("overwrite").option("replaceWhere", "id <= 4")
+          .option("txnAppId", "rwjob").option("txnVersion", "1").save(dir)
+      once()
+      val vAfter = t.version
+      once() // replay: watermark says applied — no new commit, no double swap
+      assert(t.version == vAfter)
+      assert(t.toDF.collect().map(_.getString(1)).toSet == Set("b", "z"))
+    }
+
+    it("where-scoped compaction leaves other partitions' files untouched") {
+      val t = GraftTable.create(spark, tmpTableDir("opt_where"),
+        Seq((1, "p0"), (2, "p0"), (3, "p0"), (4, "p1"), (5, "p1"))
+          .toDF("id", "part").repartition(3),
+        partitionColumns = Seq("part"))
+      val before = t.snapshot.files
+      val p1Before = before.filter(_.partitionValues.get("part").contains("p1")).map(_.path).toSet
+      assert(before.count(_.partitionValues.get("part").contains("p0")) > 1)
+      TableOps.compact(t, where = Some("part = 'p0'"))
+      val after = t.snapshot.files
+      // p0 collapsed to fewer files; every p1 file byte-identical (same path)
+      assert(after.count(_.partitionValues.get("part").contains("p0")) == 1)
+      assert(after.filter(_.partitionValues.get("part").contains("p1")).map(_.path).toSet == p1Before)
+      assert(t.toDF.count() == 5)
+    }
+
     it("compaction with nothing to do commits no new version") {
       val t = GraftTable.create(spark, tmpTableDir("optnoop"),
         Seq((1, "a"), (2, "b")).toDF("id", "name").repartition(1))

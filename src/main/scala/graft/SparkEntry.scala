@@ -491,6 +491,31 @@ object SparkEntry {
       t.toDF.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       }
     }),
+    "m10_merge_evolution" -> ((s, dir) => {
+      // MERGE withSchemaEvolution: the source carries a column the target
+      // lacks (region). The merge commit widens the schema — updated and
+      // inserted rows take source values, every untouched row reads the new
+      // column as NULL (old files are not rewritten for the widening).
+      val base = read(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("id"), col("n_name").as("name"))
+      val t = GraftTable.create(s, tmp("m10"), base)
+      val evolved = read(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("id"),
+          col("n_name").as("name"), col("n_regionkey").cast("long").as("region"))
+      val source = evolved.where(col("id") < 10)
+        .select(col("id"), lower(col("name")).as("name"), col("region"))
+        .unionByName(evolved.where(col("id") < 5)
+          .select((col("id") + 1000).as("id"), col("name"), col("region")))
+      () => {
+      GraftMerge(t, "tgt")
+        .merge(source, "tgt.id = s.id", Some("s"))
+        .withSchemaEvolution()
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+      GraftTable.forPath(s, t.path).toDF.select(col("id"), col("name"), col("region"))
+      }
+    }),
     "m8_copy_table" -> ((s, dir) => {
       val src = GraftTable.create(s, tmp("m8src"), read(s, dir, "nation"),
         partitionColumns = Seq("n_regionkey"))
@@ -1538,6 +1563,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_orderkey + 100000000, l_linenumber, l_quantity
         |FROM li WHERE l_orderkey % 1000 = 7""".stripMargin,
+    "m10_merge_evolution" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |       CASE WHEN n_nationkey < 10 THEN lower(n_name) ELSE n_name END AS name,
+        |       CASE WHEN n_nationkey < 10 THEN CAST(n_regionkey AS BIGINT) END AS region
+        |FROM nation
+        |UNION ALL
+        |SELECT CAST(n_nationkey + 1000 AS BIGINT), n_name, CAST(n_regionkey AS BIGINT)
+        |FROM nation WHERE n_nationkey < 5""".stripMargin,
     "m8_copy_table" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "l1_operation_metrics" ->

@@ -51,12 +51,21 @@ object GraftMerge {
     private var source: DataFrame = _
     private var sourceAlias: Option[String] = None
     private var condition: String = _
+    private var evolveSchema: Boolean = false
     private val matched = scala.collection.mutable.ArrayBuffer.empty[MatchedClause]
     private val notMatched = scala.collection.mutable.ArrayBuffer.empty[NotMatchedClause]
 
     def merge(source: DataFrame, condition: String, sourceAlias: Option[String] = None): Builder = {
       this.source = source; this.condition = condition; this.sourceAlias = sourceAlias; this
     }
+    /** Delta's `withSchemaEvolution()`: source columns absent from the
+      * target are ADDED to the table schema by the merge commit — updated/
+      * inserted rows carry their source values, copied rows and pre-images
+      * read as typed NULL (old files are never rewritten just to add the
+      * column). Same-name columns must keep their type ([[TableWriter
+      * .mergeSchemas]] rejects a mismatch before anything is written).
+      */
+    def withSchemaEvolution(): Builder = { evolveSchema = true; this }
     def whenMatchedUpdateExpr(set: Map[String, String], condition: Option[String] = None): Builder = {
       matched += MatchedClause(condition, UpdateExpr(set)); this
     }
@@ -75,7 +84,7 @@ object GraftMerge {
 
     def execute(): Long =
       GraftMerge.execute(table, targetAlias, source, sourceAlias, condition,
-        matched.toSeq, notMatched.toSeq)
+        matched.toSeq, notMatched.toSeq, evolveSchema)
   }
 
   private val ActionCol = "__graft_action"
@@ -95,11 +104,19 @@ object GraftMerge {
       sourceAlias: Option[String],
       condition: String,
       matched: Seq[MatchedClause],
-      notMatched: Seq[NotMatchedClause]): Long = {
+      notMatched: Seq[NotMatchedClause],
+      evolveSchema: Boolean = false): Long = {
     val spark = table.spark
     val t0 = System.currentTimeMillis()
     val snap = table.snapshot
     val targetCols = snap.schema.fieldNames.toSeq
+    // schema evolution: the OUTPUT schema appends source-only columns to the
+    // target's (type conflicts rejected up front); without the flag the
+    // output schema IS the target schema and extra source columns are
+    // simply never selected
+    val outFields: Seq[org.apache.spark.sql.types.StructField] =
+      if (evolveSchema) TableWriter.mergeSchemas(snap.schema, source.schema).fields.toSeq
+      else snap.schema.fields.toSeq
 
     // --- 1. candidate-file pruning on target-only conjuncts ---------------
     val classified = FileSkipping.classify(spark, table.toDF.alias(targetAlias), condition)
@@ -173,7 +190,7 @@ object GraftMerge {
           .localCheckpoint(false)
         val nIns = withAction.count()
         val numSourceRows = sourceCached.count()
-        val insCols = snap.schema.fields.toSeq.map(f =>
+        val insCols = outFields.map(f =>
           insertColumn(f.name, srcAliasName, notMatched, sourceColsRenamed)
             .cast(f.dataType).as(f.name))
         val newData = withAction.select(insCols: _*)
@@ -305,8 +322,11 @@ object GraftMerge {
       // an unconditional delete, and in that case every duplicated target row
       // carries a delete code and is filtered here — so each surviving row's
       // TgtExists id appears exactly once in every reachable configuration.
-      val outCols = targetCols.map(c =>
-        outputColumn(c, targetAlias, srcAliasName, matched, notMatched, sourceColsRenamed).as(c))
+      val outCols = outFields.map { f =>
+        val base = targetValue(f, targetCols, targetAlias)
+        outputColumn(f.name, base, srcAliasName, matched, notMatched, sourceColsRenamed)
+          .cast(f.dataType).as(f.name)
+      }
       val targetKeep = touchedData
         .where(col(TgtExists).isNotNull && col(ActionCol) =!= Drop && !inCodes(deleteCodes))
         .select(outCols: _*)
@@ -316,7 +336,8 @@ object GraftMerge {
 
       // --- CDC -------------------------------------------------------------
       val cdc: Option[DataFrame] = if (snap.cdfEnabled) {
-        val tCols = targetCols.map(c => col(s"$targetAlias.$c").as(c))
+        val tCols = outFields.map(f =>
+          targetValue(f, targetCols, targetAlias).cast(f.dataType).as(f.name))
         val deletes = joined.where(inCodes(deleteCodes)).dropDuplicates(TgtExists)
           .select(tCols :+ lit("delete").as("_change_type"): _*)
         val updPre = joined.where(inCodes(updateCodes))
@@ -390,10 +411,23 @@ object GraftMerge {
     c
   }
 
-  /** Output value of column `c` as a CASE over the disposition. */
+  /** The target-side value of output field `f`: the target column when the
+    * table has it, typed NULL when `f` exists only through schema evolution
+    * (copied rows and pre-images have no source value to take).
+    */
+  private def targetValue(
+      f: org.apache.spark.sql.types.StructField,
+      targetCols: Seq[String],
+      targetAlias: String): Column =
+    if (targetCols.exists(_.equalsIgnoreCase(f.name))) col(s"$targetAlias.${f.name}")
+    else lit(null).cast(f.dataType)
+
+  /** Output value of column `c` as a CASE over the disposition; `base` is
+    * the target-side value ([[targetValue]]).
+    */
   private def outputColumn(
       c: String,
-      targetAlias: String,
+      base: Column,
       srcAlias: String,
       matched: Seq[MatchedClause],
       notMatched: Seq[NotMatchedClause],
@@ -401,18 +435,18 @@ object GraftMerge {
     def sourceValue(action: Any): Column = action match {
       case UpdateExpr(set) =>
         set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => expr(v) }
-          .getOrElse(col(s"$targetAlias.$c"))
+          .getOrElse(base)
       case UpdateAll =>
         if (sourceCols.exists(_.equalsIgnoreCase(c))) col(s"$srcAlias.$c")
-        else col(s"$targetAlias.$c")
+        else base
       case InsertExpr(values) =>
         values.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => expr(v) }
           .getOrElse(lit(null))
       case InsertAll =>
         if (sourceCols.exists(_.equalsIgnoreCase(c))) col(s"$srcAlias.$c") else lit(null)
-      case _ => col(s"$targetAlias.$c")
+      case _ => base
     }
-    var out: Column = col(s"$targetAlias.$c")
+    var out: Column = base
     matched.zipWithIndex.foreach { case (cl, i) =>
       cl.action match {
         case DeleteAction => ()

@@ -32,6 +32,87 @@ class GraftMergeSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(metrics("numSourceRows") == "2")
     }
 
+    it("withSchemaEvolution adds source-only columns; old rows read as NULL") {
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "2")
+      try {
+        // 2 files: (1,2) and (3) — source touches only id=3's file, so the
+        // (1,2) file must survive UNREWRITTEN yet read the new column as null
+        val t = GraftTable.create(spark, tmpTableDir("merge-evolve"),
+          Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "name").orderBy("id").coalesce(1))
+        val untouched = t.snapshot.files.map(_.path).toSet
+        val source = Seq((3, "C!", 300L), (4, "d", 400L)).toDF("id", "name", "score")
+        GraftMerge(t, "old").merge(source, "old.id = new.id", Some("new"))
+          .withSchemaEvolution()
+          .whenMatchedUpdateAll()
+          .whenNotMatchedInsertAll()
+          .execute()
+        val t2 = GraftTable.forPath(spark, t.path)
+        assert(t2.snapshot.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+        assertSmallDataFrameEquality(t2.toDF,
+          Seq((1, "a", Option.empty[Long]), (2, "b", Option.empty[Long]),
+            (3, "C!", Some(300L)), (4, "d", Some(400L))).toDF("id", "name", "score"))
+        // the untouched file was not rewritten
+        assert(t2.snapshot.files.map(_.path).toSet.intersect(untouched).nonEmpty)
+      } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+
+    it("without the flag, extra source columns are ignored") {
+      val t = mkTable(tmpTableDir("merge-noevolve"))
+      val source = Seq((2, "B!", 200, "extra")).toDF("id", "name", "score", "note")
+      GraftMerge(t, "old").merge(source, "old.id = new.id", Some("new"))
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+      val t2 = GraftTable.forPath(spark, t.path)
+      assert(t2.snapshot.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+      assert(t2.toDF.where("id = 2").collect()(0).getString(1) == "B!")
+    }
+
+    it("withSchemaEvolution rejects a same-name type conflict before writing") {
+      val t = mkTable(tmpTableDir("merge-evolve-conflict"))
+      val vBefore = t.version
+      val source = Seq((2, 9.9)).toDF("id", "score") // score: int in table, double here
+      val e = intercept[IllegalArgumentException] {
+        GraftMerge(t, "old").merge(source, "old.id = new.id", Some("new"))
+          .withSchemaEvolution()
+          .whenMatchedUpdateExpr(Map("score" -> "new.score"))
+          .execute()
+      }
+      assert(e.getMessage.contains("type mismatch"), e.getMessage)
+      assert(t.version == vBefore)
+    }
+
+    it("withSchemaEvolution on the insert-only fast path evolves too") {
+      val t = mkTable(tmpTableDir("merge-evolve-insonly"))
+      val source = Seq((9, "z", 90, true)).toDF("id", "name", "score", "flag")
+      GraftMerge(t, "old").merge(source, "old.id = new.id", Some("new"))
+        .withSchemaEvolution()
+        .whenNotMatchedInsertAll()
+        .execute()
+      val t2 = GraftTable.forPath(spark, t.path)
+      assert(t2.snapshot.schema.fieldNames.toSeq == Seq("id", "name", "score", "flag"))
+      assert(t2.toDF.where("id = 9").collect()(0).getBoolean(3))
+      assert(t2.toDF.where("id = 1").collect()(0).isNullAt(3))
+    }
+
+    it("withSchemaEvolution CDC: pre-images NULL, post-images carry the new value") {
+      val t = mkTable(tmpTableDir("merge-evolve-cdc"), cdf = true)
+      val source = Seq((2, "B!", 200, 7L)).toDF("id", "name", "score", "v2")
+      val v = GraftMerge(t, "old").merge(source, "old.id = new.id", Some("new"))
+        .withSchemaEvolution()
+        .whenMatchedUpdateAll()
+        .execute()
+      val changes = spark.read.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", v).option("endingVersion", v)
+        .load(t.path)
+        .select($"id", $"v2", $"_change_type").collect()
+        .map(r => (r.getInt(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
+        .toSet
+      assert(changes == Set((2, -1L, "update_preimage"), (2, 7L, "update_postimage")),
+        changes.toString)
+    }
+
     it("whenMatched delete removes only matching rows") {
       val t = mkTable(tmpTableDir("merge-del"))
       val dups = Seq((1, "a"), (3, "c")).toDF("id", "name")

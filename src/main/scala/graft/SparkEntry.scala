@@ -244,6 +244,38 @@ object SparkEntry {
       }
     }),
 
+    "q14_stream_start_timestamp" -> ((s, dir) => {
+      // startingTimestamp on the streaming source: clock-controlled history
+      // (v0 100h, v1 50h, v2 10h ago); a cutoff 24h ago must resolve to the
+      // FIRST commit at-or-after it (v2) and replay exactly its change rows
+      val dirT = tmp("q14")
+      val region = read(s, dir, "region").select("r_regionkey", "r_name")
+      val t = GraftTable.create(s, dirT, region,
+        properties = Map(GraftLog.CdfProperty -> "true"))                    // v0
+      t.append(region.select((col("r_regionkey") + 10).as("r_regionkey"),
+        col("r_name")))                                                       // v1
+      t.append(region.select((col("r_regionkey") + 20).as("r_regionkey"),
+        col("r_name")))                                                       // v2
+      Seq(0L -> 100, 1L -> 50, 2L -> 10).foreach { case (v, h) =>
+        val ts = System.currentTimeMillis() - h * 3600L * 1000
+        t.log.rewriteVersion(v, t.log.actionsAt(v).map {
+          case ci: graft.tables.CommitInfo => ci.copy(timestamp = ts)
+          case other                       => other
+        })
+      }
+      () => {
+      val startIso = java.time.Instant
+        .ofEpochMilli(System.currentTimeMillis() - 24L * 3600 * 1000).toString
+      val name = "q14_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = s.readStream.format("graft")
+        .option("startingTimestamp", startIso).load(dirT)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+      s.table(name).select(
+        col("r_regionkey"), col("r_name"), col("_change_type"), col("_commit_version"))
+      }
+    }),
+
     "q9_time_travel" -> ((s, dir) => {
       // versionAsOf reader option: v0 = first 10 nations, v1 = +10 more,
       // v2 = overwrite with a sentinel row. Reading v1 must see exactly the
@@ -1495,6 +1527,10 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q12_time_travel_timestamp" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey < 10",
+    "q14_stream_start_timestamp" ->
+      """SELECT CAST(r_regionkey + 20 AS INT) AS r_regionkey, r_name,
+        |       'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+        |FROM region""".stripMargin,
     "q10_stream_source" ->
       """SELECT r_regionkey, r_name, 'insert' AS _change_type,
         |       CAST(0 AS BIGINT) AS _commit_version FROM region

@@ -15,6 +15,28 @@ import graft.tables._
   */
 object TableOps {
 
+  /** Shared head of every predicate-scoped rewrite (DELETE / UPDATE /
+    * replaceWhere): stats+bloom file pruning on the predicate, then exact
+    * touch detection — the distinct set of candidate files actually
+    * CONTAINING a matching row. Only those files get rewritten.
+    */
+  private case class TouchedScan(
+      candidates: Seq[AddFile], touched: Seq[AddFile], scanTimeMs: Long)
+
+  private def scanTouched(
+      table: GraftTable, snap: Snapshot, cond: String): TouchedScan = {
+    val spark = table.spark
+    val t0 = System.currentTimeMillis()
+    val classified = FileSkipping.classify(spark, table.toDF, cond)
+    val candidates = FileSkipping.filesMatching(snap, classified.all,
+      Some(BloomIndex.ProbeContext(spark, table.path)))
+    val scanTime = System.currentTimeMillis() - t0
+    val candDf = table.dfForFiles(snap, candidates).withColumn("__graft_file", input_file_name())
+    val touchedFiles = candDf.where(expr(cond)).select("__graft_file")
+      .distinct().collect().map(_.getString(0)).toSet
+    TouchedScan(candidates, TableWriter.resolveTouched(touchedFiles, candidates), scanTime)
+  }
+
   /** DELETE FROM table [WHERE condition]. Returns the committed version. */
   def delete(table: GraftTable, condition: Option[String] = None): Long = {
     val spark = table.spark
@@ -22,15 +44,7 @@ object TableOps {
     val snap = table.snapshot
     val cond = condition.getOrElse("true")
 
-    val classified = FileSkipping.classify(spark, table.toDF, cond)
-    val candidates = FileSkipping.filesMatching(snap, classified.all,
-      Some(BloomIndex.ProbeContext(spark, table.path)))
-    val scanTime = System.currentTimeMillis() - t0
-
-    val candDf = table.dfForFiles(snap, candidates).withColumn("__graft_file", input_file_name())
-    val touchedFiles = candDf.where(expr(cond)).select("__graft_file")
-      .distinct().collect().map(_.getString(0)).toSet
-    val touched = TableWriter.resolveTouched(touchedFiles, candidates)
+    val TouchedScan(candidates, touched, scanTime) = scanTouched(table, snap, cond)
 
     // 3-valued logic: a NULL-evaluating predicate must NOT delete the row
     // (SQL DELETE semantics) — collapse NULL to false so those rows are
@@ -80,15 +94,7 @@ object TableOps {
     val snap = table.snapshot
     val cond = condition.getOrElse("true")
 
-    val classified = FileSkipping.classify(spark, table.toDF, cond)
-    val candidates = FileSkipping.filesMatching(snap, classified.all,
-      Some(BloomIndex.ProbeContext(spark, table.path)))
-    val scanTime = System.currentTimeMillis() - t0
-
-    val candDf = table.dfForFiles(snap, candidates).withColumn("__graft_file", input_file_name())
-    val touchedFiles = candDf.where(expr(cond)).select("__graft_file")
-      .distinct().collect().map(_.getString(0)).toSet
-    val touched = TableWriter.resolveTouched(touchedFiles, candidates)
+    val TouchedScan(candidates, touched, scanTime) = scanTouched(table, snap, cond)
 
     // NULL predicate ⇒ not updated (3VL): copy the row through unmodified
     // and count it as copied, matching SQL UPDATE semantics
@@ -182,16 +188,13 @@ object TableOps {
     val missing = fields.filterNot(f => incoming.contains(f.toLowerCase))
     require(missing.isEmpty,
       s"replaceWhere data is missing table column(s) ${missing.mkString(", ")}")
+    val extra = df.columns.filterNot(c => fields.exists(_.equalsIgnoreCase(c)))
+    require(extra.isEmpty,
+      s"replaceWhere data has column(s) ${extra.mkString(", ")} absent from the " +
+        "table schema; replaceWhere does not evolve the schema — drop or " +
+        "rename them explicitly")
 
-    val classified = FileSkipping.classify(spark, table.toDF, predicate)
-    val candidates = FileSkipping.filesMatching(snap, classified.all,
-      Some(BloomIndex.ProbeContext(spark, table.path)))
-    val scanTime = System.currentTimeMillis() - t0
-
-    val candDf = table.dfForFiles(snap, candidates).withColumn("__graft_file", input_file_name())
-    val touchedFiles = candDf.where(expr(predicate)).select("__graft_file")
-      .distinct().collect().map(_.getString(0)).toSet
-    val touched = TableWriter.resolveTouched(touchedFiles, candidates)
+    val TouchedScan(candidates, touched, scanTime) = scanTouched(table, snap, predicate)
 
     val touchedRows = table.dfForFiles(snap, touched)
       .withColumn("__graft_del", coalesce(expr(predicate), lit(false)))

@@ -125,9 +125,28 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       metadataPath: String,
       schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    // startingTimestamp (Delta parity): resolved to the first version whose
+    // commit timestamp is at-or-after it, using the same session-timezone
+    // parsing as the batch CDF reader. Resolution happens ONCE at source
+    // creation — offsets in the checkpoint stay version-based
+    val startVersion: Option[Long] =
+      (parameters.get("startingVersion"), parameters.get("startingTimestamp")) match {
+        case (Some(_), Some(_)) => throw new IllegalArgumentException(
+          "specify either startingVersion or startingTimestamp, not both")
+        case (Some(v), None) => Some(v.trim.toLong)
+        case (None, Some(ts)) =>
+          val sessionTz = sqlContext.sparkSession.sessionState.conf.sessionLocalTimeZone
+          val millis = GraftDataSource.parseTimestampMillis(ts.trim, sessionTz)
+          val commits = new graft.tables.GraftLog(pathOf(parameters)).history().reverse
+          Some(commits.collectFirst { case (v, ci) if ci.timestamp >= millis => v }
+            .getOrElse(throw new IllegalArgumentException(
+              s"startingTimestamp '$ts' is after the latest commit of " +
+                s"${pathOf(parameters)}")))
+        case (None, None) => None
+      }
     new GraftStreamSource(sqlContext, pathOf(parameters),
-      parameters.get("startingVersion").map(_.trim.toLong),
+      startVersion,
       parameters.get("maxVersionsPerTrigger").map(_.trim.toLong)
         .getOrElse(GraftStreamSource.DefaultMaxVersionsPerTrigger),
       parameters.get("maxBytesPerTrigger").map(_.trim.toLong),
@@ -135,6 +154,7 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       // high-watermark here so budgeted restarts never regress below the
       // committed offset (see GraftStreamSource.writeWatermark)
       metadataPath = Some(metadataPath))
+  }
 
   private def pathOf(parameters: Map[String, String]): String = {
     val p = parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -198,7 +218,13 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val txnActions: Seq[graft.tables.Action] =
       txn.map { case (app, v) => graft.tables.SetTransaction(app, v) }.toSeq
     val txnReadVersion = if (txn.isDefined) snapBefore.map(_.version) else None
-    val replaceWhere = parameters.get("replaceWhere").map(_.trim).filter(_.nonEmpty)
+    val replaceWhere = parameters.get("replaceWhere").map(_.trim)
+    // a PRESENT-but-blank predicate is a caller bug (e.g. a templating slip),
+    // not an absent option — treating it as absent would silently escalate a
+    // region replace into a full-table overwrite
+    if (replaceWhere.exists(_.isEmpty))
+      throw new IllegalArgumentException(
+        "replaceWhere predicate is empty; omit the option for a full overwrite")
     if (replaceWhere.isDefined && mode != SaveMode.Overwrite)
       throw new IllegalArgumentException(
         s"replaceWhere requires mode 'overwrite', got $mode")

@@ -335,7 +335,11 @@ object GraftStreamSource {
     metadataPath.foreach { dir =>
       val p = watermarkPath(dir)
       val conf = spark.sessionState.newHadoopConf()
-      val tmp = p.suffix(s".tmp-${java.util.UUID.randomUUID()}")
+      // FIXED tmp name, not a fresh UUID: one driver owns the checkpoint, so
+      // there is no concurrent writer to collide with, and a crash between
+      // create and rename then leaves at most ONE stale tmp (overwritten by
+      // the next attempt) instead of unbounded uniquely-named debris
+      val tmp = p.suffix(".tmp")
       val fs = p.getFileSystem(conf)
       val out = fs.create(tmp, true)
       try out.write(version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))

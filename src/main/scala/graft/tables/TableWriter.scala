@@ -493,16 +493,39 @@ object TableWriter {
     * `mergeSchema=true` appends: new columns appended, old columns keep type.)
     */
   def mergeSchemas(existing: StructType, incoming: StructType): StructType = {
-    val existingNames = existing.fieldNames.toSet
+    // name matching is case-INSENSITIVE (Spark's default resolution): a
+    // source column differing only in case is the SAME column — appending it
+    // would commit a duplicate schema that every later read chokes on
+    def sameAs(f: StructField) = existing.fields.find(_.name.equalsIgnoreCase(f.name))
     incoming.fields.foreach { f =>
-      existing.fields.find(_.name == f.name).foreach { old =>
+      sameAs(f).foreach { old =>
         if (old.dataType != f.dataType)
           throw new IllegalArgumentException(
             s"column ${f.name} type mismatch: table=${old.dataType} incoming=${f.dataType}")
       }
     }
-    val appended = incoming.fields.filterNot(f => existingNames.contains(f.name))
+    val appended = incoming.fields.filterNot(f => sameAs(f).isDefined)
+    // a NullType (void) column — typically lit(null) without a cast — must
+    // not reach the schema: parquet cannot store it, and a data-less commit
+    // (skipDataWrite) would brick the table's metadata for every later scan
+    appended.filter(f => containsNullType(f.dataType)).foreach { f =>
+      throw new IllegalArgumentException(
+        s"cannot add column ${f.name} of type ${f.dataType.simpleString}: " +
+          "void (NullType) columns are not storable — cast the null literal " +
+          "to a concrete type")
+    }
     StructType((existing.fields ++ appended).map(f => StructField(f.name, f.dataType, nullable = true)))
+  }
+
+  private def containsNullType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case NullType            => true
+      case a: ArrayType        => containsNullType(a.elementType)
+      case m: MapType          => containsNullType(m.keyType) || containsNullType(m.valueType)
+      case s: StructType       => s.fields.exists(f => containsNullType(f.dataType))
+      case _                   => false
+    }
   }
 
   def deleteRecursively(p: JPath): Unit =

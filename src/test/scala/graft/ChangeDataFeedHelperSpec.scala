@@ -54,7 +54,17 @@ class ChangeDataFeedHelperSpec extends AnyFunSpec with SparkSessionTestWrapper {
       .option("startingVersion", 1).load(t.path)) == viaHelper)
 
     // timestamp bounds: start = earliest commit at-or-after, end = latest
-    // at-or-before (rendered in the session timezone, UTC here)
+    // at-or-before (rendered in the session timezone, UTC here). Commit
+    // timestamps are CLOCK-CONTROLLED first: consecutive test commits can
+    // land in the same millisecond, and with v0.ts == v1.ts the at-or-after
+    // rule correctly resolves to v0 — which is not what this case pins
+    Seq(0L -> 3, 1L -> 2, 2L -> 1).foreach { case (v, h) =>
+      val ts = System.currentTimeMillis() - h * 3600L * 1000
+      t.log.rewriteVersion(v, t.log.actionsAt(v).map {
+        case ci: graft.tables.CommitInfo => ci.copy(timestamp = ts)
+        case other                       => other
+      })
+    }
     val hist = t.history().toMap
     def utc(ms: Long) = java.time.Instant.ofEpochMilli(ms).toString
     assert(rows(spark.read.format("graft").option("readChangeFeed", "true")

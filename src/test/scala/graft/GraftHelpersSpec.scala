@@ -370,6 +370,19 @@ class GraftHelpersSpec extends AnyFunSpec with SparkSessionTestWrapper {
           .save(tmpTableDir("rw_opt_missing"))
       }
       assert(e2.getMessage.contains("existing graft table"), e2.getMessage)
+      // a blank predicate is a caller bug, not a full-table overwrite
+      val e3 = intercept[IllegalArgumentException] {
+        Seq((4, "d")).toDF("id", "name").write.format("graft")
+          .mode("overwrite").option("replaceWhere", "  ").save(dir)
+      }
+      assert(e3.getMessage.contains("predicate is empty"), e3.getMessage)
+      assert(t.toDF.count() == 2) // nothing replaced by the rejected writes
+      // extra incoming columns are rejected, not silently projected away
+      val e4 = intercept[IllegalArgumentException] {
+        TableOps.overwriteWhere(GraftTable.forPath(spark, dir),
+          Seq((3, "c", 1.0)).toDF("id", "name", "score"), "id <= 4")
+      }
+      assert(e4.getMessage.contains("absent from the table schema"), e4.getMessage)
     }
 
     it("replaceWhere with txnAppId/txnVersion replays idempotently") {

@@ -68,6 +68,47 @@ class GraftMergeSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(t2.toDF.where("id = 2").collect()(0).getString(1) == "B!")
     }
 
+    it("withSchemaEvolution treats a case-differing source column as the SAME column") {
+      val t = mkTable(tmpTableDir("merge-evolve-case"))
+      // "Score" vs table's "score": default case-insensitive resolution —
+      // must NOT append a duplicate column (which would brick the schema)
+      val source = Seq((2, "B!", 200)).toDF("id", "name", "Score")
+      GraftMerge(t, "old").merge(source, "old.id = new.id", Some("new"))
+        .withSchemaEvolution()
+        .whenMatchedUpdateAll()
+        .execute()
+      val t2 = GraftTable.forPath(spark, t.path)
+      assert(t2.snapshot.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+      assert(t2.toDF.where("id = 2").collect()(0).getInt(2) == 200)
+      // ...and a case-differing TYPE conflict still fails loudly
+      val e = intercept[IllegalArgumentException] {
+        GraftMerge(t2, "old").merge(Seq((2, 9.9)).toDF("id", "Score"),
+            "old.id = new.id", Some("new"))
+          .withSchemaEvolution()
+          .whenMatchedUpdateExpr(Map("score" -> "new.Score"))
+          .execute()
+      }
+      assert(e.getMessage.contains("type mismatch"), e.getMessage)
+    }
+
+    it("withSchemaEvolution rejects a NullType (void) source column") {
+      val t = mkTable(tmpTableDir("merge-evolve-void"))
+      val vBefore = t.version
+      // lit(null) without a cast is NullType — unstorable in parquet, and a
+      // no-op merge would otherwise commit it into metadata data-free
+      val source = Seq((99, "z", 1)).toDF("id", "name", "score")
+        .withColumn("flag", org.apache.spark.sql.functions.lit(null))
+      val e = intercept[IllegalArgumentException] {
+        GraftMerge(t, "old").merge(source, "old.id = new.id", Some("new"))
+          .withSchemaEvolution()
+          .whenMatchedUpdateAll()
+          .whenNotMatchedInsertAll()
+          .execute()
+      }
+      assert(e.getMessage.contains("NullType"), e.getMessage)
+      assert(t.version == vBefore)
+    }
+
     it("withSchemaEvolution rejects a same-name type conflict before writing") {
       val t = mkTable(tmpTableDir("merge-evolve-conflict"))
       val vBefore = t.version

@@ -302,6 +302,45 @@ class GraftStreamSourceSpec extends AnyFunSpec with SparkSessionTestWrapper {
     } finally query.stop()
   }
 
+  it("startingTimestamp resolves to the first commit at-or-after it") {
+    val (dir, t) = mkTable("gss_startts")
+    t.append(Seq((10, "v1")).toDF("id", "name")) // v1
+    t.append(Seq((20, "v2")).toDF("id", "name")) // v2
+    t.append(Seq((30, "v3")).toDF("id", "name")) // v3
+    // clock-controlled history: v0..v3 at 100/80/60/40 hours ago
+    Seq(0L -> 100, 1L -> 80, 2L -> 60, 3L -> 40).foreach { case (v, h) =>
+      val ts = System.currentTimeMillis() - h * 3600L * 1000
+      t.log.rewriteVersion(v, t.log.actionsAt(v).map {
+        case ci: graft.tables.CommitInfo => ci.copy(timestamp = ts)
+        case other                       => other
+      })
+    }
+    // 70 hours ago falls between v1 and v2 → stream replays from v2
+    val startIso = java.time.Instant
+      .ofEpochMilli(System.currentTimeMillis() - 70L * 3600 * 1000).toString
+    val sink = "gss_sink_" + System.nanoTime()
+    val query = spark.readStream.format("graft")
+      .option("startingTimestamp", startIso).load(dir)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+    val versions = spark.table(sink).select($"_commit_version")
+      .collect().map(_.getLong(0)).toSet
+    assert(versions == Set(2L, 3L), versions.toString)
+
+    // both bounds at once is ambiguous and rejected (source creation runs on
+    // the stream thread, so the failure surfaces on processAllAvailable)
+    val e = intercept[Exception] {
+      val q2 = spark.readStream.format("graft")
+        .option("startingVersion", 1).option("startingTimestamp", startIso)
+        .load(dir)
+        .writeStream.format("memory").queryName(sink + "x").outputMode("append").start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(y => Option(y.getMessage).toSeq ++ msgs(y.getCause))
+    assert(msgs(e).exists(_.contains("not both")), msgs(e).mkString("; "))
+  }
+
   it("persists the offer watermark atomically (no torn marker, no temp debris)") {
     // the marker is written temp-file + rename so a crash mid-write leaves
     // the PREVIOUS marker readable; after several advancing offers exactly
@@ -327,7 +366,7 @@ class GraftStreamSourceSpec extends AnyFunSpec with SparkSessionTestWrapper {
       java.nio.file.Files.readAllBytes(markers.head.toPath),
       java.nio.charset.StandardCharsets.UTF_8).trim
     assert(text.toLong == t.version, s"marker=$text version=${t.version}")
-    assert(!listed.exists(_.getName.contains(".tmp-")),
+    assert(!listed.exists(_.getName.endsWith(".tmp")),
       s"temp debris left behind: ${listed.map(_.getName)}")
   }
 

@@ -1037,6 +1037,31 @@ object SparkEntry {
       }
     }),
 
+    "s17_fsck" -> ((s, dir) => {
+      // FSCK REPAIR: nation written sorted into 10-row files; the file
+      // holding keys 0..9 is deleted OUT FROM UNDER the table (external
+      // tampering), scans die, fsck drops the dangling reference in a
+      // metadata-only commit, and the survivors read cleanly
+      val dirT = tmp("s17")
+      s.conf.set("spark.sql.files.maxRecordsPerFile", "10")
+      val t =
+        try GraftTable.create(s, dirT, read(s, dir, "nation")
+          .select("n_nationkey", "n_name").orderBy("n_nationkey").coalesce(1))
+        finally s.conf.unset("spark.sql.files.maxRecordsPerFile")
+      () => {
+      val cls = graft.tables.FileSkipping.classify(s, t.toDF, "n_nationkey <= 9")
+      val victims = graft.tables.FileSkipping.filesMatching(t.snapshot, cls.all, None)
+      require(victims.size == 1, s"sorted write should isolate keys 0..9, got ${victims.size}")
+      java.nio.file.Files.delete(GraftTable.resolveDataPath(t.path, victims.head.path))
+      val dryCount = TableOps.fsck(t, dryRun = true).size
+      TableOps.fsck(t)
+      val t2 = GraftTable.forPath(s, t.path)
+      t2.toDF.select(col("n_nationkey"), col("n_name"),
+        lit(dryCount).as("n_missing"),
+        lit(t2.history().head._2.operation).as("op"))
+      }
+    }),
+
     "s16_replace_where" -> ((s, dir) => {
       // replaceWhere (selective transactional overwrite, Delta's
       // `.option("replaceWhere", pred)`): swap the o_orderkey <= 1000
@@ -1471,6 +1496,9 @@ object SparkEntry {
       """SELECT CAST(o_orderkey AS BIGINT) AS id, o_totalprice AS price,
         |       (SELECT count(*) FROM orders) AS src_rows
         |FROM orders WHERE o_orderkey % 2 <> 0""".stripMargin,
+    "s17_fsck" ->
+      """SELECT n_nationkey, n_name, 1 AS n_missing, 'FSCK' AS op
+        |FROM nation WHERE n_nationkey >= 10""".stripMargin,
     "s16_replace_where" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS id,
         |       CASE WHEN o_orderkey <= 1000 THEN -o_totalprice

@@ -433,6 +433,58 @@ object TableOps {
     *
     * @return the committed version (current version for a no-op restore)
     */
+  /** FSCK REPAIR TABLE (Delta's shape): drop snapshot references to data
+    * files that no longer exist in storage (manual deletion, a botched
+    * external cleanup), so scans stop dying on FileNotFound. The repair is
+    * a metadata-only commit removing the dangling references — an explicit
+    * acknowledgment of data loss, which is why it is never automatic and
+    * why the commit carries no CDC (the lost rows cannot be reconstructed;
+    * CDF readers fail loudly over this range rather than fabricate).
+    *
+    * @return the table-relative paths of the dangling references (empty =
+    *         table is clean); with `dryRun` nothing is committed
+    */
+  def fsck(table: GraftTable, dryRun: Boolean = false): Seq[String] = {
+    import java.nio.file.Files
+    val snap = table.snapshot
+    val missing = snap.files.filterNot(f =>
+      Files.exists(GraftTable.resolveDataPath(table.path, f.path)))
+    if (!dryRun && missing.nonEmpty) {
+      TableWriter.write(table.spark, table.path,
+        table.dfForFiles(snap, Nil), // no data written; satisfies the signature
+        TableWriter.Append,
+        operation = "FSCK",
+        operationParameters = Map("dryRun" -> "false"),
+        extraMetrics = Map(
+          "numRemovedFiles" -> missing.size.toString,
+          "numMissingFiles" -> missing.size.toString),
+        removeFiles = missing.map(_.path),
+        // the decision read the whole file list: a concurrent winner
+        // re-adding or rewriting one of these files invalidates it
+        readFiles = snap.files.map(_.path),
+        readVersion = Some(snap.version),
+        skipDataWrite = true)
+    }
+    missing.map(_.path)
+  }
+
+  /** RESTORE TABLE TO TIMESTAMP (Delta's `RESTORE ... TO TIMESTAMP AS OF`):
+    * resolves to the LATEST version whose monotonized commit timestamp is
+    * at-or-before `timestamp` (same session-timezone parsing and the same
+    * resolution rule as the `timestampAsOf` reader option), then delegates
+    * to the version restore.
+    */
+  def restoreToTimestamp(table: GraftTable, timestamp: String): Long = {
+    val tz = table.spark.sessionState.conf.sessionLocalTimeZone
+    val millis = graft.sources.GraftDataSource.parseTimestampMillis(timestamp.trim, tz)
+    val atOrBefore = table.log.monotonicHistory()
+      .collect { case (v, ts) if ts <= millis => v }
+    if (atOrBefore.isEmpty)
+      throw new IllegalArgumentException(
+        s"cannot restore ${table.path}: '$timestamp' is before the table's first commit")
+    restore(table, atOrBefore.max)
+  }
+
   def restore(table: GraftTable, version: Long): Long = {
     import java.nio.file.{Files, Paths}
     val spark = table.spark
@@ -496,15 +548,11 @@ object TableOps {
   def vacuum(table: GraftTable, retainHours: Double): Int = {
     require(retainHours >= 0, s"retainHours must be >= 0, got $retainHours")
     val cutoff = System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong
-    // commit timestamps are wall-clock and not guaranteed monotonic across
-    // writers (clock skew); monotonize with a running max in version order —
-    // Delta's commit-timestamp adjustment — so a version can never be
-    // vacuumed while a version BELOW it still looks younger than the cutoff
-    var runningMax = Long.MinValue
-    val atOrBefore = table.log.history().reverse.map { case (v, ci) =>
-      runningMax = math.max(runningMax, ci.timestamp)
-      (v, runningMax)
-    }.collect { case (v, ts) if ts <= cutoff => v }
+    // monotonized timestamps (GraftLog.monotonicHistory): a version can
+    // never be vacuumed while a version BELOW it still looks younger than
+    // the cutoff
+    val atOrBefore = table.log.monotonicHistory()
+      .collect { case (v, ts) if ts <= cutoff => v }
     if (atOrBefore.isEmpty) 0 else vacuum(table, atOrBefore.max)
   }
 
@@ -547,9 +595,21 @@ object TableOps {
     *
     * @return number of files deleted
     */
-  def vacuum(table: GraftTable, retainVersion: Long): Int = {
-    import java.nio.file.{Files, Paths}
-    val log = table.log
+  /** The files [[vacuum(table:GraftTable,retainVersion:Long)* vacuum]]
+    * WOULD physically delete at this horizon — distinct table-relative
+    * data/change files added below it and referenced by no retained
+    * snapshot, minus external shallow-clone references (the real vacuum
+    * skips those too). Read-only: no commit, no deletion, no horizon
+    * rewrite — the production "VACUUM DRY RUN" safety check.
+    */
+  def vacuumDryRun(table: GraftTable, retainVersion: Long): Seq[String] =
+    vacuumPlan(table.log, retainVersion).deadFiles
+      .filterNot(GraftTable.isExternalPath)
+
+  private case class VacuumPlan(
+      deadFiles: Seq[String], dropVersions: Seq[Long], liveSidecars: Set[String])
+
+  private def vacuumPlan(log: GraftLog, retainVersion: Long): VacuumPlan = {
     val versions = log.versions()
     require(versions.contains(retainVersion), s"version $retainVersion does not exist")
     val keepVersions = versions.filter(_ >= retainVersion)
@@ -571,6 +631,13 @@ object TableOps {
         case c: AddCDCFile if !liveCdc.contains(c.path) => c.path
       }
     }.distinct
+    VacuumPlan(deadData, dropVersions, liveSidecars)
+  }
+
+  def vacuum(table: GraftTable, retainVersion: Long): Int = {
+    import java.nio.file.{Files, Paths}
+    val log = table.log
+    val VacuumPlan(deadData, dropVersions, liveSidecars) = vacuumPlan(log, retainVersion)
     // checkpoint the horizon version: its log file becomes self-contained
     // (full metadata + live file set) so snapshot replay can start there
     val horizon = log.snapshot(retainVersion)

@@ -138,8 +138,8 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
         case (None, Some(ts)) =>
           val sessionTz = sqlContext.sparkSession.sessionState.conf.sessionLocalTimeZone
           val millis = GraftDataSource.parseTimestampMillis(ts.trim, sessionTz)
-          val commits = new graft.tables.GraftLog(pathOf(parameters)).history().reverse
-          Some(commits.collectFirst { case (v, ci) if ci.timestamp >= millis => v }
+          val commits = new graft.tables.GraftLog(pathOf(parameters)).monotonicHistory()
+          Some(commits.collectFirst { case (v, cts) if cts >= millis => v }
             .getOrElse(throw new IllegalArgumentException(
               s"startingTimestamp '$ts' is after the latest commit of " +
                 s"${pathOf(parameters)}")))
@@ -278,8 +278,10 @@ object GraftDataSource {
     val byTs = parameters.get("timestampAsOf").map { raw =>
       val millis = parseTimestampMillis(raw.trim, sessionTz)
       val log = new graft.tables.GraftLog(path)
-      val atOrBefore = log.history().collect {
-        case (v, ci) if ci.timestamp <= millis => v
+      // monotonized timestamps: a writer clock lagging behind an earlier
+      // commit must not pull the resolved version above a younger commit
+      val atOrBefore = log.monotonicHistory().collect {
+        case (v, ts) if ts <= millis => v
       }
       if (atOrBefore.isEmpty)
         throw new IllegalArgumentException(
@@ -311,12 +313,14 @@ object GraftDataSource {
         "*Timestamp forms) to bound the feed — versionAsOf/timestampAsOf " +
         "are snapshot time-travel options and cannot combine with it")
     val log = new graft.tables.GraftLog(path)
-    def commits = log.history().reverse // oldest first
+    // monotonized timestamps, like every other timestamp resolution — skewed
+    // writer clocks must not move either bound across a younger version
+    def commits = log.monotonicHistory() // oldest first
     val start = (parameters.get("startingVersion"), parameters.get("startingTimestamp")) match {
       case (Some(v), None) => v.trim.toLong
       case (None, Some(ts)) =>
         val millis = parseTimestampMillis(ts.trim, sessionTz)
-        commits.collectFirst { case (v, ci) if ci.timestamp >= millis => v }
+        commits.collectFirst { case (v, cts) if cts >= millis => v }
           .getOrElse(bad(s"startingTimestamp '$ts' is after the latest commit of $path"))
       case (None, None) =>
         bad("readChangeFeed requires startingVersion or startingTimestamp")
@@ -326,7 +330,7 @@ object GraftDataSource {
       case (Some(v), None) => v.trim.toLong
       case (None, Some(ts)) =>
         val millis = parseTimestampMillis(ts.trim, sessionTz)
-        commits.reverse.collectFirst { case (v, ci) if ci.timestamp <= millis => v }
+        commits.reverse.collectFirst { case (v, cts) if cts <= millis => v }
           .getOrElse(bad(s"endingTimestamp '$ts' is before the earliest commit of $path"))
       case (None, None) => log.latestVersion()
       case _ => bad("specify either endingVersion or endingTimestamp, not both")

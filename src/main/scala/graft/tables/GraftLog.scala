@@ -152,6 +152,21 @@ class GraftLog(val tablePath: String) {
       actionsAt(v).collectFirst { case ci: CommitInfo => v -> ci }
     }
 
+  /** (version, commit timestamp) in VERSION order with timestamps
+    * monotonized by a running max — writer wall clocks can skew backwards,
+    * and every timestamp-based resolution (time travel, vacuum horizon,
+    * CDF bounds, stream start) needs a non-decreasing sequence or a
+    * lagging clock moves the resolution boundary below a younger version.
+    * Delta applies the same commit-timestamp adjustment when resolving.
+    */
+  def monotonicHistory(): Seq[(Long, Long)] = {
+    var runningMax = Long.MinValue
+    history().reverse.map { case (v, ci) =>
+      runningMax = math.max(runningMax, ci.timestamp)
+      (v, runningMax)
+    }
+  }
+
   /** Atomically REPLACE a version's log file with a self-contained action
     * set (used by vacuum to checkpoint the retention horizon before older
     * log files are dropped — afterwards snapshot replay can start there).

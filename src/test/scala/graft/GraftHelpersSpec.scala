@@ -493,6 +493,73 @@ class GraftHelpersSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(log.versions() == Seq(1L, 2L))
     }
 
+    it("vacuumDryRun lists exactly what vacuum would delete, committing nothing") {
+      val t = GraftTable.create(spark, tmpTableDir("vac_dry"),
+        Seq((1, "a"), (2, "b")).toDF("id", "name").repartition(1))
+      t.overwrite(Seq((3, "c")).toDF("id", "name"))   // v1: v0 files dead
+      t.append(Seq((4, "d")).toDF("id", "name"))      // v2
+      val planned = TableOps.vacuumDryRun(t, retainVersion = 1)
+      assert(planned.nonEmpty)
+      // read-only: all files still on disk, log untouched, history travelable
+      assert(planned.forall(p =>
+        java.nio.file.Files.exists(GraftTable.resolveDataPath(t.path, p))))
+      assert(t.log.versions() == Seq(0L, 1L, 2L))
+      assert(t.toDFAt(0).count() == 2)
+      // the real vacuum deletes exactly the planned set
+      val deleted = TableOps.vacuum(t, retainVersion = 1)
+      assert(deleted == planned.size)
+      assert(planned.forall(p =>
+        !java.nio.file.Files.exists(GraftTable.resolveDataPath(t.path, p))))
+    }
+
+    it("restoreToTimestamp resolves like timestampAsOf and restores that state") {
+      val t = GraftTable.create(spark, tmpTableDir("restore_ts"),
+        Seq((1, "a")).toDF("id", "name").repartition(1))        // v0
+      t.overwrite(Seq((2, "b")).toDF("id", "name"))             // v1
+      t.append(Seq((3, "c")).toDF("id", "name"))                // v2
+      def ageVersion(v: Long, hoursAgo: Double): Unit = {
+        val ts = System.currentTimeMillis() - (hoursAgo * 3600 * 1000).toLong
+        t.log.rewriteVersion(v, t.log.actionsAt(v).map {
+          case ci: CommitInfo => ci.copy(timestamp = ts)
+          case other          => other
+        })
+      }
+      ageVersion(0L, 100); ageVersion(1L, 50); ageVersion(2L, 10)
+      // 24 h ago falls between v1 and v2 → restore to v1's state
+      val iso = java.time.Instant
+        .ofEpochMilli(System.currentTimeMillis() - 24L * 3600 * 1000).toString
+      TableOps.restoreToTimestamp(t, iso)
+      assert(t.toDF.collect().map(_.getString(1)).toSet == Set("b"))
+      // a timestamp before the first commit fails loudly
+      val e = intercept[IllegalArgumentException] {
+        TableOps.restoreToTimestamp(t, java.time.Instant
+          .ofEpochMilli(System.currentTimeMillis() - 2000L * 3600 * 1000).toString)
+      }
+      assert(e.getMessage.contains("first commit"), e.getMessage)
+    }
+
+    it("fsck drops dangling file references; dry run only reports them") {
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "2")
+      try {
+        val t = GraftTable.create(spark, tmpTableDir("fsck"),
+          (1 to 6).map(i => (i, s"n$i")).toDF("id", "name").orderBy("id").coalesce(1))
+        assert(t.snapshot.numFiles == 3)
+        // clean table: nothing reported, nothing committed
+        assert(TableOps.fsck(t).isEmpty && t.version == 0L)
+        // delete one physical file out from under the table
+        val victim = t.snapshot.files.head.path
+        java.nio.file.Files.delete(GraftTable.resolveDataPath(t.path, victim))
+        intercept[Exception] { t.toDF.collect() } // scans now die
+        assert(TableOps.fsck(t, dryRun = true) == Seq(victim))
+        assert(t.version == 0L) // dry run committed nothing
+        assert(TableOps.fsck(t) == Seq(victim))
+        val t2 = GraftTable.forPath(spark, t.path)
+        assert(t2.version == 1L)
+        assert(t2.history().head._2.operation == "FSCK")
+        assert(t2.toDF.count() == 4) // the two lost rows are gone, rest reads
+      } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+
     it("duration-based vacuum survives non-monotonic commit timestamps") {
       val t = GraftTable.create(spark, tmpTableDir("vac_skew"),
         Seq((1, "a")).toDF("id", "name").repartition(1))      // v0

@@ -1037,6 +1037,20 @@ object SparkEntry {
       }
     }),
 
+    "s18_optimize_write" -> ((s, dir) => {
+      // optimizeWrite table property: an 8-shard write of small data lands
+      // as ONE right-sized file (file count tracks data size, not writer
+      // parallelism) with every row intact
+      val base = read(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("id"), col("s_name").as("name"))
+      () => {
+      val t = GraftTable.create(s, tmp("s18"), base.repartition(8),
+        properties = Map(graft.tables.TableWriter.OptimizeWriteProperty -> "true"))
+      t.toDF.select(col("id"), col("name"),
+        lit(t.snapshot.numFiles).as("n_files"))
+      }
+    }),
+
     "s17_fsck" -> ((s, dir) => {
       // FSCK REPAIR: nation written sorted into 10-row files; the file
       // holding keys 0..9 is deleted OUT FROM UNDER the table (external
@@ -1499,6 +1513,10 @@ object SparkEntry {
     "s17_fsck" ->
       """SELECT n_nationkey, n_name, 1 AS n_missing, 'FSCK' AS op
         |FROM nation WHERE n_nationkey >= 10""".stripMargin,
+    "s18_optimize_write" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS id, s_name AS name,
+        |       CAST(1 AS BIGINT) AS n_files
+        |FROM supplier""".stripMargin,
     "s16_replace_where" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS id,
         |       CASE WHEN o_orderkey <= 1000 THEN -o_totalprice

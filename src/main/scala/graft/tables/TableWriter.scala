@@ -153,6 +153,14 @@ object TableWriter {
         val writer = checkedDf.write.mode("overwrite")
         (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(stagingDir)
 
+        // optimizeWrite (Delta's table property): re-bin a small-file
+        // staging output BEFORE it enters the table, so a 200-task append
+        // lands as a handful of right-sized files instead of 200 shards —
+        // at scale this keeps file counts (and every later scan's task
+        // count) proportional to DATA SIZE, not writer parallelism. The
+        // extra pass reads only this commit's own staged bytes.
+        coalesceStaging(spark, staging, stagingDir, checkedDf.schema, partCols, effectiveProps)
+
         // 2. move produced parquet files into the table dir
         val moved = moveDataFiles(Paths.get(stagingDir), Paths.get(tablePath))
 
@@ -373,6 +381,52 @@ object TableWriter {
         }
       } finally pool.shutdownNow()
     }
+  }
+
+  val OptimizeWriteProperty = "graft.optimizeWrite.enabled"
+  val TargetFileSizeProperty = "graft.targetFileSizeBytes"
+  val DefaultTargetFileSize: Long = 128L * 1024 * 1024
+
+  /** When [[OptimizeWriteProperty]] is set on the table, rewrite the staged
+    * parquet output into ~[[TargetFileSizeProperty]]-sized files (one
+    * shuffle of this commit's own data, clustered by partition column so a
+    * partitioned write still yields one file per partition per output
+    * slot). No-op when the output is already at-or-under the target bin
+    * count. The explicit schema on the read-back keeps partition-column
+    * TYPES exact — path-based inference would turn a string partition value
+    * "00" into the int 0.
+    */
+  private def coalesceStaging(
+      spark: SparkSession,
+      stagingRoot: JPath,
+      stagingDir: String,
+      schema: StructType,
+      partCols: Seq[String],
+      props: Map[String, String]): Unit = {
+    if (!props.get(OptimizeWriteProperty).exists(_.equalsIgnoreCase("true"))) return
+    val target = props.get(TargetFileSizeProperty).map(_.trim.toLong)
+      .getOrElse(DefaultTargetFileSize)
+    val staged = {
+      val stream = Files.walk(Paths.get(stagingDir))
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet")).toList
+      } finally stream.close()
+    }
+    if (staged.size <= 1) return
+    val totalBytes = staged.map(Files.size(_)).sum
+    val nOut = math.max(1L, math.ceil(totalBytes.toDouble / target).toLong).toInt
+    if (nOut >= staged.size) return // already right-sized: skip the extra pass
+    val df = spark.read.schema(schema).option("basePath", stagingDir).parquet(stagingDir)
+    val rebinned =
+      if (partCols.nonEmpty) df.repartition(nOut, partCols.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(nOut)
+    val out2 = stagingRoot.resolve("data2").toString
+    val w = rebinned.write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(out2)
+    deleteRecursively(Paths.get(stagingDir))
+    Files.move(Paths.get(out2), Paths.get(stagingDir))
   }
 
   /** Write CDC rows (must already carry `_change_type`) under `_change_data/`. */

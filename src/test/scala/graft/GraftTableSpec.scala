@@ -343,6 +343,44 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       }
     }
 
+    it("optimizeWrite coalesces a sharded append into right-sized files") {
+      import org.apache.spark.sql.functions.{col, format_string}
+      val t = GraftTable.create(spark, tmpTableDir("graft-optwrite"),
+        Seq((0, "seed")).toDF("id", "name"),
+        properties = Map(TableWriter.OptimizeWriteProperty -> "true"))
+      // a 8-shard append of tiny data must land as ONE file, not 8
+      t.append(spark.range(1000).select(col("id").cast("int").as("id"),
+        col("id").cast("string").as("name")).repartition(8))
+      val appended = t.log.actionsAt(1L).collect { case a: AddFile => a }
+      assert(appended.size == 1, s"got ${appended.size} files")
+      assert(t.toDF.count() == 1001)
+
+      // WITHOUT the property the same append keeps its 8 shards
+      val t2 = GraftTable.create(spark, tmpTableDir("graft-noopt"),
+        Seq((0, "seed")).toDF("id", "name"))
+      t2.append(spark.range(1000).select(col("id").cast("int").as("id"),
+        col("id").cast("string").as("name")).repartition(8))
+      assert(t2.log.actionsAt(1L).collect { case a: AddFile => a }.size == 8)
+    }
+
+    it("optimizeWrite preserves string partition values that look numeric") {
+      import org.apache.spark.sql.functions.{col, format_string}
+      // partition value "00" must stay the STRING "00" through the re-bin
+      // read-back (path inference would collapse it to int 0)
+      val df = spark.range(100).select(col("id").cast("int").as("id"),
+        format_string("%02d", col("id") % 3).as("part"))
+      val t = GraftTable.create(spark, tmpTableDir("graft-optwrite-part"),
+        df.repartition(8), partitionColumns = Seq("part"),
+        properties = Map(TableWriter.OptimizeWriteProperty -> "true"))
+      assert(t.snapshot.schema("part").dataType ==
+        org.apache.spark.sql.types.StringType)
+      assert(t.toDF.select("part").distinct().collect().map(_.getString(0)).toSet ==
+        Set("00", "01", "02"))
+      // one output slot clustered by partition column → one file per value
+      assert(t.snapshot.numFiles == 3, s"got ${t.snapshot.numFiles}")
+      assert(t.toDF.count() == 100)
+    }
+
     it("CHECK constraints resolve qualified and struct references honestly") {
       import org.apache.spark.sql.functions.{col, struct}
       // struct-field predicate: the head part (the struct COLUMN) is what

@@ -409,30 +409,6 @@ object TableOps {
       readVersion = Some(snap.version))
   }
 
-  /** RESTORE TABLE TO VERSION (Delta's `restoreToVersion`): one commit makes
-    * the table state AT `version` current again — files present then but
-    * removed since are re-added (metadata only; the bytes are still on disk
-    * until vacuum), files added since are removed, and the table METADATA
-    * (schema, partitioning, properties) reverts to the target version's.
-    * History is preserved: the restore is a new version on top, so the
-    * states it undid remain time-travelable.
-    *
-    * With CDF enabled IN THE RESTORED STATE (the commit reverts properties
-    * too, so the target's CDF flag governs it) the commit carries full
-    * change rows (disappearing rows as `delete`, reappearing rows as
-    * `insert`) so downstream CDF readers and streams see the restore as
-    * data change, not a gap.
-    *
-    * Errors if any target-version file was already vacuumed (the state is
-    * no longer reconstructible). Concurrency: the restore's read footprint
-    * is the entire current table, so any concurrent commit that REMOVED or
-    * REWROTE a file (merge, delete, OPTIMIZE) or changed metadata aborts
-    * it; a concurrent blind append serializes AFTER the restore — its rows
-    * survive (WriteSerializable: the outcome is as if the append ran on
-    * the restored table).
-    *
-    * @return the committed version (current version for a no-op restore)
-    */
   /** FSCK REPAIR TABLE (Delta's shape): drop snapshot references to data
     * files that no longer exist in storage (manual deletion, a botched
     * external cleanup), so scans stop dying on FileNotFound. The repair is
@@ -477,14 +453,36 @@ object TableOps {
   def restoreToTimestamp(table: GraftTable, timestamp: String): Long = {
     val tz = table.spark.sessionState.conf.sessionLocalTimeZone
     val millis = graft.sources.GraftDataSource.parseTimestampMillis(timestamp.trim, tz)
-    val atOrBefore = table.log.monotonicHistory()
-      .collect { case (v, ts) if ts <= millis => v }
-    if (atOrBefore.isEmpty)
-      throw new IllegalArgumentException(
-        s"cannot restore ${table.path}: '$timestamp' is before the table's first commit")
-    restore(table, atOrBefore.max)
+    val target = table.log.versionAtOrBefore(millis)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot restore ${table.path}: '$timestamp' is before the table's first commit"))
+    restore(table, target)
   }
 
+  /** RESTORE TABLE TO VERSION (Delta's `restoreToVersion`): one commit makes
+    * the table state AT `version` current again — files present then but
+    * removed since are re-added (metadata only; the bytes are still on disk
+    * until vacuum), files added since are removed, and the table METADATA
+    * (schema, partitioning, properties) reverts to the target version's.
+    * History is preserved: the restore is a new version on top, so the
+    * states it undid remain time-travelable.
+    *
+    * With CDF enabled IN THE RESTORED STATE (the commit reverts properties
+    * too, so the target's CDF flag governs it) the commit carries full
+    * change rows (disappearing rows as `delete`, reappearing rows as
+    * `insert`) so downstream CDF readers and streams see the restore as
+    * data change, not a gap.
+    *
+    * Errors if any target-version file was already vacuumed (the state is
+    * no longer reconstructible). Concurrency: the restore's read footprint
+    * is the entire current table, so any concurrent commit that REMOVED or
+    * REWROTE a file (merge, delete, OPTIMIZE) or changed metadata aborts
+    * it; a concurrent blind append serializes AFTER the restore — its rows
+    * survive (WriteSerializable: the outcome is as if the append ran on
+    * the restored table).
+    *
+    * @return the committed version (current version for a no-op restore)
+    */
   def restore(table: GraftTable, version: Long): Long = {
     import java.nio.file.{Files, Paths}
     val spark = table.spark
@@ -588,13 +586,6 @@ object TableOps {
     }
   }
 
-  /** VACUUM: physically delete data/change files no longer referenced by any
-    * snapshot at or above `retainVersion`, then drop log files below it.
-    * Time travel and CDF reads below the horizon stop working — exactly the
-    * failure mode the ChangeDataFeedHelper recovery paths (C3/C4) detect.
-    *
-    * @return number of files deleted
-    */
   /** The files [[vacuum(table:GraftTable,retainVersion:Long)* vacuum]]
     * WOULD physically delete at this horizon — distinct table-relative
     * data/change files added below it and referenced by no retained
@@ -602,9 +593,48 @@ object TableOps {
     * skips those too). Read-only: no commit, no deletion, no horizon
     * rewrite — the production "VACUUM DRY RUN" safety check.
     */
-  def vacuumDryRun(table: GraftTable, retainVersion: Long): Seq[String] =
-    vacuumPlan(table.log, retainVersion).deadFiles
+  def vacuumDryRun(table: GraftTable, retainVersion: Long): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    val plan = vacuumPlan(table.log, retainVersion)
+    // report exactly what vacuum would count: external clone references are
+    // skipped, already-missing bytes (fsck'd tables) delete nothing, and
+    // orphaned bloom-sidecar files are deleted too
+    val data = plan.deadFiles
       .filterNot(GraftTable.isExternalPath)
+      .filter(rel => Files.exists(Paths.get(table.path, rel)))
+    val sidecars = bloomOrphanDirs(table, plan.liveSidecars).flatMap { dir =>
+      val files = Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        files.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(p => Paths.get(table.path).relativize(p).toString).toList
+      } finally files.close()
+    }
+    data ++ sidecars
+  }
+
+  /** Bloom-sidecar dirs referenced by NO retained file and older than the
+    * in-flight-commit age guard — the set vacuum physically collects.
+    * AGE GUARD: attach() writes the sidecar BEFORE its commit becomes
+    * visible, so a young unreferenced dir may belong to a concurrent
+    * commit; only dirs older than [[BloomSidecarMinAgeMillis]] qualify.
+    */
+  private def bloomOrphanDirs(table: GraftTable, liveSidecars: Set[String]): Seq[java.nio.file.Path] = {
+    import java.nio.file.{Files, Paths}
+    val bloomRoot = Paths.get(table.path, graft.tables.BloomIndex.SidecarDirName)
+    if (!Files.isDirectory(bloomRoot)) return Nil
+    val cutoff = System.currentTimeMillis() - BloomSidecarMinAgeMillis
+    val stream = Files.list(bloomRoot)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala
+        .filter { p =>
+          !liveSidecars.contains(p.getFileName.toString) &&
+            (try Files.getLastModifiedTime(p).toMillis < cutoff
+             catch { case _: java.io.IOException => false })
+        }.toList
+    } finally stream.close()
+  }
 
   private case class VacuumPlan(
       deadFiles: Seq[String], dropVersions: Seq[Long], liveSidecars: Set[String])
@@ -634,6 +664,13 @@ object TableOps {
     VacuumPlan(deadData, dropVersions, liveSidecars)
   }
 
+  /** VACUUM: physically delete data/change files no longer referenced by any
+    * snapshot at or above `retainVersion`, then drop log files below it.
+    * Time travel and CDF reads below the horizon stop working — exactly the
+    * failure mode the ChangeDataFeedHelper recovery paths (C3/C4) detect.
+    *
+    * @return number of files deleted
+    */
   def vacuum(table: GraftTable, retainVersion: Long): Int = {
     import java.nio.file.{Files, Paths}
     val log = table.log
@@ -665,37 +702,17 @@ object TableOps {
     // bloom sidecars referenced by NO retained file follow their data files
     // out (their commits' files were all rewritten or vacuumed); a probe
     // only ever resolves ids that appear in live stats, so deleting a truly
-    // orphaned dir cannot affect it. AGE GUARD: attach() writes the sidecar
-    // BEFORE its commit becomes visible, so a young unreferenced dir may
-    // belong to an in-flight concurrent commit — only dirs older than
-    // [[BloomSidecarMinAgeMillis]] are collected (the same
-    // uncommitted-file-grace rule the data-file side gets implicitly from
-    // version-horizon retention).
-    val bloomRoot = Paths.get(table.path, graft.tables.BloomIndex.SidecarDirName)
-    if (Files.isDirectory(bloomRoot)) {
-      val cutoff = System.currentTimeMillis() - BloomSidecarMinAgeMillis
-      val stream = Files.list(bloomRoot)
-      val orphans =
-        try {
-          import scala.jdk.CollectionConverters._
-          stream.iterator().asScala
-            .filter { p =>
-              !liveSidecars.contains(p.getFileName.toString) &&
-                (try Files.getLastModifiedTime(p).toMillis < cutoff
-                 catch { case _: java.io.IOException => false })
-            }.toList
-        } finally stream.close()
-      orphans.foreach { dir =>
-        // count the files inside (parts + markers), not the directory — the
-        // return contract is files deleted
-        val files = Files.walk(dir)
-        val n = try {
-          import scala.jdk.CollectionConverters._
-          files.iterator().asScala.count(Files.isRegularFile(_))
-        } finally files.close()
-        TableWriter.deleteRecursively(dir)
-        deleted += n
-      }
+    // orphaned dir cannot affect it. Same orphan set vacuumDryRun reports.
+    bloomOrphanDirs(table, liveSidecars).foreach { dir =>
+      // count the files inside (parts + markers), not the directory — the
+      // return contract is files deleted
+      val files = Files.walk(dir)
+      val n = try {
+        import scala.jdk.CollectionConverters._
+        files.iterator().asScala.count(Files.isRegularFile(_))
+      } finally files.close()
+      TableWriter.deleteRecursively(dir)
+      deleted += n
     }
     deleted
   }

@@ -138,8 +138,7 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
         case (None, Some(ts)) =>
           val sessionTz = sqlContext.sparkSession.sessionState.conf.sessionLocalTimeZone
           val millis = GraftDataSource.parseTimestampMillis(ts.trim, sessionTz)
-          val commits = new graft.tables.GraftLog(pathOf(parameters)).monotonicHistory()
-          Some(commits.collectFirst { case (v, cts) if cts >= millis => v }
+          Some(new graft.tables.GraftLog(pathOf(parameters)).versionAtOrAfter(millis)
             .getOrElse(throw new IllegalArgumentException(
               s"startingTimestamp '$ts' is after the latest commit of " +
                 s"${pathOf(parameters)}")))
@@ -277,16 +276,11 @@ object GraftDataSource {
     val byVersion = parameters.get("versionAsOf").map(_.trim.toLong)
     val byTs = parameters.get("timestampAsOf").map { raw =>
       val millis = parseTimestampMillis(raw.trim, sessionTz)
-      val log = new graft.tables.GraftLog(path)
       // monotonized timestamps: a writer clock lagging behind an earlier
       // commit must not pull the resolved version above a younger commit
-      val atOrBefore = log.monotonicHistory().collect {
-        case (v, ts) if ts <= millis => v
-      }
-      if (atOrBefore.isEmpty)
-        throw new IllegalArgumentException(
-          s"timestampAsOf '$raw' is before the earliest commit of $path")
-      atOrBefore.max
+      new graft.tables.GraftLog(path).versionAtOrBefore(millis)
+        .getOrElse(throw new IllegalArgumentException(
+          s"timestampAsOf '$raw' is before the earliest commit of $path"))
     }
     if (byVersion.isDefined && byTs.isDefined)
       throw new IllegalArgumentException(
@@ -315,12 +309,10 @@ object GraftDataSource {
     val log = new graft.tables.GraftLog(path)
     // monotonized timestamps, like every other timestamp resolution — skewed
     // writer clocks must not move either bound across a younger version
-    def commits = log.monotonicHistory() // oldest first
     val start = (parameters.get("startingVersion"), parameters.get("startingTimestamp")) match {
       case (Some(v), None) => v.trim.toLong
       case (None, Some(ts)) =>
-        val millis = parseTimestampMillis(ts.trim, sessionTz)
-        commits.collectFirst { case (v, cts) if cts >= millis => v }
+        log.versionAtOrAfter(parseTimestampMillis(ts.trim, sessionTz))
           .getOrElse(bad(s"startingTimestamp '$ts' is after the latest commit of $path"))
       case (None, None) =>
         bad("readChangeFeed requires startingVersion or startingTimestamp")
@@ -329,8 +321,7 @@ object GraftDataSource {
     val end = (parameters.get("endingVersion"), parameters.get("endingTimestamp")) match {
       case (Some(v), None) => v.trim.toLong
       case (None, Some(ts)) =>
-        val millis = parseTimestampMillis(ts.trim, sessionTz)
-        commits.reverse.collectFirst { case (v, cts) if cts <= millis => v }
+        log.versionAtOrBefore(parseTimestampMillis(ts.trim, sessionTz))
           .getOrElse(bad(s"endingTimestamp '$ts' is before the earliest commit of $path"))
       case (None, None) => log.latestVersion()
       case _ => bad("specify either endingVersion or endingTimestamp, not both")

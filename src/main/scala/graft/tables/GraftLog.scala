@@ -167,6 +167,20 @@ class GraftLog(val tablePath: String) {
     }
   }
 
+  /** Latest version whose monotonized commit timestamp is ≤ `millis` — the
+    * single resolution rule behind `timestampAsOf`, `endingTimestamp` and
+    * RESTORE TO TIMESTAMP. None = `millis` predates the first commit.
+    */
+  def versionAtOrBefore(millis: Long): Option[Long] =
+    monotonicHistory().takeWhile(_._2 <= millis).lastOption.map(_._1)
+
+  /** Earliest version whose monotonized commit timestamp is ≥ `millis` —
+    * the rule behind `startingTimestamp` (stream and CDF). None = `millis`
+    * is after the latest commit.
+    */
+  def versionAtOrAfter(millis: Long): Option[Long] =
+    monotonicHistory().collectFirst { case (v, ts) if ts >= millis => v }
+
   /** Atomically REPLACE a version's log file with a self-contained action
     * set (used by vacuum to checkpoint the retention horizon before older
     * log files are dropped — afterwards snapshot replay can start there).

@@ -159,7 +159,8 @@ object TableWriter {
         // at scale this keeps file counts (and every later scan's task
         // count) proportional to DATA SIZE, not writer parallelism. The
         // extra pass reads only this commit's own staged bytes.
-        coalesceStaging(spark, staging, stagingDir, checkedDf.schema, partCols, effectiveProps)
+        coalesceStaging(spark, staging, stagingDir, checkedDf.schema, partCols, effectiveProps,
+          operation)
 
         // 2. move produced parquet files into the table dir
         val moved = moveDataFiles(Paths.get(stagingDir), Paths.get(tablePath))
@@ -240,7 +241,8 @@ object TableWriter {
       readVersion.foreach { rv =>
         val footprint = removeFiles.toSet ++ readFiles
         val conflicted = !disjointFromWinners(log, rv + 1, footprint,
-          metadataOverride.getOrElse(Metadata(newSchema.json, partCols, newProps)), ourTxnApps)
+          metadataOverride.getOrElse(Metadata(newSchema.json, partCols, newProps)), ourTxnApps,
+          removeFiles.toSet)
         if (conflicted)
           throw new java.util.ConcurrentModificationException(
             s"commit of $operation to $tablePath conflicts with a concurrent writer " +
@@ -314,7 +316,8 @@ object TableWriter {
             val retryable = !txnRace && !constraintRace && (commutable ||
               disjointFromWinners(log, v,
                 removes.collect { case r: RemoveFile => r.path }.toSet ++ readFiles,
-                Metadata(schemaNow.json, partColsNow, propsNow), ourTxnApps))
+                Metadata(schemaNow.json, partColsNow, propsNow), ourTxnApps,
+                removes.collect { case r: RemoveFile => r.path }.toSet))
             if (!retryable || attempt >= maxAttempts)
               throw new java.util.ConcurrentModificationException(
                 s"commit of $operation at version ${e.version} of $tablePath lost a race with " +
@@ -345,7 +348,8 @@ object TableWriter {
       attemptedVersion: Long,
       ourFootprint: Set[String],
       ourMetadata: Metadata,
-      ourTxnApps: Set[String] = Set.empty): Boolean = {
+      ourTxnApps: Set[String] = Set.empty,
+      ourRemoves: Set[String] = Set.empty): Boolean = {
     val latest = log.latestVersion()
     (attemptedVersion to latest).forall { w =>
       val actions = try log.actionsAt(w) catch { case _: Exception => return false }
@@ -355,6 +359,11 @@ object TableWriter {
         // schema/partitioning/property change under us aborts
         case m: Metadata       => m == ourMetadata
         case r: RemoveFile     => !ourFootprint.contains(r.path)
+        // fresh winner adds never collide (unique names) — EXCEPT a RESTORE
+        // re-adding a path this commit is removing (e.g. fsck dropping a
+        // reference a concurrent restore just revived): removing it now
+        // would silently lose the restored rows
+        case a: AddFile        => !ourRemoves.contains(a.path)
         // a winner advancing an idempotence watermark this commit carries is
         // the same logical stream double-writing an epoch (zombie instance)
         case t: SetTransaction => !ourTxnApps.contains(t.appId)
@@ -389,10 +398,14 @@ object TableWriter {
 
   /** When [[OptimizeWriteProperty]] is set on the table, rewrite the staged
     * parquet output into ~[[TargetFileSizeProperty]]-sized files (one
-    * shuffle of this commit's own data, clustered by partition column so a
-    * partitioned write still yields one file per partition per output
-    * slot). No-op when the output is already at-or-under the target bin
-    * count. The explicit schema on the read-back keeps partition-column
+    * shuffle of this commit's own data). No-op when the output is already
+    * at-or-under the target bin count, and for OPTIMIZE commits — compact
+    * and zorder stage deliberately clustered/sorted files, and a re-bin
+    * here would round-robin that layout away (Delta disables optimizeWrite
+    * for OPTIMIZE for the same reason). Partitioned output range-partitions
+    * on (partition cols, salt) so a hot partition value splits across bins
+    * proportionally to its bytes instead of collapsing into one writer
+    * task. The explicit schema on the read-back keeps partition-column
     * TYPES exact — path-based inference would turn a string partition value
     * "00" into the int 0.
     */
@@ -402,25 +415,34 @@ object TableWriter {
       stagingDir: String,
       schema: StructType,
       partCols: Seq[String],
-      props: Map[String, String]): Unit = {
+      props: Map[String, String],
+      operation: String): Unit = {
     if (!props.get(OptimizeWriteProperty).exists(_.equalsIgnoreCase("true"))) return
-    val target = props.get(TargetFileSizeProperty).map(_.trim.toLong)
-      .getOrElse(DefaultTargetFileSize)
-    val staged = {
-      val stream = Files.walk(Paths.get(stagingDir))
-      try {
-        import scala.jdk.CollectionConverters._
-        stream.iterator().asScala
-          .filter(p => p.getFileName.toString.endsWith(".parquet")).toList
-      } finally stream.close()
-    }
+    if (operation == "OPTIMIZE") return
+    val target = props.get(TargetFileSizeProperty).map { raw =>
+      val t = try raw.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$TargetFileSizeProperty must be a positive byte count, got '$raw'")
+      }
+      require(t > 0, s"$TargetFileSizeProperty must be a positive byte count, got '$raw'")
+      t
+    }.getOrElse(DefaultTargetFileSize)
+    val staged = listParquetFiles(Paths.get(stagingDir))
     if (staged.size <= 1) return
     val totalBytes = staged.map(Files.size(_)).sum
     val nOut = math.max(1L, math.ceil(totalBytes.toDouble / target).toLong).toInt
     if (nOut >= staged.size) return // already right-sized: skip the extra pass
     val df = spark.read.schema(schema).option("basePath", stagingDir).parquet(stagingDir)
+    import org.apache.spark.sql.functions.{col, rand}
     val rebinned =
-      if (partCols.nonEmpty) df.repartition(nOut, partCols.map(org.apache.spark.sql.functions.col): _*)
+      if (partCols.nonEmpty)
+        // range on (partCols, salt): each output slot holds a contiguous
+        // slice sized by DATA, so a 10 GB partition value spans many bins
+        // while small values pack together (partitionBy still splits the
+        // task's rows into one file per value it holds)
+        df.withColumn("__graft_ow_salt", rand(7))
+          .repartitionByRange(nOut, (partCols.map(col) :+ col("__graft_ow_salt")): _*)
+          .drop("__graft_ow_salt")
       else df.repartition(nOut)
     val out2 = stagingRoot.resolve("data2").toString
     val w = rebinned.write.mode("overwrite")

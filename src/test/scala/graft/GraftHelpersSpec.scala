@@ -512,6 +512,35 @@ class GraftHelpersSpec extends AnyFunSpec with SparkSessionTestWrapper {
         !java.nio.file.Files.exists(GraftTable.resolveDataPath(t.path, p))))
     }
 
+    it("vacuumDryRun matches vacuum on bloom-indexed and externally-damaged tables") {
+      import java.nio.file.{Files, Paths}
+      val t = GraftTable.create(spark, tmpTableDir("vac_dry_bloom"),
+        (0 until 256).map(i => (i, s"v$i")).toDF("id", "name").repartition(2),
+        properties = Map(graft.tables.BloomIndex.ColumnsProperty -> "id"))
+      // v1: v0's data files AND its bloom sidecar become dead
+      t.overwrite((0 until 256).map(i => (i, s"w$i")).toDF("id", "name").repartition(2))
+      // one dead file's bytes are already gone (external damage): vacuum's
+      // deleteIfExists won't count it, so the dry run must not list it
+      val gone = t.log.actionsAt(0L).collect { case a: graft.tables.AddFile => a.path }.head
+      Files.delete(Paths.get(t.path, gone))
+      // age every sidecar past the in-flight guard; the live one survives on
+      // reference, the orphan becomes collectible
+      val bloomRoot = Paths.get(t.path, graft.tables.BloomIndex.SidecarDirName)
+      val dirs = Files.list(bloomRoot)
+      try {
+        import scala.jdk.CollectionConverters._
+        dirs.iterator().asScala.foreach(p => Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() -
+            TableOps.BloomSidecarMinAgeMillis - 1000)))
+      } finally dirs.close()
+      val planned = TableOps.vacuumDryRun(t, retainVersion = 1)
+      assert(!planned.contains(gone), "dry run listed an already-missing file")
+      assert(planned.exists(_.startsWith(graft.tables.BloomIndex.SidecarDirName)),
+        s"dry run omitted the orphaned bloom sidecar: $planned")
+      val deleted = TableOps.vacuum(t, retainVersion = 1)
+      assert(deleted == planned.size, s"dry run planned ${planned.size}, vacuum deleted $deleted")
+    }
+
     it("restoreToTimestamp resolves like timestampAsOf and restores that state") {
       val t = GraftTable.create(spark, tmpTableDir("restore_ts"),
         Seq((1, "a")).toDF("id", "name").repartition(1))        // v0

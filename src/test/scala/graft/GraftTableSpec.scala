@@ -363,6 +363,65 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(t2.log.actionsAt(1L).collect { case a: AddFile => a }.size == 8)
     }
 
+    it("optimizeWrite leaves OPTIMIZE output alone so zorder layout survives") {
+      import org.apache.spark.sql.functions.col
+      // zorder pins 8 clustered files; a re-bin would collapse them to one
+      // round-robin file and wipe the clustering it just built
+      def rev(x: Int): Int = Integer.reverse(x) >>> (32 - 12)
+      val rows = (0 until 4096).map(i => (i, rev(i)))
+      val t = GraftTable.create(spark, tmpTableDir("graft-optwrite-zorder"),
+        rows.toDF("x", "y").repartition(1),
+        properties = Map(TableWriter.OptimizeWriteProperty -> "true"))
+      t.append((4096 until 8192).map(i => (i, rev(i % 4096))).toDF("x", "y"))
+      graft.operators.TableOps.zorder(t, Seq("x", "y"), numFiles = Some(8))
+      val t2 = GraftTable.forPath(spark, t.path)
+      assert(t2.snapshot.numFiles == 8, s"got ${t2.snapshot.numFiles}")
+      assert(t2.toDF.count() == 8192)
+    }
+
+    it("optimizeWrite splits a hot partition across bins by size") {
+      import org.apache.spark.sql.functions.col
+      // one partition value holding most of the bytes must span MULTIPLE
+      // right-sized files, not collapse into a single writer task
+      val hot = (0 until 5000).map(i => (i, "hot", java.util.UUID.randomUUID.toString))
+      val cold = (0 until 10).map(i => (i, "cold", "y"))
+      val t = GraftTable.create(spark, tmpTableDir("graft-optwrite-hot"),
+        (hot ++ cold).toDF("id", "part", "pad").repartition(16),
+        partitionColumns = Seq("part"),
+        properties = Map(TableWriter.OptimizeWriteProperty -> "true",
+          TableWriter.TargetFileSizeProperty -> "20000"))
+      val hotFiles = t.snapshot.files.count(_.partitionValues("part") == "hot")
+      assert(hotFiles > 1, s"hot partition collapsed to $hotFiles file(s)")
+      assert(t.snapshot.files.exists(_.partitionValues("part") == "cold"))
+      assert(t.toDF.count() == 5010)
+    }
+
+    it("optimizeWrite rejects a non-positive target file size loudly") {
+      val e = intercept[IllegalArgumentException] {
+        GraftTable.create(spark, tmpTableDir("graft-optwrite-bad"),
+          spark.range(100).toDF("id").repartition(4),
+          properties = Map(TableWriter.OptimizeWriteProperty -> "true",
+            TableWriter.TargetFileSizeProperty -> "0"))
+      }
+      assert(e.getMessage.contains(TableWriter.TargetFileSizeProperty), e.getMessage)
+    }
+
+    it("a commit removing a path a winner re-added aborts (restore-revival guard)") {
+      val t = GraftTable.create(spark, tmpTableDir("graft-readd-conflict"),
+        Seq((1, "a")).toDF("id", "name").repartition(1))
+      val victim = t.snapshot.files.head.path
+      // winner at v1 re-adds the same path — what a concurrent RESTORE does
+      // when it revives a previously-removed file
+      t.log.commit(1L, Seq(AddFile(victim),
+        CommitInfo(System.currentTimeMillis(), "RESTORE")))
+      val e = intercept[java.util.ConcurrentModificationException] {
+        TableWriter.write(spark, t.path, t.toDF.limit(0), TableWriter.Append,
+          operation = "FSCK", removeFiles = Seq(victim),
+          readVersion = Some(0L), skipDataWrite = true)
+      }
+      assert(e.getMessage.contains("conflict"), e.getMessage)
+    }
+
     it("optimizeWrite preserves string partition values that look numeric") {
       import org.apache.spark.sql.functions.{col, format_string}
       // partition value "00" must stay the STRING "00" through the re-bin

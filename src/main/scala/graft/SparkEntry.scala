@@ -1037,6 +1037,25 @@ object SparkEntry {
       }
     }),
 
+    "s19_auto_compact" -> ((s, dir) => {
+      // autoCompact: four 1-file appends cross minNumFiles=4, and the
+      // follow-on OPTIMIZE commit leaves the table at ONE file with every
+      // row intact — commit count no longer drives file count
+      val base = read(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("id"), col("n_name").as("name"))
+      () => {
+      val t = GraftTable.create(s, tmp("s19"), base.filter(col("id") < 10).repartition(1),
+        properties = Map(
+          graft.tables.TableWriter.AutoCompactProperty -> "true",
+          graft.tables.TableWriter.AutoCompactMinFilesProperty -> "4"))
+      Seq(10L, 15L, 20L).foreach { lo =>
+        t.append(base.filter(col("id") >= lo && col("id") < lo + 5).repartition(1))
+      }
+      t.toDF.select(col("id"), col("name"),
+        lit(GraftTable.forPath(s, t.path).snapshot.numFiles).as("n_files"))
+      }
+    }),
+
     "s18_optimize_write" -> ((s, dir) => {
       // optimizeWrite table property: an 8-shard write of small data lands
       // as ONE right-sized file (file count tracks data size, not writer
@@ -1517,6 +1536,10 @@ object SparkEntry {
       """SELECT CAST(s_suppkey AS BIGINT) AS id, s_name AS name,
         |       CAST(1 AS BIGINT) AS n_files
         |FROM supplier""".stripMargin,
+    "s19_auto_compact" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
+        |       CAST(1 AS BIGINT) AS n_files
+        |FROM nation""".stripMargin,
     "s16_replace_where" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS id,
         |       CASE WHEN o_orderkey <= 1000 THEN -o_totalprice

@@ -327,8 +327,67 @@ object TableWriter {
             attemptSnap = Some(log.snapshot())
         }
       }
+      if (operation != "OPTIMIZE" && !skipDataWrite)
+        autoCompact(spark, tablePath, log, committed, effectiveProps,
+          indexedAdds.collect { case a: AddFile => a })
       committed
     } finally deleteRecursively(staging)
+  }
+
+  val AutoCompactProperty = "graft.autoOptimize.autoCompact"
+  val AutoCompactMinFilesProperty = "graft.autoOptimize.minNumFiles"
+  val DefaultAutoCompactMinFiles = 50
+
+  /** Post-commit auto-compaction (Delta's `autoOptimize.autoCompact`): when
+    * the partitions THIS commit touched have accumulated at least
+    * [[AutoCompactMinFilesProperty]] under-target files, rewrite them into
+    * ~[[TargetFileSizeProperty]]-sized ones as a follow-on OPTIMIZE commit.
+    * Streaming epochs and frequent small appends are the 100 TB motivation:
+    * without a compaction hook, file count — and with it every scan's task
+    * count and the log's snapshot fold — grows with COMMIT count forever.
+    * Best-effort: a lost race with a concurrent writer skips the compaction
+    * (the next qualifying commit retries); the triggering write has already
+    * committed and never fails here. Scoped to touched partitions so a hot
+    * partition's churn never forces a rewrite of cold ones, and exempt for
+    * OPTIMIZE commits (no self-recursion).
+    */
+  private def autoCompact(
+      spark: SparkSession,
+      tablePath: String,
+      log: GraftLog,
+      committedVersion: Long,
+      props: Map[String, String],
+      committedAdds: Seq[AddFile]): Unit = {
+    if (!props.get(AutoCompactProperty).exists(_.equalsIgnoreCase("true"))) return
+    val target = props.get(TargetFileSizeProperty).map(_.trim.toLong)
+      .getOrElse(DefaultTargetFileSize)
+    val minFiles = props.get(AutoCompactMinFilesProperty).map(_.trim.toInt)
+      .getOrElse(DefaultAutoCompactMinFiles)
+    require(minFiles > 1, s"$AutoCompactMinFilesProperty must be > 1, got $minFiles")
+    val snap = log.snapshot(committedVersion)
+    val touched: Set[Map[String, String]] = committedAdds.map(_.partitionValues).toSet
+    val candidates = snap.files.filter(f =>
+      f.size < target && (touched.isEmpty || touched.contains(f.partitionValues)))
+    if (candidates.size < minFiles) return
+    val totalBytes = candidates.map(_.size).sum
+    val nOut = math.max(1L, math.ceil(totalBytes.toDouble / target).toLong).toInt
+    val table = GraftTable.forPath(spark, tablePath)
+    val data = table.dfForFiles(snap, candidates).repartition(nOut)
+    try {
+      write(spark, tablePath, data, Append,
+        operation = "OPTIMIZE",
+        operationParameters = Map("auto" -> "true", "predicate" -> "[]"),
+        extraMetrics = Map(
+          "numRemovedFiles" -> candidates.size.toString,
+          "numRemovedBytes" -> totalBytes.toString),
+        removeFiles = candidates.map(_.path),
+        readVersion = Some(committedVersion))
+    } catch {
+      // best-effort by contract: a concurrent winner rewrote one of the
+      // candidates — the files it left behind qualify again next commit
+      case _: java.util.ConcurrentModificationException => ()
+    }
+    ()
   }
 
   /** Semantic OCC check for a commit that lost the race at

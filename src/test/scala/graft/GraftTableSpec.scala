@@ -422,6 +422,50 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(e.getMessage.contains("conflict"), e.getMessage)
     }
 
+    it("autoCompact rewrites accumulated small files once the threshold is hit") {
+      import org.apache.spark.sql.functions.col
+      val t = GraftTable.create(spark, tmpTableDir("graft-autocompact"),
+        Seq((0, "seed")).toDF("id", "name"),
+        properties = Map(TableWriter.AutoCompactProperty -> "true",
+          TableWriter.AutoCompactMinFilesProperty -> "4"))
+      // three 1-file appends stay under the threshold: no OPTIMIZE yet
+      (1 to 2).foreach(i => t.append(Seq((i, s"r$i")).toDF("id", "name").repartition(1)))
+      def ops = t.log.versions().flatMap(v => t.log.actionsAt(v))
+        .collect { case c: CommitInfo => c.operation }
+      assert(!ops.contains("OPTIMIZE"), s"compacted too early: $ops")
+      // the 4th small file crosses minNumFiles=4 → one auto OPTIMIZE commit
+      t.append(Seq((3, "r3")).toDF("id", "name").repartition(1))
+      val t2 = GraftTable.forPath(spark, t.path)
+      assert(ops.count(_ == "OPTIMIZE") == 1, s"expected one auto compaction: $ops")
+      assert(t2.snapshot.numFiles == 1, s"got ${t2.snapshot.numFiles} files")
+      assert(t2.toDF.count() == 4)
+      // compaction output is above... under target again, but count(1) < 4:
+      // the follow-on commit must NOT cascade into more OPTIMIZE commits
+      t.append(Seq((4, "r4")).toDF("id", "name").repartition(1))
+      assert(ops.count(_ == "OPTIMIZE") == 1, s"cascaded: $ops")
+    }
+
+    it("autoCompact only rewrites the partitions the commit touched") {
+      import org.apache.spark.sql.functions.col
+      val df0 = (0 until 8).map(i => (i, "cold")).toDF("id", "part")
+      // two cold files: below the threshold at create, so no compaction yet
+      val t = GraftTable.create(spark, tmpTableDir("graft-autocompact-part"),
+        df0.repartition(2), partitionColumns = Seq("part"),
+        properties = Map(TableWriter.AutoCompactProperty -> "true",
+          TableWriter.AutoCompactMinFilesProperty -> "3"))
+      val coldFiles = t.snapshot.files.filter(_.partitionValues("part") == "cold").map(_.path).toSet
+      assert(coldFiles.size == 2, "fixture needs two cold files")
+      // hot-partition appends cross the threshold IN THAT PARTITION only
+      (0 until 3).foreach(i =>
+        t.append(Seq((100 + i, "hot")).toDF("id", "part").repartition(1)))
+      val t2 = GraftTable.forPath(spark, t.path)
+      val hotNow = t2.snapshot.files.filter(_.partitionValues("part") == "hot")
+      val coldNow = t2.snapshot.files.filter(_.partitionValues("part") == "cold").map(_.path).toSet
+      assert(hotNow.size == 1, s"hot partition not compacted: ${hotNow.size}")
+      assert(coldNow == coldFiles, "cold partition files must be untouched")
+      assert(t2.toDF.count() == 11)
+    }
+
     it("optimizeWrite preserves string partition values that look numeric") {
       import org.apache.spark.sql.functions.{col, format_string}
       // partition value "00" must stay the STRING "00" through the re-bin

@@ -1037,6 +1037,25 @@ object SparkEntry {
       }
     }),
 
+    "s20_sql_maintenance" -> ((s, dir) => {
+      // SQL maintenance surface: OPTIMIZE + DESCRIBE HISTORY as SQL
+      // statements (graft.sql.GraftSql / GraftSparkSessionExtension) — a
+      // 5-shard region table compacts to one file via SQL and the history
+      // statement reports the commits
+      val base = read(s, dir, "region")
+        .select(col("r_regionkey").cast("long").as("id"), col("r_name").as("name"))
+      () => {
+      val t = GraftTable.create(s, tmp("s20"), base.repartition(5))
+      val opt = graft.sql.GraftSql.sql(s, s"OPTIMIZE '${t.path}'").collect().head
+      val nOps = graft.sql.GraftSql.sql(s, s"DESCRIBE HISTORY '${t.path}'")
+        .filter(col("operation") === "OPTIMIZE").count()
+      t.toDF.select(col("id"), col("name"),
+        lit(opt.getLong(1)).as("n_removed"),
+        lit(opt.getLong(2)).as("n_added"),
+        lit(nOps).as("n_optimize"))
+      }
+    }),
+
     "s19_auto_compact" -> ((s, dir) => {
       // autoCompact: four 1-file appends cross minNumFiles=4, and the
       // follow-on OPTIMIZE commit leaves the table at ONE file with every
@@ -1540,6 +1559,11 @@ object SparkEntry {
       """SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
         |       CAST(1 AS BIGINT) AS n_files
         |FROM nation""".stripMargin,
+    "s20_sql_maintenance" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS id, r_name AS name,
+        |       CAST(5 AS BIGINT) AS n_removed, CAST(1 AS BIGINT) AS n_added,
+        |       CAST(1 AS BIGINT) AS n_optimize
+        |FROM region""".stripMargin,
     "s16_replace_where" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS id,
         |       CASE WHEN o_orderkey <= 1000 THEN -o_totalprice

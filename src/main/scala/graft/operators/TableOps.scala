@@ -543,15 +543,26 @@ object TableOps {
     * time-travelable. When every commit is younger than the cutoff, nothing
     * is vacuumed. Delegates to the version-horizon vacuum overload.
     */
-  def vacuum(table: GraftTable, retainHours: Double): Int = {
+  def vacuum(table: GraftTable, retainHours: Double): Int =
+    retentionHorizon(table, retainHours).map(vacuum(table, _)).getOrElse(0)
+
+  /** [[vacuumDryRun(table:GraftTable,retainVersion:Long)* vacuumDryRun]]
+    * with the horizon resolved from a retention duration, exactly as
+    * `vacuum(table, retainHours)` resolves it. None-horizon (everything
+    * younger than the cutoff) plans nothing.
+    */
+  def vacuumDryRun(table: GraftTable, retainHours: Double): Seq[String] =
+    retentionHorizon(table, retainHours).map(vacuumDryRun(table, _)).getOrElse(Nil)
+
+  /** Version horizon a `retainHours` retention resolves to: the latest
+    * version whose MONOTONIZED commit timestamp is at-or-before the cutoff
+    * (a version can never fall below the horizon while an older version
+    * still looks younger than the cutoff). None = every commit is younger.
+    */
+  private def retentionHorizon(table: GraftTable, retainHours: Double): Option[Long] = {
     require(retainHours >= 0, s"retainHours must be >= 0, got $retainHours")
     val cutoff = System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong
-    // monotonized timestamps (GraftLog.monotonicHistory): a version can
-    // never be vacuumed while a version BELOW it still looks younger than
-    // the cutoff
-    val atOrBefore = table.log.monotonicHistory()
-      .collect { case (v, ts) if ts <= cutoff => v }
-    if (atOrBefore.isEmpty) 0 else vacuum(table, atOrBefore.max)
+    table.log.versionAtOrBefore(cutoff)
   }
 
   /** VACUUM with the table's configured retention

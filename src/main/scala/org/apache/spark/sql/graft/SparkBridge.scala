@@ -21,6 +21,14 @@ object SparkBridge {
   def ofRelation(spark: org.apache.spark.sql.SparkSession, relation: BaseRelation): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSparkSession], LogicalRelation(relation))
 
+  /** DataFrame over an arbitrary `LogicalPlan` (e.g. a graft maintenance
+    * command parsed outside a session that registered the extension).
+    */
+  def ofPlan(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
   /** `Column` over a custom Catalyst expression (e.g. graft's codegen'd
     * MinHash signature) — the Spark 4 replacement for the removed public
     * `Column(expr)` constructor.

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.sql._
+import graft.tables.GraftTable
+
+class GraftSqlCommandSpec extends AnyFunSpec with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  describe("GraftSqlParser grammar") {
+    def parse(sql: String) = GraftSqlParser.parseMaintenance(sql)
+
+    it("parses every statement form and path quoting") {
+      assert(parse("OPTIMIZE '/tmp/t'") ==
+        Some(GraftOptimizeCommand("/tmp/t", None, Nil)))
+      assert(parse("optimize graft.`/tmp/t` where id > 3 ZORDER BY (a, `b`)") ==
+        Some(GraftOptimizeCommand("/tmp/t", Some("id > 3"), Seq("a", "b"))))
+      assert(parse("OPTIMIZE \"/tmp/t\" ZORDER BY a") ==
+        Some(GraftOptimizeCommand("/tmp/t", None, Seq("a"))))
+      assert(parse("VACUUM '/tmp/t'") ==
+        Some(GraftVacuumCommand("/tmp/t", None, dryRun = false)))
+      assert(parse("VACUUM '/tmp/t' RETAIN 168 HOURS DRY RUN") ==
+        Some(GraftVacuumCommand("/tmp/t", Some(168.0), dryRun = true)))
+      assert(parse("RESTORE TABLE '/tmp/t' TO VERSION AS OF 4") ==
+        Some(GraftRestoreCommand("/tmp/t", Some(4L), None)))
+      assert(parse("RESTORE '/tmp/t' TIMESTAMP AS OF '2026-01-01 00:00:00'") ==
+        Some(GraftRestoreCommand("/tmp/t", None, Some("2026-01-01 00:00:00"))))
+      assert(parse("FSCK REPAIR TABLE '/tmp/t' DRY RUN") ==
+        Some(GraftFsckCommand("/tmp/t", dryRun = true)))
+      assert(parse("DESCRIBE HISTORY graft.'/tmp/t'") ==
+        Some(GraftDescribeHistoryCommand("/tmp/t")))
+      assert(parse("DESC HISTORY `/tmp/t`;") ==
+        Some(GraftDescribeHistoryCommand("/tmp/t")))
+    }
+
+    it("leaves ordinary Spark SQL alone") {
+      assert(parse("SELECT 1").isEmpty)
+      assert(parse("DESCRIBE TABLE t").isEmpty)
+      // OPTIMIZE with no recognizable table reference is not claimed either:
+      // it falls through to Spark, whose parser names the unknown statement
+      assert(parse("OPTIMIZE t1").isEmpty)
+    }
+  }
+
+  describe("maintenance statements end-to-end") {
+    it("DESCRIBE HISTORY / OPTIMIZE / VACUUM round-trip") {
+      val t = GraftTable.create(spark, tmpTableDir("sql-maint"),
+        (0 until 100).map(i => (i, s"v$i")).toDF("id", "name").repartition(4))
+      t.append((100 until 200).map(i => (i, s"v$i")).toDF("id", "name").repartition(4))
+
+      val hist = GraftSql.sql(spark, s"DESCRIBE HISTORY '${t.path}'")
+      assert(hist.columns.toSeq ==
+        Seq("version", "timestamp", "operation", "operationParameters", "operationMetrics"))
+      assert(hist.count() == 2)
+
+      val opt = GraftSql.sql(spark, s"OPTIMIZE '${t.path}'").collect().head
+      assert(opt.getLong(1) == 8L, s"expected 8 removed, got $opt") // 8 small files in
+      assert(opt.getLong(2) == 1L, s"expected 1 added, got $opt")
+      assert(GraftTable.forPath(spark, t.path).toDF.count() == 200)
+
+      val planned = GraftSql.sql(spark, s"VACUUM '${t.path}' RETAIN 0 HOURS DRY RUN")
+      assert(planned.count() == 8) // the 8 compacted-away files
+      val deleted = GraftSql.sql(spark, s"VACUUM '${t.path}' RETAIN 0 HOURS").collect().head.getLong(0)
+      assert(deleted == 8L)
+      // default retention (7 days) without RETAIN: nothing young deletes
+      assert(GraftSql.sql(spark, s"VACUUM '${t.path}'").collect().head.getLong(0) == 0L)
+    }
+
+    it("RESTORE and FSCK execute through SQL") {
+      val t = GraftTable.create(spark, tmpTableDir("sql-restore"),
+        Seq((1, "a")).toDF("id", "name").repartition(1))
+      t.overwrite(Seq((2, "b")).toDF("id", "name"))
+      val r = GraftSql.sql(spark, s"RESTORE TABLE '${t.path}' TO VERSION AS OF 0").collect().head
+      assert(r.getLong(0) == 0L && r.getLong(1) == 2L)
+      assert(GraftTable.forPath(spark, t.path).toDF.as[(Int, String)].collect().toSet ==
+        Set((1, "a")))
+      assert(GraftSql.sql(spark, s"FSCK REPAIR TABLE '${t.path}' DRY RUN").count() == 0)
+    }
+
+    it("ZORDER BY through SQL clusters for skipping") {
+      def rev(x: Int): Int = Integer.reverse(x) >>> (32 - 12)
+      val rows = (0 until 4096).map(i => (i, rev(i)))
+      val t = GraftTable.create(spark, tmpTableDir("sql-zorder"),
+        rows.toDF("x", "y").repartition(8))
+      GraftSql.sql(spark, s"OPTIMIZE '${t.path}' ZORDER BY (x, y)").collect()
+      val t2 = GraftTable.forPath(spark, t.path)
+      val classified = graft.tables.FileSkipping.classify(
+        spark, t2.toDF, "x >= 0 AND x <= 255")
+      assert(graft.tables.FileSkipping
+        .filesMatching(t2.snapshot, classified.all, None).size < t2.snapshot.numFiles ||
+        t2.snapshot.numFiles == 1)
+      assert(t2.toDF.count() == 4096)
+    }
+  }
+
+  describe("session extension registration") {
+    it("spark.sql() understands the grammar when the extension is registered") {
+      val t = GraftTable.create(spark, tmpTableDir("sql-ext"),
+        Seq((1, "a"), (2, "b")).toDF("id", "name").repartition(2))
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      try {
+        // withExtensions: the in-process registration route (the config form
+        // `spark.sql.extensions=graft.sql.GraftSparkSessionExtension` is
+        // static and only applies when set before the first session)
+        val ext = SparkSession.builder()
+          .withExtensions(new GraftSparkSessionExtension)
+          .getOrCreate()
+        assert(ext ne spark) // a fresh session over the shared context
+        assert(ext.sql(s"DESCRIBE HISTORY '${t.path}'").count() == 1)
+        assert(ext.sql(s"OPTIMIZE '${t.path}'").collect().head.getLong(2) == 1L)
+        // plain SQL still parses in the extended session
+        assert(ext.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
+      } finally {
+        SparkSession.setDefaultSession(spark)
+        SparkSession.setActiveSession(spark)
+      }
+    }
+  }
+}

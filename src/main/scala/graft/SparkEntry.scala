@@ -1037,6 +1037,22 @@ object SparkEntry {
       }
     }),
 
+    "s21_convert" -> ((s, dir) => {
+      // CONVERT TO GRAFT: a plain 4-shard parquet directory becomes a graft
+      // table IN PLACE (metadata-only v0 referencing the existing files,
+      // stats harvested) and reads back intact through the graft path
+      val base = read(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("id"), col("p_name").as("name"))
+      () => {
+      val loc = tmp("s21")
+      base.repartition(4).write.parquet(loc)
+      val n = graft.sql.GraftSql.sql(s, s"CONVERT TO GRAFT '$loc'").collect().head.getLong(0)
+      val t = GraftTable.forPath(s, loc)
+      t.toDF.select(col("id"), col("name"),
+        lit(n).as("n_files"), lit(t.version).as("version"))
+      }
+    }),
+
     "s20_sql_maintenance" -> ((s, dir) => {
       // SQL maintenance surface: OPTIMIZE + DESCRIBE HISTORY as SQL
       // statements (graft.sql.GraftSql / GraftSparkSessionExtension) — a
@@ -1564,6 +1580,10 @@ object SparkEntry {
         |       CAST(5 AS BIGINT) AS n_removed, CAST(1 AS BIGINT) AS n_added,
         |       CAST(1 AS BIGINT) AS n_optimize
         |FROM region""".stripMargin,
+    "s21_convert" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS id, p_name AS name,
+        |       CAST(4 AS BIGINT) AS n_files, CAST(0 AS BIGINT) AS version
+        |FROM part""".stripMargin,
     "s16_replace_where" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS id,
         |       CASE WHEN o_orderkey <= 1000 THEN -o_totalprice

@@ -93,6 +93,13 @@ object TableOps {
     val t0 = System.currentTimeMillis()
     val snap = table.snapshot
     val cond = condition.getOrElse("true")
+    require(set.nonEmpty, "UPDATE needs at least one SET assignment")
+    // a SET on an unknown column must fail, not silently no-op (SQL UPDATE
+    // semantics — and the silent form reports numUpdatedRows > 0 for rows
+    // it never changed)
+    val unknown = set.keys.filterNot(k => snap.schema.fieldNames.exists(_.equalsIgnoreCase(k)))
+    require(unknown.isEmpty,
+      s"UPDATE SET references column(s) not in the table schema: ${unknown.mkString(", ")}")
 
     val TouchedScan(candidates, touched, scanTime) = scanTouched(table, snap, cond)
 

@@ -91,6 +91,47 @@ case class GraftFsckCommand(path: String, dryRun: Boolean)
   }
 }
 
+case class GraftConvertCommand(path: String, partitionDdl: Option[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("numConvertedFiles", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val ps = partitionDdl.map(StructType.fromDDL).getOrElse(new StructType())
+    val t = GraftTable.convert(spark, path, ps)
+    Seq(Row(t.snapshot.numFiles))
+  }
+}
+
+case class GraftDeleteCommand(path: String, where: Option[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("numDeletedRows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftTable.forPath(spark, path)
+    val v = TableOps.delete(t, where)
+    Seq(Row(v, commitMetric(t, v, "numDeletedRows")))
+  }
+  private def commitMetric(t: GraftTable, v: Long, key: String): Long =
+    t.log.actionsAt(v).collectFirst { case c: graft.tables.CommitInfo =>
+      c.operationMetrics.get(key).map(_.toLong) }.flatten.getOrElse(0L)
+}
+
+case class GraftUpdateCommand(
+    path: String, where: Option[String], set: Seq[(String, String)])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("numUpdatedRows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftTable.forPath(spark, path)
+    val v = TableOps.update(t, where, set.toMap)
+    val n = t.log.actionsAt(v).collectFirst { case c: graft.tables.CommitInfo =>
+      c.operationMetrics.get("numUpdatedRows").map(_.toLong) }.flatten.getOrElse(0L)
+    Seq(Row(v, n))
+  }
+}
+
 case class GraftDescribeHistoryCommand(path: String)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(

@@ -16,6 +16,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   RESTORE [TABLE] '<path>' [TO] TIMESTAMP AS OF '<ts>'
   *   FSCK REPAIR TABLE '<path>' [DRY RUN]
   *   DESCRIBE HISTORY '<path>'
+  *   DELETE FROM '<path>' [WHERE <predicate>]
+  *   UPDATE '<path>' SET c1 = <expr> [, ...] [WHERE <predicate>]
+  *   CONVERT TO GRAFT '<path>' [PARTITIONED BY (c1 type, ...)]
   * }}}
   *
   * Table references accept a single-quoted, double-quoted or backticked
@@ -65,6 +68,44 @@ object GraftSqlParser {
     s"""^\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$P(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""")
   private val history = rx(
     s"""^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$P\\s*;?\\s*$$""")
+  private val convert = rx(
+    s"""^\\s*CONVERT\\s+TO\\s+GRAFT\\s+$P(?:\\s+PARTITIONED\\s+BY\\s+\\((.+?)\\))?\\s*;?\\s*$$""")
+  // DML claimed ONLY for quoted-path targets — catalog-table DELETE/UPDATE
+  // stays with Spark's parser (which routes them to the table's connector)
+  private val delete = rx(
+    s"""^\\s*DELETE\\s+FROM\\s+$P(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$""")
+  private val update = rx(
+    s"""^\\s*UPDATE\\s+$P\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$""")
+
+  /** Split on commas outside parens/quotes (SET clause items can hold
+    * function calls and string literals with commas).
+    */
+  private[sql] def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    var inQ: Char = 0
+    for (c <- s) {
+      if (inQ != 0) { cur += c; if (c == inQ) inQ = 0 }
+      else c match {
+        case '\'' | '"' | '`'  => inQ = c; cur += c
+        case '('               => depth += 1; cur += c
+        case ')'               => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _                 => cur += c
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def parseAssignments(clause: String): Seq[(String, String)] =
+    splitTopLevel(clause).map { item =>
+      val eq = item.indexOf('=')
+      require(eq > 0, s"malformed SET assignment '$item' (expected col = expr)")
+      (item.substring(0, eq).trim.stripPrefix("`").stripSuffix("`"),
+        item.substring(eq + 1).trim)
+    }
 
   /** The maintenance command for `sqlText`, or None when it is ordinary
     * Spark SQL. Kept regex-based deliberately: the grammar is six fixed
@@ -94,6 +135,16 @@ object GraftSqlParser {
     val h = history.matcher(sqlText)
     if (h.matches())
       return Some(GraftDescribeHistoryCommand(pathOf(h, 1)))
+    val cv = convert.matcher(sqlText)
+    if (cv.matches())
+      return Some(GraftConvertCommand(pathOf(cv, 1), Option(cv.group(4)).map(_.trim)))
+    val d = delete.matcher(sqlText)
+    if (d.matches())
+      return Some(GraftDeleteCommand(pathOf(d, 1), Option(d.group(4)).map(_.trim)))
+    val u = update.matcher(sqlText)
+    if (u.matches())
+      return Some(GraftUpdateCommand(pathOf(u, 1),
+        Option(u.group(5)).map(_.trim), parseAssignments(u.group(4))))
     None
   }
 }

@@ -400,4 +400,81 @@ object GraftTable {
       operation = "WRITE")
     new GraftTable(spark, path)
   }
+
+  /** CONVERT TO GRAFT (Delta's `CONVERT TO DELTA`): turn an existing plain
+    * parquet directory into a graft table IN PLACE — version 0 is a
+    * metadata-only commit referencing the files where they already are (no
+    * byte is rewritten; at 100 TB that is the entire point), with footer
+    * min/max stats harvested so file skipping works from the first query.
+    *
+    * Hive-style `k=v` partition directories become partition columns.
+    * Their types come from Spark's partition inference unless
+    * `partitionSchema` pins them — pass it whenever values like `"00"`
+    * must stay strings (inference would collapse them to ints, exactly the
+    * ambiguity that makes Delta's CONVERT require an explicit partition
+    * schema).
+    *
+    * Fails loudly on a directory that is already a graft table, has no
+    * parquet files, or mixes partition layouts.
+    */
+  def convert(
+      spark: SparkSession,
+      path: String,
+      partitionSchema: StructType = new StructType(),
+      properties: Map[String, String] = Map.empty): GraftTable = {
+    import java.nio.file.{Files, Paths}
+    val log = new GraftLog(path)
+    require(!log.tableExists, s"$path is already a graft table")
+    val root = Paths.get(path)
+    require(Files.isDirectory(root), s"$path is not a directory")
+    val files = {
+      val s = Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter { p =>
+          Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet") &&
+            // metadata/hidden dirs (_graft_log, _SUCCESS neighbors, .staging)
+            !root.relativize(p).iterator().asScala
+              .exists(seg => seg.toString.startsWith("_") || seg.toString.startsWith("."))
+        }.toList
+      } finally s.close()
+    }
+    require(files.nonEmpty, s"no parquet files under $path — nothing to convert")
+    val rels = files.map(p => root.relativize(p).toString)
+    val partValues = rels.map(TableWriter.partitionValuesOf)
+    val partKeySets = partValues.map(_.keySet).distinct
+    require(partKeySets.size == 1,
+      s"inconsistent partition layouts under $path: ${partKeySets.take(3).mkString(" vs ")}")
+    val declaredOnly = partitionSchema.fieldNames.toSet -- partKeySets.head
+    require(declaredOnly.isEmpty,
+      s"declared partition column(s) ${declaredOnly.mkString(", ")} not present in the directory layout")
+    // inferred schema SEES the partition dirs (so partition cols are
+    // included and ordered last); declared types override inference
+    val inferred = spark.read.parquet(path).schema
+    val schema = StructType(inferred.map { f =>
+      partitionSchema.fields.find(_.name.equalsIgnoreCase(f.name))
+        .map(p => f.copy(dataType = p.dataType)).getOrElse(f)
+    })
+    val partCols = inferred.fieldNames.filter(partKeySets.head.contains).toSeq
+    val conf = spark.sessionState.newHadoopConf()
+    val adds = TableWriter.harvestParallel(files.zip(rels).zip(partValues)) {
+      case ((abs, rel), pv) =>
+        AddFile(
+          path = rel,
+          partitionValues = pv,
+          size = Files.size(abs),
+          stats = GraftLog.renderStats(ParquetStats.forFile(abs.toString, conf)))
+    }
+    val numRows = adds.flatMap(a => GraftLog.parseStats(a.stats)).map(_.numRecords).sum
+    log.commit(0L,
+      Seq(graft.tables.Metadata(schema.json, partCols, properties)) ++ adds :+ CommitInfo(
+        timestamp = System.currentTimeMillis(),
+        operation = "CONVERT",
+        operationParameters = Map(
+          "partitionedBy" -> partCols.mkString("[", ",", "]")),
+        operationMetrics = Map(
+          "numConvertedFiles" -> adds.size.toString,
+          "numOutputRows" -> numRows.toString)))
+    new GraftTable(spark, path)
+  }
 }

@@ -35,12 +35,27 @@ class GraftSqlCommandSpec extends AnyFunSpec with SparkSessionTestWrapper {
         Some(GraftDescribeHistoryCommand("/tmp/t")))
     }
 
+    it("parses DML with paren- and quote-aware SET splitting") {
+      assert(parse("DELETE FROM '/tmp/t' WHERE id < 5") ==
+        Some(GraftDeleteCommand("/tmp/t", Some("id < 5"))))
+      assert(parse("DELETE FROM graft.`/tmp/t`") ==
+        Some(GraftDeleteCommand("/tmp/t", None)))
+      assert(parse("UPDATE '/tmp/t' SET a = concat(b, ',', c), d = 'x,y' WHERE e > 1") ==
+        Some(GraftUpdateCommand("/tmp/t", Some("e > 1"),
+          Seq("a" -> "concat(b, ',', c)", "d" -> "'x,y'"))))
+      assert(parse("UPDATE '/tmp/t' SET `q` = q + 1") ==
+        Some(GraftUpdateCommand("/tmp/t", None, Seq("q" -> "q + 1"))))
+    }
+
     it("leaves ordinary Spark SQL alone") {
       assert(parse("SELECT 1").isEmpty)
       assert(parse("DESCRIBE TABLE t").isEmpty)
       // OPTIMIZE with no recognizable table reference is not claimed either:
       // it falls through to Spark, whose parser names the unknown statement
       assert(parse("OPTIMIZE t1").isEmpty)
+      // catalog-table DML stays with Spark's parser / the table's connector
+      assert(parse("DELETE FROM catalog_table WHERE id = 1").isEmpty)
+      assert(parse("UPDATE catalog_table SET a = 1").isEmpty)
     }
   }
 
@@ -79,6 +94,34 @@ class GraftSqlCommandSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(GraftSql.sql(spark, s"FSCK REPAIR TABLE '${t.path}' DRY RUN").count() == 0)
     }
 
+    it("DELETE and UPDATE execute through SQL with CDF and metrics intact") {
+      val t = GraftTable.create(spark, tmpTableDir("sql-dml"),
+        (0 until 100).map(i => (i, s"v$i")).toDF("id", "name").repartition(2),
+        properties = Map("graft.enableChangeDataFeed" -> "true"))
+      val del = GraftSql.sql(spark, s"DELETE FROM '${t.path}' WHERE id >= 90").collect().head
+      assert(del.getLong(1) == 10L, s"expected 10 deleted: $del")
+      val upd = GraftSql.sql(spark,
+        s"UPDATE '${t.path}' SET name = concat(name, '!') WHERE id < 10").collect().head
+      assert(upd.getLong(1) == 10L, s"expected 10 updated: $upd")
+      val t2 = GraftTable.forPath(spark, t.path)
+      assert(t2.toDF.count() == 90)
+      assert(t2.toDF.filter($"name" === "v0!").count() == 1)
+      // the CDF carries the SQL-issued changes
+      val cdf = spark.read.format("graft").option("readChangeFeed", "true")
+        .option("startingVersion", "1").load(t.path)
+      assert(cdf.filter($"_change_type" === "delete").count() == 10)
+      assert(cdf.filter($"_change_type" === "update_postimage").count() == 10)
+    }
+
+    it("UPDATE on an unknown column fails loudly instead of no-opping") {
+      val t = GraftTable.create(spark, tmpTableDir("sql-badcol"),
+        Seq((1, "a")).toDF("id", "name"))
+      val e = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, s"UPDATE '${t.path}' SET nope = 1").collect()
+      }
+      assert(e.getMessage.contains("nope"), e.getMessage)
+    }
+
     it("ZORDER BY through SQL clusters for skipping") {
       def rev(x: Int): Int = Integer.reverse(x) >>> (32 - 12)
       val rows = (0 until 4096).map(i => (i, rev(i)))
@@ -92,6 +135,64 @@ class GraftSqlCommandSpec extends AnyFunSpec with SparkSessionTestWrapper {
         .filesMatching(t2.snapshot, classified.all, None).size < t2.snapshot.numFiles ||
         t2.snapshot.numFiles == 1)
       assert(t2.toDF.count() == 4096)
+    }
+  }
+
+  describe("CONVERT TO GRAFT") {
+    import org.apache.spark.sql.functions.{col, format_string}
+
+    it("converts a plain parquet directory in place, keeping bytes and gaining skipping") {
+      val dir = tmpTableDir("convert-plain")
+      val df = (0 until 1000).map(i => (i, s"v$i")).toDF("id", "name")
+      df.repartition(4).sortWithinPartitions("id").write.parquet(dir)
+      val before = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val parquetBefore = try {
+        import scala.jdk.CollectionConverters._
+        before.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toList.map(_.toString)
+      } finally before.close()
+
+      val n = GraftSql.sql(spark, s"CONVERT TO GRAFT '$dir'").collect().head.getLong(0)
+      assert(n == 4L)
+      val t = GraftTable.forPath(spark, dir)
+      assert(t.toDF.count() == 1000)
+      assert(t.version == 0L)
+      // no byte moved: the same physical files are referenced
+      assert(t.snapshot.files.map(f => java.nio.file.Paths.get(dir, f.path).toString).toSet ==
+        parquetBefore.toSet)
+      // footer stats were harvested: a point filter skips files
+      val classified = graft.tables.FileSkipping.classify(spark, t.toDF, "id = 3")
+      assert(graft.tables.FileSkipping.filesMatching(t.snapshot, classified.all, None).size < 4)
+      // the converted table is a first-class citizen: append + time travel
+      t.append(Seq((1000, "x")).toDF("id", "name"))
+      assert(t.toDF.count() == 1001 && t.toDFAt(0).count() == 1000)
+    }
+
+    it("pins numeric-looking string partition values via PARTITIONED BY") {
+      val dir = tmpTableDir("convert-part")
+      (0 until 90).map(i => (i, f"${i % 3}%02d")).toDF("id", "part")
+        .write.partitionBy("part").parquet(dir)
+      GraftSql.sql(spark, s"CONVERT TO GRAFT '$dir' PARTITIONED BY (part STRING)").collect()
+      val t = GraftTable.forPath(spark, dir)
+      assert(t.snapshot.metadata.partitionColumns == Seq("part"))
+      assert(t.snapshot.schema("part").dataType == org.apache.spark.sql.types.StringType)
+      assert(t.toDF.select("part").distinct().collect().map(_.getString(0)).toSet ==
+        Set("00", "01", "02"))
+      // partition pruning works through the converted metadata
+      assert(t.toDF.filter(col("part") === "01").count() == 30)
+    }
+
+    it("refuses an existing graft table and an empty directory") {
+      val t = GraftTable.create(spark, tmpTableDir("convert-already"),
+        Seq((1, "a")).toDF("id", "name"))
+      val e1 = intercept[IllegalArgumentException] {
+        GraftTable.convert(spark, t.path)
+      }
+      assert(e1.getMessage.contains("already a graft table"))
+      val empty = java.nio.file.Files.createTempDirectory("convert-empty").toString
+      val e2 = intercept[IllegalArgumentException] {
+        GraftTable.convert(spark, empty)
+      }
+      assert(e2.getMessage.contains("nothing to convert"))
     }
   }
 

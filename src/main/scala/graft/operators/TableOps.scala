@@ -577,10 +577,18 @@ object TableOps {
     * Delta's property vocabulary), defaulting to
     * [[DefaultLogRetentionHours]] (7 days).
     */
-  def vacuum(table: GraftTable): Int =
-    vacuum(table, table.snapshot.metadata.properties
+  def vacuum(table: GraftTable): Int = vacuum(table, configuredRetentionHours(table))
+
+  /** Dry run at the table's configured retention (same resolution as
+    * [[vacuum(table:GraftTable)* vacuum]] with no arguments).
+    */
+  def vacuumDryRun(table: GraftTable): Seq[String] =
+    vacuumDryRun(table, configuredRetentionHours(table))
+
+  private def configuredRetentionHours(table: GraftTable): Double =
+    table.snapshot.metadata.properties
       .get(LogRetentionProperty).map(parseRetentionHours)
-      .getOrElse(DefaultLogRetentionHours))
+      .getOrElse(DefaultLogRetentionHours)
 
   val LogRetentionProperty = "graft.logRetentionDuration"
   val DefaultLogRetentionHours: Double = 7 * 24.0

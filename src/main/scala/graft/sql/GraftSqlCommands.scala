@@ -25,9 +25,15 @@ case class GraftOptimizeCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftTable.forPath(spark, path)
     val before = t.version
+    // honor the table's configured file sizing, like optimizeWrite and
+    // autoCompact do — SQL OPTIMIZE must not re-split a 1 GB-binned table
+    // back to the 128 MB default
+    val target = t.snapshot.metadata.properties
+      .get(graft.tables.TableWriter.TargetFileSizeProperty).map(_.trim.toLong)
+      .getOrElse(graft.tables.TableWriter.DefaultTargetFileSize)
     val v =
-      if (zorderBy.nonEmpty) TableOps.zorder(t, zorderBy, where)
-      else TableOps.compact(t, where)
+      if (zorderBy.nonEmpty) TableOps.zorder(t, zorderBy, where, target)
+      else TableOps.compact(t, where, target)
     if (v == before) Seq(Row(v, 0L, 0L)) // no-op: nothing worth rewriting
     else {
       val actions = t.log.actionsAt(v)
@@ -46,12 +52,12 @@ case class GraftVacuumCommand(
     else Seq(AttributeReference("numFilesDeleted", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftTable.forPath(spark, path)
-    def configuredHours = t.snapshot.metadata.properties
-      .get(TableOps.LogRetentionProperty).map(TableOps.parseRetentionHours)
-      .getOrElse(TableOps.DefaultLogRetentionHours)
-    val hours = retainHours.getOrElse(configuredHours)
-    if (dryRun) TableOps.vacuumDryRun(t, hours).map(Row(_))
-    else Seq(Row(TableOps.vacuum(t, hours).toLong))
+    (retainHours, dryRun) match {
+      case (Some(h), true)  => TableOps.vacuumDryRun(t, h).map(Row(_))
+      case (Some(h), false) => Seq(Row(TableOps.vacuum(t, h).toLong))
+      case (None, true)     => TableOps.vacuumDryRun(t).map(Row(_))
+      case (None, false)    => Seq(Row(TableOps.vacuum(t).toLong))
+    }
   }
 }
 
@@ -63,20 +69,19 @@ case class GraftRestoreCommand(
     AttributeReference("committedVersion", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftTable.forPath(spark, path)
-    val committed = (version, timestamp) match {
-      case (Some(v), None)  => TableOps.restore(t, v)
-      case (None, Some(ts)) => TableOps.restoreToTimestamp(t, ts)
+    // resolve the target HERE (shared monotonized rule) so the reported
+    // restoredVersion is the resolved target even for a no-op restore
+    val target = (version, timestamp) match {
+      case (Some(v), None) => v
+      case (None, Some(ts)) =>
+        val tz = spark.sessionState.conf.sessionLocalTimeZone
+        val millis = graft.sources.GraftDataSource.parseTimestampMillis(ts.trim, tz)
+        t.log.versionAtOrBefore(millis).getOrElse(throw new IllegalArgumentException(
+          s"cannot restore $path: '$ts' is before the table's first commit"))
       case _ => throw new IllegalArgumentException(
         "RESTORE needs exactly one of VERSION AS OF / TIMESTAMP AS OF")
     }
-    val restored = version.getOrElse {
-      // the restore commit records its target version in the parameters
-      t.log.actionsAt(committed)
-        .collectFirst { case c: graft.tables.CommitInfo =>
-          c.operationParameters.get("version").map(_.toLong) }
-        .flatten.getOrElse(committed)
-    }
-    Seq(Row(restored, committed))
+    Seq(Row(target, TableOps.restore(t, target)))
   }
 }
 

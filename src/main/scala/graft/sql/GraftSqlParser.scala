@@ -48,16 +48,26 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 object GraftSqlParser {
-  // `'path'` | `"path"` | `` `path` `` | graft.`path` (any of the quote forms)
-  private val P = """(?:graft\s*\.\s*)?(?:'([^']+)'|"([^"]+)"|`([^`]+)`)"""
+  // `'path'` | `"path"` | `` `path` `` | graft.`path` (any of the quote forms).
+  // Group `base - 1` captures the optional `graft.` qualifier so DML can
+  // distinguish a graft path from a quoted catalog identifier.
+  private val P = """(graft\s*\.\s*)?(?:'([^']+)'|"([^"]+)"|`([^`]+)`)"""
   private def pathOf(m: java.util.regex.Matcher, base: Int): String =
     Seq(base, base + 1, base + 2).iterator.map(m.group).find(_ != null).get
+
+  /** DML statements exist in Spark's own grammar, so a quoted target is
+    * only OURS when it is `graft.`-qualified or visibly a path (contains a
+    * separator) — `` DELETE FROM `events` `` on a catalog table must reach
+    * Spark's parser and the table's connector, not die in forPath.
+    */
+  private def claimableDml(m: java.util.regex.Matcher): Boolean =
+    m.group(1) != null || pathOf(m, 2).contains('/')
 
   private def rx(pattern: String) = java.util.regex.Pattern.compile(
     pattern, java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
 
   private val optimize = rx(
-    s"""^\\s*OPTIMIZE\\s+$P(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*([\\w`",'\\s.]+?)\\s*\\)?)?\\s*;?\\s*$$""")
+    s"""^\\s*OPTIMIZE\\s+$P(\\s+.+?)?\\s*;?\\s*$$""")
   private val vacuum = rx(
     s"""^\\s*VACUUM\\s+$P(?:\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""")
   private val restoreV = rx(
@@ -70,12 +80,41 @@ object GraftSqlParser {
     s"""^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$P\\s*;?\\s*$$""")
   private val convert = rx(
     s"""^\\s*CONVERT\\s+TO\\s+GRAFT\\s+$P(?:\\s+PARTITIONED\\s+BY\\s+\\((.+?)\\))?\\s*;?\\s*$$""")
-  // DML claimed ONLY for quoted-path targets — catalog-table DELETE/UPDATE
-  // stays with Spark's parser (which routes them to the table's connector)
+  // DML exists in Spark's own grammar — see [[claimableDml]]
   private val delete = rx(
     s"""^\\s*DELETE\\s+FROM\\s+$P(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$""")
   private val update = rx(
-    s"""^\\s*UPDATE\\s+$P\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$""")
+    s"""^\\s*UPDATE\\s+$P\\s+SET\\s+(.+?)\\s*;?\\s*$$""")
+
+  /** First occurrence of `keyword` (an UPPERCASE word, possibly with
+    * internal spaces) outside quotes/parens and on word boundaries, or -1.
+    * Clause boundaries (`WHERE`, `ZORDER BY`) must not match inside a
+    * string literal — `SET note = concat(note, ' where x')` has no WHERE
+    * clause.
+    */
+  private[sql] def topLevelIndexOf(s: String, keyword: String): Int = {
+    val upper = s.toUpperCase(java.util.Locale.ROOT)
+    var depth = 0
+    var inQ: Char = 0
+    var i = 0
+    def wordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ != 0) { if (c == inQ) inQ = 0; i += 1 }
+      else c match {
+        case '\'' | '"' | '`' => inQ = c; i += 1
+        case '('              => depth += 1; i += 1
+        case ')'              => depth -= 1; i += 1
+        case _ =>
+          if (depth == 0 && upper.startsWith(keyword, i) &&
+              (i == 0 || !wordChar(s.charAt(i - 1))) &&
+              (i + keyword.length >= s.length || !wordChar(s.charAt(i + keyword.length))))
+            return i
+          i += 1
+      }
+    }
+    -1
+  }
 
   /** Split on commas outside parens/quotes (SET clause items can hold
     * function calls and string literals with commas).
@@ -115,36 +154,64 @@ object GraftSqlParser {
   def parseMaintenance(sqlText: String): Option[LogicalPlan] = {
     val o = optimize.matcher(sqlText)
     if (o.matches()) {
-      val cols = Option(o.group(5)).toSeq.flatMap(_.split(",").toSeq)
-        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
-      return Some(GraftOptimizeCommand(pathOf(o, 1), Option(o.group(4)).map(_.trim), cols))
+      // tail = [WHERE <pred>] [ZORDER BY (cols)] — split by quote-aware
+      // scan so a 'ZORDER BY' inside a predicate string literal stays put
+      val tail = Option(o.group(5)).map(_.trim).getOrElse("")
+      val zi = topLevelIndexOf(tail, "ZORDER")
+      val (whereTail, zTail) =
+        if (zi >= 0) (tail.substring(0, zi).trim, tail.substring(zi).trim)
+        else (tail, "")
+      val where =
+        if (whereTail.isEmpty) None
+        else if (whereTail.toUpperCase(java.util.Locale.ROOT).startsWith("WHERE"))
+          Some(whereTail.substring(5).trim)
+        else return None // unrecognized tail: not our statement
+      val cols =
+        if (zTail.isEmpty) Nil
+        else {
+          val body = zTail.substring("ZORDER".length).trim match {
+            case b if b.toUpperCase(java.util.Locale.ROOT).startsWith("BY") =>
+              b.substring(2).trim
+            case _ => return None
+          }
+          val inner = if (body.startsWith("(") && body.endsWith(")"))
+            body.substring(1, body.length - 1) else body
+          splitTopLevel(inner).map(_.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+        }
+      return Some(GraftOptimizeCommand(pathOf(o, 2), where, cols))
     }
     val v = vacuum.matcher(sqlText)
     if (v.matches())
-      return Some(GraftVacuumCommand(pathOf(v, 1),
-        Option(v.group(4)).map(_.toDouble), v.group(5) != null))
+      return Some(GraftVacuumCommand(pathOf(v, 2),
+        Option(v.group(5)).map(_.toDouble), v.group(6) != null))
     val rv = restoreV.matcher(sqlText)
     if (rv.matches())
-      return Some(GraftRestoreCommand(pathOf(rv, 1), Some(rv.group(4).toLong), None))
+      return Some(GraftRestoreCommand(pathOf(rv, 2), Some(rv.group(5).toLong), None))
     val rt = restoreT.matcher(sqlText)
     if (rt.matches())
-      return Some(GraftRestoreCommand(pathOf(rt, 1), None, Some(rt.group(4))))
+      return Some(GraftRestoreCommand(pathOf(rt, 2), None, Some(rt.group(5))))
     val f = fsck.matcher(sqlText)
     if (f.matches())
-      return Some(GraftFsckCommand(pathOf(f, 1), f.group(4) != null))
+      return Some(GraftFsckCommand(pathOf(f, 2), f.group(5) != null))
     val h = history.matcher(sqlText)
     if (h.matches())
-      return Some(GraftDescribeHistoryCommand(pathOf(h, 1)))
+      return Some(GraftDescribeHistoryCommand(pathOf(h, 2)))
     val cv = convert.matcher(sqlText)
     if (cv.matches())
-      return Some(GraftConvertCommand(pathOf(cv, 1), Option(cv.group(4)).map(_.trim)))
+      return Some(GraftConvertCommand(pathOf(cv, 2), Option(cv.group(5)).map(_.trim)))
     val d = delete.matcher(sqlText)
-    if (d.matches())
-      return Some(GraftDeleteCommand(pathOf(d, 1), Option(d.group(4)).map(_.trim)))
+    if (d.matches() && claimableDml(d))
+      return Some(GraftDeleteCommand(pathOf(d, 2), Option(d.group(5)).map(_.trim)))
     val u = update.matcher(sqlText)
-    if (u.matches())
-      return Some(GraftUpdateCommand(pathOf(u, 1),
-        Option(u.group(5)).map(_.trim), parseAssignments(u.group(4))))
+    if (u.matches() && claimableDml(u)) {
+      // rest = <assignments> [WHERE <pred>] — same quote-aware boundary
+      val rest = u.group(5)
+      val wi = topLevelIndexOf(rest, "WHERE")
+      val (setClause, where) =
+        if (wi >= 0) (rest.substring(0, wi).trim, Some(rest.substring(wi + 5).trim))
+        else (rest.trim, None)
+      return Some(GraftUpdateCommand(pathOf(u, 2), where, parseAssignments(setClause)))
+    }
     None
   }
 }

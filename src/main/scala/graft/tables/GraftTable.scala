@@ -445,7 +445,10 @@ object GraftTable {
     val partKeySets = partValues.map(_.keySet).distinct
     require(partKeySets.size == 1,
       s"inconsistent partition layouts under $path: ${partKeySets.take(3).mkString(" vs ")}")
-    val declaredOnly = partitionSchema.fieldNames.toSet -- partKeySets.head
+    // case-insensitive, matching the type-override lookup below
+    val layoutKeysLower = partKeySets.head.map(_.toLowerCase)
+    val declaredOnly = partitionSchema.fieldNames.filterNot(f =>
+      layoutKeysLower.contains(f.toLowerCase))
     require(declaredOnly.isEmpty,
       s"declared partition column(s) ${declaredOnly.mkString(", ")} not present in the directory layout")
     // inferred schema SEES the partition dirs (so partition cols are

@@ -359,21 +359,26 @@ object TableWriter {
       props: Map[String, String],
       committedAdds: Seq[AddFile]): Unit = {
     if (!props.get(AutoCompactProperty).exists(_.equalsIgnoreCase("true"))) return
-    val target = props.get(TargetFileSizeProperty).map(_.trim.toLong)
-      .getOrElse(DefaultTargetFileSize)
-    val minFiles = props.get(AutoCompactMinFilesProperty).map(_.trim.toInt)
-      .getOrElse(DefaultAutoCompactMinFiles)
-    require(minFiles > 1, s"$AutoCompactMinFilesProperty must be > 1, got $minFiles")
-    val snap = log.snapshot(committedVersion)
-    val touched: Set[Map[String, String]] = committedAdds.map(_.partitionValues).toSet
-    val candidates = snap.files.filter(f =>
-      f.size < target && (touched.isEmpty || touched.contains(f.partitionValues)))
-    if (candidates.size < minFiles) return
-    val totalBytes = candidates.map(_.size).sum
-    val nOut = math.max(1L, math.ceil(totalBytes.toDouble / target).toLong).toInt
-    val table = GraftTable.forPath(spark, tablePath)
-    val data = table.dfForFiles(snap, candidates).repartition(nOut)
+    // a commit that added no files (pure delete, metadata change) created no
+    // small files — and an empty touched-set must NOT widen to a full-table
+    // sweep on a partitioned table
+    if (committedAdds.isEmpty) return
     try {
+      val target = props.get(TargetFileSizeProperty).map(_.trim.toLong)
+        .getOrElse(DefaultTargetFileSize)
+      val minFiles = props.get(AutoCompactMinFilesProperty).map(_.trim.toInt)
+        .getOrElse(DefaultAutoCompactMinFiles)
+      require(minFiles > 1 && target > 0,
+        s"$AutoCompactMinFilesProperty must be > 1 and $TargetFileSizeProperty > 0")
+      val snap = log.snapshot(committedVersion)
+      val touched: Set[Map[String, String]] = committedAdds.map(_.partitionValues).toSet
+      val candidates = snap.files.filter(f =>
+        f.size < target && touched.contains(f.partitionValues))
+      if (candidates.size < minFiles) return
+      val totalBytes = candidates.map(_.size).sum
+      val nOut = math.max(1L, math.ceil(totalBytes.toDouble / target).toLong).toInt
+      val table = GraftTable.forPath(spark, tablePath)
+      val data = table.dfForFiles(snap, candidates).repartition(nOut)
       write(spark, tablePath, data, Append,
         operation = "OPTIMIZE",
         operationParameters = Map("auto" -> "true", "predicate" -> "[]"),
@@ -382,12 +387,15 @@ object TableWriter {
           "numRemovedBytes" -> totalBytes.toString),
         removeFiles = candidates.map(_.path),
         readVersion = Some(committedVersion))
+      ()
     } catch {
-      // best-effort by contract: a concurrent winner rewrote one of the
-      // candidates — the files it left behind qualify again next commit
-      case _: java.util.ConcurrentModificationException => ()
+      // best-effort by contract: the triggering write has ALREADY committed,
+      // so neither a lost race (a concurrent winner rewrote a candidate —
+      // its leftovers qualify again next commit) nor a malformed sizing
+      // property may fail it — warn and move on
+      case scala.util.control.NonFatal(e) =>
+        Console.err.println(s"graft autoCompact of $tablePath skipped: ${e.getMessage}")
     }
-    ()
   }
 
   /** Semantic OCC check for a commit that lost the race at

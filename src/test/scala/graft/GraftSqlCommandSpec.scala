@@ -47,6 +47,27 @@ class GraftSqlCommandSpec extends AnyFunSpec with SparkSessionTestWrapper {
         Some(GraftUpdateCommand("/tmp/t", None, Seq("q" -> "q + 1"))))
     }
 
+    it("claims DML only for graft-qualified or path-shaped targets") {
+      // backtick-quoted catalog identifiers belong to Spark's parser
+      assert(parse("DELETE FROM `my_catalog_table` WHERE id = 1").isEmpty)
+      assert(parse("UPDATE `events` SET a = 1").isEmpty)
+      assert(parse("DELETE FROM \"events\" WHERE id = 1").isEmpty)
+      // graft-qualified single-part names ARE ours, as are visible paths
+      assert(parse("DELETE FROM graft.`events` WHERE id = 1") ==
+        Some(GraftDeleteCommand("events", Some("id = 1"))))
+      assert(parse("DELETE FROM `/tmp/t`") == Some(GraftDeleteCommand("/tmp/t", None)))
+    }
+
+    it("keeps clause keywords inside string literals out of the split") {
+      assert(parse("UPDATE '/tmp/t' SET note = concat(note, ' WHERE x')") ==
+        Some(GraftUpdateCommand("/tmp/t", None,
+          Seq("note" -> "concat(note, ' WHERE x')"))))
+      assert(parse("UPDATE '/tmp/t' SET a = ' where ' WHERE b = 1") ==
+        Some(GraftUpdateCommand("/tmp/t", Some("b = 1"), Seq("a" -> "' where '"))))
+      assert(parse("OPTIMIZE '/tmp/t' WHERE c = 'ZORDER BY x'") ==
+        Some(GraftOptimizeCommand("/tmp/t", Some("c = 'ZORDER BY x'"), Nil)))
+    }
+
     it("leaves ordinary Spark SQL alone") {
       assert(parse("SELECT 1").isEmpty)
       assert(parse("DESCRIBE TABLE t").isEmpty)

@@ -445,6 +445,29 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(ops.count(_ == "OPTIMIZE") == 1, s"cascaded: $ops")
     }
 
+    it("autoCompact never fails the triggering write and skips add-free commits") {
+      import org.apache.spark.sql.functions.col
+      // a malformed sizing property must not fail the commit that landed
+      val t = GraftTable.create(spark, tmpTableDir("graft-autocompact-bad"),
+        Seq((0, "seed")).toDF("id", "name"),
+        properties = Map(TableWriter.AutoCompactProperty -> "true",
+          TableWriter.AutoCompactMinFilesProperty -> "not-a-number"))
+      (1 to 3).foreach(i => t.append(Seq((i, s"r$i")).toDF("id", "name").repartition(1)))
+      assert(t.toDF.count() == 4) // every append committed despite the bad property
+
+      // a pure DELETE adds no files: no compaction sweep may follow it
+      val t2 = GraftTable.create(spark, tmpTableDir("graft-autocompact-del"),
+        (0 until 8).map(i => (i, s"v$i")).toDF("id", "name").repartition(2),
+        properties = Map(TableWriter.AutoCompactProperty -> "true",
+          TableWriter.AutoCompactMinFilesProperty -> "2"))
+      // create itself compacts (2 files ≥ 2); the delete that follows must not
+      val vBefore = t2.version
+      graft.operators.TableOps.delete(t2, Some("id < 0")) // removes nothing, adds nothing
+      val opsAfter = t2.log.versions().filter(_ > vBefore)
+        .flatMap(v => t2.log.actionsAt(v)).collect { case c: CommitInfo => c.operation }
+      assert(!opsAfter.contains("OPTIMIZE"), s"add-free commit triggered compaction: $opsAfter")
+    }
+
     it("autoCompact only rewrites the partitions the commit touched") {
       import org.apache.spark.sql.functions.col
       val df0 = (0 until 8).map(i => (i, "cold")).toDF("id", "part")

@@ -1037,6 +1037,22 @@ object SparkEntry {
       }
     }),
 
+    "s22_sql_alter" -> ((s, dir) => {
+      // ALTER TABLE SQL family: metadata-only ADD COLUMNS (existing rows
+      // read null), SET TBLPROPERTIES round-tripped through SHOW
+      val base = read(s, dir, "region")
+        .select(col("r_regionkey").cast("long").as("id"), col("r_name").as("name"))
+      () => {
+      val t = GraftTable.create(s, tmp("s22"), base)
+      graft.sql.GraftSql.sql(s, s"ALTER TABLE '${t.path}' ADD COLUMNS (bonus BIGINT)").collect()
+      graft.sql.GraftSql.sql(s, s"ALTER TABLE '${t.path}' SET TBLPROPERTIES ('graft.team' = 'data')").collect()
+      val nProps = graft.sql.GraftSql.sql(s, s"SHOW TBLPROPERTIES '${t.path}'")
+        .filter(col("key") === "graft.team" && col("value") === "data").count()
+      GraftTable.forPath(s, t.path).toDF
+        .select(col("id"), col("name"), col("bonus"), lit(nProps).as("n_props"))
+      }
+    }),
+
     "s21_convert" -> ((s, dir) => {
       // CONVERT TO GRAFT: a plain 4-shard parquet directory becomes a graft
       // table IN PLACE (metadata-only v0 referencing the existing files,
@@ -1584,6 +1600,10 @@ object SparkEntry {
       """SELECT CAST(p_partkey AS BIGINT) AS id, p_name AS name,
         |       CAST(4 AS BIGINT) AS n_files, CAST(0 AS BIGINT) AS version
         |FROM part""".stripMargin,
+    "s22_sql_alter" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS id, r_name AS name,
+        |       CAST(NULL AS BIGINT) AS bonus, CAST(1 AS BIGINT) AS n_props
+        |FROM region""".stripMargin,
     "s16_replace_where" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS id,
         |       CASE WHEN o_orderkey <= 1000 THEN -o_totalprice

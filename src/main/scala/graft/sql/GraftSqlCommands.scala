@@ -96,6 +96,61 @@ case class GraftFsckCommand(path: String, dryRun: Boolean)
   }
 }
 
+case class GraftAlterPropertiesCommand(
+    path: String, set: Seq[(String, String)], unset: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftTable.forPath(spark, path)
+    val v =
+      if (set.nonEmpty) t.setProperties(set.toMap)
+      else t.unsetProperties(unset.toSet)
+    Seq(Row(v))
+  }
+}
+
+case class GraftAddColumnsCommand(path: String, columnsDdl: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftTable.forPath(spark, path)
+    Seq(Row(t.addColumns(StructType.fromDDL(columnsDdl))))
+  }
+}
+
+case class GraftAddConstraintCommand(path: String, name: String, predicate: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftTable.forPath(spark, path)
+    Seq(Row(t.addCheckConstraint(name, predicate)))
+  }
+}
+
+case class GraftDropConstraintCommand(path: String, name: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftTable.forPath(spark, path)
+    Seq(Row(t.dropCheckConstraint(name)))
+  }
+}
+
+case class GraftShowPropertiesCommand(path: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftTable.forPath(spark, path)
+    t.snapshot.metadata.properties.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+  }
+}
+
 case class GraftConvertCommand(path: String, partitionDdl: Option[String])
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(

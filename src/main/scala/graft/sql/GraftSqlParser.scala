@@ -19,6 +19,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   DELETE FROM '<path>' [WHERE <predicate>]
   *   UPDATE '<path>' SET c1 = <expr> [, ...] [WHERE <predicate>]
   *   CONVERT TO GRAFT '<path>' [PARTITIONED BY (c1 type, ...)]
+  *   ALTER TABLE '<path>' SET TBLPROPERTIES (k = v, ...)
+  *   ALTER TABLE '<path>' UNSET TBLPROPERTIES (k, ...)
+  *   ALTER TABLE '<path>' ADD COLUMNS (c1 type, ...)
+  *   ALTER TABLE '<path>' ADD CONSTRAINT name CHECK (<predicate>)
+  *   ALTER TABLE '<path>' DROP CONSTRAINT name
+  *   SHOW TBLPROPERTIES '<path>'
   * }}}
   *
   * Table references accept a single-quoted, double-quoted or backticked
@@ -80,6 +86,18 @@ object GraftSqlParser {
     s"""^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$P\\s*;?\\s*$$""")
   private val convert = rx(
     s"""^\\s*CONVERT\\s+TO\\s+GRAFT\\s+$P(?:\\s+PARTITIONED\\s+BY\\s+\\((.+?)\\))?\\s*;?\\s*$$""")
+  private val alterSetProps = rx(
+    s"""^\\s*ALTER\\s+TABLE\\s+$P\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""")
+  private val alterUnsetProps = rx(
+    s"""^\\s*ALTER\\s+TABLE\\s+$P\\s+UNSET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""")
+  private val alterAddCols = rx(
+    s"""^\\s*ALTER\\s+TABLE\\s+$P\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*;?\\s*$$""")
+  private val alterAddConstraint = rx(
+    s"""^\\s*ALTER\\s+TABLE\\s+$P\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""")
+  private val alterDropConstraint = rx(
+    s"""^\\s*ALTER\\s+TABLE\\s+$P\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""")
+  private val showProps = rx(
+    s"""^\\s*SHOW\\s+TBLPROPERTIES\\s+$P\\s*;?\\s*$$""")
   // DML exists in Spark's own grammar — see [[claimableDml]]
   private val delete = rx(
     s"""^\\s*DELETE\\s+FROM\\s+$P(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$""")
@@ -137,6 +155,11 @@ object GraftSqlParser {
     if (cur.nonEmpty) out += cur.toString
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
+
+  private def unquote(s: String): String =
+    if (s.length >= 2 && "'\"`".contains(s.head) && s.last == s.head)
+      s.substring(1, s.length - 1)
+    else s
 
   private def parseAssignments(clause: String): Seq[(String, String)] =
     splitTopLevel(clause).map { item =>
@@ -199,6 +222,33 @@ object GraftSqlParser {
     val cv = convert.matcher(sqlText)
     if (cv.matches())
       return Some(GraftConvertCommand(pathOf(cv, 2), Option(cv.group(5)).map(_.trim)))
+    // ALTER TABLE / SHOW TBLPROPERTIES also exist in Spark's grammar, so
+    // they follow the same claim rule as DML
+    val asp = alterSetProps.matcher(sqlText)
+    if (asp.matches() && claimableDml(asp)) {
+      val props = splitTopLevel(asp.group(5)).map { item =>
+        val eq = item.indexOf('=')
+        require(eq > 0, s"malformed TBLPROPERTIES entry '$item' (expected key = value)")
+        (unquote(item.substring(0, eq).trim), unquote(item.substring(eq + 1).trim))
+      }
+      return Some(GraftAlterPropertiesCommand(pathOf(asp, 2), props, Nil))
+    }
+    val aup = alterUnsetProps.matcher(sqlText)
+    if (aup.matches() && claimableDml(aup))
+      return Some(GraftAlterPropertiesCommand(pathOf(aup, 2), Nil,
+        splitTopLevel(aup.group(5)).map(unquote)))
+    val aac = alterAddCols.matcher(sqlText)
+    if (aac.matches() && claimableDml(aac))
+      return Some(GraftAddColumnsCommand(pathOf(aac, 2), aac.group(5).trim))
+    val acc = alterAddConstraint.matcher(sqlText)
+    if (acc.matches() && claimableDml(acc))
+      return Some(GraftAddConstraintCommand(pathOf(acc, 2), acc.group(5), acc.group(6).trim))
+    val adc = alterDropConstraint.matcher(sqlText)
+    if (adc.matches() && claimableDml(adc))
+      return Some(GraftDropConstraintCommand(pathOf(adc, 2), adc.group(5)))
+    val sp = showProps.matcher(sqlText)
+    if (sp.matches() && claimableDml(sp))
+      return Some(GraftShowPropertiesCommand(pathOf(sp, 2)))
     val d = delete.matcher(sqlText)
     if (d.matches() && claimableDml(d))
       return Some(GraftDeleteCommand(pathOf(d, 2), Option(d.group(5)).map(_.trim)))

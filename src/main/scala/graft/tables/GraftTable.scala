@@ -117,6 +117,46 @@ class GraftTable private (val spark: SparkSession, val path: String) {
   def setProperties(props: Map[String, String]): Long =
     updateProperties(props, Set.empty, "SET TBLPROPERTIES")
 
+  /** Analogue of `ALTER TABLE ... UNSET TBLPROPERTIES` (metadata-only). */
+  def unsetProperties(keys: Set[String]): Long =
+    updateProperties(Map.empty, keys, "UNSET TBLPROPERTIES")
+
+  /** ALTER TABLE ADD COLUMNS: widen the schema by `cols` in a metadata-only
+    * commit — no file is touched; existing files read the new columns as
+    * null (the same old-files-as-null rule schema-merging appends rely on).
+    * Rejects a column that already exists (case-insensitively).
+    */
+  def addColumns(cols: org.apache.spark.sql.types.StructType): Long = {
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    val maxAttempts = 20
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempt += 1
+      val s = snapshot
+      // re-validate per attempt: a concurrent winner may have added one
+      val existing = s.schema.fieldNames.map(_.toLowerCase).toSet
+      val dup = cols.fieldNames.filter(c => existing.contains(c.toLowerCase))
+      require(dup.isEmpty, s"column(s) ${dup.mkString(", ")} already exist in $path")
+      val widened = org.apache.spark.sql.types.StructType(s.schema.fields ++ cols.fields)
+      val v = s.version + 1
+      try {
+        log.commit(v, Seq(
+          graft.tables.Metadata(widened.json, s.metadata.partitionColumns, s.metadata.properties),
+          CommitInfo(System.currentTimeMillis(), "ADD COLUMNS",
+            operationParameters = Map("columns" -> cols.fieldNames.mkString("[", ",", "]")))))
+        committed = v
+      } catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxAttempts)
+            throw new java.util.ConcurrentModificationException(
+              s"ADD COLUMNS on $path lost ${maxAttempts} version races in a row " +
+                s"(last at version ${e.version}); re-run the operation")
+      }
+    }
+    committed
+  }
+
   private def updateProperties(
       merge: Map[String, String], remove: Set[String], operation: String): Long = {
     // metadata-only commit commutes: on a lost race, re-read and reapply —

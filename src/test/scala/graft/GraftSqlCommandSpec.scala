@@ -159,6 +159,60 @@ class GraftSqlCommandSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  describe("ALTER TABLE and SHOW TBLPROPERTIES") {
+    it("parses the ALTER family with the same claim rule as DML") {
+      def parse(sql: String) = GraftSqlParser.parseMaintenance(sql)
+      assert(parse("ALTER TABLE '/tmp/t' SET TBLPROPERTIES ('a' = '1', b = c)") ==
+        Some(GraftAlterPropertiesCommand("/tmp/t", Seq("a" -> "1", "b" -> "c"), Nil)))
+      assert(parse("ALTER TABLE '/tmp/t' UNSET TBLPROPERTIES (a, 'b')") ==
+        Some(GraftAlterPropertiesCommand("/tmp/t", Nil, Seq("a", "b"))))
+      assert(parse("ALTER TABLE '/tmp/t' ADD COLUMNS (x INT, y STRING)") ==
+        Some(GraftAddColumnsCommand("/tmp/t", "x INT, y STRING")))
+      assert(parse("ALTER TABLE '/tmp/t' ADD CONSTRAINT pos CHECK (id > 0)") ==
+        Some(GraftAddConstraintCommand("/tmp/t", "pos", "id > 0")))
+      assert(parse("ALTER TABLE '/tmp/t' DROP CONSTRAINT pos") ==
+        Some(GraftDropConstraintCommand("/tmp/t", "pos")))
+      assert(parse("SHOW TBLPROPERTIES '/tmp/t'") ==
+        Some(GraftShowPropertiesCommand("/tmp/t")))
+      // catalog-shaped targets stay with Spark
+      assert(parse("ALTER TABLE `events` SET TBLPROPERTIES (a = 1)").isEmpty)
+      assert(parse("SHOW TBLPROPERTIES `events`").isEmpty)
+    }
+
+    it("round-trips properties, columns and constraints through SQL") {
+      val t = GraftTable.create(spark, tmpTableDir("sql-alter"),
+        Seq((1, "a"), (2, "b")).toDF("id", "name"))
+      GraftSql.sql(spark, s"ALTER TABLE '${t.path}' SET TBLPROPERTIES ('owner' = 'me')").collect()
+      val shown = GraftSql.sql(spark, s"SHOW TBLPROPERTIES '${t.path}'")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(shown("owner") == "me")
+      GraftSql.sql(spark, s"ALTER TABLE '${t.path}' UNSET TBLPROPERTIES (owner)").collect()
+      assert(!GraftTable.forPath(spark, t.path).snapshot.metadata.properties.contains("owner"))
+
+      GraftSql.sql(spark, s"ALTER TABLE '${t.path}' ADD COLUMNS (score DOUBLE)").collect()
+      val t2 = GraftTable.forPath(spark, t.path)
+      assert(t2.snapshot.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+      // existing rows read the new column as null; appends can fill it
+      assert(t2.toDF.filter($"score".isNull).count() == 2)
+      t2.append(Seq((3, "c", 0.5)).toDF("id", "name", "score"))
+      assert(t2.toDF.filter($"score".isNotNull).count() == 1)
+      // duplicate column rejected
+      val e = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, s"ALTER TABLE '${t.path}' ADD COLUMNS (NAME STRING)").collect()
+      }
+      assert(e.getMessage.contains("already exist"), e.getMessage)
+
+      GraftSql.sql(spark, s"ALTER TABLE '${t.path}' ADD CONSTRAINT pos CHECK (id > 0)").collect()
+      val bad = intercept[Exception] {
+        t2.append(Seq((-1, "bad", 1.0)).toDF("id", "name", "score"))
+      }
+      assert(graft.Causes.messages(bad).exists(_.contains("pos")), bad.getMessage)
+      GraftSql.sql(spark, s"ALTER TABLE '${t.path}' DROP CONSTRAINT pos").collect()
+      t2.append(Seq((-1, "ok-now", 1.0)).toDF("id", "name", "score"))
+      assert(GraftTable.forPath(spark, t.path).toDF.count() == 4)
+    }
+  }
+
   describe("CONVERT TO GRAFT") {
     import org.apache.spark.sql.functions.{col, format_string}
 

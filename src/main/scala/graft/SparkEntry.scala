@@ -1037,6 +1037,29 @@ object SparkEntry {
       }
     }),
 
+    "s23_sql_merge" -> ((s, dir) => {
+      // MERGE INTO as SQL: conditional delete + update + insert in ONE
+      // statement over the nation table, oracle recomputes the same state
+      val base = read(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("id"), col("n_name").as("name"))
+      () => {
+      val t = GraftTable.create(s, tmp("s23"), base)
+      base.filter(col("id") < 10)
+        .select(col("id"), concat(lit("U"), col("name")).as("name"), lit(false).as("del"))
+        .union(base.filter(col("id") >= 20 && col("id") < 25)
+          .select(col("id"), col("name"), lit(true).as("del")))
+        .union(base.filter(col("id") < 5)
+          .select((col("id") + 100).as("id"), lit("new").as("name"), lit(false).as("del")))
+        .createOrReplaceTempView("s23_src")
+      graft.sql.GraftSql.sql(s,
+        s"""MERGE INTO '${t.path}' AS tgt USING s23_src AS s ON tgt.id = s.id
+           |WHEN MATCHED AND s.del THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET name = s.name
+           |WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id, s.name)""".stripMargin).collect()
+      GraftTable.forPath(s, t.path).toDF.select(col("id"), col("name"))
+      }
+    }),
+
     "s22_sql_alter" -> ((s, dir) => {
       // ALTER TABLE SQL family: metadata-only ADD COLUMNS (existing rows
       // read null), SET TBLPROPERTIES round-tripped through SHOW
@@ -1604,6 +1627,13 @@ object SparkEntry {
       """SELECT CAST(r_regionkey AS BIGINT) AS id, r_name AS name,
         |       CAST(NULL AS BIGINT) AS bonus, CAST(1 AS BIGINT) AS n_props
         |FROM region""".stripMargin,
+    "s23_sql_merge" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |       CASE WHEN n_nationkey < 10 THEN 'U' || n_name ELSE n_name END AS name
+        |FROM nation WHERE NOT (n_nationkey >= 20 AND n_nationkey < 25)
+        |UNION ALL
+        |SELECT CAST(n_nationkey + 100 AS BIGINT) AS id, 'new' AS name
+        |FROM nation WHERE n_nationkey < 5""".stripMargin,
     "s16_replace_where" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS id,
         |       CASE WHEN o_orderkey <= 1000 THEN -o_totalprice

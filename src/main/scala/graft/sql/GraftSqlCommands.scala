@@ -96,6 +96,60 @@ case class GraftFsckCommand(path: String, dryRun: Boolean)
   }
 }
 
+/** One parsed `WHEN [NOT] MATCHED [AND cond] THEN <action>` clause.
+  * `set`/`values` are None for the `*` (all-columns) action forms.
+  */
+case class MergeClauseSpec(
+    matched: Boolean,
+    condition: Option[String],
+    action: String, // "update" | "delete" | "insert"
+    assignments: Option[Seq[(String, String)]])
+
+case class GraftMergeCommand(
+    path: String,
+    targetAlias: Option[String],
+    sourceQuery: Option[String],  // (subquery) form
+    sourceTable: Option[String],  // catalog table/view form
+    sourcePath: Option[String],   // quoted graft-table path form
+    sourceAlias: Option[String],
+    condition: String,
+    clauses: Seq[MergeClauseSpec])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("numTargetRowsUpdated", LongType, nullable = false)(),
+    AttributeReference("numTargetRowsDeleted", LongType, nullable = false)(),
+    AttributeReference("numTargetRowsInserted", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.operators.GraftMerge
+    val t = GraftTable.forPath(spark, path)
+    val source = (sourceQuery, sourceTable, sourcePath) match {
+      case (Some(q), _, _) => spark.sql(q)
+      case (_, Some(n), _) => spark.table(n)
+      case (_, _, Some(p)) => GraftTable.forPath(spark, p).toDF
+      case _ => throw new IllegalArgumentException("MERGE USING needs a source")
+    }
+    val builder = clauses.foldLeft(
+      GraftMerge(t, targetAlias.getOrElse("target"))
+        .merge(source, condition, sourceAlias)) { (b, c) =>
+      (c.matched, c.action, c.assignments) match {
+        case (true, "update", Some(set)) => b.whenMatchedUpdateExpr(set.toMap, c.condition)
+        case (true, "update", None)      => b.whenMatchedUpdateAll(c.condition)
+        case (true, "delete", _)         => b.whenMatchedDelete(c.condition)
+        case (false, "insert", Some(vs)) => b.whenNotMatchedInsertExpr(vs.toMap, c.condition)
+        case (false, "insert", None)     => b.whenNotMatchedInsertAll(c.condition)
+        case other => throw new IllegalArgumentException(s"unsupported MERGE clause: $other")
+      }
+    }
+    val v = builder.execute()
+    def metric(key: String): Long =
+      t.log.actionsAt(v).collectFirst { case ci: graft.tables.CommitInfo =>
+        ci.operationMetrics.get(key).map(_.toLong) }.flatten.getOrElse(0L)
+    Seq(Row(v, metric("numTargetRowsUpdated"), metric("numTargetRowsDeleted"),
+      metric("numTargetRowsInserted")))
+  }
+}
+
 case class GraftAlterPropertiesCommand(
     path: String, set: Seq[(String, String)], unset: Seq[String])
   extends LeafRunnableCommand {

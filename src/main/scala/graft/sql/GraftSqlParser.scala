@@ -18,6 +18,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   DESCRIBE HISTORY '<path>'
   *   DELETE FROM '<path>' [WHERE <predicate>]
   *   UPDATE '<path>' SET c1 = <expr> [, ...] [WHERE <predicate>]
+  *   MERGE INTO '<path>' [AS t] USING <table | (query) | '<path>'> [AS s]
+  *     ON <cond> WHEN [NOT] MATCHED [AND c] THEN
+  *     UPDATE SET *|assignments / DELETE / INSERT *|(cols) VALUES (exprs)
   *   CONVERT TO GRAFT '<path>' [PARTITIONED BY (c1 type, ...)]
   *   ALTER TABLE '<path>' SET TBLPROPERTIES (k = v, ...)
   *   ALTER TABLE '<path>' UNSET TBLPROPERTIES (k, ...)
@@ -98,6 +101,8 @@ object GraftSqlParser {
     s"""^\\s*ALTER\\s+TABLE\\s+$P\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""")
   private val showProps = rx(
     s"""^\\s*SHOW\\s+TBLPROPERTIES\\s+$P\\s*;?\\s*$$""")
+  private val merge = rx(
+    s"""^\\s*MERGE\\s+INTO\\s+$P(?:\\s+AS\\s+(\\w+))?\\s+USING\\s+(.+)$$""")
   // DML exists in Spark's own grammar — see [[claimableDml]]
   private val delete = rx(
     s"""^\\s*DELETE\\s+FROM\\s+$P(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$""")
@@ -154,6 +159,105 @@ object GraftSqlParser {
     }
     if (cur.nonEmpty) out += cur.toString
     out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Parse `USING <source> ON <cond> WHEN ... [WHEN ...]` — everything
+    * after the merge target. Clause boundaries are found with the same
+    * quote/paren-aware scan as WHERE/ZORDER, so keywords inside subqueries
+    * and string literals stay put.
+    */
+  private def parseMergeTail(rest: String):
+      Option[(Option[String], Option[String], Option[String], Option[String], String, Seq[MergeClauseSpec])] = {
+    val oi = topLevelIndexOf(rest, "ON")
+    if (oi < 0) return None
+    val (srcSpec, afterOn) = (rest.substring(0, oi).trim, rest.substring(oi + 2))
+    val wi = topLevelIndexOf(afterOn, "WHEN")
+    if (wi < 0) return None
+    val cond = afterOn.substring(0, wi).trim
+    if (cond.isEmpty) return None
+
+    // source: (subquery) | 'path' | identifier — each with optional [AS] alias
+    var query: Option[String] = None
+    var table: Option[String] = None
+    var path: Option[String] = None
+    var aliasPart = ""
+    if (srcSpec.startsWith("(")) {
+      var depth = 0; var inQ: Char = 0; var end = -1; var i = 0
+      while (i < srcSpec.length && end < 0) {
+        val c = srcSpec.charAt(i)
+        if (inQ != 0) { if (c == inQ) inQ = 0 }
+        else c match {
+          case '\'' | '"' | '`' => inQ = c
+          case '('              => depth += 1
+          case ')'              => depth -= 1; if (depth == 0) end = i
+          case _                => ()
+        }
+        i += 1
+      }
+      if (end < 0) return None
+      query = Some(srcSpec.substring(1, end).trim)
+      aliasPart = srcSpec.substring(end + 1).trim
+    } else {
+      val m = java.util.regex.Pattern.compile(s"^$P(.*)$$",
+        java.util.regex.Pattern.DOTALL).matcher(srcSpec)
+      if (m.matches()) { path = Some(pathOf(m, 2)); aliasPart = m.group(5).trim }
+      else {
+        val parts = srcSpec.split("\\s+", 2)
+        table = Some(parts(0)); aliasPart = if (parts.length > 1) parts(1).trim else ""
+      }
+    }
+    val alias = aliasPart.replaceFirst("(?i)^AS\\s+", "").trim match {
+      case "" => None
+      case a if a.matches("\\w+") => Some(a)
+      case _  => return None
+    }
+
+    // WHEN clauses: split at each top-level WHEN
+    var clausesText = afterOn.substring(wi)
+    val specs = scala.collection.mutable.Buffer[MergeClauseSpec]()
+    while (clausesText.nonEmpty) {
+      val next = topLevelIndexOf(clausesText.substring(4), "WHEN")
+      val (clause, restText) =
+        if (next < 0) (clausesText, "")
+        else (clausesText.substring(0, next + 4), clausesText.substring(next + 4))
+      specs += parseMergeClause(clause.trim).getOrElse(return None)
+      clausesText = restText
+    }
+    Some((query, table, path, alias, cond, specs.toSeq))
+  }
+
+  private def parseMergeClause(clause: String): Option[MergeClauseSpec] = {
+    val ti = topLevelIndexOf(clause, "THEN")
+    if (ti < 0) return None
+    val head = clause.substring(0, ti).trim
+    val action = clause.substring(ti + 4).trim.stripSuffix(";").trim
+    val hm = java.util.regex.Pattern.compile(
+      "(?is)^WHEN\\s+(NOT\\s+)?MATCHED(?:\\s+AND\\s+(.+))?$").matcher(head)
+    if (!hm.matches()) return None
+    val matched = hm.group(1) == null
+    val cond = Option(hm.group(2)).map(_.trim)
+    val upper = action.toUpperCase(java.util.Locale.ROOT)
+    if (matched && upper == "DELETE")
+      Some(MergeClauseSpec(matched, cond, "delete", None))
+    else if (matched && upper.matches("(?s)UPDATE\\s+SET\\s+\\*"))
+      Some(MergeClauseSpec(matched, cond, "update", None))
+    else if (matched && upper.startsWith("UPDATE"))
+      action.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "") match {
+        case body if body != action =>
+          Some(MergeClauseSpec(matched, cond, "update", Some(parseAssignments(body))))
+        case _ => None
+      }
+    else if (!matched && upper.matches("(?s)INSERT\\s+\\*"))
+      Some(MergeClauseSpec(matched, cond, "insert", None))
+    else if (!matched && upper.startsWith("INSERT")) {
+      val im = java.util.regex.Pattern.compile(
+        "(?is)^INSERT\\s*\\(([^)]*)\\)\\s*VALUES\\s*\\((.+)\\)$").matcher(action)
+      if (!im.matches()) return None
+      val cols = splitTopLevel(im.group(1)).map(_.stripPrefix("`").stripSuffix("`"))
+      val vals = splitTopLevel(im.group(2))
+      if (cols.size != vals.size) return None
+      Some(MergeClauseSpec(matched, cond, "insert", Some(cols.zip(vals))))
+    } else None
   }
 
   private def unquote(s: String): String =
@@ -249,6 +353,15 @@ object GraftSqlParser {
     val sp = showProps.matcher(sqlText)
     if (sp.matches() && claimableDml(sp))
       return Some(GraftShowPropertiesCommand(pathOf(sp, 2)))
+    val mg = merge.matcher(sqlText)
+    if (mg.matches() && claimableDml(mg)) {
+      parseMergeTail(mg.group(6)) match {
+        case Some((q, tbl, p, srcAlias, cond, clauses)) =>
+          return Some(GraftMergeCommand(pathOf(mg, 2), Option(mg.group(5)),
+            q, tbl, p, srcAlias, cond, clauses))
+        case None => () // malformed tail: fall through to Spark's parser
+      }
+    }
     val d = delete.matcher(sqlText)
     if (d.matches() && claimableDml(d))
       return Some(GraftDeleteCommand(pathOf(d, 2), Option(d.group(5)).map(_.trim)))

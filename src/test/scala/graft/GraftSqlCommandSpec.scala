@@ -159,6 +159,59 @@ class GraftSqlCommandSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  describe("MERGE INTO") {
+    def parse(sql: String) = GraftSqlParser.parseMaintenance(sql)
+
+    it("parses the full clause grammar") {
+      val m = parse(
+        """MERGE INTO '/tmp/t' AS tgt USING (SELECT * FROM src WHERE x ON y) AS s
+          |ON tgt.id = s.id
+          |WHEN MATCHED AND s.del = true THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET name = s.name, qty = tgt.qty + s.qty
+          |WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id, upper(s.name))""".stripMargin)
+      assert(m == Some(GraftMergeCommand("/tmp/t", Some("tgt"),
+        Some("SELECT * FROM src WHERE x ON y"), None, None, Some("s"),
+        "tgt.id = s.id",
+        Seq(
+          MergeClauseSpec(matched = true, Some("s.del = true"), "delete", None),
+          MergeClauseSpec(matched = true, None, "update",
+            Some(Seq("name" -> "s.name", "qty" -> "tgt.qty + s.qty"))),
+          MergeClauseSpec(matched = false, None, "insert",
+            Some(Seq("id" -> "s.id", "name" -> "upper(s.name)")))))), s"got $m")
+      assert(parse("MERGE INTO '/t' USING v ON a = b WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *") ==
+        Some(GraftMergeCommand("/t", None, None, Some("v"), None, None, "a = b",
+          Seq(MergeClauseSpec(matched = true, None, "update", None),
+            MergeClauseSpec(matched = false, None, "insert", None)))))
+      // catalog target stays with Spark
+      assert(parse("MERGE INTO `events` USING v ON a = b WHEN MATCHED THEN DELETE").isEmpty)
+    }
+
+    it("executes upsert + delete against a recomputation") {
+      val t = GraftTable.create(spark, tmpTableDir("sql-merge"),
+        (0 until 100).map(i => (i, s"v$i", 1)).toDF("id", "name", "qty").repartition(2))
+      (50 until 150).map(i => (i, s"n$i", 10, i % 10 == 0))
+        .toDF("id", "name", "qty", "del").createOrReplaceTempView("merge_src")
+      val r = GraftSql.sql(spark,
+        s"""MERGE INTO '${t.path}' AS tgt USING merge_src AS s ON tgt.id = s.id
+           |WHEN MATCHED AND s.del THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET name = s.name, qty = tgt.qty + s.qty
+           |WHEN NOT MATCHED AND NOT s.del THEN INSERT (id, name, qty) VALUES (s.id, s.name, s.qty)
+           |""".stripMargin).collect().head
+      // matched ids 50..99: 5 are del-multiples (50,60,70,80,90) → deleted;
+      // 45 updated. not-matched 100..149: 5 del-multiples skipped → 45 inserted
+      assert(r.getLong(1) == 45L, s"updated: $r")
+      assert(r.getLong(2) == 5L, s"deleted: $r")
+      assert(r.getLong(3) == 45L, s"inserted: $r")
+      val after = GraftTable.forPath(spark, t.path).toDF
+      assert(after.count() == 100 - 5 + 45)
+      assert(after.filter($"id" === 60).count() == 0)          // deleted
+      assert(after.filter($"id" === 55).select("qty").head.getInt(0) == 11) // updated
+      assert(after.filter($"id" === 101).select("name").head.getString(0) == "n101") // inserted
+      assert(after.filter($"id" === 10).select("name").head.getString(0) == "v10")   // untouched
+    }
+  }
+
   describe("ALTER TABLE and SHOW TBLPROPERTIES") {
     it("parses the ALTER family with the same claim rule as DML") {
       def parse(sql: String) = GraftSqlParser.parseMaintenance(sql)

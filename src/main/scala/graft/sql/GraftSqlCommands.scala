@@ -122,6 +122,20 @@ case class GraftMergeCommand(
     AttributeReference("numTargetRowsInserted", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.operators.GraftMerge
+    // first-match-wins clause evaluation: an unconditional clause followed
+    // by a conditional one of the same match-kind makes the later clause
+    // unreachable — reject it (Delta errors on this shape too) instead of
+    // silently updating rows the user meant to delete
+    Seq(true, false).foreach { kind =>
+      val ofKind = clauses.filter(_.matched == kind)
+      ofKind.zipWithIndex.foreach { case (c, i) =>
+        if (c.condition.isEmpty && i < ofKind.size - 1)
+          throw new IllegalArgumentException(
+            "only the LAST WHEN " + (if (kind) "MATCHED" else "NOT MATCHED") +
+              " clause may omit its AND condition — earlier clauses would " +
+              "shadow every later one")
+      }
+    }
     val t = GraftTable.forPath(spark, path)
     val source = (sourceQuery, sourceTable, sourcePath) match {
       case (Some(q), _, _) => spark.sql(q)
@@ -142,9 +156,10 @@ case class GraftMergeCommand(
       }
     }
     val v = builder.execute()
-    def metric(key: String): Long =
-      t.log.actionsAt(v).collectFirst { case ci: graft.tables.CommitInfo =>
-        ci.operationMetrics.get(key).map(_.toLong) }.flatten.getOrElse(0L)
+    val metrics = t.log.actionsAt(v)
+      .collectFirst { case ci: graft.tables.CommitInfo => ci.operationMetrics }
+      .getOrElse(Map.empty[String, String])
+    def metric(key: String): Long = metrics.get(key).map(_.toLong).getOrElse(0L)
     Seq(Row(v, metric("numTargetRowsUpdated"), metric("numTargetRowsDeleted"),
       metric("numTargetRowsInserted")))
   }

@@ -102,7 +102,7 @@ object GraftSqlParser {
   private val showProps = rx(
     s"""^\\s*SHOW\\s+TBLPROPERTIES\\s+$P\\s*;?\\s*$$""")
   private val merge = rx(
-    s"""^\\s*MERGE\\s+INTO\\s+$P(?:\\s+AS\\s+(\\w+))?\\s+USING\\s+(.+)$$""")
+    s"""^\\s*MERGE\\s+INTO\\s+$P(?:\\s+(?:AS\\s+)?(?!USING\\b)(\\w+))?\\s+USING\\s+(.+)$$""")
   // DML exists in Spark's own grammar — see [[claimableDml]]
   private val delete = rx(
     s"""^\\s*DELETE\\s+FROM\\s+$P(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$""")
@@ -111,16 +111,22 @@ object GraftSqlParser {
 
   /** First occurrence of `keyword` (an UPPERCASE word, possibly with
     * internal spaces) outside quotes/parens and on word boundaries, or -1.
-    * Clause boundaries (`WHERE`, `ZORDER BY`) must not match inside a
-    * string literal — `SET note = concat(note, ' where x')` has no WHERE
-    * clause.
+    * Clause boundaries (`WHERE`, `WHEN`, `ZORDER BY`) must not match inside
+    * a string literal — `SET note = concat(note, ' where x')` has no WHERE
+    * clause — and not inside a `CASE ... END` expression, whose own
+    * WHEN/THEN keywords are expression syntax, not clause syntax.
     */
   private[sql] def topLevelIndexOf(s: String, keyword: String): Int = {
     val upper = s.toUpperCase(java.util.Locale.ROOT)
     var depth = 0
+    var caseDepth = 0
     var inQ: Char = 0
     var i = 0
     def wordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    def wordAt(kw: String): Boolean =
+      upper.startsWith(kw, i) &&
+        (i == 0 || !wordChar(s.charAt(i - 1))) &&
+        (i + kw.length >= s.length || !wordChar(s.charAt(i + kw.length)))
     while (i < s.length) {
       val c = s.charAt(i)
       if (inQ != 0) { if (c == inQ) inQ = 0; i += 1 }
@@ -129,12 +135,27 @@ object GraftSqlParser {
         case '('              => depth += 1; i += 1
         case ')'              => depth -= 1; i += 1
         case _ =>
-          if (depth == 0 && upper.startsWith(keyword, i) &&
-              (i == 0 || !wordChar(s.charAt(i - 1))) &&
-              (i + keyword.length >= s.length || !wordChar(s.charAt(i + keyword.length))))
-            return i
-          i += 1
+          if (depth == 0 && caseDepth == 0 && wordAt(keyword)) return i
+          if (wordAt("CASE")) { caseDepth += 1; i += 4 }
+          else if (caseDepth > 0 && wordAt("END")) { caseDepth -= 1; i += 3 }
+          else i += 1
       }
+    }
+    -1
+  }
+
+  /** First `=` outside quotes, or -1 — a key/value or column/expression
+    * split must not cut inside a quoted token.
+    */
+  private def topLevelEq(s: String): Int = {
+    var inQ: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ != 0) { if (c == inQ) inQ = 0 }
+      else if (c == '\'' || c == '"' || c == '`') inQ = c
+      else if (c == '=') return i
+      i += 1
     }
     -1
   }
@@ -198,10 +219,14 @@ object GraftSqlParser {
       query = Some(srcSpec.substring(1, end).trim)
       aliasPart = srcSpec.substring(end + 1).trim
     } else {
-      val m = java.util.regex.Pattern.compile(s"^$P(.*)$$",
-        java.util.regex.Pattern.DOTALL).matcher(srcSpec)
-      if (m.matches()) { path = Some(pathOf(m, 2)); aliasPart = m.group(5).trim }
-      else {
+      val m = rx(s"^$P(.*)$$").matcher(srcSpec)
+      // same claim rule as targets: a quoted name is a graft path only when
+      // graft.-qualified or path-shaped — `my_view` is a catalog source
+      if (m.matches() && claimableDml(m)) {
+        path = Some(pathOf(m, 2)); aliasPart = m.group(5).trim
+      } else if (m.matches()) {
+        table = Some(pathOf(m, 2)); aliasPart = m.group(5).trim
+      } else {
         val parts = srcSpec.split("\\s+", 2)
         table = Some(parts(0)); aliasPart = if (parts.length > 1) parts(1).trim else ""
       }
@@ -267,7 +292,7 @@ object GraftSqlParser {
 
   private def parseAssignments(clause: String): Seq[(String, String)] =
     splitTopLevel(clause).map { item =>
-      val eq = item.indexOf('=')
+      val eq = topLevelEq(item)
       require(eq > 0, s"malformed SET assignment '$item' (expected col = expr)")
       (item.substring(0, eq).trim.stripPrefix("`").stripSuffix("`"),
         item.substring(eq + 1).trim)
@@ -331,7 +356,7 @@ object GraftSqlParser {
     val asp = alterSetProps.matcher(sqlText)
     if (asp.matches() && claimableDml(asp)) {
       val props = splitTopLevel(asp.group(5)).map { item =>
-        val eq = item.indexOf('=')
+        val eq = topLevelEq(item)
         require(eq > 0, s"malformed TBLPROPERTIES entry '$item' (expected key = value)")
         (unquote(item.substring(0, eq).trim), unquote(item.substring(eq + 1).trim))
       }

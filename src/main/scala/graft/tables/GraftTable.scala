@@ -128,41 +128,43 @@ class GraftTable private (val spark: SparkSession, val path: String) {
     */
   def addColumns(cols: org.apache.spark.sql.types.StructType): Long = {
     require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
-    val maxAttempts = 20
-    var attempt = 0
-    var committed = -1L
-    while (committed < 0) {
-      attempt += 1
-      val s = snapshot
+    val inListDup = cols.fieldNames.groupBy(_.toLowerCase).collect {
+      case (_, names) if names.length > 1 => names.head
+    }
+    require(inListDup.isEmpty,
+      s"ADD COLUMNS lists column(s) more than once: ${inListDup.mkString(", ")}")
+    retryMetadataCommit("ADD COLUMNS") { s =>
       // re-validate per attempt: a concurrent winner may have added one
       val existing = s.schema.fieldNames.map(_.toLowerCase).toSet
       val dup = cols.fieldNames.filter(c => existing.contains(c.toLowerCase))
       require(dup.isEmpty, s"column(s) ${dup.mkString(", ")} already exist in $path")
       val widened = org.apache.spark.sql.types.StructType(s.schema.fields ++ cols.fields)
-      val v = s.version + 1
-      try {
-        log.commit(v, Seq(
-          graft.tables.Metadata(widened.json, s.metadata.partitionColumns, s.metadata.properties),
-          CommitInfo(System.currentTimeMillis(), "ADD COLUMNS",
-            operationParameters = Map("columns" -> cols.fieldNames.mkString("[", ",", "]")))))
-        committed = v
-      } catch {
-        case e: CommitConflictException =>
-          if (attempt >= maxAttempts)
-            throw new java.util.ConcurrentModificationException(
-              s"ADD COLUMNS on $path lost ${maxAttempts} version races in a row " +
-                s"(last at version ${e.version}); re-run the operation")
-      }
+      Seq(
+        graft.tables.Metadata(widened.json, s.metadata.partitionColumns, s.metadata.properties),
+        CommitInfo(System.currentTimeMillis(), "ADD COLUMNS",
+          operationParameters = Map("columns" -> cols.fieldNames.mkString("[", ",", "]"))))
     }
-    committed
   }
 
   private def updateProperties(
-      merge: Map[String, String], remove: Set[String], operation: String): Long = {
-    // metadata-only commit commutes: on a lost race, re-read and reapply —
-    // but bounded by the same 20-attempt discipline as TableWriter, so a
-    // pathological writer storm surfaces ConcurrentModificationException
-    // instead of spinning forever
+      merge: Map[String, String], remove: Set[String], operation: String): Long =
+    retryMetadataCommit(operation) { s =>
+      Seq(
+        graft.tables.Metadata(s.metadata.schemaJson, s.metadata.partitionColumns,
+          (s.metadata.properties -- remove) ++ merge),
+        CommitInfo(System.currentTimeMillis(), operation,
+          operationParameters = Map("properties" -> (merge ++ remove.map(_ -> "<removed>")).toString)))
+    }
+
+  /** Retry discipline shared by every metadata-only commit (property
+    * updates, constraints, ADD COLUMNS): re-derive (and thereby
+    * RE-VALIDATE) the action set from a fresh snapshot on each lost
+    * version race — a blind retry could commit over a concurrent change
+    * the validation never saw — bounded at 20 attempts so a writer storm
+    * surfaces ConcurrentModificationException instead of spinning forever.
+    */
+  private def retryMetadataCommit(operation: String)(
+      mkActions: Snapshot => Seq[Action]): Long = {
     val maxAttempts = 20
     var attempt = 0
     var committed = -1L
@@ -171,11 +173,7 @@ class GraftTable private (val spark: SparkSession, val path: String) {
       val s = snapshot
       val v = s.version + 1
       try {
-        log.commit(v, Seq(
-          graft.tables.Metadata(s.metadata.schemaJson, s.metadata.partitionColumns,
-            (s.metadata.properties -- remove) ++ merge),
-          CommitInfo(System.currentTimeMillis(), operation,
-            operationParameters = Map("properties" -> (merge ++ remove.map(_ -> "<removed>")).toString))))
+        log.commit(v, mkActions(s))
         committed = v
       } catch {
         case e: CommitConflictException =>
@@ -204,12 +202,7 @@ class GraftTable private (val spark: SparkSession, val path: String) {
     // means rows may have changed since the scan, so each retry RE-VALIDATES
     // against the fresh snapshot before reapplying (a blind property retry
     // could commit the constraint over a concurrently appended violator)
-    val maxAttempts = 20
-    var attempt = 0
-    var committed = -1L
-    while (committed < 0) {
-      attempt += 1
-      val s = snapshot
+    retryMetadataCommit("ADD CONSTRAINT") { s =>
       if (GraftTable.constraintsOf(s.metadata.properties).contains(name))
         throw new IllegalArgumentException(
           s"CHECK constraint $name already exists on $path; drop it first " +
@@ -219,23 +212,13 @@ class GraftTable private (val spark: SparkSession, val path: String) {
       if (violations > 0)
         throw new IllegalArgumentException(
           s"cannot add CHECK constraint $name ($predicate): existing rows of $path violate it")
-      try {
-        log.commit(s.version + 1, Seq(
-          graft.tables.Metadata(s.metadata.schemaJson, s.metadata.partitionColumns,
-            s.metadata.properties +
-              (GraftTable.ConstraintPropertyPrefix + name -> predicate)),
-          CommitInfo(System.currentTimeMillis(), "ADD CONSTRAINT",
-            operationParameters = Map("name" -> name, "expr" -> predicate))))
-        committed = s.version + 1
-      } catch {
-        case e: CommitConflictException =>
-          if (attempt >= maxAttempts)
-            throw new java.util.ConcurrentModificationException(
-              s"ADD CONSTRAINT on $path lost ${maxAttempts} version races in a row " +
-                s"(last at version ${e.version}); re-run the operation")
-      }
+      Seq(
+        graft.tables.Metadata(s.metadata.schemaJson, s.metadata.partitionColumns,
+          s.metadata.properties +
+            (GraftTable.ConstraintPropertyPrefix + name -> predicate)),
+        CommitInfo(System.currentTimeMillis(), "ADD CONSTRAINT",
+          operationParameters = Map("name" -> name, "expr" -> predicate)))
     }
-    committed
   }
 
   /** DROP CONSTRAINT: removes the `graft.constraints.<name>` property;

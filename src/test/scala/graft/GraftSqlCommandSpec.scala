@@ -187,6 +187,39 @@ class GraftSqlCommandSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(parse("MERGE INTO `events` USING v ON a = b WHEN MATCHED THEN DELETE").isEmpty)
     }
 
+    it("handles CASE WHEN expressions, bare aliases, and catalog sources") {
+      // CASE WHEN inside SET must not be mistaken for a clause boundary
+      val m = parse(
+        "MERGE INTO '/t' tgt USING v s ON tgt.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET name = CASE WHEN s.x THEN 'a' ELSE 'b' END " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      assert(m == Some(GraftMergeCommand("/t", Some("tgt"), None, Some("v"), None,
+        Some("s"), "tgt.id = s.id",
+        Seq(MergeClauseSpec(matched = true, None, "update",
+          Some(Seq("name" -> "CASE WHEN s.x THEN 'a' ELSE 'b' END"))),
+          MergeClauseSpec(matched = false, None, "insert", None)))), s"got $m")
+      // backtick-quoted source is a CATALOG name unless graft-qualified
+      val m2 = parse("MERGE INTO '/t' USING `my_view` AS s ON a = s.b WHEN MATCHED THEN DELETE")
+      assert(m2.collect { case c: GraftMergeCommand => (c.sourceTable, c.sourcePath) } ==
+        Some((Some("my_view"), None)), s"got $m2")
+      val m3 = parse("MERGE INTO '/t' USING graft.`/src` s ON a = s.b WHEN MATCHED THEN DELETE")
+      assert(m3.collect { case c: GraftMergeCommand => c.sourcePath } ==
+        Some(Some("/src")), s"got $m3")
+    }
+
+    it("rejects an unconditional clause that shadows a later one") {
+      val t = GraftTable.create(spark, tmpTableDir("sql-merge-shadow"),
+        Seq((1, "a")).toDF("id", "name"))
+      Seq((1, "b", true)).toDF("id", "name", "del").createOrReplaceTempView("shadow_src")
+      val e = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark,
+          s"""MERGE INTO '${t.path}' AS tgt USING shadow_src AS s ON tgt.id = s.id
+             |WHEN MATCHED THEN UPDATE SET name = s.name
+             |WHEN MATCHED AND s.del THEN DELETE""".stripMargin).collect()
+      }
+      assert(e.getMessage.contains("LAST WHEN MATCHED"), e.getMessage)
+    }
+
     it("executes upsert + delete against a recomputation") {
       val t = GraftTable.create(spark, tmpTableDir("sql-merge"),
         (0 until 100).map(i => (i, s"v$i", 1)).toDF("id", "name", "qty").repartition(2))
@@ -249,11 +282,16 @@ class GraftSqlCommandSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(t2.toDF.filter($"score".isNull).count() == 2)
       t2.append(Seq((3, "c", 0.5)).toDF("id", "name", "score"))
       assert(t2.toDF.filter($"score".isNotNull).count() == 1)
-      // duplicate column rejected
+      // duplicate column rejected — against the schema AND within the list
       val e = intercept[IllegalArgumentException] {
         GraftSql.sql(spark, s"ALTER TABLE '${t.path}' ADD COLUMNS (NAME STRING)").collect()
       }
       assert(e.getMessage.contains("already exist"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark,
+          s"ALTER TABLE '${t.path}' ADD COLUMNS (extra INT, EXTRA STRING)").collect()
+      }
+      assert(e2.getMessage.contains("more than once"), e2.getMessage)
 
       GraftSql.sql(spark, s"ALTER TABLE '${t.path}' ADD CONSTRAINT pos CHECK (id > 0)").collect()
       val bad = intercept[Exception] {

@@ -362,6 +362,22 @@ class GraftSqlCommandSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  describe("CREATE TABLE AS SELECT") {
+    it("CTAS through USING graft materializes a real graft table") {
+      val loc = tmpTableDir("sql-ctas")
+      spark.sql(s"CREATE TABLE graft_ctas_spec USING graft LOCATION '$loc' " +
+        "AS SELECT id, id % 7 AS k FROM range(1000)")
+      try {
+        assert(spark.table("graft_ctas_spec").count() == 1000)
+        val t = GraftTable.forPath(spark, loc)
+        assert(t.version == 0L && t.toDF.count() == 1000)
+        // it is a full table: DML and history work on it
+        GraftSql.sql(spark, s"DELETE FROM '$loc' WHERE k = 0").collect()
+        assert(GraftTable.forPath(spark, loc).toDF.count() == 1000 - 143)
+      } finally spark.sql("DROP TABLE IF EXISTS graft_ctas_spec")
+    }
+  }
+
   describe("session extension registration") {
     it("spark.sql() understands the grammar when the extension is registered") {
       val t = GraftTable.create(spark, tmpTableDir("sql-ext"),

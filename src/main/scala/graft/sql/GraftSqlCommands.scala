@@ -261,6 +261,22 @@ case class GraftUpdateCommand(
   }
 }
 
+case class GraftDescribeDetailCommand(path: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("partitionColumns", ArrayType(StringType), nullable = false)(),
+    AttributeReference("properties", MapType(StringType, StringType), nullable = false)(),
+    AttributeReference("numFiles", LongType, nullable = false)(),
+    AttributeReference("sizeInBytes", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val s = GraftTable.forPath(spark, path).snapshot
+    Seq(Row("parquet+graftlog", path, s.metadata.partitionColumns,
+      s.metadata.properties, s.numFiles, s.sizeInBytes))
+  }
+}
+
 case class GraftDescribeHistoryCommand(path: String)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(

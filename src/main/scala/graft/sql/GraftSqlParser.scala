@@ -16,6 +16,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   RESTORE [TABLE] '<path>' [TO] TIMESTAMP AS OF '<ts>'
   *   FSCK REPAIR TABLE '<path>' [DRY RUN]
   *   DESCRIBE HISTORY '<path>'
+  *   DESCRIBE DETAIL '<path>'
   *   DELETE FROM '<path>' [WHERE <predicate>]
   *   UPDATE '<path>' SET c1 = <expr> [, ...] [WHERE <predicate>]
   *   MERGE INTO '<path>' [AS t] USING <table | (query) | '<path>'> [AS s]
@@ -87,6 +88,8 @@ object GraftSqlParser {
     s"""^\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$P(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""")
   private val history = rx(
     s"""^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$P\\s*;?\\s*$$""")
+  private val detail = rx(
+    s"""^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$P\\s*;?\\s*$$""")
   private val convert = rx(
     s"""^\\s*CONVERT\\s+TO\\s+GRAFT\\s+$P(?:\\s+PARTITIONED\\s+BY\\s+\\((.+?)\\))?\\s*;?\\s*$$""")
   private val alterSetProps = rx(
@@ -348,6 +351,9 @@ object GraftSqlParser {
     val h = history.matcher(sqlText)
     if (h.matches())
       return Some(GraftDescribeHistoryCommand(pathOf(h, 2)))
+    val dt = detail.matcher(sqlText)
+    if (dt.matches())
+      return Some(GraftDescribeDetailCommand(pathOf(dt, 2)))
     val cv = convert.matcher(sqlText)
     if (cv.matches())
       return Some(GraftConvertCommand(pathOf(cv, 2), Option(cv.group(5)).map(_.trim)))

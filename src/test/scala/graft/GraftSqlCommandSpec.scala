@@ -104,6 +104,18 @@ class GraftSqlCommandSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(GraftSql.sql(spark, s"VACUUM '${t.path}'").collect().head.getLong(0) == 0L)
     }
 
+    it("DESCRIBE DETAIL reports the snapshot summary") {
+      val t = GraftTable.create(spark, tmpTableDir("sql-detail"),
+        (0 until 50).map(i => (i, i % 5)).toDF("id", "part").repartition(2),
+        partitionColumns = Seq("part"))
+      val d = GraftSql.sql(spark, s"DESCRIBE DETAIL '${t.path}'").collect().head
+      assert(d.getString(0) == "parquet+graftlog")
+      assert(d.getString(1) == t.path)
+      assert(d.getSeq[String](2) == Seq("part"))
+      assert(d.getLong(4) == t.snapshot.numFiles)
+      assert(d.getLong(5) == t.snapshot.sizeInBytes)
+    }
+
     it("RESTORE and FSCK execute through SQL") {
       val t = GraftTable.create(spark, tmpTableDir("sql-restore"),
         Seq((1, "a")).toDF("id", "name").repartition(1))

@@ -152,7 +152,8 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       // checkpoint-scoped metadata dir: the source persists its offer
       // high-watermark here so budgeted restarts never regress below the
       // committed offset (see GraftStreamSource.writeWatermark)
-      metadataPath = Some(metadataPath))
+      metadataPath = Some(metadataPath),
+      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.trim.toLong))
   }
 
   private def pathOf(parameters: Map[String, String]): String = {

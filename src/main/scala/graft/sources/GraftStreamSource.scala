@@ -33,11 +33,12 @@ import graft.tables.{AddCDCFile, AddFile, GraftLog, GraftTable, RemoveFile}
   * native pinned-file-index parquet scan.
   *
   * Admission control: `option("maxVersionsPerTrigger", n)` (default 100)
-  * bounds how many commits one micro-batch may span, and
-  * `option("maxBytesPerTrigger", b)` additionally stops offering versions
-  * once the batch's admitted data/change file bytes (from commit-log
-  * metadata — no filesystem probing) exceed `b`; at least one version is
-  * always admitted so the stream cannot stall on a single large commit.
+  * bounds how many commits one micro-batch may span;
+  * `option("maxBytesPerTrigger", b)` and `option("maxFilesPerTrigger", f)`
+  * additionally stop offering versions once the batch's admitted
+  * data/change file bytes or counts (from commit-log metadata — no
+  * filesystem probing) exceed the budget; at least one version is always
+  * admitted so the stream cannot stall on a single large commit.
   * Together they are the analogue of Delta's `maxFilesPerTrigger` /
   * `maxBytesPerTrigger`: a stream recovering from downtime drains its
   * backlog in bounded micro-batches instead of one unbounded union (both
@@ -59,13 +60,16 @@ class GraftStreamSource(
     startingVersion: Option[Long],
     maxVersionsPerTrigger: Long = GraftStreamSource.DefaultMaxVersionsPerTrigger,
     maxBytesPerTrigger: Option[Long] = None,
-    metadataPath: Option[String] = None)
+    metadataPath: Option[String] = None,
+    maxFilesPerTrigger: Option[Long] = None)
   extends Source {
 
   require(maxVersionsPerTrigger > 0,
     s"maxVersionsPerTrigger must be positive, got $maxVersionsPerTrigger")
   require(maxBytesPerTrigger.forall(_ > 0),
     s"maxBytesPerTrigger must be positive, got ${maxBytesPerTrigger.get}")
+  require(maxFilesPerTrigger.forall(_ > 0),
+    s"maxFilesPerTrigger must be positive, got ${maxFilesPerTrigger.get}")
 
   private val spark = sqlContext.sparkSession
   private val log = new GraftLog(tablePath)
@@ -141,30 +145,34 @@ class GraftStreamSource(
     */
   private def admitThrough(base: Long, head: Long): Long = {
     val versionCapped = math.min(head, base + maxVersionsPerTrigger)
-    maxBytesPerTrigger match {
-      case None => versionCapped
-      case Some(budget) =>
-        var admitted = base
-        var bytes = 0L
-        val pending = log.versions().filter(v => v > base && v <= versionCapped)
-        pending.foreach { v =>
-          if (admitted == base || bytes < budget) {
-            val actions = log.actionsAt(v)
-            // OPTIMIZE rewrites contribute no rows to the stream (changesFor
-            // skips them) — charging their rewritten-file bytes would drain a
-            // compaction-heavy backlog one near-empty batch at a time
-            val layoutOnly = actions.collectFirst {
-              case c: graft.tables.CommitInfo => c.operation
-            }.contains("OPTIMIZE")
-            if (!layoutOnly) bytes += actions.collect {
-              case a: AddFile => a.size
-              case c: AddCDCFile => c.size
-            }.sum
-            admitted = v
-          }
+    if (maxBytesPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty) return versionCapped
+    var admitted = base
+    var bytes = 0L
+    var files = 0L
+    val pending = log.versions().filter(v => v > base && v <= versionCapped)
+    pending.foreach { v =>
+      val withinBudgets =
+        maxBytesPerTrigger.forall(bytes < _) && maxFilesPerTrigger.forall(files < _)
+      if (admitted == base || withinBudgets) {
+        val actions = log.actionsAt(v)
+        // OPTIMIZE rewrites contribute no rows to the stream (changesFor
+        // skips them) — charging their rewritten-file bytes/counts would
+        // drain a compaction-heavy backlog one near-empty batch at a time
+        val layoutOnly = actions.collectFirst {
+          case c: graft.tables.CommitInfo => c.operation
+        }.contains("OPTIMIZE")
+        if (!layoutOnly) {
+          bytes += actions.collect {
+            case a: AddFile => a.size
+            case c: AddCDCFile => c.size
+          }.sum
+          files += actions.count(a =>
+            a.isInstanceOf[AddFile] || a.isInstanceOf[AddCDCFile])
         }
-        if (admitted == base) versionCapped else admitted
+        admitted = v
+      }
     }
+    if (admitted == base) versionCapped else admitted
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

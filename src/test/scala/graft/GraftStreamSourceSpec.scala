@@ -232,6 +232,30 @@ class GraftStreamSourceSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(nonEmpty.forall(_.size == 1), s"budget of 1 byte must admit one version per batch: $nonEmpty")
   }
 
+  it("bounds catch-up batches by maxFilesPerTrigger") {
+    // 8 appended versions of 2 files each; a 3-file budget admits two
+    // versions per batch (2 files < 3 → admit next; 4 ≥ 3 → stop)
+    val (dir, t) = mkTable("gss_files")
+    (0 until 8).foreach(i =>
+      t.append(Seq((400 + i, s"f$i"), (500 + i, s"g$i")).toDF("id", "name").repartition(2)))
+    val batches = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Set[Long]]())
+    val query = spark.readStream.format("graft")
+      .option("startingVersion", 1)
+      .option("maxFilesPerTrigger", 3)
+      .load(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(batch.select($"_commit_version").collect().map(_.getLong(0)).toSet); ()
+      }.start()
+    try query.processAllAvailable() finally query.stop()
+    import scala.jdk.CollectionConverters._
+    val nonEmpty = batches.asScala.filter(_.nonEmpty)
+    assert(nonEmpty.flatten.toSet == (1L to 8L).toSet, s"lost versions: $nonEmpty")
+    assert(nonEmpty.forall(_.size <= 2), s"3-file budget must cap at two 2-file versions: $nonEmpty")
+    assert(nonEmpty.size >= 4, s"expected >=4 bounded batches, got $nonEmpty")
+  }
+
   it("never re-emits committed versions after a restart beyond the trigger budget") {
     // regression: a restarted source sees getOffset BEFORE any getBatch, so
     // without the persisted watermark a budget counted from startingVersion

@@ -1037,6 +1037,26 @@ object SparkEntry {
       }
     }),
 
+    "s24_cluster_by" -> ((s, dir) => {
+      // graft.clusterBy (liquid-clustering-lite): a scattered 8-shard
+      // supplier write re-bins RANGE-CLUSTERED on s_suppkey, so a point
+      // probe skips files that a round-robin layout could not
+      val base = read(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("id"), col("s_name").as("name"))
+      () => {
+      val t = GraftTable.create(s, tmp("s24"), base.repartition(8),
+        properties = Map(
+          graft.tables.TableWriter.OptimizeWriteProperty -> "true",
+          graft.tables.TableWriter.TargetFileSizeProperty -> "2048",
+          graft.tables.TableWriter.ClusterByProperty -> "id"))
+      val c = graft.tables.FileSkipping.classify(s, t.toDF, "id = 7")
+      val kept = graft.tables.FileSkipping.filesMatching(t.snapshot, c.all, None).size
+      t.toDF.select(col("id"), col("name"),
+        lit(t.snapshot.numFiles > 1).as("multi_file"),
+        lit(kept == 1).as("clustered_probe"))
+      }
+    }),
+
     "s23_sql_merge" -> ((s, dir) => {
       // MERGE INTO as SQL: conditional delete + update + insert in ONE
       // statement over the nation table, oracle recomputes the same state
@@ -1627,6 +1647,10 @@ object SparkEntry {
       """SELECT CAST(r_regionkey AS BIGINT) AS id, r_name AS name,
         |       CAST(NULL AS BIGINT) AS bonus, CAST(1 AS BIGINT) AS n_props
         |FROM region""".stripMargin,
+    "s24_cluster_by" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS id, s_name AS name,
+        |       true AS multi_file, true AS clustered_probe
+        |FROM supplier""".stripMargin,
     "s23_sql_merge" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,
         |       CASE WHEN n_nationkey < 10 THEN 'U' || n_name ELSE n_name END AS name

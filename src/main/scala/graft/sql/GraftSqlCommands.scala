@@ -31,8 +31,15 @@ case class GraftOptimizeCommand(
     val target = t.snapshot.metadata.properties
       .get(graft.tables.TableWriter.TargetFileSizeProperty).map(_.trim.toLong)
       .getOrElse(graft.tables.TableWriter.DefaultTargetFileSize)
+    // a clustered table's plain OPTIMIZE re-clusters on graft.clusterBy
+    // (Delta's CLUSTER BY shape) instead of round-robin compacting
+    val effectiveZorder =
+      if (zorderBy.nonEmpty) zorderBy
+      else t.snapshot.metadata.properties
+        .get(graft.tables.TableWriter.ClusterByProperty).toSeq
+        .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
     val v =
-      if (zorderBy.nonEmpty) TableOps.zorder(t, zorderBy, where, target)
+      if (effectiveZorder.nonEmpty) TableOps.zorder(t, effectiveZorder, where, target)
       else TableOps.compact(t, where, target)
     if (v == before) Seq(Row(v, 0L, 0L)) // no-op: nothing worth rewriting
     else {

@@ -378,7 +378,17 @@ object TableWriter {
       val totalBytes = candidates.map(_.size).sum
       val nOut = math.max(1L, math.ceil(totalBytes.toDouble / target).toLong).toInt
       val table = GraftTable.forPath(spark, tablePath)
-      val data = table.dfForFiles(snap, candidates).repartition(nOut)
+      val clusterCols = clusterByColumns(props, snap.schema)
+      val raw = table.dfForFiles(snap, candidates)
+      // honor graft.clusterBy here too: compaction must not round-robin
+      // away the clustering the write path maintains
+      val data =
+        if (clusterCols.nonEmpty)
+          raw.repartitionByRange(nOut, clusterCols.map(
+              org.apache.spark.sql.functions.col): _*)
+            .sortWithinPartitions(clusterCols.map(
+              org.apache.spark.sql.functions.col): _*)
+        else raw.repartition(nOut)
       write(spark, tablePath, data, Append,
         operation = "OPTIMIZE",
         operationParameters = Map("auto" -> "true", "predicate" -> "[]"),
@@ -462,6 +472,20 @@ object TableWriter {
   val OptimizeWriteProperty = "graft.optimizeWrite.enabled"
   val TargetFileSizeProperty = "graft.targetFileSizeBytes"
   val DefaultTargetFileSize: Long = 128L * 1024 * 1024
+  val ClusterByProperty = "graft.clusterBy"
+
+  /** Comma-separated [[ClusterByProperty]] columns, validated against
+    * `schema` (case-insensitively, resolving to the schema's spelling).
+    */
+  private[tables] def clusterByColumns(
+      props: Map[String, String], schema: StructType): Seq[String] =
+    props.get(ClusterByProperty).toSeq
+      .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .map { c =>
+        schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.name).getOrElse(
+          throw new IllegalArgumentException(
+            s"$ClusterByProperty column '$c' is not in the table schema"))
+      }
 
   /** When [[OptimizeWriteProperty]] is set on the table, rewrite the staged
     * parquet output into ~[[TargetFileSizeProperty]]-sized files (one
@@ -501,8 +525,16 @@ object TableWriter {
     if (nOut >= staged.size) return // already right-sized: skip the extra pass
     val df = spark.read.schema(schema).option("basePath", stagingDir).parquet(stagingDir)
     import org.apache.spark.sql.functions.{col, rand}
+    val clusterCols = clusterByColumns(props, schema)
     val rebinned =
-      if (partCols.nonEmpty)
+      if (clusterCols.nonEmpty)
+        // graft.clusterBy (liquid-clustering-lite): range-partition AND
+        // sort the re-bin on the cluster columns, so every commit's files
+        // carry tight, near-disjoint min/max on them — skipping stays
+        // effective continuously, with no standalone OPTIMIZE ZORDER pass
+        df.repartitionByRange(nOut, (partCols ++ clusterCols).map(col): _*)
+          .sortWithinPartitions((partCols ++ clusterCols).map(col): _*)
+      else if (partCols.nonEmpty)
         // range on (partCols, salt): each output slot holds a contiguous
         // slice sized by DATA, so a 10 GB partition value spans many bins
         // while small values pack together (partitionBy still splits the

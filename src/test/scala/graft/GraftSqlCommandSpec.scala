@@ -155,6 +155,27 @@ class GraftSqlCommandSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(e.getMessage.contains("nope"), e.getMessage)
     }
 
+    it("plain OPTIMIZE re-clusters on graft.clusterBy") {
+      import org.apache.spark.sql.functions.col
+      val shuffled = scala.util.Random.shuffle((0 until 8192).toList).map(i => (i, s"v$i"))
+      val t = GraftTable.create(spark, tmpTableDir("sql-opt-cluster"),
+        shuffled.toDF("id", "name").repartition(8),
+        properties = Map(graft.tables.TableWriter.ClusterByProperty -> "id",
+          graft.tables.TableWriter.TargetFileSizeProperty -> "32768"))
+      def survivors(cond: String): Int = {
+        val t2 = GraftTable.forPath(spark, t.path)
+        val c = graft.tables.FileSkipping.classify(spark, t2.toDF, cond)
+        graft.tables.FileSkipping.filesMatching(t2.snapshot, c.all, None).size
+      }
+      assert(survivors("id = 99") == 8, "scattered fixture must not skip")
+      GraftSql.sql(spark, s"OPTIMIZE '${t.path}'").collect()
+      val after = GraftTable.forPath(spark, t.path)
+      assert(after.snapshot.numFiles > 1, s"need multiple output files: ${after.snapshot.numFiles}")
+      assert(survivors("id = 99") <= 2,
+        s"OPTIMIZE on a clustered table must zorder: kept ${survivors("id = 99")}")
+      assert(after.toDF.count() == 8192)
+    }
+
     it("ZORDER BY through SQL clusters for skipping") {
       def rev(x: Int): Int = Integer.reverse(x) >>> (32 - 12)
       val rows = (0 until 4096).map(i => (i, rev(i)))

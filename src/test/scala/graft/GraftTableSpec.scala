@@ -489,6 +489,69 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(t2.toDF.count() == 11)
     }
 
+    it("clusterBy keeps per-file ranges tight through writes and compaction") {
+      import org.apache.spark.sql.functions.col
+      def survivors(t: GraftTable, cond: String): Int = {
+        val c = graft.tables.FileSkipping.classify(spark, t.toDF, cond)
+        graft.tables.FileSkipping.filesMatching(t.snapshot, c.all, None).size
+      }
+      // shuffled ids; target sized so the re-bin makes ~4 files. Without
+      // clustering every file spans the whole id range (nothing skips);
+      // with clusterBy the ranges are near-disjoint and a point probe
+      // keeps ~1 file
+      val shuffled = scala.util.Random.shuffle((0 until 20000).toList)
+        .map(i => (i, s"v$i"))
+      val t = GraftTable.create(spark, tmpTableDir("graft-clusterby"),
+        shuffled.toDF("id", "name").repartition(8),
+        properties = Map(
+          TableWriter.OptimizeWriteProperty -> "true",
+          TableWriter.TargetFileSizeProperty -> "65536",
+          TableWriter.ClusterByProperty -> "id"))
+      assert(t.snapshot.numFiles > 1, s"fixture needs several files: ${t.snapshot.numFiles}")
+      assert(survivors(t, "id = 17") <= 2,
+        s"clustered write must skip: kept ${survivors(t, "id = 17")} of ${t.snapshot.numFiles}")
+      assert(t.toDF.count() == 20000)
+
+      // autoCompact on the same table re-clusters instead of round-robining:
+      // the OPTIMIZE commit's own output files must carry near-disjoint id
+      // ranges (a point key falls inside exactly one file's [min,max])
+      val t2 = GraftTable.create(spark, tmpTableDir("graft-clusterby-ac"),
+        shuffled.take(4000).toDF("id", "name").repartition(1),
+        properties = Map(
+          TableWriter.AutoCompactProperty -> "true",
+          TableWriter.AutoCompactMinFilesProperty -> "3",
+          TableWriter.TargetFileSizeProperty -> "65536",
+          TableWriter.ClusterByProperty -> "id"))
+      (0 until 2).foreach(k => t2.append(
+        shuffled.slice(4000 + k * 4000, 8000 + k * 4000).toDF("id", "name").repartition(1)))
+      val t2r = GraftTable.forPath(spark, t2.path)
+      val optAdds = t2r.log.versions().flatMap(v => t2r.log.actionsAt(v)) match {
+        case actions =>
+          val byVersion = t2r.log.versions().map(v => t2r.log.actionsAt(v))
+          byVersion.find(_.collectFirst { case c: CommitInfo => c.operation }
+            .contains("OPTIMIZE"))
+            .map(_.collect { case a: AddFile => a }).getOrElse(Nil)
+      }
+      assert(optAdds.size > 1, s"expected a multi-file clustered compaction, got ${optAdds.size}")
+      val covering = optAdds.flatMap(a => GraftLog.parseStats(a.stats)).count { st =>
+        st.minValues.get("id").exists(_.toLong <= 17L) &&
+          st.maxValues.get("id").exists(_.toLong >= 17L)
+      }
+      assert(covering == 1,
+        s"clustered compaction must give near-disjoint ranges; $covering of ${optAdds.size} files cover id=17")
+      assert(t2r.toDF.count() == 12000)
+
+      // unknown cluster column fails the write loudly
+      val e = intercept[IllegalArgumentException] {
+        GraftTable.create(spark, tmpTableDir("graft-clusterby-bad"),
+          Seq((1, "a")).toDF("id", "name").repartition(2),
+          properties = Map(
+            TableWriter.OptimizeWriteProperty -> "true",
+            TableWriter.ClusterByProperty -> "nope"))
+      }
+      assert(e.getMessage.contains("nope"), e.getMessage)
+    }
+
     it("optimizeWrite preserves string partition values that look numeric") {
       import org.apache.spark.sql.functions.{col, format_string}
       // partition value "00" must stay the STRING "00" through the re-bin

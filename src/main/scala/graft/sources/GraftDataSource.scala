@@ -153,7 +153,10 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       // high-watermark here so budgeted restarts never regress below the
       // committed offset (see GraftStreamSource.writeWatermark)
       metadataPath = Some(metadataPath),
-      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.trim.toLong))
+      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.trim.toLong),
+      ignoreDeletes = parameters.get("ignoreDeletes").exists(_.trim.equalsIgnoreCase("true")),
+      skipChangeCommits =
+        parameters.get("skipChangeCommits").exists(_.trim.equalsIgnoreCase("true")))
   }
 
   private def pathOf(parameters: Map[String, String]): String = {

@@ -61,7 +61,9 @@ class GraftStreamSource(
     maxVersionsPerTrigger: Long = GraftStreamSource.DefaultMaxVersionsPerTrigger,
     maxBytesPerTrigger: Option[Long] = None,
     metadataPath: Option[String] = None,
-    maxFilesPerTrigger: Option[Long] = None)
+    maxFilesPerTrigger: Option[Long] = None,
+    ignoreDeletes: Boolean = false,
+    skipChangeCommits: Boolean = false)
   extends Source {
 
   require(maxVersionsPerTrigger > 0,
@@ -255,6 +257,13 @@ class GraftStreamSource(
         // the commit contributes nothing to the change stream — the same
         // skip the batch CDF reader applies (Delta: dataChange=false files)
         None
+      } else if (skipChangeCommits && removes.nonEmpty) {
+        // option("skipChangeCommits", true): data-CHANGING commits (delete,
+        // update, merge rewrites) are dropped from the stream wholesale —
+        // the caller has declared the stream append-only (Delta's option of
+        // the same name; unlike the legacy ignoreChanges it never re-emits
+        // the rewritten files' copied rows)
+        None
       } else if (cdc.nonEmpty) {
         val paths = cdc.map(p => new java.io.File(tablePath, p).toString)
         Some(widen(spark.read
@@ -262,12 +271,17 @@ class GraftStreamSource(
           .parquet(paths: _*)
           .withColumn("_commit_version", lit(v))))
       } else if (removes.nonEmpty) {
-        // rewriting commit without change files: the stream cannot represent
-        // the removed rows — failing loudly beats silently emitting wrong
-        // changes (Delta raises the same way for CDF gaps)
-        throw new IllegalStateException(
-          s"version $v of $tablePath removed files but wrote no change data; " +
-            "enable CDF (graft.enableChangeDataFeed) for streamed tables")
+        // pure delete with option("ignoreDeletes", true): skip the commit
+        // (Delta's option for retention deletes under an append-only reader)
+        if (ignoreDeletes && adds.isEmpty) None
+        else
+          // rewriting commit without change files: the stream cannot
+          // represent the removed rows — failing loudly beats silently
+          // emitting wrong changes (Delta raises the same way for CDF gaps)
+          throw new IllegalStateException(
+            s"version $v of $tablePath removed files but wrote no change data; " +
+              "enable CDF (graft.enableChangeDataFeed) for streamed tables, " +
+              "or set ignoreDeletes/skipChangeCommits to skip such commits")
       } else if (adds.nonEmpty) {
         // blind append: the added files ARE the change set
         val snap = table.snapshotAt(v)

@@ -171,7 +171,7 @@ object TableWriter {
         // counts (a 10k-file commit at ~10 ms/footer is 100 s serial, ~4 s
         // at 32-way I/O parallelism). Order is preserved (zip by index).
         val conf = spark.sessionState.newHadoopConf()
-        harvestParallel(moved) { rel =>
+        val harvested = harvestParallel(moved) { rel =>
           val abs = Paths.get(tablePath, rel)
           val stats = ParquetStats.forFile(abs.toString, conf)
           AddFile(
@@ -181,6 +181,14 @@ object TableWriter {
             stats = GraftLog.renderStats(stats)
           )
         }
+        // zero-record part files (a delete emptying its file, an empty
+        // shuffle slot) must not enter the table: each would be a
+        // permanent no-op scan task, and a full-file DELETE would read as
+        // a rewrite instead of a pure remove (breaking ignoreDeletes)
+        val (empty, real) = harvested.partition(a =>
+          GraftLog.parseStats(a.stats).exists(_.numRecords == 0L))
+        empty.foreach(a => Files.deleteIfExists(Paths.get(tablePath, a.path)))
+        real
       }
       // per-file bloom indexes when the table opts in (one extra pass over
       // the freshly written files — see BloomIndex)

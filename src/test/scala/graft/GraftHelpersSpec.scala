@@ -196,8 +196,12 @@ class GraftHelpersSpec extends AnyFunSpec with SparkSessionTestWrapper {
 
   describe("S2/S3 file sizes") {
     it("reports size/count/average and humanizes bytes") {
+      // repartitionByRange: round-robin's random start can collocate both
+      // rows (the empty shard is dropped from the commit) — range split is
+      // deterministic
       val t = GraftTable.create(spark, tmpTableDir("s2"),
-        Seq((1, "a"), (2, "b")).toDF("id", "name").repartition(2))
+        Seq((1, "a"), (2, "b")).toDF("id", "name")
+          .repartitionByRange(2, org.apache.spark.sql.functions.col("id")))
       val m = GraftHelpers.fileSizes(t)
       assert(m("number_of_files") == 2.0)
       assert(m("size_in_bytes") > 0)

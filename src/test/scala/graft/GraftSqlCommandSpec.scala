@@ -414,7 +414,8 @@ class GraftSqlCommandSpec extends AnyFunSpec with SparkSessionTestWrapper {
   describe("session extension registration") {
     it("spark.sql() understands the grammar when the extension is registered") {
       val t = GraftTable.create(spark, tmpTableDir("sql-ext"),
-        Seq((1, "a"), (2, "b")).toDF("id", "name").repartition(2))
+        Seq((1, "a"), (2, "b")).toDF("id", "name")
+          .repartitionByRange(2, org.apache.spark.sql.functions.col("id")))
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
       try {

@@ -232,12 +232,63 @@ class GraftStreamSourceSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(nonEmpty.forall(_.size == 1), s"budget of 1 byte must admit one version per batch: $nonEmpty")
   }
 
+  it("ignoreDeletes and skipChangeCommits skip what they claim, defaults stay loud") {
+    import org.apache.spark.sql.functions.col
+    def run(dir: String, opts: Map[String, String]): Either[String, Seq[Long]] = {
+      val batches = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[Set[Long]]())
+      val reader = opts.foldLeft(
+        spark.readStream.format("graft").option("startingVersion", 1)) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      val q = reader.load(dir).writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.add(b.select(col("_commit_version")).collect().map(_.getLong(0)).toSet); ()
+        }.start()
+      try { q.processAllAvailable(); import scala.jdk.CollectionConverters._
+        Right(batches.asScala.toSeq.flatten.sorted) }
+      catch { case e: Exception => Left(graft.Causes.messages(e).mkString("|")) }
+      finally q.stop()
+    }
+    // CDF OFF: v1 append, v2 pure DELETE, v3 append, v4 UPDATE rewrite, v5 append
+    val dir = tmpTableDir("gss_skipopts")
+    val t = GraftTable.create(spark, dir, Seq((0, "seed")).toDF("id", "name"))
+    t.append(Seq((1, "a")).toDF("id", "name"))                                // v1
+    graft.operators.TableOps.delete(t, Some("id = 0"))                        // v2
+    t.append(Seq((2, "b")).toDF("id", "name"))                                // v3
+    graft.operators.TableOps.update(t, Some("id = 2"), Map("name" -> "'B'"))  // v4
+    t.append(Seq((3, "c")).toDF("id", "name"))                                // v5
+
+    val loud = run(dir, Map.empty)
+    assert(loud.isLeft && loud.left.exists(_.contains("ignoreDeletes")),
+      s"default must fail on the delete commit: $loud")
+    val ign = run(dir, Map("ignoreDeletes" -> "true"))
+    assert(ign.isLeft, s"ignoreDeletes must still fail on the UPDATE rewrite: $ign")
+    val skip = run(dir, Map("skipChangeCommits" -> "true"))
+    assert(skip.isRight, s"skipChangeCommits must drain: $skip")
+    // only the append commits' rows arrive
+    val versions = skip.toOption.get
+    assert(versions.nonEmpty && versions.toSet.size >= 3,
+      s"append commits missing from the skipped stream: $versions")
+
+    // positive ignoreDeletes: a FULL-file delete (no surviving rows in the
+    // touched file → zero-record output dropped from the commit) is skipped
+    val dir2 = tmpTableDir("gss_puredelete")
+    val p = GraftTable.create(spark, dir2, Seq((0, "seed")).toDF("id", "name"))
+    p.append(Seq((1, "a"), (2, "b")).toDF("id", "name").repartition(1)) // v1: own file
+    graft.operators.TableOps.delete(p, Some("id >= 1 AND id <= 2"))     // v2: pure remove
+    p.append(Seq((3, "c")).toDF("id", "name"))                          // v3
+    val pure = run(dir2, Map("ignoreDeletes" -> "true"))
+    assert(pure == Right(Seq(1L, 3L)), s"pure delete must be skipped: $pure")
+  }
+
   it("bounds catch-up batches by maxFilesPerTrigger") {
     // 8 appended versions of 2 files each; a 3-file budget admits two
     // versions per batch (2 files < 3 → admit next; 4 ≥ 3 → stop)
     val (dir, t) = mkTable("gss_files")
     (0 until 8).foreach(i =>
-      t.append(Seq((400 + i, s"f$i"), (500 + i, s"g$i")).toDF("id", "name").repartition(2)))
+      t.append(Seq((400 + i, s"f$i"), (500 + i, s"g$i")).toDF("id", "name")
+        .repartitionByRange(2, org.apache.spark.sql.functions.col("id"))))
     val batches = java.util.Collections.synchronizedList(
       new java.util.ArrayList[Set[Long]]())
     val query = spark.readStream.format("graft")

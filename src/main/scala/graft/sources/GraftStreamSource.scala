@@ -157,12 +157,17 @@ class GraftStreamSource(
         maxBytesPerTrigger.forall(bytes < _) && maxFilesPerTrigger.forall(files < _)
       if (admitted == base || withinBudgets) {
         val actions = log.actionsAt(v)
-        // OPTIMIZE rewrites contribute no rows to the stream (changesFor
-        // skips them) — charging their rewritten-file bytes/counts would
-        // drain a compaction-heavy backlog one near-empty batch at a time
+        // commits changesFor will DROP contribute no rows, so charging
+        // their bytes/counts would drain the backlog one near-empty batch
+        // at a time: OPTIMIZE rewrites always, rewriting commits under
+        // skipChangeCommits, and pure deletes under ignoreDeletes
+        val removesAny = actions.exists(_.isInstanceOf[RemoveFile])
+        val addsAny = actions.exists(_.isInstanceOf[AddFile])
         val layoutOnly = actions.collectFirst {
           case c: graft.tables.CommitInfo => c.operation
-        }.contains("OPTIMIZE")
+        }.contains("OPTIMIZE") ||
+          (skipChangeCommits && removesAny) ||
+          (ignoreDeletes && removesAny && !addsAny)
         if (!layoutOnly) {
           bytes += actions.collect {
             case a: AddFile => a.size

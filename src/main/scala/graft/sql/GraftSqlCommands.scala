@@ -32,12 +32,23 @@ case class GraftOptimizeCommand(
       .get(graft.tables.TableWriter.TargetFileSizeProperty).map(_.trim.toLong)
       .getOrElse(graft.tables.TableWriter.DefaultTargetFileSize)
     // a clustered table's plain OPTIMIZE re-clusters on graft.clusterBy
-    // (Delta's CLUSTER BY shape) instead of round-robin compacting
+    // (Delta's CLUSTER BY shape) instead of round-robin compacting —
+    // resolved with the same case-insensitive rule as the write path, and
+    // only the zorder-supported columns (an unsupported-type cluster
+    // column degrades to plain compaction, never a hard failure)
     val effectiveZorder =
       if (zorderBy.nonEmpty) zorderBy
-      else t.snapshot.metadata.properties
-        .get(graft.tables.TableWriter.ClusterByProperty).toSeq
-        .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      else graft.tables.TableWriter
+        .clusterByColumns(t.snapshot.metadata.properties, t.snapshot.schema)
+        .filter { c =>
+          t.snapshot.schema(c).dataType match {
+            case _: org.apache.spark.sql.types.NumericType => true
+            case org.apache.spark.sql.types.DateType |
+                 org.apache.spark.sql.types.TimestampType |
+                 org.apache.spark.sql.types.StringType => true
+            case _ => false
+          }
+        }
     val v =
       if (effectiveZorder.nonEmpty) TableOps.zorder(t, effectiveZorder, where, target)
       else TableOps.compact(t, where, target)

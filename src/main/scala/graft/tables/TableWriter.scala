@@ -160,7 +160,7 @@ object TableWriter {
         // count) proportional to DATA SIZE, not writer parallelism. The
         // extra pass reads only this commit's own staged bytes.
         coalesceStaging(spark, staging, stagingDir, checkedDf.schema, partCols, effectiveProps,
-          operation)
+          operation, newSchema)
 
         // 2. move produced parquet files into the table dir
         val moved = moveDataFiles(Paths.get(stagingDir), Paths.get(tablePath))
@@ -389,12 +389,17 @@ object TableWriter {
       val clusterCols = clusterByColumns(props, snap.schema)
       val raw = table.dfForFiles(snap, candidates)
       // honor graft.clusterBy here too: compaction must not round-robin
-      // away the clustering the write path maintains
+      // away the clustering the write path maintains. Partition columns
+      // LEAD the range key (as in coalesceStaging): ranging on cluster
+      // cols alone would interleave every touched partition into every
+      // shard, and partitionBy would then re-split each shard per value —
+      // more small files out than in, so compaction never converges.
+      val rangeCols = snap.metadata.partitionColumns ++ clusterCols
       val data =
         if (clusterCols.nonEmpty)
-          raw.repartitionByRange(nOut, clusterCols.map(
+          raw.repartitionByRange(nOut, rangeCols.map(
               org.apache.spark.sql.functions.col): _*)
-            .sortWithinPartitions(clusterCols.map(
+            .sortWithinPartitions(rangeCols.map(
               org.apache.spark.sql.functions.col): _*)
         else raw.repartition(nOut)
       write(spark, tablePath, data, Append,
@@ -485,7 +490,7 @@ object TableWriter {
   /** Comma-separated [[ClusterByProperty]] columns, validated against
     * `schema` (case-insensitively, resolving to the schema's spelling).
     */
-  private[tables] def clusterByColumns(
+  private[graft] def clusterByColumns(
       props: Map[String, String], schema: StructType): Seq[String] =
     props.get(ClusterByProperty).toSeq
       .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
@@ -515,7 +520,8 @@ object TableWriter {
       schema: StructType,
       partCols: Seq[String],
       props: Map[String, String],
-      operation: String): Unit = {
+      operation: String,
+      tableSchema: StructType): Unit = {
     if (!props.get(OptimizeWriteProperty).exists(_.equalsIgnoreCase("true"))) return
     if (operation == "OPTIMIZE") return
     val target = props.get(TargetFileSizeProperty).map { raw =>
@@ -533,7 +539,12 @@ object TableWriter {
     if (nOut >= staged.size) return // already right-sized: skip the extra pass
     val df = spark.read.schema(schema).option("basePath", stagingDir).parquet(stagingDir)
     import org.apache.spark.sql.functions.{col, rand}
-    val clusterCols = clusterByColumns(props, schema)
+    // validate against the TABLE schema (a bad property must fail loudly),
+    // but cluster only on the columns THIS write carries — a narrower
+    // schema-merging append's missing cluster columns are all-null there,
+    // not an error
+    val clusterCols = clusterByColumns(props, tableSchema)
+      .filter(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
     val rebinned =
       if (clusterCols.nonEmpty)
         // graft.clusterBy (liquid-clustering-lite): range-partition AND

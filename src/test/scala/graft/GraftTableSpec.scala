@@ -525,13 +525,10 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       (0 until 2).foreach(k => t2.append(
         shuffled.slice(4000 + k * 4000, 8000 + k * 4000).toDF("id", "name").repartition(1)))
       val t2r = GraftTable.forPath(spark, t2.path)
-      val optAdds = t2r.log.versions().flatMap(v => t2r.log.actionsAt(v)) match {
-        case actions =>
-          val byVersion = t2r.log.versions().map(v => t2r.log.actionsAt(v))
-          byVersion.find(_.collectFirst { case c: CommitInfo => c.operation }
-            .contains("OPTIMIZE"))
-            .map(_.collect { case a: AddFile => a }).getOrElse(Nil)
-      }
+      val optAdds = t2r.log.versions().map(v => t2r.log.actionsAt(v))
+        .find(_.collectFirst { case c: CommitInfo => c.operation }
+          .contains("OPTIMIZE"))
+        .map(_.collect { case a: AddFile => a }).getOrElse(Nil)
       assert(optAdds.size > 1, s"expected a multi-file clustered compaction, got ${optAdds.size}")
       val covering = optAdds.flatMap(a => GraftLog.parseStats(a.stats)).count { st =>
         st.minValues.get("id").exists(_.toLong <= 17L) &&
@@ -540,6 +537,18 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(covering == 1,
         s"clustered compaction must give near-disjoint ranges; $covering of ${optAdds.size} files cover id=17")
       assert(t2r.toDF.count() == 12000)
+
+      // a narrower schema-merging append lacking the cluster column is a
+      // SUPPORTED write (its values are all null there) — it must re-bin
+      // without clustering, not fail
+      val t3 = GraftTable.create(spark, tmpTableDir("graft-clusterby-narrow"),
+        (0 until 200).map(i => (i, s"v$i", i)).toDF("id", "name", "extra").repartition(1),
+        properties = Map(
+          TableWriter.OptimizeWriteProperty -> "true",
+          TableWriter.ClusterByProperty -> "extra"))
+      t3.append((200 until 400).map(i => (i, s"v$i")).toDF("id", "name").repartition(8))
+      assert(t3.toDF.count() == 400)
+      assert(t3.toDF.filter($"extra".isNull).count() == 200)
 
       // unknown cluster column fails the write loudly
       val e = intercept[IllegalArgumentException] {

@@ -1037,6 +1037,28 @@ object SparkEntry {
       }
     }),
 
+    "m11_merge_by_source" -> ((s, dir) => {
+      // WHEN NOT MATCHED BY SOURCE: the classic sync-merge — rows absent
+      // from the source are deleted (id >= 20) or flagged stale, matched
+      // rows take the source name; oracle recomputes the same state
+      val base = read(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("id"), col("n_name").as("name"))
+      () => {
+      val t = GraftTable.create(s, tmp("m11"),
+        base.withColumn("status", lit("live")))
+      base.filter(col("id") < 15)
+        .select(col("id"), concat(lit("U"), col("name")).as("name"))
+        .createOrReplaceTempView("m11_src")
+      graft.sql.GraftSql.sql(s,
+        s"""MERGE INTO '${t.path}' AS tgt USING m11_src AS src ON tgt.id = src.id
+           |WHEN MATCHED THEN UPDATE SET name = src.name
+           |WHEN NOT MATCHED BY SOURCE AND tgt.id >= 20 THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'stale'""".stripMargin)
+        .collect()
+      GraftTable.forPath(s, t.path).toDF.select(col("id"), col("name"), col("status"))
+      }
+    }),
+
     "s24_cluster_by" -> ((s, dir) => {
       // graft.clusterBy (liquid-clustering-lite): a scattered 8-shard
       // supplier write re-bins RANGE-CLUSTERED on s_suppkey, so a point
@@ -1651,6 +1673,11 @@ object SparkEntry {
       """SELECT CAST(s_suppkey AS BIGINT) AS id, s_name AS name,
         |       true AS multi_file, true AS clustered_probe
         |FROM supplier""".stripMargin,
+    "m11_merge_by_source" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |       CASE WHEN n_nationkey < 15 THEN 'U' || n_name ELSE n_name END AS name,
+        |       CASE WHEN n_nationkey >= 15 THEN 'stale' ELSE 'live' END AS status
+        |FROM nation WHERE n_nationkey < 20""".stripMargin,
     "s23_sql_merge" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,
         |       CASE WHEN n_nationkey < 10 THEN 'U' || n_name ELSE n_name END AS name

@@ -46,6 +46,15 @@ object GraftMerge {
 
   case class MatchedClause(condition: Option[String], action: MatchedAction)
   case class NotMatchedClause(condition: Option[String], action: NotMatchedAction)
+  /** `WHEN NOT MATCHED BY SOURCE` (Delta 2.3 shape): acts on TARGET rows no
+    * source row matched — update (conditions/sets reference target columns
+    * only; the source side is all-null there) or delete. The classic use is
+    * sync-deletes: rows absent from the source leave the table.
+    */
+  case class NotMatchedBySourceClause(condition: Option[String], action: MatchedAction) {
+    require(action != UpdateAll,
+      "NOT MATCHED BY SOURCE has no source row to UPDATE SET * from")
+  }
 
   class Builder(table: GraftTable, targetAlias: String) {
     private var source: DataFrame = _
@@ -54,6 +63,7 @@ object GraftMerge {
     private var evolveSchema: Boolean = false
     private val matched = scala.collection.mutable.ArrayBuffer.empty[MatchedClause]
     private val notMatched = scala.collection.mutable.ArrayBuffer.empty[NotMatchedClause]
+    private val bySource = scala.collection.mutable.ArrayBuffer.empty[NotMatchedBySourceClause]
 
     def merge(source: DataFrame, condition: String, sourceAlias: Option[String] = None): Builder = {
       this.source = source; this.condition = condition; this.sourceAlias = sourceAlias; this
@@ -81,10 +91,17 @@ object GraftMerge {
     def whenNotMatchedInsertAll(condition: Option[String] = None): Builder = {
       notMatched += NotMatchedClause(condition, InsertAll); this
     }
+    def whenNotMatchedBySourceUpdateExpr(
+        set: Map[String, String], condition: Option[String] = None): Builder = {
+      bySource += NotMatchedBySourceClause(condition, UpdateExpr(set)); this
+    }
+    def whenNotMatchedBySourceDelete(condition: Option[String] = None): Builder = {
+      bySource += NotMatchedBySourceClause(condition, DeleteAction); this
+    }
 
     def execute(): Long =
       GraftMerge.execute(table, targetAlias, source, sourceAlias, condition,
-        matched.toSeq, notMatched.toSeq, evolveSchema)
+        matched.toSeq, notMatched.toSeq, evolveSchema, bySource.toSeq)
   }
 
   private val ActionCol = "__graft_action"
@@ -96,6 +113,7 @@ object GraftMerge {
   private val Drop = -1
   private def matchedCode(i: Int) = 100 + i
   private def insertCode(i: Int) = 200 + i
+  private def bySourceCode(i: Int) = 300 + i
 
   def execute(
       table: GraftTable,
@@ -105,7 +123,8 @@ object GraftMerge {
       condition: String,
       matched: Seq[MatchedClause],
       notMatched: Seq[NotMatchedClause],
-      evolveSchema: Boolean = false): Long = {
+      evolveSchema: Boolean = false,
+      bySource: Seq[NotMatchedBySourceClause] = Nil): Long = {
     val spark = table.spark
     val t0 = System.currentTimeMillis()
     val snap = table.snapshot
@@ -152,8 +171,14 @@ object GraftMerge {
         }
       }
 
-    val candidates = FileSkipping.filesMatching(snap, targetOnly ++ dynamicPreds,
-      Some(BloomIndex.ProbeContext(spark, table.path)))
+    // NOT MATCHED BY SOURCE inverts the pruning logic: the affected rows
+    // are exactly the ones the merge condition does NOT select, so
+    // condition-derived file skipping would hide them — every file is a
+    // candidate (Delta's by-source merges scan the full table likewise)
+    val candidates =
+      if (bySource.nonEmpty) snap.files
+      else FileSkipping.filesMatching(snap, targetOnly ++ dynamicPreds,
+        Some(BloomIndex.ProbeContext(spark, table.path)))
     val scanTime = System.currentTimeMillis() - t0
 
     // source is always aliased so UpdateAll/InsertAll can reference its side
@@ -175,7 +200,7 @@ object GraftMerge {
     // against the candidate scan and append just the insert rows — no touch
     // detection, no file rewrite, no removes (the dominant cost of an
     // appendWithoutDuplicates-style merge on a large table).
-    if (matched.isEmpty) {
+    if (matched.isEmpty && bySource.isEmpty) {
       val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       try {
         val tgtScanAll = table.dfForFiles(snap, candidates).alias(targetAlias)
@@ -246,19 +271,26 @@ object GraftMerge {
       .alias(targetAlias)
     val joined = candRows
       .join(srcDf, expr(condition), "full_outer")
-      .withColumn(ActionCol, actionExpr(matched, notMatched))
+      .withColumn(ActionCol, actionExpr(matched, notMatched, bySource))
       .localCheckpoint(false)
 
     try {
       // --- metrics from disposition counts (single pass over cached join) --
       val matchedCodes = matched.indices.map(matchedCode)
+      // by-source updates/deletes count and behave like their matched
+      // counterparts everywhere downstream (metrics, keep-filter, CDC)
       val updateCodes = matched.zipWithIndex.collect {
         case (MatchedClause(_, UpdateExpr(_) | UpdateAll), i) => matchedCode(i)
+      } ++ bySource.zipWithIndex.collect {
+        case (NotMatchedBySourceClause(_, UpdateExpr(_)), i) => bySourceCode(i)
       }
       val deleteCodes = matched.zipWithIndex.collect {
         case (MatchedClause(_, DeleteAction), i) => matchedCode(i)
+      } ++ bySource.zipWithIndex.collect {
+        case (NotMatchedBySourceClause(_, DeleteAction), i) => bySourceCode(i)
       }
       val insertCodes = notMatched.indices.map(insertCode)
+      val bySourceCodes = bySource.indices.map(bySourceCode)
       def inCodes(codes: Seq[Int]): Column =
         if (codes.isEmpty) lit(false)
         else col(ActionCol).isin(codes.map(Integer.valueOf): _*)
@@ -293,7 +325,7 @@ object GraftMerge {
       // and the driver receives one row per file name, so a 100k-file merge
       // never funnels every URI through a single aggregation buffer.
       val touchedUris: Set[String] =
-        joined.where(isPair).select(col(FileCol)).distinct()
+        joined.where(isPair || inCodes(bySourceCodes)).select(col(FileCol)).distinct()
           .collect().iterator.map(_.getString(0)).toSet
       val touched = TableWriter.resolveTouched(touchedUris, candidates)
 
@@ -324,7 +356,8 @@ object GraftMerge {
       // TgtExists id appears exactly once in every reachable configuration.
       val outCols = outFields.map { f =>
         val base = targetValue(f, targetCols, targetAlias)
-        outputColumn(f.name, base, srcAliasName, matched, notMatched, sourceColsRenamed)
+        outputColumn(f.name, base, srcAliasName, matched, notMatched, sourceColsRenamed,
+            bySource)
           .cast(f.dataType).as(f.name)
       }
       val targetKeep = touchedData
@@ -394,11 +427,14 @@ object GraftMerge {
   /** First-matching-clause disposition as a nested CASE expression. */
   private def actionExpr(
       matched: Seq[MatchedClause],
-      notMatched: Seq[NotMatchedClause]): Column = {
+      notMatched: Seq[NotMatchedClause],
+      bySource: Seq[NotMatchedBySourceClause] = Nil): Column = {
     val isMatched = col(TgtExists).isNotNull && col(SrcExists).isNotNull
     val isSrcOnly = col(TgtExists).isNull && col(SrcExists).isNotNull
+    val isTgtOnly = col(TgtExists).isNotNull && col(SrcExists).isNull
     var c: Column = lit(Copy)
-    // build in reverse so earlier clauses take precedence
+    // build in reverse so earlier clauses take precedence; the three row
+    // populations (pair / source-only / target-only) are disjoint
     c = notMatched.zipWithIndex.reverse.foldLeft(when(isSrcOnly, Drop).otherwise(c)) {
       case (acc, (cl, i)) =>
         val cond = isSrcOnly && cl.condition.map(expr).getOrElse(lit(true))
@@ -407,6 +443,10 @@ object GraftMerge {
     c = matched.zipWithIndex.reverse.foldLeft(c) { case (acc, (cl, i)) =>
       val cond = isMatched && cl.condition.map(expr).getOrElse(lit(true))
       when(cond, matchedCode(i)).otherwise(acc)
+    }
+    c = bySource.zipWithIndex.reverse.foldLeft(c) { case (acc, (cl, i)) =>
+      val cond = isTgtOnly && cl.condition.map(expr).getOrElse(lit(true))
+      when(cond, bySourceCode(i)).otherwise(acc)
     }
     c
   }
@@ -431,7 +471,8 @@ object GraftMerge {
       srcAlias: String,
       matched: Seq[MatchedClause],
       notMatched: Seq[NotMatchedClause],
-      sourceCols: Seq[String]): Column = {
+      sourceCols: Seq[String],
+      bySource: Seq[NotMatchedBySourceClause] = Nil): Column = {
     def sourceValue(action: Any): Column = action match {
       case UpdateExpr(set) =>
         set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => expr(v) }
@@ -455,6 +496,15 @@ object GraftMerge {
     }
     notMatched.zipWithIndex.foreach { case (cl, i) =>
       out = when(col(ActionCol) === insertCode(i), sourceValue(cl.action)).otherwise(out)
+    }
+    bySource.zipWithIndex.foreach { case (cl, i) =>
+      cl.action match {
+        case UpdateExpr(set) =>
+          val v = set.collectFirst { case (k, e) if k.equalsIgnoreCase(c) => expr(e) }
+            .getOrElse(base)
+          out = when(col(ActionCol) === bySourceCode(i), v).otherwise(out)
+        case _ => () // delete rows never reach the output projection
+      }
     }
     out
   }

@@ -114,14 +114,16 @@ case class GraftFsckCommand(path: String, dryRun: Boolean)
   }
 }
 
-/** One parsed `WHEN [NOT] MATCHED [AND cond] THEN <action>` clause.
-  * `set`/`values` are None for the `*` (all-columns) action forms.
+/** One parsed `WHEN [NOT] MATCHED [BY SOURCE|TARGET] [AND cond] THEN
+  * <action>` clause. `assignments` is None for the `*` (all-columns)
+  * action forms.
   */
 case class MergeClauseSpec(
     matched: Boolean,
     condition: Option[String],
     action: String, // "update" | "delete" | "insert"
-    assignments: Option[Seq[(String, String)]])
+    assignments: Option[Seq[(String, String)]],
+    bySource: Boolean = false)
 
 case class GraftMergeCommand(
     path: String,
@@ -144,16 +146,18 @@ case class GraftMergeCommand(
     // by a conditional one of the same match-kind makes the later clause
     // unreachable — reject it (Delta errors on this shape too) instead of
     // silently updating rows the user meant to delete
-    Seq(true, false).foreach { kind =>
-      val ofKind = clauses.filter(_.matched == kind)
-      ofKind.zipWithIndex.foreach { case (c, i) =>
-        if (c.condition.isEmpty && i < ofKind.size - 1)
-          throw new IllegalArgumentException(
-            "only the LAST WHEN " + (if (kind) "MATCHED" else "NOT MATCHED") +
-              " clause may omit its AND condition — earlier clauses would " +
-              "shadow every later one")
+    Seq(("MATCHED", (c: MergeClauseSpec) => c.matched),
+        ("NOT MATCHED", (c: MergeClauseSpec) => !c.matched && !c.bySource),
+        ("NOT MATCHED BY SOURCE", (c: MergeClauseSpec) => c.bySource))
+      .foreach { case (label, pick) =>
+        val ofKind = clauses.filter(pick)
+        ofKind.zipWithIndex.foreach { case (c, i) =>
+          if (c.condition.isEmpty && i < ofKind.size - 1)
+            throw new IllegalArgumentException(
+              s"only the LAST WHEN $label clause may omit its AND condition " +
+                "— earlier clauses would shadow every later one")
+        }
       }
-    }
     val t = GraftTable.forPath(spark, path)
     val source = (sourceQuery, sourceTable, sourcePath) match {
       case (Some(q), _, _) => spark.sql(q)
@@ -164,12 +168,16 @@ case class GraftMergeCommand(
     val builder = clauses.foldLeft(
       GraftMerge(t, targetAlias.getOrElse("target"))
         .merge(source, condition, sourceAlias)) { (b, c) =>
-      (c.matched, c.action, c.assignments) match {
-        case (true, "update", Some(set)) => b.whenMatchedUpdateExpr(set.toMap, c.condition)
-        case (true, "update", None)      => b.whenMatchedUpdateAll(c.condition)
-        case (true, "delete", _)         => b.whenMatchedDelete(c.condition)
-        case (false, "insert", Some(vs)) => b.whenNotMatchedInsertExpr(vs.toMap, c.condition)
-        case (false, "insert", None)     => b.whenNotMatchedInsertAll(c.condition)
+      (c.matched, c.bySource, c.action, c.assignments) match {
+        case (true, _, "update", Some(set)) => b.whenMatchedUpdateExpr(set.toMap, c.condition)
+        case (true, _, "update", None)      => b.whenMatchedUpdateAll(c.condition)
+        case (true, _, "delete", _)         => b.whenMatchedDelete(c.condition)
+        case (false, false, "insert", Some(vs)) =>
+          b.whenNotMatchedInsertExpr(vs.toMap, c.condition)
+        case (false, false, "insert", None) => b.whenNotMatchedInsertAll(c.condition)
+        case (false, true, "update", Some(set)) =>
+          b.whenNotMatchedBySourceUpdateExpr(set.toMap, c.condition)
+        case (false, true, "delete", _) => b.whenNotMatchedBySourceDelete(c.condition)
         case other => throw new IllegalArgumentException(s"unsupported MERGE clause: $other")
       }
     }

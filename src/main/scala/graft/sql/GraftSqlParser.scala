@@ -260,24 +260,29 @@ object GraftSqlParser {
     val head = clause.substring(0, ti).trim
     val action = clause.substring(ti + 4).trim.stripSuffix(";").trim
     val hm = java.util.regex.Pattern.compile(
-      "(?is)^WHEN\\s+(NOT\\s+)?MATCHED(?:\\s+AND\\s+(.+))?$").matcher(head)
+      "(?is)^WHEN\\s+(NOT\\s+)?MATCHED(?:\\s+BY\\s+(SOURCE|TARGET))?(?:\\s+AND\\s+(.+))?$")
+      .matcher(head)
     if (!hm.matches()) return None
     val matched = hm.group(1) == null
-    val cond = Option(hm.group(2)).map(_.trim)
+    val bySource = Option(hm.group(2)).exists(_.equalsIgnoreCase("SOURCE"))
+    if (matched && hm.group(2) != null) return None // MATCHED BY x is not SQL
+    val cond = Option(hm.group(3)).map(_.trim)
     val upper = action.toUpperCase(java.util.Locale.ROOT)
-    if (matched && upper == "DELETE")
-      Some(MergeClauseSpec(matched, cond, "delete", None))
-    else if (matched && upper.matches("(?s)UPDATE\\s+SET\\s+\\*"))
-      Some(MergeClauseSpec(matched, cond, "update", None))
-    else if (matched && upper.startsWith("UPDATE"))
+    val updatable = matched || bySource // DELETE/UPDATE forms
+    if (updatable && upper == "DELETE")
+      Some(MergeClauseSpec(matched, cond, "delete", None, bySource))
+    else if (updatable && upper.matches("(?s)UPDATE\\s+SET\\s+\\*"))
+      // UPDATE SET * has no source row in the by-source form — reject there
+      if (bySource) None else Some(MergeClauseSpec(matched, cond, "update", None))
+    else if (updatable && upper.startsWith("UPDATE"))
       action.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "") match {
         case body if body != action =>
-          Some(MergeClauseSpec(matched, cond, "update", Some(parseAssignments(body))))
+          Some(MergeClauseSpec(matched, cond, "update", Some(parseAssignments(body)), bySource))
         case _ => None
       }
-    else if (!matched && upper.matches("(?s)INSERT\\s+\\*"))
+    else if (!matched && !bySource && upper.matches("(?s)INSERT\\s+\\*"))
       Some(MergeClauseSpec(matched, cond, "insert", None))
-    else if (!matched && upper.startsWith("INSERT")) {
+    else if (!matched && !bySource && upper.startsWith("INSERT")) {
       val im = java.util.regex.Pattern.compile(
         "(?is)^INSERT\\s*\\(([^)]*)\\)\\s*VALUES\\s*\\((.+)\\)$").matcher(action)
       if (!im.matches()) return None

@@ -240,6 +240,35 @@ class GraftSqlCommandSpec extends AnyFunSpec with SparkSessionTestWrapper {
         Some(Some("/src")), s"got $m3")
     }
 
+    it("WHEN NOT MATCHED BY SOURCE syncs deletes and flags stale rows") {
+      val t = GraftTable.create(spark, tmpTableDir("sql-merge-bysource"),
+        (0 until 100).map(i => (i, s"v$i", "live")).toDF("id", "name", "status")
+          .repartition(2),
+        properties = Map("graft.enableChangeDataFeed" -> "true"))
+      // source covers ids 0..59: 40 target rows are NOT matched by source
+      (0 until 60).map(i => (i, s"n$i")).toDF("id", "name")
+        .createOrReplaceTempView("bysource_src")
+      val r = GraftSql.sql(spark,
+        s"""MERGE INTO '${t.path}' AS tgt USING bysource_src AS s ON tgt.id = s.id
+           |WHEN MATCHED THEN UPDATE SET name = s.name
+           |WHEN NOT MATCHED BY SOURCE AND tgt.id >= 90 THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'stale'
+           |""".stripMargin).collect().head
+      assert(r.getLong(1) == 60 + 30, s"updated (matched 60 + stale 30): $r")
+      assert(r.getLong(2) == 10L, s"deleted (ids 90..99): $r")
+      val after = GraftTable.forPath(spark, t.path).toDF
+      assert(after.count() == 90)
+      assert(after.filter($"status" === "stale").count() == 30)       // ids 60..89
+      assert(after.filter($"id" >= 90).count() == 0)
+      assert(after.filter($"id" === 10).select("name").head.getString(0) == "n10")
+      // CDF carries the by-source changes like any other
+      val cdf = spark.read.format("graft").option("readChangeFeed", "true")
+        .option("startingVersion", "1").load(t.path)
+      assert(cdf.filter($"_change_type" === "delete").count() == 10)
+      assert(cdf.filter($"_change_type" === "update_postimage" && $"status" === "stale")
+        .count() == 30)
+    }
+
     it("rejects an unconditional clause that shadows a later one") {
       val t = GraftTable.create(spark, tmpTableDir("sql-merge-shadow"),
         Seq((1, "a")).toDF("id", "name"))

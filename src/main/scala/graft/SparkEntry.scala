@@ -1134,6 +1134,30 @@ object SparkEntry {
       }
     }),
 
+    "s26_deletion_vectors" -> ((s, dir) => {
+      // merge-on-read DELETE (deletion vectors): the delete writes position
+      // sidecars, never data bytes — every data file path survives the
+      // delete unchanged (files_unchanged pins it) and the masked-row count
+      // equals the predicate's cardinality (dv_rows); reads subtract the
+      // positions via the anti-join leg, so the surviving rows match the
+      // plain SQL complement exactly
+      val base = read(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("id"),
+          col("o_totalprice").as("price"))
+      val t = GraftTable.create(s, tmp("s26"), base.repartition(4),
+        properties = Map(graft.tables.DeletionVectors.Property -> "true"))
+      () => {
+      val before = t.snapshot.files.map(_.path).toSet
+      TableOps.delete(t, Some("id % 4 = 1"))
+      val t2 = GraftTable.forPath(s, t.path)
+      val snap = t2.snapshot
+      val unchanged = snap.files.map(_.path).toSet == before
+      val dvRows = snap.files.flatMap(_.dv).map(_.cardinality).sum
+      t2.toDF.select(col("id"), col("price"),
+        lit(unchanged).as("files_unchanged"), lit(dvRows).as("dv_rows"))
+      }
+    }),
+
     "s20_sql_maintenance" -> ((s, dir) => {
       // SQL maintenance surface: OPTIMIZE + DESCRIBE HISTORY as SQL
       // statements (graft.sql.GraftSql / GraftSparkSessionExtension) — a
@@ -1656,6 +1680,11 @@ object SparkEntry {
       """SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
         |       CAST(1 AS BIGINT) AS n_files
         |FROM nation""".stripMargin,
+    "s26_deletion_vectors" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS id, o_totalprice AS price,
+        |       true AS files_unchanged,
+        |       (SELECT count(*) FROM orders WHERE o_orderkey % 4 = 1) AS dv_rows
+        |FROM orders WHERE o_orderkey % 4 <> 1""".stripMargin,
     "s20_sql_maintenance" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS id, r_name AS name,
         |       CAST(5 AS BIGINT) AS n_removed, CAST(1 AS BIGINT) AS n_added,

@@ -37,12 +37,19 @@ object TableOps {
     TouchedScan(candidates, TableWriter.resolveTouched(touchedFiles, candidates), scanTime)
   }
 
-  /** DELETE FROM table [WHERE condition]. Returns the committed version. */
+  /** DELETE FROM table [WHERE condition]. Returns the committed version.
+    *
+    * With `graft.enableDeletionVectors=true` the delete is MERGE-ON-READ:
+    * matched rows are masked via position sidecars instead of rewriting
+    * their files — O(deleted rows) written, zero data bytes rewritten
+    * (see [[graft.tables.DeletionVectors]]).
+    */
   def delete(table: GraftTable, condition: Option[String] = None): Long = {
     val spark = table.spark
     val t0 = System.currentTimeMillis()
     val snap = table.snapshot
     val cond = condition.getOrElse("true")
+    if (DeletionVectors.enabled(snap)) return dvDelete(table, snap, cond, t0)
 
     val TouchedScan(candidates, touched, scanTime) = scanTouched(table, snap, cond)
 
@@ -87,7 +94,184 @@ object TableOps {
     } finally touchedRows.unpersist()
   }
 
-  /** UPDATE table SET ... [WHERE condition]. Returns the committed version. */
+  /** Merge-on-read DELETE (deletion vectors): matched rows are recorded as
+    * positions in a `_dv` sidecar; matched files are re-added with a
+    * [[DvDescriptor]] (remove+add of the same path) and never rewritten.
+    * A file whose every remaining live row matches becomes a plain remove —
+    * no descriptor can be "all rows", and pure removes keep `ignoreDeletes`
+    * stream semantics intact.
+    */
+  private def dvDelete(table: GraftTable, snap: Snapshot, cond: String, t0: Long): Long = {
+    val spark = table.spark
+    val classified = FileSkipping.classify(spark, table.toDF, cond)
+    val candidates = FileSkipping.filesMatching(snap, classified.all,
+      Some(BloomIndex.ProbeContext(spark, table.path)))
+    val scanTime = System.currentTimeMillis() - t0
+
+    // candidate rows with (file, position) identity, existing DVs applied —
+    // so "newly deleted" below never re-records an already-masked row
+    val rows = DeletionVectors.scanWithPositions(table, snap, candidates)
+      .withColumn("__graft_del", coalesce(expr(cond), lit(false)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // per-file new-deletion counts: O(candidate files) driver rows
+      val counts = rows.where(col("__graft_del"))
+        .groupBy("__graft_file").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nDel = counts.values.sum
+      val affected = candidates.filter(f => counts.contains(f.path))
+      val (fullGone, partial) = affected.partition { f =>
+        val phys = GraftLog.parseStats(f.stats).map(_.numRecords).getOrElse(-1L)
+        val masked = f.dv.map(_.cardinality).getOrElse(0L)
+        phys >= 0 && counts(f.path) == phys - masked
+      }
+
+      val outCols = snap.schema.fieldNames.map(col).toSeq
+      val cdc = if (snap.cdfEnabled && nDel > 0)
+        Some(rows.where(col("__graft_del"))
+          .select(outCols :+ lit("delete").as("_change_type"): _*))
+      else None
+
+      // merged position sets for partially-affected files: prior sidecar
+      // entries (theirs only) ∪ this delete's new positions — ONE fresh
+      // sidecar per commit, so each file reads exactly one sidecar forever
+      val readds: Seq[AddFile] = if (partial.isEmpty) Nil else {
+        import spark.implicits._
+        val partialKeys = partial.map(_.path).toDF("__graft_file")
+        val newPos = rows.where(col("__graft_del"))
+          .join(broadcast(partialKeys), Seq("__graft_file"), "left_semi")
+          .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
+        val withPrior = partial.filter(_.dv.exists(_.cardinality > 0))
+        val merged =
+          if (withPrior.isEmpty) newPos
+          else newPos.unionByName(
+            DeletionVectors.positionsDF(spark, table.path, withPrior))
+        val sidecar = DeletionVectors.write(spark, table.path, merged)
+        partial.map { f =>
+          f.copy(dv = Some(DvDescriptor(sidecar,
+            counts(f.path) + f.dv.map(_.cardinality).getOrElse(0L))))
+        }
+      }
+
+      val metrics = Map(
+        "numDeletedRows" -> nDel.toString,
+        "numCopiedRows" -> "0",
+        "numRemovedFiles" -> fullGone.size.toString,
+        "numRemovedBytes" -> fullGone.map(_.size).sum.toString,
+        "numDeletionVectorsAdded" -> partial.count(_.dv.isEmpty).toString,
+        "numDeletionVectorsUpdated" -> partial.count(_.dv.isDefined).toString,
+        "executionTimeMs" -> (System.currentTimeMillis() - t0).toString,
+        "scanTimeMs" -> scanTime.toString,
+        "rewriteTimeMs" -> (System.currentTimeMillis() - t0 - scanTime).toString
+      )
+      TableWriter.write(spark, table.path,
+        table.dfForFiles(snap, Nil), TableWriter.Append,
+        operation = "DELETE",
+        operationParameters = Map("predicate" -> s"""["${cond}"]"""),
+        extraMetrics = metrics,
+        cdc = cdc,
+        // remove+add shape: partial files are removed AND re-added (with the
+        // new descriptor) in this commit — replay order puts removes before
+        // extraActions, so the re-add lands last and wins
+        removeFiles = (fullGone ++ partial).map(_.path),
+        extraActions = readds,
+        readFiles = candidates.map(_.path),
+        readVersion = Some(snap.version),
+        skipDataWrite = true)
+    } finally rows.unpersist()
+  }
+
+  /** Merge-on-read UPDATE: matched rows' old versions are masked exactly as
+    * [[dvDelete]] masks deletions; the updated row versions are appended as
+    * new files in the SAME commit (remove+re-add of masked files, plus
+    * plain adds). Unmatched rows are never read, copied or rewritten.
+    */
+  private def dvUpdate(table: GraftTable, snap: Snapshot, cond: String,
+      set: Map[String, String], t0: Long): Long = {
+    val spark = table.spark
+    val classified = FileSkipping.classify(spark, table.toDF, cond)
+    val candidates = FileSkipping.filesMatching(snap, classified.all,
+      Some(BloomIndex.ProbeContext(spark, table.path)))
+    val scanTime = System.currentTimeMillis() - t0
+
+    val rows = DeletionVectors.scanWithPositions(table, snap, candidates)
+      .withColumn("__graft_upd", coalesce(expr(cond), lit(false)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = rows.where(col("__graft_upd"))
+        .groupBy("__graft_file").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nUpd = counts.values.sum
+      val affected = candidates.filter(f => counts.contains(f.path))
+      val (fullGone, partial) = affected.partition { f =>
+        val phys = GraftLog.parseStats(f.stats).map(_.numRecords).getOrElse(-1L)
+        val masked = f.dv.map(_.cardinality).getOrElse(0L)
+        phys >= 0 && counts(f.path) == phys - masked
+      }
+
+      val fields = snap.schema.fieldNames.toSeq
+      val newCols = fields.map { c =>
+        set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => expr(v).as(c) }
+          .getOrElse(col(c).as(c))
+      }
+      val matched = rows.where(col("__graft_upd"))
+      val newRows = matched.select(newCols: _*)
+
+      val cdc = if (snap.cdfEnabled && nUpd > 0) {
+        val pre = matched.select(fields.map(col) :+ lit("update_preimage").as("_change_type"): _*)
+        val post = matched.select(newCols :+ lit("update_postimage").as("_change_type"): _*)
+        Some(pre.union(post))
+      } else None
+
+      val readds: Seq[AddFile] = if (partial.isEmpty) Nil else {
+        import spark.implicits._
+        val partialKeys = partial.map(_.path).toDF("__graft_file")
+        val newPos = matched
+          .join(broadcast(partialKeys), Seq("__graft_file"), "left_semi")
+          .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
+        val withPrior = partial.filter(_.dv.exists(_.cardinality > 0))
+        val merged =
+          if (withPrior.isEmpty) newPos
+          else newPos.unionByName(
+            DeletionVectors.positionsDF(spark, table.path, withPrior))
+        val sidecar = DeletionVectors.write(spark, table.path, merged)
+        partial.map { f =>
+          f.copy(dv = Some(DvDescriptor(sidecar,
+            counts(f.path) + f.dv.map(_.cardinality).getOrElse(0L))))
+        }
+      }
+
+      val metrics = Map(
+        "numUpdatedRows" -> nUpd.toString,
+        "numCopiedRows" -> "0",
+        "numRemovedFiles" -> fullGone.size.toString,
+        "numDeletionVectorsAdded" -> partial.count(_.dv.isEmpty).toString,
+        "numDeletionVectorsUpdated" -> partial.count(_.dv.isDefined).toString,
+        "executionTimeMs" -> (System.currentTimeMillis() - t0).toString,
+        "scanTimeMs" -> scanTime.toString,
+        "rewriteTimeMs" -> (System.currentTimeMillis() - t0 - scanTime).toString
+      )
+      TableWriter.write(spark, table.path, newRows, TableWriter.Append,
+        operation = "UPDATE",
+        operationParameters = Map("predicate" -> s"[$cond]"),
+        extraMetrics = metrics,
+        cdc = cdc,
+        removeFiles = (fullGone ++ partial).map(_.path),
+        extraActions = readds,
+        readFiles = candidates.map(_.path),
+        readVersion = Some(snap.version),
+        skipDataWrite = affected.isEmpty)
+    } finally rows.unpersist()
+  }
+
+  /** UPDATE table SET ... [WHERE condition]. Returns the committed version.
+    *
+    * With `graft.enableDeletionVectors=true` the update is MERGE-ON-READ:
+    * the matched rows' OLD versions are masked via position sidecars and
+    * only the NEW row versions are written — unmatched neighbors in the
+    * same files are never copied (at 100 TB, updating 0.1% of rows stops
+    * rewriting the other 99.9%).
+    */
   def update(table: GraftTable, condition: Option[String], set: Map[String, String]): Long = {
     val spark = table.spark
     val t0 = System.currentTimeMillis()
@@ -100,6 +284,7 @@ object TableOps {
     val unknown = set.keys.filterNot(k => snap.schema.fieldNames.exists(_.equalsIgnoreCase(k)))
     require(unknown.isEmpty,
       s"UPDATE SET references column(s) not in the table schema: ${unknown.mkString(", ")}")
+    if (DeletionVectors.enabled(snap)) return dvUpdate(table, snap, cond, set, t0)
 
     val TouchedScan(candidates, touched, scanTime) = scanTouched(table, snap, cond)
 
@@ -275,12 +460,16 @@ object TableOps {
         FileSkipping.filesMatching(snap, classified.all,
           Some(BloomIndex.ProbeContext(spark, table.path)))
       // bin-packing guard: already-right-sized files are left alone, so
-      // repeated OPTIMIZE runs don't churn the whole partition
-    }).filter(_.size < onlyFilesSmallerThan)
+      // repeated OPTIMIZE runs don't churn the whole partition — EXCEPT
+      // deletion-vector carriers, which OPTIMIZE always purges (rewriting
+      // them reclaims the masked rows' bytes and drops the read-side join)
+    }).filter(f => f.size < onlyFilesSmallerThan || f.dv.exists(_.cardinality > 0))
     val totalBytes = selected.map(_.size).sum
     // nothing to gain from compacting 0 or 1 file — return the current
-    // version without committing (repeated OPTIMIZE must not churn the log)
-    if (selected.size <= 1 || totalBytes == 0L) return snap.version
+    // version without committing (repeated OPTIMIZE must not churn the log);
+    // a single DV-carrying file is still worth rewriting (the purge)
+    val purging = selected.exists(_.dv.exists(_.cardinality > 0))
+    if ((selected.size <= 1 && !purging) || totalBytes == 0L) return snap.version
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt)
     val data = table.dfForFiles(snap, selected).repartition(nOut)
     TableWriter.write(spark, table.path, data, TableWriter.Append,
@@ -430,8 +619,13 @@ object TableOps {
   def fsck(table: GraftTable, dryRun: Boolean = false): Seq[String] = {
     import java.nio.file.Files
     val snap = table.snapshot
-    val missing = snap.files.filterNot(f =>
-      Files.exists(GraftTable.resolveDataPath(table.path, f.path)))
+    // a file is unreadable when its data bytes are gone OR its deletion
+    // vector sidecar is (the live-row set is no longer computable — keeping
+    // the reference would resurrect deleted rows or fail every scan)
+    val missing = snap.files.filterNot { f =>
+      Files.exists(GraftTable.resolveDataPath(table.path, f.path)) &&
+        f.dv.forall(d => Files.exists(GraftTable.resolveDataPath(table.path, d.path)))
+    }
     if (!dryRun && missing.nonEmpty) {
       TableWriter.write(table.spark, table.path,
         table.dfForFiles(snap, Nil), // no data written; satisfies the signature
@@ -628,7 +822,8 @@ object TableOps {
     val data = plan.deadFiles
       .filterNot(GraftTable.isExternalPath)
       .filter(rel => Files.exists(Paths.get(table.path, rel)))
-    val sidecars = bloomOrphanDirs(table, plan.liveSidecars).flatMap { dir =>
+    val sidecars = (bloomOrphanDirs(table, plan.liveSidecars) ++
+      dvOrphanDirs(table, plan.liveDvDirs)).flatMap { dir =>
       val files = Files.walk(dir)
       try {
         import scala.jdk.CollectionConverters._
@@ -663,18 +858,20 @@ object TableOps {
   }
 
   private case class VacuumPlan(
-      deadFiles: Seq[String], dropVersions: Seq[Long], liveSidecars: Set[String])
+      deadFiles: Seq[String], dropVersions: Seq[Long], liveSidecars: Set[String],
+      liveDvDirs: Set[String])
 
   private def vacuumPlan(log: GraftLog, retainVersion: Long): VacuumPlan = {
     val versions = log.versions()
     require(versions.contains(retainVersion), s"version $retainVersion does not exist")
     val keepVersions = versions.filter(_ >= retainVersion)
-    // files (and the bloom sidecars their stats reference) live in any
-    // retained snapshot — one snapshot pass collects both
+    // files (and the bloom/deletion-vector sidecars they reference) live in
+    // any retained snapshot — one snapshot pass collects all three
     val keepFiles: Seq[AddFile] = keepVersions.flatMap(v => log.snapshot(v).files)
     val live: Set[String] = keepFiles.map(_.path).toSet
     val liveSidecars: Set[String] =
       keepFiles.flatMap(f => GraftLog.parseStats(f.stats).flatMap(_.bloomSidecar)).toSet
+    val liveDvDirs: Set[String] = keepFiles.flatMap(_.dv.map(_.path)).toSet
     // change files of retained versions stay readable
     val liveCdc: Set[String] = keepVersions.flatMap { v =>
       log.actionsAt(v).collect { case c: AddCDCFile => c.path }
@@ -687,7 +884,32 @@ object TableOps {
         case c: AddCDCFile if !liveCdc.contains(c.path) => c.path
       }
     }.distinct
-    VacuumPlan(deadData, dropVersions, liveSidecars)
+    VacuumPlan(deadData, dropVersions, liveSidecars, liveDvDirs)
+  }
+
+  /** Deletion-vector sidecar dirs under `_dv/` referenced by NO retained
+    * file — same orphan discipline (and in-flight age guard) as the bloom
+    * sidecars: a young unreferenced dir may belong to a concurrent DELETE
+    * whose commit has not landed yet.
+    */
+  private def dvOrphanDirs(table: GraftTable, liveDvDirs: Set[String]): Seq[java.nio.file.Path] = {
+    import java.nio.file.{Files, Paths}
+    val dvRoot = Paths.get(table.path, graft.tables.DeletionVectors.DirName)
+    if (!Files.isDirectory(dvRoot)) return Nil
+    val liveNames = liveDvDirs
+      .filterNot(GraftTable.isExternalPath) // clone refs point into the source
+      .map(p => Paths.get(p).getFileName.toString)
+    val cutoff = System.currentTimeMillis() - BloomSidecarMinAgeMillis
+    val stream = Files.list(dvRoot)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala
+        .filter { p =>
+          !liveNames.contains(p.getFileName.toString) &&
+            (try Files.getLastModifiedTime(p).toMillis < cutoff
+             catch { case _: java.io.IOException => false })
+        }.toList
+    } finally stream.close()
   }
 
   /** VACUUM: physically delete data/change files no longer referenced by any
@@ -700,7 +922,8 @@ object TableOps {
   def vacuum(table: GraftTable, retainVersion: Long): Int = {
     import java.nio.file.{Files, Paths}
     val log = table.log
-    val VacuumPlan(deadData, dropVersions, liveSidecars) = vacuumPlan(log, retainVersion)
+    val VacuumPlan(deadData, dropVersions, liveSidecars, liveDvDirs) =
+      vacuumPlan(log, retainVersion)
     // checkpoint the horizon version: its log file becomes self-contained
     // (full metadata + live file set) so snapshot replay can start there
     val horizon = log.snapshot(retainVersion)
@@ -729,17 +952,18 @@ object TableOps {
     // out (their commits' files were all rewritten or vacuumed); a probe
     // only ever resolves ids that appear in live stats, so deleting a truly
     // orphaned dir cannot affect it. Same orphan set vacuumDryRun reports.
-    bloomOrphanDirs(table, liveSidecars).foreach { dir =>
-      // count the files inside (parts + markers), not the directory — the
-      // return contract is files deleted
-      val files = Files.walk(dir)
-      val n = try {
-        import scala.jdk.CollectionConverters._
-        files.iterator().asScala.count(Files.isRegularFile(_))
-      } finally files.close()
-      TableWriter.deleteRecursively(dir)
-      deleted += n
-    }
+    (bloomOrphanDirs(table, liveSidecars) ++ dvOrphanDirs(table, liveDvDirs))
+      .foreach { dir =>
+        // count the files inside (parts + markers), not the directory — the
+        // return contract is files deleted
+        val files = Files.walk(dir)
+        val n = try {
+          import scala.jdk.CollectionConverters._
+          files.iterator().asScala.count(Files.isRegularFile(_))
+        } finally files.close()
+        TableWriter.deleteRecursively(dir)
+        deleted += n
+      }
     deleted
   }
 

@@ -480,10 +480,32 @@ object GraftScanRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case l: LogicalRelation if l.relation.isInstanceOf[GraftRelation] =>
       val g = l.relation.asInstanceOf[GraftRelation]
-      // a time-travel relation pins its snapshot; the file index then never
-      // follows the log past the pinned version
-      l.copy(relation = nativeRelation(g.sqlContext.sparkSession, g.path,
-        g.versionAsOf.map(_ => g.readSnapshot)))
+      val spark = g.sqlContext.sparkSession
+      val snap = g.readSnapshot
+      if (snap.files.exists(_.dv.exists(_.cardinality > 0))) {
+        // deletion vectors present: the scan needs the masked two-leg plan
+        // (clean files plain, DV files anti-joined on row position) — built
+        // as a DataFrame, pre-optimized (this batch runs AFTER the pushdown
+        // batches), and grafted in under a Project that re-publishes the
+        // original output exprIds so references above stay valid
+        import org.apache.spark.sql.catalyst.expressions.Alias
+        import org.apache.spark.sql.catalyst.plans.logical.Project
+        val table = GraftTable.forPath(spark, g.path)
+        val sub = table.dfForFiles(snap, snap.files).queryExecution.optimizedPlan
+        val byName = sub.output.map(a => a.name.toLowerCase -> a).toMap
+        val aliases = l.output.map { orig =>
+          val n = byName.getOrElse(orig.name.toLowerCase, throw new IllegalStateException(
+            s"graft scan rewrite: column ${orig.name} of ${g.path} vanished from " +
+              "the current snapshot schema; refresh the cached plan"))
+          Alias(n, orig.name)(exprId = orig.exprId, qualifier = orig.qualifier)
+        }
+        Project(aliases, sub)
+      } else {
+        // a time-travel relation pins its snapshot; the file index then never
+        // follows the log past the pinned version
+        l.copy(relation = nativeRelation(spark, g.path,
+          g.versionAsOf.map(_ => snap)))
+      }
   }
 
   /** The physical-read shape of the table at `path`: partition columns land

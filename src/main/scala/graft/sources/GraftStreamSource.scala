@@ -161,8 +161,14 @@ class GraftStreamSource(
         // their bytes/counts would drain the backlog one near-empty batch
         // at a time: OPTIMIZE rewrites always, rewriting commits under
         // skipChangeCommits, and pure deletes under ignoreDeletes
-        val removesAny = actions.exists(_.isInstanceOf[RemoveFile])
-        val addsAny = actions.exists(_.isInstanceOf[AddFile])
+        val removedP = actions.collect { case r: RemoveFile => r.path }.toSet
+        val removesAny = removedP.nonEmpty
+        // DV re-adds of removed paths are not new data (same rule changesFor
+        // applies) — a dv-only delete must count as adds-free here too
+        val addsAny = actions.exists {
+          case a: AddFile => !removedP.contains(a.path)
+          case _          => false
+        }
         val layoutOnly = actions.collectFirst {
           case c: graft.tables.CommitInfo => c.operation
         }.contains("OPTIMIZE") ||
@@ -256,6 +262,11 @@ class GraftStreamSource(
       val cdc = actions.collect { case c: AddCDCFile => c.path }
       val adds = actions.collect { case a: AddFile => a }
       val removes = actions.collect { case r: RemoveFile => r }
+      // a deletion-vector update re-adds a REMOVED path with a new position
+      // mask — that add is part of the delete, not new data: classifying on
+      // it as a blind append would re-emit the file's surviving rows
+      val removedPaths = removes.map(_.path).toSet
+      val dataAdds = adds.filterNot(a => removedPaths.contains(a.path))
       val op = actions.collectFirst { case c: graft.tables.CommitInfo => c.operation }
       if (op.contains("OPTIMIZE")) {
         // layout-only rewrite (compaction / Z-order): rows are unchanged, so
@@ -277,8 +288,9 @@ class GraftStreamSource(
           .withColumn("_commit_version", lit(v))))
       } else if (removes.nonEmpty) {
         // pure delete with option("ignoreDeletes", true): skip the commit
-        // (Delta's option for retention deletes under an append-only reader)
-        if (ignoreDeletes && adds.isEmpty) None
+        // (Delta's option for retention deletes under an append-only reader);
+        // a DV-only delete qualifies — its re-adds carry no new rows
+        if (ignoreDeletes && dataAdds.isEmpty) None
         else
           // rewriting commit without change files: the stream cannot
           // represent the removed rows — failing loudly beats silently
@@ -287,10 +299,10 @@ class GraftStreamSource(
             s"version $v of $tablePath removed files but wrote no change data; " +
               "enable CDF (graft.enableChangeDataFeed) for streamed tables, " +
               "or set ignoreDeletes/skipChangeCommits to skip such commits")
-      } else if (adds.nonEmpty) {
+      } else if (dataAdds.nonEmpty) {
         // blind append: the added files ARE the change set
         val snap = table.snapshotAt(v)
-        Some(widen(table.dfForFiles(snap, adds)
+        Some(widen(table.dfForFiles(snap, dataAdds)
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(v))))
       } else None // metadata-only commit

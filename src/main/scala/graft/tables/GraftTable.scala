@@ -43,14 +43,21 @@ class GraftTable private (val spark: SparkSession, val path: String) {
     */
   def dfForFiles(snap: Snapshot, files: Seq[AddFile]): DataFrame = {
     val schema = snap.schema
-    if (files.isEmpty) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    } else {
-      val rel = graft.sources.GraftScanRewrite.nativeRelation(
-        spark, path, pinned = Some(snap.copy(files = files)))
-      org.apache.spark.sql.graft.SparkBridge.ofRelation(spark, rel)
-        .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-    }
+    // deletion-vector files take the masked leg (anti-join on row position);
+    // clean files — the overwhelming majority — stay on the plain scan and
+    // pay nothing (see DeletionVectors)
+    val (dvFiles, clean) = files.partition(_.dv.exists(_.cardinality > 0))
+    def plain(fs: Seq[AddFile]): DataFrame =
+      if (fs.isEmpty) {
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      } else {
+        val rel = graft.sources.GraftScanRewrite.nativeRelation(
+          spark, path, pinned = Some(snap.copy(files = fs)))
+        org.apache.spark.sql.graft.SparkBridge.ofRelation(spark, rel)
+          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      }
+    if (dvFiles.isEmpty) plain(files)
+    else plain(clean).unionByName(DeletionVectors.maskedRows(this, snap, dvFiles))
   }
 
   def dfForSnapshot(snap: Snapshot): DataFrame = dfForFiles(snap, snap.files)
@@ -292,7 +299,10 @@ object GraftTable {
       val stats = GraftLog.parseStats(f.stats)
         .map(s => GraftLog.renderStats(s.copy(bloom = Map.empty, bloomSidecar = None)))
         .getOrElse(f.stats)
-      f.copy(path = resolveDataPath(srcRoot, f.path).toString, stats = stats)
+      f.copy(path = resolveDataPath(srcRoot, f.path).toString, stats = stats,
+        // dv sidecars live in the SOURCE's _dv dir — absolutize like the
+        // data path so the clone keeps masking deleted rows
+        dv = f.dv.map(d => d.copy(path = resolveDataPath(srcRoot, d.path).toString)))
     }
     val log = new GraftLog(destPath)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(destPath))

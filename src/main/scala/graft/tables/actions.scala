@@ -35,13 +35,29 @@ case class Metadata(
   *   nullCount: {col: long}}` — same shape the reference parses from Delta
   * (`OperationMetricHelper.scala:78-82`), so log-analytics can
   * `from_json(col("add.stats"), ...)` identically.
+  *
+  * `dv` (absent on most files) attaches a deletion vector: rows at the
+  * positions recorded in the referenced sidecar are logically deleted and
+  * every read must filter them (merge-on-read — see [[DeletionVectors]]).
+  * A DV-updating commit re-adds the SAME data path with a new descriptor
+  * (plus a RemoveFile of it, Delta's remove+add shape), so snapshot replay
+  * replaces the entry in place.
   */
 case class AddFile(
     path: String,
     partitionValues: Map[String, String] = Map.empty,
     size: Long = 0L,
-    stats: String = ""
+    stats: String = "",
+    dv: Option[DvDescriptor] = None
 ) extends Action
+
+/** Deletion-vector reference carried by an [[AddFile]]: `path` is the
+  * table-relative (absolute for shallow-clone externals) parquet DIRECTORY
+  * holding `(file: string, pos: long)` deleted-row positions for the files
+  * re-added by one commit; `cardinality` is how many of THIS file's rows it
+  * marks deleted (physical numRecords − cardinality = live rows).
+  */
+case class DvDescriptor(path: String, cardinality: Long)
 
 /** A data file logically removed at this version (file stays on disk for
   * time travel / CDF until a vacuum, which this substrate does not implement).

@@ -1,0 +1,158 @@
+package graft.tables
+
+import org.apache.spark.sql.types.{Metadata => FieldMetadata, MetadataBuilder, StructField, StructType}
+
+/** Column mapping ("name mode") — metadata-only RENAME / DROP COLUMN, the
+  * Delta `delta.columnMapping.mode=name` capability re-built for the graft
+  * substrate. At 100 TB the point is absolute: renaming a column must be a
+  * one-line log commit, never a table rewrite.
+  *
+  * Model: every schema field has a PHYSICAL name — the column name actually
+  * stored in parquet files — defaulting to its own (logical) name and
+  * recorded in the field's metadata under [[PhysicalNameKey]] once the two
+  * diverge. Physical names are immutable for the life of a column:
+  *  - RENAME changes only the logical name, pinning the physical one;
+  *  - DROP removes the field and retires its physical name into
+  *    [[DroppedProperty]] so a later column of the same logical name gets a
+  *    FRESH `col_<uuid>` physical name (old files' bytes never resurface
+  *    under the new column);
+  *  - ADD (explicit or append schema-merge) assigns `col_<uuid>` only on a
+  *    collision with a live or retired physical name.
+  *
+  * Boundary discipline: the entire engine — operators, merge, CDC assembly,
+  * SQL — speaks LOGICAL names. Exactly two layers translate: the staged
+  * write (logical → physical column rename just before parquet) and scan
+  * construction (relation built on the physical schema, aliased back to
+  * logical directly above). Files written before a table ever renamed have
+  * physical == logical, so unmapped tables take byte-identical code paths.
+  */
+object ColumnMapping {
+
+  /** Table property marking the mapping mode (`name` once any rename/drop
+    * has happened; absent = identity mapping).
+    */
+  val ModeProperty = "graft.columnMapping.mode"
+
+  /** Comma-joined physical names retired by DROP COLUMN. */
+  val DroppedProperty = "graft.columnMapping.droppedPhysicalNames"
+
+  /** StructField-metadata key carrying the physical name when it differs
+    * from the logical one (Delta stores its mapping the same way).
+    */
+  val PhysicalNameKey = "graft.columnMapping.physicalName"
+
+  def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  /** True when any field's physical name differs from its logical one. */
+  def isMapped(schema: StructType): Boolean =
+    schema.fields.exists(f => physicalName(f) != f.name)
+
+  /** The schema as stored in parquet: logical names replaced by physical.
+    * Field metadata is dropped (it is a log-level concern; the files know
+    * nothing of it).
+    */
+  def physicalSchema(schema: StructType): StructType =
+    StructType(schema.fields.map(f =>
+      StructField(physicalName(f), f.dataType, f.nullable)))
+
+  /** logical → physical name map (logical keys as-is). */
+  def logicalToPhysical(schema: StructType): Map[String, String] =
+    schema.fields.map(f => f.name -> physicalName(f)).toMap
+
+  def withPhysicalName(f: StructField, physical: String): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putString(PhysicalNameKey, physical).build())
+
+  def droppedPhysicals(properties: Map[String, String]): Set[String] =
+    properties.get(DroppedProperty)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  /** Assign physical names to fields newly APPENDED to `current` (explicit
+    * ADD COLUMNS or append schema-merge): identity unless the logical name
+    * collides — case-insensitively — with a live or retired physical name,
+    * in which case a fresh `col_<uuid>` is minted. No-op for tables that
+    * never mapped (no retired names, no divergent physicals → no collision
+    * beyond the duplicate-column check upstream).
+    */
+  def assignPhysicalNames(
+      current: StructType,
+      appended: Seq[StructField],
+      properties: Map[String, String]): Seq[StructField] = {
+    val taken = current.fields.map(f => physicalName(f).toLowerCase).toSet ++
+      droppedPhysicals(properties).map(_.toLowerCase)
+    appended.map { f =>
+      if (f.metadata.contains(PhysicalNameKey)) f
+      else if (taken.contains(f.name.toLowerCase))
+        withPhysicalName(f, s"col_${java.util.UUID.randomUUID()}")
+      else f
+    }
+  }
+
+  /** Rename `df`'s columns (a subset of `schema`'s logical names, matched
+    * case-insensitively) to their physical names — the write boundary's
+    * translation. Identity (and alias-free) when nothing is mapped.
+    */
+  def toPhysical(df: org.apache.spark.sql.DataFrame, schema: StructType)
+      : org.apache.spark.sql.DataFrame = {
+    if (!isMapped(schema)) return df
+    val byLogical = schema.fields.map(f => f.name.toLowerCase -> physicalName(f)).toMap
+    import org.apache.spark.sql.functions.col
+    df.select(df.columns.map { c =>
+      byLogical.get(c.toLowerCase) match {
+        case Some(p) if p != c => col(s"`$c`").as(p)
+        case _                 => col(s"`$c`")
+      }
+    }.toIndexedSeq: _*)
+  }
+
+  /** Rename `df`'s PHYSICAL columns back to their logical names — the read
+    * boundary's translation (CDF assembly, stream change reads). Columns not
+    * in `schema`'s mapping (e.g. `_change_type`, or a column dropped after
+    * the read range) pass through untouched. Identity when nothing is
+    * mapped, so unmapped tables keep their exact current plans.
+    */
+  def toLogical(df: org.apache.spark.sql.DataFrame, schema: StructType)
+      : org.apache.spark.sql.DataFrame = {
+    if (!isMapped(schema)) return df
+    val byPhysical = schema.fields
+      .map(f => physicalName(f).toLowerCase -> f.name).toMap
+    import org.apache.spark.sql.functions.col
+    df.select(df.columns.map { c =>
+      byPhysical.get(c.toLowerCase) match {
+        case Some(l) if l != c => col(s"`$c`").as(l)
+        case _                 => col(s"`$c`")
+      }
+    }.toIndexedSeq: _*)
+  }
+
+  /** The PHYSICAL names of the table's partition columns (metadata stores
+    * the logical names; file paths and `partitionValues` keys are physical).
+    */
+  def physicalPartitionColumns(schema: StructType, partCols: Seq[String]): Seq[String] =
+    partCols.map(c =>
+      schema.fields.find(_.name.equalsIgnoreCase(c))
+        .map(physicalName).getOrElse(c))
+
+  /** Columns of `properties` a rename/drop must not touch: CHECK-constraint
+    * references, bloom-indexed columns, clusterBy columns. Returning the
+    * offending (property, reference) pairs keeps the error message exact.
+    */
+  def propertyReferences(
+      spark: org.apache.spark.sql.SparkSession,
+      properties: Map[String, String], column: String): Seq[String] = {
+    val c = column.toLowerCase
+    val constraintHits = GraftTable.constraintsOf(properties).collect {
+      case (name, pred) if spark.sessionState.sqlParser.parseExpression(pred)
+        .collect { case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.nameParts.head.toLowerCase }
+        .contains(c) => s"CHECK constraint $name ($pred)"
+    }.toSeq
+    val listHits = Seq("graft.bloom.columns", "graft.clusterBy").flatMap { k =>
+      properties.get(k).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        .filter(_.equalsIgnoreCase(column)).map(_ => s"table property $k")
+    }
+    constraintHits ++ listHits
+  }
+}

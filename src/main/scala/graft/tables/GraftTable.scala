@@ -145,11 +145,86 @@ class GraftTable private (val spark: SparkSession, val path: String) {
       val existing = s.schema.fieldNames.map(_.toLowerCase).toSet
       val dup = cols.fieldNames.filter(c => existing.contains(c.toLowerCase))
       require(dup.isEmpty, s"column(s) ${dup.mkString(", ")} already exist in $path")
-      val widened = org.apache.spark.sql.types.StructType(s.schema.fields ++ cols.fields)
+      // a re-added logical name whose physical name was ever used (live or
+      // retired by DROP COLUMN) mints a fresh physical name — old files'
+      // bytes must not resurface under the new column
+      val assigned = ColumnMapping.assignPhysicalNames(
+        s.schema, cols.fields.toSeq, s.metadata.properties)
+      val widened = org.apache.spark.sql.types.StructType(s.schema.fields ++ assigned)
       Seq(
         graft.tables.Metadata(widened.json, s.metadata.partitionColumns, s.metadata.properties),
         CommitInfo(System.currentTimeMillis(), "ADD COLUMNS",
           operationParameters = Map("columns" -> cols.fieldNames.mkString("[", ",", "]"))))
+    }
+  }
+
+  /** ALTER TABLE RENAME COLUMN — METADATA-ONLY via column mapping: the
+    * field keeps its immutable PHYSICAL name (pinned into field metadata),
+    * only the logical name changes, and not one data byte moves — at 100 TB
+    * that is the entire point (see [[ColumnMapping]]). Renames of columns
+    * referenced by CHECK constraints, bloom indexes or clusterBy are
+    * rejected (retarget or drop those first); partition columns rename fine
+    * (the partition-values keys in the log are physical and stable).
+    */
+  def renameColumn(existing: String, newName: String): Long = {
+    require(newName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"invalid column name '$newName'")
+    retryMetadataCommit("RENAME COLUMN") { s =>
+      val schema = s.schema
+      val idx = schema.fields.indexWhere(_.name.equalsIgnoreCase(existing))
+      require(idx >= 0, s"column $existing does not exist in $path")
+      require(!schema.fields.exists(_.name.equalsIgnoreCase(newName)),
+        s"column $newName already exists in $path")
+      val refs = ColumnMapping.propertyReferences(spark, s.metadata.properties, existing)
+      require(refs.isEmpty,
+        s"cannot rename $existing: referenced by ${refs.mkString("; ")} — " +
+          "drop or retarget those first")
+      val f = schema.fields(idx)
+      val renamed = ColumnMapping
+        .withPhysicalName(f, ColumnMapping.physicalName(f)).copy(name = newName)
+      val widened = StructType(schema.fields.updated(idx, renamed))
+      val newParts = s.metadata.partitionColumns.map(c =>
+        if (c.equalsIgnoreCase(existing)) newName else c)
+      Seq(
+        graft.tables.Metadata(widened.json, newParts,
+          s.metadata.properties + (ColumnMapping.ModeProperty -> "name")),
+        CommitInfo(System.currentTimeMillis(), "RENAME COLUMN",
+          operationParameters = Map("from" -> existing, "to" -> newName)))
+    }
+  }
+
+  /** ALTER TABLE DROP COLUMN(S) — metadata-only: the fields leave the
+    * schema (scans simply stop selecting their physical columns; bytes are
+    * reclaimed when files are next rewritten), and their physical names are
+    * RETIRED so a later column with the same logical name mints a fresh
+    * physical name instead of resurrecting the old bytes.
+    */
+  def dropColumns(names: Seq[String]): Long = {
+    require(names.nonEmpty, "DROP COLUMN needs at least one column")
+    retryMetadataCommit("DROP COLUMNS") { s =>
+      val schema = s.schema
+      names.foreach { n =>
+        require(schema.fields.exists(_.name.equalsIgnoreCase(n)),
+          s"column $n does not exist in $path")
+        require(!s.metadata.partitionColumns.exists(_.equalsIgnoreCase(n)),
+          s"cannot drop partition column $n")
+        val refs = ColumnMapping.propertyReferences(spark, s.metadata.properties, n)
+        require(refs.isEmpty,
+          s"cannot drop $n: referenced by ${refs.mkString("; ")} — drop or " +
+            "retarget those first")
+      }
+      val dropLower = names.map(_.toLowerCase).toSet
+      val (dropped, kept) = schema.fields.partition(f => dropLower.contains(f.name.toLowerCase))
+      require(kept.nonEmpty, s"cannot drop every column of $path")
+      val retired = ColumnMapping.droppedPhysicals(s.metadata.properties) ++
+        dropped.map(ColumnMapping.physicalName)
+      Seq(
+        graft.tables.Metadata(StructType(kept).json, s.metadata.partitionColumns,
+          s.metadata.properties +
+            (ColumnMapping.ModeProperty -> "name") +
+            (ColumnMapping.DroppedProperty -> retired.toSeq.sorted.mkString(","))),
+        CommitInfo(System.currentTimeMillis(), "DROP COLUMNS",
+          operationParameters = Map("columns" -> names.mkString("[", ",", "]"))))
     }
   }
 

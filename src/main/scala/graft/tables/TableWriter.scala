@@ -79,7 +79,7 @@ object TableWriter {
       org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
         .asInstanceOf[StructType])
       .getOrElse((mode, prevSnapshot) match {
-        case (Append, Some(s)) => mergeSchemas(s.schema, df.schema)
+        case (Append, Some(s)) => mergeWithMapping(s, df.schema)
         case _                 => df.schema
       })
 
@@ -149,9 +149,16 @@ object TableWriter {
     val staging = Files.createTempDirectory(Paths.get(tablePath).getParent, ".graft-staging-")
     val stagingDir = staging.resolve("data").toString
     try {
+      // column mapping's write boundary: staged parquet carries PHYSICAL
+      // column names (identity select for unmapped tables)
+      val physPartCols = partCols.map(c =>
+        newSchema.fields.find(_.name.equalsIgnoreCase(c))
+          .map(ColumnMapping.physicalName).getOrElse(c))
       val adds: Seq[AddFile] = if (skipDataWrite) Nil else {
-        val writer = checkedDf.write.mode("overwrite")
-        (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(stagingDir)
+        val physicalDf = ColumnMapping.toPhysical(checkedDf, newSchema)
+        val writer = physicalDf.write.mode("overwrite")
+        (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*) else writer)
+          .parquet(stagingDir)
 
         // optimizeWrite (Delta's table property): re-bin a small-file
         // staging output BEFORE it enters the table, so a 200-task append
@@ -269,7 +276,7 @@ object TableWriter {
           org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
             .asInstanceOf[StructType])
           .getOrElse((mode, attemptSnap) match {
-            case (Append, Some(s)) => mergeSchemas(s.schema, df.schema)
+            case (Append, Some(s)) => mergeWithMapping(s, df.schema)
             case _                 => newSchema
           })
         val propsNow = metadataOverride.map(_.properties).getOrElse(
@@ -709,6 +716,26 @@ object TableWriter {
           "to a concrete type")
     }
     StructType((existing.fields ++ appended).map(f => StructField(f.name, f.dataType, nullable = true)))
+  }
+
+  /** [[mergeSchemas]] with column mapping preserved: the snapshot's fields
+    * keep their metadata (so pinned physical names survive every append —
+    * `mergeSchemas` normalizes them away), and genuinely NEW fields get
+    * physical names assigned against the live + retired set (a re-added
+    * once-dropped logical name must mint a fresh physical name, never
+    * resurrect the dropped column's bytes). Identity for never-mapped
+    * tables: no field carries metadata, no physical collides.
+    */
+  def mergeWithMapping(s: Snapshot, incoming: StructType): StructType = {
+    val merged = mergeSchemas(s.schema, incoming)
+    val existingByName = s.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    val (kept, appended) = merged.fields.partition(f =>
+      existingByName.contains(f.name.toLowerCase))
+    val keptWithMeta = kept.map(f =>
+      f.copy(metadata = existingByName(f.name.toLowerCase).metadata))
+    val assigned = ColumnMapping.assignPhysicalNames(
+      s.schema, appended.toSeq, s.metadata.properties)
+    StructType(keptWithMeta ++ assigned)
   }
 
   private def containsNullType(dt: org.apache.spark.sql.types.DataType): Boolean = {

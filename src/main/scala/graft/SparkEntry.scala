@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.log.{ChangeDataFeedHelper, OperationMetricHelper}
 import graft.operators._
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.tables.{AddCDCFile, AddFile, GraftLog, GraftTable}
 
 /** Driver contract — one query per implemented operator from SURVEY.md §2
@@ -24,6 +24,19 @@ object SparkEntry {
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts as truncated epoch-µs BIGINT, robust to how the parquet
+    * surfaced the column across testdata generations: raw-ns long (legacy
+    * TIMESTAMP(NANOS) + nanosAsLong), TIMESTAMP, or TIMESTAMP_NTZ (session
+    * timezone is pinned UTC, so the NTZ→TS cast is µs-identity). Matches
+    * DuckDB `epoch_ns(ts) // 1000` in every case. */
+  private def tsUs(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => unix_micros(col("ts"))
+    }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -140,9 +153,10 @@ object SparkEntry {
     }),
 
     "q4_sessionize" -> ((s, dir) => () => {
-      val events = read(s, dir, "events").select(
+      val raw = read(s, dir, "events")
+      val events = raw.select(
         col("event_id"), col("user_id"),
-        expr("ts div 1000").as("ts_us"), // raw-ns long → truncated epoch-µs
+        tsUs(raw).as("ts_us"), // truncated epoch-µs (type-robust)
         expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("value"))
       graft.streaming.StreamingOps
         .sessionizeBatch(events, gapMs = 30 * 60 * 1000L,
@@ -159,8 +173,9 @@ object SparkEntry {
       // point-in-time join: each event picks the latest "state marker" row
       // (every 50th event of the same user) at or before its timestamp;
       // times travel as BIGINT epoch-µs (see version-proofing note above)
-      val events = read(s, dir, "events").select(
-        col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      val raw = read(s, dir, "events")
+      val events = raw.select(
+        col("event_id"), col("user_id"), tsUs(raw).as("ts_us"))
       val markers = events.filter(col("event_id") % 50 === 0)
         .select(col("user_id"), col("ts_us").as("mts_us"), col("event_id").as("marker_id"))
       AsOfJoin.asofJoin(events, markers, Seq("user_id"), "ts_us", "mts_us", Seq("marker_id"))
@@ -177,9 +192,10 @@ object SparkEntry {
       // which DuckDB computes with integer-µs window arithmetic.
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val rows = read(s, dir, "events")
+      val rawEv = read(s, dir, "events")
+      val rows = rawEv
         .filter(col("event_id") < 2000)
-        .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("event_type"),
+        .select(col("event_id"), tsUs(rawEv).as("ts_us"), col("event_type"),
           expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("value"))
         .orderBy(col("ts_us"), col("event_id"))
         .as[(Long, Long, String, Long)].collect()
@@ -863,6 +879,35 @@ object SparkEntry {
       Dedup.minhashDedupClusters(read(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5)
         .select("doc_id", "lang", "source")
+    }),
+
+    "d12_stratified_sample" -> ((s, dir) => () => {
+      // deterministic per-language sample for corpus mixing: the 120
+      // smallest md5-rank docs per lang (all docs of a smaller lang) —
+      // uniform-hash threshold prefilter + exact window trim over the
+      // surviving sliver; the oracle recomputes the same top-K-by-hash
+      // with a plain window over the whole table
+      Sampling.stratifiedSample(read(s, dir, "documents"), "lang",
+        perStratum = 120, keyCols = Seq("doc_id"))
+        .select("doc_id", "lang", "source")
+    }),
+    "d13_hash_sample" -> ((s, dir) => () => {
+      // deterministic Bernoulli(0.25) sample — a pure map-side hash-range
+      // filter (zero shuffles, no RNG): reproducible on any cluster size
+      // and nested within any larger-fraction sample of the same seed
+      Sampling.hashSample(read(s, dir, "documents"), Seq("doc_id"), 0.25)
+        .select("doc_id", "lang", "source")
+    }),
+    "d14_pack_shards" -> ((s, dir) => () => {
+      // token-budget shard packing (sequence-packing layout): docs land in
+      // deterministic buckets (id mod 8), each bucket packs independently
+      // into ~2000-token shards by exclusive running sum — numBuckets
+      // parallel window sorts, no global sort
+      val docs = read(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("tokens"))
+      Sampling.packByBudget(docs, "doc_id", "tokens",
+        budget = 2000L, numBuckets = 8)
+        .select("doc_id", "tokens", "bucket", "shard", "offset")
     }),
 
     // ---- T: text analysis (documents, via graft.pipeline.TextAnalysis) ----
@@ -1976,6 +2021,31 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+    "d12_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8),
+        |                    doc_id) AS rn
+        |  FROM documents) WHERE rn <= 120""".stripMargin,
+    "d13_hash_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'""".stripMargin,
+    "d14_pack_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tokens,
+        |    doc_id % 8 AS bucket
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tokens, bucket,
+        |    COALESCE(SUM(tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM d)
+        |SELECT doc_id, tokens, CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(bucket * 1000000 + cum // 2000 AS BIGINT) AS shard,
+        |       CAST(cum - (cum // 2000) * 2000 AS BIGINT) AS offset
+        |FROM c""".stripMargin,
     "d2_minhash_pairs" -> ngramJaccardOracle(0.5),
     "d3_simhash_pairs" ->
       """WITH toks AS (

@@ -1,0 +1,150 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and shard-packing for
+  * training-data curation (the "mixing" stage of an LLM data pipeline:
+  * subsample each source/language to a target weight, then pack the
+  * survivors into fixed-token-budget shards).
+  *
+  * Everything here is keyed on an md5 rank of the row's identity columns, so
+  * results are reproducible run-to-run, engine-to-engine (md5 hex is
+  * bit-identical in Spark and DuckDB/Trino/any SQL engine), and INDEPENDENT
+  * of partitioning, task order, and cluster size — properties
+  * `df.sample(fraction, seed)` cannot give (its output depends on partition
+  * layout). No RNG state is involved: "random" order IS the hash order.
+  *
+  * Scale design (100 TB corpus):
+  *  - [[hashSample]] is a pure map-side filter — zero shuffles, fully
+  *    codegen'd, pushes through any downstream plan.
+  *  - [[stratifiedSample]] never sorts the corpus: md5 ranks are uniform BY
+  *    CONSTRUCTION, so the K-th smallest rank in a stratum of n rows
+  *    concentrates sharply around K/n·2^32; a conservative map-side
+  *    threshold prefilter keeps O(K) rows per stratum, and only that sliver
+  *    is window-sorted. A per-stratum count check catches the
+  *    (cryptographically unlikely) shortfall and falls back to an exact pass
+  *    over just the affected strata, so the result is EXACT top-K-by-hash.
+  *  - [[packByBudget]] assigns docs to a deterministic bucket and runs the
+  *    token cumsum per bucket — numBuckets-way parallel windows instead of
+  *    one global sort, and each bucket packs independently exactly like a
+  *    per-worker packer in a real shard-writer would.
+  */
+object Sampling {
+
+  /** Deterministic rank in [0, 2^32): first 8 md5 hex digits of
+    * `seed|key1|key2|...`, parsed as a number. Uniform by construction. */
+  def hashRank(seed: String, keyCols: Seq[Column]): Column =
+    conv(substring(md5(concat_ws("|", (lit(seed) +: keyCols): _*)), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Hex-string form of the same rank (lexicographic order == numeric order
+    * at fixed width) — what the SQL oracle sorts/compares on. */
+  def hashRankHex(seed: String, keyCols: Seq[Column]): Column =
+    substring(md5(concat_ws("|", (lit(seed) +: keyCols): _*)), 1, 8)
+
+  /** Deterministic Bernoulli(fraction) sample: keep a row iff its hash rank
+    * falls below `fraction * 2^32`. Map-only (NO shuffle, no RNG): the same
+    * rows survive on 1 executor or 1000, today and in every rerun, and a
+    * later resample at a larger fraction is a SUPERSET of this one (nested
+    * samples for free — grow a training mix without re-drawing it). */
+  def hashSample(df: DataFrame, keyCols: Seq[String], fraction: Double,
+      seed: String = "42"): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
+    val threshold = math.round(fraction * 4294967296.0) // 2^32
+    df.filter(hashRank(seed, keyCols.map(col)) < lit(threshold))
+  }
+
+  /** Exact per-stratum top-K-by-hash sample: for each stratum, the `perStratum`
+    * rows with the smallest (hash rank, tiebreak keys) — i.e. a deterministic
+    * uniform sample WITHOUT replacement of fixed size per stratum (all rows
+    * if the stratum is smaller). Two phases:
+    *  1. one partial-agg count per stratum + a map-side threshold prefilter
+    *     keeping ~3K+slack rows per stratum (uniform-hash concentration);
+    *  2. a window row_number over the surviving sliver only.
+    * A count check after the prefilter detects any stratum that lost rank-K
+    * (probability < e^-K for the 3x margin) and re-runs JUST those strata
+    * without the prefilter, keeping the result exact, not probabilistic. */
+  def stratifiedSample(df: DataFrame, strataCol: String, perStratum: Int,
+      keyCols: Seq[String], seed: String = "42"): DataFrame = {
+    require(perStratum > 0, s"perStratum must be positive, got $perStratum")
+    val rank = hashRankHex(seed, keyCols.map(col))
+    val ranked = df.withColumn("__rank", rank)
+
+    // per-stratum sizes: one partial-aggregated pass, O(#strata) rows
+    val sizes = ranked.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+
+    // conservative uniform-hash threshold: fraction (3K+200)/n of 2^32,
+    // as an 8-hex-digit string (so the filter is a plain string compare
+    // against the precomputed rank column — stays in codegen)
+    val thresholds = sizes.collect().map { r =>
+      val stratum = r.get(0)
+      val n = r.getLong(1)
+      val frac = math.min(1.0, (3.0 * perStratum + 200.0) / math.max(n, 1L))
+      val thr = f"${math.min(4294967295L, math.round(frac * 4294967296.0))}%08x"
+      (stratum, n, thr)
+    }
+    val thrDf = df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(
+        thresholds.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3)).toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__stratum",
+          df.schema(strataCol).dataType),
+        org.apache.spark.sql.types.StructField("__n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__thr",
+          org.apache.spark.sql.types.StringType))))
+
+    // broadcast the O(#strata) threshold table; the corpus-side filter is
+    // map-only — only ~3K rows per stratum ever reach the window sort
+    val pre = ranked.join(broadcast(thrDf), col(strataCol) === col("__stratum"))
+      .filter(col("__rank") <= col("__thr"))
+
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy((col("__rank") +: keyCols.map(col)): _*)
+    def trim(candidates: DataFrame): DataFrame = candidates
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perStratum)
+      .drop("__rank", "__rn", "__stratum", "__n", "__thr")
+
+    // exactness guard: any stratum whose prefilter kept fewer than
+    // min(K, n) rows gets an exact (unfiltered) pass; metadata-sized agg
+    val shortfall = pre.groupBy(col(strataCol).as("__s2"), col("__n"))
+      .agg(count(lit(1)).as("__kept"))
+      .filter(col("__kept") < least(lit(perStratum.toLong), col("__n")))
+      .select("__s2").collect().map(_.get(0)).toSet
+    if (shortfall.isEmpty) trim(pre)
+    else {
+      val ok = trim(pre.filter(!col(strataCol).isInCollection(shortfall)))
+      val exact = trim(ranked.filter(col(strataCol).isInCollection(shortfall))
+        .join(broadcast(thrDf), col(strataCol) === col("__stratum")))
+      ok.unionByName(exact)
+    }
+  }
+
+  /** Token-budget shard packing: assign each doc to a shard such that every
+    * shard holds ~`budget` tokens. Docs are laid out deterministically —
+    * bucket = id mod numBuckets, then by id within the bucket — and a doc
+    * lands in the shard where its start offset falls (`floor(exclusive
+    * cumsum / budget)`), so shards fill to the budget with at most one
+    * boundary-spanning doc, exactly the layout a sequence-packing shard
+    * writer produces. Each bucket packs independently (numBuckets parallel
+    * window sorts, each over corpus/numBuckets rows — no global sort), which
+    * is also the unit a 1000-executor writer would own. Output adds
+    * `bucket`, `shard` (global, bucket-prefixed), and `offset` (tokens
+    * before this doc within its shard's bucket-local stream). */
+  def packByBudget(df: DataFrame, idCol: String, weightCol: String,
+      budget: Long, numBuckets: Int): DataFrame = {
+    require(budget > 0 && numBuckets > 0, "budget and numBuckets must be positive")
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("bucket", pmod(col(idCol), lit(numBuckets.toLong)).cast("long"))
+      .withColumn("__cum", coalesce(sum(col(weightCol)).over(w), lit(0L)))
+      .withColumn("__local_shard", floor(col("__cum") / lit(budget)))
+      .withColumn("shard",
+        col("bucket") * lit(1000000L) + col("__local_shard"))
+      .withColumn("offset", col("__cum") - col("__local_shard") * lit(budget))
+      .drop("__cum", "__local_shard")
+  }
+}

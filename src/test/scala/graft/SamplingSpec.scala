@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.pipeline.Sampling
+
+class SamplingSpec extends AnyFunSpec with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private def corpus(n: Int) = spark.range(n)
+    .select(col("id").as("doc_id"),
+      concat(lit("stratum_"), pmod(col("id"), lit(5))).as("lang"),
+      (col("id") % 97 + 5).as("tokens"))
+
+  describe("Sampling.hashSample") {
+    it("is deterministic and partitioning-independent") {
+      val df = corpus(2000)
+      val a = Sampling.hashSample(df, Seq("doc_id"), 0.3)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val b = Sampling.hashSample(df.repartition(13), Seq("doc_id"), 0.3)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(a == b)
+      assert(a.nonEmpty)
+    }
+    it("fraction is approximately honored and samples nest by fraction") {
+      val df = corpus(5000)
+      val small = Sampling.hashSample(df, Seq("doc_id"), 0.2)
+        .select("doc_id").as[Long].collect().toSet
+      val large = Sampling.hashSample(df, Seq("doc_id"), 0.5)
+        .select("doc_id").as[Long].collect().toSet
+      assert(small.subsetOf(large)) // nested: same seed, larger fraction
+      assert(math.abs(small.size / 5000.0 - 0.2) < 0.03)
+      assert(math.abs(large.size / 5000.0 - 0.5) < 0.03)
+    }
+    it("different seeds draw different samples") {
+      val df = corpus(2000)
+      val a = Sampling.hashSample(df, Seq("doc_id"), 0.3, seed = "a")
+        .select("doc_id").as[Long].collect().toSet
+      val b = Sampling.hashSample(df, Seq("doc_id"), 0.3, seed = "b")
+        .select("doc_id").as[Long].collect().toSet
+      assert(a != b)
+    }
+  }
+
+  describe("Sampling.stratifiedSample") {
+    it("returns exactly K per stratum (all rows of smaller strata)") {
+      // 5 strata x 400 rows, plus one tiny stratum of 7 rows
+      val big = corpus(2000)
+      val tiny = spark.range(7).select((col("id") + 100000).as("doc_id"),
+        lit("tiny").as("lang"), lit(10L).as("tokens"))
+      val out = Sampling.stratifiedSample(big.unionByName(tiny), "lang",
+        perStratum = 50, keyCols = Seq("doc_id"))
+      val counts = out.groupBy("lang").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(counts("tiny") == 7)
+      (0 until 5).foreach(i => assert(counts(s"stratum_$i") == 50))
+    }
+    it("matches the brute-force window-over-everything result exactly") {
+      val df = corpus(1500)
+      val got = Sampling.stratifiedSample(df, "lang", 40, Seq("doc_id"))
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        .orderBy(Sampling.hashRankHex("42", Seq(col("doc_id"))), col("doc_id"))
+      val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 40)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got == want)
+    }
+    it("shortfall fallback still yields the exact result (threshold forced tiny via huge stratum count math)") {
+      // a stratum of 1 row exercises the n < K edge; K > n keeps everything
+      val df = Seq((1L, "only")).toDF("doc_id", "lang")
+      val out = Sampling.stratifiedSample(df, "lang", 10, Seq("doc_id"))
+      assert(out.count() == 1)
+    }
+  }
+
+  describe("Sampling.packByBudget") {
+    it("assigns shards by exclusive cumulative sum within deterministic buckets") {
+      val df = corpus(800)
+      val out = Sampling.packByBudget(df, "doc_id", "tokens",
+        budget = 500L, numBuckets = 4).cache()
+      // bucket is id mod numBuckets
+      assert(out.filter(col("bucket") =!= pmod(col("doc_id"), lit(4))).count() == 0)
+      // within a (bucket, shard), offsets start below budget and every
+      // doc's start offset is < budget by construction
+      assert(out.filter(col("offset") >= 500L || col("offset") < 0L).count() == 0)
+      // shard ids reconstruct from a driver-side replay of one bucket
+      val b0 = out.filter(col("bucket") === 0).orderBy("doc_id")
+        .select("doc_id", "tokens", "shard").collect()
+      var cum = 0L
+      b0.foreach { r =>
+        assert(r.getLong(2) == (cum / 500L), s"doc ${r.getLong(0)}")
+        cum += r.getLong(1)
+      }
+      out.unpersist()
+    }
+    it("is partitioning-independent") {
+      val df = corpus(600)
+      val a = Sampling.packByBudget(df, "doc_id", "tokens", 300L, 3)
+        .select("doc_id", "shard", "offset").collect().map(_.toSeq).sortBy(_.toString)
+      val b = Sampling.packByBudget(df.repartition(17), "doc_id", "tokens", 300L, 3)
+        .select("doc_id", "shard", "offset").collect().map(_.toSeq).sortBy(_.toString)
+      assert(a.toSeq == b.toSeq)
+    }
+  }
+}

@@ -881,6 +881,20 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
     }),
 
+    "d15_dedup_against" -> ((s, dir) => () => {
+      // incremental-ingest dedup: odd-id docs are "today's batch", even-id
+      // docs the accumulated reference corpus; a new doc survives iff it
+      // near-duplicates (3-gram jaccard >= 0.5) NO reference doc. The
+      // oracle recomputes the exact cross-corpus jaccard for all pairs;
+      // the banding recall argument is d2/d8's (qualifying pairs in this
+      // corpus sit at jaccard >= 0.9, missed with prob < 4e-8)
+      val all = read(s, dir, "documents")
+      Dedup.minhashDedupAgainst(
+        all.filter(col("doc_id") % 2 === 1),
+        all.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", threshold = 0.5)
+        .select("doc_id", "lang", "source")
+    }),
     "d12_stratified_sample" -> ((s, dir) => () => {
       // deterministic per-language sample for corpus mixing: the 120
       // smallest md5-rank docs per lang (all docs of a smaller lang) —
@@ -2021,6 +2035,24 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+    "d15_dedup_against" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |      THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
+        |      ELSE list_distinct([array_to_string(t, ' ')]) END AS g
+        |  FROM toks),
+        |hits AS (
+        |  SELECT DISTINCT a.doc_id FROM grams a, grams b
+        |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |    AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin,
     "d12_stratified_sample" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,

@@ -200,7 +200,6 @@ object Dedup {
       seed: Long = 42L,
       maxBucketSize: Int = 1 << 20): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rows = numHashes / bands
 
     // materialized, NOT persisted: the shingle frame feeds THREE plan
     // branches (banding + both verification joins) — a method-scoped
@@ -208,21 +207,7 @@ object Dedup {
     // branch would re-tokenize the corpus (measured: 3 full scans in the
     // executed plan). See [[materialize]] for the fault-tolerance knob.
     val withSh = materialize(shingleDF(df, idCol, textCol, n))
-    // one row per (doc, band): bucket key = xxhash64 of the band's slice
-    // (hashing the array directly — a different bucket hash never changes
-    // the verified output: same-slice pairs collide under ANY hash, and
-    // differing-slice accidental collisions are removed by exact
-    // verification). Candidates travel as bare id pairs — shingle arrays
-    // only rejoin after dedup, so the candidate shuffle stays narrow even
-    // with hot buckets.
-    val banded = withSh
-      .withColumn("__sig", minhashSignature(col("__sh"), numHashes, seed))
-      .select(
-        col("__id"), size(col("__sh")).as("__sz"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"), xxhash64(slice(col("__sig"), b * rows + 1, lit(rows))).as("bh"))))
-          .as("__b"))
-      .select(col("__id"), col("__sz"), col("__b.band"), col("__b.bh"))
+    val banded = bandedSignatures(withSh, numHashes, bands, seed)
 
     val candidates =
       bucketPairs(banded, Seq("band", "bh"), maxBucketSize, Some(threshold))
@@ -237,12 +222,107 @@ object Dedup {
       .select(col("idA"), col("idB"), col("jaccard"))
   }
 
+  /** One row per (doc, band): bucket key = xxhash64 of the band's signature
+    * slice (hashing the array directly — a different bucket hash never
+    * changes the verified output: same-slice pairs collide under ANY hash,
+    * and differing-slice accidental collisions are removed by exact
+    * verification). Candidates travel as bare id pairs — shingle arrays
+    * only rejoin after dedup, so the candidate shuffle stays narrow even
+    * with hot buckets. */
+  private def bandedSignatures(withSh: DataFrame, numHashes: Int, bands: Int,
+      seed: Long): DataFrame = {
+    val rows = numHashes / bands
+    withSh
+      .withColumn("__sig", minhashSignature(col("__sh"), numHashes, seed))
+      .select(
+        col("__id"), size(col("__sh")).as("__sz"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), xxhash64(slice(col("__sig"), b * rows + 1, lit(rows))).as("bh"))))
+          .as("__b"))
+      .select(col("__id"), col("__sz"), col("__b.band"), col("__b.bh"))
+  }
+
   /** Dedup via MinHash-LSH: drop every doc that near-duplicates a lower id. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8): DataFrame = {
     val losers = minhashLshPairs(df, idCol, textCol, threshold = threshold)
       .select(col("idB").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Near-duplicate pairs BETWEEN two corpora (incremental-ingest shape):
+    * for each doc in `newDf`, the docs of `refDf` it near-duplicates. Same
+    * signature family and banding as [[minhashLshPairs]], so the recall
+    * argument is identical; candidates come from joining the new side's
+    * band rows against the reference side's bucketed member lists:
+    *
+    *  - ONE aggregation shuffle builds the reference buckets (capped member
+    *    gather — a hot bucket costs O(maxBucketSize) buffer, then drops),
+    *  - ONE join shuffle probes them with the new side's band rows; pairs
+    *    stream out of a generator, nothing quadratic materializes,
+    *  - the exact Jaccard length filter prunes before the pair-dedup
+    *    shuffle, and only surviving pairs rejoin their shingle arrays for
+    *    exact verification (no false positives).
+    *
+    * At scale the reference corpus is the BIG side (the accumulated
+    * historical data) and `newDf` the small one (today's ingest) — both
+    * stay distributed; nothing here is driver- or broadcast-sized. The
+    * reference bucket build is also the natural artifact to persist as a
+    * table and reuse across ingest batches (build once, probe daily).
+    *
+    * @return (idNew, idRef, jaccard) with exact-shingle jaccard ≥ threshold
+    */
+  def minhashCrossPairs(
+      newDf: DataFrame,
+      refDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      seed: Long = 42L,
+      maxBucketSize: Int = 1 << 20): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val shNew = materialize(shingleDF(newDf, idCol, textCol, n))
+    val shRef = materialize(shingleDF(refDf, idCol, textCol, n))
+
+    val refBuckets = bandedSignatures(shRef, numHashes, bands, seed)
+      .groupBy(col("band"), col("bh"))
+      .agg(collectListCapped(struct(col("__id"), col("__sz")), maxBucketSize).as("__ms"))
+      .filter(size(col("__ms")) <= maxBucketSize)
+
+    val candidates = bandedSignatures(shNew, numHashes, bands, seed)
+      .join(refBuckets, Seq("band", "bh"))
+      .select(col("__id").as("idNew"), col("__sz").as("szNew"),
+        explode(col("__ms")).as("__r"))
+      .select(col("idNew"), col("szNew"),
+        col("__r.__id").as("idRef"), col("__r.__sz").as("szRef"))
+      .filter(
+        least(col("szNew"), col("szRef")) >=
+          greatest(col("szNew"), col("szRef")) * threshold)
+      .groupBy("idNew", "idRef").agg(count(lit(1)).as("cnt"))
+
+    candidates
+      .join(shNew.select(col("__id").as("idNew"), col("__sh").as("shN")), "idNew")
+      .join(shRef.select(col("__id").as("idRef"), col("__sh").as("shR")), "idRef")
+      .withColumn("__inter", size(array_intersect(col("shN"), col("shR"))).cast("double"))
+      .withColumn("jaccard",
+        col("__inter") / (size(col("shN")) + size(col("shR")) - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idNew"), col("idRef"), col("jaccard"))
+  }
+
+  /** Incremental-ingest dedup: `newDf` minus every doc that near-duplicates
+    * ANY doc of the reference corpus (id spaces of the two sides are
+    * independent — nothing is compared within `newDf` itself; compose with
+    * [[minhashDedup]]/[[minhashDedupClusters]] for intra-batch dedup). */
+  def minhashDedupAgainst(newDf: DataFrame, refDf: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.8): DataFrame = {
+    val hit = minhashCrossPairs(newDf, refDf, idCol, textCol,
+      threshold = threshold)
+      .select(col("idNew").as(idCol)).distinct()
+    newDf.join(hit, Seq(idCol), "left_anti")
   }
 
   /** Connected components over a near-duplicate pair set: every id that

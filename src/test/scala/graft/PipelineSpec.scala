@@ -40,6 +40,34 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  describe("Dedup.minhashDedupAgainst") {
+    it("drops new docs that near-duplicate the reference corpus, keeps the rest") {
+      val ref = Seq(
+        (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (101L, "der hund und die katze sind in das haus und der garten ist schoen heute")
+      ).toDF("doc_id", "text")
+      val fresh = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // dup of 100
+        (2L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // near dup of 100
+        (3L, "completely different content about machine learning and neural networks training"),
+        (4L, "le chat et le chien sont dans la maison et le jardin est beau")
+      ).toDF("doc_id", "text")
+      val kept = Dedup.minhashDedupAgainst(fresh, ref, "doc_id", "text", threshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(3L, 4L))
+    }
+    it("cross pairs never compare within a side and match exact jaccard semantics") {
+      val a = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
+      val b = Seq((9L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
+      val pairs = Dedup.minhashCrossPairs(a, b, "doc_id", "text", threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // both new docs pair with ref 9, but 1-2 (intra-new exact dups) never appear
+      assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 9L), (2L, 9L)))
+      assert(pairs.forall(_._3 == 1.0))
+    }
+  }
+
   describe("CollectListCapped") {
     it("matches collect_list under the cap and truncates at cap+1 over it") {
       import org.apache.spark.sql.functions._

@@ -1638,6 +1638,36 @@ object SparkEntry {
         .toDF("kind", "value")
       }
     }),
+    "s25_distributed_snapshot" -> ((s, dir) => {
+      import s.implicits._
+      // executor-side log fold + prune (DistributedSnapshot) must agree
+      // with the driver snapshot on a table with appends, a file-level
+      // delete, and a DV remove+re-add in its history
+      val dirT = tmp("s25")
+      val t = GraftTable.create(s, dirT,
+        read(s, dir, "nation").repartition(4, col("n_nationkey")),
+        properties = Map(graft.tables.DeletionVectors.Property -> "true"))
+      TableOps.delete(GraftTable.forPath(s, dirT), Some("n_nationkey >= 20"))
+      () => {
+      val tt = GraftTable.forPath(s, dirT)
+      val snap = tt.snapshot
+      def key(fs: Seq[AddFile]) =
+        fs.map(f => (f.path, f.size, f.dv.map(d => (d.path, d.cardinality)))).toSet
+      val dist = graft.tables.DistributedSnapshot.addFiles(s, dirT)
+      val cls = graft.tables.FileSkipping.classify(s, tt.toDF, "n_nationkey = 5")
+      val prunedDriver = graft.tables.FileSkipping.filesMatching(snap, cls.all, None)
+      val prunedDist =
+        graft.tables.DistributedSnapshot.prunedFiles(s, dirT, "n_nationkey = 5")
+      val emptyDist = graft.tables.DistributedSnapshot
+        .prunedFiles(s, dirT, "n_nationkey > 10 AND n_nationkey < 5")
+      val liveRows = tt.toDF.count()
+      Seq((key(dist) == key(snap.files), key(prunedDist) == key(prunedDriver),
+        emptyDist.isEmpty, liveRows))
+        .toDF("dist_matches_driver", "prune_matches_driver",
+          "contradiction_empty", "live_rows")
+      }
+    }),
+
     "s8_skipping_counts" -> ((s, dir) => {
       import s.implicits._
       // deterministic skipping: contiguous key-range buckets (one file per
@@ -2000,6 +2030,11 @@ object SparkEntry {
          |cc AS (SELECT id, min(l) AS cluster FROM reach GROUP BY id)
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster)""".stripMargin,
+    "s25_distributed_snapshot" ->
+      """SELECT true AS dist_matches_driver, true AS prune_matches_driver,
+        |       true AS contradiction_empty,
+        |       (SELECT count(*) FROM nation WHERE n_nationkey < 20) AS live_rows
+        |FROM (VALUES (1)) t(x)""".stripMargin,
     "s3_humanize_bytes" ->
       """SELECT CAST(case_id AS INT) AS case_id, humanized FROM (VALUES
         | (1, '0 B'), (2, '512 B'), (3, '1.2 kB'), (4, '1.0 MB'), (5, '5.5 MB'),

@@ -1,0 +1,163 @@
+package graft.tables
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Snapshot replay and file pruning with the log parsed by EXECUTORS, for
+  * tables whose live file set is too large to JSON-parse on the driver.
+  *
+  * [[GraftLog.snapshot]] folds the whole log (checkpoint + deltas) on the
+  * driver — the right call at commit cadence, where the log is
+  * metadata-sized relative to the data. But a 100 TB table is ~10^6 live
+  * files: its checkpoint alone is a GB of JSON, and a driver that parses a
+  * GB per plan is the bottleneck of every query. Here the same fold runs as
+  * a Spark job instead:
+  *
+  *  - `spark.read.json` over the checkpoint + post-checkpoint commit files
+  *    (JSON-lines are SPLITTABLE — a single GB checkpoint parses as many
+  *    parallel tasks) with an explicit action schema, so no inference pass;
+  *  - last-action-per-path via one window over (path, version desc) — one
+  *    shuffle, the distributed equivalent of the driver fold's
+  *    LinkedHashMap overwrite semantics;
+  *  - [[prunedFiles]] then evaluates the SAME per-file skipping predicate
+  *    ([[FileSkipping.mightMatch]], shipped to executors with the resolved
+  *    conjuncts) before anything is collected — the driver receives only
+  *    the files a scan of `condition` actually needs, O(matching), never
+  *    O(live files).
+  *
+  * Driver-side work stays metadata-bounded: listing version file NAMES
+  * (O(#versions)), and a prefix-scan of post-checkpoint commit files for
+  * metadata updates (no JSON parse of non-metadata lines; the checkpoint's
+  * metadata is its first line by [[GraftLog.writeCheckpoint]] construction,
+  * read alone).
+  */
+object DistributedSnapshot {
+
+  private val dvType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("cardinality", LongType)))
+
+  /** Schema of the add/remove payloads — declared, not inferred, so the
+    * read plans in one pass and unknown action keys (metadata, commitInfo,
+    * cdc, txn) simply surface as all-null rows to filter. */
+  private[tables] val lineSchema = StructType(Seq(
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("stats", StringType),
+      StructField("dv", dvType)))),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType))))))
+
+  /** The live [[AddFile]] set at `version` (default latest) as a DataFrame,
+    * log parsed and folded by executors. Columns: path, partitionValues,
+    * size, stats, dv — exactly [[AddFile]]'s shape (`.as[AddFile]` works). */
+  def addFilesDF(spark: SparkSession, tablePath: String,
+      version: Long = -1L): DataFrame = {
+    val log = new GraftLog(tablePath)
+    val vs = log.versions()
+    require(vs.nonEmpty, s"$tablePath is not a GraftTable (empty log)")
+    val target = if (version < 0) vs.last else version
+    require(vs.contains(target),
+      s"version $target does not exist for $tablePath (have ${vs.headOption}..${vs.lastOption})")
+    val ckpt = log.checkpointVersions().filter(_ <= target).lastOption
+    val deltaFiles = vs.filter(v => v <= target && ckpt.forall(v > _))
+      .map(v => log.versionFile(v).toString)
+    val sources = ckpt.map(cv => log.checkpointFile(cv).toString).toSeq ++ deltaFiles
+
+    // newest action per path wins, matching the driver fold's overwrite
+    // semantics. Within ONE version a path can carry BOTH a remove and a
+    // re-add (the deletion-vector remove+add shape) — the commit line order
+    // puts re-adds after removes (TableWriter: `... ++ removes ++ cdc ++
+    // extraActions`), so the add is the in-version winner: tie-break adds
+    // first. A net-removal never co-exists with an add of the same path in
+    // one commit.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__path"))
+      .orderBy(col("__v").desc, col("add").isNotNull.desc)
+    spark.read.schema(lineSchema).json(sources: _*)
+      .withColumn("__v",
+        regexp_extract(input_file_name(), "(\\d+)(?:\\.checkpoint)?\\.json", 1)
+          .cast("long"))
+      .filter(col("add").isNotNull || col("remove").isNotNull)
+      .withColumn("__path", coalesce(col("add.path"), col("remove.path")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("add").isNotNull)
+      .select("add.*")
+  }
+
+  /** [[addFilesDF]] collected as typed actions (driver holds O(live files);
+    * prefer [[prunedFiles]] when a predicate is in hand). */
+  def addFiles(spark: SparkSession, tablePath: String,
+      version: Long = -1L): Seq[AddFile] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[AddFile]
+    addFilesDF(spark, tablePath, version).as[AddFile].collect().toSeq
+  }
+
+  /** Live files that MIGHT satisfy `condition` at `version`, with the
+    * min/max + partition + contradiction skipping logic evaluated on
+    * EXECUTORS — the driver collects only survivors. Semantics match
+    * `FileSkipping.filesMatching(snapshot, classified.all, None)` (bloom
+    * probes stay a driver-path feature: sidecar loads are lazy per-file
+    * reads that would fan out badly from executor tasks). */
+  def prunedFiles(spark: SparkSession, tablePath: String, condition: String,
+      version: Long = -1L): Seq[AddFile] = {
+    val log = new GraftLog(tablePath)
+    val vs = log.versions()
+    require(vs.nonEmpty, s"$tablePath is not a GraftTable (empty log)")
+    val target = if (version < 0) vs.last else version
+    val meta: graft.tables.Metadata = metadataAt(log, target)
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val partCols = meta.partitionColumns.toSet
+
+    val emptyDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val classified = FileSkipping.classify(spark, emptyDf, condition)
+    require(classified.unresolvedColumns.isEmpty,
+      s"condition references unknown columns: ${classified.unresolvedColumns.mkString(", ")}")
+    val preds = classified.all
+    // provably-empty range intersection: zero files, no job at all (same
+    // short-circuit as the driver path's filesMatching)
+    if (FileSkipping.contradictory(preds, schema)) return Nil
+
+    implicit val enc = org.apache.spark.sql.Encoders.product[AddFile]
+    val files: Dataset[AddFile] = addFilesDF(spark, tablePath, target).as[AddFile]
+    files.filter { f =>
+      val stats = GraftLog.parseStats(f.stats)
+      preds.forall(p =>
+        FileSkipping.mightMatch(p, f, stats, schema, partCols, None))
+    }.collect().toSeq
+  }
+
+  /** Metadata in effect at `target`, without JSON-parsing any data-file
+    * lines: the newest checkpoint's metadata is its FIRST line (read
+    * alone); later commit files are prefix-scanned (`{"metadata"`) and only
+    * matching lines parse. */
+  private[graft] def metadataAt(log: GraftLog, target: Long): graft.tables.Metadata = {
+    var meta: graft.tables.Metadata = null
+    val ckpt = log.checkpointVersions().filter(_ <= target).lastOption
+    ckpt.foreach { cv =>
+      val reader = Files.newBufferedReader(
+        log.checkpointFile(cv), StandardCharsets.UTF_8)
+      try {
+        val first = reader.readLine()
+        if (first != null && first.startsWith("{\"metadata\"")) {
+          meta = GraftLog.parseAction(first).asInstanceOf[graft.tables.Metadata]
+        }
+      } finally reader.close()
+    }
+    log.versions().filter(v => v <= target && ckpt.forall(v > _)).foreach { v =>
+      val stream = Files.lines(log.versionFile(v), StandardCharsets.UTF_8)
+      try stream.filter(_.startsWith("{\"metadata\"")).forEach { line =>
+        meta = GraftLog.parseAction(line).asInstanceOf[graft.tables.Metadata]
+      } finally stream.close()
+    }
+    require(meta != null, s"no metadata action found in log of ${log.tablePath}")
+    meta
+  }
+}

@@ -98,7 +98,7 @@ object FileSkipping {
   }
 
   /** True when the conjuncts' per-column intervals have an empty intersection. */
-  private def contradictory(predicates: Seq[Expression], schema: StructType): Boolean = {
+  private[tables] def contradictory(predicates: Seq[Expression], schema: StructType): Boolean = {
     // (value, inclusive) bounds per column
     val lo = scala.collection.mutable.Map.empty[String, (Any, Boolean)]
     val hi = scala.collection.mutable.Map.empty[String, (Any, Boolean)]
@@ -152,7 +152,7 @@ object FileSkipping {
   }
 
   /** Conservative per-file evaluation of one conjunct. */
-  private def mightMatch(
+  private[tables] def mightMatch(
       p: Expression,
       f: AddFile,
       stats: Option[FileStats],

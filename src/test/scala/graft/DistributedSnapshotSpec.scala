@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.operators.TableOps
+import graft.tables.{DistributedSnapshot, GraftTable}
+
+class DistributedSnapshotSpec extends AnyFunSpec with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private def fileSet(files: Seq[graft.tables.AddFile]) =
+    files.map(f => (f.path, f.size, f.dv.map(d => (d.path, d.cardinality)))).toSet
+
+  it("executor-side log fold equals the driver snapshot across a mutation history") {
+    val dir = tmpTableDir("dsnap")
+    val t = GraftTable.create(spark, dir,
+      spark.range(100).select(col("id"), (col("id") % 10).as("k")),
+      properties = Map(graft.tables.DeletionVectors.Property -> "true"))
+    t.append(spark.range(100, 200).select(col("id"), (col("id") % 10).as("k")))
+    // file-level delete (no dv): drops whole files where possible
+    TableOps.delete(GraftTable.forPath(spark, dir), Some("id >= 150"))
+    // row-level delete: dv remove+re-add shape (same path, two actions, one version)
+    TableOps.delete(GraftTable.forPath(spark, dir), Some("id = 7"))
+    val tt = GraftTable.forPath(spark, dir)
+    val snap = tt.snapshot
+    val dist = DistributedSnapshot.addFiles(spark, dir)
+    assert(fileSet(dist) == fileSet(snap.files))
+    assert(dist.forall(f => f.stats == snap.files.find(_.path == f.path).get.stats))
+  }
+
+  it("respects version pinning and checkpoint-based replay") {
+    val dir = tmpTableDir("dsnap2")
+    val t = GraftTable.create(spark, dir, spark.range(10).toDF("id"))
+    (1 to 5).foreach(i => t.append(spark.range(i * 10, i * 10 + 10).toDF("id")))
+    t.log.writeCheckpoint(3L)
+    (0L to 5L).foreach { v =>
+      val driver = GraftTable.forPath(spark, dir).snapshotAt(v).files
+      val dist = DistributedSnapshot.addFiles(spark, dir, v)
+      assert(fileSet(dist) == fileSet(driver), s"version $v diverged")
+    }
+  }
+
+  it("metadataAt tracks schema changes without full log parse") {
+    val dir = tmpTableDir("dsnap3")
+    val t = GraftTable.create(spark, dir, spark.range(5).toDF("id"))
+    t.append(spark.range(5).select(col("id"), lit("x").as("extra")))
+    val log = new graft.tables.GraftLog(dir)
+    val meta = DistributedSnapshot.metadataAt(log, log.latestVersion())
+    val cols = org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    assert(cols == Seq("id", "extra"))
+  }
+
+  it("prunedFiles matches driver filesMatching and collects only survivors") {
+    val dir = tmpTableDir("dsnap4")
+    val t = GraftTable.create(spark, dir,
+      spark.range(1000).select(col("id"), (col("id") % 4).as("p")).repartition(8, col("id")))
+    val snap = GraftTable.forPath(spark, dir).snapshot
+    val cond = "id >= 990"
+    val cls = graft.tables.FileSkipping.classify(spark, t.toDF, cond)
+    val driver = graft.tables.FileSkipping.filesMatching(snap, cls.all, None)
+    val dist = DistributedSnapshot.prunedFiles(spark, dir, cond)
+    assert(fileSet(dist) == fileSet(driver))
+    assert(dist.size < snap.files.size, "pruning should drop files")
+    // contradictory condition prunes everything, on executors
+    assert(DistributedSnapshot.prunedFiles(spark, dir, "id > 10 AND id < 5").isEmpty)
+  }
+
+  it("partition pruning works executor-side on a partitioned table") {
+    val dir = tmpTableDir("dsnap5")
+    GraftTable.create(spark, dir,
+      spark.range(100).select(col("id"), (col("id") % 5).cast("string").as("part")),
+      partitionColumns = Seq("part"))
+    val all = DistributedSnapshot.addFiles(spark, dir)
+    val one = DistributedSnapshot.prunedFiles(spark, dir, "part = '3'")
+    assert(one.nonEmpty && one.size < all.size)
+    assert(one.forall(_.partitionValues("part") == "3"))
+  }
+}

@@ -3,6 +3,8 @@ package graft.tables
 import java.nio.charset.StandardCharsets
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -132,6 +134,81 @@ object DistributedSnapshot {
       preds.forall(p =>
         FileSkipping.mightMatch(p, f, stats, schema, partCols, None))
     }.collect().toSeq
+  }
+
+  /** Write the checkpoint sidecar for `version` (default latest) with the
+    * file actions rendered by EXECUTORS — the distributed complement of
+    * [[GraftLog.writeCheckpoint]], whose driver fold + serialization is
+    * O(live files) memory and CPU. Here:
+    *
+    *  - the live file set comes from [[addFilesDF]] (executor log fold);
+    *  - each [[AddFile]] renders to its log line via `mapPartitions` over
+    *    [[GraftLog.renderAction]] — byte-identical to the driver writer —
+    *    and lands as text parts in a scratch dir;
+    *  - the driver then assembles `<v>.checkpoint.json` by STREAM-COPYING
+    *    part bytes after the metadata + txn head lines (bounded memory, no
+    *    parse), and publishes it with an atomic rename.
+    *
+    * The resulting sidecar is format-identical to the driver writer's, so
+    * every existing reader (driver snapshot fold, [[addFilesDF]], vacuum,
+    * CDF) works unchanged. */
+  def writeCheckpoint(spark: SparkSession, tablePath: String,
+      version: Long = -1L): Unit = {
+    val log = new GraftLog(tablePath)
+    val vs = log.versions()
+    require(vs.nonEmpty, s"$tablePath is not a GraftTable (empty log)")
+    val target = if (version < 0) vs.last else version
+    val meta: graft.tables.Metadata = metadataAt(log, target)
+    val txns = transactionsAt(log, target)
+
+    implicit val strEnc = org.apache.spark.sql.Encoders.STRING
+    implicit val addEnc = org.apache.spark.sql.Encoders.product[AddFile]
+    val scratch = Files.createTempDirectory(log.logDir, s".ckpt$target")
+    val partsDir = scratch.resolve("parts")
+    try {
+      addFilesDF(spark, tablePath, target).as[AddFile]
+        .mapPartitions(_.map(a => GraftLog.renderAction(a: Action)))
+        .write.text(partsDir.toString)
+
+      val tmp = Files.createTempFile(log.logDir, s".ckpt$target", ".json.tmp")
+      val out = Files.newOutputStream(tmp)
+      try {
+        val head = (Seq(meta) ++
+          txns.toSeq.sortBy(_._1).map { case (a, v) => SetTransaction(a, v) })
+          .map(GraftLog.renderAction).mkString("", "\n", "\n")
+        out.write(head.getBytes(StandardCharsets.UTF_8))
+        val parts = Files.list(partsDir)
+        try parts.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
+          .foreach(p => Files.copy(p, out))
+        finally parts.close()
+      } finally out.close()
+      Files.move(tmp, log.checkpointFile(target),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally {
+      val walk = Files.walk(scratch)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+      finally walk.close()
+    }
+  }
+
+  /** appId → newest version watermark in effect at `target`: same
+    * prefix-scan strategy as [[metadataAt]] (`{"txn"` lines only),
+    * last-wins in (checkpoint, version, line) order like the driver fold. */
+  private[graft] def transactionsAt(log: GraftLog, target: Long): Map[String, Long] = {
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def scan(path: java.nio.file.Path): Unit = {
+      val stream = Files.lines(path, StandardCharsets.UTF_8)
+      try stream.filter(_.startsWith("{\"txn\"")).forEach { line =>
+        val t = GraftLog.parseAction(line).asInstanceOf[SetTransaction]
+        txns(t.appId) = t.version
+      } finally stream.close()
+    }
+    val ckpt = log.checkpointVersions().filter(_ <= target).lastOption
+    ckpt.foreach(cv => scan(log.checkpointFile(cv)))
+    log.versions().filter(v => v <= target && ckpt.forall(v > _))
+      .foreach(v => scan(log.versionFile(v)))
+    txns.toMap
   }
 
   /** Metadata in effect at `target`, without JSON-parsing any data-file

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funspec.AnyFunSpec
 
@@ -65,6 +67,34 @@ class DistributedSnapshotSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(dist.size < snap.files.size, "pruning should drop files")
     // contradictory condition prunes everything, on executors
     assert(DistributedSnapshot.prunedFiles(spark, dir, "id > 10 AND id < 5").isEmpty)
+  }
+
+  it("distributed checkpoint writer is format-identical to the driver writer") {
+    val dir = tmpTableDir("dsnap6")
+    val t = GraftTable.create(spark, dir, spark.range(50).toDF("id"))
+    t.append(spark.range(50, 100).toDF("id"))
+    TableOps.delete(GraftTable.forPath(spark, dir), Some("id >= 90"))
+    graft.tables.TableWriter.write(spark, dir, spark.range(100, 110).toDF("id"),
+      graft.tables.TableWriter.Append,
+      extraActions = Seq(graft.tables.SetTransaction("appA", 7L)))
+    val log = new graft.tables.GraftLog(dir)
+    val v = log.latestVersion()
+
+    DistributedSnapshot.writeCheckpoint(spark, dir)
+    assert(log.checkpointVersions().contains(v))
+    // the existing driver reader folds from this checkpoint alone
+    val snapFromCkpt = log.snapshot(v)
+    assert(snapFromCkpt.transactions == Map("appA" -> 7L))
+
+    // same content the driver writer would have produced (order-insensitive)
+    val distLines = java.nio.file.Files.readAllLines(log.checkpointFile(v))
+    log.writeCheckpoint(v)
+    val driverLines = java.nio.file.Files.readAllLines(log.checkpointFile(v))
+    assert(distLines.asScala.toSet == driverLines.asScala.toSet)
+
+    // and both replay to the same live set as the un-checkpointed fold
+    val snapDriver = GraftTable.forPath(spark, dir).snapshot
+    assert(fileSet(snapFromCkpt.files) == fileSet(snapDriver.files))
   }
 
   it("partition pruning works executor-side on a partitioned table") {

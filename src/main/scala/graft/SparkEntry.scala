@@ -236,6 +236,39 @@ object SparkEntry {
       }
     }),
 
+    "q15_stream_dedup" -> ((s, dir) => {
+      // TRUE streaming content dedup: the documents corpus (which contains
+      // exact/boilerplate reposts) streams through in 4 micro-batches;
+      // stateful dropDuplicates on the content fingerprint carries seen-set
+      // state ACROSS batches, so a repost in batch 3 of a batch-1 doc is
+      // dropped. Output is the surviving fingerprint set — identical to the
+      // batch DISTINCT the oracle computes, whichever arrival won its group.
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = read(s, dir, "documents")
+        .orderBy("doc_id")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      () => {
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val stream = input.toDF().toDF("doc_id", "text")
+      val name = "q15_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // state keyed by fingerprint: size partitions to the corpus's distinct
+      // count scale, not the session default (see q6's sizing note)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query = graft.streaming.StreamingOps.fingerprintDedupStream(stream)
+        .select("fingerprint")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, rows.length / 4 + 1))
+          .foreach { b => input.addData(b.toIndexedSeq); query.processAllAvailable() }
+      } finally { query.stop(); s.conf.set("spark.sql.shuffle.partitions", prevParts) }
+      s.table(name).select("fingerprint")
+      }
+    }),
+
     "q10_stream_source" -> ((s, dir) => {
       // TRUE streaming read through the version-offset source: batch 1 is
       // the v0 snapshot as inserts, then an UPDATE and a DELETE land while
@@ -1851,6 +1884,9 @@ object SparkEntry {
         |       count(*) AS events,
         |       CAST(sum(value) AS BIGINT) AS total_value
         |FROM e GROUP BY 1, 2, 3""".stripMargin,
+    "q15_stream_dedup" ->
+      """SELECT DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
     "q8_stream_sink" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q9_time_travel" ->

@@ -90,6 +90,42 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup: one survivor per `keys` value across ALL
+    * micro-batches — Spark's stateful `dropDuplicates`, which keeps one
+    * state entry per distinct key forever. Right for bounded key spaces
+    * (ids, fingerprints of a capped corpus); for unbounded streams prefer
+    * [[dedupStreamWithinWatermark]], whose state is evicted at the
+    * watermark horizon.
+    */
+  def dedupStream(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+
+  /** Watermark-bounded streaming dedup: duplicates arriving within the
+    * watermark delay of the first occurrence are dropped; state for keys
+    * older than the horizon is evicted, so memory is O(keys per horizon),
+    * not O(all keys ever) — the only dedup that survives an unbounded
+    * 100 TB/day ingest stream. (A key recurring AFTER eviction re-emits:
+    * pair with a periodic batch [[graft.pipeline.Dedup.minhashDedupAgainst]]
+    * pass against the accumulated corpus for full-history exactness.)
+    */
+  def dedupStreamWithinWatermark(df: DataFrame, keys: Seq[String],
+      tsCol: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+
+  /** Content-fingerprint streaming dedup for document ingest: drops every
+    * doc whose NORMALIZED text (case/punctuation-insensitive —
+    * [[graft.pipeline.TextAnalysis.fingerprint]]) already flowed through
+    * the stream, emitting the first arrival with its fingerprint attached.
+    * Composes with the batch near-dup operators downstream: this gate
+    * removes exact/boilerplate reposts in-flight at O(1) state per distinct
+    * doc; MinHash clustering then handles near-duplicates at rest.
+    */
+  def fingerprintDedupStream(docs: DataFrame, textCol: String = "text"): DataFrame =
+    dedupStream(
+      docs.withColumn("fingerprint",
+        graft.pipeline.TextAnalysis.fingerprint(col(textCol))),
+      Seq("fingerprint"))
+
   /** Batch-mode sessionization over the same gap semantics (for backfill and
     * the correctness oracle): pure window functions, no state store.
     *

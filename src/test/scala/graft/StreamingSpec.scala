@@ -38,6 +38,49 @@ class StreamingSpec extends AnyFunSpec with SparkSessionTestWrapper {
     } finally query.stop()
   }
 
+  it("fingerprintDedupStream drops cross-batch reposts, keeps first arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val name = "dedup_stream_spec"
+    val query = StreamingOps.fingerprintDedupStream(docs)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData((1L, "Hello, World!"), (2L, "fresh content one"))
+      query.processAllAvailable()
+      // batch 2: exact repost of 1 and a NORMALIZED repost (case/punct differ)
+      input.addData((3L, "Hello, World!"), (4L, "hello world"), (5L, "fresh content two"))
+      query.processAllAvailable()
+      val out = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(out.keySet == Set(1L, 2L, 5L), s"survivors were ${out.keySet}")
+    } finally query.stop()
+  }
+
+  it("dedupStreamWithinWatermark evicts state past the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "k")
+    val name = "dedup_wm_spec"
+    val query = StreamingOps.dedupStreamWithinWatermark(df, Seq("k"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 1L))
+      query.processAllAvailable()
+      // within horizon: duplicate dropped
+      input.addData((ts("2024-01-01 10:05:00"), 1L))
+      query.processAllAvailable()
+      // advance watermark far past the key, then the key recurs: re-emits
+      input.addData((ts("2024-01-01 12:00:00"), 2L))
+      query.processAllAvailable()
+      input.addData((ts("2024-01-01 12:01:00"), 1L))
+      query.processAllAvailable()
+      val ks = spark.table(name).collect().map(_.getLong(1))
+      assert(ks.count(_ == 1L) == 2, s"expected re-emit after eviction, got ${ks.toSeq}")
+      assert(ks.count(_ == 2L) == 1)
+    } finally query.stop()
+  }
+
   it("sessionize (stateful) matches sessionizeBatch on the same data") {
     val rows = Seq(
       Event(1L, ts("2024-01-01 10:00:00"), "a", 1.0),

@@ -928,6 +928,27 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.5)
         .select("doc_id", "lang", "source")
     }),
+    "d16_shard_builder" -> ((s, dir) => () => {
+      // the full training-shard build, composed entirely from
+      // driver-checked operators: language gate -> quality (word-count)
+      // gate -> exact content dedup (min-id survivor per normalized
+      // fingerprint) -> per-source stratified sample (corpus mixing) ->
+      // token-budget shard packing. The oracle replays every stage in SQL.
+      val t = col("text")
+      val kept = read(s, dir, "documents")
+        .withColumn("lang_pred", TextAnalysis.langId(t))
+        .withColumn("words", TextAnalysis.wsTokenCount(t))
+        .filter(col("lang_pred") === "en" && col("words") >= 20)
+      val uniq = Dedup.exact(
+        kept.withColumn("f", TextAnalysis.fingerprint(t)), Seq("f"), "doc_id")
+      val samp = Sampling.stratifiedSample(uniq, "source",
+        perStratum = 60, keyCols = Seq("doc_id"))
+      val docs = samp.select(col("doc_id"), col("source"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("tokens"))
+      Sampling.packByBudget(docs, "doc_id", "tokens",
+        budget = 4000L, numBuckets = 4)
+        .select("doc_id", "source", "tokens", "bucket", "shard")
+    }),
     "d12_stratified_sample" -> ((s, dir) => () => {
       // deterministic per-language sample for corpus mixing: the 120
       // smallest md5-rank docs per lang (all docs of a smaller lang) —
@@ -2106,6 +2127,46 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+    "d16_shard_builder" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text, source,
+        |    CASE WHEN en >= de AND en >= fr THEN 'en'
+        |         WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_pred,
+        |    words
+        |  FROM (SELECT doc_id, text, source,
+        |      len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS en,
+        |      len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS de,
+        |      len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS fr,
+        |      len(regexp_extract_all(text, '\S+')) AS words
+        |    FROM documents)),
+        |kept AS (SELECT * FROM scored WHERE lang_pred = 'en' AND words >= 20),
+        |uniq AS (
+        |  SELECT doc_id, text, source FROM (
+        |    SELECT doc_id, text, source,
+        |           row_number() OVER (
+        |             PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |             ORDER BY doc_id) AS rn
+        |    FROM kept) WHERE rn = 1),
+        |samp AS (
+        |  SELECT doc_id, text, source FROM (
+        |    SELECT doc_id, text, source,
+        |           row_number() OVER (PARTITION BY source
+        |             ORDER BY substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8),
+        |                      doc_id) AS rn
+        |    FROM uniq) WHERE rn <= 60),
+        |tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tokens,
+        |    doc_id % 4 AS bucket
+        |  FROM samp),
+        |c AS (
+        |  SELECT doc_id, source, tokens, bucket,
+        |    COALESCE(SUM(tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM tok)
+        |SELECT doc_id, source, tokens, CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(bucket * 1000000 + cum // 4000 AS BIGINT) AS shard
+        |FROM c""".stripMargin,
     "d15_dedup_against" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -24,7 +24,10 @@ import graft.pipeline.{Dedup, TextAnalysis}
   *  - `fingerprint(text)` — normalized-content md5
   *    ([[graft.pipeline.TextAnalysis.fingerprint]]);
   *  - `lang_id(text)` — marker-based language heuristic
-  *    ([[graft.pipeline.TextAnalysis.langId]]).
+  *    ([[graft.pipeline.TextAnalysis.langId]]);
+  *  - `cosine_sim(a array<numeric>, b array<numeric>)` — cosine similarity
+  *    ([[graft.pipeline.Similarity.cosineSimilarity]]; NULL on NULL or
+  *    zero-normed inputs).
   *
   * Parameters that select a code shape (hash counts, shingle width, bit
   * width) must be LITERALS — like `round`'s scale argument — and are
@@ -45,6 +48,8 @@ object GraftFunctions {
       unary("fingerprint", TextAnalysis.fingerprint))
     SparkBridge.registerFunction(spark, "lang_id",
       unary("lang_id", TextAnalysis.langId))
+    SparkBridge.registerFunction(spark, "cosine_sim",
+      binary("cosine_sim", graft.pipeline.Similarity.cosineSimilarity))
   }
 
   private[functions] def minhashBuilder(exprs: Seq[Expression]): Expression = {
@@ -74,6 +79,13 @@ object GraftFunctions {
   private def unary(name: String, f: Column => Column)(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 1, s"$name expects exactly 1 argument, got ${exprs.length}")
     SparkBridge.catalystExpression(f(SparkBridge.column(exprs.head)))
+  }
+
+  private def binary(name: String, f: (Column, Column) => Column)(
+      exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, s"$name expects exactly 2 arguments, got ${exprs.length}")
+    SparkBridge.catalystExpression(
+      f(SparkBridge.column(exprs.head), SparkBridge.column(exprs(1))))
   }
 
   private def litInt(fn: String, name: String, e: Expression): Int = e match {

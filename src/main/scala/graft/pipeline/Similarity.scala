@@ -22,6 +22,19 @@ object Similarity {
   private def norm(v: org.apache.spark.sql.Column) =
     sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
 
+  /** Cosine similarity of two numeric-array columns as a pure built-in
+    * composition (`zip_with` + `aggregate` — codegen'd, no UDF). NULL when
+    * either vector is NULL or zero-normed (undefined direction), matching
+    * SQL comparison semantics rather than returning an arbitrary 0.
+    */
+  def cosineSimilarity(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val na = norm(a)
+    val nb = norm(b)
+    when(a.isNotNull && b.isNotNull && na =!= 0.0d && nb =!= 0.0d,
+      dot(a, b) / (na * nb))
+  }
+
   /** Default row bound under which the query side is broadcast (embedding
     * rows are KB-sized, so 2^16 rows ≈ a few hundred MB — the practical
     * executor-memory ceiling for a broadcast table).

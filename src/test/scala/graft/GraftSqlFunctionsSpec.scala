@@ -77,6 +77,26 @@ class GraftSqlFunctionsSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assertSqlEqualsColumn("lang_id(text)", TextAnalysis.langId($"text"))
   }
 
+  it("cosine_sim ≡ Similarity.cosineSimilarity, with NULL/zero-norm semantics") {
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 2.0), Array(1.0, 0.0, 2.0)),   // identical → 1.0
+      (2L, Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0)),   // orthogonal → 0.0
+      (3L, Array(1.0, 2.0, 3.0), Array(-1.0, -2.0, -3.0)), // opposite → -1.0
+      (4L, Array(0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0))    // zero norm → NULL
+    ).toDF("id", "a", "b")
+    vecs.createOrReplaceTempView("sqlfn_vecs")
+    val bad = spark.sql("SELECT id, cosine_sim(a, b) AS v FROM sqlfn_vecs")
+      .join(vecs.select($"id",
+        graft.pipeline.Similarity.cosineSimilarity($"a", $"b").as("expected")), "id")
+      .filter(not($"v" <=> $"expected")).count()
+    assert(bad == 0)
+    val got = spark.sql(
+      "SELECT id, round(cosine_sim(a, b), 9) AS v FROM sqlfn_vecs ORDER BY id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1))))
+    assert(got.toSeq == Seq(1L -> Some(1.0), 2L -> Some(0.0),
+      3L -> Some(-1.0), 4L -> None))
+  }
+
   it("fingerprint is reformat-invariant where the Column contract says so") {
     val r = spark.sql(
       "SELECT fingerprint('Hello,   World!') = fingerprint('hello world') AS same").head()

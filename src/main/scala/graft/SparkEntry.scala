@@ -1692,6 +1692,24 @@ object SparkEntry {
         .toDF("kind", "value")
       }
     }),
+    "s26_distributed_checkpoint" -> ((s, dir) => {
+      // executor-rendered checkpoint: after the distributed writer runs,
+      // the stock driver fold must replay from the new sidecar alone and
+      // the table must read back exactly (oracle recomputes the surviving
+      // rows); line-set parity with the driver writer is spec-pinned
+      val dirT = tmp("s26")
+      val t = GraftTable.create(s, dirT,
+        read(s, dir, "supplier").repartition(4, col("s_suppkey")))
+      TableOps.delete(GraftTable.forPath(s, dirT), Some("s_suppkey % 3 = 0"))
+      () => {
+      graft.tables.DistributedSnapshot.writeCheckpoint(s, dirT)
+      val log = new GraftLog(dirT)
+      val ckptAtLatest = log.checkpointVersions().contains(log.latestVersion())
+      GraftTable.forPath(s, dirT).toDF
+        .select(col("s_suppkey"), col("s_name"), lit(ckptAtLatest).as("ckpt_at_latest"))
+      }
+    }),
+
     "s25_distributed_snapshot" -> ((s, dir) => {
       import s.implicits._
       // executor-side log fold + prune (DistributedSnapshot) must agree
@@ -2087,6 +2105,9 @@ object SparkEntry {
          |cc AS (SELECT id, min(l) AS cluster FROM reach GROUP BY id)
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster)""".stripMargin,
+    "s26_distributed_checkpoint" ->
+      """SELECT s_suppkey, s_name, true AS ckpt_at_latest
+        |FROM supplier WHERE s_suppkey % 3 <> 0""".stripMargin,
     "s25_distributed_snapshot" ->
       """SELECT true AS dist_matches_driver, true AS prune_matches_driver,
         |       true AS contradiction_empty,
@@ -2165,7 +2186,7 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
         |  FROM tok)
         |SELECT doc_id, source, tokens, CAST(bucket AS BIGINT) AS bucket,
-        |       CAST(bucket * 1000000 + cum // 4000 AS BIGINT) AS shard
+        |       CAST((cum // 4000) * 4 + bucket AS BIGINT) AS shard
         |FROM c""".stripMargin,
     "d15_dedup_against" ->
       """WITH toks AS (
@@ -2207,7 +2228,7 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
         |  FROM d)
         |SELECT doc_id, tokens, CAST(bucket AS BIGINT) AS bucket,
-        |       CAST(bucket * 1000000 + cum // 2000 AS BIGINT) AS shard,
+        |       CAST((cum // 2000) * 8 + bucket AS BIGINT) AS shard,
         |       CAST(cum - (cum // 2000) * 2000 AS BIGINT) AS offset
         |FROM c""".stripMargin,
     "d2_minhash_pairs" -> ngramJaccardOracle(0.5),

@@ -72,13 +72,23 @@ object Sampling {
     val rank = hashRankHex(seed, keyCols.map(col))
     val ranked = df.withColumn("__rank", rank)
 
-    // per-stratum sizes: one partial-aggregated pass, O(#strata) rows
+    // per-stratum sizes: one partial-aggregated pass, O(#strata) rows.
+    // The collect below is #strata-bounded — a mistakenly high-cardinality
+    // stratum column (a doc id, a timestamp) would turn it into a
+    // data-sized driver pull, so fail loudly past a sanity bound instead.
     val sizes = ranked.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
 
     // conservative uniform-hash threshold: fraction (3K+200)/n of 2^32,
     // as an 8-hex-digit string (so the filter is a plain string compare
     // against the precomputed rank column — stays in codegen)
-    val thresholds = sizes.collect().map { r =>
+    // #strata-bounded driver pull: `take(bound + 1)` caps the transfer even
+    // if a key column was mistakenly passed as the stratum — fail loudly
+    // rather than collecting a data-sized result
+    val sizeRows = sizes.take(1000001)
+    require(sizeRows.length <= 1000000,
+      s"stratifiedSample: column '$strataCol' has over 1e6 distinct values — " +
+        "that is a key, not a stratum; sample with hashSample instead")
+    val thresholds = sizeRows.map { r =>
       val stratum = r.get(0)
       val n = r.getLong(1)
       val frac = math.min(1.0, (3.0 * perStratum + 200.0) / math.max(n, 1L))
@@ -132,8 +142,10 @@ object Sampling {
     * writer produces. Each bucket packs independently (numBuckets parallel
     * window sorts, each over corpus/numBuckets rows — no global sort), which
     * is also the unit a 1000-executor writer would own. Output adds
-    * `bucket`, `shard` (global, bucket-prefixed), and `offset` (tokens
-    * before this doc within its shard's bucket-local stream). */
+    * `bucket`, `shard` (global: `local_shard * numBuckets + bucket`, an
+    * interleaving that never collides whatever each bucket's shard count),
+    * and `offset` (tokens before this doc within its shard's bucket-local
+    * stream). */
   def packByBudget(df: DataFrame, idCol: String, weightCol: String,
       budget: Long, numBuckets: Int): DataFrame = {
     require(budget > 0 && numBuckets > 0, "budget and numBuckets must be positive")
@@ -143,7 +155,7 @@ object Sampling {
       .withColumn("__cum", coalesce(sum(col(weightCol)).over(w), lit(0L)))
       .withColumn("__local_shard", floor(col("__cum") / lit(budget)))
       .withColumn("shard",
-        col("bucket") * lit(1000000L) + col("__local_shard"))
+        col("__local_shard") * lit(numBuckets.toLong) + col("bucket"))
       .withColumn("offset", col("__cum") - col("__local_shard") * lit(budget))
       .drop("__cum", "__local_shard")
   }

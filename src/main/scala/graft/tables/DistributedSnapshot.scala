@@ -84,7 +84,7 @@ object DistributedSnapshot {
       .orderBy(col("__v").desc, col("add").isNotNull.desc)
     spark.read.schema(lineSchema).json(sources: _*)
       .withColumn("__v",
-        regexp_extract(input_file_name(), "(\\d+)(?:\\.checkpoint)?\\.json", 1)
+        regexp_extract(input_file_name(), "(\\d+)(?:\\.checkpoint)?\\.json$", 1)
           .cast("long"))
       .filter(col("add").isNotNull || col("remove").isNotNull)
       .withColumn("__path", coalesce(col("add.path"), col("remove.path")))

@@ -191,4 +191,58 @@ class PropertySpec extends AnyFunSpec with SparkSessionTestWrapper {
         s"arrivals=$arrivals got=$got expected=$expected")
     }
   }
+
+  it("stratifiedSample equals the brute-force window on random skewed strata") {
+    import org.apache.spark.sql.functions._
+    // random strata sizes (1..400, heavily skewed) and random K: the
+    // two-phase prefilter+trim must equal a plain window over everything
+    val cfgGen = for {
+      sizes <- Gen.nonEmptyListOf(Gen.choose(1, 400)).map(_.take(6))
+      k <- Gen.choose(1, 120)
+    } yield (sizes, k)
+    forAll(cfgGen, n = 4) { case (sizes, k) =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, s) =>
+        (0 until n).map(i => (s.toLong * 100000 + i, s"stratum_$s"))
+      }
+      val df = rows.toDF("doc_id", "lang")
+      val got = graft.pipeline.Sampling.stratifiedSample(df, "lang", k, Seq("doc_id"))
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        .orderBy(graft.pipeline.Sampling.hashRankHex("42", Seq(col("doc_id"))), col("doc_id"))
+      val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got == want, s"sizes=$sizes k=$k")
+    }
+  }
+
+  it("packByBudget invariants: offsets in [0, budget), contiguous per-bucket shards, no cross-bucket collisions") {
+    import org.apache.spark.sql.functions._
+    val cfgGen = for {
+      n <- Gen.choose(10, 400)
+      budget <- Gen.choose(50L, 2000L)
+      buckets <- Gen.choose(1, 7)
+    } yield (n, budget, buckets)
+    forAll(cfgGen, n = 4) { case (n, budget, buckets) =>
+      val df = spark.range(n).select(col("id").as("doc_id"),
+        (pmod(col("id") * 37 + 11, lit(97)) + 1).as("tokens"))
+      val out = graft.pipeline.Sampling
+        .packByBudget(df, "doc_id", "tokens", budget, buckets)
+        .select("doc_id", "tokens", "bucket", "shard", "offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(out.forall(r => r._5 >= 0 && r._5 < budget), s"offset out of range")
+      // shard→bucket is a function (interleaved ids cannot collide)
+      out.groupBy(_._4).foreach { case (_, rs) =>
+        assert(rs.map(_._3).distinct.length == 1)
+      }
+      // driver replay per bucket
+      out.groupBy(_._3).foreach { case (b, rs) =>
+        var cum = 0L
+        rs.sortBy(_._1).foreach { r =>
+          assert(r._4 == (cum / budget) * buckets + b, s"doc ${r._1}")
+          assert(r._5 == cum % budget)
+          cum += r._2
+        }
+      }
+    }
+  }
 }

@@ -85,11 +85,12 @@ class SamplingSpec extends AnyFunSpec with SparkSessionTestWrapper {
       // doc's start offset is < budget by construction
       assert(out.filter(col("offset") >= 500L || col("offset") < 0L).count() == 0)
       // shard ids reconstruct from a driver-side replay of one bucket
+      // (global shard = local * numBuckets + bucket; bucket 0 → local * 4)
       val b0 = out.filter(col("bucket") === 0).orderBy("doc_id")
         .select("doc_id", "tokens", "shard").collect()
       var cum = 0L
       b0.foreach { r =>
-        assert(r.getLong(2) == (cum / 500L), s"doc ${r.getLong(0)}")
+        assert(r.getLong(2) == (cum / 500L) * 4L, s"doc ${r.getLong(0)}")
         cum += r.getLong(1)
       }
       out.unpersist()

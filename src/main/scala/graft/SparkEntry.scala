@@ -928,6 +928,16 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.5)
         .select("doc_id", "lang", "source")
     }),
+    "d17_dedup_keep_best" -> ((s, dir) => () => {
+      // survivorship by QUALITY, not by id: each transitive near-dup
+      // cluster keeps its longest doc (token count desc, id tiebreak); the
+      // oracle replays the closure and the per-cluster argmax in SQL
+      val docs = read(s, dir, "documents")
+        .withColumn("tokens", TextAnalysis.bpeishTokenCount(col("text")))
+      Dedup.minhashDedupClustersBest(docs, "doc_id", "text", "tokens",
+        threshold = 0.5)
+        .select("doc_id", "lang", "source")
+    }),
     "d16_shard_builder" -> ((s, dir) => () => {
       // the full training-shard build, composed entirely from
       // driver-checked operators: language gate -> quality (word-count)
@@ -2148,6 +2158,27 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+    "d17_dedup_keep_best" ->
+      s"""WITH RECURSIVE pairs AS (${ngramJaccardOracle(0.5)}),
+         |edges AS (
+         |  SELECT idA AS a, idB AS b FROM pairs
+         |  UNION
+         |  SELECT idB AS a, idA AS b FROM pairs),
+         |reach(id, l) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.id),
+         |cc AS (SELECT id, min(l) AS cluster FROM reach GROUP BY id),
+         |tok AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS tokens
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT c.id, row_number() OVER (PARTITION BY c.cluster
+         |           ORDER BY t.tokens DESC, c.id) AS rn
+         |  FROM cc c JOIN tok t ON t.doc_id = c.id)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rn > 1)""".stripMargin,
     "d16_shard_builder" ->
       """WITH scored AS (
         |  SELECT doc_id, text, source,

@@ -469,6 +469,34 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Cluster-complete dedup keeping the BEST doc per transitive near-dup
+    * cluster — ranked by `scoreCol` descending (quality score, token count,
+    * recency...), ties broken by lowest id — where [[minhashDedupClusters]]
+    * always keeps the lowest id. This is the survivorship rule real
+    * curation uses: when five near-identical crawls of a page cluster
+    * together, keep the longest/cleanest one, not the one with the
+    * smallest id.
+    *
+    * Scale shape: the cluster labels are the CC output (near-dup mass,
+    * orders smaller than the corpus); the rank runs only over labeled rows
+    * (one window over cluster-labeled docs), and unlabeled docs — the
+    * overwhelming majority — bypass both the join and the window via the
+    * anti-join composition.
+    */
+  def minhashDedupClustersBest(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: String, threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, threshold = threshold)
+    val cc = connectedComponents(pairs, "idA", "idB")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col(scoreCol).desc, col("id"))
+    val losers = cc
+      .join(df.select(col(idCol).as("id"), col(scoreCol)), Seq("id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Portable 32-bit token hash: the first 8 hex chars of md5, as a long.
     * Slower than [[functions.xxhash64]] but reproducible in any engine that
     * has md5 — used when SimHash output must be verified externally.

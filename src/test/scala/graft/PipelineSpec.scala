@@ -40,6 +40,29 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  describe("Dedup.minhashDedupClustersBest") {
+    it("keeps the highest-score doc per cluster, not the lowest id") {
+      val rows = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank today", 10L),
+        (2L, "the quick brown fox jumps over the lazy dog near the river bank today", 99L), // best
+        (3L, "the quick brown fox jumps over the lazy dog near the river bank yesterday", 50L),
+        (4L, "completely different content about machine learning and neural networks training", 1L)
+      ).toDF("doc_id", "text", "score")
+      val kept = Dedup.minhashDedupClustersBest(rows, "doc_id", "text", "score", 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(2L, 4L), s"got $kept")
+    }
+    it("ties break to the lowest id") {
+      val rows = Seq(
+        (7L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", 5L),
+        (9L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", 5L)
+      ).toDF("doc_id", "text", "score")
+      val kept = Dedup.minhashDedupClustersBest(rows, "doc_id", "text", "score", 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(7L))
+    }
+  }
+
   describe("Dedup.minhashDedupAgainst") {
     it("drops new docs that near-duplicate the reference corpus, keeps the rest") {
       val ref = Seq(

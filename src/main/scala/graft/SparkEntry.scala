@@ -928,6 +928,22 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.5)
         .select("doc_id", "lang", "source")
     }),
+    "d18_embedding_dedup_against" -> ((s, dir) => () => {
+      // semantic incremental-ingest dedup, d7's injection trick crossed:
+      // the "new batch" is exact copies of every 50th reference vector
+      // (shifted ids, near-dups by construction) plus NEGATED copies of
+      // every 50th-offset-25 vector (cosine -1, never a dup) — so the
+      // survivor set is exactly the negated ids
+      val emb = read(s, dir, "embeddings")
+      val copies = emb.filter(col("vec_id") % 50 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000)
+      val negated = emb.filter(col("vec_id") % 50 === 25)
+        .withColumn("vec_id", col("vec_id") + 200000)
+        .withColumn("embedding", transform(col("embedding"), x => -x))
+      Dedup.embeddingDedupAgainst(copies.unionByName(negated), emb,
+        "vec_id", "embedding", threshold = 0.99)
+        .select(col("vec_id"))
+    }),
     "d17_dedup_keep_best" -> ((s, dir) => () => {
       // survivorship by QUALITY, not by id: each transitive near-dup
       // cluster keeps its longest doc (token count desc, id tiebreak); the
@@ -2158,6 +2174,9 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+    "d18_embedding_dedup_against" ->
+      """SELECT vec_id + 200000 AS vec_id
+        |FROM embeddings WHERE vec_id % 50 = 25""".stripMargin,
     "d17_dedup_keep_best" ->
       s"""WITH RECURSIVE pairs AS (${ngramJaccardOracle(0.5)}),
          |edges AS (

@@ -737,4 +737,76 @@ object Dedup {
         .filter(col("cosine") >= threshold)
         .select(col("idA"), col("idB"), col("cosine"))
   }
+
+  /** Embedding near-duplicate pairs BETWEEN two corpora — the semantic
+    * twin of [[minhashCrossPairs]]: both sides sketch with the SAME seeded
+    * hyperplanes (so true near-dups collide in some band), the reference
+    * side's buckets aggregate once with capped member gathers, the new
+    * side probes them in one join, and surviving distinct pairs rejoin
+    * their vectors for exact cosine verification. Both sides stay
+    * distributed end to end.
+    *
+    * @return (idNew, idRef, cosine) with exact cosine ≥ threshold
+    */
+  def embeddingCrossPairs(newDf: DataFrame, refDf: DataFrame,
+      idCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 32, bands: Int = 4,
+      seed: Long = 42L, maxBucketSize: Int = 1 << 20): DataFrame = {
+    require(planes % bands == 0, "planes must divide into bands")
+    val dim = refDf.select(size(col(vecCol))).first().getInt(0)
+    val rnd = new java.util.Random(seed)
+    val hyperplanes = Array.fill(planes, dim)(rnd.nextGaussian())
+
+    def dotLit(vec: Column, plane: Array[Double]): Column =
+      aggregate(zip_with(vec, lit(plane), (x, p) => x * p), lit(0.0d), _ + _)
+    val sketch = (0 until planes)
+      .map(i => when(dotLit(col("__v"), hyperplanes(i)) > 0, 1L).otherwise(0L)
+        .multiply(lit(1L << i)))
+      .reduce(_ + _)
+    val rowsPerBand = planes / bands
+    val bandStructs = (0 until bands).map { c =>
+      struct(lit(c).as("band"),
+        shiftright(col("__sk"), c * rowsPerBand)
+          .bitwiseAND(lit((1L << rowsPerBand) - 1)).as("bv"))
+    }
+    def prep(df: DataFrame) = df
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__norm", sqrt(aggregate(col("__v"), lit(0.0d), (acc, x) => acc + x * x)))
+      .transform(materialize)
+    def banded(withVec: DataFrame) = withVec
+      .withColumn("__sk", sketch)
+      .select(col("__id"), explode(array(bandStructs: _*)).as("__b"))
+      .select(col("__id"), col("__b.band"), col("__b.bv"))
+
+    val newVec = prep(newDf)
+    val refVec = prep(refDf)
+    val refBuckets = banded(refVec)
+      .groupBy(col("band"), col("bv"))
+      .agg(collectListCapped(col("__id"), maxBucketSize).as("__ms"))
+      .filter(size(col("__ms")) <= maxBucketSize)
+    val candidates = banded(newVec)
+      .join(refBuckets, Seq("band", "bv"))
+      .select(col("__id").as("idNew"), explode(col("__ms")).as("idRef"))
+      .groupBy("idNew", "idRef").agg(count(lit(1)).as("cnt"))
+
+    candidates
+      .join(newVec.select(col("__id").as("idNew"), col("__v").as("vN"), col("__norm").as("nN")), "idNew")
+      .join(refVec.select(col("__id").as("idRef"), col("__v").as("vR"), col("__norm").as("nR")), "idRef")
+      .withColumn("cosine",
+        aggregate(zip_with(col("vN"), col("vR"), _ * _), lit(0.0d), _ + _) /
+          (col("nN") * col("nR")))
+      .filter(col("cosine") >= threshold)
+      .select(col("idNew"), col("idRef"), col("cosine"))
+  }
+
+  /** Incremental-ingest dedup at the embedding level: `newDf` minus every
+    * row whose vector near-duplicates (cosine ≥ threshold) ANY reference
+    * vector — pair with [[minhashDedupAgainst]] for the lexical layer. */
+  def embeddingDedupAgainst(newDf: DataFrame, refDf: DataFrame,
+      idCol: String, vecCol: String, threshold: Double = 0.95): DataFrame = {
+    val hit = embeddingCrossPairs(newDf, refDf, idCol, vecCol,
+      threshold = threshold)
+      .select(col("idNew").as(idCol)).distinct()
+    newDf.join(hit, Seq(idCol), "left_anti")
+  }
 }

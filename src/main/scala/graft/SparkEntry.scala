@@ -928,6 +928,22 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.5)
         .select("doc_id", "lang", "source")
     }),
+    "d19_weighted_mix" -> ((s, dir) => () => {
+      // training-recipe source weights: keep 50% of en, 25% of de, 10% of
+      // fr, drop everything else — one map-side filter, per-stratum
+      // thresholds on the shared hash rank (oracle uses the identical
+      // literal thresholds, computed by the same function)
+      Sampling.hashSampleMix(read(s, dir, "documents"), "lang",
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1), Seq("doc_id"))
+        .select("doc_id", "lang", "source")
+    }),
+    "d20_epoch_upsampling" -> ((s, dir) => () => {
+      // epochs-per-source upsampling: en docs 3x, de 2x, others once, each
+      // copy tagged — downstream packing then treats copies as units
+      Sampling.replicateByStratum(read(s, dir, "documents"), "lang",
+        Map("en" -> 3, "de" -> 2))
+        .select("doc_id", "lang", "copy")
+    }),
     "d18_embedding_dedup_against" -> ((s, dir) => () => {
       // semantic incremental-ingest dedup, d7's injection trick crossed:
       // the "new batch" is exact copies of every 50th reference vector
@@ -2174,6 +2190,21 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+    "d19_weighted_mix" -> {
+      val en = Sampling.fractionThresholdHex(0.5)
+      val de = Sampling.fractionThresholdHex(0.25)
+      val fr = Sampling.fractionThresholdHex(0.1)
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8) <
+         |  CASE lang WHEN 'en' THEN '$en' WHEN 'de' THEN '$de'
+         |            WHEN 'fr' THEN '$fr' ELSE '00000000' END""".stripMargin
+    },
+    "d20_epoch_upsampling" ->
+      """SELECT doc_id, lang, copy FROM (
+        |  SELECT doc_id, lang,
+        |    unnest(generate_series(0, CASE lang WHEN 'en' THEN 2
+        |                                        WHEN 'de' THEN 1 ELSE 0 END)) AS copy
+        |  FROM documents)""".stripMargin,
     "d18_embedding_dedup_against" ->
       """SELECT vec_id + 200000 AS vec_id
         |FROM embeddings WHERE vec_id % 50 = 25""".stripMargin,

@@ -56,6 +56,54 @@ object Sampling {
     df.filter(hashRank(seed, keyCols.map(col)) < lit(threshold))
   }
 
+  /** 8-hex-digit threshold for fraction `f` of the rank space — the string
+    * [[hashRankHex]] ranks compare against. Fraction 1.0 maps to "g"
+    * (greater than every hex digit), because `%08x` of 2^32 would be NINE
+    * digits and lexicographically SMALLER than most ranks. */
+  private[graft] def fractionThresholdHex(f: Double): String = {
+    require(f >= 0.0 && f <= 1.0, s"fraction $f not in [0,1]")
+    if (f >= 1.0) "g" else f"${math.round(f * 4294967296.0)}%08x"
+  }
+
+  /** Per-stratum deterministic Bernoulli mix — the "source weights" stage
+    * of a training-data recipe (keep 80% of wiki, 30% of web, 5% of logs):
+    * each stratum keeps its own fraction, strata missing from `fractions`
+    * keep `defaultFraction` (default 0 = dropped). Still a PURE MAP-SIDE
+    * filter: the per-stratum threshold is a when-chain over the (small)
+    * fractions map, so the mix runs in the scan with zero shuffles, and
+    * every stratum's sample nests within any larger-fraction rerun. */
+  def hashSampleMix(df: DataFrame, strataCol: String,
+      fractions: Map[String, Double], keyCols: Seq[String],
+      defaultFraction: Double = 0.0, seed: String = "42"): DataFrame = {
+    val thr = fractions.foldLeft(lit(fractionThresholdHex(defaultFraction))) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === lit(stratum), lit(fractionThresholdHex(f)))
+          .otherwise(acc)
+    }
+    df.filter(hashRankHex(seed, keyCols.map(col)) < thr)
+  }
+
+  /** Deterministic integer upsampling — the "epochs per source" stage of a
+    * training mix (see high-quality sources 3x per epoch, the long tail
+    * once): each row of stratum s is replicated `epochs(s)` times (strata
+    * absent from the map: `defaultEpochs`), tagged with a `copy` index so
+    * downstream shard packing treats copies as distinct units. Generator
+    * (explode of a per-row sequence) — no join, no shuffle; row counts
+    * scale exactly by the epoch weights. */
+  def replicateByStratum(df: DataFrame, strataCol: String,
+      epochs: Map[String, Int], defaultEpochs: Int = 1): DataFrame = {
+    require(epochs.values.forall(_ >= 0) && defaultEpochs >= 0,
+      "epoch counts must be >= 0")
+    val n = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (stratum, e)) =>
+      when(col(strataCol) === lit(stratum), lit(e)).otherwise(acc)
+    }
+    df.withColumn("__n", n)
+      .filter(col("__n") > 0)
+      .withColumn("copy",
+        explode(sequence(lit(0L), (col("__n") - 1).cast("long"))))
+      .drop("__n")
+  }
+
   /** Exact per-stratum top-K-by-hash sample: for each stratum, the `perStratum`
     * rows with the smallest (hash rank, tiebreak keys) — i.e. a deterministic
     * uniform sample WITHOUT replacement of fixed size per stratum (all rows

@@ -43,6 +43,50 @@ class SamplingSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  describe("Sampling.hashSampleMix") {
+    it("applies per-stratum fractions; unlisted strata follow the default") {
+      val df = corpus(5000)
+      val out = Sampling.hashSampleMix(df, "lang",
+        Map("stratum_0" -> 0.5, "stratum_1" -> 0.1), Seq("doc_id"))
+      val counts = out.groupBy("lang").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(math.abs(counts("stratum_0") / 1000.0 - 0.5) < 0.06)
+      assert(math.abs(counts("stratum_1") / 1000.0 - 0.1) < 0.06)
+      assert(!counts.contains("stratum_2")) // default fraction 0 drops
+      // fraction 1.0 keeps EVERY row (the "g" threshold edge)
+      val all = Sampling.hashSampleMix(df, "lang",
+        Map("stratum_3" -> 1.0), Seq("doc_id"))
+      assert(all.count() == 1000)
+    }
+    it("each stratum's mix nests within the single-fraction hashSample") {
+      val df = corpus(3000)
+      val mix = Sampling.hashSampleMix(df, "lang",
+        Map("stratum_2" -> 0.3), Seq("doc_id"))
+        .select("doc_id").as[Long].collect().toSet
+      val plain = Sampling.hashSample(df.filter(col("lang") === "stratum_2"),
+        Seq("doc_id"), 0.3).select("doc_id").as[Long].collect().toSet
+      assert(mix == plain)
+    }
+  }
+
+  describe("Sampling.replicateByStratum") {
+    it("replicates rows by stratum epochs with distinct copy tags") {
+      val df = corpus(100)
+      val out = Sampling.replicateByStratum(df, "lang",
+        Map("stratum_0" -> 3, "stratum_1" -> 0)).cache()
+      val counts = out.groupBy("lang").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(counts("stratum_0") == 60) // 20 docs x 3
+      assert(!counts.contains("stratum_1")) // zero epochs drops
+      assert(counts("stratum_2") == 20) // default 1
+      val copies = out.filter(col("lang") === "stratum_0")
+        .groupBy("doc_id").agg(countDistinct("copy").as("c"))
+        .filter(col("c") =!= 3).count()
+      assert(copies == 0)
+      out.unpersist()
+    }
+  }
+
   describe("Sampling.stratifiedSample") {
     it("returns exactly K per stratum (all rows of smaller strata)") {
       // 5 strata x 400 rows, plus one tiny stratum of 7 rows

@@ -1078,6 +1078,22 @@ object SparkEntry {
         "vec_id", "embedding", 5)
         .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
+    "d21_ivf_index" -> ((s, dir) => {
+      // PERSISTED index: the k-means build + cell assignment land as graft
+      // tables once (fixture); the measured query is only the probe — a
+      // partition-pruned scan of the probed cells. nProbe = numCentroids
+      // degenerates to exact, so d5/d6's DuckDB oracle applies verbatim.
+      val dirT = tmp("d21")
+      Similarity.buildIvfIndex(s,
+        read(s, dir, "embeddings").filter(col("vec_id") >= 10),
+        "vec_id", "embedding", dirT, numCentroids = 16)
+      () => {
+      Similarity.ivfTopKFromIndex(s, dirT,
+        read(s, dir, "embeddings").filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5, nProbe = 16)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+      }
+    }),
     "d6_ivf_topk" -> ((s, dir) => () => {
       // nProbe = numCentroids probes every inverted list, so each
       // (query, corpus) pair is scored exactly once with the same cosine
@@ -2497,6 +2513,8 @@ object SparkEntry {
     // d6 runs IVF with nProbe = numCentroids (degenerate-exact), so the
     // brute-force oracle applies verbatim
     "d6_ivf_topk" -> cosineTopkOracle,
+    // persisted-index probe at nProbe = numCentroids: exact, same oracle
+    "d21_ivf_index" -> cosineTopkOracle,
     // production-mode IVF (nProbe=8 of 16): the recall bound is asserted
     // Spark-side against the exact top-k; the oracle pins the exact-pair
     // count and the bound itself (deterministic centroids ⇒ deterministic

@@ -213,4 +213,77 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
   }
+
+  /** Materialize an IVF index as graft tables, so the k-means build runs
+    * ONCE and every later query batch probes it ([[ivfTopK]] rebuilds
+    * centroids and re-assigns the corpus per call — fine interactively,
+    * wasteful for a daily batch-scoring pipeline over a stable corpus):
+    *
+    *  - `<indexPath>/centroids` — (cid, centroid), k×dim, driver-tiny;
+    *  - `<indexPath>/cells` — the corpus with precomputed norm and nearest
+    *    cell, PARTITIONED BY cell: a probe filters on the cell ids it
+    *    needs, so the table's own partition pruning drops every unprobed
+    *    inverted list at the FILE level before any byte is read.
+    */
+  def buildIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      numCentroids: Int = 16,
+      kmeansIterations: Int = 3,
+      kmeansSampleSize: Int = 1 << 20): Unit = {
+    import spark.implicits._
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, numCentroids,
+      kmeansIterations, kmeansSampleSize)
+    graft.tables.GraftTable.create(spark, s"$indexPath/centroids",
+      centroids.toDF("cid", "centroid"))
+    val assigned = corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("vector"))
+      .withColumn("norm", norm(col("vector")))
+      .withColumn("cell", nearestOf(centroids, col("vector"), 1)(0).getField("cid"))
+    graft.tables.GraftTable.create(spark, s"$indexPath/cells", assigned,
+      partitionColumns = Seq("cell"))
+    ()
+  }
+
+  /** Probe a [[buildIvfIndex]] index: same semantics and output shape as
+    * [[ivfTopK]] at the index's centroid count, but the only corpus work is
+    * a partition-pruned scan of the probed cells (≤ queries × nProbe
+    * partitions of the cells table; the probed-cell collect is bounded by
+    * the centroid count, never by data).
+    */
+  def ivfTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4,
+      broadcastQueries: Option[Boolean] = None,
+      broadcastThreshold: Long = DefaultBroadcastQueryRows): DataFrame = {
+    val centroids = graft.tables.GraftTable.forPath(spark, s"$indexPath/centroids")
+      .toDF.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .withColumn("__cell", explode(transform(
+        nearestOf(centroids, col("__qv"), nProbe), _.getField("cid"))))
+    val probedCells = q.select("__cell").distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by numCentroids
+    val cells = graft.tables.GraftTable.forPath(spark, s"$indexPath/cells").toDF
+      .filter(col("cell").isInCollection(probedCells))
+      .select(col("cell").as("__cell"), col("corpus_id"),
+        col("vector").as("__cv"), col("norm").as("__cn"))
+    val scored = cells.join(maybeBroadcast(q, broadcastQueries, broadcastThreshold), Seq("__cell"))
+      .withColumn("cosine", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+  }
 }

@@ -277,6 +277,27 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(recall >= 0.5, s"IVF recall $recall too low")
     }
 
+    it("persisted IVF index probe equals the in-memory ivfTopK and prunes unprobed cells") {
+      val idx = tmpTableDir("ivf_idx")
+      Similarity.buildIvfIndex(spark, corpus, "vec_id", "embedding", idx,
+        numCentroids = 8)
+      val fromIndex = Similarity.ivfTopKFromIndex(spark, idx, queries,
+        "vec_id", "embedding", 5, nProbe = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+      val inMemory = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 5,
+        numCentroids = 8, nProbe = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+      assert(fromIndex == inMemory)
+      // the cells table is partitioned by cell, so a single-cell probe
+      // keeps strictly fewer files than the table holds (file-level pruning)
+      val cellsTable = graft.tables.GraftTable.forPath(spark, s"$idx/cells")
+      val someCell = cellsTable.toDF.select("cell").first().getInt(0)
+      val m = graft.operators.GraftHelpers.getNumShuffleFiles(
+        cellsTable, s"cell = $someCell")
+      assert(m("overall").asInstanceOf[Int].toLong < m("totalFilesInTable").asInstanceOf[Long],
+        s"single-cell probe did not prune: $m")
+    }
+
     it("a query set past the broadcast threshold joins WITHOUT the hint") {
       // threshold forced below the query count: no broadcast HINT may be
       // injected (an unconditional hint would OOM executors once the query

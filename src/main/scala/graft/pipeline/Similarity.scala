@@ -248,6 +248,31 @@ object Similarity {
     ()
   }
 
+  /** Incrementally extend a [[buildIvfIndex]] index with newly ingested
+    * vectors: assign them to the EXISTING centroids (reading the k×dim
+    * centroids table, never re-clustering) and append to the partitioned
+    * cells table — an ACID commit, so concurrent probes see the old or the
+    * new index, never half. Centroid drift under sustained ingest is
+    * handled the way IVF deployments do: periodic [[buildIvfIndex]]
+    * rebuilds, not per-batch re-clustering.
+    */
+  def appendToIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      newRows: DataFrame,
+      idCol: String,
+      vecCol: String): Unit = {
+    val centroids = graft.tables.GraftTable.forPath(spark, s"$indexPath/centroids")
+      .toDF.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
+    val assigned = newRows
+      .select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("vector"))
+      .withColumn("norm", norm(col("vector")))
+      .withColumn("cell", nearestOf(centroids, col("vector"), 1)(0).getField("cid"))
+    graft.tables.GraftTable.forPath(spark, s"$indexPath/cells").append(assigned)
+    ()
+  }
+
   /** Probe a [[buildIvfIndex]] index: same semantics and output shape as
     * [[ivfTopK]] at the index's centroid count, but the only corpus work is
     * a partition-pruned scan of the probed cells (≤ queries × nProbe

@@ -298,6 +298,31 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
         s"single-cell probe did not prune: $m")
     }
 
+    it("appendToIvfIndex assigns new vectors to existing cells; probes see them") {
+      val idx = tmpTableDir("ivf_append")
+      Similarity.buildIvfIndex(spark, corpus.filter("vec_id < 40"),
+        "vec_id", "embedding", idx, numCentroids = 8)
+      val before = Similarity.ivfTopKFromIndex(spark, idx, queries,
+        "vec_id", "embedding", 5, nProbe = 8)
+        .select("corpus_id").as[Long].collect().toSet
+      Similarity.appendToIvfIndex(spark, idx,
+        corpus.filter("vec_id >= 40"), "vec_id", "embedding")
+      val after = Similarity.ivfTopKFromIndex(spark, idx, queries,
+        "vec_id", "embedding", 5, nProbe = 8)
+      // full index + full probe = exact: must equal brute force over ALL 50
+      val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+      val got = after.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+      assert(got == exact)
+      assert(before.nonEmpty)
+      // an appended vector queried against the index finds ITSELF at rank 1
+      // — direct proof the probe sees post-append rows
+      val self = Similarity.ivfTopKFromIndex(spark, idx,
+        corpus.filter("vec_id = 45"), "vec_id", "embedding", 1, nProbe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+      assert(self == Seq((45L, 45L)))
+    }
+
     it("a query set past the broadcast threshold joins WITHOUT the hint") {
       // threshold forced below the query count: no broadcast HINT may be
       // injected (an unconditional hint would OOM executors once the query

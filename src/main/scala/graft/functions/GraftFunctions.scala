@@ -27,7 +27,11 @@ import graft.pipeline.{Dedup, TextAnalysis}
   *    ([[graft.pipeline.TextAnalysis.langId]]);
   *  - `cosine_sim(a array<numeric>, b array<numeric>)` — cosine similarity
   *    ([[graft.pipeline.Similarity.cosineSimilarity]]; NULL on NULL or
-  *    zero-normed inputs).
+  *    zero-normed inputs);
+  *  - `hash_rank(seed string, key)` — the deterministic sampling rank in
+  *    `[0, 2^32)` behind [[graft.pipeline.Sampling]] (`WHERE
+  *    hash_rank('42', doc_id) < 0.25 * 4294967296` is a reproducible 25%
+  *    sample, engine- and partitioning-independent).
   *
   * Parameters that select a code shape (hash counts, shingle width, bit
   * width) must be LITERALS — like `round`'s scale argument — and are
@@ -50,7 +54,17 @@ object GraftFunctions {
       unary("lang_id", TextAnalysis.langId))
     SparkBridge.registerFunction(spark, "cosine_sim",
       binary("cosine_sim", graft.pipeline.Similarity.cosineSimilarity))
+    SparkBridge.registerFunction(spark, "hash_rank",
+      binary("hash_rank", (seed, key) =>
+        graft.pipeline.Sampling.hashRank(litString("hash_rank", "seed", seed), Seq(key))))
   }
+
+  private def litString(fn: String, name: String, c: Column): String =
+    SparkBridge.catalystExpression(c) match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: $name must be a string literal, got ${other.sql}")
+    }
 
   private[functions] def minhashBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.nonEmpty && exprs.length <= 3,

@@ -97,6 +97,16 @@ class GraftSqlFunctionsSpec extends AnyFunSpec with SparkSessionTestWrapper {
       3L -> Some(-1.0), 4L -> None))
   }
 
+  it("hash_rank ≡ Sampling.hashRank; seed must be a string literal") {
+    assertSqlEqualsColumn("hash_rank('42', id)",
+      graft.pipeline.Sampling.hashRank("42", Seq($"id")))
+    val e = intercept[Exception] {
+      spark.sql("SELECT hash_rank(text, id) FROM sqlfn_docs").collect()
+    }
+    assert(e.getMessage.contains("hash_rank") &&
+      e.getMessage.contains("seed must be a string literal"), e.getMessage)
+  }
+
   it("fingerprint is reformat-invariant where the Column contract says so") {
     val r = spark.sql(
       "SELECT fingerprint('Hello,   World!') = fingerprint('hello world') AS same").head()

@@ -360,6 +360,40 @@ object SparkEntry {
       }
     }),
 
+    "q16_stream_curate_sink" -> ((s, dir) => {
+      // the LIVE ingest loop end to end: documents stream in 4 micro-batches
+      // through the stateful fingerprint dedup gate and land in a GraftTable
+      // via the exactly-once sink — cross-batch reposts never reach the
+      // table, and the fingerprint set READ BACK FROM THE TABLE equals the
+      // batch DISTINCT the oracle computes (fingerprints, not row identity:
+      // which arrival survives within a micro-batch is the operator's
+      // choice, the surviving CONTENT set is the contract)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val dirT = tmp("q16")
+      val rows = read(s, dir, "documents")
+        .orderBy("doc_id")
+        .select(col("doc_id"), col("text"), col("lang"))
+        .as[(Long, String, String)].collect()
+      () => {
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)]
+      val curated = graft.streaming.StreamingOps
+        .fingerprintDedupStream(
+          input.toDF().toDF("doc_id", "text", "lang"))
+        .select("doc_id", "lang", "fingerprint")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query = graft.streaming.GraftSink
+        .writeStreamTo(curated, dirT, "q16app").start()
+      try {
+        rows.grouped(math.max(1, rows.length / 4 + 1))
+          .foreach { b => input.addData(b.toIndexedSeq); query.processAllAvailable() }
+      } finally { query.stop(); s.conf.set("spark.sql.shuffle.partitions", prevParts) }
+      GraftTable.forPath(s, dirT).toDF.select("fingerprint")
+      }
+    }),
+
     "q8_stream_sink" -> ((s, dir) => {
       // TRUE streaming write with exactly-once semantics: nation rows stream
       // through MemoryStream into a GraftTable in 3 micro-batches via the
@@ -1982,6 +2016,9 @@ object SparkEntry {
         |       CAST(sum(value) AS BIGINT) AS total_value
         |FROM e GROUP BY 1, 2, 3""".stripMargin,
     "q15_stream_dedup" ->
+      """SELECT DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+    "q16_stream_curate_sink" ->
       """SELECT DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
     "q8_stream_sink" ->

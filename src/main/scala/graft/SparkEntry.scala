@@ -1083,6 +1083,29 @@ object SparkEntry {
       read(s, dir, "documents").select(
         col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     }),
+    "t5_repetition_signals" -> ((s, dir) => () => {
+      // Gopher-style repetition gate: two partial-agg shuffles, no UDFs
+      TextAnalysis.repetitionSignals(read(s, dir, "documents"), "doc_id", "text")
+    }),
+    "t6_pii_redact" -> ((s, dir) => () => {
+      // the corpus has no natural PII, so inject a deterministic email + IP
+      // + phone per doc; counts and the redacted text are then
+      // oracle-predictable (the same injection runs in the DuckDB SQL)
+      val withPii = read(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          (col("doc_id") % 100).cast("string"),
+          lit(" tel +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      TextAnalysis.redactPii(withPii, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          md5(col("text")).as("redacted_md5"))
+    }),
+    "t7_vocab_stats" -> ((s, dir) => () => {
+      TextAnalysis.vocabStats(read(s, dir, "documents"), "doc_id", "text", 50)
+    }),
 
     // ---- D: near-dup / similarity pipeline ----
     "d2_minhash_pairs" -> ((s, dir) => () => {
@@ -2243,6 +2266,53 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+    "t5_repetition_signals" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM toks WHERE w <> '' GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, sum(c) AS words, count(*) AS distinct_words, max(c) AS top_cnt,
+        |               CAST(sum(c * length(w)) AS DOUBLE) / sum(c) AS mwl
+        |        FROM wc GROUP BY 1)
+        |SELECT doc_id, CAST(words AS BIGINT) AS words,
+        |  CAST(distinct_words AS BIGINT) AS distinct_words,
+        |  round(1 - CAST(distinct_words AS DOUBLE) / words, 6) AS dup_word_frac,
+        |  round(CAST(top_cnt AS DOUBLE) / words, 6) AS top_word_frac,
+        |  round(mwl, 6) AS mean_word_len,
+        |  ((1 - CAST(distinct_words AS DOUBLE) / words) <= 0.85
+        |   AND CAST(top_cnt AS DOUBLE) / words <= 0.2) AS repetition_ok
+        |FROM agg""".stripMargin,
+    "t6_pii_redact" ->
+      """WITH pii AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ||
+        |    ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t, '\+?\d[\d-]{6,}\d')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |      '\+?\d[\d-]{6,}\d', '[PHONE]', 'g')) AS redacted_md5
+        |FROM pii""".stripMargin,
+    "t7_vocab_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |byword AS (
+        |  SELECT w AS word, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+        |  FROM toks WHERE w <> '' GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY occurrences DESC, word) AS INT) AS rank,
+        |       word, CAST(occurrences AS BIGINT) AS occurrences,
+        |       CAST(doc_freq AS BIGINT) AS doc_freq
+        |FROM byword
+        |ORDER BY occurrences DESC, word
+        |LIMIT 50""".stripMargin,
     "d19_weighted_mix" -> {
       val en = Sampling.fractionThresholdHex(0.5)
       val de = Sampling.fractionThresholdHex(0.25)

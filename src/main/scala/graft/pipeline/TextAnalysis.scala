@@ -75,4 +75,123 @@ object TextAnalysis {
       .withColumn("bpeish_tokens", bpeishTokenCount(t))
       .withColumn("fingerprint", fingerprint(t))
   }
+
+  // ==================================================================
+  // Repetition signals (Gopher-style quality rules)
+  // ==================================================================
+
+  /** Per-document word-repetition signals, the Gopher/MassiveText-style
+    * quality gate (Rae et al. 2021 §A.1.1: filter docs whose content is
+    * dominated by repeated words/lines): for each doc —
+    *
+    *  - `words` / `distinct_words` — total and distinct normalized tokens;
+    *  - `dup_word_frac` — fraction of tokens that are repeats of an
+    *    earlier-seen word (1 − distinct/total);
+    *  - `top_word_frac` — share of the single most frequent word;
+    *  - `mean_word_len` — frequency-weighted mean token length;
+    *  - `repetition_ok` — composite gate: dup_word_frac ≤ `maxDupWordFrac`
+    *    AND top_word_frac ≤ `maxTopWordFrac`.
+    *
+    * Scale: one shuffle on (doc, word) with map-side combine collapses each
+    * doc to its distinct words, then a second (already much smaller) agg on
+    * doc — both partial-aggregated, no per-doc collect, no UDFs. At 100 TB
+    * the (doc, word) key space is near-unique so the first combine is the
+    * dominant cost — exactly the hash-aggregate Spark does best.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+      maxDupWordFrac: Double = 0.85, maxTopWordFrac: Double = 0.20): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(split(normalized(col(textCol)), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+    val wordCounts = toks.groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    wordCounts.groupBy(col(idCol))
+      .agg(
+        sum("__c").as("words"),
+        count(lit(1)).as("distinct_words"),
+        max("__c").as("__top"),
+        (sum(col("__c") * length(col("__w"))).cast("double") / sum("__c")).as("__mwl"))
+      .select(
+        col(idCol),
+        col("words"),
+        col("distinct_words"),
+        round(lit(1.0d) - col("distinct_words").cast("double") / col("words"), 6)
+          .as("dup_word_frac"),
+        round(col("__top").cast("double") / col("words"), 6).as("top_word_frac"),
+        round(col("__mwl"), 6).as("mean_word_len"),
+        ((lit(1.0d) - col("distinct_words").cast("double") / col("words")) <= maxDupWordFrac &&
+          col("__top").cast("double") / col("words") <= maxTopWordFrac).as("repetition_ok"))
+  }
+
+  // ==================================================================
+  // PII redaction
+  // ==================================================================
+
+  /** Conservative PII patterns, deliberately RE2-compatible (no lookaround,
+    * no backrefs) so the same regex runs in Spark, DuckDB, and most scan
+    * engines verbatim.
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern: String =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern: String = "\\+?\\d[\\d-]{6,}\\d"
+
+  /** Count of PII matches per kind — audit columns for a redaction pass. */
+  def piiCounts(textCol: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(textCol, lit(EmailPattern)).cast("long"),
+    "n_ips" -> regexp_count(textCol, lit(Ipv4Pattern)).cast("long"),
+    "n_phones" -> regexp_count(textCol, lit(PhonePattern)).cast("long"))
+
+  /** Text with emails, IPv4 addresses and phone-like digit runs replaced by
+    * typed placeholders. Order matters and is fixed: emails first (their
+    * local parts may contain digit runs), then IPs (dots break the phone
+    * class so the reverse would corrupt), then phones.
+    */
+  def piiRedact(textCol: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(textCol, EmailPattern, "[EMAIL]"),
+        Ipv4Pattern, "[IP]"),
+      PhonePattern, "[PHONE]")
+
+  /** Redaction pass over a corpus: per-kind match counts (from the ORIGINAL
+    * text) plus the redacted text. Pure column expressions — composes into
+    * the scan, zero extra stages at any scale.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    piiCounts(t).foldLeft(df) { case (acc, (name, c)) => acc.withColumn(name, c) }
+      .withColumn(textCol, piiRedact(t))
+  }
+
+  // ==================================================================
+  // Corpus vocabulary statistics
+  // ==================================================================
+
+  /** Corpus-level vocabulary: the `topK` most frequent normalized tokens
+    * with total occurrences and document frequency. Ties break
+    * alphabetically so the cut is deterministic.
+    *
+    * Scale: explode → hash-aggregate on word (map-side combined; the
+    * doc-frequency side aggregates (word, doc) pairs first, same combine),
+    * then a TakeOrdered of topK rows to the driver — never the vocabulary
+    * itself.
+    */
+  def vocabStats(df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("__doc"), explode(split(normalized(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "")
+    // per-(word, doc) first: collapses each doc's repeats map-side, then the
+    // word rollup gets exact doc_freq without a countDistinct re-shuffle
+    val perDoc = toks.groupBy("word", "__doc").agg(count(lit(1)).as("__c"))
+    val byWord = perDoc.groupBy("word")
+      .agg(sum("__c").as("occurrences"), count(lit(1)).as("doc_freq"))
+    byWord
+      .orderBy(col("occurrences").desc, col("word"))
+      .limit(topK)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("occurrences").desc, col("word"))))
+      .select(col("rank"), col("word"), col("occurrences"), col("doc_freq"))
+  }
 }

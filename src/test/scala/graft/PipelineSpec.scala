@@ -379,6 +379,45 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
       val fps = variants.select(TextAnalysis.fingerprint($"text")).distinct().count()
       assert(fps == 1)
     }
+    it("repetitionSignals computes exact fractions and gates repeated docs") {
+      val in = Seq(
+        (1L, "aa aa bb"), // 3 words, 2 distinct, top 2/3
+        (2L, "one two three four five six seven eight nine ten"))
+        .toDF("doc_id", "text")
+      val out = TextAnalysis.repetitionSignals(in, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r).toMap
+      val r1 = out(1L)
+      assert(r1.getLong(1) == 3 && r1.getLong(2) == 2)
+      assert(math.abs(r1.getDouble(3) - 0.333333) < 1e-9) // dup_word_frac
+      assert(math.abs(r1.getDouble(4) - 0.666667) < 1e-9) // top_word_frac
+      assert(r1.getDouble(5) == 2.0)                      // mean_word_len
+      assert(!r1.getBoolean(6))                           // gated: top word dominates
+      assert(out(2L).getBoolean(6))                       // all-distinct doc passes
+    }
+    it("redactPii replaces emails/ips/phones with placeholders and counts them") {
+      val in = Seq(
+        (1L, "mail bob.smith+x@corp.example.org server 192.168.1.200 call +1-555-0142 done"),
+        (2L, "no pii here at all"))
+        .toDF("doc_id", "text")
+      val out = TextAnalysis.redactPii(in, "text")
+        .collect().map(r => r.getLong(0) -> r).toMap
+      assert(out(1L).getString(1) == "mail [EMAIL] server [IP] call [PHONE] done")
+      assert(out(1L).getLong(2) == 1 && out(1L).getLong(3) == 1 && out(1L).getLong(4) == 1)
+      assert(out(2L).getString(1) == "no pii here at all")
+      assert(out(2L).getLong(2) == 0 && out(2L).getLong(3) == 0 && out(2L).getLong(4) == 0)
+    }
+    it("vocabStats ranks by frequency with deterministic alphabetic ties") {
+      val in = Seq(
+        (1L, "apple banana apple"),
+        (2L, "apple cherry banana"))
+        .toDF("doc_id", "text")
+      val rows = TextAnalysis.vocabStats(in, "doc_id", "text", 10)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq(
+        (1, "apple", 3L, 2L),   // 3 occurrences across 2 docs
+        (2, "banana", 2L, 2L),
+        (3, "cherry", 1L, 1L)))
+    }
   }
 
   describe("Dedup under skew") {

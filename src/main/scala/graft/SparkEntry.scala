@@ -1197,6 +1197,18 @@ object SparkEntry {
         threshold = 0.99, planes = 32, bands = 4)
         .select(col("idA"), col("idB"))
     }),
+    "d22_semantic_dedup" -> ((s, dir) => () => {
+      // SemDeDup over the same injected-copy fixture as d7: identical
+      // vectors land in the same k-means cell by construction, so at
+      // threshold 0.99 exactly the shifted-id copies are pruned (max
+      // non-copy pairwise cosine ≈0.51) — survivors are the originals
+      val emb = read(s, dir, "embeddings")
+      val dups = emb.filter(col("vec_id") % 50 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000)
+      Dedup.semanticDedup(emb.unionByName(dups), "vec_id", "embedding",
+        threshold = 0.99, numClusters = 8)
+        .select(col("vec_id"), col("label"))
+    }),
 
     // ---- MM: multimodal plumbing (stubbed codec, real schema/batching) ----
     "mm1_multimodal_features" -> ((s, dir) => () => {
@@ -2615,6 +2627,9 @@ object SparkEntry {
     "d7_embedding_near_dup" ->
       """SELECT vec_id AS idA, vec_id + 100000 AS idB
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    // SemDeDup prunes exactly the injected copies (same fixture as d7):
+    // survivors are the original corpus
+    "d22_semantic_dedup" -> "SELECT vec_id, label FROM embeddings",
     "d4_ngram_jaccard_pairs" -> ngramJaccardOracle(0.5),
     "d5_cosine_topk" -> cosineTopkOracle,
     // d6 runs IVF with nProbe = numCentroids (degenerate-exact), so the

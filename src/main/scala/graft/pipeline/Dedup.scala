@@ -809,4 +809,57 @@ object Dedup {
       .select(col("idNew").as(idCol)).distinct()
     newDf.join(hit, Seq(idCol), "left_anti")
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    * k-means clustering of the embedding space followed by within-cluster
+    * cosine pruning. A row is removed iff a LOWER-id row in the SAME cluster
+    * has cosine ≥ `threshold` with it (the same earliest-survivor rule as
+    * [[minhashDedup]], so the two layers compose predictably). Returns the
+    * surviving rows of `df` unchanged.
+    *
+    * Scale: the quadratic pairwise step is confined to one cluster at a
+    * time — the paper's core trick. Centroids (k × dim) train on a bounded
+    * deterministic sample and live on the driver; assignment is one
+    * codegen'd argmin pass; the within-cluster self-join shuffles both
+    * sides on the cluster id ONCE, and each cluster's pair enumeration is
+    * local to its partition. Size `numClusters` ~ corpus/5000 at 100 TB so
+    * per-cluster membership stays bounded; `maxClusterSize` fails loudly
+    * (rather than silently OOMing a partition) if a degenerate embedding
+    * distribution collapses clusters — re-run with more clusters.
+    *
+    * Compared to [[embeddingCosinePairs]] (hyperplane LSH): LSH finds only
+    * near-EXACT pairs (banding recall collapses below ~0.9 cosine);
+    * SemDeDup prunes *semantic* redundancy at much lower thresholds
+    * (0.5–0.8) where hyperplane banding has no usable recall.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numClusters: Int = 16,
+      kmeansIterations: Int = 3, kmeansSampleSize: Int = 1 << 20,
+      maxClusterSize: Long = 10L << 20): DataFrame = {
+    val centroids = Similarity.kmeansCentroids(
+      df, idCol, vecCol, numClusters, kmeansIterations, kmeansSampleSize)
+    val assigned = df
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n", sqrt(aggregate(col("__v"), lit(0.0d), (acc, x) => acc + x * x)))
+      .withColumn("__cell", Similarity.nearestOf(centroids, col("__v"), 1)(0).getField("cid"))
+      .transform(materialize)
+
+    val oversize = assigned.groupBy("__cell").agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") > maxClusterSize).limit(1).collect()
+    require(oversize.isEmpty,
+      s"semanticDedup: cluster ${oversize.headOption.map(_.get(0)).orNull} exceeds " +
+        s"maxClusterSize=$maxClusterSize rows — raise numClusters (quadratic " +
+        "within-cluster cost would dominate) or maxClusterSize")
+
+    val a = assigned.select(col("__cell"), col("__id").as("__idA"),
+      col("__v").as("__vA"), col("__n").as("__nA"))
+    val b = assigned.select(col("__cell"), col("__id").as("__idB"),
+      col("__v").as("__vB"), col("__n").as("__nB"))
+    val removed = a.join(b, "__cell")
+      .filter(col("__idA") < col("__idB"))
+      .filter(aggregate(zip_with(col("__vA"), col("__vB"), _ * _), lit(0.0d), _ + _) /
+        (col("__nA") * col("__nB")) >= threshold)
+      .select(col("__idB").as(idCol)).distinct()
+    df.join(removed, Seq(idCol), "left_anti")
+  }
 }

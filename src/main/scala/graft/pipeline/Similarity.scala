@@ -159,7 +159,7 @@ object Similarity {
     * ordering sorts by distance (cid breaks exact ties) — no comparator
     * lambda (whose struct field names don't survive resolution).
     */
-  private def nearestOf(
+  private[pipeline] def nearestOf(
       centroids: Seq[(Int, Array[Double])],
       vec: org.apache.spark.sql.Column,
       n: Int): org.apache.spark.sql.Column = {

@@ -237,6 +237,40 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  describe("Dedup.semanticDedup") {
+    // two well-separated directions, each with a near-identical follower —
+    // SemDeDup must drop the followers (higher ids) regardless of how
+    // k-means splits the space
+    val semVecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f, 0.0f, 0.0f)),   // near dup of 1
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.01f, 0.999f, 0.0f)),   // near dup of 3
+      (5L, Array(0.7f, 0.0f, 0.7f, 0.1f))       // between, not a dup of either
+    ).toDF("vec_id", "embedding")
+
+    it("drops within-cluster near-dups, keeps lowest ids and distinct rows") {
+      val ids = Dedup.semanticDedup(semVecs, "vec_id", "embedding",
+        threshold = 0.99, numClusters = 2, kmeansIterations = 2)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(1L) && ids.contains(3L) && ids.contains(5L))
+      assert(!ids.contains(2L) && !ids.contains(4L))
+    }
+    it("single-cluster config equals the global anti-join rule") {
+      val one = Dedup.semanticDedup(semVecs, "vec_id", "embedding",
+        threshold = 0.99, numClusters = 1, kmeansIterations = 1)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(one == Set(1L, 3L, 5L))
+    }
+    it("fails loudly when a cluster exceeds maxClusterSize") {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.semanticDedup(semVecs, "vec_id", "embedding",
+          threshold = 0.99, numClusters = 1, maxClusterSize = 2)
+      }
+      assert(e.getMessage.contains("maxClusterSize"))
+    }
+  }
+
   describe("Similarity") {
     val corpus = (0 until 50).map { i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))

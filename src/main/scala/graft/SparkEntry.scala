@@ -1186,6 +1186,29 @@ object SparkEntry {
         .toDF("exact_pairs", "recall_ok")
     }),
 
+    "d23_pq_recall" -> ((s, dir) => () => {
+      // product quantization at m=8 × ksub=16 over 64 dims (32× compression)
+      // with exact re-ranking of a 100-candidate ADC shortlist: recall vs
+      // the exact top-5 must stay >= 0.85. Same worst-case caveat as d6 —
+      // the synthetic corpus is near-uniform on the sphere (measured 0.24
+      // with no rerank, 0.76 at rerank=50, 0.92 at rerank=100); clustered
+      // production embeddings sit far above at the same rerank budget.
+      // Deterministic sample/init ⇒ the boolean is driver-checkable.
+      val emb = read(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+        .select("query_id", "corpus_id")
+      val approx = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", 5,
+        m = 8, ksub = 16, rerank = 100)
+        .select("query_id", "corpus_id")
+      val total = exact.count()
+      val hits = exact.join(approx, Seq("query_id", "corpus_id"), "left_semi").count()
+      import s.implicits._
+      Seq((total, hits.toDouble / total >= 0.85))
+        .toDF("exact_pairs", "recall_ok")
+    }),
+
     "d7_embedding_near_dup" -> ((s, dir) => () => {
       // the synthetic table has no natural near-dups (max pairwise cosine
       // ≈0.51), so inject exact copies under shifted ids: found pairs must be
@@ -2642,6 +2665,12 @@ object SparkEntry {
     // count and the bound itself (deterministic centroids ⇒ deterministic
     // recall — 0.74 measured on the uniform synthetic corpus)
     "d6_ivf_recall" ->
+      """SELECT CAST(5 * (SELECT count(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)
+        |         AS exact_pairs,
+        |       true AS recall_ok""".stripMargin,
+    // PQ + rerank recall bound, same shape as d6_ivf_recall (deterministic
+    // codebooks ⇒ deterministic recall — 0.92 measured at rerank=100)
+    "d23_pq_recall" ->
       """SELECT CAST(5 * (SELECT count(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)
         |         AS exact_pairs,
         |       true AS recall_ok""".stripMargin

@@ -273,6 +273,137 @@ object Similarity {
     ()
   }
 
+  // ==================================================================
+  // Product quantization (Jégou et al. 2011, "Product Quantization for
+  // Nearest Neighbor Search")
+  // ==================================================================
+
+  /** (id, L2-normalized vector) projection — the norm is computed ONCE per
+    * row in its own column (an `aggregate` inside the `transform` lambda
+    * would re-reduce the array per element: O(dim²)/row).
+    */
+  private def l2normalized(df: DataFrame, idCol: String, vecCol: String,
+      outId: String, outVec: String): DataFrame =
+    df.select(col(idCol).as(outId), col(vecCol).cast("array<double>").as("__raw"))
+      .withColumn("__nn", norm(col("__raw")))
+      .select(col(outId), transform(col("__raw"), _ / col("__nn")).as(outVec))
+
+  /** Per-subspace PQ codebooks over the L2-NORMALIZED corpus: the dim-D
+    * space splits into `m` contiguous subspaces of D/m dims, each k-means'd
+    * independently (deterministic sample + init, like [[kmeansCentroids]]).
+    * Returns `m` codebooks of `ksub` centroids — m × ksub × D/m doubles,
+    * driver-tiny at any corpus size.
+    *
+    * Scale: each subspace trains on the same bounded sample (m small
+    * sample-side jobs); the full corpus is never shuffled. Train cost is
+    * independent of corpus size.
+    */
+  def pqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ksub: Int,
+      iterations: Int = 3,
+      sampleSize: Int = 1 << 18): Seq[Seq[(Int, Array[Double])]] = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val normed = l2normalized(corpus, idCol, vecCol, "__id", "__v")
+    (0 until m).map { j =>
+      kmeansCentroids(
+        normed.select(col("__id"), slice(col("__v"), j * dsub + 1, dsub).as("__s")),
+        "__id", "__s", ksub, iterations, sampleSize)
+    }
+  }
+
+  /** Encode each vector as `m` small codeword ids (nearest codebook entry
+    * per subspace) — one codegen'd argmin pass, no shuffle. A 64-dim float
+    * vector (256 B) compresses to m bytes of codes (32× at m=8): the whole
+    * corpus' codes fit where 3% of its vectors would.
+    */
+  def pqEncode(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
+    val m = codebooks.size
+    val dsub = codebooks.head.head._2.length
+    val codes = array((0 until m).map { j =>
+      nearestOf(codebooks(j), slice(col("__nv"), j * dsub + 1, dsub), 1)(0).getField("cid")
+    }: _*)
+    l2normalized(df, idCol, vecCol, idCol, "__nv")
+      .select(col(idCol), codes.as("codes"))
+  }
+
+  /** Approximate cosine top-k by asymmetric-distance computation over PQ
+    * codes, with optional exact re-ranking: score every (query, code-row)
+    * pair as Σ_j ⟨query_subvector_j, codeword_j⟩ (the query side stays
+    * UN-quantized — that's the "asymmetric" in ADC), shortlist `rerank`
+    * candidates per query, then re-score only the shortlist against the
+    * true vectors.
+    *
+    * Scale: the corpus-wide pass reads CODES (m bytes/row), not vectors —
+    * the memory-bandwidth path that makes exhaustive scans affordable at
+    * 100 TB; true vectors are fetched for `queries × rerank` rows only.
+    * Codebooks ride the expression tree as literals (m × ksub × D/m
+    * doubles); the query side broadcasts under the same guard as
+    * [[bruteForceTopK]]. With `rerank = 0` the ADC score itself ranks
+    * (fastest, lowest recall); `rerank ≥ 4k` is the standard quality
+    * setting.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      rerank: Int = 0,
+      iterations: Int = 3,
+      sampleSize: Int = 1 << 18,
+      broadcastQueries: Option[Boolean] = None,
+      broadcastThreshold: Long = DefaultBroadcastQueryRows): DataFrame = {
+    val codebooks = pqCodebooks(corpus, idCol, vecCol, m, ksub, iterations, sampleSize)
+    val dsub = codebooks.head.head._2.length
+
+    val codeRows = pqEncode(corpus, idCol, vecCol, codebooks)
+      .select(col(idCol).as("corpus_id"), col("codes"))
+    val q = l2normalized(queries, idCol, vecCol, "query_id", "__qv")
+
+    def cbCol(j: Int) = array(codebooks(j).map { case (_, cw) => lit(cw) }: _*)
+    val adc = (0 until m).map { j =>
+      dot(slice(col("__qv"), j * dsub + 1, dsub),
+        element_at(cbCol(j), col("codes")(j) + 1))
+    }.reduce(_ + _)
+
+    val scored = codeRows
+      .crossJoin(maybeBroadcast(q, broadcastQueries, broadcastThreshold))
+      .withColumn("adc_score", adc)
+    val w = Window.partitionBy("query_id").orderBy(col("adc_score").desc, col("corpus_id"))
+
+    if (rerank <= 0) {
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("corpus_id"),
+          col("adc_score").as("score"))
+    } else {
+      val shortlist = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= math.max(k, rerank))
+        .select(col("query_id"), col("corpus_id"), col("__qv"))
+      val c = corpus.select(col(idCol).as("corpus_id"),
+        col(vecCol).cast("array<double>").as("__cv"))
+        .withColumn("__cn", norm(col("__cv")))
+      val exact = shortlist.join(c, "corpus_id")
+        .withColumn("cosine", dot(col("__cv"), col("__qv")) / col("__cn"))
+      val w2 = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
+      exact.withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+    }
+  }
+
   /** Probe a [[buildIvfIndex]] index: same semantics and output shape as
     * [[ivfTopK]] at the index's centroid count, but the only corpus work is
     * a partition-pruned scan of the probed cells (≤ queries × nProbe

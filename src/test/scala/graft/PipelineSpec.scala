@@ -285,6 +285,38 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(top.count() == 15)
     }
 
+    it("pqEncode emits m codes per row bounded by the codebook size") {
+      val cbs = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 4, ksub = 8)
+      assert(cbs.size == 4 && cbs.forall(_.size == 8))
+      val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", cbs)
+        .collect().map(r => r.getSeq[Int](1))
+      assert(codes.length == 50)
+      assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+    }
+
+    it("pqTopK with exact rerank finds the identical vector at rank 1") {
+      val top = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", 5,
+        m = 4, ksub = 8, rerank = 25)
+      val rank1 = top.filter("rank = 1").collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(rank1 == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+      assert(top.count() == 15)
+    }
+
+    it("pqTopK rerank recall dominates raw ADC ranking") {
+      val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+        .select("query_id", "corpus_id")
+      def recall(rr: Int): Double = {
+        val approx = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", 5,
+          m = 4, ksub = 8, rerank = rr).select("query_id", "corpus_id")
+        exact.join(approx, Seq("query_id", "corpus_id"), "left_semi").count().toDouble / 15
+      }
+      val r0 = recall(0)
+      val r25 = recall(25)
+      assert(r25 >= r0)
+      assert(r25 >= 0.8, s"rerank=25 recall $r25 below 0.8")
+    }
+
     it("kmeansCentroids trains on a bounded deterministic sample") {
       import org.apache.spark.sql.functions.{col, xxhash64}
       // centroids from (full corpus, sampleSize=12) must equal centroids from

@@ -1186,6 +1186,34 @@ object SparkEntry {
         .toDF("exact_pairs", "recall_ok")
     }),
 
+    "d24_contamination" -> ((s, dir) => () => {
+      // eval docs built from the corpus itself: first 12 normalized tokens
+      // of every 97th doc (contaminated prefix) + three unique suffix
+      // tokens — so the gram-coverage fraction is a real mixed value the
+      // DuckDB oracle reproduces exactly (string joins; the Spark side's
+      // xxhash64 gram keys would need a 2^-64 collision to differ)
+      val docs = read(s, dir, "documents")
+      val evalDf = docs.filter(col("doc_id") % 97 === 0).select(
+        col("doc_id"),
+        concat(
+          concat_ws(" ",
+            slice(split(TextAnalysis.normalized(col("text")), " "), 1, 12)),
+          lit(" zq"), col("doc_id").cast("string"), lit("a zq"),
+          col("doc_id").cast("string"), lit("b zq"),
+          col("doc_id").cast("string"), lit("c")).as("text"))
+      Dedup.contaminationReport(docs, evalDf, "doc_id", "text", n = 3)
+    }),
+    "d25_model_score" -> ((s, dir) => () => {
+      // integer-valued weights make the per-doc fold exact in any summation
+      // order, so the set-ordered DuckDB SUM matches the sequential Spark
+      // array fold bit-for-bit
+      val weights = Array.tabulate(64)(i => ((i * 37 + 11) % 21 - 10).toDouble)
+      read(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.hashedLinearScore(col("text"), weights), 6)
+            .as("model_score"))
+        .withColumn("keep", col("model_score") > 0)
+    }),
     "d23_pq_recall" -> ((s, dir) => () => {
       // product quantization at m=8 × ksub=16 over 64 dims (32× compression)
       // with exact re-ranking of a 100-candidate ADC shortlist: recall vs
@@ -2653,6 +2681,48 @@ object SparkEntry {
     // SemDeDup prunes exactly the injected copies (same fixture as d7):
     // survivors are the original corpus
     "d22_semantic_dedup" -> "SELECT vec_id, label FROM embeddings",
+    "d24_contamination" ->
+      """WITH ev AS (
+        |  SELECT doc_id,
+        |    array_to_string(
+        |      (string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))[1:12], ' ')
+        |    || ' zq' || CAST(doc_id AS VARCHAR) || 'a zq' || CAST(doc_id AS VARCHAR)
+        |    || 'b zq' || CAST(doc_id AS VARCHAR) || 'c' AS text
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |evt AS (SELECT doc_id,
+        |          string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+        |        FROM ev),
+        |evg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |          THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
+        |          ELSE list_distinct([array_to_string(t, ' ')]) END) AS g
+        |        FROM evt),
+        |trt AS (SELECT string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+        |        FROM documents),
+        |trg AS (SELECT DISTINCT unnest(CASE WHEN len(t) >= 3
+        |          THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
+        |          ELSE list_distinct([array_to_string(t, ' ')]) END) AS g
+        |        FROM trt),
+        |agg AS (
+        |  SELECT e.doc_id, count(*) AS eval_grams,
+        |         sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS hit_grams
+        |  FROM evg e LEFT JOIN trg t ON e.g = t.g GROUP BY 1)
+        |SELECT doc_id, CAST(eval_grams AS BIGINT) AS eval_grams,
+        |       CAST(hit_grams AS BIGINT) AS hit_grams,
+        |       round(CAST(hit_grams AS DOUBLE) / eval_grams, 6) AS contamination
+        |FROM agg""".stripMargin,
+    "d25_model_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |tw AS (
+        |  SELECT doc_id,
+        |    CAST((((('0x' || substring(md5(w), 1, 8))::BIGINT % 64) * 37 + 11) % 21 - 10) AS DOUBLE) AS wt
+        |  FROM toks WHERE w <> ''),
+        |agg AS (SELECT doc_id, count(*) AS n, sum(wt) AS raw FROM tw GROUP BY 1)
+        |SELECT doc_id, round(raw / n, 6) AS model_score,
+        |       (round(raw / n, 6) > 0) AS keep
+        |FROM agg""".stripMargin,
     "d4_ngram_jaccard_pairs" -> ngramJaccardOracle(0.5),
     "d5_cosine_topk" -> cosineTopkOracle,
     // d6 runs IVF with nProbe = numCentroids (degenerate-exact), so the

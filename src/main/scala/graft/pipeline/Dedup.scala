@@ -810,6 +810,46 @@ object Dedup {
     newDf.join(hit, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark-contamination report (the GPT-3 appendix-C / Pile
+    * decontamination shape): for each eval doc, the fraction of its
+    * DISTINCT word n-grams that occur anywhere in the training corpus.
+    * Returns (idCol, eval_grams, hit_grams, contamination) — one row per
+    * eval doc, contamination ∈ [0,1].
+    *
+    * Scale: grams travel as 64-bit `xxhash64` keys (8 bytes vs full
+    * strings; a false hit needs a hash collision — ~2⁻⁶⁴ per gram pair,
+    * immaterial for a fractional report). The eval side (a benchmark
+    * suite — thousands of docs) broadcasts under the same guard as
+    * [[Similarity.bruteForceTopK]], so the TRAINING corpus is never
+    * shuffled: one narrow scan computes grams, probes the broadcast eval
+    * set, and only the (eval_id, gram) hit pairs — bounded by the eval
+    * side — reach the final aggregation. An oversized eval side falls
+    * back to a plain shuffle join on the gram hash.
+    */
+  def contaminationReport(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      broadcastEval: Option[Boolean] = None,
+      broadcastThreshold: Long = Similarity.DefaultBroadcastQueryRows): DataFrame = {
+    val evalG = eval
+      .select(col(idCol).as("__eid"), explode(shingles(col(textCol), n)).as("__g"))
+      .select(col("__eid"), xxhash64(col("__g")).as("__h"))
+      .distinct()
+      .transform(materialize) // totals + hit probe reuse it
+    val trainG = train
+      .select(explode(shingles(col(textCol), n)).as("__g"))
+      .select(xxhash64(col("__g")).as("__h"))
+    val hits = trainG
+      .join(Similarity.maybeBroadcast(evalG, broadcastEval, broadcastThreshold), Seq("__h"))
+      .select("__eid", "__h").distinct()
+      .groupBy("__eid").agg(count(lit(1)).as("hit_grams"))
+    val totals = evalG.groupBy("__eid").agg(count(lit(1)).as("eval_grams"))
+    totals.join(hits, Seq("__eid"), "left")
+      .select(col("__eid").as(idCol), col("eval_grams"),
+        coalesce(col("hit_grams"), lit(0L)).as("hit_grams"),
+        round(coalesce(col("hit_grams"), lit(0L)).cast("double") / col("eval_grams"), 6)
+          .as("contamination"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
     * k-means clustering of the embedding space followed by within-cluster
     * cosine pruning. A row is removed iff a LOWER-id row in the SAME cluster

@@ -49,7 +49,7 @@ object Similarity {
     * scale-killer this guards against; past the threshold the join runs as
     * a plain shuffle on its keys.
     */
-  private def maybeBroadcast(
+  private[pipeline] def maybeBroadcast(
       q: DataFrame, hint: Option[Boolean], threshold: Long): DataFrame =
     hint match {
       case Some(true)  => broadcast(q)

@@ -165,6 +165,34 @@ object TextAnalysis {
   }
 
   // ==================================================================
+  // Hashed linear model scoring
+  // ==================================================================
+
+  /** fastText-style hashed bag-of-words linear scorer: each normalized
+    * token hashes (portable md5-based 32-bit, [[Dedup.md5TokenHash32]]'s
+    * scheme) into one of `weights.length` buckets, and the doc score is
+    * `bias + mean(bucket weight over tokens)` — the standard shape of a
+    * quality-classifier scoring pass once a trained linear model's weights
+    * are exported.
+    *
+    * A pure column expression: the weight table rides the plan as an array
+    * literal (element_at lookup), the per-doc fold is a deterministic
+    * left-to-right `aggregate` over the token array — no shuffle, no UDF,
+    * composes into the scan at any corpus size. With integer-valued
+    * weights the fold is EXACT (no float-order sensitivity), which is what
+    * makes the score externally verifiable.
+    */
+  def hashedLinearScore(textCol: Column, weights: Array[Double], bias: Double = 0.0): Column = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val toks = filter(split(normalized(textCol), " "), _ =!= "")
+    val wlit = lit(weights)
+    def bucket(w: Column): Column =
+      (conv(substring(md5(w), 1, 8), 16, 10).cast("long") % weights.length).cast("int")
+    val raw = aggregate(toks, lit(0.0d), (acc, w) => acc + element_at(wlit, bucket(w) + 1))
+    when(size(toks) > 0, lit(bias) + raw / size(toks)).otherwise(lit(bias))
+  }
+
+  // ==================================================================
   // Corpus vocabulary statistics
   // ==================================================================
 

@@ -237,6 +237,51 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  describe("Dedup.contaminationReport") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four")).toDF("doc_id", "text")
+    it("scores full, zero and partial gram overlap exactly") {
+      val eval = Seq(
+        (10L, "alpha beta gamma delta"),        // grams all in train doc 1
+        (11L, "xx yy zz ww"),                   // no overlap
+        (12L, "beta gamma delta qq rr"))        // 1 of 3 grams hit
+      .toDF("doc_id", "text")
+      val out = Dedup.contaminationReport(train, eval, "doc_id", "text", n = 3)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(out(10L) == ((2L, 2L, 1.0)))
+      assert(out(11L) == ((2L, 0L, 0.0)))
+      assert(out(12L)._1 == 3L && out(12L)._2 == 1L)
+      assert(math.abs(out(12L)._3 - 0.333333) < 1e-9)
+    }
+    it("unhinted large eval side still answers (shuffle fallback)") {
+      val eval = Seq((10L, "alpha beta gamma")).toDF("doc_id", "text")
+      val out = Dedup.contaminationReport(train, eval, "doc_id", "text", n = 3,
+        broadcastEval = Some(false))
+      assert(out.collect().head.getDouble(3) == 1.0)
+    }
+  }
+
+  describe("TextAnalysis.hashedLinearScore") {
+    it("constant weights give the constant; empty text gives the bias") {
+      val in = Seq((1L, "some words here"), (2L, "...")).toDF("doc_id", "text")
+      val out = in.select($"doc_id",
+        TextAnalysis.hashedLinearScore($"text", Array.fill(16)(2.0), bias = 0.5).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(out(1L) == 2.5) // bias + mean(2.0)
+      assert(out(2L) == 0.5) // no tokens -> bias only
+    }
+    it("is deterministic and sensitive to the weight table") {
+      val in = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+      def score(w: Array[Double]) = in.select(
+        TextAnalysis.hashedLinearScore($"text", w).as("s")).first().getDouble(0)
+      val w1 = Array.tabulate(64)(i => ((i * 37 + 11) % 21 - 10).toDouble)
+      assert(score(w1) == score(w1))
+      // shifting every bucket weight by +1 shifts the mean by exactly +1
+      assert(score(w1.map(_ + 1.0)) == score(w1) + 1.0)
+    }
+  }
+
   describe("Dedup.semanticDedup") {
     // two well-separated directions, each with a near-identical follower —
     // SemDeDup must drop the followers (higher ids) regardless of how

@@ -293,6 +293,35 @@ object SparkEntry {
       }
     }),
 
+    "q17_stream_available_now" -> ((s, dir) => {
+      // batch-mode catch-up: Trigger.AvailableNow over a 5-commit backlog
+      // with a 2-version admission bound — drains in >=3 bounded
+      // micro-batches and SELF-terminates (the source implements
+      // SupportsTriggerAvailableNow; Spark 4 has no generic v1 fallback)
+      val dirT = tmp("q17")
+      val region = read(s, dir, "region").select("r_regionkey", "r_name")
+      val t = GraftTable.create(s, dirT, region)
+      (1 to 5).foreach(i => t.append(
+        region.filter(col("r_regionkey") === 0).select(
+          (col("r_regionkey") + 100 + i).cast("int").as("r_regionkey"),
+          lit(s"catchup$i").as("r_name"))))
+      () => {
+      val name = "q17_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = s.readStream.format("graft")
+        .option("startingVersion", 1)
+        .option("maxVersionsPerTrigger", 2)
+        .load(dirT)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try require(query.awaitTermination(120000),
+        "AvailableNow catch-up did not self-terminate")
+      finally query.stop()
+      s.table(name).select(
+        col("r_regionkey"), col("r_name"), col("_change_type"), col("_commit_version"))
+      }
+    }),
+
     "q14_stream_start_timestamp" -> ((s, dir) => {
       // startingTimestamp on the streaming source: clock-controlled history
       // (v0 100h, v1 50h, v2 10h ago); a cutoff 24h ago must resolve to the
@@ -2119,6 +2148,12 @@ object SparkEntry {
       """SELECT CAST(r_regionkey + 20 AS INT) AS r_regionkey, r_name,
         |       'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
         |FROM region""".stripMargin,
+    "q17_stream_available_now" ->
+      """SELECT CAST(100 + i AS INT) AS r_regionkey,
+        |       'catchup' || CAST(i AS VARCHAR) AS r_name,
+        |       'insert' AS _change_type,
+        |       CAST(i AS BIGINT) AS _commit_version
+        |FROM range(1, 6) t(i)""".stripMargin,
     "q10_stream_source" ->
       """SELECT r_regionkey, r_name, 'insert' AS _change_type,
         |       CAST(0 AS BIGINT) AS _commit_version FROM region

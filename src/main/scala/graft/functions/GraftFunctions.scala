@@ -31,7 +31,9 @@ import graft.pipeline.{Dedup, TextAnalysis}
   *  - `hash_rank(seed string, key)` — the deterministic sampling rank in
   *    `[0, 2^32)` behind [[graft.pipeline.Sampling]] (`WHERE
   *    hash_rank('42', doc_id) < 0.25 * 4294967296` is a reproducible 25%
-  *    sample, engine- and partitioning-independent).
+  *    sample, engine- and partitioning-independent);
+  *  - `pii_redact(text)` — emails/IPv4/phone runs replaced by typed
+  *    placeholders ([[graft.pipeline.TextAnalysis.piiRedact]]).
   *
   * Parameters that select a code shape (hash counts, shingle width, bit
   * width) must be LITERALS — like `round`'s scale argument — and are
@@ -57,6 +59,8 @@ object GraftFunctions {
     SparkBridge.registerFunction(spark, "hash_rank",
       binary("hash_rank", (seed, key) =>
         graft.pipeline.Sampling.hashRank(litString("hash_rank", "seed", seed), Seq(key))))
+    SparkBridge.registerFunction(spark, "pii_redact",
+      unary("pii_redact", TextAnalysis.piiRedact))
   }
 
   private def litString(fn: String, name: String, c: Column): String =

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions._
@@ -64,7 +65,7 @@ class GraftStreamSource(
     maxFilesPerTrigger: Option[Long] = None,
     ignoreDeletes: Boolean = false,
     skipChangeCommits: Boolean = false)
-  extends Source {
+  extends Source with SupportsTriggerAvailableNow {
 
   require(maxVersionsPerTrigger > 0,
     s"maxVersionsPerTrigger must be positive, got $maxVersionsPerTrigger")
@@ -103,10 +104,46 @@ class GraftStreamSource(
     case _ => None
   }
 
-  override def getOffset: Option[Offset] = {
-    if (!log.tableExists) None
+  /** Head version pinned by [[prepareForTriggerAvailableNow]]: an
+    * AvailableNow run must drain the backlog AS OF run start and then
+    * terminate — commits landing mid-run wait for the next run. `-1` marks
+    * "prepared on a not-yet-created table" (offer nothing, terminate).
+    */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  /** Trigger.AvailableNow contract (v1 sources need the interface
+    * explicitly — Spark 4's generic wrapper fallback is off by default):
+    * pin the drain target at run start. The admission-control overloads
+    * below route back through the same self-paced offer logic as
+    * [[getOffset]], so `maxVersionsPerTrigger`/`maxBytesPerTrigger`/
+    * `maxFilesPerTrigger` bound each micro-batch of the catch-up run
+    * exactly as they bound a live stream.
+    */
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(if (log.tableExists) log.latestVersion() else -1L)
+
+  /** Self-paced: the per-trigger budgets above are this source's read
+    * limit; Spark's generic limit vocabulary can't express them.
+    */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission-controlled offer (this path REPLACES `getOffset` calls once
+    * the interface is implemented — both delegate to [[offer]]). The start
+    * offset is ignored: the source tracks its own durable high-watermark,
+    * which also survives restarts (see [[lastOffered]]).
+    */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 =
+    offer().orNull
+
+  override def reportLatestOffset(): OffsetV2 =
+    if (log.tableExists) LongOffset(log.latestVersion()) else null
+
+  override def getOffset: Option[Offset] = offer()
+
+  private def offer(): Option[LongOffset] = {
+    if (!log.tableExists || availableNowCap.contains(-1L)) None
     else {
-      val head = log.latestVersion()
+      val head = availableNowCap.fold(log.latestVersion())(math.min(_, log.latestVersion()))
       val offered = lastOffered match {
         case Some(base) => admitThrough(base, head)
         // a corrupt (torn-write) marker means this IS a restart but the

@@ -77,6 +77,10 @@ class GraftSqlFunctionsSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assertSqlEqualsColumn("lang_id(text)", TextAnalysis.langId($"text"))
   }
 
+  it("pii_redact ≡ TextAnalysis.piiRedact") {
+    assertSqlEqualsColumn("pii_redact(text)", TextAnalysis.piiRedact($"text"))
+  }
+
   it("cosine_sim ≡ Similarity.cosineSimilarity, with NULL/zero-norm semantics") {
     val vecs = Seq(
       (1L, Array(1.0, 0.0, 2.0), Array(1.0, 0.0, 2.0)),   // identical → 1.0

@@ -210,6 +210,33 @@ class GraftStreamSourceSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  it("Trigger.AvailableNow drains the whole backlog in bounded batches, then stops") {
+    // the batch-job-over-a-stream mode (nightly catch-up): AvailableNow
+    // must honor the admission bound per micro-batch AND terminate on its
+    // own once every pending version is consumed — Spark's wrapper pins
+    // the end offset at start and replays through getOffset, so this
+    // exercises the same pacing path as a live stream
+    val (dir, t) = mkTable("gss_avnow")
+    (0 until 10).foreach(i => t.append(Seq((300 + i, s"a$i")).toDF("id", "name")))
+    val batches = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Set[Long]]())
+    val query = spark.readStream.format("graft")
+      .option("startingVersion", 1)
+      .option("maxVersionsPerTrigger", 3)
+      .load(dir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(batch.select($"_commit_version").collect().map(_.getLong(0)).toSet); ()
+      }.start()
+    assert(query.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    import scala.jdk.CollectionConverters._
+    val nonEmpty = batches.asScala.filter(_.nonEmpty)
+    assert(nonEmpty.flatten.toSet == (1L to 10L).toSet, s"lost versions: $nonEmpty")
+    assert(nonEmpty.size >= 4, s"expected >=4 bounded batches, got ${nonEmpty.size}")
+    nonEmpty.foreach(vs => assert(vs.size <= 3, s"batch over admission bound: $vs"))
+  }
+
   it("bounds catch-up batches by maxBytesPerTrigger, one oversized commit never stalls") {
     // 10 appended versions; a byte budget of 1 forces ONE version per batch
     // (the first pending version is always admitted even over budget)

@@ -1454,6 +1454,50 @@ object SparkEntry {
       }
     }),
 
+    "s29_generated_columns" -> ((s, dir) => {
+      // generated partition column o_year = year(o_orderdate): writers never
+      // supply it — every append derives it inside the write projection and
+      // the table partitions by it; the read back of a one-year slice must
+      // match the oracle computing the same expression
+      val dirT = tmp("s29")
+      val orders = read(s, dir, "orders")
+      val t = GraftTable.create(s, dirT,
+        orders.limit(0), // schema-only create; data arrives via append
+        partitionColumns = Seq("o_year"),
+        properties = Map("graft.generated.o_year" -> "year(o_orderdate)"))
+      () => {
+      t.append(orders) // o_year computed, not provided
+      t.toDF.filter(col("o_year") === 1995)
+        .select(col("o_orderkey"), col("o_year"))
+      }
+    }),
+
+    "s28_partition_evolution" -> ((s, dir) => {
+      // supplier lands unpartitioned at v0, then evolves to PARTITION BY
+      // s_nationkey in one commit: data survives, every live file carries a
+      // single nation partition value, pre-evolution time travel replays
+      // the old layout, and a nation filter prunes to the new directories
+      val dirT = tmp("s28")
+      val t = GraftTable.create(s, dirT, read(s, dir, "supplier"))
+      () => {
+      TableOps.repartitionTable(t, Seq("s_nationkey"))
+      val snap = t.snapshot
+      val cls = graft.tables.FileSkipping.classify(s, t.toDF, "s_nationkey = 3")
+      val pruned = graft.tables.FileSkipping.filesMatching(snap, cls.all, None)
+      import s.implicits._
+      Seq(
+        ("rows_total", t.toDF.count()),
+        ("rows_nation_3", t.toDF.filter(col("s_nationkey") === 3).count()),
+        ("partition_values",
+          snap.files.flatMap(_.partitionValues.get("s_nationkey")).distinct.size.toLong),
+        ("time_travel_v0_rows", t.toDFAt(0).count()),
+        ("pruned_files_all_nation_3",
+          if (pruned.nonEmpty &&
+            pruned.forall(_.partitionValues.get("s_nationkey").contains("3"))) 1L else 0L)
+      ).toDF("kind", "value")
+      }
+    }),
+
     "s26_deletion_vectors" -> ((s, dir) => {
       // merge-on-read DELETE (deletion vectors): the delete writes position
       // sidecars, never data bytes — every data file path survives the
@@ -2070,6 +2114,15 @@ object SparkEntry {
       """SELECT CAST(s_suppkey AS BIGINT) AS id, s_name AS name,
         |       true AS multi_file, true AS clustered_probe
         |FROM supplier""".stripMargin,
+    "s29_generated_columns" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year
+        |FROM orders WHERE year(o_orderdate) = 1995""".stripMargin,
+    "s28_partition_evolution" ->
+      """SELECT 'rows_total' AS kind, CAST(count(*) AS BIGINT) AS value FROM supplier
+        |UNION ALL SELECT 'rows_nation_3', count(*) FROM supplier WHERE s_nationkey = 3
+        |UNION ALL SELECT 'partition_values', count(DISTINCT s_nationkey) FROM supplier
+        |UNION ALL SELECT 'time_travel_v0_rows', count(*) FROM supplier
+        |UNION ALL SELECT 'pruned_files_all_nation_3', 1""".stripMargin,
     "m11_merge_by_source" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,
         |       CASE WHEN n_nationkey < 15 THEN 'U' || n_name ELSE n_name END AS name,

@@ -354,6 +354,40 @@ object TableOps {
     *
     * @return the committed version
     */
+  /** Partition EVOLUTION: rewrite the table into a new partition-column
+    * layout in one transactional overwrite commit. Schema, properties
+    * (CDF/constraints/retention) and streaming watermarks are preserved;
+    * history is preserved too — time travel to a pre-evolution version
+    * replays the old layout's files (vacuum reclaims them on its normal
+    * schedule). Readers never see a half-moved table: the layout flips
+    * atomically at the commit.
+    *
+    * Scale: this is a full rewrite by construction (every row changes
+    * directory) — one shuffle into the new partitioning, exactly what the
+    * operation requires. Run it once per layout decision, not per batch;
+    * later appends and merges follow the new metadata automatically.
+    *
+    * @return the committed version
+    */
+  def repartitionTable(table: GraftTable, partitionColumns: Seq[String]): Long = {
+    val snap = table.snapshot
+    val fields = snap.schema.fieldNames
+    partitionColumns.foreach(c => require(fields.exists(_.equalsIgnoreCase(c)),
+      s"partition column $c is not a table column (have ${fields.mkString(", ")})"))
+    require(partitionColumns.map(_.toLowerCase) != snap.metadata.partitionColumns.map(_.toLowerCase),
+      s"table is already partitioned by ${partitionColumns.mkString(", ")}")
+    TableWriter.write(table.spark, table.path, table.toDF,
+      TableWriter.Overwrite,
+      partitionColumns = partitionColumns,
+      explicitPartitioning = true, // empty target = evolve to unpartitioned
+      operation = "REPARTITION",
+      operationParameters = Map("partitionBy" -> partitionColumns.mkString(",")),
+      // the rewrite read the whole current table: a concurrent writer
+      // landing first must conflict, not be silently clobbered
+      readFiles = snap.files.map(_.path),
+      readVersion = Some(snap.version))
+  }
+
   def overwriteWhere(
       table: GraftTable,
       df: DataFrame,

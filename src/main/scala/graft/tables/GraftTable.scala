@@ -400,6 +400,21 @@ object GraftTable {
         k.stripPrefix(ConstraintPropertyPrefix) -> v
     }
 
+  /** Property prefix for generated columns: `graft.generated.<col>` maps to
+    * the column's SQL generation expression (Delta's generation-expression
+    * feature in property form — see TableWriter's compute/enforce pass).
+    * Sorted for a deterministic application order when one generated column
+    * references another.
+    */
+  val GeneratedPropertyPrefix = "graft.generated."
+
+  /** The generated columns recorded in a property map, name → expression. */
+  def generatedColumnsOf(properties: Map[String, String]): Seq[(String, String)] =
+    properties.collect {
+      case (k, v) if k.startsWith(GeneratedPropertyPrefix) =>
+        k.stripPrefix(GeneratedPropertyPrefix) -> v
+    }.toSeq.sortBy(_._1)
+
   /** Session conf prefix for default table properties inherited by NEW
     * tables — analogue of Delta's
     * `spark.databricks.delta.properties.defaults.*` (the reference sets

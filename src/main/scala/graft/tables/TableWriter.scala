@@ -42,6 +42,10 @@ object TableWriter {
       df: DataFrame,
       mode: WriteMode,
       partitionColumns: Seq[String] = Nil,
+      // true = `partitionColumns` IS the complete intended layout, even when
+      // empty (partition EVOLUTION to unpartitioned); false keeps the default
+      // "empty inherits the table's layout" convenience
+      explicitPartitioning: Boolean = false,
       properties: Map[String, String] = Map.empty,
       operation: String = "WRITE",
       operationParameters: Map[String, String] = Map.empty,
@@ -62,13 +66,35 @@ object TableWriter {
     val prevSnapshot = if (exists) Some(log.snapshot()) else None
 
     val partCols =
-      if (exists && partitionColumns.isEmpty) prevSnapshot.get.metadata.partitionColumns
+      if (exists && partitionColumns.isEmpty && !explicitPartitioning)
+        prevSnapshot.get.metadata.partitionColumns
       else partitionColumns
     prevSnapshot.foreach { s =>
       if (partitionColumns.nonEmpty && s.metadata.partitionColumns != partitionColumns && mode == Append)
         throw new IllegalArgumentException(
           s"append partitioning ${partitionColumns} != table partitioning ${s.metadata.partitionColumns}")
     }
+
+    // Generated columns (`graft.generated.<col>` = sql expr, Delta's
+    // generation-expression feature in property form): COMPUTED when the
+    // incoming frame lacks the column — so writers never hand-maintain a
+    // derived partition key — and ENFORCED (null-safe equality, inside the
+    // write projection like CHECK constraints) when they provide one, so a
+    // caller cannot silently desynchronize the column from its expression.
+    val genExprs = GraftTable.generatedColumnsOf(
+      metadataOverride.map(_.properties).getOrElse(
+        prevSnapshot.map(_.metadata.properties)
+          .getOrElse(GraftTable.sessionDefaultProperties(spark)) ++ properties))
+    val dfG =
+      if (skipDataWrite || genExprs.isEmpty) df
+      else genExprs.foldLeft(df) { case (d, (name, genExpr)) =>
+        import org.apache.spark.sql.functions.{assert_true, col, expr, lit}
+        if (d.columns.exists(_.equalsIgnoreCase(name)))
+          d.filter(assert_true(col(name) <=> expr(genExpr),
+            lit(s"generated column $name does not match its generation " +
+              s"expression ($genExpr)")).isNull)
+        else d.withColumn(name, expr(genExpr))
+      }
 
     // Schema: overwrite replaces; append merges by name (mergeSchema semantics,
     // reference DeltaHelpers.scala:375-378 — old files read as null for new
@@ -79,8 +105,8 @@ object TableWriter {
       org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
         .asInstanceOf[StructType])
       .getOrElse((mode, prevSnapshot) match {
-        case (Append, Some(s)) => mergeWithMapping(s, df.schema)
-        case _                 => df.schema
+        case (Append, Some(s)) => mergeWithMapping(s, dfG.schema)
+        case _                 => dfG.schema
       })
 
     // new tables inherit session-level default properties (e.g. CDF-on,
@@ -101,7 +127,7 @@ object TableWriter {
     val constraints =
       if (skipDataWrite) Map.empty[String, String]
       else GraftTable.constraintsOf(effectiveProps)
-    val checkedDf = constraints.foldLeft(df) { case (d, (name, pred)) =>
+    val checkedDf = constraints.foldLeft(dfG) { case (d, (name, pred)) =>
       import org.apache.spark.sql.functions.{assert_true, coalesce, expr, lit}
       val parsedRefs = spark.sessionState.sqlParser.parseExpression(pred).collect {
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.nameParts
@@ -276,7 +302,7 @@ object TableWriter {
           org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
             .asInstanceOf[StructType])
           .getOrElse((mode, attemptSnap) match {
-            case (Append, Some(s)) => mergeWithMapping(s, df.schema)
+            case (Append, Some(s)) => mergeWithMapping(s, dfG.schema)
             case _                 => newSchema
           })
         val propsNow = metadataOverride.map(_.properties).getOrElse(

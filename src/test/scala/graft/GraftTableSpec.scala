@@ -41,6 +41,69 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(pvs == Set("US", "DE"))
     }
 
+    it("repartitionTable evolves the partition layout transactionally") {
+      import graft.operators.TableOps
+      val dir = tmpTableDir("graft-evolve-part")
+      val df = Seq((1, "US", "x"), (2, "US", "y"), (3, "DE", "x"), (4, "FR", "y"))
+        .toDF("id", "country", "seg")
+      val t = GraftTable.create(spark, dir, df, partitionColumns = Seq("country"))
+      t.append(Seq((5, "DE", "z")).toDF("id", "country", "seg")) // v1
+
+      val v = TableOps.repartitionTable(t, Seq("seg")) // v2
+      assert(v == 2L)
+      val snap = t.snapshot
+      assert(snap.metadata.partitionColumns == Seq("seg"))
+      assert(snap.files.map(_.partitionValues("seg")).toSet == Set("x", "y", "z"))
+      assert(t.toDF.count() == 5)
+      // history intact: pre-evolution version reads the OLD layout
+      assert(t.toDFAt(1).count() == 5)
+      assert(t.log.snapshot(1).metadata.partitionColumns == Seq("country"))
+      // later appends follow the new layout automatically
+      t.append(Seq((6, "US", "w")).toDF("id", "country", "seg"))
+      assert(t.snapshot.files.exists(_.partitionValues.get("seg").contains("w")))
+      // partition pruning works on the new column
+      val cls = graft.tables.FileSkipping.classify(spark, t.toDF, "seg = 'x'")
+      val matched = graft.tables.FileSkipping.filesMatching(t.snapshot, cls.all, None)
+      assert(matched.nonEmpty && matched.forall(_.partitionValues("seg") == "x"))
+
+      // evolve to UNPARTITIONED (explicit empty layout)
+      TableOps.repartitionTable(t, Nil)
+      assert(t.snapshot.metadata.partitionColumns.isEmpty)
+      assert(t.toDF.count() == 6)
+
+      // no-op layouts and non-columns are rejected loudly
+      intercept[IllegalArgumentException](TableOps.repartitionTable(t, Nil))
+      intercept[IllegalArgumentException](TableOps.repartitionTable(t, Seq("nope")))
+    }
+
+    it("generated columns compute on write and enforce provided values") {
+      val dir = tmpTableDir("graft-gencol")
+      val df = Seq((1, "a"), (2, "b"), (7, "c")).toDF("id", "name")
+      val t = GraftTable.create(spark, dir, df,
+        partitionColumns = Seq("bucket"),
+        properties = Map("graft.generated.bucket" -> "id % 3"))
+      // computed at create: the writer derived the partition key itself
+      assert(t.toDF.columns.contains("bucket"))
+      assert(t.toDF.select("id", "bucket").collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap == Map(1 -> 1, 2 -> 2, 7 -> 1))
+      assert(t.snapshot.files.forall(_.partitionValues.contains("bucket")))
+      // append WITHOUT the column: computed again
+      t.append(Seq((9, "d")).toDF("id", "name"))
+      assert(t.toDF.filter($"id" === 9).select("bucket").first().getInt(0) == 0)
+      // append WITH a correct value: accepted
+      t.append(Seq((10, "e", 1)).toDF("id", "name", "bucket"))
+      assert(t.toDF.count() == 5)
+      // append with a DESYNCHRONIZED value: rejected before commit
+      val v = t.version
+      val e = intercept[Exception] {
+        t.append(Seq((11, "f", 0)).toDF("id", "name", "bucket")) // 11 % 3 = 2, not 0
+      }
+      val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+      assert(chain.exists(_.contains("generated column")), chain.mkString(" | "))
+      assert(t.version == v, "failed append must not commit")
+    }
+
     it("appends and tracks versions; time travel reads old snapshot") {
       val dir = tmpTableDir("graft-append")
       val t = GraftTable.create(spark, dir, Seq((1, "a")).toDF("id", "name"))

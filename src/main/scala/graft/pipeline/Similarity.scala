@@ -288,14 +288,42 @@ object Similarity {
       .withColumn("__nn", norm(col("__raw")))
       .select(col(outId), transform(col("__raw"), _ / col("__nn")).as(outVec))
 
+  /** Distance of `sv` to every codeword in `cands` (array<array<double>>),
+    * and the argmin codeword id with lowest-id tie-break — data-driven
+    * expressions (a runtime array lookup, NOT m × ksub inlined structs),
+    * so codegen stays small however many codebooks ride the plan.
+    */
+  private def subDistances(cands: org.apache.spark.sql.Column,
+      sv: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(cands, cw =>
+      aggregate(zip_with(sv, cw, (x, y) => (x - y) * (x - y)), lit(0.0d), _ + _))
+
+  private def subArgmin(cands: org.apache.spark.sql.Column,
+      sv: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val d = subDistances(cands, sv)
+    // first occurrence of the min = lowest codeword id on exact ties —
+    // the same tie-break as nearestOf's (distance, cid) struct sort
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  /** The codebooks as ONE literal nested array column:
+    * `cb[sub][code] = Array[Double]`. */
+  private def codebooksLit(
+      cbs: Seq[Seq[(Int, Array[Double])]]): org.apache.spark.sql.Column =
+    array(cbs.map(cb => array(cb.map { case (_, cw) => lit(cw) }: _*)): _*)
+
   /** Per-subspace PQ codebooks over the L2-NORMALIZED corpus: the dim-D
     * space splits into `m` contiguous subspaces of D/m dims, each k-means'd
-    * independently (deterministic sample + init, like [[kmeansCentroids]]).
-    * Returns `m` codebooks of `ksub` centroids — m × ksub × D/m doubles,
-    * driver-tiny at any corpus size.
+    * with a deterministic shared sample + init (identical results to running
+    * [[kmeansCentroids]] per subspace — pinned by spec). Returns `m`
+    * codebooks of `ksub` centroids — m × ksub × D/m doubles, driver-tiny at
+    * any corpus size.
     *
-    * Scale: each subspace trains on the same bounded sample (m small
-    * sample-side jobs); the full corpus is never shuffled. Train cost is
+    * Scale AND latency: all m subspaces train TOGETHER — the sample
+    * explodes once into (id, sub, subvector) rows, each Lloyd iteration is
+    * ONE assignment+average job over them (m separate k-means runs cost
+    * m × iterations sequential mini-jobs; job overhead dominated the build
+    * at small scale). The full corpus is never shuffled; train cost is
     * independent of corpus size.
     */
   def pqCodebooks(
@@ -306,15 +334,52 @@ object Similarity {
       ksub: Int,
       iterations: Int = 3,
       sampleSize: Int = 1 << 18): Seq[Seq[(Int, Array[Double])]] = {
+    require(sampleSize >= ksub, s"sampleSize=$sampleSize must be >= ksub=$ksub")
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val dsub = dim / m
     val normed = l2normalized(corpus, idCol, vecCol, "__id", "__v")
-    (0 until m).map { j =>
-      kmeansCentroids(
-        normed.select(col("__id"), slice(col("__v"), j * dsub + 1, dsub).as("__s")),
-        "__id", "__s", ksub, iterations, sampleSize)
-    }
+    val data0 = (
+      if (sampleSize == Int.MaxValue) normed
+      else normed.orderBy(xxhash64(col("__id").cast("string")), col("__id")).limit(sampleSize)
+    )
+    val subRows = data0.select(col("__id"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("s"), slice(col("__v"), j * dsub + 1, dsub).as("v"))): _*)).as("__e"))
+      .select(col("__e.s").as("__sub"), col("__e.v").as("__sv"))
+      .persist()
+    try {
+      // deterministic init: the ksub lowest-id sampled rows, sliced per sub
+      // (exactly kmeansCentroids' init applied to each subspace)
+      val initFull = data0.orderBy(col("__id")).limit(ksub)
+        .collect().map(_.getSeq[Double](1).toArray)
+      var cbs: Seq[Seq[(Int, Array[Double])]] = (0 until m).map(j =>
+        initFull.toSeq.zipWithIndex.map { case (v, i) =>
+          (i, v.slice(j * dsub, j * dsub + dsub)) })
+      (1 to iterations).foreach { _ =>
+        val assign = subArgmin(element_at(codebooksLit(cbs), col("__sub") + 1), col("__sv"))
+        val sums = subRows
+          .select(col("__sub"), assign.as("__cell"), col("__sv"))
+          .select(col("__sub"), col("__cell"), posexplode(col("__sv")).as(Seq("__pos", "__x")))
+          .groupBy(col("__sub"), col("__cell"), col("__pos"))
+          .agg(avg(col("__x")).as("__m"))
+          .collect()
+        val bySubCell = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+        cbs = cbs.zipWithIndex.map { case (cb, j) =>
+          cb.map { case (cid, old) =>
+            bySubCell.get((j, cid)) match {
+              case Some(rows) =>
+                val nv = old.clone()
+                rows.foreach { r =>
+                  if (!r.isNullAt(3) && r.getInt(2) < nv.length) nv(r.getInt(2)) = r.getDouble(3)
+                }
+                (cid, nv)
+              case None => (cid, old) // empty cell keeps its centroid
+            }
+          }
+        }
+      }
+      cbs
+    } finally { subRows.unpersist(); () }
   }
 
   /** Encode each vector as `m` small codeword ids (nearest codebook entry
@@ -329,9 +394,9 @@ object Similarity {
       codebooks: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
     val m = codebooks.size
     val dsub = codebooks.head.head._2.length
-    val codes = array((0 until m).map { j =>
-      nearestOf(codebooks(j), slice(col("__nv"), j * dsub + 1, dsub), 1)(0).getField("cid")
-    }: _*)
+    val cb = codebooksLit(codebooks)
+    val codes = transform(sequence(lit(0), lit(m - 1)), j =>
+      subArgmin(element_at(cb, j + 1), slice(col("__nv"), j * dsub + 1, lit(dsub))))
     l2normalized(df, idCol, vecCol, idCol, "__nv")
       .select(col(idCol), codes.as("codes"))
   }

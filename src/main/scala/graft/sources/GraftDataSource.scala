@@ -470,11 +470,13 @@ object GraftScanRewrite extends Rule[LogicalPlan] {
 
   /** Idempotently hook the rule into `spark.experimental.extraOptimizations`
     * (public API, mutable at runtime — no session-extension registration
-    * needed at session build time).
+    * needed at session build time). Installs [[GraftMetadataOnlyCount]]
+    * alongside — both fire on graft scans only.
     */
   def install(spark: SparkSession): Unit = synchronized {
     val cur = spark.experimental.extraOptimizations
-    if (!cur.exists(_ eq this)) spark.experimental.extraOptimizations = cur :+ this
+    val want = Seq(this, GraftMetadataOnlyCount).filterNot(r => cur.exists(_ eq r))
+    if (want.nonEmpty) spark.experimental.extraOptimizations = cur ++ want
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
@@ -526,6 +528,75 @@ object GraftScanRewrite extends Rule[LogicalPlan] {
     val index = new GraftFileIndex(spark, path, partitionSchema, pinned)
     HadoopFsRelation(index, partitionSchema, dataSchema, None,
       new GraftParquetFileFormat, Map("path" -> path))(spark)
+  }
+}
+
+/** Metadata-only COUNT(*): an ungrouped, unfiltered `count(*)` over a graft
+  * scan answers from the commit log's per-file `numRecords` — zero data
+  * I/O, the analogue of Delta's `OptimizeMetadataOnlyDeltaQuery`. At scale
+  * this turns the most common sanity query on a 10⁶-file table from a full
+  * scan into a log fold the snapshot already performed.
+  *
+  * Deliberately conservative — it fires ONLY when:
+  *  - grouping is empty and every aggregate is a bare `count(*)`/`count(1)`
+  *    (no DISTINCT, no FILTER clause, no other aggregates in the list);
+  *  - the children between the aggregate and the relation are row-count-
+  *    preserving `Project`s (any `Filter` disqualifies);
+  *  - the scan is a graft relation (either form: pre-rewrite
+  *    [[GraftRelation]] or the native [[GraftFileIndex]] relation, pinned
+  *    or log-following) whose files ALL carry `numRecords` stats and none
+  *    has a live deletion vector (a DV scan subtracts masked rows — its
+  *    count is not the stats sum).
+  */
+object GraftMetadataOnlyCount extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, NamedExpression}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Project}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case agg: Aggregate
+        if agg.groupingExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+          agg.aggregateExpressions.forall(isCountStar) =>
+      sourceCount(agg.child) match {
+        case Some(n) =>
+          LocalRelation(agg.output.map(_.asInstanceOf[Attribute]),
+            Seq(InternalRow.fromSeq(agg.aggregateExpressions.map(_ => n))))
+        case None => agg
+      }
+  }
+
+  private def isCountStar(ne: NamedExpression): Boolean = ne match {
+    case Alias(ae: AggregateExpression, _)
+        if !ae.isDistinct && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        case Count(Seq(l: Literal)) => l.value != null
+        case _                      => false
+      }
+    case _ => false
+  }
+
+  /** Exact row count of `plan` from log stats, when derivable. */
+  private def sourceCount(plan: LogicalPlan): Option[Long] = plan match {
+    // Project never changes the row count (generators are Generate nodes)
+    case Project(_, child) => sourceCount(child)
+    case l: LogicalRelation =>
+      l.relation match {
+        case g: GraftRelation => countFromSnapshot(g.readSnapshot)
+        case h: HadoopFsRelation =>
+          h.location match {
+            case gi: GraftFileIndex => countFromSnapshot(gi.snapshotNow)
+            case _                  => None
+          }
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def countFromSnapshot(snap: Snapshot): Option[Long] = {
+    if (snap.files.exists(_.dv.exists(_.cardinality > 0))) return None
+    val counts = snap.files.map(f =>
+      graft.tables.GraftLog.parseStats(f.stats).map(_.numRecords))
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }
 }
 
@@ -583,6 +654,11 @@ class GraftFileIndex(
 
   /** Pinned indexes (time travel, explicit file subsets) never move. */
   override def refresh(): Unit = if (pinned.isEmpty) cachedSnap = currentSnapshot()
+
+  /** The snapshot the next scan will read (pinned, or cached latest) —
+    * what [[GraftMetadataOnlyCount]] answers from.
+    */
+  private[sources] def snapshotNow: Snapshot = cachedSnap
 
   override def sizeInBytes: Long = cachedSnap.sizeInBytes
 

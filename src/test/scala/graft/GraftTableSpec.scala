@@ -76,6 +76,36 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       intercept[IllegalArgumentException](TableOps.repartitionTable(t, Seq("nope")))
     }
 
+    it("metadata-only count(*) answers from log stats without scanning") {
+      import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+      val dir = tmpTableDir("graft-metacount")
+      val t = GraftTable.create(spark, dir,
+        (1 to 100).map(i => (i, s"n$i")).toDF("id", "name").repartition(4))
+      val df = spark.read.format("graft").load(dir)
+      val cnt = df.groupBy().count()
+      assert(cnt.queryExecution.optimizedPlan
+        .collectFirst { case l: LocalRelation => l }.nonEmpty,
+        s"count(*) should optimize to a LocalRelation:\n${cnt.queryExecution.optimizedPlan}")
+      assert(cnt.first().getLong(0) == 100)
+      assert(df.count() == 100 && t.toDF.count() == 100) // both relation forms
+      // a filter disqualifies the rewrite; the result stays correct
+      val f = df.filter($"id" > 50).groupBy().count()
+      assert(f.queryExecution.optimizedPlan
+        .collectFirst { case l: LocalRelation => l }.isEmpty)
+      assert(f.first().getLong(0) == 50)
+      // live deletion vectors disqualify it too (count must subtract
+      // masked rows) — and the scanned answer reflects the delete
+      t.setProperties(Map(graft.tables.DeletionVectors.Property -> "true"))
+      graft.operators.TableOps.delete(t, Some("id <= 10"))
+      val dv = spark.read.format("graft").load(dir).groupBy().count()
+      // the aggregate must SURVIVE (scan-based count) — a stats answer
+      // would have replaced it and overcounted the masked rows
+      assert(dv.queryExecution.optimizedPlan
+        .collectFirst { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+        .nonEmpty, "DV tables must not answer count from raw file stats")
+      assert(dv.first().getLong(0) == 90)
+    }
+
     it("generated columns compute on write and enforce provided values") {
       val dir = tmpTableDir("graft-gencol")
       val df = Seq((1, "a"), (2, "b"), (7, "c")).toDF("id", "name")

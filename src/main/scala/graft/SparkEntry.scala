@@ -1243,6 +1243,15 @@ object SparkEntry {
             .as("model_score"))
         .withColumn("keep", col("model_score") > 0)
     }),
+    "d26_bm25_topk" -> ((s, dir) => () => {
+      // BM25-lite retrieval (log-free idf — every arithmetic step is an
+      // IEEE-exact op, so the DuckDB oracle reproduces the score
+      // bit-for-bit; see TextAnalysis.bm25Lite): top-10 docs for a fixed
+      // three-term query, ties by doc_id
+      TextAnalysis.bm25Lite(read(s, dir, "documents"), "doc_id", "text",
+        Seq("scan", "merge", "window"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+    }),
     "d23_pq_recall" -> ((s, dir) => () => {
       // product quantization at m=8 × ksub=16 over 64 dims (32× compression)
       // with exact re-ranking of an ADC shortlist: recall vs the exact
@@ -1453,6 +1462,23 @@ object SparkEntry {
       val t = GraftTable.forPath(s, loc)
       t.toDF.select(col("id"), col("name"),
         lit(n).as("n_files"), lit(t.version).as("version"))
+      }
+    }),
+
+    "s30_metadata_count" -> ((s, dir) => {
+      // the most common sanity query on a huge table: COUNT(*) must answer
+      // from the commit log's numRecords (GraftMetadataOnlyCount rewrites
+      // it to a LocalRelation — asserted from the optimized plan), zero
+      // data I/O, and agree with the oracle's scan-based count
+      val dirT = tmp("s30")
+      GraftTable.create(s, dirT, read(s, dir, "customer"))
+      () => {
+      val cnt = s.read.format("graft").load(dirT).groupBy().count()
+      val metadataOnly = cnt.queryExecution.optimizedPlan.collectFirst {
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      }.getOrElse(false)
+      import s.implicits._
+      Seq((cnt.first().getLong(0), metadataOnly)).toDF("row_count", "metadata_only")
       }
     }),
 
@@ -2119,6 +2145,37 @@ object SparkEntry {
     "s29_generated_columns" ->
       """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year
         |FROM orders WHERE year(o_orderdate) = 1995""".stripMargin,
+    "s30_metadata_count" ->
+      "SELECT CAST(count(*) AS BIGINT) AS row_count, true AS metadata_only FROM customer",
+    // BM25-lite: identical expression TREE as the Spark side — float
+    // literals carry e0 so DuckDB parses DOUBLEs (its bare decimals are
+    // DECIMAL-typed and would change the arithmetic), and shared factors
+    // stay as computations (1.2e0 + 1.0e0), never collapsed literals,
+    // because IEEE ops are deterministic but decimal-to-double parsing of
+    // a DIFFERENT literal is a different value
+    "d26_bm25_topk" -> {
+      def term(t: String, dfCol: String): String =
+        s"(len(list_filter(t, w -> w = '$t')) * (1.2e0 + 1.0e0) / " +
+          s"(len(list_filter(t, w -> w = '$t')) + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * len(t) / avgdl)))" +
+          s" * ((n - $dfCol + 0.5e0) / ($dfCol + 0.5e0))"
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+         |                w -> w <> '') AS t
+         |  FROM documents),
+         |st AS (SELECT count(*) AS n, CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl,
+         |              sum(CASE WHEN list_contains(t, 'scan') THEN 1 ELSE 0 END) AS df1,
+         |              sum(CASE WHEN list_contains(t, 'merge') THEN 1 ELSE 0 END) AS df2,
+         |              sum(CASE WHEN list_contains(t, 'window') THEN 1 ELSE 0 END) AS df3
+         |       FROM toks),
+         |sc AS (SELECT doc_id,
+         |  ${term("scan", "df1")}
+         |  + ${term("merge", "df2")}
+         |  + ${term("window", "df3")} AS score
+         |  FROM toks, st)
+         |SELECT doc_id, round(score, 6) AS score FROM sc
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    },
     "s28_partition_evolution" ->
       """SELECT 'rows_total' AS kind, CAST(count(*) AS BIGINT) AS value FROM supplier
         |UNION ALL SELECT 'rows_nation_3', count(*) FROM supplier WHERE s_nationkey = 3

@@ -193,6 +193,51 @@ object TextAnalysis {
   }
 
   // ==================================================================
+  // BM25-lite retrieval scoring
+  // ==================================================================
+
+  /** BM25 scoring of every document against a fixed bag of query terms,
+    * with the log-free idf surrogate `(N - df + 0.5) / (df + 0.5)` — same
+    * monotonic ordering as Robertson idf for any fixed df, but every
+    * arithmetic step is an IEEE-exact op (+,*,/ on integers-in-doubles), so
+    * the score is bit-for-bit reproducible in any engine — `ln` is not
+    * correctly-rounded across libms, a real cross-engine verification trap.
+    *
+    * Two jobs at any corpus size: one aggregate collects N / avgdl /
+    * per-term document frequencies (a handful of scalars — they ride the
+    * scoring expression as literals, the Spark analogue of a broadcast
+    * scalar), then one codegen'd scoring pass over the corpus. Term
+    * frequencies come from the token array per row — no explode, no
+    * shuffle.
+    */
+  def bm25Lite(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = filter(split(normalized(col(textCol)), " "), _ =!= "")
+    val withToks = df.select(col(idCol), toks.as("__t"))
+
+    val statsRow = withToks.agg(
+      count(lit(1)).as("n"),
+      sum(size(col("__t"))).as("sumdl") +:
+        queryTerms.map(t =>
+          sum(when(array_contains(col("__t"), t), 1L).otherwise(0L)).as(s"df_$t")): _*
+    ).first()
+    val n = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / n
+    val dfs = queryTerms.indices.map(i => statsRow.getLong(2 + i))
+
+    val dl = size(col("__t"))
+    val score = queryTerms.zip(dfs).map { case (t, dfT) =>
+      val tf = size(filter(col("__t"), _ === t))
+      // written Column-first where scalars lead in the reference formula —
+      // IEEE * is exactly commutative, so the value is unchanged
+      (tf * (k1 + 1.0d) / (tf + (lit(1.0d) - b + dl * b / avgdl) * k1)) *
+        ((n - dfT + 0.5d) / (dfT + 0.5d))
+    }.reduce(_ + _)
+    withToks.select(col(idCol), round(score, 6).as("score"))
+  }
+
+  // ==================================================================
   // Corpus vocabulary statistics
   // ==================================================================
 

@@ -282,6 +282,34 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  describe("TextAnalysis.bm25Lite") {
+    it("ranks term-bearing docs above term-free docs, rare terms above common") {
+      val corpus = Seq(
+        (1L, "spark merge window spark spark"),   // heavy on the rare term
+        (2L, "merge window table row column"),    // common terms only
+        (3L, "apple banana cherry date fig"),     // no query terms
+        (4L, "spark table"),                      // one rare hit, short doc
+        (5L, "merge merge merge merge merge")     // common-term spam
+      ).toDF("doc_id", "text")
+      val scores = TextAnalysis.bm25Lite(corpus, "doc_id", "text", Seq("spark", "merge"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(scores(3L) == 0.0)                    // no terms, zero score
+      assert(scores(1L) > scores(2L))              // rare term dominates
+      assert(scores(4L) > scores(3L))
+      assert(scores.values.forall(_ >= 0.0))
+      // deterministic across invocations
+      val again = TextAnalysis.bm25Lite(corpus, "doc_id", "text", Seq("spark", "merge"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(again == scores)
+    }
+    it("rejects an empty query") {
+      val e = intercept[IllegalArgumentException] {
+        TextAnalysis.bm25Lite(docs, "doc_id", "text", Nil)
+      }
+      assert(e.getMessage.contains("queryTerms"))
+    }
+  }
+
   describe("Dedup.semanticDedup") {
     // two well-separated directions, each with a near-identical follower —
     // SemDeDup must drop the followers (higher ids) regardless of how

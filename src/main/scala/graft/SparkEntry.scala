@@ -1465,6 +1465,22 @@ object SparkEntry {
       }
     }),
 
+    "s31_symlink_manifest" -> ((s, dir) => {
+      // Trino/Presto interop: the symlink manifest's file list, read back
+      // as PLAIN parquet (no graft reader), must reproduce the table rows
+      val dirT = tmp("s31")
+      val t = GraftTable.create(s, dirT, read(s, dir, "nation"))
+      () => {
+      val entries = TableOps.generateManifest(t)
+      val uris = graft.tables.SymlinkManifest.entries(dirT)
+      val rows = s.read.parquet(
+        uris.map(u => java.nio.file.Paths.get(new java.net.URI(u)).toString): _*).count()
+      import s.implicits._
+      Seq((rows, entries == t.snapshot.files.size, entries >= 1))
+        .toDF("rows_via_manifest", "matches_live", "nonempty")
+      }
+    }),
+
     "s30_metadata_count" -> ((s, dir) => {
       // the most common sanity query on a huge table: COUNT(*) must answer
       // from the commit log's numRecords (GraftMetadataOnlyCount rewrites
@@ -2147,6 +2163,9 @@ object SparkEntry {
         |FROM orders WHERE year(o_orderdate) = 1995""".stripMargin,
     "s30_metadata_count" ->
       "SELECT CAST(count(*) AS BIGINT) AS row_count, true AS metadata_only FROM customer",
+    "s31_symlink_manifest" ->
+      """SELECT CAST(count(*) AS BIGINT) AS rows_via_manifest,
+        |       true AS matches_live, true AS nonempty FROM nation""".stripMargin,
     // BM25-lite: identical expression TREE as the Spark side — float
     // literals carry e0 so DuckDB parses DOUBLEs (its bare decimals are
     // DECIMAL-typed and would change the arithmetic), and shared factors

@@ -354,6 +354,14 @@ object TableOps {
     *
     * @return the committed version
     */
+  /** GENERATE symlink_format_manifest — see [[graft.tables.SymlinkManifest]].
+    * Set table property `graft.symlinkFormatManifest.enabled=true` to have
+    * every commit refresh it automatically (best-effort, post-commit).
+    * @return number of data-file entries written
+    */
+  def generateManifest(table: GraftTable): Int =
+    SymlinkManifest.write(table.path, table.snapshot)
+
   /** Partition EVOLUTION: rewrite the table into a new partition-column
     * layout in one transactional overwrite commit. Schema, properties
     * (CDF/constraints/retention) and streaming watermarks are preserved;

@@ -371,6 +371,16 @@ object TableWriter {
       if (operation != "OPTIMIZE" && !skipDataWrite)
         autoCompact(spark, tablePath, log, committed, effectiveProps,
           indexedAdds.collect { case a: AddFile => a })
+      // symlink-manifest auto-refresh (Delta's compatibility property):
+      // best-effort like autoCompact — the commit has already landed; reads
+      // through the LOG are unaffected by a failed refresh, only external
+      // manifest readers lag until the next commit. Runs for ALL operations
+      // (a RESTORE or OPTIMIZE changes the live file set too).
+      if (effectiveProps.get(SymlinkManifest.Property).contains("true"))
+        try { SymlinkManifest.write(tablePath, log.snapshot()); () }
+        catch { case e: Exception =>
+          Console.err.println(s"graft manifest refresh of $tablePath skipped: ${e.getMessage}")
+        }
       committed
     } finally deleteRecursively(staging)
   }

@@ -76,6 +76,40 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       intercept[IllegalArgumentException](TableOps.repartitionTable(t, Seq("nope")))
     }
 
+    it("symlink manifest lists live files, tracks commits, refuses DV tables") {
+      import graft.tables.SymlinkManifest
+      val dir = tmpTableDir("graft-manifest")
+      // one input partition → one file per country, so the DV delete below
+      // is a PARTIAL-file delete (a full-file delete is a pure remove)
+      val df = Seq((1, "US", "a"), (2, "DE", "b"), (3, "US", "c"))
+        .toDF("id", "country", "name").repartition(1)
+      val t = GraftTable.create(spark, dir, df, partitionColumns = Seq("country"))
+      val n = graft.operators.TableOps.generateManifest(t)
+      assert(n == t.snapshot.files.size)
+      val uris = SymlinkManifest.entries(dir)
+      assert(uris.size == n && uris.forall(_.startsWith("file:")))
+      // reading the manifest'd files directly reproduces the table's rows
+      val viaManifest = spark.read.parquet(
+        uris.map(u => java.nio.file.Paths.get(new java.net.URI(u)).toString): _*)
+      assert(viaManifest.count() == 3)
+      // partitioned layout: one manifest per partition dir
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        dir, SymlinkManifest.DirName, "country=US", "manifest")))
+
+      // auto-refresh on commit when the property is set
+      t.setProperties(Map(SymlinkManifest.Property -> "true"))
+      t.append(Seq((4, "FR", "d")).toDF("id", "country", "name"))
+      val after = SymlinkManifest.entries(dir)
+      assert(after.size == t.snapshot.files.size && after.size > n)
+
+      // deletion vectors make the manifest a lie — refuse loudly
+      t.setProperties(Map(graft.tables.DeletionVectors.Property -> "true"))
+      graft.operators.TableOps.delete(t, Some("id = 1"))
+      val e = intercept[IllegalArgumentException](
+        graft.operators.TableOps.generateManifest(t))
+      assert(e.getMessage.contains("deletion"))
+    }
+
     it("metadata-only count(*) answers from log stats without scanning") {
       import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
       val dir = tmpTableDir("graft-metacount")

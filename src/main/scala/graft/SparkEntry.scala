@@ -1465,6 +1465,25 @@ object SparkEntry {
       }
     }),
 
+    "s32_type_widening" -> ((s, dir) => {
+      // graft.enableTypeWidening: an (int, float) table takes a
+      // (long, double) append — the schema widens losslessly and the OLD
+      // parquet files upcast at scan (Spark 4 vectorized reader feature);
+      // both generations must read back exactly
+      val dirT = tmp("s32")
+      val base = read(s, dir, "nation").select(
+        col("n_nationkey").cast("int").as("id"),
+        col("n_nationkey").cast("float").as("v"))
+      val t = GraftTable.create(s, dirT, base,
+        properties = Map(graft.tables.TableWriter.TypeWideningProperty -> "true"))
+      () => {
+      t.append(read(s, dir, "nation").select(
+        (col("n_nationkey") + 100).cast("long").as("id"),
+        (col("n_nationkey").cast("double") + 0.25d).as("v")))
+      t.toDF
+      }
+    }),
+
     "s31_symlink_manifest" -> ((s, dir) => {
       // Trino/Presto interop: the symlink manifest's file list, read back
       // as PLAIN parquet (no graft reader), must reproduce the table rows
@@ -2166,6 +2185,12 @@ object SparkEntry {
     "s31_symlink_manifest" ->
       """SELECT CAST(count(*) AS BIGINT) AS rows_via_manifest,
         |       true AS matches_live, true AS nonempty FROM nation""".stripMargin,
+    "s32_type_widening" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |       CAST(CAST(n_nationkey AS REAL) AS DOUBLE) AS v FROM nation
+        |UNION ALL
+        |SELECT CAST(n_nationkey + 100 AS BIGINT),
+        |       CAST(n_nationkey AS DOUBLE) + 0.25e0 FROM nation""".stripMargin,
     // BM25-lite: identical expression TREE as the Spark side — float
     // literals carry e0 so DuckDB parses DOUBLEs (its bare decimals are
     // DECIMAL-typed and would change the arithmetic), and shared factors

@@ -729,16 +729,50 @@ object TableWriter {
     * (Spark's own `StructType.merge` is `private[sql]`; semantics here match
     * `mergeSchema=true` appends: new columns appended, old columns keep type.)
     */
-  def mergeSchemas(existing: StructType, incoming: StructType): StructType = {
+  val TypeWideningProperty = "graft.enableTypeWidening"
+
+  /** Lossless top-level widens the Spark-4 vectorized parquet reader
+    * upcasts natively (verified: int32 files read as long/double, float as
+    * double) — Delta's type-widening matrix, minus the decimal/date rows
+    * whose reader support is conditional.
+    */
+  private val widenTargets: Map[org.apache.spark.sql.types.DataType,
+      Set[org.apache.spark.sql.types.DataType]] = {
+    import org.apache.spark.sql.types._
+    Map(
+      ByteType -> Set(ShortType, IntegerType, LongType, DoubleType),
+      ShortType -> Set(IntegerType, LongType, DoubleType),
+      IntegerType -> Set(LongType, DoubleType),
+      FloatType -> Set(DoubleType))
+  }
+
+  private def widensTo(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean =
+    widenTargets.get(from).exists(_.contains(to))
+
+  def mergeSchemas(existing: StructType, incoming: StructType,
+      allowWidening: Boolean = false): StructType = {
     // name matching is case-INSENSITIVE (Spark's default resolution): a
     // source column differing only in case is the SAME column — appending it
     // would commit a duplicate schema that every later read chokes on
     def sameAs(f: StructField) = existing.fields.find(_.name.equalsIgnoreCase(f.name))
-    incoming.fields.foreach { f =>
-      sameAs(f).foreach { old =>
-        if (old.dataType != f.dataType)
-          throw new IllegalArgumentException(
-            s"column ${f.name} type mismatch: table=${old.dataType} incoming=${f.dataType}")
+    // resolve each shared column's type: equal keeps it; with
+    // `graft.enableTypeWidening` a LOSSLESS widen in either direction
+    // resolves to the wider type (incoming wider ⇒ the table's schema
+    // widens and old files upcast at scan; incoming narrower ⇒ the table
+    // type stands and the new files upcast instead)
+    def resolved(old: StructField, inc: StructField): org.apache.spark.sql.types.DataType =
+      if (old.dataType == inc.dataType) old.dataType
+      else if (allowWidening && widensTo(old.dataType, inc.dataType)) inc.dataType
+      else if (allowWidening && widensTo(inc.dataType, old.dataType)) old.dataType
+      else throw new IllegalArgumentException(
+        s"column ${inc.name} type mismatch: table=${old.dataType} incoming=${inc.dataType}" +
+          (if (allowWidening) " (not a lossless widen)"
+           else s" (set $TypeWideningProperty=true to allow lossless widening)"))
+    val updatedExisting = existing.fields.map { old =>
+      incoming.fields.find(_.name.equalsIgnoreCase(old.name)) match {
+        case Some(inc) => old.copy(dataType = resolved(old, inc))
+        case None      => old
       }
     }
     val appended = incoming.fields.filterNot(f => sameAs(f).isDefined)
@@ -751,7 +785,7 @@ object TableWriter {
           "void (NullType) columns are not storable — cast the null literal " +
           "to a concrete type")
     }
-    StructType((existing.fields ++ appended).map(f => StructField(f.name, f.dataType, nullable = true)))
+    StructType((updatedExisting ++ appended).map(f => StructField(f.name, f.dataType, nullable = true)))
   }
 
   /** [[mergeSchemas]] with column mapping preserved: the snapshot's fields
@@ -763,7 +797,8 @@ object TableWriter {
     * tables: no field carries metadata, no physical collides.
     */
   def mergeWithMapping(s: Snapshot, incoming: StructType): StructType = {
-    val merged = mergeSchemas(s.schema, incoming)
+    val merged = mergeSchemas(s.schema, incoming,
+      allowWidening = s.metadata.properties.get(TypeWideningProperty).contains("true"))
     val existingByName = s.schema.fields.map(f => f.name.toLowerCase -> f).toMap
     val (kept, appended) = merged.fields.partition(f =>
       existingByName.contains(f.name.toLowerCase))

@@ -76,6 +76,34 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       intercept[IllegalArgumentException](TableOps.repartitionTable(t, Seq("nope")))
     }
 
+    it("type widening: appends widen int->long / float->double losslessly") {
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val dir = tmpTableDir("graft-widen")
+      val t = GraftTable.create(spark, dir, Seq((1, 1.5f)).toDF("id", "x"),
+        properties = Map(graft.tables.TableWriter.TypeWideningProperty -> "true"))
+      // wider incoming: the TABLE schema widens; the old int/float file
+      // upcasts at scan
+      t.append(Seq((2147483648L, 2.5d)).toDF("id", "x"))
+      assert(t.toDF.schema("id").dataType == LongType)
+      assert(t.toDF.schema("x").dataType == DoubleType)
+      assert(t.toDF.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+        Set((1L, 1.5), (2147483648L, 2.5)))
+      // narrower incoming after the widen: accepted, new file upcasts instead
+      t.append(Seq((3, 3.5f)).toDF("id", "x"))
+      assert(t.toDF.count() == 3)
+      assert(t.toDF.filter($"id" === 3).first().getDouble(1) == 3.5)
+      // non-widening change stays loud even with the property on
+      val e = intercept[IllegalArgumentException](
+        t.append(Seq(("oops", 1.0)).toDF("id", "x")))
+      assert(e.getMessage.contains("type mismatch"))
+      // without the property: the old loud behavior, with a hint
+      val t2 = GraftTable.create(spark, tmpTableDir("graft-nowiden"),
+        Seq((1, "a")).toDF("id", "name"))
+      val e2 = intercept[IllegalArgumentException](
+        t2.append(Seq((2L, "b")).toDF("id", "name")))
+      assert(e2.getMessage.contains("enableTypeWidening"))
+    }
+
     it("symlink manifest lists live files, tracks commits, refuses DV tables") {
       import graft.tables.SymlinkManifest
       val dir = tmpTableDir("graft-manifest")

@@ -1,0 +1,175 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Codegen'd vector math for the similarity/dedup pipeline.
+  *
+  * Spark's higher-order functions (`zip_with`, `aggregate`, `transform`)
+  * are evaluated INTERPRETED — one boxed lambda invocation per element —
+  * so a k-means assignment at k=64 over 64-dim vectors costs k × dim ≈
+  * 4096 interpreted ops per row (~120 µs/row measured; the whole cluster
+  * build was 20+ s on a 16k-row corpus). These expressions run the same
+  * IEEE arithmetic as the HOF compositions — identical element order, so
+  * results are BIT-IDENTICAL and the DuckDB oracles are unaffected
+  * (equivalence pinned by spec) — inside whole-stage codegen as tight
+  * primitive loops.
+  *
+  * Null semantics mirror the HOF compositions they replace: length
+  * mismatch or a NULL element → NULL result (zip_with pads the shorter
+  * side with nulls, which poisons the fold the same way). The one
+  * divergence, shared with [[MinHashSignature]]: a NULL INPUT vector
+  * yields NULL where the compositions yield a non-null container of
+  * nulls — strictly safer, pinned by spec.
+  */
+object VectorExpressions
+
+/** `Σ a(i)·b(i)` over two array<double> columns — the inner product behind
+  * every cosine in the pipeline. Ascending-index accumulation, exactly the
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` fold it replaces.
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_product requires two array<double> inputs, got ${l.sql} and ${r.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var s = 0.0d
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val bad = ctx.freshName("bad")
+      s"""
+         |double $s = 0.0;
+         |boolean $bad = $x.numElements() != $y.numElements();
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $x.numElements(); $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; break; }
+         |    $s += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared L2 distance of one array<double> column to EVERY row of a fixed
+  * codebook matrix, as array<double> — the k-means / PQ assignment
+  * primitive. Replaces `transform(codebookLit, cw => aggregate(zip_with(
+  * vec, cw, (x,y) => (x-y)*(x-y)), 0.0, _+_))`: one generated double loop,
+  * the codebook rides as a referenced object (never inlined into source).
+  * A length-mismatched or null-element vector yields a NULL entry for that
+  * codeword (the zip_with-padding semantics of the composition).
+  */
+case class SquaredDistances(child: Expression, codebook: Array[Array[Double]])
+  extends UnaryExpression {
+
+  require(codebook.nonEmpty, "codebook must be non-empty")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"squared_distances requires array<double> input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "squared_distances"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Any](codebook.length)
+    var j = 0
+    while (j < codebook.length) {
+      val cw = codebook(j)
+      if (v.numElements() == cw.length) {
+        var s = 0.0d
+        var p = 0
+        var ok = true
+        while (ok && p < cw.length) {
+          if (v.isNullAt(p)) ok = false
+          else { val d = v.getDouble(p) - cw(p); s += d * d; p += 1 }
+        }
+        if (ok) out(j) = s
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebook", codebook, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out")
+      val nulls = ctx.freshName("nulls")
+      val any = ctx.freshName("anyNull")
+      val j = ctx.freshName("j")
+      val p = ctx.freshName("p")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val cw = ctx.freshName("cw")
+      val ok = ctx.freshName("ok")
+      s"""
+         |double[] $out = new double[$cb.length];
+         |boolean[] $nulls = new boolean[$cb.length];
+         |boolean $any = false;
+         |for (int $j = 0; $j < $cb.length; $j++) {
+         |  double[] $cw = $cb[$j];
+         |  if ($v.numElements() != $cw.length) { $nulls[$j] = true; $any = true; continue; }
+         |  double $s = 0.0;
+         |  boolean $ok = true;
+         |  for (int $p = 0; $p < $cw.length; $p++) {
+         |    if ($v.isNullAt($p)) { $ok = false; break; }
+         |    double $d = $v.getDouble($p) - $cw[$p];
+         |    $s += $d * $d;
+         |  }
+         |  if ($ok) { $out[$j] = $s; } else { $nulls[$j] = true; $any = true; }
+         |}
+         |if (!$any) {
+         |  ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |} else {
+         |  Object[] boxed = new Object[$cb.length];
+         |  for (int $j = 0; $j < $cb.length; $j++) {
+         |    if (!$nulls[$j]) boxed[$j] = (Double) $out[$j];
+         |  }
+         |  ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData(boxed);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SquaredDistances =
+    copy(child = newChild)
+}

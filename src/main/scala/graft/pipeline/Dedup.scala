@@ -697,7 +697,7 @@ object Dedup {
     val hyperplanes = Array.fill(planes, dim)(rnd.nextGaussian())
 
     def dotLit(vec: Column, plane: Array[Double]): Column =
-      aggregate(zip_with(vec, lit(plane), (x, p) => x * p), lit(0.0d), _ + _)
+      Similarity.dot(vec, lit(plane))
 
     val sketch = (0 until planes)
       .map(i => when(dotLit(col("__v"), hyperplanes(i)) > 0, 1L).otherwise(0L)
@@ -707,7 +707,7 @@ object Dedup {
     val rowsPerBand = planes / bands
     val withVec = df.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v"))
-      .withColumn("__norm", sqrt(aggregate(col("__v"), lit(0.0d), (acc, x) => acc + x * x)))
+      .withColumn("__norm", Similarity.norm(col("__v")))
       // materialized, not persisted — sketch branch + both vector joins
       // reuse the frame after this method returns (see minhashLshPairs)
       .transform(materialize)
@@ -732,7 +732,7 @@ object Dedup {
         .join(withVec.select(col("__id").as("idA"), col("__v").as("vA"), col("__norm").as("nA")), "idA")
         .join(withVec.select(col("__id").as("idB"), col("__v").as("vB"), col("__norm").as("nB")), "idB")
         .withColumn("cosine",
-          aggregate(zip_with(col("vA"), col("vB"), _ * _), lit(0.0d), _ + _) /
+          Similarity.dot(col("vA"), col("vB")) /
             (col("nA") * col("nB")))
         .filter(col("cosine") >= threshold)
         .select(col("idA"), col("idB"), col("cosine"))
@@ -758,7 +758,7 @@ object Dedup {
     val hyperplanes = Array.fill(planes, dim)(rnd.nextGaussian())
 
     def dotLit(vec: Column, plane: Array[Double]): Column =
-      aggregate(zip_with(vec, lit(plane), (x, p) => x * p), lit(0.0d), _ + _)
+      Similarity.dot(vec, lit(plane))
     val sketch = (0 until planes)
       .map(i => when(dotLit(col("__v"), hyperplanes(i)) > 0, 1L).otherwise(0L)
         .multiply(lit(1L << i)))
@@ -771,7 +771,7 @@ object Dedup {
     }
     def prep(df: DataFrame) = df
       .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
-      .withColumn("__norm", sqrt(aggregate(col("__v"), lit(0.0d), (acc, x) => acc + x * x)))
+      .withColumn("__norm", Similarity.norm(col("__v")))
       .transform(materialize)
     def banded(withVec: DataFrame) = withVec
       .withColumn("__sk", sketch)
@@ -793,7 +793,7 @@ object Dedup {
       .join(newVec.select(col("__id").as("idNew"), col("__v").as("vN"), col("__norm").as("nN")), "idNew")
       .join(refVec.select(col("__id").as("idRef"), col("__v").as("vR"), col("__norm").as("nR")), "idRef")
       .withColumn("cosine",
-        aggregate(zip_with(col("vN"), col("vR"), _ * _), lit(0.0d), _ + _) /
+        Similarity.dot(col("vN"), col("vR")) /
           (col("nN") * col("nR")))
       .filter(col("cosine") >= threshold)
       .select(col("idNew"), col("idRef"), col("cosine"))
@@ -880,7 +880,7 @@ object Dedup {
       df, idCol, vecCol, numClusters, kmeansIterations, kmeansSampleSize)
     val assigned = df
       .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
-      .withColumn("__n", sqrt(aggregate(col("__v"), lit(0.0d), (acc, x) => acc + x * x)))
+      .withColumn("__n", Similarity.norm(col("__v")))
       .withColumn("__cell", Similarity.nearestOf(centroids, col("__v"), 1)(0).getField("cid"))
       .transform(materialize)
 
@@ -897,7 +897,7 @@ object Dedup {
       col("__v").as("__vB"), col("__n").as("__nB"))
     val removed = a.join(b, "__cell")
       .filter(col("__idA") < col("__idB"))
-      .filter(aggregate(zip_with(col("__vA"), col("__vB"), _ * _), lit(0.0d), _ + _) /
+      .filter(Similarity.dot(col("__vA"), col("__vB")) /
         (col("__nA") * col("__nB")) >= threshold)
       .select(col("__idB").as(idCol)).distinct()
     df.join(removed, Seq(idCol), "left_anti")

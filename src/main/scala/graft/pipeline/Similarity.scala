@@ -16,11 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, _ * _), lit(0.0d), _ + _)
+  // codegen'd vector primitives — bit-identical to the HOF compositions
+  // they replace (`aggregate(zip_with(a,b,_*_),0.0,_+_)` etc.), but Spark's
+  // higher-order functions evaluate INTERPRETED (boxed lambda per element);
+  // see graft.functions.VectorExpressions for the measurements
+  def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graft.SparkBridge.column(graft.functions.DotProduct(
+      org.apache.spark.sql.graft.SparkBridge.catalystExpression(a),
+      org.apache.spark.sql.graft.SparkBridge.catalystExpression(b)))
 
-  private def norm(v: org.apache.spark.sql.Column) =
-    sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
+  def sqDistsTo(vec: org.apache.spark.sql.Column,
+      cb: Seq[Array[Double]]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.SparkBridge.column(graft.functions.SquaredDistances(
+      org.apache.spark.sql.graft.SparkBridge.catalystExpression(vec), cb.toArray))
+
+  def norm(v: org.apache.spark.sql.Column) = sqrt(dot(v, v))
 
   /** Cosine similarity of two numeric-array columns as a pure built-in
     * composition (`zip_with` + `aggregate` — codegen'd, no UDF). NULL when
@@ -126,24 +136,28 @@ object Similarity {
       // deterministic init: lowest-id rows
       var centroids: Seq[(Int, Array[Double])] = data.orderBy(col("__id")).limit(k)
         .collect().zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toArray) }.toSeq
+      val dim = centroids.headOption.map(_._2.length).getOrElse(0)
       (1 to iterations).foreach { _ =>
         val assignExpr = nearestOf(centroids, col("__v"), 1)(0).getField("cid")
-        // two-step: the multi-alias generator (posexplode .as(Seq(...)))
-        // breaks resolution of struct getField in the same select list
+        // elementwise means as `dim` explicit avg aggregates — NOT a
+        // posexplode: the optimizer collapses projections into/above a
+        // Generate, re-evaluating the argmin PER EXPLODED ELEMENT (dim×
+        // per row — measured 0.2 s → 6.6 s on a 16k×64 corpus at k=64).
+        // One hash-aggregate pass; avg skips the nulls ragged vectors
+        // produce past their length, same as the exploded form did.
+        val avgCols = (0 until dim).map(p => avg(col("__v")(p)).as(s"m$p"))
         val sums = data
           .select(assignExpr.as("__cell"), col("__v"))
-          .select(col("__cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
-          .groupBy(col("__cell"), col("__pos"))
-          .agg(avg(col("__x")).as("__m"))
+          .groupBy(col("__cell"))
+          .agg(avgCols.head, avgCols.tail: _*)
           .collect()
-        val byCell = sums.groupBy(_.getInt(0))
+        val byCell = sums.map(r => r.getInt(0) -> r).toMap
         centroids = centroids.map { case (cid, old) =>
           byCell.get(cid) match {
-            case Some(rows) =>
+            case Some(r) =>
               val m = old.clone()
-              rows.foreach { r =>
-                // ragged vectors / all-null positions: keep the old coordinate
-                if (!r.isNullAt(2) && r.getInt(1) < m.length) m(r.getInt(1)) = r.getDouble(2)
+              (0 until math.min(dim, m.length)).foreach { p =>
+                if (!r.isNullAt(1 + p)) m(p) = r.getDouble(1 + p)
               }
               (cid, m)
             case None => (cid, old) // empty cell keeps its centroid
@@ -158,17 +172,23 @@ object Similarity {
     * Distance leads the struct so `array_sort`'s natural field-by-field
     * ordering sorts by distance (cid breaks exact ties) — no comparator
     * lambda (whose struct field names don't survive resolution).
+    *
+    * DATA-DRIVEN: the centroids ride the plan as one literal nested array
+    * and distances come from a `transform` over it — k per-centroid inlined
+    * subtrees would put the whole codebook INSIDE the generated code
+    * (k=64 × dim=64 ≈ an 8k-node janino tree, seconds of compile per
+    * distinct plan — the zorder when-chain lesson), where this stays a
+    * constant-size expression at any k.
     */
   private[pipeline] def nearestOf(
       centroids: Seq[(Int, Array[Double])],
       vec: org.apache.spark.sql.Column,
       n: Int): org.apache.spark.sql.Column = {
-    val dists = centroids.map { case (cid, cv) =>
-      struct(
-        aggregate(zip_with(vec, lit(cv), (x, y) => (x - y) * (x - y)), lit(0.0d), _ + _).as("d"),
-        lit(cid).as("cid"))
-    }
-    slice(array_sort(array(dists: _*)), 1, n)
+    val sorted = centroids.sortBy(_._1)
+    val cids = array(sorted.map { case (cid, _) => lit(cid) }: _*)
+    val dists = sqDistsTo(vec, sorted.map(_._2))
+    slice(array_sort(zip_with(dists, cids,
+      (d, c) => struct(d.as("d"), c.as("cid")))), 1, n)
   }
 
   /** IVF top-k: the corpus is clustered once with [[kmeansCentroids]] and
@@ -288,21 +308,13 @@ object Similarity {
       .withColumn("__nn", norm(col("__raw")))
       .select(col(outId), transform(col("__raw"), _ / col("__nn")).as(outVec))
 
-  /** Distance of `sv` to every codeword in `cands` (array<array<double>>),
-    * and the argmin codeword id with lowest-id tie-break — data-driven
-    * expressions (a runtime array lookup, NOT m × ksub inlined structs),
-    * so codegen stays small however many codebooks ride the plan.
+  /** Argmin codeword of `sv` against a fixed codebook, lowest-id on exact
+    * ties — same tie-break as nearestOf's (distance, cid) struct sort. The
+    * distances come from the codegen'd [[graft.functions.SquaredDistances]].
     */
-  private def subDistances(cands: org.apache.spark.sql.Column,
-      sv: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    transform(cands, cw =>
-      aggregate(zip_with(sv, cw, (x, y) => (x - y) * (x - y)), lit(0.0d), _ + _))
-
-  private def subArgmin(cands: org.apache.spark.sql.Column,
+  private def subArgmin(cb: Seq[Array[Double]],
       sv: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val d = subDistances(cands, sv)
-    // first occurrence of the min = lowest codeword id on exact ties —
-    // the same tie-break as nearestOf's (distance, cid) struct sort
+    val d = sqDistsTo(sv, cb)
     (array_position(d, array_min(d)) - 1).cast("int")
   }
 
@@ -356,21 +368,28 @@ object Similarity {
         initFull.toSeq.zipWithIndex.map { case (v, i) =>
           (i, v.slice(j * dsub, j * dsub + dsub)) })
       (1 to iterations).foreach { _ =>
-        val assign = subArgmin(element_at(codebooksLit(cbs), col("__sub") + 1), col("__sv"))
+        // small when-chain over the m subspaces, each branch a codegen'd
+        // fixed-codebook argmin (m is 8-16; the chain stays tiny)
+        val assign = (0 until m).map(j => (j, subArgmin(cbs(j).map(_._2), col("__sv"))))
+          .foldRight(lit(-1).cast("int")) { case ((j, e), acc) =>
+            when(col("__sub") === j, e).otherwise(acc) }
+        // elementwise means as dsub explicit avg aggregates — see
+        // kmeansCentroids: a posexplode here re-evaluates the argmin per
+        // exploded element (the Generate/projection-collapse hazard)
+        val avgCols = (0 until dsub).map(p => avg(col("__sv")(p)).as(s"m$p"))
         val sums = subRows
           .select(col("__sub"), assign.as("__cell"), col("__sv"))
-          .select(col("__sub"), col("__cell"), posexplode(col("__sv")).as(Seq("__pos", "__x")))
-          .groupBy(col("__sub"), col("__cell"), col("__pos"))
-          .agg(avg(col("__x")).as("__m"))
+          .groupBy(col("__sub"), col("__cell"))
+          .agg(avgCols.head, avgCols.tail: _*)
           .collect()
-        val bySubCell = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+        val bySubCell = sums.map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
         cbs = cbs.zipWithIndex.map { case (cb, j) =>
           cb.map { case (cid, old) =>
             bySubCell.get((j, cid)) match {
-              case Some(rows) =>
+              case Some(r) =>
                 val nv = old.clone()
-                rows.foreach { r =>
-                  if (!r.isNullAt(3) && r.getInt(2) < nv.length) nv(r.getInt(2)) = r.getDouble(3)
+                (0 until math.min(dsub, nv.length)).foreach { p =>
+                  if (!r.isNullAt(2 + p)) nv(p) = r.getDouble(2 + p)
                 }
                 (cid, nv)
               case None => (cid, old) // empty cell keeps its centroid
@@ -394,9 +413,8 @@ object Similarity {
       codebooks: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
     val m = codebooks.size
     val dsub = codebooks.head.head._2.length
-    val cb = codebooksLit(codebooks)
-    val codes = transform(sequence(lit(0), lit(m - 1)), j =>
-      subArgmin(element_at(cb, j + 1), slice(col("__nv"), j * dsub + 1, lit(dsub))))
+    val codes = array((0 until m).map(j =>
+      subArgmin(codebooks(j).map(_._2), slice(col("__nv"), j * dsub + 1, dsub))): _*)
     l2normalized(df, idCol, vecCol, idCol, "__nv")
       .select(col(idCol), codes.as("codes"))
   }

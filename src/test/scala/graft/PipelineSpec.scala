@@ -282,6 +282,43 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  describe("VectorExpressions (codegen ≡ higher-order-function composition)") {
+    import org.apache.spark.sql.functions.{aggregate => fAggregate, transform => fTransform, _}
+    // adversarial vectors: plain, negatives, a null element, a length
+    // mismatch against the 4-dim codebook, and a NULL vector
+    val vecs = Seq(
+      (1L, Array(1.0, 2.0, 3.0, 4.0)),
+      (2L, Array(-0.5, 0.25, 0.0, 8.0)),
+      (3L, Array(1.0, 2.0, 3.0)) // short
+    ).toDF("id", "v")
+      .union(Seq((4L, null.asInstanceOf[Array[Double]])).toDF("id", "v"))
+      .withColumn("vn", when($"id" === 2, array(lit(1.0), lit(null).cast("double"),
+        lit(2.0), lit(3.0))).otherwise($"v"))
+
+    it("DotProduct matches aggregate(zip_with(_*_)) bit-for-bit incl. nulls") {
+      val hof = fAggregate(zip_with($"v", $"vn", _ * _), lit(0.0d), _ + _)
+      val bad = vecs.select(Similarity.dot($"v", $"vn").as("a"), hof.as("b"))
+        .filter(not($"a" <=> $"b")).count()
+      assert(bad == 0)
+    }
+    it("SquaredDistances matches the transform/zip_with fold incl. nulls") {
+      val cb = Seq(Array(0.0, 0.0, 0.0, 0.0), Array(1.0, 2.0, 3.0, 4.0))
+      val hof = fTransform(
+        array(cb.map(cw => lit(cw)): _*),
+        cw => fAggregate(zip_with($"vn", cw, (x, y) => (x - y) * (x - y)), lit(0.0d), _ + _))
+      // documented divergence (same as MinHashSignature): NULL INPUT yields
+      // NULL where the composition yields an array of nulls — strictly
+      // safer; everything else (incl. null elements, length mismatch) must
+      // match bit-for-bit
+      val bad = vecs.filter($"vn".isNotNull)
+        .select(Similarity.sqDistsTo($"vn", cb).as("a"), hof.as("b"))
+        .filter(not($"a" <=> $"b")).count()
+      assert(bad == 0)
+      assert(vecs.filter($"vn".isNull)
+        .select(Similarity.sqDistsTo($"vn", cb)).first().isNullAt(0))
+    }
+  }
+
   describe("TextAnalysis.bm25Lite") {
     it("ranks term-bearing docs above term-free docs, rare terms above common") {
       val corpus = Seq(

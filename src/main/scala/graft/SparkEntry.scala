@@ -236,6 +236,52 @@ object SparkEntry {
       }
     }),
 
+    "q18_stream_interval_join" -> ((s, dir) => {
+      // TRUE stream-stream join, deterministically replayed: clicks and
+      // purchases (event_id < 2000) stream through two MemoryStreams in 4
+      // lockstep micro-batches; the watermarked interval join attributes
+      // each purchase to the same user's clicks in the preceding hour. The
+      // replay watermark delay spans the whole fixture so no edge row is
+      // evicted mid-replay, making the drained result equal the batch join
+      // the DuckDB oracle computes (state-bounding is the operator's
+      // documented production shape; eviction is exercised in spec).
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rawEv = read(s, dir, "events")
+      def side(t: String) = rawEv.filter(col("event_id") < 2000 && col("event_type") === t)
+        .select(col("event_id"), tsUs(rawEv).as("ts_us"), col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .as[(Long, Long, Long)].collect()
+      val clicks = side("click")
+      val purchases = side("purchase")
+      () => {
+      val inC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+      val inP = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+      def frame(in: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]) =
+        in.toDF().toDF("event_id", "ts_us", "user_id")
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      val name = "q18_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query = graft.streaming.StreamingOps
+        .intervalJoinStream(frame(inC), frame(inP), "user_id",
+          watermarkDelay = "3650 days", lowerSeconds = 0L, upperSeconds = 3600L)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        val cb = clicks.grouped(math.max(1, clicks.length / 4 + 1)).toSeq
+        val pb = purchases.grouped(math.max(1, purchases.length / 4 + 1)).toSeq
+        (0 until math.max(cb.length, pb.length)).foreach { i =>
+          cb.lift(i).foreach(b => inC.addData(b.toIndexedSeq))
+          pb.lift(i).foreach(b => inP.addData(b.toIndexedSeq))
+          query.processAllAvailable()
+        }
+      } finally { query.stop(); s.conf.set("spark.sql.shuffle.partitions", prevParts) }
+      s.table(name).select(
+        col("event_id").as("click_id"), col("event_id_r").as("purchase_id"),
+        col("user_id"))
+      }
+    }),
+
     "q15_stream_dedup" -> ((s, dir) => {
       // TRUE streaming content dedup: the documents corpus (which contains
       // exact/boilerplate reposts) streams through in 4 micro-batches;
@@ -1243,6 +1289,33 @@ object SparkEntry {
             .as("model_score"))
         .withColumn("keep", col("model_score") > 0)
     }),
+    "d27_distinct_sketch" -> ((s, dir) => () => {
+      // mergeable vocabulary cardinality: one HLL sketch per source (single
+      // partial-agg pass each), then a corpus estimate by UNIONING the
+      // sketches — no rescans. DataSketches HLL is deterministic for a
+      // fixed input set, so the ±5% accuracy booleans are driver-checkable;
+      // exactness is asserted Spark-side against countDistinct.
+      val docs = read(s, dir, "documents")
+      val sketches = TextAnalysis.distinctTokenSketches(docs, "source", "text")
+      val exact = docs
+        .select(col("source"),
+          explode(split(TextAnalysis.normalized(col("text")), " ")).as("__t"))
+        .filter(col("__t") =!= "")
+        .groupBy("source").agg(countDistinct("__t").as("exact"))
+      val perSource = sketches.join(exact, "source")
+        .select(col("source"),
+          (abs(col("estimate") - col("exact")).cast("double") / col("exact") <= 0.05)
+            .as("estimate_ok"))
+      import s.implicits._
+      val unionEst = TextAnalysis.unionSketchEstimate(sketches)
+      val globalExact = docs
+        .select(explode(split(TextAnalysis.normalized(col("text")), " ")).as("__t"))
+        .filter(col("__t") =!= "").distinct().count()
+      perSource.unionByName(Seq(("__union__",
+        math.abs(unionEst - globalExact).toDouble / globalExact <= 0.05))
+        .toDF("source", "estimate_ok"))
+    }),
+
     "d26_bm25_topk" -> ((s, dir) => () => {
       // BM25-lite retrieval (log-free idf — every arithmetic step is an
       // IEEE-exact op, so the DuckDB oracle reproduces the score
@@ -2191,6 +2264,19 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(n_nationkey + 100 AS BIGINT),
         |       CAST(n_nationkey AS DOUBLE) + 0.25e0 FROM nation""".stripMargin,
+    "d27_distinct_sketch" ->
+      """SELECT source, true AS estimate_ok
+        |FROM (SELECT DISTINCT source FROM documents)
+        |UNION ALL SELECT '__union__', true""".stripMargin,
+    "q18_stream_interval_join" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, user_id, event_type
+        |  FROM events WHERE event_id < 2000),
+        |c AS (SELECT * FROM e WHERE event_type = 'click'),
+        |p AS (SELECT * FROM e WHERE event_type = 'purchase')
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM c JOIN p ON c.user_id = p.user_id
+        | AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 3600000000""".stripMargin,
     // BM25-lite: identical expression TREE as the Spark side — float
     // literals carry e0 so DuckDB parses DOUBLEs (its bare decimals are
     // DECIMAL-typed and would change the arithmetic), and shared factors

@@ -193,6 +193,32 @@ object TextAnalysis {
   }
 
   // ==================================================================
+  // Mergeable distinct-count sketches
+  // ==================================================================
+
+  /** One HLL sketch of the distinct normalized tokens per stratum (source /
+    * shard / date), via Spark's Apache DataSketches builtins: each stratum
+    * aggregates in a single partial-agg pass, and the binary sketches then
+    * [[unionSketchEstimate union]] into corpus-level estimates WITHOUT
+    * rescanning — the mergeable-statistics shape that lets a 100 TB corpus
+    * maintain per-shard vocabulary cardinalities incrementally (store the
+    * sketch column in a stats table; union on demand). Returns
+    * (srcCol, sketch binary, estimate).
+    */
+  def distinctTokenSketches(df: DataFrame, srcCol: String, textCol: String): DataFrame =
+    df.select(col(srcCol), explode(split(normalized(col(textCol)), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col(srcCol))
+      .agg(hll_sketch_agg(col("__w")).as("sketch"))
+      .withColumn("estimate", hll_sketch_estimate(col("sketch")))
+
+  /** Union a sketch column into one corpus-level distinct estimate —
+    * O(strata) driver result, zero data rescans.
+    */
+  def unionSketchEstimate(sketches: DataFrame, sketchCol: String = "sketch"): Long =
+    sketches.agg(hll_sketch_estimate(hll_union_agg(col(sketchCol)))).first().getLong(0)
+
+  // ==================================================================
   // BM25-lite retrieval scoring
   // ==================================================================
 

@@ -171,4 +171,42 @@ object StreamingOps {
       .option("maxFilesPerTrigger", "16")
       .parquet(s"$tablePath/${GraftLog.CdcDirName}")
   }
+
+  /** Watermarked stream-stream INNER join on `keyCol` with an event-time
+    * interval constraint: a right row joins a left row when
+    * `right.ts ∈ [left.ts + lowerSeconds, left.ts + upperSeconds]`
+    * (click→purchase attribution, impression→conversion, request→response
+    * pairing). Right columns come back suffixed `_r`; the key and
+    * timestamps keep both sides.
+    *
+    * Scale: the time-range conjunct is written DIRECTLY on the two
+    * watermarked event-time columns, which is what lets Spark derive a
+    * state-eviction bound — each side buffers only (watermark delay +
+    * interval) worth of rows, the required shape for an unbounded
+    * 100 TB/day stream. A key-only condition would run but buffer both
+    * streams forever. Works identically on batch frames (same plan,
+    * backfill + oracle checks).
+    */
+  def intervalJoinStream(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes",
+      lowerSeconds: Long = 0L,
+      upperSeconds: Long = 3600L): DataFrame = {
+    require(upperSeconds >= lowerSeconds,
+      s"upperSeconds=$upperSeconds must be >= lowerSeconds=$lowerSeconds")
+    val isStreaming = left.isStreaming || right.isStreaming
+    def wm(df: DataFrame) = if (isStreaming) df.withWatermark(tsCol, watermarkDelay) else df
+    val l = wm(left).alias("__l")
+    val r = wm(right).alias("__r")
+    val joined = l.join(r,
+      expr(s"__l.$keyCol = __r.$keyCol") &&
+        expr(s"__r.$tsCol >= __l.$tsCol + INTERVAL $lowerSeconds SECONDS") &&
+        expr(s"__r.$tsCol <= __l.$tsCol + INTERVAL $upperSeconds SECONDS"))
+    val lCols = left.columns.map(c => col(s"__l.$c").as(c))
+    val rCols = right.columns.map(c => col(s"__r.$c").as(s"${c}_r"))
+    joined.select(lCols ++ rCols: _*)
+  }
 }

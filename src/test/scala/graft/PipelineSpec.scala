@@ -319,6 +319,28 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  describe("TextAnalysis.distinctTokenSketches") {
+    import org.apache.spark.sql.functions._
+    it("per-stratum HLL estimates track exact counts and union without rescans") {
+      val corpus = (1 to 400).map { i =>
+        (i.toLong, s"src${i % 4}", s"tok${i % 97} tok${i % 53} shared common")
+      }.toDF("doc_id", "source", "text")
+      val sk = TextAnalysis.distinctTokenSketches(corpus, "source", "text")
+      assert(sk.count() == 4)
+      val exact = corpus.select($"source",
+        explode(split(TextAnalysis.normalized($"text"), " ")).as("t"))
+        .groupBy("source").agg(countDistinct("t").as("exact"))
+      val bad = sk.join(exact, "source")
+        .filter(abs($"estimate" - $"exact").cast("double") / $"exact" > 0.05).count()
+      assert(bad == 0)
+      val unionEst = TextAnalysis.unionSketchEstimate(sk)
+      val globalExact = corpus.select(
+        explode(split(TextAnalysis.normalized($"text"), " ")).as("t")).distinct().count()
+      assert(math.abs(unionEst - globalExact).toDouble / globalExact <= 0.05,
+        s"union estimate $unionEst vs exact $globalExact")
+    }
+  }
+
   describe("TextAnalysis.bm25Lite") {
     it("ranks term-bearing docs above term-free docs, rare terms above common") {
       val corpus = Seq(

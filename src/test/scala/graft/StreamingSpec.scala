@@ -38,6 +38,53 @@ class StreamingSpec extends AnyFunSpec with SparkSessionTestWrapper {
     } finally query.stop()
   }
 
+  it("intervalJoinStream: stream result equals the batch join; late rows evict") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicksB = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L),
+      (2L, ts("2024-01-01 12:00:00"), 7L),
+      (3L, ts("2024-01-01 10:05:00"), 8L)).toDF("event_id", "ts", "user_id")
+    val buysB = Seq(
+      (100L, ts("2024-01-01 10:30:00"), 7L),  // joins click 1 (30 min after)
+      (101L, ts("2024-01-01 12:59:00"), 7L),  // joins click 2
+      (102L, ts("2024-01-01 18:00:00"), 8L))  // outside the 1h window
+      .toDF("event_id", "ts", "user_id")
+    // batch form first: same operator, same plan shape, oracle-checkable
+    val batch = StreamingOps.intervalJoinStream(clicksB, buysB, "user_id",
+      upperSeconds = 3600L)
+      .select("event_id", "event_id_r").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == Set((1L, 100L), (2L, 101L)))
+
+    // streaming replay with a SHORT watermark: by the time the late click
+    // arrives (batch 3, event-time 10:01), the watermark has passed it —
+    // its state was never buffered, so it attributes nothing
+    val inC = MemoryStream[(Long, Timestamp, Long)]
+    val inP = MemoryStream[(Long, Timestamp, Long)]
+    def f(in: MemoryStream[(Long, Timestamp, Long)]) =
+      in.toDF().toDF("event_id", "ts", "user_id")
+    val name = "ijoin_spec"
+    val query = StreamingOps.intervalJoinStream(f(inC), f(inP), "user_id",
+      watermarkDelay = "10 minutes", upperSeconds = 3600L)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      inC.addData((1L, ts("2024-01-01 10:00:00"), 7L), (3L, ts("2024-01-01 10:05:00"), 8L))
+      inP.addData((100L, ts("2024-01-01 10:30:00"), 7L))
+      query.processAllAvailable()
+      inC.addData((2L, ts("2024-01-01 12:00:00"), 7L))
+      inP.addData((101L, ts("2024-01-01 12:59:00"), 7L))
+      query.processAllAvailable()
+      // a click far BEHIND the watermark: must not resurrect state
+      inC.addData((99L, ts("2024-01-01 10:01:00"), 7L))
+      inP.addData((102L, ts("2024-01-01 18:00:00"), 8L))
+      query.processAllAvailable()
+      inP.addData((103L, ts("2024-01-01 10:31:00"), 7L)) // late purchase, dropped
+      query.processAllAvailable()
+      val out = spark.table(name).select("event_id", "event_id_r")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out == Set((1L, 100L), (2L, 101L)), s"got $out")
+    } finally query.stop()
+  }
+
   it("fingerprintDedupStream drops cross-batch reposts, keeps first arrivals") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]

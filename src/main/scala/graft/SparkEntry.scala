@@ -236,6 +236,41 @@ object SparkEntry {
       }
     }),
 
+    "q19_stream_merge" -> ((s, dir) => {
+      // the canonical streaming-UPSERT pattern (Delta's foreachBatch +
+      // MERGE): a keyed update stream lands in per-micro-batch ACID merge
+      // commits — updates hit existing keys, inserts create new ones, and
+      // the final table state is the deterministic fold of the batches
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val dirT = tmp("q19")
+      val base = read(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("id"), col("n_name").as("name"))
+      val t = GraftTable.create(s, dirT, base)
+      () => {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val name = "q19_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = input.toDF().toDF("id", "name")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          GraftMerge(GraftTable.forPath(s, dirT), "old")
+            .merge(batch, "old.id = new.id", Some("new"))
+            .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+          ()
+        }
+        .queryName(name).start()
+      try {
+        input.addData((0L, "U1_zero"), (1L, "U1_one"), (100L, "new_hundred"))
+        query.processAllAvailable()
+        input.addData((1L, "U2_one"), (101L, "new_hundred_one"))
+        query.processAllAvailable()
+        input.addData((2L, "U3_two"))
+        query.processAllAvailable()
+      } finally query.stop()
+      GraftTable.forPath(s, dirT).toDF
+      }
+    }),
+
     "q18_stream_interval_join" -> ((s, dir) => {
       // TRUE stream-stream join, deterministically replayed: clicks and
       // purchases (event_id < 2000) stream through two MemoryStreams in 4
@@ -1538,6 +1573,21 @@ object SparkEntry {
       }
     }),
 
+    "s33_column_defaults" -> ((s, dir) => {
+      // graft.default.<col>: appends lacking the column fill the declared
+      // default instead of the schema-merge null; provided values win
+      val dirT = tmp("s33")
+      val base = read(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("id"), col("n_name").as("name"))
+      val t = GraftTable.create(s, dirT,
+        base.withColumn("status", lit("live")),
+        properties = Map("graft.default.status" -> "'pending'"))
+      () => {
+      t.append(base.select((col("id") + 100).as("id"), col("name"))) // no status
+      t.toDF
+      }
+    }),
+
     "s32_type_widening" -> ((s, dir) => {
       // graft.enableTypeWidening: an (int, float) table takes a
       // (long, double) append — the schema widens losslessly and the OLD
@@ -2258,6 +2308,11 @@ object SparkEntry {
     "s31_symlink_manifest" ->
       """SELECT CAST(count(*) AS BIGINT) AS rows_via_manifest,
         |       true AS matches_live, true AS nonempty FROM nation""".stripMargin,
+    "s33_column_defaults" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name, 'live' AS status
+        |FROM nation
+        |UNION ALL
+        |SELECT CAST(n_nationkey + 100 AS BIGINT), n_name, 'pending' FROM nation""".stripMargin,
     "s32_type_widening" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,
         |       CAST(CAST(n_nationkey AS REAL) AS DOUBLE) AS v FROM nation
@@ -2268,6 +2323,14 @@ object SparkEntry {
       """SELECT source, true AS estimate_ok
         |FROM (SELECT DISTINCT source FROM documents)
         |UNION ALL SELECT '__union__', true""".stripMargin,
+    "q19_stream_merge" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  CASE n_nationkey WHEN 0 THEN 'U1_zero' WHEN 1 THEN 'U2_one'
+        |                   WHEN 2 THEN 'U3_two' ELSE n_name END AS name
+        |FROM nation
+        |UNION ALL SELECT * FROM (VALUES
+        |  (CAST(100 AS BIGINT), 'new_hundred'),
+        |  (CAST(101 AS BIGINT), 'new_hundred_one')) v(id, name)""".stripMargin,
     "q18_stream_interval_join" ->
       """WITH e AS (
         |  SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, user_id, event_type

@@ -27,6 +27,81 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   */
 object VectorExpressions
 
+/** Hashed word n-gram shingles of a token array in ONE compiled pass:
+  * `array_distinct(transform(grams, g => pmod(xxhash64(concat_ws(' ', g)),
+  * 2^31-1)))` over the `arrays_zip`-of-shifted-slices gram construction —
+  * byte-exact (hashes via `XxHash64Function.hash`, joins via
+  * `UTF8String.concatWs`, same null-skipping and `<n`-token fallback to a
+  * single whole-text gram, same first-occurrence distinct order; empty
+  * token arrays yield empty output; equivalence pinned by spec). The
+  * composed form pays an interpreted lambda dispatch per gram plus n
+  * intermediate arrays per row — this is the map stage of every
+  * MinHash/Jaccard dedup pass, so per-row constants govern the 100 TB
+  * scan cost.
+  */
+case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hashed_shingles requires array<string> input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def prettyName: String = "hashed_shingles"
+
+  private val space = UTF8String.fromString(" ")
+  private val MersennePrime = 2147483647L
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Public so generated code can call it (the loop body is compiled Scala
+    * either way; doGenCode just keeps the surrounding stage fused).
+    */
+  def compute(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    if (m == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val g = math.max(m - n + 1, 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < g) {
+      var k = 0
+      while (k < n) {
+        parts(k) = if (i + k < m && !arr.isNullAt(i + k)) arr.getUTF8String(i + k) else null
+        k += 1
+      }
+      val s = UTF8String.concatWs(space, parts: _*)
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        s, org.apache.spark.sql.types.StringType, 42L)
+      var v = h % MersennePrime
+      if (v < 0) v += MersennePrime
+      seen.add(v)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingler", this, classOf[HashedShingles].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedShingles =
+    copy(child = newChild)
+}
+
 /** `Σ a(i)·b(i)` over two array<double> columns — the inner product behind
   * every cosine in the pipeline. Ascending-index accumulation, exactly the
   * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` fold it replaces.

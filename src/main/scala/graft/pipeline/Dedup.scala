@@ -55,15 +55,27 @@ object Dedup {
     split(trim(regexp_replace(lower(textCol), "[^a-z0-9]+", " ")), " ")
 
   /** Hashed word n-gram shingles of a token-array column (31-bit ints,
-    * distinct).
-    *
-    * Perf note: built as `arrays_zip` of n shifted slices, with the transform
-    * lambda touching ONLY its own struct element. The naive formulation —
-    * `transform(sequence(...), i => hash(slice(tokens, i, n)))` — re-evaluates
-    * the whole token expression per gram (Catalyst CSE does not descend into
-    * lambda bodies; measured ~10× slower on 300-char docs).
+    * distinct) — the codegen'd single-pass
+    * [[graft.functions.HashedShingles]] expression.
+    * [[shinglesFromTokensComposed]] is the built-in-functions formulation
+    * it replaced (kept as the equivalence-spec reference): that form pays
+    * an interpreted lambda dispatch per gram (higher-order functions don't
+    * codegen) plus n shifted arrays per row.
     */
-  def shinglesFromTokens(tokensCol: Column, n: Int): Column = {
+  def shinglesFromTokens(tokensCol: Column, n: Int): Column =
+    org.apache.spark.sql.graft.SparkBridge.column(
+      graft.functions.HashedShingles(
+        org.apache.spark.sql.graft.SparkBridge.expression(tokensCol), n))
+
+  /** Composed-built-ins shingles: same grams, hashes and distinct order as
+    * [[shinglesFromTokens]] — `arrays_zip` of n shifted slices with the
+    * transform lambda touching ONLY its own struct element (the naive
+    * `transform(sequence(...), i => hash(slice(tokens, i, n)))` re-evaluates
+    * the whole token expression per gram — Catalyst CSE does not descend
+    * into lambda bodies; measured ~10× slower). Retained as the spec oracle
+    * for the codegen'd expression.
+    */
+  def shinglesFromTokensComposed(tokensCol: Column, n: Int): Column = {
     val gramCount = greatest(size(tokensCol) - n + 1, lit(1))
     val shifted = (0 until n).map(k => slice(tokensCol, lit(k + 1), gramCount))
     val zipped = arrays_zip(shifted: _*)

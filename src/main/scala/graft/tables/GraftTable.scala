@@ -415,6 +415,19 @@ object GraftTable {
         k.stripPrefix(GeneratedPropertyPrefix) -> v
     }.toSeq.sortBy(_._1)
 
+  /** Property prefix for column DEFAULTs: `graft.default.<col>` maps to the
+    * SQL expression an append fills in when its frame lacks the column
+    * (instead of the schema-merge null). See TableWriter.
+    */
+  val DefaultPropertyPrefix = "graft.default."
+
+  /** The column defaults recorded in a property map, name → expression. */
+  def defaultColumnsOf(properties: Map[String, String]): Seq[(String, String)] =
+    properties.collect {
+      case (k, v) if k.startsWith(DefaultPropertyPrefix) =>
+        k.stripPrefix(DefaultPropertyPrefix) -> v
+    }.toSeq.sortBy(_._1)
+
   /** Session conf prefix for default table properties inherited by NEW
     * tables — analogue of Delta's
     * `spark.databricks.delta.properties.defaults.*` (the reference sets

@@ -81,13 +81,29 @@ object TableWriter {
     // derived partition key — and ENFORCED (null-safe equality, inside the
     // write projection like CHECK constraints) when they provide one, so a
     // caller cannot silently desynchronize the column from its expression.
-    val genExprs = GraftTable.generatedColumnsOf(
-      metadataOverride.map(_.properties).getOrElse(
-        prevSnapshot.map(_.metadata.properties)
-          .getOrElse(GraftTable.sessionDefaultProperties(spark)) ++ properties))
+    val writeProps = metadataOverride.map(_.properties).getOrElse(
+      prevSnapshot.map(_.metadata.properties)
+        .getOrElse(GraftTable.sessionDefaultProperties(spark)) ++ properties)
+    val genExprs = GraftTable.generatedColumnsOf(writeProps)
+    // Column DEFAULTs (`graft.default.<col>` = sql expr, Delta's DEFAULT
+    // feature in property form): when an APPEND's frame lacks the column
+    // entirely, its rows get the default instead of the schema-merge null.
+    // Unlike generated columns, a provided value always wins (defaults are
+    // writable); overwrites replace the schema so absence there means the
+    // column is gone, not defaulted.
+    val defaultExprs = GraftTable.defaultColumnsOf(writeProps)
+    val dfD =
+      if (skipDataWrite || defaultExprs.isEmpty || mode != Append || prevSnapshot.isEmpty) df
+      else defaultExprs.foldLeft(df) { case (d, (name, defExpr)) =>
+        import org.apache.spark.sql.functions.expr
+        val tableHas = prevSnapshot.get.schema.fieldNames.exists(_.equalsIgnoreCase(name))
+        if (tableHas && !d.columns.exists(_.equalsIgnoreCase(name)))
+          d.withColumn(name, expr(defExpr))
+        else d
+      }
     val dfG =
-      if (skipDataWrite || genExprs.isEmpty) df
-      else genExprs.foldLeft(df) { case (d, (name, genExpr)) =>
+      if (skipDataWrite || genExprs.isEmpty) dfD
+      else genExprs.foldLeft(dfD) { case (d, (name, genExpr)) =>
         import org.apache.spark.sql.functions.{assert_true, col, expr, lit}
         if (d.columns.exists(_.equalsIgnoreCase(name)))
           d.filter(assert_true(col(name) <=> expr(genExpr),

@@ -76,6 +76,23 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       intercept[IllegalArgumentException](TableOps.repartitionTable(t, Seq("nope")))
     }
 
+    it("column defaults fill absent append columns; provided values win") {
+      val dir = tmpTableDir("graft-defaults")
+      val t = GraftTable.create(spark, dir,
+        Seq((1, "a", "live")).toDF("id", "name", "status"),
+        properties = Map("graft.default.status" -> "'pending'"))
+      t.append(Seq((2, "b")).toDF("id", "name"))          // absent -> default
+      t.append(Seq((3, "c", "done")).toDF("id", "name", "status")) // provided wins
+      val out = t.toDF.collect().map(r => r.getInt(0) -> r.getString(2)).toMap
+      assert(out == Map(1 -> "live", 2 -> "pending", 3 -> "done"))
+      // a column the TABLE doesn't have yet is not invented by the default
+      val t2 = GraftTable.create(spark, tmpTableDir("graft-defaults2"),
+        Seq((1, "a")).toDF("id", "name"),
+        properties = Map("graft.default.extra" -> "'x'"))
+      t2.append(Seq((2, "b")).toDF("id", "name"))
+      assert(!t2.toDF.columns.contains("extra"))
+    }
+
     it("type widening: appends widen int->long / float->double losslessly") {
       import org.apache.spark.sql.types.{DoubleType, LongType}
       val dir = tmpTableDir("graft-widen")

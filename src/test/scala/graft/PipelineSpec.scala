@@ -301,6 +301,29 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
         .filter(not($"a" <=> $"b")).count()
       assert(bad == 0)
     }
+    it("HashedShingles matches the composed shingle pipeline exactly") {
+      val texts = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "one two"),          // fewer tokens than n=3: single whole gram
+        (3L, "solo"),             // one token
+        (4L, ""),                 // tokenize("") -> [""] -> hash of ""
+        (5L, "a b a b a b a b")   // repeated grams: distinct order matters
+      ).toDF("id", "text")
+      for (n <- Seq(2, 3, 5)) {
+        val bad = texts.select(
+          Dedup.shinglesFromTokens(Dedup.tokenize($"text"), n).as("a"),
+          Dedup.shinglesFromTokensComposed(Dedup.tokenize($"text"), n).as("b"))
+          .filter(not($"a" <=> $"b")).count()
+        assert(bad == 0, s"n=$n diverged")
+      }
+      // empty token ARRAY (not [""]): both forms yield empty
+      val emptyArr = Seq(Tuple1(Array.empty[String])).toDF("t")
+      assert(emptyArr.select(Dedup.shinglesFromTokens($"t", 3).as("a"))
+        .first().getSeq[Long](0).isEmpty)
+      assert(emptyArr.select(Dedup.shinglesFromTokensComposed($"t", 3).as("a"))
+        .first().getSeq[Long](0).isEmpty)
+    }
+
     it("SquaredDistances matches the transform/zip_with fold incl. nulls") {
       val cb = Seq(Array(0.0, 0.0, 0.0, 0.0), Array(1.0, 2.0, 3.0, 4.0))
       val hof = fTransform(

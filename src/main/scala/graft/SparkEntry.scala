@@ -1360,6 +1360,32 @@ object SparkEntry {
         Seq("scan", "merge", "window"))
         .orderBy(col("score").desc, col("doc_id")).limit(10)
     }),
+    "d28_pq_index" -> ((s, dir) => {
+      // PERSISTED PQ: codebooks + compressed codes land as graft tables
+      // once (fixture); the measured query is only the ADC scan + rerank.
+      // Same recall bound and determinism story as d23.
+      val emb0 = read(s, dir, "embeddings")
+      val corpus0 = emb0.filter(col("vec_id") >= 10)
+      val dirT = tmp("d28")
+      Similarity.buildPqIndex(s, corpus0, "vec_id", "embedding", dirT,
+        m = 8, ksub = 16)
+      val rr = math.max(100, (corpus0.count() / 5).toInt)
+      () => {
+      val emb = read(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb.filter(col("vec_id") >= 10),
+        queries, "vec_id", "embedding", 5).select("query_id", "corpus_id")
+      val approx = Similarity.pqTopKFromIndex(s, dirT, queries,
+        "vec_id", "embedding", 5, rerank = rr)
+        .select("query_id", "corpus_id")
+      val total = exact.count()
+      val hits = exact.join(approx, Seq("query_id", "corpus_id"), "left_semi").count()
+      import s.implicits._
+      Seq((total, hits.toDouble / total >= 0.85))
+        .toDF("exact_pairs", "recall_ok")
+      }
+    }),
+
     "d23_pq_recall" -> ((s, dir) => () => {
       // product quantization at m=8 × ksub=16 over 64 dims (32× compression)
       // with exact re-ranking of an ADC shortlist: recall vs the exact
@@ -3081,6 +3107,11 @@ object SparkEntry {
     // PQ + rerank recall bound, same shape as d6_ivf_recall (deterministic
     // codebooks ⇒ deterministic recall — 0.92 measured at rerank=100)
     "d23_pq_recall" ->
+      """SELECT CAST(5 * (SELECT count(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)
+        |         AS exact_pairs,
+        |       true AS recall_ok""".stripMargin,
+    // persisted-index PQ probe: same bound, same determinism as d23
+    "d28_pq_index" ->
       """SELECT CAST(5 * (SELECT count(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)
         |         AS exact_pairs,
         |       true AS recall_ok""".stripMargin

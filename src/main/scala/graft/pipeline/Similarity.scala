@@ -487,6 +487,101 @@ object Similarity {
     }
   }
 
+  /** Materialize a PQ index as graft tables — the persisted form of
+    * [[pqTopK]]'s build stage, so codebook training and corpus encoding run
+    * ONCE and every later batch probes the compressed codes:
+    *
+    *  - `<indexPath>/codebooks` — (sub, code, centroid): m × ksub × D/m
+    *    doubles, driver-tiny;
+    *  - `<indexPath>/codes` — (corpus_id, codes array<int>): m small ints
+    *    per vector (the 32× compression that makes an exhaustive ADC scan
+    *    affordable), plus the TRUE vector for exact re-ranking.
+    *
+    * Appending new vectors re-uses [[pqEncode]] with the stored codebooks
+    * (codebook drift under sustained ingest → periodic rebuilds, like IVF).
+    */
+  def buildPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      m: Int = 8,
+      ksub: Int = 16,
+      iterations: Int = 3,
+      sampleSize: Int = 1 << 18): Unit = {
+    import spark.implicits._
+    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub, iterations, sampleSize)
+    graft.tables.GraftTable.create(spark, s"$indexPath/codebooks",
+      cbs.zipWithIndex.flatMap { case (cb, j) =>
+        cb.map { case (code, cw) => (j, code, cw) }
+      }.toDF("sub", "code", "centroid"))
+    val codes = pqEncode(corpus, idCol, vecCol, cbs)
+      .withColumnRenamed(idCol, "corpus_id")
+    val vecs = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("vector"))
+    graft.tables.GraftTable.create(spark, s"$indexPath/codes",
+      codes.join(vecs, "corpus_id"))
+    ()
+  }
+
+  /** Probe a [[buildPqIndex]] index: ADC scoring over the stored codes with
+    * exact re-ranking from the stored vectors — same semantics as
+    * [[pqTopK]] at the index's (m, ksub), but the only per-query-batch work
+    * is the scan of the code table (and the rerank slice of vectors).
+    */
+  def pqTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rerank: Int = 0,
+      broadcastQueries: Option[Boolean] = None,
+      broadcastThreshold: Long = DefaultBroadcastQueryRows): DataFrame = {
+    val cbs = graft.tables.GraftTable.forPath(spark, s"$indexPath/codebooks")
+      .toDF.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(r => (r._2, r._3)).toSeq }
+    val m = cbs.size
+    val dsub = cbs.head.head._2.length
+    val codeTable = graft.tables.GraftTable.forPath(spark, s"$indexPath/codes").toDF
+    val q = l2normalized(queries, idCol, vecCol, "query_id", "__qv")
+
+    def cbCol(j: Int) = array(cbs(j).map { case (_, cw) => lit(cw) }: _*)
+    val adc = (0 until m).map { j =>
+      dot(slice(col("__qv"), j * dsub + 1, dsub),
+        element_at(cbCol(j), col("codes")(j) + 1))
+    }.reduce(_ + _)
+
+    // the corpus-wide pass carries CODES only (m small ints/row); true
+    // vectors join back for the shortlist alone
+    val scored = codeTable.select(col("corpus_id"), col("codes"))
+      .crossJoin(maybeBroadcast(q, broadcastQueries, broadcastThreshold))
+      .withColumn("adc_score", adc)
+    val w = Window.partitionBy("query_id").orderBy(col("adc_score").desc, col("corpus_id"))
+    if (rerank <= 0) {
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("corpus_id"),
+          col("adc_score").as("score"))
+    } else {
+      val shortlist = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= math.max(k, rerank))
+        .select(col("query_id"), col("corpus_id"), col("__qv"))
+      val exact = shortlist
+        .join(codeTable.select(col("corpus_id"), col("vector")), "corpus_id")
+        .withColumn("__cn", norm(col("vector")))
+        .withColumn("cosine", dot(col("vector"), col("__qv")) / col("__cn"))
+      val w2 = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
+      exact.withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+    }
+  }
+
   /** Probe a [[buildIvfIndex]] index: same semantics and output shape as
     * [[ivfTopK]] at the index's centroid count, but the only corpus work is
     * a partition-pruned scan of the probed cells (≤ queries × nProbe

@@ -458,6 +458,18 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(top.count() == 15)
     }
 
+    it("pqTopKFromIndex equals the in-memory pqTopK at the same parameters") {
+      val dir = java.nio.file.Files.createTempDirectory("pqidx").resolve("i").toString
+      Similarity.buildPqIndex(spark, corpus, "vec_id", "embedding", dir, m = 4, ksub = 8)
+      val fromIndex = Similarity.pqTopKFromIndex(spark, dir, queries,
+        "vec_id", "embedding", 5, rerank = 25)
+        .select("query_id", "rank", "corpus_id").collect().map(_.toSeq).toSet
+      val direct = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", 5,
+        m = 4, ksub = 8, rerank = 25)
+        .select("query_id", "rank", "corpus_id").collect().map(_.toSeq).toSet
+      assert(fromIndex == direct)
+    }
+
     it("pqTopK rerank recall dominates raw ADC ranking") {
       val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
         .select("query_id", "corpus_id")

@@ -303,8 +303,12 @@ object SparkEntry {
           watermarkDelay = "3650 days", lowerSeconds = 0L, upperSeconds = 3600L)
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try {
-        val cb = clicks.grouped(math.max(1, clicks.length / 4 + 1)).toSeq
-        val pb = purchases.grouped(math.max(1, purchases.length / 4 + 1)).toSeq
+        // 2 lockstep batch pairs: still a true cross-batch streaming join,
+        // at half the per-micro-batch state-commit overhead of 4 (stream-
+        // stream joins commit four state stores per batch — the dominant
+        // cost of a small replay)
+        val cb = clicks.grouped(math.max(1, clicks.length / 2 + 1)).toSeq
+        val pb = purchases.grouped(math.max(1, purchases.length / 2 + 1)).toSeq
         (0 until math.max(cb.length, pb.length)).foreach { i =>
           cb.lift(i).foreach(b => inC.addData(b.toIndexedSeq))
           pb.lift(i).foreach(b => inP.addData(b.toIndexedSeq))

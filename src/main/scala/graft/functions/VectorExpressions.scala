@@ -102,6 +102,68 @@ case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Count of boundaries ≤ value — the per-column bucket rank of the Z-ORDER
+  * rewrite, as a binary search over a referenced sorted boundary array.
+  * Replaces `aggregate(lit(boundaries), 0L, (acc,b) => acc + when(v >= b,
+  * 1L).otherwise(0L))`, which (a) is an interpreted higher-order function
+  * and (b) re-evaluates the VALUE expression per boundary (lambda bodies
+  * escape CSE) and per interleave bit that references the fold.
+  *
+  * Fold-equivalent semantics, pinned by spec: NULL value → 0 (the fold's
+  * when(...).otherwise(0) per element); a NaN value counts EVERY boundary
+  * (Spark SQL's ordering puts NaN greatest, so `NaN >= b` is true for all
+  * b — including NaN boundaries); a NaN boundary counts for no non-NaN
+  * value (`v >= NaN` is false), so the search array drops them.
+  */
+case class BucketRank(child: Expression, boundaries: Array[Double])
+  extends UnaryExpression {
+
+  private val bs: Array[Double] = boundaries.filterNot(_.isNaN).sorted
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bucket_rank requires double input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bucket_rank"
+
+  /** Public so generated code can call it. */
+  def rank(v: Double): Long = {
+    if (v.isNaN) return boundaries.length.toLong // NaN sorts greatest in SQL
+    var lo = 0
+    var hi = bs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bs(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else rank(v.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val ref = ctx.addReferenceObj("ranker", this, classOf[BucketRank].getName)
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        long ${ev.value} = ${c.isNull} ? 0L : $ref.rank(${c.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BucketRank =
+    copy(child = newChild)
+}
+
 /** `Σ a(i)·b(i)` over two array<double> columns — the inner product behind
   * every cosine in the pipeline. Ascending-index accumulation, exactly the
   * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` fold it replaces.

@@ -603,14 +603,16 @@ object TableOps {
     val casted = data.select(cols.map(c => rankView(c).as(c)): _*)
     val allBoundaries = casted.stat.approxQuantile(cols.toArray, probs, 0.01)
     val zExpr = cols.zipWithIndex.map { case (c, ci) =>
-      // rank = count of boundaries ≤ value, as ONE array fold over a literal
-      // boundary array — a long when-chain compiles a multi-thousand-node
-      // codegen AST (seconds of janino time, paid twice: the range sampling
-      // pass and the shuffle); the fold is a tiny loop
-      val bucket = aggregate(
-        lit(allBoundaries(ci).distinct),
-        lit(0L),
-        (acc, b) => acc + when(rankView(c) >= b, 1L).otherwise(0L))
+      // rank = count of boundaries ≤ value via the codegen'd binary-search
+      // BucketRank (fold-equivalent incl. null→0/NaN→0, pinned by spec).
+      // History of this line: a 255-comparison when-chain compiled
+      // multi-thousand-node janino ASTs (seconds, paid twice); the array
+      // fold that replaced it was an INTERPRETED higher-order function that
+      // re-evaluated the rank view per boundary and per interleave bit
+      val bucket = org.apache.spark.sql.graft.SparkBridge.column(
+        graft.functions.BucketRank(
+          org.apache.spark.sql.graft.SparkBridge.expression(rankView(c)),
+          allBoundaries(ci).distinct))
       // interleave: bit i of column ci lands at position i * nCols + ci
       (0 until zBits).map(i =>
         shiftleft(shiftright(bucket, i).bitwiseAND(lit(1L)), i * cols.size + ci))

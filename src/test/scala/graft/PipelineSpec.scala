@@ -301,6 +301,20 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
         .filter(not($"a" <=> $"b")).count()
       assert(bad == 0)
     }
+    it("BucketRank matches the boundary fold incl. null, NaN and duplicates") {
+      val bs = Array(10.0, 20.0, 20.0, 30.0, Double.NaN)
+      val vals = Seq(Some(-5.0), Some(10.0), Some(25.0), Some(1e9),
+        None, Some(Double.NaN)).toDF("v")
+      val foldExpr = fAggregate(lit(bs), lit(0L),
+        (acc, b) => acc + when($"v" >= b, 1L).otherwise(0L))
+      val rankExpr = org.apache.spark.sql.graft.SparkBridge.column(
+        graft.functions.BucketRank(
+          org.apache.spark.sql.graft.SparkBridge.expression($"v"), bs))
+      val bad = vals.select(rankExpr.as("a"), foldExpr.as("b"))
+        .filter(not($"a" <=> $"b")).count()
+      assert(bad == 0)
+    }
+
     it("HashedShingles matches the composed shingle pipeline exactly") {
       val texts = Seq(
         (1L, "the quick brown fox jumps over the lazy dog"),

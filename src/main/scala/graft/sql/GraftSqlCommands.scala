@@ -114,6 +114,21 @@ case class GraftFsckCommand(path: String, dryRun: Boolean)
   }
 }
 
+/** `GENERATE symlink_format_manifest FOR TABLE '<path>'` — Delta's
+  * external-reader interop statement (see
+  * [[graft.tables.SymlinkManifest]]).
+  */
+case class GraftGenerateManifestCommand(path: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("entries", org.apache.spark.sql.types.IntegerType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftTable.forPath(spark, path)
+    Seq(Row(TableOps.generateManifest(t)))
+  }
+}
+
 /** One parsed `WHEN [NOT] MATCHED [BY SOURCE|TARGET] [AND cond] THEN
   * <action>` clause. `assignments` is None for the `*` (all-columns)
   * action forms.

@@ -86,6 +86,8 @@ object GraftSqlParser {
     s"""^\\s*RESTORE\\s+(?:TABLE\\s+)?$P\\s+(?:TO\\s+)?TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$$""")
   private val fsck = rx(
     s"""^\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$P(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""")
+  private val generate = rx(
+    s"""^\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$P\\s*;?\\s*$$""")
   private val history = rx(
     s"""^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$P\\s*;?\\s*$$""")
   private val detail = rx(
@@ -353,6 +355,9 @@ object GraftSqlParser {
     val f = fsck.matcher(sqlText)
     if (f.matches())
       return Some(GraftFsckCommand(pathOf(f, 2), f.group(5) != null))
+    val g = generate.matcher(sqlText)
+    if (g.matches())
+      return Some(GraftGenerateManifestCommand(pathOf(g, 2)))
     val h = history.matcher(sqlText)
     if (h.matches())
       return Some(GraftDescribeHistoryCommand(pathOf(h, 2)))

@@ -29,6 +29,8 @@ class GraftSqlCommandSpec extends AnyFunSpec with SparkSessionTestWrapper {
         Some(GraftRestoreCommand("/tmp/t", None, Some("2026-01-01 00:00:00"))))
       assert(parse("FSCK REPAIR TABLE '/tmp/t' DRY RUN") ==
         Some(GraftFsckCommand("/tmp/t", dryRun = true)))
+      assert(parse("GENERATE symlink_format_manifest FOR TABLE '/tmp/t'") ==
+        Some(GraftGenerateManifestCommand("/tmp/t")))
       assert(parse("DESCRIBE HISTORY graft.'/tmp/t'") ==
         Some(GraftDescribeHistoryCommand("/tmp/t")))
       assert(parse("DESC HISTORY `/tmp/t`;") ==
@@ -125,6 +127,10 @@ class GraftSqlCommandSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(GraftTable.forPath(spark, t.path).toDF.as[(Int, String)].collect().toSet ==
         Set((1, "a")))
       assert(GraftSql.sql(spark, s"FSCK REPAIR TABLE '${t.path}' DRY RUN").count() == 0)
+      val gen = GraftSql.sql(spark,
+        s"GENERATE symlink_format_manifest FOR TABLE '${t.path}'").collect().head
+      assert(gen.getInt(0) == GraftTable.forPath(spark, t.path).snapshot.files.size)
+      assert(graft.tables.SymlinkManifest.entries(t.path).nonEmpty)
     }
 
     it("DELETE and UPDATE execute through SQL with CDF and metrics intact") {

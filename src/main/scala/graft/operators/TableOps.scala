@@ -963,8 +963,21 @@ object TableOps {
     *
     * @return number of files deleted
     */
+  /** Dead-file count at which vacuum's deletes fan out as a Spark job
+    * instead of a driver loop (object-store deletes are API round-trips;
+    * see the delete step below). Overridable for tests via the
+    * `spark.graft.vacuum.distributedDeleteThreshold` session conf.
+    */
+  val DefaultDistributedDeleteThreshold = 10000
+
+  private def distributedDeleteThreshold(table: GraftTable): Int =
+    table.spark.conf
+      .getOption("spark.graft.vacuum.distributedDeleteThreshold")
+      .map(_.toInt).getOrElse(DefaultDistributedDeleteThreshold)
+
   def vacuum(table: GraftTable, retainVersion: Long): Int = {
     import java.nio.file.{Files, Paths}
+    val DistributedDeleteThreshold = distributedDeleteThreshold(table)
     val log = table.log
     val VacuumPlan(deadData, dropVersions, liveSidecars, liveDvDirs) =
       vacuumPlan(log, retainVersion)
@@ -980,13 +993,29 @@ object TableOps {
     log.rewriteVersion(retainVersion,
       Seq(horizon.metadata) ++ horizonTxns ++ horizon.files ++ horizonCdc ++ horizonCommit)
 
-    var deleted = 0
-    deadData.foreach { rel =>
-      // EXTERNAL references recorded by a shallow clone belong to the
-      // SOURCE table — the clone's vacuum must never delete them
-      if (!GraftTable.isExternalPath(rel) &&
-          Files.deleteIfExists(Paths.get(table.path, rel))) deleted += 1
-    }
+    // EXTERNAL references recorded by a shallow clone belong to the
+    // SOURCE table — the clone's vacuum must never delete them
+    val deletable = deadData.filterNot(GraftTable.isExternalPath)
+    // small plans delete driver-side (no job overhead); past the threshold
+    // the deletes FAN OUT as a Spark job — on an object store every delete
+    // is an API round-trip, and a 10⁶-file vacuum through one driver thread
+    // is hours where 32-way parallelism is minutes. Local-FS correctness is
+    // identical (deleteIfExists is idempotent either way).
+    var deleted =
+      if (deletable.size < DistributedDeleteThreshold) {
+        var n = 0
+        deletable.foreach { rel =>
+          if (Files.deleteIfExists(Paths.get(table.path, rel))) n += 1
+        }
+        n
+      } else {
+        val base = table.path
+        table.spark.sparkContext
+          .parallelize(deletable, math.max(1, deletable.size / 1000))
+          .map(rel => if (java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(base, rel))) 1 else 0)
+          .sum().toInt
+      }
     dropVersions.foreach(v => Files.deleteIfExists(log.versionFile(v)))
     // stale checkpoints below the horizon must go too: replaying from one
     // would skip the horizon's removes and resurrect dead files

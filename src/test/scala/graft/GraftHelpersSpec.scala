@@ -467,6 +467,23 @@ class GraftHelpersSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assertThrows[Exception] { t.toDFAt(0) }
     }
 
+    it("distributed vacuum deletes match the driver loop exactly") {
+      val t = GraftTable.create(spark, tmpTableDir("vac-dist"),
+        (1 to 40).map(i => (i, s"n$i")).toDF("id", "name").repartition(8))
+      t.overwrite(Seq((0, "z")).toDF("id", "name")) // 8 dead files
+      val before = t.toDF.collect().toSet
+      spark.conf.set("spark.graft.vacuum.distributedDeleteThreshold", "1")
+      try {
+        val deleted = TableOps.vacuum(t, retainVersion = 1)
+        assert(deleted >= 8, s"expected >=8 distributed deletes, got $deleted")
+        assert(t.toDF.collect().toSet == before)
+        // dead files really gone from disk
+        val dataFiles = new java.io.File(t.path).listFiles()
+          .count(f => f.isFile && f.getName.endsWith(".parquet"))
+        assert(dataFiles == t.snapshot.files.size)
+      } finally spark.conf.unset("spark.graft.vacuum.distributedDeleteThreshold")
+    }
+
     it("duration-based vacuum resolves the horizon from commit timestamps") {
       val t = GraftTable.create(spark, tmpTableDir("vac_dur"),
         Seq((1, "a")).toDF("id", "name").repartition(1))      // v0

@@ -1355,6 +1355,19 @@ object SparkEntry {
         .toDF("source", "estimate_ok"))
     }),
 
+    "d28_substring_spans" -> ((s, dir) => () => {
+      // corpus-wide duplicated 12-token windows merged to maximal spans;
+      // the canonical (smallest (doc,pos)) occurrence of each window is
+      // kept unflagged, so every repeated passage survives exactly once
+      Dedup.duplicatedSpans(read(s, dir, "documents"), "doc_id", "text", k = 12)
+    }),
+
+    "d29_substring_dedup" -> ((s, dir) => () => {
+      // the rewrite half: covered tokens removed, survivors re-joined as
+      // the normalized token stream; one row per input document
+      Dedup.dedupSubstrings(read(s, dir, "documents"), "doc_id", "text", k = 12)
+    }),
+
     "d26_bm25_topk" -> ((s, dir) => () => {
       // BM25-lite retrieval (log-free idf — every arithmetic step is an
       // IEEE-exact op, so the DuckDB oracle reproduces the score
@@ -2353,6 +2366,40 @@ object SparkEntry {
       """SELECT source, true AS estimate_ok
         |FROM (SELECT DISTINCT source FROM documents)
         |UNION ALL SELECT '__union__', true""".stripMargin,
+    // duplicated 12-token windows: flag every non-canonical occurrence
+    // (canonical = smallest (doc_id, pos) per gram), then merge covered
+    // intervals [pos, pos+11] per doc into maximal spans
+    "d28_substring_spans" ->
+      s"""$substringFlaggedCtes,
+         |marked AS (
+         |  SELECT doc_id, pos,
+         |         max(pos + 11) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM flagged),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |         sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY pos) AS g
+         |  FROM marked)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |       CAST(max(pos) + 11 AS BIGINT) AS span_end
+         |FROM isl GROUP BY doc_id, g""".stripMargin,
+    "d29_substring_dedup" ->
+      s"""$substringFlaggedCtes,
+         |covered AS (
+         |  SELECT DISTINCT doc_id, unnest(range(pos, pos + 12)) AS cpos FROM flagged),
+         |tokpos AS (
+         |  SELECT doc_id, unnest([{'pos': i, 'tok': t[i]} for i in range(1, len(t) + 1)]) AS w
+         |  FROM toks),
+         |kept AS (
+         |  SELECT tp.doc_id, tp.w.pos AS pos, tp.w.tok AS tok
+         |  FROM tokpos tp LEFT JOIN covered c
+         |    ON tp.doc_id = c.doc_id AND tp.w.pos = c.cpos
+         |  WHERE c.doc_id IS NULL)
+         |SELECT d.doc_id, coalesce(k.text_deduped, '') AS text_deduped
+         |FROM documents d LEFT JOIN (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_deduped
+         |  FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin,
     "q19_stream_merge" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,
         |  CASE n_nationkey WHEN 0 THEN 'U1_zero' WHEN 1 THEN 'U2_one'
@@ -3141,6 +3188,29 @@ object SparkEntry {
   /** Exact all-pairs n-gram jaccard in DuckDB — oracle for both the
     * LSH-accelerated (d2) and inverted-index (d4) Spark implementations.
     */
+  /** Shared CTE prefix for the substring-dedup oracles (k = 12): tokenize,
+    * enumerate positional 12-token grams, and flag every occurrence that is
+    * not its gram's canonical (smallest (doc_id, pos)) occurrence. Grams
+    * compare as STRINGS here; the Spark side groups by 64-bit xxhash64 of
+    * the same strings — identical partitions absent a hash collision, which
+    * at sf0.01 (~20k windows) is ~1e-11.
+    */
+  private val substringFlaggedCtes: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |wins AS (
+      |  SELECT doc_id,
+      |         unnest([{'pos': i, 'gram': array_to_string(t[i:i+11], ' ')} for i in range(1, len(t) - 10)]) AS w
+      |  FROM toks WHERE len(t) >= 12),
+      |occ AS (
+      |  SELECT doc_id, w.pos AS pos,
+      |         row_number() OVER (PARTITION BY w.gram ORDER BY doc_id, w.pos) AS rn,
+      |         count(*) OVER (PARTITION BY w.gram) AS cnt
+      |  FROM wins),
+      |flagged AS (SELECT doc_id, pos FROM occ WHERE cnt > 1 AND rn > 1)""".stripMargin
+
   private def ngramJaccardOracle(threshold: Double, src: String = "documents"): String =
     s"""WITH toks AS (
        |  SELECT doc_id,

@@ -102,6 +102,77 @@ case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** POSITIONAL hashed word n-grams of a token array in one compiled pass:
+  * element `i` (0-based) is the full 64-bit xxhash64 (seed 42) of tokens
+  * `[i, i+n)` joined by a single space — order-preserving, duplicates
+  * KEPT (unlike [[HashedShingles]], which is set-semantics for Jaccard /
+  * MinHash). Fewer than `n` tokens → EMPTY array (no whole-text fallback:
+  * a document too short to contain a length-n window has no windows).
+  *
+  * This is the map stage of exact substring deduplication: `posexplode`
+  * of the result yields (window start, window hash) rows, and a global
+  * group-by on the 64-bit hash finds corpus-wide duplicated windows.
+  * Full 64 bits (not the 31-bit Mersenne residue the MinHash pipeline
+  * uses) because these hashes are grouped GLOBALLY across the corpus —
+  * at 100 TB (~10^12 windows) a 31-bit space would collide constantly,
+  * while 64-bit birthday collisions stay ~1e-6-rare.
+  */
+case class HashedShinglesPositional(child: Expression, n: Int)
+  extends UnaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hashed_shingles_positional requires array<string> input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def prettyName: String = "hashed_shingles_positional"
+
+  private val space = UTF8String.fromString(" ")
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Public so generated code can call it. */
+  def compute(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    if (m < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val g = m - n + 1
+    val out = new Array[Long](g)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < g) {
+      var k = 0
+      while (k < n) {
+        parts(k) = if (!arr.isNullAt(i + k)) arr.getUTF8String(i + k) else null
+        k += 1
+      }
+      val s = UTF8String.concatWs(space, parts: _*)
+      out(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        s, org.apache.spark.sql.types.StringType, 42L)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingler", this,
+      classOf[HashedShinglesPositional].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HashedShinglesPositional =
+    copy(child = newChild)
+}
+
 /** Count of boundaries ≤ value — the per-column bucket rank of the Z-ORDER
   * rewrite, as a binary search over a referenced sorted boundary array.
   * Replaces `aggregate(lit(boundaries), 0L, (acc,b) => acc + when(v >= b,

@@ -914,4 +914,105 @@ object Dedup {
       .select(col("__idB").as(idCol)).distinct()
     df.join(removed, Seq(idCol), "left_anti")
   }
+
+  /** Positional hashed k-token windows of a token-array column: element
+    * `i` (0-based) = xxhash64 of tokens `[i, i+k)` joined by one space
+    * (order kept, duplicates kept, `< k` tokens → empty). The codegen'd
+    * [[graft.functions.HashedShinglesPositional]] expression.
+    */
+  def positionalShingles(tokensCol: Column, k: Int): Column =
+    org.apache.spark.sql.graft.SparkBridge.column(
+      graft.functions.HashedShinglesPositional(
+        org.apache.spark.sql.graft.SparkBridge.expression(tokensCol), k))
+
+  /** Corpus-wide exact duplicated-substring spans (the span-detection half
+    * of "Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2022 — suffix-array semantics approximated by duplicated k-token
+    * windows, the standard distributed formulation).
+    *
+    * A window (k consecutive [[tokenize]] tokens) is *duplicated* when the
+    * same token sequence occurs anywhere else in the corpus (another doc,
+    * or another position of the same doc). The canonical occurrence — the
+    * globally smallest `(doc, pos)` — is NOT flagged, so one copy of every
+    * repeated passage survives corpus-wide. Flagged window starts are then
+    * merged per document into maximal covered token spans.
+    *
+    * Returns `(idCol, span_start, span_end)` — 1-based inclusive token
+    * positions, one row per maximal span, ordered semantics-free.
+    *
+    * Scale shape: one narrow map (tokenize + positional hashes per doc),
+    * one `posexplode` to (doc, pos, hash) rows, ONE global shuffle on the
+    * 64-bit window hash (map-side partial aggregation collapses each
+    * partition's occurrences first), one hash-join back to flag
+    * non-canonical occurrences, and one per-document window to merge
+    * spans. No driver-side data, no O(n²) pair stage: cost is linear in
+    * corpus tokens — the same shape as a word-count over the corpus.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val wins = df
+      .select(col(idCol).as("__id"), tokenize(col(textCol)).as("__toks"))
+      .select(col("__id"), posexplode(positionalShingles(col("__toks"), k)))
+      .select(col("__id"), (col("pos") + 1).as("__pos"), col("col").as("__h"))
+    // canonical occurrence + occurrence count per window hash; min(struct)
+    // and count aggregate map-side before the single hash shuffle
+    val canon = wins.groupBy("__h").agg(
+      min(struct(col("__id"), col("__pos"))).as("__c0"),
+      count(lit(1)).as("__cnt"))
+    val flagged = wins.join(canon, "__h")
+      .filter(col("__cnt") > 1 &&
+        !(col("__id") === col("__c0.__id") && col("__pos") === col("__c0.__pos")))
+      .select(col("__id"), col("__pos"))
+    // gaps-and-islands merge of covered intervals [pos, pos+k-1] per doc:
+    // a window start begins a new span iff it clears the running covered
+    // end by 2+ (adjacent coverage fuses)
+    val w = Window.partitionBy("__id").orderBy("__pos")
+    val spans = flagged
+      .withColumn("__prevEnd",
+        max(col("__pos") + (k - 1)).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__isl",
+        sum(when(col("__prevEnd").isNull || col("__pos") > col("__prevEnd") + 1, 1L)
+          .otherwise(0L)).over(w))
+      .groupBy(col("__id"), col("__isl"))
+      .agg(min("__pos").cast("long").as("span_start"),
+        (max("__pos") + (k - 1)).cast("long").as("span_end"))
+    spans.select(col("__id").as(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Remove corpus-wide duplicated substrings from every document: tokens
+    * covered by a [[duplicatedSpans]] span are dropped, the rest re-join
+    * with single spaces as `text_deduped` (normalized casing/punctuation —
+    * the tokenizer's view of the text, as in the reference pipelines that
+    * operate post-normalization). The canonical copy of each repeated
+    * passage survives; documents with no flagged span pass through with
+    * their full normalized token stream. Returns `(idCol, text_deduped)`,
+    * one row per input document.
+    *
+    * The rewrite is token-row shaped: explode to (doc, pos, token), one
+    * anti-join against exploded covered positions (shuffles bounded by
+    * corpus token count), then one per-doc regroup via
+    * `sort_array(collect_list(struct(pos, token)))` — field extraction is
+    * `GetArrayStructFields` (codegen'd), no lambda per token.
+    */
+  def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, k)
+    val covered = spans.select(col(idCol).as("__id"),
+      explode(sequence(col("span_start"), col("span_end"))).as("__pos"))
+    val toks = df
+      .select(col(idCol).as("__id"), posexplode(tokenize(col(textCol))))
+      .select(col("__id"), (col("pos") + 1).cast("long").as("__pos"),
+        col("col").as("__tok"))
+    val rebuilt = toks.join(covered, Seq("__id", "__pos"), "left_anti")
+      .groupBy("__id")
+      .agg(array_join(
+        sort_array(collect_list(struct(col("__pos"), col("__tok"))))
+          .getField("__tok"), " ").as("text_deduped"))
+    // a doc whose every token is covered (e.g. a verbatim non-canonical
+    // copy) has no surviving token rows — reattach it as empty text
+    df.select(col(idCol).as("__id")).distinct()
+      .join(rebuilt, Seq("__id"), "left_outer")
+      .select(col("__id").as(idCol),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+  }
 }

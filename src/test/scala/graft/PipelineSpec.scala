@@ -155,6 +155,69 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  describe("Dedup.duplicatedSpans / dedupSubstrings") {
+    import org.apache.spark.sql.functions._
+    // doc 10 and 11 share an 8-token opening passage; 12 repeats its own
+    // 8-token phrase twice; 13 is unrelated; 14 is a verbatim copy of 13
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta unique ten tail"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta other eleven tail"),
+      (12L, "one two three four five six seven eight one two three four five six seven eight"),
+      (13L, "isolated words with no overlap whatsoever here today friend"),
+      (14L, "isolated words with no overlap whatsoever here today friend")
+    ).toDF("doc_id", "text")
+
+    it("flags non-canonical occurrences only; canonical copy survives") {
+      val spans = Dedup.duplicatedSpans(corpus, "doc_id", "text", k = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // doc 10 holds the canonical (smallest doc_id) opening — not flagged;
+      // doc 11's copy of the 8-token opening is span [1,8]
+      assert(!spans.exists(_._1 == 10L))
+      assert(spans.contains((11L, 1L, 8L)))
+      // doc 12's SECOND occurrence of its phrase starts at token 9
+      assert(spans.contains((12L, 9L, 16L)))
+      // doc 14 is a verbatim copy: every window flagged, one merged span
+      assert(spans.contains((14L, 1L, 9L)))
+      assert(!spans.exists(_._1 == 13L))
+    }
+
+    it("rewrite drops covered tokens, keeps everything else, one row per doc") {
+      val out = Dedup.dedupSubstrings(corpus, "doc_id", "text", k = 8)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(out.size == 5)
+      assert(out(10L) == "alpha beta gamma delta epsilon zeta eta theta unique ten tail")
+      assert(out(11L) == "other eleven tail")
+      assert(out(12L) == "one two three four five six seven eight")
+      assert(out(13L) == "isolated words with no overlap whatsoever here today friend")
+      assert(out(14L) == "") // fully covered verbatim copy
+    }
+
+    it("docs shorter than k tokens have no windows and pass through") {
+      val tiny = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+      assert(Dedup.duplicatedSpans(tiny, "doc_id", "text", k = 8).count() == 0)
+      val out = Dedup.dedupSubstrings(tiny, "doc_id", "text", k = 8)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(out == Map(1L -> "a b c", 2L -> "a b c"))
+    }
+
+    it("positionalShingles keeps order and duplicates; short input is empty") {
+      val df = Seq(
+        (1L, Seq("x", "y", "x", "y")),
+        (2L, Seq("x", "y"))
+      ).toDF("id", "toks")
+        .select($"id", Dedup.positionalShingles($"toks", 3).as("h"))
+      val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(rows(1L).length == 2) // "x y x", "y x y" — order-preserving
+      assert(rows(1L).distinct.length == 2)
+      assert(rows(2L).isEmpty)
+      // parity with the set-semantics sibling's hashing: same gram text
+      // hashed by xxhash64 seed 42 — verify against the SQL function
+      val expect = Seq(("x y x"), ("y x y")).toDF("g")
+        .select(expr("xxhash64(g)")).collect().map(_.getLong(0)).toSeq
+      assert(rows(1L) == expect)
+    }
+  }
+
   describe("Dedup.simhash") {
     it("identical docs share a simhash; near dups are close in hamming") {
       val hashes = Dedup.simhash(docs, "doc_id", "text")

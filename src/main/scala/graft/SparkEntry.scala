@@ -1221,6 +1221,15 @@ object SparkEntry {
       TextAnalysis.vocabStats(read(s, dir, "documents"), "doc_id", "text", 50)
     }),
 
+    "t8_frequent_tokens" -> ((s, dir) => () => {
+      // Misra–Gries summary in its exact regime: capacity 64 > the ~31-token
+      // corpus vocabulary, so every count is exact and max_error = 0 — the
+      // DuckDB full group-by reproduces it verbatim. The approximate regime
+      // (capacity < distinct) is property-spec'd (error bound + presence
+      // guarantee), not oracle-checked: its counts are partitioning-defined.
+      TextAnalysis.frequentTokens(read(s, dir, "documents"), "text", 64)
+    }),
+
     // ---- D: near-dup / similarity pipeline ----
     "d2_minhash_pairs" -> ((s, dir) => () => {
       // 32 bands × 2 rows: detection probability at jaccard 0.5 is
@@ -2793,6 +2802,12 @@ object SparkEntry {
         |FROM byword
         |ORDER BY occurrences DESC, word
         |LIMIT 50""".stripMargin,
+    "t8_frequent_tokens" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+        |  FROM documents)
+        |SELECT w AS token, count(*) AS count_lower, CAST(0 AS BIGINT) AS max_error
+        |FROM toks WHERE w <> '' GROUP BY w""".stripMargin,
     "d19_weighted_mix" -> {
       val en = Sampling.fractionThresholdHex(0.5)
       val de = Sampling.fractionThresholdHex(0.25)

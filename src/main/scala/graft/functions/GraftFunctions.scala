@@ -61,6 +61,17 @@ object GraftFunctions {
         graft.pipeline.Sampling.hashRank(litString("hash_rank", "seed", seed), Seq(key))))
     SparkBridge.registerFunction(spark, "pii_redact",
       unary("pii_redact", TextAnalysis.piiRedact))
+    SparkBridge.registerFunction(spark, "frequent_items", frequentItemsBuilder)
+  }
+
+  private[functions] def frequentItemsBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"frequent_items expects 2 arguments (item, capacity), got ${exprs.length}")
+    val capacity = litInt("frequent_items", "capacity", exprs(1))
+    require(capacity >= 1, s"frequent_items: capacity must be >= 1, got $capacity")
+    // bare AggregateFunction: the analyzer wraps registry-built aggregates
+    // in an AggregateExpression exactly as it does for built-ins
+    FrequentItemsAgg(exprs.head, capacity)
   }
 
   private def litString(fn: String, name: String, c: Column): String =

@@ -276,6 +276,36 @@ object TextAnalysis {
     * then a TakeOrdered of topK rows to the driver — never the vocabulary
     * itself.
     */
+  /** Misra–Gries heavy-hitter aggregate over a string column (the
+    * codegen-adjacent [[graft.functions.FrequentItemsAgg]]): returns
+    * `struct(items: array<struct<item, count>>, max_error)` with at most
+    * `capacity` items. Unlike [[vocabStats]] — which shuffles every
+    * distinct token — this is a single partial-aggregate pass with an
+    * O(capacity) buffer: reported ≤ true ≤ reported + max_error, every
+    * item with true count > max_error present, and EXACT (max_error 0)
+    * whenever the distinct count stays within capacity.
+    */
+  def frequentItems(itemCol: Column, capacity: Int): Column =
+    org.apache.spark.sql.graft.SparkBridge.column(
+      graft.functions.FrequentItemsAgg(
+        org.apache.spark.sql.graft.SparkBridge.expression(itemCol), capacity)
+        .toAggregateExpression())
+
+  /** Heavy-hitter vocabulary of a text corpus in one summary pass: one row
+    * per surviving token — `(token, count_lower, max_error)`, sorted
+    * already deterministic via the aggregate's (count desc, item asc)
+    * output order.
+    */
+  def frequentTokens(df: DataFrame, textCol: String, capacity: Int): DataFrame = {
+    val toks = df
+      .select(explode(split(normalized(col(textCol)), " ")).as("__t"))
+      .filter(col("__t") =!= "")
+    toks.agg(frequentItems(col("__t"), capacity).as("__fi"))
+      .select(explode(col("__fi.items")).as("__x"), col("__fi.max_error").as("max_error"))
+      .select(col("__x.item").as("token"), col("__x.count").as("count_lower"),
+        col("max_error"))
+  }
+
   def vocabStats(df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
     val toks = df
       .select(col(idCol).as("__doc"), explode(split(normalized(col(textCol)), " ")).as("word"))

@@ -111,6 +111,25 @@ class GraftSqlFunctionsSpec extends AnyFunSpec with SparkSessionTestWrapper {
       e.getMessage.contains("seed must be a string literal"), e.getMessage)
   }
 
+  it("frequent_items aggregates from SQL and matches the Column API") {
+    val sql = spark.sql(
+      """SELECT fi.items AS items, fi.max_error AS max_error FROM (
+        |  SELECT frequent_items(w, 64) AS fi
+        |  FROM (SELECT explode(tokenize(text)) AS w FROM sqlfn_docs) t
+        |  WHERE w <> '') s""".stripMargin).head()
+    val col = docs
+      .select(explode(Dedup.tokenize($"text")).as("w")).filter($"w" =!= "")
+      .agg(TextAnalysis.frequentItems($"w", 64).as("fi"))
+      .select($"fi.items", $"fi.max_error").head()
+    assert(sql == col)
+    assert(sql.getLong(1) == 0L) // exact regime
+    val e = intercept[Exception] {
+      spark.sql("SELECT frequent_items(text, CAST(id AS INT)) FROM sqlfn_docs").collect()
+    }
+    assert(e.getMessage.contains("frequent_items") &&
+      e.getMessage.contains("capacity must be an integer literal"), e.getMessage)
+  }
+
   it("fingerprint is reformat-invariant where the Column contract says so") {
     val r = spark.sql(
       "SELECT fingerprint('Hello,   World!') = fingerprint('hello world') AS same").head()

@@ -441,6 +441,53 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  describe("TextAnalysis.frequentItems (Misra–Gries)") {
+    import org.apache.spark.sql.functions._
+
+    it("exact regime: capacity ≥ distinct ⇒ counts equal groupBy, max_error 0") {
+      // skewed multiset across 8 partitions to force real partial merges
+      val items = (1 to 400).map(i => s"w${i % 7}") ++ (1 to 50).map(_ => "hot")
+      val df = items.toDF("w").repartition(8)
+      val out = df.agg(TextAnalysis.frequentItems($"w", 16).as("fi"))
+        .select(explode($"fi.items").as("x"), $"fi.max_error")
+        .select($"x.item", $"x.count", $"max_error")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(out.forall(_._3 == 0L))
+      assert(out.map(t => t._1 -> t._2).toMap == exact)
+      // deterministic output order: count desc, item asc
+      val counts = out.map(_._2)
+      assert(counts.sameElements(counts.sortBy(-_)))
+    }
+
+    it("approximate regime: bounds hold and heavy items survive") {
+      // 1000 × "heavy" drowned in 2000 distinct singletons, capacity 8
+      val items = (1 to 1000).map(_ => "heavy") ++ (1 to 2000).map(i => s"rare$i")
+      val df = items.toDF("w").repartition(16)
+      val row = df.agg(TextAnalysis.frequentItems($"w", 8).as("fi"))
+        .select($"fi.items", $"fi.max_error").head()
+      val maxErr = row.getLong(1)
+      val got = row.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // reported ≤ true ≤ reported + max_error, for every reported item
+      got.foreach { case (k, c) =>
+        assert(c <= exact(k) && exact(k) <= c + maxErr, s"$k: $c vs ${exact(k)} ± $maxErr")
+      }
+      // presence guarantee: heavy's true count exceeds the error mass
+      assert(maxErr < 1000L)
+      assert(got.contains("heavy"))
+    }
+
+    it("merge rule keeps the summary within capacity under adversarial splits") {
+      val items = (1 to 5000).map(i => s"k${i % 300}")
+      val out = items.toDF("w").repartition(32)
+        .agg(TextAnalysis.frequentItems($"w", 10).as("fi"))
+        .select(size($"fi.items")).head().getInt(0)
+      assert(out <= 10)
+    }
+  }
+
   describe("TextAnalysis.bm25Lite") {
     it("ranks term-bearing docs above term-free docs, rare terms above common") {
       val corpus = Seq(

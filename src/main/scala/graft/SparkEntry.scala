@@ -1677,7 +1677,7 @@ object SparkEntry {
 
     "s30_metadata_count" -> ((s, dir) => {
       // the most common sanity query on a huge table: COUNT(*) must answer
-      // from the commit log's numRecords (GraftMetadataOnlyCount rewrites
+      // from the commit log's numRecords (GraftMetadataOnlyAggregate rewrites
       // it to a LocalRelation — asserted from the optimized plan), zero
       // data I/O, and agree with the oracle's scan-based count
       val dirT = tmp("s30")
@@ -1689,6 +1689,25 @@ object SparkEntry {
       }.getOrElse(false)
       import s.implicits._
       Seq((cnt.first().getLong(0), metadataOnly)).toDF("row_count", "metadata_only")
+      }
+    }),
+
+    "s34_metadata_minmax" -> ((s, dir) => {
+      // min/max over int and string columns answered from per-file log
+      // stats (GraftMetadataOnlyAggregate → LocalRelation, plan-asserted),
+      // zero data I/O; values agree with the oracle's full scan
+      val dirT = tmp("s33")
+      GraftTable.create(s, dirT, read(s, dir, "customer"))
+      () => {
+      import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+      val agg = s.read.format("graft").load(dirT).agg(
+        min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"),
+        min(col("c_name")).as("min_name"), max(col("c_name")).as("max_name"),
+        count(lit(1)).as("row_count"))
+      val metadataOnly = agg.queryExecution.optimizedPlan.collectFirst {
+        case _: LocalRelation => true
+      }.getOrElse(false)
+      agg.withColumn("metadata_only", lit(metadataOnly))
       }
     }),
 
@@ -2357,6 +2376,12 @@ object SparkEntry {
         |FROM orders WHERE year(o_orderdate) = 1995""".stripMargin,
     "s30_metadata_count" ->
       "SELECT CAST(count(*) AS BIGINT) AS row_count, true AS metadata_only FROM customer",
+    "s34_metadata_minmax" ->
+      """SELECT CAST(min(c_custkey) AS BIGINT) AS min_key,
+        |       CAST(max(c_custkey) AS BIGINT) AS max_key,
+        |       min(c_name) AS min_name, max(c_name) AS max_name,
+        |       CAST(count(*) AS BIGINT) AS row_count, true AS metadata_only
+        |FROM customer""".stripMargin,
     "s31_symlink_manifest" ->
       """SELECT CAST(count(*) AS BIGINT) AS rows_via_manifest,
         |       true AS matches_live, true AS nonempty FROM nation""".stripMargin,

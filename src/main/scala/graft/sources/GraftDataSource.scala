@@ -470,12 +470,12 @@ object GraftScanRewrite extends Rule[LogicalPlan] {
 
   /** Idempotently hook the rule into `spark.experimental.extraOptimizations`
     * (public API, mutable at runtime — no session-extension registration
-    * needed at session build time). Installs [[GraftMetadataOnlyCount]]
+    * needed at session build time). Installs [[GraftMetadataOnlyAggregate]]
     * alongside — both fire on graft scans only.
     */
   def install(spark: SparkSession): Unit = synchronized {
     val cur = spark.experimental.extraOptimizations
-    val want = Seq(this, GraftMetadataOnlyCount).filterNot(r => cur.exists(_ eq r))
+    val want = Seq(this, GraftMetadataOnlyAggregate).filterNot(r => cur.exists(_ eq r))
     if (want.nonEmpty) spark.experimental.extraOptimizations = cur ++ want
   }
 
@@ -531,72 +531,198 @@ object GraftScanRewrite extends Rule[LogicalPlan] {
   }
 }
 
-/** Metadata-only COUNT(*): an ungrouped, unfiltered `count(*)` over a graft
-  * scan answers from the commit log's per-file `numRecords` — zero data
-  * I/O, the analogue of Delta's `OptimizeMetadataOnlyDeltaQuery`. At scale
-  * this turns the most common sanity query on a 10⁶-file table from a full
-  * scan into a log fold the snapshot already performed.
+/** Metadata-only aggregates: an ungrouped, unfiltered `count(*)` /
+  * `min(col)` / `max(col)` over a graft scan answers from the commit log's
+  * per-file stats (`numRecords`, `minValues`/`maxValues`, partition
+  * values) — zero data I/O, the analogue of Delta's
+  * `OptimizeMetadataOnlyDeltaQuery`. At scale this turns the most common
+  * sanity queries on a 10⁶-file table from full scans into a log fold the
+  * snapshot already performed.
   *
   * Deliberately conservative — it fires ONLY when:
-  *  - grouping is empty and every aggregate is a bare `count(*)`/`count(1)`
-  *    (no DISTINCT, no FILTER clause, no other aggregates in the list);
+  *  - grouping is empty and EVERY aggregate in the list is a bare
+  *    `count(*)`/`count(1)`, or a `min`/`max` of a plain column reference
+  *    (no DISTINCT, no FILTER clause, no expressions);
   *  - the children between the aggregate and the relation are row-count-
-  *    preserving `Project`s (any `Filter` disqualifies);
+  *    preserving `Project`s (any `Filter` disqualifies) and each min/max
+  *    argument traces through them to a relation column;
   *  - the scan is a graft relation (either form: pre-rewrite
   *    [[GraftRelation]] or the native [[GraftFileIndex]] relation, pinned
-  *    or log-following) whose files ALL carry `numRecords` stats and none
-  *    has a live deletion vector (a DV scan subtracts masked rows — its
-  *    count is not the stats sum).
+  *    or log-following) whose files ALL carry stats and none has a live
+  *    deletion vector (a DV scan masks rows — the masked row could BE the
+  *    extreme);
+  *  - min/max column types are integral/string/boolean/date/timestamp.
+  *    Float/double are deliberately excluded: footer stats ordering for
+  *    NaN/-0.0 disagrees with Spark's aggregate ordering (Spark sorts NaN
+  *    greatest; parquet writers drop or misorder it), so a float answer
+  *    from stats could be wrong, not just slower.
+  *
+  * Per-file null handling mirrors the aggregate it replaces: a file with
+  * no min/max entry for the column contributes nothing iff its stats
+  * PROVE all-null (`nullCount == numRecords`) — otherwise the rule bails;
+  * an empty table (or all-null column) answers NULL exactly as the real
+  * aggregate would.
   */
-object GraftMetadataOnlyCount extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, NamedExpression}
-  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+object GraftMetadataOnlyAggregate extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeMap, NamedExpression}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
   import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Project}
+  import org.apache.spark.sql.types._
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case agg: Aggregate
         if agg.groupingExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
-          agg.aggregateExpressions.forall(isCountStar) =>
-      sourceCount(agg.child) match {
-        case Some(n) =>
-          LocalRelation(agg.output.map(_.asInstanceOf[Attribute]),
-            Seq(InternalRow.fromSeq(agg.aggregateExpressions.map(_ => n))))
+          agg.aggregateExpressions.forall(isAnswerable) =>
+      source(agg.child) match {
+        case Some((snap, colOf)) =>
+          answerAll(agg.aggregateExpressions, snap, colOf) match {
+            case Some(values) =>
+              LocalRelation(agg.output.map(_.asInstanceOf[Attribute]),
+                Seq(InternalRow.fromSeq(values)))
+            case None => agg
+          }
         case None => agg
       }
   }
 
-  private def isCountStar(ne: NamedExpression): Boolean = ne match {
+  private def isAnswerable(ne: NamedExpression): Boolean = ne match {
     case Alias(ae: AggregateExpression, _)
         if !ae.isDistinct && ae.filter.isEmpty =>
       ae.aggregateFunction match {
         case Count(Seq(l: Literal)) => l.value != null
+        case Min(_: Attribute)      => true
+        case Max(_: Attribute)      => true
         case _                      => false
       }
     case _ => false
   }
 
-  /** Exact row count of `plan` from log stats, when derivable. */
-  private def sourceCount(plan: LogicalPlan): Option[Long] = plan match {
-    // Project never changes the row count (generators are Generate nodes)
-    case Project(_, child) => sourceCount(child)
+  /** Resolve `plan` to a graft snapshot plus the map from attribute to
+    * underlying relation column name, through row-count-preserving
+    * `Project`s (pass-through attributes and attribute aliases keep their
+    * lineage; computed projections simply aren't min/max-resolvable).
+    */
+  private def source(plan: LogicalPlan)
+      : Option[(Snapshot, AttributeMap[String])] = plan match {
+    case Project(projList, child) =>
+      source(child).map { case (snap, colOf) =>
+        val mapped = projList.collect {
+          case a: Attribute if colOf.contains(a) => a -> colOf(a)
+          case al @ Alias(a: Attribute, _) if colOf.contains(a) =>
+            al.toAttribute -> colOf(a)
+        }
+        (snap, AttributeMap(mapped))
+      }
     case l: LogicalRelation =>
-      l.relation match {
-        case g: GraftRelation => countFromSnapshot(g.readSnapshot)
+      val snapOpt = l.relation match {
+        case g: GraftRelation => Some(g.readSnapshot)
         case h: HadoopFsRelation =>
           h.location match {
-            case gi: GraftFileIndex => countFromSnapshot(gi.snapshotNow)
+            case gi: GraftFileIndex => Some(gi.snapshotNow)
             case _                  => None
           }
         case _ => None
       }
+      snapOpt.map(snap => (snap, AttributeMap(l.output.map(a => a -> a.name))))
     case _ => None
   }
 
-  private def countFromSnapshot(snap: Snapshot): Option[Long] = {
+  /** All aggregate values from stats, or None if ANY is underivable (the
+    * plan must stay whole — a half-answered aggregate can't split).
+    */
+  private def answerAll(
+      aggs: Seq[NamedExpression],
+      snap: Snapshot,
+      colOf: AttributeMap[String]): Option[Seq[Any]] = {
     if (snap.files.exists(_.dv.exists(_.cardinality > 0))) return None
-    val counts = snap.files.map(f =>
-      graft.tables.GraftLog.parseStats(f.stats).map(_.numRecords))
-    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+    val statsList = snap.files.map(f => graft.tables.GraftLog.parseStats(f.stats))
+    if (statsList.exists(_.isEmpty)) return None
+    val stats = snap.files.zip(statsList.flatten)
+    val values = aggs.map {
+      case Alias(ae: AggregateExpression, _) => ae.aggregateFunction match {
+        case Count(_)            => Some(stats.map(_._2.numRecords).sum: Any)
+        case Min(a: Attribute)   => extreme(snap, stats, colOf.get(a), isMin = true)
+        case Max(a: Attribute)   => extreme(snap, stats, colOf.get(a), isMin = false)
+        case _                   => None
+      }
+      case _ => None
+    }
+    if (values.exists(_.isEmpty)) None else Some(values.map(_.get))
+  }
+
+  /** Stats-derived min/max of a column as a Catalyst internal value
+    * (boxed in Some; Some(null) = the aggregate's NULL over an empty or
+    * all-null column). None = underivable → rule bails.
+    */
+  private def extreme(
+      snap: Snapshot,
+      stats: Seq[(AddFile, graft.tables.FileStats)],
+      colName: Option[String],
+      isMin: Boolean): Option[Any] = {
+    val name = colName.getOrElse(return None)
+    val field = snap.schema.fields.find(_.name == name).getOrElse(return None)
+    val dt = field.dataType
+    if (!statsSafe(dt)) return None
+    val isPartition = snap.metadata.partitionColumns.contains(name)
+    // column mapping renames the stats keys; partition values key by the
+    // DIRECTORY name — bail when logical and physical names diverge
+    val physical = graft.tables.ColumnMapping.physicalName(field)
+    if (physical != name) return None
+
+    val perFile: Seq[Option[Option[Any]]] = stats.map { case (f, st) =>
+      // Some(Some(v)) = contributes v; Some(None) = provably all-null file
+      // (contributes nothing); None = unknown → bail
+      if (st.numRecords == 0L) Some(None)
+      else if (isPartition) {
+        f.partitionValues.get(name) match {
+          case Some(TableWriter.HiveDefaultPartition) => Some(None)
+          case Some(s) => graft.tables.FileSkipping.parseExternal(s, dt)
+            .map(v => Some(v))
+          case None => None
+        }
+      } else (if (isMin) st.minValues else st.maxValues).get(name) match {
+        case Some(s) => graft.tables.FileSkipping.parseStat(s, dt).map(v => Some(v))
+        case None =>
+          if (st.nullCount.get(name).contains(st.numRecords)) Some(None) else None
+      }
+    }
+    if (perFile.exists(_.isEmpty)) return None
+    val contributing = perFile.flatten.flatten
+    if (contributing.isEmpty) return Some(null)
+    val best = contributing.reduce { (x, y) =>
+      val cmp = compareVals(x, y)
+      if ((isMin && cmp <= 0) || (!isMin && cmp >= 0)) x else y
+    }
+    Some(toInternal(best, dt))
+  }
+
+  private def statsSafe(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+         BooleanType | DateType | TimestampType => true
+    case _ => false
+  }
+
+  private def compareVals(x: Any, y: Any): Int = (x, y) match {
+    case (a: Long, b: Long)       => java.lang.Long.compare(a, b)
+    case (a: String, b: String)   => a.compareTo(b)
+    case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
+    case _ => sys.error(s"unexpected stat value pairing: $x / $y")
+  }
+
+  /** Canonical comparable (Long/String/Boolean from the parse helpers) →
+    * Catalyst internal form for the column's type.
+    */
+  private def toInternal(v: Any, dt: DataType): Any = (v, dt) match {
+    case (l: Long, ByteType)      => l.toByte
+    case (l: Long, ShortType)     => l.toShort
+    case (l: Long, IntegerType)   => l.toInt
+    case (l: Long, LongType)      => l
+    case (l: Long, DateType)      => l.toInt
+    case (l: Long, TimestampType) => l
+    case (s: String, StringType)  =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case (b: Boolean, BooleanType) => b
+    case _ => sys.error(s"unexpected stat value $v for ${dt.sql}")
   }
 }
 
@@ -656,7 +782,7 @@ class GraftFileIndex(
   override def refresh(): Unit = if (pinned.isEmpty) cachedSnap = currentSnapshot()
 
   /** The snapshot the next scan will read (pinned, or cached latest) —
-    * what [[GraftMetadataOnlyCount]] answers from.
+    * what [[GraftMetadataOnlyAggregate]] answers from.
     */
   private[sources] def snapshotNow: Snapshot = cachedSnap
 

@@ -306,7 +306,7 @@ object FileSkipping {
   }
 
   /** Stats-map string → canonical comparable, per column type. */
-  private def parseStat(s: String, dt: DataType): Option[Any] =
+  private[graft] def parseStat(s: String, dt: DataType): Option[Any] =
     try dt match {
       case ByteType | ShortType | IntegerType | LongType => Some(s.toLong)
       case FloatType | DoubleType => Some(s.toDouble)
@@ -318,7 +318,7 @@ object FileSkipping {
     } catch { case _: NumberFormatException => None }
 
   /** Partition-dir string → canonical comparable, per column type. */
-  private def parseExternal(s: String, dt: DataType): Option[Any] =
+  private[graft] def parseExternal(s: String, dt: DataType): Option[Any] =
     try dt match {
       case ByteType | ShortType | IntegerType | LongType => Some(s.toLong)
       case FloatType | DoubleType => Some(s.toDouble)

@@ -185,6 +185,75 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(dv.first().getLong(0) == 90)
     }
 
+    it("metadata-only min/max answers from stats; floats and filters don't") {
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation}
+      import org.apache.spark.sql.functions.{count, lit, max, min}
+      def isMetadataAnswered(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan
+          .collectFirst { case l: LocalRelation => l }.nonEmpty
+      val dir = tmpTableDir("graft-metaminmax")
+      val rows = (1 to 100).map(i =>
+        (i, s"n${"%03d".format(i)}", i / 2.0, if (i <= 3) s"P${i % 2}" else "P0",
+          if (i % 3 == 0) null else s"v$i"))
+      val t = GraftTable.create(spark, dir,
+        rows.toDF("id", "name", "score", "part", "maybe").repartition(4),
+        partitionColumns = Seq("part"))
+      val df = spark.read.format("graft").load(dir)
+
+      // mixed count/min/max over data columns (int + string), one rewrite
+      val m = df.agg(count(lit(1)).as("n"), min($"id").as("mn"), max($"id").as("mx"),
+        min($"name").as("ns"), max($"name").as("xs"))
+      assert(isMetadataAnswered(m), m.queryExecution.optimizedPlan.toString)
+      assert(m.first().toSeq == Seq(100L, 1, 100, "n001", "n100"))
+
+      // partition column min/max comes from partition values
+      val p = df.agg(min($"part").as("mn"), max($"part").as("mx"))
+      assert(isMetadataAnswered(p))
+      assert(p.first().toSeq == Seq("P0", "P1"))
+
+      // nullable column: per-file nulls don't poison the answer
+      val nn = df.agg(max($"maybe").as("mx"))
+      assert(isMetadataAnswered(nn))
+      assert(nn.first().getString(0) ==
+        rows.flatMap(r => Option(r._5)).max)
+
+      // double column: stats ordering unsafe (NaN) — must scan, stay correct
+      val d = df.agg(min($"score").as("mn"))
+      assert(!isMetadataAnswered(d))
+      assert(d.first().getDouble(0) == 0.5)
+
+      // a filter disqualifies; scan answer stays correct
+      val f = df.filter($"id" > 40).agg(min($"id"))
+      assert(!isMetadataAnswered(f) && f.first().getInt(0) == 41)
+
+      // min over an expression disqualifies (only plain columns resolve)
+      val e = df.agg(min($"id" + 1))
+      assert(!isMetadataAnswered(e) && e.first().getInt(0) == 2)
+
+      // live deletion vectors: the masked row could be the extreme — scan
+      t.setProperties(Map(graft.tables.DeletionVectors.Property -> "true"))
+      graft.operators.TableOps.delete(t, Some("id >= 99"))
+      val dv = spark.read.format("graft").load(dir).agg(max($"id"))
+      assert(dv.queryExecution.optimizedPlan
+        .collectFirst { case a: Aggregate => a }.nonEmpty)
+      assert(dv.first().getInt(0) == 98)
+    }
+
+    it("metadata-only min/max answers NULL for an all-null column") {
+      import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+      import org.apache.spark.sql.functions.{count, lit, min}
+      val dir = tmpTableDir("graft-metanull")
+      GraftTable.create(spark, dir,
+        Seq((1, null: String), (2, null: String)).toDF("id", "s").repartition(2))
+      val df = spark.read.format("graft").load(dir)
+      val m = df.agg(min($"s").as("mn"), count(lit(1)).as("n"))
+      assert(m.queryExecution.optimizedPlan
+        .collectFirst { case l: LocalRelation => l }.nonEmpty,
+        m.queryExecution.optimizedPlan.toString)
+      val r = m.first()
+      assert(r.isNullAt(0) && r.getLong(1) == 2L)
+    }
+
     it("generated columns compute on write and enforce provided values") {
       val dir = tmpTableDir("graft-gencol")
       val df = Seq((1, "a"), (2, "b"), (7, "c")).toDF("id", "name")

@@ -54,6 +54,46 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try consume(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
     catch { case _: Throwable => () }
+    // warm the dedup/similarity family's generated code on TOY data (64
+    // rows): the LSH pipeline's first execution pays ~8 s of one-time
+    // Janino compilation that otherwise lands on whichever d-query sorts
+    // first (measured: d10 15.2 s cold vs 1.3 s steady-state at sf0.1) —
+    // the same stages compile here in <1 s of toy-input wall time, so
+    // per-query numbers measure the engine, not JIT order
+    try {
+      import spark.implicits._
+      val toy = (0 until 64)
+        .map(i => (i.toLong, s"sample text ${i % 8} lorem ipsum dolor sit amet tok$i"))
+        .toDF("doc_id", "text")
+      graft.pipeline.Dedup.minhashDedupClusters(toy, "doc_id", "text", threshold = 0.5)
+        .agg(count(lit(1))).collect()
+    } catch { case _: Throwable => () }
+    // same treatment for the merge/table substrate (measured: first merge
+    // 5.4 s cold vs 1.7 s steady-state) and the streaming micro-batch
+    // machinery (first stream start pays planner + state-store init)
+    try {
+      import spark.implicits._
+      val dirW = java.nio.file.Files.createTempDirectory("benchwarm").resolve("t").toString
+      val base = (0 until 64).map(i => (i.toLong, i.toString)).toDF("id", "v")
+      val tw = graft.tables.GraftTable.create(spark, dirW, base)
+      graft.operators.GraftMerge(tw, "t")
+        .merge(base.withColumn("v", concat(col("v"), lit("x"))), "t.id = s.id", Some("s"))
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    } catch { case _: Throwable => () }
+    try {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String, Long)]
+      val stream = input.toDF().toDF("event_id", "ts_us", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val q = graft.streaming.StreamingOps.windowedEventStats(stream, watermarkDelay = "10 minutes")
+        .writeStream.format("memory").queryName("bench_warm_stream")
+        .outputMode("append").start()
+      try {
+        input.addData((1L, 1000000L, "a", 1L), (2L, 2000000L, "a", 2L))
+        q.processAllAvailable()
+      } finally q.stop()
+    } catch { case _: Throwable => () }
 
     // local-iteration escape hatch: SPARK_GRAFT_ONLY=d2_minhash_pairs,d4_...
     // (unset in the driver → full run)

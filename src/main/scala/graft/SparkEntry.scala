@@ -1229,6 +1229,38 @@ object SparkEntry {
       // guarantee), not oracle-checked: its counts are partitioning-defined.
       TextAnalysis.frequentTokens(read(s, dir, "documents"), "text", 64)
     }),
+    "t9_length_quantiles" -> ((s, dir) => () => {
+      // KLL-style mergeable quantile summary in its exact regime: per-lang
+      // doc counts at the gate SF sit far under k = 8192, so no compaction
+      // happens and every estimate is the discrete order statistic
+      // sorted[ceil(p·n) − 1], which the DuckDB oracle reproduces with a
+      // rank window. The compacting regime is property-spec'd (rank-error
+      // bound) — its estimates are partitioning-defined, not oracle-able.
+      // octet_length, not length: byte counts are engine-unambiguous.
+      import graft.functions.GraftFunctions.{quantileSketch, sketchQuantile}
+      read(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(quantileSketch(octet_length(col("text")), 8192).as("sk"),
+          count(lit(1)).as("n_docs"))
+        .select(col("lang"),
+          sketchQuantile(col("sk"), 0.5).as("p50"),
+          sketchQuantile(col("sk"), 0.9).as("p90"),
+          sketchQuantile(col("sk"), 1.0).as("p100"),
+          col("n_docs"))
+    }),
+
+    "t10_ngram_lm_score" -> ((s, dir) => () => {
+      // CCNet-style LM quality filter: bigram LM trained on the even-id
+      // half of the corpus scores the odd-id half. Every per-bigram
+      // probability is one IEEE division fixed-pointed to e9, so the
+      // per-doc integer sums (and the derived rounded mean) are
+      // bit-reproducible in DuckDB — see TextAnalysis.ngramLmScore.
+      val docs = read(s, dir, "documents")
+      TextAnalysis.ngramLmScore(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+    }),
 
     // ---- D: near-dup / similarity pipeline ----
     "d2_minhash_pairs" -> ((s, dir) => () => {
@@ -2833,6 +2865,48 @@ object SparkEntry {
         |  FROM documents)
         |SELECT w AS token, count(*) AS count_lower, CAST(0 AS BIGINT) AS max_error
         |FROM toks WHERE w <> '' GROUP BY w""".stripMargin,
+    "t9_length_quantiles" ->
+      """WITH l AS (
+        |  SELECT lang, CAST(strlen(text) AS DOUBLE) AS v FROM documents),
+        |r AS (
+        |  SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM l)
+        |SELECT lang,
+        |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN v END) AS p90,
+        |  max(CASE WHEN rn = n THEN v END) AS p100,
+        |  count(*) AS n_docs
+        |FROM r GROUP BY lang""".stripMargin,
+    "t10_ngram_lm_score" ->
+      """WITH tr AS (
+        |  SELECT list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |                     w -> w <> '') AS t
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |uni AS (
+        |  SELECT u.w1, count(*) AS uc
+        |  FROM (SELECT unnest(t) AS w1 FROM tr) u GROUP BY 1),
+        |vv AS (SELECT count(*) AS v FROM uni),
+        |big AS (
+        |  SELECT e[1] AS w1, e[2] AS w2, count(*) AS bc FROM (
+        |    SELECT unnest(list_zip(list_slice(t, 1, len(t) - 1), list_slice(t, 2, len(t)))) AS e
+        |    FROM tr WHERE len(t) >= 2) z GROUP BY 1, 2),
+        |ev AS (
+        |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |                             w -> w <> '') AS t
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |eb AS (
+        |  SELECT doc_id, e[1] AS w1, e[2] AS w2 FROM (
+        |    SELECT doc_id, unnest(list_zip(list_slice(t, 1, len(t) - 1), list_slice(t, 2, len(t)))) AS e
+        |    FROM ev WHERE len(t) >= 2) z),
+        |p AS (
+        |  SELECT doc_id,
+        |    CAST(floor((COALESCE(bc, 0) + 1.0) / (COALESCE(uc, 0) + (SELECT v FROM vv)) * 1e9 + 0.5) AS BIGINT) AS pe9
+        |  FROM eb LEFT JOIN big USING (w1, w2) LEFT JOIN uni ON eb.w1 = uni.w1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(pe9) AS BIGINT) AS prob_e9_sum,
+        |  round(CAST(sum(pe9) AS BIGINT) / (count(*) * 1e9), 6) AS avg_prob
+        |FROM p GROUP BY doc_id""".stripMargin,
     "d19_weighted_mix" -> {
       val en = Sampling.fractionThresholdHex(0.5)
       val de = Sampling.fractionThresholdHex(0.25)

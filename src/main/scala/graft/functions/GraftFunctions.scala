@@ -62,6 +62,35 @@ object GraftFunctions {
     SparkBridge.registerFunction(spark, "pii_redact",
       unary("pii_redact", TextAnalysis.piiRedact))
     SparkBridge.registerFunction(spark, "frequent_items", frequentItemsBuilder)
+    SparkBridge.registerFunction(spark, "quantile_sketch", quantileSketchBuilder)
+    SparkBridge.registerFunction(spark, "sketch_quantile", sketchQuantileBuilder)
+  }
+
+  /** Column-API surface of the mergeable KLL-style quantile summary:
+    * `quantileSketch(v, k)` aggregates, `sketchQuantile(sketch, p)` reads
+    * estimates out ([[QuantileSketchAgg]] / [[SketchQuantile]]).
+    */
+  def quantileSketch(v: Column, k: Int): Column =
+    SparkBridge.column(
+      QuantileSketchAgg(SparkBridge.expression(v.cast("double")), k).toAggregateExpression())
+
+  def sketchQuantile(sketch: Column, p: Double): Column =
+    SparkBridge.column(SketchQuantile(
+      SparkBridge.expression(sketch),
+      org.apache.spark.sql.catalyst.expressions.Literal(p)))
+
+  private[functions] def quantileSketchBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"quantile_sketch expects 2 arguments (value, k), got ${exprs.length}")
+    val k = litInt("quantile_sketch", "k", exprs(1))
+    require(k >= 8, s"quantile_sketch: k must be >= 8, got $k")
+    QuantileSketchAgg(exprs.head, k)
+  }
+
+  private[functions] def sketchQuantileBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"sketch_quantile expects 2 arguments (sketch, p), got ${exprs.length}")
+    SketchQuantile(exprs.head, exprs(1))
   }
 
   private[functions] def frequentItemsBuilder(exprs: Seq[Expression]): Expression = {

@@ -222,6 +222,70 @@ object TextAnalysis {
   // BM25-lite retrieval scoring
   // ==================================================================
 
+  /** CCNet-style n-gram language-model quality scoring: train a word-bigram
+    * LM with add-one smoothing on `train`, score every `eval` doc by its
+    * mean smoothed bigram probability — the KenLM-perplexity-filter standin
+    * of real pretraining pipelines (docs that look like the reference
+    * corpus score high; gibberish, boilerplate and wrong-language docs
+    * score low). P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V).
+    *
+    * Verifiability (the bm25Lite trick, extended to per-doc folds): each
+    * bigram probability is a single IEEE division of exact integer counts,
+    * then fixed-pointed to an e9 BIGINT via floor(p·1e9 + 0.5) — so the
+    * per-doc SUM is integer arithmetic, immune to float summation order
+    * across partitions, and the DuckDB oracle reproduces `prob_e9_sum`
+    * exactly. No `ln` anywhere (not correctly-rounded across libms); mean
+    * probability ranks docs the same direction as perplexity for a fixed
+    * length mix and keeps every step engine-exact.
+    *
+    * Scale shape: unigram and bigram counts are one hash-aggregate each
+    * over the train corpus (map-side combined); the model is cut to the
+    * `topKBigrams` / `topKUnigrams` most frequent entries (deterministic
+    * ties: count desc, then token asc) and BROADCAST to the eval side —
+    * pruned-away entries fall back to the unseen-count path, so the cut
+    * changes scores smoothly, never correctness of the contract. The eval
+    * side is one explode + two broadcast joins + one hash-aggregate: no
+    * eval-side wide shuffle at any corpus size. V (vocabulary size) is an
+    * exact distinct count over train; swap in approx_count_distinct at
+    * extreme scale if the extra exact pass matters.
+    *
+    * Output: (id, n_bigrams, prob_e9_sum, avg_prob) — docs with fewer than
+    * 2 tokens have no bigrams and are absent.
+    */
+  def ngramLmScore(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, topKBigrams: Int = 1 << 20,
+      topKUnigrams: Int = 1 << 20): DataFrame = {
+    val toks = filter(split(normalized(col(textCol)), " "), _ =!= "")
+    val bigramsOf = expr(
+      "transform(sequence(0, size(__t) - 2), i -> struct(__t[i] AS w1, __t[i + 1] AS w2))")
+
+    val trainToks = train.select(toks.as("__t"))
+    val uni = trainToks.select(explode(col("__t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("uc"))
+    val v = uni.agg(count(lit(1))).first().getLong(0)
+    val uniTop = uni.orderBy(col("uc").desc, col("w1")).limit(topKUnigrams)
+    val biTop = trainToks.filter(size(col("__t")) >= 2)
+      .select(explode(bigramsOf).as("__b"))
+      .select(col("__b.w1"), col("__b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+      .orderBy(col("bc").desc, col("w1"), col("w2")).limit(topKBigrams)
+
+    eval.select(col(idCol), toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(bigramsOf).as("__b"))
+      .select(col(idCol), col("__b.w1"), col("__b.w2"))
+      .join(broadcast(biTop), Seq("w1", "w2"), "left")
+      .join(broadcast(uniTop), Seq("w1"), "left")
+      .withColumn("__pe9", floor(
+        (coalesce(col("bc"), lit(0L)) + lit(1.0d)) /
+          (coalesce(col("uc"), lit(0L)) + lit(v.toDouble)) * lit(1e9) + lit(0.5d))
+        .cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__pe9")).as("prob_e9_sum"))
+      .withColumn("avg_prob",
+        round(col("prob_e9_sum") / (col("n_bigrams") * lit(1e9)), 6))
+  }
+
   /** BM25 scoring of every document against a fixed bag of query terms,
     * with the log-free idf surrogate `(N - df + 0.5) / (df + 0.5)` — same
     * monotonic ordering as Robertson idf for any fixed df, but every

@@ -2031,6 +2031,17 @@ object SparkEntry {
       Multimodal.extractVideoFeatures(Multimodal.rebalanceForDecode(assets, 4), frameStride = 2)
         .select("asset_id", "width", "height", "fps", "num_frames", "frame_idx", "mean_luma")
     }),
+    "mm5_image_near_dup" -> ((s, dir) => () => {
+      // perceptual-hash image dedup end-to-end: REAL PNG decode → dHash →
+      // EXACT chunk-banded hamming join (pigeonhole recall at ≤3 bits over
+      // 4 chunks). The 9×8 two-tone pattern makes every hash an
+      // id-determined formula value, so DuckDB replays decode + hash +
+      // pairing with integer bit math alone.
+      val ids = read(s, dir, "documents").select(col("doc_id"))
+      val assets = Multimodal.synthesizePatternPngAssets(s, ids, "doc_id")
+      Multimodal.imageNearDupPairs(assets, maxHamming = 3)
+        .select(col("idA"), col("idB"), col("hamming"))
+    }),
 
     // ---- S: file statistics / skipping introspection (table-layout checks) ----
     "s1_latest_version" -> ((s, dir) => {
@@ -3092,6 +3103,27 @@ object SparkEntry {
         |       CAST((id * 31 + t.i * 17) % 256 AS INT) AS mean_luma
         |FROM p, range(8) t(i)
         |WHERE t.i < 2 + id % 6 AND t.i % 2 = 0""".stripMargin,
+    "mm5_image_near_dup" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |g AS (
+        |  SELECT id, tx.x, ty.y,
+        |    CASE WHEN (((id // 8) * 7 + tx.x * 3 + ty.y * 5) % 11 < 5)
+        |           != (id % 8 = 7 AND tx.x = 4 AND ty.y = 3)
+        |         THEN 40 ELSE 200 END AS v
+        |  FROM ids, range(9) tx(x), range(8) ty(y)),
+        |h AS (
+        |  SELECT a.id,
+        |    CAST(SUM(CASE WHEN b.v > a.v THEN
+        |      CASE WHEN a.y * 8 + a.x = 63 THEN (-9223372036854775807 - 1)
+        |           ELSE CAST(1 AS BIGINT) << CAST(a.y * 8 + a.x AS INT) END
+        |      ELSE 0 END) AS BIGINT) AS dh
+        |  FROM g a JOIN g b ON a.id = b.id AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8
+        |  GROUP BY a.id)
+        |SELECT a.id AS idA, b.id AS idB,
+        |       CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE bit_count(xor(a.dh, b.dh)) <= 3""".stripMargin,
     "s5_size_distribution" ->
       """SELECT DISTINCT CAST(s_suppkey % 4 AS BIGINT) AS bucket,
         |       CAST(1 AS BIGINT) AS num_of_parquet_files,

@@ -590,22 +590,35 @@ object Dedup {
       maxHamming: Int = 3, bits: Int = 64,
       tokenHash: Column => Column = xxhash64(_),
       maxBucketSize: Int = 1 << 20): DataFrame = {
+    val hashed = simhash(df, idCol, textCol, bits, tokenHash)
+    hammingPairs(hashed, idCol, "simhash", maxHamming, bits, maxBucketSize)
+  }
+
+  /** All id pairs whose LONG hash values differ in at most `maxHamming`
+    * bits — the chunk-banding join shared by [[simhashPairs]] and
+    * perceptual-hash image dedup ([[Multimodal.imageNearDupPairs]]). Rows
+    * with a null hash are skipped. EXACT by pigeonhole: `maxHamming + 1`
+    * chunks mean every qualifying pair shares at least one whole chunk
+    * (100% recall, not probabilistic); `bit_count(xor)` verifies exactly.
+    */
+  def hammingPairs(hashed: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3, bits: Int = 64,
+      maxBucketSize: Int = 1 << 20): DataFrame = {
     val chunks = maxHamming + 1
     // integer division may leave the top bits un-banded — pigeonhole still
     // holds: ≤ maxHamming total diffs can dirty at most maxHamming of the
     // maxHamming+1 chunks, wherever the diffs fall
     val chunkBits = bits / chunks
     require(chunkBits >= 1, s"bits=$bits too narrow for ${chunks} chunks")
-    val hashed = simhash(df, idCol, textCol, bits, tokenHash)
     val chunkStructs = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * chunkBits)
+        shiftright(col(hashCol), c * chunkBits)
           .bitwiseAND(lit((1L << chunkBits) - 1)).as("cv"))
     }
-    // the simhash value itself rides in the __sz payload slot, so hamming
+    // the hash value itself rides in the __sz payload slot, so hamming
     // verification reads it straight off the pair — no rejoin needed
-    val banded = hashed.select(
-      col(idCol).as("__id"), col("simhash").as("__sz"),
+    val banded = hashed.filter(col(hashCol).isNotNull).select(
+      col(idCol).as("__id"), col(hashCol).as("__sz"),
       explode(array(chunkStructs: _*)).as("__c"))
       .select(col("__id"), col("__sz"), col("__c.chunk"), col("__c.cv"))
     bucketPairs(banded, Seq("chunk", "cv"), maxBucketSize, None)

@@ -654,6 +654,127 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual difference hash (dHash) of a decodable image: luma is
+    * average-pooled onto a 9×8 grid (cell boundaries at `i·w/9` / `j·h/8`,
+    * integer means — deterministic, no resampling kernel), and bit
+    * `y·8 + x` is set iff `cell(x+1, y) > cell(x, y)`. Near-identical
+    * images (recompression, minor edits, small crops) land within a few
+    * bits; unrelated images differ in ~32. None for undecodable payloads
+    * or images smaller than the grid.
+    */
+  def dHash(payload: Array[Byte]): Option[Long] = {
+    if (payload == null) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w < 9 || h < 8) return None
+    val cells = Array.ofDim[Long](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+      var gx = 0
+      while (gx < 9) {
+        val x0 = gx * w / 9; val x1 = (gx + 1) * w / 9
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        cells(gy)(gx) = sum / ((y1 - y0).toLong * (x1 - x0))
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (cells(y)(x + 1) > cells(y)(x)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    Some(bits)
+  }
+
+  /** Batched dHash over partitions: (asset_id, dhash) with null for
+    * undecodable/too-small payloads.
+    */
+  def imageDHashes(assets: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(schema)
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        Row(r.getAs[Long]("asset_id"),
+          dHash(r.getAs[Array[Byte]]("payload")).map(Long.box).orNull)
+      }
+    }(enc)
+  }
+
+  /** Perceptual near-duplicate image pairs: all (idA, idB, hamming) with
+    * dHash hamming distance ≤ `maxHamming` — the image-side analogue of
+    * SimHash text dedup, riding the same EXACT chunk-banding join
+    * ([[graft.pipeline.Dedup.hammingPairs]]: pigeonhole recall, never
+    * probabilistic). Decode cost is one distributed pass (use
+    * [[rebalanceForDecode]] first when payload sizes are skewed); the join
+    * shuffles only (id, hash) tuples, never pixels.
+    */
+  def imageNearDupPairs(assets: DataFrame, maxHamming: Int = 3,
+      maxBucketSize: Int = 1 << 20): DataFrame =
+    graft.pipeline.Dedup.hammingPairs(imageDHashes(assets), "asset_id",
+      "dhash", maxHamming, 64, maxBucketSize)
+
+  /** 9×8 two-tone pattern PNG whose dHash is an id-determined KNOWN value:
+    * pixel gray `g(id, x, y)` is 40 or 200 by
+    * `((id/8)·7 + x·3 + y·5) mod 11 < 5`, with the (4,3) cell INVERTED when
+    * `id mod 8 = 7` — ids sharing `id/8` get identical patterns (hamming-0
+    * groups) and the inverted member lands within 2 bits of its group. At
+    * 9×8 the pooling grid is the pixel grid, so an oracle reproduces the
+    * hash from the formula alone, no image library needed.
+    */
+  def synthesizePatternPngAssets(spark: SparkSession, ids: DataFrame,
+      idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val enc = RowEncoder.encoderFor(schema)
+    ids.select(col(idCol).cast("long").as("asset_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val img = new java.awt.image.BufferedImage(
+          9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 9) {
+            val base = ((id / 8) * 7 + x * 3 + y * 5) % 11 < 5
+            val dark = if (id % 8 == 7 && x == 4 && y == 3) !base else base
+            val g = if (dark) 40 else 200
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, "image", bos.toByteArray)
+      }
+    }(enc)
+  }
+
   /** Spread assets across `numBuckets` tasks by content hash so a handful of
     * giant payloads don't serialize behind each other on one executor.
     */

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.pipeline.Multimodal
+
+/** dHash: formula agreement on the synthesized pattern assets, pooling on
+  * larger images, and the exactness of the banded hamming pair join.
+  */
+class ImageDHashSpec extends AnyFunSpec with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  /** The pattern formula replayed independently of the image path. */
+  private def expectedHash(id: Long): Long = {
+    def gray(x: Int, y: Int): Int = {
+      val base = ((id / 8) * 7 + x * 3 + y * 5) % 11 < 5
+      val dark = if (id % 8 == 7 && x == 4 && y == 3) !base else base
+      if (dark) 40 else 200
+    }
+    var bits = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (gray(x + 1, y) > gray(x, y)) bits |= 1L << (y * 8 + x)
+    bits
+  }
+
+  it("decodes pattern PNGs to the formula-predicted hash") {
+    val ids = (0L until 64L).toDF("id")
+    val assets = Multimodal.synthesizePatternPngAssets(spark, ids, "id")
+    val got = Multimodal.imageDHashes(assets).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 64)
+    for (id <- 0L until 64L) assert(got(id) == expectedHash(id), s"id=$id")
+  }
+
+  it("pools larger images: scaled-up pattern gives the same hash") {
+    // 36x32 = each 9x8 cell is a uniform 4x4 block -> identical cell means
+    val img = new java.awt.image.BufferedImage(36, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 36) {
+      val base = (7L + (x / 4) * 3 + (y / 4) * 5) % 11 < 5 // id/8 = 1 pattern
+      val g = if (base) 40 else 200
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(Multimodal.dHash(bos.toByteArray).contains(expectedHash(8L)))
+  }
+
+  it("rejects undecodable and under-grid payloads") {
+    assert(Multimodal.dHash(null).isEmpty)
+    assert(Multimodal.dHash("not an image".getBytes).isEmpty)
+    assert(Multimodal.dHash(Multimodal.encodeGrayPng(4, 4, 100)).isEmpty)
+  }
+
+  it("finds exactly the brute-force hamming pairs") {
+    val ids = (0L until 48L).toDF("id")
+    val assets = Multimodal.synthesizePatternPngAssets(spark, ids, "id")
+    val got = Multimodal.imageNearDupPairs(assets, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hashes = (0L until 48L).map(id => id -> expectedHash(id))
+    val expected = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(expected.nonEmpty)
+    assert(got == expected)
+  }
+}

@@ -182,6 +182,46 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("marker_id"))
     }),
 
+    "q20_stream_quantiles" -> ((s, dir) => {
+      // the quantile sketch as STREAMING STATE: q6's replay harness, but
+      // the windowed aggregate is the mergeable KLL summary — its buffer
+      // serializes into the state store between micro-batches. Group sizes
+      // sit far under k, so the finalized windows carry EXACT discrete
+      // order statistics and DuckDB reproduces them with a rank window.
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rawEv = read(s, dir, "events")
+      val rows = rawEv
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"), tsUs(rawEv).as("ts_us"), col("event_type"),
+          expr("CAST(floor(value * 10000 + 0.5) AS DOUBLE)").as("value"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .as[(Long, Long, String, Double)].collect()
+      () => {
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String, Double)]
+      val stream = input.toDF().toDF("event_id", "ts_us", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val name = "q20_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query = graft.streaming.StreamingOps
+        .windowedValueQuantiles(stream, watermarkDelay = "10 minutes")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, rows.length / 4 + 1))
+          .foreach { b => input.addData(b.toIndexedSeq); query.processAllAvailable() }
+        val sentinel = (-1L,
+          java.sql.Timestamp.valueOf("2030-01-01 00:00:00").getTime * 1000L, "flush", 0.0d)
+        input.addData(sentinel); query.processAllAvailable()
+        input.addData(sentinel); query.processAllAvailable()
+      } finally { query.stop(); s.conf.set("spark.sql.shuffle.partitions", prevParts) }
+      s.table(name)
+        .filter(col("event_type") =!= "flush")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("p50"), col("p90"), col("events"))
+      }
+    }),
     "q6_windowed_stream" -> ((s, dir) => {
       // TRUE streaming execution, deterministically replayed: 2000 events
       // (bounded, time-sorted — a replay harness is inherently driver-fed)
@@ -1249,6 +1289,13 @@ object SparkEntry {
           col("n_docs"))
     }),
 
+    "t11_chunking" -> ((s, dir) => () => {
+      // training-sequence chunking: 64-token windows, 8 tokens of carried
+      // context. Pure per-row columnar work (no shuffle); the oracle
+      // replays the token arithmetic with list slices.
+      TextAnalysis.chunkDocuments(read(s, dir, "documents"),
+        "doc_id", "text", maxTokens = 64, overlap = 8)
+    }),
     "t10_ngram_lm_score" -> ((s, dir) => () => {
       // CCNet-style LM quality filter: bigram LM trained on the even-id
       // half of the corpus scores the odd-id half. Every per-bigram
@@ -2578,6 +2625,24 @@ object SparkEntry {
         |  SELECT user_id, ts_us AS mts_us, event_id AS marker_id FROM e WHERE event_id % 50 = 0)
         |SELECT e.event_id, e.user_id, m.marker_id
         |FROM e ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts_us >= m.mts_us""".stripMargin,
+    "q20_stream_quantiles" ->
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) // 1000 AS ts_us, event_type,
+        |         CAST(floor(value * 10000 + 0.5) AS DOUBLE) AS v
+        |  FROM events WHERE event_id < 2000),
+        |w AS (
+        |  SELECT (ts_us // 3600000000) * 3600000000 AS window_start_us, event_type, v
+        |  FROM e),
+        |r AS (
+        |  SELECT window_start_us, event_type, v,
+        |         row_number() OVER (PARTITION BY window_start_us, event_type ORDER BY v) AS rn,
+        |         count(*) OVER (PARTITION BY window_start_us, event_type) AS n
+        |  FROM w)
+        |SELECT window_start_us, event_type,
+        |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN v END) AS p90,
+        |  count(*) AS events
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "q6_windowed_stream" ->
       """WITH e AS (
         |  SELECT epoch_ns(ts) // 1000 AS ts_us, event_type,
@@ -2889,6 +2954,19 @@ object SparkEntry {
         |  max(CASE WHEN rn = n THEN v END) AS p100,
         |  count(*) AS n_docs
         |FROM r GROUP BY lang""".stripMargin,
+    "t11_chunking" ->
+      """WITH tt AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '') AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, t, len(t) AS n FROM tt WHERE len(t) > 0),
+        |c AS (
+        |  SELECT doc_id, t, n, g.i AS chunk_idx
+        |  FROM n, range(256) g(i)
+        |  WHERE g.i = 0 OR g.i * 56 < n - 8)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(len(list_slice(t, chunk_idx * 56 + 1, least(chunk_idx * 56 + 64, n))) AS INT) AS n_tokens,
+        |  array_to_string(list_slice(t, chunk_idx * 56 + 1, least(chunk_idx * 56 + 64, n)), ' ') AS chunk_text
+        |FROM c""".stripMargin,
     "t10_ngram_lm_score" ->
       """WITH tr AS (
         |  SELECT list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),

@@ -222,6 +222,47 @@ object TextAnalysis {
   // BM25-lite retrieval scoring
   // ==================================================================
 
+  /** Training-sequence chunking: split each document into fixed-size
+    * token windows with `overlap` tokens of context carried between
+    * consecutive chunks — the sequence-prep step between curation and
+    * tokenization. Tokens are whitespace runs of the RAW text (no case or
+    * punctuation normalization — chunk text feeds the tokenizer);
+    * `chunk_text` rejoins with single spaces, so the transform is
+    * deterministic and engine-replayable. Provenance rides along:
+    * (id, chunk_idx) is the stable chunk key.
+    *
+    * Chunk i covers tokens [i·step, i·step + maxTokens) with
+    * step = maxTokens − overlap; a chunk is emitted iff it starts before
+    * `n − overlap` (plus chunk 0 always), so no chunk is fully contained
+    * in its predecessor and every token appears in ≥ 1 chunk. Docs with no
+    * tokens are absent.
+    *
+    * Scale shape: pure per-row columnar work (split + bounded explode +
+    * slice) — no shuffle, no UDF; composes into the scan and parallelizes
+    * with the corpus. Chunk count per doc is n/step, so output size is
+    * input-proportional with the overlap factor n·(1 + o/step).
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val step = maxTokens - overlap
+    val toks = filter(split(trim(col(textCol)), "\\s+"), _ =!= "")
+    df.select(col(idCol), toks.as("__t"), size(toks).as("__n"))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__t"), col("__n"),
+        explode(sequence(lit(0),
+          // `div`, not `/`: Column `/` is double division
+          greatest(expr(s"int((__n - $overlap + ${step - 1}) div $step) - 1"), lit(0))))
+          .as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx").cast("int").as("chunk_idx"),
+        slice(col("__t"), col("chunk_idx") * step + 1, lit(maxTokens)).as("__c"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__c")).as("n_tokens"),
+        concat_ws(" ", col("__c")).as("chunk_text"))
+  }
+
   /** CCNet-style n-gram language-model quality scoring: train a word-bigram
     * LM with add-one smoothing on `train`, score every `eval` doc by its
     * mean smoothed bigram probability — the KenLM-perplexity-filter standin

@@ -38,6 +38,34 @@ object StreamingOps {
         col("window.end").as("window_end"),
         col("event_type"), col("events"), col("total_value"))
 
+  /** Watermarked per-window value quantiles via the mergeable KLL-style
+    * summary ([[graft.functions.QuantileSketchAgg]]): the sketch buffer IS
+    * the streaming state — O(k log(n/k)) per open (window, type) group,
+    * serialized into the state store between micro-batches — so windowed
+    * p50/p90 come out of ONE streaming aggregation with no per-window sort
+    * and no raw-value retention. The batch analogue of the same plan is
+    * exact while group sizes stay under `k` (the oracle regime).
+    */
+  def windowedValueQuantiles(
+      events: DataFrame,
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes",
+      windowLength: String = "1 hour",
+      k: Int = 8192): DataFrame = {
+    import graft.functions.GraftFunctions.{quantileSketch, sketchQuantile}
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLength), col("event_type"))
+      .agg(quantileSketch(col("value"), k).as("__sk"),
+        count(lit(1)).as("events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"),
+        sketchQuantile(col("__sk"), 0.5).as("p50"),
+        sketchQuantile(col("__sk"), 0.9).as("p90"),
+        col("events"))
+  }
+
   case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   case class SessionState(start: Long, lastSeen: Long, events: Int, totalValue: Double)
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,

@@ -1289,6 +1289,15 @@ object SparkEntry {
           col("n_docs"))
     }),
 
+    "t12_bpe_merges" -> ((s, dir) => () => {
+      // tokenizer training: greedy BPE merge learning on the word-frequency
+      // dictionary (iterations are vocab-sized, only the word count touches
+      // the corpus). Iterative state is not SQL-expressible — no oracle
+      // entry; the driver records the rows-only check and BpeMergesSpec
+      // pins the algorithm against a single-threaded reference.
+      TextAnalysis.learnBpeMerges(read(s, dir, "documents"), "text",
+        numMerges = 24)
+    }),
     "t11_chunking" -> ((s, dir) => () => {
       // training-sequence chunking: 64-token windows, 8 tokens of carried
       // context. Pure per-row columnar work (no shuffle); the oracle
@@ -2087,6 +2096,15 @@ object SparkEntry {
       val ids = read(s, dir, "documents").select(col("doc_id"))
       val assets = Multimodal.synthesizePatternPngAssets(s, ids, "doc_id")
       Multimodal.imageNearDupPairs(assets, maxHamming = 3)
+        .select(col("idA"), col("idB"), col("hamming"))
+    }),
+    "mm6_audio_near_dup" -> ((s, dir) => () => {
+      // perceptual audio dedup: REAL WAV/PCM decode → 65-window envelope
+      // hash → the same exact banded hamming join as mm5. The 65-sample
+      // two-level pattern makes each hash a formula value for DuckDB.
+      val ids = read(s, dir, "documents").select(col("doc_id"))
+      val assets = Multimodal.synthesizePatternWavAssets(s, ids, "doc_id")
+      Multimodal.audioNearDupPairs(assets, maxHamming = 3)
         .select(col("idA"), col("idB"), col("hamming"))
     }),
 
@@ -3197,6 +3215,27 @@ object SparkEntry {
         |      ELSE 0 END) AS BIGINT) AS dh
         |  FROM g a JOIN g b ON a.id = b.id AND b.y = a.y AND b.x = a.x + 1
         |  WHERE a.x < 8
+        |  GROUP BY a.id)
+        |SELECT a.id AS idA, b.id AS idB,
+        |       CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE bit_count(xor(a.dh, b.dh)) <= 3""".stripMargin,
+    "mm6_audio_near_dup" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |g AS (
+        |  SELECT id, tj.j,
+        |    CASE WHEN (((id // 8) * 13 + tj.j * 7) % 17 < 8)
+        |           != (id % 8 = 7 AND tj.j = 30)
+        |         THEN 1000 ELSE 4000 END AS v
+        |  FROM ids, range(65) tj(j)),
+        |h AS (
+        |  SELECT a.id,
+        |    CAST(SUM(CASE WHEN b.v > a.v THEN
+        |      CASE WHEN a.j = 63 THEN (-9223372036854775807 - 1)
+        |           ELSE CAST(1 AS BIGINT) << CAST(a.j AS INT) END
+        |      ELSE 0 END) AS BIGINT) AS dh
+        |  FROM g a JOIN g b ON a.id = b.id AND b.j = a.j + 1
+        |  WHERE a.j < 64
         |  GROUP BY a.id)
         |SELECT a.id AS idA, b.id AS idB,
         |       CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming

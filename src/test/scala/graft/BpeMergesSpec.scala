@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.pipeline.TextAnalysis
+
+/** learnBpeMerges vs a single-threaded reference BPE on the same word
+  * dictionary, plus determinism across partitionings and the early-stop
+  * rule.
+  */
+class BpeMergesSpec extends AnyFunSpec with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  /** Reference greedy BPE (Sennrich-style) over a word-count dictionary. */
+  private def refBpe(words: Map[String, Long], m: Int,
+      minPair: Long = 2L): Seq[(Int, String, String, Long)] = {
+    var dict = words.map { case (w, c) => (w.map(_.toString): Seq[String], c) }.toSeq
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var stop = false
+    while (rank < m && !stop) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      dict.foreach { case (s, c) =>
+        (0 until s.length - 1).foreach { j =>
+          counts((s(j), s(j + 1))) = counts.getOrElse((s(j), s(j + 1)), 0L) + c
+        }
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        if (c < minPair) stop = true
+        else {
+          out += ((rank, l, r, c))
+          dict = dict.map { case (s, cnt) =>
+            val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { merged += l + r; i += 2 }
+              else { merged += s(i); i += 1 }
+            }
+            (merged.toSeq, cnt)
+          }
+          rank += 1
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private def tokenize(texts: Seq[String]): Map[String, Long] =
+    texts.flatMap(_.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  private val corpus = Seq(
+    "the lowest lower low", "lowest of the low lowers", "newer newest new",
+    "the newer the better", "wider widest wide wider", "low lower lowest")
+
+  it("matches the reference merge table") {
+    val df = corpus.toDF("text")
+    val got = TextAnalysis.learnBpeMerges(df, "text", numMerges = 12)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val expected = refBpe(tokenize(corpus), 12)
+    assert(expected.nonEmpty)
+    assert(got == expected)
+  }
+
+  it("is partitioning-invariant") {
+    val a = TextAnalysis.learnBpeMerges(corpus.toDF("text").repartition(7), "text", 6)
+    val b = TextAnalysis.learnBpeMerges(corpus.toDF("text").repartition(1), "text", 6)
+    assertSmallDataFrameEquality(a, b)
+  }
+
+  it("distributed tier agrees with the driver tier") {
+    val df = corpus.toDF("text")
+    val driver = TextAnalysis.learnBpeMerges(df, "text", 8)
+    val dist = TextAnalysis.learnBpeMerges(df.repartition(5), "text", 8,
+      maxDriverVocab = 0) // force the distributed loop
+    assertSmallDataFrameEquality(dist, driver)
+  }
+
+  it("stops early when no pair recurs") {
+    val df = Seq("ab cd ef").toDF("text") // every adjacent pair occurs once
+    assert(TextAnalysis.learnBpeMerges(df, "text", 10).count() == 0)
+  }
+}

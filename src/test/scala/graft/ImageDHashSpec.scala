@@ -53,6 +53,36 @@ class ImageDHashSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(Multimodal.dHash(Multimodal.encodeGrayPng(4, 4, 100)).isEmpty)
   }
 
+  private def expectedAudioHash(id: Long): Long = {
+    def v(j: Int): Int = {
+      val base = ((id / 8) * 13 + j * 7) % 17 < 8
+      val on = if (id % 8 == 7 && j == 30) !base else base
+      if (on) 1000 else 4000
+    }
+    var bits = 0L
+    for (j <- 0 until 64) if (v(j + 1) > v(j)) bits |= 1L << j
+    bits
+  }
+
+  it("decodes pattern WAVs to the formula-predicted envelope hash") {
+    val ids = (0L until 32L).toDF("id")
+    val assets = Multimodal.synthesizePatternWavAssets(spark, ids, "id")
+    val got = Multimodal.audioDHashes(assets).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- 0L until 32L) assert(got(id) == expectedAudioHash(id), s"id=$id")
+    // envelope pooling: doubling every sample (130 samples, windows of 2)
+    // preserves the hash
+    val doubled = Multimodal.encodeWavPcm16(8000, Array.tabulate(130) { i =>
+      val j = i / 2
+      val base = (0L * 13 + j * 7) % 17 < 8
+      if (base) 1000.toShort else 4000.toShort
+    })
+    assert(Multimodal.audioDHash(doubled).contains(expectedAudioHash(0L)))
+    assert(Multimodal.audioDHash("not audio".getBytes).isEmpty)
+    assert(Multimodal.audioDHash(
+      Multimodal.encodeWavPcm16(8000, Array.fill(10)(5.toShort))).isEmpty)
+  }
+
   it("finds exactly the brute-force hamming pairs") {
     val ids = (0L until 48L).toDF("id")
     val assets = Multimodal.synthesizePatternPngAssets(spark, ids, "id")

@@ -1728,6 +1728,42 @@ object SparkEntry {
       }
     }),
 
+    "s35_stats_backfill" -> ((s, dir) => {
+      // ANALYZE: a foreign writer drops a parquet file into the table and
+      // appends a bare AddFile (no stats) — realistic external-ingest
+      // state. computeStats harvests the footer and re-adds the entry in a
+      // metadata-only commit; afterwards EVERY live file carries stats, so
+      // the stats-derived aggregates below equal the data itself.
+      val dirT = tmp("s33")
+      val nation = read(s, dir, "nation")
+      val t = GraftTable.create(s, dirT, nation)
+      val stage = tmp("s33stage")
+      nation.select((col("n_nationkey") + lit(100L)).as("n_nationkey"),
+          col("n_name"), col("n_regionkey"))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val destName = "foreign-" + part.getName
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(dirT, destName))
+      val snap0 = t.snapshot
+      t.log.commit(snap0.version + 1, Seq(
+        graft.tables.AddFile(path = destName, size = part.length()),
+        graft.tables.CommitInfo(timestamp = System.currentTimeMillis(),
+          operation = "WRITE")))
+      () => {
+      val t2 = GraftTable.forPath(s, dirT)
+      val n = TableOps.computeStats(t2)
+      val snap = t2.snapshot
+      val stats = snap.files.flatMap(f => GraftLog.parseStats(f.stats))
+      require(stats.size == snap.files.size,
+        "computeStats left a file without stats")
+      val minK = stats.flatMap(_.minValues.get("n_nationkey")).map(_.toLong).min
+      val maxK = stats.flatMap(_.maxValues.get("n_nationkey")).map(_.toLong).max
+      import s.implicits._
+      Seq((n, stats.map(_.numRecords).sum, minK, maxK, t2.toDF.count()))
+        .toDF("files_backfilled", "rows_from_stats", "min_key", "max_key", "table_rows")
+      }
+    }),
     "s32_type_widening" -> ((s, dir) => {
       // graft.enableTypeWidening: an (int, float) table takes a
       // (long, double) append — the schema widens losslessly and the OLD
@@ -2498,6 +2534,12 @@ object SparkEntry {
         |FROM nation
         |UNION ALL
         |SELECT CAST(n_nationkey + 100 AS BIGINT), n_name, 'pending' FROM nation""".stripMargin,
+    "s35_stats_backfill" ->
+      """SELECT CAST(1 AS INT) AS files_backfilled,
+        |       CAST(2 * (SELECT count(*) FROM nation) AS BIGINT) AS rows_from_stats,
+        |       CAST((SELECT min(n_nationkey) FROM nation) AS BIGINT) AS min_key,
+        |       CAST((SELECT max(n_nationkey) FROM nation) + 100 AS BIGINT) AS max_key,
+        |       CAST(2 * (SELECT count(*) FROM nation) AS BIGINT) AS table_rows""".stripMargin,
     "s32_type_widening" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,
         |       CAST(CAST(n_nationkey AS REAL) AS DOUBLE) AS v FROM nation

@@ -689,6 +689,41 @@ object TableOps {
     missing.map(_.path)
   }
 
+  /** ANALYZE (stats backfill): harvest parquet FOOTER stats — numRecords +
+    * per-column min/max/nullCount — for every live file whose log entry
+    * carries none (files landed by foreign writers that append bare
+    * AddFile actions), and re-add those entries with stats in one
+    * metadata-only commit. Zero data bytes move; after the commit the
+    * files participate in min/max skipping, metadata-only counts and
+    * stats-served aggregates like every graft-written file. Footer reads
+    * fan out across a bounded thread pool (footers, not data).
+    *
+    * @return number of files backfilled (0 = nothing to do, no commit)
+    */
+  def computeStats(table: GraftTable): Int = {
+    val spark = table.spark
+    val snap = table.snapshot
+    val missing = snap.files.filter(f => GraftLog.parseStats(f.stats).isEmpty)
+    if (missing.isEmpty) return 0
+    val conf = spark.sessionState.newHadoopConf()
+    val readd = TableWriter.harvestParallel(missing) { f =>
+      f.copy(stats = GraftLog.renderStats(ParquetStats.forFile(
+        GraftTable.resolveDataPath(table.path, f.path).toString, conf)))
+    }
+    TableWriter.write(spark, table.path,
+      table.dfForFiles(snap, Nil), // no data written; satisfies the signature
+      TableWriter.Append,
+      operation = "COMPUTE STATS",
+      extraMetrics = Map("numFilesAnalyzed" -> readd.size.toString),
+      extraActions = readd,
+      // the backfill read these files' footers and the decision read the
+      // current file list: concurrent rewrites of them must conflict
+      readFiles = missing.map(_.path),
+      readVersion = Some(snap.version),
+      skipDataWrite = true)
+    readd.size
+  }
+
   /** RESTORE TABLE TO TIMESTAMP (Delta's `RESTORE ... TO TIMESTAMP AS OF`):
     * resolves to the LATEST version whose monotonized commit timestamp is
     * at-or-before `timestamp` (same session-timezone parsing and the same

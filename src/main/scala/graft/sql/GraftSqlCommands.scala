@@ -114,6 +114,20 @@ case class GraftFsckCommand(path: String, dryRun: Boolean)
   }
 }
 
+/** `ANALYZE [TABLE] '<path>' COMPUTE STATISTICS` — footer-stats backfill
+  * for foreign-written files ([[graft.operators.TableOps.computeStats]]).
+  */
+case class GraftAnalyzeCommand(path: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("filesAnalyzed", org.apache.spark.sql.types.IntegerType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftTable.forPath(spark, path)
+    Seq(Row(TableOps.computeStats(t)))
+  }
+}
+
 /** `GENERATE symlink_format_manifest FOR TABLE '<path>'` — Delta's
   * external-reader interop statement (see
   * [[graft.tables.SymlinkManifest]]).

@@ -15,6 +15,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   RESTORE [TABLE] '<path>' [TO] VERSION AS OF <n>
   *   RESTORE [TABLE] '<path>' [TO] TIMESTAMP AS OF '<ts>'
   *   FSCK REPAIR TABLE '<path>' [DRY RUN]
+  *   ANALYZE [TABLE] '<path>' COMPUTE STATISTICS
   *   DESCRIBE HISTORY '<path>'
   *   DESCRIBE DETAIL '<path>'
   *   DELETE FROM '<path>' [WHERE <predicate>]
@@ -88,6 +89,8 @@ object GraftSqlParser {
     s"""^\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$P(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""")
   private val generate = rx(
     s"""^\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$P\\s*;?\\s*$$""")
+  private val analyze = rx(
+    s"""^\\s*ANALYZE\\s+(?:TABLE\\s+)?$P\\s+COMPUTE\\s+STATISTICS\\s*;?\\s*$$""")
   private val history = rx(
     s"""^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$P\\s*;?\\s*$$""")
   private val detail = rx(
@@ -358,6 +361,9 @@ object GraftSqlParser {
     val g = generate.matcher(sqlText)
     if (g.matches())
       return Some(GraftGenerateManifestCommand(pathOf(g, 2)))
+    val an = analyze.matcher(sqlText)
+    if (an.matches())
+      return Some(GraftAnalyzeCommand(pathOf(an, 2)))
     val h = history.matcher(sqlText)
     if (h.matches())
       return Some(GraftDescribeHistoryCommand(pathOf(h, 2)))

@@ -525,7 +525,7 @@ object TableWriter {
     * order and propagating the first failure. Used for per-file footer
     * harvesting, where work is independent small I/O and driver CPU is idle.
     */
-  private[tables] def harvestParallel[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+  private[graft] def harvestParallel[A, B](items: Seq[A])(f: A => B): Seq[B] = {
     if (items.size <= 1) items.map(f)
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(32, items.size))

@@ -31,6 +31,11 @@ class GraftSqlCommandSpec extends AnyFunSpec with SparkSessionTestWrapper {
         Some(GraftFsckCommand("/tmp/t", dryRun = true)))
       assert(parse("GENERATE symlink_format_manifest FOR TABLE '/tmp/t'") ==
         Some(GraftGenerateManifestCommand("/tmp/t")))
+      assert(parse("ANALYZE TABLE '/tmp/t' COMPUTE STATISTICS") ==
+        Some(GraftAnalyzeCommand("/tmp/t")))
+      assert(parse("ANALYZE '/tmp/t' COMPUTE STATISTICS;") ==
+        Some(GraftAnalyzeCommand("/tmp/t")))
+      assert(parse("ANALYZE TABLE '/tmp/t'").isEmpty) // Spark's own ANALYZE shapes pass through
       assert(parse("DESCRIBE HISTORY graft.'/tmp/t'") ==
         Some(GraftDescribeHistoryCommand("/tmp/t")))
       assert(parse("DESC HISTORY `/tmp/t`;") ==

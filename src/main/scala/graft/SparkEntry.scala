@@ -1289,6 +1289,17 @@ object SparkEntry {
           col("n_docs"))
     }),
 
+    "t13_bpe_tokenize" -> ((s, dir) => () => {
+      // tokenizer inference: merges learned on the even-id half tokenize
+      // the odd-id half (rank-priority application, no shuffle). Rows-only
+      // like t12 — the merge loop is not SQL-expressible; BpeMergesSpec
+      // pins application semantics by hand.
+      val docs = read(s, dir, "documents")
+      TextAnalysis.bpeTokenize(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        TextAnalysis.learnBpeMerges(
+          docs.filter(col("doc_id") % 2 === 0), "text", numMerges = 24))
+    }),
     "t12_bpe_merges" -> ((s, dir) => () => {
       // tokenizer training: greedy BPE merge learning on the word-frequency
       // dictionary (iterations are vocab-sized, only the word count touches
@@ -1339,6 +1350,23 @@ object SparkEntry {
       Dedup.simhashPairs(read(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3, bits = 32, tokenHash = Dedup.md5TokenHash32)
         .select(col("idA"), col("idB"), col("hamming").cast("int").as("hamming"))
+    }),
+    "d30_ensemble_pairs" -> ((s, dir) => () => {
+      // ensemble near-dup confirmation: a pair must clear BOTH the exact
+      // 3-gram jaccard threshold AND the simhash hamming radius — the
+      // two-signal vote real curation uses to cut single-signal false
+      // positives. Both legs are already oracle-exact (d3/d4), so the
+      // intersection is too; the join key is the tiny pair set, not the
+      // corpus.
+      val docs = read(s, dir, "documents")
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+        .join(
+          Dedup.simhashPairs(docs, "doc_id", "text",
+            maxHamming = 3, bits = 32, tokenHash = Dedup.md5TokenHash32),
+          Seq("idA", "idB"))
+        .select(col("idA"), col("idB"),
+          round(col("jaccard"), 6).as("jaccard"),
+          col("hamming").cast("int").as("hamming"))
     }),
     "d5_cosine_topk" -> ((s, dir) => () => {
       val emb = read(s, dir, "embeddings")
@@ -3179,25 +3207,12 @@ object SparkEntry {
         |       CAST(cum - (cum // 2000) * 2000 AS BIGINT) AS offset
         |FROM c""".stripMargin,
     "d2_minhash_pairs" -> ngramJaccardOracle(0.5),
-    "d3_simhash_pairs" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |         unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
-        |  FROM documents),
-        |th AS (
-        |  SELECT doc_id, ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h
-        |  FROM toks WHERE len(tok) > 0),
-        |votes AS (
-        |  SELECT doc_id, i, SUM(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v
-        |  FROM th, range(32) t(i) GROUP BY 1, 2),
-        |sh AS (
-        |  SELECT doc_id,
-        |         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM votes GROUP BY 1)
-        |SELECT a.doc_id AS idA, b.doc_id AS idB,
-        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    "d3_simhash_pairs" -> simhashPairsOracle,
+    "d30_ensemble_pairs" ->
+      s"""WITH jac AS ($ngram05Oracle),
+         |sim AS ($simhashPairsOracle)
+         |SELECT jac.idA, jac.idB, jac.jaccard, sim.hamming
+         |FROM jac JOIN sim ON jac.idA = sim.idA AND jac.idB = sim.idB""".stripMargin,
     "mm1_multimodal_features" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS asset_id,
         |       (['image','audio','video'])[CAST(n_nationkey % 3 AS INT) + 1] AS modality,
@@ -3515,6 +3530,29 @@ object SparkEntry {
       |         count(*) OVER (PARTITION BY w.gram) AS cnt
       |  FROM wins),
       |flagged AS (SELECT doc_id, pos FROM occ WHERE cnt > 1 AND rn > 1)""".stripMargin
+
+  /** d3's oracle, shared with the d30 ensemble intersection. */
+  private val simhashPairsOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id, ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h
+      |  FROM toks WHERE len(tok) > 0),
+      |votes AS (
+      |  SELECT doc_id, i, SUM(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th, range(32) t(i) GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY 1)
+      |SELECT a.doc_id AS idA, b.doc_id AS idB,
+      |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
+  private lazy val ngram05Oracle: String = ngramJaccardOracle(0.5)
 
   private def ngramJaccardOracle(threshold: Double, src: String = "documents"): String =
     s"""WITH toks AS (

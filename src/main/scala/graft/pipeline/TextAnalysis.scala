@@ -345,6 +345,57 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** Apply a learned merge table ([[learnBpeMerges]] output) to tokenize
+    * the corpus into subwords — the inference half of the tokenizer loop.
+    * Standard rank-priority application (the HuggingFace/sentencepiece
+    * rule): per word, repeatedly merge the LOWEST-RANKED applicable pair
+    * until none applies — NOT one sweep per merge in order, which is both
+    * slower for large tables and subtly different on re-created pairs.
+    *
+    * The merge table collects to the driver (it is merge-count-sized, tens
+    * of thousands of rows at most) and broadcasts into a per-partition
+    * map; tokenization is then a pure distributed map over the corpus —
+    * no shuffle. Output: (id, n_tokens, tokens as a space-joined string).
+    */
+  def bpeTokenize(df: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rankOf: Map[(String, String), Int] = merges
+      .select(col("rank").cast("int"), col("left"), col("right"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
+    val bc = spark.sparkContext.broadcast(rankOf)
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .map { r =>
+        val ranks = bc.value
+        val words = Option(r.getString(1)).getOrElse("")
+          .toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+          .split(" ").filter(_.nonEmpty)
+        val toks = words.flatMap { w =>
+          var s: Seq[String] = w.map(_.toString)
+          var done = false
+          while (!done && s.length > 1) {
+            // lowest-ranked applicable pair wins each round
+            var best = -1
+            var bestRank = Int.MaxValue
+            var j = 0
+            while (j < s.length - 1) {
+              ranks.get((s(j), s(j + 1))).foreach { rk =>
+                if (rk < bestRank) { bestRank = rk; best = j }
+              }
+              j += 1
+            }
+            if (best < 0) done = true
+            else s = applyBpeMerge(s, s(best), s(best + 1))
+          }
+          s
+        }
+        (r.getLong(0), toks.length, toks.mkString(" "))
+      }
+      .toDF(idCol, "n_tokens", "tokens")
+  }
+
   /** One BPE merge over a symbol sequence: left-to-right, non-overlapping. */
   private[pipeline] def applyBpeMerge(s: Seq[String], l: String, r: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]

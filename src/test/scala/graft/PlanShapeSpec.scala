@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+
+/** Physical-plan regression guards for the headline queries: predicate
+  * pushdown reaching the parquet scan, column pruning, broadcast of the
+  * small join side, whole-stage codegen, and shuffle-free map-only
+  * pipelines. These are the properties that hold the 100 TB story up — a
+  * refactor that silently drops one (a filter that stops pushing, a
+  * broadcast that becomes a shuffle join) should fail here, not in a
+  * bench regression three rounds later.
+  */
+class PlanShapeSpec extends AnyFunSpec with SparkSessionTestWrapper {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Executed-plan string AFTER running the query, cut to the AQE FINAL
+    * plan section (the initial-plan echo would double-count nodes).
+    */
+  private def planOf(name: String): String = {
+    val df = SparkEntry.staged(name)(spark, sfDir)()
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+  }
+
+  it("q1: ship-date filter pushes into the parquet scan; unused columns pruned") {
+    val p = planOf("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed ship-date filter in:\n$p")
+    // codegen'd operators print with the `*(n)` stage prefix
+    assert(p.contains("*(1)"), "aggregation left whole-stage codegen")
+    assert(!p.contains("l_comment"), "scan reads columns the query never uses")
+  }
+
+  it("q2: the customer dimension broadcasts — no shuffle join") {
+    val p = planOf("q2_top_customers")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dimension join fell back to sort-merge")
+  }
+
+  it("q3: both window functions share ONE user_id shuffle") {
+    val p = planOf("q3_user_running_totals")
+    // row_number and the running sum use the same (partitionBy, orderBy):
+    // Catalyst must plan a single Exchange hashpartitioning(user_id)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 user_id exchange, saw $exchanges in:\n$p")
+  }
+
+  it("map-only pipelines stay shuffle-free") {
+    for (q <- Seq("d19_weighted_mix", "t11_chunking")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q grew a shuffle:\n$p")
+    }
+  }
+
+  it("t10: the LM model sides broadcast to the eval scan") {
+    val p = planOf("t10_ngram_lm_score")
+    assert(p.contains("BroadcastHashJoin"), s"model join not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"), "model join fell back to sort-merge")
+  }
+}

@@ -2162,6 +2162,15 @@ object SparkEntry {
       Multimodal.imageNearDupPairs(assets, maxHamming = 3)
         .select(col("idA"), col("idB"), col("hamming"))
     }),
+    "mm7_image_dedup_survivors" -> ((s, dir) => () => {
+      // the SCALE composition: exact-hash collapse first (pairs never see
+      // duplicate mass), hamming clustering over DISTINCT hashes, one
+      // survivor per transitive cluster. The oracle replays hash + exact
+      // groups + reachability closure over representative pairs.
+      val ids = read(s, dir, "documents").select(col("doc_id"))
+      val assets = Multimodal.synthesizePatternPngAssets(s, ids, "doc_id")
+      Multimodal.imageDedup(assets, maxHamming = 3).select(col("asset_id"))
+    }),
     "mm6_audio_near_dup" -> ((s, dir) => () => {
       // perceptual audio dedup: REAL WAV/PCM decode → 65-window envelope
       // hash → the same exact banded hamming join as mm5. The 65-sample
@@ -3277,6 +3286,41 @@ object SparkEntry {
         |       CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
         |FROM h a JOIN h b ON a.id < b.id
         |WHERE bit_count(xor(a.dh, b.dh)) <= 3""".stripMargin,
+    "mm7_image_dedup_survivors" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id AS id FROM documents),
+        |g AS (
+        |  SELECT id, tx.x, ty.y,
+        |    CASE WHEN (((id // 8) * 7 + tx.x * 3 + ty.y * 5) % 11 < 5)
+        |           != (id % 8 = 7 AND tx.x = 4 AND ty.y = 3)
+        |         THEN 40 ELSE 200 END AS v
+        |  FROM ids, range(9) tx(x), range(8) ty(y)),
+        |h AS (
+        |  SELECT a.id,
+        |    CAST(SUM(CASE WHEN b.v > a.v THEN
+        |      CASE WHEN a.y * 8 + a.x = 63 THEN (-9223372036854775807 - 1)
+        |           ELSE CAST(1 AS BIGINT) << CAST(a.y * 8 + a.x AS INT) END
+        |      ELSE 0 END) AS BIGINT) AS dh
+        |  FROM g a JOIN g b ON a.id = b.id AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8
+        |  GROUP BY a.id),
+        |reps AS (SELECT dh, min(id) AS rid FROM h GROUP BY dh),
+        |rpairs AS (
+        |  SELECT a.rid AS pa, b.rid AS pb
+        |  FROM reps a JOIN reps b ON a.rid < b.rid
+        |  WHERE bit_count(xor(a.dh, b.dh)) <= 3),
+        |edges AS (
+        |  SELECT pa AS a, pb AS b FROM rpairs
+        |  UNION
+        |  SELECT pb AS a, pa AS b FROM rpairs),
+        |reach(id, l) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.id),
+        |cc AS (SELECT id, min(l) AS cluster FROM reach GROUP BY id)
+        |SELECT h.id AS asset_id
+        |FROM h JOIN reps ON h.dh = reps.dh
+        |LEFT JOIN cc ON cc.id = reps.rid
+        |WHERE h.id = reps.rid AND (cc.id IS NULL OR cc.cluster = reps.rid)""".stripMargin,
     "mm6_audio_near_dup" ->
       """WITH ids AS (SELECT doc_id AS id FROM documents),
         |g AS (

@@ -815,6 +815,42 @@ object Multimodal {
     graft.pipeline.Dedup.hammingPairs(audioDHashes(assets), "asset_id",
       "dhash", maxHamming, 64, maxBucketSize)
 
+  /** Perceptual image dedup keeping ONE asset per transitive near-dup
+    * cluster — the SCALE composition of [[imageNearDupPairs]]: identical
+    * hashes first collapse to their min-id representative in one O(n)
+    * aggregation (exact-duplicate mass NEVER reaches the pair join — an
+    * all-pairs join over n docs sharing one hash is O(n²), the measured
+    * failure mode at 10×), then the banded hamming join and transitive
+    * clustering run over DISTINCT hashes only, bounded by hash-space
+    * cardinality regardless of corpus size. Undecodable assets survive.
+    */
+  def imageDedup(assets: DataFrame, maxHamming: Int = 3,
+      maxBucketSize: Int = 1 << 20): DataFrame =
+    perceptualDedup(assets, imageDHashes(assets), maxHamming, maxBucketSize)
+
+  /** Audio analogue of [[imageDedup]]: same two-tier composition over the
+    * envelope hash.
+    */
+  def audioDedup(assets: DataFrame, maxHamming: Int = 3,
+      maxBucketSize: Int = 1 << 20): DataFrame =
+    perceptualDedup(assets, audioDHashes(assets), maxHamming, maxBucketSize)
+
+  private def perceptualDedup(assets: DataFrame, hashes: DataFrame,
+      maxHamming: Int, maxBucketSize: Int): DataFrame = {
+    val hashed = hashes.filter(col("dhash").isNotNull)
+    val reps = hashed.groupBy("dhash").agg(min(col("asset_id")).as("asset_id"))
+    val pairs = graft.pipeline.Dedup.hammingPairs(
+      reps, "asset_id", "dhash", maxHamming, 64, maxBucketSize)
+    val cc = graft.pipeline.Dedup.connectedComponents(pairs, "idA", "idB")
+    val losingReps = cc.filter(col("id") =!= col("cluster"))
+      .select(col("id").as("asset_id"))
+    val exactLosers = hashed
+      .join(reps.withColumnRenamed("asset_id", "__rep"), "dhash")
+      .filter(col("asset_id") =!= col("__rep"))
+      .select("asset_id")
+    assets.join(exactLosers.union(losingReps), Seq("asset_id"), "left_anti")
+  }
+
   /** 65-sample two-level pattern WAV whose [[audioDHash]] is an
     * id-determined KNOWN value: sample j is `1000` or `4000` by
     * `((id/8)·13 + j·7) mod 17 < 8`, with sample 30 INVERTED when

@@ -83,6 +83,26 @@ class ImageDHashSpec extends AnyFunSpec with SparkSessionTestWrapper {
       Multimodal.encodeWavPcm16(8000, Array.fill(10)(5.toShort))).isEmpty)
   }
 
+  it("two-tier dedup keeps exactly one asset per transitive hash cluster") {
+    val n = 64L
+    val ids = (0L until n).toDF("id")
+    val assets = Multimodal.synthesizePatternPngAssets(spark, ids, "id")
+    val got = Multimodal.imageDedup(assets, maxHamming = 3)
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    // brute-force expected: union-find over (exact-equal OR hamming<=3)
+    val hs = (0L until n).map(id => id -> expectedHash(id)).toMap
+    val parent = scala.collection.mutable.HashMap((0L until n).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (a <- 0L until n; b <- (a + 1) until n)
+      if (java.lang.Long.bitCount(hs(a) ^ hs(b)) <= 3) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    val expected = (0L until n).groupBy(find).map(_._2.min).toSet
+    assert(expected.size < n)
+    assert(got == expected)
+  }
+
   it("finds exactly the brute-force hamming pairs") {
     val ids = (0L until 48L).toDF("id")
     val assets = Multimodal.synthesizePatternPngAssets(spark, ids, "id")

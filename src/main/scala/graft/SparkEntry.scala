@@ -892,6 +892,40 @@ object SparkEntry {
       }
     }),
 
+    "c13_apply_changes" -> ((s, dir) => {
+      // APPLY CHANGES INTO (the DLT shape): a CDC feed of upserts + deletes
+      // with a sequencing column folds into a downstream table — latest
+      // sequence per key wins, delete beats upsert at an equal sequence,
+      // and the stored upd_seq guards batch B's stale replay rows.
+      import s.implicits._
+      val dirT = tmp("c13")
+      val n = read(s, dir, "nation")
+        .select(col("n_nationkey").cast("int").as("k"), col("n_name").as("name"))
+      GraftTable.create(s, dirT, n.withColumn("upd_seq", lit(0L)))
+      val chA = n.filter(col("k") < 10)
+          .select(col("k"), lower(col("name")).as("name"),
+            lit(2L).as("upd_seq"), lit("upsert").as("op"))
+        .unionByName(n.filter(col("k") < 10)
+          .select(col("k"), lit("STALE").as("name"), lit(1L).as("upd_seq"), lit("upsert").as("op")))
+        .unionByName(n.filter(col("k").between(20, 24))
+          .select(col("k"), col("name"), lit(1L).as("upd_seq"), lit("delete").as("op")))
+        .unionByName(n.filter(col("k") < 5)
+          .select((col("k") + 100).as("k"), concat(col("name"), lit("_NEW")).as("name"),
+            lit(1L).as("upd_seq"), lit("upsert").as("op")))
+        .unionByName(Seq((999, "GHOST", 1L, "delete"), (15, "TIE_UPSERT", 3L, "upsert"),
+          (15, "TIE_DEL", 3L, "delete")).toDF("k", "name", "upd_seq", "op"))
+      val chB = n.filter(col("k") < 10)
+          .select(col("k"), lit("MUST_NOT_APPLY").as("name"),
+            lit(1L).as("upd_seq"), lit("upsert").as("op"))
+        .unionByName(Seq((3, "B_WINS", 5L, "upsert")).toDF("k", "name", "upd_seq", "op"))
+      () => {
+      val t = GraftTable.forPath(s, dirT)
+      operators.ApplyChanges.applyChanges(t, chA, Seq("k"), "upd_seq", Some("op = 'delete'"))
+      operators.ApplyChanges.applyChanges(t, chB, Seq("k"), "upd_seq", Some("op = 'delete'"))
+      t.toDF.select(col("k"), col("name"), col("upd_seq"))
+      }
+    }),
+
     "c5_cdf_status" -> ((s, dir) => {
       import s.implicits._
       // deterministic enable/disable toggle sequence (mirrors the reference's
@@ -2503,6 +2537,41 @@ object SparkEntry {
       """SELECT k AS kind, CAST(v AS BIGINT) AS version
         |FROM (VALUES ('enabled', 0), ('enabled', 1), ('disabled', 2),
         |             ('disabled', 3), ('enabled', 4), ('enabled', 5)) AS t(k, v)""".stripMargin,
+    "c13_apply_changes" ->
+      """WITH n AS (SELECT CAST(n_nationkey AS INT) AS k, n_name AS name FROM nation),
+        |base AS (SELECT k, name, CAST(0 AS BIGINT) AS upd_seq FROM n),
+        |chA AS (
+        |  SELECT k, lower(name) AS name, CAST(2 AS BIGINT) AS upd_seq, FALSE AS del FROM n WHERE k < 10
+        |  UNION ALL SELECT k, 'STALE', 1, FALSE FROM n WHERE k < 10
+        |  UNION ALL SELECT k, name, 1, TRUE FROM n WHERE k BETWEEN 20 AND 24
+        |  UNION ALL SELECT k + 100, name || '_NEW', 1, FALSE FROM n WHERE k < 5
+        |  UNION ALL SELECT 999, 'GHOST', 1, TRUE
+        |  UNION ALL SELECT 15, 'TIE_UPSERT', 3, FALSE
+        |  UNION ALL SELECT 15, 'TIE_DEL', 3, TRUE),
+        |lA AS (SELECT k, name, upd_seq, del FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY upd_seq DESC, del DESC) AS rn
+        |  FROM chA) WHERE rn = 1),
+        |sA AS (
+        |  SELECT COALESCE(b.k, l.k) AS k,
+        |    CASE WHEN l.k IS NOT NULL AND NOT l.del AND (b.k IS NULL OR l.upd_seq >= b.upd_seq)
+        |         THEN l.name ELSE b.name END AS name,
+        |    CASE WHEN l.k IS NOT NULL AND NOT l.del AND (b.k IS NULL OR l.upd_seq >= b.upd_seq)
+        |         THEN l.upd_seq ELSE b.upd_seq END AS upd_seq
+        |  FROM base b FULL JOIN lA l ON b.k = l.k
+        |  WHERE NOT (l.k IS NOT NULL AND l.del AND (b.k IS NULL OR l.upd_seq >= b.upd_seq))),
+        |chB AS (
+        |  SELECT k, 'MUST_NOT_APPLY' AS name, CAST(1 AS BIGINT) AS upd_seq, FALSE AS del FROM n WHERE k < 10
+        |  UNION ALL SELECT 3, 'B_WINS', 5, FALSE),
+        |lB AS (SELECT k, name, upd_seq, del FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY upd_seq DESC, del DESC) AS rn
+        |  FROM chB) WHERE rn = 1)
+        |SELECT COALESCE(b.k, l.k) AS k,
+        |  CASE WHEN l.k IS NOT NULL AND NOT l.del AND (b.k IS NULL OR l.upd_seq >= b.upd_seq)
+        |       THEN l.name ELSE b.name END AS name,
+        |  CASE WHEN l.k IS NOT NULL AND NOT l.del AND (b.k IS NULL OR l.upd_seq >= b.upd_seq)
+        |       THEN l.upd_seq ELSE b.upd_seq END AS upd_seq
+        |FROM sA b FULL JOIN lB l ON b.k = l.k
+        |WHERE NOT (l.k IS NOT NULL AND l.del AND (b.k IS NULL OR l.upd_seq >= b.upd_seq))""".stripMargin,
     "s1_latest_version" ->
       "SELECT CAST(2 AS BIGINT) AS latest_version",
     "s13_restore" ->

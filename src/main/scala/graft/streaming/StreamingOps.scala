@@ -200,6 +200,41 @@ object StreamingOps {
       .parquet(s"$tablePath/${GraftLog.CdcDirName}")
   }
 
+  /** Streaming APPLY CHANGES: pipe a change-row stream (CDC upserts +
+    * deletes with a sequencing column) into a downstream table, one
+    * [[graft.operators.ApplyChanges]] merge commit per micro-batch.
+    *
+    * Cross-batch ordering: when the target stores `sequenceCol`, the
+    * per-row `source.seq >= target.seq` guard makes late batches harmless
+    * and batch REPLAYS (foreachBatch re-runs the last batch after a
+    * restart) value-idempotent — a replay rewrites identical values, so
+    * the table state is the same fold regardless of retry count. Pair
+    * with [[readChangeStream]] on an upstream table for table-to-table
+    * CDC propagation.
+    *
+    * Returns a started [[org.apache.spark.sql.streaming.StreamingQuery]].
+    */
+  def applyChangesStream(
+      changes: DataFrame,
+      tablePath: String,
+      keyCols: Seq[String],
+      sequenceCol: String,
+      deleteWhen: Option[String] = None,
+      queryName: Option[String] = None,
+      checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    var w = changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.ApplyChanges.applyChanges(
+            GraftTable.forPath(batch.sparkSession, tablePath),
+            batch, keyCols, sequenceCol, deleteWhen)
+        ()
+      }
+    queryName.foreach(n => w = w.queryName(n))
+    checkpointLocation.foreach(p => w = w.option("checkpointLocation", p))
+    w.start()
+  }
+
   /** Watermarked stream-stream INNER join on `keyCol` with an event-time
     * interval constraint: a right row joins a left row when
     * `right.ts ∈ [left.ts + lowerSeconds, left.ts + upperSeconds]`

@@ -1527,6 +1527,24 @@ object SparkEntry {
       Dedup.dedupSubstrings(read(s, dir, "documents"), "doc_id", "text", k = 12)
     }),
 
+    "d31_line_dedup" -> ((s, dir) => () => {
+      // C4-style line-level boilerplate removal. The corpus docs are
+      // single-line, so the fixture composes multi-line "pages" (5 docs
+      // per page, doc order) and injects boilerplate: a header on every
+      // page and a whitespace-variant footer on alternating pages — both
+      // clear the minDocs=3 document frequency and vanish from every page;
+      // content lines survive unless the corpus repeats them on >= 3 pages
+      val pages = read(s, dir, "documents")
+        .groupBy((col("doc_id") / 5).cast("long").as("page"))
+        .agg(array_join(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+          .getField("text"), "\n").as("body"))
+        .select(col("page"),
+          concat(lit("SHARE THIS ARTICLE\n"), col("body"),
+            when(col("page") % 2 === 0, lit("\n  COPYRIGHT 2024 EXAMPLE CORP  "))
+              .otherwise(lit("\nCOPYRIGHT 2024 EXAMPLE CORP"))).as("text"))
+      Dedup.lineDedup(pages, idCol = "page", minDocs = 3)
+    }),
+
     "d26_bm25_topk" -> ((s, dir) => () => {
       // BM25-lite retrieval (log-free idf — every arithmetic step is an
       // IEEE-exact op, so the DuckDB oracle reproduces the score
@@ -2674,6 +2692,29 @@ object SparkEntry {
          |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
          |       CAST(max(pos) + 11 AS BIGINT) AS span_end
          |FROM isl GROUP BY doc_id, g""".stripMargin,
+    "d31_line_dedup" ->
+      """WITH p0 AS (
+        |  SELECT CAST(doc_id // 5 AS BIGINT) AS page,
+        |         string_agg(text, chr(10) ORDER BY doc_id) AS body
+        |  FROM documents GROUP BY 1),
+        |pages AS (
+        |  SELECT page, 'SHARE THIS ARTICLE' || chr(10) || body ||
+        |    CASE WHEN page % 2 = 0 THEN chr(10) || '  COPYRIGHT 2024 EXAMPLE CORP  '
+        |         ELSE chr(10) || 'COPYRIGHT 2024 EXAMPLE CORP' END AS text
+        |  FROM p0),
+        |sp AS (SELECT page, string_split(text, chr(10)) AS ls FROM pages),
+        |ln AS (SELECT page, i.i AS pos, ls[i.i] AS raw,
+        |              regexp_replace(ls[i.i], '^\s+|\s+$', '', 'g') AS key
+        |       FROM sp, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) i),
+        |banned AS (SELECT key FROM ln WHERE key <> ''
+        |           GROUP BY key HAVING count(DISTINCT page) >= 3),
+        |j AS (SELECT l.page, l.pos, l.raw, (b.key IS NOT NULL) AS del
+        |      FROM ln l LEFT JOIN banned b ON l.key = b.key)
+        |SELECT page,
+        |  coalesce(string_agg(raw, chr(10) ORDER BY pos) FILTER (WHERE NOT del), '') AS text,
+        |  CAST(count(*) FILTER (WHERE NOT del) AS INT) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE del) AS INT) AS n_removed
+        |FROM j GROUP BY page""".stripMargin,
     "d29_substring_dedup" ->
       s"""$substringFlaggedCtes,
          |covered AS (

@@ -1028,4 +1028,54 @@ object Dedup {
       .select(col("__id").as(idCol),
         coalesce(col("text_deduped"), lit("")).as("text_deduped"))
   }
+
+  /** Line-level corpus dedup (C4's boilerplate removal): a line whose
+    * TRIMMED content occurs in at least `minDocs` distinct documents is
+    * removed from every document; everything else keeps its position.
+    * Blank-after-trim lines are never banned (they're structure, not
+    * boilerplate, and would otherwise dominate the banned set). Output:
+    * `(idCol, textCol rebuilt, n_kept, n_removed)` — one row per input doc,
+    * docs that lose every line come back with empty text.
+    *
+    * Scale design — line TEXT never shuffles:
+    *  1. explode to `(doc, pos, xxhash64(trim(line)))` — 16 bytes/line on
+    *     the wire, not the line;
+    *  2. document frequency per hash: distinct (doc, hash) pre-combine,
+    *     then one count shuffle (Catalyst's countDistinct expansion);
+    *  3. banned POSITIONS regroup per doc (only affected docs, only Int
+    *     positions);
+    *  4. one join of the original docs against that per-doc position list,
+    *     and the rebuild is a per-row indexed array filter — local work.
+    * The 64-bit hash key is the same exactness trade the MinHash/shingle
+    * paths make: a cross-doc collision could ban a line early, at ~2⁻⁶⁴
+    * per pair.
+    */
+  def lineDedup(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__raw")))
+      .select(col(idCol), col("__pos"),
+        // full whitespace strip (Spark's trim removes only ' ')
+        regexp_replace(col("__raw"), "^\\s+|\\s+$", "").as("__key"))
+    val banned = lines.filter(col("__key") =!= "")
+      .select(col(idCol), xxhash64(col("__key")).as("__h"))
+      .groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__h"))
+    val bannedPos = lines
+      .select(col(idCol), col("__pos"), xxhash64(col("__key")).as("__h"))
+      .join(banned, "__h")
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__pos")).as("__bp"))
+    df.join(bannedPos, Seq(idCol), "left_outer")
+      .withColumn("__ls", split(col(textCol), "\n"))
+      .withColumn("__bps", coalesce(col("__bp"), array().cast("array<int>")))
+      .select(col(idCol),
+        array_join(filter(col("__ls"),
+          (_, i) => !array_contains(col("__bps"), i)), "\n").as(textCol),
+        (size(col("__ls")) - size(col("__bps"))).cast("int").as("n_kept"),
+        size(col("__bps")).cast("int").as("n_removed"))
+  }
 }

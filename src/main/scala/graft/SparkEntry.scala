@@ -1527,6 +1527,30 @@ object SparkEntry {
       Dedup.dedupSubstrings(read(s, dir, "documents"), "doc_id", "text", k = 12)
     }),
 
+    "t14_url_signals" -> ((s, dir) => () => {
+      // URL provenance signals. The corpus carries no URL column, so the
+      // fixture synthesizes one deterministic URL per doc (five shapes:
+      // www host + deep path, two-level-suffix host + query, raw IPv4
+      // host, bare apex with no path, non-http scheme); the oracle
+      // replays the same RE2-safe regex extraction in SQL.
+      val u = read(s, dir, "documents")
+        .select(col("doc_id"), lower(col("source")).as("src"))
+        .withColumn("url",
+          when(col("doc_id") % 5 === 0,
+            concat(lit("https://www."), col("src"), lit(".com/articles/"),
+              col("doc_id").cast("string"), lit("/view")))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit("http://blog."), col("src"), lit(".co.uk/post?id="),
+              col("doc_id").cast("string")))
+          .when(col("doc_id") % 5 === 2,
+            concat(lit("https://10.0."), (col("doc_id") % 200).cast("string"), lit(".1/x")))
+          .when(col("doc_id") % 5 === 3,
+            concat(lit("https://"), col("src"), lit(".org")))
+          .otherwise(concat(lit("ftp://files."), col("src"), lit(".net/pub/data.bin"))))
+        .select(col("doc_id"), col("url"))
+      TextAnalysis.urlSignals(u, "doc_id", "url")
+    }),
+
     "d31_line_dedup" -> ((s, dir) => () => {
       // C4-style line-level boilerplate removal. The corpus docs are
       // single-line, so the fixture composes multi-line "pages" (5 docs
@@ -2692,6 +2716,41 @@ object SparkEntry {
          |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
          |       CAST(max(pos) + 11 AS BIGINT) AS span_end
          |FROM isl GROUP BY doc_id, g""".stripMargin,
+    "t14_url_signals" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'https://www.' || lower(source) || '.com/articles/' || CAST(doc_id AS VARCHAR) || '/view'
+        |      WHEN 1 THEN 'http://blog.' || lower(source) || '.co.uk/post?id=' || CAST(doc_id AS VARCHAR)
+        |      WHEN 2 THEN 'https://10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.1/x'
+        |      WHEN 3 THEN 'https://' || lower(source) || '.org'
+        |      ELSE 'ftp://files.' || lower(source) || '.net/pub/data.bin'
+        |    END AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, url,
+        |    lower(CASE WHEN regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1) <> ''
+        |               THEN regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)
+        |               ELSE regexp_extract(url, '^(?:[^/@?#]*@)?([^/:?#]+)', 1) END) AS host,
+        |    regexp_matches(lower(CASE WHEN regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1) <> ''
+        |               THEN regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)
+        |               ELSE regexp_extract(url, '^(?:[^/@?#]*@)?([^/:?#]+)', 1) END),
+        |      '^[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}$') AS is_ip
+        |  FROM u)
+        |SELECT doc_id, url, host,
+        |  CASE WHEN is_ip THEN host
+        |       WHEN regexp_extract(host, '([^.]+\.(?:co|com|org|net|ac|gov|edu)\.(?:uk|au|jp|in|nz|za|br))$', 1) <> ''
+        |         THEN regexp_extract(host, '([^.]+\.(?:co|com|org|net|ac|gov|edu)\.(?:uk|au|jp|in|nz|za|br))$', 1)
+        |       WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+        |         THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |       ELSE host END AS domain,
+        |  CASE WHEN is_ip THEN '' ELSE regexp_extract(host, '([^.]+)$', 1) END AS tld,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1),
+        |    '/[^/]')) AS INT) AS path_depth,
+        |  strpos(url, '?') > 0 AS has_query,
+        |  is_ip AS is_ip_host
+        |FROM h""".stripMargin,
     "d31_line_dedup" ->
       """WITH p0 AS (
         |  SELECT CAST(doc_id // 5 AS BIGINT) AS page,

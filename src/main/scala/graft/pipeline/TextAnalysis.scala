@@ -66,6 +66,65 @@ object TextAnalysis {
     round((lengthScore * 0.3d + wordLenScore * 0.2d + stopScore * 0.5d) * punctPenalty, 4)
   }
 
+  // ---- URL curation signals (web-corpus provenance filtering) ----------
+  // All pure column expressions over RE2-safe regexes (no lookaround, no
+  // backrefs) so the same patterns run under Spark's java.util.regex and
+  // any RE2 engine: zero shuffles, codegen'd, 100 TB = a map.
+
+  /** Common two-level public suffixes the registered-domain heuristic
+    * recognizes (a pragmatic subset of the public-suffix list — the full
+    * list is a data file, not a regex).
+    */
+  private val TwoLevelSuffix = "(?:co|com|org|net|ac|gov|edu)\\.(?:uk|au|jp|in|nz|za|br)"
+
+  /** Lowercased host: scheme and userinfo stripped, port excluded.
+    * Scheme-less strings fall back to their first authority-ish token.
+    */
+  def urlHost(urlCol: Column): Column = {
+    val withScheme = regexp_extract(urlCol, "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1)
+    val bare = regexp_extract(urlCol, "^(?:[^/@?#]*@)?([^/:?#]+)", 1)
+    lower(when(withScheme =!= "", withScheme).otherwise(bare))
+  }
+
+  /** Registered domain: last two host labels, or last three under a known
+    * two-level suffix (`bbc.co.uk`, not `co.uk`). IP hosts return the IP.
+    */
+  def urlRegisteredDomain(hostCol: Column): Column = {
+    val threeLabel = regexp_extract(hostCol, "([^.]+\\." + TwoLevelSuffix + ")$", 1)
+    val twoLabel = regexp_extract(hostCol, "([^.]+\\.[^.]+)$", 1)
+    when(urlIsIpHost(hostCol), hostCol)
+      .when(threeLabel =!= "", threeLabel)
+      .when(twoLabel =!= "", twoLabel)
+      .otherwise(hostCol)
+  }
+
+  def urlIsIpHost(hostCol: Column): Column =
+    hostCol.rlike("^[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}$")
+
+  /** Count of non-empty path segments (`/a/b/` → 2; no path → 0). */
+  def urlPathDepth(urlCol: Column): Column = {
+    val path = regexp_extract(urlCol, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    regexp_count(path, lit("/[^/]")).cast("int")
+  }
+
+  def urlHasQuery(urlCol: Column): Column =
+    instr(urlCol, "?") > 0
+
+  /** Per-doc URL provenance frame: host, registered domain, tld, path
+    * depth, query flag, IP-host flag — the join keys for domain-level
+    * blocklists, per-domain caps and provenance mixing.
+    */
+  def urlSignals(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val host = urlHost(col(urlCol))
+    df.select(col(idCol), col(urlCol),
+      host.as("host"),
+      urlRegisteredDomain(host).as("domain"),
+      when(urlIsIpHost(host), lit("")).otherwise(substring_index(host, ".", -1)).as("tld"),
+      urlPathDepth(col(urlCol)).as("path_depth"),
+      urlHasQuery(col(urlCol)).as("has_query"),
+      urlIsIpHost(host).as("is_ip_host"))
+  }
+
   /** One-stop enrichment: adds lang/quality/token/fingerprint columns. */
   def enrich(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -428,6 +428,32 @@ object GraftTable {
         k.stripPrefix(DefaultPropertyPrefix) -> v
     }.toSeq.sortBy(_._1)
 
+  /** Property prefix for IDENTITY columns: `graft.identity.<col>` =
+    * `"<start>,<step>"` (Delta's `GENERATED BY DEFAULT AS IDENTITY` in
+    * property form). A write whose frame LACKS the column gets dense
+    * generated values continuing from the table's high-water mark
+    * (`graft.identity.<col>.high`, maintained transactionally by the
+    * writer); a provided column passes through untouched (BY DEFAULT
+    * semantics — merge rewrites carry existing ids through unchanged).
+    */
+  val IdentityPropertyPrefix = "graft.identity."
+
+  /** Where the last assigned value of an identity column is recorded. */
+  def identityHighKey(col: String): String = s"$IdentityPropertyPrefix$col.high"
+
+  /** The identity columns in a property map: name → (start, step). */
+  def identityColumnsOf(properties: Map[String, String]): Map[String, (Long, Long)] =
+    properties.collect {
+      case (k, v) if k.startsWith(IdentityPropertyPrefix) && !k.endsWith(".high") =>
+        val name = k.stripPrefix(IdentityPropertyPrefix)
+        val parts = v.split(",").map(_.trim)
+        require(parts.length == 2 && parts.forall(p => scala.util.Try(p.toLong).isSuccess),
+          s"identity property $k must be '<start>,<step>', got '$v'")
+        val step = parts(1).toLong
+        require(step != 0, s"identity step of $k must be nonzero")
+        name -> (parts(0).toLong, step)
+    }
+
   /** Session conf prefix for default table properties inherited by NEW
     * tables — analogue of Delta's
     * `spark.databricks.delta.properties.defaults.*` (the reference sets

@@ -112,6 +112,20 @@ object TableWriter {
         else d.withColumn(name, expr(genExpr))
       }
 
+    // IDENTITY columns (`graft.identity.<col>` = "start,step", Delta's
+    // GENERATED BY DEFAULT AS IDENTITY): a frame LACKING the column gets
+    // dense values continuing from the table's high-water mark; the new
+    // mark commits in the SAME metadata action, and a concurrent writer
+    // advancing the same mark aborts the commit (identityRace below) so two
+    // writers can never hand out overlapping ranges. Assignment runs the
+    // input one extra time (per-partition counts), so feed a deterministic
+    // frame — the post-write stats verification fails the commit if the
+    // two passes disagree.
+    val identDefs =
+      if (skipDataWrite) Map.empty[String, (Long, Long)]
+      else GraftTable.identityColumnsOf(writeProps)
+    val (dfI, idProps, idAssigned) = assignIdentityColumns(dfG, identDefs, writeProps)
+
     // Schema: overwrite replaces; append merges by name (mergeSchema semantics,
     // reference DeltaHelpers.scala:375-378 — old files read as null for new
     // cols). A metadata OVERRIDE (RESTORE) supplies the committed schema
@@ -121,14 +135,14 @@ object TableWriter {
       org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
         .asInstanceOf[StructType])
       .getOrElse((mode, prevSnapshot) match {
-        case (Append, Some(s)) => mergeWithMapping(s, dfG.schema)
-        case _                 => dfG.schema
+        case (Append, Some(s)) => mergeWithMapping(s, dfI.schema)
+        case _                 => dfI.schema
       })
 
     // new tables inherit session-level default properties (e.g. CDF-on,
     // reference ChangeDataFeedHelperSpec.scala:20)
     val newProps = prevSnapshot.map(_.metadata.properties)
-      .getOrElse(GraftTable.sessionDefaultProperties(spark)) ++ properties
+      .getOrElse(GraftTable.sessionDefaultProperties(spark)) ++ properties ++ idProps
 
     // CHECK constraints ride INSIDE the write projection (assert_true in a
     // filter — codegen'd per-row, no extra pass, and column pruning cannot
@@ -143,7 +157,7 @@ object TableWriter {
     val constraints =
       if (skipDataWrite) Map.empty[String, String]
       else GraftTable.constraintsOf(effectiveProps)
-    val checkedDf = constraints.foldLeft(dfG) { case (d, (name, pred)) =>
+    val checkedDf = constraints.foldLeft(dfI) { case (d, (name, pred)) =>
       import org.apache.spark.sql.functions.{assert_true, coalesce, expr, lit}
       val parsedRefs = spark.sessionState.sqlParser.parseExpression(pred).collect {
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.nameParts
@@ -244,6 +258,28 @@ object TableWriter {
       val indexedAdds = BloomIndex.attach(spark, tablePath, adds, newSchema, partCols, newProps)
       val numOutputRows = indexedAdds.flatMap(a => GraftLog.parseStats(a.stats)).map(_.numRecords).sum
 
+      // identity verification: the count pass and the write pass must have
+      // seen the same rows — the written files' own footer stats prove it
+      // (extremum of the assigned column == the reserved range's last
+      // value, row count == the counted n). A nondeterministic input frame
+      // fails HERE, before the commit, instead of corrupting uniqueness.
+      idAssigned.foreach { case (c, (last, step, n)) =>
+        val phys = newSchema.fields.find(_.name.equalsIgnoreCase(c))
+          .map(ColumnMapping.physicalName).getOrElse(c)
+        val written = indexedAdds
+          .flatMap(a => GraftLog.parseStats(a.stats))
+          .flatMap(s => (if (step > 0) s.maxValues else s.minValues).get(phys))
+          .flatMap(v => scala.util.Try(v.toLong).toOption)
+        val ok = numOutputRows == n && written.nonEmpty &&
+          (if (step > 0) written.max else written.min) == last
+        if (!ok)
+          throw new IllegalStateException(
+            s"identity assignment of column $c diverged between the count pass " +
+              s"(n=$n, expected last value $last) and the write pass " +
+              s"(rows=$numOutputRows, written extremum ${if (written.isEmpty) "none" else (if (step > 0) written.max else written.min).toString}); " +
+              "the input frame is nondeterministic — checkpoint it before writing")
+      }
+
       // 4. CDC files (when provided and CDF enabled)
       val version = prevSnapshot.map(_.version + 1).getOrElse(0L)
       val cdfOn = effectiveProps.get(GraftLog.CdfProperty).exists(_.equalsIgnoreCase("true"))
@@ -318,12 +354,12 @@ object TableWriter {
           org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
             .asInstanceOf[StructType])
           .getOrElse((mode, attemptSnap) match {
-            case (Append, Some(s)) => mergeWithMapping(s, dfG.schema)
+            case (Append, Some(s)) => mergeWithMapping(s, dfI.schema)
             case _                 => newSchema
           })
         val propsNow = metadataOverride.map(_.properties).getOrElse(
           attemptSnap.map(_.metadata.properties)
-            .getOrElse(GraftTable.sessionDefaultProperties(spark)) ++ properties)
+            .getOrElse(GraftTable.sessionDefaultProperties(spark)) ++ properties ++ idProps)
         val removes: Seq[Action] = (mode match {
           case Overwrite => attemptSnap.map(_.files.map(f => RemoveFile(f.path))).getOrElse(Nil)
           case Append    => Nil
@@ -370,7 +406,22 @@ object TableWriter {
                   case _ => false
                 }
               }
-            val retryable = !txnRace && !constraintRace && (commutable ||
+            // a winner that advanced an identity high-water mark this commit
+            // also advances handed out the SAME id range — the staged files
+            // carry colliding values, so no retry can save them; the caller
+            // must re-run (and re-assign) the whole write
+            val identityRace = idProps.nonEmpty &&
+              (v to log.latestVersion()).exists { w =>
+                (try log.actionsAt(w) catch { case _: Exception => Nil }).exists {
+                  case m: Metadata =>
+                    m.properties.exists { case (k, vv) =>
+                      k.startsWith(GraftTable.IdentityPropertyPrefix) &&
+                        k.endsWith(".high") && !writeProps.get(k).contains(vv)
+                    }
+                  case _ => false
+                }
+              }
+            val retryable = !txnRace && !constraintRace && !identityRace && (commutable ||
               disjointFromWinners(log, v,
                 removes.collect { case r: RemoveFile => r.path }.toSet ++ readFiles,
                 Metadata(schemaNow.json, partColsNow, propsNow), ourTxnApps,
@@ -418,6 +469,48 @@ object TableWriter {
     * partition's churn never forces a rewrite of cold ones, and exempt for
     * OPTIMIZE commits (no self-recursion).
     */
+  /** Dense identity-value assignment for columns the frame lacks.
+    *
+    * Two passes over the SAME plan: (1) per-partition row counts — one job,
+    * O(partitions) driver rows — become exclusive prefix offsets; (2) the
+    * write itself computes `high + step * (offset(pid) + rowIdxInPartition
+    * + 1)` as pure column arithmetic (`spark_partition_id` + the low 33
+    * bits of `monotonically_increasing_id`; the offset array constant-folds
+    * into a literal). No global sort, no driver funnel, fully codegen'd —
+    * at any scale the only coordination is the O(partitions) count collect.
+    * Returns the frame with ids attached, the advanced high-water
+    * properties, and per-column (last, step, n) for post-write
+    * verification.
+    */
+  private def assignIdentityColumns(
+      df: DataFrame,
+      defs: Map[String, (Long, Long)],
+      props: Map[String, String]): (DataFrame, Map[String, String], Map[String, (Long, Long, Long)]) = {
+    import org.apache.spark.sql.functions._
+    val missing = defs.filter { case (c, _) => !df.columns.exists(_.equalsIgnoreCase(c)) }
+    if (missing.isEmpty) return (df, Map.empty, Map.empty)
+    val counts = df.groupBy(spark_partition_id().as("__pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    if (n == 0) return (df, Map.empty, Map.empty)
+    val offsets = new Array[Long](counts.map(_._1).max + 1)
+    var acc = 0L
+    counts.foreach { case (p, c) => offsets(p) = acc; acc += c }
+    val offArr = array(offsets.toIndexedSeq.map(lit(_)): _*)
+    val rank = element_at(offArr, spark_partition_id() + 1) +
+      monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) + lit(1L)
+    var out = df
+    var idProps = Map.empty[String, String]
+    var assigned = Map.empty[String, (Long, Long, Long)]
+    missing.foreach { case (c, (start, step)) =>
+      val base = props.get(GraftTable.identityHighKey(c)).map(_.toLong).getOrElse(start - step)
+      out = out.withColumn(c, (lit(base) + lit(step) * rank).cast("long"))
+      idProps += GraftTable.identityHighKey(c) -> (base + step * n).toString
+      assigned += c -> ((base + step * n, step, n))
+    }
+    (out, idProps, assigned)
+  }
+
   private def autoCompact(
       spark: SparkSession,
       tablePath: String,

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+import org.apache.spark.sql.functions._
+
+import graft.tables._
+
+class IdentityColumnSpec extends AnyFunSpec with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private def idProp(start: Long, step: Long) =
+    Map(GraftTable.IdentityPropertyPrefix + "id" -> s"$start,$step")
+
+  describe("identity columns") {
+    it("assigns dense ids from start and continues across commits; high-water advances") {
+      val t = GraftTable.create(spark, tmpTableDir("ident-basic"),
+        Seq("a", "b", "c").toDF("name"), properties = idProp(1, 1))
+      val ids0 = t.toDF.select("id").as[Long].collect().sorted
+      assert(ids0.toSeq == Seq(1L, 2L, 3L))
+      t.append(Seq("d", "e").toDF("name"))
+      val t2 = GraftTable.forPath(spark, t.path)
+      assert(t2.toDF.select("id").as[Long].collect().sorted.toSeq == (1L to 5L))
+      assert(t2.snapshot.metadata.properties(GraftTable.identityHighKey("id")) == "5")
+    }
+
+    it("respects custom start/step and negative steps") {
+      val t = GraftTable.create(spark, tmpTableDir("ident-step"),
+        Seq("a", "b", "c").toDF("name"), properties = idProp(1000, 10))
+      assert(t.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(1000L, 1010L, 1020L))
+      val tn = GraftTable.create(spark, tmpTableDir("ident-neg"),
+        Seq("a", "b").toDF("name"), properties = idProp(-1, -1))
+      assert(tn.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(-2L, -1L))
+      assert(tn.snapshot.metadata.properties(GraftTable.identityHighKey("id")) == "-2")
+    }
+
+    it("stays dense and unique across a multi-partition frame") {
+      val df = (1 to 1000).map(i => s"row$i").toDF("name").repartition(7)
+      val t = GraftTable.create(spark, tmpTableDir("ident-part"), df, properties = idProp(1, 1))
+      val ids = t.toDF.select("id").as[Long].collect().sorted
+      assert(ids.toSeq == (1L to 1000L))
+      t.append((1 to 500).map(i => s"more$i").toDF("name").repartition(3))
+      val all = GraftTable.forPath(spark, t.path).toDF.select("id").as[Long].collect().sorted
+      assert(all.toSeq == (1L to 1500L))
+    }
+
+    it("a provided column passes through untouched (BY DEFAULT semantics)") {
+      val t = GraftTable.create(spark, tmpTableDir("ident-provided"),
+        Seq((100L, "a"), (200L, "b")).toDF("id", "name"), properties = idProp(1, 1))
+      assert(t.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(100L, 200L))
+      // high-water never moved, so a later generated append starts at 1
+      t.append(Seq("c").toDF("name"))
+      val ids = GraftTable.forPath(spark, t.path).toDF.select("id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 100L, 200L))
+    }
+
+    it("an empty append does not advance the high-water mark") {
+      val t = GraftTable.create(spark, tmpTableDir("ident-empty"),
+        Seq("a").toDF("name"), properties = idProp(1, 1))
+      t.append(Seq.empty[String].toDF("name"))
+      val t2 = GraftTable.forPath(spark, t.path)
+      assert(t2.snapshot.metadata.properties(GraftTable.identityHighKey("id")) == "1")
+      t2.append(Seq("b").toDF("name"))
+      assert(GraftTable.forPath(spark, t.path).toDF.select("id").as[Long].collect().sorted.toSeq
+        == Seq(1L, 2L))
+    }
+
+    it("rejects malformed identity property values") {
+      intercept[IllegalArgumentException] {
+        GraftTable.identityColumnsOf(Map("graft.identity.id" -> "nope"))
+      }
+      intercept[IllegalArgumentException] {
+        GraftTable.identityColumnsOf(Map("graft.identity.id" -> "1,0"))
+      }
+    }
+
+    it("identity composes with partitioned tables") {
+      val df = Seq(("x", 1), ("y", 2), ("x", 3), ("y", 4)).toDF("grp", "v")
+      val t = GraftTable.create(spark, tmpTableDir("ident-tablepart"), df,
+        partitionColumns = Seq("grp"), properties = idProp(1, 1))
+      val ids = t.toDF.select("id").as[Long].collect().sorted
+      assert(ids.toSeq == (1L to 4L))
+    }
+  }
+}

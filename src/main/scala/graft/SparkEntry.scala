@@ -892,6 +892,30 @@ object SparkEntry {
       }
     }),
 
+    "q21_cdc_propagate" -> ((s, dir) => {
+      // table-to-table CDC propagation: the graft stream source's change
+      // feed (initial snapshot as inserts, then update/delete/append
+      // commits) folds into a downstream table via streaming APPLY
+      // CHANGES; the downstream converges to the upstream's live state.
+      import s.implicits._
+      val srcD = tmp("q21s")
+      val dstD = tmp("q21d")
+      val t = GraftTable.create(s, srcD, read(s, dir, "region"),
+        properties = Map(GraftLog.CdfProperty -> "true"))
+      TableOps.update(t, Some("r_regionkey = 0"), Map("r_name" -> "'EUROPA'"))
+      TableOps.delete(t, Some("r_regionkey = 4"))
+      t.append(Seq((99, "ATLANTIS")).toDF("r_regionkey", "r_name")
+        .select(col("r_regionkey").cast("int"), col("r_name")))
+      GraftTable.createEmpty(s, dstD, t.snapshot.schema)
+      () => {
+      val q = graft.streaming.StreamingOps.propagateChanges(s, srcD, dstD,
+        Seq("r_regionkey"),
+        queryName = Some("q21_" + java.util.UUID.randomUUID().toString.replace("-", "")))
+      try q.processAllAvailable() finally q.stop()
+      GraftTable.forPath(s, dstD).toDF.select(col("r_regionkey"), col("r_name"))
+      }
+    }),
+
     "c13_apply_changes" -> ((s, dir) => {
       // APPLY CHANGES INTO (the DLT shape): a CDC feed of upserts + deletes
       // with a sequencing column folds into a downstream table — latest
@@ -1817,6 +1841,24 @@ object SparkEntry {
       }
     }),
 
+    "s36_identity" -> ((s, dir) => {
+      // IDENTITY column (GENERATED BY DEFAULT AS IDENTITY in property
+      // form): two appends lacking the column get dense generated ids
+      // continuing across commits from the transactional high-water mark.
+      // Single-partition sorted inputs pin the row→id mapping so the
+      // oracle can replay it as a row_number over the key order.
+      val dirT = tmp("s36")
+      val n = read(s, dir, "nation")
+        .select(col("n_nationkey").cast("int").as("k"), col("n_name").as("name"))
+      () => {
+      val t = GraftTable.create(s, dirT,
+        n.filter(col("k") < 10).repartition(1).sortWithinPartitions("k"),
+        properties = Map("graft.identity.id" -> "1000,2"))
+      t.append(n.filter(col("k") >= 10).repartition(1).sortWithinPartitions("k"))
+      GraftTable.forPath(s, dirT).toDF.select(col("id"), col("k"), col("name"))
+      }
+    }),
+
     "s33_column_defaults" -> ((s, dir) => {
       // graft.default.<col>: appends lacking the column fill the declared
       // default instead of the schema-merge null; provided values win
@@ -2579,6 +2621,11 @@ object SparkEntry {
       """SELECT k AS kind, CAST(v AS BIGINT) AS version
         |FROM (VALUES ('enabled', 0), ('enabled', 1), ('disabled', 2),
         |             ('disabled', 3), ('enabled', 4), ('enabled', 5)) AS t(k, v)""".stripMargin,
+    "q21_cdc_propagate" ->
+      """SELECT r_regionkey,
+        |       CASE WHEN r_regionkey = 0 THEN 'EUROPA' ELSE r_name END AS r_name
+        |FROM region WHERE r_regionkey <> 4
+        |UNION ALL SELECT CAST(99 AS INT), 'ATLANTIS'""".stripMargin,
     "c13_apply_changes" ->
       """WITH n AS (SELECT CAST(n_nationkey AS INT) AS k, n_name AS name FROM nation),
         |base AS (SELECT k, name, CAST(0 AS BIGINT) AS upd_seq FROM n),
@@ -2677,6 +2724,10 @@ object SparkEntry {
     "s31_symlink_manifest" ->
       """SELECT CAST(count(*) AS BIGINT) AS rows_via_manifest,
         |       true AS matches_live, true AS nonempty FROM nation""".stripMargin,
+    "s36_identity" ->
+      """SELECT CAST(998 + 2 * row_number() OVER (ORDER BY n_nationkey) AS BIGINT) AS id,
+        |       CAST(n_nationkey AS INT) AS k, n_name AS name
+        |FROM nation""".stripMargin,
     "s33_column_defaults" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name, 'live' AS status
         |FROM nation

@@ -235,6 +235,28 @@ object StreamingOps {
     w.start()
   }
 
+  /** Table-to-table CDC propagation: stream the graft source table's
+    * change feed (initial snapshot as inserts, then per-commit upserts +
+    * deletes — the `format("graft")` stream source's contract) into a
+    * downstream table, keyed by `keyCols` and sequenced by
+    * `_commit_version`. Update PREIMAGE rows are old values, not changes —
+    * they're filtered before the apply. The downstream table converges to
+    * the upstream's live state; with a checkpoint location the propagation
+    * resumes exactly where it left off across restarts.
+    */
+  def propagateChanges(
+      spark: SparkSession,
+      sourcePath: String,
+      targetPath: String,
+      keyCols: Seq[String],
+      queryName: Option[String] = None,
+      checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val changes = spark.readStream.format("graft").load(sourcePath)
+      .filter(col("_change_type") =!= "update_preimage")
+    applyChangesStream(changes, targetPath, keyCols, "_commit_version",
+      Some("_change_type = 'delete'"), queryName, checkpointLocation)
+  }
+
   /** Watermarked stream-stream INNER join on `keyCol` with an event-time
     * interval constraint: a right row joins a left row when
     * `right.ts ∈ [left.ts + lowerSeconds, left.ts + upperSeconds]`

@@ -96,6 +96,24 @@ class ApplyChangesSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  describe("StreamingOps.propagateChanges") {
+    it("replicates upstream state downstream: snapshot, update, delete, append") {
+      val src = tmpTableDir("prop-src")
+      val dst = tmpTableDir("prop-dst")
+      val t = GraftTable.create(spark, src,
+        Seq((0, "a"), (1, "b"), (2, "c")).toDF("id", "name").repartition(1),
+        properties = Map(GraftLog.CdfProperty -> "true"))
+      graft.operators.TableOps.update(t, Some("id = 0"), Map("name" -> "'A!'"))
+      graft.operators.TableOps.delete(t, Some("id = 2"))
+      t.append(Seq((9, "z")).toDF("id", "name"))
+      GraftTable.createEmpty(spark, dst, t.snapshot.schema)
+      val q = StreamingOps.propagateChanges(spark, src, dst, Seq("id"))
+      try q.processAllAvailable() finally q.stop()
+      assertSmallDataFrameEquality(GraftTable.forPath(spark, dst).toDF,
+        Seq((0, "A!"), (1, "b"), (9, "z")).toDF("id", "name"))
+    }
+  }
+
   describe("StreamingOps.applyChangesStream") {
     it("folds a change stream into the table, one merge per micro-batch, late batch guarded") {
       implicit val sqlCtx = spark.sqlContext

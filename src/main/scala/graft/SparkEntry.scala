@@ -88,6 +88,42 @@ object SparkEntry {
     t.path
   }
 
+  /** Deterministic per-doc URL synthesis shared by t14/d32 (the corpus has
+    * no URL column): five shapes covering www hosts with deep paths,
+    * two-level-suffix hosts with query strings, raw IPv4 hosts, bare
+    * apexes, and a non-http scheme. [[UrlFixtureSql]] is the same mapping
+    * for the DuckDB oracles.
+    */
+  private def urlFixture(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "documents")
+      .select(col("doc_id"), lower(col("source")).as("src"))
+      .withColumn("url",
+        when(col("doc_id") % 5 === 0,
+          concat(lit("https://www."), col("src"), lit(".com/articles/"),
+            col("doc_id").cast("string"), lit("/view")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("http://blog."), col("src"), lit(".co.uk/post?id="),
+            col("doc_id").cast("string")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("https://10.0."), (col("doc_id") % 200).cast("string"), lit(".1/x")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("https://"), col("src"), lit(".org")))
+        .otherwise(concat(lit("ftp://files."), col("src"), lit(".net/pub/data.bin"))))
+      .select(col("doc_id"), col("url"))
+
+  /** DuckDB CTE mirroring [[urlFixture]] (aliased `u(doc_id, url)`). */
+  private val UrlFixtureSql: String =
+    """u AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 5
+      |      WHEN 0 THEN 'https://www.' || lower(source) || '.com/articles/' || CAST(doc_id AS VARCHAR) || '/view'
+      |      WHEN 1 THEN 'http://blog.' || lower(source) || '.co.uk/post?id=' || CAST(doc_id AS VARCHAR)
+      |      WHEN 2 THEN 'https://10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.1/x'
+      |      WHEN 3 THEN 'https://' || lower(source) || '.org'
+      |      ELSE 'ftp://files.' || lower(source) || '.net/pub/data.bin'
+      |    END AS url
+      |  FROM documents)""".stripMargin
+
   // ====================================================================
   // Query implementations
   // ====================================================================
@@ -1557,22 +1593,18 @@ object SparkEntry {
       // www host + deep path, two-level-suffix host + query, raw IPv4
       // host, bare apex with no path, non-http scheme); the oracle
       // replays the same RE2-safe regex extraction in SQL.
-      val u = read(s, dir, "documents")
-        .select(col("doc_id"), lower(col("source")).as("src"))
-        .withColumn("url",
-          when(col("doc_id") % 5 === 0,
-            concat(lit("https://www."), col("src"), lit(".com/articles/"),
-              col("doc_id").cast("string"), lit("/view")))
-          .when(col("doc_id") % 5 === 1,
-            concat(lit("http://blog."), col("src"), lit(".co.uk/post?id="),
-              col("doc_id").cast("string")))
-          .when(col("doc_id") % 5 === 2,
-            concat(lit("https://10.0."), (col("doc_id") % 200).cast("string"), lit(".1/x")))
-          .when(col("doc_id") % 5 === 3,
-            concat(lit("https://"), col("src"), lit(".org")))
-          .otherwise(concat(lit("ftp://files."), col("src"), lit(".net/pub/data.bin"))))
-        .select(col("doc_id"), col("url"))
-      TextAnalysis.urlSignals(u, "doc_id", "url")
+      TextAnalysis.urlSignals(urlFixture(s, dir), "doc_id", "url")
+    }),
+
+    "d32_domain_cap" -> ((s, dir) => () => {
+      // per-domain document caps (the Common-Crawl curation rule: no
+      // domain dominates the corpus): registered domains from the t14 URL
+      // fixture, at most 3 docs kept per domain by the deterministic hash
+      // rank — urlSignals composed with stratifiedSample, both already
+      // oracle-verified on their own
+      val sig = TextAnalysis.urlSignals(urlFixture(s, dir), "doc_id", "url")
+        .select(col("doc_id"), col("domain"))
+      Sampling.stratifiedSample(sig, "domain", 3, Seq("doc_id"))
     }),
 
     "d31_line_dedup" -> ((s, dir) => () => {
@@ -2768,16 +2800,7 @@ object SparkEntry {
          |       CAST(max(pos) + 11 AS BIGINT) AS span_end
          |FROM isl GROUP BY doc_id, g""".stripMargin,
     "t14_url_signals" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    CASE doc_id % 5
-        |      WHEN 0 THEN 'https://www.' || lower(source) || '.com/articles/' || CAST(doc_id AS VARCHAR) || '/view'
-        |      WHEN 1 THEN 'http://blog.' || lower(source) || '.co.uk/post?id=' || CAST(doc_id AS VARCHAR)
-        |      WHEN 2 THEN 'https://10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.1/x'
-        |      WHEN 3 THEN 'https://' || lower(source) || '.org'
-        |      ELSE 'ftp://files.' || lower(source) || '.net/pub/data.bin'
-        |    END AS url
-        |  FROM documents),
+      ("WITH " + UrlFixtureSql + "," + """
         |h AS (
         |  SELECT doc_id, url,
         |    lower(CASE WHEN regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1) <> ''
@@ -2801,7 +2824,30 @@ object SparkEntry {
         |    '/[^/]')) AS INT) AS path_depth,
         |  strpos(url, '?') > 0 AS has_query,
         |  is_ip AS is_ip_host
-        |FROM h""".stripMargin,
+        |FROM h""".stripMargin),
+    "d32_domain_cap" ->
+      ("WITH " + UrlFixtureSql + "," + """
+        |h AS (
+        |  SELECT doc_id,
+        |    lower(CASE WHEN regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1) <> ''
+        |               THEN regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)
+        |               ELSE regexp_extract(url, '^(?:[^/@?#]*@)?([^/:?#]+)', 1) END) AS host
+        |  FROM u),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN regexp_matches(host, '^[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}$') THEN host
+        |         WHEN regexp_extract(host, '([^.]+\.(?:co|com|org|net|ac|gov|edu)\.(?:uk|au|jp|in|nz|za|br))$', 1) <> ''
+        |           THEN regexp_extract(host, '([^.]+\.(?:co|com|org|net|ac|gov|edu)\.(?:uk|au|jp|in|nz|za|br))$', 1)
+        |         WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+        |           THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |         ELSE host END AS domain
+        |  FROM h)
+        |SELECT doc_id, domain FROM (
+        |  SELECT doc_id, domain,
+        |         row_number() OVER (PARTITION BY domain
+        |           ORDER BY substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8),
+        |                    doc_id) AS rn
+        |  FROM s) WHERE rn <= 3""".stripMargin),
     "d31_line_dedup" ->
       """WITH p0 AS (
         |  SELECT CAST(doc_id // 5 AS BIGINT) AS page,

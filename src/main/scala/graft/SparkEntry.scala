@@ -1873,6 +1873,26 @@ object SparkEntry {
       }
     }),
 
+    "s37_log_cleanup" -> ((s, dir) => {
+      // commit-log retention (Delta's metadata cleanup): version files
+      // below the horizon are deleted after a covering checkpoint lands;
+      // the live state, newer time travel, and writability all survive on
+      // a log whose earliest file is now the horizon.
+      import s.implicits._
+      val dirT = tmp("s37")
+      val t = GraftTable.create(s, dirT, read(s, dir, "nation"))                     // v0
+      TableOps.update(t, Some("n_nationkey < 3"), Map("n_name" -> "lower(n_name)")) // v1
+      t.append(Seq((99, "ATLANTIS")).toDF("n_nationkey", "n_name")
+        .select(col("n_nationkey").cast("int"), col("n_name")))                      // v2
+      TableOps.update(t, Some("n_nationkey = 5"), Map("n_name" -> "'FIVE'"))        // v3
+      () => {
+      TableOps.cleanupMetadata(GraftTable.forPath(s, dirT), 2)
+      val t2 = GraftTable.forPath(s, dirT)
+      t2.toDF.select(col("n_nationkey").cast("int").as("k"), col("n_name"))
+        .withColumn("surviving_versions", lit(t2.log.versions().length))
+      }
+    }),
+
     "s36_identity" -> ((s, dir) => {
       // IDENTITY column (GENERATED BY DEFAULT AS IDENTITY in property
       // form): two appends lacking the column get dense generated ids
@@ -2756,6 +2776,14 @@ object SparkEntry {
     "s31_symlink_manifest" ->
       """SELECT CAST(count(*) AS BIGINT) AS rows_via_manifest,
         |       true AS matches_live, true AS nonempty FROM nation""".stripMargin,
+    "s37_log_cleanup" ->
+      """SELECT CAST(n_nationkey AS INT) AS k,
+        |       CASE WHEN n_nationkey < 3 THEN lower(n_name)
+        |            WHEN n_nationkey = 5 THEN 'FIVE'
+        |            ELSE n_name END AS n_name,
+        |       CAST(2 AS INT) AS surviving_versions
+        |FROM nation
+        |UNION ALL SELECT CAST(99 AS INT), 'ATLANTIS', 2""".stripMargin,
     "s36_identity" ->
       """SELECT CAST(998 + 2 * row_number() OVER (ORDER BY n_nationkey) AS BIGINT) AS id,
         |       CAST(n_nationkey AS INT) AS k, n_name AS name

@@ -863,6 +863,57 @@ object TableOps {
       .get(LogRetentionProperty).map(parseRetentionHours)
       .getOrElse(DefaultLogRetentionHours)
 
+  /** Commit-LOG retention (Delta's metadata cleanup, the half of
+    * `logRetentionDuration` vacuum does not cover): delete version files
+    * and superseded checkpoints BELOW `retainVersion`, after ensuring a
+    * checkpoint at the horizon so every surviving version still replays as
+    * a checkpoint fold + surviving tail. Returns the number of log files
+    * deleted.
+    *
+    * Without this a long-lived table's `_graft_log` grows one JSON per
+    * commit forever — a streaming ingest committing every 30 s is ~1M files
+    * after a year, and every `versions()` listing pays for all of them.
+    * After cleanup, time travel and CDF reads below the horizon raise their
+    * usual missing-version errors (exactly Delta's contract when the log is
+    * cleaned); everything at or above the horizon is untouched.
+    */
+  def cleanupMetadata(table: GraftTable, retainVersion: Long): Int = {
+    val log = table.log
+    val vs = log.versions()
+    val latest = vs.last
+    require(retainVersion >= 0 && retainVersion <= latest,
+      s"retainVersion $retainVersion outside 0..$latest")
+    require(vs.contains(retainVersion),
+      s"version $retainVersion has no log file (already cleaned?)")
+    val doomed = vs.filter(_ < retainVersion)
+    if (doomed.isEmpty) return 0
+    // every surviving target must replay without the doomed files: a
+    // checkpoint at-or-after the horizon minus one covers (ckpt, target];
+    // the horizon version itself is the natural anchor
+    if (!log.checkpointVersions().exists(cv => cv >= retainVersion - 1 && cv <= retainVersion))
+      log.writeCheckpoint(retainVersion)
+    val staleCkpts = log.checkpointVersions().filter(_ < retainVersion - 1)
+    var deleted = 0
+    doomed.foreach { v =>
+      if (java.nio.file.Files.deleteIfExists(log.versionFile(v))) deleted += 1
+    }
+    staleCkpts.foreach { cv =>
+      if (java.nio.file.Files.deleteIfExists(log.checkpointFile(cv))) deleted += 1
+    }
+    deleted
+  }
+
+  /** [[cleanupMetadata(table:GraftTable,retainVersion:Long)* cleanupMetadata]]
+    * with the horizon resolved from the table's configured
+    * `graft.logRetentionDuration` (default 7 days), mirroring the no-arg
+    * vacuum. Versions younger than the cutoff keep their log files.
+    */
+  def cleanupMetadata(table: GraftTable): Int =
+    table.log.versionAtOrBefore(
+      System.currentTimeMillis() -
+        (configuredRetentionHours(table) * 3600 * 1000).toLong)
+      .map(cleanupMetadata(table, _)).getOrElse(0)
+
   val LogRetentionProperty = "graft.logRetentionDuration"
   val DefaultLogRetentionHours: Double = 7 * 24.0
 

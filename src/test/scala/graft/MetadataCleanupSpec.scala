@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.operators.TableOps
+import graft.tables._
+
+class MetadataCleanupSpec extends AnyFunSpec with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private def mkTable(dir: String, commits: Int): GraftTable = {
+    val t = GraftTable.create(spark, dir, Seq((0, "v0")).toDF("id", "payload"))
+    (1 until commits).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "payload")))
+    t
+  }
+
+  describe("TableOps.cleanupMetadata") {
+    it("deletes log files below the horizon; state and newer time travel survive") {
+      val t = mkTable(tmpTableDir("mc-basic"), 10) // versions 0..9
+      val before = t.toDF.collect().map(_.toSeq).sortBy(_.mkString("|"))
+      val deleted = TableOps.cleanupMetadata(t, 7)
+      assert(deleted >= 7) // versions 0..6 (+ any stale checkpoints)
+      val t2 = GraftTable.forPath(spark, t.path)
+      assert(t2.log.versions() == Seq(7L, 8L, 9L))
+      val after = t2.toDF.collect().map(_.toSeq).sortBy(_.mkString("|"))
+      assert(before.toSeq == after.toSeq)
+      // horizon and newer replay; below-horizon raises the missing-version error
+      assert(t2.toDFAt(7).count() == 8)
+      assert(t2.toDFAt(9).count() == 10)
+      intercept[IllegalArgumentException] { t2.toDFAt(3).count() }
+    }
+
+    it("writes a covering checkpoint when none exists at the horizon") {
+      val t = mkTable(tmpTableDir("mc-ckpt"), 6) // 0..5, below CheckpointInterval
+      TableOps.cleanupMetadata(t, 4)
+      val t2 = GraftTable.forPath(spark, t.path)
+      assert(t2.log.checkpointVersions().exists(cv => cv == 3L || cv == 4L))
+      assert(t2.toDFAt(4).count() == 5)
+      assert(t2.toDF.count() == 6)
+    }
+
+    it("the table stays fully writable and vacuumable after cleanup") {
+      val t = mkTable(tmpTableDir("mc-write"), 8)
+      TableOps.cleanupMetadata(t, 5)
+      val t2 = GraftTable.forPath(spark, t.path)
+      t2.append(Seq((99, "post")).toDF("id", "payload"))
+      assert(GraftTable.forPath(spark, t.path).toDF.count() == 9)
+      TableOps.delete(GraftTable.forPath(spark, t.path), Some("id = 0"))
+      assert(GraftTable.forPath(spark, t.path).toDF.count() == 8)
+      val latest = GraftTable.forPath(spark, t.path).log.latestVersion()
+      TableOps.vacuum(GraftTable.forPath(spark, t.path), retainVersion = latest)
+      assert(GraftTable.forPath(spark, t.path).toDF.count() == 8)
+    }
+
+    it("a zero horizon or an already-clean log is a no-op") {
+      val t = mkTable(tmpTableDir("mc-noop"), 4)
+      assert(TableOps.cleanupMetadata(t, 0) == 0)
+      TableOps.cleanupMetadata(t, 2)
+      assert(GraftTable.forPath(spark, t.path).log.versions() == Seq(2L, 3L))
+      intercept[IllegalArgumentException] {
+        TableOps.cleanupMetadata(GraftTable.forPath(spark, t.path), 1)
+      }
+    }
+
+    it("property-driven cleanup keeps versions younger than the cutoff") {
+      val t = mkTable(tmpTableDir("mc-prop"), 5)
+      // retention 0 hours: every committed version is at-or-before "now",
+      // so the horizon is the latest version — only it survives
+      t.setProperties(Map(TableOps.LogRetentionProperty -> "interval 0 hours"))
+      Thread.sleep(5)
+      val deleted = TableOps.cleanupMetadata(GraftTable.forPath(spark, t.path))
+      assert(deleted > 0)
+      val t2 = GraftTable.forPath(spark, t.path)
+      assert(t2.log.versions().length == 1)
+      assert(t2.toDF.count() == 5)
+    }
+  }
+}

@@ -365,9 +365,12 @@ object GraftTable {
     * caveat. Bloom sidecar pointers are stripped (they reference the
     * source's `_bloom` dir): probes keep cloned files conservatively.
     */
-  def shallowClone(spark: SparkSession, sourcePath: String, destPath: String): GraftTable = {
+  def shallowClone(spark: SparkSession, sourcePath: String, destPath: String,
+      asOfVersion: Option[Long] = None): GraftTable = {
     val src = forPath(spark, sourcePath)
-    val snap = src.snapshot
+    // CLONE ... VERSION AS OF: pin the cloned state to a historical version
+    // (a zero-copy dev/test fork of yesterday's table)
+    val snap = asOfVersion.map(src.log.snapshot(_)).getOrElse(src.snapshot)
     require(!exists(destPath), s"cannot clone into $destPath: a graft table already exists there")
     val srcRoot = new java.io.File(sourcePath).getAbsolutePath
     val external = snap.files.map { f =>

@@ -435,6 +435,22 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(t.checkConstraints.contains("pos_id"))
     }
 
+    it("shallow clone VERSION AS OF pins a historical state; the source keeps evolving") {
+      val srcDir = tmpTableDir("graft-clonev-src")
+      val src = GraftTable.create(spark, srcDir,
+        Seq((1, "a"), (2, "b")).toDF("id", "name"))          // v0
+      src.append(Seq((3, "c")).toDF("id", "name"))           // v1
+      GraftTable.forPath(spark, srcDir)
+        .append(Seq((4, "d")).toDF("id", "name"))            // v2
+      val clone = GraftTable.shallowClone(spark, srcDir,
+        tmpTableDir("graft-clonev-dst"), asOfVersion = Some(1L))
+      assert(clone.toDF.collect().map(_.getInt(0)).toSet == Set(1, 2, 3))
+      // recorded provenance points at the pinned version
+      assert(clone.history().last._2.operationParameters("sourceVersion") == "1")
+      // the live source still has all four rows
+      assert(GraftTable.forPath(spark, srcDir).toDF.count() == 4)
+    }
+
     it("shallow clone: zero-copy snapshot that diverges independently") {
       val srcDir = tmpTableDir("graft-clone-src")
       val src = GraftTable.create(spark, srcDir,

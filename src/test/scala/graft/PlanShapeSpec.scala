@@ -57,6 +57,36 @@ class PlanShapeSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  it("t14: URL signal extraction is a pure map — no shuffle, no join") {
+    val p = planOf("t14_url_signals")
+    assert(!p.contains("Exchange"), s"t14 grew a shuffle:\n$p")
+    assert(!p.contains("Join"), s"t14 grew a join:\n$p")
+  }
+
+  it("d31: line text never shuffles — only hashes and positions do") {
+    // every Exchange's partitioning/output must be over ids, hashes and
+    // positions; the raw line column (__raw) appearing in any Exchange
+    // means the rewrite started shipping text through the ban shuffles
+    val df = SparkEntry.staged("d31_line_dedup")(spark, sfDir)()
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: QueryStageExec        => q +: flatten(q.plan)
+      case other                    => other +: other.children.flatMap(flatten)
+    }
+    val exchanges = flatten(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val outCols = e.output.map(_.name)
+      assert(!outCols.exists(_.contains("__raw")),
+        s"line text rides a shuffle: ${outCols.mkString(", ")}")
+    }
+  }
+
   it("t10: the LM model sides broadcast to the eval scan") {
     val p = planOf("t10_ngram_lm_score")
     assert(p.contains("BroadcastHashJoin"), s"model join not broadcast in:\n$p")

@@ -877,31 +877,8 @@ object TableOps {
     * usual missing-version errors (exactly Delta's contract when the log is
     * cleaned); everything at or above the horizon is untouched.
     */
-  def cleanupMetadata(table: GraftTable, retainVersion: Long): Int = {
-    val log = table.log
-    val vs = log.versions()
-    val latest = vs.last
-    require(retainVersion >= 0 && retainVersion <= latest,
-      s"retainVersion $retainVersion outside 0..$latest")
-    require(vs.contains(retainVersion),
-      s"version $retainVersion has no log file (already cleaned?)")
-    val doomed = vs.filter(_ < retainVersion)
-    if (doomed.isEmpty) return 0
-    // every surviving target must replay without the doomed files: a
-    // checkpoint at-or-after the horizon minus one covers (ckpt, target];
-    // the horizon version itself is the natural anchor
-    if (!log.checkpointVersions().exists(cv => cv >= retainVersion - 1 && cv <= retainVersion))
-      log.writeCheckpoint(retainVersion)
-    val staleCkpts = log.checkpointVersions().filter(_ < retainVersion - 1)
-    var deleted = 0
-    doomed.foreach { v =>
-      if (java.nio.file.Files.deleteIfExists(log.versionFile(v))) deleted += 1
-    }
-    staleCkpts.foreach { cv =>
-      if (java.nio.file.Files.deleteIfExists(log.checkpointFile(cv))) deleted += 1
-    }
-    deleted
-  }
+  def cleanupMetadata(table: GraftTable, retainVersion: Long): Int =
+    table.log.cleanupBelow(retainVersion)
 
   /** [[cleanupMetadata(table:GraftTable,retainVersion:Long)* cleanupMetadata]]
     * with the horizon resolved from the table's configured
@@ -914,27 +891,15 @@ object TableOps {
         (configuredRetentionHours(table) * 3600 * 1000).toLong)
       .map(cleanupMetadata(table, _)).getOrElse(0)
 
-  val LogRetentionProperty = "graft.logRetentionDuration"
-  val DefaultLogRetentionHours: Double = 7 * 24.0
+  val LogRetentionProperty: String = GraftLog.LogRetentionProperty
+  val DefaultLogRetentionHours: Double = GraftLog.DefaultLogRetentionHours
 
   /** `"interval <n> <unit>"` (unit ∈ hour/day/week, plural accepted, case
     * insensitive) → hours. Loud on anything else: a silently misread
     * retention would delete history.
     */
-  private[graft] def parseRetentionHours(s: String): Double = {
-    val m = java.util.regex.Pattern
-      .compile("(?i)^\\s*interval\\s+(\\d+(?:\\.\\d+)?)\\s+(hour|day|week)s?\\s*$")
-      .matcher(s)
-    if (!m.matches())
-      throw new IllegalArgumentException(
-        s"$LogRetentionProperty must look like 'interval 7 days', got '$s'")
-    val n = m.group(1).toDouble
-    m.group(2).toLowerCase match {
-      case "hour" => n
-      case "day"  => n * 24
-      case "week" => n * 24 * 7
-    }
-  }
+  private[graft] def parseRetentionHours(s: String): Double =
+    GraftLog.parseRetentionHours(s)
 
   /** The files [[vacuum(table:GraftTable,retainVersion:Long)* vacuum]]
     * WOULD physically delete at this horizon — distinct table-relative

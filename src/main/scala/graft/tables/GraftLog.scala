@@ -174,6 +174,36 @@ class GraftLog(val tablePath: String) {
   def versionAtOrBefore(millis: Long): Option[Long] =
     monotonicHistory().takeWhile(_._2 <= millis).lastOption.map(_._1)
 
+  /** Delete version files and superseded checkpoints below `retainVersion`,
+    * after ensuring a checkpoint covers the surviving range (the engine of
+    * log retention — see `TableOps.cleanupMetadata` for the public
+    * contract). Returns the number of log files deleted.
+    */
+  def cleanupBelow(retainVersion: Long): Int = {
+    val vs = versions()
+    val latest = vs.last
+    require(retainVersion >= 0 && retainVersion <= latest,
+      s"retainVersion $retainVersion outside 0..$latest")
+    require(vs.contains(retainVersion),
+      s"version $retainVersion has no log file (already cleaned?)")
+    val doomed = vs.filter(_ < retainVersion)
+    if (doomed.isEmpty) return 0
+    // every surviving target must replay without the doomed files: a
+    // checkpoint at-or-after the horizon minus one covers (ckpt, target];
+    // the horizon version itself is the natural anchor
+    if (!checkpointVersions().exists(cv => cv >= retainVersion - 1 && cv <= retainVersion))
+      writeCheckpoint(retainVersion)
+    val staleCkpts = checkpointVersions().filter(_ < retainVersion - 1)
+    var deleted = 0
+    doomed.foreach { v =>
+      if (Files.deleteIfExists(versionFile(v))) deleted += 1
+    }
+    staleCkpts.foreach { cv =>
+      if (Files.deleteIfExists(checkpointFile(cv))) deleted += 1
+    }
+    deleted
+  }
+
   /** Earliest version whose monotonized commit timestamp is ≥ `millis` —
     * the rule behind `startingTimestamp` (stream and CDF). None = `millis`
     * is after the latest commit.
@@ -320,6 +350,34 @@ object GraftLog {
     * be broken by a competing committer.
     */
   val StaleClaimMillis = 60000L
+
+  /** Log-retention property vocabulary (Delta's `delta.logRetentionDuration`
+    * / `delta.enableExpiredLogCleanup` pair): retention as
+    * `"interval <n> <hours|days|weeks>"`, and an opt-in flag that makes
+    * checkpoint commits also expire log files past retention.
+    */
+  val LogRetentionProperty = "graft.logRetentionDuration"
+  val ExpiredLogCleanupProperty = "graft.enableExpiredLogCleanup"
+  val DefaultLogRetentionHours: Double = 7 * 24.0
+
+  /** `"interval <n> <unit>"` (unit ∈ hour/day/week, plural accepted, case
+    * insensitive) → hours. Loud on anything else: a silently misread
+    * retention would delete history the caller meant to keep.
+    */
+  private[graft] def parseRetentionHours(s: String): Double = {
+    val m = java.util.regex.Pattern
+      .compile("(?i)^\\s*interval\\s+(\\d+(?:\\.\\d+)?)\\s+(hour|day|week)s?\\s*$")
+      .matcher(s)
+    if (!m.matches())
+      throw new IllegalArgumentException(
+        s"$LogRetentionProperty must look like 'interval 7 days', got '$s'")
+    val n = m.group(1).toDouble
+    m.group(2).toLowerCase match {
+      case "hour" => n
+      case "day"  => n * 24
+      case "week" => n * 24 * 7
+    }
+  }
 
   private[graft] val mapper: ObjectMapper = {
     val m = new ObjectMapper()

@@ -448,6 +448,23 @@ object TableWriter {
         catch { case e: Exception =>
           Console.err.println(s"graft manifest refresh of $tablePath skipped: ${e.getMessage}")
         }
+      // expired-log cleanup (Delta's `delta.enableExpiredLogCleanup`):
+      // opt-in, piggybacks on the checkpoint cadence so it is O(expired)
+      // every N commits and free otherwise; best-effort like the other
+      // post-commit hooks — the commit has already landed
+      if (committed > 0 && committed % GraftLog.CheckpointInterval == 0 &&
+          effectiveProps.get(GraftLog.ExpiredLogCleanupProperty).contains("true"))
+        try {
+          val hours = effectiveProps.get(GraftLog.LogRetentionProperty)
+            .map(GraftLog.parseRetentionHours)
+            .getOrElse(GraftLog.DefaultLogRetentionHours)
+          log.versionAtOrBefore(
+            System.currentTimeMillis() - (hours * 3600 * 1000).toLong)
+            .foreach(h => log.cleanupBelow(h))
+          ()
+        } catch { case scala.util.control.NonFatal(e) =>
+          Console.err.println(s"graft expired-log cleanup of $tablePath skipped: ${e.getMessage}")
+        }
       committed
     } finally deleteRecursively(staging)
   }

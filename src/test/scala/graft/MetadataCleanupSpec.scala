@@ -62,6 +62,45 @@ class MetadataCleanupSpec extends AnyFunSpec with SparkSessionTestWrapper {
       }
     }
 
+    it("graft.enableExpiredLogCleanup expires old log files on checkpoint commits") {
+      val dir = tmpTableDir("mc-auto")
+      val t = GraftTable.create(spark, dir, Seq((0, "v0")).toDF("id", "payload"),
+        properties = Map(
+          GraftLog.ExpiredLogCleanupProperty -> "true",
+          TableOps.LogRetentionProperty -> "interval 0 hours"))
+      // drive past one checkpoint interval; the v10 commit both checkpoints
+      // and expires everything below the (zero-retention) horizon
+      (1 to GraftLog.CheckpointInterval).foreach { i =>
+        Thread.sleep(2)
+        GraftTable.forPath(spark, dir).append(Seq((i, s"v$i")).toDF("id", "payload"))
+      }
+      val t2 = GraftTable.forPath(spark, dir)
+      assert(t2.log.versions().length < GraftLog.CheckpointInterval + 1,
+        s"no log file expired: ${t2.log.versions()}")
+      assert(t2.toDF.count() == GraftLog.CheckpointInterval + 1)
+      t2.append(Seq((99, "post")).toDF("id", "payload"))
+      assert(GraftTable.forPath(spark, dir).toDF.count() == GraftLog.CheckpointInterval + 2)
+    }
+
+    it("a cleaned log is exactly the missing-delta-log shape the CDF recovery reads handle") {
+      val dir = tmpTableDir("mc-cdf")
+      val t = GraftTable.create(spark, dir, Seq((0, "a"), (1, "b"), (2, "c")).toDF("id", "v"),
+        properties = Map(GraftLog.CdfProperty -> "true"))
+      (1 to 4).foreach(i =>
+        TableOps.update(GraftTable.forPath(spark, dir), Some(s"id = ${i % 3}"),
+          Map("v" -> s"'u$i'")))                                   // v1..v4
+      TableOps.cleanupMetadata(GraftTable.forPath(spark, dir), 3)
+      // reads fully above the horizon still work
+      val above = graft.log.ChangeDataFeedHelper(spark, dir, 3, 4).readCDF
+      assert(above.count() > 0)
+      // a range reaching below the horizon recovers to the surviving range
+      // (same contract as a manually-damaged log, reference C9)
+      val rec = graft.log.ChangeDataFeedHelper(spark, dir, 0, 4).readCDFIgnoreMissingDeltaLog
+      assert(rec.isDefined)
+      assert(rec.get.select("_commit_version").distinct().collect()
+        .map(_.getLong(0)).toSet == Set(3L, 4L))
+    }
+
     it("property-driven cleanup keeps versions younger than the cutoff") {
       val t = mkTable(tmpTableDir("mc-prop"), 5)
       // retention 0 hours: every committed version is at-or-before "now",

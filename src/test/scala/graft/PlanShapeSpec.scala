@@ -87,6 +87,27 @@ class PlanShapeSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  it("dynamic partition pruning fires on a partitioned graft scan joined to a filtered dim") {
+    // the native relation must stay DPP-composable: at 100 TB a fact scan
+    // joined to a filtered dimension reads only the dim's partitions, not
+    // the table — a scan-rewrite refactor that breaks this shows up as a
+    // silent full scan three rounds later
+    import org.apache.spark.sql.functions._
+    import graft.tables.GraftTable
+    val dir = tmpTableDir("plan-dpp")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .withColumn("bucket", (col("l_orderkey") % 10).cast("int"))
+    val t = GraftTable.create(spark, dir, li, partitionColumns = Seq("bucket"))
+    val dim = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select((col("n_nationkey") % 10).cast("int").as("bucket"), col("n_name").as("name"))
+      .filter(col("name").isin("CHINA", "FRANCE"))
+    val q = t.toDF.join(dim, Seq("bucket")).agg(sum("l_quantity"))
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"),
+      s"dynamic partition pruning did not reach the graft scan:\n$p")
+  }
+
   it("t10: the LM model sides broadcast to the eval scan") {
     val p = planOf("t10_ngram_lm_score")
     assert(p.contains("BroadcastHashJoin"), s"model join not broadcast in:\n$p")

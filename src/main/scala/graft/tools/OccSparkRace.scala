@@ -112,6 +112,32 @@ object OccSparkRace {
         TableOps.compact(t)
         Files.createFile(go); "ok"
 
+      // identity-range race: the blocked appender reserves ids from a
+      // snapshot the winner then invalidates by advancing the SAME
+      // high-water mark — its staged files carry colliding values, so the
+      // only safe outcome is an abort (identityRace in TableWriter)
+      case "identity-blocked-abort" :: Nil =>
+        val df = Seq((1, "blocked-a"), (2, "blocked-b")).toDF("n", "payload")
+          .withColumn("n", gateUdf(tablePath)(col("n")))
+        try { t.append(df); "unexpected-commit" }
+        catch { case _: java.util.ConcurrentModificationException => "ok" }
+
+      // winner that CONSUMES identity ids concurrently
+      case "identity-winner" :: Nil =>
+        awaitFile(entered)
+        GraftTable.forPath(spark, tablePath)
+          .append(Seq((10, "winner-a"), (11, "winner-b"), (12, "winner-c"))
+            .toDF("n", "payload"))
+        Files.createFile(go); "ok"
+
+      // a winner that does NOT touch the identity mark (layout-only
+      // OPTIMIZE) must not abort the blocked identity append — the blind
+      // append rebases and both ranges stay disjoint
+      case "identity-blocked-ok" :: Nil =>
+        val df = Seq((1, "blocked-a"), (2, "blocked-b")).toDF("n", "payload")
+          .withColumn("n", gateUdf(tablePath)(col("n")))
+        t.append(df); "ok"
+
       case other =>
         throw new IllegalArgumentException(s"unknown role: $other")
     }

@@ -108,4 +108,38 @@ class OccSparkRaceSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(rows == Set((1, "a", "US"), (2, "winner-US", "US"), (9, "e", "FR")),
       s"aborted merge leaked effects: $rows")
   }
+
+  it("two JVMs: concurrent identity appends — the loser's stale id range aborts") {
+    val dir = tmpTableDir("occ2_identity")
+    GraftTable.create(spark, dir,
+      Seq((0, "base")).toDF("n", "payload"),
+      properties = Map(GraftTable.IdentityPropertyPrefix + "id" -> "1,1"))
+
+    val (blocked, winner) = race(dir, "identity-blocked-abort", "identity-winner")
+    assert(winner == 0, "identity winner append failed")
+    assert(blocked == 0,
+      "blocked identity append must abort (its reserved range collides with the winner's)")
+
+    val t = GraftTable.forPath(spark, dir)
+    val ids = t.toDF.select("id").as[Long].collect().sorted
+    // base (1) + winner's three (2,3,4); the aborted append leaked nothing
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 4L), s"identity ids wrong: ${ids.toSeq}")
+  }
+
+  it("two JVMs: identity append + OPTIMIZE (no mark change) BOTH commit") {
+    val dir = tmpTableDir("occ2_identity_ok")
+    val t0 = GraftTable.create(spark, dir,
+      Seq((0, "base-a")).toDF("n", "payload"),
+      properties = Map(GraftTable.IdentityPropertyPrefix + "id" -> "1,1"))
+    t0.append(Seq((1, "base-b")).toDF("n", "payload")) // second file to compact
+
+    val (blocked, winner) = race(dir, "identity-blocked-ok", "optimize-winner")
+    assert(winner == 0, "OPTIMIZE (winner) failed")
+    assert(blocked == 0,
+      "identity append should rebase past a layout-only OPTIMIZE, but failed")
+
+    val t = GraftTable.forPath(spark, dir)
+    val ids = t.toDF.select("id").as[Long].collect().sorted
+    assert(ids.toSeq == (1L to 4L), s"identity ids wrong after rebase: ${ids.toSeq}")
+  }
 }

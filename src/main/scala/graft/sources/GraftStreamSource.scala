@@ -183,6 +183,17 @@ class GraftStreamSource(
     * can never stall the stream.
     */
   private def admitThrough(base: Long, head: Long): Long = {
+    // the watermark resuming BELOW the earliest surviving version means the
+    // log was cleaned past this stream's checkpoint — fail with the cause
+    // (the versions to admit no longer exist; silently skipping them would
+    // drop committed changes from the stream)
+    val earliest = log.versions().headOption.getOrElse(Long.MinValue)
+    if (base + 1 < earliest && base < head)
+      throw new IllegalStateException(
+        s"stream needs version ${base + 1} of $tablePath but the earliest surviving " +
+          s"log version is $earliest — the commit log was cleaned past this stream's " +
+          "checkpoint (graft.logRetentionDuration); restart the stream from a fresh " +
+          "checkpoint or lengthen the log retention")
     val versionCapped = math.min(head, base + maxVersionsPerTrigger)
     if (maxBytesPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty) return versionCapped
     var admitted = base
@@ -231,14 +242,39 @@ class GraftStreamSource(
     // getBatch BEFORE the next getOffset — record its end so the version
     // budget resumes from the recovered position, not from scratch
     advanceWatermark(endV)
+    // a batch that ENDS below the earliest surviving version can only be a
+    // checkpoint replay against a log cleaned past it — name the cause
+    // instead of surfacing a raw missing-version failure
+    if (endV < log.versions().headOption.getOrElse(Long.MinValue))
+      throw new IllegalStateException(
+        s"stream checkpoint replays version $endV of $tablePath but the earliest " +
+          s"surviving log version is ${log.versions().head} — the commit log was " +
+          "cleaned past this stream's checkpoint (graft.logRetentionDuration); " +
+          "restart the stream from a fresh checkpoint or lengthen the log retention")
+    // a cleaned commit log (graft.logRetentionDuration) that expired
+    // versions this batch needs must FAIL, not silently skip them — a
+    // change stream that drops commits is data loss (Delta's streaming
+    // source raises the same way when the log is vacuumed past an offset)
+    def guardCleaned(firstNeeded: Long): Unit = {
+      val earliest = log.versions().headOption.getOrElse(Long.MaxValue)
+      if (firstNeeded < earliest && firstNeeded <= endV)
+        throw new IllegalStateException(
+          s"stream needs version $firstNeeded of $tablePath but the earliest surviving " +
+            s"log version is $earliest — the commit log was cleaned past this stream's " +
+            "checkpoint (graft.logRetentionDuration); restart the stream from a fresh " +
+            "checkpoint or lengthen the log retention")
+    }
     val out = start match {
       case None =>
         startingVersion match {
-          case Some(sv) => changesFor(log.versions().filter(v => v >= sv && v <= endV))
+          case Some(sv) =>
+            guardCleaned(sv)
+            changesFor(log.versions().filter(v => v >= sv && v <= endV))
           case None     => snapshotAsInserts(endV)
         }
       case Some(s) =>
         val startV = versionOf(s)
+        guardCleaned(startV + 1)
         changesFor(log.versions().filter(v => v > startV && v <= endV))
     }
     val aligned = out.select(schema.fieldNames.map(col).toIndexedSeq: _*)

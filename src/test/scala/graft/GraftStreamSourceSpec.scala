@@ -95,6 +95,34 @@ class GraftStreamSourceSpec extends AnyFunSpec with SparkSessionTestWrapper {
     } finally q2.stop()
   }
 
+  it("fails loudly when the commit log was cleaned past the stream's checkpoint") {
+    val (dir, t) = mkTable("gss_cleaned")
+    val ckpt = java.nio.file.Files.createTempDirectory("gss_cleaned_loc").toString
+    def start() = spark.readStream.format("graft").load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect(); ()
+      }.start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop() // checkpoint at v0
+
+    // while the stream is down: commits land AND the log is cleaned past them
+    TableOps.update(t, Some("id = 0"), Map("name" -> "'A1'"))   // v1
+    TableOps.update(t, Some("id = 1"), Map("name" -> "'B1'"))   // v2
+    TableOps.cleanupMetadata(GraftTable.forPath(spark, dir), 2) // expire v0, v1
+
+    val q2 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    try {
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("cleaned past this stream's checkpoint")),
+        s"wrong failure: ${messages(e).mkString(" | ")}")
+    } finally q2.stop()
+  }
+
   it("composes with GraftSink: table-to-table streaming replication, exactly once") {
     // the full streaming story end-to-end: change-data SOURCE on table A →
     // filter to inserts → exactly-once SINK into table B; B converges to

@@ -1587,6 +1587,14 @@ object SparkEntry {
       Dedup.dedupSubstrings(read(s, dir, "documents"), "doc_id", "text", k = 12)
     }),
 
+    "t15_compression_signals" -> ((s, dir) => () => {
+      // Gopher-style compressibility filter signal (deflate ratio). No SQL
+      // oracle — DuckDB has no deflate — so this row is rows-only checked
+      // (the t12/t13 precedent); the exact behavior is pinned by
+      // CompressionSignalsSpec instead.
+      TextAnalysis.compressionSignals(read(s, dir, "documents"), "doc_id", "text")
+    }),
+
     "t14_url_signals" -> ((s, dir) => () => {
       // URL provenance signals. The corpus carries no URL column, so the
       // fixture synthesizes one deterministic URL per doc (five shapes:

@@ -125,6 +125,53 @@ object TextAnalysis {
       urlIsIpHost(host).as("is_ip_host"))
   }
 
+  /** Gopher-style compressibility quality signal: DEFLATE size over raw
+    * UTF-8 size. Highly repetitive or templated documents compress far
+    * below natural text (ratio ≪ 1 flags boilerplate/spam; ratio ≈ 1 flags
+    * random/binary junk); the standard cheap pre-filter between length
+    * heuristics and model scoring. Output:
+    * `(idCol, n_bytes, deflate_bytes, compression_ratio)` — empty docs get
+    * a NULL ratio.
+    *
+    * `mapPartitions` is the right tool here (the Multimodal rule): deflate
+    * is imperative codec work no Catalyst expression covers, and the
+    * Deflater allocates ONCE per partition, not per row. Single pass, no
+    * shuffle, ~100 MB/s/core — at 100 TB this is a map stage like any
+    * other scan.
+    */
+  def compressionSignals(df: DataFrame, idCol: String, textCol: String,
+      level: Int = 6): DataFrame = {
+    require(level >= 1 && level <= 9, s"deflate level must be 1..9, got $level")
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.Row
+    val idField = df.schema(df.schema.fieldIndex(idCol))
+    val outSchema = StructType(Seq(
+      idField.copy(name = idCol),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("deflate_bytes", IntegerType, nullable = false),
+      StructField("compression_ratio", DoubleType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol), col(textCol).cast("string")).mapPartitions { it =>
+      val deflater = new java.util.zip.Deflater(level, true)
+      val buf = new Array[Byte](64 * 1024)
+      it.map { r =>
+        val id = r.get(0)
+        val raw = Option(r.getString(1)).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        deflater.reset()
+        deflater.setInput(raw)
+        deflater.finish()
+        var out = 0L
+        while (!deflater.finished()) out += deflater.deflate(buf)
+        val ratio =
+          if (raw.length == 0) null
+          else Double.box(math.round(out.toDouble / raw.length * 10000).toDouble / 10000)
+        Row(id, Int.box(raw.length), Int.box(out.toInt), ratio)
+      }
+    }(enc)
+  }
+
   /** One-stop enrichment: adds lang/quality/token/fingerprint columns. */
   def enrich(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

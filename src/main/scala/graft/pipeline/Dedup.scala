@@ -1053,8 +1053,11 @@ object Dedup {
   def lineDedup(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minDocs: Int = 3): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // null text behaves as empty (posexplode of a null array would DROP the
+    // doc from the line frame and poison the rebuild's counts)
     val lines = df
-      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__raw")))
+      .select(col(idCol), posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+        .as(Seq("__pos", "__raw")))
       .select(col(idCol), col("__pos"),
         // full whitespace strip (Spark's trim removes only ' ')
         regexp_replace(col("__raw"), "^\\s+|\\s+$", "").as("__key"))
@@ -1070,7 +1073,7 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(collect_set(col("__pos")).as("__bp"))
     df.join(bannedPos, Seq(idCol), "left_outer")
-      .withColumn("__ls", split(col(textCol), "\n"))
+      .withColumn("__ls", split(coalesce(col(textCol), lit("")), "\n"))
       .withColumn("__bps", coalesce(col("__bp"), array().cast("array<int>")))
       .select(col(idCol),
         array_join(filter(col("__ls"),

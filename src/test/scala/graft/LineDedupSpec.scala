@@ -60,6 +60,15 @@ class LineDedupSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(out(4L) == (("extra", 1, 1)))
     }
 
+    it("null text behaves as empty text") {
+      val docs = Seq((1L, null.asInstanceOf[String]), (2L, "real line"))
+        .toDF("doc_id", "text")
+      val out = Dedup.lineDedup(docs, minDocs = 2).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+      assert(out(1L) == (("", 1, 0))) // one empty "line", kept
+      assert(out(2L) == (("real line", 1, 0)))
+    }
+
     it("is independent of input partitioning") {
       val base = (0L until 60L).map { i =>
         val boiler = if (i % 2 == 0) "AD BANNER" else s"content ${i % 7}"

@@ -1604,6 +1604,29 @@ object SparkEntry {
       TextAnalysis.urlSignals(urlFixture(s, dir), "doc_id", "url")
     }),
 
+    "d33_curation_v2" -> ((s, dir) => () => {
+      // provenance-aware curation funnel composed from this round's
+      // operators: URL provenance gate (IP-host docs out) → per-domain cap
+      // (anti-dominance) → language gate → exact content dedup →
+      // token-budget shard packing. Each stage is individually
+      // driver-verified (t14, d32, t1, d1/k-fingerprint, d14); the oracle
+      // replays the whole composition (the URL stages by their
+      // construction formulas — t14 pins the regex extraction itself).
+      val docs = read(s, dir, "documents")
+      val sig = TextAnalysis.urlSignals(urlFixture(s, dir), "doc_id", "url")
+        .filter(!col("is_ip_host")).select(col("doc_id"), col("domain"))
+      val gated = docs.join(sig, Seq("doc_id"))
+      val capped = Sampling.stratifiedSample(gated, "domain",
+        perStratum = 3, keyCols = Seq("doc_id"))
+      val en = capped.filter(TextAnalysis.langId(col("text")) === "en")
+      val uniq = Dedup.exact(
+        en.withColumn("f", TextAnalysis.fingerprint(col("text"))), Seq("f"), "doc_id")
+      val toks = uniq.select(col("doc_id"), col("domain"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("tokens"))
+      Sampling.packByBudget(toks, "doc_id", "tokens", budget = 2000L, numBuckets = 4)
+        .select("doc_id", "domain", "tokens", "bucket", "shard")
+    }),
+
     "d32_domain_cap" -> ((s, dir) => () => {
       // per-domain document caps (the Common-Crawl curation rule: no
       // domain dominates the corpus): registered domains from the t14 URL
@@ -2861,6 +2884,50 @@ object SparkEntry {
         |  strpos(url, '?') > 0 AS has_query,
         |  is_ip AS is_ip_host
         |FROM h""".stripMargin),
+    "d33_curation_v2" ->
+      """WITH dom AS (
+        |  SELECT doc_id, text,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN lower(source) || '.com'
+        |      WHEN 1 THEN lower(source) || '.co.uk'
+        |      WHEN 3 THEN lower(source) || '.org'
+        |      ELSE lower(source) || '.net' END AS domain
+        |  FROM documents WHERE doc_id % 5 <> 2),
+        |capped AS (
+        |  SELECT doc_id, text, domain FROM (
+        |    SELECT doc_id, text, domain,
+        |           row_number() OVER (PARTITION BY domain
+        |             ORDER BY substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8),
+        |                      doc_id) AS rn
+        |    FROM dom) WHERE rn <= 3),
+        |en AS (
+        |  SELECT doc_id, text, domain FROM (
+        |    SELECT doc_id, text, domain,
+        |      len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS en,
+        |      len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS de,
+        |      len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS fr
+        |    FROM capped)
+        |  WHERE en >= de AND en >= fr),
+        |uniq AS (
+        |  SELECT doc_id, text, domain FROM (
+        |    SELECT doc_id, text, domain,
+        |           row_number() OVER (
+        |             PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |             ORDER BY doc_id) AS rn
+        |    FROM en) WHERE rn = 1),
+        |tok AS (
+        |  SELECT doc_id, domain,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tokens,
+        |    doc_id % 4 AS bucket
+        |  FROM uniq),
+        |c AS (
+        |  SELECT doc_id, domain, tokens, bucket,
+        |    COALESCE(SUM(tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM tok)
+        |SELECT doc_id, domain, tokens, CAST(bucket AS BIGINT) AS bucket,
+        |       CAST((cum // 2000) * 4 + bucket AS BIGINT) AS shard
+        |FROM c""".stripMargin,
     "d32_domain_cap" ->
       ("WITH " + UrlFixtureSql + "," + """
         |h AS (

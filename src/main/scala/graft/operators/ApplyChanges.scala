@@ -78,8 +78,13 @@ object ApplyChanges {
     val targetFields = table.snapshot.schema.fields.toSeq
     val lowerKeys = keyCols.map(_.toLowerCase)
     val seqStored = targetFields.exists(_.name.equalsIgnoreCase(sequenceCol))
+    // a NULL stored sequence (row written by a plain append, or schema-merge
+    // NULL) must mean "always apply", not "frozen forever" — a bare >= would
+    // evaluate NULL and block every future change to the row
     val guard: Option[String] =
-      if (seqStored) Some(s"s.`$sequenceCol` >= tgt.`$sequenceCol`") else None
+      if (seqStored)
+        Some(s"(tgt.`$sequenceCol` IS NULL OR s.`$sequenceCol` >= tgt.`$sequenceCol`)")
+      else None
     def and(a: Option[String], b: String): Option[String] =
       Some(a.map(x => s"($x) AND $b").getOrElse(b))
 

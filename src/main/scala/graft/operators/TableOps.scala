@@ -877,8 +877,23 @@ object TableOps {
     * usual missing-version errors (exactly Delta's contract when the log is
     * cleaned); everything at or above the horizon is untouched.
     */
-  def cleanupMetadata(table: GraftTable, retainVersion: Long): Int =
-    table.log.cleanupBelow(retainVersion)
+  def cleanupMetadata(table: GraftTable, retainVersion: Long): Int = {
+    val log = table.log
+    val vs = log.versions()
+    require(vs.contains(retainVersion),
+      s"version $retainVersion has no log file (already cleaned?)")
+    val doomed = vs.count(_ < retainVersion)
+    if (doomed == 0) return 0
+    val staleCkpts = log.checkpointVersions().count(_ < retainVersion)
+    // the explicit path delegates to VACUUM at the same horizon: data files
+    // reachable only through the doomed versions must go WITH their log
+    // entries (once those are deleted no later vacuum can discover them),
+    // and vacuum already fans large delete sets out as a Spark job, drops
+    // the version files below the horizon, and leaves the horizon version
+    // self-contained for snapshot replay
+    vacuum(table, retainVersion)
+    doomed + staleCkpts
+  }
 
   /** [[cleanupMetadata(table:GraftTable,retainVersion:Long)* cleanupMetadata]]
     * with the horizon resolved from the table's configured
@@ -886,9 +901,8 @@ object TableOps {
     * vacuum. Versions younger than the cutoff keep their log files.
     */
   def cleanupMetadata(table: GraftTable): Int =
-    table.log.versionAtOrBefore(
-      System.currentTimeMillis() -
-        (configuredRetentionHours(table) * 3600 * 1000).toLong)
+    table.log.retentionHorizon(
+      table.snapshot.metadata.properties, System.currentTimeMillis())
       .map(cleanupMetadata(table, _)).getOrElse(0)
 
   val LogRetentionProperty: String = GraftLog.LogRetentionProperty

@@ -154,6 +154,10 @@ object TextAnalysis {
     val enc = RowEncoder.encoderFor(outSchema)
     df.select(col(idCol), col(textCol).cast("string")).mapPartitions { it =>
       val deflater = new java.util.zip.Deflater(level, true)
+      // zlib state is NATIVE memory — release at task end, not at GC, or a
+      // long-lived executor running many tasks grows off-heap between GCs
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
       val buf = new Array[Byte](64 * 1024)
       it.map { r =>
         val id = r.get(0)

@@ -178,6 +178,15 @@ class GraftLog(val tablePath: String) {
     * after ensuring a checkpoint covers the surviving range (the engine of
     * log retention — see `TableOps.cleanupMetadata` for the public
     * contract). Returns the number of log files deleted.
+    *
+    * Data files reachable ONLY through the doomed versions are deleted too
+    * (the vacuum rule at the same horizon): once their log entries are
+    * gone, no vacuum can ever discover them — skipping this step would
+    * leak every superseded file below the horizon permanently. External
+    * (shallow-clone) references belong to the source table and are never
+    * touched. The dead-file deletes run driver-side; for a huge
+    * never-vacuumed backlog run `TableOps.vacuum(table, retainVersion)`
+    * first (it fans the deletes out as a Spark job).
     */
   def cleanupBelow(retainVersion: Long): Int = {
     val vs = versions()
@@ -188,11 +197,25 @@ class GraftLog(val tablePath: String) {
       s"version $retainVersion has no log file (already cleaned?)")
     val doomed = vs.filter(_ < retainVersion)
     if (doomed.isEmpty) return 0
+    // dead below the horizon = added there, live in NO retained snapshot
+    // (same rule as TableOps.vacuumPlan) — computed BEFORE the log files go
+    val keepVersions = vs.filter(_ >= retainVersion)
+    val live: Set[String] = keepVersions.flatMap(v => snapshot(v).files.map(_.path)).toSet
+    val liveCdc: Set[String] = keepVersions.flatMap { v =>
+      actionsAt(v).collect { case c: AddCDCFile => c.path }
+    }.toSet
+    val dead = doomed.flatMap { v =>
+      actionsAt(v).collect {
+        case a: AddFile if !live.contains(a.path) && !GraftTable.isExternalPath(a.path) => a.path
+        case c: AddCDCFile if !liveCdc.contains(c.path) => c.path
+      }
+    }.distinct
     // every surviving target must replay without the doomed files: a
     // checkpoint at-or-after the horizon minus one covers (ckpt, target];
     // the horizon version itself is the natural anchor
     if (!checkpointVersions().exists(cv => cv >= retainVersion - 1 && cv <= retainVersion))
       writeCheckpoint(retainVersion)
+    dead.foreach(rel => Files.deleteIfExists(Paths.get(tablePath).resolve(rel)))
     val staleCkpts = checkpointVersions().filter(_ < retainVersion - 1)
     var deleted = 0
     doomed.foreach { v =>
@@ -202,6 +225,19 @@ class GraftLog(val tablePath: String) {
       if (Files.deleteIfExists(checkpointFile(cv))) deleted += 1
     }
     deleted
+  }
+
+  /** Horizon the property-driven log retention resolves to at `now`: the
+    * latest version whose commit timestamp is at-or-before
+    * `now - graft.logRetentionDuration` (default 7 days). The ONE
+    * implementation of the property→horizon rule — the write-path auto
+    * cleanup and `TableOps.cleanupMetadata` both resolve through here.
+    */
+  def retentionHorizon(props: Map[String, String], now: Long): Option[Long] = {
+    val hours = props.get(GraftLog.LogRetentionProperty)
+      .map(GraftLog.parseRetentionHours)
+      .getOrElse(GraftLog.DefaultLogRetentionHours)
+    versionAtOrBefore(now - (hours * 3600 * 1000).toLong)
   }
 
   /** Earliest version whose monotonized commit timestamp is ≥ `millis` —

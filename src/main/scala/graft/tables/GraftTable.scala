@@ -444,10 +444,22 @@ object GraftTable {
   /** Where the last assigned value of an identity column is recorded. */
   def identityHighKey(col: String): String = s"$IdentityPropertyPrefix$col.high"
 
-  /** The identity columns in a property map: name → (start, step). */
-  def identityColumnsOf(properties: Map[String, String]): Map[String, (Long, Long)] =
+  /** The identity columns in a property map: name → (start, step).
+    *
+    * A key `<name>.high` is high-water BOOKKEEPING only when `<name>` is
+    * itself a declared identity column — a column literally named `high`
+    * (or `score.high`) is a definition, not bookkeeping, and must not be
+    * silently dropped.
+    */
+  def identityColumnsOf(properties: Map[String, String]): Map[String, (Long, Long)] = {
+    val rests = properties.keysIterator
+      .filter(_.startsWith(IdentityPropertyPrefix))
+      .map(_.stripPrefix(IdentityPropertyPrefix)).toSet
+    def isBookkeeping(rest: String): Boolean =
+      rest.endsWith(".high") && rests.contains(rest.stripSuffix(".high"))
     properties.collect {
-      case (k, v) if k.startsWith(IdentityPropertyPrefix) && !k.endsWith(".high") =>
+      case (k, v) if k.startsWith(IdentityPropertyPrefix) &&
+          !isBookkeeping(k.stripPrefix(IdentityPropertyPrefix)) =>
         val name = k.stripPrefix(IdentityPropertyPrefix)
         val parts = v.split(",").map(_.trim)
         require(parts.length == 2 && parts.forall(p => scala.util.Try(p.toLong).isSuccess),
@@ -456,6 +468,7 @@ object GraftTable {
         require(step != 0, s"identity step of $k must be nonzero")
         name -> (parts(0).toLong, step)
     }
+  }
 
   /** Session conf prefix for default table properties inherited by NEW
     * tables — analogue of Delta's

@@ -455,11 +455,7 @@ object TableWriter {
       if (committed > 0 && committed % GraftLog.CheckpointInterval == 0 &&
           effectiveProps.get(GraftLog.ExpiredLogCleanupProperty).contains("true"))
         try {
-          val hours = effectiveProps.get(GraftLog.LogRetentionProperty)
-            .map(GraftLog.parseRetentionHours)
-            .getOrElse(GraftLog.DefaultLogRetentionHours)
-          log.versionAtOrBefore(
-            System.currentTimeMillis() - (hours * 3600 * 1000).toLong)
+          log.retentionHorizon(effectiveProps, System.currentTimeMillis())
             .foreach(h => log.cleanupBelow(h))
           ()
         } catch { case scala.util.control.NonFatal(e) =>

@@ -84,6 +84,19 @@ class ApplyChangesSpec extends AnyFunSpec with SparkSessionTestWrapper {
           .toDF("id", "name", "bonus"))
     }
 
+    it("a NULL stored sequence means always-apply, not frozen") {
+      // rows landed by a plain append lack the sequence column (schema-merge
+      // NULL); the guard must let the change feed reach them
+      val t = GraftTable.create(spark, tmpTableDir("ac-nullseq"),
+        Seq((1, "a", Some(0L)), (2, "b", None), (3, "c", None))
+          .toDF("id", "name", "seq").repartition(1))
+      val feed = Seq((2, "updated", 5L, "upsert"), (3, "x", 5L, "delete"))
+        .toDF("id", "name", "seq", "op")
+      ApplyChanges.applyChanges(t, feed, Seq("id"), "seq", Some("op = 'delete'"))
+      assertSmallDataFrameEquality(t.toDF,
+        Seq((1, "a", Some(0L)), (2, "updated", Some(5L))).toDF("id", "name", "seq"))
+    }
+
     it("rejects a feed missing the key or sequence column") {
       val t = mkTable(tmpTableDir("ac-reject"))
       val feed = Seq((1, "a")).toDF("id", "name")

@@ -64,6 +64,18 @@ class IdentityColumnSpec extends AnyFunSpec with SparkSessionTestWrapper {
         == Seq(1L, 2L))
     }
 
+    it("a column literally named `high` is a definition, not bookkeeping") {
+      val defs = GraftTable.identityColumnsOf(Map(
+        "graft.identity.high" -> "1,1",
+        "graft.identity.id" -> "5,2",
+        "graft.identity.id.high" -> "9"))
+      assert(defs == Map("high" -> ((1L, 1L)), "id" -> ((5L, 2L))))
+      val t = GraftTable.create(spark, tmpTableDir("ident-high"),
+        Seq("a", "b").toDF("name"),
+        properties = Map(GraftTable.IdentityPropertyPrefix + "high" -> "1,1"))
+      assert(t.toDF.select("high").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    }
+
     it("rejects malformed identity property values") {
       intercept[IllegalArgumentException] {
         GraftTable.identityColumnsOf(Map("graft.identity.id" -> "nope"))

@@ -30,13 +30,37 @@ class MetadataCleanupSpec extends AnyFunSpec with SparkSessionTestWrapper {
       intercept[IllegalArgumentException] { t2.toDFAt(3).count() }
     }
 
-    it("writes a covering checkpoint when none exists at the horizon") {
+    it("the horizon replays self-contained even below the checkpoint interval") {
       val t = mkTable(tmpTableDir("mc-ckpt"), 6) // 0..5, below CheckpointInterval
       TableOps.cleanupMetadata(t, 4)
       val t2 = GraftTable.forPath(spark, t.path)
-      assert(t2.log.checkpointVersions().exists(cv => cv == 3L || cv == 4L))
       assert(t2.toDFAt(4).count() == 5)
       assert(t2.toDF.count() == 6)
+    }
+
+    it("data files reachable only through cleaned versions are deleted, not leaked") {
+      import org.apache.spark.sql.functions.col
+      def parquetsUnder(dir: String): Set[String] = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        try { import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.toString)
+            .filter(p => p.endsWith(".parquet") && !p.contains("_graft_log")).toSet
+        } finally s.close()
+      }
+      val dir = tmpTableDir("mc-orphans")
+      val t = GraftTable.create(spark, dir,
+        Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v").repartition(1))
+      // two full rewrites: the v0 and v1 files become dead below any later horizon
+      TableOps.update(GraftTable.forPath(spark, dir), Some("id = 1"), Map("v" -> "'a1'"))
+      TableOps.update(GraftTable.forPath(spark, dir), Some("id = 2"), Map("v" -> "'b1'"))
+      val before = parquetsUnder(dir)
+      val live = GraftTable.forPath(spark, dir).snapshot.files.map(_.path).toSet
+      assert(before.size > live.size, "fixture should carry dead files below the horizon")
+      TableOps.cleanupMetadata(GraftTable.forPath(spark, dir), 2)
+      val after = parquetsUnder(dir)
+      assert(after.size == live.size,
+        s"dead files leaked past cleanup: ${(after.size, live.size)}")
+      assert(GraftTable.forPath(spark, dir).toDF.where(col("v").isin("a1", "b1")).count() == 2)
     }
 
     it("the table stays fully writable and vacuumable after cleanup") {
@@ -69,17 +93,32 @@ class MetadataCleanupSpec extends AnyFunSpec with SparkSessionTestWrapper {
           GraftLog.ExpiredLogCleanupProperty -> "true",
           TableOps.LogRetentionProperty -> "interval 0 hours"))
       // drive past one checkpoint interval; the v10 commit both checkpoints
-      // and expires everything below the (zero-retention) horizon
+      // and expires everything below the (zero-retention) horizon. One
+      // commit is an UPDATE so a dead data file exists below the horizon —
+      // the auto cleanup must take it along, not leak it.
       (1 to GraftLog.CheckpointInterval).foreach { i =>
         Thread.sleep(2)
-        GraftTable.forPath(spark, dir).append(Seq((i, s"v$i")).toDF("id", "payload"))
+        if (i == 3)
+          graft.operators.TableOps.update(GraftTable.forPath(spark, dir),
+            Some("id = 0"), Map("payload" -> "'v0x'"))
+        else
+          GraftTable.forPath(spark, dir).append(Seq((i, s"v$i")).toDF("id", "payload"))
       }
       val t2 = GraftTable.forPath(spark, dir)
       assert(t2.log.versions().length < GraftLog.CheckpointInterval + 1,
         s"no log file expired: ${t2.log.versions()}")
-      assert(t2.toDF.count() == GraftLog.CheckpointInterval + 1)
+      assert(t2.toDF.count() == GraftLog.CheckpointInterval)
+      val onDisk = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        try { import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.toString)
+            .filter(p => p.endsWith(".parquet") && !p.contains("_graft_log")).size
+        } finally s.close()
+      }
+      assert(onDisk == t2.snapshot.files.size,
+        s"auto cleanup leaked dead files: $onDisk on disk vs ${t2.snapshot.files.size} live")
       t2.append(Seq((99, "post")).toDF("id", "payload"))
-      assert(GraftTable.forPath(spark, dir).toDF.count() == GraftLog.CheckpointInterval + 2)
+      assert(GraftTable.forPath(spark, dir).toDF.count() == GraftLog.CheckpointInterval + 1)
     }
 
     it("a cleaned log is exactly the missing-delta-log shape the CDF recovery reads handle") {

@@ -1604,6 +1604,16 @@ object SparkEntry {
       TextAnalysis.urlSignals(urlFixture(s, dir), "doc_id", "url")
     }),
 
+    "d34_temperature_mix" -> ((s, dir) => () => {
+      // temperature-flattened mixing (alpha = 0.5): per-lang fractions
+      // computed FROM the corpus counts. The oracle replays the arithmetic
+      // bit-for-bit — fixed-point sqrt weights make the weight sum exact
+      // and order-free, and the remaining ops are a pinned IEEE sequence.
+      Sampling.temperatureMix(read(s, dir, "documents"), "lang",
+        targetRows = 200L, keyCols = Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     "d33_curation_v2" -> ((s, dir) => () => {
       // provenance-aware curation funnel composed from this round's
       // operators: URL provenance gate (IP-host docs out) → per-domain cap
@@ -2884,6 +2894,23 @@ object SparkEntry {
         |  strpos(url, '?') > 0 AS has_query,
         |  is_ip AS is_ip_host
         |FROM h""".stripMargin),
+    "d34_temperature_mix" ->
+      """WITH sz AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n,
+        |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS w
+        |      FROM sz),
+        |sw AS (SELECT CAST(sum(w) AS BIGINT) AS sumw FROM w),
+        |thr AS (SELECT lang,
+        |  least(1.0, ((CAST(200 AS DOUBLE) * CAST(w AS DOUBLE)) / CAST(sumw AS DOUBLE))
+        |             / CAST(n AS DOUBLE)) AS frac
+        |  FROM w, sw),
+        |hex AS (SELECT lang,
+        |  CASE WHEN frac >= 1.0 THEN 'g'
+        |       ELSE lower(lpad(to_hex(CAST(floor(frac * 4294967296.0 + 0.5) AS BIGINT)), 8, '0')) END AS h
+        |  FROM thr)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN hex ON d.lang = hex.lang
+        |WHERE substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8) < hex.h""".stripMargin,
     "d33_curation_v2" ->
       """WITH dom AS (
         |  SELECT doc_id, text,

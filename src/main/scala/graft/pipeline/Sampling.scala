@@ -83,6 +83,54 @@ object Sampling {
     df.filter(hashRankHex(seed, keyCols.map(col)) < thr)
   }
 
+  /** Temperature-flattened corpus mixing — the multilingual-LM alpha rule:
+    * stratum `l`'s share of a `targetRows` sample is proportional to
+    * `n_l^alpha`, so alpha=1 keeps the natural distribution, alpha=0 is
+    * uniform across strata, and alpha∈(0,1) upweights the tail (the
+    * standard fix for high-resource strata drowning the mix). Selection is
+    * the same deterministic hash-threshold Bernoulli as [[hashSampleMix]],
+    * with the per-stratum fractions computed FROM the data: one counting
+    * pass (O(#strata) driver rows), then a map-only broadcast-join filter —
+    * no when-chain (a 10⁵-stratum chain would blow up janino), no shuffle
+    * of the corpus, nested-sample property preserved per stratum.
+    *
+    * Replayability: weights are fixed-point `floor(n^alpha * 1e6 + 0.5)` so
+    * the cross-stratum weight sum is an integer — exact and
+    * summation-order-free — and every further step (two divisions, the
+    * 2^32 threshold) is a fixed IEEE op sequence an oracle reproduces
+    * bit-for-bit (alpha=0.5 keeps even the power exact: sqrt is a
+    * correctly-rounded IEEE op; other alphas depend on the platform's
+    * `pow` rounding).
+    */
+  def temperatureMix(df: DataFrame, strataCol: String, targetRows: Long,
+      keyCols: Seq[String], alpha: Double = 0.5, seed: String = "42"): DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha $alpha not in [0,1]")
+    val sizeRows = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n")).take(1000001)
+    require(sizeRows.length <= 1000000,
+      s"temperatureMix: column '$strataCol' has over 1e6 distinct values — " +
+        "that is a key, not a stratum")
+    val ws = sizeRows.map { r =>
+      val n = r.getLong(1)
+      (r.get(0), n, math.floor(math.pow(n.toDouble, alpha) * 1e6 + 0.5).toLong)
+    }
+    val sumW = ws.map(_._3).sum
+    val thrDf = df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(ws.toSeq.map { case (stratum, n, w) =>
+        val frac = math.min(1.0,
+          targetRows.toDouble * w.toDouble / sumW.toDouble / n.toDouble)
+        org.apache.spark.sql.Row(stratum, fractionThresholdHex(frac))
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__tm_stratum",
+          df.schema(strataCol).dataType),
+        org.apache.spark.sql.types.StructField("__tm_thr",
+          org.apache.spark.sql.types.StringType))))
+    df.join(broadcast(thrDf), col(strataCol) === col("__tm_stratum"))
+      .filter(hashRankHex(seed, keyCols.map(col)) < col("__tm_thr"))
+      .drop("__tm_stratum", "__tm_thr")
+  }
+
   /** Deterministic integer upsampling — the "epochs per source" stage of a
     * training mix (see high-quality sources 3x per epoch, the long tail
     * once): each row of stratum s is replicated `epochs(s)` times (strata

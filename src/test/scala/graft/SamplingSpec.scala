@@ -148,4 +148,44 @@ class SamplingSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(a.toSeq == b.toSeq)
     }
   }
+
+  describe("Sampling.temperatureMix") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // heavily skewed corpus: 10000 "en", 400 "de", 100 "fr"
+    def skewed = (0L until 10500L).map { i =>
+      val lang = if (i < 10000) "en" else if (i < 10400) "de" else "fr"
+      (i, lang)
+    }.toDF("doc_id", "lang")
+
+    it("alpha < 1 flattens the mix toward the tail; totals land near the target") {
+      val out = Sampling.temperatureMix(skewed, "lang", targetRows = 1000L, Seq("doc_id"))
+      val byLang = out.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = byLang.values.sum
+      assert(math.abs(total - 1000L) < 150, s"total $total far from target")
+      // natural shares would be ~95%/4%/1%; sqrt-flattening lifts the tail
+      val en = byLang("en").toDouble / total
+      assert(en < 0.80, s"en share $en not flattened")
+      assert(byLang("fr") > 50, s"fr kept only ${byLang("fr")} rows")
+      // and a small stratum never exceeds its own size
+      assert(byLang("fr") <= 100)
+    }
+
+    it("alpha = 1 reproduces the natural distribution's uniform fraction") {
+      val out = Sampling.temperatureMix(skewed, "lang", targetRows = 1050L,
+        Seq("doc_id"), alpha = 1.0)
+      val byLang = out.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // every stratum keeps ~10% — shares match the corpus shares
+      assert(math.abs(byLang("en") - 1000L) < 120)
+      assert(byLang("de") < 80 && byLang("fr") < 30)
+    }
+
+    it("is deterministic and partitioning-independent") {
+      val a = Sampling.temperatureMix(skewed.repartition(1), "lang", 500L, Seq("doc_id"))
+      val b = Sampling.temperatureMix(skewed.repartition(17), "lang", 500L, Seq("doc_id"))
+      assertSmallDataFrameEquality(a, b)
+    }
+  }
 }

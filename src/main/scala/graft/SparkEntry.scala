@@ -2906,7 +2906,8 @@ object SparkEntry {
         |  FROM w, sw),
         |hex AS (SELECT lang,
         |  CASE WHEN frac >= 1.0 THEN 'g'
-        |       ELSE lower(lpad(to_hex(CAST(floor(frac * 4294967296.0 + 0.5) AS BIGINT)), 8, '0')) END AS h
+        |       ELSE lower(lpad(to_hex(least(CAST(4294967295 AS BIGINT),
+        |              CAST(floor(frac * 4294967296.0 + 0.5) AS BIGINT))), 8, '0')) END AS h
         |  FROM thr)
         |SELECT d.doc_id, d.lang, d.source
         |FROM documents d JOIN hex ON d.lang = hex.lang

@@ -971,29 +971,15 @@ object TableOps {
       liveDvDirs: Set[String])
 
   private def vacuumPlan(log: GraftLog, retainVersion: Long): VacuumPlan = {
-    val versions = log.versions()
-    require(versions.contains(retainVersion), s"version $retainVersion does not exist")
-    val keepVersions = versions.filter(_ >= retainVersion)
-    // files (and the bloom/deletion-vector sidecars they reference) live in
-    // any retained snapshot — one snapshot pass collects all three
-    val keepFiles: Seq[AddFile] = keepVersions.flatMap(v => log.snapshot(v).files)
-    val live: Set[String] = keepFiles.map(_.path).toSet
+    // the retained/dead rule lives in ONE place (GraftLog.retentionScan —
+    // shared with the write path's auto log cleanup); this wrapper derives
+    // the sidecar sets vacuum additionally sweeps
+    val scan = log.retentionScan(retainVersion)
     val liveSidecars: Set[String] =
-      keepFiles.flatMap(f => GraftLog.parseStats(f.stats).flatMap(_.bloomSidecar)).toSet
-    val liveDvDirs: Set[String] = keepFiles.flatMap(_.dv.map(_.path)).toSet
-    // change files of retained versions stay readable
-    val liveCdc: Set[String] = keepVersions.flatMap { v =>
-      log.actionsAt(v).collect { case c: AddCDCFile => c.path }
-    }.toSet
-    // everything ever added below the horizon that is not live anymore
-    val dropVersions = versions.filter(_ < retainVersion)
-    val deadData = dropVersions.flatMap { v =>
-      log.actionsAt(v).collect {
-        case a: AddFile if !live.contains(a.path) => a.path
-        case c: AddCDCFile if !liveCdc.contains(c.path) => c.path
-      }
-    }.distinct
-    VacuumPlan(deadData, dropVersions, liveSidecars, liveDvDirs)
+      scan.retainedFiles.flatMap(f => GraftLog.parseStats(f.stats).flatMap(_.bloomSidecar)).toSet
+    val liveDvDirs: Set[String] = scan.retainedFiles.flatMap(_.dv.map(_.path)).toSet
+    val dropVersions = log.versions().filter(_ < retainVersion)
+    VacuumPlan(scan.deadData, dropVersions, liveSidecars, liveDvDirs)
   }
 
   /** Deletion-vector sidecar dirs under `_dv/` referenced by NO retained
@@ -1055,8 +1041,13 @@ object TableOps {
     // dropping them would make a restarted stream re-append its last epoch
     val horizonTxns = horizon.transactions.toSeq.sortBy(_._1)
       .map { case (app, v) => graft.tables.SetTransaction(app, v) }
+    // the rewritten horizon is a SNAPSHOT, not the original change set — a
+    // change consumer reading it as a commit would re-emit the whole table
+    // as inserts; the marker lets the stream source refuse it loudly
+    val markedCommit = horizonCommit.map(ci => ci.copy(operationParameters =
+      ci.operationParameters + (GraftLog.HorizonRewriteParam -> "true")))
     log.rewriteVersion(retainVersion,
-      Seq(horizon.metadata) ++ horizonTxns ++ horizon.files ++ horizonCdc ++ horizonCommit)
+      Seq(horizon.metadata) ++ horizonTxns ++ horizon.files ++ horizonCdc ++ markedCommit)
 
     // EXTERNAL references recorded by a shallow clone belong to the
     // SOURCE table — the clone's vacuum must never delete them

@@ -62,7 +62,11 @@ object Sampling {
     * digits and lexicographically SMALLER than most ranks. */
   private[graft] def fractionThresholdHex(f: Double): String = {
     require(f >= 0.0 && f <= 1.0, s"fraction $f not in [0,1]")
-    if (f >= 1.0) "g" else f"${math.round(f * 4294967296.0)}%08x"
+    // clamp: for f in [1 - 2^-33, 1) the rounding reaches 2^32, whose %08x
+    // is NINE digits ("100000000") and sorts BELOW most 8-hex ranks — a
+    // keep-everything stratum would keep ~6%
+    if (f >= 1.0) "g"
+    else f"${math.min(4294967295L, math.round(f * 4294967296.0))}%08x"
   }
 
   /** Per-stratum deterministic Bernoulli mix — the "source weights" stage
@@ -106,30 +110,52 @@ object Sampling {
       keyCols: Seq[String], alpha: Double = 0.5, seed: String = "42"): DataFrame = {
     require(targetRows > 0, s"targetRows must be positive, got $targetRows")
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha $alpha not in [0,1]")
-    val sizeRows = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n")).take(1000001)
-    require(sizeRows.length <= 1000000,
-      s"temperatureMix: column '$strataCol' has over 1e6 distinct values — " +
-        "that is a key, not a stratum")
-    val ws = sizeRows.map { r =>
-      val n = r.getLong(1)
-      (r.get(0), n, math.floor(math.pow(n.toDouble, alpha) * 1e6 + 0.5).toLong)
+    val sizeRows = strataCounts(df, strataCol, "temperatureMix")
+    val ws = sizeRows.map { case (stratum, n) =>
+      (stratum, n, math.floor(math.pow(n.toDouble, alpha) * 1e6 + 0.5).toLong)
     }
     val sumW = ws.map(_._3).sum
-    val thrDf = df.sparkSession.createDataFrame(
-      df.sparkSession.sparkContext.parallelize(ws.toSeq.map { case (stratum, n, w) =>
-        val frac = math.min(1.0,
-          targetRows.toDouble * w.toDouble / sumW.toDouble / n.toDouble)
-        org.apache.spark.sql.Row(stratum, fractionThresholdHex(frac))
-      }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__tm_stratum",
-          df.schema(strataCol).dataType),
-        org.apache.spark.sql.types.StructField("__tm_thr",
-          org.apache.spark.sql.types.StringType))))
-    df.join(broadcast(thrDf), col(strataCol) === col("__tm_stratum"))
+    val thresholds = ws.map { case (stratum, n, w) =>
+      val frac = math.min(1.0,
+        targetRows.toDouble * w.toDouble / sumW.toDouble / n.toDouble)
+      (stratum, fractionThresholdHex(frac))
+    }
+    val thrDf = thresholdFrame(df, strataCol, "__tm_stratum", "__tm_thr", thresholds.toSeq)
+    // null-safe join: a NULL stratum is a stratum too (it was counted into
+    // the weight sum — dropping its rows would silently undershoot the
+    // target); plain === would never match the null threshold row
+    df.join(broadcast(thrDf), col(strataCol) <=> col("__tm_stratum"))
       .filter(hashRankHex(seed, keyCols.map(col)) < col("__tm_thr"))
       .drop("__tm_stratum", "__tm_thr")
   }
+
+  /** Per-stratum counts with the shared cardinality guard (`take(bound+1)`
+    * caps the transfer even when a key column is mistakenly passed as the
+    * stratum — fail loudly rather than pull a data-sized result).
+    */
+  private def strataCounts(df: DataFrame, strataCol: String,
+      op: String): Array[(Any, Long)] = {
+    val rows = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n")).take(1000001)
+    require(rows.length <= 1000000,
+      s"$op: column '$strataCol' has over 1e6 distinct values — " +
+        "that is a key, not a stratum")
+    rows.map(r => (r.get(0), r.getLong(1)))
+  }
+
+  /** O(#strata) broadcastable (stratum → hex threshold) frame — the shared
+    * alternative to a per-stratum when-chain (which at 10⁵ strata compiles
+    * pathological janino).
+    */
+  private def thresholdFrame(df: DataFrame, strataCol: String,
+      stratumName: String, thrName: String, rows: Seq[(Any, String)]): DataFrame =
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(
+        rows.map(t => org.apache.spark.sql.Row(t._1, t._2)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(stratumName,
+          df.schema(strataCol).dataType),
+        org.apache.spark.sql.types.StructField(thrName,
+          org.apache.spark.sql.types.StringType))))
 
   /** Deterministic integer upsampling — the "epochs per source" stage of a
     * training mix (see high-quality sources 3x per epoch, the long tail

@@ -340,7 +340,19 @@ class GraftStreamSource(
       // it as a blind append would re-emit the file's surviving rows
       val removedPaths = removes.map(_.path).toSet
       val dataAdds = adds.filterNot(a => removedPaths.contains(a.path))
-      val op = actions.collectFirst { case c: graft.tables.CommitInfo => c.operation }
+      val ci = actions.collectFirst { case c: graft.tables.CommitInfo => c }
+      val op = ci.map(_.operation)
+      // a vacuum-horizon REWRITE carries the table's whole live file set in
+      // place of the version's original change content — emitting it as a
+      // change batch would re-deliver every row as an insert (silent
+      // duplication downstream); the original changes are unrecoverable
+      if (ci.exists(_.operationParameters.contains(GraftLog.HorizonRewriteParam)))
+        throw new IllegalStateException(
+          s"version $v of $tablePath is a vacuum-horizon rewrite — its original " +
+            "change content was replaced by a snapshot; the stream cannot emit " +
+            "changes at or below the vacuum horizon. Restart the stream from a " +
+            "fresh checkpoint (snapshot batch), or vacuum with a horizon older " +
+            "than the slowest stream's offset")
       if (op.contains("OPTIMIZE")) {
         // layout-only rewrite (compaction / Z-order): rows are unchanged, so
         // the commit contributes nothing to the change stream — the same

@@ -188,6 +188,55 @@ class GraftLog(val tablePath: String) {
     * never-vacuumed backlog run `TableOps.vacuum(table, retainVersion)`
     * first (it fans the deletes out as a Spark job).
     */
+  /** The retention scan shared by vacuum and log cleanup: files/change
+    * files referenced by ANY retained version (`retainedFiles` includes
+    * files added then removed within the retained range — time travel to
+    * their version still needs them), and the DEAD set below the horizon —
+    * added there, live nowhere retained, external (shallow-clone)
+    * references excluded from deletion on both the data and CDC legs.
+    *
+    * Cost is one snapshot fold at the horizon plus one `actionsAt` pass per
+    * version (any file live at a retained version v was either live at the
+    * horizon or added in (horizon, v]) — NOT a snapshot replay per retained
+    * version, which would make the write-path auto cleanup quadratic on
+    * long-retention streaming tables.
+    */
+  private[graft] case class RetentionScan(
+      retainedFiles: Seq[AddFile], liveCdc: Set[String], deadData: Seq[String])
+
+  private[graft] def retentionScan(retainVersion: Long): RetentionScan = {
+    val vs = versions()
+    require(vs.contains(retainVersion),
+      s"version $retainVersion does not exist for $tablePath")
+    // every distinct AddFile INCARNATION (a re-add with a new deletion-
+    // vector descriptor counts separately — a retained older snapshot may
+    // still reference the older sidecar), not last-wins by path
+    val retained = scala.collection.mutable.LinkedHashSet.empty[AddFile]
+    snapshot(retainVersion).files.foreach(retained += _)
+    val liveCdc = scala.collection.mutable.HashSet.empty[String]
+    actionsAt(retainVersion).foreach {
+      case c: AddCDCFile => liveCdc += c.path; ()
+      case _             => ()
+    }
+    vs.filter(_ > retainVersion).foreach { v =>
+      actionsAt(v).foreach {
+        case a: AddFile    => retained += a; ()
+        case c: AddCDCFile => liveCdc += c.path; ()
+        case _             => ()
+      }
+    }
+    val live: Set[String] = retained.iterator.map(_.path).toSet
+    val dead = vs.filter(_ < retainVersion).flatMap { v =>
+      actionsAt(v).collect {
+        case a: AddFile if !live.contains(a.path) &&
+          !GraftTable.isExternalPath(a.path) => a.path
+        case c: AddCDCFile if !liveCdc.contains(c.path) &&
+          !GraftTable.isExternalPath(c.path) => c.path
+      }
+    }.distinct
+    RetentionScan(retained.toSeq, liveCdc.toSet, dead)
+  }
+
   def cleanupBelow(retainVersion: Long): Int = {
     val vs = versions()
     val latest = vs.last
@@ -197,19 +246,9 @@ class GraftLog(val tablePath: String) {
       s"version $retainVersion has no log file (already cleaned?)")
     val doomed = vs.filter(_ < retainVersion)
     if (doomed.isEmpty) return 0
-    // dead below the horizon = added there, live in NO retained snapshot
-    // (same rule as TableOps.vacuumPlan) — computed BEFORE the log files go
-    val keepVersions = vs.filter(_ >= retainVersion)
-    val live: Set[String] = keepVersions.flatMap(v => snapshot(v).files.map(_.path)).toSet
-    val liveCdc: Set[String] = keepVersions.flatMap { v =>
-      actionsAt(v).collect { case c: AddCDCFile => c.path }
-    }.toSet
-    val dead = doomed.flatMap { v =>
-      actionsAt(v).collect {
-        case a: AddFile if !live.contains(a.path) && !GraftTable.isExternalPath(a.path) => a.path
-        case c: AddCDCFile if !liveCdc.contains(c.path) => c.path
-      }
-    }.distinct
+    // dead data below the horizon goes WITH its log entries — computed
+    // BEFORE the log files do (see retentionScan for the rule)
+    val dead = retentionScan(retainVersion).deadData
     // every surviving target must replay without the doomed files: a
     // checkpoint at-or-after the horizon minus one covers (ckpt, target];
     // the horizon version itself is the natural anchor
@@ -395,6 +434,13 @@ object GraftLog {
   val LogRetentionProperty = "graft.logRetentionDuration"
   val ExpiredLogCleanupProperty = "graft.enableExpiredLogCleanup"
   val DefaultLogRetentionHours: Double = 7 * 24.0
+
+  /** CommitInfo operationParameters key marking a vacuum-horizon REWRITE: a
+    * version whose log content was replaced by a self-contained snapshot
+    * (metadata + all live files). Change consumers must not read it as the
+    * version's original change set.
+    */
+  val HorizonRewriteParam = "graftHorizonRewrite"
 
   /** `"interval <n> <unit>"` (unit ∈ hour/day/week, plural accepted, case
     * insensitive) → hours. Loud on anything else: a silently misread

@@ -456,7 +456,14 @@ object GraftTable {
       .filter(_.startsWith(IdentityPropertyPrefix))
       .map(_.stripPrefix(IdentityPropertyPrefix)).toSet
     def isBookkeeping(rest: String): Boolean =
-      rest.endsWith(".high") && rests.contains(rest.stripSuffix(".high"))
+      rest.endsWith(".high") && {
+        // bookkeeping for a declared column — or an ORPHANED mark whose
+        // definition was unset (single-long value): neither is a
+        // definition, and treating the orphan as one would make the table
+        // unwritable after `unsetProperties(graft.identity.<col>)`
+        rests.contains(rest.stripSuffix(".high")) ||
+          scala.util.Try(properties(IdentityPropertyPrefix + rest).trim.toLong).isSuccess
+      }
     properties.collect {
       case (k, v) if k.startsWith(IdentityPropertyPrefix) &&
           !isBookkeeping(k.stripPrefix(IdentityPropertyPrefix)) =>

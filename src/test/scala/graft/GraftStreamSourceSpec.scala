@@ -123,6 +123,42 @@ class GraftStreamSourceSpec extends AnyFunSpec with SparkSessionTestWrapper {
     } finally q2.stop()
   }
 
+  it("refuses to emit a vacuum-horizon rewrite as a change batch") {
+    val (dir, t) = mkTable("gss_horizon")
+    val ckpt = java.nio.file.Files.createTempDirectory("gss_horizon_loc").toString
+    TableOps.update(t, Some("id = 0"), Map("name" -> "'A1'")) // v1
+    TableOps.update(GraftTable.forPath(spark, dir),
+      Some("id = 1"), Map("name" -> "'B1'"))                  // v2
+    // one version per batch so the restart's replayed batch is (1 → 2]
+    def start() = spark.readStream.format("graft")
+      .option("startingVersion", "0").option("maxVersionsPerTrigger", "1")
+      .load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect(); ()
+      }.start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop() // consumed through v2
+
+    GraftTable.forPath(spark, dir).append(
+      spark.range(1).selectExpr("90 as id", "'z' as name", "'x' as country")) // v3
+    // vacuum to v2: v2's log becomes a snapshot REWRITE; the restart
+    // replays its last batch (1 → 2], whose original change content is
+    // gone — emitting the rewrite would re-deliver the whole table
+    TableOps.vacuum(GraftTable.forPath(spark, dir), retainVersion = 2L)
+
+    val q2 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    try {
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("vacuum-horizon rewrite")),
+        s"wrong failure: ${messages(e).mkString(" | ")}")
+    } finally q2.stop()
+  }
+
   it("composes with GraftSink: table-to-table streaming replication, exactly once") {
     // the full streaming story end-to-end: change-data SOURCE on table A →
     // filter to inserts → exactly-once SINK into table B; B converges to

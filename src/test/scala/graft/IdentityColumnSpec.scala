@@ -76,6 +76,20 @@ class IdentityColumnSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(t.toDF.select("high").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
     }
 
+    it("unsetting an identity definition leaves an orphaned mark the parser ignores") {
+      val t = GraftTable.create(spark, tmpTableDir("ident-unset"),
+        Seq("a", "b").toDF("name"), properties = idProp(1, 1))
+      // the first write recorded graft.identity.id.high; dropping only the
+      // DEFINITION must not make the table unwritable
+      t.unsetProperties(Set(GraftTable.IdentityPropertyPrefix + "id"))
+      val t2 = GraftTable.forPath(spark, t.path)
+      t2.append(Seq("c").toDF("name"))
+      val rows = GraftTable.forPath(spark, t.path).toDF
+      assert(rows.count() == 3)
+      // no identity generation anymore: the appended row's id is null
+      assert(rows.filter(col("id").isNull).count() == 1)
+    }
+
     it("rejects malformed identity property values") {
       intercept[IllegalArgumentException] {
         GraftTable.identityColumnsOf(Map("graft.identity.id" -> "nope"))

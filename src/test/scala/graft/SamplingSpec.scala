@@ -187,5 +187,24 @@ class SamplingSpec extends AnyFunSpec with SparkSessionTestWrapper {
       val b = Sampling.temperatureMix(skewed.repartition(17), "lang", 500L, Seq("doc_id"))
       assertSmallDataFrameEquality(a, b)
     }
+
+    it("a NULL stratum is sampled like any other, not silently dropped") {
+      val withNulls = (0L until 2000L)
+        .map(i => (i, if (i % 2 == 0) null else "en"))
+        .toDF("doc_id", "lang")
+      val out = Sampling.temperatureMix(withNulls, "lang", 400L, Seq("doc_id"))
+      val nullKept = out.filter(col("lang").isNull).count()
+      val total = out.count()
+      assert(nullKept > 100, s"null stratum kept only $nullKept rows")
+      assert(math.abs(total - 400L) < 80, s"total $total far from target 400")
+    }
+
+    it("fraction thresholds clamp at the top of the rank space") {
+      // f just below 1.0 rounds to 2^32, whose nine-digit hex would sort
+      // BELOW most ranks — the clamp keeps it at ffffffff
+      assert(Sampling.fractionThresholdHex(1.0 - 1e-12) == "ffffffff")
+      assert(Sampling.fractionThresholdHex(1.0) == "g")
+      assert(Sampling.fractionThresholdHex(0.5) == "80000000")
+    }
   }
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.log.{ChangeDataFeedHelper, OperationMetricHelper}
 import graft.operators._
 import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
-import graft.tables.{AddCDCFile, AddFile, GraftLog, GraftTable}
+import graft.tables.{AddCDCFile, AddFile, DeletionVectors, GraftLog, GraftTable}
 
 /** Driver contract — one query per implemented operator from SURVEY.md §2
   * plus the LLM-pipeline operators. Each query is deterministic and
@@ -1914,6 +1914,27 @@ object SparkEntry {
       }
     }),
 
+    "s38_protocol" -> ((s, dir) => {
+      // table-features protocol (Delta's reader/writer gate): enabling
+      // deletion vectors, an identity column and a CHECK constraint at
+      // create upgrades the feature sets; a build lacking a declared
+      // feature fails loudly instead of silently mis-reading (see
+      // ProtocolSpec for the negative paths).
+      val dirT = tmp("s38")
+      GraftTable.create(s, dirT, read(s, dir, "region"),
+        properties = Map(
+          DeletionVectors.Property -> "true",
+          "graft.identity.rid" -> "1,1",
+          "graft.constraints.key_pos" -> "r_regionkey >= 0"))
+      () => {
+      val p = GraftTable.forPath(s, dirT).snapshot.protocol
+      import s.implicits._
+      Seq((p.minReaderVersion, p.minWriterVersion,
+        p.readerFeatures.sorted.mkString(","), p.writerFeatures.sorted.mkString(",")))
+        .toDF("min_reader", "min_writer", "reader_features", "writer_features")
+      }
+    }),
+
     "s37_log_cleanup" -> ((s, dir) => {
       // commit-log retention (Delta's metadata cleanup): version files
       // below the horizon are deleted after a covering checkpoint lands;
@@ -2817,6 +2838,10 @@ object SparkEntry {
     "s31_symlink_manifest" ->
       """SELECT CAST(count(*) AS BIGINT) AS rows_via_manifest,
         |       true AS matches_live, true AS nonempty FROM nation""".stripMargin,
+    "s38_protocol" ->
+      """SELECT CAST(1 AS INT) AS min_reader, CAST(1 AS INT) AS min_writer,
+        |       'deletionVectors' AS reader_features,
+        |       'checkConstraints,deletionVectors,identityColumns' AS writer_features""".stripMargin,
     "s37_log_cleanup" ->
       """SELECT CAST(n_nationkey AS INT) AS k,
         |       CASE WHEN n_nationkey < 3 THEN lower(n_name)

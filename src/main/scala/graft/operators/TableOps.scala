@@ -1047,7 +1047,8 @@ object TableOps {
     val markedCommit = horizonCommit.map(ci => ci.copy(operationParameters =
       ci.operationParameters + (GraftLog.HorizonRewriteParam -> "true")))
     log.rewriteVersion(retainVersion,
-      Seq(horizon.metadata) ++ horizonTxns ++ horizon.files ++ horizonCdc ++ markedCommit)
+      Seq[Action](horizon.metadata, horizon.protocol) ++ horizonTxns ++
+        horizon.files ++ horizonCdc ++ markedCommit)
 
     // EXTERNAL references recorded by a shallow clone belong to the
     // SOURCE table — the clone's vacuum must never delete them

@@ -159,6 +159,7 @@ object DistributedSnapshot {
     require(vs.nonEmpty, s"$tablePath is not a GraftTable (empty log)")
     val target = if (version < 0) vs.last else version
     val meta: graft.tables.Metadata = metadataAt(log, target)
+    val proto = protocolAt(log, target)
     val txns = transactionsAt(log, target)
 
     implicit val strEnc = org.apache.spark.sql.Encoders.STRING
@@ -173,7 +174,7 @@ object DistributedSnapshot {
       val tmp = Files.createTempFile(log.logDir, s".ckpt$target", ".json.tmp")
       val out = Files.newOutputStream(tmp)
       try {
-        val head = (Seq(meta) ++
+        val head = (Seq[Action](meta, proto) ++
           txns.toSeq.sortBy(_._1).map { case (a, v) => SetTransaction(a, v) })
           .map(GraftLog.renderAction).mkString("", "\n", "\n")
         out.write(head.getBytes(StandardCharsets.UTF_8))
@@ -236,5 +237,27 @@ object DistributedSnapshot {
     }
     require(meta != null, s"no metadata action found in log of ${log.tablePath}")
     meta
+  }
+
+  /** Last protocol action at-or-before `target` (default baseline when the
+    * log predates the protocol vocabulary) — same single-field line scan as
+    * [[metadataAt]], no full snapshot fold.
+    */
+  private[graft] def protocolAt(log: GraftLog, target: Long): graft.tables.Protocol = {
+    var proto: graft.tables.Protocol = graft.tables.Protocol()
+    val ckpt = log.checkpointVersions().filter(_ <= target).lastOption
+    ckpt.foreach { cv =>
+      val stream = Files.lines(log.checkpointFile(cv), StandardCharsets.UTF_8)
+      try stream.filter(_.startsWith("{\"protocol\"")).forEach { line =>
+        proto = GraftLog.parseAction(line).asInstanceOf[graft.tables.Protocol]
+      } finally stream.close()
+    }
+    log.versions().filter(v => v <= target && ckpt.forall(v > _)).foreach { v =>
+      val stream = Files.lines(log.versionFile(v), StandardCharsets.UTF_8)
+      try stream.filter(_.startsWith("{\"protocol\"")).forEach { line =>
+        proto = GraftLog.parseAction(line).asInstanceOf[graft.tables.Protocol]
+      } finally stream.close()
+    }
+    proto
   }
 }

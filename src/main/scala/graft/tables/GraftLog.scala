@@ -79,7 +79,7 @@ class GraftLog(val tablePath: String) {
     val tmp = Files.createTempFile(logDir, s".ckpt$version", ".json.tmp")
     val txnActions = snap.transactions.toSeq.sortBy(_._1)
       .map { case (app, v) => SetTransaction(app, v) }
-    val body = (Seq(snap.metadata) ++ txnActions ++ snap.files)
+    val body = (Seq(snap.metadata, snap.protocol) ++ txnActions ++ snap.files)
       .map(renderAction).mkString("", "\n", "\n")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, checkpointFile(version), StandardCopyOption.REPLACE_EXISTING)
@@ -114,6 +114,7 @@ class GraftLog(val tablePath: String) {
     val target = if (version < 0) vs.last else version
     require(vs.contains(target), s"version $target does not exist for $tablePath (have ${vs.headOption}..${vs.lastOption})")
     var meta: Metadata = null
+    var proto: Protocol = Protocol()
     val files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val ckpt = checkpointVersions().filter(_ <= target).lastOption
@@ -121,6 +122,7 @@ class GraftLog(val tablePath: String) {
       Files.readAllLines(checkpointFile(cv), StandardCharsets.UTF_8).asScala
         .filter(_.trim.nonEmpty).map(parseAction).foreach {
           case m: Metadata       => meta = m
+          case p: Protocol       => proto = p
           case a: AddFile        => files(a.path) = a
           case t: SetTransaction => txns(t.appId) = t.version
           case _                 => ()
@@ -137,11 +139,21 @@ class GraftLog(val tablePath: String) {
         // monotonicity is the SINK's protocol (writeEpoch gates on >=), not
         // the log's
         case t: SetTransaction => txns(t.appId) = t.version
+        case p: Protocol       => proto = p
         case _                 => ()
       }
     }
     require(meta != null, s"no metadata action found in log of $tablePath")
-    Snapshot(target, meta, files.values.toSeq, txns.toMap)
+    // reader gate: features this BUILD does not implement would make the
+    // scan silently wrong (unmasked deleted rows, missing renamed columns)
+    val unknownReader = proto.readerFeatures.filterNot(GraftLog.SupportedReaderFeatures)
+    if (unknownReader.nonEmpty)
+      throw new IllegalStateException(
+        s"$tablePath requires reader feature(s) ${unknownReader.mkString(", ")} this " +
+          "build does not implement (supported: " +
+          s"${GraftLog.SupportedReaderFeatures.toSeq.sorted.mkString(", ")}); " +
+          "upgrade the library to read this table")
+    Snapshot(target, meta, files.values.toSeq, txns.toMap, proto)
   }
 
   /** History entries (newest first), analogue of `deltaLog.history.getHistory`
@@ -435,6 +447,44 @@ object GraftLog {
   val ExpiredLogCleanupProperty = "graft.enableExpiredLogCleanup"
   val DefaultLogRetentionHours: Double = 7 * 24.0
 
+  /** Table features this build implements. READER features change what a
+    * scan must do to be correct; WRITER features change what a commit must
+    * maintain. The writer set includes the reader set (a writer rewrites
+    * what it reads).
+    */
+  val SupportedReaderFeatures: Set[String] =
+    Set("deletionVectors", "columnMapping", "typeWidening")
+  val SupportedWriterFeatures: Set[String] =
+    SupportedReaderFeatures ++ Set("identityColumns", "checkConstraints",
+      "generatedColumns", "defaultColumns")
+
+  /** The features a property map's configuration requires, as
+    * (readerFeatures, writerFeatures) — the auto-upgrade rule: a commit
+    * whose properties first enable one of these adds it to the protocol.
+    */
+  def requiredFeatures(props: Map[String, String]): (Set[String], Set[String]) = {
+    val reader = scala.collection.mutable.Set.empty[String]
+    val writer = scala.collection.mutable.Set.empty[String]
+    if (props.get(DeletionVectors.Property).exists(_.equalsIgnoreCase("true"))) {
+      reader += "deletionVectors"; writer += "deletionVectors"
+    }
+    if (props.contains(ColumnMapping.ModeProperty)) {
+      reader += "columnMapping"; writer += "columnMapping"
+    }
+    if (props.get(TableWriter.TypeWideningProperty).exists(_.equalsIgnoreCase("true"))) {
+      reader += "typeWidening"; writer += "typeWidening"
+    }
+    if (props.keysIterator.exists(_.startsWith(GraftTable.IdentityPropertyPrefix)))
+      writer += "identityColumns"
+    if (props.keysIterator.exists(_.startsWith(GraftTable.ConstraintPropertyPrefix)))
+      writer += "checkConstraints"
+    if (props.keysIterator.exists(_.startsWith(GraftTable.GeneratedPropertyPrefix)))
+      writer += "generatedColumns"
+    if (props.keysIterator.exists(_.startsWith(GraftTable.DefaultPropertyPrefix)))
+      writer += "defaultColumns"
+    (reader.toSet, writer.toSet)
+  }
+
   /** CommitInfo operationParameters key marking a vacuum-horizon REWRITE: a
     * version whose log content was replaced by a self-contained snapshot
     * (metadata + all live files). Change consumers must not read it as the
@@ -475,6 +525,7 @@ object GraftLog {
       case _: AddCDCFile     => "cdc"
       case _: CommitInfo     => "commitInfo"
       case _: SetTransaction => "txn"
+      case _: Protocol       => "protocol"
     }
     val root = mapper.createObjectNode()
     root.set[ObjectNode](key, mapper.valueToTree[JsonNode](a))
@@ -493,6 +544,7 @@ object GraftLog {
       case "cdc"        => mapper.treeToValue(body, classOf[AddCDCFile])
       case "commitInfo" => mapper.treeToValue(body, classOf[CommitInfo])
       case "txn"        => mapper.treeToValue(body, classOf[SetTransaction])
+      case "protocol"   => mapper.treeToValue(body, classOf[Protocol])
       case other =>
         throw new IllegalArgumentException(s"unknown log action '$other' in: $line")
     }

@@ -64,6 +64,18 @@ object TableWriter {
     val log = new GraftLog(tablePath)
     val exists = log.tableExists
     val prevSnapshot = if (exists) Some(log.snapshot()) else None
+    // writer gate (snapshot() above already gated READER features): a
+    // writer missing a declared writer feature could corrupt invariants it
+    // does not know exist — fail before anything is staged
+    prevSnapshot.foreach { sn =>
+      val unknown = sn.protocol.writerFeatures.filterNot(GraftLog.SupportedWriterFeatures)
+      if (unknown.nonEmpty)
+        throw new IllegalStateException(
+          s"$tablePath requires writer feature(s) ${unknown.mkString(", ")} this " +
+            "build does not implement (supported: " +
+            s"${GraftLog.SupportedWriterFeatures.toSeq.sorted.mkString(", ")}); " +
+            "upgrade the library to write this table")
+    }
 
     val partCols =
       if (exists && partitionColumns.isEmpty && !explicitPartitioning)
@@ -371,6 +383,16 @@ object TableWriter {
         }
         val metaActions: Seq[Action] =
           if (metaChanged) Seq(Metadata(schemaNow.json, partColsNow, propsNow)) else Nil
+        // protocol auto-upgrade: properties enabling a feature for the
+        // first time add it to the table's feature sets (never downgrades)
+        val protoActions: Seq[Action] = {
+          val (rr, ww) = GraftLog.requiredFeatures(propsNow)
+          val cur = attemptSnap.map(_.protocol).getOrElse(Protocol())
+          if (rr.subsetOf(cur.readerFeatures.toSet) && ww.subsetOf(cur.writerFeatures.toSet)) Nil
+          else Seq(Protocol(cur.minReaderVersion, cur.minWriterVersion,
+            (cur.readerFeatures.toSet ++ rr).toSeq.sorted,
+            (cur.writerFeatures.toSet ++ ww).toSeq.sorted))
+        }
         val commitInfo = CommitInfo(
           timestamp = System.currentTimeMillis(),
           operation = operation,
@@ -378,7 +400,7 @@ object TableWriter {
           operationMetrics = metrics
         )
         try {
-          log.commit(v, metaActions ++ indexedAdds ++ removes ++ cdcActions ++ extraActions :+ commitInfo)
+          log.commit(v, metaActions ++ protoActions ++ indexedAdds ++ removes ++ cdcActions ++ extraActions :+ commitInfo)
           committed = v
         } catch {
           case e: CommitConflictException =>

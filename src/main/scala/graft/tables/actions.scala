@@ -92,6 +92,24 @@ case class CommitInfo(
     operationMetrics: Map[String, String] = Map.empty
 ) extends Action
 
+/** Reader/writer feature gate — Delta's table-features protocol in
+  * simplified form. A reader that does not IMPLEMENT every feature in
+  * `readerFeatures` would silently return wrong data (a build without
+  * deletion-vector support would resurrect deleted rows; one without column
+  * mapping would read renamed columns as missing), so snapshot load fails
+  * loudly instead. A writer missing a `writerFeatures` entry could corrupt
+  * invariants it does not know exist (identity ranges, CHECK constraints),
+  * so commits are gated the same way. Features upgrade automatically when a
+  * commit first enables the corresponding table property; a table never
+  * downgrades.
+  */
+case class Protocol(
+    minReaderVersion: Int = 1,
+    minWriterVersion: Int = 1,
+    readerFeatures: Seq[String] = Nil,
+    writerFeatures: Seq[String] = Nil
+) extends Action
+
 /** Parsed form of [[AddFile.stats]]. Bloom indexing (absent unless the table
   * opts in via `graft.bloom.columns`): `bloomSidecar` names the
   * `_bloom/<id>/` parquet sidecar holding this file's per-column filters
@@ -115,7 +133,8 @@ case class Snapshot(
     version: Long,
     metadata: Metadata,
     files: Seq[AddFile],
-    transactions: Map[String, Long] = Map.empty
+    transactions: Map[String, Long] = Map.empty,
+    protocol: Protocol = Protocol()
 ) {
   def schema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType

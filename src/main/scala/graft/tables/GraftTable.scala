@@ -74,10 +74,16 @@ class GraftTable private (val spark: SparkSession, val path: String) {
       StructField("partitionColumns", ArrayType(StringType)),
       StructField("properties", MapType(StringType, StringType)),
       StructField("numFiles", LongType),
-      StructField("sizeInBytes", LongType)
+      StructField("sizeInBytes", LongType),
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))
     ))
     val row = Row("parquet+graftlog", path, s.metadata.partitionColumns,
-      s.metadata.properties, s.numFiles, s.sizeInBytes)
+      s.metadata.properties, s.numFiles, s.sizeInBytes,
+      s.protocol.minReaderVersion, s.protocol.minWriterVersion,
+      s.protocol.readerFeatures, s.protocol.writerFeatures)
     spark.createDataFrame(spark.sparkContext.parallelize(Seq(row), 1), schema)
   }
 

@@ -1587,6 +1587,13 @@ object SparkEntry {
       Dedup.dedupSubstrings(read(s, dir, "documents"), "doc_id", "text", k = 12)
     }),
 
+    "t16_corpus_report" -> ((s, dir) => () => {
+      // the data-card datasheet: per-lang doc/token/char volumes, distinct
+      // content fingerprints and the implied duplicate rate — one
+      // aggregation pass, fixed-point ratios so every value is exact
+      TextAnalysis.corpusReport(read(s, dir, "documents"))
+    }),
+
     "t15_compression_signals" -> ((s, dir) => () => {
       // Gopher-style compressibility filter signal (deflate ratio). No SQL
       // oracle — DuckDB has no deflate — so this row is rows-only checked
@@ -2893,6 +2900,15 @@ object SparkEntry {
          |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
          |       CAST(max(pos) + 11 AS BIGINT) AS span_end
          |FROM isl GROUP BY doc_id, g""".stripMargin,
+    "t16_corpus_report" ->
+      """SELECT lang AS stratum,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS BIGINT) AS distinct_fingerprints,
+        |  CAST((SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) * 10000) // count(*) AS BIGINT) AS avg_doc_tokens_e4,
+        |  CAST(((count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))) * 10000) // count(*) AS BIGINT) AS dup_rate_e4
+        |FROM documents GROUP BY lang""".stripMargin,
     "t14_url_signals" ->
       ("WITH " + UrlFixtureSql + "," + """
         |h AS (

@@ -176,6 +176,34 @@ object TextAnalysis {
     }(enc)
   }
 
+  /** Corpus datasheet — the per-stratum metrics a data card reports: doc
+    * and token counts, character volume, distinct content fingerprints and
+    * the implied duplicate rate. ONE aggregation pass (count/sum/
+    * countDistinct share the stratum shuffle); ratios are fixed-point
+    * integers (`⌊x·10⁴⌋`) so every value is exact and engine-replayable.
+    */
+  def corpusReport(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", strataCol: String = "lang"): DataFrame = {
+    val t = col(textCol)
+    df.select(col(strataCol).as("stratum"),
+        bpeishTokenCount(t).as("__tok"),
+        length(t).cast("long").as("__chars"),
+        fingerprint(t).as("__fp"))
+      .groupBy(col("stratum"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        sum(col("__chars")).as("n_chars"),
+        countDistinct(col("__fp")).as("distinct_fingerprints"))
+      .select(col("stratum"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("distinct_fingerprints"),
+        // fixed-point e4 ratios via `div` — EXACT integer division (the
+        // Column `/` is double division, whose rounding can cross an
+        // integer boundary on big strata)
+        expr("(n_tokens * 10000) div n_docs").as("avg_doc_tokens_e4"),
+        expr("((n_docs - distinct_fingerprints) * 10000) div n_docs").as("dup_rate_e4"))
+  }
+
   /** One-stop enrichment: adds lang/quality/token/fingerprint columns. */
   def enrich(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

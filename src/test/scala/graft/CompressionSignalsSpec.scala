@@ -14,6 +14,33 @@ class CompressionSignalsSpec extends AnyFunSpec with SparkSessionTestWrapper {
         ((r.getInt(1), r.getInt(2),
           if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
 
+  describe("TextAnalysis.corpusReport") {
+    it("reports exact per-stratum volumes and duplicate rates") {
+      val docs = Seq(
+        (1L, "hello world", "en"),
+        (2L, "hello world", "en"),  // exact duplicate content
+        (3L, "Hello, WORLD!", "en"), // same fingerprint after normalization
+        (4L, "bonjour", "fr")
+      ).toDF("doc_id", "text", "lang")
+      val out = TextAnalysis.corpusReport(docs).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+        .toMap
+      // en: 3 docs, tokens 2+2+4 ("Hello , WORLD !"), chars 11+11+13,
+      // 1 distinct fingerprint, avg 8*10000/3 = 26666, dup (3-1)*10000/3 = 6666
+      assert(out("en") == ((3L, 8L, 35L, 1L, 26666L, 6666L)))
+      assert(out("fr") == ((1L, 1L, 7L, 1L, 10000L, 0L)))
+    }
+
+    it("one aggregation pass: a single stratum shuffle in the plan") {
+      val docs = Seq((1L, "a", "en")).toDF("doc_id", "text", "lang")
+      val plan = TextAnalysis.corpusReport(docs).queryExecution.executedPlan.toString
+      // countDistinct expands to a two-stage aggregate over ONE key set —
+      // no extra join or third exchange
+      assert(!plan.contains("Join"), s"corpusReport grew a join:\n$plan")
+    }
+  }
+
   describe("TextAnalysis.compressionSignals") {
     it("repetitive text compresses far below natural text; random junk barely compresses") {
       val natural = "The quick brown fox jumps over the lazy dog while the cat watches " * 20

@@ -64,6 +64,12 @@ object GraftFunctions {
     SparkBridge.registerFunction(spark, "frequent_items", frequentItemsBuilder)
     SparkBridge.registerFunction(spark, "quantile_sketch", quantileSketchBuilder)
     SparkBridge.registerFunction(spark, "sketch_quantile", sketchQuantileBuilder)
+    SparkBridge.registerFunction(spark, "url_host",
+      unary("url_host", TextAnalysis.urlHost))
+    SparkBridge.registerFunction(spark, "url_domain",
+      unary("url_domain", u => TextAnalysis.urlRegisteredDomain(TextAnalysis.urlHost(u))))
+    SparkBridge.registerFunction(spark, "url_path_depth",
+      unary("url_path_depth", TextAnalysis.urlPathDepth))
   }
 
   /** Column-API surface of the mergeable KLL-style quantile summary:

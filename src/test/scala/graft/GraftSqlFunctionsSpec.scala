@@ -81,6 +81,24 @@ class GraftSqlFunctionsSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assertSqlEqualsColumn("pii_redact(text)", TextAnalysis.piiRedact($"text"))
   }
 
+  it("url_host / url_domain / url_path_depth ≡ their Column builders") {
+    val urls = Seq(
+      "https://user@www.news.co.uk:443/world/2024/story?ref=rss",
+      "http://10.0.0.1/raw", "ftp://files.example.net/pub/a.bin",
+      "example.com/a/b", "https://apex.org").toDF("url")
+    urls.createOrReplaceTempView("sqlfn_urls")
+    val viaSql = spark.sql(
+      "SELECT url_host(url), url_domain(url), url_path_depth(url) FROM sqlfn_urls")
+      .collect().map(_.toSeq)
+    val viaCol = urls.select(
+      TextAnalysis.urlHost($"url"),
+      TextAnalysis.urlRegisteredDomain(TextAnalysis.urlHost($"url")),
+      TextAnalysis.urlPathDepth($"url"))
+      .collect().map(_.toSeq)
+    assert(viaSql.toSeq == viaCol.toSeq)
+    assert(viaSql.head == Seq("www.news.co.uk", "news.co.uk", 3))
+  }
+
   it("cosine_sim ≡ Similarity.cosineSimilarity, with NULL/zero-norm semantics") {
     val vecs = Seq(
       (1L, Array(1.0, 0.0, 2.0), Array(1.0, 0.0, 2.0)),   // identical → 1.0

@@ -69,6 +69,17 @@ case class ChangeDataFeedHelper(
         // plain append/create: added rows are inserts; rewrites without change
         // files (OPTIMIZE) or no-op commits produce no change rows
         if (adds.nonEmpty && removes.isEmpty && op != "OPTIMIZE") {
+          // a vacuum-horizon REWRITE without preserved CDC holds the whole
+          // live file set in place of the version's original change content
+          // — reading it as inserts would re-emit the entire table (the
+          // same guard the stream source applies)
+          val horizonRewrite = actions.collectFirst { case c: CommitInfo => c }
+            .exists(_.operationParameters.contains(GraftLog.HorizonRewriteParam))
+          if (horizonRewrite)
+            throw new IllegalStateException(
+              s"version $v of $path is a vacuum-horizon rewrite — its original " +
+                "change content was replaced by a snapshot; read the change feed " +
+                "from a version above the vacuum horizon")
           adds.foreach(a => insEntries += ((a, v, commitTs)))
           if (firstIsCdc.isEmpty) firstIsCdc = Some(false)
         }

@@ -968,7 +968,7 @@ object TableOps {
 
   private case class VacuumPlan(
       deadFiles: Seq[String], dropVersions: Seq[Long], liveSidecars: Set[String],
-      liveDvDirs: Set[String])
+      liveDvDirs: Set[String], scan: GraftLog#RetentionScan)
 
   private def vacuumPlan(log: GraftLog, retainVersion: Long): VacuumPlan = {
     // the retained/dead rule lives in ONE place (GraftLog.retentionScan —
@@ -979,7 +979,7 @@ object TableOps {
       scan.retainedFiles.flatMap(f => GraftLog.parseStats(f.stats).flatMap(_.bloomSidecar)).toSet
     val liveDvDirs: Set[String] = scan.retainedFiles.flatMap(_.dv.map(_.path)).toSet
     val dropVersions = log.versions().filter(_ < retainVersion)
-    VacuumPlan(scan.deadData, dropVersions, liveSidecars, liveDvDirs)
+    VacuumPlan(scan.deadData, dropVersions, liveSidecars, liveDvDirs, scan)
   }
 
   /** Deletion-vector sidecar dirs under `_dv/` referenced by NO retained
@@ -1030,13 +1030,15 @@ object TableOps {
     import java.nio.file.{Files, Paths}
     val DistributedDeleteThreshold = distributedDeleteThreshold(table)
     val log = table.log
-    val VacuumPlan(deadData, dropVersions, liveSidecars, liveDvDirs) =
+    val VacuumPlan(deadData, dropVersions, liveSidecars, liveDvDirs, scan) =
       vacuumPlan(log, retainVersion)
     // checkpoint the horizon version: its log file becomes self-contained
-    // (full metadata + live file set) so snapshot replay can start there
-    val horizon = log.snapshot(retainVersion)
-    val horizonCdc = log.actionsAt(retainVersion).collect { case c: AddCDCFile => c }
-    val horizonCommit = log.actionsAt(retainVersion).collect { case c: CommitInfo => c }
+    // (full metadata + live file set) so snapshot replay can start there.
+    // The retention scan already folded the horizon snapshot and parsed its
+    // actions — reuse them instead of re-reading the log.
+    val horizon = scan.horizon
+    val horizonCdc = scan.horizonActions.collect { case c: AddCDCFile => c }
+    val horizonCommit = scan.horizonActions.collect { case c: CommitInfo => c }
     // streaming-writer idempotence watermarks survive the horizon rewrite —
     // dropping them would make a restarted stream re-append its last epoch
     val horizonTxns = horizon.transactions.toSeq.sortBy(_._1)

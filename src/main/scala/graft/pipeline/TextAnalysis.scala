@@ -182,8 +182,8 @@ object TextAnalysis {
     * countDistinct share the stratum shuffle); ratios are fixed-point
     * integers (`⌊x·10⁴⌋`) so every value is exact and engine-replayable.
     */
-  def corpusReport(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", strataCol: String = "lang"): DataFrame = {
+  def corpusReport(df: DataFrame, textCol: String = "text",
+      strataCol: String = "lang"): DataFrame = {
     val t = col(textCol)
     df.select(col(strataCol).as("stratum"),
         bpeishTokenCount(t).as("__tok"),

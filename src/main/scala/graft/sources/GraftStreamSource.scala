@@ -345,8 +345,11 @@ class GraftStreamSource(
       // a vacuum-horizon REWRITE carries the table's whole live file set in
       // place of the version's original change content — emitting it as a
       // change batch would re-deliver every row as an insert (silent
-      // duplication downstream); the original changes are unrecoverable
-      if (ci.exists(_.operationParameters.contains(GraftLog.HorizonRewriteParam)))
+      // duplication downstream). The throw is gated on the ORIGINAL change
+      // content being gone: preserved CDC files still replay exactly, and a
+      // layout-only OPTIMIZE horizon still (correctly) skips.
+      if (ci.exists(_.operationParameters.contains(GraftLog.HorizonRewriteParam)) &&
+          cdc.isEmpty && !op.contains("OPTIMIZE"))
         throw new IllegalStateException(
           s"version $v of $tablePath is a vacuum-horizon rewrite — its original " +
             "change content was replaced by a snapshot; the stream cannot emit " +

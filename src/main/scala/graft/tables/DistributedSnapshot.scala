@@ -67,6 +67,16 @@ object DistributedSnapshot {
     val target = if (version < 0) vs.last else version
     require(vs.contains(target),
       s"version $target does not exist for $tablePath (have ${vs.headOption}..${vs.lastOption})")
+    // the same reader-feature gate GraftLog.snapshot applies — this is the
+    // designated large-table read path, and unknown features would make the
+    // returned file set silently wrong (protocol lines parse to null rows
+    // in the executor fold and vanish without this check)
+    val unknownReader = protocolAt(log, target)
+      .readerFeatures.filterNot(GraftLog.SupportedReaderFeatures)
+    if (unknownReader.nonEmpty)
+      throw new IllegalStateException(
+        s"$tablePath requires reader feature(s) ${unknownReader.mkString(", ")} this " +
+          "build does not implement; upgrade the library to read this table")
     val ckpt = log.checkpointVersions().filter(_ <= target).lastOption
     val deltaFiles = vs.filter(v => v <= target && ckpt.forall(v > _))
       .map(v => log.versionFile(v).toString)

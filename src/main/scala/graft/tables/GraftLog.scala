@@ -214,7 +214,8 @@ class GraftLog(val tablePath: String) {
     * long-retention streaming tables.
     */
   private[graft] case class RetentionScan(
-      retainedFiles: Seq[AddFile], liveCdc: Set[String], deadData: Seq[String])
+      retainedFiles: Seq[AddFile], liveCdc: Set[String], deadData: Seq[String],
+      horizon: Snapshot, horizonActions: Seq[Action])
 
   private[graft] def retentionScan(retainVersion: Long): RetentionScan = {
     val vs = versions()
@@ -224,9 +225,11 @@ class GraftLog(val tablePath: String) {
     // vector descriptor counts separately — a retained older snapshot may
     // still reference the older sidecar), not last-wins by path
     val retained = scala.collection.mutable.LinkedHashSet.empty[AddFile]
-    snapshot(retainVersion).files.foreach(retained += _)
+    val horizon = snapshot(retainVersion)
+    horizon.files.foreach(retained += _)
+    val horizonActions = actionsAt(retainVersion)
     val liveCdc = scala.collection.mutable.HashSet.empty[String]
-    actionsAt(retainVersion).foreach {
+    horizonActions.foreach {
       case c: AddCDCFile => liveCdc += c.path; ()
       case _             => ()
     }
@@ -246,7 +249,7 @@ class GraftLog(val tablePath: String) {
           !GraftTable.isExternalPath(c.path) => c.path
       }
     }.distinct
-    RetentionScan(retained.toSeq, liveCdc.toSet, dead)
+    RetentionScan(retained.toSeq, liveCdc.toSet, dead, horizon, horizonActions)
   }
 
   def cleanupBelow(retainVersion: Long): Int = {

@@ -260,8 +260,27 @@ class GraftTable private (val spark: SparkSession, val path: String) {
       attempt += 1
       val s = snapshot
       val v = s.version + 1
+      // writer gate + protocol auto-upgrade apply to metadata-only DDL too:
+      // DDL can ENABLE a feature (rename sets column mapping, SET
+      // TBLPROPERTIES can turn on DVs), and a build lacking a declared
+      // writer feature must not alter the table either
+      val unknown = s.protocol.writerFeatures.filterNot(GraftLog.SupportedWriterFeatures)
+      if (unknown.nonEmpty)
+        throw new IllegalStateException(
+          s"$path requires writer feature(s) ${unknown.mkString(", ")} this " +
+            "build does not implement; upgrade the library to alter this table")
+      val base = mkActions(s)
+      val protoUpgrade: Seq[Action] = base.collectFirst { case m: graft.tables.Metadata => m }
+        .toSeq.flatMap { m =>
+          val (rr, ww) = GraftLog.requiredFeatures(m.properties)
+          val cur = s.protocol
+          if (rr.subsetOf(cur.readerFeatures.toSet) && ww.subsetOf(cur.writerFeatures.toSet)) Nil
+          else Seq(Protocol(cur.minReaderVersion, cur.minWriterVersion,
+            (cur.readerFeatures.toSet ++ rr).toSeq.sorted,
+            (cur.writerFeatures.toSet ++ ww).toSeq.sorted))
+        }
       try {
-        log.commit(v, mkActions(s))
+        log.commit(v, base ++ protoUpgrade)
         committed = v
       } catch {
         case e: CommitConflictException =>
@@ -390,7 +409,7 @@ object GraftTable {
     }
     val log = new GraftLog(destPath)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(destPath))
-    log.commit(0L, Seq(snap.metadata) ++ external :+
+    log.commit(0L, Seq[Action](snap.metadata, snap.protocol) ++ external :+
       CommitInfo(System.currentTimeMillis(), "CLONE",
         operationParameters = Map(
           "source" -> srcRoot, "sourceVersion" -> snap.version.toString),
@@ -566,10 +585,14 @@ object GraftTable {
     val log = new GraftLog(path)
     require(!log.tableExists, s"$path already exists")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    log.commit(0L, Seq(
-      graft.tables.Metadata(schema.json, partitionColumns,
-        sessionDefaultProperties(spark) ++ properties),
-      CommitInfo(System.currentTimeMillis(), "CREATE TABLE")))
+    val props = sessionDefaultProperties(spark) ++ properties
+    val (rr, ww) = GraftLog.requiredFeatures(props)
+    val proto: Seq[Action] =
+      if (rr.isEmpty && ww.isEmpty) Nil
+      else Seq(Protocol(1, 1, rr.toSeq.sorted, ww.toSeq.sorted))
+    log.commit(0L, Seq[Action](
+      graft.tables.Metadata(schema.json, partitionColumns, props)) ++ proto :+
+      CommitInfo(System.currentTimeMillis(), "CREATE TABLE"))
     new GraftTable(spark, path)
   }
 
@@ -660,8 +683,13 @@ object GraftTable {
           stats = GraftLog.renderStats(ParquetStats.forFile(abs.toString, conf)))
     }
     val numRows = adds.flatMap(a => GraftLog.parseStats(a.stats)).map(_.numRecords).sum
+    val (convRr, convWw) = GraftLog.requiredFeatures(properties)
+    val convProto: Seq[Action] =
+      if (convRr.isEmpty && convWw.isEmpty) Nil
+      else Seq(Protocol(1, 1, convRr.toSeq.sorted, convWw.toSeq.sorted))
     log.commit(0L,
-      Seq(graft.tables.Metadata(schema.json, partCols, properties)) ++ adds :+ CommitInfo(
+      Seq[Action](graft.tables.Metadata(schema.json, partCols, properties)) ++
+        convProto ++ adds :+ CommitInfo(
         timestamp = System.currentTimeMillis(),
         operation = "CONVERT",
         operationParameters = Map(

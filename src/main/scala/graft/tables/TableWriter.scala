@@ -361,6 +361,16 @@ object TableWriter {
       var committed = -1L
       while (committed < 0) {
         attempt += 1
+        // re-check the writer gate per attempt: a conflicting winner may
+        // have upgraded the protocol past this build between retries
+        attemptSnap.foreach { sn =>
+          val unknown = sn.protocol.writerFeatures.filterNot(GraftLog.SupportedWriterFeatures)
+          if (unknown.nonEmpty)
+            throw new IllegalStateException(
+              s"$tablePath now requires writer feature(s) ${unknown.mkString(", ")} this " +
+                "build does not implement (a concurrent writer upgraded the protocol); " +
+                "upgrade the library to write this table")
+        }
         val v = attemptSnap.map(_.version + 1).getOrElse(0L)
         val schemaNow = metadataOverride.map(m =>
           org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)

@@ -123,12 +123,12 @@ class GraftStreamSourceSpec extends AnyFunSpec with SparkSessionTestWrapper {
     } finally q2.stop()
   }
 
-  it("refuses to emit a vacuum-horizon rewrite as a change batch") {
+  it("refuses to emit an APPEND vacuum-horizon rewrite as a change batch") {
     val (dir, t) = mkTable("gss_horizon")
     val ckpt = java.nio.file.Files.createTempDirectory("gss_horizon_loc").toString
-    TableOps.update(t, Some("id = 0"), Map("name" -> "'A1'")) // v1
-    TableOps.update(GraftTable.forPath(spark, dir),
-      Some("id = 1"), Map("name" -> "'B1'"))                  // v2
+    TableOps.update(t, Some("id = 0"), Map("name" -> "'A1'")) // v1 (cdc)
+    GraftTable.forPath(spark, dir).append(
+      Seq((50, "fifty")).toDF("id", "name"))                  // v2: blind append, NO cdc
     // one version per batch so the restart's replayed batch is (1 → 2]
     def start() = spark.readStream.format("graft")
       .option("startingVersion", "0").option("maxVersionsPerTrigger", "1")
@@ -141,10 +141,10 @@ class GraftStreamSourceSpec extends AnyFunSpec with SparkSessionTestWrapper {
     try { q1.processAllAvailable() } finally q1.stop() // consumed through v2
 
     GraftTable.forPath(spark, dir).append(
-      spark.range(1).selectExpr("90 as id", "'z' as name", "'x' as country")) // v3
-    // vacuum to v2: v2's log becomes a snapshot REWRITE; the restart
-    // replays its last batch (1 → 2], whose original change content is
-    // gone — emitting the rewrite would re-deliver the whole table
+      Seq((90, "ninety")).toDF("id", "name"))                 // v3
+    // vacuum to v2: v2's log becomes a snapshot REWRITE holding ALL live
+    // files; its original change content (the one appended row) is gone —
+    // the restart replaying (1 → 2] must fail, not re-deliver the table
     TableOps.vacuum(GraftTable.forPath(spark, dir), retainVersion = 2L)
 
     val q2 = start()
@@ -156,6 +156,40 @@ class GraftStreamSourceSpec extends AnyFunSpec with SparkSessionTestWrapper {
         if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
       assert(messages(e).exists(_.contains("vacuum-horizon rewrite")),
         s"wrong failure: ${messages(e).mkString(" | ")}")
+    } finally q2.stop()
+  }
+
+  it("a CDC-covered vacuum-horizon version still replays its ORIGINAL changes") {
+    val (dir, t) = mkTable("gss_horizon_cdc")
+    val ckpt = java.nio.file.Files.createTempDirectory("gss_horizon_cdc_loc").toString
+    TableOps.update(t, Some("id = 0"), Map("name" -> "'A1'")) // v1 (cdc preserved by rewrite)
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Int, String, String)]())
+    def start() = spark.readStream.format("graft")
+      .option("startingVersion", "0").option("maxVersionsPerTrigger", "1")
+      .load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r =>
+          got.add((r.getInt(0), r.getString(1), r.getString(2)))); ()
+      }.start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop() // consumed through v1
+    got.clear()
+
+    TableOps.vacuum(GraftTable.forPath(spark, dir), retainVersion = 1L)
+    GraftTable.forPath(spark, dir).append(Seq((90, "ninety")).toDF("id", "name")) // v2
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      // the replayed (0 → 1] batch re-emits v1's ORIGINAL cdc rows (exact
+      // replay, no whole-table duplication), then v2's append arrives
+      val rows = got.asScala.toSet
+      assert(rows.contains((90, "ninety", "insert")), s"missed the live append: $rows")
+      assert(!rows.exists(r => r._1 == 1 && r._3 == "insert"),
+        s"whole-table duplication leaked through the horizon: $rows")
     } finally q2.stop()
   }
 

@@ -111,6 +111,51 @@ object SparkEntry {
         .otherwise(concat(lit("ftp://files."), col("src"), lit(".net/pub/data.bin"))))
       .select(col("doc_id"), col("url"))
 
+  /** Seeded synthetic corpus behind the GOLDEN-VALUE queries (t12/t13/t15)
+    * — the operators whose semantics no SQL engine can replay (iterative
+    * BPE merge state, deflate). Their fixtures are generated IN the query
+    * from a fixed 64-bit LCG (MMIX constants), so the full operator output
+    * is a constant that the oracle states as literal VALUES: the driver
+    * gate compares rows, schema and hash like every other entry (no more
+    * rows-only checks), and the pinned literals survive testdata
+    * regeneration because nothing here reads the sf dir. The operators
+    * still run genuinely distributed (the fixture is repartitioned).
+    *
+    * Texts span three regimes so deflate is exercised across its range:
+    * id%4==3 repeats one word (ratio ≪ 1), id%4==2 is high-entropy
+    * gibberish (ratio ≈ 1), the rest sample a 26-word vocabulary.
+    */
+  private[graft] lazy val goldenDocs: Seq[(Long, String)] = {
+    val vocab = Vector("the", "of", "and", "to", "in", "model", "data",
+      "train", "token", "scale", "corpus", "merge", "pair", "byte", "learn",
+      "deep", "graph", "query", "spark", "shard", "sample", "filter",
+      "dedup", "hash", "index", "batch")
+    var state = 0x9E3779B97F4A7C15L
+    def nextInt(bound: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      val x = (state >>> 33).toInt
+      ((x % bound) + bound) % bound
+    }
+    (0L until 64L).map { id =>
+      val text = (id % 4).toInt match {
+        case 3 =>
+          val w = vocab(nextInt(vocab.size)) // bind once: fill is by-name
+          Seq.fill(30)(w).mkString(" ")
+        case 2 => (0 until 12).map { _ =>
+          (0 until 8).map(_ => ('a' + nextInt(26)).toChar).mkString
+        }.mkString(" ")
+        case _ =>
+          (0 until (20 + nextInt(20))).map(_ => vocab(nextInt(vocab.size))).mkString(" ")
+      }
+      (id, text)
+    }
+  }
+
+  private def goldenCorpus(s: SparkSession): DataFrame = {
+    import s.implicits._
+    goldenDocs.toDF("doc_id", "text").repartition(4)
+  }
+
   /** DuckDB CTE mirroring [[urlFixture]] (aliased `u(doc_id, url)`). */
   private val UrlFixtureSql: String =
     """u AS (
@@ -1383,25 +1428,27 @@ object SparkEntry {
           col("n_docs"))
     }),
 
-    "t13_bpe_tokenize" -> ((s, dir) => () => {
-      // tokenizer inference: merges learned on the even-id half tokenize
-      // the odd-id half (rank-priority application, no shuffle). Rows-only
-      // like t12 — the merge loop is not SQL-expressible; BpeMergesSpec
-      // pins application semantics by hand.
-      val docs = read(s, dir, "documents")
+    "t13_bpe_tokenize" -> ((s, _) => () => {
+      // tokenizer inference as a GOLDEN-VALUE query: merges learned on the
+      // even-id half of the seeded corpus tokenize the odd-id half
+      // (rank-priority application, no shuffle). The merge loop is not
+      // SQL-expressible, so the oracle pins the full deterministic output
+      // as literal VALUES (see goldenDocs); BpeMergesSpec additionally
+      // pins application semantics against a hand fold.
+      val docs = goldenCorpus(s)
       TextAnalysis.bpeTokenize(
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
         TextAnalysis.learnBpeMerges(
           docs.filter(col("doc_id") % 2 === 0), "text", numMerges = 24))
     }),
-    "t12_bpe_merges" -> ((s, dir) => () => {
-      // tokenizer training: greedy BPE merge learning on the word-frequency
-      // dictionary (iterations are vocab-sized, only the word count touches
-      // the corpus). Iterative state is not SQL-expressible — no oracle
-      // entry; the driver records the rows-only check and BpeMergesSpec
-      // pins the algorithm against a single-threaded reference.
-      TextAnalysis.learnBpeMerges(read(s, dir, "documents"), "text",
-        numMerges = 24)
+    "t12_bpe_merges" -> ((s, _) => () => {
+      // tokenizer training as a GOLDEN-VALUE query: greedy BPE merge
+      // learning over the seeded corpus (iterations are vocab-sized, only
+      // the word count touches the corpus). Iterative state is not
+      // SQL-expressible — the oracle pins the deterministic merge table as
+      // literal VALUES; BpeMergesSpec pins the algorithm against a
+      // single-threaded reference on top.
+      TextAnalysis.learnBpeMerges(goldenCorpus(s), "text", numMerges = 24)
     }),
     "t11_chunking" -> ((s, dir) => () => {
       // training-sequence chunking: 64-token windows, 8 tokens of carried
@@ -1574,7 +1621,7 @@ object SparkEntry {
         .toDF("source", "estimate_ok"))
     }),
 
-    "d28_substring_spans" -> ((s, dir) => () => {
+    "d35_substring_spans" -> ((s, dir) => () => {
       // corpus-wide duplicated 12-token windows merged to maximal spans;
       // the canonical (smallest (doc,pos)) occurrence of each window is
       // kept unflagged, so every repeated passage survives exactly once
@@ -1594,12 +1641,15 @@ object SparkEntry {
       TextAnalysis.corpusReport(read(s, dir, "documents"))
     }),
 
-    "t15_compression_signals" -> ((s, dir) => () => {
-      // Gopher-style compressibility filter signal (deflate ratio). No SQL
-      // oracle — DuckDB has no deflate — so this row is rows-only checked
-      // (the t12/t13 precedent); the exact behavior is pinned by
-      // CompressionSignalsSpec instead.
-      TextAnalysis.compressionSignals(read(s, dir, "documents"), "doc_id", "text")
+    "t15_compression_signals" -> ((s, _) => () => {
+      // Gopher-style compressibility filter signal (deflate ratio) as a
+      // GOLDEN-VALUE query: DuckDB has no deflate, so the seeded corpus
+      // (repetitive / natural / high-entropy regimes) makes the full
+      // output a constant the oracle pins as literal VALUES; the ratio is
+      // round(d/n·10⁴)/10⁴ — one correctly-rounded IEEE division, so the
+      // literal parses to the identical double. CompressionSignalsSpec
+      // pins the operator's behavior beyond the fixture.
+      TextAnalysis.compressionSignals(goldenCorpus(s), "doc_id", "text")
     }),
 
     "t14_url_signals" -> ((s, dir) => () => {
@@ -2620,7 +2670,7 @@ object SparkEntry {
         .toDF("kind", "value")
       }
     }),
-    "s26_distributed_checkpoint" -> ((s, dir) => {
+    "s27_distributed_checkpoint" -> ((s, dir) => {
       // executor-rendered checkpoint: after the distributed writer runs,
       // the stock driver fold must replay from the new sidecar alone and
       // the table must read back exactly (oracle recomputes the surviving
@@ -2885,7 +2935,7 @@ object SparkEntry {
     // duplicated 12-token windows: flag every non-canonical occurrence
     // (canonical = smallest (doc_id, pos) per gram), then merge covered
     // intervals [pos, pos+11] per doc into maximal spans
-    "d28_substring_spans" ->
+    "d35_substring_spans" ->
       s"""$substringFlaggedCtes,
          |marked AS (
          |  SELECT doc_id, pos,
@@ -2909,6 +2959,141 @@ object SparkEntry {
         |  CAST((SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) * 10000) // count(*) AS BIGINT) AS avg_doc_tokens_e4,
         |  CAST(((count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))) * 10000) // count(*) AS BIGINT) AS dup_rate_e4
         |FROM documents GROUP BY lang""".stripMargin,
+    "t12_bpe_merges" ->
+      """SELECT CAST(rank AS INT) AS rank, "left", "right",
+        |  CAST(pair_count AS BIGINT) AS pair_count
+        |FROM (VALUES
+        |  (0, 'l', 'e', 238),
+        |  (1, 'a', 'r', 233),
+        |  (10, 'le', 'arn', 101),
+        |  (11, 'p', 'h', 101),
+        |  (12, 'a', 'le', 100),
+        |  (13, 'sc', 'ale', 100),
+        |  (14, 'g', 'ra', 96),
+        |  (15, 'gra', 'ph', 96),
+        |  (16, 's', 'p', 96),
+        |  (17, 'ar', 'k', 94),
+        |  (18, 'sp', 'ark', 94),
+        |  (19, 's', 'h', 84),
+        |  (2, 'd', 'e', 189),
+        |  (20, 'o', 'f', 78),
+        |  (21, 'de', 'x', 70),
+        |  (22, 'f', 'i', 70),
+        |  (23, 'in', 'dex', 70),
+        |  (3, 'e', 'r', 169),
+        |  (4, 'i', 'n', 157),
+        |  (5, 'r', 'a', 131),
+        |  (6, 't', 'o', 104),
+        |  (7, 'a', 't', 103),
+        |  (8, 's', 'c', 102),
+        |  (9, 'ar', 'n', 101)
+        |) AS t(rank, "left", "right", pair_count)""".stripMargin,
+    "t13_bpe_tokenize" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS INT) AS n_tokens, tokens
+        |FROM (VALUES
+        |  (1, 66, 'b y t e s a m p le in f i l t er p a i r t ra in of sc ale hash hash de d u p hash t ra in to in de x sp ar k deep g ra ph hash in to in de x q u er y to k e n sc ale deep t ra in'),
+        |  (11, 90, 'sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k'),
+        |  (13, 77, 'le arn b y t e t ra in to m er ge m er ge g ra ph in to k e n le arn a n d g ra ph in a n d le arn sc ale data f i l t er q u er y in de x mo de l to k e n hash de d u p q u er y b y t e of m er ge'),
+        |  (15, 60, 'le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn'),
+        |  (17, 63, 'deep m er ge mo de l deep deep c o r p u s p a i r to b at c h t ra in s a m p le of b y t e hash hash t he g ra ph mo de l g ra ph of of mo de l de d u p p a i r'),
+        |  (19, 30, 'of of of of of of of of of of of of of of of of of of of of of of of of of of of of of of'),
+        |  (21, 78, 'data b at c h in data mo de l sp ar k sp ar k b at c h f i l t er to sc ale hash t he t he m er ge in to k e n to k e n f i l t er in a n d g ra ph of m er ge b y t e f i l t er q u er y b at c h'),
+        |  (23, 30, 'to to to to to to to to to to to to to to to to to to to to to to to to to to to to to to'),
+        |  (25, 61, 'f i l t er g ra ph g ra ph in de x in de x c o r p u s de d u p t he hash deep m er ge deep sh ar d deep p a i r of hash m er ge sp ar k m er ge f i l t er t he'),
+        |  (27, 60, 'sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale'),
+        |  (29, 114, 'sp ar k t ra in b y t e sp ar k in to k e n to k e n mo de l hash c o r p u s b at c h de d u p t ra in hash to k e n in de x b y t e deep b at c h sc ale c o r p u s le arn a n d p a i r in le arn in in in sc ale a n d in de x s a m p le mo de l to k e n to k e n b at c h sp ar k'),
+        |  (3, 90, 'g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph'),
+        |  (31, 120, 'q u er y q u er y q u er y q u er y q u er y q u er y q u er y q u er y q u er y q u er y q u er y q u er y q u er y q u er y q u er y q u er y q u er y q u er y q u er y q u er y q u er y q u er y q u er y q u er y q u er y q u er y q u er y q u er y q u er y q u er y'),
+        |  (33, 67, 'hash de d u p data p a i r sh ar d of de d u p a n d of in de x f i l t er de d u p to b at c h p a i r to k e n sh ar d a n d sh ar d g ra ph de d u p to sh ar d'),
+        |  (35, 90, 'in de x in de x in de x in de x in de x in de x in de x in de x in de x in de x in de x in de x in de x in de x in de x in de x in de x in de x in de x in de x in de x in de x in de x in de x in de x in de x in de x in de x in de x in de x'),
+        |  (37, 110, 'q u er y t ra in in de x to k e n de d u p m er ge in p a i r p a i r le arn mo de l le arn b y t e to k e n in sc ale p a i r t ra in t he sc ale q u er y s a m p le c o r p u s b y t e le arn q u er y in f i l t er of t ra in le arn s a m p le t he c o r p u s to'),
+        |  (39, 90, 'sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k sp ar k'),
+        |  (41, 61, 'data data data hash a n d le arn of sh ar d in sc ale t ra in t ra in de d u p b y t e to t he s a m p le m er ge hash s a m p le m er ge in t ra in sc ale of to k e n'),
+        |  (43, 90, 'a n d a n d a n d a n d a n d a n d a n d a n d a n d a n d a n d a n d a n d a n d a n d a n d a n d a n d a n d a n d a n d a n d a n d a n d a n d a n d a n d a n d a n d a n d'),
+        |  (45, 78, 'in de x de d u p le arn le arn q u er y hash c o r p u s in de d u p of of f i l t er m er ge sh ar d s a m p le b y t e mo de l deep m er ge sh ar d f i l t er in de x sc ale de d u p to data g ra ph'),
+        |  (47, 60, 'le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn le arn'),
+        |  (49, 101, 'f i l t er c o r p u s to k e n b at c h in de x f i l t er of in de x m er ge in of data sp ar k data in f i l t er in de x f i l t er p a i r t ra in p a i r b y t e b at c h deep q u er y a n d b y t e a n d c o r p u s p a i r to deep'),
+        |  (5, 54, 't he s a m p le deep deep q u er y q u er y mo de l sh ar d b at c h in de x data b y t e b at c h to to b at c h data a n d b y t e deep'),
+        |  (51, 150, 'f i l t er f i l t er f i l t er f i l t er f i l t er f i l t er f i l t er f i l t er f i l t er f i l t er f i l t er f i l t er f i l t er f i l t er f i l t er f i l t er f i l t er f i l t er f i l t er f i l t er f i l t er f i l t er f i l t er f i l t er f i l t er f i l t er f i l t er f i l t er f i l t er f i l t er'),
+        |  (53, 121, 'le arn to data b at c h p a i r g ra ph to k e n g ra ph t he sp ar k le arn p a i r mo de l b y t e sp ar k q u er y sc ale de d u p s a m p le a n d g ra ph c o r p u s b at c h to b y t e mo de l to k e n s a m p le of deep g ra ph s a m p le b y t e t he mo de l de d u p s a m p le t he'),
+        |  (55, 120, 'b at c h b at c h b at c h b at c h b at c h b at c h b at c h b at c h b at c h b at c h b at c h b at c h b at c h b at c h b at c h b at c h b at c h b at c h b at c h b at c h b at c h b at c h b at c h b at c h b at c h b at c h b at c h b at c h b at c h b at c h'),
+        |  (57, 72, 't he b at c h b y t e to k e n c o r p u s b y t e mo de l t ra in q u er y f i l t er f i l t er in c o r p u s in de x de d u p le arn le arn b at c h sp ar k sh ar d'),
+        |  (59, 90, 'g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph g ra ph'),
+        |  (61, 88, 'hash t he f i l t er sc ale sc ale of hash to k e n of s a m p le hash in de x sc ale t ra in sc ale c o r p u s le arn s a m p le m er ge s a m p le data data mo de l a n d le arn hash sh ar d to g ra ph q u er y sh ar d de d u p t he hash'),
+        |  (63, 120, 'p a i r p a i r p a i r p a i r p a i r p a i r p a i r p a i r p a i r p a i r p a i r p a i r p a i r p a i r p a i r p a i r p a i r p a i r p a i r p a i r p a i r p a i r p a i r p a i r p a i r p a i r p a i r p a i r p a i r p a i r'),
+        |  (7, 60, 'sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale sc ale'),
+        |  (9, 103, 'm er ge t ra in of of data s a m p le f i l t er a n d of b y t e b at c h p a i r hash c o r p u s sc ale b at c h s a m p le q u er y le arn to k e n in de x p a i r sp ar k sp ar k g ra ph de d u p g ra ph q u er y b y t e sc ale t he of de d u p')
+        |) AS t(doc_id, n_tokens, tokens)""".stripMargin,
+    "t15_compression_signals" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_bytes AS INT) AS n_bytes,
+        |  CAST(deflate_bytes AS INT) AS deflate_bytes,
+        |  CAST(compression_ratio AS DOUBLE) AS compression_ratio
+        |FROM (VALUES
+        |  (0, 123, 82, 0.6667),
+        |  (1, 140, 87, 0.6214),
+        |  (10, 107, 84, 0.785),
+        |  (11, 179, 11, 0.0615),
+        |  (12, 150, 95, 0.6333),
+        |  (13, 148, 91, 0.6149),
+        |  (14, 107, 83, 0.7757),
+        |  (15, 179, 11, 0.0615),
+        |  (16, 207, 113, 0.5459),
+        |  (17, 123, 81, 0.6585),
+        |  (18, 107, 84, 0.785),
+        |  (19, 89, 8, 0.0899),
+        |  (2, 107, 85, 0.7944),
+        |  (20, 112, 72, 0.6429),
+        |  (21, 145, 88, 0.6069),
+        |  (22, 107, 84, 0.785),
+        |  (23, 89, 8, 0.0899),
+        |  (24, 180, 104, 0.5778),
+        |  (25, 121, 74, 0.6116),
+        |  (26, 107, 84, 0.785),
+        |  (27, 179, 11, 0.0615),
+        |  (28, 183, 99, 0.541),
+        |  (29, 205, 107, 0.522),
+        |  (3, 179, 11, 0.0615),
+        |  (30, 107, 84, 0.785),
+        |  (31, 179, 11, 0.0615),
+        |  (32, 202, 112, 0.5545),
+        |  (33, 118, 72, 0.6102),
+        |  (34, 107, 83, 0.7757),
+        |  (35, 179, 11, 0.0615),
+        |  (36, 138, 87, 0.6304),
+        |  (37, 190, 104, 0.5474),
+        |  (38, 107, 84, 0.785),
+        |  (39, 179, 11, 0.0615),
+        |  (4, 165, 101, 0.6121),
+        |  (40, 203, 112, 0.5517),
+        |  (41, 132, 80, 0.6061),
+        |  (42, 107, 85, 0.7944),
+        |  (43, 119, 9, 0.0756),
+        |  (44, 185, 101, 0.5459),
+        |  (45, 149, 95, 0.6376),
+        |  (46, 107, 84, 0.785),
+        |  (47, 179, 11, 0.0615),
+        |  (48, 191, 104, 0.5445),
+        |  (49, 169, 94, 0.5562),
+        |  (5, 103, 68, 0.6602),
+        |  (50, 107, 84, 0.785),
+        |  (51, 209, 12, 0.0574),
+        |  (52, 184, 107, 0.5815),
+        |  (53, 208, 110, 0.5288),
+        |  (54, 107, 83, 0.7757),
+        |  (55, 179, 11, 0.0615),
+        |  (56, 187, 108, 0.5775),
+        |  (57, 116, 79, 0.681),
+        |  (58, 107, 84, 0.785),
+        |  (59, 179, 11, 0.0615),
+        |  (6, 107, 86, 0.8037),
+        |  (60, 155, 98, 0.6323),
+        |  (61, 186, 106, 0.5699),
+        |  (62, 107, 86, 0.8037),
+        |  (63, 149, 10, 0.0671),
+        |  (7, 179, 11, 0.0615),
+        |  (8, 173, 105, 0.6069),
+        |  (9, 179, 108, 0.6034)
+        |) AS t(doc_id, n_bytes, deflate_bytes, compression_ratio)""".stripMargin,
     "t14_url_signals" ->
       ("WITH " + UrlFixtureSql + "," + """
         |h AS (
@@ -3380,7 +3565,7 @@ object SparkEntry {
          |cc AS (SELECT id, min(l) AS cluster FROM reach GROUP BY id)
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster)""".stripMargin,
-    "s26_distributed_checkpoint" ->
+    "s27_distributed_checkpoint" ->
       """SELECT s_suppkey, s_name, true AS ckpt_at_latest
         |FROM supplier WHERE s_suppkey % 3 <> 0""".stripMargin,
     "s25_distributed_snapshot" ->

@@ -931,8 +931,8 @@ object TableOps {
     val data = plan.deadFiles
       .filterNot(GraftTable.isExternalPath)
       .filter(rel => Files.exists(Paths.get(table.path, rel)))
-    val sidecars = (bloomOrphanDirs(table, plan.liveSidecars) ++
-      dvOrphanDirs(table, plan.liveDvDirs)).flatMap { dir =>
+    val sidecars = (bloomOrphanDirs(table.path, plan.liveSidecars) ++
+      dvOrphanDirs(table.path, plan.liveDvDirs)).flatMap { dir =>
       val files = Files.walk(dir)
       try {
         import scala.jdk.CollectionConverters._
@@ -949,9 +949,9 @@ object TableOps {
     * visible, so a young unreferenced dir may belong to a concurrent
     * commit; only dirs older than [[BloomSidecarMinAgeMillis]] qualify.
     */
-  private def bloomOrphanDirs(table: GraftTable, liveSidecars: Set[String]): Seq[java.nio.file.Path] = {
+  private[graft] def bloomOrphanDirs(tablePath: String, liveSidecars: Set[String]): Seq[java.nio.file.Path] = {
     import java.nio.file.{Files, Paths}
-    val bloomRoot = Paths.get(table.path, graft.tables.BloomIndex.SidecarDirName)
+    val bloomRoot = Paths.get(tablePath, graft.tables.BloomIndex.SidecarDirName)
     if (!Files.isDirectory(bloomRoot)) return Nil
     val cutoff = System.currentTimeMillis() - BloomSidecarMinAgeMillis
     val stream = Files.list(bloomRoot)
@@ -987,9 +987,9 @@ object TableOps {
     * sidecars: a young unreferenced dir may belong to a concurrent DELETE
     * whose commit has not landed yet.
     */
-  private def dvOrphanDirs(table: GraftTable, liveDvDirs: Set[String]): Seq[java.nio.file.Path] = {
+  private[graft] def dvOrphanDirs(tablePath: String, liveDvDirs: Set[String]): Seq[java.nio.file.Path] = {
     import java.nio.file.{Files, Paths}
-    val dvRoot = Paths.get(table.path, graft.tables.DeletionVectors.DirName)
+    val dvRoot = Paths.get(tablePath, graft.tables.DeletionVectors.DirName)
     if (!Files.isDirectory(dvRoot)) return Nil
     val liveNames = liveDvDirs
       .filterNot(GraftTable.isExternalPath) // clone refs point into the source
@@ -1084,7 +1084,7 @@ object TableOps {
     // out (their commits' files were all rewritten or vacuumed); a probe
     // only ever resolves ids that appear in live stats, so deleting a truly
     // orphaned dir cannot affect it. Same orphan set vacuumDryRun reports.
-    (bloomOrphanDirs(table, liveSidecars) ++ dvOrphanDirs(table, liveDvDirs))
+    (bloomOrphanDirs(table.path, liveSidecars) ++ dvOrphanDirs(table.path, liveDvDirs))
       .foreach { dir =>
         // count the files inside (parts + markers), not the directory — the
         // return contract is files deleted

@@ -111,8 +111,14 @@ object Sampling {
     require(targetRows > 0, s"targetRows must be positive, got $targetRows")
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha $alpha not in [0,1]")
     val sizeRows = strataCounts(df, strataCol, "temperatureMix")
+    // alpha=0.5 routes through sqrt, not pow: sqrt is correctly rounded by
+    // the IEEE spec, while pow is only within 1 ulp (platform intrinsics
+    // need not special-case y=0.5) — the documented bit-for-bit replay
+    // contract for the default alpha holds on every JVM only via sqrt
+    def power(x: Double): Double =
+      if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha)
     val ws = sizeRows.map { case (stratum, n) =>
-      (stratum, n, math.floor(math.pow(n.toDouble, alpha) * 1e6 + 0.5).toLong)
+      (stratum, n, math.floor(power(n.toDouble) * 1e6 + 0.5).toLong)
     }
     val sumW = ws.map(_._3).sum
     val thresholds = ws.map { case (stratum, n, w) =>

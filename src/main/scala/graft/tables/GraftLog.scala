@@ -263,7 +263,8 @@ class GraftLog(val tablePath: String) {
     if (doomed.isEmpty) return 0
     // dead data below the horizon goes WITH its log entries — computed
     // BEFORE the log files do (see retentionScan for the rule)
-    val dead = retentionScan(retainVersion).deadData
+    val scan = retentionScan(retainVersion)
+    val dead = scan.deadData
     // every surviving target must replay without the doomed files: a
     // checkpoint at-or-after the horizon minus one covers (ckpt, target];
     // the horizon version itself is the natural anchor
@@ -278,6 +279,17 @@ class GraftLog(val tablePath: String) {
     staleCkpts.foreach { cv =>
       if (Files.deleteIfExists(checkpointFile(cv))) deleted += 1
     }
+    // dv/bloom sidecar dirs referenced by NO retained file follow their
+    // data out here too (same orphan rule + in-flight age guard as
+    // vacuum's sweep): a table using ONLY the auto expired-log cleanup
+    // would otherwise accumulate orphaned `_dv`/`_bloom` dirs forever,
+    // since once the log entries are gone no later vacuum can find them
+    val liveSidecars: Set[String] = scan.retainedFiles
+      .flatMap(f => GraftLog.parseStats(f.stats).flatMap(_.bloomSidecar)).toSet
+    val liveDvDirs: Set[String] = scan.retainedFiles.flatMap(_.dv.map(_.path)).toSet
+    (graft.operators.TableOps.bloomOrphanDirs(tablePath, liveSidecars) ++
+      graft.operators.TableOps.dvOrphanDirs(tablePath, liveDvDirs))
+      .foreach(TableWriter.deleteRecursively)
     deleted
   }
 
@@ -471,7 +483,11 @@ object GraftLog {
     if (props.get(DeletionVectors.Property).exists(_.equalsIgnoreCase("true"))) {
       reader += "deletionVectors"; writer += "deletionVectors"
     }
-    if (props.contains(ColumnMapping.ModeProperty)) {
+    // gate on the VALUE, not mere presence: a property explicitly set to
+    // 'none' (or empty) does not use the feature, and the protocol never
+    // downgrades — presence-branding would mark the table permanently
+    if (props.get(ColumnMapping.ModeProperty)
+          .exists(v => v.nonEmpty && !v.equalsIgnoreCase("none"))) {
       reader += "columnMapping"; writer += "columnMapping"
     }
     if (props.get(TableWriter.TypeWideningProperty).exists(_.equalsIgnoreCase("true"))) {

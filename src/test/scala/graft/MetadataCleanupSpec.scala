@@ -140,6 +140,32 @@ class MetadataCleanupSpec extends AnyFunSpec with SparkSessionTestWrapper {
         .map(_.getLong(0)).toSet == Set(3L, 4L))
     }
 
+    it("cleanupBelow sweeps orphaned dv sidecar dirs past the age guard") {
+      import org.apache.spark.sql.functions.col
+      val dir = tmpTableDir("mc-dv")
+      val base = spark.range(100).select(col("id"), (col("id") % 10).as("v"))
+      val t = GraftTable.create(spark, dir, base,
+        properties = Map(DeletionVectors.Property -> "true"))
+      TableOps.delete(t, Some("id < 10"))                       // v1: dv dir
+      t.overwrite(spark.range(50).toDF("id")
+        .select(col("id"), (col("id") % 7).as("v")))            // v2: dv orphaned
+      val dvRoot = java.nio.file.Paths.get(dir, DeletionVectors.DirName)
+      def dvDirs: Long = {
+        val s = java.nio.file.Files.list(dvRoot); try s.count() finally s.close()
+      }
+      assert(dvDirs == 1)
+      // young unreferenced dirs may belong to an in-flight commit — the
+      // sweep is age-guarded, so backdate past it (the vacuum-spec idiom)
+      val s = java.nio.file.Files.list(dvRoot)
+      try s.forEach(p => java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - TableOps.BloomSidecarMinAgeMillis - 1000)))
+      finally s.close()
+      t.log.cleanupBelow(t.log.latestVersion())
+      assert(dvDirs == 0)
+      assert(GraftTable.forPath(spark, dir).toDF.count() == 50)
+    }
+
     it("property-driven cleanup keeps versions younger than the cutoff") {
       val t = mkTable(tmpTableDir("mc-prop"), 5)
       // retention 0 hours: every committed version is at-or-before "now",

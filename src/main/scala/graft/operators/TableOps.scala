@@ -1075,11 +1075,11 @@ object TableOps {
             java.nio.file.Paths.get(base, rel))) 1 else 0)
           .sum().toInt
       }
-    dropVersions.foreach(v => Files.deleteIfExists(log.versionFile(v)))
+    dropVersions.foreach(v => log.store.delete(log.versionFile(v)))
     // stale checkpoints below the horizon must go too: replaying from one
     // would skip the horizon's removes and resurrect dead files
     log.checkpointVersions().filter(_ < retainVersion)
-      .foreach(v => Files.deleteIfExists(log.checkpointFile(v)))
+      .foreach(v => log.store.delete(log.checkpointFile(v)))
     // bloom sidecars referenced by NO retained file follow their data files
     // out (their commits' files were all rewritten or vacuumed); a probe
     // only ever resolves ids that appear in live stats, so deleting a truly

@@ -59,9 +59,22 @@ object DistributedSnapshot {
   /** The live [[AddFile]] set at `version` (default latest) as a DataFrame,
     * log parsed and folded by executors. Columns: path, partitionValues,
     * size, stats, dv — exactly [[AddFile]]'s shape (`.as[AddFile]` works). */
+  /** This path deliberately BYPASSES the [[LogStore]] seam: executors read
+    * log objects as splittable files, which only works when the store is
+    * the filesystem. Non-filesystem stores (in-memory test stores) must
+    * use the driver fold instead — fail loudly rather than return an
+    * empty/false file set.
+    */
+  private def requireFilesystemLog(log: GraftLog): Unit =
+    require(log.store.filesystemBacked,
+      s"DistributedSnapshot requires a filesystem-backed log store for " +
+        s"${log.tablePath}: executors read log files directly — use " +
+        "GraftLog.snapshot (driver fold) on this store")
+
   def addFilesDF(spark: SparkSession, tablePath: String,
       version: Long = -1L): DataFrame = {
     val log = new GraftLog(tablePath)
+    requireFilesystemLog(log)
     val vs = log.versions()
     require(vs.nonEmpty, s"$tablePath is not a GraftTable (empty log)")
     val target = if (version < 0) vs.last else version
@@ -120,6 +133,7 @@ object DistributedSnapshot {
   def prunedFiles(spark: SparkSession, tablePath: String, condition: String,
       version: Long = -1L): Seq[AddFile] = {
     val log = new GraftLog(tablePath)
+    requireFilesystemLog(log)
     val vs = log.versions()
     require(vs.nonEmpty, s"$tablePath is not a GraftTable (empty log)")
     val target = if (version < 0) vs.last else version
@@ -165,6 +179,7 @@ object DistributedSnapshot {
   def writeCheckpoint(spark: SparkSession, tablePath: String,
       version: Long = -1L): Unit = {
     val log = new GraftLog(tablePath)
+    requireFilesystemLog(log)
     val vs = log.versions()
     require(vs.nonEmpty, s"$tablePath is not a GraftTable (empty log)")
     val target = if (version < 0) vs.last else version

@@ -11,14 +11,19 @@ import com.fasterxml.jackson.module.scala.DefaultScalaModule
 /** Reader/writer for a table's `_graft_log/` commit log.
   *
   * Driver-side only (log files are small: O(#files touched) lines per commit).
-  * Optimistic concurrency: a commit claims its version file atomically
-  * (hard-link creation fails on EEXIST), so concurrent writers get exactly
-  * one winner per version; losers receive [[CommitConflictException]] —
-  * blind appends retry automatically in TableWriter, removal-bearing commits
-  * abort (see TableWriter.write step 5).
+  * Optimistic concurrency: a commit claims its version file through the
+  * [[LogStore]]'s atomic conditional put (POSIX: hard-link creation fails
+  * on EEXIST; object stores: `If-None-Match`-style preconditions), so
+  * concurrent writers get exactly one winner per version; losers receive
+  * [[CommitConflictException]] — blind appends retry automatically in
+  * TableWriter, removal-bearing commits abort (see TableWriter.write
+  * step 5). The store resolves per-path ([[LogStore.forPath]]) so one JVM
+  * can serve tables on different storage systems.
   */
-class GraftLog(val tablePath: String) {
+class GraftLog(val tablePath: String, val store: LogStore) {
   import GraftLog._
+
+  def this(tablePath: String) = this(tablePath, LogStore.forPath(tablePath))
 
   val logDir: JPath = Paths.get(tablePath, LogDirName)
 
@@ -26,31 +31,19 @@ class GraftLog(val tablePath: String) {
     * files are in-flight claims from the no-hard-link commit fallback, not
     * commits — invisible until their content lands.
     */
-  def versions(): Seq[Long] = {
-    if (!Files.isDirectory(logDir)) return Nil
-    val stream = Files.list(logDir)
-    try stream.iterator().asScala
-      .filter(p => try Files.size(p) > 0L catch { case _: java.io.IOException => false })
-      .map(_.getFileName.toString)
-      .filter(_.matches("\\d+\\.json"))
-      .map(_.stripSuffix(".json").toLong)
-      .toSeq
+  def versions(): Seq[Long] =
+    store.list(logDir)
+      .filter { case (name, size) => size > 0L && name.matches("\\d+\\.json") }
+      .map(_._1.stripSuffix(".json").toLong)
       .sorted
-    finally stream.close()
-  }
 
   /** Sorted list of checkpoint versions (`<v>.checkpoint.json` sidecars). */
-  def checkpointVersions(): Seq[Long] = {
-    if (!Files.isDirectory(logDir)) return Nil
-    val stream = Files.list(logDir)
-    try stream.iterator().asScala
-      .map(_.getFileName.toString)
+  def checkpointVersions(): Seq[Long] =
+    store.list(logDir)
+      .map(_._1)
       .filter(_.matches("\\d+\\.checkpoint\\.json"))
       .map(_.stripSuffix(".checkpoint.json").toLong)
-      .toSeq
       .sorted
-    finally stream.close()
-  }
 
   def latestVersion(): Long =
     versions().lastOption.getOrElse(
@@ -76,22 +69,20 @@ class GraftLog(val tablePath: String) {
     */
   def writeCheckpoint(version: Long): Unit = {
     val snap = snapshot(version)
-    val tmp = Files.createTempFile(logDir, s".ckpt$version", ".json.tmp")
     val txnActions = snap.transactions.toSeq.sortBy(_._1)
       .map { case (app, v) => SetTransaction(app, v) }
     val body = (Seq(snap.metadata, snap.protocol) ++ txnActions ++ snap.files)
       .map(renderAction).mkString("", "\n", "\n")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, checkpointFile(version), StandardCopyOption.REPLACE_EXISTING)
+    store.overwrite(checkpointFile(version), body.getBytes(StandardCharsets.UTF_8))
   }
 
   /** Actions of a single committed version. */
   def actionsAt(v: Long): Seq[Action] = {
     val f = versionFile(v)
-    if (!Files.exists(f))
+    if (!store.exists(f))
       throw new java.io.FileNotFoundException(
         s"version $v of $tablePath has no log file (${f.toString})")
-    Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+    store.read(f)
       .filter(_.trim.nonEmpty)
       .map(parseAction)
   }
@@ -119,7 +110,7 @@ class GraftLog(val tablePath: String) {
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val ckpt = checkpointVersions().filter(_ <= target).lastOption
     ckpt.foreach { cv =>
-      Files.readAllLines(checkpointFile(cv), StandardCharsets.UTF_8).asScala
+      store.read(checkpointFile(cv))
         .filter(_.trim.nonEmpty).map(parseAction).foreach {
           case m: Metadata       => meta = m
           case p: Protocol       => proto = p
@@ -274,10 +265,10 @@ class GraftLog(val tablePath: String) {
     val staleCkpts = checkpointVersions().filter(_ < retainVersion - 1)
     var deleted = 0
     doomed.foreach { v =>
-      if (Files.deleteIfExists(versionFile(v))) deleted += 1
+      if (store.delete(versionFile(v))) deleted += 1
     }
     staleCkpts.foreach { cv =>
-      if (Files.deleteIfExists(checkpointFile(cv))) deleted += 1
+      if (store.delete(checkpointFile(cv))) deleted += 1
     }
     // dv/bloom sidecar dirs referenced by NO retained file follow their
     // data out here too (same orphan rule + in-flight age guard as
@@ -319,116 +310,50 @@ class GraftLog(val tablePath: String) {
     */
   def rewriteVersion(version: Long, actions: Seq[Action]): Unit = {
     val target = versionFile(version)
-    require(Files.exists(target), s"version $version does not exist for $tablePath")
-    val tmp = Files.createTempFile(logDir, s".$version", ".json.tmp")
+    require(store.exists(target), s"version $version does not exist for $tablePath")
     val body = actions.map(renderAction).mkString("", "\n", "\n")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+    store.overwrite(target, body.getBytes(StandardCharsets.UTF_8))
   }
 
   /** Atomically commit `actions` as `version`.
     *
-    * The version claim is a hard-link creation — the POSIX primitive that
-    * FAILS (EEXIST) when the target exists, unlike rename which silently
-    * replaces. Two writers racing for the same version number therefore get
-    * exactly one winner; the loser sees [[CommitConflictException]] and can
-    * re-read the log and retry at the next version (optimistic concurrency).
+    * The version claim is the store's atomic conditional put — publish
+    * full content iff the key is absent (POSIX: hard-link creation, which
+    * FAILS on EEXIST unlike rename; object stores: `If-None-Match`-style
+    * preconditioned PUT). Two writers racing for the same version number
+    * therefore get exactly one winner; the loser sees
+    * [[CommitConflictException]] and can re-read the log and retry at the
+    * next version (optimistic concurrency).
     *
     * Every [[GraftLog.CheckpointInterval]]th version also materializes a
     * checkpoint sidecar (best-effort: a failed checkpoint never fails the
     * commit — the next interval retries).
     */
   def commit(version: Long, actions: Seq[Action]): Unit = {
-    Files.createDirectories(logDir)
+    store.createDirectories(logDir)
     val target = versionFile(version)
-    if (Files.exists(target)) { // cheap pre-check; the link below is the gate
-      // a zero-byte file at the TARGET path is debris (the current claim
-      // protocol never creates one — no-link claims live at `.claim`
-      // markers, and landings move full content): break it once stale so a
-      // crashed legacy claimant cannot wedge the version forever
-      val staleDebris =
-        try Files.size(target) == 0L &&
-          System.currentTimeMillis() - Files.getLastModifiedTime(target).toMillis >
-            GraftLog.StaleClaimMillis
-        catch { case _: java.io.IOException => false }
-      if (!staleDebris) throw new CommitConflictException(tablePath, version)
-      Files.deleteIfExists(target)
-    }
-    val tmp = Files.createTempFile(logDir, s".$version", ".json.tmp")
     val body = actions.map(renderAction).mkString("", "\n", "\n")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    try {
-      try Files.createLink(target, tmp)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new CommitConflictException(tablePath, version)
-        case _: UnsupportedOperationException =>
-          publishWithoutLink(tmp, target, version)
-      }
-    } finally Files.deleteIfExists(tmp)
+    try store.putIfAbsent(target, body.getBytes(StandardCharsets.UTF_8))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(tablePath, version)
+    }
     if (version > 0 && version % CheckpointInterval == 0)
       try writeCheckpoint(version)
       catch { case scala.util.control.NonFatal(_) => () }
   }
 
-  /** Version claim for filesystems without hard links, as a LOCK at a
-    * separate `<version>.json.claim` marker path.
-    *
-    * Why not claim at the target path itself (the previous design): breaking
-    * a stale claim there meant deleting the TARGET, and a slow-but-alive
-    * claimant landing content in the check→delete window lost a fully
-    * committed version — and [[commit]]'s exists() pre-check fired before
-    * the break could run, so a crashed claimant wedged the version forever.
-    * With the marker namespace, committed files are never deleted, renamed
-    * or replaced by anyone: breaking a stale claim deletes only the marker.
-    *
-    * Protocol: acquire the marker with `Files.createFile` (O_EXCL — exactly
-    * one winner); markers older than [[GraftLog.StaleClaimMillis]] are
-    * presumed crashed and broken (marker deleted, acquisition retried).
-    * The holder lands content at the target with a single atomic move,
-    * conflicting if the target already exists, and re-validates marker
-    * ownership (file key) immediately before the move so a claimant that
-    * stalled past the staleness horizon and lost its claim to a breaker
-    * aborts instead of racing the new owner. Readers never see a torn
-    * state: [[versions]] matches only `\\d+.json` names, so markers are
-    * invisible and targets appear only with full content.
+  /** Spec-visible shim over [[PosixLogStore.publishWithoutLink]] (the
+    * no-hard-link marker-claim protocol), translating the store-level
+    * conflict into the log-level exception. Only meaningful on the POSIX
+    * store.
     */
-  private[graft] def publishWithoutLink(tmp: JPath, target: JPath, version: Long): Unit = {
-    val claim = logDir.resolve(target.getFileName.toString + ".claim")
-    def keyOf(p: JPath): AnyRef =
-      try {
-        val attrs = Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
-        Option(attrs.fileKey).getOrElse((attrs.creationTime, attrs.lastModifiedTime))
-      } catch { case _: java.io.IOException => null }
-    var myKey: AnyRef = null
-    while (myKey == null) {
-      try {
-        Files.createFile(claim)
-        myKey = keyOf(claim)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          val stale =
-            try Files.getLastModifiedTime(claim).toMillis <
-              System.currentTimeMillis() - GraftLog.StaleClaimMillis
-            catch { case _: java.io.IOException => true } // vanished: retry
-          if (!stale) throw new CommitConflictException(tablePath, version)
-          Files.deleteIfExists(claim) // breaks only the MARKER, never a commit
-      }
-    }
-    try {
-      if (Files.exists(target))
+  private[graft] def publishWithoutLink(tmp: JPath, target: JPath, version: Long): Unit =
+    try new PosixLogStore().publishWithoutLink(tmp, target)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
         throw new CommitConflictException(tablePath, version)
-      // ownership re-validation: if we stalled long enough for a breaker to
-      // steal and re-create the marker, its file key changed — abort rather
-      // than race the new holder's landing
-      if (keyOf(claim) != myKey)
-        throw new CommitConflictException(tablePath, version)
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    } finally {
-      // release only our own marker (a breaker may have replaced it)
-      if (keyOf(claim) == myKey) Files.deleteIfExists(claim)
     }
-  }
 }
 
 /** Another writer claimed `version` first — re-read the log and retry (safe

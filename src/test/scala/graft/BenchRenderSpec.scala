@@ -82,4 +82,24 @@ class BenchRenderSpec extends AnyFunSpec with Matchers {
     parse(line)("filtered").asInstanceOf[com.fasterxml.jackson.databind.JsonNode].asBoolean() shouldBe true
     parse(full)("selected").toString.toInt shouldBe 2
   }
+
+  it("carries the self-defense markers: loadavg pair and rerun audit, under budget") {
+    val name = SparkEntry.staged.keys.min
+    val (line, full) = Bench.render(syntheticResults(), "/root/testdata/sf0.1",
+      filtered = false, loadavg = Some((1.25, 30.75)),
+      reruns = Map(name -> ((9.23, 1.52))))
+    withClue(s"line length ${line.length}: ") {
+      line.length should be <= Bench.StdoutLineBudget
+    }
+    val fields = parse(line)
+    val la = fields("loadavg").asInstanceOf[com.fasterxml.jackson.databind.JsonNode]
+    la.size() shouldBe 2
+    la.get(0).asDouble() shouldBe 1.25
+    la.get(1).asDouble() shouldBe 30.75
+    // compact line: just the count; full JSON: the (first, kept) audit pair
+    fields("reruns").toString.toInt shouldBe 1
+    val fr = parse(full)("reruns").asInstanceOf[com.fasterxml.jackson.databind.JsonNode]
+    fr.get(name).get(0).asDouble() shouldBe 9.23
+    fr.get(name).get(1).asDouble() shouldBe 1.52
+  }
 }

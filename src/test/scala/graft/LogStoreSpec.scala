@@ -1,0 +1,185 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.tables._
+
+/** The commit protocol against the [[LogStore]] seam: the conditional-put
+  * store (object-store shape: one atomic claim-and-publish primitive, no
+  * debris recovery, no marker fallback) and the fault-injecting in-memory
+  * store (duplicate-claim, list-lag, lost read visibility). The invariant
+  * under every fault: the conditional put arbitrates — a version is never
+  * silently overwritten and never double-claimed, even when listing or
+  * reads lie.
+  */
+class LogStoreSpec extends AnyFunSpec with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private def schemaJson =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))).json
+
+  describe("ConditionalPutLogStore") {
+    it("rejects the second claimant of a version (non-POSIX claim shape)") {
+      val dir = tmpTableDir("ls-cput")
+      Files.createDirectories(Paths.get(dir))
+      val log = new GraftLog(dir, LogStore.ConditionalPut)
+      log.commit(0L, Seq(Metadata(schemaJson), CommitInfo(0L, "CREATE TABLE")))
+      // store-level: present key = conflict, full stop
+      intercept[java.nio.file.FileAlreadyExistsException] {
+        LogStore.ConditionalPut.putIfAbsent(log.versionFile(0L), "x".getBytes)
+      }
+      // log-level translation
+      intercept[CommitConflictException] {
+        log.commit(0L, Seq(CommitInfo(1L, "WRITE")))
+      }
+      // the loser never tore the winner's content
+      assert(log.actionsAt(0L).collect { case ci: CommitInfo => ci.operation }
+        == Seq("CREATE TABLE"))
+    }
+
+    it("full table lifecycle works through the conditional-put store") {
+      val dir = tmpTableDir("ls-cput-table")
+      LogStore.register(dir, LogStore.ConditionalPut)
+      try {
+        val t = GraftTable.create(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+        assert(t.log.store eq LogStore.ConditionalPut)
+        t.append(Seq((3L, "c")).toDF("id", "v"))
+        graft.operators.TableOps.delete(t, Some("id = 1"))
+        val t2 = GraftTable.forPath(spark, dir)
+        assert(t2.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+        assert(t2.toDFAt(0L).count() == 2)
+      } finally LogStore.unregister(dir)
+    }
+  }
+
+  describe("InMemoryLogStore fault injection") {
+    it("duplicate-claim: racing writers get exactly one winner per version") {
+      val store = new InMemoryLogStore
+      val dir = tmpTableDir("ls-mem-race")
+      val log = new GraftLog(dir, store)
+      log.commit(0L, Seq(Metadata(schemaJson), CommitInfo(0L, "CREATE TABLE")))
+      val n = 20
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (1 to 4).map { w =>
+        new Thread(() => {
+          var committed = 0
+          while (committed < n) {
+            val v = log.latestVersion() + 1
+            try {
+              log.commit(v, Seq(CommitInfo(System.currentTimeMillis(), "RACE",
+                operationParameters = Map("writer" -> w.toString))))
+              committed += 1; wins.incrementAndGet(); ()
+            } catch { case _: CommitConflictException => losses.incrementAndGet(); () }
+          }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(60000))
+      assert(wins.get == 4 * n)
+      // contiguous chain: every claimed version has exactly one committed body
+      assert(log.versions() == (0L to 4L * n))
+      assert(losses.get > 0, "the race never contended — not a meaningful proof")
+    }
+
+    it("list-lag: a writer working from a stale listing is rejected, never overwrites") {
+      val store = new InMemoryLogStore
+      val dir = tmpTableDir("ls-mem-lag")
+      val log = new GraftLog(dir, store)
+      log.commit(0L, Seq(Metadata(schemaJson), CommitInfo(0L, "CREATE TABLE")))
+      // the list lags from here on: the NEXT commit is invisible to listings
+      store.freezeListNow()
+      log.commit(1L, Seq(AddFile("f1.parquet"), CommitInfo(1L, "WRITE")))
+      assert(log.versions() == Seq(0L), "lag injection did not take")
+      // a writer computing "next version" from the lagging list collides
+      // with the real head — the conditional put rejects it LOUDLY
+      val next = log.latestVersion() + 1
+      assert(next == 1L)
+      intercept[CommitConflictException] {
+        log.commit(next, Seq(CommitInfo(2L, "WRITE")))
+      }
+      // nothing was overwritten: once the lag clears, version 1 is intact
+      store.unfreezeList()
+      assert(log.versions() == Seq(0L, 1L))
+      assert(log.snapshot(1L).files.map(_.path) == Seq("f1.parquet"))
+      // and the retry-at-next-version path (what TableWriter does on
+      // conflict) now lands cleanly
+      log.commit(2L, Seq(CommitInfo(3L, "WRITE")))
+      assert(log.versions() == Seq(0L, 1L, 2L))
+    }
+
+    it("lost read visibility: an invisible commit still cannot be replaced") {
+      val store = new InMemoryLogStore
+      val dir = tmpTableDir("ls-mem-viz")
+      val log = new GraftLog(dir, store)
+      log.commit(0L, Seq(Metadata(schemaJson), CommitInfo(0L, "CREATE TABLE")))
+      store.freezeReadsNow()
+      store.freezeListNow()
+      log.commit(1L, Seq(AddFile("f1.parquet"), CommitInfo(1L, "WRITE")))
+      // the winner's commit is invisible to BOTH list and read...
+      assert(!store.exists(log.versionFile(1L)))
+      // ...but the claim still arbitrates: no writer can take its place
+      intercept[CommitConflictException] {
+        log.commit(1L, Seq(CommitInfo(9L, "EVIL")))
+      }
+      store.unfreezeReads()
+      store.unfreezeList()
+      assert(log.actionsAt(1L).collect { case ci: CommitInfo => ci.operation }
+        == Seq("WRITE"))
+    }
+
+    it("a GraftTable write flow retries blind appends over the in-memory store") {
+      val store = new InMemoryLogStore
+      val dir = tmpTableDir("ls-mem-table")
+      LogStore.register(dir, store)
+      try {
+        val t = GraftTable.create(spark, dir, Seq((0L, "base")).toDF("id", "v"))
+        val threads = (1 to 2).map { w =>
+          new Thread(() => {
+            val mine = GraftTable.forPath(spark, dir)
+            (0 until 3).foreach(i =>
+              mine.append(Seq((w * 10L + i, s"w$w-$i")).toDF("id", "v")))
+          })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join(120000))
+        val t2 = GraftTable.forPath(spark, dir)
+        assert(t2.toDF.count() == 7) // base + 2 writers x 3 appends
+        assert(t2.log.versions() == (0L to 6L))
+      } finally LogStore.unregister(dir)
+    }
+
+    it("DistributedSnapshot refuses a non-filesystem store loudly") {
+      val store = new InMemoryLogStore
+      val dir = tmpTableDir("ls-mem-ds")
+      LogStore.register(dir, store)
+      try {
+        GraftTable.create(spark, dir, Seq((0L, "base")).toDF("id", "v"))
+        val e = intercept[IllegalArgumentException] {
+          DistributedSnapshot.addFilesDF(spark, dir).collect()
+        }
+        assert(e.getMessage.contains("filesystem-backed"))
+      } finally LogStore.unregister(dir)
+    }
+  }
+
+  describe("LogStore.forPath routing") {
+    it("longest registered prefix wins; unregistered paths get POSIX") {
+      val a = new InMemoryLogStore
+      val b = new InMemoryLogStore
+      LogStore.register("/tmp/ls-route", a)
+      LogStore.register("/tmp/ls-route/inner", b)
+      try {
+        assert(LogStore.forPath("/tmp/ls-route/t1") eq a)
+        assert(LogStore.forPath("/tmp/ls-route/inner/t2") eq b)
+        // prefix match is path-segment-wise, not string-wise
+        assert(LogStore.forPath("/tmp/ls-routez") eq LogStore.Posix)
+      } finally {
+        LogStore.unregister("/tmp/ls-route")
+        LogStore.unregister("/tmp/ls-route/inner")
+      }
+    }
+  }
+}

@@ -15,10 +15,17 @@ import graft.tables._
   */
 class OccRaceSpec extends AnyFunSpec {
 
-  it("two JVMs racing commits: one winner per version, contiguous log, no torn files") {
+  /** The same two-JVM commit race against a chosen [[LogStore]]: the parent
+    * registers the store for the table dir; the children are pointed at it
+    * through the boot system property [[LogStore.forPath]] honors.
+    */
+  private def raceAgainst(storeName: Option[String]): Unit = {
     val dir = Files.createTempDirectory("occ-race").resolve("t").toString
     Files.createDirectories(Paths.get(dir))
+    storeName.foreach(_ => LogStore.register(dir, LogStore.ConditionalPut))
+    try {
     val log = new GraftLog(dir)
+    storeName.foreach(_ => assert(log.store eq LogStore.ConditionalPut))
     log.commit(0L, Seq(
       Metadata("""{"type":"struct","fields":[]}""", Nil, Map.empty),
       CommitInfo(System.currentTimeMillis(), "CREATE TABLE")))
@@ -26,8 +33,11 @@ class OccRaceSpec extends AnyFunSpec {
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
     val cp = System.getProperty("java.class.path")
     val n = 30
+    val storeProps = storeName.toSeq
+      .map(_ => s"-Dgraft.logstore.conditionalPut.prefixes=$dir")
     def spawn(id: String): Process =
-      new ProcessBuilder(javaBin, "-cp", cp, "graft.tools.OccRace", dir, id, n.toString)
+      new ProcessBuilder((Seq(javaBin) ++ storeProps ++
+        Seq("-cp", cp, "graft.tools.OccRace", dir, id, n.toString)): _*)
         .inheritIO().start()
     val a = spawn("A")
     val b = spawn("B")
@@ -59,5 +69,14 @@ class OccRaceSpec extends AnyFunSpec {
       }
       assert(seqs == (0 until n), s"writer $w seq order broken: $seqs")
     }
+    } finally storeName.foreach(_ => LogStore.unregister(dir))
+  }
+
+  it("two JVMs racing commits: one winner per version, contiguous log, no torn files") {
+    raceAgainst(None)
+  }
+
+  it("the same two-JVM race holds on the conditional-put store (object-store claim shape)") {
+    raceAgainst(Some("conditional-put"))
   }
 }

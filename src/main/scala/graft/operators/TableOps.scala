@@ -1079,7 +1079,7 @@ object TableOps {
     // stale checkpoints below the horizon must go too: replaying from one
     // would skip the horizon's removes and resurrect dead files
     log.checkpointVersions().filter(_ < retainVersion)
-      .foreach(v => log.store.delete(log.checkpointFile(v)))
+      .foreach(v => log.deleteCheckpoint(v))
     // bloom sidecars referenced by NO retained file follow their data files
     // out (their commits' files were all rewritten or vacuumed); a probe
     // only ever resolves ids that appear in live stats, so deleting a truly

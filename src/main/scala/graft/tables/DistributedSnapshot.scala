@@ -19,12 +19,15 @@ import org.apache.spark.sql.types._
   * GB per plan is the bottleneck of every query. Here the same fold runs as
   * a Spark job instead:
   *
-  *  - `spark.read.json` over the checkpoint + post-checkpoint commit files
-  *    (JSON-lines are SPLITTABLE — a single GB checkpoint parses as many
-  *    parallel tasks) with an explicit action schema, so no inference pass;
-  *  - last-action-per-path via one window over (path, version desc) — one
-  *    shuffle, the distributed equivalent of the driver fold's
-  *    LinkedHashMap overwrite semantics;
+  *  - the checkpoint parses in parallel tasks (JSON-lines are SPLITTABLE;
+  *    a parquet checkpoint dir natively so, and column-prunable) with an
+  *    explicit action schema — no inference pass — and its rows NEVER
+  *    shuffle: only the post-checkpoint delta actions (O(commits since
+  *    checkpoint)) go through the last-action-per-path window, and the
+  *    checkpoint inventory is reconciled with one anti-join against the
+  *    small touched-path set (broadcast by AQE) — the distributed
+  *    equivalent of the driver fold's LinkedHashMap overwrite semantics
+  *    at shuffle cost O(delta), not O(live files);
   *  - [[prunedFiles]] then evaluates the SAME per-file skipping predicate
   *    ([[FileSkipping.mightMatch]], shipped to executors with the resolved
   *    conjuncts) before anything is collected — the driver receives only
@@ -93,27 +96,69 @@ object DistributedSnapshot {
     val ckpt = log.checkpointVersions().filter(_ <= target).lastOption
     val deltaFiles = vs.filter(v => v <= target && ckpt.forall(v > _))
       .map(v => log.versionFile(v).toString)
-    val sources = ckpt.map(cv => log.checkpointFile(cv).toString).toSeq ++ deltaFiles
 
-    // newest action per path wins, matching the driver fold's overwrite
-    // semantics. Within ONE version a path can carry BOTH a remove and a
-    // re-add (the deletion-vector remove+add shape) — the commit line order
-    // puts re-adds after removes (TableWriter: `... ++ removes ++ cdc ++
-    // extraActions`), so the add is the in-version winner: tie-break adds
-    // first. A net-removal never co-exists with an add of the same path in
-    // one commit.
+    def jsonFrame(sources: Seq[String]) =
+      spark.read.schema(lineSchema).json(sources: _*)
+        .withColumn("__v",
+          regexp_extract(input_file_name(), "(\\d+)(?:\\.checkpoint)?\\.json$", 1)
+            .cast("long"))
+
+    // fold the DELTAS alone — newest action per path wins, matching the
+    // driver fold's overwrite semantics. Within ONE version a path can
+    // carry BOTH a remove and a re-add (the deletion-vector remove+add
+    // shape) — the commit line order puts re-adds after removes
+    // (TableWriter: `... ++ removes ++ cdc ++ extraActions`), so the add
+    // is the in-version winner: tie-break adds first. A net-removal never
+    // co-exists with an add of the same path in one commit. The window
+    // shuffle covers only O(actions since checkpoint) rows — the
+    // 10⁶-file checkpoint inventory must NEVER pass through a shuffle to
+    // answer "what is live".
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__path"))
       .orderBy(col("__v").desc, col("add").isNotNull.desc)
-    spark.read.schema(lineSchema).json(sources: _*)
-      .withColumn("__v",
-        regexp_extract(input_file_name(), "(\\d+)(?:\\.checkpoint)?\\.json$", 1)
-          .cast("long"))
+    def foldLastWins(df: DataFrame): DataFrame = df
       .filter(col("add").isNotNull || col("remove").isNotNull)
       .withColumn("__path", coalesce(col("add.path"), col("remove.path")))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col("add").isNotNull)
-      .select("add.*")
+      .filter(col("__rn") === 1)
+
+    // the checkpoint frame, flat AddFile columns: JSON-lines (splittable)
+    // by default; with graft.checkpoint.format=parquet the JSON head
+    // carries no file actions and the adds come from the columnar dir —
+    // column-prunable, so a projection of (path, size) never deserializes
+    // stats bytes. Paths are unique within a checkpoint by construction:
+    // no dedup, no shuffle.
+    val ckptFlat: Option[DataFrame] = ckpt.map { cv =>
+      val pdir = log.checkpointParquetDir(cv)
+      val jsonAdds = jsonFrame(Seq(log.checkpointFile(cv).toString))
+        .filter(col("add").isNotNull).select("add.*")
+      if (!Files.isDirectory(pdir)) jsonAdds
+      else jsonAdds.unionByName(
+        spark.read.parquet(pdir.toString).select(
+          col("path"),
+          // absent map (a part written with no partition entries) must
+          // surface as the driver fold's Map.empty, not null
+          coalesce(col("partitionValues").cast(MapType(StringType, StringType)),
+            map().cast(MapType(StringType, StringType))).as("partitionValues"),
+          col("size").cast("long").as("size"),
+          col("stats").cast("string").as("stats"),
+          col("dv").cast(dvType).as("dv")))
+    }
+
+    (ckptFlat, deltaFiles) match {
+      case (Some(c), Nil) => c
+      case (None, ds) => foldLastWins(jsonFrame(ds))
+        .filter(col("add").isNotNull).select("add.*")
+      case (Some(c), ds) =>
+        // checkpoint rows pass through un-shuffled; any path the deltas
+        // touched (re-added, removed, or dv-rewritten) is overridden via
+        // an anti-join on the O(delta) touched set (AQE broadcasts it),
+        // then the deltas' surviving adds append
+        val deltaLast = foldLastWins(jsonFrame(ds))
+        val touched = deltaLast.select(col("__path").as("path")).distinct()
+        c.join(touched, Seq("path"), "left_anti")
+          .unionByName(deltaLast.filter(col("add").isNotNull).select("add.*"))
+    }
   }
 
   /** [[addFilesDF]] collected as typed actions (driver holds O(live files);
@@ -186,35 +231,56 @@ object DistributedSnapshot {
     val meta: graft.tables.Metadata = metadataAt(log, target)
     val proto = protocolAt(log, target)
     val txns = transactionsAt(log, target)
+    val head = (Seq[Action](meta, proto) ++
+      txns.toSeq.sortBy(_._1).map { case (a, v) => SetTransaction(a, v) })
+      .map(GraftLog.renderAction).mkString("", "\n", "\n")
+    val parquetFmt = meta.properties
+      .get(GraftLog.CheckpointFormatProperty).exists(_.equalsIgnoreCase("parquet"))
 
     implicit val strEnc = org.apache.spark.sql.Encoders.STRING
     implicit val addEnc = org.apache.spark.sql.Encoders.product[AddFile]
     val scratch = Files.createTempDirectory(log.logDir, s".ckpt$target")
     val partsDir = scratch.resolve("parts")
     try {
-      addFilesDF(spark, tablePath, target).as[AddFile]
-        .mapPartitions(_.map(a => GraftLog.renderAction(a: Action)))
-        .write.text(partsDir.toString)
+      if (parquetFmt) {
+        // parquet format: executors write the columnar parts directly
+        // (multi-part by shuffle partitioning — the object-store-friendly
+        // shape); the dir publishes with one atomic rename, THEN the O(1)
+        // JSON head lands, so the checkpoint is never visible before its
+        // file actions are
+        addFilesDF(spark, tablePath, target).as[AddFile].toDF()
+          .write.parquet(partsDir.toString)
+        val success = partsDir.resolve("_SUCCESS")
+        Files.deleteIfExists(success)
+        val pdir = log.checkpointParquetDir(target)
+        if (Files.exists(pdir)) TableWriter.deleteRecursively(pdir)
+        Files.move(partsDir, pdir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        log.store.overwrite(log.checkpointFile(target),
+          head.getBytes(StandardCharsets.UTF_8))
+      } else {
+        addFilesDF(spark, tablePath, target).as[AddFile]
+          .mapPartitions(_.map(a => GraftLog.renderAction(a: Action)))
+          .write.text(partsDir.toString)
 
-      val tmp = Files.createTempFile(log.logDir, s".ckpt$target", ".json.tmp")
-      val out = Files.newOutputStream(tmp)
-      try {
-        val head = (Seq[Action](meta, proto) ++
-          txns.toSeq.sortBy(_._1).map { case (a, v) => SetTransaction(a, v) })
-          .map(GraftLog.renderAction).mkString("", "\n", "\n")
-        out.write(head.getBytes(StandardCharsets.UTF_8))
-        val parts = Files.list(partsDir)
-        try parts.iterator().asScala.toSeq
-          .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
-          .foreach(p => Files.copy(p, out))
-        finally parts.close()
-      } finally out.close()
-      Files.move(tmp, log.checkpointFile(target),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val tmp = Files.createTempFile(log.logDir, s".ckpt$target", ".json.tmp")
+        val out = Files.newOutputStream(tmp)
+        try {
+          out.write(head.getBytes(StandardCharsets.UTF_8))
+          val parts = Files.list(partsDir)
+          try parts.iterator().asScala.toSeq
+            .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
+            .foreach(p => Files.copy(p, out))
+          finally parts.close()
+        } finally out.close()
+        Files.move(tmp, log.checkpointFile(target),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     } finally {
-      val walk = Files.walk(scratch)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
-      finally walk.close()
+      if (Files.exists(scratch)) {
+        val walk = Files.walk(scratch)
+        try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+        finally walk.close()
+      }
     }
   }
 

@@ -61,19 +61,56 @@ class GraftLog(val tablePath: String, val store: LogStore) {
 
   def checkpointFile(v: Long): JPath = logDir.resolve(f"$v%020d.checkpoint.json")
 
-  /** Materialize the state at `version` into a self-contained sidecar file
+  /** Multi-part parquet sidecar dir holding a checkpoint's [[AddFile]]
+    * actions when the table uses `graft.checkpoint.format=parquet` (the
+    * head actions stay in [[checkpointFile]] — see [[CheckpointParquet]]).
+    */
+  def checkpointParquetDir(v: Long): JPath =
+    logDir.resolve(f"$v%020d.checkpoint.parquet")
+
+  /** Materialize the state at `version` into a self-contained sidecar
     * (metadata + live file set). Snapshot replay then starts at the newest
     * checkpoint ≤ target instead of folding the whole log — O(files +
     * versions-since-checkpoint) instead of O(total log lines). Written
     * automatically every [[GraftLog.CheckpointInterval]] commits.
+    *
+    * Format follows [[GraftLog.CheckpointFormatProperty]]: the default is
+    * one JSON-lines file; `parquet` splits the FILE actions into a
+    * multi-part columnar dir ([[CheckpointParquet]]) with only the O(1)
+    * head actions (metadata, protocol, txns) in the JSON — the parquet dir
+    * lands first, the head JSON last, so a checkpoint never becomes
+    * visible (via [[checkpointVersions]]) before its file actions exist.
+    * Parquet checkpoints need a real filesystem; on a non-filesystem
+    * [[LogStore]] the format falls back to JSON (self-describing per
+    * version — readers check which sidecar exists).
     */
   def writeCheckpoint(version: Long): Unit = {
     val snap = snapshot(version)
     val txnActions = snap.transactions.toSeq.sortBy(_._1)
       .map { case (app, v) => SetTransaction(app, v) }
-    val body = (Seq(snap.metadata, snap.protocol) ++ txnActions ++ snap.files)
-      .map(renderAction).mkString("", "\n", "\n")
-    store.overwrite(checkpointFile(version), body.getBytes(StandardCharsets.UTF_8))
+    val head: Seq[Action] = Seq(snap.metadata, snap.protocol) ++ txnActions
+    val parquetFmt = snap.metadata.properties
+      .get(GraftLog.CheckpointFormatProperty).exists(_.equalsIgnoreCase("parquet")) &&
+      store.filesystemBacked
+    if (parquetFmt) {
+      CheckpointParquet.write(checkpointParquetDir(version), snap.files)
+      store.overwrite(checkpointFile(version),
+        head.map(renderAction).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    } else {
+      val body = (head ++ snap.files)
+        .map(renderAction).mkString("", "\n", "\n")
+      store.overwrite(checkpointFile(version), body.getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Delete a checkpoint: the JSON head and, when present, the parquet
+    * file-actions dir. Returns whether the head existed.
+    */
+  def deleteCheckpoint(cv: Long): Boolean = {
+    val had = store.delete(checkpointFile(cv))
+    val pdir = checkpointParquetDir(cv)
+    if (Files.isDirectory(pdir)) TableWriter.deleteRecursively(pdir)
+    had
   }
 
   /** Actions of a single committed version. */
@@ -118,6 +155,11 @@ class GraftLog(val tablePath: String, val store: LogStore) {
           case t: SetTransaction => txns(t.appId) = t.version
           case _                 => ()
         }
+      // parquet-format checkpoint: file actions live in the columnar dir
+      // sidecar (the JSON above carried only the head actions)
+      val pdir = checkpointParquetDir(cv)
+      if (store.filesystemBacked && Files.isDirectory(pdir))
+        CheckpointParquet.read(pdir).foreach(a => files(a.path) = a)
     }
     vs.filter(v => v <= target && ckpt.forall(v > _)).foreach { v =>
       actionsAt(v).foreach {
@@ -268,7 +310,7 @@ class GraftLog(val tablePath: String, val store: LogStore) {
       if (store.delete(versionFile(v))) deleted += 1
     }
     staleCkpts.foreach { cv =>
-      if (store.delete(checkpointFile(cv))) deleted += 1
+      if (deleteCheckpoint(cv)) deleted += 1
     }
     // dv/bloom sidecar dirs referenced by NO retained file follow their
     // data out here too (same orphan rule + in-flight age guard as
@@ -373,6 +415,15 @@ object GraftLog {
     */
   val CheckpointInterval = 10
 
+  /** Checkpoint sidecar format: `json` (default — one JSON-lines file) or
+    * `parquet` (multi-part columnar dir for the file actions, O(1) JSON
+    * head — the 10⁶-file shape; see [[CheckpointParquet]]). Enabling
+    * `parquet` requires the `parquetCheckpoint` reader feature: a build
+    * that reads only the JSON head would silently lose the checkpoint's
+    * file actions, so old readers must fail loudly instead.
+    */
+  val CheckpointFormatProperty = "graft.checkpoint.format"
+
   /** Age after which a zero-byte fallback claim is considered crashed and may
     * be broken by a competing committer.
     */
@@ -393,7 +444,7 @@ object GraftLog {
     * what it reads).
     */
   val SupportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping", "typeWidening")
+    Set("deletionVectors", "columnMapping", "typeWidening", "parquetCheckpoint")
   val SupportedWriterFeatures: Set[String] =
     SupportedReaderFeatures ++ Set("identityColumns", "checkConstraints",
       "generatedColumns", "defaultColumns")
@@ -417,6 +468,11 @@ object GraftLog {
     }
     if (props.get(TableWriter.TypeWideningProperty).exists(_.equalsIgnoreCase("true"))) {
       reader += "typeWidening"; writer += "typeWidening"
+    }
+    // same value-gating rule as columnMapping: only the enabling value
+    // brands the protocol (an explicit 'json' is the default format)
+    if (props.get(CheckpointFormatProperty).exists(_.equalsIgnoreCase("parquet"))) {
+      reader += "parquetCheckpoint"; writer += "parquetCheckpoint"
     }
     if (props.keysIterator.exists(_.startsWith(GraftTable.IdentityPropertyPrefix)))
       writer += "identityColumns"

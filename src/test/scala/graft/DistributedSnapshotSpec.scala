@@ -97,6 +97,81 @@ class DistributedSnapshotSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(fileSet(snapFromCkpt.files) == fileSet(snapDriver.files))
   }
 
+  it("parquet checkpoint: multi-part codec round-trips every AddFile shape") {
+    import graft.tables.{AddFile, CheckpointParquet, DvDescriptor}
+    val dir = java.nio.file.Files.createTempDirectory("ckpt-pq")
+      .resolve("00000000000000000010.checkpoint.parquet")
+    val files = (0 until 7).map { i =>
+      AddFile(
+        path = s"part-$i.parquet",
+        partitionValues =
+          if (i % 3 == 0) Map.empty
+          else if (i % 3 == 1) Map("k" -> i.toString)
+          else Map("k" -> i.toString, "n" -> null),
+        size = i * 100L,
+        stats = if (i % 2 == 0) "" else s"""{"numRecords":$i}""",
+        dv = if (i % 2 == 0) None else Some(DvDescriptor(s"_dv/d$i", i.toLong)))
+    }
+    CheckpointParquet.write(dir, files, rowsPerPart = 3) // forces 3 parts
+    val parts = java.nio.file.Files.list(dir).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(parts == 3, s"expected 3 parts, got $parts")
+    assert(CheckpointParquet.read(dir) == files) // order- and value-exact
+    // Spark's splittable reader sees the same rows as the driver codec
+    val viaSpark = spark.read.parquet(dir.toString)
+      .select("path", "size").as[(String, Long)].collect().toSet
+    assert(viaSpark == files.map(f => (f.path, f.size)).toSet)
+  }
+
+  it("graft.checkpoint.format=parquet: both writers, both readers, one truth") {
+    val dir = tmpTableDir("dsnap7")
+    val t = GraftTable.create(spark, dir,
+      spark.range(100).select(col("id"), (col("id") % 4).cast("string").as("p")),
+      partitionColumns = Seq("p"),
+      properties = Map(
+        graft.tables.GraftLog.CheckpointFormatProperty -> "parquet",
+        graft.tables.DeletionVectors.Property -> "true"))
+    t.append(spark.range(100, 200).select(col("id"), (col("id") % 4).cast("string").as("p")))
+    TableOps.delete(GraftTable.forPath(spark, dir), Some("id = 7")) // dv shape
+    val log = new graft.tables.GraftLog(dir)
+    val v = log.latestVersion()
+    // the enabling write branded the protocol: old readers fail loudly
+    // instead of silently losing the checkpoint's file actions
+    assert(log.snapshot(v).protocol.readerFeatures.contains("parquetCheckpoint"))
+
+    val truth = fileSet(GraftTable.forPath(spark, dir).snapshot.files)
+
+    // DRIVER writer: JSON head is O(1) actions, adds live in the dir
+    log.writeCheckpoint(v)
+    assert(java.nio.file.Files.isDirectory(log.checkpointParquetDir(v)))
+    val head = java.nio.file.Files.readAllLines(log.checkpointFile(v)).asScala
+    assert(!head.exists(_.startsWith("{\"add\"")), "head JSON must carry no adds")
+    assert(fileSet(log.snapshot(v).files) == truth, "driver fold from parquet ckpt")
+    assert(fileSet(DistributedSnapshot.addFiles(spark, dir, v)) == truth,
+      "executor fold from parquet ckpt")
+
+    // DISTRIBUTED writer over the same state: same truth through both readers
+    DistributedSnapshot.writeCheckpoint(spark, dir, v)
+    assert(fileSet(log.snapshot(v).files) == truth, "driver fold from spark-written ckpt")
+    assert(fileSet(DistributedSnapshot.addFiles(spark, dir, v)) == truth,
+      "executor fold from spark-written ckpt")
+    // and pruning still works through the parquet checkpoint path
+    val one = DistributedSnapshot.prunedFiles(spark, dir, "p = '3'")
+    assert(one.nonEmpty && one.forall(_.partitionValues("p") == "3"))
+
+    // post-checkpoint commits replay on top of the parquet checkpoint
+    GraftTable.forPath(spark, dir).append(
+      spark.range(200, 210).select(col("id"), lit("9").as("p")))
+    val after = fileSet(GraftTable.forPath(spark, dir).snapshot.files)
+    assert(fileSet(DistributedSnapshot.addFiles(spark, dir)) == after)
+
+    // stale-checkpoint cleanup reclaims the dir sidecar too
+    log.deleteCheckpoint(v)
+    assert(!java.nio.file.Files.exists(log.checkpointParquetDir(v)))
+    assert(fileSet(GraftTable.forPath(spark, dir).snapshot.files) == after,
+      "fold must survive checkpoint removal (full replay)")
+  }
+
   it("partition pruning works executor-side on a partitioned table") {
     val dir = tmpTableDir("dsnap5")
     GraftTable.create(spark, dir,

@@ -1,0 +1,293 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path => JPath, Paths}
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.tables.{GraftTable, TableWriter}
+
+/** V2 `TableCatalog` plugin: unquoted multi-part identifiers
+  * (`graft_cat.ns.table`) resolve in plain `spark.sql` without the
+  * session-conf registry or metastore entries — the catalog maps
+  * identifiers onto a warehouse directory tree
+  * (`<warehouse>/<ns...>/<table>`), each leaf a normal graft table whose
+  * commit log stays the single source of truth (schema, partitioning and
+  * properties are all served FROM the log, never cached in the catalog).
+  *
+  * {{{
+  *   spark.sql.catalog.graft_cat           = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.graft_cat.warehouse = /data/graft
+  *   spark.sql.extensions                  = graft.sql.GraftSparkSessionExtension
+  *
+  *   CREATE TABLE graft_cat.ns.t AS SELECT ...          -- CTAS
+  *   SELECT * FROM graft_cat.ns.t                       -- native scan
+  *   INSERT INTO graft_cat.ns.t ...                     -- commit-log write
+  *   MERGE INTO graft.`graft_cat.ns.t` USING ... ON ... -- graft MERGE
+  * }}}
+  *
+  * Reads: [[GraftV2Table]] deliberately carries NO V2 scan implementation —
+  * the session extension's resolution rule swaps every catalog read onto
+  * the mature V1 path ([[graft.sources.GraftRelation]] → the
+  * `GraftScanRewrite` native `HadoopFsRelation`), so catalog reads get the
+  * same vectorized parquet scan, log-served file listing, stats skipping,
+  * metadata-only aggregates and deletion-vector masking as path reads —
+  * one read path, not two. Without the extension, reads fail loudly with
+  * the config to set. Writes: the V1 write fallback
+  * (`TableCapability.V1_BATCH_WRITE`) routes INSERT / CTAS / INSERT
+  * OVERWRITE through the commit log's append/overwrite.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: JPath = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get(GraftCatalog.WarehouseOption)
+    require(w != null && w.nonEmpty,
+      s"graft catalog '$name' needs a warehouse root: set " +
+        s"spark.sql.catalog.$name.${GraftCatalog.WarehouseOption}=<dir>")
+    warehouse = Paths.get(w).toAbsolutePath.normalize
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** Identifier part → path segment, refusing anything that could escape
+    * the warehouse tree (catalog identifiers come from arbitrary SQL).
+    */
+  private def segment(p: String): String = {
+    require(p.nonEmpty && !p.contains("/") && !p.contains("\\") && !p.startsWith("."),
+      s"illegal graft catalog identifier part '$p'")
+    p
+  }
+
+  private def nsDir(ns: Array[String]): JPath =
+    ns.foldLeft(warehouse)((d, p) => d.resolve(segment(p)))
+
+  private[graft] def tableDir(ident: Identifier): JPath =
+    nsDir(ident.namespace).resolve(segment(ident.name))
+
+  // ---- tables ---------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsDir(namespace)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .filter(p => GraftTable.exists(p.toString))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally stream.close()
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    GraftTable.exists(tableDir(ident).toString)
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!GraftTable.exists(dir.toString)) throw new NoSuchTableException(ident)
+    new GraftV2Table(dir.toString, ident)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val dir = tableDir(ident)
+    if (GraftTable.exists(dir.toString)) throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case t => throw new UnsupportedOperationException(
+        s"graft tables support identity partitioning only, got: $t")
+    }
+    val props = properties.asScala.toMap -- GraftCatalog.ReservedProperties
+    Files.createDirectories(dir.getParent)
+    GraftTable.createEmpty(spark, dir.toString, schema, partCols, props)
+    new GraftV2Table(dir.toString, ident)
+  }
+
+  /** Property changes commit to the log ([[GraftTable.setProperties]] /
+    * `unsetProperties` — same path as graft's own ALTER TABLE SQL); other
+    * V2 changes (column DDL) are served by graft's SQL surface instead.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = GraftTable.forPath(spark, tableDir(ident).toString)
+    val sets = changes.collect {
+      case s: TableChange.SetProperty => s.property -> s.value
+    }.toMap
+    val unsets = changes.collect {
+      case r: TableChange.RemoveProperty => r.property
+    }.toSet
+    val other = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.SetProperty] || c.isInstanceOf[TableChange.RemoveProperty])
+    if (other.nonEmpty)
+      throw new UnsupportedOperationException(
+        "graft catalog alterTable handles SET/UNSET TBLPROPERTIES; for column DDL " +
+          s"use graft's ALTER TABLE SQL on the table path (got: ${other.mkString(", ")})")
+    if (sets.nonEmpty) { t.setProperties(sets); () }
+    if (unsets.nonEmpty) { t.unsetProperties(unsets); () }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!GraftTable.exists(dir.toString)) false
+    else { TableWriter.deleteRecursively(dir); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    val to = tableDir(newIdent)
+    if (!GraftTable.exists(from.toString)) throw new NoSuchTableException(oldIdent)
+    if (Files.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(to.getParent)
+    Files.move(from, to)
+    ()
+  }
+
+  // ---- namespaces (directories of the warehouse tree) -----------------
+
+  private def isNamespaceDir(p: JPath): Boolean =
+    Files.isDirectory(p) && !GraftTable.exists(p.toString)
+
+  override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = nsDir(namespace)
+    if (namespace.nonEmpty && !isNamespaceDir(dir))
+      throw new NoSuchNamespaceException(namespace)
+    if (!Files.isDirectory(dir)) return Array.empty
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .filter(isNamespaceDir)
+      .map(p => namespace :+ p.getFileName.toString)
+      .toArray
+    finally stream.close()
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || isNamespaceDir(nsDir(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    val dir = nsDir(namespace)
+    if (isNamespaceDir(dir)) throw new NamespaceAlreadyExistsException(namespace)
+    Files.createDirectories(dir)
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog namespaces are plain directories and carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = nsDir(namespace)
+    if (!isNamespaceDir(dir)) false
+    else {
+      val stream = Files.list(dir)
+      val empty = try !stream.iterator().hasNext finally stream.close()
+      if (!empty && !cascade)
+        throw new IllegalStateException(
+          s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+      TableWriter.deleteRecursively(dir)
+      true
+    }
+  }
+}
+
+object GraftCatalog {
+  val WarehouseOption = "warehouse"
+
+  /** Catalog-plumbing keys Spark injects into CREATE TABLE properties that
+    * must not leak into the table's own log properties.
+    */
+  val ReservedProperties: Set[String] =
+    Set("provider", "location", "owner", "comment", "external",
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT,
+      TableCatalog.PROP_EXTERNAL)
+
+  /** Warehouse path of a multi-part identifier whose head names a
+    * registered graft catalog — resolved from the session conf alone (the
+    * catalog is stateless), so [[GraftTable.forName]] and the SQL surface
+    * can accept `graft_cat.ns.t` without touching Spark internals. None
+    * when the head is not a graft catalog.
+    */
+  def pathForName(spark: SparkSession, name: String): Option[String] = {
+    val parts = name.split('.')
+    if (parts.length < 2) return None
+    val head = parts.head
+    spark.conf.getOption(s"spark.sql.catalog.$head")
+      .filter(_ == classOf[GraftCatalog].getName)
+      .flatMap(_ => spark.conf.getOption(s"spark.sql.catalog.$head.$WarehouseOption"))
+      .map(w => parts.tail.foldLeft(Paths.get(w))(_ resolve _).toAbsolutePath.toString)
+  }
+}
+
+/** The V2 table handle [[GraftCatalog.loadTable]] returns. Schema,
+  * partitioning and properties are read from the commit log at load time;
+  * reads are swapped onto the V1 native path by the session extension's
+  * resolution rule (see the catalog scaladoc), and writes take the V1
+  * fallback through the log.
+  */
+class GraftV2Table(val path: String, ident: Identifier)
+    extends Table with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+  private val snap = GraftTable.forPath(spark, path).snapshot
+
+  override def name(): String = ident.toString
+
+  override def schema(): StructType = snap.schema
+
+  override def partitioning(): Array[Transform] =
+    snap.metadata.partitionColumns.map(c => Expressions.identity(c)).toArray
+
+  override def properties(): util.Map[String, String] =
+    snap.metadata.properties.asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    throw new IllegalStateException(
+      s"reading graft catalog table $name requires the graft session extension — " +
+        "set spark.sql.extensions=graft.sql.GraftSparkSessionExtension (it rewrites " +
+        "catalog reads onto the native vectorized scan path)")
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwriteParam: Boolean): Unit = {
+              val t = GraftTable.forPath(SparkSession.active, path)
+              if (overwrite || overwriteParam) t.overwrite(data) else t.append(data)
+              ()
+            }
+          }
+      }
+    }
+}

@@ -137,6 +137,38 @@ object GraftMerge {
       if (evolveSchema) TableWriter.mergeSchemas(snap.schema, source.schema).fields.toSeq
       else snap.schema.fields.toSeq
 
+    // --- 0. assignment-key normalization ---------------------------------
+    // UPDATE SET / INSERT keys may be target-alias-qualified (`t.name = ...`
+    // — Delta accepts this, and the SQL surface naturally produces it). The
+    // projection matches keys against bare column names, so strip the alias
+    // here; a key that still resolves to NO output column is a loud error —
+    // the previous behavior (silently keeping the old value while REPORTING
+    // the row updated) corrupted the operation's contract.
+    val outNames = outFields.map(_.name)
+    def normalizeSet(set: Map[String, String], what: String): Map[String, String] =
+      set.map { case (k, v) =>
+        val bare =
+          if (k.length > targetAlias.length + 1 &&
+              k.regionMatches(true, 0, targetAlias, 0, targetAlias.length) &&
+              k.charAt(targetAlias.length) == '.')
+            k.substring(targetAlias.length + 1)
+          else k
+        require(outNames.exists(_.equalsIgnoreCase(bare)),
+          s"$what column '$k' does not resolve to a column of the merge output " +
+            s"(have: ${outNames.mkString(", ")})")
+        bare -> v
+      }
+    def normMatched(a: MatchedAction, what: String): MatchedAction = a match {
+      case UpdateExpr(set) => UpdateExpr(normalizeSet(set, what))
+      case other           => other
+    }
+    val matchedN = matched.map(c => c.copy(action = normMatched(c.action, "UPDATE SET")))
+    val bySourceN = bySource.map(c => c.copy(action = normMatched(c.action, "UPDATE SET")))
+    val notMatchedN = notMatched.map(c => c.copy(action = c.action match {
+      case InsertExpr(vs) => InsertExpr(normalizeSet(vs, "INSERT"))
+      case other          => other
+    }))
+
     // --- 1. candidate-file pruning on target-only conjuncts ---------------
     val classified = FileSkipping.classify(spark, table.toDF.alias(targetAlias), condition)
     val targetOnly = classified.all.filter { c =>
@@ -176,7 +208,7 @@ object GraftMerge {
     // condition-derived file skipping would hide them — every file is a
     // candidate (Delta's by-source merges scan the full table likewise)
     val candidates =
-      if (bySource.nonEmpty) snap.files
+      if (bySourceN.nonEmpty) snap.files
       else FileSkipping.filesMatching(snap, targetOnly ++ dynamicPreds,
         Some(BloomIndex.ProbeContext(spark, table.path)))
     val scanTime = System.currentTimeMillis() - t0
@@ -200,13 +232,13 @@ object GraftMerge {
     // against the candidate scan and append just the insert rows — no touch
     // detection, no file rewrite, no removes (the dominant cost of an
     // appendWithoutDuplicates-style merge on a large table).
-    if (matched.isEmpty && bySource.isEmpty) {
+    if (matchedN.isEmpty && bySourceN.isEmpty) {
       val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       try {
         val tgtScanAll = table.dfForFiles(snap, candidates).alias(targetAlias)
         val unmatchedSrc = srcDf.join(tgtScanAll, expr(condition), "left_anti")
         var action: Column = lit(Drop)
-        notMatched.zipWithIndex.reverse.foreach { case (cl, i) =>
+        notMatchedN.zipWithIndex.reverse.foreach { case (cl, i) =>
           action = when(cl.condition.map(expr).getOrElse(lit(true)), insertCode(i))
             .otherwise(action)
         }
@@ -216,7 +248,7 @@ object GraftMerge {
         val nIns = withAction.count()
         val numSourceRows = sourceCached.count()
         val insCols = outFields.map(f =>
-          insertColumn(f.name, srcAliasName, notMatched, sourceColsRenamed)
+          insertColumn(f.name, srcAliasName, notMatchedN, sourceColsRenamed)
             .cast(f.dataType).as(f.name))
         val newData = withAction.select(insCols: _*)
         val cdc = if (snap.cdfEnabled && nIns > 0)
@@ -271,26 +303,26 @@ object GraftMerge {
       .alias(targetAlias)
     val joined = candRows
       .join(srcDf, expr(condition), "full_outer")
-      .withColumn(ActionCol, actionExpr(matched, notMatched, bySource))
+      .withColumn(ActionCol, actionExpr(matchedN, notMatchedN, bySourceN))
       .localCheckpoint(false)
 
     try {
       // --- metrics from disposition counts (single pass over cached join) --
-      val matchedCodes = matched.indices.map(matchedCode)
+      val matchedCodes = matchedN.indices.map(matchedCode)
       // by-source updates/deletes count and behave like their matched
       // counterparts everywhere downstream (metrics, keep-filter, CDC)
-      val updateCodes = matched.zipWithIndex.collect {
+      val updateCodes = matchedN.zipWithIndex.collect {
         case (MatchedClause(_, UpdateExpr(_) | UpdateAll), i) => matchedCode(i)
-      } ++ bySource.zipWithIndex.collect {
+      } ++ bySourceN.zipWithIndex.collect {
         case (NotMatchedBySourceClause(_, UpdateExpr(_)), i) => bySourceCode(i)
       }
-      val deleteCodes = matched.zipWithIndex.collect {
+      val deleteCodes = matchedN.zipWithIndex.collect {
         case (MatchedClause(_, DeleteAction), i) => matchedCode(i)
-      } ++ bySource.zipWithIndex.collect {
+      } ++ bySourceN.zipWithIndex.collect {
         case (NotMatchedBySourceClause(_, DeleteAction), i) => bySourceCode(i)
       }
-      val insertCodes = notMatched.indices.map(insertCode)
-      val bySourceCodes = bySource.indices.map(bySourceCode)
+      val insertCodes = notMatchedN.indices.map(insertCode)
+      val bySourceCodes = bySourceN.indices.map(bySourceCode)
       def inCodes(codes: Seq[Int]): Column =
         if (codes.isEmpty) lit(false)
         else col(ActionCol).isin(codes.map(Integer.valueOf): _*)
@@ -311,7 +343,7 @@ object GraftMerge {
       // one target row are permitted ONLY when the sole matched clause is an
       // unconditional delete (all matches agree); anything else — update
       // clauses or conditional deletes — is nondeterministic, so fail loudly.
-      val multiMatchOk = matched == Seq(MatchedClause(None, DeleteAction))
+      val multiMatchOk = matchedN == Seq(MatchedClause(None, DeleteAction))
       if (!multiMatchOk && g(3) != g(4))
         throw new IllegalStateException(
           s"MERGE aborted: ${g(3) - g(4)} target row(s) matched by multiple source rows; " +
@@ -356,8 +388,8 @@ object GraftMerge {
       // TgtExists id appears exactly once in every reachable configuration.
       val outCols = outFields.map { f =>
         val base = targetValue(f, targetCols, targetAlias)
-        outputColumn(f.name, base, srcAliasName, matched, notMatched, sourceColsRenamed,
-            bySource)
+        outputColumn(f.name, base, srcAliasName, matchedN, notMatchedN, sourceColsRenamed,
+            bySourceN)
           .cast(f.dataType).as(f.name)
       }
       val targetKeep = touchedData

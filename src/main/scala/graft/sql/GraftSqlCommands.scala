@@ -23,7 +23,7 @@ case class GraftOptimizeCommand(
     AttributeReference("numFilesRemoved", LongType, nullable = false)(),
     AttributeReference("numFilesAdded", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = GraftTable.forPath(spark, path)
+    val t = GraftSqlCommands.resolveTarget(spark, path)
     val before = t.version
     // honor the table's configured file sizing, like optimizeWrite and
     // autoCompact do — SQL OPTIMIZE must not re-split a 1 GB-binned table
@@ -69,7 +69,7 @@ case class GraftVacuumCommand(
     if (dryRun) Seq(AttributeReference("path", StringType, nullable = false)())
     else Seq(AttributeReference("numFilesDeleted", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = GraftTable.forPath(spark, path)
+    val t = GraftSqlCommands.resolveTarget(spark, path)
     (retainHours, dryRun) match {
       case (Some(h), true)  => TableOps.vacuumDryRun(t, h).map(Row(_))
       case (Some(h), false) => Seq(Row(TableOps.vacuum(t, h).toLong))
@@ -86,7 +86,7 @@ case class GraftRestoreCommand(
     AttributeReference("restoredVersion", LongType, nullable = false)(),
     AttributeReference("committedVersion", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = GraftTable.forPath(spark, path)
+    val t = GraftSqlCommands.resolveTarget(spark, path)
     // resolve the target HERE (shared monotonized rule) so the reported
     // restoredVersion is the resolved target even for a no-op restore
     val target = (version, timestamp) match {
@@ -109,7 +109,7 @@ case class GraftFsckCommand(path: String, dryRun: Boolean)
     AttributeReference("removedFile", StringType, nullable = false)(),
     AttributeReference("dryRun", BooleanType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = GraftTable.forPath(spark, path)
+    val t = GraftSqlCommands.resolveTarget(spark, path)
     TableOps.fsck(t, dryRun).map(Row(_, dryRun))
   }
 }
@@ -123,7 +123,7 @@ case class GraftAnalyzeCommand(path: String)
     AttributeReference("filesAnalyzed", org.apache.spark.sql.types.IntegerType,
       nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = GraftTable.forPath(spark, path)
+    val t = GraftSqlCommands.resolveTarget(spark, path)
     Seq(Row(TableOps.computeStats(t)))
   }
 }
@@ -138,7 +138,7 @@ case class GraftGenerateManifestCommand(path: String)
     AttributeReference("entries", org.apache.spark.sql.types.IntegerType,
       nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = GraftTable.forPath(spark, path)
+    val t = GraftSqlCommands.resolveTarget(spark, path)
     Seq(Row(TableOps.generateManifest(t)))
   }
 }
@@ -187,11 +187,11 @@ case class GraftMergeCommand(
                 "— earlier clauses would shadow every later one")
         }
       }
-    val t = GraftTable.forPath(spark, path)
+    val t = GraftSqlCommands.resolveTarget(spark, path)
     val source = (sourceQuery, sourceTable, sourcePath) match {
       case (Some(q), _, _) => spark.sql(q)
       case (_, Some(n), _) => spark.table(n)
-      case (_, _, Some(p)) => GraftTable.forPath(spark, p).toDF
+      case (_, _, Some(p)) => GraftSqlCommands.resolveTarget(spark, p).toDF
       case _ => throw new IllegalArgumentException("MERGE USING needs a source")
     }
     val builder = clauses.foldLeft(
@@ -226,7 +226,7 @@ case class GraftAlterPropertiesCommand(
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = GraftTable.forPath(spark, path)
+    val t = GraftSqlCommands.resolveTarget(spark, path)
     val v =
       if (set.nonEmpty) t.setProperties(set.toMap)
       else t.unsetProperties(unset.toSet)
@@ -239,7 +239,7 @@ case class GraftAddColumnsCommand(path: String, columnsDdl: String)
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = GraftTable.forPath(spark, path)
+    val t = GraftSqlCommands.resolveTarget(spark, path)
     Seq(Row(t.addColumns(StructType.fromDDL(columnsDdl))))
   }
 }
@@ -249,7 +249,7 @@ case class GraftAddConstraintCommand(path: String, name: String, predicate: Stri
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = GraftTable.forPath(spark, path)
+    val t = GraftSqlCommands.resolveTarget(spark, path)
     Seq(Row(t.addCheckConstraint(name, predicate)))
   }
 }
@@ -259,7 +259,7 @@ case class GraftDropConstraintCommand(path: String, name: String)
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = GraftTable.forPath(spark, path)
+    val t = GraftSqlCommands.resolveTarget(spark, path)
     Seq(Row(t.dropCheckConstraint(name)))
   }
 }
@@ -270,7 +270,7 @@ case class GraftShowPropertiesCommand(path: String)
     AttributeReference("key", StringType, nullable = false)(),
     AttributeReference("value", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = GraftTable.forPath(spark, path)
+    val t = GraftSqlCommands.resolveTarget(spark, path)
     t.snapshot.metadata.properties.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
   }
 }
@@ -292,7 +292,7 @@ case class GraftDeleteCommand(path: String, where: Option[String])
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("numDeletedRows", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = GraftTable.forPath(spark, path)
+    val t = GraftSqlCommands.resolveTarget(spark, path)
     val v = TableOps.delete(t, where)
     Seq(Row(v, commitMetric(t, v, "numDeletedRows")))
   }
@@ -308,7 +308,7 @@ case class GraftUpdateCommand(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("numUpdatedRows", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = GraftTable.forPath(spark, path)
+    val t = GraftSqlCommands.resolveTarget(spark, path)
     val v = TableOps.update(t, where, set.toMap)
     val n = t.log.actionsAt(v).collectFirst { case c: graft.tables.CommitInfo =>
       c.operationMetrics.get("numUpdatedRows").map(_.toLong) }.flatten.getOrElse(0L)
@@ -326,7 +326,7 @@ case class GraftDescribeDetailCommand(path: String)
     AttributeReference("numFiles", LongType, nullable = false)(),
     AttributeReference("sizeInBytes", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val s = GraftTable.forPath(spark, path).snapshot
+    val s = GraftSqlCommands.resolveTarget(spark, path).snapshot
     Seq(Row("parquet+graftlog", path, s.metadata.partitionColumns,
       s.metadata.properties, s.numFiles, s.sizeInBytes))
   }
@@ -343,10 +343,28 @@ case class GraftDescribeHistoryCommand(path: String)
     AttributeReference("operationMetrics",
       MapType(StringType, StringType), nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = GraftTable.forPath(spark, path)
+    val t = GraftSqlCommands.resolveTarget(spark, path)
     t.history().map { case (v, ci) =>
       Row(v, new java.sql.Timestamp(ci.timestamp), ci.operation,
         ci.operationParameters, ci.operationMetrics)
     }
   }
+}
+
+/** Shared target resolution for the SQL surface: a quoted target is first
+  * tried as a table PATH, then as a resolvable NAME ([[GraftTable.forName]]:
+  * conf registry, `graft_cat.ns.t` V2-catalog identifiers, `USING graft`
+  * catalog tables) — so `OPTIMIZE 'graft_cat.ns.t'` and
+  * ``MERGE INTO graft.`graft_cat.ns.t` `` work without a metastore entry.
+  */
+object GraftSqlCommands {
+  def resolveTarget(spark: SparkSession, target: String): GraftTable =
+    if (GraftTable.exists(target)) GraftTable.forPath(spark, target)
+    else
+      try GraftTable.forName(spark, target)
+      catch {
+        case _: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"'$target' is neither a graft table path nor a registered/catalog table name")
+      }
 }

@@ -428,11 +428,59 @@ object GraftSqlParser {
 
 /** `spark.sql.extensions=graft.sql.GraftSparkSessionExtension` — injects
   * [[GraftSqlParser]] in front of Spark's parser (the standard table-format
-  * extension point; Delta registers its SQL surface the same way).
+  * extension point; Delta registers its SQL surface the same way), plus the
+  * resolution rule that lands [[graft.catalog.GraftCatalog]] reads on the
+  * native V1 scan path.
   */
 class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    extensions.injectResolutionRule(session => new GraftCatalogReadFallback(session))
+  }
+}
+
+/** Analyzer rule: a READ of a [[graft.catalog.GraftV2Table]]
+  * (`DataSourceV2Relation`) becomes the V1 [[graft.sources.GraftRelation]]
+  * under a `Project` that re-publishes the original output exprIds — from
+  * there the existing `GraftScanRewrite` optimizer rule (installed here)
+  * plans the native vectorized parquet scan with log-served file listing,
+  * stats skipping, metadata-only aggregates and deletion-vector masking.
+  * ONE read path for catalog and path reads, not two.
+  *
+  * WRITE positions are left alone: `V2WriteCommand.table` must stay a
+  * `NamedRelation` for the V1 write fallback (AppendData → InsertableRelation)
+  * to execute, so the rule skips any relation that is some write command's
+  * target.
+  */
+class GraftCatalogReadFallback(spark: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.Alias
+  import org.apache.spark.sql.catalyst.plans.logical.{Project, V2WriteCommand}
+  import org.apache.spark.sql.execution.datasources.LogicalRelation
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  import graft.catalog.GraftV2Table
+  import graft.sources.{GraftRelation, GraftScanRewrite}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val writeTargets = plan.collect { case w: V2WriteCommand => w.table }
+    plan resolveOperators {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftV2Table] && !writeTargets.exists(_ eq r) =>
+        val path = r.table.asInstanceOf[GraftV2Table].path
+        GraftScanRewrite.install(spark)
+        val lr = LogicalRelation(GraftRelation(spark.sqlContext, path))
+        val byName = lr.output.map(a => a.name.toLowerCase -> a).toMap
+        val aliases = r.output.map { orig =>
+          val n = byName.getOrElse(orig.name.toLowerCase,
+            throw new IllegalStateException(
+              s"graft catalog read: column ${orig.name} of $path vanished from the " +
+                "current snapshot schema; re-resolve the plan"))
+          Alias(n, orig.name)(exprId = orig.exprId, qualifier = orig.qualifier)
+        }
+        Project(aliases, lr)
+    }
+  }
 }
 
 /** Run one statement against `spark` with the graft grammar available even

@@ -526,14 +526,18 @@ object GraftTable {
   /** Resolve a registered name to its table path — analogue of
     * `DeltaTable.forName` (reference `DeltaHelperSpec.scala:438`). Resolution
     * order: the session-conf registry (legacy [[registerTable]] mapping),
-    * then the real Spark catalog (a `USING graft` table created by
-    * [[registerTable]] or by SQL `CREATE TABLE ... USING graft LOCATION`).
+    * then a [[graft.catalog.GraftCatalog]] identifier (`graft_cat.ns.t` —
+    * head names a registered V2 graft catalog), then the real Spark catalog
+    * (a `USING graft` table created by [[registerTable]] or by SQL
+    * `CREATE TABLE ... USING graft LOCATION`).
     */
   def forName(spark: SparkSession, name: String): GraftTable = {
     val key = s"spark.graft.table.$name"
-    val path = spark.conf.getOption(key).orElse(catalogLocation(spark, name)).getOrElse(
-      throw new IllegalArgumentException(
-        s"table '$name' is not registered; call GraftTable.registerTable first"))
+    val path = spark.conf.getOption(key)
+      .orElse(graft.catalog.GraftCatalog.pathForName(spark, name).filter(exists))
+      .orElse(catalogLocation(spark, name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"table '$name' is not registered; call GraftTable.registerTable first"))
     forPath(spark, path)
   }
 

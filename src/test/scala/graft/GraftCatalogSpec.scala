@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.tables.GraftTable
+
+/** The V2 `TableCatalog` plugin ([[graft.catalog.GraftCatalog]]): unquoted
+  * `graft_cat.ns.table` identifiers in plain `spark.sql` — CTAS, SELECT
+  * (through the native V1 scan path via the session extension's resolution
+  * rule), INSERT, MERGE, DDL and namespace ops — with the commit log as
+  * the only source of truth.
+  */
+class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft-wh").toString
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", w)
+    w
+  }
+
+  it("CTAS + SELECT + INSERT round-trip through the catalog") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ns")
+    spark.sql(
+      "CREATE TABLE graft_cat.ns.t AS SELECT id, id % 3 AS k FROM range(30)")
+    // the table is a normal graft table at <warehouse>/ns/t
+    assert(GraftTable.exists(Paths.get(warehouse, "ns", "t").toString))
+    assert(spark.sql("SELECT count(*) AS c FROM graft_cat.ns.t").head.getLong(0) == 30)
+
+    spark.sql("INSERT INTO graft_cat.ns.t SELECT id, 9 AS k FROM range(100, 105)")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.t WHERE k = 9").head.getLong(0) == 5)
+    // filters land on the native scan (the resolution rule + scan rewrite)
+    val plan = spark.sql("SELECT id FROM graft_cat.ns.t WHERE id = 101")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GraftParquet") || plan.contains("Scan parquet"),
+      s"catalog read must plan the native parquet scan, got:\n$plan")
+
+    spark.sql("INSERT OVERWRITE graft_cat.ns.t SELECT id, 0 AS k FROM range(3)")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.t").head.getLong(0) == 3)
+    // CTAS is two commits (v0 metadata-only create, v1 the SELECT's rows);
+    // the overwrite is a third — time travel sees each state
+    val t = GraftTable.forName(spark, "graft_cat.ns.t")
+    assert(t.toDFAt(0L).count() == 0)
+    assert(t.toDFAt(1L).count() == 30)
+  }
+
+  it("MERGE INTO a catalog identifier through the graft SQL surface") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.m")
+    spark.sql("CREATE TABLE graft_cat.m.target AS " +
+      "SELECT id, CAST(concat('v', id) AS STRING) AS v FROM range(5)")
+    Seq((3L, "updated"), (9L, "inserted")).toDF("id", "v")
+      .createOrReplaceTempView("merge_src")
+    spark.sql(
+      """MERGE INTO graft.`graft_cat.m.target` AS t USING merge_src AS s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql("SELECT id, v FROM graft_cat.m.target")
+      .as[(Long, String)].collect().toMap
+    assert(rows == Map(0L -> "v0", 1L -> "v1", 2L -> "v2", 3L -> "updated",
+      4L -> "v4", 9L -> "inserted"))
+    // maintenance statements accept the identifier directly
+    assert(spark.sql("DESCRIBE HISTORY 'graft_cat.m.target'").count() >= 2)
+  }
+
+  it("partitioned DDL, properties, and deletion-vector masking via catalog reads") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.p")
+    spark.sql(
+      """CREATE TABLE graft_cat.p.t (id BIGINT, part STRING)
+        |USING graft PARTITIONED BY (part)
+        |TBLPROPERTIES ('graft.enableDeletionVectors' = 'true')""".stripMargin)
+    val t = GraftTable.forName(spark, "graft_cat.p.t")
+    assert(t.snapshot.metadata.partitionColumns == Seq("part"))
+    assert(t.snapshot.metadata.properties.get("graft.enableDeletionVectors").contains("true"))
+    spark.sql("INSERT INTO graft_cat.p.t SELECT id, CAST(id % 2 AS STRING) FROM range(20)")
+    // row-level delete takes the DV shape; the catalog read must mask it
+    graft.operators.TableOps.delete(
+      GraftTable.forName(spark, "graft_cat.p.t"), Some("id = 4"))
+    val ids = spark.sql("SELECT id FROM graft_cat.p.t").as[Long].collect().sorted
+    assert(ids.length == 19 && !ids.contains(4L))
+    // ALTER TABLE SET TBLPROPERTIES routes through catalog.alterTable to the log
+    spark.sql("ALTER TABLE graft_cat.p.t SET TBLPROPERTIES ('custom.tag' = 'x')")
+    assert(GraftTable.forName(spark, "graft_cat.p.t")
+      .snapshot.metadata.properties.get("custom.tag").contains("x"))
+  }
+
+  it("listTables, rename, drop and namespace lifecycle") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.life")
+    spark.sql("CREATE TABLE graft_cat.life.a AS SELECT id FROM range(3)")
+    spark.sql("CREATE TABLE graft_cat.life.b AS SELECT id FROM range(4)")
+    val listed = spark.sql("SHOW TABLES IN graft_cat.life")
+      .select("tableName").as[String].collect().toSet
+    assert(listed == Set("a", "b"))
+    // RENAME TO takes the new name relative to the catalog (Spark's rule:
+    // a rename cannot cross catalogs)
+    spark.sql("ALTER TABLE graft_cat.life.a RENAME TO life.a2")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.life.a2").head.getLong(0) == 3)
+    spark.sql("DROP TABLE graft_cat.life.b")
+    assert(!GraftTable.exists(Paths.get(warehouse, "life", "b").toString))
+    intercept[Exception] { spark.sql("SELECT * FROM graft_cat.life.b").collect() }
+    // non-empty namespace refuses a plain drop; cascade removes it
+    intercept[Exception] { spark.sql("DROP NAMESPACE graft_cat.life") }
+    spark.sql("DROP NAMESPACE graft_cat.life CASCADE")
+    assert(!Files.exists(Paths.get(warehouse, "life")))
+  }
+
+  it("identifier parts cannot escape the warehouse tree") {
+    val _ = warehouse
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft_cat.`..`.`evil` AS SELECT id FROM range(1)")
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_cat.ns.`../../etc`").collect()
+    }
+  }
+}

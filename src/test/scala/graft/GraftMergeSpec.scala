@@ -237,6 +237,28 @@ class GraftMergeSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(row.getString(1) == "g" && row.isNullAt(2))
     }
 
+    it("alias-qualified UPDATE SET / INSERT keys resolve to target columns") {
+      // regression: `t.name = s.name` used to silently keep the OLD value
+      // while reporting the row updated (the key never matched the bare
+      // column name in the projection)
+      val t = mkTable(tmpTableDir("merge-alias"))
+      GraftMerge(t, "old")
+        .merge(Seq((2, "ALIASED")).toDF("id", "name"), "old.id = new.id", Some("new"))
+        .whenMatchedUpdateExpr(Map("old.name" -> "new.name"))
+        .whenNotMatchedInsertExpr(Map("old.id" -> "new.id", "old.name" -> "new.name"))
+        .execute()
+      assert(t.toDF.filter("id = 2").collect()(0).getString(1) == "ALIASED")
+      // an assignment key that resolves to NO target column is a loud
+      // error, never a silent no-op claiming rows updated
+      val ex = intercept[IllegalArgumentException] {
+        GraftMerge(t, "old")
+          .merge(Seq((2, "x")).toDF("id", "name"), "old.id = new.id", Some("new"))
+          .whenMatchedUpdateExpr(Map("no_such_col" -> "new.name"))
+          .execute()
+      }
+      assert(ex.getMessage.contains("no_such_col"))
+    }
+
     it("rejects a source that matches one target row multiple times") {
       val t = mkTable(tmpTableDir("merge-multi"))
       val dupSource = Seq((2, "X", 1), (2, "Y", 2)).toDF("id", "name", "score")

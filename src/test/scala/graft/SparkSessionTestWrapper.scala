@@ -37,6 +37,10 @@ object SparkSessionTestWrapper {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // the production registration (parser + catalog read fallback): specs
+      // run against the same session shape a configured user gets, and the
+      // extension must stay a pure superset of Spark SQL for every suite
+      .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -42,6 +42,8 @@ object Bench {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // production session shape: the graft parser + catalog read fallback
+      .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // builder configs are silently IGNORED when an active session already

@@ -2758,6 +2758,34 @@ object SparkEntry {
       }
     }),
 
+    "s29_catalog_roundtrip" -> ((s, dir) => {
+      // the V2 TableCatalog plugin end-to-end in plain spark.sql: CTAS,
+      // INSERT, MERGE (graft SQL surface on the catalog identifier), then a
+      // SELECT that resolves through the catalog onto the native scan path.
+      // The oracle replays the same mutations over the source parquet.
+      // Requires the graft session extension (registered in Verify/Bench's
+      // builders — the production session shape).
+      val wh = tmp("s29wh")
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.vns")
+      read(s, dir, "nation").createOrReplaceTempView("s29_nation_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.vns.nation_t")
+      s.sql("CREATE TABLE graft_cat.vns.nation_t AS " +
+        "SELECT n_nationkey, n_name, n_regionkey FROM s29_nation_src")
+      s.sql("INSERT INTO graft_cat.vns.nation_t " +
+        "SELECT CAST(900 AS INT), 'ATLANTIS', CAST(0 AS INT) " +
+        "UNION ALL SELECT CAST(901 AS INT), 'ELBONIA', CAST(1 AS INT)")
+      s.sql("SELECT n_nationkey AS k, concat('X_', n_name) AS nn " +
+        "FROM s29_nation_src WHERE n_regionkey = 2")
+        .createOrReplaceTempView("s29_upd")
+      graft.sql.GraftSql.sql(s,
+        "MERGE INTO graft.`graft_cat.vns.nation_t` AS t USING s29_upd AS u " +
+          "ON t.n_nationkey = u.k WHEN MATCHED THEN UPDATE SET t.n_name = u.nn")
+      () =>
+      s.sql("SELECT n_nationkey, n_name, n_regionkey FROM graft_cat.vns.nation_t")
+    }),
+
     "s8_skipping_counts" -> ((s, dir) => {
       import s.implicits._
       // deterministic skipping: contiguous key-range buckets (one file per
@@ -3618,6 +3646,13 @@ object SparkEntry {
         |       true AS writers_agree, true AS feature_branded,
         |       (SELECT count(*) FROM customer WHERE c_custkey % 5 <> 0) AS live_rows
         |FROM (VALUES (1)) t(x)""".stripMargin,
+    "s29_catalog_roundtrip" ->
+      """SELECT n_nationkey,
+        |       CASE WHEN n_regionkey = 2 THEN 'X_' || n_name ELSE n_name END AS n_name,
+        |       n_regionkey
+        |FROM nation
+        |UNION ALL SELECT CAST(900 AS INT), 'ATLANTIS', CAST(0 AS INT)
+        |UNION ALL SELECT CAST(901 AS INT), 'ELBONIA', CAST(1 AS INT)""".stripMargin,
     "s3_humanize_bytes" ->
       """SELECT CAST(case_id AS INT) AS case_id, humanized FROM (VALUES
         | (1, '0 B'), (2, '512 B'), (3, '1.2 kB'), (4, '1.0 MB'), (5, '5.5 MB'),

@@ -21,6 +21,8 @@ object Verify {
       // here, not inside query closures — keeps queries order-independent)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // production session shape: the graft parser + catalog read fallback
+      .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // builder configs are silently IGNORED when an active session already

@@ -990,8 +990,13 @@ object TextAnalysis {
     byWord
       .orderBy(col("occurrences").desc, col("word"))
       .limit(topK)
+      // constant partition key: the frame is the topK rows (bounded), and a
+      // keyed window keeps WindowExec's "No Partition Defined" warning out
+      // of the driver's tail capture — at 150 bench queries the noise
+      // buried real warnings
       .withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0))
           .orderBy(col("occurrences").desc, col("word"))))
       .select(col("rank"), col("word"), col("occurrences"), col("doc_freq"))
   }

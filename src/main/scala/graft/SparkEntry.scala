@@ -2175,7 +2175,7 @@ object SparkEntry {
       // s_nationkey in one commit: data survives, every live file carries a
       // single nation partition value, pre-evolution time travel replays
       // the old layout, and a nation filter prunes to the new directories
-      val dirT = tmp("s28")
+      val dirT = tmp("s39")
       val t = GraftTable.create(s, dirT, read(s, dir, "supplier"))
       () => {
       TableOps.repartitionTable(t, Seq("s_nationkey"))
@@ -2718,7 +2718,7 @@ object SparkEntry {
       }
     }),
 
-    "s28_parquet_checkpoint" -> ((s, dir) => {
+    "s39_parquet_checkpoint" -> ((s, dir) => {
       import s.implicits._
       // multi-part parquet checkpoint (graft.checkpoint.format=parquet):
       // file actions land in a columnar dir sidecar — bounded-size
@@ -2728,7 +2728,7 @@ object SparkEntry {
       // executor-rendered parts) and both readers (driver fold and the
       // splittable executor fold) must agree on one truth; the oracle
       // recomputes the surviving rows
-      val dirT = tmp("s28")
+      val dirT = tmp("s39")
       GraftTable.create(s, dirT,
         read(s, dir, "customer").repartition(4, col("c_custkey")),
         properties = Map(GraftLog.CheckpointFormatProperty -> "parquet"))
@@ -2758,29 +2758,29 @@ object SparkEntry {
       }
     }),
 
-    "s29_catalog_roundtrip" -> ((s, dir) => {
+    "s40_catalog_roundtrip" -> ((s, dir) => {
       // the V2 TableCatalog plugin end-to-end in plain spark.sql: CTAS,
       // INSERT, MERGE (graft SQL surface on the catalog identifier), then a
       // SELECT that resolves through the catalog onto the native scan path.
       // The oracle replays the same mutations over the source parquet.
       // Requires the graft session extension (registered in Verify/Bench's
       // builders — the production session shape).
-      val wh = tmp("s29wh")
+      val wh = tmp("s40wh")
       s.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.vns")
-      read(s, dir, "nation").createOrReplaceTempView("s29_nation_src")
+      read(s, dir, "nation").createOrReplaceTempView("s40_nation_src")
       s.sql("DROP TABLE IF EXISTS graft_cat.vns.nation_t")
       s.sql("CREATE TABLE graft_cat.vns.nation_t AS " +
-        "SELECT n_nationkey, n_name, n_regionkey FROM s29_nation_src")
+        "SELECT n_nationkey, n_name, n_regionkey FROM s40_nation_src")
       s.sql("INSERT INTO graft_cat.vns.nation_t " +
         "SELECT CAST(900 AS INT), 'ATLANTIS', CAST(0 AS INT) " +
         "UNION ALL SELECT CAST(901 AS INT), 'ELBONIA', CAST(1 AS INT)")
       s.sql("SELECT n_nationkey AS k, concat('X_', n_name) AS nn " +
-        "FROM s29_nation_src WHERE n_regionkey = 2")
-        .createOrReplaceTempView("s29_upd")
+        "FROM s40_nation_src WHERE n_regionkey = 2")
+        .createOrReplaceTempView("s40_upd")
       graft.sql.GraftSql.sql(s,
-        "MERGE INTO graft.`graft_cat.vns.nation_t` AS t USING s29_upd AS u " +
+        "MERGE INTO graft.`graft_cat.vns.nation_t` AS t USING s40_upd AS u " +
           "ON t.n_nationkey = u.k WHEN MATCHED THEN UPDATE SET t.n_name = u.nn")
       () =>
       s.sql("SELECT n_nationkey, n_name, n_regionkey FROM graft_cat.vns.nation_t")
@@ -3641,12 +3641,12 @@ object SparkEntry {
         |       true AS contradiction_empty,
         |       (SELECT count(*) FROM nation WHERE n_nationkey < 20) AS live_rows
         |FROM (VALUES (1)) t(x)""".stripMargin,
-    "s28_parquet_checkpoint" ->
+    "s39_parquet_checkpoint" ->
       """SELECT true AS parquet_dir, true AS head_no_adds, true AS folds_agree,
         |       true AS writers_agree, true AS feature_branded,
         |       (SELECT count(*) FROM customer WHERE c_custkey % 5 <> 0) AS live_rows
         |FROM (VALUES (1)) t(x)""".stripMargin,
-    "s29_catalog_roundtrip" ->
+    "s40_catalog_roundtrip" ->
       """SELECT n_nationkey,
         |       CASE WHEN n_regionkey = 2 THEN 'X_' || n_name ELSE n_name END AS n_name,
         |       n_regionkey

@@ -101,6 +101,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftV2Table(dir.toString, ident)
   }
 
+  /** `SELECT ... FROM graft_cat.ns.t VERSION AS OF <n>` — the V2
+    * time-travel hook; the pinned version rides [[GraftV2Table]] into the
+    * read-fallback rule and lands on the same pinned-snapshot V1 relation
+    * `graft.\`path\` VERSION AS OF` reads use.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!GraftTable.exists(dir.toString)) throw new NoSuchTableException(ident)
+    val v =
+      try version.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft VERSION AS OF takes a numeric version, got '$version'")
+      }
+    new GraftV2Table(dir.toString, ident, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF` — `timestampMicros` per the TableCatalog contract;
+    * resolved through the same monotonized-commit-timestamp rule as every
+    * other timestamp resolution ([[graft.tables.GraftLog.versionAtOrBefore]]).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    if (!GraftTable.exists(dir.toString)) throw new NoSuchTableException(ident)
+    val log = new graft.tables.GraftLog(dir.toString)
+    val v = log.versionAtOrBefore(timestampMicros / 1000L).getOrElse(
+      throw new IllegalArgumentException(
+        s"timestamp predates the first commit of $ident"))
+    new GraftV2Table(dir.toString, ident, Some(v))
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -249,13 +280,18 @@ object GraftCatalog {
   * resolution rule (see the catalog scaladoc), and writes take the V1
   * fallback through the log.
   */
-class GraftV2Table(val path: String, ident: Identifier)
+class GraftV2Table(val path: String, ident: Identifier,
+    val versionAsOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   private def spark: SparkSession = SparkSession.active
-  private val snap = GraftTable.forPath(spark, path).snapshot
+  private val snap = {
+    val t = GraftTable.forPath(spark, path)
+    versionAsOf.map(t.snapshotAt).getOrElse(t.snapshot)
+  }
 
-  override def name(): String = ident.toString
+  override def name(): String =
+    versionAsOf.fold(ident.toString)(v => s"$ident@v$v")
 
   override def schema(): StructType = snap.schema
 
@@ -275,7 +311,9 @@ class GraftV2Table(val path: String, ident: Identifier)
         "set spark.sql.extensions=graft.sql.GraftSparkSessionExtension (it rewrites " +
         "catalog reads onto the native vectorized scan path)")
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(versionAsOf.isEmpty,
+      s"cannot write through a time-travel (VERSION AS OF) read of $name")
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -290,4 +328,5 @@ class GraftV2Table(val path: String, ident: Identifier)
           }
       }
     }
+  }
 }

@@ -467,9 +467,10 @@ class GraftCatalogReadFallback(spark: SparkSession)
     plan resolveOperators {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftV2Table] && !writeTargets.exists(_ eq r) =>
-        val path = r.table.asInstanceOf[GraftV2Table].path
+        val v2 = r.table.asInstanceOf[GraftV2Table]
+        val path = v2.path
         GraftScanRewrite.install(spark)
-        val lr = LogicalRelation(GraftRelation(spark.sqlContext, path))
+        val lr = LogicalRelation(GraftRelation(spark.sqlContext, path, v2.versionAsOf))
         val byName = lr.output.map(a => a.name.toLowerCase -> a).toMap
         val aliases = r.output.map { orig =>
           val n = byName.getOrElse(orig.name.toLowerCase,

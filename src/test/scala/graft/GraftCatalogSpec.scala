@@ -111,6 +111,26 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(!Files.exists(Paths.get(warehouse, "life")))
   }
 
+  it("time travel: VERSION AS OF and TIMESTAMP AS OF through the catalog") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.tt")
+    spark.sql("CREATE TABLE graft_cat.tt.t AS SELECT id FROM range(5)")
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql("INSERT INTO graft_cat.tt.t SELECT id FROM range(100, 103)")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.tt.t").head.getLong(0) == 8)
+    assert(spark.sql("SELECT count(*) FROM graft_cat.tt.t VERSION AS OF 1")
+      .head.getLong(0) == 5)
+    assert(spark.sql("SELECT count(*) FROM graft_cat.tt.t VERSION AS OF 0")
+      .head.getLong(0) == 0) // CTAS v0 is the metadata-only create
+    val ts = new java.sql.Timestamp(afterV1).toString
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.tt.t TIMESTAMP AS OF '$ts'")
+      .head.getLong(0) == 5)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_cat.tt.t VERSION AS OF 99").collect()
+    }
+  }
+
   it("identifier parts cannot escape the warehouse tree") {
     val _ = warehouse
     intercept[Exception] {

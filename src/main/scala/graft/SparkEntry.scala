@@ -2175,7 +2175,7 @@ object SparkEntry {
       // s_nationkey in one commit: data survives, every live file carries a
       // single nation partition value, pre-evolution time travel replays
       // the old layout, and a nation filter prunes to the new directories
-      val dirT = tmp("s39")
+      val dirT = tmp("s28")
       val t = GraftTable.create(s, dirT, read(s, dir, "supplier"))
       () => {
       TableOps.repartitionTable(t, Seq("s_nationkey"))

@@ -265,7 +265,13 @@ object GraftCatalog {
     */
   def pathForName(spark: SparkSession, name: String): Option[String] = {
     val parts = name.split('.')
-    if (parts.length < 2) return None
+    // the same warehouse-escape guard tableDir enforces: any part that
+    // could leave the tree ('/', '\', leading '.', empty — including an
+    // absolute path that Path.resolve would REPLACE the root with) makes
+    // this not a catalog identifier at all
+    def legal(p: String): Boolean =
+      p.nonEmpty && !p.contains("/") && !p.contains("\\") && !p.startsWith(".")
+    if (parts.length < 2 || !parts.forall(legal)) return None
     val head = parts.head
     spark.conf.getOption(s"spark.sql.catalog.$head")
       .filter(_ == classOf[GraftCatalog].getName)

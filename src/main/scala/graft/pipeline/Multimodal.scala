@@ -216,59 +216,72 @@ object Multimodal {
         payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
         payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E') {
       // ---- direct RIFF/WAVE walk (same chunk discipline as decodeVideo's
-      // AVI parser: size sanity, word alignment, crafted headers -> None)
+      // AVI parser: size sanity, word alignment, crafted headers -> None).
+      // Chunk sizes are UNSIGNED 32-bit and untrusted: all offset
+      // arithmetic runs in Long so a near-2^32 declared size can neither
+      // wrap negative nor march the cursor past the payload
       def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
-      def le32(o: Int): Int =
-        (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
-          ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+      def le32u(o: Int): Long =
+        ((payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+          ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)).toLong &
+          0xffffffffL
       var fmtTag = -1; var chans = 0; var rate = 0; var bits = 0
       var dataOff = -1; var dataLen = 0
-      var o = 12
+      var o = 12L
       var done = false
       while (!done && o + 8 <= payload.length) {
-        val size = le32(o + 4)
-        if (size < 0) done = true
-        else {
-          val id = new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
-          if (id == "fmt " && size >= 16 && o + 24 <= payload.length) {
-            fmtTag = le16(o + 8)
-            chans = le16(o + 10)
-            rate = le32(o + 12)
-            bits = le16(o + 22)
-          } else if (id == "data" && dataOff < 0) {
-            dataOff = o + 8
-            // clamp to the payload: stream decoders stop at EOF on
-            // truncated files, and the fold must see the same samples
-            dataLen = math.max(0, math.min(size.toLong,
-              (payload.length - dataOff).toLong).toInt)
-          }
-          o += 8 + size + (size & 1) // chunks are word-aligned
+        val oi = o.toInt
+        val size = le32u(oi + 4)
+        val id = new String(payload, oi, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        if (id == "fmt " && size >= 16 && oi + 24 <= payload.length) {
+          fmtTag = le16(oi + 8)
+          chans = le16(oi + 10)
+          rate = le32u(oi + 12).toInt
+          bits = le16(oi + 22)
+        } else if (id == "data" && dataOff < 0) {
+          dataOff = oi + 8
+          // clamp to the payload: stream decoders stop at EOF on
+          // truncated files, and the fold must see the same samples
+          dataLen = math.max(0L, math.min(size,
+            (payload.length - dataOff).toLong)).toInt
         }
+        o += 8L + size + (size & 1L) // chunks are word-aligned
       }
-      if (fmtTag == 1 && bits == 16 && dataOff >= 0)
-        Some(new PcmSamples(16, rate, chans, payload, dataOff, dataLen / 2,
-          bigEndian = false))
-      else None // WAV but not signed PCM 16 — the stream gate rejected too
-    } else {
-      // ---- AIFF/AU (and exotica): the in-JDK stream decoder
-      import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
-      val ais =
-        try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
-        catch {
-          case _: UnsupportedAudioFileException => return None
-          case _: java.io.IOException => return None
-        }
-      try {
-        val f = ais.getFormat
-        val bits = f.getSampleSizeInBits
-        if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED || (bits != 8 && bits != 16))
-          return None
-        val data = ais.readAllBytes()
-        Some(new PcmSamples(bits, f.getSampleRate.toInt, f.getChannels,
-          data, 0, data.length / (bits / 8), f.isBigEndian))
-      } catch { case _: java.io.IOException => None }
-      finally ais.close()
-    }
+      if (fmtTag == 1) {
+        if (bits == 16 && dataOff >= 0)
+          Some(new PcmSamples(16, rate, chans, payload, dataOff, dataLen / 2,
+            bigEndian = false))
+        else None // plain-PCM WAV but not 16-bit signed — stream gate rejected too
+      } else
+        // non-plain format tag (extensible 0xFFFE, float, alaw, ...) or no
+        // fmt chunk: defer to the stream decoder, which accepts
+        // WAVE_FORMAT_EXTENSIBLE PCM (reported as PCM_SIGNED) and rejects
+        // the rest — behavior-identical to the pre-fast-path gate
+        slowDecodePcm(payload)
+    } else slowDecodePcm(payload) // AIFF/AU (and exotica)
+  }
+
+  /** The in-JDK stream-decoder path of [[decodePcm]] (AIFF/AU containers,
+    * plus WAVs whose format tag the direct parser does not handle).
+    */
+  private def slowDecodePcm(payload: Array[Byte]): Option[PcmSamples] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
+    val ais =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: UnsupportedAudioFileException => return None
+        case _: java.io.IOException => return None
+      }
+    try {
+      val f = ais.getFormat
+      val bits = f.getSampleSizeInBits
+      if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED || (bits != 8 && bits != 16))
+        return None
+      val data = ais.readAllBytes()
+      Some(new PcmSamples(bits, f.getSampleRate.toInt, f.getChannels,
+        data, 0, data.length / (bits / 8), f.isBigEndian))
+    } catch { case _: java.io.IOException => None }
+    finally ais.close()
   }
 
   /** REAL audio decode — direct RIFF/WAV PCM parse with an `AudioSystem`

@@ -531,8 +531,14 @@ object TextAnalysis {
         "fully-distributed pair state (not implemented)")
 
     // ---- driver-side symbol table and count state --------------------
-    // ids < 0x10000 are char code units; merge ranks mint 0x10000, 0x10001…
+    // ids < 0x10000 are char code units; merges mint 0x10000, 0x10001…
+    // INTERNED BY SURFACE STRING: driverBpe's symbols are strings, so two
+    // merge paths producing the same surface (('a','bc') and ('ab','c')
+    // both yielding "abc" — a real-corpus occurrence) must be ONE symbol —
+    // their pair counts sum and later merges rewrite both. Distinct ids
+    // for equal surfaces would silently diverge from the driver tier.
     val mergedSyms = scala.collection.mutable.ArrayBuffer.empty[String]
+    val intern = scala.collection.mutable.HashMap.empty[String, Int]
     def str(id: Int): String =
       if (id < 0x10000) String.valueOf(id.toChar) else mergedSyms(id - 0x10000)
 
@@ -595,10 +601,19 @@ object TextAnalysis {
       popped.foreach(heap.add)
       if (guesses.isEmpty || guesses.head._3 < minPairCount) exhausted = true
       else {
-        // provisional ids for the whole batch; rolled back past the
-        // accepted prefix after validation
-        val batch = guesses.zipWithIndex.map { case ((l, r, _), i) =>
-          (l, r, 0x10000 + mergedSyms.length + i)
+        // ids for the whole batch: existing surfaces reuse their interned
+        // id; new surfaces take provisional dense ids (same-surface slots
+        // within the batch share one). Validation truncates to a PREFIX,
+        // so accepted new-surface slots consume provisional ids in order
+        // and the mergedSyms indexing stays dense — nothing to roll back
+        val overlay = scala.collection.mutable.HashMap.empty[String, Int]
+        var nextProvisional = 0x10000 + mergedSyms.length
+        val batch = guesses.map { case (l, r, _) =>
+          val surface = str(l) + str(r)
+          val id = intern.getOrElse(surface, overlay.getOrElseUpdate(surface, {
+            val x = nextProvisional; nextProvisional += 1; x
+          }))
+          (l, r, id)
         }.toArray
         val pendingNow = pending
         // ONE narrow pass, no shuffle: per word apply the pending accepted
@@ -665,7 +680,13 @@ object TextAnalysis {
           ok match {
             case None => stop = true
             case Some(c) =>
-              mergedSyms += (str(l) + str(r))
+              val surface = str(l) + str(r)
+              if (!intern.contains(surface)) {
+                mergedSyms += surface
+                intern(surface) = batch(accepted)._3
+                require(batch(accepted)._3 == 0x10000 + mergedSyms.length - 1,
+                  "BPE symbol table desync (provisional id not dense)")
+              }
               merges += ((merges.length, str(l), str(r), c))
               pending :+= batch(accepted)
               applyDelta(deltas(accepted))

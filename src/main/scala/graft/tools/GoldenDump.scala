@@ -20,7 +20,12 @@ object GoldenDump {
     def lit(v: Any): String = v match {
       case null      => "NULL"
       case s: String => "'" + s.replace("'", "''") + "'"
-      case d: Double => if (d == d.floor && math.abs(d) < 1e15) f"$d%.1f" else d.toString
+      // Locale.ROOT: a comma-decimal default locale would render 2.0 as
+      // '2,0' and corrupt the pasted VALUES literal
+      case d: Double =>
+        if (d == d.floor && math.abs(d) < 1e15)
+          String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
+        else d.toString
       case other     => other.toString
     }
     for (name <- Seq("t12_bpe_merges", "t13_bpe_tokenize", "t15_compression_signals")) {

@@ -106,6 +106,22 @@ class BpeMergesSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(TextAnalysis.learnBpeMerges(df, "text", 10).count() == 0)
   }
 
+  it("tier agreement on a collision-prone repetitive corpus (surface interning)") {
+    // runs of 'ab'/'a' force deep merge chains whose intermediate symbols
+    // can reach the same surface string via different merge paths; the
+    // distributed tier must intern minted symbols BY SURFACE (the driver
+    // tier's string identity) — per-rank ids would split pair counts and
+    // silently diverge the learned table
+    val words = (1 to 12).flatMap(n => Seq("ab" * n, "a" * n, ("ab" * n) + "a"))
+    val rows = words.zipWithIndex.flatMap { case (w, i) => Seq.fill(3 + (i * 7) % 11)(w) }
+    val df = rows.toDF("text").repartition(5)
+    val driver = TextAnalysis.learnBpeMerges(df, "text", 60)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    val dist = TextAnalysis.learnBpeMerges(df, "text", 60, maxDriverVocab = 4)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(dist == driver, "distributed tier diverged from driver on deep merge chains")
+  }
+
   it("incremental distributed tier: 4096 merges over a >1M-word vocabulary") {
     // The scale rehearsal for real tokenizer training: the dictionary
     // exceeds maxDriverVocab, so the run goes through the INCREMENTAL

@@ -937,6 +937,59 @@ class PipelineSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(stubbed == Multimodal.decodeStub(Array[Byte](9, 9, 9)).toSeq)
     }
 
+    it("crafted RIFF chunk sizes decode to None, never crash the task") {
+      // untrusted corpus bytes: sizes near 2^31/2^32 must not wrap the
+      // chunk cursor into negative offsets (AIOOBE) — the walk runs in Long
+      def le32(v: Long): Array[Byte] = Array(
+        (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      for (evil <- Seq(0x7FFFFFF6L, 0x80000000L, 0xFFFFFFF8L)) {
+        val p = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+          "JUNK".getBytes ++ le32(evil) ++ Array.fill(32)(0.toByte)
+        assert(Multimodal.decodeAudio(p).isEmpty)
+        assert(Multimodal.audioDHash(p).isEmpty)
+        assert(Multimodal.audioHistogramFeature(p).isEmpty)
+      }
+      // truncated data chunk: declared length clamps to the payload, same
+      // as a stream decoder hitting EOF
+      val wav = Multimodal.encodeWavPcm16(8000, Array.tabulate(100)(_ => 7.toShort))
+      val truncated = wav.take(wav.length - 40)
+      val info = Multimodal.decodeAudio(truncated).get
+      assert(info.numFrames == 80L && info.rmsAmp == 7)
+    }
+
+    it("non-plain WAV format tags defer to the stream decoder (parity, not rejection)") {
+      // WAVE_FORMAT_EXTENSIBLE PCM16: the fast path must hand it to
+      // AudioSystem, matching whatever the pre-fast-path gate did on this
+      // JDK (accept as PCM_SIGNED or reject) — never unilaterally None
+      def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      val samples = Array.tabulate(80)(j => if (j % 2 == 0) 500 else -500)
+      val data = samples.flatMap(s => le16(s & 0xffff))
+      val pcmGuid = Array(0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+        0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71).map(_.toByte)
+      val fmt = le16(0xFFFE) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+        le16(2) ++ le16(16) ++ le16(22) ++ le16(16) ++ le32(4) ++ pcmGuid
+      val body = "fmt ".getBytes ++ le32(fmt.length) ++ fmt ++
+        "data".getBytes ++ le32(data.length) ++ data
+      val ext = "RIFF".getBytes ++ le32(4 + body.length) ++ "WAVE".getBytes ++ body
+      val viaStream =
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(ext))
+          try {
+            val f = ais.getFormat
+            f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              (f.getSampleSizeInBits == 8 || f.getSampleSizeInBits == 16)
+          } finally ais.close()
+        } catch { case _: Exception => false }
+      val decoded = Multimodal.decodeAudio(ext)
+      assert(decoded.isDefined == viaStream,
+        s"fast path must mirror the stream gate on extensible WAV (stream=$viaStream)")
+      decoded.foreach(i => assert(i.rmsAmp == 500 && i.sampleRate == 8000))
+    }
+
     it("decodes real uncompressed-DIB AVI payloads: dims, fps, per-frame luma, sampling") {
       // encode → decode round trip matches the synthesis formulas exactly
       val ids = (0L to 60L).toDF("id")

@@ -286,9 +286,54 @@ object GraftCatalog {
   * resolution rule (see the catalog scaladoc), and writes take the V1
   * fallback through the log.
   */
+object GraftV2Table {
+  import org.apache.spark.sql.sources._
+
+  /** `sources.Filter` → ANSI SQL condition text for the filter-pushdown
+    * delete — rendered directly (identifier backquoting + Catalyst
+    * `Literal.sql` for values; string matches via the `startswith`/
+    * `endswith`/`contains` functions, immune to LIKE-pattern injection).
+    * None = not expressible; `canDeleteWhere` then refuses, so Spark
+    * reports the condition loudly instead of this table deleting a
+    * superset.
+    */
+  private[catalog] def filterToSql(f: Filter): Option[String] = {
+    def q(a: String): String = "`" + a.replace("`", "``") + "`"
+    def l(v: Any): String =
+      org.apache.spark.sql.catalyst.expressions.Literal(v).sql
+    f match {
+      case EqualTo(a, v)            => Some(s"${q(a)} = ${l(v)}")
+      case EqualNullSafe(a, v)      => Some(s"${q(a)} <=> ${l(v)}")
+      case GreaterThan(a, v)        => Some(s"${q(a)} > ${l(v)}")
+      case GreaterThanOrEqual(a, v) => Some(s"${q(a)} >= ${l(v)}")
+      case LessThan(a, v)           => Some(s"${q(a)} < ${l(v)}")
+      case LessThanOrEqual(a, v)    => Some(s"${q(a)} <= ${l(v)}")
+      case In(a, vs) =>
+        if (vs.isEmpty) Some("FALSE")
+        else Some(s"${q(a)} IN (${vs.map(l).mkString(", ")})")
+      case IsNull(a)                => Some(s"${q(a)} IS NULL")
+      case IsNotNull(a)             => Some(s"${q(a)} IS NOT NULL")
+      case StringStartsWith(a, v)   => Some(s"startswith(${q(a)}, ${l(v)})")
+      case StringEndsWith(a, v)     => Some(s"endswith(${q(a)}, ${l(v)})")
+      case StringContains(a, v)     => Some(s"contains(${q(a)}, ${l(v)})")
+      case And(left, right) =>
+        for (lc <- filterToSql(left); rc <- filterToSql(right))
+          yield s"($lc) AND ($rc)"
+      case Or(left, right) =>
+        for (lc <- filterToSql(left); rc <- filterToSql(right))
+          yield s"($lc) OR ($rc)"
+      case Not(c)        => filterToSql(c).map(c0 => s"NOT ($c0)")
+      case _: AlwaysTrue  => Some("TRUE") // unconditional DELETE (truncate shape)
+      case _: AlwaysFalse => Some("FALSE")
+      case _              => None
+    }
+  }
+}
+
 class GraftV2Table(val path: String, ident: Identifier,
     val versionAsOf: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private def spark: SparkSession = SparkSession.active
   private val snap = {
@@ -311,11 +356,49 @@ class GraftV2Table(val path: String, ident: Identifier,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
+  /** A scan HANDLE must construct (the DELETE planner builds one to carry
+    * the condition into [[deleteWhere]], and it never executes), but an
+    * actual batch READ through it means the session extension is missing —
+    * fail loudly at `toBatch` with the config to set. With the extension,
+    * read relations are rewritten onto the native V1 path at analysis and
+    * never reach this builder.
+    */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    throw new IllegalStateException(
-      s"reading graft catalog table $name requires the graft session extension — " +
-        "set spark.sql.extensions=graft.sql.GraftSparkSessionExtension (it rewrites " +
-        "catalog reads onto the native vectorized scan path)")
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): StructType = GraftV2Table.this.schema()
+          override def description(): String = s"graft:$path"
+          override def toBatch: org.apache.spark.sql.connector.read.Batch =
+            throw new IllegalStateException(
+              s"reading graft catalog table ${GraftV2Table.this.name()} requires the " +
+                "graft session extension — set " +
+                "spark.sql.extensions=graft.sql.GraftSparkSessionExtension (it " +
+                "rewrites catalog reads onto the native vectorized scan path)")
+        }
+    }
+
+  /** `DELETE FROM graft_cat.ns.t WHERE ...` — the filter-pushdown delete
+    * hook. Translated filters render to one SQL condition and run through
+    * [[graft.operators.TableOps.delete]]: file-level drops where stats
+    * prove it, deletion vectors / rewrites where they don't — exactly the
+    * path-API delete. `canDeleteWhere` admits only fully-translatable
+    * conditions, so Spark reports untranslatable ones loudly instead of
+    * this table deleting a superset.
+    */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    versionAsOf.isEmpty && filters.forall(f => GraftV2Table.filterToSql(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(versionAsOf.isEmpty,
+      s"cannot DELETE through a time-travel (VERSION AS OF) read of $name")
+    val conds = filters.map(f => GraftV2Table.filterToSql(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE condition not translatable for graft: $f")))
+    val cond = if (conds.isEmpty) None else Some(conds.map(c => s"($c)").mkString(" AND "))
+    graft.operators.TableOps.delete(GraftTable.forPath(spark, path), cond)
+    ()
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(versionAsOf.isEmpty,

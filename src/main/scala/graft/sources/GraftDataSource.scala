@@ -117,8 +117,11 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       providerName: String,
       parameters: Map[String, String]): (String, StructType) =
     (shortName(),
-      schema.getOrElse(
-        GraftStreamSource.schemaOf(sqlContext.sparkSession, pathOf(parameters))))
+      schema.getOrElse {
+        if (parameters.get("dropChangeColumns").exists(_.trim.equalsIgnoreCase("true")))
+          GraftTable.forPath(sqlContext.sparkSession, pathOf(parameters)).snapshot.schema
+        else GraftStreamSource.schemaOf(sqlContext.sparkSession, pathOf(parameters))
+      })
 
   override def createSource(
       sqlContext: SQLContext,
@@ -156,7 +159,9 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.trim.toLong),
       ignoreDeletes = parameters.get("ignoreDeletes").exists(_.trim.equalsIgnoreCase("true")),
       skipChangeCommits =
-        parameters.get("skipChangeCommits").exists(_.trim.equalsIgnoreCase("true")))
+        parameters.get("skipChangeCommits").exists(_.trim.equalsIgnoreCase("true")),
+      dropChangeColumns =
+        parameters.get("dropChangeColumns").exists(_.trim.equalsIgnoreCase("true")))
   }
 
   private def pathOf(parameters: Map[String, String]): String = {
@@ -436,7 +441,7 @@ object GraftRelation {
     * every filter above the scan (default `unhandledFilters`), so this is
     * purely an optimization.
     */
-  private[sources] def translate(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+  private[graft] def translate(f: Filter): Option[org.apache.spark.sql.Column] = f match {
     case EqualTo(a, v)            => Some(col(a) === lit(v))
     case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
     case GreaterThan(a, v)        => Some(col(a) > lit(v))

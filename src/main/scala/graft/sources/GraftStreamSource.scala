@@ -64,7 +64,8 @@ class GraftStreamSource(
     metadataPath: Option[String] = None,
     maxFilesPerTrigger: Option[Long] = None,
     ignoreDeletes: Boolean = false,
-    skipChangeCommits: Boolean = false)
+    skipChangeCommits: Boolean = false,
+    dropChangeColumns: Boolean = false)
   extends Source with SupportsTriggerAvailableNow {
 
   require(maxVersionsPerTrigger > 0,
@@ -78,7 +79,14 @@ class GraftStreamSource(
   private val log = new GraftLog(tablePath)
   private def table = GraftTable.forPath(spark, tablePath)
 
-  override val schema: StructType = GraftStreamSource.schemaOf(spark, tablePath)
+  /** With `dropChangeColumns` (the `readStream.table` shape — rows only,
+    * like Delta's default streaming read) the source schema is the TABLE
+    * schema; [[getBatch]]'s final projection then drops the change columns
+    * automatically, since it selects exactly `schema`'s fields.
+    */
+  override val schema: StructType =
+    if (dropChangeColumns) table.snapshot.schema
+    else GraftStreamSource.schemaOf(spark, tablePath)
 
   /** Highest version this source has already offered (or seen committed via
     * `getBatch` during checkpoint recovery) — the base the per-trigger
@@ -291,7 +299,12 @@ class GraftStreamSource(
     * the widened schema (Delta's streaming source fails the same way).
     */
   private def widen(df: DataFrame): DataFrame = {
-    val known = schema.fieldNames.toSet
+    // rows-only mode: the change columns are still PRESENT on the internal
+    // batch frames (the final projection drops them) — they are not
+    // mid-stream schema evolution
+    val known = schema.fieldNames.toSet ++
+      (if (dropChangeColumns) Set("_change_type", "_commit_version")
+       else Set.empty[String])
     val extra = df.columns.filterNot(known.contains)
     if (extra.nonEmpty)
       throw new IllegalStateException(

@@ -463,7 +463,17 @@ class GraftCatalogReadFallback(spark: SparkSession)
   import graft.sources.{GraftRelation, GraftScanRewrite}
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val writeTargets = plan.collect { case w: V2WriteCommand => w.table }
+    // relations in WRITE/ROW-LEVEL-COMMAND target position must stay V2
+    // nodes: V2WriteCommand needs its NamedRelation for the V1 write
+    // fallback, and DeleteFromTable's planner resolves SupportsDelete on
+    // the DataSourceV2Relation itself
+    import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, MergeIntoTable, UpdateTable}
+    val writeTargets: Seq[AnyRef] = plan.collect {
+      case w: V2WriteCommand => Seq(w.table)
+      case d: DeleteFromTable => d.table.collect { case r: DataSourceV2Relation => r }
+      case u: UpdateTable => u.table.collect { case r: DataSourceV2Relation => r }
+      case m: MergeIntoTable => m.targetTable.collect { case r: DataSourceV2Relation => r }
+    }.flatten
     plan resolveOperators {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftV2Table] && !writeTargets.exists(_ eq r) =>
@@ -480,6 +490,36 @@ class GraftCatalogReadFallback(spark: SparkSession)
           Alias(n, orig.name)(exprId = orig.exprId, qualifier = orig.qualifier)
         }
         Project(aliases, lr)
+
+      // `spark.readStream.table("graft_cat.ns.t")`: replace the V2
+      // streaming node with the V1 graft stream source in rows-only mode
+      // (dropChangeColumns aligns the source schema with the table's — the
+      // Delta readStream.table shape), re-publishing the original output
+      // exprIds. Full replacement, not the v1Relation fallback slot:
+      // TableCapabilityCheck demands MICRO_BATCH_READ on any surviving
+      // StreamingRelationV2 before the fallback slot is ever consulted.
+      // Reader options (.option(...)) pass through: admission budgets,
+      // startingVersion, ignoreDeletes...
+      case sr: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+          if sr.table.isInstanceOf[GraftV2Table] =>
+        val v2 = sr.table.asInstanceOf[GraftV2Table]
+        require(v2.versionAsOf.isEmpty,
+          s"cannot stream from a time-travel (VERSION AS OF) read of ${v2.name()}")
+        import scala.jdk.CollectionConverters._
+        val opts = sr.extraOptions.asScala.toMap ++
+          Map("path" -> v2.path, "dropChangeColumns" -> "true")
+        val ds = org.apache.spark.sql.execution.datasources.DataSource(
+          spark, className = "graft", options = opts)
+        val v1 = org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(ds)
+        val byName = v1.output.map(a => a.name.toLowerCase -> a).toMap
+        val aliases = sr.output.map { orig =>
+          val n = byName.getOrElse(orig.name.toLowerCase,
+            throw new IllegalStateException(
+              s"graft catalog stream: column ${orig.name} of ${v2.path} is not in " +
+                "the stream source schema"))
+          Alias(n, orig.name)(exprId = orig.exprId, qualifier = orig.qualifier)
+        }
+        Project(aliases, v1)
     }
   }
 }

@@ -111,6 +111,20 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(!Files.exists(Paths.get(warehouse, "life")))
   }
 
+  it("DELETE FROM through the catalog routes to the commit log") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.del")
+    spark.sql("CREATE TABLE graft_cat.del.t AS SELECT id, id % 3 AS k FROM range(30)")
+    spark.sql("DELETE FROM graft_cat.del.t WHERE k = 1")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.del.t").head.getLong(0) == 20)
+    // the delete is a commit: time travel still sees the pre-delete state
+    val t = GraftTable.forName(spark, "graft_cat.del.t")
+    assert(t.toDFAt(1L).count() == 30)
+    spark.sql("DELETE FROM graft_cat.del.t") // unconditional
+    assert(spark.sql("SELECT count(*) FROM graft_cat.del.t").head.getLong(0) == 0)
+    assert(t.toDFAt(2L).count() == 20)
+  }
+
   it("time travel: VERSION AS OF and TIMESTAMP AS OF through the catalog") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.tt")
@@ -129,6 +143,35 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     intercept[Exception] {
       spark.sql("SELECT * FROM graft_cat.tt.t VERSION AS OF 99").collect()
     }
+  }
+
+  it("readStream.table on a catalog identifier (V1 fallback, rows-only schema)") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.st")
+    spark.sql("CREATE TABLE graft_cat.st.t AS SELECT id FROM range(5)")
+    val sdf = spark.readStream.table("graft_cat.st.t")
+    // rows-only: the change columns stay internal (Delta's readStream.table shape)
+    assert(sdf.isStreaming && sdf.schema.fieldNames.toSeq == Seq("id"))
+    // file sink: supports checkpoint recovery, so the restart phase proves
+    // version offsets survive (memory sink cannot recover a checkpoint)
+    val ckpt = java.nio.file.Files.createTempDirectory("cat-st-ck").toString
+    val out = java.nio.file.Files.createTempDirectory("cat-st-out").toString
+    def drain(): Unit = {
+      val q = spark.readStream.table("graft_cat.st.t")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); ()
+    }
+    drain()
+    assert(spark.read.parquet(out).as[Long].collect().sorted.toSeq ==
+      (0L until 5L).toSeq)
+    // a second AvailableNow run from the same checkpoint appends ONLY the
+    // new rows (version offsets survive the restart)
+    spark.sql("INSERT INTO graft_cat.st.t SELECT id FROM range(100, 103)")
+    drain()
+    assert(spark.read.parquet(out).as[Long].collect().sorted.toSeq ==
+      ((0L until 5L) ++ Seq(100L, 101L, 102L)).toSeq)
   }
 
   it("identifier parts cannot escape the warehouse tree") {

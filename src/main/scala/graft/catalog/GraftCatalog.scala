@@ -298,7 +298,11 @@ object GraftV2Table {
     * superset.
     */
   private[catalog] def filterToSql(f: Filter): Option[String] = {
-    def q(a: String): String = "`" + a.replace("`", "``") + "`"
+    // V1 Filter attributes use dots for NESTED fields (Spark's own
+    // translation convention): quote each path segment, not the whole
+    // dotted string — `s`.`x`, never a nonexistent top-level `s.x`
+    def q(a: String): String =
+      a.split('.').map(p => "`" + p.replace("`", "``") + "`").mkString(".")
     def l(v: Any): String =
       org.apache.spark.sql.catalyst.expressions.Literal(v).sql
     f match {

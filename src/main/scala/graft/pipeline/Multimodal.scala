@@ -228,8 +228,7 @@ object Multimodal {
       var fmtTag = -1; var chans = 0; var rate = 0; var bits = 0
       var dataOff = -1; var dataLen = 0
       var o = 12L
-      var done = false
-      while (!done && o + 8 <= payload.length) {
+      while (o + 8 <= payload.length) {
         val oi = o.toInt
         val size = le32u(oi + 4)
         val id = new String(payload, oi, 4, java.nio.charset.StandardCharsets.US_ASCII)

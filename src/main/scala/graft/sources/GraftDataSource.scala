@@ -441,7 +441,10 @@ object GraftRelation {
     * every filter above the scan (default `unhandledFilters`), so this is
     * purely an optimization.
     */
-  private[graft] def translate(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+  // NOTE: the catalog DELETE path keeps its own Filter→SQL renderer
+  // (GraftV2Table.filterToSql) — this one yields Columns for the fallback
+  // scan. Keep their supported-filter sets aligned when extending either.
+  private[sources] def translate(f: Filter): Option[org.apache.spark.sql.Column] = f match {
     case EqualTo(a, v)            => Some(col(a) === lit(v))
     case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
     case GreaterThan(a, v)        => Some(col(a) > lit(v))

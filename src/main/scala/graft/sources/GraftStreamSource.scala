@@ -382,11 +382,26 @@ class GraftStreamSource(
         // the rewritten files' copied rows)
         None
       } else if (cdc.nonEmpty) {
-        val paths = cdc.map(p => new java.io.File(tablePath, p).toString)
-        Some(widen(spark.read
-          .schema(table.snapshotAt(v).schema.add("_change_type", StringType))
-          .parquet(paths: _*)
-          .withColumn("_commit_version", lit(v))))
+        // rows-only mode (dropChangeColumns — the readStream.table shape)
+        // cannot represent a change commit's deletes/updates as plain
+        // rows: stripping the _change_type tag would append every DELETED
+        // row back to the sink (resurrection) and emit update pre/post
+        // images as two indistinguishable rows. Same loud/skip policy as
+        // the no-CDC branch below; insert-only change content stays fine.
+        if (dropChangeColumns && removes.nonEmpty) {
+          if (ignoreDeletes && dataAdds.isEmpty) None
+          else throw new IllegalStateException(
+            s"version $v of $tablePath is a data-changing commit, which a " +
+              "rows-only stream (readStream.table) cannot represent; set " +
+              "skipChangeCommits/ignoreDeletes to skip such commits, or " +
+              "stream the change feed via readStream.format(\"graft\")")
+        } else {
+          val paths = cdc.map(p => new java.io.File(tablePath, p).toString)
+          Some(widen(spark.read
+            .schema(table.snapshotAt(v).schema.add("_change_type", StringType))
+            .parquet(paths: _*)
+            .withColumn("_commit_version", lit(v))))
+        }
       } else if (removes.nonEmpty) {
         // pure delete with option("ignoreDeletes", true): skip the commit
         // (Delta's option for retention deletes under an append-only reader);

@@ -481,9 +481,11 @@ class GraftCatalogReadFallback(spark: SparkSession)
         val path = v2.path
         GraftScanRewrite.install(spark)
         val lr = LogicalRelation(GraftRelation(spark.sqlContext, path, v2.versionAsOf))
-        val byName = lr.output.map(a => a.name.toLowerCase -> a).toMap
+        // the session resolver, not toLowerCase: under caseSensitive=true a
+        // lowercased map would collapse columns differing only by case
+        val resolver = spark.sessionState.conf.resolver
         val aliases = r.output.map { orig =>
-          val n = byName.getOrElse(orig.name.toLowerCase,
+          val n = lr.output.find(a => resolver(a.name, orig.name)).getOrElse(
             throw new IllegalStateException(
               s"graft catalog read: column ${orig.name} of $path vanished from the " +
                 "current snapshot schema; re-resolve the plan"))
@@ -511,9 +513,9 @@ class GraftCatalogReadFallback(spark: SparkSession)
         val ds = org.apache.spark.sql.execution.datasources.DataSource(
           spark, className = "graft", options = opts)
         val v1 = org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(ds)
-        val byName = v1.output.map(a => a.name.toLowerCase -> a).toMap
+        val resolver = spark.sessionState.conf.resolver
         val aliases = sr.output.map { orig =>
-          val n = byName.getOrElse(orig.name.toLowerCase,
+          val n = v1.output.find(a => resolver(a.name, orig.name)).getOrElse(
             throw new IllegalStateException(
               s"graft catalog stream: column ${orig.name} of ${v2.path} is not in " +
                 "the stream source schema"))

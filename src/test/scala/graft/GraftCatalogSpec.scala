@@ -174,6 +174,43 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
       ((0L until 5L) ++ Seq(100L, 101L, 102L)).toSeq)
   }
 
+  it("rows-only stream refuses change commits on a CDF table (no resurrection)") {
+    val _ = warehouse
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.cdc")
+    spark.sql(
+      """CREATE TABLE graft_cat.cdc.t (id BIGINT) USING graft
+        |TBLPROPERTIES ('graft.enableChangeDataFeed' = 'true')""".stripMargin)
+    spark.sql("INSERT INTO graft_cat.cdc.t SELECT id FROM range(10)")
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc-ck").toString
+    val out = java.nio.file.Files.createTempDirectory("cdc-out").toString
+    def drain(opts: Map[String, String]): Either[Throwable, Long] =
+      try {
+        val r = opts.foldLeft(spark.readStream)((b, kv) => b.option(kv._1, kv._2))
+          .table("graft_cat.cdc.t")
+        val q = r.writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+        Right(spark.read.parquet(out).count())
+      } catch { case e: Throwable => Left(e) }
+    assert(drain(Map.empty) == Right(10L))
+    // a DELETE writes CDC delete rows: stripping the tag would append the
+    // deleted rows back to the sink — the stream must refuse loudly
+    spark.sql("DELETE FROM graft_cat.cdc.t WHERE id < 3")
+    drain(Map.empty) match {
+      case Left(e) =>
+        assert(Option(e.getMessage).getOrElse(e.getCause.getMessage)
+          .contains("rows-only") || e.getCause != null &&
+          e.getCause.getMessage.contains("rows-only"))
+      case Right(n) => fail(s"change commit must not stream as plain rows (got $n)")
+    }
+    // skipChangeCommits: the delete commit is skipped wholesale, later
+    // appends still flow
+    spark.sql("INSERT INTO graft_cat.cdc.t SELECT id FROM range(100, 102)")
+    assert(drain(Map("skipChangeCommits" -> "true")) == Right(12L))
+  }
+
   it("identifier parts cannot escape the warehouse tree") {
     val _ = warehouse
     intercept[Exception] {

@@ -63,11 +63,17 @@ object CheckpointParquet {
       |}""".stripMargin)
 
   /** Write `files` as a multi-part parquet dir at `dir` (atomic: parts land
-    * in a temp dir, one rename publishes). An existing dir is replaced —
-    * checkpoint content for a version is deterministic, so a replace is
-    * always a rewrite of the same logical state.
+    * in a temp dir, one rename publishes). An EXISTING dir is KEPT as-is:
+    * checkpoint content at a version is a pure function of the log at that
+    * version (the vacuum horizon rewrite preserves snapshot equivalence),
+    * so whoever published first already wrote this logical state — and a
+    * delete-then-replace would open a window where a concurrent reader
+    * sees the checkpoint's head JSON with its file actions missing
+    * (silently wrong snapshot). A dir is only ever visible COMPLETE: it
+    * appears via one atomic move of a fully-written temp dir.
     */
   def write(dir: JPath, files: Seq[AddFile], rowsPerPart: Int = RowsPerPart): Unit = {
+    if (Files.exists(dir)) return
     val tmp = Files.createTempDirectory(dir.getParent, "." + dir.getFileName.toString)
     try {
       val conf = new Configuration()
@@ -81,8 +87,12 @@ object CheckpointParquet {
         try chunk.foreach(a => w.write(toGroup(factory, a)))
         finally w.close()
       }
-      if (Files.exists(dir)) TableWriter.deleteRecursively(dir)
-      Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+      try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // a concurrent writer published the same logical content first
+        case _: java.nio.file.FileAlreadyExistsException => ()
+        case _: java.nio.file.DirectoryNotEmptyException => ()
+      }
     } finally {
       if (Files.exists(tmp)) TableWriter.deleteRecursively(tmp)
     }

@@ -247,14 +247,22 @@ object DistributedSnapshot {
         // (multi-part by shuffle partitioning — the object-store-friendly
         // shape); the dir publishes with one atomic rename, THEN the O(1)
         // JSON head lands, so the checkpoint is never visible before its
-        // file actions are
-        addFilesDF(spark, tablePath, target).as[AddFile].toDF()
-          .write.parquet(partsDir.toString)
-        val success = partsDir.resolve("_SUCCESS")
-        Files.deleteIfExists(success)
+        // file actions are. An existing dir is KEPT — same first-writer-
+        // wins rule (and reader-visibility argument) as
+        // [[CheckpointParquet.write]]: content at a version is
+        // deterministic, and delete-then-replace would expose a
+        // missing-file-actions window to concurrent readers
         val pdir = log.checkpointParquetDir(target)
-        if (Files.exists(pdir)) TableWriter.deleteRecursively(pdir)
-        Files.move(partsDir, pdir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        if (!Files.exists(pdir)) {
+          addFilesDF(spark, tablePath, target).as[AddFile].toDF()
+            .write.parquet(partsDir.toString)
+          Files.deleteIfExists(partsDir.resolve("_SUCCESS"))
+          try Files.move(partsDir, pdir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => ()
+            case _: java.nio.file.DirectoryNotEmptyException => ()
+          }
+        }
         log.store.overwrite(log.checkpointFile(target),
           head.getBytes(StandardCharsets.UTF_8))
       } else {

@@ -150,8 +150,13 @@ class DistributedSnapshotSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(fileSet(DistributedSnapshot.addFiles(spark, dir, v)) == truth,
       "executor fold from parquet ckpt")
 
-    // DISTRIBUTED writer over the same state: same truth through both readers
+    // DISTRIBUTED writer over the same state: same truth through both
+    // readers. (Checkpoint publication is first-writer-wins, so drop the
+    // driver's sidecars first — otherwise the executor-rendered layout
+    // would never land and this phase would re-read the driver's parts.)
+    log.deleteCheckpoint(v)
     DistributedSnapshot.writeCheckpoint(spark, dir, v)
+    assert(java.nio.file.Files.isDirectory(log.checkpointParquetDir(v)))
     assert(fileSet(log.snapshot(v).files) == truth, "driver fold from spark-written ckpt")
     assert(fileSet(DistributedSnapshot.addFiles(spark, dir, v)) == truth,
       "executor fold from spark-written ckpt")

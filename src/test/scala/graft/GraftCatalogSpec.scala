@@ -46,6 +46,13 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     val t = GraftTable.forName(spark, "graft_cat.ns.t")
     assert(t.toDFAt(0L).count() == 0)
     assert(t.toDFAt(1L).count() == 30)
+
+    // DataFrame API round-trip: spark.table reads, writeTo appends
+    assert(spark.table("graft_cat.ns.t").count() == 3)
+    spark.range(200, 202).toDF("id")
+      .withColumn("k", org.apache.spark.sql.functions.lit(7L))
+      .writeTo("graft_cat.ns.t").append()
+    assert(spark.table("graft_cat.ns.t").count() == 5)
   }
 
   it("MERGE INTO a catalog identifier through the graft SQL surface") {

@@ -19,16 +19,24 @@ class OccRaceSpec extends AnyFunSpec {
     * registers the store for the table dir; the children are pointed at it
     * through the boot system property [[LogStore.forPath]] honors.
     */
-  private def raceAgainst(storeName: Option[String]): Unit = {
+  private def raceAgainst(storeName: Option[String],
+      parquetCkpt: Boolean = false): Unit = {
     val dir = Files.createTempDirectory("occ-race").resolve("t").toString
     Files.createDirectories(Paths.get(dir))
     storeName.foreach(_ => LogStore.register(dir, LogStore.ConditionalPut))
     try {
     val log = new GraftLog(dir)
     storeName.foreach(_ => assert(log.store eq LogStore.ConditionalPut))
-    log.commit(0L, Seq(
-      Metadata("""{"type":"struct","fields":[]}""", Nil, Map.empty),
-      CommitInfo(System.currentTimeMillis(), "CREATE TABLE")))
+    val props =
+      if (parquetCkpt) Map(GraftLog.CheckpointFormatProperty -> "parquet")
+      else Map.empty[String, String]
+    val proto: Seq[Action] =
+      if (parquetCkpt)
+        Seq(Protocol(1, 1, Seq("parquetCheckpoint"), Seq("parquetCheckpoint")))
+      else Nil
+    log.commit(0L, Seq[Action](
+      Metadata("""{"type":"struct","fields":[]}""", Nil, props)) ++ proto :+
+      CommitInfo(System.currentTimeMillis(), "CREATE TABLE"))
 
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
     val cp = System.getProperty("java.class.path")
@@ -69,6 +77,23 @@ class OccRaceSpec extends AnyFunSpec {
       }
       assert(seqs == (0 until n), s"writer $w seq order broken: $seqs")
     }
+    if (parquetCkpt) {
+      // auto-checkpoints fired MID-RACE from both JVMs (every 10th
+      // version) in the parquet layout: head JSON carries no adds, the
+      // dir sidecar exists (first-writer-wins publication — concurrent
+      // checkpointers never expose a missing-file-actions window), and
+      // the fold through the newest checkpoint replays the full race
+      val ckpts = log.checkpointVersions()
+      assert(ckpts.nonEmpty, "no auto-checkpoint fired during the race")
+      ckpts.foreach { cv =>
+        assert(Files.isDirectory(log.checkpointParquetDir(cv)),
+          s"checkpoint $cv has no parquet dir sidecar")
+        val head = Files.readAllLines(log.checkpointFile(cv))
+        assert(!head.stream().anyMatch(_.startsWith("{\"add\"")),
+          s"checkpoint $cv head JSON must carry no adds")
+      }
+      assert(log.snapshot().version == 2L * n)
+    }
     } finally storeName.foreach(_ => LogStore.unregister(dir))
   }
 
@@ -78,5 +103,9 @@ class OccRaceSpec extends AnyFunSpec {
 
   it("the same two-JVM race holds on the conditional-put store (object-store claim shape)") {
     raceAgainst(Some("conditional-put"))
+  }
+
+  it("conditional-put + parquet checkpoints: racing writers auto-checkpoint safely") {
+    raceAgainst(Some("conditional-put"), parquetCkpt = true)
   }
 }

@@ -2747,6 +2747,9 @@ object SparkEntry {
       def key(fs: Seq[AddFile]) = fs.map(f => (f.path, f.size)).toSet
       val driverFold = key(log.snapshot(v).files)
       val distFold = key(graft.tables.DistributedSnapshot.addFiles(s, dirT, v))
+      // publication is first-writer-wins: drop the driver's sidecars so the
+      // EXECUTOR-rendered layout genuinely lands for the second fold
+      log.deleteCheckpoint(v)
       graft.tables.DistributedSnapshot.writeCheckpoint(s, dirT, v) // executor writer
       val distFold2 = key(graft.tables.DistributedSnapshot.addFiles(s, dirT, v))
       val featured = log.snapshot(v).protocol.readerFeatures.contains("parquetCheckpoint")

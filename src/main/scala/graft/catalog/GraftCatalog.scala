@@ -340,21 +340,39 @@ class GraftV2Table(val path: String, ident: Identifier,
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private def spark: SparkSession = SparkSession.active
-  private val snap = {
-    val t = GraftTable.forPath(spark, path)
-    versionAsOf.map(t.snapshotAt).getOrElse(t.snapshot)
+
+  /** The Table contract needs only METADATA (schema / partitioning /
+    * properties) — served by the prefix-scan fold (O(log lines matched),
+    * no file accumulation), NOT a full snapshot: loadTable runs at every
+    * statement's analysis, and a 10⁶-file table must not pay an
+    * O(live-files) driver fold just to resolve a name. The actual scan's
+    * snapshot (and its reader-feature gate) happens once, in the relation
+    * the resolution rule builds.
+    */
+  private val meta: graft.tables.Metadata = {
+    val log = new graft.tables.GraftLog(path)
+    val vs = log.versions()
+    require(vs.nonEmpty, s"$path is not a GraftTable (no committed log)")
+    val target = versionAsOf.getOrElse(vs.last)
+    require(vs.contains(target),
+      s"version $target does not exist for $path (have ${vs.headOption}..${vs.lastOption})")
+    if (log.store.filesystemBacked)
+      graft.tables.DistributedSnapshot.metadataAt(log, target)
+    else log.snapshot(target).metadata // non-filesystem stores: driver fold
   }
 
   override def name(): String =
     versionAsOf.fold(ident.toString)(v => s"$ident@v$v")
 
-  override def schema(): StructType = snap.schema
+  override def schema(): StructType =
+    org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
+      .asInstanceOf[StructType]
 
   override def partitioning(): Array[Transform] =
-    snap.metadata.partitionColumns.map(c => Expressions.identity(c)).toArray
+    meta.partitionColumns.map(c => Expressions.identity(c)).toArray
 
   override def properties(): util.Map[String, String] =
-    snap.metadata.properties.asJava
+    meta.properties.asJava
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,

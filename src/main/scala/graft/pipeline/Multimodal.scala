@@ -246,7 +246,9 @@ object Multimodal {
         }
         o += 8L + size + (size & 1L) // chunks are word-aligned
       }
-      if (fmtTag == 1) {
+      if (fmtTag == 1 && chans >= 1 && rate > 0) {
+        // chans/rate sanity mirrors the stream decoder, which rejects
+        // zero-channel or garbage-rate headers as unsupported
         if (bits == 16 && dataOff >= 0)
           Some(new PcmSamples(16, rate, chans, payload, dataOff, dataLen / 2,
             bigEndian = false))

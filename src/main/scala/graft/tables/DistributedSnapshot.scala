@@ -122,18 +122,23 @@ object DistributedSnapshot {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
 
-    // the checkpoint frame, flat AddFile columns: JSON-lines (splittable)
-    // by default; with graft.checkpoint.format=parquet the JSON head
-    // carries no file actions and the adds come from the columnar dir —
+    // the checkpoint frame, flat AddFile columns, from exactly ONE source
+    // (the driver fold's format disambiguation, content-first): a head
+    // carrying adds is the JSON checkpoint — any dir alongside is ignored,
+    // reading both would duplicate every file; an add-less parquet-format
+    // head requires its dir LOUDLY (a reader racing a checkpoint deletion
+    // must fail, not silently fold a tiny subset). The parquet dir is
     // column-prunable, so a projection of (path, size) never deserializes
     // stats bytes. Paths are unique within a checkpoint by construction:
     // no dedup, no shuffle.
     val ckptFlat: Option[DataFrame] = ckpt.map { cv =>
-      val pdir = log.checkpointParquetDir(cv)
-      val jsonAdds = jsonFrame(Seq(log.checkpointFile(cv).toString))
-        .filter(col("add").isNotNull).select("add.*")
-      if (!Files.isDirectory(pdir)) jsonAdds
-      else jsonAdds.unionByName(
+      if (log.checkpointIsParquetFormat(cv)) {
+        val pdir = log.checkpointParquetDir(cv)
+        if (!Files.isDirectory(pdir))
+          throw new IllegalStateException(
+            s"checkpoint $cv of $tablePath is parquet-format but its file-actions " +
+              s"dir sidecar (${pdir.getFileName}) is missing — deleted concurrently; " +
+              "retry, or restore/rewrite the checkpoint")
         spark.read.parquet(pdir.toString).select(
           col("path"),
           // absent map (a part written with no partition entries) must
@@ -142,7 +147,10 @@ object DistributedSnapshot {
             map().cast(MapType(StringType, StringType))).as("partitionValues"),
           col("size").cast("long").as("size"),
           col("stats").cast("string").as("stats"),
-          col("dv").cast(dvType).as("dv")))
+          col("dv").cast(dvType).as("dv"))
+      } else
+        jsonFrame(Seq(log.checkpointFile(cv).toString))
+          .filter(col("add").isNotNull).select("add.*")
     }
 
     (ckptFlat, deltaFiles) match {

@@ -103,15 +103,48 @@ class GraftLog(val tablePath: String, val store: LogStore) {
     }
   }
 
-  /** Delete a checkpoint: the JSON head and, when present, the parquet
-    * file-actions dir. Returns whether the head existed.
+  /** Delete a checkpoint: the parquet file-actions dir FIRST, then the
+    * JSON head — the reverse of publication order. A crash between the two
+    * leaves a head whose missing dir READS LOUDLY (the snapshot fold's
+    * parquet guard) and which the next retention pass re-deletes;
+    * head-first would orphan the dir invisibly forever, since
+    * [[checkpointVersions]] lists only heads. Returns whether the head
+    * existed.
     */
   def deleteCheckpoint(cv: Long): Boolean = {
-    val had = store.delete(checkpointFile(cv))
     val pdir = checkpointParquetDir(cv)
     if (Files.isDirectory(pdir)) TableWriter.deleteRecursively(pdir)
-    had
+    store.delete(checkpointFile(cv))
   }
+
+  /** Whether checkpoint `cv`'s head JSON carries any add action — the
+    * CONTENT-first format probe (early-exit stream scan: parquet-format
+    * heads are O(1) lines; JSON heads hit their first add immediately).
+    */
+  private[graft] def checkpointHeadHasAdds(cv: Long): Boolean =
+    if (store.filesystemBacked) {
+      val stream = java.nio.file.Files.lines(checkpointFile(cv), StandardCharsets.UTF_8)
+      try stream.anyMatch(_.startsWith("{\"add\""))
+      finally stream.close()
+    } else store.read(checkpointFile(cv)).exists(_.startsWith("{\"add\""))
+
+  /** True when checkpoint `cv` stores its file actions in the parquet dir
+    * sidecar: an add-less head whose OWN metadata (first line by writer
+    * construction) declares the parquet format. Content-first — a head
+    * carrying adds is a JSON checkpoint regardless of the property.
+    */
+  private[graft] def checkpointIsParquetFormat(cv: Long): Boolean =
+    !checkpointHeadHasAdds(cv) && {
+      store.read(checkpointFile(cv)).headOption.exists { first =>
+        first.startsWith("{\"metadata\"") &&
+          (parseAction(first) match {
+            case m: Metadata =>
+              m.properties.get(GraftLog.CheckpointFormatProperty)
+                .exists(_.equalsIgnoreCase("parquet"))
+            case _ => false
+          })
+      }
+    }
 
   /** Actions of a single committed version. */
   def actionsAt(v: Long): Seq[Action] = {
@@ -147,19 +180,34 @@ class GraftLog(val tablePath: String, val store: LogStore) {
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val ckpt = checkpointVersions().filter(_ <= target).lastOption
     ckpt.foreach { cv =>
+      var headAdds = 0
       store.read(checkpointFile(cv))
         .filter(_.trim.nonEmpty).map(parseAction).foreach {
           case m: Metadata       => meta = m
           case p: Protocol       => proto = p
-          case a: AddFile        => files(a.path) = a
+          case a: AddFile        => files(a.path) = a; headAdds += 1
           case t: SetTransaction => txns(t.appId) = t.version
           case _                 => ()
         }
-      // parquet-format checkpoint: file actions live in the columnar dir
-      // sidecar (the JSON above carried only the head actions)
-      val pdir = checkpointParquetDir(cv)
-      if (store.filesystemBacked && Files.isDirectory(pdir))
+      // format disambiguation, CONTENT-first: a head carrying adds IS the
+      // JSON checkpoint (any dir sidecar alongside is ignored — reading
+      // both would duplicate every file); an add-less head whose OWN
+      // metadata declares parquet format must find its dir sidecar or
+      // fail LOUDLY — proceeding without it would silently replay a tiny
+      // subset of the table (e.g. a reader racing a concurrent checkpoint
+      // deletion), where the JSON format at least threw FileNotFound
+      if (headAdds == 0 && meta != null &&
+          meta.properties.get(GraftLog.CheckpointFormatProperty)
+            .exists(_.equalsIgnoreCase("parquet"))) {
+        val pdir = checkpointParquetDir(cv)
+        if (!store.filesystemBacked || !Files.isDirectory(pdir))
+          throw new IllegalStateException(
+            s"checkpoint $cv of $tablePath is parquet-format but its file-actions " +
+              s"dir sidecar (${pdir.getFileName}) is missing — deleted concurrently " +
+              "or the store is not filesystem-backed; retry, or restore/rewrite the " +
+              "checkpoint")
         CheckpointParquet.read(pdir).foreach(a => files(a.path) = a)
+      }
     }
     vs.filter(v => v <= target && ckpt.forall(v > _)).foreach { v =>
       actionsAt(v).foreach {

@@ -502,11 +502,14 @@ object GraftScanRewrite extends Rule[LogicalPlan] {
         import org.apache.spark.sql.catalyst.plans.logical.Project
         val table = GraftTable.forPath(spark, g.path)
         val sub = table.dfForFiles(snap, snap.files).queryExecution.optimizedPlan
-        val byName = sub.output.map(a => a.name.toLowerCase -> a).toMap
+        // the session resolver, not toLowerCase: under caseSensitive=true a
+        // lowercased map would collapse columns differing only by case
+        val resolver = spark.sessionState.conf.resolver
         val aliases = l.output.map { orig =>
-          val n = byName.getOrElse(orig.name.toLowerCase, throw new IllegalStateException(
-            s"graft scan rewrite: column ${orig.name} of ${g.path} vanished from " +
-              "the current snapshot schema; refresh the cached plan"))
+          val n = sub.output.find(a => resolver(a.name, orig.name)).getOrElse(
+            throw new IllegalStateException(
+              s"graft scan rewrite: column ${orig.name} of ${g.path} vanished from " +
+                "the current snapshot schema; refresh the cached plan"))
           Alias(n, orig.name)(exprId = orig.exprId, qualifier = orig.qualifier)
         }
         Project(aliases, sub)

@@ -131,6 +131,65 @@ class LogStoreSpec extends AnyFunSpec with SparkSessionTestWrapper {
         == Seq("WRITE"))
     }
 
+    it("randomized fault storm: list/read lag toggling mid-race never breaks the chain") {
+      // 4 writers race 15 commits each while a chaos thread freezes and
+      // unfreezes list/read visibility on a fixed schedule — under EVERY
+      // interleaving the conditional put must keep the chain contiguous
+      // with exactly one body per version (deterministic seed, so a
+      // failure replays)
+      val store = new InMemoryLogStore
+      val dir = tmpTableDir("ls-mem-storm")
+      val log = new GraftLog(dir, store)
+      log.commit(0L, Seq(Metadata(schemaJson), CommitInfo(0L, "CREATE TABLE")))
+      val n = 15
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val chaos = new Thread(() => {
+        val rnd = new scala.util.Random(42)
+        while (!stop.get()) {
+          rnd.nextInt(4) match {
+            case 0 => store.freezeListNow()
+            case 1 => store.unfreezeList()
+            case 2 => store.freezeReadsNow()
+            case 3 => store.unfreezeReads()
+          }
+          Thread.sleep(1)
+        }
+        store.unfreezeList(); store.unfreezeReads()
+      })
+      chaos.start()
+      val writers = (1 to 4).map { w =>
+        new Thread(() => {
+          var committed = 0
+          var guess = 1L
+          while (committed < n) {
+            // under list lag latestVersion() can repeat stale answers —
+            // a real writer advances its own guess past known conflicts
+            val v = math.max(log.latestVersion() + 1, guess)
+            try {
+              log.commit(v, Seq(CommitInfo(System.currentTimeMillis(), "STORM",
+                operationParameters = Map("writer" -> w.toString))))
+              committed += 1
+              guess = v + 1
+            } catch { case _: CommitConflictException => guess = v + 1 }
+          }
+        })
+      }
+      writers.foreach(_.start()); writers.foreach(_.join(120000))
+      stop.set(true); chaos.join(10000)
+      val vs = log.versions()
+      assert(vs == (0L to vs.last), s"non-contiguous chain: $vs")
+      assert(vs.last >= 4L * n, s"writers lost commits: head ${vs.last}")
+      (1L to vs.last).foreach { v =>
+        val cis = log.actionsAt(v).collect { case ci: CommitInfo => ci }
+        assert(cis.size == 1, s"version $v has ${cis.size} commit bodies")
+      }
+      // every writer landed exactly n wins
+      val wins = (1L to vs.last).flatMap(v => log.actionsAt(v)
+        .collectFirst { case ci: CommitInfo => ci.operationParameters("writer") })
+      (1 to 4).foreach(w =>
+        assert(wins.count(_ == w.toString) == n, s"writer $w win count off"))
+    }
+
     it("a GraftTable write flow retries blind appends over the in-memory store") {
       val store = new InMemoryLogStore
       val dir = tmpTableDir("ls-mem-table")

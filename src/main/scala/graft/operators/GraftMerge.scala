@@ -145,15 +145,20 @@ object GraftMerge {
     // the previous behavior (silently keeping the old value while REPORTING
     // the row updated) corrupted the operation's contract.
     val outNames = outFields.map(_.name)
+    // the session resolver, not equalsIgnoreCase: under caseSensitive=true a
+    // case-insensitive match could mis-strip an alias prefix or accept a key
+    // against a column differing only by case, then silently miss in the
+    // downstream name-keyed projection (same fix as the scan-rewrite rules)
+    val resolver = spark.sessionState.conf.resolver
     def normalizeSet(set: Map[String, String], what: String): Map[String, String] =
       set.map { case (k, v) =>
         val bare =
           if (k.length > targetAlias.length + 1 &&
-              k.regionMatches(true, 0, targetAlias, 0, targetAlias.length) &&
-              k.charAt(targetAlias.length) == '.')
+              k.charAt(targetAlias.length) == '.' &&
+              resolver(k.substring(0, targetAlias.length), targetAlias))
             k.substring(targetAlias.length + 1)
           else k
-        require(outNames.exists(_.equalsIgnoreCase(bare)),
+        require(outNames.exists(resolver(_, bare)),
           s"$what column '$k' does not resolve to a column of the merge output " +
             s"(have: ${outNames.mkString(", ")})")
         bare -> v

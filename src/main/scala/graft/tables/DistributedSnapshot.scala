@@ -46,6 +46,18 @@ object DistributedSnapshot {
     StructField("path", StringType),
     StructField("cardinality", LongType)))
 
+  /** Flat AddFile shape of a parquet checkpoint part — declared on the read
+    * so an EMPTY checkpoint dir (live file set empty at a cadence
+    * checkpoint, e.g. after a delete-all) folds to an empty frame instead
+    * of dying in parquet schema inference.
+    */
+  private val checkpointPartSchema = StructType(Seq(
+    StructField("path", StringType),
+    StructField("partitionValues", MapType(StringType, StringType)),
+    StructField("size", LongType),
+    StructField("stats", StringType),
+    StructField("dv", dvType)))
+
   /** Schema of the add/remove payloads — declared, not inferred, so the
     * read plans in one pass and unknown action keys (metadata, commitInfo,
     * cdc, txn) simply surface as all-null rows to filter. */
@@ -139,15 +151,15 @@ object DistributedSnapshot {
             s"checkpoint $cv of $tablePath is parquet-format but its file-actions " +
               s"dir sidecar (${pdir.getFileName}) is missing — deleted concurrently; " +
               "retry, or restore/rewrite the checkpoint")
-        spark.read.parquet(pdir.toString).select(
+        spark.read.schema(checkpointPartSchema).parquet(pdir.toString).select(
           col("path"),
           // absent map (a part written with no partition entries) must
           // surface as the driver fold's Map.empty, not null
-          coalesce(col("partitionValues").cast(MapType(StringType, StringType)),
+          coalesce(col("partitionValues"),
             map().cast(MapType(StringType, StringType))).as("partitionValues"),
-          col("size").cast("long").as("size"),
-          col("stats").cast("string").as("stats"),
-          col("dv").cast(dvType).as("dv"))
+          col("size"),
+          col("stats"),
+          col("dv"))
       } else
         jsonFrame(Seq(log.checkpointFile(cv).toString))
           .filter(col("add").isNotNull).select("add.*")

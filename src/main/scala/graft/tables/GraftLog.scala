@@ -104,7 +104,8 @@ class GraftLog(val tablePath: String, val store: LogStore) {
   }
 
   /** Delete a checkpoint: the parquet file-actions dir FIRST, then the
-    * JSON head — the reverse of publication order. A crash between the two
+    * JSON head — deliberately the SAME dir-first order publication uses
+    * (dir lands, then head), not its reverse. A crash between the two
     * leaves a head whose missing dir READS LOUDLY (the snapshot fold's
     * parquet guard) and which the next retention pass re-deletes;
     * head-first would orphan the dir invisibly forever, since
@@ -195,17 +196,21 @@ class GraftLog(val tablePath: String, val store: LogStore) {
       // metadata declares parquet format must find its dir sidecar or
       // fail LOUDLY — proceeding without it would silently replay a tiny
       // subset of the table (e.g. a reader racing a concurrent checkpoint
-      // deletion), where the JSON format at least threw FileNotFound
-      if (headAdds == 0 && meta != null &&
+      // deletion), where the JSON format at least threw FileNotFound.
+      // Only when the store is FILESYSTEM-backed, though: on any other
+      // store writeCheckpoint always falls back to a self-contained JSON
+      // checkpoint, so an add-less head there IS the complete (empty-
+      // file-set) checkpoint — demanding a dir sidecar it can never have
+      // would brick every later read of a validly-empty table
+      if (store.filesystemBacked && headAdds == 0 && meta != null &&
           meta.properties.get(GraftLog.CheckpointFormatProperty)
             .exists(_.equalsIgnoreCase("parquet"))) {
         val pdir = checkpointParquetDir(cv)
-        if (!store.filesystemBacked || !Files.isDirectory(pdir))
+        if (!Files.isDirectory(pdir))
           throw new IllegalStateException(
             s"checkpoint $cv of $tablePath is parquet-format but its file-actions " +
-              s"dir sidecar (${pdir.getFileName}) is missing — deleted concurrently " +
-              "or the store is not filesystem-backed; retry, or restore/rewrite the " +
-              "checkpoint")
+              s"dir sidecar (${pdir.getFileName}) is missing — deleted concurrently; " +
+              "retry, or restore/rewrite the checkpoint")
         CheckpointParquet.read(pdir).foreach(a => files(a.path) = a)
       }
     }

@@ -177,6 +177,23 @@ class DistributedSnapshotSpec extends AnyFunSpec with SparkSessionTestWrapper {
       "fold must survive checkpoint removal (full replay)")
   }
 
+  it("empty parquet checkpoint (delete-all) folds to an empty file set in both readers") {
+    val dir = tmpTableDir("dsnap8")
+    val t = GraftTable.create(spark, dir, spark.range(10).toDF("id"),
+      properties = Map(graft.tables.GraftLog.CheckpointFormatProperty -> "parquet"))
+    TableOps.delete(t, None) // delete-all: live file set becomes empty
+    val log = new graft.tables.GraftLog(dir)
+    val v = log.latestVersion()
+    log.writeCheckpoint(v)
+    // the dir sidecar exists but holds ZERO part files — the explicit
+    // schema on the executor read must fold it to empty, not die in
+    // parquet schema inference
+    assert(java.nio.file.Files.isDirectory(log.checkpointParquetDir(v)))
+    assert(DistributedSnapshot.addFiles(spark, dir, v).isEmpty)
+    assert(log.snapshot(v).files.isEmpty)
+    assert(DistributedSnapshot.prunedFiles(spark, dir, "id = 3").isEmpty)
+  }
+
   it("partition pruning works executor-side on a partitioned table") {
     val dir = tmpTableDir("dsnap5")
     GraftTable.create(spark, dir,

@@ -2789,6 +2789,43 @@ object SparkEntry {
       s.sql("SELECT n_nationkey, n_name, n_regionkey FROM graft_cat.vns.nation_t")
     }),
 
+    "s41_native_row_level_sql" -> ((s, dir) => {
+      // Spark's OWN row-level grammar on a V2 catalog identifier: native
+      // UPDATE, a 3-clause MERGE (delete/update/insert with same-named
+      // columns on both sides), and a DELETE whose condition no V1 filter
+      // can express — all converted by GraftRowLevelRewrite into the one
+      // commit-log merge/update/delete engine (the reference world's
+      // native-MERGE-on-metastore-tables ergonomics). The oracle replays
+      // the same mutations relationally over the raw supplier table.
+      val wh = tmp("s41wh")
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.rlns")
+      read(s, dir, "supplier").createOrReplaceTempView("s41_supp_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.rlns.supp_t")
+      s.sql("CREATE TABLE graft_cat.rlns.supp_t AS " +
+        "SELECT s_suppkey, s_name, s_acctbal FROM s41_supp_src")
+      s.sql("UPDATE graft_cat.rlns.supp_t SET s_acctbal = s_acctbal + 1000 " +
+        "WHERE s_suppkey % 4 = 0")
+      s.sql(
+        """MERGE INTO graft_cat.rlns.supp_t AS t USING (
+          |  SELECT s_suppkey, s_name, s_acctbal FROM s41_supp_src
+          |  WHERE s_suppkey % 3 = 0
+          |  UNION ALL
+          |  SELECT CAST(s_suppkey + 1000000 AS INT), s_name, s_acctbal
+          |  FROM s41_supp_src WHERE s_suppkey % 5 = 0
+          |) AS s
+          |ON t.s_suppkey = s.s_suppkey
+          |WHEN MATCHED AND s.s_acctbal < 3000 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET s_acctbal = s.s_acctbal * 2
+          |WHEN NOT MATCHED THEN
+          |  INSERT (s_suppkey, s_name, s_acctbal)
+          |  VALUES (s.s_suppkey, s.s_name, s.s_acctbal)""".stripMargin)
+      s.sql("DELETE FROM graft_cat.rlns.supp_t WHERE s_acctbal * 2 > 15000")
+      () =>
+      s.sql("SELECT s_suppkey, s_name, s_acctbal FROM graft_cat.rlns.supp_t")
+    }),
+
     "s8_skipping_counts" -> ((s, dir) => {
       import s.implicits._
       // deterministic skipping: contiguous key-range buckets (one file per
@@ -3656,6 +3693,27 @@ object SparkEntry {
         |FROM nation
         |UNION ALL SELECT CAST(900 AS INT), 'ATLANTIS', CAST(0 AS INT)
         |UNION ALL SELECT CAST(901 AS INT), 'ELBONIA', CAST(1 AS INT)""".stripMargin,
+    "s41_native_row_level_sql" ->
+      """WITH base AS (
+        |  SELECT s_suppkey, s_name,
+        |         CASE WHEN s_suppkey % 4 = 0 THEN s_acctbal + 1000
+        |              ELSE s_acctbal END AS s_acctbal
+        |  FROM supplier),
+        |m AS (SELECT s_suppkey, s_acctbal AS src_bal FROM supplier
+        |      WHERE s_suppkey % 3 = 0),
+        |kept AS (
+        |  SELECT b.s_suppkey, b.s_name,
+        |         CASE WHEN m.s_suppkey IS NOT NULL AND m.src_bal >= 3000
+        |              THEN m.src_bal * 2 ELSE b.s_acctbal END AS s_acctbal
+        |  FROM base b LEFT JOIN m ON b.s_suppkey = m.s_suppkey
+        |  WHERE m.s_suppkey IS NULL OR m.src_bal >= 3000),
+        |unioned AS (
+        |  SELECT * FROM kept
+        |  UNION ALL
+        |  SELECT CAST(s_suppkey + 1000000 AS INT) AS s_suppkey, s_name, s_acctbal
+        |  FROM supplier WHERE s_suppkey % 5 = 0)
+        |SELECT s_suppkey, s_name, s_acctbal FROM unioned
+        |WHERE NOT (s_acctbal * 2 > 15000)""".stripMargin,
     "s3_humanize_bytes" ->
       """SELECT CAST(case_id AS INT) AS case_id, humanized FROM (VALUES
         | (1, '0 B'), (2, '512 B'), (3, '1.2 kB'), (4, '1.0 MB'), (5, '5.5 MB'),

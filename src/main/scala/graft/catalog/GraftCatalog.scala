@@ -151,9 +151,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftV2Table(dir.toString, ident)
   }
 
-  /** Property changes commit to the log ([[GraftTable.setProperties]] /
-    * `unsetProperties` — same path as graft's own ALTER TABLE SQL); other
-    * V2 changes (column DDL) are served by graft's SQL surface instead.
+  /** Property changes and ADD COLUMNS commit to the log
+    * ([[GraftTable.setProperties]] / `unsetProperties` /
+    * [[GraftTable.addColumns]] — the same metadata-only commits graft's own
+    * ALTER TABLE SQL makes, so `ALTER TABLE graft_cat.ns.t ADD COLUMNS
+    * (x INT)` works natively and Spark's MERGE schema-evolution resolution
+    * can widen catalog targets); other V2 changes (rename/drop/retype) are
+    * served by graft's SQL surface instead.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = GraftTable.forPath(spark, tableDir(ident).toString)
@@ -163,12 +167,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val unsets = changes.collect {
       case r: TableChange.RemoveProperty => r.property
     }.toSet
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
     val other = changes.filterNot(c =>
-      c.isInstanceOf[TableChange.SetProperty] || c.isInstanceOf[TableChange.RemoveProperty])
+      c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty] ||
+        c.isInstanceOf[TableChange.AddColumn])
     if (other.nonEmpty)
       throw new UnsupportedOperationException(
-        "graft catalog alterTable handles SET/UNSET TBLPROPERTIES; for column DDL " +
-          s"use graft's ALTER TABLE SQL on the table path (got: ${other.mkString(", ")})")
+        "graft catalog alterTable handles SET/UNSET TBLPROPERTIES and ADD COLUMNS; " +
+          "for other column DDL use graft's ALTER TABLE SQL on the table path " +
+          s"(got: ${other.mkString(", ")})")
+    if (adds.nonEmpty) {
+      val fields = adds.map { a =>
+        require(a.fieldNames.length == 1,
+          s"graft ADD COLUMNS supports top-level columns only, got ${a.fieldNames.mkString(".")}")
+        require(a.isNullable,
+          s"new column ${a.fieldNames.head} must be nullable — existing rows read it as NULL")
+        require(a.position == null,
+          "graft ADD COLUMNS appends at the end; FIRST/AFTER positions are not supported")
+        val meta =
+          if (a.comment != null)
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("comment", a.comment).build()
+          else org.apache.spark.sql.types.Metadata.empty
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, nullable = true, meta)
+      }
+      t.addColumns(StructType(fields.toArray))
+      ()
+    }
     if (sets.nonEmpty) { t.setProperties(sets); () }
     if (unsets.nonEmpty) { t.unsetProperties(unsets); () }
     loadTable(ident)
@@ -297,7 +324,7 @@ object GraftV2Table {
     * reports the condition loudly instead of this table deleting a
     * superset.
     */
-  private[catalog] def filterToSql(f: Filter): Option[String] = {
+  private[graft] def filterToSql(f: Filter): Option[String] = {
     // V1 Filter attributes use dots for NESTED fields (Spark's own
     // translation convention): quote each path segment, not the whole
     // dotted string — `s`.`x`, never a nonexistent top-level `s.x`

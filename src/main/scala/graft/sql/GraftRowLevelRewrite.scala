@@ -1,0 +1,239 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, PlanExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.LongType
+
+import graft.catalog.GraftV2Table
+
+/** Analyzer rule: plain-`spark.sql` row-level DML on graft CATALOG
+  * identifiers —
+  *
+  * {{{
+  *   UPDATE graft_cat.ns.t SET val = val + 1 WHERE grp = 'a'
+  *   MERGE INTO graft_cat.ns.t AS t USING src AS s ON t.id = s.id
+  *     WHEN MATCHED THEN UPDATE SET ... WHEN NOT MATCHED THEN INSERT ...
+  *   DELETE FROM graft_cat.ns.t WHERE val + 1 > 5   -- non-pushable conditions
+  * }}}
+  *
+  * Spark plans these as `UpdateTable` / `MergeIntoTable` / `DeleteFromTable`
+  * over the V2 relation and then demands `SupportsRowLevelOperations` — a
+  * second, V2 scan-and-replace execution path. Graft deliberately has ONE
+  * mature row-level engine (the commit-log operators behind the path API:
+  * [[graft.operators.GraftMerge]], [[graft.operators.TableOps.update]]),
+  * so this rule converts the RESOLVED plans into the same runnable commands
+  * the graft SQL surface executes — identical semantics, identical
+  * operation metrics, identical CDC — instead of growing a parallel
+  * executor. Delta takes the same route: its analyzer rule rewrites native
+  * `MergeIntoTable` into Delta commands rather than implementing the
+  * row-level-operation scan/write contract.
+  *
+  * Resolved expressions are re-rendered to SQL text with every column
+  * reference re-qualified by ORIGIN (target attrs → the merge's target
+  * alias, source attrs → the source alias), so same-named columns on the
+  * two sides stay unambiguous. Conditions carrying subqueries are refused
+  * loudly (materialize the subquery into the source), as are
+  * non-deterministic conditions (the merge join evaluates them more than
+  * once) and nested-field assignment keys.
+  *
+  * `DeleteFromTable` converts ONLY when the native `SupportsDelete` path
+  * cannot express the condition as V1 filters — natively-pushable deletes
+  * keep their stock plan (and empty result), so this rule widens DELETE to
+  * arbitrary deterministic conditions without changing what already works.
+  */
+class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import GraftRowLevelRewrite._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan resolveOperators {
+    case u: UpdateTable if u.resolved && graftTarget(u.table).isDefined =>
+      val v2 = graftTarget(u.table).get
+      requireWritable(v2, "UPDATE")
+      // bare rendering: TableOps.update evaluates against the unaliased
+      // table frame, and every reference is a target column
+      val none = AttributeSet.empty
+      val set = u.assignments.map { a =>
+        keyName(a.key, "UPDATE SET") -> render(a.value, u.table.outputSet, Nil, none, Nil)
+      }
+      val where = u.condition.map { c =>
+        requireDeterministic(c, "UPDATE")
+        render(c, u.table.outputSet, Nil, none, Nil)
+      }
+      GraftUpdateCommand(v2.path, where, set)
+
+    case d: DeleteFromTable
+        if d.resolved && graftTarget(d.table).isDefined &&
+          !nativelyDeletable(d.condition) =>
+      val v2 = graftTarget(d.table).get
+      requireWritable(v2, "DELETE")
+      requireDeterministic(d.condition, "DELETE")
+      GraftDeleteCommand(v2.path,
+        Some(render(d.condition, d.table.outputSet, Nil, AttributeSet.empty, Nil)))
+
+    case m: MergeIntoTable if m.resolved && graftTarget(m.targetTable).isDefined =>
+      val v2 = graftTarget(m.targetTable).get
+      requireWritable(v2, "MERGE INTO")
+      requireDeterministic(m.mergeCondition, "MERGE")
+      val tgt = m.targetTable.outputSet
+      val src = m.sourceTable.outputSet
+      def r(e: Expression): String = render(e, tgt, Seq(TgtAlias), src, Seq(SrcAlias))
+      // WITH SCHEMA EVOLUTION nuance: Spark expands `UPDATE SET *` /
+      // `INSERT *` against the PRE-evolution target schema, so replaying
+      // the expanded assignments verbatim would leave every evolved column
+      // NULL. Star-marked updates (`fromStar`) and star-SHAPED inserts
+      // (assignments covering the whole target, each from the same-named
+      // source column — Spark's resolved form keeps no insert star flag,
+      // and an explicit all-columns insert list is structurally identical)
+      // map back to graft's UpdateAll/InsertAll, which under
+      // withSchemaEvolution carry source values into evolved columns —
+      // Delta's star semantics.
+      val resolver = spark.sessionState.conf.resolver
+      def starShaped(assigns: Seq[Assignment]): Boolean =
+        m.withSchemaEvolution &&
+          assigns.length == m.targetTable.output.length &&
+          assigns.forall { as =>
+            as.key.isInstanceOf[Attribute] && (as.value match {
+              case v: AttributeReference =>
+                src.contains(v) && resolver(v.name, as.key.asInstanceOf[Attribute].name)
+              case _ => false
+            })
+          }
+      def clause(a: MergeAction, matched: Boolean, bySource: Boolean): MergeClauseSpec =
+        a match {
+          case UpdateAction(cond, _, fromStar)
+              if fromStar && m.withSchemaEvolution && !bySource =>
+            MergeClauseSpec(matched, cond.map(r), "update", None, bySource)
+          case UpdateAction(cond, assigns, _) =>
+            MergeClauseSpec(matched, cond.map(r), "update",
+              Some(assigns.map(as => keyName(as.key, "UPDATE SET") -> r(as.value))),
+              bySource)
+          case DeleteAction(cond) =>
+            MergeClauseSpec(matched, cond.map(r), "delete", None, bySource)
+          case InsertAction(cond, assigns) if starShaped(assigns) =>
+            MergeClauseSpec(matched, cond.map(r), "insert", None, bySource)
+          case InsertAction(cond, assigns) =>
+            MergeClauseSpec(matched, cond.map(r), "insert",
+              Some(assigns.map(as => keyName(as.key, "INSERT") -> r(as.value))),
+              bySource)
+          case other => throw new UnsupportedOperationException(
+            s"MERGE INTO ${v2.name()}: unsupported merge action $other")
+        }
+      val clauses =
+        m.matchedActions.map(clause(_, matched = true, bySource = false)) ++
+          m.notMatchedActions.map(clause(_, matched = false, bySource = false)) ++
+          m.notMatchedBySourceActions.map(clause(_, matched = false, bySource = true))
+      GraftRowLevelMergeCommand(v2.path, m.sourceTable, r(m.mergeCondition),
+        clauses, m.withSchemaEvolution)
+  }
+
+  private def requireWritable(v2: GraftV2Table, what: String): Unit =
+    require(v2.versionAsOf.isEmpty,
+      s"cannot $what through a time-travel (VERSION AS OF) read of ${v2.name()}")
+
+  private def requireDeterministic(e: Expression, what: String): Unit =
+    require(e.deterministic,
+      s"$what condition must be deterministic (graft evaluates it in more than " +
+        s"one join pass): ${e.sql}")
+
+  /** The graft V2 table under alias wrappers — and ONLY alias wrappers: a
+    * target under a project/filter/join is not a rewritable DML target.
+    */
+  private def graftTarget(plan: LogicalPlan): Option[GraftV2Table] = plan match {
+    case SubqueryAlias(_, child) => graftTarget(child)
+    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftV2Table] =>
+      Some(r.table.asInstanceOf[GraftV2Table])
+    case _ => None
+  }
+
+  /** Whether the stock `SupportsDelete` path will accept `condition`: every
+    * conjunct must translate to a V1 filter graft can render back to SQL.
+    */
+  private def nativelyDeletable(condition: Expression): Boolean =
+    splitConjunctivePredicates(condition).forall { p =>
+      org.apache.spark.sql.graft.SparkBridge.translateFilter(p)
+        .exists(f => GraftV2Table.filterToSql(f).isDefined)
+    }
+
+  private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+    case other => Seq(other)
+  }
+}
+
+object GraftRowLevelRewrite {
+  /** Join-side aliases the rendered SQL re-qualifies references with — the
+    * same frames [[graft.operators.GraftMerge]] aliases its two inputs as.
+    */
+  val TgtAlias = "__graft_t"
+  val SrcAlias = "__graft_s"
+
+  /** Assignment key → bare column name. Only top-level columns: graft's
+    * update projection is name-keyed, so nested-field assignment targets
+    * are refused loudly rather than silently rewriting the whole struct.
+    */
+  private def keyName(key: Expression, what: String): String = key match {
+    case a: Attribute => a.name
+    case other => throw new UnsupportedOperationException(
+      s"graft $what supports top-level column assignment targets only, got: ${other.sql}")
+  }
+
+  /** Resolved expression → SQL text with attribute references re-qualified
+    * by origin, parseable against graft's aliased merge frames. Subqueries
+    * cannot round-trip through text — refuse them loudly.
+    */
+  private def render(
+      e: Expression,
+      tgt: AttributeSet, tgtQualifier: Seq[String],
+      src: AttributeSet, srcQualifier: Seq[String]): String = {
+    if (e.exists(_.isInstanceOf[PlanExpression[_]]))
+      throw new UnsupportedOperationException(
+        "graft row-level DML does not support subqueries in conditions or " +
+          s"assignments — materialize the subquery into the MERGE source: ${e.sql}")
+    e.transform {
+      case a: AttributeReference if tgt.contains(a) =>
+        UnresolvedAttribute(tgtQualifier :+ a.name)
+      case a: AttributeReference if src.contains(a) =>
+        UnresolvedAttribute(srcQualifier :+ a.name)
+      // neither side: a schema-evolution column that exists only in the
+      // merge's evolved output — leave bare for the downstream resolver
+      case a: AttributeReference =>
+        UnresolvedAttribute(Seq(a.name))
+    }.sql
+  }
+}
+
+/** Native `MERGE INTO graft_cat.ns.t` converted by [[GraftRowLevelRewrite]]:
+  * carries the resolved SOURCE plan directly (no text round-trip of a whole
+  * query) plus re-rendered condition/clause strings, and executes through
+  * the same validated builder path as graft's own MERGE SQL — one merge
+  * engine, one metrics contract.
+  */
+case class GraftRowLevelMergeCommand(
+    path: String,
+    sourcePlan: LogicalPlan,
+    condition: String,
+    clauses: Seq[MergeClauseSpec],
+    schemaEvolution: Boolean)
+  extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(sourcePlan)
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("numTargetRowsUpdated", LongType, nullable = false)(),
+    AttributeReference("numTargetRowsDeleted", LongType, nullable = false)(),
+    AttributeReference("numTargetRowsInserted", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlCommands.resolveTarget(spark, path)
+    val source = org.apache.spark.sql.graft.SparkBridge.ofPlan(spark, sourcePlan)
+    GraftMergeExec.run(t, GraftRowLevelRewrite.TgtAlias, source,
+      Some(GraftRowLevelRewrite.SrcAlias), condition, clauses, schemaEvolution)
+  }
+}

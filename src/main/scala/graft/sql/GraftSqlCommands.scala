@@ -170,6 +170,33 @@ case class GraftMergeCommand(
     AttributeReference("numTargetRowsDeleted", LongType, nullable = false)(),
     AttributeReference("numTargetRowsInserted", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlCommands.resolveTarget(spark, path)
+    val source = (sourceQuery, sourceTable, sourcePath) match {
+      case (Some(q), _, _) => spark.sql(q)
+      case (_, Some(n), _) => spark.table(n)
+      case (_, _, Some(p)) => GraftSqlCommands.resolveTarget(spark, p).toDF
+      case _ => throw new IllegalArgumentException("MERGE USING needs a source")
+    }
+    GraftMergeExec.run(t, targetAlias.getOrElse("target"), source, sourceAlias,
+      condition, clauses)
+  }
+}
+
+/** Shared MERGE execution for BOTH SQL surfaces — graft's own
+  * ``MERGE INTO graft.`path` `` grammar ([[GraftMergeCommand]]) and native
+  * `MERGE INTO graft_cat.ns.t` converted by
+  * [[GraftRowLevelRewrite]] — so clause validation, the builder wiring and
+  * the metrics row stay one implementation.
+  */
+private[sql] object GraftMergeExec {
+  def run(
+      t: GraftTable,
+      targetAlias: String,
+      source: org.apache.spark.sql.DataFrame,
+      sourceAlias: Option[String],
+      condition: String,
+      clauses: Seq[MergeClauseSpec],
+      schemaEvolution: Boolean = false): Seq[Row] = {
     import graft.operators.GraftMerge
     // first-match-wins clause evaluation: an unconditional clause followed
     // by a conditional one of the same match-kind makes the later clause
@@ -187,16 +214,9 @@ case class GraftMergeCommand(
                 "— earlier clauses would shadow every later one")
         }
       }
-    val t = GraftSqlCommands.resolveTarget(spark, path)
-    val source = (sourceQuery, sourceTable, sourcePath) match {
-      case (Some(q), _, _) => spark.sql(q)
-      case (_, Some(n), _) => spark.table(n)
-      case (_, _, Some(p)) => GraftSqlCommands.resolveTarget(spark, p).toDF
-      case _ => throw new IllegalArgumentException("MERGE USING needs a source")
-    }
-    val builder = clauses.foldLeft(
-      GraftMerge(t, targetAlias.getOrElse("target"))
-        .merge(source, condition, sourceAlias)) { (b, c) =>
+    val base = GraftMerge(t, targetAlias).merge(source, condition, sourceAlias)
+    val withEvolution = if (schemaEvolution) base.withSchemaEvolution() else base
+    val builder = clauses.foldLeft(withEvolution) { (b, c) =>
       (c.matched, c.bySource, c.action, c.assignments) match {
         case (true, _, "update", Some(set)) => b.whenMatchedUpdateExpr(set.toMap, c.condition)
         case (true, _, "update", None)      => b.whenMatchedUpdateAll(c.condition)

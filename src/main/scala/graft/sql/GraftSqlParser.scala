@@ -436,6 +436,7 @@ class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectParser((_, delegate) => new GraftSqlParser(delegate))
     extensions.injectResolutionRule(session => new GraftCatalogReadFallback(session))
+    extensions.injectResolutionRule(session => new GraftRowLevelRewrite(session))
   }
 }
 

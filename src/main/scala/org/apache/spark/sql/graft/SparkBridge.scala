@@ -85,6 +85,15 @@ object SparkBridge {
     spark.asInstanceOf[ClassicSparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = false)
 
+  /** Catalyst predicate → V1 `sources.Filter`, Spark's own pushdown
+    * translation (`DataSourceStrategy.translateFilter` is protected[sql]).
+    * None when the predicate has no V1 filter form.
+    */
+  def translateFilter(
+      predicate: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(predicate, supportNestedPredicatePushdown = true)
+
   /** The id of the streaming query executing on this thread (stable across
     * restarts from the same checkpoint — `StreamExecution` publishes it as a
     * spark-local property around each micro-batch), or None outside one.

@@ -218,6 +218,117 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(drain(Map("skipChangeCommits" -> "true")) == Right(12L))
   }
 
+  it("native UPDATE, multi-clause MERGE and non-pushable DELETE in plain spark.sql") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.rl")
+    spark.sql("CREATE TABLE graft_cat.rl.t AS SELECT id, " +
+      "CAST(id % 3 AS STRING) AS grp, CAST(id AS DOUBLE) AS val FROM range(30)")
+
+    // native UPDATE routes through TableOps.update — same metrics row as
+    // graft's own UPDATE SQL
+    val u = spark.sql("UPDATE graft_cat.rl.t SET val = val + 100 WHERE grp = '1'")
+    assert(u.columns.toSeq == Seq("version", "numUpdatedRows"))
+    assert(u.head.getLong(1) == 10)
+    assert(spark.table("graft_cat.rl.t").where("val >= 100").count() == 10)
+
+    // native MERGE with SAME-NAMED columns on both sides: the rewrite must
+    // requalify each reference by origin, not by name
+    val m = spark.sql(
+      """MERGE INTO graft_cat.rl.t AS t
+        |USING (SELECT id, CAST(id*2 AS DOUBLE) AS val FROM range(25, 40)) AS s
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.id >= 28 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET val = s.val
+        |WHEN NOT MATCHED THEN INSERT (id, grp, val) VALUES (s.id, 'new', s.val)
+        |""".stripMargin)
+    assert(m.columns.toSeq == Seq("version", "numTargetRowsUpdated",
+      "numTargetRowsDeleted", "numTargetRowsInserted"))
+    assert(m.head.getLong(1) == 3 && m.head.getLong(2) == 2 && m.head.getLong(3) == 10)
+    val tdf = spark.table("graft_cat.rl.t")
+    assert(tdf.count() == 38)
+    assert(tdf.where("id IN (25,26,27) AND val = id*2").count() == 3)
+    assert(tdf.where("id IN (28,29)").count() == 0)
+    assert(tdf.where("grp = 'new'").count() == 10)
+    // the commit carries the full path-API MERGE metrics
+    val hist = graft.sql.GraftSql.sql(spark,
+      s"DESCRIBE HISTORY '${Paths.get(warehouse, "rl", "t")}'")
+      .select("operation", "operationMetrics").collect()
+    val mm = hist.find(_.getString(0) == "MERGE").get
+      .getMap[String, String](1)
+    assert(mm("numTargetRowsUpdated") == "3" && mm("numTargetRowsDeleted") == "2")
+
+    // NOT MATCHED BY SOURCE through native SQL
+    spark.sql(
+      """MERGE INTO graft_cat.rl.t AS t USING (SELECT id FROM range(0, 100)) AS s
+        |ON t.id = s.id AND s.id < 35
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(spark.table("graft_cat.rl.t").where("id >= 35").count() == 0)
+
+    // a condition no V1 filter can express converts to the graft delete;
+    // a pushable one keeps the stock SupportsDelete plan (empty output)
+    val d = spark.sql("DELETE FROM graft_cat.rl.t WHERE val * 2 > 100")
+    assert(d.columns.toSeq == Seq("version", "numDeletedRows"))
+    assert(spark.table("graft_cat.rl.t").where("val * 2 > 100").count() == 0)
+    val d2 = spark.sql("DELETE FROM graft_cat.rl.t WHERE grp = '0'")
+    assert(d2.columns.isEmpty)
+    assert(spark.table("graft_cat.rl.t").where("grp = '0'").count() == 0)
+  }
+
+  it("native MERGE WITH SCHEMA EVOLUTION carries source values into evolved columns") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.evo")
+    spark.sql("CREATE TABLE graft_cat.evo.t AS " +
+      "SELECT id, CAST(id AS DOUBLE) AS val FROM range(10)")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft_cat.evo.t AS t
+        |USING (SELECT id, CAST(id*3 AS DOUBLE) AS val, 'n' AS tag FROM range(4, 14)) AS s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val df = spark.table("graft_cat.evo.t")
+    assert(df.columns.toSeq == Seq("id", "val", "tag"))
+    assert(df.count() == 14)
+    // star actions carry the SOURCE's evolved-column values (Delta star
+    // semantics), not the NULL Spark's pre-evolution expansion would give
+    assert(df.where("tag = 'n'").count() == 10)
+    assert(df.where("tag IS NULL").count() == 4) // untouched rows read NULL
+    assert(df.where("id BETWEEN 4 AND 13 AND val = id * 3").count() == 10)
+  }
+
+  it("ALTER TABLE ADD COLUMNS on a catalog identifier commits to the log") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ddl")
+    spark.sql("CREATE TABLE graft_cat.ddl.t AS SELECT id FROM range(5)")
+    spark.sql("ALTER TABLE graft_cat.ddl.t ADD COLUMNS (note STRING COMMENT 'x', n INT)")
+    val df = spark.table("graft_cat.ddl.t")
+    assert(df.columns.toSeq == Seq("id", "note", "n"))
+    assert(df.where("note IS NULL AND n IS NULL").count() == 5)
+    // metadata-only commit: no file was rewritten
+    val t = GraftTable.forName(spark, "graft_cat.ddl.t")
+    assert(t.history().exists(_._2.operation == "ADD COLUMNS"))
+    // NOT NULL additions are refused (existing rows would violate)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cat.ddl.t ADD COLUMNS (must INT NOT NULL)")
+    }
+  }
+
+  it("native row-level DML refuses subqueries and non-deterministic conditions loudly") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ref")
+    spark.sql("CREATE TABLE graft_cat.ref.t AS " +
+      "SELECT id, CAST(id AS DOUBLE) AS val FROM range(10)")
+    val sub = intercept[Exception] {
+      spark.sql("UPDATE graft_cat.ref.t SET val = 0 WHERE id IN (SELECT id FROM range(3))")
+    }
+    assert(sub.getMessage.contains("subqueries"))
+    val rnd = intercept[Exception] {
+      spark.sql("UPDATE graft_cat.ref.t SET val = 0 WHERE rand() < 2")
+    }
+    assert(rnd.getMessage.contains("deterministic"))
+    // and nothing was mutated by the refused statements
+    assert(spark.table("graft_cat.ref.t").where("val = 0").count() == 1) // id=0 only
+  }
+
   it("identifier parts cannot escape the warehouse tree") {
     val _ = warehouse
     intercept[Exception] {

@@ -702,6 +702,50 @@ object SparkEntry {
       }
     }),
 
+    "q22_stream_to_table" -> ((s, dir) => {
+      // `writeStream.toTable("graft_cat.ns.t")` — the V2 StreamingWrite:
+      // per-task parquet DataWriters stage each epoch under the table, the
+      // driver registers the staged files atomically with the
+      // SetTransaction(appId, epoch) watermark (TableWriter's pre-staged
+      // seam — optimizeWrite/stats/bloom/OCC unchanged). Exactly-once is
+      // proven the q11 way: a post-run replay of the last epoch through
+      // the same watermark protocol must be skipped, not re-appended.
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val wh = tmp("q22wh")
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+      val rows = read(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .as[(Int, String, Int)].collect()
+      () => {
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.q22ns")
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Int, String, Int)]
+      val query = input.toDF().toDF("n_nationkey", "n_name", "n_regionkey")
+        .writeStream
+        .option("checkpointLocation", tmp("q22ckpt"))
+        .option("txnAppId", "q22app")
+        .toTable("graft_cat.q22ns.nt")
+      var lastEpoch = -1L
+      try {
+        rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { b =>
+          input.addData(b.toIndexedSeq); query.processAllAvailable()
+        }
+        lastEpoch = query.lastProgress.batchId
+      } finally query.stop()
+      val tablePath = s"$wh/q22ns/nt"
+      val replayed = graft.streaming.GraftSink.writeEpoch(tablePath, "q22app")(
+        rows.takeRight(1).toSeq.toDF("n_nationkey", "n_name", "n_regionkey"), lastEpoch)
+      require(replayed.isEmpty, "replayed epoch was re-appended — exactly-once broken")
+      require(GraftTable.forPath(s, tablePath).history()
+        .exists(_._2.operation == "STREAMING UPDATE"),
+        "V2 streaming commits must record STREAMING UPDATE operations")
+      s.table("graft_cat.q22ns.nt")
+      }
+    }),
+
     "q7_change_stream" -> ((s, dir) => {
       // TRUE streaming CDF consumption: committed change files arrive as
       // file-source micro-batches; the second commit lands while the stream
@@ -3493,6 +3537,8 @@ object SparkEntry {
     "q9_time_travel" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey < 20",
     "q11_stream_sink_native" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q22_stream_to_table" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q12_time_travel_timestamp" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey < 10",

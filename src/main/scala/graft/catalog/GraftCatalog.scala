@@ -403,7 +403,7 @@ class GraftV2Table(val path: String, ident: Identifier,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   /** A scan HANDLE must construct (the DELETE planner builds one to carry
     * the condition into [[deleteWhere]], and it never executes), but an
@@ -449,6 +449,11 @@ class GraftV2Table(val path: String, ident: Identifier,
     ()
   }
 
+  /** Batch writes take the V1 fallback (INSERT/CTAS through the commit
+    * log's append/overwrite); `writeStream.toTable` takes the V2
+    * [[graft.streaming.GraftStreamingWrite]] — per-task parquet writers,
+    * epoch-fenced exactly-once commit.
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(versionAsOf.isEmpty,
       s"cannot write through a time-travel (VERSION AS OF) read of $name")
@@ -464,6 +469,9 @@ class GraftV2Table(val path: String, ident: Identifier,
               ()
             }
           }
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new graft.streaming.GraftStreamingWrite(path, info, overwrite)
       }
     }
   }

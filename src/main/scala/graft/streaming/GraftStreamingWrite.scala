@@ -1,0 +1,298 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path => JPath, Paths}
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.tables.{GraftLog, GraftTable, TableWriter}
+
+/** V2 `StreamingWrite` behind `df.writeStream.toTable("graft_cat.ns.t")` —
+  * the ergonomic default Structured Streaming teaches — with the same
+  * exactly-once contract as the path sink ([[GraftSink]]):
+  *
+  *  - **per-task writers**: each executor task writes its rows as
+  *    partition-laid-out parquet into a per-epoch STAGING dir under the
+  *    table (no second shuffle, no driver data movement);
+  *  - **epoch-fenced commit**: the driver's `commit(epochId, _)` registers
+  *    the staged files through [[TableWriter.write]]'s pre-staged seam —
+  *    optimizeWrite re-bin, footer stats, bloom attach and the OCC retry
+  *    loop all run unchanged — atomically with the
+  *    `SetTransaction(appId, epochId)` watermark, so a REPLAYED epoch
+  *    (at-least-once micro-batch recovery) is detected and skipped, and a
+  *    zombie instance racing a committed epoch aborts on the watermark
+  *    conflict check instead of double-appending;
+  *  - tables whose writes must run a row projection (CHECK constraints,
+  *    generated/default/identity columns, column mapping) FALL BACK to the
+  *    full DataFrame engine: the staged epoch is read back and routed
+  *    through [[GraftSink.writeEpoch]] — one extra read+write of that
+  *    epoch's own bytes, full feature enforcement. The direct registration
+  *    path is the scale default; the fallback keeps feature tables correct
+  *    rather than silently unchecked.
+  *
+  * The idempotence appId is the streaming QUERY id (stable across restarts
+  * from one checkpoint — Spark hands it to `LogicalWriteInfo.queryId`)
+  * unless `option("txnAppId", ...)` pins it, exactly the path sink's rule.
+  */
+class GraftStreamingWrite(
+    tablePath: String,
+    info: LogicalWriteInfo,
+    overwrite: Boolean)
+  extends StreamingWrite {
+
+  private val appId: String =
+    Option(info.options.get("txnAppId")).getOrElse(info.queryId)
+  private val schema: StructType = info.schema
+
+  override def toString: String = s"GraftStreamingWrite[$tablePath]"
+
+  /** Partition columns resolved at plan time from the table's log (empty
+    * for a table being created by this stream's first epoch).
+    */
+  private val partitionColumns: Seq[String] =
+    if (GraftTable.exists(tablePath))
+      new GraftLog(tablePath).snapshot().metadata.partitionColumns
+    else Nil
+
+  override def createStreamingWriterFactory(
+      pInfo: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val spark = SparkSession.active
+    TableWriter.ensureWriteConfs(spark)
+    val dataSchema = StructType(schema.fields.filterNot(f =>
+      partitionColumns.exists(_.equalsIgnoreCase(f.name))))
+    val missing = partitionColumns.filterNot(p =>
+      schema.fieldNames.exists(_.equalsIgnoreCase(p)))
+    require(missing.isEmpty,
+      s"streaming write into $tablePath lacks partition column(s) ${missing.mkString(", ")}")
+    // per-epoch staging dir under the table (same filesystem → atomic
+    // moves); the factory's tasks write here, commit() consumes it
+    val staging = Paths.get(tablePath, s".graft-stream-epoch-${UUID.randomUUID()}")
+    Files.createDirectories(staging)
+    val conf = spark.sessionState.newHadoopConf()
+    val (owf, confBox) = org.apache.spark.sql.graft.SparkBridge
+      .parquetWriteKit(spark, conf, dataSchema)
+    GraftEpochWriterFactory(owf, confBox, dataSchema.json, schema.json,
+      partitionColumns, staging.toString,
+      spark.sessionState.conf.sessionLocalTimeZone)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val stagings: Seq[String] = messages.toSeq.collect {
+      case m: GraftEpochFilesMessage => m.stagingDir
+    }.distinct
+    require(stagings.size <= 1,
+      s"epoch $epochId produced messages from ${stagings.size} staging dirs — " +
+        "mixed write attempts must not commit together")
+    val staging = stagings.headOption.map(Paths.get(_))
+    try {
+      val snap =
+        if (GraftTable.exists(tablePath)) Some(new GraftLog(tablePath).snapshot())
+        else None
+      if (snap.exists(_.transactions.get(appId).exists(_ >= epochId))) return // replay
+      val mode = if (overwrite) TableWriter.Overwrite else TableWriter.Append
+      val props = snap.map(_.metadata.properties)
+        .getOrElse(GraftTable.sessionDefaultProperties(spark))
+      val schemaMatches = snap.forall { s =>
+        val t = s.schema.fields.map(f => (f.name.toLowerCase, f.dataType))
+        val w = schema.fields.map(f => (f.name.toLowerCase, f.dataType))
+        t.sameElements(w)
+      }
+      if (TableWriter.canRegisterPreStaged(props, schema) && schemaMatches) {
+        // DIRECT registration: the staged parquet IS the data write
+        TableWriter.write(
+          spark, tablePath,
+          // schema-only frame (never executed — preStagedDir skips the
+          // staging write); staged files carry the data schema, partition
+          // values ride the dir layout
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
+          mode,
+          partitionColumns = partitionColumns,
+          operation = "STREAMING UPDATE",
+          operationParameters = Map("queryId" -> appId, "epochId" -> epochId.toString),
+          extraActions = Seq(graft.tables.SetTransaction(appId, epochId)),
+          readVersion = snap.map(_.version),
+          skipDataWrite = staging.isEmpty,
+          preStagedDir = staging.map(_.toString))
+        ()
+      } else {
+        // feature fallback: replay the staged epoch through the full
+        // DataFrame engine (constraints, generated/identity columns,
+        // column mapping all enforced)
+        val df = staging match {
+          case Some(dir) =>
+            spark.read.schema(schema).option("basePath", dir.toString)
+              .parquet(dir.toString)
+          case None =>
+            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        }
+        GraftSink.writeEpoch(tablePath, appId, mode, partitionColumns)(df, epochId)
+        ()
+      }
+    } finally {
+      staging.foreach(dir => if (Files.exists(dir)) TableWriter.deleteRecursively(dir))
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    messages.toSeq.collect { case m: GraftEpochFilesMessage => m.stagingDir }
+      .distinct.foreach { d =>
+        val p = Paths.get(d)
+        if (Files.exists(p)) TableWriter.deleteRecursively(p)
+      }
+  }
+}
+
+/** Commit message of one task: the staging dir it wrote under and its
+  * produced staging-relative file paths.
+  */
+case class GraftEpochFilesMessage(stagingDir: String, relPaths: Seq[String])
+  extends WriterCommitMessage
+
+/** Serializable per-epoch factory: ships the driver-prepared parquet
+  * [[OutputWriterFactory]] (codec/schema conf baked in) plus the layout
+  * facts each task needs. One writer per task; rows split across partition
+  * subdirectories by value, exactly the staging layout
+  * `df.write.partitionBy` produces — so [[TableWriter]]'s move/stats/
+  * partition-value machinery applies unchanged.
+  */
+case class GraftEpochWriterFactory(
+    owf: OutputWriterFactory,
+    confBox: org.apache.spark.sql.graft.SparkBridge.ConfBox,
+    dataSchemaJson: String,
+    fullSchemaJson: String,
+    partitionColumns: Seq[String],
+    stagingDir: String,
+    timeZoneId: String)
+  extends StreamingDataWriterFactory {
+
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new GraftEpochDataWriter(this, partitionId, taskId)
+}
+
+/** Per-task parquet writer. Partitioned tables keep one open
+  * [[OutputWriter]] per partition value seen by this task (no sort
+  * requirement; micro-batch tasks see few values — a pathological
+  * high-cardinality epoch fails loudly at [[GraftEpochDataWriter.MaxOpenWriters]]
+  * rather than exhausting memory).
+  */
+class GraftEpochDataWriter(
+    f: GraftEpochWriterFactory,
+    partitionId: Int,
+    taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, UnsafeProjection}
+
+  private val fullSchema =
+    DataType.fromJson(f.fullSchemaJson).asInstanceOf[StructType]
+  private val dataSchema =
+    DataType.fromJson(f.dataSchemaJson).asInstanceOf[StructType]
+
+  private val partIdx: Seq[Int] =
+    f.partitionColumns.map(c => fullSchema.fieldIndex(
+      fullSchema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(c)))
+  // data-column projection in DATA SCHEMA order (full row → payload row)
+  private val dataProjection = UnsafeProjection.create(
+    dataSchema.fields.map { df0 =>
+      val i = fullSchema.fieldIndex(df0.name)
+      BoundReference(i, fullSchema.fields(i).dataType, fullSchema.fields(i).nullable)
+    }.toIndexedSeq)
+  // partition values rendered through Catalyst Cast-to-string — dates,
+  // timestamps and decimals format exactly as the DataFrame writer's dirs
+  private val partStringProjections = partIdx.map { i =>
+    UnsafeProjection.create(Seq(Cast(
+      BoundReference(i, fullSchema.fields(i).dataType, fullSchema.fields(i).nullable),
+      org.apache.spark.sql.types.StringType, Some(f.timeZoneId))))
+  }
+
+  private val taskContext = {
+    val conf = new Configuration(f.confBox.value)
+    new TaskAttemptContextImpl(conf,
+      new TaskAttemptID(new TaskID(new org.apache.hadoop.mapreduce.JobID("graft", 0),
+        TaskType.MAP, partitionId), taskId.toInt & Int.MaxValue))
+  }
+  private val extension = f.owf.getFileExtension(taskContext)
+
+  private var writers = Map.empty[String, (OutputWriter, String)] // relDir → (writer, relFile)
+
+  private def relDirOf(row: InternalRow): String =
+    f.partitionColumns.indices.map { k =>
+      val i = partIdx(k)
+      val v =
+        if (row.isNullAt(i)) GraftEpochDataWriter.DefaultPartitionName
+        else {
+          val s = partStringProjections(k)(row).getUTF8String(0).toString
+          if (s.isEmpty) GraftEpochDataWriter.DefaultPartitionName
+          else GraftEpochDataWriter.escapePathSegment(s)
+        }
+      s"${GraftEpochDataWriter.escapePathSegment(f.partitionColumns(k))}=$v"
+    }.mkString("/")
+
+  private def writerFor(relDir: String): OutputWriter =
+    writers.get(relDir) match {
+      case Some((w, _)) => w
+      case None =>
+        require(writers.size < GraftEpochDataWriter.MaxOpenWriters,
+          s"streaming epoch task $taskId touched more than " +
+            s"${GraftEpochDataWriter.MaxOpenWriters} partition values — repartition " +
+            "the stream by the partition column(s) before writing")
+        val name = f"part-$partitionId%05d-${UUID.randomUUID()}$extension"
+        val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+        val dir = Paths.get(f.stagingDir).resolve(relDir)
+        Files.createDirectories(dir)
+        val w = f.owf.newInstance(dir.resolve(name).toString, dataSchema, taskContext)
+        writers += relDir -> (w, rel)
+        w
+    }
+
+  override def write(row: InternalRow): Unit = {
+    val relDir = if (f.partitionColumns.isEmpty) "" else relDirOf(row)
+    writerFor(relDir).write(dataProjection(row))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val rels = writers.values.map { case (w, rel) => w.close(); rel }.toSeq
+    writers = Map.empty
+    GraftEpochFilesMessage(f.stagingDir, rels)
+  }
+
+  override def abort(): Unit = {
+    writers.values.foreach { case (w, rel) =>
+      try w.close() catch { case _: Throwable => () }
+      Files.deleteIfExists(Paths.get(f.stagingDir).resolve(rel))
+      ()
+    }
+    writers = Map.empty
+  }
+
+  override def close(): Unit = ()
+}
+
+object GraftEpochDataWriter {
+  /** Spark's null/empty partition-dir token (the scan maps it back to null). */
+  val DefaultPartitionName = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Open-writer bound per task — micro-batch epochs should touch few
+    * partition values per task; beyond this the stream needs an upstream
+    * repartition, not more memory.
+    */
+  val MaxOpenWriters = 64
+
+  /** Spark's own partition-dir escaping (the inverse of
+    * [[TableWriter.percentDecode]]), so staged dirs are byte-identical to
+    * what `df.write.partitionBy` would have produced.
+    */
+  def escapePathSegment(s: String): String =
+    org.apache.spark.sql.graft.SparkBridge.escapePathName(s)
+}

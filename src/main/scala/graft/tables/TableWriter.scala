@@ -36,6 +36,17 @@ object TableWriter {
     *
     * @return the committed version
     */
+  /** Whether [[write]] may register pre-staged parquet directly (see the
+    * `preStagedDir` parameter): true when no row-altering write feature
+    * would be skipped by bypassing the write projection.
+    */
+  def canRegisterPreStaged(props: Map[String, String], schema: StructType): Boolean =
+    GraftTable.constraintsOf(props).isEmpty &&
+      GraftTable.generatedColumnsOf(props).isEmpty &&
+      GraftTable.defaultColumnsOf(props).isEmpty &&
+      GraftTable.identityColumnsOf(props).isEmpty &&
+      !ColumnMapping.isMapped(schema)
+
   def write(
       spark: SparkSession,
       tablePath: String,
@@ -58,7 +69,17 @@ object TableWriter {
       skipDataWrite: Boolean = false,
       // exact Metadata to commit (RESTORE reverting schema/properties to a
       // past version's) — bypasses the append-merge schema computation
-      metadataOverride: Option[Metadata] = None
+      metadataOverride: Option[Metadata] = None,
+      // data ALREADY written as physical-layout parquet (partition dirs
+      // included) by the caller's own executors — the V2 streaming sink's
+      // per-task writers. The staging write is skipped; everything after it
+      // (optimizeWrite re-bin, move, footer stats, bloom, OCC commit) runs
+      // unchanged. Because the write projection never executes on this
+      // path, tables with row-altering write features (CHECK constraints,
+      // generated/default/identity columns, column mapping) are REFUSED —
+      // callers must gate on [[canRegisterPreStaged]] and fall back to a
+      // DataFrame write.
+      preStagedDir: Option[String] = None
   ): Long = {
     ensureWriteConfs(spark)
     val log = new GraftLog(tablePath)
@@ -223,10 +244,22 @@ object TableWriter {
         newSchema.fields.find(_.name.equalsIgnoreCase(c))
           .map(ColumnMapping.physicalName).getOrElse(c))
       val adds: Seq[AddFile] = if (skipDataWrite) Nil else {
-        val physicalDf = ColumnMapping.toPhysical(checkedDf, newSchema)
-        val writer = physicalDf.write.mode("overwrite")
-        (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*) else writer)
-          .parquet(stagingDir)
+        preStagedDir match {
+          case Some(pre) =>
+            // the write projection (constraints, generated/default/identity
+            // columns, physical-name mapping) never runs on pre-staged
+            // data — refuse feature combinations it would silently skip
+            require(canRegisterPreStaged(effectiveProps, newSchema),
+              s"pre-staged registration into $tablePath requires a table without " +
+                "CHECK constraints, generated/default/identity columns and column " +
+                "mapping — write through the DataFrame path instead")
+            Files.move(Paths.get(pre), Paths.get(stagingDir))
+          case None =>
+            val physicalDf = ColumnMapping.toPhysical(checkedDf, newSchema)
+            val writer = physicalDf.write.mode("overwrite")
+            (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*) else writer)
+              .parquet(stagingDir)
+        }
 
         // optimizeWrite (Delta's table property): re-bin a small-file
         // staging output BEFORE it enters the table, so a 200-task append

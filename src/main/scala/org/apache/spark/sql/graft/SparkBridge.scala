@@ -85,6 +85,48 @@ object SparkBridge {
     spark.asInstanceOf[ClassicSparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = false)
 
+  /** Self-contained serializable Hadoop `Configuration` box (the write-kit
+    * conf must travel to executors; Configuration itself is Writable but
+    * not java-Serializable).
+    */
+  class ConfBox(@transient private var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    def value: org.apache.hadoop.conf.Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  /** Driver-prepared parquet write kit for executor-side `DataWriter`s: the
+    * stock `ParquetFileFormat.prepareWrite` factory (codegen'd
+    * InternalRow→parquet write support, codec, schema conf) plus the job
+    * Configuration it baked those settings into — `newInstance` on an
+    * executor needs a TaskAttemptContext built over THAT conf, exactly how
+    * `FileFormatWriter` ships its write description.
+    */
+  def parquetWriteKit(
+      spark: org.apache.spark.sql.SparkSession,
+      hadoopConf: org.apache.hadoop.conf.Configuration,
+      dataSchema: org.apache.spark.sql.types.StructType)
+    : (org.apache.spark.sql.execution.datasources.OutputWriterFactory, ConfBox) = {
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(hadoopConf)
+    val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+    val owf = fmt.prepareWrite(
+      spark.asInstanceOf[ClassicSparkSession], job, Map.empty, dataSchema)
+    (owf, new ConfBox(job.getConfiguration))
+  }
+
+  /** Spark's partition-directory escaping (`ExternalCatalogUtils
+    * .escapePathName`) — the exact inverse of graft's `percentDecode`.
+    */
+  def escapePathName(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s)
+
   /** Catalyst predicate → V1 `sources.Filter`, Spark's own pushdown
     * translation (`DataSourceStrategy.translateFilter` is protected[sql]).
     * None when the predicate has no V1 filter form.

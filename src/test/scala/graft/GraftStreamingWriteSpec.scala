@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, PhysicalWriteInfo}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.streaming.{GraftEpochFilesMessage, GraftStreamingWrite}
+import graft.tables.GraftTable
+
+/** The V2 `StreamingWrite` behind `writeStream.toTable("graft_cat.ns.t")`:
+  * per-task parquet DataWriters staging each epoch under the table, driver
+  * commit registering the staged files atomically with the
+  * `SetTransaction(appId, epoch)` watermark — plus the feature fallback
+  * that routes constraint/generated-column tables through the full
+  * DataFrame engine.
+  */
+class GraftStreamingWriteSpec extends AnyFunSpec with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft-sw-wh").toString
+    spark.conf.set("spark.sql.catalog.graft_cat", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", w)
+    w
+  }
+
+  it("toTable streams into a partitioned catalog table; restart appends only new data") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.sw")
+    val src = Files.createTempDirectory("sw-src").toString
+    val ckpt = Files.createTempDirectory("sw-ckpt").toString
+    spark.range(0, 40).select(col("id"), (col("id") % 3).cast("string").as("p"))
+      .write.mode("overwrite").parquet(s"$src/files")
+    def run(): Unit = {
+      val q = spark.readStream.schema("id BIGINT, p STRING").parquet(s"$src/files")
+        .writeStream.partitionBy("p")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable("graft_cat.sw.t")
+      q.awaitTermination(120000)
+    }
+    run()
+    val t = GraftTable.forName(spark, "graft_cat.sw.t")
+    assert(t.snapshot.metadata.partitionColumns == Seq("p"))
+    assert(spark.table("graft_cat.sw.t").count() == 40)
+    // partition values landed as dir-encoded values, exactly the batch
+    // writer's layout
+    assert(spark.table("graft_cat.sw.t").where("p = '1'").count() == 13)
+    assert(t.history().exists(_._2.operation == "STREAMING UPDATE"))
+    // restart with one NEW source file: only the delta appends
+    spark.range(100, 110).select(col("id"), lit("9").as("p"))
+      .write.mode("append").parquet(s"$src/files")
+    run()
+    assert(spark.table("graft_cat.sw.t").count() == 50)
+    // and a replay-restart with nothing new appends nothing
+    run()
+    assert(spark.table("graft_cat.sw.t").count() == 50)
+    // no staging debris left under the table
+    val leftover = Files.list(Paths.get(warehouse, "sw", "t")).toArray
+      .map(_.toString).filter(_.contains(".graft-stream-epoch-"))
+    assert(leftover.isEmpty, s"staging debris: ${leftover.mkString(", ")}")
+  }
+
+  it("a replayed epoch commit is skipped and its staging cleaned (zombie attempt)") {
+    val dir = tmpTableDir("sw-replay")
+    GraftTable.create(spark, dir,
+      spark.range(5).select(col("id"), (col("id") % 2).cast("string").as("p")),
+      partitionColumns = Seq("p"))
+    val schema = StructType.fromDDL("id BIGINT, p STRING")
+    def info(app: String): LogicalWriteInfo = new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap =
+        new CaseInsensitiveStringMap(java.util.Map.of("txnAppId", app))
+      override def queryId(): String = "spec-query"
+      override def schema(): StructType = StructType.fromDDL("id BIGINT, p STRING")
+    }
+    val phys = new PhysicalWriteInfo { override def numPartitions(): Int = 1 }
+    def writeEpoch(epoch: Long, ids: Seq[Long]): Unit = {
+      val w = new GraftStreamingWrite(dir, info("sw-app"), overwrite = false)
+      val factory = w.createStreamingWriterFactory(phys)
+      val task = factory.createWriter(0, 7L, epoch)
+      ids.foreach(i => task.write(InternalRow(i, UTF8String.fromString((i % 2).toString))))
+      w.commit(epoch, Array(task.commit()))
+    }
+    writeEpoch(0L, Seq(10L, 11L, 12L))
+    val afterFirst = GraftTable.forPath(spark, dir).toDF.count()
+    assert(afterFirst == 8)
+    val vFirst = new graft.tables.GraftLog(dir).latestVersion()
+    // zombie replay of the SAME epoch: fresh staging is written, but the
+    // watermark makes the commit a no-op and the staging is removed
+    writeEpoch(0L, Seq(10L, 11L, 12L))
+    assert(GraftTable.forPath(spark, dir).toDF.count() == 8)
+    assert(new graft.tables.GraftLog(dir).latestVersion() == vFirst)
+    assert(!Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .exists(_.contains(".graft-stream-epoch-")))
+    // the NEXT epoch lands normally
+    writeEpoch(1L, Seq(20L))
+    assert(GraftTable.forPath(spark, dir).toDF.count() == 9)
+    val snap = GraftTable.forPath(spark, dir).snapshot
+    assert(snap.transactions.get("sw-app").contains(1L))
+    // partition dirs carry the values, stats were harvested per file
+    assert(snap.files.forall(f => f.partitionValues.contains("p") && f.stats.nonEmpty))
+  }
+
+  it("feature tables (CHECK constraint) fall back to the full engine and enforce") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.swc")
+    spark.sql("CREATE TABLE graft_cat.swc.t (id BIGINT, p STRING) USING graft")
+    val path = Paths.get(warehouse, "swc", "t").toString
+    graft.sql.GraftSql.sql(spark, s"ALTER TABLE '$path' ADD CONSTRAINT small CHECK (id < 100)")
+    val src = Files.createTempDirectory("swc-src").toString
+    spark.range(0, 20).select(col("id"), lit("a").as("p"))
+      .write.mode("overwrite").parquet(s"$src/ok")
+    val q = spark.readStream.schema("id BIGINT, p STRING").parquet(s"$src/ok")
+      .writeStream.option("checkpointLocation", Files.createTempDirectory("swc-ck1").toString)
+      .trigger(Trigger.AvailableNow()).toTable("graft_cat.swc.t")
+    q.awaitTermination(120000)
+    assert(spark.table("graft_cat.swc.t").count() == 20)
+    // a violating epoch fails the STREAM and commits nothing
+    spark.range(95, 105).select(col("id"), lit("b").as("p"))
+      .write.mode("overwrite").parquet(s"$src/bad")
+    val qBad = spark.readStream.schema("id BIGINT, p STRING").parquet(s"$src/bad")
+      .writeStream.option("checkpointLocation", Files.createTempDirectory("swc-ck2").toString)
+      .trigger(Trigger.AvailableNow()).toTable("graft_cat.swc.t")
+    val failed = intercept[Exception] { qBad.awaitTermination(120000) }
+    assert(String.valueOf(failed.getMessage).contains("CHECK constraint") ||
+      failed.getCause != null)
+    assert(spark.table("graft_cat.swc.t").count() == 20)
+  }
+
+  it("abort deletes the epoch's staging files") {
+    val dir = tmpTableDir("sw-abort")
+    GraftTable.create(spark, dir, spark.range(3).toDF("id"))
+    val schema = StructType.fromDDL("id BIGINT")
+    val info = new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap =
+        new CaseInsensitiveStringMap(java.util.Map.of("txnAppId", "abort-app"))
+      override def queryId(): String = "spec-abort"
+      override def schema(): StructType = StructType.fromDDL("id BIGINT")
+    }
+    val w = new GraftStreamingWrite(dir, info, overwrite = false)
+    val factory = w.createStreamingWriterFactory(
+      new PhysicalWriteInfo { override def numPartitions(): Int = 1 })
+    val task = factory.createWriter(0, 3L, 0L)
+    task.write(InternalRow(42L))
+    val msg = task.commit().asInstanceOf[GraftEpochFilesMessage]
+    assert(Files.exists(Paths.get(msg.stagingDir)))
+    w.abort(0L, Array(msg))
+    assert(!Files.exists(Paths.get(msg.stagingDir)))
+    // nothing committed
+    assert(GraftTable.forPath(spark, dir).toDF.count() == 3)
+  }
+}

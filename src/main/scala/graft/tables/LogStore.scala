@@ -31,6 +31,14 @@ import scala.jdk.CollectionConverters._
   *    consistency (see the fault-injection specs).
   *  - [[overwrite]] is an atomic full replace (checkpoint sidecars and
   *    vacuum horizon rewrites — never used on contended paths).
+  *
+  * Shipped implementations: [[PosixLogStore]] (hard-link claims — the
+  * POSIX default), [[ConditionalPutLogStore]] (pure conditional-put shape,
+  * proving the protocol needs nothing beyond the object-store contract),
+  * [[HadoopLogStore]] (FileSystem/FileContext rename-no-overwrite — the
+  * HDFS-shaped backend, with an explicit cross-process atomicity
+  * capability per scheme), and the fault-injecting [[InMemoryLogStore]]
+  * for the race suites.
   */
 trait LogStore {
 
@@ -298,16 +306,29 @@ object LogStore {
   val Posix: LogStore = new PosixLogStore
   val ConditionalPut: LogStore = new ConditionalPutLogStore
 
+  /** Shared Hadoop-FileSystem store (default client Configuration) — the
+    * HDFS-shaped backend; see [[HadoopLogStore]] for its atomicity
+    * capability notes.
+    */
+  lazy val Hadoop: LogStore =
+    new HadoopLogStore(new org.apache.hadoop.conf.Configuration())
+
   /** Longest-prefix path routing. Registered programmatically (tests,
-    * embedding applications) or at boot via the system property
-    * `graft.logstore.conditionalPut.prefixes=/a,/b` — how a forked JVM
-    * (the cross-process OCC race drivers) is pointed at the
-    * conditional-put store for a specific table.
+    * embedding applications) or at boot via the system properties
+    * `graft.logstore.conditionalPut.prefixes=/a,/b` /
+    * `graft.logstore.hadoop.prefixes=/c` — how a forked JVM (the
+    * cross-process OCC race drivers, an HDFS-mounted deployment) is
+    * pointed at a specific store for a table prefix.
     */
   private val overrides = new ConcurrentHashMap[String, LogStore]()
 
   private lazy val bootConditionalPutPrefixes: Seq[String] =
     sys.props.get("graft.logstore.conditionalPut.prefixes")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map(normalize))
+      .getOrElse(Nil)
+
+  private lazy val bootHadoopPrefixes: Seq[String] =
+    sys.props.get("graft.logstore.hadoop.prefixes")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map(normalize))
       .getOrElse(Nil)
 
@@ -331,6 +352,8 @@ object LogStore {
     registered.getOrElse {
       if (bootConditionalPutPrefixes.exists(pre => p == pre || p.startsWith(pre + "/")))
         ConditionalPut
+      else if (bootHadoopPrefixes.exists(pre => p == pre || p.startsWith(pre + "/")))
+        Hadoop
       else Posix
     }
   }

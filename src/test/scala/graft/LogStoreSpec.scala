@@ -56,6 +56,96 @@ class LogStoreSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  describe("HadoopLogStore (FileSystem/FileContext backend)") {
+    it("rejects the second claimant of a version via rename-no-overwrite") {
+      val dir = tmpTableDir("ls-hadoop")
+      Files.createDirectories(Paths.get(dir))
+      val store = LogStore.Hadoop
+      val log = new GraftLog(dir, store)
+      log.commit(0L, Seq(Metadata(schemaJson), CommitInfo(0L, "CREATE TABLE")))
+      intercept[java.nio.file.FileAlreadyExistsException] {
+        store.putIfAbsent(log.versionFile(0L), "x".getBytes)
+      }
+      intercept[CommitConflictException] {
+        log.commit(0L, Seq(CommitInfo(1L, "WRITE")))
+      }
+      // the loser never tore the winner's content, and no temp debris stays
+      assert(log.actionsAt(0L).collect { case ci: CommitInfo => ci.operation }
+        == Seq("CREATE TABLE"))
+      assert(!store.list(log.versionFile(0L).getParent).exists(_._1.endsWith(".tmp")))
+      // store primitives round-trip
+      val side = log.versionFile(0L).getParent.resolve("side.txt")
+      store.overwrite(side, "a\nb".getBytes)
+      assert(store.read(side) == Seq("a", "b"))
+      store.overwrite(side, "c".getBytes)
+      assert(store.read(side) == Seq("c"))
+      assert(store.delete(side) && !store.exists(side))
+    }
+
+    it("full lifecycle + executor-side fold work through the hadoop store") {
+      val dir = tmpTableDir("ls-hadoop-table")
+      LogStore.register(dir, LogStore.Hadoop)
+      try {
+        val t = GraftTable.create(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+        assert(t.log.store eq LogStore.Hadoop)
+        t.append(Seq((3L, "c")).toDF("id", "v"))
+        graft.operators.TableOps.delete(t, Some("id = 1"))
+        val t2 = GraftTable.forPath(spark, dir)
+        assert(t2.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+        assert(t2.toDFAt(0L).count() == 2)
+        // filesystemBacked: DistributedSnapshot's executor fold applies
+        val dist = graft.tables.DistributedSnapshot.addFiles(spark, dir)
+          .map(_.path).toSet
+        assert(dist == t2.snapshot.files.map(_.path).toSet)
+      } finally LogStore.unregister(dir)
+    }
+
+    it("in-JVM claim storm: exactly one winner per version, contiguous chain") {
+      val dir = tmpTableDir("ls-hadoop-race")
+      Files.createDirectories(Paths.get(dir))
+      val store = LogStore.Hadoop
+      val log = new GraftLog(dir, store)
+      log.commit(0L, Seq(Metadata(schemaJson), CommitInfo(0L, "CREATE TABLE")))
+      val threads = 8
+      val versions = 12
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      try {
+        (1 to versions).foreach { v =>
+          val latch = new java.util.concurrent.CountDownLatch(threads)
+          val done = new java.util.concurrent.CountDownLatch(threads)
+          (0 until threads).foreach { tIdx =>
+            pool.execute { () =>
+              latch.countDown(); latch.await()
+              try {
+                log.commit(v.toLong, Seq(CommitInfo(v.toLong, s"WRITE-$tIdx")))
+                wins.incrementAndGet()
+              } catch { case _: CommitConflictException => () }
+              finally done.countDown()
+            }
+          }
+          done.await()
+        }
+      } finally pool.shutdown()
+      // one winner per version, log contiguous, every file full content
+      assert(wins.get() == versions)
+      assert(log.versions() == (0L to versions.toLong))
+      (0L to versions.toLong).foreach { v =>
+        assert(log.actionsAt(v).nonEmpty, s"torn/empty version $v")
+      }
+    }
+
+    it("declares its cross-process atomicity capability per scheme") {
+      val store = new graft.tables.HadoopLogStore(
+        new org.apache.hadoop.conf.Configuration())
+      assert(store.crossProcessAtomic("hdfs"))
+      assert(store.crossProcessAtomic("abfss"))
+      assert(!store.crossProcessAtomic("file"), "LocalFs rename-no-overwrite is " +
+        "check-then-rename — cross-process claims need PosixLogStore there")
+      assert(!store.crossProcessAtomic("s3a"))
+    }
+  }
+
   describe("InMemoryLogStore fault injection") {
     it("duplicate-claim: racing writers get exactly one winner per version") {
       val store = new InMemoryLogStore

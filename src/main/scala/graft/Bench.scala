@@ -166,6 +166,16 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(FullDetailPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // teardown hygiene for the driver's ~2000-char tail capture: stop any
+    // straggler streaming query FIRST (their job-group cancellation during
+    // spark.stop() otherwise logs "Failed to cancel job group" WARNs), and
+    // drop the log level — every query has already run and been measured,
+    // so teardown WARNs (temp-checkpoint deletion etc.) carry no signal,
+    // only tail noise around the one JSON line that matters
+    spark.streams.active.foreach { q =>
+      try { q.stop(); q.awaitTermination(10000); () } catch { case _: Throwable => () }
+    }
+    spark.sparkContext.setLogLevel("ERROR")
     // stop Spark BEFORE printing: shutdown log noise then cannot land after
     // the JSON, so a tail-capture of stdout always ends with the full line
     spark.stop()

@@ -1017,6 +1017,34 @@ object SparkEntry {
       }
     }),
 
+    "c14_cdf_catalog_read" -> ((s, dir) => {
+      // CDF by CATALOG IDENTIFIER: the same fixture and expected rows as
+      // c12, consumed through spark.read.option("readChangeFeed", "true")
+      // .table("graft_cat.ns.t") — the reader options ride the V2 relation
+      // and the resolution rule swaps it onto the path form's batched CDF
+      // relation (one CDF engine for both addressing modes)
+      val wh = tmp("c14wh")
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.c14ns")
+      val dirT = s"$wh/c14ns/region_t"
+      val t = GraftTable.create(s, dirT, read(s, dir, "region"),
+        properties = Map(GraftLog.CdfProperty -> "true"))
+      TableOps.update(t, Some("r_regionkey = 0"), Map("r_name" -> "'EUROPA'"))
+      TableOps.delete(t, Some("r_regionkey = 4"))
+      import s.implicits._
+      t.append(Seq((99, "ATLANTIS")).toDF("r_regionkey", "r_name")
+        .select(col("r_regionkey").cast("int"), col("r_name")))
+      () => {
+      s.read
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 0)
+        .option("endingVersion", 3)
+        .table("graft_cat.c14ns.region_t")
+        .select(col("r_regionkey"), col("r_name"), col("_change_type"), col("_commit_version"))
+      }
+    }),
+
     "q21_cdc_propagate" -> ((s, dir) => {
       // table-to-table CDC propagation: the graft stream source's change
       // feed (initial snapshot as inserts, then update/delete/append
@@ -3651,6 +3679,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(99 AS INT), 'ATLANTIS', 'insert', 3""".stripMargin,
     "c12_cdf_reader_option" ->
+      """SELECT r_regionkey, r_name, 'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version FROM region
+        |UNION ALL
+        |SELECT r_regionkey, r_name, 'update_preimage', 1 FROM region WHERE r_regionkey = 0
+        |UNION ALL
+        |SELECT CAST(0 AS INT), 'EUROPA', 'update_postimage', 1
+        |UNION ALL
+        |SELECT r_regionkey, r_name, 'delete', 2 FROM region WHERE r_regionkey = 4
+        |UNION ALL
+        |SELECT CAST(99 AS INT), 'ATLANTIS', 'insert', 3""".stripMargin,
+    "c14_cdf_catalog_read" ->
       """SELECT r_regionkey, r_name, 'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version FROM region
         |UNION ALL
         |SELECT r_regionkey, r_name, 'update_preimage', 1 FROM region WHERE r_regionkey = 0

@@ -201,10 +201,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  /** DROP/RENAME are ADMIN operations: directory-level moves/deletes that
+    * nothing fences against a writer mid-commit (POSIX rename is atomic
+    * for readers, but a committer can land its `putIfAbsent` in the old
+    * inode's log after the move, losing the commit). [[fenceInFlight]]
+    * makes the common crash window LOUD: any claim marker or staged temp
+    * object in the log younger than [[graft.tables.GraftLog.StaleClaimMillis]]
+    * refuses the operation. The residual check-to-move window remains —
+    * quiesce writers before admin ops; this fence turns "lucky" into
+    * "refused" for every in-flight commit it can see.
+    */
+  private def fenceInFlight(dir: JPath, what: String): Unit = {
+    val logDir = dir.resolve(graft.tables.GraftLog.LogDirName)
+    if (!Files.isDirectory(logDir)) return
+    val now = System.currentTimeMillis()
+    val stream = Files.list(logDir)
+    val inFlight =
+      try stream.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        (n.endsWith(".claim") || n.endsWith(".tmp")) && {
+          val age = try now - Files.getLastModifiedTime(p).toMillis
+          catch { case _: java.io.IOException => Long.MaxValue } // vanished: done
+          age < graft.tables.GraftLog.StaleClaimMillis
+        }
+      }.map(_.getFileName.toString).toList
+      finally stream.close()
+    if (inFlight.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot $what $dir: commit(s) in flight (${inFlight.mkString(", ")} " +
+          s"younger than ${graft.tables.GraftLog.StaleClaimMillis} ms); quiesce " +
+          "writers and retry")
+  }
+
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
     if (!GraftTable.exists(dir.toString)) false
-    else { TableWriter.deleteRecursively(dir); true }
+    else {
+      fenceInFlight(dir, "DROP TABLE")
+      TableWriter.deleteRecursively(dir); true
+    }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
@@ -212,6 +247,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val to = tableDir(newIdent)
     if (!GraftTable.exists(from.toString)) throw new NoSuchTableException(oldIdent)
     if (Files.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    fenceInFlight(from, "RENAME TABLE")
     Files.createDirectories(to.getParent)
     Files.move(from, to)
     ()

@@ -476,6 +476,38 @@ class GraftCatalogReadFallback(spark: SparkSession)
       case m: MergeIntoTable => m.targetTable.collect { case r: DataSourceV2Relation => r }
     }.flatten
     plan resolveOperators {
+      // `spark.read.option("readChangeFeed","true").table("graft_cat.ns.t")`:
+      // the reader options ride the V2 relation, so a CDF-optioned catalog
+      // read swaps onto the same batched CDF relation the path form
+      // (`format("graft").option("readChangeFeed",...)`) builds — table
+      // columns re-publish the original exprIds, and the CDF metadata
+      // columns (_change_type, _commit_version, _commit_timestamp) are
+      // APPENDED: parents selecting them resolve in the next fixed-point
+      // iteration (they cannot resolve against the V2 table schema).
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftV2Table] && !writeTargets.exists(_ eq r) &&
+            Option(r.options.get("readChangeFeed")).exists(_.trim.equalsIgnoreCase("true")) =>
+        val v2 = r.table.asInstanceOf[GraftV2Table]
+        require(v2.versionAsOf.isEmpty,
+          s"readChangeFeed cannot combine with VERSION AS OF on ${v2.name()} — " +
+            "bound the feed with startingVersion/endingVersion instead")
+        import scala.jdk.CollectionConverters._
+        val opts = r.options.asScala.toMap ++ Map("path" -> v2.path)
+        val rel = org.apache.spark.sql.execution.datasources.DataSource(
+          spark, className = "graft", options = opts).resolveRelation()
+        val lr = LogicalRelation(rel)
+        val resolver = spark.sessionState.conf.resolver
+        val aliases = r.output.map { orig =>
+          val n = lr.output.find(a => resolver(a.name, orig.name)).getOrElse(
+            throw new IllegalStateException(
+              s"graft catalog CDF read: column ${orig.name} of ${v2.path} is not " +
+                "in the change-feed schema"))
+          Alias(n, orig.name)(exprId = orig.exprId, qualifier = orig.qualifier)
+        }
+        val cdfCols = lr.output.filterNot(a =>
+          r.output.exists(o => resolver(o.name, a.name)))
+        Project(aliases ++ cdfCols, lr)
+
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftV2Table] && !writeTargets.exists(_ eq r) =>
         val v2 = r.table.asInstanceOf[GraftV2Table]

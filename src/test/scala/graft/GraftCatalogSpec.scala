@@ -329,6 +329,55 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(spark.table("graft_cat.ref.t").where("val = 0").count() == 1) // id=0 only
   }
 
+  it("readChangeFeed option on a catalog identifier matches the path CDF read") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.cdf")
+    spark.sql("CREATE TABLE graft_cat.cdf.t (id BIGINT, v STRING) USING graft " +
+      "TBLPROPERTIES ('graft.enableChangeDataFeed'='true')")
+    spark.sql("INSERT INTO graft_cat.cdf.t SELECT id, CAST(id AS STRING) FROM range(5)")
+    spark.sql("UPDATE graft_cat.cdf.t SET v = 'upd' WHERE id = 2")
+    spark.sql("DELETE FROM graft_cat.cdf.t WHERE id = 4")
+    val viaCat = spark.read.option("readChangeFeed", "true")
+      .option("startingVersion", "0").table("graft_cat.cdf.t")
+      .select("id", "v", "_change_type", "_commit_version")
+    val viaPath = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", "0")
+      .load(Paths.get(warehouse, "cdf", "t").toString)
+      .select("id", "v", "_change_type", "_commit_version")
+    assertSmallDataFrameEquality(viaCat, viaPath)
+    // a projection of only the metadata columns resolves (they extend the
+    // V2 table schema through the rule's appended output)
+    assert(spark.read.option("readChangeFeed", "true").option("startingVersion", "0")
+      .table("graft_cat.cdf.t").select("_change_type").distinct().count() == 4)
+  }
+
+  it("rename/drop refuse while a commit is in flight; stale claims unblock") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.adm")
+    spark.sql("CREATE TABLE graft_cat.adm.t AS SELECT id FROM range(5)")
+    val logDir = Paths.get(warehouse, "adm", "t", "_graft_log")
+    // a FRESH claim marker = a writer mid-commit: admin ops must refuse
+    // loudly rather than race the landing
+    val claim = logDir.resolve("00000000000000000002.json.claim")
+    Files.createFile(claim)
+    val r = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cat.adm.t RENAME TO adm.t2")
+    }
+    assert(r.getMessage.contains("in flight") ||
+      String.valueOf(r.getCause).contains("in flight"))
+    val d = intercept[Exception] { spark.sql("DROP TABLE graft_cat.adm.t") }
+    assert(d.getMessage.contains("in flight") ||
+      String.valueOf(d.getCause).contains("in flight"))
+    assert(GraftTable.exists(Paths.get(warehouse, "adm", "t").toString))
+    // an AGED claim is a crashed claimant, not an in-flight commit
+    Files.setLastModifiedTime(claim, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * graft.tables.GraftLog.StaleClaimMillis))
+    spark.sql("ALTER TABLE graft_cat.adm.t RENAME TO adm.t2")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.adm.t2").head.getLong(0) == 5)
+    spark.sql("DROP TABLE graft_cat.adm.t2")
+    assert(!GraftTable.exists(Paths.get(warehouse, "adm", "t2").toString))
+  }
+
   it("identifier parts cannot escape the warehouse tree") {
     val _ = warehouse
     intercept[Exception] {

@@ -446,14 +446,23 @@ object TextAnalysis {
     out.toSeq
   }
 
-  /** Hard bound on the driver-held adjacent-pair count state of
-    * [[distributedBpe]]. Distinct adjacent SYMBOL pairs are bounded by
-    * (alphabet + merges)² in principle and observed in the low millions on
-    * web-corpus dictionaries (the state is pair-vocabulary-sized, NOT
-    * dictionary-sized); past this bound the loud error beats a silent
-    * driver OOM.
+  /** Bound on the RESIDENT (driver-held) slice of [[distributedBpe]]'s
+    * adjacent-pair count state. The FULL pair state is a partitioned
+    * dataset; the driver keeps only the pairs whose counts can reach the
+    * argmax — the ≥-threshold band plus every pair a delta ever touches
+    * (see the banding notes on [[distributedBpe]]) — so a pair vocabulary
+    * far beyond this bound still trains exactly, and only a corpus whose
+    * MERGEABLE band itself overflows the driver fails (loudly, with the
+    * refill multiplier in [[MaxResidentRefillFactor]] of headroom).
     */
-  private[pipeline] val MaxDriverPairState: Int = 8 * 1000 * 1000
+  private[graft] val MaxDriverPairState: Int = 8 * 1000 * 1000
+
+  /** Headroom multiplier over the resident bound that refills may grow
+    * into before the loud failure — threshold halving on a Zipf-ish count
+    * distribution roughly doubles the band per refill, so a couple of
+    * refills must fit.
+    */
+  private[graft] val MaxResidentRefillFactor: Int = 4
 
   /** Accepted merges per speculative batch in [[distributedBpe]] — each
     * distributed job advances up to this many merge ranks (see the
@@ -500,14 +509,33 @@ object TextAnalysis {
     *    left-to-right non-overlapping application) — pinned by
     *    BpeMergesSpec's equivalence and 4096-merge rehearsal specs.
     *
+    * **Pair-state banding** (how a pair vocabulary beyond
+    * [[MaxDriverPairState]] trains exactly): the full initial count state
+    * stays a PARTITIONED dataset; the driver admits only the band of pairs
+    * whose count ≥ an admission threshold chosen from a 64-bucket log₂
+    * histogram so the band fits the bound. Exactness rests on a structural
+    * invariant of BPE deltas: a merge (l,r)→m only ADDS counts to pairs
+    * involving the freshly-used id `m` — pairs of two ORIGINAL symbols only
+    * ever lose count. Every minted-id pair therefore enters the resident
+    * state through a delta the driver sees (base 0), and a submerged
+    * original pair can never silently climb past the band; its (negative)
+    * deltas accumulate in a side map until a REFILL — triggered whenever
+    * the resident argmax falls below the admission threshold — halves the
+    * threshold and admits the next band from the partitioned state with
+    * those deltas applied. The argmax the loop accepts is thus always the
+    * exact global argmax, bit-identical to the full-resident tier.
+    *
     * Cost model: one dictionary-sized shuffle up front, then per ACCEPTED
     * merge ~1/[[BpeBatchSize]] of a cached narrow scan plus an
     * O(changed-pairs) collect — versus the naive per-round
     * flatMap→groupBy→argmax (a full dictionary shuffle per merge — weeks
     * at a real tokenizer's merge count over a ~10M-word dictionary).
+    * Refills add one filter-collect over the partitioned counts each, and
+    * only fire when training digs below the current band.
     */
-  private def distributedBpe(words: org.apache.spark.sql.Dataset[(String, Long)],
-      numMerges: Int, minPairCount: Long): Seq[(Int, String, String, Long)] = {
+  private[graft] def distributedBpe(words: org.apache.spark.sql.Dataset[(String, Long)],
+      numMerges: Int, minPairCount: Long,
+      maxResidentPairs: Int = MaxDriverPairState): Seq[(Int, String, String, Long)] = {
     import org.apache.spark.storage.StorageLevel
     import scala.collection.mutable.LongMap
 
@@ -518,17 +546,40 @@ object TextAnalysis {
       .map { case (w, c) => (Array.tabulate(w.length)(i => w.charAt(i).toInt), c) }
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // ONE dictionary-sized shuffle builds the initial count state
-    val init = base
+    // ONE dictionary-sized shuffle builds the initial count state — kept
+    // PARTITIONED (refills read it again); only the admitted band lands on
+    // the driver
+    val initCounts = base
       .flatMap { case (s, c) =>
         (0 until s.length - 1).iterator.map(j => (pack(s(j), s(j + 1)), c))
       }
       .reduceByKey(_ + _)
-      .collect()
-    require(init.length <= MaxDriverPairState,
-      s"BPE pair state has ${init.length} distinct adjacent pairs — beyond " +
-        s"the $MaxDriverPairState driver bound; this dictionary needs a " +
-        "fully-distributed pair state (not implemented)")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // admission threshold from a log₂ histogram (≤64 buckets): the largest
+    // power of two whose ≥-band fits the resident bound. Counts below
+    // minPairCount can never be merged, so the threshold never needs to
+    // drop below it — if even that band fits, everything relevant is
+    // resident and refills can't fire.
+    val hist: scala.collection.Map[Int, Long] = initCounts
+      .map { case (_, c) => 63 - java.lang.Long.numberOfLeadingZeros(math.max(c, 1L)) }
+      .countByValue()
+    val totalPairs = hist.valuesIterator.sum
+    var admitThreshold: Long = {
+      // walk buckets high→low, keeping the lowest boundary whose ≥-band
+      // still fits the bound (cum at boundary 2^b counts pairs with c ≥ 2^b)
+      var cum = 0L
+      var t = -1L
+      (63 to 0 by -1).foreach { b =>
+        cum += hist.getOrElse(b, 0L)
+        if (cum <= maxResidentPairs) t = 1L << b
+      }
+      require(t >= 0,
+        s"BPE pair state: even the top count band holds more than " +
+          s"$maxResidentPairs pairs (total $totalPairs) — the mergeable band " +
+          "itself exceeds driver memory; raise the bound or shard the corpus")
+      math.max(t, math.max(minPairCount, 1L))
+    }
 
     // ---- driver-side symbol table and count state --------------------
     // ids < 0x10000 are char code units; merges mint 0x10000, 0x10001…
@@ -542,8 +593,15 @@ object TextAnalysis {
     def str(id: Int): String =
       if (id < 0x10000) String.valueOf(id.toChar) else mergedSyms(id - 0x10000)
 
-    val counts = new LongMap[Long](init.length * 2)
+    val init = initCounts.filter { case (_, c) => c >= admitThreshold }.collect()
+    require(init.length <= maxResidentPairs.toLong * MaxResidentRefillFactor,
+      s"BPE resident band ${init.length} overflows the driver bound")
+    val counts = new LongMap[Long](math.max(16, init.length * 2))
     init.foreach { case (k, c) => counts.update(k, c) }
+    // deltas that landed on pairs BELOW the admitted band (two original
+    // symbols, initial count < threshold): only decrements can occur there
+    // (see the banding notes); folded in when a refill admits the pair
+    val submergedDeltas = new LongMap[Long]()
     // lazy-deletion heap: every count CHANGE pushes a fresh entry; an entry
     // is valid iff its count still matches the live map. Comparator =
     // driverBpe's minBy((-c, l, r)) tie order exactly — on symbol STRINGS
@@ -572,11 +630,62 @@ object TextAnalysis {
       None
     }
 
+    /** Admit the next count band [newThreshold, admitThreshold) from the
+      * partitioned initial state, folding in any submerged deltas. Returns
+      * false once the threshold is at its floor (nothing left to admit).
+      */
+    def refill(): Boolean = {
+      val floor = math.max(minPairCount, 1L)
+      if (admitThreshold <= floor) return false
+      val hi = admitThreshold
+      val lo = math.max(floor, hi / 2)
+      val fetched = initCounts
+        .filter { case (_, c) => c >= lo && c < hi }.collect()
+      fetched.foreach { case (k, c0) =>
+        val adj = c0 + submergedDeltas.getOrElse(k, 0L)
+        submergedDeltas.subtractOne(k)
+        if (adj > 0L) {
+          counts.update(k, adj)
+          heap.add((adj, (k >>> 32).toInt, k.toInt)); ()
+        }
+      }
+      require(counts.size <= maxResidentPairs.toLong * MaxResidentRefillFactor,
+        s"BPE resident band grew to ${counts.size} pairs after refilling to " +
+          s"threshold $lo — beyond ${MaxResidentRefillFactor}x the " +
+          s"$maxResidentPairs bound; raise the bound (driver memory) or " +
+          "raise minPairCount to shrink the mergeable band")
+      admitThreshold = lo
+      true
+    }
+
+    /** Exact global argmax: the resident top, refilling whenever it falls
+      * below the admission threshold (a submerged pair could outrank it
+      * there — never above, since submerged counts only decrease).
+      */
+    def argmaxRefilled(): Option[(Int, Int, Long)] = {
+      var r = peekArgmax()
+      while (r.forall(_._3 < admitThreshold) && refill())
+        r = peekArgmax()
+      r
+    }
+
     def applyDelta(delta: LongMap[Long]): Unit =
       delta.foreachEntry { (k, d) =>
-        val nc = counts.getOrElse(k, 0L) + d
-        if (nc <= 0L) { counts.subtractOne(k); () }
-        else { counts.update(k, nc); heap.add((nc, (k >>> 32).toInt, k.toInt)); () }
+        val l = (k >>> 32).toInt
+        val r = k.toInt
+        val bothOriginal = l < 0x10000 && r < 0x10000
+        if (bothOriginal && !counts.contains(k)) {
+          // below the admitted band: accumulate for the refill that may
+          // admit it (decrements only — gains always involve a minted id)
+          val nd = submergedDeltas.getOrElse(k, 0L) + d
+          if (nd == 0L) submergedDeltas.subtractOne(k)
+          else submergedDeltas.update(k, nd)
+          ()
+        } else {
+          val nc = counts.getOrElse(k, 0L) + d
+          if (nc <= 0L) { counts.subtractOne(k); () }
+          else { counts.update(k, nc); heap.add((nc, l, r)); () }
+        }
       }
 
     // ---- the speculative-batch loop -----------------------------------
@@ -587,18 +696,27 @@ object TextAnalysis {
     var exhausted = false
     while (merges.length < numMerges && !exhausted) {
       // guess batch: exact argmax + next-best valid entries under CURRENT
-      // counts (popped then re-pushed; duplicates of one pair skipped)
+      // counts (popped then re-pushed; duplicates of one pair skipped).
+      // argmaxRefilled first: the top must be band-exact before guessing,
+      // and guesses stop at the admission threshold — entries below it may
+      // be outranked by submerged pairs, so speculating there only invites
+      // truncation
       val guessCap = math.min(BpeBatchSize, numMerges - merges.length)
       val guesses = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
-      val seen = scala.collection.mutable.Set.empty[Long]
-      val popped = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
-      while (guesses.length < guessCap && peekArgmax().isDefined) {
-        val top = heap.poll()
-        popped += top
-        val (c, l, r) = top
-        if (seen.add(pack(l, r))) guesses += ((l, r, c))
+      if (argmaxRefilled().isDefined) {
+        val seen = scala.collection.mutable.Set.empty[Long]
+        val popped = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+        val bandFloor = admitThreshold
+        var belowBand = false
+        while (guesses.length < guessCap && !belowBand && peekArgmax().isDefined) {
+          val top = heap.poll()
+          popped += top
+          val (c, l, r) = top
+          if (c < bandFloor) belowBand = true
+          else if (seen.add(pack(l, r))) guesses += ((l, r, c))
+        }
+        popped.foreach(heap.add)
       }
-      popped.foreach(heap.add)
       if (guesses.isEmpty || guesses.head._3 < minPairCount) exhausted = true
       else {
         // ids for the whole batch: existing surfaces reuse their interned
@@ -671,7 +789,7 @@ object TextAnalysis {
           val (l, r, _) = batch(accepted)
           val ok =
             if (accepted == 0) Some(guesses(0)._3)
-            else peekArgmax() match {
+            else argmaxRefilled() match {
               case Some((al, ar, ac)) if al == l && ar == r && ac >= minPairCount =>
                 Some(ac)
               case Some((_, _, ac)) if ac < minPairCount => exhausted = true; None
@@ -693,7 +811,7 @@ object TextAnalysis {
               accepted += 1
           }
         }
-        if (peekArgmax().isEmpty) exhausted = true
+        if (argmaxRefilled().isEmpty) exhausted = true
         // fold pending merges into the cache before closure application
         // cost compounds; lineage stays shallow via localCheckpoint. (No
         // final fold: the merge TABLE is the output, not the dictionary.)
@@ -717,6 +835,7 @@ object TextAnalysis {
         }
       }
     }
+    initCounts.unpersist(blocking = false)
     base.unpersist(blocking = false)
     merges.toSeq
   }

@@ -122,6 +122,35 @@ class BpeMergesSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(dist == driver, "distributed tier diverged from driver on deep merge chains")
   }
 
+  it("banded pair state (tiny resident bound) is bit-identical to the full-resident tier") {
+    // force the pair-state BAND to a handful of pairs: the initial
+    // admission threshold lands high, merges dig below it, and every
+    // refill must admit the next band with submerged deltas applied —
+    // output must not differ by a single bit from the driver tier
+    val df = corpus.toDF("text")
+    val driver = TextAnalysis.learnBpeMerges(df, "text", 12)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    val words = tokenize(corpus).toSeq.toDS()
+    val banded = TextAnalysis.distributedBpe(words, 12, minPairCount = 2L,
+      maxResidentPairs = 12)
+      .map(t => Seq(t._1, t._2, t._3, t._4))
+    assert(banded == driver, "banded pair state diverged from the driver tier")
+
+    // deep merge chains + surface interning + refills together: the
+    // minted-id gains invariant (only minted-id pairs gain count) is what
+    // keeps submerged original pairs honest — this corpus stresses it
+    val rep = (1 to 12).flatMap(n => Seq("ab" * n, "a" * n, ("ab" * n) + "a"))
+      .zipWithIndex.flatMap { case (w, i) => Seq.fill(3 + (i * 7) % 11)(w) }
+    val repDriver = TextAnalysis.learnBpeMerges(rep.toDF("text"), "text", 60)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    val repWords = rep.groupBy(identity).view.mapValues(_.size.toLong).toSeq.toDS()
+    val repBanded = TextAnalysis.distributedBpe(repWords, 60, minPairCount = 2L,
+      maxResidentPairs = 16)
+      .map(t => Seq(t._1, t._2, t._3, t._4))
+    assert(repBanded == repDriver,
+      "banded pair state diverged on deep merge chains")
+  }
+
   it("incremental distributed tier: 4096 merges over a >1M-word vocabulary") {
     // The scale rehearsal for real tokenizer training: the dictionary
     // exceeds maxDriverVocab, so the run goes through the INCREMENTAL

@@ -151,13 +151,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftV2Table(dir.toString, ident)
   }
 
-  /** Property changes and ADD COLUMNS commit to the log
+  /** Property changes and column DDL commit to the log
     * ([[GraftTable.setProperties]] / `unsetProperties` /
-    * [[GraftTable.addColumns]] — the same metadata-only commits graft's own
-    * ALTER TABLE SQL makes, so `ALTER TABLE graft_cat.ns.t ADD COLUMNS
-    * (x INT)` works natively and Spark's MERGE schema-evolution resolution
-    * can widen catalog targets); other V2 changes (rename/drop/retype) are
-    * served by graft's SQL surface instead.
+    * [[GraftTable.addColumns]] / `renameColumn` / `dropColumns` — the same
+    * METADATA-ONLY commits graft's own ALTER TABLE SQL makes: renames ride
+    * column mapping with the physical name pinned, drops retire physical
+    * names, not one data byte moves), so `ALTER TABLE graft_cat.ns.t
+    * ADD COLUMNS / RENAME COLUMN / DROP COLUMN` work natively and Spark's
+    * MERGE schema-evolution resolution can widen catalog targets; type
+    * changes (UpdateColumnType) are the one V2 change still served by
+    * graft's SQL surface.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = GraftTable.forPath(spark, tableDir(ident).toString)
@@ -168,15 +171,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case r: TableChange.RemoveProperty => r.property
     }.toSet
     val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
     val other = changes.filterNot(c =>
       c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty] ||
-        c.isInstanceOf[TableChange.AddColumn])
+        c.isInstanceOf[TableChange.AddColumn] ||
+        c.isInstanceOf[TableChange.RenameColumn] ||
+        c.isInstanceOf[TableChange.DeleteColumn])
     if (other.nonEmpty)
       throw new UnsupportedOperationException(
-        "graft catalog alterTable handles SET/UNSET TBLPROPERTIES and ADD COLUMNS; " +
-          "for other column DDL use graft's ALTER TABLE SQL on the table path " +
-          s"(got: ${other.mkString(", ")})")
+        "graft catalog alterTable handles SET/UNSET TBLPROPERTIES, ADD COLUMNS, " +
+          "RENAME COLUMN and DROP COLUMN; for other column DDL use graft's " +
+          s"ALTER TABLE SQL on the table path (got: ${other.mkString(", ")})")
+    renames.foreach { r =>
+      require(r.fieldNames.length == 1,
+        s"graft RENAME COLUMN supports top-level columns only, got ${r.fieldNames.mkString(".")}")
+      t.renameColumn(r.fieldNames.head, r.newName); ()
+    }
+    if (drops.nonEmpty) {
+      val (present, absent) = drops.partition(d =>
+        t.snapshot.schema.fieldNames.exists(_.equalsIgnoreCase(d.fieldNames.mkString("."))))
+      absent.foreach { d =>
+        require(d.ifExists,
+          s"column ${d.fieldNames.mkString(".")} does not exist in ${ident.toString}")
+      }
+      present.foreach { d =>
+        require(d.fieldNames.length == 1,
+          s"graft DROP COLUMN supports top-level columns only, got ${d.fieldNames.mkString(".")}")
+      }
+      if (present.nonEmpty) { t.dropColumns(present.map(_.fieldNames.head)); () }
+    }
     if (adds.nonEmpty) {
       val fields = adds.map { a =>
         require(a.fieldNames.length == 1,

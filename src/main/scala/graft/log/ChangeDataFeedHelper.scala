@@ -134,11 +134,18 @@ case class ChangeDataFeedHelper(
     }
 
     // change files carry the full row physically (incl. partition columns);
-    // mergeSchema reconciles schema evolution across versions in one scan
-    val cdcFrame = if (cdc.isEmpty) None else Some(stamp(
-      spark.read.option("mergeSchema", "true")
-        .parquet(cdc.map { case (p, _, _) => s"$path/$p" }: _*),
-      cdc))
+    // mergeSchema reconciles schema evolution across versions in one scan.
+    // Column names in the files are PHYSICAL (stable across RENAME COLUMN)
+    // — translate back to the newest in-range snapshot's logical names
+    val cdcFrame = if (cdc.isEmpty) None else {
+      val mapSchema = log.snapshot(cdc.map(_._2).max).schema
+      Some(stamp(
+        graft.tables.ColumnMapping.toLogical(
+          spark.read.option("mergeSchema", "true")
+            .parquet(cdc.map { case (p, _, _) => s"$path/$p" }: _*),
+          mapSchema),
+        cdc))
+    }
     // plain appends read with the newest in-range snapshot schema (older
     // files surface later columns as null — same as the per-version union)
     val insFrame = if (ins.isEmpty) None else {

@@ -966,6 +966,31 @@ object TableOps {
     } finally stream.close()
   }
 
+  /** Abandoned V2 streaming-epoch staging dirs
+    * (`.graft-stream-epoch-<uuid>/` under the table — see
+    * [[graft.streaming.GraftStreamingWrite]]): a failed epoch ATTEMPT whose
+    * abort never ran (driver crash) leaves its staging behind; scans ignore
+    * dotted dirs, so the only cost is disk — reclaimed here under the same
+    * in-flight age guard as the sidecar sweeps (a LIVE epoch's staging is
+    * seconds-to-minutes old; one untouched for an hour is dead).
+    */
+  private[graft] def streamStagingOrphanDirs(tablePath: String): Seq[java.nio.file.Path] = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(tablePath)
+    if (!Files.isDirectory(root)) return Nil
+    val cutoff = System.currentTimeMillis() - BloomSidecarMinAgeMillis
+    val stream = Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala
+        .filter { p =>
+          p.getFileName.toString.startsWith(".graft-stream-epoch-") &&
+            (try Files.getLastModifiedTime(p).toMillis < cutoff
+             catch { case _: java.io.IOException => false })
+        }.toList
+    } finally stream.close()
+  }
+
   private case class VacuumPlan(
       deadFiles: Seq[String], dropVersions: Seq[Long], liveSidecars: Set[String],
       liveDvDirs: Set[String], scan: GraftLog#RetentionScan)
@@ -1084,7 +1109,8 @@ object TableOps {
     // out (their commits' files were all rewritten or vacuumed); a probe
     // only ever resolves ids that appear in live stats, so deleting a truly
     // orphaned dir cannot affect it. Same orphan set vacuumDryRun reports.
-    (bloomOrphanDirs(table.path, liveSidecars) ++ dvOrphanDirs(table.path, liveDvDirs))
+    (bloomOrphanDirs(table.path, liveSidecars) ++ dvOrphanDirs(table.path, liveDvDirs)
+      ++ streamStagingOrphanDirs(table.path))
       .foreach { dir =>
         // count the files inside (parts + markers), not the directory — the
         // return contract is files deleted

@@ -639,9 +639,16 @@ object TextAnalysis {
       if (admitThreshold <= floor) return false
       val hi = admitThreshold
       val lo = math.max(floor, hi / 2)
-      val fetched = initCounts
-        .filter { case (_, c) => c >= lo && c < hi }.collect()
-      fetched.foreach { case (k, c0) =>
+      val band = initCounts.filter { case (_, c) => c >= lo && c < hi }
+      // size the band BEFORE collecting it — the loud failure must fire
+      // instead of, not after, a driver OOM
+      val bandSize = band.count()
+      require(counts.size + bandSize <= maxResidentPairs.toLong * MaxResidentRefillFactor,
+        s"BPE resident band would grow to ${counts.size + bandSize} pairs " +
+          s"refilling to threshold $lo — beyond ${MaxResidentRefillFactor}x the " +
+          s"$maxResidentPairs bound; raise the bound (driver memory) or " +
+          "raise minPairCount to shrink the mergeable band")
+      band.collect().foreach { case (k, c0) =>
         val adj = c0 + submergedDeltas.getOrElse(k, 0L)
         submergedDeltas.subtractOne(k)
         if (adj > 0L) {
@@ -649,11 +656,6 @@ object TextAnalysis {
           heap.add((adj, (k >>> 32).toInt, k.toInt)); ()
         }
       }
-      require(counts.size <= maxResidentPairs.toLong * MaxResidentRefillFactor,
-        s"BPE resident band grew to ${counts.size} pairs after refilling to " +
-          s"threshold $lo — beyond ${MaxResidentRefillFactor}x the " +
-          s"$maxResidentPairs bound; raise the bound (driver memory) or " +
-          "raise minPairCount to shrink the mergeable band")
       admitThreshold = lo
       true
     }

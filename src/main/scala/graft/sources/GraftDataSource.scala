@@ -537,8 +537,14 @@ object GraftScanRewrite extends Rule[LogicalPlan] {
     val partitionSchema = StructType(partCols.flatMap(c => schema.fields.find(_.name == c)))
     val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
     val index = new GraftFileIndex(spark, path, partitionSchema, pinned)
+    // column mapping: the FileFormat translates requested logical names to
+    // the files' physical columns (identity map for unmapped tables)
+    val l2p = schema.fields.iterator.map { f =>
+      f.name.toLowerCase(java.util.Locale.ROOT) ->
+        graft.tables.ColumnMapping.physicalName(f)
+    }.filter { case (l, p) => l != p.toLowerCase(java.util.Locale.ROOT) }.toMap
     HadoopFsRelation(index, partitionSchema, dataSchema, None,
-      new GraftParquetFileFormat, Map("path" -> path))(spark)
+      new GraftParquetFileFormat(l2p), Map("path" -> path))(spark)
   }
 }
 
@@ -744,7 +750,16 @@ object GraftMetadataOnlyAggregate extends Rule[LogicalPlan] {
   * normal resolution — INSERTs convert via [[GraftRelation.insert]] at
   * analysis time — this is a loud backstop, not a code path.)
   */
-class GraftParquetFileFormat extends ParquetFileFormat {
+class GraftParquetFileFormat(
+    /** Logical column name (lowercased) → PHYSICAL parquet column name, for
+      * tables with column mapping (RENAME/DROP COLUMN). Empty = identity.
+      * The translation happens HERE, at the reader boundary: the relation's
+      * output keeps logical names, but the parquet files carry physical
+      * ones — reading a renamed column without this returns NULLs.
+      */
+    logicalToPhysical: Map[String, String] = Map.empty)
+  extends ParquetFileFormat {
+
   override def prepareWrite(
       sparkSession: SparkSession,
       job: org.apache.hadoop.mapreduce.Job,
@@ -754,6 +769,42 @@ class GraftParquetFileFormat extends ParquetFileFormat {
       "direct file writes would bypass the graft commit log; use plain " +
         "INSERT INTO (no partition spec) or the GraftTable API")
   override def toString: String = "GraftParquet"
+
+  private def physicalOf(name: String): String =
+    logicalToPhysical.getOrElse(name.toLowerCase(java.util.Locale.ROOT), name)
+
+  private def toPhysicalSchema(s: StructType): StructType =
+    StructType(s.fields.map(f => f.copy(name = physicalOf(f.name))))
+
+  /** Rows are POSITIONAL: renaming the requested fields to their physical
+    * names (same order, same types) makes the stock reader produce exactly
+    * the logical row layout — no per-row rename-back needed. Pushed filters
+    * referencing a mapped column are DROPPED rather than translated: parquet
+    * pushdown is an optimization (the Filter node above the scan re-applies
+    * every predicate), and a filter pushed under the wrong name would prune
+    * row groups of a different column.
+    */
+  override def buildReaderWithPartitionValues(
+      sparkSession: SparkSession,
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      requiredSchema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      options: Map[String, String],
+      hadoopConf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    if (logicalToPhysical.isEmpty)
+      super.buildReaderWithPartitionValues(sparkSession, dataSchema,
+        partitionSchema, requiredSchema, filters, options, hadoopConf)
+    else {
+      val keepFilters = filters.filterNot(
+        _.references.exists(r => physicalOf(r) != r))
+      super.buildReaderWithPartitionValues(sparkSession,
+        toPhysicalSchema(dataSchema), partitionSchema,
+        toPhysicalSchema(requiredSchema), keepFilters, options, hadoopConf)
+    }
+  }
 }
 
 /** Commit-log-backed [[FileIndex]]: the planner's source of truth for which
@@ -827,7 +878,8 @@ class GraftFileIndex(
     */
   private def partitionRow(f: AddFile): InternalRow =
     InternalRow.fromSeq(partitionSchema.fields.toSeq.map { field =>
-      f.partitionValues.get(field.name) match {
+      // partition-values keys are PHYSICAL (stable across renames)
+      f.partitionValues.get(graft.tables.ColumnMapping.physicalName(field)) match {
         case None | Some(TableWriter.HiveDefaultPartition) => null
         case Some(raw) =>
           Cast(Literal(raw), field.dataType, Option(sessionTz)).eval(InternalRow.empty)

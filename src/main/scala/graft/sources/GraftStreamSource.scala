@@ -397,9 +397,13 @@ class GraftStreamSource(
               "stream the change feed via readStream.format(\"graft\")")
         } else {
           val paths = cdc.map(p => new java.io.File(tablePath, p).toString)
-          Some(widen(spark.read
-            .schema(table.snapshotAt(v).schema.add("_change_type", StringType))
-            .parquet(paths: _*)
+          // change files carry PHYSICAL column names (stable across
+          // renames) — read them physically, surface them logically
+          val snapSchema = table.snapshotAt(v).schema
+          val physSchema = graft.tables.ColumnMapping.physicalSchema(snapSchema)
+            .add("_change_type", StringType)
+          Some(widen(graft.tables.ColumnMapping.toLogical(
+            spark.read.schema(physSchema).parquet(paths: _*), snapSchema)
             .withColumn("_commit_version", lit(v))))
         }
       } else if (removes.nonEmpty) {

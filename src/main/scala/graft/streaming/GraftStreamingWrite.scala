@@ -63,6 +63,14 @@ class GraftStreamingWrite(
       new GraftLog(tablePath).snapshot().metadata.partitionColumns
     else Nil
 
+  /** The epoch staging dir this instance last created — commit/abort must
+    * reclaim it even when ZERO tasks reported (an empty micro-batch sends
+    * no messages, and the dir would otherwise leak one per empty epoch).
+    * Micro-batch execution runs one epoch at a time per query, so a single
+    * slot suffices.
+    */
+  @volatile private var lastStaging: Option[JPath] = None
+
   override def createStreamingWriterFactory(
       pInfo: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val spark = SparkSession.active
@@ -77,6 +85,7 @@ class GraftStreamingWrite(
     // moves); the factory's tasks write here, commit() consumes it
     val staging = Paths.get(tablePath, s".graft-stream-epoch-${UUID.randomUUID()}")
     Files.createDirectories(staging)
+    lastStaging = Some(staging)
     val conf = spark.sessionState.newHadoopConf()
     val (owf, confBox) = org.apache.spark.sql.graft.SparkBridge
       .parquetWriteKit(spark, conf, dataSchema)
@@ -139,16 +148,21 @@ class GraftStreamingWrite(
         ()
       }
     } finally {
-      staging.foreach(dir => if (Files.exists(dir)) TableWriter.deleteRecursively(dir))
+      (staging.toSeq ++ lastStaging).distinct.foreach { dir =>
+        if (Files.exists(dir)) TableWriter.deleteRecursively(dir)
+      }
+      lastStaging = None
     }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    messages.toSeq.collect { case m: GraftEpochFilesMessage => m.stagingDir }
-      .distinct.foreach { d =>
-        val p = Paths.get(d)
-        if (Files.exists(p)) TableWriter.deleteRecursively(p)
-      }
+    val dirs = messages.toSeq.collect { case m: GraftEpochFilesMessage =>
+      Paths.get(m.stagingDir)
+    } ++ lastStaging
+    dirs.distinct.foreach { p =>
+      if (Files.exists(p)) TableWriter.deleteRecursively(p)
+    }
+    lastStaging = None
   }
 }
 

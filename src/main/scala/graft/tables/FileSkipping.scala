@@ -160,8 +160,19 @@ object FileSkipping {
       partCols: Set[String],
       bloomCtx: Option[BloomIndex.ProbeContext]): Boolean = {
 
-    def colType(name: String): Option[DataType] =
-      schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
+    def fieldOf(name: String): Option[org.apache.spark.sql.types.StructField] =
+      schema.fields.find(_.name.equalsIgnoreCase(name))
+
+    def colType(name: String): Option[DataType] = fieldOf(name).map(_.dataType)
+
+    /** Stats / partition-value / bloom lookup key of a LOGICAL column name:
+      * its PHYSICAL name under column mapping. Looking up by the logical
+      * name is not merely a missed prune — a re-added column reusing a
+      * renamed-away logical name would read the OLD column's stats and
+      * prune WRONG files.
+      */
+    def statKey(name: String): String =
+      fieldOf(name).map(ColumnMapping.physicalName).getOrElse(name)
 
     // (attribute name, literal, true when literal is on the right)
     def sides(l: Expression, r: Expression): Option[(String, Any, DataType, Boolean)] = (l, r) match {
@@ -175,16 +186,17 @@ object FileSkipping {
       */
     def range(name: String): Option[(Any, Any)] = {
       val dt = colType(name).getOrElse(return None)
+      val key = statKey(name)
       if (partCols.contains(name)) {
-        f.partitionValues.get(name) match {
+        f.partitionValues.get(key) match {
           case Some(TableWriter.HiveDefaultPartition) | None => None
           case Some(raw) => parseExternal(raw, dt).map(v => (v, v))
         }
       } else {
         stats.flatMap { s =>
           for {
-            mn <- s.minValues.get(name).flatMap(parseStat(_, dt))
-            mx <- s.maxValues.get(name).flatMap(parseStat(_, dt))
+            mn <- s.minValues.get(key).flatMap(parseStat(_, dt))
+            mx <- s.maxValues.get(key).flatMap(parseStat(_, dt))
           } yield (mn, mx)
         }
       }
@@ -207,8 +219,9 @@ object FileSkipping {
       * legacy inline format — from the stats JSON itself.
       */
     def bloomMightContain(name: String, v: Any, dt: DataType): Boolean = {
+      val key = statKey(name)
       val words: Option[Array[Long]] = stats.flatMap { s =>
-        s.bloom.get(name) match {
+        s.bloom.get(key) match {
           case Some(b64) =>
             try Some(BloomIndex.fromBase64(b64))
             catch { case _: IllegalArgumentException => None }
@@ -216,7 +229,7 @@ object FileSkipping {
             for {
               ctx <- bloomCtx
               id <- s.bloomSidecar
-              w <- BloomIndex.sidecarBlooms(ctx, id, name).get(f.path)
+              w <- BloomIndex.sidecarBlooms(ctx, id, key).get(f.path)
             } yield w
         }
       }
@@ -268,14 +281,14 @@ object FileSkipping {
         list.exists(lit => mightMatch(EqualTo(a, lit), f, stats, schema, partCols, bloomCtx))
       case IsNull(a: AttributeReference) =>
         if (partCols.contains(a.name))
-          f.partitionValues.get(a.name).forall(_ == TableWriter.HiveDefaultPartition)
-        else stats.flatMap(_.nullCount.get(a.name)).forall(_ > 0)
+          f.partitionValues.get(statKey(a.name)).forall(_ == TableWriter.HiveDefaultPartition)
+        else stats.flatMap(_.nullCount.get(statKey(a.name))).forall(_ > 0)
       case IsNotNull(a: AttributeReference) =>
         if (partCols.contains(a.name))
-          !f.partitionValues.get(a.name).contains(TableWriter.HiveDefaultPartition)
+          !f.partitionValues.get(statKey(a.name)).contains(TableWriter.HiveDefaultPartition)
         else (for {
           s <- stats
-          nc <- s.nullCount.get(a.name)
+          nc <- s.nullCount.get(statKey(a.name))
         } yield nc < s.numRecords).getOrElse(true)
       case _ => true // unknown predicate shape: cannot prune
     }

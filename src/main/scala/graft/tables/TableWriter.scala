@@ -329,7 +329,8 @@ object TableWriter {
       val version = prevSnapshot.map(_.version + 1).getOrElse(0L)
       val cdfOn = effectiveProps.get(GraftLog.CdfProperty).exists(_.equalsIgnoreCase("true"))
       val cdcActions: Seq[Action] = cdc match {
-        case Some(cdcDf) if cdfOn => writeCdcFiles(spark, tablePath, version, cdcDf)
+        case Some(cdcDf) if cdfOn =>
+          writeCdcFiles(spark, tablePath, version, cdcDf, newSchema)
         case _                    => Nil
       }
 
@@ -799,16 +800,23 @@ object TableWriter {
     Files.move(Paths.get(out2), Paths.get(stagingDir))
   }
 
-  /** Write CDC rows (must already carry `_change_type`) under `_change_data/`. */
+  /** Write CDC rows (must already carry `_change_type`) under
+    * `_change_data/` — with PHYSICAL column names under column mapping,
+    * like the data files: physical names never change, so change files
+    * stay readable across RENAME COLUMN (the readers translate back via
+    * [[ColumnMapping.toLogical]]); `_change_type` is not a table column
+    * and passes through untouched.
+    */
   private def writeCdcFiles(
       spark: SparkSession,
       tablePath: String,
       version: Long,
-      cdcDf: DataFrame): Seq[Action] = {
+      cdcDf: DataFrame,
+      tableSchema: StructType): Seq[Action] = {
     val staging = Files.createTempDirectory(Paths.get(tablePath).getParent, ".graft-cdc-")
     try {
       val stagingDir = staging.resolve("cdc").toString
-      cdcDf.write.mode("overwrite").parquet(stagingDir)
+      ColumnMapping.toPhysical(cdcDf, tableSchema).write.mode("overwrite").parquet(stagingDir)
       val cdcRoot = Paths.get(tablePath, GraftLog.CdcDirName)
       Files.createDirectories(cdcRoot)
       listParquetFiles(Paths.get(stagingDir)).map { src =>

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.operators.TableOps
+import graft.tables.{ColumnMapping, GraftTable}
+
+/** Column mapping at the READ boundary — the other half of RENAME/DROP
+  * COLUMN: data files keep their immutable PHYSICAL column names, so every
+  * reader (native scan, partition values, stats skipping, bloom probes,
+  * CDF) must translate. Found in round 13: the native scan read renamed
+  * columns as NULL (physical `v` in the files, logical `w` requested) —
+  * these specs pin the whole family.
+  */
+class ColumnMappingReadSpec extends AnyFunSpec with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  it("renamed column reads its old files' data (native scan)") {
+    val dir = tmpTableDir("cmr-scan")
+    val t = GraftTable.create(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.renameColumn("v", "w")
+    val t2 = GraftTable.forPath(spark, dir)
+    // old data surfaces under the NEW logical name
+    assert(t2.toDF.select("id", "w").as[(Long, String)].collect().toMap
+      == Map(1L -> "a", 2L -> "b"))
+    // appends after the rename land under the same physical name
+    t2.append(Seq((3L, "c")).toDF("id", "w"))
+    val read = GraftTable.forPath(spark, dir).toDF
+    assert(read.where("w = 'c'").count() == 1)
+    assert(read.where("w IS NULL").count() == 0)
+    // filters on the renamed column still answer correctly (pushdown on a
+    // mapped column is dropped, never mistranslated)
+    assert(read.where(col("w") === "a").select("id").as[Long].head() == 1L)
+  }
+
+  it("renamed PARTITION column keeps its values and prunes correctly") {
+    val dir = tmpTableDir("cmr-part")
+    val t = GraftTable.create(spark, dir,
+      spark.range(20).select(col("id"), (col("id") % 4).cast("string").as("p")),
+      partitionColumns = Seq("p"))
+    t.renameColumn("p", "bucket")
+    val read = GraftTable.forPath(spark, dir).toDF
+    // partition VALUES come from the log's physical keys
+    assert(read.where("bucket = '2'").count() == 5)
+    assert(read.where("bucket IS NULL").count() == 0)
+    // pruning still fires: a one-partition predicate scans fewer files
+    val t2 = GraftTable.forPath(spark, dir)
+    val cls = graft.tables.FileSkipping.classify(spark, t2.toDF, "bucket = '2'")
+    val kept = graft.tables.FileSkipping.filesMatching(t2.snapshot, cls.all, None)
+    assert(kept.nonEmpty && kept.size < t2.snapshot.files.size)
+    assert(kept.forall(_.partitionValues.get("p").contains("2")))
+  }
+
+  it("a re-added logical name never reads the renamed-away column's stats") {
+    val dir = tmpTableDir("cmr-readd")
+    // v holds LOW values; rename it away, re-add a fresh v with HIGH values
+    val t = GraftTable.create(spark, dir,
+      spark.range(10).select(col("id"), (col("id") % 5).as("v")))
+    t.renameColumn("v", "w")
+    val t2 = GraftTable.forPath(spark, dir)
+    t2.addColumns(org.apache.spark.sql.types.StructType.fromDDL("v BIGINT"))
+    val t3 = GraftTable.forPath(spark, dir)
+    t3.append(spark.range(10, 14).select(col("id"), (col("id") % 5).as("w"),
+      (col("id") + 1000L).as("v")))
+    // the new v's physical name is freshly minted — never the retired "v"
+    val newV = t3.snapshot.schema.fields.find(_.name == "v").get
+    assert(ColumnMapping.physicalName(newV) != "v")
+    // a predicate on the NEW v must not prune by the OLD column's stats
+    // (old files' stats key "v" belongs to w): values >= 1000 exist ONLY in
+    // the new file, and the query must find them all
+    val read = GraftTable.forPath(spark, dir).toDF
+    assert(read.where("v >= 1000").count() == 4)
+    assert(read.where("v IS NOT NULL").count() == 4)
+    // and w still answers from the old bytes
+    assert(read.where("w = 3").count() == 3) // ids 3, 8, 13
+  }
+
+  it("CDF survives a rename: change files are physical, reads are logical") {
+    val dir = tmpTableDir("cmr-cdf")
+    val t = GraftTable.create(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      properties = Map(graft.tables.GraftLog.CdfProperty -> "true"))
+    TableOps.update(t, Some("id = 1"), Map("v" -> "'a2'")) // CDC pre/post, old name
+    GraftTable.forPath(spark, dir).renameColumn("v", "w")
+    TableOps.delete(GraftTable.forPath(spark, dir), Some("id = 2")) // CDC, new name
+    val cdf = graft.log.ChangeDataFeedHelper(spark, dir, 0L, 3L).readCDF
+      .select("id", "w", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    // pre-rename change rows surface under the CURRENT logical name
+    assert(cdf.contains((1L, "a", "update_preimage", 1L)))
+    assert(cdf.contains((1L, "a2", "update_postimage", 1L)))
+    assert(cdf.contains((2L, "b", "delete", 3L)))
+  }
+}

@@ -15,12 +15,9 @@ import graft.tables.GraftTable
 class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
   import spark.implicits._
 
-  private lazy val warehouse: String = {
-    val w = Files.createTempDirectory("graft-wh").toString
-    spark.conf.set("spark.sql.catalog.graft_cat", classOf[graft.catalog.GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", w)
-    w
-  }
+  // the JVM-shared warehouse: suites run in parallel against one session,
+  // so per-suite warehouse confs would clobber each other mid-test
+  private lazy val warehouse: String = SparkSessionTestWrapper.catalogWarehouse
 
   it("CTAS + SELECT + INSERT round-trip through the catalog") {
     val _ = warehouse
@@ -310,6 +307,17 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     intercept[Exception] {
       spark.sql("ALTER TABLE graft_cat.ddl.t ADD COLUMNS (must INT NOT NULL)")
     }
+    // RENAME COLUMN: metadata-only via column mapping (physical name
+    // pinned), old data readable under the new logical name
+    spark.sql("ALTER TABLE graft_cat.ddl.t RENAME COLUMN note TO remark")
+    assert(spark.table("graft_cat.ddl.t").columns.toSeq == Seq("id", "remark", "n"))
+    spark.sql("INSERT INTO graft_cat.ddl.t SELECT 100, 'r', 1")
+    assert(spark.table("graft_cat.ddl.t").where("remark = 'r'").count() == 1)
+    // DROP COLUMN retires the physical name; remaining columns intact
+    spark.sql("ALTER TABLE graft_cat.ddl.t DROP COLUMN n")
+    assert(spark.table("graft_cat.ddl.t").columns.toSeq == Seq("id", "remark"))
+    assert(spark.table("graft_cat.ddl.t").count() == 6)
+    intercept[Exception] { spark.sql("ALTER TABLE graft_cat.ddl.t DROP COLUMN ghost") }
   }
 
   it("native row-level DML refuses subqueries and non-deterministic conditions loudly") {
@@ -349,6 +357,28 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     // V2 table schema through the rule's appended output)
     assert(spark.read.option("readChangeFeed", "true").option("startingVersion", "0")
       .table("graft_cat.cdf.t").select("_change_type").distinct().count() == 4)
+  }
+
+  it("native management surfaces: TRUNCATE, CREATE OR REPLACE, writeTo, SHOW CREATE") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.mgmt")
+    spark.sql("CREATE TABLE graft_cat.mgmt.t AS SELECT id FROM range(10)")
+    spark.sql("TRUNCATE TABLE graft_cat.mgmt.t")
+    assert(spark.table("graft_cat.mgmt.t").count() == 0)
+    // truncate is a commit: time travel still sees the old rows
+    assert(GraftTable.forName(spark, "graft_cat.mgmt.t").toDFAt(1L).count() == 10)
+    spark.sql("CREATE OR REPLACE TABLE graft_cat.mgmt.t AS " +
+      "SELECT id, 'z' AS z FROM range(7)")
+    assert(spark.table("graft_cat.mgmt.t").columns.toSeq == Seq("id", "z"))
+    assert(spark.table("graft_cat.mgmt.t").count() == 7)
+    spark.range(7, 9).withColumn("z", org.apache.spark.sql.functions.lit("w"))
+      .writeTo("graft_cat.mgmt.t").append()
+    assert(spark.table("graft_cat.mgmt.t").count() == 9)
+    spark.range(0, 3).withColumn("z", org.apache.spark.sql.functions.lit("o"))
+      .writeTo("graft_cat.mgmt.t").createOrReplace()
+    assert(spark.table("graft_cat.mgmt.t").count() == 3)
+    val ddl = spark.sql("SHOW CREATE TABLE graft_cat.mgmt.t").head.getString(0)
+    assert(ddl.contains("graft_cat.mgmt.t") && ddl.contains("id BIGINT"))
   }
 
   it("rename/drop refuse while a commit is in flight; stale claims unblock") {

@@ -24,12 +24,9 @@ import graft.tables.GraftTable
 class GraftStreamingWriteSpec extends AnyFunSpec with SparkSessionTestWrapper {
   import spark.implicits._
 
-  private lazy val warehouse: String = {
-    val w = Files.createTempDirectory("graft-sw-wh").toString
-    spark.conf.set("spark.sql.catalog.graft_cat", classOf[graft.catalog.GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", w)
-    w
-  }
+  // the JVM-shared warehouse (parallel suites, one session — see
+  // SparkSessionTestWrapper.catalogWarehouse)
+  private lazy val warehouse: String = SparkSessionTestWrapper.catalogWarehouse
 
   it("toTable streams into a partitioned catalog table; restart appends only new data") {
     val _ = warehouse

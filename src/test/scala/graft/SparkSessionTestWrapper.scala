@@ -28,6 +28,20 @@ trait SparkSessionTestWrapper {
 }
 
 object SparkSessionTestWrapper {
+  /** ONE `graft_cat` warehouse for every suite that exercises the V2
+    * catalog. Suites run in PARALLEL against the shared session, so each
+    * suite setting its own warehouse dir would clobber the others
+    * mid-test; a JVM singleton makes the conf set idempotent (same
+    * values), and suites isolate by NAMESPACE instead.
+    */
+  lazy val catalogWarehouse: String = {
+    val w = java.nio.file.Files.createTempDirectory("graft-shared-wh").toString
+    session.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    session.conf.set("spark.sql.catalog.graft_cat.warehouse", w)
+    w
+  }
+
   lazy val session: SparkSession = {
     val s = SparkSession
       .builder()

@@ -59,12 +59,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 object GraftSqlParser {
-  // `'path'` | `"path"` | `` `path` `` | graft.`path` (any of the quote forms).
-  // Group `base - 1` captures the optional `graft.` qualifier so DML can
-  // distinguish a graft path from a quoted catalog identifier.
-  private val P = """(graft\s*\.\s*)?(?:'([^']+)'|"([^"]+)"|`([^`]+)`)"""
+  // `'path'` | `"path"` | `` `path` `` | graft.`path` (any of the quote
+  // forms), or an UNQUOTED multi-part identifier (`graft_cat.ns.t` —
+  // Delta's `OPTIMIZE events` ergonomics; at least two parts, so a bare
+  // single word is never claimed). Group `base - 1` captures the optional
+  // `graft.` qualifier so DML can distinguish a graft path from a quoted
+  // catalog identifier. Maintenance statements (OPTIMIZE/VACUUM/...) are
+  // not Spark grammar, so claiming a bare identifier shadows nothing —
+  // a non-graft target fails loudly in resolveTarget; DML keeps the
+  // claimableDml gate (bare identifiers there stay Spark's, served by the
+  // native V2 row-level path).
+  private val P = """(graft\s*\.\s*)?(?:'([^']+)'|"([^"]+)"|`([^`]+)`|([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)+))"""
   private def pathOf(m: java.util.regex.Matcher, base: Int): String =
-    Seq(base, base + 1, base + 2).iterator.map(m.group).find(_ != null).get
+    Seq(base, base + 1, base + 2, base + 3).iterator.map(m.group).find(_ != null).get
 
   /** DML statements exist in Spark's own grammar, so a quoted target is
     * only OURS when it is `graft.`-qualified or visibly a path (contains a
@@ -231,9 +238,9 @@ object GraftSqlParser {
       // same claim rule as targets: a quoted name is a graft path only when
       // graft.-qualified or path-shaped — `my_view` is a catalog source
       if (m.matches() && claimableDml(m)) {
-        path = Some(pathOf(m, 2)); aliasPart = m.group(5).trim
+        path = Some(pathOf(m, 2)); aliasPart = m.group(6).trim
       } else if (m.matches()) {
-        table = Some(pathOf(m, 2)); aliasPart = m.group(5).trim
+        table = Some(pathOf(m, 2)); aliasPart = m.group(6).trim
       } else {
         val parts = srcSpec.split("\\s+", 2)
         table = Some(parts(0)); aliasPart = if (parts.length > 1) parts(1).trim else ""
@@ -321,7 +328,7 @@ object GraftSqlParser {
     if (o.matches()) {
       // tail = [WHERE <pred>] [ZORDER BY (cols)] — split by quote-aware
       // scan so a 'ZORDER BY' inside a predicate string literal stays put
-      val tail = Option(o.group(5)).map(_.trim).getOrElse("")
+      val tail = Option(o.group(6)).map(_.trim).getOrElse("")
       val zi = topLevelIndexOf(tail, "ZORDER")
       val (whereTail, zTail) =
         if (zi >= 0) (tail.substring(0, zi).trim, tail.substring(zi).trim)
@@ -348,21 +355,23 @@ object GraftSqlParser {
     val v = vacuum.matcher(sqlText)
     if (v.matches())
       return Some(GraftVacuumCommand(pathOf(v, 2),
-        Option(v.group(5)).map(_.toDouble), v.group(6) != null))
+        Option(v.group(6)).map(_.toDouble), v.group(7) != null))
     val rv = restoreV.matcher(sqlText)
     if (rv.matches())
-      return Some(GraftRestoreCommand(pathOf(rv, 2), Some(rv.group(5).toLong), None))
+      return Some(GraftRestoreCommand(pathOf(rv, 2), Some(rv.group(6).toLong), None))
     val rt = restoreT.matcher(sqlText)
     if (rt.matches())
-      return Some(GraftRestoreCommand(pathOf(rt, 2), None, Some(rt.group(5))))
+      return Some(GraftRestoreCommand(pathOf(rt, 2), None, Some(rt.group(6))))
     val f = fsck.matcher(sqlText)
     if (f.matches())
-      return Some(GraftFsckCommand(pathOf(f, 2), f.group(5) != null))
+      return Some(GraftFsckCommand(pathOf(f, 2), f.group(6) != null))
     val g = generate.matcher(sqlText)
     if (g.matches())
       return Some(GraftGenerateManifestCommand(pathOf(g, 2)))
+    // ANALYZE TABLE <ident> COMPUTE STATISTICS is Spark's own grammar on
+    // catalog tables — claim only path-shaped/graft-qualified targets
     val an = analyze.matcher(sqlText)
-    if (an.matches())
+    if (an.matches() && claimableDml(an))
       return Some(GraftAnalyzeCommand(pathOf(an, 2)))
     val h = history.matcher(sqlText)
     if (h.matches())
@@ -372,12 +381,12 @@ object GraftSqlParser {
       return Some(GraftDescribeDetailCommand(pathOf(dt, 2)))
     val cv = convert.matcher(sqlText)
     if (cv.matches())
-      return Some(GraftConvertCommand(pathOf(cv, 2), Option(cv.group(5)).map(_.trim)))
+      return Some(GraftConvertCommand(pathOf(cv, 2), Option(cv.group(6)).map(_.trim)))
     // ALTER TABLE / SHOW TBLPROPERTIES also exist in Spark's grammar, so
     // they follow the same claim rule as DML
     val asp = alterSetProps.matcher(sqlText)
     if (asp.matches() && claimableDml(asp)) {
-      val props = splitTopLevel(asp.group(5)).map { item =>
+      val props = splitTopLevel(asp.group(6)).map { item =>
         val eq = topLevelEq(item)
         require(eq > 0, s"malformed TBLPROPERTIES entry '$item' (expected key = value)")
         (unquote(item.substring(0, eq).trim), unquote(item.substring(eq + 1).trim))
@@ -387,35 +396,35 @@ object GraftSqlParser {
     val aup = alterUnsetProps.matcher(sqlText)
     if (aup.matches() && claimableDml(aup))
       return Some(GraftAlterPropertiesCommand(pathOf(aup, 2), Nil,
-        splitTopLevel(aup.group(5)).map(unquote)))
+        splitTopLevel(aup.group(6)).map(unquote)))
     val aac = alterAddCols.matcher(sqlText)
     if (aac.matches() && claimableDml(aac))
-      return Some(GraftAddColumnsCommand(pathOf(aac, 2), aac.group(5).trim))
+      return Some(GraftAddColumnsCommand(pathOf(aac, 2), aac.group(6).trim))
     val acc = alterAddConstraint.matcher(sqlText)
     if (acc.matches() && claimableDml(acc))
-      return Some(GraftAddConstraintCommand(pathOf(acc, 2), acc.group(5), acc.group(6).trim))
+      return Some(GraftAddConstraintCommand(pathOf(acc, 2), acc.group(6), acc.group(7).trim))
     val adc = alterDropConstraint.matcher(sqlText)
     if (adc.matches() && claimableDml(adc))
-      return Some(GraftDropConstraintCommand(pathOf(adc, 2), adc.group(5)))
+      return Some(GraftDropConstraintCommand(pathOf(adc, 2), adc.group(6)))
     val sp = showProps.matcher(sqlText)
     if (sp.matches() && claimableDml(sp))
       return Some(GraftShowPropertiesCommand(pathOf(sp, 2)))
     val mg = merge.matcher(sqlText)
     if (mg.matches() && claimableDml(mg)) {
-      parseMergeTail(mg.group(6)) match {
+      parseMergeTail(mg.group(7)) match {
         case Some((q, tbl, p, srcAlias, cond, clauses)) =>
-          return Some(GraftMergeCommand(pathOf(mg, 2), Option(mg.group(5)),
+          return Some(GraftMergeCommand(pathOf(mg, 2), Option(mg.group(6)),
             q, tbl, p, srcAlias, cond, clauses))
         case None => () // malformed tail: fall through to Spark's parser
       }
     }
     val d = delete.matcher(sqlText)
     if (d.matches() && claimableDml(d))
-      return Some(GraftDeleteCommand(pathOf(d, 2), Option(d.group(5)).map(_.trim)))
+      return Some(GraftDeleteCommand(pathOf(d, 2), Option(d.group(6)).map(_.trim)))
     val u = update.matcher(sqlText)
     if (u.matches() && claimableDml(u)) {
       // rest = <assignments> [WHERE <pred>] — same quote-aware boundary
-      val rest = u.group(5)
+      val rest = u.group(6)
       val wi = topLevelIndexOf(rest, "WHERE")
       val (setClause, where) =
         if (wi >= 0) (rest.substring(0, wi).trim, Some(rest.substring(wi + 5).trim))

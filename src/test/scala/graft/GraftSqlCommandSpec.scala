@@ -42,6 +42,33 @@ class GraftSqlCommandSpec extends AnyFunSpec with SparkSessionTestWrapper {
         Some(GraftDescribeHistoryCommand("/tmp/t")))
     }
 
+    it("maintenance statements accept UNQUOTED multi-part identifiers") {
+      // Delta's `OPTIMIZE events` ergonomics for statements outside
+      // Spark's grammar; single-word bare names are never claimed
+      assert(parse("OPTIMIZE graft_cat.ns.t ZORDER BY (a)") ==
+        Some(GraftOptimizeCommand("graft_cat.ns.t", None, Seq("a"))))
+      assert(parse("VACUUM graft_cat.ns.t RETAIN 24 HOURS") ==
+        Some(GraftVacuumCommand("graft_cat.ns.t", Some(24.0), dryRun = false)))
+      assert(parse("RESTORE TABLE graft_cat.ns.t TO VERSION AS OF 2") ==
+        Some(GraftRestoreCommand("graft_cat.ns.t", Some(2L), None)))
+      assert(parse("DESCRIBE HISTORY graft_cat.ns.t") ==
+        Some(GraftDescribeHistoryCommand("graft_cat.ns.t")))
+      assert(parse("DESC DETAIL graft_cat.ns.t") ==
+        Some(GraftDescribeDetailCommand("graft_cat.ns.t")))
+      assert(parse("FSCK REPAIR TABLE graft_cat.ns.t") ==
+        Some(GraftFsckCommand("graft_cat.ns.t", dryRun = false)))
+      // single-part bare names stay unclaimed (could be anything)
+      assert(parse("OPTIMIZE events").isEmpty)
+      // Spark's OWN grammar is never shadowed: ANALYZE on a bare catalog
+      // identifier, and all DML on bare identifiers, pass through (DML on
+      // graft catalog tables is served by the native V2 row-level path)
+      assert(parse("ANALYZE TABLE hive_db.tbl COMPUTE STATISTICS").isEmpty)
+      assert(parse("DELETE FROM sales.t WHERE id = 1").isEmpty)
+      assert(parse("UPDATE sales.t SET a = 1").isEmpty)
+      assert(parse("MERGE INTO sales.t AS x USING s ON x.id = s.id " +
+        "WHEN MATCHED THEN DELETE").isEmpty)
+    }
+
     it("parses DML with paren- and quote-aware SET splitting") {
       assert(parse("DELETE FROM '/tmp/t' WHERE id < 5") ==
         Some(GraftDeleteCommand("/tmp/t", Some("id < 5"))))

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.log.{ChangeDataFeedHelper, OperationMetricHelper}
 import graft.operators._
 import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
-import graft.tables.{AddCDCFile, AddFile, DeletionVectors, GraftLog, GraftTable}
+import graft.tables.{AddCDCFile, AddFile, DeletionVectors, GraftLog, GraftTable, TableWriter}
 
 /** Driver contract — one query per implemented operator from SURVEY.md §2
   * plus the LLM-pipeline operators. Each query is deterministic and
@@ -21,6 +21,22 @@ object SparkEntry {
 
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).resolve("t").toString
+
+  /** ONE `graft_cat` warehouse for every catalog-exercising gate query.
+    * Spark CACHES the catalog instance with the warehouse it saw at FIRST
+    * use — a per-query warehouse conf would silently diverge from the
+    * cached catalog (tables created by path under warehouse B, resolved by
+    * the catalog under warehouse A). Queries isolate by NAMESPACE instead,
+    * and drop/recreate their tables so bench re-measurement is idempotent.
+    */
+  private lazy val gateWarehouse: String =
+    Files.createTempDirectory("graft-gate-wh").toString
+
+  private def catalogWarehouse(s: SparkSession): String = {
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", gateWarehouse)
+    gateWarehouse
+  }
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
@@ -712,15 +728,14 @@ object SparkEntry {
       // the same watermark protocol must be skipped, not re-appended.
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val wh = tmp("q22wh")
-      s.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+      val wh = catalogWarehouse(s)
       val rows = read(s, dir, "nation")
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
         .as[(Int, String, Int)].collect()
       () => {
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.q22ns")
+      s.sql("DROP TABLE IF EXISTS graft_cat.q22ns.nt") // re-measurement idempotence
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Int, String, Int)]
       val query = input.toDF().toDF("n_nationkey", "n_name", "n_regionkey")
@@ -1023,11 +1038,10 @@ object SparkEntry {
       // .table("graft_cat.ns.t") — the reader options ride the V2 relation
       // and the resolution rule swaps it onto the path form's batched CDF
       // relation (one CDF engine for both addressing modes)
-      val wh = tmp("c14wh")
-      s.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+      val wh = catalogWarehouse(s)
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.c14ns")
       val dirT = s"$wh/c14ns/region_t"
+      TableWriter.deleteRecursively(java.nio.file.Paths.get(dirT)) // re-measurement idempotence
       val t = GraftTable.create(s, dirT, read(s, dir, "region"),
         properties = Map(GraftLog.CdfProperty -> "true"))
       TableOps.update(t, Some("r_regionkey = 0"), Map("r_name" -> "'EUROPA'"))
@@ -2840,9 +2854,7 @@ object SparkEntry {
       // The oracle replays the same mutations over the source parquet.
       // Requires the graft session extension (registered in Verify/Bench's
       // builders — the production session shape).
-      val wh = tmp("s40wh")
-      s.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+      val wh = catalogWarehouse(s)
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.vns")
       read(s, dir, "nation").createOrReplaceTempView("s40_nation_src")
       s.sql("DROP TABLE IF EXISTS graft_cat.vns.nation_t")
@@ -2869,9 +2881,7 @@ object SparkEntry {
       // commit-log merge/update/delete engine (the reference world's
       // native-MERGE-on-metastore-tables ergonomics). The oracle replays
       // the same mutations relationally over the raw supplier table.
-      val wh = tmp("s41wh")
-      s.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+      val wh = catalogWarehouse(s)
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.rlns")
       read(s, dir, "supplier").createOrReplaceTempView("s41_supp_src")
       s.sql("DROP TABLE IF EXISTS graft_cat.rlns.supp_t")

@@ -266,9 +266,17 @@ object TableWriter {
         // lands as a handful of right-sized files instead of 200 shards —
         // at scale this keeps file counts (and every later scan's task
         // count) proportional to DATA SIZE, not writer parallelism. The
-        // extra pass reads only this commit's own staged bytes.
-        coalesceStaging(spark, staging, stagingDir, checkedDf.schema, partCols, effectiveProps,
-          operation, newSchema)
+        // extra pass reads only this commit's own staged bytes — in the
+        // staged files' PHYSICAL layout: reading them back with logical
+        // names would null out every renamed column. (Pre-staged data is
+        // gated unmapped, so its logical layout IS physical.)
+        val stagedSchema = StructType(checkedDf.schema.fields.map { f =>
+          newSchema.fields.find(_.name.equalsIgnoreCase(f.name))
+            .map(tf => f.copy(name = ColumnMapping.physicalName(tf)))
+            .getOrElse(f)
+        })
+        coalesceStaging(spark, staging, stagingDir, stagedSchema, physPartCols,
+          effectiveProps, operation, newSchema)
 
         // 2. move produced parquet files into the table dir
         val moved = moveDataFiles(Paths.get(stagingDir), Paths.get(tablePath))

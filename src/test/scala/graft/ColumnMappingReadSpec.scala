@@ -76,6 +76,23 @@ class ColumnMappingReadSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(read.where("w = 3").count() == 3) // ids 3, 8, 13
   }
 
+  it("optimizeWrite re-bins a renamed table's staging without nulling the column") {
+    val dir = tmpTableDir("cmr-ow")
+    val t = GraftTable.create(spark, dir, Seq((0L, "seed")).toDF("id", "v"),
+      properties = Map(graft.tables.TableWriter.OptimizeWriteProperty -> "true"))
+    t.renameColumn("v", "w")
+    // a many-shard append forces the optimizeWrite re-bin, which re-reads
+    // the staged files — they carry the PHYSICAL column name
+    GraftTable.forPath(spark, dir)
+      .append(spark.range(1, 65).select(col("id"),
+        concat(lit("x"), col("id")).as("w")).repartition(16))
+    val read = GraftTable.forPath(spark, dir).toDF
+    assert(read.count() == 65)
+    assert(read.where("w IS NULL").count() == 0,
+      "optimizeWrite must re-read staging in the physical layout")
+    assert(read.where("w = 'x7'").count() == 1)
+  }
+
   it("CDF survives a rename: change files are physical, reads are logical") {
     val dir = tmpTableDir("cmr-cdf")
     val t = GraftTable.create(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),

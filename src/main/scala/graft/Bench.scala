@@ -172,10 +172,10 @@ object Bench {
     // drop the log level — every query has already run and been measured,
     // so teardown WARNs (temp-checkpoint deletion etc.) carry no signal,
     // only tail noise around the one JSON line that matters
+    spark.sparkContext.setLogLevel("ERROR")
     spark.streams.active.foreach { q =>
       try { q.stop(); q.awaitTermination(10000); () } catch { case _: Throwable => () }
     }
-    spark.sparkContext.setLogLevel("ERROR")
     // stop Spark BEFORE printing: shutdown log noise then cannot land after
     // the JSON, so a tail-capture of stdout always ends with the full line
     spark.stop()

@@ -522,7 +522,21 @@ class GraftCatalogReadFallback(spark: SparkSession)
         val v2 = r.table.asInstanceOf[GraftV2Table]
         val path = v2.path
         GraftScanRewrite.install(spark)
-        val lr = LogicalRelation(GraftRelation(spark.sqlContext, path, v2.versionAsOf))
+        // reader-option time travel (`spark.read.option("versionAsOf", 3)
+        // .table(...)` — Delta's option shape, same resolution as the path
+        // form). SQL `VERSION AS OF` already rode in on the table handle;
+        // both at once is a contradiction to refuse. The relation pins the
+        // option's snapshot; a column added after it reads loudly (the
+        // alias loop below), never silently null.
+        import scala.jdk.CollectionConverters._
+        val optVersion = graft.sources.GraftDataSource.resolveVersion(
+          path, r.options.asScala.toMap,
+          spark.sessionState.conf.sessionLocalTimeZone)
+        require(v2.versionAsOf.isEmpty || optVersion.isEmpty,
+          s"specify time travel for ${v2.name()} as either SQL VERSION/TIMESTAMP " +
+            "AS OF or the versionAsOf/timestampAsOf reader option, not both")
+        val lr = LogicalRelation(
+          GraftRelation(spark.sqlContext, path, v2.versionAsOf.orElse(optVersion)))
         // the session resolver, not toLowerCase: under caseSensitive=true a
         // lowercased map would collapse columns differing only by case
         val resolver = spark.sessionState.conf.resolver
@@ -550,8 +564,17 @@ class GraftCatalogReadFallback(spark: SparkSession)
         require(v2.versionAsOf.isEmpty,
           s"cannot stream from a time-travel (VERSION AS OF) read of ${v2.name()}")
         import scala.jdk.CollectionConverters._
+        // rows-only by default (Delta's readStream.table shape); with
+        // option("readChangeFeed","true") the stream keeps its change
+        // columns, which extend the V2 table schema exactly like the batch
+        // CDF branch above
+        val wantsChangeFeed = sr.extraOptions.asScala
+          .exists { case (k, v) =>
+            k.equalsIgnoreCase("readChangeFeed") && v.trim.equalsIgnoreCase("true") }
         val opts = sr.extraOptions.asScala.toMap ++
-          Map("path" -> v2.path, "dropChangeColumns" -> "true")
+          Map("path" -> v2.path) ++
+          (if (wantsChangeFeed) Map.empty
+           else Map("dropChangeColumns" -> "true"))
         val ds = org.apache.spark.sql.execution.datasources.DataSource(
           spark, className = "graft", options = opts)
         val v1 = org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(ds)
@@ -563,7 +586,9 @@ class GraftCatalogReadFallback(spark: SparkSession)
                 "the stream source schema"))
           Alias(n, orig.name)(exprId = orig.exprId, qualifier = orig.qualifier)
         }
-        Project(aliases, v1)
+        val changeCols = v1.output.filterNot(a =>
+          sr.output.exists(o => resolver(o.name, a.name)))
+        Project(aliases ++ changeCols, v1)
     }
   }
 }

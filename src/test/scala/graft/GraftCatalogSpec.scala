@@ -381,6 +381,35 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(ddl.contains("graft_cat.mgmt.t") && ddl.contains("id BIGINT"))
   }
 
+  it("reader-option time travel and streaming CDF on catalog identifiers") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ttopt")
+    spark.sql("CREATE TABLE graft_cat.ttopt.t AS SELECT id FROM range(5)")
+    spark.sql("INSERT INTO graft_cat.ttopt.t SELECT id FROM range(100, 103)")
+    // option("versionAsOf") pins the scan exactly like SQL VERSION AS OF
+    assert(spark.read.option("versionAsOf", "1").table("graft_cat.ttopt.t").count() == 5)
+    assert(spark.read.table("graft_cat.ttopt.t").count() == 8)
+    assert(spark.sql("SELECT * FROM graft_cat.ttopt.t VERSION AS OF 1").count() == 5)
+
+    // readStream CDF: option("readChangeFeed") keeps the change columns
+    // (rows-only remains the default readStream.table shape)
+    spark.sql("CREATE TABLE graft_cat.ttopt.c (id BIGINT) USING graft " +
+      "TBLPROPERTIES('graft.enableChangeDataFeed'='true')")
+    spark.sql("INSERT INTO graft_cat.ttopt.c SELECT id FROM range(4)")
+    spark.sql("DELETE FROM graft_cat.ttopt.c WHERE id = 2")
+    val q = spark.readStream
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .table("graft_cat.ttopt.c")
+      .writeStream.format("memory").queryName("cat_cdf_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("cat_cdf_stream")
+    assert(out.columns.toSeq == Seq("id", "_change_type", "_commit_version"))
+    assert(out.count() == 5) // 4 inserts + 1 delete
+    assert(out.where("_change_type = 'delete'").count() == 1)
+  }
+
   it("rename/drop refuse while a commit is in flight; stale claims unblock") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.adm")

@@ -173,17 +173,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    val retypes = changes.collect { case u: TableChange.UpdateColumnType => u }
     val other = changes.filterNot(c =>
       c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty] ||
         c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.RenameColumn] ||
-        c.isInstanceOf[TableChange.DeleteColumn])
+        c.isInstanceOf[TableChange.DeleteColumn] ||
+        c.isInstanceOf[TableChange.UpdateColumnType])
     if (other.nonEmpty)
       throw new UnsupportedOperationException(
         "graft catalog alterTable handles SET/UNSET TBLPROPERTIES, ADD COLUMNS, " +
-          "RENAME COLUMN and DROP COLUMN; for other column DDL use graft's " +
-          s"ALTER TABLE SQL on the table path (got: ${other.mkString(", ")})")
+          "RENAME COLUMN, DROP COLUMN and ALTER COLUMN TYPE (lossless widens); " +
+          "for other column DDL use graft's ALTER TABLE SQL on the table path " +
+          s"(got: ${other.mkString(", ")})")
+    retypes.foreach { u =>
+      require(u.fieldNames.length == 1,
+        s"graft ALTER COLUMN TYPE supports top-level columns only, got ${u.fieldNames.mkString(".")}")
+      t.widenColumnType(u.fieldNames.head, u.newDataType); ()
+    }
     renames.foreach { r =>
       require(r.fieldNames.length == 1,
         s"graft RENAME COLUMN supports top-level columns only, got ${r.fieldNames.mkString(".")}")

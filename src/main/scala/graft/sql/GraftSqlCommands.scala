@@ -264,6 +264,20 @@ case class GraftAddColumnsCommand(path: String, columnsDdl: String)
   }
 }
 
+/** `ALTER TABLE '<path>' ALTER COLUMN c TYPE <wider>` — explicit lossless
+  * type widening ([[GraftTable.widenColumnType]], metadata-only).
+  */
+case class GraftAlterColumnTypeCommand(path: String, column: String, typeDdl: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlCommands.resolveTarget(spark, path)
+    val dt = org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+    Seq(Row(t.widenColumnType(column, dt)))
+  }
+}
+
 case class GraftAddConstraintCommand(path: String, name: String, predicate: String)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =

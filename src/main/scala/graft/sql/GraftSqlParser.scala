@@ -110,6 +110,8 @@ object GraftSqlParser {
     s"""^\\s*ALTER\\s+TABLE\\s+$P\\s+UNSET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val alterAddCols = rx(
     s"""^\\s*ALTER\\s+TABLE\\s+$P\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*;?\\s*$$""")
+  private val alterColumnType = rx(
+    s"""^\\s*ALTER\\s+TABLE\\s+$P\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\\s+(?:SET\\s+DATA\\s+)?TYPE\\s+([A-Za-z0-9_()\\s,]+?)\\s*;?\\s*$$""")
   private val alterAddConstraint = rx(
     s"""^\\s*ALTER\\s+TABLE\\s+$P\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val alterDropConstraint = rx(
@@ -400,6 +402,12 @@ object GraftSqlParser {
     val aac = alterAddCols.matcher(sqlText)
     if (aac.matches() && claimableDml(aac))
       return Some(GraftAddColumnsCommand(pathOf(aac, 2), aac.group(6).trim))
+    // ALTER COLUMN ... TYPE is Spark grammar on catalog tables — same
+    // claim rule as the other ALTER forms
+    val act = alterColumnType.matcher(sqlText)
+    if (act.matches() && claimableDml(act))
+      return Some(GraftAlterColumnTypeCommand(pathOf(act, 2),
+        act.group(6), act.group(7).trim))
     val acc = alterAddConstraint.matcher(sqlText)
     if (acc.matches() && claimableDml(acc))
       return Some(GraftAddConstraintCommand(pathOf(acc, 2), acc.group(6), acc.group(7).trim))

@@ -199,6 +199,39 @@ class GraftTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** ALTER TABLE ALTER COLUMN <c> TYPE <wider> — METADATA-ONLY explicit
+    * type widening (Delta's ALTER COLUMN TYPE): the schema field widens to
+    * a LOSSLESS upcast the vectorized parquet reader performs natively
+    * (byte/short/int → int/long/double, float → double — the same matrix
+    * schema-merge widening uses), and not one data byte moves; old files'
+    * narrower values upcast at scan time. The commit turns on
+    * `graft.enableTypeWidening`, which brands the `typeWidening`
+    * reader/writer features so pre-widening builds fail loudly instead of
+    * mis-reading narrow files. Partition columns widen fine (their values
+    * re-parse from the dir strings at the new type).
+    */
+  def widenColumnType(name: String, newType: org.apache.spark.sql.types.DataType): Long =
+    retryMetadataCommit("ALTER COLUMN TYPE") { s =>
+      val idx = s.schema.fields.indexWhere(_.name.equalsIgnoreCase(name))
+      require(idx >= 0, s"column $name does not exist in $path")
+      val f = s.schema.fields(idx)
+      require(f.dataType != newType,
+        s"column $name already has type ${newType.simpleString}")
+      require(TableWriter.widensTo(f.dataType, newType),
+        s"cannot change $name: ${f.dataType.simpleString} -> " +
+          s"${newType.simpleString} is not a lossless widen this build's " +
+          "parquet reader upcasts natively (widen to int/long/double per the " +
+          "type-widening matrix; narrowing and string/decimal changes need a " +
+          "rewrite)")
+      val widened = StructType(s.schema.fields.updated(idx, f.copy(dataType = newType)))
+      Seq(
+        graft.tables.Metadata(widened.json, s.metadata.partitionColumns,
+          s.metadata.properties + (TableWriter.TypeWideningProperty -> "true")),
+        CommitInfo(System.currentTimeMillis(), "ALTER COLUMN TYPE",
+          operationParameters = Map("column" -> name,
+            "from" -> f.dataType.simpleString, "to" -> newType.simpleString)))
+    }
+
   /** ALTER TABLE DROP COLUMN(S) — metadata-only: the fields leave the
     * schema (scans simply stop selecting their physical columns; bytes are
     * reclaimed when files are next rewritten), and their physical names are

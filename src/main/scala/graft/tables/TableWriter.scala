@@ -949,7 +949,7 @@ object TableWriter {
       FloatType -> Set(DoubleType))
   }
 
-  private def widensTo(from: org.apache.spark.sql.types.DataType,
+  private[tables] def widensTo(from: org.apache.spark.sql.types.DataType,
       to: org.apache.spark.sql.types.DataType): Boolean =
     widenTargets.get(from).exists(_.contains(to))
 

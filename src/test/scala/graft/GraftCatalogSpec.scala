@@ -410,6 +410,39 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(out.where("_change_type = 'delete'").count() == 1)
   }
 
+  it("ALTER COLUMN TYPE widens losslessly, metadata-only, feature-branded") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.wid")
+    spark.sql("CREATE TABLE graft_cat.wid.t AS SELECT CAST(id AS INT) AS id, " +
+      "CAST(id AS FLOAT) AS score FROM range(10)")
+    spark.sql("ALTER TABLE graft_cat.wid.t ALTER COLUMN id TYPE BIGINT")
+    spark.sql("ALTER TABLE graft_cat.wid.t ALTER COLUMN score TYPE DOUBLE")
+    val df = spark.table("graft_cat.wid.t")
+    assert(df.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.schema("score").dataType == org.apache.spark.sql.types.DoubleType)
+    // OLD files' int32/float values upcast at scan time — no rewrite
+    assert(df.where("id = 7").count() == 1)
+    assert(df.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) == 45)
+    val t = GraftTable.forName(spark, "graft_cat.wid.t")
+    assert(t.history().count(_._2.operation == "ALTER COLUMN TYPE") == 2)
+    assert(t.snapshot.protocol.readerFeatures.contains("typeWidening"))
+    // post-widen appends carry the wide type; both generations co-scan
+    spark.sql("INSERT INTO graft_cat.wid.t SELECT 5000000000, 1.5")
+    assert(spark.table("graft_cat.wid.t").where("id > 4000000000").count() == 1)
+    // narrowing refuses loudly — Spark's own analyzer rejects it before
+    // the catalog; non-lossless changes Spark WOULD allow (e.g. long →
+    // string) hit graft's own widening matrix
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cat.wid.t ALTER COLUMN id TYPE INT")
+    }
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cat.wid.t ALTER COLUMN id TYPE STRING")
+    }
+    assert(String.valueOf(e.getMessage).contains("lossless") ||
+      String.valueOf(e.getCause).contains("lossless") ||
+      e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"))
+  }
+
   it("rename/drop refuse while a commit is in flight; stale claims unblock") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.adm")

@@ -57,6 +57,12 @@ class GraftSqlCommandSpec extends AnyFunSpec with SparkSessionTestWrapper {
         Some(GraftDescribeDetailCommand("graft_cat.ns.t")))
       assert(parse("FSCK REPAIR TABLE graft_cat.ns.t") ==
         Some(GraftFsckCommand("graft_cat.ns.t", dryRun = false)))
+      // ALTER COLUMN TYPE follows the DML claim rule (Spark grammar too)
+      assert(parse("ALTER TABLE '/tmp/t' ALTER COLUMN c TYPE BIGINT") ==
+        Some(GraftAlterColumnTypeCommand("/tmp/t", "c", "BIGINT")))
+      assert(parse("ALTER TABLE graft.`/tmp/t` CHANGE COLUMN c SET DATA TYPE DOUBLE") ==
+        Some(GraftAlterColumnTypeCommand("/tmp/t", "c", "DOUBLE")))
+      assert(parse("ALTER TABLE hive_db.tbl ALTER COLUMN c TYPE BIGINT").isEmpty)
       // single-part bare names stay unclaimed (could be anything)
       assert(parse("OPTIMIZE events").isEmpty)
       // Spark's OWN grammar is never shadowed: ANALYZE on a bare catalog

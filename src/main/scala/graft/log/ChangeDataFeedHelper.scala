@@ -136,23 +136,39 @@ case class ChangeDataFeedHelper(
     // change files carry the full row physically (incl. partition columns);
     // mergeSchema reconciles schema evolution across versions in one scan.
     // Column names in the files are PHYSICAL (stable across RENAME COLUMN)
-    // — translate back to the newest in-range snapshot's logical names
+    // — BOTH frames translate to the RANGE-END snapshot's logical names,
+    // so a rename landing in-range after the last change file still
+    // surfaces one column under one (current) name instead of splitting
+    // the unioned output into a stale-name and a new-name column
+    val endSchema = log.snapshot(e).schema
     val cdcFrame = if (cdc.isEmpty) None else {
-      val mapSchema = log.snapshot(cdc.map(_._2).max).schema
       Some(stamp(
         graft.tables.ColumnMapping.toLogical(
           spark.read.option("mergeSchema", "true")
             .parquet(cdc.map { case (p, _, _) => s"$path/$p" }: _*),
-          mapSchema),
+          endSchema),
         cdc))
     }
     // plain appends read with the newest in-range snapshot schema (older
-    // files surface later columns as null — same as the per-version union)
+    // files surface later columns as null — same as the per-version union),
+    // then relabel to the range-end logical names via the stable physical
+    // names (identity when no in-range rename followed the last insert)
     val insFrame = if (ins.isEmpty) None else {
       val maxV = ins.map(_._2).max
+      val atMax = log.snapshot(maxV).schema
+      val physToEnd: Map[String, String] = endSchema.fields.iterator
+        .map(f => graft.tables.ColumnMapping.physicalName(f).toLowerCase -> f.name).toMap
+      val raw = table.dfForFiles(log.snapshot(maxV), ins.map(_._1))
+      val relabeled = raw.select(raw.columns.map { c =>
+        val phys = atMax.fields.find(_.name.equalsIgnoreCase(c))
+          .map(f => graft.tables.ColumnMapping.physicalName(f).toLowerCase)
+        phys.flatMap(physToEnd.get) match {
+          case Some(endName) if endName != c => org.apache.spark.sql.functions.col(c).as(endName)
+          case _                             => org.apache.spark.sql.functions.col(c)
+        }
+      }.toIndexedSeq: _*)
       Some(stamp(
-        table.dfForFiles(log.snapshot(maxV), ins.map(_._1))
-          .withColumn("_change_type", lit("insert")),
+        relabeled.withColumn("_change_type", lit("insert")),
         ins.map { case (a, v, ts) => (a.path, v, ts) }))
     }
 

@@ -970,26 +970,44 @@ object TableOps {
     * (`.graft-stream-epoch-<uuid>/` under the table — see
     * [[graft.streaming.GraftStreamingWrite]]): a failed epoch ATTEMPT whose
     * abort never ran (driver crash) leaves its staging behind; scans ignore
-    * dotted dirs, so the only cost is disk — reclaimed here under the same
-    * in-flight age guard as the sidecar sweeps (a LIVE epoch's staging is
-    * seconds-to-minutes old; one untouched for an hour is dead).
+    * dotted dirs, so the only cost is disk. Liveness is the NEWEST mtime
+    * across the whole staging TREE — writing into already-created partition
+    * files does not touch the root dir's mtime, so a root-only check would
+    * sweep a live long-running epoch — under a deliberately generous age
+    * guard ([[StreamStagingMinAgeMillis]]: even a slow epoch flushes a row
+    * group within hours; an abandoned dir can wait that long to reclaim).
     */
   private[graft] def streamStagingOrphanDirs(tablePath: String): Seq[java.nio.file.Path] = {
     import java.nio.file.{Files, Paths}
     val root = Paths.get(tablePath)
     if (!Files.isDirectory(root)) return Nil
-    val cutoff = System.currentTimeMillis() - BloomSidecarMinAgeMillis
+    val cutoff = System.currentTimeMillis() - StreamStagingMinAgeMillis
+    def newestMtime(dir: java.nio.file.Path): Long = {
+      val walk = Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.foldLeft(0L) { (acc, p) =>
+          math.max(acc,
+            try Files.getLastModifiedTime(p).toMillis
+            catch { case _: java.io.IOException => Long.MaxValue }) // vanishing: live
+        }
+      } finally walk.close()
+    }
     val stream = Files.list(root)
     try {
       import scala.jdk.CollectionConverters._
       stream.iterator().asScala
         .filter { p =>
           p.getFileName.toString.startsWith(".graft-stream-epoch-") &&
-            (try Files.getLastModifiedTime(p).toMillis < cutoff
-             catch { case _: java.io.IOException => false })
+            newestMtime(p) < cutoff
         }.toList
     } finally stream.close()
   }
+
+  /** Minimum whole-tree idle age before an abandoned streaming-epoch
+    * staging dir is swept (see [[streamStagingOrphanDirs]]).
+    */
+  val StreamStagingMinAgeMillis: Long = 6 * 60 * 60 * 1000L
 
   private case class VacuumPlan(
       deadFiles: Seq[String], dropVersions: Seq[Long], liveSidecars: Set[String],

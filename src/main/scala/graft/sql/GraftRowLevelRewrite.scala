@@ -103,7 +103,10 @@ class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               case _ => false
             })
           }
-      def clause(a: MergeAction, matched: Boolean, bySource: Boolean): MergeClauseSpec =
+      def clause(a: MergeAction, matched: Boolean, bySource: Boolean): MergeClauseSpec = {
+        // per-clause AND conditions run in the same multi-pass joins as the
+        // merge condition — the determinism contract covers them too
+        a.condition.foreach(requireDeterministic(_, "MERGE clause"))
         a match {
           case UpdateAction(cond, _, fromStar)
               if fromStar && m.withSchemaEvolution && !bySource =>
@@ -123,6 +126,7 @@ class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           case other => throw new UnsupportedOperationException(
             s"MERGE INTO ${v2.name()}: unsupported merge action $other")
         }
+      }
       val clauses =
         m.matchedActions.map(clause(_, matched = true, bySource = false)) ++
           m.notMatchedActions.map(clause(_, matched = false, bySource = false)) ++

@@ -96,14 +96,33 @@ class GraftStreamingWrite(
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
-    val stagings: Seq[String] = messages.toSeq.collect {
-      case m: GraftEpochFilesMessage => m.stagingDir
-    }.distinct
+    val msgs = messages.toSeq.collect { case m: GraftEpochFilesMessage => m }
+    val stagings: Seq[String] = msgs.map(_.stagingDir).distinct
     require(stagings.size <= 1,
       s"epoch $epochId produced messages from ${stagings.size} staging dirs — " +
         "mixed write attempts must not commit together")
     val staging = stagings.headOption.map(Paths.get(_))
     try {
+      // register EXACTLY the files the committed task attempts reported:
+      // a failed/zombie attempt whose abort never ran (executor lost mid-
+      // write) leaves partial parquet in the staging dir, and registering
+      // the whole dir would commit those torn bytes as table data. Prune
+      // everything the messages don't name before the dir is consumed.
+      staging.foreach { dir =>
+        val committed = msgs.flatMap(_.relPaths).toSet
+        val walk = Files.walk(dir)
+        try {
+          val all = walk.iterator()
+          while (all.hasNext) {
+            val p = all.next()
+            if (Files.isRegularFile(p) &&
+                p.getFileName.toString.endsWith(".parquet") &&
+                !committed.contains(dir.relativize(p).toString)) {
+              Files.deleteIfExists(p); ()
+            }
+          }
+        } finally walk.close()
+      }
       val snap =
         if (GraftTable.exists(tablePath)) Some(new GraftLog(tablePath).snapshot())
         else None
@@ -116,7 +135,11 @@ class GraftStreamingWrite(
         val w = schema.fields.map(f => (f.name.toLowerCase, f.dataType))
         t.sameElements(w)
       }
-      if (TableWriter.canRegisterPreStaged(props, schema) && schemaMatches) {
+      // the mapping gate must see the TABLE's schema — the stream's schema
+      // carries no physicalName metadata, so checking it would route mapped
+      // tables onto the direct path instead of the documented fallback
+      val gateSchema = snap.map(_.schema).getOrElse(schema)
+      if (TableWriter.canRegisterPreStaged(props, gateSchema) && schemaMatches) {
         // DIRECT registration: the staged parquet IS the data write
         TableWriter.write(
           spark, tablePath,
@@ -294,8 +317,10 @@ class GraftEpochDataWriter(
 }
 
 object GraftEpochDataWriter {
-  /** Spark's null/empty partition-dir token (the scan maps it back to null). */
-  val DefaultPartitionName = "__HIVE_DEFAULT_PARTITION__"
+  /** Spark's null/empty partition-dir token (the scan maps it back to
+    * null) — ONE definition with the read side's comparator.
+    */
+  val DefaultPartitionName: String = TableWriter.HiveDefaultPartition
 
   /** Open-writer bound per task — micro-batch epochs should touch few
     * partition values per task; beyond this the stream needs an upstream

@@ -193,25 +193,29 @@ class GraftLog(val tablePath: String, val store: LogStore) {
       // format disambiguation, CONTENT-first: a head carrying adds IS the
       // JSON checkpoint (any dir sidecar alongside is ignored — reading
       // both would duplicate every file); an add-less head whose OWN
-      // metadata declares parquet format must find its dir sidecar or
-      // fail LOUDLY — proceeding without it would silently replay a tiny
-      // subset of the table (e.g. a reader racing a concurrent checkpoint
-      // deletion), where the JSON format at least threw FileNotFound.
-      // Only when the store is FILESYSTEM-backed, though: on any other
-      // store writeCheckpoint always falls back to a self-contained JSON
-      // checkpoint, so an add-less head there IS the complete (empty-
-      // file-set) checkpoint — demanding a dir sidecar it can never have
-      // would brick every later read of a validly-empty table
-      if (store.filesystemBacked && headAdds == 0 && meta != null &&
+      // metadata declares parquet format reads its dir sidecar whenever
+      // one exists (the dir is written with java.nio regardless of the
+      // log's store, so even a table re-routed onto a non-filesystem
+      // store keeps reading its parquet checkpoints). A MISSING dir:
+      //  - filesystem-backed store: fail LOUDLY — the parquet writer
+      //    always lands the dir before the head here, so absence means a
+      //    reader racing a concurrent checkpoint deletion, and folding
+      //    without it would silently replay a tiny subset of the table;
+      //  - non-filesystem store: writeCheckpoint falls back to a
+      //    self-contained JSON checkpoint there, so an add-less head with
+      //    no dir IS the complete (empty-file-set) checkpoint — demanding
+      //    a sidecar it never wrote would brick a validly-empty table.
+      if (headAdds == 0 && meta != null &&
           meta.properties.get(GraftLog.CheckpointFormatProperty)
             .exists(_.equalsIgnoreCase("parquet"))) {
         val pdir = checkpointParquetDir(cv)
-        if (!Files.isDirectory(pdir))
+        if (Files.isDirectory(pdir))
+          CheckpointParquet.read(pdir).foreach(a => files(a.path) = a)
+        else if (store.filesystemBacked)
           throw new IllegalStateException(
             s"checkpoint $cv of $tablePath is parquet-format but its file-actions " +
               s"dir sidecar (${pdir.getFileName}) is missing — deleted concurrently; " +
               "retry, or restore/rewrite the checkpoint")
-        CheckpointParquet.read(pdir).foreach(a => files(a.path) = a)
       }
     }
     vs.filter(v => v <= target && ckpt.forall(v > _)).foreach { v =>

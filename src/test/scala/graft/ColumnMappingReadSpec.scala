@@ -107,5 +107,14 @@ class ColumnMappingReadSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(cdf.contains((1L, "a", "update_preimage", 1L)))
     assert(cdf.contains((1L, "a2", "update_postimage", 1L)))
     assert(cdf.contains((2L, "b", "delete", 3L)))
+
+    // a rename landing at the END of the range (after the last change
+    // file) must still relabel — both frames translate to the RANGE-END
+    // schema, never splitting one column across stale and new names
+    GraftTable.forPath(spark, dir).renameColumn("w", "u") // v4, metadata-only
+    val cdf2 = graft.log.ChangeDataFeedHelper(spark, dir, 0L, 4L).readCDF
+    assert(cdf2.columns.contains("u") && !cdf2.columns.contains("w"),
+      s"range-end rename must own the output name, got ${cdf2.columns.toSeq}")
+    assert(cdf2.where("u = 'a2' AND _change_type = 'update_postimage'").count() == 1)
   }
 }

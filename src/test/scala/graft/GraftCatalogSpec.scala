@@ -333,6 +333,13 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
       spark.sql("UPDATE graft_cat.ref.t SET val = 0 WHERE rand() < 2")
     }
     assert(rnd.getMessage.contains("deterministic"))
+    // per-CLAUSE merge conditions run in the same multi-pass joins — the
+    // determinism contract covers them too
+    val clauseRnd = intercept[Exception] {
+      spark.sql("MERGE INTO graft_cat.ref.t AS t USING (SELECT id FROM range(3)) AS s " +
+        "ON t.id = s.id WHEN MATCHED AND rand() < 0.5 THEN DELETE")
+    }
+    assert(clauseRnd.getMessage.contains("deterministic"))
     // and nothing was mutated by the refused statements
     assert(spark.table("graft_cat.ref.t").where("val = 0").count() == 1) // id=0 only
   }

@@ -131,6 +131,81 @@ class GraftStreamingWriteSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(spark.table("graft_cat.swc.t").count() == 20)
   }
 
+  it("commit registers ONLY message-listed files; orphan attempt files are pruned") {
+    val dir = tmpTableDir("sw-prune")
+    GraftTable.create(spark, dir, spark.range(2).toDF("id"))
+    val info = new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap =
+        new CaseInsensitiveStringMap(java.util.Map.of("txnAppId", "prune-app"))
+      override def queryId(): String = "spec-prune"
+      override def schema(): StructType = StructType.fromDDL("id BIGINT")
+    }
+    val w = new GraftStreamingWrite(dir, info, overwrite = false)
+    val factory = w.createStreamingWriterFactory(
+      new PhysicalWriteInfo { override def numPartitions(): Int = 2 })
+    // task 0 commits its message; task 1 simulates a lost attempt whose
+    // abort never ran: its (possibly torn) file stays in staging with NO
+    // message — the commit must prune it, not register it as table data
+    val good = factory.createWriter(0, 1L, 0L)
+    good.write(InternalRow(10L))
+    val goodMsg = good.commit().asInstanceOf[GraftEpochFilesMessage]
+    val lost = factory.createWriter(1, 2L, 0L)
+    lost.write(InternalRow(999L))
+    lost.commit() // file closed on disk, but the MESSAGE is never delivered
+    w.commit(0L, Array(goodMsg))
+    val rows = GraftTable.forPath(spark, dir).toDF
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(rows == Seq(0L, 1L, 10L), s"orphan attempt rows must not commit, got $rows")
+  }
+
+  it("a MAPPED table (renamed column) falls back to the full engine and keeps data") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.swm")
+    spark.sql("CREATE TABLE graft_cat.swm.t AS SELECT CAST(0 AS BIGINT) AS id, 'seed' AS v")
+    spark.sql("ALTER TABLE graft_cat.swm.t RENAME COLUMN v TO w") // table now mapped
+    val src = Files.createTempDirectory("sw-mapped-src").toString
+    spark.range(1, 6).select(col("id"),
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("x"), col("id")).as("w"))
+      .write.mode("overwrite").parquet(s"$src/f")
+    // the V2 StreamingWrite path: the mapping gate must see the TABLE's
+    // schema (the stream schema carries no physicalName metadata) and route
+    // every epoch through the DataFrame engine, which writes physical names
+    val q = spark.readStream.schema("id BIGINT, w STRING").parquet(s"$src/f")
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("sw-mapped-ck").toString)
+      .option("txnAppId", "sw-mapped-app")
+      .trigger(Trigger.AvailableNow()).toTable("graft_cat.swm.t")
+    q.awaitTermination(120000)
+    val read = spark.table("graft_cat.swm.t")
+    assert(read.count() == 6)
+    assert(read.where("w IS NULL").count() == 0,
+      "mapped-table epochs must route through the DataFrame engine (physical names)")
+    assert(read.where("w = 'x3'").count() == 1)
+  }
+
+  it("vacuum's staging sweep keys on the whole TREE's newest mtime") {
+    val dir = tmpTableDir("sw-sweep")
+    GraftTable.create(spark, dir, spark.range(3).toDF("id"))
+    val old = System.currentTimeMillis() - 2 * graft.operators.TableOps.StreamStagingMinAgeMillis
+    def mk(name: String, innerAge: Long): java.nio.file.Path = {
+      val d = Paths.get(dir, name)
+      Files.createDirectories(d)
+      val f = d.resolve("part-0.parquet")
+      Files.write(f, Array[Byte](1, 2, 3))
+      Files.setLastModifiedTime(d, java.nio.file.attribute.FileTime.fromMillis(old))
+      Files.setLastModifiedTime(f, java.nio.file.attribute.FileTime.fromMillis(innerAge))
+      d
+    }
+    // LIVE epoch: stale root mtime but a freshly-written inner file
+    val live = mk(".graft-stream-epoch-live", System.currentTimeMillis())
+    // DEAD epoch: everything idle past the guard
+    val dead = mk(".graft-stream-epoch-dead", old)
+    val swept = graft.operators.TableOps.streamStagingOrphanDirs(dir)
+    assert(swept.map(_.getFileName.toString) == Seq(".graft-stream-epoch-dead"))
+    assert(Files.exists(live) && Files.exists(dead))
+  }
+
   it("abort deletes the epoch's staging files") {
     val dir = tmpTableDir("sw-abort")
     GraftTable.create(spark, dir, spark.range(3).toDF("id"))

@@ -300,6 +300,41 @@ class LogStoreSpec extends AnyFunSpec with SparkSessionTestWrapper {
       } finally LogStore.unregister(dir)
     }
 
+    it("a parquet checkpoint keeps reading after re-routing to a non-fs store") {
+      // the dir sidecar is written with java.nio regardless of the log's
+      // store, so a table whose LOG is re-routed onto an object-store-shaped
+      // backend must still fold its parquet checkpoints — silently folding
+      // to an empty file set here was a round-13 review find
+      val dir = tmpTableDir("ls-ckpt-reroute")
+      val t = GraftTable.create(spark, dir, spark.range(10).toDF("id"),
+        properties = Map(graft.tables.GraftLog.CheckpointFormatProperty -> "parquet"))
+      t.append(spark.range(10, 15).toDF("id"))
+      val log = new GraftLog(dir)
+      val v = log.latestVersion()
+      log.writeCheckpoint(v)
+      val truth = log.snapshot(v).files.map(_.path).toSet
+      assert(truth.nonEmpty)
+      // mirror the log objects into an in-memory store and re-route
+      val mem = new InMemoryLogStore
+      val logDir = java.nio.file.Paths.get(dir, graft.tables.GraftLog.LogDirName)
+      mem.createDirectories(logDir)
+      val listing = java.nio.file.Files.list(logDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala.foreach { p =>
+          if (java.nio.file.Files.isRegularFile(p))
+            mem.overwrite(p, java.nio.file.Files.readAllBytes(p))
+        }
+      } finally listing.close()
+      LogStore.register(dir, mem)
+      try {
+        val rerouted = new GraftLog(dir)
+        assert(rerouted.store eq mem)
+        assert(rerouted.snapshot(v).files.map(_.path).toSet == truth,
+          "parquet checkpoint must fold through the local dir sidecar")
+      } finally LogStore.unregister(dir)
+    }
+
     it("DistributedSnapshot refuses a non-filesystem store loudly") {
       val store = new InMemoryLogStore
       val dir = tmpTableDir("ls-mem-ds")

@@ -681,26 +681,27 @@ object GraftMetadataOnlyAggregate extends Rule[LogicalPlan] {
     val dt = field.dataType
     if (!statsSafe(dt)) return None
     val isPartition = snap.metadata.partitionColumns.contains(name)
-    // column mapping renames the stats keys; partition values key by the
-    // DIRECTORY name — bail when logical and physical names diverge
+    // column mapping: stats and partition-value keys are the field's
+    // PHYSICAL name (stable across renames) — look up by it, exactly like
+    // FileSkipping's statKey, so metadata-only min/max keeps firing after
+    // RENAME COLUMN
     val physical = graft.tables.ColumnMapping.physicalName(field)
-    if (physical != name) return None
 
     val perFile: Seq[Option[Option[Any]]] = stats.map { case (f, st) =>
       // Some(Some(v)) = contributes v; Some(None) = provably all-null file
       // (contributes nothing); None = unknown → bail
       if (st.numRecords == 0L) Some(None)
       else if (isPartition) {
-        f.partitionValues.get(name) match {
+        f.partitionValues.get(physical) match {
           case Some(TableWriter.HiveDefaultPartition) => Some(None)
           case Some(s) => graft.tables.FileSkipping.parseExternal(s, dt)
             .map(v => Some(v))
           case None => None
         }
-      } else (if (isMin) st.minValues else st.maxValues).get(name) match {
+      } else (if (isMin) st.minValues else st.maxValues).get(physical) match {
         case Some(s) => graft.tables.FileSkipping.parseStat(s, dt).map(v => Some(v))
         case None =>
-          if (st.nullCount.get(name).contains(st.numRecords)) Some(None) else None
+          if (st.nullCount.get(physical).contains(st.numRecords)) Some(None) else None
       }
     }
     if (perFile.exists(_.isEmpty)) return None

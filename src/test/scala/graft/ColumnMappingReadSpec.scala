@@ -76,6 +76,23 @@ class ColumnMappingReadSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(read.where("w = 3").count() == 3) // ids 3, 8, 13
   }
 
+  it("metadata-only min/max keeps firing after a rename (physical stats keys)") {
+    val dir = tmpTableDir("cmr-agg")
+    val t = GraftTable.create(spark, dir,
+      spark.range(100).select(col("id"), (col("id") * 2).as("v")))
+    t.renameColumn("v", "w")
+    val df = spark.read.format("graft").load(dir)
+    val agg = df.agg(min("w"), max("w"), count(lit(1)))
+    // the answer must be correct...
+    val row = agg.head()
+    assert(row.getLong(0) == 0L && row.getLong(1) == 198L && row.getLong(2) == 100L)
+    // ...and metadata-only: the aggregate collapses to a LocalRelation
+    assert(agg.queryExecution.optimizedPlan
+      .collectFirst { case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l }
+      .nonEmpty,
+      s"min/max after rename should answer from stats, got:\n${agg.queryExecution.optimizedPlan}")
+  }
+
   it("optimizeWrite re-bins a renamed table's staging without nulling the column") {
     val dir = tmpTableDir("cmr-ow")
     val t = GraftTable.create(spark, dir, Seq((0L, "seed")).toDF("id", "v"),

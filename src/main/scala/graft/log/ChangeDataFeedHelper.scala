@@ -155,18 +155,13 @@ case class ChangeDataFeedHelper(
     // names (identity when no in-range rename followed the last insert)
     val insFrame = if (ins.isEmpty) None else {
       val maxV = ins.map(_._2).max
-      val atMax = log.snapshot(maxV).schema
-      val physToEnd: Map[String, String] = endSchema.fields.iterator
-        .map(f => graft.tables.ColumnMapping.physicalName(f).toLowerCase -> f.name).toMap
-      val raw = table.dfForFiles(log.snapshot(maxV), ins.map(_._1))
-      val relabeled = raw.select(raw.columns.map { c =>
-        val phys = atMax.fields.find(_.name.equalsIgnoreCase(c))
-          .map(f => graft.tables.ColumnMapping.physicalName(f).toLowerCase)
-        phys.flatMap(physToEnd.get) match {
-          case Some(endName) if endName != c => org.apache.spark.sql.functions.col(c).as(endName)
-          case _                             => org.apache.spark.sql.functions.col(c)
-        }
-      }.toIndexedSeq: _*)
+      val atMaxSnap = log.snapshot(maxV)
+      // relabel through the CANONICAL mapping helpers (identity for
+      // unmapped schemas): logical@maxV → stable physical → logical@end
+      val relabeled = graft.tables.ColumnMapping.toLogical(
+        graft.tables.ColumnMapping.toPhysical(
+          table.dfForFiles(atMaxSnap, ins.map(_._1)), atMaxSnap.schema),
+        endSchema)
       Some(stamp(
         relabeled.withColumn("_change_type", lit("insert")),
         ins.map { case (a, v, ts) => (a.path, v, ts) }))

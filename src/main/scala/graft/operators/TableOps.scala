@@ -982,17 +982,24 @@ object TableOps {
     val root = Paths.get(tablePath)
     if (!Files.isDirectory(root)) return Nil
     val cutoff = System.currentTimeMillis() - StreamStagingMinAgeMillis
-    def newestMtime(dir: java.nio.file.Path): Long = {
-      val walk = Files.walk(dir)
+    // ANY filesystem race during the walk (dir consumed by a committing
+    // epoch, file vanishing mid-iteration — surfacing as IOException OR
+    // UncheckedIOException) means the dir is LIVE: report it too fresh to
+    // sweep rather than crashing the vacuum mid-sweep
+    def newestMtime(dir: java.nio.file.Path): Long =
       try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.foldLeft(0L) { (acc, p) =>
-          math.max(acc,
-            try Files.getLastModifiedTime(p).toMillis
-            catch { case _: java.io.IOException => Long.MaxValue }) // vanishing: live
-        }
-      } finally walk.close()
-    }
+        val walk = Files.walk(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.foldLeft(0L) { (acc, p) =>
+            math.max(acc,
+              try Files.getLastModifiedTime(p).toMillis
+              catch { case _: java.io.IOException => Long.MaxValue })
+          }
+        } finally walk.close()
+      } catch {
+        case _: java.io.IOException | _: java.io.UncheckedIOException => Long.MaxValue
+      }
     val stream = Files.list(root)
     try {
       import scala.jdk.CollectionConverters._

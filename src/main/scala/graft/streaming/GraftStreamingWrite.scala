@@ -101,28 +101,28 @@ class GraftStreamingWrite(
     require(stagings.size <= 1,
       s"epoch $epochId produced messages from ${stagings.size} staging dirs — " +
         "mixed write attempts must not commit together")
-    val staging = stagings.headOption.map(Paths.get(_))
-    try {
-      // register EXACTLY the files the committed task attempts reported:
-      // a failed/zombie attempt whose abort never ran (executor lost mid-
-      // write) leaves partial parquet in the staging dir, and registering
-      // the whole dir would commit those torn bytes as table data. Prune
-      // everything the messages don't name before the dir is consumed.
-      staging.foreach { dir =>
-        val committed = msgs.flatMap(_.relPaths).toSet
-        val walk = Files.walk(dir)
-        try {
-          val all = walk.iterator()
-          while (all.hasNext) {
-            val p = all.next()
-            if (Files.isRegularFile(p) &&
-                p.getFileName.toString.endsWith(".parquet") &&
-                !committed.contains(dir.relativize(p).toString)) {
-              Files.deleteIfExists(p); ()
-            }
-          }
-        } finally walk.close()
+    val rawStaging = stagings.headOption.map(Paths.get(_))
+    // register EXACTLY the files the committed task attempts reported, by
+    // MOVING them into a fresh commit dir (not by pruning the shared dir in
+    // place): a zombie attempt whose abort never ran can land a fully-
+    // footered file at ANY time — after an in-place prune but before the
+    // dir is consumed — and it must never become table data. Only the
+    // message-listed paths enter the commit dir; whatever a straggler
+    // writes lands in the abandoned raw dir, which is deleted below (and
+    // swept by vacuum if even that races). Paths resolve by relative name,
+    // so no separator-sensitive string comparison exists.
+    val staging = rawStaging.map { dir =>
+      val commitDir = dir.resolveSibling(dir.getFileName.toString + "-commit")
+      Files.createDirectories(commitDir)
+      msgs.flatMap(_.relPaths).distinct.foreach { rel =>
+        val src = dir.resolve(rel)
+        val dst = commitDir.resolve(rel)
+        Files.createDirectories(dst.getParent)
+        Files.move(src, dst)
       }
+      commitDir
+    }
+    try {
       val snap =
         if (GraftTable.exists(tablePath)) Some(new GraftLog(tablePath).snapshot())
         else None
@@ -171,7 +171,7 @@ class GraftStreamingWrite(
         ()
       }
     } finally {
-      (staging.toSeq ++ lastStaging).distinct.foreach { dir =>
+      (staging.toSeq ++ rawStaging ++ lastStaging).distinct.foreach { dir =>
         if (Files.exists(dir)) TableWriter.deleteRecursively(dir)
       }
       lastStaging = None

@@ -97,7 +97,21 @@ class GraftLog(val tablePath: String, val store: LogStore) {
       store.overwrite(checkpointFile(version),
         head.map(renderAction).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     } else {
-      val body = (head ++ snap.files)
+      // the PARQUET-PROPERTY fallback on a non-filesystem store writes a
+      // self-containment STAMP (a commitInfo line — every fold ignores
+      // commitInfo), so a reader finding an add-less head under the
+      // parquet property can distinguish "complete JSON checkpoint with
+      // zero files" (stamped) from "parquet dir sidecar lost" (unstamped)
+      // and fail loud in the second case instead of folding silently
+      // empty. Plain JSON checkpoints (no parquet property) stay
+      // stamp-free — no ambiguity exists for them, and the driver and
+      // executor writers remain byte-identical.
+      val stamp: Seq[Action] =
+        if (snap.metadata.properties.get(GraftLog.CheckpointFormatProperty)
+              .exists(_.equalsIgnoreCase("parquet")))
+          Seq(CommitInfo(System.currentTimeMillis(), GraftLog.SelfContainedCheckpointOp))
+        else Nil
+      val body = (head ++ snap.files ++ stamp)
         .map(renderAction).mkString("", "\n", "\n")
       store.overwrite(checkpointFile(version), body.getBytes(StandardCharsets.UTF_8))
     }
@@ -211,11 +225,23 @@ class GraftLog(val tablePath: String, val store: LogStore) {
         val pdir = checkpointParquetDir(cv)
         if (Files.isDirectory(pdir))
           CheckpointParquet.read(pdir).foreach(a => files(a.path) = a)
-        else if (store.filesystemBacked)
-          throw new IllegalStateException(
-            s"checkpoint $cv of $tablePath is parquet-format but its file-actions " +
-              s"dir sidecar (${pdir.getFileName}) is missing — deleted concurrently; " +
-              "retry, or restore/rewrite the checkpoint")
+        else {
+          // no dir: a complete self-contained JSON checkpoint carries its
+          // stamp (see writeCheckpoint's fallback); an UNSTAMPED add-less
+          // parquet head with no dir means the sidecar is lost — loud on
+          // every store, not just filesystem-backed ones
+          val selfContained = store.read(checkpointFile(cv))
+            .filter(_.trim.nonEmpty).map(parseAction).exists {
+              case c: CommitInfo => c.operation == GraftLog.SelfContainedCheckpointOp
+              case _             => false
+            }
+          if (!selfContained)
+            throw new IllegalStateException(
+              s"checkpoint $cv of $tablePath is parquet-format but its file-actions " +
+                s"dir sidecar (${pdir.getFileName}) is missing — deleted " +
+                "concurrently, or the table was moved without its sidecars; " +
+                "retry, or restore/rewrite the checkpoint")
+        }
       }
     }
     vs.filter(v => v <= target && ckpt.forall(v > _)).foreach { v =>
@@ -480,6 +506,13 @@ object GraftLog {
     * file actions, so old readers must fail loudly instead.
     */
   val CheckpointFormatProperty = "graft.checkpoint.format"
+
+  /** Operation name of the self-containment stamp a JSON checkpoint
+    * carries (a commitInfo line every fold ignores) — how a reader
+    * distinguishes a complete zero-file JSON checkpoint under the parquet
+    * PROPERTY from a parquet checkpoint whose dir sidecar is lost.
+    */
+  val SelfContainedCheckpointOp = "CHECKPOINT-SELF-CONTAINED"
 
   /** Age after which a zero-byte fallback claim is considered crashed and may
     * be broken by a competing committer.

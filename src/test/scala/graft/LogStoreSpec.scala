@@ -335,6 +335,51 @@ class LogStoreSpec extends AnyFunSpec with SparkSessionTestWrapper {
       } finally LogStore.unregister(dir)
     }
 
+    it("non-fs parquet-property checkpoints: stamped-empty folds, missing-dir is loud") {
+      // (a) a table living on a non-fs store with the parquet property
+      // writes the self-contained JSON fallback — an EMPTY table's add-less
+      // head must fold to empty (the stamp says it is complete)
+      val memA = new InMemoryLogStore
+      val dirA = tmpTableDir("ls-ckpt-stamp")
+      LogStore.register(dirA, memA)
+      try {
+        val t = GraftTable.create(spark, dirA, spark.range(5).toDF("id"),
+          properties = Map(graft.tables.GraftLog.CheckpointFormatProperty -> "parquet"))
+        graft.operators.TableOps.delete(t, None) // live file set: empty
+        val log = new GraftLog(dirA)
+        log.writeCheckpoint(log.latestVersion())
+        assert(log.snapshot().files.isEmpty) // complete, not an error
+      } finally LogStore.unregister(dirA)
+
+      // (b) a FS-written parquet checkpoint mirrored to a non-fs store
+      // WITHOUT its dir sidecar (the lost-sidecar migration) must be LOUD,
+      // never a silent empty fold
+      val dirB = tmpTableDir("ls-ckpt-lost")
+      val tB = GraftTable.create(spark, dirB, spark.range(8).toDF("id"),
+        properties = Map(graft.tables.GraftLog.CheckpointFormatProperty -> "parquet"))
+      val logB = new GraftLog(dirB)
+      logB.writeCheckpoint(logB.latestVersion())
+      val memB = new InMemoryLogStore
+      val logDirB = java.nio.file.Paths.get(dirB, graft.tables.GraftLog.LogDirName)
+      memB.createDirectories(logDirB)
+      val lb = java.nio.file.Files.list(logDirB)
+      try {
+        import scala.jdk.CollectionConverters._
+        lb.iterator().asScala.foreach { p =>
+          if (java.nio.file.Files.isRegularFile(p))
+            memB.overwrite(p, java.nio.file.Files.readAllBytes(p))
+        }
+      } finally lb.close()
+      // drop the LOCAL sidecar dir: only the mirrored log objects survive
+      graft.tables.TableWriter.deleteRecursively(
+        logB.checkpointParquetDir(logB.latestVersion()))
+      LogStore.register(dirB, memB)
+      try {
+        val e = intercept[IllegalStateException] { new GraftLog(dirB).snapshot() }
+        assert(e.getMessage.contains("sidecar"))
+      } finally LogStore.unregister(dirB)
+    }
+
     it("DistributedSnapshot refuses a non-filesystem store loudly") {
       val store = new InMemoryLogStore
       val dir = tmpTableDir("ls-mem-ds")

@@ -329,9 +329,18 @@ object GraftEpochDataWriter {
   val MaxOpenWriters = 64
 
   /** Spark's own partition-dir escaping (the inverse of
-    * [[TableWriter.percentDecode]]), so staged dirs are byte-identical to
-    * what `df.write.partitionBy` would have produced.
+    * [[TableWriter.percentDecode]]), PLUS %XX-encoding of any remaining
+    * non-ASCII bytes: this writer creates dirs through `java.nio`, which
+    * under a POSIX-locale JVM refuses unmappable characters outright —
+    * and percentDecode reverses either spelling, so the partition VALUE
+    * round-trips identically whichever writer produced the dir.
     */
-  def escapePathSegment(s: String): String =
-    org.apache.spark.sql.graft.SparkBridge.escapePathName(s)
+  def escapePathSegment(s: String): String = {
+    val esc = org.apache.spark.sql.graft.SparkBridge.escapePathName(s)
+    if (esc.forall(_ < 0x80)) esc
+    else esc.getBytes(java.nio.charset.StandardCharsets.UTF_8).map { b =>
+      val u = b & 0xff
+      if (u < 0x80) u.toChar.toString else f"%%$u%02X"
+    }.mkString
+  }
 }

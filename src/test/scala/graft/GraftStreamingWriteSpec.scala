@@ -206,6 +206,41 @@ class GraftStreamingWriteSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(Files.exists(live) && Files.exists(dead))
   }
 
+  it("special-character and null partition values round-trip the dir escaping") {
+    val dir = tmpTableDir("sw-esc")
+    GraftTable.create(spark, dir,
+      Seq((0L, "seed")).toDF("id", "p"), partitionColumns = Seq("p"))
+    val schema = StructType.fromDDL("id BIGINT, p STRING")
+    val info = new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap =
+        new CaseInsensitiveStringMap(java.util.Map.of("txnAppId", "esc-app"))
+      override def queryId(): String = "spec-esc"
+      override def schema(): StructType = StructType.fromDDL("id BIGINT, p STRING")
+    }
+    val w = new GraftStreamingWrite(dir, info, overwrite = false)
+    val factory = w.createStreamingWriterFactory(
+      new PhysicalWriteInfo { override def numPartitions(): Int = 1 })
+    val task = factory.createWriter(0, 1L, 0L)
+    // the characters Spark's partition-path escaping must protect — plus a
+    // multi-byte char and a NULL (the __HIVE_DEFAULT_PARTITION__ token)
+    val values = Seq("a/b", "k=v", "50%", "dot:colon", "café", "sp ace", null)
+    values.zipWithIndex.foreach { case (v, i) =>
+      task.write(InternalRow(i.toLong + 100L,
+        if (v == null) null else UTF8String.fromString(v)))
+    }
+    w.commit(0L, Array(task.commit()))
+    val read = GraftTable.forPath(spark, dir).toDF
+    val got = read.where("id >= 100")
+      .select("id", "p").as[(Long, String)].collect().toMap
+    values.zipWithIndex.foreach { case (v, i) =>
+      assert(got.get(i.toLong + 100L).contains(v),
+        s"partition value ${Option(v)} must round-trip, got ${got.get(i.toLong + 100L)}")
+    }
+    // and partition pruning on an escaped value still works
+    assert(read.where(col("p") === "k=v").count() == 1)
+    assert(read.where("p IS NULL").count() == 1)
+  }
+
   it("abort deletes the epoch's staging files") {
     val dir = tmpTableDir("sw-abort")
     GraftTable.create(spark, dir, spark.range(3).toDF("id"))

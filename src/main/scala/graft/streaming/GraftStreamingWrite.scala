@@ -102,27 +102,30 @@ class GraftStreamingWrite(
       s"epoch $epochId produced messages from ${stagings.size} staging dirs — " +
         "mixed write attempts must not commit together")
     val rawStaging = stagings.headOption.map(Paths.get(_))
-    // register EXACTLY the files the committed task attempts reported, by
-    // MOVING them into a fresh commit dir (not by pruning the shared dir in
-    // place): a zombie attempt whose abort never ran can land a fully-
-    // footered file at ANY time — after an in-place prune but before the
-    // dir is consumed — and it must never become table data. Only the
-    // message-listed paths enter the commit dir; whatever a straggler
-    // writes lands in the abandoned raw dir, which is deleted below (and
-    // swept by vacuum if even that races). Paths resolve by relative name,
-    // so no separator-sensitive string comparison exists.
-    val staging = rawStaging.map { dir =>
-      val commitDir = dir.resolveSibling(dir.getFileName.toString + "-commit")
-      Files.createDirectories(commitDir)
-      msgs.flatMap(_.relPaths).distinct.foreach { rel =>
-        val src = dir.resolve(rel)
-        val dst = commitDir.resolve(rel)
-        Files.createDirectories(dst.getParent)
-        Files.move(src, dst)
-      }
-      commitDir
-    }
+    var staging: Option[JPath] = None
     try {
+      // register EXACTLY the files the committed task attempts reported,
+      // by MOVING them into a fresh commit dir (not by pruning the shared
+      // dir in place): a zombie attempt whose abort never ran can land a
+      // fully-footered file at ANY time — after an in-place prune but
+      // before the dir is consumed — and it must never become table data.
+      // Only the message-listed paths enter the commit dir; whatever a
+      // straggler writes lands in the abandoned raw dir, deleted below
+      // (and swept by vacuum if even that races). The move loop runs
+      // INSIDE this try so a mid-loop failure still reclaims both dirs in
+      // the finally. Paths resolve by relative name — no separator-
+      // sensitive string comparison exists.
+      staging = rawStaging.map { dir =>
+        val commitDir = dir.resolveSibling(dir.getFileName.toString + "-commit")
+        Files.createDirectories(commitDir)
+        msgs.flatMap(_.relPaths).distinct.foreach { rel =>
+          val src = dir.resolve(rel)
+          val dst = commitDir.resolve(rel)
+          Files.createDirectories(dst.getParent)
+          Files.move(src, dst)
+        }
+        commitDir
+      }
       val snap =
         if (GraftTable.exists(tablePath)) Some(new GraftLog(tablePath).snapshot())
         else None
@@ -328,16 +331,28 @@ object GraftEpochDataWriter {
     */
   val MaxOpenWriters = 64
 
+  /** Whether this JVM's default filesystem can address non-ASCII path
+    * segments (false under a POSIX/ASCII locale, where `java.nio` throws
+    * InvalidPathException on unmappable characters). Probed once.
+    */
+  private lazy val fsHandlesNonAscii: Boolean =
+    try { java.nio.file.Paths.get("café"); true }
+    catch { case _: java.nio.file.InvalidPathException => false }
+
   /** Spark's own partition-dir escaping (the inverse of
-    * [[TableWriter.percentDecode]]), PLUS %XX-encoding of any remaining
-    * non-ASCII bytes: this writer creates dirs through `java.nio`, which
-    * under a POSIX-locale JVM refuses unmappable characters outright —
-    * and percentDecode reverses either spelling, so the partition VALUE
-    * round-trips identically whichever writer produced the dir.
+    * [[TableWriter.percentDecode]]). ONLY when the JVM's filesystem layer
+    * cannot address non-ASCII segments at all (POSIX/ASCII locale — where
+    * vanilla Spark's own partitioned write CRASHES on such values), the
+    * remaining non-ASCII bytes are additionally %XX-encoded so the direct
+    * registration path still works; `percentDecode` reverses either
+    * spelling. On normal UTF-8 JVMs the dirs stay byte-identical to
+    * `df.write.partitionBy`'s, which also keeps the feature-FALLBACK read
+    * (Spark partition inference, which decodes %XX per UTF-16 char, not
+    * per UTF-8 byte) correct there.
     */
   def escapePathSegment(s: String): String = {
     val esc = org.apache.spark.sql.graft.SparkBridge.escapePathName(s)
-    if (esc.forall(_ < 0x80)) esc
+    if (fsHandlesNonAscii || esc.forall(_ < 0x80)) esc
     else esc.getBytes(java.nio.charset.StandardCharsets.UTF_8).map { b =>
       val u = b & 0xff
       if (u < 0x80) u.toChar.toString else f"%%$u%02X"

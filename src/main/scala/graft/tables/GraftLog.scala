@@ -196,12 +196,16 @@ class GraftLog(val tablePath: String, val store: LogStore) {
     val ckpt = checkpointVersions().filter(_ <= target).lastOption
     ckpt.foreach { cv =>
       var headAdds = 0
+      var selfContained = false
       store.read(checkpointFile(cv))
         .filter(_.trim.nonEmpty).map(parseAction).foreach {
           case m: Metadata       => meta = m
           case p: Protocol       => proto = p
           case a: AddFile        => files(a.path) = a; headAdds += 1
           case t: SetTransaction => txns(t.appId) = t.version
+          case c: CommitInfo
+              if c.operation == GraftLog.SelfContainedCheckpointOp =>
+            selfContained = true
           case _                 => ()
         }
       // format disambiguation, CONTENT-first: a head carrying adds IS the
@@ -225,22 +229,21 @@ class GraftLog(val tablePath: String, val store: LogStore) {
         val pdir = checkpointParquetDir(cv)
         if (Files.isDirectory(pdir))
           CheckpointParquet.read(pdir).foreach(a => files(a.path) = a)
-        else {
-          // no dir: a complete self-contained JSON checkpoint carries its
-          // stamp (see writeCheckpoint's fallback); an UNSTAMPED add-less
-          // parquet head with no dir means the sidecar is lost — loud on
-          // every store, not just filesystem-backed ones
-          val selfContained = store.read(checkpointFile(cv))
-            .filter(_.trim.nonEmpty).map(parseAction).exists {
-              case c: CommitInfo => c.operation == GraftLog.SelfContainedCheckpointOp
-              case _             => false
-            }
-          if (!selfContained)
-            throw new IllegalStateException(
-              s"checkpoint $cv of $tablePath is parquet-format but its file-actions " +
-                s"dir sidecar (${pdir.getFileName}) is missing — deleted " +
-                "concurrently, or the table was moved without its sidecars; " +
-                "retry, or restore/rewrite the checkpoint")
+        else if (!selfContained) {
+          // no dir and no stamp: a complete self-contained JSON checkpoint
+          // carries its stamp (see writeCheckpoint's fallback — captured
+          // in the single head read above); an UNSTAMPED add-less parquet
+          // head with no dir means the sidecar is lost — loud on every
+          // store, not just filesystem-backed ones. Recovery must not go
+          // through writeCheckpoint (it snapshots, landing back here):
+          // restore the sidecar, or deleteCheckpoint(cv) so the fold
+          // replays the raw log and a fresh checkpoint can be written.
+          throw new IllegalStateException(
+            s"checkpoint $cv of $tablePath is parquet-format but its file-actions " +
+              s"dir sidecar (${pdir.getFileName}) is missing — deleted " +
+              "concurrently, or the table was moved without its sidecars; " +
+              s"retry, restore the sidecar, or deleteCheckpoint($cv) and " +
+              "re-checkpoint")
         }
       }
     }

@@ -860,7 +860,12 @@ object TableWriter {
     finally stream.close()
   }
 
-  /** Parse `k=v` partition directories out of a table-relative file path. */
+  /** Parse `k=v` partition directories out of a table-relative file path.
+    * BOTH sides decode: the writers escape the column NAME in the dir
+    * segment too (Spark's convention), so a name containing a protected
+    * character — or non-ASCII under the streaming writer's POSIX-locale
+    * spelling — must map back to the schema's name, not stay escaped.
+    */
   def partitionValuesOf(relPath: String): Map[String, String] =
     relPath
       .split('/')
@@ -868,7 +873,7 @@ object TableWriter {
       .filter(_.contains('='))
       .map { seg =>
         val Array(k, v) = seg.split("=", 2)
-        k -> percentDecode(v)
+        percentDecode(k) -> percentDecode(v)
       }
       .toMap
 

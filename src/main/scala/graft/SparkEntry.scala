@@ -1236,8 +1236,8 @@ object SparkEntry {
       t.append(Seq((99, "ATLANTIS")).toDF("r_regionkey", "r_name")
         .select(col("r_regionkey").cast("int"), col("r_name")))                // v3
       t.log.writeCheckpoint(2L)
-      Files.delete(t.log.versionFile(0L))
-      Files.delete(t.log.versionFile(1L))
+      graft.tables.Fs.deleteIfExists(t.log.versionFile(0L))
+      graft.tables.Fs.deleteIfExists(t.log.versionFile(1L))
       () => {
       ChangeDataFeedHelper(s, dirT, 0, 3).readCDFIgnoreMissingDeltaLog.get
         .select(col("r_regionkey"), col("r_name"), col("_change_type"), col("_commit_version"))
@@ -1261,7 +1261,7 @@ object SparkEntry {
       (0 to 3).foreach(k =>
         TableOps.update(t, Some(s"r_regionkey = $k"), Map("r_name" -> s"'N$k'"))) // v1..v4
       t.log.writeCheckpoint(2L)
-      Seq(0L, 1L, 2L).foreach(v => Files.delete(t.log.versionFile(v)))
+      Seq(0L, 1L, 2L).foreach(v => graft.tables.Fs.deleteIfExists(t.log.versionFile(v)))
       () => {
       val h = ChangeDataFeedHelper(s, dirT, 0, 4)
       val raw = h.checkEarliestDeltaFileBetweenVersions.getOrElse((-1L, -1L))
@@ -2823,9 +2823,9 @@ object SparkEntry {
       val log = new GraftLog(dirT)
       val v = log.latestVersion()
       log.writeCheckpoint(v) // driver writer
-      val pdirExists = Files.isDirectory(log.checkpointParquetDir(v))
+      val pdirExists = graft.tables.Fs.isDirectory(log.checkpointParquetDir(v))
       val headNoAdds = {
-        val it = Files.readAllLines(log.checkpointFile(v)).iterator()
+        val it = graft.tables.Fs.readLines(log.checkpointFile(v)).iterator
         var anyAdd = false
         while (it.hasNext) if (it.next().startsWith("{\"add\"")) anyAdd = true
         !anyAdd

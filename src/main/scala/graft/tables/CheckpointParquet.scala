@@ -1,10 +1,6 @@
 package graft.tables
 
-import java.nio.file.{Files, Path => JPath, StandardCopyOption}
-import scala.jdk.CollectionConverters._
-
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.example.data.simple.SimpleGroupFactory
 import org.apache.parquet.hadoop.ParquetReader
@@ -72,29 +68,28 @@ object CheckpointParquet {
     * (silently wrong snapshot). A dir is only ever visible COMPLETE: it
     * appears via one atomic move of a fully-written temp dir.
     */
-  def write(dir: JPath, files: Seq[AddFile], rowsPerPart: Int = RowsPerPart): Unit = {
-    if (Files.exists(dir)) return
-    val tmp = Files.createTempDirectory(dir.getParent, "." + dir.getFileName.toString)
+  def write(dir: String, files: Seq[AddFile], rowsPerPart: Int = RowsPerPart): Unit = {
+    if (Fs.exists(dir)) return
+    val tmp = Fs.createTempDir(Fs.parent(dir), "." + Fs.fileName(dir))
     try {
-      val conf = new Configuration()
+      val conf = if (Fs.isRemote(dir)) Fs.hadoopConf else new Configuration()
       val factory = new SimpleGroupFactory(Schema)
       files.grouped(rowsPerPart).zipWithIndex.foreach { case (chunk, i) =>
         val w = ExampleParquetWriter
-          .builder(new HPath(tmp.resolve(f"part-$i%05d.parquet").toString))
+          .builder(Fs.toHadoopPath(Fs.child(tmp, f"part-$i%05d.parquet")))
           .withConf(conf)
           .withType(Schema)
           .build()
         try chunk.foreach(a => w.write(toGroup(factory, a)))
         finally w.close()
       }
-      try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+      try Fs.moveNoReplace(tmp, dir)
       catch {
         // a concurrent writer published the same logical content first
         case _: java.nio.file.FileAlreadyExistsException => ()
-        case _: java.nio.file.DirectoryNotEmptyException => ()
       }
     } finally {
-      if (Files.exists(tmp)) TableWriter.deleteRecursively(tmp)
+      if (Fs.exists(tmp)) Fs.deleteRecursively(tmp)
     }
   }
 
@@ -102,19 +97,16 @@ object CheckpointParquet {
     * splittable executor path is `spark.read.parquet` in
     * [[DistributedSnapshot.addFilesDF]]).
     */
-  def read(dir: JPath): Seq[AddFile] = {
-    val stream = Files.list(dir)
-    val parts =
-      try stream.iterator().asScala.toSeq
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
-        }
-        .sortBy(_.getFileName.toString)
-      finally stream.close()
+  def read(dir: String): Seq[AddFile] = {
+    val parts = Fs.listNames(dir).map(_._1)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_"))
+      .sorted
+      .map(n => Fs.child(dir, n))
+    val conf = if (Fs.isRemote(dir)) Fs.hadoopConf else new Configuration()
     parts.flatMap { p =>
       val reader = ParquetReader
-        .builder(new GroupReadSupport(), new HPath(p.toString))
+        .builder(new GroupReadSupport(), Fs.toHadoopPath(p))
+        .withConf(conf)
         .build()
       try Iterator.continually(reader.read()).takeWhile(_ != null)
         .map(fromGroup).toVector

@@ -107,7 +107,7 @@ object DistributedSnapshot {
           "build does not implement; upgrade the library to read this table")
     val ckpt = log.checkpointVersions().filter(_ <= target).lastOption
     val deltaFiles = vs.filter(v => v <= target && ckpt.forall(v > _))
-      .map(v => log.versionFile(v).toString)
+      .map(v => log.versionFile(v))
 
     def jsonFrame(sources: Seq[String]) =
       spark.read.schema(lineSchema).json(sources: _*)
@@ -146,12 +146,12 @@ object DistributedSnapshot {
     val ckptFlat: Option[DataFrame] = ckpt.map { cv =>
       if (log.checkpointIsParquetFormat(cv)) {
         val pdir = log.checkpointParquetDir(cv)
-        if (!Files.isDirectory(pdir))
+        if (!Fs.isDirectory(pdir))
           throw new IllegalStateException(
             s"checkpoint $cv of $tablePath is parquet-format but its file-actions " +
-              s"dir sidecar (${pdir.getFileName}) is missing — deleted concurrently; " +
+              s"dir sidecar (${Fs.fileName(pdir)}) is missing — deleted concurrently; " +
               "retry, or restore/rewrite the checkpoint")
-        spark.read.schema(checkpointPartSchema).parquet(pdir.toString).select(
+        spark.read.schema(checkpointPartSchema).parquet(pdir).select(
           col("path"),
           // absent map (a part written with no partition entries) must
           // surface as the driver fold's Map.empty, not null
@@ -161,7 +161,7 @@ object DistributedSnapshot {
           col("stats"),
           col("dv"))
       } else
-        jsonFrame(Seq(log.checkpointFile(cv).toString))
+        jsonFrame(Seq(log.checkpointFile(cv)))
           .filter(col("add").isNotNull).select("add.*")
     }
 
@@ -259,8 +259,8 @@ object DistributedSnapshot {
 
     implicit val strEnc = org.apache.spark.sql.Encoders.STRING
     implicit val addEnc = org.apache.spark.sql.Encoders.product[AddFile]
-    val scratch = Files.createTempDirectory(log.logDir, s".ckpt$target")
-    val partsDir = scratch.resolve("parts")
+    val scratch = Fs.createTempDir(log.logDir, s".ckpt$target")
+    val partsDir = Fs.child(scratch, "parts")
     try {
       if (parquetFmt) {
         // parquet format: executors write the columnar parts directly
@@ -273,14 +273,13 @@ object DistributedSnapshot {
         // deterministic, and delete-then-replace would expose a
         // missing-file-actions window to concurrent readers
         val pdir = log.checkpointParquetDir(target)
-        if (!Files.exists(pdir)) {
+        if (!Fs.exists(pdir)) {
           addFilesDF(spark, tablePath, target).as[AddFile].toDF()
-            .write.parquet(partsDir.toString)
-          Files.deleteIfExists(partsDir.resolve("_SUCCESS"))
-          try Files.move(partsDir, pdir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            .write.parquet(partsDir)
+          Fs.deleteIfExists(Fs.child(partsDir, "_SUCCESS"))
+          try Fs.moveNoReplace(partsDir, pdir)
           catch {
             case _: java.nio.file.FileAlreadyExistsException => ()
-            case _: java.nio.file.DirectoryNotEmptyException => ()
           }
         }
         log.store.overwrite(log.checkpointFile(target),
@@ -288,27 +287,35 @@ object DistributedSnapshot {
       } else {
         addFilesDF(spark, tablePath, target).as[AddFile]
           .mapPartitions(_.map(a => GraftLog.renderAction(a: Action)))
-          .write.text(partsDir.toString)
+          .write.text(partsDir)
 
-        val tmp = Files.createTempFile(log.logDir, s".ckpt$target", ".json.tmp")
-        val out = Files.newOutputStream(tmp)
+        // assemble head + part bytes in the scratch dir, then publish with
+        // one atomic replace through the log store
+        val tmp = Fs.child(scratch, s".ckpt$target.json.tmp")
+        val out =
+          if (Fs.isRemote(tmp))
+            Fs.toHadoopPath(tmp).getFileSystem(Fs.hadoopConf)
+              .create(Fs.toHadoopPath(tmp), true)
+          else Files.newOutputStream(java.nio.file.Paths.get(tmp))
         try {
           out.write(head.getBytes(StandardCharsets.UTF_8))
-          val parts = Files.list(partsDir)
-          try parts.iterator().asScala.toSeq
-            .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
-            .foreach(p => Files.copy(p, out))
-          finally parts.close()
+          Fs.listNames(partsDir).map(_._1)
+            .filter(_.startsWith("part-")).sorted
+            .foreach { n =>
+              val part = Fs.child(partsDir, n)
+              if (Fs.isRemote(part)) {
+                val in = Fs.toHadoopPath(part).getFileSystem(Fs.hadoopConf)
+                  .open(Fs.toHadoopPath(part))
+                try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
+                finally in.close()
+              } else
+                Files.copy(java.nio.file.Paths.get(part), out)
+            }
         } finally out.close()
-        Files.move(tmp, log.checkpointFile(target),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Fs.moveReplace(tmp, log.checkpointFile(target))
       }
     } finally {
-      if (Files.exists(scratch)) {
-        val walk = Files.walk(scratch)
-        try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
-        finally walk.close()
-      }
+      if (Fs.exists(scratch)) Fs.deleteRecursively(scratch)
     }
   }
 
@@ -317,13 +324,11 @@ object DistributedSnapshot {
     * last-wins in (checkpoint, version, line) order like the driver fold. */
   private[graft] def transactionsAt(log: GraftLog, target: Long): Map[String, Long] = {
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    def scan(path: java.nio.file.Path): Unit = {
-      val stream = Files.lines(path, StandardCharsets.UTF_8)
-      try stream.filter(_.startsWith("{\"txn\"")).forEach { line =>
+    def scan(path: String): Unit =
+      Fs.scanLines(path)(_.filter(_.startsWith("{\"txn\"")).foreach { line =>
         val t = GraftLog.parseAction(line).asInstanceOf[SetTransaction]
         txns(t.appId) = t.version
-      } finally stream.close()
-    }
+      })
     val ckpt = log.checkpointVersions().filter(_ <= target).lastOption
     ckpt.foreach(cv => scan(log.checkpointFile(cv)))
     log.versions().filter(v => v <= target && ckpt.forall(v > _))
@@ -339,20 +344,17 @@ object DistributedSnapshot {
     var meta: graft.tables.Metadata = null
     val ckpt = log.checkpointVersions().filter(_ <= target).lastOption
     ckpt.foreach { cv =>
-      val reader = Files.newBufferedReader(
-        log.checkpointFile(cv), StandardCharsets.UTF_8)
-      try {
-        val first = reader.readLine()
-        if (first != null && first.startsWith("{\"metadata\"")) {
-          meta = GraftLog.parseAction(first).asInstanceOf[graft.tables.Metadata]
+      Fs.scanLines(log.checkpointFile(cv)) { lines =>
+        lines.nextOption().foreach { first =>
+          if (first.startsWith("{\"metadata\""))
+            meta = GraftLog.parseAction(first).asInstanceOf[graft.tables.Metadata]
         }
-      } finally reader.close()
+      }
     }
     log.versions().filter(v => v <= target && ckpt.forall(v > _)).foreach { v =>
-      val stream = Files.lines(log.versionFile(v), StandardCharsets.UTF_8)
-      try stream.filter(_.startsWith("{\"metadata\"")).forEach { line =>
-        meta = GraftLog.parseAction(line).asInstanceOf[graft.tables.Metadata]
-      } finally stream.close()
+      Fs.scanLines(log.versionFile(v))(_.filter(_.startsWith("{\"metadata\"")).foreach {
+        line => meta = GraftLog.parseAction(line).asInstanceOf[graft.tables.Metadata]
+      })
     }
     require(meta != null, s"no metadata action found in log of ${log.tablePath}")
     meta
@@ -366,16 +368,14 @@ object DistributedSnapshot {
     var proto: graft.tables.Protocol = graft.tables.Protocol()
     val ckpt = log.checkpointVersions().filter(_ <= target).lastOption
     ckpt.foreach { cv =>
-      val stream = Files.lines(log.checkpointFile(cv), StandardCharsets.UTF_8)
-      try stream.filter(_.startsWith("{\"protocol\"")).forEach { line =>
-        proto = GraftLog.parseAction(line).asInstanceOf[graft.tables.Protocol]
-      } finally stream.close()
+      Fs.scanLines(log.checkpointFile(cv))(_.filter(_.startsWith("{\"protocol\"")).foreach {
+        line => proto = GraftLog.parseAction(line).asInstanceOf[graft.tables.Protocol]
+      })
     }
     log.versions().filter(v => v <= target && ckpt.forall(v > _)).foreach { v =>
-      val stream = Files.lines(log.versionFile(v), StandardCharsets.UTF_8)
-      try stream.filter(_.startsWith("{\"protocol\"")).forEach { line =>
-        proto = GraftLog.parseAction(line).asInstanceOf[graft.tables.Protocol]
-      } finally stream.close()
+      Fs.scanLines(log.versionFile(v))(_.filter(_.startsWith("{\"protocol\"")).foreach {
+        line => proto = GraftLog.parseAction(line).asInstanceOf[graft.tables.Protocol]
+      })
     }
     proto
   }

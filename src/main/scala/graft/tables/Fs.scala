@@ -1,0 +1,328 @@
+package graft.tables
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
+
+/** Scheme-aware filesystem facade — the ONE place graft decides whether a
+  * table path is a local filesystem path (`/data/t`, `file:/data/t`) or a
+  * Hadoop-FileSystem URI (`hdfs://nn/t`, `s3a://bucket/t`, `abfss://...`).
+  *
+  * Local paths take the `java.nio` fast path — byte-identical behavior to
+  * the pre-URI engine, including hard-link/O_EXCL semantics the POSIX
+  * commit protocol needs and zero per-call Hadoop overhead. Remote URIs
+  * route through `org.apache.hadoop.fs.FileSystem`, resolved against the
+  * active Spark session's Hadoop configuration (so `spark.hadoop.fs.*`
+  * settings — custom schemes, credentials — apply to graft's own metadata
+  * IO exactly as they do to Spark's data IO).
+  *
+  * Why a facade instead of using the Hadoop API everywhere: Hadoop's
+  * LocalFileSystem is checksumming (every write grows a `.crc` sidecar that
+  * would pollute table dirs and staging moves), has no O_EXCL/hard-link
+  * primitive (the POSIX store's atomic claim), and adds measurable per-call
+  * overhead on the metadata-heavy commit path. The dispatch is one string
+  * prefix check.
+  *
+  * Driver-side only (it resolves the session Hadoop conf); executor-side
+  * code keeps its existing discipline — Spark jobs address files by the
+  * path STRINGS this facade produces, and Spark's own readers handle any
+  * scheme.
+  */
+object Fs {
+
+  /** True when `s` carries a URI scheme (`xyz://...`). A bare `file:` URI
+    * also matches — callers normalize those to local paths up front via
+    * [[normalize]].
+    */
+  def hasScheme(s: String): Boolean = {
+    // scheme = ALPHA *(ALPHA/DIGIT/+/-/.) followed by "://" — the "//" is
+    // required so a windows-style "C:\..." or an odd relative name "a:b"
+    // never reads as a scheme
+    val i = s.indexOf("://")
+    i > 0 && s.charAt(0).isLetter && (1 until i).forall { j =>
+      val c = s.charAt(j)
+      c.isLetterOrDigit || c == '+' || c == '-' || c == '.'
+    }
+  }
+
+  /** True when `s` addresses a NON-local filesystem: it has a scheme and the
+    * scheme is not `file`. `file://...` URIs are local (normalize converts
+    * them); everything else without a scheme is a local path.
+    */
+  def isRemote(s: String): Boolean =
+    hasScheme(s) && !s.toLowerCase.startsWith("file://")
+
+  /** Canonical form: `file:` URIs become plain local paths (so the whole
+    * engine sees one spelling for local storage); remote URIs lose any
+    * trailing slash; plain paths pass through untouched.
+    */
+  def normalize(s: String): String =
+    if (s.startsWith("file:"))
+      Paths.get(java.net.URI.create(s.replace(" ", "%20"))).toString
+    else if (isRemote(s)) { val t = s.stripSuffix("/"); if (t.endsWith("//")) s else t }
+    else s
+
+  /** Join `parent` and a (possibly multi-segment) relative `name`. */
+  def child(parent: String, name: String): String =
+    if (isRemote(parent)) parent.stripSuffix("/") + "/" + name.stripPrefix("/")
+    else Paths.get(parent).resolve(name).toString
+
+  def parent(path: String): String =
+    if (isRemote(path)) new HPath(path).getParent.toString
+    else {
+      val p = Paths.get(path).getParent
+      if (p == null) "/" else p.toString
+    }
+
+  def fileName(path: String): String =
+    if (isRemote(path)) new HPath(path).getName
+    else Paths.get(path).getFileName.toString
+
+  /** `org.apache.hadoop.fs.Path` form of a graft path string — remote URIs
+    * parse directly; local paths qualify through `File.toURI` so special
+    * characters percent-encode exactly as Spark's own planner does.
+    */
+  def toHadoopPath(s: String): HPath =
+    if (isRemote(s)) new HPath(s)
+    else new HPath(new java.io.File(s).toURI)
+
+  /** URI string form (what FileStatus/rootPaths hand to Spark's readers). */
+  def toUriString(s: String): String = toHadoopPath(s).toUri.toString
+
+  // ---------------------------------------------------------------------
+  // Hadoop plumbing (remote branch)
+  // ---------------------------------------------------------------------
+
+  /** The Hadoop configuration remote IO resolves against: the active Spark
+    * session's (carrying `spark.hadoop.*` overrides — custom scheme impls,
+    * credentials), cached once; a bare `Configuration` only when no session
+    * exists yet (tools, early boot).
+    */
+  @volatile private var cachedConf: Configuration = null
+  def hadoopConf: Configuration = {
+    val c = cachedConf
+    if (c != null) c
+    else {
+      val fromSession = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(_.sessionState.newHadoopConf())
+      fromSession match {
+        case Some(sc) => cachedConf = sc; sc
+        case None     => new Configuration()
+      }
+    }
+  }
+
+  /** Test seam: drop the cached session conf (a new session with different
+    * `spark.hadoop.*` settings must be re-read).
+    */
+  private[graft] def resetConfCache(): Unit = { cachedConf = null }
+
+  private def fs(p: HPath): FileSystem = p.getFileSystem(hadoopConf)
+  private def hp(s: String): HPath = new HPath(s)
+
+  // ---------------------------------------------------------------------
+  // IO operations — local = java.nio, remote = hadoop.fs
+  // ---------------------------------------------------------------------
+
+  def exists(path: String): Boolean =
+    if (isRemote(path)) { val p = hp(path); fs(p).exists(p) }
+    else Files.exists(Paths.get(path))
+
+  def isDirectory(path: String): Boolean =
+    if (isRemote(path)) {
+      val p = hp(path)
+      try fs(p).getFileStatus(p).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
+    } else Files.isDirectory(Paths.get(path))
+
+  def isRegularFile(path: String): Boolean =
+    if (isRemote(path)) {
+      val p = hp(path)
+      try fs(p).getFileStatus(p).isFile
+      catch { case _: java.io.FileNotFoundException => false }
+    } else Files.isRegularFile(Paths.get(path))
+
+  def size(path: String): Long =
+    if (isRemote(path)) { val p = hp(path); fs(p).getFileStatus(p).getLen }
+    else Files.size(Paths.get(path))
+
+  def lastModifiedMillis(path: String): Long =
+    if (isRemote(path)) { val p = hp(path); fs(p).getFileStatus(p).getModificationTime }
+    else Files.getLastModifiedTime(Paths.get(path)).toMillis
+
+  def mkdirs(dir: String): Unit =
+    if (isRemote(dir)) { val p = hp(dir); fs(p).mkdirs(p); () }
+    else { Files.createDirectories(Paths.get(dir)); () }
+
+  def deleteIfExists(path: String): Boolean =
+    if (isRemote(path)) { val p = hp(path); fs(p).delete(p, false) }
+    else Files.deleteIfExists(Paths.get(path))
+
+  def deleteRecursively(path: String): Unit =
+    if (isRemote(path)) { val p = hp(path); fs(p).delete(p, true); () }
+    else TableWriter.deleteRecursively(Paths.get(path))
+
+  /** (fileName, byteSize) of `dir`'s direct children; Nil when absent. */
+  def listNames(dir: String): Seq[(String, Long)] =
+    if (isRemote(dir)) {
+      val p = hp(dir)
+      try fs(p).listStatus(p).toSeq.map(st => (st.getPath.getName, st.getLen))
+      catch { case _: java.io.FileNotFoundException => Nil }
+    } else {
+      val d = Paths.get(dir)
+      if (!Files.isDirectory(d)) Nil
+      else {
+        val stream = Files.list(d)
+        try stream.iterator().asScala.map { p =>
+          val sz = try Files.size(p) catch { case _: java.io.IOException => -1L }
+          (p.getFileName.toString, sz)
+        }.toSeq
+        finally stream.close()
+      }
+    }
+
+  /** Absolute path strings of `dir`'s direct children; Nil when absent. */
+  def listPaths(dir: String): Seq[String] =
+    listNames(dir).map { case (n, _) => child(dir, n) }
+
+  /** Every regular file under `root`, recursively, as absolute path
+    * strings; Nil when `root` does not exist.
+    */
+  def walkFiles(root: String): Seq[String] =
+    if (isRemote(root)) {
+      val p = hp(root)
+      val f = fs(p)
+      if (!f.exists(p)) Nil
+      else {
+        val it = f.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile) buf += st.getPath.toString
+        }
+        buf.toSeq
+      }
+    } else {
+      val r = Paths.get(root)
+      if (!Files.exists(r)) Nil
+      else {
+        val stream = Files.walk(r)
+        try stream.iterator().asScala
+          .filter(Files.isRegularFile(_)).map(_.toString).toSeq
+        finally stream.close()
+      }
+    }
+
+  /** `p` relative to `root` (both absolute, `p` under `root`). */
+  def relativize(root: String, p: String): String =
+    if (isRemote(root) || isRemote(p)) {
+      val r = hp(root).toUri.getPath.stripSuffix("/")
+      val c = hp(p).toUri.getPath
+      c.stripPrefix(r).stripPrefix("/")
+    } else Paths.get(root).relativize(Paths.get(p)).toString
+
+  def readLines(path: String): Seq[String] =
+    if (isRemote(path)) {
+      val p = hp(path)
+      val in = fs(p).open(p)
+      try {
+        val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        new String(bytes, StandardCharsets.UTF_8).linesIterator.toSeq
+      } finally in.close()
+    } else Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8).asScala.toSeq
+
+  /** Stream `path`'s lines through `f` with early exit — the prefix-scan
+    * primitive GraftLog/DistributedSnapshot head-scans use (checkpoint
+    * heads are O(1) lines; full reads of a GB JSON checkpoint to answer a
+    * one-line question would be the driver bottleneck the scans avoid).
+    */
+  def scanLines[A](path: String)(f: Iterator[String] => A): A =
+    if (isRemote(path)) {
+      val p = hp(path)
+      val in = fs(p).open(p)
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+      try f(Iterator.continually(reader.readLine()).takeWhile(_ != null))
+      finally reader.close()
+    } else {
+      val stream = Files.lines(Paths.get(path), StandardCharsets.UTF_8)
+      try f(stream.iterator().asScala)
+      finally stream.close()
+    }
+
+  /** Create-or-replace `path` with `body`, atomically (temp + rename). */
+  def writeAtomic(path: String, body: Array[Byte]): Unit =
+    if (isRemote(path)) {
+      val dst = hp(path)
+      val f = fs(dst)
+      val tmp = new HPath(dst.getParent, s".${dst.getName}.${UUID.randomUUID()}.tmp")
+      val out = f.create(tmp, true)
+      try out.write(body) finally out.close()
+      try {
+        val fc = FileContext.getFileContext(dst.toUri, hadoopConf)
+        fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+      } finally {
+        if (f.exists(tmp)) { f.delete(tmp, false); () }
+      }
+    } else {
+      val dst = Paths.get(path)
+      val tmp = Files.createTempFile(dst.getParent, s".${dst.getFileName}", ".tmp")
+      Files.write(tmp, body)
+      Files.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+
+  /** Move `src` to `dst` (same filesystem), replacing nothing: throws
+    * `java.nio.file.FileAlreadyExistsException` when `dst` exists — the
+    * first-writer-wins primitive checkpoint-sidecar publication keys on.
+    * Local moves are atomic renames; remote moves use the filesystem's
+    * rename (atomic on HDFS-protocol schemes).
+    */
+  def moveNoReplace(src: String, dst: String): Unit =
+    if (isRemote(dst)) {
+      val s = hp(src); val d = hp(dst)
+      val f = fs(d)
+      if (f.exists(d)) throw new java.nio.file.FileAlreadyExistsException(dst)
+      if (!f.rename(s, d)) {
+        if (f.exists(d)) throw new java.nio.file.FileAlreadyExistsException(dst)
+        throw new java.io.IOException(s"rename $src -> $dst failed")
+      }
+    } else {
+      try { Files.move(Paths.get(src), Paths.get(dst), StandardCopyOption.ATOMIC_MOVE); () }
+      catch {
+        case e: java.nio.file.DirectoryNotEmptyException =>
+          throw new java.nio.file.FileAlreadyExistsException(e.getFile)
+      }
+    }
+
+  /** Move `src` to `dst`, replacing an existing file (not used on contended
+    * paths — overwrite publication like the distributed JSON checkpoint).
+    */
+  def moveReplace(src: String, dst: String): Unit =
+    if (isRemote(dst)) {
+      val fc = FileContext.getFileContext(hp(dst).toUri, hadoopConf)
+      fc.rename(hp(src), hp(dst), Options.Rename.OVERWRITE)
+    } else {
+      Files.move(Paths.get(src), Paths.get(dst), StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+
+  /** Fresh uniquely-named directory under `parent` with name prefix
+    * `prefix` (the staging-dir primitive).
+    */
+  def createTempDir(parent: String, prefix: String): String =
+    if (isRemote(parent)) {
+      val dir = child(parent, s"$prefix${UUID.randomUUID()}")
+      mkdirs(dir)
+      dir
+    } else {
+      mkdirs(parent)
+      Files.createTempDirectory(Paths.get(parent), prefix).toString
+    }
+}

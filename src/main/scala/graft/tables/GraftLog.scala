@@ -25,7 +25,10 @@ class GraftLog(val tablePath: String, val store: LogStore) {
 
   def this(tablePath: String) = this(tablePath, LogStore.forPath(tablePath))
 
-  val logDir: JPath = Paths.get(tablePath, LogDirName)
+  /** Log directory as a path STRING (plain local path or hadoop-FS URI —
+    * [[Fs]] decides per scheme; every log object address derives from it).
+    */
+  val logDir: String = Fs.child(tablePath, LogDirName)
 
   /** Sorted list of committed versions (from log file names). Zero-length
     * files are in-flight claims from the no-hard-link commit fallback, not
@@ -57,16 +60,16 @@ class GraftLog(val tablePath: String, val store: LogStore) {
 
   def tableExists: Boolean = versions().nonEmpty
 
-  def versionFile(v: Long): JPath = logDir.resolve(f"$v%020d.json")
+  def versionFile(v: Long): String = Fs.child(logDir, f"$v%020d.json")
 
-  def checkpointFile(v: Long): JPath = logDir.resolve(f"$v%020d.checkpoint.json")
+  def checkpointFile(v: Long): String = Fs.child(logDir, f"$v%020d.checkpoint.json")
 
   /** Multi-part parquet sidecar dir holding a checkpoint's [[AddFile]]
     * actions when the table uses `graft.checkpoint.format=parquet` (the
     * head actions stay in [[checkpointFile]] — see [[CheckpointParquet]]).
     */
-  def checkpointParquetDir(v: Long): JPath =
-    logDir.resolve(f"$v%020d.checkpoint.parquet")
+  def checkpointParquetDir(v: Long): String =
+    Fs.child(logDir, f"$v%020d.checkpoint.parquet")
 
   /** Materialize the state at `version` into a self-contained sidecar
     * (metadata + live file set). Snapshot replay then starts at the newest
@@ -128,7 +131,7 @@ class GraftLog(val tablePath: String, val store: LogStore) {
     */
   def deleteCheckpoint(cv: Long): Boolean = {
     val pdir = checkpointParquetDir(cv)
-    if (Files.isDirectory(pdir)) TableWriter.deleteRecursively(pdir)
+    if (Fs.isDirectory(pdir)) Fs.deleteRecursively(pdir)
     store.delete(checkpointFile(cv))
   }
 
@@ -137,11 +140,9 @@ class GraftLog(val tablePath: String, val store: LogStore) {
     * heads are O(1) lines; JSON heads hit their first add immediately).
     */
   private[graft] def checkpointHeadHasAdds(cv: Long): Boolean =
-    if (store.filesystemBacked) {
-      val stream = java.nio.file.Files.lines(checkpointFile(cv), StandardCharsets.UTF_8)
-      try stream.anyMatch(_.startsWith("{\"add\""))
-      finally stream.close()
-    } else store.read(checkpointFile(cv)).exists(_.startsWith("{\"add\""))
+    if (store.filesystemBacked)
+      Fs.scanLines(checkpointFile(cv))(_.exists(_.startsWith("{\"add\"")))
+    else store.read(checkpointFile(cv)).exists(_.startsWith("{\"add\""))
 
   /** True when checkpoint `cv` stores its file actions in the parquet dir
     * sidecar: an add-less head whose OWN metadata (first line by writer
@@ -166,7 +167,7 @@ class GraftLog(val tablePath: String, val store: LogStore) {
     val f = versionFile(v)
     if (!store.exists(f))
       throw new java.io.FileNotFoundException(
-        s"version $v of $tablePath has no log file (${f.toString})")
+        s"version $v of $tablePath has no log file ($f)")
     store.read(f)
       .filter(_.trim.nonEmpty)
       .map(parseAction)
@@ -227,7 +228,7 @@ class GraftLog(val tablePath: String, val store: LogStore) {
           meta.properties.get(GraftLog.CheckpointFormatProperty)
             .exists(_.equalsIgnoreCase("parquet"))) {
         val pdir = checkpointParquetDir(cv)
-        if (Files.isDirectory(pdir))
+        if (Fs.isDirectory(pdir))
           CheckpointParquet.read(pdir).foreach(a => files(a.path) = a)
         else if (!selfContained) {
           // no dir and no stamp: a complete self-contained JSON checkpoint
@@ -240,7 +241,7 @@ class GraftLog(val tablePath: String, val store: LogStore) {
           // replays the raw log and a fresh checkpoint can be written.
           throw new IllegalStateException(
             s"checkpoint $cv of $tablePath is parquet-format but its file-actions " +
-              s"dir sidecar (${pdir.getFileName}) is missing — deleted " +
+              s"dir sidecar (${Fs.fileName(pdir)}) is missing — deleted " +
               "concurrently, or the table was moved without its sidecars; " +
               s"retry, restore the sidecar, or deleteCheckpoint($cv) and " +
               "re-checkpoint")
@@ -389,7 +390,7 @@ class GraftLog(val tablePath: String, val store: LogStore) {
     // the horizon version itself is the natural anchor
     if (!checkpointVersions().exists(cv => cv >= retainVersion - 1 && cv <= retainVersion))
       writeCheckpoint(retainVersion)
-    dead.foreach(rel => Files.deleteIfExists(Paths.get(tablePath).resolve(rel)))
+    dead.foreach(rel => Fs.deleteIfExists(Fs.child(tablePath, rel)))
     val staleCkpts = checkpointVersions().filter(_ < retainVersion - 1)
     var deleted = 0
     doomed.foreach { v =>

@@ -1,7 +1,6 @@
 package graft.tables
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Path => JPath}
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
@@ -11,8 +10,9 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
 
 /** [[LogStore]] over `org.apache.hadoop.fs.FileSystem`/`FileContext` — the
   * shipped backend for HDFS-shaped deployments (HDFS, ViewFS, ABFS mounts
-  * exposed through the Hadoop client), where the conditional put maps onto
-  * the filesystem's RENAME-WITHOUT-OVERWRITE:
+  * exposed through the Hadoop client), and the automatic route for every
+  * remote-scheme table path (`LogStore.forPath`). The conditional put maps
+  * onto the filesystem's RENAME-WITHOUT-OVERWRITE:
   *
   *  1. write the full content to a dotted temp object in the target dir;
   *  2. `FileContext.rename(tmp, dst)` with the default `Rename.NONE`
@@ -33,16 +33,25 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
   * flag makes loud. POSIX multi-writer deployments should use
   * [[PosixLogStore]] (hard-link claims — genuinely atomic cross-process).
   *
-  * [[filesystemBacked]] is true only for the LOCAL scheme: GraftLog's
-  * fast head-scans and [[DistributedSnapshot]]'s executor folds read log
-  * objects as `java.nio` files. A remote-scheme deployment keeps the
-  * driver fold (the log is metadata-sized) — wiring the executor fold to
-  * remote schemes means teaching those paths `hadoop.fs` IO, a named
-  * horizon item, not a silent degradation.
+  * Addressing: path strings — remote URIs parse natively, local paths
+  * qualify through `file:` (see [[Fs.toHadoopPath]]). The configuration
+  * defaults to the active Spark session's Hadoop conf ([[Fs.hadoopConf]]),
+  * so `spark.hadoop.fs.*` scheme registrations and credentials apply to
+  * the log exactly as they do to Spark's data IO.
+  *
+  * [[filesystemBacked]] is true: log objects are files Spark's own readers
+  * can address by these same path strings, which is all
+  * [[DistributedSnapshot]]'s executor folds require — on any scheme the
+  * cluster's executors can reach (HDFS/ABFS/S3A are cluster-visible by
+  * construction).
   */
-class HadoopLogStore(conf: Configuration) extends LogStore {
+class HadoopLogStore(confOverride: Option[Configuration] = None) extends LogStore {
 
-  private def hPath(p: JPath): HPath = new HPath(p.toUri)
+  def this(conf: Configuration) = this(Some(conf))
+
+  private def conf: Configuration = confOverride.getOrElse(Fs.hadoopConf)
+
+  private def hPath(p: String): HPath = Fs.toHadoopPath(p)
   private def fs(p: HPath): FileSystem = p.getFileSystem(conf)
 
   /** Scheme of the paths this store serves (resolved per path; local
@@ -58,13 +67,13 @@ class HadoopLogStore(conf: Configuration) extends LogStore {
   def crossProcessAtomic(scheme: String): Boolean =
     HadoopLogStore.AtomicRenameSchemes.contains(scheme.toLowerCase)
 
-  override def list(dir: JPath): Seq[(String, Long)] = {
+  override def list(dir: String): Seq[(String, Long)] = {
     val d = hPath(dir)
     try fs(d).listStatus(d).toSeq.map(st => (st.getPath.getName, st.getLen))
     catch { case _: java.io.FileNotFoundException => Nil }
   }
 
-  override def read(path: JPath): Seq[String] = {
+  override def read(path: String): Seq[String] = {
     val p = hPath(path)
     val in = fs(p).open(p)
     try {
@@ -73,12 +82,12 @@ class HadoopLogStore(conf: Configuration) extends LogStore {
     } finally in.close()
   }
 
-  override def exists(path: JPath): Boolean = {
+  override def exists(path: String): Boolean = {
     val p = hPath(path)
     fs(p).exists(p)
   }
 
-  override def putIfAbsent(path: JPath, body: Array[Byte]): Unit = {
+  override def putIfAbsent(path: String, body: Array[Byte]): Unit = {
     val dst = hPath(path)
     val f = fs(dst)
     val tmp = new HPath(dst.getParent, s".${dst.getName}.${UUID.randomUUID()}.tmp")
@@ -87,7 +96,7 @@ class HadoopLogStore(conf: Configuration) extends LogStore {
     // the mutex only serializes this process's own claims
     HadoopLogStore.claimLock.synchronized {
       if (f.exists(dst))
-        throw new java.nio.file.FileAlreadyExistsException(path.toString)
+        throw new java.nio.file.FileAlreadyExistsException(path)
       val out = f.create(tmp, true)
       try out.write(body) finally out.close()
       try {
@@ -96,14 +105,14 @@ class HadoopLogStore(conf: Configuration) extends LogStore {
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
             _: java.nio.file.FileAlreadyExistsException =>
-          throw new java.nio.file.FileAlreadyExistsException(path.toString)
+          throw new java.nio.file.FileAlreadyExistsException(path)
       } finally {
         if (f.exists(tmp)) { f.delete(tmp, false); () }
       }
     }
   }
 
-  override def overwrite(path: JPath, body: Array[Byte]): Unit = {
+  override def overwrite(path: String, body: Array[Byte]): Unit = {
     val dst = hPath(path)
     val f = fs(dst)
     val tmp = new HPath(dst.getParent, s".${dst.getName}.${UUID.randomUUID()}.tmp")
@@ -117,22 +126,16 @@ class HadoopLogStore(conf: Configuration) extends LogStore {
     }
   }
 
-  override def delete(path: JPath): Boolean = {
+  override def delete(path: String): Boolean = {
     val p = hPath(path)
     fs(p).delete(p, false)
   }
 
-  override def createDirectories(dir: JPath): Unit = {
+  override def createDirectories(dir: String): Unit = {
     val d = hPath(dir)
     fs(d).mkdirs(d); ()
   }
 
-  /** True: the seam addresses objects by `java.nio` paths, so everything
-    * this store serves today IS a local file (head scans and executor
-    * folds apply). When the log grows URI addressing (the horizon item
-    * above), this becomes scheme-conditional — remote schemes keep the
-    * driver fold.
-    */
   override def filesystemBacked: Boolean = true
 }
 

@@ -16,6 +16,11 @@ import scala.jdk.CollectionConverters._
   * LogStore is the same seam — the reference's `withNewTransaction`
   * (reference `DeltaHelpers.scala:112`) assumes it exists underneath.
   *
+  * Addressing is by path STRING — a plain local path (`/data/t/_graft_log`)
+  * or a Hadoop-FileSystem URI (`hdfs://nn/t/_graft_log`) — so one seam
+  * serves every storage scheme; [[LogStore.forPath]] routes remote URIs to
+  * the [[HadoopLogStore]] automatically (see [[Fs]] for the scheme rules).
+  *
   * Only the LOG routes through this interface. Data files are written and
   * read by Spark's own Hadoop filesystem layer; a store implementation
   * covers the `_graft_log/` objects, which is where atomicity matters.
@@ -45,32 +50,34 @@ trait LogStore {
   /** (fileName, byteSize) entries of `dir`, non-recursive; empty when the
     * directory does not exist. MAY lag recent puts (eventual consistency).
     */
-  def list(dir: JPath): Seq[(String, Long)]
+  def list(dir: String): Seq[(String, Long)]
 
   /** Content lines of `path` (UTF-8). Throws `java.io.IOException` flavors
     * when absent.
     */
-  def read(path: JPath): Seq[String]
+  def read(path: String): Seq[String]
 
-  def exists(path: JPath): Boolean
+  def exists(path: String): Boolean
 
   /** Atomically publish `body` at `path` iff absent — exactly one
     * concurrent winner; losers get `FileAlreadyExistsException`.
     */
-  def putIfAbsent(path: JPath, body: Array[Byte]): Unit
+  def putIfAbsent(path: String, body: Array[Byte]): Unit
 
   /** Atomically create-or-replace `path` with `body`. */
-  def overwrite(path: JPath, body: Array[Byte]): Unit
+  def overwrite(path: String, body: Array[Byte]): Unit
 
   /** Delete `path`; false when it did not exist. */
-  def delete(path: JPath): Boolean
+  def delete(path: String): Boolean
 
-  def createDirectories(dir: JPath): Unit
+  def createDirectories(dir: String): Unit
 
-  /** True when log objects are ordinary files that Spark EXECUTORS can read
-    * directly — the requirement of [[DistributedSnapshot]]'s splittable
-    * log fold and checkpoint writer, which bypass the driver (and this
-    * interface) by design.
+  /** True when log objects live at paths Spark itself can read — the
+    * requirement of [[DistributedSnapshot]]'s splittable log fold and
+    * checkpoint writer, whose EXECUTORS read log objects directly through
+    * Spark's readers (any local path or Hadoop-FileSystem URI qualifies).
+    * False only for stores whose objects are not files at all (the
+    * in-memory test stores).
     */
   def filesystemBacked: Boolean
 }
@@ -87,9 +94,12 @@ trait LogStore {
   */
 class PosixLogStore extends LogStore {
 
-  override def list(dir: JPath): Seq[(String, Long)] = {
-    if (!Files.isDirectory(dir)) return Nil
-    val stream = Files.list(dir)
+  private def jp(s: String): JPath = Paths.get(s)
+
+  override def list(dir: String): Seq[(String, Long)] = {
+    val d = jp(dir)
+    if (!Files.isDirectory(d)) return Nil
+    val stream = Files.list(d)
     try stream.iterator().asScala.map { p =>
       val size = try Files.size(p) catch { case _: java.io.IOException => -1L }
       (p.getFileName.toString, size)
@@ -97,46 +107,48 @@ class PosixLogStore extends LogStore {
     finally stream.close()
   }
 
-  override def read(path: JPath): Seq[String] =
-    Files.readAllLines(path, StandardCharsets.UTF_8).asScala.toSeq
+  override def read(path: String): Seq[String] =
+    Files.readAllLines(jp(path), StandardCharsets.UTF_8).asScala.toSeq
 
-  override def exists(path: JPath): Boolean = Files.exists(path)
+  override def exists(path: String): Boolean = Files.exists(jp(path))
 
-  override def putIfAbsent(path: JPath, body: Array[Byte]): Unit = {
-    if (Files.exists(path)) { // cheap pre-check; the link below is the gate
+  override def putIfAbsent(path: String, body: Array[Byte]): Unit = {
+    val target = jp(path)
+    if (Files.exists(target)) { // cheap pre-check; the link below is the gate
       // a zero-byte file at the TARGET path is debris (the current claim
       // protocol never creates one — no-link claims live at `.claim`
       // markers, and landings move full content): break it once stale so a
       // crashed legacy claimant cannot wedge the version forever
       val staleDebris =
-        try Files.size(path) == 0L &&
-          System.currentTimeMillis() - Files.getLastModifiedTime(path).toMillis >
+        try Files.size(target) == 0L &&
+          System.currentTimeMillis() - Files.getLastModifiedTime(target).toMillis >
             GraftLog.StaleClaimMillis
         catch { case _: java.io.IOException => false }
       if (!staleDebris)
-        throw new java.nio.file.FileAlreadyExistsException(path.toString)
-      Files.deleteIfExists(path)
+        throw new java.nio.file.FileAlreadyExistsException(target.toString)
+      Files.deleteIfExists(target)
     }
-    val tmp = Files.createTempFile(path.getParent, s".${path.getFileName}", ".tmp")
+    val tmp = Files.createTempFile(target.getParent, s".${target.getFileName}", ".tmp")
     Files.write(tmp, body)
     try {
-      try Files.createLink(path, tmp)
+      try Files.createLink(target, tmp)
       catch {
-        case _: UnsupportedOperationException => publishWithoutLink(tmp, path)
+        case _: UnsupportedOperationException => publishWithoutLink(tmp, target)
       }
     } finally Files.deleteIfExists(tmp)
   }
 
-  override def overwrite(path: JPath, body: Array[Byte]): Unit = {
-    val tmp = Files.createTempFile(path.getParent, s".${path.getFileName}", ".tmp")
+  override def overwrite(path: String, body: Array[Byte]): Unit = {
+    val target = jp(path)
+    val tmp = Files.createTempFile(target.getParent, s".${target.getFileName}", ".tmp")
     Files.write(tmp, body)
-    Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING)
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  override def delete(path: JPath): Boolean = Files.deleteIfExists(path)
+  override def delete(path: String): Boolean = Files.deleteIfExists(jp(path))
 
-  override def createDirectories(dir: JPath): Unit = {
-    Files.createDirectories(dir); ()
+  override def createDirectories(dir: String): Unit = {
+    Files.createDirectories(jp(dir)); ()
   }
 
   override def filesystemBacked: Boolean = true
@@ -212,12 +224,13 @@ class PosixLogStore extends LogStore {
   * uses nothing beyond the object-store contract.
   */
 class ConditionalPutLogStore extends PosixLogStore {
-  override def putIfAbsent(path: JPath, body: Array[Byte]): Unit = {
+  override def putIfAbsent(path: String, body: Array[Byte]): Unit = {
     // no stale-debris pre-check, no fallback: the conditional put is the
     // entire protocol — present key = conflict, full stop
-    val tmp = Files.createTempFile(path.getParent, s".${path.getFileName}", ".tmp")
+    val target = Paths.get(path)
+    val tmp = Files.createTempFile(target.getParent, s".${target.getFileName}", ".tmp")
     Files.write(tmp, body)
-    try Files.createLink(path, tmp)
+    try Files.createLink(target, tmp)
     finally Files.deleteIfExists(tmp)
   }
 }
@@ -257,9 +270,11 @@ class InMemoryLogStore extends LogStore {
   def freezeReadsNow(): Unit = { readFloor = putSeq.get() }
   def unfreezeReads(): Unit = { readFloor = Long.MaxValue }
 
-  private def key(p: JPath): String = p.toAbsolutePath.normalize.toString
+  private def key(p: String): String =
+    if (Fs.isRemote(p)) Fs.normalize(p)
+    else Paths.get(p).toAbsolutePath.normalize.toString
 
-  override def list(dir: JPath): Seq[(String, Long)] = {
+  override def list(dir: String): Seq[(String, Long)] = {
     val prefix = key(dir) + "/"
     objects.entrySet().asScala.iterator
       .filter(e => e.getKey.startsWith(prefix) &&
@@ -269,34 +284,34 @@ class InMemoryLogStore extends LogStore {
       .toSeq
   }
 
-  override def read(path: JPath): Seq[String] = {
+  override def read(path: String): Seq[String] = {
     val e = objects.get(key(path))
     if (e == null || e.seq > readFloor)
-      throw new java.io.FileNotFoundException(path.toString)
+      throw new java.io.FileNotFoundException(path)
     new String(e.body, StandardCharsets.UTF_8).linesIterator.toSeq
   }
 
-  override def exists(path: JPath): Boolean = {
+  override def exists(path: String): Boolean = {
     val e = objects.get(key(path))
     e != null && e.seq <= readFloor
   }
 
-  override def putIfAbsent(path: JPath, body: Array[Byte]): Unit = {
+  override def putIfAbsent(path: String, body: Array[Byte]): Unit = {
     // STRONG conditional put regardless of injected read/list lag — the
     // invariant every real backend provides and the protocol leans on
     val prev = objects.putIfAbsent(key(path),
       Entry(body.clone(), putSeq.incrementAndGet()))
     if (prev != null)
-      throw new java.nio.file.FileAlreadyExistsException(path.toString)
+      throw new java.nio.file.FileAlreadyExistsException(path)
   }
 
-  override def overwrite(path: JPath, body: Array[Byte]): Unit = {
+  override def overwrite(path: String, body: Array[Byte]): Unit = {
     objects.put(key(path), Entry(body.clone(), putSeq.incrementAndGet())); ()
   }
 
-  override def delete(path: JPath): Boolean = objects.remove(key(path)) != null
+  override def delete(path: String): Boolean = objects.remove(key(path)) != null
 
-  override def createDirectories(dir: JPath): Unit = { dirs.add(key(dir)); () }
+  override def createDirectories(dir: String): Unit = { dirs.add(key(dir)); () }
 
   override def filesystemBacked: Boolean = false
 }
@@ -306,19 +321,20 @@ object LogStore {
   val Posix: LogStore = new PosixLogStore
   val ConditionalPut: LogStore = new ConditionalPutLogStore
 
-  /** Shared Hadoop-FileSystem store (default client Configuration) — the
-    * HDFS-shaped backend; see [[HadoopLogStore]] for its atomicity
-    * capability notes.
+  /** Shared Hadoop-FileSystem store resolving against the session Hadoop
+    * configuration ([[Fs.hadoopConf]]) — the HDFS-shaped backend, and the
+    * automatic route for every remote-scheme table path; see
+    * [[HadoopLogStore]] for its atomicity capability notes.
     */
-  lazy val Hadoop: LogStore =
-    new HadoopLogStore(new org.apache.hadoop.conf.Configuration())
+  lazy val Hadoop: LogStore = new HadoopLogStore()
 
   /** Longest-prefix path routing. Registered programmatically (tests,
     * embedding applications) or at boot via the system properties
     * `graft.logstore.conditionalPut.prefixes=/a,/b` /
     * `graft.logstore.hadoop.prefixes=/c` — how a forked JVM (the
     * cross-process OCC race drivers, an HDFS-mounted deployment) is
-    * pointed at a specific store for a table prefix.
+    * pointed at a specific store for a table prefix. Remote-scheme paths
+    * (`hdfs://...`, `s3a://...`) route to [[Hadoop]] with no registration.
     */
   private val overrides = new ConcurrentHashMap[String, LogStore]()
 
@@ -333,7 +349,8 @@ object LogStore {
       .getOrElse(Nil)
 
   private def normalize(p: String): String =
-    Paths.get(p).toAbsolutePath.normalize.toString
+    if (Fs.isRemote(p)) Fs.normalize(p)
+    else Paths.get(p).toAbsolutePath.normalize.toString
 
   def register(pathPrefix: String, store: LogStore): Unit = {
     overrides.put(normalize(pathPrefix), store); ()
@@ -350,7 +367,8 @@ object LogStore {
       .toSeq.sortBy(-_.getKey.length)
       .headOption.map(_.getValue)
     registered.getOrElse {
-      if (bootConditionalPutPrefixes.exists(pre => p == pre || p.startsWith(pre + "/")))
+      if (Fs.isRemote(p)) Hadoop
+      else if (bootConditionalPutPrefixes.exists(pre => p == pre || p.startsWith(pre + "/")))
         ConditionalPut
       else if (bootHadoopPrefixes.exists(pre => p == pre || p.startsWith(pre + "/")))
         Hadoop

@@ -185,7 +185,7 @@ class ChangeDataFeedHelperSpec extends AnyFunSpec with SparkSessionTestWrapper {
     (1 to 11).foreach(i => t.append(Seq((100 + i, s"x$i")).toDF("id", "name")))
     val log = new GraftLog(t.path)
     assert(log.checkpointVersions() == Seq(10L))
-    (0L to 7L).foreach(v => java.nio.file.Files.delete(log.versionFile(v)))
+    (0L to 7L).foreach(v => graft.tables.Fs.deleteIfExists(log.versionFile(v)))
 
     val h = ChangeDataFeedHelper(spark, t.path, 0, 11)
     assert(h.checkEarliestDeltaFileBetweenVersions == Some((8L, 11L)))

@@ -87,9 +87,9 @@ class DistributedSnapshotSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(snapFromCkpt.transactions == Map("appA" -> 7L))
 
     // same content the driver writer would have produced (order-insensitive)
-    val distLines = java.nio.file.Files.readAllLines(log.checkpointFile(v))
+    val distLines = java.util.List.copyOf(graft.tables.Fs.readLines(log.checkpointFile(v)).asJava)
     log.writeCheckpoint(v)
-    val driverLines = java.nio.file.Files.readAllLines(log.checkpointFile(v))
+    val driverLines = java.util.List.copyOf(graft.tables.Fs.readLines(log.checkpointFile(v)).asJava)
     assert(distLines.asScala.toSet == driverLines.asScala.toSet)
 
     // and both replay to the same live set as the un-checkpointed fold
@@ -112,11 +112,11 @@ class DistributedSnapshotSpec extends AnyFunSpec with SparkSessionTestWrapper {
         stats = if (i % 2 == 0) "" else s"""{"numRecords":$i}""",
         dv = if (i % 2 == 0) None else Some(DvDescriptor(s"_dv/d$i", i.toLong)))
     }
-    CheckpointParquet.write(dir, files, rowsPerPart = 3) // forces 3 parts
+    CheckpointParquet.write(dir.toString, files, rowsPerPart = 3) // forces 3 parts
     val parts = java.nio.file.Files.list(dir).iterator().asScala
       .count(_.getFileName.toString.endsWith(".parquet"))
     assert(parts == 3, s"expected 3 parts, got $parts")
-    assert(CheckpointParquet.read(dir) == files) // order- and value-exact
+    assert(CheckpointParquet.read(dir.toString) == files) // order- and value-exact
     // Spark's splittable reader sees the same rows as the driver codec
     val viaSpark = spark.read.parquet(dir.toString)
       .select("path", "size").as[(String, Long)].collect().toSet
@@ -143,8 +143,8 @@ class DistributedSnapshotSpec extends AnyFunSpec with SparkSessionTestWrapper {
 
     // DRIVER writer: JSON head is O(1) actions, adds live in the dir
     log.writeCheckpoint(v)
-    assert(java.nio.file.Files.isDirectory(log.checkpointParquetDir(v)))
-    val head = java.nio.file.Files.readAllLines(log.checkpointFile(v)).asScala
+    assert(graft.tables.Fs.isDirectory(log.checkpointParquetDir(v)))
+    val head = graft.tables.Fs.readLines(log.checkpointFile(v))
     assert(!head.exists(_.startsWith("{\"add\"")), "head JSON must carry no adds")
     assert(fileSet(log.snapshot(v).files) == truth, "driver fold from parquet ckpt")
     assert(fileSet(DistributedSnapshot.addFiles(spark, dir, v)) == truth,
@@ -156,7 +156,7 @@ class DistributedSnapshotSpec extends AnyFunSpec with SparkSessionTestWrapper {
     // would never land and this phase would re-read the driver's parts.)
     log.deleteCheckpoint(v)
     DistributedSnapshot.writeCheckpoint(spark, dir, v)
-    assert(java.nio.file.Files.isDirectory(log.checkpointParquetDir(v)))
+    assert(graft.tables.Fs.isDirectory(log.checkpointParquetDir(v)))
     assert(fileSet(log.snapshot(v).files) == truth, "driver fold from spark-written ckpt")
     assert(fileSet(DistributedSnapshot.addFiles(spark, dir, v)) == truth,
       "executor fold from spark-written ckpt")
@@ -172,7 +172,7 @@ class DistributedSnapshotSpec extends AnyFunSpec with SparkSessionTestWrapper {
 
     // stale-checkpoint cleanup reclaims the dir sidecar too
     log.deleteCheckpoint(v)
-    assert(!java.nio.file.Files.exists(log.checkpointParquetDir(v)))
+    assert(!graft.tables.Fs.exists(log.checkpointParquetDir(v)))
     assert(fileSet(GraftTable.forPath(spark, dir).snapshot.files) == after,
       "fold must survive checkpoint removal (full replay)")
   }
@@ -188,7 +188,7 @@ class DistributedSnapshotSpec extends AnyFunSpec with SparkSessionTestWrapper {
     // the dir sidecar exists but holds ZERO part files — the explicit
     // schema on the executor read must fold it to empty, not die in
     // parquet schema inference
-    assert(java.nio.file.Files.isDirectory(log.checkpointParquetDir(v)))
+    assert(graft.tables.Fs.isDirectory(log.checkpointParquetDir(v)))
     assert(DistributedSnapshot.addFiles(spark, dir, v).isEmpty)
     assert(log.snapshot(v).files.isEmpty)
     assert(DistributedSnapshot.prunedFiles(spark, dir, "id = 3").isEmpty)

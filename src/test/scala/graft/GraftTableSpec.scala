@@ -1071,7 +1071,7 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       // delete every version file below the last checkpoint: snapshot must
       // still materialize purely from the checkpoint (≤ 2 log reads: the
       // sidecar + nothing after it)
-      (0L until 200L).foreach(v => java.nio.file.Files.deleteIfExists(log.versionFile(v)))
+      (0L until 200L).foreach(v => graft.tables.Fs.deleteIfExists(log.versionFile(v)))
       val fromCkpt = log.snapshot(200L)
       assert(fromCkpt.files.map(_.path).toSet == Set("f199.parquet", "f200.parquet"))
       // time travel below a checkpoint still folds version files when present
@@ -1093,9 +1093,9 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       val dir = tmpTableDir("graft-claim")
       val t = GraftTable.create(spark, dir, Seq((1, "a")).toDF("id", "name"))
       val log = t.log
-      val target = log.versionFile(7L)
+      val target = java.nio.file.Paths.get(log.versionFile(7L))
       def tmpWith(body: String) = {
-        val p = java.nio.file.Files.createTempFile(log.logDir, ".t", ".json.tmp")
+        val p = java.nio.file.Files.createTempFile(java.nio.file.Paths.get(log.logDir), ".t", ".json.tmp")
         java.nio.file.Files.write(p, body.getBytes("UTF-8")); p
       }
       // first claimant wins and lands its content
@@ -1108,8 +1108,8 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(new String(java.nio.file.Files.readAllBytes(target), "UTF-8") == "one\n")
 
       // claims live at a separate `.claim` marker, invisible to readers
-      val claimed = log.versionFile(8L)
-      val marker = log.logDir.resolve(claimed.getFileName.toString + ".claim")
+      val claimed = java.nio.file.Paths.get(log.versionFile(8L))
+      val marker = java.nio.file.Paths.get(log.logDir).resolve(claimed.getFileName.toString + ".claim")
       java.nio.file.Files.createFile(marker)
       assert(!log.versions().contains(8L))
       // a FRESH marker blocks competitors; a STALE one (crashed claimant)
@@ -1138,7 +1138,7 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       val dir = tmpTableDir("graft-claim-commit")
       val t = GraftTable.create(spark, dir, Seq((1, "a")).toDF("id", "name"))
       val log = t.log
-      val debris = log.versionFile(1L)
+      val debris = java.nio.file.Paths.get(log.versionFile(1L))
       java.nio.file.Files.createFile(debris)
       // fresh debris: writers conflict (could be an in-flight legacy claim)
       assertThrows[tables.CommitConflictException] {
@@ -1298,7 +1298,7 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       // attempt (not stale debris, and invisible to versions(), so the
       // snapshot never advances) — exactly the pathological storm that used
       // to spin forever; the cap must surface it instead
-      java.nio.file.Files.createFile(t.log.versionFile(1L))
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(t.log.versionFile(1L)))
       val e = intercept[java.util.ConcurrentModificationException] {
         t.setProperties(Map("graft.k" -> "v"))
       }

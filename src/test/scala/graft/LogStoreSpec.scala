@@ -72,9 +72,9 @@ class LogStoreSpec extends AnyFunSpec with SparkSessionTestWrapper {
       // the loser never tore the winner's content, and no temp debris stays
       assert(log.actionsAt(0L).collect { case ci: CommitInfo => ci.operation }
         == Seq("CREATE TABLE"))
-      assert(!store.list(log.versionFile(0L).getParent).exists(_._1.endsWith(".tmp")))
+      assert(!store.list(log.logDir).exists(_._1.endsWith(".tmp")))
       // store primitives round-trip
-      val side = log.versionFile(0L).getParent.resolve("side.txt")
+      val side = graft.tables.Fs.child(log.logDir, "side.txt")
       store.overwrite(side, "a\nb".getBytes)
       assert(store.read(side) == Seq("a", "b"))
       store.overwrite(side, "c".getBytes)
@@ -317,13 +317,13 @@ class LogStoreSpec extends AnyFunSpec with SparkSessionTestWrapper {
       // mirror the log objects into an in-memory store and re-route
       val mem = new InMemoryLogStore
       val logDir = java.nio.file.Paths.get(dir, graft.tables.GraftLog.LogDirName)
-      mem.createDirectories(logDir)
+      mem.createDirectories(logDir.toString)
       val listing = java.nio.file.Files.list(logDir)
       try {
         import scala.jdk.CollectionConverters._
         listing.iterator().asScala.foreach { p =>
           if (java.nio.file.Files.isRegularFile(p))
-            mem.overwrite(p, java.nio.file.Files.readAllBytes(p))
+            mem.overwrite(p.toString, java.nio.file.Files.readAllBytes(p))
         }
       } finally listing.close()
       LogStore.register(dir, mem)
@@ -361,17 +361,17 @@ class LogStoreSpec extends AnyFunSpec with SparkSessionTestWrapper {
       logB.writeCheckpoint(logB.latestVersion())
       val memB = new InMemoryLogStore
       val logDirB = java.nio.file.Paths.get(dirB, graft.tables.GraftLog.LogDirName)
-      memB.createDirectories(logDirB)
+      memB.createDirectories(logDirB.toString)
       val lb = java.nio.file.Files.list(logDirB)
       try {
         import scala.jdk.CollectionConverters._
         lb.iterator().asScala.foreach { p =>
           if (java.nio.file.Files.isRegularFile(p))
-            memB.overwrite(p, java.nio.file.Files.readAllBytes(p))
+            memB.overwrite(p.toString, java.nio.file.Files.readAllBytes(p))
         }
       } finally lb.close()
       // drop the LOCAL sidecar dir: only the mirrored log objects survive
-      graft.tables.TableWriter.deleteRecursively(
+      graft.tables.Fs.deleteRecursively(
         logB.checkpointParquetDir(logB.latestVersion()))
       LogStore.register(dirB, memB)
       try {

@@ -86,10 +86,10 @@ class OccRaceSpec extends AnyFunSpec {
       val ckpts = log.checkpointVersions()
       assert(ckpts.nonEmpty, "no auto-checkpoint fired during the race")
       ckpts.foreach { cv =>
-        assert(Files.isDirectory(log.checkpointParquetDir(cv)),
+        assert(graft.tables.Fs.isDirectory(log.checkpointParquetDir(cv)),
           s"checkpoint $cv has no parquet dir sidecar")
-        val head = Files.readAllLines(log.checkpointFile(cv))
-        assert(!head.stream().anyMatch(_.startsWith("{\"add\"")),
+        val head = graft.tables.Fs.readLines(log.checkpointFile(cv))
+        assert(!head.exists(_.startsWith("{\"add\"")),
           s"checkpoint $cv head JSON must carry no adds")
       }
       assert(log.snapshot().version == 2L * n)

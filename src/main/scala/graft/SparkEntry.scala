@@ -2373,7 +2373,7 @@ object SparkEntry {
       val cls = graft.tables.FileSkipping.classify(s, t.toDF, "n_nationkey <= 9")
       val victims = graft.tables.FileSkipping.filesMatching(t.snapshot, cls.all, None)
       require(victims.size == 1, s"sorted write should isolate keys 0..9, got ${victims.size}")
-      java.nio.file.Files.delete(GraftTable.resolveDataPath(t.path, victims.head.path))
+      graft.tables.Fs.deleteIfExists(GraftTable.resolveDataPath(t.path, victims.head.path))
       val dryCount = TableOps.fsck(t, dryRun = true).size
       TableOps.fsck(t)
       val t2 = GraftTable.forPath(s, t.path)
@@ -2906,6 +2906,35 @@ object SparkEntry {
       s.sql("DELETE FROM graft_cat.rlns.supp_t WHERE s_acctbal * 2 > 15000")
       () =>
       s.sql("SELECT s_suppkey, s_name, s_acctbal FROM graft_cat.rlns.supp_t")
+    }),
+
+    "s42_uri_table" -> ((s, dir) => {
+      // REMOTE-scheme storage end-to-end: the whole engine addressed by a
+      // hadoop-FileSystem URI instead of a local path — log IO through
+      // HadoopLogStore's rename-claim, staging/landing through hadoop-fs
+      // renames, the scan through URI FileStatuses. The faux:// scheme
+      // (graft.tools.FauxFileSystem, a local delegate registered exactly
+      // like a production custom scheme) stands in for hdfs/abfs in this
+      // container. Create from nation, rewrite (UPDATE), shrink (DELETE),
+      // grow (append) — every mutation lands as remote files; the oracle
+      // replays the mutations relationally over the raw table.
+      val hc = s.sparkContext.hadoopConfiguration
+      hc.set("fs.faux.impl", "graft.tools.FauxFileSystem")
+      hc.set("fs.AbstractFileSystem.faux.impl", "graft.tools.FauxAbstractFs")
+      graft.tables.Fs.resetConfCache()
+      val uri = "faux://" + tmp("s42-uri")
+      val t = GraftTable.create(s, uri,
+        read(s, dir, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+      TableOps.update(t, Some("n_regionkey = 2"),
+        Map("n_name" -> "concat('U_', n_name)"))
+      TableOps.delete(t, Some("n_nationkey % 7 = 0"))
+      s.sql("SELECT CAST(900 AS INT) AS n_nationkey, 'FAUXLAND' AS n_name, " +
+        "CAST(0 AS INT) AS n_regionkey")
+        .createOrReplaceTempView("s42_extra")
+      t.append(s.table("s42_extra"))
+      () =>
+      GraftTable.forPath(s, uri).toDF
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     }),
 
     "s8_skipping_counts" -> ((s, dir) => {
@@ -3808,6 +3837,12 @@ object SparkEntry {
         |  FROM supplier WHERE s_suppkey % 5 = 0)
         |SELECT s_suppkey, s_name, s_acctbal FROM unioned
         |WHERE NOT (s_acctbal * 2 > 15000)""".stripMargin,
+    "s42_uri_table" ->
+      """SELECT n_nationkey,
+        |       CASE WHEN n_regionkey = 2 THEN 'U_' || n_name ELSE n_name END AS n_name,
+        |       n_regionkey
+        |FROM nation WHERE n_nationkey % 7 <> 0
+        |UNION ALL SELECT CAST(900 AS INT), 'FAUXLAND', CAST(0 AS INT)""".stripMargin,
     "s3_humanize_bytes" ->
       """SELECT CAST(case_id AS INT) AS case_id, humanized FROM (VALUES
         | (1, '0 B'), (2, '512 B'), (3, '1.2 kB'), (4, '1.0 MB'), (5, '5.5 MB'),

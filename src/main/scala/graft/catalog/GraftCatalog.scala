@@ -1,6 +1,6 @@
 package graft.catalog
 
-import java.nio.file.{Files, Path => JPath, Paths}
+import java.nio.file.Paths
 import java.util
 import scala.jdk.CollectionConverters._
 
@@ -14,7 +14,7 @@ import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.tables.{GraftTable, TableWriter}
+import graft.tables.{Fs, GraftTable}
 
 /** V2 `TableCatalog` plugin: unquoted multi-part identifiers
   * (`graft_cat.ns.table`) resolve in plain `spark.sql` without the
@@ -49,7 +49,7 @@ import graft.tables.{GraftTable, TableWriter}
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
-  private var warehouse: JPath = _
+  private var warehouse: String = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -57,7 +57,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(w != null && w.nonEmpty,
       s"graft catalog '$name' needs a warehouse root: set " +
         s"spark.sql.catalog.$name.${GraftCatalog.WarehouseOption}=<dir>")
-    warehouse = Paths.get(w).toAbsolutePath.normalize
+    warehouse = GraftCatalog.normalizeWarehouse(w)
   }
 
   override def name(): String = catalogName
@@ -73,27 +73,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     p
   }
 
-  private def nsDir(ns: Array[String]): JPath =
-    ns.foldLeft(warehouse)((d, p) => d.resolve(segment(p)))
+  private def nsDir(ns: Array[String]): String =
+    ns.foldLeft(warehouse)((d, p) => Fs.child(d, segment(p)))
 
-  private[graft] def tableDir(ident: Identifier): JPath =
-    nsDir(ident.namespace).resolve(segment(ident.name))
+  private[graft] def tableDir(ident: Identifier): String =
+    Fs.child(nsDir(ident.namespace), segment(ident.name))
 
   // ---- tables ---------------------------------------------------------
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = nsDir(namespace)
-    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
-    val stream = Files.list(dir)
-    try stream.iterator().asScala
-      .filter(p => GraftTable.exists(p.toString))
-      .map(p => Identifier.of(namespace, p.getFileName.toString))
+    if (!Fs.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    Fs.listNames(dir).map(_._1)
+      .filter(n => GraftTable.exists(Fs.child(dir, n)))
+      .map(n => Identifier.of(namespace, n))
       .toArray
-    finally stream.close()
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    GraftTable.exists(tableDir(ident).toString)
+    GraftTable.exists(tableDir(ident))
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
@@ -146,9 +144,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"graft tables support identity partitioning only, got: $t")
     }
     val props = properties.asScala.toMap -- GraftCatalog.ReservedProperties
-    Files.createDirectories(dir.getParent)
-    GraftTable.createEmpty(spark, dir.toString, schema, partCols, props)
-    new GraftV2Table(dir.toString, ident)
+    Fs.mkdirs(Fs.parent(dir))
+    GraftTable.createEmpty(spark, dir, schema, partCols, props)
+    new GraftV2Table(dir, ident)
   }
 
   /** Property changes and column DDL commit to the log
@@ -244,21 +242,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * quiesce writers before admin ops; this fence turns "lucky" into
     * "refused" for every in-flight commit it can see.
     */
-  private def fenceInFlight(dir: JPath, what: String): Unit = {
-    val logDir = dir.resolve(graft.tables.GraftLog.LogDirName)
-    if (!Files.isDirectory(logDir)) return
+  private def fenceInFlight(dir: String, what: String): Unit = {
+    val logDir = Fs.child(dir, graft.tables.GraftLog.LogDirName)
+    if (!Fs.isDirectory(logDir)) return
     val now = System.currentTimeMillis()
-    val stream = Files.list(logDir)
     val inFlight =
-      try stream.iterator().asScala.filter { p =>
-        val n = p.getFileName.toString
+      Fs.listNames(logDir).map(_._1).filter { n =>
         (n.endsWith(".claim") || n.endsWith(".tmp")) && {
-          val age = try now - Files.getLastModifiedTime(p).toMillis
+          val age = try now - Fs.lastModifiedMillis(Fs.child(logDir, n))
           catch { case _: java.io.IOException => Long.MaxValue } // vanished: done
           age < graft.tables.GraftLog.StaleClaimMillis
         }
-      }.map(_.getFileName.toString).toList
-      finally stream.close()
+      }.toList
     if (inFlight.nonEmpty)
       throw new IllegalStateException(
         s"cannot $what $dir: commit(s) in flight (${inFlight.mkString(", ")} " +
@@ -268,28 +263,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
-    if (!GraftTable.exists(dir.toString)) false
+    if (!GraftTable.exists(dir)) false
     else {
       fenceInFlight(dir, "DROP TABLE")
-      TableWriter.deleteRecursively(dir); true
+      Fs.deleteRecursively(dir); true
     }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val from = tableDir(oldIdent)
     val to = tableDir(newIdent)
-    if (!GraftTable.exists(from.toString)) throw new NoSuchTableException(oldIdent)
-    if (Files.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    if (!GraftTable.exists(from)) throw new NoSuchTableException(oldIdent)
+    if (Fs.exists(to)) throw new TableAlreadyExistsException(newIdent)
     fenceInFlight(from, "RENAME TABLE")
-    Files.createDirectories(to.getParent)
-    Files.move(from, to)
+    Fs.mkdirs(Fs.parent(to))
+    Fs.moveNoReplace(from, to)
     ()
   }
 
   // ---- namespaces (directories of the warehouse tree) -----------------
 
-  private def isNamespaceDir(p: JPath): Boolean =
-    Files.isDirectory(p) && !GraftTable.exists(p.toString)
+  private def isNamespaceDir(p: String): Boolean =
+    Fs.isDirectory(p) && !GraftTable.exists(p)
 
   override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
 
@@ -297,13 +292,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = nsDir(namespace)
     if (namespace.nonEmpty && !isNamespaceDir(dir))
       throw new NoSuchNamespaceException(namespace)
-    if (!Files.isDirectory(dir)) return Array.empty
-    val stream = Files.list(dir)
-    try stream.iterator().asScala
-      .filter(isNamespaceDir)
-      .map(p => namespace :+ p.getFileName.toString)
+    if (!Fs.isDirectory(dir)) return Array.empty
+    Fs.listNames(dir).map(_._1)
+      .filter(n => isNamespaceDir(Fs.child(dir, n)))
+      .map(n => namespace :+ n)
       .toArray
-    finally stream.close()
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
@@ -318,7 +311,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       namespace: Array[String], metadata: util.Map[String, String]): Unit = {
     val dir = nsDir(namespace)
     if (isNamespaceDir(dir)) throw new NamespaceAlreadyExistsException(namespace)
-    Files.createDirectories(dir)
+    Fs.mkdirs(dir)
     ()
   }
 
@@ -330,12 +323,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = nsDir(namespace)
     if (!isNamespaceDir(dir)) false
     else {
-      val stream = Files.list(dir)
-      val empty = try !stream.iterator().hasNext finally stream.close()
+      val empty = Fs.listNames(dir).isEmpty
       if (!empty && !cascade)
         throw new IllegalStateException(
           s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
-      TableWriter.deleteRecursively(dir)
+      Fs.deleteRecursively(dir)
       true
     }
   }
@@ -343,6 +335,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
 object GraftCatalog {
   val WarehouseOption = "warehouse"
+
+  /** Canonical warehouse root: local roots absolutize (stable keys across
+    * working-dir changes), remote URIs normalize per [[Fs]].
+    */
+  def normalizeWarehouse(w: String): String =
+    if (Fs.isRemote(w)) Fs.normalize(w)
+    else Paths.get(w).toAbsolutePath.normalize.toString
 
   /** Catalog-plumbing keys Spark injects into CREATE TABLE properties that
     * must not leak into the table's own log properties.
@@ -372,7 +371,7 @@ object GraftCatalog {
     spark.conf.getOption(s"spark.sql.catalog.$head")
       .filter(_ == classOf[GraftCatalog].getName)
       .flatMap(_ => spark.conf.getOption(s"spark.sql.catalog.$head.$WarehouseOption"))
-      .map(w => parts.tail.foldLeft(Paths.get(w))(_ resolve _).toAbsolutePath.toString)
+      .map(w => parts.tail.foldLeft(normalizeWarehouse(w))(Fs.child))
   }
 }
 

@@ -266,7 +266,7 @@ object GraftHelpers {
         // (a plain saveAsTable would lose the graft log + properties)
         val warehouse = spark.conf.get("spark.sql.warehouse.dir")
           .stripPrefix("file:")
-        val dest = java.nio.file.Paths.get(warehouse, name.split('.'): _*).toString
+        val dest = name.split('.').foldLeft(warehouse)(graft.tables.Fs.child)
         GraftTable.create(spark, dest, table.toDF,
           partitionColumns = snap.metadata.partitionColumns,
           properties = snap.metadata.properties)

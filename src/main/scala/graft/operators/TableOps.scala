@@ -667,8 +667,8 @@ object TableOps {
     // vector sidecar is (the live-row set is no longer computable — keeping
     // the reference would resurrect deleted rows or fail every scan)
     val missing = snap.files.filterNot { f =>
-      Files.exists(GraftTable.resolveDataPath(table.path, f.path)) &&
-        f.dv.forall(d => Files.exists(GraftTable.resolveDataPath(table.path, d.path)))
+      graft.tables.Fs.exists(GraftTable.resolveDataPath(table.path, f.path)) &&
+        f.dv.forall(d => graft.tables.Fs.exists(GraftTable.resolveDataPath(table.path, d.path)))
     }
     if (!dryRun && missing.nonEmpty) {
       TableWriter.write(table.spark, table.path,
@@ -771,7 +771,7 @@ object TableOps {
     if (version == cur.version) return cur.version
     val target = log.snapshot(version)
     val missing = target.files.filterNot(f =>
-      Files.exists(GraftTable.resolveDataPath(table.path, f.path)))
+      graft.tables.Fs.exists(GraftTable.resolveDataPath(table.path, f.path)))
     if (missing.nonEmpty)
       throw new IllegalStateException(
         s"cannot restore ${table.path} to version $version: ${missing.size} of its " +
@@ -923,22 +923,17 @@ object TableOps {
     * rewrite — the production "VACUUM DRY RUN" safety check.
     */
   def vacuumDryRun(table: GraftTable, retainVersion: Long): Seq[String] = {
-    import java.nio.file.{Files, Paths}
     val plan = vacuumPlan(table.log, retainVersion)
     // report exactly what vacuum would count: external clone references are
     // skipped, already-missing bytes (fsck'd tables) delete nothing, and
     // orphaned bloom-sidecar files are deleted too
     val data = plan.deadFiles
       .filterNot(GraftTable.isExternalPath)
-      .filter(rel => Files.exists(Paths.get(table.path, rel)))
+      .filter(rel => graft.tables.Fs.exists(graft.tables.Fs.child(table.path, rel)))
     val sidecars = (bloomOrphanDirs(table.path, plan.liveSidecars) ++
       dvOrphanDirs(table.path, plan.liveDvDirs)).flatMap { dir =>
-      val files = Files.walk(dir)
-      try {
-        import scala.jdk.CollectionConverters._
-        files.iterator().asScala.filter(Files.isRegularFile(_))
-          .map(p => Paths.get(table.path).relativize(p).toString).toList
-      } finally files.close()
+      graft.tables.Fs.walkFiles(dir)
+        .map(p => graft.tables.Fs.relativize(table.path, p))
     }
     data ++ sidecars
   }
@@ -949,21 +944,18 @@ object TableOps {
     * visible, so a young unreferenced dir may belong to a concurrent
     * commit; only dirs older than [[BloomSidecarMinAgeMillis]] qualify.
     */
-  private[graft] def bloomOrphanDirs(tablePath: String, liveSidecars: Set[String]): Seq[java.nio.file.Path] = {
-    import java.nio.file.{Files, Paths}
-    val bloomRoot = Paths.get(tablePath, graft.tables.BloomIndex.SidecarDirName)
-    if (!Files.isDirectory(bloomRoot)) return Nil
+  private[graft] def bloomOrphanDirs(tablePath: String, liveSidecars: Set[String]): Seq[String] = {
+    import graft.tables.Fs
+    val bloomRoot = Fs.child(tablePath, graft.tables.BloomIndex.SidecarDirName)
+    if (!Fs.isDirectory(bloomRoot)) return Nil
     val cutoff = System.currentTimeMillis() - BloomSidecarMinAgeMillis
-    val stream = Files.list(bloomRoot)
-    try {
-      import scala.jdk.CollectionConverters._
-      stream.iterator().asScala
-        .filter { p =>
-          !liveSidecars.contains(p.getFileName.toString) &&
-            (try Files.getLastModifiedTime(p).toMillis < cutoff
-             catch { case _: java.io.IOException => false })
-        }.toList
-    } finally stream.close()
+    Fs.listNames(bloomRoot).map(_._1)
+      .filterNot(liveSidecars.contains)
+      .map(n => Fs.child(bloomRoot, n))
+      .filter { p =>
+        try Fs.lastModifiedMillis(p) < cutoff
+        catch { case _: java.io.IOException => false }
+      }
   }
 
   /** Abandoned V2 streaming-epoch staging dirs
@@ -977,38 +969,28 @@ object TableOps {
     * guard ([[StreamStagingMinAgeMillis]]: even a slow epoch flushes a row
     * group within hours; an abandoned dir can wait that long to reclaim).
     */
-  private[graft] def streamStagingOrphanDirs(tablePath: String): Seq[java.nio.file.Path] = {
-    import java.nio.file.{Files, Paths}
-    val root = Paths.get(tablePath)
-    if (!Files.isDirectory(root)) return Nil
+  private[graft] def streamStagingOrphanDirs(tablePath: String): Seq[String] = {
+    import graft.tables.Fs
+    if (!Fs.isDirectory(tablePath)) return Nil
     val cutoff = System.currentTimeMillis() - StreamStagingMinAgeMillis
     // ANY filesystem race during the walk (dir consumed by a committing
     // epoch, file vanishing mid-iteration — surfacing as IOException OR
     // UncheckedIOException) means the dir is LIVE: report it too fresh to
     // sweep rather than crashing the vacuum mid-sweep
-    def newestMtime(dir: java.nio.file.Path): Long =
+    def newestMtime(dir: String): Long =
       try {
-        val walk = Files.walk(dir)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.foldLeft(0L) { (acc, p) =>
-            math.max(acc,
-              try Files.getLastModifiedTime(p).toMillis
-              catch { case _: java.io.IOException => Long.MaxValue })
-          }
-        } finally walk.close()
+        (dir +: Fs.walkFiles(dir)).foldLeft(0L) { (acc, p) =>
+          math.max(acc,
+            try Fs.lastModifiedMillis(p)
+            catch { case _: java.io.IOException => Long.MaxValue })
+        }
       } catch {
         case _: java.io.IOException | _: java.io.UncheckedIOException => Long.MaxValue
       }
-    val stream = Files.list(root)
-    try {
-      import scala.jdk.CollectionConverters._
-      stream.iterator().asScala
-        .filter { p =>
-          p.getFileName.toString.startsWith(".graft-stream-epoch-") &&
-            newestMtime(p) < cutoff
-        }.toList
-    } finally stream.close()
+    Fs.listNames(tablePath).map(_._1)
+      .filter(_.startsWith(".graft-stream-epoch-"))
+      .map(n => Fs.child(tablePath, n))
+      .filter(p => newestMtime(p) < cutoff)
   }
 
   /** Minimum whole-tree idle age before an abandoned streaming-epoch
@@ -1037,24 +1019,21 @@ object TableOps {
     * sidecars: a young unreferenced dir may belong to a concurrent DELETE
     * whose commit has not landed yet.
     */
-  private[graft] def dvOrphanDirs(tablePath: String, liveDvDirs: Set[String]): Seq[java.nio.file.Path] = {
-    import java.nio.file.{Files, Paths}
-    val dvRoot = Paths.get(tablePath, graft.tables.DeletionVectors.DirName)
-    if (!Files.isDirectory(dvRoot)) return Nil
+  private[graft] def dvOrphanDirs(tablePath: String, liveDvDirs: Set[String]): Seq[String] = {
+    import graft.tables.Fs
+    val dvRoot = Fs.child(tablePath, graft.tables.DeletionVectors.DirName)
+    if (!Fs.isDirectory(dvRoot)) return Nil
     val liveNames = liveDvDirs
       .filterNot(GraftTable.isExternalPath) // clone refs point into the source
-      .map(p => Paths.get(p).getFileName.toString)
+      .map(p => p.split('/').last)
     val cutoff = System.currentTimeMillis() - BloomSidecarMinAgeMillis
-    val stream = Files.list(dvRoot)
-    try {
-      import scala.jdk.CollectionConverters._
-      stream.iterator().asScala
-        .filter { p =>
-          !liveNames.contains(p.getFileName.toString) &&
-            (try Files.getLastModifiedTime(p).toMillis < cutoff
-             catch { case _: java.io.IOException => false })
-        }.toList
-    } finally stream.close()
+    Fs.listNames(dvRoot).map(_._1)
+      .filterNot(liveNames.contains)
+      .map(n => Fs.child(dvRoot, n))
+      .filter { p =>
+        try Fs.lastModifiedMillis(p) < cutoff
+        catch { case _: java.io.IOException => false }
+      }
   }
 
   /** VACUUM: physically delete data/change files no longer referenced by any
@@ -1077,7 +1056,7 @@ object TableOps {
       .map(_.toInt).getOrElse(DefaultDistributedDeleteThreshold)
 
   def vacuum(table: GraftTable, retainVersion: Long): Int = {
-    import java.nio.file.{Files, Paths}
+    import graft.tables.Fs
     val DistributedDeleteThreshold = distributedDeleteThreshold(table)
     val log = table.log
     val VacuumPlan(deadData, dropVersions, liveSidecars, liveDvDirs, scan) =
@@ -1114,9 +1093,26 @@ object TableOps {
       if (deletable.size < DistributedDeleteThreshold) {
         var n = 0
         deletable.foreach { rel =>
-          if (Files.deleteIfExists(Paths.get(table.path, rel))) n += 1
+          if (Fs.deleteIfExists(Fs.child(table.path, rel))) n += 1
         }
         n
+      } else if (Fs.isRemote(table.path)) {
+        // remote scheme: executors delete through hadoop.fs with the
+        // DRIVER's session conf shipped along (a bare executor Configuration
+        // would miss spark.hadoop.* scheme registrations and credentials)
+        val base = table.path
+        val confBox = new org.apache.spark.sql.graft.SparkBridge.ConfBox(
+          table.spark.sessionState.newHadoopConf())
+        table.spark.sparkContext
+          .parallelize(deletable, math.max(1, deletable.size / 1000))
+          .mapPartitions { rels =>
+            val conf = confBox.value
+            rels.map { rel =>
+              val p = new org.apache.hadoop.fs.Path(base.stripSuffix("/") + "/" + rel)
+              if (p.getFileSystem(conf).delete(p, false)) 1 else 0
+            }
+          }
+          .sum().toInt
       } else {
         val base = table.path
         table.spark.sparkContext
@@ -1139,12 +1135,8 @@ object TableOps {
       .foreach { dir =>
         // count the files inside (parts + markers), not the directory — the
         // return contract is files deleted
-        val files = Files.walk(dir)
-        val n = try {
-          import scala.jdk.CollectionConverters._
-          files.iterator().asScala.count(Files.isRegularFile(_))
-        } finally files.close()
-        TableWriter.deleteRecursively(dir)
+        val n = Fs.walkFiles(dir).size
+        Fs.deleteRecursively(dir)
         deleted += n
       }
     deleted

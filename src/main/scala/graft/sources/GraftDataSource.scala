@@ -839,7 +839,7 @@ class GraftFileIndex(
   private def currentSnapshot(): Snapshot =
     GraftTable.forPath(spark, tablePath).snapshot
 
-  override def rootPaths: Seq[Path] = Seq(new Path(new java.io.File(tablePath).toURI))
+  override def rootPaths: Seq[Path] = Seq(graft.tables.Fs.toHadoopPath(tablePath))
 
   /** Pinned indexes (time travel, explicit file subsets) never move. */
   override def refresh(): Unit = if (pinned.isEmpty) cachedSnap = currentSnapshot()
@@ -852,7 +852,8 @@ class GraftFileIndex(
   override def sizeInBytes: Long = cachedSnap.sizeInBytes
 
   override def inputFiles: Array[String] =
-    cachedSnap.files.map(f => GraftTable.resolveDataPath(tablePath, f.path).toUri.toString).toArray
+    cachedSnap.files.map(f =>
+      graft.tables.Fs.toUriString(GraftTable.resolveDataPath(tablePath, f.path))).toArray
 
   override def listFiles(
       partitionFilters: Seq[Expression],
@@ -911,5 +912,5 @@ class GraftFileIndex(
 
   private def fileStatus(f: AddFile): FileStatus =
     new FileStatus(f.size, false, 1, 128L * 1024 * 1024, 0L,
-      new Path(GraftTable.resolveDataPath(tablePath, f.path).toUri))
+      graft.tables.Fs.toHadoopPath(GraftTable.resolveDataPath(tablePath, f.path)))
 }

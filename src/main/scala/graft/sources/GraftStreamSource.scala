@@ -396,7 +396,7 @@ class GraftStreamSource(
               "skipChangeCommits/ignoreDeletes to skip such commits, or " +
               "stream the change feed via readStream.format(\"graft\")")
         } else {
-          val paths = cdc.map(p => new java.io.File(tablePath, p).toString)
+          val paths = cdc.map(p => graft.tables.Fs.child(tablePath, p))
           // change files carry PHYSICAL column names (stable across
           // renames) — read them physically, surface them logically
           val snapSchema = table.snapshotAt(v).schema

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path => JPath, Paths}
+import java.nio.file.{Files, Paths}
 import java.util.UUID
 
 import org.apache.hadoop.conf.Configuration
@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactor
 import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
 import org.apache.spark.sql.types.{DataType, StructType}
 
-import graft.tables.{GraftLog, GraftTable, TableWriter}
+import graft.tables.{Fs, GraftLog, GraftTable, TableWriter}
 
 /** V2 `StreamingWrite` behind `df.writeStream.toTable("graft_cat.ns.t")` —
   * the ergonomic default Structured Streaming teaches — with the same
@@ -69,7 +69,7 @@ class GraftStreamingWrite(
     * Micro-batch execution runs one epoch at a time per query, so a single
     * slot suffices.
     */
-  @volatile private var lastStaging: Option[JPath] = None
+  @volatile private var lastStaging: Option[String] = None
 
   override def createStreamingWriterFactory(
       pInfo: PhysicalWriteInfo): StreamingDataWriterFactory = {
@@ -83,14 +83,14 @@ class GraftStreamingWrite(
       s"streaming write into $tablePath lacks partition column(s) ${missing.mkString(", ")}")
     // per-epoch staging dir under the table (same filesystem → atomic
     // moves); the factory's tasks write here, commit() consumes it
-    val staging = Paths.get(tablePath, s".graft-stream-epoch-${UUID.randomUUID()}")
-    Files.createDirectories(staging)
+    val staging = Fs.child(tablePath, s".graft-stream-epoch-${UUID.randomUUID()}")
+    Fs.mkdirs(staging)
     lastStaging = Some(staging)
     val conf = spark.sessionState.newHadoopConf()
     val (owf, confBox) = org.apache.spark.sql.graft.SparkBridge
       .parquetWriteKit(spark, conf, dataSchema)
     GraftEpochWriterFactory(owf, confBox, dataSchema.json, schema.json,
-      partitionColumns, staging.toString,
+      partitionColumns, staging,
       spark.sessionState.conf.sessionLocalTimeZone)
   }
 
@@ -101,8 +101,8 @@ class GraftStreamingWrite(
     require(stagings.size <= 1,
       s"epoch $epochId produced messages from ${stagings.size} staging dirs — " +
         "mixed write attempts must not commit together")
-    val rawStaging = stagings.headOption.map(Paths.get(_))
-    var staging: Option[JPath] = None
+    val rawStaging = stagings.headOption
+    var staging: Option[String] = None
     try {
       // register EXACTLY the files the committed task attempts reported,
       // by MOVING them into a fresh commit dir (not by pruning the shared
@@ -116,13 +116,13 @@ class GraftStreamingWrite(
       // the finally. Paths resolve by relative name — no separator-
       // sensitive string comparison exists.
       staging = rawStaging.map { dir =>
-        val commitDir = dir.resolveSibling(dir.getFileName.toString + "-commit")
-        Files.createDirectories(commitDir)
+        val commitDir = Fs.child(Fs.parent(dir), Fs.fileName(dir) + "-commit")
+        Fs.mkdirs(commitDir)
         msgs.flatMap(_.relPaths).distinct.foreach { rel =>
-          val src = dir.resolve(rel)
-          val dst = commitDir.resolve(rel)
-          Files.createDirectories(dst.getParent)
-          Files.move(src, dst)
+          val src = Fs.child(dir, rel)
+          val dst = Fs.child(commitDir, rel)
+          Fs.mkdirs(Fs.parent(dst))
+          Fs.moveNoReplace(src, dst)
         }
         commitDir
       }
@@ -157,7 +157,7 @@ class GraftStreamingWrite(
           extraActions = Seq(graft.tables.SetTransaction(appId, epochId)),
           readVersion = snap.map(_.version),
           skipDataWrite = staging.isEmpty,
-          preStagedDir = staging.map(_.toString))
+          preStagedDir = staging)
         ()
       } else {
         // feature fallback: replay the staged epoch through the full
@@ -165,8 +165,7 @@ class GraftStreamingWrite(
         // column mapping all enforced)
         val df = staging match {
           case Some(dir) =>
-            spark.read.schema(schema).option("basePath", dir.toString)
-              .parquet(dir.toString)
+            spark.read.schema(schema).option("basePath", dir).parquet(dir)
           case None =>
             spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
         }
@@ -175,7 +174,7 @@ class GraftStreamingWrite(
       }
     } finally {
       (staging.toSeq ++ rawStaging ++ lastStaging).distinct.foreach { dir =>
-        if (Files.exists(dir)) TableWriter.deleteRecursively(dir)
+        if (Fs.exists(dir)) Fs.deleteRecursively(dir)
       }
       lastStaging = None
     }
@@ -183,10 +182,10 @@ class GraftStreamingWrite(
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dirs = messages.toSeq.collect { case m: GraftEpochFilesMessage =>
-      Paths.get(m.stagingDir)
+      m.stagingDir
     } ++ lastStaging
     dirs.distinct.foreach { p =>
-      if (Files.exists(p)) TableWriter.deleteRecursively(p)
+      if (Fs.exists(p)) Fs.deleteRecursively(p)
     }
     lastStaging = None
   }
@@ -266,6 +265,14 @@ class GraftEpochDataWriter(
 
   private var writers = Map.empty[String, (OutputWriter, String)] // relDir → (writer, relFile)
 
+  // EXECUTOR-side staging IO: remote schemes go through hadoop.fs with the
+  // factory's SHIPPED conf (no Spark session exists on a task thread, so
+  // Fs.hadoopConf would miss spark.hadoop.* scheme registrations); local
+  // staging keeps java.nio. Hadoop's create() makes parent dirs itself.
+  private val remoteStaging = Fs.isRemote(f.stagingDir)
+  private def stagingFs =
+    new org.apache.hadoop.fs.Path(f.stagingDir).getFileSystem(taskContext.getConfiguration)
+
   private def relDirOf(row: InternalRow): String =
     f.partitionColumns.indices.map { k =>
       val i = partIdx(k)
@@ -289,9 +296,14 @@ class GraftEpochDataWriter(
             "the stream by the partition column(s) before writing")
         val name = f"part-$partitionId%05d-${UUID.randomUUID()}$extension"
         val rel = if (relDir.isEmpty) name else s"$relDir/$name"
-        val dir = Paths.get(f.stagingDir).resolve(relDir)
-        Files.createDirectories(dir)
-        val w = f.owf.newInstance(dir.resolve(name).toString, dataSchema, taskContext)
+        val abs =
+          if (remoteStaging) f.stagingDir.stripSuffix("/") + "/" + rel
+          else {
+            val dir = Paths.get(f.stagingDir).resolve(relDir)
+            Files.createDirectories(dir)
+            dir.resolve(name).toString
+          }
+        val w = f.owf.newInstance(abs, dataSchema, taskContext)
         writers += relDir -> (w, rel)
         w
     }
@@ -310,7 +322,10 @@ class GraftEpochDataWriter(
   override def abort(): Unit = {
     writers.values.foreach { case (w, rel) =>
       try w.close() catch { case _: Throwable => () }
-      Files.deleteIfExists(Paths.get(f.stagingDir).resolve(rel))
+      if (remoteStaging)
+        stagingFs.delete(
+          new org.apache.hadoop.fs.Path(f.stagingDir.stripSuffix("/") + "/" + rel), false)
+      else Files.deleteIfExists(Paths.get(f.stagingDir).resolve(rel))
       ()
     }
     writers = Map.empty

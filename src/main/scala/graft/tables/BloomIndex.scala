@@ -103,7 +103,7 @@ object BloomIndex {
     // written without one simply get no bloom for it (probes then keep
     // them — conservative), instead of failing the commit on an
     // unresolvable column
-    val paths0 = adds.map(a => new java.io.File(tablePath, a.path).toString)
+    val paths0 = adds.map(a => Fs.child(tablePath, a.path))
     // one relation for the column check AND the aggregation — constructing
     // it twice would re-list and re-read every fresh file's footer
     val newFiles = spark.read.parquet(paths0: _*)
@@ -129,8 +129,7 @@ object BloomIndex {
     // input_file_name URI — probes relativize at load time with the same
     // rule the inline format used
     val sidecarId = java.util.UUID.randomUUID().toString
-    val sidecarPath = new java.io.File(
-      new java.io.File(tablePath, SidecarDirName), sidecarId).toString
+    val sidecarPath = Fs.child(Fs.child(tablePath, SidecarDirName), sidecarId)
     perFile.select(col("__file").as("file"),
         explode(map(cols.flatMap(c => Seq(lit(c), col(s"__bloom_$c"))): _*)))
       .withColumnRenamed("key", "column")
@@ -172,8 +171,8 @@ object BloomIndex {
     val hit = sidecarCache.synchronized(sidecarCache.get(key))
     if (hit != null) return hit
     try {
-      val dir = new java.io.File(new java.io.File(ctx.tablePath, SidecarDirName), id)
-      val tableUriPath = new java.io.File(ctx.tablePath).getAbsoluteFile.toURI.getPath
+      val dir = Fs.child(Fs.child(ctx.tablePath, SidecarDirName), id)
+      val tableUriPath = Fs.toHadoopPath(ctx.tablePath).toUri.getPath
       // match on the decoded TABLE-RELATIVE path — base names alone
       // collide on partitioned tables (one task writing several partition
       // values reuses part-<task>-<jobUUID> under each dir)

@@ -143,10 +143,10 @@ object DeletionVectors {
     */
   private def uriVariants(tablePath: String, rel: String): Seq[String] = {
     val abs = GraftTable.resolveDataPath(tablePath, rel)
-    val uri = abs.toUri
+    val hp = Fs.toHadoopPath(abs)
     Seq(
-      new org.apache.hadoop.fs.Path(uri).toString,
-      uri.toString,
-      abs.toString).distinct
+      hp.toString,
+      hp.toUri.toString,
+      abs).distinct
   }
 }

@@ -72,24 +72,39 @@ object Fs {
     if (isRemote(parent)) parent.stripSuffix("/") + "/" + name.stripPrefix("/")
     else Paths.get(parent).resolve(name).toString
 
+  /** Pure string parent — NOT via `hadoop.Path.getParent`, whose toString
+    * collapses the empty-authority `scheme:///x` spelling to `scheme:/x`
+    * (which no longer parses as a scheme here).
+    */
   def parent(path: String): String =
-    if (isRemote(path)) new HPath(path).getParent.toString
-    else {
+    if (isRemote(path)) {
+      val p = path.stripSuffix("/")
+      val schemeEnd = p.indexOf("://") + 3
+      val lastSlash = p.lastIndexOf('/')
+      if (lastSlash < schemeEnd) p.substring(0, schemeEnd)
+      else if (lastSlash == schemeEnd) p.substring(0, schemeEnd + 1)
+      else p.substring(0, lastSlash)
+    } else {
       val p = Paths.get(path).getParent
       if (p == null) "/" else p.toString
     }
 
   def fileName(path: String): String =
-    if (isRemote(path)) new HPath(path).getName
-    else Paths.get(path).getFileName.toString
+    if (isRemote(path)) {
+      val p = path.stripSuffix("/")
+      p.substring(p.lastIndexOf('/') + 1)
+    } else Paths.get(path).getFileName.toString
 
   /** `org.apache.hadoop.fs.Path` form of a graft path string — remote URIs
-    * parse directly; local paths qualify through `File.toURI` so special
-    * characters percent-encode exactly as Spark's own planner does.
+    * parse directly; local paths qualify through `JPath.toUri` (the
+    * `file:///x` triple-slash spelling, matching what `input_file_name()`
+    * renders — `java.io.File.toURI`'s `file:/x` single-slash form would
+    * break suffix-matching resolvers) with specials percent-encoded exactly
+    * as Spark's own planner does.
     */
   def toHadoopPath(s: String): HPath =
     if (isRemote(s)) new HPath(s)
-    else new HPath(new java.io.File(s).toURI)
+    else new HPath(Paths.get(s).toUri)
 
   /** URI string form (what FileStatus/rootPaths hand to Spark's readers). */
   def toUriString(s: String): String = toHadoopPath(s).toUri.toString

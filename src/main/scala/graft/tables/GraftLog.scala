@@ -409,7 +409,7 @@ class GraftLog(val tablePath: String, val store: LogStore) {
     val liveDvDirs: Set[String] = scan.retainedFiles.flatMap(_.dv.map(_.path)).toSet
     (graft.operators.TableOps.bloomOrphanDirs(tablePath, liveSidecars) ++
       graft.operators.TableOps.dvOrphanDirs(tablePath, liveDvDirs))
-      .foreach(TableWriter.deleteRecursively)
+      .foreach(Fs.deleteRecursively)
     deleted
   }
 

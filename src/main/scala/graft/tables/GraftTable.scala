@@ -399,17 +399,19 @@ object GraftTable {
 
   /** True when a log-recorded data-file path is an EXTERNAL reference (a
     * [[shallowClone]] pointer into the source table's directory) rather
-    * than table-relative. One predicate shared by path resolution and
+    * than table-relative: an absolute local path, or a full URI for tables
+    * on remote schemes. One predicate shared by path resolution and
     * vacuum's never-delete-external rule, so the convention cannot drift.
     */
-  def isExternalPath(p: String): Boolean = p.startsWith("/")
+  def isExternalPath(p: String): Boolean = p.startsWith("/") || Fs.hasScheme(p)
 
   /** Resolve a log-recorded data-file path: table-relative normally;
-    * absolute for external references (see [[isExternalPath]]).
+    * absolute for external references (see [[isExternalPath]]). Returns a
+    * path STRING in the table path's scheme ([[Fs]] rules).
     */
-  def resolveDataPath(tablePath: String, p: String): java.nio.file.Path =
-    if (isExternalPath(p)) java.nio.file.Paths.get(p)
-    else java.nio.file.Paths.get(tablePath, p)
+  def resolveDataPath(tablePath: String, p: String): String =
+    if (isExternalPath(p)) p
+    else Fs.child(tablePath, p)
 
   /** SHALLOW CLONE (Delta's `CLONE ... SHALLOW`): a new table at `destPath`
     * whose version 0 references the SOURCE's current data files by absolute
@@ -430,18 +432,20 @@ object GraftTable {
     // (a zero-copy dev/test fork of yesterday's table)
     val snap = asOfVersion.map(src.log.snapshot(_)).getOrElse(src.snapshot)
     require(!exists(destPath), s"cannot clone into $destPath: a graft table already exists there")
-    val srcRoot = new java.io.File(sourcePath).getAbsolutePath
+    val srcRoot =
+      if (Fs.isRemote(sourcePath)) Fs.normalize(sourcePath)
+      else new java.io.File(sourcePath).getAbsolutePath
     val external = snap.files.map { f =>
       val stats = GraftLog.parseStats(f.stats)
         .map(s => GraftLog.renderStats(s.copy(bloom = Map.empty, bloomSidecar = None)))
         .getOrElse(f.stats)
-      f.copy(path = resolveDataPath(srcRoot, f.path).toString, stats = stats,
+      f.copy(path = resolveDataPath(srcRoot, f.path), stats = stats,
         // dv sidecars live in the SOURCE's _dv dir — absolutize like the
         // data path so the clone keeps masking deleted rows
-        dv = f.dv.map(d => d.copy(path = resolveDataPath(srcRoot, d.path).toString)))
+        dv = f.dv.map(d => d.copy(path = resolveDataPath(srcRoot, d.path))))
     }
     val log = new GraftLog(destPath)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(destPath))
+    Fs.mkdirs(destPath)
     log.commit(0L, Seq[Action](snap.metadata, snap.protocol) ++ external :+
       CommitInfo(System.currentTimeMillis(), "CLONE",
         operationParameters = Map(
@@ -583,7 +587,11 @@ object GraftTable {
       val ident = org.apache.spark.sql.catalyst.TableIdentifier(t.name, Option(t.database))
       val meta = spark.sessionState.catalog.getTableMetadata(ident)
       if (!meta.provider.exists(_.equalsIgnoreCase("graft"))) None
-      else meta.storage.locationUri.map(u => java.nio.file.Paths.get(u).toString)
+      else meta.storage.locationUri.map { u =>
+        if (u.getScheme == null || u.getScheme == "file")
+          java.nio.file.Paths.get(u).toString
+        else Fs.normalize(u.toString)
+      }
     } catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** Register `name` → `path` — analogue of
@@ -601,7 +609,9 @@ object GraftTable {
     // escape backticks inside each part so a hostile name cannot break out
     // of the identifier quoting (mirrors the location's quote escaping)
     val ident = name.split('.').map(p => s"`${p.replace("`", "``")}`").mkString(".")
-    val loc = java.nio.file.Paths.get(path).toAbsolutePath.toString.replace("'", "''")
+    val loc = (if (Fs.isRemote(path)) Fs.normalize(path)
+               else java.nio.file.Paths.get(path).toAbsolutePath.toString)
+      .replace("'", "''")
     spark.sql(s"CREATE TABLE IF NOT EXISTS $ident USING graft LOCATION '$loc'")
     // the cached catalog plan (and its frozen schema) must follow the CURRENT
     // log state when a name is re-registered after external writes
@@ -621,7 +631,7 @@ object GraftTable {
       properties: Map[String, String] = Map.empty): GraftTable = {
     val log = new GraftLog(path)
     require(!log.tableExists, s"$path already exists")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    Fs.mkdirs(path)
     val props = sessionDefaultProperties(spark) ++ properties
     val (rr, ww) = GraftLog.requiredFeatures(props)
     val proto: Seq[Action] =
@@ -673,25 +683,18 @@ object GraftTable {
       path: String,
       partitionSchema: StructType = new StructType(),
       properties: Map[String, String] = Map.empty): GraftTable = {
-    import java.nio.file.{Files, Paths}
     val log = new GraftLog(path)
     require(!log.tableExists, s"$path is already a graft table")
-    val root = Paths.get(path)
-    require(Files.isDirectory(root), s"$path is not a directory")
-    val files = {
-      val s = Files.walk(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.filter { p =>
-          Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet") &&
-            // metadata/hidden dirs (_graft_log, _SUCCESS neighbors, .staging)
-            !root.relativize(p).iterator().asScala
-              .exists(seg => seg.toString.startsWith("_") || seg.toString.startsWith("."))
-        }.toList
-      } finally s.close()
-    }
+    require(Fs.isDirectory(path), s"$path is not a directory")
+    val rels = Fs.walkFiles(path)
+      .map(p => Fs.relativize(path, p))
+      .filter { rel =>
+        rel.endsWith(".parquet") &&
+          // metadata/hidden dirs (_graft_log, _SUCCESS neighbors, .staging)
+          !rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      }.toList
+    val files = rels.map(Fs.child(path, _))
     require(files.nonEmpty, s"no parquet files under $path — nothing to convert")
-    val rels = files.map(p => root.relativize(p).toString)
     val partValues = rels.map(TableWriter.partitionValuesOf)
     val partKeySets = partValues.map(_.keySet).distinct
     require(partKeySets.size == 1,
@@ -716,8 +719,8 @@ object GraftTable {
         AddFile(
           path = rel,
           partitionValues = pv,
-          size = Files.size(abs),
-          stats = GraftLog.renderStats(ParquetStats.forFile(abs.toString, conf)))
+          size = Fs.size(abs),
+          stats = GraftLog.renderStats(ParquetStats.forFile(abs, conf)))
     }
     val numRows = adds.flatMap(a => GraftLog.parseStats(a.stats)).map(_.numRecords).sum
     val (convRr, convWw) = GraftLog.requiredFeatures(properties)

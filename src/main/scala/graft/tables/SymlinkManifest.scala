@@ -34,43 +34,31 @@ object SymlinkManifest {
       s"cannot generate a symlink manifest for $tablePath: live deletion " +
         "vectors present — an external manifest reader would resurrect the " +
         "masked rows. Purge the vectors (rewrite) first")
-    val root = Paths.get(tablePath, DirName)
-    deleteTree(root)
-    Files.createDirectories(root)
+    val root = Fs.child(tablePath, DirName)
+    Fs.deleteRecursively(root)
+    Fs.mkdirs(root)
     // group by the partition directory encoded in each file's relative path
     val byDir: Map[String, Seq[AddFile]] = snap.files.groupBy { f =>
       val i = f.path.lastIndexOf('/')
       if (i < 0) "" else f.path.substring(0, i)
     }
     byDir.foreach { case (dir, files) =>
-      val out = if (dir.isEmpty) root else root.resolve(dir)
-      Files.createDirectories(out)
-      val body = files.map(f => GraftTable.resolveDataPath(tablePath, f.path).toUri.toString)
+      val out = if (dir.isEmpty) root else Fs.child(root, dir)
+      Fs.mkdirs(out)
+      val body = files.map(f => Fs.toUriString(GraftTable.resolveDataPath(tablePath, f.path)))
         .sorted.mkString("", "\n", "\n")
-      val tmp = Files.createTempFile(out, ".manifest", ".tmp")
-      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, out.resolve("manifest"), StandardCopyOption.REPLACE_EXISTING)
+      Fs.writeAtomic(Fs.child(out, "manifest"), body.getBytes(StandardCharsets.UTF_8))
     }
     snap.files.size
   }
 
   /** All data-file URIs listed by the manifest tree (test/read helper). */
   def entries(tablePath: String): Seq[String] = {
-    val root = Paths.get(tablePath, DirName)
-    if (!Files.isDirectory(root)) return Nil
-    val stream = Files.walk(root)
-    try stream.iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString == "manifest")
-      .flatMap(p => Files.readAllLines(p, StandardCharsets.UTF_8).asScala)
+    val root = Fs.child(tablePath, DirName)
+    if (!Fs.isDirectory(root)) return Nil
+    Fs.walkFiles(root)
+      .filter(p => Fs.fileName(p) == "manifest")
+      .flatMap(Fs.readLines)
       .filter(_.nonEmpty)
-      .toSeq
-    finally stream.close()
-  }
-
-  private def deleteTree(p: JPath): Unit = {
-    if (!Files.exists(p)) return
-    val stream = Files.walk(p)
-    val all = try stream.iterator().asScala.toSeq finally stream.close()
-    all.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
   }
 }

@@ -233,10 +233,12 @@ object TableWriter {
         .drop(missing: _*)
     }
 
-    // 1. distributed write to staging
-    Files.createDirectories(Paths.get(tablePath))
-    val staging = Files.createTempDirectory(Paths.get(tablePath).getParent, ".graft-staging-")
-    val stagingDir = staging.resolve("data").toString
+    // 1. distributed write to staging — a sibling dir of the table, so the
+    // per-file landing moves below are same-filesystem renames on every
+    // scheme (local rename or hadoop.fs rename — never byte copies)
+    Fs.mkdirs(tablePath)
+    val staging = Fs.createTempDir(Fs.parent(tablePath), ".graft-staging-")
+    val stagingDir = Fs.child(staging, "data")
     try {
       // column mapping's write boundary: staged parquet carries PHYSICAL
       // column names (identity select for unmapped tables)
@@ -253,7 +255,7 @@ object TableWriter {
               s"pre-staged registration into $tablePath requires a table without " +
                 "CHECK constraints, generated/default/identity columns and column " +
                 "mapping — write through the DataFrame path instead")
-            Files.move(Paths.get(pre), Paths.get(stagingDir))
+            Fs.moveNoReplace(pre, stagingDir)
           case None =>
             val physicalDf = ColumnMapping.toPhysical(checkedDf, newSchema)
             val writer = physicalDf.write.mode("overwrite")
@@ -279,7 +281,7 @@ object TableWriter {
           effectiveProps, operation, newSchema)
 
         // 2. move produced parquet files into the table dir
-        val moved = moveDataFiles(Paths.get(stagingDir), Paths.get(tablePath))
+        val moved = moveDataFiles(stagingDir, tablePath)
 
         // 3. footer stats per file — harvested in a bounded thread pool:
         // footers are independent ~KB reads, and a serial driver loop would
@@ -288,12 +290,12 @@ object TableWriter {
         // at 32-way I/O parallelism). Order is preserved (zip by index).
         val conf = spark.sessionState.newHadoopConf()
         val harvested = harvestParallel(moved) { rel =>
-          val abs = Paths.get(tablePath, rel)
-          val stats = ParquetStats.forFile(abs.toString, conf)
+          val abs = Fs.child(tablePath, rel)
+          val stats = ParquetStats.forFile(abs, conf)
           AddFile(
             path = rel,
             partitionValues = partitionValuesOf(rel),
-            size = Files.size(abs),
+            size = Fs.size(abs),
             stats = GraftLog.renderStats(stats)
           )
         }
@@ -303,7 +305,7 @@ object TableWriter {
         // a rewrite instead of a pure remove (breaking ignoreDeletes)
         val (empty, real) = harvested.partition(a =>
           GraftLog.parseStats(a.stats).exists(_.numRecords == 0L))
-        empty.foreach(a => Files.deleteIfExists(Paths.get(tablePath, a.path)))
+        empty.foreach(a => Fs.deleteIfExists(Fs.child(tablePath, a.path)))
         real
       }
       // per-file bloom indexes when the table opts in (one extra pass over
@@ -536,7 +538,7 @@ object TableWriter {
           Console.err.println(s"graft expired-log cleanup of $tablePath skipped: ${e.getMessage}")
         }
       committed
-    } finally deleteRecursively(staging)
+    } finally Fs.deleteRecursively(staging)
   }
 
   val AutoCompactProperty = "graft.autoOptimize.autoCompact"
@@ -754,7 +756,7 @@ object TableWriter {
     */
   private def coalesceStaging(
       spark: SparkSession,
-      stagingRoot: JPath,
+      stagingRoot: String,
       stagingDir: String,
       schema: StructType,
       partCols: Seq[String],
@@ -771,9 +773,9 @@ object TableWriter {
       require(t > 0, s"$TargetFileSizeProperty must be a positive byte count, got '$raw'")
       t
     }.getOrElse(DefaultTargetFileSize)
-    val staged = listParquetFiles(Paths.get(stagingDir))
+    val staged = listParquetFiles(stagingDir)
     if (staged.size <= 1) return
-    val totalBytes = staged.map(Files.size(_)).sum
+    val totalBytes = staged.map(Fs.size(_)).sum
     val nOut = math.max(1L, math.ceil(totalBytes.toDouble / target).toLong).toInt
     if (nOut >= staged.size) return // already right-sized: skip the extra pass
     val df = spark.read.schema(schema).option("basePath", stagingDir).parquet(stagingDir)
@@ -801,11 +803,11 @@ object TableWriter {
           .repartitionByRange(nOut, (partCols.map(col) :+ col("__graft_ow_salt")): _*)
           .drop("__graft_ow_salt")
       else df.repartition(nOut)
-    val out2 = stagingRoot.resolve("data2").toString
+    val out2 = Fs.child(stagingRoot, "data2")
     val w = rebinned.write.mode("overwrite")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(out2)
-    deleteRecursively(Paths.get(stagingDir))
-    Files.move(Paths.get(out2), Paths.get(stagingDir))
+    Fs.deleteRecursively(stagingDir)
+    Fs.moveNoReplace(out2, stagingDir)
   }
 
   /** Write CDC rows (must already carry `_change_type`) under
@@ -821,44 +823,38 @@ object TableWriter {
       version: Long,
       cdcDf: DataFrame,
       tableSchema: StructType): Seq[Action] = {
-    val staging = Files.createTempDirectory(Paths.get(tablePath).getParent, ".graft-cdc-")
+    val staging = Fs.createTempDir(Fs.parent(tablePath), ".graft-cdc-")
     try {
-      val stagingDir = staging.resolve("cdc").toString
+      val stagingDir = Fs.child(staging, "cdc")
       ColumnMapping.toPhysical(cdcDf, tableSchema).write.mode("overwrite").parquet(stagingDir)
-      val cdcRoot = Paths.get(tablePath, GraftLog.CdcDirName)
-      Files.createDirectories(cdcRoot)
-      listParquetFiles(Paths.get(stagingDir)).map { src =>
+      val cdcRoot = Fs.child(tablePath, GraftLog.CdcDirName)
+      Fs.mkdirs(cdcRoot)
+      listParquetFiles(stagingDir).map { src =>
         val name = s"cdc-v$version-${UUID.randomUUID().toString}.parquet"
-        val dst = cdcRoot.resolve(name)
-        Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-        AddCDCFile(s"${GraftLog.CdcDirName}/$name", Files.size(dst))
+        val dst = Fs.child(cdcRoot, name)
+        Fs.moveNoReplace(src, dst)
+        AddCDCFile(s"${GraftLog.CdcDirName}/$name", Fs.size(dst))
       }
-    } finally deleteRecursively(staging)
+    } finally Fs.deleteRecursively(staging)
   }
 
   /** Move parquet files from staging into table dir, keeping partition
     * subdirectories; returns table-relative paths.
     */
-  private def moveDataFiles(stagingRoot: JPath, tableRoot: JPath): Seq[String] = {
-    Files.createDirectories(tableRoot)
+  private def moveDataFiles(stagingRoot: String, tableRoot: String): Seq[String] = {
+    Fs.mkdirs(tableRoot)
     listParquetFiles(stagingRoot).map { src =>
-      val rel = stagingRoot.relativize(src)
-      val dest = tableRoot.resolve(rel)
-      Files.createDirectories(dest.getParent)
+      val rel = Fs.relativize(stagingRoot, src)
+      val dest = Fs.child(tableRoot, rel)
+      Fs.mkdirs(Fs.parent(dest))
       // staging part-file names embed a UUID → unique within the table
-      Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
-      rel.toString
+      Fs.moveNoReplace(src, dest)
+      rel
     }
   }
 
-  private def listParquetFiles(root: JPath): Seq[JPath] = {
-    val stream = Files.walk(root)
-    try stream.iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-      .toSeq
-      .sortBy(_.toString)
-    finally stream.close()
-  }
+  private def listParquetFiles(root: String): Seq[String] =
+    Fs.walkFiles(root).filter(_.endsWith(".parquet")).sorted
 
   /** Parse `k=v` partition directories out of a table-relative file path.
     * BOTH sides decode: the writers escape the column NAME in the dir

@@ -523,14 +523,14 @@ class GraftHelpersSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(planned.nonEmpty)
       // read-only: all files still on disk, log untouched, history travelable
       assert(planned.forall(p =>
-        java.nio.file.Files.exists(GraftTable.resolveDataPath(t.path, p))))
+        graft.tables.Fs.exists(GraftTable.resolveDataPath(t.path, p))))
       assert(t.log.versions() == Seq(0L, 1L, 2L))
       assert(t.toDFAt(0).count() == 2)
       // the real vacuum deletes exactly the planned set
       val deleted = TableOps.vacuum(t, retainVersion = 1)
       assert(deleted == planned.size)
       assert(planned.forall(p =>
-        !java.nio.file.Files.exists(GraftTable.resolveDataPath(t.path, p))))
+        !graft.tables.Fs.exists(GraftTable.resolveDataPath(t.path, p))))
     }
 
     it("vacuumDryRun matches vacuum on bloom-indexed and externally-damaged tables") {
@@ -598,7 +598,7 @@ class GraftHelpersSpec extends AnyFunSpec with SparkSessionTestWrapper {
         assert(TableOps.fsck(t).isEmpty && t.version == 0L)
         // delete one physical file out from under the table
         val victim = t.snapshot.files.head.path
-        java.nio.file.Files.delete(GraftTable.resolveDataPath(t.path, victim))
+        graft.tables.Fs.deleteIfExists(GraftTable.resolveDataPath(t.path, victim))
         intercept[Exception] { t.toDF.collect() } // scans now die
         assert(TableOps.fsck(t, dryRun = true) == Seq(victim))
         assert(t.version == 0L) // dry run committed nothing

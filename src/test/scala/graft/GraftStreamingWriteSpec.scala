@@ -202,7 +202,7 @@ class GraftStreamingWriteSpec extends AnyFunSpec with SparkSessionTestWrapper {
     // DEAD epoch: everything idle past the guard
     val dead = mk(".graft-stream-epoch-dead", old)
     val swept = graft.operators.TableOps.streamStagingOrphanDirs(dir)
-    assert(swept.map(_.getFileName.toString) == Seq(".graft-stream-epoch-dead"))
+    assert(swept.map(graft.tables.Fs.fileName) == Seq(".graft-stream-epoch-dead"))
     assert(Files.exists(live) && Files.exists(dead))
   }
 

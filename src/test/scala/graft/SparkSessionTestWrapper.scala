@@ -55,6 +55,11 @@ object SparkSessionTestWrapper {
       // run against the same session shape a configured user gets, and the
       // extension must stay a pure superset of Spark SQL for every suite
       .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
+      // the faux:// remote-scheme filesystem for the URI-table specs —
+      // registered exactly how a production deployment registers a custom
+      // scheme (FileSystem + FileContext bindings)
+      .config("spark.hadoop.fs.faux.impl", "graft.tools.FauxFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.faux.impl", "graft.tools.FauxAbstractFs")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -84,7 +84,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = nsDir(namespace)
     if (!Fs.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
-    Fs.listNames(dir).map(_._1)
+    Fs.listChildNames(dir)
       .filter(n => GraftTable.exists(Fs.child(dir, n)))
       .map(n => Identifier.of(namespace, n))
       .toArray
@@ -247,7 +247,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!Fs.isDirectory(logDir)) return
     val now = System.currentTimeMillis()
     val inFlight =
-      Fs.listNames(logDir).map(_._1).filter { n =>
+      Fs.listChildNames(logDir).filter { n =>
         (n.endsWith(".claim") || n.endsWith(".tmp")) && {
           val age = try now - Fs.lastModifiedMillis(Fs.child(logDir, n))
           catch { case _: java.io.IOException => Long.MaxValue } // vanished: done
@@ -293,7 +293,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (namespace.nonEmpty && !isNamespaceDir(dir))
       throw new NoSuchNamespaceException(namespace)
     if (!Fs.isDirectory(dir)) return Array.empty
-    Fs.listNames(dir).map(_._1)
+    Fs.listChildNames(dir)
       .filter(n => isNamespaceDir(Fs.child(dir, n)))
       .map(n => namespace :+ n)
       .toArray
@@ -323,7 +323,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = nsDir(namespace)
     if (!isNamespaceDir(dir)) false
     else {
-      val empty = Fs.listNames(dir).isEmpty
+      val empty = Fs.listChildNames(dir).isEmpty
       if (!empty && !cascade)
         throw new IllegalStateException(
           s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
@@ -336,12 +336,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 object GraftCatalog {
   val WarehouseOption = "warehouse"
 
-  /** Canonical warehouse root: local roots absolutize (stable keys across
-    * working-dir changes), remote URIs normalize per [[Fs]].
+  /** Canonical warehouse root: `file:` URIs decode to plain paths first
+    * (Spark's own warehouse defaults use the URI spelling), local roots
+    * absolutize (stable keys across working-dir changes), remote URIs
+    * normalize per [[Fs]].
     */
-  def normalizeWarehouse(w: String): String =
-    if (Fs.isRemote(w)) Fs.normalize(w)
-    else Paths.get(w).toAbsolutePath.normalize.toString
+  def normalizeWarehouse(w: String): String = {
+    val n = Fs.normalize(w)
+    if (Fs.isRemote(n)) n
+    else Paths.get(n).toAbsolutePath.normalize.toString
+  }
 
   /** Catalog-plumbing keys Spark injects into CREATE TABLE properties that
     * must not leak into the table's own log properties.

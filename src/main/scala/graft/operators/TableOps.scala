@@ -949,7 +949,7 @@ object TableOps {
     val bloomRoot = Fs.child(tablePath, graft.tables.BloomIndex.SidecarDirName)
     if (!Fs.isDirectory(bloomRoot)) return Nil
     val cutoff = System.currentTimeMillis() - BloomSidecarMinAgeMillis
-    Fs.listNames(bloomRoot).map(_._1)
+    Fs.listChildNames(bloomRoot)
       .filterNot(liveSidecars.contains)
       .map(n => Fs.child(bloomRoot, n))
       .filter { p =>
@@ -979,7 +979,10 @@ object TableOps {
     // sweep rather than crashing the vacuum mid-sweep
     def newestMtime(dir: String): Long =
       try {
-        (dir +: Fs.walkFiles(dir)).foldLeft(0L) { (acc, p) =>
+        // the FULL tree — subdirectory mtimes included: a task that just
+        // created an empty partition dir (writerFor's mkdirs, before the
+        // part file materializes) is live activity a file-only walk misses
+        Fs.walkTree(dir).foldLeft(0L) { (acc, p) =>
           math.max(acc,
             try Fs.lastModifiedMillis(p)
             catch { case _: java.io.IOException => Long.MaxValue })
@@ -987,7 +990,7 @@ object TableOps {
       } catch {
         case _: java.io.IOException | _: java.io.UncheckedIOException => Long.MaxValue
       }
-    Fs.listNames(tablePath).map(_._1)
+    Fs.listChildNames(tablePath)
       .filter(_.startsWith(".graft-stream-epoch-"))
       .map(n => Fs.child(tablePath, n))
       .filter(p => newestMtime(p) < cutoff)
@@ -1027,7 +1030,7 @@ object TableOps {
       .filterNot(GraftTable.isExternalPath) // clone refs point into the source
       .map(p => p.split('/').last)
     val cutoff = System.currentTimeMillis() - BloomSidecarMinAgeMillis
-    Fs.listNames(dvRoot).map(_._1)
+    Fs.listChildNames(dvRoot)
       .filterNot(liveNames.contains)
       .map(n => Fs.child(dvRoot, n))
       .filter { p =>
@@ -1108,7 +1111,7 @@ object TableOps {
           .mapPartitions { rels =>
             val conf = confBox.value
             rels.map { rel =>
-              val p = new org.apache.hadoop.fs.Path(base.stripSuffix("/") + "/" + rel)
+              val p = new org.apache.hadoop.fs.Path(graft.tables.Fs.child(base, rel))
               if (p.getFileSystem(conf).delete(p, false)) 1 else 0
             }
           }

@@ -297,7 +297,7 @@ class GraftEpochDataWriter(
         val name = f"part-$partitionId%05d-${UUID.randomUUID()}$extension"
         val rel = if (relDir.isEmpty) name else s"$relDir/$name"
         val abs =
-          if (remoteStaging) f.stagingDir.stripSuffix("/") + "/" + rel
+          if (remoteStaging) Fs.child(f.stagingDir, rel)
           else {
             val dir = Paths.get(f.stagingDir).resolve(relDir)
             Files.createDirectories(dir)
@@ -324,7 +324,7 @@ class GraftEpochDataWriter(
       try w.close() catch { case _: Throwable => () }
       if (remoteStaging)
         stagingFs.delete(
-          new org.apache.hadoop.fs.Path(f.stagingDir.stripSuffix("/") + "/" + rel), false)
+          new org.apache.hadoop.fs.Path(Fs.child(f.stagingDir, rel)), false)
       else Files.deleteIfExists(Paths.get(f.stagingDir).resolve(rel))
       ()
     }

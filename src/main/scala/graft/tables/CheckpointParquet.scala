@@ -98,7 +98,7 @@ object CheckpointParquet {
     * [[DistributedSnapshot.addFilesDF]]).
     */
   def read(dir: String): Seq[AddFile] = {
-    val parts = Fs.listNames(dir).map(_._1)
+    val parts = Fs.listChildNames(dir)
       .filter(n => n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_"))
       .sorted
       .map(n => Fs.child(dir, n))

@@ -131,7 +131,7 @@ object DeletionVectors {
     */
   def write(spark: SparkSession, tablePath: String, positions: DataFrame): String = {
     val rel = s"$DirName/${java.util.UUID.randomUUID()}"
-    val abs = java.nio.file.Paths.get(tablePath, rel).toString
+    val abs = Fs.child(tablePath, rel)
     positions.select(col("file").cast(StringType), col("pos").cast(LongType))
       .coalesce(8).write.parquet(abs)
     rel

@@ -299,7 +299,7 @@ object DistributedSnapshot {
           else Files.newOutputStream(java.nio.file.Paths.get(tmp))
         try {
           out.write(head.getBytes(StandardCharsets.UTF_8))
-          Fs.listNames(partsDir).map(_._1)
+          Fs.listChildNames(partsDir)
             .filter(_.startsWith("part-")).sorted
             .foreach { n =>
               val part = Fs.child(partsDir, n)

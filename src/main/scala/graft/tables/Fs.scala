@@ -55,17 +55,21 @@ object Fs {
     * them); everything else without a scheme is a local path.
     */
   def isRemote(s: String): Boolean =
-    hasScheme(s) && !s.toLowerCase.startsWith("file://")
+    hasScheme(s) && !s.regionMatches(true, 0, "file://", 0, 7)
 
   /** Canonical form: `file:` URIs become plain local paths (so the whole
-    * engine sees one spelling for local storage); remote URIs lose any
-    * trailing slash; plain paths pass through untouched.
+    * engine sees one spelling for local storage); remote URIs lose ALL
+    * trailing slashes (idempotent — store routing and in-memory keys
+    * compare this form); plain paths pass through untouched.
     */
   def normalize(s: String): String =
-    if (s.startsWith("file:"))
-      Paths.get(java.net.URI.create(s.replace(" ", "%20"))).toString
-    else if (isRemote(s)) { val t = s.stripSuffix("/"); if (t.endsWith("//")) s else t }
-    else s
+    if (s.regionMatches(true, 0, "file:", 0, 5))
+      Paths.get(java.net.URI.create("file:" + s.substring(5).replace(" ", "%20"))).toString
+    else if (isRemote(s)) {
+      var t = s
+      while (t.endsWith("/") && !t.endsWith("://")) t = t.dropRight(1)
+      if (t.endsWith("://")) t + "/" else t // scheme root keeps its one slash
+    } else s
 
   /** Join `parent` and a (possibly multi-segment) relative `name`. */
   def child(parent: String, name: String): String =
@@ -86,7 +90,12 @@ object Fs {
       else p.substring(0, lastSlash)
     } else {
       val p = Paths.get(path).getParent
-      if (p == null) "/" else p.toString
+      // a single-segment relative path has no parent — fail LOUDLY (the
+      // caller would otherwise stage writes at the filesystem root)
+      if (p == null)
+        throw new IllegalArgumentException(
+          s"path '$path' has no parent directory — use an absolute table path")
+      p.toString
     }
 
   def fileName(path: String): String =
@@ -115,28 +124,32 @@ object Fs {
 
   /** The Hadoop configuration remote IO resolves against: the active Spark
     * session's (carrying `spark.hadoop.*` overrides — custom scheme impls,
-    * credentials), cached once; a bare `Configuration` only when no session
-    * exists yet (tools, early boot).
+    * credentials), cached PER SESSION — a new session's registrations are
+    * picked up, a stopped session's stale conf is not served forever. A
+    * bare `Configuration` only when no session exists (tools, early boot).
     */
-  @volatile private var cachedConf: Configuration = null
+  @volatile private var cachedConf: (org.apache.spark.sql.SparkSession, Configuration) = null
   def hadoopConf: Configuration = {
-    val c = cachedConf
-    if (c != null) c
+    val sess = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .orNull
+    if (sess == null) new Configuration()
     else {
-      val fromSession = org.apache.spark.sql.SparkSession.getActiveSession
-        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-        .map(_.sessionState.newHadoopConf())
-      fromSession match {
-        case Some(sc) => cachedConf = sc; sc
-        case None     => new Configuration()
+      val c = cachedConf
+      if (c != null && (c._1 eq sess)) c._2
+      else {
+        val conf = sess.sessionState.newHadoopConf()
+        cachedConf = (sess, conf)
+        conf
       }
     }
   }
 
-  /** Test seam: drop the cached session conf (a new session with different
-    * `spark.hadoop.*` settings must be re-read).
+  /** Test/embedding seam: drop the cached conf (e.g. after mutating the
+    * live session's `sparkContext.hadoopConfiguration` in place — a new
+    * SESSION invalidates automatically, an in-place mutation cannot).
     */
-  private[graft] def resetConfCache(): Unit = { cachedConf = null }
+  def resetConfCache(): Unit = { cachedConf = null }
 
   private def fs(p: HPath): FileSystem = p.getFileSystem(hadoopConf)
   private def hp(s: String): HPath = new HPath(s)
@@ -204,7 +217,54 @@ object Fs {
 
   /** Absolute path strings of `dir`'s direct children; Nil when absent. */
   def listPaths(dir: String): Seq[String] =
-    listNames(dir).map { case (n, _) => child(dir, n) }
+    listChildNames(dir).map(child(dir, _))
+
+  /** Child NAMES only — no per-entry size stat (the catalog/vacuum listing
+    * paths need names; the local branch avoids one syscall per child that
+    * [[listNames]] pays for the LogStore seam's (name, size) contract).
+    */
+  def listChildNames(dir: String): Seq[String] =
+    if (isRemote(dir)) listNames(dir).map(_._1)
+    else {
+      val d = Paths.get(dir)
+      if (!Files.isDirectory(d)) Nil
+      else {
+        val stream = Files.newDirectoryStream(d)
+        try stream.iterator().asScala.map(_.getFileName.toString).toSeq
+        finally stream.close()
+      }
+    }
+
+  /** Every entry under `root` — directories AND files, `root` included —
+    * as absolute path strings; Nil when `root` does not exist. The
+    * liveness-probe primitive (a fresh empty subdirectory must count).
+    */
+  def walkTree(root: String): Seq[String] =
+    if (isRemote(root)) {
+      if (!exists(root)) Nil
+      else {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        def recur(p: String): Unit = {
+          buf += p
+          val h = hp(p)
+          val f = fs(h)
+          val st = try f.getFileStatus(h)
+            catch { case _: java.io.FileNotFoundException => return }
+          if (st.isDirectory)
+            listChildNames(p).foreach(n => recur(child(p, n)))
+        }
+        recur(normalize(root))
+        buf.toSeq
+      }
+    } else {
+      val r = Paths.get(root)
+      if (!Files.exists(r)) Nil
+      else {
+        val stream = Files.walk(r)
+        try stream.iterator().asScala.map(_.toString).toSeq
+        finally stream.close()
+      }
+    }
 
   /** Every regular file under `root`, recursively, as absolute path
     * strings; Nil when `root` does not exist.
@@ -302,11 +362,38 @@ object Fs {
   def moveNoReplace(src: String, dst: String): Unit =
     if (isRemote(dst)) {
       val s = hp(src); val d = hp(dst)
-      val f = fs(d)
-      if (f.exists(d)) throw new java.nio.file.FileAlreadyExistsException(dst)
-      if (!f.rename(s, d)) {
-        if (f.exists(d)) throw new java.nio.file.FileAlreadyExistsException(dst)
-        throw new java.io.IOException(s"rename $src -> $dst failed")
+      // FileContext.rename with the default Rename.NONE throws on an
+      // existing destination — the ATOMIC no-overwrite primitive (HDFS
+      // arbitrates in the NameNode). FileSystem.rename would instead move
+      // src INSIDE an existing destination directory and return true —
+      // under first-writer-wins checkpoint contention that silently nests
+      // the loser's parts in the winner's published dir. Schemes without a
+      // FileContext binding fall back to check-then-rename with the
+      // directory-nesting outcome re-checked loudly after.
+      try {
+        val fc = FileContext.getFileContext(d.toUri, hadoopConf)
+        try fc.rename(s, d)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            throw new java.nio.file.FileAlreadyExistsException(dst)
+        }
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          val f = fs(d)
+          if (f.exists(d)) throw new java.nio.file.FileAlreadyExistsException(dst)
+          if (!f.rename(s, d)) {
+            if (f.exists(d)) throw new java.nio.file.FileAlreadyExistsException(dst)
+            throw new java.io.IOException(s"rename $src -> $dst failed")
+          }
+          // the racy window above: a concurrent winner published dst after
+          // our exists check, and rename nested src INSIDE it — remove the
+          // nested copy (it is our own just-moved content, duplicating the
+          // winner's) and surface the conflict
+          val nested = new HPath(d, s.getName)
+          if (f.exists(nested)) {
+            f.delete(nested, true)
+            throw new java.nio.file.FileAlreadyExistsException(dst)
+          }
       }
     } else {
       try { Files.move(Paths.get(src), Paths.get(dst), StandardCopyOption.ATOMIC_MOVE); () }

@@ -38,6 +38,9 @@ class UriTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(!Fs.isRemote("a:b")) // not a scheme — no "//"
       assert(Fs.normalize("file:/a/b") == "/a/b")
       assert(Fs.normalize("faux:///a/b/") == "faux:///a/b")
+      assert(Fs.normalize("faux://nn/t//") == "faux://nn/t") // idempotent-canonical
+      assert(Fs.normalize("faux:///") == "faux:///") // scheme root keeps its slash
+      assertThrows[IllegalArgumentException](Fs.parent("lonesegment"))
       assert(Fs.child("faux:///a", "b/c") == "faux:///a/b/c")
       assert(Fs.child("/a", "b/c") == "/a/b/c")
       assert(Fs.parent("faux:///a/b") == "faux:///a")
@@ -118,6 +121,22 @@ class UriTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       TableOps.delete(t, Some("id = 3"))
       assertSmallDataFrameEquality(t.toDF,
         Seq((1, "a", 11), (2, "B!", 200), (4, "d", 40)).toDF("id", "name", "score"))
+    }
+
+    it("deletion vectors mask rows on the remote scheme") {
+      val dir = fauxDir("uri-dv")
+      val t = GraftTable.create(spark, dir,
+        (1 to 20).map(i => (i, s"n$i")).toDF("id", "name"),
+        properties = Map(graft.tables.DeletionVectors.Property -> "true"))
+      // a per-file PARTIAL delete (a whole-file match would be a plain
+      // remove — no descriptor by design)
+      TableOps.delete(t, Some("id % 4 = 1"))
+      assert(t.toDF.count() == 15)
+      assert(t.toDF.where($"id" % 4 === 1).count() == 0)
+      // the position sidecar landed under the table's OWN scheme (the bug
+      // class: a java.nio join would mangle the URI and strand the sidecar)
+      assert(t.snapshot.files.exists(_.dv.exists(_.cardinality > 0)))
+      assert(Fs.isDirectory(Fs.child(dir, graft.tables.DeletionVectors.DirName)))
     }
 
     it("CDF round-trips through URI-addressed change files") {

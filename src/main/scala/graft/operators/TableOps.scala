@@ -981,12 +981,10 @@ object TableOps {
       try {
         // the FULL tree — subdirectory mtimes included: a task that just
         // created an empty partition dir (writerFor's mkdirs, before the
-        // part file materializes) is live activity a file-only walk misses
-        Fs.walkTree(dir).foldLeft(0L) { (acc, p) =>
-          math.max(acc,
-            try Fs.lastModifiedMillis(p)
-            catch { case _: java.io.IOException => Long.MaxValue })
-        }
+        // part file materializes) is live activity a file-only walk misses;
+        // mtimes ride the listing itself (one listStatus per dir, no
+        // per-entry re-stat)
+        Fs.walkTreeMtimes(dir).foldLeft(0L) { case (acc, (_, m)) => math.max(acc, m) }
       } catch {
         case _: java.io.IOException | _: java.io.UncheckedIOException => Long.MaxValue
       }

@@ -128,7 +128,8 @@ object Fs {
     * picked up, a stopped session's stale conf is not served forever. A
     * bare `Configuration` only when no session exists (tools, early boot).
     */
-  @volatile private var cachedConf: (org.apache.spark.sql.SparkSession, Configuration) = null
+  @volatile private var cachedConf
+    : (java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession], Configuration) = null
   def hadoopConf: Configuration = {
     val sess = org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
@@ -136,10 +137,12 @@ object Fs {
     if (sess == null) new Configuration()
     else {
       val c = cachedConf
-      if (c != null && (c._1 eq sess)) c._2
+      // weak key: a stopped session must be collectable — a strong ref
+      // here would pin its whole SessionState for the JVM's lifetime
+      if (c != null && (c._1.get eq sess)) c._2
       else {
         val conf = sess.sessionState.newHadoopConf()
-        cachedConf = (sess, conf)
+        cachedConf = (new java.lang.ref.WeakReference(sess), conf)
         conf
       }
     }
@@ -236,32 +239,39 @@ object Fs {
     }
 
   /** Every entry under `root` — directories AND files, `root` included —
-    * as absolute path strings; Nil when `root` does not exist. The
-    * liveness-probe primitive (a fresh empty subdirectory must count).
+    * as (path, modificationTimeMillis); Nil when `root` does not exist.
+    * The liveness-probe primitive (a fresh empty subdirectory must count),
+    * mtimes carried from the LISTING itself so the probe costs one
+    * listStatus per directory, not an extra stat per entry.
     */
-  def walkTree(root: String): Seq[String] =
+  def walkTreeMtimes(root: String): Seq[(String, Long)] =
     if (isRemote(root)) {
-      if (!exists(root)) Nil
-      else {
-        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-        def recur(p: String): Unit = {
-          buf += p
-          val h = hp(p)
-          val f = fs(h)
-          val st = try f.getFileStatus(h)
-            catch { case _: java.io.FileNotFoundException => return }
-          if (st.isDirectory)
-            listChildNames(p).foreach(n => recur(child(p, n)))
+      val rp = hp(root)
+      val f = fs(rp)
+      val rootSt = try f.getFileStatus(rp)
+        catch { case _: java.io.FileNotFoundException => return Nil }
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      def recur(p: HPath, st: org.apache.hadoop.fs.FileStatus): Unit = {
+        buf += ((st.getPath.toString, st.getModificationTime))
+        if (st.isDirectory) {
+          val children =
+            try f.listStatus(p)
+            catch { case _: java.io.FileNotFoundException => return } // consumed mid-walk
+          children.foreach(c => recur(c.getPath, c))
         }
-        recur(normalize(root))
-        buf.toSeq
       }
+      recur(rp, rootSt)
+      buf.toSeq
     } else {
       val r = Paths.get(root)
       if (!Files.exists(r)) Nil
       else {
         val stream = Files.walk(r)
-        try stream.iterator().asScala.map(_.toString).toSeq
+        try stream.iterator().asScala.map { p =>
+          val m = try Files.getLastModifiedTime(p).toMillis
+            catch { case _: java.io.IOException => Long.MaxValue } // vanished: live
+          (p.toString, m)
+        }.toSeq
         finally stream.close()
       }
     }
@@ -356,20 +366,42 @@ object Fs {
   /** Move `src` to `dst` (same filesystem), replacing nothing: throws
     * `java.nio.file.FileAlreadyExistsException` when `dst` exists — the
     * first-writer-wins primitive checkpoint-sidecar publication keys on.
-    * Local moves are atomic renames; remote moves use the filesystem's
-    * rename (atomic on HDFS-protocol schemes).
+    *
+    * Atomicity honesty, scheme by scheme:
+    *  - HDFS-protocol schemes ([[HadoopLogStore.AtomicRenameSchemes]]):
+    *    `FileContext.rename(Rename.NONE)` arbitrates atomically in the
+    *    NameNode — exactly one concurrent winner, no audit needed.
+    *  - Other remote schemes: the no-overwrite check and the rename are
+    *    separate calls, and Hadoop's `rename` moves a source INTO a
+    *    destination directory that appeared in the window (silently
+    *    nesting a losing checkpoint's parts inside the winner's published
+    *    dir). A post-rename AUDIT detects that outcome, removes the nested
+    *    copy (it duplicates the winner's deterministic content) and
+    *    surfaces the conflict. The audit is skipped for the pathological
+    *    source-contains-a-self-named-child shape, where success and
+    *    nesting are indistinguishable — pre-checked before the rename so
+    *    a legitimately moved child is NEVER deleted.
+    *  - Local: `Files.move(ATOMIC_MOVE)` maps to `rename(2)`, which
+    *    silently REPLACES a destination file or empty dir — an explicit
+    *    pre-check keeps the no-replace contract loud (the log's true
+    *    conditional put stays the hard-link claim in PosixLogStore; this
+    *    primitive's callers use unique names, the pre-check catches
+    *    logic errors rather than racing writers).
     */
   def moveNoReplace(src: String, dst: String): Unit =
     if (isRemote(dst)) {
       val s = hp(src); val d = hp(dst)
-      // FileContext.rename with the default Rename.NONE throws on an
-      // existing destination — the ATOMIC no-overwrite primitive (HDFS
-      // arbitrates in the NameNode). FileSystem.rename would instead move
-      // src INSIDE an existing destination directory and return true —
-      // under first-writer-wins checkpoint contention that silently nests
-      // the loser's parts in the winner's published dir. Schemes without a
-      // FileContext binding fall back to check-then-rename with the
-      // directory-nesting outcome re-checked loudly after.
+      val f = fs(d)
+      val scheme = Option(d.toUri.getScheme).getOrElse("file")
+      val atomicRename = HadoopLogStore.AtomicRenameSchemes.contains(scheme.toLowerCase)
+      // nesting-audit facts, gathered BEFORE the rename (src is gone after)
+      val (auditable, srcIsDir) =
+        if (atomicRename) (false, false)
+        else {
+          val st = f.getFileStatus(s) // loud FileNotFound if src vanished
+          val selfChild = st.isDirectory && f.exists(new HPath(s, s.getName))
+          (!selfChild, st.isDirectory)
+        }
       try {
         val fc = FileContext.getFileContext(d.toUri, hadoopConf)
         try fc.rename(s, d)
@@ -379,24 +411,27 @@ object Fs {
         }
       } catch {
         case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-          val f = fs(d)
           if (f.exists(d)) throw new java.nio.file.FileAlreadyExistsException(dst)
           if (!f.rename(s, d)) {
             if (f.exists(d)) throw new java.nio.file.FileAlreadyExistsException(dst)
             throw new java.io.IOException(s"rename $src -> $dst failed")
           }
-          // the racy window above: a concurrent winner published dst after
-          // our exists check, and rename nested src INSIDE it — remove the
-          // nested copy (it is our own just-moved content, duplicating the
-          // winner's) and surface the conflict
-          val nested = new HPath(d, s.getName)
-          if (f.exists(nested)) {
-            f.delete(nested, true)
-            throw new java.nio.file.FileAlreadyExistsException(dst)
-          }
+      }
+      if (auditable) {
+        val nested = new HPath(d, s.getName)
+        if (f.exists(nested)) {
+          // a concurrent winner published dst inside the check→rename
+          // window and the rename nested our content within it (dir AND
+          // file sources both nest); srcIsDir picks the right delete shape
+          f.delete(nested, srcIsDir)
+          throw new java.nio.file.FileAlreadyExistsException(dst)
+        }
       }
     } else {
-      try { Files.move(Paths.get(src), Paths.get(dst), StandardCopyOption.ATOMIC_MOVE); () }
+      val sp = Paths.get(src); val dp = Paths.get(dst)
+      if (Files.exists(dp))
+        throw new java.nio.file.FileAlreadyExistsException(dst)
+      try { Files.move(sp, dp, StandardCopyOption.ATOMIC_MOVE); () }
       catch {
         case e: java.nio.file.DirectoryNotEmptyException =>
           throw new java.nio.file.FileAlreadyExistsException(e.getFile)

@@ -29,6 +29,20 @@ class UriTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       .resolve("table").toString
   }
 
+  /** ONE faux_cat warehouse for every catalog-exercising case here — Spark
+    * caches the catalog instance with the warehouse of FIRST use, so the
+    * cases must share it and isolate by namespace (the same rule as the
+    * shared graft_cat warehouse).
+    */
+  private lazy val fauxCatWarehouse: String = {
+    val w = fauxDir("uri-wh")
+    spark.conf.set("spark.sql.catalog.faux_cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.faux_cat.warehouse", w)
+    w
+  }
+  private def fauxCat(): String = fauxCatWarehouse
+
   describe("Fs scheme dispatch") {
     it("classifies paths and joins children per scheme") {
       assert(Fs.isRemote("faux:///a/b"))
@@ -233,10 +247,64 @@ class UriTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(GraftTable.forPath(spark, dir).toDF.count() == 2)
     }
 
+    it("streaming source reads a faux:// table with exactly-once admission") {
+      val dir = fauxDir("uri-src")
+      val t = GraftTable.create(spark, dir,
+        Seq((1, "a"), (2, "b")).toDF("id", "name"))
+      t.append(Seq((3, "c")).toDF("id", "name"))
+      val mem = s"uri_src_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = spark.readStream.format("graft").option("path", dir).load()
+        .writeStream.format("memory").queryName(mem)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("uri-src-ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      assert(spark.table(mem).count() == 3)
+    }
+
+    it("distributed vacuum delete fans out over the remote scheme") {
+      // force the executor-side hadoop-fs delete branch (threshold 1);
+      // restore the conf even on failure — suites share the session
+      spark.conf.set("spark.graft.vacuum.distributedDeleteThreshold", "1")
+      try {
+        val dir = fauxDir("uri-vac-dist")
+        val t = GraftTable.create(spark, dir,
+          (1 to 100).map(i => (i, s"n$i")).toDF("id", "name").repartition(4))
+        TableOps.delete(t, Some("id <= 50"))
+        val dead = TableOps.vacuumDryRun(t, t.version)
+        assert(dead.nonEmpty)
+        val deleted = TableOps.vacuum(t, t.version)
+        assert(deleted >= dead.size)
+        assert(t.toDF.count() == 50)
+        // the dead bytes are physically gone from the remote scheme
+        dead.foreach(rel => assert(!Fs.exists(Fs.child(dir, rel)), rel))
+      } finally spark.conf.unset("spark.graft.vacuum.distributedDeleteThreshold")
+    }
+
+    it("writeStream.toTable streams into a faux-warehouse catalog table") {
+      fauxCat()
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS faux_cat.sw")
+      implicit val sqlCtx = spark.sqlContext
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Int, String)]
+      src.addData((1, "a"), (2, "b"), (3, "c"))
+      val q = src.toDF().toDF("id", "name")
+        .writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("uri-tot-ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("faux_cat.sw.st")
+      q.awaitTermination(60000)
+      assert(spark.sql("SELECT count(*) FROM faux_cat.sw.st").head().getLong(0) == 3L)
+      // the per-task writers staged DIRECTLY on the remote scheme and the
+      // epoch registered through the pre-staged seam with its watermark
+      val t = GraftTable.forName(spark, "faux_cat.sw.st")
+      assert(t.path.startsWith("faux://"))
+      assert(t.snapshot.transactions.nonEmpty)
+    }
+
     it("V2 catalog serves a faux:// warehouse") {
-      spark.conf.set("spark.sql.catalog.faux_cat",
-        classOf[graft.catalog.GraftCatalog].getName)
-      spark.conf.set("spark.sql.catalog.faux_cat.warehouse", fauxDir("uri-wh"))
+      fauxCat()
       spark.sql("CREATE NAMESPACE faux_cat.ns")
       spark.sql("CREATE TABLE faux_cat.ns.t (id INT, name STRING) USING graft")
       spark.sql("INSERT INTO faux_cat.ns.t VALUES (1, 'a'), (2, 'b')")

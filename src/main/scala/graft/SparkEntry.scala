@@ -2908,6 +2908,35 @@ object SparkEntry {
       s.sql("SELECT s_suppkey, s_name, s_acctbal FROM graft_cat.rlns.supp_t")
     }),
 
+    "s43_subquery_dml" -> ((s, dir) => {
+      // Spark-native UPDATE/DELETE whose conditions carry NON-CORRELATED
+      // subqueries on a catalog identifier — no text round-trip exists, so
+      // GraftRowLevelRewrite keeps the RESOLVED expression and the engine
+      // rebinds it plan-level (TableOps.deleteExpr/updateExpr); Spark's own
+      // planner executes the IN-list and scalar subqueries. The oracle
+      // replays both mutations relationally over the raw customer table.
+      val wh = catalogWarehouse(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.sq")
+      read(s, dir, "customer").createOrReplaceTempView("s43_cust_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.sq.cust_t")
+      s.sql("CREATE TABLE graft_cat.sq.cust_t AS " +
+        "SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM s43_cust_src")
+      // IN (SELECT ...): boost every customer in the three largest nations
+      s.sql(
+        """UPDATE graft_cat.sq.cust_t SET c_acctbal = c_acctbal + 500
+          |WHERE c_nationkey IN (
+          |  SELECT c_nationkey FROM s43_cust_src
+          |  GROUP BY c_nationkey ORDER BY count(*) DESC, c_nationkey LIMIT 3)""".stripMargin)
+      // scalar subquery mixed with a plain conjunct (the conjunct still
+      // feeds stats-based file skipping)
+      s.sql(
+        """DELETE FROM graft_cat.sq.cust_t
+          |WHERE c_acctbal < (SELECT avg(c_acctbal) FROM s43_cust_src) / 10
+          |  AND c_custkey % 2 = 0""".stripMargin)
+      () =>
+      s.sql("SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM graft_cat.sq.cust_t")
+    }),
+
     "s42_uri_table" -> ((s, dir) => {
       // REMOTE-scheme storage end-to-end: the whole engine addressed by a
       // hadoop-FileSystem URI instead of a local path — log IO through
@@ -3843,6 +3872,19 @@ object SparkEntry {
         |       n_regionkey
         |FROM nation WHERE n_nationkey % 7 <> 0
         |UNION ALL SELECT CAST(900 AS INT), 'FAUXLAND', CAST(0 AS INT)""".stripMargin,
+    "s43_subquery_dml" ->
+      """WITH top3 AS (
+        |  SELECT c_nationkey FROM customer
+        |  GROUP BY c_nationkey ORDER BY count(*) DESC, c_nationkey LIMIT 3),
+        |updated AS (
+        |  SELECT c_custkey, c_name,
+        |         CASE WHEN c_nationkey IN (SELECT c_nationkey FROM top3)
+        |              THEN c_acctbal + 500 ELSE c_acctbal END AS c_acctbal,
+        |         c_nationkey
+        |  FROM customer)
+        |SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM updated
+        |WHERE NOT (c_acctbal < (SELECT avg(c_acctbal) FROM customer) / 10
+        |           AND c_custkey % 2 = 0)""".stripMargin,
     "s3_humanize_bytes" ->
       """SELECT CAST(case_id AS INT) AS case_id, humanized FROM (VALUES
         | (1, '0 B'), (2, '512 B'), (3, '1.2 kB'), (4, '1.0 MB'), (5, '5.5 MB'),

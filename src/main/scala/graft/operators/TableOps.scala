@@ -15,6 +15,63 @@ import graft.tables._
   */
 object TableOps {
 
+  /** Row-level condition shared by DELETE/UPDATE: SQL TEXT (graft's own
+    * surface — the default, unchanged path), or a RESOLVED catalyst
+    * expression captured from Spark-native DML whose condition carries
+    * NON-CORRELATED subqueries (`DELETE ... WHERE id IN (SELECT ...)`) —
+    * those cannot round-trip through text, so they rebind by exprId onto
+    * each evaluation frame and let Spark's own subquery planning execute
+    * them (exactly Delta's route: its commands keep the resolved
+    * expression, never re-render it).
+    */
+  private[graft] sealed trait RowCond {
+    /** Human-readable predicate for operation parameters. */
+    def display: String
+    /** The condition bound over `df` (a frame carrying the table's columns). */
+    def column(df: DataFrame): org.apache.spark.sql.Column
+    /** Predicate text for stats/bloom FILE SKIPPING — for expression
+      * conditions only the subquery-free conjuncts (pruning must stay
+      * conservative; dropping a conjunct can only widen the candidate set).
+      */
+    def skippingText: String
+  }
+
+  private[graft] final case class TextCond(sql: String) extends RowCond {
+    def display: String = sql
+    def column(df: DataFrame): org.apache.spark.sql.Column = expr(sql)
+    def skippingText: String = sql
+  }
+
+  private[graft] final case class ExprCond(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      tableOutput: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+    extends RowCond {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, PlanExpression}
+    import org.apache.spark.sql.graft.SparkBridge
+    private val nameById = tableOutput.map(a => a.exprId -> a.name).toMap
+    def display: String = e.sql
+    def column(df: DataFrame): org.apache.spark.sql.Column =
+      SparkBridge.column(e.transform {
+        case a: AttributeReference if nameById.contains(a.exprId) =>
+          SparkBridge.expression(df(nameById(a.exprId)))
+      })
+    def skippingText: String = {
+      def conjuncts(x: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = x match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      val parts = conjuncts(e)
+        .filterNot(_.exists(_.isInstanceOf[PlanExpression[_]]))
+        .map(_.transform {
+          case a: AttributeReference =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
+        }.sql)
+      if (parts.isEmpty) "true" else parts.mkString(" AND ")
+    }
+  }
+
   /** Shared head of every predicate-scoped rewrite (DELETE / UPDATE /
     * replaceWhere): stats+bloom file pruning on the predicate, then exact
     * touch detection — the distinct set of candidate files actually
@@ -24,15 +81,15 @@ object TableOps {
       candidates: Seq[AddFile], touched: Seq[AddFile], scanTimeMs: Long)
 
   private def scanTouched(
-      table: GraftTable, snap: Snapshot, cond: String): TouchedScan = {
+      table: GraftTable, snap: Snapshot, cond: RowCond): TouchedScan = {
     val spark = table.spark
     val t0 = System.currentTimeMillis()
-    val classified = FileSkipping.classify(spark, table.toDF, cond)
+    val classified = FileSkipping.classify(spark, table.toDF, cond.skippingText)
     val candidates = FileSkipping.filesMatching(snap, classified.all,
       Some(BloomIndex.ProbeContext(spark, table.path)))
     val scanTime = System.currentTimeMillis() - t0
     val candDf = table.dfForFiles(snap, candidates).withColumn("__graft_file", input_file_name())
-    val touchedFiles = candDf.where(expr(cond)).select("__graft_file")
+    val touchedFiles = candDf.where(cond.column(candDf)).select("__graft_file")
       .distinct().collect().map(_.getString(0)).toSet
     TouchedScan(candidates, TableWriter.resolveTouched(touchedFiles, candidates), scanTime)
   }
@@ -44,20 +101,32 @@ object TableOps {
     * their files — O(deleted rows) written, zero data bytes rewritten
     * (see [[graft.tables.DeletionVectors]]).
     */
-  def delete(table: GraftTable, condition: Option[String] = None): Long = {
+  def delete(table: GraftTable, condition: Option[String] = None): Long =
+    deleteCond(table, TextCond(condition.getOrElse("true")))
+
+  /** Spark-native DELETE whose resolved condition carries non-correlated
+    * subqueries (no text round-trip possible — see [[ExprCond]]).
+    */
+  private[graft] def deleteExpr(
+      table: GraftTable,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      tableOutput: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]): Long =
+    deleteCond(table, ExprCond(cond, tableOutput))
+
+  private def deleteCond(table: GraftTable, rc: RowCond): Long = {
     val spark = table.spark
     val t0 = System.currentTimeMillis()
     val snap = table.snapshot
-    val cond = condition.getOrElse("true")
-    if (DeletionVectors.enabled(snap)) return dvDelete(table, snap, cond, t0)
+    if (DeletionVectors.enabled(snap)) return dvDelete(table, snap, rc, t0)
 
-    val TouchedScan(candidates, touched, scanTime) = scanTouched(table, snap, cond)
+    val TouchedScan(candidates, touched, scanTime) = scanTouched(table, snap, rc)
 
     // 3-valued logic: a NULL-evaluating predicate must NOT delete the row
     // (SQL DELETE semantics) — collapse NULL to false so those rows are
     // copied and counted, not silently dropped
-    val touchedRows = table.dfForFiles(snap, touched)
-      .withColumn("__graft_del", coalesce(expr(cond), lit(false)))
+    val touchedBase = table.dfForFiles(snap, touched)
+    val touchedRows = touchedBase
+      .withColumn("__graft_del", coalesce(rc.column(touchedBase), lit(false)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val m = touchedRows.agg(
@@ -84,7 +153,7 @@ object TableOps {
       )
       TableWriter.write(spark, table.path, keep, TableWriter.Append,
         operation = "DELETE",
-        operationParameters = Map("predicate" -> s"""["${cond}"]"""),
+        operationParameters = Map("predicate" -> s"""["${rc.display}"]"""),
         extraMetrics = metrics,
         cdc = cdc,
         removeFiles = touched.map(_.path),
@@ -101,17 +170,18 @@ object TableOps {
     * no descriptor can be "all rows", and pure removes keep `ignoreDeletes`
     * stream semantics intact.
     */
-  private def dvDelete(table: GraftTable, snap: Snapshot, cond: String, t0: Long): Long = {
+  private def dvDelete(table: GraftTable, snap: Snapshot, rc: RowCond, t0: Long): Long = {
     val spark = table.spark
-    val classified = FileSkipping.classify(spark, table.toDF, cond)
+    val classified = FileSkipping.classify(spark, table.toDF, rc.skippingText)
     val candidates = FileSkipping.filesMatching(snap, classified.all,
       Some(BloomIndex.ProbeContext(spark, table.path)))
     val scanTime = System.currentTimeMillis() - t0
 
     // candidate rows with (file, position) identity, existing DVs applied —
     // so "newly deleted" below never re-records an already-masked row
-    val rows = DeletionVectors.scanWithPositions(table, snap, candidates)
-      .withColumn("__graft_del", coalesce(expr(cond), lit(false)))
+    val rowsBase = DeletionVectors.scanWithPositions(table, snap, candidates)
+    val rows = rowsBase
+      .withColumn("__graft_del", coalesce(rc.column(rowsBase), lit(false)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // per-file new-deletion counts: O(candidate files) driver rows
@@ -167,7 +237,7 @@ object TableOps {
       TableWriter.write(spark, table.path,
         table.dfForFiles(snap, Nil), TableWriter.Append,
         operation = "DELETE",
-        operationParameters = Map("predicate" -> s"""["${cond}"]"""),
+        operationParameters = Map("predicate" -> s"""["${rc.display}"]"""),
         extraMetrics = metrics,
         cdc = cdc,
         // remove+add shape: partial files are removed AND re-added (with the
@@ -186,16 +256,17 @@ object TableOps {
     * new files in the SAME commit (remove+re-add of masked files, plus
     * plain adds). Unmatched rows are never read, copied or rewritten.
     */
-  private def dvUpdate(table: GraftTable, snap: Snapshot, cond: String,
+  private def dvUpdate(table: GraftTable, snap: Snapshot, rc: RowCond,
       set: Map[String, String], t0: Long): Long = {
     val spark = table.spark
-    val classified = FileSkipping.classify(spark, table.toDF, cond)
+    val classified = FileSkipping.classify(spark, table.toDF, rc.skippingText)
     val candidates = FileSkipping.filesMatching(snap, classified.all,
       Some(BloomIndex.ProbeContext(spark, table.path)))
     val scanTime = System.currentTimeMillis() - t0
 
-    val rows = DeletionVectors.scanWithPositions(table, snap, candidates)
-      .withColumn("__graft_upd", coalesce(expr(cond), lit(false)))
+    val rowsBase = DeletionVectors.scanWithPositions(table, snap, candidates)
+    val rows = rowsBase
+      .withColumn("__graft_upd", coalesce(rc.column(rowsBase), lit(false)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val counts = rows.where(col("__graft_upd"))
@@ -253,7 +324,7 @@ object TableOps {
       )
       TableWriter.write(spark, table.path, newRows, TableWriter.Append,
         operation = "UPDATE",
-        operationParameters = Map("predicate" -> s"[$cond]"),
+        operationParameters = Map("predicate" -> s"[${rc.display}]"),
         extraMetrics = metrics,
         cdc = cdc,
         removeFiles = (fullGone ++ partial).map(_.path),
@@ -272,11 +343,24 @@ object TableOps {
     * same files are never copied (at 100 TB, updating 0.1% of rows stops
     * rewriting the other 99.9%).
     */
-  def update(table: GraftTable, condition: Option[String], set: Map[String, String]): Long = {
+  def update(table: GraftTable, condition: Option[String], set: Map[String, String]): Long =
+    updateCond(table, TextCond(condition.getOrElse("true")), set)
+
+  /** Spark-native UPDATE whose resolved condition carries non-correlated
+    * subqueries (no text round-trip possible — see [[ExprCond]]); the SET
+    * assignments stay text (subqueries there remain refused upstream).
+    */
+  private[graft] def updateExpr(
+      table: GraftTable,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      tableOutput: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      set: Map[String, String]): Long =
+    updateCond(table, ExprCond(cond, tableOutput), set)
+
+  private def updateCond(table: GraftTable, rc: RowCond, set: Map[String, String]): Long = {
     val spark = table.spark
     val t0 = System.currentTimeMillis()
     val snap = table.snapshot
-    val cond = condition.getOrElse("true")
     require(set.nonEmpty, "UPDATE needs at least one SET assignment")
     // a SET on an unknown column must fail, not silently no-op (SQL UPDATE
     // semantics — and the silent form reports numUpdatedRows > 0 for rows
@@ -284,14 +368,15 @@ object TableOps {
     val unknown = set.keys.filterNot(k => snap.schema.fieldNames.exists(_.equalsIgnoreCase(k)))
     require(unknown.isEmpty,
       s"UPDATE SET references column(s) not in the table schema: ${unknown.mkString(", ")}")
-    if (DeletionVectors.enabled(snap)) return dvUpdate(table, snap, cond, set, t0)
+    if (DeletionVectors.enabled(snap)) return dvUpdate(table, snap, rc, set, t0)
 
-    val TouchedScan(candidates, touched, scanTime) = scanTouched(table, snap, cond)
+    val TouchedScan(candidates, touched, scanTime) = scanTouched(table, snap, rc)
 
     // NULL predicate ⇒ not updated (3VL): copy the row through unmodified
     // and count it as copied, matching SQL UPDATE semantics
-    val touchedRows = table.dfForFiles(snap, touched)
-      .withColumn("__graft_upd", coalesce(expr(cond), lit(false)))
+    val touchedBase = table.dfForFiles(snap, touched)
+    val touchedRows = touchedBase
+      .withColumn("__graft_upd", coalesce(rc.column(touchedBase), lit(false)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val m = touchedRows.agg(
@@ -326,7 +411,7 @@ object TableOps {
       )
       TableWriter.write(spark, table.path, out, TableWriter.Append,
         operation = "UPDATE",
-        operationParameters = Map("predicate" -> s"[$cond]"),
+        operationParameters = Map("predicate" -> s"[${rc.display}]"),
         extraMetrics = metrics,
         cdc = cdc,
         removeFiles = touched.map(_.path),
@@ -428,7 +513,7 @@ object TableOps {
         "table schema; replaceWhere does not evolve the schema — drop or " +
         "rename them explicitly")
 
-    val TouchedScan(candidates, touched, scanTime) = scanTouched(table, snap, predicate)
+    val TouchedScan(candidates, touched, scanTime) = scanTouched(table, snap, TextCond(predicate))
 
     val touchedRows = table.dfForFiles(snap, touched)
       .withColumn("__graft_del", coalesce(expr(predicate), lit(false)))

@@ -60,11 +60,20 @@ class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val set = u.assignments.map { a =>
         keyName(a.key, "UPDATE SET") -> render(a.value, u.table.outputSet, Nil, none, Nil)
       }
-      val where = u.condition.map { c =>
-        requireDeterministic(c, "UPDATE")
-        render(c, u.table.outputSet, Nil, none, Nil)
+      u.condition match {
+        case Some(c) if hasSubquery(c) =>
+          // subqueries cannot round-trip through text — keep the RESOLVED
+          // expression and evaluate it plan-level (non-correlated only)
+          requireDeterministic(c, "UPDATE")
+          requireNonCorrelated(c, "UPDATE")
+          GraftUpdateExprCommand(v2.path, new DmlCondBox(c, targetOutput(u.table)), set)
+        case cond =>
+          val where = cond.map { c =>
+            requireDeterministic(c, "UPDATE")
+            render(c, u.table.outputSet, Nil, none, Nil)
+          }
+          GraftUpdateCommand(v2.path, where, set)
       }
-      GraftUpdateCommand(v2.path, where, set)
 
     case d: DeleteFromTable
         if d.resolved && graftTarget(d.table).isDefined &&
@@ -72,8 +81,12 @@ class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val v2 = graftTarget(d.table).get
       requireWritable(v2, "DELETE")
       requireDeterministic(d.condition, "DELETE")
-      GraftDeleteCommand(v2.path,
-        Some(render(d.condition, d.table.outputSet, Nil, AttributeSet.empty, Nil)))
+      if (hasSubquery(d.condition)) {
+        requireNonCorrelated(d.condition, "DELETE")
+        GraftDeleteExprCommand(v2.path, new DmlCondBox(d.condition, targetOutput(d.table)))
+      } else
+        GraftDeleteCommand(v2.path,
+          Some(render(d.condition, d.table.outputSet, Nil, AttributeSet.empty, Nil)))
 
     case m: MergeIntoTable if m.resolved && graftTarget(m.targetTable).isDefined =>
       val v2 = graftTarget(m.targetTable).get
@@ -143,6 +156,29 @@ class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     require(e.deterministic,
       s"$what condition must be deterministic (graft evaluates it in more than " +
         s"one join pass): ${e.sql}")
+
+  private def hasSubquery(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[PlanExpression[_]])
+
+  /** Non-correlated subqueries transplant whole (their plans are
+    * self-contained); a CORRELATED one references the target's row, and its
+    * outer attributes would dangle once the condition rebinds onto a fresh
+    * scan — refuse loudly (Delta refuses correlated DML subqueries too).
+    */
+  private def requireNonCorrelated(e: Expression, what: String): Unit =
+    e.foreach {
+      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        if (s.isCorrelated)
+          throw new UnsupportedOperationException(
+            s"graft $what supports non-correlated subqueries only — rewrite " +
+              s"the correlated subquery as a join or materialize it: ${s.sql}")
+      case _ => ()
+    }
+
+  /** The target relation's output in SCHEMA order — what the kept
+    * expression's attribute references resolve against at execution.
+    */
+  private def targetOutput(plan: LogicalPlan): Seq[Attribute] = plan.output
 
   /** The graft V2 table under alias wrappers — and ONLY alias wrappers: a
     * target under a project/filter/join is not a rewritable DML target.

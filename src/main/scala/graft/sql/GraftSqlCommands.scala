@@ -350,6 +350,59 @@ case class GraftUpdateCommand(
   }
 }
 
+/** Opaque holder for a RESOLVED DML condition and the relation output it
+  * was resolved against. Deliberately NOT a TreeNode field shape the
+  * command would surface through `expressions`: CheckAnalysis only allows
+  * IN/EXISTS subqueries in the node types it knows (Filter/Join/.../its own
+  * DML commands), so a custom command exposing the condition directly is
+  * rejected. The condition is fully re-analyzed at execution inside the
+  * Dataset filter it rebinds onto — an allowed location — so nothing is
+  * validated late that Spark would have validated here.
+  */
+final class DmlCondBox(
+    val cond: org.apache.spark.sql.catalyst.expressions.Expression,
+    val tableOutput: Seq[Attribute]) extends Serializable
+
+/** Native `DELETE FROM graft_cat.ns.t` whose RESOLVED condition carries
+  * non-correlated subqueries: no text round-trip exists, so the command
+  * keeps the expression (plus the relation output it was resolved against)
+  * and [[TableOps.deleteExpr]] rebinds it onto each evaluation frame —
+  * Spark's own planner executes the subqueries (Delta's commands keep the
+  * resolved expression the same way).
+  */
+case class GraftDeleteExprCommand(path: String, box: DmlCondBox)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("numDeletedRows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlCommands.resolveTarget(spark, path)
+    val v = TableOps.deleteExpr(t, box.cond, box.tableOutput)
+    val n = t.log.actionsAt(v).collectFirst { case c: graft.tables.CommitInfo =>
+      c.operationMetrics.get("numDeletedRows").map(_.toLong) }.flatten.getOrElse(0L)
+    Seq(Row(v, n))
+  }
+}
+
+/** Native `UPDATE graft_cat.ns.t` with a subquery-carrying condition — the
+  * UPDATE twin of [[GraftDeleteExprCommand]] (assignments stay text;
+  * subqueries in assignments are refused upstream).
+  */
+case class GraftUpdateExprCommand(
+    path: String, box: DmlCondBox, set: Seq[(String, String)])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("numUpdatedRows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlCommands.resolveTarget(spark, path)
+    val v = TableOps.updateExpr(t, box.cond, box.tableOutput, set.toMap)
+    val n = t.log.actionsAt(v).collectFirst { case c: graft.tables.CommitInfo =>
+      c.operationMetrics.get("numUpdatedRows").map(_.toLong) }.flatten.getOrElse(0L)
+    Seq(Row(v, n))
+  }
+}
+
 case class GraftDescribeDetailCommand(path: String)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(

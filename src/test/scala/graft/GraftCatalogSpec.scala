@@ -320,15 +320,49 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     intercept[Exception] { spark.sql("ALTER TABLE graft_cat.ddl.t DROP COLUMN ghost") }
   }
 
-  it("native row-level DML refuses subqueries and non-deterministic conditions loudly") {
+  it("native UPDATE/DELETE evaluate non-correlated subquery conditions plan-level") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.subq")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.subq.t")
+    spark.sql("CREATE TABLE graft_cat.subq.t AS " +
+      "SELECT id, CAST(id AS DOUBLE) AS val FROM range(10)")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.subq.quarantine")
+    spark.sql("CREATE TABLE graft_cat.subq.quarantine AS SELECT id FROM range(3)")
+    // IN (SELECT ...) — the shape no text round-trip can express
+    spark.sql("UPDATE graft_cat.subq.t SET val = -1 " +
+      "WHERE id IN (SELECT id FROM graft_cat.subq.quarantine)")
+    assert(spark.table("graft_cat.subq.t").where("val = -1").count() == 3)
+    // scalar subquery mixed with a plain conjunct (the plain conjunct still
+    // feeds stats-based file skipping)
+    spark.sql("DELETE FROM graft_cat.subq.t " +
+      "WHERE val >= (SELECT max(id) FROM graft_cat.subq.quarantine) AND id % 2 = 0")
+    // deleted: even ids whose CURRENT val >= 2 → 4,6,8 (0 and 2 carry -1
+    // from the update above)
+    assert(spark.table("graft_cat.subq.t").select("id").collect().map(_.getLong(0)).toSet ==
+      Set(0L, 1L, 2L, 3L, 5L, 7L, 9L))
+    // the commit carries the engine's own DELETE metrics
+    val t = graft.tables.GraftTable.forName(spark, "graft_cat.subq.t")
+    val m = t.history().head._2.operationMetrics
+    assert(m("numDeletedRows") == "3")
+  }
+
+  it("native row-level DML refuses correlated subqueries and non-deterministic conditions loudly") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ref")
     spark.sql("CREATE TABLE graft_cat.ref.t AS " +
       "SELECT id, CAST(id AS DOUBLE) AS val FROM range(10)")
-    val sub = intercept[Exception] {
-      spark.sql("UPDATE graft_cat.ref.t SET val = 0 WHERE id IN (SELECT id FROM range(3))")
+    // CORRELATED subqueries cannot transplant (their outer references
+    // dangle once the condition rebinds onto a fresh scan)
+    val corr = intercept[Exception] {
+      spark.sql("UPDATE graft_cat.ref.t SET val = 0 WHERE EXISTS " +
+        "(SELECT 1 FROM range(3) r WHERE r.id = graft_cat.ref.t.id)")
     }
-    assert(sub.getMessage.contains("subqueries"))
+    assert(corr.getMessage.contains("non-correlated"))
+    // subqueries in ASSIGNMENTS stay refused (text-rendered)
+    val assign = intercept[Exception] {
+      spark.sql("UPDATE graft_cat.ref.t SET val = (SELECT max(id) FROM range(3)) WHERE id = 1")
+    }
+    assert(assign.getMessage.contains("subqueries"))
     val rnd = intercept[Exception] {
       spark.sql("UPDATE graft_cat.ref.t SET val = 0 WHERE rand() < 2")
     }

@@ -46,23 +46,54 @@ object TableOps {
       e: org.apache.spark.sql.catalyst.expressions.Expression,
       tableOutput: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
     extends RowCond {
-    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, PlanExpression}
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, PlanExpression, SubqueryExpression}
     import org.apache.spark.sql.graft.SparkBridge
     private val nameById = tableOutput.map(a => a.exprId -> a.name).toMap
-    def display: String = e.sql
-    def column(df: DataFrame): org.apache.spark.sql.Column =
-      SparkBridge.column(e.transform {
-        case a: AttributeReference if nameById.contains(a.exprId) =>
-          SparkBridge.expression(df(nameById(a.exprId)))
-      })
-    def skippingText: String = {
-      def conjuncts(x: org.apache.spark.sql.catalyst.expressions.Expression)
-        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = x match {
-        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-          conjuncts(l) ++ conjuncts(r)
-        case other => Seq(other)
+
+    def display: String =
+      // subqueries render as opaque placeholders in Expression.sql — keep
+      // the history entry at least self-describing
+      e.sql.replace("listquery()", "<in-subquery>")
+        .replace("scalarsubquery()", "<scalar-subquery>")
+
+    /** Each subquery's plan MATERIALIZED exactly once (localCheckpoint):
+      * the condition is evaluated in two jobs (touched-file scan, then the
+      * rewrite frame), and a live re-evaluation could see a concurrent
+      * commit to the SUBQUERY's source tables in between — deleting with a
+      * mix of two predicate states. Checkpointing pins one state for the
+      * whole operation (the target side is already snapshot-pinned).
+      */
+    @volatile private var stable: org.apache.spark.sql.catalyst.expressions.Expression = null
+    private def stableExpr(spark: SparkSession)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+      val s0 = stable
+      if (s0 != null) s0
+      else {
+        val pinned = e.transform {
+          case sub: SubqueryExpression =>
+            sub.withNewPlan(SparkBridge.ofPlan(spark, sub.plan)
+              .localCheckpoint(true).queryExecution.analyzed)
+        }
+        stable = pinned
+        pinned
       }
-      val parts = conjuncts(e)
+    }
+
+    def column(df: DataFrame): org.apache.spark.sql.Column = {
+      // rebind by ATTRIBUTE, not by name string (df("a.b") would parse as
+      // struct access; the analyzed output carries the real attributes)
+      val out = df.queryExecution.analyzed.output
+      SparkBridge.column(stableExpr(df.sparkSession).transform {
+        case a: AttributeReference if nameById.contains(a.exprId) =>
+          val name = nameById(a.exprId)
+          out.find(_.name == name).getOrElse(throw new IllegalStateException(
+            s"DML condition column '$name' not found in the evaluation frame " +
+              s"(${out.map(_.name).mkString(", ")})"))
+      })
+    }
+
+    def skippingText: String = {
+      val parts = FileSkipping.splitConjuncts(e)
         .filterNot(_.exists(_.isInstanceOf[PlanExpression[_]]))
         .map(_.transform {
           case a: AttributeReference =>

@@ -328,11 +328,8 @@ case class GraftDeleteCommand(path: String, where: Option[String])
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlCommands.resolveTarget(spark, path)
     val v = TableOps.delete(t, where)
-    Seq(Row(v, commitMetric(t, v, "numDeletedRows")))
+    Seq(Row(v, GraftSqlCommands.commitMetric(t, v, "numDeletedRows")))
   }
-  private def commitMetric(t: GraftTable, v: Long, key: String): Long =
-    t.log.actionsAt(v).collectFirst { case c: graft.tables.CommitInfo =>
-      c.operationMetrics.get(key).map(_.toLong) }.flatten.getOrElse(0L)
 }
 
 case class GraftUpdateCommand(
@@ -344,9 +341,7 @@ case class GraftUpdateCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlCommands.resolveTarget(spark, path)
     val v = TableOps.update(t, where, set.toMap)
-    val n = t.log.actionsAt(v).collectFirst { case c: graft.tables.CommitInfo =>
-      c.operationMetrics.get("numUpdatedRows").map(_.toLong) }.flatten.getOrElse(0L)
-    Seq(Row(v, n))
+    Seq(Row(v, GraftSqlCommands.commitMetric(t, v, "numUpdatedRows")))
   }
 }
 
@@ -378,9 +373,7 @@ case class GraftDeleteExprCommand(path: String, box: DmlCondBox)
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlCommands.resolveTarget(spark, path)
     val v = TableOps.deleteExpr(t, box.cond, box.tableOutput)
-    val n = t.log.actionsAt(v).collectFirst { case c: graft.tables.CommitInfo =>
-      c.operationMetrics.get("numDeletedRows").map(_.toLong) }.flatten.getOrElse(0L)
-    Seq(Row(v, n))
+    Seq(Row(v, GraftSqlCommands.commitMetric(t, v, "numDeletedRows")))
   }
 }
 
@@ -397,9 +390,7 @@ case class GraftUpdateExprCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlCommands.resolveTarget(spark, path)
     val v = TableOps.updateExpr(t, box.cond, box.tableOutput, set.toMap)
-    val n = t.log.actionsAt(v).collectFirst { case c: graft.tables.CommitInfo =>
-      c.operationMetrics.get("numUpdatedRows").map(_.toLong) }.flatten.getOrElse(0L)
-    Seq(Row(v, n))
+    Seq(Row(v, GraftSqlCommands.commitMetric(t, v, "numUpdatedRows")))
   }
 }
 
@@ -445,6 +436,13 @@ case class GraftDescribeHistoryCommand(path: String)
   * ``MERGE INTO graft.`graft_cat.ns.t` `` work without a metastore entry.
   */
 object GraftSqlCommands {
+  /** One commit's operation metric (0 when absent) — shared by the DML
+    * commands' result rows.
+    */
+  private[sql] def commitMetric(t: GraftTable, v: Long, key: String): Long =
+    t.log.actionsAt(v).collectFirst { case c: graft.tables.CommitInfo =>
+      c.operationMetrics.get(key).map(_.toLong) }.flatten.getOrElse(0L)
+
   def resolveTarget(spark: SparkSession, target: String): GraftTable =
     if (GraftTable.exists(target)) GraftTable.forPath(spark, target)
     else

@@ -346,6 +346,31 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(m("numDeletedRows") == "3")
   }
 
+  it("subquery DML takes the deletion-vector paths on DV-enabled tables") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.sqdv")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.sqdv.t")
+    spark.sql(
+      """CREATE TABLE graft_cat.sqdv.t
+        |USING graft TBLPROPERTIES ('graft.enableDeletionVectors' = 'true')
+        |AS SELECT id, CAST(id AS DOUBLE) AS val FROM range(20)""".stripMargin)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.sqdv.pick")
+    spark.sql("CREATE TABLE graft_cat.sqdv.pick AS SELECT id * 3 AS id FROM range(4)")
+    // dvUpdate with an IN-subquery condition
+    spark.sql("UPDATE graft_cat.sqdv.t SET val = -5 " +
+      "WHERE id IN (SELECT id FROM graft_cat.sqdv.pick)")
+    assert(spark.table("graft_cat.sqdv.t").where("val = -5").count() == 4) // 0,3,6,9
+    // dvDelete with a scalar subquery: masks rows via position sidecars
+    spark.sql("DELETE FROM graft_cat.sqdv.t " +
+      "WHERE id > (SELECT max(id) FROM graft_cat.sqdv.pick) AND id % 2 = 0")
+    // deleted: even ids > 9 → 10,12,14,16,18
+    assert(spark.table("graft_cat.sqdv.t").count() == 15)
+    assert(spark.table("graft_cat.sqdv.t").where("id > 9 AND id % 2 = 0").count() == 0)
+    // it really took the DV shape (descriptors, not rewrites)
+    val t = GraftTable.forName(spark, "graft_cat.sqdv.t")
+    assert(t.snapshot.files.exists(_.dv.exists(_.cardinality > 0)))
+  }
+
   it("native row-level DML refuses correlated subqueries and non-deterministic conditions loudly") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ref")

@@ -76,8 +76,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def nsDir(ns: Array[String]): String =
     ns.foldLeft(warehouse)((d, p) => Fs.child(d, segment(p)))
 
-  private[graft] def tableDir(ident: Identifier): String =
+  /** The identifier's PHYSICAL node in the warehouse tree — the table
+    * directory itself for managed tables, or the small pointer node for
+    * EXTERNAL tables (`CREATE TABLE ... LOCATION '<path>'`).
+    */
+  private def node(ident: Identifier): String =
     Fs.child(nsDir(ident.namespace), segment(ident.name))
+
+  /** The table's DATA directory: the node itself, or the location its
+    * external pointer records (see [[GraftCatalog.ExternalPointerFile]]).
+    */
+  private[graft] def tableDir(ident: Identifier): String = {
+    val n = node(ident)
+    GraftCatalog.externalLocation(n).getOrElse(n)
+  }
 
   // ---- tables ---------------------------------------------------------
 
@@ -85,7 +97,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = nsDir(namespace)
     if (!Fs.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
     Fs.listChildNames(dir)
-      .filter(n => GraftTable.exists(Fs.child(dir, n)))
+      .filter { n =>
+        val c = Fs.child(dir, n)
+        GraftTable.exists(c) || GraftCatalog.externalLocation(c).isDefined
+      }
       .map(n => Identifier.of(namespace, n))
       .toArray
   }
@@ -135,8 +150,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val dir = tableDir(ident)
-    if (GraftTable.exists(dir.toString)) throw new TableAlreadyExistsException(ident)
+    val n = node(ident)
+    if (GraftTable.exists(n) || GraftCatalog.externalLocation(n).isDefined)
+      throw new TableAlreadyExistsException(ident)
     val partCols = partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames.mkString(".")
@@ -144,9 +160,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"graft tables support identity partitioning only, got: $t")
     }
     val props = properties.asScala.toMap -- GraftCatalog.ReservedProperties
-    Fs.mkdirs(Fs.parent(dir))
-    GraftTable.createEmpty(spark, dir, schema, partCols, props)
-    new GraftV2Table(dir, ident)
+    val declaredLoc = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .map(_.trim).filter(_.nonEmpty)
+    declaredLoc match {
+      case None =>
+        Fs.mkdirs(Fs.parent(n))
+        GraftTable.createEmpty(spark, n, schema, partCols, props)
+        new GraftV2Table(n, ident)
+      case Some(raw) =>
+        // EXTERNAL table: the data lives at LOCATION; the warehouse node
+        // holds only a pointer. Previously the location was silently
+        // IGNORED — the catalog created an empty shadow table under the
+        // warehouse and every later read/DML hit the decoy.
+        val loc = GraftCatalog.normalizeWarehouse(raw)
+        if (GraftTable.exists(loc)) {
+          // registering EXISTING data: a declared schema must match the
+          // log's (a mismatch would silently lie about the table's shape)
+          val logSchema = new graft.tables.GraftLog(loc).snapshot().schema
+          def matches: Boolean =
+            schema.fields.length == logSchema.fields.length &&
+              schema.fields.forall(f => logSchema.fields.exists(lf =>
+                lf.name.equalsIgnoreCase(f.name) && lf.dataType == f.dataType))
+          require(schema.isEmpty || matches,
+            s"CREATE TABLE ${ident} LOCATION '$raw': declared schema " +
+              s"${schema.simpleString} does not match the existing graft " +
+              s"table's ${logSchema.simpleString} — omit the column list " +
+              "to register existing data")
+        } else {
+          require(schema.nonEmpty,
+            s"CREATE TABLE ${ident} LOCATION '$raw': no graft table exists " +
+              "there — declare columns to create one")
+          Fs.mkdirs(loc)
+          GraftTable.createEmpty(spark, loc, schema, partCols, props)
+        }
+        Fs.mkdirs(n)
+        Fs.writeAtomic(Fs.child(n, GraftCatalog.ExternalPointerFile),
+          (loc + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        new GraftV2Table(loc, ident)
+    }
   }
 
   /** Property changes and column DDL commit to the log
@@ -262,29 +313,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def dropTable(ident: Identifier): Boolean = {
-    val dir = tableDir(ident)
-    if (!GraftTable.exists(dir)) false
-    else {
-      fenceInFlight(dir, "DROP TABLE")
-      Fs.deleteRecursively(dir); true
+    val n = node(ident)
+    GraftCatalog.externalLocation(n) match {
+      case Some(loc) =>
+        // EXTERNAL: drop unregisters the pointer; the data at LOCATION is
+        // not owned by the catalog and stays (Spark's external-table rule)
+        fenceInFlight(loc, "DROP TABLE")
+        Fs.deleteRecursively(n); true
+      case None =>
+        if (!GraftTable.exists(n)) false
+        else {
+          fenceInFlight(n, "DROP TABLE")
+          Fs.deleteRecursively(n); true
+        }
     }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    val from = tableDir(oldIdent)
-    val to = tableDir(newIdent)
-    if (!GraftTable.exists(from)) throw new NoSuchTableException(oldIdent)
-    if (Fs.exists(to)) throw new TableAlreadyExistsException(newIdent)
-    fenceInFlight(from, "RENAME TABLE")
-    Fs.mkdirs(Fs.parent(to))
-    Fs.moveNoReplace(from, to)
+    val fromNode = node(oldIdent)
+    val toNode = node(newIdent)
+    if (!GraftTable.exists(tableDir(oldIdent))) throw new NoSuchTableException(oldIdent)
+    if (Fs.exists(toNode)) throw new TableAlreadyExistsException(newIdent)
+    fenceInFlight(tableDir(oldIdent), "RENAME TABLE")
+    Fs.mkdirs(Fs.parent(toNode))
+    // managed: the node IS the data dir; external: only the pointer moves
+    Fs.moveNoReplace(fromNode, toNode)
     ()
   }
 
   // ---- namespaces (directories of the warehouse tree) -----------------
 
   private def isNamespaceDir(p: String): Boolean =
-    Fs.isDirectory(p) && !GraftTable.exists(p)
+    Fs.isDirectory(p) && !GraftTable.exists(p) &&
+      GraftCatalog.externalLocation(p).isEmpty
 
   override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
 
@@ -336,6 +397,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 object GraftCatalog {
   val WarehouseOption = "warehouse"
 
+  /** Name of the pointer file an EXTERNAL table's warehouse node carries:
+    * one line, the table's data location (`CREATE TABLE ... LOCATION`).
+    */
+  val ExternalPointerFile = "_graft_external"
+
+  /** The external location a warehouse node points at, if any. */
+  private[graft] def externalLocation(node: String): Option[String] = {
+    val p = Fs.child(node, ExternalPointerFile)
+    if (!Fs.exists(p)) None
+    else Fs.readLines(p).headOption.map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Canonical warehouse root: `file:` URIs decode to plain paths first
     * (Spark's own warehouse defaults use the URI spelling), local roots
     * absolutize (stable keys across working-dir changes), remote URIs
@@ -376,6 +449,7 @@ object GraftCatalog {
       .filter(_ == classOf[GraftCatalog].getName)
       .flatMap(_ => spark.conf.getOption(s"spark.sql.catalog.$head.$WarehouseOption"))
       .map(w => parts.tail.foldLeft(normalizeWarehouse(w))(Fs.child))
+      .map(p => externalLocation(p).getOrElse(p))
   }
 }
 

@@ -346,6 +346,41 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(m("numDeletedRows") == "3")
   }
 
+  it("CREATE TABLE ... LOCATION registers an EXTERNAL table, not a warehouse shadow") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ext")
+    // existing data at an arbitrary path
+    val dir = tmpTableDir("cat-external")
+    GraftTable.create(spark, dir, Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "name"))
+    spark.sql(s"CREATE TABLE graft_cat.ext.t USING graft LOCATION '$dir'")
+    // reads/DML hit the EXTERNAL data (the old bug: an empty shadow table
+    // under the warehouse silently swallowed every statement)
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ext.t").head.getLong(0) == 3)
+    spark.sql("DELETE FROM graft_cat.ext.t WHERE id = 2")
+    assert(GraftTable.forPath(spark, dir).toDF.count() == 2)
+    spark.sql("INSERT INTO graft_cat.ext.t VALUES (9, 'z')")
+    assert(GraftTable.forPath(spark, dir).toDF.count() == 3)
+    // listed like any table; a declared MISMATCHING schema is refused
+    assert(spark.sql("SHOW TABLES IN graft_cat.ext").count() == 1)
+    val bad = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft_cat.ext.t2 (wrong DOUBLE) USING graft LOCATION '$dir'")
+    }
+    assert(bad.getMessage.contains("does not match"))
+    // rename moves only the pointer; the data stays at LOCATION
+    spark.sql("ALTER TABLE graft_cat.ext.t RENAME TO ext.t3")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ext.t3").head.getLong(0) == 3)
+    // DROP unregisters without touching the external data (Spark's
+    // external-table rule)
+    spark.sql("DROP TABLE graft_cat.ext.t3")
+    assert(spark.sql("SHOW TABLES IN graft_cat.ext").count() == 0)
+    assert(GraftTable.forPath(spark, dir).toDF.count() == 3)
+    // CREATE with columns at a FRESH location creates the table there
+    val fresh = tmpTableDir("cat-external-fresh")
+    spark.sql(s"CREATE TABLE graft_cat.ext.n (id INT, v STRING) USING graft LOCATION '$fresh'")
+    spark.sql("INSERT INTO graft_cat.ext.n VALUES (1, 'x')")
+    assert(GraftTable.exists(fresh) && GraftTable.forPath(spark, fresh).toDF.count() == 1)
+  }
+
   it("subquery DML takes the deletion-vector paths on DV-enabled tables") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.sqdv")

@@ -35,27 +35,40 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
   */
 object Fs {
 
-  /** True when `s` carries a URI scheme (`xyz://...`). A bare `file:` URI
-    * also matches — callers normalize those to local paths up front via
-    * [[normalize]].
+  /** The URI scheme of `s`, when it has one: `xyz://...` (authority form)
+    * OR `xyz:/...` (java.net.URI's null-authority rendering — Spark's own
+    * DDL path normalization produces this single-slash spelling for
+    * LOCATION clauses). The slash after the colon is required so an odd
+    * relative name `a:b` never reads as a scheme.
     */
-  def hasScheme(s: String): Boolean = {
-    // scheme = ALPHA *(ALPHA/DIGIT/+/-/.) followed by "://" — the "//" is
-    // required so a windows-style "C:\..." or an odd relative name "a:b"
-    // never reads as a scheme
-    val i = s.indexOf("://")
-    i > 0 && s.charAt(0).isLetter && (1 until i).forall { j =>
+  private def schemeOf(s: String): Option[String] = {
+    val i = s.indexOf(':')
+    if (i <= 0 || i + 1 >= s.length || s.charAt(i + 1) != '/') None
+    else if (s.charAt(0).isLetter && (1 until i).forall { j =>
       val c = s.charAt(j)
       c.isLetterOrDigit || c == '+' || c == '-' || c == '.'
-    }
+    }) Some(s.substring(0, i))
+    else None
   }
 
+  def hasScheme(s: String): Boolean = schemeOf(s).isDefined
+
   /** True when `s` addresses a NON-local filesystem: it has a scheme and the
-    * scheme is not `file`. `file://...` URIs are local (normalize converts
+    * scheme is not `file`. `file:` URIs are local (normalize converts
     * them); everything else without a scheme is a local path.
     */
   def isRemote(s: String): Boolean =
-    hasScheme(s) && !s.regionMatches(true, 0, "file://", 0, 7)
+    schemeOf(s).exists(!_.equalsIgnoreCase("file"))
+
+  /** Canonical `scheme://` spelling for a remote path — the single-slash
+    * `scheme:/p` form converges to `scheme:///p` so the string-level
+    * child/parent/relativize helpers see one shape.
+    */
+  private def canonicalRemote(s: String): String =
+    if (isRemote(s) && !s.contains("://")) {
+      val i = s.indexOf(':')
+      s.substring(0, i) + "://" + s.substring(i + 1)
+    } else s
 
   /** Canonical form: `file:` URIs become plain local paths (so the whole
     * engine sees one spelling for local storage); remote URIs lose ALL
@@ -66,14 +79,15 @@ object Fs {
     if (s.regionMatches(true, 0, "file:", 0, 5))
       Paths.get(java.net.URI.create("file:" + s.substring(5).replace(" ", "%20"))).toString
     else if (isRemote(s)) {
-      var t = s
+      var t = canonicalRemote(s)
       while (t.endsWith("/") && !t.endsWith("://")) t = t.dropRight(1)
       if (t.endsWith("://")) t + "/" else t // scheme root keeps its one slash
     } else s
 
   /** Join `parent` and a (possibly multi-segment) relative `name`. */
   def child(parent: String, name: String): String =
-    if (isRemote(parent)) parent.stripSuffix("/") + "/" + name.stripPrefix("/")
+    if (isRemote(parent))
+      canonicalRemote(parent).stripSuffix("/") + "/" + name.stripPrefix("/")
     else Paths.get(parent).resolve(name).toString
 
   /** Pure string parent — NOT via `hadoop.Path.getParent`, whose toString
@@ -82,7 +96,7 @@ object Fs {
     */
   def parent(path: String): String =
     if (isRemote(path)) {
-      val p = path.stripSuffix("/")
+      val p = canonicalRemote(path).stripSuffix("/")
       val schemeEnd = p.indexOf("://") + 3
       val lastSlash = p.lastIndexOf('/')
       if (lastSlash < schemeEnd) p.substring(0, schemeEnd)
@@ -100,7 +114,7 @@ object Fs {
 
   def fileName(path: String): String =
     if (isRemote(path)) {
-      val p = path.stripSuffix("/")
+      val p = canonicalRemote(path).stripSuffix("/")
       p.substring(p.lastIndexOf('/') + 1)
     } else Paths.get(path).getFileName.toString
 

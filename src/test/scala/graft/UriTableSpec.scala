@@ -54,6 +54,12 @@ class UriTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(Fs.normalize("faux:///a/b/") == "faux:///a/b")
       assert(Fs.normalize("faux://nn/t//") == "faux://nn/t") // idempotent-canonical
       assert(Fs.normalize("faux:///") == "faux:///") // scheme root keeps its slash
+      // java.net.URI's null-authority single-slash rendering (Spark's DDL
+      // LOCATION normalization produces it) converges to the canonical form
+      assert(Fs.isRemote("faux:/a/b"))
+      assert(Fs.normalize("faux:/a/b") == "faux:///a/b")
+      assert(Fs.child("faux:/a", "b") == "faux:///a/b")
+      assert(Fs.parent("faux:/a/b") == "faux:///a")
       assertThrows[IllegalArgumentException](Fs.parent("lonesegment"))
       assert(Fs.child("faux:///a", "b/c") == "faux:///a/b/c")
       assert(Fs.child("/a", "b/c") == "/a/b/c")

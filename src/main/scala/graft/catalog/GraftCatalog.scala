@@ -70,6 +70,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def segment(p: String): String = {
     require(p.nonEmpty && !p.contains("/") && !p.contains("\\") && !p.startsWith("."),
       s"illegal graft catalog identifier part '$p'")
+    require(p != GraftCatalog.ExternalPointerFile,
+      s"'$p' is reserved (the external-table pointer file name)")
     p
   }
 
@@ -105,8 +107,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .toArray
   }
 
-  override def tableExists(ident: Identifier): Boolean =
-    GraftTable.exists(tableDir(ident))
+  override def tableExists(ident: Identifier): Boolean = {
+    val n = node(ident)
+    // a DANGLING pointer (external data deleted out-of-band) still counts:
+    // DROP TABLE must be able to unregister it, and CREATE must refuse the
+    // occupied name — otherwise the identifier wedges (drop no-ops on
+    // exists=false while create trips over the pointer)
+    GraftCatalog.externalLocation(n).isDefined || GraftTable.exists(n)
+  }
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
@@ -172,11 +180,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         // holds only a pointer. Previously the location was silently
         // IGNORED — the catalog created an empty shadow table under the
         // warehouse and every later read/DML hit the decoy.
+        // (CTAS with a LOCATION holding existing data registers it and the
+        // query output APPENDS — the catalog cannot see it is a CTAS;
+        // declare no columns/properties if that is not what you meant.)
         val loc = GraftCatalog.normalizeWarehouse(raw)
         if (GraftTable.exists(loc)) {
-          // registering EXISTING data: a declared schema must match the
-          // log's (a mismatch would silently lie about the table's shape)
-          val logSchema = new graft.tables.GraftLog(loc).snapshot().schema
+          // registering EXISTING data: declared schema/partitioning/
+          // properties must MATCH the log's or be omitted (silently
+          // accepting contradictory DDL would lie about the table's shape)
+          val log = new graft.tables.GraftLog(loc)
+          // metadata prefix-scan, not a full snapshot fold — registering a
+          // 10^6-file table must not parse its whole log on the driver
+          val meta = graft.tables.DistributedSnapshot.metadataAt(log, log.latestVersion())
+          val logSchema = org.apache.spark.sql.types.DataType
+            .fromJson(meta.schemaJson).asInstanceOf[StructType]
           def matches: Boolean =
             schema.fields.length == logSchema.fields.length &&
               schema.fields.forall(f => logSchema.fields.exists(lf =>
@@ -186,6 +203,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
               s"${schema.simpleString} does not match the existing graft " +
               s"table's ${logSchema.simpleString} — omit the column list " +
               "to register existing data")
+          require(partCols.isEmpty ||
+              partCols.map(_.toLowerCase) == meta.partitionColumns.map(_.toLowerCase),
+            s"CREATE TABLE ${ident} LOCATION '$raw': declared PARTITIONED BY " +
+              s"(${partCols.mkString(", ")}) does not match the existing " +
+              s"table's (${meta.partitionColumns.mkString(", ")})")
+          require(props.isEmpty,
+            s"CREATE TABLE ${ident} LOCATION '$raw' registers EXISTING data: " +
+              "TBLPROPERTIES would be silently ignored — set them with " +
+              "ALTER TABLE after registering")
         } else {
           require(schema.nonEmpty,
             s"CREATE TABLE ${ident} LOCATION '$raw': no graft table exists " +
@@ -194,8 +220,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           GraftTable.createEmpty(spark, loc, schema, partCols, props)
         }
         Fs.mkdirs(n)
-        Fs.writeAtomic(Fs.child(n, GraftCatalog.ExternalPointerFile),
+        // ONE-WINNER publication through the log store's conditional put —
+        // two concurrent CREATEs of the same identifier must not last-wins
+        // each other's pointer
+        try graft.tables.LogStore.forPath(n).putIfAbsent(
+          Fs.child(n, GraftCatalog.ExternalPointerFile),
           (loc + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            throw new TableAlreadyExistsException(ident)
+        }
         new GraftV2Table(loc, ident)
     }
   }
@@ -402,12 +436,15 @@ object GraftCatalog {
     */
   val ExternalPointerFile = "_graft_external"
 
-  /** The external location a warehouse node points at, if any. */
-  private[graft] def externalLocation(node: String): Option[String] = {
-    val p = Fs.child(node, ExternalPointerFile)
-    if (!Fs.exists(p)) None
-    else Fs.readLines(p).headOption.map(_.trim).filter(_.nonEmpty)
-  }
+  /** The external location a warehouse node points at, if any. ONE IO
+    * call: the read itself probes (an absent pointer, or a directory
+    * squatting on the name, reads as None) — this runs at every
+    * identifier resolution, so the common miss must not pay exists+read.
+    */
+  private[graft] def externalLocation(node: String): Option[String] =
+    try Fs.readLines(Fs.child(node, ExternalPointerFile))
+      .headOption.map(_.trim).filter(_.nonEmpty)
+    catch { case _: java.io.IOException | _: java.io.UncheckedIOException => None }
 
   /** Canonical warehouse root: `file:` URIs decode to plain paths first
     * (Spark's own warehouse defaults use the URI spelling), local roots

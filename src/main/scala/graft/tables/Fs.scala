@@ -43,7 +43,10 @@ object Fs {
     */
   private def schemeOf(s: String): Option[String] = {
     val i = s.indexOf(':')
-    if (i <= 0 || i + 1 >= s.length || s.charAt(i + 1) != '/') None
+    // schemes shorter than 2 chars never name a filesystem — and 1-char
+    // "schemes" are exactly the windows drive-letter shape (C:/...), which
+    // must stay on the local branch
+    if (i <= 1 || i + 1 >= s.length || s.charAt(i + 1) != '/') None
     else if (s.charAt(0).isLetter && (1 until i).forall { j =>
       val c = s.charAt(j)
       c.isLetterOrDigit || c == '+' || c == '-' || c == '.'

@@ -379,6 +379,36 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     spark.sql(s"CREATE TABLE graft_cat.ext.n (id INT, v STRING) USING graft LOCATION '$fresh'")
     spark.sql("INSERT INTO graft_cat.ext.n VALUES (1, 'x')")
     assert(GraftTable.exists(fresh) && GraftTable.forPath(spark, fresh).toDF.count() == 1)
+
+    // contradictory DDL on register-existing refuses loudly (partitioning,
+    // properties — accepting them would silently lie about the table)
+    val tp = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft_cat.ext.p USING graft LOCATION '$dir' " +
+        "TBLPROPERTIES ('x' = 'y')")
+    }
+    assert(tp.getMessage.contains("TBLPROPERTIES"))
+    val pb = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft_cat.ext.p2 (id INT, name STRING) USING graft " +
+        s"PARTITIONED BY (id) LOCATION '$dir'")
+    }
+    assert(pb.getMessage.contains("PARTITIONED BY"))
+
+    // a DANGLING pointer (external data deleted out-of-band) must stay
+    // droppable — not wedge the identifier forever
+    val gone = tmpTableDir("cat-external-gone")
+    GraftTable.create(spark, gone, Seq((1, "a")).toDF("id", "name"))
+    spark.sql(s"CREATE TABLE graft_cat.ext.g USING graft LOCATION '$gone'")
+    graft.tables.Fs.deleteRecursively(gone)
+    assert(spark.sql("SHOW TABLES IN graft_cat.ext").collect()
+      .exists(_.getString(1) == "g")) // still listed (the pointer exists)
+    spark.sql("DROP TABLE graft_cat.ext.g") // unregisters cleanly
+    intercept[Exception] { spark.sql("SELECT * FROM graft_cat.ext.g").collect() }
+
+    // the pointer-file name is reserved
+    val res = intercept[Exception] {
+      spark.sql("CREATE TABLE graft_cat.ext._graft_external (id INT) USING graft")
+    }
+    assert(res.getMessage.contains("reserved"))
   }
 
   it("subquery DML takes the deletion-vector paths on DV-enabled tables") {

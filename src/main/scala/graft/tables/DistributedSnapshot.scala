@@ -75,15 +75,17 @@ object DistributedSnapshot {
     * log parsed and folded by executors. Columns: path, partitionValues,
     * size, stats, dv — exactly [[AddFile]]'s shape (`.as[AddFile]` works). */
   /** This path deliberately BYPASSES the [[LogStore]] seam: executors read
-    * log objects as splittable files, which only works when the store is
-    * the filesystem. Non-filesystem stores (in-memory test stores) must
+    * log objects as splittable files through Spark's own readers — any
+    * local path or hadoop-FS URI qualifies (the [[graft.tables.Fs]] path
+    * strings [[GraftLog.versionFile]] produces address both). Only stores
+    * whose objects are not files at all (the in-memory test stores) must
     * use the driver fold instead — fail loudly rather than return an
     * empty/false file set.
     */
   private def requireFilesystemLog(log: GraftLog): Unit =
     require(log.store.filesystemBacked,
-      s"DistributedSnapshot requires a filesystem-backed log store for " +
-        s"${log.tablePath}: executors read log files directly — use " +
+      s"DistributedSnapshot requires a file-addressable log store for " +
+        s"${log.tablePath}: executors read log objects directly — use " +
         "GraftLog.snapshot (driver fold) on this store")
 
   def addFilesDF(spark: SparkSession, tablePath: String,

@@ -216,19 +216,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           require(schema.nonEmpty,
             s"CREATE TABLE ${ident} LOCATION '$raw': no graft table exists " +
               "there — declare columns to create one")
-          Fs.mkdirs(loc)
-          GraftTable.createEmpty(spark, loc, schema, partCols, props)
         }
+        val registeringExisting = GraftTable.exists(loc)
+        // ONE-WINNER publication through the log store's conditional put,
+        // claimed BEFORE any data is created at LOCATION — the losing side
+        // of a concurrent CREATE must not leave an orphan graft table at
+        // the user's directory (a crashed winner leaves only a dangling
+        // pointer, which DROP TABLE can always unregister)
         Fs.mkdirs(n)
-        // ONE-WINNER publication through the log store's conditional put —
-        // two concurrent CREATEs of the same identifier must not last-wins
-        // each other's pointer
+        val pointer = Fs.child(n, GraftCatalog.ExternalPointerFile)
         try graft.tables.LogStore.forPath(n).putIfAbsent(
-          Fs.child(n, GraftCatalog.ExternalPointerFile),
-          (loc + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          pointer, (loc + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
         catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             throw new TableAlreadyExistsException(ident)
+        }
+        if (!registeringExisting) {
+          try {
+            Fs.mkdirs(loc)
+            GraftTable.createEmpty(spark, loc, schema, partCols, props); ()
+          } catch {
+            case e: Throwable =>
+              // roll the claim back so a failed data creation cannot wedge
+              // the identifier behind a pointer to nothing
+              try { graft.tables.LogStore.forPath(n).delete(pointer); () }
+              catch { case _: Throwable => () }
+              e match {
+                case _: IllegalArgumentException if GraftTable.exists(loc) =>
+                  // a concurrent CREATE under a DIFFERENT identifier won the
+                  // same LOCATION between our existence check and createEmpty
+                  throw new TableAlreadyExistsException(ident)
+                case _ => throw e
+              }
+          }
         }
         new GraftV2Table(loc, ident)
     }

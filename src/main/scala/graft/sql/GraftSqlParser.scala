@@ -81,6 +81,41 @@ object GraftSqlParser {
   private def claimableDml(m: java.util.regex.Matcher): Boolean =
     m.group(1) != null || pathOf(m, 2).contains('/')
 
+  /** Maintenance statements (OPTIMIZE/VACUUM/RESTORE/DESC HISTORY/...) are
+    * not Spark grammar, so bare multi-part identifiers are claimable — but
+    * with a COEXISTING extension registered behind graft (e.g. Delta, whose
+    * grammar has the same statements), an unquoted identifier that does not
+    * resolve to a graft table must fall through to the delegate parser
+    * instead of dying in resolveTarget. Quoted and `graft.`-qualified
+    * targets stay claimed unconditionally: they are explicitly addressed to
+    * graft, and a bad path should fail loudly, not turn into a delegate
+    * parse error.
+    */
+  private def claimableMaintenance(m: java.util.regex.Matcher): Boolean =
+    m.group(5) == null || plausiblyGraft(pathOf(m, 2))
+
+  /** "Plausibly ours" for a bare identifier: qualified by a registered
+    * [[graft.catalog.GraftCatalog]] (claim even if the table is missing —
+    * it is addressed to OUR catalog and should fail loudly there),
+    * conf-registered (`spark.graft.table.<name>`), or resolvable as a graft
+    * table. Everything else declines — the delegate parser gets it.
+    */
+  private def plausiblyGraft(target: String): Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession).forall { s =>
+      val first = target.substring(0, target.indexOf('.'))
+      def graftCatalogQualified: Boolean =
+        try s.sessionState.catalogManager.catalog(first)
+          .isInstanceOf[graft.catalog.GraftCatalog]
+        catch { case scala.util.control.NonFatal(_) => false }
+      def confRegistered: Boolean =
+        s.conf.getOption(s"spark.graft.table.$target").isDefined
+      def resolves: Boolean =
+        try { GraftSqlCommands.resolveTarget(s, target); true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      graftCatalogQualified || confRegistered || resolves
+    }
+
   private def rx(pattern: String) = java.util.regex.Pattern.compile(
     pattern, java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
 
@@ -352,23 +387,25 @@ object GraftSqlParser {
             body.substring(1, body.length - 1) else body
           splitTopLevel(inner).map(_.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
         }
-      return Some(GraftOptimizeCommand(pathOf(o, 2), where, cols))
+      return if (claimableMaintenance(o))
+        Some(GraftOptimizeCommand(pathOf(o, 2), where, cols))
+      else None
     }
     val v = vacuum.matcher(sqlText)
-    if (v.matches())
+    if (v.matches() && claimableMaintenance(v))
       return Some(GraftVacuumCommand(pathOf(v, 2),
         Option(v.group(6)).map(_.toDouble), v.group(7) != null))
     val rv = restoreV.matcher(sqlText)
-    if (rv.matches())
+    if (rv.matches() && claimableMaintenance(rv))
       return Some(GraftRestoreCommand(pathOf(rv, 2), Some(rv.group(6).toLong), None))
     val rt = restoreT.matcher(sqlText)
-    if (rt.matches())
+    if (rt.matches() && claimableMaintenance(rt))
       return Some(GraftRestoreCommand(pathOf(rt, 2), None, Some(rt.group(6))))
     val f = fsck.matcher(sqlText)
-    if (f.matches())
+    if (f.matches() && claimableMaintenance(f))
       return Some(GraftFsckCommand(pathOf(f, 2), f.group(6) != null))
     val g = generate.matcher(sqlText)
-    if (g.matches())
+    if (g.matches() && claimableMaintenance(g))
       return Some(GraftGenerateManifestCommand(pathOf(g, 2)))
     // ANALYZE TABLE <ident> COMPUTE STATISTICS is Spark's own grammar on
     // catalog tables — claim only path-shaped/graft-qualified targets
@@ -376,10 +413,10 @@ object GraftSqlParser {
     if (an.matches() && claimableDml(an))
       return Some(GraftAnalyzeCommand(pathOf(an, 2)))
     val h = history.matcher(sqlText)
-    if (h.matches())
+    if (h.matches() && claimableMaintenance(h))
       return Some(GraftDescribeHistoryCommand(pathOf(h, 2)))
     val dt = detail.matcher(sqlText)
-    if (dt.matches())
+    if (dt.matches() && claimableMaintenance(dt))
       return Some(GraftDescribeDetailCommand(pathOf(dt, 2)))
     val cv = convert.matcher(sqlText)
     if (cv.matches())

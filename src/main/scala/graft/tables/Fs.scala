@@ -79,13 +79,60 @@ object Fs {
     * compare this form); plain paths pass through untouched.
     */
   def normalize(s: String): String =
-    if (s.regionMatches(true, 0, "file:", 0, 5))
-      Paths.get(java.net.URI.create("file:" + s.substring(5).replace(" ", "%20"))).toString
-    else if (isRemote(s)) {
+    if (s.regionMatches(true, 0, "file:", 0, 5)) {
+      // textual strip + percent-decode, NOT a round-trip through
+      // java.net.URI: URI parsing reads '#' as a fragment delimiter
+      // (silently truncating the path) and throws on a raw '%' or other
+      // illegal characters — both legal in POSIX file names
+      val rest = s.substring(5)
+      val p =
+        if (rest.startsWith("//")) {
+          // file://authority/p — only the local spellings are local paths
+          val after = rest.substring(2)
+          val slash = after.indexOf('/')
+          val auth = if (slash >= 0) after.substring(0, slash) else after
+          require(auth.isEmpty || auth.equalsIgnoreCase("localhost"),
+            s"file: URI with non-local authority '$auth' is not a local path: $s")
+          if (slash >= 0) after.substring(slash) else "/"
+        } else rest // file:/p
+      Paths.get(percentDecode(p)).toString
+    } else if (isRemote(s)) {
       var t = canonicalRemote(s)
       while (t.endsWith("/") && !t.endsWith("://")) t = t.dropRight(1)
       if (t.endsWith("://")) t + "/" else t // scheme root keeps its one slash
     } else s
+
+  /** Decode `%XX` escapes (UTF-8, multi-byte aware); a '%' not followed by
+    * two hex digits passes through literally — `File.toURI` never emits
+    * one, and a hand-typed literal '%' in a file name must survive.
+    */
+  private def percentDecode(s: String): String = {
+    if (!s.contains('%')) return s
+    def hex(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    val out = new java.lang.StringBuilder(s.length)
+    val bytes = new java.io.ByteArrayOutputStream()
+    def flush(): Unit = if (bytes.size() > 0) {
+      out.append(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      bytes.reset()
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          hex(s.charAt(i + 1)) >= 0 && hex(s.charAt(i + 2)) >= 0) {
+        bytes.write(hex(s.charAt(i + 1)) * 16 + hex(s.charAt(i + 2)))
+        i += 3
+      } else {
+        flush(); out.append(c); i += 1
+      }
+    }
+    flush()
+    out.toString
+  }
 
   /** Join `parent` and a (possibly multi-segment) relative `name`. */
   def child(parent: String, name: String): String =

@@ -31,7 +31,12 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
   * whose no-overwrite rename is atomic; constructing a store for
   * cross-process use on a non-atomic scheme is the deployment error this
   * flag makes loud. POSIX multi-writer deployments should use
-  * [[PosixLogStore]] (hard-link claims — genuinely atomic cross-process).
+  * [[PosixLogStore]] (hard-link claims — genuinely atomic cross-process);
+  * S3/GCS-shaped multi-writer deployments should bind their SDK's
+  * conditional put behind [[ObjectStoreClient]] and register it
+  * ([[LogStore.registerObjectStoreScheme]]) — [[ObjectStoreLogStore]]'s
+  * claim is arbitrated by the service itself, so `crossProcessAtomic`
+  * holds where rename-based claims cannot (see its capability table).
   *
   * Addressing: path strings — remote URIs parse natively, local paths
   * qualify through `file:` (see [[Fs.toHadoopPath]]). The configuration
@@ -100,8 +105,23 @@ class HadoopLogStore(confOverride: Option[Configuration] = None) extends LogStor
       val out = f.create(tmp, true)
       try out.write(body) finally out.close()
       try {
-        val fc = FileContext.getFileContext(dst.toUri, conf)
-        fc.rename(tmp, dst) // default Rename.NONE: no overwrite
+        try {
+          val fc = FileContext.getFileContext(dst.toUri, conf)
+          fc.rename(tmp, dst) // default Rename.NONE: no overwrite
+        } catch {
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            // scheme registered only via fs.<scheme>.impl, with no
+            // AbstractFileSystem binding for FileContext (the common shape
+            // for third-party connectors). Fall back to FileSystem.rename
+            // under the exists pre-check above — same-JVM claims stay
+            // arbitrated by the mutex; cross-process atomicity on such a
+            // scheme is whatever its rename offers (see crossProcessAtomic)
+            if (f.exists(dst))
+              throw new java.nio.file.FileAlreadyExistsException(path)
+            if (!f.rename(tmp, dst))
+              throw new java.io.IOException(
+                s"rename $tmp -> $dst failed on ${schemeOf(dst)}")
+        }
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
             _: java.nio.file.FileAlreadyExistsException =>
@@ -119,8 +139,19 @@ class HadoopLogStore(confOverride: Option[Configuration] = None) extends LogStor
     val out = f.create(tmp, true)
     try out.write(body) finally out.close()
     try {
-      val fc = FileContext.getFileContext(dst.toUri, conf)
-      fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+      try {
+        val fc = FileContext.getFileContext(dst.toUri, conf)
+        fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          // no AbstractFileSystem binding: delete-then-rename. overwrite()
+          // is never used on contended paths (seam contract), so the
+          // non-atomic window is acceptable on FileSystem-only schemes
+          if (f.exists(dst)) { f.delete(dst, false); () }
+          if (!f.rename(tmp, dst))
+            throw new java.io.IOException(
+              s"rename $tmp -> $dst failed on ${schemeOf(dst)}")
+      }
     } finally {
       if (f.exists(tmp)) { f.delete(tmp, false); () }
     }

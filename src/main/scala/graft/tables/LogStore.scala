@@ -338,6 +338,36 @@ object LogStore {
     */
   private val overrides = new ConcurrentHashMap[String, LogStore]()
 
+  /** Deployment seam for conditional-put services: bind an
+    * [[ObjectStoreClient]] (the SDK adapter) to a URI scheme and every
+    * table on that scheme commits through a multi-writer-safe
+    * [[ObjectStoreLogStore]] — `registerObjectStoreScheme("s3a", client)`
+    * upgrades all `s3a://` tables from the rename-based [[Hadoop]] store
+    * (not cross-process atomic there) to true service-side arbitration.
+    */
+  private val schemeStores = new ConcurrentHashMap[String, LogStore]()
+
+  def registerObjectStoreScheme(scheme: String, client: ObjectStoreClient): Unit = {
+    schemeStores.put(scheme.toLowerCase, new ObjectStoreLogStore(client)); ()
+  }
+
+  def unregisterObjectStoreScheme(scheme: String): Unit = {
+    schemeStores.remove(scheme.toLowerCase); ()
+  }
+
+  /** Shared local-file-backed conditional-put object store — the boot-
+    * property route for forked JVMs (the cross-JVM OCC races) and for
+    * proving a deployment's table flow against the object-store contract
+    * without a service.
+    */
+  lazy val LocalObjectStore: LogStore =
+    new ObjectStoreLogStore(new LocalObjectStoreClient)
+
+  private lazy val bootObjectStorePrefixes: Seq[String] =
+    sys.props.get("graft.logstore.objectstore.prefixes")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map(normalize))
+      .getOrElse(Nil)
+
   private lazy val bootConditionalPutPrefixes: Seq[String] =
     sys.props.get("graft.logstore.conditionalPut.prefixes")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map(normalize))
@@ -367,7 +397,11 @@ object LogStore {
       .toSeq.sortBy(-_.getKey.length)
       .headOption.map(_.getValue)
     registered.getOrElse {
-      if (Fs.isRemote(p)) Hadoop
+      if (Fs.isRemote(p)) {
+        val scheme = p.substring(0, p.indexOf(':')).toLowerCase
+        Option(schemeStores.get(scheme)).getOrElse(Hadoop)
+      } else if (bootObjectStorePrefixes.exists(pre => p == pre || p.startsWith(pre + "/")))
+        LocalObjectStore
       else if (bootConditionalPutPrefixes.exists(pre => p == pre || p.startsWith(pre + "/")))
         ConditionalPut
       else if (bootHadoopPrefixes.exists(pre => p == pre || p.startsWith(pre + "/")))

@@ -411,6 +411,32 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(res.getMessage.contains("reserved"))
   }
 
+  it("a losing concurrent CREATE ... LOCATION leaves no orphan at the user's directory") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ext2")
+    val n = java.nio.file.Paths.get(warehouse, "ext2", "racer").toString
+    graft.tables.Fs.mkdirs(n)
+    // a rival claimed the identifier first — exactly what the loser of a
+    // concurrent CREATE observes at its conditional put
+    val rivalLoc = tmpTableDir("cat-external-rival")
+    GraftTable.create(spark, rivalLoc, Seq((1, "r")).toDF("id", "v"))
+    graft.tables.LogStore.forPath(n).putIfAbsent(
+      graft.tables.Fs.child(n, graft.catalog.GraftCatalog.ExternalPointerFile),
+      (rivalLoc + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val myLoc = tmpTableDir("cat-external-loser")
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft_cat.ext2.racer (id INT, v STRING) " +
+        s"USING graft LOCATION '$myLoc'")
+    }
+    assert(e.getMessage.toLowerCase.contains("already exists"))
+    // pointer-first ordering: the loser created NOTHING at its LOCATION
+    // (the old ordering left an orphan graft table there)
+    assert(!GraftTable.exists(myLoc),
+      "losing CREATE must not leave an orphan table at the user's LOCATION")
+    // and the winner's registration is intact
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ext2.racer").head.getLong(0) == 1)
+  }
+
   it("subquery DML takes the deletion-vector paths on DV-enabled tables") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.sqdv")

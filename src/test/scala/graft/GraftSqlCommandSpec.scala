@@ -13,6 +13,9 @@ class GraftSqlCommandSpec extends AnyFunSpec with SparkSessionTestWrapper {
     def parse(sql: String) = GraftSqlParser.parseMaintenance(sql)
 
     it("parses every statement form and path quoting") {
+      // bare graft_cat.* claims below depend on the catalog being
+      // registered — force the shared registration before parsing
+      val _ = SparkSessionTestWrapper.catalogWarehouse
       assert(parse("OPTIMIZE '/tmp/t'") ==
         Some(GraftOptimizeCommand("/tmp/t", None, Nil)))
       assert(parse("optimize graft.`/tmp/t` where id > 3 ZORDER BY (a, `b`)") ==
@@ -65,6 +68,14 @@ class GraftSqlCommandSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(parse("ALTER TABLE hive_db.tbl ALTER COLUMN c TYPE BIGINT").isEmpty)
       // single-part bare names stay unclaimed (could be anything)
       assert(parse("OPTIMIZE events").isEmpty)
+      // bare identifiers NOT plausibly graft's (no graft catalog qualifier,
+      // no registration, unresolvable) fall through to the delegate parser
+      // — a coexisting extension (e.g. Delta) must get its own tables back
+      assert(parse("OPTIMIZE other_cat.ns.delta_tbl ZORDER BY (a)").isEmpty)
+      assert(parse("VACUUM other_cat.ns.delta_tbl RETAIN 24 HOURS").isEmpty)
+      assert(parse("DESCRIBE HISTORY other_cat.ns.delta_tbl").isEmpty)
+      assert(parse("RESTORE TABLE other_cat.ns.delta_tbl TO VERSION AS OF 2").isEmpty)
+      assert(parse("FSCK REPAIR TABLE other_cat.ns.delta_tbl").isEmpty)
       // Spark's OWN grammar is never shadowed: ANALYZE on a bare catalog
       // identifier, and all DML on bare identifiers, pass through (DML on
       // graft catalog tables is served by the native V2 row-level path)

@@ -389,8 +389,224 @@ class LogStoreSpec extends AnyFunSpec with SparkSessionTestWrapper {
         val e = intercept[IllegalArgumentException] {
           DistributedSnapshot.addFilesDF(spark, dir).collect()
         }
-        assert(e.getMessage.contains("filesystem-backed"))
+        assert(e.getMessage.contains("file-addressable"))
       } finally LogStore.unregister(dir)
+    }
+  }
+
+  describe("ObjectStoreLogStore (conditional-put API)") {
+    import graft.tables.{LocalObjectStoreClient, ObjectStore, ObjectStoreLogStore}
+
+    it("rejects the second claimant via If-None-Match; crossProcessAtomic holds") {
+      val client = new LocalObjectStoreClient
+      val store = new ObjectStoreLogStore(client)
+      assert(store.crossProcessAtomic, "service-side arbitration is the point")
+      val dir = tmpTableDir("ls-obj")
+      val log = new GraftLog(dir, store)
+      log.commit(0L, Seq(Metadata(schemaJson), CommitInfo(0L, "CREATE TABLE")))
+      intercept[ObjectStore.PreconditionFailedException] {
+        client.putIfNoneMatch(log.versionFile(0L), "x".getBytes)
+      }
+      intercept[java.nio.file.FileAlreadyExistsException] {
+        store.putIfAbsent(log.versionFile(0L), "x".getBytes)
+      }
+      intercept[CommitConflictException] {
+        log.commit(0L, Seq(CommitInfo(1L, "WRITE")))
+      }
+      assert(log.actionsAt(0L).collect { case ci: CommitInfo => ci.operation }
+        == Seq("CREATE TABLE"))
+      // no temp debris from the losing claims
+      assert(!store.list(log.logDir).exists(_._1.endsWith(".tmp")))
+    }
+
+    it("full table lifecycle + executor-side fold work through the object store") {
+      val dir = tmpTableDir("ls-obj-table")
+      LogStore.register(dir, new ObjectStoreLogStore(new LocalObjectStoreClient))
+      try {
+        val t = GraftTable.create(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+        t.append(Seq((3L, "c")).toDF("id", "v"))
+        graft.operators.TableOps.delete(t, Some("id = 1"))
+        val t2 = GraftTable.forPath(spark, dir)
+        assert(t2.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+        assert(t2.toDFAt(0L).count() == 2)
+        // fileAddressable client => filesystemBacked store => executor folds
+        val dist = graft.tables.DistributedSnapshot.addFiles(spark, dir)
+          .map(_.path).toSet
+        assert(dist == t2.snapshot.files.map(_.path).toSet)
+      } finally LogStore.unregister(dir)
+    }
+
+    it("claim storm: exactly one winner per version, contiguous chain") {
+      val dir = tmpTableDir("ls-obj-race")
+      val store = new ObjectStoreLogStore(new LocalObjectStoreClient)
+      val log = new GraftLog(dir, store)
+      log.commit(0L, Seq(Metadata(schemaJson), CommitInfo(0L, "CREATE TABLE")))
+      val threads = 8
+      val versions = 12
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      try {
+        (1 to versions).foreach { v =>
+          val latch = new java.util.concurrent.CountDownLatch(threads)
+          val done = new java.util.concurrent.CountDownLatch(threads)
+          (0 until threads).foreach { tIdx =>
+            pool.execute { () =>
+              latch.countDown(); latch.await()
+              try {
+                log.commit(v.toLong, Seq(CommitInfo(v.toLong, s"WRITE-$tIdx")))
+                wins.incrementAndGet()
+              } catch { case _: CommitConflictException => () }
+              finally done.countDown()
+            }
+          }
+          done.await()
+        }
+      } finally pool.shutdown()
+      assert(wins.get() == versions)
+      assert(log.versions() == (0L to versions.toLong))
+      (0L to versions.toLong).foreach { v =>
+        assert(log.actionsAt(v).nonEmpty, s"torn/empty version $v")
+      }
+    }
+
+    it("throttling (503-shaped pushback) is retried transparently") {
+      val client = new LocalObjectStoreClient
+      val store = new ObjectStoreLogStore(client)
+      val dir = tmpTableDir("ls-obj-throttle")
+      val log = new GraftLog(dir, store)
+      client.throttleNextPuts(3)
+      log.commit(0L, Seq(Metadata(schemaJson), CommitInfo(0L, "CREATE TABLE")))
+      assert(client.throttleCount == 3, "the retry path never ran")
+      assert(log.versions() == Seq(0L))
+      // exhaustion is loud, not silent: more throttles than attempts fails
+      client.throttleNextPuts(1000)
+      intercept[ObjectStore.ThrottledException] {
+        log.commit(1L, Seq(CommitInfo(1L, "WRITE")))
+      }
+      client.throttleNextPuts(0)
+      log.commit(1L, Seq(CommitInfo(1L, "WRITE")))
+      assert(log.versions() == Seq(0L, 1L))
+    }
+
+    it("ambiguous outcome, put LANDED: read-back recovery claims the win") {
+      val client = new LocalObjectStoreClient
+      val store = new ObjectStoreLogStore(client)
+      val dir = tmpTableDir("ls-obj-amb-landed")
+      val log = new GraftLog(dir, store)
+      log.commit(0L, Seq(Metadata(schemaJson), CommitInfo(0L, "CREATE TABLE")))
+      // the service times out AFTER durably writing our object — failing
+      // here would abandon a landed commit; blind retry would self-conflict
+      client.ambiguousNextPut(land = true)
+      log.commit(1L, Seq(CommitInfo(1L, "WRITE")))
+      assert(log.versions() == Seq(0L, 1L))
+      val cis = log.actionsAt(1L).collect { case ci: CommitInfo => ci }
+      assert(cis.size == 1 && cis.head.operation == "WRITE")
+    }
+
+    it("ambiguous outcome, nothing landed: the retry lands it") {
+      val client = new LocalObjectStoreClient
+      val store = new ObjectStoreLogStore(client)
+      val dir = tmpTableDir("ls-obj-amb-lost")
+      val log = new GraftLog(dir, store)
+      log.commit(0L, Seq(Metadata(schemaJson), CommitInfo(0L, "CREATE TABLE")))
+      client.ambiguousNextPut(land = false)
+      log.commit(1L, Seq(CommitInfo(1L, "WRITE")))
+      assert(log.versions() == Seq(0L, 1L))
+    }
+
+    it("ambiguous outcome, a RIVAL landed inside the timeout window: conflict, never overwrite") {
+      val client = new LocalObjectStoreClient
+      val store = new ObjectStoreLogStore(client)
+      val dir = tmpTableDir("ls-obj-amb-rival")
+      val log = new GraftLog(dir, store)
+      log.commit(0L, Seq(Metadata(schemaJson), CommitInfo(0L, "CREATE TABLE")))
+      // our request's outcome is unknown AND a competing writer won the
+      // version meanwhile — read-back must concede, never replace
+      val rivalLog = new GraftLog(dir, new ObjectStoreLogStore(new LocalObjectStoreClient))
+      val rivalBody = {
+        // render a rival commit body through a scratch log at another dir
+        val scratchDir = tmpTableDir("ls-obj-amb-rival-scratch")
+        val scratch = new GraftLog(scratchDir, LogStore.Posix)
+        scratch.commit(0L, Seq(CommitInfo(99L, "RIVAL")))
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(scratch.versionFile(0L)))
+      }
+      client.ambiguousNextPut(land = false, rival = Some(rivalBody))
+      intercept[CommitConflictException] {
+        log.commit(1L, Seq(CommitInfo(1L, "MINE")))
+      }
+      assert(rivalLog.actionsAt(1L).collect { case ci: CommitInfo => ci.operation }
+        == Seq("RIVAL"), "the rival's landed commit must survive untouched")
+    }
+
+    it("randomized fault storm: throttles + ambiguous outcomes mid-race never break the chain") {
+      // 4 writers race 15 commits each while a chaos thread arms throttle
+      // and ambiguous-outcome faults on a fixed schedule — under every
+      // interleaving the conditional put plus read-back recovery must keep
+      // the chain contiguous with exactly one body per version and every
+      // writer credited exactly its own wins (deterministic seed)
+      val client = new LocalObjectStoreClient
+      val store = new ObjectStoreLogStore(client)
+      val dir = tmpTableDir("ls-obj-storm")
+      val log = new GraftLog(dir, store)
+      log.commit(0L, Seq(Metadata(schemaJson), CommitInfo(0L, "CREATE TABLE")))
+      val n = 15
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val chaos = new Thread(() => {
+        val rnd = new scala.util.Random(1414)
+        while (!stop.get()) {
+          rnd.nextInt(3) match {
+            case 0 => client.throttleNextPuts(1 + rnd.nextInt(2))
+            case 1 => client.ambiguousNextPut(land = true)
+            case 2 => client.ambiguousNextPut(land = false)
+          }
+          Thread.sleep(1)
+        }
+        client.throttleNextPuts(0)
+      })
+      chaos.start()
+      val writers = (1 to 4).map { w =>
+        new Thread(() => {
+          var committed = 0
+          var guess = 1L
+          while (committed < n) {
+            val v = math.max(log.latestVersion() + 1, guess)
+            try {
+              log.commit(v, Seq(CommitInfo(System.currentTimeMillis(), "STORM",
+                operationParameters = Map("writer" -> w.toString))))
+              committed += 1
+              guess = v + 1
+            } catch {
+              case _: CommitConflictException => guess = v + 1
+              case _: ObjectStore.ThrottledException => () // backoff exhausted: retry same v
+            }
+          }
+        })
+      }
+      writers.foreach(_.start()); writers.foreach(_.join(120000))
+      stop.set(true); chaos.join(10000)
+      val vs = log.versions()
+      assert(vs == (0L to vs.last), s"non-contiguous chain: $vs")
+      assert(vs.last >= 4L * n, s"writers lost commits: head ${vs.last}")
+      (1L to vs.last).foreach { v =>
+        val cis = log.actionsAt(v).collect { case ci: CommitInfo => ci }
+        assert(cis.size == 1, s"version $v has ${cis.size} commit bodies")
+      }
+      val wins = (1L to vs.last).flatMap(v => log.actionsAt(v)
+        .collectFirst { case ci: CommitInfo => ci.operationParameters("writer") })
+      (1 to 4).foreach(w =>
+        assert(wins.count(_ == w.toString) == n, s"writer $w win count off"))
+    }
+
+    it("scheme registry: a registered conditional-put client claims its scheme from Hadoop") {
+      val client = new LocalObjectStoreClient
+      LogStore.registerObjectStoreScheme("fauxobj", client)
+      try {
+        val s = LogStore.forPath("fauxobj://bucket/t/_graft_log")
+        assert(s.isInstanceOf[ObjectStoreLogStore])
+        assert(s.asInstanceOf[ObjectStoreLogStore].client eq client)
+      } finally LogStore.unregisterObjectStoreScheme("fauxobj")
+      assert(LogStore.forPath("fauxobj://bucket/t/_graft_log") eq LogStore.Hadoop)
     }
   }
 

@@ -26,7 +26,7 @@ class OccSparkRaceSpec extends AnyFunSpec with SparkSessionTestWrapper {
       .toSeq
 
   private def race(dir: String, roleA: String, roleB: String,
-      conditionalPut: Boolean = false): (Int, Int) = {
+      conditionalPut: Boolean = false, objectStore: Boolean = false): (Int, Int) = {
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
     val cp = System.getProperty("java.class.path")
@@ -34,7 +34,8 @@ class OccSparkRaceSpec extends AnyFunSpec with SparkSessionTestWrapper {
     // boot property LogStore.forPath honors (the parent registers it
     // programmatically before building the table)
     val storeProps =
-      if (conditionalPut) Seq(s"-Dgraft.logstore.conditionalPut.prefixes=$dir")
+      if (objectStore) Seq(s"-Dgraft.logstore.objectstore.prefixes=$dir")
+      else if (conditionalPut) Seq(s"-Dgraft.logstore.conditionalPut.prefixes=$dir")
       else Nil
     def spawn(role: String): Process =
       new ProcessBuilder(
@@ -169,6 +170,48 @@ class OccSparkRaceSpec extends AnyFunSpec with SparkSessionTestWrapper {
         conditionalPut = true)
       assert(winner == 0 && blocked == 0,
         s"overlapping merge must abort the loser on conditional-put (blocked=$blocked winner=$winner)")
+      assert(GraftTable.forPath(spark, dirB).version == 1L)
+    } finally LogStore.unregister(dirB)
+  }
+
+  it("object store, two JVMs: disjoint merges BOTH commit; overlapping aborts") {
+    import graft.tables.LogStore
+    // the semantic race pair again, but every commit in parent and child
+    // JVMs goes through the conditional-put OBJECT-STORE API store — each
+    // JVM constructs its OWN client over the shared directory, so the
+    // arbitration is genuinely cross-process (crossProcessAtomic=true is
+    // the claim this race proves)
+    val dirA = tmpTableDir("occ2_obj_disjoint")
+    LogStore.register(dirA, LogStore.LocalObjectStore)
+    try {
+      GraftTable.create(spark, dirA,
+        Seq((1, "a", "US"), (2, "b", "US"), (1, "c", "DE"), (2, "d", "DE"))
+          .toDF("id", "name", "country"),
+        partitionColumns = Seq("country"))
+      val (blocked, winner) = race(dirA, "merge-blocked:US", "merge-winner:DE",
+        objectStore = true)
+      assert(winner == 0 && blocked == 0,
+        s"disjoint merges must both commit on the object store (blocked=$blocked winner=$winner)")
+      val t = GraftTable.forPath(spark, dirA)
+      assert(t.version == 2L)
+      val rows = t.toDF.select("id", "name", "country").as[(Int, String, String)]
+        .collect().toSet
+      assert(rows == Set(
+        (1, "merged-US", "US"), (2, "b", "US"),
+        (1, "c", "DE"), (2, "winner-DE", "DE")), s"merged state wrong: $rows")
+    } finally LogStore.unregister(dirA)
+
+    val dirB = tmpTableDir("occ2_obj_overlap")
+    LogStore.register(dirB, LogStore.LocalObjectStore)
+    try {
+      GraftTable.create(spark, dirB,
+        Seq((1, "a", "US"), (2, "b", "US")).toDF("id", "name", "country")
+          .repartition(1),
+        partitionColumns = Seq("country"))
+      val (blocked, winner) = race(dirB, "merge-abort:US", "merge-winner:US",
+        objectStore = true)
+      assert(winner == 0 && blocked == 0,
+        s"overlapping merge must abort the loser on the object store (blocked=$blocked winner=$winner)")
       assert(GraftTable.forPath(spark, dirB).version == 1L)
     } finally LogStore.unregister(dirB)
   }

@@ -68,6 +68,23 @@ class UriTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(Fs.relativize("faux:///a", "faux:///a/b/c") == "b/c")
     }
 
+    it("file: URIs with URI-hostile characters normalize to intact local paths") {
+      // '#' is a URI fragment delimiter and '%' is illegal un-escaped —
+      // both are legal POSIX file-name bytes; normalize must not parse
+      // them away (a '#' used to silently TRUNCATE the path)
+      assert(Fs.normalize("file:/a/b#2024/c") == "/a/b#2024/c")
+      assert(Fs.normalize("file:/a/100%table") == "/a/100%table")
+      assert(Fs.normalize("file:/a/x%20y") == "/a/x y") // real escapes decode
+      // (multi-byte UTF-8 escapes decode too, but this JVM's ASCII locale
+      // rejects non-ASCII in Paths.get — same limit as vanilla Spark here)
+      assert(Fs.normalize("file:///a/b") == "/a/b")
+      assert(Fs.normalize("file://localhost/a/b") == "/a/b")
+      assertThrows[IllegalArgumentException](Fs.normalize("file://otherhost/a/b"))
+      // File.toURI round-trip (the spelling Spark hands around)
+      val f = new java.io.File("/tmp/graft weird#dir")
+      assert(Fs.normalize(f.toURI.toString) == "/tmp/graft weird#dir")
+    }
+
     it("routes remote paths to the Hadoop log store automatically") {
       assert(LogStore.forPath("faux:///x/t").isInstanceOf[HadoopLogStore])
       assert(LogStore.forPath("/x/t") eq LogStore.Posix)

@@ -45,7 +45,13 @@ object Bench {
       // production session shape: the graft parser + catalog read fallback
       .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR for the WHOLE run, not just teardown: the driver's tail capture
+    // is the last ~2000 chars of stdout, and the cadence-bound streaming
+    // queries run late — their stop-side WARNs ("Failed to cancel job
+    // group", temp-checkpoint deletion) otherwise land just ahead of the
+    // JSON line. Failures lose nothing: every query error is caught into
+    // the errors map and bench_full.json, and real exceptions still print.
+    spark.sparkContext.setLogLevel("ERROR")
     // builder configs are silently IGNORED when an active session already
     // exists (e.g. a harness created one first) — nanosAsLong is a runtime
     // conf, so re-set and assert it here to keep events.ts a raw ns long
@@ -167,12 +173,9 @@ object Bench {
       java.nio.file.Paths.get(FullDetailPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // teardown hygiene for the driver's ~2000-char tail capture: stop any
-    // straggler streaming query FIRST (their job-group cancellation during
-    // spark.stop() otherwise logs "Failed to cancel job group" WARNs), and
-    // drop the log level — every query has already run and been measured,
-    // so teardown WARNs (temp-checkpoint deletion etc.) carry no signal,
-    // only tail noise around the one JSON line that matters
-    spark.sparkContext.setLogLevel("ERROR")
+    // straggler streaming query and AWAIT its termination before
+    // spark.stop() — cancelling a job group under a still-running stream
+    // is what used to log the "Failed to cancel job group" WARNs
     spark.streams.active.foreach { q =>
       try { q.stop(); q.awaitTermination(10000); () } catch { case _: Throwable => () }
     }

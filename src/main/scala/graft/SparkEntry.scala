@@ -2425,6 +2425,29 @@ object SparkEntry {
       }
     }),
 
+    "s44_sql_shallow_clone" -> ((s, dir) => {
+      // SQL + catalog SHALLOW CLONE: `CREATE TABLE graft_cat.ns.t SHALLOW
+      // CLONE '<src>'` clones by catalog identifier (zero-copy, pointer
+      // files), the clone mutates and VACUUMs at zero retention — and the
+      // vacuum must never delete the SOURCE's files (they are external
+      // references), so the source still reads complete afterwards
+      val base = read(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("id"), col("c_acctbal").as("bal"))
+      val srcT = GraftTable.create(s, tmp("s44src"), base)
+      () => {
+      val _ = catalogWarehouse(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.s44")
+      graft.sql.GraftSql.sql(s,
+        s"CREATE TABLE graft_cat.s44.clone_t SHALLOW CLONE '${srcT.path}'")
+      val clone = GraftTable.forName(s, "graft_cat.s44.clone_t")
+      TableOps.delete(clone, Some("id % 2 = 0")) // rewrites external refs to local files
+      TableOps.vacuum(GraftTable.forName(s, "graft_cat.s44.clone_t"), 0.0)
+      val srcRows = GraftTable.forPath(s, srcT.path).toDF.count() // survives the vacuum
+      GraftTable.forName(s, "graft_cat.s44.clone_t").toDF
+        .select(col("id"), col("bal"), lit(srcRows).as("src_rows"))
+      }
+    }),
+
     "q13_idempotent_write" -> ((s, dir) => {
       // Delta's txnAppId/txnVersion idempotent-write options: a replayed
       // batch write (same appId + version) is skipped, so the table holds
@@ -2937,6 +2960,41 @@ object SparkEntry {
       s.sql("SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM graft_cat.sq.cust_t")
     }),
 
+    "s45_correlated_dml" -> ((s, dir) => {
+      // Spark-native UPDATE/DELETE with CORRELATED subquery conditions on
+      // a catalog identifier: the resolved condition's outer references
+      // rebind onto each evaluation frame and Spark's own decorrelation
+      // plans the semi/anti joins (EXISTS / NOT EXISTS). The oracle
+      // replays both mutations relationally over the raw tables.
+      val wh = catalogWarehouse(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.s45")
+      read(s, dir, "orders").createOrReplaceTempView("s45_ord_src")
+      read(s, dir, "customer").createOrReplaceTempView("s45_cust_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.s45.ord_t")
+      s.sql("CREATE TABLE graft_cat.s45.ord_t AS " +
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM s45_ord_src")
+      // correlated EXISTS: flag orders whose customer carries a negative
+      // balance (decorrelates into a left-semi join on the target frame)
+      s.sql(
+        """UPDATE graft_cat.s45.ord_t SET o_orderstatus = 'N'
+          |WHERE EXISTS (
+          |  SELECT 1 FROM s45_cust_src c
+          |  WHERE c.c_custkey = graft_cat.s45.ord_t.o_custkey
+          |    AND c.c_acctbal < 0)""".stripMargin)
+      // correlated NOT EXISTS + plain conjunct (the conjunct still feeds
+      // stats-based file skipping; the anti join carries the correlation)
+      s.sql(
+        """DELETE FROM graft_cat.s45.ord_t
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM s45_cust_src c
+          |  WHERE c.c_custkey = graft_cat.s45.ord_t.o_custkey
+          |    AND c.c_nationkey < 20)
+          |  AND o_orderkey % 2 = 0""".stripMargin)
+      () =>
+      s.sql("SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus " +
+        "FROM graft_cat.s45.ord_t")
+    }),
+
     "s42_uri_table" -> ((s, dir) => {
       // REMOTE-scheme storage end-to-end: the whole engine addressed by a
       // hadoop-FileSystem URI instead of a local path — log IO through
@@ -3096,6 +3154,10 @@ object SparkEntry {
       """SELECT CAST(o_orderkey AS BIGINT) AS id, o_totalprice AS price,
         |       (SELECT count(*) FROM orders) AS src_rows
         |FROM orders WHERE o_orderkey % 2 <> 0""".stripMargin,
+    "s44_sql_shallow_clone" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS id, c_acctbal AS bal,
+        |       (SELECT count(*) FROM customer) AS src_rows
+        |FROM customer WHERE c_custkey % 2 <> 0""".stripMargin,
     "s17_fsck" ->
       """SELECT n_nationkey, n_name, 1 AS n_missing, 'FSCK' AS op
         |FROM nation WHERE n_nationkey >= 10""".stripMargin,
@@ -3872,6 +3934,19 @@ object SparkEntry {
         |       n_regionkey
         |FROM nation WHERE n_nationkey % 7 <> 0
         |UNION ALL SELECT CAST(900 AS INT), 'FAUXLAND', CAST(0 AS INT)""".stripMargin,
+    "s45_correlated_dml" ->
+      """WITH updated AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |         CASE WHEN EXISTS (
+        |                SELECT 1 FROM customer c
+        |                WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)
+        |              THEN 'N' ELSE o_orderstatus END AS o_orderstatus
+        |  FROM orders o)
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM updated u
+        |WHERE NOT (NOT EXISTS (
+        |             SELECT 1 FROM customer c
+        |             WHERE c.c_custkey = u.o_custkey AND c.c_nationkey < 20)
+        |           AND u.o_orderkey % 2 = 0)""".stripMargin,
     "s43_subquery_dml" ->
       """WITH top3 AS (
         |  SELECT c_nationkey FROM customer

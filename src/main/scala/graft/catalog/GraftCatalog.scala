@@ -197,7 +197,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           def matches: Boolean =
             schema.fields.length == logSchema.fields.length &&
               schema.fields.forall(f => logSchema.fields.exists(lf =>
-                lf.name.equalsIgnoreCase(f.name) && lf.dataType == f.dataType))
+                lf.name.equalsIgnoreCase(f.name) &&
+                  graft.tables.ColumnMapping.cleanLogicalDataType(lf.dataType) ==
+                    graft.tables.ColumnMapping.cleanLogicalDataType(f.dataType)))
           require(schema.isEmpty || matches,
             s"CREATE TABLE ${ident} LOCATION '$raw': declared schema " +
               s"${schema.simpleString} does not match the existing graft " +
@@ -296,27 +298,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       t.widenColumnType(u.fieldNames.head, u.newDataType); ()
     }
     renames.foreach { r =>
-      require(r.fieldNames.length == 1,
-        s"graft RENAME COLUMN supports top-level columns only, got ${r.fieldNames.mkString(".")}")
-      t.renameColumn(r.fieldNames.head, r.newName); ()
+      // dotted fieldNames = nested struct field — renameColumn takes the
+      // dotted logical path and pins the nested physical name
+      t.renameColumn(r.fieldNames.mkString("."), r.newName); ()
     }
     if (drops.nonEmpty) {
       val (present, absent) = drops.partition(d =>
-        t.snapshot.schema.fieldNames.exists(_.equalsIgnoreCase(d.fieldNames.mkString("."))))
+        graft.tables.ColumnMapping.fieldChain(
+          t.snapshot.schema, d.fieldNames.toSeq).isDefined)
       absent.foreach { d =>
         require(d.ifExists,
           s"column ${d.fieldNames.mkString(".")} does not exist in ${ident.toString}")
       }
-      present.foreach { d =>
-        require(d.fieldNames.length == 1,
-          s"graft DROP COLUMN supports top-level columns only, got ${d.fieldNames.mkString(".")}")
-      }
-      if (present.nonEmpty) { t.dropColumns(present.map(_.fieldNames.head)); () }
+      if (present.nonEmpty) { t.dropColumns(present.map(_.fieldNames.mkString("."))); () }
     }
     if (adds.nonEmpty) {
-      val fields = adds.map { a =>
-        require(a.fieldNames.length == 1,
-          s"graft ADD COLUMNS supports top-level columns only, got ${a.fieldNames.mkString(".")}")
+      val (nested, topLevel) = adds.partition(_.fieldNames.length > 1)
+      val fields = topLevel.map { a =>
         require(a.isNullable,
           s"new column ${a.fieldNames.head} must be nullable — existing rows read it as NULL")
         require(a.position == null,
@@ -329,8 +327,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         org.apache.spark.sql.types.StructField(
           a.fieldNames.head, a.dataType, nullable = true, meta)
       }
-      t.addColumns(StructType(fields.toArray))
-      ()
+      if (fields.nonEmpty) { t.addColumns(StructType(fields.toArray)); () }
+      nested.foreach { a =>
+        require(a.isNullable,
+          s"new column ${a.fieldNames.mkString(".")} must be nullable — existing rows read it as NULL")
+        require(a.position == null,
+          "graft ADD COLUMNS appends at the end; FIRST/AFTER positions are not supported")
+        t.addNestedColumn(a.fieldNames.init.toSeq,
+          org.apache.spark.sql.types.StructField(
+            a.fieldNames.last, a.dataType, nullable = true)); ()
+      }
     }
     if (sets.nonEmpty) { t.setProperties(sets); () }
     if (unsets.nonEmpty) { t.unsetProperties(unsets); () }

@@ -56,12 +56,18 @@ object TableOps {
       e.sql.replace("listquery()", "<in-subquery>")
         .replace("scalarsubquery()", "<scalar-subquery>")
 
-    /** Each subquery's plan MATERIALIZED exactly once (localCheckpoint):
-      * the condition is evaluated in two jobs (touched-file scan, then the
-      * rewrite frame), and a live re-evaluation could see a concurrent
-      * commit to the SUBQUERY's source tables in between — deleting with a
-      * mix of two predicate states. Checkpointing pins one state for the
-      * whole operation (the target side is already snapshot-pinned).
+    /** Each NON-correlated subquery's plan MATERIALIZED exactly once
+      * (localCheckpoint): the condition is evaluated in two jobs
+      * (touched-file scan, then the rewrite frame), and a live
+      * re-evaluation could see a concurrent commit to the SUBQUERY's
+      * source tables in between — deleting with a mix of two predicate
+      * states. Checkpointing pins one state for the whole operation (the
+      * target side is already snapshot-pinned).
+      *
+      * A CORRELATED subquery cannot be materialized without its join (its
+      * plan carries outer references), so it stays LIVE — its source
+      * tables should not be written concurrently during the DML (the same
+      * discipline any multi-statement read-then-write workflow needs).
       */
     @volatile private var stable: org.apache.spark.sql.catalyst.expressions.Expression = null
     private def stableExpr(spark: SparkSession)
@@ -70,7 +76,7 @@ object TableOps {
       if (s0 != null) s0
       else {
         val pinned = e.transform {
-          case sub: SubqueryExpression =>
+          case sub: SubqueryExpression if !sub.isCorrelated =>
             sub.withNewPlan(SparkBridge.ofPlan(spark, sub.plan)
               .localCheckpoint(true).queryExecution.analyzed)
         }
@@ -80,15 +86,27 @@ object TableOps {
     }
 
     def column(df: DataFrame): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.catalyst.expressions.OuterReference
       // rebind by ATTRIBUTE, not by name string (df("a.b") would parse as
       // struct access; the analyzed output carries the real attributes)
       val out = df.queryExecution.analyzed.output
+      def rebound(a: AttributeReference): org.apache.spark.sql.catalyst.expressions.Attribute = {
+        val name = nameById(a.exprId)
+        out.find(_.name == name).getOrElse(throw new IllegalStateException(
+          s"DML condition column '$name' not found in the evaluation frame " +
+            s"(${out.map(_.name).mkString(", ")})"))
+      }
       SparkBridge.column(stableExpr(df.sparkSession).transform {
-        case a: AttributeReference if nameById.contains(a.exprId) =>
-          val name = nameById(a.exprId)
-          out.find(_.name == name).getOrElse(throw new IllegalStateException(
-            s"DML condition column '$name' not found in the evaluation frame " +
-              s"(${out.map(_.name).mkString(", ")})"))
+        // a correlated subquery's plan holds OuterReference wrappers around
+        // the SAME target attributes — rebind them onto this frame too, so
+        // Spark's own decorrelation (semi/anti-join rewrite) sees outer
+        // refs the frame actually produces
+        case sub: SubqueryExpression if sub.isCorrelated =>
+          sub.withNewPlan(sub.plan.transformAllExpressions {
+            case OuterReference(a: AttributeReference) if nameById.contains(a.exprId) =>
+              OuterReference(rebound(a))
+          })
+        case a: AttributeReference if nameById.contains(a.exprId) => rebound(a)
       })
     }
 

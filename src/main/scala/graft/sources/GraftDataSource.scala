@@ -538,13 +538,12 @@ object GraftScanRewrite extends Rule[LogicalPlan] {
     val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
     val index = new GraftFileIndex(spark, path, partitionSchema, pinned)
     // column mapping: the FileFormat translates requested logical names to
-    // the files' physical columns (identity map for unmapped tables)
-    val l2p = schema.fields.iterator.map { f =>
-      f.name.toLowerCase(java.util.Locale.ROOT) ->
-        graft.tables.ColumnMapping.physicalName(f)
-    }.filter { case (l, p) => l != p.toLowerCase(java.util.Locale.ROOT) }.toMap
+    // the files' physical columns, at any nesting depth (None = identity
+    // for unmapped tables — byte-identical stock path)
+    val mapped =
+      if (graft.tables.ColumnMapping.isMapped(schema)) Some(schema) else None
     HadoopFsRelation(index, partitionSchema, dataSchema, None,
-      new GraftParquetFileFormat(l2p), Map("path" -> path))(spark)
+      new GraftParquetFileFormat(mapped), Map("path" -> path))(spark)
   }
 }
 
@@ -752,14 +751,25 @@ object GraftMetadataOnlyAggregate extends Rule[LogicalPlan] {
   * analysis time — this is a loud backstop, not a code path.)
   */
 class GraftParquetFileFormat(
-    /** Logical column name (lowercased) → PHYSICAL parquet column name, for
-      * tables with column mapping (RENAME/DROP COLUMN). Empty = identity.
-      * The translation happens HERE, at the reader boundary: the relation's
-      * output keeps logical names, but the parquet files carry physical
-      * ones — reading a renamed column without this returns NULLs.
+    /** The table's LOGICAL schema carrying the column-mapping metadata
+      * (physical names pinned per field, at any nesting depth), for tables
+      * with column mapping (RENAME/DROP COLUMN, top-level or nested
+      * struct fields). None = identity (unmapped tables take the stock
+      * path untouched). The translation happens HERE, at the reader
+      * boundary: the relation's output keeps logical names, but the
+      * parquet files carry physical ones — reading a renamed column
+      * without this returns NULLs.
       */
-    logicalToPhysical: Map[String, String] = Map.empty)
+    mappedSchema: Option[StructType] = None)
   extends ParquetFileFormat {
+
+  /** Back-compat constructor for a flat top-level logical→physical map. */
+  def this(logicalToPhysical: Map[String, String]) = this(
+    if (logicalToPhysical.isEmpty) None
+    else Some(StructType(logicalToPhysical.toSeq.map { case (l, p) =>
+      graft.tables.ColumnMapping.withPhysicalName(
+        org.apache.spark.sql.types.StructField(l, org.apache.spark.sql.types.NullType), p)
+    })))
 
   override def prepareWrite(
       sparkSession: SparkSession,
@@ -771,19 +781,50 @@ class GraftParquetFileFormat(
         "INSERT INTO (no partition spec) or the GraftTable API")
   override def toString: String = "GraftParquet"
 
-  private def physicalOf(name: String): String =
-    logicalToPhysical.getOrElse(name.toLowerCase(java.util.Locale.ROOT), name)
+  import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
+  import graft.tables.ColumnMapping
 
-  private def toPhysicalSchema(s: StructType): StructType =
-    StructType(s.fields.map(f => f.copy(name = physicalOf(f.name))))
+  /** Translate a REQUESTED (possibly pruned) schema's names to physical by
+    * matching each requested field against the table field of the same
+    * logical name, recursively through structs (nested pruning may request
+    * any subset, in any order — matching is by name, per level).
+    */
+  private def translate(requested: StructType, table: StructType): StructType = {
+    val byName = table.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
+    StructType(requested.fields.map { rf =>
+      byName.get(rf.name.toLowerCase(java.util.Locale.ROOT)) match {
+        case Some(tf) => org.apache.spark.sql.types.StructField(
+          ColumnMapping.physicalName(tf),
+          translateType(rf.dataType, tf.dataType), rf.nullable, rf.metadata)
+        case None => rf
+      }
+    })
+  }
+
+  private def translateType(requested: DataType, table: DataType): DataType =
+    (requested, table) match {
+      case (rs: StructType, ts: StructType) => translate(rs, ts)
+      case (ArrayType(re, rn), ArrayType(te, _)) => ArrayType(translateType(re, te), rn)
+      case (MapType(rk, rv, rn), MapType(tk, tv, _)) =>
+        MapType(translateType(rk, tk), translateType(rv, tv), rn)
+      case _ => requested
+    }
+
+  /** The physical spelling of a pushed-filter reference (dotted for nested
+    * attributes) — a filter is only kept when the spelling is unchanged.
+    */
+  private def physicalRef(ref: String): String =
+    mappedSchema.flatMap { s =>
+      graft.tables.ColumnMapping.physicalPath(s, ref.split('.').toSeq)
+    }.getOrElse(ref)
 
   /** Rows are POSITIONAL: renaming the requested fields to their physical
-    * names (same order, same types) makes the stock reader produce exactly
-    * the logical row layout — no per-row rename-back needed. Pushed filters
-    * referencing a mapped column are DROPPED rather than translated: parquet
-    * pushdown is an optimization (the Filter node above the scan re-applies
-    * every predicate), and a filter pushed under the wrong name would prune
-    * row groups of a different column.
+    * names (same order, same types, at every nesting level) makes the stock
+    * reader produce exactly the logical row layout — no per-row rename-back
+    * needed. Pushed filters referencing a mapped column are DROPPED rather
+    * than translated: parquet pushdown is an optimization (the Filter node
+    * above the scan re-applies every predicate), and a filter pushed under
+    * the wrong name would prune row groups of a different column.
     */
   override def buildReaderWithPartitionValues(
       sparkSession: SparkSession,
@@ -795,15 +836,16 @@ class GraftParquetFileFormat(
       hadoopConf: org.apache.hadoop.conf.Configuration)
       : org.apache.spark.sql.execution.datasources.PartitionedFile =>
         Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
-    if (logicalToPhysical.isEmpty)
-      super.buildReaderWithPartitionValues(sparkSession, dataSchema,
-        partitionSchema, requiredSchema, filters, options, hadoopConf)
-    else {
-      val keepFilters = filters.filterNot(
-        _.references.exists(r => physicalOf(r) != r))
-      super.buildReaderWithPartitionValues(sparkSession,
-        toPhysicalSchema(dataSchema), partitionSchema,
-        toPhysicalSchema(requiredSchema), keepFilters, options, hadoopConf)
+    mappedSchema match {
+      case None =>
+        super.buildReaderWithPartitionValues(sparkSession, dataSchema,
+          partitionSchema, requiredSchema, filters, options, hadoopConf)
+      case Some(tableSchema) =>
+        val keepFilters = filters.filterNot(
+          _.references.exists(r => physicalRef(r) != r))
+        super.buildReaderWithPartitionValues(sparkSession,
+          translate(dataSchema, tableSchema), partitionSchema,
+          translate(requiredSchema, tableSchema), keepFilters, options, hadoopConf)
     }
   }
 }

@@ -36,10 +36,15 @@ import graft.catalog.GraftV2Table
   * Resolved expressions are re-rendered to SQL text with every column
   * reference re-qualified by ORIGIN (target attrs → the merge's target
   * alias, source attrs → the source alias), so same-named columns on the
-  * two sides stay unambiguous. Conditions carrying subqueries are refused
-  * loudly (materialize the subquery into the source), as are
+  * two sides stay unambiguous. UPDATE/DELETE conditions carrying
+  * subqueries — non-correlated AND correlated EXISTS/IN — skip the text
+  * round-trip and ride the resolved expression (see
+  * [[graft.operators.TableOps]]'s ExprCond: correlated outer references
+  * rebind onto each evaluation frame, then Spark's own decorrelation
+  * plans the semi/anti join). Still refused loudly: subqueries in SET
+  * assignments and in MERGE conditions (materialize into the source),
   * non-deterministic conditions (the merge join evaluates them more than
-  * once) and nested-field assignment keys.
+  * once), and nested-field assignment keys.
   *
   * `DeleteFromTable` converts ONLY when the native `SupportsDelete` path
   * cannot express the condition as V1 filters — natively-pushable deletes
@@ -63,9 +68,10 @@ class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       u.condition match {
         case Some(c) if hasSubquery(c) =>
           // subqueries cannot round-trip through text — keep the RESOLVED
-          // expression and evaluate it plan-level (non-correlated only)
+          // expression and evaluate it plan-level. Correlated EXISTS/IN
+          // rebind their outer references onto each evaluation frame and
+          // decorrelate through Spark's own semi/anti-join rewrite.
           requireDeterministic(c, "UPDATE")
-          requireNonCorrelated(c, "UPDATE")
           GraftUpdateExprCommand(v2.path, new DmlCondBox(c, targetOutput(u.table)), set)
         case cond =>
           val where = cond.map { c =>
@@ -82,7 +88,6 @@ class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       requireWritable(v2, "DELETE")
       requireDeterministic(d.condition, "DELETE")
       if (hasSubquery(d.condition)) {
-        requireNonCorrelated(d.condition, "DELETE")
         GraftDeleteExprCommand(v2.path, new DmlCondBox(d.condition, targetOutput(d.table)))
       } else
         GraftDeleteCommand(v2.path,
@@ -159,21 +164,6 @@ class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def hasSubquery(e: Expression): Boolean =
     e.exists(_.isInstanceOf[PlanExpression[_]])
-
-  /** Non-correlated subqueries transplant whole (their plans are
-    * self-contained); a CORRELATED one references the target's row, and its
-    * outer attributes would dangle once the condition rebinds onto a fresh
-    * scan — refuse loudly (Delta refuses correlated DML subqueries too).
-    */
-  private def requireNonCorrelated(e: Expression, what: String): Unit =
-    e.foreach {
-      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
-        if (s.isCorrelated)
-          throw new UnsupportedOperationException(
-            s"graft $what supports non-correlated subqueries only — rewrite " +
-              s"the correlated subquery as a join or materialize it: ${s.sql}")
-      case _ => ()
-    }
 
   /** The target relation's output in SCHEMA order — what the kept
     * expression's attribute references resolve against at execution.

@@ -309,6 +309,40 @@ case class GraftShowPropertiesCommand(path: String)
   }
 }
 
+/** `CREATE TABLE <target> SHALLOW CLONE <source> [VERSION AS OF n]` —
+  * Delta's zero-copy clone statement over [[GraftTable.shallowClone]]:
+  * version 0 of the target references the source's files by absolute path,
+  * no data moves. The target is a table path or a graft-catalog identifier
+  * (cloned into the catalog's warehouse node, immediately addressable by
+  * name); the source resolves like every maintenance target.
+  */
+case class GraftShallowCloneCommand(
+    target: String, source: String, version: Option[Long], ifNotExists: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("sourceVersion", LongType, nullable = false)(),
+    AttributeReference("numFiles", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftSqlCommands.resolveTarget(spark, source)
+    val destPath = graft.catalog.GraftCatalog.pathForName(spark, target) match {
+      case Some(p) =>
+        require(graft.tables.Fs.isDirectory(graft.tables.Fs.parent(p)),
+          s"namespace of $target does not exist — CREATE NAMESPACE first")
+        p
+      case None =>
+        require(target.contains('/'),
+          s"'$target' is neither a graft-catalog identifier nor a table path")
+        target
+    }
+    if (ifNotExists && GraftTable.exists(destPath)) return Seq(Row(-1L, 0L))
+    val t = GraftTable.shallowClone(spark, src.path, destPath, version)
+    val ci = t.log.actionsAt(0L)
+      .collectFirst { case c: graft.tables.CommitInfo => c }.get
+    Seq(Row(ci.operationParameters("sourceVersion").toLong,
+      ci.operationMetrics("numFiles").toLong))
+  }
+}
+
 case class GraftConvertCommand(path: String, partitionDdl: Option[String])
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(

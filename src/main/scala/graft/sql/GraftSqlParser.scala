@@ -91,8 +91,8 @@ object GraftSqlParser {
     * graft, and a bad path should fail loudly, not turn into a delegate
     * parse error.
     */
-  private def claimableMaintenance(m: java.util.regex.Matcher): Boolean =
-    m.group(5) == null || plausiblyGraft(pathOf(m, 2))
+  private def claimableMaintenance(m: java.util.regex.Matcher, base: Int = 2): Boolean =
+    m.group(base + 3) == null || plausiblyGraft(pathOf(m, base))
 
   /** "Plausibly ours" for a bare identifier: qualified by a registered
     * [[graft.catalog.GraftCatalog]] (claim even if the table is missing —
@@ -139,6 +139,10 @@ object GraftSqlParser {
     s"""^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$P\\s*;?\\s*$$""")
   private val convert = rx(
     s"""^\\s*CONVERT\\s+TO\\s+GRAFT\\s+$P(?:\\s+PARTITIONED\\s+BY\\s+\\((.+?)\\))?\\s*;?\\s*$$""")
+  // group 1 = IF NOT EXISTS; target P at groups 2-6, source P at 7-11,
+  // version = group 12
+  private val shallowClone = rx(
+    s"""^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$P\\s+SHALLOW\\s+CLONE\\s+$P(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""")
   private val alterSetProps = rx(
     s"""^\\s*ALTER\\s+TABLE\\s+$P\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val alterUnsetProps = rx(
@@ -421,6 +425,13 @@ object GraftSqlParser {
     val cv = convert.matcher(sqlText)
     if (cv.matches())
       return Some(GraftConvertCommand(pathOf(cv, 2), Option(cv.group(6)).map(_.trim)))
+    // SHALLOW CLONE is not Spark grammar, but a coexisting extension (e.g.
+    // Delta) has the same statement — claim by the SOURCE's plausibility
+    // (the target is new and cannot resolve yet)
+    val sc = shallowClone.matcher(sqlText)
+    if (sc.matches() && claimableMaintenance(sc, 8))
+      return Some(GraftShallowCloneCommand(pathOf(sc, 3), pathOf(sc, 8),
+        Option(sc.group(12)).map(_.toLong), sc.group(1) != null))
     // ALTER TABLE / SHOW TBLPROPERTIES also exist in Spark's grammar, so
     // they follow the same claim rule as DML
     val asp = alterSetProps.matcher(sqlText)

@@ -45,17 +45,76 @@ object ColumnMapping {
     if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
     else f.name
 
-  /** True when any field's physical name differs from its logical one. */
+  /** True when any field's physical name differs from its logical one, at
+    * ANY nesting depth — nested struct fields carry [[PhysicalNameKey]] in
+    * their own metadata once renamed.
+    */
   def isMapped(schema: StructType): Boolean =
-    schema.fields.exists(f => physicalName(f) != f.name)
+    schema.fields.exists(f => physicalName(f) != f.name || typeMapped(f.dataType))
 
-  /** The schema as stored in parquet: logical names replaced by physical.
-    * Field metadata is dropped (it is a log-level concern; the files know
-    * nothing of it).
+  private def typeMapped(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case st: StructType => isMapped(st)
+    case org.apache.spark.sql.types.ArrayType(et, _) => typeMapped(et)
+    case org.apache.spark.sql.types.MapType(k, v, _) => typeMapped(k) || typeMapped(v)
+    case _ => false
+  }
+
+  /** `dt` as stored in parquet: nested struct field names replaced by their
+    * physical names, metadata dropped (files know nothing of it).
+    */
+  def physicalDataType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      StructField(physicalName(f), physicalDataType(f.dataType), f.nullable)))
+    case org.apache.spark.sql.types.ArrayType(et, n) =>
+      org.apache.spark.sql.types.ArrayType(physicalDataType(et), n)
+    case org.apache.spark.sql.types.MapType(k, v, n) =>
+      org.apache.spark.sql.types.MapType(physicalDataType(k), physicalDataType(v), n)
+    case other => other
+  }
+
+  /** `dt` with its LOGICAL names, no field metadata, and every nesting
+    * level nullable — the cast target of the read boundary's
+    * physical→logical translation (Cast refuses a nullable source field
+    * against a NOT NULL target field, and relabeling must never care).
+    */
+  def cleanLogicalDataType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      StructField(f.name, cleanLogicalDataType(f.dataType))))
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      org.apache.spark.sql.types.ArrayType(cleanLogicalDataType(et), containsNull = true)
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      org.apache.spark.sql.types.MapType(
+        cleanLogicalDataType(k), cleanLogicalDataType(v), valueContainsNull = true)
+    case other => other
+  }
+
+  /** [[physicalDataType]] with every nesting level nullable — the cast
+    * target of the WRITE boundary's logical→physical relabeling.
+    */
+  def physicalCastTarget(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = cleanNullable(physicalDataType(dt))
+
+  private def cleanNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      StructField(f.name, cleanNullable(f.dataType))))
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      org.apache.spark.sql.types.ArrayType(cleanNullable(et), containsNull = true)
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      org.apache.spark.sql.types.MapType(
+        cleanNullable(k), cleanNullable(v), valueContainsNull = true)
+    case other => other
+  }
+
+  /** The schema as stored in parquet: logical names replaced by physical at
+    * every depth. Field metadata is dropped (it is a log-level concern; the
+    * files know nothing of it).
     */
   def physicalSchema(schema: StructType): StructType =
     StructType(schema.fields.map(f =>
-      StructField(physicalName(f), f.dataType, f.nullable)))
+      StructField(physicalName(f), physicalDataType(f.dataType), f.nullable)))
 
   /** logical → physical name map (logical keys as-is). */
   def logicalToPhysical(schema: StructType): Map[String, String] =
@@ -98,12 +157,19 @@ object ColumnMapping {
   def toPhysical(df: org.apache.spark.sql.DataFrame, schema: StructType)
       : org.apache.spark.sql.DataFrame = {
     if (!isMapped(schema)) return df
-    val byLogical = schema.fields.map(f => f.name.toLowerCase -> physicalName(f)).toMap
+    val byLogical = schema.fields.map(f => f.name.toLowerCase -> f).toMap
     import org.apache.spark.sql.functions.col
     df.select(df.columns.map { c =>
       byLogical.get(c.toLowerCase) match {
-        case Some(p) if p != c => col(s"`$c`").as(p)
-        case _                 => col(s"`$c`")
+        case Some(f) =>
+          val p = physicalName(f)
+          // a nested mapping renames struct fields via a positional cast
+          // (same shape, same types — the cast only relabels)
+          val base =
+            if (typeMapped(f.dataType)) col(s"`$c`").cast(physicalCastTarget(f.dataType))
+            else col(s"`$c`")
+          if (p != c || typeMapped(f.dataType)) base.as(p) else base
+        case _ => col(s"`$c`")
       }
     }.toIndexedSeq: _*)
   }
@@ -118,14 +184,62 @@ object ColumnMapping {
       : org.apache.spark.sql.DataFrame = {
     if (!isMapped(schema)) return df
     val byPhysical = schema.fields
-      .map(f => physicalName(f).toLowerCase -> f.name).toMap
+      .map(f => physicalName(f).toLowerCase -> f).toMap
     import org.apache.spark.sql.functions.col
     df.select(df.columns.map { c =>
       byPhysical.get(c.toLowerCase) match {
-        case Some(l) if l != c => col(s"`$c`").as(l)
-        case _                 => col(s"`$c`")
+        case Some(f) =>
+          val base =
+            if (typeMapped(f.dataType)) col(s"`$c`").cast(cleanLogicalDataType(f.dataType))
+            else col(s"`$c`")
+          if (f.name != c || typeMapped(f.dataType)) base.as(f.name) else base
+        case _ => col(s"`$c`")
       }
     }.toIndexedSeq: _*)
+  }
+
+  /** The chain of fields along `path` (logical names, case-insensitive;
+    * `Seq("s","a")` = field `a` of struct column `s`), or None when any
+    * segment is missing or traverses a non-struct. Paths address struct
+    * fields only — array elements and map entries have no named identity
+    * to rename.
+    */
+  def fieldChain(schema: StructType, path: Seq[String]): Option[Seq[StructField]] =
+    path match {
+      case Seq() => None
+      case head +: rest =>
+        schema.fields.find(_.name.equalsIgnoreCase(head)).flatMap { f =>
+          if (rest.isEmpty) Some(Seq(f))
+          else f.dataType match {
+            case st: StructType => fieldChain(st, rest).map(f +: _)
+            case _ => None
+          }
+        }
+    }
+
+  /** The dotted PHYSICAL path of the field at `path` (used as the retired-
+    * name key for nested drops).
+    */
+  def physicalPath(schema: StructType, path: Seq[String]): Option[String] =
+    fieldChain(schema, path).map(_.map(physicalName).mkString("."))
+
+  /** Rebuild `schema` with `fn` applied to the field at `path` (which must
+    * exist); `fn` returning None drops the field. Containers along the path
+    * keep their own names, metadata and order.
+    */
+  def updateFieldAt(schema: StructType, path: Seq[String])(
+      fn: StructField => Option[StructField]): StructType = {
+    require(path.nonEmpty, "empty field path")
+    StructType(schema.fields.flatMap { f =>
+      if (!f.name.equalsIgnoreCase(path.head)) Some(f)
+      else if (path.length == 1) fn(f)
+      else f.dataType match {
+        case st: StructType =>
+          Some(f.copy(dataType = updateFieldAt(st, path.tail)(fn)))
+        case other => throw new IllegalArgumentException(
+          s"${f.name} is ${other.simpleString}, not a struct — cannot address ${path.mkString(".")}")
+      }
+    })
   }
 
   /** The PHYSICAL names of the table's partition columns (metadata stores
@@ -143,15 +257,20 @@ object ColumnMapping {
   def propertyReferences(
       spark: org.apache.spark.sql.SparkSession,
       properties: Map[String, String], column: String): Seq[String] = {
-    val c = column.toLowerCase
+    // dotted = nested struct field; a hit is any reference whose path and
+    // the column's path PREFIX each other (renaming `s.a` is blocked by a
+    // constraint on `s.a.x`, and renaming `s` by one on `s.a`)
+    val parts = column.toLowerCase.split('.').toSeq
+    def overlaps(ref: Seq[String]): Boolean =
+      ref.startsWith(parts) || parts.startsWith(ref)
     val constraintHits = GraftTable.constraintsOf(properties).collect {
       case (name, pred) if spark.sessionState.sqlParser.parseExpression(pred)
-        .collect { case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.nameParts.head.toLowerCase }
-        .contains(c) => s"CHECK constraint $name ($pred)"
+        .collect { case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.nameParts.map(_.toLowerCase) }
+        .exists(overlaps) => s"CHECK constraint $name ($pred)"
     }.toSeq
     val listHits = Seq("graft.bloom.columns", "graft.clusterBy").flatMap { k =>
       properties.get(k).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-        .filter(_.equalsIgnoreCase(column)).map(_ => s"table property $k")
+        .filter(c => overlaps(c.toLowerCase.split('.').toSeq)).map(_ => s"table property $k")
     }
     constraintHits ++ listHits
   }

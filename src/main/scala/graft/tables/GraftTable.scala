@@ -164,6 +164,47 @@ class GraftTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** ALTER TABLE ADD COLUMNS with a NESTED target: append `col` to the
+    * struct at `parentPath` — metadata-only like top-level ADD; existing
+    * files read the new field as null. A logical name colliding with a live
+    * or retired physical name inside that struct mints a fresh physical
+    * name (dropped nested bytes never resurface).
+    */
+  def addNestedColumn(parentPath: Seq[String], col: org.apache.spark.sql.types.StructField): Long = {
+    require(parentPath.nonEmpty, "ADD COLUMNS nested target needs a parent path")
+    retryMetadataCommit("ADD COLUMNS") { s =>
+      val chain = ColumnMapping.fieldChain(s.schema, parentPath).getOrElse(
+        throw new IllegalArgumentException(
+          s"struct ${parentPath.mkString(".")} does not exist in $path"))
+      val st = chain.last.dataType match {
+        case t: StructType => t
+        case other => throw new IllegalArgumentException(
+          s"${parentPath.mkString(".")} is ${other.simpleString}, not a struct — " +
+            "cannot add a field inside it")
+      }
+      require(!st.fields.exists(_.name.equalsIgnoreCase(col.name)),
+        s"column ${(parentPath :+ col.name).mkString(".")} already exists in $path")
+      val parentPhys = ColumnMapping.physicalPath(s.schema, parentPath).get
+      val retiredHere = ColumnMapping.droppedPhysicals(s.metadata.properties)
+        .filter(_.toLowerCase.startsWith(parentPhys.toLowerCase + "."))
+        .map(_.substring(parentPhys.length + 1).toLowerCase)
+        .filterNot(_.contains('.')) // direct children of this struct only
+      val livePhys = st.fields.map(f => ColumnMapping.physicalName(f).toLowerCase).toSet
+      val assigned =
+        if (livePhys.contains(col.name.toLowerCase) || retiredHere.contains(col.name.toLowerCase))
+          ColumnMapping.withPhysicalName(col, s"col_${java.util.UUID.randomUUID()}")
+        else col
+      val widened = ColumnMapping.updateFieldAt(s.schema, parentPath) { f =>
+        Some(f.copy(dataType = StructType(st.fields :+ assigned)))
+      }
+      Seq(
+        graft.tables.Metadata(widened.json, s.metadata.partitionColumns, s.metadata.properties),
+        CommitInfo(System.currentTimeMillis(), "ADD COLUMNS",
+          operationParameters =
+            Map("columns" -> s"[${(parentPath :+ col.name).mkString(".")}]")))
+    }
+  }
+
   /** ALTER TABLE RENAME COLUMN — METADATA-ONLY via column mapping: the
     * field keeps its immutable PHYSICAL name (pinned into field metadata),
     * only the logical name changes, and not one data byte moves — at 100 TB
@@ -175,22 +216,33 @@ class GraftTable private (val spark: SparkSession, val path: String) {
   def renameColumn(existing: String, newName: String): Long = {
     require(newName.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"invalid column name '$newName'")
+    // dotted = NESTED struct field (`s.a` renames field a of struct s) —
+    // same metadata-only mechanics: the nested field's physical name pins
+    // into its own metadata, the read/write boundaries relabel via
+    // positional struct casts, and not one data byte moves
+    val parts = existing.split('.').toSeq.map(_.trim).filter(_.nonEmpty)
+    require(parts.nonEmpty, "empty column name")
     retryMetadataCommit("RENAME COLUMN") { s =>
       val schema = s.schema
-      val idx = schema.fields.indexWhere(_.name.equalsIgnoreCase(existing))
-      require(idx >= 0, s"column $existing does not exist in $path")
-      require(!schema.fields.exists(_.name.equalsIgnoreCase(newName)),
-        s"column $newName already exists in $path")
+      val chain = ColumnMapping.fieldChain(schema, parts).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $existing does not exist in $path" +
+            (if (parts.length > 1) " (nested paths address struct fields only)" else "")))
+      val siblings: Seq[String] =
+        if (parts.length == 1) schema.fieldNames.toSeq
+        else chain(chain.length - 2).dataType.asInstanceOf[StructType].fieldNames.toSeq
+      require(!siblings.exists(_.equalsIgnoreCase(newName)),
+        s"column ${(parts.init :+ newName).mkString(".")} already exists in $path")
       val refs = ColumnMapping.propertyReferences(spark, s.metadata.properties, existing)
       require(refs.isEmpty,
         s"cannot rename $existing: referenced by ${refs.mkString("; ")} — " +
           "drop or retarget those first")
-      val f = schema.fields(idx)
-      val renamed = ColumnMapping
-        .withPhysicalName(f, ColumnMapping.physicalName(f)).copy(name = newName)
-      val widened = StructType(schema.fields.updated(idx, renamed))
+      val widened = ColumnMapping.updateFieldAt(schema, parts) { f =>
+        Some(ColumnMapping
+          .withPhysicalName(f, ColumnMapping.physicalName(f)).copy(name = newName))
+      }
       val newParts = s.metadata.partitionColumns.map(c =>
-        if (c.equalsIgnoreCase(existing)) newName else c)
+        if (parts.length == 1 && c.equalsIgnoreCase(existing)) newName else c)
       Seq(
         graft.tables.Metadata(widened.json, newParts,
           s.metadata.properties + (ColumnMapping.ModeProperty -> "name")),
@@ -242,23 +294,40 @@ class GraftTable private (val spark: SparkSession, val path: String) {
     require(names.nonEmpty, "DROP COLUMN needs at least one column")
     retryMetadataCommit("DROP COLUMNS") { s =>
       val schema = s.schema
+      // dotted = NESTED struct field; its retired key is the dotted
+      // PHYSICAL path, so a later re-add of the same logical name inside
+      // that struct mints a fresh physical name (old bytes never resurface)
+      var current = schema
+      val retiring = scala.collection.mutable.ListBuffer[String]()
       names.foreach { n =>
-        require(schema.fields.exists(_.name.equalsIgnoreCase(n)),
-          s"column $n does not exist in $path")
-        require(!s.metadata.partitionColumns.exists(_.equalsIgnoreCase(n)),
+        val parts = n.split('.').toSeq.map(_.trim).filter(_.nonEmpty)
+        require(parts.nonEmpty, "empty column name")
+        require(ColumnMapping.fieldChain(current, parts).isDefined,
+          s"column $n does not exist in $path" +
+            (if (parts.length > 1) " (nested paths address struct fields only)" else ""))
+        require(!(parts.length == 1 && s.metadata.partitionColumns.exists(_.equalsIgnoreCase(n))),
           s"cannot drop partition column $n")
         val refs = ColumnMapping.propertyReferences(spark, s.metadata.properties, n)
         require(refs.isEmpty,
           s"cannot drop $n: referenced by ${refs.mkString("; ")} — drop or " +
             "retarget those first")
+        retiring += ColumnMapping.physicalPath(current, parts).get
+        current = ColumnMapping.updateFieldAt(current, parts)(_ => None)
+        if (parts.length > 1) {
+          val parentNonEmpty = ColumnMapping.fieldChain(current, parts.init)
+            .exists(_.last.dataType match {
+              case st: StructType => st.fields.nonEmpty
+              case _ => false
+            })
+          require(parentNonEmpty,
+            s"cannot drop the last field of struct ${parts.init.mkString(".")} — " +
+              "drop the struct column itself instead")
+        }
       }
-      val dropLower = names.map(_.toLowerCase).toSet
-      val (dropped, kept) = schema.fields.partition(f => dropLower.contains(f.name.toLowerCase))
-      require(kept.nonEmpty, s"cannot drop every column of $path")
-      val retired = ColumnMapping.droppedPhysicals(s.metadata.properties) ++
-        dropped.map(ColumnMapping.physicalName)
+      require(current.fields.nonEmpty, s"cannot drop every column of $path")
+      val retired = ColumnMapping.droppedPhysicals(s.metadata.properties) ++ retiring
       Seq(
-        graft.tables.Metadata(StructType(kept).json, s.metadata.partitionColumns,
+        graft.tables.Metadata(current.json, s.metadata.partitionColumns,
           s.metadata.properties +
             (ColumnMapping.ModeProperty -> "name") +
             (ColumnMapping.DroppedProperty -> retired.toSeq.sorted.mkString(","))),

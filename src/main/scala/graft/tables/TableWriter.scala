@@ -965,8 +965,46 @@ object TableWriter {
     // resolves to the wider type (incoming wider ⇒ the table's schema
     // widens and old files upcast at scan; incoming narrower ⇒ the table
     // type stands and the new files upcast instead)
+    // nested-aware equality: ignore field metadata (the table's nested
+    // struct fields may carry column-mapping physical names the incoming
+    // frame never has) and nullability (normalized to the union below —
+    // the same to-nullable rule the top level has always had)
+    def comparable(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case st: StructType => StructType(st.fields.map(f =>
+          StructField(f.name.toLowerCase, comparable(f.dataType))))
+        case ArrayType(et, _) => ArrayType(comparable(et), containsNull = true)
+        case MapType(k, v, _) => MapType(comparable(k), comparable(v), valueContainsNull = true)
+        case o => o
+      }
+    }
+    // OLD keeps its nested metadata; nullability widens to the union so an
+    // append of nullable nested data is never refused by a non-null brand
+    def unionNullable(old: org.apache.spark.sql.types.DataType,
+        inc: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+      import org.apache.spark.sql.types._
+      (old, inc) match {
+        case (os: StructType, is: StructType) =>
+          StructType(os.fields.map { of =>
+            is.fields.find(_.name.equalsIgnoreCase(of.name)) match {
+              case Some(inf) => of.copy(
+                dataType = unionNullable(of.dataType, inf.dataType),
+                nullable = of.nullable || inf.nullable)
+              case None => of
+            }
+          })
+        case (ArrayType(oe, on), ArrayType(ie, in2)) =>
+          ArrayType(unionNullable(oe, ie), on || in2)
+        case (MapType(ok, ov, on), MapType(ik, iv, in2)) =>
+          MapType(unionNullable(ok, ik), unionNullable(ov, iv), on || in2)
+        case _ => old
+      }
+    }
     def resolved(old: StructField, inc: StructField): org.apache.spark.sql.types.DataType =
-      if (old.dataType == inc.dataType) old.dataType
+      if (comparable(old.dataType) == comparable(inc.dataType))
+        unionNullable(old.dataType, inc.dataType)
       else if (allowWidening && widensTo(old.dataType, inc.dataType)) inc.dataType
       else if (allowWidening && widensTo(inc.dataType, old.dataType)) old.dataType
       else throw new IllegalArgumentException(

@@ -134,4 +134,85 @@ class ColumnMappingReadSpec extends AnyFunSpec with SparkSessionTestWrapper {
       s"range-end rename must own the output name, got ${cdf2.columns.toSeq}")
     assert(cdf2.where("u = 'a2' AND _change_type = 'update_postimage'").count() == 1)
   }
+
+  it("NESTED struct-field rename: old files read under the new name, writes round-trip") {
+    val dir = tmpTableDir("cmr-nested")
+    val base = spark.range(3).select(col("id"),
+      struct(concat(lit("n"), col("id")).as("a"), (col("id") * 10).as("q")).as("s"))
+    val t = GraftTable.create(spark, dir, base)
+    t.renameColumn("s.a", "label")
+    val t2 = GraftTable.forPath(spark, dir)
+    // old files' nested bytes surface under the NEW logical name
+    assert(t2.toDF.select(col("id"), col("s.label")).as[(Long, String)]
+      .collect().toMap == Map(0L -> "n0", 1L -> "n1", 2L -> "n2"))
+    assert(t2.toDF.where("s.label IS NULL").count() == 0)
+    // appends speak the new logical name; files land on the stable physical
+    t2.append(spark.range(3, 5).select(col("id"),
+      struct(concat(lit("n"), col("id")).as("label"), (col("id") * 10).as("q")).as("s")))
+    val read = GraftTable.forPath(spark, dir).toDF
+    assert(read.count() == 5)
+    assert(read.where("s.label IS NULL").count() == 0)
+    // filters on the renamed nested field answer correctly (nested
+    // pushdown on a mapped path is dropped, never mistranslated)
+    assert(read.where(col("s.label") === "n3").select("id").as[Long].head() == 3L)
+    // the untouched sibling keeps reading
+    assert(read.select(sum(col("s.q"))).as[Long].head() == 100L)
+    // metadata-only: the rename commit added no files
+    assert(GraftTable.forPath(spark, dir).log.actionsAt(1L)
+      .collect { case a: graft.tables.AddFile => a }.isEmpty)
+  }
+
+  it("NESTED drop retires the field; a re-added name reads NULL, never old bytes") {
+    val dir = tmpTableDir("cmr-nested-drop")
+    val t = GraftTable.create(spark, dir, spark.range(4).select(col("id"),
+      struct((col("id") * 7).as("a"), col("id").cast("string").as("q")).as("s")))
+    t.dropColumns(Seq("s.a"))
+    val afterDrop = GraftTable.forPath(spark, dir)
+    assert(afterDrop.snapshot.schema("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq == Seq("q"))
+    assert(afterDrop.toDF.select(col("s.q")).as[String].collect().sorted.toSeq
+      == Seq("0", "1", "2", "3"))
+    // re-add the same logical name: fresh physical — old files' s.a bytes
+    // must NOT resurface
+    afterDrop.addNestedColumn(Seq("s"), org.apache.spark.sql.types.StructField(
+      "a", org.apache.spark.sql.types.LongType))
+    val readded = GraftTable.forPath(spark, dir)
+    assert(readded.toDF.where("s.a IS NOT NULL").count() == 0,
+      "re-added nested field must read NULL on old files, not the retired bytes")
+    // and it is writable under the fresh physical
+    readded.append(spark.range(4, 6).select(col("id"),
+      struct(col("id").cast("string").as("q"), (col("id") + 100L).as("a")).as("s")))
+    val read = GraftTable.forPath(spark, dir).toDF
+    assert(read.where("s.a IS NOT NULL").count() == 2)
+    assert(read.where("s.a = 104").count() == 1)
+    // dropping the LAST nested field refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpTableDir("cmr-nested-last"),
+        spark.range(2).select(col("id"), struct(col("id").as("only")).as("s")))
+        .dropColumns(Seq("s.only"))
+    }
+    assert(e.getMessage.contains("last field"))
+  }
+
+  it("NESTED rename: CDF, stats skipping and top-level metadata-only aggs stay correct") {
+    val dir = tmpTableDir("cmr-nested-cdf")
+    val t = GraftTable.create(spark, dir, spark.range(2).select(col("id"),
+      struct(concat(lit("v"), col("id")).as("a")).as("s")),
+      properties = Map(graft.tables.GraftLog.CdfProperty -> "true"))
+    TableOps.update(t, Some("id = 0"), Map("s" -> "named_struct('a', 'v0x')"))
+    GraftTable.forPath(spark, dir).renameColumn("s.a", "b")
+    TableOps.delete(GraftTable.forPath(spark, dir), Some("id = 1"))
+    val cdf = graft.log.ChangeDataFeedHelper(spark, dir, 0L, 3L).readCDF
+      .select(col("id"), col("s.b"), col("_change_type"))
+      .as[(Long, String, String)].collect().toSet
+    // pre-rename change files surface under the CURRENT nested logical name
+    assert(cdf.contains((0L, "v0", "update_preimage")))
+    assert(cdf.contains((0L, "v0x", "update_postimage")))
+    assert(cdf.contains((1L, "v1", "delete")))
+    // top-level stats keys are untouched by a nested rename: the
+    // metadata-only count/min/max path keeps answering
+    val agg = GraftTable.forPath(spark, dir).toDF
+      .agg(min("id"), max("id"), count(lit(1))).collect().head
+    assert(agg.getLong(2) == 1L && agg.getLong(0) == 0L)
+  }
 }

@@ -411,6 +411,33 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(res.getMessage.contains("reserved"))
   }
 
+  it("nested struct-field DDL (RENAME/ADD/DROP) through catalog identifiers") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.nst")
+    spark.sql("CREATE TABLE graft_cat.nst.t AS " +
+      "SELECT id, named_struct('a', id * 2, 'q', concat('x', id)) AS s FROM range(5)")
+    // RENAME COLUMN s.a — metadata-only; old files read under the new name
+    spark.sql("ALTER TABLE graft_cat.nst.t RENAME COLUMN s.a TO doubled")
+    assert(spark.sql("SELECT sum(s.doubled) FROM graft_cat.nst.t").head.getLong(0) == 20L)
+    spark.sql("INSERT INTO graft_cat.nst.t VALUES (5, named_struct('doubled', 10L, 'q', 'x5'))")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.nst.t WHERE s.doubled IS NULL")
+      .head.getLong(0) == 0)
+    // ADD a nested field: NULL on old rows, writable after
+    spark.sql("ALTER TABLE graft_cat.nst.t ADD COLUMNS (s.extra INT)")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.nst.t WHERE s.extra IS NOT NULL")
+      .head.getLong(0) == 0)
+    spark.sql("INSERT INTO graft_cat.nst.t VALUES " +
+      "(6, named_struct('doubled', 12L, 'q', 'x6', 'extra', 1))")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.nst.t WHERE s.extra = 1")
+      .head.getLong(0) == 1)
+    // DROP a nested field
+    spark.sql("ALTER TABLE graft_cat.nst.t DROP COLUMN s.q")
+    val sType = spark.table("graft_cat.nst.t").schema("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(sType.fieldNames.toSeq == Seq("doubled", "extra"))
+    assert(spark.sql("SELECT sum(s.doubled) FROM graft_cat.nst.t").head.getLong(0) == 42L)
+  }
+
   it("a losing concurrent CREATE ... LOCATION leaves no orphan at the user's directory") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ext2")
@@ -462,18 +489,24 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(t.snapshot.files.exists(_.dv.exists(_.cardinality > 0)))
   }
 
-  it("native row-level DML refuses correlated subqueries and non-deterministic conditions loudly") {
+  it("native DML evaluates CORRELATED subqueries; assignments and rand() stay refused") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ref")
     spark.sql("CREATE TABLE graft_cat.ref.t AS " +
       "SELECT id, CAST(id AS DOUBLE) AS val FROM range(10)")
-    // CORRELATED subqueries cannot transplant (their outer references
-    // dangle once the condition rebinds onto a fresh scan)
-    val corr = intercept[Exception] {
-      spark.sql("UPDATE graft_cat.ref.t SET val = 0 WHERE EXISTS " +
-        "(SELECT 1 FROM range(3) r WHERE r.id = graft_cat.ref.t.id)")
-    }
-    assert(corr.getMessage.contains("non-correlated"))
+    // correlated EXISTS: outer references rebind onto each evaluation
+    // frame, then Spark's own decorrelation plans the semi join
+    spark.sql("UPDATE graft_cat.ref.t SET val = -1 WHERE EXISTS " +
+      "(SELECT 1 FROM range(3) r WHERE r.id = graft_cat.ref.t.id)")
+    assert(spark.table("graft_cat.ref.t").where("val = -1").count() == 3) // ids 0,1,2
+    // correlated NOT EXISTS delete: anti join
+    spark.sql("DELETE FROM graft_cat.ref.t WHERE NOT EXISTS " +
+      "(SELECT 1 FROM range(8) r WHERE r.id = graft_cat.ref.t.id)")
+    assert(spark.table("graft_cat.ref.t").count() == 8) // ids 8,9 gone
+    // correlated IN with an extra conjunct
+    spark.sql("DELETE FROM graft_cat.ref.t WHERE id IN " +
+      "(SELECT r.id FROM range(20) r WHERE r.id = graft_cat.ref.t.id) AND id >= 6")
+    assert(spark.table("graft_cat.ref.t").count() == 6) // ids 0..5 remain
     // subqueries in ASSIGNMENTS stay refused (text-rendered)
     val assign = intercept[Exception] {
       spark.sql("UPDATE graft_cat.ref.t SET val = (SELECT max(id) FROM range(3)) WHERE id = 1")
@@ -491,7 +524,40 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
     assert(clauseRnd.getMessage.contains("deterministic"))
     // and nothing was mutated by the refused statements
-    assert(spark.table("graft_cat.ref.t").where("val = 0").count() == 1) // id=0 only
+    assert(spark.table("graft_cat.ref.t").where("val = -1").count() == 3)
+  }
+
+  it("SQL SHALLOW CLONE creates a zero-copy catalog table; the clone's vacuum spares the source") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.cln")
+    spark.sql("CREATE TABLE graft_cat.cln.src AS SELECT id, id * 2 AS v FROM range(10)")
+    val r = spark.sql("CREATE TABLE graft_cat.cln.fork SHALLOW CLONE graft_cat.cln.src").collect()
+    assert(r.head.getLong(1) >= 1) // numFiles cloned
+    assert(spark.table("graft_cat.cln.fork").count() == 10)
+    // version 0 of the fork references the source's files by absolute path
+    val fork = GraftTable.forName(spark, "graft_cat.cln.fork")
+    assert(fork.snapshot.files.forall(f => GraftTable.isExternalPath(f.path)))
+    // diverge: the fork's delete rewrites its referenced files locally...
+    spark.sql("DELETE FROM graft_cat.cln.fork WHERE id % 2 = 0")
+    // ...and its zero-retention vacuum must never delete the SOURCE's files
+    graft.operators.TableOps.vacuum(GraftTable.forName(spark, "graft_cat.cln.fork"), 0.0)
+    assert(spark.table("graft_cat.cln.src").count() == 10, "source must survive the clone's vacuum")
+    assert(spark.table("graft_cat.cln.fork").count() == 5)
+    // VERSION AS OF pins a historical clone (v1 = the CTAS data landing,
+    // before the INSERT below); IF NOT EXISTS no-ops
+    spark.sql("INSERT INTO graft_cat.cln.src VALUES (99, 198)")
+    val pinned = spark.sql(
+      "CREATE TABLE graft_cat.cln.fork0 SHALLOW CLONE graft_cat.cln.src VERSION AS OF 1").collect()
+    assert(pinned.head.getLong(0) == 1L)
+    assert(spark.table("graft_cat.cln.fork0").count() == 10)
+    val noop = spark.sql(
+      "CREATE TABLE IF NOT EXISTS graft_cat.cln.fork0 SHALLOW CLONE graft_cat.cln.src").collect()
+    assert(noop.head.getLong(0) == -1L)
+    // an existing target without IF NOT EXISTS refuses loudly
+    val dup = intercept[Exception] {
+      spark.sql("CREATE TABLE graft_cat.cln.fork0 SHALLOW CLONE graft_cat.cln.src")
+    }
+    assert(dup.getMessage.contains("already exists"))
   }
 
   it("readChangeFeed option on a catalog identifier matches the path CDF read") {

@@ -261,11 +261,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * [[GraftTable.addColumns]] / `renameColumn` / `dropColumns` — the same
     * METADATA-ONLY commits graft's own ALTER TABLE SQL makes: renames ride
     * column mapping with the physical name pinned, drops retire physical
-    * names, not one data byte moves), so `ALTER TABLE graft_cat.ns.t
-    * ADD COLUMNS / RENAME COLUMN / DROP COLUMN` work natively and Spark's
-    * MERGE schema-evolution resolution can widen catalog targets; type
-    * changes (UpdateColumnType) are the one V2 change still served by
-    * graft's SQL surface.
+    * names, widens ride the reader's per-leaf upcast, not one data byte
+    * moves), so `ALTER TABLE graft_cat.ns.t ADD COLUMNS / RENAME COLUMN /
+    * DROP COLUMN / ALTER COLUMN TYPE` work natively — top-level and
+    * NESTED struct fields alike (dotted paths; array/map element fields
+    * have no named identity and refuse loudly) — and Spark's MERGE
+    * schema-evolution resolution can widen catalog targets.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = GraftTable.forPath(spark, tableDir(ident).toString)
@@ -293,9 +294,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "for other column DDL use graft's ALTER TABLE SQL on the table path " +
           s"(got: ${other.mkString(", ")})")
     retypes.foreach { u =>
-      require(u.fieldNames.length == 1,
-        s"graft ALTER COLUMN TYPE supports top-level columns only, got ${u.fieldNames.mkString(".")}")
-      t.widenColumnType(u.fieldNames.head, u.newDataType); ()
+      // dotted fieldNames = nested struct field (same per-leaf reader upcast)
+      t.widenColumnType(u.fieldNames.mkString("."), u.newDataType); ()
     }
     renames.foreach { r =>
       // dotted fieldNames = nested struct field — renameColumn takes the

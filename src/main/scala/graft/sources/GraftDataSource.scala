@@ -763,14 +763,6 @@ class GraftParquetFileFormat(
     mappedSchema: Option[StructType] = None)
   extends ParquetFileFormat {
 
-  /** Back-compat constructor for a flat top-level logical→physical map. */
-  def this(logicalToPhysical: Map[String, String]) = this(
-    if (logicalToPhysical.isEmpty) None
-    else Some(StructType(logicalToPhysical.toSeq.map { case (l, p) =>
-      graft.tables.ColumnMapping.withPhysicalName(
-        org.apache.spark.sql.types.StructField(l, org.apache.spark.sql.types.NullType), p)
-    })))
-
   override def prepareWrite(
       sparkSession: SparkSession,
       job: org.apache.hadoop.mapreduce.Job,

@@ -272,6 +272,25 @@ object ColumnMapping {
       properties.get(k).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
         .filter(c => overlaps(c.toLowerCase.split('.').toSeq)).map(_ => s"table property $k")
     }
-    constraintHits ++ listHits
+    // name-KEYED feature properties: a generated/identity column's property
+    // key carries the column name — renaming or dropping the column would
+    // silently orphan the key (the column stops being generated/identity)
+    val generatedHits = properties.collect {
+      case (k, genExpr) if k.startsWith(GraftTable.GeneratedPropertyPrefix) &&
+        (overlaps(k.stripPrefix(GraftTable.GeneratedPropertyPrefix)
+            .toLowerCase.split('.').toSeq) ||
+          spark.sessionState.sqlParser.parseExpression(genExpr)
+            .collect { case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              u.nameParts.map(_.toLowerCase) }
+            .exists(overlaps)) =>
+        s"generated column ${k.stripPrefix(GraftTable.GeneratedPropertyPrefix)} ($genExpr)"
+    }.toSeq
+    val identityHits = properties.keys.collect {
+      case k if k.startsWith(GraftTable.IdentityPropertyPrefix) &&
+        overlaps(k.stripPrefix(GraftTable.IdentityPropertyPrefix)
+          .stripSuffix(".high").toLowerCase.split('.').toSeq) =>
+        s"identity column ${k.stripPrefix(GraftTable.IdentityPropertyPrefix).stripSuffix(".high")}"
+    }.toSeq.distinct
+    constraintHits ++ listHits ++ generatedHits ++ identityHits
   }
 }

@@ -262,11 +262,18 @@ class GraftTable private (val spark: SparkSession, val path: String) {
     * mis-reading narrow files. Partition columns widen fine (their values
     * re-parse from the dir strings at the new type).
     */
-  def widenColumnType(name: String, newType: org.apache.spark.sql.types.DataType): Long =
+  def widenColumnType(name: String, newType: org.apache.spark.sql.types.DataType): Long = {
+    // dotted = NESTED struct field — the same per-leaf reader upcast the
+    // top-level widen rides (the vectorized reader resolves schema
+    // evolution leaf by leaf, so nesting depth does not change the rule)
+    val parts = name.split('.').toSeq.map(_.trim).filter(_.nonEmpty)
+    require(parts.nonEmpty, "empty column name")
     retryMetadataCommit("ALTER COLUMN TYPE") { s =>
-      val idx = s.schema.fields.indexWhere(_.name.equalsIgnoreCase(name))
-      require(idx >= 0, s"column $name does not exist in $path")
-      val f = s.schema.fields(idx)
+      val chain = ColumnMapping.fieldChain(s.schema, parts).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name does not exist in $path" +
+            (if (parts.length > 1) " (nested paths address struct fields only)" else "")))
+      val f = chain.last
       require(f.dataType != newType,
         s"column $name already has type ${newType.simpleString}")
       require(TableWriter.widensTo(f.dataType, newType),
@@ -275,7 +282,8 @@ class GraftTable private (val spark: SparkSession, val path: String) {
           "parquet reader upcasts natively (widen to int/long/double per the " +
           "type-widening matrix; narrowing and string/decimal changes need a " +
           "rewrite)")
-      val widened = StructType(s.schema.fields.updated(idx, f.copy(dataType = newType)))
+      val widened = ColumnMapping.updateFieldAt(s.schema, parts)(
+        of => Some(of.copy(dataType = newType)))
       Seq(
         graft.tables.Metadata(widened.json, s.metadata.partitionColumns,
           s.metadata.properties + (TableWriter.TypeWideningProperty -> "true")),
@@ -283,6 +291,7 @@ class GraftTable private (val spark: SparkSession, val path: String) {
           operationParameters = Map("column" -> name,
             "from" -> f.dataType.simpleString, "to" -> newType.simpleString)))
     }
+  }
 
   /** ALTER TABLE DROP COLUMN(S) — metadata-only: the fields leave the
     * schema (scans simply stop selecting their physical columns; bytes are

@@ -194,6 +194,30 @@ class ColumnMappingReadSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(e.getMessage.contains("last field"))
   }
 
+  it("renames touching generated/identity feature columns are refused loudly") {
+    // the graft.generated.<col> / graft.identity.<col> property KEYS carry
+    // the column name — a rename would silently orphan them (the column
+    // stops being generated/identity), so it must refuse like constraints do
+    val dir = tmpTableDir("cmr-gen")
+    val t = GraftTable.create(spark, dir,
+      spark.range(3).select(col("id"), (col("id") * 2).as("double_id")),
+      properties = Map(GraftTable.GeneratedPropertyPrefix + "double_id" -> "id * 2"))
+    val e1 = intercept[IllegalArgumentException](t.renameColumn("double_id", "d2"))
+    assert(e1.getMessage.contains("generated column"))
+    // a column REFERENCED by the generation expression is protected too
+    val e2 = intercept[IllegalArgumentException](
+      GraftTable.forPath(spark, dir).renameColumn("id", "id2"))
+    assert(e2.getMessage.contains("generated column"))
+    val dir2 = tmpTableDir("cmr-ident")
+    val t2 = GraftTable.create(spark, dir2, Seq((1L, "x")).toDF("n", "p"),
+      properties = Map(GraftTable.IdentityPropertyPrefix + "rowid" -> "1,1"))
+    val e3 = intercept[IllegalArgumentException](t2.renameColumn("rowid", "rid"))
+    assert(e3.getMessage.contains("identity column"))
+    // and an unrelated column still renames fine on both tables
+    GraftTable.forPath(spark, dir2).renameColumn("p", "payload")
+    assert(GraftTable.forPath(spark, dir2).toDF.columns.contains("payload"))
+  }
+
   it("NESTED rename: CDF, stats skipping and top-level metadata-only aggs stay correct") {
     val dir = tmpTableDir("cmr-nested-cdf")
     val t = GraftTable.create(spark, dir, spark.range(2).select(col("id"),

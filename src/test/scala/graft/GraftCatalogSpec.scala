@@ -664,6 +664,17 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(String.valueOf(e.getMessage).contains("lossless") ||
       String.valueOf(e.getCause).contains("lossless") ||
       e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"))
+    // NESTED struct-field widening: the same per-leaf reader upcast
+    spark.sql("CREATE TABLE graft_cat.wid.n AS " +
+      "SELECT id, named_struct('a', CAST(id AS INT), 'b', CAST(id AS FLOAT)) AS s FROM range(8)")
+    spark.sql("ALTER TABLE graft_cat.wid.n ALTER COLUMN s.a TYPE BIGINT")
+    val nT = spark.table("graft_cat.wid.n").schema("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(nT("a").dataType == org.apache.spark.sql.types.LongType)
+    // old files' nested int32 leaves upcast at scan — values intact
+    assert(spark.sql("SELECT sum(s.a) FROM graft_cat.wid.n").head.getLong(0) == 28L)
+    spark.sql("INSERT INTO graft_cat.wid.n SELECT 99, named_struct('a', 6000000000L, 'b', CAST(1.0 AS FLOAT))")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.wid.n WHERE s.a > 5000000000").head.getLong(0) == 1)
   }
 
   it("rename/drop refuse while a commit is in flight; stale claims unblock") {

@@ -2995,6 +2995,35 @@ object SparkEntry {
         "FROM graft_cat.s45.ord_t")
     }),
 
+    "s46_scalar_subquery_dml" -> ((s, dir) => {
+      // NON-correlated SCALAR subqueries in SET assignments and MERGE
+      // conditions/values: SQL semantics make each one a per-statement
+      // constant, so the command evaluates it exactly once (against the
+      // pre-statement state) and splices the result in as a literal. The
+      // oracle replays both statements relationally over the raw tables.
+      val wh = catalogWarehouse(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.s46")
+      read(s, dir, "supplier").createOrReplaceTempView("s46_supp_src")
+      read(s, dir, "nation").createOrReplaceTempView("s46_nat_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.s46.supp_t")
+      s.sql("CREATE TABLE graft_cat.s46.supp_t AS " +
+        "SELECT s_suppkey, s_nationkey, s_acctbal FROM s46_supp_src")
+      // scalar subquery inside SET arithmetic (a statement constant)
+      s.sql(
+        """UPDATE graft_cat.s46.supp_t
+          |SET s_acctbal = s_acctbal + (SELECT avg(s_acctbal) FROM s46_supp_src) / 100
+          |WHERE s_nationkey = 5""".stripMargin)
+      // scalar subqueries in a MERGE clause condition AND an assignment
+      s.sql(
+        """MERGE INTO graft_cat.s46.supp_t AS t USING s46_nat_src AS n
+          |ON t.s_nationkey = n.n_nationkey
+          |WHEN MATCHED AND n.n_regionkey >= (SELECT avg(n_regionkey) FROM s46_nat_src)
+          |  THEN UPDATE SET s_acctbal =
+          |    t.s_acctbal + (SELECT count(*) FROM s46_nat_src) + n.n_regionkey""".stripMargin)
+      () =>
+      s.sql("SELECT s_suppkey, s_nationkey, s_acctbal FROM graft_cat.s46.supp_t")
+    }),
+
     "s42_uri_table" -> ((s, dir) => {
       // REMOTE-scheme storage end-to-end: the whole engine addressed by a
       // hadoop-FileSystem URI instead of a local path — log IO through
@@ -3947,6 +3976,18 @@ object SparkEntry {
         |             SELECT 1 FROM customer c
         |             WHERE c.c_custkey = u.o_custkey AND c.c_nationkey < 20)
         |           AND u.o_orderkey % 2 = 0)""".stripMargin,
+    "s46_scalar_subquery_dml" ->
+      """WITH upd1 AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |         CASE WHEN s_nationkey = 5
+        |              THEN s_acctbal + (SELECT avg(s_acctbal) FROM supplier) / 100
+        |              ELSE s_acctbal END AS s_acctbal
+        |  FROM supplier)
+        |SELECT u.s_suppkey, u.s_nationkey,
+        |       CASE WHEN n.n_regionkey >= (SELECT avg(n_regionkey) FROM nation)
+        |            THEN u.s_acctbal + (SELECT count(*) FROM nation) + n.n_regionkey
+        |            ELSE u.s_acctbal END AS s_acctbal
+        |FROM upd1 u JOIN nation n ON u.s_nationkey = n.n_nationkey""".stripMargin,
     "s43_subquery_dml" ->
       """WITH top3 AS (
         |  SELECT c_nationkey FROM customer

@@ -397,7 +397,8 @@ object TableOps {
 
   /** Spark-native UPDATE whose resolved condition carries non-correlated
     * subqueries (no text round-trip possible — see [[ExprCond]]); the SET
-    * assignments stay text (subqueries there remain refused upstream).
+    * assignments arrive as text (scalar subqueries in assignments are
+    * evaluated to literals upstream, before this call).
     */
   private[graft] def updateExpr(
       table: GraftTable,

@@ -41,10 +41,15 @@ import graft.catalog.GraftV2Table
   * round-trip and ride the resolved expression (see
   * [[graft.operators.TableOps]]'s ExprCond: correlated outer references
   * rebind onto each evaluation frame, then Spark's own decorrelation
-  * plans the semi/anti join). Still refused loudly: subqueries in SET
-  * assignments and in MERGE conditions (materialize into the source),
-  * non-deterministic conditions (the merge join evaluates them more than
-  * once), and nested-field assignment keys.
+  * plans the semi/anti join). SET assignments and MERGE ON/clause
+  * conditions and values accept NON-correlated SCALAR subqueries: SQL
+  * semantics make such a subquery a per-statement constant, so the command
+  * executes it exactly once at run time (against the pre-statement state,
+  * like every other read the statement makes) and splices the result in as
+  * a literal ([[DmlExprBox]]). Still refused loudly: correlated or
+  * set-valued (IN/EXISTS) subqueries in assignments and MERGE conditions
+  * (materialize into the source), non-deterministic conditions (the merge
+  * join evaluates them more than once), and nested-field assignment keys.
   *
   * `DeleteFromTable` converts ONLY when the native `SupportsDelete` path
   * cannot express the condition as V1 filters — natively-pushable deletes
@@ -62,9 +67,14 @@ class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // bare rendering: TableOps.update evaluates against the unaliased
       // table frame, and every reference is a target column
       val none = AttributeSet.empty
+      val tgtOut = targetOutput(u.table)
       val set = u.assignments.map { a =>
-        keyName(a.key, "UPDATE SET") -> render(a.value, u.table.outputSet, Nil, none, Nil)
+        keyName(a.key, "UPDATE SET") ->
+          part(a.value, tgtOut, Nil, Nil, Nil, "UPDATE SET")
       }
+      def textSet: Seq[(String, String)] =
+        set.map { case (k, p) => k -> p.swap.toOption.get }
+      val anyBoxed = set.exists(_._2.isRight)
       u.condition match {
         case Some(c) if hasSubquery(c) =>
           // subqueries cannot round-trip through text — keep the RESOLVED
@@ -72,13 +82,16 @@ class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           // rebind their outer references onto each evaluation frame and
           // decorrelate through Spark's own semi/anti-join rewrite.
           requireDeterministic(c, "UPDATE")
-          GraftUpdateExprCommand(v2.path, new DmlCondBox(c, targetOutput(u.table)), set)
+          if (anyBoxed)
+            GraftUpdateSubqueryCommand(v2.path, None, Some(new DmlCondBox(c, tgtOut)), set)
+          else GraftUpdateExprCommand(v2.path, new DmlCondBox(c, tgtOut), textSet)
         case cond =>
           val where = cond.map { c =>
             requireDeterministic(c, "UPDATE")
             render(c, u.table.outputSet, Nil, none, Nil)
           }
-          GraftUpdateCommand(v2.path, where, set)
+          if (anyBoxed) GraftUpdateSubqueryCommand(v2.path, where, None, set)
+          else GraftUpdateCommand(v2.path, where, textSet)
       }
 
     case d: DeleteFromTable
@@ -99,7 +112,9 @@ class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       requireDeterministic(m.mergeCondition, "MERGE")
       val tgt = m.targetTable.outputSet
       val src = m.sourceTable.outputSet
-      def r(e: Expression): String = render(e, tgt, Seq(TgtAlias), src, Seq(SrcAlias))
+      def r(e: Expression): SqlPart =
+        part(e, m.targetTable.output, Seq(TgtAlias),
+          m.sourceTable.output, Seq(SrcAlias), "MERGE")
       // WITH SCHEMA EVOLUTION nuance: Spark expands `UPDATE SET *` /
       // `INSERT *` against the PRE-evolution target schema, so replaying
       // the expanded assignments verbatim would leave every evolved column
@@ -121,24 +136,24 @@ class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               case _ => false
             })
           }
-      def clause(a: MergeAction, matched: Boolean, bySource: Boolean): MergeClauseSpec = {
+      def clause(a: MergeAction, matched: Boolean, bySource: Boolean): MergeClausePart = {
         // per-clause AND conditions run in the same multi-pass joins as the
         // merge condition — the determinism contract covers them too
         a.condition.foreach(requireDeterministic(_, "MERGE clause"))
         a match {
           case UpdateAction(cond, _, fromStar)
               if fromStar && m.withSchemaEvolution && !bySource =>
-            MergeClauseSpec(matched, cond.map(r), "update", None, bySource)
+            MergeClausePart(matched, cond.map(r), "update", None, bySource)
           case UpdateAction(cond, assigns, _) =>
-            MergeClauseSpec(matched, cond.map(r), "update",
+            MergeClausePart(matched, cond.map(r), "update",
               Some(assigns.map(as => keyName(as.key, "UPDATE SET") -> r(as.value))),
               bySource)
           case DeleteAction(cond) =>
-            MergeClauseSpec(matched, cond.map(r), "delete", None, bySource)
+            MergeClausePart(matched, cond.map(r), "delete", None, bySource)
           case InsertAction(cond, assigns) if starShaped(assigns) =>
-            MergeClauseSpec(matched, cond.map(r), "insert", None, bySource)
+            MergeClausePart(matched, cond.map(r), "insert", None, bySource)
           case InsertAction(cond, assigns) =>
-            MergeClauseSpec(matched, cond.map(r), "insert",
+            MergeClausePart(matched, cond.map(r), "insert",
               Some(assigns.map(as => keyName(as.key, "INSERT") -> r(as.value))),
               bySource)
           case other => throw new UnsupportedOperationException(
@@ -151,6 +166,35 @@ class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           m.notMatchedBySourceActions.map(clause(_, matched = false, bySource = true))
       GraftRowLevelMergeCommand(v2.path, m.sourceTable, r(m.mergeCondition),
         clauses, m.withSchemaEvolution)
+  }
+
+  /** A rendered fragment — already text, or boxed for evaluate-then-render
+    * at command run time when it carries non-correlated scalar subqueries.
+    * Correlated or set-valued subqueries in these positions refuse loudly
+    * (the update projection / merge joins cannot host them).
+    */
+  private def part(
+      e: Expression,
+      tgt: Seq[Attribute], tgtQualifier: Seq[String],
+      src: Seq[Attribute], srcQualifier: Seq[String],
+      what: String): SqlPart =
+    if (!hasSubquery(e))
+      Left(render(e, AttributeSet(tgt), tgtQualifier, AttributeSet(src), srcQualifier))
+    else {
+      val bad = e.collect {
+        case p: PlanExpression[_] if !constScalar(p) => p
+      }
+      if (bad.nonEmpty) throw new UnsupportedOperationException(
+        s"graft $what supports only NON-correlated SCALAR subqueries here " +
+          "(evaluated once per statement) — for row-dependent or set-valued " +
+          s"subqueries, materialize into the MERGE source: ${bad.head.sql}")
+      Right(new DmlExprBox(e, tgt, tgtQualifier, src, srcQualifier))
+    }
+
+  private def constScalar(p: PlanExpression[_]): Boolean = p match {
+    case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
+      s.outerAttrs.isEmpty
+    case _ => false
   }
 
   private def requireWritable(v2: GraftV2Table, what: String): Unit =
@@ -203,6 +247,30 @@ object GraftRowLevelRewrite {
   val TgtAlias = "__graft_t"
   val SrcAlias = "__graft_s"
 
+  /** A DML fragment: rendered SQL text, or a [[DmlExprBox]] deferred to run
+    * time because it carries non-correlated scalar subqueries.
+    */
+  type SqlPart = Either[String, DmlExprBox]
+
+  /** Evaluate every NON-correlated scalar subquery in `e` to a literal —
+    * each plan runs EXACTLY ONCE (SQL semantics: such a subquery is a
+    * per-statement constant reading the pre-statement state). An empty
+    * result is NULL; more than one row is the standard scalar-subquery
+    * error.
+    */
+  private[sql] def evalScalarSubqueries(
+      spark: SparkSession,
+      e: Expression): Expression = e.transform {
+    case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+        if s.outerAttrs.isEmpty =>
+      val rows =
+        org.apache.spark.sql.graft.SparkBridge.ofPlan(spark, s.plan).collect()
+      require(rows.length <= 1,
+        s"scalar subquery in DML returned more than one row (${rows.length})")
+      val v = if (rows.isEmpty) null else rows(0).get(0)
+      org.apache.spark.sql.catalyst.expressions.Literal.create(v, s.dataType)
+  }
+
   /** Assignment key → bare column name. Only top-level columns: graft's
     * update projection is name-keyed, so nested-field assignment targets
     * are refused loudly rather than silently rewriting the whole struct.
@@ -215,9 +283,11 @@ object GraftRowLevelRewrite {
 
   /** Resolved expression → SQL text with attribute references re-qualified
     * by origin, parseable against graft's aliased merge frames. Subqueries
-    * cannot round-trip through text — refuse them loudly.
+    * cannot round-trip through text — refuse them loudly (callers with
+    * scalar subqueries go through [[DmlExprBox]], which substitutes
+    * literals BEFORE rendering).
     */
-  private def render(
+  private[sql] def render(
       e: Expression,
       tgt: AttributeSet, tgtQualifier: Seq[String],
       src: AttributeSet, srcQualifier: Seq[String]): String = {
@@ -238,17 +308,47 @@ object GraftRowLevelRewrite {
   }
 }
 
+/** Opaque holder (the same CheckAnalysis-dodging shape as [[DmlCondBox]])
+  * for a RESOLVED DML fragment whose only subqueries are NON-correlated
+  * scalars. `toSql` runs each subquery exactly once at command execution,
+  * splices the results in as literals, and renders the now-subquery-free
+  * fragment with origin-qualified references — so the downstream engines
+  * (TableOps update projection, GraftMerge joins) never see a subquery.
+  */
+final class DmlExprBox(
+    val expr: Expression,
+    val tgt: Seq[Attribute], val tgtQualifier: Seq[String],
+    val src: Seq[Attribute], val srcQualifier: Seq[String])
+  extends Serializable {
+
+  def toSql(spark: SparkSession): String =
+    GraftRowLevelRewrite.render(
+      GraftRowLevelRewrite.evalScalarSubqueries(spark, expr),
+      AttributeSet(tgt), tgtQualifier, AttributeSet(src), srcQualifier)
+}
+
+/** [[MergeClauseSpec]] with each fragment as a [[GraftRowLevelRewrite.SqlPart]]
+  * — resolved to text (evaluating any boxed scalar subqueries) at run time.
+  */
+case class MergeClausePart(
+    matched: Boolean,
+    condition: Option[GraftRowLevelRewrite.SqlPart],
+    action: String,
+    assignments: Option[Seq[(String, GraftRowLevelRewrite.SqlPart)]],
+    bySource: Boolean)
+
 /** Native `MERGE INTO graft_cat.ns.t` converted by [[GraftRowLevelRewrite]]:
   * carries the resolved SOURCE plan directly (no text round-trip of a whole
-  * query) plus re-rendered condition/clause strings, and executes through
-  * the same validated builder path as graft's own MERGE SQL — one merge
-  * engine, one metrics contract.
+  * query) plus re-rendered condition/clause fragments (scalar-subquery
+  * fragments stay boxed until run), and executes through the same validated
+  * builder path as graft's own MERGE SQL — one merge engine, one metrics
+  * contract.
   */
 case class GraftRowLevelMergeCommand(
     path: String,
     sourcePlan: LogicalPlan,
-    condition: String,
-    clauses: Seq[MergeClauseSpec],
+    condition: GraftRowLevelRewrite.SqlPart,
+    clauses: Seq[MergeClausePart],
     schemaEvolution: Boolean)
   extends LeafRunnableCommand {
 
@@ -263,7 +363,12 @@ case class GraftRowLevelMergeCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlCommands.resolveTarget(spark, path)
     val source = org.apache.spark.sql.graft.SparkBridge.ofPlan(spark, sourcePlan)
+    def sql(p: GraftRowLevelRewrite.SqlPart): String = p.fold(identity, _.toSql(spark))
+    val resolved = clauses.map { c =>
+      MergeClauseSpec(c.matched, c.condition.map(sql), c.action,
+        c.assignments.map(_.map { case (k, v) => k -> sql(v) }), c.bySource)
+    }
     GraftMergeExec.run(t, GraftRowLevelRewrite.TgtAlias, source,
-      Some(GraftRowLevelRewrite.SrcAlias), condition, clauses, schemaEvolution)
+      Some(GraftRowLevelRewrite.SrcAlias), sql(condition), resolved, schemaEvolution)
   }
 }

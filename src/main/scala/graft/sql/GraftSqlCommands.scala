@@ -412,8 +412,9 @@ case class GraftDeleteExprCommand(path: String, box: DmlCondBox)
 }
 
 /** Native `UPDATE graft_cat.ns.t` with a subquery-carrying condition — the
-  * UPDATE twin of [[GraftDeleteExprCommand]] (assignments stay text;
-  * subqueries in assignments are refused upstream).
+  * UPDATE twin of [[GraftDeleteExprCommand]] (assignments here are plain
+  * text; assignments carrying scalar subqueries route to
+  * [[GraftUpdateSubqueryCommand]] instead).
   */
 case class GraftUpdateExprCommand(
     path: String, box: DmlCondBox, set: Seq[(String, String)])
@@ -424,6 +425,33 @@ case class GraftUpdateExprCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlCommands.resolveTarget(spark, path)
     val v = TableOps.updateExpr(t, box.cond, box.tableOutput, set.toMap)
+    Seq(Row(v, GraftSqlCommands.commitMetric(t, v, "numUpdatedRows")))
+  }
+}
+
+/** Native `UPDATE graft_cat.ns.t` whose SET assignments carry
+  * NON-correlated SCALAR subqueries ([[DmlExprBox]] — evaluated once per
+  * statement at run, spliced in as literals); the condition rides whichever
+  * seam it needs (text, or [[DmlCondBox]] when it has subqueries of its
+  * own).
+  */
+case class GraftUpdateSubqueryCommand(
+    path: String,
+    whereText: Option[String],
+    whereBox: Option[DmlCondBox],
+    set: Seq[(String, GraftRowLevelRewrite.SqlPart)])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("numUpdatedRows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlCommands.resolveTarget(spark, path)
+    val resolvedSet =
+      set.map { case (k, p) => k -> p.fold(identity, _.toSql(spark)) }.toMap
+    val v = whereBox match {
+      case Some(box) => TableOps.updateExpr(t, box.cond, box.tableOutput, resolvedSet)
+      case None => TableOps.update(t, whereText, resolvedSet)
+    }
     Seq(Row(v, GraftSqlCommands.commitMetric(t, v, "numUpdatedRows")))
   }
 }

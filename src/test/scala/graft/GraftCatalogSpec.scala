@@ -346,6 +346,63 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(m("numDeletedRows") == "3")
   }
 
+  it("scalar subqueries in SET assignments and MERGE conditions evaluate once per statement") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ssq")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.ssq.t")
+    spark.sql("CREATE TABLE graft_cat.ssq.t AS " +
+      "SELECT id, CAST(id AS DOUBLE) AS val, CAST(NULL AS STRING) AS tag FROM range(10)")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.ssq.ref")
+    spark.sql("CREATE TABLE graft_cat.ssq.ref AS SELECT id, id * 10 AS w FROM range(4)")
+    // scalar subquery in a SET value — a per-statement constant (max(w)=30)
+    spark.sql("UPDATE graft_cat.ssq.t SET val = (SELECT max(w) FROM graft_cat.ssq.ref) " +
+      "WHERE id < 2")
+    assert(spark.table("graft_cat.ssq.t").where("val = 30.0").count() == 2)
+    // mixed: subquery nested in arithmetic, alongside a plain assignment —
+    // and a subquery-carrying CONDITION at the same time (both seams at once)
+    spark.sql("UPDATE graft_cat.ssq.t " +
+      "SET val = (SELECT min(w) FROM graft_cat.ssq.ref WHERE w > 0) + 0.5, tag = 'bumped' " +
+      "WHERE id IN (SELECT id FROM graft_cat.ssq.ref WHERE w >= 20)")
+    assert(spark.table("graft_cat.ssq.t").where("val = 10.5 AND tag = 'bumped'")
+      .select("id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    // empty scalar-subquery result = NULL (standard SQL)
+    spark.sql("UPDATE graft_cat.ssq.t SET tag = (SELECT CAST(w AS STRING) " +
+      "FROM graft_cat.ssq.ref WHERE w > 1000) WHERE id = 9")
+    assert(spark.table("graft_cat.ssq.t").where("id = 9 AND tag IS NULL").count() == 1)
+    // MERGE: scalar subqueries in the ON condition, a clause condition and
+    // an assignment value
+    spark.sql("MERGE INTO graft_cat.ssq.t AS t USING graft_cat.ssq.ref AS s " +
+      "ON t.id = s.id AND t.id < (SELECT count(*) FROM graft_cat.ssq.ref) " +
+      "WHEN MATCHED AND s.w >= (SELECT avg(w) FROM graft_cat.ssq.ref) " +
+      "  THEN UPDATE SET val = s.w + (SELECT min(w) FROM graft_cat.ssq.ref) " +
+      "WHEN NOT MATCHED THEN INSERT (id, val, tag) VALUES (s.id + 100, s.w, 'ins')")
+    // avg(w)=15 → matched rows 2,3 update to w+0 = 20,30; no unmatched source rows
+    val after = spark.table("graft_cat.ssq.t")
+    assert(after.where("id = 2 AND val = 20.0").count() == 1)
+    assert(after.where("id = 3 AND val = 30.0").count() == 1)
+    assert(after.where("id > 100").count() == 0)
+    // a scalar subquery over more than one row is the standard error
+    val multi = intercept[Exception] {
+      spark.sql("UPDATE graft_cat.ssq.t SET val = (SELECT w FROM graft_cat.ssq.ref) " +
+        "WHERE id = 0")
+    }
+    assert(multi.getMessage.contains("more than one row") ||
+      multi.getMessage.contains("MULTI"))
+    // CORRELATED subqueries in assignments stay refused, loudly
+    val corr = intercept[UnsupportedOperationException] {
+      spark.sql("UPDATE graft_cat.ssq.t SET val = " +
+        "(SELECT max(s.w) FROM graft_cat.ssq.ref s WHERE s.id = graft_cat.ssq.t.id)")
+    }
+    assert(corr.getMessage.contains("NON-correlated"))
+    // set-valued (IN) subqueries in MERGE clause conditions stay refused
+    val setv = intercept[UnsupportedOperationException] {
+      spark.sql("MERGE INTO graft_cat.ssq.t AS t USING graft_cat.ssq.ref AS s " +
+        "ON t.id = s.id WHEN MATCHED AND s.id IN (SELECT id FROM graft_cat.ssq.ref) " +
+        "THEN DELETE")
+    }
+    assert(setv.getMessage.contains("NON-correlated"))
+  }
+
   it("CREATE TABLE ... LOCATION registers an EXTERNAL table, not a warehouse shadow") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ext")
@@ -489,7 +546,7 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(t.snapshot.files.exists(_.dv.exists(_.cardinality > 0)))
   }
 
-  it("native DML evaluates CORRELATED subqueries; assignments and rand() stay refused") {
+  it("native DML evaluates CORRELATED subqueries; correlated assignments and rand() stay refused") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ref")
     spark.sql("CREATE TABLE graft_cat.ref.t AS " +
@@ -507,11 +564,14 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     spark.sql("DELETE FROM graft_cat.ref.t WHERE id IN " +
       "(SELECT r.id FROM range(20) r WHERE r.id = graft_cat.ref.t.id) AND id >= 6")
     assert(spark.table("graft_cat.ref.t").count() == 6) // ids 0..5 remain
-    // subqueries in ASSIGNMENTS stay refused (text-rendered)
+    // CORRELATED subqueries in ASSIGNMENTS stay refused (the update
+    // projection cannot host a per-row subquery; non-correlated scalars
+    // are supported — see the scalar-subquery spec)
     val assign = intercept[Exception] {
-      spark.sql("UPDATE graft_cat.ref.t SET val = (SELECT max(id) FROM range(3)) WHERE id = 1")
+      spark.sql("UPDATE graft_cat.ref.t SET val = (SELECT max(r.id) FROM range(3) r " +
+        "WHERE r.id = graft_cat.ref.t.id) WHERE id = 1")
     }
-    assert(assign.getMessage.contains("subqueries"))
+    assert(assign.getMessage.contains("NON-correlated"))
     val rnd = intercept[Exception] {
       spark.sql("UPDATE graft_cat.ref.t SET val = 0 WHERE rand() < 2")
     }

@@ -264,8 +264,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * names, widens ride the reader's per-leaf upcast, not one data byte
     * moves), so `ALTER TABLE graft_cat.ns.t ADD COLUMNS / RENAME COLUMN /
     * DROP COLUMN / ALTER COLUMN TYPE` work natively — top-level and
-    * NESTED struct fields alike (dotted paths; array/map element fields
-    * have no named identity and refuse loudly) — and Spark's MERGE
+    * NESTED fields alike, descending structs by field name and
+    * arrays/maps by Spark's own `element`/`key`/`value` spellings (the
+    * container POSITIONS themselves can widen but have no named identity,
+    * so renaming/dropping them refuses loudly) — and Spark's MERGE
     * schema-evolution resolution can widen catalog targets.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {

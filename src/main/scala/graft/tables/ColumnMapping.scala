@@ -200,9 +200,13 @@ object ColumnMapping {
 
   /** The chain of fields along `path` (logical names, case-insensitive;
     * `Seq("s","a")` = field `a` of struct column `s`), or None when any
-    * segment is missing or traverses a non-struct. Paths address struct
-    * fields only — array elements and map entries have no named identity
-    * to rename.
+    * segment is missing or traverses a type it cannot. Arrays and maps
+    * descend through Spark's own nested-DDL spellings — `element`, `key`,
+    * `value` — as VIRTUAL steps: a synthesized metadata-free StructField
+    * carrying the container's inner type, so chain logic (existence,
+    * parent-struct lookup, physical paths) works unchanged through
+    * containers. A virtual step's "physical name" is its fixed spelling,
+    * which is exactly how parquet names these repeated groups.
     */
   def fieldChain(schema: StructType, path: Seq[String]): Option[Seq[StructField]] =
     path match {
@@ -210,12 +214,43 @@ object ColumnMapping {
       case head +: rest =>
         schema.fields.find(_.name.equalsIgnoreCase(head)).flatMap { f =>
           if (rest.isEmpty) Some(Seq(f))
-          else f.dataType match {
-            case st: StructType => fieldChain(st, rest).map(f +: _)
-            case _ => None
-          }
+          else descend(f.dataType, rest).map(f +: _)
         }
     }
+
+  private def descend(
+      dt: org.apache.spark.sql.types.DataType,
+      rest: Seq[String]): Option[Seq[StructField]] = {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    def virtualStep(name: String, inner: org.apache.spark.sql.types.DataType) = {
+      val virt = StructField(name, inner)
+      if (rest.tail.isEmpty) Some(Seq(virt))
+      else descend(inner, rest.tail).map(virt +: _)
+    }
+    dt match {
+      case st: StructType => fieldChain(st, rest)
+      case ArrayType(et, _) if rest.head.equalsIgnoreCase("element") =>
+        virtualStep("element", et)
+      case MapType(kt, _, _) if rest.head.equalsIgnoreCase("key") =>
+        virtualStep("key", kt)
+      case MapType(_, vt, _) if rest.head.equalsIgnoreCase("value") =>
+        virtualStep("value", vt)
+      case _ => None
+    }
+  }
+
+  /** True when `path`'s LAST step is a container position (array `element`,
+    * map `key`/`value`) rather than a named field — such a step has no
+    * named identity, so RENAME/DROP refuse it (its TYPE can still widen,
+    * and fields INSIDE it are addressed by one more path segment).
+    */
+  def lastStepIsContainer(schema: StructType, path: Seq[String]): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    path.length > 1 && fieldChain(schema, path.init).exists(_.last.dataType match {
+      case _: ArrayType | _: MapType => true
+      case _ => false
+    })
+  }
 
   /** The dotted PHYSICAL path of the field at `path` (used as the retired-
     * name key for nested drops).
@@ -225,7 +260,10 @@ object ColumnMapping {
 
   /** Rebuild `schema` with `fn` applied to the field at `path` (which must
     * exist); `fn` returning None drops the field. Containers along the path
-    * keep their own names, metadata and order.
+    * keep their own names, metadata and order; the `element`/`key`/`value`
+    * spellings traverse arrays and maps, where the terminal position is a
+    * VIRTUAL field — `fn` may retype it (type widening) but renaming or
+    * dropping it refuses loudly (no named identity).
     */
   def updateFieldAt(schema: StructType, path: Seq[String])(
       fn: StructField => Option[StructField]): StructType = {
@@ -233,13 +271,39 @@ object ColumnMapping {
     StructType(schema.fields.flatMap { f =>
       if (!f.name.equalsIgnoreCase(path.head)) Some(f)
       else if (path.length == 1) fn(f)
-      else f.dataType match {
-        case st: StructType =>
-          Some(f.copy(dataType = updateFieldAt(st, path.tail)(fn)))
-        case other => throw new IllegalArgumentException(
-          s"${f.name} is ${other.simpleString}, not a struct — cannot address ${path.mkString(".")}")
-      }
+      else Some(f.copy(dataType = updateType(f.dataType, path.tail, f.name)(fn)))
     })
+  }
+
+  private def updateType(
+      dt: org.apache.spark.sql.types.DataType,
+      path: Seq[String], parent: String)(
+      fn: StructField => Option[StructField]): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
+    def virtual(name: String, inner: DataType): DataType = fn(StructField(name, inner)) match {
+      case Some(nf) =>
+        require(nf.name == name,
+          s"the $name of an array/map has no named identity to rename — " +
+            "rename a struct field inside it instead")
+        nf.dataType
+      case None => throw new IllegalArgumentException(
+        s"cannot drop the $name of an array/map — drop the container column instead")
+    }
+    dt match {
+      case st: StructType => updateFieldAt(st, path)(fn)
+      case ArrayType(et, n) if path.head.equalsIgnoreCase("element") =>
+        if (path.length == 1) ArrayType(virtual("element", et), n)
+        else ArrayType(updateType(et, path.tail, "element")(fn), n)
+      case MapType(kt, vt, n) if path.head.equalsIgnoreCase("key") =>
+        if (path.length == 1) MapType(virtual("key", kt), vt, n)
+        else MapType(updateType(kt, path.tail, "key")(fn), vt, n)
+      case MapType(kt, vt, n) if path.head.equalsIgnoreCase("value") =>
+        if (path.length == 1) MapType(kt, virtual("value", vt), n)
+        else MapType(kt, updateType(vt, path.tail, "value")(fn), n)
+      case other => throw new IllegalArgumentException(
+        s"$parent is ${other.simpleString} — cannot address ${path.mkString(".")} " +
+          "(structs descend by field name; arrays/maps by element/key/value)")
+    }
   }
 
   /** The PHYSICAL names of the table's partition columns (metadata stores

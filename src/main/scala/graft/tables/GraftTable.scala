@@ -227,7 +227,13 @@ class GraftTable private (val spark: SparkSession, val path: String) {
       val chain = ColumnMapping.fieldChain(schema, parts).getOrElse(
         throw new IllegalArgumentException(
           s"column $existing does not exist in $path" +
-            (if (parts.length > 1) " (nested paths address struct fields only)" else "")))
+            (if (parts.length > 1)
+               " (nested paths descend structs by field name and arrays/maps " +
+                 "by element/key/value)"
+             else "")))
+      require(!ColumnMapping.lastStepIsContainer(schema, parts),
+        s"the ${parts.last} of an array/map has no named identity to rename — " +
+          s"rename a struct field inside it instead (e.g. $existing.<field>)")
       val siblings: Seq[String] =
         if (parts.length == 1) schema.fieldNames.toSeq
         else chain(chain.length - 2).dataType.asInstanceOf[StructType].fieldNames.toSeq
@@ -272,7 +278,10 @@ class GraftTable private (val spark: SparkSession, val path: String) {
       val chain = ColumnMapping.fieldChain(s.schema, parts).getOrElse(
         throw new IllegalArgumentException(
           s"column $name does not exist in $path" +
-            (if (parts.length > 1) " (nested paths address struct fields only)" else "")))
+            (if (parts.length > 1)
+               " (nested paths descend structs by field name and arrays/maps " +
+                 "by element/key/value)"
+             else "")))
       val f = chain.last
       require(f.dataType != newType,
         s"column $name already has type ${newType.simpleString}")
@@ -313,7 +322,13 @@ class GraftTable private (val spark: SparkSession, val path: String) {
         require(parts.nonEmpty, "empty column name")
         require(ColumnMapping.fieldChain(current, parts).isDefined,
           s"column $n does not exist in $path" +
-            (if (parts.length > 1) " (nested paths address struct fields only)" else ""))
+            (if (parts.length > 1)
+               " (nested paths descend structs by field name and arrays/maps " +
+                 "by element/key/value)"
+             else ""))
+        require(!ColumnMapping.lastStepIsContainer(current, parts),
+          s"cannot drop the ${parts.last} of an array/map — " +
+            "drop the container column instead")
         require(!(parts.length == 1 && s.metadata.partitionColumns.exists(_.equalsIgnoreCase(n))),
           s"cannot drop partition column $n")
         val refs = ColumnMapping.propertyReferences(spark, s.metadata.properties, n)

@@ -194,6 +194,66 @@ class ColumnMappingReadSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(e.getMessage.contains("last field"))
   }
 
+  it("DDL descends ARRAYS and MAPS: element/key/value paths rename, drop, re-add and widen") {
+    val dir = tmpTableDir("cmr-container")
+    GraftTable.create(spark, dir, spark.sql(
+      "SELECT id, array(named_struct('a', CAST(id AS INT), 'b', concat('x', id))) AS arr, " +
+        "map(concat('k', id), named_struct('x', CAST(id AS INT))) AS m, " +
+        "array(CAST(id AS INT)) AS nums FROM range(3)"))
+    // rename a struct field under an ARRAY: metadata-only, old files read
+    // under the new name (physical name pinned inside the element struct)
+    GraftTable.forPath(spark, dir).renameColumn("arr.element.a", "a2")
+    val afterRename = GraftTable.forPath(spark, dir).toDF
+    assert(afterRename.selectExpr("arr[0].a2").collect().map(_.getInt(0)).toSet == Set(0, 1, 2))
+    // writes round-trip through the mapping (new logical name in, physical on disk)
+    GraftTable.forPath(spark, dir).append(spark.sql(
+      "SELECT 100L AS id, array(named_struct('a2', CAST(100 AS INT), 'b', 'y')) AS arr, " +
+        "map('k100', named_struct('x', CAST(100 AS INT))) AS m, array(CAST(7 AS INT)) AS nums"))
+    assert(GraftTable.forPath(spark, dir).toDF.where("arr[0].a2 = 100").count() == 1)
+    assert(GraftTable.forPath(spark, dir).toDF.selectExpr("sum(arr[0].a2)")
+      .head.getLong(0) == 103L) // 0+1+2 from pre-rename files + 100
+    // rename a struct field under a MAP VALUE
+    GraftTable.forPath(spark, dir).renameColumn("m.value.x", "x2")
+    assert(GraftTable.forPath(spark, dir).toDF
+      .selectExpr("m['k1'].x2").where("m['k1'].x2 = 1").count() == 1)
+    // DROP a field under an array, then RE-ADD the same logical name:
+    // fresh physical name — old bytes must never resurface
+    GraftTable.forPath(spark, dir).dropColumns(Seq("arr.element.b"))
+    assert(!GraftTable.forPath(spark, dir).toDF.schema("arr").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.contains("b"))
+    GraftTable.forPath(spark, dir).addNestedColumn(Seq("arr", "element"),
+      org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.StringType))
+    val readded = GraftTable.forPath(spark, dir).toDF
+    assert(readded.selectExpr("arr[0].b").collect().forall(_.isNullAt(0)))
+    // WIDEN a struct field under an array and a bare ARRAY ELEMENT type:
+    // the same per-leaf vectorized-reader upcast as top-level widens
+    GraftTable.forPath(spark, dir).widenColumnType("arr.element.a2",
+      org.apache.spark.sql.types.LongType)
+    GraftTable.forPath(spark, dir).widenColumnType("nums.element",
+      org.apache.spark.sql.types.LongType)
+    val widened = GraftTable.forPath(spark, dir).toDF
+    assert(widened.schema("nums").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ==
+      org.apache.spark.sql.types.LongType)
+    assert(widened.selectExpr("sum(arr[0].a2)").head.getLong(0) == 103L)
+    assert(widened.selectExpr("sum(nums[0])").head.getLong(0) == 10L) // 0+1+2+7
+    GraftTable.forPath(spark, dir).append(spark.sql(
+      "SELECT 101L AS id, array(named_struct('a2', 6000000000L, 'b', 'z')) AS arr, " +
+        "map('k101', named_struct('x2', CAST(1 AS INT))) AS m, array(7000000000L) AS nums"))
+    assert(GraftTable.forPath(spark, dir).toDF.where("arr[0].a2 > 5000000000").count() == 1)
+    // container POSITIONS have no named identity: rename/drop refuse loudly
+    val e1 = intercept[IllegalArgumentException](
+      GraftTable.forPath(spark, dir).renameColumn("arr.element", "e2"))
+    assert(e1.getMessage.contains("no named identity"))
+    val e2 = intercept[IllegalArgumentException](
+      GraftTable.forPath(spark, dir).dropColumns(Seq("m.value")))
+    assert(e2.getMessage.contains("drop the container column"))
+    val e3 = intercept[IllegalArgumentException](
+      GraftTable.forPath(spark, dir).renameColumn("m.key", "k2"))
+    assert(e3.getMessage.contains("no named identity"))
+  }
+
   it("renames touching generated/identity feature columns are refused loudly") {
     // the graft.generated.<col> / graft.identity.<col> property KEYS carry
     // the column name — a rename would silently orphan them (the column

@@ -735,6 +735,13 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(spark.sql("SELECT sum(s.a) FROM graft_cat.wid.n").head.getLong(0) == 28L)
     spark.sql("INSERT INTO graft_cat.wid.n SELECT 99, named_struct('a', 6000000000L, 'b', CAST(1.0 AS FLOAT))")
     assert(spark.sql("SELECT count(*) FROM graft_cat.wid.n WHERE s.a > 5000000000").head.getLong(0) == 1)
+    // THROUGH AN ARRAY: Spark's element spelling addresses the struct field
+    spark.sql("CREATE TABLE graft_cat.wid.arr AS " +
+      "SELECT id, array(named_struct('a', CAST(id AS INT))) AS arr FROM range(4)")
+    spark.sql("ALTER TABLE graft_cat.wid.arr ALTER COLUMN arr.element.a TYPE BIGINT")
+    assert(spark.sql("SELECT sum(arr[0].a) FROM graft_cat.wid.arr").head.getLong(0) == 6L)
+    spark.sql("ALTER TABLE graft_cat.wid.arr RENAME COLUMN arr.element.a TO a2")
+    assert(spark.sql("SELECT sum(arr[0].a2) FROM graft_cat.wid.arr").head.getLong(0) == 6L)
   }
 
   it("rename/drop refuse while a commit is in flight; stale claims unblock") {

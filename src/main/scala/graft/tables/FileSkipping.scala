@@ -160,25 +160,42 @@ object FileSkipping {
       partCols: Set[String],
       bloomCtx: Option[BloomIndex.ProbeContext]): Boolean = {
 
+    /** The dotted LOGICAL path of a column reference — a bare attribute, or
+      * a GetStructField chain over one (`s.a.x`): nested struct leaves carry
+      * per-file stats too (struct-only paths — one value per row — indexed
+      * by [[ParquetStats]]), so predicates on them prune files exactly like
+      * top-level predicates. Anything else (array/map extraction, casts,
+      * arithmetic) returns None → conservative no-prune.
+      */
+    def pathOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case g: GetStructField => pathOf(g.child).map(_ + "." + g.extractFieldName)
+      case _ => None
+    }
+
     def fieldOf(name: String): Option[org.apache.spark.sql.types.StructField] =
-      schema.fields.find(_.name.equalsIgnoreCase(name))
+      ColumnMapping.fieldChain(schema, name.split('.').toSeq).map(_.last)
 
     def colType(name: String): Option[DataType] = fieldOf(name).map(_.dataType)
 
-    /** Stats / partition-value / bloom lookup key of a LOGICAL column name:
-      * its PHYSICAL name under column mapping. Looking up by the logical
-      * name is not merely a missed prune — a re-added column reusing a
-      * renamed-away logical name would read the OLD column's stats and
-      * prune WRONG files.
+    /** Stats / partition-value / bloom lookup key of a LOGICAL column name
+      * (or dotted nested path): its PHYSICAL spelling under column mapping.
+      * Looking up by the logical name is not merely a missed prune — a
+      * re-added column reusing a renamed-away logical name would read the
+      * OLD column's stats and prune WRONG files.
       */
     def statKey(name: String): String =
-      fieldOf(name).map(ColumnMapping.physicalName).getOrElse(name)
+      ColumnMapping.physicalPath(schema, name.split('.').toSeq).getOrElse(name)
 
-    // (attribute name, literal, true when literal is on the right)
+    // (attribute path, literal, true when literal is on the right)
     def sides(l: Expression, r: Expression): Option[(String, Any, DataType, Boolean)] = (l, r) match {
-      case (a: AttributeReference, Literal(v, dt)) => Some((a.name, v, dt, true))
-      case (Literal(v, dt), a: AttributeReference) => Some((a.name, v, dt, false))
+      case (PathRef(name), Literal(v, dt)) => Some((name, v, dt, true))
+      case (Literal(v, dt), PathRef(name)) => Some((name, v, dt, false))
       case _ => None
+    }
+
+    object PathRef {
+      def unapply(e: Expression): Option[String] = pathOf(e)
     }
 
     /** Range of the column within this file: partition value (point range) or
@@ -277,18 +294,20 @@ object FileSkipping {
         }
       case LessThan(l, r) => mightMatch(GreaterThan(r, l), f, stats, schema, partCols, bloomCtx)
       case LessThanOrEqual(l, r) => mightMatch(GreaterThanOrEqual(r, l), f, stats, schema, partCols, bloomCtx)
-      case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
+      case In(a @ PathRef(_), list) if list.forall(_.isInstanceOf[Literal]) =>
         list.exists(lit => mightMatch(EqualTo(a, lit), f, stats, schema, partCols, bloomCtx))
-      case IsNull(a: AttributeReference) =>
-        if (partCols.contains(a.name))
-          f.partitionValues.get(statKey(a.name)).forall(_ == TableWriter.HiveDefaultPartition)
-        else stats.flatMap(_.nullCount.get(statKey(a.name))).forall(_ > 0)
-      case IsNotNull(a: AttributeReference) =>
-        if (partCols.contains(a.name))
-          !f.partitionValues.get(statKey(a.name)).contains(TableWriter.HiveDefaultPartition)
+      case IsNull(PathRef(name)) =>
+        if (partCols.contains(name))
+          f.partitionValues.get(statKey(name)).forall(_ == TableWriter.HiveDefaultPartition)
+        // parquet leaf null counts include rows where any ANCESTOR struct is
+        // null — exactly SQL's `s.a IS NULL` semantics, so the prune is exact
+        else stats.flatMap(_.nullCount.get(statKey(name))).forall(_ > 0)
+      case IsNotNull(PathRef(name)) =>
+        if (partCols.contains(name))
+          !f.partitionValues.get(statKey(name)).contains(TableWriter.HiveDefaultPartition)
         else (for {
           s <- stats
-          nc <- s.nullCount.get(statKey(a.name))
+          nc <- s.nullCount.get(statKey(name))
         } yield nc < s.numRecords).getOrElse(true)
       case _ => true // unknown predicate shape: cannot prune
     }

@@ -31,6 +31,11 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
   */
 object ParquetStats {
 
+  /** Cap on NESTED struct-leaf stats per file (top-level primitives are
+    * always indexed) — bounds the stats JSON carried by every AddFile.
+    */
+  val MaxNestedStatsLeaves = 32
+
   /** Read one file's footer → FileStats. */
   def forFile(absPath: String, conf: Configuration = new Configuration()): FileStats = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(absPath), conf))
@@ -40,29 +45,46 @@ object ParquetStats {
       val numRecords = blocks.map(_.getRowCount).sum
       val schema = footer.getFileMetaData.getSchema
 
-      // Only top-level primitive columns get stats (nested/array/map skipped).
-      val topLevel = schema.getFields.asScala.filter(_.isPrimitive).map(_.asPrimitiveType())
+      // Indexed leaves: every top-level primitive, plus primitives reached
+      // through STRUCT-ONLY paths (no repeated groups, no LIST/MAP level —
+      // array/map contents have no one-value-per-row leaf to bound), keyed
+      // by the dotted path. Nested leaves are capped so a very wide nested
+      // schema cannot bloat every AddFile's stats JSON (Delta caps its
+      // indexed columns the same way). Keys are PHYSICAL names by
+      // construction — the file's own schema.
+      val indexed = scala.collection.mutable.LinkedHashMap
+        .empty[Seq[String], org.apache.parquet.schema.PrimitiveType]
+      var nestedBudget = MaxNestedStatsLeaves
+      def walk(fields: Seq[org.apache.parquet.schema.Type], prefix: Seq[String]): Unit =
+        fields.foreach { f =>
+          val path = prefix :+ f.getName
+          if (f.isPrimitive) {
+            if (prefix.isEmpty) indexed(path) = f.asPrimitiveType()
+            else if (nestedBudget > 0) { indexed(path) = f.asPrimitiveType(); nestedBudget -= 1 }
+          } else if (!f.isRepetition(org.apache.parquet.schema.Type.Repetition.REPEATED) &&
+              f.getLogicalTypeAnnotation == null)
+            walk(f.asGroupType().getFields.asScala.toSeq, path)
+        }
+      walk(schema.getFields.asScala.toSeq, Nil)
 
       val mins = scala.collection.mutable.Map.empty[String, Any]
       val maxs = scala.collection.mutable.Map.empty[String, Any]
       val nulls = scala.collection.mutable.Map.empty[String, Long]
       val nullsValid = scala.collection.mutable.Set.empty[String]
-      topLevel.foreach { f => nulls(f.getName) = 0L; nullsValid += f.getName }
+      indexed.keys.foreach { p => nulls(p.mkString(".")) = 0L; nullsValid += p.mkString(".") }
 
       blocks.foreach { block =>
         block.getColumns.asScala.foreach { chunk =>
-          val pathParts = chunk.getPath.toArray
-          if (pathParts.length == 1) {
-            val name = pathParts(0)
-            topLevel.find(_.getName == name).foreach { ptype =>
-              val st = chunk.getStatistics
-              if (st != null && st.isNumNullsSet) {
-                if (nullsValid(name)) nulls(name) = nulls(name) + st.getNumNulls
-              } else nullsValid -= name
-              decodeMinMax(st, ptype).foreach { case (mn, mx) =>
-                mins(name) = mins.get(name).map(reduceVal(_, mn, min = true)).getOrElse(mn)
-                maxs(name) = maxs.get(name).map(reduceVal(_, mx, min = false)).getOrElse(mx)
-              }
+          val pathParts = chunk.getPath.toArray.toSeq
+          indexed.get(pathParts).foreach { ptype =>
+            val name = pathParts.mkString(".")
+            val st = chunk.getStatistics
+            if (st != null && st.isNumNullsSet) {
+              if (nullsValid(name)) nulls(name) = nulls(name) + st.getNumNulls
+            } else nullsValid -= name
+            decodeMinMax(st, ptype).foreach { case (mn, mx) =>
+              mins(name) = mins.get(name).map(reduceVal(_, mn, min = true)).getOrElse(mn)
+              maxs(name) = maxs.get(name).map(reduceVal(_, mx, min = false)).getOrElse(mx)
             }
           }
         }

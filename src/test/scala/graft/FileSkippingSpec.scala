@@ -56,6 +56,35 @@ class FileSkippingSpec extends AnyFunSpec with SparkSessionTestWrapper {
       Some(BloomIndex.ProbeContext(spark, t.path))).size == 1)
   }
 
+  it("NESTED struct-leaf stats prune files; renames keep the physical stats keys") {
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "4")
+    val t = try {
+      GraftTable.create(spark, tmpTableDir("fs-nested"),
+        spark.range(1, 25).selectExpr("id",
+          "named_struct('a', CAST(id AS INT), 'b', concat('n', id)) AS s")
+          .orderBy("id").coalesce(1))
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    assert(t.snapshot.numFiles == 6)
+    // struct-leaf paths carry per-file min/max — predicates on them prune
+    // exactly like top-level columns (the 100 TB point: a filter on s.a
+    // reads 1 file, not 30,000)
+    assert(survivors(t, "s.a = 5") == 1)
+    assert(survivors(t, "s.a >= 10 AND s.a <= 12") == 1)
+    assert(survivors(t, "s.a > 20") == 1)
+    assert(survivors(t, "id <= 4 AND s.a <= 4") == 1)
+    assert(survivors(t, "s.a IS NULL") == 0) // leaf nullCount: no nulls anywhere
+    assert(survivors(t, "s.b = 'zzz'") <= 6) // strings: conservative but valid
+    // the SCAN path itself prunes: a nested-predicate read touches ONE file
+    import org.apache.spark.sql.functions.input_file_name
+    assert(t.toDF.where("s.a = 5").select(input_file_name()).distinct().count() == 1)
+    // rename the nested field: stats keys are PHYSICAL, so pruning keeps
+    // working under the new logical name (and never misreads old keys)
+    GraftTable.forPath(spark, t.path).renameColumn("s.a", "a2")
+    val t2 = GraftTable.forPath(spark, t.path)
+    assert(survivors(t2, "s.a2 = 5") == 1)
+    assert(t2.toDF.where("s.a2 = 21").select(input_file_name()).distinct().count() == 1)
+  }
+
   it("partition-value pruning works without row-group stats") {
     val df = Seq((1, "US"), (2, "DE"), (3, "FR")).toDF("id", "country")
     val t = GraftTable.create(spark, tmpTableDir("fs-part"), df, partitionColumns = Seq("country"))

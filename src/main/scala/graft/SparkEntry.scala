@@ -3053,6 +3053,33 @@ object SparkEntry {
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     }),
 
+    "s47_nested_skipping" -> ((s, dir) => {
+      import s.implicits._
+      // NESTED struct-leaf stats are a first-class skipping index: orders
+      // re-nested (custkey inside a struct), range-bucketed one file per
+      // bucket on the nested key — which files survive a nested key-range
+      // predicate is derivable from the data itself, so DuckDB replays the
+      // bucket min/max logic relationally
+      val orders = read(s, dir, "orders")
+      val maxKey = orders.agg(max(col("o_custkey")).cast("long")).first().getLong(0)
+      val width = maxKey / 8 + 1
+      val nested = orders
+        .withColumn("bucket", (col("o_custkey").cast("long") / width).cast("long"))
+        .selectExpr("o_orderkey",
+          "named_struct('custkey', o_custkey, 'price', o_totalprice) AS meta", "bucket")
+      val t = GraftTable.create(s, tmp("s47"), nested.coalesce(1),
+        partitionColumns = Seq("bucket"))
+      () => {
+      val cls = graft.tables.FileSkipping.classify(s, t.toDF,
+        "meta.custkey >= 100 AND meta.custkey <= 200")
+      val scanned =
+        graft.tables.FileSkipping.filesMatching(t.snapshot, cls.all, None).size.toLong
+      val rows = t.toDF.where("meta.custkey >= 100 AND meta.custkey <= 200").count()
+      Seq((scanned, t.snapshot.numFiles.toLong, rows))
+        .toDF("files_scanned", "total_files", "rows_matching")
+      }
+    }),
+
     "s8_skipping_counts" -> ((s, dir) => {
       import s.implicits._
       // deterministic skipping: contiguous key-range buckets (one file per
@@ -4500,6 +4527,15 @@ object SparkEntry {
         |UNION ALL SELECT 'unresolved_files', (SELECT count(*) FROM b)
         |UNION ALL SELECT 'files_df_rows', (SELECT count(*) FROM b)
         |UNION ALL SELECT 'unresolved_columns', 0""".stripMargin,
+    "s47_nested_skipping" ->
+      """WITH w AS (SELECT max(o_custkey) // 8 + 1 AS width FROM orders),
+        |b AS (SELECT o_custkey // width AS bucket,
+        |             min(o_custkey) AS mn, max(o_custkey) AS mx
+        |      FROM orders, w GROUP BY 1)
+        |SELECT CAST((SELECT count(*) FROM b WHERE mn <= 200 AND mx >= 100) AS BIGINT) AS files_scanned,
+        |       (SELECT count(*) FROM b) AS total_files,
+        |       (SELECT count(*) FROM orders
+        |        WHERE o_custkey BETWEEN 100 AND 200) AS rows_matching""".stripMargin,
     "s8_skipping_counts" ->
       """WITH w AS (SELECT max(o_orderkey) // 8 + 1 AS width FROM orders),
         |b AS (SELECT o_orderkey // width AS bucket,

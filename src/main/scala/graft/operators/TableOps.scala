@@ -693,8 +693,11 @@ object TableOps {
     val snap = table.snapshot
     val schema = snap.schema
     cols.foreach { c =>
-      val f = schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(s"zorder column $c not in table schema"))
+      // dotted = nested struct leaf (their per-file stats exist too, so the
+      // clustered curve is skippable on every listed dimension)
+      val f = graft.tables.ColumnMapping.fieldChain(schema, c.split('.').toSeq)
+        .map(_.last).getOrElse(
+          throw new IllegalArgumentException(s"zorder column $c not in table schema"))
       f.dataType match {
         case _: org.apache.spark.sql.types.NumericType => ()
         case org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType => ()
@@ -724,7 +727,8 @@ object TableOps {
     // order, so quantile bucketing clusters by string prefix — the same
     // truncation Delta's z-order applies to strings).
     def rankView(c: String): org.apache.spark.sql.Column =
-      schema.fields.find(_.name == c).get.dataType match {
+      graft.tables.ColumnMapping.fieldChain(schema, c.split('.').toSeq)
+        .get.last.dataType match {
         case org.apache.spark.sql.types.StringType =>
           conv(rpad(substring(hex(col(c)), 1, 16), 16, "0"), 16, 10).cast("double")
         case _ => col(c).cast("double")
@@ -735,8 +739,12 @@ object TableOps {
     // bucket of a row is the count of boundaries at or below its value
     // (a codegen'd chain of comparisons — no join, no second shuffle)
     val probs = (1 until (1 << zBits)).map(_.toDouble / (1 << zBits)).toArray
-    val casted = data.select(cols.map(c => rankView(c).as(c)): _*)
-    val allBoundaries = casted.stat.approxQuantile(cols.toArray, probs, 0.01)
+    // positional aliases: a dotted nested path is not a valid column NAME
+    // for the quantile lookup (it would re-parse as a field access)
+    val rankNames = cols.indices.map(i => s"__graft_z$i")
+    val casted = data.select(
+      cols.zip(rankNames).map { case (c, n) => rankView(c).as(n) }: _*)
+    val allBoundaries = casted.stat.approxQuantile(rankNames.toArray, probs, 0.01)
     val zExpr = cols.zipWithIndex.map { case (c, ci) =>
       // rank = count of boundaries ≤ value via the codegen'd binary-search
       // BucketRank (fold-equivalent incl. null→0/NaN→0, pinned by spec).

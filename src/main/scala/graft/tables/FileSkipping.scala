@@ -98,6 +98,21 @@ object FileSkipping {
   }
 
   /** True when the conjuncts' per-column intervals have an empty intersection. */
+  /** The dotted LOGICAL path of a column reference — a bare attribute, or a
+    * GetStructField chain over one (`s.a.x`): nested struct leaves carry
+    * per-file stats too (struct-only paths — one value per row — indexed by
+    * [[ParquetStats]]), so predicates on them prune files exactly like
+    * top-level predicates. Anything else (array/map extraction, casts,
+    * arithmetic) returns None → conservative no-prune.
+    */
+  private object PathRef {
+    def unapply(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case g: GetStructField => unapply(g.child).map(_ + "." + g.extractFieldName)
+      case _ => None
+    }
+  }
+
   private[tables] def contradictory(predicates: Seq[Expression], schema: StructType): Boolean = {
     // (value, inclusive) bounds per column
     val lo = scala.collection.mutable.Map.empty[String, (Any, Boolean)]
@@ -126,21 +141,21 @@ object FileSkipping {
         case None => hi(name) = (v, incl)
       }
     def record(e: Expression): Unit = e match {
-      case EqualTo(a: AttributeReference, Literal(v, dt)) =>
-        canonical(v, dt).foreach { c => tightenLo(a.name, c, incl = true); tightenHi(a.name, c, incl = true) }
-      case EqualTo(Literal(v, dt), a: AttributeReference) => record(EqualTo(a, Literal(v, dt)))
-      case GreaterThan(a: AttributeReference, Literal(v, dt)) =>
-        canonical(v, dt).foreach(tightenLo(a.name, _, incl = false))
-      case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
-        canonical(v, dt).foreach(tightenLo(a.name, _, incl = true))
-      case LessThan(a: AttributeReference, Literal(v, dt)) =>
-        canonical(v, dt).foreach(tightenHi(a.name, _, incl = false))
-      case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
-        canonical(v, dt).foreach(tightenHi(a.name, _, incl = true))
-      case GreaterThan(l: Literal, a: AttributeReference) => record(LessThan(a, l))
-      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => record(LessThanOrEqual(a, l))
-      case LessThan(l: Literal, a: AttributeReference) => record(GreaterThan(a, l))
-      case LessThanOrEqual(l: Literal, a: AttributeReference) => record(GreaterThanOrEqual(a, l))
+      case EqualTo(PathRef(n), Literal(v, dt)) =>
+        canonical(v, dt).foreach { c => tightenLo(n, c, incl = true); tightenHi(n, c, incl = true) }
+      case EqualTo(l: Literal, a @ PathRef(_)) => record(EqualTo(a, l))
+      case GreaterThan(PathRef(n), Literal(v, dt)) =>
+        canonical(v, dt).foreach(tightenLo(n, _, incl = false))
+      case GreaterThanOrEqual(PathRef(n), Literal(v, dt)) =>
+        canonical(v, dt).foreach(tightenLo(n, _, incl = true))
+      case LessThan(PathRef(n), Literal(v, dt)) =>
+        canonical(v, dt).foreach(tightenHi(n, _, incl = false))
+      case LessThanOrEqual(PathRef(n), Literal(v, dt)) =>
+        canonical(v, dt).foreach(tightenHi(n, _, incl = true))
+      case GreaterThan(l: Literal, a @ PathRef(_)) => record(LessThan(a, l))
+      case GreaterThanOrEqual(l: Literal, a @ PathRef(_)) => record(LessThanOrEqual(a, l))
+      case LessThan(l: Literal, a @ PathRef(_)) => record(GreaterThan(a, l))
+      case LessThanOrEqual(l: Literal, a @ PathRef(_)) => record(GreaterThanOrEqual(a, l))
       case _ => ()
     }
     predicates.foreach(record)
@@ -159,19 +174,6 @@ object FileSkipping {
       schema: StructType,
       partCols: Set[String],
       bloomCtx: Option[BloomIndex.ProbeContext]): Boolean = {
-
-    /** The dotted LOGICAL path of a column reference — a bare attribute, or
-      * a GetStructField chain over one (`s.a.x`): nested struct leaves carry
-      * per-file stats too (struct-only paths — one value per row — indexed
-      * by [[ParquetStats]]), so predicates on them prune files exactly like
-      * top-level predicates. Anything else (array/map extraction, casts,
-      * arithmetic) returns None → conservative no-prune.
-      */
-    def pathOf(e: Expression): Option[String] = e match {
-      case a: AttributeReference => Some(a.name)
-      case g: GetStructField => pathOf(g.child).map(_ + "." + g.extractFieldName)
-      case _ => None
-    }
 
     def fieldOf(name: String): Option[org.apache.spark.sql.types.StructField] =
       ColumnMapping.fieldChain(schema, name.split('.').toSeq).map(_.last)
@@ -192,10 +194,6 @@ object FileSkipping {
       case (PathRef(name), Literal(v, dt)) => Some((name, v, dt, true))
       case (Literal(v, dt), PathRef(name)) => Some((name, v, dt, false))
       case _ => None
-    }
-
-    object PathRef {
-      def unapply(e: Expression): Option[String] = pathOf(e)
     }
 
     /** Range of the column within this file: partition value (point range) or

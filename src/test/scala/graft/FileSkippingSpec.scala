@@ -83,6 +83,29 @@ class FileSkippingSpec extends AnyFunSpec with SparkSessionTestWrapper {
     val t2 = GraftTable.forPath(spark, t.path)
     assert(survivors(t2, "s.a2 = 5") == 1)
     assert(t2.toDF.where("s.a2 = 21").select(input_file_name()).distinct().count() == 1)
+    // contradictory nested ranges select ZERO files without touching stats
+    assert(survivors(t2, "s.a2 <= 10 AND s.a2 >= 12") == 0)
+  }
+
+  it("OPTIMIZE ZORDER clusters NESTED leaves; the curve skips on both dimensions") {
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "64")
+    val t = try {
+      GraftTable.create(spark, tmpTableDir("fs-znested"),
+        spark.range(0, 1024).selectExpr("id",
+          "named_struct('x', CAST(id % 32 AS INT), 'y', CAST(id DIV 32 AS INT)) AS p")
+          .orderBy("id").coalesce(1))
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    assert(t.snapshot.numFiles == 16)
+    // row-ordered by id, p.x cycles 0..31 per file → no pruning possible
+    assert(survivors(t, "p.x = 3") == 16)
+    graft.operators.TableOps.zorder(t, Seq("p.x", "p.y"), numFiles = Some(16))
+    val z = GraftTable.forPath(spark, t.path)
+    // the z-curve gives usable locality on BOTH nested dimensions
+    assert(survivors(z, "p.x = 3") <= 8)
+    assert(survivors(z, "p.y = 3") <= 8)
+    // values survived the rewrite byte-exactly
+    assert(z.toDF.selectExpr("sum(p.x)", "sum(p.y)").head.toSeq ==
+      Seq(1024L / 32 * (0 until 32).sum, 32L * (0 until 32).sum))
   }
 
   it("partition-value pruning works without row-group stats") {

@@ -606,11 +606,25 @@ object GraftMetadataOnlyAggregate extends Rule[LogicalPlan] {
         if !ae.isDistinct && ae.filter.isEmpty =>
       ae.aggregateFunction match {
         case Count(Seq(l: Literal)) => l.value != null
-        case Min(_: Attribute)      => true
-        case Max(_: Attribute)      => true
+        case Min(e)                 => pathedAttr(e).isDefined
+        case Max(e)                 => pathedAttr(e).isDefined
         case _                      => false
       }
     case _ => false
+  }
+
+  /** A bare attribute or a GetStructField chain over one — nested struct
+    * leaves carry per-file min/max too (struct-only paths, one value per
+    * row), and parquet leaf stats range over NON-NULL values exactly like
+    * SQL min/max, so `min(s.a)` answers from the log as exactly as
+    * `min(a)`. Returns the root attribute plus the field-name suffix.
+    */
+  private def pathedAttr(e: Expression)
+      : Option[(Attribute, Seq[String])] = e match {
+    case a: Attribute => Some((a, Nil))
+    case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+      pathedAttr(g.child).map { case (a, p) => (a, p :+ g.extractFieldName) }
+    case _ => None
   }
 
   /** Resolve `plan` to a graft snapshot plus the map from attribute to
@@ -624,8 +638,14 @@ object GraftMetadataOnlyAggregate extends Rule[LogicalPlan] {
       source(child).map { case (snap, colOf) =>
         val mapped = projList.collect {
           case a: Attribute if colOf.contains(a) => a -> colOf(a)
-          case al @ Alias(a: Attribute, _) if colOf.contains(a) =>
-            al.toAttribute -> colOf(a)
+          // attribute aliases AND struct-field extractions: the optimizer's
+          // nested-column aliasing rewrites `min(s.a)` into
+          // `min(_extract_a)` over `Project [s.a AS _extract_a]` before
+          // this rule runs — track the alias back to its dotted leaf path
+          case al @ Alias(e, _)
+              if pathedAttr(e).exists { case (a, _) => colOf.contains(a) } =>
+            val (a, rest) = pathedAttr(e).get
+            al.toAttribute -> (colOf(a) +: rest).mkString(".")
         }
         (snap, AttributeMap(mapped))
       }
@@ -654,12 +674,15 @@ object GraftMetadataOnlyAggregate extends Rule[LogicalPlan] {
     val statsList = snap.files.map(f => graft.tables.GraftLog.parseStats(f.stats))
     if (statsList.exists(_.isEmpty)) return None
     val stats = snap.files.zip(statsList.flatten)
+    def dotted(e: Expression): Option[String] = pathedAttr(e).flatMap {
+      case (a, rest) => colOf.get(a).map(n => (n +: rest).mkString("."))
+    }
     val values = aggs.map {
       case Alias(ae: AggregateExpression, _) => ae.aggregateFunction match {
-        case Count(_)            => Some(stats.map(_._2.numRecords).sum: Any)
-        case Min(a: Attribute)   => extreme(snap, stats, colOf.get(a), isMin = true)
-        case Max(a: Attribute)   => extreme(snap, stats, colOf.get(a), isMin = false)
-        case _                   => None
+        case Count(_) => Some(stats.map(_._2.numRecords).sum: Any)
+        case Min(e)   => extreme(snap, stats, dotted(e), isMin = true)
+        case Max(e)   => extreme(snap, stats, dotted(e), isMin = false)
+        case _        => None
       }
       case _ => None
     }
@@ -676,15 +699,18 @@ object GraftMetadataOnlyAggregate extends Rule[LogicalPlan] {
       colName: Option[String],
       isMin: Boolean): Option[Any] = {
     val name = colName.getOrElse(return None)
-    val field = snap.schema.fields.find(_.name == name).getOrElse(return None)
+    val parts = name.split('.').toSeq
+    val field = graft.tables.ColumnMapping.fieldChain(snap.schema, parts)
+      .map(_.last).getOrElse(return None)
     val dt = field.dataType
     if (!statsSafe(dt)) return None
     val isPartition = snap.metadata.partitionColumns.contains(name)
     // column mapping: stats and partition-value keys are the field's
-    // PHYSICAL name (stable across renames) — look up by it, exactly like
-    // FileSkipping's statKey, so metadata-only min/max keeps firing after
-    // RENAME COLUMN
-    val physical = graft.tables.ColumnMapping.physicalName(field)
+    // PHYSICAL spelling (stable across renames; dotted for nested leaves)
+    // — look up by it, exactly like FileSkipping's statKey, so
+    // metadata-only min/max keeps firing after RENAME COLUMN
+    val physical = graft.tables.ColumnMapping.physicalPath(snap.schema, parts)
+      .getOrElse(return None)
 
     val perFile: Seq[Option[Option[Any]]] = stats.map { case (f, st) =>
       // Some(Some(v)) = contributes v; Some(None) = provably all-null file

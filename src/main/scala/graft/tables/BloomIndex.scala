@@ -65,13 +65,17 @@ object BloomIndex {
     case _ => false
   }
 
-  /** The configured, supported, non-partition bloom columns of a table. */
+  /** The configured, supported, non-partition bloom columns of a table —
+    * dotted paths address NESTED struct leaves (their point lookups are as
+    * bloom-probeable as top-level ones; rename consistency is guaranteed
+    * because renaming an indexed path OR any ancestor of one is refused).
+    */
   def columnsOf(props: Map[String, String], schema: StructType,
       partCols: Seq[String]): Seq[String] =
     props.get(ColumnsProperty)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-      .filter(c => schema.fields.exists(f =>
-        f.name == c && supported(f.dataType)) && !partCols.contains(c))
+      .filter(c => ColumnMapping.fieldChain(schema, c.split('.').toSeq)
+        .exists(ch => supported(ch.last.dataType)) && !partCols.contains(c))
 
   /** Compute per-file blooms for `adds` (one aggregation pass over the
     * freshly written files), write them to a `_bloom/<id>/` parquet sidecar
@@ -107,15 +111,17 @@ object BloomIndex {
     // one relation for the column check AND the aggregation — constructing
     // it twice would re-list and re-read every fresh file's footer
     val newFiles = spark.read.parquet(paths0: _*)
-    val written = newFiles.columns.toSet
-    val cols = configured.filter(written.contains)
+    val cols = configured.filter(c =>
+      ColumnMapping.fieldChain(newFiles.schema, c.split('.').toSeq).isDefined)
     if (cols.isEmpty) return adds
 
     def hashCol(c: String): org.apache.spark.sql.Column =
-      schema.fields.find(_.name == c).get.dataType match {
+      ColumnMapping.fieldChain(schema, c.split('.').toSeq).get.last.dataType match {
         case StringType => xxhash64(col(c))
         case _          => xxhash64(col(c).cast(LongType))
       }
+    // backticked alias: a dotted nested path must stay a literal NAME here,
+    // not re-parse as a field access
     def bloomAgg(c: String): org.apache.spark.sql.Column =
       org.apache.spark.sql.graft.SparkBridge.column(
         BloomBuildAgg(org.apache.spark.sql.graft.SparkBridge.expression(hashCol(c)), bits)
@@ -131,7 +137,7 @@ object BloomIndex {
     val sidecarId = java.util.UUID.randomUUID().toString
     val sidecarPath = Fs.child(Fs.child(tablePath, SidecarDirName), sidecarId)
     perFile.select(col("__file").as("file"),
-        explode(map(cols.flatMap(c => Seq(lit(c), col(s"__bloom_$c"))): _*)))
+        explode(map(cols.flatMap(c => Seq(lit(c), col(s"`__bloom_$c`"))): _*)))
       .withColumnRenamed("key", "column")
       .withColumnRenamed("value", "bloom")
       // filters are KB-sized rows; a commit's whole sidecar fits one task

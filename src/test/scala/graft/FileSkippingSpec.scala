@@ -108,6 +108,26 @@ class FileSkippingSpec extends AnyFunSpec with SparkSessionTestWrapper {
       Seq(1024L / 32 * (0 until 32).sum, 32L * (0 until 32).sum))
   }
 
+  it("bloom indexes probe NESTED leaves (dotted graft.bloom.columns paths)") {
+    // even keys round-robin across 8 files: range stats keep all 8 for any
+    // equality on the NESTED key — only the bloom prunes
+    val t = GraftTable.create(spark, tmpTableDir("bloom-nested"),
+      spark.range(0, 2048).selectExpr("id * 2 AS k", "concat('v', id) AS v")
+        .selectExpr("named_struct('k', CAST(k AS INT), 'v', v) AS s").repartition(8),
+      properties = Map(
+        graft.tables.BloomIndex.ColumnsProperty -> "s.k",
+        graft.tables.BloomIndex.BitsProperty -> (1 << 16).toString))
+    assert(t.snapshot.files.size == 8)
+    assert(t.snapshot.files.forall(f =>
+      GraftLog.parseStats(f.stats).exists(_.bloomSidecar.nonEmpty)))
+    // existing nested key: survives and reads; absent-but-in-range: pruned
+    val kept = survivors(t, "s.k = 1000")
+    assert(kept >= 1 && kept <= 3, s"s.k=1000 scanned $kept of 8")
+    assert(t.toDF.where("s.k = 1000").count() == 1)
+    assert(survivors(t, "s.k = 1001") <= 1) // odd = absent; fp may keep one
+    assert(survivors(t, "s.k >= 0") == 8)   // ranges untouched by blooms
+  }
+
   it("partition-value pruning works without row-group stats") {
     val df = Seq((1, "US"), (2, "DE"), (3, "FR")).toDF("id", "country")
     val t = GraftTable.create(spark, tmpTableDir("fs-part"), df, partitionColumns = Seq("country"))

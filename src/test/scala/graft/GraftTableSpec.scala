@@ -222,6 +222,17 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(!isMetadataAnswered(d))
       assert(d.first().getDouble(0) == 0.5)
 
+      // NESTED struct leaves answer from stats too (their per-file min/max
+      // exist; parquet leaf stats range over non-null values = SQL min/max)
+      val ndir = tmpTableDir("graft-metaminmax-nested")
+      GraftTable.create(spark, ndir, spark.range(1, 51).selectExpr(
+        "id", "named_struct('a', CAST(id * 2 AS INT), 'b', concat('s', id)) AS s")
+        .repartition(4))
+      val ndf = spark.read.format("graft").load(ndir)
+      val nm = ndf.agg(min($"s.a").as("mn"), max($"s.a").as("mx"), max($"s.b").as("xs"))
+      assert(isMetadataAnswered(nm), nm.queryExecution.optimizedPlan.toString)
+      assert(nm.first().toSeq == Seq(2, 100, "s9"))
+
       // a filter disqualifies; scan answer stays correct
       val f = df.filter($"id" > 40).agg(min($"id"))
       assert(!isMetadataAnswered(f) && f.first().getInt(0) == 41)

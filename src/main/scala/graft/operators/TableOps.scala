@@ -694,10 +694,12 @@ object TableOps {
     val schema = snap.schema
     cols.foreach { c =>
       // dotted = nested struct leaf (their per-file stats exist too, so the
-      // clustered curve is skippable on every listed dimension)
-      val f = graft.tables.ColumnMapping.fieldChain(schema, c.split('.').toSeq)
+      // clustered curve is skippable on every listed dimension); paths
+      // through arrays/maps have no one-value-per-row leaf to cluster on
+      val f = graft.tables.ColumnMapping.structLeafChain(schema, c.split('.').toSeq)
         .map(_.last).getOrElse(
-          throw new IllegalArgumentException(s"zorder column $c not in table schema"))
+          throw new IllegalArgumentException(
+            s"zorder column $c is not a struct-leaf path in the table schema"))
       f.dataType match {
         case _: org.apache.spark.sql.types.NumericType => ()
         case org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType => ()

@@ -74,7 +74,7 @@ object BloomIndex {
       partCols: Seq[String]): Seq[String] =
     props.get(ColumnsProperty)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-      .filter(c => ColumnMapping.fieldChain(schema, c.split('.').toSeq)
+      .filter(c => ColumnMapping.structLeafChain(schema, c.split('.').toSeq)
         .exists(ch => supported(ch.last.dataType)) && !partCols.contains(c))
 
   /** Compute per-file blooms for `adds` (one aggregation pass over the
@@ -112,7 +112,7 @@ object BloomIndex {
     // it twice would re-list and re-read every fresh file's footer
     val newFiles = spark.read.parquet(paths0: _*)
     val cols = configured.filter(c =>
-      ColumnMapping.fieldChain(newFiles.schema, c.split('.').toSeq).isDefined)
+      ColumnMapping.structLeafChain(newFiles.schema, c.split('.').toSeq).isDefined)
     if (cols.isEmpty) return adds
 
     def hashCol(c: String): org.apache.spark.sql.Column =

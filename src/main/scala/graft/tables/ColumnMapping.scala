@@ -239,6 +239,14 @@ object ColumnMapping {
     }
   }
 
+  /** [[fieldChain]] restricted to STRUCT-ONLY descent — the paths with
+    * exactly ONE value per row (usable as stats keys, bloom columns,
+    * cluster/z-order dimensions); a path traversing an array or map has a
+    * variable number of values per row and no such identity.
+    */
+  def structLeafChain(schema: StructType, path: Seq[String]): Option[Seq[StructField]] =
+    fieldChain(schema, path).filter(_.init.forall(_.dataType.isInstanceOf[StructType]))
+
   /** True when `path`'s LAST step is a container position (array `element`,
     * map `key`/`value`) rather than a named field — such a step has no
     * named identity, so RENAME/DROP refuse it (its TYPE can still widen,

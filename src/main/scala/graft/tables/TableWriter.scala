@@ -730,15 +730,19 @@ object TableWriter {
 
   /** Comma-separated [[ClusterByProperty]] columns, validated against
     * `schema` (case-insensitively, resolving to the schema's spelling).
+    * Dotted paths cluster on NESTED struct leaves (their per-file stats
+    * make the clustering skippable); paths through arrays/maps have no
+    * one-value-per-row leaf and refuse loudly.
     */
   private[graft] def clusterByColumns(
       props: Map[String, String], schema: StructType): Seq[String] =
     props.get(ClusterByProperty).toSeq
       .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .map { c =>
-        schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.name).getOrElse(
-          throw new IllegalArgumentException(
-            s"$ClusterByProperty column '$c' is not in the table schema"))
+        ColumnMapping.structLeafChain(schema, c.split('.').toSeq)
+          .map(_.map(_.name).mkString(".")).getOrElse(
+            throw new IllegalArgumentException(
+              s"$ClusterByProperty column '$c' is not a struct-leaf path in the table schema"))
       }
 
   /** When [[OptimizeWriteProperty]] is set on the table, rewrite the staged
@@ -785,7 +789,7 @@ object TableWriter {
     // schema-merging append's missing cluster columns are all-null there,
     // not an error
     val clusterCols = clusterByColumns(props, tableSchema)
-      .filter(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      .filter(c => ColumnMapping.structLeafChain(schema, c.split('.').toSeq).isDefined)
     val rebinned =
       if (clusterCols.nonEmpty)
         // graft.clusterBy (liquid-clustering-lite): range-partition AND

@@ -757,6 +757,35 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(t2.toDF.count() == 11)
     }
 
+    it("clusterBy on a NESTED leaf keeps skippable per-file ranges; container paths refuse") {
+      def survivors(t: GraftTable, cond: String): Int = {
+        val c = graft.tables.FileSkipping.classify(spark, t.toDF, cond)
+        graft.tables.FileSkipping.filesMatching(t.snapshot, c.all, None).size
+      }
+      val shuffled = scala.util.Random.shuffle((0 until 20000).toList)
+      val t = GraftTable.create(spark, tmpTableDir("graft-cb-nested"),
+        shuffled.toDF("id")
+          .selectExpr("named_struct('k', id, 'v', concat('v', id)) AS s").repartition(8),
+        properties = Map(
+          TableWriter.OptimizeWriteProperty -> "true",
+          TableWriter.TargetFileSizeProperty -> "65536",
+          TableWriter.ClusterByProperty -> "s.k"))
+      assert(t.snapshot.numFiles > 1, s"fixture needs several files: ${t.snapshot.numFiles}")
+      assert(survivors(t, "s.k = 17") <= 2,
+        s"nested clustered write must skip: kept ${survivors(t, "s.k = 17")} of ${t.snapshot.numFiles}")
+      assert(t.toDF.count() == 20000)
+      // a path through an array has no one-value-per-row leaf — loud refusal
+      val e = intercept[IllegalArgumentException] {
+        GraftTable.create(spark, tmpTableDir("graft-cb-bad"),
+          spark.range(100).selectExpr("array(id) AS a").repartition(4),
+          properties = Map(
+            TableWriter.OptimizeWriteProperty -> "true",
+            TableWriter.TargetFileSizeProperty -> "65536",
+            TableWriter.ClusterByProperty -> "a.element"))
+      }
+      assert(e.getMessage.contains("struct-leaf"))
+    }
+
     it("clusterBy keeps per-file ranges tight through writes and compaction") {
       import org.apache.spark.sql.functions.col
       def survivors(t: GraftTable, cond: String): Int = {

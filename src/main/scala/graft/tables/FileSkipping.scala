@@ -307,8 +307,71 @@ object FileSkipping {
           s <- stats
           nc <- s.nullCount.get(statKey(name))
         } yield nc < s.numRecords).getOrElse(true)
+      // OR: the file survives when EITHER disjunct might match — each side
+      // recurses through the same conservative machinery, so `a = 1 OR
+      // a = 900` prunes exactly the files neither point can live in
+      case Or(l, r) =>
+        mightMatch(l, f, stats, schema, partCols, bloomCtx) ||
+          mightMatch(r, f, stats, schema, partCols, bloomCtx)
+      // AND below an OR (top-level conjuncts are pre-split): both sides
+      // must independently be possible for the file to survive this branch
+      case And(l, r) =>
+        mightMatch(l, f, stats, schema, partCols, bloomCtx) &&
+          mightMatch(r, f, stats, schema, partCols, bloomCtx)
+      // != prunes only the degenerate single-value file (min == max == v):
+      // rows there are either v (fails the predicate) or NULL (3VL: a null
+      // comparison filters out too) — no survivor possible
+      case Not(EqualTo(l, r)) =>
+        sides(l, r) match {
+          case Some((name, v, dt, _)) =>
+            (range(name), litVal(v, dt)) match {
+              case (Some((mn, mx)), Some(lit)) =>
+                !(cmp(mn, mx).contains(0) && cmp(mn, lit).contains(0))
+              case _ => true
+            }
+          case None => true
+        }
+      // LIKE 'p%': a match lies in [p, next(p)) where next(p) increments
+      // p's last incrementable char — the file survives iff its [min,max]
+      // overlaps that band. The 100 TB case this serves: URL/domain-prefix
+      // scans over clustered string keys.
+      case StartsWith(PathRef(name), Literal(p, StringType)) if p != null =>
+        prefixMightMatch(range(name), p.toString)
+      // LIKE reaches this layer un-simplified (the StartsWith rewrite is an
+      // optimizer rule; classify() resolves without optimizing) — extract
+      // the prefix when the pattern is a pure 'p%' shape
+      case Like(PathRef(name), Literal(p, StringType), escape) if p != null =>
+        val pat = p.toString
+        if (pat.nonEmpty && pat.last == '%' && {
+              val head = pat.dropRight(1)
+              !head.exists(c => c == '%' || c == '_' || c == escape)
+            })
+          prefixMightMatch(range(name), pat.dropRight(1))
+        else true
       case _ => true // unknown predicate shape: cannot prune
     }
+  }
+
+  /** File-range check for a string-prefix match: a match lies in
+    * [prefix, next(prefix)) — the file survives iff its [min,max] overlaps.
+    */
+  private def prefixMightMatch(range: Option[(Any, Any)], prefix: String): Boolean =
+    range match {
+      case Some((mn: String, mx: String)) =>
+        mx.compareTo(prefix) >= 0 &&
+          prefixUpperBound(prefix).forall(ub => mn.compareTo(ub) < 0)
+      case _ => true
+    }
+
+  /** The exclusive upper bound of the `LIKE 'p%'` match band: `p` with its
+    * last non-￿ char incremented (trailing max-chars dropped). None =
+    * unbounded (every char is ￿) → no upper prune.
+    */
+  private def prefixUpperBound(p: String): Option[String] = {
+    var i = p.length - 1
+    while (i >= 0 && p.charAt(i) == Char.MaxValue) i -= 1
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
   }
 
   /** Catalyst literal internal value → canonical comparable (Long/Double/String/Boolean). */

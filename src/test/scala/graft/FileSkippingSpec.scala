@@ -136,6 +136,25 @@ class FileSkippingSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(survivors(t, "country = 'JP'") == 0)
   }
 
+  it("OR, != and LIKE-prefix predicates prune") {
+    val t = rangedTable("fs-or") // ids 1..24 in 6 files of 4; names n1..n24
+    // OR: each disjunct pins its own file
+    assert(survivors(t, "id = 2 OR id = 23") == 2)
+    assert(survivors(t, "(id >= 5 AND id <= 7) OR id = 21") == 2)
+    assert(survivors(t, "id = 2 OR id = 200") == 1) // impossible side adds nothing
+    // !=: prunes only a provably single-value file — partition dirs are
+    // point ranges, so a partitioned table shows it exactly
+    assert(survivors(t, "id != 3") == 6) // multi-value files all survive
+    val u = GraftTable.create(spark, tmpTableDir("fs-ne"),
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "x"),
+      partitionColumns = Seq("id"))
+    assert(survivors(u, "id != 2") == 2)
+    // LIKE 'p%': the match band is [p, next(p)) against string min/max
+    assert(survivors(t, "name LIKE 'zz%'") == 0)
+    assert(survivors(t, "name LIKE 'n1%'") == 4) // files holding n1/n1x strings
+    assert(t.toDF.where("name LIKE 'n1%'").count() == 11) // n1, n10..n19
+  }
+
   it("IN, IsNull and IsNotNull are handled") {
     val t = rangedTable("fs-in")
     assert(survivors(t, "id IN (2, 3)") == 1)

@@ -3080,6 +3080,31 @@ object SparkEntry {
       }
     }),
 
+    "s48_like_skipping" -> ((s, dir) => {
+      import s.implicits._
+      // LIKE-'p%' file skipping: customer bucketed on c_custkey (TPC-H
+      // names are zero-padded custkeys, so name order == key order and
+      // per-bucket name min/max are tight). Which buckets survive the
+      // prefix band [p, next(p)) is derivable from the data — DuckDB
+      // replays the same band against per-bucket min/max names.
+      val cust = read(s, dir, "customer")
+      val maxKey = cust.agg(max(col("c_custkey")).cast("long")).first().getLong(0)
+      val width = maxKey / 8 + 1
+      val bucketed = cust.select("c_custkey", "c_name", "c_acctbal")
+        .withColumn("bucket", (col("c_custkey").cast("long") / width).cast("long"))
+      val t = GraftTable.create(s, tmp("s48"), bucketed.coalesce(1),
+        partitionColumns = Seq("bucket"))
+      () => {
+      val pred = "c_name LIKE 'Customer#0000001%'"
+      val cls = graft.tables.FileSkipping.classify(s, t.toDF, pred)
+      val scanned =
+        graft.tables.FileSkipping.filesMatching(t.snapshot, cls.all, None).size.toLong
+      val rows = t.toDF.where(pred).count()
+      Seq((scanned, t.snapshot.numFiles.toLong, rows))
+        .toDF("files_scanned", "total_files", "rows_matching")
+      }
+    }),
+
     "s8_skipping_counts" -> ((s, dir) => {
       import s.implicits._
       // deterministic skipping: contiguous key-range buckets (one file per
@@ -4527,6 +4552,17 @@ object SparkEntry {
         |UNION ALL SELECT 'unresolved_files', (SELECT count(*) FROM b)
         |UNION ALL SELECT 'files_df_rows', (SELECT count(*) FROM b)
         |UNION ALL SELECT 'unresolved_columns', 0""".stripMargin,
+    "s48_like_skipping" ->
+      """WITH w AS (SELECT max(c_custkey) // 8 + 1 AS width FROM customer),
+        |b AS (SELECT c_custkey // width AS bucket,
+        |             min(c_name) AS mn, max(c_name) AS mx
+        |      FROM customer, w GROUP BY 1)
+        |SELECT CAST((SELECT count(*) FROM b
+        |             WHERE mx >= 'Customer#0000001'
+        |               AND mn < 'Customer#0000002') AS BIGINT) AS files_scanned,
+        |       (SELECT count(*) FROM b) AS total_files,
+        |       (SELECT count(*) FROM customer
+        |        WHERE c_name LIKE 'Customer#0000001%') AS rows_matching""".stripMargin,
     "s47_nested_skipping" ->
       """WITH w AS (SELECT max(o_custkey) // 8 + 1 AS width FROM orders),
         |b AS (SELECT o_custkey // width AS bucket,

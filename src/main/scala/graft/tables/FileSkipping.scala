@@ -294,6 +294,12 @@ object FileSkipping {
       case LessThanOrEqual(l, r) => mightMatch(GreaterThanOrEqual(r, l), f, stats, schema, partCols, bloomCtx)
       case In(a @ PathRef(_), list) if list.forall(_.isInstanceOf[Literal]) =>
         list.exists(lit => mightMatch(EqualTo(a, lit), f, stats, schema, partCols, bloomCtx))
+      // the optimizer converts large IN lists to InSet before the scan path
+      // sees them — same per-value equality check, bounded so a pathological
+      // million-value set cannot stall per-file planning
+      case InSet(a @ PathRef(_), vs) if vs.size <= 256 =>
+        vs.exists(v => mightMatch(EqualTo(a, Literal(v, a.dataType)),
+          f, stats, schema, partCols, bloomCtx))
       case IsNull(PathRef(name)) =>
         if (partCols.contains(name))
           f.partitionValues.get(statKey(name)).forall(_ == TableWriter.HiveDefaultPartition)

@@ -153,6 +153,11 @@ class FileSkippingSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(survivors(t, "name LIKE 'zz%'") == 0)
     assert(survivors(t, "name LIKE 'n1%'") == 4) // files holding n1/n1x strings
     assert(t.toDF.where("name LIKE 'n1%'").count() == 11) // n1, n10..n19
+    // InSet — the optimizer's large-IN form, as the scan path pushes it
+    val idAttr = t.toDF.queryExecution.analyzed.output.find(_.name == "id").get
+    val inset = org.apache.spark.sql.catalyst.expressions.InSet(
+      idAttr, (Seq(2, 23) ++ (100 to 150)).map(_.asInstanceOf[Any]).toSet)
+    assert(FileSkipping.filesMatching(t.snapshot, Seq(inset), None).size == 2)
   }
 
   it("IN, IsNull and IsNotNull are handled") {

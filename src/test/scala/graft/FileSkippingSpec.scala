@@ -136,6 +136,19 @@ class FileSkippingSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(survivors(t, "country = 'JP'") == 0)
   }
 
+  it("nested stats leaves are capped; top-level primitives always indexed") {
+    val wide = (0 until 40).map(i => s"'f$i', CAST(id AS INT)").mkString(", ")
+    val t = GraftTable.create(spark, tmpTableDir("fs-statscap"),
+      spark.range(8).selectExpr("id", s"named_struct($wide) AS s"))
+    val st = GraftLog.parseStats(t.snapshot.files.head.stats).get
+    val nested = st.minValues.keys.filter(_.contains('.'))
+    assert(nested.size == graft.tables.ParquetStats.MaxNestedStatsLeaves,
+      s"expected capped nested stats, got ${nested.size}")
+    assert(st.minValues.contains("id")) // top-level always indexed
+    // queries on un-indexed leaves stay correct (no stats = no prune)
+    assert(t.toDF.where("s.f39 >= 0").count() == 8)
+  }
+
   it("OR, != and LIKE-prefix predicates prune") {
     val t = rangedTable("fs-or") // ids 1..24 in 6 files of 4; names n1..n24
     // OR: each disjunct pins its own file

@@ -3105,6 +3105,49 @@ object SparkEntry {
       }
     }),
 
+    "s49_utf8_stats" -> ((s, dir) => {
+      import s.implicits._
+      // UTF-8 vs UTF-16 string-order divergence: every string carries, at
+      // the order-deciding position, either U+E000 (private-use BMP, UTF-8
+      // 0xEE 80 80) or the U+1F600 emoji (supplementary plane, UTF-8
+      // 0xF0 9F 98 80 but UTF-16 surrogates 0xD83D 0xDE00). UTF-16 sorts
+      // the emoji BELOW U+E000, UTF-8 sorts it ABOVE — so range skipping,
+      // the LIKE-prefix band, and the metadata-only max are only correct
+      // when every stats comparison runs in unsigned UTF-8 byte order
+      // (Utf8Order), the order Spark evaluates strings in and parquet
+      // computes footer min/max in. One file per parity bucket; DuckDB
+      // (memcmp collation) replays the band logic and the true max.
+      val priv = ""
+      val emoji = "😀" // U+1F600
+      val tagged = read(s, dir, "nation").select(
+        col("n_nationkey"),
+        concat(lit("doc-"),
+          when(col("n_nationkey") % 2 === 0, lit(priv)).otherwise(lit(emoji)),
+          col("n_name")).as("name_u"),
+        (col("n_nationkey") % 2).cast("long").as("bucket"))
+      val t = GraftTable.create(s, tmp("s49"), tagged.coalesce(1),
+        partitionColumns = Seq("bucket"))
+      () => {
+      import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+      val predRange = s"name_u >= 'doc-$priv'"   // matches BOTH files in UTF-8
+      val predLike  = s"name_u LIKE 'doc-$emoji%'" // matches the emoji file only
+      def scanned(pred: String): Long = {
+        val cls = graft.tables.FileSkipping.classify(s, t.toDF, pred)
+        graft.tables.FileSkipping.filesMatching(t.snapshot, cls.all, None).size.toLong
+      }
+      val agg = t.toDF.agg(max(col("name_u")).as("mx"))
+      val metadataOnly = agg.queryExecution.optimizedPlan.collectFirst {
+        case _: LocalRelation => true
+      }.getOrElse(false)
+      Seq((scanned(predRange), scanned(predLike), t.snapshot.numFiles.toLong,
+        t.toDF.where(predRange).count(), t.toDF.where(predLike).count(),
+        agg.first().getString(0), metadataOnly))
+        .toDF("files_scanned_range", "files_scanned_like", "total_files",
+          "rows_matching_range", "rows_matching_like", "max_name",
+          "metadata_only")
+      }
+    }),
+
     "s8_skipping_counts" -> ((s, dir) => {
       import s.implicits._
       // deterministic skipping: contiguous key-range buckets (one file per
@@ -4563,6 +4606,26 @@ object SparkEntry {
         |       (SELECT count(*) FROM b) AS total_files,
         |       (SELECT count(*) FROM customer
         |        WHERE c_name LIKE 'Customer#0000001%') AS rows_matching""".stripMargin,
+    "s49_utf8_stats" ->
+      """WITH n AS (SELECT 'doc-' ||
+        |             CASE WHEN n_nationkey % 2 = 0 THEN chr(57344)
+        |                  ELSE chr(128512) END || n_name AS name_u,
+        |           n_nationkey % 2 AS bucket
+        |    FROM nation),
+        |b AS (SELECT bucket, min(name_u) AS mn, max(name_u) AS mx
+        |      FROM n GROUP BY 1)
+        |SELECT
+        |  CAST((SELECT count(*) FROM b
+        |        WHERE mx >= 'doc-' || chr(57344)) AS BIGINT) AS files_scanned_range,
+        |  CAST((SELECT count(*) FROM b
+        |        WHERE mx >= 'doc-' || chr(128512)
+        |          AND mn < 'doc-' || chr(128513)) AS BIGINT) AS files_scanned_like,
+        |  (SELECT count(*) FROM b) AS total_files,
+        |  (SELECT count(*) FROM n WHERE name_u >= 'doc-' || chr(57344)) AS rows_matching_range,
+        |  (SELECT count(*) FROM n
+        |   WHERE name_u LIKE 'doc-' || chr(128512) || '%') AS rows_matching_like,
+        |  (SELECT max(name_u) FROM n) AS max_name,
+        |  true AS metadata_only""".stripMargin,
     "s47_nested_skipping" ->
       """WITH w AS (SELECT max(o_custkey) // 8 + 1 AS width FROM orders),
         |b AS (SELECT o_custkey // width AS bucket,

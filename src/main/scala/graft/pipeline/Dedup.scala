@@ -396,7 +396,12 @@ object Dedup {
         else { parent(rb) = ra; rank(ra) = rank(ra) + 1 }
       }
     }
-    def lt(x: Any, y: Any): Boolean = x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    // String ids order in UTF-8 byte space — the same order Spark's min()
+    // (and a relational oracle) would pick the cluster representative in.
+    def lt(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: String, b: String) => graft.tables.Utf8Order.lt(a, b)
+      case _ => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    }
     val minOfRoot = scala.collection.mutable.HashMap.empty[Any, Any]
     parent.keys.foreach { v =>
       val r = find(v)

@@ -747,7 +747,7 @@ object GraftMetadataOnlyAggregate extends Rule[LogicalPlan] {
 
   private def compareVals(x: Any, y: Any): Int = (x, y) match {
     case (a: Long, b: Long)       => java.lang.Long.compare(a, b)
-    case (a: String, b: String)   => a.compareTo(b)
+    case (a: String, b: String)   => graft.tables.Utf8Order.compare(a, b) // Spark/parquet order, NOT UTF-16
     case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
     case _ => sys.error(s"unexpected stat value pairing: $x / $y")
   }

@@ -120,7 +120,7 @@ object FileSkipping {
     def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
       case (x: Long, y: Long)       => Some(java.lang.Long.compare(x, y))
       case (x: Double, y: Double)   => Some(java.lang.Double.compare(x, y))
-      case (x: String, y: String)   => Some(x.compareTo(y))
+      case (x: String, y: String)   => Some(Utf8Order.compare(x, y)) // Spark/parquet order, NOT UTF-16
       case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
       case _                        => None
     }
@@ -220,7 +220,7 @@ object FileSkipping {
     def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
       case (x: Long, y: Long)     => Some(java.lang.Long.compare(x, y))
       case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
-      case (x: String, y: String) => Some(x.compareTo(y))
+      case (x: String, y: String) => Some(Utf8Order.compare(x, y)) // Spark/parquet order, NOT UTF-16
       case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
       case _ => None
     }
@@ -360,25 +360,18 @@ object FileSkipping {
 
   /** File-range check for a string-prefix match: a match lies in
     * [prefix, next(prefix)) — the file survives iff its [min,max] overlaps.
+    * The band and both comparisons live in UTF-8 BYTE space ([[Utf8Order]]):
+    * Spark evaluates `startsWith`, and parquet computes the footer min/max,
+    * in unsigned UTF-8 byte order, so a UTF-16 band would prune files that
+    * hold matches once the data mixes emoji with U+E000–U+FFFF chars.
     */
   private def prefixMightMatch(range: Option[(Any, Any)], prefix: String): Boolean =
     range match {
       case Some((mn: String, mx: String)) =>
-        mx.compareTo(prefix) >= 0 &&
-          prefixUpperBound(prefix).forall(ub => mn.compareTo(ub) < 0)
+        Utf8Order.gteq(mx, prefix) &&
+          Utf8Order.prefixUpperBound(prefix).forall(ub => Utf8Order.ltBytes(mn, ub))
       case _ => true
     }
-
-  /** The exclusive upper bound of the `LIKE 'p%'` match band: `p` with its
-    * last non-￿ char incremented (trailing max-chars dropped). None =
-    * unbounded (every char is ￿) → no upper prune.
-    */
-  private def prefixUpperBound(p: String): Option[String] = {
-    var i = p.length - 1
-    while (i >= 0 && p.charAt(i) == Char.MaxValue) i -= 1
-    if (i < 0) None
-    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
-  }
 
   /** Catalyst literal internal value → canonical comparable (Long/Double/String/Boolean). */
   private def canonical(v: Any, dt: DataType): Option[Any] = {

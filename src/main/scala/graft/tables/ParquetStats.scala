@@ -126,7 +126,7 @@ object ParquetStats {
     case (x: Double, y: Double)   => if ((x < y) == min) x else y
     case (x: Float, y: Float)     => if ((x < y) == min) x else y
     case (x: Boolean, y: Boolean) => if ((!x) == min) x else y
-    case (x: String, y: String)   => if ((x.compareTo(y) < 0) == min) x else y
+    case (x: String, y: String)   => if (Utf8Order.lt(x, y) == min) x else y // Spark/parquet order, NOT UTF-16
     case _                        => a
   }
 }

@@ -173,6 +173,52 @@ class FileSkippingSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(FileSkipping.filesMatching(t.snapshot, Seq(inset), None).size == 2)
   }
 
+  it("string stats compare in UTF-8 byte order, not UTF-16 (emoji vs U+E000)") {
+    // U+E000 (private-use BMP, UTF-8 0xEE 80 80) vs U+1F600 (supplementary
+    // plane, UTF-8 0xF0 9F 98 80 but UTF-16 surrogates 0xD83D 0xDE00):
+    // UTF-16 sorts the emoji BELOW U+E000, UTF-8 (= Spark's and parquet's
+    // string order) sorts it ABOVE. A UTF-16 comparator prunes files that
+    // hold matches — silent lost rows on any emoji-bearing corpus.
+    val priv = ""; val emoji = "😀"
+    assert(Utf8Order.lt("doc-" + priv, "doc-" + emoji)) // byte order
+    assert(("doc-" + priv).compareTo("doc-" + emoji) > 0) // the Java order we must NOT use
+    val rows = (1 to 8).map(i =>
+      (i, "doc-" + (if (i % 2 == 0) priv else emoji) + s"n$i", i % 2))
+    val t = GraftTable.create(spark, tmpTableDir("fs-utf8"),
+      rows.toDF("id", "name", "bucket").coalesce(1),
+      partitionColumns = Seq("bucket"))
+    assert(t.snapshot.numFiles == 2)
+    // >= 'doc-' matches EVERY row in UTF-8 order; a UTF-16 comparator
+    // would prune the emoji file (its max sorts below the literal there)
+    assert(survivors(t, s"name >= 'doc-$priv'") == 2)
+    assert(t.toDF.where(s"name >= 'doc-$priv'").count() == 8)
+    // the private-use file IS prunable for an emoji lower bound
+    assert(survivors(t, s"name >= 'doc-$emoji'") == 1)
+    assert(t.toDF.where(s"name >= 'doc-$emoji'").count() == 4)
+    // the LIKE band [p, next(p)) computed in UTF-8 byte space
+    assert(survivors(t, s"name LIKE 'doc-$emoji%'") == 1)
+    assert(t.toDF.where(s"name LIKE 'doc-$emoji%'").count() == 4)
+    assert(survivors(t, s"name LIKE 'doc-$priv%'") == 1)
+    // metadata-only max folds cross-file stats in byte order too: the real
+    // max is an emoji string, and the answer comes from a LocalRelation
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.functions.{max, min}
+    val agg = spark.read.format("graft").load(t.path)
+      .agg(max(org.apache.spark.sql.functions.col("name")).as("mx"),
+        min(org.apache.spark.sql.functions.col("name")).as("mn"))
+    assert(agg.queryExecution.optimizedPlan.collectFirst {
+      case l: LocalRelation => l }.nonEmpty,
+      s"expected metadata-only fold:\n${agg.queryExecution.optimizedPlan}")
+    val r = agg.first()
+    assert(r.getString(0) == "doc-" + emoji + "n7") // byte-max, not UTF-16 max
+    assert(r.getString(1) == "doc-" + priv + "n2")
+    // Utf8Order's LIKE upper bound: valid-UTF-8 round trip on the emoji
+    // prefix increments the final byte (0x80 -> 0x81 = U+1F601)
+    val ub = Utf8Order.prefixUpperBound("doc-" + emoji).get
+    assert(Utf8Order.ltBytes("doc-" + emoji + "zzz", ub))
+    assert(!Utf8Order.ltBytes("doc-😁", ub)) // next emoji is outside the band
+  }
+
   it("IN, IsNull and IsNotNull are handled") {
     val t = rangedTable("fs-in")
     assert(survivors(t, "id IN (2, 3)") == 1)

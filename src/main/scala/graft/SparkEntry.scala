@@ -3024,6 +3024,42 @@ object SparkEntry {
       s.sql("SELECT s_suppkey, s_nationkey, s_acctbal FROM graft_cat.s46.supp_t")
     }),
 
+    "s50_replace_table" -> ((s, dir) => {
+      // CREATE OR REPLACE TABLE ... AS SELECT: ONE atomic commit swaps
+      // contents + schema + partitioning + properties (remove-all + adds),
+      // history stays time-travelable, and with CDF on the commit carries
+      // every prior row as `delete` and every new row as `insert`. The
+      // oracle replays the new contents relationally and pins the
+      // time-travel/CDF counts to the pre/post row sets.
+      catalogWarehouse(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.s50")
+      read(s, dir, "nation").createOrReplaceTempView("s50_nat")
+      read(s, dir, "orders").createOrReplaceTempView("s50_ord")
+      s.sql("DROP TABLE IF EXISTS graft_cat.s50.t")
+      s.sql("CREATE TABLE graft_cat.s50.t " +
+        "TBLPROPERTIES('graft.enableChangeDataFeed'='true') AS " +
+        "SELECT n_nationkey, n_name FROM s50_nat")
+      s.sql("CREATE OR REPLACE TABLE graft_cat.s50.t USING graft " +
+        "PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES('graft.enableChangeDataFeed'='true') AS " +
+        "SELECT o_orderstatus, count(*) AS cnt FROM s50_ord GROUP BY o_orderstatus")
+      () => {
+      val t = GraftTable.forName(s, "graft_cat.s50.t")
+      val v = t.version
+      val cdf = ChangeDataFeedHelper(s, t.path, v, v).readCDF
+      // a REPLACE (not OR CREATE) of a missing table must refuse loudly
+      val refused =
+        try { s.sql("REPLACE TABLE graft_cat.s50.missing (a INT) USING graft"); false }
+        catch { case _: Throwable => true }
+      t.toDF.select(col("o_orderstatus"), col("cnt"))
+        .withColumn("tt_rows", lit(t.toDFAt(1).count()))
+        .withColumn("cdf_deletes", lit(cdf.where("_change_type = 'delete'").count()))
+        .withColumn("cdf_inserts", lit(cdf.where("_change_type = 'insert'").count()))
+        .withColumn("replace_version", lit(v))
+        .withColumn("missing_refused", lit(refused))
+      }
+    }),
+
     "s42_uri_table" -> ((s, dir) => {
       // REMOTE-scheme storage end-to-end: the whole engine addressed by a
       // hadoop-FileSystem URI instead of a local path — log IO through
@@ -3125,7 +3161,8 @@ object SparkEntry {
           when(col("n_nationkey") % 2 === 0, lit(priv)).otherwise(lit(emoji)),
           col("n_name")).as("name_u"),
         (col("n_nationkey") % 2).cast("long").as("bucket"))
-      val t = GraftTable.create(s, tmp("s49"), tagged.coalesce(1),
+      val dir49 = tmp("s49")
+      val t = GraftTable.create(s, dir49, tagged.coalesce(1),
         partitionColumns = Seq("bucket"))
       () => {
       import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
@@ -3135,7 +3172,9 @@ object SparkEntry {
         val cls = graft.tables.FileSkipping.classify(s, t.toDF, pred)
         graft.tables.FileSkipping.filesMatching(t.snapshot, cls.all, None).size.toLong
       }
-      val agg = t.toDF.agg(max(col("name_u")).as("mx"))
+      // the metadata-only rule rewrites the SOURCE relation shape (s34's
+      // path): aggregate over the graft read, not the pinned-snapshot DF
+      val agg = s.read.format("graft").load(dir49).agg(max(col("name_u")).as("mx"))
       val metadataOnly = agg.queryExecution.optimizedPlan.collectFirst {
         case _: LocalRelation => true
       }.getOrElse(false)
@@ -4606,6 +4645,14 @@ object SparkEntry {
         |       (SELECT count(*) FROM b) AS total_files,
         |       (SELECT count(*) FROM customer
         |        WHERE c_name LIKE 'Customer#0000001%') AS rows_matching""".stripMargin,
+    "s50_replace_table" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       (SELECT count(*) FROM nation) AS tt_rows,
+        |       (SELECT count(*) FROM nation) AS cdf_deletes,
+        |       (SELECT count(DISTINCT o_orderstatus) FROM orders) AS cdf_inserts,
+        |       CAST(2 AS BIGINT) AS replace_version,
+        |       true AS missing_refused
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "s49_utf8_stats" ->
       """WITH n AS (SELECT 'doc-' ||
         |             CASE WHEN n_nationkey % 2 = 0 THEN chr(57344)

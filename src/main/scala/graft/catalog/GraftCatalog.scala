@@ -46,7 +46,7 @@ import graft.tables.{Fs, GraftTable}
   * (`TableCapability.V1_BATCH_WRITE`) routes INSERT / CTAS / INSERT
   * OVERWRITE through the commit log's append/overwrite.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -92,6 +92,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val n = node(ident)
     GraftCatalog.externalLocation(n).getOrElse(n)
   }
+
+  /** Identity-transform partition columns — the only partitioning graft
+    * tables support (Delta's rule too).
+    */
+  private def identityPartCols(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case t => throw new UnsupportedOperationException(
+        s"graft tables support identity partitioning only, got: $t")
+    }
 
   // ---- tables ---------------------------------------------------------
 
@@ -161,12 +172,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val n = node(ident)
     if (GraftTable.exists(n) || GraftCatalog.externalLocation(n).isDefined)
       throw new TableAlreadyExistsException(ident)
-    val partCols = partitions.toSeq.map {
-      case t if t.name == "identity" && t.references.length == 1 =>
-        t.references.head.fieldNames.mkString(".")
-      case t => throw new UnsupportedOperationException(
-        s"graft tables support identity partitioning only, got: $t")
-    }
+    val partCols = identityPartCols(partitions)
     val props = properties.asScala.toMap -- GraftCatalog.ReservedProperties
     val declaredLoc = Option(properties.get(TableCatalog.PROP_LOCATION))
       .map(_.trim).filter(_.nonEmpty)
@@ -254,6 +260,141 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         }
         new GraftV2Table(loc, ident)
     }
+  }
+
+  // ---- atomic CREATE OR REPLACE (StagingTableCatalog) ------------------
+
+  override def stageCreate(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    new GraftStagedTable(ident, schema, partitions, properties, orCreate = false)
+  }
+
+  override def stageReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftStagedTable(ident, schema, partitions, properties, orCreate = false)
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    new GraftStagedTable(ident, schema, partitions, properties, orCreate = true)
+
+  /** Staged handle for `CREATE [OR REPLACE] / REPLACE TABLE [AS SELECT]`
+    * (Spark routes these through [[StagingTableCatalog]] when the catalog
+    * offers it, so a replace is atomic rather than drop+create — drop+
+    * create would also destroy the commit history a graft replace keeps).
+    *
+    * graft's unit of atomicity is the commit log, so the staged protocol
+    * maps straight onto it:
+    *  - REPLACE of an existing table: the V1-fallback write performs ONE
+    *    [[graft.operators.TableOps.replaceTable]] commit — remove-all +
+    *    new schema/partitioning/properties + new files (+ CDF
+    *    delete/insert rows), OCC-fenced, history preserved. Readers see
+    *    the old table until that single commit lands;
+    *    `commitStagedChanges` is then a no-op.
+    *  - CREATE (CTAS): `createTable` + append — the same two-commit shape
+    *    as the non-atomic path (external LOCATION handling included), plus
+    *    `abortStagedChanges` dropping the half-created table when the
+    *    query fails mid-write.
+    *  - data-less `REPLACE TABLE` DDL: no write runs, so
+    *    `commitStagedChanges` itself performs the empty replace (declared
+    *    schema, zero rows).
+    */
+  private class GraftStagedTable(
+      ident: Identifier,
+      declaredSchema: StructType,
+      partitions: Array[Transform],
+      tableProps: util.Map[String, String],
+      orCreate: Boolean)
+      extends StagedTable with SupportsWrite {
+
+    private val partCols = identityPartCols(partitions)
+    private var wrote = false
+    private var created = false
+
+    override def name(): String = ident.toString
+    override def schema(): StructType = declaredSchema
+    override def partitioning(): Array[Transform] = partitions
+    override def properties(): util.Map[String, String] = tableProps
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+    /** True when execution must REPLACE (the table exists now) — decided at
+      * run time, not stage time, so `CREATE OR REPLACE` takes the branch
+      * matching the state it actually executes against.
+      */
+    private def replacing: Boolean = tableExists(ident)
+
+    private def doReplace(data: Option[DataFrame]): Unit = {
+      // LOCATION on REPLACE: allowed only when it re-states the table's
+      // current location — silently re-pointing would strand the old data
+      Option(tableProps.get(TableCatalog.PROP_LOCATION)).map(_.trim).filter(_.nonEmpty)
+        .foreach { raw =>
+          val declared = GraftCatalog.normalizeWarehouse(raw)
+          val current = tableDir(ident)
+          require(declared == current,
+            s"REPLACE TABLE $ident LOCATION '$raw': the table's data lives " +
+              s"at '$current' — REPLACE cannot re-point a table; DROP it " +
+              "and CREATE at the new location instead")
+        }
+      graft.operators.TableOps.replaceTable(
+        GraftTable.forPath(spark, tableDir(ident)),
+        data,
+        schema = Some(declaredSchema),
+        partitionColumns = partCols,
+        properties = tableProps.asScala.toMap -- GraftCatalog.ReservedProperties,
+        operation =
+          if (data.isEmpty) "REPLACE TABLE"
+          else if (orCreate) "CREATE OR REPLACE TABLE AS SELECT"
+          else "REPLACE TABLE AS SELECT")
+      ()
+    }
+
+    private def doCreate(data: Option[DataFrame]): Unit = {
+      createTable(ident, declaredSchema, partitions, tableProps)
+      created = true
+      data.foreach { d =>
+        GraftTable.forPath(spark, tableDir(ident))
+          .append(d, operation = "CREATE TABLE AS SELECT")
+        ()
+      }
+    }
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder with SupportsTruncate {
+        override def truncate(): WriteBuilder = this
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+                wrote = true
+                if (replacing) doReplace(Some(data)) else doCreate(Some(data))
+              }
+            }
+        }
+      }
+
+    override def commitStagedChanges(): Unit =
+      if (!wrote) {
+        if (replacing) doReplace(None) else doCreate(None)
+      }
+
+    override def abortStagedChanges(): Unit =
+      if (created) {
+        // roll back the CTAS-create (a failed REPLACE needs no rollback —
+        // its single commit never landed)
+        try { dropTable(ident); () } catch { case _: Throwable => () }
+      }
   }
 
   /** Property changes and column DDL commit to the log

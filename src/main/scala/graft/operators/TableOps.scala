@@ -851,9 +851,13 @@ object TableOps {
     val missing = snap.files.filter(f => GraftLog.parseStats(f.stats).isEmpty)
     if (missing.isEmpty) return 0
     val conf = spark.sessionState.newHadoopConf()
+    val statsSel = ParquetStats.statsColumnsOf(snap.metadata.properties, snap.schema)
     val readd = TableWriter.harvestParallel(missing) { f =>
+      // stat-less files came from a FOREIGN writer: string min/max may be
+      // truncated bounds — mark non-tight (skipping only, never answered)
       f.copy(stats = GraftLog.renderStats(ParquetStats.forFile(
-        GraftTable.resolveDataPath(table.path, f.path).toString, conf)))
+        GraftTable.resolveDataPath(table.path, f.path).toString, conf, statsSel)
+        .copy(tightBounds = false)))
     }
     TableWriter.write(spark, table.path,
       table.dfForFiles(snap, Nil), // no data written; satisfies the signature
@@ -959,6 +963,76 @@ object TableOps {
       readVersion = Some(cur.version),
       skipDataWrite = true,
       metadataOverride = Some(target.metadata))
+  }
+
+  /** CREATE OR REPLACE TABLE core (Delta's `REPLACE TABLE [AS SELECT]`):
+    * ONE commit atomically swaps the table's contents AND definition —
+    * every current file is removed, the new data's files (if any) are
+    * added, and the committed metadata is the NEW schema / partitioning /
+    * properties (prior properties — and with them prior CHECK constraints,
+    * generated/default/identity declarations, column mapping — do not
+    * carry over; session default properties apply as on a fresh create).
+    * History is preserved: the replace is a new version on top, every
+    * prior state stays time-travelable.
+    *
+    * With CDF enabled IN THE REPLACED STATE (like RESTORE, the committed
+    * property regime governs), the commit carries full change rows: every
+    * prior row as `delete`, every new row as `insert` — so CDF readers and
+    * streams see the re-materialization as data change, not a gap. The
+    * incoming frame is localCheckpoint-pinned first so the data files and
+    * the insert-side change rows are computed from ONE evaluation of the
+    * query (a nondeterministic source cannot diverge the two).
+    *
+    * Concurrency: the replace's read footprint is the entire current
+    * table (RESTORE's discipline) — a concurrent commit that removed or
+    * rewrote any file, or changed metadata, aborts it; a concurrent blind
+    * append serializes before it and is replaced with everything else.
+    *
+    * @param data    the new contents (None = data-less `REPLACE TABLE` DDL:
+    *                the table becomes empty with the declared schema)
+    * @param schema  the declared schema for a data-less replace (ignored
+    *                when `data` is given — the frame's schema governs)
+    * @return the committed version
+    */
+  def replaceTable(
+      table: GraftTable,
+      data: Option[DataFrame],
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      partitionColumns: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty,
+      operation: String = "CREATE OR REPLACE TABLE AS SELECT"): Long = {
+    val spark = table.spark
+    val cur = table.snapshot
+    require(data.nonEmpty || schema.nonEmpty,
+      "REPLACE TABLE needs the new contents or a declared schema")
+    val newProps = GraftTable.sessionDefaultProperties(spark) ++ properties
+    val cdfOn = newProps.get(GraftLog.CdfProperty).exists(_.equalsIgnoreCase("true"))
+    // pin ONE evaluation of the query when it must be written twice
+    // (data files + insert-side change rows)
+    val pinned = data.map(d => if (cdfOn) d.localCheckpoint() else d)
+    val cdc: Option[DataFrame] =
+      if (!cdfOn || (cur.files.isEmpty && pinned.isEmpty)) None
+      else {
+        val deletes = table.dfForFiles(cur, cur.files)
+          .withColumn("_change_type", lit("delete"))
+        val inserts = pinned.map(_.withColumn("_change_type", lit("insert")))
+        Some(inserts.fold(deletes)(i =>
+          deletes.unionByName(i, allowMissingColumns = true)))
+      }
+    val frame = pinned.getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.get))
+    TableWriter.write(spark, table.path, frame, TableWriter.Overwrite,
+      partitionColumns = partitionColumns,
+      explicitPartitioning = true,
+      properties = properties,
+      replaceProperties = true,
+      operation = operation,
+      extraMetrics = Map("numRemovedFiles" -> cur.files.size.toString),
+      cdc = cdc,
+      readFiles = cur.files.map(_.path),
+      readVersion = Some(cur.version),
+      skipDataWrite = data.isEmpty)
   }
 
   /** VACUUM by retention DURATION (Delta's public vacuum shape): the horizon

@@ -732,6 +732,17 @@ object GraftMetadataOnlyAggregate extends Rule[LogicalPlan] {
     if (perFile.exists(_.isEmpty)) return None
     val contributing = perFile.flatten.flatten
     if (contributing.isEmpty) return Some(null)
+    // Exactness guard: parquet writers configured with
+    // `parquet.statistics.truncate.length` record string min/max that are
+    // only BOUNDS (a truncated prefix / its byte-incremented successor),
+    // not values — and footers carry no marker saying so. graft stamps
+    // `tightBounds=false` on stats it harvests from FOREIGN files
+    // (CONVERT TO GRAFT, COMPUTE STATS backfill); skipping stays correct
+    // with loose bounds, but ANSWERING a string min/max from one would be
+    // a silent wrong result — bail to a real scan instead. (Numeric stats
+    // cannot be truncated; they stay answerable.)
+    if (dt == StringType && !isPartition &&
+      stats.exists { case (_, st) => !st.tightBounds }) return None
     val best = contributing.reduce { (x, y) =>
       val cmp = compareVals(x, y)
       if ((isMin && cmp <= 0) || (!isMin && cmp >= 0)) x else y

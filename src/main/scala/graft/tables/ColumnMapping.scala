@@ -340,7 +340,8 @@ object ColumnMapping {
         .collect { case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.nameParts.map(_.toLowerCase) }
         .exists(overlaps) => s"CHECK constraint $name ($pred)"
     }.toSeq
-    val listHits = Seq("graft.bloom.columns", "graft.clusterBy").flatMap { k =>
+    val listHits = Seq("graft.bloom.columns", "graft.clusterBy",
+        ParquetStats.StatsColumnsProperty).flatMap { k =>
       properties.get(k).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
         .filter(c => overlaps(c.toLowerCase.split('.').toSeq)).map(_ => s"table property $k")
     }

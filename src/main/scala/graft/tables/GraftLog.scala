@@ -664,7 +664,10 @@ object GraftLog {
         maxValues = strMap("maxValues"),
         nullCount = longMap("nullCount"),
         bloom = strMap("bloom"),
-        bloomSidecar = Option(n.get("bloomSidecar")).filterNot(_.isNull).map(_.asText())
+        bloomSidecar = Option(n.get("bloomSidecar")).filterNot(_.isNull).map(_.asText()),
+        // absent in logs written before the field existed = tight (those
+        // stats were graft-harvested from graft-written files)
+        tightBounds = Option(n.get("tightBounds")).forall(_.asBoolean())
       ))
     }
 

@@ -807,13 +807,18 @@ object GraftTable {
     })
     val partCols = inferred.fieldNames.filter(partKeySets.head.contains).toSeq
     val conf = spark.sessionState.newHadoopConf()
+    val statsSel = ParquetStats.statsColumnsOf(properties, schema)
     val adds = TableWriter.harvestParallel(files.zip(rels).zip(partValues)) {
       case ((abs, rel), pv) =>
         AddFile(
           path = rel,
           partitionValues = pv,
           size = Fs.size(abs),
-          stats = GraftLog.renderStats(ParquetStats.forFile(abs, conf)))
+          // foreign writer: string min/max may be truncated BOUNDS
+          // (parquet.statistics.truncate.length leaves no footer marker) —
+          // mark them non-tight so only skipping uses them, never answers
+          stats = GraftLog.renderStats(ParquetStats.forFile(abs, conf, statsSel)
+            .copy(tightBounds = false)))
     }
     val numRows = adds.flatMap(a => GraftLog.parseStats(a.stats)).map(_.numRecords).sum
     val (convRr, convWw) = GraftLog.requiredFeatures(properties)

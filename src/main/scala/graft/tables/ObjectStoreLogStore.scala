@@ -129,12 +129,22 @@ class ObjectStoreLogStore(
     */
   def crossProcessAtomic: Boolean = true
 
+  /** Retry loop for IDEMPOTENT operations (GET/HEAD/LIST/PUT/DELETE): a
+    * throttle landed nothing — back off and re-issue; an AMBIGUOUS outcome
+    * on an idempotent op is resolved the same way, by simply doing it
+    * again (a re-read reads, the same bytes re-put converge, a re-delete
+    * deletes) — a real SDK times out on GETs too, and an ambiguous read
+    * escaping here would fail a commit whose recovery read-back merely hit
+    * a blip. Only the CONDITIONAL put is non-idempotent; it gets the
+    * read-back recovery in [[putIfAbsent]] instead of a blind retry.
+    */
   private def withRetry[A](key: String)(op: => A): A = {
     var attempt = 1
     while (true) {
       try return op
       catch {
-        case e: ObjectStore.ThrottledException =>
+        case e @ (_: ObjectStore.ThrottledException |
+                  _: ObjectStore.AmbiguousOutcomeException) =>
           if (attempt >= maxAttempts) throw e
           Thread.sleep(backoffMillis * attempt)
           attempt += 1
@@ -171,14 +181,9 @@ class ObjectStoreLogStore(
   }
 
   override def overwrite(path: String, body: Array[Byte]): Unit =
-    withRetry(path) {
-      try client.put(path, body)
-      catch {
-        // an unconditional PUT is idempotent: an ambiguous outcome is
-        // resolved by simply doing it again
-        case _: ObjectStore.AmbiguousOutcomeException => client.put(path, body)
-      }
-    }
+    // an unconditional PUT is idempotent: withRetry resolves both throttle
+    // and ambiguous outcomes by re-issuing the same bytes
+    withRetry(path)(client.put(path, body))
 
   override def read(path: String): Seq[String] =
     withRetry(path)(client.get(path)) match {
@@ -196,7 +201,10 @@ class ObjectStoreLogStore(
     withRetry(path) {
       try client.delete(path)
       catch {
-        // idempotent like overwrite: re-issue and accept "already gone"
+        // idempotent like overwrite, but the RESULT needs care: when the
+        // ambiguous first attempt may have landed, the re-issue's "not
+        // found" means WE deleted it — report true. (A re-issue that
+        // itself blips rethrows into withRetry's bounded loop.)
         case _: ObjectStore.AmbiguousOutcomeException =>
           client.delete(path); true
       }
@@ -238,6 +246,19 @@ class LocalObjectStoreClient extends ObjectStoreClient {
   def ambiguousNextPut(land: Boolean, rival: Option[Array[Byte]] = None): Unit = {
     ambiguousArmed.set(AmbiguousFault(land, rival)); ()
   }
+
+  private val getThrottlesArmed = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val getAmbiguousArmed = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The next n GETs are rejected with a throttle (nothing read). */
+  def throttleNextGets(n: Int): Unit = { getThrottlesArmed.set(n); () }
+
+  /** The next n GETs throw [[ObjectStore.AmbiguousOutcomeException]] — the
+    * SDK-timeout-on-read case: the object's state is whatever it is; only
+    * OUR VIEW of it was lost. A correct client re-issues (reads are
+    * idempotent); one that doesn't fails spuriously.
+    */
+  def ambiguousNextGets(n: Int): Unit = { getAmbiguousArmed.set(n); () }
 
   /** Throttles served so far — proves the retry path actually ran. */
   def throttleCount: Int = throttled.get()
@@ -282,8 +303,15 @@ class LocalObjectStoreClient extends ObjectStoreClient {
     ()
   }
 
-  override def get(key: String): Option[Array[Byte]] =
+  override def get(key: String): Option[Array[Byte]] = {
+    if (getThrottlesArmed.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+      throttled.incrementAndGet()
+      throw new ObjectStore.ThrottledException(key)
+    }
+    if (getAmbiguousArmed.getAndUpdate(n => math.max(0, n - 1)) > 0)
+      throw new ObjectStore.AmbiguousOutcomeException(key)
     if (Files.isRegularFile(jp(key))) Some(Files.readAllBytes(jp(key))) else None
+  }
 
   override def head(key: String): Option[Long] =
     if (Files.isRegularFile(jp(key))) Some(Files.size(jp(key))) else None

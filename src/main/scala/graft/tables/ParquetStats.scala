@@ -36,8 +36,46 @@ object ParquetStats {
     */
   val MaxNestedStatsLeaves = 32
 
-  /** Read one file's footer → FileStats. */
-  def forFile(absPath: String, conf: Configuration = new Configuration()): FileStats = {
+  /** Table property naming which columns get per-file stats (Delta's
+    * `delta.dataSkippingStatsColumns`): comma-separated dotted LOGICAL
+    * column paths. When set, ONLY the listed columns — and, for a struct
+    * path, the struct-only leaves under it — are indexed, so the
+    * nested-leaf budget spends itself on the fields a user actually
+    * filters on instead of schema walk order. Unset keeps the default:
+    * every top-level primitive plus nested leaves in walk order, capped
+    * at [[MaxNestedStatsLeaves]]. Un-indexed leaves stay correct —
+    * predicates on them simply cannot prune and metadata-only aggregates
+    * fall back to a scan.
+    */
+  val StatsColumnsProperty = "graft.dataSkippingStatsColumns"
+
+  /** The property's PHYSICAL dotted path prefixes for `schema`, resolved
+    * loudly (a typo'd entry would otherwise silently turn stats off for
+    * the column the user meant). None = property unset (default walk).
+    */
+  def statsColumnsOf(
+      properties: Map[String, String],
+      schema: org.apache.spark.sql.types.StructType): Option[Seq[String]] =
+    properties.get(StatsColumnsProperty).map { v =>
+      val paths = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      require(paths.nonEmpty, s"$StatsColumnsProperty is set but names no columns")
+      paths.map { p =>
+        ColumnMapping.physicalPath(schema, p.split('.').toSeq).getOrElse(
+          throw new IllegalArgumentException(
+            s"$StatsColumnsProperty names '$p', which does not resolve in the " +
+              s"table schema ${schema.simpleString}"))
+      }
+    }
+
+  /** Read one file's footer → FileStats.
+    *
+    * @param only PHYSICAL dotted path prefixes to index (from
+    *             [[statsColumnsOf]]): a leaf is harvested iff one entry
+    *             equals it or names an ancestor struct. None = default
+    *             selection (all top-level + capped nested walk).
+    */
+  def forFile(absPath: String, conf: Configuration = new Configuration(),
+      only: Option[Seq[String]] = None): FileStats = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(absPath), conf))
     try {
       val footer = reader.getFooter
@@ -55,12 +93,22 @@ object ParquetStats {
       val indexed = scala.collection.mutable.LinkedHashMap
         .empty[Seq[String], org.apache.parquet.schema.PrimitiveType]
       var nestedBudget = MaxNestedStatsLeaves
+      // explicit stats-column selection (StatsColumnsProperty): a leaf is
+      // in iff a selector equals its path or names an ancestor struct
+      val selectors: Option[Seq[Seq[String]]] =
+        only.map(_.map(_.split('.').toSeq))
+      def selected(path: Seq[String]): Boolean = selectors.forall(_.exists(sel =>
+        sel.length <= path.length &&
+          sel.zip(path).forall { case (a, b) => a.equalsIgnoreCase(b) }))
       def walk(fields: Seq[org.apache.parquet.schema.Type], prefix: Seq[String]): Unit =
         fields.foreach { f =>
           val path = prefix :+ f.getName
           if (f.isPrimitive) {
-            if (prefix.isEmpty) indexed(path) = f.asPrimitiveType()
-            else if (nestedBudget > 0) { indexed(path) = f.asPrimitiveType(); nestedBudget -= 1 }
+            if (prefix.isEmpty) {
+              if (selected(path)) indexed(path) = f.asPrimitiveType()
+            } else if (nestedBudget > 0 && selected(path)) {
+              indexed(path) = f.asPrimitiveType(); nestedBudget -= 1
+            }
           } else if (!f.isRepetition(org.apache.parquet.schema.Type.Repetition.REPEATED) &&
               f.getLogicalTypeAnnotation == null)
             walk(f.asGroupType().getFields.asScala.toSeq, path)

@@ -70,6 +70,12 @@ object TableWriter {
       // exact Metadata to commit (RESTORE reverting schema/properties to a
       // past version's) — bypasses the append-merge schema computation
       metadataOverride: Option[Metadata] = None,
+      // CREATE OR REPLACE TABLE semantics: the committed properties are
+      // session defaults ++ `properties` — the previous table state's
+      // properties (and with them its CHECK constraints, CDF flag, column
+      // mapping, generated/default/identity declarations) do NOT carry
+      // over. Only meaningful with Overwrite mode.
+      replaceProperties: Boolean = false,
       // data ALREADY written as physical-layout parquet (partition dirs
       // included) by the caller's own executors — the V2 streaming sink's
       // per-task writers. The staging write is skipped; everything after it
@@ -114,9 +120,17 @@ object TableWriter {
     // derived partition key — and ENFORCED (null-safe equality, inside the
     // write projection like CHECK constraints) when they provide one, so a
     // caller cannot silently desynchronize the column from its expression.
+    require(!replaceProperties || mode == Overwrite,
+      "replaceProperties is REPLACE TABLE semantics — Overwrite mode only")
+    // the property base the commit builds on: the previous state's for
+    // normal writes, session defaults for REPLACE (prior properties die
+    // with the prior contents)
+    def baseProps(snap: Option[Snapshot]): Map[String, String] =
+      if (replaceProperties) GraftTable.sessionDefaultProperties(spark)
+      else snap.map(_.metadata.properties)
+        .getOrElse(GraftTable.sessionDefaultProperties(spark))
     val writeProps = metadataOverride.map(_.properties).getOrElse(
-      prevSnapshot.map(_.metadata.properties)
-        .getOrElse(GraftTable.sessionDefaultProperties(spark)) ++ properties)
+      baseProps(prevSnapshot) ++ properties)
     val genExprs = GraftTable.generatedColumnsOf(writeProps)
     // Column DEFAULTs (`graft.default.<col>` = sql expr, Delta's DEFAULT
     // feature in property form): when an APPEND's frame lacks the column
@@ -174,8 +188,7 @@ object TableWriter {
 
     // new tables inherit session-level default properties (e.g. CDF-on,
     // reference ChangeDataFeedHelperSpec.scala:20)
-    val newProps = prevSnapshot.map(_.metadata.properties)
-      .getOrElse(GraftTable.sessionDefaultProperties(spark)) ++ properties ++ idProps
+    val newProps = baseProps(prevSnapshot) ++ properties ++ idProps
 
     // CHECK constraints ride INSIDE the write projection (assert_true in a
     // filter — codegen'd per-row, no extra pass, and column pruning cannot
@@ -289,9 +302,12 @@ object TableWriter {
         // counts (a 10k-file commit at ~10 ms/footer is 100 s serial, ~4 s
         // at 32-way I/O parallelism). Order is preserved (zip by index).
         val conf = spark.sessionState.newHadoopConf()
+        // user-directed stats budget (graft.dataSkippingStatsColumns):
+        // resolved once per write, PHYSICAL paths for the files' own schema
+        val statsSel = ParquetStats.statsColumnsOf(effectiveProps, newSchema)
         val harvested = harvestParallel(moved) { rel =>
           val abs = Fs.child(tablePath, rel)
-          val stats = ParquetStats.forFile(abs, conf)
+          val stats = ParquetStats.forFile(abs, conf, statsSel)
           AddFile(
             path = rel,
             partitionValues = partitionValuesOf(rel),
@@ -424,8 +440,7 @@ object TableWriter {
             case _                 => newSchema
           })
         val propsNow = metadataOverride.map(_.properties).getOrElse(
-          attemptSnap.map(_.metadata.properties)
-            .getOrElse(GraftTable.sessionDefaultProperties(spark)) ++ properties ++ idProps)
+          baseProps(attemptSnap) ++ properties ++ idProps)
         val removes: Seq[Action] = (mode match {
           case Overwrite => attemptSnap.map(_.files.map(f => RemoveFile(f.path))).getOrElse(Nil)
           case Append    => Nil

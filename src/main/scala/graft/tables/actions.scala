@@ -123,7 +123,17 @@ case class FileStats(
     maxValues: Map[String, String] = Map.empty,
     nullCount: Map[String, Long] = Map.empty,
     bloom: Map[String, String] = Map.empty,
-    bloomSidecar: Option[String] = None
+    bloomSidecar: Option[String] = None,
+    /** False when min/max may be loose BOUNDS rather than exact extremes —
+      * stamped on stats harvested from FOREIGN parquet (CONVERT TO GRAFT,
+      * COMPUTE STATS backfill), whose writer may have truncated string
+      * stats (`parquet.statistics.truncate.length`) with no footer marker.
+      * Loose bounds keep file skipping correct (the band only widens) but
+      * must never be ANSWERED from (metadata-only string min/max bails to
+      * a scan). graft-written files are always tight — graft harvests its
+      * own untruncated footers. Delta's `tightBounds` field, same meaning.
+      */
+    tightBounds: Boolean = true
 )
 
 /** Materialized table state at `version`: last metadata + surviving files +

@@ -57,6 +57,58 @@ class ComputeStatsSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(t.snapshot.version == v)
   }
 
+  it("honors graft.dataSkippingStatsColumns when backfilling") {
+    val t = tableWithForeignFile()
+    t.setProperties(Map(ParquetStats.StatsColumnsProperty -> "id"))
+    // the foreign file has columns (id); selecting 'id' keeps it indexed —
+    // now point the property at a column that EXISTS but is not 'id'
+    assert(TableOps.computeStats(GraftTable.forPath(spark, t.path)) == 1)
+    val foreign = t.snapshot.files.find(_.path.startsWith("foreign-")).get
+    val st = GraftLog.parseStats(foreign.stats).get
+    assert(st.minValues("id") == "100")
+    // a property naming a nonexistent column fails the backfill LOUDLY
+    val t2 = tableWithForeignFile()
+    t2.setProperties(Map(ParquetStats.StatsColumnsProperty -> "nope"))
+    val e = intercept[IllegalArgumentException] {
+      TableOps.computeStats(GraftTable.forPath(spark, t2.path))
+    }
+    assert(e.getMessage.contains("does not resolve"), e.getMessage)
+  }
+
+  it("foreign string stats are loose bounds: skipping uses them, answers never do") {
+    // a foreign writer with parquet.statistics.truncate.length stores
+    // string min/max that are only BOUNDS (8-byte prefix / its bumped
+    // successor) — no footer marker says so. The write option reaches
+    // parquet-mr through newHadoopConfWithOptions, no global conf touched.
+    val dir = tmpTableDir("cstats-trunc")
+    val trueMax = "zzzzzzzzzz_true_max"
+    Seq(trueMax, "aaaaaaaaaa_true_min").toDF("s").coalesce(1)
+      .write.option("parquet.statistics.truncate.length", "8")
+      .mode("overwrite").parquet(dir)
+    val t = GraftTable.convert(spark, dir)
+    val st = GraftLog.parseStats(t.snapshot.files.head.stats).get
+    assert(!st.tightBounds) // CONVERT stamps foreign stats non-tight
+    // the footer max really is a truncated bound, not a value
+    assert(st.maxValues("s") != trueMax, s"expected truncated max, got ${st.maxValues("s")}")
+    assert(st.maxValues("s").length <= 8)
+    // metadata-only max must BAIL to a scan (answering from the bound
+    // would return 'zzzzzzzz{' instead of the real max)...
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val agg = spark.read.format("graft").load(dir).agg(max(col("s")).as("mx"))
+    assert(agg.queryExecution.optimizedPlan.collectFirst {
+      case l: LocalRelation => l }.isEmpty,
+      s"string max over non-tight stats must not fold:\n${agg.queryExecution.optimizedPlan}")
+    assert(agg.first().getString(0) == trueMax)
+    // ...while COUNT (footer row counts are always exact) still folds
+    val cnt = spark.read.format("graft").load(dir).agg(count(lit(1)).as("c"))
+    assert(cnt.queryExecution.optimizedPlan.collectFirst {
+      case l: LocalRelation => l }.nonEmpty)
+    // and skipping with the loose bounds stays CORRECT: the file holding
+    // the true max survives an equality on it (the band only widened)
+    val cls = FileSkipping.classify(spark, t.toDF, s"s = '$trueMax'")
+    assert(FileSkipping.filesMatching(t.snapshot, cls.all, None).size == 1)
+  }
+
   it("lets backfilled files participate in min/max skipping") {
     val t = tableWithForeignFile()
     def matching(cond: String): Int = {

@@ -149,6 +149,37 @@ class FileSkippingSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(t.toDF.where("s.f39 >= 0").count() == 8)
   }
 
+  it("graft.dataSkippingStatsColumns aims the stats budget at chosen leaves") {
+    // default walk order spends the 32-leaf nested budget on s.f0..s.f31 —
+    // the property re-aims it: a configured DEEP leaf gets stats while the
+    // unconfigured earlier leaves yield their slots
+    val struct = (0 until 40).map(i => s"'f$i', CAST(id + $i AS INT)").mkString(", ")
+    val t = GraftTable.create(spark, tmpTableDir("fs-statscols"),
+      spark.range(1, 9).selectExpr("id", s"named_struct($struct) AS s").coalesce(1),
+      properties = Map(ParquetStats.StatsColumnsProperty -> "s.f39, id"))
+    val st = GraftLog.parseStats(t.snapshot.files.head.stats).get
+    assert(st.minValues.contains("s.f39")) // the configured deep leaf IS indexed
+    assert(st.minValues.contains("id"))
+    assert(!st.minValues.contains("s.f0")) // early walk-order leaves yield
+    assert(!st.minValues.contains("s.f1"))
+    assert(st.minValues.keySet == Set("s.f39", "id"),
+      s"exactly the configured columns, got ${st.minValues.keySet}")
+    // numRecords is always harvested; un-indexed leaves stay correct-unpruned
+    assert(st.numRecords == 8)
+    assert(t.toDF.where("s.f0 >= 0").count() == 8)
+    // a configured STRUCT prefix indexes its struct-only leaves (capped)
+    val t2 = GraftTable.create(spark, tmpTableDir("fs-statscols2"),
+      spark.range(1, 9).selectExpr("id", s"named_struct($struct) AS s").coalesce(1),
+      properties = Map(ParquetStats.StatsColumnsProperty -> "s"))
+    val st2 = GraftLog.parseStats(t2.snapshot.files.head.stats).get
+    assert(st2.minValues.contains("s.f0") &&
+      st2.minValues.count(_._1.startsWith("s.")) == ParquetStats.MaxNestedStatsLeaves)
+    assert(!st2.minValues.contains("id")) // top-level not listed → not indexed
+    // renaming/dropping a column the property references refuses loudly
+    val e = intercept[Exception] { t.renameColumn("s.f39", "renamed") }
+    assert(e.getMessage.contains(ParquetStats.StatsColumnsProperty), e.getMessage)
+  }
+
   it("OR, != and LIKE-prefix predicates prune") {
     val t = rangedTable("fs-or") // ids 1..24 in 6 files of 4; names n1..n24
     // OR: each disjunct pins its own file

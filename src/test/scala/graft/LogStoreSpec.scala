@@ -539,6 +539,36 @@ class LogStoreSpec extends AnyFunSpec with SparkSessionTestWrapper {
         == Seq("RIVAL"), "the rival's landed commit must survive untouched")
     }
 
+    it("ambiguous GETs (SDK read timeouts) are re-issued, not surfaced") {
+      val client = new LocalObjectStoreClient
+      val store = new ObjectStoreLogStore(client)
+      val dir = tmpTableDir("ls-obj-amb-get")
+      val log = new GraftLog(dir, store)
+      log.commit(0L, Seq(Metadata(schemaJson), CommitInfo(0L, "CREATE TABLE")))
+      // a GET is idempotent: a timed-out read says nothing about the
+      // object — the store must simply read again
+      client.ambiguousNextGets(2)
+      assert(log.actionsAt(0L).collect { case ci: CommitInfo => ci.operation }
+        == Seq("CREATE TABLE"))
+      // throttled GETs back off and retry the same way
+      client.throttleNextGets(2)
+      assert(log.versions() == Seq(0L) ||
+        log.actionsAt(0L).nonEmpty) // reads keep working under GET throttle
+      // the read-back RECOVERY path itself survives a blip on its GET:
+      // ambiguous put (landed) + ambiguous get during recovery
+      client.ambiguousNextPut(land = true)
+      client.ambiguousNextGets(1)
+      log.commit(1L, Seq(CommitInfo(1L, "WRITE")))
+      assert(log.versions() == Seq(0L, 1L))
+      // exhaustion stays loud: more ambiguous reads than attempts fails
+      client.ambiguousNextGets(1000)
+      intercept[ObjectStore.AmbiguousOutcomeException] {
+        store.read(log.versionFile(0L)); ()
+      }
+      client.ambiguousNextGets(0)
+      assert(log.versions() == Seq(0L, 1L))
+    }
+
     it("randomized fault storm: throttles + ambiguous outcomes mid-race never break the chain") {
       // 4 writers race 15 commits each while a chaos thread arms throttle
       // and ambiguous-outcome faults on a fixed schedule — under every

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Paths
+
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.operators.TableOps
+import graft.tables.GraftTable
+
+/** `CREATE OR REPLACE TABLE ... USING graft [AS SELECT]` — the atomic
+  * replace (Delta's REPLACE): ONE commit swaps contents + schema +
+  * partitioning + properties, history stays time-travelable, CDF carries
+  * the full delete/insert row set. Routed through
+  * [[graft.catalog.GraftCatalog]]'s `StagingTableCatalog` implementation
+  * (so Spark plans the atomic exec, not drop+create) onto
+  * [[graft.operators.TableOps.replaceTable]].
+  */
+class ReplaceTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private lazy val warehouse: String = SparkSessionTestWrapper.catalogWarehouse
+
+  it("RTAS atomically swaps contents, schema, partitioning and properties") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.rt")
+    spark.sql("CREATE TABLE graft_cat.rt.a " +
+      "TBLPROPERTIES('graft.constraint.pos'='id >= 0') AS " +
+      "SELECT id, id % 3 AS k FROM range(30)")
+    val before = GraftTable.forName(spark, "graft_cat.rt.a").version
+
+    spark.sql("CREATE OR REPLACE TABLE graft_cat.rt.a USING graft " +
+      "PARTITIONED BY (bucket) TBLPROPERTIES('who'='replaced') AS " +
+      "SELECT id * 10 AS v, id % 2 AS bucket FROM range(7)")
+
+    val t = GraftTable.forName(spark, "graft_cat.rt.a")
+    // ONE commit on top of the prior history
+    assert(t.version == before + 1)
+    assert(t.toDF.count() == 7)
+    assert(t.snapshot.schema.fieldNames.toSeq == Seq("v", "bucket"))
+    assert(t.snapshot.metadata.partitionColumns == Seq("bucket"))
+    // properties are REPLACED, not merged: the CHECK constraint is gone,
+    // the new property present
+    assert(t.snapshot.metadata.properties.get("who").contains("replaced"))
+    assert(!t.snapshot.metadata.properties.keys.exists(_.startsWith("graft.constraint.")))
+    // prior states stay time-travelable with their own schema
+    assert(t.toDFAt(before).count() == 30)
+    assert(t.toDFAt(before).schema.fieldNames.toSeq == Seq("id", "k"))
+    // a row violating the DROPPED constraint now writes fine
+    spark.sql("INSERT INTO graft_cat.rt.a SELECT -5 AS v, 0 AS bucket")
+    assert(spark.table("graft_cat.rt.a").count() == 8)
+  }
+
+  it("data-less REPLACE TABLE empties to the declared schema; missing target refuses") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.rt")
+    spark.sql("CREATE TABLE graft_cat.rt.b AS SELECT id FROM range(9)")
+    spark.sql("REPLACE TABLE graft_cat.rt.b (x INT, y STRING) USING graft")
+    val t = GraftTable.forName(spark, "graft_cat.rt.b")
+    assert(t.toDF.count() == 0)
+    assert(t.snapshot.schema.fieldNames.toSeq == Seq("x", "y"))
+    // REPLACE (no OR CREATE) of a missing table fails loudly, creates nothing
+    intercept[Throwable] {
+      spark.sql("REPLACE TABLE graft_cat.rt.missing (a INT) USING graft")
+    }
+    assert(!GraftTable.exists(Paths.get(warehouse, "rt", "missing").toString))
+    // CREATE OR REPLACE of a missing table CREATES
+    spark.sql("CREATE OR REPLACE TABLE graft_cat.rt.fresh USING graft AS SELECT id FROM range(4)")
+    assert(spark.table("graft_cat.rt.fresh").count() == 4)
+  }
+
+  it("a CDF-enabled replace carries every prior row as delete, every new row as insert") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.rt")
+    spark.sql("CREATE TABLE graft_cat.rt.c " +
+      "TBLPROPERTIES('graft.enableChangeDataFeed'='true') AS " +
+      "SELECT id, concat('n', id) AS name FROM range(6)")
+    spark.sql("CREATE OR REPLACE TABLE graft_cat.rt.c " +
+      "TBLPROPERTIES('graft.enableChangeDataFeed'='true') AS " +
+      "SELECT id + 100 AS id, concat('m', id) AS name FROM range(4)")
+    val t = GraftTable.forName(spark, "graft_cat.rt.c")
+    val cdf = graft.log.ChangeDataFeedHelper(spark, t.path, t.version, t.version).readCDF
+    val byType = cdf.groupBy("_change_type").count().as[(String, Long)].collect().toMap
+    assert(byType == Map("delete" -> 6L, "insert" -> 4L))
+    // the delete rows are the OLD contents, the insert rows the NEW
+    assert(cdf.where("_change_type = 'delete' AND id < 100").count() == 6)
+    assert(cdf.where("_change_type = 'insert' AND id >= 100").count() == 4)
+    // CDF OFF in the replaced state: no change rows are written
+    spark.sql("CREATE OR REPLACE TABLE graft_cat.rt.c AS SELECT id FROM range(3)")
+    val t2 = GraftTable.forName(spark, "graft_cat.rt.c")
+    assert(t2.log.actionsAt(t2.version)
+      .collect { case c: graft.tables.AddCDCFile => c }.isEmpty)
+  }
+
+  it("REPLACE refuses to re-point an external table's LOCATION; same-location replace works") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.rt")
+    val loc = tmpTableDir("rt-ext-loc")
+    spark.sql(s"CREATE TABLE graft_cat.rt.ext (id BIGINT) USING graft LOCATION '$loc'")
+    spark.sql("INSERT INTO graft_cat.rt.ext SELECT id FROM range(5)")
+    // replacing at the SAME declared location is fine and lands at LOCATION
+    spark.sql("CREATE OR REPLACE TABLE graft_cat.rt.ext USING graft " +
+      s"LOCATION '$loc' AS SELECT id * 2 AS d FROM range(3)")
+    assert(GraftTable.forPath(spark, loc).toDF.count() == 3)
+    assert(spark.table("graft_cat.rt.ext").schema.fieldNames.toSeq == Seq("d"))
+    // re-pointing is refused loudly (old data would be silently stranded)
+    val other = tmpTableDir("rt-ext-other")
+    val e = intercept[Throwable] {
+      spark.sql("CREATE OR REPLACE TABLE graft_cat.rt.ext USING graft " +
+        s"LOCATION '$other' AS SELECT 1 AS z")
+    }
+    assert(e.getMessage.contains("cannot re-point"), e.getMessage)
+  }
+
+  it("path-API replaceTable: one commit, OCC read footprint over the whole table") {
+    val dir = tmpTableDir("rt-path")
+    val t = GraftTable.create(spark, dir, (1 to 10).map(i => (i, s"n$i")).toDF("id", "name"))
+    val v = TableOps.replaceTable(t, Some(Seq((1L, 2.5)).toDF("k", "w")),
+      properties = Map("who" -> "path"))
+    assert(v == t.version && v == 1L)
+    val after = GraftTable.forPath(spark, dir)
+    assert(after.toDF.as[(Long, Double)].collect().toSeq == Seq((1L, 2.5)))
+    assert(after.snapshot.metadata.properties.get("who").contains("path"))
+    assert(after.toDFAt(0).count() == 10)
+  }
+}

@@ -65,9 +65,11 @@ object TableOps {
       * target side is already snapshot-pinned).
       *
       * A CORRELATED subquery cannot be materialized without its join (its
-      * plan carries outer references), so it stays LIVE — its source
-      * tables should not be written concurrently during the DML (the same
-      * discipline any multi-statement read-then-write workflow needs).
+      * plan carries outer references), so it stays a live PLAN — but its
+      * graft SOURCES are pinned to their statement-start snapshots
+      * ([[graft.sources.GraftSourcePin]]): a concurrent commit to the
+      * subquery's source tables between the two jobs can no longer make
+      * them evaluate two different predicate states.
       */
     @volatile private var stable: org.apache.spark.sql.catalyst.expressions.Expression = null
     private def stableExpr(spark: SparkSession)
@@ -79,6 +81,9 @@ object TableOps {
           case sub: SubqueryExpression if !sub.isCorrelated =>
             sub.withNewPlan(SparkBridge.ofPlan(spark, sub.plan)
               .localCheckpoint(true).queryExecution.analyzed)
+          case sub: SubqueryExpression if sub.isCorrelated =>
+            sub.withNewPlan(
+              graft.sources.GraftSourcePin.pinToCurrent(spark, sub.plan))
         }
         stable = pinned
         pinned

@@ -915,6 +915,9 @@ class GraftFileIndex(
   /** Pinned indexes (time travel, explicit file subsets) never move. */
   override def refresh(): Unit = if (pinned.isEmpty) cachedSnap = currentSnapshot()
 
+  /** True when this index serves one frozen snapshot (never re-resolves). */
+  private[graft] def isPinned: Boolean = pinned.isDefined
+
   /** The snapshot the next scan will read (pinned, or cached latest) —
     * what [[GraftMetadataOnlyAggregate]] answers from.
     */
@@ -984,4 +987,36 @@ class GraftFileIndex(
   private def fileStatus(f: AddFile): FileStatus =
     new FileStatus(f.size, false, 1, 128L * 1024 * 1024, 0L,
       graft.tables.Fs.toHadoopPath(GraftTable.resolveDataPath(tablePath, f.path)))
+}
+
+/** Pins every graft-backed relation inside a plan to the snapshot it would
+  * read RIGHT NOW — after pinning, later commits to those tables are
+  * invisible to the plan.
+  *
+  * Used by row-level DML for CORRELATED subqueries: the non-correlated ones
+  * are localCheckpoint-materialized once, but a correlated plan cannot be
+  * materialized without its join (it carries outer references), and left
+  * live it would be evaluated in TWO jobs (touched-file scan, then the
+  * rewrite frame) — a concurrent commit to the subquery's source tables in
+  * between would delete/update with a mix of two predicate states. Pinning
+  * the sources gives both jobs one consistent statement-start state (the
+  * DML's target side is already snapshot-pinned).
+  */
+object GraftSourcePin {
+  def pinToCurrent(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
+    plan transform {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case gi: GraftFileIndex if !gi.isPinned =>
+            lr.copy(relation = h.copy(location = new GraftFileIndex(
+              spark, gi.tablePath, gi.partitionSchema, Some(gi.snapshotNow)))(spark))
+          case _ => lr
+        }
+        // the pre-rewrite V1 relation follows the latest snapshot on every
+        // scan — pin by version (same schema, deterministic file set)
+        case g: GraftRelation if g.versionAsOf.isEmpty =>
+          lr.copy(relation = g.copy(versionAsOf = Some(g.readSnapshot.version)))
+        case _ => lr
+      }
+    }
 }

@@ -104,10 +104,19 @@ object GraftSqlParser {
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession).forall { s =>
       val first = target.substring(0, target.indexOf('.'))
+      // CHEAPEST first — this runs at PARSE time for every bare-identifier
+      // maintenance statement. Catalog qualification is decided from the
+      // registration conf (a string compare + non-initializing classload),
+      // NOT by instantiating the catalog plugin; the conf registry is one
+      // conf read; only then does table-existence resolution (filesystem
+      // I/O) run, and only for identifiers the first two checks declined.
       def graftCatalogQualified: Boolean =
-        try s.sessionState.catalogManager.catalog(first)
-          .isInstanceOf[graft.catalog.GraftCatalog]
-        catch { case scala.util.control.NonFatal(_) => false }
+        s.conf.getOption(s"spark.sql.catalog.$first").exists { cls =>
+          cls == classOf[graft.catalog.GraftCatalog].getName ||
+            (try classOf[graft.catalog.GraftCatalog].isAssignableFrom(
+              Class.forName(cls, false, Thread.currentThread().getContextClassLoader))
+            catch { case scala.util.control.NonFatal(_) => false })
+        }
       def confRegistered: Boolean =
         s.conf.getOption(s"spark.graft.table.$target").isDefined
       def resolves: Boolean =
@@ -427,9 +436,13 @@ object GraftSqlParser {
       return Some(GraftConvertCommand(pathOf(cv, 2), Option(cv.group(6)).map(_.trim)))
     // SHALLOW CLONE is not Spark grammar, but a coexisting extension (e.g.
     // Delta) has the same statement — claim by the SOURCE's plausibility
-    // (the target is new and cannot resolve yet)
+    // (the target is new and cannot resolve yet) AND, when the target is a
+    // bare identifier, the TARGET's too: a bare non-graft target with a
+    // quoted source must fall through to the delegate, not die in
+    // pathForName (a graft-catalog-qualified new target stays plausible
+    // through its catalog registration)
     val sc = shallowClone.matcher(sqlText)
-    if (sc.matches() && claimableMaintenance(sc, 8))
+    if (sc.matches() && claimableMaintenance(sc, 8) && claimableMaintenance(sc, 3))
       return Some(GraftShallowCloneCommand(pathOf(sc, 3), pathOf(sc, 8),
         Option(sc.group(12)).map(_.toLong), sc.group(1) != null))
     // ALTER TABLE / SHOW TBLPROPERTIES also exist in Spark's grammar, so

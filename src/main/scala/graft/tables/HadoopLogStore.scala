@@ -118,9 +118,17 @@ class HadoopLogStore(confOverride: Option[Configuration] = None) extends LogStor
             // scheme is whatever its rename offers (see crossProcessAtomic)
             if (f.exists(dst))
               throw new java.nio.file.FileAlreadyExistsException(path)
-            if (!f.rename(tmp, dst))
+            if (!f.rename(tmp, dst)) {
+              // a false rename is AMBIGUOUS on these best-effort schemes: a
+              // cross-process loser whose exists() pre-check raced (dst
+              // created after the check) gets plain false, and surfacing it
+              // as an IOException would read as a commit FAILURE instead of
+              // a retryable CONFLICT — re-check and classify
+              if (f.exists(dst))
+                throw new java.nio.file.FileAlreadyExistsException(path)
               throw new java.io.IOException(
                 s"rename $tmp -> $dst failed on ${schemeOf(dst)}")
+            }
         }
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |

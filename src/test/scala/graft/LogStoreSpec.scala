@@ -539,6 +539,62 @@ class LogStoreSpec extends AnyFunSpec with SparkSessionTestWrapper {
         == Seq("RIVAL"), "the rival's landed commit must survive untouched")
     }
 
+    it("two-JVM soak: 500 commits each under a randomized fault storm, gap-free chain") {
+      // the claim/fault batteries prove the PRIMITIVES; this proves their
+      // COMPOSITION under sustained cross-process contention: two real JVMs
+      // alternate 500 commits each through their own client, arming a
+      // random fault (throttle / ambiguous put landed / lost / ambiguous
+      // or throttled GET) ahead of nearly every claim
+      val dir = Files.createTempDirectory("ls-obj-soak").resolve("t").toString
+      Files.createDirectories(Paths.get(dir))
+      val store = new ObjectStoreLogStore(new LocalObjectStoreClient)
+      val log = new GraftLog(dir, store)
+      log.commit(0L, Seq(Metadata(schemaJson), CommitInfo(0L, "CREATE TABLE")))
+      val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+      val cp = System.getProperty("java.class.path")
+      val n = 500
+      def spawn(id: String, seed: Long): Process =
+        new ProcessBuilder((Seq(javaBin, "-Xmx512m", "-cp", cp,
+          "graft.tools.ObjectStoreSoak", dir, id, n.toString, seed.toString)): _*)
+          .inheritIO().start()
+      val a = spawn("A", 11L)
+      val b = spawn("B", 77L)
+      assert(a.waitFor(300, java.util.concurrent.TimeUnit.SECONDS), "soaker A hung")
+      assert(b.waitFor(300, java.util.concurrent.TimeUnit.SECONDS), "soaker B hung")
+      assert(a.exitValue() == 0 && b.exitValue() == 0,
+        s"soaker exit codes: A=${a.exitValue()} B=${b.exitValue()}")
+      // gap-free, double-claim-free version chain
+      assert(log.versions() == (0L to 2L * n), s"non-contiguous: ${log.versions().take(20)}...")
+      // byte-stable snapshots: every version re-reads identically through a
+      // FRESH independent store (no torn/merged writes), parses cleanly,
+      // and carries exactly one commitInfo
+      val check = new ObjectStoreLogStore(new LocalObjectStoreClient)
+      val checkLog = new GraftLog(dir, check)
+      val winners = (1L to 2L * n).map { v =>
+        val viaA = store.read(log.versionFile(v))
+        val viaB = check.read(checkLog.versionFile(v))
+        assert(viaA == viaB, s"version $v bytes differ across independent reads")
+        val cis = checkLog.actionsAt(v).collect { case ci: CommitInfo => ci }
+        assert(cis.size == 1, s"version $v has ${cis.size} commitInfo actions")
+        assert(cis.head.operation == "SOAK")
+        cis.head.operationParameters("writer")
+      }
+      assert(winners.count(_ == "A") == n && winners.count(_ == "B") == n,
+        s"winner split: ${winners.groupBy(identity).view.mapValues(_.size).toMap}")
+      // per-writer sequence numbers land exactly once, in order
+      Seq("A", "B").foreach { w =>
+        val seqs = (1L to 2L * n).flatMap { v =>
+          val ci = checkLog.actionsAt(v).collectFirst { case c: CommitInfo => c }.get
+          if (ci.operationParameters("writer") == w)
+            Some(ci.operationParameters("seq").toInt)
+          else None
+        }
+        assert(seqs == (0 until n), s"writer $w seq order broken: ${seqs.take(20)}...")
+      }
+      // the folded snapshot is whole and final
+      assert(log.snapshot().version == 2L * n)
+    }
+
     it("ambiguous GETs (SDK read timeouts) are re-issued, not surfaced") {
       val client = new LocalObjectStoreClient
       val store = new ObjectStoreLogStore(client)

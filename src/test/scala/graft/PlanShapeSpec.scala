@@ -27,6 +27,26 @@ class PlanShapeSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  it("GraftSourcePin freezes graft sources at the call-time snapshot") {
+    import graft.tables.GraftTable
+    val dir = tmpTableDir("pin-src")
+    val t = GraftTable.create(spark, dir, spark.range(10).toDF("id"))
+    val live = spark.read.format("graft").load(dir)
+    val pinnedPlan = graft.sources.GraftSourcePin
+      .pinToCurrent(spark, live.queryExecution.analyzed)
+    t.append(spark.range(100, 105).toDF("id"))
+    // the pinned plan keeps reading the statement-start state (this is
+    // what correlated DML subqueries evaluate: both the touched-file scan
+    // and the rewrite frame must see ONE predicate state)...
+    val pinnedDf = org.apache.spark.sql.graft.SparkBridge.ofPlan(spark, pinnedPlan)
+    assert(pinnedDf.count() == 10)
+    // ...while the live relation follows the concurrent commit
+    assert(live.count() == 15)
+    // idempotent: pinning a pinned plan changes nothing
+    val again = graft.sources.GraftSourcePin.pinToCurrent(spark, pinnedPlan)
+    assert(org.apache.spark.sql.graft.SparkBridge.ofPlan(spark, again).count() == 10)
+  }
+
   it("q1: ship-date filter pushes into the parquet scan; unused columns pruned") {
     val p = planOf("q1_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),

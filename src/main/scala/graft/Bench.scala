@@ -44,6 +44,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // production session shape: the graft parser + catalog read fallback
       .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
+      // + the spark_catalog wrapper resolving graft.`/path` SQL relations
+      .config("spark.sql.catalog.spark_catalog", "graft.catalog.GraftSessionCatalog")
       .getOrCreate()
     // ERROR for the WHOLE run, not just teardown: the driver's tail capture
     // is the last ~2000 chars of stdout, and the cadence-bound streaming

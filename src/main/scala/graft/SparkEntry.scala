@@ -3024,6 +3024,22 @@ object SparkEntry {
       s.sql("SELECT s_suppkey, s_nationkey, s_acctbal FROM graft_cat.s46.supp_t")
     }),
 
+    "s51_path_sql" -> ((s, dir) => {
+      // graft.`/path` as a plain SQL relation (GraftSessionCatalog, the
+      // spark_catalog wrapper): direct SELECT, subquery position and
+      // VERSION AS OF time travel in ONE statement — previously these died
+      // in ResolveSQLOnFile (non-FileFormat source). The appended rows
+      // (keys + 900) are excluded by the time-travel subquery, so the
+      // oracle is simply the original table.
+      val d51 = tmp("s51")
+      val t = GraftTable.create(s, d51, read(s, dir, "region"))
+      t.append(read(s, dir, "region")
+        .selectExpr("r_regionkey + 900 AS r_regionkey", "r_name"))
+      () =>
+      s.sql(s"SELECT g.r_regionkey, g.r_name FROM graft.`$d51` g " +
+        s"WHERE g.r_regionkey IN (SELECT r_regionkey FROM graft.`$d51` VERSION AS OF 0)")
+    }),
+
     "s50_replace_table" -> ((s, dir) => {
       // CREATE OR REPLACE TABLE ... AS SELECT: ONE atomic commit swaps
       // contents + schema + partitioning + properties (remove-all + adds),
@@ -4645,6 +4661,8 @@ object SparkEntry {
         |       (SELECT count(*) FROM b) AS total_files,
         |       (SELECT count(*) FROM customer
         |        WHERE c_name LIKE 'Customer#0000001%') AS rows_matching""".stripMargin,
+    "s51_path_sql" ->
+      "SELECT r_regionkey, r_name FROM region",
     "s50_replace_table" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         |       (SELECT count(*) FROM nation) AS tt_rows,

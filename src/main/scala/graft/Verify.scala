@@ -23,6 +23,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // production session shape: the graft parser + catalog read fallback
       .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
+      // + the spark_catalog wrapper resolving graft.`/path` SQL relations
+      .config("spark.sql.catalog.spark_catalog", "graft.catalog.GraftSessionCatalog")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // builder configs are silently IGNORED when an active session already

@@ -55,6 +55,11 @@ object SparkSessionTestWrapper {
       // run against the same session shape a configured user gets, and the
       // extension must stay a pure superset of Spark SQL for every suite
       .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
+      // the spark_catalog wrapper (production shape for graft.`/path` SQL):
+      // a pure delegate for everything that is not a graft path identifier,
+      // so every suite doubles as its do-no-harm soak
+      .config("spark.sql.catalog.spark_catalog",
+        "graft.catalog.GraftSessionCatalog")
       // the faux:// remote-scheme filesystem for the URI-table specs —
       // registered exactly how a production deployment registers a custom
       // scheme (FileSystem + FileContext bindings)

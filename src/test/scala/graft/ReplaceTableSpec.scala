@@ -111,6 +111,29 @@ class ReplaceTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(e.getMessage.contains("cannot re-point"), e.getMessage)
   }
 
+  it("vacuum after replace collects the replaced files; restore-back then refuses loudly") {
+    val dir = tmpTableDir("rt-vac")
+    val t = GraftTable.create(spark, dir,
+      (1 to 12).map(i => (i, s"n$i")).toDF("id", "name").repartition(3))
+    val filesBefore = t.snapshot.files.map(_.path)
+    assert(filesBefore.size >= 2)
+    TableOps.replaceTable(t, Some(Seq((1L, "x")).toDF("k", "v")))
+    // the replaced files are tombstoned, physically present until vacuum
+    filesBefore.foreach(p => assert(graft.tables.Fs.exists(
+      GraftTable.resolveDataPath(dir, p)), s"pre-vacuum file missing: $p"))
+    val collected = TableOps.vacuum(t, t.version)
+    assert(collected >= filesBefore.size)
+    filesBefore.foreach(p => assert(!graft.tables.Fs.exists(
+      GraftTable.resolveDataPath(dir, p)), s"vacuum left: $p"))
+    // the current state is whole; the pre-replace state is GONE and a
+    // restore to it must refuse loudly (the exact shape depends on whether
+    // vacuum also truncated the log), never resurrect dangling entries
+    assert(GraftTable.forPath(spark, dir).toDF.count() == 1)
+    val e = intercept[Exception] { TableOps.restore(t, 0L) }
+    assert(Option(e.getMessage).exists(_.nonEmpty), s"silent refusal: $e")
+    assert(GraftTable.forPath(spark, dir).toDF.count() == 1) // state untouched
+  }
+
   it("path-API replaceTable: one commit, OCC read footprint over the whole table") {
     val dir = tmpTableDir("rt-path")
     val t = GraftTable.create(spark, dir, (1 to 10).map(i => (i, s"n$i")).toDF("id", "name"))

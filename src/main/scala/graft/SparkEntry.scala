@@ -3024,6 +3024,29 @@ object SparkEntry {
       s.sql("SELECT s_suppkey, s_nationkey, s_acctbal FROM graft_cat.s46.supp_t")
     }),
 
+    "s52_correlated_set" -> ((s, dir) => {
+      // PER-ROW correlated scalar subquery in UPDATE SET (beyond Delta,
+      // which refuses these): each row's new balance folds in an aggregate
+      // over the rows of ANOTHER table matching ITS nation key — evaluated
+      // plan-level through Spark's decorrelation (left-outer join + agg).
+      // DuckDB replays the same correlated CASE relationally.
+      catalogWarehouse(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.s52")
+      read(s, dir, "customer").createOrReplaceTempView("s52_cust")
+      read(s, dir, "nation").createOrReplaceTempView("s52_nat")
+      s.sql("DROP TABLE IF EXISTS graft_cat.s52.t")
+      s.sql("CREATE TABLE graft_cat.s52.t AS " +
+        "SELECT c_custkey, c_nationkey, c_acctbal FROM s52_cust")
+      s.sql(
+        """UPDATE graft_cat.s52.t
+          |SET c_acctbal = c_acctbal +
+          |  (SELECT 10.0 * avg(n_regionkey) FROM s52_nat n
+          |   WHERE n.n_nationkey = t.c_nationkey)
+          |WHERE c_nationkey % 2 = 0""".stripMargin)
+      () =>
+      s.sql("SELECT c_custkey, c_nationkey, c_acctbal FROM graft_cat.s52.t")
+    }),
+
     "s51_path_sql" -> ((s, dir) => {
       // graft.`/path` as a plain SQL relation (GraftSessionCatalog, the
       // spark_catalog wrapper): direct SELECT, subquery position and
@@ -4661,6 +4684,14 @@ object SparkEntry {
         |       (SELECT count(*) FROM b) AS total_files,
         |       (SELECT count(*) FROM customer
         |        WHERE c_name LIKE 'Customer#0000001%') AS rows_matching""".stripMargin,
+    "s52_correlated_set" ->
+      """SELECT c_custkey, c_nationkey,
+        |       CASE WHEN c_nationkey % 2 = 0
+        |            THEN c_acctbal + (SELECT 10.0 * avg(n_regionkey)
+        |                              FROM nation n
+        |                              WHERE n.n_nationkey = c.c_nationkey)
+        |            ELSE c_acctbal END AS c_acctbal
+        |FROM customer c""".stripMargin,
     "s51_path_sql" ->
       "SELECT r_regionkey, r_name FROM region",
     "s50_replace_table" ->

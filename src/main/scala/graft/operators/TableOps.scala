@@ -311,7 +311,7 @@ object TableOps {
     * plain adds). Unmatched rows are never read, copied or rewritten.
     */
   private def dvUpdate(table: GraftTable, snap: Snapshot, rc: RowCond,
-      set: Map[String, String], t0: Long): Long = {
+      set: Map[String, RowCond], t0: Long): Long = {
     val spark = table.spark
     val classified = FileSkipping.classify(spark, table.toDF, rc.skippingText)
     val candidates = FileSkipping.filesMatching(snap, classified.all,
@@ -336,7 +336,8 @@ object TableOps {
 
       val fields = snap.schema.fieldNames.toSeq
       val newCols = fields.map { c =>
-        set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => expr(v).as(c) }
+        set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) =>
+          v.column(rows).as(c) }
           .getOrElse(col(c).as(c))
       }
       val matched = rows.where(col("__graft_upd"))
@@ -398,7 +399,8 @@ object TableOps {
     * rewriting the other 99.9%).
     */
   def update(table: GraftTable, condition: Option[String], set: Map[String, String]): Long =
-    updateCond(table, TextCond(condition.getOrElse("true")), set)
+    updateCond(table, TextCond(condition.getOrElse("true")),
+      set.map { case (k, v) => k -> (TextCond(v): RowCond) })
 
   /** Spark-native UPDATE whose resolved condition carries non-correlated
     * subqueries (no text round-trip possible — see [[ExprCond]]); the SET
@@ -410,9 +412,23 @@ object TableOps {
       cond: org.apache.spark.sql.catalyst.expressions.Expression,
       tableOutput: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
       set: Map[String, String]): Long =
-    updateCond(table, ExprCond(cond, tableOutput), set)
+    updateCond(table, ExprCond(cond, tableOutput),
+      set.map { case (k, v) => k -> (TextCond(v): RowCond) })
 
-  private def updateCond(table: GraftTable, rc: RowCond, set: Map[String, String]): Long = {
+  /** Spark-native UPDATE with condition AND/OR assignments carried as
+    * [[RowCond]]s — the seam that lets a SET value hold a PER-ROW
+    * CORRELATED scalar subquery (`SET x = (SELECT max(y) FROM s WHERE
+    * s.k = t.k)`): the [[ExprCond]] value rebinds its outer references
+    * onto the rewrite frame, Spark's own decorrelation plans the
+    * left-outer-join + aggregate, and the subquery's graft sources are
+    * snapshot-pinned so the data write and the CDC post-image evaluate one
+    * state. (Delta refuses these outright.)
+    */
+  private[graft] def updateMixed(
+      table: GraftTable, rc: RowCond, set: Map[String, RowCond]): Long =
+    updateCond(table, rc, set)
+
+  private def updateCond(table: GraftTable, rc: RowCond, set: Map[String, RowCond]): Long = {
     val spark = table.spark
     val t0 = System.currentTimeMillis()
     val snap = table.snapshot
@@ -443,7 +459,7 @@ object TableOps {
       val fields = snap.schema.fieldNames.toSeq
       val outCols = fields.map { c =>
         set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) =>
-          when(col("__graft_upd"), expr(v)).otherwise(col(c)).as(c)
+          when(col("__graft_upd"), v.column(touchedRows)).otherwise(col(c)).as(c)
         }.getOrElse(col(c).as(c))
       }
       val out = touchedRows.select(outCols: _*)

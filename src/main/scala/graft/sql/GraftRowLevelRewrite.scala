@@ -70,7 +70,8 @@ class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val tgtOut = targetOutput(u.table)
       val set = u.assignments.map { a =>
         keyName(a.key, "UPDATE SET") ->
-          part(a.value, tgtOut, Nil, Nil, Nil, "UPDATE SET")
+          part(a.value, tgtOut, Nil, Nil, Nil, "UPDATE SET",
+            allowCorrelatedScalar = true)
       }
       def textSet: Seq[(String, String)] =
         set.map { case (k, p) => k -> p.swap.toOption.get }
@@ -177,19 +178,33 @@ class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       e: Expression,
       tgt: Seq[Attribute], tgtQualifier: Seq[String],
       src: Seq[Attribute], srcQualifier: Seq[String],
-      what: String): SqlPart =
+      what: String,
+      // UPDATE SET additionally admits PER-ROW correlated SCALAR
+      // subqueries (evaluated plan-level over the rewrite frame through
+      // the ExprCond seam — Spark decorrelates to a left-outer join +
+      // aggregate; Delta refuses these). MERGE clause positions keep the
+      // refusal: their downstream is the text-rendered two-sided join.
+      allowCorrelatedScalar: Boolean = false): SqlPart =
     if (!hasSubquery(e))
       Left(render(e, AttributeSet(tgt), tgtQualifier, AttributeSet(src), srcQualifier))
     else {
       val bad = e.collect {
-        case p: PlanExpression[_] if !constScalar(p) => p
+        case p: PlanExpression[_]
+            if !constScalar(p) && !(allowCorrelatedScalar && rowScalar(p)) => p
       }
       if (bad.nonEmpty) throw new UnsupportedOperationException(
-        s"graft $what supports only NON-correlated SCALAR subqueries here " +
-          "(evaluated once per statement) — for row-dependent or set-valued " +
+        s"graft $what supports only ${if (allowCorrelatedScalar) "SCALAR"
+          else "NON-correlated SCALAR"} subqueries here — for " +
+          "set-valued " +
           s"subqueries, materialize into the MERGE source: ${bad.head.sql}")
       Right(new DmlExprBox(e, tgt, tgtQualifier, src, srcQualifier))
     }
+
+  private def rowScalar(p: PlanExpression[_]): Boolean = p match {
+    case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
+      s.outerAttrs.nonEmpty
+    case _ => false
+  }
 
   private def constScalar(p: PlanExpression[_]): Boolean = p match {
     case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
@@ -325,6 +340,16 @@ final class DmlExprBox(
     GraftRowLevelRewrite.render(
       GraftRowLevelRewrite.evalScalarSubqueries(spark, expr),
       AttributeSet(tgt), tgtQualifier, AttributeSet(src), srcQualifier)
+
+  /** True when the fragment holds a PER-ROW correlated scalar subquery —
+    * it cannot collapse to text ([[toSql]] would choke on the residual
+    * subquery) and must be evaluated plan-level over the rewrite frame.
+    */
+  def isRowCorrelated: Boolean =
+    expr.collectFirst {
+      case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+          if s.outerAttrs.nonEmpty => ()
+    }.isDefined
 }
 
 /** [[MergeClauseSpec]] with each fragment as a [[GraftRowLevelRewrite.SqlPart]]

@@ -446,12 +446,23 @@ case class GraftUpdateSubqueryCommand(
     AttributeReference("numUpdatedRows", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlCommands.resolveTarget(spark, path)
-    val resolvedSet =
-      set.map { case (k, p) => k -> p.fold(identity, _.toSql(spark)) }.toMap
-    val v = whereBox match {
-      case Some(box) => TableOps.updateExpr(t, box.cond, box.tableOutput, resolvedSet)
-      case None => TableOps.update(t, whereText, resolvedSet)
+    // each assignment: plain text stays text; a boxed fragment collapses
+    // to text (non-correlated scalars evaluated once, spliced as
+    // literals) UNLESS it is per-row correlated — that one rides the
+    // ExprCond seam and evaluates plan-level over the rewrite frame
+    val resolvedSet: Map[String, TableOps.RowCond] =
+      set.map { case (k, p) =>
+        k -> p.fold(
+          txt => TableOps.TextCond(txt): TableOps.RowCond,
+          box =>
+            if (box.isRowCorrelated) TableOps.ExprCond(box.expr, box.tgt)
+            else TableOps.TextCond(box.toSql(spark)))
+      }.toMap
+    val cond: TableOps.RowCond = whereBox match {
+      case Some(box) => TableOps.ExprCond(box.cond, box.tableOutput)
+      case None => TableOps.TextCond(whereText.getOrElse("true"))
     }
+    val v = TableOps.updateMixed(t, cond, resolvedSet)
     Seq(Row(v, GraftSqlCommands.commitMetric(t, v, "numUpdatedRows")))
   }
 }

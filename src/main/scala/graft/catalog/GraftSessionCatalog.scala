@@ -75,4 +75,38 @@ class GraftSessionCatalog extends DelegatingCatalogExtension {
 
   override def tableExists(ident: Identifier): Boolean =
     graftPath(ident).isDefined || super.tableExists(ident)
+
+  /** A path-shaped graft identifier in CREATE position would otherwise
+    * fall through to the delegate and die confusingly in a "database
+    * graft" lookup — refuse with the supported route instead. (A graft
+    * table needs no registration: once created by path it is immediately
+    * queryable as `` graft.`/path` ``.)
+    */
+  private def refuseCreate(ident: Identifier): Unit =
+    if (ident.namespace.length == 1 &&
+        ident.namespace()(0).equalsIgnoreCase("graft") &&
+        ident.name.contains('/'))
+      throw new UnsupportedOperationException(
+        s"CREATE TABLE graft.`${ident.name}` is not supported — create the " +
+          "table by path (df.write.format(\"graft\").save(path), " +
+          "GraftTable.create, or CREATE TABLE <name> USING graft LOCATION " +
+          "'<path>'); it is then immediately queryable as graft.`<path>`")
+
+  override def createTable(
+      ident: Identifier,
+      schema: org.apache.spark.sql.types.StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]): Table = {
+    refuseCreate(ident)
+    super.createTable(ident, schema, partitions, properties)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]): Table = {
+    refuseCreate(ident)
+    super.createTable(ident, columns, partitions, properties)
+  }
 }

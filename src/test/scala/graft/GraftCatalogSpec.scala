@@ -388,12 +388,13 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
     assert(multi.getMessage.contains("more than one row") ||
       multi.getMessage.contains("MULTI"))
-    // CORRELATED subqueries in assignments stay refused, loudly
-    val corr = intercept[UnsupportedOperationException] {
-      spark.sql("UPDATE graft_cat.ssq.t SET val = " +
-        "(SELECT max(s.w) FROM graft_cat.ssq.ref s WHERE s.id = graft_cat.ssq.t.id)")
-    }
-    assert(corr.getMessage.contains("NON-correlated"))
+    // CORRELATED scalar subqueries in assignments compute PER-ROW values
+    // (round 15, beyond Delta — see CorrelatedAssignSpec/s52); rows whose
+    // subquery matches nothing get the SQL-standard NULL
+    spark.sql("UPDATE graft_cat.ssq.t SET val = " +
+      "(SELECT max(s.w) FROM graft_cat.ssq.ref s WHERE s.id = graft_cat.ssq.t.id)")
+    assert(spark.table("graft_cat.ssq.t").where("id < 4 AND val = id * 10.0").count() == 4)
+    assert(spark.table("graft_cat.ssq.t").where("id >= 4 AND val IS NULL").count() == 6)
     // set-valued (IN) subqueries in MERGE clause conditions stay refused
     val setv = intercept[UnsupportedOperationException] {
       spark.sql("MERGE INTO graft_cat.ssq.t AS t USING graft_cat.ssq.ref AS s " +
@@ -546,7 +547,7 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(t.snapshot.files.exists(_.dv.exists(_.cardinality > 0)))
   }
 
-  it("native DML evaluates CORRELATED subqueries; correlated assignments and rand() stay refused") {
+  it("native DML evaluates CORRELATED subqueries in conditions AND assignments; rand() stays refused") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ref")
     spark.sql("CREATE TABLE graft_cat.ref.t AS " +
@@ -564,14 +565,11 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     spark.sql("DELETE FROM graft_cat.ref.t WHERE id IN " +
       "(SELECT r.id FROM range(20) r WHERE r.id = graft_cat.ref.t.id) AND id >= 6")
     assert(spark.table("graft_cat.ref.t").count() == 6) // ids 0..5 remain
-    // CORRELATED subqueries in ASSIGNMENTS stay refused (the update
-    // projection cannot host a per-row subquery; non-correlated scalars
-    // are supported — see the scalar-subquery spec)
-    val assign = intercept[Exception] {
-      spark.sql("UPDATE graft_cat.ref.t SET val = (SELECT max(r.id) FROM range(3) r " +
-        "WHERE r.id = graft_cat.ref.t.id) WHERE id = 1")
-    }
-    assert(assign.getMessage.contains("NON-correlated"))
+    // CORRELATED subqueries in ASSIGNMENTS compute per-row values now
+    // (round 15, beyond Delta — full coverage in CorrelatedAssignSpec)
+    spark.sql("UPDATE graft_cat.ref.t SET val = (SELECT max(r.id) FROM range(3) r " +
+      "WHERE r.id = graft_cat.ref.t.id) WHERE id = 1")
+    assert(spark.table("graft_cat.ref.t").where("id = 1 AND val = 1.0").count() == 1)
     val rnd = intercept[Exception] {
       spark.sql("UPDATE graft_cat.ref.t SET val = 0 WHERE rand() < 2")
     }
@@ -583,8 +581,9 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
         "ON t.id = s.id WHEN MATCHED AND rand() < 0.5 THEN DELETE")
     }
     assert(clauseRnd.getMessage.contains("deterministic"))
-    // and nothing was mutated by the refused statements
-    assert(spark.table("graft_cat.ref.t").where("val = -1").count() == 3)
+    // and nothing was mutated by the refused statements (ids 0 and 2 keep
+    // val=-1; id 1's val became 1.0 through the correlated assignment)
+    assert(spark.table("graft_cat.ref.t").where("val = -1").count() == 2)
   }
 
   it("SQL SHALLOW CLONE creates a zero-copy catalog table; the clone's vacuum spares the source") {

@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// UTF-8 FILE-NAME encoding for the forked JVMs: the container's default
+// locale is POSIX, under which java.nio refuses paths with non-ASCII
+// characters ("Malformed input or input contains unmappable characters")
+// — e.g. a partition directory for an emoji-valued partition column. A
+// production cluster runs UTF-8 locales; match it here so tests exercise
+// the same behavior.
+Test / envVars += "LC_ALL" -> "C.utf8"
+run / envVars += "LC_ALL" -> "C.utf8"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

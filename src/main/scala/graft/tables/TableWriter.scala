@@ -901,14 +901,19 @@ object TableWriter {
     val out = new java.io.ByteArrayOutputStream(s.length)
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 3 <= s.length) {
+      if (s.charAt(i) == '%' && i + 3 <= s.length) {
         try { out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3 }
-        catch { case _: NumberFormatException =>
-          out.write(c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)); i += 1
-        }
+        catch { case _: NumberFormatException => out.write('%'.toInt); i += 1 }
       } else {
-        out.write(c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)); i += 1
+        // write the maximal unescaped RUN as one substring: encoding char
+        // by char tears SURROGATE PAIRS — each lone half is unmappable in
+        // UTF-8 and encodes as '?', silently corrupting any partition
+        // value or URI that contains a supplementary-plane character
+        // (emoji). Runs keep pairs together.
+        val start = i
+        while (i < s.length && s.charAt(i) != '%') i += 1
+        out.write(s.substring(start, i)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
     }
     new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)

@@ -250,6 +250,22 @@ class FileSkippingSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(!Utf8Order.ltBytes("doc-😁", ub)) // next emoji is outside the band
   }
 
+  it("emoji partition VALUES round-trip through dirs and prune in UTF-8 order") {
+    val priv = ""; val emoji = "😀"
+    val t = GraftTable.create(spark, tmpTableDir("fs-emojipart"),
+      Seq((1, emoji), (2, priv), (3, emoji), (4, priv)).toDF("id", "tag").coalesce(1),
+      partitionColumns = Seq("tag"))
+    assert(t.snapshot.numFiles == 2)
+    // the dir-encoded partition value reads back exactly
+    assert(t.toDF.where(s"tag = '$emoji'").count() == 2)
+    assert(t.toDF.where(s"tag = '$priv'").count() == 2)
+    // partition-range pruning compares in UTF-8: the emoji partition sorts
+    // ABOVE U+E000 (a UTF-16 comparator would prune it here)
+    assert(survivors(t, s"tag = '$emoji'") == 1)
+    assert(survivors(t, s"tag >= '$priv'") == 2)
+    assert(survivors(t, s"tag > '$emoji'") == 0)
+  }
+
   it("IN, IsNull and IsNotNull are handled") {
     val t = rangedTable("fs-in")
     assert(survivors(t, "id IN (2, 3)") == 1)

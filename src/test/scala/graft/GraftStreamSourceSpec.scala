@@ -46,6 +46,47 @@ class GraftStreamSourceSpec extends AnyFunSpec with SparkSessionTestWrapper {
     } finally query.stop()
   }
 
+  it("a CDF-on REPLACE flows as delete+insert changes; CDF-off replace stays loud") {
+    // CREATE OR REPLACE re-materializes the table in one commit — a
+    // stream over a CDF-enabled table must see it as full change content
+    // (every prior row deleted, every new row inserted), never as a gap
+    val (dir, t) = mkTable("gss_replace")
+    val sink = "gss_rsink_" + System.nanoTime()
+    val query = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      assert(rowsOf(sink).size == 3) // snapshot inserts @ v0
+      TableOps.replaceTable(t,
+        Some(Seq((7, "seven"), (8, "eight")).toDF("id", "name")),
+        properties = Map(GraftLog.CdfProperty -> "true")) // v1, same schema
+      query.processAllAvailable()
+      val afterReplace = rowsOf(sink)
+      assert(afterReplace.count(_._4 == 1L) == 5, s"got $afterReplace")
+      assert(afterReplace.contains((0, "alpha", "delete", 1L)))
+      assert(afterReplace.contains((1, "beta", "delete", 1L)))
+      assert(afterReplace.contains((2, "gamma", "delete", 1L)))
+      assert(afterReplace.contains((7, "seven", "insert", 1L)))
+      assert(afterReplace.contains((8, "eight", "insert", 1L)))
+    } finally query.stop()
+    // CDF OFF in the replaced state: the commit removes files with no
+    // change data — a default stream must FAIL loudly, not skip silently
+    val (dir2, t2) = mkTable("gss_replace_off")
+    val sink2 = "gss_rsink2_" + System.nanoTime()
+    val q2 = spark.readStream.format("graft").load(dir2)
+      .writeStream.format("memory").queryName(sink2).outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      TableOps.replaceTable(t2, Some(Seq((9, "nine")).toDF("id", "name")))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("no change data") ||
+        Option(e.getCause).exists(_.getMessage.contains("no change data")),
+        e.getMessage)
+    } finally q2.stop()
+  }
+
   it("startingVersion replays changes from that version, no snapshot batch") {
     val (dir, t) = mkTable("gss_startv")
     TableOps.update(t, Some("id = 2"), Map("name" -> "'GAMMA'")) // v1

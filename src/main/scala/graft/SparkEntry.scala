@@ -3024,6 +3024,24 @@ object SparkEntry {
       s.sql("SELECT s_suppkey, s_nationkey, s_acctbal FROM graft_cat.s46.supp_t")
     }),
 
+    "s53_unicode_partitions" -> ((s, dir) => {
+      // supplementary-plane partition VALUES end-to-end: emoji-valued
+      // partition directories are written, their values recorded in the
+      // log (percent decoding must keep surrogate pairs whole — tearing
+      // one yields '??'), and a range predicate spanning both partitions
+      // must keep both in UTF-8 order (UTF-16 would prune the emoji one).
+      val priv = ""
+      val emoji = "😀"
+      val t = GraftTable.create(s, tmp("s53"),
+        read(s, dir, "nation").select(col("n_nationkey"), col("n_name"),
+          when(col("n_nationkey") % 2 === 0, lit(priv)).otherwise(lit(emoji))
+            .as("tag")).coalesce(1),
+        partitionColumns = Seq("tag"))
+      () =>
+      t.toDF.where(s"tag >= '$priv'")
+        .select(col("n_nationkey"), col("n_name"), col("tag"))
+    }),
+
     "s52_correlated_set" -> ((s, dir) => {
       // PER-ROW correlated scalar subquery in UPDATE SET (beyond Delta,
       // which refuses these): each row's new balance folds in an aggregate
@@ -4684,6 +4702,11 @@ object SparkEntry {
         |       (SELECT count(*) FROM b) AS total_files,
         |       (SELECT count(*) FROM customer
         |        WHERE c_name LIKE 'Customer#0000001%') AS rows_matching""".stripMargin,
+    "s53_unicode_partitions" ->
+      """SELECT n_nationkey, n_name,
+        |       CASE WHEN n_nationkey % 2 = 0 THEN chr(57344)
+        |            ELSE chr(128512) END AS tag
+        |FROM nation""".stripMargin,
     "s52_correlated_set" ->
       """SELECT c_custkey, c_nationkey,
         |       CASE WHEN c_nationkey % 2 = 0

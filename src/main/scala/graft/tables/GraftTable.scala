@@ -363,6 +363,12 @@ class GraftTable private (val spark: SparkSession, val path: String) {
   private def updateProperties(
       merge: Map[String, String], remove: Set[String], operation: String): Long =
     retryMetadataCommit(operation) { s =>
+      // setting the stats-columns knob validates NOW, not at the next
+      // write — a typo'd column would otherwise silently disable stats for
+      // every write until someone notices the skipping stopped
+      if (merge.contains(ParquetStats.StatsColumnsProperty)) {
+        ParquetStats.statsColumnsOf(merge, s.schema); ()
+      }
       Seq(
         graft.tables.Metadata(s.metadata.schemaJson, s.metadata.partitionColumns,
           (s.metadata.properties -- remove) ++ merge),

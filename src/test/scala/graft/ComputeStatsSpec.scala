@@ -66,11 +66,11 @@ class ComputeStatsSpec extends AnyFunSpec with SparkSessionTestWrapper {
     val foreign = t.snapshot.files.find(_.path.startsWith("foreign-")).get
     val st = GraftLog.parseStats(foreign.stats).get
     assert(st.minValues("id") == "100")
-    // a property naming a nonexistent column fails the backfill LOUDLY
+    // a property naming a nonexistent column fails AT SET TIME, loudly —
+    // not at the next write, where the typo would read as vanished stats
     val t2 = tableWithForeignFile()
-    t2.setProperties(Map(ParquetStats.StatsColumnsProperty -> "nope"))
     val e = intercept[IllegalArgumentException] {
-      TableOps.computeStats(GraftTable.forPath(spark, t2.path))
+      t2.setProperties(Map(ParquetStats.StatsColumnsProperty -> "nope"))
     }
     assert(e.getMessage.contains("does not resolve"), e.getMessage)
   }

@@ -270,7 +270,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    new GraftStagedTable(ident, schema, partitions, properties, orCreate = false)
+    new GraftStagedTable(ident, schema, partitions, properties, StageIntent.Create)
   }
 
   override def stageReplace(
@@ -279,7 +279,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new GraftStagedTable(ident, schema, partitions, properties, orCreate = false)
+    new GraftStagedTable(ident, schema, partitions, properties, StageIntent.Replace)
   }
 
   override def stageCreateOrReplace(
@@ -287,7 +287,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable =
-    new GraftStagedTable(ident, schema, partitions, properties, orCreate = true)
+    new GraftStagedTable(ident, schema, partitions, properties, StageIntent.CreateOrReplace)
 
   /** Staged handle for `CREATE [OR REPLACE] / REPLACE TABLE [AS SELECT]`
     * (Spark routes these through [[StagingTableCatalog]] when the catalog
@@ -310,12 +310,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     *    `commitStagedChanges` itself performs the empty replace (declared
     *    schema, zero rows).
     */
+  /** Stage-time intent, carried into execution: only `CreateOrReplace` may
+    * pick its branch from execution-time existence. A plain staged CTAS
+    * whose target appears concurrently must FAIL (TableAlreadyExists), not
+    * silently replace the concurrent table; a staged REPLACE whose target
+    * vanishes concurrently must fail NoSuchTable, not silently create.
+    */
+  private object StageIntent extends Enumeration {
+    val Create, Replace, CreateOrReplace = Value
+  }
+
   private class GraftStagedTable(
       ident: Identifier,
       declaredSchema: StructType,
       partitions: Array[Transform],
       tableProps: util.Map[String, String],
-      orCreate: Boolean)
+      intent: StageIntent.Value)
       extends StagedTable with SupportsWrite {
 
     private val partCols = identityPartCols(partitions)
@@ -329,11 +339,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
-    /** True when execution must REPLACE (the table exists now) — decided at
-      * run time, not stage time, so `CREATE OR REPLACE` takes the branch
-      * matching the state it actually executes against.
+    /** True when execution must REPLACE. Only `CREATE OR REPLACE` decides
+      * from the state it actually executes against; `CREATE` and `REPLACE`
+      * re-check that the stage-time precondition still holds and fail
+      * loudly when a concurrent writer invalidated it (never silently
+      * flipping a CTAS into a replace of someone else's table, or a
+      * REPLACE into a create).
       */
-    private def replacing: Boolean = tableExists(ident)
+    private def replacing: Boolean = {
+      val exists = tableExists(ident)
+      intent match {
+        case StageIntent.Create =>
+          if (exists) throw new TableAlreadyExistsException(ident)
+          false
+        case StageIntent.Replace =>
+          if (!exists) throw new NoSuchTableException(ident)
+          true
+        case StageIntent.CreateOrReplace => exists
+      }
+    }
 
     private def doReplace(data: Option[DataFrame]): Unit = {
       // LOCATION on REPLACE: allowed only when it re-states the table's
@@ -355,7 +379,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
         properties = tableProps.asScala.toMap -- GraftCatalog.ReservedProperties,
         operation =
           if (data.isEmpty) "REPLACE TABLE"
-          else if (orCreate) "CREATE OR REPLACE TABLE AS SELECT"
+          else if (intent == StageIntent.CreateOrReplace) "CREATE OR REPLACE TABLE AS SELECT"
           else "REPLACE TABLE AS SELECT")
       ()
     }

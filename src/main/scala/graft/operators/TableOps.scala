@@ -864,12 +864,20 @@ object TableOps {
     * stats-served aggregates like every graft-written file. Footer reads
     * fan out across a bounded thread pool (footers, not data).
     *
+    * Also re-harvests files whose stats PREDATE the `tightBounds` field:
+    * in pre-field logs a CONVERT-harvested foreign file (possibly
+    * truncated string bounds) is indistinguishable from a graft-written
+    * one, and absent defaults to tight on read — so the re-stamp marks
+    * them all conservatively non-tight (skipping keeps working; only
+    * metadata-only string min/max answers are declined for them).
+    *
     * @return number of files backfilled (0 = nothing to do, no commit)
     */
   def computeStats(table: GraftTable): Int = {
     val spark = table.spark
     val snap = table.snapshot
-    val missing = snap.files.filter(f => GraftLog.parseStats(f.stats).isEmpty)
+    val missing = snap.files.filter(f => GraftLog.parseStats(f.stats).isEmpty ||
+      !GraftLog.statsTightBoundsExplicit(f.stats))
     if (missing.isEmpty) return 0
     val conf = spark.sessionState.newHadoopConf()
     val statsSel = ParquetStats.statsColumnsOf(snap.metadata.properties, snap.schema)

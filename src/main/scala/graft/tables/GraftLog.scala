@@ -665,11 +665,28 @@ object GraftLog {
         nullCount = longMap("nullCount"),
         bloom = strMap("bloom"),
         bloomSidecar = Option(n.get("bloomSidecar")).filterNot(_.isNull).map(_.asText()),
-        // absent in logs written before the field existed = tight (those
-        // stats were graft-harvested from graft-written files)
+        // absent in logs written before the field existed = tight. That
+        // default is WRONG for pre-field CONVERT/COMPUTE STATS commits
+        // (foreign, possibly truncated stats with no field) — the log
+        // cannot tell them apart after checkpointing, so COMPUTE STATS
+        // re-stamps every absent-field file conservatively non-tight
+        // (see TableOps.computeStats); until it runs, pre-field converted
+        // tables need their stats recomputed before metadata-only string
+        // min/max answers can be trusted.
         tightBounds = Option(n.get("tightBounds")).forall(_.asBoolean())
       ))
     }
+
+  /** True when the stats JSON carries an explicit `tightBounds` field.
+    * Stats rendered by any build since the field existed always include it
+    * (Jackson writes plain Boolean fields unconditionally); absence means a
+    * pre-field log, where graft-tight and CONVERT-harvested foreign stats
+    * are indistinguishable — [[graft.operators.TableOps.computeStats]]
+    * re-stamps such files conservatively.
+    */
+  def statsTightBoundsExplicit(statsJson: String): Boolean =
+    statsJson != null && statsJson.nonEmpty &&
+      Option(mapper.readTree(statsJson).get("tightBounds")).exists(!_.isNull)
 
   def renderStats(s: FileStats): String = mapper.writeValueAsString(s)
 }

@@ -901,9 +901,14 @@ object TableWriter {
     val out = new java.io.ByteArrayOutputStream(s.length)
     var i = 0
     while (i < s.length) {
-      if (s.charAt(i) == '%' && i + 3 <= s.length) {
-        try { out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3 }
-        catch { case _: NumberFormatException => out.write('%'.toInt); i += 1 }
+      if (s.charAt(i) == '%') {
+        // a truncated escape ('%' within 2 chars of the end) passes through
+        // literally — it must ADVANCE here, because the run loop below stops
+        // AT '%' and would otherwise spin forever on it
+        if (i + 3 <= s.length) {
+          try { out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3 }
+          catch { case _: NumberFormatException => out.write('%'.toInt); i += 1 }
+        } else { out.write('%'.toInt); i += 1 }
       } else {
         // write the maximal unescaped RUN as one substring: encoding char
         // by char tears SURROGATE PAIRS — each lone half is unmappable in

@@ -109,6 +109,32 @@ class ComputeStatsSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(FileSkipping.filesMatching(t.snapshot, cls.all, None).size == 1)
   }
 
+  it("re-stamps pre-tightBounds-field stats conservatively non-tight") {
+    // a log written before the tightBounds field existed reads back TIGHT
+    // by default, even when the stats were CONVERT-harvested from foreign
+    // (possibly truncated) footers — the log can't tell after the fact, so
+    // COMPUTE STATS re-harvests every absent-field file and stamps it
+    // non-tight explicitly
+    val dir = tmpTableDir("cstats-legacy")
+    val t = GraftTable.create(spark, dir, (0L until 10L).toDF("id").coalesce(1))
+    val f = t.snapshot.files.head
+    assert(GraftLog.statsTightBoundsExplicit(f.stats)) // current build: explicit
+    val legacy = f.stats.replace(",\"tightBounds\":true", "")
+      .replace("\"tightBounds\":true,", "")
+    assert(!GraftLog.statsTightBoundsExplicit(legacy), legacy)
+    assert(GraftLog.parseStats(legacy).get.tightBounds) // legacy default
+    t.log.commit(t.snapshot.version + 1,
+      Seq(f.copy(stats = legacy),
+        CommitInfo(System.currentTimeMillis(), "WRITE")))
+    val t2 = GraftTable.forPath(spark, dir)
+    assert(TableOps.computeStats(t2) == 1)
+    val after = GraftLog.parseStats(t2.snapshot.files.head.stats).get
+    assert(GraftLog.statsTightBoundsExplicit(t2.snapshot.files.head.stats))
+    assert(!after.tightBounds) // conservative: decline metadata-only answers
+    assert(after.numRecords == 10) // re-harvest kept real footer stats
+    assert(TableOps.computeStats(GraftTable.forPath(spark, dir)) == 0)
+  }
+
   it("lets backfilled files participate in min/max skipping") {
     val t = tableWithForeignFile()
     def matching(cond: String): Int = {

@@ -1084,6 +1084,9 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(TableWriter.percentDecode("a+b") == "a+b")          // '+' stays literal
       assert(TableWriter.percentDecode("12%3A30") == "12:30")
       assert(TableWriter.percentDecode("x%ZZy") == "x%ZZy")      // malformed: verbatim
+      assert(TableWriter.percentDecode("p=99%") == "p=99%")      // truncated escape at end
+      assert(TableWriter.percentDecode("99%A") == "99%A")        // 1 hex digit then EOS
+      assert(TableWriter.percentDecode("%") == "%")              // lone '%'
       assert(TableWriter.uriMatchesRelPath(
         "file:///tmp/t/city=caf%C3%A9/part-1.parquet", "city=caf\u00e9/part-1.parquet"))
       assert(!TableWriter.uriMatchesRelPath(

@@ -22,6 +22,24 @@ class LogStoreSpec extends AnyFunSpec with SparkSessionTestWrapper {
       org.apache.spark.sql.types.StructField("id",
         org.apache.spark.sql.types.LongType))).json
 
+  /** Join every writer against ONE shared deadline, then assert none is
+    * still alive — a silent `join` timeout must read as "storm did not
+    * finish in budget" (liveness), never fall through to the chain
+    * assertions and get misreported as lost commits.
+    */
+  private def joinAllOrFail(writers: Seq[Thread], budgetMs: Long): Unit = {
+    val deadline = System.nanoTime() + budgetMs * 1000000L
+    writers.foreach { t =>
+      t.join(math.max(1L, (deadline - System.nanoTime()) / 1000000L))
+    }
+    val stillRunning = writers.count(_.isAlive)
+    if (stillRunning > 0) {
+      writers.foreach(_.interrupt())
+      fail(s"storm liveness budget (${budgetMs / 1000} s) expired with " +
+        s"$stillRunning writers still retrying — a TIMEOUT, not lost commits")
+    }
+  }
+
   describe("ConditionalPutLogStore") {
     it("rejects the second claimant of a version (non-POSIX claim shape)") {
       val dir = tmpTableDir("ls-cput")
@@ -264,8 +282,9 @@ class LogStoreSpec extends AnyFunSpec with SparkSessionTestWrapper {
           }
         })
       }
-      writers.foreach(_.start()); writers.foreach(_.join(120000))
-      stop.set(true); chaos.join(10000)
+      writers.foreach(_.start())
+      try joinAllOrFail(writers, 120000)
+      finally { stop.set(true); chaos.join(10000) }
       val vs = log.versions()
       assert(vs == (0L to vs.last), s"non-contiguous chain: $vs")
       assert(vs.last >= 4L * n, s"writers lost commits: head ${vs.last}")
@@ -638,14 +657,24 @@ class LogStoreSpec extends AnyFunSpec with SparkSessionTestWrapper {
       log.commit(0L, Seq(Metadata(schemaJson), CommitInfo(0L, "CREATE TABLE")))
       val n = 15
       val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // the storm arms a BOUNDED number of faults (not "until the writers
+      // finish"): an open-ended chaos loop couples fault volume to how slow
+      // the box is — under full-suite parallel load the writers back off,
+      // the storm keeps re-arming against them, and the liveness budget
+      // becomes a coin flip. 600 arms × ~1 ms is a dense storm over the
+      // contended early phase whose TOTAL backoff cost is fixed, so the
+      // writers always drain it and finish, loaded box or not.
+      val maxArms = 600
       val chaos = new Thread(() => {
         val rnd = new scala.util.Random(1414)
-        while (!stop.get()) {
+        var arms = 0
+        while (!stop.get() && arms < maxArms) {
           rnd.nextInt(3) match {
             case 0 => client.throttleNextPuts(1 + rnd.nextInt(2))
             case 1 => client.ambiguousNextPut(land = true)
             case 2 => client.ambiguousNextPut(land = false)
           }
+          arms += 1
           Thread.sleep(1)
         }
         client.throttleNextPuts(0)
@@ -669,8 +698,9 @@ class LogStoreSpec extends AnyFunSpec with SparkSessionTestWrapper {
           }
         })
       }
-      writers.foreach(_.start()); writers.foreach(_.join(120000))
-      stop.set(true); chaos.join(10000)
+      writers.foreach(_.start())
+      try joinAllOrFail(writers, 120000)
+      finally { stop.set(true); chaos.join(10000) }
       val vs = log.versions()
       assert(vs == (0L to vs.last), s"non-contiguous chain: $vs")
       assert(vs.last >= 4L * n, s"writers lost commits: head ${vs.last}")

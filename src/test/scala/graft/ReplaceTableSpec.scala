@@ -134,6 +134,48 @@ class ReplaceTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(GraftTable.forPath(spark, dir).toDF.count() == 1) // state untouched
   }
 
+  it("staged intent survives to execution: a raced stageCreate/stageReplace fails loudly") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, StagingTableCatalog}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.rt")
+    val cat = spark.sessionState.catalogManager.catalog("graft_cat")
+      .asInstanceOf[StagingTableCatalog]
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val noTransforms = Array.empty[org.apache.spark.sql.connector.expressions.Transform]
+    val noProps = new java.util.HashMap[String, String]()
+
+    // staged CREATE, target created concurrently between stage and execute:
+    // must fail TableAlreadyExists — NOT silently replace the winner
+    val raceC = Identifier.of(Array("rt"), "race_c")
+    val stagedC = cat.stageCreate(raceC, schema, noTransforms, noProps)
+    spark.sql("CREATE TABLE graft_cat.rt.race_c AS SELECT id FROM range(5)")
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
+      stagedC.commitStagedChanges()
+    }
+    assert(spark.table("graft_cat.rt.race_c").count() == 5) // winner intact
+
+    // staged REPLACE, target dropped concurrently: must fail NoSuchTable —
+    // NOT silently create
+    spark.sql("CREATE TABLE graft_cat.rt.race_r AS SELECT id FROM range(3)")
+    val raceR = Identifier.of(Array("rt"), "race_r")
+    val stagedR = cat.stageReplace(raceR, schema, noTransforms, noProps)
+    spark.sql("DROP TABLE graft_cat.rt.race_r")
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchTableException] {
+      stagedR.commitStagedChanges()
+    }
+    assert(!spark.catalog.tableExists("graft_cat.rt.race_r"))
+
+    // only CREATE OR REPLACE decides from execution-time state: the same
+    // race resolves to a create, by design
+    spark.sql("CREATE TABLE graft_cat.rt.race_or AS SELECT id FROM range(3)")
+    val raceOr = Identifier.of(Array("rt"), "race_or")
+    val stagedOr = cat.stageCreateOrReplace(raceOr, schema, noTransforms, noProps)
+    spark.sql("DROP TABLE graft_cat.rt.race_or")
+    stagedOr.commitStagedChanges()
+    assert(spark.table("graft_cat.rt.race_or").count() == 0)
+  }
+
   it("path-API replaceTable: one commit, OCC read footprint over the whole table") {
     val dir = tmpTableDir("rt-path")
     val t = GraftTable.create(spark, dir, (1 to 10).map(i => (i, s"n$i")).toDF("id", "name"))

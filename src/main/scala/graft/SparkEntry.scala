@@ -3084,10 +3084,14 @@ object SparkEntry {
     "s50_replace_table" -> ((s, dir) => {
       // CREATE OR REPLACE TABLE ... AS SELECT: ONE atomic commit swaps
       // contents + schema + partitioning + properties (remove-all + adds),
-      // history stays time-travelable, and with CDF on the commit carries
-      // every prior row as `delete` and every new row as `insert`. The
-      // oracle replays the new contents relationally and pins the
-      // time-travel/CDF counts to the pre/post row sets.
+      // history stays time-travelable, and with CDF on a reader sees every
+      // prior row as `delete` and every new row as `insert` — SYNTHESIZED
+      // at read time from the commit's remove/add actions; the commit
+      // itself writes ZERO _change_data files (pinned by the
+      // change_files_written column — write-time materialization would be
+      // O(old + new) write amplification per replace). The oracle replays
+      // the new contents relationally and pins the time-travel/CDF counts
+      // to the pre/post row sets.
       catalogWarehouse(s)
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.s50")
       read(s, dir, "nation").createOrReplaceTempView("s50_nat")
@@ -3114,6 +3118,8 @@ object SparkEntry {
         .withColumn("cdf_inserts", lit(cdf.where("_change_type = 'insert'").count()))
         .withColumn("replace_version", lit(v))
         .withColumn("missing_refused", lit(refused))
+        .withColumn("change_files_written", lit(t.log.actionsAt(v)
+          .count(_.isInstanceOf[graft.tables.AddCDCFile]).toLong))
       }
     }),
 
@@ -4723,7 +4729,8 @@ object SparkEntry {
         |       (SELECT count(*) FROM nation) AS cdf_deletes,
         |       (SELECT count(DISTINCT o_orderstatus) FROM orders) AS cdf_inserts,
         |       CAST(2 AS BIGINT) AS replace_version,
-        |       true AS missing_refused
+        |       true AS missing_refused,
+        |       CAST(0 AS BIGINT) AS change_files_written
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "s49_utf8_stats" ->
       """WITH n AS (SELECT 'doc-' ||

@@ -298,8 +298,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     * maps straight onto it:
     *  - REPLACE of an existing table: the V1-fallback write performs ONE
     *    [[graft.operators.TableOps.replaceTable]] commit — remove-all +
-    *    new schema/partitioning/properties + new files (+ CDF
-    *    delete/insert rows), OCC-fenced, history preserved. Readers see
+    *    new schema/partitioning/properties + new files (CDF delete/insert
+    *    rows are synthesized at READ time from the remove/add actions;
+    *    none are written), OCC-fenced, history preserved. Readers see
     *    the old table until that single commit lands;
     *    `commitStagedChanges` is then a no-op.
     *  - CREATE (CTAS): `createTable` + append — the same two-commit shape

@@ -48,46 +48,78 @@ case class ChangeDataFeedHelper(
     * with union (whose plan explodes at thousands of versions).
     * `_commit_version` / `_commit_timestamp` are attached by a broadcast
     * join on the file's base name (each file belongs to exactly one commit).
+    *
+    * Full-overwrite commits (REPLACE TABLE [AS SELECT], INSERT OVERWRITE /
+    * SaveMode.Overwrite) write NO change files — their change rows are
+    * SYNTHESIZED here, per commit: every removed file's live rows as
+    * `delete` (read against the pre-commit snapshot; the bytes stay on disk
+    * until vacuum), every added file's rows as `insert`. Delta's overwrite
+    * posture: materializing them at write time would read the whole old
+    * table and double-write the new one — O(old + new) write amplification
+    * a 100 TB replace cannot afford. The tradeoff is vacuum: written change
+    * rows would survive vacuum of the old data files, synthesized ones
+    * cannot — a post-vacuum read fails loudly below instead of answering
+    * wrong.
     */
   def readCDF(s: Long, e: Long): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     // (relPath, version, commitTsMillis) for both mechanisms, in version order
     val cdcEntries = Seq.newBuilder[(String, Long, Long)]
     val insEntries = Seq.newBuilder[(AddFile, Long, Long)]
-    var firstIsCdc: Option[Boolean] = None
+    // synthesized overwrite frames, one per qualifying commit (rare —
+    // bounded by the number of REPLACE/overwrite commits in range, not by
+    // file count; each is self-stamped with its constant version/timestamp)
+    val ovwFrames = Seq.newBuilder[(Long, DataFrame)]
+    var firstCdcV, firstInsV, firstOvwV: Option[Long] = None
+    val endSchema = log.snapshot(e).schema
     (s to e).foreach { v =>
       val actions = log.actionsAt(v)
       val commitTs = actions.collectFirst { case c: CommitInfo => c.timestamp }.getOrElse(0L)
       val cdcFiles = actions.collect { case c: AddCDCFile => c.path }
       if (cdcFiles.nonEmpty) {
         cdcFiles.foreach(p => cdcEntries += ((p, v, commitTs)))
-        if (firstIsCdc.isEmpty) firstIsCdc = Some(true)
+        if (firstCdcV.isEmpty) firstCdcV = Some(v)
       } else {
         val op = actions.collectFirst { case c: CommitInfo => c.operation }.getOrElse("")
         val adds = actions.collect { case a: AddFile => a }
         val removes = actions.collect { case r: RemoveFile => r }
+        // a vacuum-horizon REWRITE without preserved CDC holds the whole
+        // live file set in place of the version's original change content
+        // — reading it as changes would re-emit the entire table (the
+        // same guard the stream source applies)
+        val horizonRewrite = actions.collectFirst { case c: CommitInfo => c }
+          .exists(_.operationParameters.contains(GraftLog.HorizonRewriteParam))
+        if (horizonRewrite && op != "OPTIMIZE" && (adds.nonEmpty || removes.nonEmpty))
+          throw new IllegalStateException(
+            s"version $v of $path is a vacuum-horizon rewrite — its original " +
+              "change content was replaced by a snapshot; read the change feed " +
+              "from a version above the vacuum horizon")
         // plain append/create: added rows are inserts; rewrites without change
         // files (OPTIMIZE) or no-op commits produce no change rows
         if (adds.nonEmpty && removes.isEmpty && op != "OPTIMIZE") {
-          // a vacuum-horizon REWRITE without preserved CDC holds the whole
-          // live file set in place of the version's original change content
-          // — reading it as inserts would re-emit the entire table (the
-          // same guard the stream source applies)
-          val horizonRewrite = actions.collectFirst { case c: CommitInfo => c }
-            .exists(_.operationParameters.contains(GraftLog.HorizonRewriteParam))
-          if (horizonRewrite)
-            throw new IllegalStateException(
-              s"version $v of $path is a vacuum-horizon rewrite — its original " +
-                "change content was replaced by a snapshot; read the change feed " +
-                "from a version above the vacuum horizon")
           adds.foreach(a => insEntries += ((a, v, commitTs)))
-          if (firstIsCdc.isEmpty) firstIsCdc = Some(false)
+          if (firstInsV.isEmpty) firstInsV = Some(v)
+        } else if (removes.nonEmpty && op != "OPTIMIZE" && op != "REPARTITION") {
+          // remove-ALL commit = full overwrite (REPLACE / INSERT OVERWRITE;
+          // partial rewrites — merge/update/delete — always carry change
+          // files when CDF is on, so reaching here without them means CDF
+          // was off for that commit). Synthesize iff the COMMITTED state
+          // has CDF enabled — exactly when the old write path would have
+          // materialized change rows.
+          val prev = log.snapshot(v - 1)
+          val removedSet = removes.map(_.path).toSet
+          val fullOverwrite = removedSet == prev.files.map(_.path).toSet
+          if (fullOverwrite && log.snapshot(v).cdfEnabled) {
+            ovwFrames += ((v, synthesizeOverwrite(v, prev, adds, commitTs, endSchema)))
+            if (firstOvwV.isEmpty) firstOvwV = Some(v)
+          }
         }
       }
     }
     val cdc = cdcEntries.result()
     val ins = insEntries.result()
-    require(cdc.nonEmpty || ins.nonEmpty,
+    val ovw = ovwFrames.result()
+    require(cdc.nonEmpty || ins.nonEmpty || ovw.nonEmpty,
       s"no change data between versions $s and $e of $path")
 
     def baseName(rel: String): String = rel.substring(rel.lastIndexOf('/') + 1)
@@ -140,7 +172,6 @@ case class ChangeDataFeedHelper(
     // so a rename landing in-range after the last change file still
     // surfaces one column under one (current) name instead of splitting
     // the unioned output into a stale-name and a new-name column
-    val endSchema = log.snapshot(e).schema
     val cdcFrame = if (cdc.isEmpty) None else {
       Some(stamp(
         graft.tables.ColumnMapping.toLogical(
@@ -167,16 +198,59 @@ case class ChangeDataFeedHelper(
         ins.map { case (a, v, ts) => (a.path, v, ts) }))
     }
 
+    // synthesized overwrite frames are already stamped; one frame per
+    // overwrite commit, unioned in version order
+    val ovwFrame = ovw.map(_._2).reduceOption(_.unionByName(_, allowMissingColumns = true))
+
     // column order: the earliest contributing version's mechanism leads, so
     // batched output matches the old fold-in-version-order layout
-    (cdcFrame, insFrame) match {
-      case (Some(c), Some(i)) =>
-        if (firstIsCdc.contains(true)) c.unionByName(i, allowMissingColumns = true)
-        else i.unionByName(c, allowMissingColumns = true)
-      case (Some(c), None) => c
-      case (None, Some(i)) => i
-      case _ => throw new IllegalStateException("unreachable")
-    }
+    val ordered = Seq(
+      firstCdcV.flatMap(v => cdcFrame.map((v, _))),
+      firstInsV.flatMap(v => insFrame.map((v, _))),
+      firstOvwV.flatMap(v => ovwFrame.map((v, _)))).flatten.sortBy(_._1)
+    ordered.map(_._2).reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Change rows for one full-overwrite commit, synthesized from its
+    * remove/add actions: the pre-commit snapshot's live rows (deletion
+    * vectors applied) as `delete`, the added files' rows as `insert`. The
+    * removed files must still exist — vacuum collects them, after which the
+    * overwrite's change content is gone and the read fails loudly (same
+    * posture as the vacuum-horizon guard; written change rows would have
+    * survived, but at O(old + new) write amplification per overwrite).
+    */
+  private def synthesizeOverwrite(
+      v: Long,
+      prev: Snapshot,
+      adds: Seq[AddFile],
+      commitTs: Long,
+      endSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val missing = prev.files.filterNot(f =>
+      graft.tables.Fs.exists(GraftTable.resolveDataPath(path, f.path)))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"version $v of $path replaced the table, and ${missing.size} of the " +
+          s"replaced files were since vacuumed (first: ${missing.head.path}); " +
+          "its delete-side change rows are no longer reconstructible — read " +
+          "the change feed from a version above the vacuum horizon")
+    // delete side: pre-replace LOGICAL names (that lineage's final names —
+    // the new regime's mapping does not apply to it); insert side: relabel
+    // to the range-end logical names through the stable physical names,
+    // exactly as the plain-append frame does
+    val deletes = table.dfForFiles(prev, prev.files)
+      .withColumn("_change_type", lit("delete"))
+    val inserts =
+      if (adds.isEmpty) None
+      else {
+        val snapV = log.snapshot(v)
+        Some(graft.tables.ColumnMapping.toLogical(
+          graft.tables.ColumnMapping.toPhysical(
+            table.dfForFiles(snapV, adds), snapV.schema),
+          endSchema).withColumn("_change_type", lit("insert")))
+      }
+    inserts.fold(deletes)(i => deletes.unionByName(i, allowMissingColumns = true))
+      .withColumn("_commit_version", lit(v))
+      .withColumn("_commit_timestamp", (lit(commitTs) / 1000L).cast("timestamp"))
   }
 
   // =====================================================================

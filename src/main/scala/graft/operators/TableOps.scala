@@ -1005,12 +1005,13 @@ object TableOps {
     * prior state stays time-travelable.
     *
     * With CDF enabled IN THE REPLACED STATE (like RESTORE, the committed
-    * property regime governs), the commit carries full change rows: every
-    * prior row as `delete`, every new row as `insert` — so CDF readers and
-    * streams see the re-materialization as data change, not a gap. The
-    * incoming frame is localCheckpoint-pinned first so the data files and
-    * the insert-side change rows are computed from ONE evaluation of the
-    * query (a nondeterministic source cannot diverge the two).
+    * property regime governs), CDF readers and streams see the
+    * re-materialization as full change content — every prior row `delete`,
+    * every new row `insert` — SYNTHESIZED at read time from the commit's
+    * remove/add actions; the commit itself writes no `_change_data`
+    * (Delta's overwrite posture — see the write-amplification note in the
+    * method body). Post-vacuum, the delete side is gone and CDF reads of
+    * this version fail loudly.
     *
     * Concurrency: the replace's read footprint is the entire current
     * table (RESTORE's discipline) — a concurrent commit that removed or
@@ -1034,21 +1035,16 @@ object TableOps {
     val cur = table.snapshot
     require(data.nonEmpty || schema.nonEmpty,
       "REPLACE TABLE needs the new contents or a declared schema")
-    val newProps = GraftTable.sessionDefaultProperties(spark) ++ properties
-    val cdfOn = newProps.get(GraftLog.CdfProperty).exists(_.equalsIgnoreCase("true"))
-    // pin ONE evaluation of the query when it must be written twice
-    // (data files + insert-side change rows)
-    val pinned = data.map(d => if (cdfOn) d.localCheckpoint() else d)
-    val cdc: Option[DataFrame] =
-      if (!cdfOn || (cur.files.isEmpty && pinned.isEmpty)) None
-      else {
-        val deletes = table.dfForFiles(cur, cur.files)
-          .withColumn("_change_type", lit("delete"))
-        val inserts = pinned.map(_.withColumn("_change_type", lit("insert")))
-        Some(inserts.fold(deletes)(i =>
-          deletes.unionByName(i, allowMissingColumns = true)))
-      }
-    val frame = pinned.getOrElse(
+    // CDF: the replace commit writes NO change rows — readers synthesize
+    // every prior row as `delete` (from the removed files, on disk until
+    // vacuum) and every new row as `insert` (from the added files) at READ
+    // time, Delta's overwrite posture (ChangeDataFeedHelper.readCDF /
+    // GraftStreamSource.changesFor). Materializing them here would read the
+    // whole old table and double-write the new one — O(old + new) write
+    // amplification per replace. Tradeoff: written change rows would
+    // survive vacuum of the old data files; synthesized ones fail loudly
+    // post-vacuum instead of answering wrong.
+    val frame = data.getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema.get))
     TableWriter.write(spark, table.path, frame, TableWriter.Overwrite,
@@ -1058,7 +1054,6 @@ object TableOps {
       replaceProperties = true,
       operation = operation,
       extraMetrics = Map("numRemovedFiles" -> cur.files.size.toString),
-      cdc = cdc,
       readFiles = cur.files.map(_.path),
       readVersion = Some(cur.version),
       skipDataWrite = data.isEmpty)

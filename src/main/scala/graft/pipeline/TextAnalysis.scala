@@ -606,6 +606,11 @@ object TextAnalysis {
     // is valid iff its count still matches the live map. Comparator =
     // driverBpe's minBy((-c, l, r)) tie order exactly — on symbol STRINGS
     // (merged-symbol ids are minted in rank order, not string order).
+    // DELIBERATELY Java-compareTo (UTF-16 code-unit order): this tie-break
+    // is the pinned TOKENIZER contract (it must match driverBpe.minBy and
+    // the t12/t13 oracle replay), NOT a stats-plane ordering site — do NOT
+    // "fix" it to graft.tables.Utf8Order (UTF-8 byte order), which governs
+    // only file-statistics min/max comparisons (see Utf8Order's scaladoc).
     val heap = new java.util.PriorityQueue[(Long, Int, Int)](
       math.max(16, init.length),
       (a: (Long, Int, Int), b: (Long, Int, Int)) => {

@@ -411,14 +411,52 @@ class GraftStreamSource(
         // (Delta's option for retention deletes under an append-only reader);
         // a DV-only delete qualifies — its re-adds carry no new rows
         if (ignoreDeletes && dataAdds.isEmpty) None
-        else
-          // rewriting commit without change files: the stream cannot
-          // represent the removed rows — failing loudly beats silently
-          // emitting wrong changes (Delta raises the same way for CDF gaps)
-          throw new IllegalStateException(
-            s"version $v of $tablePath removed files but wrote no change data; " +
-              "enable CDF (graft.enableChangeDataFeed) for streamed tables, " +
-              "or set ignoreDeletes/skipChangeCommits to skip such commits")
+        else {
+          // full overwrite (REPLACE TABLE / INSERT OVERWRITE) with CDF on
+          // in the committed state: the commit writes no change files — the
+          // change rows are synthesized from its remove/add actions, the
+          // same rule as the batch reader (ChangeDataFeedHelper). Partial
+          // rewrites with CDF on always carry change files, so a non-full
+          // remove set here means CDF was off for that commit.
+          val prev = table.snapshotAt(v - 1)
+          val fullOverwrite = op.exists(o => o != "OPTIMIZE" && o != "REPARTITION") &&
+            removes.map(_.path).toSet == prev.files.map(_.path).toSet &&
+            table.snapshotAt(v).cdfEnabled
+          if (fullOverwrite && dropChangeColumns)
+            // rows-only streams cannot represent the delete side — same
+            // loud/skip policy as the change-file branch above
+            throw new IllegalStateException(
+              s"version $v of $tablePath is a data-changing commit, which a " +
+                "rows-only stream (readStream.table) cannot represent; set " +
+                "skipChangeCommits/ignoreDeletes to skip such commits, or " +
+                "stream the change feed via readStream.format(\"graft\")")
+          else if (fullOverwrite) {
+            val missing = prev.files.filterNot(f => graft.tables.Fs.exists(
+              graft.tables.GraftTable.resolveDataPath(tablePath, f.path)))
+            if (missing.nonEmpty)
+              throw new IllegalStateException(
+                s"version $v of $tablePath replaced the table, and " +
+                  s"${missing.size} of the replaced files were since vacuumed; " +
+                  "its delete-side change rows are no longer reconstructible — " +
+                  "restart the stream from a fresh checkpoint (snapshot batch)")
+            val deletes = widen(table.dfForFiles(prev, prev.files)
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_version", lit(v)))
+            val inserts =
+              if (dataAdds.isEmpty) None
+              else Some(widen(table.dfForFiles(table.snapshotAt(v), dataAdds)
+                .withColumn("_change_type", lit("insert"))
+                .withColumn("_commit_version", lit(v))))
+            Some(inserts.fold(deletes)(i => deletes.unionByName(i)))
+          } else
+            // rewriting commit without change files: the stream cannot
+            // represent the removed rows — failing loudly beats silently
+            // emitting wrong changes (Delta raises the same way for CDF gaps)
+            throw new IllegalStateException(
+              s"version $v of $tablePath removed files but wrote no change data; " +
+                "enable CDF (graft.enableChangeDataFeed) for streamed tables, " +
+                "or set ignoreDeletes/skipChangeCommits to skip such commits")
+        }
       } else if (dataAdds.nonEmpty) {
         // blind append: the added files ARE the change set
         val snap = table.snapshotAt(v)

@@ -78,17 +78,53 @@ class ReplaceTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       "TBLPROPERTIES('graft.enableChangeDataFeed'='true') AS " +
       "SELECT id + 100 AS id, concat('m', id) AS name FROM range(4)")
     val t = GraftTable.forName(spark, "graft_cat.rt.c")
+    // the replace commit writes NO _change_data — the delete+insert rows
+    // below are synthesized at read time from its remove/add actions
+    // (written change rows would be O(old + new) write amplification)
+    assert(t.log.actionsAt(t.version)
+      .collect { case c: graft.tables.AddCDCFile => c }.isEmpty)
     val cdf = graft.log.ChangeDataFeedHelper(spark, t.path, t.version, t.version).readCDF
     val byType = cdf.groupBy("_change_type").count().as[(String, Long)].collect().toMap
     assert(byType == Map("delete" -> 6L, "insert" -> 4L))
     // the delete rows are the OLD contents, the insert rows the NEW
     assert(cdf.where("_change_type = 'delete' AND id < 100").count() == 6)
     assert(cdf.where("_change_type = 'insert' AND id >= 100").count() == 4)
-    // CDF OFF in the replaced state: no change rows are written
+    // every row carries the replace commit's version stamp
+    assert(cdf.where(s"_commit_version = ${t.version}").count() == 10)
+    // CDF OFF in the replaced state: no change rows are written OR read
     spark.sql("CREATE OR REPLACE TABLE graft_cat.rt.c AS SELECT id FROM range(3)")
     val t2 = GraftTable.forName(spark, "graft_cat.rt.c")
     assert(t2.log.actionsAt(t2.version)
       .collect { case c: graft.tables.AddCDCFile => c }.isEmpty)
+    intercept[IllegalArgumentException] { // "no change data between versions"
+      graft.log.ChangeDataFeedHelper(spark, t2.path, t2.version, t2.version).readCDF
+    }
+  }
+
+  it("CDF of a vacuumed replace fails loudly; above-horizon reads still work") {
+    val dir = tmpTableDir("rt-cdf-vac")
+    val t = GraftTable.create(spark, dir,
+      (1 to 8).map(i => (i, s"n$i")).toDF("id", "name"),
+      properties = Map("graft.enableChangeDataFeed" -> "true"))
+    val vReplace = TableOps.replaceTable(t,
+      Some(Seq((100, "x"), (101, "y")).toDF("id", "name")),
+      properties = Map("graft.enableChangeDataFeed" -> "true"))
+    // pre-vacuum: the synthesized read works
+    val cdf = graft.log.ChangeDataFeedHelper(spark, dir, vReplace, vReplace).readCDF
+    assert(cdf.where("_change_type = 'delete'").count() == 8)
+    assert(cdf.where("_change_type = 'insert'").count() == 2)
+    t.append(Seq((102, "z")).toDF("id", "name")) // vReplace + 1
+    TableOps.vacuum(t, vReplace)
+    // the replaced files are gone — the delete side is not reconstructible;
+    // the read refuses loudly instead of answering wrong
+    val e = intercept[IllegalStateException] {
+      graft.log.ChangeDataFeedHelper(spark, dir, vReplace, vReplace + 1).readCDF.count()
+    }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+    // above the horizon the feed still reads
+    val above = graft.log.ChangeDataFeedHelper(
+      spark, dir, vReplace + 1, vReplace + 1).readCDF
+    assert(above.where("_change_type = 'insert'").count() == 1)
   }
 
   it("REPLACE refuses to re-point an external table's LOCATION; same-location replace works") {
@@ -174,6 +210,61 @@ class ReplaceTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
     spark.sql("DROP TABLE graft_cat.rt.race_or")
     stagedOr.commitStagedChanges()
     assert(spark.table("graft_cat.rt.race_or").count() == 0)
+  }
+
+  it("REPLACE clears column mapping left by nested renames; physical names don't leak") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.rt")
+    spark.sql("CREATE TABLE graft_cat.rt.cm AS " +
+      "SELECT id, named_struct('a', id * 2, 'b', concat('x', id)) AS s FROM range(5)")
+    spark.sql("ALTER TABLE graft_cat.rt.cm RENAME COLUMN s.a TO doubled")
+    spark.sql("ALTER TABLE graft_cat.rt.cm RENAME COLUMN id TO key")
+    val mapped = GraftTable.forName(spark, "graft_cat.rt.cm")
+    val vMapped = mapped.version
+    assert(mapped.toDF.schema.fieldNames.toSeq == Seq("key", "s"))
+    // REPLACE with a schema that REUSES the renamed-away names: the new
+    // regime must read its own files under its own (fresh) mapping, never
+    // resolve 'id'/'a' through the pre-replace physical names
+    spark.sql("CREATE OR REPLACE TABLE graft_cat.rt.cm AS " +
+      "SELECT id + 1000 AS id, named_struct('a', id) AS s FROM range(3)")
+    val t = GraftTable.forName(spark, "graft_cat.rt.cm")
+    assert(t.toDF.schema.fieldNames.toSeq == Seq("id", "s"))
+    assert(t.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(1000L, 1001L, 1002L))
+    assert(t.toDF.selectExpr("s.a").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+    // the pre-replace lineage still time-travels under ITS mapping
+    assert(t.toDFAt(vMapped).schema.fieldNames.toSeq == Seq("key", "s"))
+    assert(t.toDFAt(vMapped).selectExpr("s.doubled").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 2L, 4L, 6L, 8L))
+    // and the new lineage keeps evolving independently
+    spark.sql("ALTER TABLE graft_cat.rt.cm RENAME COLUMN s.a TO fresh")
+    assert(spark.table("graft_cat.rt.cm").selectExpr("s.fresh").count() == 3)
+  }
+
+  it("REPLACE of a DV-carrying table: sidecars become vacuum-collectable orphans") {
+    val dir = tmpTableDir("rt-dv")
+    val t = GraftTable.create(spark, dir,
+      (1 to 10).map(i => (i, s"n$i")).toDF("id", "name"),
+      properties = Map(graft.tables.DeletionVectors.Property -> "true"))
+    TableOps.delete(t, Some("id <= 3")) // merge-on-read: writes a DV sidecar
+    val snap = GraftTable.forPath(spark, dir).snapshot
+    assert(snap.files.exists(_.dv.exists(_.cardinality > 0)), "expected a DV carrier")
+    val dvDirs = new java.io.File(dir, "_dv")
+    assert(dvDirs.exists && dvDirs.listFiles().nonEmpty)
+    val vReplace = TableOps.replaceTable(t, Some(Seq((100, "x")).toDF("id", "name")))
+    // the replaced state is whole (DV rows stayed deleted through the swap)
+    assert(GraftTable.forPath(spark, dir).toDF.count() == 1)
+    assert(GraftTable.forPath(spark, dir).toDFAt(vReplace - 1).count() == 7)
+    // vacuum to the replace horizon collects the old data files AND the
+    // now-orphaned DV sidecars — once past the in-flight age guard, which
+    // protects a concurrent DELETE's freshly written sidecar; backdate the
+    // dirs to simulate an old orphan
+    val backdate = System.currentTimeMillis() - 2 * TableOps.BloomSidecarMinAgeMillis
+    dvDirs.listFiles().foreach(_.setLastModified(backdate))
+    TableOps.vacuum(t, vReplace)
+    assert(GraftTable.forPath(spark, dir).toDF.count() == 1)
+    val sidecarsLeft = Option(dvDirs.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .flatMap(d => Option(d.listFiles()).map(_.toSeq).getOrElse(Nil))
+    assert(sidecarsLeft.isEmpty, s"vacuum left DV sidecars: $sidecarsLeft")
   }
 
   it("path-API replaceTable: one commit, OCC read footprint over the whole table") {

@@ -3042,6 +3042,44 @@ object SparkEntry {
         .select(col("n_nationkey"), col("n_name"), col("tag"))
     }),
 
+    "s54_correlated_merge" -> ((s, dir) => {
+      // PER-ROW correlated scalar subqueries in MERGE clause conditions
+      // AND values (beyond Delta, which refuses them in every clause
+      // position): the matched condition aggregates over nation rows
+      // matching the TARGET row's key, the update value over rows matching
+      // the SOURCE row's key, and the insert value folds a correlated
+      // aggregate that is NULL for some rows (coalesce path). Each binds
+      // plan-level onto the merge's joined frame (GraftMerge.ExprFrag) and
+      // decorrelates through Spark's left-outer-join rewrite. DuckDB
+      // replays the full merge relationally with the same correlated
+      // subqueries.
+      catalogWarehouse(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.s54")
+      read(s, dir, "customer").createOrReplaceTempView("s54_cust")
+      read(s, dir, "supplier").createOrReplaceTempView("s54_supp")
+      read(s, dir, "nation").createOrReplaceTempView("s54_nat")
+      s.sql("DROP TABLE IF EXISTS graft_cat.s54.t")
+      s.sql("CREATE TABLE graft_cat.s54.t AS " +
+        "SELECT c_custkey, c_nationkey, c_acctbal FROM s54_cust")
+      s.sql(
+        """MERGE INTO graft_cat.s54.t t
+          |USING (SELECT s_suppkey * 20 AS k, s_nationkey, s_acctbal FROM s54_supp) s
+          |ON t.c_custkey = s.k
+          |WHEN MATCHED AND (SELECT max(n_regionkey) FROM s54_nat n
+          |                  WHERE n.n_nationkey = t.c_nationkey) >= 2
+          |  THEN UPDATE SET c_acctbal = s.s_acctbal +
+          |    (SELECT 100.0 * min(n_regionkey) FROM s54_nat n
+          |     WHERE n.n_nationkey = s.s_nationkey)
+          |WHEN NOT MATCHED THEN INSERT (c_custkey, c_nationkey, c_acctbal)
+          |  VALUES (s.k + 1000000, s.s_nationkey,
+          |    coalesce((SELECT 1000.0 * avg(n_regionkey) FROM s54_nat n
+          |              WHERE n.n_nationkey = s.s_nationkey AND n.n_regionkey >= 2),
+          |             -1.0) + s.s_acctbal)
+          |""".stripMargin)
+      () =>
+      s.sql("SELECT c_custkey, c_nationkey, c_acctbal FROM graft_cat.s54.t")
+    }),
+
     "s52_correlated_set" -> ((s, dir) => {
       // PER-ROW correlated scalar subquery in UPDATE SET (beyond Delta,
       // which refuses these): each row's new balance folds in an aggregate
@@ -4713,6 +4751,24 @@ object SparkEntry {
         |       CASE WHEN n_nationkey % 2 = 0 THEN chr(57344)
         |            ELSE chr(128512) END AS tag
         |FROM nation""".stripMargin,
+    "s54_correlated_merge" ->
+      """WITH src AS (SELECT s_suppkey * 20 AS k, s_nationkey, s_acctbal FROM supplier),
+        |upd AS (
+        |  SELECT c.c_custkey, c.c_nationkey,
+        |         CASE WHEN s.k IS NOT NULL AND
+        |                   (SELECT max(n_regionkey) FROM nation n
+        |                    WHERE n.n_nationkey = c.c_nationkey) >= 2
+        |              THEN s.s_acctbal + (SELECT 100.0 * min(n_regionkey) FROM nation n
+        |                                  WHERE n.n_nationkey = s.s_nationkey)
+        |              ELSE c.c_acctbal END AS c_acctbal
+        |  FROM customer c LEFT JOIN src s ON c.c_custkey = s.k),
+        |ins AS (
+        |  SELECT s.k + 1000000 AS c_custkey, s.s_nationkey AS c_nationkey,
+        |         coalesce((SELECT 1000.0 * avg(n_regionkey) FROM nation n
+        |                   WHERE n.n_nationkey = s.s_nationkey AND n.n_regionkey >= 2),
+        |                  -1.0) + s.s_acctbal AS c_acctbal
+        |  FROM src s WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = s.k))
+        |SELECT * FROM upd UNION ALL SELECT * FROM ins""".stripMargin,
     "s52_correlated_set" ->
       """SELECT c_custkey, c_nationkey,
         |       CASE WHEN c_nationkey % 2 = 0

@@ -36,22 +36,110 @@ object GraftMerge {
   def apply(table: GraftTable, targetAlias: String = "target"): Builder =
     new Builder(table, targetAlias)
 
+  /** A clause condition or assignment value: SQL text (the Builder surface,
+    * resolved by the analyzer against the merge's aliased frames), or a
+    * RESOLVED expression that must bind plan-level because it carries
+    * per-row correlated scalar subqueries text cannot round-trip
+    * ([[ExprFrag]] — the MERGE-side sibling of TableOps' ExprCond seam).
+    */
+  sealed trait MergeFrag {
+    /** The fragment bound over `df` — a frame carrying the merge's
+      * target-aliased and/or source-aliased columns.
+      */
+    def column(df: DataFrame): Column
+  }
+
+  final case class TextFrag(sql: String) extends MergeFrag {
+    def column(df: DataFrame): Column = expr(sql)
+  }
+
+  /** A resolved MERGE clause fragment with per-row correlated scalar
+    * subqueries: attribute references rebind by ORIGIN (target attrs onto
+    * the frame's target-aliased side, source attrs onto the source side),
+    * including the OuterReference wrappers inside correlated subplans —
+    * Spark's own decorrelation then plans each subquery as a left-outer
+    * join + aggregate over the evaluation frame. Delta refuses subqueries
+    * in these positions outright.
+    *
+    * Same two-job stability discipline as TableOps.ExprCond: each
+    * NON-correlated subquery is materialized exactly once
+    * (localCheckpoint); a correlated one stays a live plan with its graft
+    * sources pinned to statement-start snapshots
+    * ([[graft.sources.GraftSourcePin]]) — the clause dispositions and the
+    * output projection run in separate jobs, and both must see ONE
+    * subquery state.
+    */
+  final class ExprFrag(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      tgt: Seq[org.apache.spark.sql.catalyst.expressions.Attribute], tgtAlias: String,
+      src: Seq[org.apache.spark.sql.catalyst.expressions.Attribute], srcAlias: String)
+    extends MergeFrag {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, OuterReference, SubqueryExpression}
+    import org.apache.spark.sql.graft.SparkBridge
+
+    private val sideById: Map[org.apache.spark.sql.catalyst.expressions.ExprId, (String, String)] =
+      tgt.map(a => a.exprId -> (tgtAlias, a.name)).toMap ++
+        src.map(a => a.exprId -> (srcAlias, a.name)).toMap
+
+    @volatile private var stable: org.apache.spark.sql.catalyst.expressions.Expression = null
+    private def stableExpr(spark: SparkSession)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+      val s0 = stable
+      if (s0 != null) s0
+      else {
+        val pinned = e.transform {
+          case sub: SubqueryExpression if !sub.isCorrelated =>
+            sub.withNewPlan(SparkBridge.ofPlan(spark, sub.plan)
+              .localCheckpoint(true).queryExecution.analyzed)
+          case sub: SubqueryExpression if sub.isCorrelated =>
+            sub.withNewPlan(
+              graft.sources.GraftSourcePin.pinToCurrent(spark, sub.plan))
+        }
+        stable = pinned
+        pinned
+      }
+    }
+
+    def column(df: DataFrame): Column = {
+      val out = df.queryExecution.analyzed.output
+      def rebound(a: AttributeReference): Attribute = {
+        val (alias, name) = sideById(a.exprId)
+        out.find(o => o.name == name && o.qualifier.lastOption.contains(alias))
+          .orElse(out.filter(_.name == name) match {
+            case scala.collection.Seq(only) => Some(only)
+            case _ => None
+          })
+          .getOrElse(throw new IllegalStateException(
+            s"MERGE clause column '$alias.$name' not found in the evaluation " +
+              s"frame (${out.map(o => (o.qualifier :+ o.name).mkString(".")).mkString(", ")})"))
+      }
+      SparkBridge.column(stableExpr(df.sparkSession).transform {
+        case sub: SubqueryExpression if sub.isCorrelated =>
+          sub.withNewPlan(sub.plan.transformAllExpressions {
+            case OuterReference(a: AttributeReference) if sideById.contains(a.exprId) =>
+              OuterReference(rebound(a))
+          })
+        case a: AttributeReference if sideById.contains(a.exprId) => rebound(a)
+      })
+    }
+  }
+
   sealed trait MatchedAction
-  case class UpdateExpr(set: Map[String, String]) extends MatchedAction
+  case class UpdateExpr(set: Map[String, MergeFrag]) extends MatchedAction
   case object UpdateAll extends MatchedAction
   case object DeleteAction extends MatchedAction
   sealed trait NotMatchedAction
-  case class InsertExpr(values: Map[String, String]) extends NotMatchedAction
+  case class InsertExpr(values: Map[String, MergeFrag]) extends NotMatchedAction
   case object InsertAll extends NotMatchedAction
 
-  case class MatchedClause(condition: Option[String], action: MatchedAction)
-  case class NotMatchedClause(condition: Option[String], action: NotMatchedAction)
+  case class MatchedClause(condition: Option[MergeFrag], action: MatchedAction)
+  case class NotMatchedClause(condition: Option[MergeFrag], action: NotMatchedAction)
   /** `WHEN NOT MATCHED BY SOURCE` (Delta 2.3 shape): acts on TARGET rows no
     * source row matched — update (conditions/sets reference target columns
     * only; the source side is all-null there) or delete. The classic use is
     * sync-deletes: rows absent from the source leave the table.
     */
-  case class NotMatchedBySourceClause(condition: Option[String], action: MatchedAction) {
+  case class NotMatchedBySourceClause(condition: Option[MergeFrag], action: MatchedAction) {
     require(action != UpdateAll,
       "NOT MATCHED BY SOURCE has no source row to UPDATE SET * from")
   }
@@ -76,26 +164,55 @@ object GraftMerge {
       * .mergeSchemas]] rejects a mismatch before anything is written).
       */
     def withSchemaEvolution(): Builder = { evolveSchema = true; this }
-    def whenMatchedUpdateExpr(set: Map[String, String], condition: Option[String] = None): Builder = {
-      matched += MatchedClause(condition, UpdateExpr(set)); this
-    }
+    def whenMatchedUpdateExpr(set: Map[String, String], condition: Option[String] = None): Builder =
+      whenMatchedUpdateF(set.map { case (k, v) => k -> (TextFrag(v): MergeFrag) },
+        condition.map(TextFrag.apply))
     def whenMatchedUpdateAll(condition: Option[String] = None): Builder = {
-      matched += MatchedClause(condition, UpdateAll); this
+      matched += MatchedClause(condition.map(TextFrag.apply), UpdateAll); this
     }
     def whenMatchedDelete(condition: Option[String] = None): Builder = {
-      matched += MatchedClause(condition, DeleteAction); this
+      matched += MatchedClause(condition.map(TextFrag.apply), DeleteAction); this
     }
-    def whenNotMatchedInsertExpr(values: Map[String, String], condition: Option[String] = None): Builder = {
-      notMatched += NotMatchedClause(condition, InsertExpr(values)); this
-    }
+    def whenNotMatchedInsertExpr(values: Map[String, String], condition: Option[String] = None): Builder =
+      whenNotMatchedInsertF(values.map { case (k, v) => k -> (TextFrag(v): MergeFrag) },
+        condition.map(TextFrag.apply))
     def whenNotMatchedInsertAll(condition: Option[String] = None): Builder = {
-      notMatched += NotMatchedClause(condition, InsertAll); this
+      notMatched += NotMatchedClause(condition.map(TextFrag.apply), InsertAll); this
     }
     def whenNotMatchedBySourceUpdateExpr(
-        set: Map[String, String], condition: Option[String] = None): Builder = {
+        set: Map[String, String], condition: Option[String] = None): Builder =
+      whenNotMatchedBySourceUpdateF(
+        set.map { case (k, v) => k -> (TextFrag(v): MergeFrag) },
+        condition.map(TextFrag.apply))
+    def whenNotMatchedBySourceDelete(condition: Option[String] = None): Builder = {
+      bySource += NotMatchedBySourceClause(condition.map(TextFrag.apply), DeleteAction); this
+    }
+
+    // ---- fragment-level clause entries (the SQL rewrite path: clause
+    // conditions/values may carry per-row correlated scalar subqueries
+    // that bind plan-level — see [[ExprFrag]]) -----------------------------
+    private[graft] def whenMatchedUpdateF(
+        set: Map[String, MergeFrag], condition: Option[MergeFrag]): Builder = {
+      matched += MatchedClause(condition, UpdateExpr(set)); this
+    }
+    private[graft] def whenMatchedUpdateAllF(condition: Option[MergeFrag]): Builder = {
+      matched += MatchedClause(condition, UpdateAll); this
+    }
+    private[graft] def whenMatchedDeleteF(condition: Option[MergeFrag]): Builder = {
+      matched += MatchedClause(condition, DeleteAction); this
+    }
+    private[graft] def whenNotMatchedInsertF(
+        values: Map[String, MergeFrag], condition: Option[MergeFrag]): Builder = {
+      notMatched += NotMatchedClause(condition, InsertExpr(values)); this
+    }
+    private[graft] def whenNotMatchedInsertAllF(condition: Option[MergeFrag]): Builder = {
+      notMatched += NotMatchedClause(condition, InsertAll); this
+    }
+    private[graft] def whenNotMatchedBySourceUpdateF(
+        set: Map[String, MergeFrag], condition: Option[MergeFrag]): Builder = {
       bySource += NotMatchedBySourceClause(condition, UpdateExpr(set)); this
     }
-    def whenNotMatchedBySourceDelete(condition: Option[String] = None): Builder = {
+    private[graft] def whenNotMatchedBySourceDeleteF(condition: Option[MergeFrag]): Builder = {
       bySource += NotMatchedBySourceClause(condition, DeleteAction); this
     }
 
@@ -150,7 +267,7 @@ object GraftMerge {
     // against a column differing only by case, then silently miss in the
     // downstream name-keyed projection (same fix as the scan-rewrite rules)
     val resolver = spark.sessionState.conf.resolver
-    def normalizeSet(set: Map[String, String], what: String): Map[String, String] =
+    def normalizeSet(set: Map[String, MergeFrag], what: String): Map[String, MergeFrag] =
       set.map { case (k, v) =>
         val bare =
           if (k.length > targetAlias.length + 1 &&
@@ -244,7 +361,8 @@ object GraftMerge {
         val unmatchedSrc = srcDf.join(tgtScanAll, expr(condition), "left_anti")
         var action: Column = lit(Drop)
         notMatchedN.zipWithIndex.reverse.foreach { case (cl, i) =>
-          action = when(cl.condition.map(expr).getOrElse(lit(true)), insertCode(i))
+          action = when(cl.condition.map(_.column(unmatchedSrc)).getOrElse(lit(true)),
+              insertCode(i))
             .otherwise(action)
         }
         val withAction = unmatchedSrc.withColumn(ActionCol, action)
@@ -253,7 +371,7 @@ object GraftMerge {
         val nIns = withAction.count()
         val numSourceRows = sourceCached.count()
         val insCols = outFields.map(f =>
-          insertColumn(f.name, srcAliasName, notMatchedN, sourceColsRenamed)
+          insertColumn(f.name, srcAliasName, notMatchedN, sourceColsRenamed, withAction)
             .cast(f.dataType).as(f.name))
         val newData = withAction.select(insCols: _*)
         val cdc = if (snap.cdfEnabled && nIns > 0)
@@ -306,9 +424,9 @@ object GraftMerge {
       .withColumn(FileCol, input_file_name())
       .withColumn(TgtExists, monotonically_increasing_id())
       .alias(targetAlias)
-    val joined = candRows
-      .join(srcDf, expr(condition), "full_outer")
-      .withColumn(ActionCol, actionExpr(matchedN, notMatchedN, bySourceN))
+    val joinedBase = candRows.join(srcDf, expr(condition), "full_outer")
+    val joined = joinedBase
+      .withColumn(ActionCol, actionExpr(matchedN, notMatchedN, bySourceN, joinedBase))
       .localCheckpoint(false)
 
     try {
@@ -394,7 +512,7 @@ object GraftMerge {
       val outCols = outFields.map { f =>
         val base = targetValue(f, targetCols, targetAlias)
         outputColumn(f.name, base, srcAliasName, matchedN, notMatchedN, sourceColsRenamed,
-            bySourceN)
+            bySourceN, joined)
           .cast(f.dataType).as(f.name)
       }
       val targetKeep = touchedData
@@ -461,11 +579,16 @@ object GraftMerge {
     (rdds.keySet -- before).foreach(id => rdds.get(id).foreach(_.unpersist(blocking = false)))
   }
 
-  /** First-matching-clause disposition as a nested CASE expression. */
+  /** First-matching-clause disposition as a nested CASE expression over
+    * `frame` (the pre-checkpoint join — clause conditions carrying
+    * correlated scalar subqueries bind onto its attributes and decorrelate
+    * there, so the checkpoint materializes each disposition exactly once).
+    */
   private def actionExpr(
       matched: Seq[MatchedClause],
       notMatched: Seq[NotMatchedClause],
-      bySource: Seq[NotMatchedBySourceClause] = Nil): Column = {
+      bySource: Seq[NotMatchedBySourceClause],
+      frame: DataFrame): Column = {
     val isMatched = col(TgtExists).isNotNull && col(SrcExists).isNotNull
     val isSrcOnly = col(TgtExists).isNull && col(SrcExists).isNotNull
     val isTgtOnly = col(TgtExists).isNotNull && col(SrcExists).isNull
@@ -474,15 +597,15 @@ object GraftMerge {
     // populations (pair / source-only / target-only) are disjoint
     c = notMatched.zipWithIndex.reverse.foldLeft(when(isSrcOnly, Drop).otherwise(c)) {
       case (acc, (cl, i)) =>
-        val cond = isSrcOnly && cl.condition.map(expr).getOrElse(lit(true))
+        val cond = isSrcOnly && cl.condition.map(_.column(frame)).getOrElse(lit(true))
         when(cond, insertCode(i)).otherwise(acc)
     }
     c = matched.zipWithIndex.reverse.foldLeft(c) { case (acc, (cl, i)) =>
-      val cond = isMatched && cl.condition.map(expr).getOrElse(lit(true))
+      val cond = isMatched && cl.condition.map(_.column(frame)).getOrElse(lit(true))
       when(cond, matchedCode(i)).otherwise(acc)
     }
     c = bySource.zipWithIndex.reverse.foldLeft(c) { case (acc, (cl, i)) =>
-      val cond = isTgtOnly && cl.condition.map(expr).getOrElse(lit(true))
+      val cond = isTgtOnly && cl.condition.map(_.column(frame)).getOrElse(lit(true))
       when(cond, bySourceCode(i)).otherwise(acc)
     }
     c
@@ -509,16 +632,17 @@ object GraftMerge {
       matched: Seq[MatchedClause],
       notMatched: Seq[NotMatchedClause],
       sourceCols: Seq[String],
-      bySource: Seq[NotMatchedBySourceClause] = Nil): Column = {
+      bySource: Seq[NotMatchedBySourceClause],
+      frame: DataFrame): Column = {
     def sourceValue(action: Any): Column = action match {
       case UpdateExpr(set) =>
-        set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => expr(v) }
+        set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => v.column(frame) }
           .getOrElse(base)
       case UpdateAll =>
         if (sourceCols.exists(_.equalsIgnoreCase(c))) col(s"$srcAlias.$c")
         else base
       case InsertExpr(values) =>
-        values.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => expr(v) }
+        values.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => v.column(frame) }
           .getOrElse(lit(null))
       case InsertAll =>
         if (sourceCols.exists(_.equalsIgnoreCase(c))) col(s"$srcAlias.$c") else lit(null)
@@ -537,7 +661,7 @@ object GraftMerge {
     bySource.zipWithIndex.foreach { case (cl, i) =>
       cl.action match {
         case UpdateExpr(set) =>
-          val v = set.collectFirst { case (k, e) if k.equalsIgnoreCase(c) => expr(e) }
+          val v = set.collectFirst { case (k, e) if k.equalsIgnoreCase(c) => e.column(frame) }
             .getOrElse(base)
           out = when(col(ActionCol) === bySourceCode(i), v).otherwise(out)
         case _ => () // delete rows never reach the output projection
@@ -553,10 +677,11 @@ object GraftMerge {
       c: String,
       srcAlias: String,
       notMatched: Seq[NotMatchedClause],
-      sourceCols: Seq[String]): Column = {
+      sourceCols: Seq[String],
+      frame: DataFrame): Column = {
     def valueOf(action: NotMatchedAction): Column = action match {
       case InsertExpr(values) =>
-        values.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => expr(v) }
+        values.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => v.column(frame) }
           .getOrElse(lit(null))
       case InsertAll =>
         if (sourceCols.exists(_.equalsIgnoreCase(c))) col(s"$srcAlias.$c") else lit(null)

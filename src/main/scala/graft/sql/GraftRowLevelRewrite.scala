@@ -46,10 +46,15 @@ import graft.catalog.GraftV2Table
   * semantics make such a subquery a per-statement constant, so the command
   * executes it exactly once at run time (against the pre-statement state,
   * like every other read the statement makes) and splices the result in as
-  * a literal ([[DmlExprBox]]). Still refused loudly: correlated or
-  * set-valued (IN/EXISTS) subqueries in assignments and MERGE conditions
-  * (materialize into the source), non-deterministic conditions (the merge
-  * join evaluates them more than once), and nested-field assignment keys.
+  * a literal ([[DmlExprBox]]). UPDATE SET values and MERGE CLAUSE
+  * conditions/values further accept PER-ROW CORRELATED scalar subqueries
+  * (plan-level via ExprCond / [[graft.operators.GraftMerge.ExprFrag]] —
+  * beyond Delta, which refuses them). Still refused loudly: any subquery
+  * in the MERGE ON condition beyond non-correlated scalars (it runs inside
+  * the join), set-valued (IN/EXISTS) subqueries in assignments and MERGE
+  * clauses (materialize into the source), non-deterministic conditions
+  * (the merge join evaluates them more than once), and nested-field
+  * assignment keys.
   *
   * `DeleteFromTable` converts ONLY when the native `SupportsDelete` path
   * cannot express the condition as V1 filters — natively-pushable deletes
@@ -113,9 +118,19 @@ class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       requireDeterministic(m.mergeCondition, "MERGE")
       val tgt = m.targetTable.outputSet
       val src = m.sourceTable.outputSet
+      // ON condition: non-correlated scalars only (it runs INSIDE the join
+      // — a correlated subquery cannot be decorrelated there). Clause
+      // conditions and UPDATE/INSERT values additionally admit PER-ROW
+      // correlated scalars: they evaluate over the merge's joined frame
+      // (disposition pass / output projection — both Projects, where
+      // Spark's decorrelation applies), through GraftMerge.ExprFrag.
       def r(e: Expression): SqlPart =
         part(e, m.targetTable.output, Seq(TgtAlias),
-          m.sourceTable.output, Seq(SrcAlias), "MERGE")
+          m.sourceTable.output, Seq(SrcAlias), "MERGE ON")
+      def rClause(e: Expression): SqlPart =
+        part(e, m.targetTable.output, Seq(TgtAlias),
+          m.sourceTable.output, Seq(SrcAlias), "MERGE clause",
+          allowCorrelatedScalar = true)
       // WITH SCHEMA EVOLUTION nuance: Spark expands `UPDATE SET *` /
       // `INSERT *` against the PRE-evolution target schema, so replaying
       // the expanded assignments verbatim would leave every evolved column
@@ -144,18 +159,18 @@ class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         a match {
           case UpdateAction(cond, _, fromStar)
               if fromStar && m.withSchemaEvolution && !bySource =>
-            MergeClausePart(matched, cond.map(r), "update", None, bySource)
+            MergeClausePart(matched, cond.map(rClause), "update", None, bySource)
           case UpdateAction(cond, assigns, _) =>
-            MergeClausePart(matched, cond.map(r), "update",
-              Some(assigns.map(as => keyName(as.key, "UPDATE SET") -> r(as.value))),
+            MergeClausePart(matched, cond.map(rClause), "update",
+              Some(assigns.map(as => keyName(as.key, "UPDATE SET") -> rClause(as.value))),
               bySource)
           case DeleteAction(cond) =>
-            MergeClausePart(matched, cond.map(r), "delete", None, bySource)
+            MergeClausePart(matched, cond.map(rClause), "delete", None, bySource)
           case InsertAction(cond, assigns) if starShaped(assigns) =>
-            MergeClausePart(matched, cond.map(r), "insert", None, bySource)
+            MergeClausePart(matched, cond.map(rClause), "insert", None, bySource)
           case InsertAction(cond, assigns) =>
-            MergeClausePart(matched, cond.map(r), "insert",
-              Some(assigns.map(as => keyName(as.key, "INSERT") -> r(as.value))),
+            MergeClausePart(matched, cond.map(rClause), "insert",
+              Some(assigns.map(as => keyName(as.key, "INSERT") -> rClause(as.value))),
               bySource)
           case other => throw new UnsupportedOperationException(
             s"MERGE INTO ${v2.name()}: unsupported merge action $other")
@@ -179,11 +194,13 @@ class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       tgt: Seq[Attribute], tgtQualifier: Seq[String],
       src: Seq[Attribute], srcQualifier: Seq[String],
       what: String,
-      // UPDATE SET additionally admits PER-ROW correlated SCALAR
-      // subqueries (evaluated plan-level over the rewrite frame through
-      // the ExprCond seam — Spark decorrelates to a left-outer join +
-      // aggregate; Delta refuses these). MERGE clause positions keep the
-      // refusal: their downstream is the text-rendered two-sided join.
+      // UPDATE SET and MERGE clause conditions/values additionally admit
+      // PER-ROW correlated SCALAR subqueries (evaluated plan-level — over
+      // the rewrite frame through the ExprCond seam, or over the merge's
+      // joined frame through GraftMerge.ExprFrag; Spark decorrelates each
+      // to a left-outer join + aggregate. Delta refuses these). The MERGE
+      // ON condition keeps the refusal: it runs inside the join itself,
+      // where no decorrelation applies.
       allowCorrelatedScalar: Boolean = false): SqlPart =
     if (!hasSubquery(e))
       Left(render(e, AttributeSet(tgt), tgtQualifier, AttributeSet(src), srcQualifier))
@@ -386,14 +403,28 @@ case class GraftRowLevelMergeCommand(
     AttributeReference("numTargetRowsInserted", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
+    import graft.operators.GraftMerge
     val t = GraftSqlCommands.resolveTarget(spark, path)
     val source = org.apache.spark.sql.graft.SparkBridge.ofPlan(spark, sourcePlan)
     def sql(p: GraftRowLevelRewrite.SqlPart): String = p.fold(identity, _.toSql(spark))
-    val resolved = clauses.map { c =>
-      MergeClauseSpec(c.matched, c.condition.map(sql), c.action,
-        c.assignments.map(_.map { case (k, v) => k -> sql(v) }), c.bySource)
+    // clause fragments: text stays text (boxed NON-correlated scalars run
+    // once and splice in as literals); a fragment with PER-ROW correlated
+    // scalars rides the resolved expression into the merge engine
+    // (GraftMerge.ExprFrag binds it onto the joined frame at evaluation)
+    def frag(p: GraftRowLevelRewrite.SqlPart): GraftMerge.MergeFrag = p match {
+      case Left(txt) => GraftMerge.TextFrag(txt)
+      case Right(box) =>
+        if (box.isRowCorrelated)
+          new GraftMerge.ExprFrag(box.expr,
+            box.tgt, GraftRowLevelRewrite.TgtAlias,
+            box.src, GraftRowLevelRewrite.SrcAlias)
+        else GraftMerge.TextFrag(box.toSql(spark))
     }
-    GraftMergeExec.run(t, GraftRowLevelRewrite.TgtAlias, source,
+    val resolved = clauses.map { c =>
+      GraftMergeExec.MergeClauseFrag(c.matched, c.condition.map(frag), c.action,
+        c.assignments.map(_.map { case (k, v) => k -> frag(v) }), c.bySource)
+    }
+    GraftMergeExec.runF(t, GraftRowLevelRewrite.TgtAlias, source,
       Some(GraftRowLevelRewrite.SrcAlias), sql(condition), resolved, schemaEvolution)
   }
 }

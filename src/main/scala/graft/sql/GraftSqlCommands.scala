@@ -189,6 +189,20 @@ case class GraftMergeCommand(
   * the metrics row stay one implementation.
   */
 private[sql] object GraftMergeExec {
+  import graft.operators.GraftMerge
+
+  /** [[MergeClauseSpec]] with each fragment as a [[GraftMerge.MergeFrag]] —
+    * the rewrite path hands clause conditions/values carrying per-row
+    * correlated scalar subqueries through as resolved expressions
+    * ([[GraftMerge.ExprFrag]]); everything else stays text.
+    */
+  case class MergeClauseFrag(
+      matched: Boolean,
+      condition: Option[GraftMerge.MergeFrag],
+      action: String,
+      assignments: Option[Seq[(String, GraftMerge.MergeFrag)]],
+      bySource: Boolean = false)
+
   def run(
       t: GraftTable,
       targetAlias: String,
@@ -196,15 +210,29 @@ private[sql] object GraftMergeExec {
       sourceAlias: Option[String],
       condition: String,
       clauses: Seq[MergeClauseSpec],
+      schemaEvolution: Boolean = false): Seq[Row] =
+    runF(t, targetAlias, source, sourceAlias, condition,
+      clauses.map(c => MergeClauseFrag(c.matched,
+        c.condition.map(GraftMerge.TextFrag.apply), c.action,
+        c.assignments.map(_.map { case (k, v) => k -> (GraftMerge.TextFrag(v): GraftMerge.MergeFrag) }),
+        c.bySource)),
+      schemaEvolution)
+
+  def runF(
+      t: GraftTable,
+      targetAlias: String,
+      source: org.apache.spark.sql.DataFrame,
+      sourceAlias: Option[String],
+      condition: String,
+      clauses: Seq[MergeClauseFrag],
       schemaEvolution: Boolean = false): Seq[Row] = {
-    import graft.operators.GraftMerge
     // first-match-wins clause evaluation: an unconditional clause followed
     // by a conditional one of the same match-kind makes the later clause
     // unreachable — reject it (Delta errors on this shape too) instead of
     // silently updating rows the user meant to delete
-    Seq(("MATCHED", (c: MergeClauseSpec) => c.matched),
-        ("NOT MATCHED", (c: MergeClauseSpec) => !c.matched && !c.bySource),
-        ("NOT MATCHED BY SOURCE", (c: MergeClauseSpec) => c.bySource))
+    Seq(("MATCHED", (c: MergeClauseFrag) => c.matched),
+        ("NOT MATCHED", (c: MergeClauseFrag) => !c.matched && !c.bySource),
+        ("NOT MATCHED BY SOURCE", (c: MergeClauseFrag) => c.bySource))
       .foreach { case (label, pick) =>
         val ofKind = clauses.filter(pick)
         ofKind.zipWithIndex.foreach { case (c, i) =>
@@ -218,15 +246,15 @@ private[sql] object GraftMergeExec {
     val withEvolution = if (schemaEvolution) base.withSchemaEvolution() else base
     val builder = clauses.foldLeft(withEvolution) { (b, c) =>
       (c.matched, c.bySource, c.action, c.assignments) match {
-        case (true, _, "update", Some(set)) => b.whenMatchedUpdateExpr(set.toMap, c.condition)
-        case (true, _, "update", None)      => b.whenMatchedUpdateAll(c.condition)
-        case (true, _, "delete", _)         => b.whenMatchedDelete(c.condition)
+        case (true, _, "update", Some(set)) => b.whenMatchedUpdateF(set.toMap, c.condition)
+        case (true, _, "update", None)      => b.whenMatchedUpdateAllF(c.condition)
+        case (true, _, "delete", _)         => b.whenMatchedDeleteF(c.condition)
         case (false, false, "insert", Some(vs)) =>
-          b.whenNotMatchedInsertExpr(vs.toMap, c.condition)
-        case (false, false, "insert", None) => b.whenNotMatchedInsertAll(c.condition)
+          b.whenNotMatchedInsertF(vs.toMap, c.condition)
+        case (false, false, "insert", None) => b.whenNotMatchedInsertAllF(c.condition)
         case (false, true, "update", Some(set)) =>
-          b.whenNotMatchedBySourceUpdateExpr(set.toMap, c.condition)
-        case (false, true, "delete", _) => b.whenNotMatchedBySourceDelete(c.condition)
+          b.whenNotMatchedBySourceUpdateF(set.toMap, c.condition)
+        case (false, true, "delete", _) => b.whenNotMatchedBySourceDeleteF(c.condition)
         case other => throw new IllegalArgumentException(s"unsupported MERGE clause: $other")
       }
     }

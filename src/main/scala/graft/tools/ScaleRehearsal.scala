@@ -1,0 +1,165 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GraftMerge, TableOps}
+import graft.pipeline.Dedup
+import graft.tables.GraftTable
+
+/** Scale rehearsal for the heaviest operator families — NOT part of the
+  * library surface. The per-round bench runs at sf0.1 (600k lineitem rows);
+  * this main upsamples the sf0.1 inputs by `copies` (key-shifted, so merge
+  * keys stay unique and duplicated documents form KNOWN clusters) and runs
+  * the expensive shapes at ~sf1 (6M rows / 50k docs), asserting
+  * row-exactness where the construction makes the expected result exact:
+  *
+  *  - m9-style MERGE (update 5% + insert ~1.7%) — exact output count and
+  *    updated-rows aggregate.
+  *  - d2/d8 MinHash dedup-clusters — upsampled copies carry IDENTICAL text,
+  *    so signatures/buckets/components collapse every copy group onto its
+  *    original's cluster: survivor count at N× MUST equal the 1× count.
+  *  - d29 substring dedup — output stays one row per doc; timing.
+  *  - OPTIMIZE Z-ORDER over the 6M-row table — count-preserving; timing.
+  *  - CDF-on REPLACE — the round-16 read-time-synthesis path (commit writes
+  *    no change rows) timed against the round-15 write path's floor: one
+  *    job that materializes the delete+insert union to scratch parquet.
+  *    readCDF of the replace version must count old+new exactly.
+  *
+  * Run twice (copies=1, copies=10) and compare s/row in BENCH_NOTES.md:
+  * {{{ sbt "runMain graft.tools.ScaleRehearsal /root/testdata/sf0.1 10" }}}
+  */
+object ScaleRehearsal {
+  private val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+  private def timed[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    val s = (System.nanoTime() - t0) / 1e9
+    times(label) = math.round(s * 1000) / 1000.0
+    println(f"REHEARSAL $label%-28s $s%8.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val scratch = java.nio.file.Files.createTempDirectory("graft-rehearsal-").toString
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("scale-rehearsal")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ---- upsampled inputs (key-shifted copies) ----------------------------
+    val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val maxOrder = li0.agg(max("l_orderkey")).as[Long].collect()(0)
+    val maxDoc = docs0.agg(max("doc_id")).as[Long].collect()(0)
+    def upsample(df: DataFrame, keyCol: String, shift: Long): DataFrame =
+      (0 until copies).map(i =>
+        df.withColumn(keyCol, col(keyCol) + lit(i * shift))).reduce(_.unionByName(_))
+    // parquet-pinned so every rehearsal reads the same bytes (not a
+    // recomputed union plan)
+    val liPath = s"$scratch/lineitem"
+    val docsPath = s"$scratch/documents"
+    upsample(li0, "l_orderkey", maxOrder + 1).write.parquet(liPath)
+    upsample(docs0, "doc_id", maxDoc + 1).write.parquet(docsPath)
+    val li = spark.read.parquet(liPath)
+    val docs = spark.read.parquet(docsPath)
+    val nRows = li.count()
+    val nDocs = docs.count()
+    println(s"REHEARSAL inputs: lineitem=$nRows docs=$nDocs (copies=$copies)")
+
+    // ---- A) m9-style MERGE ------------------------------------------------
+    val mergeDir = s"$scratch/t-merge"
+    val t = timed("create_table")(GraftTable.create(spark, mergeDir, li))
+    // 5% updates (bump quantity by 1000) + inserts beyond the key space
+    val updates = li.where(col("l_orderkey") % 20 === 0)
+      .withColumn("l_quantity", col("l_quantity") + 1000.0)
+    val inserts = li.where(col("l_orderkey") % 60 === 1)
+      .withColumn("l_orderkey", col("l_orderkey") + lit(copies * (maxOrder + 1)))
+    val srcMerge = updates.unionByName(inserts)
+    val nUpd = updates.count(); val nIns = inserts.count()
+    timed("merge_6m") {
+      GraftMerge(t, "t")
+        .merge(srcMerge, "t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber " +
+          "AND t.l_partkey = s.l_partkey", Some("s"))
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    }
+    val after = GraftTable.forPath(spark, mergeDir).toDF
+    require(after.count() == nRows + nIns,
+      s"merge count: got ${after.count()}, want ${nRows + nIns}")
+    // updated rows carry +1000 exactly: total quantity rose by 1000*nUpd
+    // plus the inserts' own quantity
+    val q0 = li.agg(sum("l_quantity")).as[Double].collect()(0)
+    val qIns = inserts.agg(sum("l_quantity")).as[Double].collect()(0)
+    val q1 = after.agg(sum("l_quantity")).as[Double].collect()(0)
+    require(math.abs(q1 - (q0 + 1000.0 * nUpd + qIns)) < 1.0,
+      s"merge quantity: got $q1, want ${q0 + 1000.0 * nUpd + qIns}")
+
+    // ---- B) MinHash dedup clusters (d2/d8 family) --------------------------
+    val survivors1 = timed("minhash_clusters_1x")(
+      Dedup.minhashDedupClusters(docs0, "doc_id", "text").count())
+    val survivorsN = timed("minhash_clusters_Nx")(
+      Dedup.minhashDedupClusters(docs, "doc_id", "text").count())
+    require(survivorsN == survivors1,
+      s"minhash survivors: got $survivorsN at ${copies}x, want $survivors1 " +
+        "(identical-text copies must collapse onto their original's cluster)")
+
+    // ---- C) substring dedup (d29) ------------------------------------------
+    val sub = timed("substring_dedup_Nx")(
+      Dedup.dedupSubstrings(docs, "doc_id", "text", 50).count())
+    require(sub == nDocs, s"substring dedup rows: got $sub, want $nDocs")
+
+    // ---- D) OPTIMIZE Z-ORDER ------------------------------------------------
+    timed("zorder_6m")(TableOps.zorder(t, Seq("l_partkey", "l_suppkey")))
+    val afterZ = GraftTable.forPath(spark, mergeDir).toDF
+    require(afterZ.count() == nRows + nIns, "zorder changed the row count")
+
+    // ---- E) CDF-on REPLACE: read-time synthesis vs the write-path floor ----
+    val replDir = s"$scratch/t-replace"
+    val tr = GraftTable.create(spark, replDir, li,
+      properties = Map("graft.enableChangeDataFeed" -> "true"))
+    val newContents = li.where(col("l_orderkey") % 2 === 0)
+      .withColumn("l_quantity", col("l_quantity") * 2.0)
+    val nNew = newContents.count()
+    val vRepl = timed("replace_commit") {
+      TableOps.replaceTable(tr, Some(newContents),
+        properties = Map("graft.enableChangeDataFeed" -> "true"))
+    }
+    require(tr.log.actionsAt(vRepl)
+        .count(_.isInstanceOf[graft.tables.AddCDCFile]) == 0,
+      "replace wrote change files")
+    // the round-15 write path's FLOOR: materialize old-as-delete + new-as-
+    // insert and write it once (what every CDF-on replace paid at commit)
+    timed("replace_writepath_floor") {
+      spark.read.parquet(liPath).withColumn("_change_type", lit("delete"))
+        .unionByName(newContents.withColumn("_change_type", lit("insert")))
+        .write.mode("overwrite").parquet(s"$scratch/cdc-floor")
+    }
+    val cdfRows = timed("replace_cdf_read") {
+      graft.log.ChangeDataFeedHelper(spark, replDir, vRepl, vRepl).readCDF.count()
+    }
+    require(cdfRows == nRows + nNew,
+      s"replace CDF rows: got $cdfRows, want ${nRows + nNew}")
+
+    val json = "{" + List(
+      s""""sfDir":"$sfDir"""",
+      s""""copies":$copies""",
+      s""""lineitemRows":$nRows""",
+      s""""docRows":$nDocs""",
+      s""""mergeUpdated":$nUpd""",
+      s""""mergeInserted":$nIns""",
+      s""""minhashSurvivors":$survivorsN""",
+      s""""timings":{${times.map { case (k, v) => s""""$k":$v""" }.mkString(",")}}"""
+    ).mkString(",") + "}"
+    println(s"REHEARSAL_JSON $json")
+    spark.stop()
+  }
+}

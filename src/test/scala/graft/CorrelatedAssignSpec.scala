@@ -74,6 +74,89 @@ class CorrelatedAssignSpec extends AnyFunSpec with SparkSessionTestWrapper {
     post.foreach { case (id, v) => assert(v == id * weights(id % 4), s"id=$id v=$v") }
   }
 
+  it("MERGE clause conditions and UPDATE/INSERT values accept per-row correlated scalars") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ca")
+    Seq("mt", "ms", "md").foreach(n => spark.sql(s"DROP TABLE IF EXISTS graft_cat.ca.$n"))
+    spark.sql("CREATE TABLE graft_cat.ca.mt " +
+      "TBLPROPERTIES('graft.enableChangeDataFeed'='true') AS " +
+      "SELECT id, CAST(id AS DOUBLE) AS v FROM range(8)")
+    spark.sql("CREATE TABLE graft_cat.ca.ms AS " +
+      "SELECT id, CAST(id * 10 AS DOUBLE) AS x FROM range(4, 12)")
+    spark.sql("CREATE TABLE graft_cat.ca.md AS SELECT * FROM VALUES " +
+      "(4, 9.0), (5, 3.0), (8, 2.0), (9, 7.0) AS d(id, w)")
+    spark.sql(
+      """MERGE INTO graft_cat.ca.mt t USING graft_cat.ca.ms s ON t.id = s.id
+        |WHEN MATCHED AND (SELECT max(w) FROM graft_cat.ca.md d WHERE d.id = t.id) > 5
+        |  THEN UPDATE SET v = s.x + (SELECT min(w) FROM graft_cat.ca.md d WHERE d.id = s.id)
+        |WHEN NOT MATCHED THEN INSERT (id, v)
+        |  VALUES (s.id, coalesce((SELECT max(w) FROM graft_cat.ca.md d WHERE d.id = s.id), 0) + s.x)
+        |""".stripMargin)
+    val got = spark.table("graft_cat.ca.mt").as[(Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    // matched 4..7: only id=4 passes the correlated condition (max(w)=9>5;
+    // id=5 has 3, 6/7 have NULL) -> v = 40 + 9; inserts 8..11 add the
+    // per-id max(w) (0 when the dim has no row)
+    val want = Seq(0L -> 0.0, 1L -> 1.0, 2L -> 2.0, 3L -> 3.0,
+      4L -> 49.0, 5L -> 5.0, 6L -> 6.0, 7L -> 7.0,
+      8L -> 82.0, 9L -> 97.0, 10L -> 100.0, 11L -> 110.0)
+    assert(got == want, s"got $got")
+    // the CDC images re-evaluate the same pinned subqueries: post-image and
+    // insert rows agree with the table
+    val t = GraftTable.forName(spark, "graft_cat.ca.mt")
+    val cdc = graft.log.ChangeDataFeedHelper(spark, t.path, t.version, t.version).readCDF
+    val post = cdc.where("_change_type = 'update_postimage'")
+      .selectExpr("id", "v").as[(Long, Double)].collect().toSeq
+    assert(post == Seq(4L -> 49.0), s"got $post")
+    val ins = cdc.where("_change_type = 'insert'")
+      .selectExpr("id", "v").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(ins == Seq(8L -> 82.0, 9L -> 97.0, 10L -> 100.0, 11L -> 110.0), s"got $ins")
+  }
+
+  it("insert-only MERGE evaluates correlated scalars in NOT MATCHED condition and values") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ca")
+    Seq("it", "is", "id2").foreach(n => spark.sql(s"DROP TABLE IF EXISTS graft_cat.ca.$n"))
+    spark.sql("CREATE TABLE graft_cat.ca.it AS SELECT id, CAST(0 AS DOUBLE) AS v FROM range(3)")
+    spark.sql("CREATE TABLE graft_cat.ca.is AS SELECT id, CAST(id AS DOUBLE) AS x FROM range(10)")
+    spark.sql("CREATE TABLE graft_cat.ca.id2 AS SELECT * FROM VALUES " +
+      "(5, 1.5), (6, 0.5), (7, 2.0) AS d(id, w)")
+    // no matched clauses -> the anti-join fast path; the correlated
+    // condition and value bind onto the source-only frame
+    spark.sql(
+      """MERGE INTO graft_cat.ca.it t USING graft_cat.ca.is s ON t.id = s.id
+        |WHEN NOT MATCHED AND (SELECT w FROM graft_cat.ca.id2 d WHERE d.id = s.id) > 1
+        |  THEN INSERT (id, v) VALUES (s.id, s.x * (SELECT w FROM graft_cat.ca.id2 d WHERE d.id = s.id))
+        |""".stripMargin)
+    val got = spark.table("graft_cat.ca.it").as[(Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    // unmatched 3..9; condition passes only for 5 (1.5) and 7 (2.0)
+    assert(got == Seq(0L -> 0.0, 1L -> 0.0, 2L -> 0.0, 5L -> 7.5, 7L -> 14.0), s"got $got")
+  }
+
+  it("MERGE ON with a correlated scalar and set-valued clause subqueries stay refused") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ca")
+    Seq("rt", "rs").foreach(n => spark.sql(s"DROP TABLE IF EXISTS graft_cat.ca.$n"))
+    spark.sql("CREATE TABLE graft_cat.ca.rt AS SELECT id, id AS v FROM range(3)")
+    spark.sql("CREATE TABLE graft_cat.ca.rs AS SELECT id, id AS x FROM range(3)")
+    val eOn = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft_cat.ca.rt t USING graft_cat.ca.rs s
+          |ON t.id = s.id AND (SELECT max(v) FROM graft_cat.ca.rt r WHERE r.id = s.id) > 0
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(eOn.getMessage.contains("SCALAR") || eOn.getMessage.contains("subquer"),
+      eOn.getMessage)
+    val eSet = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft_cat.ca.rt t USING graft_cat.ca.rs s ON t.id = s.id
+          |WHEN MATCHED AND t.id IN (SELECT id FROM graft_cat.ca.rs) THEN DELETE""".stripMargin)
+    }
+    assert(eSet.getMessage.contains("SCALAR") || eSet.getMessage.contains("subquer"),
+      eSet.getMessage)
+  }
+
   it("set-valued subqueries in SET stay refused loudly") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ca")

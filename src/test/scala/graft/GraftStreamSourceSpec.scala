@@ -87,6 +87,27 @@ class GraftStreamSourceSpec extends AnyFunSpec with SparkSessionTestWrapper {
     } finally q2.stop()
   }
 
+  it("a stream over a VACUUMED replace refuses loudly (delete side not reconstructible)") {
+    val (dir, t) = mkTable("gss_replace_vac")
+    val vReplace = TableOps.replaceTable(t,
+      Some(Seq((7, "seven")).toDF("id", "name")),
+      properties = Map(GraftLog.CdfProperty -> "true"))
+    t.append(Seq((8, "eight")).toDF("id", "name")) // keeps the log above horizon
+    TableOps.vacuum(t, vReplace)
+    val sink = "gss_rvsink_" + System.nanoTime()
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", vReplace).load(dir)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("vacuum"), msgs)
+    } finally q.stop()
+  }
+
   it("startingVersion replays changes from that version, no snapshot batch") {
     val (dir, t) = mkTable("gss_startv")
     TableOps.update(t, Some("id = 2"), Map("name" -> "'GAMMA'")) // v1

@@ -212,6 +212,44 @@ class ReplaceTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(spark.table("graft_cat.rt.race_or").count() == 0)
   }
 
+  it("CDF of a replace over a DV-masked table synthesizes only the LIVE rows as deletes") {
+    val dir = tmpTableDir("rt-dv-cdf")
+    val t = GraftTable.create(spark, dir,
+      (1 to 10).map(i => (i, s"n$i")).toDF("id", "name"),
+      properties = Map(
+        graft.tables.DeletionVectors.Property -> "true",
+        "graft.enableChangeDataFeed" -> "true"))
+    TableOps.delete(t, Some("id <= 3")) // DV merge-on-read: 3 rows masked
+    val vReplace = TableOps.replaceTable(t, Some(Seq((100, "x")).toDF("id", "name")),
+      properties = Map("graft.enableChangeDataFeed" -> "true"))
+    val cdf = graft.log.ChangeDataFeedHelper(spark, dir, vReplace, vReplace).readCDF
+    // the delete side reads the removed files THROUGH their deletion
+    // vectors: only the 7 live rows were replaced — the 3 DV-masked rows
+    // must not resurrect as change rows
+    assert(cdf.where("_change_type = 'delete'").count() == 7)
+    assert(cdf.where("_change_type = 'delete' AND id <= 3").count() == 0)
+    assert(cdf.where("_change_type = 'insert'").count() == 1)
+  }
+
+  it("SaveMode.Overwrite with CDF on synthesizes delete+insert at read time") {
+    val dir = tmpTableDir("rt-ovw-cdf")
+    val t = GraftTable.create(spark, dir,
+      (1 to 6).map(i => (i, s"n$i")).toDF("id", "name"),
+      properties = Map("graft.enableChangeDataFeed" -> "true"))
+    Seq((50, "a"), (51, "b")).toDF("id", "name")
+      .write.format("graft").mode("overwrite").save(dir)
+    val t2 = GraftTable.forPath(spark, dir)
+    // the overwrite commit (op WRITE, remove-all + add) writes no change
+    // files; the reader synthesizes the full change content — previously
+    // such a commit silently contributed NOTHING to the feed
+    assert(t2.log.actionsAt(t2.version)
+      .collect { case c: graft.tables.AddCDCFile => c }.isEmpty)
+    val cdf = graft.log.ChangeDataFeedHelper(spark, dir, t2.version, t2.version).readCDF
+    assert(cdf.where("_change_type = 'delete'").count() == 6)
+    assert(cdf.where("_change_type = 'insert'").count() == 2)
+    assert(cdf.where("_change_type = 'insert' AND id >= 50").count() == 2)
+  }
+
   it("REPLACE clears column mapping left by nested renames; physical names don't leak") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.rt")

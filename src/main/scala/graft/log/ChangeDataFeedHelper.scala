@@ -66,10 +66,13 @@ case class ChangeDataFeedHelper(
     // (relPath, version, commitTsMillis) for both mechanisms, in version order
     val cdcEntries = Seq.newBuilder[(String, Long, Long)]
     val insEntries = Seq.newBuilder[(AddFile, Long, Long)]
-    // synthesized overwrite frames, one per qualifying commit (rare —
-    // bounded by the number of REPLACE/overwrite commits in range, not by
-    // file count; each is self-stamped with its constant version/timestamp)
-    val ovwFrames = Seq.newBuilder[(Long, DataFrame)]
+    // synthesized-overwrite commits (REPLACE / INSERT OVERWRITE): collected
+    // per commit here, then grouped by metadata regime into a BOUNDED number
+    // of stamped scans below — a complete-mode streaming sink with CDF on
+    // commits one overwrite per batch, so a range can hold hundreds of them;
+    // one union branch per commit would re-grow exactly the plan explosion
+    // this batched reader exists to avoid
+    val ovwInfos = Seq.newBuilder[OvwCommit]
     var firstCdcV, firstInsV, firstOvwV: Option[Long] = None
     val endSchema = log.snapshot(e).schema
     (s to e).foreach { v =>
@@ -107,10 +110,11 @@ case class ChangeDataFeedHelper(
           // has CDF enabled — exactly when the old write path would have
           // materialized change rows.
           val prev = log.snapshot(v - 1)
+          val cur = log.snapshot(v)
           val removedSet = removes.map(_.path).toSet
           val fullOverwrite = removedSet == prev.files.map(_.path).toSet
-          if (fullOverwrite && log.snapshot(v).cdfEnabled) {
-            ovwFrames += ((v, synthesizeOverwrite(v, prev, adds, commitTs, endSchema)))
+          if (fullOverwrite && cur.cdfEnabled) {
+            ovwInfos += OvwCommit(v, commitTs, prev, cur, adds)
             if (firstOvwV.isEmpty) firstOvwV = Some(v)
           }
         }
@@ -118,7 +122,7 @@ case class ChangeDataFeedHelper(
     }
     val cdc = cdcEntries.result()
     val ins = insEntries.result()
-    val ovw = ovwFrames.result()
+    val ovw = ovwInfos.result()
     require(cdc.nonEmpty || ins.nonEmpty || ovw.nonEmpty,
       s"no change data between versions $s and $e of $path")
 
@@ -198,9 +202,68 @@ case class ChangeDataFeedHelper(
         ins.map { case (a, v, ts) => (a.path, v, ts) }))
     }
 
-    // synthesized overwrite frames are already stamped; one frame per
-    // overwrite commit, unioned in version order
-    val ovwFrame = ovw.map(_._2).reduceOption(_.unionByName(_, allowMissingColumns = true))
+    // Synthesized overwrite change rows — the delete side read from the
+    // REMOVED files (still on disk until vacuum; deletion vectors applied,
+    // pre-commit LOGICAL names — that lineage's final names), the insert
+    // side from the ADDED files (relabeled to the range-end logical names
+    // exactly as the plain-append frame is). Commits are GROUPED by the
+    // metadata regime that governs how their files read, so N overwrites
+    // collapse to O(regimes) scans, each version-stamped by the same
+    // broadcast name-join as recorded change files — not N union branches.
+    val ovwFrame: Option[DataFrame] = if (ovw.isEmpty) None else {
+      val missing = ovw.flatMap(o => o.prev.files
+        .filterNot(f => graft.tables.Fs.exists(GraftTable.resolveDataPath(path, f.path)))
+        .map(f => (o.v, f.path)))
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"version ${missing.head._1} of $path replaced the table, and " +
+            s"${missing.size} of the replaced files were since vacuumed " +
+            s"(first: ${missing.head._2}); the delete-side change rows are no " +
+            "longer reconstructible — read the change feed from a version " +
+            "above the vacuum horizon")
+      def delFrame(snapRep: Snapshot, commits: Seq[OvwCommit]): (Long, Int, DataFrame) = {
+        val files = commits.flatMap(_.prev.files)
+        val entries = commits.flatMap(o => o.prev.files.map(f => (f.path, o.v, o.ts)))
+        (commits.iterator.map(_.v).min, 0,
+          stamp(table.dfForFiles(snapRep, files)
+            .withColumn("_change_type", lit("delete")), entries))
+      }
+      def insFrame(snapRep: Snapshot, commits: Seq[OvwCommit]): (Long, Int, DataFrame) = {
+        val files = commits.flatMap(_.adds)
+        val entries = commits.flatMap(o => o.adds.map(f => (f.path, o.v, o.ts)))
+        (commits.iterator.map(_.v).min, 1,
+          stamp(graft.tables.ColumnMapping.toLogical(
+              graft.tables.ColumnMapping.toPhysical(
+                table.dfForFiles(snapRep, files), snapRep.schema),
+              endSchema).withColumn("_change_type", lit("insert")), entries))
+      }
+      val delFrames = ovw.groupBy(_.prev.metadata).values.toSeq.map(_.sortBy(_.v))
+        .flatMap { g =>
+          val paths = g.flatMap(_.prev.files.map(_.path))
+          // two cases cannot share one stamped group scan: a file path
+          // removed by TWO in-range overwrites (CDF-off RESTORE re-added it
+          // in between) breaks the name→commit mapping, and deletion-vector
+          // carriers read through a position anti-join where
+          // input_file_name() is no longer scan-reliable. Both fall back to
+          // one constant-literal-stamped frame per commit (bounded: DV
+          // replaces and restore corners are rare; the common complete-sink
+          // shape — clean files, fresh names — stays one scan per regime).
+          val anyDv = g.exists(_.prev.files.exists(_.dv.exists(_.cardinality > 0)))
+          if (!anyDv && paths.distinct.size == paths.size) Seq(delFrame(g.head.prev, g))
+          else g.map(o => (o.v, 0,
+            table.dfForFiles(o.prev, o.prev.files)
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_version", lit(o.v))
+              .withColumn("_commit_timestamp", (lit(o.ts) / 1000L).cast("timestamp"))))
+        }
+      val insFrames = ovw.filter(_.adds.nonEmpty)
+        .groupBy(_.cur.metadata).values.toSeq.map(_.sortBy(_.v))
+        .map(g => insFrame(g.last.cur, g))
+      // deletes lead inserts at equal first-version (matching the write-time
+      // layout a materialized overwrite produced)
+      (delFrames ++ insFrames).sortBy(t => (t._1, t._2)).map(_._3)
+        .reduceOption(_.unionByName(_, allowMissingColumns = true))
+    }
 
     // column order: the earliest contributing version's mechanism leads, so
     // batched output matches the old fold-in-version-order layout
@@ -211,47 +274,11 @@ case class ChangeDataFeedHelper(
     ordered.map(_._2).reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
-  /** Change rows for one full-overwrite commit, synthesized from its
-    * remove/add actions: the pre-commit snapshot's live rows (deletion
-    * vectors applied) as `delete`, the added files' rows as `insert`. The
-    * removed files must still exist — vacuum collects them, after which the
-    * overwrite's change content is gone and the read fails loudly (same
-    * posture as the vacuum-horizon guard; written change rows would have
-    * survived, but at O(old + new) write amplification per overwrite).
+  /** One qualifying full-overwrite commit: its pre-state (whose files the
+    * commit removed), its committed state, and its added files.
     */
-  private def synthesizeOverwrite(
-      v: Long,
-      prev: Snapshot,
-      adds: Seq[AddFile],
-      commitTs: Long,
-      endSchema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val missing = prev.files.filterNot(f =>
-      graft.tables.Fs.exists(GraftTable.resolveDataPath(path, f.path)))
-    if (missing.nonEmpty)
-      throw new IllegalStateException(
-        s"version $v of $path replaced the table, and ${missing.size} of the " +
-          s"replaced files were since vacuumed (first: ${missing.head.path}); " +
-          "its delete-side change rows are no longer reconstructible — read " +
-          "the change feed from a version above the vacuum horizon")
-    // delete side: pre-replace LOGICAL names (that lineage's final names —
-    // the new regime's mapping does not apply to it); insert side: relabel
-    // to the range-end logical names through the stable physical names,
-    // exactly as the plain-append frame does
-    val deletes = table.dfForFiles(prev, prev.files)
-      .withColumn("_change_type", lit("delete"))
-    val inserts =
-      if (adds.isEmpty) None
-      else {
-        val snapV = log.snapshot(v)
-        Some(graft.tables.ColumnMapping.toLogical(
-          graft.tables.ColumnMapping.toPhysical(
-            table.dfForFiles(snapV, adds), snapV.schema),
-          endSchema).withColumn("_change_type", lit("insert")))
-      }
-    inserts.fold(deletes)(i => deletes.unionByName(i, allowMissingColumns = true))
-      .withColumn("_commit_version", lit(v))
-      .withColumn("_commit_timestamp", (lit(commitTs) / 1000L).cast("timestamp"))
-  }
+  private case class OvwCommit(
+      v: Long, ts: Long, prev: Snapshot, cur: Snapshot, adds: Seq[AddFile])
 
   // =====================================================================
   // C9/C10/C11 — recovery reads

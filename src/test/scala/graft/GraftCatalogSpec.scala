@@ -396,12 +396,22 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(spark.table("graft_cat.ssq.t").where("id < 4 AND val = id * 10.0").count() == 4)
     assert(spark.table("graft_cat.ssq.t").where("id >= 4 AND val IS NULL").count() == 6)
     // set-valued (IN) subqueries in MERGE clause conditions stay refused
+    // (round 16 widened clauses to CORRELATED SCALARS — see s54 — so the
+    // refusal message names SCALAR, no longer NON-correlated)
     val setv = intercept[UnsupportedOperationException] {
       spark.sql("MERGE INTO graft_cat.ssq.t AS t USING graft_cat.ssq.ref AS s " +
         "ON t.id = s.id WHEN MATCHED AND s.id IN (SELECT id FROM graft_cat.ssq.ref) " +
         "THEN DELETE")
     }
-    assert(setv.getMessage.contains("NON-correlated"))
+    assert(setv.getMessage.contains("SCALAR subqueries"), setv.getMessage)
+    // the MERGE ON condition keeps the stricter rule: correlated scalars
+    // cannot decorrelate inside the join itself
+    val onCorr = intercept[UnsupportedOperationException] {
+      spark.sql("MERGE INTO graft_cat.ssq.t AS t USING graft_cat.ssq.ref AS s " +
+        "ON t.id = s.id AND (SELECT max(w) FROM graft_cat.ssq.ref r WHERE r.id = s.id) > 0 " +
+        "WHEN MATCHED THEN DELETE")
+    }
+    assert(onCorr.getMessage.contains("NON-correlated"), onCorr.getMessage)
   }
 
   it("CREATE TABLE ... LOCATION registers an EXTERNAL table, not a warehouse shadow") {

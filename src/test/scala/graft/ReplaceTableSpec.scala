@@ -250,6 +250,43 @@ class ReplaceTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(cdf.where("_change_type = 'insert' AND id >= 50").count() == 2)
   }
 
+  it("a range of MANY overwrites reads as grouped scans with exact per-version stamps") {
+    val dir = tmpTableDir("rt-many-ovw")
+    // complete-output-mode shape: every batch is a full overwrite; with CDF
+    // on, the reader must synthesize each commit's delete+insert content —
+    // grouped by metadata regime into a bounded number of scans, with the
+    // version stamps still exact per commit
+    val t = GraftTable.create(spark, dir,
+      (1 to 4).map(i => (i, 0)).toDF("id", "batch"),
+      properties = Map("graft.enableChangeDataFeed" -> "true"))
+    val n = 12
+    (1 to n).foreach { b =>
+      t.overwrite((1 to (4 + b)).map(i => (i, b)).toDF("id", "batch"),
+        operationParameters = Map("mode" -> "Overwrite"))
+    }
+    val cdf = graft.log.ChangeDataFeedHelper(spark, dir, 1L, n.toLong).readCDF
+    // per overwrite version b: deletes = previous contents (4 + b - 1 rows,
+    // all tagged batch b-1), inserts = new contents (4 + b rows, batch b)
+    import org.apache.spark.sql.functions.{col => c}
+    (1 to n).foreach { b =>
+      val dels = cdf.where(s"_commit_version = $b AND _change_type = 'delete'")
+      val inss = cdf.where(s"_commit_version = $b AND _change_type = 'insert'")
+      assert(dels.count() == 4 + b - 1, s"v$b deletes")
+      assert(dels.where(s"batch != ${b - 1}").count() == 0, s"v$b delete stamps")
+      assert(inss.count() == 4 + b, s"v$b inserts")
+      assert(inss.where(s"batch != $b").count() == 0, s"v$b insert stamps")
+    }
+    assert(cdf.where(c("_commit_timestamp").isNull).count() == 0)
+    // the whole range resolves to a BOUNDED number of scans (one delete-side
+    // and one insert-side group — every commit shares one metadata regime),
+    // not one union branch per commit: count parquet scan nodes in the plan
+    val scans = cdf.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.size
+    assert(scans >= 1 && scans <= 6,
+      s"expected grouped scans (one per side per metadata regime), got $scans relations")
+  }
+
   it("REPLACE clears column mapping left by nested renames; physical names don't leak") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.rt")

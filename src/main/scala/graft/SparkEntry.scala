@@ -3042,6 +3042,27 @@ object SparkEntry {
         .select(col("n_nationkey"), col("n_name"), col("tag"))
     }),
 
+    "s55_table_changes" -> ((s, dir) => {
+      // table_changes(...) — Delta 3.x's CDF SQL surface (TVF injected by
+      // the session extension): version bounds select the update + delete
+      // commits; the oracle replays the pre/post images and the
+      // update-aware delete rows relationally.
+      catalogWarehouse(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.s55")
+      read(s, dir, "nation").createOrReplaceTempView("s55_nat")
+      s.sql("DROP TABLE IF EXISTS graft_cat.s55.t")
+      s.sql("CREATE TABLE graft_cat.s55.t " +
+        "TBLPROPERTIES('graft.enableChangeDataFeed'='true') AS " +
+        "SELECT n_nationkey, n_name FROM s55_nat")
+      s.sql("UPDATE graft_cat.s55.t SET n_name = upper(n_name) WHERE n_nationkey % 3 = 0")
+      s.sql("DELETE FROM graft_cat.s55.t WHERE n_nationkey % 5 = 4")
+      () => {
+      val v = GraftTable.forName(s, "graft_cat.s55.t").version
+      s.sql("SELECT n_nationkey, n_name, _change_type " +
+        s"FROM table_changes('graft_cat.s55.t', ${v - 1}, $v)")
+      }
+    }),
+
     "s54_correlated_merge" -> ((s, dir) => {
       // PER-ROW correlated scalar subqueries in MERGE clause conditions
       // AND values (beyond Delta, which refuses them in every clause
@@ -4751,6 +4772,18 @@ object SparkEntry {
         |       CASE WHEN n_nationkey % 2 = 0 THEN chr(57344)
         |            ELSE chr(128512) END AS tag
         |FROM nation""".stripMargin,
+    "s55_table_changes" ->
+      """SELECT n_nationkey, upper(n_name) AS n_name,
+        |       'update_postimage' AS _change_type
+        |FROM nation WHERE n_nationkey % 3 = 0
+        |UNION ALL
+        |SELECT n_nationkey, n_name, 'update_preimage' FROM nation
+        |WHERE n_nationkey % 3 = 0
+        |UNION ALL
+        |SELECT n_nationkey,
+        |       CASE WHEN n_nationkey % 3 = 0 THEN upper(n_name) ELSE n_name END,
+        |       'delete'
+        |FROM nation WHERE n_nationkey % 5 = 4""".stripMargin,
     "s54_correlated_merge" ->
       """WITH src AS (SELECT s_suppkey * 20 AS k, s_nationkey, s_acctbal FROM supplier),
         |upd AS (

@@ -515,6 +515,8 @@ class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
     extensions.injectParser((_, delegate) => new GraftSqlParser(delegate))
     extensions.injectResolutionRule(session => new GraftCatalogReadFallback(session))
     extensions.injectResolutionRule(session => new GraftRowLevelRewrite(session))
+    // table_changes / table_changes_by_path — the CDF SQL surface
+    GraftTableFunctions.descriptions.foreach(extensions.injectTableFunction)
   }
 }
 

@@ -87,6 +87,29 @@ class GraftStreamSourceSpec extends AnyFunSpec with SparkSessionTestWrapper {
     } finally q2.stop()
   }
 
+  it("a plain SaveMode.Overwrite commit flows as synthesized delete+insert changes") {
+    // complete-output-mode shape: op WRITE, remove-all + add, no change
+    // files — the stream synthesizes the change content like the batch
+    // reader (previously this threw even with CDF on)
+    val (dir, t) = mkTable("gss_ovw")
+    val sink = "gss_osink_" + System.nanoTime()
+    val query = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      assert(rowsOf(sink).size == 3) // snapshot inserts @ v0
+      t.overwrite(Seq((5, "five")).toDF("id", "name"),
+        operationParameters = Map("mode" -> "Overwrite")) // v1
+      query.processAllAvailable()
+      val after = rowsOf(sink)
+      assert(after.contains((0, "alpha", "delete", 1L)))
+      assert(after.contains((1, "beta", "delete", 1L)))
+      assert(after.contains((2, "gamma", "delete", 1L)))
+      assert(after.contains((5, "five", "insert", 1L)))
+      assert(after.count(_._4 == 1L) == 4, s"got $after")
+    } finally query.stop()
+  }
+
   it("a stream over a VACUUMED replace refuses loudly (delete side not reconstructible)") {
     val (dir, t) = mkTable("gss_replace_vac")
     val vReplace = TableOps.replaceTable(t,

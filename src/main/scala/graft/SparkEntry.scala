@@ -3042,6 +3042,37 @@ object SparkEntry {
         .select(col("n_nationkey"), col("n_name"), col("tag"))
     }),
 
+    "s56_dynamic_overwrite" -> ((s, dir) => {
+      // partitionOverwriteMode=dynamic (Delta's writer option): an
+      // overwrite replaces ONLY the partitions the incoming data lands in
+      // — regions 1 and 3 get re-keyed/uppercased rows, every other region
+      // is untouched. The removes are whole files, so the CDF content is
+      // synthesized at read time (delete counts pinned as literals); the
+      // oracle replays the partition-scoped replacement relationally.
+      val d56 = tmp("s56")
+      val nation = read(s, dir, "nation")
+      val t = GraftTable.create(s, d56,
+        nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+        partitionColumns = Seq("n_regionkey"),
+        properties = Map("graft.enableChangeDataFeed" -> "true"))
+      nation.where("n_regionkey IN (1, 3)")
+        .select((col("n_nationkey") + 1000).as("n_nationkey"),
+          upper(col("n_name")).as("n_name"), col("n_regionkey"))
+        .write.format("graft").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").save(d56)
+      () => {
+      val after = GraftTable.forPath(s, d56)
+      val v = after.version
+      val cdf = graft.log.ChangeDataFeedHelper(s, d56, v, v).readCDF
+      after.toDF.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .withColumn("cdf_deletes", lit(cdf.where("_change_type = 'delete'").count()))
+        .withColumn("cdf_inserts", lit(cdf.where("_change_type = 'insert'").count()))
+        .withColumn("change_files_written", lit(after.log.actionsAt(v)
+          .count(_.isInstanceOf[graft.tables.AddCDCFile]).toLong))
+        .withColumn("tt_rows", lit(after.toDFAt(v - 1).count()))
+      }
+    }),
+
     "s55_table_changes" -> ((s, dir) => {
       // table_changes(...) — Delta 3.x's CDF SQL surface (TVF injected by
       // the session extension): version bounds select the update + delete
@@ -4771,6 +4802,17 @@ object SparkEntry {
       """SELECT n_nationkey, n_name,
         |       CASE WHEN n_nationkey % 2 = 0 THEN chr(57344)
         |            ELSE chr(128512) END AS tag
+        |FROM nation""".stripMargin,
+    "s56_dynamic_overwrite" ->
+      """SELECT CASE WHEN n_regionkey IN (1, 3) THEN n_nationkey + 1000
+        |            ELSE n_nationkey END AS n_nationkey,
+        |       CASE WHEN n_regionkey IN (1, 3) THEN upper(n_name)
+        |            ELSE n_name END AS n_name,
+        |       n_regionkey,
+        |       (SELECT count(*) FROM nation WHERE n_regionkey IN (1, 3)) AS cdf_deletes,
+        |       (SELECT count(*) FROM nation WHERE n_regionkey IN (1, 3)) AS cdf_inserts,
+        |       CAST(0 AS BIGINT) AS change_files_written,
+        |       (SELECT count(*) FROM nation) AS tt_rows
         |FROM nation""".stripMargin,
     "s55_table_changes" ->
       """SELECT n_nationkey, upper(n_name) AS n_name,

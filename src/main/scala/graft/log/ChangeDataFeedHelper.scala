@@ -103,18 +103,24 @@ case class ChangeDataFeedHelper(
           adds.foreach(a => insEntries += ((a, v, commitTs)))
           if (firstInsV.isEmpty) firstInsV = Some(v)
         } else if (removes.nonEmpty && op != "OPTIMIZE" && op != "REPARTITION") {
-          // remove-ALL commit = full overwrite (REPLACE / INSERT OVERWRITE;
-          // partial rewrites — merge/update/delete — always carry change
+          // remove-ALL commit = full overwrite (REPLACE / INSERT OVERWRITE),
+          // and a dynamic partition overwrite removes WHOLE FILES of the
+          // replaced partitions (self-declared via its commit parameter).
+          // Partial rewrites — merge/update/delete — always carry change
           // files when CDF is on, so reaching here without them means CDF
-          // was off for that commit). Synthesize iff the COMMITTED state
-          // has CDF enabled — exactly when the old write path would have
+          // was off for that commit. Synthesize iff the COMMITTED state has
+          // CDF enabled — exactly when the old write path would have
           // materialized change rows.
           val prev = log.snapshot(v - 1)
           val cur = log.snapshot(v)
           val removedSet = removes.map(_.path).toSet
           val fullOverwrite = removedSet == prev.files.map(_.path).toSet
-          if (fullOverwrite && cur.cdfEnabled) {
-            ovwInfos += OvwCommit(v, commitTs, prev, cur, adds)
+          val dynOverwrite = actions.collectFirst { case c: CommitInfo => c }
+            .exists(_.operationParameters.get("partitionOverwriteMode")
+              .exists(_.equalsIgnoreCase("dynamic")))
+          if ((fullOverwrite || dynOverwrite) && cur.cdfEnabled) {
+            ovwInfos += OvwCommit(v, commitTs, prev, cur,
+              prev.files.filter(f => removedSet.contains(f.path)), adds)
             if (firstOvwV.isEmpty) firstOvwV = Some(v)
           }
         }
@@ -211,7 +217,7 @@ case class ChangeDataFeedHelper(
     // collapse to O(regimes) scans, each version-stamped by the same
     // broadcast name-join as recorded change files — not N union branches.
     val ovwFrame: Option[DataFrame] = if (ovw.isEmpty) None else {
-      val missing = ovw.flatMap(o => o.prev.files
+      val missing = ovw.flatMap(o => o.removed
         .filterNot(f => graft.tables.Fs.exists(GraftTable.resolveDataPath(path, f.path)))
         .map(f => (o.v, f.path)))
       if (missing.nonEmpty)
@@ -222,8 +228,8 @@ case class ChangeDataFeedHelper(
             "longer reconstructible — read the change feed from a version " +
             "above the vacuum horizon")
       def delFrame(snapRep: Snapshot, commits: Seq[OvwCommit]): (Long, Int, DataFrame) = {
-        val files = commits.flatMap(_.prev.files)
-        val entries = commits.flatMap(o => o.prev.files.map(f => (f.path, o.v, o.ts)))
+        val files = commits.flatMap(_.removed)
+        val entries = commits.flatMap(o => o.removed.map(f => (f.path, o.v, o.ts)))
         (commits.iterator.map(_.v).min, 0,
           stamp(table.dfForFiles(snapRep, files)
             .withColumn("_change_type", lit("delete")), entries))
@@ -239,7 +245,7 @@ case class ChangeDataFeedHelper(
       }
       val delFrames = ovw.groupBy(_.prev.metadata).values.toSeq.map(_.sortBy(_.v))
         .flatMap { g =>
-          val paths = g.flatMap(_.prev.files.map(_.path))
+          val paths = g.flatMap(_.removed.map(_.path))
           // two cases cannot share one stamped group scan: a file path
           // removed by TWO in-range overwrites (CDF-off RESTORE re-added it
           // in between) breaks the name→commit mapping, and deletion-vector
@@ -248,10 +254,10 @@ case class ChangeDataFeedHelper(
           // one constant-literal-stamped frame per commit (bounded: DV
           // replaces and restore corners are rare; the common complete-sink
           // shape — clean files, fresh names — stays one scan per regime).
-          val anyDv = g.exists(_.prev.files.exists(_.dv.exists(_.cardinality > 0)))
+          val anyDv = g.exists(_.removed.exists(_.dv.exists(_.cardinality > 0)))
           if (!anyDv && paths.distinct.size == paths.size) Seq(delFrame(g.head.prev, g))
           else g.map(o => (o.v, 0,
-            table.dfForFiles(o.prev, o.prev.files)
+            table.dfForFiles(o.prev, o.removed)
               .withColumn("_change_type", lit("delete"))
               .withColumn("_commit_version", lit(o.v))
               .withColumn("_commit_timestamp", (lit(o.ts) / 1000L).cast("timestamp"))))
@@ -274,11 +280,13 @@ case class ChangeDataFeedHelper(
     ordered.map(_._2).reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
-  /** One qualifying full-overwrite commit: its pre-state (whose files the
-    * commit removed), its committed state, and its added files.
+  /** One qualifying overwrite commit (full, or dynamic-partition): its
+    * pre-state, its committed state, the whole files it removed, and its
+    * added files.
     */
   private case class OvwCommit(
-      v: Long, ts: Long, prev: Snapshot, cur: Snapshot, adds: Seq[AddFile])
+      v: Long, ts: Long, prev: Snapshot, cur: Snapshot,
+      removed: Seq[AddFile], adds: Seq[AddFile])
 
   // =====================================================================
   // C9/C10/C11 — recovery reads

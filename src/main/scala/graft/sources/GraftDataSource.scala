@@ -239,6 +239,24 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     if (replaceWhere.isDefined && !exists)
       throw new IllegalArgumentException(
         s"replaceWhere requires an existing graft table at $path (nothing to replace)")
+    // Delta's partitionOverwriteMode: the writer option wins; absent, the
+    // Spark session conf (spark.sql.sources.partitionOverwriteMode) governs
+    // — DYNAMIC replaces only the partitions the incoming data lands in
+    val dynamicOverwrite = parameters.get("partitionOverwriteMode")
+      .orElse(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode"))
+      .exists { v =>
+        require(v.trim.equalsIgnoreCase("dynamic") || v.trim.equalsIgnoreCase("static"),
+          s"partitionOverwriteMode must be 'static' or 'dynamic', got '$v'")
+        v.trim.equalsIgnoreCase("dynamic")
+      }
+    if (parameters.get("partitionOverwriteMode").isDefined && mode != SaveMode.Overwrite)
+      throw new IllegalArgumentException(
+        s"partitionOverwriteMode requires mode 'overwrite', got $mode")
+    if (dynamicOverwrite && replaceWhere.isDefined)
+      throw new IllegalArgumentException(
+        "replaceWhere cannot combine with partitionOverwriteMode=dynamic — " +
+          "the predicate and the data-derived partition set would fight over " +
+          "what gets replaced; use one or the other")
     if (!alreadyApplied) mode match {
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(s"graft table already exists at $path")
@@ -251,8 +269,13 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
           GraftTable.forPath(spark, path), data, replaceWhere.get,
           extraActions = txnActions)
       case SaveMode.Overwrite if exists =>
+        val dynamic = dynamicOverwrite && snapBefore.get.metadata.partitionColumns.nonEmpty
         TableWriter.write(spark, path, data, TableWriter.Overwrite,
           partitionColumns = snapBefore.get.metadata.partitionColumns,
+          operationParameters =
+            if (dynamic) Map("mode" -> "Overwrite", "partitionOverwriteMode" -> "dynamic")
+            else Map.empty,
+          dynamicPartitionOverwrite = dynamic,
           extraActions = txnActions, readVersion = txnReadVersion)
       case _ =>
         val partitions = parameters.get("partitionColumns")

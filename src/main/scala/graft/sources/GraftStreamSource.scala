@@ -412,15 +412,20 @@ class GraftStreamSource(
         // a DV-only delete qualifies — its re-adds carry no new rows
         if (ignoreDeletes && dataAdds.isEmpty) None
         else {
-          // full overwrite (REPLACE TABLE / INSERT OVERWRITE) with CDF on
-          // in the committed state: the commit writes no change files — the
-          // change rows are synthesized from its remove/add actions, the
-          // same rule as the batch reader (ChangeDataFeedHelper). Partial
-          // rewrites with CDF on always carry change files, so a non-full
-          // remove set here means CDF was off for that commit.
+          // full overwrite (REPLACE TABLE / INSERT OVERWRITE) or a dynamic
+          // PARTITION overwrite (self-declared via its commit parameter;
+          // whole-file removes by construction) with CDF on in the
+          // committed state: the commit writes no change files — the change
+          // rows are synthesized from its remove/add actions, the same rule
+          // as the batch reader (ChangeDataFeedHelper). Other partial
+          // rewrites with CDF on always carry change files, so reaching
+          // here means CDF was off for that commit.
           val prev = table.snapshotAt(v - 1)
+          val removedSet = removes.map(_.path).toSet
+          val dynOverwrite = ci.exists(_.operationParameters
+            .get("partitionOverwriteMode").exists(_.equalsIgnoreCase("dynamic")))
           val fullOverwrite = op.exists(o => o != "OPTIMIZE" && o != "REPARTITION") &&
-            removes.map(_.path).toSet == prev.files.map(_.path).toSet &&
+            (removedSet == prev.files.map(_.path).toSet || dynOverwrite) &&
             table.snapshotAt(v).cdfEnabled
           if (fullOverwrite && dropChangeColumns)
             // rows-only streams cannot represent the delete side — same
@@ -431,7 +436,8 @@ class GraftStreamSource(
                 "skipChangeCommits/ignoreDeletes to skip such commits, or " +
                 "stream the change feed via readStream.format(\"graft\")")
           else if (fullOverwrite) {
-            val missing = prev.files.filterNot(f => graft.tables.Fs.exists(
+            val removedAdds = prev.files.filter(f => removedSet.contains(f.path))
+            val missing = removedAdds.filterNot(f => graft.tables.Fs.exists(
               graft.tables.GraftTable.resolveDataPath(tablePath, f.path)))
             if (missing.nonEmpty)
               throw new IllegalStateException(
@@ -439,7 +445,7 @@ class GraftStreamSource(
                   s"${missing.size} of the replaced files were since vacuumed; " +
                   "its delete-side change rows are no longer reconstructible — " +
                   "restart the stream from a fresh checkpoint (snapshot batch)")
-            val deletes = widen(table.dfForFiles(prev, prev.files)
+            val deletes = widen(table.dfForFiles(prev, removedAdds)
               .withColumn("_change_type", lit("delete"))
               .withColumn("_commit_version", lit(v)))
             val inserts =

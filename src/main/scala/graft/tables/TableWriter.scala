@@ -76,6 +76,17 @@ object TableWriter {
       // mapping, generated/default/identity declarations) do NOT carry
       // over. Only meaningful with Overwrite mode.
       replaceProperties: Boolean = false,
+      // Overwrite variant (Delta's `partitionOverwriteMode=dynamic`):
+      // replace ONLY the partitions the incoming data lands in — removes
+      // are the current files whose partitionValues match a staged add's,
+      // recomputed per commit attempt (a concurrent blind append into a
+      // replaced partition serializes BEFORE the overwrite and is replaced
+      // with the rest of the partition — the same posture as full
+      // Overwrite). Schema follows the APPEND merge rule (non-replaced
+      // partitions keep their columns readable). On an unpartitioned table
+      // every file shares the empty partition tuple, so this degrades to a
+      // full overwrite — Spark's file-source semantics.
+      dynamicPartitionOverwrite: Boolean = false,
       // data ALREADY written as physical-layout parquet (partition dirs
       // included) by the caller's own executors — the V2 streaming sink's
       // per-task writers. The staging write is skipped; everything after it
@@ -437,11 +448,19 @@ object TableWriter {
             .asInstanceOf[StructType])
           .getOrElse((mode, attemptSnap) match {
             case (Append, Some(s)) => mergeWithMapping(s, dfI.schema)
+            // dynamic overwrite keeps non-replaced partitions readable:
+            // schema evolves by the append MERGE rule, never narrows
+            case (Overwrite, Some(s)) if dynamicPartitionOverwrite =>
+              mergeWithMapping(s, dfI.schema)
             case _                 => newSchema
           })
         val propsNow = metadataOverride.map(_.properties).getOrElse(
           baseProps(attemptSnap) ++ properties ++ idProps)
         val removes: Seq[Action] = (mode match {
+          case Overwrite if dynamicPartitionOverwrite =>
+            val touched = adds.map(_.partitionValues).toSet
+            attemptSnap.map(_.files.filter(f => touched.contains(f.partitionValues))
+              .map(f => RemoveFile(f.path))).getOrElse(Nil)
           case Overwrite => attemptSnap.map(_.files.map(f => RemoveFile(f.path))).getOrElse(Nil)
           case Append    => Nil
         }) ++ removeFiles.map(RemoveFile(_))

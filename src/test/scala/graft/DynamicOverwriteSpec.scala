@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.tables.{AddCDCFile, GraftTable, RemoveFile}
+
+/** `partitionOverwriteMode=dynamic` (Delta's writer option + Spark's session
+  * conf): `mode("overwrite")` replaces ONLY the partitions the incoming data
+  * lands in. Removes are whole files of the touched partitions, so with CDF
+  * on the change content is synthesized at read time like any overwrite.
+  */
+class DynamicOverwriteSpec extends AnyFunSpec with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private def mkPartitioned(prefix: String, cdf: Boolean = false): (String, GraftTable) = {
+    val dir = tmpTableDir(prefix)
+    val props = if (cdf) Map("graft.enableChangeDataFeed" -> "true")
+                else Map.empty[String, String]
+    val t = GraftTable.create(spark, dir,
+      (0 until 12).map(i => (i, i % 3, s"n$i")).toDF("id", "k", "name"),
+      partitionColumns = Seq("k"), properties = props)
+    (dir, t)
+  }
+
+  it("replaces only the partitions present in the incoming data") {
+    val (dir, t) = mkPartitioned("dyn-basic")
+    val filesBefore = t.snapshot.files
+    Seq((100, 0, "x"), (102, 2, "z")).toDF("id", "k", "name")
+      .write.format("graft").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").save(dir)
+    val after = GraftTable.forPath(spark, dir)
+    val got = after.toDF.select("id", "k").as[(Int, Int)].collect().toSet
+    // k=0 and k=2 replaced wholesale; k=1 untouched
+    val want = Set((100, 0), (102, 2)) ++
+      (0 until 12).filter(_ % 3 == 1).map(i => (i, 1)).toSet
+    assert(got == want, s"got $got")
+    // the commit removed EXACTLY the touched partitions' files
+    val removed = after.log.actionsAt(after.version)
+      .collect { case r: RemoveFile => r.path }.toSet
+    val wantRemoved = filesBefore
+      .filter(f => Set("0", "2").contains(f.partitionValues("k"))).map(_.path).toSet
+    assert(removed == wantRemoved)
+    // history preserved
+    assert(after.toDFAt(after.version - 1).count() == 12)
+  }
+
+  it("the session conf form applies when the option is absent; static stays full") {
+    val (dir, _) = mkPartitioned("dyn-conf")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((200, 1, "y")).toDF("id", "k", "name")
+        .write.format("graft").mode("overwrite").save(dir)
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    val mid = GraftTable.forPath(spark, dir)
+    assert(mid.toDF.count() == 9) // k=1 replaced by one row; k=0,2 keep 4 each
+    // explicit static option overrides a dynamic session conf: full overwrite
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((300, 0, "w")).toDF("id", "k", "name")
+        .write.format("graft").mode("overwrite")
+        .option("partitionOverwriteMode", "static").save(dir)
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    assert(GraftTable.forPath(spark, dir).toDF.count() == 1)
+  }
+
+  it("an unpartitioned table degrades to a full overwrite; refusals are loud") {
+    val dir = tmpTableDir("dyn-unpart")
+    GraftTable.create(spark, dir, Seq((1, "a"), (2, "b")).toDF("id", "name"))
+    Seq((9, "z")).toDF("id", "name")
+      .write.format("graft").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").save(dir)
+    assert(GraftTable.forPath(spark, dir).toDF.count() == 1)
+    // replaceWhere + dynamic fight over what gets replaced — refuse
+    val (dir2, _) = mkPartitioned("dyn-rw")
+    val e = intercept[IllegalArgumentException] {
+      Seq((1, 0, "a")).toDF("id", "k", "name")
+        .write.format("graft").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("replaceWhere", "k = 0").save(dir2)
+    }
+    assert(e.getMessage.contains("replaceWhere"), e.getMessage)
+    val badValue = intercept[IllegalArgumentException] {
+      Seq((1, 0, "a")).toDF("id", "k", "name")
+        .write.format("graft").mode("overwrite")
+        .option("partitionOverwriteMode", "sideways").save(dir2)
+    }
+    assert(badValue.getMessage.contains("static"), badValue.getMessage)
+    val wrongMode = intercept[IllegalArgumentException] {
+      Seq((1, 0, "a")).toDF("id", "k", "name")
+        .write.format("graft").mode("append")
+        .option("partitionOverwriteMode", "dynamic").save(dir2)
+    }
+    assert(wrongMode.getMessage.contains("overwrite"), wrongMode.getMessage)
+  }
+
+  it("with CDF on: no change files written; delete+insert synthesized for touched partitions only") {
+    val (dir, t) = mkPartitioned("dyn-cdf", cdf = true)
+    Seq((100, 0, "x")).toDF("id", "k", "name")
+      .write.format("graft").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").save(dir)
+    val after = GraftTable.forPath(spark, dir)
+    assert(after.log.actionsAt(after.version)
+      .collect { case c: AddCDCFile => c }.isEmpty)
+    val cdf = graft.log.ChangeDataFeedHelper(spark, dir, after.version, after.version).readCDF
+    // deletes: ONLY partition k=0's four prior rows; inserts: the one new row
+    assert(cdf.where("_change_type = 'delete'").count() == 4)
+    assert(cdf.where("_change_type = 'delete' AND k != 0").count() == 0)
+    assert(cdf.where("_change_type = 'insert'").count() == 1)
+    assert(cdf.where(s"_commit_version = ${after.version}").count() == 5)
+    val _ = t
+  }
+
+  it("a change-feed stream sees the dynamic overwrite as touched-partition changes") {
+    val (dir, _) = mkPartitioned("dyn-stream", cdf = true)
+    val sink = "dyn_sink_" + System.nanoTime()
+    val query = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      assert(spark.table(sink).count() == 12) // snapshot batch
+      Seq((100, 2, "x")).toDF("id", "k", "name")
+        .write.format("graft").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").save(dir)
+      query.processAllAvailable()
+      val changes = spark.table(sink).where("_commit_version = 1")
+        .selectExpr("id", "k", "_change_type").as[(Int, Int, String)].collect().toSet
+    // partition k=2 had ids 2,5,8,11
+      assert(changes == Set((2, 2, "delete"), (5, 2, "delete"), (8, 2, "delete"),
+        (11, 2, "delete"), (100, 2, "insert")), s"got $changes")
+    } finally query.stop()
+  }
+
+  it("empty incoming data touches no partitions; schema may evolve by the append rule") {
+    val (dir, _) = mkPartitioned("dyn-empty")
+    spark.emptyDataset[(Int, Int, String)].toDF("id", "k", "name")
+      .write.format("graft").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").save(dir)
+    assert(GraftTable.forPath(spark, dir).toDF.count() == 12) // nothing replaced
+    // a new column evolves the schema; non-replaced partitions read it as NULL
+    Seq((100, 0, "x", 9.5)).toDF("id", "k", "name", "score")
+      .write.format("graft").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").save(dir)
+    val after = GraftTable.forPath(spark, dir).toDF
+    assert(after.schema.fieldNames.contains("score"))
+    assert(after.where("k = 0").count() == 1)
+    assert(after.where("k = 1 AND score IS NULL").count() == 4)
+  }
+}

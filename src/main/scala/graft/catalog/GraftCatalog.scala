@@ -780,7 +780,8 @@ class GraftV2Table(val path: String, ident: Identifier,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.STREAMING_WRITE)
 
   /** A scan HANDLE must construct (the DELETE planner builds one to carry
     * the condition into [[deleteWhere]], and it never executes), but an
@@ -827,22 +828,41 @@ class GraftV2Table(val path: String, ident: Identifier,
   }
 
   /** Batch writes take the V1 fallback (INSERT/CTAS through the commit
-    * log's append/overwrite); `writeStream.toTable` takes the V2
+    * log's append/overwrite; a predicate-scoped
+    * `INSERT OVERWRITE ... PARTITION (k=v)` routes its translated filters
+    * onto [[graft.operators.TableOps.overwriteWhere]] — the replaceWhere
+    * engine); `writeStream.toTable` takes the V2
     * [[graft.streaming.GraftStreamingWrite]] — per-task parquet writers,
-    * epoch-fenced exactly-once commit.
+    * epoch-fenced exactly-once commit. Dynamic partition overwrite never
+    * reaches this builder: `OverwritePartitionsDynamic` has no V1-write
+    * fallback exec, so [[graft.sql.GraftRowLevelRewrite]] rewrites it into
+    * a command first.
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(versionAsOf.isEmpty,
       s"cannot write through a time-travel (VERSION AS OF) read of $name")
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
       private var overwrite = false
-      override def truncate(): WriteBuilder = { overwrite = true; this }
+      private var where: Seq[Filter] = Nil
+      override def truncate(): WriteBuilder = { overwrite = true; where = Nil; this }
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        if (filters.forall(_.isInstanceOf[AlwaysTrue])) truncate()
+        else { overwrite = true; where = filters.toSeq; this }
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwriteParam: Boolean): Unit = {
               val t = GraftTable.forPath(SparkSession.active, path)
-              if (overwrite || overwriteParam) t.overwrite(data) else t.append(data)
+              if (where.nonEmpty) {
+                val conds = where.map(f => GraftV2Table.filterToSql(f).getOrElse(
+                  throw new UnsupportedOperationException(
+                    s"INSERT OVERWRITE condition not translatable for graft: $f")))
+                graft.operators.TableOps.overwriteWhere(t, data,
+                  conds.map(c => s"($c)").mkString(" AND "))
+              } else if (overwrite || overwriteParam) t.overwrite(data)
+              else t.append(data)
               ()
             }
           }

@@ -112,6 +112,17 @@ class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         GraftDeleteCommand(v2.path,
           Some(render(d.condition, d.table.outputSet, Nil, AttributeSet.empty, Nil)))
 
+    // INSERT OVERWRITE under partitionOverwriteMode=dynamic: Spark plans
+    // OverwritePartitionsDynamic, which has NO V1-write fallback exec —
+    // rewrite it onto the commit-log dynamic overwrite (Delta's
+    // DeltaDynamicPartitionOverwriteCommand takes the same route). The
+    // query's output is already resolved against the table schema here.
+    case o: OverwritePartitionsDynamic
+        if o.query.resolved && graftTarget(o.table).isDefined =>
+      val v2 = graftTarget(o.table).get
+      requireWritable(v2, "INSERT OVERWRITE (dynamic partition mode)")
+      GraftDynamicOverwriteCommand(v2.path, o.query)
+
     case m: MergeIntoTable if m.resolved && graftTarget(m.targetTable).isDefined =>
       val v2 = graftTarget(m.targetTable).get
       requireWritable(v2, "MERGE INTO")

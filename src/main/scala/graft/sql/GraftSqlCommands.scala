@@ -268,6 +268,32 @@ private[sql] object GraftMergeExec {
   }
 }
 
+/** INSERT OVERWRITE under dynamic partition-overwrite mode, rewritten by
+  * [[GraftRowLevelRewrite]] — Spark's `OverwritePartitionsDynamic` has no
+  * V1-write fallback exec, so it lands here: ONE commit replaces exactly
+  * the partitions the query's rows land in
+  * (`TableWriter.dynamicPartitionOverwrite`).
+  */
+case class GraftDynamicOverwriteCommand(
+    path: String,
+    queryPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+  extends LeafRunnableCommand {
+  override def innerChildren
+      : Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = Seq(queryPlan)
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlCommands.resolveTarget(spark, path)
+    val data = org.apache.spark.sql.graft.SparkBridge.ofPlan(spark, queryPlan)
+    graft.tables.TableWriter.write(spark, path, data,
+      graft.tables.TableWriter.Overwrite,
+      partitionColumns = t.snapshot.metadata.partitionColumns,
+      operationParameters =
+        Map("mode" -> "Overwrite", "partitionOverwriteMode" -> "dynamic"),
+      dynamicPartitionOverwrite = true)
+    Nil
+  }
+}
+
 case class GraftAlterPropertiesCommand(
     path: String, set: Seq[(String, String)], unset: Seq[String])
   extends LeafRunnableCommand {

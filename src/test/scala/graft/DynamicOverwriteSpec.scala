@@ -130,6 +130,38 @@ class DynamicOverwriteSpec extends AnyFunSpec with SparkSessionTestWrapper {
     } finally query.stop()
   }
 
+  it("SQL INSERT OVERWRITE: dynamic conf replaces touched partitions; PARTITION spec replaces its region") {
+    val _ = SparkSessionTestWrapper.catalogWarehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.dyn")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.dyn.t")
+    spark.sql("CREATE TABLE graft_cat.dyn.t (id BIGINT, k INT) USING graft PARTITIONED BY (k)")
+    spark.sql("INSERT INTO graft_cat.dyn.t SELECT id, CAST(id % 3 AS INT) FROM range(12)")
+    // static PARTITION(k=1): only that region is replaced (routes through
+    // the replaceWhere engine via the V2 overwrite-by-filter fallback)
+    spark.sql("INSERT OVERWRITE graft_cat.dyn.t PARTITION (k = 1) " +
+      "SELECT id FROM range(100, 102)")
+    val afterStatic = spark.table("graft_cat.dyn.t").select("id", "k")
+      .as[(Long, Int)].collect().toSet
+    val untouched02 = (0 until 12).filter(i => i % 3 != 1).map(i => (i.toLong, i % 3)).toSet
+    assert(afterStatic == untouched02 ++ Set((100L, 1), (101L, 1)), s"got $afterStatic")
+    // dynamic session conf: INSERT OVERWRITE (no PARTITION spec) replaces
+    // only the partitions the query's rows land in — rewritten to the
+    // commit-log dynamic overwrite (OverwritePartitionsDynamic has no
+    // V1-write fallback exec)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("INSERT OVERWRITE graft_cat.dyn.t SELECT id, CAST(2 AS INT) " +
+        "FROM range(200, 201)")
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    val afterDyn = spark.table("graft_cat.dyn.t").select("id", "k")
+      .as[(Long, Int)].collect().toSet
+    val keep01 = afterStatic.filter(_._2 != 2)
+    assert(afterDyn == keep01 + ((200L, 2)), s"got $afterDyn")
+    // without the conf, INSERT OVERWRITE stays a full overwrite
+    spark.sql("INSERT OVERWRITE graft_cat.dyn.t SELECT 300, CAST(0 AS INT)")
+    assert(spark.table("graft_cat.dyn.t").count() == 1)
+  }
+
   it("empty incoming data touches no partitions; schema may evolve by the append rule") {
     val (dir, _) = mkPartitioned("dyn-empty")
     spark.emptyDataset[(Int, Int, String)].toDF("id", "k", "name")

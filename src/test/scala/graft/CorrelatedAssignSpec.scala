@@ -134,6 +134,28 @@ class CorrelatedAssignSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(got == Seq(0L -> 0.0, 1L -> 0.0, 2L -> 0.0, 5L -> 7.5, 7L -> 14.0), s"got $got")
   }
 
+  it("correlated MERGE values disambiguate same-named columns by ORIGIN") {
+    // target and source both carry `id` and `v`; the update value's
+    // subquery correlates on the SOURCE's v, the outer expression reads the
+    // TARGET's v — the frag must rebind each onto its own side of the join
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ca")
+    Seq("at", "as2", "ad").foreach(n => spark.sql(s"DROP TABLE IF EXISTS graft_cat.ca.$n"))
+    spark.sql("CREATE TABLE graft_cat.ca.at AS SELECT id, CAST(id AS DOUBLE) AS v FROM range(4)")
+    spark.sql("CREATE TABLE graft_cat.ca.as2 AS SELECT id, CAST(id * 100 AS DOUBLE) AS v FROM range(4)")
+    spark.sql("CREATE TABLE graft_cat.ca.ad AS SELECT * FROM VALUES " +
+      "(0.0, 1.0), (100.0, 2.0), (200.0, 3.0), (300.0, 4.0) AS d(key, w)")
+    spark.sql(
+      """MERGE INTO graft_cat.ca.at t USING graft_cat.ca.as2 s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET
+        |  v = t.v + (SELECT max(w) FROM graft_cat.ca.ad d WHERE d.key = s.v)
+        |""".stripMargin)
+    val got = spark.table("graft_cat.ca.at").as[(Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    // t.v = id, s.v = id*100 -> w by s.v: 0->1, 100->2, 200->3, 300->4
+    assert(got == Seq(0L -> 1.0, 1L -> 3.0, 2L -> 5.0, 3L -> 7.0), s"got $got")
+  }
+
   it("MERGE ON with a correlated scalar and set-valued clause subqueries stay refused") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ca")

@@ -162,6 +162,23 @@ class DynamicOverwriteSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(spark.table("graft_cat.dyn.t").count() == 1)
   }
 
+  it("a NULL partition value replaces exactly the null partition") {
+    val dir = tmpTableDir("dyn-null")
+    val t = GraftTable.create(spark, dir,
+      Seq((1, Some(0), "a"), (2, Some(0), "b"), (3, None, "c"), (4, None, "d"))
+        .toDF("id", "k", "name"),
+      partitionColumns = Seq("k"))
+    // incoming data lands ONLY in the null partition
+    Seq((9, Option.empty[Int], "z")).toDF("id", "k", "name")
+      .write.format("graft").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").save(dir)
+    val got = GraftTable.forPath(spark, dir).toDF
+      .select("id", "name").as[(Int, String)].collect().toSet
+    // k=0 untouched; the two null-k rows replaced by one
+    assert(got == Set((1, "a"), (2, "b"), (9, "z")), s"got $got")
+    val _ = t
+  }
+
   it("empty incoming data touches no partitions; schema may evolve by the append rule") {
     val (dir, _) = mkPartitioned("dyn-empty")
     spark.emptyDataset[(Int, Int, String)].toDF("id", "k", "name")

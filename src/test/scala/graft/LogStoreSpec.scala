@@ -680,6 +680,7 @@ class LogStoreSpec extends AnyFunSpec with SparkSessionTestWrapper {
         client.throttleNextPuts(0)
       })
       chaos.start()
+      val died = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
       val writers = (1 to 4).map { w =>
         new Thread(() => {
           var committed = 0
@@ -694,13 +695,32 @@ class LogStoreSpec extends AnyFunSpec with SparkSessionTestWrapper {
             } catch {
               case _: CommitConflictException => guess = v + 1
               case _: ObjectStore.ThrottledException => () // backoff exhausted: retry same v
+              case _: ObjectStore.AmbiguousOutcomeException =>
+                // disambiguation retries exhausted mid-storm: the put's
+                // outcome is genuinely unknown and the store surfaces it
+                // loudly BY DESIGN (the exhaustion test above pins that).
+                // A real driver resolves it the only correct way — read the
+                // version back and check whether OUR body landed; un-landed
+                // (or unreadable: the chain may not have reached v) retries
+                // the same version. Without this the writer thread dies,
+                // its commits are lost, and the head assert misreports an
+                // injected-fault pile-up as a broken chain.
+                val landed =
+                  try log.actionsAt(v).collectFirst { case ci: CommitInfo => ci }
+                    .exists(_.operationParameters.get("writer").contains(w.toString))
+                  catch { case _: Exception => false }
+                if (landed) { committed += 1; guess = v + 1 }
             }
           }
         })
       }
+      // any OTHER uncaught failure must be NAMED, never laundered into the
+      // lost-commits assertion below
+      writers.foreach(_.setUncaughtExceptionHandler((_, e) => { died.add(e); () }))
       writers.foreach(_.start())
       try joinAllOrFail(writers, 120000)
       finally { stop.set(true); chaos.join(10000) }
+      assert(died.isEmpty, s"writer thread died: ${died.peek()}")
       val vs = log.versions()
       assert(vs == (0L to vs.last), s"non-contiguous chain: $vs")
       assert(vs.last >= 4L * n, s"writers lost commits: head ${vs.last}")

@@ -3094,6 +3094,69 @@ object SparkEntry {
       }
     }),
 
+    "s57_setvalued_set" -> ((s, dir) => {
+      // SET-VALUED subqueries in UPDATE SET values (beyond Delta, which
+      // refuses every subquery in assignments): a non-correlated IN as a
+      // boolean assignment, and a correlated EXISTS folded under CASE in
+      // the same statement — both ride the ExprCond seam and evaluate
+      // plan-level over the rewrite frame (Spark plans predicate
+      // subqueries in Project position). DuckDB replays the statement
+      // relationally.
+      catalogWarehouse(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.s57")
+      read(s, dir, "customer").createOrReplaceTempView("s57_cust")
+      read(s, dir, "nation").createOrReplaceTempView("s57_nat")
+      s.sql("DROP TABLE IF EXISTS graft_cat.s57.t")
+      s.sql("CREATE TABLE graft_cat.s57.t AS " +
+        "SELECT c_custkey, c_nationkey, c_acctbal, false AS flagged FROM s57_cust")
+      s.sql(
+        """UPDATE graft_cat.s57.t
+          |SET flagged = c_nationkey IN (SELECT n_nationkey FROM s57_nat
+          |                              WHERE n_regionkey >= 3),
+          |    c_acctbal = CASE WHEN EXISTS (SELECT 1 FROM s57_nat n
+          |                                  WHERE n.n_nationkey = t.c_nationkey
+          |                                    AND n.n_regionkey = 0)
+          |                     THEN c_acctbal + 500.0 ELSE c_acctbal END
+          |WHERE c_custkey % 2 = 0""".stripMargin)
+      () =>
+      s.sql("SELECT c_custkey, c_nationkey, c_acctbal, flagged FROM graft_cat.s57.t")
+    }),
+
+    "s58_setvalued_merge" -> ((s, dir) => {
+      // SET-VALUED subqueries in MERGE clause conditions (beyond Delta):
+      // an IN gate on the matched-update clause, a NOT EXISTS gate on the
+      // matched-delete clause (first-match-wins ordering exercised), and
+      // an IN gate on the insert clause — each binds plan-level onto the
+      // merge's joined frame (GraftMerge.ExprFrag). DuckDB replays the
+      // full merge with the same predicates.
+      catalogWarehouse(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.s58")
+      read(s, dir, "customer").createOrReplaceTempView("s58_cust")
+      read(s, dir, "supplier").createOrReplaceTempView("s58_supp")
+      read(s, dir, "nation").createOrReplaceTempView("s58_nat")
+      s.sql("DROP TABLE IF EXISTS graft_cat.s58.t")
+      s.sql("CREATE TABLE graft_cat.s58.t AS " +
+        "SELECT c_custkey, c_nationkey, c_acctbal FROM s58_cust")
+      s.sql(
+        """MERGE INTO graft_cat.s58.t t
+          |USING (SELECT s_suppkey * 20 AS k, s_nationkey, s_acctbal FROM s58_supp) s
+          |ON t.c_custkey = s.k
+          |WHEN MATCHED AND t.c_nationkey IN (SELECT n_nationkey FROM s58_nat
+          |                                   WHERE n_regionkey >= 2)
+          |  THEN UPDATE SET c_acctbal = s.s_acctbal
+          |WHEN MATCHED AND NOT EXISTS (SELECT 1 FROM s58_nat n
+          |                             WHERE n.n_nationkey = t.c_nationkey
+          |                               AND n.n_regionkey = 1)
+          |  THEN DELETE
+          |WHEN NOT MATCHED AND s.s_nationkey IN (SELECT n_nationkey FROM s58_nat
+          |                                       WHERE n_regionkey <= 1)
+          |  THEN INSERT (c_custkey, c_nationkey, c_acctbal)
+          |    VALUES (s.k + 2000000, s.s_nationkey, s.s_acctbal)
+          |""".stripMargin)
+      () =>
+      s.sql("SELECT c_custkey, c_nationkey, c_acctbal FROM graft_cat.s58.t")
+    }),
+
     "s54_correlated_merge" -> ((s, dir) => {
       // PER-ROW correlated scalar subqueries in MERGE clause conditions
       // AND values (beyond Delta, which refuses them in every clause
@@ -4826,6 +4889,41 @@ object SparkEntry {
         |       CASE WHEN n_nationkey % 3 = 0 THEN upper(n_name) ELSE n_name END,
         |       'delete'
         |FROM nation WHERE n_nationkey % 5 = 4""".stripMargin,
+    "s57_setvalued_set" ->
+      """SELECT c_custkey, c_nationkey,
+        |       CASE WHEN c_custkey % 2 = 0 AND EXISTS (SELECT 1 FROM nation n
+        |                                               WHERE n.n_nationkey = c.c_nationkey
+        |                                                 AND n.n_regionkey = 0)
+        |            THEN c_acctbal + 500.0 ELSE c_acctbal END AS c_acctbal,
+        |       CASE WHEN c_custkey % 2 = 0
+        |            THEN c_nationkey IN (SELECT n_nationkey FROM nation
+        |                                 WHERE n_regionkey >= 3)
+        |            ELSE false END AS flagged
+        |FROM customer c""".stripMargin,
+    "s58_setvalued_merge" ->
+      """WITH src AS (SELECT s_suppkey * 20 AS k, s_nationkey, s_acctbal FROM supplier),
+        |m AS (
+        |  SELECT c.c_custkey, c.c_nationkey, c.c_acctbal, s.k, s.s_nationkey, s.s_acctbal,
+        |         (c.c_nationkey IN (SELECT n_nationkey FROM nation
+        |                            WHERE n_regionkey >= 2)) AS upd_gate,
+        |         (NOT EXISTS (SELECT 1 FROM nation n
+        |                      WHERE n.n_nationkey = c.c_nationkey
+        |                        AND n.n_regionkey = 1)) AS del_gate
+        |  FROM customer c LEFT JOIN src s ON c.c_custkey = s.k),
+        |kept AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CASE WHEN k IS NOT NULL AND upd_gate THEN s_acctbal
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM m
+        |  WHERE NOT (k IS NOT NULL AND NOT upd_gate AND del_gate)),
+        |ins AS (
+        |  SELECT s.k + 2000000 AS c_custkey, s.s_nationkey AS c_nationkey,
+        |         s.s_acctbal AS c_acctbal
+        |  FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = s.k)
+        |    AND s.s_nationkey IN (SELECT n_nationkey FROM nation
+        |                          WHERE n_regionkey <= 1))
+        |SELECT * FROM kept UNION ALL SELECT * FROM ins""".stripMargin,
     "s54_correlated_merge" ->
       """WITH src AS (SELECT s_suppkey * 20 AS k, s_nationkey, s_acctbal FROM supplier),
         |upd AS (

@@ -39,8 +39,9 @@ object GraftMerge {
   /** A clause condition or assignment value: SQL text (the Builder surface,
     * resolved by the analyzer against the merge's aliased frames), or a
     * RESOLVED expression that must bind plan-level because it carries
-    * per-row correlated scalar subqueries text cannot round-trip
-    * ([[ExprFrag]] — the MERGE-side sibling of TableOps' ExprCond seam).
+    * per-row subqueries text cannot round-trip — correlated scalars,
+    * set-valued IN/EXISTS predicates ([[ExprFrag]] — the MERGE-side
+    * sibling of TableOps' ExprCond seam).
     */
   sealed trait MergeFrag {
     /** The fragment bound over `df` — a frame carrying the merge's
@@ -53,13 +54,15 @@ object GraftMerge {
     def column(df: DataFrame): Column = expr(sql)
   }
 
-  /** A resolved MERGE clause fragment with per-row correlated scalar
-    * subqueries: attribute references rebind by ORIGIN (target attrs onto
-    * the frame's target-aliased side, source attrs onto the source side),
-    * including the OuterReference wrappers inside correlated subplans —
-    * Spark's own decorrelation then plans each subquery as a left-outer
-    * join + aggregate over the evaluation frame. Delta refuses subqueries
-    * in these positions outright.
+  /** A resolved MERGE clause fragment with per-row subqueries (correlated
+    * scalars, IN/EXISTS predicates): attribute references rebind by ORIGIN
+    * (target attrs onto the frame's target-aliased side, source attrs onto
+    * the source side), including the OuterReference wrappers inside
+    * correlated subplans — Spark's own decorrelation then plans each
+    * correlated subquery as an outer/semi/anti join over the evaluation
+    * frame, and plans set-valued predicates in the Project frames the
+    * clauses evaluate in. Delta refuses subqueries in these positions
+    * outright.
     *
     * Same two-job stability discipline as TableOps.ExprCond: each
     * NON-correlated subquery is materialized exactly once

@@ -47,14 +47,15 @@ import graft.catalog.GraftV2Table
   * executes it exactly once at run time (against the pre-statement state,
   * like every other read the statement makes) and splices the result in as
   * a literal ([[DmlExprBox]]). UPDATE SET values and MERGE CLAUSE
-  * conditions/values further accept PER-ROW CORRELATED scalar subqueries
-  * (plan-level via ExprCond / [[graft.operators.GraftMerge.ExprFrag]] —
-  * beyond Delta, which refuses them). Still refused loudly: any subquery
-  * in the MERGE ON condition beyond non-correlated scalars (it runs inside
-  * the join), set-valued (IN/EXISTS) subqueries in assignments and MERGE
-  * clauses (materialize into the source), non-deterministic conditions
-  * (the merge join evaluates them more than once), and nested-field
-  * assignment keys.
+  * conditions/values further accept PER-ROW subqueries — correlated
+  * SCALAR subqueries AND set-valued IN/EXISTS predicates, correlated or
+  * not (plan-level via ExprCond / [[graft.operators.GraftMerge.ExprFrag]]
+  * — beyond Delta, which refuses all of them). Still refused loudly: any
+  * subquery in the MERGE ON condition beyond non-correlated scalars (it
+  * runs inside the join, where no decorrelation applies — materialize
+  * into the source), lateral/table-valued plan expressions,
+  * non-deterministic conditions (the merge join evaluates them more than
+  * once), and nested-field assignment keys.
   *
   * `DeleteFromTable` converts ONLY when the native `SupportsDelete` path
   * cannot express the condition as V1 filters — natively-pushable deletes
@@ -76,7 +77,7 @@ class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val set = u.assignments.map { a =>
         keyName(a.key, "UPDATE SET") ->
           part(a.value, tgtOut, Nil, Nil, Nil, "UPDATE SET",
-            allowCorrelatedScalar = true)
+            allowRowSubqueries = true)
       }
       def textSet: Seq[(String, String)] =
         set.map { case (k, p) => k -> p.swap.toOption.get }
@@ -130,18 +131,20 @@ class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val tgt = m.targetTable.outputSet
       val src = m.sourceTable.outputSet
       // ON condition: non-correlated scalars only (it runs INSIDE the join
-      // — a correlated subquery cannot be decorrelated there). Clause
-      // conditions and UPDATE/INSERT values additionally admit PER-ROW
-      // correlated scalars: they evaluate over the merge's joined frame
-      // (disposition pass / output projection — both Projects, where
-      // Spark's decorrelation applies), through GraftMerge.ExprFrag.
+      // — a correlated subquery cannot be decorrelated there, and a
+      // set-valued one cannot be spliced). Clause conditions and
+      // UPDATE/INSERT values additionally admit PER-ROW subqueries —
+      // correlated scalars and IN/EXISTS predicates: they evaluate over
+      // the merge's joined frame (disposition pass / output projection —
+      // both Projects, where Spark plans and decorrelates them), through
+      // GraftMerge.ExprFrag.
       def r(e: Expression): SqlPart =
         part(e, m.targetTable.output, Seq(TgtAlias),
           m.sourceTable.output, Seq(SrcAlias), "MERGE ON")
       def rClause(e: Expression): SqlPart =
         part(e, m.targetTable.output, Seq(TgtAlias),
           m.sourceTable.output, Seq(SrcAlias), "MERGE clause",
-          allowCorrelatedScalar = true)
+          allowRowSubqueries = true)
       // WITH SCHEMA EVOLUTION nuance: Spark expands `UPDATE SET *` /
       // `INSERT *` against the PRE-evolution target schema, so replaying
       // the expanded assignments verbatim would leave every evolved column
@@ -196,9 +199,7 @@ class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** A rendered fragment — already text, or boxed for evaluate-then-render
-    * at command run time when it carries non-correlated scalar subqueries.
-    * Correlated or set-valued subqueries in these positions refuse loudly
-    * (the update projection / merge joins cannot host them).
+    * at command run time when it carries subqueries text cannot carry.
     */
   private def part(
       e: Expression,
@@ -206,31 +207,42 @@ class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       src: Seq[Attribute], srcQualifier: Seq[String],
       what: String,
       // UPDATE SET and MERGE clause conditions/values additionally admit
-      // PER-ROW correlated SCALAR subqueries (evaluated plan-level — over
-      // the rewrite frame through the ExprCond seam, or over the merge's
-      // joined frame through GraftMerge.ExprFrag; Spark decorrelates each
-      // to a left-outer join + aggregate. Delta refuses these). The MERGE
-      // ON condition keeps the refusal: it runs inside the join itself,
-      // where no decorrelation applies.
-      allowCorrelatedScalar: Boolean = false): SqlPart =
+      // PER-ROW subqueries: correlated SCALAR subqueries AND set-valued
+      // IN/EXISTS predicates, correlated or not (evaluated plan-level —
+      // over the rewrite frame through the ExprCond seam, or over the
+      // merge's joined frame through GraftMerge.ExprFrag; Spark plans
+      // predicate subqueries in those Project/Filter frames and
+      // decorrelates correlated ones to outer/semi/anti joins. Delta
+      // refuses every one of these). The MERGE ON condition keeps the
+      // refusal for anything beyond a non-correlated scalar: it runs
+      // inside the join itself, where no decorrelation applies.
+      allowRowSubqueries: Boolean = false): SqlPart =
     if (!hasSubquery(e))
       Left(render(e, AttributeSet(tgt), tgtQualifier, AttributeSet(src), srcQualifier))
     else {
       val bad = e.collect {
         case p: PlanExpression[_]
-            if !constScalar(p) && !(allowCorrelatedScalar && rowScalar(p)) => p
+            if !constScalar(p) && !(allowRowSubqueries && rowEvaluable(p)) => p
       }
       if (bad.nonEmpty) throw new UnsupportedOperationException(
-        s"graft $what supports only ${if (allowCorrelatedScalar) "SCALAR"
-          else "NON-correlated SCALAR"} subqueries here — for " +
-          "set-valued " +
-          s"subqueries, materialize into the MERGE source: ${bad.head.sql}")
+        s"graft $what supports only ${if (allowRowSubqueries)
+          "SCALAR and IN/EXISTS"
+        else "NON-correlated SCALAR"} subqueries here — " +
+          s"materialize anything else into the MERGE source: ${bad.head.sql}")
       Right(new DmlExprBox(e, tgt, tgtQualifier, src, srcQualifier))
     }
 
-  private def rowScalar(p: PlanExpression[_]): Boolean = p match {
+  /** Subquery shapes a ROW-LEVEL position (UPDATE SET value, MERGE clause
+    * condition/value) can evaluate plan-level over its frame: per-row
+    * correlated scalars, and set-valued IN (ListQuery) / EXISTS predicates
+    * — correlated or not. Lateral and table-valued plan expressions stay
+    * refused.
+    */
+  private def rowEvaluable(p: PlanExpression[_]): Boolean = p match {
     case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
       s.outerAttrs.nonEmpty
+    case _: org.apache.spark.sql.catalyst.expressions.ListQuery => true
+    case _: org.apache.spark.sql.catalyst.expressions.Exists => true
     case _ => false
   }
 
@@ -369,14 +381,18 @@ final class DmlExprBox(
       GraftRowLevelRewrite.evalScalarSubqueries(spark, expr),
       AttributeSet(tgt), tgtQualifier, AttributeSet(src), srcQualifier)
 
-  /** True when the fragment holds a PER-ROW correlated scalar subquery —
-    * it cannot collapse to text ([[toSql]] would choke on the residual
-    * subquery) and must be evaluated plan-level over the rewrite frame.
+  /** True when the fragment holds a PER-ROW subquery — a correlated
+    * scalar, or a set-valued IN/EXISTS predicate (correlated or not) — so
+    * it cannot collapse to text ([[toSql]] only splices non-correlated
+    * scalars; anything else would choke `render`) and must be evaluated
+    * plan-level over the rewrite frame.
     */
-  def isRowCorrelated: Boolean =
+  def needsPlanEval: Boolean =
     expr.collectFirst {
       case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery
           if s.outerAttrs.nonEmpty => ()
+      case _: org.apache.spark.sql.catalyst.expressions.ListQuery => ()
+      case _: org.apache.spark.sql.catalyst.expressions.Exists => ()
     }.isDefined
 }
 
@@ -419,13 +435,14 @@ case class GraftRowLevelMergeCommand(
     val source = org.apache.spark.sql.graft.SparkBridge.ofPlan(spark, sourcePlan)
     def sql(p: GraftRowLevelRewrite.SqlPart): String = p.fold(identity, _.toSql(spark))
     // clause fragments: text stays text (boxed NON-correlated scalars run
-    // once and splice in as literals); a fragment with PER-ROW correlated
-    // scalars rides the resolved expression into the merge engine
-    // (GraftMerge.ExprFrag binds it onto the joined frame at evaluation)
+    // once and splice in as literals); a fragment with PER-ROW subqueries
+    // (correlated scalars, IN/EXISTS predicates) rides the resolved
+    // expression into the merge engine (GraftMerge.ExprFrag binds it onto
+    // the joined frame at evaluation)
     def frag(p: GraftRowLevelRewrite.SqlPart): GraftMerge.MergeFrag = p match {
       case Left(txt) => GraftMerge.TextFrag(txt)
       case Right(box) =>
-        if (box.isRowCorrelated)
+        if (box.needsPlanEval)
           new GraftMerge.ExprFrag(box.expr,
             box.tgt, GraftRowLevelRewrite.TgtAlias,
             box.src, GraftRowLevelRewrite.SrcAlias)

@@ -502,14 +502,15 @@ case class GraftUpdateSubqueryCommand(
     val t = GraftSqlCommands.resolveTarget(spark, path)
     // each assignment: plain text stays text; a boxed fragment collapses
     // to text (non-correlated scalars evaluated once, spliced as
-    // literals) UNLESS it is per-row correlated — that one rides the
-    // ExprCond seam and evaluates plan-level over the rewrite frame
+    // literals) UNLESS it carries per-row subqueries (correlated scalars,
+    // IN/EXISTS predicates) — those ride the ExprCond seam and evaluate
+    // plan-level over the rewrite frame
     val resolvedSet: Map[String, TableOps.RowCond] =
       set.map { case (k, p) =>
         k -> p.fold(
           txt => TableOps.TextCond(txt): TableOps.RowCond,
           box =>
-            if (box.isRowCorrelated) TableOps.ExprCond(box.expr, box.tgt)
+            if (box.needsPlanEval) TableOps.ExprCond(box.expr, box.tgt)
             else TableOps.TextCond(box.toSql(spark)))
       }.toMap
     val cond: TableOps.RowCond = whereBox match {

@@ -156,7 +156,7 @@ class CorrelatedAssignSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(got == Seq(0L -> 1.0, 1L -> 3.0, 2L -> 5.0, 3L -> 7.0), s"got $got")
   }
 
-  it("MERGE ON with a correlated scalar and set-valued clause subqueries stay refused") {
+  it("MERGE ON subqueries beyond non-correlated scalars stay refused") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ca")
     Seq("rt", "rs").foreach(n => spark.sql(s"DROP TABLE IF EXISTS graft_cat.ca.$n"))
@@ -170,24 +170,94 @@ class CorrelatedAssignSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
     assert(eOn.getMessage.contains("SCALAR") || eOn.getMessage.contains("subquer"),
       eOn.getMessage)
-    val eSet = intercept[Exception] {
+    val eOnIn = intercept[Exception] {
       spark.sql(
-        """MERGE INTO graft_cat.ca.rt t USING graft_cat.ca.rs s ON t.id = s.id
-          |WHEN MATCHED AND t.id IN (SELECT id FROM graft_cat.ca.rs) THEN DELETE""".stripMargin)
+        """MERGE INTO graft_cat.ca.rt t USING graft_cat.ca.rs s
+          |ON t.id = s.id AND s.id IN (SELECT id FROM graft_cat.ca.rt)
+          |WHEN MATCHED THEN DELETE""".stripMargin)
     }
-    assert(eSet.getMessage.contains("SCALAR") || eSet.getMessage.contains("subquer"),
-      eSet.getMessage)
+    assert(eOnIn.getMessage.contains("SCALAR") || eOnIn.getMessage.contains("subquer"),
+      eOnIn.getMessage)
   }
 
-  it("set-valued subqueries in SET stay refused loudly") {
+  it("MERGE clause conditions accept set-valued IN/EXISTS subqueries") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ca")
+    Seq("svt", "svs", "svd").foreach(n => spark.sql(s"DROP TABLE IF EXISTS graft_cat.ca.$n"))
+    spark.sql("CREATE TABLE graft_cat.ca.svt " +
+      "TBLPROPERTIES('graft.enableChangeDataFeed'='true') AS " +
+      "SELECT id, CAST(id AS DOUBLE) AS v FROM range(6)")
+    spark.sql("CREATE TABLE graft_cat.ca.svs AS " +
+      "SELECT id, CAST(id * 10 AS DOUBLE) AS x FROM range(2, 9)")
+    spark.sql("CREATE TABLE graft_cat.ca.svd AS SELECT * FROM VALUES " +
+      "(2), (4), (7) AS d(id)")
+    // matched 2..5: IN picks 2 and 4 (delete 2, update 4 via the EXISTS
+    // clause order below); not-matched 6..8: insert only ids in the dim (7)
+    spark.sql(
+      """MERGE INTO graft_cat.ca.svt t USING graft_cat.ca.svs s ON t.id = s.id
+        |WHEN MATCHED AND t.id IN (SELECT id FROM graft_cat.ca.svd) AND t.id < 3 THEN DELETE
+        |WHEN MATCHED AND EXISTS (SELECT 1 FROM graft_cat.ca.svd d WHERE d.id = t.id)
+        |  THEN UPDATE SET v = s.x
+        |WHEN NOT MATCHED AND s.id IN (SELECT id FROM graft_cat.ca.svd) THEN INSERT (id, v)
+        |  VALUES (s.id, s.x)""".stripMargin)
+    val got = spark.table("graft_cat.ca.svt").as[(Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    val want = Seq(0L -> 0.0, 1L -> 1.0, 3L -> 3.0, 4L -> 40.0, 5L -> 5.0, 7L -> 70.0)
+    assert(got == want, s"got $got")
+    // the CDC rows replay the same dispositions
+    val t = GraftTable.forName(spark, "graft_cat.ca.svt")
+    val cdc = graft.log.ChangeDataFeedHelper(spark, t.path, t.version, t.version).readCDF
+    val byType = cdc.selectExpr("_change_type", "id").as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byType("delete") == Seq(2L))
+    assert(byType("update_postimage") == Seq(4L))
+    assert(byType("insert") == Seq(7L))
+  }
+
+  it("UPDATE SET accepts set-valued subquery values; CDF post-image agrees") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ca")
+    Seq("bf", "bd").foreach(n => spark.sql(s"DROP TABLE IF EXISTS graft_cat.ca.$n"))
+    spark.sql("CREATE TABLE graft_cat.ca.bf " +
+      "TBLPROPERTIES('graft.enableChangeDataFeed'='true') AS " +
+      "SELECT id, CAST(false AS BOOLEAN) AS hot, 'n' AS tag FROM range(8)")
+    spark.sql("CREATE TABLE graft_cat.ca.bd AS SELECT * FROM VALUES " +
+      "(1, 5.0), (3, 20.0), (5, 30.0), (9, 40.0) AS d(id, w)")
+    // non-correlated IN as a boolean SET value, plus a CORRELATED EXISTS
+    // value and a plain text assignment in the same statement
+    spark.sql(
+      """UPDATE graft_cat.ca.bf
+        |SET hot = id IN (SELECT id FROM graft_cat.ca.bd WHERE w > 10),
+        |    tag = CASE WHEN EXISTS (SELECT 1 FROM graft_cat.ca.bd d WHERE d.id = bf.id)
+        |               THEN 'dim' ELSE 'none' END
+        |WHERE id < 6""".stripMargin)
+    val got = spark.table("graft_cat.ca.bf").as[(Long, Boolean, String)]
+      .collect().sortBy(_._1).toSeq
+    val want = Seq(
+      (0L, false, "none"), (1L, false, "dim"), (2L, false, "none"),
+      (3L, true, "dim"), (4L, false, "none"), (5L, true, "dim"),
+      (6L, false, "n"), (7L, false, "n"))
+    assert(got == want, s"got $got")
+    val t = GraftTable.forName(spark, "graft_cat.ca.bf")
+    val post = graft.log.ChangeDataFeedHelper(spark, t.path, t.version, t.version)
+      .readCDF.where("_change_type = 'update_postimage'")
+      .selectExpr("id", "hot", "tag").as[(Long, Boolean, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(post == want.take(6), s"got $post")
+  }
+
+  it("lateral/table-valued subqueries in SET stay refused loudly") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ca")
     spark.sql("DROP TABLE IF EXISTS graft_cat.ca.r")
     spark.sql("CREATE TABLE graft_cat.ca.r AS SELECT id, id AS v FROM range(3)")
+    // a set-RETURNING value (not a predicate) has no row-level evaluation:
+    // the scalar-subquery multi-row error or the refusal must surface, never
+    // a silent first-row pick
     val e = intercept[Exception] {
-      spark.sql("UPDATE graft_cat.ca.r SET v = id IN (SELECT id FROM graft_cat.ca.r)")
+      spark.sql("UPDATE graft_cat.ca.r SET v = (SELECT id FROM graft_cat.ca.r)")
     }
-    assert(e.getMessage.contains("SCALAR") || e.getMessage.contains("subquer"),
-      e.getMessage)
+    assert(e.getMessage.contains("more than one row") ||
+      e.getMessage.toLowerCase.contains("multi"), e.getMessage)
   }
 }

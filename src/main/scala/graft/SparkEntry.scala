@@ -3094,6 +3094,34 @@ object SparkEntry {
       }
     }),
 
+    "s59_deep_clone" -> ((s, dir) => {
+      // DEEP CLONE (Delta's CLONE without SHALLOW): distributed
+      // byte-identical file copy into an independent table — stats and
+      // partition values carry verbatim, and the clone is immune to later
+      // source mutations. The gate deletes a third of the SOURCE after
+      // cloning; the clone must still read the full pre-delete state
+      // (DuckDB replays it as a plain projection of orders), and the
+      // post-delete source count rides along as a relational column.
+      catalogWarehouse(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.s59")
+      read(s, dir, "orders").createOrReplaceTempView("s59_orders")
+      s.sql("DROP TABLE IF EXISTS graft_cat.s59.src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.s59.clone")
+      s.sql("CREATE TABLE graft_cat.s59.src PARTITIONED BY (o_orderstatus) AS " +
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM s59_orders")
+      s.sql("CREATE TABLE graft_cat.s59.clone DEEP CLONE graft_cat.s59.src")
+      s.sql("DELETE FROM graft_cat.s59.src WHERE o_orderkey % 3 = 0")
+      () => {
+      val srcAfter = s.table("graft_cat.s59.src").count()
+      val ci = GraftTable.forName(s, "graft_cat.s59.clone").log.actionsAt(0L)
+        .collectFirst { case c: graft.tables.CommitInfo => c }.get
+      s.sql("SELECT o_orderkey, o_orderstatus, o_totalprice FROM graft_cat.s59.clone")
+        .withColumn("src_rows_after", lit(srcAfter))
+        .withColumn("clone_is_shallow",
+          lit(ci.operationParameters("isShallow").toBoolean))
+      }
+    }),
+
     "s57_setvalued_set" -> ((s, dir) => {
       // SET-VALUED subqueries in UPDATE SET values (beyond Delta, which
       // refuses every subquery in assignments): a non-correlated IN as a
@@ -4889,6 +4917,11 @@ object SparkEntry {
         |       CASE WHEN n_nationkey % 3 = 0 THEN upper(n_name) ELSE n_name END,
         |       'delete'
         |FROM nation WHERE n_nationkey % 5 = 4""".stripMargin,
+    "s59_deep_clone" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |       (SELECT count(*) FROM orders WHERE o_orderkey % 3 <> 0) AS src_rows_after,
+        |       false AS clone_is_shallow
+        |FROM orders""".stripMargin,
     "s57_setvalued_set" ->
       """SELECT c_custkey, c_nationkey,
         |       CASE WHEN c_custkey % 2 = 0 AND EXISTS (SELECT 1 FROM nation n

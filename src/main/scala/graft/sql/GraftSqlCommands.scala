@@ -363,15 +363,19 @@ case class GraftShowPropertiesCommand(path: String)
   }
 }
 
-/** `CREATE TABLE <target> SHALLOW CLONE <source> [VERSION AS OF n]` —
-  * Delta's zero-copy clone statement over [[GraftTable.shallowClone]]:
-  * version 0 of the target references the source's files by absolute path,
-  * no data moves. The target is a table path or a graft-catalog identifier
-  * (cloned into the catalog's warehouse node, immediately addressable by
-  * name); the source resolves like every maintenance target.
+/** `CREATE TABLE <target> SHALLOW|DEEP CLONE <source> [VERSION AS OF n]` —
+  * Delta's clone statement. SHALLOW ([[GraftTable.shallowClone]]): version
+  * 0 of the target references the source's files by absolute path, no data
+  * moves. DEEP ([[GraftTable.deepClone]]): byte-identical copies land in
+  * the target (distributed, no recompression), stats and sidecars carried
+  * over — a fully independent table. The target is a table path or a
+  * graft-catalog identifier (cloned into the catalog's warehouse node,
+  * immediately addressable by name); the source resolves like every
+  * maintenance target.
   */
-case class GraftShallowCloneCommand(
-    target: String, source: String, version: Option[Long], ifNotExists: Boolean)
+case class GraftCloneCommand(
+    target: String, source: String, version: Option[Long], ifNotExists: Boolean,
+    deep: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("sourceVersion", LongType, nullable = false)(),
@@ -389,7 +393,9 @@ case class GraftShallowCloneCommand(
         target
     }
     if (ifNotExists && GraftTable.exists(destPath)) return Seq(Row(-1L, 0L))
-    val t = GraftTable.shallowClone(spark, src.path, destPath, version)
+    val t =
+      if (deep) GraftTable.deepClone(spark, src.path, destPath, version)
+      else GraftTable.shallowClone(spark, src.path, destPath, version)
     val ci = t.log.actionsAt(0L)
       .collectFirst { case c: graft.tables.CommitInfo => c }.get
     Seq(Row(ci.operationParameters("sourceVersion").toLong,

@@ -30,6 +30,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   ALTER TABLE '<path>' ADD CONSTRAINT name CHECK (<predicate>)
   *   ALTER TABLE '<path>' DROP CONSTRAINT name
   *   SHOW TBLPROPERTIES '<path>'
+  *   CREATE TABLE <target> [IF NOT EXISTS] SHALLOW|DEEP CLONE <source>
+  *     [VERSION AS OF <n>]
   * }}}
   *
   * Table references accept a single-quoted, double-quoted or backticked
@@ -148,10 +150,10 @@ object GraftSqlParser {
     s"""^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$P\\s*;?\\s*$$""")
   private val convert = rx(
     s"""^\\s*CONVERT\\s+TO\\s+GRAFT\\s+$P(?:\\s+PARTITIONED\\s+BY\\s+\\((.+?)\\))?\\s*;?\\s*$$""")
-  // group 1 = IF NOT EXISTS; target P at groups 2-6, source P at 7-11,
-  // version = group 12
-  private val shallowClone = rx(
-    s"""^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$P\\s+SHALLOW\\s+CLONE\\s+$P(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""")
+  // group 1 = IF NOT EXISTS; target P at groups 2-6, kind = group 7
+  // (SHALLOW | DEEP), source P at 8-12, version = group 13
+  private val cloneStmt = rx(
+    s"""^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$P\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$P(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""")
   private val alterSetProps = rx(
     s"""^\\s*ALTER\\s+TABLE\\s+$P\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val alterUnsetProps = rx(
@@ -434,17 +436,18 @@ object GraftSqlParser {
     val cv = convert.matcher(sqlText)
     if (cv.matches())
       return Some(GraftConvertCommand(pathOf(cv, 2), Option(cv.group(6)).map(_.trim)))
-    // SHALLOW CLONE is not Spark grammar, but a coexisting extension (e.g.
-    // Delta) has the same statement — claim by the SOURCE's plausibility
-    // (the target is new and cannot resolve yet) AND, when the target is a
-    // bare identifier, the TARGET's too: a bare non-graft target with a
-    // quoted source must fall through to the delegate, not die in
-    // pathForName (a graft-catalog-qualified new target stays plausible
-    // through its catalog registration)
-    val sc = shallowClone.matcher(sqlText)
-    if (sc.matches() && claimableMaintenance(sc, 8) && claimableMaintenance(sc, 3))
-      return Some(GraftShallowCloneCommand(pathOf(sc, 3), pathOf(sc, 8),
-        Option(sc.group(12)).map(_.toLong), sc.group(1) != null))
+    // SHALLOW/DEEP CLONE is not Spark grammar, but a coexisting extension
+    // (e.g. Delta) has the same statement — claim by the SOURCE's
+    // plausibility (the target is new and cannot resolve yet) AND, when
+    // the target is a bare identifier, the TARGET's too: a bare non-graft
+    // target with a quoted source must fall through to the delegate, not
+    // die in pathForName (a graft-catalog-qualified new target stays
+    // plausible through its catalog registration)
+    val sc = cloneStmt.matcher(sqlText)
+    if (sc.matches() && claimableMaintenance(sc, 9) && claimableMaintenance(sc, 3))
+      return Some(GraftCloneCommand(pathOf(sc, 3), pathOf(sc, 9),
+        Option(sc.group(13)).map(_.toLong), sc.group(1) != null,
+        deep = sc.group(7).equalsIgnoreCase("DEEP")))
     // ALTER TABLE / SHOW TBLPROPERTIES also exist in Spark's grammar, so
     // they follow the same claim rule as DML
     val asp = alterSetProps.matcher(sqlText)

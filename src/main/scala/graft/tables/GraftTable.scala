@@ -548,13 +548,139 @@ object GraftTable {
     log.commit(0L, Seq[Action](snap.metadata, snap.protocol) ++ external :+
       CommitInfo(System.currentTimeMillis(), "CLONE",
         operationParameters = Map(
-          "source" -> srcRoot, "sourceVersion" -> snap.version.toString),
+          "source" -> srcRoot, "sourceVersion" -> snap.version.toString,
+          "isShallow" -> "true"),
         operationMetrics = Map(
           "numFiles" -> external.size.toString,
           "numOutputRows" -> external.flatMap(a => GraftLog.parseStats(a.stats))
             .map(_.numRecords).sum.toString,
           "numOutputBytes" -> external.map(_.size).sum.toString)))
     new GraftTable(spark, destPath)
+  }
+
+  /** DEEP CLONE (Delta's `CLONE` without `SHALLOW`): a new independent
+    * table at `destPath` holding byte-identical COPIES of the source's data
+    * files — no decode, no recompression, no shuffle; per-file stats
+    * (min/max/nullCount/numRecords), partition values, deletion-vector
+    * sidecars and bloom sidecars all carry over verbatim, so the clone
+    * skips files exactly as well as the source did from commit 0. Unlike
+    * [[graft.operators.GraftHelpers.copyTable]] (a read→write rewrite that
+    * re-encodes every row), the copy is a pure byte transfer.
+    *
+    * Scale: the file copies run DISTRIBUTED — one Spark job over the file
+    * list, each task streaming one file through the Hadoop FileSystem API
+    * (cross-filesystem capable: local→s3a, s3a→s3a server-side where the
+    * connector supports it). The driver holds only the O(files) plan.
+    * Copies are idempotent (overwrite on task retry) and the destination
+    * log is written only AFTER every byte landed — a failed clone leaves
+    * no readable table, and re-running overwrites the partial files.
+    *
+    * A deep clone of a SHALLOW clone materializes the external references:
+    * external files land under `cloned-<version>/` in the destination (the
+    * log's partitionValues, not directory names, carry partitioning — the
+    * flattened layout does not affect pruning).
+    */
+  def deepClone(spark: SparkSession, sourcePath: String, destPath: String,
+      asOfVersion: Option[Long] = None): GraftTable = {
+    val src = forPath(spark, sourcePath)
+    val snap = asOfVersion.map(src.log.snapshot(_)).getOrElse(src.snapshot)
+    require(!exists(destPath), s"cannot clone into $destPath: a graft table already exists there")
+    val srcRoot =
+      if (Fs.isRemote(sourcePath)) Fs.normalize(sourcePath)
+      else new java.io.File(sourcePath).getAbsolutePath
+    val destRoot =
+      if (Fs.isRemote(destPath)) Fs.normalize(destPath)
+      else new java.io.File(destPath).getAbsolutePath
+
+    // copy plan: data files keep their table-relative path (partition dirs
+    // intact); external references (shallow-clone sources) flatten into a
+    // collision-proofed cloned-<v>/ dir. Sidecar DIRECTORIES (_dv/<id>,
+    // _bloom/<id>) copy recursively under the same relative id, remapped
+    // when the reference was external.
+    val pairs = Seq.newBuilder[(String, String)] // (absolute src, absolute dest)
+    def planDir(srcAbsDir: String, destRelDir: String): Unit =
+      Fs.walkFiles(srcAbsDir).foreach { f =>
+        val rel = Fs.relativize(srcAbsDir, f)
+        pairs += ((f, Fs.child(Fs.child(destRoot, destRelDir), rel)))
+      }
+    val dvRemap = scala.collection.mutable.Map.empty[String, String]
+    def planDv(dvPath: String): String = dvRemap.getOrElseUpdate(dvPath, {
+      val rel =
+        if (isExternalPath(dvPath))
+          Fs.child(DeletionVectors.DirName, s"cloned-${snap.version}-${dvRemap.size}")
+        else dvPath
+      planDir(resolveDataPath(srcRoot, dvPath), rel)
+      rel
+    })
+    val bloomRemap = scala.collection.mutable.Map.empty[String, String]
+    def planBloom(sidecar: String): String = bloomRemap.getOrElseUpdate(sidecar, {
+      // bloom sidecars are always table-relative (shallow clones strip
+      // them); keep the id so the stats reference stays valid
+      planDir(Fs.child(srcRoot, sidecar), sidecar)
+      sidecar
+    })
+    val cloned = snap.files.zipWithIndex.map { case (f, i) =>
+      val destRel =
+        if (isExternalPath(f.path)) s"cloned-${snap.version}/part-$i-${Fs.fileName(f.path)}"
+        else f.path
+      pairs += ((resolveDataPath(srcRoot, f.path), Fs.child(destRoot, destRel)))
+      val stats = GraftLog.parseStats(f.stats) match {
+        case Some(s) if s.bloomSidecar.isDefined =>
+          GraftLog.renderStats(s.copy(bloomSidecar = s.bloomSidecar.map(planBloom)))
+        case _ => f.stats
+      }
+      f.copy(path = destRel, stats = stats,
+        dv = f.dv.map(d => d.copy(path = planDv(d.path))))
+    }
+
+    // distributed byte copy — one task per slice of the file list; no data
+    // flows through the driver. overwrite=true keeps task retries (and a
+    // re-run after a failed clone) idempotent.
+    val plan = pairs.result()
+    if (plan.nonEmpty) {
+      val conf = new SerializableHadoopConf(Fs.hadoopConf)
+      val slices = math.max(1, math.min(plan.size, spark.sparkContext.defaultParallelism * 2))
+      spark.sparkContext.parallelize(plan, slices).foreach { case (s, d) =>
+        GraftTable.copyFileBytes(s, d, conf.value)
+      }
+    }
+
+    val log = new GraftLog(destPath)
+    Fs.mkdirs(destPath)
+    log.commit(0L, Seq[Action](snap.metadata, snap.protocol) ++ cloned :+
+      CommitInfo(System.currentTimeMillis(), "CLONE",
+        operationParameters = Map(
+          "source" -> srcRoot, "sourceVersion" -> snap.version.toString,
+          "isShallow" -> "false"),
+        operationMetrics = Map(
+          "numFiles" -> cloned.size.toString,
+          "numCopiedFiles" -> plan.size.toString,
+          "numOutputRows" -> cloned.flatMap(a => GraftLog.parseStats(a.stats))
+            .map(_.numRecords).sum.toString,
+          "numOutputBytes" -> cloned.map(_.size).sum.toString)))
+    new GraftTable(spark, destPath)
+  }
+
+  /** Executor-side single-file byte copy (deep clone): stream through the
+    * Hadoop FileSystem API with overwrite (idempotent on retry), then
+    * verify the landed length — a short copy fails the task loudly rather
+    * than committing a truncated file.
+    */
+  private[tables] def copyFileBytes(
+      src: String,
+      dest: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val sp = new org.apache.hadoop.fs.Path(Fs.toUriString(src))
+    val dp = new org.apache.hadoop.fs.Path(Fs.toUriString(dest))
+    val sfs = sp.getFileSystem(conf)
+    val dfs = dp.getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp,
+      /* deleteSource = */ false, /* overwrite = */ true, conf)
+    val want = sfs.getFileStatus(sp).getLen
+    val got = dfs.getFileStatus(dp).getLen
+    if (got != want)
+      throw new java.io.IOException(
+        s"deep clone copied $got of $want bytes for $src -> $dest")
   }
 
   /** The CHECK constraints recorded in a property map, by name. */

@@ -3094,6 +3094,40 @@ object SparkEntry {
       }
     }),
 
+    "s60_copy_into" -> ((s, dir) => {
+      // COPY INTO (Databricks' idempotent bulk ingestion): two landed
+      // parquet files load in one run; the re-run skips both (no commit,
+      // 0 rows) — the loaded-file memory rides the table log. The oracle
+      // replays the table as a plain supplier projection with the run-2
+      // counters as relational constants.
+      catalogWarehouse(s)
+      val work = java.nio.file.Files.createTempDirectory("graft-s60").toString
+      val land = work + "/landing"
+      graft.tables.Fs.mkdirs(land)
+      val supp = read(s, dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+      def landOne(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val stage = work + "/stage_" + name
+        df.coalesce(1).write.parquet(stage)
+        val part = graft.tables.Fs.walkFiles(stage).find(_.endsWith(".parquet")).get
+        graft.tables.Fs.moveNoReplace(part, land + "/" + name)
+      }
+      landOne("even.parquet", supp.where("s_suppkey % 2 = 0"))
+      landOne("odd.parquet", supp.where("s_suppkey % 2 = 1"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.s60")
+      s.sql("DROP TABLE IF EXISTS graft_cat.s60.t")
+      s.sql("CREATE TABLE graft_cat.s60.t " +
+        "(s_suppkey BIGINT, s_name STRING, s_acctbal DOUBLE)")
+      s.sql(s"COPY INTO graft_cat.s60.t FROM '$land' FILEFORMAT = PARQUET")
+      () => {
+      val r2 = s.sql(
+        s"COPY INTO graft_cat.s60.t FROM '$land' FILEFORMAT = PARQUET").collect()(0)
+      s.sql("SELECT s_suppkey, s_name, s_acctbal FROM graft_cat.s60.t")
+        .withColumn("rerun_rows", lit(r2.getLong(1)))
+        .withColumn("rerun_copied", lit(r2.getLong(2)))
+        .withColumn("rerun_skipped", lit(r2.getLong(3)))
+      }
+    }),
+
     "s59_deep_clone" -> ((s, dir) => {
       // DEEP CLONE (Delta's CLONE without SHALLOW): distributed
       // byte-identical file copy into an independent table — stats and
@@ -4917,6 +4951,12 @@ object SparkEntry {
         |       CASE WHEN n_nationkey % 3 = 0 THEN upper(n_name) ELSE n_name END,
         |       'delete'
         |FROM nation WHERE n_nationkey % 5 = 4""".stripMargin,
+    "s60_copy_into" ->
+      """SELECT s_suppkey, s_name, s_acctbal,
+        |       CAST(0 AS BIGINT) AS rerun_rows,
+        |       CAST(0 AS BIGINT) AS rerun_copied,
+        |       CAST(2 AS BIGINT) AS rerun_skipped
+        |FROM supplier""".stripMargin,
     "s59_deep_clone" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         |       (SELECT count(*) FROM orders WHERE o_orderkey % 3 <> 0) AS src_rows_after,

@@ -518,6 +518,148 @@ object TableOps {
   def generateManifest(table: GraftTable): Int =
     SymlinkManifest.write(table.path, table.snapshot)
 
+  /** Where one COPY INTO commit remembers WHICH source files it ingested:
+    * ≤ this many file names embed in the CommitInfo as a JSON array (the
+    * log line stays O(bytes)); larger batches write a parquet sidecar under
+    * `_copy_into/<id>/` and the commit carries only the id.
+    */
+  private[graft] val CopyIntoEmbedLimit = 512
+  private[graft] val CopyIntoDirName = "_copy_into"
+  private[graft] val CopyIntoTxnApp = "graft.copyInto"
+
+  /** COPY INTO (Databricks' idempotent bulk-ingestion statement): load the
+    * files under `source` into the table EXACTLY ONCE — a re-run (same
+    * location, new files landed) ingests only the files no prior COPY INTO
+    * commit recorded, so a scheduled retry-prone loader needs no bookkeeping
+    * of its own. `force` re-loads everything matched.
+    *
+    * Ingestion memory lives in the TABLE LOG: each COPY INTO commit records
+    * its source-file names (embedded for small batches, a `_copy_into/<id>/`
+    * parquet sidecar for large ones), and the loaded set is reconstructed
+    * from surviving history. The memory therefore spans the log-retention
+    * horizon (`graft.logRetentionDuration`, default 7 days of cleaned-up
+    * history — same bounded-tracking posture as Databricks COPY INTO):
+    * files older than the horizon whose commits were cleaned up would
+    * re-ingest; keep retention above the loader's retry window.
+    *
+    * Concurrency: the commit carries a [[graft.tables.SetTransaction]]
+    * watermark (`graft.copyInto`), so two racing COPY INTOs into one table
+    * cannot both land — the loser fails loudly and its re-run skips the
+    * winner's files. Scale: the driver holds only the candidate FILE LIST
+    * (O(files) metadata, like every planner); sidecar-recorded history is
+    * anti-joined distributed, never collected; the data read/write is a
+    * plain partitioned append.
+    *
+    * CSV/JSON parse with the TARGET's schema (Databricks semantics — the
+    * table, not inference, defines the contract); parquet self-describes
+    * and goes through the normal append schema merge.
+    *
+    * @return (committed version — the current version when nothing new,
+    *         rows inserted, files copied, files skipped)
+    */
+  def copyInto(
+      table: GraftTable,
+      source: String,
+      format: String,
+      pattern: Option[String] = None,
+      formatOptions: Map[String, String] = Map.empty,
+      force: Boolean = false): (Long, Long, Long, Long) = {
+    val spark = table.spark
+    val snap = table.snapshot
+    val fmt = format.toLowerCase(java.util.Locale.ROOT)
+    require(Set("parquet", "csv", "json").contains(fmt),
+      s"COPY INTO supports FILEFORMAT = PARQUET | CSV | JSON, got '$format'")
+    val srcRoot =
+      if (Fs.isRemote(source)) Fs.normalize(source)
+      else new java.io.File(source).getAbsolutePath
+    val matcher = pattern.map(p =>
+      java.nio.file.FileSystems.getDefault.getPathMatcher("glob:" + p))
+    val candidates = Fs.walkFiles(srcRoot)
+      .filter { f =>
+        val rel = Fs.relativize(srcRoot, f)
+        // Spark's listing convention: _metadata/.hidden segments are not data
+        rel.split('/').forall(seg => !seg.startsWith("_") && !seg.startsWith(".")) &&
+          matcher.forall(_.matches(java.nio.file.Paths.get(rel)))
+      }.sorted
+
+    // the loaded set, from surviving history (embedded lists on the driver,
+    // sidecars distributed via anti-join — never collected)
+    val copyCommits = table.history().collect {
+      case (_, ci) if ci.operation == "COPY INTO" => ci.operationParameters
+    }
+    val embedded: Set[String] = copyCommits.flatMap(_.get("copyFiles")).flatMap { j =>
+      val n = GraftLog.mapper.readTree(j)
+      (0 until n.size()).map(n.get(_).asText())
+    }.toSet
+    val sidecarDirs = copyCommits.flatMap(_.get("copyFilesSidecar"))
+      .map(id => Fs.child(Fs.child(table.path, CopyIntoDirName), id))
+      .filter(Fs.isDirectory)
+    val toLoad: Seq[String] =
+      if (force) candidates
+      else {
+        val afterEmbedded = candidates.filterNot(embedded.contains)
+        if (sidecarDirs.isEmpty || afterEmbedded.isEmpty) afterEmbedded
+        else {
+          import spark.implicits._
+          val loaded = spark.read.parquet(sidecarDirs: _*).select("file")
+          afterEmbedded.toDF("file").join(loaded, Seq("file"), "left_anti")
+            .as[String].collect().sorted.toSeq
+        }
+      }
+    val skipped = (candidates.size - toLoad.size).toLong
+    if (toLoad.isEmpty) return (snap.version, 0L, 0L, skipped)
+
+    val df = fmt match {
+      case "parquet" => spark.read.parquet(toLoad: _*)
+      case other => spark.read.schema(snap.schema)
+        .options(formatOptions).format(other).load(toLoad: _*)
+    }
+    val memory: Map[String, String] =
+      if (toLoad.size <= CopyIntoEmbedLimit)
+        Map("copyFiles" -> GraftLog.mapper.writeValueAsString(toLoad.toArray))
+      else {
+        import spark.implicits._
+        val id = java.util.UUID.randomUUID().toString.take(12)
+        toLoad.toDF("file").coalesce(4).write
+          .parquet(Fs.child(Fs.child(table.path, CopyIntoDirName), id))
+        Map("copyFilesSidecar" -> id)
+      }
+    val nextTxn = snap.transactions.getOrElse(CopyIntoTxnApp, -1L) + 1L
+    val v = TableWriter.write(spark, table.path, df, TableWriter.Append,
+      operation = "COPY INTO",
+      operationParameters = Map(
+        "source" -> srcRoot, "format" -> fmt,
+        "pattern" -> pattern.getOrElse("*"),
+        "force" -> force.toString) ++ memory,
+      extraMetrics = Map(
+        "numCopiedFiles" -> toLoad.size.toString,
+        "numSkippedFiles" -> skipped.toString),
+      extraActions = Seq(SetTransaction(CopyIntoTxnApp, nextTxn)),
+      readVersion = Some(snap.version))
+    val rows = table.log.actionsAt(v)
+      .collectFirst { case c: CommitInfo => c.operationMetrics }
+      .flatMap(_.get("numOutputRows")).map(_.toLong).getOrElse(0L)
+    (v, rows, toLoad.size.toLong, skipped)
+  }
+
+  /** Orphaned `_copy_into/<id>/` sidecar dirs (same rule + in-flight age
+    * guard as [[bloomOrphanDirs]]): referenced by no surviving COPY INTO
+    * commit — aborted ingests, or commits below a log-cleanup horizon.
+    */
+  private[graft] def copyIntoOrphanDirs(tablePath: String, live: Set[String]): Seq[String] = {
+    import graft.tables.Fs
+    val root = Fs.child(tablePath, CopyIntoDirName)
+    if (!Fs.isDirectory(root)) return Nil
+    val cutoff = System.currentTimeMillis() - BloomSidecarMinAgeMillis
+    Fs.listChildNames(root)
+      .filterNot(live.contains)
+      .map(n => Fs.child(root, n))
+      .filter { p =>
+        try Fs.lastModifiedMillis(p) < cutoff
+        catch { case _: java.io.IOException => false }
+      }
+  }
+
   /** Partition EVOLUTION: rewrite the table into a new partition-column
     * layout in one transactional overwrite commit. Schema, properties
     * (CDF/constraints/retention) and streaming watermarks are preserved;
@@ -1374,7 +1516,16 @@ object TableOps {
     // out (their commits' files were all rewritten or vacuumed); a probe
     // only ever resolves ids that appear in live stats, so deleting a truly
     // orphaned dir cannot affect it. Same orphan set vacuumDryRun reports.
+    // COPY INTO memory sidecars whose commits fell below the horizon age
+    // out here exactly like the log-cleanup path
+    val liveCopyIds: Set[String] = log.versions().flatMap { v =>
+      (try log.actionsAt(v) catch { case _: Exception => Nil }).collect {
+        case c: graft.tables.CommitInfo if c.operation == "COPY INTO" =>
+          c.operationParameters.get("copyFilesSidecar")
+      }.flatten
+    }.toSet
     (bloomOrphanDirs(table.path, liveSidecars) ++ dvOrphanDirs(table.path, liveDvDirs)
+      ++ copyIntoOrphanDirs(table.path, liveCopyIds)
       ++ streamStagingOrphanDirs(table.path))
       .foreach { dir =>
         // count the files inside (parts + markers), not the directory — the

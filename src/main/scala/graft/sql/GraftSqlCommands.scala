@@ -403,6 +403,28 @@ case class GraftCloneCommand(
   }
 }
 
+/** `COPY INTO <target> FROM '<dir>' FILEFORMAT = ...` — idempotent bulk
+  * ingestion over [[TableOps.copyInto]]: each matched source file loads
+  * exactly once across re-runs (memory in the table log, bounded by log
+  * retention); `COPY_OPTIONS ('force'='true')` re-loads everything.
+  */
+case class GraftCopyIntoCommand(
+    path: String, source: String, format: String, pattern: Option[String],
+    formatOptions: Map[String, String], force: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_inserted_rows", LongType, nullable = false)(),
+    AttributeReference("num_copied_files", LongType, nullable = false)(),
+    AttributeReference("num_skipped_files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlCommands.resolveTarget(spark, path)
+    val (v, rows, copied, skipped) =
+      TableOps.copyInto(t, source, format, pattern, formatOptions, force)
+    Seq(Row(v, rows, copied, skipped))
+  }
+}
+
 case class GraftConvertCommand(path: String, partitionDdl: Option[String])
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(

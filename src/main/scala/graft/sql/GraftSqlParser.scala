@@ -32,6 +32,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   SHOW TBLPROPERTIES '<path>'
   *   CREATE TABLE <target> [IF NOT EXISTS] SHALLOW|DEEP CLONE <source>
   *     [VERSION AS OF <n>]
+  *   COPY INTO <target> FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
+  *     [PATTERN = '<glob>'] [FORMAT_OPTIONS (k = v, ...)]
+  *     [COPY_OPTIONS ('force' = 'true')]
   * }}}
   *
   * Table references accept a single-quoted, double-quoted or backticked
@@ -154,6 +157,10 @@ object GraftSqlParser {
   // (SHALLOW | DEEP), source P at 8-12, version = group 13
   private val cloneStmt = rx(
     s"""^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$P\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$P(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""")
+  // target P at groups 1-5; source quoted path = 6, format = 7,
+  // pattern = 8, FORMAT_OPTIONS body = 9, COPY_OPTIONS body = 10
+  private val copyInto = rx(
+    s"""^\\s*COPY\\s+INTO\\s+$P\\s+FROM\\s+'([^']+)'\\s+FILEFORMAT\\s*=\\s*(\\w+)(?:\\s+PATTERN\\s*=\\s*'([^']+)')?(?:\\s+FORMAT_OPTIONS\\s*\\(([^)]*)\\))?(?:\\s+COPY_OPTIONS\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""")
   private val alterSetProps = rx(
     s"""^\\s*ALTER\\s+TABLE\\s+$P\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val alterUnsetProps = rx(
@@ -448,6 +455,24 @@ object GraftSqlParser {
       return Some(GraftCloneCommand(pathOf(sc, 3), pathOf(sc, 9),
         Option(sc.group(13)).map(_.toLong), sc.group(1) != null,
         deep = sc.group(7).equalsIgnoreCase("DEEP")))
+    // COPY INTO is not Spark grammar either (Databricks/Delta surface) —
+    // same maintenance claim rule on the target
+    val cp = copyInto.matcher(sqlText)
+    if (cp.matches() && claimableMaintenance(cp)) {
+      def opts(body: String): Map[String, String] =
+        Option(body).filter(_.trim.nonEmpty).map { b =>
+          splitTopLevel(b).map { item =>
+            val eq = topLevelEq(item)
+            require(eq > 0, s"malformed option entry '$item' (expected key = value)")
+            (unquote(item.substring(0, eq).trim).toLowerCase(java.util.Locale.ROOT),
+              unquote(item.substring(eq + 1).trim))
+          }.toMap
+        }.getOrElse(Map.empty)
+      val copyOpts = opts(cp.group(10))
+      return Some(GraftCopyIntoCommand(pathOf(cp, 2), cp.group(6), cp.group(7),
+        Option(cp.group(8)), opts(cp.group(9)),
+        force = copyOpts.get("force").exists(_.equalsIgnoreCase("true"))))
+    }
     // ALTER TABLE / SHOW TBLPROPERTIES also exist in Spark's grammar, so
     // they follow the same claim rule as DML
     val asp = alterSetProps.matcher(sqlText)

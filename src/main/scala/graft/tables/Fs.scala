@@ -527,23 +527,3 @@ object Fs {
       Files.createTempDirectory(Paths.get(parent), prefix).toString
     }
 }
-
-/** Hadoop `Configuration` is not `Serializable`; this wrapper ships one to
-  * executors for distributed filesystem work (deep clone's byte copies)
-  * via Hadoop's own Writable encoding — the same approach as Spark's
-  * internal `SerializableConfiguration`, which is `private[spark]`.
-  */
-private[graft] class SerializableHadoopConf(
-    @transient private var conf: org.apache.hadoop.conf.Configuration)
-  extends Serializable {
-  def value: org.apache.hadoop.conf.Configuration = conf
-  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-    out.defaultWriteObject()
-    conf.write(out)
-  }
-  private def readObject(in: java.io.ObjectInputStream): Unit = {
-    in.defaultReadObject()
-    conf = new org.apache.hadoop.conf.Configuration(false)
-    conf.readFields(in)
-  }
-}

@@ -407,8 +407,17 @@ class GraftLog(val tablePath: String, val store: LogStore) {
     val liveSidecars: Set[String] = scan.retainedFiles
       .flatMap(f => GraftLog.parseStats(f.stats).flatMap(_.bloomSidecar)).toSet
     val liveDvDirs: Set[String] = scan.retainedFiles.flatMap(_.dv.map(_.path)).toSet
+    // COPY INTO ingestion-memory sidecars referenced by no surviving commit
+    // age out with their history (the documented bounded-memory horizon)
+    val liveCopyIds: Set[String] = vs.filter(_ >= retainVersion).flatMap { v =>
+      (try actionsAt(v) catch { case _: Exception => Nil }).collect {
+        case c: CommitInfo if c.operation == "COPY INTO" =>
+          c.operationParameters.get("copyFilesSidecar")
+      }.flatten
+    }.toSet
     (graft.operators.TableOps.bloomOrphanDirs(tablePath, liveSidecars) ++
-      graft.operators.TableOps.dvOrphanDirs(tablePath, liveDvDirs))
+      graft.operators.TableOps.dvOrphanDirs(tablePath, liveDvDirs) ++
+      graft.operators.TableOps.copyIntoOrphanDirs(tablePath, liveCopyIds))
       .foreach(Fs.deleteRecursively)
     deleted
   }

@@ -638,7 +638,8 @@ object GraftTable {
     // re-run after a failed clone) idempotent.
     val plan = pairs.result()
     if (plan.nonEmpty) {
-      val conf = new SerializableHadoopConf(Fs.hadoopConf)
+      val conf = new org.apache.spark.sql.graft.SparkBridge.ConfBox(
+        spark.sessionState.newHadoopConf())
       val slices = math.max(1, math.min(plan.size, spark.sparkContext.defaultParallelism * 2))
       spark.sparkContext.parallelize(plan, slices).foreach { case (s, d) =>
         GraftTable.copyFileBytes(s, d, conf.value)

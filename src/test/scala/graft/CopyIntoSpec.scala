@@ -114,6 +114,41 @@ class CopyIntoSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert((rows2, copied2) == (0L, 0L) && skipped2 == copied1)
   }
 
+  it("RACING loads never double-ingest: the loser aborts on the watermark") {
+    val root = freshDir()
+    val land = Fs.child(root, "landing"); Fs.mkdirs(land)
+    val tbl = Fs.child(root, "t")
+    landParquet(land, "a.parquet", 0 until 10)
+    landParquet(land, "b.parquet", 10 until 25)
+    GraftTable.create(spark, tbl, Seq.empty[(Long, String)].toDF("id", "v"))
+    val t = GraftTable.forPath(spark, tbl)
+
+    // both threads pass the barrier BEFORE either can commit, so both
+    // decide from the pre-ingest snapshot: exactly one may land
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Either[Throwable, (Long, Long, Long, Long)]]()
+    val threads = (0 until 2).map { i =>
+      new Thread(() => {
+        barrier.await()
+        results.put(i,
+          try Right(TableOps.copyInto(t, land, "parquet"))
+          catch { case e: Throwable => Left(e) })
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(results.size == 2, "both racers must finish")
+    val (wins, losses) = (0 until 2).map(results.get).partition(_.isRight)
+    assert(wins.size == 1, s"exactly one racer may ingest, got $results")
+    assert(wins.head.toOption.get._3 == 2L) // both files, once
+    // the loser failed LOUDLY (watermark/OCC), it did not silently no-op
+    assert(losses.head.swap.toOption.get.getMessage != null)
+    assert(GraftTable.forPath(spark, tbl).toDF.count() == 25)
+    // the loser's documented recovery — re-run — is a clean skip
+    val (_, rows, copied, skipped) = TableOps.copyInto(t, land, "parquet")
+    assert((rows, copied, skipped) == (0L, 0L, 2L))
+    assert(GraftTable.forPath(spark, tbl).toDF.count() == 25)
+  }
+
   it("SQL surface: COPY INTO with options; watermark serializes racing loads") {
     val root = freshDir()
     val land = Fs.child(root, "landing"); Fs.mkdirs(land)

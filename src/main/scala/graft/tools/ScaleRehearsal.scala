@@ -149,6 +149,34 @@ object ScaleRehearsal {
     require(cdfRows == nRows + nNew,
       s"replace CDF rows: got $cdfRows, want ${nRows + nNew}")
 
+    // ---- F) DEEP CLONE of the 6M-row table ---------------------------------
+    // the distributed byte copy: wall-clock = bytes / copy bandwidth, no
+    // decode — compare against create_table (a full encode) above
+    val cloneDir = s"$scratch/t-clone"
+    val srcSnap = GraftTable.forPath(spark, mergeDir).snapshot
+    val dc = timed("deep_clone_Nx")(GraftTable.deepClone(spark, mergeDir, cloneDir))
+    require(dc.snapshot.numFiles == srcSnap.numFiles &&
+        dc.snapshot.sizeInBytes == srcSnap.sizeInBytes,
+      "deep clone file inventory drifted")
+    require(dc.toDF.count() == nRows + nIns, "deep clone row count drifted")
+
+    // ---- G) COPY INTO over a wide landing dir ------------------------------
+    // ~800 part files forces the sidecar memory path; the re-run's skip
+    // must stay metadata-plane (anti-join, no data read)
+    val landing = s"$scratch/landing"
+    docs.repartition(800).write.parquet(landing)
+    val ciDir = s"$scratch/t-copyinto"
+    GraftTable.create(spark, ciDir, docs.limit(0))
+    val tci = GraftTable.forPath(spark, ciDir)
+    val (_, ciRows, ciCopied, _) = timed("copy_into_800files")(
+      TableOps.copyInto(tci, landing, "parquet"))
+    require(ciRows == nDocs && ciCopied >= 800,
+      s"copy into loaded $ciRows rows / $ciCopied files, want $nDocs / >=800")
+    val (_, r2, c2, s2) = timed("copy_into_rerun_skip")(
+      TableOps.copyInto(tci, landing, "parquet"))
+    require(r2 == 0 && c2 == 0 && s2 == ciCopied,
+      s"copy into re-run must skip all: got $r2/$c2/$s2")
+
     val json = "{" + List(
       s""""sfDir":"$sfDir"""",
       s""""copies":$copies""",

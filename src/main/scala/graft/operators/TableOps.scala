@@ -583,9 +583,14 @@ object TableOps {
       }.sorted
 
     // the loaded set, from surviving history (embedded lists on the driver,
-    // sidecars distributed via anti-join — never collected)
+    // sidecars distributed via anti-join — never collected). Matched by
+    // PARAM presence, not operation: a CLONE commit carries the source's
+    // ingestion memory under the same keys (Databricks parity — a cloned
+    // ingestion table must not re-load what its source already loaded).
     val copyCommits = table.history().collect {
-      case (_, ci) if ci.operation == "COPY INTO" => ci.operationParameters
+      case (_, ci) if ci.operationParameters.contains("copyFiles") ||
+          ci.operationParameters.contains("copyFilesSidecar") =>
+        ci.operationParameters
     }
     val embedded: Set[String] = copyCommits.flatMap(_.get("copyFiles")).flatMap { j =>
       val n = GraftLog.mapper.readTree(j)
@@ -1520,7 +1525,7 @@ object TableOps {
     // out here exactly like the log-cleanup path
     val liveCopyIds: Set[String] = log.versions().flatMap { v =>
       (try log.actionsAt(v) catch { case _: Exception => Nil }).collect {
-        case c: graft.tables.CommitInfo if c.operation == "COPY INTO" =>
+        case c: graft.tables.CommitInfo =>
           c.operationParameters.get("copyFilesSidecar")
       }.flatten
     }.toSet

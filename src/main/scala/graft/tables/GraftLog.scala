@@ -411,8 +411,7 @@ class GraftLog(val tablePath: String, val store: LogStore) {
     // age out with their history (the documented bounded-memory horizon)
     val liveCopyIds: Set[String] = vs.filter(_ >= retainVersion).flatMap { v =>
       (try actionsAt(v) catch { case _: Exception => Nil }).collect {
-        case c: CommitInfo if c.operation == "COPY INTO" =>
-          c.operationParameters.get("copyFilesSidecar")
+        case c: CommitInfo => c.operationParameters.get("copyFilesSidecar")
       }.flatten
     }.toSet
     (graft.operators.TableOps.bloomOrphanDirs(tablePath, liveSidecars) ++

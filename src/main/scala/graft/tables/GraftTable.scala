@@ -543,13 +543,14 @@ object GraftTable {
         // data path so the clone keeps masking deleted rows
         dv = f.dv.map(d => d.copy(path = resolveDataPath(srcRoot, d.path))))
     }
+    val copyMemory = cloneCopyIntoMemory(spark, src.log, srcRoot, snap.version, destPath)
     val log = new GraftLog(destPath)
     Fs.mkdirs(destPath)
     log.commit(0L, Seq[Action](snap.metadata, snap.protocol) ++ external :+
       CommitInfo(System.currentTimeMillis(), "CLONE",
         operationParameters = Map(
           "source" -> srcRoot, "sourceVersion" -> snap.version.toString,
-          "isShallow" -> "true"),
+          "isShallow" -> "true") ++ copyMemory,
         operationMetrics = Map(
           "numFiles" -> external.size.toString,
           "numOutputRows" -> external.flatMap(a => GraftLog.parseStats(a.stats))
@@ -648,13 +649,14 @@ object GraftTable {
       }
     }
 
+    val copyMemory = cloneCopyIntoMemory(spark, src.log, srcRoot, snap.version, destRoot)
     val log = new GraftLog(destPath)
     Fs.mkdirs(destPath)
     log.commit(0L, Seq[Action](snap.metadata, snap.protocol) ++ cloned :+
       CommitInfo(System.currentTimeMillis(), "CLONE",
         operationParameters = Map(
           "source" -> srcRoot, "sourceVersion" -> snap.version.toString,
-          "isShallow" -> "false"),
+          "isShallow" -> "false") ++ copyMemory,
         operationMetrics = Map(
           "numFiles" -> cloned.size.toString,
           "numCopiedFiles" -> plan.size.toString,
@@ -662,6 +664,53 @@ object GraftTable {
             .map(_.numRecords).sum.toString,
           "numOutputBytes" -> cloned.map(_.size).sum.toString)))
     new GraftTable(spark, destPath)
+  }
+
+  /** COPY INTO ingestion memory carried by a clone (Databricks parity:
+    * CLONE copies COPY INTO state, so a cloned ingestion table does not
+    * re-load everything its source already loaded). Gathers the source's
+    * loaded-file memory from commits at-or-below the cloned version —
+    * embedded lists on the driver, sidecars read DISTRIBUTED — and
+    * re-records it in the clone: one embedded list when small, else ONE
+    * consolidated parquet sidecar under the CLONE's `_copy_into/`. The
+    * returned params ride the clone's version-0 CommitInfo, which the
+    * loaded-set reconstruction accepts exactly like a COPY INTO commit's.
+    */
+  private def cloneCopyIntoMemory(
+      spark: SparkSession,
+      srcLog: GraftLog,
+      srcRoot: String,
+      upToVersion: Long,
+      destRoot: String): Map[String, String] = {
+    import graft.operators.TableOps
+    val params = srcLog.history().collect {
+      case (v, ci) if v <= upToVersion &&
+          (ci.operationParameters.contains("copyFiles") ||
+            ci.operationParameters.contains("copyFilesSidecar")) =>
+        ci.operationParameters
+    }
+    val embedded: Seq[String] = params.flatMap(_.get("copyFiles")).flatMap { j =>
+      val n = GraftLog.mapper.readTree(j)
+      (0 until n.size()).map(n.get(_).asText())
+    }.distinct
+    val sidecarDirs = params.flatMap(_.get("copyFilesSidecar"))
+      .map(id => Fs.child(Fs.child(srcRoot, TableOps.CopyIntoDirName), id))
+      .filter(Fs.isDirectory)
+    if (embedded.isEmpty && sidecarDirs.isEmpty) Map.empty
+    else if (sidecarDirs.isEmpty && embedded.size <= TableOps.CopyIntoEmbedLimit)
+      Map("copyFiles" ->
+        GraftLog.mapper.writeValueAsString(embedded.sorted.toArray))
+    else {
+      import spark.implicits._
+      val fromSidecars = spark.read.parquet(sidecarDirs: _*).select("file")
+      val all =
+        if (embedded.isEmpty) fromSidecars
+        else fromSidecars.unionByName(embedded.toDF("file"))
+      val id = "cloned-" + java.util.UUID.randomUUID().toString.take(12)
+      all.distinct().coalesce(4).write
+        .parquet(Fs.child(Fs.child(destRoot, TableOps.CopyIntoDirName), id))
+      Map("copyFilesSidecar" -> id)
+    }
   }
 
   /** Executor-side single-file byte copy (deep clone): stream through the

@@ -149,6 +149,45 @@ class CopyIntoSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(GraftTable.forPath(spark, tbl).toDF.count() == 25)
   }
 
+  it("CLONES carry the ingestion memory: a cloned table does not re-load") {
+    val root = freshDir()
+    val land = Fs.child(root, "landing"); Fs.mkdirs(land)
+    val tbl = Fs.child(root, "t")
+    landParquet(land, "a.parquet", 0 until 10)
+    GraftTable.create(spark, tbl, Seq.empty[(Long, String)].toDF("id", "v"))
+    val t = GraftTable.forPath(spark, tbl)
+    TableOps.copyInto(t, land, "parquet")
+
+    // DEEP clone: memory carried, the clone skips the loaded file and
+    // ingests only what lands AFTER the clone
+    val deep = GraftTable.deepClone(spark, tbl, Fs.child(root, "deep"))
+    landParquet(land, "b.parquet", 10 until 14)
+    val (_, dRows, dCopied, dSkipped) = TableOps.copyInto(deep, land, "parquet")
+    assert((dRows, dCopied, dSkipped) == (4L, 1L, 1L), s"$dRows/$dCopied/$dSkipped")
+    assert(deep.toDF.count() == 14)
+
+    // SHALLOW clone carries the memory too — t has loaded only a.parquet,
+    // so the clone skips it and ingests b.parquet
+    val sc = GraftTable.shallowClone(spark, tbl, Fs.child(root, "shallow"))
+    val (_, sRows, sCopied, sSkipped) = TableOps.copyInto(sc, land, "parquet")
+    assert((sRows, sCopied, sSkipped) == (4L, 1L, 1L), s"$sRows/$sCopied/$sSkipped")
+
+    // a LARGE memory (sidecar path) consolidates into the clone
+    val wide = Fs.child(root, "wide"); Fs.mkdirs(wide)
+    (0 until 1100).map(i => (i.toLong, s"w$i")).toDF("id", "v")
+      .repartition(550).write.parquet(Fs.child(wide, "bulk"))
+    val big = Fs.child(root, "big")
+    GraftTable.create(spark, big, Seq.empty[(Long, String)].toDF("id", "v"))
+    val tb = GraftTable.forPath(spark, big)
+    TableOps.copyInto(tb, wide, "parquet")
+    val bigClone = GraftTable.deepClone(spark, big, Fs.child(root, "bigclone"))
+    val ci = bigClone.log.actionsAt(0L)
+      .collectFirst { case c: graft.tables.CommitInfo => c }.get
+    assert(ci.operationParameters.contains("copyFilesSidecar"))
+    val (_, bRows, bCopied, bSkipped) = TableOps.copyInto(bigClone, wide, "parquet")
+    assert(bRows == 0L && bCopied == 0L && bSkipped > 500L, s"$bRows/$bCopied/$bSkipped")
+  }
+
   it("SQL surface: COPY INTO with options; watermark serializes racing loads") {
     val root = freshDir()
     val land = Fs.child(root, "landing"); Fs.mkdirs(land)

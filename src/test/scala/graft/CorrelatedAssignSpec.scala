@@ -246,6 +246,53 @@ class CorrelatedAssignSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(post == want.take(6), s"got $post")
   }
 
+  it("set-valued and correlated SET values take the deletion-vector path too") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ca")
+    Seq("dv", "dvd").foreach(n => spark.sql(s"DROP TABLE IF EXISTS graft_cat.ca.$n"))
+    spark.sql("CREATE TABLE graft_cat.ca.dv " +
+      "TBLPROPERTIES('graft.enableDeletionVectors'='true') AS " +
+      "SELECT id, CAST(false AS BOOLEAN) AS hot, CAST(id AS DOUBLE) AS v FROM range(10)")
+    spark.sql("CREATE TABLE graft_cat.ca.dvd AS SELECT * FROM VALUES " +
+      "(1, 5.0), (3, 20.0), (7, 30.0) AS d(id, w)")
+    spark.sql(
+      """UPDATE graft_cat.ca.dv
+        |SET hot = id IN (SELECT id FROM graft_cat.ca.dvd WHERE w > 10),
+        |    v = v + coalesce((SELECT max(w) FROM graft_cat.ca.dvd d
+        |                      WHERE d.id = dv.id), 0)
+        |WHERE id < 8""".stripMargin)
+    // the update went through the DV engine: a rewrite would keep file
+    // counts, the DV path re-adds files with dv sidecars for partial hits
+    val got = spark.table("graft_cat.ca.dv").as[(Long, Boolean, Double)]
+      .collect().sortBy(_._1).toSeq
+    val dimW = Map(1L -> 5.0, 3L -> 20.0, 7L -> 30.0)
+    val want = (0L until 10L).map { id =>
+      if (id < 8) (id, Set(3L, 7L).contains(id), id + dimW.getOrElse(id, 0.0))
+      else (id, false, id.toDouble)
+    }
+    assert(got == want, s"got $got")
+  }
+
+  it("insert-only MERGE evaluates set-valued gates on the anti-join fast path") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ca")
+    Seq("fpt", "fps", "fpd").foreach(n => spark.sql(s"DROP TABLE IF EXISTS graft_cat.ca.$n"))
+    spark.sql("CREATE TABLE graft_cat.ca.fpt AS SELECT id, id AS v FROM range(5)")
+    spark.sql("CREATE TABLE graft_cat.ca.fps AS SELECT id, id * 10 AS x FROM range(3, 9)")
+    spark.sql("CREATE TABLE graft_cat.ca.fpd AS SELECT * FROM VALUES (6), (8) AS d(id)")
+    // ONLY not-matched clauses → the insert-only anti-join fast path; the
+    // IN gate must evaluate over the source-only frame
+    spark.sql(
+      """MERGE INTO graft_cat.ca.fpt t USING graft_cat.ca.fps s ON t.id = s.id
+        |WHEN NOT MATCHED AND s.id IN (SELECT id FROM graft_cat.ca.fpd)
+        |  THEN INSERT (id, v) VALUES (s.id, s.x)""".stripMargin)
+    val got = spark.table("graft_cat.ca.fpt").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    // unmatched source ids 5..8; the dim admits 6 and 8
+    val want = (0L until 5L).map(i => (i, i)) ++ Seq(6L -> 60L, 8L -> 80L)
+    assert(got == want, s"got $got")
+  }
+
   it("lateral/table-valued subqueries in SET stay refused loudly") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ca")

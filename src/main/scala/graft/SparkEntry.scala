@@ -3094,6 +3094,35 @@ object SparkEntry {
       }
     }),
 
+    "s61_merge_on_in" -> ((s, dir) => {
+      // NON-correlated IN/EXISTS in the MERGE ON condition (beyond Delta,
+      // which refuses every subquery there): per-statement constants —
+      // the IN set evaluates once and splices as a literal list, the
+      // EXISTS as a boolean — so the gate CHANGES MATCHING: a source row
+      // whose key exists but whose target nation fails the IN gate is
+      // NOT MATCHED and inserts. DuckDB replays the same join.
+      catalogWarehouse(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.s61")
+      read(s, dir, "customer").createOrReplaceTempView("s61_cust")
+      read(s, dir, "supplier").createOrReplaceTempView("s61_supp")
+      read(s, dir, "nation").createOrReplaceTempView("s61_nat")
+      s.sql("DROP TABLE IF EXISTS graft_cat.s61.t")
+      s.sql("CREATE TABLE graft_cat.s61.t AS " +
+        "SELECT c_custkey, c_nationkey, c_acctbal FROM s61_cust")
+      s.sql(
+        """MERGE INTO graft_cat.s61.t t
+          |USING (SELECT s_suppkey * 20 AS k, s_nationkey, s_acctbal FROM s61_supp) s
+          |ON t.c_custkey = s.k
+          |  AND t.c_nationkey IN (SELECT n_nationkey FROM s61_nat WHERE n_regionkey >= 2)
+          |  AND EXISTS (SELECT 1 FROM s61_nat WHERE n_regionkey = 0)
+          |WHEN MATCHED THEN UPDATE SET c_acctbal = s.s_acctbal
+          |WHEN NOT MATCHED THEN INSERT (c_custkey, c_nationkey, c_acctbal)
+          |  VALUES (s.k + 1000000, s.s_nationkey, s.s_acctbal)
+          |""".stripMargin)
+      () =>
+      s.sql("SELECT c_custkey, c_nationkey, c_acctbal FROM graft_cat.s61.t")
+    }),
+
     "s60_copy_into" -> ((s, dir) => {
       // COPY INTO (Databricks' idempotent bulk ingestion): two landed
       // parquet files load in one run; the re-run skips both (no commit,
@@ -4951,6 +4980,26 @@ object SparkEntry {
         |       CASE WHEN n_nationkey % 3 = 0 THEN upper(n_name) ELSE n_name END,
         |       'delete'
         |FROM nation WHERE n_nationkey % 5 = 4""".stripMargin,
+    "s61_merge_on_in" ->
+      """WITH src AS (SELECT s_suppkey * 20 AS k, s_nationkey, s_acctbal FROM supplier),
+        |cgate AS (
+        |  SELECT c.*, (c.c_nationkey IN (SELECT n_nationkey FROM nation
+        |                                 WHERE n_regionkey >= 2)) AS ok
+        |  FROM customer c),
+        |m AS (
+        |  SELECT c.c_custkey, c.c_nationkey, c.c_acctbal, s.k, s.s_acctbal
+        |  FROM cgate c LEFT JOIN src s ON c.c_custkey = s.k AND c.ok),
+        |upd AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CASE WHEN k IS NOT NULL THEN s_acctbal ELSE c_acctbal END AS c_acctbal
+        |  FROM m),
+        |ins AS (
+        |  SELECT s.k + 1000000 AS c_custkey, s.s_nationkey AS c_nationkey,
+        |         s.s_acctbal AS c_acctbal
+        |  FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM cgate c
+        |                    WHERE c.c_custkey = s.k AND c.ok))
+        |SELECT * FROM upd UNION ALL SELECT * FROM ins""".stripMargin,
     "s60_copy_into" ->
       """SELECT s_suppkey, s_name, s_acctbal,
         |       CAST(0 AS BIGINT) AS rerun_rows,

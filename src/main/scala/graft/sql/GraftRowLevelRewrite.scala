@@ -50,12 +50,16 @@ import graft.catalog.GraftV2Table
   * conditions/values further accept PER-ROW subqueries — correlated
   * SCALAR subqueries AND set-valued IN/EXISTS predicates, correlated or
   * not (plan-level via ExprCond / [[graft.operators.GraftMerge.ExprFrag]]
-  * — beyond Delta, which refuses all of them). Still refused loudly: any
-  * subquery in the MERGE ON condition beyond non-correlated scalars (it
-  * runs inside the join, where no decorrelation applies — materialize
-  * into the source), lateral/table-valued plan expressions,
-  * non-deterministic conditions (the merge join evaluates them more than
-  * once), and nested-field assignment keys.
+  * — beyond Delta, which refuses all of them). The MERGE ON condition,
+  * which runs INSIDE the join where no decorrelation applies, accepts the
+  * per-statement-constant shapes only: non-correlated scalars, and
+  * non-correlated IN/EXISTS evaluated once and spliced as a bounded
+  * literal IN-list / boolean ([[evalConstSubqueries]]). Still refused
+  * loudly: CORRELATED subqueries in the ON condition, oversized or
+  * multi-column constant INs (materialize into the source),
+  * lateral/table-valued plan expressions, non-deterministic conditions
+  * (the merge join evaluates them more than once), and nested-field
+  * assignment keys.
   *
   * `DeleteFromTable` converts ONLY when the native `SupportsDelete` path
   * cannot express the condition as V1 filters — natively-pushable deletes
@@ -222,12 +226,12 @@ class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     else {
       val bad = e.collect {
         case p: PlanExpression[_]
-            if !constScalar(p) && !(allowRowSubqueries && rowEvaluable(p)) => p
+            if !constSubquery(p) && !(allowRowSubqueries && rowEvaluable(p)) => p
       }
       if (bad.nonEmpty) throw new UnsupportedOperationException(
         s"graft $what supports only ${if (allowRowSubqueries)
           "SCALAR and IN/EXISTS"
-        else "NON-correlated SCALAR"} subqueries here — " +
+        else "NON-correlated SCALAR/IN/EXISTS"} subqueries here — " +
           s"materialize anything else into the MERGE source: ${bad.head.sql}")
       Right(new DmlExprBox(e, tgt, tgtQualifier, src, srcQualifier))
     }
@@ -246,9 +250,18 @@ class GraftRowLevelRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def constScalar(p: PlanExpression[_]): Boolean = p match {
+  /** Subquery shapes that are PER-STATEMENT CONSTANTS under SQL semantics
+    * — evaluated exactly once at run time and spliced into rendered text
+    * ([[evalConstSubqueries]]): non-correlated scalars, and (MERGE ON's
+    * widening beyond Delta) non-correlated IN-lists / EXISTS booleans.
+    */
+  private def constSubquery(p: PlanExpression[_]): Boolean = p match {
     case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
       s.outerAttrs.isEmpty
+    case l: org.apache.spark.sql.catalyst.expressions.ListQuery =>
+      l.outerAttrs.isEmpty
+    case x: org.apache.spark.sql.catalyst.expressions.Exists =>
+      x.outerAttrs.isEmpty
     case _ => false
   }
 
@@ -307,13 +320,27 @@ object GraftRowLevelRewrite {
     */
   type SqlPart = Either[String, DmlExprBox]
 
-  /** Evaluate every NON-correlated scalar subquery in `e` to a literal —
-    * each plan runs EXACTLY ONCE (SQL semantics: such a subquery is a
-    * per-statement constant reading the pre-statement state). An empty
-    * result is NULL; more than one row is the standard scalar-subquery
-    * error.
+  /** The most literals a constant IN-subquery may splice into rendered
+    * text (MERGE ON position): beyond this the condition string — parsed
+    * and evaluated inside the merge joins — stops being a sane plan node,
+    * so the statement refuses with the materialize advice instead.
     */
-  private[sql] def evalScalarSubqueries(
+  private[sql] val MaxSplicedInValues = 1000
+
+  /** Evaluate every NON-correlated subquery in `e` to literal form — each
+    * plan runs EXACTLY ONCE (SQL semantics: such a subquery is a
+    * per-statement constant reading the pre-statement state).
+    *
+    *  - scalar: an empty result is NULL; more than one row is the standard
+    *    scalar-subquery error.
+    *  - `IN (subquery)`: the result set splices as a literal IN-list
+    *    (3-valued logic preserved — NULLs in the set stay NULL literals;
+    *    an EMPTY set is FALSE, the SQL rule). Bounded by
+    *    [[MaxSplicedInValues]]; multi-column IN refuses (no sane text
+    *    form).
+    *  - `EXISTS (subquery)`: a boolean literal.
+    */
+  private[sql] def evalConstSubqueries(
       spark: SparkSession,
       e: Expression): Expression = e.transform {
     case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery
@@ -324,6 +351,30 @@ object GraftRowLevelRewrite {
         s"scalar subquery in DML returned more than one row (${rows.length})")
       val v = if (rows.isEmpty) null else rows(0).get(0)
       org.apache.spark.sql.catalyst.expressions.Literal.create(v, s.dataType)
+    case in @ org.apache.spark.sql.catalyst.expressions.InSubquery(values, q)
+        if q.outerAttrs.isEmpty =>
+      if (values.length != 1) throw new UnsupportedOperationException(
+        "graft MERGE ON supports single-column IN (subquery) only — " +
+          s"materialize a multi-column IN into the MERGE source: ${in.sql}")
+      val rows =
+        org.apache.spark.sql.graft.SparkBridge.ofPlan(spark, q.plan).collect()
+      if (rows.length > MaxSplicedInValues) throw new UnsupportedOperationException(
+        s"IN (subquery) in MERGE ON returned ${rows.length} rows " +
+          s"(> $MaxSplicedInValues splice bound) — materialize it into the " +
+          s"MERGE source: ${in.sql}")
+      val dt = q.plan.output.head.dataType
+      if (rows.isEmpty)
+        // x IN (empty set) is FALSE — for NULL x too (SQL rule)
+        org.apache.spark.sql.catalyst.expressions.Literal.FalseLiteral
+      else
+        org.apache.spark.sql.catalyst.expressions.In(values.head,
+          rows.toSeq.map(r =>
+            org.apache.spark.sql.catalyst.expressions.Literal.create(r.get(0), dt)))
+    case ex: org.apache.spark.sql.catalyst.expressions.Exists
+        if ex.outerAttrs.isEmpty =>
+      val any = !org.apache.spark.sql.graft.SparkBridge.ofPlan(spark, ex.plan)
+        .isEmpty
+      org.apache.spark.sql.catalyst.expressions.Literal(any)
   }
 
   /** Assignment key → bare column name. Only top-level columns: graft's
@@ -378,7 +429,7 @@ final class DmlExprBox(
 
   def toSql(spark: SparkSession): String =
     GraftRowLevelRewrite.render(
-      GraftRowLevelRewrite.evalScalarSubqueries(spark, expr),
+      GraftRowLevelRewrite.evalConstSubqueries(spark, expr),
       AttributeSet(tgt), tgtQualifier, AttributeSet(src), srcQualifier)
 
   /** True when the fragment holds a PER-ROW subquery — a correlated

@@ -156,12 +156,29 @@ class CorrelatedAssignSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(got == Seq(0L -> 1.0, 1L -> 3.0, 2L -> 5.0, 3L -> 7.0), s"got $got")
   }
 
-  it("MERGE ON subqueries beyond non-correlated scalars stay refused") {
+  it("MERGE ON: constant IN/EXISTS evaluate once and splice; correlated stays refused") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ca")
-    Seq("rt", "rs").foreach(n => spark.sql(s"DROP TABLE IF EXISTS graft_cat.ca.$n"))
-    spark.sql("CREATE TABLE graft_cat.ca.rt AS SELECT id, id AS v FROM range(3)")
-    spark.sql("CREATE TABLE graft_cat.ca.rs AS SELECT id, id AS x FROM range(3)")
+    Seq("rt", "rs", "rd").foreach(n => spark.sql(s"DROP TABLE IF EXISTS graft_cat.ca.$n"))
+    spark.sql("CREATE TABLE graft_cat.ca.rt AS SELECT id, id AS v FROM range(6)")
+    spark.sql("CREATE TABLE graft_cat.ca.rs AS SELECT id, id AS x FROM range(6)")
+    spark.sql("CREATE TABLE graft_cat.ca.rd AS SELECT * FROM VALUES (1), (3) AS d(id)")
+    // non-correlated IN in ON: a per-statement constant set — rows 1 and 3
+    // match and delete
+    spark.sql(
+      """MERGE INTO graft_cat.ca.rt t USING graft_cat.ca.rs s
+        |ON t.id = s.id AND s.id IN (SELECT id FROM graft_cat.ca.rd)
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.table("graft_cat.ca.rt").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(0L, 2L, 4L, 5L))
+    // non-correlated EXISTS in ON over an EMPTY set: constant FALSE — no-op
+    spark.sql(
+      """MERGE INTO graft_cat.ca.rt t USING graft_cat.ca.rs s
+        |ON t.id = s.id AND EXISTS (SELECT 1 FROM graft_cat.ca.rd WHERE id > 100)
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.table("graft_cat.ca.rt").count() == 4)
+    // correlated subqueries in ON keep the refusal: they run inside the
+    // join, where no decorrelation applies
     val eOn = intercept[Exception] {
       spark.sql(
         """MERGE INTO graft_cat.ca.rt t USING graft_cat.ca.rs s
@@ -173,7 +190,7 @@ class CorrelatedAssignSpec extends AnyFunSpec with SparkSessionTestWrapper {
     val eOnIn = intercept[Exception] {
       spark.sql(
         """MERGE INTO graft_cat.ca.rt t USING graft_cat.ca.rs s
-          |ON t.id = s.id AND s.id IN (SELECT id FROM graft_cat.ca.rt)
+          |ON t.id = s.id AND s.id IN (SELECT id FROM graft_cat.ca.rd WHERE id = s.x)
           |WHEN MATCHED THEN DELETE""".stripMargin)
     }
     assert(eOnIn.getMessage.contains("SCALAR") || eOnIn.getMessage.contains("subquer"),

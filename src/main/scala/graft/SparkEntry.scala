@@ -3367,6 +3367,35 @@ object SparkEntry {
       }
     }),
 
+    "s62_restore_cdf" -> ((s, dir) => {
+      // RESTORE with CDF on: the restore commit writes ZERO change files —
+      // its delete/insert change rows are synthesized at read time from the
+      // whole-file remove/re-add actions (the REPLACE posture; write-time
+      // materialization would be O(diff) write amplification per restore).
+      // The removed set is a strict SUBSET of the prior files (the appended
+      // region file lives through the restore untouched), so this pins the
+      // RESTORE-specific qualification, not the remove-all rule.
+      val base = read(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("id"), col("n_name").as("name"))
+      val t = GraftTable.create(s, tmp("s62"), base.coalesce(1),
+        properties = Map(graft.tables.GraftLog.CdfProperty -> "true")) // v0: file A
+      () => {
+      t.append(read(s, dir, "region")
+        .select((col("r_regionkey").cast("long") + 100).as("id"),
+          col("r_name").as("name")).coalesce(1))                      // v1: + file B
+      TableOps.delete(t, Some("id < 10"))                             // v2: A -> A'
+      val rv = TableOps.restore(t, 1L)                                // v3: drop A', re-add A
+      val t2 = GraftTable.forPath(s, t.path)
+      val cdf = graft.log.ChangeDataFeedHelper(s, t.path, rv, rv).readCDF
+      t2.toDF.select(col("id"), col("name"))
+        .withColumn("cdf_deletes", lit(cdf.where("_change_type = 'delete'").count()))
+        .withColumn("cdf_inserts", lit(cdf.where("_change_type = 'insert'").count()))
+        .withColumn("restore_version", lit(rv))
+        .withColumn("change_files_written", lit(t2.log.actionsAt(rv)
+          .count(_.isInstanceOf[graft.tables.AddCDCFile]).toLong))
+      }
+    }),
+
     "s42_uri_table" -> ((s, dir) => {
       // REMOTE-scheme storage end-to-end: the whole engine addressed by a
       // hadoop-FileSystem URI instead of a local path — log IO through
@@ -5083,6 +5112,17 @@ object SparkEntry {
         |       true AS missing_refused,
         |       CAST(0 AS BIGINT) AS change_files_written
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "s62_restore_cdf" ->
+      """WITH rows_now AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name FROM nation
+        |  UNION ALL
+        |  SELECT CAST(r_regionkey AS BIGINT) + 100, r_name FROM region)
+        |SELECT id, name,
+        |       (SELECT count(*) FROM nation WHERE n_nationkey >= 10) AS cdf_deletes,
+        |       (SELECT count(*) FROM nation) AS cdf_inserts,
+        |       CAST(3 AS BIGINT) AS restore_version,
+        |       CAST(0 AS BIGINT) AS change_files_written
+        |FROM rows_now""".stripMargin,
     "s49_utf8_stats" ->
       """WITH n AS (SELECT 'doc-' ||
         |             CASE WHEN n_nationkey % 2 = 0 THEN chr(57344)

@@ -104,8 +104,12 @@ case class ChangeDataFeedHelper(
           if (firstInsV.isEmpty) firstInsV = Some(v)
         } else if (removes.nonEmpty && op != "OPTIMIZE" && op != "REPARTITION") {
           // remove-ALL commit = full overwrite (REPLACE / INSERT OVERWRITE),
-          // and a dynamic partition overwrite removes WHOLE FILES of the
-          // replaced partitions (self-declared via its commit parameter).
+          // a dynamic partition overwrite removes WHOLE FILES of the
+          // replaced partitions (self-declared via its commit parameter),
+          // and a RESTORE's remove/re-add sets are whole files by
+          // construction (it never rewrites rows — removed files leave
+          // entirely, re-added files return entirely under the restored
+          // metadata, which IS the committed state this reader uses).
           // Partial rewrites — merge/update/delete — always carry change
           // files when CDF is on, so reaching here without them means CDF
           // was off for that commit. Synthesize iff the COMMITTED state has
@@ -118,7 +122,8 @@ case class ChangeDataFeedHelper(
           val dynOverwrite = actions.collectFirst { case c: CommitInfo => c }
             .exists(_.operationParameters.get("partitionOverwriteMode")
               .exists(_.equalsIgnoreCase("dynamic")))
-          if ((fullOverwrite || dynOverwrite) && cur.cdfEnabled) {
+          val wholeFileRestore = op == "RESTORE"
+          if ((fullOverwrite || dynOverwrite || wholeFileRestore) && cur.cdfEnabled) {
             ovwInfos += OvwCommit(v, commitTs, prev, cur,
               prev.files.filter(f => removedSet.contains(f.path)), adds)
             if (firstOvwV.isEmpty) firstOvwV = Some(v)
@@ -280,9 +285,10 @@ case class ChangeDataFeedHelper(
     ordered.map(_._2).reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
-  /** One qualifying overwrite commit (full, or dynamic-partition): its
-    * pre-state, its committed state, the whole files it removed, and its
-    * added files.
+  /** One qualifying synthesized-change commit (full overwrite,
+    * dynamic-partition overwrite, or RESTORE — all whole-file by
+    * construction): its pre-state, its committed state, the whole files it
+    * removed, and its added files.
     */
   private case class OvwCommit(
       v: Long, ts: Long, prev: Snapshot, cur: Snapshot,

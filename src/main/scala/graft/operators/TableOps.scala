@@ -1073,10 +1073,11 @@ object TableOps {
     * states it undid remain time-travelable.
     *
     * With CDF enabled IN THE RESTORED STATE (the commit reverts properties
-    * too, so the target's CDF flag governs it) the commit carries full
-    * change rows (disappearing rows as `delete`, reappearing rows as
-    * `insert`) so downstream CDF readers and streams see the restore as
-    * data change, not a gap.
+    * too, so the target's CDF flag governs it) downstream CDF readers and
+    * streams see the restore as data change, not a gap: disappearing rows
+    * read as `delete`, reappearing rows as `insert`, SYNTHESIZED at read
+    * time from this commit's remove/add actions (whole files both ways —
+    * a restore never rewrites rows). The commit writes no change files.
     *
     * Errors if any target-version file was already vacuumed (the state is
     * no longer reconstructible). Concurrency: the restore's read footprint
@@ -1106,20 +1107,17 @@ object TableOps {
     val reAdd = target.files.filterNot(f => curPaths.contains(f.path))
     val drop = cur.files.filterNot(f => tgtPaths.contains(f.path))
 
-    // change rows for CDF consumers: rows leaving the table (files added
+    // change rows for CDF consumers — rows leaving the table (files added
     // since `version`) as deletes, rows returning (files removed since) as
-    // inserts. unionByName(allowMissing) bridges schema evolution between
-    // the two states.
-    val cdc: Option[org.apache.spark.sql.DataFrame] =
-      if (!target.cdfEnabled || (reAdd.isEmpty && drop.isEmpty)) None
-      else {
-        val deletes = table.dfForFiles(cur, drop)
-          .withColumn("_change_type", lit("delete"))
-        val inserts = table.dfForFiles(target, reAdd)
-          .withColumn("_change_type", lit("insert"))
-        Some(deletes.unionByName(inserts, allowMissingColumns = true))
-      }
-
+    // inserts — are SYNTHESIZED AT READ TIME from this commit's remove/add
+    // actions (ChangeDataFeedHelper / the stream source), exactly like
+    // REPLACE and INSERT OVERWRITE: a restore's remove/re-add sets are
+    // whole files, so the actions fully determine the change rows, and
+    // writing them here would be O(diff) write amplification per restore.
+    // Synthesis requires the removed files to still exist — the readers'
+    // vacuum-horizon guard fails loudly past that point (written change
+    // rows would have survived vacuum; that tradeoff is documented at the
+    // REPLACE synthesis site and in SURVEY's CDF section).
     TableWriter.write(spark, table.path,
       // no data is written; the frame only satisfies the signature
       table.dfForFiles(target, Nil),
@@ -1130,7 +1128,6 @@ object TableOps {
         "numRestoredFiles" -> reAdd.size.toString,
         "numRemovedFiles" -> drop.size.toString,
         "restoredFilesSize" -> reAdd.map(_.size).sum.toString),
-      cdc = cdc,
       extraActions = reAdd,
       removeFiles = drop.map(_.path),
       // the decision read the WHOLE current table: any concurrent winner
@@ -1316,16 +1313,21 @@ object TableOps {
     val plan = vacuumPlan(table.log, retainVersion)
     // report exactly what vacuum would count: external clone references are
     // skipped, already-missing bytes (fsck'd tables) delete nothing, and
-    // orphaned bloom-sidecar files are deleted too
+    // orphaned bloom-sidecar files and untracked write orphans are deleted
+    // too
     val data = plan.deadFiles
       .filterNot(GraftTable.isExternalPath)
       .filter(rel => graft.tables.Fs.exists(graft.tables.Fs.child(table.path, rel)))
+    val tracked: Set[String] = (plan.scan.retainedFiles.map(_.path) ++
+      plan.deadFiles ++ plan.scan.liveCdc).toSet
+    val untracked =
+      untrackedFiles(table, tracked, untrackedCutoff(table, retainVersion))
     val sidecars = (bloomOrphanDirs(table.path, plan.liveSidecars) ++
       dvOrphanDirs(table.path, plan.liveDvDirs)).flatMap { dir =>
       graft.tables.Fs.walkFiles(dir)
         .map(p => graft.tables.Fs.relativize(table.path, p))
     }
-    data ++ sidecars
+    (data ++ untracked).distinct ++ sidecars
   }
 
   /** Bloom-sidecar dirs referenced by NO retained file and older than the
@@ -1428,7 +1430,11 @@ object TableOps {
   }
 
   /** VACUUM: physically delete data/change files no longer referenced by any
-    * snapshot at or above `retainVersion`, then drop log files below it.
+    * snapshot at or above `retainVersion`, plus UNTRACKED files (listed in
+    * the table dir, referenced by no log version, older than the horizon
+    * and the in-flight age guard — the orphans of crashed or race-losing
+    * writers, which no log-derived dead set can ever discover), then drop
+    * log files below the horizon.
     * Time travel and CDF reads below the horizon stop working — exactly the
     * failure mode the ChangeDataFeedHelper recovery paths (C3/C4) detect.
     *
@@ -1446,12 +1452,120 @@ object TableOps {
       .getOption("spark.graft.vacuum.distributedDeleteThreshold")
       .map(_.toInt).getOrElse(DefaultDistributedDeleteThreshold)
 
+  /** Minimum age an UNTRACKED file must reach before vacuum may sweep it —
+    * the writer moves data files into the table dir BEFORE its OCC commit,
+    * so a young unreferenced file may belong to an in-flight commit.
+    * Overridable for tests via `spark.graft.vacuum.untrackedMinAgeMillis`.
+    */
+  val DefaultUntrackedMinAgeMillis: Long = 60 * 60 * 1000L
+
+  private def untrackedMinAge(table: GraftTable): Long =
+    table.spark.conf.getOption("spark.graft.vacuum.untrackedMinAgeMillis")
+      .map(_.toLong).getOrElse(DefaultUntrackedMinAgeMillis)
+
+  /** Top-level directory count at which the untracked-file walk fans out
+    * as a Spark job (one task per directory) instead of a driver walk —
+    * at 100 TB (~10⁵–10⁶ files across thousands of partition dirs) one
+    * driver thread paging an object-store listing is the vacuum
+    * bottleneck; executor-parallel per-directory walks are not.
+    */
+  val DefaultDistributedListingThreshold = 64
+
+  private def distributedListingThreshold(table: GraftTable): Int =
+    table.spark.conf.getOption("spark.graft.vacuum.distributedListingThreshold")
+      .map(_.toInt).getOrElse(DefaultDistributedListingThreshold)
+
+  /** (table-relative path, mtime) of every sweep-ELIGIBLE file under the
+    * table root, one listing pass: non-hidden top-level segments plus
+    * `_change_data` (untracked change files are ordinary write orphans).
+    * Hidden segments (`_`/`.` prefixed) are excluded — the log is the
+    * source of truth, and the sidecar families (`_bloom`, `_dv`,
+    * `_copy_into`, streaming-epoch staging, symlink manifests) each have
+    * their own age-guarded orphan discipline in this file.
+    */
+  private def sweepListing(table: GraftTable): Seq[(String, Long)] = {
+    import graft.tables.Fs
+    val root = table.path
+    val eligible = Fs.listChildNames(root).filter(n =>
+      (!n.startsWith("_") && !n.startsWith(".")) || n == GraftLog.CdcDirName)
+    val (dirs, files) = eligible.partition(n => Fs.isDirectory(Fs.child(root, n)))
+    val top = files.map(n => (n, Fs.lastModifiedMillis(Fs.child(root, n))))
+    val nested: Seq[(String, Long)] =
+      if (dirs.size < distributedListingThreshold(table))
+        dirs.flatMap(d => Fs.walkFilesWithMtime(Fs.child(root, d))
+          .map { case (p, m) => (Fs.relativize(root, p), m) })
+      else {
+        // many top-level dirs: recursive walks fan out one task per dir,
+        // with the DRIVER's hadoop conf shipped along (executor-default
+        // Configurations miss spark.hadoop.* scheme registrations and
+        // credentials) — the same discipline as the distributed delete
+        val confBox = new org.apache.spark.sql.graft.SparkBridge.ConfBox(
+          table.spark.sessionState.newHadoopConf())
+        val base = root
+        val rootUriPath = new org.apache.hadoop.fs.Path(base).toUri.getPath
+          .stripSuffix("/")
+        table.spark.sparkContext.parallelize(dirs, dirs.size).flatMap { d =>
+          val p = new org.apache.hadoop.fs.Path(graft.tables.Fs.child(base, d))
+          val f = p.getFileSystem(confBox.value)
+          if (!f.exists(p)) Iterator.empty
+          else {
+            val it = f.listFiles(p, true)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+            while (it.hasNext) {
+              val st = it.next()
+              if (st.isFile)
+                buf += ((st.getPath.toUri.getPath.stripPrefix(rootUriPath)
+                  .stripPrefix("/"), st.getModificationTime))
+            }
+            buf.iterator
+          }
+        }.collect().toSeq
+      }
+    top ++ nested
+  }
+
+  /** Files in the table dir referenced by NO log version and older than
+    * `cutoffMillis` — the orphans of crashed or race-losing writers (data
+    * files move in BEFORE the OCC commit, so a commit that never lands
+    * strands its files where no log-derived dead set can ever find them).
+    * Delta's vacuum sweeps these by listing the directory; without this a
+    * high-write table leaks storage unboundedly.
+    */
+  private[graft] def untrackedFiles(
+      table: GraftTable, tracked: Set[String], cutoffMillis: Long): Seq[String] =
+    sweepListing(table).collect {
+      case (rel, mtime) if !tracked.contains(rel) && mtime < cutoffMillis => rel
+    }
+
+  /** The untracked-sweep cutoff for a vacuum at `retainVersion`: a file is
+    * sweepable only when older than BOTH the horizon commit (Delta's
+    * "unreferenced and older than the retention period" rule — the horizon
+    * IS where the retention duration resolved to) and the in-flight age
+    * guard (a retain-0 vacuum must not eat a concurrent writer's
+    * just-moved files).
+    */
+  private def untrackedCutoff(table: GraftTable, retainVersion: Long): Long = {
+    val now = System.currentTimeMillis()
+    val horizonTs = table.log.monotonicHistory()
+      .find(_._1 == retainVersion).map(_._2).getOrElse(now)
+    math.min(horizonTs, now - untrackedMinAge(table))
+  }
+
   def vacuum(table: GraftTable, retainVersion: Long): Int = {
     import graft.tables.Fs
     val DistributedDeleteThreshold = distributedDeleteThreshold(table)
     val log = table.log
     val VacuumPlan(deadData, dropVersions, liveSidecars, liveDvDirs, scan) =
       vacuumPlan(log, retainVersion)
+    // untracked orphans (crashed/race-losing writers): everything the LOG
+    // knows about — retained, dead-below-horizon, and change files — is
+    // tracked; an eligible listed file outside that set, older than the
+    // cutoff, is sweepable. Derived BEFORE the horizon rewrite below so the
+    // cutoff reads the original commit timestamps.
+    val tracked: Set[String] =
+      (scan.retainedFiles.map(_.path) ++ deadData ++ scan.liveCdc).toSet
+    val untracked =
+      untrackedFiles(table, tracked, untrackedCutoff(table, retainVersion))
     // checkpoint the horizon version: its log file becomes self-contained
     // (full metadata + live file set) so snapshot replay can start there.
     // The retention scan already folded the horizon snapshot and parsed its
@@ -1474,7 +1588,8 @@ object TableOps {
 
     // EXTERNAL references recorded by a shallow clone belong to the
     // SOURCE table — the clone's vacuum must never delete them
-    val deletable = deadData.filterNot(GraftTable.isExternalPath)
+    val deletable =
+      (deadData.filterNot(GraftTable.isExternalPath) ++ untracked).distinct
     // small plans delete driver-side (no job overhead); past the threshold
     // the deletes FAN OUT as a Spark job — on an object store every delete
     // is an API round-trip, and a 10⁶-file vacuum through one driver thread

@@ -412,20 +412,23 @@ class GraftStreamSource(
         // a DV-only delete qualifies — its re-adds carry no new rows
         if (ignoreDeletes && dataAdds.isEmpty) None
         else {
-          // full overwrite (REPLACE TABLE / INSERT OVERWRITE) or a dynamic
+          // full overwrite (REPLACE TABLE / INSERT OVERWRITE), a dynamic
           // PARTITION overwrite (self-declared via its commit parameter;
-          // whole-file removes by construction) with CDF on in the
-          // committed state: the commit writes no change files — the change
-          // rows are synthesized from its remove/add actions, the same rule
-          // as the batch reader (ChangeDataFeedHelper). Other partial
-          // rewrites with CDF on always carry change files, so reaching
-          // here means CDF was off for that commit.
+          // whole-file removes by construction), or a RESTORE (whole-file
+          // remove/re-add by construction — it never rewrites rows) with
+          // CDF on in the committed state: the commit writes no change
+          // files — the change rows are synthesized from its remove/add
+          // actions, the same rule as the batch reader
+          // (ChangeDataFeedHelper). Other partial rewrites with CDF on
+          // always carry change files, so reaching here means CDF was off
+          // for that commit.
           val prev = table.snapshotAt(v - 1)
           val removedSet = removes.map(_.path).toSet
           val dynOverwrite = ci.exists(_.operationParameters
             .get("partitionOverwriteMode").exists(_.equalsIgnoreCase("dynamic")))
           val fullOverwrite = op.exists(o => o != "OPTIMIZE" && o != "REPARTITION") &&
-            (removedSet == prev.files.map(_.path).toSet || dynOverwrite) &&
+            (removedSet == prev.files.map(_.path).toSet || dynOverwrite ||
+              op.contains("RESTORE")) &&
             table.snapshotAt(v).cdfEnabled
           if (fullOverwrite && dropChangeColumns)
             // rows-only streams cannot represent the delete side — same

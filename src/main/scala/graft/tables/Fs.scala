@@ -368,6 +368,38 @@ object Fs {
       }
     }
 
+  /** Every regular file under `root` with its modification time, in ONE
+    * listing pass (the remote recursive listing already carries mtimes;
+    * a walk-then-stat would pay one extra round-trip per file). Nil when
+    * `root` does not exist.
+    */
+  def walkFilesWithMtime(root: String): Seq[(String, Long)] =
+    if (isRemote(root)) {
+      val p = hp(root)
+      val f = fs(p)
+      if (!f.exists(p)) Nil
+      else {
+        val it = f.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile) buf += ((st.getPath.toString, st.getModificationTime))
+        }
+        buf.toSeq
+      }
+    } else {
+      val r = Paths.get(root)
+      if (!Files.exists(r)) Nil
+      else {
+        val stream = Files.walk(r)
+        try stream.iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .map(p => (p.toString, Files.getLastModifiedTime(p).toMillis))
+          .toSeq
+        finally stream.close()
+      }
+    }
+
   /** `p` relative to `root` (both absolute, `p` under `root`). */
   def relativize(root: String, p: String): String =
     if (isRemote(root) || isRemote(p)) {

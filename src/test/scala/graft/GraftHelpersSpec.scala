@@ -484,6 +484,61 @@ class GraftHelpersSpec extends AnyFunSpec with SparkSessionTestWrapper {
       } finally spark.conf.unset("spark.graft.vacuum.distributedDeleteThreshold")
     }
 
+    it("vacuum sweeps untracked write orphans; young and hidden files survive") {
+      import java.nio.file.{Files, Paths}
+      // data files move into the table dir BEFORE their OCC commit: a
+      // crashed or race-losing writer strands files no log version
+      // references — only a directory listing can find them (Delta's
+      // vacuum posture). Eligible = non-hidden segments + _change_data;
+      // sweepable = older than the horizon commit AND the in-flight guard.
+      val t = GraftTable.create(spark, tmpTableDir("vac_orphan"),
+        Seq((1, "a"), (2, "b")).toDF("id", "name").repartition(1))
+      t.append(Seq((3, "c")).toDF("id", "name")) // v1
+      val before = t.toDF.collect().toSet
+
+      def plant(rel: String, ageHours: Double): String = {
+        val p = Paths.get(t.path, rel)
+        Files.createDirectories(p.getParent)
+        Files.write(p, Array[Byte](1, 2, 3))
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - (ageHours * 3600 * 1000).toLong))
+        rel
+      }
+      val oldRoot = plant("part-orphan-root.parquet", 2.0)
+      val oldPart = plant("p=1/part-orphan-part.parquet", 2.0)
+      val oldCdc  = plant("_change_data/cdc-orphan.parquet", 2.0)
+      val young   = plant("part-orphan-young.parquet", 0.0)
+      val hidden  = plant("_junk/inner.bin", 2.0)
+
+      // dry run reports the old orphans; the young and hidden ones are out
+      val planned = TableOps.vacuumDryRun(t, retainVersion = 1)
+      assert(Set(oldRoot, oldPart, oldCdc).subsetOf(planned.toSet), planned)
+      assert(!planned.contains(young) && !planned.contains(hidden), planned)
+
+      val deleted = TableOps.vacuum(t, retainVersion = 1)
+      assert(deleted == planned.size, s"deleted $deleted planned $planned")
+      assert(!Files.exists(Paths.get(t.path, oldRoot)))
+      assert(!Files.exists(Paths.get(t.path, oldPart)))
+      assert(!Files.exists(Paths.get(t.path, oldCdc)))
+      // in-flight guard: a young unreferenced file may belong to an
+      // uncommitted concurrent write; hidden segments have their own sweeps
+      assert(Files.exists(Paths.get(t.path, young)))
+      assert(Files.exists(Paths.get(t.path, hidden)))
+      assert(t.toDF.collect().toSet == before)
+
+      // the distributed listing (threshold 1 forces the Spark-job walk)
+      // derives the same orphan set
+      val old2 = plant("q=2/part-orphan2.parquet", 2.0)
+      spark.conf.set("spark.graft.vacuum.distributedListingThreshold", "1")
+      try {
+        val planned2 = TableOps.vacuumDryRun(t, retainVersion = 1)
+        assert(planned2.contains(old2), planned2)
+        assert(TableOps.vacuum(t, retainVersion = 1) == planned2.size)
+        assert(!Files.exists(Paths.get(t.path, old2)))
+      } finally spark.conf.unset("spark.graft.vacuum.distributedListingThreshold")
+      assert(t.toDF.collect().toSet == before)
+    }
+
     it("duration-based vacuum resolves the horizon from commit timestamps") {
       val t = GraftTable.create(spark, tmpTableDir("vac_dur"),
         Seq((1, "a")).toDF("id", "name").repartition(1))      // v0
@@ -687,6 +742,11 @@ class GraftHelpersSpec extends AnyFunSpec with SparkSessionTestWrapper {
         .groupBy("_change_type").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(cdf == Map("delete" -> 3L, "insert" -> 3L), s"restore CDF: $cdf")
+      // ...SYNTHESIZED from the commit's remove/add actions: the restore
+      // writes ZERO change files (write-time materialization would be
+      // O(diff) write amplification — the REPLACE posture applies)
+      assert(!t.log.actionsAt(3L).exists(_.isInstanceOf[graft.tables.AddCDCFile]),
+        "RESTORE must not write _change_data files")
       // restoring to the current version is a no-op
       assert(TableOps.restore(t, 3L) == 3L)
 

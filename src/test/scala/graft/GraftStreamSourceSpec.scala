@@ -87,6 +87,45 @@ class GraftStreamSourceSpec extends AnyFunSpec with SparkSessionTestWrapper {
     } finally q2.stop()
   }
 
+  it("a CDF-on RESTORE flows as synthesized delete+insert changes") {
+    // RESTORE's remove/re-add sets are whole files but NOT remove-all (an
+    // untouched file stays live through it), so it exercises the
+    // restore-specific qualification, not the full-overwrite one. The
+    // commit writes no change files — the stream synthesizes them.
+    val dir = tmpTableDir("gss_restore")             // v0: ONE file A = 0,1,2
+    val t = GraftTable.create(spark, dir,
+      Seq((0, "alpha"), (1, "beta"), (2, "gamma")).toDF("id", "name").coalesce(1),
+      properties = Map(GraftLog.CdfProperty -> "true"))
+    val sink = "gss_restsink_" + System.nanoTime()
+    val query = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      t.append(Seq((3, "delta")).toDF("id", "name")) // v1: + file B = 3
+      TableOps.delete(t, Some("id = 0"))             // v2: A → A' = 1,2
+      val rv = TableOps.restore(t, 1L)               // v3: drop A', re-add A
+      assert(rv == 3L)
+      assert(!t.log.actionsAt(3L).exists(_.isInstanceOf[graft.tables.AddCDCFile]),
+        "RESTORE must not write _change_data files")
+      query.processAllAvailable()
+      val out = rowsOf(sink)
+      assert(out.filter(_._4 == 3L) == Set(
+        (1, "beta", "delete", 3L), (2, "gamma", "delete", 3L),
+        (0, "alpha", "insert", 3L), (1, "beta", "insert", 3L),
+        (2, "gamma", "insert", 3L)), s"got $out")
+      // the untouched file B flows through NO restore change rows
+      assert(!out.exists(r => r._1 == 3 && r._4 == 3L), s"got $out")
+      // the BATCH reader synthesizes the same strict-subset restore (the
+      // GraftHelpersSpec restore happens to drop ALL prior files, which the
+      // full-overwrite rule would catch anyway; this one needs the
+      // RESTORE-specific qualification)
+      val cdf = graft.log.ChangeDataFeedHelper(spark, dir, 3, 3).readCDF
+        .groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(cdf == Map("delete" -> 2L, "insert" -> 3L), s"batch restore CDF: $cdf")
+    } finally query.stop()
+  }
+
   it("a plain SaveMode.Overwrite commit flows as synthesized delete+insert changes") {
     // complete-output-mode shape: op WRITE, remove-all + add, no change
     // files — the stream synthesizes the change content like the batch

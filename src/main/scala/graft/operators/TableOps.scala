@@ -1211,7 +1211,16 @@ object TableOps {
     * is vacuumed. Delegates to the version-horizon vacuum overload.
     */
   def vacuum(table: GraftTable, retainHours: Double): Int =
-    retentionHorizon(table, retainHours).map(vacuum(table, _)).getOrElse(0)
+    vacuum(table, retainHours, lite = false)
+
+  /** [[vacuum(table:GraftTable,retainHours:Double)* vacuum]] with an
+    * explicit mode: `lite = true` (Delta's `VACUUM ... LITE`) derives dead
+    * files from the LOG ONLY — no directory listing, so untracked write
+    * orphans are not swept. The cheap mode for frequent scheduled vacuums
+    * of huge tables; run a FULL vacuum periodically to collect orphans.
+    */
+  def vacuum(table: GraftTable, retainHours: Double, lite: Boolean): Int =
+    retentionHorizon(table, retainHours).map(vacuum(table, _, lite)).getOrElse(0)
 
   /** [[vacuumDryRun(table:GraftTable,retainVersion:Long)* vacuumDryRun]]
     * with the horizon resolved from a retention duration, exactly as
@@ -1219,7 +1228,11 @@ object TableOps {
     * younger than the cutoff) plans nothing.
     */
   def vacuumDryRun(table: GraftTable, retainHours: Double): Seq[String] =
-    retentionHorizon(table, retainHours).map(vacuumDryRun(table, _)).getOrElse(Nil)
+    vacuumDryRun(table, retainHours, lite = false)
+
+  /** Duration-resolved dry run with an explicit LITE/FULL mode. */
+  def vacuumDryRun(table: GraftTable, retainHours: Double, lite: Boolean): Seq[String] =
+    retentionHorizon(table, retainHours).map(vacuumDryRun(table, _, lite)).getOrElse(Nil)
 
   /** Version horizon a `retainHours` retention resolves to: the latest
     * version whose MONOTONIZED commit timestamp is at-or-before the cutoff
@@ -1239,11 +1252,19 @@ object TableOps {
     */
   def vacuum(table: GraftTable): Int = vacuum(table, configuredRetentionHours(table))
 
+  /** Configured-retention vacuum with an explicit LITE/FULL mode. */
+  def vacuum(table: GraftTable, lite: Boolean): Int =
+    vacuum(table, configuredRetentionHours(table), lite)
+
   /** Dry run at the table's configured retention (same resolution as
     * [[vacuum(table:GraftTable)* vacuum]] with no arguments).
     */
   def vacuumDryRun(table: GraftTable): Seq[String] =
     vacuumDryRun(table, configuredRetentionHours(table))
+
+  /** Configured-retention dry run with an explicit LITE/FULL mode. */
+  def vacuumDryRun(table: GraftTable, lite: Boolean): Seq[String] =
+    vacuumDryRun(table, configuredRetentionHours(table), lite)
 
   private def configuredRetentionHours(table: GraftTable): Double =
     table.snapshot.metadata.properties
@@ -1309,7 +1330,10 @@ object TableOps {
     * skips those too). Read-only: no commit, no deletion, no horizon
     * rewrite — the production "VACUUM DRY RUN" safety check.
     */
-  def vacuumDryRun(table: GraftTable, retainVersion: Long): Seq[String] = {
+  def vacuumDryRun(table: GraftTable, retainVersion: Long): Seq[String] =
+    vacuumDryRun(table, retainVersion, lite = false)
+
+  def vacuumDryRun(table: GraftTable, retainVersion: Long, lite: Boolean): Seq[String] = {
     val plan = vacuumPlan(table.log, retainVersion)
     // report exactly what vacuum would count: external clone references are
     // skipped, already-missing bytes (fsck'd tables) delete nothing, and
@@ -1318,10 +1342,13 @@ object TableOps {
     val data = plan.deadFiles
       .filterNot(GraftTable.isExternalPath)
       .filter(rel => graft.tables.Fs.exists(graft.tables.Fs.child(table.path, rel)))
-    val tracked: Set[String] = (plan.scan.retainedFiles.map(_.path) ++
-      plan.deadFiles ++ plan.scan.liveCdc).toSet
     val untracked =
-      untrackedFiles(table, tracked, untrackedCutoff(table, retainVersion))
+      if (lite) Nil
+      else {
+        val tracked: Set[String] = (plan.scan.retainedFiles.map(_.path) ++
+          plan.deadFiles ++ plan.scan.liveCdc).toSet
+        untrackedFiles(table, tracked, untrackedCutoff(table, retainVersion))
+      }
     val sidecars = (bloomOrphanDirs(table.path, plan.liveSidecars) ++
       dvOrphanDirs(table.path, plan.liveDvDirs)).flatMap { dir =>
       graft.tables.Fs.walkFiles(dir)
@@ -1551,7 +1578,10 @@ object TableOps {
     math.min(horizonTs, now - untrackedMinAge(table))
   }
 
-  def vacuum(table: GraftTable, retainVersion: Long): Int = {
+  def vacuum(table: GraftTable, retainVersion: Long): Int =
+    vacuum(table, retainVersion, lite = false)
+
+  def vacuum(table: GraftTable, retainVersion: Long, lite: Boolean): Int = {
     import graft.tables.Fs
     val DistributedDeleteThreshold = distributedDeleteThreshold(table)
     val log = table.log
@@ -1562,10 +1592,13 @@ object TableOps {
     // tracked; an eligible listed file outside that set, older than the
     // cutoff, is sweepable. Derived BEFORE the horizon rewrite below so the
     // cutoff reads the original commit timestamps.
-    val tracked: Set[String] =
-      (scan.retainedFiles.map(_.path) ++ deadData ++ scan.liveCdc).toSet
     val untracked =
-      untrackedFiles(table, tracked, untrackedCutoff(table, retainVersion))
+      if (lite) Nil
+      else {
+        val tracked: Set[String] =
+          (scan.retainedFiles.map(_.path) ++ deadData ++ scan.liveCdc).toSet
+        untrackedFiles(table, tracked, untrackedCutoff(table, retainVersion))
+      }
     // checkpoint the horizon version: its log file becomes self-contained
     // (full metadata + live file set) so snapshot replay can start there.
     // The retention scan already folded the horizon snapshot and parsed its

@@ -62,8 +62,13 @@ case class GraftOptimizeCommand(
   }
 }
 
+/** `VACUUM ... [LITE | FULL]` — LITE (Delta 4.0's keyword) derives dead
+  * files from the log only, skipping the directory listing that sweeps
+  * untracked write orphans; FULL (the default, like Delta's) lists.
+  */
 case class GraftVacuumCommand(
-    path: String, retainHours: Option[Double], dryRun: Boolean)
+    path: String, retainHours: Option[Double], dryRun: Boolean,
+    lite: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     if (dryRun) Seq(AttributeReference("path", StringType, nullable = false)())
@@ -71,10 +76,10 @@ case class GraftVacuumCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlCommands.resolveTarget(spark, path)
     (retainHours, dryRun) match {
-      case (Some(h), true)  => TableOps.vacuumDryRun(t, h).map(Row(_))
-      case (Some(h), false) => Seq(Row(TableOps.vacuum(t, h).toLong))
-      case (None, true)     => TableOps.vacuumDryRun(t).map(Row(_))
-      case (None, false)    => Seq(Row(TableOps.vacuum(t).toLong))
+      case (Some(h), true)  => TableOps.vacuumDryRun(t, h, lite).map(Row(_))
+      case (Some(h), false) => Seq(Row(TableOps.vacuum(t, h, lite).toLong))
+      case (None, true)     => TableOps.vacuumDryRun(t, lite).map(Row(_))
+      case (None, false)    => Seq(Row(TableOps.vacuum(t, lite).toLong))
     }
   }
 }
@@ -332,6 +337,20 @@ case class GraftAlterColumnTypeCommand(path: String, column: String, typeDdl: St
   }
 }
 
+/** `ALTER TABLE ... ALTER COLUMN <c> SYNC IDENTITY` — re-seat the identity
+  * high-water mark on the column's actual extremum
+  * ([[GraftTable.syncIdentity]]; metadata-only via the stats aggregate).
+  */
+case class GraftSyncIdentityCommand(path: String, column: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlCommands.resolveTarget(spark, path)
+    Seq(Row(t.syncIdentity(Seq(column))))
+  }
+}
+
 case class GraftAddConstraintCommand(path: String, name: String, predicate: String)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
@@ -375,13 +394,22 @@ case class GraftShowPropertiesCommand(path: String)
   */
 case class GraftCloneCommand(
     target: String, source: String, version: Option[Long], ifNotExists: Boolean,
-    deep: Boolean = false)
+    deep: Boolean = false, timestamp: Option[String] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("sourceVersion", LongType, nullable = false)(),
     AttributeReference("numFiles", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftSqlCommands.resolveTarget(spark, source)
+    // TIMESTAMP AS OF resolves on the SOURCE's history with the same
+    // monotonized rule as the timestampAsOf reader option and RESTORE
+    val tsVersion = timestamp.map { ts =>
+      val tz = spark.sessionState.conf.sessionLocalTimeZone
+      val millis = graft.sources.GraftDataSource.parseTimestampMillis(ts.trim, tz)
+      src.log.versionAtOrBefore(millis).getOrElse(throw new IllegalArgumentException(
+        s"cannot clone ${src.path}: '$ts' is before the table's first commit"))
+    }
+    val atVersion = version.orElse(tsVersion)
     val destPath = graft.catalog.GraftCatalog.pathForName(spark, target) match {
       case Some(p) =>
         require(graft.tables.Fs.isDirectory(graft.tables.Fs.parent(p)),
@@ -394,8 +422,8 @@ case class GraftCloneCommand(
     }
     if (ifNotExists && GraftTable.exists(destPath)) return Seq(Row(-1L, 0L))
     val t =
-      if (deep) GraftTable.deepClone(spark, src.path, destPath, version)
-      else GraftTable.shallowClone(spark, src.path, destPath, version)
+      if (deep) GraftTable.deepClone(spark, src.path, destPath, atVersion)
+      else GraftTable.shallowClone(spark, src.path, destPath, atVersion)
     val ci = t.log.actionsAt(0L)
       .collectFirst { case c: graft.tables.CommitInfo => c }.get
     Seq(Row(ci.operationParameters("sourceVersion").toLong,

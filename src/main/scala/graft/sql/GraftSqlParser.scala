@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * {{{
   *   OPTIMIZE '<path>' [WHERE <predicate>] [ZORDER BY (c1, c2, ...)]
-  *   VACUUM '<path>' [RETAIN <n> HOURS] [DRY RUN]
+  *   VACUUM '<path>' [LITE | FULL] [RETAIN <n> HOURS] [DRY RUN]
   *   RESTORE [TABLE] '<path>' [TO] VERSION AS OF <n>
   *   RESTORE [TABLE] '<path>' [TO] TIMESTAMP AS OF '<ts>'
   *   FSCK REPAIR TABLE '<path>' [DRY RUN]
@@ -30,8 +30,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   ALTER TABLE '<path>' ADD CONSTRAINT name CHECK (<predicate>)
   *   ALTER TABLE '<path>' DROP CONSTRAINT name
   *   SHOW TBLPROPERTIES '<path>'
+  *   ALTER TABLE '<path>' ALTER COLUMN c SYNC IDENTITY
   *   CREATE TABLE <target> [IF NOT EXISTS] SHALLOW|DEEP CLONE <source>
-  *     [VERSION AS OF <n>]
+  *     [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']
   *   COPY INTO <target> FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
   *     [PATTERN = '<glob>'] [FORMAT_OPTIONS (k = v, ...)]
   *     [COPY_OPTIONS ('force' = 'true')]
@@ -136,7 +137,7 @@ object GraftSqlParser {
   private val optimize = rx(
     s"""^\\s*OPTIMIZE\\s+$P(\\s+.+?)?\\s*;?\\s*$$""")
   private val vacuum = rx(
-    s"""^\\s*VACUUM\\s+$P(?:\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""")
+    s"""^\\s*VACUUM\\s+$P(?:\\s+(LITE|FULL))?(?:\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""")
   private val restoreV = rx(
     s"""^\\s*RESTORE\\s+(?:TABLE\\s+)?$P\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""")
   private val restoreT = rx(
@@ -154,9 +155,10 @@ object GraftSqlParser {
   private val convert = rx(
     s"""^\\s*CONVERT\\s+TO\\s+GRAFT\\s+$P(?:\\s+PARTITIONED\\s+BY\\s+\\((.+?)\\))?\\s*;?\\s*$$""")
   // group 1 = IF NOT EXISTS; target P at groups 2-6, kind = group 7
-  // (SHALLOW | DEEP), source P at 8-12, version = group 13
+  // (SHALLOW | DEEP), source P at 8-12, version = group 13,
+  // timestamp = group 14
   private val cloneStmt = rx(
-    s"""^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$P\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$P(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""")
+    s"""^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$P\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$P(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')?\\s*;?\\s*$$""")
   // target P at groups 1-5; source quoted path = 6, format = 7,
   // pattern = 8, FORMAT_OPTIONS body = 9, COPY_OPTIONS body = 10
   private val copyInto = rx(
@@ -169,6 +171,8 @@ object GraftSqlParser {
     s"""^\\s*ALTER\\s+TABLE\\s+$P\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val alterColumnType = rx(
     s"""^\\s*ALTER\\s+TABLE\\s+$P\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\\s+(?:SET\\s+DATA\\s+)?TYPE\\s+([A-Za-z0-9_()\\s,]+?)\\s*;?\\s*$$""")
+  private val alterSyncIdentity = rx(
+    s"""^\\s*ALTER\\s+TABLE\\s+$P\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\\s+SYNC\\s+IDENTITY\\s*;?\\s*$$""")
   private val alterAddConstraint = rx(
     s"""^\\s*ALTER\\s+TABLE\\s+$P\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val alterDropConstraint = rx(
@@ -416,7 +420,8 @@ object GraftSqlParser {
     val v = vacuum.matcher(sqlText)
     if (v.matches() && claimableMaintenance(v))
       return Some(GraftVacuumCommand(pathOf(v, 2),
-        Option(v.group(6)).map(_.toDouble), v.group(7) != null))
+        Option(v.group(7)).map(_.toDouble), v.group(8) != null,
+        lite = "LITE".equalsIgnoreCase(v.group(6))))
     val rv = restoreV.matcher(sqlText)
     if (rv.matches() && claimableMaintenance(rv))
       return Some(GraftRestoreCommand(pathOf(rv, 2), Some(rv.group(6).toLong), None))
@@ -454,7 +459,8 @@ object GraftSqlParser {
     if (sc.matches() && claimableMaintenance(sc, 9) && claimableMaintenance(sc, 3))
       return Some(GraftCloneCommand(pathOf(sc, 3), pathOf(sc, 9),
         Option(sc.group(13)).map(_.toLong), sc.group(1) != null,
-        deep = sc.group(7).equalsIgnoreCase("DEEP")))
+        deep = sc.group(7).equalsIgnoreCase("DEEP"),
+        timestamp = Option(sc.group(14))))
     // COPY INTO is not Spark grammar either (Databricks/Delta surface) —
     // same maintenance claim rule on the target
     val cp = copyInto.matcher(sqlText)
@@ -497,6 +503,9 @@ object GraftSqlParser {
     if (act.matches() && claimableDml(act))
       return Some(GraftAlterColumnTypeCommand(pathOf(act, 2),
         act.group(6), act.group(7).trim))
+    val asi = alterSyncIdentity.matcher(sqlText)
+    if (asi.matches() && claimableDml(asi))
+      return Some(GraftSyncIdentityCommand(pathOf(asi, 2), asi.group(6)))
     val acc = alterAddConstraint.matcher(sqlText)
     if (acc.matches() && claimableDml(acc))
       return Some(GraftAddConstraintCommand(pathOf(acc, 2), acc.group(6), acc.group(7).trim))

@@ -302,6 +302,74 @@ class GraftTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** ALTER TABLE ... ALTER COLUMN <c> SYNC IDENTITY (Delta's statement):
+    * re-seat the identity column's high-water mark on the table's ACTUAL
+    * extremum. Identity here is GENERATED BY DEFAULT — an explicit insert
+    * passes its values through untouched and can overtake the
+    * transactional mark, so the next generated range would collide; sync
+    * realigns the mark. The extremum is `max(col)` for a positive step,
+    * `min(col)` for a negative one — answered from per-file log stats by
+    * the metadata-only aggregate rule when every file carries them (zero
+    * data I/O on graft-written tables; files missing the column's stats
+    * fall back to a real scan automatically). The mark only ever ADVANCES:
+    * an extremum behind it (rows deleted since) leaves it alone, because
+    * re-issuing freed values would collide with rows generated since the
+    * deletion. Empty/all-null columns change nothing.
+    *
+    * @param columns identity columns to sync; empty = all of them
+    * @return the committed version (current version when no mark moved)
+    */
+  def syncIdentity(columns: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col => sqlCol, max => sqlMax, min => sqlMin}
+    val declared = GraftTable.identityColumnsOf(snapshot.metadata.properties)
+    require(declared.nonEmpty, s"$path has no identity columns to sync")
+    val targets =
+      if (columns.isEmpty) declared.keys.toSeq.sorted
+      else columns.map { c =>
+        declared.keys.find(_.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"column $c of $path is not an identity column " +
+              s"(identity columns: ${declared.keys.toSeq.sorted.mkString(", ")})"))
+      }
+    // no-op escape: when no mark needs to move, commit nothing and report
+    // the current version (an empty commit would be log noise per sync)
+    case class NoMarkMoved(version: Long) extends Exception
+    try retryMetadataCommit("SYNC IDENTITY") { s =>
+      val defs = GraftTable.identityColumnsOf(s.metadata.properties)
+      val aggs = targets.map { c =>
+        val (_, step) = defs(c)
+        (if (step > 0) sqlMax(sqlCol(c)) else sqlMin(sqlCol(c)))
+          .cast("long").as(c)
+      }
+      val row = spark.read.format("graft")
+        .option("versionAsOf", s.version).load(path)
+        .agg(aggs.head, aggs.tail: _*).first()
+      val advanced = targets.zipWithIndex.flatMap { case (c, i) =>
+        if (row.isNullAt(i)) None
+        else {
+          val (start, step) = defs(c)
+          val extremum = row.getLong(i)
+          val mark = s.metadata.properties
+            .get(GraftTable.identityHighKey(c)).map(_.toLong)
+          val ahead = mark match {
+            case Some(m) => if (step > 0) extremum > m else extremum < m
+            case None    => if (step > 0) extremum >= start else extremum <= start
+          }
+          if (ahead) Some(GraftTable.identityHighKey(c) -> extremum.toString)
+          else None
+        }
+      }
+      if (advanced.isEmpty) throw NoMarkMoved(s.version)
+      Seq(
+        graft.tables.Metadata(s.metadata.schemaJson,
+          s.metadata.partitionColumns,
+          s.metadata.properties ++ advanced),
+        CommitInfo(System.currentTimeMillis(), "SYNC IDENTITY",
+          operationParameters = Map("columns" -> targets.mkString(","))))
+    }
+    catch { case NoMarkMoved(v) => v }
+  }
+
   /** ALTER TABLE DROP COLUMN(S) — metadata-only: the fields leave the
     * schema (scans simply stop selecting their physical columns; bytes are
     * reclaimed when files are next rewritten), and their physical names are

@@ -168,4 +168,33 @@ class DeepCloneSpec extends AnyFunSpec with SparkSessionTestWrapper {
       .collectFirst { case c: graft.tables.CommitInfo => c }
       .get.operationParameters("isShallow") == "true")
   }
+
+  it("SQL: CLONE ... TIMESTAMP AS OF resolves on the source's history") {
+    val root = freshDir()
+    val src = Fs.child(root, "ts-src")
+    val t = GraftTable.create(spark, src,
+      (0 until 5).map(i => Tuple1(i.toLong)).toDF("id"))     // v0: 5 rows
+    t.append((5 until 30).map(i => Tuple1(i.toLong)).toDF("id")) // v1: 30 rows
+    // pin v0's commit a day back so a between-versions timestamp resolves
+    // to it (same monotonized rule as timestampAsOf / RESTORE)
+    val log = t.log
+    val dayAgo = System.currentTimeMillis() - 24 * 3600 * 1000L
+    log.rewriteVersion(0L, log.actionsAt(0L).map {
+      case ci: graft.tables.CommitInfo => ci.copy(timestamp = dayAgo)
+      case other                       => other
+    })
+    val ts = new java.sql.Timestamp(dayAgo + 3600 * 1000L).toString
+    val dst = Fs.child(root, "ts-dst")
+    val row = spark.sql(
+      s"CREATE TABLE '$dst' DEEP CLONE '$src' TIMESTAMP AS OF '$ts'").collect()(0)
+    assert(row.getLong(0) == 0L, s"resolved source version ${row.getLong(0)}")
+    assert(GraftTable.forPath(spark, dst).toDF.count() == 5)
+    // a pre-history timestamp refuses loudly
+    val early = new java.sql.Timestamp(dayAgo - 3600 * 1000L).toString
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE '${Fs.child(root, "ts-bad")}' " +
+        s"SHALLOW CLONE '$src' TIMESTAMP AS OF '$early'")
+    }
+    assert(e.getMessage.contains("before the table's first commit"), e.getMessage)
+  }
 }

@@ -510,6 +510,12 @@ class GraftHelpersSpec extends AnyFunSpec with SparkSessionTestWrapper {
       val young   = plant("part-orphan-young.parquet", 0.0)
       val hidden  = plant("_junk/inner.bin", 2.0)
 
+      // VACUUM LITE (log-only dead-file derivation, Delta 4.0's keyword)
+      // skips the listing: orphans survive it, by design
+      assert(TableOps.vacuum(t, retainVersion = 1, lite = true) == 0)
+      assert(Files.exists(Paths.get(t.path, oldRoot)))
+      assert(TableOps.vacuumDryRun(t, retainVersion = 1, lite = true).isEmpty)
+
       // dry run reports the old orphans; the young and hidden ones are out
       val planned = TableOps.vacuumDryRun(t, retainVersion = 1)
       assert(Set(oldRoot, oldPart, oldCdc).subsetOf(planned.toSet), planned)

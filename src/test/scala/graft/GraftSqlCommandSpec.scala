@@ -26,6 +26,10 @@ class GraftSqlCommandSpec extends AnyFunSpec with SparkSessionTestWrapper {
         Some(GraftVacuumCommand("/tmp/t", None, dryRun = false)))
       assert(parse("VACUUM '/tmp/t' RETAIN 168 HOURS DRY RUN") ==
         Some(GraftVacuumCommand("/tmp/t", Some(168.0), dryRun = true)))
+      assert(parse("VACUUM '/tmp/t' LITE RETAIN 168 HOURS") ==
+        Some(GraftVacuumCommand("/tmp/t", Some(168.0), dryRun = false, lite = true)))
+      assert(parse("vacuum graft.`/tmp/t` full dry run") ==
+        Some(GraftVacuumCommand("/tmp/t", None, dryRun = true)))
       assert(parse("RESTORE TABLE '/tmp/t' TO VERSION AS OF 4") ==
         Some(GraftRestoreCommand("/tmp/t", Some(4L), None)))
       assert(parse("RESTORE '/tmp/t' TIMESTAMP AS OF '2026-01-01 00:00:00'") ==
@@ -153,6 +157,19 @@ class GraftSqlCommandSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(deleted == 8L)
       // default retention (7 days) without RETAIN: nothing young deletes
       assert(GraftSql.sql(spark, s"VACUUM '${t.path}'").collect().head.getLong(0) == 0L)
+
+      // LITE (log-only) skips the untracked-orphan listing; FULL sweeps it
+      val orphan = java.nio.file.Paths.get(t.path, "part-sql-orphan.parquet")
+      java.nio.file.Files.write(orphan, Array[Byte](1))
+      java.nio.file.Files.setLastModifiedTime(orphan,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 7200000L))
+      assert(GraftSql.sql(spark, s"VACUUM '${t.path}' LITE RETAIN 0 HOURS")
+        .collect().head.getLong(0) == 0L)
+      assert(java.nio.file.Files.exists(orphan))
+      assert(GraftSql.sql(spark, s"VACUUM '${t.path}' FULL RETAIN 0 HOURS")
+        .collect().head.getLong(0) == 1L)
+      assert(!java.nio.file.Files.exists(orphan))
     }
 
     it("DESCRIBE DETAIL reports the snapshot summary") {

@@ -53,6 +53,47 @@ class IdentityColumnSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(ids.toSeq == Seq(1L, 100L, 200L))
     }
 
+    it("SYNC IDENTITY re-seats the mark on the actual extremum") {
+      val t = GraftTable.create(spark, tmpTableDir("ident-sync"),
+        Seq((100L, "a"), (200L, "b")).toDF("id", "name"), properties = idProp(1, 1))
+      // explicit BY-DEFAULT values overtook the (unset) mark: sync realigns
+      val v = t.syncIdentity()
+      val t2 = GraftTable.forPath(spark, t.path)
+      assert(t2.version == v)
+      assert(t2.snapshot.metadata.properties(GraftTable.identityHighKey("id")) == "200")
+      assert(t2.history().head._2.operation == "SYNC IDENTITY")
+      // generated values continue past the synced mark — no collision
+      t2.append(Seq("c").toDF("name"))
+      assert(GraftTable.forPath(spark, t.path).toDF.select("id").as[Long]
+        .collect().sorted.toSeq == Seq(100L, 200L, 201L))
+      // an extremum AT the mark moves nothing: no-op, no commit
+      val t3 = GraftTable.forPath(spark, t.path)
+      assert(t3.syncIdentity() == t3.version)
+      // deletes never move the mark BACK (freed values are not reissued)
+      graft.operators.TableOps.delete(t3, Some("id = 201"))
+      val t4 = GraftTable.forPath(spark, t.path)
+      assert(t4.syncIdentity() == t4.version)
+      t4.append(Seq("d").toDF("name"))
+      assert(GraftTable.forPath(spark, t.path).toDF.select("id").as[Long]
+        .collect().sorted.toSeq == Seq(100L, 200L, 202L))
+      // a non-identity column refuses loudly
+      val e = intercept[IllegalArgumentException] {
+        GraftTable.forPath(spark, t.path).syncIdentity(Seq("name"))
+      }
+      assert(e.getMessage.contains("not an identity column"), e.getMessage)
+    }
+
+    it("SYNC IDENTITY follows a negative step via min(); SQL surface works") {
+      val t = GraftTable.create(spark, tmpTableDir("ident-sync-neg"),
+        Seq((-50L, "a")).toDF("id", "name"), properties = idProp(-1, -1))
+      spark.sql(s"ALTER TABLE '${t.path}' ALTER COLUMN id SYNC IDENTITY")
+      val t2 = GraftTable.forPath(spark, t.path)
+      assert(t2.snapshot.metadata.properties(GraftTable.identityHighKey("id")) == "-50")
+      t2.append(Seq("b").toDF("name"))
+      assert(GraftTable.forPath(spark, t.path).toDF.select("id").as[Long]
+        .collect().sorted.toSeq == Seq(-51L, -50L))
+    }
+
     it("an empty append does not advance the high-water mark") {
       val t = GraftTable.create(spark, tmpTableDir("ident-empty"),
         Seq("a").toDF("name"), properties = idProp(1, 1))

@@ -3396,6 +3396,67 @@ object SparkEntry {
       }
     }),
 
+    "s63_vacuum_untracked" -> ((s, dir) => {
+      // VACUUM's untracked-orphan sweep: data files land in the table dir
+      // BEFORE their OCC commit, so a crashed/race-losing writer strands
+      // files no log version references — only a directory listing finds
+      // them. Aged orphans (incl. one under _change_data) are swept; a
+      // young orphan (in-flight guard) and live data survive; LITE
+      // (log-only, Delta 4.0's keyword) skips the listing entirely.
+      val base = read(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("id"), col("n_name").as("name"))
+      val t = GraftTable.create(s, tmp("s63"), base.coalesce(1))
+      () => {
+      def plant(rel: String, aged: Boolean): Unit = {
+        val p = java.nio.file.Paths.get(t.path, rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, Array[Byte](1, 2, 3))
+        if (aged) java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 7200000L))
+        ()
+      }
+      plant("part-orphan-a.parquet", aged = true)
+      plant("part-orphan-b.parquet", aged = true)
+      plant("_change_data/cdc-orphan.parquet", aged = true)
+      plant("part-orphan-young.parquet", aged = false)
+      val lite = TableOps.vacuum(t, t.version, lite = true).toLong
+      val planned = TableOps.vacuumDryRun(t, t.version).size.toLong
+      val swept = TableOps.vacuum(t, t.version).toLong
+      val t2 = GraftTable.forPath(s, t.path)
+      t2.toDF.select(col("id"), col("name"))
+        .withColumn("lite_deleted", lit(lite))
+        .withColumn("planned", lit(planned))
+        .withColumn("swept", lit(swept))
+        .withColumn("young_survives", lit(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(t.path, "part-orphan-young.parquet"))))
+      }
+    }),
+
+    "s64_sync_identity" -> ((s, dir) => {
+      // ALTER COLUMN ... SYNC IDENTITY: explicit BY-DEFAULT inserts
+      // (nation keys shifted +1000) overtake the unset high-water mark;
+      // sync re-seats it on max(id) via the metadata-only stats aggregate,
+      // so the next generated range continues PAST the explicit values
+      // instead of colliding with them.
+      val base = read(s, dir, "nation")
+        .select((col("n_nationkey").cast("long") + 1000).as("id"),
+          col("n_name").as("name"))
+      val t = GraftTable.create(s, tmp("s64"), base,
+        properties = Map(GraftTable.IdentityPropertyPrefix + "id" -> "1,1"))
+      () => {
+      graft.sql.GraftSql.sql(s,
+        s"ALTER TABLE '${t.path}' ALTER COLUMN id SYNC IDENTITY")
+      val t2 = GraftTable.forPath(s, t.path)
+      val mark = t2.snapshot.metadata.properties(
+        GraftTable.identityHighKey("id")).toLong
+      import s.implicits._
+      t2.append(Seq("gen1", "gen2", "gen3").toDF("name"))
+      GraftTable.forPath(s, t.path).toDF.select(col("id"), col("name"))
+        .withColumn("synced_mark", lit(mark))
+      }
+    }),
+
     "s42_uri_table" -> ((s, dir) => {
       // REMOTE-scheme storage end-to-end: the whole engine addressed by a
       // hadoop-FileSystem URI instead of a local path — log IO through
@@ -5112,6 +5173,22 @@ object SparkEntry {
         |       true AS missing_refused,
         |       CAST(0 AS BIGINT) AS change_files_written
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "s63_vacuum_untracked" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
+        |       CAST(0 AS BIGINT) AS lite_deleted,
+        |       CAST(3 AS BIGINT) AS planned,
+        |       CAST(3 AS BIGINT) AS swept,
+        |       true AS young_survives
+        |FROM nation""".stripMargin,
+    "s64_sync_identity" ->
+      """WITH m AS (SELECT CAST(max(n_nationkey) + 1000 AS BIGINT) AS mark
+        |           FROM nation)
+        |SELECT CAST(n_nationkey AS BIGINT) + 1000 AS id, n_name AS name,
+        |       m.mark AS synced_mark
+        |FROM nation, m
+        |UNION ALL
+        |SELECT m.mark + i, 'gen' || CAST(i AS VARCHAR), m.mark
+        |FROM m, (VALUES (1), (2), (3)) AS v(i)""".stripMargin,
     "s62_restore_cdf" ->
       """WITH rows_now AS (
         |  SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name FROM nation

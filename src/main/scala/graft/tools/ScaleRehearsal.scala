@@ -25,6 +25,10 @@ import graft.tables.GraftTable
   *    no change rows) timed against the round-15 write path's floor: one
   *    job that materializes the delete+insert union to scratch parquet.
   *    readCDF of the replace version must count old+new exactly.
+  *  - CDF-on RESTORE — same synthesis posture (late round 16): the undo of
+  *    the replace commits metadata-only; readCDF counts new+old exactly.
+  *  - VACUUM untracked sweep — 200 aged orphans planted in the 6M-row
+  *    clone; LITE (log-only) must skip them, FULL must sweep exactly them.
   *
   * Run twice (copies=1, copies=10) and compare s/row in BENCH_NOTES.md:
   * {{{ sbt "runMain graft.tools.ScaleRehearsal /root/testdata/sf0.1 10" }}}
@@ -176,6 +180,38 @@ object ScaleRehearsal {
       TableOps.copyInto(tci, landing, "parquet"))
     require(r2 == 0 && c2 == 0 && s2 == ciCopied,
       s"copy into re-run must skip all: got $r2/$c2/$s2")
+
+    // ---- H) RESTORE with CDF: read-time synthesis at scale ------------------
+    // undo the replace: drop its files, re-add the original 6M rows — the
+    // commit is metadata-only (no change rows written); the CDF read
+    // synthesizes delete(new)+insert(old) exactly
+    val vRest = timed("restore_commit")(TableOps.restore(tr, 0L))
+    require(tr.log.actionsAt(vRest)
+        .count(_.isInstanceOf[graft.tables.AddCDCFile]) == 0,
+      "restore wrote change files")
+    val restCdf = timed("restore_cdf_read") {
+      graft.log.ChangeDataFeedHelper(spark, replDir, vRest, vRest).readCDF.count()
+    }
+    require(restCdf == nNew + nRows,
+      s"restore CDF rows: got $restCdf, want ${nNew + nRows}")
+
+    // ---- I) VACUUM untracked-orphan sweep over the cloned 6M-row table -----
+    // plant 200 aged orphans (a crashed writer's strandings), assert the
+    // listing-based sweep finds exactly them and LITE skips the listing
+    val orphanRels = (0 until 200).map(i => s"part-orphan-$i.parquet")
+    orphanRels.foreach { rel =>
+      val p = java.nio.file.Paths.get(cloneDir, rel)
+      java.nio.file.Files.write(p, Array[Byte](1, 2, 3))
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 7200000L))
+    }
+    val tcl = GraftTable.forPath(spark, cloneDir)
+    val liteN = timed("vacuum_lite")(TableOps.vacuum(tcl, tcl.version, lite = true))
+    require(liteN == 0, s"LITE vacuum must skip orphans, deleted $liteN")
+    val sweptN = timed("vacuum_full_sweep")(TableOps.vacuum(tcl, tcl.version))
+    require(sweptN == 200, s"full vacuum swept $sweptN, want the 200 orphans")
+    require(tcl.toDF.count() == nRows + nIns, "vacuum touched live data")
 
     val json = "{" + List(
       s""""sfDir":"$sfDir"""",

@@ -1102,10 +1102,17 @@ object TableOps {
       throw new IllegalStateException(
         s"cannot restore ${table.path} to version $version: ${missing.size} of its " +
           s"files were vacuumed (first: ${missing.head.path}); the state is gone")
-    val curPaths = cur.files.map(_.path).toSet
-    val tgtPaths = target.files.map(_.path).toSet
-    val reAdd = target.files.filterNot(f => curPaths.contains(f.path))
-    val drop = cur.files.filterNot(f => tgtPaths.contains(f.path))
+    // diff by (path, deletion vector), NOT by path alone: a DV delete
+    // keeps the file's path and attaches a dv descriptor, so a path-only
+    // diff would leave the CURRENT DV-masked entry in the "restored" state
+    // — silently missing the rows the target version still had. A file
+    // whose dv changed both removes (current entry) and re-adds (target
+    // entry) in this one commit; the fold applies adds after removes, the
+    // same same-path shape a DV delete itself commits.
+    val curKeys = cur.files.map(f => (f.path, f.dv)).toSet
+    val tgtKeys = target.files.map(f => (f.path, f.dv)).toSet
+    val reAdd = target.files.filterNot(f => curKeys.contains((f.path, f.dv)))
+    val drop = cur.files.filterNot(f => tgtKeys.contains((f.path, f.dv)))
 
     // change rows for CDF consumers — rows leaving the table (files added
     // since `version`) as deletes, rows returning (files removed since) as

@@ -451,9 +451,14 @@ class GraftStreamSource(
             val deletes = widen(table.dfForFiles(prev, removedAdds)
               .withColumn("_change_type", lit("delete"))
               .withColumn("_commit_version", lit(v)))
+            // insert side = ALL adds, not dataAdds: a RESTORE undoing a DV
+            // delete re-ADDS the removed path (target entry, different dv)
+            // — that add carries the returning rows, unlike a DV update's
+            // same-path re-add (which never reaches this branch: DV deletes
+            // carry change files when CDF is on, and are not overwrites)
             val inserts =
-              if (dataAdds.isEmpty) None
-              else Some(widen(table.dfForFiles(table.snapshotAt(v), dataAdds)
+              if (adds.isEmpty) None
+              else Some(widen(table.dfForFiles(table.snapshotAt(v), adds)
                 .withColumn("_change_type", lit("insert"))
                 .withColumn("_commit_version", lit(v))))
             Some(inserts.fold(deletes)(i => deletes.unionByName(i)))

@@ -725,6 +725,45 @@ class GraftHelpersSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(graft.operators.TableOps.parseRetentionHours("interval 12 HOURS") == 12.0)
     }
 
+    it("restore undoes a DV delete: the dv-changed path re-adds the target entry") {
+      // a DV delete keeps the file's PATH and attaches a dv descriptor —
+      // restore must diff by (path, dv), not path alone, or the "restored"
+      // state silently keeps the mask and loses the target's rows
+      val t = GraftTable.create(spark, tmpTableDir("restore-dv"),
+        (0 until 10).map(i => (i, s"v$i")).toDF("id", "name").coalesce(1),
+        properties = Map(GraftLog.CdfProperty -> "true",
+          graft.tables.DeletionVectors.Property -> "true"))       // v0
+      TableOps.delete(t, Some("id < 3"))                           // v1: same path + dv
+      val masked = GraftTable.forPath(spark, t.path)
+      assert(masked.snapshot.files.exists(_.dv.exists(_.cardinality == 3)),
+        "fixture must take the DV merge-on-read path")
+      assert(masked.toDF.count() == 7)
+
+      val rv = TableOps.restore(t, 0L)                             // v2
+      val t2 = GraftTable.forPath(spark, t.path)
+      assert(t2.toDF.count() == 10, "restore must unmask the DV'd rows")
+      assert(t2.snapshot.files.forall(_.dv.isEmpty),
+        "the restored entry must be the target's (no dv)")
+      // synthesized CDF: the masked file's 7 LIVE rows leave, all 10 return
+      assert(!t2.log.actionsAt(rv).exists(_.isInstanceOf[graft.tables.AddCDCFile]))
+      val cdf = graft.log.ChangeDataFeedHelper(spark, t.path, rv, rv).readCDF
+        .groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(cdf == Map("delete" -> 7L, "insert" -> 10L), s"restore-over-DV CDF: $cdf")
+      // the STREAM synthesizes the same commit (insert side = ALL adds —
+      // the same-path re-add carries the returning rows)
+      val sink = "restore_dv_sink_" + System.nanoTime()
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", rv).format("graft").load(t.path)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val byType = spark.table(sink).groupBy("_change_type").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(byType == Map("delete" -> 7L, "insert" -> 10L), s"stream: $byType")
+      } finally q.stop()
+    }
+
     it("restore reverts data, schema and properties; history stays travelable") {
       val t = GraftTable.create(spark, tmpTableDir("restore"),
         Seq((0, "a"), (1, "b"), (2, "c")).toDF("id", "name").coalesce(1),

@@ -1096,8 +1096,14 @@ object TableOps {
     val cur = table.snapshot
     if (version == cur.version) return cur.version
     val target = log.snapshot(version)
+    // a target file is reconstructible only when its data bytes AND its
+    // deletion-vector sidecar (if the target entry carries one) both still
+    // exist — a swept dv dir makes the target's live-row set uncomputable,
+    // the same rule fsck applies
     val missing = target.files.filterNot(f =>
-      graft.tables.Fs.exists(GraftTable.resolveDataPath(table.path, f.path)))
+      graft.tables.Fs.exists(GraftTable.resolveDataPath(table.path, f.path)) &&
+        f.dv.forall(d =>
+          graft.tables.Fs.exists(GraftTable.resolveDataPath(table.path, d.path))))
     if (missing.nonEmpty)
       throw new IllegalStateException(
         s"cannot restore ${table.path} to version $version: ${missing.size} of its " +

@@ -762,6 +762,13 @@ class GraftHelpersSpec extends AnyFunSpec with SparkSessionTestWrapper {
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         assert(byType == Map("delete" -> 7L, "insert" -> 10L), s"stream: $byType")
       } finally q.stop()
+      // a target whose DV SIDECAR is gone is as unreconstructible as one
+      // whose data bytes are (fsck's rule): restore to the dv-carrying v1
+      // after sweeping _dv must refuse, not resurrect the deleted rows
+      graft.tables.Fs.deleteRecursively(
+        graft.tables.Fs.child(t.path, graft.tables.DeletionVectors.DirName))
+      val e = intercept[IllegalStateException] { TableOps.restore(t2, 1L) }
+      assert(e.getMessage.contains("vacuumed"), e.getMessage)
     }
 
     it("restore reverts data, schema and properties; history stays travelable") {

@@ -3457,6 +3457,41 @@ object SparkEntry {
       }
     }),
 
+    "s65_not_null" -> ((s, dir) => {
+      // NOT NULL invariants (Delta's nullability enforcement): SET NOT
+      // NULL validates the existing rows from footer nullCounts
+      // (metadata-only — zero data read on a graft-written table), the
+      // write projection then rejects a violating append per ROW with
+      // nothing committed, a conforming nullable-SCHEMA append lands
+      // without eroding the brand, and DROP NOT NULL relaxes it so the
+      // null row then lands.
+      val base = read(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("id"), col("n_name").as("name"))
+      val t = GraftTable.create(s, tmp("s65"), base)
+      () => {
+      graft.sql.GraftSql.sql(s,
+        s"ALTER TABLE '${t.path}' ALTER COLUMN id SET NOT NULL")       // v1
+      val branded = !GraftTable.forPath(s, t.path).snapshot.schema("id").nullable
+      val rejected =
+        try {
+          GraftTable.forPath(s, t.path)
+            .append(s.sql("SELECT CAST(NULL AS BIGINT) AS id, 'x' AS name"))
+          false
+        } catch { case _: Throwable => true }
+      val vAfterReject = GraftTable.forPath(s, t.path).version
+      GraftTable.forPath(s, t.path)
+        .append(s.sql("SELECT CAST(900 AS BIGINT) AS id, 'ok' AS name")) // v2
+      graft.sql.GraftSql.sql(s,
+        s"ALTER TABLE '${t.path}' ALTER COLUMN id DROP NOT NULL")      // v3
+      GraftTable.forPath(s, t.path)
+        .append(s.sql("SELECT CAST(NULL AS BIGINT) AS id, 'nullrow' AS name")) // v4
+      GraftTable.forPath(s, t.path).toDF.select(col("id"), col("name"))
+        .withColumn("branded", lit(branded))
+        .withColumn("violation_rejected", lit(rejected))
+        .withColumn("reject_committed_nothing", lit(vAfterReject == 1L))
+      }
+    }),
+
     "s42_uri_table" -> ((s, dir) => {
       // REMOTE-scheme storage end-to-end: the whole engine addressed by a
       // hadoop-FileSystem URI instead of a local path — log IO through
@@ -5173,6 +5208,16 @@ object SparkEntry {
         |       true AS missing_refused,
         |       CAST(0 AS BIGINT) AS change_files_written
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "s65_not_null" ->
+      """WITH rows_now AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name FROM nation
+        |  UNION ALL SELECT CAST(900 AS BIGINT), 'ok'
+        |  UNION ALL SELECT NULL, 'nullrow')
+        |SELECT id, name,
+        |       true AS branded,
+        |       true AS violation_rejected,
+        |       true AS reject_committed_nothing
+        |FROM rows_now""".stripMargin,
     "s63_vacuum_untracked" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
         |       CAST(0 AS BIGINT) AS lite_deleted,

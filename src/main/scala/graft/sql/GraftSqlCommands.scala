@@ -351,6 +351,21 @@ case class GraftSyncIdentityCommand(path: String, column: String)
   }
 }
 
+/** `ALTER TABLE ... ALTER COLUMN <c> SET NOT NULL | DROP NOT NULL` —
+  * toggle the nullability invariant ([[GraftTable.setColumnNullability]];
+  * SET validates existing rows via footer nullCounts, scanning only when
+  * stats can't prove it).
+  */
+case class GraftSetNullabilityCommand(path: String, column: String, nullable: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlCommands.resolveTarget(spark, path)
+    Seq(Row(t.setColumnNullability(column, nullable)))
+  }
+}
+
 case class GraftAddConstraintCommand(path: String, name: String, predicate: String)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =

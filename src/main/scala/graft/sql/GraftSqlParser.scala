@@ -31,6 +31,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   ALTER TABLE '<path>' DROP CONSTRAINT name
   *   SHOW TBLPROPERTIES '<path>'
   *   ALTER TABLE '<path>' ALTER COLUMN c SYNC IDENTITY
+  *   ALTER TABLE '<path>' ALTER COLUMN c SET NOT NULL | DROP NOT NULL
   *   CREATE TABLE <target> [IF NOT EXISTS] SHALLOW|DEEP CLONE <source>
   *     [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']
   *   COPY INTO <target> FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
@@ -171,6 +172,8 @@ object GraftSqlParser {
     s"""^\\s*ALTER\\s+TABLE\\s+$P\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val alterColumnType = rx(
     s"""^\\s*ALTER\\s+TABLE\\s+$P\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\\s+(?:SET\\s+DATA\\s+)?TYPE\\s+([A-Za-z0-9_()\\s,]+?)\\s*;?\\s*$$""")
+  private val alterNullability = rx(
+    s"""^\\s*ALTER\\s+TABLE\\s+$P\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+`?([A-Za-z_][A-Za-z0-9_.]*)`?\\s+(SET|DROP)\\s+NOT\\s+NULL\\s*;?\\s*$$""")
   private val alterSyncIdentity = rx(
     s"""^\\s*ALTER\\s+TABLE\\s+$P\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\\s+SYNC\\s+IDENTITY\\s*;?\\s*$$""")
   private val alterAddConstraint = rx(
@@ -506,6 +509,10 @@ object GraftSqlParser {
     val asi = alterSyncIdentity.matcher(sqlText)
     if (asi.matches() && claimableDml(asi))
       return Some(GraftSyncIdentityCommand(pathOf(asi, 2), asi.group(6)))
+    val ann = alterNullability.matcher(sqlText)
+    if (ann.matches() && claimableDml(ann))
+      return Some(GraftSetNullabilityCommand(pathOf(ann, 2), ann.group(6),
+        nullable = "DROP".equalsIgnoreCase(ann.group(7))))
     val acc = alterAddConstraint.matcher(sqlText)
     if (acc.matches() && claimableDml(acc))
       return Some(GraftAddConstraintCommand(pathOf(acc, 2), acc.group(6), acc.group(7).trim))

@@ -55,13 +55,20 @@ class GraftStreamingWrite(
 
   override def toString: String = s"GraftStreamingWrite[$tablePath]"
 
-  /** Partition columns resolved at plan time from the table's log (empty
-    * for a table being created by this stream's first epoch).
+  /** Partition columns and NOT NULL brands resolved at plan time from the
+    * table's log (empty/none for a table being created by this stream's
+    * first epoch). The TABLE's nullability is authoritative for the
+    * per-row invariant check in the epoch writers — the streamed query's
+    * schema nullability is whatever the source happened to infer.
     */
+  private val planSnapshot =
+    if (GraftTable.exists(tablePath)) Some(new GraftLog(tablePath).snapshot())
+    else None
   private val partitionColumns: Seq[String] =
-    if (GraftTable.exists(tablePath))
-      new GraftLog(tablePath).snapshot().metadata.partitionColumns
-    else Nil
+    planSnapshot.map(_.metadata.partitionColumns).getOrElse(Nil)
+  private val tableNullability: Map[String, Boolean] =
+    planSnapshot.map(_.schema.fields.map(f =>
+      f.name.toLowerCase -> f.nullable).toMap).getOrElse(Map.empty)
 
   /** The epoch staging dir this instance last created — commit/abort must
     * reclaim it even when ZERO tasks reported (an empty micro-batch sends
@@ -89,7 +96,11 @@ class GraftStreamingWrite(
     val conf = spark.sessionState.newHadoopConf()
     val (owf, confBox) = org.apache.spark.sql.graft.SparkBridge
       .parquetWriteKit(spark, conf, dataSchema)
-    GraftEpochWriterFactory(owf, confBox, dataSchema.json, schema.json,
+    // the writers' invariant check reads the TABLE's brands, overlaid by
+    // name onto the query schema (a new table inherits the query's own)
+    val branded = StructType(schema.fields.map(f =>
+      f.copy(nullable = tableNullability.getOrElse(f.name.toLowerCase, f.nullable))))
+    GraftEpochWriterFactory(owf, confBox, dataSchema.json, branded.json,
       partitionColumns, staging,
       spark.sessionState.conf.sessionLocalTimeZone)
   }
@@ -255,6 +266,16 @@ class GraftEpochDataWriter(
       org.apache.spark.sql.types.StringType, Some(f.timeZoneId))))
   }
 
+  // NOT NULL invariants (the pre-staged path bypasses TableWriter's write
+  // projection, so top-level brands are checked HERE, one isNullAt branch
+  // per required ordinal per row — nested struct leaves are rare in
+  // streamed sinks and such tables should write through the DataFrame
+  // engine; the projection path enforces them fully)
+  private val requiredOrdinals: Array[Int] =
+    fullSchema.fields.zipWithIndex.collect {
+      case (fld, i) if !fld.nullable => i
+    }
+
   private val taskContext = {
     val conf = new Configuration(f.confBox.value)
     new TaskAttemptContextImpl(conf,
@@ -309,6 +330,14 @@ class GraftEpochDataWriter(
     }
 
   override def write(row: InternalRow): Unit = {
+    var k = 0
+    while (k < requiredOrdinals.length) {
+      val i = requiredOrdinals(k)
+      if (row.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"NOT NULL constraint violated for column: ${fullSchema.fields(i).name}")
+      k += 1
+    }
     val relDir = if (f.partitionColumns.isEmpty) "" else relDirOf(row)
     writerFor(relDir).write(dataProjection(row))
   }

@@ -302,6 +302,65 @@ class GraftTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** ALTER TABLE ... ALTER COLUMN <c> SET NOT NULL / DROP NOT NULL —
+    * toggle the column's nullability invariant (Delta's statement pair).
+    * DROP is metadata-only. SET must prove the EXISTING rows satisfy the
+    * invariant first: per-file footer `nullCount` when every live file
+    * carries one for the column and none is DV-masked (a masked row could
+    * be the null — and for a NESTED leaf the footer counts nulls-via-null-
+    * ancestor too, which the invariant permits), otherwise one real scan
+    * of `ancestors NOT NULL AND leaf IS NULL`. Enforcement of future
+    * writes rides the write projection (TableWriter) and the streaming
+    * epoch writers.
+    */
+  def setColumnNullability(name: String, nullable: Boolean): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val parts = name.split('.').toSeq.map(_.trim).filter(_.nonEmpty)
+    require(parts.nonEmpty, "empty column name")
+    val op = if (nullable) "DROP NOT NULL" else "SET NOT NULL"
+    retryMetadataCommit(op) { s =>
+      val chain = ColumnMapping.fieldChain(s.schema, parts).getOrElse(
+        throw new IllegalArgumentException(s"column $name does not exist in $path"))
+      if (chain.last.nullable == nullable)
+        throw new IllegalArgumentException(
+          s"column $name is already ${if (nullable) "nullable" else "NOT NULL"}")
+      if (!nullable) {
+        val physPath = chain.map(ColumnMapping.physicalName).mkString(".")
+        val stats = s.files.map(f => (f, GraftLog.parseStats(f.stats)))
+        val footerKnown = stats.forall { case (f, st) =>
+          f.dv.forall(_.cardinality == 0) && st.exists(_.nullCount.contains(physPath))
+        }
+        val footerZero =
+          footerKnown && stats.forall(_._2.exists(_.nullCount(physPath) == 0L))
+        val nullFree =
+          if (footerZero) true
+          else if (footerKnown && parts.lengthCompare(1) == 0) false
+          else {
+            // scan fallback: nested leaves permit nulls-via-null-ancestor,
+            // DV-masked files need live-row evaluation, and files missing
+            // the column's stats need real bytes
+            val ancestorsNotNull = (1 until parts.length)
+              .map(i => col(parts.take(i).mkString(".")).isNotNull)
+              .foldLeft(lit(true))(_ && _)
+            spark.read.format("graft").option("versionAsOf", s.version)
+              .load(path)
+              .where(ancestorsNotNull && col(name).isNull)
+              .isEmpty
+          }
+        require(nullFree,
+          s"cannot SET NOT NULL on $name: existing rows are null there — " +
+            "clean them up (UPDATE/DELETE) first")
+      }
+      val updated = ColumnMapping.updateFieldAt(s.schema, parts)(
+        of => Some(of.copy(nullable = nullable)))
+      Seq(
+        graft.tables.Metadata(updated.json, s.metadata.partitionColumns,
+          s.metadata.properties),
+        CommitInfo(System.currentTimeMillis(), op,
+          operationParameters = Map("column" -> name)))
+    }
+  }
+
   /** ALTER TABLE ... ALTER COLUMN <c> SYNC IDENTITY (Delta's statement):
     * re-seat the identity column's high-water mark on the table's ACTUAL
     * extremum. Identity here is GENERATED BY DEFAULT — an explicit insert

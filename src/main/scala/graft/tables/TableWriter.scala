@@ -40,6 +40,25 @@ object TableWriter {
     * `preStagedDir` parameter): true when no row-altering write feature
     * would be skipped by bypassing the write projection.
     */
+  /** Dotted paths of every NOT NULL field in `schema`: non-nullable
+    * top-level columns and non-nullable STRUCT leaves at any depth (array/
+    * map element nullability is not a per-row invariant — Delta's posture).
+    * Struct leaves are collected regardless of the parent's own
+    * nullability: the enforcement expression passes a row whose ancestor
+    * struct is null, so a nullable parent never false-positives its leaves.
+    */
+  private[graft] def notNullPaths(schema: StructType): Seq[Seq[String]] = {
+    def walk(st: StructType, prefix: Seq[String]): Seq[Seq[String]] =
+      st.fields.toSeq.flatMap { f =>
+        val self = if (f.nullable) Nil else Seq(prefix :+ f.name)
+        f.dataType match {
+          case s: StructType => self ++ walk(s, prefix :+ f.name)
+          case _             => self
+        }
+      }
+    walk(schema, Nil)
+  }
+
   def canRegisterPreStaged(props: Map[String, String], schema: StructType): Boolean =
     GraftTable.constraintsOf(props).isEmpty &&
       GraftTable.generatedColumnsOf(props).isEmpty &&
@@ -257,6 +276,52 @@ object TableWriter {
         .drop(missing: _*)
     }
 
+    // NOT NULL invariants (Delta's nullability enforcement): the committed
+    // schema's non-nullable fields are checked per ROW, inside the same
+    // write projection as CHECK constraints — the table's brand is
+    // authoritative, the incoming frame's schema nullability is irrelevant.
+    // A frame MISSING a non-nullable column outright is rejected up front
+    // (its rows would all read null there); generated/default/identity
+    // fills ran above, so a declared fill satisfies the invariant.
+    // Nested rule: a leaf violates only when every ancestor struct is
+    // non-null — a null ancestor has no leaf to check (and a non-nullable
+    // ancestor null is its own violation at its own depth).
+    val nnDf =
+      if (skipDataWrite) checkedDf
+      else {
+        val enforced = notNullPaths(newSchema)
+        val have = checkedDf.columns.map(_.toLowerCase).toSet
+        // a column with a DECLARED fill (generated/default/identity) is
+        // materialized by the projections above whenever rows exist — an
+        // EMPTY frame skips the fill, but an empty frame also writes no
+        // row that could violate, so absence of a filled column is fine
+        val filled = (GraftTable.generatedColumnsOf(writeProps).map(_._1) ++
+          GraftTable.defaultColumnsOf(writeProps).map(_._1) ++
+          GraftTable.identityColumnsOf(writeProps).keys)
+          .map(_.toLowerCase).toSet
+        val absent = enforced.collect {
+          case path if path.lengthCompare(1) == 0 &&
+              !have.contains(path.head.toLowerCase) &&
+              !filled.contains(path.head.toLowerCase) => path.head
+        }
+        if (absent.nonEmpty)
+          throw new IllegalArgumentException(
+            s"NOT NULL constraint violated for column(s) ${absent.mkString(", ")}: " +
+              "the written data has no such column(s), so every row would be " +
+              "null there; provide the column(s) or drop the NOT NULL " +
+              "constraint (ALTER COLUMN ... DROP NOT NULL)")
+        enforced.filter(p => have.contains(p.head.toLowerCase))
+          .foldLeft(checkedDf) { (d, path) =>
+            import org.apache.spark.sql.functions.{assert_true, col, lit}
+            val name = path.mkString(".")
+            val nullAncestor = (1 until path.length)
+              .map(i => col(path.take(i).mkString(".")).isNull)
+              .foldLeft(org.apache.spark.sql.functions.lit(false))(_ || _)
+            d.filter(assert_true(nullAncestor || col(name).isNotNull,
+              lit(s"NOT NULL constraint violated for column: $name")).isNull)
+          }
+      }
+
     // 1. distributed write to staging — a sibling dir of the table, so the
     // per-file landing moves below are same-filesystem renames on every
     // scheme (local rename or hadoop.fs rename — never byte copies)
@@ -281,7 +346,7 @@ object TableWriter {
                 "mapping — write through the DataFrame path instead")
             Fs.moveNoReplace(pre, stagingDir)
           case None =>
-            val physicalDf = ColumnMapping.toPhysical(checkedDf, newSchema)
+            val physicalDf = ColumnMapping.toPhysical(nnDf, newSchema)
             val writer = physicalDf.write.mode("overwrite")
             (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*) else writer)
               .parquet(stagingDir)
@@ -296,7 +361,7 @@ object TableWriter {
         // staged files' PHYSICAL layout: reading them back with logical
         // names would null out every renamed column. (Pre-staged data is
         // gated unmapped, so its logical layout IS physical.)
-        val stagedSchema = StructType(checkedDf.schema.fields.map { f =>
+        val stagedSchema = StructType(nnDf.schema.fields.map { f =>
           newSchema.fields.find(_.name.equalsIgnoreCase(f.name))
             .map(tf => f.copy(name = ColumnMapping.physicalName(tf)))
             .getOrElse(f)
@@ -1028,8 +1093,11 @@ object TableWriter {
         case o => o
       }
     }
-    // OLD keeps its nested metadata; nullability widens to the union so an
-    // append of nullable nested data is never refused by a non-null brand
+    // OLD keeps its nested metadata AND its nullability brand: the table's
+    // declared NOT NULL invariants are authoritative — an append of a
+    // nullable-SCHEMA frame is never refused (nor does it erode the brand);
+    // its VALUES are checked per row by the write projection below, which
+    // is Delta's nullability-invariant semantic
     def unionNullable(old: org.apache.spark.sql.types.DataType,
         inc: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
       import org.apache.spark.sql.types._
@@ -1038,15 +1106,14 @@ object TableWriter {
           StructType(os.fields.map { of =>
             is.fields.find(_.name.equalsIgnoreCase(of.name)) match {
               case Some(inf) => of.copy(
-                dataType = unionNullable(of.dataType, inf.dataType),
-                nullable = of.nullable || inf.nullable)
+                dataType = unionNullable(of.dataType, inf.dataType))
               case None => of
             }
           })
-        case (ArrayType(oe, on), ArrayType(ie, in2)) =>
-          ArrayType(unionNullable(oe, ie), on || in2)
-        case (MapType(ok, ov, on), MapType(ik, iv, in2)) =>
-          MapType(unionNullable(ok, ik), unionNullable(ov, iv), on || in2)
+        case (ArrayType(oe, on), ArrayType(ie, _)) =>
+          ArrayType(unionNullable(oe, ie), on)
+        case (MapType(ok, ov, on), MapType(ik, iv, _)) =>
+          MapType(unionNullable(ok, ik), unionNullable(ov, iv), on)
         case _ => old
       }
     }
@@ -1075,7 +1142,11 @@ object TableWriter {
           "void (NullType) columns are not storable — cast the null literal " +
           "to a concrete type")
     }
-    StructType((updatedExisting ++ appended).map(f => StructField(f.name, f.dataType, nullable = true)))
+    // existing fields keep the TABLE's nullability brand (NOT NULL is a
+    // declared invariant, enforced per value at write); evolution-appended
+    // columns are forcibly nullable — every pre-evolution file reads null
+    // for them, so a NOT NULL brand would be violated by construction
+    StructType(updatedExisting ++ appended.map(_.copy(nullable = true)))
   }
 
   /** [[mergeSchemas]] with column mapping preserved: the snapshot's fields

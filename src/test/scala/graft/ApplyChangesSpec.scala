@@ -76,7 +76,9 @@ class ApplyChangesSpec extends AnyFunSpec with SparkSessionTestWrapper {
 
     it("target columns absent from the feed keep their value on update, go NULL on insert") {
       val t = GraftTable.create(spark, tmpTableDir("ac-partial"),
-        Seq((1, "a", 100), (2, "b", 200)).toDF("id", "name", "bonus").repartition(1))
+        // Option bonus → nullable column: the insert path writes null there
+        Seq((1, "a", Some(100)), (2, "b", Some(200)))
+          .toDF("id", "name", "bonus").repartition(1))
       val feed = Seq((1, "upd", 1L), (3, "ins", 1L)).toDF("id", "name", "seq")
       ApplyChanges.applyChanges(t, feed, Seq("id"), "seq", None)
       assertSmallDataFrameEquality(t.toDF,

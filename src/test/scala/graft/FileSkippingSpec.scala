@@ -324,7 +324,10 @@ class FileSkippingSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(survivors(plain, "id = 2047") == 8)
 
     // a schema-merging append WITHOUT the indexed column must not fail the
-    // commit: the new file just has no bloom for it (probes keep it)
+    // commit: the new file just has no bloom for it (probes keep it).
+    // The id column is branded NOT NULL by its bare-Int create frame —
+    // relax it first, since the narrow append's rows read null there.
+    t.setColumnNullability("id", nullable = true)
     t.append(Seq(("only-extra", 1)).toDF("name", "extra"))
     val t2 = GraftTable.forPath(spark, t.path)
     assert(t2.toDF.filter($"name" === "only-extra").count() == 1)

@@ -12,7 +12,11 @@ class GraftMergeSpec extends AnyFunSpec with SparkSessionTestWrapper {
   // within rewritten files — untouched files are never read)
   private def mkTable(dir: String, cdf: Boolean = false): GraftTable =
     GraftTable.create(spark, dir,
-      Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("id", "name", "score").repartition(1),
+      // score is Option so the table's score column is NULLABLE — the
+      // insertExpr-null fast-path case writes null there (NOT NULL brands
+      // from bare-Int frames would refuse it, as Delta would)
+      Seq((1, "a", Some(10)), (2, "b", Some(20)), (3, "c", Some(30)))
+        .toDF("id", "name", "score").repartition(1),
       properties = if (cdf) Map(GraftLog.CdfProperty -> "true") else Map.empty)
 
   describe("GraftMerge") {

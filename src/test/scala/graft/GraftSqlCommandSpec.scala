@@ -30,6 +30,12 @@ class GraftSqlCommandSpec extends AnyFunSpec with SparkSessionTestWrapper {
         Some(GraftVacuumCommand("/tmp/t", Some(168.0), dryRun = false, lite = true)))
       assert(parse("vacuum graft.`/tmp/t` full dry run") ==
         Some(GraftVacuumCommand("/tmp/t", None, dryRun = true)))
+      assert(parse("ALTER TABLE '/tmp/t' ALTER COLUMN c SYNC IDENTITY") ==
+        Some(GraftSyncIdentityCommand("/tmp/t", "c")))
+      assert(parse("ALTER TABLE '/tmp/t' ALTER COLUMN c SET NOT NULL") ==
+        Some(GraftSetNullabilityCommand("/tmp/t", "c", nullable = false)))
+      assert(parse("alter table graft.`/tmp/t` change column s.leaf drop not null") ==
+        Some(GraftSetNullabilityCommand("/tmp/t", "s.leaf", nullable = true)))
       assert(parse("RESTORE TABLE '/tmp/t' TO VERSION AS OF 4") ==
         Some(GraftRestoreCommand("/tmp/t", Some(4L), None)))
       assert(parse("RESTORE '/tmp/t' TIMESTAMP AS OF '2026-01-01 00:00:00'") ==

@@ -358,14 +358,16 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
 
     it("CHECK constraints enforce row-by-row across every write path") {
+      // Option ids → nullable column: the "NULL passes CHECK" case below
+      // needs a column nulls may legally enter (NOT NULL would refuse first)
       val t = GraftTable.create(spark, tmpTableDir("graft-check"),
-        Seq((1, "a"), (2, "b")).toDF("id", "name"))
+        Seq((Some(1), "a"), (Some(2), "b")).toDF("id", "name"))
       t.addCheckConstraint("pos_id", "id >= 0")
       assert(t.checkConstraints == Map("pos_id" -> "id >= 0"))
 
-      t.append(Seq((3, "c")).toDF("id", "name")) // satisfying rows land
+      t.append(Seq((Some(3), "c")).toDF("id", "name")) // satisfying rows land
       val vBefore = t.version
-      val e1 = intercept[Exception] { t.append(Seq((-1, "bad")).toDF("id", "name")) }
+      val e1 = intercept[Exception] { t.append(Seq((Some(-1), "bad")).toDF("id", "name")) }
       assert(Causes.messages(e1).exists(_.contains("CHECK constraint pos_id")), Causes.messages(e1).mkString("; "))
       // the failed write left NO trace: same version, same rows
       assert(t.version == vBefore && t.toDF.count() == 3)
@@ -838,8 +840,10 @@ class GraftTableSpec extends AnyFunSpec with SparkSessionTestWrapper {
       // a narrower schema-merging append lacking the cluster column is a
       // SUPPORTED write (its values are all null there) — it must re-bin
       // without clustering, not fail
+      // Option extra → nullable cluster column (a NOT NULL brand would
+      // rightly refuse the narrower append, as Delta does)
       val t3 = GraftTable.create(spark, tmpTableDir("graft-clusterby-narrow"),
-        (0 until 200).map(i => (i, s"v$i", i)).toDF("id", "name", "extra").repartition(1),
+        (0 until 200).map(i => (i, s"v$i", Option(i))).toDF("id", "name", "extra").repartition(1),
         properties = Map(
           TableWriter.OptimizeWriteProperty -> "true",
           TableWriter.ClusterByProperty -> "extra"))

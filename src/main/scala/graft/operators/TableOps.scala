@@ -826,6 +826,48 @@ object TableOps {
       readVersion = Some(snap.version))
   }
 
+  /** REORG TABLE ... APPLY (PURGE) (Delta's statement): rewrite EXACTLY
+    * the files whose deletion vectors mask rows — materializing the live
+    * rows, dropping the masks, and reclaiming the masked bytes and the
+    * read-side DV anti-join — without churning clean files (a plain
+    * OPTIMIZE also bin-packs small files; REORG touches only what PURGE
+    * needs, so it's the cheap scheduled job on a DV-heavy DML table).
+    * `where` narrows by predicate through the same skipping classifier as
+    * OPTIMIZE. Commits as OPTIMIZE (layout-only: no CDC footprint,
+    * streaming sources skip it; the DVs' deletes were already emitted by
+    * their own commits).
+    *
+    * @return the committed version (current version if nothing carries a DV)
+    */
+  def reorgPurge(
+      table: GraftTable,
+      where: Option[String] = None,
+      targetFileSizeBytes: Long = 128L * 1024 * 1024): Long = {
+    val spark = table.spark
+    val snap = table.snapshot
+    val selected = (where match {
+      case None => snap.files
+      case Some(cond) =>
+        val classified = FileSkipping.classify(spark, table.toDF, cond)
+        FileSkipping.filesMatching(snap, classified.all,
+          Some(BloomIndex.ProbeContext(spark, table.path)))
+    }).filter(_.dv.exists(_.cardinality > 0))
+    if (selected.isEmpty) return snap.version
+    val totalBytes = selected.map(_.size).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt)
+    val data = table.dfForFiles(snap, selected).repartition(nOut)
+    TableWriter.write(spark, table.path, data, TableWriter.Append,
+      operation = "OPTIMIZE",
+      operationParameters = Map(
+        "predicate" -> where.map(w => s"[$w]").getOrElse("[]"),
+        "applyPurge" -> "true"),
+      extraMetrics = Map("numRemovedFiles" -> selected.size.toString,
+        "numRemovedBytes" -> totalBytes.toString,
+        "numDeletionVectorsRemoved" -> selected.size.toString),
+      removeFiles = selected.map(_.path),
+      readVersion = Some(snap.version))
+  }
+
   /** OPTIMIZE ZORDER BY: rewrite the selected files CLUSTERED on the Morton
     * (bit-interleaved) order of `cols`, so parquet footer min/max stats
     * become tight on EVERY listed column at once — a range predicate on any

@@ -62,6 +62,19 @@ case class GraftOptimizeCommand(
   }
 }
 
+/** `REORG TABLE ... [WHERE p] APPLY (PURGE)` — rewrite exactly the
+  * DV-carrying files ([[TableOps.reorgPurge]]).
+  */
+case class GraftReorgCommand(path: String, where: Option[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlCommands.resolveTarget(spark, path)
+    Seq(Row(TableOps.reorgPurge(t, where)))
+  }
+}
+
 /** `VACUUM ... [LITE | FULL]` — LITE (Delta 4.0's keyword) derives dead
   * files from the log only, skipping the directory listing that sweeps
   * untracked write orphans; FULL (the default, like Delta's) lists.

@@ -12,6 +12,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * {{{
   *   OPTIMIZE '<path>' [WHERE <predicate>] [ZORDER BY (c1, c2, ...)]
   *   VACUUM '<path>' [LITE | FULL] [RETAIN <n> HOURS] [DRY RUN]
+  *   REORG TABLE '<path>' [WHERE <predicate>] APPLY (PURGE)
   *   RESTORE [TABLE] '<path>' [TO] VERSION AS OF <n>
   *   RESTORE [TABLE] '<path>' [TO] TIMESTAMP AS OF '<ts>'
   *   FSCK REPAIR TABLE '<path>' [DRY RUN]
@@ -172,6 +173,8 @@ object GraftSqlParser {
     s"""^\\s*ALTER\\s+TABLE\\s+$P\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val alterColumnType = rx(
     s"""^\\s*ALTER\\s+TABLE\\s+$P\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\\s+(?:SET\\s+DATA\\s+)?TYPE\\s+([A-Za-z0-9_()\\s,]+?)\\s*;?\\s*$$""")
+  private val reorg = rx(
+    s"""^\\s*REORG\\s+TABLE\\s+$P(?:\\s+WHERE\\s+(.+?))?\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$$""")
   private val alterNullability = rx(
     s"""^\\s*ALTER\\s+TABLE\\s+$P\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+`?([A-Za-z_][A-Za-z0-9_.]*)`?\\s+(SET|DROP)\\s+NOT\\s+NULL\\s*;?\\s*$$""")
   private val alterSyncIdentity = rx(
@@ -420,6 +423,10 @@ object GraftSqlParser {
         Some(GraftOptimizeCommand(pathOf(o, 2), where, cols))
       else None
     }
+    val rg = reorg.matcher(sqlText)
+    if (rg.matches() && claimableMaintenance(rg))
+      return Some(GraftReorgCommand(pathOf(rg, 2),
+        Option(rg.group(6)).map(_.trim)))
     val v = vacuum.matcher(sqlText)
     if (v.matches() && claimableMaintenance(v))
       return Some(GraftVacuumCommand(pathOf(v, 2),

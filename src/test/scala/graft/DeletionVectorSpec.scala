@@ -168,6 +168,34 @@ class DeletionVectorSpec extends AnyFunSpec with Matchers
       Files.exists(Paths.get(tablePath, dvDirs.head)) shouldBe true
     }
 
+    it("REORG APPLY (PURGE) rewrites exactly the DV carriers; clean files stay") {
+      import spark.implicits._
+      val t = mkTable(100, parts = 4)
+      TableOps.delete(t, Some("id = 0")) // masks exactly the holding file
+      val masked = GraftTable.forPath(spark, tablePath)
+      val dvFiles = masked.snapshot.files.filter(_.dv.exists(_.cardinality > 0))
+      val cleanPaths = masked.snapshot.files
+        .filterNot(_.dv.exists(_.cardinality > 0)).map(_.path).toSet
+      assert(dvFiles.nonEmpty && cleanPaths.nonEmpty, "fixture needs both kinds")
+
+      val v = spark.sql(s"REORG TABLE '$tablePath' APPLY (PURGE)")
+        .collect()(0).getLong(0)
+      val after = GraftTable.forPath(spark, tablePath)
+      assert(after.version == v)
+      // every DV is gone, the clean files were NOT rewritten
+      assert(after.snapshot.files.forall(_.dv.isEmpty))
+      assert(cleanPaths.subsetOf(after.snapshot.files.map(_.path).toSet))
+      assert(after.toDF.count() == 99)
+      assert(after.toDF.where("id = 0").count() == 0)
+      val (_, ci) = after.history().head
+      assert(ci.operation == "OPTIMIZE" &&
+        ci.operationParameters.get("applyPurge").contains("true"))
+      assert(ci.operationMetrics("numDeletionVectorsRemoved").toInt == dvFiles.size)
+
+      // nothing left to purge: a second REORG is a no-op (no commit)
+      assert(TableOps.reorgPurge(after) == after.version)
+    }
+
     it("UPDATE masks old row versions and appends only the new ones") {
       val t = mkTable(n = 100, parts = 4, cdf = true)
       val beforePaths = t.snapshot.files.map(_.path).toSet

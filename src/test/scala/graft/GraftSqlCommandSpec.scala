@@ -32,6 +32,10 @@ class GraftSqlCommandSpec extends AnyFunSpec with SparkSessionTestWrapper {
         Some(GraftVacuumCommand("/tmp/t", None, dryRun = true)))
       assert(parse("ALTER TABLE '/tmp/t' ALTER COLUMN c SYNC IDENTITY") ==
         Some(GraftSyncIdentityCommand("/tmp/t", "c")))
+      assert(parse("REORG TABLE '/tmp/t' APPLY (PURGE)") ==
+        Some(GraftReorgCommand("/tmp/t", None)))
+      assert(parse("reorg table graft.`/tmp/t` where p = 3 apply (purge)") ==
+        Some(GraftReorgCommand("/tmp/t", Some("p = 3"))))
       assert(parse("ALTER TABLE '/tmp/t' ALTER COLUMN c SET NOT NULL") ==
         Some(GraftSetNullabilityCommand("/tmp/t", "c", nullable = false)))
       assert(parse("alter table graft.`/tmp/t` change column s.leaf drop not null") ==

@@ -204,13 +204,31 @@ case class ChangeDataFeedHelper(
       val atMaxSnap = log.snapshot(maxV)
       // relabel through the CANONICAL mapping helpers (identity for
       // unmapped schemas): logical@maxV → stable physical → logical@end
-      val relabeled = graft.tables.ColumnMapping.toLogical(
-        graft.tables.ColumnMapping.toPhysical(
-          table.dfForFiles(atMaxSnap, ins.map(_._1)), atMaxSnap.schema),
-        endSchema)
-      Some(stamp(
-        relabeled.withColumn("_change_type", lit("insert")),
-        ins.map { case (a, v, ts) => (a.path, v, ts) }))
+      def relabel(df: DataFrame): DataFrame = graft.tables.ColumnMapping.toLogical(
+        graft.tables.ColumnMapping.toPhysical(df, atMaxSnap.schema), endSchema)
+      val insPaths = ins.map(_._1.path)
+      val anyInsDv = ins.exists(_._1.dv.exists(_.cardinality > 0))
+      if (!anyInsDv && insPaths.distinct.size == insPaths.size)
+        Some(stamp(
+          relabel(table.dfForFiles(atMaxSnap, ins.map(_._1)))
+            .withColumn("_change_type", lit("insert")),
+          ins.map { case (a, v, ts) => (a.path, v, ts) }))
+      else
+        // two cases cannot share one stamped scan (the delete side's rule):
+        // a path RE-ADDED by an in-range adds-only RESTORE collides with
+        // its original append (one base name, two commits — the rows are
+        // legitimately emitted twice, once per commit), and a DV-carrying
+        // re-add reads through the position anti-join where
+        // input_file_name() is no longer scan-reliable. Both fall back to
+        // one constant-stamped frame per version (bounded: restore corners
+        // are rare; the common plain-append range stays one scan).
+        Some(ins.groupBy(_._2).toSeq.sortBy(_._1).map { case (v, group) =>
+          relabel(table.dfForFiles(atMaxSnap, group.map(_._1)))
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v))
+            .withColumn("_commit_timestamp",
+              (lit(group.head._3) / 1000L).cast("timestamp"))
+        }.reduce(_.unionByName(_, allowMissingColumns = true)))
     }
 
     // Synthesized overwrite change rows — the delete side read from the
@@ -269,7 +287,23 @@ case class ChangeDataFeedHelper(
         }
       val insFrames = ovw.filter(_.adds.nonEmpty)
         .groupBy(_.cur.metadata).values.toSeq.map(_.sortBy(_.v))
-        .map(g => insFrame(g.last.cur, g))
+        .flatMap { g =>
+          // same fallback discipline as delFrames, mirrored on the insert
+          // side: a RESTORE's re-added path can repeat across in-range
+          // commits (breaking the name→commit mapping), and a re-added
+          // DV-CARRYING entry reads through the position anti-join where
+          // input_file_name() is not scan-reliable
+          val paths = g.flatMap(_.adds.map(_.path))
+          val anyDv = g.exists(_.adds.exists(_.dv.exists(_.cardinality > 0)))
+          if (!anyDv && paths.distinct.size == paths.size) Seq(insFrame(g.last.cur, g))
+          else g.map(o => (o.v, 1,
+            graft.tables.ColumnMapping.toLogical(
+              graft.tables.ColumnMapping.toPhysical(
+                table.dfForFiles(o.cur, o.adds), o.cur.schema), endSchema)
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_commit_version", lit(o.v))
+              .withColumn("_commit_timestamp", (lit(o.ts) / 1000L).cast("timestamp"))))
+        }
       // deletes lead inserts at equal first-version (matching the write-time
       // layout a materialized overwrite produced)
       (delFrames ++ insFrames).sortBy(t => (t._1, t._2)).map(_._3)

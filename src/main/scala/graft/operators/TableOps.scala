@@ -791,39 +791,59 @@ object TableOps {
     * Commit operation is OPTIMIZE with a no-op CDC footprint (compaction
     * changes layout, not data — CDF readers skip it).
     */
+  /** Predicate-selected files of `snap` (all of them for None), through
+    * the same skipping classifier every read uses — shared by OPTIMIZE
+    * and REORG.
+    */
+  private def selectFiles(table: GraftTable, snap: graft.tables.Snapshot,
+      where: Option[String]): Seq[graft.tables.AddFile] = where match {
+    case None => snap.files
+    case Some(cond) =>
+      val classified = FileSkipping.classify(table.spark, table.toDF, cond)
+      FileSkipping.filesMatching(snap, classified.all,
+        Some(BloomIndex.ProbeContext(table.spark, table.path)))
+  }
+
+  /** The OPTIMIZE/REORG rewrite tail: read the selected files, re-bin to
+    * ~target-size output, commit as a layout-only OPTIMIZE (no CDC
+    * footprint — CDF readers and streams skip it) removing them atomically.
+    */
+  private def rewriteSelected(table: GraftTable, snap: graft.tables.Snapshot,
+      selected: Seq[graft.tables.AddFile], targetFileSizeBytes: Long,
+      operationParameters: Map[String, String],
+      extraMetrics: Map[String, String] = Map.empty): Long = {
+    val totalBytes = selected.map(_.size).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt)
+    val data = table.dfForFiles(snap, selected).repartition(nOut)
+    TableWriter.write(table.spark, table.path, data, TableWriter.Append,
+      operation = "OPTIMIZE",
+      operationParameters = operationParameters,
+      extraMetrics = Map("numRemovedFiles" -> selected.size.toString,
+        "numRemovedBytes" -> totalBytes.toString) ++ extraMetrics,
+      removeFiles = selected.map(_.path),
+      readVersion = Some(snap.version))
+  }
+
   def compact(
       table: GraftTable,
       where: Option[String] = None,
       targetFileSizeBytes: Long = 128L * 1024 * 1024,
       onlyFilesSmallerThan: Long = Long.MaxValue): Long = {
-    val spark = table.spark
     val snap = table.snapshot
-    val selected = (where match {
-      case None => snap.files
-      case Some(cond) =>
-        val classified = FileSkipping.classify(spark, table.toDF, cond)
-        FileSkipping.filesMatching(snap, classified.all,
-          Some(BloomIndex.ProbeContext(spark, table.path)))
-      // bin-packing guard: already-right-sized files are left alone, so
-      // repeated OPTIMIZE runs don't churn the whole partition — EXCEPT
-      // deletion-vector carriers, which OPTIMIZE always purges (rewriting
-      // them reclaims the masked rows' bytes and drops the read-side join)
-    }).filter(f => f.size < onlyFilesSmallerThan || f.dv.exists(_.cardinality > 0))
-    val totalBytes = selected.map(_.size).sum
+    // bin-packing guard: already-right-sized files are left alone, so
+    // repeated OPTIMIZE runs don't churn the whole partition — EXCEPT
+    // deletion-vector carriers, which OPTIMIZE always purges (rewriting
+    // them reclaims the masked rows' bytes and drops the read-side join)
+    val selected = selectFiles(table, snap, where)
+      .filter(f => f.size < onlyFilesSmallerThan || f.dv.exists(_.cardinality > 0))
     // nothing to gain from compacting 0 or 1 file — return the current
     // version without committing (repeated OPTIMIZE must not churn the log);
     // a single DV-carrying file is still worth rewriting (the purge)
     val purging = selected.exists(_.dv.exists(_.cardinality > 0))
-    if ((selected.size <= 1 && !purging) || totalBytes == 0L) return snap.version
-    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt)
-    val data = table.dfForFiles(snap, selected).repartition(nOut)
-    TableWriter.write(spark, table.path, data, TableWriter.Append,
-      operation = "OPTIMIZE",
-      operationParameters = Map("predicate" -> where.map(w => s"[$w]").getOrElse("[]")),
-      extraMetrics = Map("numRemovedFiles" -> selected.size.toString,
-        "numRemovedBytes" -> totalBytes.toString),
-      removeFiles = selected.map(_.path),
-      readVersion = Some(snap.version))
+    if ((selected.size <= 1 && !purging) || selected.map(_.size).sum == 0L)
+      return snap.version
+    rewriteSelected(table, snap, selected, targetFileSizeBytes,
+      Map("predicate" -> where.map(w => s"[$w]").getOrElse("[]")))
   }
 
   /** REORG TABLE ... APPLY (PURGE) (Delta's statement): rewrite EXACTLY
@@ -843,29 +863,14 @@ object TableOps {
       table: GraftTable,
       where: Option[String] = None,
       targetFileSizeBytes: Long = 128L * 1024 * 1024): Long = {
-    val spark = table.spark
     val snap = table.snapshot
-    val selected = (where match {
-      case None => snap.files
-      case Some(cond) =>
-        val classified = FileSkipping.classify(spark, table.toDF, cond)
-        FileSkipping.filesMatching(snap, classified.all,
-          Some(BloomIndex.ProbeContext(spark, table.path)))
-    }).filter(_.dv.exists(_.cardinality > 0))
+    val selected = selectFiles(table, snap, where)
+      .filter(_.dv.exists(_.cardinality > 0))
     if (selected.isEmpty) return snap.version
-    val totalBytes = selected.map(_.size).sum
-    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt)
-    val data = table.dfForFiles(snap, selected).repartition(nOut)
-    TableWriter.write(spark, table.path, data, TableWriter.Append,
-      operation = "OPTIMIZE",
-      operationParameters = Map(
-        "predicate" -> where.map(w => s"[$w]").getOrElse("[]"),
+    rewriteSelected(table, snap, selected, targetFileSizeBytes,
+      Map("predicate" -> where.map(w => s"[$w]").getOrElse("[]"),
         "applyPurge" -> "true"),
-      extraMetrics = Map("numRemovedFiles" -> selected.size.toString,
-        "numRemovedBytes" -> totalBytes.toString,
-        "numDeletionVectorsRemoved" -> selected.size.toString),
-      removeFiles = selected.map(_.path),
-      readVersion = Some(snap.version))
+      Map("numDeletionVectorsRemoved" -> selected.size.toString))
   }
 
   /** OPTIMIZE ZORDER BY: rewrite the selected files CLUSTERED on the Morton
@@ -1321,6 +1326,15 @@ object TableOps {
   def vacuumDryRun(table: GraftTable, lite: Boolean): Seq[String] =
     vacuumDryRun(table, configuredRetentionHours(table), lite)
 
+  /** The no-arg vacuum's retention: ONE horizon governs both data files
+    * and log files. Delta separates `deletedFileRetentionDuration` (data)
+    * from `logRetentionDuration` (log) — a deliberate graft divergence:
+    * our vacuum drops log versions below the horizon in the same pass, so
+    * no retained log entry can ever reference deleted bytes (Delta's
+    * split instead lets time travel below the data horizon fail at scan
+    * time with missing files). One knob, one failure mode: resolution
+    * below the horizon errors at the LOG, loudly and immediately.
+    */
   private def configuredRetentionHours(table: GraftTable): Double =
     table.snapshot.metadata.properties
       .get(LogRetentionProperty).map(parseRetentionHours)

@@ -409,8 +409,12 @@ class GraftStreamSource(
       } else if (removes.nonEmpty) {
         // pure delete with option("ignoreDeletes", true): skip the commit
         // (Delta's option for retention deletes under an append-only reader);
-        // a DV-only delete qualifies — its re-adds carry no new rows
-        if (ignoreDeletes && dataAdds.isEmpty) None
+        // a DV-only delete qualifies — its re-adds carry no new rows. A
+        // RESTORE never qualifies: its same-path re-add (undoing a DV
+        // delete) CARRIES returning rows, so skipping it would silently
+        // lose the resurrected inserts — it falls through to the synthesis
+        // branch (or the loud refusal) like any other data change.
+        if (ignoreDeletes && dataAdds.isEmpty && !op.contains("RESTORE")) None
         else {
           // full overwrite (REPLACE TABLE / INSERT OVERWRITE), a dynamic
           // PARTITION overwrite (self-declared via its commit parameter;

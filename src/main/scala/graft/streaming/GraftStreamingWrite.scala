@@ -70,6 +70,17 @@ class GraftStreamingWrite(
     planSnapshot.map(_.schema.fields.map(f =>
       f.name.toLowerCase -> f.nullable).toMap).getOrElse(Map.empty)
 
+  /** Top-level columns the epoch writers actually enforce (the plan-time
+    * brand overlay): commit re-checks the TABLE's brands against this set
+    * — a SET NOT NULL landing mid-stream, or a nested NOT NULL leaf (the
+    * per-ordinal row check is top-level only), routes the epoch through
+    * the full-DataFrame fallback, which enforces everything.
+    */
+  private val enforcedBrands: Set[String] = schema.fields.iterator
+    .map(f => f.name.toLowerCase ->
+      tableNullability.getOrElse(f.name.toLowerCase, f.nullable))
+    .collect { case (n, nullable) if !nullable => n }.toSet
+
   /** The epoch staging dir this instance last created — commit/abort must
     * reclaim it even when ZERO tasks reported (an empty micro-batch sends
     * no messages, and the dir would otherwise leak one per empty epoch).
@@ -153,7 +164,13 @@ class GraftStreamingWrite(
       // carries no physicalName metadata, so checking it would route mapped
       // tables onto the direct path instead of the documented fallback
       val gateSchema = snap.map(_.schema).getOrElse(schema)
-      if (TableWriter.canRegisterPreStaged(props, gateSchema) && schemaMatches) {
+      // every NOT NULL brand of the COMMIT-time schema must be one the
+      // epoch writers enforced at plan time (top-level, known then) — else
+      // this epoch replays through the full engine below
+      val brandsCovered = TableWriter.notNullPaths(gateSchema).forall(p =>
+        p.lengthCompare(1) == 0 && enforcedBrands.contains(p.head.toLowerCase))
+      if (TableWriter.canRegisterPreStaged(props, gateSchema) && schemaMatches &&
+          brandsCovered) {
         // DIRECT registration: the staged parquet IS the data write
         TableWriter.write(
           spark, tablePath,

@@ -251,6 +251,21 @@ object Fs {
     if (isRemote(path)) { val p = hp(path); fs(p).getFileStatus(p).getModificationTime }
     else Files.getLastModifiedTime(Paths.get(path)).toMillis
 
+  /** Best-effort: set `path`'s modification time to NOW. Renames preserve
+    * the source's mtime, so a file moved into a table dir would otherwise
+    * carry its staged-WRITE time — vacuum's untracked-orphan age guard
+    * must measure from the move, or a slow write's just-moved files look
+    * hours old and sweepable before their commit lands.
+    */
+  def touch(path: String): Unit =
+    try {
+      if (isRemote(path)) {
+        val p = hp(path); fs(p).setTimes(p, System.currentTimeMillis(), -1)
+      } else Files.setLastModifiedTime(Paths.get(path),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      ()
+    } catch { case _: Exception => () }
+
   def mkdirs(dir: String): Unit =
     if (isRemote(dir)) { val p = hp(dir); fs(p).mkdirs(p); () }
     else { Files.createDirectories(Paths.get(dir)); () }

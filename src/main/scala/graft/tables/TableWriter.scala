@@ -59,6 +59,24 @@ object TableWriter {
     walk(schema, Nil)
   }
 
+  /** Copy the prior schema's NOT NULL brands onto same-named fields of an
+    * overwrite's incoming schema (recursing into matching structs): a
+    * field is non-null when EITHER side declares it — the incoming frame
+    * may tighten (like create), the prior invariant never silently drops.
+    */
+  private def overlayBrands(prior: StructType, incoming: StructType): StructType =
+    StructType(incoming.fields.map { f =>
+      prior.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+        case Some(pf) =>
+          val dt = (pf.dataType, f.dataType) match {
+            case (ps: StructType, is: StructType) => overlayBrands(ps, is)
+            case _                                => f.dataType
+          }
+          f.copy(dataType = dt, nullable = f.nullable && pf.nullable)
+        case None => f
+      }
+    })
+
   def canRegisterPreStaged(props: Map[String, String], schema: StructType): Boolean =
     GraftTable.constraintsOf(props).isEmpty &&
       GraftTable.generatedColumnsOf(props).isEmpty &&
@@ -213,6 +231,15 @@ object TableWriter {
         .asInstanceOf[StructType])
       .getOrElse((mode, prevSnapshot) match {
         case (Append, Some(s)) => mergeWithMapping(s, dfI.schema)
+        // a plain OVERWRITE (INSERT OVERWRITE / mode=overwrite) replaces
+        // the schema but KEEPS the prior NOT NULL brands on same-named
+        // columns — like CHECK constraints (property-borne, they survive
+        // too), a declared invariant outlives a data swap; only REPLACE
+        // TABLE (replaceProperties) redefines the table outright. Values
+        // are enforced below, so a branded overwrite with nulls refuses
+        // with the DROP NOT NULL advice instead of silently un-branding.
+        case (Overwrite, Some(s)) if !replaceProperties =>
+          overlayBrands(s.schema, dfI.schema)
         case _                 => dfI.schema
       })
 
@@ -952,6 +979,12 @@ object TableWriter {
       Fs.mkdirs(Fs.parent(dest))
       // staging part-file names embed a UUID → unique within the table
       Fs.moveNoReplace(src, dest)
+      // re-stamp the mtime: rename preserves the staged-WRITE time, but
+      // vacuum's untracked-orphan age guard must measure from the MOVE —
+      // a slow write's (stage + optimizeWrite + stats) just-moved,
+      // not-yet-committed files would otherwise look hours old and be
+      // swept by a concurrent aggressive vacuum before the commit lands
+      Fs.touch(dest)
       rel
     }
   }

@@ -33,6 +33,54 @@ class ChangeDataFeedHelperSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(v0 == 3)
   }
 
+  it("a re-added path (adds-only RESTORE) falls back to per-version insert stamps") {
+    // v0 creates files A,B; v1 deletes WHOLE file A (pure remove); v2
+    // restores to v0, RE-ADDING A with an empty remove set — the plain
+    // insert branch then maps base name A to TWO commits (v0 and v2), which
+    // one stamped scan cannot represent: the per-version fallback emits the
+    // rows once per commit, exactly like the materialized layout did.
+    val dir = tmpTableDir("cdf-readd")
+    val t = GraftTable.create(spark, dir,
+      Seq((1, "a")).toDF("id", "name").coalesce(1),    // v0: file A
+      properties = Map(GraftLog.CdfProperty -> "true"))
+    t.append(Seq((2, "b")).toDF("id", "name").coalesce(1)) // v1: file B
+    TableOps.delete(t, Some("id = 1"))                 // v2: whole-file remove of A
+    val rv = TableOps.restore(t, 1L)                   // v3: re-adds A
+    assert(rv == 3L)
+    val cdf = ChangeDataFeedHelper(spark, dir, 0, 3).readCDF
+    val byTypeV = cdf.groupBy("_change_type", "_commit_version").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(byTypeV(("insert", 0L)) == 1L, s"got $byTypeV") // A's row at create
+    assert(byTypeV(("insert", 1L)) == 1L, s"got $byTypeV") // B's row appended
+    assert(byTypeV(("delete", 2L)) == 1L, s"got $byTypeV") // the removed row
+    assert(byTypeV(("insert", 3L)) == 1L, s"got $byTypeV") // A's row returns
+  }
+
+  it("a restore re-adding a DV-CARRYING entry falls back off the stamped scan") {
+    // v0 create one file A; v1 DV-masks one row (A,d1); v2 DV-masks another
+    // (A,d2); v3 restores to v1 — the re-added TARGET entry carries d1, and
+    // a DV read goes through the position anti-join where
+    // input_file_name() is not scan-reliable: the insert side must take the
+    // per-commit constant-stamp fallback, not the name-join scan.
+    val dir = tmpTableDir("cdf-dv-readd")
+    val t = GraftTable.create(spark, dir,
+      Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "name").coalesce(1),
+      properties = Map(GraftLog.CdfProperty -> "true",
+        graft.tables.DeletionVectors.Property -> "true"))
+    TableOps.delete(t, Some("id = 1"))                 // v1: (A, d1)
+    TableOps.delete(t, Some("id = 2"))                 // v2: (A, d2)
+    val rv = TableOps.restore(t, 1L)                   // v3: re-add (A, d1)
+    val t2 = GraftTable.forPath(spark, dir)
+    assert(t2.snapshot.files.exists(_.dv.exists(_.cardinality == 1)),
+      "fixture must re-add the dv-carrying target entry")
+    assert(t2.toDF.count() == 3)
+    val cdf = ChangeDataFeedHelper(spark, dir, rv, rv).readCDF
+    val byType = cdf.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // delete side: v2 state's 2 live rows; insert side: v1 state's 3 live
+    assert(byType == Map("delete" -> 2L, "insert" -> 3L), s"got $byType")
+  }
+
   it("the readChangeFeed reader option matches the helper and resolves timestamp bounds") {
     val t = cdfTable(tmpTableDir("cdf-reader-opt"))
     upsert(t, Seq((1, "A"), (9, "i")))   // v1

@@ -126,6 +126,34 @@ class GraftStreamSourceSpec extends AnyFunSpec with SparkSessionTestWrapper {
     } finally query.stop()
   }
 
+  it("ignoreDeletes does not swallow a RESTORE whose adds are same-path re-adds") {
+    // undoing a DV delete re-ADDS the removed path (target entry, no dv):
+    // dataAdds is empty, but the re-add CARRIES the returning rows — the
+    // pure-delete skip must not eat them (write-time CDC used to emit
+    // these inserts; synthesis must too)
+    val dir = tmpTableDir("gss_ign_restore")
+    val t = GraftTable.create(spark, dir,
+      Seq((0, "alpha"), (1, "beta"), (2, "gamma")).toDF("id", "name").coalesce(1),
+      properties = Map(GraftLog.CdfProperty -> "true",
+        graft.tables.DeletionVectors.Property -> "true"))
+    val sink = "gss_ignsink_" + System.nanoTime()
+    val query = spark.readStream.format("graft")
+      .option("ignoreDeletes", "true").load(dir)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      TableOps.delete(t, Some("id = 0"))     // v1: DV mask, change files
+      val rv = TableOps.restore(t, 0L)       // v2: drop (A,d1), re-add (A)
+      assert(rv == 2L)
+      query.processAllAvailable()
+      val out = rowsOf(sink)
+      // the restore's returning rows arrived as inserts (deletes too: a
+      // restore is not a pure delete, so ignoreDeletes does not skip it)
+      assert(out.filter(r => r._4 == 2L && r._3 == "insert").map(_._1) ==
+        Set(0, 1, 2), s"got $out")
+    } finally query.stop()
+  }
+
   it("a plain SaveMode.Overwrite commit flows as synthesized delete+insert changes") {
     // complete-output-mode shape: op WRITE, remove-all + add, no change
     // files — the stream synthesizes the change content like the batch

@@ -143,6 +143,63 @@ class NotNullInvariantSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(v == t2.version + 1 || v == t2.version) // committed
   }
 
+  it("plain overwrites keep the brand; REPLACE TABLE redefines it") {
+    val t = GraftTable.create(spark, tmpTableDir("nn-ovw"),
+      Seq((1L, "a")).toDF("id", "name")) // id branded NOT NULL
+    // mode=overwrite with a nullable-SCHEMA frame: brand survives (like
+    // CHECK constraints), values enforced
+    val clean = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(2L, "b")),
+      StructType(Seq(StructField("id", LongType, nullable = true),
+        StructField("name", StringType, nullable = true))))
+    t.overwrite(clean)
+    val t2 = GraftTable.forPath(spark, t.path)
+    assert(!t2.snapshot.schema("id").nullable,
+      "an overwrite must not silently un-brand (DROP NOT NULL exists for that)")
+    // a branded overwrite WITH nulls refuses instead of un-branding
+    val dirty = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(null, "c")),
+      StructType(Seq(StructField("id", LongType, nullable = true),
+        StructField("name", StringType, nullable = true))))
+    assert(violated(t2.overwrite(dirty)))
+    // REPLACE TABLE is a redefinition: the new declared schema stands
+    TableOps.replaceTable(GraftTable.forPath(spark, t.path), Some(dirty))
+    val t3 = GraftTable.forPath(spark, t.path)
+    assert(t3.snapshot.schema("id").nullable)
+    assert(t3.toDF.where(col("id").isNull).count() == 1)
+  }
+
+  it("SET NOT NULL landing mid-stream reroutes later epochs through enforcement") {
+    val _ = SparkSessionTestWrapper.catalogWarehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.nn2")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.nn2.t")
+    spark.sql("CREATE TABLE graft_cat.nn2.t (id BIGINT, name STRING) USING graft")
+    val src = java.nio.file.Files.createTempDirectory("nn2-src-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("nn2-ckpt-").toString
+    Seq((Some(1L), "a")).toDF("id", "name")
+      .write.mode("append").parquet(s"$src/files")
+    val q = spark.readStream.schema("id BIGINT, name STRING").parquet(s"$src/files")
+      .writeStream.option("checkpointLocation", ckpt).toTable("graft_cat.nn2.t")
+    try {
+      q.processAllAvailable() // epoch 1: nullable table, direct path
+      assert(spark.table("graft_cat.nn2.t").count() == 1)
+      // the brand lands while the SAME query (plan-time snapshot already
+      // taken) keeps running — commit-time coverage must reroute epoch 2
+      // through the full engine, which rejects the null row
+      val t = GraftTable.forName(spark, "graft_cat.nn2.t")
+      t.setColumnNullability("id", nullable = false)
+      Seq((Option.empty[Long], "b")).toDF("id", "name")
+        .write.mode("append").parquet(s"$src/files")
+      val failed =
+        try { q.processAllAvailable(); false }
+        catch { case e: Throwable =>
+          Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(12)
+            .exists(c => Option(c.getMessage).exists(_.contains("NOT NULL"))) }
+      assert(failed, "the mid-stream brand must be enforced on later epochs")
+      assert(spark.table("graft_cat.nn2.t").count() == 1)
+    } finally q.stop()
+  }
+
   it("streaming toTable epoch writers enforce the table's brand per row") {
     val _ = SparkSessionTestWrapper.catalogWarehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.nn")

@@ -75,8 +75,14 @@ case class ChangeDataFeedHelper(
     val ovwInfos = Seq.newBuilder[OvwCommit]
     var firstCdcV, firstInsV, firstOvwV: Option[Long] = None
     val endSchema = log.snapshot(e).schema
+    // rolling pre-commit state, started LAZILY at the first remove-carrying
+    // commit (one full fold) and advanced per version from the actions this
+    // loop already reads — two full folds per overwrite would be quadratic
+    // over a complete-mode sink's hundreds of in-range overwrites
+    var rolling: Option[Snapshot] = None
     (s to e).foreach { v =>
       val actions = log.actionsAt(v)
+      var curState: Option[Snapshot] = None
       val commitTs = actions.collectFirst { case c: CommitInfo => c.timestamp }.getOrElse(0L)
       val cdcFiles = actions.collect { case c: AddCDCFile => c.path }
       if (cdcFiles.nonEmpty) {
@@ -115,8 +121,9 @@ case class ChangeDataFeedHelper(
           // was off for that commit. Synthesize iff the COMMITTED state has
           // CDF enabled — exactly when the old write path would have
           // materialized change rows.
-          val prev = log.snapshot(v - 1)
-          val cur = log.snapshot(v)
+          val prev = rolling.getOrElse(log.snapshot(v - 1))
+          val cur = prev.advance(v, actions)
+          curState = Some(cur)
           val removedSet = removes.map(_.path).toSet
           val fullOverwrite = removedSet == prev.files.map(_.path).toSet
           val dynOverwrite = actions.collectFirst { case c: CommitInfo => c }
@@ -130,6 +137,7 @@ case class ChangeDataFeedHelper(
           }
         }
       }
+      rolling = curState.orElse(rolling.map(_.advance(v, actions)))
     }
     val cdc = cdcEntries.result()
     val ins = insEntries.result()
@@ -206,9 +214,13 @@ case class ChangeDataFeedHelper(
       // unmapped schemas): logical@maxV → stable physical → logical@end
       def relabel(df: DataFrame): DataFrame = graft.tables.ColumnMapping.toLogical(
         graft.tables.ColumnMapping.toPhysical(df, atMaxSnap.schema), endSchema)
-      val insPaths = ins.map(_._1.path)
+      // collision unit is the BASE name across COMMITS: one job reuses the
+      // same task file name in every partition dir (same commit — the
+      // stamp lookup dedupes those), but a name spanning two commits would
+      // double-stamp; stamp() cannot represent it
+      val insByName = ins.groupBy(e => baseName(e._1.path)).values
       val anyInsDv = ins.exists(_._1.dv.exists(_.cardinality > 0))
-      if (!anyInsDv && insPaths.distinct.size == insPaths.size)
+      if (!anyInsDv && insByName.forall(_.map(_._2).distinct.size == 1))
         Some(stamp(
           relabel(table.dfForFiles(atMaxSnap, ins.map(_._1)))
             .withColumn("_change_type", lit("insert")),
@@ -268,17 +280,21 @@ case class ChangeDataFeedHelper(
       }
       val delFrames = ovw.groupBy(_.prev.metadata).values.toSeq.map(_.sortBy(_.v))
         .flatMap { g =>
-          val paths = g.flatMap(_.removed.map(_.path))
-          // two cases cannot share one stamped group scan: a file path
-          // removed by TWO in-range overwrites (CDF-off RESTORE re-added it
-          // in between) breaks the name→commit mapping, and deletion-vector
-          // carriers read through a position anti-join where
-          // input_file_name() is no longer scan-reliable. Both fall back to
-          // one constant-literal-stamped frame per commit (bounded: DV
-          // replaces and restore corners are rare; the common complete-sink
-          // shape — clean files, fresh names — stays one scan per regime).
+          // two cases cannot share one stamped group scan: a BASE name
+          // removed by TWO in-range commits (a restore re-added the path,
+          // or one job's task file name repeats across partition dirs that
+          // different dynamic overwrites replaced) breaks the name→commit
+          // mapping, and deletion-vector carriers read through a position
+          // anti-join where input_file_name() is no longer scan-reliable.
+          // Both fall back to one constant-literal-stamped frame per
+          // commit (bounded: the common complete-sink shape — clean files,
+          // fresh names — stays one scan per regime). Same-name entries
+          // WITHIN one commit are fine: the stamp lookup dedupes them.
+          val byName = g.flatMap(o => o.removed.map(f => (baseName(f.path), o.v)))
+            .groupBy(_._1).values
           val anyDv = g.exists(_.removed.exists(_.dv.exists(_.cardinality > 0)))
-          if (!anyDv && paths.distinct.size == paths.size) Seq(delFrame(g.head.prev, g))
+          if (!anyDv && byName.forall(_.map(_._2).distinct.size == 1))
+            Seq(delFrame(g.head.prev, g))
           else g.map(o => (o.v, 0,
             table.dfForFiles(o.prev, o.removed)
               .withColumn("_change_type", lit("delete"))
@@ -293,9 +309,11 @@ case class ChangeDataFeedHelper(
           // commits (breaking the name→commit mapping), and a re-added
           // DV-CARRYING entry reads through the position anti-join where
           // input_file_name() is not scan-reliable
-          val paths = g.flatMap(_.adds.map(_.path))
+          val byName = g.flatMap(o => o.adds.map(f => (baseName(f.path), o.v)))
+            .groupBy(_._1).values
           val anyDv = g.exists(_.adds.exists(_.dv.exists(_.cardinality > 0)))
-          if (!anyDv && paths.distinct.size == paths.size) Seq(insFrame(g.last.cur, g))
+          if (!anyDv && byName.forall(_.map(_._2).distinct.size == 1))
+            Seq(insFrame(g.last.cur, g))
           else g.map(o => (o.v, 1,
             graft.tables.ColumnMapping.toLogical(
               graft.tables.ColumnMapping.toPhysical(

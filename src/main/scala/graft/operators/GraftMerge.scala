@@ -90,14 +90,9 @@ object GraftMerge {
       val s0 = stable
       if (s0 != null) s0
       else {
-        val pinned = e.transform {
-          case sub: SubqueryExpression if !sub.isCorrelated =>
-            sub.withNewPlan(SparkBridge.ofPlan(spark, sub.plan)
-              .localCheckpoint(true).queryExecution.analyzed)
-          case sub: SubqueryExpression if sub.isCorrelated =>
-            sub.withNewPlan(
-              graft.sources.GraftSourcePin.pinToCurrent(spark, sub.plan))
-        }
+        // the shared DML stability discipline (one definition — see
+        // GraftSourcePin.pinSubqueries)
+        val pinned = graft.sources.GraftSourcePin.pinSubqueries(spark, e)
         stable = pinned
         pinned
       }

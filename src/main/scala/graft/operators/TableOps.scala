@@ -77,14 +77,9 @@ object TableOps {
       val s0 = stable
       if (s0 != null) s0
       else {
-        val pinned = e.transform {
-          case sub: SubqueryExpression if !sub.isCorrelated =>
-            sub.withNewPlan(SparkBridge.ofPlan(spark, sub.plan)
-              .localCheckpoint(true).queryExecution.analyzed)
-          case sub: SubqueryExpression if sub.isCorrelated =>
-            sub.withNewPlan(
-              graft.sources.GraftSourcePin.pinToCurrent(spark, sub.plan))
-        }
+        // the shared DML stability discipline (one definition — see
+        // GraftSourcePin.pinSubqueries)
+        val pinned = graft.sources.GraftSourcePin.pinSubqueries(spark, e)
         stable = pinned
         pinned
       }
@@ -523,6 +518,15 @@ object TableOps {
     * log line stays O(bytes)); larger batches write a parquet sidecar under
     * `_copy_into/<id>/` and the commit carries only the id.
     */
+  /** The embedded `copyFiles` JSON array (ONE parser for the memory
+    * format — copyInto's reconstruction and clone's memory carry must
+    * never drift on how the list is encoded).
+    */
+  private[graft] def parseEmbeddedCopyFiles(json: String): Seq[String] = {
+    val n = graft.tables.GraftLog.mapper.readTree(json)
+    (0 until n.size()).map(n.get(_).asText())
+  }
+
   private[graft] val CopyIntoEmbedLimit = 512
   private[graft] val CopyIntoDirName = "_copy_into"
   private[graft] val CopyIntoTxnApp = "graft.copyInto"
@@ -592,13 +596,23 @@ object TableOps {
           ci.operationParameters.contains("copyFilesSidecar") =>
         ci.operationParameters
     }
-    val embedded: Set[String] = copyCommits.flatMap(_.get("copyFiles")).flatMap { j =>
-      val n = GraftLog.mapper.readTree(j)
-      (0 until n.size()).map(n.get(_).asText())
-    }.toSet
+    val embedded: Set[String] =
+      copyCommits.flatMap(_.get("copyFiles")).flatMap(parseEmbeddedCopyFiles).toSet
     val sidecarDirs = copyCommits.flatMap(_.get("copyFilesSidecar"))
       .map(id => Fs.child(Fs.child(table.path, CopyIntoDirName), id))
-      .filter(Fs.isDirectory)
+    // a LIVE commit's sidecar must exist — the orphan sweeps only collect
+    // dirs referenced by NO surviving commit. Dropping a missing one
+    // silently would erase that commit's entire ingestion memory and
+    // re-load every file it recorded (duplicate rows, no error) — fail
+    // loudly instead; `force` remains the explicit re-load escape hatch.
+    val gone = sidecarDirs.filterNot(Fs.isDirectory)
+    if (gone.nonEmpty && !force)
+      throw new IllegalStateException(
+        s"COPY INTO memory sidecar(s) missing under ${table.path}: " +
+          s"${gone.map(Fs.fileName).mkString(", ")} — a live commit references " +
+          "them, so re-running would silently re-load already-ingested files; " +
+          "restore the sidecar dir(s) or re-run with COPY_OPTIONS " +
+          "('force'='true') to deliberately re-load everything")
     val toLoad: Seq[String] =
       if (force) candidates
       else {
@@ -1077,10 +1091,19 @@ object TableOps {
     val statsSel = ParquetStats.statsColumnsOf(snap.metadata.properties, snap.schema)
     val readd = TableWriter.harvestParallel(missing) { f =>
       // stat-less files came from a FOREIGN writer: string min/max may be
-      // truncated bounds — mark non-tight (skipping only, never answered)
-      f.copy(stats = GraftLog.renderStats(ParquetStats.forFile(
+      // truncated bounds — mark non-tight (skipping only, never answered).
+      // bloom/bloomSidecar live only in the OLD stats (the footer knows
+      // nothing of them) and MUST carry over: a bloom-indexed file written
+      // before the tightBounds field existed is re-stamped here, and
+      // dropping its reference would both blind the probe and let the
+      // sidecar-orphan GC collect the index permanently
+      val old = GraftLog.parseStats(f.stats)
+      val harvested = ParquetStats.forFile(
         GraftTable.resolveDataPath(table.path, f.path).toString, conf, statsSel)
-        .copy(tightBounds = false)))
+        .copy(tightBounds = false,
+          bloom = old.map(_.bloom).getOrElse(Map.empty),
+          bloomSidecar = old.flatMap(_.bloomSidecar))
+      f.copy(stats = GraftLog.renderStats(harvested))
     }
     TableWriter.write(spark, table.path,
       table.dfForFiles(snap, Nil), // no data written; satisfies the signature
@@ -1740,12 +1763,7 @@ object TableOps {
     // orphaned dir cannot affect it. Same orphan set vacuumDryRun reports.
     // COPY INTO memory sidecars whose commits fell below the horizon age
     // out here exactly like the log-cleanup path
-    val liveCopyIds: Set[String] = log.versions().flatMap { v =>
-      (try log.actionsAt(v) catch { case _: Exception => Nil }).collect {
-        case c: graft.tables.CommitInfo =>
-          c.operationParameters.get("copyFilesSidecar")
-      }.flatten
-    }.toSet
+    val liveCopyIds: Set[String] = log.liveCopySidecarIds()
     (bloomOrphanDirs(table.path, liveSidecars) ++ dvOrphanDirs(table.path, liveDvDirs)
       ++ copyIntoOrphanDirs(table.path, liveCopyIds)
       ++ streamStagingOrphanDirs(table.path))

@@ -242,17 +242,23 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     // Delta's partitionOverwriteMode: the writer option wins; absent, the
     // Spark session conf (spark.sql.sources.partitionOverwriteMode) governs
     // — DYNAMIC replaces only the partitions the incoming data lands in
-    val dynamicOverwrite = parameters.get("partitionOverwriteMode")
-      .orElse(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode"))
-      .exists { v =>
-        require(v.trim.equalsIgnoreCase("dynamic") || v.trim.equalsIgnoreCase("static"),
-          s"partitionOverwriteMode must be 'static' or 'dynamic', got '$v'")
-        v.trim.equalsIgnoreCase("dynamic")
-      }
+    def isDynamic(v: String): Boolean = {
+      require(v.trim.equalsIgnoreCase("dynamic") || v.trim.equalsIgnoreCase("static"),
+        s"partitionOverwriteMode must be 'static' or 'dynamic', got '$v'")
+      v.trim.equalsIgnoreCase("dynamic")
+    }
+    val optionDynamic = parameters.get("partitionOverwriteMode").map(isDynamic)
+    val dynamicOverwrite = optionDynamic.getOrElse(
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        .exists(isDynamic)) && replaceWhere.isEmpty
     if (parameters.get("partitionOverwriteMode").isDefined && mode != SaveMode.Overwrite)
       throw new IllegalArgumentException(
         s"partitionOverwriteMode requires mode 'overwrite', got $mode")
-    if (dynamicOverwrite && replaceWhere.isDefined)
+    // only an EXPLICIT writer-option dynamic conflicts with replaceWhere —
+    // the session conf is a global default users set for plain file-source
+    // tables, and Delta lets replaceWhere take precedence over it (an
+    // option-level request, by contrast, is a contradiction to refuse)
+    if (optionDynamic.contains(true) && replaceWhere.isDefined)
       throw new IllegalArgumentException(
         "replaceWhere cannot combine with partitionOverwriteMode=dynamic — " +
           "the predicate and the data-derived partition set would fight over " +
@@ -1026,6 +1032,28 @@ class GraftFileIndex(
   * DML's target side is already snapshot-pinned).
   */
 object GraftSourcePin {
+  /** Pin every subquery inside `e` to ONE evaluation state: a
+    * non-correlated subplan materializes once (localCheckpoint — cheapest
+    * way to freeze a small set), a correlated one keeps its live plan with
+    * its graft sources pinned via [[pinToCurrent]]. THE stability
+    * discipline row-level DML shares — the UPDATE-side ExprCond and the
+    * MERGE-side ExprFrag both delegate here, so a future fix to the
+    * pinning rule cannot diverge them.
+    */
+  def pinSubqueries(
+      spark: SparkSession,
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    e.transform {
+      case sub: SubqueryExpression if !sub.isCorrelated =>
+        sub.withNewPlan(org.apache.spark.sql.graft.SparkBridge.ofPlan(spark, sub.plan)
+          .localCheckpoint(true).queryExecution.analyzed)
+      case sub: SubqueryExpression if sub.isCorrelated =>
+        sub.withNewPlan(pinToCurrent(spark, sub.plan))
+    }
+  }
+
   def pinToCurrent(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
     plan transform {
       case lr: LogicalRelation => lr.relation match {

@@ -343,8 +343,23 @@ class GraftStreamSource(
       .withColumn("_commit_version", lit(v)))
 
   private def changesFor(versions: Seq[Long]): DataFrame = {
+    // rolling snapshot across the batch: a catch-up batch spans hundreds of
+    // versions, and folding the log from scratch per version (worse, twice
+    // for remove-carrying commits) is quadratic — advance the state with
+    // the actions this loop already reads, re-folding only on a version
+    // gap (cleaned-log edge) or at the batch head
+    var rolling: Option[graft.tables.Snapshot] = None
     val frames = versions.flatMap { v =>
       val actions = log.actionsAt(v)
+      val (prevState, curSnap) =
+        if (v == 0L)
+          (None, rolling.filter(_.version == 0L).getOrElse(table.snapshotAt(0L)))
+        else {
+          val p = rolling.filter(_.version == v - 1)
+            .getOrElse(table.snapshotAt(v - 1))
+          (Some(p), p.advance(v, actions))
+        }
+      rolling = Some(curSnap)
       val cdc = actions.collect { case c: AddCDCFile => c.path }
       val adds = actions.collect { case a: AddFile => a }
       val removes = actions.collect { case r: RemoveFile => r }
@@ -399,7 +414,7 @@ class GraftStreamSource(
           val paths = cdc.map(p => graft.tables.Fs.child(tablePath, p))
           // change files carry PHYSICAL column names (stable across
           // renames) — read them physically, surface them logically
-          val snapSchema = table.snapshotAt(v).schema
+          val snapSchema = curSnap.schema
           val physSchema = graft.tables.ColumnMapping.physicalSchema(snapSchema)
             .add("_change_type", StringType)
           Some(widen(graft.tables.ColumnMapping.toLogical(
@@ -426,14 +441,14 @@ class GraftStreamSource(
           // (ChangeDataFeedHelper). Other partial rewrites with CDF on
           // always carry change files, so reaching here means CDF was off
           // for that commit.
-          val prev = table.snapshotAt(v - 1)
+          val prev = prevState.get // removes exist => v > 0
           val removedSet = removes.map(_.path).toSet
           val dynOverwrite = ci.exists(_.operationParameters
             .get("partitionOverwriteMode").exists(_.equalsIgnoreCase("dynamic")))
           val fullOverwrite = op.exists(o => o != "OPTIMIZE" && o != "REPARTITION") &&
             (removedSet == prev.files.map(_.path).toSet || dynOverwrite ||
               op.contains("RESTORE")) &&
-            table.snapshotAt(v).cdfEnabled
+            curSnap.cdfEnabled
           if (fullOverwrite && dropChangeColumns)
             // rows-only streams cannot represent the delete side — same
             // loud/skip policy as the change-file branch above
@@ -462,7 +477,7 @@ class GraftStreamSource(
             // carry change files when CDF is on, and are not overwrites)
             val inserts =
               if (adds.isEmpty) None
-              else Some(widen(table.dfForFiles(table.snapshotAt(v), adds)
+              else Some(widen(table.dfForFiles(curSnap, adds)
                 .withColumn("_change_type", lit("insert"))
                 .withColumn("_commit_version", lit(v))))
             Some(inserts.fold(deletes)(i => deletes.unionByName(i)))
@@ -477,7 +492,7 @@ class GraftStreamSource(
         }
       } else if (dataAdds.nonEmpty) {
         // blind append: the added files ARE the change set
-        val snap = table.snapshotAt(v)
+        val snap = curSnap
         Some(widen(table.dfForFiles(snap, dataAdds)
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(v))))

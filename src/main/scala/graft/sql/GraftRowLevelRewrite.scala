@@ -356,11 +356,14 @@ object GraftRowLevelRewrite {
       if (values.length != 1) throw new UnsupportedOperationException(
         "graft MERGE ON supports single-column IN (subquery) only — " +
           s"materialize a multi-column IN into the MERGE source: ${in.sql}")
-      val rows =
-        org.apache.spark.sql.graft.SparkBridge.ofPlan(spark, q.plan).collect()
+      // the bound rides the COLLECT (limit pushed into the plan) — an
+      // unbounded collect-then-count would materialize a billion-row
+      // subquery on the driver before the guard could refuse
+      val rows = org.apache.spark.sql.graft.SparkBridge.ofPlan(spark, q.plan)
+        .limit(MaxSplicedInValues + 1).collect()
       if (rows.length > MaxSplicedInValues) throw new UnsupportedOperationException(
-        s"IN (subquery) in MERGE ON returned ${rows.length} rows " +
-          s"(> $MaxSplicedInValues splice bound) — materialize it into the " +
+        s"IN (subquery) in MERGE ON returned more than $MaxSplicedInValues " +
+          s"rows (the splice bound) — materialize it into the " +
           s"MERGE source: ${in.sql}")
       val dt = q.plan.output.head.dataType
       if (rows.isEmpty)

@@ -163,6 +163,18 @@ class GraftLog(val tablePath: String, val store: LogStore) {
     }
 
   /** Actions of a single committed version. */
+  /** COPY INTO memory-sidecar ids referenced by surviving commits at or
+    * above `fromVersion` — THE rule both GC paths (vacuum's orphan sweep
+    * and the write path's log cleanup) key their `_copy_into` collection
+    * on; one definition so the memory format has one reader.
+    */
+  def liveCopySidecarIds(fromVersion: Long = Long.MinValue): Set[String] =
+    versions().filter(_ >= fromVersion).flatMap { v =>
+      (try actionsAt(v) catch { case _: Exception => Nil }).collect {
+        case c: CommitInfo => c.operationParameters.get("copyFilesSidecar")
+      }.flatten
+    }.toSet
+
   def actionsAt(v: Long): Seq[Action] = {
     val f = versionFile(v)
     if (!store.exists(f))
@@ -409,11 +421,7 @@ class GraftLog(val tablePath: String, val store: LogStore) {
     val liveDvDirs: Set[String] = scan.retainedFiles.flatMap(_.dv.map(_.path)).toSet
     // COPY INTO ingestion-memory sidecars referenced by no surviving commit
     // age out with their history (the documented bounded-memory horizon)
-    val liveCopyIds: Set[String] = vs.filter(_ >= retainVersion).flatMap { v =>
-      (try actionsAt(v) catch { case _: Exception => Nil }).collect {
-        case c: CommitInfo => c.operationParameters.get("copyFilesSidecar")
-      }.flatten
-    }.toSet
+    val liveCopyIds: Set[String] = liveCopySidecarIds(retainVersion)
     (graft.operators.TableOps.bloomOrphanDirs(tablePath, liveSidecars) ++
       graft.operators.TableOps.dvOrphanDirs(tablePath, liveDvDirs) ++
       graft.operators.TableOps.copyIntoOrphanDirs(tablePath, liveCopyIds))

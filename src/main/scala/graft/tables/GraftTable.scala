@@ -816,13 +816,20 @@ object GraftTable {
             ci.operationParameters.contains("copyFilesSidecar")) =>
         ci.operationParameters
     }
-    val embedded: Seq[String] = params.flatMap(_.get("copyFiles")).flatMap { j =>
-      val n = GraftLog.mapper.readTree(j)
-      (0 until n.size()).map(n.get(_).asText())
-    }.distinct
+    val embedded: Seq[String] = params.flatMap(_.get("copyFiles"))
+      .flatMap(TableOps.parseEmbeddedCopyFiles).distinct
     val sidecarDirs = params.flatMap(_.get("copyFilesSidecar"))
       .map(id => Fs.child(Fs.child(srcRoot, TableOps.CopyIntoDirName), id))
-      .filter(Fs.isDirectory)
+    // same loud posture as TableOps.copyInto: a live source commit's
+    // sidecar must exist — silently dropping it clones a table whose next
+    // COPY INTO re-loads everything that commit recorded
+    val gone = sidecarDirs.filterNot(Fs.isDirectory)
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot clone $srcRoot: COPY INTO memory sidecar(s) " +
+          s"${gone.map(Fs.fileName).mkString(", ")} referenced by live commits " +
+          "are missing — the clone would silently lose the source's ingestion " +
+          "memory")
     if (embedded.isEmpty && sidecarDirs.isEmpty) Map.empty
     else if (sidecarDirs.isEmpty && embedded.size <= TableOps.CopyIntoEmbedLimit)
       Map("copyFiles" ->

@@ -156,4 +156,32 @@ case class Snapshot(
     metadata.properties
       .get(GraftLog.CdfProperty)
       .exists(_.equalsIgnoreCase("true"))
+
+  /** The state after applying one commit's `actions` on top of this
+    * snapshot — the same last-wins per-version fold rule `GraftLog`'s
+    * snapshot replay applies (adds keyed by path, removes delete,
+    * metadata/protocol/SetTransaction last-wins). Incremental consumers
+    * walking a version range (the CDF readers need the pre/post states of
+    * every remove-carrying commit) advance in O(commit actions) instead
+    * of re-folding the whole log per version — a complete-mode sink's
+    * range holds hundreds of overwrites, and two full O(versions) folds
+    * per overwrite is quadratic exactly where the batched reader exists
+    * to be linear.
+    */
+  def advance(next: Long, actions: Seq[Action]): Snapshot = {
+    var meta = metadata
+    var proto = protocol
+    var txns = transactions
+    val fs = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    files.foreach(f => fs(f.path) = f)
+    actions.foreach {
+      case m: Metadata       => meta = m
+      case p: Protocol       => proto = p
+      case a: AddFile        => fs(a.path) = a
+      case r: RemoveFile     => fs.remove(r.path); ()
+      case t: SetTransaction => txns += (t.appId -> t.version)
+      case _                 => ()
+    }
+    Snapshot(next, meta, fs.values.toSeq, txns, proto)
+  }
 }

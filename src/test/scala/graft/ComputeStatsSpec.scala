@@ -135,6 +135,33 @@ class ComputeStatsSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(TableOps.computeStats(GraftTable.forPath(spark, dir)) == 0)
   }
 
+  it("the re-stamp carries bloom references — the index survives, the GC spares it") {
+    // bloom sidecars predate the tightBounds field: a pre-field bloom table
+    // is exactly what the re-stamp selects, and the parquet footer knows
+    // nothing of the bloom — dropping the reference would blind the probe
+    // AND let the sidecar-orphan GC collect the index permanently
+    val dir = tmpTableDir("cstats-bloom")
+    val t = GraftTable.create(spark, dir,
+      (0L until 256L).map(i => (i, s"v$i")).toDF("id", "name").coalesce(1),
+      properties = Map(graft.tables.BloomIndex.ColumnsProperty -> "id"))
+    val f = t.snapshot.files.head
+    val sidecar = GraftLog.parseStats(f.stats).get.bloomSidecar
+    assert(sidecar.isDefined, "fixture needs a bloom sidecar")
+    val legacy = f.stats.replace(",\"tightBounds\":true", "")
+      .replace("\"tightBounds\":true,", "")
+    t.log.commit(t.snapshot.version + 1,
+      Seq(f.copy(stats = legacy),
+        CommitInfo(System.currentTimeMillis(), "WRITE")))
+    val t2 = GraftTable.forPath(spark, dir)
+    assert(TableOps.computeStats(t2) == 1)
+    val after = GraftLog.parseStats(
+      GraftTable.forPath(spark, dir).snapshot.files.head.stats).get
+    assert(!after.tightBounds)
+    assert(after.bloomSidecar == sidecar,
+      s"bloom sidecar reference lost: ${after.bloomSidecar} vs $sidecar")
+    assert(after.bloom == GraftLog.parseStats(f.stats).get.bloom)
+  }
+
   it("lets backfilled files participate in min/max skipping") {
     val t = tableWithForeignFile()
     def matching(cond: String): Int = {

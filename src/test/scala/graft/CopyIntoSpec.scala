@@ -112,6 +112,21 @@ class CopyIntoSpec extends AnyFunSpec with SparkSessionTestWrapper {
     // the sidecar memory dedupes the re-run
     val (_, rows2, copied2, skipped2) = TableOps.copyInto(t, land, "parquet")
     assert((rows2, copied2) == (0L, 0L) && skipped2 == copied1)
+
+    // a MISSING sidecar of a live commit must refuse loudly — silently
+    // dropping it would re-load every file that commit recorded
+    Fs.deleteRecursively(Fs.child(Fs.child(tbl, TableOps.CopyIntoDirName),
+      ci.operationParameters("copyFilesSidecar")))
+    val e = intercept[IllegalStateException] { TableOps.copyInto(t, land, "parquet") }
+    assert(e.getMessage.contains("memory sidecar"), e.getMessage)
+    // a clone of the damaged source refuses the same way
+    val e2 = intercept[IllegalStateException] {
+      GraftTable.shallowClone(spark, tbl, Fs.child(root, "t-clone"))
+    }
+    assert(e2.getMessage.contains("ingestion memory"), e2.getMessage)
+    // force stays the explicit escape hatch: deliberate full re-load
+    val (_, rows3, copied3, _) = TableOps.copyInto(t, land, "parquet", force = true)
+    assert(rows3 == 1100L && copied3 == copied1)
   }
 
   it("RACING loads never double-ingest: the loser aborts on the watermark") {

@@ -195,6 +195,18 @@ class CorrelatedAssignSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
     assert(eOnIn.getMessage.contains("SCALAR") || eOnIn.getMessage.contains("subquer"),
       eOnIn.getMessage)
+    // the splice BOUND rides the collect (limit pushed into the subquery
+    // plan) — an over-bound set refuses without materializing its full
+    // result on the driver
+    spark.sql("DROP TABLE IF EXISTS graft_cat.ca.rbig")
+    spark.sql("CREATE TABLE graft_cat.ca.rbig AS SELECT id FROM range(5000)")
+    val eBig = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft_cat.ca.rt t USING graft_cat.ca.rs s
+          |ON t.id = s.id AND s.id IN (SELECT id FROM graft_cat.ca.rbig)
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(eBig.getMessage.contains("more than 1000"), eBig.getMessage)
   }
 
   it("MERGE clause conditions accept set-valued IN/EXISTS subqueries") {

@@ -63,6 +63,55 @@ class DynamicOverwriteSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(GraftTable.forPath(spark, dir).toDF.count() == 1)
   }
 
+  it("a dynamic SESSION CONF yields to replaceWhere; the explicit option refuses") {
+    // the conf is a global default users set for plain file-source tables —
+    // Delta lets replaceWhere take precedence over it; only an OPTION-level
+    // dynamic request is a contradiction worth refusing
+    val (dir, _) = mkPartitioned("dyn-rw")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((500, 1, "rw")).toDF("id", "k", "name")
+        .write.format("graft").mode("overwrite")
+        .option("replaceWhere", "k = 1").save(dir)
+      val after = GraftTable.forPath(spark, dir)
+      assert(after.toDF.where("k = 1").count() == 1)
+      assert(after.toDF.count() == 9) // k=0,2 untouched (4 rows each)
+      val e = intercept[IllegalArgumentException] {
+        Seq((501, 1, "x")).toDF("id", "k", "name")
+          .write.format("graft").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .option("replaceWhere", "k = 1").save(dir)
+      }
+      assert(e.getMessage.contains("replaceWhere cannot combine"), e.getMessage)
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  }
+
+  it("two dynamic overwrites sharing one job's task file names stay readable as CDF") {
+    // ONE write job reuses its task file name (part-00000-<jobUUID>) in
+    // EVERY partition dir; two later dynamic overwrites each remove one of
+    // those dirs — the grouped delete-side stamp cannot key both commits
+    // by the shared base name and must fall back to per-commit frames
+    val dir = tmpTableDir("dyn-basename")
+    GraftTable.create(spark, dir,
+      (0 until 12).map(i => (i, i % 3, s"n$i")).toDF("id", "k", "name")
+        .repartition(1), // one task -> same base name in k=0,1,2
+      partitionColumns = Seq("k"),
+      properties = Map(graft.tables.GraftLog.CdfProperty -> "true"))
+    def replaceK(k: Int, id: Int): Unit =
+      Seq((id, k, "r")).toDF("id", "k", "name")
+        .write.format("graft").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").save(dir)
+    replaceK(0, 100) // v1
+    replaceK(2, 102) // v2
+    val cdf = graft.log.ChangeDataFeedHelper(spark, dir, 1, 2).readCDF
+    val byTypeV = cdf.groupBy("_change_type", "_commit_version").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(byTypeV(("delete", 1L)) == 4L, s"got $byTypeV") // k=0's old rows
+    assert(byTypeV(("insert", 1L)) == 1L, s"got $byTypeV")
+    assert(byTypeV(("delete", 2L)) == 4L, s"got $byTypeV") // k=2's old rows
+    assert(byTypeV(("insert", 2L)) == 1L, s"got $byTypeV")
+  }
+
   it("an unpartitioned table degrades to a full overwrite; refusals are loud") {
     val dir = tmpTableDir("dyn-unpart")
     GraftTable.create(spark, dir, Seq((1, "a"), (2, "b")).toDF("id", "name"))

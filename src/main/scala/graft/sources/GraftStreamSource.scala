@@ -351,15 +351,23 @@ class GraftStreamSource(
     var rolling: Option[graft.tables.Snapshot] = None
     val frames = versions.flatMap { v =>
       val actions = log.actionsAt(v)
-      val (prevState, curSnap) =
-        if (v == 0L)
-          (None, rolling.filter(_.version == 0L).getOrElse(table.snapshotAt(0L)))
-        else {
-          val p = rolling.filter(_.version == v - 1)
-            .getOrElse(table.snapshotAt(v - 1))
-          (Some(p), p.advance(v, actions))
-        }
-      rolling = Some(curSnap)
+      // LAZY pre/post states: folding must happen only when a branch needs
+      // one — an eager v-1 fold dies at the vacuum horizon, where v-1 is
+      // legitimately gone (the earliest retained version has no
+      // predecessor, and the horizon-rewrite guard below must fire first)
+      var curMemo: Option[graft.tables.Snapshot] = None
+      def prevSnap: graft.tables.Snapshot =
+        rolling.filter(_.version == v - 1).getOrElse(table.snapshotAt(v - 1))
+      def curSnap: graft.tables.Snapshot = {
+        if (curMemo.isEmpty)
+          curMemo = Some(
+            if (v == 0L) table.snapshotAt(0L)
+            else rolling.filter(_.version == v - 1) match {
+              case Some(p) => p.advance(v, actions)
+              case None    => table.snapshotAt(v)
+            })
+        curMemo.get
+      }
       val cdc = actions.collect { case c: AddCDCFile => c.path }
       val adds = actions.collect { case a: AddFile => a }
       val removes = actions.collect { case r: RemoveFile => r }
@@ -384,6 +392,7 @@ class GraftStreamSource(
             "changes at or below the vacuum horizon. Restart the stream from a " +
             "fresh checkpoint (snapshot batch), or vacuum with a horizon older " +
             "than the slowest stream's offset")
+      val frame: Option[DataFrame] =
       if (op.contains("OPTIMIZE")) {
         // layout-only rewrite (compaction / Z-order): rows are unchanged, so
         // the commit contributes nothing to the change stream — the same
@@ -441,7 +450,7 @@ class GraftStreamSource(
           // (ChangeDataFeedHelper). Other partial rewrites with CDF on
           // always carry change files, so reaching here means CDF was off
           // for that commit.
-          val prev = prevState.get // removes exist => v > 0
+          val prev = prevSnap // removes exist => v > 0
           val removedSet = removes.map(_.path).toSet
           val dynOverwrite = ci.exists(_.operationParameters
             .get("partitionOverwriteMode").exists(_.equalsIgnoreCase("dynamic")))
@@ -497,6 +506,11 @@ class GraftStreamSource(
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(v))))
       } else None // metadata-only commit
+      // carry the rolling state forward: the computed post-state when a
+      // branch folded one, else advance an existing state (O(actions));
+      // stay lazy otherwise
+      rolling = curMemo.orElse(rolling.map(_.advance(v, actions)))
+      frame
     }
     // batch-shaped here; getBatch re-tags the final frame as streaming
     frames.reduceOption(_ unionByName _).getOrElse(

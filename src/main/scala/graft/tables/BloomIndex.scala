@@ -111,14 +111,25 @@ object BloomIndex {
     // one relation for the column check AND the aggregation — constructing
     // it twice would re-list and re-read every fresh file's footer
     val newFiles = spark.read.parquet(paths0: _*)
+    // the FILES store PHYSICAL names and the probe side keys lookups by
+    // the physical path (FileSkipping.statKey) — resolve each configured
+    // LOGICAL path to its physical spelling once, read the data through
+    // it, and key the sidecar rows by it (identity for unmapped tables).
+    // Resolving the logical name directly against the physical layout
+    // would silently build nothing for a re-added column (fresh physical
+    // name) — or worse, build from a RETIRED physical name that now
+    // belongs to a different logical column, with a hash branch chosen
+    // from the wrong type: probes would then wrongly prune live rows.
+    def phys(c: String): String =
+      ColumnMapping.physicalPath(schema, c.split('.').toSeq).getOrElse(c)
     val cols = configured.filter(c =>
-      ColumnMapping.structLeafChain(newFiles.schema, c.split('.').toSeq).isDefined)
+      ColumnMapping.structLeafChain(newFiles.schema, phys(c).split('.').toSeq).isDefined)
     if (cols.isEmpty) return adds
 
     def hashCol(c: String): org.apache.spark.sql.Column =
       ColumnMapping.fieldChain(schema, c.split('.').toSeq).get.last.dataType match {
-        case StringType => xxhash64(col(c))
-        case _          => xxhash64(col(c).cast(LongType))
+        case StringType => xxhash64(col(phys(c)))
+        case _          => xxhash64(col(phys(c)).cast(LongType))
       }
     // backticked alias: a dotted nested path must stay a literal NAME here,
     // not re-parse as a field access
@@ -137,15 +148,21 @@ object BloomIndex {
     val sidecarId = java.util.UUID.randomUUID().toString
     val sidecarPath = Fs.child(Fs.child(tablePath, SidecarDirName), sidecarId)
     perFile.select(col("__file").as("file"),
-        explode(map(cols.flatMap(c => Seq(lit(c), col(s"`__bloom_$c`"))): _*)))
+        explode(map(cols.flatMap(c => Seq(lit(phys(c)), col(s"`__bloom_$c`"))): _*)))
       .withColumnRenamed("key", "column")
       .withColumnRenamed("value", "bloom")
       // filters are KB-sized rows; a commit's whole sidecar fits one task
       .coalesce(1)
       .write.mode("error").parquet(sidecarPath)
     adds.map { a =>
-      val stats = GraftLog.parseStats(a.stats).getOrElse(FileStats(numRecords = 0L))
-      a.copy(stats = GraftLog.renderStats(stats.copy(bloomSidecar = Some(sidecarId))))
+      GraftLog.parseStats(a.stats) match {
+        case Some(st) =>
+          a.copy(stats = GraftLog.renderStats(st.copy(bloomSidecar = Some(sidecarId))))
+        // no parseable stats to stamp: leave the file untouched (probes
+        // keep it — conservative) rather than fabricate a zero-record
+        // tight-stats entry the metadata-only COUNT would believe
+        case None => a
+      }
     }
   }
 
@@ -178,6 +195,13 @@ object BloomIndex {
     if (hit != null) return hit
     try {
       val dir = Fs.child(Fs.child(ctx.tablePath, SidecarDirName), id)
+      // a MISSING dir is permanent (the sidecar was collected or never
+      // landed) — cache the empty answer, or every query re-pays one
+      // failed distributed read per candidate file per equality conjunct
+      if (!Fs.isDirectory(dir)) {
+        sidecarCache.synchronized(sidecarCache.put(key, Map.empty))
+        return Map.empty
+      }
       val tableUriPath = Fs.toHadoopPath(ctx.tablePath).toUri.getPath
       // match on the decoded TABLE-RELATIVE path — base names alone
       // collide on partitioned tables (one task writing several partition

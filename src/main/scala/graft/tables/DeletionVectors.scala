@@ -96,9 +96,23 @@ object DeletionVectors {
         col("_metadata.row_index").as("__graft_pos"))
     val scan = org.apache.spark.sql.graft.SparkBridge.ofRelation(spark, rel).select(cols: _*)
     import spark.implicits._
-    val lookup = files.flatMap { f =>
+    val entries = files.flatMap { f =>
       uriVariants(table.path, f.path).map(u => (u, f.path))
-    }.distinct.toDF("__graft_uri", "__graft_file_m")
+    }.distinct
+    // the spellings must be unique ACROSS files, not just per file: one
+    // file's percent-encoded variant equaling another file's raw spelling
+    // (pathological partition values like p=50%25 vs p=50%2525 sharing a
+    // task base name) would make the join one-to-many — duplicating rows
+    // and attributing positions to the wrong file. Refuse loudly; the
+    // unmatched-file raise_error below cannot catch it (both rows match).
+    val clash = entries.groupBy(_._1).collect {
+      case (u, es) if es.map(_._2).distinct.size > 1 => u
+    }
+    require(clash.isEmpty,
+      s"deletion-vector scan: URI spelling(s) ${clash.take(3).mkString(", ")} " +
+        s"of ${table.path} are ambiguous between log files — rename the " +
+        "colliding partition values (percent-encoding aliasing)")
+    val lookup = entries.toDF("__graft_uri", "__graft_file_m")
     val mapped = scan.join(broadcast(lookup), Seq("__graft_uri"), "left")
       .withColumn("__graft_file",
         when(col("__graft_file_m").isNull,

@@ -43,7 +43,18 @@ object FileSkipping {
   def classify(spark: SparkSession, df: DataFrame, condition: String): ClassifiedCondition = {
     val parsed = spark.sessionState.sqlParser.parseExpression(condition)
     val plan = df.queryExecution.analyzed
-    val resolved = spark.sessionState.analyzer.resolveExpressionByPlanOutput(parsed, plan)
+    val resolved0 = spark.sessionState.analyzer.resolveExpressionByPlanOutput(parsed, plan)
+    // CONSTANT-FOLD foldable subtrees (CAST('0.1' AS FLOAT), literal
+    // arithmetic, typed-literal coercions): the band extractors match bare
+    // Literals, and an unfolded cast would conservatively disable pruning
+    // for exactly the typed predicates users write; the optimized scan
+    // path sees folded filters, so this keeps classify() equivalent
+    val resolved = resolved0.transformUp {
+      case e if e.foldable && !e.isInstanceOf[Literal] &&
+          e.resolved && !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression] =>
+        try Literal.create(e.eval(org.apache.spark.sql.catalyst.InternalRow.empty), e.dataType)
+        catch { case scala.util.control.NonFatal(_) => e } // ANSI eval error: keep unfolded
+    }
     val unresolvedCols = resolved.references.collect {
       case u: UnresolvedAttribute => u.name
     }.toSeq
@@ -113,17 +124,33 @@ object FileSkipping {
     }
   }
 
+  /** Canonical-value comparison — ONE definition for every skipping
+    * surface (interval contradiction, band checks): longs, doubles,
+    * UTF-8-ordered strings, booleans, and exact BigDecimals. None =
+    * incomparable → conservative no-prune.
+    */
+  private[tables] def cmpCanonical(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long)       => Some(java.lang.Long.compare(x, y))
+    case (x: Double, y: Double)   => Some(java.lang.Double.compare(x, y))
+    case (x: String, y: String)   => Some(Utf8Order.compare(x, y)) // Spark/parquet order, NOT UTF-16
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case (x: scala.math.BigDecimal, y: scala.math.BigDecimal) => Some(x.compare(y))
+    // CROSS-TYPE exactness: a decimal literal against a double/long
+    // column's stats compares through BigDecimal (a double's binary
+    // expansion converts exactly) — lossy double rounding on the decimal
+    // side is what the BigDecimal canonicalization exists to avoid
+    case (x: scala.math.BigDecimal, y: Double) => Some(x.compare(scala.math.BigDecimal(y)))
+    case (x: Double, y: scala.math.BigDecimal) => Some(scala.math.BigDecimal(x).compare(y))
+    case (x: scala.math.BigDecimal, y: Long) => Some(x.compare(scala.math.BigDecimal(y)))
+    case (x: Long, y: scala.math.BigDecimal) => Some(scala.math.BigDecimal(x).compare(y))
+    case _                        => None
+  }
+
   private[tables] def contradictory(predicates: Seq[Expression], schema: StructType): Boolean = {
     // (value, inclusive) bounds per column
     val lo = scala.collection.mutable.Map.empty[String, (Any, Boolean)]
     val hi = scala.collection.mutable.Map.empty[String, (Any, Boolean)]
-    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-      case (x: Long, y: Long)       => Some(java.lang.Long.compare(x, y))
-      case (x: Double, y: Double)   => Some(java.lang.Double.compare(x, y))
-      case (x: String, y: String)   => Some(Utf8Order.compare(x, y)) // Spark/parquet order, NOT UTF-16
-      case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
-      case _                        => None
-    }
+    def cmp(a: Any, b: Any): Option[Int] = cmpCanonical(a, b)
     def tightenLo(name: String, v: Any, incl: Boolean): Unit =
       lo.get(name) match {
         case Some((cur, curIncl)) =>
@@ -217,13 +244,7 @@ object FileSkipping {
       }
     }
 
-    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-      case (x: Long, y: Long)     => Some(java.lang.Long.compare(x, y))
-      case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
-      case (x: String, y: String) => Some(Utf8Order.compare(x, y)) // Spark/parquet order, NOT UTF-16
-      case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
-      case _ => None
-    }
+    def cmp(a: Any, b: Any): Option[Int] = cmpCanonical(a, b)
 
     def litVal(v: Any, dt: DataType): Option[Any] = canonical(v, dt)
 
@@ -388,9 +409,12 @@ object FileSkipping {
       case BooleanType => Some(v.asInstanceOf[Boolean])
       case TimestampType => Some(v.asInstanceOf[Number].longValue()) // micros
       case DateType => Some(v.asInstanceOf[Number].longValue())      // days
+      // EXACT BigDecimal, never double: two distinct high-precision
+      // decimal literals that round to one double would otherwise declare
+      // a false-empty interval (contradictory()) and prune live rows
       case _: DecimalType => v match {
-        case d: Decimal => Some(d.toDouble)
-        case d: java.math.BigDecimal => Some(d.doubleValue())
+        case d: Decimal => Some(scala.math.BigDecimal(d.toJavaBigDecimal))
+        case d: java.math.BigDecimal => Some(scala.math.BigDecimal(d))
         case _ => None
       }
       case _ => None
@@ -401,7 +425,12 @@ object FileSkipping {
   private[graft] def parseStat(s: String, dt: DataType): Option[Any] =
     try dt match {
       case ByteType | ShortType | IntegerType | LongType => Some(s.toLong)
-      case FloatType | DoubleType => Some(s.toDouble)
+      // FLOAT round-trips through Float.toString — parse back through
+      // FLOAT then widen, the same double the literal canonicalization
+      // produces ("0.1".toDouble differs from 0.1f widened, and the
+      // mismatch pruned files whose rows match exactly)
+      case FloatType   => Some(s.toFloat.toDouble)
+      case DoubleType  => Some(s.toDouble)
       case StringType  => Some(s)
       case BooleanType => Some(s.toBoolean)
       case TimestampType => Some(s.toLong) // stored as micros (ParquetStats)
@@ -413,14 +442,20 @@ object FileSkipping {
   private[graft] def parseExternal(s: String, dt: DataType): Option[Any] =
     try dt match {
       case ByteType | ShortType | IntegerType | LongType => Some(s.toLong)
-      case FloatType | DoubleType => Some(s.toDouble)
+      case FloatType   => Some(s.toFloat.toDouble) // same rule as parseStat
+      case DoubleType  => Some(s.toDouble)
       case StringType  => Some(s)
       case BooleanType => Some(s.toBoolean)
       case TimestampType =>
         // partition dir strings are written in the session timezone (we pin
-        // UTC); java.sql.Timestamp.valueOf would use the JVM default tz
-        Some(java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L)
+        // UTC); java.sql.Timestamp.valueOf would use the JVM default tz.
+        // FULL microsecond precision: toEpochMilli*1000 truncated
+        // sub-millisecond fractions, pruning the matching partition
+        Some {
+          val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            ldt.getNano / 1000L
+        }
       case DateType =>
         Some(java.sql.Date.valueOf(s).toLocalDate.toEpochDay)
       case _ => None

@@ -33,6 +33,81 @@ class FileSkippingSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(survivors(t, "id >= 5 AND id <= 13") == 3)
   }
 
+  it("float stats round-trip exactly: boundary equality keeps the matching file") {
+    // float min/max are Float.toString strings; parsing them as DOUBLE
+    // ("0.1".toDouble) differs from the widened float literal (0.1f) in
+    // the 17th digit — a file whose every row IS the value used to read
+    // lit > max and get pruned, silently returning nothing
+    val t = GraftTable.create(spark, tmpTableDir("fs-float"),
+      spark.sql("SELECT id, CAST(0.1 AS FLOAT) AS f FROM range(4) " +
+        "UNION ALL SELECT id + 10, CAST(7.3 AS FLOAT) FROM range(4)")
+        .repartition(2, $"f"))
+    assert(t.snapshot.numFiles == 2)
+    assert(survivors(t, "f = CAST(0.1 AS FLOAT)") == 1)
+    assert(t.toDF.where("f = CAST(0.1 AS FLOAT)").count() == 4)
+    assert(survivors(t, "f >= CAST(7.3 AS FLOAT)") == 1)
+  }
+
+  it("decimal interval contradiction is exact, never a lossy double") {
+    // two distinct DECIMAL(38,20) bounds that round to ONE double used to
+    // declare a false-empty interval and prune every file
+    val t = GraftTable.create(spark, tmpTableDir("fs-decimal"),
+      spark.sql("SELECT id, CAST('0.12345678901234567892' AS DECIMAL(38,20)) AS d " +
+        "FROM range(4)").coalesce(1))
+    val cond = "d > CAST('0.12345678901234567890' AS DECIMAL(38,20)) AND " +
+      "d < CAST('0.12345678901234567895' AS DECIMAL(38,20))"
+    assert(survivors(t, cond) == 1, "exact decimal bounds must not contradict")
+    assert(t.toDF.where(cond).count() == 4)
+    // a GENUINE decimal contradiction still selects zero files
+    assert(survivors(t, "d > CAST(2 AS DECIMAL(38,20)) AND " +
+      "d < CAST(1 AS DECIMAL(38,20))") == 0)
+  }
+
+  it("timestamp partition values keep microsecond precision") {
+    // toEpochMilli * 1000 truncated sub-millisecond fractions: an equality
+    // on the exact micro value pruned the matching partition wholesale
+    val t = GraftTable.create(spark, tmpTableDir("fs-ts-micro"),
+      spark.sql("SELECT id, TIMESTAMP'2024-01-01 00:00:00.000001' AS ts FROM range(3) " +
+        "UNION ALL SELECT id + 10, TIMESTAMP'2024-06-01 12:00:00.5' AS ts FROM range(3)"),
+      partitionColumns = Seq("ts"))
+    assert(survivors(t, "ts = TIMESTAMP'2024-01-01 00:00:00.000001'") >= 1)
+    assert(t.toDF.where("ts = TIMESTAMP'2024-01-01 00:00:00.000001'").count() == 3)
+    assert(survivors(t, "ts = TIMESTAMP'2024-06-01 12:00:00.5'") >= 1)
+    // and a non-matching micro value still prunes everything
+    assert(survivors(t, "ts = TIMESTAMP'2024-01-01 00:00:00.000002'") == 0)
+  }
+
+  it("bloom columns resolve by PHYSICAL path under column mapping") {
+    // DROP then re-ADD mints a fresh physical name: the bloom build must
+    // read and key by the physical spelling (what probes look up), not
+    // resolve the logical name against the physical layout — which found
+    // nothing (feature silently dead) or, worse, a retired physical name
+    val dir = tmpTableDir("fs-bloom-mapped")
+    val t = GraftTable.create(spark, dir,
+      (0 until 64).map(i => (i.toLong, s"k$i")).toDF("id", "name").coalesce(1))
+    t.dropColumns(Seq("name"))
+    GraftTable.forPath(spark, dir).addColumns(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType))))
+    val t2 = GraftTable.forPath(spark, dir)
+    assert(graft.tables.ColumnMapping.physicalPath(
+      t2.snapshot.schema, Seq("name")).exists(_ != "name"),
+      "fixture needs a re-minted physical name")
+    t2.setProperties(Map(BloomIndex.ColumnsProperty -> "name"))
+    GraftTable.forPath(spark, dir).append(
+      (0 until 64).map(i => (i.toLong + 100, s"v$i")).toDF("id", "name").repartition(4))
+    val t3 = GraftTable.forPath(spark, dir)
+    // the fresh files carry sidecar references keyed by the physical path
+    val stamped = t3.snapshot.files.filter(f =>
+      GraftLog.parseStats(f.stats).exists(_.bloomSidecar.isDefined))
+    assert(stamped.size == 4, s"bloom must be built for the mapped column: $stamped")
+    // an absent-but-in-range key prunes the bloom-indexed files; a present
+    // key reads its rows correctly
+    assert(survivors(t3, "name = 'nosuchvalue'") <= 2) // the 1 unindexed file + fp
+    assert(t3.toDF.where("name = 'v7'").count() == 1)
+  }
+
   it("contradictory ranges select zero files") {
     val t = rangedTable("fs-contra")
     assert(survivors(t, "id <= 10 AND id >= 12") == 0)

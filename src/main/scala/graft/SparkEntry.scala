@@ -41,6 +41,22 @@ object SparkEntry {
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Run a DELIBERATELY-failing action with Spark's ERROR logging muted.
+    * The s14/s65 gates append violating rows to prove rejection; Spark
+    * logs the aborted job's full stack at ERROR just before Bench's
+    * summary line, which can push the one-line JSON out of the driver's
+    * bounded tail capture. The failure is the fixture's EXPECTED outcome —
+    * mute `org.apache.spark` for the body's duration, restore after.
+    */
+  private def quietExpectedFailure[T](body: => T): T = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.config.Configurator
+    val logger = "org.apache.spark"
+    val before = LogManager.getLogger(logger).getLevel
+    Configurator.setLevel(logger, Level.OFF)
+    try body finally Configurator.setLevel(logger, before)
+  }
+
   /** events.ts as truncated epoch-µs BIGINT, robust to how the parquet
     * surfaced the column across testdata generations: raw-ns long (legacy
     * TIMESTAMP(NANOS) + nanosAsLong), TIMESTAMP, or TIMESTAMP_NTZ (session
@@ -2478,10 +2494,11 @@ object SparkEntry {
       () => {
       t.addCheckConstraint("pos_id", "id >= 0")
       t.append(Seq((900000001L, "good")).toDF("id", "name"))
-      val rejected =
+      val rejected = quietExpectedFailure {
         try { t.append(Seq((-1L, "bad")).toDF("id", "name")); false }
         catch { case e: Exception =>
           Causes.messages(e).exists(_.contains("CHECK constraint pos_id")) }
+      }
       val t2 = GraftTable.forPath(s, t.path)
       Seq((t2.toDF.count(), rejected, t2.checkConstraints.size.toLong))
         .toDF("rows_after", "violation_rejected", "num_constraints")
@@ -3472,12 +3489,13 @@ object SparkEntry {
       graft.sql.GraftSql.sql(s,
         s"ALTER TABLE '${t.path}' ALTER COLUMN id SET NOT NULL")       // v1
       val branded = !GraftTable.forPath(s, t.path).snapshot.schema("id").nullable
-      val rejected =
+      val rejected = quietExpectedFailure {
         try {
           GraftTable.forPath(s, t.path)
             .append(s.sql("SELECT CAST(NULL AS BIGINT) AS id, 'x' AS name"))
           false
         } catch { case _: Throwable => true }
+      }
       val vAfterReject = GraftTable.forPath(s, t.path).version
       GraftTable.forPath(s, t.path)
         .append(s.sql("SELECT CAST(900 AS BIGINT) AS id, 'ok' AS name")) // v2

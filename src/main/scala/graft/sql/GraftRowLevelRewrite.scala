@@ -345,10 +345,14 @@ object GraftRowLevelRewrite {
       e: Expression): Expression = e.transform {
     case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery
         if s.outerAttrs.isEmpty =>
+      // limit(2) rides the plan — two rows already prove the error, and an
+      // unbounded collect would materialize a buggy billion-row scalar
+      // subquery on the driver before the guard fired
       val rows =
-        org.apache.spark.sql.graft.SparkBridge.ofPlan(spark, s.plan).collect()
+        org.apache.spark.sql.graft.SparkBridge.ofPlan(spark, s.plan)
+          .limit(2).collect()
       require(rows.length <= 1,
-        s"scalar subquery in DML returned more than one row (${rows.length})")
+        "scalar subquery in DML returned more than one row")
       val v = if (rows.isEmpty) null else rows(0).get(0)
       org.apache.spark.sql.catalyst.expressions.Literal.create(v, s.dataType)
     case in @ org.apache.spark.sql.catalyst.expressions.InSubquery(values, q)

@@ -728,8 +728,16 @@ object GraftTable {
     val pairs = Seq.newBuilder[(String, String)] // (absolute src, absolute dest)
     def planDir(srcAbsDir: String, destRelDir: String): Unit =
       Fs.walkFiles(srcAbsDir).foreach { f =>
-        val rel = Fs.relativize(srcAbsDir, f)
-        pairs += ((f, Fs.child(Fs.child(destRoot, destRelDir), rel)))
+        // hidden artifacts (Hadoop checksum `.part-*.crc`/`._SUCCESS.crc`,
+        // editor droppings) stay out of the plan: the local
+        // ChecksumFileSystem RECREATES the crc sidecar as a side effect of
+        // copying its data file, racing the task that raw-copies and
+        // length-verifies the same crc — a spurious clone failure. Checksums
+        // are regenerable; `_SUCCESS` markers are not table state.
+        if (!Fs.fileName(f).startsWith(".")) {
+          val rel = Fs.relativize(srcAbsDir, f)
+          pairs += ((f, Fs.child(Fs.child(destRoot, destRelDir), rel)))
+        }
       }
     val dvRemap = scala.collection.mutable.Map.empty[String, String]
     def planDv(dvPath: String): String = dvRemap.getOrElseUpdate(dvPath, {
@@ -858,8 +866,16 @@ object GraftTable {
       conf: org.apache.hadoop.conf.Configuration): Unit = {
     val sp = new org.apache.hadoop.fs.Path(Fs.toUriString(src))
     val dp = new org.apache.hadoop.fs.Path(Fs.toUriString(dest))
-    val sfs = sp.getFileSystem(conf)
-    val dfs = dp.getFileSystem(conf)
+    // copy through the RAW filesystem on local paths: the checksum wrapper
+    // writes `.crc` sidecars as a side effect of every copy, which can
+    // interleave with sibling copy tasks in the same destination dir
+    def raw(f: org.apache.hadoop.fs.FileSystem): org.apache.hadoop.fs.FileSystem =
+      f match {
+        case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+        case other => other
+      }
+    val sfs = raw(sp.getFileSystem(conf))
+    val dfs = raw(dp.getFileSystem(conf))
     org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp,
       /* deleteSource = */ false, /* overwrite = */ true, conf)
     val want = sfs.getFileStatus(sp).getLen

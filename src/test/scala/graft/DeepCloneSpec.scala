@@ -98,6 +98,37 @@ class DeepCloneSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(GraftTable.forPath(spark, dst).toDF.where("id % 2 = 0").count() == 0)
   }
 
+  it("keeps hidden artifacts (checksum crc, _SUCCESS markers) out of the copy plan") {
+    // Hadoop's local ChecksumFileSystem RECREATES `.crc` sidecars as a side
+    // effect of copying their data file — if a crc enters the plan, a
+    // sibling task's raw copy of the same path races that write (the
+    // round-16 DeepCloneSpec flake). Seed hidden files into a DV sidecar
+    // dir and the table root; the clone must succeed and carry none of them.
+    val root = freshDir()
+    val src = Fs.child(root, "src")
+    val dst = Fs.child(root, "dst")
+    GraftTable.create(spark, src,
+      (0 until 100).map(i => (i.toLong, i % 5)).toDF("id", "b"),
+      properties = Map(DeletionVectors.Property -> "true"))
+    TableOps.delete(GraftTable.forPath(spark, src), Some("id % 2 = 0"))
+    val dvDirs = Fs.walkFiles(Fs.child(src, DeletionVectors.DirName))
+      .map(f => new java.io.File(f).getParent).distinct
+    assert(dvDirs.nonEmpty, "precondition: DV sidecar dir exists")
+    dvDirs.foreach { d =>
+      Files.write(java.nio.file.Paths.get(d, "._SUCCESS.crc"), Array[Byte](1, 2))
+      Files.write(java.nio.file.Paths.get(d, ".part-0.crc"), Array[Byte](3, 4))
+      Files.write(java.nio.file.Paths.get(d, "_SUCCESS"), Array.emptyByteArray)
+    }
+    val clone = GraftTable.deepClone(spark, src, dst)
+    assert(clone.toDF.count() == 50)
+    val hidden = Fs.walkFiles(dst)
+      .filter(f => Fs.fileName(f).startsWith(".") &&
+        !f.contains("_graft_log")) // the clone's own log dir is not in scope
+    assert(hidden.isEmpty, s"hidden files leaked into the clone: $hidden")
+    // the visible (non-hidden) _SUCCESS marker copies fine — only
+    // `.`-prefixed names are excluded
+  }
+
   it("carries bloom sidecars under _bloom/; probes keep pruning after source loss") {
     val root = freshDir()
     val src = Fs.child(root, "src")

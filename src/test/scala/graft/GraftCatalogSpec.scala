@@ -414,6 +414,32 @@ class GraftCatalogSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(onCorr.getMessage.contains("NON-correlated"), onCorr.getMessage)
   }
 
+  it("a many-row scalar subquery errors WITHOUT materializing on the driver") {
+    // the splice pushes limit(2) into the subquery plan before collecting —
+    // two rows already prove the error. An eval-counting UDF over a
+    // single-partition source observes how many rows actually ran: bounded
+    // (limit pushed) vs 50k (unbounded collect-then-count).
+    val evals = SparkSessionTestWrapper.scalarSubqueryEvals
+    evals.set(0L)
+    spark.udf.register("graft_count_eval",
+      (x: Long) => { SparkSessionTestWrapper.scalarSubqueryEvals.incrementAndGet(); x })
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ssqb")
+    spark.sql("CREATE TABLE graft_cat.ssqb.t AS SELECT 1L AS id, 0.0D AS val")
+    spark.range(0, 50000).coalesce(1)
+      .createOrReplaceTempView("graft_ssq_big")
+    val e = intercept[Exception] {
+      spark.sql("UPDATE graft_cat.ssqb.t SET val = " +
+        "(SELECT graft_count_eval(id) FROM graft_ssq_big)")
+    }
+    assert(e.getMessage.contains("more than one row") ||
+      e.getMessage.contains("MULTI"), e.getMessage)
+    // CollectLimit may run a couple of partition-local probes; anything
+    // within an order of magnitude of 2 proves the bound — 50000 would
+    // mean the collect was unbounded
+    assert(evals.get() <= 64L, s"scalar subquery evaluated ${evals.get()} rows")
+    spark.sql("DROP TABLE graft_cat.ssqb.t")
+  }
+
   it("CREATE TABLE ... LOCATION registers an EXTERNAL table, not a warehouse shadow") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ext")

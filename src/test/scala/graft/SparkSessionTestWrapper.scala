@@ -28,6 +28,11 @@ trait SparkSessionTestWrapper {
 }
 
 object SparkSessionTestWrapper {
+  /** Shared row-evaluation counter for the scalar-subquery splice-bound
+    * spec (a UDF closure must reach a JVM-singleton, not a suite field).
+    */
+  val scalarSubqueryEvals = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** ONE `graft_cat` warehouse for every suite that exercises the V2
     * catalog. Suites run in PARALLEL against the shared session, so each
     * suite setting its own warehouse dir would clobber the others

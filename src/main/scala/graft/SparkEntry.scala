@@ -3510,6 +3510,39 @@ object SparkEntry {
       }
     }),
 
+    "s66_lazy_snapshot_read" -> ((s, dir) => {
+      // Dataset-backed read path (the 10⁶-file posture, forced by a tiny
+      // spark.graft.snapshot.driverFileLimit): the point query plans from
+      // a LazyFileIndex — skipping evaluated on executors over the log's
+      // Dataset view, the driver never folding the live file list — and
+      // must return exactly what the relational oracle computes. The
+      // fold watch proves the property, the oracle proves the rows.
+      val base = read(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("id"),
+          col("n_name").as("name"), col("n_regionkey").cast("int").as("region"))
+      val t = GraftTable.create(s, tmp("s66"), base.repartition(6),
+        partitionColumns = Seq("region"),
+        properties = Map("graft.checkpoint.format" -> "parquet"))
+      t.log.writeCheckpoint(t.version)
+      () => {
+      val key = GraftTable.DriverFileLimitConf
+      s.conf.set(key, "3")
+      try {
+        graft.tables.GraftLog.watchFolds(t.path)
+        val lz = GraftTable.forPath(s, t.path)
+        require(GraftTable.lazyReadEligible(s, lz.log, lz.version),
+          "s66 precondition: forced limit puts the table on the lazy path")
+        val out = lz.toDF.where("region >= 2 AND id >= 5")
+          .select(col("id"), col("name"), col("region"))
+        out.collect() // execute under the watch, then return the frame
+        val folds = graft.tables.GraftLog.foldCount(t.path)
+        graft.tables.GraftLog.unwatchFolds(t.path)
+        require(folds == 0L, s"lazy read performed $folds full driver folds")
+        out.withColumn("zero_folds", lit(folds == 0L))
+      } finally s.conf.unset(key)
+      }
+    }),
+
     "s42_uri_table" -> ((s, dir) => {
       // REMOTE-scheme storage end-to-end: the whole engine addressed by a
       // hadoop-FileSystem URI instead of a local path — log IO through
@@ -5217,6 +5250,10 @@ object SparkEntry {
         |FROM customer c""".stripMargin,
     "s51_path_sql" ->
       "SELECT r_regionkey, r_name FROM region",
+    "s66_lazy_snapshot_read" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
+        |  CAST(n_regionkey AS INT) AS region, true AS zero_folds
+        |FROM nation WHERE n_regionkey >= 2 AND n_nationkey >= 5""".stripMargin,
     "s50_replace_table" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         |       (SELECT count(*) FROM nation) AS tt_rows,

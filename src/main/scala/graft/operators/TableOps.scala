@@ -578,13 +578,31 @@ object TableOps {
       else new java.io.File(source).getAbsolutePath
     val matcher = pattern.map(p =>
       java.nio.file.FileSystems.getDefault.getPathMatcher("glob:" + p))
-    val candidates = Fs.walkFiles(srcRoot)
-      .filter { f =>
-        val rel = Fs.relativize(srcRoot, f)
+    // source listing: a single-threaded driver walk below the threshold;
+    // past it (a large landing zone — many top-level dirs, e.g. dt=...
+    // ingestion partitions), one recursive listing task per top-level dir
+    // via the vacuum sweep's fan-out. Same results either way — the
+    // hidden-segment and glob filters apply to the SAME relative paths.
+    val relPaths: Seq[String] = {
+      val topNames = Fs.listChildNames(srcRoot)
+      val dirNames = topNames.filter(n => Fs.isDirectory(Fs.child(srcRoot, n)))
+      val threshold = spark.conf
+        .getOption("spark.graft.copyInto.distributedListingThreshold")
+        .map(_.toInt).getOrElse(DefaultDistributedListingThreshold)
+      if (dirNames.size < threshold)
+        Fs.walkFiles(srcRoot).map(f => Fs.relativize(srcRoot, f))
+      else
+        topNames.diff(dirNames).filter(n => Fs.exists(Fs.child(srcRoot, n))) ++
+          fanOutWalk(spark, srcRoot, dirNames).map(_._1)
+    }
+    val candidates = relPaths
+      .filter { rel =>
         // Spark's listing convention: _metadata/.hidden segments are not data
         rel.split('/').forall(seg => !seg.startsWith("_") && !seg.startsWith(".")) &&
           matcher.forall(_.matches(java.nio.file.Paths.get(rel)))
-      }.sorted
+      }
+      .map(rel => Fs.child(srcRoot, rel))
+      .sorted
 
     // the loaded set, from surviving history (embedded lists on the driver,
     // sidecars distributed via anti-join — never collected). Matched by
@@ -1613,34 +1631,44 @@ object TableOps {
       if (dirs.size < distributedListingThreshold(table))
         dirs.flatMap(d => Fs.walkFilesWithMtime(Fs.child(root, d))
           .map { case (p, m) => (Fs.relativize(root, p), m) })
-      else {
-        // many top-level dirs: recursive walks fan out one task per dir,
-        // with the DRIVER's hadoop conf shipped along (executor-default
-        // Configurations miss spark.hadoop.* scheme registrations and
-        // credentials) — the same discipline as the distributed delete
-        val confBox = new org.apache.spark.sql.graft.SparkBridge.ConfBox(
-          table.spark.sessionState.newHadoopConf())
-        val base = root
-        val rootUriPath = new org.apache.hadoop.fs.Path(base).toUri.getPath
-          .stripSuffix("/")
-        table.spark.sparkContext.parallelize(dirs, dirs.size).flatMap { d =>
-          val p = new org.apache.hadoop.fs.Path(graft.tables.Fs.child(base, d))
-          val f = p.getFileSystem(confBox.value)
-          if (!f.exists(p)) Iterator.empty
-          else {
-            val it = f.listFiles(p, true)
-            val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-            while (it.hasNext) {
-              val st = it.next()
-              if (st.isFile)
-                buf += ((st.getPath.toUri.getPath.stripPrefix(rootUriPath)
-                  .stripPrefix("/"), st.getModificationTime))
-            }
-            buf.iterator
-          }
-        }.collect().toSeq
-      }
+      else fanOutWalk(table.spark, root, dirs)
     top ++ nested
+  }
+
+  /** Recursive (relative path, mtime) listing of `dirs` under `base`, one
+    * task per dir, with the DRIVER's hadoop conf shipped along
+    * (executor-default Configurations miss spark.hadoop.* scheme
+    * registrations and credentials) — the same discipline as the
+    * distributed delete. Shared by the vacuum untracked sweep and the
+    * COPY INTO source listing: a 100 TB landing zone (~10⁶ files) walked
+    * single-threaded from the driver is one filesystem round-trip per
+    * file; here each top-level dir is one executor-side recursive listing.
+    */
+  private[graft] def fanOutWalk(
+      spark: org.apache.spark.sql.SparkSession,
+      base: String,
+      dirs: Seq[String]): Seq[(String, Long)] = {
+    if (dirs.isEmpty) return Nil
+    val confBox = new org.apache.spark.sql.graft.SparkBridge.ConfBox(
+      spark.sessionState.newHadoopConf())
+    val rootUriPath = new org.apache.hadoop.fs.Path(base).toUri.getPath
+      .stripSuffix("/")
+    spark.sparkContext.parallelize(dirs, dirs.size).flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(graft.tables.Fs.child(base, d))
+      val f = p.getFileSystem(confBox.value)
+      if (!f.exists(p)) Iterator.empty
+      else {
+        val it = f.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile)
+            buf += ((st.getPath.toUri.getPath.stripPrefix(rootUriPath)
+              .stripPrefix("/"), st.getModificationTime))
+        }
+        buf.iterator
+      }
+    }.collect().toSeq
   }
 
   /** Files in the table dir referenced by NO log version and older than

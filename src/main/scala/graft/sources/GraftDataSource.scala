@@ -414,7 +414,31 @@ case class GraftRelation(sqlContext: SQLContext, path: String,
   private[sources] def readSnapshot: Snapshot =
     versionAsOf.map(table.snapshotAt).getOrElse(table.snapshot)
 
-  override val schema: StructType = readSnapshot.schema
+  /** Whether reads of this relation take the Dataset-backed large-table
+    * path (live files past `spark.graft.snapshot.driverFileLimit`) —
+    * re-estimated per call because the scan rewrite runs per query and a
+    * compaction can move a table back across the limit.
+    */
+  private[sources] def lazyRead: Boolean = {
+    val spark = sqlContext.sparkSession
+    val log = new graft.tables.GraftLog(path)
+    val target = versionAsOf.getOrElse(log.latestVersion())
+    GraftTable.lazyReadEligible(spark, log, target)
+  }
+
+  /** Schema from the metadata HEAD when the store allows the prefix scan —
+    * `val schema` runs at relation CREATION, and a full snapshot fold here
+    * would materialize a 10⁶-file list before any query even planned.
+    */
+  override val schema: StructType = {
+    val log = new graft.tables.GraftLog(path)
+    if (log.store.filesystemBacked) {
+      val target = versionAsOf.getOrElse(log.latestVersion())
+      org.apache.spark.sql.types.DataType
+        .fromJson(graft.tables.DistributedSnapshot.metadataAt(log, target).schemaJson)
+        .asInstanceOf[StructType]
+    } else readSnapshot.schema
+  }
 
   /** Rows are served as `InternalRow`s from the inner codegen'd parquet plan
     * (`needConversion=false` contract) — no per-row external conversion.
@@ -520,19 +544,14 @@ object GraftScanRewrite extends Rule[LogicalPlan] {
     case l: LogicalRelation if l.relation.isInstanceOf[GraftRelation] =>
       val g = l.relation.asInstanceOf[GraftRelation]
       val spark = g.sqlContext.sparkSession
-      val snap = g.readSnapshot
-      if (snap.files.exists(_.dv.exists(_.cardinality > 0))) {
-        // deletion vectors present: the scan needs the masked two-leg plan
-        // (clean files plain, DV files anti-joined on row position) — built
-        // as a DataFrame, pre-optimized (this batch runs AFTER the pushdown
-        // batches), and grafted in under a Project that re-publishes the
-        // original output exprIds so references above stay valid
+      // graft a pre-optimized DataFrame plan in under a Project that
+      // re-publishes the original output exprIds so references above stay
+      // valid. The session resolver, not toLowerCase: under
+      // caseSensitive=true a lowercased map would collapse columns
+      // differing only by case.
+      def graftUnder(sub: LogicalPlan): LogicalPlan = {
         import org.apache.spark.sql.catalyst.expressions.Alias
         import org.apache.spark.sql.catalyst.plans.logical.Project
-        val table = GraftTable.forPath(spark, g.path)
-        val sub = table.dfForFiles(snap, snap.files).queryExecution.optimizedPlan
-        // the session resolver, not toLowerCase: under caseSensitive=true a
-        // lowercased map would collapse columns differing only by case
         val resolver = spark.sessionState.conf.resolver
         val aliases = l.output.map { orig =>
           val n = sub.output.find(a => resolver(a.name, orig.name)).getOrElse(
@@ -542,11 +561,29 @@ object GraftScanRewrite extends Rule[LogicalPlan] {
           Alias(n, orig.name)(exprId = orig.exprId, qualifier = orig.qualifier)
         }
         Project(aliases, sub)
+      }
+      if (g.lazyRead) {
+        // LARGE table (past spark.graft.snapshot.driverFileLimit): never
+        // fold the file list on the driver — the Dataset-backed read
+        // (clean leg on LazyFileIndex, dv files on the masked leg)
+        val table = GraftTable.forPath(spark, g.path)
+        val target = g.versionAsOf.getOrElse(table.version)
+        graftUnder(table.lazyReadDF(target).queryExecution.optimizedPlan)
       } else {
-        // a time-travel relation pins its snapshot; the file index then never
-        // follows the log past the pinned version
-        l.copy(relation = nativeRelation(spark, g.path,
-          g.versionAsOf.map(_ => snap)))
+        val snap = g.readSnapshot
+        if (snap.files.exists(_.dv.exists(_.cardinality > 0))) {
+          // deletion vectors present: the scan needs the masked two-leg
+          // plan (clean files plain, DV files anti-joined on row position)
+          // — built as a DataFrame, pre-optimized (this batch runs AFTER
+          // the pushdown batches)
+          val table = GraftTable.forPath(spark, g.path)
+          graftUnder(table.dfForFiles(snap, snap.files).queryExecution.optimizedPlan)
+        } else {
+          // a time-travel relation pins its snapshot; the file index then
+          // never follows the log past the pinned version
+          l.copy(relation = nativeRelation(spark, g.path,
+            g.versionAsOf.map(_ => snap)))
+        }
       }
   }
 
@@ -569,6 +606,26 @@ object GraftScanRewrite extends Rule[LogicalPlan] {
     // column mapping: the FileFormat translates requested logical names to
     // the files' physical columns, at any nesting depth (None = identity
     // for unmapped tables — byte-identical stock path)
+    val mapped =
+      if (graft.tables.ColumnMapping.isMapped(schema)) Some(schema) else None
+    HadoopFsRelation(index, partitionSchema, dataSchema, None,
+      new GraftParquetFileFormat(mapped), Map("path" -> path))(spark)
+  }
+
+  /** [[nativeRelation]]'s Dataset-backed sibling: the file index is a
+    * [[LazyFileIndex]] pinned at `version`, built from the snapshot HEAD
+    * alone — no driver-resident file list anywhere in the relation.
+    */
+  def lazyNativeRelation(
+      spark: SparkSession,
+      path: String,
+      head: Snapshot,
+      version: Long): HadoopFsRelation = {
+    val schema = head.schema
+    val partCols = head.metadata.partitionColumns
+    val partitionSchema = StructType(partCols.flatMap(c => schema.fields.find(_.name == c)))
+    val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    val index = new LazyFileIndex(spark, path, partitionSchema, version, head)
     val mapped =
       if (graft.tables.ColumnMapping.isMapped(schema)) Some(schema) else None
     HadoopFsRelation(index, partitionSchema, dataSchema, None,
@@ -608,19 +665,86 @@ object GraftScanRewrite extends Rule[LogicalPlan] {
   * an empty table (or all-null column) answers NULL exactly as the real
   * aggregate would.
   */
+/** Executor-shippable core of the metadata-only aggregate: the per-file
+  * stats interpretation and value ordering, shared VERBATIM by the
+  * driver loop (`GraftMetadataOnlyAggregate.extreme`) and the distributed
+  * fold (`answerLazy`) — a standalone serializable object, because a
+  * lambda calling methods of the Rule module would drag the whole
+  * (non-serializable) rule into the task closure.
+  */
+private[sources] object StatsFold extends Serializable {
+  import org.apache.spark.sql.types.DataType
+
+  /** Some(Some(v)) = contributes v; Some(None) = provably all-null file
+    * (contributes nothing); None = unknown → the rule bails.
+    */
+  def perFileContribution(
+      f: AddFile,
+      st: graft.tables.FileStats,
+      physical: String,
+      dt: DataType,
+      isPartition: Boolean,
+      isMin: Boolean): Option[Option[Any]] = {
+    if (st.numRecords == 0L) Some(None)
+    else if (isPartition) {
+      f.partitionValues.get(physical) match {
+        case Some(TableWriter.HiveDefaultPartition) => Some(None)
+        case Some(s) => graft.tables.FileSkipping.parseExternal(s, dt)
+          .map(v => Some(v))
+        case None => None
+      }
+    } else (if (isMin) st.minValues else st.maxValues).get(physical) match {
+      case Some(s) => graft.tables.FileSkipping.parseStat(s, dt).map(v => Some(v))
+      case None =>
+        if (st.nullCount.get(physical).contains(st.numRecords)) Some(None) else None
+    }
+  }
+
+  def compareVals(x: Any, y: Any): Int = (x, y) match {
+    case (a: Long, b: Long)       => java.lang.Long.compare(a, b)
+    case (a: String, b: String)   => graft.tables.Utf8Order.compare(a, b) // Spark/parquet order, NOT UTF-16
+    case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
+    case _ => sys.error(s"unexpected stat value pairing: $x / $y")
+  }
+
+  def pick(a: Any, b: Any, isMin: Boolean): Any = {
+    val cmp = compareVals(a, b)
+    if ((isMin && cmp <= 0) || (!isMin && cmp >= 0)) a else b
+  }
+}
+
 object GraftMetadataOnlyAggregate extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeMap, NamedExpression}
   import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
   import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Project}
   import org.apache.spark.sql.types._
 
+  /** Where the per-file stats live: a driver-resident snapshot (the
+    * default), or — past `spark.graft.snapshot.driverFileLimit` — the
+    * Dataset view of the log, where the same stats aggregation runs as ONE
+    * tiny Spark job over the checkpoint parquet ([[answerLazy]]). Without
+    * the lazy case, `count(*)` on a 10⁶-file lazy table would regress from
+    * a metadata answer to a full data scan — the exact query this rule
+    * exists for.
+    */
+  private sealed trait StatSource { def head: Snapshot }
+  private case class EagerSrc(snap: Snapshot) extends StatSource {
+    def head: Snapshot = snap
+  }
+  private case class LazySrc(spark: SparkSession, path: String, version: Long,
+      override val head: Snapshot) extends StatSource
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case agg: Aggregate
         if agg.groupingExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
           agg.aggregateExpressions.forall(isAnswerable) =>
       source(agg.child) match {
-        case Some((snap, colOf)) =>
-          answerAll(agg.aggregateExpressions, snap, colOf) match {
+        case Some((src, colOf)) =>
+          val answered = src match {
+            case EagerSrc(snap) => answerAll(agg.aggregateExpressions, snap, colOf)
+            case l: LazySrc => answerLazy(agg.aggregateExpressions, l, colOf)
+          }
+          answered match {
             case Some(values) =>
               LocalRelation(agg.output.map(_.asInstanceOf[Attribute]),
                 Seq(InternalRow.fromSeq(values)))
@@ -662,9 +786,9 @@ object GraftMetadataOnlyAggregate extends Rule[LogicalPlan] {
     * lineage; computed projections simply aren't min/max-resolvable).
     */
   private def source(plan: LogicalPlan)
-      : Option[(Snapshot, AttributeMap[String])] = plan match {
+      : Option[(StatSource, AttributeMap[String])] = plan match {
     case Project(projList, child) =>
-      source(child).map { case (snap, colOf) =>
+      source(child).map { case (src, colOf) =>
         val mapped = projList.collect {
           case a: Attribute if colOf.contains(a) => a -> colOf(a)
           // attribute aliases AND struct-field extractions: the optimizer's
@@ -676,19 +800,30 @@ object GraftMetadataOnlyAggregate extends Rule[LogicalPlan] {
             val (a, rest) = pathedAttr(e).get
             al.toAttribute -> (colOf(a) +: rest).mkString(".")
         }
-        (snap, AttributeMap(mapped))
+        (src, AttributeMap(mapped))
       }
     case l: LogicalRelation =>
-      val snapOpt = l.relation match {
-        case g: GraftRelation => Some(g.readSnapshot)
+      val srcOpt: Option[StatSource] = l.relation match {
+        case g: GraftRelation =>
+          val spark = g.sqlContext.sparkSession
+          if (g.lazyRead) {
+            // NEVER readSnapshot here — folding a limit-crossing table on
+            // the driver at optimize time is the cost this path removes
+            val log = new graft.tables.GraftLog(g.path)
+            val v = g.versionAsOf.getOrElse(log.latestVersion())
+            Some(LazySrc(spark, g.path, v,
+              graft.tables.DistributedSnapshot.snapshotHead(log, v)))
+          } else Some(EagerSrc(g.readSnapshot))
         case h: HadoopFsRelation =>
           h.location match {
-            case gi: GraftFileIndex => Some(gi.snapshotNow)
-            case _                  => None
+            case gi: GraftFileIndex => Some(EagerSrc(gi.snapshotNow))
+            case li: LazyFileIndex =>
+              Some(LazySrc(SparkSession.active, li.tablePath, li.version, li.head))
+            case _ => None
           }
         case _ => None
       }
-      snapOpt.map(snap => (snap, AttributeMap(l.output.map(a => a -> a.name))))
+      srcOpt.map(src => (src, AttributeMap(l.output.map(a => a -> a.name))))
     case _ => None
   }
 
@@ -742,21 +877,7 @@ object GraftMetadataOnlyAggregate extends Rule[LogicalPlan] {
       .getOrElse(return None)
 
     val perFile: Seq[Option[Option[Any]]] = stats.map { case (f, st) =>
-      // Some(Some(v)) = contributes v; Some(None) = provably all-null file
-      // (contributes nothing); None = unknown → bail
-      if (st.numRecords == 0L) Some(None)
-      else if (isPartition) {
-        f.partitionValues.get(physical) match {
-          case Some(TableWriter.HiveDefaultPartition) => Some(None)
-          case Some(s) => graft.tables.FileSkipping.parseExternal(s, dt)
-            .map(v => Some(v))
-          case None => None
-        }
-      } else (if (isMin) st.minValues else st.maxValues).get(physical) match {
-        case Some(s) => graft.tables.FileSkipping.parseStat(s, dt).map(v => Some(v))
-        case None =>
-          if (st.nullCount.get(physical).contains(st.numRecords)) Some(None) else None
-      }
+      StatsFold.perFileContribution(f, st, physical, dt, isPartition, isMin)
     }
     if (perFile.exists(_.isEmpty)) return None
     val contributing = perFile.flatten.flatten
@@ -779,18 +900,112 @@ object GraftMetadataOnlyAggregate extends Rule[LogicalPlan] {
     Some(toInternal(best, dt))
   }
 
+  /** Per-aggregate resolution shared by both answer paths: the dotted
+    * logical name → (physical path, type, partition-ness), None when the
+    * column's stats cannot answer exactly.
+    */
+  private case class ExtSpec(physical: String, dt: DataType,
+      isPartition: Boolean, isMin: Boolean)
+
+  private def resolveExt(head: Snapshot, colOf: AttributeMap[String],
+      e: Expression, isMin: Boolean): Option[ExtSpec] = {
+    val name = pathedAttr(e).flatMap { case (a, rest) =>
+      colOf.get(a).map(n => (n +: rest).mkString("."))
+    }.getOrElse(return None)
+    val parts = name.split('.').toSeq
+    val field = graft.tables.ColumnMapping.fieldChain(head.schema, parts)
+      .map(_.last).getOrElse(return None)
+    if (!statsSafe(field.dataType)) return None
+    val physical = graft.tables.ColumnMapping.physicalPath(head.schema, parts)
+      .getOrElse(return None)
+    Some(ExtSpec(physical, field.dataType,
+      head.metadata.partitionColumns.contains(name), isMin))
+  }
+
+  /** [[answerAll]] for a Dataset-backed source: the SAME per-file stats
+    * interpretation ([[perFileContribution]]) folded by EXECUTORS over the
+    * log's Dataset view — one tiny job over O(files) metadata instead of
+    * either a driver fold (the heap the lazy path exists to avoid) or a
+    * full data scan (what bailing would cost). Partials are (bail, count,
+    * per-agg running extreme, loose-string flag); the driver reduces ≤
+    * #partitions of them.
+    */
+  private def answerLazy(
+      aggs: Seq[NamedExpression],
+      src: LazySrc,
+      colOf: AttributeMap[String]): Option[Seq[Any]] = {
+    val head = src.head
+    // spec encoding: None = count(*) (always answerable), Some = min/max.
+    // Plain Option + case class, so executor-side pattern matches survive
+    // closure serialization (a local case object would not).
+    val specOpts: Seq[Option[Option[ExtSpec]]] = aggs.map {
+      case Alias(ae: AggregateExpression, _) => ae.aggregateFunction match {
+        case Count(_) => Some(None)
+        case Min(e)   => resolveExt(head, colOf, e, isMin = true).map(s => Some(s))
+        case Max(e)   => resolveExt(head, colOf, e, isMin = false).map(s => Some(s))
+        case _        => None
+      }
+      case _ => None
+    }
+    if (specOpts.exists(_.isEmpty)) return None
+    val specs: IndexedSeq[Option[ExtSpec]] = specOpts.flatten.toIndexedSeq
+
+    implicit val enc = org.apache.spark.sql.Encoders.product[AddFile]
+    val partials: Array[(Boolean, Long, Seq[Option[Any]], Boolean)] =
+      graft.tables.DistributedSnapshot.addFilesDF(src.spark, src.path, src.version)
+        .as[AddFile].rdd.mapPartitions { it =>
+          var bail = false
+          var count = 0L
+          var loose = false
+          val ext = Array.fill[Option[Any]](specs.size)(None)
+          it.foreach { f =>
+            if (!bail) {
+              if (f.dv.exists(_.cardinality > 0)) bail = true
+              else graft.tables.GraftLog.parseStats(f.stats) match {
+                case None => bail = true
+                case Some(st) =>
+                  count += st.numRecords
+                  if (!st.tightBounds) loose = true
+                  specs.zipWithIndex.foreach {
+                    case (None, _) => () // count(*): numRecords already summed
+                    case (Some(s), i) =>
+                      StatsFold.perFileContribution(f, st, s.physical, s.dt,
+                        s.isPartition, s.isMin) match {
+                        case None => bail = true
+                        case Some(None) => ()
+                        case Some(Some(v)) =>
+                          ext(i) = Some(ext(i).fold(v)(
+                            StatsFold.pick(_, v, s.isMin)))
+                      }
+                  }
+              }
+            }
+          }
+          Iterator.single((bail, count, ext.toSeq, loose))
+        }.collect()
+    if (partials.exists(_._1)) return None
+    val count = partials.map(_._2).sum
+    val loose = partials.exists(_._4)
+    val values = specs.zipWithIndex.map {
+      case (None, _) => count: Any
+      case (Some(s), i) =>
+        // same exactness guard as the eager path: loose string bounds
+        // (foreign truncated footers) answer skipping, never aggregates
+        if (s.dt == StringType && !s.isPartition && loose) return None
+        val vals = partials.flatMap(_._3(i))
+        if (vals.isEmpty) null
+        else toInternal(vals.reduce(StatsFold.pick(_, _, s.isMin)), s.dt)
+    }
+    Some(values)
+  }
+
   private def statsSafe(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | StringType |
          BooleanType | DateType | TimestampType => true
     case _ => false
   }
 
-  private def compareVals(x: Any, y: Any): Int = (x, y) match {
-    case (a: Long, b: Long)       => java.lang.Long.compare(a, b)
-    case (a: String, b: String)   => graft.tables.Utf8Order.compare(a, b) // Spark/parquet order, NOT UTF-16
-    case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
-    case _ => sys.error(s"unexpected stat value pairing: $x / $y")
-  }
+  private def compareVals(x: Any, y: Any): Int = StatsFold.compareVals(x, y)
 
   /** Canonical comparable (Long/String/Boolean from the parse helpers) →
     * Catalyst internal form for the column's type.
@@ -1064,9 +1279,12 @@ object GraftSourcePin {
           case _ => lr
         }
         // the pre-rewrite V1 relation follows the latest snapshot on every
-        // scan — pin by version (same schema, deterministic file set)
+        // scan — pin by version (same schema, deterministic file set);
+        // latestVersion is a listing, NOT a fold — pinning must stay cheap
+        // on limit-crossing tables
         case g: GraftRelation if g.versionAsOf.isEmpty =>
-          lr.copy(relation = g.copy(versionAsOf = Some(g.readSnapshot.version)))
+          lr.copy(relation = g.copy(versionAsOf =
+            Some(new graft.tables.GraftLog(g.path).latestVersion())))
         case _ => lr
       }
     }

@@ -321,6 +321,105 @@ object DistributedSnapshot {
     }
   }
 
+  /** The snapshot HEAD at `target` — version, metadata, protocol and txn
+    * watermarks with `files = Nil` — via the prefix scans, never folding
+    * the file actions. The entry point of the Dataset-backed read path:
+    * at 10⁶–10⁷ live files the full driver fold is 0.5–5 GB of heap and
+    * O(files) CPU per plan, while everything a PLAN needs besides the
+    * file list (schema, partition columns, properties, feature gates) is
+    * O(head lines). Applies the same reader-feature gate as the driver
+    * fold — a head consumer is still a reader.
+    */
+  private[graft] def snapshotHead(log: GraftLog, target: Long): Snapshot = {
+    val proto = protocolAt(log, target)
+    val unknownReader = proto.readerFeatures.filterNot(GraftLog.SupportedReaderFeatures)
+    if (unknownReader.nonEmpty)
+      throw new IllegalStateException(
+        s"${log.tablePath} requires reader feature(s) ${unknownReader.mkString(", ")} this " +
+          "build does not implement; upgrade the library to read this table")
+    Snapshot(target, metadataAt(log, target), Nil,
+      transactionsAt(log, target), proto)
+  }
+
+  /** Conservative MINIMUM bytes one rendered `{"add":...}` log line can
+    * occupy — the byte pre-gate divisor for [[exceedsFileLimit]]. Real
+    * lines (path + size + stats JSON) run 200–1000 bytes; 64 makes the
+    * pre-gate strictly safe: a log under `limit * 64` bytes CANNOT hold
+    * `limit` add lines.
+    */
+  private val MinAddLineBytes = 64L
+
+  /** Whether the live file set at `target` exceeds `limit` files — WITHOUT
+    * a snapshot fold. Three tiers, cheapest first:
+    *
+    *  1. byte pre-gate: if checkpoint + post-checkpoint delta bytes total
+    *     under `limit * MinAddLineBytes`, the answer is NO from the dir
+    *     listing alone (small tables — the overwhelmingly common case —
+    *     pay only O(#versions) stat calls they already paid to list);
+    *  2. parquet checkpoint: live count from part FOOTERS (row counts are
+    *     footer metadata — O(parts) opens, zero data read);
+    *  3. JSON checkpoint / deltas: prefix-count `{"add"` lines with EARLY
+    *     EXIT at `limit + 1` — no JSON parse, bounded read.
+    *
+    * The count is an UPPER bound (delta adds may re-add checkpointed paths
+    * or be net-removed) — over-estimating only moves a borderline table
+    * onto the Dataset-backed path, which stays correct.
+    */
+  private[graft] def exceedsFileLimit(log: GraftLog, target: Long, limit: Long): Boolean = {
+    if (!log.store.filesystemBacked) return false // lazy path needs executor-readable logs
+    val listing = log.store.list(log.logDir) // ONE listing carries every size
+    val sizes = listing.toMap
+    val ckpt = listing.collect {
+      case (n, _) if n.matches("\\d+\\.checkpoint\\.json") =>
+        n.stripSuffix(".checkpoint.json").toLong
+    }.filter(_ <= target).sorted.lastOption
+    val deltaVs = listing.collect {
+      case (n, s) if s > 0L && n.matches("\\d+\\.json") => n.stripSuffix(".json").toLong
+    }.filter(v => v <= target && ckpt.forall(v > _)).sorted
+    val deltaBytes = deltaVs.map(v => sizes.getOrElse(f"$v%020d.json", 0L)).sum
+
+    var count = 0L
+    def countAdds(path: String): Unit =
+      if (count <= limit) Fs.scanLines(path) { lines =>
+        while (count <= limit && lines.hasNext) {
+          if (lines.next().startsWith("{\"add\"")) count += 1
+        }
+      }
+    ckpt match {
+      case Some(cv) if log.checkpointIsParquetFormat(cv) =>
+        // tier 2: exact live count at the checkpoint from part FOOTERS
+        // (O(parts) opens, zero data read; no byte pre-gate here — parquet
+        // compresses paths too well for a safe bytes-per-row divisor, and
+        // a parquet checkpoint already marks the large-table configuration)
+        val pdir = log.checkpointParquetDir(cv)
+        if (Fs.isDirectory(pdir)) count += parquetRowCount(pdir)
+        else countAdds(log.checkpointFile(cv)) // self-contained fallback head
+      case Some(cv) =>
+        // tier 1 pre-gate, then tier 3: prefix-count `{"add"` lines with
+        // early exit — no JSON parse, bounded read
+        val headBytes = sizes.getOrElse(f"$cv%020d.checkpoint.json", 0L)
+        if (headBytes + deltaBytes < limit * MinAddLineBytes) return false
+        countAdds(log.checkpointFile(cv))
+      case None =>
+        if (deltaBytes < limit * MinAddLineBytes) return false
+    }
+    if (count > limit) return true
+    // remaining deltas cannot push past the limit → done without reading them
+    if (count + deltaBytes / MinAddLineBytes <= limit) return false
+    deltaVs.foreach(v => countAdds(log.versionFile(v)))
+    count > limit
+  }
+
+  /** Total row count of a parquet dir from part footers alone. */
+  private def parquetRowCount(dir: String): Long =
+    Fs.listChildNames(dir).filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .map { n =>
+        val p = Fs.toHadoopPath(Fs.child(dir, n))
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, Fs.hadoopConf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+
   /** appId → newest version watermark in effect at `target`: same
     * prefix-scan strategy as [[metadataAt]] (`{"txn"` lines only),
     * last-wins in (checkpoint, version, line) order like the driver fold. */

@@ -146,7 +146,7 @@ object FileSkipping {
     case _                        => None
   }
 
-  private[tables] def contradictory(predicates: Seq[Expression], schema: StructType): Boolean = {
+  private[graft] def contradictory(predicates: Seq[Expression], schema: StructType): Boolean = {
     // (value, inclusive) bounds per column
     val lo = scala.collection.mutable.Map.empty[String, (Any, Boolean)]
     val hi = scala.collection.mutable.Map.empty[String, (Any, Boolean)]
@@ -194,7 +194,7 @@ object FileSkipping {
   }
 
   /** Conservative per-file evaluation of one conjunct. */
-  private[tables] def mightMatch(
+  private[graft] def mightMatch(
       p: Expression,
       f: AddFile,
       stats: Option[FileStats],

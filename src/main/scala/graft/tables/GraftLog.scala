@@ -197,6 +197,7 @@ class GraftLog(val tablePath: String, val store: LogStore) {
     * O(total log lines), so thousand-version tables stay cheap to open.
     */
   def snapshot(version: Long = -1L): Snapshot = {
+    GraftLog.recordFold(tablePath)
     val vs = versions()
     if (vs.isEmpty)
       throw new IllegalStateException(s"$tablePath is not a GraftTable (empty log)")
@@ -509,6 +510,25 @@ class CommitConflictException(tablePath: String, val version: Long)
     s"version $version of $tablePath was committed concurrently by another writer")
 
 object GraftLog {
+  /** Per-table counters of FULL driver snapshot folds (O(live files) heap
+    * + CPU each) — observability for the Dataset-backed read path: the
+    * large-table rehearsal/specs assert a lazy point query performs ZERO
+    * of these. Opt-in per table (one map probe per fold otherwise), so the
+    * map never grows beyond explicitly watched paths.
+    */
+  private val foldWatch =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private[graft] def watchFolds(tablePath: String): Unit = {
+    foldWatch.put(tablePath, new java.util.concurrent.atomic.AtomicLong(0L)); ()
+  }
+  private[graft] def foldCount(tablePath: String): Long =
+    Option(foldWatch.get(tablePath)).map(_.get()).getOrElse(0L)
+  private[graft] def unwatchFolds(tablePath: String): Unit = {
+    foldWatch.remove(tablePath); ()
+  }
+  private[tables] def recordFold(tablePath: String): Unit =
+    Option(foldWatch.get(tablePath)).foreach { c => c.incrementAndGet(); () }
+
   val LogDirName = "_graft_log"
   val CdcDirName = "_change_data"
   val CdfProperty = "graft.enableChangeDataFeed"

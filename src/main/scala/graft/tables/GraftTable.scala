@@ -26,10 +26,45 @@ class GraftTable private (val spark: SparkSession, val path: String) {
   def version: Long = log.latestVersion()
 
   /** Current table contents as a DataFrame. */
-  def toDF: DataFrame = dfForSnapshot(snapshot)
+  def toDF: DataFrame = {
+    val target = version
+    if (GraftTable.lazyReadEligible(spark, log, target)) lazyReadDF(target)
+    else dfForSnapshot(log.snapshot(target))
+  }
 
   /** Time-travel read. */
-  def toDFAt(version: Long): DataFrame = dfForSnapshot(snapshotAt(version))
+  def toDFAt(version: Long): DataFrame =
+    if (GraftTable.lazyReadEligible(spark, log, version)) lazyReadDF(version)
+    else dfForSnapshot(snapshotAt(version))
+
+  /** The Dataset-backed read of one version — the large-table path behind
+    * `spark.graft.snapshot.driverFileLimit` (default 100k files; see
+    * [[graft.sources.LazyFileIndex]]). The driver holds the snapshot HEAD
+    * (metadata/protocol — O(head lines)) plus, when the protocol carries
+    * the deletionVectors feature, the dv-carrying subset for the masked
+    * leg (O(dv files) — DVs mark recent row-level churn, a small fraction
+    * of a 10⁶-file table between OPTIMIZE passes); the full live file
+    * list never materializes here, and per-query skipping runs on
+    * executors.
+    */
+  private[graft] def lazyReadDF(target: Long): DataFrame = {
+    val head = DistributedSnapshot.snapshotHead(log, target)
+    val schema = head.schema
+    val dvFiles: Seq[AddFile] =
+      if (!head.protocol.readerFeatures.contains("deletionVectors")) Nil
+      else {
+        implicit val enc = org.apache.spark.sql.Encoders.product[AddFile]
+        DistributedSnapshot.addFilesDF(spark, path, target).as[AddFile]
+          .filter((f: AddFile) => f.dv.exists(_.cardinality > 0))
+          .collect().toSeq
+      }
+    val rel = graft.sources.GraftScanRewrite.lazyNativeRelation(spark, path, head, target)
+    val clean = org.apache.spark.sql.graft.SparkBridge.ofRelation(spark, rel)
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    if (dvFiles.isEmpty) clean
+    else clean.unionByName(
+      DeletionVectors.maskedRows(this, head.copy(files = dvFiles), dvFiles))
+  }
 
   /** Build the scan for an explicit file subset of a snapshot (used by the
     * merge engine after file skipping — only candidate files are read).
@@ -784,6 +819,20 @@ object GraftTable {
       }
     }
 
+    // concurrency posture vs a concurrent SOURCE vacuum: a file vacuumed
+    // mid-copy fails its task loudly (the copy reads by path; the length
+    // verify catches truncation) and no log is committed — a failed clone
+    // is never readable. The cheap pre-commit fence below catches the
+    // cheaper-to-diagnose half: a vacuum that already PRUNED the cloned
+    // version's log means the source state we copied is gone — refuse
+    // with the cause named rather than committing a clone whose
+    // provenance version no longer exists at the source.
+    if (!src.log.versions().contains(snap.version))
+      throw new IllegalStateException(
+        s"deep clone of $srcRoot@${snap.version} raced a vacuum/log-cleanup " +
+          s"that pruned version ${snap.version} — the copied state is no " +
+          "longer a readable source version; re-run the clone against a " +
+          "live version")
     val copyMemory = cloneCopyIntoMemory(spark, src.log, srcRoot, snap.version, destRoot)
     val log = new GraftLog(destPath)
     Fs.mkdirs(destPath)
@@ -974,6 +1023,28 @@ object GraftTable {
     * `spark.graft.properties.defaults.enableChangeDataFeed=true`.
     */
   val DefaultsPrefix = "spark.graft.properties.defaults."
+
+  /** Session conf: live-file count above which the READ path plans from a
+    * Dataset view of the log (see [[graft.sources.LazyFileIndex]]) instead
+    * of a driver-resident `Seq[AddFile]`. The default keeps every
+    * ordinary table on the (faster at that size) driver path; a 100 TB
+    * table at ~10⁶ files crosses it and stops costing O(files) driver heap
+    * and CPU per query.
+    */
+  val DriverFileLimitConf = "spark.graft.snapshot.driverFileLimit"
+  val DriverFileLimitDefault = 100000L
+
+  private[graft] def driverFileLimit(spark: SparkSession): Long =
+    spark.conf.getOption(DriverFileLimitConf).map(_.toLong)
+      .getOrElse(DriverFileLimitDefault)
+
+  /** Whether a read of `target` should take the Dataset-backed path: the
+    * (cheaply estimated, never folded) live file count exceeds the
+    * session's driver-file limit and the log is executor-readable.
+    */
+  private[graft] def lazyReadEligible(
+      spark: SparkSession, log: GraftLog, target: Long): Boolean =
+    DistributedSnapshot.exceedsFileLimit(log, target, driverFileLimit(spark))
 
   private[graft] def sessionDefaultProperties(spark: SparkSession): Map[String, String] =
     spark.conf.getAll.collect {

@@ -76,6 +76,43 @@ class CopyIntoSpec extends AnyFunSpec with SparkSessionTestWrapper {
     assert(GraftTable.forPath(spark, tbl).toDF.count() == 8)
   }
 
+  it("distributed source listing (forced threshold) matches the driver walk exactly") {
+    // a landing zone with many top-level dirs (dt=... ingestion partitions)
+    // past spark.graft.copyInto.distributedListingThreshold lists one task
+    // per dir via the vacuum sweep's fan-out — candidates, pattern filter,
+    // hidden-file exclusion and loaded counts must be IDENTICAL to the
+    // single-threaded driver walk
+    val root = freshDir()
+    val land = Fs.child(root, "landing"); Fs.mkdirs(land)
+    (0 until 6).foreach { d =>
+      val sub = Fs.child(land, s"dt=$d"); Fs.mkdirs(sub)
+      landParquet(sub, s"f$d.parquet", (d * 10) until (d * 10 + 10))
+    }
+    landParquet(land, "loose.parquet", 60 until 65)
+    // hidden/dir-convention noise the filters must drop in BOTH modes
+    Fs.mkdirs(Fs.child(land, "_staging"))
+    landParquet(Fs.child(land, "_staging"), "x.parquet", 900 until 905)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(Fs.child(land, ".hidden")), Array[Byte](1))
+
+    def run(threshold: String): (Long, Long, Long) = {
+      val tbl = Fs.child(root, s"t$threshold")
+      GraftTable.create(spark, tbl, Seq.empty[(Long, String)].toDF("id", "v"))
+      spark.conf.set("spark.graft.copyInto.distributedListingThreshold", threshold)
+      try {
+        val (_, rows, copied, skipped) =
+          TableOps.copyInto(GraftTable.forPath(spark, tbl), land, "parquet")
+        assert(GraftTable.forPath(spark, tbl).toDF.select("id").as[Long]
+          .collect().sorted.toSeq == (0L until 65L))
+        (rows, copied, skipped)
+      } finally spark.conf.unset("spark.graft.copyInto.distributedListingThreshold")
+    }
+    val driver = run("1000") // driver walk (threshold never reached)
+    val fanned = run("1")    // every top-level dir fans out
+    assert(driver == ((65L, 7L, 0L)), s"driver walk got $driver")
+    assert(fanned == driver, s"fan-out listing diverged: $fanned vs $driver")
+  }
+
   it("CSV parses with the TARGET schema and format options") {
     val root = freshDir()
     val land = Fs.child(root, "landing"); Fs.mkdirs(land)

@@ -129,6 +129,34 @@ class DeepCloneSpec extends AnyFunSpec with SparkSessionTestWrapper {
     // `.`-prefixed names are excluded
   }
 
+  it("a clone racing a source vacuum fails LOUDLY and commits nothing") {
+    // posture pin: deepClone takes no lock against a concurrent source
+    // vacuum — a vacuumed data file mid-copy fails its task (file gone or
+    // length short), the pre-commit fence catches a pruned source version,
+    // and in EVERY failure mode the destination has no readable table.
+    val root = freshDir()
+    val src = Fs.child(root, "src")
+    val dst = Fs.child(root, "dst")
+    GraftTable.create(spark, src,
+      (0 until 100).map(i => (i.toLong, s"n_$i")).toDF("id", "name"))
+    val t0 = GraftTable.forPath(spark, src)
+    // v1 rewrites everything, making v0's files dead; vacuum at v1 deletes
+    // them — the "vacuum completed before the copy started" extreme of the
+    // race, fully deterministic
+    TableOps.update(t0, None, Map("name" -> "concat(name, '!')"))
+    spark.conf.set("spark.graft.vacuum.untrackedMinAgeMillis", "0")
+    try TableOps.vacuum(GraftTable.forPath(spark, src),
+      GraftTable.forPath(spark, src).version)
+    finally spark.conf.unset("spark.graft.vacuum.untrackedMinAgeMillis")
+    val e = intercept[Exception] {
+      GraftTable.deepClone(spark, src, dst, asOfVersion = Some(0L))
+    }
+    // loud either way: the pruned-version refusal (log cleanup ran) or the
+    // copy task's FileNotFound (files gone, log retained)
+    assert(e.getMessage != null)
+    assert(!GraftTable.exists(dst), "a failed clone must not be readable")
+  }
+
   it("carries bloom sidecars under _bloom/; probes keep pruning after source loss") {
     val root = freshDir()
     val src = Fs.child(root, "src")

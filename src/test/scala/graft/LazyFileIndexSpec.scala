@@ -1,0 +1,189 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.operators.TableOps
+import graft.tables.{DeletionVectors, DistributedSnapshot, Fs, GraftLog, GraftTable}
+
+/** The Dataset-backed read path (LazyFileIndex): above
+  * `spark.graft.snapshot.driverFileLimit` the read plans from a Dataset
+  * view of the log — the driver never folds the live file list. These
+  * specs force the path with a tiny limit and assert (a) result parity
+  * with the driver path in every regime — partitioned, filtered, time
+  * travel, deletion vectors, SQL — and (b) the zero-full-fold property
+  * via the per-table fold watch.
+  */
+class LazyFileIndexSpec extends AnyFunSpec with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-lazyidx").toString
+
+  /** Run `body` with the driver-file limit forced to `n`, restoring after
+    * (suites share the session — leaking a tiny limit would flip every
+    * other suite's tables onto the lazy path mid-test).
+    */
+  private def withLimit[A](n: Long)(body: => A): A = {
+    val key = GraftTable.DriverFileLimitConf
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try body
+    finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  it("plans reads from the Dataset view past the limit — parity on a partitioned table") {
+    val dir = Fs.child(freshDir(), "t")
+    val df = (0 until 400).map(i => (i.toLong, s"n_$i", i % 4)).toDF("id", "name", "p")
+    GraftTable.create(spark, dir, df.repartition(8), partitionColumns = Seq("p"))
+    val t = GraftTable.forPath(spark, dir)
+    val eager = t.toDF.orderBy("id").collect().toSeq
+    withLimit(2) {
+      assert(GraftTable.lazyReadEligible(spark, t.log, t.version),
+        "precondition: table crosses the forced limit")
+      GraftLog.watchFolds(dir)
+      try {
+        val lz = GraftTable.forPath(spark, dir)
+        // full-table parity
+        assert(lz.toDF.orderBy("id").collect().toSeq == eager)
+        // point query: partition filter + data filter both prune, same rows
+        val point = lz.toDF.where("p = 2 AND id = 102").collect()
+        assert(point.map(_.getLong(0)).toSeq == Seq(102L))
+        // partition-only filter (exactness requirement: Spark drops the
+        // pushed partition filter from the post-scan Filter)
+        assert(lz.toDF.where("p = 3").count() == 100)
+        assert(GraftLog.foldCount(dir) == 0L,
+          s"lazy reads performed ${GraftLog.foldCount(dir)} full driver folds")
+      } finally GraftLog.unwatchFolds(dir)
+    }
+  }
+
+  it("time travel and the SQL surface take the lazy path with identical results") {
+    val dir = Fs.child(freshDir(), "t")
+    GraftTable.create(spark, dir,
+      (0 until 100).map(i => (i.toLong, s"v0_$i")).toDF("id", "name"))
+    GraftTable.forPath(spark, dir)
+      .append((100 until 160).map(i => (i.toLong, s"v1_$i")).toDF("id", "name"))
+    val t = GraftTable.forPath(spark, dir)
+    val v0 = t.toDFAt(0L).orderBy("id").collect().toSeq
+    val sqlEager = spark.sql(
+      s"SELECT id, name FROM graft.`$dir` WHERE id >= 150").orderBy("id").collect().toSeq
+    withLimit(1) {
+      assert(GraftTable.forPath(spark, dir).toDFAt(0L).orderBy("id").collect().toSeq == v0)
+      assert(spark.sql(
+        s"SELECT id, name FROM graft.`$dir` WHERE id >= 150").orderBy("id").collect().toSeq
+        == sqlEager)
+    }
+  }
+
+  it("deletion vectors: dv files take the masked leg, clean files the lazy index") {
+    val dir = Fs.child(freshDir(), "t")
+    GraftTable.create(spark, dir,
+      (0 until 200).map(i => (i.toLong, i % 5)).toDF("id", "b").repartition(4),
+      properties = Map(DeletionVectors.Property -> "true"))
+    TableOps.delete(GraftTable.forPath(spark, dir), Some("id % 2 = 0"))
+    val eager = GraftTable.forPath(spark, dir).toDF.orderBy("id").collect().toSeq
+    withLimit(1) {
+      val lz = GraftTable.forPath(spark, dir).toDF
+      assert(lz.orderBy("id").collect().toSeq == eager)
+      assert(lz.where("id % 2 = 0").count() == 0, "masked rows must not resurrect")
+      assert(lz.count() == 100)
+    }
+  }
+
+  it("exceedsFileLimit estimates without folding, across checkpoint formats") {
+    val dir = Fs.child(freshDir(), "t")
+    GraftTable.create(spark, dir,
+      (0 until 100).map(i => (i.toLong, s"x$i")).toDF("id", "name").repartition(5))
+    val log = GraftTable.forPath(spark, dir).log
+    val v = log.latestVersion()
+    GraftLog.watchFolds(dir)
+    try {
+      assert(DistributedSnapshot.exceedsFileLimit(log, v, 2L))
+      assert(!DistributedSnapshot.exceedsFileLimit(log, v, 5L))
+      assert(!DistributedSnapshot.exceedsFileLimit(log, v, 100L))
+      assert(GraftLog.foldCount(dir) == 0L, "the estimator must never fold")
+    } finally GraftLog.unwatchFolds(dir)
+    // parquet checkpoint: the exact footer count takes over
+    graft.sql.GraftSql.sql(spark,
+      s"ALTER TABLE '$dir' SET TBLPROPERTIES('graft.checkpoint.format'='parquet')")
+    val log2 = GraftTable.forPath(spark, dir).log
+    log2.writeCheckpoint(log2.latestVersion())
+    GraftLog.watchFolds(dir)
+    try {
+      assert(DistributedSnapshot.exceedsFileLimit(log2, log2.latestVersion(), 2L))
+      assert(!DistributedSnapshot.exceedsFileLimit(log2, log2.latestVersion(), 5L))
+      assert(GraftLog.foldCount(dir) == 0L, "the estimator must never fold")
+    } finally GraftLog.unwatchFolds(dir)
+  }
+
+  it("metadata-only aggregates answer DISTRIBUTED on the lazy path: no scan, no fold") {
+    // count(*) / min / max on a lazy table must come from the log's stats
+    // via one executor fold — neither a full data scan (bailing) nor a
+    // driver snapshot fold (the cost the lazy path removes)
+    val dir = Fs.child(freshDir(), "t")
+    val df = (0 until 500).map(i => (i.toLong, s"n_$i", i % 4)).toDF("id", "name", "p")
+    GraftTable.create(spark, dir, df.repartition(7), partitionColumns = Seq("p"),
+      properties = Map("graft.checkpoint.format" -> "parquet"))
+    val log = GraftTable.forPath(spark, dir).log
+    log.writeCheckpoint(log.latestVersion())
+    val eager = GraftTable.forPath(spark, dir).toDF
+      .selectExpr("count(*) AS c", "min(id) AS mn", "max(id) AS mx",
+        "min(name) AS mnn", "max(p) AS mxp").collect().toSeq
+    withLimit(2) {
+      GraftLog.watchFolds(dir)
+      try {
+        val q = GraftTable.forPath(spark, dir).toDF
+          .selectExpr("count(*) AS c", "min(id) AS mn", "max(id) AS mx",
+            "min(name) AS mnn", "max(p) AS mxp")
+        // the optimized plan must be the LocalRelation answer — zero scans
+        val scans = q.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }
+        assert(scans.isEmpty, "metadata-only aggregate still planned a scan")
+        assert(q.collect().toSeq == eager)
+        assert(GraftLog.foldCount(dir) == 0L,
+          s"lazy aggregate performed ${GraftLog.foldCount(dir)} full folds")
+      } finally GraftLog.unwatchFolds(dir)
+    }
+  }
+
+  it("lazy metadata-only aggregates bail to a real scan where exactness demands") {
+    // DV-masked rows: stats cover masked rows too, so the rule must bail —
+    // and the SCAN answer must still be exact
+    val dir = Fs.child(freshDir(), "t")
+    GraftTable.create(spark, dir,
+      (0 until 100).map(i => (i.toLong, i % 5)).toDF("id", "b").repartition(3),
+      properties = Map(DeletionVectors.Property -> "true"))
+    TableOps.delete(GraftTable.forPath(spark, dir), Some("id >= 90"))
+    withLimit(1) {
+      val got = GraftTable.forPath(spark, dir).toDF
+        .selectExpr("count(*) AS c", "max(id) AS mx").collect().head
+      assert(got.getLong(0) == 90L && got.getLong(1) == 89L)
+    }
+  }
+
+  it("a lazy point query after a parquet checkpoint performs zero full folds") {
+    val dir = Fs.child(freshDir(), "t")
+    GraftTable.create(spark, dir,
+      (0 until 300).map(i => (i.toLong, s"x$i")).toDF("id", "name").repartition(10),
+      properties = Map("graft.checkpoint.format" -> "parquet"))
+    val log = GraftTable.forPath(spark, dir).log
+    log.writeCheckpoint(log.latestVersion())
+    withLimit(3) {
+      GraftLog.watchFolds(dir)
+      try {
+        val got = GraftTable.forPath(spark, dir).toDF
+          .where("id = 123").select("name").collect()
+        assert(got.map(_.getString(0)).toSeq == Seq("x123"))
+        assert(GraftLog.foldCount(dir) == 0L,
+          s"point query performed ${GraftLog.foldCount(dir)} full driver folds")
+      } finally GraftLog.unwatchFolds(dir)
+    }
+  }
+}

@@ -377,6 +377,12 @@ object DistributedSnapshot {
       case (n, s) if s > 0L && n.matches("\\d+\\.json") => n.stripSuffix(".json").toLong
     }.filter(v => v <= target && ckpt.forall(v > _)).sorted
     val deltaBytes = deltaVs.map(v => sizes.getOrElse(f"$v%020d.json", 0L)).sum
+    // saturating gate: limit * MinAddLineBytes overflows for sentinel
+    // limits (Long.MaxValue disables the lazy path), and a negative gate
+    // would silently skip the pre-gate and line-scan every read
+    val byteGate =
+      if (limit > Long.MaxValue / MinAddLineBytes) Long.MaxValue
+      else limit * MinAddLineBytes
 
     var count = 0L
     def countAdds(path: String): Unit =
@@ -398,10 +404,10 @@ object DistributedSnapshot {
         // tier 1 pre-gate, then tier 3: prefix-count `{"add"` lines with
         // early exit — no JSON parse, bounded read
         val headBytes = sizes.getOrElse(f"$cv%020d.checkpoint.json", 0L)
-        if (headBytes + deltaBytes < limit * MinAddLineBytes) return false
+        if (headBytes + deltaBytes < byteGate) return false
         countAdds(log.checkpointFile(cv))
       case None =>
-        if (deltaBytes < limit * MinAddLineBytes) return false
+        if (deltaBytes < byteGate) return false
     }
     if (count > limit) return true
     // remaining deltas cannot push past the limit → done without reading them

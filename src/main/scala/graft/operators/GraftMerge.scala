@@ -242,7 +242,11 @@ object GraftMerge {
       bySource: Seq[NotMatchedBySourceClause] = Nil): Long = {
     val spark = table.spark
     val t0 = System.currentTimeMillis()
-    val snap = table.snapshot
+    // head past the driver-file limit: candidate selection runs executor-
+    // side (TableOps.dmlCandidates) and everything else the merge reads is
+    // metadata-plane; by-source merges (below) still need the full file
+    // list — every file is a rewrite candidate by construction
+    val (snap, lazyMode) = TableOps.dmlSnap(table)
     val targetCols = snap.schema.fieldNames.toSeq
     // schema evolution: the OUTPUT schema appends source-only columns to the
     // target's (type conflicts rejected up front); without the flag the
@@ -328,9 +332,12 @@ object GraftMerge {
     // condition-derived file skipping would hide them — every file is a
     // candidate (Delta's by-source merges scan the full table likewise)
     val candidates =
-      if (bySourceN.nonEmpty) snap.files
-      else FileSkipping.filesMatching(snap, targetOnly ++ dynamicPreds,
-        Some(BloomIndex.ProbeContext(spark, table.path)))
+      if (bySourceN.nonEmpty) {
+        if (lazyMode) graft.tables.DistributedSnapshot.prunedFilesByExprs(
+          spark, table.path, snap, Nil) // full set — inherent to by-source
+        else snap.files
+      }
+      else TableOps.dmlCandidates(table, snap, lazyMode, targetOnly ++ dynamicPreds)
     val scanTime = System.currentTimeMillis() - t0
 
     // source is always aliased so UpdateAll/InsertAll can reference its side

@@ -129,13 +129,42 @@ object TableOps {
   private case class TouchedScan(
       candidates: Seq[AddFile], touched: Seq[AddFile], scanTimeMs: Long)
 
+  /** The snapshot a predicate-scoped DML plans from: a full driver fold
+    * below `spark.graft.snapshot.driverFileLimit`; past it, the HEAD —
+    * candidate selection then runs as executor-side skipping
+    * ([[dmlCandidates]]) and the driver holds only O(matching) files.
+    * Every downstream consumer reads metadata-plane fields (schema,
+    * properties, transactions, version) plus the candidate subset — never
+    * the full file list.
+    */
+  private[operators] def dmlSnap(table: GraftTable): (Snapshot, Boolean) = {
+    val v = table.version
+    if (GraftTable.lazyReadEligible(table.spark, table.log, v))
+      (graft.tables.DistributedSnapshot.snapshotHead(table.log, v), true)
+    else (table.snapshotAt(v), false)
+  }
+
+  /** Predicate-matched candidate files under the [[dmlSnap]] regime: the
+    * driver walk with bloom probes below the limit, executor-side skipping
+    * (no bloom — sidecar loads stay a driver-path feature) past it.
+    */
+  private[operators] def dmlCandidates(
+      table: GraftTable, snap: Snapshot, lazyMode: Boolean,
+      preds: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[AddFile] =
+    if (lazyMode)
+      graft.tables.DistributedSnapshot.prunedFilesByExprs(
+        table.spark, table.path, snap, preds)
+    else
+      FileSkipping.filesMatching(snap, preds,
+        Some(BloomIndex.ProbeContext(table.spark, table.path)))
+
   private def scanTouched(
-      table: GraftTable, snap: Snapshot, cond: RowCond): TouchedScan = {
+      table: GraftTable, snap: Snapshot, cond: RowCond,
+      lazyMode: Boolean = false): TouchedScan = {
     val spark = table.spark
     val t0 = System.currentTimeMillis()
     val classified = FileSkipping.classify(spark, table.toDF, cond.skippingText)
-    val candidates = FileSkipping.filesMatching(snap, classified.all,
-      Some(BloomIndex.ProbeContext(spark, table.path)))
+    val candidates = dmlCandidates(table, snap, lazyMode, classified.all)
     val scanTime = System.currentTimeMillis() - t0
     val candDf = table.dfForFiles(snap, candidates).withColumn("__graft_file", input_file_name())
     val touchedFiles = candDf.where(cond.column(candDf)).select("__graft_file")
@@ -165,10 +194,10 @@ object TableOps {
   private def deleteCond(table: GraftTable, rc: RowCond): Long = {
     val spark = table.spark
     val t0 = System.currentTimeMillis()
-    val snap = table.snapshot
-    if (DeletionVectors.enabled(snap)) return dvDelete(table, snap, rc, t0)
+    val (snap, lazyMode) = dmlSnap(table)
+    if (DeletionVectors.enabled(snap)) return dvDelete(table, snap, rc, t0, lazyMode)
 
-    val TouchedScan(candidates, touched, scanTime) = scanTouched(table, snap, rc)
+    val TouchedScan(candidates, touched, scanTime) = scanTouched(table, snap, rc, lazyMode)
 
     // 3-valued logic: a NULL-evaluating predicate must NOT delete the row
     // (SQL DELETE semantics) — collapse NULL to false so those rows are
@@ -219,11 +248,11 @@ object TableOps {
     * no descriptor can be "all rows", and pure removes keep `ignoreDeletes`
     * stream semantics intact.
     */
-  private def dvDelete(table: GraftTable, snap: Snapshot, rc: RowCond, t0: Long): Long = {
+  private def dvDelete(table: GraftTable, snap: Snapshot, rc: RowCond, t0: Long,
+      lazyMode: Boolean = false): Long = {
     val spark = table.spark
     val classified = FileSkipping.classify(spark, table.toDF, rc.skippingText)
-    val candidates = FileSkipping.filesMatching(snap, classified.all,
-      Some(BloomIndex.ProbeContext(spark, table.path)))
+    val candidates = dmlCandidates(table, snap, lazyMode, classified.all)
     val scanTime = System.currentTimeMillis() - t0
 
     // candidate rows with (file, position) identity, existing DVs applied —
@@ -306,11 +335,10 @@ object TableOps {
     * plain adds). Unmatched rows are never read, copied or rewritten.
     */
   private def dvUpdate(table: GraftTable, snap: Snapshot, rc: RowCond,
-      set: Map[String, RowCond], t0: Long): Long = {
+      set: Map[String, RowCond], t0: Long, lazyMode: Boolean = false): Long = {
     val spark = table.spark
     val classified = FileSkipping.classify(spark, table.toDF, rc.skippingText)
-    val candidates = FileSkipping.filesMatching(snap, classified.all,
-      Some(BloomIndex.ProbeContext(spark, table.path)))
+    val candidates = dmlCandidates(table, snap, lazyMode, classified.all)
     val scanTime = System.currentTimeMillis() - t0
 
     val rowsBase = DeletionVectors.scanWithPositions(table, snap, candidates)
@@ -426,7 +454,7 @@ object TableOps {
   private def updateCond(table: GraftTable, rc: RowCond, set: Map[String, RowCond]): Long = {
     val spark = table.spark
     val t0 = System.currentTimeMillis()
-    val snap = table.snapshot
+    val (snap, lazyMode) = dmlSnap(table)
     require(set.nonEmpty, "UPDATE needs at least one SET assignment")
     // a SET on an unknown column must fail, not silently no-op (SQL UPDATE
     // semantics — and the silent form reports numUpdatedRows > 0 for rows
@@ -434,9 +462,9 @@ object TableOps {
     val unknown = set.keys.filterNot(k => snap.schema.fieldNames.exists(_.equalsIgnoreCase(k)))
     require(unknown.isEmpty,
       s"UPDATE SET references column(s) not in the table schema: ${unknown.mkString(", ")}")
-    if (DeletionVectors.enabled(snap)) return dvUpdate(table, snap, rc, set, t0)
+    if (DeletionVectors.enabled(snap)) return dvUpdate(table, snap, rc, set, t0, lazyMode)
 
-    val TouchedScan(candidates, touched, scanTime) = scanTouched(table, snap, rc)
+    val TouchedScan(candidates, touched, scanTime) = scanTouched(table, snap, rc, lazyMode)
 
     // NULL predicate ⇒ not updated (3VL): copy the row through unmodified
     // and count it as copied, matching SQL UPDATE semantics
@@ -738,7 +766,7 @@ object TableOps {
       extraActions: Seq[Action] = Nil): Long = {
     val spark = table.spark
     val t0 = System.currentTimeMillis()
-    val snap = table.snapshot
+    val (snap, lazyMode) = dmlSnap(table)
     val fields = snap.schema.fieldNames.toSeq
 
     // idempotent-write replay guard re-checked against THIS snapshot — the
@@ -763,7 +791,8 @@ object TableOps {
         "table schema; replaceWhere does not evolve the schema — drop or " +
         "rename them explicitly")
 
-    val TouchedScan(candidates, touched, scanTime) = scanTouched(table, snap, TextCond(predicate))
+    val TouchedScan(candidates, touched, scanTime) =
+      scanTouched(table, snap, TextCond(predicate), lazyMode)
 
     val touchedRows = table.dfForFiles(snap, touched)
       .withColumn("__graft_del", coalesce(expr(predicate), lit(false)))

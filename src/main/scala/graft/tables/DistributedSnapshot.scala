@@ -321,6 +321,31 @@ object DistributedSnapshot {
     }
   }
 
+  /** [[prunedFiles]] with the conjuncts ALREADY resolved and the head in
+    * hand — the DML planning shape (delete/update/replaceWhere classify
+    * against the table's own frame first). Same executor-side skipping,
+    * same conservative semantics, driver collects only candidates; bloom
+    * probes stay a driver-path feature (per-file sidecar loads fan out
+    * badly from tasks — min/max + partition pruning carry the lazy path).
+    */
+  private[graft] def prunedFilesByExprs(
+      spark: SparkSession,
+      tablePath: String,
+      head: Snapshot,
+      preds: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[AddFile] = {
+    val schema = head.schema
+    if (FileSkipping.contradictory(preds, schema)) return Nil
+    val partCols = head.metadata.partitionColumns.toSet
+    implicit val enc = org.apache.spark.sql.Encoders.product[AddFile]
+    val files = addFilesDF(spark, tablePath, head.version).as[AddFile]
+    if (preds.isEmpty) files.collect().toSeq
+    else files.filter { f =>
+      val stats = GraftLog.parseStats(f.stats)
+      preds.forall(p =>
+        FileSkipping.mightMatch(p, f, stats, schema, partCols, None))
+    }.collect().toSeq
+  }
+
   /** The snapshot HEAD at `target` — version, metadata, protocol and txn
     * watermarks with `files = Nil` — via the prefix scans, never folding
     * the file actions. The entry point of the Dataset-backed read path:

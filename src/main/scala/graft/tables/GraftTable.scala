@@ -17,6 +17,13 @@ import org.apache.spark.sql.types._
   */
 class GraftTable private (val spark: SparkSession, val path: String) {
 
+  // the path API self-installs the optimizer rules like the V1 source
+  // paths do — a session that only ever touches GraftTable (no SQL, no
+  // spark.read.format("graft")) otherwise planned count(*) on a 10⁶-file
+  // table as a full scan because the metadata-only aggregate rule was
+  // never registered (idempotent; a Seq-contains check when already in)
+  graft.sources.GraftScanRewrite.install(spark)
+
   val log = new GraftLog(path)
 
   def snapshot: Snapshot = log.snapshot()

@@ -138,7 +138,18 @@ object TableWriter {
     ensureWriteConfs(spark)
     val log = new GraftLog(tablePath)
     val exists = log.tableExists
-    val prevSnapshot = if (exists) Some(log.snapshot()) else None
+    // APPEND consumes only the snapshot's metadata plane (schema merge,
+    // properties, protocol, version) — commit removes are Nil or caller-
+    // supplied. Past the driver-file limit the head alone loads, so
+    // appends (and with them streaming epochs and COPY INTO) never fold a
+    // 10⁶-entry file list the commit would not read. Overwrite modes keep
+    // the full fold: their remove actions ARE the file list.
+    def loadSnapshot(): Snapshot =
+      if (mode == Append &&
+          GraftTable.lazyReadEligible(spark, log, log.latestVersion()))
+        DistributedSnapshot.snapshotHead(log, log.latestVersion())
+      else log.snapshot()
+    val prevSnapshot = if (exists) Some(loadSnapshot()) else None
     // writer gate (snapshot() above already gated READER features): a
     // writer missing a declared writer feature could corrupt invariants it
     // does not know exist — fail before anything is staged
@@ -634,7 +645,7 @@ object TableWriter {
                   "a concurrent writer and is not safely retryable " +
                   "(the winner touched the same files, table metadata, or idempotence " +
                   "watermark); re-run the operation")
-            attemptSnap = Some(log.snapshot())
+            attemptSnap = Some(loadSnapshot()) // same head-vs-fold rule per retry
         }
       }
       if (operation != "OPTIMIZE" && !skipDataWrite)

@@ -123,14 +123,52 @@ object LazySnapshotRehearsal {
     }
     require(eagerRows.toSeq == rows.toSeq, "eager/lazy parity broke")
 
-    // ---- full-scan aggregate parity (no filters: every file listed) ----
-    val (cnt, tCount) = timed("lazy_full_count") {
-      GraftTable.forPath(spark, dir).toDF.count()
+    // ---- full-scan aggregate: answered from stats in ONE metadata job ----
+    val (cnt, tCount) = timed("lazy_metadata_count") {
+      GraftLog.watchFolds(dir)
+      try {
+        val q = GraftTable.forPath(spark, dir).toDF
+          .selectExpr("count(*) AS c")
+        // LOGICAL-plan assert: AQE hides physical scans inside
+        // AdaptiveSparkPlanExec, so an executedPlan collect would be
+        // vacuously empty (the round-17 rehearsal bug that hid a full
+        // 120k-file scan behind a green assert)
+        val rels = q.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+        }
+        require(rels.isEmpty, "count(*) on the lazy path planned a data scan")
+        val c = q.collect().head.getLong(0)
+        require(GraftLog.foldCount(dir) == 0L, "metadata count folded")
+        c
+      } finally GraftLog.unwatchFolds(dir)
     }
-    require(cnt == nFiles.toLong, s"full count $cnt != $nFiles")
+    require(cnt == nFiles.toLong, s"metadata count $cnt != $nFiles")
+
+    // ---- write paths: append + point DELETE commit from the head ----
+    GraftLog.watchFolds(dir)
+    val (_, tAppend) = timed("lazy_append") {
+      GraftTable.forPath(spark, dir).append(
+        spark.range(nFiles.toLong, nFiles + 50L).selectExpr(
+          "id", s"CAST(id % $nBuckets AS INT) AS bucket",
+          "concat('name_', id) AS name"))
+    }
+    val (_, tDelete) = timed("lazy_point_delete") {
+      graft.operators.TableOps.delete(
+        GraftTable.forPath(spark, dir),
+        Some(s"bucket = $probeBucket AND id = $probeId"))
+    }
+    val writeFolds = GraftLog.foldCount(dir)
+    GraftLog.unwatchFolds(dir)
+    require(writeFolds == 0L,
+      s"append + point delete performed $writeFolds full driver folds")
+    require(GraftTable.forPath(spark, dir).toDF
+      .where(s"id = $probeId").count() == 0, "point delete missed")
+    require(GraftTable.forPath(spark, dir).toDF
+      .where(s"id = ${nFiles + 10L}").count() == 1, "append row missing")
 
     println(f"REHEARSAL OK files=$nFiles create=$tCreate%.1fs ckpt=$tCkpt%.1fs " +
-      f"lazy_point=$tLazy%.2fs eager_point=$tEager%.2fs full_count=$tCount%.1fs " +
+      f"lazy_point=$tLazy%.2fs eager_point=$tEager%.2fs meta_count=$tCount%.2fs " +
+      f"append=$tAppend%.2fs point_delete=$tDelete%.2fs " +
       f"heap_delta=$heapDeltaMb%.1fMB folds=0")
   }
 }

@@ -141,11 +141,13 @@ class LazyFileIndexSpec extends AnyFunSpec with SparkSessionTestWrapper {
         val q = GraftTable.forPath(spark, dir).toDF
           .selectExpr("count(*) AS c", "min(id) AS mn", "max(id) AS mx",
             "min(name) AS mnn", "max(p) AS mxp")
-        // the optimized plan must be the LocalRelation answer — zero scans
-        val scans = q.queryExecution.executedPlan.collect {
-          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        // the optimized plan must be the LocalRelation answer — no
+        // relation at all (AQE hides physical scans inside
+        // AdaptiveSparkPlanExec, so assert on the LOGICAL plan)
+        val rels = q.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
         }
-        assert(scans.isEmpty, "metadata-only aggregate still planned a scan")
+        assert(rels.isEmpty, "metadata-only aggregate still planned a scan")
         assert(q.collect().toSeq == eager)
         assert(GraftLog.foldCount(dir) == 0L,
           s"lazy aggregate performed ${GraftLog.foldCount(dir)} full folds")
@@ -165,6 +167,116 @@ class LazyFileIndexSpec extends AnyFunSpec with SparkSessionTestWrapper {
       val got = GraftTable.forPath(spark, dir).toDF
         .selectExpr("count(*) AS c", "max(id) AS mx").collect().head
       assert(got.getLong(0) == 90L && got.getLong(1) == 89L)
+    }
+  }
+
+  it("APPEND to a limit-crossing table commits from the head: zero folds") {
+    // the append path consumes only the snapshot's metadata plane — past
+    // the limit it must load the head, not fold the file list; the commit
+    // and a subsequent read stay exactly right
+    val dir = Fs.child(freshDir(), "t")
+    GraftTable.create(spark, dir,
+      (0 until 200).map(i => (i.toLong, s"x$i")).toDF("id", "name").repartition(8),
+      properties = Map("graft.checkpoint.format" -> "parquet"))
+    val log = GraftTable.forPath(spark, dir).log
+    log.writeCheckpoint(log.latestVersion())
+    withLimit(2) {
+      GraftLog.watchFolds(dir)
+      try {
+        GraftTable.forPath(spark, dir)
+          .append((200 until 230).map(i => (i.toLong, s"x$i")).toDF("id", "name"))
+        assert(GraftLog.foldCount(dir) == 0L,
+          s"append performed ${GraftLog.foldCount(dir)} full driver folds")
+      } finally GraftLog.unwatchFolds(dir)
+      assert(GraftTable.forPath(spark, dir).toDF.count() == 230)
+      assert(GraftTable.forPath(spark, dir).toDF.where("id >= 200").count() == 30)
+    }
+  }
+
+  it("DELETE/UPDATE/replaceWhere on a limit-crossing table plan from the head") {
+    // predicate-scoped DML past the limit: candidates come from executor
+    // skipping over the Dataset view, the commit reads only metadata-plane
+    // fields — zero full folds, results identical to the eager path
+    val dir = Fs.child(freshDir(), "t")
+    GraftTable.create(spark, dir,
+      (0 until 400).map(i => (i.toLong, s"x$i", i % 4)).toDF("id", "name", "p")
+        .repartition(8),
+      partitionColumns = Seq("p"),
+      properties = Map("graft.checkpoint.format" -> "parquet"))
+    val log = GraftTable.forPath(spark, dir).log
+    log.writeCheckpoint(log.latestVersion())
+    withLimit(2) {
+      GraftLog.watchFolds(dir)
+      try {
+        TableOps.delete(GraftTable.forPath(spark, dir), Some("p = 1 AND id < 100"))
+        TableOps.update(GraftTable.forPath(spark, dir), Some("id = 202"),
+          Map("name" -> "'renamed'"))
+        import spark.implicits._
+        TableOps.overwriteWhere(GraftTable.forPath(spark, dir),
+          Seq((900L, "nine", 3)).toDF("id", "name", "p"), "p = 3")
+        assert(GraftLog.foldCount(dir) == 0L,
+          s"lazy DML performed ${GraftLog.foldCount(dir)} full driver folds")
+      } finally GraftLog.unwatchFolds(dir)
+      val t = GraftTable.forPath(spark, dir)
+      assert(t.toDF.where("p = 1 AND id < 100").count() == 0)
+      assert(t.toDF.where("p = 1").count() == 75) // 100 - 25 deleted
+      assert(t.toDF.where("name = 'renamed'").select("id").collect()
+        .map(_.getLong(0)).toSeq == Seq(202L))
+      assert(t.toDF.where("p = 3").count() == 1)
+      assert(t.toDF.where("id = 900").count() == 1)
+      assert(t.toDF.count() == 400 - 25 - 100 + 1)
+    }
+  }
+
+  it("DV-path DML on a limit-crossing table: masked deletes, zero folds") {
+    val dir = Fs.child(freshDir(), "t")
+    GraftTable.create(spark, dir,
+      (0 until 300).map(i => (i.toLong, i % 3)).toDF("id", "b").repartition(6),
+      properties = Map(
+        DeletionVectors.Property -> "true",
+        "graft.checkpoint.format" -> "parquet"))
+    val log = GraftTable.forPath(spark, dir).log
+    log.writeCheckpoint(log.latestVersion())
+    withLimit(2) {
+      GraftLog.watchFolds(dir)
+      try {
+        TableOps.delete(GraftTable.forPath(spark, dir), Some("id % 5 = 0"))
+        TableOps.update(GraftTable.forPath(spark, dir), Some("id = 7"),
+          Map("b" -> "99"))
+        assert(GraftLog.foldCount(dir) == 0L,
+          s"lazy DV DML performed ${GraftLog.foldCount(dir)} full driver folds")
+      } finally GraftLog.unwatchFolds(dir)
+      val t = GraftTable.forPath(spark, dir)
+      assert(t.toDF.where("id % 5 = 0").count() == 0)
+      assert(t.toDF.count() == 240)
+      assert(t.toDF.where("id = 7 AND b = 99").count() == 1)
+    }
+  }
+
+  it("MERGE into a limit-crossing table: head-planned, zero folds, exact result") {
+    val dir = Fs.child(freshDir(), "t")
+    GraftTable.create(spark, dir,
+      (0 until 300).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(6),
+      properties = Map("graft.checkpoint.format" -> "parquet"))
+    val log = GraftTable.forPath(spark, dir).log
+    log.writeCheckpoint(log.latestVersion())
+    val source = (295 until 310).map(i => (i.toLong, s"NEW$i")).toDF("id", "v")
+    withLimit(2) {
+      GraftLog.watchFolds(dir)
+      try {
+        graft.operators.GraftMerge(GraftTable.forPath(spark, dir), "t")
+          .merge(source, "t.id = s.id", Some("s"))
+          .whenMatchedUpdateAll()
+          .whenNotMatchedInsertAll()
+          .execute()
+        assert(GraftLog.foldCount(dir) == 0L,
+          s"lazy merge performed ${GraftLog.foldCount(dir)} full driver folds")
+      } finally GraftLog.unwatchFolds(dir)
+      val t = GraftTable.forPath(spark, dir)
+      assert(t.toDF.count() == 310)
+      assert(t.toDF.where("v LIKE 'NEW%'").count() == 15)
+      assert(t.toDF.where("id = 299 AND v = 'NEW299'").count() == 1)
+      assert(t.toDF.where("id = 294 AND v = 'v294'").count() == 1)
     }
   }
 

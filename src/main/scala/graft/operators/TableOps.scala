@@ -597,7 +597,9 @@ object TableOps {
       formatOptions: Map[String, String] = Map.empty,
       force: Boolean = false): (Long, Long, Long, Long) = {
     val spark = table.spark
-    val snap = table.snapshot
+    // metadata-plane only (version, schema, transactions) — the head past
+    // the driver-file limit, like every other non-overwrite write path
+    val (snap, _) = dmlSnap(table)
     val fmt = format.toLowerCase(java.util.Locale.ROOT)
     require(Set("parquet", "csv", "json").contains(fmt),
       s"COPY INTO supports FILEFORMAT = PARQUET | CSV | JSON, got '$format'")

@@ -1192,41 +1192,26 @@ class GraftFileIndex(
     }.toSeq
   }
 
-  /** Typed InternalRow of one file's partition values, in partition-schema
-    * order (`__HIVE_DEFAULT_PARTITION__` → null, strings cast to the
-    * column's type exactly as partition-dir inference would).
+  /** Typed InternalRow of one file's partition values — delegates to the
+    * shared interpretation ([[LazyFileIndex.partitionRow]]) so the two
+    * file indexes cannot diverge on partition typing.
     */
   private def partitionRow(f: AddFile): InternalRow =
-    InternalRow.fromSeq(partitionSchema.fields.toSeq.map { field =>
-      // partition-values keys are PHYSICAL (stable across renames)
-      f.partitionValues.get(graft.tables.ColumnMapping.physicalName(field)) match {
-        case None | Some(TableWriter.HiveDefaultPartition) => null
-        case Some(raw) =>
-          Cast(Literal(raw), field.dataType, Option(sessionTz)).eval(InternalRow.empty)
-      }
-    })
+    LazyFileIndex.partitionRow(f, partitionSchema, sessionTz)
 
-  /** Exact evaluator for the pushed partition filters: attributes are
-    * rebound by name to partition-schema ordinals. Pushed partition filters
-    * reference only partition columns (FileSourceStrategy invariant); an
-    * unmatched attribute therefore fails loudly rather than risking a
-    * wrong-results prune.
+  /** Exact evaluator for the pushed partition filters — the shared
+    * name-to-ordinal binding ([[LazyFileIndex.bindPartitionFilters]]:
+    * loud on an unmatched attribute, exactness is a correctness
+    * requirement), evaluated immediately on the driver here.
     */
-  private def partitionPredicate(filters: Seq[Expression]): InternalRow => Boolean = {
-    if (filters.isEmpty) return _ => true
-    def bind(e: Expression): Expression = e.transform {
-      case a: AttributeReference =>
-        val i = partitionSchema.fields.indexWhere(f =>
-          if (caseSensitive) f.name == a.name else f.name.equalsIgnoreCase(a.name))
-        if (i < 0) throw new IllegalStateException(
-          s"partition filter references non-partition column ${a.name}")
-        BoundReference(i, partitionSchema.fields(i).dataType, nullable = true)
+  private def partitionPredicate(filters: Seq[Expression]): InternalRow => Boolean =
+    LazyFileIndex.bindPartitionFilters(filters, partitionSchema, caseSensitive) match {
+      case None => _ => true
+      case Some(bound) =>
+        val pred = Predicate.create(bound)
+        pred.initialize(0)
+        row => pred.eval(row)
     }
-    val pred = Predicate.create(filters.map(bind).reduce(
-      org.apache.spark.sql.catalyst.expressions.And(_, _)))
-    pred.initialize(0)
-    row => pred.eval(row)
-  }
 
   private def fileStatus(f: AddFile): FileStatus =
     new FileStatus(f.size, false, 1, 128L * 1024 * 1024, 0L,

@@ -62,14 +62,18 @@ class LazyFileIndex(
 
   override def refresh(): Unit = () // version-pinned by design (see class doc)
 
-  /** One agg job, cached — planning consults sizeInBytes for join-strategy
-    * decisions; a table on this index is far past every broadcast
-    * threshold anyway, so a cached exact sum is plenty.
+  /** One agg job, cached per (table, version) ACROSS index instances —
+    * the scan rewrite builds a fresh index per query, so an instance-local
+    * cache would re-run the stats job on every planned query that consults
+    * relation stats (every JoinSelection / AQE pass). Planning consults
+    * sizeInBytes for join-strategy decisions; a table on this index is far
+    * past every broadcast threshold anyway, so a cached exact sum is plenty.
     */
-  override lazy val sizeInBytes: Long = {
-    val r = filesDS().agg(org.apache.spark.sql.functions.sum("size")).first()
-    if (r.isNullAt(0)) 0L else r.getLong(0)
-  }
+  override lazy val sizeInBytes: Long =
+    LazyFileIndex.cachedSize(tablePath, version, () => {
+      val r = filesDS().agg(org.apache.spark.sql.functions.sum("size")).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    })
 
   /** O(live files) STRINGS on the driver — only the `df.inputFiles`
     * API pays it, on demand; planning never calls this.
@@ -95,43 +99,27 @@ class LazyFileIndex(
     // same invariant as GraftFileIndex.partitionPredicate); the executor
     // side only instantiates the predicate
     val boundPart: Option[Expression] =
-      if (partitionFilters.isEmpty) None
-      else {
-        val pSchema = partitionSchema
-        val cs = caseSensitive
-        def bind(e: Expression): Expression = e.transform {
-          case a: AttributeReference =>
-            val i = pSchema.fields.indexWhere(f =>
-              if (cs) f.name == a.name else f.name.equalsIgnoreCase(a.name))
-            if (i < 0) throw new IllegalStateException(
-              s"partition filter references non-partition column ${a.name}")
-            BoundReference(i, pSchema.fields(i).dataType, nullable = true)
-        }
-        Some(partitionFilters.map(bind).reduce(
-          org.apache.spark.sql.catalyst.expressions.And(_, _)))
-      }
+      LazyFileIndex.bindPartitionFilters(partitionFilters, partitionSchema, caseSensitive)
 
-    val preds = dataFilters
-    val schema = tableSchema
-    val pCols = partCols
     val pSchema = partitionSchema
     val tz = sessionTz
     implicit val enc = org.apache.spark.sql.Encoders.product[AddFile]
-    val survivors: Array[AddFile] = filesDS().mapPartitions { it =>
-      val partPred = boundPart.map { e =>
-        val p = Predicate.create(e); p.initialize(0); p
-      }
-      it.filter { f =>
-        // dv-carrying files belong to the builder's masked leg (split out
-        // at this same pinned version) — never to the plain scan
-        !f.dv.exists(_.cardinality > 0) &&
-          partPred.forall(_.eval(LazyFileIndex.partitionRow(f, pSchema, tz))) && {
-            val stats = GraftLog.parseStats(f.stats)
-            preds.forall(p =>
-              FileSkipping.mightMatch(p, f, stats, schema, pCols, None))
-          }
-      }
-    }.collect()
+    // two fused filter stages: the SHARED stats-skipping filter (one
+    // definition with the prunedFiles family), then the exact partition
+    // predicate + dv exclusion this index adds on top
+    val survivors: Array[AddFile] = DistributedSnapshot
+      .filterByStats(filesDS(), dataFilters, tableSchema, partCols)
+      .mapPartitions { it =>
+        val partPred = boundPart.map { e =>
+          val p = Predicate.create(e); p.initialize(0); p
+        }
+        it.filter { f =>
+          // dv-carrying files belong to the builder's masked leg (split out
+          // at this same pinned version) — never to the plain scan
+          !f.dv.exists(_.cardinality > 0) &&
+            partPred.forall(_.eval(LazyFileIndex.partitionRow(f, pSchema, tz)))
+        }
+      }.collect()
 
     survivors.groupBy(_.partitionValues).iterator.map { case (_, files) =>
       PartitionDirectory(
@@ -146,6 +134,48 @@ class LazyFileIndex(
 }
 
 object LazyFileIndex {
+
+  /** (table, version) → total live bytes — see [[LazyFileIndex.sizeInBytes]].
+    * Content at a committed version is immutable, so entries never go
+    * stale; cleared wholesale at a size bound.
+    */
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
+
+  private[sources] def cachedSize(path: String, version: Long, compute: () => Long): Long = {
+    val key = (path, version)
+    val memo = sizeCache.get(key)
+    if (memo != null) return memo.longValue()
+    val v = compute()
+    if (sizeCache.size > 1024) sizeCache.clear()
+    sizeCache.put(key, java.lang.Long.valueOf(v))
+    v
+  }
+
+  /** Partition filters bound by NAME to partition-schema ordinals, reduced
+    * under And — THE binding rule of both file indexes (the driver index
+    * evaluates it immediately, this one ships it to executors). Loud on an
+    * unmatched attribute: pushed partition filters reference only
+    * partition columns (FileSourceStrategy invariant), so a miss is a bug,
+    * and a conservative answer would be a wrong-results prune.
+    */
+  private[sources] def bindPartitionFilters(
+      filters: Seq[Expression],
+      partitionSchema: StructType,
+      caseSensitive: Boolean): Option[Expression] =
+    if (filters.isEmpty) None
+    else {
+      def bind(e: Expression): Expression = e.transform {
+        case a: AttributeReference =>
+          val i = partitionSchema.fields.indexWhere(f =>
+            if (caseSensitive) f.name == a.name else f.name.equalsIgnoreCase(a.name))
+          if (i < 0) throw new IllegalStateException(
+            s"partition filter references non-partition column ${a.name}")
+          BoundReference(i, partitionSchema.fields(i).dataType, nullable = true)
+      }
+      Some(filters.map(bind).reduce(
+        org.apache.spark.sql.catalyst.expressions.And(_, _)))
+    }
 
   /** Typed InternalRow of one file's partition values — the same
     * interpretation as [[GraftFileIndex.partitionRow]] (physical-name

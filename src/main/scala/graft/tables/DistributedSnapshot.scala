@@ -101,12 +101,7 @@ object DistributedSnapshot {
     // designated large-table read path, and unknown features would make the
     // returned file set silently wrong (protocol lines parse to null rows
     // in the executor fold and vanish without this check)
-    val unknownReader = protocolAt(log, target)
-      .readerFeatures.filterNot(GraftLog.SupportedReaderFeatures)
-    if (unknownReader.nonEmpty)
-      throw new IllegalStateException(
-        s"$tablePath requires reader feature(s) ${unknownReader.mkString(", ")} this " +
-          "build does not implement; upgrade the library to read this table")
+    gatedProtocolAt(log, target)
     val ckpt = log.checkpointVersions().filter(_ <= target).lastOption
     val deltaFiles = vs.filter(v => v <= target && ckpt.forall(v > _))
       .map(v => log.versionFile(v))
@@ -219,12 +214,8 @@ object DistributedSnapshot {
     if (FileSkipping.contradictory(preds, schema)) return Nil
 
     implicit val enc = org.apache.spark.sql.Encoders.product[AddFile]
-    val files: Dataset[AddFile] = addFilesDF(spark, tablePath, target).as[AddFile]
-    files.filter { f =>
-      val stats = GraftLog.parseStats(f.stats)
-      preds.forall(p =>
-        FileSkipping.mightMatch(p, f, stats, schema, partCols, None))
-    }.collect().toSeq
+    filterByStats(addFilesDF(spark, tablePath, target).as[AddFile],
+      preds, schema, partCols).collect().toSeq
   }
 
   /** Write the checkpoint sidecar for `version` (default latest) with the
@@ -333,18 +324,30 @@ object DistributedSnapshot {
       tablePath: String,
       head: Snapshot,
       preds: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[AddFile] = {
-    val schema = head.schema
-    if (FileSkipping.contradictory(preds, schema)) return Nil
-    val partCols = head.metadata.partitionColumns.toSet
+    if (FileSkipping.contradictory(preds, head.schema)) return Nil
     implicit val enc = org.apache.spark.sql.Encoders.product[AddFile]
-    val files = addFilesDF(spark, tablePath, head.version).as[AddFile]
-    if (preds.isEmpty) files.collect().toSeq
-    else files.filter { f =>
+    filterByStats(addFilesDF(spark, tablePath, head.version).as[AddFile],
+      preds, head.schema, head.metadata.partitionColumns.toSet).collect().toSeq
+  }
+
+  /** THE executor-side stats-skipping filter — one definition shared by
+    * [[prunedFiles]], [[prunedFilesByExprs]] and
+    * [[graft.sources.LazyFileIndex.listFiles]], so a semantics change to
+    * skipping applies to every Dataset-backed consumer at once. Same
+    * conservative `mightMatch` the driver path evaluates; bloom probes
+    * stay driver-path-only.
+    */
+  private[graft] def filterByStats(
+      files: Dataset[AddFile],
+      preds: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      schema: StructType,
+      partCols: Set[String]): Dataset[AddFile] =
+    if (preds.isEmpty) files
+    else files.filter { (f: AddFile) =>
       val stats = GraftLog.parseStats(f.stats)
       preds.forall(p =>
         FileSkipping.mightMatch(p, f, stats, schema, partCols, None))
-    }.collect().toSeq
-  }
+    }
 
   /** The snapshot HEAD at `target` — version, metadata, protocol and txn
     * watermarks with `files = Nil` — via the prefix scans, never folding
@@ -355,15 +358,22 @@ object DistributedSnapshot {
     * O(head lines). Applies the same reader-feature gate as the driver
     * fold — a head consumer is still a reader.
     */
-  private[graft] def snapshotHead(log: GraftLog, target: Long): Snapshot = {
+  private[graft] def snapshotHead(log: GraftLog, target: Long): Snapshot =
+    Snapshot(target, metadataAt(log, target), Nil,
+      transactionsAt(log, target), gatedProtocolAt(log, target))
+
+  /** [[protocolAt]] behind THE reader-feature gate every head consumer
+    * must pass (a head consumer is still a reader) — one definition, used
+    * by [[addFilesDF]] and [[snapshotHead]] so the gate cannot diverge.
+    */
+  private def gatedProtocolAt(log: GraftLog, target: Long): graft.tables.Protocol = {
     val proto = protocolAt(log, target)
     val unknownReader = proto.readerFeatures.filterNot(GraftLog.SupportedReaderFeatures)
     if (unknownReader.nonEmpty)
       throw new IllegalStateException(
         s"${log.tablePath} requires reader feature(s) ${unknownReader.mkString(", ")} this " +
           "build does not implement; upgrade the library to read this table")
-    Snapshot(target, metadataAt(log, target), Nil,
-      transactionsAt(log, target), proto)
+    proto
   }
 
   /** Conservative MINIMUM bytes one rendered `{"add":...}` log line can
@@ -390,8 +400,31 @@ object DistributedSnapshot {
     * or be net-removed) — over-estimating only moves a borderline table
     * onto the Dataset-backed path, which stays correct.
     */
+  /** Memo for [[exceedsFileLimit]]: the live file count at a COMMITTED
+    * version never changes (a later checkpoint changes the computation's
+    * cost, not its answer), so the verdict is a pure function of
+    * (table, version, limit). Without this, a mid-size table whose JSON
+    * checkpoint exceeds the byte pre-gate but whose count stays under the
+    * limit re-reads its whole checkpoint on EVERY plan/DML — hundreds of
+    * ms of log IO per statement. Cleared wholesale at a size bound (no
+    * LRU bookkeeping; re-deriving a verdict is cheap relative to
+    * tracking recency).
+    */
+  private val limitVerdicts =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Boolean]()
+
   private[graft] def exceedsFileLimit(log: GraftLog, target: Long, limit: Long): Boolean = {
     if (!log.store.filesystemBacked) return false // lazy path needs executor-readable logs
+    val key = (log.tablePath, target, limit)
+    val memo = limitVerdicts.get(key) // boxed: null = miss (a bare Boolean would unbox null to false)
+    if (memo != null) return memo.booleanValue()
+    val verdict = computeExceedsFileLimit(log, target, limit)
+    if (limitVerdicts.size > 4096) limitVerdicts.clear()
+    limitVerdicts.put(key, java.lang.Boolean.valueOf(verdict))
+    verdict
+  }
+
+  private def computeExceedsFileLimit(log: GraftLog, target: Long, limit: Long): Boolean = {
     val listing = log.store.list(log.logDir) // ONE listing carries every size
     val sizes = listing.toMap
     val ckpt = listing.collect {

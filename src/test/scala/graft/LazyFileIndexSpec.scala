@@ -17,14 +17,26 @@ import graft.tables.{DeletionVectors, DistributedSnapshot, Fs, GraftLog, GraftTa
   * via the per-table fold watch.
   */
 class LazyFileIndexSpec extends AnyFunSpec with SparkSessionTestWrapper {
+
+  /** ISOLATED session (shared SparkContext, private SQL conf state):
+    * withLimit mutates the driver-file limit, and suites run in PARALLEL
+    * against the shared session — even a restored-after mutation is
+    * visible DURING the window, silently flipping concurrent suites'
+    * tables onto the lazy path (parity-correct, but plan-shape or timing
+    * assertions could flake without reproducing in isolation). The child
+    * session inherits the builder confs (extensions, catalog, timezone)
+    * from the SparkConf, with its own runtime conf map.
+    */
+  override lazy val spark: org.apache.spark.sql.SparkSession =
+    SparkSessionTestWrapper.session.newSession()
+
   import spark.implicits._
 
   private def freshDir(): String =
     Files.createTempDirectory("graft-lazyidx").toString
 
-  /** Run `body` with the driver-file limit forced to `n`, restoring after
-    * (suites share the session — leaking a tiny limit would flip every
-    * other suite's tables onto the lazy path mid-test).
+  /** Run `body` with the driver-file limit forced to `n` on THIS suite's
+    * isolated session, restoring after.
     */
   private def withLimit[A](n: Long)(body: => A): A = {
     val key = GraftTable.DriverFileLimitConf
@@ -277,6 +289,30 @@ class LazyFileIndexSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(t.toDF.where("v LIKE 'NEW%'").count() == 15)
       assert(t.toDF.where("id = 299 AND v = 'NEW299'").count() == 1)
       assert(t.toDF.where("id = 294 AND v = 'v294'").count() == 1)
+    }
+  }
+
+  it("COPY INTO a limit-crossing table loads from the head: zero folds") {
+    val root = freshDir()
+    val dir = Fs.child(root, "t")
+    GraftTable.create(spark, dir,
+      (0 until 120).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(4),
+      properties = Map("graft.checkpoint.format" -> "parquet"))
+    val log = GraftTable.forPath(spark, dir).log
+    log.writeCheckpoint(log.latestVersion())
+    val land = Fs.child(root, "landing"); Fs.mkdirs(land)
+    (120 until 140).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .coalesce(1).write.parquet(Fs.child(land, "batch1"))
+    withLimit(2) {
+      GraftLog.watchFolds(dir)
+      try {
+        val (_, rows, copied, _) =
+          TableOps.copyInto(GraftTable.forPath(spark, dir), land, "parquet")
+        assert(rows == 20L && copied == 1L, s"got $rows/$copied")
+        assert(GraftLog.foldCount(dir) == 0L,
+          s"COPY INTO performed ${GraftLog.foldCount(dir)} full driver folds")
+      } finally GraftLog.unwatchFolds(dir)
+      assert(GraftTable.forPath(spark, dir).toDF.count() == 140)
     }
   }
 

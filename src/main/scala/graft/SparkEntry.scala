@@ -3543,6 +3543,38 @@ object SparkEntry {
       }
     }),
 
+    "s67_lazy_dml" -> ((s, dir) => {
+      // DML through the Dataset-backed posture (limit forced): DELETE and
+      // UPDATE select candidates via executor-side skipping and commit
+      // from the snapshot head — zero full driver folds, rows identical
+      // to the relational oracle replaying the same mutations.
+      val base = read(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("id"),
+          col("s_name").as("name"), col("s_acctbal").cast("double").as("bal"))
+      val t = GraftTable.create(s, tmp("s67"), base.repartition(6),
+        properties = Map("graft.checkpoint.format" -> "parquet"))
+      t.log.writeCheckpoint(t.version)
+      () => {
+      val key = GraftTable.DriverFileLimitConf
+      s.conf.set(key, "3")
+      try {
+        graft.tables.GraftLog.watchFolds(t.path)
+        graft.operators.TableOps.delete(
+          GraftTable.forPath(s, t.path), Some("id % 7 = 0"))
+        graft.operators.TableOps.update(
+          GraftTable.forPath(s, t.path), Some("id % 5 = 0"),
+          Map("bal" -> "bal + 1000.0"))
+        val folds = graft.tables.GraftLog.foldCount(t.path)
+        graft.tables.GraftLog.unwatchFolds(t.path)
+        require(folds == 0L, s"lazy DML performed $folds full driver folds")
+        GraftTable.forPath(s, t.path).toDF
+          .select(col("id"), col("name"),
+            floor(col("bal") * 100 + 0.5).cast("long").as("bal_c"))
+          .withColumn("zero_folds", lit(folds == 0L))
+      } finally s.conf.unset(key)
+      }
+    }),
+
     "s42_uri_table" -> ((s, dir) => {
       // REMOTE-scheme storage end-to-end: the whole engine addressed by a
       // hadoop-FileSystem URI instead of a local path — log IO through
@@ -5250,6 +5282,12 @@ object SparkEntry {
         |FROM customer c""".stripMargin,
     "s51_path_sql" ->
       "SELECT r_regionkey, r_name FROM region",
+    "s67_lazy_dml" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS id, s_name AS name,
+        |  CAST(floor((CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 1000.0
+        |              ELSE s_acctbal END) * 100 + 0.5) AS BIGINT) AS bal_c,
+        |  true AS zero_folds
+        |FROM supplier WHERE s_suppkey % 7 <> 0""".stripMargin,
     "s66_lazy_snapshot_read" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
         |  CAST(n_regionkey AS INT) AS region, true AS zero_folds

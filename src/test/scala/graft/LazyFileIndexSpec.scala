@@ -292,6 +292,47 @@ class LazyFileIndexSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  it("column-MAPPED tables read through the lazy path: renamed + physical names hold") {
+    // rename pins physical names; the lazy scan must translate them (the
+    // mapped FileFormat) and partition pruning must key on the PHYSICAL
+    // partition-value names, exactly like the driver index
+    val dir = Fs.child(freshDir(), "t")
+    GraftTable.create(spark, dir,
+      (0 until 200).map(i => (i.toLong, s"n_$i", i % 4)).toDF("id", "name", "p")
+        .repartition(5),
+      partitionColumns = Seq("p"))
+    GraftTable.forPath(spark, dir).renameColumn("name", "title")
+    GraftTable.forPath(spark, dir).renameColumn("p", "bucket")
+    val eager = GraftTable.forPath(spark, dir).toDF
+      .where("bucket = 2 AND id < 50").orderBy("id").collect().toSeq
+    withLimit(1) {
+      val lz = GraftTable.forPath(spark, dir).toDF
+      assert(lz.schema.fieldNames.toSeq == Seq("id", "title", "bucket"))
+      assert(lz.where("bucket = 2 AND id < 50").orderBy("id").collect().toSeq == eager)
+      assert(lz.where("title = 'n_7'").select("id").collect()
+        .map(_.getLong(0)).toSeq == Seq(7L))
+      // DML through the mapped lazy path too
+      TableOps.delete(GraftTable.forPath(spark, dir), Some("bucket = 3"))
+      assert(GraftTable.forPath(spark, dir).toDF.count() == 150)
+    }
+  }
+
+  it("NULL partition values round-trip through the lazy index") {
+    val dir = Fs.child(freshDir(), "t")
+    GraftTable.create(spark, dir,
+      Seq((1L, Some(1)), (2L, None), (3L, Some(1)), (4L, None))
+        .toDF("id", "p"),
+      partitionColumns = Seq("p"))
+    val eager = GraftTable.forPath(spark, dir).toDF.orderBy("id").collect().toSeq
+    withLimit(1) {
+      val lz = GraftTable.forPath(spark, dir).toDF
+      assert(lz.orderBy("id").collect().toSeq == eager)
+      assert(lz.where("p IS NULL").select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L))
+      assert(lz.where("p = 1").count() == 2)
+    }
+  }
+
   it("COPY INTO a limit-crossing table loads from the head: zero folds") {
     val root = freshDir()
     val dir = Fs.child(root, "t")

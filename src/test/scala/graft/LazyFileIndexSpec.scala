@@ -93,6 +93,26 @@ class LazyFileIndexSpec extends AnyFunSpec with SparkSessionTestWrapper {
     }
   }
 
+  it("schema evolution across versions: each lazy time travel reads ITS schema") {
+    // the head is per-version metadata — a lazy read of v0 must use v0's
+    // narrower schema, the latest read the evolved one (old files fill the
+    // new column with null, same as the driver path)
+    val dir = Fs.child(freshDir(), "t")
+    GraftTable.create(spark, dir,
+      (0 until 80).map(i => (i.toLong, s"a$i")).toDF("id", "a"))
+    GraftTable.forPath(spark, dir).append(
+      (80 until 120).map(i => (i.toLong, s"a$i", i * 2)).toDF("id", "a", "b"))
+    withLimit(1) {
+      val t = GraftTable.forPath(spark, dir)
+      assert(t.toDFAt(0L).schema.fieldNames.toSeq == Seq("id", "a"))
+      assert(t.toDFAt(0L).count() == 80)
+      val cur = t.toDF
+      assert(cur.schema.fieldNames.toSeq == Seq("id", "a", "b"))
+      assert(cur.where("b IS NULL").count() == 80, "old files fill the new column with null")
+      assert(cur.where("b = 200").select("id").collect().map(_.getLong(0)).toSeq == Seq(100L))
+    }
+  }
+
   it("deletion vectors: dv files take the masked leg, clean files the lazy index") {
     val dir = Fs.child(freshDir(), "t")
     GraftTable.create(spark, dir,

@@ -85,7 +85,7 @@ class GraftStreamSource(
     * automatically, since it selects exactly `schema`'s fields.
     */
   override val schema: StructType =
-    if (dropChangeColumns) table.snapshot.schema
+    if (dropChangeColumns) table.schemaOnly // metadata head — no file fold at stream start
     else GraftStreamSource.schemaOf(spark, tablePath)
 
   /** Highest version this source has already offered (or seen committed via
@@ -593,7 +593,7 @@ object GraftStreamSource {
     }
 
   def schemaOf(spark: org.apache.spark.sql.SparkSession, tablePath: String): StructType =
-    GraftTable.forPath(spark, tablePath).snapshot.schema
+    GraftTable.forPath(spark, tablePath).schemaOnly // metadata head — no file fold
       .add("_change_type", StringType)
       .add("_commit_version", LongType)
 }

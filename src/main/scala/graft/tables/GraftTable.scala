@@ -32,6 +32,18 @@ class GraftTable private (val spark: SparkSession, val path: String) {
 
   def version: Long = log.latestVersion()
 
+  /** The current snapshot's SCHEMA without folding the file list — the
+    * metadata prefix scan on filesystem stores (O(head lines) regardless
+    * of table size), the full fold elsewhere. For consumers that need
+    * only the shape (stream-source creation, catalog resolution).
+    */
+  def schemaOnly: StructType =
+    if (log.store.filesystemBacked)
+      org.apache.spark.sql.types.DataType
+        .fromJson(DistributedSnapshot.metadataAt(log, version).schemaJson)
+        .asInstanceOf[StructType]
+    else snapshot.schema
+
   /** Current table contents as a DataFrame. */
   def toDF: DataFrame = {
     val target = version

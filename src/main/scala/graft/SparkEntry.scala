@@ -318,6 +318,13 @@ object SparkEntry {
       val name = "q20_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      // the replay drains via explicit processAllAvailable/sentinels, so the
+      // watermark-advance no-data batches emit nothing the next data batch
+      // would not — each is a full state-commit cycle per store (measured
+      // ~2x on the windowed replays); a live deployment wanting EAGER
+      // emission between arrivals keeps the default
+      val prevNdmb = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val query = graft.streaming.StreamingOps
         .windowedValueQuantiles(stream, watermarkDelay = "10 minutes")
         .writeStream.format("memory").queryName(name).outputMode("append").start()
@@ -328,7 +335,11 @@ object SparkEntry {
           java.sql.Timestamp.valueOf("2030-01-01 00:00:00").getTime * 1000L, "flush", 0.0d)
         input.addData(sentinel); query.processAllAvailable()
         input.addData(sentinel); query.processAllAvailable()
-      } finally { query.stop(); s.conf.set("spark.sql.shuffle.partitions", prevParts) }
+      } finally {
+        query.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNdmb)
+      }
       s.table(name)
         .filter(col("event_type") =!= "flush")
         .select(unix_micros(col("window_start")).as("window_start_us"),
@@ -367,6 +378,13 @@ object SparkEntry {
       // independent)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      // the replay drains via explicit processAllAvailable/sentinels, so the
+      // watermark-advance no-data batches emit nothing the next data batch
+      // would not — each is a full state-commit cycle per store (measured
+      // ~2x on the windowed replays); a live deployment wanting EAGER
+      // emission between arrivals keeps the default
+      val prevNdmb = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val query = graft.streaming.StreamingOps
         .windowedEventStats(stream, watermarkDelay = "10 minutes")
         .writeStream.format("memory").queryName(name).outputMode("append").start()
@@ -380,7 +398,11 @@ object SparkEntry {
           java.sql.Timestamp.valueOf("2030-01-01 00:00:00").getTime * 1000L, "flush", 0L)
         input.addData(sentinel); query.processAllAvailable()
         input.addData(sentinel); query.processAllAvailable()
-      } finally { query.stop(); s.conf.set("spark.sql.shuffle.partitions", prevParts) }
+      } finally {
+        query.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNdmb)
+      }
       s.table(name)
         .filter(col("event_type") =!= "flush")
         .select(unix_micros(col("window_start")).as("window_start_us"),
@@ -451,6 +473,13 @@ object SparkEntry {
       val name = "q18_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      // the replay drains via explicit processAllAvailable/sentinels, so the
+      // watermark-advance no-data batches emit nothing the next data batch
+      // would not — each is a full state-commit cycle per store (measured
+      // ~2x on the windowed replays); a live deployment wanting EAGER
+      // emission between arrivals keeps the default
+      val prevNdmb = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val query = graft.streaming.StreamingOps
         .intervalJoinStream(frame(inC), frame(inP), "user_id",
           watermarkDelay = "3650 days", lowerSeconds = 0L, upperSeconds = 3600L)
@@ -467,7 +496,11 @@ object SparkEntry {
           pb.lift(i).foreach(b => inP.addData(b.toIndexedSeq))
           query.processAllAvailable()
         }
-      } finally { query.stop(); s.conf.set("spark.sql.shuffle.partitions", prevParts) }
+      } finally {
+        query.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNdmb)
+      }
       s.table(name).select(
         col("event_id").as("click_id"), col("event_id_r").as("purchase_id"),
         col("user_id"))
@@ -496,13 +529,24 @@ object SparkEntry {
       // count scale, not the session default (see q6's sizing note)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      // the replay drains via explicit processAllAvailable/sentinels, so the
+      // watermark-advance no-data batches emit nothing the next data batch
+      // would not — each is a full state-commit cycle per store (measured
+      // ~2x on the windowed replays); a live deployment wanting EAGER
+      // emission between arrivals keeps the default
+      val prevNdmb = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val query = graft.streaming.StreamingOps.fingerprintDedupStream(stream)
         .select("fingerprint")
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try {
         rows.grouped(math.max(1, rows.length / 4 + 1))
           .foreach { b => input.addData(b.toIndexedSeq); query.processAllAvailable() }
-      } finally { query.stop(); s.conf.set("spark.sql.shuffle.partitions", prevParts) }
+      } finally {
+        query.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNdmb)
+      }
       s.table(name).select("fingerprint")
       }
     }),
@@ -651,12 +695,23 @@ object SparkEntry {
         .select("doc_id", "lang", "fingerprint")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      // the replay drains via explicit processAllAvailable/sentinels, so the
+      // watermark-advance no-data batches emit nothing the next data batch
+      // would not — each is a full state-commit cycle per store (measured
+      // ~2x on the windowed replays); a live deployment wanting EAGER
+      // emission between arrivals keeps the default
+      val prevNdmb = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val query = graft.streaming.GraftSink
         .writeStreamTo(curated, dirT, "q16app").start()
       try {
         rows.grouped(math.max(1, rows.length / 4 + 1))
           .foreach { b => input.addData(b.toIndexedSeq); query.processAllAvailable() }
-      } finally { query.stop(); s.conf.set("spark.sql.shuffle.partitions", prevParts) }
+      } finally {
+        query.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNdmb)
+      }
       GraftTable.forPath(s, dirT).toDF.select("fingerprint")
       }
     }),
@@ -1327,7 +1382,11 @@ object SparkEntry {
       // replays the identical funnel in SQL (t1's lang scores, t2's word
       // count, d10's reachability closure over the kept subset).
       val t = col("text")
-      val kept = read(s, dir, "documents")
+      // widened before the scoring gates: langId/wsTokenCount are the
+      // funnel's per-row CPU and evaluate below the pipeline's first
+      // exchange (and again on the anti-join branch) — on a narrow scan
+      // both passes would run one-core (no-op at production widths)
+      val kept = graft.pipeline.Parallelize.widen(read(s, dir, "documents"))
         .withColumn("lang_pred", TextAnalysis.langId(t))
         .withColumn("words", TextAnalysis.wsTokenCount(t))
         .filter(col("lang_pred") === "en" && col("words") >= 20)
@@ -1393,7 +1452,7 @@ object SparkEntry {
       // survivorship by QUALITY, not by id: each transitive near-dup
       // cluster keeps its longest doc (token count desc, id tiebreak); the
       // oracle replays the closure and the per-cluster argmax in SQL
-      val docs = read(s, dir, "documents")
+      val docs = graft.pipeline.Parallelize.widen(read(s, dir, "documents"))
         .withColumn("tokens", TextAnalysis.bpeishTokenCount(col("text")))
       Dedup.minhashDedupClustersBest(docs, "doc_id", "text", "tokens",
         threshold = 0.5)
@@ -1406,7 +1465,9 @@ object SparkEntry {
       // fingerprint) -> per-source stratified sample (corpus mixing) ->
       // token-budget shard packing. The oracle replays every stage in SQL.
       val t = col("text")
-      val kept = read(s, dir, "documents")
+      // widened for the same reason as d11: the gate expressions run below
+      // the first exchange
+      val kept = graft.pipeline.Parallelize.widen(read(s, dir, "documents"))
         .withColumn("lang_pred", TextAnalysis.langId(t))
         .withColumn("words", TextAnalysis.wsTokenCount(t))
         .filter(col("lang_pred") === "en" && col("words") >= 20)

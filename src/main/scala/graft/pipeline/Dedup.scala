@@ -46,7 +46,7 @@ object Dedup {
     * (fastest, but an executor loss fails the query, which then simply
     * re-runs — data is never corrupted).
     */
-  private def materialize(df: DataFrame): DataFrame =
+  private[pipeline] def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
@@ -95,7 +95,11 @@ object Dedup {
     * projections so the tokenizer runs once per row, not once per gram.
     */
   private def shingleDF(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("__id"), tokenize(col(textCol)).as("__toks"))
+    // widened first: tokenize+shingle+minhash is the pipeline's per-row CPU
+    // hot spot, and a single-split input would otherwise run it one-core
+    // (see [[Parallelize.widen]] — a no-op at production partition counts)
+    Parallelize.widen(df.select(col(idCol).as("__id"), col(textCol).as("__t")))
+      .select(col("__id"), tokenize(col("__t")).as("__toks"))
       .select(col("__id"), shinglesFromTokens(col("__toks"), n).as("__sh"))
       .filter(size(col("__sh")) > 0)
 
@@ -172,7 +176,19 @@ object Dedup {
       keyCols: Seq[String],
       maxBucket: Int,
       sizeRatio: Option[Double]): DataFrame = {
+    // the gather exchange is PINNED at the session's shuffle parallelism
+    // (an explicit-N repartition on the grouping key reuses the exchange —
+    // EnsureRequirements sees the hash partitioning already satisfies the
+    // aggregation — so this adds no shuffle): AQE coalesces post-shuffle
+    // partitions by BYTES, and the bucket rows upstream of the pair
+    // generators are tiny even when the generated pair mass is large —
+    // left to AQE, the whole quadratic explode of a small corpus lands on
+    // ONE task (measured: 4.4M candidate pairs generated and pre-aggregated
+    // on a single core, 2-3 s, while 31 cores idled)
+    val shuffleParts =
+      buckets.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val pairs = buckets
+      .repartition(shuffleParts, keyCols.map(col): _*)
       .groupBy(keyCols.map(col): _*)
       .agg(collectListCapped(struct(col("__id"), col("__sz")), maxBucket).as("__ms"))
       .filter(size(col("__ms")).between(2, maxBucket))
@@ -532,7 +548,10 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 64, tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val tokens = split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")), " ")
-    val exploded = df
+    // widened before the explode: the token fan-out and the 64-column
+    // partial aggregation run BELOW the groupBy exchange, on the input's
+    // own partitions (no-op at production partition counts)
+    val exploded = Parallelize.widen(df.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(tokens).as("__tok"))
       .filter(length(col("__tok")) > 0)
       .withColumn("__h", tokenHash(col("__tok")))
@@ -615,21 +634,84 @@ object Dedup {
     // maxHamming+1 chunks, wherever the diffs fall
     val chunkBits = bits / chunks
     require(chunkBits >= 1, s"bits=$bits too narrow for ${chunks} chunks")
+    val mask = (1L << chunkBits) - 1
+    val spark = hashed.sparkSession
+    val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    // Collapse to DISTINCT hash values before banding: a duplicate-heavy
+    // corpus (re-uploads, boilerplate) otherwise pushes every copy through
+    // every chunk bucket, and candidate generation is quadratic in COPY
+    // count per bucket — measured 4.4M raw candidates for 5k assets in
+    // 8-member duplicate groups, vs ~70k over their 625 distinct hashes.
+    // Banding over distinct values bounds candidate work by hash-space
+    // cardinality regardless of corpus size (the same principle as
+    // [[Multimodal.imageDedup]]'s exact-collapse tier). ONE gather keyed by
+    // the hash serves every downstream branch; both branches sit above the
+    // same aggregation subtree, so ReuseExchange runs the expensive
+    // upstream (e.g. an image decode) exactly once — no checkpoint needed.
+    // Groups larger than `maxBucketSize` are dropped whole (the cap's
+    // documented exact-duplicate-mass semantics, now applied per distinct
+    // hash instead of per chunk bucket).
+    val grouped = hashed.filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("__id"), col(hashCol).as("__h"))
+      .repartition(shuffleParts, col("__h"))
+      .groupBy(col("__h"))
+      .agg(collectListCapped(col("__id"), maxBucketSize).as("__ms"))
+      .filter(size(col("__ms")) <= maxBucketSize)
+
+    // tier 1 — same-hash pairs (hamming 0): member pairs within each
+    // exact-duplicate group, straight off the gather (output-bound)
+    val same = grouped
+      .filter(size(col("__ms")) >= 2)
+      .select(explode(col("__ms")).as("__a"), col("__ms"))
+      .select(col("__a"), explode(col("__ms")).as("__b"))
+      .filter(col("__a") < col("__b"))
+      .select(col("__a").as("idA"), col("__b").as("idB"),
+        lit(0).as("hamming"))
+
+    // tier 2 — cross-hash pairs over the DISTINCT hash values, member
+    // lists riding as payload so qualifying pairs expand to id pairs by
+    // generator (no rejoin). A qualifying hash pair shares ≥1 chunk
+    // (pigeonhole); emitting it ONLY from its FIRST shared chunk makes
+    // every pair unique by construction — the pair-dedup shuffle the
+    // id-level banding needed disappears entirely.
     val chunkStructs = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
-        shiftright(col(hashCol), c * chunkBits)
-          .bitwiseAND(lit((1L << chunkBits) - 1)).as("cv"))
+        shiftright(col("__h"), c * chunkBits).bitwiseAND(lit(mask)).as("cv"))
     }
-    // the hash value itself rides in the __sz payload slot, so hamming
-    // verification reads it straight off the pair — no rejoin needed
-    val banded = hashed.filter(col(hashCol).isNotNull).select(
-      col(idCol).as("__id"), col(hashCol).as("__sz"),
-      explode(array(chunkStructs: _*)).as("__c"))
-      .select(col("__id"), col("__sz"), col("__c.chunk"), col("__c.cv"))
-    bucketPairs(banded, Seq("chunk", "cv"), maxBucketSize, None)
-      .withColumn("hamming", bit_count(col("szA").bitwiseXOR(col("szB"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("idA"), col("idB"), col("hamming"))
+    val banded = grouped.select(
+      col("__h"), col("__ms"), explode(array(chunkStructs: _*)).as("__c"))
+      .select(col("__h"), col("__ms"),
+        col("__c.chunk").as("chunk"), col("__c.cv").as("cv"))
+    // pinned at the session's shuffle parallelism for the same reason as
+    // [[bucketPairs]]: the generated pair mass is invisible to AQE's
+    // bytes-based coalescing
+    val buckets = banded
+      .repartition(shuffleParts, col("chunk"), col("cv"))
+      .groupBy(col("chunk"), col("cv"))
+      .agg(collectListCapped(struct(col("__h"), col("__ms")), maxBucketSize)
+        .as("__gs"))
+      .filter(size(col("__gs")).between(2, maxBucketSize))
+    def chunkZero(xor: Column, c: Int): Column =
+      shiftright(xor, c * chunkBits).bitwiseAND(lit(mask)) === 0
+    def firstSharedChunk(xor: Column): Column =
+      coalesce(((0 until chunks).map(c => when(chunkZero(xor, c), lit(c)))
+        :+ lit(-1)): _*)
+    val xorCol = col("__ga.__h").bitwiseXOR(col("__gb.__h"))
+    val cross = buckets
+      .select(explode(col("__gs")).as("__ga"), col("__gs"), col("chunk"))
+      .select(col("__ga"), explode(col("__gs")).as("__gb"), col("chunk"))
+      .filter(col("__ga.__h") < col("__gb.__h"))
+      .withColumn("hamming", bit_count(xorCol))
+      .filter(col("hamming") <= maxHamming &&
+        col("chunk") === firstSharedChunk(xorCol))
+      .select(col("__ga.__ms").as("__ma"), col("__gb.__ms").as("__mb"),
+        col("hamming"))
+      .select(explode(col("__ma")).as("__ia"), col("__mb"), col("hamming"))
+      .select(col("__ia"), explode(col("__mb")).as("__ib"), col("hamming"))
+      .select(least(col("__ia"), col("__ib")).as("idA"),
+        greatest(col("__ia"), col("__ib")).as("idB"), col("hamming"))
+    same.unionByName(cross)
   }
 
   /** Exact n-gram Jaccard similarity join via an inverted-index equi-join on

@@ -89,13 +89,45 @@ object Multimodal {
     */
   case class ImageInfo(width: Int, height: Int, meanLuma: Int)
 
+  /** `ImageIO.read` over a MEMORY-cached image stream. The
+    * `read(InputStream)` convenience wraps its argument via the registry's
+    * default `ImageInputStream`, which is FILE-cache-backed
+    * (`ImageIO.getUseCache` defaults to true): every decode creates, writes
+    * and deletes a temp-dir spill file — pure overhead for payloads already
+    * in memory, and a filesystem contention point when a whole executor's
+    * worth of tasks decodes concurrently. Payloads here are always byte
+    * arrays, so the in-memory stream is strictly cheaper.
+    */
+  private def readImageInMemory(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    // ImageIO.read closes the stream itself once a reader claims it; a bare
+    // second close throws IOException("closed") out of the finally block,
+    // REPLACING the successful result — tolerate the double-close
+    try javax.imageio.ImageIO.read(iis)
+    finally { try iis.close() catch { case _: java.io.IOException => () } }
+  }
+
+  /** PNG encode through a MEMORY-cached output stream (same rationale as
+    * [[readImageInMemory]] — `ImageIO.write(img, fmt, OutputStream)` spills
+    * through a temp file by default).
+    */
+  private def writePngInMemory(img: java.awt.image.BufferedImage,
+      bos: java.io.OutputStream): Unit = {
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      val ok = javax.imageio.ImageIO.write(img, "png", ios)
+      require(ok, "no PNG writer available")
+    } finally { try ios.close() catch { case _: java.io.IOException => () } }
+  }
+
   /** REAL image decode via in-JDK `javax.imageio.ImageIO` (headless-safe;
     * PNG/JPEG/BMP/GIF). None when the payload is not a decodable image.
     */
   def decodeImage(payload: Array[Byte]): Option[ImageInfo] = {
     if (payload == null) return None
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      try readImageInMemory(payload)
       catch { case _: java.io.IOException => null }
     if (img == null) return None
     val (w, h) = (img.getWidth, img.getHeight)
@@ -123,7 +155,7 @@ object Multimodal {
   def imageHistogramFeature(payload: Array[Byte]): Option[Array[Float]] = {
     if (payload == null) return None
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      try readImageInMemory(payload)
       catch { case _: java.io.IOException => null }
     if (img == null) return None
     val hist = new Array[Float](FeatureDim)
@@ -160,7 +192,7 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    writePngInMemory(img, bos)
     bos.toByteArray
   }
 
@@ -535,7 +567,8 @@ object Multimodal {
   def extractVideoFeatures(assets: DataFrame, frameStride: Int = 1): DataFrame = {
     require(frameStride > 0, s"frameStride must be positive, got $frameStride")
     val enc = RowEncoder.encoderFor(videoFeatureSchema)
-    assets.select("asset_id", "payload").mapPartitions { it =>
+    graft.pipeline.Parallelize.widen(
+      assets.select("asset_id", "payload")).mapPartitions { it =>
       it.flatMap { r =>
         val id = r.getAs[Long]("asset_id")
         decodeVideo(r.getAs[Array[Byte]]("payload")) match {
@@ -562,7 +595,8 @@ object Multimodal {
       StructField("modality", StringType, nullable = false),
       StructField("payload", BinaryType, nullable = true)))
     val enc = RowEncoder.encoderFor(schema)
-    ids.select(col(idCol).cast("long").as("asset_id")).mapPartitions { it =>
+    graft.pipeline.Parallelize.widen(
+      ids.select(col(idCol).cast("long").as("asset_id"))).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val w = (16 + (id % 4) * 8).toInt
@@ -589,7 +623,8 @@ object Multimodal {
     */
   def extractFeatures(assets: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(featureSchema)
-    assets.select("asset_id", "modality", "payload").mapPartitions { it =>
+    graft.pipeline.Parallelize.widen(
+      assets.select("asset_id", "modality", "payload")).mapPartitions { it =>
       // per-task (not per-row) decoder/context initialization; ImageIO's
       // plugin registry scan happens once per JVM on first use
       it.map { r =>
@@ -632,7 +667,8 @@ object Multimodal {
     */
   def extractImageFeatures(assets: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(imageFeatureSchema)
-    assets.select("asset_id", "payload").mapPartitions { it =>
+    graft.pipeline.Parallelize.widen(
+      assets.select("asset_id", "payload")).mapPartitions { it =>
       it.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
         val info = decodeImage(payload)
@@ -664,7 +700,8 @@ object Multimodal {
     */
   def extractAudioFeatures(assets: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(audioFeatureSchema)
-    assets.select("asset_id", "payload").mapPartitions { it =>
+    graft.pipeline.Parallelize.widen(
+      assets.select("asset_id", "payload")).mapPartitions { it =>
       it.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
         val info = decodeAudio(payload)
@@ -691,7 +728,8 @@ object Multimodal {
       StructField("modality", StringType, nullable = false),
       StructField("payload", BinaryType, nullable = true)))
     val enc = RowEncoder.encoderFor(schema)
-    ids.select(col(idCol).cast("long").as("asset_id")).mapPartitions { it =>
+    graft.pipeline.Parallelize.widen(
+      ids.select(col(idCol).cast("long").as("asset_id"))).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val rate = (8000 + (id % 5) * 2000).toInt
@@ -714,7 +752,8 @@ object Multimodal {
       StructField("modality", StringType, nullable = false),
       StructField("payload", BinaryType, nullable = true)))
     val enc = RowEncoder.encoderFor(schema)
-    ids.select(col(idCol).cast("long").as("asset_id")).mapPartitions { it =>
+    graft.pipeline.Parallelize.widen(
+      ids.select(col(idCol).cast("long").as("asset_id"))).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val w = (8 + id % 25).toInt
@@ -735,7 +774,7 @@ object Multimodal {
   def dHash(payload: Array[Byte]): Option[Long] = {
     if (payload == null) return None
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      try readImageInMemory(payload)
       catch { case _: java.io.IOException => null }
     if (img == null) return None
     val (w, h) = (img.getWidth, img.getHeight)
@@ -785,7 +824,8 @@ object Multimodal {
       StructField("asset_id", LongType, nullable = false),
       StructField("dhash", LongType, nullable = true)))
     val enc = RowEncoder.encoderFor(schema)
-    assets.select("asset_id", "payload").mapPartitions { it =>
+    graft.pipeline.Parallelize.widen(
+      assets.select("asset_id", "payload")).mapPartitions { it =>
       it.map { r =>
         Row(r.getAs[Long]("asset_id"),
           dHash(r.getAs[Array[Byte]]("payload")).map(Long.box).orNull)
@@ -849,7 +889,8 @@ object Multimodal {
       StructField("asset_id", LongType, nullable = false),
       StructField("dhash", LongType, nullable = true)))
     val enc = RowEncoder.encoderFor(schema)
-    assets.select("asset_id", "payload").mapPartitions { it =>
+    graft.pipeline.Parallelize.widen(
+      assets.select("asset_id", "payload")).mapPartitions { it =>
       it.map { r =>
         Row(r.getAs[Long]("asset_id"),
           audioDHash(r.getAs[Array[Byte]]("payload")).map(Long.box).orNull)
@@ -887,7 +928,12 @@ object Multimodal {
 
   private def perceptualDedup(assets: DataFrame, hashes: DataFrame,
       maxHamming: Int, maxBucketSize: Int): DataFrame = {
-    val hashed = hashes.filter(col("dhash").isNotNull)
+    // materialized: (id, dhash) feeds THREE plan branches (reps, the pair
+    // join, exact-loser reconstruction) — without it each branch re-runs
+    // the full decode pass upstream (measured: mm7 paid the image decode
+    // 3× through here)
+    val hashed = graft.pipeline.Dedup.materialize(
+      hashes.filter(col("dhash").isNotNull))
     val reps = hashed.groupBy("dhash").agg(min(col("asset_id")).as("asset_id"))
     val pairs = graft.pipeline.Dedup.hammingPairs(
       reps, "asset_id", "dhash", maxHamming, 64, maxBucketSize)
@@ -916,7 +962,8 @@ object Multimodal {
       StructField("modality", StringType, nullable = false),
       StructField("payload", BinaryType, nullable = true)))
     val enc = RowEncoder.encoderFor(schema)
-    ids.select(col(idCol).cast("long").as("asset_id")).mapPartitions { it =>
+    graft.pipeline.Parallelize.widen(
+      ids.select(col(idCol).cast("long").as("asset_id"))).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val samples = Array.tabulate(65) { j =>
@@ -944,7 +991,8 @@ object Multimodal {
       StructField("modality", StringType, nullable = false),
       StructField("payload", BinaryType, nullable = true)))
     val enc = RowEncoder.encoderFor(schema)
-    ids.select(col(idCol).cast("long").as("asset_id")).mapPartitions { it =>
+    graft.pipeline.Parallelize.widen(
+      ids.select(col(idCol).cast("long").as("asset_id"))).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val img = new java.awt.image.BufferedImage(
@@ -962,7 +1010,7 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        writePngInMemory(img, bos)
         Row(id, "image", bos.toByteArray)
       }
     }(enc)

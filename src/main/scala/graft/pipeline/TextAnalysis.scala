@@ -1014,7 +1014,10 @@ object TextAnalysis {
     val bigramsOf = expr(
       "transform(sequence(0, size(__t) - 2), i -> struct(__t[i] AS w1, __t[i + 1] AS w2))")
 
-    val trainToks = train.select(toks.as("__t"))
+    // widened: tokenization + n-gram fan-out run below the count exchanges
+    // (no-op at production partition counts — see [[Parallelize.widen]])
+    val trainToks = Parallelize.widen(train.select(col(textCol)))
+      .select(toks.as("__t"))
     val uni = trainToks.select(explode(col("__t")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("uc"))
     val v = uni.agg(count(lit(1))).first().getLong(0)
@@ -1025,7 +1028,8 @@ object TextAnalysis {
       .groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
       .orderBy(col("bc").desc, col("w1"), col("w2")).limit(topKBigrams)
 
-    eval.select(col(idCol), toks.as("__t"))
+    Parallelize.widen(eval.select(col(idCol), col(textCol)))
+      .select(col(idCol), toks.as("__t"))
       .filter(size(col("__t")) >= 2)
       .select(col(idCol), explode(bigramsOf).as("__b"))
       .select(col(idCol), col("__b.w1"), col("__b.w2"))

@@ -78,6 +78,19 @@ object Bench {
       graft.pipeline.Dedup.minhashDedupClusters(toy, "doc_id", "text", threshold = 0.5)
         .agg(count(lit(1))).collect()
     } catch { case _: Throwable => () }
+    // the hamming-pair family (simhash text dedup + perceptual image/audio
+    // dedup) compiles its own generated-code shapes — the two-tier gather,
+    // first-shared-chunk pair generator and member expansion — plus the
+    // ImageIO/PNG decode path; warm them on 64 toy assets for the same
+    // reason as the LSH block above
+    try {
+      import spark.implicits._
+      val toyIds = (0 until 64).map(_.toLong).toDF("doc_id")
+      val toyAssets = graft.pipeline.Multimodal
+        .synthesizePatternPngAssets(spark, toyIds, "doc_id")
+      graft.pipeline.Multimodal.imageNearDupPairs(toyAssets, maxHamming = 3)
+        .agg(count(lit(1))).collect()
+    } catch { case _: Throwable => () }
     // same treatment for the merge/table substrate (measured: first merge
     // 5.4 s cold vs 1.7 s steady-state) and the streaming micro-batch
     // machinery (first stream start pays planner + state-store init)

@@ -2594,6 +2594,13 @@ object SparkEntry {
       // exactly the original rows (count-verified against the raw input).
       import s.implicits._
       val base = read(s, dir, "orders").select("o_orderkey", "o_custkey")
+      // scale-relative probe bounds: max/60 and max/15 equal the original
+      // literals (1000, 100) exactly at sf0.01 and stay ~equally SELECTIVE
+      // at every sf — the old literals selected ~2/3 of the sf0.001 table,
+      // where no layout can skip files and the gate was red by construction
+      val bounds = base.agg(max(col("o_orderkey")), max(col("o_custkey"))).collect()(0)
+      val keyBound = bounds.get(0).asInstanceOf[Number].longValue / 60
+      val custBound = bounds.get(1).asInstanceOf[Number].longValue / 15
       val t = GraftTable.create(s, tmp("s11"), base.repartition(8))
       () => {
       TableOps.zorder(t, Seq("o_orderkey", "o_custkey"), numFiles = Some(8))
@@ -2605,11 +2612,11 @@ object SparkEntry {
       }
       Seq((
         t2.toDF.count(),
-        t2.toDF.filter(col("o_orderkey") <= 1000).count(),
-        t2.toDF.filter(col("o_custkey") <= 100).count(),
+        t2.toDF.filter(col("o_orderkey") <= keyBound).count(),
+        t2.toDF.filter(col("o_custkey") <= custBound).count(),
         t2.snapshot.files.size,
-        scanned("o_orderkey >= 0 AND o_orderkey <= 1000") <= 6,
-        scanned("o_custkey >= 0 AND o_custkey <= 100") <= 6))
+        scanned(s"o_orderkey >= 0 AND o_orderkey <= $keyBound") <= 6,
+        scanned(s"o_custkey >= 0 AND o_custkey <= $custBound") <= 6))
         .toDF("total_rows", "key_range_rows", "cust_range_rows",
           "files_total", "key_skip_ok", "cust_skip_ok")
       }
@@ -5011,8 +5018,10 @@ object SparkEntry {
         |       true AS present_scan_ok, true AS absent_skip_ok""".stripMargin,
     "s11_zorder_skipping" ->
       """SELECT (SELECT count(*) FROM orders) AS total_rows,
-        |       (SELECT count(*) FROM orders WHERE o_orderkey <= 1000) AS key_range_rows,
-        |       (SELECT count(*) FROM orders WHERE o_custkey <= 100) AS cust_range_rows,
+        |       (SELECT count(*) FROM orders
+        |        WHERE o_orderkey <= (SELECT max(o_orderkey) // 60 FROM orders)) AS key_range_rows,
+        |       (SELECT count(*) FROM orders
+        |        WHERE o_custkey <= (SELECT max(o_custkey) // 15 FROM orders)) AS cust_range_rows,
         |       CAST(8 AS INT) AS files_total,
         |       true AS key_skip_ok, true AS cust_skip_ok""".stripMargin,
     "mm4_video_decode" ->

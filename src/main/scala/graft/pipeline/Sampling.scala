@@ -188,23 +188,42 @@ object Sampling {
     * rows with the smallest (hash rank, tiebreak keys) — i.e. a deterministic
     * uniform sample WITHOUT replacement of fixed size per stratum (all rows
     * if the stratum is smaller). Two phases:
-    *  1. one partial-agg count per stratum + a map-side threshold prefilter
-    *     keeping ~3K+slack rows per stratum (uniform-hash concentration);
+    *  1. one partial-agg pass per stratum computing the row count AND a
+    *     33-level rank histogram (`c_k` = rows with rank below 2^k), from
+    *     which both the ~3K+slack prefilter threshold and a CONSERVATIVE
+    *     kept-count lower bound per stratum are derived;
     *  2. a window row_number over the surviving sliver only.
-    * A count check after the prefilter detects any stratum that lost rank-K
-    * (probability < e^-K for the 3x margin) and re-runs JUST those strata
-    * without the prefilter, keeping the result exact, not probabilistic. */
+    * A stratum whose histogram cannot PROVE at least min(K, n) rows survive
+    * the prefilter (probability < e^-K for the 3x margin) is flagged and
+    * bypasses the prefilter entirely — trim over all of a stratum's rows
+    * equals trim over its prefiltered rows whenever ≥K actually survived,
+    * so a conservatively flagged stratum returns identical rows either way.
+    * The flag rides the broadcast threshold table, so the operator runs the
+    * UPSTREAM exactly twice (decide + emit) — the previous formulation's
+    * separate post-prefilter count was a third full upstream execution,
+    * which at 100 TB re-runs everything above it (measured on the d16
+    * funnel: the langId/fingerprint subtree executed 3x per consume). */
   def stratifiedSample(df: DataFrame, strataCol: String, perStratum: Int,
       keyCols: Seq[String], seed: String = "42"): DataFrame = {
     require(perStratum > 0, s"perStratum must be positive, got $perStratum")
     val rank = hashRankHex(seed, keyCols.map(col))
     val ranked = df.withColumn("__rank", rank)
 
-    // per-stratum sizes: one partial-aggregated pass, O(#strata) rows.
+    // per-stratum sizes AND rank histogram in ONE partial-aggregated pass,
+    // O(#strata) rows: c_k = #(rank < 2^k) lets the driver both size the
+    // prefilter threshold and LOWER-BOUND how many rows will survive it,
+    // so no second upstream pass is needed to certify exactness.
     // The collect below is #strata-bounded — a mistakenly high-cardinality
     // stratum column (a doc id, a timestamp) would turn it into a
     // data-sized driver pull, so fail loudly past a sanity bound instead.
-    val sizes = ranked.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val ladder = (0 to 32).map { k =>
+      // k = 32 covers the whole 32-bit rank space; hex digits sort below
+      // 'g', so "g" compares above every rank
+      val lim = if (k == 32) "g" else f"${1L << k}%08x"
+      sum(when(col("__rank") < lit(lim), 1L).otherwise(0L)).as(s"__c$k")
+    }
+    val sizes = ranked.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__n"), ladder: _*)
 
     // conservative uniform-hash threshold: fraction (3K+200)/n of 2^32,
     // as an 8-hex-digit string (so the filter is a plain string compare
@@ -220,45 +239,45 @@ object Sampling {
       val stratum = r.get(0)
       val n = r.getLong(1)
       val frac = math.min(1.0, (3.0 * perStratum + 200.0) / math.max(n, 1L))
-      val thr = f"${math.min(4294967295L, math.round(frac * 4294967296.0))}%08x"
-      (stratum, n, thr)
+      val tnum = math.min(4294967295L, math.round(frac * 4294967296.0))
+      val thr = f"$tnum%08x"
+      // exactness guard, decided from the SAME pass: ranks below 2^k are
+      // all <= thr whenever 2^k - 1 <= tnum, so c_k lower-bounds the
+      // prefilter's kept count. A stratum the bound cannot certify
+      // (keptLb < min(K, n)) bypasses the prefilter — trim over ALL its
+      // rows returns the same K smallest (rank, keys) rows whenever >= K
+      // actually survived, so conservative flagging never changes output.
+      val k = math.min(32, 63 - java.lang.Long.numberOfLeadingZeros(tnum + 1))
+      val keptLb = r.getLong(2 + k)
+      val exact = keptLb < math.min(perStratum.toLong, n)
+      (stratum, n, thr, exact)
     }
     val thrDf = df.sparkSession.createDataFrame(
       df.sparkSession.sparkContext.parallelize(
-        thresholds.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3)).toSeq, 1),
+        thresholds.map(t =>
+          org.apache.spark.sql.Row(t._1, t._2, t._3, t._4)).toSeq, 1),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("__stratum",
           df.schema(strataCol).dataType),
         org.apache.spark.sql.types.StructField("__n",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("__thr",
-          org.apache.spark.sql.types.StringType))))
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__exact",
+          org.apache.spark.sql.types.BooleanType))))
 
     // broadcast the O(#strata) threshold table; the corpus-side filter is
-    // map-only — only ~3K rows per stratum ever reach the window sort
+    // map-only — only ~3K rows per stratum (all rows of a flagged stratum)
+    // ever reach the window sort
     val pre = ranked.join(broadcast(thrDf), col(strataCol) === col("__stratum"))
-      .filter(col("__rank") <= col("__thr"))
+      .filter(col("__rank") <= col("__thr") || col("__exact"))
 
     val w = Window.partitionBy(col(strataCol))
       .orderBy((col("__rank") +: keyCols.map(col)): _*)
-    def trim(candidates: DataFrame): DataFrame = candidates
+    pre
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= perStratum)
-      .drop("__rank", "__rn", "__stratum", "__n", "__thr")
-
-    // exactness guard: any stratum whose prefilter kept fewer than
-    // min(K, n) rows gets an exact (unfiltered) pass; metadata-sized agg
-    val shortfall = pre.groupBy(col(strataCol).as("__s2"), col("__n"))
-      .agg(count(lit(1)).as("__kept"))
-      .filter(col("__kept") < least(lit(perStratum.toLong), col("__n")))
-      .select("__s2").collect().map(_.get(0)).toSet
-    if (shortfall.isEmpty) trim(pre)
-    else {
-      val ok = trim(pre.filter(!col(strataCol).isInCollection(shortfall)))
-      val exact = trim(ranked.filter(col(strataCol).isInCollection(shortfall))
-        .join(broadcast(thrDf), col(strataCol) === col("__stratum")))
-      ok.unionByName(exact)
-    }
+      .drop("__rank", "__rn", "__stratum", "__n", "__thr", "__exact")
   }
 
   /** Token-budget shard packing: assign each doc to a shard such that every

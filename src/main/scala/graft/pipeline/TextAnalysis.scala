@@ -1018,8 +1018,13 @@ object TextAnalysis {
     // (no-op at production partition counts — see [[Parallelize.widen]])
     val trainToks = Parallelize.widen(train.select(col(textCol)))
       .select(toks.as("__t"))
-    val uni = trainToks.select(explode(col("__t")).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("uc"))
+    // materialized: the unigram table feeds BOTH the vocab-size probe and
+    // the broadcast top-K — unmaterialized, each re-tokenized and
+    // re-aggregated the whole training corpus (a third full pass beyond
+    // the inherent unigram+bigram ones)
+    val uni = graft.pipeline.Dedup.materialize(
+      trainToks.select(explode(col("__t")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("uc")))
     val v = uni.agg(count(lit(1))).first().getLong(0)
     val uniTop = uni.orderBy(col("uc").desc, col("w1")).limit(topKUnigrams)
     val biTop = trainToks.filter(size(col("__t")) >= 2)

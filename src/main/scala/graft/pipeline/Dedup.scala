@@ -669,19 +669,26 @@ object Dedup {
       .select(col("__a").as("idA"), col("__b").as("idB"),
         lit(0).as("hamming"))
 
-    // tier 2 — cross-hash pairs over the DISTINCT hash values, member
-    // lists riding as payload so qualifying pairs expand to id pairs by
-    // generator (no rejoin). A qualifying hash pair shares ≥1 chunk
-    // (pigeonhole); emitting it ONLY from its FIRST shared chunk makes
-    // every pair unique by construction — the pair-dedup shuffle the
-    // id-level banding needed disappears entirely.
+    // tier 2 — cross-hash pairs over the DISTINCT hash values. The banding
+    // rows carry the 8-byte hash ONLY, so a chunk bucket's gather buffer is
+    // hard-bounded at maxBucketSize hashes — the same O(cap) bound the
+    // id-level banding had. Qualifying hash pairs are deduped across their
+    // shared chunks by a groupBy over (hA, hB) — tiny rows, pre-expansion —
+    // which preserves the cap-regime recall rule of the id-level
+    // formulation: a pair survives if ANY of its shared chunk buckets
+    // survives (an emit-from-first-shared-chunk shortcut would lose pairs
+    // whose first shared bucket was over-cap-dropped while a later one
+    // survived). Member lists then attach by TWO hash-keyed joins against
+    // `grouped`, whose tier-1 exchange is reused (the joins' grouped sides
+    // are already hash-partitioned — only the small pair side shuffles),
+    // and the id-pair output streams out of generators, output-bound.
     val chunkStructs = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("__h"), c * chunkBits).bitwiseAND(lit(mask)).as("cv"))
     }
     val banded = grouped.select(
-      col("__h"), col("__ms"), explode(array(chunkStructs: _*)).as("__c"))
-      .select(col("__h"), col("__ms"),
+      col("__h"), explode(array(chunkStructs: _*)).as("__c"))
+      .select(col("__h"),
         col("__c.chunk").as("chunk"), col("__c.cv").as("cv"))
     // pinned at the session's shuffle parallelism for the same reason as
     // [[bucketPairs]]: the generated pair mass is invisible to AQE's
@@ -689,26 +696,26 @@ object Dedup {
     val buckets = banded
       .repartition(shuffleParts, col("chunk"), col("cv"))
       .groupBy(col("chunk"), col("cv"))
-      .agg(collectListCapped(struct(col("__h"), col("__ms")), maxBucketSize)
-        .as("__gs"))
-      .filter(size(col("__gs")).between(2, maxBucketSize))
-    def chunkZero(xor: Column, c: Int): Column =
-      shiftright(xor, c * chunkBits).bitwiseAND(lit(mask)) === 0
-    def firstSharedChunk(xor: Column): Column =
-      coalesce(((0 until chunks).map(c => when(chunkZero(xor, c), lit(c)))
-        :+ lit(-1)): _*)
-    val xorCol = col("__ga.__h").bitwiseXOR(col("__gb.__h"))
-    val cross = buckets
-      .select(explode(col("__gs")).as("__ga"), col("__gs"), col("chunk"))
-      .select(col("__ga"), explode(col("__gs")).as("__gb"), col("chunk"))
-      .filter(col("__ga.__h") < col("__gb.__h"))
-      .withColumn("hamming", bit_count(xorCol))
-      .filter(col("hamming") <= maxHamming &&
-        col("chunk") === firstSharedChunk(xorCol))
-      .select(col("__ga.__ms").as("__ma"), col("__gb.__ms").as("__mb"),
-        col("hamming"))
+      .agg(collectListCapped(col("__h"), maxBucketSize).as("__hs"))
+      .filter(size(col("__hs")).between(2, maxBucketSize))
+    val hashPairs = buckets
+      .select(explode(col("__hs")).as("__hA"), col("__hs"))
+      .select(col("__hA"), explode(col("__hs")).as("__hB"))
+      .filter(col("__hA") < col("__hB"))
+      .withColumn("hamming", bit_count(col("__hA").bitwiseXOR(col("__hB"))))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("__hA"), col("__hB"), col("hamming"))
+      .agg(count(lit(1)).as("__nshared"))
+    val cross = hashPairs
+      .join(grouped.select(col("__h").as("__hA"), col("__ms").as("__ma")),
+        "__hA")
+      .join(grouped.select(col("__h").as("__hB"), col("__ms").as("__mb")),
+        "__hB")
       .select(explode(col("__ma")).as("__ia"), col("__mb"), col("hamming"))
       .select(col("__ia"), explode(col("__mb")).as("__ib"), col("hamming"))
+      // an id listed under BOTH hashes would pair with itself — drop it,
+      // matching the id-level banding's idA < idB strictness
+      .filter(col("__ia") =!= col("__ib"))
       .select(least(col("__ia"), col("__ib")).as("idA"),
         greatest(col("__ia"), col("__ib")).as("idB"), col("hamming"))
     same.unionByName(cross)

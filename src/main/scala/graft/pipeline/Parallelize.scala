@@ -43,12 +43,15 @@ private[graft] object Parallelize {
     val target = spark.sparkContext.defaultParallelism
     if (target <= 1) return df
     val plan = df.queryExecution.optimizedPlan
+    // the TOPMOST repartition-like node (collectFirst is pre-order) decides
+    // the frame's current width — matching any >=target repartition deeper
+    // in the plan would wrongly skip widening when a later narrow
+    // repartition (e.g. a caller's rebalance-to-4) sits above it
     val alreadyWide = plan.collectFirst {
-      case r: Repartition if r.numPartitions >= target => r
-      case r: RepartitionByExpression
-          if r.optNumPartitions.forall(_ >= target) => r
-      case r: RebalancePartitions => r
-    }.isDefined
+      case r: Repartition => r.numPartitions >= target
+      case r: RepartitionByExpression => r.optNumPartitions.forall(_ >= target)
+      case _: RebalancePartitions => true
+    }.getOrElse(false)
     if (alreadyWide) return df
     // mirror the scan split formula: maxSplit = min(maxPartitionBytes,
     // max(openCost, size/target)); the input is "narrow" when even a

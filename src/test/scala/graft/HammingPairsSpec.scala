@@ -57,5 +57,56 @@ class HammingPairsSpec extends AnyFunSpec with SparkSessionTestWrapper {
         (0L until 60L).map(id => (id, Long.box((id % 5) * 1234567L)))
       assert(viaOperator(rows, 0) == brute(rows, 0))
     }
+
+    it("under a tiny cap, keeps every pair with ANY surviving shared bucket") {
+      // documented cap semantics: duplicate groups over the cap drop whole;
+      // chunk buckets holding more than cap distinct hashes drop whole; a
+      // qualifying pair survives iff at least ONE of its shared chunk
+      // buckets survives. P and Q share the over-cap chunk-0 bucket but
+      // also a private chunk-2 bucket — an emit-from-first-shared-chunk
+      // shortcut would lose them (the round-17 review finding).
+      val cap = 4
+      val maxHamming = 3
+      // chunk c of a 64-bit hash = bits [16c, 16c+16)
+      val clump = (1L to 5L).map(k => k << 16)            // 5 hashes: chunk0/2/3 = 0
+      val p = (5L << 32) | (1L << 16)
+      val q = (5L << 32) | (2L << 16)
+      val giant = 0x123456789AL                            // a 6-copy group (> cap)
+      val hashes: Seq[Long] = clump ++ Seq(p, q) ++ Seq.fill(6)(giant)
+      val rows: Seq[(Long, java.lang.Long)] =
+        hashes.zipWithIndex.map { case (h, i) => (i.toLong, Long.box(h)) }
+
+      // reference implementation of the cap semantics over (id, hash)
+      val byHash = rows.groupBy(_._2.longValue).view.mapValues(_.map(_._1)).toMap
+      val keptGroups = byHash.filter(_._2.size <= cap)
+      def chunkOf(h: Long, c: Int): Long = (h >>> (c * 16)) & 0xffff
+      val bucketOf = (0 until 4).flatMap { c =>
+        keptGroups.keys.groupBy(h => (c, chunkOf(h, c)))
+      }.toMap
+      val survives = bucketOf.filter { case (_, hs) => hs.size >= 2 && hs.size <= cap }
+      val expectSame = for {
+        (_, ids) <- keptGroups.toSeq if ids.size >= 2
+        a <- ids; b <- ids if a < b
+      } yield (a, b, 0)
+      val ks = keptGroups.keys.toSeq
+      val expectCross = for {
+        ha <- ks; hb <- ks if ha < hb
+        d = java.lang.Long.bitCount(ha ^ hb)
+        if d <= maxHamming
+        if (0 until 4).exists(c => chunkOf(ha, c) == chunkOf(hb, c) &&
+          survives.contains((c, chunkOf(ha, c))))
+        a <- byHash(ha); b <- byHash(hb)
+      } yield (math.min(a, b), math.max(a, b), d)
+      val expected = (expectSame ++ expectCross).toSet
+
+      val got = Dedup.hammingPairs(rows.toDF("id", "h"), "id", "h",
+          maxHamming, 64, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected)
+      // and the motivating pair is genuinely present
+      val pid = rows.collectFirst { case (id, h) if h == p => id }.get
+      val qid = rows.collectFirst { case (id, h) if h == q => id }.get
+      assert(got.contains((math.min(pid, qid), math.max(pid, qid), 2)))
+    }
   }
 }

@@ -652,9 +652,15 @@ object Dedup {
     // Groups larger than `maxBucketSize` are dropped whole (the cap's
     // documented exact-duplicate-mass semantics, now applied per distinct
     // hash instead of per chunk bucket).
+    // dropDuplicates rides the SAME hash-partitioned exchange (its (h, id)
+    // clustering is satisfied by the hash partitioning), so duplicate
+    // (id, hash) ROWS — e.g. from an upstream join — cannot double-count a
+    // member. An id carrying two DIFFERENT hash values remains
+    // caller-defined: idCol is a key in every operator of this family.
     val grouped = hashed.filter(col(hashCol).isNotNull)
       .select(col(idCol).as("__id"), col(hashCol).as("__h"))
       .repartition(shuffleParts, col("__h"))
+      .dropDuplicates("__h", "__id")
       .groupBy(col("__h"))
       .agg(collectListCapped(col("__id"), maxBucketSize).as("__ms"))
       .filter(size(col("__ms")) <= maxBucketSize)
@@ -704,8 +710,9 @@ object Dedup {
       .filter(col("__hA") < col("__hB"))
       .withColumn("hamming", bit_count(col("__hA").bitwiseXOR(col("__hB"))))
       .filter(col("hamming") <= maxHamming)
-      .groupBy(col("__hA"), col("__hB"), col("hamming"))
-      .agg(count(lit(1)).as("__nshared"))
+      // dedup across shared chunks (hamming is functionally dependent on
+      // the hash pair, so it rides the distinct for free)
+      .select("__hA", "__hB", "hamming").distinct()
     val cross = hashPairs
       .join(grouped.select(col("__h").as("__hA"), col("__ms").as("__ma")),
         "__hA")
@@ -713,8 +720,8 @@ object Dedup {
         "__hB")
       .select(explode(col("__ma")).as("__ia"), col("__mb"), col("hamming"))
       .select(col("__ia"), explode(col("__mb")).as("__ib"), col("hamming"))
-      // an id listed under BOTH hashes would pair with itself — drop it,
-      // matching the id-level banding's idA < idB strictness
+      // an id listed under BOTH hashes (degenerate input — idCol is a key)
+      // would pair with itself; never emit self-edges
       .filter(col("__ia") =!= col("__ib"))
       .select(least(col("__ia"), col("__ib")).as("idA"),
         greatest(col("__ia"), col("__ib")).as("idB"), col("hamming"))

@@ -48,9 +48,11 @@ private[graft] object Parallelize {
     // in the plan would wrongly skip widening when a later narrow
     // repartition (e.g. a caller's rebalance-to-4) sits above it
     val alreadyWide = plan.collectFirst {
-      case r: Repartition => r.numPartitions >= target
+      // coalesce (shuffle=false) can only REDUCE width — its numPartitions
+      // is an upper bound, not an achieved parallelism
+      case r: Repartition => r.shuffle && r.numPartitions >= target
       case r: RepartitionByExpression => r.optNumPartitions.forall(_ >= target)
-      case _: RebalancePartitions => true
+      case r: RebalancePartitions => r.optNumPartitions.forall(_ >= target)
     }.getOrElse(false)
     if (alreadyWide) return df
     // mirror the scan split formula: maxSplit = min(maxPartitionBytes,

@@ -58,6 +58,14 @@ class HammingPairsSpec extends AnyFunSpec with SparkSessionTestWrapper {
       assert(viaOperator(rows, 0) == brute(rows, 0))
     }
 
+    it("duplicate (id, hash) rows do not double-count members or pairs") {
+      val base: Seq[(Long, java.lang.Long)] = (0L until 40L).map { id =>
+        (id, Long.box((id / 4) * 0x9E3779B97F4A7C15L))
+      }
+      val dup = base ++ base.take(15) // repeat some rows verbatim
+      assert(viaOperator(dup, 3) == brute(base, 3))
+    }
+
     it("under a tiny cap, keeps every pair with ANY surviving shared bucket") {
       // documented cap semantics: duplicate groups over the cap drop whole;
       // chunk buckets holding more than cap distinct hashes drop whole; a

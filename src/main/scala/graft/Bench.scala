@@ -80,8 +80,8 @@ object Bench {
     } catch { case _: Throwable => () }
     // the hamming-pair family (simhash text dedup + perceptual image/audio
     // dedup) compiles its own generated-code shapes — the two-tier gather,
-    // first-shared-chunk pair generator and member expansion — plus the
-    // ImageIO/PNG decode path; warm them on 64 toy assets for the same
+    // distinct-hash banding, pair dedup and member-expansion joins — plus
+    // the ImageIO/PNG decode path; warm them on 64 toy assets for the same
     // reason as the LSH block above
     try {
       import spark.implicits._

@@ -57,6 +57,28 @@ object SparkEntry {
     try body finally Configurator.setLevel(logger, before)
   }
 
+  /** The stateful replay harnesses' session shape, restored whatever
+    * `body` does (including a failed stream START — setting confs outside
+    * the protected region leaked them into every later query when start()
+    * threw): state partitions sized to the replays' key cardinality
+    * (~dozens of keys; see q6's sizing note), and no-data micro-batches
+    * off — the replays drain via explicit processAllAvailable/sentinels,
+    * so the watermark-advance no-data batches emit nothing the next data
+    * batch would not, while each costs a full state-commit cycle per
+    * store (measured ~2x on the windowed replays). A live deployment
+    * wanting EAGER emission between arrivals keeps the default.
+    */
+  private def withReplayConfs[T](s: SparkSession)(body: => T): T = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNdmb = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNdmb)
+    }
+  }
+
   /** events.ts as truncated epoch-µs BIGINT, robust to how the parquet
     * surfaced the column across testdata generations: raw-ns long (legacy
     * TIMESTAMP(NANOS) + nanosAsLong), TIMESTAMP, or TIMESTAMP_NTZ (session
@@ -316,15 +338,7 @@ object SparkEntry {
       val stream = input.toDF().toDF("event_id", "ts_us", "event_type", "value")
         .withColumn("ts", timestamp_micros(col("ts_us")))
       val name = "q20_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      // the replay drains via explicit processAllAvailable/sentinels, so the
-      // watermark-advance no-data batches emit nothing the next data batch
-      // would not — each is a full state-commit cycle per store (measured
-      // ~2x on the windowed replays); a live deployment wanting EAGER
-      // emission between arrivals keeps the default
-      val prevNdmb = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      withReplayConfs(s) { // conf comment: see the helper
       val query = graft.streaming.StreamingOps
         .windowedValueQuantiles(stream, watermarkDelay = "10 minutes")
         .writeStream.format("memory").queryName(name).outputMode("append").start()
@@ -335,10 +349,7 @@ object SparkEntry {
           java.sql.Timestamp.valueOf("2030-01-01 00:00:00").getTime * 1000L, "flush", 0.0d)
         input.addData(sentinel); query.processAllAvailable()
         input.addData(sentinel); query.processAllAvailable()
-      } finally {
-        query.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNdmb)
+      } finally query.stop()
       }
       s.table(name)
         .filter(col("event_type") =!= "flush")
@@ -376,15 +387,7 @@ object SparkEntry {
       // batches of per-store file commits is pure overhead here, exactly the
       // sizing a real deployment does per stream (result is partition-count
       // independent)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      // the replay drains via explicit processAllAvailable/sentinels, so the
-      // watermark-advance no-data batches emit nothing the next data batch
-      // would not — each is a full state-commit cycle per store (measured
-      // ~2x on the windowed replays); a live deployment wanting EAGER
-      // emission between arrivals keeps the default
-      val prevNdmb = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      withReplayConfs(s) { // conf comment: see the helper
       val query = graft.streaming.StreamingOps
         .windowedEventStats(stream, watermarkDelay = "10 minutes")
         .writeStream.format("memory").queryName(name).outputMode("append").start()
@@ -398,10 +401,7 @@ object SparkEntry {
           java.sql.Timestamp.valueOf("2030-01-01 00:00:00").getTime * 1000L, "flush", 0L)
         input.addData(sentinel); query.processAllAvailable()
         input.addData(sentinel); query.processAllAvailable()
-      } finally {
-        query.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNdmb)
+      } finally query.stop()
       }
       s.table(name)
         .filter(col("event_type") =!= "flush")
@@ -471,15 +471,7 @@ object SparkEntry {
         in.toDF().toDF("event_id", "ts_us", "user_id")
           .withColumn("ts", timestamp_micros(col("ts_us")))
       val name = "q18_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      // the replay drains via explicit processAllAvailable/sentinels, so the
-      // watermark-advance no-data batches emit nothing the next data batch
-      // would not — each is a full state-commit cycle per store (measured
-      // ~2x on the windowed replays); a live deployment wanting EAGER
-      // emission between arrivals keeps the default
-      val prevNdmb = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      withReplayConfs(s) { // conf comment: see the helper
       val query = graft.streaming.StreamingOps
         .intervalJoinStream(frame(inC), frame(inP), "user_id",
           watermarkDelay = "3650 days", lowerSeconds = 0L, upperSeconds = 3600L)
@@ -496,10 +488,7 @@ object SparkEntry {
           pb.lift(i).foreach(b => inP.addData(b.toIndexedSeq))
           query.processAllAvailable()
         }
-      } finally {
-        query.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNdmb)
+      } finally query.stop()
       }
       s.table(name).select(
         col("event_id").as("click_id"), col("event_id_r").as("purchase_id"),
@@ -527,25 +516,14 @@ object SparkEntry {
       val name = "q15_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // state keyed by fingerprint: size partitions to the corpus's distinct
       // count scale, not the session default (see q6's sizing note)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      // the replay drains via explicit processAllAvailable/sentinels, so the
-      // watermark-advance no-data batches emit nothing the next data batch
-      // would not — each is a full state-commit cycle per store (measured
-      // ~2x on the windowed replays); a live deployment wanting EAGER
-      // emission between arrivals keeps the default
-      val prevNdmb = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      withReplayConfs(s) { // conf comment: see the helper
       val query = graft.streaming.StreamingOps.fingerprintDedupStream(stream)
         .select("fingerprint")
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try {
         rows.grouped(math.max(1, rows.length / 4 + 1))
           .foreach { b => input.addData(b.toIndexedSeq); query.processAllAvailable() }
-      } finally {
-        query.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNdmb)
+      } finally query.stop()
       }
       s.table(name).select("fingerprint")
       }
@@ -693,24 +671,13 @@ object SparkEntry {
         .fingerprintDedupStream(
           input.toDF().toDF("doc_id", "text", "lang"))
         .select("doc_id", "lang", "fingerprint")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      // the replay drains via explicit processAllAvailable/sentinels, so the
-      // watermark-advance no-data batches emit nothing the next data batch
-      // would not — each is a full state-commit cycle per store (measured
-      // ~2x on the windowed replays); a live deployment wanting EAGER
-      // emission between arrivals keeps the default
-      val prevNdmb = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      withReplayConfs(s) { // conf comment: see the helper
       val query = graft.streaming.GraftSink
         .writeStreamTo(curated, dirT, "q16app").start()
       try {
         rows.grouped(math.max(1, rows.length / 4 + 1))
           .foreach { b => input.addData(b.toIndexedSeq); query.processAllAvailable() }
-      } finally {
-        query.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNdmb)
+      } finally query.stop()
       }
       GraftTable.forPath(s, dirT).toDF.select("fingerprint")
       }

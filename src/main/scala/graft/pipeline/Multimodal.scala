@@ -118,7 +118,10 @@ object Multimodal {
     try {
       val ok = javax.imageio.ImageIO.write(img, "png", ios)
       require(ok, "no PNG writer available")
-    } finally { try ios.close() catch { case _: java.io.IOException => () } }
+    } finally ios.close()
+    // close() NOT guarded here, unlike the read side: ImageIO.write does
+    // not close the output stream, and close() IS the flush — swallowing
+    // its IOException would return truncated PNG bytes as if valid
   }
 
   /** REAL image decode via in-JDK `javax.imageio.ImageIO` (headless-safe;

@@ -47,12 +47,19 @@ private[graft] object Parallelize {
     // the frame's current width — matching any >=target repartition deeper
     // in the plan would wrongly skip widening when a later narrow
     // repartition (e.g. a caller's rebalance-to-4) sits above it
+    // a repartition with no explicit count resolves to the session's
+    // shuffle parallelism — which can sit below defaultParallelism
+    val implicitN =
+      try spark.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Exception => target }
     val alreadyWide = plan.collectFirst {
       // coalesce (shuffle=false) can only REDUCE width — its numPartitions
       // is an upper bound, not an achieved parallelism
       case r: Repartition => r.shuffle && r.numPartitions >= target
-      case r: RepartitionByExpression => r.optNumPartitions.forall(_ >= target)
-      case r: RebalancePartitions => r.optNumPartitions.forall(_ >= target)
+      case r: RepartitionByExpression =>
+        r.optNumPartitions.getOrElse(implicitN) >= target
+      case r: RebalancePartitions =>
+        r.optNumPartitions.getOrElse(implicitN) >= target
     }.getOrElse(false)
     if (alreadyWide) return df
     // mirror the scan split formula: maxSplit = min(maxPartitionBytes,

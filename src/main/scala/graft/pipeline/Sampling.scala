@@ -268,8 +268,11 @@ object Sampling {
 
     // broadcast the O(#strata) threshold table; the corpus-side filter is
     // map-only — only ~3K rows per stratum (all rows of a flagged stratum)
-    // ever reach the window sort
-    val pre = ranked.join(broadcast(thrDf), col(strataCol) === col("__stratum"))
+    // ever reach the window sort. Null-safe join: a NULL stratum is a
+    // stratum too (it was counted by the sizes pass and owns a threshold
+    // row); plain === would silently drop its rows — same rule as
+    // temperatureMix's threshold join below.
+    val pre = ranked.join(broadcast(thrDf), col(strataCol) <=> col("__stratum"))
       .filter(col("__rank") <= col("__thr") || col("__exact"))
 
     val w = Window.partitionBy(col(strataCol))

@@ -604,11 +604,14 @@ object Dedup {
     * come from shared chunk values (100% recall, not probabilistic);
     * `bit_count(xor)` verifies exactly.
     *
-    * @param maxBucketSize chunk-value buckets with more members than this are
-    *        dropped (they are exact-duplicate mass whose O(bucket²) pairs
-    *        carry no near-dup signal, and the member list must fit an
-    *        aggregation buffer) — the pigeonhole recall guarantee holds for
-    *        pairs outside such buckets
+    * @param maxBucketSize two-level cap (see [[hammingPairs]]): exact-
+    *        duplicate groups with more members than this are dropped whole,
+    *        and chunk-value buckets holding more than this many DISTINCT
+    *        hash values are dropped — the pigeonhole recall guarantee holds
+    *        for every pair with at least one surviving shared bucket.
+    *        Groups UNDER the cap emit all their hamming-0 member pairs
+    *        (output-bound); collapse exact-duplicate mass with [[exact]]
+    *        first when those pairs are not wanted.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bits: Int = 64,
@@ -621,9 +624,19 @@ object Dedup {
   /** All id pairs whose LONG hash values differ in at most `maxHamming`
     * bits — the chunk-banding join shared by [[simhashPairs]] and
     * perceptual-hash image dedup ([[Multimodal.imageNearDupPairs]]). Rows
-    * with a null hash are skipped. EXACT by pigeonhole: `maxHamming + 1`
-    * chunks mean every qualifying pair shares at least one whole chunk
-    * (100% recall, not probabilistic); `bit_count(xor)` verifies exactly.
+    * with a null hash are skipped; `idCol` is treated as a key (verbatim
+    * duplicate rows are deduped; an id under two different hashes is
+    * caller-defined, though self-edges are never emitted). EXACT by
+    * pigeonhole: `maxHamming + 1` chunks mean every qualifying pair shares
+    * at least one whole chunk (100% recall, not probabilistic);
+    * `bit_count(xor)` verifies exactly.
+    *
+    * `maxBucketSize` caps both tiers: exact-duplicate GROUPS over the cap
+    * drop whole (their member gather must fit an aggregation buffer), and
+    * chunk buckets holding more than the cap's worth of DISTINCT hash
+    * values drop whole; a qualifying pair survives if ANY of its shared
+    * chunk buckets survives. Under-cap duplicate groups emit all their
+    * hamming-0 member pairs — output-inherent for the all-pairs contract.
     */
   def hammingPairs(hashed: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3, bits: Int = 64,

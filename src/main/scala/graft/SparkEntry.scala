@@ -61,18 +61,29 @@ object SparkEntry {
     * `body` does (including a failed stream START — setting confs outside
     * the protected region leaked them into every later query when start()
     * threw): state partitions sized to the replays' key cardinality
-    * (~dozens of keys; see q6's sizing note), and no-data micro-batches
-    * off — the replays drain via explicit processAllAvailable/sentinels,
+    * (~dozens of keys; see q6's sizing note), and — for the WATERMARKED
+    * replays (`disableNdmb = true`, the default) — no-data micro-batches
+    * off: those replays drain via explicit processAllAvailable/sentinels,
     * so the watermark-advance no-data batches emit nothing the next data
     * batch would not, while each costs a full state-commit cycle per
     * store (measured ~2x on the windowed replays). A live deployment
     * wanting EAGER emission between arrivals keeps the default.
+    *
+    * The UNWATERMARKED dropDuplicates replays (q15, q16) pass
+    * `disableNdmb = false`: they have no watermark state for a no-data
+    * batch to advance, and measured WITH ndmb disabled they are ~0.5 s
+    * SLOWER per run (min-of-3: 1.61 vs 1.48 s, and 2.18 vs 1.53 s on the
+    * repeat — the r17 driver saw the same 1.39 → 2.20 s regression on
+    * q15): without the prompt post-data no-data batch the
+    * processAllAvailable drain detects quiescence on a poll interval
+    * instead. Session default (ndmb on) is the right call for them.
     */
-  private def withReplayConfs[T](s: SparkSession)(body: => T): T = {
+  private def withReplayConfs[T](s: SparkSession, disableNdmb: Boolean = true)(body: => T): T = {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val prevNdmb = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    if (disableNdmb)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try body finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNdmb)
@@ -515,8 +526,9 @@ object SparkEntry {
       val stream = input.toDF().toDF("doc_id", "text")
       val name = "q15_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // state keyed by fingerprint: size partitions to the corpus's distinct
-      // count scale, not the session default (see q6's sizing note)
-      withReplayConfs(s) { // conf comment: see the helper
+      // count scale, not the session default (see q6's sizing note);
+      // unwatermarked dedup keeps ndmb ON (see the helper's doc)
+      withReplayConfs(s, disableNdmb = false) { // conf comment: see the helper
       val query = graft.streaming.StreamingOps.fingerprintDedupStream(stream)
         .select("fingerprint")
         .writeStream.format("memory").queryName(name).outputMode("append").start()
@@ -671,7 +683,8 @@ object SparkEntry {
         .fingerprintDedupStream(
           input.toDF().toDF("doc_id", "text", "lang"))
         .select("doc_id", "lang", "fingerprint")
-      withReplayConfs(s) { // conf comment: see the helper
+      // unwatermarked dedup keeps ndmb ON (see the helper's doc)
+      withReplayConfs(s, disableNdmb = false) { // conf comment: see the helper
       val query = graft.streaming.GraftSink
         .writeStreamTo(curated, dirT, "q16app").start()
       try {
@@ -1689,8 +1702,14 @@ object SparkEntry {
       val approx = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 5,
         numCentroids = 16, nProbe = 8)
         .select("query_id", "corpus_id")
-      val total = exact.count()
-      val hits = exact.join(approx, Seq("query_id", "corpus_id"), "left_semi").count()
+      // ONE action for total+hits: approx pairs are unique by construction
+      // (rank <= k per query), so count of matched marks == the left-semi
+      // count, while the exact side — a full brute-force pass — executes
+      // once instead of twice (guide §1.2: don't recompute whole subtrees)
+      val row = exact
+        .join(approx.withColumn("__m", lit(1)), Seq("query_id", "corpus_id"), "left")
+        .agg(count(lit(1)), count(col("__m"))).first()
+      val (total, hits) = (row.getLong(0), row.getLong(1))
       import s.implicits._
       Seq((total, hits.toDouble / total >= 0.7))
         .toDF("exact_pairs", "recall_ok")
@@ -1880,8 +1899,11 @@ object SparkEntry {
       val approx = Similarity.pqTopKFromIndex(s, dirT, queries,
         "vec_id", "embedding", 5, rerank = rr)
         .select("query_id", "corpus_id")
-      val total = exact.count()
-      val hits = exact.join(approx, Seq("query_id", "corpus_id"), "left_semi").count()
+      // one action for total+hits — see d6_ivf_recall's note
+      val row = exact
+        .join(approx.withColumn("__m", lit(1)), Seq("query_id", "corpus_id"), "left")
+        .agg(count(lit(1)), count(col("__m"))).first()
+      val (total, hits) = (row.getLong(0), row.getLong(1))
       import s.implicits._
       Seq((total, hits.toDouble / total >= 0.85))
         .toDF("exact_pairs", "recall_ok")
@@ -1906,8 +1928,11 @@ object SparkEntry {
       val approx = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", 5,
         m = 8, ksub = 16, rerank = rr)
         .select("query_id", "corpus_id")
-      val total = exact.count()
-      val hits = exact.join(approx, Seq("query_id", "corpus_id"), "left_semi").count()
+      // one action for total+hits — see d6_ivf_recall's note
+      val row = exact
+        .join(approx.withColumn("__m", lit(1)), Seq("query_id", "corpus_id"), "left")
+        .agg(count(lit(1)), count(col("__m"))).first()
+      val (total, hits) = (row.getLong(0), row.getLong(1))
       import s.implicits._
       Seq((total, hits.toDouble / total >= 0.85))
         .toDF("exact_pairs", "recall_ok")

@@ -637,6 +637,14 @@ object Dedup {
     * values drop whole; a qualifying pair survives if ANY of its shared
     * chunk buckets survives. Under-cap duplicate groups emit all their
     * hamming-0 member pairs — output-inherent for the all-pairs contract.
+    *
+    * EAGER: the distinct-hash gather is materialized when this method is
+    * called (see [[materialize]] for the fault-tolerance knob) — it feeds
+    * up to four plan branches, and rebasing them on the materialized rows
+    * guarantees the expensive upstream (an image decode, the simhash
+    * aggregation) executes exactly once per call rather than relying on
+    * runtime exchange reuse. Storage is one row per distinct hash — never
+    * more than the exchange output each branch would otherwise re-read.
     */
   def hammingPairs(hashed: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3, bits: Int = 64,
@@ -659,9 +667,15 @@ object Dedup {
     // Banding over distinct values bounds candidate work by hash-space
     // cardinality regardless of corpus size (the same principle as
     // [[Multimodal.imageDedup]]'s exact-collapse tier). ONE gather keyed by
-    // the hash serves every downstream branch; both branches sit above the
-    // same aggregation subtree, so ReuseExchange runs the expensive
-    // upstream (e.g. an image decode) exactly once — no checkpoint needed.
+    // the hash serves every downstream branch — MATERIALIZED (see
+    // [[materialize]]), so the expensive upstream (an image decode, the
+    // simhash aggregation) runs exactly once by construction. The previous
+    // formulation left this to AQE's ReuseExchange, which a stage listener
+    // showed NOT deduplicating the 3-4 consumer subtrees here (the simhash
+    // map side re-ran per consumer: 3 × ~4.5 s task time on the sf0.1
+    // probe, the dominant cost of d3/d30); the checkpoint rows are one per
+    // distinct hash (id list payload) — never larger than the exchange
+    // output the consumers would each have re-aggregated.
     // Groups larger than `maxBucketSize` are dropped whole (the cap's
     // documented exact-duplicate-mass semantics, now applied per distinct
     // hash instead of per chunk bucket).
@@ -670,13 +684,67 @@ object Dedup {
     // (id, hash) ROWS — e.g. from an upstream join — cannot double-count a
     // member. An id carrying two DIFFERENT hash values remains
     // caller-defined: idCol is a key in every operator of this family.
-    val grouped = hashed.filter(col(hashCol).isNotNull)
+    val grouped = materialize(hashed.filter(col(hashCol).isNotNull)
       .select(col(idCol).as("__id"), col(hashCol).as("__h"))
       .repartition(shuffleParts, col("__h"))
       .dropDuplicates("__h", "__id")
       .groupBy(col("__h"))
       .agg(collectListCapped(col("__id"), maxBucketSize).as("__ms"))
-      .filter(size(col("__ms")) <= maxBucketSize)
+      .filter(size(col("__ms")) <= maxBucketSize))
+
+    // the materialized gather makes the duplicate-mass probe a cheap block
+    // scan: with NO exact-duplicate groups (the common case for 64-bit
+    // hashes over distinct content) the two member-attach joins and the
+    // same-hash tier are structural no-ops — take the single-tier fast
+    // path that bands (hash, id) directly and emits pairs with no joins
+    val maxGroup = grouped
+      .agg(coalesce(max(size(col("__ms"))), lit(0))).first().getInt(0)
+
+    val chunkStructs = (0 until chunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("__h"), c * chunkBits).bitwiseAND(lit(mask)).as("cv"))
+    }
+
+    if (maxGroup <= 1) {
+      // FAST PATH — every surviving group has exactly one member, so the
+      // single id rides the banding row as payload: same chunking, same
+      // per-bucket DISTINCT-hash cap, same cross-chunk pair dedup (ids are
+      // functions of the hash pair, so the distinct is unchanged), and the
+      // hamming-0 tier is empty by construction. Output is identical to
+      // the two-tier plan below on this input; the two hash-keyed joins
+      // and the union never enter the plan.
+      val banded = grouped.select(
+        col("__h"), col("__ms")(0).as("__id"),
+        explode(array(chunkStructs: _*)).as("__c"))
+        .select(col("__h"), col("__id"),
+          col("__c.chunk").as("chunk"), col("__c.cv").as("cv"))
+      // pinned at the session's shuffle parallelism for the same reason as
+      // [[bucketPairs]]: the generated pair mass is invisible to AQE's
+      // bytes-based coalescing
+      banded
+        .repartition(shuffleParts, col("chunk"), col("cv"))
+        .groupBy(col("chunk"), col("cv"))
+        .agg(collectListCapped(struct(col("__h"), col("__id")), maxBucketSize)
+          .as("__hs"))
+        .filter(size(col("__hs")).between(2, maxBucketSize))
+        .select(explode(col("__hs")).as("__a"), col("__hs"))
+        .select(col("__a"), explode(col("__hs")).as("__b"))
+        .filter(col("__a.__h") < col("__b.__h"))
+        .withColumn("hamming",
+          bit_count(col("__a.__h").bitwiseXOR(col("__b.__h"))))
+        .filter(col("hamming") <= maxHamming)
+        // dedup across shared chunks — ids ride the distinct for free
+        // (functionally dependent on the hash pair, like hamming)
+        .select(col("__a.__h").as("__hA"), col("__b.__h").as("__hB"),
+          col("__a.__id").as("__ia"), col("__b.__id").as("__ib"),
+          col("hamming"))
+        .distinct()
+        // an id listed under BOTH hashes (degenerate input — idCol is a
+        // key) would pair with itself; never emit self-edges
+        .filter(col("__ia") =!= col("__ib"))
+        .select(least(col("__ia"), col("__ib")).as("idA"),
+          greatest(col("__ia"), col("__ib")).as("idB"), col("hamming"))
+    } else {
 
     // tier 1 — same-hash pairs (hamming 0): member pairs within each
     // exact-duplicate group, straight off the gather (output-bound)
@@ -698,13 +766,8 @@ object Dedup {
     // survives (an emit-from-first-shared-chunk shortcut would lose pairs
     // whose first shared bucket was over-cap-dropped while a later one
     // survived). Member lists then attach by TWO hash-keyed joins against
-    // `grouped`, whose tier-1 exchange is reused (the joins' grouped sides
-    // are already hash-partitioned — only the small pair side shuffles),
-    // and the id-pair output streams out of generators, output-bound.
-    val chunkStructs = (0 until chunks).map { c =>
-      struct(lit(c).as("chunk"),
-        shiftright(col("__h"), c * chunkBits).bitwiseAND(lit(mask)).as("cv"))
-    }
+    // the materialized `grouped` (only the small pair side shuffles), and
+    // the id-pair output streams out of generators, output-bound.
     val banded = grouped.select(
       col("__h"), explode(array(chunkStructs: _*)).as("__c"))
       .select(col("__h"),
@@ -739,6 +802,7 @@ object Dedup {
       .select(least(col("__ia"), col("__ib")).as("idA"),
         greatest(col("__ia"), col("__ib")).as("idB"), col("hamming"))
     same.unionByName(cross)
+    }
   }
 
   /** Exact n-gram Jaccard similarity join via an inverted-index equi-join on

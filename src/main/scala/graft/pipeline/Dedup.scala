@@ -1141,13 +1141,25 @@ object Dedup {
     */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val wins = df
-      .select(col(idCol).as("__id"), tokenize(col(textCol)).as("__toks"))
+    val shuffleParts =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // widened: tokenize + positional window hashing is the per-row hot spot
+    // and a single-split input otherwise runs it one-core (measured 0.4 s
+    // serial at sf0.1; a no-op at production partition counts)
+    val wins = Parallelize.widen(df.select(col(idCol).as("__id"), col(textCol).as("__t")))
+      .select(col("__id"), tokenize(col("__t")).as("__toks"))
       .select(col("__id"), posexplode(positionalShingles(col("__toks"), k)))
       .select(col("__id"), (col("pos") + 1).as("__pos"), col("col").as("__h"))
     // canonical occurrence + occurrence count per window hash; min(struct)
-    // and count aggregate map-side before the single hash shuffle
-    val canon = wins.groupBy("__h").agg(
+    // and count aggregate map-side before the single hash shuffle. The
+    // shuffle is PINNED at the session's parallelism (the explicit-N
+    // repartition folds into the aggregation's own exchange — no extra
+    // shuffle): the window rows are 16 bytes each, so AQE's bytes-based
+    // coalescing runs the flag join + the span window SERIAL on a corpus
+    // whose real per-row work (join probe, window merge, position explode)
+    // it cannot see — the [[bucketPairs]] lesson (measured: three 1-task
+    // stages totaling ~1.1 s of d29's 2.0 s at sf0.1)
+    val canon = wins.repartition(shuffleParts, col("__h")).groupBy("__h").agg(
       min(struct(col("__id"), col("__pos"))).as("__c0"),
       count(lit(1)).as("__cnt"))
     val flagged = wins.join(canon, "__h")
@@ -1156,9 +1168,12 @@ object Dedup {
       .select(col("__id"), col("__pos"))
     // gaps-and-islands merge of covered intervals [pos, pos+k-1] per doc:
     // a window start begins a new span iff it clears the running covered
-    // end by 2+ (adjacent coverage fuses)
+    // end by 2+ (adjacent coverage fuses). Same pin as `canon` — the span
+    // rows are tiny but every span EXPLODES to its covered positions
+    // downstream, generated mass AQE cannot see.
     val w = Window.partitionBy("__id").orderBy("__pos")
     val spans = flagged
+      .repartition(shuffleParts, col("__id"))
       .withColumn("__prevEnd",
         max(col("__pos") + (k - 1)).over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("__isl",
@@ -1190,11 +1205,17 @@ object Dedup {
     val spans = duplicatedSpans(df, idCol, textCol, k)
     val covered = spans.select(col(idCol).as("__id"),
       explode(sequence(col("span_start"), col("span_end"))).as("__pos"))
-    val toks = df
-      .select(col(idCol).as("__id"), posexplode(tokenize(col(textCol))))
+    val toks = Parallelize.widen(df.select(col(idCol).as("__id"), col(textCol).as("__t")))
+      .select(col("__id"), posexplode(tokenize(col("__t"))))
       .select(col("__id"), (col("pos") + 1).cast("long").as("__pos"),
         col("col").as("__tok"))
+    // pinned regroup: the surviving token rows are bytes-tiny but the
+    // per-doc gather sorts every doc's full token array — per-row work
+    // AQE's bytes-based coalescing cannot see (see duplicatedSpans)
+    val shuffleParts =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val rebuilt = toks.join(covered, Seq("__id", "__pos"), "left_anti")
+      .repartition(shuffleParts, col("__id"))
       .groupBy("__id")
       .agg(array_join(
         sort_array(collect_list(struct(col("__pos"), col("__tok"))))

@@ -31,7 +31,7 @@ class BenchRenderSpec extends AnyFunSpec with Matchers {
   }
 
   it("keeps the stdout line under the driver tail budget for the full suite") {
-    val (line, _) = Bench.render(syntheticResults(), "/root/testdata/sf0.1", filtered = false)
+    val (line, _, _) = Bench.render(syntheticResults(), "/root/testdata/sf0.1", filtered = false)
     withClue(s"line length ${line.length}: ") {
       line.length should be <= Bench.StdoutLineBudget
     }
@@ -40,7 +40,7 @@ class BenchRenderSpec extends AnyFunSpec with Matchers {
   it("stays under budget even with errors present") {
     val errs = SparkEntry.staged.keys.toSeq.sorted.take(10)
       .map(n => n -> ("x" * 500)).toMap
-    val (line, _) = Bench.render(syntheticResults(errs), "/root/testdata/sf0.1", filtered = false)
+    val (line, _, _) = Bench.render(syntheticResults(errs), "/root/testdata/sf0.1", filtered = false)
     line.length should be <= Bench.StdoutLineBudget
     val fields = parse(line)
     fields("error_count").toString.toInt shouldBe 10
@@ -48,7 +48,7 @@ class BenchRenderSpec extends AnyFunSpec with Matchers {
   }
 
   it("stdout line is valid JSON with headline queries and group subtotals") {
-    val (line, _) = Bench.render(syntheticResults(), "/root/testdata/sf0.1", filtered = false)
+    val (line, _, _) = Bench.render(syntheticResults(), "/root/testdata/sf0.1", filtered = false)
     val fields = parse(line)
     fields("n_queries").toString.toInt shouldBe SparkEntry.staged.size
     fields("unit").asInstanceOf[com.fasterxml.jackson.databind.JsonNode].asText() shouldBe "sec"
@@ -66,7 +66,7 @@ class BenchRenderSpec extends AnyFunSpec with Matchers {
 
   it("full detail JSON carries every query, fixture and error at full precision") {
     val errs = Map(SparkEntry.staged.keys.min -> "boom")
-    val (_, full) = Bench.render(syntheticResults(errs), "/root/testdata/sf0.1", filtered = false)
+    val (_, full, _) = Bench.render(syntheticResults(errs), "/root/testdata/sf0.1", filtered = false)
     val fields = parse(full)
     val queries = fields("queries").asInstanceOf[com.fasterxml.jackson.databind.JsonNode]
     queries.size() shouldBe SparkEntry.staged.size
@@ -77,15 +77,34 @@ class BenchRenderSpec extends AnyFunSpec with Matchers {
       .get(SparkEntry.staged.keys.min).asText() shouldBe "boom"
   }
 
+  it("summary line carries EVERY query with the stdout line's keys intact") {
+    // VERDICT r17 #2: bench_summary.json must expose all per-query seconds
+    // (the stdout line stays q-family-only for the tail budget); the wide
+    // line is additions-only — same keys, the q-family entries unchanged
+    val (line, _, wide) = Bench.render(syntheticResults(), "/root/testdata/sf0.1", filtered = false)
+    val wf = parse(wide)
+    val wq = wf("queries").asInstanceOf[com.fasterxml.jackson.databind.JsonNode]
+    wq.size() shouldBe SparkEntry.staged.size
+    val lf = parse(line)
+    lf.keySet shouldBe wf.keySet
+    val lq = lf("queries").asInstanceOf[com.fasterxml.jackson.databind.JsonNode]
+    import scala.jdk.CollectionConverters._
+    lq.properties().asScala.foreach { e =>
+      wq.get(e.getKey).asDouble() shouldBe e.getValue.asDouble()
+    }
+    wf("value").asInstanceOf[com.fasterxml.jackson.databind.JsonNode].asDouble() shouldBe
+      lf("value").asInstanceOf[com.fasterxml.jackson.databind.JsonNode].asDouble()
+  }
+
   it("filtered runs are self-identifying on both line and full JSON") {
-    val (line, full) = Bench.render(syntheticResults().take(2), "/x", filtered = true)
+    val (line, full, _) = Bench.render(syntheticResults().take(2), "/x", filtered = true)
     parse(line)("filtered").asInstanceOf[com.fasterxml.jackson.databind.JsonNode].asBoolean() shouldBe true
     parse(full)("selected").toString.toInt shouldBe 2
   }
 
   it("carries the self-defense markers: loadavg pair and rerun audit, under budget") {
     val name = SparkEntry.staged.keys.min
-    val (line, full) = Bench.render(syntheticResults(), "/root/testdata/sf0.1",
+    val (line, full, _) = Bench.render(syntheticResults(), "/root/testdata/sf0.1",
       filtered = false, loadavg = Some((1.25, 30.75)),
       reruns = Map(name -> ((9.23, 1.52))))
     withClue(s"line length ${line.length}: ") {

@@ -149,17 +149,23 @@ class GraftStreamSource(
   override def getOffset: Option[Offset] = offer()
 
   private def offer(): Option[LongOffset] = {
-    if (!log.tableExists || availableNowCap.contains(-1L)) None
+    // ONE log-directory listing per trigger: tableExists/latestVersion/
+    // admitThrough each re-listed before — 4+ LIST round-trips per
+    // micro-batch, which on an object store is the dominant per-trigger
+    // metadata cost (guide §6); a single point-in-time view is also
+    // strictly more consistent under concurrent commits
+    val vs = log.versions()
+    if (vs.isEmpty || availableNowCap.contains(-1L)) None
     else {
-      val head = availableNowCap.fold(log.latestVersion())(math.min(_, log.latestVersion()))
+      val head = availableNowCap.fold(vs.last)(math.min(_, vs.last))
       val offered = lastOffered match {
-        case Some(base) => admitThrough(base, head)
+        case Some(base) => admitThrough(base, head, vs)
         // a corrupt (torn-write) marker means this IS a restart but the
         // watermark is unknown — only an unbudgeted head offer cannot regress
         case None if initialMarker == GraftStreamSource.MarkerCorrupt => head
         case None => startingVersion match {
           // first replay batch: budget counts from just before startingVersion
-          case Some(sv) => admitThrough(sv - 1, head)
+          case Some(sv) => admitThrough(sv - 1, head, vs)
           // snapshot batch: pinned at the current head — one table scan
           case None => head
         }
@@ -190,12 +196,12 @@ class GraftStreamSource(
     * The FIRST pending version is always admitted, so one oversized commit
     * can never stall the stream.
     */
-  private def admitThrough(base: Long, head: Long): Long = {
+  private def admitThrough(base: Long, head: Long, vs: Seq[Long]): Long = {
     // the watermark resuming BELOW the earliest surviving version means the
     // log was cleaned past this stream's checkpoint — fail with the cause
     // (the versions to admit no longer exist; silently skipping them would
     // drop committed changes from the stream)
-    val earliest = log.versions().headOption.getOrElse(Long.MinValue)
+    val earliest = vs.headOption.getOrElse(Long.MinValue)
     if (base + 1 < earliest && base < head)
       throw new IllegalStateException(
         s"stream needs version ${base + 1} of $tablePath but the earliest surviving " +
@@ -207,7 +213,7 @@ class GraftStreamSource(
     var admitted = base
     var bytes = 0L
     var files = 0L
-    val pending = log.versions().filter(v => v > base && v <= versionCapped)
+    val pending = vs.filter(v => v > base && v <= versionCapped)
     pending.foreach { v =>
       val withinBudgets =
         maxBytesPerTrigger.forall(bytes < _) && maxFilesPerTrigger.forall(files < _)
@@ -250,13 +256,16 @@ class GraftStreamSource(
     // getBatch BEFORE the next getOffset — record its end so the version
     // budget resumes from the recovered position, not from scratch
     advanceWatermark(endV)
+    // one log-directory listing per batch (see offer()) — the guards and
+    // the version-range filters below all read this point-in-time view
+    val vs = log.versions()
     // a batch that ENDS below the earliest surviving version can only be a
     // checkpoint replay against a log cleaned past it — name the cause
     // instead of surfacing a raw missing-version failure
-    if (endV < log.versions().headOption.getOrElse(Long.MinValue))
+    if (endV < vs.headOption.getOrElse(Long.MinValue))
       throw new IllegalStateException(
         s"stream checkpoint replays version $endV of $tablePath but the earliest " +
-          s"surviving log version is ${log.versions().head} — the commit log was " +
+          s"surviving log version is ${vs.head} — the commit log was " +
           "cleaned past this stream's checkpoint (graft.logRetentionDuration); " +
           "restart the stream from a fresh checkpoint or lengthen the log retention")
     // a cleaned commit log (graft.logRetentionDuration) that expired
@@ -264,7 +273,7 @@ class GraftStreamSource(
     // change stream that drops commits is data loss (Delta's streaming
     // source raises the same way when the log is vacuumed past an offset)
     def guardCleaned(firstNeeded: Long): Unit = {
-      val earliest = log.versions().headOption.getOrElse(Long.MaxValue)
+      val earliest = vs.headOption.getOrElse(Long.MaxValue)
       if (firstNeeded < earliest && firstNeeded <= endV)
         throw new IllegalStateException(
           s"stream needs version $firstNeeded of $tablePath but the earliest surviving " +
@@ -277,13 +286,13 @@ class GraftStreamSource(
         startingVersion match {
           case Some(sv) =>
             guardCleaned(sv)
-            changesFor(log.versions().filter(v => v >= sv && v <= endV))
+            changesFor(vs.filter(v => v >= sv && v <= endV))
           case None     => snapshotAsInserts(endV)
         }
       case Some(s) =>
         val startV = versionOf(s)
         guardCleaned(startV + 1)
-        changesFor(log.versions().filter(v => v > startV && v <= endV))
+        changesFor(vs.filter(v => v > startV && v <= endV))
     }
     val aligned = out.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     org.apache.spark.sql.graft.SparkBridge.streamingDataFrame(
